@@ -1,0 +1,96 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.pipeline.PipelineContext
+
+/** Pluggable storage boundary.
+  *
+  * The reference hard-wires the DataStax Cassandra DataSource
+  * ("org.apache.spark.sql.cassandra", ref: CassandraExtract.scala:95,
+  * CassandraLoad.scala:118). This build abstracts the storage system so the
+  * same stages run against a parquet-backed "keyspace" in CI (no Cassandra
+  * in the zero-egress environment) and a real connector in production.
+  * Everything relational stays in Spark; the connector only maps
+  * (table, options) to a DataSource read/write/DDL call.
+  */
+trait Connector {
+
+  /** Read one table into a DataFrame. Schema is inferred by the source
+    * (ref: CassandraExtract.scala:95-98 — no user schema hook).
+    */
+  def read(table: String, options: Map[String, String])(implicit ctx: PipelineContext): DataFrame
+
+  /** Write a DataFrame to a table with the given save mode. */
+  def write(df: DataFrame, table: String, mode: SaveMode, options: Map[String, String])(
+      implicit ctx: PipelineContext): Unit
+
+  /** Execute an out-of-band statement (DDL/DML) against the storage system,
+    * driver-side, outside any Spark job
+    * (ref: CassandraExecute.scala:98-102).
+    */
+  def execute(statement: String)(implicit ctx: PipelineContext): Unit
+}
+
+/** Parquet-backed keyspace: table `t` lives at `<baseDir>/<t>.parquet`.
+  * Filter pushdown, column pruning and partition pruning come from Spark's
+  * native parquet source. Used by all tests and by the driver harness
+  * (`/root/testdata/<sf>/<table>.parquet`).
+  */
+final class ParquetConnector(baseDir: String) extends Connector {
+  private def path(table: String) = s"$baseDir/$table.parquet"
+
+  override def read(table: String, options: Map[String, String])(
+      implicit ctx: PipelineContext): DataFrame =
+    ctx.spark.read.options(options).parquet(path(table))
+
+  /** Replicates the connector's truncate safety latch: Overwrite refuses to
+    * run unless the caller passes `confirm.truncate=true`
+    * (ref: CassandraLoadSuite.scala:104 — DataStax connector semantics).
+    */
+  override def write(df: DataFrame, table: String, mode: SaveMode, options: Map[String, String])(
+      implicit ctx: PipelineContext): Unit = {
+    if (mode == SaveMode.Overwrite &&
+        !options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        "Overwrite requires explicit confirm.truncate=true (destructive-write latch)")
+    df.write.mode(mode).options(options - "confirm.truncate").parquet(path(table))
+  }
+
+  override def execute(statement: String)(implicit ctx: PipelineContext): Unit =
+    ctx.spark.sql(statement).collect(): Unit
+}
+
+/** Thin adapter that forwards to the Cassandra DataSource by format name.
+  * Never exercised in CI (no Cassandra in this environment); compiled to
+  * show the production wiring (ref: CassandraExtract.scala:95,
+  * CassandraLoad.scala:114-119). `keyspace` rides in as an option.
+  */
+final class CassandraFormatConnector(keyspace: String) extends Connector {
+  private val Format = "org.apache.spark.sql.cassandra"
+
+  override def read(table: String, options: Map[String, String])(
+      implicit ctx: PipelineContext): DataFrame =
+    ctx.spark.read
+      .format(Format)
+      .options(options)
+      .option("keyspace", keyspace)
+      .option("table", table)
+      .load()
+
+  override def write(df: DataFrame, table: String, mode: SaveMode, options: Map[String, String])(
+      implicit ctx: PipelineContext): Unit =
+    df.write
+      .format(Format)
+      .mode(mode)
+      .options(options)
+      .option("keyspace", keyspace)
+      .option("table", table)
+      .save()
+
+  /** Raw CQL needs a driver session, which needs the connector jar; not
+    * available here. The parquet path covers the capability in CI.
+    */
+  override def execute(statement: String)(implicit ctx: PipelineContext): Unit =
+    throw new UnsupportedOperationException(
+      "raw CQL execution requires the Cassandra driver session (production only)")
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import java.net.URI
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import graft.connect.Connector
+import graft.pipeline._
+
+/** Statement stage: run an out-of-band statement (DDL/DML) against the
+  * storage system from the driver, with `${param}` substitution; yields no
+  * DataFrame. (ref: execute/CassandraExecute.scala:81-113 — entirely
+  * driver-side, no Spark job.)
+  */
+final case class ExecuteStage(
+    name: String,
+    connector: Connector,
+    sql: String,
+    sqlParams: Map[String, String] = Map.empty)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val statement = SqlParams.inject(sql, sqlParams, allowMissing = false)
+    detail += "sql" -> statement
+    connector.execute(statement)
+    None // (ref: CassandraExecute.scala:110)
+  }
+}
+
+object Statements {
+
+  /** Resolve statement text from a URI at config time
+    * (ref: parsedURI |> textContentForURI, CassandraExecute.scala:31-32).
+    * Supports `file:` URIs and plain filesystem paths.
+    */
+  def fromUri(uri: String): String = {
+    val path =
+      if (uri.startsWith("file:")) Paths.get(URI.create(uri))
+      else Paths.get(uri)
+    new String(Files.readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

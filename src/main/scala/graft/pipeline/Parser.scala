@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.connect.Connector
+import graft.ops._
+import org.apache.spark.sql.SaveMode
+
+/** JSON pipeline-config parser: a config document → validated `Pipeline`.
+  *
+  * Mirrors the reference's declarative entry point
+  * (ref: ArcPipeline.parseConfig usage, CassandraLoadSuite.scala:126; stage
+  * shape in src/it/resources/arc.json:2-29): a top-level `stages` array,
+  * each stage an object with a `type` discriminator resolved through a
+  * registry (ref: ServiceLoader registration,
+  * META-INF/services/ai.tripl.arc.plugins.PipelineStagePlugin:1-3), typed
+  * field validation with error ACCUMULATION (every problem reported at
+  * once, ref: CassandraExtract.scala:59-62), and per-stage `environments`
+  * filtering (ref: arc.json:6-9).
+  *
+  * Storage is injected: `connectors` maps the config's `connection` name to
+  * a [[graft.connect.Connector]] (parquet in CI, Cassandra in production).
+  */
+object Parser {
+
+  type StageFactory = (ConfigReader, Map[String, Connector]) => Stage
+
+  /** Built-in stage registry; extensible like the reference's plugin list. */
+  val defaultRegistry: Map[String, StageFactory] = Map(
+    "Extract" -> { (r, conns) =>
+      ExtractStage(
+        name = r.requiredString("name"),
+        connector = connector(r, conns),
+        table = r.requiredString("table"),
+        outputView = r.requiredString("outputView"),
+        numPartitions = r.int("numPartitions"),
+        partitionBy = r.stringList("partitionBy"),
+        persist = r.boolean("persist", default = false),
+        options = r.stringMap("params"))
+    },
+    "Load" -> { (r, conns) =>
+      LoadStage(
+        name = r.requiredString("name"),
+        connector = connector(r, conns),
+        inputView = r.requiredString("inputView"),
+        table = r.requiredString("table"),
+        saveMode = SaveMode.valueOf(
+          r.oneOf("saveMode", Seq("Append", "ErrorIfExists", "Ignore", "Overwrite"), "Overwrite")),
+        numPartitions = r.int("numPartitions"),
+        partitionBy = r.stringList("partitionBy"),
+        options = r.stringMap("params"))
+    },
+    "SqlTransform" -> { (r, _) =>
+      SqlTransformStage(
+        name = r.requiredString("name"),
+        sql = sqlOf(r),
+        outputView = r.requiredString("outputView"),
+        sqlParams = r.stringMap("sqlParams"),
+        numPartitions = r.int("numPartitions"),
+        partitionBy = r.stringList("partitionBy"),
+        persist = r.boolean("persist", default = false))
+    },
+    "Execute" -> { (r, conns) =>
+      ExecuteStage(
+        name = r.requiredString("name"),
+        connector = connector(r, conns),
+        sql = sqlOf(r),
+        sqlParams = r.stringMap("sqlParams"))
+    }
+  )
+
+  /** Statement text comes inline (`sql`) or from a URI (`inputURI`)
+    * resolved at CONFIG time (ref: CassandraExecute.scala:31-32).
+    */
+  private def sqlOf(r: ConfigReader): String =
+    r.string("sql").orElse(r.string("inputURI").map(Statements.fromUri)).getOrElse {
+      r.error("sql", "one of 'sql' or 'inputURI' is required"); ""
+    }
+
+  private def connector(r: ConfigReader, conns: Map[String, Connector]): Connector = {
+    val name = r.string("connection").getOrElse("default")
+    conns.getOrElse(name, {
+      if (conns.nonEmpty || name != "default")
+        r.error("connection", s"unknown connection '$name'; have ${conns.keySet.toSeq.sorted.mkString(", ")}")
+      null
+    })
+  }
+
+  private val commonKeys = Set("type", "name", "environments", "connection")
+  private val validKeys: Map[String, Set[String]] = Map(
+    "Extract" -> (commonKeys ++ Set("table", "outputView", "numPartitions", "partitionBy", "persist", "params")),
+    "Load" -> (commonKeys ++ Set("inputView", "table", "saveMode", "numPartitions", "partitionBy", "params")),
+    "SqlTransform" -> (commonKeys ++ Set("sql", "inputURI", "outputView", "sqlParams", "numPartitions", "partitionBy", "persist")),
+    "Execute" -> (commonKeys ++ Set("sql", "inputURI", "sqlParams"))
+  )
+
+  def parse(
+      json: String,
+      connectors: Map[String, Connector],
+      registry: Map[String, StageFactory] = defaultRegistry): Either[List[ConfigError], Pipeline] = {
+    val root = JsonMethods.parse(json)
+    val stageVals: Seq[Any] = root \ "stages" match {
+      case JArray(xs) => xs.map(jToScala)
+      case _          => return Left(List(ConfigError("stages", "top-level 'stages' array is required")))
+    }
+    val parsed = stageVals.zipWithIndex.map {
+      case (m: Map[_, _], i) =>
+        val conf = m.asInstanceOf[Map[String, Any]]
+        val r = new ConfigReader(conf)
+        val tpe = r.requiredString("type")
+        registry.get(tpe) match {
+          case None =>
+            Left(List(ConfigError(s"stages[$i].type",
+              s"unknown stage type '$tpe'; registered: ${registry.keySet.toSeq.sorted.mkString(", ")}")))
+          case Some(factory) =>
+            validKeys.get(tpe).foreach(r.checkValidKeys)
+            val envs = r.stringList("environments")
+            val stage = factory(r, connectors)
+            r.result(StageDef(stage, envs)).left.map(_.map(e =>
+              ConfigError(s"stages[$i].${e.key}", e.message)))
+        }
+      case (_, i) => Left(List(ConfigError(s"stages[$i]", "stage must be an object")))
+    }
+    val errors = parsed.collect { case Left(es) => es }.flatten
+    if (errors.nonEmpty) Left(errors.toList)
+    else Right(Pipeline(parsed.collect { case Right(sd) => sd }))
+  }
+
+  private def jToScala(v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => i
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d
+    case JBool(b)    => b
+    case JArray(xs)  => xs.map(jToScala)
+    case JObject(fs) => fs.map { case (k, x) => k -> jToScala(x) }.toMap
+    case JNull       => null
+    case _           => null
+  }
+}
