@@ -56,8 +56,15 @@ final class ParquetConnector(baseDir: String) extends Connector {
     df.write.mode(mode).options(options - "confirm.truncate").parquet(path(table))
   }
 
-  override def execute(statement: String)(implicit ctx: PipelineContext): Unit =
-    ctx.spark.sql(statement).collect(): Unit
+  /** Spark runs commands (DDL and side-effecting statements) eagerly when
+    * `sql()` returns, so no action is needed; for statements that do return
+    * rows, materialize distributed (`count`) rather than collecting to the
+    * driver — Execute must never pull a result set into driver memory.
+    */
+  override def execute(statement: String)(implicit ctx: PipelineContext): Unit = {
+    val result = ctx.spark.sql(statement)
+    if (result.schema.nonEmpty) result.count(): Unit
+  }
 }
 
 /** Thin adapter that forwards to the Cassandra DataSource by format name.

@@ -30,12 +30,23 @@ object Statements {
 
   /** Resolve statement text from a URI at config time
     * (ref: parsedURI |> textContentForURI, CassandraExecute.scala:31-32).
-    * Supports `file:` URIs and plain filesystem paths.
+    * Supports `file:` URIs, plain filesystem paths, and `http(s)` with
+    * optional request headers (the reference's `authentication` option,
+    * e.g. an `Authorization` bearer header).
     */
-  def fromUri(uri: String): String = {
-    val path =
-      if (uri.startsWith("file:")) Paths.get(URI.create(uri))
-      else Paths.get(uri)
-    new String(Files.readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
-  }
+  def fromUri(uri: String, headers: Map[String, String] = Map.empty): String =
+    if (uri.startsWith("http://") || uri.startsWith("https://")) {
+      val conn = URI.create(uri).toURL.openConnection()
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } else {
+      val path =
+        if (uri.startsWith("file:")) Paths.get(URI.create(uri))
+        else Paths.get(uri)
+      new String(Files.readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+    }
 }

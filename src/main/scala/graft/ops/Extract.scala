@@ -43,7 +43,9 @@ final case class ExtractStage(
     detail += "outputColumns" -> df.schema.length
     if (!ctx.isStreaming) {
       detail += "inputFiles" -> df.inputFiles.length
-      detail += "numPartitions" -> df.rdd.getNumPartitions
+      // queryExecution.toRdd avoids the extra InternalRow→Row conversion
+      // stage df.rdd would add just to read a partition count.
+      detail += "numPartitions" -> df.queryExecution.toRdd.getNumPartitions
       if (persist) {
         df.persist(StorageLevel.MEMORY_AND_DISK_SER)
         detail += "records" -> df.count() // the materializing action

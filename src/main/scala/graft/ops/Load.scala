@@ -42,9 +42,11 @@ final case class LoadStage(
       // (ref: CassandraLoad.scala:108-109).
       if (!df.isStreaming) {
         val out = Repartition(df, numPartitions, partitionBy)
-        detail += "numPartitions" -> out.rdd.getNumPartitions
+        detail += "numPartitions" -> out.queryExecution.toRdd.getNumPartitions
         connector.write(out, table, saveMode, options)
-        detail += "recordsWritten" -> listener.recordsWritten.get()
+        // Listener delivery is asynchronous; the value read at detach time
+        // is best-effort, and the key name says so.
+        detail += "recordsWrittenApprox" -> listener.recordsWritten.get()
       }
     } finally ctx.spark.sparkContext.removeSparkListener(listener)
 

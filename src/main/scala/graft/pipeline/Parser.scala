@@ -70,18 +70,31 @@ object Parser {
   )
 
   /** Statement text comes inline (`sql`) or from a URI (`inputURI`)
-    * resolved at CONFIG time (ref: CassandraExecute.scala:31-32).
+    * resolved at CONFIG time (ref: CassandraExecute.scala:31-32). Read and
+    * parse failures are ACCUMULATED as config errors, never thrown — the
+    * parse contract is `Either`, not exceptions.
     */
   private def sqlOf(r: ConfigReader): String =
-    r.string("sql").orElse(r.string("inputURI").map(Statements.fromUri)).getOrElse {
-      r.error("sql", "one of 'sql' or 'inputURI' is required"); ""
+    (r.string("sql"), r.string("inputURI")) match {
+      case (Some(s), _) => s
+      case (None, Some(uri)) =>
+        try Statements.fromUri(uri, r.stringMap("authentication"))
+        catch {
+          case e: Exception =>
+            r.error("inputURI", s"cannot read '$uri': ${e.getMessage}"); ""
+        }
+      case (None, None) =>
+        r.error("sql", "one of 'sql' or 'inputURI' is required"); ""
     }
 
+  /** Connection lookup failure is always a config error — a null connector
+    * surfacing later as an NPE at run time would hide the real problem.
+    */
   private def connector(r: ConfigReader, conns: Map[String, Connector]): Connector = {
     val name = r.string("connection").getOrElse("default")
     conns.getOrElse(name, {
-      if (conns.nonEmpty || name != "default")
-        r.error("connection", s"unknown connection '$name'; have ${conns.keySet.toSeq.sorted.mkString(", ")}")
+      r.error("connection",
+        s"unknown connection '$name'; have ${if (conns.isEmpty) "(none)" else conns.keySet.toSeq.sorted.mkString(", ")}")
       null
     })
   }
@@ -90,15 +103,20 @@ object Parser {
   private val validKeys: Map[String, Set[String]] = Map(
     "Extract" -> (commonKeys ++ Set("table", "outputView", "numPartitions", "partitionBy", "persist", "params")),
     "Load" -> (commonKeys ++ Set("inputView", "table", "saveMode", "numPartitions", "partitionBy", "params")),
-    "SqlTransform" -> (commonKeys ++ Set("sql", "inputURI", "outputView", "sqlParams", "numPartitions", "partitionBy", "persist")),
-    "Execute" -> (commonKeys ++ Set("sql", "inputURI", "sqlParams"))
+    "SqlTransform" -> (commonKeys ++ Set("sql", "inputURI", "outputView", "sqlParams", "numPartitions", "partitionBy", "persist", "authentication")),
+    "Execute" -> (commonKeys ++ Set("sql", "inputURI", "sqlParams", "authentication"))
   )
 
   def parse(
       json: String,
       connectors: Map[String, Connector],
       registry: Map[String, StageFactory] = defaultRegistry): Either[List[ConfigError], Pipeline] = {
-    val root = JsonMethods.parse(json)
+    val root =
+      try JsonMethods.parse(json)
+      catch {
+        case e: Exception =>
+          return Left(List(ConfigError("json", s"malformed config document: ${e.getMessage}")))
+      }
     val stageVals: Seq[Any] = root \ "stages" match {
       case JArray(xs) => xs.map(jToScala)
       case _          => return Left(List(ConfigError("stages", "top-level 'stages' array is required")))
