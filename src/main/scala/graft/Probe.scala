@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import graft.connect.ParquetConnector
+import graft.ops.LoadStage
+import graft.pipeline._
+
+/** Dev-only smoke probe: drives the flagship entry and the destructive-
+  * write safety latch from the driver contract surface. Not part of the
+  * product API.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1. Flagship entry: driver smoke-checks rows > 0.
+    val df = SparkEntry.entry(spark)
+    println(s"[probe] entry rows=${df.count()}")
+    df.show(10, false)
+
+    // 2. Destructive-write latch: Overwrite without confirm.truncate must
+    // fail with a DetailException carrying the stage detail.
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("probe_nation")
+    try {
+      LoadStage("latch", new ParquetConnector(tmp), "probe_nation",
+        "nation", SaveMode.Overwrite).run()
+      println("[probe] LATCH FAILED TO TRIP")
+    } catch {
+      case e: DetailException =>
+        println(s"[probe] latch tripped: ${e.getMessage}")
+        println(s"[probe] detail keys: ${e.detail.keys.mkString(",")}")
+    }
+    // 3. With confirm.truncate=true the same write succeeds.
+    LoadStage("latch_ok", new ParquetConnector(tmp), "probe_nation",
+      "nation", SaveMode.Overwrite,
+      options = Map("confirm.truncate" -> "true")).run()
+    println(s"[probe] overwrite with latch ok, files=${new java.io.File(s"$tmp/nation.parquet").list().length}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.pipeline._
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY §2.3).
+  *
+  * Four strategies, all shuffle-bounded and all-pairs-free — designed for
+  * the 100 TB case where any cartesian formulation is disqualifying:
+  *
+  *  - exact:     hash-partition on the dedup key, keep one winner per group
+  *               (window row_number). One shuffle on the key.
+  *  - MinHash:   shingle → k-permutation MinHash signature (narrow, codegen)
+  *               → LSH band buckets → self-join per bucket → exact-Jaccard
+  *               verification of the (small) candidate set. Shuffle is on
+  *               (band, bandSignature); candidate volume is governed by the
+  *               S-curve (b,r), not by n².
+  *  - SimHash:   48-bit fingerprint per doc; Hamming-ball pairs found by
+  *               pigeonhole banding (4 bands of 12 bits: any pair within
+  *               Hamming distance 3 shares at least one exact band).
+  *  - n-gram Jaccard: exact character-shingle Jaccard, but only within
+  *               cheap blocking groups (language × length bucket) so the
+  *               per-group join stays bounded.
+  *
+  * Every function is deterministic and engine-portable (see
+  * [[graft.functions.TextFunctions]]), so the DuckDB oracle replays the
+  * exact same arithmetic. Skewed buckets (a shingle signature shared by
+  * thousands of near-identical docs) are the one scale hazard: AQE skew-join
+  * handles moderate skew; for pathological corpora cap bucket size upstream.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per `keys` group, winner = smallest `tieBreak`.
+    * (Exact-dup removal at 100 TB is exactly one hash shuffle on the key;
+    * prefer dedup on a digest column — sha2(text) — when the key is wide,
+    * so the shuffle carries 32 bytes instead of the document.)
+    */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** (id, distinct word-`shingleN`-gram shingles) projection, with the
+    * word split staged in its own projection (multi-referenced, so
+    * CollapseProject keeps the barrier and the split runs once per row —
+    * see the perf contract on [[TextFunctions.wordShingles]]).
+    */
+  private def shingled(df: DataFrame, idCol: String, textCol: String, shingleN: Int) =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        T.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        T.wordShingles(col("__ws"), col("__text"), shingleN).as("shingles"))
+
+  /** MinHash-LSH candidate pairs verified by exact Jaccard >= `threshold`.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 6dp.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, b: Int = 16, r: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    require(b * r <= k, s"bands*rows ($b*$r) must be <= signature length $k")
+    // Both the shingle sets (re-used by the exact-verify joins) and the
+    // banded signatures (both sides of the self-join) are persisted: the
+    // signature computation is the expensive narrow pass and must run
+    // exactly once per document, not once per plan subtree.
+    val sh = shingled(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh
+      .select(col("doc_id"),
+        explode(T.bands(T.minhashSig(T.shingleHashes(col("shingles")), k), b, r)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Self-join per bucket: shuffle on (band,bsig); dedup candidate pairs
+    // (ids only — never drag payloads through a distinct) before the
+    // (more expensive) exact verification.
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("band", "bsig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Greedy near-dedup: drop every doc that is near-identical to a
+    * lower-id doc (appears as doc_b in a verified pair). Deterministic and
+    * one anti-join — the iterative connected-components variant is a
+    * driver-orchestrated loop over this same primitive.
+    */
+  def minhashApply(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, b: Int = 16, r: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val losers = minhashPairs(df, idCol, textCol, k, b, r, shingleN, threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 48-bit SimHash fingerprint per document (word-hash pass staged so the
+    * md5 work runs once per row, not once per bit — see
+    * [[TextFunctions.simhash48FromHashes]]).
+    */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        T.wordHashes48(T.words(col(textCol))).as("__wh"))
+      .select(col("doc_id"), T.simhash48FromHashes(col("__wh")).as("simhash"))
+
+  /** Near-dup pairs with Hamming(simhash) <= maxHamming, found by
+    * pigeonhole banding: split 48 bits into (maxHamming+1) bands — any pair
+    * within the Hamming ball agrees exactly on >= 1 band. Join per band,
+    * verify with bit_count(xor). No all-pairs comparison.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 48 / nBands
+    val fp = simhashFingerprints(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)), j =>
+          struct(j.cast("int").as("band"),
+            // exact power-of-two divide: band j = floor(h / 2^(bandBits*j)) % 2^bandBits
+            (floor(col("simhash") / pow(lit(2.0), j * bandBits)).cast("long")
+              % (1L << bandBits)).as("bkey")))).as("bd"))
+      .select(col("doc_id"), col("simhash"),
+        col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact character-n-gram Jaccard pairs within blocking groups.
+    * Blocking = equality on `blockCols` + a length bucket of `bucketWidth`
+    * chars; near-identical texts land in the same block (length differs by
+    * < bucketWidth in the common case), and each block's join is bounded.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 5, bucketWidth: Int = 50,
+      threshold: Double = 0.7): DataFrame = {
+    val sh = df.select(
+      Seq(col(idCol).as("doc_id"),
+        T.charShingles(col(textCol), n).as("shingles"),
+        floor(length(col(textCol)) / bucketWidth).as("lenb"))
+        ++ blockCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = "lenb" +: blockCols
+    sh.as("x").join(sh.as("y"), keys)
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(T.jaccard(col("x.shingles"), col("y.shingles")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Multimodal column support (SURVEY §2.3): media rides through the engine
+  * as an opaque `binary` payload plus typed metadata; decode/feature
+  * extraction runs per-partition behind a pluggable decoder.
+  *
+  * Design for 100 TB: payloads NEVER pass through a driver or a Python
+  * round-trip — the decode path is `mapPartitions` over the binary column
+  * (one JVM pass, batch-friendly), and everything before/after it is plain
+  * columnar Spark. Real image/audio codecs are not available in this
+  * environment, so [[MediaDecoder.deterministicFake]] derives stable fake
+  * dimensions/features from the payload bytes; the Spark-side plumbing
+  * (schema, partitioning, batch shape) is the real, tested artifact and a
+  * codec drops in behind the same trait.
+  */
+object Multimodal {
+
+  /** A decoded media record: fixed, engine-friendly schema. */
+  final case class Decoded(
+      doc_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Float])
+
+  /** Pluggable per-payload decoder. Implementations must be serializable
+    * (executed inside tasks) and deterministic for a given payload.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): Decoded
+  }
+
+  object MediaDecoder {
+
+    /** Deterministic stand-in for a real codec: dimensions and features are
+      * pure functions of the payload bytes. A production decoder (JPEG
+      * probe, audio resample, video frame-sample) replaces exactly this.
+      */
+    val deterministicFake: MediaDecoder = new MediaDecoder {
+      override def decode(id: Long, payload: Array[Byte]): Decoded = {
+        val n = payload.length.toLong
+        val feat = Array.tabulate(8) { i =>
+          // stable per-payload feature: byte sums over strided slices
+          var s = 0L; var j = i
+          while (j < payload.length) { s += payload(j) & 0xff; j += 8 }
+          (s % 1009).toFloat
+        }
+        Decoded(id, n, (n % 317).toInt + 1, ((n * 7919) % 211).toInt + 1,
+          (n % 7).toInt + 1, feat)
+      }
+    }
+  }
+
+  /** Wrap a text corpus as a multimodal table: opaque binary payload +
+    * struct metadata. (With real media the payload comes off the source as
+    * binary already; this adapter exists so the pipeline is exercisable on
+    * the synthetic corpus.)
+    */
+  def attach(df: DataFrame, idCol: String, textCol: String,
+      metaCols: Seq[String]): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(metaCols.map(col): _*).as("meta"))
+
+  /** Columnar payload metadata — no decode needed, stays in codegen:
+    * byte length + content digest (the dedup/key column for binary blobs).
+    */
+  def payloadMeta(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      length(col("payload")).cast("long").as("byte_len"),
+      sha2(col("payload"), 256).as("digest"))
+
+  /** Distributed decode: one `mapPartitions` pass over (id, payload).
+    * Partitioning is preserved; no shuffle, no driver collection.
+    */
+  def decodeAll(df: DataFrame, decoder: MediaDecoder)(
+      implicit spark: SparkSession): Dataset[Decoded] = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decoder.decode(id, payload) })
+  }
+}

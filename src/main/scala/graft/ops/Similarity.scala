@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.{VectorFunctions => V}
+
+/** Similarity search over an `array<float>` embedding column (SURVEY §2.3).
+  *
+  * Three tiers, chosen by query volume:
+  *
+  *  - bruteTopK: exact top-k for a SMALL query set — the query side is
+  *    broadcast, so the "cross join" is a map-side nested loop over the
+  *    corpus with no shuffle of the big side. Right answer for
+  *    point-lookups; O(|Q|·N) comparisons.
+  *  - annTopK: random-hyperplane sign-LSH (Charikar 2002) banding; only
+  *    vectors sharing a band bucket are compared. Scale path for large
+  *    query sets: the shuffle key is (band, signature), never the vector id
+  *    cross product. Approximate (recall = 1-(1-p^r)^b).
+  *  - ivfTopK: IVF-style — a deterministic centroid subset partitions the
+  *    corpus into cells; queries only scan their own cell (probe=1).
+  *    Centroid assignment is one broadcast join (centroids are tiny);
+  *    at 100 TB the cells are the unit of partition pruning.
+  *
+  * Performance shape: per-vector work (sign bits, norm) is staged in its
+  * own persisted projection so it runs exactly once per vector; candidate
+  * generation joins/dedups IDS ONLY (payload arrays never ride through a
+  * shuffle or a distinct); scoring re-joins the persisted vector table.
+  * Norms are precomputed once per vector, so a candidate pair costs one
+  * dot product, not three.
+  *
+  * Scores are computed in double with sequential accumulation and rounded
+  * to 6dp before ranking, with the vector id as tie-break — a total order
+  * any engine reproduces (see [[graft.functions.VectorFunctions]]).
+  */
+object Similarity {
+
+  /** (vec_id, embedding, nrm) — the persisted scoring table. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      V.norm(col("embedding")).as("nrm"))
+
+  /** cosine = dot / (nrm_a * nrm_b), rounded to 6dp. */
+  private def cosineFromNorms(ea: String, eb: String, na: String, nb: String) =
+    round(V.dot(col(ea), col(eb)) / (col(na) * col(nb)), 6)
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
+
+  /** Score (q_id, n_id) id pairs by re-joining the vector tables. */
+  private def score(ids: DataFrame, qv: DataFrame, cv: DataFrame): DataFrame =
+    ids
+      .join(qv.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "q_id")
+      .join(cv.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms("q_emb", "n_emb", "q_nrm", "n_nrm").as("cosine"))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (driver-broadcastable): it is broadcast so the corpus never shuffles.
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cv = withNorm(corpus)
+    val qv = broadcast(withNorm(queries))
+    val pairs = qv
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(cv, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosineFromNorms("q_emb", "embedding", "q_nrm", "nrm").as("cosine"))
+    topK(pairs, k)
+  }
+
+  /** Banded sign-LSH id projection: (vec_id, band, bsig). */
+  private def banded(df: DataFrame, nBits: Int, b: Int, r: Int): DataFrame =
+    df.select(col("vec_id"),
+        explode(V.bitBands(V.signBits(col("embedding"), nBits), b, r)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+
+  /** Approximate top-k: only candidates sharing an LSH band are scored. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 64, b: Int = 16, r: Int = 4): DataFrame = {
+    val cv = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val qv = withNorm(queries)
+    val cb = banded(corpus, nBits, b, r)
+    val qb = banded(queries, nBits, b, r)
+      .select(col("vec_id").as("q_id"), col("band"), col("bsig"))
+    val cand = qb.join(cb, Seq("band", "bsig"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    topK(score(cand, qv, cv), k)
+  }
+
+  /** Near-duplicate vector pairs: sign-LSH candidates verified by exact
+    * cosine >= threshold. Output (vec_a, vec_b, cosine), vec_a < vec_b.
+    * Default bands are 8x8 (tighter buckets than top-k search: an
+    * all-corpus self-join needs small buckets far more than recall).
+    */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+      nBits: Int = 64, b: Int = 8, r: Int = 8): DataFrame = {
+    val vecs = withNorm(df).persist(StorageLevel.MEMORY_AND_DISK)
+    val bd = banded(df, nBits, b, r).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bd.as("x").join(bd.as("y"), Seq("band", "bsig"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
+      .distinct()
+    score(cand, vecs, vecs)
+      .select(col("q_id").as("vec_a"), col("n_id").as("vec_b"), col("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** IVF top-k with probe=1. Centroids = the deterministic subset
+    * `vec_id % centroidEvery == 0` (a real deployment would k-means; the
+    * cell/probe machinery is identical). Every vector is assigned to its
+    * max-cosine centroid (broadcast join against the tiny centroid set);
+    * each query scans only its own cell.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 100): DataFrame = {
+    val cv = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = cv.where(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    def assign(df: DataFrame, id: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      df.join(broadcast(centroids))
+        .select(col(id), col("c_id"),
+          cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("c_cos"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col(id), col("c_id").as("cell"))
+    }
+    val cells = assign(cv, "vec_id")
+    val qcells = assign(withNorm(queries).withColumnRenamed("vec_id", "q_id"), "q_id")
+    val cand = qcells.join(cells, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    topK(score(cand, cv, cv), k)
+  }
+}

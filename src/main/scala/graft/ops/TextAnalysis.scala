@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Text-analysis operators for training-data curation (SURVEY §2.3):
+  * quality scoring, token counting, language ID, document fingerprinting.
+  *
+  * Everything is per-row narrow work out of Spark SQL built-ins — no UDFs,
+  * no shuffle except the explicit aggregations — so the whole module stays
+  * inside whole-stage codegen and scales linearly with the corpus.
+  * All arithmetic is engine-portable for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Small fixed stopword list used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality metrics: sizes, lexical diversity, stopword
+    * ratio, punctuation ratio, mean word length. The classic cheap filters
+    * (Gopher/C4-style) are thresholds over exactly these columns.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = T.words(col(textCol))
+    val nWords = size(ws)
+    val nAlnumSpace = length(regexp_replace(col(textCol), "[^A-Za-z0-9 ]", ""))
+    df.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+      round(size(array_distinct(ws)).cast("double") / nWords.cast("double"), 6)
+        .as("ttr"), // type-token ratio
+      round(size(filter(ws, w => w.isInCollection(Stopwords))).cast("double")
+        / nWords.cast("double"), 6).as("stopword_ratio"),
+      round((length(col(textCol)) - nAlnumSpace).cast("double")
+        / length(col(textCol)).cast("double"), 6).as("punct_ratio"),
+      round((length(col(textCol)) - nWords + 1).cast("double")
+        / nWords.cast("double"), 6).as("mean_word_len"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex tokenization
+    * (letter runs | digit runs | single other non-space char) — the
+    * standard pre-tokenizer shape. `chars_per_token` is the usual
+    * compression diagnostic.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    df.select(
+      col(idCol).as("doc_id"),
+      size(T.words(col(textCol))).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol), lit(pattern)).cast("long").as("re_tokens"),
+      round(length(col(textCol)).cast("double")
+        / regexp_count(col(textCol), lit(pattern)).cast("double"), 6)
+        .as("chars_per_token"))
+  }
+
+  /** Rolling-hash document fingerprint (content-defined identity: equal
+    * texts always collide, near-equal texts never do — complements MinHash).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), T.fingerprint(col(textCol)).as("fp"))
+
+  /** Marker words per language for the n-gram/lexical language-ID
+    * heuristic. Deterministic: score = |words ∩ markers|; prediction =
+    * highest score, ties broken by language code order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
+  /** Lexical language ID over whitespace words. Returns
+    * (doc_id, declared lang, predicted lang, marker hit count).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      declaredCol: String): DataFrame = {
+    val ws = T.words(col(textCol))
+    def score(markers: Seq[String]): Column =
+      size(filter(ws, w => w.isInCollection(markers)))
+    val scores = LangMarkers.map { case (lang, m) => lang -> score(m) }
+    val mx = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === mx && mx > 0, lang).otherwise(els)
+    }
+    // foldRight chains WHENs in declaration order, so the FIRST language
+    // (alphabetical) with the max score wins — deterministic tie-break.
+    df.select(col(idCol).as("doc_id"), col(declaredCol).as("lang"),
+      predicted.as("predicted"), mx.cast("long").as("marker_hits"))
+  }
+
+  /** Corpus language distribution with mean length per language. */
+  def langDist(df: DataFrame, langCol: String, textCol: String): DataFrame =
+    df.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col(textCol))), 6).as("avg_chars"))
+}

@@ -1,0 +1,456 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.streaming.StreamingOps
+
+/** Driver-contract queries for the LLM-data-pipeline extension operators
+  * (SURVEY §2.3): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force / LSH-ANN / IVF),
+  * text analysis, multimodal columns, and event-time aggregation.
+  *
+  * Every oracle below REPLAYS the operator's exact arithmetic in DuckDB
+  * (same md5-derived hashes, same mod-P permutations, same sequential
+  * double accumulation, same rounding) — see
+  * [[graft.functions.TextFunctions]] / [[graft.functions.VectorFunctions]]
+  * for the determinism contract.
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  /** The events table stores nanosecond timestamps, which Spark's parquet
+    * reader rejects by default; read them as long and convert with integer
+    * division (a double division would lose precision above 2^53 ns).
+    */
+  private def events(spark: SparkSession, dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ---- tunables (mirrored verbatim into the oracle SQL) ----
+  private val MinhashK = 64
+  private val MinhashB = 16
+  private val MinhashR = 4
+  private val JaccardThreshold = 0.9
+  private val NgramN = 5
+  private val NgramBucket = 50
+  private val NgramThreshold = 0.5
+  private val EmbedDupThreshold = 0.4
+  private val TopK = 5
+  private val NQueryVecs = 10
+  private val CentroidEvery = 100
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> { (spark, dir) =>
+      Dedup.exact(docs(spark, dir), keys = Seq("text"), tieBreak = Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "dedup_minhash_pairs" -> { (spark, dir) =>
+      Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_minhash_apply" -> { (spark, dir) =>
+      Dedup.minhashApply(docs(spark, dir), "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "dedup_simhash_fp" -> { (spark, dir) =>
+      Dedup.simhashFingerprints(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "dedup_simhash_pairs" -> { (spark, dir) =>
+      Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_ngram_jaccard" -> { (spark, dir) =>
+      Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+          blockCols = Seq("lang"), NgramN, NgramBucket, NgramThreshold)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_embedding" -> { (spark, dir) =>
+      Similarity.nearDupPairs(embs(spark, dir), EmbedDupThreshold)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    "similarity_topk" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      Similarity.bruteTopK(e, e.where(col("vec_id") < NQueryVecs), TopK)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    "similarity_ann" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      Similarity.annTopK(e, e.where(col("vec_id") < NQueryVecs), TopK)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    "similarity_ivf" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK, CentroidEvery)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    "text_quality" -> { (spark, dir) =>
+      TextAnalysis.quality(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    "token_stats" -> { (spark, dir) =>
+      TextAnalysis.tokenCounts(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    "lang_dist" -> { (spark, dir) =>
+      TextAnalysis.langDist(docs(spark, dir), "lang", "text").orderBy("lang")
+    },
+
+    "lang_id" -> { (spark, dir) =>
+      TextAnalysis.langId(docs(spark, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> { (spark, dir) =>
+      TextAnalysis.fingerprints(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "multimodal_meta" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val mm = Multimodal.attach(docs(spark, dir), "doc_id", "text",
+        metaCols = Seq("lang", "n_chars"))
+      val meta = Multimodal.payloadMeta(mm)
+      val decoded = Multimodal.decodeAll(mm, Multimodal.MediaDecoder.deterministicFake)
+        .toDF()
+      meta.join(decoded.select("doc_id", "width", "height", "n_frames", "features"), "doc_id")
+        .select(col("doc_id"), col("byte_len"), col("digest"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("features").getItem(0).cast("double").as("f0"),
+          col("features").getItem(7).cast("double").as("f7"))
+        .orderBy("doc_id")
+    },
+
+    "events_hourly" -> { (spark, dir) =>
+      StreamingOps.hourlyEventStats(events(spark, dir),
+          "ts", "event_type", "value", watermark = None)
+        .orderBy("hour_start", "event_type")
+    },
+
+    "events_json" -> { (spark, dir) =>
+      events(spark, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+          col("value"))
+        .groupBy("k_mod")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("k_mod")
+    }
+  )
+
+  // ================= DuckDB oracle SQL =================
+
+  private val P = 1000000007L
+
+  /** Word-3-gram shingle + MinHash-LSH candidate CTEs (shared by the two
+    * minhash queries) — the literal DuckDB replay of
+    * TextFunctions.{wordShingles,shingleHashes,minhashSig,bands} and
+    * Dedup.minhashPairs.
+    */
+  private def minhashCtes: String = s"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(ws) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+               i -> array_to_string(ws[i:i+2], ' ')))
+        ELSE [text] END AS shingles
+      FROM base
+    ), hs AS (
+      SELECT doc_id, shingles,
+        list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P) AS hashes
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, list_transform(generate_series(0, ${MinhashK - 1}), i ->
+        list_min(list_transform(hashes, h ->
+          ((((i+1)*2654435761) % $P) * h + (((i+1)*40503) % $P)) % $P))) AS sig
+      FROM hs
+    ), banded AS (
+      SELECT doc_id, j AS band,
+        array_to_string(sig[j*$MinhashR+1 : j*$MinhashR+$MinhashR], '-') AS bsig
+      FROM mh, unnest(generate_series(0, ${MinhashB - 1})) AS t(j)
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.doc_a
+      JOIN sh b ON b.doc_id = cand.doc_b
+    )"""
+
+  /** Sequential-accumulation double dot product (replay of
+    * VectorFunctions.dot — list_reduce is strictly left-to-right, matching
+    * Spark's `aggregate`).
+    */
+  private def dotD(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+       i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)), (x, y) -> x + y)"""
+
+  private def cosD(a: String, b: String): String =
+    s"round(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})), 6)"
+
+  /** Sign-LSH banded projection of embeddings (replay of
+    * VectorFunctions.{signBits,bitBands}): 64 hyperplanes, `b` bands of `r`.
+    */
+  private def signBandCtes(b: Int, r: Int): String = s"""
+    WITH bits AS (
+      SELECT vec_id, embedding, list_transform(generate_series(0, 63), j ->
+        CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+          d -> embedding[d]::DOUBLE * (((j*64 + (d-1)) * 2654435761) % 97 - 48)::DOUBLE)),
+          (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END) AS sb
+      FROM embeddings
+    ), banded AS (
+      SELECT vec_id, j AS band, array_to_string(sb[j*$r+1 : j*$r+$r], '-') AS bsig
+      FROM bits, unnest(generate_series(0, ${b - 1})) AS t(j)
+    )"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT doc_id, lang, source, n_chars FROM documents
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      ORDER BY doc_id""",
+
+    "dedup_minhash_pairs" -> s"""$minhashCtes
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+
+    "dedup_minhash_apply" -> s"""$minhashCtes
+      SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (
+        SELECT doc_b FROM pairs WHERE jaccard >= $JaccardThreshold)
+      ORDER BY d.doc_id""",
+
+    "dedup_simhash_fp" -> s"""
+      SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT, generate_series(0, 47)), (acc, j) ->
+          acc + CASE WHEN list_reduce(list_prepend(0::BIGINT,
+              list_transform(list_distinct(string_split(text, ' ')),
+                w -> ('0x'||substr(md5(w),1,12))::BIGINT)),
+              (s, h) -> s + ((h // CAST(power(2, j) AS BIGINT)) % 2 * 2 - 1)) >= 0
+            THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+      FROM documents ORDER BY doc_id""",
+
+    "dedup_simhash_pairs" -> s"""
+      WITH fp AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT, generate_series(0, 47)), (acc, j) ->
+            acc + CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                list_transform(list_distinct(string_split(text, ' ')),
+                  w -> ('0x'||substr(md5(w),1,12))::BIGINT)),
+                (s, h) -> s + ((h // CAST(power(2, j) AS BIGINT)) % 2 * 2 - 1)) >= 0
+              THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        FROM documents
+      ), banded AS (
+        SELECT doc_id, simhash, j AS band,
+          (simhash // CAST(power(2, 12*j) AS BIGINT)) % 4096 AS bkey
+        FROM fp, unnest(generate_series(0, 3)) AS t(j)
+      )
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      WHERE hamming <= 3
+      ORDER BY doc_a, doc_b""",
+
+    "dedup_ngram_jaccard" -> s"""
+      WITH sh AS (
+        SELECT doc_id, lang, length(text) // $NgramBucket AS lenb,
+          CASE WHEN length(text) >= $NgramN
+            THEN list_distinct(list_transform(
+                   generate_series(1, length(text) - ${NgramN - 1}),
+                   i -> substr(text, i, $NgramN)))
+            ELSE [text] END AS shingles
+        FROM documents)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+            / len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 6) AS jaccard
+        FROM sh x JOIN sh y
+          ON x.lang = y.lang AND x.lenb = y.lenb AND x.doc_id < y.doc_id)
+      WHERE jaccard >= $NgramThreshold ORDER BY doc_a, doc_b""",
+
+    "dedup_embedding" -> s"""${signBandCtes(8, 8)}, cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id)
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, ${cosD("a", "b")} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.vec_a
+        JOIN embeddings b ON b.vec_id = cand.vec_b)
+      WHERE cosine >= $EmbedDupThreshold
+      ORDER BY vec_a, vec_b""",
+
+    "similarity_topk" -> s"""
+      WITH scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${cosD("a", "b")} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < $NQueryVecs)
+      SELECT q_id, n_id, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    "similarity_ann" -> s"""${signBandCtes(16, 4)}, cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM banded q JOIN banded c
+          ON q.band = c.band AND q.bsig = c.bsig AND q.vec_id != c.vec_id
+        WHERE q.vec_id < $NQueryVecs
+      ), scored AS (
+        SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.n_id)
+      SELECT q_id, n_id, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    "similarity_ivf" -> s"""
+      WITH cents AS (
+        SELECT vec_id AS c_id, embedding FROM embeddings
+        WHERE vec_id % $CentroidEvery = 0
+      ), assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.c_id AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosD("e", "c")} DESC, c.c_id) AS rn
+          FROM embeddings e CROSS JOIN cents c)
+        WHERE rn = 1
+      ), cand AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id
+        FROM assign q JOIN assign e ON q.cell = e.cell AND q.vec_id != e.vec_id
+        WHERE q.vec_id < $NQueryVecs
+      ), scored AS (
+        SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.n_id)
+      SELECT q_id, n_id, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    "text_quality" -> """
+      SELECT doc_id,
+        length(text)::BIGINT AS n_chars,
+        len(string_split(text, ' '))::BIGINT AS n_words,
+        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+        round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+          / len(string_split(text, ' '))::DOUBLE, 6) AS ttr,
+        round(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+          / len(string_split(text, ' '))::DOUBLE, 6) AS stopword_ratio,
+        round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+          / length(text)::DOUBLE, 6) AS punct_ratio,
+        round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+          / len(string_split(text, ' '))::DOUBLE, 6) AS mean_word_len
+      FROM documents ORDER BY doc_id""",
+
+    "token_stats" -> """
+      SELECT doc_id,
+        len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS re_tokens,
+        round(length(text)::DOUBLE
+          / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::DOUBLE, 6)
+          AS chars_per_token
+      FROM documents ORDER BY doc_id""",
+
+    "lang_dist" -> """
+      SELECT lang, COUNT(*) AS n_docs, round(avg(length(text)), 6) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "lang_id" -> """
+      WITH scores AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','ist')))::BIGINT AS s_de,
+          len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and')))::BIGINT AS s_en,
+          len(list_filter(string_split(text,' '), w -> w IN ('el','los','que','y')))::BIGINT AS s_es,
+          len(list_filter(string_split(text,' '), w -> w IN ('le','les','et','est')))::BIGINT AS s_fr,
+          len(list_filter(string_split(text,' '), w -> w IN ('de5','shi4','le5','zai4')))::BIGINT AS s_zh
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE
+          WHEN s_de = mx AND mx > 0 THEN 'de'
+          WHEN s_en = mx AND mx > 0 THEN 'en'
+          WHEN s_es = mx AND mx > 0 THEN 'es'
+          WHEN s_fr = mx AND mx > 0 THEN 'fr'
+          WHEN s_zh = mx AND mx > 0 THEN 'zh'
+          ELSE 'und' END AS predicted,
+        mx AS marker_hits
+      FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores)
+      ORDER BY doc_id""",
+
+    "text_fingerprint" -> s"""
+      SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+          (acc, c) -> (acc*31 + c) % $P) AS fp
+      FROM documents ORDER BY doc_id""",
+
+    "multimodal_meta" -> """
+      SELECT doc_id,
+        length(text)::BIGINT AS byte_len,
+        sha256(text) AS digest,
+        (length(text) % 317 + 1)::BIGINT AS width,
+        ((length(text)::BIGINT * 7919) % 211 + 1)::BIGINT AS height,
+        (length(text) % 7 + 1)::BIGINT AS n_frames,
+        (list_reduce(list_prepend(0::BIGINT, list_transform(
+            generate_series(1, length(text), 8), j -> unicode(text[j])::BIGINT)),
+          (a, b) -> a + b) % 1009)::DOUBLE AS f0,
+        (list_reduce(list_prepend(0::BIGINT, list_transform(
+            generate_series(8, length(text), 8), j -> unicode(text[j])::BIGINT)),
+          (a, b) -> a + b) % 1009)::DOUBLE AS f7
+      FROM documents ORDER BY doc_id""",
+
+    "events_hourly" -> """
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour_start,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "events_json" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY k_mod ORDER BY k_mod"""
+  )
+}

@@ -1,0 +1,294 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.connect.ParquetConnector
+import graft.ops._
+import graft.pipeline._
+
+/** Driver-contract queries covering the reference-parity operator surface
+  * (SURVEY §2.1 rows 1–19 + the §2.2 delegated-SQL surface). Each query
+  * exercises the REAL pipeline stages (Extract/SqlTransform/Load/Execute/
+  * Typing/Parser/Runner), not ad-hoc reads, and every output is ordered by
+  * a unique key and column-aliased identically to its DuckDB oracle.
+  *
+  * Money aggregates are summed in exact DECIMAL then surfaced as DOUBLE:
+  * a distributed double sum is partition-order dependent and would break
+  * the hash-match contract.
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ctx(spark: SparkSession) = PipelineContext(spark)
+
+  /** Extract a table through the connector into a view named
+    * `<prefix>_<table>`, with optional repartitioning/persist.
+    */
+  private def extract(spark: SparkSession, dir: String, table: String,
+      prefix: String, numPartitions: Option[Int] = None,
+      partitionBy: Seq[String] = Nil, persist: Boolean = false): DataFrame = {
+    implicit val c: PipelineContext = ctx(spark)
+    ExtractStage(s"${prefix}_extract", new ParquetConnector(dir), table,
+      s"${prefix}_$table", numPartitions, partitionBy, persist).run().get
+  }
+
+  val queries: Map[String, Q] = Map(
+    "extract_lineitem" -> { (spark, dir) =>
+      extract(spark, dir, "lineitem", "q_ex")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "sqltransform_agg" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "lineitem", "q_agg")
+      SqlTransformStage("agg", sql = """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          COUNT(*) AS count_order
+        FROM q_agg_lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+        outputView = "q_agg_out").run().get
+    },
+
+    "join_agg" -> { (spark, dir) =>
+      // DataFrame-API surface: 3-way join with explicitly broadcast dims.
+      val li = extract(spark, dir, "lineitem", "q_join")
+      val o = extract(spark, dir, "orders", "q_join")
+      val cu = extract(spark, dir, "customer", "q_join")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(cu), o("o_custkey") === cu("c_custkey"))
+        .groupBy(cu("c_mktsegment").as("mktsegment"))
+        .agg(
+          countDistinct(o("o_orderkey")).as("n_orders"),
+          sum(li("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - li("l_discount")).cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("mktsegment")
+    },
+
+    "window_topn" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "orders", "q_win")
+      SqlTransformStage("win", sql = """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM q_win_orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn""",
+        outputView = "q_win_out").run().get
+    },
+
+    "repartition_rr" -> { (spark, dir) =>
+      extract(spark, dir, "lineitem", "q_rr", numPartitions = Some(8))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "repartition_hash" -> { (spark, dir) =>
+      extract(spark, dir, "lineitem", "q_rh",
+          numPartitions = Some(8), partitionBy = Seq("l_returnflag"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "persist_extract" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "part", "q_pe", persist = true)
+      SqlTransformStage("pe", sql = """
+        SELECT p_brand, COUNT(*) AS n,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM q_pe_part GROUP BY p_brand ORDER BY p_brand""",
+        outputView = "q_pe_out").run().get
+    },
+
+    "load_roundtrip" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_load").toString
+      extract(spark, dir, "nation", "q_lr")
+      LoadStage("lr_load", new ParquetConnector(tmp), "q_lr_nation",
+        "nation_copy", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true")).run()
+      ExtractStage("lr_back", new ParquetConnector(tmp), "nation_copy",
+        "q_lr_back").run().get.orderBy("n_nationkey")
+    },
+
+    "save_modes" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_modes").toString
+      val conn = new ParquetConnector(tmp)
+      extract(spark, dir, "nation", "q_sm")
+      // Append twice, then Ignore (no-op on existing data): result = 2x.
+      LoadStage("sm1", conn, "q_sm_nation", "n2", SaveMode.Append).run()
+      LoadStage("sm2", conn, "q_sm_nation", "n2", SaveMode.Append).run()
+      LoadStage("sm3", conn, "q_sm_nation", "n2", SaveMode.Ignore).run()
+      ExtractStage("sm_back", conn, "n2", "q_sm_back").run().get
+        .orderBy("n_nationkey", "n_name")
+    },
+
+    "execute_ddl" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "supplier", "q_ddl")
+      ExecuteStage("ddl", new ParquetConnector(dir), sql = """
+        CREATE OR REPLACE TEMPORARY VIEW q_ddl_out AS
+        SELECT s_suppkey, upper(s_name) AS s_name_up
+        FROM q_ddl_supplier WHERE s_acctbal > ${minbal}""",
+        sqlParams = Map("minbal" -> "1000.0")).run()
+      spark.table("q_ddl_out").orderBy("s_suppkey")
+    },
+
+    "sqlparams_inject" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "customer", "q_sp")
+      // ${segment} supplied; ${minbal=0.0} exercises the default-value form.
+      SqlTransformStage("sp", sql = """
+        SELECT c_custkey, c_acctbal FROM q_sp_customer
+        WHERE c_mktsegment = '${segment}' AND c_acctbal >= ${minbal=0.0}
+        ORDER BY c_custkey""",
+        outputView = "q_sp_out",
+        sqlParams = Map("segment" -> "BUILDING")).run().get
+    },
+
+    "streaming_guard" -> { (spark, dir) =>
+      // In streaming mode the batch-only source yields an empty frame
+      // (ref: CassandraExtract.scala:92-94).
+      implicit val c: PipelineContext = PipelineContext(spark, isStreaming = true)
+      val df = ExtractStage("sg", new ParquetConnector(dir), "lineitem",
+        "q_sg_lineitem").run().get
+      spark.range(1).select(lit(df.count()).as("rows_when_streaming"))
+    },
+
+    "typing_cast" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "customer", "q_ty")
+      // All-string view (the reference's CSV-shaped input), re-typed by an
+      // external schema document (SURVEY §1.2-1.3).
+      SqlTransformStage("ty_str", sql = """
+        SELECT CAST(c_custkey AS STRING) AS c_custkey,
+               c_name,
+               CAST(c_nationkey AS STRING) AS c_nationkey,
+               CAST(c_acctbal AS STRING) AS c_acctbal
+        FROM q_ty_customer""",
+        outputView = "q_ty_strings").run()
+      TypingTransformStage("ty", "q_ty_strings", "q_ty_typed", schemaJson = """
+        [{"name":"c_custkey","type":"long","nullable":false,
+          "metadata":{"private":false,"securityLevel":0}},
+         {"name":"c_name","type":"string","nullable":true},
+         {"name":"c_nationkey","type":"integer","nullable":false},
+         {"name":"c_acctbal","type":"double","nullable":true}]""")
+        .run().get.orderBy("c_custkey")
+    },
+
+    "pipeline_e2e" -> { (spark, dir) =>
+      // Full declarative path: JSON config -> Parser -> Runner, mirroring
+      // the reference IT round-trip (CassandraLoadSuite.scala:66-139):
+      // execute DDL -> transform -> load -> extract back.
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_e2e").toString
+      val conf = s"""{"stages": [
+        {"type": "Execute", "name": "mkview",
+         "sql": "CREATE OR REPLACE TEMPORARY VIEW p13_src AS SELECT * FROM parquet.`$dir/part.parquet`",
+         "environments": ["test"]},
+        {"type": "SqlTransform", "name": "filter",
+         "sql": "SELECT p_partkey, p_name, p_brand, p_size FROM p13_src WHERE p_size >= $${minsize}",
+         "sqlParams": {"minsize": "10"},
+         "outputView": "p13_filtered"},
+        {"type": "SqlTransform", "name": "skipped_in_test",
+         "sql": "SELECT 1 AS should_not_run",
+         "outputView": "p13_never",
+         "environments": ["production"]},
+        {"type": "Load", "name": "sink", "connection": "tmp",
+         "inputView": "p13_filtered", "table": "part_filtered",
+         "saveMode": "Overwrite", "params": {"confirm.truncate": "true"},
+         "numPartitions": 2},
+        {"type": "Extract", "name": "back", "connection": "tmp",
+         "table": "part_filtered", "outputView": "p13_back"}
+      ]}"""
+      val connectors = Map(
+        "default" -> new ParquetConnector(dir),
+        "tmp" -> new ParquetConnector(tmp))
+      Parser.parse(conf, connectors) match {
+        case Left(errs) => throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(pipeline) => Runner.run(pipeline).get.orderBy("p_partkey")
+      }
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "extract_lineitem" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "sqltransform_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "join_agg" -> """
+      SELECT c.c_mktsegment AS mktsegment,
+        COUNT(DISTINCT o.o_orderkey) AS n_orders,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY mktsegment""",
+
+    "window_topn" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "repartition_rr" ->
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+
+    "repartition_hash" ->
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+
+    "persist_extract" -> """
+      SELECT p_brand, COUNT(*) AS n,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    "load_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "save_modes" -> """
+      SELECT * FROM (
+        SELECT * FROM nation UNION ALL SELECT * FROM nation)
+      ORDER BY n_nationkey, n_name""",
+
+    "execute_ddl" -> """
+      SELECT s_suppkey, upper(s_name) AS s_name_up
+      FROM supplier WHERE s_acctbal > 1000.0 ORDER BY s_suppkey""",
+
+    "sqlparams_inject" -> """
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0.0
+      ORDER BY c_custkey""",
+
+    "streaming_guard" ->
+      "SELECT CAST(0 AS BIGINT) AS rows_when_streaming",
+
+    "typing_cast" -> """
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      FROM customer ORDER BY c_custkey""",
+
+    "pipeline_e2e" -> """
+      SELECT p_partkey, p_name, p_brand, p_size
+      FROM part WHERE p_size >= 10 ORDER BY p_partkey"""
+  )
+}
