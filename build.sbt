@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// One SparkSession shared across suites; serial execution like the
+// reference's IT config (build.sbt:18-19 there).
+Test / parallelExecution := false
 run / fork := true
 // Forked run output must reach stdout verbatim (no sbt "[info] " prefix):
 // the driver parses Bench's single JSON line from stdout.

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.pipeline.Repartition
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"), // exact dup of 0
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", "en"), // near dup of 0
+    (3L, "one two three four five six seven eight nine ten", "en"),
+    (4L, "completely different words in this document entirely unlike others", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps the smallest id per key") {
+    val out = Dedup.exact(corpus, Seq("text"), Seq("doc_id"))
+    assert(out.count() == 4)
+    assert(out.where($"doc_id" === 1L).isEmpty)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair found (J=1)")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "near dup pair found (one appended word, J=9/10)")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "unrelated docs produce no pairs")
+  }
+
+  test("minhash apply greedily drops higher-id near-dups") {
+    val kept = Dedup.minhashApply(corpus, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
+  test("simhash: identical docs share fingerprints; hamming pairs found via bands") {
+    val fp = Dedup.simhashFingerprints(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L), "equal text, equal simhash")
+    assert(fp(0L) != fp(3L), "different text, different simhash")
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+
+  test("ngram jaccard pairs respect blocking and threshold") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        blockCols = Seq("lang"), threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 4L), "cross-language blocked")
+  }
+
+  test("repartition matrix maps to the right partitioning") {
+    val df = spark.read.parquet(s"$sf001/nation.parquet")
+    assert(Repartition(df, None, Nil) eq df)
+    assert(Repartition(df, Some(5), Nil).rdd.getNumPartitions == 5)
+    assert(Repartition(df, Some(3), Seq("n_regionkey")).rdd.getNumPartitions == 3)
+    // cols-only form: hash partitioning with no fixed N — AQE is free to
+    // coalesce the shuffle, so assert the plan shape, not a partition count
+    val plan = Repartition(df, None, Seq("n_regionkey")).queryExecution.analyzed
+    val rep = plan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(rep.nonEmpty && rep.head.optNumPartitions.isEmpty)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attach produces binary payload + struct metadata schema") {
+    val docs = Seq((1L, "hello", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")
+    val mm = Multimodal.attach(docs, "doc_id", "text", Seq("lang", "n_chars"))
+    val sch = mm.schema
+    assert(sch("payload").dataType == BinaryType)
+    assert(sch("meta").dataType.isInstanceOf[StructType])
+    val row = mm.head()
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "hello")
+    assert(row.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("lang") == "en")
+  }
+
+  test("payload meta: byte length + digest, no decode needed") {
+    val docs = Seq((1L, "hello", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")
+    val mm = Multimodal.attach(docs, "doc_id", "text", Seq("lang"))
+    val r = Multimodal.payloadMeta(mm).head()
+    assert(r.getAs[Long]("byte_len") == 5L)
+    assert(r.getAs[String]("digest") ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824") // sha256("hello")
+  }
+
+  test("decodeAll is distributed, deterministic, and stable per payload") {
+    implicit val s: SparkSession = spark
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(20)
+    val mm = Multimodal.attach(docs, "doc_id", "text", Seq("lang"))
+    val d1 = Multimodal.decodeAll(mm, Multimodal.MediaDecoder.deterministicFake).collect()
+    val d2 = Multimodal.decodeAll(mm, Multimodal.MediaDecoder.deterministicFake).collect()
+    assert(d1.length == 20)
+    val m1 = d1.map(d => d.doc_id -> d).toMap
+    d2.foreach { d =>
+      val e = m1(d.doc_id)
+      assert(e.width == d.width && e.height == d.height
+        && e.features.toSeq == d.features.toSeq)
+    }
+    d1.foreach { d =>
+      assert(d.width == (d.byte_len % 317).toInt + 1)
+      assert(d.features.length == 8)
+    }
+  }
+}

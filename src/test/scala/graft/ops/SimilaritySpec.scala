@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-built geometry: v1 == v0, v2 orthogonal, v3 antiparallel,
+  // v4 at 45 degrees to v0.
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(2f, 0f, 0f, 0f)),
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f)),
+    (4L, Array(1f, 1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by exact cosine with id tie-break") {
+    val out = Similarity.bruteTopK(vecs, vecs.where($"vec_id" === 0L), k = 3)
+      .select("q_id", "n_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 4L, 2L), s"got ${out.toSeq}")
+    assert(out(0)._3 == 1.0)
+    assert(math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-5)
+    assert(out(2)._3 == 0.0)
+  }
+
+  test("embedding near-dup pairs: parallel vectors found, antiparallel not") {
+    val pairs = Similarity.nearDupPairs(vecs, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "identical-direction pair survives")
+    assert(!pairs.contains((0L, 3L)), "antiparallel filtered by threshold")
+  }
+
+  test("IVF assigns cells deterministically and searches within the cell") {
+    // centroidEvery=2 -> centroids {0, 2, 4}
+    val out = Similarity.ivfTopK(vecs, vecs.where($"vec_id" === 1L), k = 2,
+        centroidEvery = 2)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().sortBy(_._3)
+    // v1's cell is centroid 0 (cos=1); cellmates of centroid 0: v0, v1
+    // (v4 ties 45deg between c0 and c4: cos .7071 each -> c_id tiebreak -> c0)
+    assert(out.head._2 == 0L, s"nearest in-cell neighbor is v0, got ${out.toSeq}")
+  }
+
+  test("ANN top-k returns a subset consistent with brute force scores") {
+    val brute = Similarity.bruteTopK(vecs, vecs.where($"vec_id" === 0L), 4)
+      .select("n_id", "cosine").as[(Long, Double)].collect().toMap
+    val ann = Similarity.annTopK(vecs, vecs.where($"vec_id" === 0L), 4)
+      .select("n_id", "cosine").as[(Long, Double)].collect()
+    assert(ann.nonEmpty, "LSH buckets yield candidates for a duplicated vector")
+    ann.foreach { case (n, c) =>
+      assert(brute(n) == c, "ANN scores identical to brute-force for same pair")
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality metrics on a known string") {
+    val df = Seq((1L, "the cat! sat.")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_chars") == 13L)
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("n_distinct_words") == 3L)
+    assert(r.getAs[Double]("ttr") == 1.0)
+    assert(r.getAs[Double]("stopword_ratio") == 0.333333) // "the"/3, 6dp
+    assert(r.getAs[Double]("punct_ratio") == 0.153846)    // "!." = 2/13
+    assert(r.getAs[Double]("mean_word_len") == 3.666667)  // (13-3+1)/3
+  }
+
+  test("token counts: whitespace vs BPE-ish regex tokens") {
+    val df = Seq((1L, "ab 12 c!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    assert(r.getAs[Long]("re_tokens") == 4L) // [ab][12][c][!]
+    assert(r.getAs[Double]("chars_per_token") == 2.0)
+  }
+
+  test("fingerprint: content identity, order sensitivity") {
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, "ba")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == 97L * 31 + 98) // ((0*31+97)*31+98) mod P
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("language id picks max marker overlap with alphabetical tie-break") {
+    val df = Seq(
+      (1L, "der die the cat", "de"),   // de=2 > en=1
+      (2L, "the cat of hats", "en"),   // en
+      (3L, "xyz qqq www", "zh")        // no markers -> und
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(df, "doc_id", "text", "lang")
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(1L) == "de" && out(2L) == "en" && out(3L) == "und")
+  }
+
+  test("language distribution aggregates per declared language") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = TextAnalysis.langDist(docs, "lang", "text")
+    assert(out.count() == 5)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0) == 500L)
+  }
+}
