@@ -42,6 +42,7 @@ object ExtensionQueries {
   private val NgramN = 5
   private val NgramBucket = 50
   private val NgramThreshold = 0.5
+  private val NgramSampleMod = 4
   private val EmbedDupThreshold = 0.4
   private val TopK = 5
   private val NQueryVecs = 10
@@ -285,20 +286,27 @@ object ExtensionQueries {
       ORDER BY doc_a, doc_b""",
 
     "dedup_ngram_jaccard" -> s"""
-      WITH sh AS (
+      WITH grams AS (
         SELECT doc_id, lang, length(text) // $NgramBucket AS lenb,
           CASE WHEN length(text) >= $NgramN
             THEN list_distinct(list_transform(
                    generate_series(1, length(text) - ${NgramN - 1}),
                    i -> substr(text, i, $NgramN)))
-            ELSE [text] END AS shingles
-        FROM documents)
+            ELSE [text] END AS gs
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, lang, lenb,
+          list_filter(list_distinct(list_transform(gs,
+            s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P)),
+            h -> h % $NgramSampleMod = 0) AS shingles
+        FROM grams)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
           round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
             / len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 6) AS jaccard
         FROM sh x JOIN sh y
-          ON x.lang = y.lang AND x.lenb = y.lenb AND x.doc_id < y.doc_id)
+          ON x.lang = y.lang AND x.lenb = y.lenb AND x.doc_id < y.doc_id
+        WHERE len(x.shingles) > 0 AND len(y.shingles) > 0)
       WHERE jaccard >= $NgramThreshold ORDER BY doc_a, doc_b""",
 
     "dedup_embedding" -> s"""${signBandCtes(8, 8)}, cand AS (
