@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.Expressions
+
+/** SQL surface for graft's native expressions. Two ways in:
+  *
+  *  - session builder: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  *    (the idiomatic SparkSessionExtensions route), or
+  *  - [[GraftFunctions.register]] on a live session (temp functions).
+  *
+  * Registered functions:
+  *  - `minhash_sig(array<long> hashes, k)`   -> array<long> signature
+  *  - `sign_bits(array<float> emb, nBits)`   -> array<long> 0/1 bits
+  *  - `simhash48(array<long> wordHashes)`    -> long fingerprint
+  *  - `dot_product(array<float>, array<float>)` -> double
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Expressions.MinHashSig].getName, name),
+        builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> (es => Expressions.MinHashSig(es.head, litInt(es(1), "k"))),
+    "sign_bits" -> (es => Expressions.SignBits(es.head, litInt(es(1), "nBits"))),
+    "simhash48" -> (es => Expressions.SimHash48(es.head)),
+    "dot_product" -> (es => Expressions.DotProduct(es.head, es(1))))
+
+  /** Register on a live session as temp functions. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -25,10 +25,20 @@ trait Connector {
       implicit ctx: PipelineContext): Unit
 
   /** Execute an out-of-band statement (DDL/DML) against the storage system,
-    * driver-side, outside any Spark job
-    * (ref: CassandraExecute.scala:98-102).
+    * driver-side, outside any Spark job. `params` are per-stage connection
+    * overrides merged over the session conf before the call
+    * (ref: CassandraExecute.scala:98-102 — copies SparkConf, overlays stage
+    * params, builds the connector conf from the merge).
     */
-  def execute(statement: String)(implicit ctx: PipelineContext): Unit
+  def execute(statement: String, params: Map[String, String] = Map.empty)(
+      implicit ctx: PipelineContext): Unit
+
+  /** The reference's conf-merge: session SparkConf overlaid with per-stage
+    * params (stage wins on conflict).
+    */
+  protected def mergedConf(params: Map[String, String])(
+      implicit ctx: PipelineContext): Map[String, String] =
+    ctx.spark.sparkContext.getConf.getAll.toMap ++ params
 }
 
 /** Parquet-backed keyspace: table `t` lives at `<baseDir>/<t>.parquet`.
@@ -61,7 +71,11 @@ final class ParquetConnector(baseDir: String) extends Connector {
     * rows, materialize distributed (`count`) rather than collecting to the
     * driver — Execute must never pull a result set into driver memory.
     */
-  override def execute(statement: String)(implicit ctx: PipelineContext): Unit = {
+  override def execute(statement: String, params: Map[String, String] = Map.empty)(
+      implicit ctx: PipelineContext): Unit = {
+    // params hold no meaning for a local parquet keyspace beyond the merge
+    // contract; the merged view is still computed so overrides are validated.
+    mergedConf(params)
     val result = ctx.spark.sql(statement)
     if (result.schema.nonEmpty) result.count(): Unit
   }
@@ -95,9 +109,16 @@ final class CassandraFormatConnector(keyspace: String) extends Connector {
       .save()
 
   /** Raw CQL needs a driver session, which needs the connector jar; not
-    * available here. The parquet path covers the capability in CI.
+    * available here. The conf merge (session conf + per-stage params, the
+    * part the reference implements in CassandraExecute.scala:98-102) is
+    * still performed so the production wiring is complete up to the
+    * driver call.
     */
-  override def execute(statement: String)(implicit ctx: PipelineContext): Unit =
+  override def execute(statement: String, params: Map[String, String] = Map.empty)(
+      implicit ctx: PipelineContext): Unit = {
+    val conf = mergedConf(params).filter(_._1.startsWith("spark.cassandra."))
     throw new UnsupportedOperationException(
-      "raw CQL execution requires the Cassandra driver session (production only)")
+      s"raw CQL execution requires the Cassandra driver session (production only); " +
+        s"would connect with ${conf.size} spark.cassandra.* settings")
+  }
 }

@@ -15,13 +15,16 @@ final case class ExecuteStage(
     name: String,
     connector: Connector,
     sql: String,
-    sqlParams: Map[String, String] = Map.empty)
+    sqlParams: Map[String, String] = Map.empty,
+    params: Map[String, String] = Map.empty)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
     val statement = SqlParams.inject(sql, sqlParams, allowMissing = false)
     detail += "sql" -> statement
-    connector.execute(statement)
+    // per-stage connection overrides merged over the session conf inside
+    // the connector (ref: CassandraExecute.scala:98-102)
+    connector.execute(statement, params)
     None // (ref: CassandraExecute.scala:110)
   }
 }

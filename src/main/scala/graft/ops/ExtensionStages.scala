@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import graft.pipeline._
+
+/** Config-driven pipeline stages wrapping the LLM-data-pipeline operators
+  * (SURVEY §2.3), so a declarative JSON pipeline can run dedup/similarity/
+  * text-analysis between Extract and Load exactly like the reference's
+  * stages run between its extract and load. Thin: all semantics live in
+  * [[Dedup]], [[Similarity]], [[TextAnalysis]].
+  */
+final case class DedupTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // exact | minhash | minhash_pairs | simhash | simhash_pairs | ngram_pairs
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    keys: Seq[String] = Nil,
+    blockCols: Seq[String] = Nil,
+    threshold: Double = 0.9)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "exact" =>
+        Dedup.exact(in, if (keys.nonEmpty) keys else Seq(textCol), Seq(idCol))
+      case "minhash"       => Dedup.minhashApply(in, idCol, textCol, threshold = threshold)
+      case "minhash_pairs" => Dedup.minhashPairs(in, idCol, textCol, threshold = threshold)
+      case "simhash"       => Dedup.simhashFingerprints(in, idCol, textCol)
+      case "simhash_pairs" => Dedup.simhashPairs(in, idCol, textCol)
+      case "ngram_pairs" =>
+        Dedup.ngramJaccardPairs(in, idCol, textCol, blockCols, threshold = threshold)
+      case other =>
+        throw new IllegalArgumentException(s"unknown dedup method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+final case class SimilarityTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // topk | ann | ivf | neardup_pairs
+    queryView: Option[String] = None,
+    k: Int = 5,
+    threshold: Double = 0.95)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val corpus = Views.resolve(inputView)
+    val queries = queryView.map(Views.resolve).getOrElse(corpus)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    val out = method match {
+      case "topk"          => Similarity.bruteTopK(corpus, queries, k)
+      case "ann"           => Similarity.annTopK(corpus, queries, k)
+      case "ivf"           => Similarity.ivfTopK(corpus, queries, k)
+      case "neardup_pairs" => Similarity.nearDupPairs(corpus, threshold)
+      case other =>
+        throw new IllegalArgumentException(s"unknown similarity method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+final case class TextAnalysisTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    analysis: String, // quality | tokens | langid | fingerprint | langdist
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    langCol: String = "lang")
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "analysis" -> analysis
+    detail += "inputView" -> inputView
+    val out = analysis match {
+      case "quality"     => TextAnalysis.quality(in, idCol, textCol)
+      case "tokens"      => TextAnalysis.tokenCounts(in, idCol, textCol)
+      case "langid"      => TextAnalysis.langId(in, idCol, textCol, langCol)
+      case "fingerprint" => TextAnalysis.fingerprints(in, idCol, textCol)
+      case "langdist"    => TextAnalysis.langDist(in, langCol, textCol)
+      case other =>
+        throw new IllegalArgumentException(s"unknown analysis '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}

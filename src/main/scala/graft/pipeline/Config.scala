@@ -60,6 +60,15 @@ final class ConfigReader(conf: Map[String, Any]) {
   def boolean(key: String, default: Boolean): Boolean =
     get(key, "boolean") { case b: Boolean => b }.getOrElse(default)
 
+  def double(key: String): Option[Double] =
+    get(key, "number") {
+      case d: Double      => d
+      case i: Int         => i.toDouble
+      case l: Long        => l.toDouble
+      case b: BigInt      => b.toDouble
+      case b: BigDecimal  => b.toDouble
+    }
+
   def stringList(key: String): Seq[String] =
     get(key, "list of strings") {
       case xs: Seq[_] if xs.forall(_.isInstanceOf[String]) =>

@@ -65,7 +65,61 @@ object Parser {
         name = r.requiredString("name"),
         connector = connector(r, conns),
         sql = sqlOf(r),
-        sqlParams = r.stringMap("sqlParams"))
+        sqlParams = r.stringMap("sqlParams"),
+        params = r.stringMap("params"))
+    },
+    "TypingTransform" -> { (r, _) =>
+      TypingTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        schemaJson = r.string("schema").getOrElse {
+          r.string("schemaURI") match {
+            case Some(uri) =>
+              try Statements.fromUri(uri)
+              catch {
+                case e: Exception =>
+                  r.error("schemaURI", s"cannot read '$uri': ${e.getMessage}"); "[]"
+              }
+            case None =>
+              r.error("schema", "one of 'schema' or 'schemaURI' is required"); "[]"
+          }
+        })
+    },
+    "DedupTransform" -> { (r, _) =>
+      DedupTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("exact", "minhash", "minhash_pairs", "simhash", "simhash_pairs", "ngram_pairs"),
+          "exact"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        textCol = r.string("textCol").getOrElse("text"),
+        keys = r.stringList("keys"),
+        blockCols = r.stringList("blockCols"),
+        threshold = r.double("threshold").getOrElse(0.9))
+    },
+    "SimilarityTransform" -> { (r, _) =>
+      SimilarityTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method", Seq("topk", "ann", "ivf", "neardup_pairs"), "topk"),
+        queryView = r.string("queryView"),
+        k = r.int("k").getOrElse(5),
+        threshold = r.double("threshold").getOrElse(0.95))
+    },
+    "TextAnalysisTransform" -> { (r, _) =>
+      TextAnalysisTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        analysis = r.oneOf("analysis",
+          Seq("quality", "tokens", "langid", "fingerprint", "langdist"), "quality"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        textCol = r.string("textCol").getOrElse("text"),
+        langCol = r.string("langCol").getOrElse("lang"))
     }
   )
 
@@ -104,7 +158,14 @@ object Parser {
     "Extract" -> (commonKeys ++ Set("table", "outputView", "numPartitions", "partitionBy", "persist", "params")),
     "Load" -> (commonKeys ++ Set("inputView", "table", "saveMode", "numPartitions", "partitionBy", "params")),
     "SqlTransform" -> (commonKeys ++ Set("sql", "inputURI", "outputView", "sqlParams", "numPartitions", "partitionBy", "persist", "authentication")),
-    "Execute" -> (commonKeys ++ Set("sql", "inputURI", "sqlParams", "authentication"))
+    "Execute" -> (commonKeys ++ Set("sql", "inputURI", "sqlParams", "authentication", "params")),
+    "TypingTransform" -> (commonKeys ++ Set("inputView", "outputView", "schema", "schemaURI")),
+    "DedupTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "idCol", "textCol", "keys", "blockCols", "threshold")),
+    "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "queryView", "k", "threshold")),
+    "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
+      "idCol", "textCol", "langCol"))
   )
 
   def parse(

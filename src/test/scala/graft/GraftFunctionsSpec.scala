@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+/** The SQL registration surface for the native expressions: registered
+  * functions must be callable from `spark.sql` and agree with the Column
+  * API formulations.
+  */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate and match the Column API") {
+    GraftFunctions.register(spark)
+    Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text").createOrReplaceTempView("fn_docs")
+
+    val viaSql = spark.sql("""
+      SELECT minhash_sig(transform(split(text, ' '),
+               w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 1000000007), 8) AS sig,
+             simhash48(transform(split(text, ' '),
+               w -> CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT))) AS sh
+      FROM fn_docs""").head()
+    val viaApi = spark.table("fn_docs").select(
+      T.minhashSig(T.shingleHashes(split($"text", " ")), 8).as("sig"),
+      T.simhash48($"text").as("sh")).head()
+    assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
+    // note: simhash via SQL above hashes ALL words; the API distincts first —
+    // on this all-distinct sentence they must agree
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+  }
+
+  test("dot_product and sign_bits from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                         array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+             size(sign_bits(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), 16)) AS nb
+      """).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 16)
+  }
+
+  test("extensions class injects the same builders") {
+    // builder-time route: smoke the injector against a fresh extensions bag
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+    assert(GraftFunctions.all.map(_._1).toSet ==
+      Set("minhash_sig", "sign_bits", "simhash48", "dot_product"))
+  }
+
+  test("non-literal k is rejected with a clear message") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), CAST(rand()*4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.connect.ParquetConnector
+import graft.pipeline._
+
+/** The extension operators as declarative pipeline stages: parsed from a
+  * JSON config and run by the same Parser/Runner as the reference-parity
+  * stages.
+  */
+class ExtensionStagesSpec extends SparkSpec {
+
+  test("dedup + text analysis as config-driven pipeline stages") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "xs_docs"},
+      {"type": "DedupTransform", "name": "dd", "method": "exact",
+       "inputView": "xs_docs", "outputView": "xs_deduped"},
+      {"type": "TextAnalysisTransform", "name": "ta", "analysis": "quality",
+       "inputView": "xs_deduped", "outputView": "xs_quality"},
+      {"type": "SimilarityTransform", "name": "unused_sim", "method": "topk",
+       "inputView": "xs_docs", "outputView": "xs_never",
+       "environments": ["production"]}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get
+    assert(out.columns.contains("stopword_ratio"))
+    assert(out.count() == 500) // corpus has no exact dups at this sf
+    assert(spark.table("xs_quality").count() == 500)
+  }
+
+  test("similarity stage over an embeddings view") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "xs_embs"},
+      {"type": "SqlTransform", "name": "q",
+       "sql": "SELECT * FROM xs_embs WHERE vec_id < 3",
+       "outputView": "xs_queries"},
+      {"type": "SimilarityTransform", "name": "knn", "method": "topk",
+       "inputView": "xs_embs", "queryView": "xs_queries", "k": 4,
+       "outputView": "xs_knn"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get
+    assert(out.count() == 12) // 3 queries x k=4
+  }
+
+  test("unknown method surfaces as a config error") {
+    val conf = """{"stages": [
+      {"type": "DedupTransform", "name": "dd", "method": "magic",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Left(errs) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("method")))
+  }
+}
