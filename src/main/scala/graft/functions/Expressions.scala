@@ -135,6 +135,99 @@ object Expressions {
     override def prettyName: String = "simhash48"
   }
 
+  private val threadMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 md5 hex chars of the utf8 bytes as an unsigned 32-bit value,
+    * mod P — identical to `conv(substring(md5(s),1,8),16,10) % P` and to
+    * DuckDB's `('0x'||substr(md5(s),1,8))::BIGINT % P`.
+    */
+  private def md5h32(bytes: Array[Byte]): Long = {
+    val d = threadMd5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16)
+      | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % P
+  }
+
+  /** Distinct hashed word n-gram shingles of a text (whole-text fallback
+    * below n words) — the fused, loop-form equivalent of
+    * wordShingles -> shingleHashes -> distinct. Word split is on a single
+    * space with trailing empties kept, matching Spark's `split(text, " ")`
+    * and DuckDB's `string_split(text, ' ')`.
+    */
+  case class HashedWordNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val words = text.split(" ", -1)
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      if (words.length >= n) {
+        var i = 0
+        while (i <= words.length - n) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          out.add(md5h32(sb.toString.getBytes("UTF-8")))
+          i += 1
+        }
+      } else out.add(md5h32(text.getBytes("UTF-8")))
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): HashedWordNgrams = copy(child = c)
+    override def prettyName: String = "hashed_word_ngrams"
+  }
+
+  /** Distinct hashed character n-gram shingles, winnowed to hashes ≡ 0
+    * (mod sampleMod) — fused charShingles -> h32 -> distinct -> mod-filter.
+    * sampleMod=1 keeps everything. Substrings are by Unicode code point,
+    * matching Spark `substring` and DuckDB `substr` character semantics.
+    */
+  case class HashedCharNgrams(child: Expression, n: Int, sampleMod: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      val cps = text.codePointCount(0, text.length)
+      if (cps >= n) {
+        var start = 0
+        var i = 0
+        while (i <= cps - n) {
+          val end = {
+            var e = start
+            var k = 0
+            while (k < n) { e = text.offsetByCodePoints(e, 1); k += 1 }
+            e
+          }
+          val h = md5h32(text.substring(start, end).getBytes("UTF-8"))
+          if (h % sampleMod == 0) out.add(h)
+          start = text.offsetByCodePoints(start, 1)
+          i += 1
+        }
+      } else {
+        val h = md5h32(text.getBytes("UTF-8"))
+        if (h % sampleMod == 0) out.add(h)
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): HashedCharNgrams = copy(child = c)
+    override def prettyName: String = "hashed_char_ngrams"
+  }
+
   /** Sequential-double dot product of two float arrays (same accumulation
     * order as the `aggregate(zip_with(...))` form).
     */

@@ -70,6 +70,24 @@ object TextFunctions {
   /** Hash every shingle to [0, P). */
   def shingleHashes(shingles: Column): Column = transform(shingles, h32(_))
 
+  /** Distinct hashed word n-gram shingles straight from text — the fused
+    * native form of words -> wordShingles -> shingleHashes -> distinct
+    * ([[Expressions.HashedWordNgrams]]); one JVM loop per row.
+    */
+  def hashedWordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Expressions.HashedWordNgrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** Distinct hashed character n-gram shingles winnowed to hashes ≡ 0
+    * (mod sampleMod) — fused native charShingles -> h32 -> distinct ->
+    * mod-filter ([[Expressions.HashedCharNgrams]]).
+    */
+  def hashedCharNgrams(text: Column, n: Int, sampleMod: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Expressions.HashedCharNgrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n, sampleMod))
+
   /** k-permutation MinHash signature over pre-hashed shingles.
     * Permutation i: h -> (a_i*h + b_i) mod P with
     * a_i = ((i+1)*2654435761) mod P, b_i = ((i+1)*40503) mod P — Knuth

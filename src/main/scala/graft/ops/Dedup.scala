@@ -45,16 +45,14 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** (id, distinct word-`shingleN`-gram shingles) projection, with the
-    * word split staged in its own projection (multi-referenced, so
-    * CollapseProject keeps the barrier and the split runs once per row —
-    * see the perf contract on [[TextFunctions.wordShingles]]).
+  /** (id, distinct HASHED word-`shingleN`-gram shingles) projection — the
+    * signature pass and the exact-Jaccard verification both run over hashed
+    * sets (longs), never the shingle strings; see
+    * [[TextFunctions.hashedWordNgrams]] for the engine-portable hashing.
     */
   private def shingled(df: DataFrame, idCol: String, textCol: String, shingleN: Int) =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        T.words(col(textCol)).as("__ws"))
-      .select(col("doc_id"),
-        T.wordShingles(col("__ws"), col("__text"), shingleN).as("shingles"))
+    df.select(col(idCol).as("doc_id"),
+      T.hashedWordNgrams(col(textCol), shingleN).as("shingles"))
 
   /** MinHash-LSH candidate pairs verified by exact Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 6dp.
@@ -72,7 +70,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh
       .select(col("doc_id"),
-        explode(T.bands(T.minhashSig(T.shingleHashes(col("shingles")), k), b, r)).as("bd"))
+        explode(T.bands(T.minhashSig(col("shingles"), k), b, r)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Self-join per bucket: shuffle on (band,bsig); dedup candidate pairs
@@ -159,9 +157,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 5, bucketWidth: Int = 50,
       threshold: Double = 0.7, sampleMod: Int = 4): DataFrame = {
-    val sampled = filter(
-      array_distinct(transform(T.charShingles(col(textCol), n), T.h32(_))),
-      h => h % sampleMod === 0)
+    val sampled = T.hashedCharNgrams(col(textCol), n, sampleMod)
     val sh = df.select(
       Seq(col(idCol).as("doc_id"),
         sampled.as("shingles"),

@@ -180,19 +180,17 @@ object ExtensionQueries {
       SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
     ), sh AS (
       SELECT doc_id, CASE WHEN len(ws) >= 3
-        THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
-               i -> array_to_string(ws[i:i+2], ' ')))
-        ELSE [text] END AS shingles
+        THEN list_distinct(list_transform(
+               list_transform(generate_series(1, len(ws)-2),
+                 i -> array_to_string(ws[i:i+2], ' ')),
+               s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P))
+        ELSE [('0x'||substr(md5(text),1,8))::BIGINT % $P] END AS shingles
       FROM base
-    ), hs AS (
-      SELECT doc_id, shingles,
-        list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P) AS hashes
-      FROM sh
     ), mh AS (
       SELECT doc_id, list_transform(generate_series(0, ${MinhashK - 1}), i ->
-        list_min(list_transform(hashes, h ->
+        list_min(list_transform(shingles, h ->
           ((((i+1)*2654435761) % $P) * h + (((i+1)*40503) % $P)) % $P))) AS sig
-      FROM hs
+      FROM sh
     ), banded AS (
       SELECT doc_id, j AS band,
         array_to_string(sig[j*$MinhashR+1 : j*$MinhashR+$MinhashR], '-') AS bsig
