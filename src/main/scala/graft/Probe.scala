@@ -44,6 +44,24 @@ object Probe {
       "nation", SaveMode.Overwrite,
       options = Map("confirm.truncate" -> "true")).run()
     println(s"[probe] overwrite with latch ok, files=${new java.io.File(s"$tmp/nation.parquet").list().length}")
+
+    // 4. Streaming load: rate source -> foreachBatch -> parquet connector.
+    val sdir = java.nio.file.Files.createTempDirectory("graft_probe_stream").toString
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    val q = graft.streaming.StreamingSink.foreachBatchLoad(
+      stream, new ParquetConnector(s"$sdir/data"), "rates", s"$sdir/chk")
+    Thread.sleep(3000)
+    q.processAllAvailable()
+    q.stop()
+    val sunk = spark.read.parquet(s"$sdir/data/rates.parquet").count()
+    println(s"[probe] streaming foreachBatch sank rows=$sunk")
+
+    // 5. CSV connector read-as-strings contract.
+    val cdir = java.nio.file.Files.createTempDirectory("graft_probe_csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$cdir/pets.csv"), "name,age\nrex,4\nmia,2\n")
+    val csv = new graft.connect.DelimitedConnector(cdir).read("pets", Map.empty)
+    println(s"[probe] csv rows=${csv.count()} allStrings=${csv.schema.fields.forall(_.dataType.typeName == "string")}")
     spark.stop()
   }
 }

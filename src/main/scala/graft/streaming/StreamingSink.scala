@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.connect.Connector
+import graft.pipeline.PipelineContext
+
+/** Streaming load path. The reference's sink is batch-only and SKIPS
+  * streaming inputs (CassandraLoad.scala:108-109 — ported as the guard in
+  * [[graft.ops.LoadStage]]); this is the rebuild's forward path the survey
+  * calls for (SURVEY §7 risk (d)): micro-batch delivery of a streaming
+  * view into the same batch connector via `writeStream.foreachBatch`.
+  *
+  * Each micro-batch reuses the connector's batch writer (including the
+  * Overwrite truncate latch — though streaming sinks should Append), so
+  * storage semantics stay identical between batch and streaming loads.
+  * State/backpressure are Spark's: the checkpoint dir carries offsets, and
+  * at scale the per-batch write parallelism is governed by the same
+  * `numPartitions`/`partitionBy` levers as the batch stage.
+  */
+object StreamingSink {
+
+  def foreachBatchLoad(
+      stream: DataFrame,
+      connector: Connector,
+      table: String,
+      checkpointDir: String,
+      mode: SaveMode = SaveMode.Append,
+      options: Map[String, String] = Map.empty)(
+      implicit ctx: PipelineContext): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        connector.write(batch, table, mode, options)
+      }
+      .start()
+}

@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch streaming load delivers micro-batches through the batch connector") {
+    implicit val sq = spark.sqlContext
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fbl").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingSink.foreachBatchLoad(
+      mem.toDF().toDF("id", "payload"),
+      new ParquetConnector(s"$tmp/data"), "sunk", s"$tmp/chk")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$tmp/data/sunk.parquet")
+      assert(back.count() == 3, "both micro-batches appended")
+    } finally q.stop()
+  }
+
   test("batch-only guards: streaming extract yields empty, load skips write") {
     implicit val sq = spark.sqlContext
     // Extract guard
