@@ -155,6 +155,24 @@ object ExtensionQueries {
         .orderBy("hour_start", "event_type")
     },
 
+    "events_sessionize" -> { (spark, dir) =>
+      // Sessionization: a new session starts after a >30min silence per
+      // user (lag + cumulative-sum windows; the batch mirror of
+      // session_window streaming). Gap math on epoch millis (exact longs).
+      events(spark, dir).createOrReplaceTempView("q_sess_events")
+      spark.sql("""
+        WITH gaps AS (
+          SELECT user_id, unix_millis(ts) AS ms,
+            lag(unix_millis(ts)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+          FROM q_sess_events)
+        SELECT user_id,
+          CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          COUNT(*) AS n_events
+        FROM gaps GROUP BY user_id ORDER BY user_id""")
+    },
+
     "events_json" -> { (spark, dir) =>
       events(spark, dir)
         .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
@@ -452,6 +470,18 @@ object ExtensionQueries {
         event_type, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "events_sessionize" -> """
+      WITH gaps AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+          lag(epoch_ms(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        FROM events)
+      SELECT user_id,
+        CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events
+      FROM gaps GROUP BY user_id ORDER BY user_id""",
 
     "events_json" -> """
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

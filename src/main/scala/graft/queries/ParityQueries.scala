@@ -186,6 +186,56 @@ object ParityQueries {
         .run().get.orderBy("c_custkey")
     },
 
+    "csv_roundtrip" -> { (spark, dir) =>
+      // Delimited connector: parquet -> CSV (all-string on read) -> typed
+      // again via the schema-doc transform — the reference IT input shape.
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_csv").toString
+      val csv = new graft.connect.DelimitedConnector(tmp)
+      extract(spark, dir, "nation", "q_csv")
+      LoadStage("csv_out", csv, "q_csv_nation", "nation", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true")).run()
+      ExtractStage("csv_in", csv, "nation", "q_csv_back").run()
+      TypingTransformStage("csv_type", "q_csv_back", "q_csv_typed", schemaJson = """
+        [{"name":"n_nationkey","type":"integer","nullable":false},
+         {"name":"n_name","type":"string"},
+         {"name":"n_regionkey","type":"integer"}]""").run().get
+        .orderBy("n_nationkey")
+    },
+
+    "rollup_agg" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "lineitem", "q_ru")
+      SqlTransformStage("ru", sql = """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM q_ru_lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
+        outputView = "q_ru_out").run().get
+    },
+
+    "set_ops" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "orders", "q_so")
+      extract(spark, dir, "customer", "q_so")
+      SqlTransformStage("so", sql = """
+        SELECT c_custkey FROM q_so_customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM q_so_orders WHERE o_totalprice > 100000
+        ORDER BY c_custkey""",
+        outputView = "q_so_out").run().get
+    },
+
+    "anti_join" -> { (spark, dir) =>
+      // parts never ordered: left-anti against lineitem part keys
+      val p = extract(spark, dir, "part", "q_aj")
+      val li = extract(spark, dir, "lineitem", "q_aj")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
     "pipeline_e2e" -> { (spark, dir) =>
       // Full declarative path: JSON config -> Parser -> Runner, mirroring
       // the reference IT round-trip (CassandraLoadSuite.scala:66-139):
@@ -289,6 +339,28 @@ object ParityQueries {
 
     "pipeline_e2e" -> """
       SELECT p_partkey, p_name, p_brand, p_size
-      FROM part WHERE p_size >= 10 ORDER BY p_partkey"""
+      FROM part WHERE p_size >= 10 ORDER BY p_partkey""",
+
+    "csv_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey""",
+
+    "rollup_agg" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
+
+    "set_ops" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+      ORDER BY c_custkey""",
+
+    "anti_join" -> """
+      SELECT p_partkey, p_name FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      ORDER BY p_partkey"""
   )
 }
