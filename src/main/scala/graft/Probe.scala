@@ -56,6 +56,18 @@ object Probe {
     val sunk = spark.read.parquet(s"$sdir/data/rates.parquet").count()
     println(s"[probe] streaming foreachBatch sank rows=$sunk")
 
+    // 4b. Session windows + running state over the same rate stream.
+    val s2 = spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+      .withColumnRenamed("timestamp", "ts")
+      .withColumn("user", (org.apache.spark.sql.functions.col("value") % 3).cast("string"))
+    val q2 = graft.streaming.StreamingOps.sessionWindows(
+        s2, "ts", "user", gap = "10 seconds", watermark = Some("30 seconds"))
+      .writeStream.format("memory").queryName("probe_sessions")
+      .outputMode("complete").start()
+    Thread.sleep(2500)
+    q2.processAllAvailable(); q2.stop()
+    println(s"[probe] session_window rows=${spark.table("probe_sessions").count()}")
+
     // 5. CSV connector read-as-strings contract.
     val cdir = java.nio.file.Files.createTempDirectory("graft_probe_csv").toString
     java.nio.file.Files.writeString(

@@ -104,8 +104,17 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
       nBits: Int = 64, b: Int = 8, r: Int = 8): DataFrame = {
-    val vecs = withNorm(df).persist(StorageLevel.MEMORY_AND_DISK)
-    val bd = banded(df, nBits, b, r).persist(StorageLevel.MEMORY_AND_DISK)
+    // One pass computes norms AND sign bits; both the scoring table and the
+    // band table are projections of the same persisted base (one parquet
+    // read, one signature computation).
+    val base = df.select(col("vec_id"), col("embedding"),
+        V.norm(col("embedding")).as("nrm"),
+        V.signBits(col("embedding"), nBits).as("__bits"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vecs = base.select("vec_id", "embedding", "nrm")
+    val bd = base.select(col("vec_id"),
+        explode(V.bitBands(col("__bits"), b, r)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
     val cand = bd.as("x").join(bd.as("y"), Seq("band", "bsig"))
       .where(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface.
   *
@@ -37,5 +38,40 @@ object StreamingOps {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+  }
+
+  /** Event-time sessionization with Spark's native session_window: a
+    * session closes after `gap` of per-key silence. Works on batch and
+    * streaming inputs alike (the declarative counterpart of the batch
+    * lag+cumsum formulation in the `events_sessionize` query). On a
+    * stream, the watermark bounds session state.
+    */
+  def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: Option[String]): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark(tsCol, _))
+    src
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+  }
+
+  /** Arbitrary-state streaming: a per-key running counter maintained with
+    * mapGroupsWithState (the escape hatch when windowed aggregation can't
+    * express the state machine). Emits (key, totalSoFar) on every
+    * micro-batch that touches the key. State is one long per key —
+    * bounded, partitioned by key, nothing on the driver.
+    */
+  def runningCountsPerKey(events: Dataset[(String, Long)])(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
   }
 }

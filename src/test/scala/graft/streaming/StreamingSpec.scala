@@ -49,6 +49,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window sessionization over a stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = StreamingOps.sessionWindows(
+      mem.toDF().toDF("ts", "user"), "ts", "user",
+      gap = "30 minutes", watermark = Some("2 hours"))
+    val q = agg.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("complete").start()
+    try {
+      // user a: two bursts 40min apart -> 2 sessions; user b: one session
+      mem.addData((ts(0, 0), "a"), (ts(0, 10), "a"), (ts(0, 50), "a"),
+        (ts(1, 0), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_sessions")
+        .select("key", "n_events").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows("a") == Seq(1L, 2L), s"two sessions for a, got $rows")
+      assert(rows("b") == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps a running per-key counter across batches") {
+    implicit val sq = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val counted = StreamingOps.runningCountsPerKey(mem.toDS())
+    val q = counted.toDF("key", "total").writeStream.format("memory")
+      .queryName("stream_counts").outputMode("update").start()
+    try {
+      mem.addData(("x", 1L), ("x", 2L), ("y", 3L))
+      q.processAllAvailable()
+      mem.addData(("x", 4L))
+      q.processAllAvailable()
+      val last = spark.table("stream_counts")
+        .groupBy("key").agg(org.apache.spark.sql.functions.max("total").as("total"))
+        .as[(String, Long)].collect().toMap
+      assert(last == Map("x" -> 3L, "y" -> 1L), s"state carried across batches: $last")
+    } finally q.stop()
+  }
+
   test("foreachBatch streaming load delivers micro-batches through the batch connector") {
     implicit val sq = spark.sqlContext
     implicit val ctx: PipelineContext = PipelineContext(spark)
