@@ -76,6 +76,40 @@ object Multimodal {
       length(col("payload")).cast("long").as("byte_len"),
       sha2(col("payload"), 256).as("digest"))
 
+  /** Frame sampling: one output row per kept frame (every `everyN`-th,
+    * starting at frame 1) — the columnar explode pattern a video pipeline
+    * uses to turn clip rows into frame rows without ever materializing
+    * payloads on the driver. Frame count/hash come deterministically from
+    * the payload bytes (stub decode contract, see [[MediaDecoder]]).
+    */
+  def frameSample(mm: DataFrame, everyN: Int): DataFrame = {
+    val meta = mm.select(col("doc_id"),
+      length(col("payload")).cast("long").as("byte_len"))
+    meta
+      .withColumn("n_frames", col("byte_len") % 7 + 1)
+      .select(col("doc_id"), col("byte_len"),
+        explode(filter(sequence(lit(1L), col("n_frames")),
+          i => (i - 1) % everyN === 0)).as("frame_idx"))
+      .withColumn("frame_hash",
+        (col("byte_len") * 31 + col("frame_idx")) % 1000000007L)
+  }
+
+  /** Integer aspect-preserving resize metadata: scale the fake decoded
+    * dimensions to fit `maxDim`, exact integer arithmetic only (engine-
+    * portable: floor((d * maxDim) / longest)).
+    */
+  def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val needs = longest > maxDim
+    // floor() so both engines take the integer-division branch (a bare
+    // double cast truncates in Spark but ROUNDS in DuckDB)
+    decoded.select(col("doc_id"), col("width"), col("height"),
+      when(needs, floor(col("width").cast("long") * maxDim / longest))
+        .otherwise(col("width")).cast("long").as("resized_w"),
+      when(needs, floor(col("height").cast("long") * maxDim / longest))
+        .otherwise(col("height")).cast("long").as("resized_h"))
+  }
+
   /** Distributed decode: one `mapPartitions` pass over (id, payload).
     * Partitioning is preserved; no shuffle, no driver collection.
     */

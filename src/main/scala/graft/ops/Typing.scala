@@ -21,7 +21,16 @@ import graft.schema.SchemaDoc.ColumnDoc
 object Typing {
 
   def castColumn(c: ColumnDoc): Column = {
-    val src = col(c.name)
+    // Arc input-cleaning semantics before the cast (ref: per-column `trim`
+    // and `nullableValues` in the metadata docs, TestUtils.scala:183-188):
+    // optional whitespace trim, then sentinel strings ("", "null", ...)
+    // mapped to real nulls.
+    val raw = col(c.name)
+    val trimmed = if (c.trim) trim(raw) else raw
+    val src =
+      if (c.nullableValues.nonEmpty)
+        when(trimmed.isInCollection(c.nullableValues), lit(null)).otherwise(trimmed)
+      else trimmed
     val dt = SchemaDoc.dataTypeOf(c)
     val castc = (dt, c.formatters.headOption) match {
       case (TimestampType, Some(fmt)) => to_timestamp(src, fmt)

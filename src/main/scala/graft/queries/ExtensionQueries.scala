@@ -149,6 +149,20 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "multimodal_frames" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val mm = Multimodal.attach(docs(spark, dir), "doc_id", "text",
+        metaCols = Seq("lang"))
+      val frames = Multimodal.frameSample(mm, everyN = 2)
+      val sizes = Multimodal.resizeMeta(
+        Multimodal.decodeAll(mm, Multimodal.MediaDecoder.deterministicFake).toDF(),
+        maxDim = 128)
+      frames.join(sizes, "doc_id")
+        .select(col("doc_id"), col("frame_idx"), col("frame_hash"),
+          col("resized_w"), col("resized_h"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "events_hourly" -> { (spark, dir) =>
       StreamingOps.hourlyEventStats(events(spark, dir),
           "ts", "event_type", "value", watermark = None)
@@ -464,6 +478,25 @@ object ExtensionQueries {
             generate_series(8, length(text), 8), j -> unicode(text[j])::BIGINT)),
           (a, b) -> a + b) % 1009)::DOUBLE AS f7
       FROM documents ORDER BY doc_id""",
+
+    "multimodal_frames" -> s"""
+      WITH meta AS (
+        SELECT doc_id, length(text)::BIGINT AS byte_len,
+          length(text)::BIGINT % 7 + 1 AS n_frames,
+          (length(text) % 317 + 1)::BIGINT AS width,
+          ((length(text)::BIGINT * 7919) % 211 + 1)::BIGINT AS height
+        FROM documents
+      ), frames AS (
+        SELECT doc_id, byte_len, width, height, f AS frame_idx
+        FROM meta, unnest(generate_series(1, n_frames)) AS t(f)
+        WHERE (f - 1) % 2 = 0)
+      SELECT doc_id, frame_idx,
+        (byte_len * 31 + frame_idx) % $P AS frame_hash,
+        CASE WHEN greatest(width, height) > 128
+          THEN (width * 128) // greatest(width, height) ELSE width END AS resized_w,
+        CASE WHEN greatest(width, height) > 128
+          THEN (height * 128) // greatest(width, height) ELSE height END AS resized_h
+      FROM frames ORDER BY doc_id, frame_idx""",
 
     "events_hourly" -> """
       SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour_start,

@@ -22,6 +22,8 @@ object SchemaDoc {
       precision: Option[Int],
       scale: Option[Int],
       formatters: Seq[String],
+      trim: Boolean,
+      nullableValues: Seq[String],
       metadata: Map[String, Any])
 
   def dataTypeOf(c: ColumnDoc): DataType = c.typeName match {
@@ -55,6 +57,11 @@ object SchemaDoc {
         precision = int("precision"),
         scale = int("scale"),
         formatters = (c \ "formatters") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _          => Nil
+        },
+        trim = (c \ "trim") match { case JBool(b) => b; case _ => false },
+        nullableValues = (c \ "nullableValues") match {
           case JArray(xs) => xs.collect { case JString(s) => s }
           case _          => Nil
         },

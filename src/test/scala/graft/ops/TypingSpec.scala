@@ -47,6 +47,23 @@ class TypingSpec extends SparkSpec {
     assert(r.getAs[String]("tod") == "12:34:56")
   }
 
+  test("trim and nullableValues clean inputs before the cast") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    Seq(("  42 ", "null"), ("7", "  x  "), ("", "y"))
+      .toDF("n", "s").createOrReplaceTempView("typing_clean_src")
+    val out = TypingTransformStage("tc", "typing_clean_src", "typing_clean_out",
+      """[{"name":"n","type":"integer","trim":true,"nullableValues":[""]},
+         {"name":"s","type":"string","trim":true,"nullableValues":["null"]}]""")
+      .run().get.collect()
+    val byS = out.map(r => (r.isNullAt(0), Option(r.getString(1)))).toSet
+    assert(byS == Set(
+      (false, None),        // "  42 " -> 42, "null" -> null
+      (false, Some("x")),   // trimmed string
+      (true, Some("y"))))   // "" -> null int
+    val n42 = out.find(!_.isNullAt(0)).get
+    assert(Set(42, 7).contains(n42.getInt(0)))
+  }
+
   test("unsupported type in a schema doc fails fast") {
     intercept[IllegalArgumentException] {
       SchemaDoc.toStructType(SchemaDoc.parse("""[{"name":"x","type":"uuid5"}]"""))

@@ -19,7 +19,9 @@ def norm(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        return f"{v:.10g}"
+        # full precision: the engines are expected to be BIT-identical,
+        # not merely close — a 1-ulp drift is a real finding here
+        return f"{v:.17g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
