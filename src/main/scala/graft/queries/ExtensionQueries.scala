@@ -110,6 +110,11 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    "sketch_kmv" -> { (spark, dir) =>
+      graft.functions.Sketches.kmvDistinct(
+        spark.read.parquet(s"$dir/lineitem.parquet"), col("l_partkey"), k = 256)
+    },
+
     "text_quality" -> { (spark, dir) =>
       TextAnalysis.quality(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -406,6 +411,20 @@ object ExtensionQueries {
       FROM scored
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
+
+    "sketch_kmv" -> s"""
+      WITH hs AS (
+        SELECT DISTINCT ('0x'||substr(md5(l_partkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM lineitem
+      ), smallest AS (
+        SELECT max(h) AS hk, count(*) AS n FROM (
+          SELECT h FROM hs ORDER BY h LIMIT 256)
+      )
+      SELECT
+        (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct,
+        CASE WHEN n < 256 THEN n::DOUBLE
+          ELSE round(255.0 * $P / hk, 4) END AS kmv_estimate
+      FROM smallest""",
 
     "text_quality" -> """
       SELECT doc_id,
