@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Dev-only scale-extrapolation probe: multiply the corpus Nx (ids
+  * shifted, so duplicates ARE introduced across copies) and time the
+  * candidate-bounded operators. The point is the growth CURVE: signature
+  * passes should scale ~linearly; the self-joins grow with real duplicate
+  * density (here every doc gains N-1 exact twins — a worst-ish case for
+  * bucket sizes).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.drop(1).map(_.toInt) match {
+      case Array() => Array(1, 2, 4)
+      case m       => m
+    }
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count() // warm
+
+    def amplify(df: DataFrame, idCol: String, n: Int): DataFrame =
+      (0 until n).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    for (m <- mults) {
+      val d = amplify(docs, "doc_id", m)
+      val e = amplify(embs, "vec_id", m)
+      def t(name: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"[scale] x$m $name rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      t("minhash_pairs") {
+        Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.9).count()
+      }
+      t("ngram_pairs") {
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", Seq("lang"),
+          threshold = 0.5).count()
+      }
+      t("embed_neardup") { Similarity.nearDupPairs(e, 0.4).count() }
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
