@@ -37,6 +37,7 @@ object Bench {
             errors += name -> String.valueOf(e.getMessage).take(300)
             false
         }
+      graft.util.Caches.unpersistAll() // cache lifecycle is per-query
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results

@@ -23,7 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[Expressions.MinHashSig].getName, name),
+        new ExpressionInfo(GraftFunctions.implClass(name), name),
         builder))
     }
 }
@@ -34,6 +34,16 @@ object GraftFunctions {
     case Literal(v: Int, IntegerType) => v
     case other =>
       throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** Implementing expression class per function (for ExpressionInfo /
+    * DESCRIBE FUNCTION metadata).
+    */
+  def implClass(name: String): String = name match {
+    case "minhash_sig" => classOf[Expressions.MinHashSig].getName
+    case "sign_bits"   => classOf[Expressions.SignBits].getName
+    case "simhash48"   => classOf[Expressions.SimHash48].getName
+    case _             => classOf[Expressions.DotProduct].getName
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(

@@ -39,6 +39,18 @@ trait Connector {
   protected def mergedConf(params: Map[String, String])(
       implicit ctx: PipelineContext): Map[String, String] =
     ctx.spark.sparkContext.getConf.getAll.toMap ++ params
+
+  /** Destructive-write latch shared by all file-backed connectors:
+    * Overwrite refuses to run unless the caller passes
+    * `confirm.truncate=true` (ref: CassandraLoadSuite.scala:104 — DataStax
+    * connector semantics).
+    */
+  protected def requireTruncateConfirmed(
+      mode: SaveMode, options: Map[String, String]): Unit =
+    if (mode == SaveMode.Overwrite &&
+        !options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        "Overwrite requires explicit confirm.truncate=true (destructive-write latch)")
 }
 
 /** Parquet-backed keyspace: table `t` lives at `<baseDir>/<t>.parquet`.
@@ -53,16 +65,9 @@ final class ParquetConnector(baseDir: String) extends Connector {
       implicit ctx: PipelineContext): DataFrame =
     ctx.spark.read.options(options).parquet(path(table))
 
-  /** Replicates the connector's truncate safety latch: Overwrite refuses to
-    * run unless the caller passes `confirm.truncate=true`
-    * (ref: CassandraLoadSuite.scala:104 — DataStax connector semantics).
-    */
   override def write(df: DataFrame, table: String, mode: SaveMode, options: Map[String, String])(
       implicit ctx: PipelineContext): Unit = {
-    if (mode == SaveMode.Overwrite &&
-        !options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
-      throw new IllegalArgumentException(
-        "Overwrite requires explicit confirm.truncate=true (destructive-write latch)")
+    requireTruncateConfirmed(mode, options)
     df.write.mode(mode).options(options - "confirm.truncate").parquet(path(table))
   }
 
@@ -73,9 +78,8 @@ final class ParquetConnector(baseDir: String) extends Connector {
     */
   override def execute(statement: String, params: Map[String, String] = Map.empty)(
       implicit ctx: PipelineContext): Unit = {
-    // params hold no meaning for a local parquet keyspace beyond the merge
-    // contract; the merged view is still computed so overrides are validated.
-    mergedConf(params)
+    // per-stage connection params are a storage-system concept; a local
+    // parquet keyspace has no connection to configure, so they are ignored
     val result = ctx.spark.sql(statement)
     if (result.schema.nonEmpty) result.count(): Unit
   }

@@ -26,10 +26,7 @@ final class DelimitedConnector(baseDir: String) extends Connector {
 
   override def write(df: DataFrame, table: String, mode: SaveMode,
       options: Map[String, String])(implicit ctx: PipelineContext): Unit = {
-    if (mode == SaveMode.Overwrite &&
-        !options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
-      throw new IllegalArgumentException(
-        "Overwrite requires explicit confirm.truncate=true (destructive-write latch)")
+    requireTruncateConfirmed(mode, options)
     df.write.mode(mode)
       .option("header", "true")
       .options(options - "confirm.truncate")
@@ -38,7 +35,6 @@ final class DelimitedConnector(baseDir: String) extends Connector {
 
   override def execute(statement: String, params: Map[String, String] = Map.empty)(
       implicit ctx: PipelineContext): Unit = {
-    mergedConf(params)
     val result = ctx.spark.sql(statement)
     if (result.schema.nonEmpty) result.count(): Unit
   }

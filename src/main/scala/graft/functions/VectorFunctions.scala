@@ -35,14 +35,6 @@ object VectorFunctions {
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
-    * an integer in [-48, 48] derived from Knuth's multiplicative constant.
-    * Integer-valued so the double dot product against it is exact per term;
-    * any engine reproduces it from the same closed form.
-    */
-  private def plane(j: Column, d: Column): Column =
-    ((j * 64 + d) * lit(2654435761L)) % 97 - 48
-
   /** `nBits` sign bits of the embedding against the fixed hyperplane family,
     * as an array<long> of 0/1. Bit j = [ sum_d emb[d]*plane(j,d) >= 0 ].
     * Random-hyperplane LSH: P(bit match) = 1 - angle/pi (Charikar 2002).
@@ -58,9 +50,5 @@ object VectorFunctions {
     * ANN candidates. Recall for cosine c: 1-(1-p^r)^b with p = 1 - acos(c)/pi.
     */
   def bitBands(bits: Column, b: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(b - 1)), j =>
-      struct(
-        j.cast("int").as("band"),
-        array_join(transform(slice(bits, j * r + 1, lit(r)), _.cast("string")), "-")
-          .as("bsig")))
+    TextFunctions.bands(bits, b, r) // one banding encoding for text AND vectors
 }

@@ -66,18 +66,17 @@ object Dedup {
     // banded signatures (both sides of the self-join) are persisted: the
     // signature computation is the expensive narrow pass and must run
     // exactly once per document, not once per plan subtree.
-    val sh = shingled(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.util.Caches.persist(shingled(df, idCol, textCol, shingleN))
     val banded = sh
       .select(col("doc_id"),
         explode(T.bands(T.minhashSig(col("shingles"), k), b, r)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedCached = graft.util.Caches.persist(banded)
     // Self-join per bucket: shuffle on (band,bsig); dedup candidate pairs
     // (ids only — never drag payloads through a distinct) before the
     // (more expensive) exact verification.
-    val cand = banded.as("x")
-      .join(banded.as("y"), Seq("band", "bsig"))
+    val cand = bandedCached.as("x")
+      .join(bandedCached.as("y"), Seq("band", "bsig"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -121,8 +120,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 48 / nBands
-    val fp = simhashFingerprints(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = graft.util.Caches.persist(simhashFingerprints(df, idCol, textCol))
     val banded = fp.select(col("doc_id"), col("simhash"),
         explode(transform(sequence(lit(0), lit(nBands - 1)), j =>
           struct(j.cast("int").as("band"),
@@ -164,9 +162,9 @@ object Dedup {
         floor(length(col(textCol)) / bucketWidth).as("lenb"))
         ++ blockCols.map(col): _*)
       .where(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shCached = graft.util.Caches.persist(sh)
     val keys = "lenb" +: blockCols
-    sh.as("x").join(sh.as("y"), keys)
+    shCached.as("x").join(shCached.as("y"), keys)
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         round(T.jaccard(col("x.shingles"), col("y.shingles")), 6).as("jaccard"))

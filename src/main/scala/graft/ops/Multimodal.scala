@@ -79,20 +79,19 @@ object Multimodal {
   /** Frame sampling: one output row per kept frame (every `everyN`-th,
     * starting at frame 1) — the columnar explode pattern a video pipeline
     * uses to turn clip rows into frame rows without ever materializing
-    * payloads on the driver. Frame count/hash come deterministically from
-    * the payload bytes (stub decode contract, see [[MediaDecoder]]).
+    * payloads on the driver. Operates on the DECODED table so the frame
+    * count always comes from whatever [[MediaDecoder]] produced it — never
+    * from a parallel re-derivation that could disagree with the decoder.
     */
-  def frameSample(mm: DataFrame, everyN: Int): DataFrame = {
-    val meta = mm.select(col("doc_id"),
-      length(col("payload")).cast("long").as("byte_len"))
-    meta
-      .withColumn("n_frames", col("byte_len") % 7 + 1)
+  def frameSample(decoded: DataFrame, everyN: Int): DataFrame =
+    decoded
+      .select(col("doc_id"), col("byte_len"),
+        col("n_frames").cast("long").as("n_frames"))
       .select(col("doc_id"), col("byte_len"),
         explode(filter(sequence(lit(1L), col("n_frames")),
           i => (i - 1) % everyN === 0)).as("frame_idx"))
       .withColumn("frame_hash",
         (col("byte_len") * 31 + col("frame_idx")) % 1000000007L)
-  }
 
   /** Integer aspect-preserving resize metadata: scale the fake decoded
     * dimensions to fit `maxDim`, exact integer arithmetic only (engine-

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.{VectorFunctions => V}
 
 /** Similarity search over an `array<float>` embedding column (SURVEY §2.3).
@@ -76,25 +75,33 @@ object Similarity {
     topK(pairs, k)
   }
 
-  /** Banded sign-LSH id projection: (vec_id, band, bsig). */
-  private def banded(df: DataFrame, nBits: Int, b: Int, r: Int): DataFrame =
-    df.select(col("vec_id"),
-        explode(V.bitBands(V.signBits(col("embedding"), nBits), b, r)).as("bd"))
+  /** (vec_id, embedding, nrm, __bits) — one persisted pass computing both
+    * the scoring columns and the sign bits (a single source scan feeds the
+    * band table and the score re-joins).
+    */
+  private def signedBase(df: DataFrame, nBits: Int): DataFrame =
+    graft.util.Caches.persist(
+      df.select(col("vec_id"), col("embedding"),
+        V.norm(col("embedding")).as("nrm"),
+        V.signBits(col("embedding"), nBits).as("__bits")))
+
+  private def bandsOf(base: DataFrame, b: Int, r: Int): DataFrame =
+    base.select(col("vec_id"),
+        explode(V.bitBands(col("__bits"), b, r)).as("bd"))
       .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
 
   /** Approximate top-k: only candidates sharing an LSH band are scored. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 64, b: Int = 16, r: Int = 4): DataFrame = {
-    val cv = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    val qv = withNorm(queries)
-    val cb = banded(corpus, nBits, b, r)
-    val qb = banded(queries, nBits, b, r)
+    val cbase = signedBase(corpus, nBits)
+    val qbase = signedBase(queries, nBits)
+    val qb = bandsOf(qbase, b, r)
       .select(col("vec_id").as("q_id"), col("band"), col("bsig"))
-    val cand = qb.join(cb, Seq("band", "bsig"))
+    val cand = qb.join(bandsOf(cbase, b, r), Seq("band", "bsig"))
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    topK(score(cand, qv, cv), k)
+    topK(score(cand, qbase, cbase), k)
   }
 
   /** Near-duplicate vector pairs: sign-LSH candidates verified by exact
@@ -104,22 +111,13 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
       nBits: Int = 64, b: Int = 8, r: Int = 8): DataFrame = {
-    // One pass computes norms AND sign bits; both the scoring table and the
-    // band table are projections of the same persisted base (one parquet
-    // read, one signature computation).
-    val base = df.select(col("vec_id"), col("embedding"),
-        V.norm(col("embedding")).as("nrm"),
-        V.signBits(col("embedding"), nBits).as("__bits"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vecs = base.select("vec_id", "embedding", "nrm")
-    val bd = base.select(col("vec_id"),
-        explode(V.bitBands(col("__bits"), b, r)).as("bd"))
-      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+    val base = signedBase(df, nBits)
+    val bd = bandsOf(base, b, r)
     val cand = bd.as("x").join(bd.as("y"), Seq("band", "bsig"))
       .where(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
       .distinct()
-    score(cand, vecs, vecs)
+    score(cand, base, base)
       .select(col("q_id").as("vec_a"), col("n_id").as("vec_b"), col("cosine"))
       .where(col("cosine") >= threshold)
   }
@@ -132,7 +130,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidEvery: Int = 100): DataFrame = {
-    val cv = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val cv = graft.util.Caches.persist(withNorm(corpus))
     val centroids = cv.where(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
@@ -145,11 +143,13 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col(id), col("c_id").as("cell"))
     }
+    val qv = graft.util.Caches.persist(withNorm(queries))
     val cells = assign(cv, "vec_id")
-    val qcells = assign(withNorm(queries).withColumnRenamed("vec_id", "q_id"), "q_id")
+    val qcells = assign(qv.withColumnRenamed("vec_id", "q_id"), "q_id")
     val cand = qcells.join(cells, Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
-    topK(score(cand, cv, cv), k)
+    // score queries from the QUERY table: queries need not be corpus rows
+    topK(score(cand, qv, cv), k)
   }
 }

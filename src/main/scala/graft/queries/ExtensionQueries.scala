@@ -158,10 +158,10 @@ object ExtensionQueries {
       implicit val s: SparkSession = spark
       val mm = Multimodal.attach(docs(spark, dir), "doc_id", "text",
         metaCols = Seq("lang"))
-      val frames = Multimodal.frameSample(mm, everyN = 2)
-      val sizes = Multimodal.resizeMeta(
-        Multimodal.decodeAll(mm, Multimodal.MediaDecoder.deterministicFake).toDF(),
-        maxDim = 128)
+      val decoded = Multimodal
+        .decodeAll(mm, Multimodal.MediaDecoder.deterministicFake).toDF()
+      val frames = Multimodal.frameSample(decoded, everyN = 2)
+      val sizes = Multimodal.resizeMeta(decoded, maxDim = 128)
       frames.join(sizes, "doc_id")
         .select(col("doc_id"), col("frame_idx"), col("frame_hash"),
           col("resized_w"), col("resized_h"))
@@ -199,7 +199,7 @@ object ExtensionQueries {
         .groupBy("k_mod")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-        .orderBy("k_mod")
+        .orderBy(col("k_mod").asc_nulls_last)
     }
   )
 
@@ -536,9 +536,9 @@ object ExtensionQueries {
       FROM gaps GROUP BY user_id ORDER BY user_id""",
 
     "events_json" -> """
-      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY k_mod ORDER BY k_mod"""
+      FROM events GROUP BY k_mod ORDER BY k_mod NULLS LAST"""
   )
 }

@@ -42,6 +42,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._2 == 0L, s"nearest in-cell neighbor is v0, got ${out.toSeq}")
   }
 
+  test("IVF scores against the query table: queries disjoint from the corpus work") {
+    // query vector NOT present in the corpus (id 99, parallel to v0)
+    val queries = Seq((99L, Array(3f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, queries, k = 2, centroidEvery = 2)
+      .select("q_id", "n_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(out.nonEmpty, "disjoint query set must not be dropped by the score join")
+    assert(out.head._1 == 99L && out.head._2 == 0L && out.head._3 == 1.0,
+      s"neighbor scored against the real query vector: ${out.toSeq}")
+  }
+
   test("ANN top-k returns a subset consistent with brute force scores") {
     val brute = Similarity.bruteTopK(vecs, vecs.where($"vec_id" === 0L), 4)
       .select("n_id", "cosine").as[(Long, Double)].collect().toMap
