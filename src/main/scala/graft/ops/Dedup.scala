@@ -102,6 +102,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over near-dup pairs — the production dedup
+    * grouping (pairwise greedy dedup over-deletes chains; CC keeps exactly
+    * one doc per transitive duplicate cluster). Iterative min-label
+    * propagation: every vertex starts labeled with its own id and
+    * repeatedly takes the min of its neighbors' labels until fixpoint —
+    * the unique result is the component's min id, independent of
+    * iteration order, so any engine agrees on the output.
+    *
+    * The driver loop holds NO data: each round is one join + groupBy, the
+    * convergence check is an isEmpty on the diff, and rounds needed =
+    * cluster diameter (tiny for dup clusters). Iterates on persisted
+    * frames; at 100 TB swap persist for checkpoint to truncate lineage.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = graft.util.Caches.persist(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = graft.util.Caches.persist(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("comp").as("ncomp"))
+      val next = graft.util.Caches.persist(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("oldc")), "id")
+        .where(col("comp") =!= col("oldc"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** 48-bit SimHash fingerprint per document (word-hash pass staged so the
     * md5 work runs once per row, not once per bit — see
     * [[TextFunctions.simhash48FromHashes]]).

@@ -68,6 +68,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "dedup_minhash_cc" -> { (spark, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash_fp" -> { (spark, dir) =>
       Dedup.simhashFingerprints(docs(spark, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -286,6 +293,20 @@ object ExtensionQueries {
       WHERE d.doc_id NOT IN (
         SELECT doc_b FROM pairs WHERE jaccard >= $JaccardThreshold)
       ORDER BY d.doc_id""",
+
+    "dedup_minhash_cc" -> s"""${minhashCtes.replaceFirst("WITH", "WITH RECURSIVE")}
+      , ok AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold
+      ), bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ok
+        UNION SELECT doc_b, doc_a FROM ok
+      ), reach AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+      )
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src ORDER BY doc_id""",
 
     "dedup_simhash_fp" -> s"""
       SELECT doc_id,

@@ -55,6 +55,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L), "cross-language blocked")
   }
 
+  test("connected components label transitive duplicate clusters by min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("repartition matrix maps to the right partitioning") {
     val df = spark.read.parquet(s"$sf001/nation.parquet")
     assert(Repartition(df, None, Nil) eq df)
