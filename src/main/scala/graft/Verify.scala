@@ -21,8 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.util.Caches.unpersistAll() // no cross-query cache buildup
     }
+    // operator-persisted intermediates are reused across related queries
+    // (cache keyed on canonicalized plan) and released at end of run
+    graft.util.Caches.unpersistAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
