@@ -119,19 +119,34 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = graft.util.Caches.persist(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = graft.util.Caches.persist(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("comp").as("ncomp"))
-      val next = graft.util.Caches.persist(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jumping (path halving): comp <- comp(comp). Combined with
+      // the neighbor-min step this converges in O(log n) rounds, so a long
+      // duplicate CHAIN cannot outrun maxIter the way pure one-hop
+      // propagation (O(diameter)) could.
+      //
+      // localCheckpoint (not persist): the self-join doubles the logical
+      // plan every round, and persist only caches execution — the ANALYZED
+      // plan would still grow 2^iter and OOM the driver. Checkpointing
+      // truncates lineage each round (cluster deployments should use a
+      // reliable checkpoint dir instead of localCheckpoint).
+      val next = propagated
+        .join(propagated.select(col("id").as("comp"), col("comp").as("jc")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       converged = next
         .join(labels.select(col("id"), col("comp").as("oldc")), "id")
         .where(col("comp") =!= col("oldc"))

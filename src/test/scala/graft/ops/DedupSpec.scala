@@ -62,6 +62,16 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components converge on a chain far longer than maxIter allows one-hop") {
+    // 60-vertex path ordered worst-case (descending), maxIter 8:
+    // requires the pointer-jumping O(log n) convergence
+    val chain = (1 to 59).map(i => (60L - i, 61L - i)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 60 && comps.values.forall(_ == 1L),
+      s"all chain members labeled 1, got ${comps.toSeq.sortBy(_._1).take(8)}...")
+  }
+
   test("repartition matrix maps to the right partitioning") {
     val df = spark.read.parquet(s"$sf001/nation.parquet")
     assert(Repartition(df, None, Nil) eq df)
