@@ -236,6 +236,32 @@ object ParityQueries {
         .orderBy("p_partkey")
     },
 
+    "quantiles" -> { (spark, dir) =>
+      implicit val c: PipelineContext = ctx(spark)
+      extract(spark, dir, "lineitem", "q_qt")
+      // exact percentiles: interpolated (percentile) and discrete
+      // (percentile_disc) agree across engines — unlike approx sketches
+      SqlTransformStage("qt", sql = """
+        SELECT l_returnflag,
+          round(percentile(l_extendedprice, 0.5), 6) AS p50_cont,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+          round(percentile(l_extendedprice, 0.95), 6) AS p95_cont
+        FROM q_qt_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        outputView = "q_qt_out").run().get
+    },
+
+    "events_pivot" -> { (spark, dir) =>
+      // DataFrame pivot API with an explicit (deterministic) column list
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = ev.select((col("user_id") % 10).as("user_mod"), col("event_type"))
+        .groupBy("user_mod").pivot("event_type", types).count()
+      piv.select(col("user_mod") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_mod")
+    },
+
     "pipeline_e2e" -> { (spark, dir) =>
       // Full declarative path: JSON config -> Parser -> Runner, mirroring
       // the reference IT round-trip (CassandraLoadSuite.scala:66-139):
@@ -361,6 +387,22 @@ object ParityQueries {
     "anti_join" -> """
       SELECT p_partkey, p_name FROM part
       WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
-      ORDER BY p_partkey"""
+      ORDER BY p_partkey""",
+
+    "quantiles" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_cont,
+        quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+        round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_cont
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "events_pivot" -> """
+      SELECT user_id % 10 AS user_mod,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_mod ORDER BY user_mod"""
   )
 }
