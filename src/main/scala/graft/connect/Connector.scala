@@ -65,10 +65,18 @@ final class ParquetConnector(baseDir: String) extends Connector {
       implicit ctx: PipelineContext): DataFrame =
     ctx.spark.read.options(options).parquet(path(table))
 
+  /** `disk.partitionBy` (comma-separated columns) lays the table out as
+    * partition directories — the lakehouse layout whose directory pruning
+    * is the read-side scale lever (only matching partitions are scanned).
+    */
   override def write(df: DataFrame, table: String, mode: SaveMode, options: Map[String, String])(
       implicit ctx: PipelineContext): Unit = {
     requireTruncateConfirmed(mode, options)
-    df.write.mode(mode).options(options - "confirm.truncate").parquet(path(table))
+    val partCols = options.get("disk.partitionBy")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val w = df.write.mode(mode)
+      .options(options - "confirm.truncate" - "disk.partitionBy")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(path(table))
   }
 
   /** Spark runs commands (DDL and side-effecting statements) eagerly when

@@ -236,6 +236,22 @@ object ParityQueries {
         .orderBy("p_partkey")
     },
 
+    "load_partitioned" -> { (spark, dir) =>
+      // disk-partitioned sink layout: nation written as
+      // nation.parquet/n_regionkey=<v>/ directories, read back through
+      // partition-column inference
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_dpart").toString
+      val conn = new ParquetConnector(tmp)
+      extract(spark, dir, "nation", "q_dp")
+      LoadStage("dp_load", conn, "q_dp_nation", "nation", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true",
+          "disk.partitionBy" -> "n_regionkey")).run()
+      ExtractStage("dp_back", conn, "nation", "q_dp_back").run().get
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     "quantiles" -> { (spark, dir) =>
       implicit val c: PipelineContext = ctx(spark)
       extract(spark, dir, "lineitem", "q_qt")
@@ -388,6 +404,10 @@ object ParityQueries {
       SELECT p_partkey, p_name FROM part
       WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
       ORDER BY p_partkey""",
+
+    "load_partitioned" -> """
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey""",
 
     "quantiles" -> """
       SELECT l_returnflag,

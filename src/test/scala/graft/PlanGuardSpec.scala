@@ -31,6 +31,27 @@ class PlanGuardSpec extends SparkSpec {
       }
   }
 
+  test("disk-partitioned layout prunes partitions on a key filter") {
+    implicit val ctx: graft.pipeline.PipelineContext =
+      graft.pipeline.PipelineContext(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val conn = new graft.connect.ParquetConnector(tmp)
+    spark.read.parquet(s"$sf001/nation.parquet")
+      .createOrReplaceTempView("pg_nation")
+    graft.ops.LoadStage("w", conn, "pg_nation", "nation",
+      org.apache.spark.sql.SaveMode.Overwrite,
+      options = Map("confirm.truncate" -> "true",
+        "disk.partitionBy" -> "n_regionkey")).run()
+    val filtered = conn.read("nation", Map.empty).where("n_regionkey = 2")
+    val scan = filtered.queryExecution.executedPlan.toString
+    // the key predicate lands in PartitionFilters (directory pruning),
+    // not in the row-level data filters
+    assert(scan.contains("PartitionFilters") && scan.contains("n_regionkey"), scan)
+    val expected = spark.read.parquet(s"$sf001/nation.parquet")
+      .where("n_regionkey = 2").count()
+    assert(filtered.count() == expected)
+  }
+
   test("top-k selection plans as TakeOrdered, not a global sort") {
     val plan = SparkEntry.queries("sketch_kmv")(spark, sf001)
       .queryExecution.executedPlan.toString
