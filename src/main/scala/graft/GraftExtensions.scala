@@ -15,7 +15,7 @@ import graft.functions.Expressions
   * Registered functions:
   *  - `minhash_sig(array<long> hashes, k)`   -> array<long> signature
   *  - `sign_bits(array<float> emb, nBits)`   -> array<long> 0/1 bits
-  *  - `simhash48(array<long> wordHashes)`    -> long fingerprint
+  *  - `simhash_bits(array<long> wordHashes, nBits)` -> long fingerprint
   *  - `dot_product(array<float>, array<float>)` -> double
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -40,16 +40,16 @@ object GraftFunctions {
     * DESCRIBE FUNCTION metadata).
     */
   def implClass(name: String): String = name match {
-    case "minhash_sig" => classOf[Expressions.MinHashSig].getName
-    case "sign_bits"   => classOf[Expressions.SignBits].getName
-    case "simhash48"   => classOf[Expressions.SimHash48].getName
-    case _             => classOf[Expressions.DotProduct].getName
+    case "minhash_sig"  => classOf[Expressions.MinHashSig].getName
+    case "sign_bits"    => classOf[Expressions.SignBits].getName
+    case "simhash_bits" => classOf[Expressions.SimHashBits].getName
+    case _              => classOf[Expressions.DotProduct].getName
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> (es => Expressions.MinHashSig(es.head, litInt(es(1), "k"))),
     "sign_bits" -> (es => Expressions.SignBits(es.head, litInt(es(1), "nBits"))),
-    "simhash48" -> (es => Expressions.SimHash48(es.head)),
+    "simhash_bits" -> (es => Expressions.SimHashBits(es.head, litInt(es(1), "nBits"))),
     "dot_product" -> (es => Expressions.DotProduct(es.head, es(1))))
 
   /** Register on a live session as temp functions. */

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   *                  - 48) >= 0 ], accumulated in double, d ascending
   *                  (sequential sum = same IEEE result as the zip_with/
   *                  aggregate form).
-  *  - SimHash48:    bit j of word-hash h via (h >> j) & 1 — identical to
+  *  - SimHashBits:  bit j of word-hash h via (h >> j) & 1 — identical to
   *                  floor(h / 2^j) % 2 for h >= 0.
   */
 object Expressions {
@@ -103,21 +103,26 @@ object Expressions {
     override def prettyName: String = "sign_bits"
   }
 
-  /** 48-bit SimHash from an array<long> of 48-bit word hashes. */
-  case class SimHash48(child: Expression)
+  /** `nBits`-bit SimHash from an array<long> of word hashes (each hash must
+    * carry at least nBits of entropy). nBits <= 62 so the fingerprint and
+    * every power-of-two used in the banded replay fit a signed 64-bit lane
+    * in BOTH engines (DuckDB BIGINT has no unsigned escape hatch).
+    */
+  case class SimHashBits(child: Expression, nBits: Int)
       extends UnaryExpression with CodegenFallback {
+    require(nBits > 0 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
 
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
       val n = hs.numElements()
-      val votes = new Array[Long](48)
+      val votes = new Array[Long](nBits)
       var s = 0
       while (s < n) {
         val h = hs.getLong(s)
         var j = 0
-        while (j < 48) {
+        while (j < nBits) {
           votes(j) += ((h >> j) & 1L) * 2L - 1L
           j += 1
         }
@@ -125,14 +130,14 @@ object Expressions {
       }
       var acc = 0L
       var j = 0
-      while (j < 48) {
+      while (j < nBits) {
         if (votes(j) >= 0) acc += 1L << j
         j += 1
       }
       java.lang.Long.valueOf(acc)
     }
-    override protected def withNewChildInternal(c: Expression): SimHash48 = copy(child = c)
-    override def prettyName: String = "simhash48"
+    override protected def withNewChildInternal(c: Expression): SimHashBits = copy(child = c)
+    override def prettyName: String = "simhash_bits"
   }
 
   private val threadMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>

@@ -125,30 +125,37 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
-  /** 48-bit word hashes for SimHash: first 12 hex chars of md5 (48 bits —
-    * fits a signed 64-bit lane), over the distinct words. Materialize this
-    * as its own column before calling [[simhash48FromHashes]] so the md5
-    * pass runs once per row, not once per bit position.
+  /** 60-bit word hashes for SimHash: first 15 hex chars of md5 (60 bits —
+    * the widest width where the fingerprint AND every 2^j used in the
+    * banded oracle replay stay inside a signed 64-bit lane in both
+    * engines), over the distinct words. Materialize this as its own column
+    * before calling [[simhash60FromHashes]] so the md5 pass runs once per
+    * row, not once per bit position.
     */
-  def wordHashes48(ws: Column): Column =
+  def wordHashes60(ws: Column): Column =
     transform(array_distinct(ws),
-      w => conv(substring(md5(w), 1, 12), 16, 10).cast("long"))
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
 
-  /** 48-bit SimHash from precomputed word hashes. Bit j of the fingerprint
+  /** 60-bit SimHash from precomputed word hashes. Bit j of the fingerprint
     * is set when at least half the words have bit j set (sum of ±1 votes
     * >= 0). Near-dup docs differ in few bits (Hamming). Native expression
-    * ([[Expressions.SimHash48]]); (h >> j) & 1 there is identical to the
+    * ([[Expressions.SimHashBits]]); (h >> j) & 1 there is identical to the
     * engine-portable floor(h / 2^j) % 2 the oracle uses, h being >= 0.
+    *
+    * 60 bits (not 48) so Hamming-band keys are 15 bits wide at
+    * maxHamming=3 — 32768 distinct keys per band, 8x the key space of the
+    * 12-bit-band design this replaces (see [[graft.ops.Dedup.simhashPairs]]
+    * for the oversized-bucket splitter that handles the residual skew).
     */
-  def simhash48FromHashes(wh: Column): Column =
+  def simhash60FromHashes(wh: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
-      Expressions.SimHash48(
-        org.apache.spark.sql.GraftColumnBridge.expression(wh)))
+      Expressions.SimHashBits(
+        org.apache.spark.sql.GraftColumnBridge.expression(wh), 60))
 
   /** One-shot SimHash from raw text (hot paths should stage
-    * [[wordHashes48]] in its own projection first).
+    * [[wordHashes60]] in its own projection first).
     */
-  def simhash48(c: Column): Column = simhash48FromHashes(wordHashes48(words(c)))
+  def simhash60(c: Column): Column = simhash60FromHashes(wordHashes60(words(c)))
 
   /** Rolling polynomial fingerprint of the full text:
     * acc <- (acc*31 + codepoint(ch)) mod P over characters in order.

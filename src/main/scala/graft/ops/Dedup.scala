@@ -18,9 +18,11 @@ import graft.pipeline._
   *               verification of the (small) candidate set. Shuffle is on
   *               (band, bandSignature); candidate volume is governed by the
   *               S-curve (b,r), not by n².
-  *  - SimHash:   48-bit fingerprint per doc; Hamming-ball pairs found by
-  *               pigeonhole banding (4 bands of 12 bits: any pair within
-  *               Hamming distance 3 shares at least one exact band).
+  *  - SimHash:   60-bit fingerprint per doc; Hamming-ball pairs found by
+  *               pigeonhole banding (4 bands of 15 bits: any pair within
+  *               Hamming distance 3 shares at least one exact band), with
+  *               oversized band buckets recursively re-banded on the
+  *               remaining bits so no self-join input is unbounded.
   *  - n-gram Jaccard: exact character-shingle Jaccard, but only within
   *               cheap blocking groups (language × length bucket) so the
   *               per-group join stays bounded.
@@ -157,37 +159,82 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
-  /** 48-bit SimHash fingerprint per document (word-hash pass staged so the
+  /** 60-bit SimHash fingerprint per document (word-hash pass staged so the
     * md5 work runs once per row, not once per bit — see
-    * [[TextFunctions.simhash48FromHashes]]).
+    * [[TextFunctions.simhash60FromHashes]]).
     */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        T.wordHashes48(T.words(col(textCol))).as("__wh"))
-      .select(col("doc_id"), T.simhash48FromHashes(col("__wh")).as("simhash"))
+        T.wordHashes60(T.words(col(textCol))).as("__wh"))
+      .select(col("doc_id"), T.simhash60FromHashes(col("__wh")).as("simhash"))
 
   /** Near-dup pairs with Hamming(simhash) <= maxHamming, found by
-    * pigeonhole banding: split 48 bits into (maxHamming+1) bands — any pair
+    * pigeonhole banding: split 60 bits into (maxHamming+1) bands — any pair
     * within the Hamming ball agrees exactly on >= 1 band. Join per band,
     * verify with bit_count(xor). No all-pairs comparison.
+    *
+    * Scale guard: band-key cardinality alone (2^15 per band at
+    * maxHamming=3) cannot bound bucket sizes — a popular key still goes
+    * quadratic in the within-bucket self-join. Buckets larger than
+    * `maxBucket` are therefore RE-BANDED before joining: inside such a
+    * bucket every doc agrees on band j exactly, so a qualifying pair's
+    * remaining `60 - bandBits` bits still differ by <= maxHamming — split
+    * them into (maxHamming+1) sub-bands and the pigeonhole guarantee holds
+    * again, recall-lossless. Each split multiplies rows of the oversized
+    * bucket by (maxHamming+1) but divides its join cost by the sub-key
+    * cardinality (~2^12); at extreme scale the same step can recurse.
+    * (Docs with fully identical fingerprints are never separated by any
+    * bit-slice — their pairs are genuine output, quadratic by definition.)
+    *
+    * All key arithmetic is integer shift/mask (exact at 60 bits, where the
+    * previous floor(h / 2^j) double form would lose bits above 2^53) and is
+    * replayed verbatim by the DuckDB oracle via `//` and `%`.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val W = 60
     val nBands = maxHamming + 1
-    val bandBits = 48 / nBands
+    require(W % nBands == 0, s"60 bits must split evenly into ${nBands} bands")
+    val bandBits = W / nBands
+    val remBits = W - bandBits
+    val subW = (remBits + nBands - 1) / nBands
     val fp = graft.util.Caches.persist(simhashFingerprints(df, idCol, textCol))
-    val banded = fp.select(col("doc_id"), col("simhash"),
-        explode(transform(sequence(lit(0), lit(nBands - 1)), j =>
-          struct(j.cast("int").as("band"),
-            // exact power-of-two divide: band j = floor(h / 2^(bandBits*j)) % 2^bandBits
-            (floor(col("simhash") / pow(lit(2.0), j * bandBits)).cast("long")
-              % (1L << bandBits)).as("bkey")))).as("bd"))
-      .select(col("doc_id"), col("simhash"),
-        col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+    // Static per-band structs (Scala-level loop => integer shift amounts):
+    // bkey = bits [bandBits*j, bandBits*(j+1)) ; rem = the other 45 bits
+    // packed down (high part shifted into the hole left by band j).
+    val bandArr = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), bandBits * j)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"),
+        (shiftleft(shiftright(col("simhash"), bandBits * (j + 1)), bandBits * j)
+          + col("simhash").bitwiseAND(lit((1L << (bandBits * j)) - 1))).as("rem"))
+    }: _*)
+    val banded = graft.util.Caches.persist(
+      fp.select(col("doc_id"), col("simhash"), explode(bandArr).as("bd"))
+        .select(col("doc_id"), col("simhash"), col("bd.band").as("band"),
+          col("bd.bkey").as("bkey"), col("bd.rem").as("rem")))
+    // Bucket sizes: one co-partitioned groupBy + join on the band key.
+    val counts = banded.groupBy("band", "bkey").count()
+    val sized = banded.join(counts, Seq("band", "bkey"))
+    val small = sized.where(col("count") <= maxBucket)
+    val subArr = array((0 until nBands).map { k =>
+      struct(lit(k).as("sub"),
+        shiftright(col("rem"), subW * k)
+          .bitwiseAND(lit((1L << subW) - 1)).as("skey"))
+    }: _*)
+    val big = sized.where(col("count") > maxBucket)
+      .select(col("doc_id"), col("simhash"), col("band"), col("bkey"),
+        explode(subArr).as("sd"))
+      .select(col("doc_id"), col("simhash"), col("band"), col("bkey"),
+        col("sd.sub").as("sub"), col("sd.skey").as("skey"))
+    def pairsOf(b: DataFrame, keys: Seq[String]): DataFrame =
+      b.as("x").join(b.as("y"), keys)
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .cast("long").as("hamming"))
+    pairsOf(small, Seq("band", "bkey"))
+      .union(pairsOf(big, Seq("band", "bkey", "sub", "skey")))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -43,6 +43,7 @@ object ExtensionQueries {
   private val NgramBucket = 50
   private val NgramThreshold = 0.5
   private val NgramSampleMod = 4
+  private val SimhashMaxBucket = 64
   private val EmbedDupThreshold = 0.4
   private val TopK = 5
   private val NQueryVecs = 10
@@ -81,7 +82,10 @@ object ExtensionQueries {
     },
 
     "dedup_simhash_pairs" -> { (spark, dir) =>
-      Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+      // maxBucket low enough that the oversized-bucket re-banding path is
+      // exercised at sf0.01 (dup-cluster buckets exceed 64 there).
+      Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
+          maxHamming = 3, maxBucket = SimhashMaxBucket)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -252,6 +256,19 @@ object ExtensionQueries {
       JOIN sh b ON b.doc_id = cand.doc_b
     )"""
 
+  /** 60-bit SimHash of `text` (replay of TextFunctions.{wordHashes60,
+    * simhash60FromHashes}): word hash = first 15 md5 hex chars (60 bits —
+    * every value and every 2^j below stays inside signed BIGINT), bit j set
+    * when the ±1 votes over distinct words sum >= 0.
+    */
+  private def simhash60Sql: String = """
+    list_reduce(list_prepend(0::BIGINT, generate_series(0, 59)), (acc, j) ->
+      acc + CASE WHEN list_reduce(list_prepend(0::BIGINT,
+          list_transform(list_distinct(string_split(text, ' ')),
+            w -> ('0x'||substr(md5(w),1,15))::BIGINT)),
+          (s, h) -> s + ((h // CAST(power(2, j) AS BIGINT)) % 2 * 2 - 1)) >= 0
+        THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)"""
+
   /** Sequential-accumulation double dot product (replay of
     * VectorFunctions.dot — list_reduce is strictly left-to-right, matching
     * Spark's `aggregate`).
@@ -309,35 +326,45 @@ object ExtensionQueries {
       FROM reach GROUP BY src ORDER BY doc_id""",
 
     "dedup_simhash_fp" -> s"""
-      SELECT doc_id,
-        list_reduce(list_prepend(0::BIGINT, generate_series(0, 47)), (acc, j) ->
-          acc + CASE WHEN list_reduce(list_prepend(0::BIGINT,
-              list_transform(list_distinct(string_split(text, ' ')),
-                w -> ('0x'||substr(md5(w),1,12))::BIGINT)),
-              (s, h) -> s + ((h // CAST(power(2, j) AS BIGINT)) % 2 * 2 - 1)) >= 0
-            THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+      SELECT doc_id, $simhash60Sql AS simhash
       FROM documents ORDER BY doc_id""",
 
+    // Replay of Dedup.simhashPairs incl. the oversized-bucket splitter:
+    // 60-bit fp, 4 x 15-bit bands; buckets > $SimhashMaxBucket re-banded on
+    // the remaining 45 bits (4 x 12-bit sub-slices; integer // and % match
+    // Spark's shift/mask exactly for these nonnegative values).
     "dedup_simhash_pairs" -> s"""
       WITH fp AS (
-        SELECT doc_id,
-          list_reduce(list_prepend(0::BIGINT, generate_series(0, 47)), (acc, j) ->
-            acc + CASE WHEN list_reduce(list_prepend(0::BIGINT,
-                list_transform(list_distinct(string_split(text, ' ')),
-                  w -> ('0x'||substr(md5(w),1,12))::BIGINT)),
-                (s, h) -> s + ((h // CAST(power(2, j) AS BIGINT)) % 2 * 2 - 1)) >= 0
-              THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
-        FROM documents
+        SELECT doc_id, $simhash60Sql AS simhash FROM documents
       ), banded AS (
         SELECT doc_id, simhash, j AS band,
-          (simhash // CAST(power(2, 12*j) AS BIGINT)) % 4096 AS bkey
+          (simhash // CAST(power(2, 15*j) AS BIGINT)) % 32768 AS bkey,
+          (simhash // CAST(power(2, 15*(j+1)) AS BIGINT)) * CAST(power(2, 15*j) AS BIGINT)
+            + simhash % CAST(power(2, 15*j) AS BIGINT) AS rem
         FROM fp, unnest(generate_series(0, 3)) AS t(j)
+      ), sized AS (
+        SELECT banded.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM banded
+      ), small AS (
+        SELECT * FROM sized WHERE n <= $SimhashMaxBucket
+      ), big AS (
+        SELECT doc_id, simhash, band, bkey, k AS sub,
+          (rem // CAST(power(2, 12*k) AS BIGINT)) % 4096 AS skey
+        FROM sized, unnest(generate_series(0, 3)) AS t(k)
+        WHERE n > $SimhashMaxBucket
+      ), allp AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        FROM small x JOIN small y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        UNION ALL
+        SELECT x.doc_id, y.doc_id,
+          bit_count(xor(x.simhash, y.simhash))::BIGINT
+        FROM big x JOIN big y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.sub = y.sub
+            AND x.skey = y.skey AND x.doc_id < y.doc_id
       )
       SELECT doc_a, doc_b, hamming FROM (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-          bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
-        FROM banded x JOIN banded y
-          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        SELECT DISTINCT doc_a, doc_b, hamming FROM allp)
       WHERE hamming <= 3
       ORDER BY doc_a, doc_b""",
 

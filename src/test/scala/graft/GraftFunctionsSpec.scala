@@ -18,12 +18,12 @@ class GraftFunctionsSpec extends SparkSpec {
     val viaSql = spark.sql("""
       SELECT minhash_sig(transform(split(text, ' '),
                w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 1000000007), 8) AS sig,
-             simhash48(transform(split(text, ' '),
-               w -> CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT))) AS sh
+             simhash_bits(transform(split(text, ' '),
+               w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)), 60) AS sh
       FROM fn_docs""").head()
     val viaApi = spark.table("fn_docs").select(
       T.minhashSig(T.shingleHashes(split($"text", " ")), 8).as("sig"),
-      T.simhash48($"text").as("sh")).head()
+      T.simhash60($"text").as("sh")).head()
     assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
     // note: simhash via SQL above hashes ALL words; the API distincts first —
     // on this all-distinct sentence they must agree
@@ -46,7 +46,7 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("minhash_sig", "sign_bits", "simhash48", "dot_product"))
+      Set("minhash_sig", "sign_bits", "simhash_bits", "dot_product"))
   }
 
   test("non-literal k is rejected with a clear message") {

@@ -47,6 +47,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
+  test("simhash oversized-bucket splitter is recall-lossless") {
+    // maxBucket = 1 forces EVERY bucket through the re-banding path; the
+    // pigeonhole guarantee must yield the identical pair set.
+    val direct = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val split = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3,
+        maxBucket = 1)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(direct == split, s"split path changed results: $direct vs $split")
+    assert(direct.nonEmpty)
+  }
+
   test("ngram jaccard pairs respect blocking and threshold") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
         blockCols = Seq("lang"), threshold = 0.5)
