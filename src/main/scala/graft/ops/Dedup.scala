@@ -23,9 +23,10 @@ import graft.pipeline._
   *               Hamming distance 3 shares at least one exact band), with
   *               oversized band buckets recursively re-banded on the
   *               remaining bits so no self-join input is unbounded.
-  *  - n-gram Jaccard: exact character-shingle Jaccard, but only within
-  *               cheap blocking groups (language × length bucket) so the
-  *               per-group join stays bounded.
+  *  - n-gram Jaccard: exact character-shingle Jaccard within cheap
+  *               blocking groups (language × length bucket); blocks above
+  *               a size cap switch to an in-block MinHash-LSH candidate
+  *               pass, so no self-join input is ever unbounded.
   *
   * Every function is deterministic and engine-portable (see
   * [[graft.functions.TextFunctions]]), so the DuckDB oracle replays the
@@ -249,14 +250,29 @@ object Dedup {
     *
     * Blocking = equality on `blockCols` + a length bucket of `bucketWidth`
     * chars; near-identical texts land in the same block (length differs by
-    * < bucketWidth in the common case), and each block's join is bounded.
-    * Docs whose sampled set is empty are excluded (a 0/0 Jaccard is
-    * NaN and NaN comparisons differ across engines).
+    * < bucketWidth in the common case). Docs whose sampled set is empty
+    * are excluded (a 0/0 Jaccard is NaN and NaN comparisons differ across
+    * engines).
+    *
+    * Scale guard: a block is only self-joined directly while it holds at
+    * most `maxBlock` docs. Larger blocks — the 100 TB hazard, where a
+    * popular (lang, length) cell would go n² — switch to a MinHash-LSH
+    * candidate pass INSIDE the block: `lshBands` single-row bands over the
+    * already-sampled shingle hashes (band i keys on the min of permutation
+    * i — the same Knuth-constant permutation family as
+    * [[TextFunctions.minhashSig]]), so join keys are
+    * (block, band, minhash) and per-key fan-in is governed by hash
+    * diversity, not block size. Candidates are verified by exact Jaccard
+    * as usual. The LSH path is probabilistic: a pair at Jaccard J is
+    * caught with prob 1-(1-J)^lshBands (b=8: 0.996 at J=0.5, 0.99993 at
+    * J=0.7) — the price of bounding the join, paid only in blocks where
+    * the exact join is unaffordable.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 5, bucketWidth: Int = 50,
-      threshold: Double = 0.7, sampleMod: Int = 4): DataFrame = {
+      threshold: Double = 0.7, sampleMod: Int = 4,
+      maxBlock: Int = 1024, lshBands: Int = 8): DataFrame = {
     val sampled = T.hashedCharNgrams(col(textCol), n, sampleMod)
     val sh = df.select(
       Seq(col(idCol).as("doc_id"),
@@ -266,10 +282,30 @@ object Dedup {
       .where(size(col("shingles")) > 0)
     val shCached = graft.util.Caches.persist(sh)
     val keys = "lenb" +: blockCols
-    shCached.as("x").join(shCached.as("y"), keys)
+    // Block sizes: one co-partitioned groupBy + join on the block key.
+    val counts = shCached.groupBy(keys.map(col): _*).count()
+    val sized = shCached.join(counts, keys)
+    val small = sized.where(col("count") <= maxBlock)
+    val smallPairs = small.as("x").join(small.as("y"), keys)
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         round(T.jaccard(col("x.shingles"), col("y.shingles")), 6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val big = sized.where(col("count") > maxBlock)
+      .select(col("doc_id") +: keys.map(col)
+        :+ posexplode(T.minhashSig(col("shingles"), lshBands)): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "mh")
+    // Candidates are ids only (shingle arrays never ride the LSH shuffle
+    // or the distinct); exact-Jaccard verification re-joins the persisted
+    // shingle table, mirroring minhashPairs.
+    val candBig = big.as("x").join(big.as("y"), keys ++ Seq("band", "mh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val bigPairs = candBig
+      .join(shCached.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shCached.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    smallPairs.union(bigPairs).where(col("jaccard") >= threshold)
   }
 }

@@ -43,6 +43,8 @@ object ExtensionQueries {
   private val NgramBucket = 50
   private val NgramThreshold = 0.5
   private val NgramSampleMod = 4
+  private val NgramMaxBlock = 20
+  private val NgramLshBands = 8
   private val SimhashMaxBucket = 64
   private val EmbedDupThreshold = 0.4
   private val TopK = 5
@@ -90,8 +92,11 @@ object ExtensionQueries {
     },
 
     "dedup_ngram_jaccard" -> { (spark, dir) =>
+      // maxBlock low enough that the in-block LSH path is exercised at
+      // sf0.01 (the largest (lang, lenb) block holds 27 docs there).
       Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
-          blockCols = Seq("lang"), NgramN, NgramBucket, NgramThreshold)
+          blockCols = Seq("lang"), NgramN, NgramBucket, NgramThreshold,
+          NgramSampleMod, NgramMaxBlock, NgramLshBands)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -368,6 +373,10 @@ object ExtensionQueries {
       WHERE hamming <= 3
       ORDER BY doc_a, doc_b""",
 
+    // Replay of Dedup.ngramJaccardPairs incl. the bounded-block guard:
+    // blocks over $NgramMaxBlock docs go through the in-block MinHash-LSH
+    // candidate pass ($NgramLshBands single-row bands, same Knuth-constant
+    // permutations as the minhash queries) instead of the all-pairs join.
     "dedup_ngram_jaccard" -> s"""
       WITH grams AS (
         SELECT doc_id, lang, length(text) // $NgramBucket AS lenb,
@@ -378,18 +387,43 @@ object ExtensionQueries {
             ELSE [text] END AS gs
         FROM documents
       ), sh AS (
-        SELECT doc_id, lang, lenb,
-          list_filter(list_distinct(list_transform(gs,
-            s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P)),
-            h -> h % $NgramSampleMod = 0) AS shingles
-        FROM grams)
-      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT * FROM (
+          SELECT doc_id, lang, lenb,
+            list_filter(list_distinct(list_transform(gs,
+              s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P)),
+              h -> h % $NgramSampleMod = 0) AS shingles
+          FROM grams)
+        WHERE len(shingles) > 0
+      ), sized AS (
+        SELECT sh.*, count(*) OVER (PARTITION BY lang, lenb) AS n FROM sh
+      ), small AS (
+        SELECT * FROM sized WHERE n <= $NgramMaxBlock
+      ), big AS (
+        SELECT doc_id, lang, lenb, j AS band,
+          list_min(list_transform(shingles, h ->
+            ((((j+1)*2654435761) % $P) * h + (((j+1)*40503) % $P)) % $P)) AS mh
+        FROM sized, unnest(generate_series(0, ${NgramLshBands - 1})) AS t(j)
+        WHERE n > $NgramMaxBlock
+      ), candbig AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM big x JOIN big y
+          ON x.lang = y.lang AND x.lenb = y.lenb AND x.band = y.band
+            AND x.mh = y.mh AND x.doc_id < y.doc_id
+      ), allp AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
           round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
             / len(list_distinct(list_concat(x.shingles, y.shingles)))::DOUBLE, 6) AS jaccard
-        FROM sh x JOIN sh y
+        FROM small x JOIN small y
           ON x.lang = y.lang AND x.lenb = y.lenb AND x.doc_id < y.doc_id
-        WHERE len(x.shingles) > 0 AND len(y.shingles) > 0)
+        UNION ALL
+        SELECT doc_a, doc_b,
+          round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6)
+        FROM candbig
+        JOIN sh a ON a.doc_id = candbig.doc_a
+        JOIN sh b ON b.doc_id = candbig.doc_b
+      )
+      SELECT doc_a, doc_b, jaccard FROM allp
       WHERE jaccard >= $NgramThreshold ORDER BY doc_a, doc_b""",
 
     "dedup_embedding" -> s"""${signBandCtes(8, 8)}, cand AS (
