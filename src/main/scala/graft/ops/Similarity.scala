@@ -108,14 +108,39 @@ object Similarity {
     * cosine >= threshold. Output (vec_a, vec_b, cosine), vec_a < vec_b.
     * Default bands are 8x8 (tighter buckets than top-k search: an
     * all-corpus self-join needs small buckets far more than recall).
+    *
+    * Scale guard: r-bit band keys have fixed cardinality (2^r per band),
+    * so a popular signature would still go quadratic in the self-join at
+    * corpus scale. Buckets larger than `maxBucket` extend their join key
+    * with the NEXT band's signature (agreement on 2r consecutive bits)
+    * before joining — each extension multiplies key cardinality by 2^r.
+    * Sign-LSH is probabilistic to begin with, so unlike the SimHash
+    * splitter this shifts the S-curve for those buckets: a pair at bit
+    * agreement p is caught by an oversized band with prob p^(2r) instead
+    * of p^r (near-identical vectors, p ~ 0.96: 0.72 -> 0.52 per band, with
+    * b independent chances). The trade is documented, deterministic, and
+    * replayed by the oracle.
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
-      nBits: Int = 64, b: Int = 8, r: Int = 8): DataFrame = {
+      nBits: Int = 64, b: Int = 8, r: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
     val base = signedBase(df, nBits)
-    val bd = bandsOf(base, b, r)
-    val cand = bd.as("x").join(bd.as("y"), Seq("band", "bsig"))
-      .where(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
+    // Each banded row also carries the following band's signature (cyclic)
+    // as the oversized-bucket extension key.
+    val bd = base.select(col("vec_id"), V.bitBands(col("__bits"), b, r).as("bds"))
+      .select(col("vec_id"), col("bds"), explode(col("bds")).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"),
+        element_at(col("bds"), (col("bd.band") + 1) % b + 1)
+          .getField("bsig").as("nsig"))
+    val counts = bd.groupBy("band", "bsig").count()
+    val sized = bd.join(counts, Seq("band", "bsig"))
+    def pairsOf(x: DataFrame, keys: Seq[String]): DataFrame =
+      x.as("x").join(x.as("y"), keys)
+        .where(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
+    val cand = pairsOf(sized.where(col("count") <= maxBucket), Seq("band", "bsig"))
+      .union(pairsOf(sized.where(col("count") > maxBucket),
+        Seq("band", "bsig", "nsig")))
       .distinct()
     score(cand, base, base)
       .select(col("q_id").as("vec_a"), col("n_id").as("vec_b"), col("cosine"))

@@ -47,6 +47,7 @@ object ExtensionQueries {
   private val NgramLshBands = 8
   private val SimhashMaxBucket = 64
   private val EmbedDupThreshold = 0.4
+  private val EmbedMaxBucket = 16
   private val TopK = 5
   private val NQueryVecs = 10
   private val CentroidEvery = 100
@@ -101,7 +102,10 @@ object ExtensionQueries {
     },
 
     "dedup_embedding" -> { (spark, dir) =>
-      Similarity.nearDupPairs(embs(spark, dir), EmbedDupThreshold)
+      // maxBucket low enough that the oversized-bucket key extension is
+      // exercised at sf0.01 (largest (band,bsig) bucket holds 31 vectors).
+      Similarity.nearDupPairs(embs(spark, dir), EmbedDupThreshold,
+          maxBucket = EmbedMaxBucket)
         .orderBy("vec_a", "vec_b")
     },
 
@@ -426,10 +430,29 @@ object ExtensionQueries {
       SELECT doc_a, doc_b, jaccard FROM allp
       WHERE jaccard >= $NgramThreshold ORDER BY doc_a, doc_b""",
 
-    "dedup_embedding" -> s"""${signBandCtes(8, 8)}, cand AS (
-        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        FROM banded x JOIN banded y
-          ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id)
+    // Replay of Similarity.nearDupPairs incl. the oversized-bucket guard:
+    // banded rows carry the next band's signature (cyclic); buckets over
+    // $EmbedMaxBucket vectors join on (band, bsig, nsig) instead.
+    "dedup_embedding" -> s"""${signBandCtes(8, 8)}, banded2 AS (
+        SELECT vec_id, band, bsig,
+          array_to_string(sb[((band+1)%8)*8+1 : ((band+1)%8)*8+8], '-') AS nsig
+        FROM banded JOIN bits USING (vec_id)
+      ), sized AS (
+        SELECT banded2.*, count(*) OVER (PARTITION BY band, bsig) AS n
+        FROM banded2
+      ), cand AS (
+        SELECT DISTINCT vec_a, vec_b FROM (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM sized x JOIN sized y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
+          WHERE x.n <= $EmbedMaxBucket
+          UNION ALL
+          SELECT x.vec_id, y.vec_id
+          FROM sized x JOIN sized y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.nsig = y.nsig
+              AND x.vec_id < y.vec_id
+          WHERE x.n > $EmbedMaxBucket)
+      )
       SELECT vec_a, vec_b, cosine FROM (
         SELECT vec_a, vec_b, ${cosD("a", "b")} AS cosine
         FROM cand

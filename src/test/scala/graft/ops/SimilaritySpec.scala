@@ -32,6 +32,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)), "antiparallel filtered by threshold")
   }
 
+  test("near-dup bucket guard: extended keys keep identical-direction pairs") {
+    // maxBucket = 1 forces EVERY bucket through the two-band key extension;
+    // identical-direction vectors share all sign bits, so (0,1) survives,
+    // and the guarded output is a subset of the unguarded one.
+    val unguarded = Similarity.nearDupPairs(vecs, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val guarded = Similarity.nearDupPairs(vecs, threshold = 0.99, maxBucket = 1)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(guarded.contains((0L, 1L)))
+    assert(guarded.subsetOf(unguarded))
+  }
+
   test("IVF assigns cells deterministically and searches within the cell") {
     // centroidEvery=2 -> centroids {0, 2, 4}
     val out = Similarity.ivfTopK(vecs, vecs.where($"vec_id" === 1L), k = 2,
