@@ -234,17 +234,22 @@ object Expressions {
   }
 
   /** Sequential-double dot product of two float arrays (same accumulation
-    * order as the `aggregate(zip_with(...))` form).
+    * order as the `aggregate(zip_with(...))` form). Mismatched lengths
+    * yield NULL — exactly what zip_with's null-padding produces through
+    * the aggregate — rather than silently truncating, which would mask a
+    * corrupt embedding behind a plausible-looking score.
     */
   case class DotProduct(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
       with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var s = 0.0
       var i = 0
       while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }

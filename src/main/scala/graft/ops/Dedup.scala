@@ -36,6 +36,8 @@ import graft.pipeline._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: one row per `keys` group, winner = smallest `tieBreak`.
     * (Exact-dup removal at 100 TB is exactly one hash shuffle on the key;
     * prefer dedup on a digest column — sha2(text) — when the key is wide,
@@ -122,8 +124,11 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = graft.util.Caches.persist(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Seed comp = min(id, min neighbor): the first neighbor-min round fused
+    // into the vertex-set construction (one groupBy instead of a distinct
+    // plus a join+groupBy round).
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -150,13 +155,19 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      converged = next
+      // Convergence probe every SECOND round: the probe is a driver
+      // round-trip (join + isEmpty job); min-label propagation is monotone,
+      // so checking late never changes the fixpoint, only amortizes probes.
+      converged = (iter % 2 == 1 || iter == maxIter - 1) && next
         .join(labels.select(col("id"), col("comp").as("oldc")), "id")
         .where(col("comp") =!= col("oldc"))
         .isEmpty
       labels = next
       iter += 1
     }
+    if (!converged) log.warn(
+      s"connectedComponents exited at maxIter=$maxIter without a verified " +
+        "fixpoint; labels may be non-converged (raise maxIter)")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

@@ -18,7 +18,21 @@ final case class DedupTransformStage(
     textCol: String = "text",
     keys: Seq[String] = Nil,
     blockCols: Seq[String] = Nil,
-    threshold: Double = 0.9)
+    // None -> the library default for the chosen method (0.9 for minhash,
+    // 0.7 for ngram_pairs) — a single stage-level default would silently
+    // override the per-method documentation.
+    threshold: Option[Double] = None,
+    minhashK: Int = 64,
+    bands: Int = 16,
+    rows: Int = 4,
+    shingleN: Int = 3,
+    ngramN: Int = 5,
+    bucketWidth: Int = 50,
+    sampleMod: Int = 4,
+    maxHamming: Int = 3,
+    maxBucket: Int = 4096,
+    maxBlock: Int = 1024,
+    lshBands: Int = 8)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -29,12 +43,16 @@ final case class DedupTransformStage(
     val out = method match {
       case "exact" =>
         Dedup.exact(in, if (keys.nonEmpty) keys else Seq(textCol), Seq(idCol))
-      case "minhash"       => Dedup.minhashApply(in, idCol, textCol, threshold = threshold)
-      case "minhash_pairs" => Dedup.minhashPairs(in, idCol, textCol, threshold = threshold)
+      case "minhash" => Dedup.minhashApply(in, idCol, textCol,
+        minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
+      case "minhash_pairs" => Dedup.minhashPairs(in, idCol, textCol,
+        minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
       case "simhash"       => Dedup.simhashFingerprints(in, idCol, textCol)
-      case "simhash_pairs" => Dedup.simhashPairs(in, idCol, textCol)
+      case "simhash_pairs" =>
+        Dedup.simhashPairs(in, idCol, textCol, maxHamming, maxBucket)
       case "ngram_pairs" =>
-        Dedup.ngramJaccardPairs(in, idCol, textCol, blockCols, threshold = threshold)
+        Dedup.ngramJaccardPairs(in, idCol, textCol, blockCols, ngramN,
+          bucketWidth, threshold.getOrElse(0.7), sampleMod, maxBlock, lshBands)
       case other =>
         throw new IllegalArgumentException(s"unknown dedup method '$other'")
     }
@@ -50,7 +68,9 @@ final case class SimilarityTransformStage(
     method: String, // topk | ann | ivf | neardup_pairs
     queryView: Option[String] = None,
     k: Int = 5,
-    threshold: Double = 0.95)
+    threshold: Double = 0.95,
+    centroidEvery: Int = 100,
+    maxBucket: Int = 4096)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -61,8 +81,9 @@ final case class SimilarityTransformStage(
     val out = method match {
       case "topk"          => Similarity.bruteTopK(corpus, queries, k)
       case "ann"           => Similarity.annTopK(corpus, queries, k)
-      case "ivf"           => Similarity.ivfTopK(corpus, queries, k)
-      case "neardup_pairs" => Similarity.nearDupPairs(corpus, threshold)
+      case "ivf"           => Similarity.ivfTopK(corpus, queries, k, centroidEvery)
+      case "neardup_pairs" =>
+        Similarity.nearDupPairs(corpus, threshold, maxBucket = maxBucket)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }

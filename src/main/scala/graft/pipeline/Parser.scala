@@ -98,7 +98,19 @@ object Parser {
         textCol = r.string("textCol").getOrElse("text"),
         keys = r.stringList("keys"),
         blockCols = r.stringList("blockCols"),
-        threshold = r.double("threshold").getOrElse(0.9))
+        // absent -> per-method library default (0.9 minhash, 0.7 ngram)
+        threshold = r.double("threshold"),
+        minhashK = r.int("minhashK").getOrElse(64),
+        bands = r.int("bands").getOrElse(16),
+        rows = r.int("rows").getOrElse(4),
+        shingleN = r.int("shingleN").getOrElse(3),
+        ngramN = r.int("ngramN").getOrElse(5),
+        bucketWidth = r.int("bucketWidth").getOrElse(50),
+        sampleMod = r.int("sampleMod").getOrElse(4),
+        maxHamming = r.int("maxHamming").getOrElse(3),
+        maxBucket = r.int("maxBucket").getOrElse(4096),
+        maxBlock = r.int("maxBlock").getOrElse(1024),
+        lshBands = r.int("lshBands").getOrElse(8))
     },
     "SimilarityTransform" -> { (r, _) =>
       SimilarityTransformStage(
@@ -108,7 +120,9 @@ object Parser {
         method = r.oneOf("method", Seq("topk", "ann", "ivf", "neardup_pairs"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
-        threshold = r.double("threshold").getOrElse(0.95))
+        threshold = r.double("threshold").getOrElse(0.95),
+        centroidEvery = r.int("centroidEvery").getOrElse(100),
+        maxBucket = r.int("maxBucket").getOrElse(4096))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -161,9 +175,11 @@ object Parser {
     "Execute" -> (commonKeys ++ Set("sql", "inputURI", "sqlParams", "authentication", "params")),
     "TypingTransform" -> (commonKeys ++ Set("inputView", "outputView", "schema", "schemaURI")),
     "DedupTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "idCol", "textCol", "keys", "blockCols", "threshold")),
+      "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
+      "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
+      "maxBucket", "maxBlock", "lshBands")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "queryView", "k", "threshold")),
+      "queryView", "k", "threshold", "centroidEvery", "maxBucket")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol"))
   )

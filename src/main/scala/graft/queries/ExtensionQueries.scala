@@ -24,15 +24,8 @@ object ExtensionQueries {
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/embeddings.parquet")
-  /** The events table stores nanosecond timestamps, which Spark's parquet
-    * reader rejects by default; read them as long and convert with integer
-    * division (a double division would lose precision above 2^53 ns).
-    */
-  private def events(spark: SparkSession, dir: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(spark: SparkSession, dir: String) =
+    Tables.events(spark, dir)
 
   // ---- tunables (mirrored verbatim into the oracle SQL) ----
   private val MinhashK = 64
@@ -588,6 +581,14 @@ object ExtensionQueries {
           (acc, c) -> (acc*31 + c) % $P) AS fp
       FROM documents ORDER BY doc_id""",
 
+    // NOTE (oracle parity contract): the Spark side operates on the UTF-8
+    // BYTES of the payload (byte_len = octet count, features stride over
+    // bytes), while this replay uses DuckDB CHARACTER positions
+    // (length/unicode(text[j])). The two agree only because the synthetic
+    // corpus is pure ASCII (verified: max codepoint 121 across all SFs).
+    // A non-ASCII corpus would need this oracle rewritten byte-based
+    // (encode/octet_length and blob indexing) — the Spark side is already
+    // byte-correct.
     "multimodal_meta" -> """
       SELECT doc_id,
         length(text)::BIGINT AS byte_len,

@@ -267,9 +267,9 @@ object ParityQueries {
     },
 
     "events_pivot" -> { (spark, dir) =>
-      // DataFrame pivot API with an explicit (deterministic) column list
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      // DataFrame pivot API with an explicit (deterministic) column list;
+      // explicit-schema read, so no session conf mutation (Tables.events)
+      val ev = Tables.eventsRaw(spark, dir)
       val types = Seq("click", "error", "purchase", "signup", "view")
       val piv = ev.select((col("user_id") % 10).as("user_mod"), col("event_type"))
         .groupBy("user_mod").pivot("event_type", types).count()

@@ -49,6 +49,23 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(out.count() == 12) // 3 queries x k=4
   }
 
+  test("dedup tunables are settable from config; threshold defaults per method") {
+    val conf = """{"stages": [
+      {"type": "DedupTransform", "name": "dd", "method": "ngram_pairs",
+       "inputView": "a", "outputView": "b", "blockCols": ["lang"],
+       "ngramN": 4, "sampleMod": 2, "maxBlock": 100, "lshBands": 6}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st = p.stages.head.stage.asInstanceOf[DedupTransformStage]
+    assert(st.ngramN == 4 && st.sampleMod == 2 && st.maxBlock == 100
+      && st.lshBands == 6)
+    // no stage-level threshold -> the ngram library default (0.7) applies,
+    // not minhash's 0.9 (round-3 ADVICE: a single default silently
+    // overrode the per-method documentation)
+    assert(st.threshold.isEmpty)
+  }
+
   test("unknown method surfaces as a config error") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "magic",
