@@ -205,6 +205,41 @@ object ExtensionQueries {
         FROM gaps GROUP BY user_id ORDER BY user_id""")
     },
 
+    "streaming_foreachbatch" -> { (spark, dir) =>
+      // TRUE streaming path, batch-verified: file-source readStream over
+      // the events table -> watermarked hourly aggregation -> Complete-mode
+      // foreachBatch delivery through the batch connector (Overwrite +
+      // truncate latch) -> read the sink table back. Complete mode holds
+      // all windows, so the final sink state equals the batch mirror
+      // (events_hourly) and the DuckDB oracle replays it exactly.
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      // The file stream source wants a DIRECTORY to watch; stage the table
+      // file into one (at scale the landing zone is already a directory).
+      val in = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectory(in)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        in.resolve("events.parquet"))
+      val stream = spark.readStream
+        .schema(Tables.eventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = StreamingOps.hourlyEventStats(stream, "ts", "event_type",
+        "value", watermark = Some("2 hours"))
+      val q = graft.streaming.StreamingSink.foreachBatchLoad(
+        agg, new graft.connect.ParquetConnector(tmp), "hourly",
+        checkpointDir = s"$tmp/_checkpoint",
+        mode = org.apache.spark.sql.SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true"),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+      try { q.processAllAvailable() } finally { q.stop() }
+      spark.read.parquet(s"$tmp/hourly.parquet")
+        .orderBy("hour_start", "event_type")
+    },
+
     "events_json" -> { (spark, dir) =>
       events(spark, dir)
         .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
@@ -624,6 +659,14 @@ object ExtensionQueries {
       FROM frames ORDER BY doc_id, frame_idx""",
 
     "events_hourly" -> """
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour_start,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    // The streaming path's final sink state must equal the batch mirror —
+    // same oracle as events_hourly.
+    "streaming_foreachbatch" -> """
       SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour_start,
         event_type, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

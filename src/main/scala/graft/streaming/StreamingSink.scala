@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 import graft.connect.Connector
 import graft.pipeline.PipelineContext
 
@@ -20,15 +20,22 @@ import graft.pipeline.PipelineContext
   */
 object StreamingSink {
 
+  /** `outputMode` defaults to Append (the usual fact-stream delivery);
+    * pass Complete for a streaming aggregation whose every micro-batch
+    * should re-materialize the full result (pair it with
+    * SaveMode.Overwrite so the sink table always holds the latest state).
+    */
   def foreachBatchLoad(
       stream: DataFrame,
       connector: Connector,
       table: String,
       checkpointDir: String,
       mode: SaveMode = SaveMode.Append,
-      options: Map[String, String] = Map.empty)(
+      options: Map[String, String] = Map.empty,
+      outputMode: OutputMode = OutputMode.Append())(
       implicit ctx: PipelineContext): StreamingQuery =
     stream.writeStream
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         connector.write(batch, table, mode, options)
