@@ -233,17 +233,27 @@ object Expressions {
     override def prettyName: String = "hashed_char_ngrams"
   }
 
-  /** Sequential-double dot product of two float arrays (same accumulation
-    * order as the `aggregate(zip_with(...))` form). Mismatched lengths
-    * yield NULL — exactly what zip_with's null-padding produces through
-    * the aggregate — rather than silently truncating, which would mask a
-    * corrupt embedding behind a plausible-looking score.
+  /** Sequential-double dot product of two float or double arrays (same
+    * accumulation order as the `aggregate(zip_with(...))` form; float
+    * elements widen to double exactly, so mixing a float corpus vector
+    * with a double k-means centroid is still bit-deterministic).
+    * Mismatched lengths yield NULL — exactly what zip_with's null-padding
+    * produces through the aggregate — rather than silently truncating,
+    * which would mask a corrupt embedding behind a plausible-looking
+    * score.
     */
   case class DotProduct(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
       with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+
+    private def floatElems(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    @transient private lazy val leftFloat = floatElems(left)
+    @transient private lazy val rightFloat = floatElems(right)
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -252,7 +262,12 @@ object Expressions {
       if (y.numElements() != n) return null
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        val xe = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val ye = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xe * ye
+        i += 1
+      }
       java.lang.Double.valueOf(s)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =

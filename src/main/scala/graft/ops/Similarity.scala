@@ -147,30 +147,58 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** IVF top-k with probe=1. Centroids = the deterministic subset
-    * `vec_id % centroidEvery == 0` (a real deployment would k-means; the
-    * cell/probe machinery is identical). Every vector is assigned to its
-    * max-cosine centroid (broadcast join against the tiny centroid set);
-    * each query scans only its own cell.
+  /** IVF top-k with probe=1 over k-means cells. Seeds are the
+    * deterministic subset `vec_id % centroidEvery == 0`; `kmeansIters`
+    * Lloyd rounds then refine them: assign every vector to its max-cosine
+    * centroid (broadcast join — the centroid set is tiny), recompute each
+    * centroid as the per-dimension mean of its members. Each query scans
+    * only its own final cell.
+    *
+    * Determinism contract: the mean is summed SEQUENTIALLY in ascending
+    * vec_id order (sort_array(collect_list) + aggregate), so any engine
+    * reproduces the centroids bit-for-bit — the property the oracle gate
+    * needs. That sequential sum materializes one row per cell holding its
+    * members; a deployment without the bit-parity constraint would use the
+    * shuffle-friendly per-dimension avg() (order-dependent only in the
+    * last ulp) — swap one line. Cell ids stay the seed ids across rounds;
+    * a cell that loses all members drops out (both engines agree).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidEvery: Int = 100): DataFrame = {
+      centroidEvery: Int = 100, kmeansIters: Int = 2): DataFrame = {
     val cv = graft.util.Caches.persist(withNorm(corpus))
-    val centroids = cv.where(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    def assign(df: DataFrame, id: String): DataFrame = {
+    // Centroids as array<double>: means live in double space; float
+    // seeds widen exactly.
+    var centroids = cv.where(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), _.cast("double")).as("c_emb"))
+    def assignTo(df: DataFrame, id: String, cents: DataFrame): DataFrame = {
+      val withNrm = cents.select(col("c_id"), col("c_emb"),
+        V.norm(col("c_emb")).as("c_nrm"))
       val w = Window.partitionBy(col(id))
         .orderBy(col("c_cos").desc, col("c_id").asc)
-      df.join(broadcast(centroids))
+      df.join(broadcast(withNrm))
         .select(col(id), col("c_id"),
           cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("c_cos"))
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col(id), col("c_id").as("cell"))
     }
+    for (_ <- 0 until kmeansIters) {
+      val members = assignTo(cv, "vec_id", centroids)
+        .join(cv.select(col("vec_id"), col("embedding")), "vec_id")
+        .groupBy(col("cell").as("c_id"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("ms"))
+      centroids = members.select(col("c_id"),
+        transform(
+          sequence(lit(1), size(element_at(col("ms"), 1).getField("embedding"))),
+          d => aggregate(col("ms"), lit(0.0),
+            (acc, m) => acc + element_at(m.getField("embedding"), d))
+            / size(col("ms"))).as("c_emb"))
+    }
     val qv = graft.util.Caches.persist(withNorm(queries))
-    val cells = assign(cv, "vec_id")
-    val qcells = assign(qv.withColumnRenamed("vec_id", "q_id"), "q_id")
+    val centsCached = graft.util.Caches.persist(centroids)
+    val cells = assignTo(cv, "vec_id", centsCached)
+    val qcells = assignTo(qv.withColumnRenamed("vec_id", "q_id"), "q_id", centsCached)
     val cand = qcells.join(cells, Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))

@@ -44,6 +44,7 @@ object ExtensionQueries {
   private val TopK = 5
   private val NQueryVecs = 10
   private val CentroidEvery = 100
+  private val KmeansIters = 2
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (spark, dir) =>
@@ -118,7 +119,8 @@ object ExtensionQueries {
 
     "similarity_ivf" -> { (spark, dir) =>
       val e = embs(spark, dir)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK, CentroidEvery)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK,
+          CentroidEvery, KmeansIters)
         .select("q_id", "n_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     },
@@ -316,6 +318,44 @@ object ExtensionQueries {
 
   private def cosD(a: String, b: String): String =
     s"round(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})), 6)"
+
+  /** Cosine between a float embedding row `e` and a double k-means
+    * centroid row `c` (replay of Similarity.assignTo's scoring: float
+    * elements widen to double exactly, sequential accumulation, 6dp).
+    */
+  private def kmCos(e: String, c: String): String = {
+    val dotEC = s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+       d -> $e.embedding[d]::DOUBLE * $c.c_emb[d])), (x, y) -> x + y)"""
+    val dotCC = s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+       d -> $c.c_emb[d] * $c.c_emb[d])), (x, y) -> x + y)"""
+    s"round($dotEC / (sqrt(${dotD(e, e)}) * sqrt($dotCC)), 6)"
+  }
+
+  /** One Lloyd assignment CTE: every vector to its max-cosine centroid
+    * (c_id tie-break) — replay of Similarity.ivfTopK's assignTo.
+    */
+  private def kmAssign(cents: String, out: String): String = s"""
+    $out AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.c_id AS cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${kmCos("e", "c")} DESC, c.c_id) AS rn
+        FROM embeddings e CROSS JOIN $cents c)
+      WHERE rn = 1)"""
+
+  /** One Lloyd update CTE: centroid = per-dimension mean of its members,
+    * summed sequentially in ascending vec_id order — the bit-deterministic
+    * replay of sort_array(collect_list) + aggregate on the Spark side.
+    */
+  private def kmUpdate(assign: String, out: String): String = s"""
+    $out AS (
+      SELECT cell AS c_id, list_transform(generate_series(1, 64), d ->
+        list_reduce(list_prepend(0.0, list_transform(ms, m -> m[d]::DOUBLE)),
+          (x, y) -> x + y) / len(ms)) AS c_emb
+      FROM (
+        SELECT cell, list(e.embedding ORDER BY e.vec_id) AS ms
+        FROM $assign a JOIN embeddings e USING (vec_id)
+        GROUP BY cell))"""
 
   /** Sign-LSH banded projection of embeddings (replay of
     * VectorFunctions.{signBits,bitBands}): 64 hyperplanes, `b` bands of `r`.
@@ -518,20 +558,22 @@ object ExtensionQueries {
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
 
+    // Replay of Similarity.ivfTopK with $KmeansIters Lloyd rounds:
+    // deterministic seeds (vec_id % $CentroidEvery), assignment by
+    // max-cosine with c_id tie-break, centroid = sequential-sum mean.
     "similarity_ivf" -> s"""
-      WITH cents AS (
-        SELECT vec_id AS c_id, embedding FROM embeddings
-        WHERE vec_id % $CentroidEvery = 0
-      ), assign AS (
-        SELECT vec_id, cell FROM (
-          SELECT e.vec_id, c.c_id AS cell,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosD("e", "c")} DESC, c.c_id) AS rn
-          FROM embeddings e CROSS JOIN cents c)
-        WHERE rn = 1
-      ), cand AS (
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdate("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdate("assign1", "cents2")}
+      , ${kmAssign("cents2", "cells")}
+      , cand AS (
         SELECT q.vec_id AS q_id, e.vec_id AS n_id
-        FROM assign q JOIN assign e ON q.cell = e.cell AND q.vec_id != e.vec_id
+        FROM cells q JOIN cells e ON q.cell = e.cell AND q.vec_id != e.vec_id
         WHERE q.vec_id < $NQueryVecs
       ), scored AS (
         SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
