@@ -1,12 +1,10 @@
 package graft.pipeline
 
-import org.json4s._
-import org.json4s.jackson.JsonMethods
 import graft.connect.Connector
 import graft.ops._
 import org.apache.spark.sql.SaveMode
 
-/** JSON pipeline-config parser: a config document → validated `Pipeline`.
+/** Pipeline-config parser: a config document → validated `Pipeline`.
   *
   * Mirrors the reference's declarative entry point
   * (ref: ArcPipeline.parseConfig usage, CassandraLoadSuite.scala:126; stage
@@ -17,6 +15,12 @@ import org.apache.spark.sql.SaveMode
   * field validation with error ACCUMULATION (every problem reported at
   * once, ref: CassandraExtract.scala:59-62), and per-stage `environments`
   * filtering (ref: arc.json:6-9).
+  *
+  * Configs are HOCON ([[Hocon]] — the reference is HOCON-first and its
+  * arc.json files are the JSON subset), and every error carries the source
+  * LINE of the offending key (`stages[2].saveMode: line 14: invalid
+  * value ...` — ref parity: CassandraExtract.scala:59-62 reports HOCON
+  * line numbers).
   *
   * Storage is injected: `connectors` maps the config's `connection` name to
   * a [[graft.connect.Connector]] (parquet in CI, Cassandra in production).
@@ -188,15 +192,19 @@ object Parser {
       json: String,
       connectors: Map[String, Connector],
       registry: Map[String, StageFactory] = defaultRegistry): Either[List[ConfigError], Pipeline] = {
-    val root =
-      try JsonMethods.parse(json)
-      catch {
-        case e: Exception =>
-          return Left(List(ConfigError("json", s"malformed config document: ${e.getMessage}")))
-      }
-    val stageVals: Seq[Any] = root \ "stages" match {
-      case JArray(xs) => xs.map(jToScala)
-      case _          => return Left(List(ConfigError("stages", "top-level 'stages' array is required")))
+    val doc = Hocon.parse(json) match {
+      case Left(err) => return Left(List(err))
+      case Right(d)  => d
+    }
+    // `line N:` prefix from the parse's key-path positions; a missing
+    // key's error anchors to its stage object's line.
+    def at(stagePath: String, key: String, message: String): ConfigError = {
+      val ln = doc.lines.get(s"$stagePath.$key").orElse(doc.lines.get(stagePath))
+      ConfigError(s"$stagePath.$key", ln.fold(message)(l => s"line $l: $message"))
+    }
+    val stageVals: Seq[Any] = doc.root.get("stages") match {
+      case Some(xs: List[_]) => xs
+      case _ => return Left(List(ConfigError("stages", "top-level 'stages' array is required")))
     }
     val parsed = stageVals.zipWithIndex.map {
       case (m: Map[_, _], i) =>
@@ -205,32 +213,19 @@ object Parser {
         val tpe = r.requiredString("type")
         registry.get(tpe) match {
           case None =>
-            Left(List(ConfigError(s"stages[$i].type",
+            Left(List(at(s"stages[$i]", "type",
               s"unknown stage type '$tpe'; registered: ${registry.keySet.toSeq.sorted.mkString(", ")}")))
           case Some(factory) =>
             validKeys.get(tpe).foreach(r.checkValidKeys)
             val envs = r.stringList("environments")
             val stage = factory(r, connectors)
             r.result(StageDef(stage, envs)).left.map(_.map(e =>
-              ConfigError(s"stages[$i].${e.key}", e.message)))
+              at(s"stages[$i]", e.key, e.message)))
         }
       case (_, i) => Left(List(ConfigError(s"stages[$i]", "stage must be an object")))
     }
     val errors = parsed.collect { case Left(es) => es }.flatten
     if (errors.nonEmpty) Left(errors.toList)
     else Right(Pipeline(parsed.collect { case Right(sd) => sd }))
-  }
-
-  private def jToScala(v: JValue): Any = v match {
-    case JString(s)  => s
-    case JInt(i)     => i
-    case JLong(l)    => l
-    case JDouble(d)  => d
-    case JDecimal(d) => d
-    case JBool(b)    => b
-    case JArray(xs)  => xs.map(jToScala)
-    case JObject(fs) => fs.map { case (k, x) => k -> jToScala(x) }.toMap
-    case JNull       => null
-    case _           => null
   }
 }

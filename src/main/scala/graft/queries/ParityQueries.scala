@@ -279,30 +279,36 @@ object ParityQueries {
     },
 
     "pipeline_e2e" -> { (spark, dir) =>
-      // Full declarative path: JSON config -> Parser -> Runner, mirroring
+      // Full declarative path: HOCON config -> Parser -> Runner, mirroring
       // the reference IT round-trip (CassandraLoadSuite.scala:66-139):
-      // execute DDL -> transform -> load -> extract back.
+      // execute DDL -> transform -> load -> extract back. The config is
+      // native HOCON (the reference is HOCON-first): unquoted keys,
+      // comments, and a `${base.table}` substitution shared by the Load
+      // and the Extract; `$${minsize}` stays quoted so it reaches the
+      // SqlParams injector, not the HOCON resolver.
       implicit val c: PipelineContext = ctx(spark)
       val tmp = Files.createTempDirectory("graft_e2e").toString
-      val conf = s"""{"stages": [
-        {"type": "Execute", "name": "mkview",
-         "sql": "CREATE OR REPLACE TEMPORARY VIEW p13_src AS SELECT * FROM parquet.`$dir/part.parquet`",
-         "environments": ["test"]},
-        {"type": "SqlTransform", "name": "filter",
-         "sql": "SELECT p_partkey, p_name, p_brand, p_size FROM p13_src WHERE p_size >= $${minsize}",
-         "sqlParams": {"minsize": "10"},
-         "outputView": "p13_filtered"},
-        {"type": "SqlTransform", "name": "skipped_in_test",
-         "sql": "SELECT 1 AS should_not_run",
-         "outputView": "p13_never",
-         "environments": ["production"]},
-        {"type": "Load", "name": "sink", "connection": "tmp",
-         "inputView": "p13_filtered", "table": "part_filtered",
-         "saveMode": "Overwrite", "params": {"confirm.truncate": "true"},
-         "numPartitions": 2},
-        {"type": "Extract", "name": "back", "connection": "tmp",
-         "table": "part_filtered", "outputView": "p13_back"}
-      ]}"""
+      val conf = s"""
+        base { table = part_filtered }  // shared via substitution below
+        stages = [
+          { type = Execute, name = mkview
+            sql = "CREATE OR REPLACE TEMPORARY VIEW p13_src AS SELECT * FROM parquet.`$dir/part.parquet`"
+            environments = [test] }
+          { type = SqlTransform, name = filter
+            sql = "SELECT p_partkey, p_name, p_brand, p_size FROM p13_src WHERE p_size >= $${minsize}"
+            sqlParams { minsize = "10" }
+            outputView = p13_filtered }
+          { type = SqlTransform, name = skipped_in_test
+            sql = "SELECT 1 AS should_not_run"
+            outputView = p13_never
+            environments = [production] }
+          { type = Load, name = sink, connection = tmp
+            inputView = p13_filtered, table = $${base.table}
+            saveMode = Overwrite, params { "confirm.truncate" = "true" }
+            numPartitions = 2 }
+          { type = Extract, name = back, connection = tmp
+            table = $${base.table}, outputView = p13_back }
+        ]"""
       val connectors = Map(
         "default" -> new ParquetConnector(dir),
         "tmp" -> new ParquetConnector(tmp))

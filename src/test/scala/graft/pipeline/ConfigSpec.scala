@@ -61,6 +61,39 @@ class ConfigSpec extends SparkSpec {
     assert(Parser.parse("""{"notStages": []}""", conns).isLeft)
   }
 
+  test("config errors carry the HOCON source line number") {
+    // invalid saveMode sits on line 5 of this document (ref parity:
+    // CassandraExtract.scala:59-62 reports typesafe-config line numbers)
+    val conf = """stages = [
+                 |  { type = Load, name = sink
+                 |    inputView = v1
+                 |    table = t
+                 |    saveMode = Truncate }
+                 |]""".stripMargin
+    val Left(errs) = Parser.parse(conf, conns): @unchecked
+    val sm = errs.find(_.key.contains("saveMode")).get
+    assert(sm.message.startsWith("line 5:"), sm.message)
+    // a MISSING key anchors to its stage object's line
+    val missing = errs.find(_.key.contains("outputView")).orElse(
+      errs.find(_.message.contains("missing")))
+    assert(missing.forall(_.message.matches("line \\d+:.*")), errs.mkString("; "))
+  }
+
+  test("native HOCON pipeline config: substitution, comments, unquoted keys") {
+    val conf = """
+      views { out = hocon_cfg_out }   // shared via substitution
+      stages = [
+        { type = Extract, name = e, table = nation
+          outputView = cfg_hocon_nation }
+        { type = SqlTransform, name = t
+          sql = "SELECT * FROM cfg_hocon_nation"
+          outputView = ${views.out} }
+      ]"""
+    val p = Parser.parse(conf, conns)
+    assert(p.isRight, p)
+    assert(p.toOption.get.stages.map(_.stage.name) == Seq("e", "t"))
+  }
+
   test("statement text resolves from file URI at config time") {
     val f = java.nio.file.Files.createTempFile("graft", ".sql")
     java.nio.file.Files.writeString(f, "SELECT 1 AS one")

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Hocon]] parser behavior: the JSON subset parses unchanged, the HOCON
+  * conveniences the reference's configs use (unquoted keys, `=`, comments,
+  * substitutions, concatenation, object merge) work, and every key path
+  * gets a line number (feeds the `line N:` config-error prefixes).
+  */
+class HoconSpec extends AnyFunSuite {
+
+  private def root(text: String): Map[String, Any] =
+    Hocon.parse(text).fold(e => fail(e.toString), _.root)
+
+  test("plain JSON parses unchanged") {
+    val r = root("""{"a": 1, "b": [true, null, "x"], "c": {"d": 2.5}}""")
+    assert(r("a") == 1L)
+    assert(r("b") == List(true, null, "x"))
+    assert(r("c") == Map("d" -> 2.5))
+  }
+
+  test("unquoted keys and values, '=', newline separators, comments") {
+    val r = root("""
+      // line comment
+      # hash comment
+      name = graft /* block
+        comment */
+      mode: Overwrite
+      n = 3
+      flag = true
+      list = [a, b
+              c]
+    """)
+    assert(r("name") == "graft")
+    assert(r("mode") == "Overwrite")
+    assert(r("n") == 3L && r("flag") == true)
+    assert(r("list") == List("a", "b", "c"))
+  }
+
+  test("dotted bare keys nest; quoted keys stay literal") {
+    val r = root("""
+      a.b.c = 1
+      params { "confirm.truncate" = "true" }
+    """)
+    assert(r("a") == Map("b" -> Map("c" -> 1L)))
+    assert(r("params") == Map("confirm.truncate" -> "true"))
+  }
+
+  test("duplicate keys: objects deep-merge, scalars last-wins") {
+    val r = root("""
+      conn { host = a, port = 1 }
+      conn { port = 2 }
+      x = 1
+      x = 2
+    """)
+    assert(r("conn") == Map("host" -> "a", "port" -> 2L))
+    assert(r("x") == 2L)
+  }
+
+  test("substitutions resolve from the root; optional-missing drops the field") {
+    val r = root("""
+      base { table = part, keep = yes }
+      t1 = ${base.table}
+      t2 = ${?base.missing}
+      nested { again = ${base.keep} }
+    """)
+    assert(r("t1") == "part")
+    assert(!r.contains("t2"))
+    assert(r("nested") == Map("again" -> "yes"))
+  }
+
+  test("string concatenation of adjacent same-line values") {
+    val r = root("""
+      host = example
+      port = 9042
+      url = ${host}":"${port}
+      path = /data/ ${host}
+    """)
+    assert(r("url") == "example:9042")
+    assert(r("path") == "/data/ example")
+  }
+
+  test("substitutions inside quoted strings are NOT resolved (SqlParams-safe)") {
+    val r = root("""sql = "SELECT * FROM t WHERE x >= ${minsize}" """)
+    assert(r("sql") == "SELECT * FROM t WHERE x >= ${minsize}")
+  }
+
+  test("key paths carry 1-based line numbers, through arrays") {
+    val doc = Hocon.parse(
+      """stages = [
+        |  { type = Extract
+        |    saveMode = Bogus }
+        |]""".stripMargin).toOption.get
+    assert(doc.lines("stages") == 1)
+    assert(doc.lines("stages[0]") == 2)
+    assert(doc.lines("stages[0].type") == 2)
+    assert(doc.lines("stages[0].saveMode") == 3)
+  }
+
+  test("parse failures are Left with a line, never thrown") {
+    assert(Hocon.parse("""a = "unterminated""").isLeft)
+    assert(Hocon.parse("a = ${nope}").swap.toOption.get.message.contains("nope"))
+    assert(Hocon.parse("a = ${b}\nb = ${a}").swap.toOption.get.message.contains("cycle"))
+    val e = Hocon.parse("{\n  broken\n}").swap.toOption.get
+    assert(e.message.startsWith("line 2:"), e.message)
+  }
+}
