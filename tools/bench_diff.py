@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Per-query bench regression report vs the committed baseline.
+
+The round-3 bench established the perf contract (VERDICT r3: "66.18 s is
+now the contract number; regressions will be judged per-query"). This
+diffs a fresh graft.Bench JSON line against tools/bench_baseline.json so
+a regression is visible per query, not just in the total.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+        2>&1 | grep '^{"metric"' > /tmp/bench_now.json
+    python3 tools/bench_diff.py /tmp/bench_now.json [--threshold 1.5]
+
+Exit code 1 if any query regressed by more than --threshold x (and by
+more than 0.5 s absolute, so micro-queries can't trip it on noise).
+"""
+import argparse
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench_json", help="file holding graft.Bench's JSON line")
+    ap.add_argument("--baseline", default=os.path.join(HERE, "bench_baseline.json"))
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag queries slower than baseline*threshold (default 1.5x)")
+    args = ap.parse_args()
+
+    with open(args.bench_json) as f:
+        now = json.loads([l for l in f if l.startswith('{"metric"')][-1])
+    with open(args.baseline) as f:
+        base = json.load(f)
+
+    regressions = []
+    rows = []
+    for name, t in sorted(now["queries"].items(), key=lambda kv: -kv[1]):
+        b = base["queries"].get(name)
+        if b is None:
+            rows.append((name, t, None, "NEW"))
+            continue
+        delta = t - b
+        flag = ""
+        if t > b * args.threshold and delta > 0.5:
+            flag = f"REGRESSED >{args.threshold}x"
+            regressions.append(name)
+        rows.append((name, t, b, f"{delta:+.2f}s {flag}".rstrip()))
+
+    w = max(len(r[0]) for r in rows)
+    print(f"{'query':{w}}  {'now':>7}  {'base':>7}  delta")
+    for name, t, b, note in rows:
+        bs = f"{b:7.2f}" if b is not None else "      -"
+        print(f"{name:{w}}  {t:7.2f}  {bs}  {note}")
+    print(f"\ntotal: {now['value']:.2f}s  baseline: {base['total_sec']:.2f}s  "
+          f"({now['value'] - base['total_sec']:+.2f}s)")
+    if regressions:
+        print(f"\nREGRESSIONS: {', '.join(regressions)}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
