@@ -50,9 +50,13 @@ trait Stage {
 
   def execute()(implicit ctx: PipelineContext): Option[DataFrame]
 
-  /** Execute with detail-preserving error wrapping. */
+  /** Execute with detail-preserving error wrapping. Every run stamps the
+    * library version into detail first (ref: BuildInfo.version,
+    * CassandraExtract.scala:15) so lineage records which build produced
+    * them — including failed runs.
+    */
   final def run()(implicit ctx: PipelineContext): Option[DataFrame] =
-    try execute()
+    try { detail += "version" -> graft.BuildInfo.version; execute() }
     catch {
       case e: DetailException => throw e
       case e: Throwable =>

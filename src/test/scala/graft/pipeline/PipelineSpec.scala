@@ -109,5 +109,9 @@ class PipelineSpec extends SparkSpec {
     st.run()
     assert(st.detail("records") == 25L)
     assert(st.detail.contains("inputFiles") && st.detail.contains("numPartitions"))
+    // build version is stamped into every stage's detail (ref parity:
+    // BuildInfo.version, CassandraExtract.scala:15)
+    assert(st.detail("version") == graft.BuildInfo.version)
+    assert(graft.BuildInfo.version.nonEmpty)
   }
 }
