@@ -248,6 +248,22 @@ object Expressions {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 
+    // Reachable from SQL via the registered `dot_product` function, so the
+    // element type must be checked: an array<int> falling into the
+    // getDouble branch would read garbage from 4-byte slots.
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def vecLike(e: Expression): Boolean = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _                                    => false
+      }
+      if (vecLike(left) && vecLike(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double> on both sides, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
     private def floatElems(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
       case _                       => false

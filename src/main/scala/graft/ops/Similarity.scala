@@ -35,6 +35,8 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (vec_id, embedding, nrm) — the persisted scoring table. */
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
@@ -132,7 +134,17 @@ object Similarity {
       .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"),
         element_at(col("bds"), (col("bd.band") + 1) % b + 1)
           .getField("bsig").as("nsig"))
-    val counts = bd.groupBy("band", "bsig").count()
+    // persisted: one row per bucket — reused by the size probe below and
+    // by the main plan, so the banding pass runs once
+    val counts = graft.util.Caches.persist(bd.groupBy("band", "bsig").count())
+    // The key extension is recall-lossy (per-band catch probability drops
+    // from p^r to p^(2r)) — surface the trade at run time, not only in the
+    // scaladoc (mirrors connectedComponents' non-convergence warn).
+    val nOver = counts.where(col("count") > maxBucket).count()
+    if (nOver > 0) log.warn(
+      s"nearDupPairs: $nOver sign-LSH bucket(s) exceed maxBucket=$maxBucket " +
+        "and join on an extended (2r-bit) key; pairs landing only in those " +
+        "buckets are caught with probability p^(2r) instead of p^r per band")
     val sized = bd.join(counts, Seq("band", "bsig"))
     def pairsOf(x: DataFrame, keys: Seq[String]): DataFrame =
       x.as("x").join(x.as("y"), keys)
@@ -152,19 +164,28 @@ object Similarity {
     * Lloyd rounds then refine them: assign every vector to its max-cosine
     * centroid (broadcast join — the centroid set is tiny), recompute each
     * centroid as the per-dimension mean of its members. Each query scans
-    * only its own final cell.
+    * only its own final cell. Cell ids stay the seed ids across rounds; a
+    * cell that loses all members drops out.
     *
-    * Determinism contract: the mean is summed SEQUENTIALLY in ascending
-    * vec_id order (sort_array(collect_list) + aggregate), so any engine
-    * reproduces the centroids bit-for-bit — the property the oracle gate
-    * needs. That sequential sum materializes one row per cell holding its
-    * members; a deployment without the bit-parity constraint would use the
-    * shuffle-friendly per-dimension avg() (order-dependent only in the
-    * last ulp) — swap one line. Cell ids stay the seed ids across rounds;
-    * a cell that loses all members drops out (both engines agree).
+    * Centroid update — two forms:
+    *
+    *  - DEFAULT (`exactReplay = false`, the scale path): per-dimension
+    *    `avg()` over posexploded elements. Map-side partial aggregation
+    *    bounds every row and every aggregation buffer by a constant (one
+    *    (cell, dim) pair each); nothing ever materializes a cell's full
+    *    membership in one place. Combine order makes the mean
+    *    order-dependent in the last ulp only — irrelevant after the 6dp
+    *    cosine rounding in every practical case, but not BIT-guaranteed.
+    *  - `exactReplay = true` (the oracle-gate path): sum SEQUENTIALLY in
+    *    ascending vec_id order (sort_array(collect_list) + aggregate), so
+    *    any engine reproduces the centroids bit-for-bit — the property the
+    *    DuckDB hash-gate needs. The cost is one row per cell holding ALL
+    *    its members: fine at test SF, an executor-OOM risk at corpus scale.
+    *    Use only where bit-parity with a replaying engine is the point.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidEvery: Int = 100, kmeansIters: Int = 2): DataFrame = {
+      centroidEvery: Int = 100, kmeansIters: Int = 2,
+      exactReplay: Boolean = false): DataFrame = {
     val cv = graft.util.Caches.persist(withNorm(corpus))
     // Centroids as array<double>: means live in double space; float
     // seeds widen exactly.
@@ -185,15 +206,31 @@ object Similarity {
     for (_ <- 0 until kmeansIters) {
       val members = assignTo(cv, "vec_id", centroids)
         .join(cv.select(col("vec_id"), col("embedding")), "vec_id")
-        .groupBy(col("cell").as("c_id"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-          .as("ms"))
-      centroids = members.select(col("c_id"),
-        transform(
-          sequence(lit(1), size(element_at(col("ms"), 1).getField("embedding"))),
-          d => aggregate(col("ms"), lit(0.0),
-            (acc, m) => acc + element_at(m.getField("embedding"), d))
-            / size(col("ms"))).as("c_emb"))
+      centroids =
+        if (exactReplay)
+          members
+            .groupBy(col("cell").as("c_id"))
+            .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+              .as("ms"))
+            .select(col("c_id"),
+              transform(
+                sequence(lit(1), size(element_at(col("ms"), 1).getField("embedding"))),
+                d => aggregate(col("ms"), lit(0.0),
+                  (acc, m) => acc + element_at(m.getField("embedding"), d))
+                  / size(col("ms"))).as("c_emb"))
+        else
+          // scale path: explode to (cell, dim, x) and let partial avg do
+          // the work — shuffle rows and agg buffers are O(cells * dim),
+          // never O(cell membership); the only collect_list left is the
+          // dim-indexed reassembly, bounded at `dim` elements per cell
+          members
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+            .groupBy(col("cell"), col("d"))
+            .agg(avg(col("x")).as("m"))
+            .groupBy(col("cell"))
+            .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+              e => e.getField("m")).as("c_emb"))
+            .select(col("cell").as("c_id"), col("c_emb"))
     }
     val qv = graft.util.Caches.persist(withNorm(queries))
     val centsCached = graft.util.Caches.persist(centroids)

@@ -118,6 +118,20 @@ object ExtensionQueries {
     },
 
     "similarity_ivf" -> { (spark, dir) =>
+      // exactReplay: the DuckDB oracle replays the centroid means
+      // bit-for-bit, which needs the sequential-sum update (see ivfTopK).
+      val e = embs(spark, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK,
+          CentroidEvery, KmeansIters, exactReplay = true)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    "similarity_ivf_scalable" -> { (spark, dir) =>
+      // The DEFAULT (production) centroid path: per-dimension avg — no
+      // per-cell megarow. Means are ulp-order-dependent, so this entry has
+      // NO SQL oracle (rows-only gate check); IvfSpec asserts it agrees
+      // with the exactReplay path to 6dp at test scale.
       val e = embs(spark, dir)
       Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK,
           CentroidEvery, KmeansIters)

@@ -65,6 +65,36 @@ class SimilaritySpec extends SparkSpec {
       s"neighbor scored against the real query vector: ${out.toSeq}")
   }
 
+  test("IVF scalable centroid path agrees with the exactReplay path") {
+    // Real embeddings at sf0.001: the production avg() update and the
+    // bit-deterministic sequential-sum update must yield the same cells
+    // and the same 6dp cosines (they differ only in the last ulp of the
+    // centroid means, which the rounding absorbs).
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where($"vec_id" < 10)
+    def run(replay: Boolean) =
+      Similarity.ivfTopK(e, q, k = 5, centroidEvery = 100, kmeansIters = 2,
+          exactReplay = replay)
+        .select("q_id", "n_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(run(false) == run(true))
+  }
+
+  test("IVF default plans the posexplode update, not a member collect_list") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where($"vec_id" < 10)
+    def plan(replay: Boolean) =
+      Similarity.ivfTopK(e, q, k = 5, centroidEvery = 100, kmeansIters = 1,
+          exactReplay = replay)
+        .queryExecution.optimizedPlan.toString
+    assert(plan(false).contains("posexplode"),
+      "scale path must aggregate per (cell, dim), not per cell membership")
+    assert(!plan(false).contains("collect_list(struct(vec_id"),
+      "scale path must never collect a cell's member vectors into one row")
+    assert(plan(true).contains("collect_list"),
+      "replay path keeps the sequential-sum form")
+  }
+
   test("ANN top-k returns a subset consistent with brute force scores") {
     val brute = Similarity.bruteTopK(vecs, vecs.where($"vec_id" === 0L), 4)
       .select("n_id", "cosine").as[(Long, Double)].collect().toMap
