@@ -3,6 +3,25 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  *
+  * Methodology (the round-4 lesson: a single timed pass cannot tell a real
+  * 1.5x regression from machine contention — the official r4 number carried
+  * ~28s of noise on untouched queries):
+  *
+  *  - one UN-timed warm-up pass of the full query set first (JIT, codegen
+  *    caches, parquet footers, OS page cache);
+  *  - then `SPARK_GRAFT_BENCH_REPS` (default 3) timed repetitions;
+  *  - `queries` reports the per-query MIN across repetitions — the
+  *    least-contended observation, the stable signal for regression diffs —
+  *    and `queries_median` the median, so a bimodal query is still visible;
+  *  - `value` is the sum of per-query minimums; `rep_totals` keeps each
+  *    repetition's raw total so run-to-run variance is itself measurable.
+  *
+  * Operator-persisted intermediates ([[graft.util.Caches]]) are dropped at
+  * the START of every pass, so each repetition measures the same
+  * first-touch work in the same (sorted) query order — per-query
+  * attribution does not depend on what an earlier repetition left cached.
+  *
   * A failing query records `-1` in `queries` and its message in `errors` —
   * a broken query must never masquerade as a fast one.
   */
@@ -11,6 +30,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val nReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,28 +47,52 @@ object Bench {
       case c            => c.toString
     } + "\""
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            errors += name -> String.valueOf(e.getMessage).take(300)
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+
+    /** One full pass in sorted order; -1 marks a failure. */
+    def pass(): Map[String, Double] = {
+      graft.util.Caches.unpersistAll()
+      names.map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name, String.valueOf(e.getMessage).take(300))
+              false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
     }
-    val qs = results
-      .map { case (k, v) => s"${jstr(k)}:$v" }
-      .mkString("{", ",", "}")
+
+    pass() // warm-up, discarded
+    val reps = (1 to nReps).map(_ => pass())
+    graft.util.Caches.unpersistAll()
+
+    def stat(name: String, pick: Seq[Double] => Double): Double = {
+      val ts = reps.map(_(name))
+      if (ts.contains(-1.0)) -1.0 else pick(ts)
+    }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val mins = names.map(n => n -> stat(n, _.min))
+    val meds = names.map(n => n -> stat(n, median))
+
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    graft.util.Caches.unpersistAll() // release operator caches at end of run
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val repTotals = reps
+      .map(r => r.values.filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
+    val total = mins.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min of $nReps reps after 1 warm-up pass","reps":$nReps,"rep_totals":$repTotals,"queries":${jmap(
+          mins)},"queries_median":${jmap(meds)},"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -1,18 +1,23 @@
 #!/usr/bin/env python3
 """Per-query bench regression report vs the committed baseline.
 
-The round-3 bench established the perf contract (VERDICT r3: "66.18 s is
-now the contract number; regressions will be judged per-query"). This
-diffs a fresh graft.Bench JSON line against tools/bench_baseline.json so
-a regression is visible per query, not just in the total.
+The round-3 bench established the perf contract; round 5 made the
+methodology trustworthy: graft.Bench now reports the per-query MIN of
+>=3 timed repetitions after an un-timed warm-up pass, so a regression
+flag means the code got slower, not that the machine was busy.
+
+This diffs a fresh graft.Bench JSON line against tools/bench_baseline.json.
+Totals are compared over the INTERSECTION of the two query sets only —
+a newly added query must not read as a regression of the old ones.
 
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
         2>&1 | grep '^{"metric"' > /tmp/bench_now.json
     python3 tools/bench_diff.py /tmp/bench_now.json [--threshold 1.5]
 
-Exit code 1 if any query regressed by more than --threshold x (and by
-more than 0.5 s absolute, so micro-queries can't trip it on noise).
+Exit code 1 if any common query regressed by more than --threshold x
+(and by more than 0.5 s absolute, so micro-queries can't trip it on
+measurement floor).
 """
 import argparse
 import json
@@ -35,12 +40,15 @@ def main():
     with open(args.baseline) as f:
         base = json.load(f)
 
+    common = set(now["queries"]) & set(base["queries"])
+    gone = sorted(set(base["queries"]) - set(now["queries"]))
+
     regressions = []
     rows = []
     for name, t in sorted(now["queries"].items(), key=lambda kv: -kv[1]):
         b = base["queries"].get(name)
         if b is None:
-            rows.append((name, t, None, "NEW"))
+            rows.append((name, t, None, "NEW (not in baseline, excluded from totals)"))
             continue
         delta = t - b
         flag = ""
@@ -54,8 +62,20 @@ def main():
     for name, t, b, note in rows:
         bs = f"{b:7.2f}" if b is not None else "      -"
         print(f"{name:{w}}  {t:7.2f}  {bs}  {note}")
-    print(f"\ntotal: {now['value']:.2f}s  baseline: {base['total_sec']:.2f}s  "
-          f"({now['value'] - base['total_sec']:+.2f}s)")
+
+    now_common = sum(now["queries"][q] for q in common if now["queries"][q] >= 0)
+    base_common = sum(base["queries"][q] for q in common)
+    print(f"\ncommon-query total ({len(common)} queries): "
+          f"{now_common:.2f}s  baseline: {base_common:.2f}s  "
+          f"({now_common - base_common:+.2f}s)")
+    if "rep_totals" in now:
+        reps = now["rep_totals"]
+        if reps and min(reps) > 0:
+            spread = (max(reps) - min(reps)) / min(reps) * 100
+            print(f"rep totals: {', '.join(f'{t:.1f}s' for t in reps)} "
+                  f"(spread {spread:.0f}%)")
+    if gone:
+        print(f"queries in baseline but not in this run: {', '.join(gone)}")
     if regressions:
         print(f"\nREGRESSIONS: {', '.join(regressions)}", file=sys.stderr)
         sys.exit(1)
