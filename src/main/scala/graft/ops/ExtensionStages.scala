@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | minhash | minhash_pairs | simhash | simhash_pairs | ngram_pairs
+    method: String, // exact | minhash | minhash_pairs | minhash_cc | simhash | simhash_pairs | ngram_pairs
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -32,7 +32,8 @@ final case class DedupTransformStage(
     maxHamming: Int = 3,
     maxBucket: Int = 4096,
     maxBlock: Int = 1024,
-    lshBands: Int = 8)
+    lshBands: Int = 8,
+    maxIter: Int = 25)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -47,6 +48,12 @@ final case class DedupTransformStage(
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
       case "minhash_pairs" => Dedup.minhashPairs(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
+      // the production dedup-cluster path: near-dup pairs grouped into
+      // components, one canonical (min) id per cluster
+      case "minhash_cc" => Dedup.connectedComponents(
+        Dedup.minhashPairs(in, idCol, textCol,
+          minhashK, bands, rows, shingleN, threshold.getOrElse(0.9)),
+        maxIter)
       case "simhash"       => Dedup.simhashFingerprints(in, idCol, textCol)
       case "simhash_pairs" =>
         Dedup.simhashPairs(in, idCol, textCol, maxHamming, maxBucket)
@@ -70,7 +77,12 @@ final case class SimilarityTransformStage(
     k: Int = 5,
     threshold: Double = 0.95,
     centroidEvery: Int = 100,
-    maxBucket: Int = 4096)
+    maxBucket: Int = 4096,
+    kmeansIters: Int = 2,
+    // None -> the per-method library default (ann bands 16x4, neardup 8x8)
+    nBits: Option[Int] = None,
+    bands: Option[Int] = None,
+    rows: Option[Int] = None)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -80,10 +92,13 @@ final case class SimilarityTransformStage(
     detail += "inputView" -> inputView
     val out = method match {
       case "topk"          => Similarity.bruteTopK(corpus, queries, k)
-      case "ann"           => Similarity.annTopK(corpus, queries, k)
-      case "ivf"           => Similarity.ivfTopK(corpus, queries, k, centroidEvery)
+      case "ann"           => Similarity.annTopK(corpus, queries, k,
+        nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4))
+      case "ivf"           =>
+        Similarity.ivfTopK(corpus, queries, k, centroidEvery, kmeansIters)
       case "neardup_pairs" =>
-        Similarity.nearDupPairs(corpus, threshold, maxBucket = maxBucket)
+        Similarity.nearDupPairs(corpus, threshold, nBits.getOrElse(64),
+          bands.getOrElse(8), rows.getOrElse(8), maxBucket)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }

@@ -96,7 +96,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("exact", "minhash", "minhash_pairs", "simhash", "simhash_pairs", "ngram_pairs"),
+          Seq("exact", "minhash", "minhash_pairs", "minhash_cc", "simhash",
+            "simhash_pairs", "ngram_pairs"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -114,7 +115,8 @@ object Parser {
         maxHamming = r.int("maxHamming").getOrElse(3),
         maxBucket = r.int("maxBucket").getOrElse(4096),
         maxBlock = r.int("maxBlock").getOrElse(1024),
-        lshBands = r.int("lshBands").getOrElse(8))
+        lshBands = r.int("lshBands").getOrElse(8),
+        maxIter = r.int("maxIter").getOrElse(25))
     },
     "SimilarityTransform" -> { (r, _) =>
       SimilarityTransformStage(
@@ -126,7 +128,12 @@ object Parser {
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
         centroidEvery = r.int("centroidEvery").getOrElse(100),
-        maxBucket = r.int("maxBucket").getOrElse(4096))
+        maxBucket = r.int("maxBucket").getOrElse(4096),
+        kmeansIters = r.int("kmeansIters").getOrElse(2),
+        // absent -> per-method library default (ann 64/16/4, neardup 64/8/8)
+        nBits = r.int("nBits"),
+        bands = r.int("bands"),
+        rows = r.int("rows"))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -181,9 +188,10 @@ object Parser {
     "DedupTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
-      "maxBucket", "maxBlock", "lshBands")),
+      "maxBucket", "maxBlock", "lshBands", "maxIter")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "queryView", "k", "threshold", "centroidEvery", "maxBucket")),
+      "queryView", "k", "threshold", "centroidEvery", "maxBucket",
+      "kmeansIters", "nBits", "bands", "rows")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol"))
   )

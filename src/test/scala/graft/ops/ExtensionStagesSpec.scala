@@ -66,6 +66,53 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(st.threshold.isEmpty)
   }
 
+  test("minhash_cc runs end-to-end from a HOCON pipeline") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    // HOCON (not JSON-subset) on purpose: unquoted keys, = separators —
+    // the production dedup-cluster path driven entirely from config.
+    val conf = """
+      stages = [
+        { type = Extract, name = docs, table = documents, outputView = cc_docs }
+        { type = DedupTransform, name = cc, method = minhash_cc
+          inputView = cc_docs, outputView = cc_out
+          threshold = 0.9, maxIter = 10 }
+      ]"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st = p.stages(1).stage.asInstanceOf[DedupTransformStage]
+    assert(st.method == "minhash_cc" && st.maxIter == 10)
+    val out = Runner.run(p).get
+    assert(out.columns.toSeq == Seq("doc_id", "component"))
+    // mirrors the dedup_minhash_cc gate query at the same sf
+    val direct = Dedup.connectedComponents(
+      Dedup.minhashPairs(spark.table("cc_docs"), "doc_id", "text",
+        64, 16, 4, 3, 0.9))
+    assert(datasetEquality(direct, out))
+  }
+
+  test("similarity tunables are settable from config; LSH shape defaults per method") {
+    val conf = """{"stages": [
+      {"type": "SimilarityTransform", "name": "sim", "method": "ann",
+       "inputView": "a", "outputView": "b",
+       "kmeansIters": 5, "nBits": 32, "bands": 8, "rows": 4}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st = p.stages.head.stage.asInstanceOf[SimilarityTransformStage]
+    assert(st.kmeansIters == 5 && st.nBits.contains(32)
+      && st.bands.contains(8) && st.rows.contains(4))
+    // absent keys stay None so each method keeps its own default LSH shape
+    val conf2 = """{"stages": [
+      {"type": "SimilarityTransform", "name": "sim", "method": "neardup_pairs",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Right(p2) = Parser.parse(conf2,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st2 = p2.stages.head.stage.asInstanceOf[SimilarityTransformStage]
+    assert(st2.nBits.isEmpty && st2.bands.isEmpty && st2.rows.isEmpty
+      && st2.kmeansIters == 2)
+  }
+
   test("unknown method surfaces as a config error") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "magic",
