@@ -27,6 +27,17 @@ object ExtensionQueries {
   private def events(spark: SparkSession, dir: String) =
     Tables.events(spark, dir)
 
+  /** Recursive delete, tolerant of concurrent removal. */
+  private def rmrf(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator.asScala.toSeq.reverse.foreach { f =>
+        try java.nio.file.Files.deleteIfExists(f)
+        catch { case _: java.io.IOException => () }
+      } finally walk.close()
+    }
+
   // ---- tunables (mirrored verbatim into the oracle SQL) ----
   private val MinhashK = 64
   private val MinhashB = 16
@@ -227,17 +238,23 @@ object ExtensionQueries {
       // foreachBatch delivery through the batch connector (Overwrite +
       // truncate latch) -> read the sink table back. Complete mode holds
       // all windows, so the final sink state equals the batch mirror
-      // (events_hourly) and the DuckDB oracle replays it exactly.
+      // (events_hourly) and the DuckDB oracle replays it exactly —
+      // regardless of how the input is split into micro-batches.
       implicit val c: graft.pipeline.PipelineContext =
         graft.pipeline.PipelineContext(spark)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+      // the staged copy + checkpoint are deleted right after the run (below)
+      // and the whole dir (incl. the small sink parquet, still being read
+      // when this query returns) at JVM exit, so repeated gate runs don't
+      // accumulate events-table copies on disk
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(tmp)))
       // The file stream source wants a DIRECTORY to watch; stage the table
-      // file into one (at scale the landing zone is already a directory).
-      val in = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectory(in)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        in.resolve("events.parquet"))
+      // into one as THREE files (round-robin split), so maxFilesPerTrigger=1
+      // drives three real micro-batches through the watermark/state path —
+      // not a single batch that never exercises cross-batch state.
+      val in = tmp.resolve("in")
+      Tables.eventsRaw(spark, dir).repartition(3)
+        .write.parquet(in.toString)
       val stream = spark.readStream
         .schema(Tables.eventsSchema)
         .option("maxFilesPerTrigger", 1)
@@ -246,12 +263,21 @@ object ExtensionQueries {
       val agg = StreamingOps.hourlyEventStats(stream, "ts", "event_type",
         "value", watermark = Some("2 hours"))
       val q = graft.streaming.StreamingSink.foreachBatchLoad(
-        agg, new graft.connect.ParquetConnector(tmp), "hourly",
+        agg, new graft.connect.ParquetConnector(tmp.toString), "hourly",
         checkpointDir = s"$tmp/_checkpoint",
         mode = org.apache.spark.sql.SaveMode.Overwrite,
         options = Map("confirm.truncate" -> "true"),
         outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
-      try { q.processAllAvailable() } finally { q.stop() }
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 data micro-batches, saw $batches — the multi-batch " +
+            "state path was not exercised")
+      } finally {
+        q.stop()
+        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      }
       spark.read.parquet(s"$tmp/hourly.parquet")
         .orderBy("hour_start", "event_type")
     },
