@@ -148,6 +148,25 @@ object Parser {
     }
   )
 
+  /** Classpath-discovered [[StagePlugin]]s (ServiceLoader, ref parity:
+    * META-INF/services/ai.tripl.arc.plugins.PipelineStagePlugin:1-3).
+    * Recomputed per call so a test-installed context classloader is
+    * honored; a broken provider degrades to a warning, never a parse
+    * failure for configs that don't use it.
+    */
+  def discoveredPlugins(): Seq[StagePlugin] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val cl = Option(Thread.currentThread.getContextClassLoader)
+        .getOrElse(classOf[StagePlugin].getClassLoader)
+      java.util.ServiceLoader.load(classOf[StagePlugin], cl).asScala.toSeq
+    } catch {
+      case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"stage plugin discovery failed: ${e.getMessage}")
+        Seq.empty
+    }
+
   /** Statement text comes inline (`sql`) or from a URI (`inputURI`)
     * resolved at CONFIG time (ref: CassandraExecute.scala:31-32). Read and
     * parse failures are ACCUMULATED as config errors, never thrown — the
@@ -214,17 +233,23 @@ object Parser {
       case Some(xs: List[_]) => xs
       case _ => return Left(List(ConfigError("stages", "top-level 'stages' array is required")))
     }
+    // classpath plugins extend the registry; explicit/built-in entries win
+    // on collision (a plugin must not silently replace a contract stage)
+    val plugins = discoveredPlugins()
+    val fullRegistry = plugins.map(p => p.stageType -> p.factory).toMap ++ registry
+    val fullValidKeys = plugins.filter(_.validKeys.nonEmpty)
+      .map(p => p.stageType -> (commonKeys ++ p.validKeys)).toMap ++ validKeys
     val parsed = stageVals.zipWithIndex.map {
       case (m: Map[_, _], i) =>
         val conf = m.asInstanceOf[Map[String, Any]]
         val r = new ConfigReader(conf)
         val tpe = r.requiredString("type")
-        registry.get(tpe) match {
+        fullRegistry.get(tpe) match {
           case None =>
             Left(List(at(s"stages[$i]", "type",
-              s"unknown stage type '$tpe'; registered: ${registry.keySet.toSeq.sorted.mkString(", ")}")))
+              s"unknown stage type '$tpe'; registered: ${fullRegistry.keySet.toSeq.sorted.mkString(", ")}")))
           case Some(factory) =>
-            validKeys.get(tpe).foreach(r.checkValidKeys)
+            fullValidKeys.get(tpe).foreach(r.checkValidKeys)
             val envs = r.stringList("environments")
             val stage = factory(r, connectors)
             r.result(StageDef(stage, envs)).left.map(_.map(e =>
