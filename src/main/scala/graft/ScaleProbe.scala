@@ -46,11 +46,22 @@ object ScaleProbe {
       t("minhash_pairs") {
         Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.9).count()
       }
-      t("ngram_pairs") {
+      // gate tunables (maxBlock=20, lshBands=8): every over-20-doc
+      // (lang, lenb) block goes through the in-block LSH fallback, so the
+      // curve measures the GUARD path, not the all-pairs fast path
+      t("ngram_pairs_guarded") {
         Dedup.ngramJaccardPairs(d, "doc_id", "text", Seq("lang"),
-          threshold = 0.5).count()
+          threshold = 0.5, maxBlock = 20).count()
       }
-      t("embed_neardup") { Similarity.nearDupPairs(e, 0.4).count() }
+      // gate tunable (maxBucket=64): amplified duplicate clusters push
+      // band buckets over the cap, exercising the re-banding splitter
+      t("simhash_pairs_guarded") {
+        Dedup.simhashPairs(d, "doc_id", "text", maxBucket = 64).count()
+      }
+      t("embed_neardup_guarded") {
+        Similarity.nearDupPairs(e, 0.4, maxBucket = 16).count()
+      }
+      graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -39,15 +39,28 @@ object Dedup {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Exact dedup: one row per `keys` group, winner = smallest `tieBreak`.
-    * (Exact-dup removal at 100 TB is exactly one hash shuffle on the key;
-    * prefer dedup on a digest column — sha2(text) — when the key is wide,
-    * so the shuffle carries 32 bytes instead of the document.)
+    *
+    * Planned as a `min_by` AGGREGATION, not a window: partial (map-side)
+    * aggregation keeps one candidate winner per key per input partition,
+    * so the exchange carries at most one row per (key, partition) and
+    * nothing is ever globally sorted — the window form shuffles AND sorts
+    * every row. Same winners (smallest `tieBreak` per group) either way.
+    *
+    * `byDigest` groups on sha2-256 of the key columns instead of the
+    * columns themselves: with a document-body key the hash/compare work per
+    * row drops from the document length to 32 bytes (the 100 TB default;
+    * collision probability is cryptographically negligible).
     */
-  def exact(df: DataFrame, keys: Seq[String], tieBreak: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: Seq[String],
+      byDigest: Boolean = false): DataFrame = {
+    val keyCol =
+      if (byDigest) sha2(to_json(struct(keys.map(col): _*)), 256)
+      else struct(keys.map(col): _*)
+    val cols = df.columns.toSeq
+    df.groupBy(keyCol.as("__key"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(tieBreak.map(col): _*)).as("__win"))
+      .select(cols.map(c => col(s"__win.$c").as(c)): _*)
   }
 
   /** (id, distinct HASHED word-`shingleN`-gram shingles) projection — the

@@ -33,7 +33,8 @@ final case class DedupTransformStage(
     maxBucket: Int = 4096,
     maxBlock: Int = 1024,
     lshBands: Int = 8,
-    maxIter: Int = 25)
+    maxIter: Int = 25,
+    byDigest: Boolean = false)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -43,7 +44,8 @@ final case class DedupTransformStage(
     detail += "outputView" -> outputView
     val out = method match {
       case "exact" =>
-        Dedup.exact(in, if (keys.nonEmpty) keys else Seq(textCol), Seq(idCol))
+        Dedup.exact(in, if (keys.nonEmpty) keys else Seq(textCol), Seq(idCol),
+          byDigest)
       case "minhash" => Dedup.minhashApply(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
       case "minhash_pairs" => Dedup.minhashPairs(in, idCol, textCol,
@@ -82,7 +84,9 @@ final case class SimilarityTransformStage(
     // None -> the per-method library default (ann bands 16x4, neardup 8x8)
     nBits: Option[Int] = None,
     bands: Option[Int] = None,
-    rows: Option[Int] = None)
+    rows: Option[Int] = None,
+    // ivf only: bit-deterministic sequential-sum centroids (oracle replay)
+    exactReplay: Boolean = false)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -95,7 +99,8 @@ final case class SimilarityTransformStage(
       case "ann"           => Similarity.annTopK(corpus, queries, k,
         nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4))
       case "ivf"           =>
-        Similarity.ivfTopK(corpus, queries, k, centroidEvery, kmeansIters)
+        Similarity.ivfTopK(corpus, queries, k, centroidEvery, kmeansIters,
+          exactReplay)
       case "neardup_pairs" =>
         Similarity.nearDupPairs(corpus, threshold, nBits.getOrElse(64),
           bands.getOrElse(8), rows.getOrElse(8), maxBucket)

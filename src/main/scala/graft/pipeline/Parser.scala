@@ -116,7 +116,8 @@ object Parser {
         maxBucket = r.int("maxBucket").getOrElse(4096),
         maxBlock = r.int("maxBlock").getOrElse(1024),
         lshBands = r.int("lshBands").getOrElse(8),
-        maxIter = r.int("maxIter").getOrElse(25))
+        maxIter = r.int("maxIter").getOrElse(25),
+        byDigest = r.boolean("byDigest", default = false))
     },
     "SimilarityTransform" -> { (r, _) =>
       SimilarityTransformStage(
@@ -133,7 +134,8 @@ object Parser {
         // absent -> per-method library default (ann 64/16/4, neardup 64/8/8)
         nBits = r.int("nBits"),
         bands = r.int("bands"),
-        rows = r.int("rows"))
+        rows = r.int("rows"),
+        exactReplay = r.boolean("exactReplay", default = false))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -207,10 +209,10 @@ object Parser {
     "DedupTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
-      "maxBucket", "maxBlock", "lshBands", "maxIter")),
+      "maxBucket", "maxBlock", "lshBands", "maxIter", "byDigest")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
-      "kmeansIters", "nBits", "bands", "rows")),
+      "kmeansIters", "nBits", "bands", "rows", "exactReplay")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol"))
   )

@@ -21,6 +21,21 @@ class DedupSpec extends SparkSpec {
     assert(out.where($"doc_id" === 1L).isEmpty)
   }
 
+  test("exact dedup digest mode selects the same winners, keeps the schema") {
+    val plain = Dedup.exact(corpus, Seq("text"), Seq("doc_id"))
+    val digest = Dedup.exact(corpus, Seq("text"), Seq("doc_id"), byDigest = true)
+    assert(digest.columns.toSeq == corpus.columns.toSeq)
+    assert(datasetEquality(plain, digest))
+  }
+
+  test("exact dedup plans a partial aggregation, not a global window sort") {
+    val plan = Dedup.exact(corpus, Seq("text"), Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort in exact-dedup plan:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("min_by"),
+      s"expected min_by aggregate:\n$plan")
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
