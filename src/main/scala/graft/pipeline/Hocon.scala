@@ -23,9 +23,12 @@ import scala.collection.mutable
   *    root (fixpoint, cycle-checked); optional-missing fields are dropped
   *  - string concatenation of adjacent simple values on one line
   *    (`url = ${host}":"${port}`)
+  *  - `key += value` array appends (creates the array when absent)
+  *  - `"""triple-quoted"""` strings (no escape processing; a quote run
+  *    ends at its LAST three quotes)
   *
   * Not supported (not used by the reference configs): `include`,
-  * `+=` appends, triple-quoted strings, env-var fallback.
+  * env-var fallback.
   */
 object Hocon {
 
@@ -37,6 +40,7 @@ object Hocon {
   // internal markers prior to substitution resolution
   private final case class Sub(path: String, optional: Boolean)
   private final case class Concat(parts: List[Any])
+  private final case class Append(value: Any) // `key += v` before merge
   private case object Missing
 
   def parse(text: String): Either[ConfigError, Doc] =
@@ -99,6 +103,7 @@ object Hocon {
 
     def peek: Char = if (i < s.length) s.charAt(i) else '\u0000'
     private def peek2: Char = if (i + 1 < s.length) s.charAt(i + 1) else '\u0000'
+    private def peek3: Char = if (i + 2 < s.length) s.charAt(i + 2) else '\u0000'
     def eof: Boolean = i >= s.length
     def next(): Char = { val c = s.charAt(i); if (c == '\n') line += 1; i += 1; c }
     private def err(msg: String) = throw new ParseErr(line, msg)
@@ -153,9 +158,11 @@ object Hocon {
           lines.getOrElseUpdate(fullPath, keyLine)
           skipVoid(newlines = false)
           val value = peek match {
+            case '+' if peek2 == '=' =>
+              next(); next(); Append(parseValueLine(fullPath))
             case ':' | '=' => next(); parseValueLine(fullPath)
             case '{'       => next(); obj(fullPath, root = false)
-            case _         => err(s"expected ':', '=' or '{' after key '$key'")
+            case _         => err(s"expected ':', '=', '+=' or '{' after key '$key'")
           }
           m = mergeIn(m, segs, value)
           skipVoid(newlines = false)
@@ -172,6 +179,10 @@ object Hocon {
       segs match {
         case k :: Nil =>
           (m.get(k), value) match {
+            case (Some(xs: List[_]), Append(v)) => m + (k -> (xs :+ v))
+            case (None, Append(v))              => m + (k -> List(v))
+            case (Some(_), Append(_)) =>
+              err(s"'$k +=' requires the existing value to be an array")
             case (Some(a: Map[_, _]), b: Map[_, _]) =>
               m + (k -> deepMerge(a.asInstanceOf[Map[String, Any]],
                 b.asInstanceOf[Map[String, Any]]))
@@ -201,6 +212,7 @@ object Hocon {
       else {
         val sb = new StringBuilder
         while (!eof && !peek.isWhitespace && !":=,{}[]#".contains(peek)
+          && !(peek == '+' && peek2 == '=')
           && !(peek == '/' && (peek2 == '/' || peek2 == '*'))) sb.append(next())
         if (sb.isEmpty) err("expected a key")
         sb.toString
@@ -230,9 +242,31 @@ object Hocon {
     private def atom(path: String): Any = peek match {
       case '{' => next(); obj(path, root = false)
       case '[' => next(); array(path)
+      case '"' if peek2 == '"' && peek3 == '"' => tripleQuoted()
       case '"' => quotedString()
       case '$' if peek2 == '{' => substitution()
       case _   => unquoted()
+    }
+
+    /** Triple-quoted string: NO escape processing. A run of three or more
+      * quotes ends the string, with the excess quotes (all but the final
+      * three) belonging to the content — the HOCON rule that makes
+      * `"""a""""` parse as `a"`.
+      */
+    private def tripleQuoted(): String = {
+      next(); next(); next()
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        if (eof) err("unterminated triple-quoted string")
+        else if (peek == '"' && peek2 == '"' && peek3 == '"') {
+          var run = 0
+          while (!eof && peek == '"') { next(); run += 1 }
+          sb.append("\"" * (run - 3))
+          done = true
+        } else sb.append(next())
+      }
+      sb.toString
     }
 
     private def array(path: String): List[Any] = {

@@ -104,4 +104,27 @@ class HoconSpec extends AnyFunSuite {
     val e = Hocon.parse("{\n  broken\n}").swap.toOption.get
     assert(e.message.startsWith("line 2:"), e.message)
   }
+
+  test("+= appends to an existing array or creates one") {
+    val r = root("""
+      tags = [a]
+      tags += b
+      fresh += 1
+      fresh += 2
+      nested.xs += x
+    """)
+    assert(r("tags") == List("a", "b"))
+    assert(r("fresh") == List(1L, 2L))
+    assert(r("nested") == Map("xs" -> List("x")))
+  }
+
+  test("+= onto a non-array is a parse error, with a line") {
+    val Left(err) = Hocon.parse("a = 1\na += 2"): @unchecked
+    assert(err.message.contains("line 2") && err.message.contains("array"))
+  }
+
+  test("triple-quoted strings take no escapes; quote runs end at the last three") {
+    val r = root("A = \"\"\"no \\n escape, \"quoted\", multi\nline\"\"\"\"")
+    assert(r("A") == "no \\n escape, \"quoted\", multi\nline\"")
+  }
 }
