@@ -130,19 +130,31 @@ object Dedup {
     *
     * The driver loop holds NO data: each round is one join + groupBy, the
     * convergence check is an isEmpty on the diff, and rounds needed =
-    * cluster diameter (tiny for dup clusters). Iterates on persisted
-    * frames; at 100 TB swap persist for checkpoint to truncate lineage.
+    * O(log n) (pointer jumping). Every round checkpoints to truncate the
+    * self-join's exponential lineage — executor-local by default, or to a
+    * RELIABLE `checkpointDir` for cluster runs that must survive executor
+    * loss mid-fixpoint.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // localCheckpoint stores lineage-truncated blocks on executors — fine
+    // single-node, but an executor loss mid-fixpoint kills the job. When a
+    // checkpointDir is given (the cluster deployment mode), rounds write
+    // RELIABLE checkpoints there instead and survive executor churn.
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(d) =>
+        df => { df.sparkSession.sparkContext.setCheckpointDir(d); df.checkpoint(true) }
+      case None => _.localCheckpoint(true)
+    }
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = graft.util.Caches.persist(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
     // Seed comp = min(id, min neighbor): the first neighbor-min round fused
     // into the vertex-set construction (one groupBy instead of a distinct
     // plus a join+groupBy round).
-    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-      .localCheckpoint(true)
+    var labels = ckpt(
+      edges.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -157,17 +169,15 @@ object Dedup {
       // duplicate CHAIN cannot outrun maxIter the way pure one-hop
       // propagation (O(diameter)) could.
       //
-      // localCheckpoint (not persist): the self-join doubles the logical
+      // checkpoint (not persist): the self-join doubles the logical
       // plan every round, and persist only caches execution — the ANALYZED
       // plan would still grow 2^iter and OOM the driver. Checkpointing
-      // truncates lineage each round (cluster deployments should use a
-      // reliable checkpoint dir instead of localCheckpoint).
-      val next = propagated
+      // truncates lineage each round.
+      val next = ckpt(propagated
         .join(propagated.select(col("id").as("comp"), col("comp").as("jc")),
           Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp")))
       // Convergence probe every SECOND round: the probe is a driver
       // round-trip (join + isEmpty job); min-label propagation is monotone,
       // so checking late never changes the fixpoint, only amortizes probes.

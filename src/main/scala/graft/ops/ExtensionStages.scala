@@ -34,7 +34,8 @@ final case class DedupTransformStage(
     maxBlock: Int = 1024,
     lshBands: Int = 8,
     maxIter: Int = 25,
-    byDigest: Boolean = false)
+    byDigest: Boolean = false,
+    checkpointDir: Option[String] = None)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -55,7 +56,7 @@ final case class DedupTransformStage(
       case "minhash_cc" => Dedup.connectedComponents(
         Dedup.minhashPairs(in, idCol, textCol,
           minhashK, bands, rows, shingleN, threshold.getOrElse(0.9)),
-        maxIter)
+        maxIter, checkpointDir)
       case "simhash"       => Dedup.simhashFingerprints(in, idCol, textCol)
       case "simhash_pairs" =>
         Dedup.simhashPairs(in, idCol, textCol, maxHamming, maxBucket)

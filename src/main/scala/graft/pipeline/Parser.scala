@@ -117,7 +117,8 @@ object Parser {
         maxBlock = r.int("maxBlock").getOrElse(1024),
         lshBands = r.int("lshBands").getOrElse(8),
         maxIter = r.int("maxIter").getOrElse(25),
-        byDigest = r.boolean("byDigest", default = false))
+        byDigest = r.boolean("byDigest", default = false),
+        checkpointDir = r.string("checkpointDir"))
     },
     "SimilarityTransform" -> { (r, _) =>
       SimilarityTransformStage(
@@ -209,7 +210,8 @@ object Parser {
     "DedupTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
-      "maxBucket", "maxBlock", "lshBands", "maxIter", "byDigest")),
+      "maxBucket", "maxBlock", "lshBands", "maxIter", "byDigest",
+      "checkpointDir")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay")),

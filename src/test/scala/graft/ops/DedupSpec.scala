@@ -99,6 +99,27 @@ class DedupSpec extends SparkSpec {
       s"all chain members labeled 1, got ${comps.toSeq.sortBy(_._1).take(8)}...")
   }
 
+  test("connected components with a reliable checkpoint dir agree with local mode") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+      val comps = Dedup.connectedComponents(pairs,
+          checkpointDir = Some(tmp.toString))
+        .as[(Long, Long)].collect().toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+      // reliable mode actually wrote checkpoint data there
+      val wrote = java.nio.file.Files.walk(tmp)
+      try assert(wrote.count() > 1, "no checkpoint files written")
+      finally wrote.close()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("repartition matrix maps to the right partitioning") {
     val df = spark.read.parquet(s"$sf001/nation.parquet")
     assert(Repartition(df, None, Nil) eq df)
