@@ -113,6 +113,40 @@ final case class SimilarityTransformStage(
   }
 }
 
+final case class SampleTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // deterministic | stratified | shard_by_budget
+    idCol: String = "doc_id",
+    rate: Double = 1.0,
+    salt: String = "",
+    stratumCol: String = "lang",
+    rates: Map[String, Double] = Map.empty,
+    defaultRate: Double = 1.0,
+    tokenCol: String = "n_tokens",
+    budget: Long = 1000000L)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "deterministic" => Sampling.deterministic(in, idCol, rate, salt)
+      case "stratified" =>
+        Sampling.stratified(in, stratumCol, idCol, rates, defaultRate, salt)
+      case "shard_by_budget" =>
+        Sampling.shardByBudget(in, idCol, tokenCol, budget)
+      case other =>
+        throw new IllegalArgumentException(s"unknown sample method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
 final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Reproducible sampling + corpus sharding for training-data pipelines
+  * (SURVEY §2.3 north-star: a 100 TB corpus is never used whole — it is
+  * sampled for ablations and sharded for training jobs).
+  *
+  * Sampling here is DETERMINISTIC HASH sampling, not `df.sample`: a row is
+  * kept iff h32(id ++ salt) < rate * P. The decision is a pure function of
+  * the row's id, so the same subset comes back on every run, on any
+  * engine, regardless of partitioning — the reproducibility property
+  * ablation experiments need, and one Spark's RNG-based `sample` (seeded
+  * per partition) cannot give once the input layout changes. Changing
+  * `salt` draws an independent subset at the same rate.
+  *
+  * Sharding assigns documents to fixed-token-budget shards in id order via
+  * a DISTRIBUTED PREFIX SUM: a naive `sum over (ORDER BY id)` window has
+  * an empty partition spec — Spark executes it in ONE partition, which is
+  * disqualifying at scale. Instead: range-repartition by id, sort within
+  * partitions, take one (partitionId, tokenSum) row per partition to the
+  * driver (thousands of rows, not data), prefix-sum those, and stream each
+  * partition with its exact global offset. Same result as the window, no
+  * single-partition stage.
+  */
+object Sampling {
+
+  import T.P
+
+  /** Threshold for `rate` over the h32 domain [0, P). */
+  private def thresholdOf(rate: Double): Long =
+    math.max(0L, math.min(P, (rate * P).toLong))
+
+  private def keyOf(idCol: Column, salt: String): Column =
+    T.h32(concat(idCol.cast("string"), lit(salt)))
+
+  /** Keep each row iff h32(id ++ salt) < rate * P — a reproducible,
+    * engine-portable ~`rate` subset. Pure narrow filter: pushes to the
+    * scan, no shuffle, no state.
+    */
+  def deterministic(df: DataFrame, idCol: String, rate: Double,
+      salt: String = ""): DataFrame =
+    df.where(keyOf(col(idCol), salt) < thresholdOf(rate))
+
+  /** Per-stratum deterministic sampling: `rates` maps stratum values of
+    * `stratumCol` to keep-rates; strata not listed keep `defaultRate`.
+    * The rate lookup is a literal CASE chain (strata are few), so this is
+    * still one narrow filter — the mixing knob for training-data recipes
+    * ("3% of web, 30% of books, all of reference").
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdOf(defaultRate))) { case (acc, (value, rate)) =>
+        when(col(stratumCol) === lit(value), lit(thresholdOf(rate))).otherwise(acc)
+      }
+    df.where(keyOf(col(idCol), salt) < threshold)
+  }
+
+  /** (id, tokens, shard): shard = floor(exclusive-prefix-sum(tokens) /
+    * budget) over ascending id — documents pack into consecutive
+    * fixed-budget shards, a document never splits, id order is preserved
+    * within a shard. Deterministic: equal to the one-partition window
+    * form, computed scalably (see object doc).
+    */
+  def shardByBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // persisted so the sum pass and the assignment pass read the SAME
+    // materialized partitions (range boundaries are sampled; two separate
+    // computations could disagree)
+    val slim = graft.util.Caches.persist(
+      df.select(col(idCol).cast("long").as("id"),
+          col(tokenCol).cast("long").as("tokens"))
+        .repartitionByRange(n, col("id"))
+        .sortWithinPartitions("id"))
+    val nParts = slim.rdd.getNumPartitions
+    // one row per partition to the driver — bounded by the partition
+    // count, never by the data (same class of driver round-trip as an
+    // AQE statistics exchange)
+    val perPartition: Array[(Int, Long)] = slim
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        rows.foreach(s += _.getLong(1))
+        Iterator.single((pid, s))
+      }
+      .collect()
+    val offsets = new Array[Long](nParts)
+    perPartition.foreach { case (pid, s) =>
+      if (pid + 1 < nParts) offsets(pid + 1) = s
+    }
+    for (i <- 1 until nParts) offsets(i) += offsets(i - 1)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val out: Dataset[(Long, Long, Long)] = slim.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = bOffsets.value(pid)
+      rows.map { r =>
+        val id = r.getLong(0); val t = r.getLong(1)
+        val shard = cum / budget // exclusive prefix: where this doc STARTS
+        cum += t
+        (id, t, shard)
+      }
+    }
+    out.toDF(idCol, tokenCol, "shard")
+  }
+}

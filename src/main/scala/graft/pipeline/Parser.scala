@@ -138,6 +138,27 @@ object Parser {
         rows = r.int("rows"),
         exactReplay = r.boolean("exactReplay", default = false))
     },
+    "SampleTransform" -> { (r, _) =>
+      SampleTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("deterministic", "stratified", "shard_by_budget"), "deterministic"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        rate = r.double("rate").getOrElse(1.0),
+        salt = r.string("salt").getOrElse(""),
+        stratumCol = r.string("stratumCol").getOrElse("lang"),
+        rates = r.stringMap("rates").map { case (k, v) =>
+          k -> (try v.toDouble catch {
+            case _: NumberFormatException =>
+              r.error("rates", s"rate for '$k' is not a number: '$v'"); 1.0
+          })
+        },
+        defaultRate = r.double("defaultRate").getOrElse(1.0),
+        tokenCol = r.string("tokenCol").getOrElse("n_tokens"),
+        budget = r.int("budget").map(_.toLong).getOrElse(1000000L))
+    },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
         name = r.requiredString("name"),
@@ -215,6 +236,9 @@ object Parser {
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay")),
+    "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
+      "tokenCol", "budget")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol"))
   )

@@ -56,6 +56,14 @@ object ExtensionQueries {
   private val NQueryVecs = 10
   private val CentroidEvery = 100
   private val KmeansIters = 2
+  private val SampleRate = 0.25
+  private val StratRates = Map("en" -> 0.5, "de" -> 0.1)
+  private val StratDefault = 1.0
+  private val ShardBudget = 50000L
+
+  /** h32 keep-threshold for a rate — MUST match Sampling.thresholdOf. */
+  private def sampleThreshold(rate: Double): Long =
+    math.max(0L, math.min(P, (rate * P).toLong))
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (spark, dir) =>
@@ -153,6 +161,25 @@ object ExtensionQueries {
     "sketch_kmv" -> { (spark, dir) =>
       graft.functions.Sketches.kmvDistinct(
         spark.read.parquet(s"$dir/lineitem.parquet"), col("l_partkey"), k = 256)
+    },
+
+    "sample_deterministic" -> { (spark, dir) =>
+      Sampling.deterministic(docs(spark, dir), "doc_id", SampleRate)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "sample_stratified" -> { (spark, dir) =>
+      Sampling.stratified(docs(spark, dir), "lang", "doc_id",
+          StratRates, StratDefault)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "shard_by_budget" -> { (spark, dir) =>
+      Sampling.shardByBudget(docs(spark, dir), "doc_id", "n_chars",
+          ShardBudget)
+        .orderBy("doc_id")
     },
 
     "text_quality" -> { (spark, dir) =>
@@ -640,6 +667,35 @@ object ExtensionQueries {
         CASE WHEN n < 256 THEN n::DOUBLE
           ELSE round(255.0 * $P / hk, 4) END AS kmv_estimate
       FROM smallest""",
+
+    // Replay of Sampling.deterministic: keep iff h32(doc_id) < rate * P
+    // (the threshold literal is computed by the same function both sides).
+    "sample_deterministic" -> s"""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P
+        < ${sampleThreshold(SampleRate)}
+      ORDER BY doc_id""",
+
+    // Replay of Sampling.stratified: per-lang thresholds via CASE.
+    "sample_stratified" -> s"""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P
+        < CASE ${StratRates.toSeq.sorted.map { case (v, r) =>
+            s"WHEN lang = '$v' THEN ${sampleThreshold(r)}"
+          }.mkString(" ")}
+          ELSE ${sampleThreshold(StratDefault)} END
+      ORDER BY doc_id""",
+
+    // Replay of Sampling.shardByBudget: shard = exclusive prefix sum of
+    // tokens over ascending id, integer-divided by the budget. The oracle
+    // uses the one-partition window form the operator deliberately avoids;
+    // the distributed prefix sum must equal it exactly.
+    "shard_by_budget" -> s"""
+      SELECT doc_id, n_chars,
+        CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // $ShardBudget AS BIGINT) AS shard
+      FROM documents ORDER BY doc_id""",
 
     "text_quality" -> """
       SELECT doc_id,

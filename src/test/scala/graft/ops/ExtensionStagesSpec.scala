@@ -113,6 +113,28 @@ class ExtensionStagesSpec extends SparkSpec {
       && st2.kmeansIters == 2)
   }
 
+  test("sample stage: rates map parses, runs stratified from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "sa_docs"},
+      {"type": "SampleTransform", "name": "mix", "method": "stratified",
+       "inputView": "sa_docs", "outputView": "sa_mix",
+       "stratumCol": "lang", "rates": {"de": "0.0"}, "defaultRate": 1.0}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st = p.stages(1).stage.asInstanceOf[SampleTransformStage]
+    assert(st.rates == Map("de" -> 0.0) && st.defaultRate == 1.0)
+    val out = Runner.run(p).get
+    assert(out.where(org.apache.spark.sql.functions.col("lang") === "de").isEmpty)
+    // a non-numeric rate is an accumulated config error, not an exception
+    val bad = conf.replace("\"0.0\"", "\"lots\"")
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(e => e.key.contains("rates") && e.message.contains("lots")))
+  }
+
   test("unknown method surfaces as a config error") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "magic",

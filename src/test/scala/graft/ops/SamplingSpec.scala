@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("deterministic sampling: reproducible, monotone in rate, salt-independent draws") {
+    val ids = Sampling.deterministic(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Sampling.deterministic(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == again, "same rate + salt -> same subset, always")
+    val bigger = Sampling.deterministic(docs, "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(bigger), "raising the rate only adds rows")
+    val salted = Sampling.deterministic(docs, "doc_id", 0.3, salt = "v2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(salted != ids, "a new salt draws a different subset")
+    val n = docs.count()
+    assert(math.abs(ids.size.toDouble / n - 0.3) < 0.15,
+      s"kept ${ids.size} of $n at rate 0.3")
+    assert(Sampling.deterministic(docs, "doc_id", 0.0).isEmpty)
+    assert(Sampling.deterministic(docs, "doc_id", 1.0).count() == n)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val out = Sampling.stratified(docs, "lang", "doc_id",
+      Map("de" -> 0.0), defaultRate = 1.0)
+    assert(out.where($"lang" === "de").isEmpty, "rate-0 stratum fully dropped")
+    val others = docs.where($"lang" =!= "de").count()
+    assert(out.count() == others, "default rate 1.0 keeps every other stratum")
+  }
+
+  test("shard_by_budget equals the single-partition window form") {
+    val sharded = Sampling.shardByBudget(docs, "doc_id", "n_chars",
+      budget = 50000L, numPartitions = 7)
+    docs.createOrReplaceTempView("ss_docs")
+    val oracle = spark.sql("""
+      SELECT doc_id, n_chars,
+        CAST(floor(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 50000) AS BIGINT) AS shard
+      FROM ss_docs""")
+    assert(datasetEquality(oracle, sharded))
+  }
+
+  test("shards pack to the budget: no shard exceeds budget + one document") {
+    val sums = Sampling.shardByBudget(docs, "doc_id", "n_chars", budget = 20000L)
+      .groupBy("shard").agg(sum("n_chars").as("s"), max("n_chars").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    sums.foreach { case (shard, s, mx) =>
+      assert(s <= 20000L + mx, s"shard $shard holds $s tokens (max doc $mx)")
+    }
+    // shards are consecutive starting at 0
+    val shards = sums.map(_._1).sorted
+    assert(shards.head == 0L && shards.last == shards.length - 1)
+  }
+
+  test("shard assignment never plans a one-partition window") {
+    val plan = Sampling.shardByBudget(docs, "doc_id", "n_chars", budget = 50000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"single-partition window in plan:\n$plan")
+  }
+}
