@@ -194,6 +194,19 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
+  /** Keep one document per duplicate cluster: drop every row whose id
+    * appears in `components` (the [[connectedComponents]] output) with a
+    * label other than itself — the cluster representative is the min id.
+    * One anti join keyed on the id; the components table is proportional
+    * to the DUPLICATE count, not the corpus, so at 100 TB it is the small
+    * side (broadcast or id-hash join, never a corpus self-join).
+    */
+  def ccApply(df: DataFrame, components: DataFrame, idCol: String): DataFrame =
+    df.join(
+      components.where(col("doc_id") =!= col("component"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** 60-bit SimHash fingerprint per document (word-hash pass staged so the
     * md5 work runs once per row, not once per bit — see
     * [[TextFunctions.simhash60FromHashes]]).

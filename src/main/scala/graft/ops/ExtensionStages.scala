@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | minhash | minhash_pairs | minhash_cc | simhash | simhash_pairs | ngram_pairs
+    method: String, // exact | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -57,6 +57,14 @@ final case class DedupTransformStage(
         Dedup.minhashPairs(in, idCol, textCol,
           minhashK, bands, rows, shingleN, threshold.getOrElse(0.9)),
         maxIter, checkpointDir)
+      // full production dedup: cluster, then keep one doc per cluster
+      case "minhash_cc_apply" =>
+        Dedup.ccApply(in,
+          Dedup.connectedComponents(
+            Dedup.minhashPairs(in, idCol, textCol,
+              minhashK, bands, rows, shingleN, threshold.getOrElse(0.9)),
+            maxIter, checkpointDir),
+          idCol)
       case "simhash"       => Dedup.simhashFingerprints(in, idCol, textCol)
       case "simhash_pairs" =>
         Dedup.simhashPairs(in, idCol, textCol, maxHamming, maxBucket)

@@ -96,8 +96,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("exact", "minhash", "minhash_pairs", "minhash_cc", "simhash",
-            "simhash_pairs", "ngram_pairs"),
+          Seq("exact", "minhash", "minhash_pairs", "minhash_cc",
+            "minhash_cc_apply", "simhash", "simhash_pairs", "ngram_pairs"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),

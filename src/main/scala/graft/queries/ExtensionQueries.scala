@@ -92,6 +92,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "dedup_cc_apply" -> { (spark, dir) =>
+      // the production dedup path end-to-end: near-dup pairs -> connected
+      // components -> one representative (min id) kept per cluster
+      val d = docs(spark, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashPairs(d, "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold))
+      Dedup.ccApply(d, comps, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash_fp" -> { (spark, dir) =>
       Dedup.simhashFingerprints(docs(spark, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -468,6 +480,26 @@ object ExtensionQueries {
       )
       SELECT src AS doc_id, least(src, min(dst)) AS component
       FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // CC replay (as dedup_minhash_cc) + drop non-representative members.
+    "dedup_cc_apply" -> s"""${minhashCtes.replaceFirst("WITH", "WITH RECURSIVE")}
+      , ok AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold
+      ), bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ok
+        UNION SELECT doc_b, doc_a FROM ok
+      ), reach AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+      ), comps AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+      )
+      SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (
+        SELECT doc_id FROM comps WHERE component != doc_id)
+      ORDER BY d.doc_id""",
 
     "dedup_simhash_fp" -> s"""
       SELECT doc_id, $simhash60Sql AS simhash

@@ -99,6 +99,16 @@ class DedupSpec extends SparkSpec {
       s"all chain members labeled 1, got ${comps.toSeq.sortBy(_._1).take(8)}...")
   }
 
+  test("ccApply keeps exactly one representative (the min id) per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val df = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.ccApply(df, comps, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // clusters {1,2,3} -> keep 1; {7,9} -> keep 7; singletons untouched
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L))
+  }
+
   test("connected components with a reliable checkpoint dir agree with local mode") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
     try {
