@@ -56,6 +56,25 @@ object StreamingOps {
         col("sw.end").as("session_end"), col("n_events"))
   }
 
+  /** Streaming deduplication on `keyCols`. With a watermark (streaming
+    * mode) this is `dropDuplicatesWithinWatermark`: the first row per key
+    * wins and per-key state is EVICTED once the key's event time falls
+    * behind the watermark — a 100 TB/day stream holds only the dedup keys
+    * of the watermark horizon, never the history. Without a watermark
+    * (batch mirror) it is a plain dropDuplicates on the same keys.
+    *
+    * This is arrival-order ("first seen wins") dedup — the right semantics
+    * for an ingest stream. The batch operators in [[graft.ops.Dedup]] are
+    * the deterministic (min tie-break) form for data at rest.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: Option[String]): DataFrame =
+    watermark match {
+      case Some(w) =>
+        events.withWatermark(tsCol, w).dropDuplicatesWithinWatermark(keyCols)
+      case None => events.dropDuplicates(keyCols)
+    }
+
   /** Arbitrary-state streaming: a per-key running counter maintained with
     * mapGroupsWithState (the escape hatch when windowed aggregation can't
     * express the state machine). Emits (key, totalSoFar) on every

@@ -49,6 +49,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first-seen per key; watermark-bounded state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingOps.dedupStream(stream, "ts", Seq("doc_id"),
+      watermark = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, "first"), (ts(0, 10), 1L, "dup"),
+        (ts(0, 20), 2L, "other"))
+      q.processAllAvailable()
+      // duplicate of key 1 arriving in a LATER batch is also dropped
+      mem.addData((ts(0, 30), 1L, "late dup"), (ts(0, 40), 3L, "new"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_dedup")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "first"), (2L, "other"), (3L, "new")))
+      // batch mirror: same call without a watermark is a plain dropDuplicates
+      val batch = StreamingOps.dedupStream(
+        Seq((ts(0), 1L, "first"), (ts(1), 1L, "dup")).toDF("ts", "doc_id", "text"),
+        "ts", Seq("doc_id"), watermark = None)
+      assert(batch.count() == 1)
+    } finally q.stop()
+  }
+
   test("session_window sessionization over a stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
