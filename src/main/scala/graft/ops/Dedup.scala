@@ -57,9 +57,16 @@ object Dedup {
       if (byDigest) sha2(to_json(struct(keys.map(col): _*)), 256)
       else struct(keys.map(col): _*)
     val cols = df.columns.toSeq
+    // Null-safe ordering: min_by ignores rows whose ordering value is null,
+    // and struct comparison puts nulls FIRST — either way a null tieBreak
+    // could beat (or erase) a real row. Interleaving an isNull flag before
+    // each component makes the ordering value never-null and sorts null
+    // components LAST, so a row with real tieBreak values always wins and a
+    // group whose every row is null-tied still returns a real row.
+    val ord = struct(tieBreak.flatMap(c =>
+      Seq(col(c).isNull.as(s"__n_$c"), col(c).as(s"__v_$c"))): _*)
     df.groupBy(keyCol.as("__key"))
-      .agg(min_by(struct(cols.map(col): _*),
-        struct(tieBreak.map(col): _*)).as("__win"))
+      .agg(min_by(struct(cols.map(col): _*), ord).as("__win"))
       .select(cols.map(c => col(s"__win.$c").as(c)): _*)
   }
 
@@ -141,11 +148,33 @@ object Dedup {
     // single-node, but an executor loss mid-fixpoint kills the job. When a
     // checkpointDir is given (the cluster deployment mode), rounds write
     // RELIABLE checkpoints there instead and survive executor churn.
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(d) =>
-        df => { df.sparkSession.sparkContext.setCheckpointDir(d); df.checkpoint(true) }
-      case None => _.localCheckpoint(true)
+    //
+    // The dir is set ONCE, before the loop: setCheckpointDir both mutates
+    // shared SparkContext state and mints a fresh UUID subdirectory every
+    // call, so the previous per-round form leaked one directory tree per
+    // round on top of repeating the global mutation. Each round's files are
+    // deleted as soon as the following round has materialized and the
+    // convergence probe has read them — only the in-flight round plus the
+    // returned fixpoint stay on disk (the caller owns the final files; they
+    // are reclaimed by spark.cleaner.referenceTracking.cleanCheckpoints or
+    // by deleting the UUID subdir after the labels are consumed).
+    val sc = pairs.sparkSession.sparkContext
+    val ckptFs = checkpointDir.map { d =>
+      sc.setCheckpointDir(d)
+      val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      (root.getFileSystem(sc.hadoopConfiguration), root)
     }
+    def listCkpt(): Set[String] = ckptFs match {
+      case Some((fs, root)) if fs.exists(root) =>
+        fs.listStatus(root).map(_.getPath.getName).toSet
+      case _ => Set.empty
+    }
+    def dropCkpt(names: Set[String]): Unit = ckptFs.foreach { case (fs, root) =>
+      names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    }
+    val ckpt: DataFrame => DataFrame =
+      if (ckptFs.isDefined) _.checkpoint(true) else _.localCheckpoint(true)
+    val preexisting = listCkpt()
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = graft.util.Caches.persist(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
@@ -155,6 +184,7 @@ object Dedup {
     var labels = ckpt(
       edges.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("comp")))
+    var labelsFiles = listCkpt() -- preexisting
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -185,6 +215,11 @@ object Dedup {
         .join(labels.select(col("id"), col("comp").as("oldc")), "id")
         .where(col("comp") =!= col("oldc"))
         .isEmpty
+      // `next` is materialized (eager checkpoint) and the probe has read
+      // the old labels — the previous round's reliable files are now dead.
+      val nextFiles = listCkpt() -- preexisting -- labelsFiles
+      dropCkpt(labelsFiles)
+      labelsFiles = nextFiles
       labels = next
       iter += 1
     }

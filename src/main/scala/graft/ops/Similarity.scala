@@ -37,6 +37,11 @@ object Similarity {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Fixed-point scale for the order-insensitive centroid sum (2^20):
+    * exact long arithmetic under any combine order, ~1e-6 quantization.
+    */
+  val FixedScale: Double = (1L << 20).toDouble
+
   /** (vec_id, embedding, nrm) — the persisted scoring table. */
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
@@ -170,12 +175,19 @@ object Similarity {
     * Centroid update — two forms:
     *
     *  - DEFAULT (`exactReplay = false`, the scale path): per-dimension
-    *    `avg()` over posexploded elements. Map-side partial aggregation
-    *    bounds every row and every aggregation buffer by a constant (one
-    *    (cell, dim) pair each); nothing ever materializes a cell's full
-    *    membership in one place. Combine order makes the mean
-    *    order-dependent in the last ulp only — irrelevant after the 6dp
-    *    cosine rounding in every practical case, but not BIT-guaranteed.
+    *    FIXED-POINT sum over posexploded elements — each element is scaled
+    *    by 2^20 and rounded to a long, and longs sum exactly in ANY order,
+    *    so the mean is bit-deterministic under arbitrary partial/combine
+    *    ordering (a float `avg()` here would drift in the last ulp with
+    *    combine order). Map-side partial aggregation bounds every row and
+    *    every aggregation buffer by a constant (one (cell, dim) pair each);
+    *    nothing ever materializes a cell's full membership in one place.
+    *    The 2^-20 quantization of centroid coordinates (~1e-6) is far
+    *    below any assignment boundary that matters, and — being
+    *    deterministic — is replayed exactly by the DuckDB oracle.
+    *    Overflow headroom: |x|·2^20 ≲ 2^25 for unit-scale embeddings, so a
+    *    single cell can absorb ~2^38 (~3·10^11) members before a long sum
+    *    could wrap — beyond any real cell at 100 TB.
     *  - `exactReplay = true` (the oracle-gate path): sum SEQUENTIALLY in
     *    ascending vec_id order (sort_array(collect_list) + aggregate), so
     *    any engine reproduces the centroids bit-for-bit — the property the
@@ -219,16 +231,21 @@ object Similarity {
                   (acc, m) => acc + element_at(m.getField("embedding"), d))
                   / size(col("ms"))).as("c_emb"))
         else
-          // scale path: explode to (cell, dim, x) and let partial avg do
-          // the work — shuffle rows and agg buffers are O(cells * dim),
-          // never O(cell membership); the only collect_list left is the
-          // dim-indexed reassembly, bounded at `dim` elements per cell
+          // scale path: explode to (cell, dim, x) and let a partial SUM of
+          // fixed-point longs do the work — shuffle rows and agg buffers
+          // are O(cells * dim), never O(cell membership), and the long sum
+          // is order-insensitive so the result is bit-deterministic; the
+          // only collect_list left is the dim-indexed reassembly, bounded
+          // at `dim` elements per cell
           members
             .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
             .groupBy(col("cell"), col("d"))
-            .agg(avg(col("x")).as("m"))
+            .agg(sum(round(col("x").cast("double") * FixedScale).cast("long")).as("s"),
+              count(lit(1)).as("n"))
             .groupBy(col("cell"))
-            .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+            .agg(transform(
+              sort_array(collect_list(struct(col("d"),
+                (col("s").cast("double") / col("n") / FixedScale).as("m")))),
               e => e.getField("m")).as("c_emb"))
             .select(col("cell").as("c_id"), col("c_emb"))
     }

@@ -57,6 +57,17 @@ final class ConfigReader(conf: Map[String, Any]) {
       case b: BigInt if b.isValidInt      => b.toInt
     }
 
+  /** Whole-number reader that keeps 64-bit range: token/byte budgets at
+    * 100 TB scale routinely exceed Int.MaxValue (~2.1B), so they must not
+    * funnel through `int`.
+    */
+  def long(key: String): Option[Long] =
+    get(key, "integer") {
+      case i: Int                     => i.toLong
+      case l: Long                    => l
+      case b: BigInt if b.isValidLong => b.toLong
+    }
+
   def boolean(key: String, default: Boolean): Boolean =
     get(key, "boolean") { case b: Boolean => b }.getOrElse(default)
 

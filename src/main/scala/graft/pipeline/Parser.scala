@@ -157,7 +157,7 @@ object Parser {
         },
         defaultRate = r.double("defaultRate").getOrElse(1.0),
         tokenCol = r.string("tokenCol").getOrElse("n_tokens"),
-        budget = r.int("budget").map(_.toLong).getOrElse(1000000L))
+        budget = r.long("budget").getOrElse(1000000L))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -178,18 +178,35 @@ object Parser {
     * honored; a broken provider degrades to a warning, never a parse
     * failure for configs that don't use it.
     */
-  def discoveredPlugins(): Seq[StagePlugin] =
+  def discoveredPlugins(): Seq[StagePlugin] = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     try {
-      import scala.jdk.CollectionConverters._
       val cl = Option(Thread.currentThread.getContextClassLoader)
         .getOrElse(classOf[StagePlugin].getClassLoader)
-      java.util.ServiceLoader.load(classOf[StagePlugin], cl).asScala.toSeq
+      val it = java.util.ServiceLoader.load(classOf[StagePlugin], cl).iterator()
+      // Advance provider-by-provider: ServiceConfigurationError is thrown
+      // MID-iteration by the provider that is broken, and must not take the
+      // healthy providers before/after it down with it.
+      val found = Seq.newBuilder[StagePlugin]
+      var more = true
+      var errs = 0
+      while (more && errs < 64) { // bound: a hasNext that throws repeatedly must not spin forever
+        try {
+          more = it.hasNext
+          if (more) found += it.next()
+        } catch {
+          case e: java.util.ServiceConfigurationError =>
+            errs += 1
+            log.warn(s"skipping broken stage plugin provider: ${e.getMessage}")
+        }
+      }
+      found.result()
     } catch {
       case e: Throwable =>
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"stage plugin discovery failed: ${e.getMessage}")
+        log.warn(s"stage plugin discovery failed: ${e.getMessage}")
         Seq.empty
     }
+  }
 
   /** Statement text comes inline (`sql`) or from a URI (`inputURI`)
     * resolved at CONFIG time (ref: CassandraExecute.scala:31-32). Read and

@@ -159,10 +159,10 @@ object ExtensionQueries {
     },
 
     "similarity_ivf_scalable" -> { (spark, dir) =>
-      // The DEFAULT (production) centroid path: per-dimension avg — no
-      // per-cell megarow. Means are ulp-order-dependent, so this entry has
-      // NO SQL oracle (rows-only gate check); IvfSpec asserts it agrees
-      // with the exactReplay path to 6dp at test scale.
+      // The DEFAULT (production) centroid path: per-dimension FIXED-POINT
+      // sum — no per-cell megarow, and (since round 6) order-insensitive
+      // exact long arithmetic, so this entry now has a full SQL oracle
+      // replaying the same quantized means.
       val e = embs(spark, dir)
       Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK,
           CentroidEvery, KmeansIters)
@@ -436,6 +436,26 @@ object ExtensionQueries {
         FROM $assign a JOIN embeddings e USING (vec_id)
         GROUP BY cell))"""
 
+  /** One Lloyd update CTE replaying the DEFAULT (scale-path) fixed-point
+    * centroid update (Similarity.ivfTopK, exactReplay=false): per
+    * dimension, sum round(x * 2^20) as exact integers and divide by the
+    * member count. Long sums are order-insensitive, so this replays
+    * bit-for-bit WITHOUT the sequential-order list the exactReplay form
+    * needs. The scale multiply is by a power of two (exact in binary FP)
+    * and both engines round ties away from zero, so the quantization is
+    * identical on both sides.
+    */
+  private def kmUpdateFixed(assign: String, out: String): String = s"""
+    $out AS (
+      SELECT cell AS c_id, list(m ORDER BY d) AS c_emb FROM (
+        SELECT cell, d,
+          SUM(CAST(round(e.embedding[d]::DOUBLE * 1048576.0) AS BIGINT))::DOUBLE
+            / COUNT(*) / 1048576.0 AS m
+        FROM $assign a JOIN embeddings e USING (vec_id)
+        CROSS JOIN generate_series(1, 64) t(d)
+        GROUP BY cell, d)
+      GROUP BY cell)"""
+
   /** Sign-LSH banded projection of embeddings (replay of
     * VectorFunctions.{signBits,bitBands}): 64 hyperplanes, `b` bands of `r`.
     */
@@ -669,6 +689,36 @@ object ExtensionQueries {
       , ${kmUpdate("assign0", "cents1")}
       , ${kmAssign("cents1", "assign1")}
       , ${kmUpdate("assign1", "cents2")}
+      , ${kmAssign("cents2", "cells")}
+      , cand AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id
+        FROM cells q JOIN cells e ON q.cell = e.cell AND q.vec_id != e.vec_id
+        WHERE q.vec_id < $NQueryVecs
+      ), scored AS (
+        SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.n_id)
+      SELECT q_id, n_id, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    // Replay of the DEFAULT (scale-path) ivfTopK: same Lloyd structure as
+    // similarity_ivf but with the order-insensitive FIXED-POINT centroid
+    // update — the production path is now just as oracle-replayable as the
+    // sequential one.
+    "similarity_ivf_scalable" -> s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdateFixed("assign1", "cents2")}
       , ${kmAssign("cents2", "cells")}
       , cand AS (
         SELECT q.vec_id AS q_id, e.vec_id AS n_id

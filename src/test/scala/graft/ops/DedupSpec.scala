@@ -28,6 +28,17 @@ class DedupSpec extends SparkSpec {
     assert(datasetEquality(plain, digest))
   }
 
+  test("exact dedup: null tieBreak values lose to real ones and never erase a group") {
+    val df = Seq[(java.lang.Long, String)](
+      (null, "k1"), (7L, "k1"), (3L, "k1"), // null must not beat (or skip) 3
+      (null, "k2"), (null, "k2")            // all-null group still yields a real row
+    ).toDF("rank", "key")
+    val out = Dedup.exact(df, Seq("key"), Seq("rank")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    assert(out == Map(Some(3L) -> "k1", None -> "k2"),
+      s"null-safe tieBreak broken: $out")
+  }
+
   test("exact dedup plans a partial aggregation, not a global window sort") {
     val plan = Dedup.exact(corpus, Seq("text"), Seq("doc_id"))
       .queryExecution.executedPlan.toString
@@ -121,6 +132,16 @@ class DedupSpec extends SparkSpec {
       val wrote = java.nio.file.Files.walk(tmp)
       try assert(wrote.count() > 1, "no checkpoint files written")
       finally wrote.close()
+      // ...and cleaned up after itself: earlier rounds' rdd-* dirs are
+      // deleted as the loop advances, so only the returned fixpoint's
+      // checkpoint survives the run (not one copy per round).
+      import scala.jdk.CollectionConverters._
+      val uuidDir = java.nio.file.Files.list(tmp).iterator.asScala.toSeq
+      assert(uuidDir.size == 1, s"expected one UUID checkpoint subdir, got $uuidDir")
+      val rdds = java.nio.file.Files.list(uuidDir.head).iterator.asScala
+        .map(_.getFileName.toString).toSeq
+      assert(rdds.count(_.startsWith("rdd-")) == 1,
+        s"stale per-round checkpoints not reclaimed: $rdds")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(tmp)

@@ -135,6 +135,17 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(errs.exists(e => e.key.contains("rates") && e.message.contains("lots")))
   }
 
+  test("sample stage: budget keeps 64-bit range (multi-billion-token shards)") {
+    val conf = """{"stages": [
+      {"type": "SampleTransform", "name": "sh", "method": "shard_by_budget",
+       "inputView": "a", "outputView": "b", "budget": 5000000000}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st = p.stages.head.stage.asInstanceOf[SampleTransformStage]
+    assert(st.budget == 5000000000L)
+  }
+
   test("unknown method surfaces as a config error") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "magic",

@@ -44,9 +44,17 @@ def main():
     gone = sorted(set(base["queries"]) - set(now["queries"]))
 
     regressions = []
+    failures = []
     rows = []
     for name, t in sorted(now["queries"].items(), key=lambda kv: -kv[1]):
         b = base["queries"].get(name)
+        # Bench records a broken query as a negative time; it must read as
+        # a FAILURE, never as a fast query (delta vs a negative sentinel
+        # can't trip the ratio threshold, so test explicitly).
+        if t < 0 or (b is not None and b < 0):
+            failures.append(name)
+            rows.append((name, t, b, "FAILED (negative time, excluded from totals)"))
+            continue
         if b is None:
             rows.append((name, t, None, "NEW (not in baseline, excluded from totals)"))
             continue
@@ -63,9 +71,11 @@ def main():
         bs = f"{b:7.2f}" if b is not None else "      -"
         print(f"{name:{w}}  {t:7.2f}  {bs}  {note}")
 
-    now_common = sum(now["queries"][q] for q in common if now["queries"][q] >= 0)
-    base_common = sum(base["queries"][q] for q in common)
-    print(f"\ncommon-query total ({len(common)} queries): "
+    ok_common = [q for q in common
+                 if now["queries"][q] >= 0 and base["queries"][q] >= 0]
+    now_common = sum(now["queries"][q] for q in ok_common)
+    base_common = sum(base["queries"][q] for q in ok_common)
+    print(f"\ncommon-query total ({len(ok_common)} queries): "
           f"{now_common:.2f}s  baseline: {base_common:.2f}s  "
           f"({now_common - base_common:+.2f}s)")
     if "rep_totals" in now:
@@ -76,8 +86,11 @@ def main():
                   f"(spread {spread:.0f}%)")
     if gone:
         print(f"queries in baseline but not in this run: {', '.join(gone)}")
+    if failures:
+        print(f"\nFAILED QUERIES: {', '.join(failures)}", file=sys.stderr)
     if regressions:
         print(f"\nREGRESSIONS: {', '.join(regressions)}", file=sys.stderr)
+    if failures or regressions:
         sys.exit(1)
 
 
