@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Train/test contamination check (SURVEY §2.3 extension surface): how
+  * much of an evaluation set already leaks into the training corpus.
+  *
+  * For each eval document, the fraction of its distinct hashed
+  * word-n-gram shingles that appear in ANY other corpus document —
+  * the standard n-gram-overlap contamination metric LLM data pipelines
+  * run before training (cf. the GPT-3/PaLM appendix methodology).
+  *
+  * 100 TB shape: the corpus side is one narrow projection + explode —
+  * it NEVER shuffles. The eval side is small by contract (an eval suite,
+  * not a second corpus) and is broadcast, so the match is a map-side
+  * hash join on the shingle hash. The only shuffle is the distinct on
+  * matched (eval_id, shingle) pairs, and partial aggregation caps each
+  * map partition's contribution at the eval shingle-set size — a common
+  * trigram matching millions of corpus docs collapses to one row per
+  * partition before the exchange.
+  */
+object Contamination {
+
+  /** (eval_id, n_shingles, n_contaminated, contamination ∈ [0,1]) per
+    * eval doc; an eval doc also present in `corpus` does not match
+    * itself (same id), so self-overlap never counts as contamination.
+    */
+  def check(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalSh = evalSet.select(col(idCol).as("eval_id"),
+      T.hashedWordNgrams(col(textCol), shingleN).as("shingles"))
+    val evalExpl = evalSh.select(col("eval_id"), explode(col("shingles")).as("h"))
+    val evalSide = if (broadcastEval) broadcast(evalExpl) else evalExpl
+    val corpusExpl = corpus.select(col(idCol).as("c_id"),
+      explode(T.hashedWordNgrams(col(textCol), shingleN)).as("h"))
+    val matched = corpusExpl.join(evalSide, "h")
+      .where(col("c_id") =!= col("eval_id"))
+      .select("eval_id", "h").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("__nc"))
+    evalSh
+      .select(col("eval_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(matched, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("__nc"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("contamination"))
+  }
+}

@@ -121,6 +121,49 @@ final case class SimilarityTransformStage(
   }
 }
 
+final case class AsofJoinTransformStage(
+    name: String,
+    inputView: String, // left side
+    rightView: String,
+    outputView: String,
+    keys: Seq[String],
+    leftTime: String = "ts",
+    rightTime: String = "ts")
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "inputView" -> inputView
+    detail += "rightView" -> rightView
+    detail += "outputView" -> outputView
+    val out = Joins.asof(Views.resolve(inputView), Views.resolve(rightView),
+      keys, leftTime, rightTime)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+final case class ContaminationTransformStage(
+    name: String,
+    inputView: String, // the corpus
+    evalView: String,
+    outputView: String,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    shingleN: Int = 3,
+    broadcastEval: Boolean = true)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "inputView" -> inputView
+    detail += "evalView" -> evalView
+    detail += "outputView" -> outputView
+    val out = Contamination.check(Views.resolve(inputView),
+      Views.resolve(evalView), idCol, textCol, shingleN, broadcastEval)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
 final case class SampleTransformStage(
     name: String,
     inputView: String,

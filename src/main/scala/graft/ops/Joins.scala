@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators (SURVEY §2.3 extension surface).
+  *
+  * Spark has no ASOF JOIN node; the naive rewrite — an inequality
+  * theta-join (`l.k = r.k AND l.t >= r.t`) topped by a max-window — plans
+  * a per-key cartesian whose cost is |L_k|·|R_k| per key, disqualifying at
+  * 100 TB. This implementation is the classic distributed form: UNION the
+  * two sides, one hash shuffle on the key, one per-key sort on (time,
+  * side), and a running `last(ignoreNulls)` window carries each right row
+  * forward to every later left row. Cost is sort-merge-shaped
+  * (O((|L|+|R|) log) per partition, a single shuffle, no join node at
+  * all), the same plan family DuckDB's native ASOF executes.
+  */
+object Joins {
+
+  /** As-of join: each left row picks the LATEST right row of the same key
+    * whose `rightTime` <= the left row's `leftTime` (inclusive; left rows
+    * with no prior right row keep null match columns).
+    *
+    * Output: all left columns, then right's non-key columns (including
+    * `rightTime`). Right payload column names must not collide with left
+    * names — alias the right projection before calling.
+    *
+    * Determinism: among right rows tied on (key, time) the winner is the
+    * greatest payload struct (fields in right's column order) — supply a
+    * unique tie-break column or pre-aggregate right to one row per
+    * (key, time) for a fully engine-portable result.
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val collide = left.columns.toSet.intersect(payload.toSet)
+    require(collide.isEmpty,
+      s"right payload columns collide with left: ${collide.mkString(", ")}")
+    val l = left.select(keys.map(col)
+      :+ col(leftTime).as("__t") :+ lit(1).as("__side")
+      :+ struct(left.columns.map(col): _*).as("__l"): _*)
+    val r = right.select(keys.map(col)
+      :+ col(rightTime).as("__t") :+ lit(0).as("__side")
+      :+ struct(payload.map(col): _*).as("__r"): _*)
+    // unionByName fills the side-specific struct with null on the other
+    // side — the null __r on left rows is exactly what last(ignoreNulls)
+    // skips over.
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1),
+    // which is what makes the join inclusive; among equal-ts right rows
+    // the struct ordering makes last() pick the max payload.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c))
+        ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}

@@ -138,6 +138,31 @@ object Parser {
         rows = r.int("rows"),
         exactReplay = r.boolean("exactReplay", default = false))
     },
+    "AsofJoinTransform" -> { (r, _) =>
+      AsofJoinTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        rightView = r.requiredString("rightView"),
+        outputView = r.requiredString("outputView"),
+        keys = {
+          val ks = r.stringList("keys")
+          if (ks.isEmpty) r.error("keys", "at least one join key is required")
+          ks
+        },
+        leftTime = r.string("leftTime").getOrElse("ts"),
+        rightTime = r.string("rightTime").getOrElse("ts"))
+    },
+    "ContaminationTransform" -> { (r, _) =>
+      ContaminationTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        evalView = r.requiredString("evalView"),
+        outputView = r.requiredString("outputView"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        textCol = r.string("textCol").getOrElse("text"),
+        shingleN = r.int("shingleN").getOrElse(3),
+        broadcastEval = r.boolean("broadcastEval", default = true))
+    },
     "SampleTransform" -> { (r, _) =>
       SampleTransformStage(
         name = r.requiredString("name"),
@@ -253,6 +278,10 @@ object Parser {
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay")),
+    "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
+      "outputView", "keys", "leftTime", "rightTime")),
+    "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
+      "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget")),

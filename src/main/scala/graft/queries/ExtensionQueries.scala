@@ -271,6 +271,30 @@ object ExtensionQueries {
         FROM gaps GROUP BY user_id ORDER BY user_id""")
     },
 
+    "asof_join" -> { (spark, dir) =>
+      // Each click matched to the user's most recent purchase at or before
+      // it. The right side is pre-aggregated to one row per (user_id, ts)
+      // (max_by event_id picks the later-logged purchase on a tie) so the
+      // as-of winner is engine-portable.
+      val ev = events(spark, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val purch = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+      Joins.asof(clicks, purch, Seq("user_id"), "ts", "p_ts")
+        .orderBy("event_id")
+    },
+
+    "contamination_check" -> { (spark, dir) =>
+      // Stand-in eval suite: every 50th document; the corpus is the full
+      // documents table, self-matches excluded by id.
+      val d = docs(spark, dir)
+      Contamination.check(d, d.where(col("doc_id") % 50 === 0),
+          "doc_id", "text")
+        .orderBy("eval_id")
+    },
+
     "streaming_foreachbatch" -> { (spark, dir) =>
       // TRUE streaming path, batch-verified: file-source readStream over
       // the events table -> watermarked hourly aggregation -> Complete-mode
@@ -341,7 +365,11 @@ object ExtensionQueries {
     * TextFunctions.{wordShingles,shingleHashes,minhashSig,bands} and
     * Dedup.minhashPairs.
     */
-  private def minhashCtes: String = s"""
+  /** Word-3-gram hashed-shingle CTE (replay of
+    * TextFunctions.hashedWordNgrams) — shared by the minhash queries and
+    * the contamination check.
+    */
+  private def shingleCtes: String = s"""
     WITH base AS (
       SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
     ), sh AS (
@@ -352,7 +380,9 @@ object ExtensionQueries {
                s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P))
         ELSE [('0x'||substr(md5(text),1,8))::BIGINT % $P] END AS shingles
       FROM base
-    ), mh AS (
+    )"""
+
+  private def minhashCtes: String = s"""$shingleCtes, mh AS (
       SELECT doc_id, list_transform(generate_series(0, ${MinhashK - 1}), i ->
         list_min(list_transform(shingles, h ->
           ((((i+1)*2654435761) % $P) * h + (((i+1)*40503) % $P)) % $P))) AS sig
@@ -908,6 +938,37 @@ object ExtensionQueries {
       SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY k_mod ORDER BY k_mod NULLS LAST"""
+      FROM events GROUP BY k_mod ORDER BY k_mod NULLS LAST""",
+
+    // Replay of Joins.asof via DuckDB's native ASOF LEFT JOIN — the right
+    // side is unique per (user_id, ts) on both engines, so the as-of
+    // winner is well-defined and identical.
+    "asof_join" -> """
+      WITH clicks AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts AS p_ts, max_by(value, event_id) AS p_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.event_id, c.ts, c.user_id, c.value, p.p_ts, p.p_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.p_ts
+      ORDER BY c.event_id""",
+
+    // Replay of Contamination.check: same shingle hashing as the minhash
+    // family, overlap counted on distinct (eval_id, shingle) matches
+    // against any OTHER document.
+    "contamination_check" -> s"""$shingleCtes,
+      ev AS (SELECT doc_id AS eval_id, shingles FROM sh WHERE doc_id % 50 = 0),
+      evx AS (SELECT eval_id, unnest(shingles) AS h FROM ev),
+      cx AS (SELECT doc_id AS c_id, unnest(shingles) AS h FROM sh),
+      matched AS (
+        SELECT DISTINCT eval_id, h FROM cx JOIN evx USING (h)
+        WHERE c_id != eval_id),
+      mc AS (SELECT eval_id, COUNT(*) AS nc FROM matched GROUP BY eval_id)
+      SELECT eval_id, len(shingles)::BIGINT AS n_shingles,
+        COALESCE(nc, 0)::BIGINT AS n_contaminated,
+        round(COALESCE(nc, 0)::DOUBLE / len(shingles), 6) AS contamination
+      FROM ev LEFT JOIN mc USING (eval_id) ORDER BY eval_id"""
   )
 }

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta"),
+    (1L, "alpha beta gamma delta epsilon zeta"), // exact copy of 0
+    (2L, "one two three four five six seven"),
+    (3L, "alpha beta gamma nine ten eleven twelve") // shares one shingle with 0
+  ).toDF("doc_id", "text")
+
+  test("copied eval doc reads fully contaminated, unique doc reads clean") {
+    val evalSet = corpus.where($"doc_id".isin(0L, 2L))
+    val out = Contamination.check(corpus, evalSet, "doc_id", "text")
+      .orderBy("eval_id").collect()
+    // doc 0: every shingle also in doc 1 (its copy) -> contamination 1.0
+    assert(out(0).getLong(0) == 0L && out(0).getDouble(3) == 1.0)
+    // doc 2: no other doc shares any shingle -> 0.0, but n_shingles real
+    assert(out(1).getLong(0) == 2L && out(1).getDouble(3) == 0.0
+      && out(1).getLong(1) == 5L)
+  }
+
+  test("self-match never counts: a unique eval doc inside the corpus is clean") {
+    val out = Contamination.check(corpus, corpus.where($"doc_id" === 2L),
+        "doc_id", "text").collect()
+    assert(out.length == 1 && out(0).getLong(2) == 0L)
+  }
+
+  test("partial overlap is a fraction of the eval doc's shingles") {
+    // doc 3 holds 5 shingles; exactly one ("alpha beta gamma") also in 0/1
+    val out = Contamination.check(corpus, corpus.where($"doc_id" === 3L),
+        "doc_id", "text").collect()(0)
+    assert(out.getLong(1) == 5L && out.getLong(2) == 1L
+      && out.getDouble(3) == 0.2)
+  }
+
+  test("corpus side joins map-side against a broadcast eval set") {
+    val plan = Contamination.check(corpus, corpus.where($"doc_id" === 0L),
+        "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side not broadcast — corpus would shuffle:\n$plan")
+  }
+}

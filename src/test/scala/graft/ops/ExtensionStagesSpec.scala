@@ -146,6 +146,42 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(st.budget == 5000000000L)
   }
 
+  test("asof-join stage parses and runs against registered views") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "u1", 250L)).toDF("id", "user", "t"), "aj_left")
+    Views.register(Seq(("u1", 200L, "hit")).toDF("user", "rt", "tag"), "aj_right")
+    val conf = """{"stages": [
+      {"type": "AsofJoinTransform", "name": "aj", "inputView": "aj_left",
+       "rightView": "aj_right", "outputView": "aj_out",
+       "keys": ["user"], "leftTime": "t", "rightTime": "rt"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get.collect()
+    assert(out.length == 1 && out(0).getAs[String]("tag") == "hit")
+    // a keys-less config is an accumulated error, not a runtime surprise
+    val Left(errs) = Parser.parse(conf.replace(""""keys": ["user"],""", ""),
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("keys")))
+  }
+
+  test("contamination stage parses and runs against registered views") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    val corpus = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
+    Views.register(corpus, "ct_corpus")
+    Views.register(corpus.where($"doc_id" === 0L), "ct_eval")
+    val conf = """{"stages": [
+      {"type": "ContaminationTransform", "name": "ct", "inputView": "ct_corpus",
+       "evalView": "ct_eval", "outputView": "ct_out"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get.collect()
+    assert(out.length == 1 && out(0).getAs[Double]("contamination") == 1.0)
+  }
+
   test("unknown method surfaces as a config error") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "magic",

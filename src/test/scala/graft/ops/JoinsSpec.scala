@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "u1", 100L), // before any right row -> null match
+    (2L, "u1", 200L), // exactly at a right ts -> inclusive match
+    (3L, "u1", 350L), // between rights -> the earlier one
+    (4L, "u2", 500L)  // key with no right rows at all
+  ).toDF("event_id", "user", "t")
+
+  private def right = Seq(
+    ("u1", 200L, "a"),
+    ("u1", 300L, "b")
+  ).toDF("user", "rt", "tag")
+
+  test("asof picks the latest right row at or before each left row") {
+    val out = Joins.asof(left, right, Seq("user"), "t", "rt")
+      .select($"event_id", $"tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some("a"), 3L -> Some("b"), 4L -> None))
+  }
+
+  test("asof output keeps left columns and appends right payload") {
+    val out = Joins.asof(left, right, Seq("user"), "t", "rt")
+    assert(out.columns.toSeq == Seq("event_id", "user", "t", "rt", "tag"))
+    assert(out.count() == left.count()) // exactly one output row per left row
+  }
+
+  test("asof tie on (key, time): the max payload struct wins deterministically") {
+    val dupRight = Seq(("u1", 200L, "a"), ("u1", 200L, "z")).toDF("user", "rt", "tag")
+    val out = Joins.asof(left.where($"event_id" === 2L), dupRight, Seq("user"), "t", "rt")
+      .select($"tag").as[String].collect()
+    assert(out.toSeq == Seq("z"))
+  }
+
+  test("asof plans one shuffle + window, never a per-key cartesian") {
+    val plan = Joins.asof(left, right, Seq("user"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"cartesian in asof plan:\n$plan")
+    assert(plan.contains("Window"), s"expected window plan:\n$plan")
+    // one exchange for the union'd key shuffle; no join node at all
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"unexpected join node (union+window form has none):\n$plan")
+  }
+
+  test("asof rejects colliding right payload names") {
+    intercept[IllegalArgumentException] {
+      Joins.asof(left, right.withColumnRenamed("tag", "t"), Seq("user"), "t", "rt")
+    }
+  }
+}
