@@ -142,6 +142,29 @@ final case class AsofJoinTransformStage(
   }
 }
 
+final case class RangeJoinTransformStage(
+    name: String,
+    inputView: String, // left side
+    rightView: String,
+    outputView: String,
+    leftTime: String,
+    startCol: String,
+    endCol: String,
+    keys: Seq[String] = Nil,
+    bucketSeconds: Long = 3600)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "inputView" -> inputView
+    detail += "rightView" -> rightView
+    detail += "outputView" -> outputView
+    val out = Joins.range(Views.resolve(inputView), leftTime,
+      Views.resolve(rightView), startCol, endCol, keys, bucketSeconds)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
 final case class ContaminationTransformStage(
     name: String,
     inputView: String, // the corpus
@@ -202,10 +225,16 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | tokens | langid | fingerprint | langdist
+    analysis: String, // quality | quality_filter | tokens | langid | fingerprint | langdist
     idCol: String = "doc_id",
     textCol: String = "text",
-    langCol: String = "lang")
+    langCol: String = "lang",
+    minChars: Long = 50L,
+    maxChars: Long = 100000L,
+    minWords: Long = 10L,
+    minTtr: Double = 0.1,
+    minStopwordRatio: Double = 0.0,
+    maxPunctRatio: Double = 0.3)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -214,6 +243,8 @@ final case class TextAnalysisTransformStage(
     detail += "inputView" -> inputView
     val out = analysis match {
       case "quality"     => TextAnalysis.quality(in, idCol, textCol)
+      case "quality_filter" => TextAnalysis.qualityFilter(in, textCol,
+        minChars, maxChars, minWords, minTtr, minStopwordRatio, maxPunctRatio)
       case "tokens"      => TextAnalysis.tokenCounts(in, idCol, textCol)
       case "langid"      => TextAnalysis.langId(in, idCol, textCol, langCol)
       case "fingerprint" => TextAnalysis.fingerprints(in, idCol, textCol)

@@ -58,4 +58,40 @@ object Joins {
       .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c))
         ++ payload.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Range (interval) join: every left row paired with every right
+    * interval containing its `leftTime` (`start <= t <= end`, both
+    * inclusive), inner-join semantics. Rows whose interval is inverted
+    * (`end < start`) are dropped.
+    *
+    * The naive formulation is a theta-join — with no (or a hot) equality
+    * key Spark plans it as a cartesian, O(|L|·|R|) per key. This is the
+    * standard BUCKETED form instead: both sides key on
+    * floor(time / bucketSeconds) — each interval explodes over the
+    * buckets it covers — and the containment predicate runs only inside
+    * an equi-join on (keys, bucket). A (left, right) pair shares exactly
+    * one bucket (the left row's), so no post-join dedup is needed. Join
+    * cost is governed by per-bucket density; pick `bucketSeconds` near
+    * the typical interval length, so each interval lands in O(1) buckets
+    * while buckets stay small.
+    */
+  def range(left: DataFrame, leftTime: String,
+      right: DataFrame, startCol: String, endCol: String,
+      keys: Seq[String] = Nil, bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val collide = left.columns.toSet.intersect(payload.toSet)
+    require(collide.isEmpty,
+      s"right payload columns collide with left: ${collide.mkString(", ")}")
+    val g = bucketSeconds * 1000000L // micros
+    val lb = left.withColumn("__b", floor(unix_micros(col(leftTime)) / g))
+    val rb = right
+      .where(col(endCol) >= col(startCol)) // inverted interval: no bucket span
+      .withColumn("__b", explode(sequence(
+        floor(unix_micros(col(startCol)) / g),
+        floor(unix_micros(col(endCol)) / g))))
+    lb.join(rb, keys :+ "__b")
+      .where(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
+      .select(left.columns.toSeq.map(col) ++ payload.map(col): _*)
+  }
 }

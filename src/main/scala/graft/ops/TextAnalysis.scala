@@ -17,27 +17,54 @@ object TextAnalysis {
   /** Small fixed stopword list used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** The quality metric expressions, shared by [[quality]] (which reports
+    * them) and [[qualityFilter]] (which thresholds them inline so the
+    * filter stays a narrow, join-free pass).
+    */
+  private def qualityMetrics(textCol: String): Seq[(String, Column)] = {
+    val ws = T.words(col(textCol))
+    val nWords = size(ws)
+    val nAlnumSpace = length(regexp_replace(col(textCol), "[^A-Za-z0-9 ]", ""))
+    Seq(
+      "n_chars" -> length(col(textCol)).cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "n_distinct_words" -> size(array_distinct(ws)).cast("long"),
+      // type-token ratio
+      "ttr" -> round(size(array_distinct(ws)).cast("double") / nWords.cast("double"), 6),
+      "stopword_ratio" -> round(
+        size(filter(ws, w => w.isInCollection(Stopwords))).cast("double")
+          / nWords.cast("double"), 6),
+      "punct_ratio" -> round((length(col(textCol)) - nAlnumSpace).cast("double")
+        / length(col(textCol)).cast("double"), 6),
+      "mean_word_len" -> round((length(col(textCol)) - nWords + 1).cast("double")
+        / nWords.cast("double"), 6))
+  }
+
   /** Per-document quality metrics: sizes, lexical diversity, stopword
     * ratio, punctuation ratio, mean word length. The classic cheap filters
     * (Gopher/C4-style) are thresholds over exactly these columns.
     */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = T.words(col(textCol))
-    val nWords = size(ws)
-    val nAlnumSpace = length(regexp_replace(col(textCol), "[^A-Za-z0-9 ]", ""))
-    df.select(
-      col(idCol).as("doc_id"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      nWords.cast("long").as("n_words"),
-      size(array_distinct(ws)).cast("long").as("n_distinct_words"),
-      round(size(array_distinct(ws)).cast("double") / nWords.cast("double"), 6)
-        .as("ttr"), // type-token ratio
-      round(size(filter(ws, w => w.isInCollection(Stopwords))).cast("double")
-        / nWords.cast("double"), 6).as("stopword_ratio"),
-      round((length(col(textCol)) - nAlnumSpace).cast("double")
-        / length(col(textCol)).cast("double"), 6).as("punct_ratio"),
-      round((length(col(textCol)) - nWords + 1).cast("double")
-        / nWords.cast("double"), 6).as("mean_word_len"))
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id")
+      +: qualityMetrics(textCol).map { case (n, c) => c.as(n) }: _*)
+
+  /** C4/Gopher-style quality FILTER: keep rows passing every threshold,
+    * schema unchanged. A pure narrow filter over the same codegen'd
+    * metric expressions as [[quality]] — no join back, no shuffle, and
+    * the predicate reaches the scan as a data filter at any corpus size.
+    * Bounds are inclusive; thresholds compare the 6dp-rounded ratios (the
+    * values [[quality]] reports), so filter and report always agree.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minChars: Long = 50, maxChars: Long = 100000,
+      minWords: Long = 10, minTtr: Double = 0.1,
+      minStopwordRatio: Double = 0.0, maxPunctRatio: Double = 0.3): DataFrame = {
+    val m = qualityMetrics(textCol).toMap
+    df.where(m("n_chars").between(minChars, maxChars)
+      && m("n_words") >= minWords
+      && m("ttr") >= minTtr
+      && m("stopword_ratio") >= minStopwordRatio
+      && m("punct_ratio") <= maxPunctRatio)
   }
 
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization

@@ -152,6 +152,18 @@ object Parser {
         leftTime = r.string("leftTime").getOrElse("ts"),
         rightTime = r.string("rightTime").getOrElse("ts"))
     },
+    "RangeJoinTransform" -> { (r, _) =>
+      RangeJoinTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        rightView = r.requiredString("rightView"),
+        outputView = r.requiredString("outputView"),
+        leftTime = r.requiredString("leftTime"),
+        startCol = r.requiredString("startCol"),
+        endCol = r.requiredString("endCol"),
+        keys = r.stringList("keys"),
+        bucketSeconds = r.long("bucketSeconds").getOrElse(3600L))
+    },
     "ContaminationTransform" -> { (r, _) =>
       ContaminationTransformStage(
         name = r.requiredString("name"),
@@ -190,10 +202,17 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         analysis = r.oneOf("analysis",
-          Seq("quality", "tokens", "langid", "fingerprint", "langdist"), "quality"),
+          Seq("quality", "quality_filter", "tokens", "langid", "fingerprint",
+            "langdist"), "quality"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
-        langCol = r.string("langCol").getOrElse("lang"))
+        langCol = r.string("langCol").getOrElse("lang"),
+        minChars = r.long("minChars").getOrElse(50L),
+        maxChars = r.long("maxChars").getOrElse(100000L),
+        minWords = r.long("minWords").getOrElse(10L),
+        minTtr = r.double("minTtr").getOrElse(0.1),
+        minStopwordRatio = r.double("minStopwordRatio").getOrElse(0.0),
+        maxPunctRatio = r.double("maxPunctRatio").getOrElse(0.3))
     }
   )
 
@@ -280,13 +299,16 @@ object Parser {
       "kmeansIters", "nBits", "bands", "rows", "exactReplay")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime")),
+    "RangeJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
+      "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds")),
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
-      "idCol", "textCol", "langCol"))
+      "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
+      "minTtr", "minStopwordRatio", "maxPunctRatio"))
   )
 
   def parse(

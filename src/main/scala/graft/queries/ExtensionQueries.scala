@@ -54,6 +54,12 @@ object ExtensionQueries {
   private val EmbedMaxBucket = 16
   private val TopK = 5
   private val NQueryVecs = 10
+  private val QfMinChars = 100L
+  private val QfMaxChars = 450L
+  private val QfMinWords = 20L
+  private val QfMinTtr = 0.40
+  private val QfMinStopword = 0.02
+  private val QfMaxPunct = 0.10
   private val CentroidEvery = 100
   private val KmeansIters = 2
   private val SampleRate = 0.25
@@ -284,6 +290,31 @@ object ExtensionQueries {
         .agg(max_by(col("value"), col("event_id")).as("p_value"))
       Joins.asof(clicks, purch, Seq("user_id"), "ts", "p_ts")
         .orderBy("event_id")
+    },
+
+    "range_join" -> { (spark, dir) =>
+      // Attribution: every click inside a 30-minute window after any
+      // purchase by the same user. Inner join, possibly many windows per
+      // click — the bucketed-range plan keyed on (user_id, time bucket).
+      val ev = events(spark, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"),
+          col("event_id").as("p_id"))
+      Joins.range(clicks, "ts", windows, "w_start", "w_end",
+          Seq("user_id"), bucketSeconds = 1800)
+        .orderBy("event_id", "p_id")
+    },
+
+    "quality_filter" -> { (spark, dir) =>
+      TextAnalysis.qualityFilter(docs(spark, dir), "text",
+          minChars = QfMinChars, maxChars = QfMaxChars, minWords = QfMinWords,
+          minTtr = QfMinTtr, minStopwordRatio = QfMinStopword,
+          maxPunctRatio = QfMaxPunct)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     },
 
     "contamination_check" -> { (spark, dir) =>
@@ -954,6 +985,41 @@ object ExtensionQueries {
       FROM clicks c ASOF LEFT JOIN purch p
         ON c.user_id = p.user_id AND c.ts >= p.p_ts
       ORDER BY c.event_id""",
+
+    // Replay of Joins.range as the plain inequality join DuckDB plans
+    // natively (IEJoin); the Spark side must produce the identical pair
+    // set through its bucketed equi-join formulation.
+    "range_join" -> """
+      WITH clicks AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+      w AS (
+        SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end,
+          event_id AS p_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.event_id, c.ts, c.user_id, w.w_start, w.w_end, w.p_id
+      FROM clicks c JOIN w ON c.user_id = w.user_id
+        AND c.ts >= w.w_start AND c.ts <= w.w_end
+      ORDER BY c.event_id, w.p_id""",
+
+    // Replay of TextAnalysis.qualityFilter: thresholds over the same
+    // 6dp-rounded metrics the text_quality oracle computes.
+    "quality_filter" -> s"""
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+          length(text)::BIGINT AS qf_chars,
+          len(string_split(text, ' '))::BIGINT AS qf_words,
+          round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' '))::DOUBLE, 6) AS qf_ttr,
+          round(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+            / len(string_split(text, ' '))::DOUBLE, 6) AS qf_swr,
+          round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+            / length(text)::DOUBLE, 6) AS qf_punct
+        FROM documents)
+      WHERE qf_chars BETWEEN $QfMinChars AND $QfMaxChars
+        AND qf_words >= $QfMinWords AND qf_ttr >= $QfMinTtr
+        AND qf_swr >= $QfMinStopword AND qf_punct <= $QfMaxPunct
+      ORDER BY doc_id""",
 
     // Replay of Contamination.check: same shingle hashing as the minhash
     // family, overlap counted on distinct (eval_id, shingle) matches

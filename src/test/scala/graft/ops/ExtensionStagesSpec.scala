@@ -166,6 +166,46 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(errs.exists(_.key.contains("keys")))
   }
 
+  test("range-join stage parses and runs against registered views") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Views.register(Seq((1L, "u1", ts("2024-01-01 10:30:00")))
+      .toDF("id", "user", "t"), "rj_left")
+    Views.register(Seq(("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "w1"))
+      .toDF("user", "s", "e", "w"), "rj_right")
+    val conf = """{"stages": [
+      {"type": "RangeJoinTransform", "name": "rj", "inputView": "rj_left",
+       "rightView": "rj_right", "outputView": "rj_out", "keys": ["user"],
+       "leftTime": "t", "startCol": "s", "endCol": "e", "bucketSeconds": 900}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st = p.stages.head.stage.asInstanceOf[RangeJoinTransformStage]
+    assert(st.bucketSeconds == 900L)
+    val out = Runner.run(p).get.collect()
+    assert(out.length == 1 && out(0).getAs[String]("w") == "w1")
+  }
+
+  test("quality-filter analysis parses thresholds and runs") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "the cat sat on a mat today fine day ok"), (2L, "x"))
+      .toDF("doc_id", "text"), "qf_docs")
+    val conf = """{"stages": [
+      {"type": "TextAnalysisTransform", "name": "qf", "analysis": "quality_filter",
+       "inputView": "qf_docs", "outputView": "qf_out",
+       "minChars": 5, "maxChars": 100, "minWords": 5, "minTtr": 0.5,
+       "minStopwordRatio": 0.0, "maxPunctRatio": 0.5}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val st = p.stages.head.stage.asInstanceOf[TextAnalysisTransformStage]
+    assert(st.minChars == 5L && st.minTtr == 0.5)
+    val out = Runner.run(p).get.collect()
+    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 1L)
+  }
+
   test("contamination stage parses and runs against registered views") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._

@@ -53,4 +53,42 @@ class JoinsSpec extends SparkSpec {
       Joins.asof(left, right.withColumnRenamed("tag", "t"), Seq("user"), "t", "rt")
     }
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def points = Seq(
+    (1L, "u1", ts("2024-01-01 10:00:30")),
+    (2L, "u1", ts("2024-01-01 12:00:00")),
+    (3L, "u2", ts("2024-01-01 10:00:30"))
+  ).toDF("event_id", "user", "t")
+
+  private def intervals = Seq(
+    ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"), "w1"),
+    ("u1", ts("2024-01-01 10:00:30"), ts("2024-01-01 10:00:30"), "w2"), // point interval, inclusive both ends
+    ("u2", ts("2024-01-01 11:00:00"), ts("2024-01-01 10:00:00"), "bad") // inverted: dropped
+  ).toDF("user", "s", "e", "w")
+
+  test("range join pairs each point with every containing interval, inclusive bounds") {
+    val out = Joins.range(points, "t", intervals, "s", "e", Seq("user"),
+        bucketSeconds = 1800)
+      .select($"event_id", $"w").as[(Long, String)].collect().toSet
+    // event 1 in w1 and the point-interval w2; event 2 after w1 ends;
+    // event 3's only candidate interval is inverted
+    assert(out == Set((1L, "w1"), (1L, "w2")))
+  }
+
+  test("range join emits each (point, interval) pair exactly once across buckets") {
+    // interval spans 4 buckets at 30min granularity; the point matches once
+    val wide = Seq(("u1", ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"), "wide"))
+      .toDF("user", "s", "e", "w")
+    val out = Joins.range(points, "t", wide, "s", "e", Seq("user"), 1800)
+    assert(out.count() == 1)
+  }
+
+  test("range join plans an equi-join on (keys, bucket), never a cartesian") {
+    val plan = Joins.range(points, "t", intervals, "s", "e", Seq("user"), 1800)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"cartesian in range-join plan:\n$plan")
+  }
 }

@@ -17,6 +17,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_word_len") == 3.666667)  // (13-3+1)/3
   }
 
+  test("quality filter keeps schema and applies every threshold inclusively") {
+    val df = Seq(
+      (1L, "the cat sat on a mat today fine day ok"),   // 10 words, passes
+      (2L, "x"),                                        // too short
+      (3L, "the the the the the the the the the the")   // ttr 0.1 < minTtr
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(df, "text",
+      minChars = 1, maxChars = 100, minWords = 5, minTtr = 0.5,
+      minStopwordRatio = 0.0, maxPunctRatio = 0.5)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // filter agrees with what quality() reports: thresholds compare the
+    // same 6dp-rounded values
+    val ttr3 = TextAnalysis.quality(df.where($"doc_id" === 3L), "doc_id", "text")
+      .head().getAs[Double]("ttr")
+    assert(TextAnalysis.qualityFilter(df.where($"doc_id" === 3L), "text",
+      minChars = 1, maxChars = 100, minWords = 1, minTtr = ttr3,
+      minStopwordRatio = 0.0, maxPunctRatio = 1.0).count() == 1)
+  }
+
   test("token counts: whitespace vs BPE-ish regex tokens") {
     val df = Seq((1L, "ab 12 c!")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(df, "doc_id", "text").head()
