@@ -142,6 +142,26 @@ final case class AsofJoinTransformStage(
   }
 }
 
+final case class SaltedJoinTransformStage(
+    name: String,
+    inputView: String, // left (skewed) side
+    rightView: String,
+    outputView: String,
+    keys: Seq[String],
+    saltFactor: Int = 8)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "inputView" -> inputView
+    detail += "rightView" -> rightView
+    detail += "outputView" -> outputView
+    val out = Joins.salted(Views.resolve(inputView), Views.resolve(rightView),
+      keys, saltFactor)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
 final case class RangeJoinTransformStage(
     name: String,
     inputView: String, // left side
@@ -191,7 +211,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | shard_by_budget
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -199,7 +219,8 @@ final case class SampleTransformStage(
     rates: Map[String, Double] = Map.empty,
     defaultRate: Double = 1.0,
     tokenCol: String = "n_tokens",
-    budget: Long = 1000000L)
+    budget: Long = 1000000L,
+    k: Int = 100)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -211,6 +232,8 @@ final case class SampleTransformStage(
       case "deterministic" => Sampling.deterministic(in, idCol, rate, salt)
       case "stratified" =>
         Sampling.stratified(in, stratumCol, idCol, rates, defaultRate, salt)
+      case "per_stratum_head" =>
+        Sampling.perStratumHead(in, stratumCol, idCol, k, salt)
       case "shard_by_budget" =>
         Sampling.shardByBudget(in, idCol, tokenCol, budget)
       case other =>

@@ -94,4 +94,27 @@ object Joins {
       .where(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
       .select(left.columns.toSeq.map(col) ++ payload.map(col): _*)
   }
+
+  /** Skew-safe inner equi-join, result identical to
+    * `left.join(right, keys)`: the (skewed) left side salts its key with
+    * hash-of-row mod `saltFactor`, the right side replicates once per salt
+    * value, and the join runs on (keys, salt) — one hot key spreads over
+    * `saltFactor` reducers instead of funneling into a single task.
+    *
+    * AQE's skew handling splits oversized sort-merge partitions and covers
+    * the common cases; explicit salting is the remaining tool when a
+    * single key's rows must not co-locate at all (e.g. the hot key alone
+    * exceeds executor memory, or the join strategy AQE picked can't be
+    * split). Cost: the right side is materialized `saltFactor` times —
+    * keep the factor modest and the right side the smaller input.
+    */
+  def salted(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -60,6 +60,25 @@ object Sampling {
     df.where(keyOf(col(idCol), salt) < threshold)
   }
 
+  /** Balanced per-stratum subset: the `k` rows of each stratum with the
+    * smallest h32(id ++ salt), ties broken by id — deterministic "take k
+    * per group" for balanced eval/ablation sets. The subset is a pure
+    * function of the ids (stable under any partitioning; a new `salt`
+    * redraws it), unlike a per-group limit over arbitrary row order.
+    * One shuffle on the stratum key; each stratum sorts independently,
+    * so the plan holds whenever strata are numerous relative to cores —
+    * the data-mixing case (languages × sources), not a 2-group split.
+    */
+  def perStratumHead(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(keyOf(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
   /** (id, tokens, shard): shard = floor(exclusive-prefix-sum(tokens) /
     * budget) over ascending id — documents pack into consecutive
     * fixed-budget shards, a document never splits, id order is preserved

@@ -152,6 +152,19 @@ object Parser {
         leftTime = r.string("leftTime").getOrElse("ts"),
         rightTime = r.string("rightTime").getOrElse("ts"))
     },
+    "SaltedJoinTransform" -> { (r, _) =>
+      SaltedJoinTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        rightView = r.requiredString("rightView"),
+        outputView = r.requiredString("outputView"),
+        keys = {
+          val ks = r.stringList("keys")
+          if (ks.isEmpty) r.error("keys", "at least one join key is required")
+          ks
+        },
+        saltFactor = r.int("saltFactor").getOrElse(8))
+    },
     "RangeJoinTransform" -> { (r, _) =>
       RangeJoinTransformStage(
         name = r.requiredString("name"),
@@ -181,7 +194,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("deterministic", "stratified", "shard_by_budget"), "deterministic"),
+          Seq("deterministic", "stratified", "per_stratum_head",
+            "shard_by_budget"), "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
         salt = r.string("salt").getOrElse(""),
@@ -194,7 +208,8 @@ object Parser {
         },
         defaultRate = r.double("defaultRate").getOrElse(1.0),
         tokenCol = r.string("tokenCol").getOrElse("n_tokens"),
-        budget = r.long("budget").getOrElse(1000000L))
+        budget = r.long("budget").getOrElse(1000000L),
+        k = r.int("k").getOrElse(100))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -299,13 +314,15 @@ object Parser {
       "kmeansIters", "nBits", "bands", "rows", "exactReplay")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime")),
+    "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
+      "outputView", "keys", "saltFactor")),
     "RangeJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds")),
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
-      "tokenCol", "budget")),
+      "tokenCol", "budget", "k")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio"))

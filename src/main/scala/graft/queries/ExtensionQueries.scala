@@ -54,6 +54,7 @@ object ExtensionQueries {
   private val EmbedMaxBucket = 16
   private val TopK = 5
   private val NQueryVecs = 10
+  private val PerStratumK = 20
   private val QfMinChars = 100L
   private val QfMaxChars = 450L
   private val QfMinWords = 20L
@@ -306,6 +307,26 @@ object ExtensionQueries {
       Joins.range(clicks, "ts", windows, "w_start", "w_end",
           Seq("user_id"), bucketSeconds = 1800)
         .orderBy("event_id", "p_id")
+    },
+
+    "salted_join" -> { (spark, dir) =>
+      // Result must be IDENTICAL to the plain join — salting only
+      // re-shapes the exchange; the oracle runs the unsalted form.
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Joins.salted(li, ord, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    "sample_per_stratum" -> { (spark, dir) =>
+      Sampling.perStratumHead(docs(spark, dir), "lang", "doc_id", PerStratumK)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     },
 
     "quality_filter" -> { (spark, dir) =>
@@ -1000,6 +1021,25 @@ object ExtensionQueries {
       FROM clicks c JOIN w ON c.user_id = w.user_id
         AND c.ts >= w.w_start AND c.ts <= w.w_end
       ORDER BY c.event_id, w.p_id""",
+
+    // The salted join's contract IS the plain join — the oracle runs the
+    // unsalted form and the hashes must agree exactly.
+    "salted_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Replay of Sampling.perStratumHead: smallest-k h32(id) per stratum,
+    // id tie-break — same md5-based hash as the sampling family.
+    "sample_per_stratum" -> s"""
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P,
+              doc_id) AS rn
+        FROM documents)
+      WHERE rn <= $PerStratumK ORDER BY doc_id""",
 
     // Replay of TextAnalysis.qualityFilter: thresholds over the same
     // 6dp-rounded metrics the text_quality oracle computes.

@@ -206,6 +206,31 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 1L)
   }
 
+  test("salted-join stage and per-stratum-head sampling parse and run") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "a"), (2L, "b")).toDF("k", "lv"), "sj_left")
+    Views.register(Seq((1L, "X")).toDF("k", "rv"), "sj_right")
+    val conf = """{"stages": [
+      {"type": "SaltedJoinTransform", "name": "sj", "inputView": "sj_left",
+       "rightView": "sj_right", "outputView": "sj_out",
+       "keys": ["k"], "saltFactor": 4},
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "ps_docs"},
+      {"type": "SampleTransform", "name": "ps", "method": "per_stratum_head",
+       "inputView": "ps_docs", "outputView": "ps_out",
+       "stratumCol": "lang", "k": 3}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(p.stages.head.stage.asInstanceOf[SaltedJoinTransformStage].saltFactor == 4)
+    Runner.run(p)
+    assert(Views.resolve("sj_out").count() == 1)
+    val perLang = Views.resolve("ps_out").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ == 3L), s"not 3 per stratum: $perLang")
+  }
+
   test("contamination stage parses and runs against registered views") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._

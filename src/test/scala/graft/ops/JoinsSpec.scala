@@ -85,6 +85,18 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("salted join returns exactly the plain join's rows") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "lv")
+    val r = Seq((1L, "X"), (1L, "Y"), (3L, "Z")).toDF("k", "rv")
+    val plain = l.join(r, Seq("k"))
+    val salted = Joins.salted(l, r, Seq("k"), saltFactor = 4)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(datasetEquality(plain, salted))
+    // the exchange runs on (k, salt): the salt column is a join key
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt key missing from plan:\n$plan")
+  }
+
   test("range join plans an equi-join on (keys, bucket), never a cartesian") {
     val plan = Joins.range(points, "t", intervals, "s", "e", Seq("user"), 1800)
       .queryExecution.executedPlan.toString

@@ -27,6 +27,19 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministic(docs, "doc_id", 1.0).count() == n)
   }
 
+  test("per-stratum head: exactly k per stratum, stable under repartitioning") {
+    val out = Sampling.perStratumHead(docs, "lang", "doc_id", 7)
+    val perLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ == 7L), s"not 7 per stratum: $perLang")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    val reshuffled = Sampling.perStratumHead(docs.repartition(13), "lang", "doc_id", 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == reshuffled, "subset must be a pure function of the ids")
+    val redraw = Sampling.perStratumHead(docs, "lang", "doc_id", 7, salt = "v2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(redraw != ids, "a new salt draws a different balanced subset")
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val out = Sampling.stratified(docs, "lang", "doc_id",
       Map("de" -> 0.0), defaultRate = 1.0)
