@@ -57,13 +57,35 @@ trait Connector {
   * Filter pushdown, column pruning and partition pruning come from Spark's
   * native parquet source. Used by all tests and by the driver harness
   * (`/root/testdata/<sf>/<table>.parquet`).
+  *
+  * BUCKETED layout (`bucket.by` + `bucket.n` write options, `bucket.table`
+  * read option): the table is written through `bucketBy().sortBy()` as an
+  * external session-catalog table rooted at `<baseDir>/<t>.bucketed`.
+  * Bucketing is THE lakehouse lever for repeated big joins/aggregations on
+  * a stable key: two tables bucketed on the join key with the same bucket
+  * count sort-merge-join with NO exchange on either side — at 100 TB that
+  * deletes the dominant shuffle from every downstream query that joins on
+  * that key (the analogue of the reference's Cassandra token-range
+  * co-location). Bucket metadata lives in the session catalog (Spark
+  * cannot recover it from bare parquet), hence the explicit read option
+  * and the connector-scoped catalog name.
   */
 final class ParquetConnector(baseDir: String) extends Connector {
   private def path(table: String) = s"$baseDir/$table.parquet"
 
+  /** Catalog identifier for this connector's bucketed tables — scoped by
+    * the base dir so two connectors' same-named tables never collide in
+    * the shared session catalog.
+    */
+  private def catalogName(table: String) =
+    s"${table}_bkt_${Integer.toHexString(baseDir.hashCode)}"
+
   override def read(table: String, options: Map[String, String])(
       implicit ctx: PipelineContext): DataFrame =
-    ctx.spark.read.options(options).parquet(path(table))
+    if (options.get("bucket.table").exists(_.equalsIgnoreCase("true")))
+      ctx.spark.table(catalogName(table))
+    else
+      ctx.spark.read.options(options - "bucket.table").parquet(path(table))
 
   /** `disk.partitionBy` (comma-separated columns) lays the table out as
     * partition directories — the lakehouse layout whose directory pruning
@@ -74,9 +96,25 @@ final class ParquetConnector(baseDir: String) extends Connector {
     requireTruncateConfirmed(mode, options)
     val partCols = options.get("disk.partitionBy")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    val w = df.write.mode(mode)
-      .options(options - "confirm.truncate" - "disk.partitionBy")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(path(table))
+    val bucketCols = options.get("bucket.by")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val passThrough = options - "confirm.truncate" - "disk.partitionBy" -
+      "bucket.by" - "bucket.n"
+    if (bucketCols.nonEmpty) {
+      // external catalog table: data under baseDir, bucket spec in the
+      // session catalog; sortBy gives sorted buckets so downstream
+      // sort-merge joins skip the per-partition sort too
+      val n = options.get("bucket.n").map(_.toInt).getOrElse(8)
+      df.write.mode(mode).options(passThrough)
+        .option("path", s"$baseDir/$table.bucketed")
+        .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(catalogName(table))
+    } else {
+      val w = df.write.mode(mode).options(passThrough)
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(path(table))
+    }
   }
 
   /** Spark runs commands (DDL and side-effecting statements) eagerly when

@@ -248,7 +248,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | tokens | langid | fingerprint | langdist
+    analysis: String, // quality | quality_filter | normalize | tokens | langid | fingerprint | langdist
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -268,6 +268,7 @@ final case class TextAnalysisTransformStage(
       case "quality"     => TextAnalysis.quality(in, idCol, textCol)
       case "quality_filter" => TextAnalysis.qualityFilter(in, textCol,
         minChars, maxChars, minWords, minTtr, minStopwordRatio, maxPunctRatio)
+      case "normalize"   => TextAnalysis.normalize(in, textCol)
       case "tokens"      => TextAnalysis.tokenCounts(in, idCol, textCol)
       case "langid"      => TextAnalysis.langId(in, idCol, textCol, langCol)
       case "fingerprint" => TextAnalysis.fingerprints(in, idCol, textCol)

@@ -67,6 +67,25 @@ object TextAnalysis {
       && m("punct_ratio") <= maxPunctRatio)
   }
 
+  /** Text normalization for dedup / tokenization pre-passes: lowercase,
+    * URLs and emails redacted to placeholder tokens, digit runs collapsed
+    * to `0`, whitespace runs collapsed, trimmed. Replaces `textCol` in
+    * place so the stage composes with every downstream text operator.
+    * Pure narrow codegen'd column work; the patterns are deliberately
+    * simple enough to mean the same thing in Java regex and RE2, so any
+    * engine replays the normalization byte-for-byte.
+    */
+  def normalize(df: DataFrame, textCol: String,
+      redactUrls: Boolean = true, redactEmails: Boolean = true): DataFrame = {
+    var c: Column = lower(col(textCol))
+    if (redactUrls) c = regexp_replace(c, "https?://[^ ]+", "<url>")
+    if (redactEmails)
+      c = regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>")
+    c = regexp_replace(c, "[0-9]+", "0")
+    c = trim(regexp_replace(c, " +", " "))
+    df.withColumn(textCol, c)
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization
     * (letter runs | digit runs | single other non-space char) — the
     * standard pre-tokenizer shape. `chars_per_token` is the usual

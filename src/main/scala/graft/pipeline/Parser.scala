@@ -217,8 +217,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         analysis = r.oneOf("analysis",
-          Seq("quality", "quality_filter", "tokens", "langid", "fingerprint",
-            "langdist"), "quality"),
+          Seq("quality", "quality_filter", "normalize", "tokens", "langid",
+            "fingerprint", "langdist"), "quality"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         langCol = r.string("langCol").getOrElse("lang"),

@@ -309,6 +309,13 @@ object ExtensionQueries {
         .orderBy("event_id", "p_id")
     },
 
+    "text_normalize" -> { (spark, dir) =>
+      TextAnalysis.normalize(docs(spark, dir), "text")
+        .select(col("doc_id"), col("text").as("norm_text"),
+          length(col("text")).cast("long").as("norm_chars"))
+        .orderBy("doc_id")
+    },
+
     "salted_join" -> { (spark, dir) =>
       // Result must be IDENTICAL to the plain join — salting only
       // re-shapes the exchange; the oracle runs the unsalted form.
@@ -1021,6 +1028,24 @@ object ExtensionQueries {
       FROM clicks c JOIN w ON c.user_id = w.user_id
         AND c.ts >= w.w_start AND c.ts <= w.w_end
       ORDER BY c.event_id, w.p_id""",
+
+    // Replay of TextAnalysis.normalize: same regex chain (patterns simple
+    // enough to agree between Java regex and RE2).
+    "text_normalize" -> """
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(text),
+          'https?://[^ ]+', '<url>', 'g'),
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+          '[0-9]+', '0', 'g'),
+          ' +', ' ', 'g')) AS norm_text,
+        length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(text),
+          'https?://[^ ]+', '<url>', 'g'),
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+          '[0-9]+', '0', 'g'),
+          ' +', ' ', 'g')))::BIGINT AS norm_chars
+      FROM documents ORDER BY doc_id""",
 
     // The salted join's contract IS the plain join — the oracle runs the
     // unsalted form and the hashes must agree exactly.

@@ -252,6 +252,33 @@ object ParityQueries {
         .orderBy("n_nationkey")
     },
 
+    "bucketed_join" -> { (spark, dir) =>
+      // Co-located join: both sides written bucketBy(8) on the join key —
+      // the sort-merge join then needs NO exchange on either side
+      // (asserted by BucketedSpec); the gate checks the result equals the
+      // plain join the oracle runs on the original tables.
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_bkt").toString
+      val conn = new ParquetConnector(tmp)
+      extract(spark, dir, "lineitem", "q_bk")
+      extract(spark, dir, "orders", "q_bk")
+      LoadStage("bk_l", conn, "q_bk_lineitem", "li", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true",
+          "bucket.by" -> "l_orderkey", "bucket.n" -> "8")).run()
+      LoadStage("bk_o", conn, "q_bk_orders", "ord", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true",
+          "bucket.by" -> "o_orderkey", "bucket.n" -> "8")).run()
+      val li = ExtractStage("bk_rl", conn, "li", "q_bk_li",
+        options = Map("bucket.table" -> "true")).run().get
+      val ord = ExtractStage("bk_ro", conn, "ord", "q_bk_ord",
+        options = Map("bucket.table" -> "true")).run().get
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+
     "quantiles" -> { (spark, dir) =>
       implicit val c: PipelineContext = ctx(spark)
       extract(spark, dir, "lineitem", "q_qt")
@@ -414,6 +441,14 @@ object ParityQueries {
     "load_partitioned" -> """
       SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey""",
+
+    // The bucketed layout must not change a single row: the oracle is the
+    // plain join over the ORIGINAL tables.
+    "bucketed_join" -> """
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "quantiles" -> """
       SELECT l_returnflag,

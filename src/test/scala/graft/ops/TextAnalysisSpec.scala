@@ -45,6 +45,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("chars_per_token") == 2.0)
   }
 
+  test("normalize: lowercases, redacts urls/emails, collapses digits and spaces") {
+    val df = Seq((1L, "See https://x.co/a and Mail Bob@Ex.COM:  pay 1250 now"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df, "text").head().getString(1)
+    assert(out == "see <url> and mail <email>: pay 0 now", s"got '$out'")
+    assert(TextAnalysis.normalize(df, "text").columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("fingerprint: content identity, order sensitivity") {
     val df = Seq((1L, "ab"), (2L, "ab"), (3L, "ba")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "doc_id", "text")
