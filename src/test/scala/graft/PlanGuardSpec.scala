@@ -10,7 +10,9 @@ class PlanGuardSpec extends SparkSpec {
   private val heavy = Seq(
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "dedup_embedding", "similarity_topk", "similarity_ann", "similarity_ivf",
-    "similarity_ivf_scalable", "join_agg", "window_topn", "sketch_kmv")
+    "similarity_ivf_scalable", "join_agg", "window_topn", "sketch_kmv",
+    "asof_join", "range_join", "salted_join", "contamination_check",
+    "sample_per_stratum")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>
