@@ -248,7 +248,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | tokens | langid | fingerprint | langdist
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -257,7 +257,9 @@ final case class TextAnalysisTransformStage(
     minWords: Long = 10L,
     minTtr: Double = 0.1,
     minStopwordRatio: Double = 0.0,
-    maxPunctRatio: Double = 0.3)
+    maxPunctRatio: Double = 0.3,
+    chunkSize: Int = 64,
+    overlap: Int = 16)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -269,6 +271,7 @@ final case class TextAnalysisTransformStage(
       case "quality_filter" => TextAnalysis.qualityFilter(in, textCol,
         minChars, maxChars, minWords, minTtr, minStopwordRatio, maxPunctRatio)
       case "normalize"   => TextAnalysis.normalize(in, textCol)
+      case "chunk"       => TextAnalysis.chunk(in, idCol, textCol, chunkSize, overlap)
       case "tokens"      => TextAnalysis.tokenCounts(in, idCol, textCol)
       case "langid"      => TextAnalysis.langId(in, idCol, textCol, langCol)
       case "fingerprint" => TextAnalysis.fingerprints(in, idCol, textCol)

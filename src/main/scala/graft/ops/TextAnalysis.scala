@@ -102,6 +102,38 @@ object TextAnalysis {
         .as("chars_per_token"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the standard
+    * pre-training / retrieval prep step (long documents become model-sized
+    * pieces; the overlap keeps boundary context). Chunk `i` covers words
+    * `[i*stride, i*stride + chunkSize)` with `stride = chunkSize -
+    * overlap`; the last chunk may be short; a document shorter than one
+    * chunk yields itself. One row per chunk:
+    * (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+    *
+    * Pure narrow explode — no shuffle, no state; output row count is
+    * ~n_tokens/stride per document, each row a bounded slice. All
+    * arithmetic is integer (floor division), so any engine replays the
+    * chunk boundaries exactly.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val ws = T.words(col(textCol))
+    val nChunks = greatest(lit(1L),
+      floor((size(ws) - lit(overlap) + lit(stride) - 1).cast("double") / stride)
+        .cast("long"))
+    df.select(col(idCol).as("doc_id"), ws.as("__ws"), nChunks.as("__nc"))
+      .select(col("doc_id"), col("__ws"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("__ws"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)), " ").as("chunk_text"),
+        size(slice(col("__ws"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize))).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Rolling-hash document fingerprint (content-defined identity: equal
     * texts always collide, near-equal texts never do — complements MinHash).
     */

@@ -217,8 +217,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         analysis = r.oneOf("analysis",
-          Seq("quality", "quality_filter", "normalize", "tokens", "langid",
-            "fingerprint", "langdist"), "quality"),
+          Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
+            "langid", "fingerprint", "langdist"), "quality"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         langCol = r.string("langCol").getOrElse("lang"),
@@ -227,7 +227,9 @@ object Parser {
         minWords = r.long("minWords").getOrElse(10L),
         minTtr = r.double("minTtr").getOrElse(0.1),
         minStopwordRatio = r.double("minStopwordRatio").getOrElse(0.0),
-        maxPunctRatio = r.double("maxPunctRatio").getOrElse(0.3))
+        maxPunctRatio = r.double("maxPunctRatio").getOrElse(0.3),
+        chunkSize = r.int("chunkSize").getOrElse(64),
+        overlap = r.int("overlap").getOrElse(16))
     }
   )
 
@@ -325,7 +327,7 @@ object Parser {
       "tokenCol", "budget", "k")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
-      "minTtr", "minStopwordRatio", "maxPunctRatio"))
+      "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap"))
   )
 
   def parse(

@@ -55,6 +55,8 @@ object ExtensionQueries {
   private val TopK = 5
   private val NQueryVecs = 10
   private val PerStratumK = 20
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
   private val QfMinChars = 100L
   private val QfMaxChars = 450L
   private val QfMinWords = 20L
@@ -307,6 +309,12 @@ object ExtensionQueries {
       Joins.range(clicks, "ts", windows, "w_start", "w_end",
           Seq("user_id"), bucketSeconds = 1800)
         .orderBy("event_id", "p_id")
+    },
+
+    "text_chunk" -> { (spark, dir) =>
+      TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
+          ChunkSize, ChunkOverlap)
+        .orderBy("doc_id", "chunk_id")
     },
 
     "text_normalize" -> { (spark, dir) =>
@@ -1028,6 +1036,24 @@ object ExtensionQueries {
       FROM clicks c JOIN w ON c.user_id = w.user_id
         AND c.ts >= w.w_start AND c.ts <= w.w_end
       ORDER BY c.event_id, w.p_id""",
+
+    // Replay of TextAnalysis.chunk: stride = size - overlap, chunk count
+    // by integer ceil-div, word slices — all integer arithmetic, so the
+    // boundaries agree exactly.
+    "text_chunk" -> s"""
+      WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          greatest(1, (len(string_split(text, ' ')) - $ChunkOverlap
+            + ${ChunkSize - ChunkOverlap} - 1)
+            // ${ChunkSize - ChunkOverlap}) AS nc
+        FROM documents)
+      SELECT doc_id, cid AS chunk_id,
+        array_to_string(w[cid*${ChunkSize - ChunkOverlap}+1
+          : cid*${ChunkSize - ChunkOverlap}+$ChunkSize], ' ') AS chunk_text,
+        len(w[cid*${ChunkSize - ChunkOverlap}+1
+          : cid*${ChunkSize - ChunkOverlap}+$ChunkSize])::BIGINT AS n_chunk_tokens
+      FROM ws, unnest(generate_series(0, nc-1)) AS t(cid)
+      ORDER BY doc_id, chunk_id""",
 
     // Replay of TextAnalysis.normalize: same regex chain (patterns simple
     // enough to agree between Java regex and RE2).

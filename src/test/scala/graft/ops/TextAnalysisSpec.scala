@@ -45,6 +45,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("chars_per_token") == 2.0)
   }
 
+  test("chunk: overlapping word windows cover the document exactly") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2L, "short")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).map(r => r.getString(2))
+    // stride 3: [w1..w4], [w4..w7], [w7..w10] — boundaries shared once
+    assert(doc1.toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // a doc shorter than one chunk yields itself, once
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2(0).getString(2) == "short"
+      && doc2(0).getLong(3) == 1L)
+  }
+
   test("normalize: lowercases, redacts urls/emails, collapses digits and spaces") {
     val df = Seq((1L, "See https://x.co/a and Mail Bob@Ex.COM:  pay 1250 now"))
       .toDF("doc_id", "text")
