@@ -61,6 +61,16 @@ object ScaleProbe {
       t("embed_neardup_guarded") {
         Similarity.nearDupPairs(e, 0.4, maxBucket = 16).count()
       }
+      // fixed-size eval set vs an Nx corpus: contamination must grow with
+      // the CORPUS (the narrow explode side), never with eval-squared
+      t("contamination") {
+        graft.ops.Contamination.check(d,
+          docs.where(col("doc_id") % 50 === 0), "doc_id", "text").count()
+      }
+      // chunking is a pure narrow explode — the flat-cost reference curve
+      t("text_chunk") {
+        graft.ops.TextAnalysis.chunk(d, "doc_id", "text", 32, 8).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }
