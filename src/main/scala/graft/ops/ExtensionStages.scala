@@ -95,7 +95,9 @@ final case class SimilarityTransformStage(
     bands: Option[Int] = None,
     rows: Option[Int] = None,
     // ivf only: bit-deterministic sequential-sum centroids (oracle replay)
-    exactReplay: Boolean = false)
+    exactReplay: Boolean = false,
+    // ivf only: number of nearest cells each query scans (recall knob)
+    probes: Int = 1)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -109,7 +111,7 @@ final case class SimilarityTransformStage(
         nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4))
       case "ivf"           =>
         Similarity.ivfTopK(corpus, queries, k, centroidEvery, kmeansIters,
-          exactReplay)
+          exactReplay, probes)
       case "neardup_pairs" =>
         Similarity.nearDupPairs(corpus, threshold, nBits.getOrElse(64),
           bands.getOrElse(8), rows.getOrElse(8), maxBucket)

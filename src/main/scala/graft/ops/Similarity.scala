@@ -164,13 +164,14 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** IVF top-k with probe=1 over k-means cells. Seeds are the
-    * deterministic subset `vec_id % centroidEvery == 0`; `kmeansIters`
-    * Lloyd rounds then refine them: assign every vector to its max-cosine
-    * centroid (broadcast join — the centroid set is tiny), recompute each
-    * centroid as the per-dimension mean of its members. Each query scans
-    * only its own final cell. Cell ids stay the seed ids across rounds; a
-    * cell that loses all members drops out.
+  /** IVF top-k over k-means cells. Seeds are the deterministic subset
+    * `vec_id % centroidEvery == 0`; `kmeansIters` Lloyd rounds then refine
+    * them: assign every vector to its max-cosine centroid (broadcast
+    * join — the centroid set is tiny), recompute each centroid as the
+    * per-dimension mean of its members. Each query scans its `probes`
+    * nearest final cells (probe=1 default; raising it is the standard
+    * recall/cost knob). Cell ids stay the seed ids across rounds; a cell
+    * that loses all members drops out.
     *
     * Centroid update — two forms:
     *
@@ -197,14 +198,16 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidEvery: Int = 100, kmeansIters: Int = 2,
-      exactReplay: Boolean = false): DataFrame = {
+      exactReplay: Boolean = false, probes: Int = 1): DataFrame = {
+    require(probes > 0, s"probes must be positive, got $probes")
     val cv = graft.util.Caches.persist(withNorm(corpus))
     // Centroids as array<double>: means live in double space; float
     // seeds widen exactly.
     var centroids = cv.where(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), _.cast("double")).as("c_emb"))
-    def assignTo(df: DataFrame, id: String, cents: DataFrame): DataFrame = {
+    def assignTo(df: DataFrame, id: String, cents: DataFrame,
+        topN: Int = 1): DataFrame = {
       val withNrm = cents.select(col("c_id"), col("c_emb"),
         V.norm(col("c_emb")).as("c_nrm"))
       val w = Window.partitionBy(col(id))
@@ -212,7 +215,7 @@ object Similarity {
       df.join(broadcast(withNrm))
         .select(col(id), col("c_id"),
           cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("c_cos"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= topN)
         .select(col(id), col("c_id").as("cell"))
     }
     for (_ <- 0 until kmeansIters) {
@@ -252,7 +255,11 @@ object Similarity {
     val qv = graft.util.Caches.persist(withNorm(queries))
     val centsCached = graft.util.Caches.persist(centroids)
     val cells = assignTo(cv, "vec_id", centsCached)
-    val qcells = assignTo(qv.withColumnRenamed("vec_id", "q_id"), "q_id", centsCached)
+    // multi-probe: each query scans its `probes` nearest cells — the
+    // standard IVF recall knob (cost scales with probes/nCells of the
+    // corpus; cells are disjoint so candidates never duplicate)
+    val qcells = assignTo(qv.withColumnRenamed("vec_id", "q_id"), "q_id",
+      centsCached, probes)
     val cand = qcells.join(cells, Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))

@@ -136,7 +136,8 @@ object Parser {
         nBits = r.int("nBits"),
         bands = r.int("bands"),
         rows = r.int("rows"),
-        exactReplay = r.boolean("exactReplay", default = false))
+        exactReplay = r.boolean("exactReplay", default = false),
+        probes = r.int("probes").getOrElse(1))
     },
     "AsofJoinTransform" -> { (r, _) =>
       AsofJoinTransformStage(
@@ -313,7 +314,7 @@ object Parser {
       "checkpointDir")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
-      "kmeansIters", "nBits", "bands", "rows", "exactReplay")),
+      "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime")),
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",

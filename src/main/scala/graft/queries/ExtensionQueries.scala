@@ -54,6 +54,7 @@ object ExtensionQueries {
   private val EmbedMaxBucket = 16
   private val TopK = 5
   private val NQueryVecs = 10
+  private val IvfProbes = 2
   private val PerStratumK = 20
   private val ChunkSize = 32
   private val ChunkOverlap = 8
@@ -175,6 +176,16 @@ object ExtensionQueries {
       val e = embs(spark, dir)
       Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK,
           CentroidEvery, KmeansIters)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    "similarity_ivf_probes" -> { (spark, dir) =>
+      // Multi-probe recall knob: each query scans its 2 nearest cells
+      // (fixed-point centroid path, same oracle arithmetic).
+      val e = embs(spark, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < NQueryVecs), TopK,
+          CentroidEvery, KmeansIters, probes = IvfProbes)
         .select("q_id", "n_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     },
@@ -553,6 +564,19 @@ object ExtensionQueries {
         GROUP BY cell, d)
       GROUP BY cell)"""
 
+  /** Query-side multi-probe assignment CTE: each query vector keeps its
+    * `probes` nearest centroids (replay of ivfTopK's assignTo(topN)).
+    */
+  private def kmAssignProbes(cents: String, out: String, probes: Int): String = s"""
+    $out AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.c_id AS cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${kmCos("e", "c")} DESC, c.c_id) AS rn
+        FROM embeddings e CROSS JOIN $cents c
+        WHERE e.vec_id < $NQueryVecs)
+      WHERE rn <= $probes)"""
+
   /** Sign-LSH banded projection of embeddings (replay of
     * VectorFunctions.{signBits,bitBands}): 64 hyperplanes, `b` bands of `r`.
     */
@@ -821,6 +845,34 @@ object ExtensionQueries {
         SELECT q.vec_id AS q_id, e.vec_id AS n_id
         FROM cells q JOIN cells e ON q.cell = e.cell AND q.vec_id != e.vec_id
         WHERE q.vec_id < $NQueryVecs
+      ), scored AS (
+        SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.n_id)
+      SELECT q_id, n_id, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    // Replay of the multi-probe IVF (probes=2): corpus cells by rn=1,
+    // query cells by rn<=2; cells are disjoint so candidates are unique.
+    "similarity_ivf_probes" -> s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdateFixed("assign1", "cents2")}
+      , ${kmAssign("cents2", "cells")}
+      , ${kmAssignProbes("cents2", "qcells", IvfProbes)}
+      , cand AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id
+        FROM qcells q JOIN cells e ON q.cell = e.cell AND q.vec_id != e.vec_id
       ), scored AS (
         SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
         FROM cand

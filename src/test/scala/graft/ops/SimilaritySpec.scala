@@ -80,6 +80,23 @@ class SimilaritySpec extends SparkSpec {
     assert(run(false) == run(true))
   }
 
+  test("IVF multi-probe widens the candidate set and never hurts recall") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where($"vec_id" < 10)
+    def best(probes: Int): Map[Long, Double] =
+      Similarity.ivfTopK(e, q, k = 1, centroidEvery = 20, kmeansIters = 1,
+          probes = probes)
+        .select("q_id", "cosine").as[(Long, Double)].collect().toMap
+    val p1 = best(1)
+    val p3 = best(3)
+    // probe=3 scans a superset of cells: the best cosine per query can
+    // only improve (or stay), never degrade
+    p1.foreach { case (qid, c1) =>
+      assert(p3.getOrElse(qid, Double.MinValue) >= c1,
+        s"probe=3 lost recall for query $qid: $c1 -> ${p3.get(qid)}")
+    }
+  }
+
   test("IVF default plans the posexplode update, not a member collect_list") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.where($"vec_id" < 10)
