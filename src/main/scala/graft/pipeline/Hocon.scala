@@ -26,9 +26,14 @@ import scala.collection.mutable
   *  - `key += value` array appends (creates the array when absent)
   *  - `"""triple-quoted"""` strings (no escape processing; a quote run
   *    ends at its LAST three quotes)
+  *  - `include "uri"` (file path, `file:` or `http(s):` URI): the target
+  *    parses as an object and merges in place — textual-substitution
+  *    semantics, so later keys in the including file override it and it
+  *    overrides earlier ones. Included keys anchor their error line
+  *    numbers to the include statement. Nesting is depth-capped (8),
+  *    which also breaks include cycles.
   *
-  * Not supported (not used by the reference configs): `include`,
-  * env-var fallback.
+  * Not supported (not used by the reference configs): env-var fallback.
   */
 object Hocon {
 
@@ -43,9 +48,16 @@ object Hocon {
   private final case class Append(value: Any) // `key += v` before merge
   private case object Missing
 
-  def parse(text: String): Either[ConfigError, Doc] =
+  /** Default include resolver: local file path, `file:` or `http(s):`
+    * URI (same reader as statement/schema URIs).
+    */
+  def uriResolver: String => String = graft.ops.Statements.fromUri(_)
+
+  def parse(text: String): Either[ConfigError, Doc] = parse(text, uriResolver)
+
+  def parse(text: String, resolver: String => String): Either[ConfigError, Doc] =
     try {
-      val p = new P(text)
+      val p = new P(text, resolver, 0)
       p.skipVoid(newlines = true)
       val raw =
         if (p.peek == '{') { p.next(); p.obj("", root = false) }
@@ -96,7 +108,7 @@ object Hocon {
 
   // ---- recursive-descent parser ----
 
-  private final class P(s: String) {
+  private final class P(s: String, resolver: String => String, depth: Int) {
     var i = 0
     var line = 1
     val lines: mutable.Map[String, Int] = mutable.Map.empty
@@ -151,6 +163,42 @@ object Hocon {
           val keyLine = line
           val quoted = peek == '"'
           val key = parseKey()
+          // `include "uri"`: only the bare word followed by a quoted
+          // target — `include: v` / `include = v` stay ordinary fields
+          val isInclude = !quoted && key == "include" &&
+            { skipVoid(newlines = false); peek == '"' }
+          if (isInclude) {
+            val target = quotedString()
+            if (depth >= 8) err(s"include nesting too deep at '$target'")
+            val text =
+              try resolver(target)
+              catch { case e: Exception =>
+                err(s"cannot read include '$target': ${e.getMessage}") }
+            val sub = new P(text, resolver, depth + 1)
+            val incRaw =
+              try {
+                sub.skipVoid(newlines = true)
+                if (sub.peek == '{') { sub.next(); sub.obj("", root = false) }
+                else sub.obj("", root = true)
+              } catch { case e: ParseErr =>
+                err(s"in include '$target' line ${e.line}: ${e.msg}") }
+            // included keys anchor their line numbers to the include stmt
+            def anchor(prefix: String, mm: Map[String, Any]): Unit =
+              mm.foreach { case (k, v) =>
+                val p2 = if (prefix.isEmpty) k else s"$prefix.$k"
+                lines.getOrElseUpdate(p2, keyLine)
+                v match {
+                  case c: Map[_, _] => anchor(p2, c.asInstanceOf[Map[String, Any]])
+                  case _            => ()
+                }
+              }
+            anchor(path, incRaw)
+            // textual-substitution merge order: later keys in this file
+            // override the include; the include overrides earlier ones
+            m = deepMerge(m, incRaw)
+            skipVoid(newlines = false)
+            if (peek == ',') next()
+          } else {
           // quoted keys are literal (HOCON: "a.b" is ONE key; only bare
           // keys are dotted paths)
           val segs = if (quoted) List(key) else key.split('.').toList
@@ -167,6 +215,7 @@ object Hocon {
           m = mergeIn(m, segs, value)
           skipVoid(newlines = false)
           if (peek == ',') next()
+          }
         }
       }
       m

@@ -127,4 +127,44 @@ class HoconSpec extends AnyFunSuite {
     val r = root("A = \"\"\"no \\n escape, \"quoted\", multi\nline\"\"\"\"")
     assert(r("A") == "no \\n escape, \"quoted\", multi\nline\"")
   }
+
+  test("include merges with textual-substitution order, at root and nested") {
+    val inc = java.nio.file.Files.createTempFile("graft_inc", ".conf")
+    java.nio.file.Files.writeString(inc, "shared = 7\nconn { host = \"h1\" }\n")
+    try {
+      val Right(doc) = Hocon.parse(s"""
+        before = 1
+        shared = 0
+        include "$inc"
+        conn { port = 9042 }
+        sub { include "$inc"
+              shared = 42 }
+      """): @unchecked
+      val r = doc.root
+      assert(r("before") == 1L)
+      assert(r("shared") == 7L, "include overrides EARLIER keys")
+      assert(r("conn") == Map("host" -> "h1", "port" -> 9042L),
+        "included and local objects deep-merge")
+      assert(r("sub") == Map("shared" -> 42L, "conn" -> Map("host" -> "h1")),
+        "later keys override the include")
+      // included-only keys anchor to the include statement's line (here 4)
+      assert(doc.lines.get("conn.host").contains(4))
+    } finally java.nio.file.Files.deleteIfExists(inc)
+  }
+
+  test("include of a missing file is a parse error with the offending line") {
+    val Left(err) = Hocon.parse("a = 1\ninclude \"/nope/missing.conf\""): @unchecked
+    assert(err.message.contains("line 2") && err.message.contains("missing.conf"))
+  }
+
+  test("`include` as an ordinary key still works; cycles are depth-capped") {
+    val r = root("include = \"a-value\"\nok = true")
+    assert(r("include") == "a-value" && r("ok") == true)
+    val self = java.nio.file.Files.createTempFile("graft_cycle", ".conf")
+    java.nio.file.Files.writeString(self, s"include \"$self\"\n")
+    try {
+      val Left(err) = Hocon.parse(s"""include "$self""""): @unchecked
+      assert(err.message.contains("too deep"))
+    } finally java.nio.file.Files.deleteIfExists(self)
+  }
 }
