@@ -130,7 +130,8 @@ final case class AsofJoinTransformStage(
     outputView: String,
     keys: Seq[String],
     leftTime: String = "ts",
-    rightTime: String = "ts")
+    rightTime: String = "ts",
+    forward: Boolean = false)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -138,7 +139,7 @@ final case class AsofJoinTransformStage(
     detail += "rightView" -> rightView
     detail += "outputView" -> outputView
     val out = Joins.asof(Views.resolve(inputView), Views.resolve(rightView),
-      keys, leftTime, rightTime)
+      keys, leftTime, rightTime, forward)
     Views.register(out, outputView)
     Option(out)
   }

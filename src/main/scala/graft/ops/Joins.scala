@@ -20,7 +20,9 @@ object Joins {
 
   /** As-of join: each left row picks the LATEST right row of the same key
     * whose `rightTime` <= the left row's `leftTime` (inclusive; left rows
-    * with no prior right row keep null match columns).
+    * with no prior right row keep null match columns). With
+    * `forward = true` the direction flips: the EARLIEST right row at or
+    * after `leftTime` instead (same trick, scanning time descending).
     *
     * Output: all left columns, then right's non-key columns (including
     * `rightTime`). Right payload column names must not collide with left
@@ -32,7 +34,8 @@ object Joins {
     * (key, time) for a fully engine-portable result.
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      forward: Boolean = false): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).toSeq
     val collide = left.columns.toSet.intersect(payload.toSet)
     require(collide.isEmpty,
@@ -49,9 +52,14 @@ object Joins {
     val u = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1),
     // which is what makes the join inclusive; among equal-ts right rows
-    // the struct ordering makes last() pick the max payload.
+    // the struct ordering makes last() pick the max payload. Forward mode
+    // scans time DESCENDING, so the running last() is the nearest right
+    // row at-or-after instead of at-or-before.
+    // nulls first in BOTH directions: a left row with an unknown time is
+    // scanned before any right row and keeps a null match
+    val tOrd = if (forward) col("__t").desc_nulls_first else col("__t").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .orderBy(tOrd, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)

@@ -151,7 +151,8 @@ object Parser {
           ks
         },
         leftTime = r.string("leftTime").getOrElse("ts"),
-        rightTime = r.string("rightTime").getOrElse("ts"))
+        rightTime = r.string("rightTime").getOrElse("ts"),
+        forward = r.boolean("forward", default = false))
     },
     "SaltedJoinTransform" -> { (r, _) =>
       SaltedJoinTransformStage(
@@ -316,7 +317,7 @@ object Parser {
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
-      "outputView", "keys", "leftTime", "rightTime")),
+      "outputView", "keys", "leftTime", "rightTime", "forward")),
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "saltFactor")),
     "RangeJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",

@@ -364,6 +364,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "asof_join_forward" -> { (spark, dir) =>
+      // Forward direction: each click matched to the user's NEXT purchase
+      // at or after it (same pre-aggregated right side as asof_join).
+      val ev = events(spark, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val purch = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+      Joins.asof(clicks, purch, Seq("user_id"), "ts", "p_ts", forward = true)
+        .orderBy("event_id")
+    },
+
     "contamination_check" -> { (spark, dir) =>
       // Stand-in eval suite: every 50th document; the corpus is the full
       // documents table, self-matches excluded by id.
@@ -1163,6 +1176,20 @@ object ExtensionQueries {
         AND qf_words >= $QfMinWords AND qf_ttr >= $QfMinTtr
         AND qf_swr >= $QfMinStopword AND qf_punct <= $QfMaxPunct
       ORDER BY doc_id""",
+
+    // Forward as-of replay: DuckDB's ASOF with `<=` picks the smallest
+    // right time at or after each left row.
+    "asof_join_forward" -> """
+      WITH clicks AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts AS p_ts, max_by(value, event_id) AS p_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.event_id, c.ts, c.user_id, c.value, p.p_ts, p.p_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts <= p.p_ts
+      ORDER BY c.event_id""",
 
     // Replay of Contamination.check: same shingle hashing as the minhash
     // family, overlap counted on distinct (eval_id, shingle) matches

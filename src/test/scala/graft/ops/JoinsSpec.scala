@@ -30,6 +30,15 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == left.count()) // exactly one output row per left row
   }
 
+  test("asof forward picks the earliest right row at or after each left row") {
+    val out = Joins.asof(left, right, Seq("user"), "t", "rt", forward = true)
+      .select($"event_id", $"tag").as[(Long, Option[String])]
+      .collect().toMap
+    // 1 (t=100) -> next right at 200 = a; 2 (t=200) -> inclusive a;
+    // 3 (t=350) -> nothing after; 4 (u2) -> no rights at all
+    assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> None, 4L -> None))
+  }
+
   test("asof tie on (key, time): the max payload struct wins deterministically") {
     val dupRight = Seq(("u1", 200L, "a"), ("u1", 200L, "z")).toDF("user", "rt", "tag")
     val out = Joins.asof(left.where($"event_id" === 2L), dupRight, Seq("user"), "t", "rt")
