@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Distinct-count sketching.
+/** Deterministic sketching.
   *
   * Spark's `approx_count_distinct` (HyperLogLog++) is the production
   * default, but its estimates are engine-specific — useless under a
@@ -36,5 +36,33 @@ object Sketches {
       when(col("n") < k, col("n").cast("double"))
         .otherwise(round(lit((k - 1).toDouble) * P / col("hk"), 4))
         .as("kmv_estimate"))
+  }
+
+  /** Approximate quantiles by DETERMINISTIC hash sampling: keep the rows
+    * whose h32(idCol) falls under `rate` (the same reproducible subset
+    * Sampling.deterministic draws), then take EXACT per-group percentiles
+    * of the sample.
+    *
+    * Spark's `approx_percentile` (Greenwald-Khanna) and DuckDB's
+    * `approx_quantile` (t-digest) are engine-specific — useless under a
+    * cross-engine exactness gate AND irreproducible run to run at scale.
+    * A hash-sampled exact quantile is the deterministic alternative: the
+    * sample is a pure function of the ids, so every engine computes the
+    * identical estimate, and the error is the usual sampling error
+    * (~O(1/sqrt(rate·n)) on quantile rank). The exact pass over the
+    * sample shuffles only `rate` of the data; per-group sort cost shrinks
+    * by the same factor.
+    */
+  def sampledQuantiles(df: DataFrame, idCol: Column, valueCol: Column,
+      groupCols: Seq[String], percentiles: Seq[Double],
+      rate: Double, salt: String = ""): DataFrame = {
+    require(rate > 0 && rate <= 1, s"rate must be in (0,1], got $rate")
+    val threshold = math.max(0L, math.min(P, (rate * P).toLong))
+    val sampled = df.where(
+      h32(concat(idCol.cast("string"), lit(salt))) < threshold)
+    val aggs = percentiles.map(p =>
+      round(percentile(valueCol, lit(p)), 6).as(s"p${(p * 100).toInt}"))
+    sampled.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -190,6 +190,17 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    "sketch_quantiles" -> { (spark, dir) =>
+      // 20% deterministic hash sample of lineitem, exact per-flag
+      // percentiles of the sample — the reproducible approx-quantile.
+      graft.functions.Sketches.sampledQuantiles(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          col("l_orderkey") * 10000 + col("l_linenumber"),
+          col("l_extendedprice"),
+          Seq("l_returnflag"), Seq(0.5, 0.95), rate = 0.2)
+        .orderBy("l_returnflag")
+    },
+
     "sketch_kmv" -> { (spark, dir) =>
       graft.functions.Sketches.kmvDistinct(
         spark.read.parquet(s"$dir/lineitem.parquet"), col("l_partkey"), k = 256)
@@ -897,6 +908,17 @@ object ExtensionQueries {
       FROM scored
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
+
+    // Replay of Sketches.sampledQuantiles: identical hash-sampled subset,
+    // exact interpolated percentiles of the sample.
+    "sketch_quantiles" -> s"""
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+      FROM lineitem
+      WHERE ('0x'||substr(md5((l_orderkey*10000 + l_linenumber)::VARCHAR),1,8))::BIGINT
+        % $P < ${sampleThreshold(0.2)}
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "sketch_kmv" -> s"""
       WITH hs AS (

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
@@ -26,5 +26,27 @@ class SketchesSpec extends SparkSpec {
     val a = Sketches.kmvDistinct(df, col("l_partkey"), 64).head()
     val b = Sketches.kmvDistinct(df, col("l_partkey"), 64).head()
     assert(a == b)
+  }
+
+  test("sampled quantiles track the exact quantile and survive repartitioning") {
+    val df = spark.read.parquet(s"$sf001/lineitem.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.sampledQuantiles(d,
+        col("l_orderkey") * 10000 + col("l_linenumber"),
+        col("l_extendedprice"), Seq("l_returnflag"), Seq(0.5), rate = 0.3)
+        .orderBy("l_returnflag").collect().toSeq
+    val est = run(df)
+    // pure function of ids: any physical layout yields the identical rows
+    assert(est == run(df.repartition(17)))
+    // close to the exact quantile (30% sample at sf0.001 is still wide —
+    // assert the estimate lands within 15% of truth per group)
+    val exact = df.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    est.foreach { r =>
+      val (flag, p50) = (r.getString(0), r.getDouble(1))
+      val rel = math.abs(p50 - exact(flag)) / exact(flag)
+      assert(rel < 0.15, s"$flag: sampled $p50 vs exact ${exact(flag)} ($rel)")
+    }
   }
 }
