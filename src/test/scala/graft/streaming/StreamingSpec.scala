@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: a broadcastable dim joins each micro-batch") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("click", 1.0), ("view", 0.1)).toDF("event_type", "weight")
+    val mem = MemoryStream[(Timestamp, String)]
+    val enriched = mem.toDF().toDF("ts", "event_type")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"), "left")
+    val q = enriched.writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "click"), (ts(1), "view"), (ts(2), "scroll"))
+      q.processAllAvailable()
+      mem.addData((ts(3), "click")) // second micro-batch re-joins the dim
+      q.processAllAvailable()
+      val rows = spark.table("stream_enrich")
+        .select("event_type", "weight")
+        .as[(String, Option[Double])].collect().toSeq
+      assert(rows.count(_ == ("click", Some(1.0))) == 2)
+      assert(rows.contains(("view", Some(0.1))))
+      assert(rows.contains(("scroll", None)), "unmatched keys keep null weight")
+    } finally q.stop()
+  }
+
   test("batch-only guards: streaming extract yields empty, load skips write") {
     implicit val sq = spark.sqlContext
     // Extract guard
