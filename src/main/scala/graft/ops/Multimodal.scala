@@ -109,6 +109,15 @@ object Multimodal {
         .otherwise(col("height")).cast("long").as("resized_h"))
   }
 
+  /** Decoded feature vectors shaped for the similarity stack:
+    * (vec_id, embedding). Media near-dup is then pure composition —
+    * `Similarity.nearDupPairs(featureVectors(decoded), …)` runs the same
+    * sign-LSH machinery over perceptual features that it runs over text
+    * embeddings (MultimodalSpec exercises exactly that).
+    */
+  def featureVectors(decoded: DataFrame): DataFrame =
+    decoded.select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+
   /** Distributed decode: one `mapPartitions` pass over (id, payload).
     * Partitioning is preserved; no shuffle, no driver collection.
     */

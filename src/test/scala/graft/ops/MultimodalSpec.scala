@@ -45,4 +45,21 @@ class MultimodalSpec extends SparkSpec {
       assert(d.features.length == 8)
     }
   }
+
+  test("media near-dup is pure composition: decoded features into the similarity stack") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = Seq(
+      (1L, "identical media payload bytes"),
+      (2L, "identical media payload bytes"), // byte-identical -> cosine 1.0
+      (3L, "some other clip entirely, different length and content")
+    ).toDF("doc_id", "text")
+    val mm = Multimodal.attach(df, "doc_id", "text", Seq("doc_id"))
+    val decoded = Multimodal.decodeAll(mm, Multimodal.MediaDecoder.deterministicFake).toDF()
+    val pairs = Similarity.nearDupPairs(Multimodal.featureVectors(decoded),
+        threshold = 0.99, nBits = 16, b = 4, r = 4)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)]
+      .collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"byte-identical payloads must pair at cosine 1.0: ${pairs.toSeq}")
+  }
 }
