@@ -70,6 +70,31 @@ object Dedup {
       .select(cols.map(c => col(s"__win.$c").as(c)): _*)
   }
 
+  /** Digest projection for incremental dedup state: one distinct sha2-256
+    * per row over the key columns — the compact "seen" set an ingest
+    * pipeline persists between runs (32 bytes per historical document at
+    * any corpus size, instead of the documents themselves).
+    */
+  def digests(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(sha2(to_json(struct(keys.map(col): _*)), 256).as("digest")).distinct()
+
+  /** Incremental exact dedup for an ingest batch: dedup the batch
+    * internally (smallest `tieBreak` per key wins, as [[exact]]), then
+    * drop every row whose key digest already exists in `seenDigests`
+    * (a [[digests]] table persisted from previous runs). The historical
+    * side never ships payloads — only 32-byte digests, so at 100 TB the
+    * anti join is a digest-keyed hash join (or broadcast, for a small
+    * seen-set) against the new batch only, never a corpus-vs-corpus join.
+    */
+  def exactIncremental(batch: DataFrame, seenDigests: DataFrame,
+      keys: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val deduped = exact(batch, keys, tieBreak)
+    deduped
+      .withColumn("__dg", sha2(to_json(struct(keys.map(col): _*)), 256))
+      .join(seenDigests.select(col("digest").as("__dg")), Seq("__dg"), "left_anti")
+      .drop("__dg")
+  }
+
   /** (id, distinct HASHED word-`shingleN`-gram shingles) projection — the
     * signature pass and the exact-Jaccard verification both run over hashed
     * sets (longs), never the shingle strings; see

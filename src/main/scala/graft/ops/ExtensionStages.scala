@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -35,7 +35,8 @@ final case class DedupTransformStage(
     lshBands: Int = 8,
     maxIter: Int = 25,
     byDigest: Boolean = false,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    seenView: Option[String] = None)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -47,6 +48,13 @@ final case class DedupTransformStage(
       case "exact" =>
         Dedup.exact(in, if (keys.nonEmpty) keys else Seq(textCol), Seq(idCol),
           byDigest)
+      // ingest-batch dedup vs a persisted history view (digested here)
+      case "exact_incremental" =>
+        val seen = seenView.getOrElse(throw new IllegalArgumentException(
+          "dedup method 'exact_incremental' requires 'seenView'"))
+        val ks = if (keys.nonEmpty) keys else Seq(textCol)
+        Dedup.exactIncremental(in,
+          Dedup.digests(Views.resolve(seen), ks), ks, Seq(idCol))
       case "minhash" => Dedup.minhashApply(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
       case "minhash_pairs" => Dedup.minhashPairs(in, idCol, textCol,
@@ -205,6 +213,24 @@ final case class ContaminationTransformStage(
     detail += "outputView" -> outputView
     val out = Contamination.check(Views.resolve(inputView),
       Views.resolve(evalView), idCol, textCol, shingleN, broadcastEval)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+final case class ProfileTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    columns: Seq[String])
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val in = Views.resolve(inputView)
+    val cols = if (columns.nonEmpty) columns else in.columns.toSeq
+    val out = Profile.table(in, cols)
     Views.register(out, outputView)
     Option(out)
   }

@@ -96,8 +96,9 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("exact", "minhash", "minhash_pairs", "minhash_cc",
-            "minhash_cc_apply", "simhash", "simhash_pairs", "ngram_pairs"),
+          Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
+            "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
+            "ngram_pairs"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -118,7 +119,8 @@ object Parser {
         lshBands = r.int("lshBands").getOrElse(8),
         maxIter = r.int("maxIter").getOrElse(25),
         byDigest = r.boolean("byDigest", default = false),
-        checkpointDir = r.string("checkpointDir"))
+        checkpointDir = r.string("checkpointDir"),
+        seenView = r.string("seenView"))
     },
     "SimilarityTransform" -> { (r, _) =>
       SimilarityTransformStage(
@@ -189,6 +191,13 @@ object Parser {
         textCol = r.string("textCol").getOrElse("text"),
         shingleN = r.int("shingleN").getOrElse(3),
         broadcastEval = r.boolean("broadcastEval", default = true))
+    },
+    "ProfileTransform" -> { (r, _) =>
+      ProfileTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        columns = r.stringList("columns")) // empty -> all columns
     },
     "SampleTransform" -> { (r, _) =>
       SampleTransformStage(
@@ -312,7 +321,7 @@ object Parser {
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
       "maxBucket", "maxBlock", "lshBands", "maxIter", "byDigest",
-      "checkpointDir")),
+      "checkpointDir", "seenView")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes")),
@@ -324,6 +333,7 @@ object Parser {
       "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds")),
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
+    "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget", "k")),

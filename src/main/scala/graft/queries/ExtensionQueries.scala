@@ -82,6 +82,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "profile_table" -> { (spark, dir) =>
+      Profile.table(spark.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_orderkey", "l_quantity", "l_returnflag"))
+        .orderBy("column")
+    },
+
+    "dedup_incremental" -> { (spark, dir) =>
+      // Ingest-batch dedup against a persisted digest store: docs >= 250
+      // arrive as the new batch; docs < 250 are history (digests only).
+      val d = docs(spark, dir)
+      Dedup.exactIncremental(
+          d.where(col("doc_id") >= 250),
+          Dedup.digests(d.where(col("doc_id") < 250), Seq("text")),
+          Seq("text"), Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "dedup_minhash_pairs" -> { (spark, dir) =>
       Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
           MinhashK, MinhashB, MinhashR, 3, JaccardThreshold)
@@ -620,6 +638,38 @@ object ExtensionQueries {
     "dedup_exact" -> """
       SELECT doc_id, lang, source, n_chars FROM documents
       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      ORDER BY doc_id""",
+
+    // Replay of Profile.table: per-column stats via UNION ALL of
+    // single-column aggregates.
+    "profile_table" -> """
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS "column", COUNT(*)::BIGINT AS n_rows,
+          (COUNT(*) - COUNT(l_orderkey))::BIGINT AS n_nulls,
+          COUNT(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+          MIN(l_orderkey)::VARCHAR AS min_value,
+          MAX(l_orderkey)::VARCHAR AS max_value FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', COUNT(*)::BIGINT,
+          (COUNT(*) - COUNT(l_quantity))::BIGINT,
+          COUNT(DISTINCT l_quantity)::BIGINT,
+          MIN(l_quantity)::VARCHAR, MAX(l_quantity)::VARCHAR FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*)::BIGINT,
+          (COUNT(*) - COUNT(l_returnflag))::BIGINT,
+          COUNT(DISTINCT l_returnflag)::BIGINT,
+          MIN(l_returnflag)::VARCHAR, MAX(l_returnflag)::VARCHAR FROM lineitem)
+      ORDER BY "column"""",
+
+    // Replay of Dedup.exactIncremental: sha2 digest equality IS key
+    // equality (collision-free), so the oracle compares the keys directly.
+    "dedup_incremental" -> """
+      WITH batch AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE doc_id >= 250
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+      SELECT doc_id, lang, source, n_chars FROM batch
+      WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
       ORDER BY doc_id""",
 
     "dedup_minhash_pairs" -> s"""$minhashCtes

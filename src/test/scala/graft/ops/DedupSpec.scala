@@ -47,6 +47,22 @@ class DedupSpec extends SparkSpec {
       s"expected min_by aggregate:\n$plan")
   }
 
+  test("incremental dedup drops in-batch dupes AND history hits, digests only") {
+    val history = Seq((100L, "seen before"), (101L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "brand new"), (201L, "brand new"), // in-batch dup -> keep 200
+      (202L, "seen before")                     // history hit -> dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch,
+        Dedup.digests(history, Seq("text")), Seq("text"), Seq("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(200L))
+    // the persisted state is digests only: one 64-hex column
+    val dg = Dedup.digests(history, Seq("text"))
+    assert(dg.columns.toSeq == Seq("digest") && dg.count() == 2
+      && dg.head().getString(0).length == 64)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

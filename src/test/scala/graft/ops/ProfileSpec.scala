@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("a"), Some(1.5)),
+    (2L, None, Some(2.5)),
+    (3L, Some("a"), None)
+  ).toDF("id", "s", "v")
+
+  test("profile reports rows, nulls, cardinality and bounds per column") {
+    val out = Profile.table(df, Seq("id", "s", "v")).orderBy("column")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(out("s") == ((3L, 1L, 1L, "a", "a")))
+    assert(out("v") == ((3L, 1L, 2L, "1.5", "2.5")))
+  }
+
+  test("profile is a single scan: one aggregation pass, no per-column re-read") {
+    val plan = Profile.table(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"per-column union means multiple scans:\n$plan")
+  }
+}
