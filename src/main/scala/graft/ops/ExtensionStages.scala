@@ -222,7 +222,8 @@ final case class ProfileTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    columns: Seq[String])
+    columns: Seq[String],
+    exact: Boolean = true)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -230,7 +231,7 @@ final case class ProfileTransformStage(
     detail += "outputView" -> outputView
     val in = Views.resolve(inputView)
     val cols = if (columns.nonEmpty) columns else in.columns.toSeq
-    val out = Profile.table(in, cols)
+    val out = Profile.table(in, cols, exact)
     Views.register(out, outputView)
     Option(out)
   }

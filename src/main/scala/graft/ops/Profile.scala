@@ -17,12 +17,21 @@ object Profile {
   /** One output row per profiled column:
     * (column, n_rows, n_nulls, n_distinct, min_value, max_value) — bounds
     * as strings so mixed-type tables profile into one frame.
+    *
+    * `exact = true` (the oracle-gate default) counts distincts exactly;
+    * the multi-distinct EXPAND multiplies the shuffle by the number of
+    * profiled columns, which is the real cost at corpus scale. At 100 TB
+    * pass `exact = false`: HyperLogLog++ (`approx_count_distinct`) keeps
+    * the pass single-shuffle and constant-memory per column, at the price
+    * of an engine-specific estimate (hence not the gate path).
     */
-  def table(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def table(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
+    val nd: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (exact) count_distinct(_) else approx_count_distinct(_)
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__nn_$c"),
-      count_distinct(col(c)).as(s"__nd_$c"),
+      nd(col(c)).as(s"__nd_$c"),
       min(col(c)).cast("string").as(s"__mn_$c"),
       max(col(c)).cast("string").as(s"__mx_$c")))
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)

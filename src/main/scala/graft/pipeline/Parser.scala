@@ -197,7 +197,8 @@ object Parser {
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
-        columns = r.stringList("columns")) // empty -> all columns
+        columns = r.stringList("columns"), // empty -> all columns
+        exact = r.boolean("exact", default = true))
     },
     "SampleTransform" -> { (r, _) =>
       SampleTransformStage(
@@ -333,7 +334,7 @@ object Parser {
       "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds")),
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
-    "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
+    "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget", "k")),

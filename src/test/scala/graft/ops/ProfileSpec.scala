@@ -21,6 +21,19 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") == ((3L, 1L, 2L, "1.5", "2.5")))
   }
 
+  test("approx mode plans HLL, not the multi-distinct expand") {
+    val exactPlan = Profile.table(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    val approxPlan = Profile.table(df, Seq("id", "s", "v"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact mode uses the expand")
+    assert(!approxPlan.contains("Expand"),
+      s"approx mode must avoid the expand:\n$approxPlan")
+    // approx distinct stays sane on tiny data
+    val nd = Profile.table(df, Seq("id"), exact = false).head().getLong(3)
+    assert(nd == 3L)
+  }
+
   test("profile is a single scan: one aggregation pass, no per-column re-read") {
     val plan = Profile.table(df, Seq("id", "s", "v"))
       .queryExecution.executedPlan.toString
