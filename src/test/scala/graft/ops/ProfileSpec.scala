@@ -21,12 +21,13 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") == ((3L, 1L, 2L, "1.5", "2.5")))
   }
 
-  test("approx mode plans HLL, not the multi-distinct expand") {
+  test("neither mode plans the multi-distinct expand") {
     val exactPlan = Profile.table(df, Seq("id", "s", "v"))
       .queryExecution.executedPlan.toString
     val approxPlan = Profile.table(df, Seq("id", "s", "v"), exact = false)
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"), "exact mode uses the expand")
+    assert(!exactPlan.contains("Expand"),
+      s"exact mode must group-then-count per column, not expand:\n$exactPlan")
     assert(!approxPlan.contains("Expand"),
       s"approx mode must avoid the expand:\n$approxPlan")
     // approx distinct stays sane on tiny data
@@ -34,8 +35,17 @@ class ProfileSpec extends SparkSpec {
     assert(nd == 3L)
   }
 
-  test("profile is a single scan: one aggregation pass, no per-column re-read") {
+  test("exact mode partially aggregates map-side per column") {
     val plan = Profile.table(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    // each column branch: partial_count under the value-key exchange, so
+    // the shuffle carries distinct values only, never raw rows
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(plan.contains("Union"), s"expected per-column branches:\n$plan")
+  }
+
+  test("approx mode stays a single scan (no per-column union)") {
+    val plan = Profile.table(df, Seq("id", "s", "v"), exact = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"),
       s"per-column union means multiple scans:\n$plan")
