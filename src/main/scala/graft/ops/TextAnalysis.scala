@@ -134,6 +134,81 @@ object TextAnalysis {
           lit(chunkSize))).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Gopher-style repetition signals: how much of a document is the same
+    * word n-gram repeated. High `dup_ngram_frac` / `top_ngram_frac` means
+    * boilerplate or degenerate generation — the standard pre-training
+    * repetition filter thresholds exactly these columns.
+    *
+    * One row per document:
+    * (doc_id, n_ngrams, n_distinct_ngrams, dup_ngram_frac, top_ngram_frac).
+    *
+    * Shape at scale: explode to one row per n-gram occurrence, then two
+    * keyed aggregations — (doc, gram) counts, then per-doc rollup. Both
+    * hash-partition on keys that start with doc_id, so the second
+    * aggregation reuses the first's partitioning (no extra exchange), and
+    * map-side combine absorbs the within-partition repeats the operator
+    * exists to find. The narrow alternative (per-row `array_distinct` +
+    * counting loops) is O(distinct²) per document — quadratic in exactly
+    * the degenerate documents this filter targets — so the keyed form is
+    * the scale-safe one.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ws = T.words(col(textCol))
+    // guard: sequence(1, stop) counts DOWN for stop < 1, so a document
+    // shorter than one n-gram must yield an empty gram list (and thus no
+    // output row), not a fabricated descending-index slice
+    val grams = when(size(ws) >= n, transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum("__cnt").as("n_ngrams"),
+        count(lit(1)).as("n_distinct_ngrams"),
+        round((sum("__cnt") - count(lit(1))).cast("double")
+          / sum("__cnt").cast("double"), 6).as("dup_ngram_frac"),
+        round(max("__cnt").cast("double")
+          / sum("__cnt").cast("double"), 6).as("top_ngram_frac"))
+  }
+
+  /** TF-IDF keyword extraction: the `k` most characteristic terms per
+    * document, the cheap classic for corpus exploration, topic tagging and
+    * search-index prep. Score = tf * (ln((N+1)/(df+1)) + 1) (smoothed
+    * idf), rounded to 6dp for engine portability; ties broken by term
+    * so the top-k is fully deterministic.
+    *
+    * Shape at scale: explode to (doc, term) pairs, map-side-combined
+    * count; document frequency is a second rollup of that SAME
+    * aggregate's output keyed by term; N is a one-row aggregate
+    * broadcast into the score. The df-join is keyed on term — broadcast
+    * when the vocabulary is small, sort-merge when it isn't — and the
+    * final top-k is a per-document window over at most the document's own
+    * distinct terms. Nothing global except the one-row N.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(T.words(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf")
+        * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "df", "score")
+  }
+
   /** Rolling-hash document fingerprint (content-defined identity: equal
     * texts always collide, near-equal texts never do — complements MinHash).
     */

@@ -473,6 +473,28 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("k_mod").asc_nulls_last)
+    },
+
+    "text_repetition" -> { (spark, dir) =>
+      TextAnalysis.repetition(docs(spark, dir), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    },
+
+    "tfidf_topk" -> { (spark, dir) =>
+      TextAnalysis.tfidfTopK(docs(spark, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rnk")
+    },
+
+    "events_assemble" -> { (spark, dir) =>
+      Assemble.threads(events(spark, dir), "user_id",
+          Seq(col("ts"), col("event_id")), "event_type", maxTurns = 16)
+        .orderBy("user_id")
+    },
+
+    "encode_categorical" -> { (spark, dir) =>
+      Encoding.encode(docs(spark, dir), Seq("source", "lang"))
+        .select("doc_id", "source", "source_id", "lang", "lang_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -1277,6 +1299,66 @@ object ExtensionQueries {
       SELECT eval_id, len(shingles)::BIGINT AS n_shingles,
         COALESCE(nc, 0)::BIGINT AS n_contaminated,
         round(COALESCE(nc, 0)::DOUBLE / len(shingles), 6) AS contamination
-      FROM ev LEFT JOIN mc USING (eval_id) ORDER BY eval_id"""
+      FROM ev LEFT JOIN mc USING (eval_id) ORDER BY eval_id""",
+
+    // Replay of TextAnalysis.repetition (word bigrams): same space-split
+    // words, same keyed (doc, gram) counts; a doc shorter than one bigram
+    // yields no row in either engine (generate_series(1, 0) is empty).
+    "text_repetition" -> """
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+            FROM ws, unnest(generate_series(1, len(w)-1)) AS t(i)),
+      gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+      SELECT doc_id, SUM(cnt)::BIGINT AS n_ngrams,
+        COUNT(*)::BIGINT AS n_distinct_ngrams,
+        round((SUM(cnt) - COUNT(*))::DOUBLE / SUM(cnt), 6) AS dup_ngram_frac,
+        round(MAX(cnt)::DOUBLE / SUM(cnt), 6) AS top_ngram_frac
+      FROM gc GROUP BY doc_id ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.tfidfTopK: smoothed idf, 6dp-rounded score,
+    // rank ties broken by term — the window orders by the ROUNDED score so
+    // both engines rank identical values.
+    "tfidf_topk" -> """
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      s AS (SELECT doc_id, term, tf, df,
+              round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6) AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rnk FROM s)
+      SELECT doc_id, rnk::BIGINT AS rnk, term, tf::BIGINT AS tf,
+        df::BIGINT AS df, score
+      FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+
+    // Replay of Assemble.threads: same (ts, event_id) order, same
+    // 16-turn cap applied before aggregation.
+    "events_assemble" -> """
+      WITH r AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS tot
+        FROM events)
+      SELECT user_id, MAX(tot)::BIGINT AS total_events,
+        COUNT(*)::BIGINT AS n_turns,
+        string_agg(event_type, ' ' ORDER BY rn) AS convo
+      FROM r WHERE rn <= 16 GROUP BY user_id ORDER BY user_id""",
+
+    // Replay of Encoding.encode: ids are 1-based ranks over the sorted
+    // distinct non-null values, joined back, nulls stay null.
+    "encode_categorical" -> """
+      WITH sv AS (SELECT value, row_number() OVER (ORDER BY value) AS id
+        FROM (SELECT DISTINCT source AS value FROM documents
+              WHERE source IS NOT NULL)),
+      lv AS (SELECT value, row_number() OVER (ORDER BY value) AS id
+        FROM (SELECT DISTINCT lang AS value FROM documents
+              WHERE lang IS NOT NULL))
+      SELECT d.doc_id, d.source, sv.id::BIGINT AS source_id,
+        d.lang, lv.id::BIGINT AS lang_id
+      FROM documents d LEFT JOIN sv ON d.source = sv.value
+        LEFT JOIN lv ON d.lang = lv.value
+      ORDER BY d.doc_id"""
   )
 }

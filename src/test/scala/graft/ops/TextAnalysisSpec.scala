@@ -92,4 +92,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == 5)
     assert(out.agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0) == 500L)
   }
+
+  test("repetition counts duplicate and top bigram fractions") {
+    val df = Seq(
+      (1L, "a b a b c"),   // bigrams: ab, ba, ab, bc -> 4 total, 3 distinct
+      (2L, "x y"),         // one bigram
+      (3L, "solo")         // shorter than a bigram -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).getAs[Long]("n_ngrams") == 4L)
+    assert(out(1L).getAs[Long]("n_distinct_ngrams") == 3L)
+    assert(out(1L).getAs[Double]("dup_ngram_frac") == 0.25)  // (4-3)/4
+    assert(out(1L).getAs[Double]("top_ngram_frac") == 0.5)   // "a b" 2/4
+    assert(out(2L).getAs[Long]("n_ngrams") == 1L)
+    assert(out(2L).getAs[Double]("dup_ngram_frac") == 0.0)
+  }
+
+  test("tfidf ranks rarer terms above corpus-wide ones, ties by term") {
+    // "cat" appears in 1 of 3 docs; "the" in all 3: same tf in doc 1, but
+    // idf must rank "cat" first
+    val df = Seq(
+      (1L, "the cat the cat"),
+      (2L, "the dog"),
+      (3L, "the bird")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 2)
+      .where($"doc_id" === 1L).orderBy("rnk")
+      .select("term").as[String].collect().toSeq
+    assert(out == Seq("cat", "the"))
+    // determinism: equal score -> term order
+    val tie = TextAnalysis.tfidfTopK(
+      Seq((1L, "b a")).toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .orderBy("rnk").select("term").as[String].collect().toSeq
+    assert(tie == Seq("a", "b"))
+  }
 }
