@@ -278,7 +278,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -289,7 +289,9 @@ final case class TextAnalysisTransformStage(
     minStopwordRatio: Double = 0.0,
     maxPunctRatio: Double = 0.3,
     chunkSize: Int = 64,
-    overlap: Int = 16)
+    overlap: Int = 16,
+    ngramN: Int = 2,
+    topK: Int = 5)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -306,9 +308,58 @@ final case class TextAnalysisTransformStage(
       case "langid"      => TextAnalysis.langId(in, idCol, textCol, langCol)
       case "fingerprint" => TextAnalysis.fingerprints(in, idCol, textCol)
       case "langdist"    => TextAnalysis.langDist(in, langCol, textCol)
+      case "repetition"  => TextAnalysis.repetition(in, idCol, textCol, ngramN)
+      case "tfidf"       => TextAnalysis.tfidfTopK(in, idCol, textCol, topK)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Training-example assembly stage over [[Assemble.threads]]: one
+  * transcript row per `groupCol` entity, ordered by `orderCols`, capped
+  * at `maxTurns` payloads.
+  */
+final case class AssembleTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    groupCol: String,
+    orderCols: Seq[String],
+    payloadCol: String,
+    maxTurns: Int = 16)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    detail += "groupCol" -> groupCol
+    val out = Assemble.threads(in, groupCol,
+      orderCols.map(org.apache.spark.sql.functions.col), payloadCol, maxTurns)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Categorical-encoding stage over [[Encoding.encode]]: adds `<col>_id`
+  * dense ids for each listed column via broadcast vocabulary joins.
+  */
+final case class EncodeTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    columns: Seq[String])
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    detail += "columns" -> columns.mkString(",")
+    val out = Encoding.encode(in, columns)
     Views.register(out, outputView)
     Option(out)
   }

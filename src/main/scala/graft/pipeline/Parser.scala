@@ -230,7 +230,8 @@ object Parser {
         outputView = r.requiredString("outputView"),
         analysis = r.oneOf("analysis",
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
-            "langid", "fingerprint", "langdist"), "quality"),
+            "langid", "fingerprint", "langdist", "repetition", "tfidf"),
+          "quality"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         langCol = r.string("langCol").getOrElse("lang"),
@@ -241,7 +242,26 @@ object Parser {
         minStopwordRatio = r.double("minStopwordRatio").getOrElse(0.0),
         maxPunctRatio = r.double("maxPunctRatio").getOrElse(0.3),
         chunkSize = r.int("chunkSize").getOrElse(64),
-        overlap = r.int("overlap").getOrElse(16))
+        overlap = r.int("overlap").getOrElse(16),
+        ngramN = r.int("ngramN").getOrElse(2),
+        topK = r.int("topK").getOrElse(5))
+    },
+    "AssembleTransform" -> { (r, _) =>
+      AssembleTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        groupCol = r.requiredString("groupCol"),
+        orderCols = r.stringList("orderCols"),
+        payloadCol = r.requiredString("payloadCol"),
+        maxTurns = r.int("maxTurns").getOrElse(16))
+    },
+    "EncodeTransform" -> { (r, _) =>
+      EncodeTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        columns = r.stringList("columns"))
     }
   )
 
@@ -340,7 +360,11 @@ object Parser {
       "tokenCol", "budget", "k")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
-      "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap"))
+      "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
+      "ngramN", "topK")),
+    "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "groupCol", "orderCols", "payloadCol", "maxTurns")),
+    "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns"))
   )
 
   def parse(

@@ -256,4 +256,44 @@ class ExtensionStagesSpec extends SparkSpec {
       Map("default" -> new ParquetConnector(sf001))): @unchecked
     assert(errs.exists(_.key.contains("method")))
   }
+
+  test("assemble + encode as config-driven stages") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    val log = Seq((1L, 10L, 7L, "view", "web"), (2L, 20L, 7L, "click", "app"))
+      .toDF("event_id", "ts", "user_id", "event_type", "channel")
+    Views.register(log, "ae_log")
+    val conf = """{"stages": [
+      {"type": "AssembleTransform", "name": "as", "inputView": "ae_log",
+       "outputView": "ae_threads", "groupCol": "user_id",
+       "orderCols": ["ts", "event_id"], "payloadCol": "event_type",
+       "maxTurns": 8},
+      {"type": "EncodeTransform", "name": "en", "inputView": "ae_log",
+       "outputView": "ae_encoded", "columns": ["channel"]}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get
+    assert(spark.table("ae_threads").head().getAs[String]("convo") == "view click")
+    assert(out.columns.contains("channel_id"))
+    // app=1, web=2
+    assert(out.where($"channel" === "web").head().getAs[Long]("channel_id") == 2L)
+  }
+
+  test("repetition and tfidf as text-analysis methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "a b a b")).toDF("doc_id", "text"), "rt_docs")
+    val conf = """{"stages": [
+      {"type": "TextAnalysisTransform", "name": "rep", "analysis": "repetition",
+       "inputView": "rt_docs", "outputView": "rt_rep", "ngramN": 2},
+      {"type": "TextAnalysisTransform", "name": "tf", "analysis": "tfidf",
+       "inputView": "rt_docs", "outputView": "rt_tfidf", "topK": 1}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("rt_rep").head().getAs[Long]("n_ngrams") == 3L)
+    assert(spark.table("rt_tfidf").count() == 1L)
+  }
 }
