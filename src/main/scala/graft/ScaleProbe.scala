@@ -71,6 +71,30 @@ object ScaleProbe {
       t("text_chunk") {
         graft.ops.TextAnalysis.chunk(d, "doc_id", "text", 32, 8).count()
       }
+      // keyed (doc, gram) counts: linear in exploded gram count
+      t("repetition") {
+        graft.ops.TextAnalysis.repetition(d, "doc_id", "text").count()
+      }
+      // tf agg + df rollup + term join + per-doc window: ~linear; the
+      // amplified copies multiply df but not the vocabulary
+      t("tfidf_topk") {
+        graft.ops.TextAnalysis.tfidfTopK(d, "doc_id", "text").count()
+      }
+      // per-column group-then-count (the no-expand exact path)
+      t("profile_exact") {
+        graft.ops.Profile.table(d, Seq("doc_id", "lang", "source")).count()
+      }
+      // vocab stays fixed while the corpus grows: broadcast joins only
+      t("encode") {
+        graft.ops.Encoding.encode(d, Seq("source", "lang")).count()
+      }
+      // amplified events deepen each user's history; the row_number cap
+      // must keep collect state at maxTurns regardless of depth
+      val ev = amplify(graft.queries.Tables.events(spark, dir), "event_id", m)
+      t("assemble_capped") {
+        graft.ops.Assemble.threads(ev, "user_id",
+          Seq(col("ts"), col("event_id")), "event_type", maxTurns = 16).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Shared table readers for the driver-contract queries. */
-private[queries] object Tables {
+/** Shared table readers for the driver-contract queries (and dev probes). */
+private[graft] object Tables {
 
   /** The events table stores NANOSECOND timestamps, which Spark's parquet
     * schema INFERENCE rejects unless the global legacy conf
