@@ -91,7 +91,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs
+    method: String, // topk | ann | ivf | neardup_pairs | standardize
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -123,6 +123,7 @@ final case class SimilarityTransformStage(
       case "neardup_pairs" =>
         Similarity.nearDupPairs(corpus, threshold, nBits.getOrElse(64),
           bands.getOrElse(8), rows.getOrElse(8), maxBucket)
+      case "standardize"   => Similarity.standardize(corpus)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -241,7 +242,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -250,7 +251,8 @@ final case class SampleTransformStage(
     defaultRate: Double = 1.0,
     tokenCol: String = "n_tokens",
     budget: Long = 1000000L,
-    k: Int = 100)
+    k: Int = 100,
+    weightCol: String = "n_tokens")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -266,6 +268,11 @@ final case class SampleTransformStage(
         Sampling.perStratumHead(in, stratumCol, idCol, k, salt)
       case "shard_by_budget" =>
         Sampling.shardByBudget(in, idCol, tokenCol, budget)
+      // rates doubles as the upsample weight map (same stratum semantics)
+      case "upsample" =>
+        Sampling.upsample(in, stratumCol, idCol, rates, defaultRate, salt)
+      case "weighted_topk" =>
+        Sampling.weightedTopK(in, idCol, weightCol, k, salt)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }

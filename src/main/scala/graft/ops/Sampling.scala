@@ -130,4 +130,65 @@ object Sampling {
     }
     out.toDF(idCol, tokenCol, "shard")
   }
+
+  /** Mixture UPSAMPLING: replicate each row `weight(stratum)` times,
+    * where fractional weights resolve per row via the same deterministic
+    * h32 draw as [[deterministic]] — weight 2.3 yields 2 copies always
+    * plus a 3rd copy for the fixed ~30% of ids with h32(id ++ salt) below
+    * the fractional threshold. The training-mixture knob for weights
+    * ABOVE 1 ("books 2.3 epochs, web 0.8"), complementing [[stratified]]
+    * which can only thin. Adds a 0-based `copy` column so replicas stay
+    * distinct rows.
+    *
+    * Pure narrow work: a literal CASE chain for (base, threshold), one
+    * `explode(sequence(...))` bounded by ceil(max weight) per row — no
+    * shuffle, no state, replayable on any engine. Rows with 0 copies
+    * (weight < 1 and the draw above the fraction) are filtered before the
+    * explode so the sequence is never descending.
+    */
+  def upsample(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "weights must be >= 0")
+    def baseOf(w: Double): Long = math.floor(w).toLong
+    def fracThr(w: Double): Long = thresholdOf(w - math.floor(w))
+    val sorted = weights.toSeq.sortBy(_._1)
+    val base = sorted.foldLeft(lit(baseOf(defaultWeight))) {
+      case (acc, (v, w)) =>
+        when(col(stratumCol) === lit(v), lit(baseOf(w))).otherwise(acc)
+    }
+    val thr = sorted.foldLeft(lit(fracThr(defaultWeight))) {
+      case (acc, (v, w)) =>
+        when(col(stratumCol) === lit(v), lit(fracThr(w))).otherwise(acc)
+    }
+    val copies = base + when(keyOf(col(idCol), salt) < thr, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    * the `k` rows with the largest priority u^(1/w), u = the row's
+    * deterministic h32 draw mapped into (0, 1]. A row with twice the
+    * weight has exactly twice the inclusion odds in the limit, and the
+    * chosen subset is a pure function of (ids, weights, salt) — the
+    * reproducible "sample 10k docs proportional to length" primitive.
+    *
+    * Computed as ln(u)/w (same ordering, better conditioning), rounded
+    * to 6dp for engine portability, ties broken by id. Plans as
+    * TakeOrderedAndProject: per-partition top-k then a k-row merge —
+    * no global sort, driver holds k rows only.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (keyOf(col(idCol), salt).cast("double") + 1d) / (P.toDouble + 1d)
+    val priority = round(log(u) / col(weightCol).cast("double"), 6)
+    df.where(col(weightCol).cast("double") > 0)
+      .withColumn("priority", priority)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

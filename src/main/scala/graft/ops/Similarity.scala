@@ -266,4 +266,47 @@ object Similarity {
     // score queries from the QUERY table: queries need not be corpus rows
     topK(score(cand, qv, cv), k)
   }
+
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the whitening pre-pass before distance computations, clustering or
+    * quantization when dimensions have unequal scales. Output:
+    * (vec_id, z) with z[d] = (x[d] - mean_d) / std_d rounded to 6dp
+    * (constant dimensions yield 0, not NaN).
+    *
+    * Per-dimension sums use the same order-insensitive fixed-point
+    * (×2^20) longs as the IVF centroid update, so means and variances
+    * are EXACT under any partitioning/combine order and replay
+    * bit-identically on any engine. Shape at scale: posexplode to
+    * (dim, value) — map-side-combined aggregation down to `dim` rows —
+    * then the dim-indexed mean/std arrays (one small row) broadcast back
+    * across the corpus; the embedding table itself never shuffles.
+    */
+  def standardize(df: DataFrame): DataFrame = {
+    val x = df.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x").cast("double").as("v"))
+    val stats = x.groupBy("d").agg(
+      sum(round(col("v") * FixedScale).cast("long")).as("s"),
+      sum(round(col("v") * col("v") * FixedScale).cast("long")).as("ss"),
+      count(lit(1)).as("n"))
+    val m = col("s").cast("double") / col("n") / FixedScale
+    val ex2 = col("ss").cast("double") / col("n") / FixedScale
+    val moments = stats.select(col("d"), m.as("m"),
+      sqrt(greatest(ex2 - m * m, lit(0d))).as("sd"))
+    // dim-indexed arrays in one broadcastable row
+    val arrs = moments.groupBy().agg(
+      transform(sort_array(collect_list(struct(col("d"), col("m")))),
+        e => e.getField("m")).as("__ms"),
+      transform(sort_array(collect_list(struct(col("d"), col("sd")))),
+        e => e.getField("sd")).as("__sds"))
+    df.crossJoin(broadcast(arrs))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (xv, i) => round(
+            when(element_at(col("__sds"), i + 1) > 0,
+              (xv - element_at(col("__ms"), i + 1))
+                / element_at(col("__sds"), i + 1))
+              .otherwise(0d), 6)).as("z"))
+  }
 }

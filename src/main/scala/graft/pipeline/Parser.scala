@@ -127,7 +127,8 @@ object Parser {
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
-        method = r.oneOf("method", Seq("topk", "ann", "ivf", "neardup_pairs"), "topk"),
+        method = r.oneOf("method",
+          Seq("topk", "ann", "ivf", "neardup_pairs", "standardize"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -207,7 +208,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("deterministic", "stratified", "per_stratum_head",
-            "shard_by_budget"), "deterministic"),
+            "shard_by_budget", "upsample", "weighted_topk"), "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
         salt = r.string("salt").getOrElse(""),
@@ -221,7 +222,8 @@ object Parser {
         defaultRate = r.double("defaultRate").getOrElse(1.0),
         tokenCol = r.string("tokenCol").getOrElse("n_tokens"),
         budget = r.long("budget").getOrElse(1000000L),
-        k = r.int("k").getOrElse(100))
+        k = r.int("k").getOrElse(100),
+        weightCol = r.string("weightCol").getOrElse("n_tokens"))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -357,7 +359,7 @@ object Parser {
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
-      "tokenCol", "budget", "k")),
+      "tokenCol", "budget", "k", "weightCol")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",

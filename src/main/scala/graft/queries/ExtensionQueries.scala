@@ -70,6 +70,9 @@ object ExtensionQueries {
   private val StratRates = Map("en" -> 0.5, "de" -> 0.1)
   private val StratDefault = 1.0
   private val ShardBudget = 50000L
+  private val UpWeights = Map("de" -> 2.3, "en" -> 0.5)
+  private val UpDefault = 1.0
+  private val WtopK = 100
 
   /** h32 keep-threshold for a rate — MUST match Sampling.thresholdOf. */
   private def sampleThreshold(rate: Double): Long =
@@ -495,6 +498,24 @@ object ExtensionQueries {
       Encoding.encode(docs(spark, dir), Seq("source", "lang"))
         .select("doc_id", "source", "source_id", "lang", "lang_id")
         .orderBy("doc_id")
+    },
+
+    "sample_upsample" -> { (spark, dir) =>
+      Sampling.upsample(docs(spark, dir), "lang", "doc_id",
+          UpWeights, UpDefault)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    },
+
+    "sample_weighted" -> { (spark, dir) =>
+      Sampling.weightedTopK(docs(spark, dir), "doc_id", "n_chars", WtopK)
+        .select("doc_id", "n_chars", "priority")
+        .orderBy("doc_id")
+    },
+
+    "embed_standardize" -> { (spark, dir) =>
+      Similarity.standardize(embs(spark, dir))
+        .orderBy("vec_id")
     }
   )
 
@@ -1359,6 +1380,62 @@ object ExtensionQueries {
         d.lang, lv.id::BIGINT AS lang_id
       FROM documents d LEFT JOIN sv ON d.source = sv.value
         LEFT JOIN lv ON d.lang = lv.value
-      ORDER BY d.doc_id"""
+      ORDER BY d.doc_id""",
+
+    // Replay of Sampling.upsample: copies = floor(weight) + 1 more iff
+    // the row's h32 draw is under the fractional threshold (thresholds
+    // computed by the SAME Scala double arithmetic both sides).
+    "sample_upsample" -> s"""
+      WITH c AS (
+        SELECT doc_id, lang,
+          CASE lang ${UpWeights.toSeq.sorted.map { case (v, w) =>
+            s"WHEN '$v' THEN ${math.floor(w).toLong}"
+          }.mkString(" ")} ELSE ${math.floor(UpDefault).toLong} END
+          + CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P
+              < CASE lang ${UpWeights.toSeq.sorted.map { case (v, w) =>
+                  s"WHEN '$v' THEN ${sampleThreshold(w - math.floor(w))}"
+                }.mkString(" ")}
+                ELSE ${sampleThreshold(UpDefault - math.floor(UpDefault))} END
+            THEN 1 ELSE 0 END AS n
+        FROM documents)
+      SELECT doc_id, lang, copy
+      FROM c, unnest(generate_series(0, n - 1)) AS t(copy)
+      ORDER BY doc_id, copy""",
+
+    // Replay of Sampling.weightedTopK (Efraimidis-Spirakis): priority =
+    // round(ln((h+1)/(P+1)) / weight, 6), top-k by (priority DESC, id).
+    "sample_weighted" -> s"""
+      SELECT doc_id, n_chars, priority FROM (
+        SELECT doc_id, n_chars,
+          round(ln((('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P
+            + 1)::DOUBLE / ($P + 1)) / n_chars::DOUBLE, 6) AS priority
+        FROM documents WHERE n_chars::DOUBLE > 0
+        ORDER BY priority DESC, doc_id LIMIT $WtopK)
+      ORDER BY doc_id""",
+
+    // Replay of Similarity.standardize: per-dim fixed-point (x2^20) long
+    // sums -> exact means/variances under any order; z rounded 6dp,
+    // constant dims -> 0.
+    "embed_standardize" -> """
+      WITH x AS (
+        SELECT vec_id, d, embedding[d]::DOUBLE AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(d)),
+      st AS (
+        SELECT d,
+          SUM(CAST(round(v * 1048576.0) AS BIGINT)) AS s,
+          SUM(CAST(round(v * v * 1048576.0) AS BIGINT)) AS ss,
+          COUNT(*) AS n
+        FROM x GROUP BY d),
+      ms AS (
+        SELECT d, s::DOUBLE / n / 1048576.0 AS m,
+          sqrt(greatest(ss::DOUBLE / n / 1048576.0
+            - (s::DOUBLE / n / 1048576.0) * (s::DOUBLE / n / 1048576.0),
+            0)) AS sd
+        FROM st)
+      SELECT vec_id,
+        list(round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6)
+          ORDER BY d) AS z
+      FROM x JOIN ms USING (d)
+      GROUP BY vec_id ORDER BY vec_id"""
   )
 }

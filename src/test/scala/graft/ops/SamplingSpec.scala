@@ -77,4 +77,38 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"single-partition window in plan:\n$plan")
   }
+
+  test("upsample replicates by integer weight plus a deterministic fraction") {
+    val out = Sampling.upsample(docs, "lang", "doc_id",
+      Map("de" -> 3.0, "en" -> 0.0), defaultWeight = 1.0)
+    val counts = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val orig = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("de") == orig("de") * 3)       // integer weight: exact
+    assert(!counts.contains("en"))               // weight 0 drops all
+    assert(counts("fr") == orig("fr"))           // default 1.0: unchanged
+    // copy column makes replicas distinct
+    assert(out.distinct().count() == out.count())
+    // fractional part is reproducible: two runs pick the same rows
+    val a = Sampling.upsample(docs, "lang", "doc_id", Map("de" -> 1.5))
+      .where($"lang" === "de" && $"copy" === 1).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.upsample(docs, "lang", "doc_id", Map("de" -> 1.5))
+      .where($"lang" === "de" && $"copy" === 1).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < orig("de"))
+  }
+
+  test("weightedTopK favors heavy rows and plans a per-partition top-k") {
+    val q = Sampling.weightedTopK(docs, "doc_id", "n_chars", k = 50)
+    // heavier rows overrepresented: sampled mean length above corpus mean
+    val sampleMean = q.agg(avg("n_chars")).head().getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus $corpusMean")
+    assert(q.count() == 50)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
 }

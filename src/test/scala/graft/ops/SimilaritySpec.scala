@@ -122,4 +122,22 @@ class SimilaritySpec extends SparkSpec {
       assert(brute(n) == c, "ANN scores identical to brute-force for same pair")
     }
   }
+
+  test("standardize z-scores per dimension; constant dims yield 0") {
+    val df = Seq(
+      (0L, Array(1.0f, 5.0f)),
+      (1L, Array(3.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val z = Similarity.standardize(df).orderBy("vec_id")
+      .select("z").as[Seq[Double]].collect()
+    // dim 0: mean 2, std 1 -> z = -1, +1; dim 1 constant -> 0
+    assert(z(0) == Seq(-1.0, 0.0))
+    assert(z(1) == Seq(1.0, 0.0))
+  }
+
+  test("standardize broadcasts the moments; the corpus never shuffles") {
+    val plan = Similarity.standardize(vecs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"moments must broadcast:\n$plan")
+  }
 }
