@@ -169,6 +169,30 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Deterministic train/val/test (or any named) split assignment: adds a
+    * `split` column from the row's h32 draw against cumulative fraction
+    * thresholds — "80/10/10 by hash" that never changes when the corpus is
+    * re-partitioned, re-ordered or appended to (an id keeps its split
+    * forever, the property eval hygiene requires; a fresh `salt` redraws).
+    * `fractions` is ordered (name, fraction); fractions must sum to <= 1,
+    * with any remainder falling to the LAST named split.
+    *
+    * Pure narrow CASE over the hash — no shuffle, pushes past scans.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "at least one split")
+    require(fractions.forall(_._2 >= 0) && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions must be >= 0 and sum to <= 1: $fractions")
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val key = keyOf(col(idCol), salt)
+    val expr = fractions.map(_._1).zip(cum).init
+      .foldRight(lit(fractions.last._1): Column) { case ((name, c), els) =>
+        when(key < lit(thresholdOf(c)), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", expr)
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
     * the `k` rows with the largest priority u^(1/w), u = the row's
     * deterministic h32 draw mapped into (0, 1]. A row with twice the

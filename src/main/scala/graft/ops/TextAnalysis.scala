@@ -209,6 +209,23 @@ object TextAnalysis {
       .select("doc_id", "rnk", "term", "tf", "df", "score")
   }
 
+  /** Corpus-wide heavy hitters: the `k` most frequent words with counts —
+    * the vocabulary/stopword/boilerplate-token diagnostic over the whole
+    * corpus. Ties break on the term so the cut is deterministic.
+    *
+    * Shape at scale: explode + map-side-combined count (the shuffle
+    * carries one partial row per distinct word per partition, not token
+    * occurrences), then a per-partition top-k merge
+    * (TakeOrderedAndProject) — no global sort, driver sees k rows.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(T.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+  }
+
   /** Rolling-hash document fingerprint (content-defined identity: equal
     * texts always collide, near-equal texts never do — complements MinHash).
     */

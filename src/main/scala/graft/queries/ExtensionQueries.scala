@@ -516,6 +516,18 @@ object ExtensionQueries {
     "embed_standardize" -> { (spark, dir) =>
       Similarity.standardize(embs(spark, dir))
         .orderBy("vec_id")
+    },
+
+    "split_assign" -> { (spark, dir) =>
+      Sampling.splitAssign(docs(spark, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    },
+
+    "heavy_hitters" -> { (spark, dir) =>
+      TextAnalysis.heavyHitters(docs(spark, dir), "text", k = 20)
+        .orderBy("term")
     }
   )
 
@@ -1436,6 +1448,28 @@ object ExtensionQueries {
         list(round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6)
           ORDER BY d) AS z
       FROM x JOIN ms USING (d)
-      GROUP BY vec_id ORDER BY vec_id"""
+      GROUP BY vec_id ORDER BY vec_id""",
+
+    // Replay of Sampling.splitAssign: cumulative thresholds computed by
+    // the SAME Scala double arithmetic (0.8 + 0.1 is not 0.9 in IEEE;
+    // interpolating the longs keeps both engines on identical cuts).
+    "split_assign" -> s"""
+      SELECT doc_id, lang,
+        CASE WHEN h < ${sampleThreshold(0.8)} THEN 'train'
+             WHEN h < ${sampleThreshold(0.8 + 0.1)} THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id, lang,
+              ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P AS h
+            FROM documents)
+      ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.heavyHitters: global word counts, top-k by
+    // (count DESC, term).
+    "heavy_hitters" -> """
+      SELECT term, n FROM (
+        SELECT term, COUNT(*)::BIGINT AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term ORDER BY n DESC, term LIMIT 20)
+      ORDER BY term"""
   )
 }

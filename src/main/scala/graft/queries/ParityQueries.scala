@@ -203,6 +203,22 @@ object ParityQueries {
         .orderBy("n_nationkey")
     },
 
+    "json_roundtrip" -> { (spark, dir) =>
+      // JSON-lines connector: parquet -> JSON -> inferred back (numbers
+      // come back as BIGINT, which IS the oracle's integer width).
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_json").toString
+      val js = new graft.connect.JsonConnector(tmp)
+      extract(spark, dir, "nation", "q_json")
+      LoadStage("json_out", js, "q_json_nation", "nation", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true")).run()
+      ExtractStage("json_in", js, "nation", "q_json_back").run()
+      spark.table("q_json_back")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy("n_nationkey")
+    },
+
     "rollup_agg" -> { (spark, dir) =>
       implicit val c: PipelineContext = ctx(spark)
       extract(spark, dir, "lineitem", "q_ru")
@@ -423,6 +439,11 @@ object ParityQueries {
 
     "csv_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey""",
+
+    "json_roundtrip" -> """
+      SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+        n_regionkey::BIGINT AS n_regionkey
       FROM nation ORDER BY n_nationkey""",
 
     "rollup_agg" -> """

@@ -99,6 +99,22 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty && a.size < orig("de"))
   }
 
+  test("splitAssign is a stable pure function of ids; fractions roughly hold") {
+    val s1 = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val s2 = Sampling.splitAssign(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val m1 = s1.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val m2 = s2.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m1 == m2, "split must not depend on partitioning")
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // schema preserved plus the one new column
+    assert(s1.columns.toSeq == docs.columns.toSeq :+ "split")
+  }
+
   test("weightedTopK favors heavy rows and plans a per-partition top-k") {
     val q = Sampling.weightedTopK(docs, "doc_id", "n_chars", k = 50)
     // heavier rows overrepresented: sampled mean length above corpus mean

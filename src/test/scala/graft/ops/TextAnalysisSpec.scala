@@ -110,6 +110,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_ngram_frac") == 0.0)
   }
 
+  test("heavy hitters: exact counts, deterministic cut, no global sort") {
+    val df = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitters(df, "text", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L)))
+    val plan = TextAnalysis.heavyHitters(df, "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
   test("tfidf ranks rarer terms above corpus-wide ones, ties by term") {
     // "cat" appears in 1 of 3 docs; "the" in all 3: same tf in doc 1, but
     // idf must rank "cat" first
