@@ -415,4 +415,42 @@ object Dedup {
         round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
     smallPairs.union(bigPairs).where(col("jaccard") >= threshold)
   }
+
+  /** PASSAGE-level dedup (RefinedWeb/FineWeb-style): documents are cut
+    * into fixed `window`-word passages; every passage that already
+    * occurred anywhere in the corpus (first occurrence = smallest
+    * (doc, position)) is dropped; survivors reassemble in original order.
+    * This removes the cross-page boilerplate (headers, footers, license
+    * blocks) that document-level dedup can't see, while [[exact]] /
+    * [[minhashPairs]] handle whole-document duplication. Output one row
+    * per surviving document:
+    * (doc_id, clean_text, n_chunks, n_kept).
+    *
+    * Shape at scale: the passage table shuffles once keyed on passage
+    * TEXT (the dedup identity — same key class as [[exact]] on a
+    * document, but window-bounded payloads), with the per-document chunk
+    * count riding a same-output window; the reassembly groups by doc with
+    * state bounded by the document's own length. Documents whose every
+    * passage is repeated elsewhere disappear, like rows in [[exact]].
+    */
+  def passages(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ch = TextAnalysis.chunk(df, idCol, textCol,
+      chunkSize = window, overlap = 0)
+    val firstOcc = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    ch.withColumn("__rn", row_number().over(firstOcc))
+      .withColumn("__nch", count(lit(1)).over(perDoc))
+      .where(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_id"),
+            col("chunk_text").as("__t")))),
+          s => s.getField("__t"))).as("clean_text"),
+        max(col("__nch")).as("n_chunks"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs | passages
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -34,6 +34,7 @@ final case class DedupTransformStage(
     maxBlock: Int = 1024,
     lshBands: Int = 8,
     maxIter: Int = 25,
+    window: Int = 8,
     byDigest: Boolean = false,
     checkpointDir: Option[String] = None,
     seenView: Option[String] = None)
@@ -79,6 +80,8 @@ final case class DedupTransformStage(
       case "ngram_pairs" =>
         Dedup.ngramJaccardPairs(in, idCol, textCol, blockCols, ngramN,
           bucketWidth, threshold.getOrElse(0.7), sampleMod, maxBlock, lshBands)
+      case "passages" =>
+        Dedup.passages(in, idCol, textCol, window)
       case other =>
         throw new IllegalArgumentException(s"unknown dedup method '$other'")
     }

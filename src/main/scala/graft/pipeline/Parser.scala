@@ -98,7 +98,7 @@ object Parser {
         method = r.oneOf("method",
           Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
             "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
-            "ngram_pairs"),
+            "ngram_pairs", "passages"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -118,6 +118,7 @@ object Parser {
         maxBlock = r.int("maxBlock").getOrElse(1024),
         lshBands = r.int("lshBands").getOrElse(8),
         maxIter = r.int("maxIter").getOrElse(25),
+        window = r.int("window").getOrElse(8),
         byDigest = r.boolean("byDigest", default = false),
         checkpointDir = r.string("checkpointDir"),
         seenView = r.string("seenView"))
@@ -343,7 +344,7 @@ object Parser {
     "DedupTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
-      "maxBucket", "maxBlock", "lshBands", "maxIter", "byDigest",
+      "maxBucket", "maxBlock", "lshBands", "maxIter", "window", "byDigest",
       "checkpointDir", "seenView")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",

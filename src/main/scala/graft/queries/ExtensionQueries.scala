@@ -528,6 +528,12 @@ object ExtensionQueries {
     "heavy_hitters" -> { (spark, dir) =>
       TextAnalysis.heavyHitters(docs(spark, dir), "text", k = 20)
         .orderBy("term")
+    },
+
+    "dedup_passages" -> { (spark, dir) =>
+      Dedup.passages(docs(spark, dir), "doc_id", "text", window = 8)
+        .select("doc_id", "n_chunks", "n_kept", "clean_text")
+        .orderBy("doc_id")
     }
   )
 
@@ -1470,6 +1476,27 @@ object ExtensionQueries {
         SELECT term, COUNT(*)::BIGINT AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         GROUP BY term ORDER BY n DESC, term LIMIT 20)
-      ORDER BY term"""
+      ORDER BY term""",
+
+    // Replay of Dedup.passages: the text_chunk slicing with overlap 0 and
+    // window 8, first corpus-wide occurrence by (doc, position) survives,
+    // documents reassemble in chunk order.
+    "dedup_passages" -> """
+      WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          greatest(1, (len(string_split(text, ' ')) + 7) // 8) AS nc
+        FROM documents),
+      ch AS (
+        SELECT doc_id, cid,
+          array_to_string(w[cid*8+1 : cid*8+8], ' ') AS ct
+        FROM ws, unnest(generate_series(0, nc-1)) AS t(cid)),
+      k AS (
+        SELECT doc_id, cid, ct,
+          row_number() OVER (PARTITION BY ct ORDER BY doc_id, cid) AS rn,
+          count(*) OVER (PARTITION BY doc_id) AS nch
+        FROM ch)
+      SELECT doc_id, MAX(nch)::BIGINT AS n_chunks, COUNT(*)::BIGINT AS n_kept,
+        string_agg(ct, ' ' ORDER BY cid) AS clean_text
+      FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -180,4 +180,22 @@ class DedupSpec extends SparkSpec {
     }
     assert(rep.nonEmpty && rep.head.optNumPartitions.isEmpty)
   }
+
+  test("passage dedup drops repeated windows, keeps first occurrence, reassembles") {
+    import spark.implicits._
+    // window=2: doc 1 = [a b][c d], doc 2 = [a b][x y] -> doc 2 loses "a b"
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b")       // every passage repeated -> doc disappears
+    ).toDF("doc_id", "text")
+    val out = Dedup.passages(df, "doc_id", "text", window = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).getAs[String]("clean_text") == "a b c d")
+    assert(out(1L).getAs[Long]("n_chunks") == 2L)
+    assert(out(1L).getAs[Long]("n_kept") == 2L)
+    assert(out(2L).getAs[String]("clean_text") == "x y")
+    assert(out(2L).getAs[Long]("n_kept") == 1L)
+  }
 }
