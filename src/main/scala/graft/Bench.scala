@@ -115,12 +115,14 @@ object Bench {
 
     // Compact contract line LAST — must fit the consumer's bounded tail
     // window (~2 KB) together with the build tool's trailing status line.
+    // Only the contract keys; reps/rep_totals/medians live on the detail
+    // line above.
     def compact(decimals: Int): String =
-      s"""{"metric":"total","value":${jnum(total, decimals)},"unit":"sec","reps":$nReps,"rep_totals":$repTotals,"queries":${jmap(
+      s"""{"metric":"total","value":${jnum(total, decimals)},"unit":"sec","queries":${jmap(
           mins, decimals)},"errors":${errJson(60)},"sf":${jstr(sfDir)}}"""
     val line = {
       val l3 = compact(3)
-      if (l3.length <= 1800) l3 else compact(2)
+      if (l3.length <= 1750) l3 else compact(2)
     }
     println(line)
     spark.stop()

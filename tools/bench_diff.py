@@ -36,7 +36,10 @@ def main():
     args = ap.parse_args()
 
     with open(args.bench_json) as f:
-        now = json.loads([l for l in f if l.startswith('{"metric"')][-1])
+        cand = [json.loads(l) for l in f if l.startswith('{"metric"')]
+    # prefer the full-precision detail record (carries rep_totals); the
+    # compact contract line is for the bounded-tail consumer
+    now = next((c for c in cand if c.get("metric") == "detail"), cand[-1])
     with open(args.baseline) as f:
         base = json.load(f)
 
