@@ -95,6 +95,14 @@ object ScaleProbe {
         graft.ops.Assemble.threads(ev, "user_id",
           Seq(col("ts"), col("event_id")), "event_type", maxTurns = 16).count()
       }
+      // amplified copies make every passage a cross-doc duplicate — the
+      // worst case for the first-occurrence window (deepest partitions)
+      t("dedup_passages") {
+        Dedup.passages(d, "doc_id", "text", window = 8).count()
+      }
+      t("heavy_hitters") {
+        graft.ops.TextAnalysis.heavyHitters(d, "text", 100).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

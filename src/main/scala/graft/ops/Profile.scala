@@ -32,6 +32,41 @@ object Profile {
     * single-shuffle and constant-memory per column, at the price of an
     * engine-specific estimate (hence not the gate path).
     */
+  /** Per-group z-score outlier flagging — the numeric data-cleaning pass
+    * (drop sensor glitches, price typos, corrupt metrics) run before a
+    * table feeds training. Adds `z` (6dp) and `is_outlier`
+    * (|value - mean| > sigma * std of the row's `byCols` group; a
+    * zero-variance group flags nothing).
+    *
+    * Group moments use order-insensitive fixed-point (×2^20) long sums —
+    * exact under any partitioning, so the flag is deterministic and
+    * engine-replayable. Shape at scale: one map-side-combined aggregation
+    * down to the group table, joined back on the group keys (broadcast
+    * when groups are few, sort-merge otherwise); the fact table shuffles
+    * at most once.
+    */
+  def outliers(df: DataFrame, valueCol: String, byCols: Seq[String],
+      sigma: Double = 3.0): DataFrame = {
+    require(byCols.nonEmpty, "at least one grouping column")
+    require(sigma > 0, s"sigma must be positive, got $sigma")
+    val scale = (1L << 20).toDouble
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(byCols.map(col): _*).agg(
+      sum(round(v * scale).cast("long")).as("__s"),
+      sum(round(v * v * scale).cast("long")).as("__ss"),
+      count(v).as("__n"))
+    val m = col("__s").cast("double") / col("__n") / scale
+    val ex2 = col("__ss").cast("double") / col("__n") / scale
+    val moments = stats.select(byCols.map(col) :+ m.as("__m")
+      :+ sqrt(greatest(ex2 - m * m, lit(0d))).as("__sd"): _*)
+    df.join(moments, byCols)
+      .withColumn("z", round(
+        when(col("__sd") > 0, (v - col("__m")) / col("__sd")).otherwise(0d), 6))
+      .withColumn("is_outlier",
+        col("__sd") > 0 && abs(v - col("__m")) > lit(sigma) * col("__sd"))
+      .drop("__m", "__sd")
+  }
+
   def table(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     if (exact) {

@@ -534,6 +534,13 @@ object ExtensionQueries {
       Dedup.passages(docs(spark, dir), "doc_id", "text", window = 8)
         .select("doc_id", "n_chunks", "n_kept", "clean_text")
         .orderBy("doc_id")
+    },
+
+    "events_outliers" -> { (spark, dir) =>
+      Profile.outliers(events(spark, dir), "value", Seq("event_type"))
+        .where(col("is_outlier"))
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
     }
   )
 
@@ -1497,6 +1504,26 @@ object ExtensionQueries {
         FROM ch)
       SELECT doc_id, MAX(nch)::BIGINT AS n_chunks, COUNT(*)::BIGINT AS n_kept,
         string_agg(ct, ' ' ORDER BY cid) AS clean_text
-      FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""
+      FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    // Replay of Profile.outliers: per-type fixed-point (x2^20) moments,
+    // |value - mean| > 3 sigma, z rounded 6dp.
+    "events_outliers" -> """
+      WITH st AS (
+        SELECT event_type,
+          SUM(CAST(round(value * 1048576.0) AS BIGINT)) AS s,
+          SUM(CAST(round(value * value * 1048576.0) AS BIGINT)) AS ss,
+          COUNT(value) AS n
+        FROM events GROUP BY event_type),
+      ms AS (
+        SELECT event_type, s::DOUBLE / n / 1048576.0 AS m,
+          sqrt(greatest(ss::DOUBLE / n / 1048576.0
+            - (s::DOUBLE / n / 1048576.0) * (s::DOUBLE / n / 1048576.0),
+            0)) AS sd
+        FROM st)
+      SELECT event_id, e.event_type, value, round((value - m) / sd, 6) AS z
+      FROM events e JOIN ms USING (event_type)
+      WHERE sd > 0 AND abs(value - m) > 3.0 * sd
+      ORDER BY event_id"""
   )
 }

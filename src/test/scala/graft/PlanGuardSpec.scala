@@ -12,7 +12,10 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_embedding", "similarity_topk", "similarity_ann", "similarity_ivf",
     "similarity_ivf_scalable", "join_agg", "window_topn", "sketch_kmv",
     "asof_join", "range_join", "salted_join", "contamination_check",
-    "sample_per_stratum")
+    "sample_per_stratum",
+    // round 7
+    "text_repetition", "tfidf_topk", "events_assemble", "dedup_passages",
+    "heavy_hitters", "sample_weighted", "embed_standardize", "profile_table")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>

@@ -44,6 +44,23 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("Union"), s"expected per-column branches:\n$plan")
   }
 
+  test("outliers flags beyond sigma*std per group; zero-variance flags none") {
+    val data = Seq(
+      ("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 1.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)
+    ).toDF("g", "v")
+    val out = Profile.outliers(data, "v", Seq("g"), sigma = 1.5)
+    val flagged = out.where($"is_outlier").select("g", "v")
+      .as[(String, Double)].collect().toSeq
+    assert(flagged == Seq(("a", 100.0)))
+    // zero-variance group: nothing flagged, z = 0
+    assert(out.where($"g" === "b" && $"is_outlier").count() == 0)
+    assert(out.where($"g" === "b").select("z").as[Double]
+      .collect().forall(_ == 0.0))
+    // schema: input columns plus z and is_outlier
+    assert(out.columns.toSeq == data.columns.toSeq ++ Seq("z", "is_outlier"))
+  }
+
   test("approx mode stays a single scan (no per-column union)") {
     val plan = Profile.table(df, Seq("id", "s", "v"), exact = false)
       .queryExecution.executedPlan.toString
