@@ -120,10 +120,8 @@ object Bench {
     def compact(decimals: Int): String =
       s"""{"metric":"total","value":${jnum(total, decimals)},"unit":"sec","queries":${jmap(
           mins, decimals)},"errors":${errJson(60)},"sf":${jstr(sfDir)}}"""
-    val line = {
-      val l3 = compact(3)
-      if (l3.length <= 1750) l3 else compact(2)
-    }
+    val line = Seq(3, 2, 1).map(compact).find(_.length <= 1750)
+      .getOrElse(compact(1))
     println(line)
     spark.stop()
   }
