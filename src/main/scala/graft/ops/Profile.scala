@@ -43,7 +43,8 @@ object Profile {
     * engine-replayable. Shape at scale: one map-side-combined aggregation
     * down to the group table, joined back on the group keys (broadcast
     * when groups are few, sort-merge otherwise); the fact table shuffles
-    * at most once.
+    * at most once. Rows with a NULL group key drop out (equi-join
+    * semantics) — scrub or coalesce group keys first.
     */
   def outliers(df: DataFrame, valueCol: String, byCols: Seq[String],
       sigma: Double = 3.0): DataFrame = {

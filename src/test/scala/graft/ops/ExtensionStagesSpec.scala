@@ -280,6 +280,34 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(out.where($"channel" === "web").head().getAs[Long]("channel_id") == 2L)
   }
 
+  test("passages, upsample, weighted_topk and standardize as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "a b c d", "en"), (2L, "a b x y", "en"))
+      .toDF("doc_id", "text", "lang"), "m7_docs")
+    Views.register(Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding"), "m7_embs")
+    val conf = """{"stages": [
+      {"type": "DedupTransform", "name": "pa", "method": "passages",
+       "inputView": "m7_docs", "outputView": "m7_pass", "window": 2},
+      {"type": "SampleTransform", "name": "up", "method": "upsample",
+       "inputView": "m7_docs", "outputView": "m7_up",
+       "rates": {"en": "2.0"}},
+      {"type": "SampleTransform", "name": "wt", "method": "weighted_topk",
+       "inputView": "m7_docs", "outputView": "m7_wt",
+       "weightCol": "doc_id", "k": 1},
+      {"type": "SimilarityTransform", "name": "sz", "method": "standardize",
+       "inputView": "m7_embs", "outputView": "m7_z"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("m7_pass").count() == 2)      // doc 2 keeps "x y"
+    assert(spark.table("m7_up").count() == 4)        // weight 2.0 doubles
+    assert(spark.table("m7_wt").count() == 1)
+    assert(spark.table("m7_z").columns.contains("z"))
+  }
+
   test("repetition and tfidf as text-analysis methods") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._
