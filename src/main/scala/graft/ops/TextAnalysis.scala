@@ -143,14 +143,14 @@ object TextAnalysis {
     * (doc_id, n_ngrams, n_distinct_ngrams, dup_ngram_frac, top_ngram_frac).
     *
     * Shape at scale: explode to one row per n-gram occurrence, then two
-    * keyed aggregations — (doc, gram) counts, then per-doc rollup. Both
-    * hash-partition on keys that start with doc_id, so the second
-    * aggregation reuses the first's partitioning (no extra exchange), and
-    * map-side combine absorbs the within-partition repeats the operator
-    * exists to find. The narrow alternative (per-row `array_distinct` +
-    * counting loops) is O(distinct²) per document — quadratic in exactly
-    * the degenerate documents this filter targets — so the keyed form is
-    * the scale-safe one.
+    * keyed aggregations. The first shuffles on (doc, gram) with map-side
+    * combine absorbing the within-partition repeats the operator exists
+    * to find; the second (per-doc rollup) shuffles only the already-
+    * collapsed distinct-gram rows — far smaller than the input. The
+    * narrow alternative (per-row `array_distinct` + counting loops) is
+    * O(distinct²) per document — quadratic in exactly the degenerate
+    * documents this filter targets — so the keyed form is the scale-safe
+    * one.
     */
   def repetition(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
