@@ -61,8 +61,10 @@ object Profile {
     val moments = stats.select(byCols.map(col) :+ m.as("__m")
       :+ sqrt(greatest(ex2 - m * m, lit(0d))).as("__sd"): _*)
     df.join(moments, byCols)
+      // + 0.0 normalizes IEEE negative zero across replay engines
       .withColumn("z", round(
-        when(col("__sd") > 0, (v - col("__m")) / col("__sd")).otherwise(0d), 6))
+        when(col("__sd") > 0, (v - col("__m")) / col("__sd")).otherwise(0d), 6)
+        + lit(0d))
       .withColumn("is_outlier",
         col("__sd") > 0 && abs(v - col("__m")) > lit(sigma) * col("__sd"))
       .drop("__m", "__sd")

@@ -209,7 +209,10 @@ object Sampling {
       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val u = (keyOf(col(idCol), salt).cast("double") + 1d) / (P.toDouble + 1d)
-    val priority = round(log(u) / col(weightCol).cast("double"), 6)
+    // + 0.0 normalizes IEEE negative zero: a draw near u = 1 rounds to
+    // -0.0 under a C-library round (sign kept) but 0.0 under Spark's
+    // BigDecimal HALF_UP — the replay engines must agree bit-for-bit
+    val priority = round(log(u) / col(weightCol).cast("double"), 6) + lit(0d)
     df.where(col(weightCol).cast("double") > 0)
       .withColumn("priority", priority)
       .orderBy(col("priority").desc, col(idCol))

@@ -47,9 +47,13 @@ object Similarity {
     df.select(col("vec_id"), col("embedding"),
       V.norm(col("embedding")).as("nrm"))
 
-  /** cosine = dot / (nrm_a * nrm_b), rounded to 6dp. */
+  /** cosine = dot / (nrm_a * nrm_b), rounded to 6dp. The `+ 0.0`
+    * normalizes IEEE negative zero: Spark's HALF_UP round drops the sign
+    * of a tiny negative where a C-library round keeps it, and -0.0
+    * prints/hashes differently from 0.0 on replay engines.
+    */
   private def cosineFromNorms(ea: String, eb: String, na: String, nb: String) =
-    round(V.dot(col(ea), col(eb)) / (col(na) * col(nb)), 6)
+    round(V.dot(col(ea), col(eb)) / (col(na) * col(nb)), 6) + lit(0d)
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -307,6 +311,6 @@ object Similarity {
             when(element_at(col("__sds"), i + 1) > 0,
               (xv - element_at(col("__ms"), i + 1))
                 / element_at(col("__sds"), i + 1))
-              .otherwise(0d), 6)).as("z"))
+              .otherwise(0d), 6) + lit(0d)).as("z"))
   }
 }

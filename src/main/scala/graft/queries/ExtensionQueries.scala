@@ -613,8 +613,11 @@ object ExtensionQueries {
     s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
        i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)), (x, y) -> x + y)"""
 
+  // `+ 0` normalizes IEEE negative zero: DuckDB's round keeps the sign of
+  // a tiny negative (-1e-9 -> -0.0) where Spark's BigDecimal HALF_UP
+  // drops it (-> 0.0); adding +0.0 maps both to +0.0 and nothing else.
   private def cosD(a: String, b: String): String =
-    s"round(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})), 6)"
+    s"(round(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})), 6) + 0)"
 
   /** Cosine between a float embedding row `e` and a double k-means
     * centroid row `c` (replay of Similarity.assignTo's scoring: float
@@ -625,7 +628,7 @@ object ExtensionQueries {
        d -> $e.embedding[d]::DOUBLE * $c.c_emb[d])), (x, y) -> x + y)"""
     val dotCC = s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
        d -> $c.c_emb[d] * $c.c_emb[d])), (x, y) -> x + y)"""
-    s"round($dotEC / (sqrt(${dotD(e, e)}) * sqrt($dotCC)), 6)"
+    s"(round($dotEC / (sqrt(${dotD(e, e)}) * sqrt($dotCC)), 6) + 0)"
   }
 
   /** One Lloyd assignment CTE: every vector to its max-cosine centroid
@@ -1432,8 +1435,8 @@ object ExtensionQueries {
     "sample_weighted" -> s"""
       SELECT doc_id, n_chars, priority FROM (
         SELECT doc_id, n_chars,
-          round(ln((('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P
-            + 1)::DOUBLE / ($P + 1)) / n_chars::DOUBLE, 6) AS priority
+          (round(ln((('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P
+            + 1)::DOUBLE / ($P + 1)) / n_chars::DOUBLE, 6) + 0) AS priority
         FROM documents WHERE n_chars::DOUBLE > 0
         ORDER BY priority DESC, doc_id LIMIT $WtopK)
       ORDER BY doc_id""",
@@ -1458,7 +1461,7 @@ object ExtensionQueries {
             0)) AS sd
         FROM st)
       SELECT vec_id,
-        list(round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6)
+        list((round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6) + 0)
           ORDER BY d) AS z
       FROM x JOIN ms USING (d)
       GROUP BY vec_id ORDER BY vec_id""",
@@ -1521,7 +1524,8 @@ object ExtensionQueries {
             - (s::DOUBLE / n / 1048576.0) * (s::DOUBLE / n / 1048576.0),
             0)) AS sd
         FROM st)
-      SELECT event_id, e.event_type, value, round((value - m) / sd, 6) AS z
+      SELECT event_id, e.event_type, value,
+        (round((value - m) / sd, 6) + 0) AS z
       FROM events e JOIN ms USING (event_type)
       WHERE sd > 0 AND abs(value - m) > 3.0 * sd
       ORDER BY event_id"""
