@@ -288,10 +288,14 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
+    // quality_score: (metric, weight) pairs in accumulation order
+    scoreWeights: Seq[(String, Double)] = Nil,
+    bias: Double = 0.0,
+    scoreThreshold: Double = 0.5,
     minChars: Long = 50L,
     maxChars: Long = 100000L,
     minWords: Long = 10L,
@@ -320,6 +324,8 @@ final case class TextAnalysisTransformStage(
       case "langdist"    => TextAnalysis.langDist(in, langCol, textCol)
       case "repetition"  => TextAnalysis.repetition(in, idCol, textCol, ngramN)
       case "tfidf"       => TextAnalysis.tfidfTopK(in, idCol, textCol, topK)
+      case "quality_score" => TextAnalysis.qualityScore(in, idCol, textCol,
+        scoreWeights, bias, scoreThreshold)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }

@@ -209,6 +209,34 @@ object TextAnalysis {
       .select("doc_id", "rnk", "term", "tf", "df", "score")
   }
 
+  /** Model-based quality scoring: a logistic classifier over the
+    * [[quality]] metrics — the shape of the fasttext/FineWeb-Edu quality
+    * filters, with the model expressed as explicit (metric, weight)
+    * pairs so the score is auditable and engine-replayable. Output:
+    * (doc_id, score, keep) with score = sigmoid(bias + Σ wᵢ·metricᵢ)
+    * rounded to 6dp (the linear sum accumulates in the given pair order,
+    * so replay engines add in the same sequence) and keep = score >=
+    * threshold.
+    *
+    * Pure narrow codegen'd column work — the inference "join" is just
+    * literals in the expression tree, nothing ships to executors.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)], bias: Double = 0.0,
+      threshold: Double = 0.5): DataFrame = {
+    require(weights.nonEmpty, "at least one (metric, weight) pair")
+    val m = qualityMetrics(textCol).toMap
+    val unknown = weights.collect { case (k, _) if !m.contains(k) => k }
+    require(unknown.isEmpty,
+      s"unknown metrics ${unknown.mkString(", ")}; have ${m.keys.mkString(", ")}")
+    val linear = weights.foldLeft(lit(bias)) { case (acc, (k, w)) =>
+      acc + lit(w) * m(k).cast("double")
+    }
+    val score = round(lit(1d) / (lit(1d) + exp(-linear)), 6)
+    df.select(col(idCol).as("doc_id"), score.as("score"),
+      (score >= threshold).as("keep"))
+  }
+
   /** Corpus-wide heavy hitters: the `k` most frequent words with counts —
     * the vocabulary/stopword/boilerplate-token diagnostic over the whole
     * corpus. Ties break on the term so the cut is deterministic.

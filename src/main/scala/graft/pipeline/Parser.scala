@@ -233,8 +233,19 @@ object Parser {
         outputView = r.requiredString("outputView"),
         analysis = r.oneOf("analysis",
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
-            "langid", "fingerprint", "langdist", "repetition", "tfidf"),
+            "langid", "fingerprint", "langdist", "repetition", "tfidf",
+            "quality_score"),
           "quality"),
+        // sorted by metric name: config maps carry no order, and the
+        // linear accumulation order must be reproducible
+        scoreWeights = r.stringMap("scoreWeights").toSeq.sortBy(_._1).map {
+          case (k, v) => k -> (try v.toDouble catch {
+            case _: NumberFormatException =>
+              r.error("scoreWeights", s"weight for '$k' is not a number: '$v'"); 0.0
+          })
+        },
+        bias = r.double("bias").getOrElse(0.0),
+        scoreThreshold = r.double("scoreThreshold").getOrElse(0.5),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         langCol = r.string("langCol").getOrElse("lang"),
@@ -364,7 +375,7 @@ object Parser {
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
-      "ngramN", "topK")),
+      "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns"))

@@ -541,6 +541,13 @@ object ExtensionQueries {
         .where(col("is_outlier"))
         .select("event_id", "event_type", "value", "z")
         .orderBy("event_id")
+    },
+
+    "quality_score" -> { (spark, dir) =>
+      TextAnalysis.qualityScore(docs(spark, dir), "doc_id", "text",
+          Seq("ttr" -> 2.0, "stopword_ratio" -> 5.0, "punct_ratio" -> -10.0),
+          bias = -1.5)
+        .orderBy("doc_id")
     }
   )
 
@@ -1528,6 +1535,28 @@ object ExtensionQueries {
         (round((value - m) / sd, 6) + 0) AS z
       FROM events e JOIN ms USING (event_type)
       WHERE sd > 0 AND abs(value - m) > 3.0 * sd
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+
+    // Replay of TextAnalysis.qualityScore: logistic over the same
+    // 6dp-rounded metrics, linear terms accumulated in the same order.
+    "quality_score" -> """
+      WITH m AS (
+        SELECT doc_id,
+          round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' '))::DOUBLE, 6) AS ttr,
+          round(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+            / len(string_split(text, ' '))::DOUBLE, 6) AS stopword_ratio,
+          round((length(text)
+              - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+            / length(text)::DOUBLE, 6) AS punct_ratio
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          round(1.0 / (1.0 + exp(-((((-1.5) + 2.0 * ttr)
+            + 5.0 * stopword_ratio) + (-10.0) * punct_ratio))), 6) AS score
+        FROM m)
+      SELECT doc_id, score, score >= 0.5 AS keep
+      FROM s ORDER BY doc_id"""
   )
 }

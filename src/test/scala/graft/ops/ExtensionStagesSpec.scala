@@ -324,4 +324,20 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(spark.table("rt_rep").head().getAs[Long]("n_ngrams") == 3L)
     assert(spark.table("rt_tfidf").count() == 1L)
   }
+
+  test("quality_score as a config method with ordered weights") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "the cat sat")).toDF("doc_id", "text"), "qs_docs")
+    val conf = """{"stages": [
+      {"type": "TextAnalysisTransform", "name": "qs", "analysis": "quality_score",
+       "inputView": "qs_docs", "outputView": "qs_out",
+       "scoreWeights": {"ttr": "2.0", "stopword_ratio": "3.0"}, "bias": -1.0}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val r = Runner.run(p).get.head()
+    assert(math.abs(r.getAs[Double]("score") - 0.880797) < 1e-6)
+    assert(r.getAs[Boolean]("keep"))
+  }
 }

@@ -110,6 +110,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_ngram_frac") == 0.0)
   }
 
+  test("quality score: logistic over named metrics, keep at threshold") {
+    val df = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    // ttr = 1.0, stopword_ratio = 0.333333, punct_ratio = 0
+    // linear = -1 + 2*1 + 3*0.333333 = 1.999999 -> sigmoid ~ 0.880797
+    val r = TextAnalysis.qualityScore(df, "doc_id", "text",
+      Seq("ttr" -> 2.0, "stopword_ratio" -> 3.0), bias = -1.0).head()
+    assert(math.abs(r.getAs[Double]("score") - 0.880797) < 1e-6)
+    assert(r.getAs[Boolean]("keep"))
+    // unknown metric name is rejected loudly, not silently scored as 0
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityScore(df, "doc_id", "text", Seq("nope" -> 1.0))
+    }
+  }
+
   test("heavy hitters: exact counts, deterministic cut, no global sort") {
     val df = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
     val out = TextAnalysis.heavyHitters(df, "text", k = 2)
