@@ -70,6 +70,26 @@ object Profile {
       .drop("__m", "__sd")
   }
 
+  /** Fixed-width histogram of a numeric column: (bin, bin_start, n) with
+    * bin = floor(value / binWidth) — the distribution view `table`'s
+    * min/max can't give (skew, modes, heavy tails) before choosing
+    * partition counts, salt factors or filter thresholds. Integer floor
+    * division on a scaled long keeps the bin edges engine-exact; nulls
+    * are dropped (they're counted by [[table]]).
+    *
+    * One map-side-combined aggregation on the bin id — output rows =
+    * occupied bins, never the data.
+    */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val bin = floor(col(valueCol).cast("double") / binWidth).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), round(col("bin") * binWidth, 6).as("bin_start"),
+        col("n"))
+  }
+
   def table(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     if (exact) {

@@ -254,6 +254,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus n-gram count table — the KenLM-style LM-training prep (and
+    * the generalization of [[heavyHitters]] beyond unigrams): one row per
+    * distinct word n-gram with count >= `minCount`. The `minCount` prune
+    * is the standard vocabulary cut that keeps the output a small
+    * fraction of the corpus.
+    *
+    * Same scale shape as [[repetition]]'s first stage: explode +
+    * map-side-combined count on the gram key; the prune happens in the
+    * aggregate's output before anything else reads it.
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int = 2,
+      minCount: Long = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ws = T.words(col(textCol))
+    val grams = when(size(ws) >= n, transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Rolling-hash document fingerprint (content-defined identity: equal
     * texts always collide, near-equal texts never do — complements MinHash).
     */

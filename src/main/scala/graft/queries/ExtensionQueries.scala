@@ -548,6 +548,16 @@ object ExtensionQueries {
           Seq("ttr" -> 2.0, "stopword_ratio" -> 5.0, "punct_ratio" -> -10.0),
           bias = -1.5)
         .orderBy("doc_id")
+    },
+
+    "profile_histogram" -> { (spark, dir) =>
+      Profile.histogram(docs(spark, dir), "n_chars", 200.0)
+        .orderBy("bin")
+    },
+
+    "ngram_counts" -> { (spark, dir) =>
+      TextAnalysis.ngramCounts(docs(spark, dir), "text", n = 2, minCount = 5)
+        .orderBy("gram")
     }
   )
 
@@ -1557,6 +1567,23 @@ object ExtensionQueries {
             + 5.0 * stopword_ratio) + (-10.0) * punct_ratio))), 6) AS score
         FROM m)
       SELECT doc_id, score, score >= 0.5 AS keep
-      FROM s ORDER BY doc_id"""
+      FROM s ORDER BY doc_id""",
+
+    // Replay of Profile.histogram: integer floor-div bins over n_chars.
+    "profile_histogram" -> """
+      SELECT bin, round(bin::DOUBLE * 200.0::DOUBLE, 6) AS bin_start, n FROM (
+        SELECT floor(n_chars::DOUBLE / 200.0)::BIGINT AS bin,
+          COUNT(*)::BIGINT AS n
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+      ORDER BY bin""",
+
+    // Replay of TextAnalysis.ngramCounts: same bigrams as
+    // text_repetition, corpus-wide counts, minCount prune.
+    "ngram_counts" -> """
+      WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT w[i] || ' ' || w[i+1] AS gram
+            FROM ws, unnest(generate_series(1, len(w)-1)) AS t(i))
+      SELECT gram, COUNT(*)::BIGINT AS n
+      FROM g GROUP BY gram HAVING COUNT(*) >= 5 ORDER BY gram"""
   )
 }

@@ -61,6 +61,14 @@ class ProfileSpec extends SparkSpec {
     assert(out.columns.toSeq == data.columns.toSeq ++ Seq("z", "is_outlier"))
   }
 
+  test("histogram bins by floor division, drops nulls, counts exactly") {
+    val data = Seq(Some(0.0), Some(199.9), Some(200.0), Some(450.0), None)
+      .toDF("v")
+    val out = Profile.histogram(data, "v", 200.0).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0.0, 2L), (1L, 200.0, 1L), (2L, 400.0, 1L)))
+  }
+
   test("approx mode stays a single scan (no per-column union)") {
     val plan = Profile.table(df, Seq("id", "s", "v"), exact = false)
       .queryExecution.executedPlan.toString

@@ -124,6 +124,13 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ngram counts: corpus-wide with the minCount vocabulary prune") {
+    val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCounts(df, "text", n = 2, minCount = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b", 2L))) // "b c"/"b d" pruned at minCount 2
+  }
+
   test("heavy hitters: exact counts, deterministic cut, no global sort") {
     val df = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
     val out = TextAnalysis.heavyHitters(df, "text", k = 2)
