@@ -75,6 +75,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("narrow curation ops run unchanged on a stream (split, quality score)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // pure narrow expressions: no state, no watermark needed, and the
+    // hash-based split a doc gets on the stream equals the batch one
+    val out = graft.ops.TextAnalysis.qualityScore(
+      graft.ops.Sampling.splitAssign(stream, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.2))
+        .select("doc_id", "split", "text"),
+      "doc_id", "text", Seq("ttr" -> 2.0))
+    val q = out.writeStream.format("memory").queryName("stream_narrow")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "the cat sat"), (2L, "a b a b"))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_narrow")
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+      val batch = graft.ops.TextAnalysis.qualityScore(
+        Seq((1L, "the cat sat"), (2L, "a b a b")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("ttr" -> 2.0))
+        .as[(Long, Double, Boolean)].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("session_window sessionization over a stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
