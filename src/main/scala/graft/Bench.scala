@@ -94,7 +94,11 @@ object Bench {
     val meds = names.map(n => n -> stat(n, median))
 
     def jnum(v: Double, decimals: Int): String =
-      if (v < 0) "-1" else s"%.${decimals}f".format(v)
+      if (v < 0) "-1"
+      else { // strip trailing zeros (0.080 -> 0.08) but keep one decimal
+        val s = s"%.${decimals}f".format(v).reverse.dropWhile(_ == '0').reverse
+        if (s.endsWith(".")) s + "0" else s
+      }
     def jmap(kvs: Seq[(String, Double)], decimals: Int = -1): String =
       kvs.map { case (k, v) =>
         s"${jstr(k)}:${if (decimals < 0) v.toString else jnum(v, decimals)}"
@@ -121,8 +125,8 @@ object Bench {
       s"""{"metric":"total","value":${jnum(total, decimals)},"unit":"sec","queries":${jmap(
           mins, decimals)},"errors":${errJson(60)},"sf":${jstr(sfDir)}}"""
     // budget: the consumer's window is 2000 chars minus the build tool's
-    // trailing status line (~75) minus margin -> keep the line <= 1870
-    val line = Seq(3, 2, 1).map(compact).find(_.length <= 1870)
+    // trailing status line (~80) -> keep the line <= 1890
+    val line = Seq(3, 2, 1).map(compact).find(_.length <= 1890)
       .getOrElse(compact(1))
     println(line)
     spark.stop()

@@ -254,6 +254,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hashing-trick vectorizer (feature hashing): text → a fixed-`dim`
+    * dense count vector, vec[d] = |{words w : h32(w) mod dim = d}| — the
+    * model-free featurizer that bridges the text operators to the
+    * similarity/embedding stack (its output feeds
+    * [[Similarity.nearDupPairs]] / top-k directly). Deterministic by the
+    * same md5-derived h32 as the sampling family.
+    *
+    * Shape at scale: explode + two keyed aggregations exactly like
+    * [[repetition]] — the (doc, bucket) count shuffle is map-side
+    * combined, the per-doc assembly state is `dim` entries. The per-row
+    * narrow alternative (filter the word array once per bucket) is
+    * O(dim × words) interpreted higher-order calls per row — the keyed
+    * form wins for any real dim.
+    */
+  def hashingVectorize(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(T.words(col(textCol))).as("w"))
+      .select(col("doc_id"), (T.h32(col("w")) % dim).cast("int").as("d"))
+      .groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => coalesce(element_at(col("__m"), d), lit(0L)).cast("double"))
+          .as("vec"))
+  }
+
   /** Corpus n-gram count table — the KenLM-style LM-training prep (and
     * the generalization of [[heavyHitters]] beyond unigrams): one row per
     * distinct word n-gram with count >= `minCount`. The `minCount` prune

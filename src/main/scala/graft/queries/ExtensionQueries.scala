@@ -558,6 +558,12 @@ object ExtensionQueries {
     "ngram_counts" -> { (spark, dir) =>
       TextAnalysis.ngramCounts(docs(spark, dir), "text", n = 2, minCount = 5)
         .orderBy("gram")
+    },
+
+    "text_vectorize" -> { (spark, dir) =>
+      TextAnalysis.hashingVectorize(docs(spark, dir), "doc_id", "text",
+          dim = 16)
+        .orderBy("doc_id")
     }
   )
 
@@ -1584,6 +1590,22 @@ object ExtensionQueries {
       g AS (SELECT w[i] || ' ' || w[i+1] AS gram
             FROM ws, unnest(generate_series(1, len(w)-1)) AS t(i))
       SELECT gram, COUNT(*)::BIGINT AS n
-      FROM g GROUP BY gram HAVING COUNT(*) >= 5 ORDER BY gram"""
+      FROM g GROUP BY gram HAVING COUNT(*) >= 5 ORDER BY gram""",
+
+    // Replay of TextAnalysis.hashingVectorize: same h32 word buckets,
+    // dim-16 count vectors zero-filled per dimension.
+    "text_vectorize" -> s"""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      c AS (SELECT doc_id,
+              (('0x'||substr(md5(w),1,8))::BIGINT % $P) % 16 AS d,
+              COUNT(*) AS c
+            FROM w GROUP BY doc_id, d),
+      g AS (SELECT doc_id, d
+            FROM (SELECT DISTINCT doc_id FROM c)
+            CROSS JOIN generate_series(0, 15) t(d))
+      SELECT doc_id, list(coalesce(c, 0)::DOUBLE ORDER BY d) AS vec
+      FROM g LEFT JOIN c USING (doc_id, d)
+      GROUP BY doc_id ORDER BY doc_id"""
   )
 }

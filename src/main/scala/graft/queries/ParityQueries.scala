@@ -219,6 +219,19 @@ object ParityQueries {
         .orderBy("n_nationkey")
     },
 
+    "orc_roundtrip" -> { (spark, dir) =>
+      // ORC connector: types survive the round-trip exactly, so the
+      // read-back compares against the source table with no casts.
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_orc").toString
+      val orc = new graft.connect.OrcConnector(tmp)
+      extract(spark, dir, "nation", "q_orc")
+      LoadStage("orc_out", orc, "q_orc_nation", "nation", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true")).run()
+      ExtractStage("orc_in", orc, "nation", "q_orc_back").run()
+      spark.table("q_orc_back").orderBy("n_nationkey")
+    },
+
     "rollup_agg" -> { (spark, dir) =>
       implicit val c: PipelineContext = ctx(spark)
       extract(spark, dir, "lineitem", "q_ru")
@@ -445,6 +458,9 @@ object ParityQueries {
       SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
         n_regionkey::BIGINT AS n_regionkey
       FROM nation ORDER BY n_nationkey""",
+
+    "orc_roundtrip" -> """
+      SELECT * FROM nation ORDER BY n_nationkey""",
 
     "rollup_agg" -> """
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

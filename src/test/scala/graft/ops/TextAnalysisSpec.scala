@@ -124,6 +124,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("hashing vectorizer: exact bucket counts, zero-filled, feeds similarity") {
+    val df = Seq((1L, "x x y"), (2L, "x x y"), (3L, "q r s t u v")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingVectorize(df, "doc_id", "text", dim = 8)
+    val vecs = out.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs(1L).sum == 3.0 && vecs(1L).length == 8) // 3 words counted
+    assert(vecs(1L) == vecs(2L), "equal texts vectorize equally")
+    // composition: the count vectors drive embedding near-dup directly
+    val pairs = Similarity.nearDupPairs(
+      out.select($"doc_id".as("vec_id"),
+        $"vec".cast("array<float>").as("embedding")),
+      threshold = 0.99)
+    assert(pairs.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L)))
+  }
+
   test("ngram counts: corpus-wide with the minCount vocabulary prune") {
     val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
     val out = TextAnalysis.ngramCounts(df, "text", n = 2, minCount = 2)
