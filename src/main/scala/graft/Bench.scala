@@ -31,8 +31,9 @@ import org.apache.spark.sql.SparkSession
   *    `tools/bench_diff.py` history;
   *  - LAST, the compact `{"metric":"total",...}` contract line — values
   *    rounded to milliseconds, no median map, error messages clipped —
-  *    kept under ~1.8 KB (asserted; precision drops to 2 decimals if a
-  *    grown query set ever pushes past it).
+  *    kept under ~1.8 KB (precision drops to 3→2→1 decimals as the query
+  *    set grows; if even 1-decimal overflows the budget a loud stderr
+  *    warning flags the broken contract instead of truncating silently).
   *
   * A failing query records `-1` in `queries` and its message in `errors` —
   * a broken query must never masquerade as a fast one.
@@ -128,6 +129,12 @@ object Bench {
     // trailing status line (~80) -> keep the line <= 1890
     val line = Seq(3, 2, 1).map(compact).find(_.length <= 1890)
       .getOrElse(compact(1))
+    // even at 1-decimal resolution the line can outgrow the window as the
+    // query set grows — make that contract break LOUD, not silent
+    if (line.length > 1890)
+      System.err.println(s"BENCH CONTRACT BROKEN: compact line is " +
+        s"${line.length} chars (> 1890 budget); the consumer's 2 KB tail " +
+        "window will truncate it — shorten query names or split the set")
     println(line)
     spark.stop()
   }

@@ -32,6 +32,8 @@ object Assemble {
   def threads(df: DataFrame, groupCol: String, orderCols: Seq[Column],
       payloadCol: String, maxTurns: Int = 16): DataFrame = {
     require(maxTurns >= 1, s"maxTurns must be >= 1, got $maxTurns")
+    require(orderCols.nonEmpty,
+      "at least one ordering column (the stage's determinism contract)")
     val byGroup = Window.partitionBy(groupCol)
     val ordered = byGroup.orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(ordered))

@@ -38,9 +38,13 @@ object Profile {
     * (|value - mean| > sigma * std of the row's `byCols` group; a
     * zero-variance group flags nothing).
     *
-    * Group moments use order-insensitive fixed-point (×2^20) long sums —
-    * exact under any partitioning, so the flag is deterministic and
-    * engine-replayable. Shape at scale: one map-side-combined aggregation
+    * Group moments use order-insensitive fixed-point (×2^20) sums
+    * accumulated in DECIMAL(38,0) — exact under any partitioning AND
+    * overflow-free for any |value| below ~3e8 at any group size (exactly
+    * the corrupt-value regime this op targets; a long accumulator would
+    * silently clamp round(v²·2^20) above |v|≈2.9e6). The flag is
+    * deterministic and engine-replayable. Shape at scale: one
+    * map-side-combined aggregation
     * down to the group table, joined back on the group keys (broadcast
     * when groups are few, sort-merge otherwise); the fact table shuffles
     * at most once. Rows with a NULL group key drop out (equi-join
@@ -53,8 +57,8 @@ object Profile {
     val scale = (1L << 20).toDouble
     val v = col(valueCol).cast("double")
     val stats = df.groupBy(byCols.map(col): _*).agg(
-      sum(round(v * scale).cast("long")).as("__s"),
-      sum(round(v * v * scale).cast("long")).as("__ss"),
+      sum(round(v * scale).cast("decimal(38,0)")).as("__s"),
+      sum(round(v * v * scale).cast("decimal(38,0)")).as("__ss"),
       count(v).as("__n"))
     val m = col("__s").cast("double") / col("__n") / scale
     val ex2 = col("__ss").cast("double") / col("__n") / scale

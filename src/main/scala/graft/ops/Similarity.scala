@@ -277,10 +277,13 @@ object Similarity {
     * (vec_id, z) with z[d] = (x[d] - mean_d) / std_d rounded to 6dp
     * (constant dimensions yield 0, not NaN).
     *
-    * Per-dimension sums use the same order-insensitive fixed-point
-    * (×2^20) longs as the IVF centroid update, so means and variances
-    * are EXACT under any partitioning/combine order and replay
-    * bit-identically on any engine. Shape at scale: posexplode to
+    * Per-dimension sums use the order-insensitive fixed-point (×2^20)
+    * trick of the IVF centroid update, accumulated in DECIMAL(38,0) so
+    * means and variances are EXACT under any partitioning/combine order,
+    * replay bit-identically on any engine, and cannot overflow for any
+    * |x| below ~3e8 at any corpus size (the double-precision limit of
+    * round(x²·2^20), far above any sane embedding). Shape at scale:
+    * posexplode to
     * (dim, value) — map-side-combined aggregation down to `dim` rows —
     * then the dim-indexed mean/std arrays (one small row) broadcast back
     * across the corpus; the embedding table itself never shuffles.
@@ -290,8 +293,9 @@ object Similarity {
       posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"), col("x").cast("double").as("v"))
     val stats = x.groupBy("d").agg(
-      sum(round(col("v") * FixedScale).cast("long")).as("s"),
-      sum(round(col("v") * col("v") * FixedScale).cast("long")).as("ss"),
+      sum(round(col("v") * FixedScale).cast("decimal(38,0)")).as("s"),
+      sum(round(col("v") * col("v") * FixedScale).cast("decimal(38,0)"))
+        .as("ss"),
       count(lit(1)).as("n"))
     val m = col("s").cast("double") / col("n") / FixedScale
     val ex2 = col("ss").cast("double") / col("n") / FixedScale
@@ -303,14 +307,18 @@ object Similarity {
         e => e.getField("m")).as("__ms"),
       transform(sort_array(collect_list(struct(col("d"), col("sd")))),
         e => e.getField("sd")).as("__sds"))
+    // guard: sequence(0, -1) on an empty embedding yields the DESCENDING
+    // [0,-1], which zip_with would null-pad into a bogus 2-element vector
     df.crossJoin(broadcast(arrs))
       .select(col("vec_id"),
-        zip_with(col("embedding").cast("array<double>"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (xv, i) => round(
-            when(element_at(col("__sds"), i + 1) > 0,
-              (xv - element_at(col("__ms"), i + 1))
-                / element_at(col("__sds"), i + 1))
-              .otherwise(0d), 6) + lit(0d)).as("z"))
+        when(size(col("embedding")) > 0,
+          zip_with(col("embedding").cast("array<double>"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (xv, i) => round(
+              when(element_at(col("__sds"), i + 1) > 0,
+                (xv - element_at(col("__ms"), i + 1))
+                  / element_at(col("__sds"), i + 1))
+                .otherwise(0d), 6) + lit(0d)))
+          .otherwise(array().cast("array<double>")).as("z"))
   }
 }

@@ -261,12 +261,18 @@ object Parser {
         topK = r.int("topK").getOrElse(5))
     },
     "AssembleTransform" -> { (r, _) =>
+      // ordering is the stage's determinism contract: an empty list would
+      // surface at runtime as an opaque AnalysisException from row_number
+      // over an unordered window — fail at config time instead
+      val orderCols = r.stringList("orderCols")
+      if (orderCols.isEmpty)
+        r.error("orderCols", "missing or empty; at least one ordering column is required")
       AssembleTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         groupCol = r.requiredString("groupCol"),
-        orderCols = r.stringList("orderCols"),
+        orderCols = orderCols,
         payloadCol = r.requiredString("payloadCol"),
         maxTurns = r.int("maxTurns").getOrElse(16))
     },

@@ -513,9 +513,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Exploded to (vec_id, d, z) scalar rows: the gate comparator sorts
+    // and hashes cell values and cannot order array-typed cells.
     "embed_standardize" -> { (spark, dir) =>
       Similarity.standardize(embs(spark, dir))
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("z")).as(Seq("d", "z")))
+        .select(col("vec_id"), col("d").cast("long").as("d"), col("z"))
+        .orderBy("vec_id", "d")
     },
 
     "split_assign" -> { (spark, dir) =>
@@ -560,10 +564,14 @@ object ExtensionQueries {
         .orderBy("gram")
     },
 
+    // Exploded to (doc_id, d, v) scalar rows — same comparator constraint
+    // as embed_standardize.
     "text_vectorize" -> { (spark, dir) =>
       TextAnalysis.hashingVectorize(docs(spark, dir), "doc_id", "text",
           dim = 16)
-        .orderBy("doc_id")
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("d", "v")))
+        .select(col("doc_id"), col("d").cast("long").as("d"), col("v"))
+        .orderBy("doc_id", "d")
     }
   )
 
@@ -1464,17 +1472,18 @@ object ExtensionQueries {
         ORDER BY priority DESC, doc_id LIMIT $WtopK)
       ORDER BY doc_id""",
 
-    // Replay of Similarity.standardize: per-dim fixed-point (x2^20) long
-    // sums -> exact means/variances under any order; z rounded 6dp,
-    // constant dims -> 0.
+    // Replay of Similarity.standardize: per-dim fixed-point (x2^20)
+    // DECIMAL(38,0) sums -> exact means/variances under any order and no
+    // overflow in the wide-value regime; z rounded 6dp, constant dims -> 0.
+    // Long format (vec_id, d, z): the gate comparator can't hash arrays.
     "embed_standardize" -> """
       WITH x AS (
         SELECT vec_id, d, embedding[d]::DOUBLE AS v
         FROM embeddings CROSS JOIN generate_series(1, 64) t(d)),
       st AS (
         SELECT d,
-          SUM(CAST(round(v * 1048576.0) AS BIGINT)) AS s,
-          SUM(CAST(round(v * v * 1048576.0) AS BIGINT)) AS ss,
+          SUM(CAST(round(v * 1048576.0) AS DECIMAL(38,0))) AS s,
+          SUM(CAST(round(v * v * 1048576.0) AS DECIMAL(38,0))) AS ss,
           COUNT(*) AS n
         FROM x GROUP BY d),
       ms AS (
@@ -1483,11 +1492,10 @@ object ExtensionQueries {
             - (s::DOUBLE / n / 1048576.0) * (s::DOUBLE / n / 1048576.0),
             0)) AS sd
         FROM st)
-      SELECT vec_id,
-        list((round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6) + 0)
-          ORDER BY d) AS z
+      SELECT vec_id, d - 1 AS d,
+        (round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6) + 0) AS z
       FROM x JOIN ms USING (d)
-      GROUP BY vec_id ORDER BY vec_id""",
+      ORDER BY vec_id, d""",
 
     // Replay of Sampling.splitAssign: cumulative thresholds computed by
     // the SAME Scala double arithmetic (0.8 + 0.1 is not 0.9 in IEEE;
@@ -1537,8 +1545,8 @@ object ExtensionQueries {
     "events_outliers" -> """
       WITH st AS (
         SELECT event_type,
-          SUM(CAST(round(value * 1048576.0) AS BIGINT)) AS s,
-          SUM(CAST(round(value * value * 1048576.0) AS BIGINT)) AS ss,
+          SUM(CAST(round(value * 1048576.0) AS DECIMAL(38,0))) AS s,
+          SUM(CAST(round(value * value * 1048576.0) AS DECIMAL(38,0))) AS ss,
           COUNT(value) AS n
         FROM events GROUP BY event_type),
       ms AS (
@@ -1593,7 +1601,8 @@ object ExtensionQueries {
       FROM g GROUP BY gram HAVING COUNT(*) >= 5 ORDER BY gram""",
 
     // Replay of TextAnalysis.hashingVectorize: same h32 word buckets,
-    // dim-16 count vectors zero-filled per dimension.
+    // dim-16 counts zero-filled per dimension. Long format (doc_id, d, v):
+    // the gate comparator can't hash arrays.
     "text_vectorize" -> s"""
       WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                  FROM documents),
@@ -1604,8 +1613,8 @@ object ExtensionQueries {
       g AS (SELECT doc_id, d
             FROM (SELECT DISTINCT doc_id FROM c)
             CROSS JOIN generate_series(0, 15) t(d))
-      SELECT doc_id, list(coalesce(c, 0)::DOUBLE ORDER BY d) AS vec
+      SELECT doc_id, d, coalesce(c, 0)::DOUBLE AS v
       FROM g LEFT JOIN c USING (doc_id, d)
-      GROUP BY doc_id ORDER BY doc_id"""
+      ORDER BY doc_id, d"""
   )
 }

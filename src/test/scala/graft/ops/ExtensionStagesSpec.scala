@@ -257,6 +257,17 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(errs.exists(_.key.contains("method")))
   }
 
+  test("assemble with missing orderCols is a config-time error") {
+    val conf = """{"stages": [
+      {"type": "AssembleTransform", "name": "as", "inputView": "v",
+       "outputView": "o", "groupCol": "g", "payloadCol": "p"}
+    ]}"""
+    val Left(errs) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(e => e.key.contains("orderCols")),
+      s"expected an orderCols config error, got $errs")
+  }
+
   test("assemble + encode as config-driven stages") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._

@@ -135,6 +135,20 @@ class SimilaritySpec extends SparkSpec {
     assert(z(1) == Seq(1.0, 0.0))
   }
 
+  test("standardize yields an empty z for an empty embedding") {
+    // sequence(0, size-1) on size 0 is the DESCENDING [0,-1]; unguarded,
+    // zip_with null-pads it into a bogus 2-element vector
+    val df = Seq(
+      (0L, Array(1.0f, 5.0f)),
+      (1L, Array(3.0f, 5.0f)),
+      (2L, Array.empty[Float])
+    ).toDF("vec_id", "embedding")
+    val z = Similarity.standardize(df).orderBy("vec_id")
+      .select("z").as[Seq[Double]].collect()
+    assert(z(2).isEmpty, s"empty embedding must standardize to [], got ${z(2)}")
+    assert(z(0) == Seq(-1.0, 0.0) && z(1) == Seq(1.0, 0.0))
+  }
+
   test("standardize broadcasts the moments; the corpus never shuffles") {
     val plan = Similarity.standardize(vecs).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),

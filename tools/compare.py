@@ -60,6 +60,18 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = {"error": f"oracle failed: {str(e)[:300]}"}
             continue
+        # the DRIVER's comparator sorts cell values with pandas, which
+        # raises on array/struct/map cells — reject them here so a query
+        # that would fail the real gate also fails this replica
+        complex_cell = next(
+            (v for rows in (s_rows[:1], o_rows[:1]) for row in rows
+             for v in row if isinstance(v, (list, tuple, dict, set))),
+            None)
+        if complex_cell is not None:
+            results[name] = {"error":
+                "complex-typed column (driver comparator cannot sort "
+                f"arrays): {str(complex_cell)[:80]}"}
+            continue
         entry["rows_match"] = len(s_rows) == len(o_rows)
         entry["schema_match"] = sorted(s_names) == sorted(o_names)
         entry["hash_match"] = (entry["schema_match"]
