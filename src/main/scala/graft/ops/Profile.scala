@@ -94,6 +94,62 @@ object Profile {
         col("n"))
   }
 
+  /** Exact discrete-percentile bounds of `valueCol` at the given
+    * probabilities, as a single broadcastable one-row frame with columns
+    * `b0, b1, ...`. percentile_disc picks an actual data value (no
+    * interpolation), so the bounds are engine-exact under the SQL-standard
+    * cume_dist >= p definition shared by Spark and DuckDB's
+    * quantile_disc.
+    */
+  private def discBounds(df: DataFrame, valueCol: String,
+      ps: Seq[Double]): DataFrame =
+    df.where(col(valueCol).isNotNull).selectExpr(
+      ps.zipWithIndex.map { case (p, i) =>
+        s"percentile_disc($p) WITHIN GROUP (ORDER BY `$valueCol`) AS b$i"
+      }: _*)
+
+  /** Equi-depth binning: assign each non-null row a quantile bin in
+    * [1, nBins] and return the input with a `bin` column appended.
+    *
+    * Unlike a global ntile (one total sort of the corpus), this computes
+    * the nBins-1 exact boundary values first (one aggregate), broadcasts
+    * them, and assigns bins with a narrow comparison — so the data pass
+    * is shuffle-free and equal values always land in the same bin
+    * (bin = 1 + #bounds strictly below the value), which also makes the
+    * assignment deterministic without a tie-break ordering.
+    */
+  def bucketizeQuantile(df: DataFrame, valueCol: String,
+      nBins: Int = 4): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = discBounds(df, valueCol, ps)
+    val bin = ps.indices
+      .map(i => when(col(valueCol) > col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    df.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", bin)
+      .drop(ps.indices.map(i => s"b$i"): _*)
+  }
+
+  /** Winsorization: clamp `valueCol` into its [pLo, pHi] discrete
+    * percentiles, appended as `winsorized` — the standard guard against
+    * corrupt-value tails before moments/normalization. Bounds are actual
+    * data values (percentile_disc), the clamp is least/greatest with no
+    * arithmetic, so output doubles are bit-copies of inputs or bounds and
+    * replay exactly in any engine. One aggregate + one narrow pass.
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0<=pLo<pHi<=1, got $pLo,$pHi")
+    val bounds = discBounds(df, valueCol, Seq(pLo, pHi))
+    df.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("winsorized",
+        least(greatest(col(valueCol), col("b0")), col("b1")))
+      .drop("b0", "b1")
+  }
+
   def table(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     if (exact) {

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Corpus retrieval operators: inverted-index construction and BM25
+  * ranked search (SURVEY §2.3 north-star family — full-text retrieval is
+  * the query side of a training-data curation stack: "find every document
+  * about X" over the whole corpus).
+  *
+  * Scale shape: the postings build is one explode + map-side-combined
+  * count (the shuffle carries one (term, doc) partial per partition, not
+  * token occurrences). BM25 search filters the exploded terms to the
+  * query's term set BEFORE the shuffle, so only matching postings move;
+  * the per-term document frequencies and the corpus-wide length stats are
+  * tiny aggregates broadcast back onto the candidates, and the final
+  * top-k is a TakeOrderedAndProject (per-partition heads merged on the
+  * driver), never a global sort.
+  *
+  * Determinism contract (DuckDB oracle): per-(doc, term) BM25 weights are
+  * computed by one fixed IEEE expression shape and snapped to 6dp
+  * fixed-point longs; the per-document score is a SUM of those longs —
+  * exact and order-insensitive — so both engines rank identical values.
+  */
+object Retrieval {
+
+  /** Fixed-point scale for BM25 weights: 6 decimal digits. */
+  private val Fp = 1000000L
+
+  /** Postings table (term, doc_id, tf): the inverted index body.
+    * One narrow explode + one count shuffle keyed (term, doc).
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(T.words(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Inverted-index dictionary: per term its document frequency `df`,
+    * collection frequency `cf`, and smoothed idf (6dp). `minDf` prunes
+    * the hapax tail that dominates vocabulary size at corpus scale.
+    * Built from [[postings]] with one more map-side-combined aggregate;
+    * n_docs is a scalar broadcast onto the dictionary rows.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    postings(df, idCol, textCol)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .where(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("cf"),
+        round(log(lit(1d) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))), 6).as("idf"))
+  }
+
+  /** BM25 ranked retrieval: top-`k` documents for a bag of query terms.
+    *
+    * Per matching (doc, term): idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * weight = idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)), snapped
+    * to a 6dp fixed-point long. Per doc: score_fp = Σ weight_fp (exact
+    * long sum), ties broken by doc_id. Output:
+    * (rnk, doc_id, n_hit, score_fp, score).
+    *
+    * Plan: candidates = postings of the query terms only (the `isin`
+    * filter runs before the tf shuffle); df-per-term and the (N, avgdl)
+    * stats are broadcast; top-k is TakeOrderedAndProject over score_fp,
+    * then row_number runs on just k rows.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms.distinct
+    // corpus stats: N and avgdl (exact long sum of doc lengths / N)
+    val ws = T.words(col(textCol))
+    val stats = df.select(size(ws).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    // candidate postings: only the query terms survive to the shuffle
+    val tf = df
+      .select(col(idCol).as("doc_id"), size(ws).cast("long").as("dl"),
+        explode(ws).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf: Column = log(lit(1d) + (col("n_docs") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)))
+    val norm: Column = col("tf") + lit(k1) * (lit(1d) - lit(b)
+      + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val w: Column = idf * ((col("tf") * lit(k1 + 1d)) / norm)
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(w * Fp).cast("long").as("w_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("w_fp").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+    scored
+      .withColumn("rnk", row_number().over(Window
+        .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_hit"), col("score_fp"),
+        (col("score_fp").cast("double") / Fp).as("score"))
+  }
+}

@@ -572,8 +572,82 @@ object ExtensionQueries {
         .select(col("doc_id"), posexplode(col("vec")).as(Seq("d", "v")))
         .select(col("doc_id"), col("d").cast("long").as("d"), col("v"))
         .orderBy("doc_id", "d")
+    },
+
+    "inverted_index" -> { (spark, dir) =>
+      Retrieval.invertedIndex(docs(spark, dir), "doc_id", "text", minDf = 5)
+        .orderBy("term")
+    },
+
+    "bm25_topk" -> { (spark, dir) =>
+      Retrieval.bm25TopK(docs(spark, dir), "doc_id", "text",
+          Bm25Terms, k = Bm25K)
+        .orderBy("rnk")
+    },
+
+    // PII is injected deterministically (the synthetic corpus has none):
+    // every third doc gains an email, a dotted-quad IP and a phone token
+    // derived from its doc_id, so detection exercises real matches.
+    "pii_stats" -> { (spark, dir) =>
+      Pii.stats(withInjectedPii(docs(spark, dir)), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "pii_scrub" -> { (spark, dir) =>
+      Pii.scrub(withInjectedPii(docs(spark, dir)), "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "pagerank" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      Graph.pagerank(Graph.supplierCustomerEdges(li, ord), iters = 3)
+        .orderBy("node")
+    },
+
+    "bucketize_quantile" -> { (spark, dir) =>
+      Profile.bucketizeQuantile(events(spark, dir), "value", nBins = 4)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"),
+          max("value").as("hi"))
+        .orderBy("bin")
+    },
+
+    "winsorize" -> { (spark, dir) =>
+      Profile.winsorize(events(spark, dir), "value", 0.05, 0.95)
+        .where(col("event_id") < 2000)
+        .select("event_id", "value", "winsorized")
+        .orderBy("event_id")
     }
   )
+
+  /** BM25 gate query: a fixed bag of corpus-vocabulary terms. */
+  private val Bm25Terms = Seq("join", "hash", "spark", "window")
+  private val Bm25K = 25
+
+  /** SQL mirror of [[withInjectedPii]]. */
+  private val PiiInjectSql = """
+      SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        THEN text || ' contact user' || doc_id || '@example.com from 10.0.'
+          || (doc_id % 256) || '.7 or call 555-0199'
+        ELSE text END AS text
+      FROM documents"""
+
+  /** SQL-literal forms of the [[Pii]] patterns (single-escaped). */
+  private val PiiEmailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PiiPhoneSql = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Deterministic PII injection for the pii_* gate queries (mirrored
+    * verbatim into the oracle SQL): doc_id % 3 == 0 docs get appended
+    * contact details derived from doc_id.
+    */
+  private def withInjectedPii(d: DataFrame): DataFrame =
+    d.withColumn("text", when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or call 555-0199"))).otherwise(col("text")))
 
   // ================= DuckDB oracle SQL =================
 
@@ -1615,6 +1689,127 @@ object ExtensionQueries {
             CROSS JOIN generate_series(0, 15) t(d))
       SELECT doc_id, d, coalesce(c, 0)::DOUBLE AS v
       FROM g LEFT JOIN c USING (doc_id, d)
-      ORDER BY doc_id, d"""
+      ORDER BY doc_id, d""",
+
+    // Replay of Retrieval.invertedIndex: postings counts, df/cf per term,
+    // minDf=5 prune, smoothed 6dp idf.
+    "inverted_index" -> """
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM w GROUP BY term, doc_id),
+      d AS (SELECT term, COUNT(*) AS df, SUM(tf) AS cf FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT term, df::BIGINT AS df, cf::BIGINT AS cf,
+        round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+      FROM d CROSS JOIN n WHERE df >= 5 ORDER BY term""",
+
+    // Replay of Retrieval.bm25TopK: same fixed expression shape for the
+    // per-(doc, term) weight, snapped to 6dp fixed-point longs whose SUM
+    // is order-insensitive; k1+1 is embedded as the Scala-computed double
+    // so both engines multiply by the identical constant.
+    "bm25_topk" -> s"""
+      WITH dls AS (SELECT doc_id,
+              len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS n_docs,
+              SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl FROM dls),
+      w AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+              unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM w
+             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id, dl, term),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      s AS (SELECT doc_id,
+              CAST(round((ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                * ((tf * ${1.2 + 1d}) / (tf + 1.2 * (1 - 0.75
+                  + 0.75 * (dl::DOUBLE / avgdl))))) * 1000000.0) AS BIGINT)
+                AS w_fp
+            FROM tf JOIN dfq USING (term) CROSS JOIN st),
+      g AS (SELECT doc_id, COUNT(*) AS n_hit, SUM(w_fp) AS score_fp
+            FROM s GROUP BY doc_id),
+      r AS (SELECT doc_id, n_hit, score_fp, row_number() OVER
+              (ORDER BY score_fp DESC, doc_id) AS rnk FROM g)
+      SELECT rnk::BIGINT AS rnk, doc_id, n_hit::BIGINT AS n_hit,
+        score_fp::BIGINT AS score_fp, score_fp::DOUBLE / 1000000.0 AS score
+      FROM r WHERE rnk <= $Bm25K ORDER BY rnk""",
+
+    // Replay of Pii.stats over the same injected corpus: RE2 and Java
+    // regex agree on these backref-free patterns; counts are
+    // non-overlapping matches on the original text.
+    "pii_stats" -> s"""
+      WITH pd AS ($PiiInjectSql)
+      SELECT doc_id,
+        len(regexp_extract_all(text, '$PiiEmailSql'))::BIGINT AS n_emails,
+        len(regexp_extract_all(text, '$PiiIpSql'))::BIGINT AS n_ips,
+        len(regexp_extract_all(text, '$PiiPhoneSql'))::BIGINT AS n_phones,
+        (len(regexp_extract_all(text, '$PiiEmailSql'))
+          + len(regexp_extract_all(text, '$PiiIpSql'))
+          + len(regexp_extract_all(text, '$PiiPhoneSql')) > 0) AS has_pii
+      FROM pd ORDER BY doc_id""",
+
+    // Replay of Pii.scrub: email -> IP -> phone replacement order, global
+    // flag (Spark's regexp_replace always replaces all matches).
+    "pii_scrub" -> s"""
+      WITH pd AS ($PiiInjectSql)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$PiiEmailSql', '<EMAIL>', 'g'),
+          '$PiiIpSql', '<IP>', 'g'),
+          '$PiiPhoneSql', '<PHONE>', 'g') AS text
+      FROM pd ORDER BY doc_id""",
+
+    // Replay of Graph.pagerank (3 iterations, d=0.85): all-long
+    // fixed-point ranks; `//` floor division on positive operands matches
+    // Spark's exact (a - a%b)/b; the contribution SUM is exact integer
+    // arithmetic so shuffle order cannot move a single ulp.
+    "pagerank" -> """
+      WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+              'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM nd),
+      r0 AS (SELECT node, 1000000000000 // n AS r FROM nd CROSS JOIN nn),
+      c1 AS (SELECT e.dst AS node, SUM((r.r * 850) // (od.od * 1000)) AS cs
+             FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT r0.node, (r0.r * 150) // 1000 + COALESCE(cs, 0) AS r
+             FROM r0 LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, SUM((r.r * 850) // (od.od * 1000)) AS cs
+             FROM e JOIN od USING (src) JOIN r1 r ON r.node = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT r0.node, (r0.r * 150) // 1000 + COALESCE(cs, 0) AS r
+             FROM r0 LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, SUM((r.r * 850) // (od.od * 1000)) AS cs
+             FROM e JOIN od USING (src) JOIN r2 r ON r.node = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT r0.node, (r0.r * 150) // 1000 + COALESCE(cs, 0) AS r
+             FROM r0 LEFT JOIN c3 USING (node))
+      SELECT node, r::BIGINT AS rank_fp,
+        r::DOUBLE / 1000000000000.0 AS rank
+      FROM r3 ORDER BY node""",
+
+    // Replay of Profile.bucketizeQuantile: SQL-standard discrete-quantile
+    // bounds, bin = 1 + #bounds strictly below the value.
+    "bucketize_quantile" -> """
+      WITH b AS (SELECT quantile_disc(value, 0.25) AS b0,
+              quantile_disc(value, 0.5) AS b1,
+              quantile_disc(value, 0.75) AS b2 FROM events),
+      x AS (SELECT value,
+              1 + (CASE WHEN value > b0 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b1 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b2 THEN 1 ELSE 0 END) AS bin
+            FROM events CROSS JOIN b)
+      SELECT bin::BIGINT AS bin, COUNT(*)::BIGINT AS n,
+        MIN(value) AS lo, MAX(value) AS hi
+      FROM x GROUP BY bin ORDER BY bin""",
+
+    // Replay of Profile.winsorize: clamp into [p05, p95] discrete
+    // percentiles — output doubles are bit-copies of inputs or bounds.
+    "winsorize" -> """
+      WITH b AS (SELECT quantile_disc(value, 0.05) AS lo,
+              quantile_disc(value, 0.95) AS hi FROM events)
+      SELECT event_id, value,
+        least(greatest(value, lo), hi) AS winsorized
+      FROM events CROSS JOIN b WHERE event_id < 2000 ORDER BY event_id"""
   )
 }

@@ -75,4 +75,48 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Union"),
       s"per-column union means multiple scans:\n$plan")
   }
+
+  test("bucketizeQuantile assigns equi-depth bins; equal values share a bin") {
+    val data = (1 to 8).map(_.toDouble) ++ Seq(4.0, 4.0) // two extra 4s
+    val out = Profile.bucketizeQuantile(data.toDF("v"), "v", nBins = 4)
+      .groupBy("bin").count().orderBy("bin")
+      .as[(Long, Long)].collect().toSeq
+    // every row lands in exactly one of 1..4 and all 4.0s share one bin
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_._2).sum == 10L)
+    val fourBins = Profile.bucketizeQuantile(data.toDF("v"), "v", 4)
+      .where($"v" === 4.0).select("bin").distinct().count()
+    assert(fourBins == 1L)
+  }
+
+  test("bucketizeQuantile drops nulls and keeps input columns") {
+    val data = Seq(Some(1.0), Some(2.0), None, Some(3.0), Some(4.0)).toDF("v")
+    val out = Profile.bucketizeQuantile(data, "v", 2)
+    assert(out.columns.toSeq == Seq("v", "bin"))
+    assert(out.count() == 4)
+  }
+
+  test("winsorize clamps exactly to the discrete percentile bounds") {
+    val data = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Profile.winsorize(data, "v", 0.05, 0.95)
+      .agg(org.apache.spark.sql.functions.min("winsorized"),
+        org.apache.spark.sql.functions.max("winsorized"))
+      .as[(Double, Double)].collect().head
+    assert(out == ((5.0, 95.0)))
+  }
+
+  test("winsorized values inside the bounds are bit-copies of the input") {
+    val data = Seq(1.0, 2.5, 3.7, 100.0).toDF("v")
+    val out = Profile.winsorize(data, "v", 0.0, 1.0)
+      .where($"v" =!= $"winsorized").count()
+    assert(out == 0L)
+  }
+
+  test("the assignment pass is narrow: bounds broadcast, no data shuffle") {
+    val data = (1 to 20).map(_.toDouble).toDF("v")
+    val plan = Profile.bucketizeQuantile(data, "v", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds must broadcast:\n$plan")
+  }
 }

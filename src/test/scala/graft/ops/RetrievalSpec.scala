@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, tiny vocabulary; "cat" appears in 3 docs, "dog" in 2,
+  // "emu" in 1, "zzz" nowhere.
+  private def docs = Seq(
+    (1L, "cat dog cat"),
+    (2L, "cat dog"),
+    (3L, "cat"),
+    (4L, "emu emu emu")
+  ).toDF("doc_id", "text")
+
+  test("postings carry per-(term, doc) tf") {
+    val p = Retrieval.postings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(p == Set(
+      ("cat", 1L, 2L), ("cat", 2L, 1L), ("cat", 3L, 1L),
+      ("dog", 1L, 1L), ("dog", 2L, 1L),
+      ("emu", 4L, 3L)))
+  }
+
+  test("dictionary has df/cf and prunes below minDf") {
+    val d = Retrieval.invertedIndex(docs, "doc_id", "text", minDf = 2)
+      .select("term", "df", "cf")
+      .as[(String, Long, Long)].collect().toSet
+    assert(d == Set(("cat", 3L, 4L), ("dog", 2L, 2L)))
+  }
+
+  test("idf decreases with df") {
+    val idf = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .select("term", "idf").as[(String, Double)].collect().toMap
+    assert(idf("emu") > idf("dog"))
+    assert(idf("dog") > idf("cat"))
+  }
+
+  test("bm25 length norm beats raw tf; exactly the matching docs rank") {
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 3)
+      .select("rnk", "doc_id").as[(Long, Long)].collect().toSeq
+    // With avgdl=2.25: doc 3 ("cat", dl=1) normalizes to 2.2/1.7 per idf,
+    // beating doc 1's tf=2 at dl=3 (4.4/3.5); doc 2 trails (2.2/2.1).
+    assert(top.map(_._2) == Seq(3L, 1L, 2L))
+    assert(top.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("docs matching no query term never appear; k caps the output") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("cat", "dog"), k = 2).select("doc_id").as[Long].collect()
+    assert(out.length == 2)
+    assert(!out.contains(4L))
+  }
+
+  test("multi-term scores sum per-term fixed-point weights exactly") {
+    val both = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("cat", "dog"), k = 4)
+      .select("doc_id", "n_hit", "score_fp")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, h, s) => d -> ((h, s)) }.toMap
+    val catOnly = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 4)
+      .select("doc_id", "score_fp").as[(Long, Long)].collect().toMap
+    val dogOnly = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("dog"), k = 4)
+      .select("doc_id", "score_fp").as[(Long, Long)].collect().toMap
+    // df of each term is identical in the joint and single-term runs
+    // (both restricted postings), so weights must add up long-exactly.
+    assert(both(2L)._1 == 2L)
+    assert(both(2L)._2 == catOnly(2L) + dogOnly(2L))
+    assert(both(3L)._1 == 1L)
+    assert(both(3L)._2 == catOnly(3L))
+  }
+
+  test("bm25 plan: stats and df broadcast; top-k is TakeOrdered, no global sort") {
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
+  }
+}
