@@ -227,15 +227,30 @@ final case class ProfileTransformStage(
     inputView: String,
     outputView: String,
     columns: Seq[String],
-    exact: Boolean = true)
+    exact: Boolean = true,
+    method: String = "table", // table | histogram | bucketize | winsorize
+    valueCol: String = "value",
+    binWidth: Double = 1.0,
+    nBins: Int = 4,
+    pLo: Double = 0.05,
+    pHi: Double = 0.95)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
     detail += "inputView" -> inputView
     detail += "outputView" -> outputView
+    detail += "method" -> method
     val in = Views.resolve(inputView)
-    val cols = if (columns.nonEmpty) columns else in.columns.toSeq
-    val out = Profile.table(in, cols, exact)
+    val out = method match {
+      case "table" =>
+        val cols = if (columns.nonEmpty) columns else in.columns.toSeq
+        Profile.table(in, cols, exact)
+      case "histogram" => Profile.histogram(in, valueCol, binWidth)
+      case "bucketize" => Profile.bucketizeQuantile(in, valueCol, nBins)
+      case "winsorize" => Profile.winsorize(in, valueCol, pLo, pHi)
+      case other => throw new IllegalArgumentException(
+        s"unknown profile method '$other'")
+    }
     Views.register(out, outputView)
     Option(out)
   }
@@ -355,6 +370,97 @@ final case class AssembleTransformStage(
     detail += "groupCol" -> groupCol
     val out = Assemble.threads(in, groupCol,
       orderCols.map(org.apache.spark.sql.functions.col), payloadCol, maxTurns)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Retrieval stage over [[Retrieval]]: build an inverted-index dictionary
+  * or run BM25 ranked search from a declarative pipeline.
+  */
+final case class RetrievalTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // index | bm25
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    minDf: Long = 1L,
+    queryTerms: Seq[String] = Nil,
+    k: Int = 10,
+    k1: Double = 1.2,
+    b: Double = 0.75)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "index" => Retrieval.invertedIndex(in, idCol, textCol, minDf)
+      case "bm25" =>
+        if (queryTerms.isEmpty) throw new IllegalArgumentException(
+          "retrieval method 'bm25' requires non-empty 'queryTerms'")
+        Retrieval.bm25TopK(in, idCol, textCol, queryTerms, k, k1, b)
+      case other => throw new IllegalArgumentException(
+        s"unknown retrieval method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** PII stage over [[Pii]]: per-doc detection counts or in-place
+  * redaction of emails / IPv4s / phone tokens.
+  */
+final case class PiiTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // stats | scrub
+    idCol: String = "doc_id",
+    textCol: String = "text")
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "stats" => Pii.stats(in, idCol, textCol)
+      case "scrub" => Pii.scrub(in, textCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown pii method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Graph stage over [[Graph.pagerank]]: fixed-iteration PageRank on an
+  * edge view with `srcCol`/`dstCol` columns.
+  */
+final case class GraphTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    srcCol: String = "src",
+    dstCol: String = "dst",
+    iters: Int = 3,
+    dampNum: Long = 850,
+    dampDen: Long = 1000)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val in = Views.resolve(inputView)
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    detail += "iters" -> iters.toString
+    val edges = in.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val out = Graph.pagerank(edges, iters, dampNum, dampDen)
     Views.register(out, outputView)
     Option(out)
   }

@@ -200,7 +200,53 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         columns = r.stringList("columns"), // empty -> all columns
-        exact = r.boolean("exact", default = true))
+        exact = r.boolean("exact", default = true),
+        method = r.oneOf("method",
+          Seq("table", "histogram", "bucketize", "winsorize"), "table"),
+        valueCol = r.string("valueCol").getOrElse("value"),
+        binWidth = r.double("binWidth").getOrElse(1.0),
+        nBins = r.int("nBins").getOrElse(4),
+        pLo = r.double("pLo").getOrElse(0.05),
+        pHi = r.double("pHi").getOrElse(0.95))
+    },
+    "RetrievalTransform" -> { (r, _) =>
+      val method = r.oneOf("method", Seq("index", "bm25"), "index")
+      val terms = r.stringList("queryTerms")
+      // bm25 without terms would only surface at runtime — fail at parse
+      if (method == "bm25" && terms.isEmpty)
+        r.error("queryTerms", "missing or empty; bm25 requires query terms")
+      RetrievalTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        textCol = r.string("textCol").getOrElse("text"),
+        minDf = r.long("minDf").getOrElse(1L),
+        queryTerms = terms,
+        k = r.int("k").getOrElse(10),
+        k1 = r.double("k1").getOrElse(1.2),
+        b = r.double("b").getOrElse(0.75))
+    },
+    "PiiTransform" -> { (r, _) =>
+      PiiTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method", Seq("stats", "scrub"), "stats"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        textCol = r.string("textCol").getOrElse("text"))
+    },
+    "GraphTransform" -> { (r, _) =>
+      GraphTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        srcCol = r.string("srcCol").getOrElse("src"),
+        dstCol = r.string("dstCol").getOrElse("dst"),
+        iters = r.int("iters").getOrElse(3),
+        dampNum = r.long("dampNum").getOrElse(850L),
+        dampDen = r.long("dampDen").getOrElse(1000L))
     },
     "SampleTransform" -> { (r, _) =>
       SampleTransformStage(
@@ -374,7 +420,14 @@ object Parser {
       "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds")),
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
-    "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact")),
+    "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",
+      "method", "valueCol", "binWidth", "nBins", "pLo", "pHi")),
+    "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b")),
+    "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "idCol", "textCol")),
+    "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "srcCol", "dstCol", "iters", "dampNum", "dampDen")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget", "k", "weightCol")),

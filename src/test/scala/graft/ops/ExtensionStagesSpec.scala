@@ -351,4 +351,96 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("score") - 0.880797) < 1e-6)
     assert(r.getAs[Boolean]("keep"))
   }
+
+  test("retrieval: index and bm25 as config-driven stages") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "rt_docs"},
+      {"type": "RetrievalTransform", "name": "ix", "method": "index",
+       "inputView": "rt_docs", "outputView": "rt_index", "minDf": 5},
+      {"type": "RetrievalTransform", "name": "srch", "method": "bm25",
+       "inputView": "rt_docs", "outputView": "rt_hits",
+       "queryTerms": ["join", "hash"], "k": 7}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get
+    assert(out.count() == 7)
+    assert(out.columns.toSeq == Seq("rnk", "doc_id", "n_hit", "score_fp", "score"))
+    assert(spark.table("rt_index").columns.contains("idf"))
+  }
+
+  test("bm25 without queryTerms is a config-time error") {
+    val conf = """{"stages": [
+      {"type": "RetrievalTransform", "name": "bad", "method": "bm25",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Left(errs) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("queryTerms")))
+  }
+
+  test("pii stats and scrub as config-driven stages") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq(
+      (1L, "mail bob@ex.io now"), (2L, "clean")
+    ).toDF("doc_id", "text"), "pi_docs")
+    val conf = """{"stages": [
+      {"type": "PiiTransform", "name": "st", "method": "stats",
+       "inputView": "pi_docs", "outputView": "pi_stats"},
+      {"type": "PiiTransform", "name": "sc", "method": "scrub",
+       "inputView": "pi_docs", "outputView": "pi_clean"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val stats = spark.table("pi_stats").orderBy("doc_id")
+      .select("n_emails").as[Long].collect().toSeq
+    assert(stats == Seq(1L, 0L))
+    val clean = spark.table("pi_clean").orderBy("doc_id")
+      .select("text").as[String].collect().head
+    assert(clean == "mail <EMAIL> now")
+  }
+
+  test("graph pagerank as a config-driven stage with renamed edge columns") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq(("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("from_node", "to_node"), "gr_edges")
+    val conf = """{"stages": [
+      {"type": "GraphTransform", "name": "pr", "inputView": "gr_edges",
+       "outputView": "gr_ranks", "srcCol": "from_node", "dstCol": "to_node",
+       "iters": 2}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get.orderBy("node")
+    assert(out.count() == 3)
+    val ranks = out.select("node", "rank_fp").as[(String, Long)].collect().toMap
+    assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"))
+  }
+
+  test("profile methods bucketize and winsorize parse tunables and run") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register((1 to 100).map(_.toDouble).toDF("value"), "pf_vals")
+    val conf = """{"stages": [
+      {"type": "ProfileTransform", "name": "bq", "method": "bucketize",
+       "inputView": "pf_vals", "outputView": "pf_bins", "nBins": 5},
+      {"type": "ProfileTransform", "name": "wz", "method": "winsorize",
+       "inputView": "pf_vals", "outputView": "pf_win", "pLo": 0.1, "pHi": 0.9}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val bins = spark.table("pf_bins").select("bin").distinct().count()
+    assert(bins == 5)
+    val w = spark.table("pf_win")
+      .agg(org.apache.spark.sql.functions.min("winsorized"),
+        org.apache.spark.sql.functions.max("winsorized"))
+      .as[(Double, Double)].collect().head
+    assert(w == ((10.0, 90.0)))
+  }
 }
