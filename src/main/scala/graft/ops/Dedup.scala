@@ -453,4 +453,65 @@ object Dedup {
         max(col("__nch")).as("n_chunks"),
         count(lit(1)).as("n_kept"))
   }
+
+  /** Edit-distance (Levenshtein) near-duplicate pairs — the precision
+    * refinement tier below the sketch-based families: MinHash/SimHash
+    * find "mostly the same tokens", edit distance certifies "the same
+    * text up to `maxDist` character edits" (typo-level duplicates,
+    * OCR noise, trailing-boilerplate variants).
+    *
+    * Levenshtein is O(|a|·|b|) per pair, so an unblocked corpus self-join
+    * is doubly disqualified at scale (n² pairs × quadratic per pair).
+    * Standard blocked form instead: candidates must share every
+    * `blockCols` value AND a `bucketWidth`-character length band, and two
+    * texts whose lengths differ by more than `maxDist` cannot be within
+    * `maxDist` edits — that length guard runs as a plain codegen'd filter
+    * BEFORE any distance is computed. The distance itself evaluates with
+    * Spark's built-in bounded `levenshtein(l, r, threshold)` which
+    * abandons a pair as soon as the running minimum exceeds `maxDist`
+    * (O(maxDist·min(|a|,|b|)) instead of O(|a|·|b|)).
+    *
+    * Blocks over `maxBlock` members are dropped with a warning (same
+    * escape hatch as [[ngramJaccardPairs]]'s maxBlock): a pathological
+    * block (empty texts, template spam) otherwise degenerates to n²
+    * distance evaluations; the sketch families remain the recall
+    * backstop for what blocking misses.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist <= maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], maxDist: Int = 5, bucketWidth: Int = 20,
+      maxBlock: Int = 1024): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // band width must dominate the distance bound so qualifying pairs
+    // land in the same or an adjacent length band — the join below only
+    // looks one band away
+    require(bucketWidth > maxDist,
+      s"bucketWidth ($bucketWidth) must be > maxDist ($maxDist)")
+    val keys = blockCols :+ "lenb"
+    val base = df.select(
+      Seq(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        length(col(textCol)).cast("long").as("len"),
+        floor(length(col(textCol)) / bucketWidth).as("lenb"))
+        ++ blockCols.map(col): _*)
+    val sized = base.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val kept = sized.where(col("__bn") <= maxBlock).drop("__bn")
+    val a = kept.select(Seq(col("doc_id").as("id_a"), col("txt").as("ta"),
+      col("len").as("la")) ++ keys.map(col): _*)
+    val b = kept.select(Seq(col("doc_id").as("id_b"), col("txt").as("tb"),
+      col("len").as("lb")) ++ keys.map(col): _*)
+    // a qualifying pair's length bands differ by at most 1 (bucketWidth >
+    // maxDist): probing the left side into its 3 neighbouring bands finds
+    // each unordered pair exactly once (b's band is a single value, so at
+    // most one of a's probes can hit it — no dedup pass needed)
+    val aBands = a.withColumn("lenb",
+        explode(array(col("lenb") - 1, col("lenb"), col("lenb") + 1)))
+    aBands.join(b, keys)
+      .where(col("id_a") < col("id_b")
+        && abs(col("la") - col("lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
 }

@@ -321,4 +321,48 @@ object Similarity {
                 .otherwise(0d), 6) + lit(0d)))
           .otherwise(array().cast("array<double>")).as("z"))
   }
+
+  /** Scalar (per-dimension min-max) int8 quantization of the embedding
+    * column — the standard memory-compression step before a 100 TB ANN
+    * index: 4 bytes/dim float32 becomes 1 byte/dim, a 4× reduction in
+    * index footprint and shuffle volume for every downstream candidate
+    * pass. Output: (vec_id, q) with
+    * q[d] = clamp(floor((x[d] - lo_d) / (hi_d - lo_d) * (levels-1) + 0.5))
+    * (constant dimensions quantize to 0). floor(x + 0.5) instead of
+    * round() so both engines take the identical half-up path regardless
+    * of their native rounding mode (Spark HALF_UP vs C HALF_EVEN).
+    *
+    * Shape at scale: per-dimension lo/hi come from one map-side-combined
+    * min/max aggregate over the posexploded (dim, value) pairs — `dims`
+    * rows out — then the dim-indexed bound arrays (one broadcastable row)
+    * rejoin the corpus; the embedding table itself never shuffles, same
+    * as [[standardize]].
+    */
+  def quantize(df: DataFrame, levels: Int = 256): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    val x = df.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), col("x").cast("double").as("v"))
+    val bounds = x.groupBy("d").agg(min("v").as("lo"), max("v").as("hi"))
+    val arrs = bounds.groupBy().agg(
+      transform(sort_array(collect_list(struct(col("d"), col("lo")))),
+        e => e.getField("lo")).as("__los"),
+      transform(sort_array(collect_list(struct(col("d"), col("hi")))),
+        e => e.getField("hi")).as("__his"))
+    val top = lit((levels - 1).toDouble)
+    df.crossJoin(broadcast(arrs))
+      .select(col("vec_id"),
+        when(size(col("embedding")) > 0,
+          zip_with(col("embedding").cast("array<double>"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (xv, i) => {
+              val lo = element_at(col("__los"), i + 1)
+              val hi = element_at(col("__his"), i + 1)
+              least(top, greatest(lit(0d),
+                when(hi > lo,
+                  floor((xv - lo) / (hi - lo) * top + lit(0.5)))
+                  .otherwise(0d))).cast("long")
+            }))
+          .otherwise(array().cast("array<long>")).as("q"))
+  }
 }

@@ -50,6 +50,9 @@ object ExtensionQueries {
   private val NgramMaxBlock = 20
   private val NgramLshBands = 8
   private val SimhashMaxBucket = 64
+  private val EditMaxDist = 5
+  private val EditBucket = 20
+  private val EditMaxBlock = 1024
   private val EmbedDupThreshold = 0.4
   private val EmbedMaxBucket = 16
   private val TopK = 5
@@ -155,6 +158,13 @@ object ExtensionQueries {
           blockCols = Seq("lang"), NgramN, NgramBucket, NgramThreshold,
           NgramSampleMod, NgramMaxBlock, NgramLshBands)
         .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_edit" -> { (spark, dir) =>
+      Dedup.editDistancePairs(docs(spark, dir), "doc_id", "text",
+          blockCols = Seq("lang"), maxDist = EditMaxDist,
+          bucketWidth = EditBucket, maxBlock = EditMaxBlock)
+        .orderBy("id_a", "id_b")
     },
 
     "dedup_embedding" -> { (spark, dir) =>
@@ -519,6 +529,15 @@ object ExtensionQueries {
       Similarity.standardize(embs(spark, dir))
         .select(col("vec_id"), posexplode(col("z")).as(Seq("d", "z")))
         .select(col("vec_id"), col("d").cast("long").as("d"), col("z"))
+        .orderBy("vec_id", "d")
+    },
+
+    // Long-format (vec_id, d, q) for the same scalar-cell reason as
+    // embed_standardize.
+    "embed_quantize" -> { (spark, dir) =>
+      Similarity.quantize(embs(spark, dir))
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "q")))
+        .select(col("vec_id"), col("d").cast("long").as("d"), col("q"))
         .orderBy("vec_id", "d")
     },
 
@@ -987,6 +1006,28 @@ object ExtensionQueries {
       )
       SELECT doc_a, doc_b, jaccard FROM allp
       WHERE jaccard >= $NgramThreshold ORDER BY doc_a, doc_b""",
+
+    // Replay of Dedup.editDistancePairs: same (lang, length-band)
+    // blocking with the maxBlock window guard, adjacent-band probe, and
+    // the |len diff| <= maxDist filter before the distance; DuckDB's
+    // unbounded levenshtein equals Spark's bounded one on every pair the
+    // threshold keeps.
+    "dedup_edit" -> s"""
+      WITH d AS (
+        SELECT doc_id, text, lang, length(text) AS len,
+          floor(length(text) / $EditBucket.0) AS lenb
+        FROM documents),
+      k AS (SELECT *, count(*) OVER (PARTITION BY lang, lenb) AS bn FROM d),
+      kept AS (SELECT doc_id, text, lang, len, lenb FROM k
+               WHERE bn <= $EditMaxBlock)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        levenshtein(a.text, b.text)::BIGINT AS dist
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND b.lenb BETWEEN a.lenb - 1 AND a.lenb + 1
+       AND abs(a.len - b.len) <= $EditMaxDist
+      WHERE levenshtein(a.text, b.text) <= $EditMaxDist
+      ORDER BY id_a, id_b""",
 
     // Replay of Similarity.nearDupPairs incl. the oversized-bucket guard:
     // banded rows carry the next band's signature (cyclic); buckets over
@@ -1569,6 +1610,22 @@ object ExtensionQueries {
       SELECT vec_id, d - 1 AS d,
         (round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6) + 0) AS z
       FROM x JOIN ms USING (d)
+      ORDER BY vec_id, d""",
+
+    // Replay of Similarity.quantize: per-dim min/max bounds, half-up
+    // snap via floor(x + 0.5) (identical on both engines; DuckDB's
+    // double->BIGINT cast rounds but the operand is already integral).
+    "embed_quantize" -> """
+      WITH x AS (
+        SELECT vec_id, d, embedding[d]::DOUBLE AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(d)),
+      b AS (SELECT d, min(v) AS lo, max(v) AS hi FROM x GROUP BY d)
+      SELECT vec_id, d - 1 AS d,
+        CAST(least(255.0, greatest(0.0,
+          CASE WHEN hi > lo
+            THEN floor((v - lo) / (hi - lo) * 255.0 + 0.5)
+            ELSE 0 END)) AS BIGINT) AS q
+      FROM x JOIN b USING (d)
       ORDER BY vec_id, d""",
 
     // Replay of Sampling.splitAssign: cumulative thresholds computed by

@@ -198,4 +198,38 @@ class DedupSpec extends SparkSpec {
     assert(out(2L).getAs[String]("clean_text") == "x y")
     assert(out(2L).getAs[Long]("n_kept") == 1L)
   }
+
+  test("edit-distance pairs: blocked, threshold-bounded, cross-band pairs found") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox", "en"),   // len 19, band 1 (bw 10)
+      (2L, "the quick brown fix", "en"),   // dist 1 to doc 1
+      (3L, "the quick brown foxes", "en"), // len 21 band 2: adjacent band, dist 2 to doc 1
+      (4L, "completely different text here", "en"), // too far from all
+      (5L, "the quick brown fox", "de")    // same text, other block
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.editDistancePairs(df, "doc_id", "text", Seq("lang"),
+        maxDist = 3, bucketWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pair (1,3) crosses a length-band boundary and must still be found
+    assert(out == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
+  }
+
+  test("edit-distance pairs: oversized blocks are dropped, not exploded") {
+    import spark.implicits._
+    val big = (1L to 10L).map(i => (i, "same text", "en"))
+    val df = (big :+ ((99L, "tiny", "de"))).toDF("doc_id", "text", "lang")
+    val out = Dedup.editDistancePairs(df, "doc_id", "text", Seq("lang"),
+      maxDist = 3, bucketWidth = 10, maxBlock = 5)
+    assert(out.count() == 0L)
+  }
+
+  test("edit-distance pairs rejects bucketWidth <= maxDist") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "doc_id", "text", Seq("lang"),
+        maxDist = 10, bucketWidth = 10)
+    }
+  }
 }

@@ -154,4 +154,30 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"moments must broadcast:\n$plan")
   }
+
+  test("quantize maps per-dim min->0 and max->levels-1; constant dims -> 0") {
+    val df = Seq(
+      (0L, Array(1.0f, 7.0f, 2.0f)),
+      (1L, Array(3.0f, 7.0f, 4.0f)),
+      (2L, Array(2.0f, 7.0f, 6.0f)),
+      (3L, Array.empty[Float])
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantize(df).orderBy("vec_id")
+      .select("q").as[Seq[Long]].collect()
+    // dim 0: lo 1 hi 3 -> codes 0, 255, 128 (floor(0.5*255+0.5)=128)
+    // dim 1 constant -> 0; dim 2: lo 2 hi 6 -> 0, 128, 255
+    assert(q(0) == Seq(0L, 0L, 0L))
+    assert(q(1) == Seq(255L, 0L, 128L))
+    assert(q(2) == Seq(128L, 0L, 255L))
+    assert(q(3).isEmpty, "empty embedding must quantize to []")
+  }
+
+  test("quantize respects a custom level count") {
+    val df = Seq((0L, Array(0.0f)), (1L, Array(1.0f)), (2L, Array(0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantize(df, levels = 4).orderBy("vec_id")
+      .select("q").as[Seq[Long]].collect()
+    assert(q.map(_.head).toSeq == Seq(0L, 3L, 2L)) // floor(0.5*3+0.5)=2
+    intercept[IllegalArgumentException] { Similarity.quantize(df, levels = 1) }
+  }
 }
