@@ -65,4 +65,55 @@ object Sketches {
     sampled.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Dense Bloom bitmap over `key`'s distinct values: `mBits` bits
+    * (rounded up to a multiple of 64) packed into `m/64` longs, `k` probe
+    * hashes per value (xxhash64 salted by probe index; the key is cast to
+    * string first so build and probe agree regardless of column type).
+    *
+    * This is the explicit, stage-level version of the runtime row-level
+    * filter Spark's optimizer injects on its own
+    * (spark.sql.optimizer.runtime.bloomFilter.*): the build is one
+    * map-side-combined bit_or aggregate over (word, mask) pairs — at most
+    * m/64 rows cross the wire — and the bitmap itself is sketch-sized
+    * by construction (default 1 MiB at m=2^23), the same driver-held
+    * footprint class as a broadcast join's build relation. Use it where
+    * the optimizer can't: pruning a fact table BEFORE its shuffle against
+    * a dim too big to broadcast whole but whose key set fits a sketch.
+    */
+  def bloomBitmap(df: DataFrame, key: Column, mBits: Int = 1 << 23,
+      k: Int = 5): Array[Long] = {
+    require(mBits >= 64, s"mBits must be >= 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = ((mBits + 63) / 64) * 64
+    val words = df.select(key.cast("string").as("__v"))
+      .where(col("__v").isNotNull)
+      .select(explode(array((0 until k).map(i =>
+        pmod(xxhash64(col("__v"), lit(i)), lit(m.toLong))): _*)).as("__h"))
+      .select(expr("__h div 64").as("__w"),
+        expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
+      .groupBy("__w").agg(expr("bit_or(__m)").as("__or"))
+      .collect()
+    val arr = new Array[Long](m / 64)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a [[bloomBitmap]] (same `k` required):
+    * true if every probe bit is set — no false negatives, false-positive
+    * rate ~(1 - e^(-k·n/m))^k. Pure codegen'd expression (element_at +
+    * shift) over the bitmap literal; no UDF, no shuffle.
+    */
+  def bloomMightContain(key: Column, bits: Array[Long], k: Int = 5): Column = {
+    require(bits.nonEmpty, "bits must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = bits.length * 64L
+    val bcol = typedlit(bits.toSeq)
+    (0 until k).map { i =>
+      val h = pmod(xxhash64(key.cast("string"), lit(i)), lit(m))
+      val w = element_at(bcol, (h / 64).cast("int") + 1)
+      call_function("shiftrightunsigned", w, (h % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
 }

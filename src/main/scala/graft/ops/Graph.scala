@@ -85,4 +85,64 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / RankScale).as("rank"))
   }
+
+  /** Canonical undirected co-occurrence edges: one (a, b) row with
+    * a < b per pair of distinct `nodeCol` values that ever share a
+    * `groupCol` value (parts in one order, docs in one cluster, urls in
+    * one session). Groups larger than `maxGroup` are dropped with the
+    * same rationale as [[Dedup.editDistancePairs]]'s maxBlock: one
+    * degenerate group (a crawl dump, a mega-order) otherwise contributes
+    * O(maxGroup²) edges on its own.
+    *
+    * Shape at scale: one shuffle keyed on the group, quadratic only
+    * WITHIN a bounded group — total edge volume <= Σ min(|g|, maxGroup)².
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String,
+      maxGroup: Int = 256): DataFrame = {
+    require(maxGroup >= 2, s"maxGroup must be >= 2, got $maxGroup")
+    val g = df.select(col(groupCol).as("__g"), col(nodeCol).as("__n")).distinct()
+    val sized = g.withColumn("__gn", count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
+    val kept = sized.where(col("__gn") <= maxGroup).drop("__gn")
+    kept.as("x").join(kept.as("y"), col("x.__g") === col("y.__g")
+        && col("x.__n") < col("y.__n"))
+      .select(col("x.__n").as("a"), col("y.__n").as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts over a canonical undirected edge table
+    * ((a, b), a < b, distinct — e.g. [[coOccurrenceEdges]]). Output:
+    * (node, n_tri) for every node in at least one triangle.
+    *
+    * Uses the degree-ordered orientation (the standard distributed
+    * triangle algorithm): each undirected edge is directed from the
+    * endpoint with the smaller (degree, id) rank to the larger, every
+    * triangle becomes exactly one directed wedge u→v→w closed by u→w,
+    * and — the scale property — a node's out-degree is bounded by
+    * O(sqrt(|E|)) regardless of its true degree, so the wedge join never
+    * explodes on hubs the way an id-ordered orientation does. Two hash
+    * joins total; no state beyond the edge list.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val dir = withDeg.select(
+      when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = dir
+      .join(dir.select(col("u").as("v"), col("v").as("w")), "v")
+      .select("u", "v", "w")
+    val tris = wedges
+      .join(dir.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      .select("u", "v", "w")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -125,4 +125,32 @@ object Joins {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** Bloom-pruned semi join: keep the fact rows whose `factKey` appears
+    * in `dim`'s `dimKey` set, with a Bloom-filter pre-filter ahead of the
+    * exact semi join.
+    *
+    * At 100 TB the expensive part of a selective semi join is not the
+    * join — it's shuffling the whole fact table to get there. The bitmap
+    * ([[graft.functions.Sketches.bloomBitmap]]) costs one tiny aggregate
+    * over the dim keys, ships to every task as a literal (sketch-sized:
+    * ~1 MiB for 2^23 bits), and its probe is a codegen'd filter AT THE
+    * SCAN, so only rows that might match — true matches plus the
+    * ~(1-e^(-kn/m))^k false-positive sliver — ever enter the shuffle.
+    * The exact semi join then removes the false positives, so the result
+    * is EXACT regardless of bloom sizing; m/k only tune how much shuffle
+    * survives. This is Spark's own runtime bloom-filter rewrite
+    * (spark.sql.optimizer.runtime.bloomFilter.*) made explicit and
+    * declarative, for the shapes the optimizer won't infer — a
+    * pre-filtered dim, a non-equi downstream use, or a filter reused
+    * across several fact scans.
+    */
+  def bloomSemi(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, mBits: Int = 1 << 23, k: Int = 5): DataFrame = {
+    val bits = graft.functions.Sketches.bloomBitmap(dim, col(dimKey), mBits, k)
+    val pruned = fact.where(
+      graft.functions.Sketches.bloomMightContain(col(factKey), bits, k))
+    val dimKeys = dim.select(col(dimKey).as("__bk")).distinct()
+    pruned.join(dimKeys, pruned(factKey) === dimKeys("__bk"), "leftsemi")
+  }
 }

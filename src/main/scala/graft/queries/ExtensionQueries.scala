@@ -50,6 +50,10 @@ object ExtensionQueries {
   private val NgramMaxBlock = 20
   private val NgramLshBands = 8
   private val SimhashMaxBucket = 64
+  private val TriMaxGroup = 10
+  private val BloomPriceMin = 400000.0
+  private val BloomBits = 1 << 18
+  private val BloomK = 5
   private val EditMaxDist = 5
   private val EditBucket = 20
   private val EditMaxBlock = 1024
@@ -389,6 +393,29 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("o_orderpriority")
+    },
+
+    "triangle_count" -> { (spark, dir) =>
+      // maxGroup = 10 drops the 41 largest orders at sf0.01 — the
+      // degenerate-group guard is exercised, and the oracle replays the
+      // same drop.
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.triangleCounts(Graph.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup))
+        .orderBy("node")
+    },
+
+    "bloom_join" -> { (spark, dir) =>
+      // The bloom pre-filter only prunes shuffle input; the trailing
+      // exact semi join makes the result identical to a plain semi
+      // join — which is exactly what the oracle runs.
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val hot = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > BloomPriceMin)
+      Joins.bloomSemi(li, hot, "l_orderkey", "o_orderkey",
+          mBits = BloomBits, k = BloomK)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     "sample_per_stratum" -> { (spark, dir) =>
@@ -1434,6 +1461,43 @@ object ExtensionQueries {
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Replay of Graph.triangleCounts over coOccurrenceEdges: same
+    // maxGroup drop, degree-ordered orientation, wedge close.
+    "triangle_count" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      deg AS (SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und) GROUP BY node),
+      dir AS (SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN a ELSE b END AS u,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN b ELSE a END AS v
+        FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+      tri AS (SELECT e1.u, e1.v, e2.v AS w
+        FROM dir e1 JOIN dir e2 ON e2.u = e1.v
+        JOIN dir e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT node, count(*)::BIGINT AS n_tri FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      GROUP BY node ORDER BY node""",
+
+    // Oracle for Joins.bloomSemi: the plain exact semi join — the bloom
+    // filter is a pure pre-filter, so any bitmap sizing must reproduce
+    // this result bit-for-bit.
+    "bloom_join" -> s"""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > $BloomPriceMin)
+      ORDER BY l_orderkey, l_linenumber""",
 
     // Replay of Sampling.perStratumHead: smallest-k h32(id) per stratum,
     // id tie-break — same md5-based hash as the sampling family.

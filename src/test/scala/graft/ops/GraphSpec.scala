@@ -68,4 +68,25 @@ class GraphSpec extends SparkSpec {
       .as[Long].collect().head
     assert(total <= Graph.RankScale)
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; path graph has none") {
+    // complete graph on {1,2,3,4}: C(4,3)=4 triangles, each node in 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val out = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCounts(path).count() == 0L)
+  }
+
+  test("coOccurrenceEdges: canonical pairs within bounded groups only") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L), // dup member collapses
+      (20L, 4L), (20L, 5L),
+      (30L, 6L), (30L, 7L), (30L, 8L), (30L, 9L)  // size 4 > maxGroup 3
+    ).toDF("g", "n")
+    val e = Graph.coOccurrenceEdges(df, "g", "n", maxGroup = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
 }

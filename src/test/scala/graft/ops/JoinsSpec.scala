@@ -112,4 +112,26 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"cartesian in range-join plan:\n$plan")
   }
+
+  test("bloom semi join equals the exact semi join (no false negatives)") {
+    val fact = (1L to 200L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val dim = Seq(3L, 50L, 199L, 777L).toDF("dk")
+    val out = Joins.bloomSemi(fact, dim, "k", "dk", mBits = 1 << 10, k = 3)
+    val exact = fact.join(dim, fact("k") === dim("dk"), "leftsemi")
+    assert(datasetEquality(exact, out))
+  }
+
+  test("bloom filter prunes non-matching rows before the join") {
+    import graft.functions.Sketches
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val bits = Sketches.bloomBitmap(dim, $"dk", mBits = 1 << 12, k = 5)
+    val fact = (1000L to 2000L).map(i => Tuple1(i)).toDF("k")
+    val kept = fact.where(Sketches.bloomMightContain($"k", bits, 5)).count()
+    // 1001 disjoint keys against a 4096-bit filter holding 3 values:
+    // expected false positives ~ 1001 * (15/4096)^5 ~ 0 — allow a few
+    assert(kept <= 5, s"bloom should prune nearly everything, kept $kept")
+    val hits = Seq(1L, 2L, 3L).toDF("k")
+      .where(Sketches.bloomMightContain($"k", bits, 5)).count()
+    assert(hits == 3L, "members must always pass the filter")
+  }
 }
