@@ -232,6 +232,43 @@ object ParityQueries {
       spark.table("q_orc_back").orderBy("n_nationkey")
     },
 
+    "schema_merge" -> { (spark, dir) =>
+      // Parquet schema evolution through the connector: batch 1 writes
+      // (n_nationkey, n_name); batch 2 APPENDS with two new columns.
+      // mergeSchema=true reconciles the read to the superset schema,
+      // null-padding batch-1 rows — the lakehouse answer to additive
+      // schema change with no table rewrite.
+      implicit val c: PipelineContext = ctx(spark)
+      val tmp = Files.createTempDirectory("graft_smerge").toString
+      val conn = new ParquetConnector(tmp)
+      extract(spark, dir, "nation", "q_sm")
+      Views.register(
+        spark.table("q_sm_nation").select("n_nationkey", "n_name"), "q_sm_v1")
+      Views.register(
+        spark.table("q_sm_nation").select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"), lit(2L).as("ingest_v")), "q_sm_v2")
+      LoadStage("sm1", conn, "q_sm_v1", "evolved", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true")).run()
+      LoadStage("sm2", conn, "q_sm_v2", "evolved", SaveMode.Append).run()
+      ExtractStage("sm_back", conn, "evolved", "q_sm_back",
+        options = Map("mergeSchema" -> "true")).run().get
+        .select("n_nationkey", "n_name", "n_regionkey", "ingest_v")
+        .orderBy(col("n_nationkey"), col("ingest_v").asc_nulls_first)
+    },
+
+    "compact_files" -> { (spark, dir) =>
+      // 32 sliver files rewritten into ceil(bytes/1MiB) outputs; the
+      // compacted copy must carry the source rows bit-for-bit (the
+      // oracle reads the ORIGINAL table). MaintenanceSpec asserts the
+      // file-count drop; the gate asserts content identity.
+      val tmp = Files.createTempDirectory("graft_compact").toString
+      spark.read.parquet(s"$dir/orders.parquet").repartition(32)
+        .write.parquet(s"$tmp/small")
+      val (back, _) = Maintenance.compact(spark, s"$tmp/small",
+        s"$tmp/compacted", targetBytes = 1L << 20)
+      back.orderBy("o_orderkey")
+    },
+
     "rollup_agg" -> { (spark, dir) =>
       implicit val c: PipelineContext = ctx(spark)
       extract(spark, dir, "lineitem", "q_ru")
@@ -461,6 +498,19 @@ object ParityQueries {
 
     "orc_roundtrip" -> """
       SELECT * FROM nation ORDER BY n_nationkey""",
+
+    // Batch-1 rows null-pad the columns only batch 2 carries; Spark's
+    // ascending sort is NULLS FIRST, DuckDB's is NULLS LAST — pinned
+    // explicitly.
+    "schema_merge" -> """
+      SELECT n_nationkey, n_name, NULL::INTEGER AS n_regionkey,
+        NULL::BIGINT AS ingest_v FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 2::BIGINT FROM nation
+      ORDER BY n_nationkey, ingest_v NULLS FIRST""",
+
+    "compact_files" -> """
+      SELECT * FROM orders ORDER BY o_orderkey""",
 
     "rollup_agg" -> """
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
