@@ -107,4 +107,41 @@ object Retrieval {
       .select(col("rnk"), col("doc_id"), col("n_hit"), col("score_fp"),
         (col("score_fp").cast("double") / Fp).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    * the standard hybrid-retrieval combiner: a lexical ranking
+    * ([[bm25TopK]]) and a semantic one
+    * ([[graft.ops.Similarity.bruteTopK]]/annTopK) vote through their
+    * RANKS, so neither scoring scale has to be calibrated against the
+    * other. Each input needs (doc_id, rnk); a document's fused score is
+    * Σ_lists floor(1e6 / (rrfK + rnk)) — fixed-point long from the
+    * start (floor, not round: both engines take the identical path and
+    * no half-way tie exists to disagree on), summed exactly in any
+    * order. Output: (rnk, doc_id, n_lists, score_fp, score).
+    *
+    * Shape at scale: the lists are already tiny (top-k each), so the
+    * union + one aggregate + TakeOrderedAndProject is driver-negligible
+    * regardless of corpus size — all the heavy lifting stays in the
+    * upstream retrievers.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    val scored = rankings
+      .map(r => r.select(col("doc_id"),
+        floor(lit(Fp.toDouble)
+          / (lit(rrfK.toDouble) + col("rnk").cast("double")))
+          .cast("long").as("c_fp")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lists"), sum("c_fp").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id")).limit(k)
+    scored
+      .withColumn("rnk", row_number().over(Window
+        .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_lists"), col("score_fp"),
+        (col("score_fp").cast("double") / Fp).as("score"))
+  }
 }

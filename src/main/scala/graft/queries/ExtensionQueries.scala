@@ -631,6 +631,21 @@ object ExtensionQueries {
         .orderBy("rnk")
     },
 
+    "retrieval_rrf" -> { (spark, dir) =>
+      // Hybrid retrieval: BM25 lexical ranking fused with the cosine
+      // ranking of query vector RrfQueryVec by reciprocal-rank fusion
+      // (doc ids and vec ids share the id space in the synthetic corpus).
+      val lex = Retrieval.bm25TopK(docs(spark, dir), "doc_id", "text",
+          Bm25Terms, k = RrfPoolK)
+        .select(col("doc_id"), col("rnk"))
+      val e = embs(spark, dir)
+      val sem = Similarity.bruteTopK(
+          e, e.where(col("vec_id") === RrfQueryVec), RrfPoolK)
+        .select(col("n_id").as("doc_id"), col("rank").as("rnk"))
+      Retrieval.rrfFuse(Seq(lex, sem), k = RrfTopK, rrfK = RrfC)
+        .orderBy("rnk")
+    },
+
     // PII is injected deterministically (the synthetic corpus has none):
     // every third doc gains an email, a dotted-quad IP and a phone token
     // derived from its doc_id, so detection exercises real matches.
@@ -671,6 +686,10 @@ object ExtensionQueries {
   /** BM25 gate query: a fixed bag of corpus-vocabulary terms. */
   private val Bm25Terms = Seq("join", "hash", "spark", "window")
   private val Bm25K = 25
+  private val RrfPoolK = 20
+  private val RrfQueryVec = 0L
+  private val RrfTopK = 10
+  private val RrfC = 60
 
   /** SQL mirror of [[withInjectedPii]]. */
   private val PiiInjectSql = """
@@ -1852,6 +1871,53 @@ object ExtensionQueries {
       SELECT rnk::BIGINT AS rnk, doc_id, n_hit::BIGINT AS n_hit,
         score_fp::BIGINT AS score_fp, score_fp::DOUBLE / 1000000.0 AS score
       FROM r WHERE rnk <= $Bm25K ORDER BY rnk""",
+
+    // Replay of Retrieval.rrfFuse over the bm25_topk ranking (pool
+    // $RrfPoolK) and the cosine ranking of query vector $RrfQueryVec:
+    // per-list contribution floor(1e6/($RrfC + rnk)) summed as longs.
+    "retrieval_rrf" -> s"""
+      WITH dls AS (SELECT doc_id,
+              len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+      st AS (SELECT COUNT(*) AS n_docs,
+              SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl FROM dls),
+      w AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+              unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM w
+             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id, dl, term),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      s AS (SELECT doc_id,
+              CAST(round((ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                * ((tf * ${1.2 + 1d}) / (tf + 1.2 * (1 - 0.75
+                  + 0.75 * (dl::DOUBLE / avgdl))))) * 1000000.0) AS BIGINT)
+                AS w_fp
+            FROM tf JOIN dfq USING (term) CROSS JOIN st),
+      g AS (SELECT doc_id, SUM(w_fp) AS score_fp FROM s GROUP BY doc_id),
+      lex AS (SELECT doc_id, row_number() OVER
+                (ORDER BY score_fp DESC, doc_id) AS rnk FROM g
+              QUALIFY rnk <= $RrfPoolK),
+      cs AS (SELECT b.vec_id AS doc_id, ${cosD("a", "b")} AS cosine
+             FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+             WHERE a.vec_id = $RrfQueryVec),
+      sem AS (SELECT doc_id, row_number() OVER
+                (ORDER BY cosine DESC, doc_id) AS rnk FROM cs
+              QUALIFY rnk <= $RrfPoolK),
+      u AS (SELECT doc_id,
+              CAST(floor(1000000.0::DOUBLE / ($RrfC + rnk)::DOUBLE) AS BIGINT) AS c_fp
+            FROM lex
+            UNION ALL
+            SELECT doc_id,
+              CAST(floor(1000000.0::DOUBLE / ($RrfC + rnk)::DOUBLE) AS BIGINT) AS c_fp
+            FROM sem),
+      f AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lists,
+              SUM(c_fp)::BIGINT AS score_fp
+            FROM u GROUP BY doc_id),
+      rr AS (SELECT *, row_number() OVER
+               (ORDER BY score_fp DESC, doc_id) AS rnk FROM f
+             QUALIFY rnk <= $RrfTopK)
+      SELECT rnk::BIGINT AS rnk, doc_id, n_lists, score_fp,
+        score_fp::DOUBLE / 1000000.0 AS score
+      FROM rr ORDER BY rnk""",
 
     // Replay of Pii.stats over the same injected corpus: RE2 and Java
     // regex agree on these backref-free patterns; counts are

@@ -78,4 +78,23 @@ class RetrievalSpec extends SparkSpec {
       s"expected broadcast joins:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
   }
+
+  test("rrf fusion: consensus docs outrank single-list docs; contributions exact") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")
+    val sem = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("doc_id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+      .select("rnk", "doc_id", "n_lists", "score_fp")
+      .as[(Long, Long, Long, Long)].collect()
+    def c(r: Long) = math.floor(1e6 / (60.0 + r)).toLong
+    val byDoc = out.map(t => t._2 -> t).toMap
+    // doc 20 (ranks 2+1) beats doc 10 (ranks 1+3): both 2-list docs
+    assert(out.head._2 == 20L && byDoc(20L)._4 == c(2) + c(1))
+    assert(byDoc(10L)._4 == c(1) + c(3) && byDoc(10L)._3 == 2L)
+    // single-list docs trail every 2-list doc here
+    assert(byDoc(30L)._4 == c(3) && byDoc(30L)._3 == 1L)
+    assert(byDoc(40L)._4 == c(2))
+    assert(out.map(_._1).toSeq == (1L to 4L))
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil) }
+  }
 }
