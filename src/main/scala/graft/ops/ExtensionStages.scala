@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs | passages
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs | edit_pairs | passages
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -35,6 +35,7 @@ final case class DedupTransformStage(
     lshBands: Int = 8,
     maxIter: Int = 25,
     window: Int = 8,
+    maxDist: Int = 5,
     byDigest: Boolean = false,
     checkpointDir: Option[String] = None,
     seenView: Option[String] = None)
@@ -80,6 +81,9 @@ final case class DedupTransformStage(
       case "ngram_pairs" =>
         Dedup.ngramJaccardPairs(in, idCol, textCol, blockCols, ngramN,
           bucketWidth, threshold.getOrElse(0.7), sampleMod, maxBlock, lshBands)
+      case "edit_pairs" =>
+        Dedup.editDistancePairs(in, idCol, textCol, blockCols, maxDist,
+          bucketWidth, maxBlock)
       case "passages" =>
         Dedup.passages(in, idCol, textCol, window)
       case other =>
@@ -94,7 +98,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -108,7 +112,9 @@ final case class SimilarityTransformStage(
     // ivf only: bit-deterministic sequential-sum centroids (oracle replay)
     exactReplay: Boolean = false,
     // ivf only: number of nearest cells each query scans (recall knob)
-    probes: Int = 1)
+    probes: Int = 1,
+    // quantize only: code levels (256 = int8)
+    levels: Int = 256)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -127,6 +133,7 @@ final case class SimilarityTransformStage(
         Similarity.nearDupPairs(corpus, threshold, nBits.getOrElse(64),
           bands.getOrElse(8), rows.getOrElse(8), maxBucket)
       case "standardize"   => Similarity.standardize(corpus)
+      case "quantize"      => Similarity.quantize(corpus, levels)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -382,27 +389,36 @@ final case class RetrievalTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // index | bm25
+    method: String, // index | bm25 | rrf
     idCol: String = "doc_id",
     textCol: String = "text",
     minDf: Long = 1L,
     queryTerms: Seq[String] = Nil,
     k: Int = 10,
     k1: Double = 1.2,
-    b: Double = 0.75)
+    b: Double = 0.75,
+    // rrf only: ranked-list views (each with doc_id + rnk) and the
+    // rank-smoothing constant
+    rankViews: Seq[String] = Nil,
+    rrfK: Int = 60)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
-    val in = Views.resolve(inputView)
     detail += "method" -> method
     detail += "inputView" -> inputView
     detail += "outputView" -> outputView
     val out = method match {
-      case "index" => Retrieval.invertedIndex(in, idCol, textCol, minDf)
+      case "index" =>
+        Retrieval.invertedIndex(Views.resolve(inputView), idCol, textCol, minDf)
       case "bm25" =>
         if (queryTerms.isEmpty) throw new IllegalArgumentException(
           "retrieval method 'bm25' requires non-empty 'queryTerms'")
-        Retrieval.bm25TopK(in, idCol, textCol, queryTerms, k, k1, b)
+        Retrieval.bm25TopK(Views.resolve(inputView), idCol, textCol,
+          queryTerms, k, k1, b)
+      case "rrf" =>
+        if (rankViews.isEmpty) throw new IllegalArgumentException(
+          "retrieval method 'rrf' requires non-empty 'rankViews'")
+        Retrieval.rrfFuse(rankViews.map(Views.resolve), k, rrfK)
       case other => throw new IllegalArgumentException(
         s"unknown retrieval method '$other'")
     }
@@ -446,21 +462,95 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
     dampNum: Long = 850,
-    dampDen: Long = 1000)
+    dampDen: Long = 1000,
+    groupCol: String = "g",
+    nodeCol: String = "n",
+    maxGroup: Int = 256)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, least, greatest}
     val in = Views.resolve(inputView)
+    detail += "method" -> method
     detail += "inputView" -> inputView
     detail += "outputView" -> outputView
-    detail += "iters" -> iters.toString
-    val edges = in.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val out = Graph.pagerank(edges, iters, dampNum, dampDen)
+    val out = method match {
+      case "pagerank" =>
+        detail += "iters" -> iters.toString
+        Graph.pagerank(
+          in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+          iters, dampNum, dampDen)
+      case "triangles" =>
+        // canonicalize any (src, dst) view: undirected, self-loops
+        // dropped, (a, b) with a < b, distinct — triangleCounts's input
+        // contract
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.triangleCounts(und)
+      case "cooccur_edges" =>
+        Graph.coOccurrenceEdges(in, groupCol, nodeCol, maxGroup)
+      case other =>
+        throw new IllegalArgumentException(s"unknown graph method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Bloom-pruned semi join stage over [[Joins.bloomSemi]]: keep the
+  * fact-side rows whose key appears in the (possibly pre-filtered) dim
+  * view, pruning the fact scan with a sketch-sized Bloom filter before
+  * the exact join.
+  */
+final case class BloomJoinTransformStage(
+    name: String,
+    inputView: String, // fact side
+    rightView: String, // dim side (key source)
+    outputView: String,
+    leftKey: String,
+    rightKey: String,
+    mBits: Int = 1 << 23,
+    k: Int = 5)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "inputView" -> inputView
+    detail += "rightView" -> rightView
+    detail += "outputView" -> outputView
+    val out = Joins.bloomSemi(Views.resolve(inputView),
+      Views.resolve(rightView), leftKey, rightKey, mBits, k)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Table-maintenance stage over [[Maintenance.compact]]: rewrite a
+  * sliver-file parquet directory into ~targetBytes outputs and publish
+  * the compacted copy as a view. Runs between pipelines, not inside the
+  * hot path.
+  */
+final case class CompactFilesStage(
+    name: String,
+    inputDir: String,
+    outputDir: String,
+    outputView: String,
+    targetBytes: Long = 128L * 1024 * 1024)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "inputDir" -> inputDir
+    detail += "outputDir" -> outputDir
+    detail += "outputView" -> outputView
+    val (out, nFiles) = Maintenance.compact(ctx.spark, inputDir, outputDir,
+      targetBytes)
+    detail += "outputFiles" -> nFiles.toString
     Views.register(out, outputView)
     Option(out)
   }

@@ -98,7 +98,7 @@ object Parser {
         method = r.oneOf("method",
           Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
             "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
-            "ngram_pairs", "passages"),
+            "ngram_pairs", "edit_pairs", "passages"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -119,6 +119,7 @@ object Parser {
         lshBands = r.int("lshBands").getOrElse(8),
         maxIter = r.int("maxIter").getOrElse(25),
         window = r.int("window").getOrElse(8),
+        maxDist = r.int("maxDist").getOrElse(5),
         byDigest = r.boolean("byDigest", default = false),
         checkpointDir = r.string("checkpointDir"),
         seenView = r.string("seenView"))
@@ -129,7 +130,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("topk", "ann", "ivf", "neardup_pairs", "standardize"), "topk"),
+          Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
+            "quantize"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -141,7 +143,8 @@ object Parser {
         bands = r.int("bands"),
         rows = r.int("rows"),
         exactReplay = r.boolean("exactReplay", default = false),
-        probes = r.int("probes").getOrElse(1))
+        probes = r.int("probes").getOrElse(1),
+        levels = r.int("levels").getOrElse(256))
     },
     "AsofJoinTransform" -> { (r, _) =>
       AsofJoinTransformStage(
@@ -210,11 +213,15 @@ object Parser {
         pHi = r.double("pHi").getOrElse(0.95))
     },
     "RetrievalTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("index", "bm25"), "index")
+      val method = r.oneOf("method", Seq("index", "bm25", "rrf"), "index")
       val terms = r.stringList("queryTerms")
-      // bm25 without terms would only surface at runtime — fail at parse
+      val rankViews = r.stringList("rankViews")
+      // bm25 without terms / rrf without lists would only surface at
+      // runtime — fail at parse
       if (method == "bm25" && terms.isEmpty)
         r.error("queryTerms", "missing or empty; bm25 requires query terms")
+      if (method == "rrf" && rankViews.isEmpty)
+        r.error("rankViews", "missing or empty; rrf requires ranked-list views")
       RetrievalTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -226,7 +233,9 @@ object Parser {
         queryTerms = terms,
         k = r.int("k").getOrElse(10),
         k1 = r.double("k1").getOrElse(1.2),
-        b = r.double("b").getOrElse(0.75))
+        b = r.double("b").getOrElse(0.75),
+        rankViews = rankViews,
+        rrfK = r.int("rrfK").getOrElse(60))
     },
     "PiiTransform" -> { (r, _) =>
       PiiTransformStage(
@@ -242,11 +251,35 @@ object Parser {
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("pagerank", "triangles", "cooccur_edges"), "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
         iters = r.int("iters").getOrElse(3),
         dampNum = r.long("dampNum").getOrElse(850L),
-        dampDen = r.long("dampDen").getOrElse(1000L))
+        dampDen = r.long("dampDen").getOrElse(1000L),
+        groupCol = r.string("groupCol").getOrElse("g"),
+        nodeCol = r.string("nodeCol").getOrElse("n"),
+        maxGroup = r.int("maxGroup").getOrElse(256))
+    },
+    "BloomJoinTransform" -> { (r, _) =>
+      BloomJoinTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        rightView = r.requiredString("rightView"),
+        outputView = r.requiredString("outputView"),
+        leftKey = r.requiredString("leftKey"),
+        rightKey = r.requiredString("rightKey"),
+        mBits = r.int("mBits").getOrElse(1 << 23),
+        k = r.int("k").getOrElse(5))
+    },
+    "CompactFiles" -> { (r, _) =>
+      CompactFilesStage(
+        name = r.requiredString("name"),
+        inputDir = r.requiredString("inputDir"),
+        outputDir = r.requiredString("outputDir"),
+        outputView = r.requiredString("outputView"),
+        targetBytes = r.long("targetBytes").getOrElse(128L * 1024 * 1024))
     },
     "SampleTransform" -> { (r, _) =>
       SampleTransformStage(
@@ -407,11 +440,12 @@ object Parser {
     "DedupTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
-      "maxBucket", "maxBlock", "lshBands", "maxIter", "window", "byDigest",
-      "checkpointDir", "seenView")),
+      "maxBucket", "maxBlock", "lshBands", "maxIter", "window", "maxDist",
+      "byDigest", "checkpointDir", "seenView")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
-      "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes")),
+      "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",
+      "levels")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime", "forward")),
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
@@ -423,11 +457,17 @@ object Parser {
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",
       "method", "valueCol", "binWidth", "nBins", "pLo", "pHi")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b")),
+      "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
+      "rankViews", "rrfK")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol")),
-    "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView",
-      "srcCol", "dstCol", "iters", "dampNum", "dampDen")),
+    "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "srcCol", "dstCol", "iters", "dampNum", "dampDen",
+      "groupCol", "nodeCol", "maxGroup")),
+    "BloomJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
+      "outputView", "leftKey", "rightKey", "mBits", "k")),
+    "CompactFiles" -> (commonKeys ++ Set("inputDir", "outputDir",
+      "outputView", "targetBytes")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget", "k", "weightCol")),

@@ -422,6 +422,97 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(ranks("c") > ranks("b") && ranks("b") > ranks("a"))
   }
 
+  test("edit dedup, quantize and triangles run as config-driven stages") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "the quick brown fix", "en"),
+      (3L, "unrelated text entirely", "en")
+    ).toDF("doc_id", "text", "lang"), "n8_docs")
+    Views.register(Seq(
+      (0L, Array(0.0f, 1.0f)), (1L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding"), "n8_vecs")
+    Views.register(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("s", "d"), "n8_edges")
+    val conf = """{"stages": [
+      {"type": "DedupTransform", "name": "ed", "method": "edit_pairs",
+       "inputView": "n8_docs", "outputView": "n8_pairs",
+       "blockCols": ["lang"], "maxDist": 2, "bucketWidth": 10},
+      {"type": "SimilarityTransform", "name": "qz", "method": "quantize",
+       "inputView": "n8_vecs", "outputView": "n8_codes", "levels": 16},
+      {"type": "GraphTransform", "name": "tr", "method": "triangles",
+       "inputView": "n8_edges", "outputView": "n8_tris",
+       "srcCol": "s", "dstCol": "d"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val pairs = spark.table("n8_pairs")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L)))
+    val codes = spark.table("n8_codes").orderBy("vec_id")
+      .select("q").as[Seq[Long]].collect()
+    assert(codes(0) == Seq(0L, 15L) && codes(1) == Seq(15L, 0L))
+    val tris = spark.table("n8_tris")
+      .select("node", "n_tri").as[(Long, Long)].collect().toMap
+    assert(tris == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bloom join and rrf fusion run as config-driven stages") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register((1L to 100L).map(i => (i, i % 7)).toDF("k", "grp"),
+      "n8_fact")
+    Views.register(Seq(Tuple1(3L), Tuple1(42L)).toDF("dk"), "n8_dim")
+    Views.register(Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rnk"), "n8_lex")
+    Views.register(Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rnk"), "n8_sem")
+    val conf = """{"stages": [
+      {"type": "BloomJoinTransform", "name": "bj", "inputView": "n8_fact",
+       "rightView": "n8_dim", "outputView": "n8_hits",
+       "leftKey": "k", "rightKey": "dk", "mBits": 4096, "k": 3},
+      {"type": "RetrievalTransform", "name": "rf", "method": "rrf",
+       "inputView": "n8_lex", "rankViews": ["n8_lex", "n8_sem"],
+       "outputView": "n8_fused", "k": 5}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("n8_hits").select("k").as[Long].collect().toSet
+      == Set(3L, 42L))
+    val fused = spark.table("n8_fused").orderBy("rnk")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(fused.head == 20L && fused.toSet == Set(10L, 20L, 30L))
+  }
+
+  test("rrf without rankViews is a config-time error") {
+    val conf = """{"stages": [
+      {"type": "RetrievalTransform", "name": "bad", "method": "rrf",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Left(errs) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("rankViews")))
+  }
+
+  test("compact-files stage rewrites slivers and reports the file count") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("n8_compact").toString
+    (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(20).write.parquet(s"$tmp/in")
+    val conf = s"""{"stages": [
+      {"type": "CompactFiles", "name": "cp", "inputDir": "$tmp/in",
+       "outputDir": "$tmp/out", "outputView": "n8_compacted",
+       "targetBytes": 67108864}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get
+    assert(out.count() == 500L)
+    assert(Maintenance.dataFiles(spark, s"$tmp/out").size < 20)
+  }
+
   test("profile methods bucketize and winsorize parse tunables and run") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._
