@@ -15,7 +15,10 @@ class PlanGuardSpec extends SparkSpec {
     "sample_per_stratum",
     // round 7
     "text_repetition", "tfidf_topk", "events_assemble", "dedup_passages",
-    "heavy_hitters", "sample_weighted", "embed_standardize", "profile_table")
+    "heavy_hitters", "sample_weighted", "embed_standardize", "profile_table",
+    // round 8
+    "bm25_topk", "pagerank", "triangle_count", "dedup_edit", "bloom_join",
+    "embed_quantize", "retrieval_rrf")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>
@@ -28,12 +31,22 @@ class PlanGuardSpec extends SparkSpec {
 
   test("LSH/blocked operators join on their bucket keys") {
     Seq("dedup_minhash_pairs" -> "bsig", "dedup_embedding" -> "bsig",
-      "dedup_simhash_pairs" -> "bkey", "dedup_ngram_jaccard" -> "lenb")
+      "dedup_simhash_pairs" -> "bkey", "dedup_ngram_jaccard" -> "lenb",
+      "dedup_edit" -> "lenb")
       .foreach { case (name, key) =>
         val plan = SparkEntry.queries(name)(spark, sf001)
           .queryExecution.executedPlan.toString
         assert(plan.contains(key), s"$name plan lost its bucket key '$key'")
       }
+  }
+
+  test("bloom probe filters the fact scan BEFORE the semi join") {
+    val plan = SparkEntry.queries("bloom_join")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the pruning predicate (xxhash64 probes against the bitmap literal)
+    // must sit under a Filter, not inside the join condition
+    assert(plan.contains("xxhash64"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact semi join missing:\n$plan")
   }
 
   test("disk-partitioned layout prunes partitions on a key filter") {
