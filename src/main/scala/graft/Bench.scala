@@ -28,17 +28,73 @@ import org.apache.spark.sql.SparkSession
   *
   *  - first, a `{"metric":"detail",...}` line with full-precision mins,
   *    medians and untruncated error messages, for humans and
-  *    `tools/bench_diff.py` history;
+  *    `tools/bench_diff.py` history (the diff tool PREFERS this record);
   *  - LAST, the compact `{"metric":"total",...}` contract line — values
-  *    rounded to milliseconds, no median map, error messages clipped —
-  *    kept under ~1.8 KB (precision drops to 3→2→1 decimals as the query
-  *    set grows; if even 1-decimal overflows the budget a loud stderr
-  *    warning flags the broken contract instead of truncating silently).
+  *    rounded, no median map, error messages clipped — kept under the
+  *    ~1.89 KB budget BY CONSTRUCTION: precision drops 3→2→1 decimals,
+  *    and when the query set itself outgrows a 1-decimal full map (the
+  *    round-8 state: 94+ names ≈ 2 KB of keys alone) the map keeps only
+  *    the SLOWEST queries that fit and reports the rest as
+  *    `"omitted":N` — total/errors/sf are always complete, and the
+  *    slowest queries are exactly the ones a perf consumer needs.
   *
   * A failing query records `-1` in `queries` and its message in `errors` —
   * a broken query must never masquerade as a fast one.
   */
 object Bench {
+
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
+  private[graft] def jnum(v: Double, decimals: Int): String =
+    if (v < 0) "-1"
+    else { // strip trailing zeros (0.080 -> 0.08) but keep one decimal
+      val s = s"%.${decimals}f".format(v).reverse.dropWhile(_ == '0').reverse
+      if (s.endsWith(".")) s + "0" else s
+    }
+
+  private[graft] def jmap(kvs: Seq[(String, Double)], decimals: Int = -1): String =
+    kvs.map { case (k, v) =>
+      s"${jstr(k)}:${if (decimals < 0) v.toString else jnum(v, decimals)}"
+    }.mkString("{", ",", "}")
+
+  /** The compact contract line, <= `budget` chars BY CONSTRUCTION.
+    *
+    * Fallback ladder: full query map at 3, then 2, then 1 decimals; if the
+    * name set itself no longer fits, keep the slowest-K queries (the ones
+    * that matter to a perf consumer) at 1 decimal plus an `"omitted"`
+    * count, growing K as large as the budget allows. `total`, `errors`
+    * and `sf` are never dropped. Returns the line; only a pathological
+    * input (e.g. a single enormous error string) can exceed the budget,
+    * and the caller warns loudly in that case.
+    */
+  private[graft] def compactContract(
+      total: Double,
+      mins: Seq[(String, Double)],
+      errJson: String,
+      sfDir: String,
+      budget: Int = 1890): String = {
+    def line(qmap: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec","queries":$qmap$om,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    }
+    val full = Seq(3, 2, 1).iterator
+      .map(d => line(jmap(mins, d), 0))
+      .find(_.length <= budget)
+    full.getOrElse {
+      // name-dominated overflow: keep the slowest-K that fit (failed
+      // queries sort first so a -1 sentinel is never silently dropped)
+      val bySlowness = mins.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }.reverse
+      val candidates = (mins.size to 0 by -1).iterator
+        .map(k => line(jmap(bySlowness.take(k), 1), mins.size - k))
+      candidates.find(_.length <= budget).getOrElse(line("{}", mins.size))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
@@ -52,13 +108,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -94,16 +143,6 @@ object Bench {
     val mins = names.map(n => n -> stat(n, _.min))
     val meds = names.map(n => n -> stat(n, median))
 
-    def jnum(v: Double, decimals: Int): String =
-      if (v < 0) "-1"
-      else { // strip trailing zeros (0.080 -> 0.08) but keep one decimal
-        val s = s"%.${decimals}f".format(v).reverse.dropWhile(_ == '0').reverse
-        if (s.endsWith(".")) s + "0" else s
-      }
-    def jmap(kvs: Seq[(String, Double)], decimals: Int = -1): String =
-      kvs.map { case (k, v) =>
-        s"${jstr(k)}:${if (decimals < 0) v.toString else jnum(v, decimals)}"
-      }.mkString("{", ",", "}")
     def errJson(clip: Int): String = errors
       .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(clip))}" }
       .mkString("{", ",", "}")
@@ -119,22 +158,16 @@ object Bench {
           mins)},"queries_median":${jmap(meds)},"errors":${errJson(300)},"sf":${jstr(sfDir)}}""")
 
     // Compact contract line LAST — must fit the consumer's bounded tail
-    // window (~2 KB) together with the build tool's trailing status line.
-    // Only the contract keys; reps/rep_totals/medians live on the detail
+    // window (~2 KB) together with the build tool's trailing status line
+    // (budget: 2000 minus ~80 -> 1890). compactContract keeps the line
+    // within budget by construction (slowest-K subset + "omitted" when the
+    // full map no longer fits); reps/rep_totals/medians live on the detail
     // line above.
-    def compact(decimals: Int): String =
-      s"""{"metric":"total","value":${jnum(total, decimals)},"unit":"sec","queries":${jmap(
-          mins, decimals)},"errors":${errJson(60)},"sf":${jstr(sfDir)}}"""
-    // budget: the consumer's window is 2000 chars minus the build tool's
-    // trailing status line (~80) -> keep the line <= 1890
-    val line = Seq(3, 2, 1).map(compact).find(_.length <= 1890)
-      .getOrElse(compact(1))
-    // even at 1-decimal resolution the line can outgrow the window as the
-    // query set grows — make that contract break LOUD, not silent
-    if (line.length > 1890)
+    val line = compactContract(total, mins, errJson(60), sfDir)
+    if (line.length > 1890) // only reachable via a pathological error string
       System.err.println(s"BENCH CONTRACT BROKEN: compact line is " +
         s"${line.length} chars (> 1890 budget); the consumer's 2 KB tail " +
-        "window will truncate it — shorten query names or split the set")
+        "window will truncate it — shorten error messages or query names")
     println(line)
     spark.stop()
   }
