@@ -116,4 +116,94 @@ object Sketches {
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
   }
+
+  /** Per-group HyperLogLog distinct estimate (Flajolet et al. 2007),
+    * deterministic and engine-portable — the mergeable counterpart to
+    * [[kmvDistinct]] (KMV keeps k values; HLL keeps m 5-bit registers, so
+    * per-GROUP cardinalities at 100 TB cost m·groups tiny integers).
+    *
+    * Same h32 hash as everything else, split h = m·q + bucket: `bucket`
+    * indexes the register, rho = 1 + trailing zeros of the quotient `q`
+    * (via `floor(log2(q & -q))` — log2 of a power of two is EXACT in
+    * IEEE double, so both engines agree bit-for-bit; q = 0 pins rho to
+    * `RhoCap`). Registers aggregate with max — commutative, so the
+    * per-(group,bucket) max is map-side combinable and the register sum
+    * Σ2^-M_j is exact in double (terms span < 53 bits of exponent).
+    * Estimate = α_m·m²/(Σ2^-M_j + zeros) with the standard small-range
+    * linear-counting correction m·ln(m/zeros).
+    *
+    * The exact distinct count rides along to make the estimate auditable
+    * (drop it in production — it is the expensive half of the query).
+    */
+  def hllDistinct(df: DataFrame, keyCol: Column, groupCols: Seq[String],
+      m: Int = 512): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0, s"m must be a power of two >= 128, got $m")
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val g = groupCols.map(col)
+    val h = h32(keyCol.cast("string"))
+    val q = (h / m).cast("long") // quotient: the rho domain, ~log2(P/m) bits
+    val rho = when(q === 0, lit(RhoCap))
+      .otherwise(floor(log2((q.bitwiseAND(-q)).cast("double"))).cast("long") + 1)
+    val regs = df
+      .select(g :+ (h % m).as("__b") :+ rho.as("__rho"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
+      .agg(max(col("__rho")).as("__m"))
+    val est = regs
+      .groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(
+        sum(pow(lit(2.0), -col("__m"))).as("__inv"),
+        count(lit(1)).as("__nb"))
+      .select(g :+ {
+        val zeros = lit(m) - col("__nb")
+        val raw = lit(alpha * m.toDouble * m) / (col("__inv") + zeros)
+        val corrected = when(raw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+          .otherwise(raw)
+        round(corrected, 4).as("hll_estimate")
+      }: _*)
+    val exact = df.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(count_distinct(keyCol).as("exact_distinct"))
+    exact.join(est, groupCols)
+  }
+
+  /** rho ceiling for a zero quotient: the quotient domain P/m is ~21 bits
+    * for the default m, so 22 is "all bits zero" — any fixed constant
+    * works as long as the oracle uses the same one.
+    */
+  val RhoCap = 22L
+
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) frequency table plus
+    * point estimates for the `topN` heaviest keys, fully integer (hash-
+    * exact across engines).
+    *
+    * Build: each row lands in `depth` cells (`h32(r || key) % width`);
+    * the sketch is a map-side-combined count over (row, cell) — at most
+    * depth·width rows ever cross the wire, REGARDLESS of input size: the
+    * 100 TB story is the sketch build reads everything once and shuffles
+    * a fixed few KB. Probe: estimate(key) = min over rows of its cell
+    * count (overestimates only, by collision mass). The exact counts of
+    * the probed keys ride along for auditability; production would probe
+    * a known key list and skip the exact pass.
+    */
+  def cmsHeavy(df: DataFrame, keyCol: Column, depth: Int = 4,
+      width: Int = 256, topN: Int = 10): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2; got $depth x $width")
+    val rowsIdx = (0 until depth).map(lit(_))
+    val cellOf = (r: Column, k: Column) =>
+      h32(concat(r.cast("string"), lit("_"), k.cast("string"))) % width
+    val cms = df
+      .select(explode(array(rowsIdx: _*)).as("__r"), keyCol.cast("string").as("__k"))
+      .select(col("__r"), cellOf(col("__r"), col("__k")).as("__c"))
+      .groupBy("__r", "__c").agg(count(lit(1)).as("__cnt"))
+    // heaviest keys by exact count; key asc tie-break keeps output stable
+    val heavy = df.groupBy(keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("key")).limit(topN)
+    val probes = heavy.select(col("key"), col("exact_count"),
+      explode(array(rowsIdx: _*)).as("__r"))
+      .withColumn("__c", cellOf(col("__r"), col("key")))
+    probes.join(broadcast(cms), Seq("__r", "__c"))
+      .groupBy("key", "exact_count")
+      .agg(min(col("__cnt")).as("cms_estimate"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture maintenance: upsert merge and SCD type-2 history.
+  *
+  * The batch-lakehouse counterpart of `MERGE INTO`: a base snapshot plus
+  * a change feed (upserts and deletes) resolve to the next snapshot, and
+  * an append-only change log resolves to validity intervals. Both are
+  * single-shuffle-on-key plans — the key partitioning is the only data
+  * movement, every decision is local to a key group after that, and AQE
+  * handles hot-key skew. At 100 TB the win over rewrite-everything is
+  * that the shuffle carries (key, version) decisions, not the full-width
+  * rows, until the final resolution.
+  */
+object Cdc {
+
+  /** Latest-wins merge of `changes` into `base`.
+    *
+    * `base` rows carry implicit version 0; `changes` rows carry
+    * `versionCol` (> 0) and `opCol` ('U' upsert / 'D' delete). Per key,
+    * the highest (version, op) wins — op breaks exact version ties in
+    * favor of the change feed's delete, making replayed feeds idempotent.
+    * A winning 'D' removes the key from the snapshot.
+    *
+    * Plan: union (schema-aligned, narrow) then ONE shuffle on `keyCol`
+    * for the per-key window; the filter afterwards is narrow. Columns
+    * beyond the key travel through untouched, so the output schema equals
+    * the base schema.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, keyCol: String,
+      versionCol: String, opCol: String): DataFrame = {
+    val dataCols = base.columns.filter(_ != keyCol)
+    require(changes.columns.contains(versionCol), s"changes needs $versionCol")
+    require(changes.columns.contains(opCol), s"changes needs $opCol")
+    val b = base.select(col(keyCol) +: dataCols.map(col) :+
+      lit(0L).as("__v") :+ lit("U").as("__op"): _*)
+    val c = changes.select(col(keyCol) +: dataCols.map(col) :+
+      col(versionCol).cast("long").as("__v") :+ col(opCol).as("__op"): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__v").desc, col("__op").asc) // 'D' < 'U': delete wins ties
+    b.unionByName(c)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("__op") =!= "D")
+      .select(keyCol, dataCols: _*)
+  }
+
+  /** SCD type-2 validity intervals from an append-only change log.
+    *
+    * Input: one row per observation (`keyCol`, `tsCol`, `stateCol`).
+    * Output: one row per STATE RUN — consecutive observations with the
+    * same state collapse — with `valid_from`, `valid_to` (null while
+    * current) and `is_current`. Standard islands construction: `lag` to
+    * mark state changes, running sum to number the runs, then per-run
+    * min(ts) and `lead` for the exclusive upper bound.
+    *
+    * Plan: the lag, sum and lead windows all share ONE partitioning on
+    * `keyCol` — Catalyst reuses a single sort-shuffle for all three
+    * (guarded in PlanGuardSpec); the run aggregation is the only other
+    * exchange and it is on (key, run), a strict refinement computable
+    * without re-shuffling under AQE.
+    */
+  def scd2(log: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String): DataFrame = {
+    val byTs = Window.partitionBy(keyCol).orderBy(col(tsCol), col(stateCol))
+    val runs = log
+      .select(col(keyCol), col(tsCol), col(stateCol))
+      .withColumn("__chg",
+        when(lag(col(stateCol), 1).over(byTs).isNull ||
+          lag(col(stateCol), 1).over(byTs) =!= col(stateCol), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = runs.groupBy(col(keyCol), col("__run"))
+      .agg(min(col(tsCol)).as("valid_from"),
+        min(col(stateCol)).as(stateCol)) // state is constant within a run
+    // state tie-break: two runs of one key CAN share a valid_from when
+    // observations carry equal timestamps — the chain must still be total
+    val byFrom = Window.partitionBy(keyCol)
+      .orderBy(col("valid_from"), col(stateCol))
+    spans
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(stateCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+}

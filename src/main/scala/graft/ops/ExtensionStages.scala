@@ -98,7 +98,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -114,7 +114,10 @@ final case class SimilarityTransformStage(
     // ivf only: number of nearest cells each query scans (recall knob)
     probes: Int = 1,
     // quantize only: code levels (256 = int8)
-    levels: Int = 256)
+    levels: Int = 256,
+    // project only: input/output dimensionality of the sign projection
+    inDim: Int = 64,
+    outDim: Int = 16)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -134,6 +137,7 @@ final case class SimilarityTransformStage(
           bands.getOrElse(8), rows.getOrElse(8), maxBucket)
       case "standardize"   => Similarity.standardize(corpus)
       case "quantize"      => Similarity.quantize(corpus, levels)
+      case "project"       => Similarity.projectSigned(corpus, inDim, outDim)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -235,12 +239,15 @@ final case class ProfileTransformStage(
     outputView: String,
     columns: Seq[String],
     exact: Boolean = true,
-    method: String = "table", // table | histogram | bucketize | winsorize
+    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad
     valueCol: String = "value",
     binWidth: Double = 1.0,
     nBins: Int = 4,
     pLo: Double = 0.05,
-    pHi: Double = 0.95)
+    pHi: Double = 0.95,
+    byCols: Seq[String] = Nil,
+    sigma: Double = 3.0,
+    madK: Double = 3.5)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -255,6 +262,8 @@ final case class ProfileTransformStage(
       case "histogram" => Profile.histogram(in, valueCol, binWidth)
       case "bucketize" => Profile.bucketizeQuantile(in, valueCol, nBins)
       case "winsorize" => Profile.winsorize(in, valueCol, pLo, pHi)
+      case "outliers" => Profile.outliers(in, valueCol, byCols, sigma)
+      case "outliers_mad" => Profile.outliersMad(in, valueCol, byCols, madK)
       case other => throw new IllegalArgumentException(
         s"unknown profile method '$other'")
     }
@@ -572,6 +581,103 @@ final case class EncodeTransformStage(
     detail += "outputView" -> outputView
     detail += "columns" -> columns.mkString(",")
     val out = Encoding.encode(in, columns)
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Deterministic-sketch stage over [[graft.functions.Sketches]]: per-group
+  * distinct estimates (hll / kmv) and heavy-key frequency estimates (cms).
+  */
+final case class SketchTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // hll | kmv | cms
+    keyCol: String,
+    groupCols: Seq[String] = Nil,
+    m: Int = 512,
+    k: Int = 256,
+    depth: Int = 4,
+    width: Int = 256,
+    topN: Int = 10)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "hll" =>
+        require(groupCols.nonEmpty, "hll requires groupCols")
+        graft.functions.Sketches.hllDistinct(in, col(keyCol), groupCols, m)
+      case "kmv" => graft.functions.Sketches.kmvDistinct(in, col(keyCol), k)
+      case "cms" =>
+        graft.functions.Sketches.cmsHeavy(in, col(keyCol), depth, width, topN)
+      case other =>
+        throw new IllegalArgumentException(s"unknown sketch method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** CDC stage over [[Cdc]]: latest-wins upsert merge of a change-feed view
+  * into a base view, or SCD2 interval build from an append-only log.
+  */
+final case class CdcTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // upsert | scd2
+    changesView: Option[String] = None,
+    keyCol: String = "id",
+    versionCol: String = "version",
+    opCol: String = "op",
+    tsCol: String = "ts",
+    stateCol: String = "state")
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "upsert" =>
+        val ch = changesView.map(Views.resolve).getOrElse(
+          throw new IllegalArgumentException("upsert requires changesView"))
+        Cdc.upsert(in, ch, keyCol, versionCol, opCol)
+      case "scd2" => Cdc.scd2(in, keyCol, tsCol, stateCol)
+      case other =>
+        throw new IllegalArgumentException(s"unknown cdc method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Z-order layout stage over [[Layout.zorderManifest]]: emit the per-block
+  * min-max manifest of the (xCol, yCol) Morton ordering.
+  */
+final case class ZorderTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    xCol: String,
+    yCol: String,
+    idCol: String,
+    blockSize: Long = 4096L,
+    bits: Int = 16)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = Layout.zorderManifest(in, xCol, yCol, idCol, blockSize, bits)
     Views.register(out, outputView)
     Option(out)
   }

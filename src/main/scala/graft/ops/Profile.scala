@@ -74,6 +74,50 @@ object Profile {
       .drop("__m", "__sd")
   }
 
+  /** Per-group MAD (median-absolute-deviation) outlier flagging — the
+    * robust complement to [[outliers]]: mean/std themselves are dragged
+    * by the very tails they're meant to flag (one 1e9 typo shifts a
+    * group's mean arbitrarily), while the median and MAD have a 50%
+    * breakdown point, so the flag stays meaningful in exactly the
+    * corrupt-data regime a curation pipeline runs this for. Adds
+    * `robust_z` (the Iglewicz-Hoaglin modified z-score
+    * 0.6745·(v - median)/MAD, 6dp) and `is_outlier` (|robust_z| > k,
+    * conventionally k = 3.5); a zero-MAD group (>=50% identical values)
+    * flags nothing.
+    *
+    * Both statistics are DISCRETE percentiles (actual data values, the
+    * SQL-standard cume_dist >= p definition Spark's percentile_disc and
+    * DuckDB's quantile_disc share), so every derived double is IEEE
+    * arithmetic on bit-identical inputs — engine-replayable with no
+    * fixed-point machinery. Shape at scale: two group aggregations
+    * (median, then MAD of deviations) each shuffling only the group
+    * table back; the fact table shuffles at most once per join, and
+    * both joins broadcast when groups are few.
+    */
+  def outliersMad(df: DataFrame, valueCol: String, byCols: Seq[String],
+      k: Double = 3.5): DataFrame = {
+    require(byCols.nonEmpty, "at least one grouping column")
+    require(k > 0, s"k must be positive, got $k")
+    val v = col(valueCol).cast("double")
+    val med = df.where(v.isNotNull)
+      .groupBy(byCols.map(col): _*)
+      .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY `$valueCol`)")
+        .cast("double").as("__med"))
+    val withMed = df.join(med, byCols).withColumn("__dev", abs(v - col("__med")))
+    val mad = withMed.groupBy(byCols.map(col): _*)
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY `__dev`)")
+        .as("__mad"))
+    withMed.join(mad, byCols)
+      // + 0.0 normalizes IEEE negative zero across replay engines
+      .withColumn("robust_z", round(
+        when(col("__mad") > 0,
+          lit(0.6745) * (v - col("__med")) / col("__mad")).otherwise(0d), 6)
+        + lit(0d))
+      .withColumn("is_outlier",
+        col("__mad") > 0 && abs(col("robust_z")) > k)
+      .drop("__med", "__dev", "__mad")
+  }
+
   /** Fixed-width histogram of a numeric column: (bin, bin_start, n) with
     * bin = floor(value / binWidth) — the distribution view `table`'s
     * min/max can't give (skew, modes, heavy tails) before choosing

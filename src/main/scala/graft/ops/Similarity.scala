@@ -322,6 +322,50 @@ object Similarity {
           .otherwise(array().cast("array<double>")).as("z"))
   }
 
+  /** Plan-time replica of h32 for constant keys: first 8 md5 hex chars of
+    * the utf8 bytes mod P — identical to the SQL forms both engines run,
+    * so a projection matrix seeded from it replays anywhere.
+    */
+  private def h32Const(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16)
+      | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % graft.functions.TextFunctions.P
+  }
+
+  /** Hash-sign (Rademacher) random projection to `outDim` dimensions —
+    * the Johnson-Lindenstrauss dimensionality reduction that shrinks an
+    * embedding corpus before ANN indexing / pair generation:
+    * z_j = Σ_i x_i·s(i,j) / √outDim with s(i,j) ∈ {±1} drawn from
+    * h32("i_j") — Achlioptas 2003's database-friendly projection, no
+    * dense Gaussian matrix to ship, reproducible on any engine.
+    *
+    * The sign matrix is resolved at PLAN time (inDim·outDim constants
+    * folded into the expression tree), so the whole operator is one
+    * narrow codegen'd projection: no explode, no join, NO SHUFFLE —
+    * at 100 TB it streams. Per-row sums accumulate the ×2^20 fixed-point
+    * longs of [[standardize]] (exact, order-free, replayable); rows whose
+    * embedding is not exactly `inDim` wide are dropped (ragged vectors
+    * cannot project).
+    *
+    * Output long-format (vec_id, j, z) — one row per output dimension.
+    */
+  def projectSigned(df: DataFrame, inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"dims must be >= 1, got $inDim -> $outDim")
+    val e = col("embedding").cast("array<double>")
+    val scale = math.sqrt(outDim.toDouble)
+    val zs = (0 until outDim).map { j =>
+      val fixedSum = (0 until inDim).map { i =>
+        val s = if (h32Const(s"${i}_$j") % 2 == 0) 1L else -1L
+        round(element_at(e, i + 1) * FixedScale).cast("long") * s
+      }.reduce(_ + _)
+      round(fixedSum.cast("double") / FixedScale / scale, 6) + lit(0d)
+    }
+    df.where(size(col("embedding")) === inDim)
+      .select(col("vec_id"), posexplode(array(zs: _*)).as(Seq("j", "z")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("z"))
+  }
+
   /** Scalar (per-dimension min-max) int8 quantization of the embedding
     * column — the standard memory-compression step before a 100 TB ANN
     * index: 4 bytes/dim float32 becomes 1 byte/dim, a 4× reduction in

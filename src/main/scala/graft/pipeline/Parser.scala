@@ -131,7 +131,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
-            "quantize"), "topk"),
+            "quantize", "project"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -144,7 +144,9 @@ object Parser {
         rows = r.int("rows"),
         exactReplay = r.boolean("exactReplay", default = false),
         probes = r.int("probes").getOrElse(1),
-        levels = r.int("levels").getOrElse(256))
+        levels = r.int("levels").getOrElse(256),
+        inDim = r.int("inDim").getOrElse(64),
+        outDim = r.int("outDim").getOrElse(16))
     },
     "AsofJoinTransform" -> { (r, _) =>
       AsofJoinTransformStage(
@@ -198,19 +200,28 @@ object Parser {
         broadcastEval = r.boolean("broadcastEval", default = true))
     },
     "ProfileTransform" -> { (r, _) =>
+      val method = r.oneOf("method",
+        Seq("table", "histogram", "bucketize", "winsorize", "outliers",
+          "outliers_mad"), "table")
+      // a group-keyed outlier pass without byCols would only fail at
+      // runtime (require in the operator) — fail at parse instead
+      if (method.startsWith("outliers") && r.stringList("byCols").isEmpty)
+        r.error("byCols", s"missing or empty; $method requires group columns")
       ProfileTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         columns = r.stringList("columns"), // empty -> all columns
         exact = r.boolean("exact", default = true),
-        method = r.oneOf("method",
-          Seq("table", "histogram", "bucketize", "winsorize"), "table"),
+        method = method,
         valueCol = r.string("valueCol").getOrElse("value"),
         binWidth = r.double("binWidth").getOrElse(1.0),
         nBins = r.int("nBins").getOrElse(4),
         pLo = r.double("pLo").getOrElse(0.05),
-        pHi = r.double("pHi").getOrElse(0.95))
+        pHi = r.double("pHi").getOrElse(0.95),
+        byCols = r.stringList("byCols"),
+        sigma = r.double("sigma").getOrElse(3.0),
+        madK = r.double("madK").getOrElse(3.5))
     },
     "RetrievalTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("index", "bm25", "rrf"), "index")
@@ -361,6 +372,52 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         columns = r.stringList("columns"))
+    },
+    "SketchTransform" -> { (r, _) =>
+      val method = r.oneOf("method", Seq("hll", "kmv", "cms"), "hll")
+      // a grouped-HLL without groupCols would only surface at runtime
+      if (method == "hll" && r.stringList("groupCols").isEmpty)
+        r.error("groupCols", "missing or empty; hll requires group columns")
+      SketchTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        keyCol = r.requiredString("keyCol"),
+        groupCols = r.stringList("groupCols"),
+        m = r.int("m").getOrElse(512),
+        k = r.int("k").getOrElse(256),
+        depth = r.int("depth").getOrElse(4),
+        width = r.int("width").getOrElse(256),
+        topN = r.int("topN").getOrElse(10))
+    },
+    "CdcTransform" -> { (r, _) =>
+      val method = r.oneOf("method", Seq("upsert", "scd2"), "upsert")
+      val changes = r.string("changesView")
+      if (method == "upsert" && changes.isEmpty)
+        r.error("changesView", "missing; upsert requires a change-feed view")
+      CdcTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        changesView = changes,
+        keyCol = r.string("keyCol").getOrElse("id"),
+        versionCol = r.string("versionCol").getOrElse("version"),
+        opCol = r.string("opCol").getOrElse("op"),
+        tsCol = r.string("tsCol").getOrElse("ts"),
+        stateCol = r.string("stateCol").getOrElse("state"))
+    },
+    "ZorderTransform" -> { (r, _) =>
+      ZorderTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        xCol = r.requiredString("xCol"),
+        yCol = r.requiredString("yCol"),
+        idCol = r.requiredString("idCol"),
+        blockSize = r.long("blockSize").getOrElse(4096L),
+        bits = r.int("bits").getOrElse(16))
     }
   )
 
@@ -445,7 +502,7 @@ object Parser {
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",
-      "levels")),
+      "levels", "inDim", "outDim")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime", "forward")),
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
@@ -455,7 +512,8 @@ object Parser {
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",
-      "method", "valueCol", "binWidth", "nBins", "pLo", "pHi")),
+      "method", "valueCol", "binWidth", "nBins", "pLo", "pHi", "byCols",
+      "sigma", "madK")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
       "rankViews", "rrfK")),
@@ -477,7 +535,13 @@ object Parser {
       "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
-    "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns"))
+    "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
+    "SketchTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "keyCol", "groupCols", "m", "k", "depth", "width", "topN")),
+    "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
+      "changesView", "keyCol", "versionCol", "opCol", "tsCol", "stateCol")),
+    "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "xCol", "yCol", "idCol", "blockSize", "bits"))
   )
 
   def parse(

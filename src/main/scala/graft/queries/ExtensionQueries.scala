@@ -81,9 +81,38 @@ object ExtensionQueries {
   private val UpDefault = 1.0
   private val WtopK = 100
 
+  private val HllM = 512
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val CmsTopN = 10
+  private val ZBits = 16
+  private val ZBlock = 4096L
+  private val ProjIn = 64
+  private val ProjOut = 16
+  private val MadK = 3.5
+
   /** h32 keep-threshold for a rate — MUST match Sampling.thresholdOf. */
   private def sampleThreshold(rate: Double): Long =
     math.max(0L, math.min(P, (rate * P).toLong))
+
+  /** α_m·m² for the HLL estimator as a round-trip double literal: the
+    * Spark plan folds `lit(alpha * m * m)` at build time, so the oracle
+    * must divide by the BIT-IDENTICAL double (Double.toString is the
+    * shortest representation that parses back to the same value).
+    */
+  private def hllAlphaM2Lit: String = {
+    val m = HllM.toDouble
+    (0.7213 / (1.0 + 1.079 / m) * m * m).toString
+  }
+
+  /** The Morton interleave as portable SQL — generated from the same bit
+    * positions as Layout.zValue so both engines evaluate the identical
+    * 2·bits-term integer expression.
+    */
+  private def zorderSqlExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString("(", " + ", ")")
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (spark, dir) =>
@@ -680,6 +709,80 @@ object ExtensionQueries {
         .where(col("event_id") < 2000)
         .select("event_id", "value", "winsorized")
         .orderBy("event_id")
+    },
+
+    "sketch_hll" -> { (spark, dir) =>
+      graft.functions.Sketches.hllDistinct(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          col("l_partkey"), Seq("l_returnflag"), m = HllM)
+        .orderBy("l_returnflag")
+    },
+
+    "sketch_cms" -> { (spark, dir) =>
+      graft.functions.Sketches.cmsHeavy(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          col("l_suppkey"), depth = CmsDepth, width = CmsWidth, topN = CmsTopN)
+        .orderBy(col("exact_count").desc, col("key"))
+    },
+
+    "zorder_layout" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      Layout.zorderManifest(li, "x", "y", "id", blockSize = ZBlock,
+          bits = ZBits)
+        .orderBy("block_id")
+    },
+
+    // CDC merge over a deterministic synthetic change feed: 1-in-5 of the
+    // base keys update (price doubles), the %100==40 slice deletes, and
+    // the %100==60 slice re-inserts under shifted keys — the oracle
+    // states the EXPECTED snapshot independently (CASE/WHERE/UNION), so
+    // this is a semantic oracle, not a replay.
+    "merge_upsert" -> { (spark, dir) =>
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val base = ord.where(col("o_orderkey") % 20 === 0)
+      val upd = base.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val del = base.where(col("o_orderkey") % 100 === 40)
+      val ins = base.where(col("o_orderkey") % 100 === 60)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      val changes = upd.withColumn("op", lit("U"))
+        .unionByName(del.withColumn("op", lit("D")))
+        .unionByName(ins.withColumn("op", lit("U")))
+        .withColumn("v", lit(1L))
+      Cdc.upsert(base, changes, "o_orderkey", "v", "op")
+        .orderBy("o_orderkey")
+    },
+
+    "scd2_history" -> { (spark, dir) =>
+      Cdc.scd2(events(spark, dir), "user_id", "ts", "event_type")
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+
+    "embed_project" -> { (spark, dir) =>
+      Similarity.projectSigned(embs(spark, dir), inDim = ProjIn,
+          outDim = ProjOut)
+        .orderBy("vec_id", "j")
+    },
+
+    "outliers_mad" -> { (spark, dir) =>
+      Profile.outliersMad(events(spark, dir), "value", Seq("event_type"),
+          k = MadK)
+        .where(col("is_outlier"))
+        .select("event_id", "event_type", "value", "robust_z")
+        .orderBy("event_id")
+    },
+
+    "cube_agg" -> { (spark, dir) =>
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
     }
   )
 
@@ -1997,6 +2100,185 @@ object ExtensionQueries {
               quantile_disc(value, 0.95) AS hi FROM events)
       SELECT event_id, value,
         least(greatest(value, lo), hi) AS winsorized
-      FROM events CROSS JOIN b WHERE event_id < 2000 ORDER BY event_id"""
+      FROM events CROSS JOIN b WHERE event_id < 2000 ORDER BY event_id""",
+
+    // Replay of Sketches.hllDistinct: same h32 buckets, rho = 1 +
+    // trailing zeros of the quotient via log2(q & -q) (exact for powers
+    // of two in IEEE double), register max per (group, bucket), then the
+    // standard HLL estimator with linear-counting correction. The alpha
+    // constants are Scala-computed doubles interpolated at full
+    // round-trip precision so both engines divide by bit-identical
+    // values.
+    "sketch_hll" -> s"""
+      WITH h AS (
+        SELECT l_returnflag,
+          ('0x'||substr(md5(l_partkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, h % $HllM AS b,
+          max(CASE WHEN h // $HllM = 0 THEN ${graft.functions.Sketches.RhoCap}
+            ELSE floor(log2(((h // $HllM) & (-(h // $HllM)))::DOUBLE))::BIGINT + 1
+            END) AS m
+        FROM h GROUP BY 1, 2),
+      e AS (
+        SELECT l_returnflag, sum(pow(2.0, -m)) AS inv,
+          count(*) AS nb
+        FROM r GROUP BY 1),
+      est AS (
+        SELECT l_returnflag,
+          (${hllAlphaM2Lit})::DOUBLE / (inv + ($HllM - nb)) AS raw, nb
+        FROM e),
+      ex AS (
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem GROUP BY 1)
+      SELECT est.l_returnflag, ex.exact_distinct,
+        round(CASE WHEN raw <= (${2.5 * HllM})::DOUBLE AND ($HllM - nb) > 0
+          THEN ($HllM)::DOUBLE * ln(($HllM)::DOUBLE / ($HllM - nb))
+          ELSE raw END, 4) AS hll_estimate
+      FROM est JOIN ex USING (l_returnflag)
+      ORDER BY l_returnflag""",
+
+    // Replay of Sketches.cmsHeavy: same per-row cells
+    // h32(r || '_' || key) % width, min-over-rows point estimates for the
+    // top-N exact keys (count desc, key asc — a total order, so the
+    // boundary set is deterministic on both engines).
+    "sketch_cms" -> s"""
+      WITH cms AS (
+        SELECT r,
+          ('0x'||substr(md5(r::VARCHAR||'_'||l_suppkey::VARCHAR),1,8))::BIGINT
+            % $P % $CmsWidth AS c,
+          count(*) AS cnt
+        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(r)
+        GROUP BY 1, 2),
+      heavy AS (
+        SELECT l_suppkey::VARCHAR AS key, count(*) AS exact_count
+        FROM lineitem GROUP BY 1
+        ORDER BY exact_count DESC, key LIMIT $CmsTopN),
+      probe AS (
+        SELECT key, exact_count, r,
+          ('0x'||substr(md5(r::VARCHAR||'_'||key),1,8))::BIGINT
+            % $P % $CmsWidth AS c
+        FROM heavy CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(r))
+      SELECT key, exact_count, min(cnt) AS cms_estimate
+      FROM probe JOIN cms USING (r, c)
+      GROUP BY key, exact_count
+      ORDER BY exact_count DESC, key""",
+
+    // Replay of Layout.zorderManifest: the identical 2x16-term Morton
+    // interleave expression (generated from the same bit positions), a
+    // total (z, id) order, fixed-size blocks, per-block min-max.
+    "zorder_layout" -> s"""
+      WITH base AS (
+        SELECT l_partkey AS x, l_suppkey AS y,
+          l_orderkey * 10000 + l_linenumber AS id
+        FROM lineitem),
+      z AS (SELECT x, y, id, ${zorderSqlExpr("x", "y", ZBits)} AS z FROM base),
+      rn AS (
+        SELECT x, y, row_number() OVER (ORDER BY z, id) - 1 AS rn FROM z)
+      SELECT rn // $ZBlock AS block_id, count(*) AS n_rows,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y
+      FROM rn GROUP BY 1 ORDER BY 1""",
+
+    // SEMANTIC oracle (not a replay): the expected post-merge snapshot
+    // stated directly — updates via CASE, deletes via WHERE, inserts via
+    // UNION ALL. Any divergence in the window/tie logic of Cdc.upsert
+    // shows up as a row diff here.
+    "merge_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 20 = 0)
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+          ELSE o_totalprice END AS o_totalprice,
+        o_orderstatus
+      FROM base WHERE o_orderkey % 100 <> 40
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, o_orderstatus
+      FROM base WHERE o_orderkey % 100 = 60
+      ORDER BY o_orderkey""",
+
+    // Replay of Cdc.scd2 (islands): lag marks state changes, a running
+    // sum numbers the runs, min(ts) opens each span, lead closes it.
+    // ts::TIMESTAMP truncates ns -> us exactly like Spark's
+    // timestamp_micros(ts div 1000); (ts, event_type) and
+    // (valid_from, event_type) orders are total, so ties replay.
+    "scd2_history" -> """
+      WITH e AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+      chg AS (
+        SELECT user_id, ts, event_type,
+          CASE WHEN lag(event_type) OVER w IS NULL
+            OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS c
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+      runs AS (
+        SELECT *, sum(c) OVER (PARTITION BY user_id
+          ORDER BY ts, event_type ROWS UNBOUNDED PRECEDING) AS run
+        FROM chg),
+      spans AS (
+        SELECT user_id, run, min(ts) AS valid_from,
+          min(event_type) AS event_type
+        FROM runs GROUP BY 1, 2)
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER w2 AS valid_to,
+        lead(valid_from) OVER w2 IS NULL AS is_current
+      FROM spans
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_type)
+      ORDER BY user_id, valid_from, event_type""",
+
+    // Replay of Similarity.projectSigned: the sign matrix re-derives
+    // from the same md5 draw h32("i_j") % 2, sums run over the identical
+    // x2^20 fixed-point longs (order-free), same /2^20/sqrt(outDim)
+    // scaling and 6dp rounding.
+    "embed_project" -> s"""
+      WITH s AS (
+        SELECT i, j,
+          CASE WHEN ('0x'||substr(md5(i::VARCHAR||'_'||j::VARCHAR),1,8))::BIGINT
+            % $P % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM generate_series(0, ${ProjIn - 1}) a(i)
+        CROSS JOIN generate_series(0, ${ProjOut - 1}) b(j)),
+      x AS (
+        SELECT vec_id, d - 1 AS i,
+          round(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS f
+        FROM embeddings CROSS JOIN generate_series(1, $ProjIn) t(d)
+        WHERE len(embedding) = $ProjIn)
+      SELECT vec_id, j,
+        round(sum(f * sgn)::DOUBLE / 1048576.0
+          / (${math.sqrt(ProjOut.toDouble)})::DOUBLE, 6) + 0.0 AS z
+      FROM x JOIN s USING (i)
+      GROUP BY vec_id, j ORDER BY vec_id, j""",
+
+    // Replay of Profile.outliersMad: discrete medians (quantile_disc ==
+    // percentile_disc under the shared cume_dist >= p definition), MAD of
+    // absolute deviations, modified z-score 0.6745*(v - med)/MAD at 6dp,
+    // flag on the ROUNDED score both sides.
+    "outliers_mad" -> s"""
+      WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      d AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+          abs(e.value - m.med) AS dev
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1),
+      scored AS (
+        SELECT event_id, d.event_type, value,
+          round(0.6745 * (value - med) / mad, 6) + 0.0 AS robust_z, mad
+        FROM d JOIN mad USING (event_type))
+      SELECT event_id, event_type, value, robust_z
+      FROM scored WHERE mad > 0 AND abs(robust_z) > $MadK
+      ORDER BY event_id""",
+
+    // Grouping-sets parity: Spark's grouping_id() and DuckDB's
+    // GROUPING(a, b) share the first-arg-is-MSB convention (verified);
+    // sums go through exact DECIMAL before the double cast.
+    "cube_agg" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus"""
   )
 }

@@ -18,7 +18,10 @@ class PlanGuardSpec extends SparkSpec {
     "heavy_hitters", "sample_weighted", "embed_standardize", "profile_table",
     // round 8
     "bm25_topk", "pagerank", "triangle_count", "dedup_edit", "bloom_join",
-    "embed_quantize", "retrieval_rrf")
+    "embed_quantize", "retrieval_rrf",
+    // round 8b
+    "sketch_hll", "sketch_cms", "merge_upsert", "scd2_history",
+    "embed_project", "outliers_mad", "cube_agg")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>
@@ -74,5 +77,34 @@ class PlanGuardSpec extends SparkSpec {
     val plan = SparkEntry.queries("sketch_kmv")(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("cms probe joins against a BROADCAST sketch; heavy keys TakeOrdered") {
+    val plan = SparkEntry.queries("sketch_cms")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the depth x width sketch is fixed-size: it must broadcast, and the
+    // exact top-N must be a per-partition top-k, never a global sort
+    assert(plan.contains("BroadcastExchange"), s"sketch not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-N not TakeOrdered:\n$plan")
+  }
+
+  test("hll/cube aggregations partial-aggregate map-side") {
+    Seq("sketch_hll", "cube_agg").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      // partial HashAggregate BEFORE the exchange = map-side combine: the
+      // shuffle carries registers / group cells, never input rows
+      val partialIdx = plan.indexOf("partial")
+      assert(partialIdx >= 0, s"$name: no partial aggregation:\n$plan")
+    }
+  }
+
+  test("upsert merge is one hash shuffle on the key (no sort-merge of full rows twice)") {
+    val plan = SparkEntry.queries("merge_upsert")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the union feeds ONE window over hashpartitioning(o_orderkey); a
+    // regression to join-based merge would plan SortMergeJoin
+    assert(!plan.contains("SortMergeJoin"), s"merge planned a join:\n$plan")
+    assert(plan.contains("Window"), s"latest-wins window missing:\n$plan")
   }
 }

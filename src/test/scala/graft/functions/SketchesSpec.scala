@@ -49,4 +49,63 @@ class SketchesSpec extends SparkSpec {
       assert(rel < 0.15, s"$flag: sampled $p50 vs exact ${exact(flag)} ($rel)")
     }
   }
+
+  test("hllDistinct: small groups are near-exact via linear counting") {
+    // distinct count well below m: the small-range correction m*ln(m/V)
+    // is near-exact (V = m - occupied buckets, no collisions expected)
+    val df = (1 to 50).flatMap(i => Seq(("g", i), ("g", i))).toDF("grp", "k")
+    val r = Sketches.hllDistinct(df, col("k"), Seq("grp"), m = 512).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("exact_distinct") == 50)
+    val est = r.head.getAs[Double]("hll_estimate")
+    assert(math.abs(est - 50) <= 3, s"estimate $est too far from 50")
+  }
+
+  test("hllDistinct: estimate within HLL error bounds at larger cardinality") {
+    val df = (1 to 20000).map(i => ("g", i)).toDF("grp", "k")
+    val r = Sketches.hllDistinct(df, col("k"), Seq("grp"), m = 512).collect()
+    val est = r.head.getAs[Double]("hll_estimate")
+    // standard error ~1.04/sqrt(512) = 4.6%; allow 4 sigma
+    assert(math.abs(est - 20000) / 20000 < 0.19, s"estimate $est off >19%")
+  }
+
+  test("hllDistinct groups independently and is layout-invariant") {
+    val df = ((1 to 100).map(i => ("a", i)) ++ (1 to 10).map(i => ("b", i)))
+      .toDF("grp", "k")
+    val run1 = Sketches.hllDistinct(df, col("k"), Seq("grp"), m = 512)
+      .orderBy("grp").collect()
+    assert(run1.map(_.getAs[Long]("exact_distinct")).toSeq == Seq(100L, 10L))
+    val run2 = Sketches.hllDistinct(df.repartition(13), col("k"), Seq("grp"),
+      m = 512).orderBy("grp").collect()
+    assert(run1.toSeq == run2.toSeq) // register max is order-free
+  }
+
+  test("hllDistinct rejects non-power-of-two m") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(Seq(("a", 1)).toDF("g", "k"), col("k"), Seq("g"), m = 300)
+    }
+  }
+
+  test("cmsHeavy: estimates are exact when width dwarfs the key count") {
+    // 5 keys into 256 cells x 4 rows: a collision would have to hit ALL
+    // 4 rows to bias the min, so the estimates equal the true counts
+    val df = (1 to 5).flatMap(k => Seq.fill(k * 10)(s"key$k")).toDF("k")
+    val r = Sketches.cmsHeavy(df, col("k"), depth = 4, width = 256, topN = 5)
+      .orderBy("key").collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getAs[Long]("cms_estimate") == row.getAs[Long]("exact_count"),
+        s"collision-free sketch should be exact: $row")
+    }
+  }
+
+  test("cmsHeavy never underestimates") {
+    // 200 keys into a deliberately tiny 2x16 sketch: heavy collisions
+    val df = (1 to 600).map(i => s"k${i % 200}").toDF("k")
+    val r = Sketches.cmsHeavy(df, col("k"), depth = 2, width = 16, topN = 10)
+      .collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("cms_estimate") >= row.getAs[Long]("exact_count"))
+    }
+  }
 }

@@ -534,4 +534,100 @@ class ExtensionStagesSpec extends SparkSpec {
       .as[(Double, Double)].collect().head
     assert(w == ((10.0, 90.0)))
   }
+
+  test("sketch, zorder and robust-outlier stages run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "li", "table": "lineitem",
+       "outputView": "sk_li"},
+      {"type": "SketchTransform", "name": "hll", "method": "hll",
+       "inputView": "sk_li", "outputView": "sk_hll",
+       "keyCol": "l_partkey", "groupCols": ["l_returnflag"], "m": 256},
+      {"type": "SketchTransform", "name": "cms", "method": "cms",
+       "inputView": "sk_li", "outputView": "sk_cms",
+       "keyCol": "l_suppkey", "depth": 3, "width": 64, "topN": 5},
+      {"type": "SqlTransform", "name": "ids",
+       "sql": "SELECT l_partkey AS x, l_suppkey AS y, l_orderkey*10 + l_linenumber AS id, l_extendedprice AS value, l_returnflag FROM sk_li",
+       "outputView": "sk_ids"},
+      {"type": "ZorderTransform", "name": "zo", "inputView": "sk_ids",
+       "outputView": "sk_blocks", "xCol": "x", "yCol": "y", "idCol": "id",
+       "blockSize": 500, "bits": 12},
+      {"type": "ProfileTransform", "name": "mad", "method": "outliers_mad",
+       "inputView": "sk_ids", "outputView": "sk_mad",
+       "valueCol": "value", "byCols": ["l_returnflag"], "madK": 3.0}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("sk_hll").columns.toSeq ==
+      Seq("l_returnflag", "exact_distinct", "hll_estimate"))
+    assert(spark.table("sk_cms").count() == 5)
+    val blocks = spark.table("sk_blocks")
+    assert(blocks.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .head.getLong(0) == spark.table("sk_ids").count())
+    assert(spark.table("sk_mad").columns.contains("robust_z"))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("cdc upsert and scd2 run from config; upsert without changesView fails at parse") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "cdc_base")
+    Views.register(Seq((2L, "b2", 1L, "U"), (3L, "c", 1L, "U"))
+      .toDF("id", "name", "version", "op"), "cdc_changes")
+    Views.register(Seq((1L, 10L, "x"), (1L, 20L, "y"))
+      .toDF("id", "ts", "state"), "cdc_log")
+    val conf = """{"stages": [
+      {"type": "CdcTransform", "name": "up", "method": "upsert",
+       "inputView": "cdc_base", "changesView": "cdc_changes",
+       "keyCol": "id", "outputView": "cdc_merged"},
+      {"type": "CdcTransform", "name": "hist", "method": "scd2",
+       "inputView": "cdc_log", "keyCol": "id", "tsCol": "ts",
+       "stateCol": "state", "outputView": "cdc_hist"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("cdc_merged").count() == 3)
+    assert(spark.table("cdc_hist").where($"is_current").count() == 1)
+
+    val bad = """{"stages": [
+      {"type": "CdcTransform", "name": "up", "method": "upsert",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("changesView")))
+  }
+
+  test("outliers without byCols and hll without groupCols fail at parse") {
+    val bad = """{"stages": [
+      {"type": "ProfileTransform", "name": "m", "method": "outliers_mad",
+       "inputView": "a", "outputView": "b", "valueCol": "v"},
+      {"type": "SketchTransform", "name": "h", "method": "hll",
+       "inputView": "a", "outputView": "c", "keyCol": "k"}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("byCols")))
+    assert(errs.exists(_.key.contains("groupCols")))
+  }
+
+  test("similarity project method parses dims and emits long format") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "e", "table": "embeddings",
+       "outputView": "pj_embs"},
+      {"type": "SimilarityTransform", "name": "pj", "method": "project",
+       "inputView": "pj_embs", "outputView": "pj_out",
+       "inDim": 64, "outDim": 8}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val out = spark.table("pj_out")
+    assert(out.columns.toSeq == Seq("vec_id", "j", "z"))
+    assert(out.groupBy("vec_id").count().select("count").distinct()
+      .head.getLong(0) == 8)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits (known Morton values)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L))
+      .toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), bits = 8).as("z"))
+    // morton(5=101, 3=011) = y2x2 y1x1 y0x0 = 0 1 . 1 0 . 1 1 = 0b011011+16? compute:
+    // bit0: x0=1 -> 1<<0; y0=1 -> 1<<1; bit1: x1=0; y1=1 -> 1<<3; bit2: x2=1 -> 1<<4
+    // z = 1 + 2 + 8 + 16 = 27
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L, 27L))
+  }
+
+  test("zValue is monotone under block locality: close points share prefixes") {
+    // 4x4 grid: the 2x2 quadrants of the z-curve are contiguous ranges
+    val pts = for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong)
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 2).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val q00 = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)).map(zs)
+    val q11 = Seq((2L, 2L), (3L, 2L), (2L, 3L), (3L, 3L)).map(zs)
+    assert(q00.max < q11.min) // whole quadrant sorts before the far one
+    assert(q00.sorted == Seq(0L, 1L, 2L, 3L) && q11.sorted == Seq(12L, 13L, 14L, 15L))
+  }
+
+  test("zorderManifest blocks are tight in BOTH dimensions") {
+    val n = 256 // 16x16 grid, one row per cell
+    val df = (0 until n).map { i => (i.toLong, (i % 16).toLong, (i / 16).toLong) }
+      .toDF("id", "x", "y")
+    val man = Layout.zorderManifest(df, "x", "y", "id", blockSize = 16, bits = 4)
+      .orderBy("block_id").collect()
+    assert(man.map(_.getLong(1)).sum == n)
+    // on the z-curve every 16-row block of a 16x16 grid is a 4x4 quadrant:
+    // both dimension ranges span exactly 4 values — a linear sort by x
+    // would leave the y range spanning all 16
+    man.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) == 3, s"x range loose: $r")
+      assert(r.getLong(5) - r.getLong(4) == 3, s"y range loose: $r")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("zValue rejects out-of-range bits") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue(lit(1L), lit(1L), bits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderManifest(Seq((1L, 1L, 1L)).toDF("id", "x", "y"),
+        "x", "y", "id", blockSize = 0)
+    }
+  }
+}

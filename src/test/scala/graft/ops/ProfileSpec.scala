@@ -119,4 +119,37 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"bounds must broadcast:\n$plan")
   }
+
+  test("outliersMad flags the tail the mean-based z-score misses") {
+    // 9 values at 1..9 plus one 1e9 typo: the corrupt value drags the
+    // MEAN/STD so hard that its own z is capped at (n-1)/sqrt(n) = 2.85
+    // < 3 (the max z any single sample point can reach), while the
+    // MEDIAN doesn't move at all
+    val vals = (1 to 9).map(_.toDouble) :+ 1e9
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val mad = Profile.outliersMad(df, "v", Seq("grp"), k = 3.5)
+    val flagged = mad.where($"is_outlier").select("v").as[Double].collect()
+    assert(flagged.toSeq == Seq(1e9), s"got ${flagged.toSeq}")
+    // the classical z-score at sigma=3 does NOT flag it (dragged moments)
+    val z = Profile.outliers(df, "v", Seq("grp"), sigma = 3.0)
+      .where($"is_outlier").count()
+    assert(z == 0L, "mean-based z should be blind to a single huge typo")
+  }
+
+  test("outliersMad: zero-MAD groups flag nothing") {
+    val df = (Seq.fill(10)(5.0) :+ 100.0).map(("g", _)).toDF("grp", "v")
+    // median=5, deviations are 0 x10 and 95 -> MAD=0 -> no flags
+    val out = Profile.outliersMad(df, "v", Seq("grp"))
+    assert(out.where($"is_outlier").count() == 0L)
+    assert(out.where($"robust_z" =!= 0.0).count() == 0L)
+  }
+
+  test("outliersMad groups independently") {
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)) :+
+      (("b", 1000.0))).toDF("grp", "v")
+    val out = Profile.outliersMad(df, "v", Seq("grp"))
+      .where($"is_outlier").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 1000.0))) // b's single row is its own median: no flag
+  }
 }

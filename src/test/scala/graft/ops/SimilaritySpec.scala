@@ -180,4 +180,59 @@ class SimilaritySpec extends SparkSpec {
     assert(q.map(_.head).toSeq == Seq(0L, 3L, 2L)) // floor(0.5*3+0.5)=2
     intercept[IllegalArgumentException] { Similarity.quantize(df, levels = 1) }
   }
+
+  test("projectSigned emits outDim rows per vector; ragged vectors drop") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f)) // wrong width: cannot project
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.projectSigned(df, inDim = 4, outDim = 2)
+      .orderBy("vec_id", "j").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    // the zero vector projects to exactly zero in every dimension
+    assert(out.filter(_.getLong(0) == 1L).forall(_.getDouble(2) == 0.0))
+  }
+
+  test("projectSigned is linear: z(2x) = 2 z(x)") {
+    val df = Seq((0L, Array(0.5f, -1.5f, 2.0f, 0.25f)),
+      (1L, Array(1.0f, -3.0f, 4.0f, 0.5f))).toDF("vec_id", "embedding")
+    val z = Similarity.projectSigned(df, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (j <- 0L until 4L)
+      assert(math.abs(z((1L, j)) - 2 * z((0L, j))) < 1e-5,
+        s"j=$j: ${z((1L, j))} vs 2*${z((0L, j))}")
+  }
+
+  test("projectSigned approximately preserves pairwise distance (JL)") {
+    // 20 deterministic pseudo-random 64-dim vectors projected to 16 dims:
+    // mean squared-distance distortion must be far under 1 (sign
+    // projections concentrate at O(1/sqrt(outDim)) per pair)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val z = Similarity.projectSigned(df, 64, 16).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val dists = for {
+      i <- 0 until 20; k <- (i + 1) until 20
+      orig = d2(vecs(i)._2.map(_.toDouble).toSeq, vecs(k)._2.map(_.toDouble).toSeq)
+      proj = d2(z(i.toLong).toSeq, z(k.toLong).toSeq)
+    } yield proj / orig
+    val meanRatio = dists.sum / dists.size
+    assert(math.abs(meanRatio - 1.0) < 0.25,
+      s"mean distance ratio $meanRatio drifted from 1")
+  }
+
+  test("projectSigned is one narrow projection: no shuffle in the plan") {
+    val df = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val plan = Similarity.projectSigned(df, 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
 }
