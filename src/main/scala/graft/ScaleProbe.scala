@@ -103,6 +103,37 @@ object ScaleProbe {
       t("heavy_hitters") {
         graft.ops.TextAnalysis.heavyHitters(d, "text", 100).count()
       }
+      // round 8b: register/cell sketches must stay FLAT (output size is a
+      // constant of the sketch shape, shuffle is map-side combined)
+      t("hll_grouped") {
+        graft.functions.Sketches.hllDistinct(d, col("doc_id"),
+          Seq("lang")).count()
+      }
+      t("cms_heavy") {
+        graft.functions.Sketches.cmsHeavy(d, col("source")).count()
+      }
+      // one range sort; manifest rows = n/blockSize (linear, sort-bound)
+      t("zorder_manifest") {
+        graft.ops.Layout.zorderManifest(
+          d.withColumn("x", col("doc_id") % 4096)
+            .withColumn("y", col("n_chars") % 4096),
+          "x", "y", "doc_id", blockSize = 4096, bits = 12).count()
+      }
+      // latest-wins merge: one key shuffle; the change feed is the x1
+      // corpus so base:changes ratio grows with m
+      t("merge_upsert") {
+        graft.ops.Cdc.upsert(d,
+          docs.withColumn("v", lit(1L)).withColumn("op", lit("U")),
+          "doc_id", "v", "op").count()
+      }
+      // narrow zero-shuffle projection: the flat-cost reference curve for
+      // embedding passes (scales only with input rows)
+      t("embed_project") {
+        Similarity.projectSigned(e, 64, 16).count()
+      }
+      t("outliers_mad") {
+        graft.ops.Profile.outliersMad(d, "n_chars", Seq("lang")).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -137,18 +137,50 @@ object Sketches {
     */
   def hllDistinct(df: DataFrame, keyCol: Column, groupCols: Seq[String],
       m: Int = 512): DataFrame = {
+    val est = hllEstimate(hllRegisters(df, keyCol, groupCols, m), groupCols, m)
+    val exact = df.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(count_distinct(keyCol).as("exact_distinct"))
+    exact.join(est, groupCols)
+  }
+
+  /** The HLL register table (groupCols..., bucket, rho-max) for `keyCol` —
+    * the PERSISTABLE form of the sketch. Registers merge across shards /
+    * days / partial corpora with a plain `max` re-aggregation (see
+    * [[hllMerge]]): at 100 TB the register tables of daily increments are
+    * a few KB each, and any union of them estimates the union of the
+    * inputs without touching the data again.
+    */
+  def hllRegisters(df: DataFrame, keyCol: Column, groupCols: Seq[String],
+      m: Int = 512): DataFrame = {
     require(m >= 128 && (m & (m - 1)) == 0, s"m must be a power of two >= 128, got $m")
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val g = groupCols.map(col)
     val h = h32(keyCol.cast("string"))
     val q = (h / m).cast("long") // quotient: the rho domain, ~log2(P/m) bits
     val rho = when(q === 0, lit(RhoCap))
       .otherwise(floor(log2((q.bitwiseAND(-q)).cast("double"))).cast("long") + 1)
-    val regs = df
-      .select(g :+ (h % m).as("__b") :+ rho.as("__rho"): _*)
+    df.select(g :+ (h % m).as("__b") :+ rho.as("__rho"): _*)
       .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
       .agg(max(col("__rho")).as("__m"))
-    val est = regs
+  }
+
+  /** Merge register tables from disjoint (or overlapping — HLL is a
+    * union sketch) inputs: per-(group, bucket) max.
+    */
+  def hllMerge(regTables: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(regTables.nonEmpty, "need at least one register table")
+    regTables.reduce(_ unionByName _)
+      .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
+      .agg(max(col("__m")).as("__m"))
+  }
+
+  /** Estimate from a register table: α_m·m²/(Σ2^-M_j + zeros) with the
+    * linear-counting small-range correction, rounded to 4dp.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+      m: Int = 512): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val g = groupCols.map(col)
+    regs
       .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(
         sum(pow(lit(2.0), -col("__m"))).as("__inv"),
@@ -161,9 +193,6 @@ object Sketches {
           .otherwise(raw)
         round(corrected, 4).as("hll_estimate")
       }: _*)
-    val exact = df.groupBy(groupCols.head, groupCols.tail: _*)
-      .agg(count_distinct(keyCol).as("exact_distinct"))
-    exact.join(est, groupCols)
   }
 
   /** rho ceiling for a zero quotient: the quotient domain P/m is ~21 bits

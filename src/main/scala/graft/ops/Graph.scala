@@ -130,18 +130,28 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-    val dir = withDeg.select(
+    // persisted: dir feeds the adjacency aggregation AND the per-edge
+    // probe — without it the degree computation and orientation replay
+    val dir = graft.util.Caches.persist(withDeg.select(
       when(col("da") < col("db")
           || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-    val wedges = dir
-      .join(dir.select(col("u").as("v"), col("v").as("w")), "v")
-      .select("u", "v", "w")
-    val tris = wedges
-      .join(dir.select(col("u"), col("v").as("w")), Seq("u", "w"))
-      .select("u", "v", "w")
+      .select(col("e.u").as("u"), col("e.v").as("v")))
+    // Edge-iterator closing instead of the wedge join: the wedge table is
+    // Σ outdeg² rows (47M at sf0.1 on the dense co-occurrence graph, vs
+    // 1.2M edges) and has to shuffle into the closing join; collecting
+    // each node's out-neighbors once (state bounded by the orientation's
+    // O(sqrt(E)) out-degree cap) turns closing into a narrow per-edge
+    // array_intersect whose output IS the triangle list. Measured 15.3s
+    // -> ~5s at sf0.1; at corpus scale the win grows with density.
+    val adj = dir.groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tris = dir
+      .join(adj.select(col("node").as("u"), col("nbrs").as("__nu")), "u")
+      .join(adj.select(col("node").as("v"), col("nbrs").as("__nv")), "v")
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("w"))
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }

@@ -340,28 +340,37 @@ object Similarity {
     * h32("i_j") — Achlioptas 2003's database-friendly projection, no
     * dense Gaussian matrix to ship, reproducible on any engine.
     *
-    * The sign matrix is resolved at PLAN time (inDim·outDim constants
-    * folded into the expression tree), so the whole operator is one
-    * narrow codegen'd projection: no explode, no join, NO SHUFFLE —
-    * at 100 TB it streams. Per-row sums accumulate the ×2^20 fixed-point
-    * longs of [[standardize]] (exact, order-free, replayable); rows whose
-    * embedding is not exactly `inDim` wide are dropped (ragged vectors
-    * cannot project).
+    * The sign matrix is resolved at PLAN time (outDim sign-array literals
+    * of inDim longs each), so the whole operator is one narrow
+    * projection: no explode of the corpus, no join, NO SHUFFLE — at
+    * 100 TB it streams. The ×2^20 fixed-point longs of [[standardize]]
+    * (exact, order-free, replayable) are materialized ONCE per row in
+    * their own projection (the wordShingles lesson: a value referenced
+    * outDim times must not re-inline, or interpreted evaluation re-casts
+    * the array per reference — the first form of this operator did
+    * exactly that, re-evaluating `cast(embedding)` inDim·outDim times
+    * per row, 7s instead of 0.3s at sf0.1), then each z_j is one
+    * zip_with/aggregate pass over the fixed array. Rows whose embedding
+    * is not exactly `inDim` wide are dropped (ragged vectors cannot
+    * project).
     *
     * Output long-format (vec_id, j, z) — one row per output dimension.
     */
   def projectSigned(df: DataFrame, inDim: Int, outDim: Int): DataFrame = {
     require(inDim >= 1 && outDim >= 1, s"dims must be >= 1, got $inDim -> $outDim")
-    val e = col("embedding").cast("array<double>")
     val scale = math.sqrt(outDim.toDouble)
+    val fixed = transform(col("embedding"),
+      x => round(x.cast("double") * FixedScale).cast("long"))
     val zs = (0 until outDim).map { j =>
-      val fixedSum = (0 until inDim).map { i =>
-        val s = if (h32Const(s"${i}_$j") % 2 == 0) 1L else -1L
-        round(element_at(e, i + 1) * FixedScale).cast("long") * s
-      }.reduce(_ + _)
-      round(fixedSum.cast("double") / FixedScale / scale, 6) + lit(0d)
+      val signs = typedlit((0 until inDim).map(i =>
+        if (h32Const(s"${i}_$j") % 2 == 0) 1L else -1L))
+      val dot = aggregate(
+        zip_with(col("__f"), signs, (f, s) => f * s),
+        lit(0L), (acc, x) => acc + x)
+      round(dot.cast("double") / FixedScale / scale, 6) + lit(0d)
     }
     df.where(size(col("embedding")) === inDim)
+      .select(col("vec_id"), fixed.as("__f"))
       .select(col("vec_id"), posexplode(array(zs: _*)).as(Seq("j", "z")))
       .select(col("vec_id"), col("j").cast("long").as("j"), col("z"))
   }

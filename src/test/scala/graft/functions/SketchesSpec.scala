@@ -80,6 +80,24 @@ class SketchesSpec extends SparkSpec {
     assert(run1.toSeq == run2.toSeq) // register max is order-free
   }
 
+  test("hll registers merge across shards: union-of-sketches == sketch-of-union") {
+    // the mergeability contract that makes HLL the 100 TB incremental
+    // sketch: shard the input arbitrarily, sketch each shard, max-merge
+    // the registers — the estimate is IDENTICAL to sketching everything
+    val df = (1 to 5000).map(i => ("g", i)).toDF("grp", "k")
+    val whole = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, col("k"), Seq("grp")), Seq("grp"))
+      .collect().head.getAs[Double]("hll_estimate")
+    val shards = Seq(
+      df.where($"k" % 3 === 0), df.where($"k" % 3 === 1),
+      df.where($"k" % 3 === 2), df.where($"k" < 100)) // overlap is fine
+      .map(s => Sketches.hllRegisters(s, col("k"), Seq("grp")))
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMerge(shards, Seq("grp")), Seq("grp"))
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(merged == whole)
+  }
+
   test("hllDistinct rejects non-power-of-two m") {
     intercept[IllegalArgumentException] {
       Sketches.hllDistinct(Seq(("a", 1)).toDF("g", "k"), col("k"), Seq("g"), m = 300)
