@@ -239,7 +239,7 @@ final case class ProfileTransformStage(
     outputView: String,
     columns: Seq[String],
     exact: Boolean = true,
-    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad
+    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation
     valueCol: String = "value",
     binWidth: Double = 1.0,
     nBins: Int = 4,
@@ -247,7 +247,9 @@ final case class ProfileTransformStage(
     pHi: Double = 0.95,
     byCols: Seq[String] = Nil,
     sigma: Double = 3.0,
-    madK: Double = 3.5)
+    madK: Double = 3.5,
+    xCol: String = "x",
+    yCol: String = "y")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -264,6 +266,7 @@ final case class ProfileTransformStage(
       case "winsorize" => Profile.winsorize(in, valueCol, pLo, pHi)
       case "outliers" => Profile.outliers(in, valueCol, byCols, sigma)
       case "outliers_mad" => Profile.outliersMad(in, valueCol, byCols, madK)
+      case "correlation" => Profile.correlation(in, xCol, yCol, byCols)
       case other => throw new IllegalArgumentException(
         s"unknown profile method '$other'")
     }
@@ -276,7 +279,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -286,7 +289,8 @@ final case class SampleTransformStage(
     tokenCol: String = "n_tokens",
     budget: Long = 1000000L,
     k: Int = 100,
-    weightCol: String = "n_tokens")
+    weightCol: String = "n_tokens",
+    nBuckets: Int = 1024)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -307,6 +311,8 @@ final case class SampleTransformStage(
         Sampling.upsample(in, stratumCol, idCol, rates, defaultRate, salt)
       case "weighted_topk" =>
         Sampling.weightedTopK(in, idCol, weightCol, k, salt)
+      case "negative" =>
+        Sampling.negativeSample(in, idCol, k, nBuckets, salt)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }
@@ -654,6 +660,25 @@ final case class CdcTransformStage(
       case other =>
         throw new IllegalArgumentException(s"unknown cdc method '$other'")
     }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Time-series densification stage over [[TimeSeries.gapfillHourly]]. */
+final case class GapfillTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    tsCol: String = "ts",
+    keyCol: String)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = TimeSeries.gapfillHourly(in, tsCol, keyCol)
     Views.register(out, outputView)
     Option(out)
   }

@@ -118,6 +118,41 @@ object Profile {
       .drop("__med", "__dev", "__mad")
   }
 
+  /** Per-group Pearson correlation of two numeric columns — the feature
+    * redundancy / leakage screen run before columns feed a model (a 0.99
+    * correlation between a feature and the label usually means leakage,
+    * between two features means one is dead weight).
+    *
+    * All five sufficient statistics (Σx, Σy, Σx², Σy², Σxy) accumulate as
+    * ×2^20 fixed-point DECIMAL(38,0) sums — exact under any partitioning,
+    * so the final double formula evaluates identical IEEE steps on any
+    * engine. One map-side-combined aggregation; output is one row per
+    * group, never the data. A zero-variance side yields corr = 0 (flagged
+    * by n; the convention keeps the output total).
+    */
+  def correlation(df: DataFrame, xCol: String, yCol: String,
+      byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty, "at least one grouping column")
+    val scale = (1L << 20).toDouble
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    def fp(c: org.apache.spark.sql.Column) =
+      sum(round(c * scale).cast("decimal(38,0)"))
+    val stats = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(byCols.map(col): _*)
+      .agg(fp(x).as("__sx"), fp(y).as("__sy"), fp(x * x).as("__sxx"),
+        fp(y * y).as("__syy"), fp(x * y).as("__sxy"),
+        count(lit(1)).as("n"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double") / scale
+    val num = n * d("__sxy") - d("__sx") * d("__sy")
+    val den = sqrt(greatest(n * d("__sxx") - d("__sx") * d("__sx"), lit(0d))) *
+      sqrt(greatest(n * d("__syy") - d("__sy") * d("__sy"), lit(0d)))
+    stats.select(byCols.map(col) :+ col("n") :+
+      // + 0.0 normalizes IEEE negative zero across replay engines
+      (round(when(den > 0, num / den).otherwise(0d), 6) + lit(0d))
+        .as("corr"): _*)
+  }
+
   /** Fixed-width histogram of a numeric column: (bin, bin_start, n) with
     * bin = floor(value / binWidth) — the distribution view `table`'s
     * min/max can't give (skew, modes, heavy tails) before choosing

@@ -218,4 +218,40 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }
+
+  /** Deterministic negative sampling for contrastive/preference training
+    * pairs: `k` pseudo-random negatives per anchor, drawn as a pure
+    * function of (anchor id, draw index, salt) — reproducible across
+    * runs, engines and layouts, like every draw in this module.
+    *
+    * Mechanism: the corpus hashes into `nBuckets` buckets, each
+    * represented by its min id (one small aggregation); draw i for an
+    * anchor picks bucket h32(anchor ++ "#" ++ i ++ salt) and takes its
+    * representative. Draws that land on the anchor itself are dropped
+    * (so an anchor can yield < k pairs, and at most one per draw).
+    *
+    * Shape at scale: the representative table is `nBuckets` rows and
+    * BROADCASTS; the anchor side is a narrow ×k explode — the corpus
+    * never shuffles. The trade-off vs a uniform draw over all ids: only
+    * `nBuckets` distinct negatives are reachable per salt — size
+    * `nBuckets` to the variety the objective needs (one salt per epoch
+    * redraws the pool).
+    */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      nBuckets: Int = 1024, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val reps = df
+      .groupBy((keyOf(col(idCol), salt) % nBuckets).as("__bkt"))
+      .agg(min(col(idCol)).as("neg_id"))
+    df.select(col(idCol).as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("__bkt",
+        T.h32(concat(col("anchor_id").cast("string"), lit("#"),
+          col("i").cast("string"), lit(salt))) % nBuckets)
+      .join(broadcast(reps), "__bkt")
+      .where(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("i").cast("long").as("i"), col("neg_id"))
+  }
 }

@@ -202,10 +202,11 @@ object Parser {
     "ProfileTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("table", "histogram", "bucketize", "winsorize", "outliers",
-          "outliers_mad"), "table")
-      // a group-keyed outlier pass without byCols would only fail at
-      // runtime (require in the operator) — fail at parse instead
-      if (method.startsWith("outliers") && r.stringList("byCols").isEmpty)
+          "outliers_mad", "correlation"), "table")
+      // a group-keyed pass without byCols would only fail at runtime
+      // (require in the operator) — fail at parse instead
+      if ((method.startsWith("outliers") || method == "correlation")
+          && r.stringList("byCols").isEmpty)
         r.error("byCols", s"missing or empty; $method requires group columns")
       ProfileTransformStage(
         name = r.requiredString("name"),
@@ -221,7 +222,9 @@ object Parser {
         pHi = r.double("pHi").getOrElse(0.95),
         byCols = r.stringList("byCols"),
         sigma = r.double("sigma").getOrElse(3.0),
-        madK = r.double("madK").getOrElse(3.5))
+        madK = r.double("madK").getOrElse(3.5),
+        xCol = r.string("xCol").getOrElse("x"),
+        yCol = r.string("yCol").getOrElse("y"))
     },
     "RetrievalTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("index", "bm25", "rrf"), "index")
@@ -299,7 +302,8 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("deterministic", "stratified", "per_stratum_head",
-            "shard_by_budget", "upsample", "weighted_topk"), "deterministic"),
+            "shard_by_budget", "upsample", "weighted_topk", "negative"),
+          "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
         salt = r.string("salt").getOrElse(""),
@@ -314,7 +318,8 @@ object Parser {
         tokenCol = r.string("tokenCol").getOrElse("n_tokens"),
         budget = r.long("budget").getOrElse(1000000L),
         k = r.int("k").getOrElse(100),
-        weightCol = r.string("weightCol").getOrElse("n_tokens"))
+        weightCol = r.string("weightCol").getOrElse("n_tokens"),
+        nBuckets = r.int("nBuckets").getOrElse(1024))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -407,6 +412,14 @@ object Parser {
         opCol = r.string("opCol").getOrElse("op"),
         tsCol = r.string("tsCol").getOrElse("ts"),
         stateCol = r.string("stateCol").getOrElse("state"))
+    },
+    "GapfillTransform" -> { (r, _) =>
+      GapfillTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        tsCol = r.string("tsCol").getOrElse("ts"),
+        keyCol = r.requiredString("keyCol"))
     },
     "ZorderTransform" -> { (r, _) =>
       ZorderTransformStage(
@@ -513,7 +526,7 @@ object Parser {
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",
       "method", "valueCol", "binWidth", "nBins", "pLo", "pHi", "byCols",
-      "sigma", "madK")),
+      "sigma", "madK", "xCol", "yCol")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
       "rankViews", "rrfK")),
@@ -528,7 +541,7 @@ object Parser {
       "outputView", "targetBytes")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
-      "tokenCol", "budget", "k", "weightCol")),
+      "tokenCol", "budget", "k", "weightCol", "nBuckets")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
@@ -540,6 +553,8 @@ object Parser {
       "keyCol", "groupCols", "m", "k", "depth", "width", "topN")),
     "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "changesView", "keyCol", "versionCol", "opCol", "tsCol", "stateCol")),
+    "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "tsCol", "keyCol")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "xCol", "yCol", "idCol", "blockSize", "bits"))
   )

@@ -82,6 +82,8 @@ object ExtensionQueries {
   private val WtopK = 100
 
   private val HllM = 512
+  private val NegK = 4
+  private val NegBuckets = 64
   private val CmsDepth = 4
   private val CmsWidth = 256
   private val CmsTopN = 10
@@ -783,6 +785,64 @@ object ExtensionQueries {
             .as("sum_qty"),
           grouping_id().cast("long").as("gid"))
         .orderBy("gid", "l_returnflag", "l_linestatus")
+    },
+
+    "events_gapfill" -> { (spark, dir) =>
+      TimeSeries.gapfillHourly(events(spark, dir), "ts", "event_type")
+        .orderBy("event_type", "hour_start")
+    },
+
+    "profile_corr" -> { (spark, dir) =>
+      Profile.correlation(spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_quantity", "l_extendedprice", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+
+    "negative_sample" -> { (spark, dir) =>
+      Sampling.negativeSample(docs(spark, dir), "doc_id", k = NegK,
+          nBuckets = NegBuckets)
+        .orderBy("anchor_id", "i")
+    },
+
+    "streaming_dedup" -> { (spark, dir) =>
+      // TRUE streaming dedup, batch-verified: the events table streams in
+      // as three micro-batches through dropDuplicatesWithinWatermark on
+      // (user_id, event_type); the appended sink then holds exactly one
+      // row per key REGARDLESS of which arrival won, so projecting the
+      // keys replays as a DISTINCT in the oracle — and any duplicate the
+      // state path leaks across micro-batches fails rows_match. The
+      // watermark is sized far past the data range so late-arrival drops
+      // cannot make the key set depend on the file split.
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(tmp)))
+      val in = tmp.resolve("in")
+      Tables.eventsRaw(spark, dir).repartition(3)
+        .write.parquet(in.toString)
+      val stream = spark.readStream
+        .schema(Tables.eventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = StreamingOps.dedupStream(stream, "ts",
+        Seq("user_id", "event_type"), watermark = Some("100000 hours"))
+      val q = graft.streaming.StreamingSink.foreachBatchLoad(
+        deduped.select("user_id", "event_type"),
+        new graft.connect.ParquetConnector(tmp.toString), "deduped",
+        checkpointDir = s"$tmp/_checkpoint")
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 data micro-batches, saw $batches — the multi-batch " +
+            "dedup-state path was not exercised")
+      } finally {
+        q.stop()
+        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      }
+      spark.read.parquet(s"$tmp/deduped.parquet")
+        .orderBy("user_id", "event_type")
     }
   )
 
@@ -2279,6 +2339,77 @@ object ExtensionQueries {
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-      ORDER BY gid, l_returnflag, l_linestatus"""
+      ORDER BY gid, l_returnflag, l_linestatus""",
+
+    // Replay of TimeSeries.gapfillHourly: sparse hourly counts, global
+    // bounds, dense key x hour grid via generate_series, zero-filled
+    // left join. time_bucket::TIMESTAMP == Spark's date_trunc('hour')
+    // on the us-truncated ts (the events_hourly precedent).
+    "events_gapfill" -> """
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b)
+      SELECT g.event_type, g.hour_start,
+        coalesce(c.n_events, 0) AS n_events
+      FROM g LEFT JOIN c USING (event_type, hour_start)
+      ORDER BY event_type, hour_start""",
+
+    // Replay of Profile.correlation: identical x2^20 fixed-point
+    // DECIMAL(38,0) sufficient statistics, identical double formula tree.
+    "profile_corr" -> """
+      WITH st AS (
+        SELECT l_returnflag,
+          SUM(CAST(round(l_quantity * 1048576.0) AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(round(l_extendedprice * 1048576.0) AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(round(l_quantity * l_quantity * 1048576.0) AS DECIMAL(38,0))) AS sxx,
+          SUM(CAST(round(l_extendedprice * l_extendedprice * 1048576.0) AS DECIMAL(38,0))) AS syy,
+          SUM(CAST(round(l_quantity * l_extendedprice * 1048576.0) AS DECIMAL(38,0))) AS sxy,
+          COUNT(*) AS n
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1)
+      SELECT l_returnflag, n,
+        round(CASE WHEN den > 0 THEN num / den ELSE 0 END, 6) + 0.0 AS corr
+      FROM (
+        SELECT l_returnflag, n,
+          n::DOUBLE * (sxy::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0) AS num,
+          sqrt(greatest(n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0), 0))
+          * sqrt(greatest(n::DOUBLE * (syy::DOUBLE / 1048576.0)
+            - (sy::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0), 0)) AS den
+        FROM st)
+      ORDER BY l_returnflag""",
+
+    // Replay of Sampling.negativeSample: bucket representatives from the
+    // same h32(doc_id) draw, per-(anchor, i) bucket pick, self-hits drop.
+    "negative_sample" -> s"""
+      WITH reps AS (
+        SELECT ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT
+            % $P % $NegBuckets AS b,
+          min(doc_id) AS neg_id
+        FROM documents GROUP BY 1),
+      a AS (
+        SELECT doc_id AS anchor_id, i
+        FROM documents CROSS JOIN generate_series(0, ${NegK - 1}) t(i))
+      SELECT anchor_id, i, neg_id
+      FROM a JOIN reps
+        ON reps.b = ('0x'||substr(md5(anchor_id::VARCHAR||'#'||i::VARCHAR),1,8))::BIGINT
+          % $P % $NegBuckets
+      WHERE neg_id <> anchor_id
+      ORDER BY anchor_id, i""",
+
+    // SEMANTIC oracle: streaming first-seen-wins dedup projected to its
+    // keys == batch DISTINCT, regardless of micro-batch arrival order.
+    "streaming_dedup" -> """
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""
   )
 }

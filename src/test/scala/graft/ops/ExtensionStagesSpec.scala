@@ -613,6 +613,36 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(errs.exists(_.key.contains("groupCols")))
   }
 
+  test("gapfill, correlation and negative-sample stages run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq(
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), 1.0, 2.0),
+      ("a", java.sql.Timestamp.valueOf("2026-01-01 02:10:00"), 2.0, 4.0),
+      ("b", java.sql.Timestamp.valueOf("2026-01-01 01:10:00"), 3.0, 6.0)
+    ).toDF("k", "t", "x", "y"), "ts_in")
+    val conf = """{"stages": [
+      {"type": "GapfillTransform", "name": "gf", "inputView": "ts_in",
+       "outputView": "ts_dense", "tsCol": "t", "keyCol": "k"},
+      {"type": "ProfileTransform", "name": "pc", "method": "correlation",
+       "inputView": "ts_in", "outputView": "ts_corr",
+       "xCol": "x", "yCol": "y", "byCols": ["k"]},
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "ns_docs"},
+      {"type": "SampleTransform", "name": "ns", "method": "negative",
+       "inputView": "ns_docs", "outputView": "ns_out",
+       "idCol": "doc_id", "k": 2, "nBuckets": 16}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("ts_dense").count() == 6) // 2 keys x 3 hours
+    assert(spark.table("ts_corr").where($"k" === "a")
+      .head.getAs[Double]("corr") == 1.0)
+    assert(spark.table("ns_out").columns.toSeq ==
+      Seq("anchor_id", "i", "neg_id"))
+  }
+
   test("similarity project method parses dims and emits long format") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     val conf = """{"stages": [

@@ -144,6 +144,33 @@ class ProfileSpec extends SparkSpec {
     assert(out.where($"robust_z" =!= 0.0).count() == 0L)
   }
 
+  test("correlation: exact +1/-1 on linear data, ~0 on independent") {
+    val lin = (1 to 50).map(i => ("g", i.toDouble, 3.0 * i + 7)).toDF("grp", "x", "y")
+    val c1 = Profile.correlation(lin, "x", "y", Seq("grp"))
+      .head.getAs[Double]("corr")
+    assert(c1 == 1.0, s"perfect line must give exactly 1 after 6dp: $c1")
+    val neg = (1 to 50).map(i => ("g", i.toDouble, -2.0 * i)).toDF("grp", "x", "y")
+    assert(Profile.correlation(neg, "x", "y", Seq("grp"))
+      .head.getAs[Double]("corr") == -1.0)
+    // h32-scrambled pairing: no linear relationship
+    val rnd = new scala.util.Random(3)
+    val ind = (1 to 500).map(_ => ("g", rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("grp", "x", "y")
+    val c0 = Profile.correlation(ind, "x", "y", Seq("grp"))
+      .head.getAs[Double]("corr")
+    assert(math.abs(c0) < 0.15, s"independent draws correlated: $c0")
+  }
+
+  test("correlation: zero-variance side yields 0, groups are independent") {
+    val df = Seq(("a", 1.0, 5.0), ("a", 2.0, 5.0), ("a", 3.0, 5.0),
+      ("b", 1.0, 1.0), ("b", 2.0, 2.0)).toDF("grp", "x", "y")
+    val out = Profile.correlation(df, "x", "y", Seq("grp"))
+      .orderBy("grp").collect()
+    assert(out(0).getAs[Double]("corr") == 0.0) // y constant in a
+    assert(out(1).getAs[Double]("corr") == 1.0)
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(3L, 2L))
+  }
+
   test("outliersMad groups independently") {
     val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)) :+
       (("b", 1000.0))).toDF("grp", "v")

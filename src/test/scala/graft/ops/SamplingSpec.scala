@@ -127,4 +127,30 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$plan")
   }
+
+  test("negativeSample: k draws per anchor, reproducible, never the anchor") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = Sampling.negativeSample(docs, "doc_id", k = 4, nBuckets = 32)
+    val b = Sampling.negativeSample(docs.repartition(7), "doc_id", 4, 32)
+    assert(a.orderBy("anchor_id", "i").collect().toSeq ==
+      b.orderBy("anchor_id", "i").collect().toSeq) // layout-invariant
+    assert(a.where($"neg_id" === $"anchor_id").count() == 0)
+    val perAnchor = a.groupBy("anchor_id").count()
+    assert(perAnchor.agg(max("count")).head.getLong(0) <= 4)
+    // self-hit drops are rare (1/nBuckets per draw): most anchors keep 4
+    assert(a.count() > docs.count() * 4 * 0.8)
+  }
+
+  test("negativeSample: a new salt redraws; reps table broadcasts") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val s1 = Sampling.negativeSample(docs, "doc_id", 2, 32, salt = "e1")
+    val s2 = Sampling.negativeSample(docs, "doc_id", 2, 32, salt = "e2")
+    val agree = s1.as("a").join(s2.as("b"),
+      col("a.anchor_id") === col("b.anchor_id") && col("a.i") === col("b.i")
+        && col("a.neg_id") === col("b.neg_id")).count()
+    assert(agree < s1.count(), "different salts must redraw some negatives")
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket reps must broadcast:\n$plan")
+  }
 }
