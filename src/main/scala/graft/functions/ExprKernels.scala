@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The hash/sketch inner loops behind [[Expressions]], as STATIC methods.
+  *
+  * Why a separate object: whole-stage codegen emits Java that can only
+  * call static-forwardable methods. Keeping the loop bodies here lets
+  * each Catalyst expression implement `doGenCode` as a one-line call —
+  * so the surrounding Project/Filter stays INSIDE WholeStageCodegen
+  * (a CodegenFallback expression evicts the whole stage, boxing every
+  * row through the interpreted path) — while `nullSafeEval` delegates to
+  * the same code, guaranteeing the interpreted and generated paths are
+  * bit-identical by construction.
+  */
+object ExprKernels {
+
+  val P = 1000000007L
+
+  private val threadMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 md5 hex chars of the utf8 bytes as an unsigned 32-bit value,
+    * mod P — identical to `conv(substring(md5(s),1,8),16,10) % P` and to
+    * DuckDB's `('0x'||substr(md5(s),1,8))::BIGINT % P`.
+    */
+  def md5h32(bytes: Array[Byte]): Long = {
+    val d = threadMd5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16)
+      | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % P
+  }
+
+  private val minhashCoef =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  /** k-permutation MinHash over an array<long> of shingle hashes in [0,P). */
+  def minhashSig(hs: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = minhashCoef.computeIfAbsent(k, kk =>
+      (Array.tabulate(kk)(i => (i + 1) * 2654435761L % P),
+        Array.tabulate(kk)(i => (i + 1) * 40503L % P)))
+    val out = Array.fill(k)(P)
+    var s = 0
+    val n = hs.numElements()
+    while (s < n) {
+      val h = hs.getLong(s)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // plane(j, d) depends on the vector dimension; cache per (nBits, dim).
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private def planes(nBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nBits.toLong << 32) | dim, _ =>
+      Array.tabulate(nBits, dim)((j, k) =>
+        ((j.toLong * dim + k) * 2654435761L % 97 - 48).toDouble))
+
+  /** Sign-LSH bits of an array<float> embedding against the fixed
+    * deterministic hyperplane family. Returns array<long> of 0/1.
+    */
+  def signBits(emb: ArrayData, nBits: Int): ArrayData = {
+    val dim = emb.numElements()
+    val pl = planes(nBits, dim)
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { v(d) = emb.getFloat(d).toDouble; d += 1 }
+    val out = new Array[Long](nBits)
+    var j = 0
+    while (j < nBits) {
+      val p = pl(j)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v(i) * p(i); i += 1 }
+      out(j) = if (s >= 0) 1L else 0L
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `nBits`-bit SimHash from an array<long> of word hashes. */
+  def simhashBits(hs: ArrayData, nBits: Int): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Long](nBits)
+    var s = 0
+    while (s < n) {
+      val h = hs.getLong(s)
+      var j = 0
+      while (j < nBits) {
+        votes(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      s += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < nBits) {
+      if (votes(j) >= 0) acc += 1L << j
+      j += 1
+    }
+    acc
+  }
+
+  /** Distinct hashed word n-gram shingles (whole-text fallback below n
+    * words). Split on a single space with trailing empties kept.
+    */
+  def hashedWordNgrams(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
+    val words = text.split(" ", -1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (words.length >= n) {
+      var i = 0
+      while (i <= words.length - n) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        out.add(md5h32(sb.toString.getBytes("UTF-8")))
+        i += 1
+      }
+    } else out.add(md5h32(text.getBytes("UTF-8")))
+    toLongArray(out)
+  }
+
+  /** Distinct hashed character n-gram shingles, winnowed to hashes ≡ 0
+    * (mod sampleMod). Substrings are by Unicode code point.
+    */
+  def hashedCharNgrams(input: UTF8String, n: Int, sampleMod: Int): ArrayData = {
+    val text = input.toString
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val cps = text.codePointCount(0, text.length)
+    if (cps >= n) {
+      var start = 0
+      var i = 0
+      while (i <= cps - n) {
+        val end = {
+          var e = start
+          var k = 0
+          while (k < n) { e = text.offsetByCodePoints(e, 1); k += 1 }
+          e
+        }
+        val h = md5h32(text.substring(start, end).getBytes("UTF-8"))
+        if (h % sampleMod == 0) out.add(h)
+        start = text.offsetByCodePoints(start, 1)
+        i += 1
+      }
+    } else {
+      val h = md5h32(text.getBytes("UTF-8"))
+      if (h % sampleMod == 0) out.add(h)
+    }
+    toLongArray(out)
+  }
+
+  private def toLongArray(out: java.util.LinkedHashSet[java.lang.Long]): ArrayData = {
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Sequential-double dot product; null (boxed) on length mismatch. */
+  def dot(x: ArrayData, y: ArrayData, leftFloat: Boolean,
+      rightFloat: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xe = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val ye = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xe * ye
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+}

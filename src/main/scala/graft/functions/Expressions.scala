@@ -1,10 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the hash/sketch inner loops.
@@ -15,6 +13,13 @@ import org.apache.spark.sql.types._
   * same arithmetic as tight primitive JVM loops (one expression eval per
   * row; the loop is JIT-compiled), which is the documented preference
   * order: built-ins, then a native `Expression`, then a UDF.
+  *
+  * Every expression implements BOTH `eval` and `doGenCode`, each a
+  * one-line delegation to the same [[ExprKernels]] static method — the
+  * two paths are bit-identical by construction, and the generated form
+  * keeps the surrounding Project/Filter INSIDE WholeStageCodegen (a
+  * CodegenFallback expression evicts its whole stage to the interpreted
+  * row-by-row path, which is how these kernels ran until round 8).
   *
   * DETERMINISM CONTRACT: each expression computes bit-for-bit the same
   * result as the declarative formulation it replaces (and as the DuckDB
@@ -30,36 +35,19 @@ import org.apache.spark.sql.types._
   */
 object Expressions {
 
-  val P = 1000000007L
+  val P = ExprKernels.P
+
+  private val Kernels = "graft.functions.ExprKernels"
 
   /** k-permutation MinHash over an array<long> of shingle hashes in [0,P). */
-  case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
-    private lazy val as: Array[Long] =
-      Array.tabulate(k)(i => (i + 1) * 2654435761L % P)
-    private lazy val bs: Array[Long] =
-      Array.tabulate(k)(i => (i + 1) * 40503L % P)
-
-    override def nullSafeEval(input: Any): Any = {
-      val hs = input.asInstanceOf[ArrayData]
-      val out = Array.fill(k)(P)
-      var s = 0
-      val n = hs.numElements()
-      while (s < n) {
-        val h = hs.getLong(s)
-        var i = 0
-        while (i < k) {
-          val v = (as(i) * h + bs(i)) % P
-          if (v < out(i)) out(i) = v
-          i += 1
-        }
-        s += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.minhashSig($c, $k)")
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
     override def prettyName: String = "minhash_sig"
   }
@@ -67,38 +55,14 @@ object Expressions {
   /** Sign-LSH bits of an array<float> embedding against the fixed
     * deterministic hyperplane family. Returns array<long> of 0/1.
     */
-  case class SignBits(child: Expression, nBits: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class SignBits(child: Expression, nBits: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
-    // plane(j, d) depends on the vector dimension; cache per dim seen.
-    @transient private lazy val planeCache =
-      new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
-    private def planes(dim: Int): Array[Array[Double]] =
-      planeCache.computeIfAbsent(dim, d =>
-        Array.tabulate(nBits, d)((j, k) =>
-          ((j.toLong * d + k) * 2654435761L % 97 - 48).toDouble))
-
-    override def nullSafeEval(input: Any): Any = {
-      val emb = input.asInstanceOf[ArrayData]
-      val dim = emb.numElements()
-      val pl = planes(dim)
-      val v = new Array[Double](dim)
-      var d = 0
-      while (d < dim) { v(d) = emb.getFloat(d).toDouble; d += 1 }
-      val out = new Array[Long](nBits)
-      var j = 0
-      while (j < nBits) {
-        val p = pl(j)
-        var s = 0.0
-        var i = 0
-        while (i < dim) { s += v(i) * p(i); i += 1 }
-        out(j) = if (s >= 0) 1L else 0L
-        j += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.signBits(input.asInstanceOf[ArrayData], nBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.signBits($c, $nBits)")
     override protected def withNewChildInternal(c: Expression): SignBits = copy(child = c)
     override def prettyName: String = "sign_bits"
   }
@@ -108,51 +72,17 @@ object Expressions {
     * every power-of-two used in the banded replay fit a signed 64-bit lane
     * in BOTH engines (DuckDB BIGINT has no unsigned escape hatch).
     */
-  case class SimHashBits(child: Expression, nBits: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
     require(nBits > 0 && nBits <= 62, s"nBits must be in [1,62], got $nBits")
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
 
-    override def nullSafeEval(input: Any): Any = {
-      val hs = input.asInstanceOf[ArrayData]
-      val n = hs.numElements()
-      val votes = new Array[Long](nBits)
-      var s = 0
-      while (s < n) {
-        val h = hs.getLong(s)
-        var j = 0
-        while (j < nBits) {
-          votes(j) += ((h >> j) & 1L) * 2L - 1L
-          j += 1
-        }
-        s += 1
-      }
-      var acc = 0L
-      var j = 0
-      while (j < nBits) {
-        if (votes(j) >= 0) acc += 1L << j
-        j += 1
-      }
-      java.lang.Long.valueOf(acc)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.simhashBits(input.asInstanceOf[ArrayData], nBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.simhashBits($c, $nBits)")
     override protected def withNewChildInternal(c: Expression): SimHashBits = copy(child = c)
     override def prettyName: String = "simhash_bits"
-  }
-
-  private val threadMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
-
-  /** First 8 md5 hex chars of the utf8 bytes as an unsigned 32-bit value,
-    * mod P — identical to `conv(substring(md5(s),1,8),16,10) % P` and to
-    * DuckDB's `('0x'||substr(md5(s),1,8))::BIGINT % P`.
-    */
-  private def md5h32(bytes: Array[Byte]): Long = {
-    val d = threadMd5.get()
-    d.reset()
-    val h = d.digest(bytes)
-    (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16)
-      | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % P
   }
 
   /** Distinct hashed word n-gram shingles of a text (whole-text fallback
@@ -161,31 +91,15 @@ object Expressions {
     * space with trailing empties kept, matching Spark's `split(text, " ")`
     * and DuckDB's `string_split(text, ' ')`.
     */
-  case class HashedWordNgrams(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class HashedWordNgrams(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-      val words = text.split(" ", -1)
-      val out = new java.util.LinkedHashSet[java.lang.Long]()
-      if (words.length >= n) {
-        var i = 0
-        while (i <= words.length - n) {
-          val sb = new java.lang.StringBuilder(words(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-          out.add(md5h32(sb.toString.getBytes("UTF-8")))
-          i += 1
-        }
-      } else out.add(md5h32(text.getBytes("UTF-8")))
-      val arr = new Array[Long](out.size)
-      val it = out.iterator()
-      var i = 0
-      while (it.hasNext) { arr(i) = it.next(); i += 1 }
-      new GenericArrayData(arr)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.hashedWordNgrams(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.hashedWordNgrams($c, $n)")
     override protected def withNewChildInternal(c: Expression): HashedWordNgrams = copy(child = c)
     override def prettyName: String = "hashed_word_ngrams"
   }
@@ -196,39 +110,15 @@ object Expressions {
     * matching Spark `substring` and DuckDB `substr` character semantics.
     */
   case class HashedCharNgrams(child: Expression, n: Int, sampleMod: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-      val out = new java.util.LinkedHashSet[java.lang.Long]()
-      val cps = text.codePointCount(0, text.length)
-      if (cps >= n) {
-        var start = 0
-        var i = 0
-        while (i <= cps - n) {
-          val end = {
-            var e = start
-            var k = 0
-            while (k < n) { e = text.offsetByCodePoints(e, 1); k += 1 }
-            e
-          }
-          val h = md5h32(text.substring(start, end).getBytes("UTF-8"))
-          if (h % sampleMod == 0) out.add(h)
-          start = text.offsetByCodePoints(start, 1)
-          i += 1
-        }
-      } else {
-        val h = md5h32(text.getBytes("UTF-8"))
-        if (h % sampleMod == 0) out.add(h)
-      }
-      val arr = new Array[Long](out.size)
-      val it = out.iterator()
-      var i = 0
-      while (it.hasNext) { arr(i) = it.next(); i += 1 }
-      new GenericArrayData(arr)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.hashedCharNgrams(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, sampleMod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.hashedCharNgrams($c, $n, $sampleMod)")
     override protected def withNewChildInternal(c: Expression): HashedCharNgrams = copy(child = c)
     override def prettyName: String = "hashed_char_ngrams"
   }
@@ -243,8 +133,7 @@ object Expressions {
     * score.
     */
   case class DotProduct(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 
@@ -271,21 +160,24 @@ object Expressions {
     @transient private lazy val leftFloat = floatElems(left)
     @transient private lazy val rightFloat = floatElems(right)
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = x.numElements()
-      if (y.numElements() != n) return null
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        val xe = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        val ye = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
-        s += xe * ye
-        i += 1
-      }
-      java.lang.Double.valueOf(s)
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        leftFloat, rightFloat)
+
+    // the result itself is nullable (length mismatch), so the generated
+    // code re-checks the boxed return instead of using defineCodeGen
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("dotResult")
+        s"""
+           |java.lang.Double $tmp = $Kernels.dot($a, $b, $leftFloat, $rightFloat);
+           |if ($tmp == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $tmp.doubleValue();
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
     override def prettyName: String = "dot_product"

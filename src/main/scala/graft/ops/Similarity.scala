@@ -326,12 +326,9 @@ object Similarity {
     * the utf8 bytes mod P — identical to the SQL forms both engines run,
     * so a projection matrix seeded from it replays anywhere.
     */
-  private def h32Const(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16)
-      | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % graft.functions.TextFunctions.P
-  }
+  private def h32Const(s: String): Long =
+    graft.functions.ExprKernels.md5h32(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Hash-sign (Rademacher) random projection to `outDim` dimensions —
     * the Johnson-Lindenstrauss dimensionality reduction that shrinks an

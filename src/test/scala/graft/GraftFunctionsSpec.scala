@@ -56,4 +56,52 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("native expressions stay inside WholeStageCodegen") {
+    import graft.functions.{TextFunctions => T, VectorFunctions => V}
+    import org.apache.spark.sql.functions.col
+    // parquet-backed input so the projection cannot constant-fold away
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val grams = T.hashedWordNgrams(col("text"), 3)
+    // NOTE: simhash60 is deliberately absent here — its word-hash step is
+    // a `transform` higher-order function, and Spark HOFs are themselves
+    // CodegenFallback; the native kernels must not share its fate
+    val qText = docs.select(
+      T.minhashSig(grams, 8).as("mh"),
+      T.simhash60FromHashes(grams).as("sh"))
+    val qVec = embs.select(V.dot(col("embedding"), col("embedding")).as("dp"))
+    // the round-8 contract: no CodegenFallback eviction — the projections
+    // carrying every kernel compile into a WholeStageCodegen stage
+    Seq("text" -> qText, "vector" -> qVec).foreach { case (tag, q) =>
+      // the `*(n)` prefix marks operators compiled into a WholeStageCodegen
+      // stage; before round 8 these projections rendered un-starred
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"), s"$tag: projection not codegen'd:\n$plan")
+    }
+    assert(qText.head.getAs[scala.collection.Seq[Long]]("mh").length == 8)
+    assert(qVec.where(col("dp") < 0).isEmpty) // self-dot is non-negative
+  }
+
+  test("generated and interpreted paths agree bit-for-bit") {
+    GraftFunctions.register(spark)
+    import graft.functions.Expressions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    // evaluate each expression INTERPRETED (direct eval) and compare with
+    // the codegen'd result from a real query over the same input
+    val hashes = Array(7L, 123456789L, 999999999L)
+    val mhInterp = MinHashSig(Literal(new GenericArrayData(hashes),
+      ArrayType(LongType, containsNull = false)), 8)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    val shInterp = SimHashBits(Literal(new GenericArrayData(hashes),
+      ArrayType(LongType, containsNull = false)), 60).eval(null)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array(7L, 123456789L, 999999999L), 8) AS mh, " +
+        "simhash_bits(array(7L, 123456789L, 999999999L), 60) AS sh").head
+    assert(viaSql.getAs[scala.collection.Seq[Long]]("mh").toList == mhInterp.toList)
+    assert(viaSql.getAs[Long]("sh") == shInterp)
+  }
 }
