@@ -218,11 +218,17 @@ object Sketches {
       width: Int = 256, topN: Int = 10): DataFrame = {
     require(depth >= 1 && width >= 2, s"need depth>=1, width>=2; got $depth x $width")
     val rowsIdx = (0 until depth).map(lit(_))
-    val cellOf = (r: Column, k: Column) =>
-      h32(concat(r.cast("string"), lit("_"), k.cast("string"))) % width
+    // ONE md5 per key, then the universal-hash family per CMS row
+    // (the MinHash permutation constants): an md5 per (row, key) concat
+    // measured ~2x the whole build cost at sf0.1, and the
+    // pairwise-independence the CMS bound needs is exactly what
+    // (a_r·h + b_r) mod P provides.
+    val cellOf = (r: Column, h: Column) =>
+      (((r + 1) * lit(2654435761L) % P) * h + (r + 1) * lit(40503L) % P) % P % width
     val cms = df
-      .select(explode(array(rowsIdx: _*)).as("__r"), keyCol.cast("string").as("__k"))
-      .select(col("__r"), cellOf(col("__r"), col("__k")).as("__c"))
+      .select(h32(keyCol.cast("string")).as("__h"))
+      .select(explode(array(rowsIdx: _*)).as("__r"), col("__h"))
+      .select(col("__r"), cellOf(col("__r"), col("__h")).as("__c"))
       .groupBy("__r", "__c").agg(count(lit(1)).as("__cnt"))
     // heaviest keys by exact count; key asc tie-break keeps output stable
     val heavy = df.groupBy(keyCol.cast("string").as("key"))
@@ -230,7 +236,7 @@ object Sketches {
       .orderBy(col("exact_count").desc, col("key")).limit(topN)
     val probes = heavy.select(col("key"), col("exact_count"),
       explode(array(rowsIdx: _*)).as("__r"))
-      .withColumn("__c", cellOf(col("__r"), col("key")))
+      .withColumn("__c", cellOf(col("__r"), h32(col("key"))))
     probes.join(broadcast(cms), Seq("__r", "__c"))
       .groupBy("key", "exact_count")
       .agg(min(col("__cnt")).as("cms_estimate"))

@@ -2198,17 +2198,21 @@ object ExtensionQueries {
       FROM est JOIN ex USING (l_returnflag)
       ORDER BY l_returnflag""",
 
-    // Replay of Sketches.cmsHeavy: same per-row cells
-    // h32(r || '_' || key) % width, min-over-rows point estimates for the
-    // top-N exact keys (count desc, key asc — a total order, so the
-    // boundary set is deterministic on both engines).
+    // Replay of Sketches.cmsHeavy: one md5 per key, then the MinHash
+    // permutation family per CMS row — cell = ((a_r·h + b_r) mod P) mod
+    // width; min-over-rows point estimates for the top-N exact keys
+    // (count desc, key asc — a total order, so the boundary set is
+    // deterministic on both engines).
     "sketch_cms" -> s"""
-      WITH cms AS (
+      WITH h AS (
+        SELECT ('0x'||substr(md5(l_suppkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM lineitem),
+      cms AS (
         SELECT r,
-          ('0x'||substr(md5(r::VARCHAR||'_'||l_suppkey::VARCHAR),1,8))::BIGINT
+          ((((r+1)*2654435761) % $P) * h + ((r+1)*40503) % $P)
             % $P % $CmsWidth AS c,
           count(*) AS cnt
-        FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(r)
+        FROM h CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(r)
         GROUP BY 1, 2),
       heavy AS (
         SELECT l_suppkey::VARCHAR AS key, count(*) AS exact_count
@@ -2216,8 +2220,9 @@ object ExtensionQueries {
         ORDER BY exact_count DESC, key LIMIT $CmsTopN),
       probe AS (
         SELECT key, exact_count, r,
-          ('0x'||substr(md5(r::VARCHAR||'_'||key),1,8))::BIGINT
-            % $P % $CmsWidth AS c
+          ((((r+1)*2654435761) % $P)
+              * (('0x'||substr(md5(key),1,8))::BIGINT % $P)
+            + ((r+1)*40503) % $P) % $P % $CmsWidth AS c
         FROM heavy CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(r))
       SELECT key, exact_count, min(cnt) AS cms_estimate
       FROM probe JOIN cms USING (r, c)
