@@ -84,6 +84,7 @@ object ExtensionQueries {
   private val HllM = 512
   private val NegK = 4
   private val NegBuckets = 64
+  private val AnomK = 3.0
   private val CmsDepth = 4
   private val CmsWidth = 256
   private val CmsTopN = 10
@@ -727,6 +728,23 @@ object ExtensionQueries {
         .orderBy(col("exact_count").desc, col("key"))
     },
 
+    // The incremental-corpus contract IN the gate: sketch three disjoint
+    // shards independently, max-merge the register tables, estimate —
+    // while the oracle sketches the WHOLE table in one pass. Equality is
+    // the union-of-sketches == sketch-of-union property that lets daily
+    // increments keep per-group distinct counts without ever rescanning
+    // history.
+    "sketch_hll_shards" -> { (spark, dir) =>
+      import graft.functions.Sketches
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val shards = (0 until 3).map(s =>
+        Sketches.hllRegisters(li.where(col("l_orderkey") % 3 === s),
+          col("l_partkey"), Seq("l_returnflag"), m = HllM))
+      Sketches.hllEstimate(Sketches.hllMerge(shards, Seq("l_returnflag")),
+          Seq("l_returnflag"), m = HllM)
+        .orderBy("l_returnflag")
+    },
+
     "zorder_layout" -> { (spark, dir) =>
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
@@ -789,6 +807,18 @@ object ExtensionQueries {
 
     "events_gapfill" -> { (spark, dir) =>
       TimeSeries.gapfillHourly(events(spark, dir), "ts", "event_type")
+        .orderBy("event_type", "hour_start")
+    },
+
+    // Composition: rate-anomaly detection = gap-fill |> MAD outliers.
+    // The dense series is what makes the statistic honest — without the
+    // zero-filled hours a silent outage is invisible to any threshold.
+    "events_anomaly" -> { (spark, dir) =>
+      val dense = TimeSeries.gapfillHourly(events(spark, dir), "ts",
+        "event_type")
+      Profile.outliersMad(dense, "n_events", Seq("event_type"), k = AnomK)
+        .where(col("is_outlier"))
+        .select("event_type", "hour_start", "n_events", "robust_z")
         .orderBy("event_type", "hour_start")
     },
 
@@ -2198,6 +2228,31 @@ object ExtensionQueries {
       FROM est JOIN ex USING (l_returnflag)
       ORDER BY l_returnflag""",
 
+    // SEMANTIC oracle: the whole-table sketch in ONE pass — equality with
+    // the Spark side's three-shard max-merge IS the mergeability proof.
+    "sketch_hll_shards" -> s"""
+      WITH h AS (
+        SELECT l_returnflag,
+          ('0x'||substr(md5(l_partkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, h % $HllM AS b,
+          max(CASE WHEN h // $HllM = 0 THEN ${graft.functions.Sketches.RhoCap}
+            ELSE floor(log2(((h // $HllM) & (-(h // $HllM)))::DOUBLE))::BIGINT + 1
+            END) AS m
+        FROM h GROUP BY 1, 2),
+      e AS (
+        SELECT l_returnflag, sum(pow(2.0, -m)) AS inv, count(*) AS nb
+        FROM r GROUP BY 1)
+      SELECT l_returnflag,
+        round(CASE WHEN raw <= (${2.5 * HllM})::DOUBLE AND ($HllM - nb) > 0
+          THEN ($HllM)::DOUBLE * ln(($HllM)::DOUBLE / ($HllM - nb))
+          ELSE raw END, 4) AS hll_estimate
+      FROM (SELECT l_returnflag, nb,
+              (${hllAlphaM2Lit})::DOUBLE / (inv + ($HllM - nb)) AS raw
+            FROM e)
+      ORDER BY l_returnflag""",
+
     // Replay of Sketches.cmsHeavy: one md5 per key, then the MinHash
     // permutation family per CMS row — cell = ((a_r·h + b_r) mod P) mod
     // width; min-over-rows point estimates for the top-N exact keys
@@ -2364,6 +2419,39 @@ object ExtensionQueries {
       SELECT g.event_type, g.hour_start,
         coalesce(c.n_events, 0) AS n_events
       FROM g LEFT JOIN c USING (event_type, hour_start)
+      ORDER BY event_type, hour_start""",
+
+    // Replay of the gapfill |> outliersMad chain: dense counts first,
+    // then discrete median/MAD and the modified z-score on them.
+    "events_anomaly" -> s"""
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      dense AS (
+        SELECT g.event_type, g.hour_start,
+          coalesce(c.n_events, 0) AS n_events
+        FROM (SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+              FROM k CROSS JOIN b) g
+        LEFT JOIN c USING (event_type, hour_start)),
+      med AS (
+        SELECT event_type, quantile_disc(n_events::DOUBLE, 0.5) AS med
+        FROM dense GROUP BY 1),
+      d AS (
+        SELECT dense.*, med,
+          abs(n_events::DOUBLE - med) AS dev
+        FROM dense JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1),
+      scored AS (
+        SELECT event_type, hour_start, n_events, mad,
+          round(0.6745 * (n_events::DOUBLE - med) / mad, 6) + 0.0 AS robust_z
+        FROM d JOIN mad USING (event_type))
+      SELECT event_type, hour_start, n_events, robust_z
+      FROM scored WHERE mad > 0 AND abs(robust_z) > $AnomK
       ORDER BY event_type, hour_start""",
 
     // Replay of Profile.correlation: identical x2^20 fixed-point
