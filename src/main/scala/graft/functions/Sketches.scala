@@ -164,7 +164,10 @@ object Sketches {
   }
 
   /** Merge register tables from disjoint (or overlapping — HLL is a
-    * union sketch) inputs: per-(group, bucket) max.
+    * union sketch) inputs: per-(group, bucket) max. All inputs must have
+    * been built with the SAME `m` (the bucket domain is implicit in the
+    * rows; mixing widths silently corrupts the estimate — persist m next
+    * to any long-lived register table).
     */
   def hllMerge(regTables: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(regTables.nonEmpty, "need at least one register table")

@@ -35,6 +35,9 @@ object Cdc {
     val dataCols = base.columns.filter(_ != keyCol)
     require(changes.columns.contains(versionCol), s"changes needs $versionCol")
     require(changes.columns.contains(opCol), s"changes needs $opCol")
+    val reserved = Seq("__v", "__op", "__rn").filter(base.columns.contains)
+    require(reserved.isEmpty,
+      s"base columns collide with upsert internals: ${reserved.mkString(", ")}")
     val b = base.select(col(keyCol) +: dataCols.map(col) :+
       lit(0L).as("__v") :+ lit("U").as("__op"): _*)
     val c = changes.select(col(keyCol) +: dataCols.map(col) :+
@@ -66,6 +69,10 @@ object Cdc {
       stateCol: String): DataFrame = {
     val byTs = Window.partitionBy(keyCol).orderBy(col(tsCol), col(stateCol))
     val runs = log
+      // a NULL observation time cannot anchor an interval — and it would
+      // also diverge between engines (Spark windows order NULLS FIRST,
+      // DuckDB NULLS LAST), so it is excluded by contract, not by luck
+      .where(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol), col(stateCol))
       .withColumn("__chg",
         when(lag(col(stateCol), 1).over(byTs).isNull ||

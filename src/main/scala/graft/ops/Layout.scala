@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of the low `bits` bits of two non-negative
+  /** Morton interleave of the low `bits` bits of two NON-NEGATIVE
     * integer columns: x's bit b lands at position 2b, y's at 2b+1.
     * A pure 2·`bits`-term integer expression — codegen'd, narrow, and
     * replayable verbatim in any SQL engine (no loops, no UDF).
+    *
+    * Domain contract: callers map keys into [0, 2^bits) first (`pmod`,
+    * bucketing, or epoch-offsetting a timestamp). Values outside still
+    * produce deterministic z-values (both engines shift/mask longs
+    * identically), but high bits are silently IGNORED, so two far-apart
+    * keys can collide onto one curve position and the min-max manifest
+    * loses its pruning tightness — the layout degrades, never corrupts.
     */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")

@@ -129,6 +129,13 @@ object Profile {
     * engine. One map-side-combined aggregation; output is one row per
     * group, never the data. A zero-variance side yields corr = 0 (flagged
     * by n; the convention keeps the output total).
+    *
+    * Magnitude bound (same class as [[outliers]]): the per-row products
+    * x², y², x·y are doubles, so the ×2^20 fixed-point representation is
+    * EXACT only while |product| stays under ~2^33 (~8.6e9); beyond that
+    * round() still evaluates identically on both engines (determinism
+    * holds — the gate cannot flake) but the statistic quietly inherits
+    * double rounding. Winsorize or rescale first for wide-range columns.
     */
   def correlation(df: DataFrame, xCol: String, yCol: String,
       byCols: Seq[String]): DataFrame = {

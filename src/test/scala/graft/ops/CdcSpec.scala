@@ -60,6 +60,24 @@ class CdcSpec extends SparkSpec {
     assert(k2.length == 1 && k2.head.getBoolean(4))
   }
 
+  test("upsert rejects base columns that collide with its internals") {
+    val bad = base.withColumn("__v", org.apache.spark.sql.functions.lit(9L))
+    val changes = Seq((1L, "x", 0.0, 9L, 1L, "U"))
+      .toDF("k", "name", "score", "__v", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.upsert(bad, changes, "k", "v", "op")
+    }
+    assert(e.getMessage.contains("__v"))
+  }
+
+  test("scd2 excludes null observation times by contract") {
+    val log = Seq((1L, Some(10L), "a"), (1L, None, "b"), (1L, Some(20L), "c"))
+      .toDF("k", "ts", "state")
+    val out = Cdc.scd2(log, "k", "ts", "state").orderBy("valid_from").collect()
+    // the null-ts observation anchors nothing; a, c remain
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "c"))
+  }
+
   test("scd2 windows share one partitioning (single exchange before runs)") {
     val log = Seq((1L, 10L, "a")).toDF("k", "ts", "state")
     val plan = Cdc.scd2(log, "k", "ts", "state")
