@@ -90,6 +90,10 @@ object ExtensionQueries {
   private val CmsTopN = 10
   private val ZBits = 16
   private val ZBlock = 4096L
+  private val ZPruneXLo = 100L
+  private val ZPruneXHi = 400L
+  private val ZPruneYLo = 10L
+  private val ZPruneYHi = 60L
   private val ProjIn = 64
   private val ProjOut = 16
   private val MadK = 3.5
@@ -752,6 +756,26 @@ object ExtensionQueries {
       Layout.zorderManifest(li, "x", "y", "id", blockSize = ZBlock,
           bits = ZBits)
         .orderBy("block_id")
+    },
+
+    // End-to-end skipping index: write the Z-order layout (data
+    // partitioned by block + min-max manifest), answer a range query
+    // through manifest pruning — min-max skipping is conservative, so
+    // the result must be IDENTICAL to filtering the raw table, which is
+    // exactly what the oracle does.
+    "zorder_prune" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zprune")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(tmp)))
+      Layout.zorderWrite(li, "x", "y", "id", tmp.toString,
+        blockSize = ZBlock, bits = ZBits)
+      // the synthetic lineitem has duplicate (orderkey, linenumber) pairs,
+      // so id alone is not a total order — x, y break the ties
+      Layout.prunedRead(spark, tmp.toString,
+          ZPruneXLo, ZPruneXHi, ZPruneYLo, ZPruneYHi)
+        .orderBy("id", "x", "y")
     },
 
     // CDC merge over a deterministic synthetic change feed: 1-in-5 of the
@@ -2299,6 +2323,16 @@ object ExtensionQueries {
         min(x) AS min_x, max(x) AS max_x,
         min(y) AS min_y, max(y) AS max_y
       FROM rn GROUP BY 1 ORDER BY 1""",
+
+    // SEMANTIC oracle: min-max block skipping is conservative, so the
+    // manifest-pruned range query equals a direct filter of the raw rows.
+    "zorder_prune" -> s"""
+      SELECT l_partkey AS x, l_suppkey AS y,
+        l_orderkey * 10000 + l_linenumber AS id
+      FROM lineitem
+      WHERE l_partkey BETWEEN $ZPruneXLo AND $ZPruneXHi
+        AND l_suppkey BETWEEN $ZPruneYLo AND $ZPruneYHi
+      ORDER BY id, x, y""",
 
     // SEMANTIC oracle (not a replay): the expected post-merge snapshot
     // stated directly — updates via CASE, deletes via WHERE, inserts via

@@ -45,6 +45,55 @@ class LayoutSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("zorderWrite + prunedRead: directory-level skipping, identical results") {
+    val n = 256 // 16x16 grid
+    val df = (0 until n).map { i => (i.toLong, (i % 16).toLong, (i / 16).toLong) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    try {
+      val manifest = Layout.zorderWrite(df, "x", "y", "id", dir,
+        blockSize = 16, bits = 4)
+      assert(manifest.count() == 16)
+      val pruned = Layout.prunedRead(spark, dir, 0, 3, 0, 3)
+      // correctness: identical to brute-force filtering the raw table
+      val expected = df.where($"x" <= 3 && $"y" <= 3)
+        .select("x", "y", "id").orderBy("id").collect()
+      assert(pruned.orderBy("id").collect().toSeq == expected.toSeq)
+      // skipping: the quadrant is ONE z-block; the scan's own metric
+      // (inputFiles is filter-agnostic) must show one directory read
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      def filesScanned(q: org.apache.spark.sql.DataFrame): Long = {
+        val scans = q.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f }
+        q.count() // drive the metric
+        scans.map(_.metrics("numFiles").value).sum
+      }
+      val allFiles = spark.read.parquet(s"$dir/data").inputFiles.length
+      val readFiles = filesScanned(pruned)
+      assert(readFiles < allFiles, s"no pruning: $readFiles vs $allFiles")
+      // the block predicate must land in PartitionFilters, not data filters
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("block_id"),
+        s"block pruning not partition-level:\n$plan")
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("prunedRead with a fully-missing range returns empty, not an error") {
+    val df = (0 until 64).map { i => (i.toLong, (i % 8).toLong, (i / 8).toLong) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder2").toString
+    try {
+      Layout.zorderWrite(df, "x", "y", "id", dir, blockSize = 16, bits = 3)
+      assert(Layout.prunedRead(spark, dir, 100, 200, 100, 200).isEmpty)
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("zValue rejects out-of-range bits") {
     intercept[IllegalArgumentException] {
       Layout.zValue(lit(1L), lit(1L), bits = 0)
