@@ -684,8 +684,10 @@ final case class GapfillTransformStage(
   }
 }
 
-/** Z-order layout stage over [[Layout.zorderManifest]]: emit the per-block
-  * min-max manifest of the (xCol, yCol) Morton ordering.
+/** Z-order layout stage over [[Layout]]: `manifest` emits the per-block
+  * min-max table of the (xCol, yCol) Morton ordering; `write`
+  * materializes the full skipping index (block-partitioned data +
+  * manifest) under `outputDir` and registers the manifest.
   */
 final case class ZorderTransformStage(
     name: String,
@@ -694,6 +696,8 @@ final case class ZorderTransformStage(
     xCol: String,
     yCol: String,
     idCol: String,
+    method: String = "manifest", // manifest | write
+    outputDir: Option[String] = None,
     blockSize: Long = 4096L,
     bits: Int = 16)
     extends Stage {
@@ -702,7 +706,18 @@ final case class ZorderTransformStage(
     val in = Views.resolve(inputView)
     detail += "inputView" -> inputView
     detail += "outputView" -> outputView
-    val out = Layout.zorderManifest(in, xCol, yCol, idCol, blockSize, bits)
+    detail += "method" -> method
+    val out = method match {
+      case "manifest" =>
+        Layout.zorderManifest(in, xCol, yCol, idCol, blockSize, bits)
+      case "write" =>
+        val dir = outputDir.getOrElse(
+          throw new IllegalArgumentException("write requires outputDir"))
+        detail += "outputDir" -> dir
+        Layout.zorderWrite(in, xCol, yCol, idCol, dir, blockSize, bits)
+      case other =>
+        throw new IllegalArgumentException(s"unknown zorder method '$other'")
+    }
     Views.register(out, outputView)
     Option(out)
   }

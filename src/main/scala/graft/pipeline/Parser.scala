@@ -422,6 +422,10 @@ object Parser {
         keyCol = r.requiredString("keyCol"))
     },
     "ZorderTransform" -> { (r, _) =>
+      val method = r.oneOf("method", Seq("manifest", "write"), "manifest")
+      val outDir = r.string("outputDir")
+      if (method == "write" && outDir.isEmpty)
+        r.error("outputDir", "missing; write requires a target directory")
       ZorderTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -429,6 +433,8 @@ object Parser {
         xCol = r.requiredString("xCol"),
         yCol = r.requiredString("yCol"),
         idCol = r.requiredString("idCol"),
+        method = method,
+        outputDir = outDir,
         blockSize = r.long("blockSize").getOrElse(4096L),
         bits = r.int("bits").getOrElse(16))
     }
@@ -556,7 +562,7 @@ object Parser {
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "tsCol", "keyCol")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
-      "xCol", "yCol", "idCol", "blockSize", "bits"))
+      "xCol", "yCol", "idCol", "method", "outputDir", "blockSize", "bits"))
   )
 
   def parse(

@@ -643,6 +643,40 @@ class ExtensionStagesSpec extends SparkSpec {
       Seq("anchor_id", "i", "neg_id"))
   }
 
+  test("zorder write method materializes the skipping index from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register((0 until 64).map { i =>
+      (i.toLong, (i % 8).toLong, (i / 8).toLong) }.toDF("id", "x", "y"),
+      "zw_in")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    try {
+      val conf = s"""{"stages": [
+        {"type": "ZorderTransform", "name": "zw", "method": "write",
+         "inputView": "zw_in", "outputView": "zw_manifest",
+         "xCol": "x", "yCol": "y", "idCol": "id",
+         "outputDir": "$dir", "blockSize": 16, "bits": 3}
+      ]}"""
+      val Right(p) = Parser.parse(conf,
+        Map("default" -> new ParquetConnector(sf001))): @unchecked
+      Runner.run(p).get
+      assert(spark.table("zw_manifest").count() == 4)
+      assert(Layout.prunedRead(spark, dir, 0, 3, 0, 3).count() == 16)
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+    // write without outputDir is a parse-time error
+    val bad = """{"stages": [
+      {"type": "ZorderTransform", "name": "zw", "method": "write",
+       "inputView": "a", "outputView": "b",
+       "xCol": "x", "yCol": "y", "idCol": "id"}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("outputDir")))
+  }
+
   test("similarity project method parses dims and emits long format") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     val conf = """{"stages": [
