@@ -16,10 +16,20 @@ import org.apache.spark.sql.SparkSession
   *  - `value` is the sum of per-query minimums; `rep_totals` keeps each
   *    repetition's raw total so run-to-run variance is itself measurable.
   *
-  * Operator-persisted intermediates ([[graft.util.Caches]]) are dropped at
-  * the START of every pass, so each repetition measures the same
-  * first-touch work in the same (sorted) query order — per-query
-  * attribution does not depend on what an earlier repetition left cached.
+  * Operator-persisted intermediates ([[graft.util.Caches]]) and Spark's
+  * plan-keyed cache are dropped before EVERY query (the round-9 lesson:
+  * clearing only per pass let a query re-hit blocks an earlier query in
+  * the same pass had persisted — Spark's CacheManager matches by logical
+  * plan, not by DataFrame reference — so per-query times depended on the
+  * query ORDER and diverged from any isolated/cold measurement, which is
+  * how the committed triangle_count baseline and the driver's number came
+  * to disagree by 2.9x). Every query now pays its own first-touch work:
+  * numbers are reproducible in isolation, comparable across rounds, and
+  * independent of what else is in the set.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY` (comma-separated query names) restricts the
+  * run for isolated re-measurement of a flagged query; unknown names fail
+  * loudly rather than silently benching nothing.
   *
   * Output (the round-6 lesson: the harness that consumes this output
   * parses the FINAL JSON line from a bounded window of trailing stdout —
@@ -109,13 +119,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val want = only.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = want.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+        want.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     /** One full pass in sorted order; -1 marks a failure. */
     def pass(): Map[String, Double] = {
-      graft.util.Caches.unpersistAll()
       names.map { name =>
+        // cold-per-query contract: no operator-persisted intermediate or
+        // plan-keyed cached block from an EARLIER query may serve this one
+        graft.util.Caches.unpersistAll()
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }

@@ -25,6 +25,14 @@ object Cdc {
     * favor of the change feed's delete, making replayed feeds idempotent.
     * A winning 'D' removes the key from the snapshot.
     *
+    * The version contract is ENFORCED in-plan: a change row whose version
+    * is null or <= 0 raises at execution time. Without the check, a
+    * version-0 'U' change ties the implicit base row (0,'U') exactly and
+    * the row_number winner becomes layout-dependent, while a null version
+    * silently loses to base under the descending null ordering — both are
+    * out-of-contract feeds that must fail loudly, not produce
+    * nondeterministic output.
+    *
     * Plan: union (schema-aligned, narrow) then ONE shuffle on `keyCol`
     * for the per-key window; the filter afterwards is narrow. Columns
     * beyond the key travel through untouched, so the output schema equals
@@ -40,8 +48,13 @@ object Cdc {
       s"base columns collide with upsert internals: ${reserved.mkString(", ")}")
     val b = base.select(col(keyCol) +: dataCols.map(col) :+
       lit(0L).as("__v") :+ lit("U").as("__op"): _*)
+    val v = col(versionCol).cast("long")
+    val vChecked = when(v.isNotNull && v > 0, v)
+      .otherwise(raise_error(concat(
+        lit(s"Cdc.upsert: $versionCol must be > 0 (base rows own version 0), got "),
+        coalesce(col(versionCol).cast("string"), lit("null")))).cast("long"))
     val c = changes.select(col(keyCol) +: dataCols.map(col) :+
-      col(versionCol).cast("long").as("__v") :+ col(opCol).as("__op"): _*)
+      vChecked.as("__v") :+ col(opCol).as("__op"): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__v").desc, col("__op").asc) // 'D' < 'U': delete wins ties
     b.unionByName(c)

@@ -227,8 +227,12 @@ object Sampling {
     * Mechanism: the corpus hashes into `nBuckets` buckets, each
     * represented by its min id (one small aggregation); draw i for an
     * anchor picks bucket h32(anchor ++ "#" ++ i ++ salt) and takes its
-    * representative. Draws that land on the anchor itself are dropped
-    * (so an anchor can yield < k pairs, and at most one per draw).
+    * representative. Two kinds of draw are dropped, so an anchor can
+    * yield < k pairs: draws that land on the anchor itself, and draws
+    * landing in a bucket no id hashed into (possible whenever `nBuckets`
+    * exceeds the distinct-id count, or hashing leaves gaps) — the inner
+    * join against the representative table has no row to supply. Callers
+    * sizing `nBuckets` near the corpus size should expect the latter.
     *
     * Shape at scale: the representative table is `nBuckets` rows and
     * BROADCASTS; the anchor side is a narrow ×k explode — the corpus

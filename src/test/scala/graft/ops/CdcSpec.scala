@@ -36,6 +36,24 @@ class CdcSpec extends SparkSpec {
     assert(out.head.getString(1) == "v2")
   }
 
+  test("upsert rejects out-of-contract versions loudly (null and <= 0)") {
+    // a version-0 'U' would tie the implicit base row (0,'U') exactly and
+    // make the winner layout-dependent; a null version would silently lose
+    // to base — both must raise, not produce nondeterministic output
+    for (badV <- Seq(Some(0L), None)) {
+      val changes = Seq((2L, "beta2", 25.0, badV, "U"))
+        .toDF("k", "name", "score", "v", "op")
+      val e = intercept[Exception] {
+        Cdc.upsert(base, changes, "k", "v", "op").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          String.valueOf(x.getMessage) +: messages(x.getCause))
+      assert(messages(e).exists(_.contains("must be > 0")),
+        s"version=$badV: expected the contract error, got $e")
+    }
+  }
+
   test("upsert output schema equals base schema") {
     val changes = Seq((9L, "x", 0.0, 1L, "U")).toDF("k", "name", "score", "v", "op")
     assert(Cdc.upsert(base, changes, "k", "v", "op").columns.toSeq ==

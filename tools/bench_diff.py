@@ -36,10 +36,35 @@ def main():
     args = ap.parse_args()
 
     with open(args.bench_json) as f:
-        cand = [json.loads(l) for l in f if l.startswith('{"metric"')]
+        text = f.read()
+    cand = [json.loads(l) for l in text.splitlines()
+            if l.startswith('{"metric"')]
+    if not cand:
+        # The driver archives BENCH_r0N.json as a wrapper object
+        # {"n","rc","tail","parsed"}: "parsed" holds the compact contract
+        # line (which may carry an "omitted" count) and "tail" the last
+        # ~2 KB of stdout, where complete {"metric"...} lines (ideally the
+        # full-precision detail record) may still be recoverable.
+        wrapper = json.loads(text)
+        for line in wrapper.get("tail", "").splitlines():
+            if line.startswith('{"metric"'):
+                try:
+                    cand.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass  # the tail window clips the oldest line mid-object
+        if not cand and isinstance(wrapper.get("parsed"), dict):
+            cand.append(wrapper["parsed"])
+        if not cand:
+            sys.exit(f"no bench record found in {args.bench_json}: neither "
+                     "{\"metric\"...} lines nor a driver wrapper with "
+                     "tail/parsed")
     # prefer the full-precision detail record (carries rep_totals); the
     # compact contract line is for the bounded-tail consumer
     now = next((c for c in cand if c.get("metric") == "detail"), cand[-1])
+    if now.get("omitted"):
+        print(f"note: compact record omits {now['omitted']} fastest queries "
+              "(full-precision detail line unavailable); totals cover the "
+              "reported subset only")
     with open(args.baseline) as f:
         base = json.load(f)
 
