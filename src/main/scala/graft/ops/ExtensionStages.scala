@@ -699,7 +699,10 @@ final case class ZorderTransformStage(
     method: String = "manifest", // manifest | write
     outputDir: Option[String] = None,
     blockSize: Long = 4096L,
-    bits: Int = 16)
+    bits: Int = 16,
+    // write replaces the layout wholesale: the destructive-write latch
+    // (confirm.truncate=true) applies exactly as it does on LoadStage
+    options: Map[String, String] = Map.empty)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -714,7 +717,8 @@ final case class ZorderTransformStage(
         val dir = outputDir.getOrElse(
           throw new IllegalArgumentException("write requires outputDir"))
         detail += "outputDir" -> dir
-        Layout.zorderWrite(in, xCol, yCol, idCol, dir, blockSize, bits)
+        Layout.zorderWrite(in, xCol, yCol, idCol, dir, blockSize, bits,
+          options)
       case other =>
         throw new IllegalArgumentException(s"unknown zorder method '$other'")
     }

@@ -1,51 +1,64 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Multi-dimensional data layout (Z-ordering).
   *
   * A 100 TB table is pruned, not scanned: engines skip whole files/row
   * groups whose min-max ranges exclude the predicate. A single-column
   * sort gives perfect ranges on one key and useless ones on every other;
-  * interleaving the bits of two keys (the Morton / Z-order curve, Morton
-  * 1966 — the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`)
-  * makes rows close in EITHER key land in the same blocks, so min-max
-  * pruning works for both. This operator computes the curve position,
-  * range-sorts by it (Spark's global sort = one range-partitioned
-  * shuffle, no driver involvement), carves blocks of `blockSize` rows,
-  * and emits the per-block min-max manifest — exactly the statistics a
-  * scan planner consults, so the manifest doubles as a direct measure of
-  * pruning power (tight, non-overlapping ranges in BOTH dimensions).
+  * interleaving the bits of k keys (the Morton / Z-order curve, Morton
+  * 1966 — the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`,
+  * which accepts N columns) makes rows close in ANY key land in the same
+  * blocks, so min-max pruning works for all of them. This operator
+  * computes the curve position, range-sorts by it (Spark's global sort =
+  * one range-partitioned shuffle, no driver involvement), carves blocks
+  * of `blockSize` rows, and emits the per-block min-max manifest —
+  * exactly the statistics a scan planner consults, so the manifest
+  * doubles as a direct measure of pruning power (tight, non-overlapping
+  * ranges in EVERY dimension).
   */
 object Layout {
 
-  /** Morton interleave of the low `bits` bits of two NON-NEGATIVE
-    * integer columns: x's bit b lands at position 2b, y's at 2b+1.
-    * A pure 2·`bits`-term integer expression — codegen'd, narrow, and
-    * replayable verbatim in any SQL engine (no loops, no UDF).
+  /** Morton interleave of the low `bits` bits of k NON-NEGATIVE integer
+    * columns: column j's bit b lands at position k*b + j. A pure
+    * k·`bits`-term integer expression — codegen'd, narrow, and replayable
+    * verbatim in any SQL engine (no loops, no UDF).
     *
     * Domain contract: callers map keys into [0, 2^bits) first (`pmod`,
     * bucketing, or epoch-offsetting a timestamp). Values outside still
-    * produce deterministic z-values (both engines shift/mask longs
+    * produce deterministic z-values (engines shift/mask longs
     * identically), but high bits are silently IGNORED, so two far-apart
     * keys can collide onto one curve position and the min-max manifest
     * loses its pruning tightness — the layout degrades, never corrupts.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xs = x.cast("long"); val ys = y.cast("long")
-    (0 until bits).map { b =>
-      val xbit = shiftleft(shiftright(xs, b).bitwiseAND(1L), 2 * b)
-      val ybit = shiftleft(shiftright(ys, b).bitwiseAND(1L), 2 * b + 1)
-      (xbit + ybit): Column
-    }.reduce(_ + _)
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"need >= 2 columns to interleave, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"need bits >= 1 and k*bits <= 62 (positive-long positions), got k=$k bits=$bits")
+    val longs = cols.map(_.cast("long"))
+    (for {
+      b <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(1L), k * b + j): Column)
+      .reduce(_ + _)
   }
 
-  /** Z-order `df` by (`xCol`, `yCol`) and return the block manifest:
-    * one row per `blockSize`-row block with n_rows and min/max of both
-    * dimensions. `idCol` breaks z-value ties so the layout is total and
-    * reproducible.
+  /** Two-column Morton interleave: x's bit b at position 2b, y's at
+    * 2b+1 — [[zValueN]] with k=2, kept as the common-case entry point.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    zValueN(Seq(x, y), bits)
+  }
+
+  /** Z-order `df` by `cols` and return the block manifest: one row per
+    * `blockSize`-row block with n_rows and min/max of every dimension
+    * (columns `min_<c>` / `max_<c>` in `cols` order). `idCol` breaks
+    * z-value ties so the layout is total and reproducible.
     *
     * Plan shape: one narrow projection (the z expression), ONE
     * range-partitioned sort shuffle (`repartitionByRange` +
@@ -57,52 +70,67 @@ object Layout {
     * scale the sorted writer emits the data files and this manifest
     * becomes the skipping index a scan planner consults.
     */
+  def zorderManifestN(df: DataFrame, cols: Seq[String], idCol: String,
+      blockSize: Long, bits: Int = 16): DataFrame =
+    manifestOf(blockAssignedN(df, cols, idCol, blockSize, bits), cols)
+
+  /** Two-dimensional [[zorderManifestN]] (columns surfaced as x/y). */
   def zorderManifest(df: DataFrame, xCol: String, yCol: String,
       idCol: String, blockSize: Long, bits: Int = 16): DataFrame =
-    blockAssigned(df, xCol, yCol, idCol, blockSize, bits)
-      .groupBy("block_id")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min("x").as("min_x"), max("x").as("max_x"),
-        min("y").as("min_y"), max("y").as("max_y"))
+    zorderManifestN(asXY(df, xCol, yCol, idCol), Seq("x", "y"), "id",
+      blockSize, bits)
 
-  /** (block_id, x, y, id) for every input row under the Z-order layout —
-    * shared by the manifest aggregation and the partitioned writer.
+  private def asXY(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame =
+    df.select(col(xCol).as("x"), col(yCol).as("y"), col(idCol).as("id"))
+
+  private def manifestOf(assigned: DataFrame, cols: Seq[String]): DataFrame =
+    assigned.groupBy("block_id")
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c =>
+          Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
+
+  /** (block_id, cols..., id) for every input row under the Z-order
+    * layout — shared by the manifest aggregation and the partitioned
+    * writer.
     */
-  private def blockAssigned(df: DataFrame, xCol: String, yCol: String,
-      idCol: String, blockSize: Long, bits: Int): DataFrame = {
+  private def blockAssignedN(df: DataFrame, cols: Seq[String], idCol: String,
+      blockSize: Long, bits: Int): DataFrame = {
     require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val k = cols.size
     val spark = df.sparkSession
-    import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
     // persisted: the offset pass and the assignment pass must read the
     // SAME materialized partitions (range boundaries are sampled)
     val sorted = graft.util.Caches.persist(
-      df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
-          col(idCol).cast("long").as("id"))
-        .withColumn("z", zValue(col("x"), col("y"), bits))
-        .repartitionByRange(n, col("z"), col("id"))
-        .sortWithinPartitions("z", "id"))
+      df.select(cols.map(c => col(c).cast("long").as(c)) :+
+          col(idCol).cast("long").as("__zid"): _*)
+        .withColumn("z", zValueN(cols.map(col), bits))
+        .repartitionByRange(n, col("z"), col("__zid"))
+        .sortWithinPartitions("z", "__zid"))
     val nParts = sorted.rdd.getNumPartitions
     val counts: Array[(Int, Long)] = sorted
       .mapPartitions { rows =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         Iterator.single((pid, rows.size.toLong))
-      }
+      }(Encoders.product[(Int, Long)])
       .collect()
     val offsets = new Array[Long](nParts)
     counts.foreach { case (pid, c) => if (pid + 1 < nParts) offsets(pid + 1) = c }
     for (i <- 1 until nParts) offsets(i) += offsets(i - 1)
     val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(
+      StructField("block_id", LongType, nullable = false) +:
+        cols.map(StructField(_, LongType)) :+ StructField("id", LongType))
     sorted.mapPartitions { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var rn = bOffsets.value(pid)
       rows.map { r =>
         val block = rn / blockSize
         rn += 1
-        (block, r.getLong(0), r.getLong(1), r.getLong(2))
+        Row.fromSeq(block +: (0 to k).map(r.getLong(_)))
       }
-    }.toDF("block_id", "x", "y", "id")
+    }(Encoders.row(outSchema))
   }
 
   /** Materialize the Z-order layout as a SKIPPING INDEX: the data lands
@@ -111,45 +139,79 @@ object Layout {
     * blocks), and the per-block min-max manifest lands under
     * `outDir/manifest`. Returns the manifest.
     *
+    * Replacing a layout is DESTRUCTIVE (mode Overwrite on both data and
+    * manifest), so it sits behind the same latch as every other
+    * destructive write in the engine: callers must pass
+    * `confirm.truncate=true` in `options`
+    * (ref: CassandraLoadSuite.scala:104 — DataStax connector semantics).
+    *
     * This is the mechanic behind Delta/Iceberg `OPTIMIZE ZORDER BY` +
     * data skipping, expressed with plain parquet: at 100 TB the manifest
     * is rows/blockSize tiny rows, and [[prunedRead]] consults it instead
     * of the data.
     */
-  def zorderWrite(df: DataFrame, xCol: String, yCol: String, idCol: String,
-      outDir: String, blockSize: Long, bits: Int = 16): DataFrame = {
-    val assigned = blockAssigned(df, xCol, yCol, idCol, blockSize, bits)
+  def zorderWriteN(df: DataFrame, cols: Seq[String], idCol: String,
+      outDir: String, blockSize: Long, bits: Int = 16,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    if (!options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        "zorderWrite overwrites the layout under " + outDir +
+          ": pass confirm.truncate=true (destructive-write latch)")
+    val assigned = blockAssignedN(df, cols, idCol, blockSize, bits)
     assigned.write.partitionBy("block_id").mode("overwrite")
       .parquet(s"$outDir/data")
-    val manifest = assigned.groupBy("block_id")
-      .agg(count(lit(1)).as("n_rows"),
-        min("x").as("min_x"), max("x").as("max_x"),
-        min("y").as("min_y"), max("y").as("max_y"))
+    val manifest = manifestOf(assigned, cols)
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     df.sparkSession.read.parquet(s"$outDir/manifest")
   }
 
-  /** Range query over a [[zorderWrite]] layout, manifest-pruned: blocks
-    * whose min-max rectangle misses [xLo,xHi]×[yLo,yHi] are skipped at
-    * the DIRECTORY level (an `isin` over block_id becomes a
-    * PartitionFilter), the row-level range predicate then runs only
-    * inside surviving blocks.
+  /** Two-dimensional [[zorderWriteN]] (columns surfaced as x/y). */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, idCol: String,
+      outDir: String, blockSize: Long, bits: Int = 16,
+      options: Map[String, String] = Map.empty): DataFrame =
+    zorderWriteN(asXY(df, xCol, yCol, idCol), Seq("x", "y"), "id", outDir,
+      blockSize, bits, options)
+
+  /** Range query over a [[zorderWriteN]] layout, manifest-pruned: blocks
+    * whose min-max box misses the query box (`ranges` = (col, lo, hi)
+    * per dimension, a subset of the layout's columns) are skipped at the
+    * DIRECTORY level, the row-level range predicate then runs only
+    * inside surviving blocks. Output: the ranged columns then `id`, in
+    * layout order.
     *
-    * Driver footprint: the surviving block-id LIST (manifest rows, never
-    * data). Because min-max pruning is conservative, the result is
-    * IDENTICAL to filtering the raw table — the gate asserts exactly
-    * that equivalence.
+    * The surviving blocks reach the scan as a broadcast semi-join of the
+    * pruned manifest on `block_id` — Spark's dynamic partition pruning
+    * turns the broadcast into a directory-level PartitionFilter
+    * (asserted in LayoutSpec), so NOTHING about the block list ever
+    * lands in the plan or on the driver: at 100 TB with small blocks a
+    * collected `isin` literal list would be millions of entries of plan
+    * bloat, while the manifest-side broadcast stays one small table.
+    * Because min-max pruning is conservative, the result is IDENTICAL to
+    * filtering the raw table — the gate asserts exactly that
+    * equivalence.
     */
-  def prunedRead(spark: org.apache.spark.sql.SparkSession, outDir: String,
-      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
-    require(xLo <= xHi && yLo <= yHi, "empty range")
+  def prunedReadN(spark: SparkSession, outDir: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one range")
+    ranges.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"empty range on $c: [$lo, $hi]")
+    }
+    val blockCond = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
     val keep = spark.read.parquet(s"$outDir/manifest")
-      .where(col("min_x") <= xHi && col("max_x") >= xLo &&
-        col("min_y") <= yHi && col("max_y") >= yLo)
-      .select("block_id").collect().map(_.getLong(0))
+      .where(blockCond).select("block_id")
+    val rowCond = ranges.map { case (c, lo, hi) =>
+      col(c).between(lo, hi)
+    }.reduce(_ && _)
     spark.read.parquet(s"$outDir/data")
-      .where(col("block_id").isin(keep.map(Long.box): _*))
-      .where(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
-      .select("x", "y", "id")
+      .join(broadcast(keep), Seq("block_id"), "left_semi")
+      .where(rowCond)
+      .select(ranges.map(r => col(r._1)) :+ col("id"): _*)
   }
+
+  /** Two-dimensional [[prunedReadN]] over an x/y layout. */
+  def prunedRead(spark: SparkSession, outDir: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame =
+    prunedReadN(spark, outDir, Seq(("x", xLo, xHi), ("y", yLo, yHi)))
 }

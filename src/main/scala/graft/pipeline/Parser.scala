@@ -436,7 +436,8 @@ object Parser {
         method = method,
         outputDir = outDir,
         blockSize = r.long("blockSize").getOrElse(4096L),
-        bits = r.int("bits").getOrElse(16))
+        bits = r.int("bits").getOrElse(16),
+        options = r.stringMap("params"))
     }
   )
 
@@ -562,7 +563,8 @@ object Parser {
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "tsCol", "keyCol")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
-      "xCol", "yCol", "idCol", "method", "outputDir", "blockSize", "bits"))
+      "xCol", "yCol", "idCol", "method", "outputDir", "blockSize", "bits",
+      "params"))
   )
 
   def parse(

@@ -128,13 +128,20 @@ object ExtensionQueries {
   }
 
   /** The Morton interleave as portable SQL — generated from the same bit
-    * positions as Layout.zValue so both engines evaluate the identical
-    * 2·bits-term integer expression.
+    * positions as Layout.zValueN (column j's bit b at position k*b+j) so
+    * both engines evaluate the identical k·bits-term integer expression.
     */
+  private def zorderSqlExprN(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    (for {
+      b <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield s"((($c >> $b) & 1) << ${k * b + j})")
+      .mkString("(", " + ", ")")
+  }
+
   private def zorderSqlExpr(x: String, y: String, bits: Int): String =
-    (0 until bits).map { b =>
-      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
-    }.mkString("(", " + ", ")")
+    zorderSqlExprN(Seq(x, y), bits)
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (spark, dir) =>
@@ -772,6 +779,19 @@ object ExtensionQueries {
         .orderBy("block_id")
     },
 
+    // N-dimensional Z-order (Delta/Iceberg OPTIMIZE ZORDER BY parity —
+    // real tables hit 3+ clustering dimensions quickly): the same layout
+    // over THREE interleaved bit-streams, manifest tight in all three.
+    "zorder_layout3" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          col("l_quantity").cast("long").as("q"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      Layout.zorderManifestN(li, Seq("x", "y", "q"), "id",
+          blockSize = ZBlock, bits = ZBits)
+        .orderBy("block_id")
+    },
+
     // End-to-end skipping index: write the Z-order layout (data
     // partitioned by block + min-max manifest), answer a range query
     // through manifest pruning — min-max skipping is conservative, so
@@ -785,7 +805,8 @@ object ExtensionQueries {
       // manifest wholesale, so reuse across invocations is clean
       val tmp = scratchDir("graft_zprune")
       Layout.zorderWrite(li, "x", "y", "id", tmp.toString,
-        blockSize = ZBlock, bits = ZBits)
+        blockSize = ZBlock, bits = ZBits,
+        options = Map("confirm.truncate" -> "true"))
       // the synthetic lineitem has duplicate (orderkey, linenumber) pairs,
       // so id alone is not a total order — x, y break the ties
       Layout.prunedRead(spark, tmp.toString,
@@ -914,6 +935,53 @@ object ExtensionQueries {
       }
       spark.read.parquet(s"$tmp/deduped.parquet")
         .orderBy("user_id", "event_type")
+    },
+
+    // TRUE arbitrary-state streaming, batch-verified: the events table
+    // streams in as three micro-batches through mapGroupsWithState
+    // (StreamingOps.runningCountsPerKey — one long of state per key);
+    // every micro-batch appends its cumulative (key, total) emissions to
+    // the sink. The LAST cumulative value per key equals the key's total
+    // event count REGARDLESS of how the input split into batches, so
+    // max(running_total) replays as a plain GROUP BY count in the oracle —
+    // and any state lost or double-counted across micro-batches breaks
+    // the hash.
+    "streaming_state" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      import spark.implicits._
+      val tmp = scratchDir("graft_sstate")
+      // the sink is APPEND-mode: clear the previous invocation's output
+      rmrf(tmp.resolve("counts.parquet")); rmrf(tmp.resolve("_checkpoint"))
+      val in = tmp.resolve("in")
+      Tables.eventsRaw(spark, dir).repartition(3)
+        .write.parquet(in.toString)
+      val stream = spark.readStream
+        .schema(Tables.eventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val typed = stream.select(col("user_id").cast("string")).as[String]
+        .map((_, 1L))
+      val running = StreamingOps.runningCountsPerKey(typed)(spark)
+      val q = graft.streaming.StreamingSink.foreachBatchLoad(
+        running.toDF("user_id", "running_total"),
+        new graft.connect.ParquetConnector(tmp.toString), "counts",
+        checkpointDir = s"$tmp/_checkpoint",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 data micro-batches, saw $batches — the " +
+            "cross-batch mapGroupsWithState path was not exercised")
+      } finally {
+        q.stop()
+        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      }
+      spark.read.parquet(s"$tmp/counts.parquet")
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(max("running_total").as("n_events"))
+        .orderBy("user_id")
     }
   )
 
@@ -2341,6 +2409,25 @@ object ExtensionQueries {
         min(y) AS min_y, max(y) AS max_y
       FROM rn GROUP BY 1 ORDER BY 1""",
 
+    // Replay of Layout.zorderManifestN with k=3: the identical
+    // 3x16-term interleave (l_quantity is integral 1..50, so the
+    // double->BIGINT cast agrees between engines' truncate-vs-round).
+    "zorder_layout3" -> s"""
+      WITH base AS (
+        SELECT l_partkey AS x, l_suppkey AS y,
+          CAST(l_quantity AS BIGINT) AS q,
+          l_orderkey * 10000 + l_linenumber AS id
+        FROM lineitem),
+      z AS (SELECT x, y, q, id,
+        ${zorderSqlExprN(Seq("x", "y", "q"), ZBits)} AS z FROM base),
+      rn AS (
+        SELECT x, y, q, row_number() OVER (ORDER BY z, id) - 1 AS rn FROM z)
+      SELECT rn // $ZBlock AS block_id, count(*) AS n_rows,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y,
+        min(q) AS min_q, max(q) AS max_q
+      FROM rn GROUP BY 1 ORDER BY 1""",
+
     // SEMANTIC oracle: min-max block skipping is conservative, so the
     // manifest-pruned range query equals a direct filter of the raw rows.
     "zorder_prune" -> s"""
@@ -2554,6 +2641,13 @@ object ExtensionQueries {
     // keys == batch DISTINCT, regardless of micro-batch arrival order.
     "streaming_dedup" -> """
       SELECT DISTINCT user_id, event_type FROM events
-      ORDER BY user_id, event_type"""
+      ORDER BY user_id, event_type""",
+
+    // SEMANTIC oracle: the final cumulative mapGroupsWithState emission
+    // per key equals the key's total event count, however the stream was
+    // micro-batched.
+    "streaming_state" -> """
+      SELECT user_id, count(*) AS n_events FROM events
+      GROUP BY user_id ORDER BY user_id"""
   )
 }

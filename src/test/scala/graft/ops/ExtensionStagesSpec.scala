@@ -655,7 +655,8 @@ class ExtensionStagesSpec extends SparkSpec {
         {"type": "ZorderTransform", "name": "zw", "method": "write",
          "inputView": "zw_in", "outputView": "zw_manifest",
          "xCol": "x", "yCol": "y", "idCol": "id",
-         "outputDir": "$dir", "blockSize": 16, "bits": 3}
+         "outputDir": "$dir", "blockSize": 16, "bits": 3,
+         "params": {"confirm.truncate": "true"}}
       ]}"""
       val Right(p) = Parser.parse(conf,
         Map("default" -> new ParquetConnector(sf001))): @unchecked

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  private val confirm = Map("confirm.truncate" -> "true")
+
   test("zValue interleaves bits (known Morton values)") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L))
       .toDF("x", "y")
@@ -52,7 +54,7 @@ class LayoutSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     try {
       val manifest = Layout.zorderWrite(df, "x", "y", "id", dir,
-        blockSize = 16, bits = 4)
+        blockSize = 16, bits = 4, options = confirm)
       assert(manifest.count() == 16)
       val pruned = Layout.prunedRead(spark, dir, 0, 3, 0, 3)
       // correctness: identical to brute-force filtering the raw table
@@ -71,10 +73,16 @@ class LayoutSpec extends SparkSpec {
       val allFiles = spark.read.parquet(s"$dir/data").inputFiles.length
       val readFiles = filesScanned(pruned)
       assert(readFiles < allFiles, s"no pruning: $readFiles vs $allFiles")
-      // the block predicate must land in PartitionFilters, not data filters
+      // the surviving blocks must reach the scan as a DYNAMIC partition
+      // filter (the manifest semi-join broadcast), never as a collected
+      // literal list — at 100 TB an isin of block ids is plan bloat
       val plan = pruned.queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") && plan.contains("block_id"),
         s"block pruning not partition-level:\n$plan")
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"manifest semi-join did not become a dynamic partition filter:\n$plan")
+      assert(!plan.contains("block_id IN"),
+        s"collected literal block list found in plan:\n$plan")
     } finally {
       graft.util.Caches.unpersistAll()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -86,8 +94,82 @@ class LayoutSpec extends SparkSpec {
       .toDF("id", "x", "y")
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder2").toString
     try {
-      Layout.zorderWrite(df, "x", "y", "id", dir, blockSize = 16, bits = 3)
+      Layout.zorderWrite(df, "x", "y", "id", dir, blockSize = 16, bits = 3,
+        options = confirm)
       assert(Layout.prunedRead(spark, dir, 100, 200, 100, 200).isEmpty)
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("zorderWrite refuses to overwrite without the truncate latch") {
+    val df = Seq((1L, 1L, 1L)).toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zlatch").toString
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Layout.zorderWrite(df, "x", "y", "id", dir, blockSize = 16, bits = 3)
+      }
+      assert(e.getMessage.contains("confirm.truncate"))
+      // nothing was written before the latch fired
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "data")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("zValueN interleaves three bit-streams (known values)") {
+    val df = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+        (5L, 3L, 6L))
+      .toDF("x", "y", "w")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("w")), bits = 3).as("z"))
+    // x=101, y=011, w=110; col j's bit b lands at 3b+j:
+    // b0: x->1, y->2; b1: y->16, w->32; b2: x->64, w->256  => 371
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 4L, 371L))
+  }
+
+  test("zValueN with k=2 equals zValue bit-for-bit") {
+    val pts = for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)
+    val diff = pts.toDF("x", "y")
+      .where(Layout.zValue(col("x"), col("y"), 3) =!=
+        Layout.zValueN(Seq(col("x"), col("y")), 3))
+    assert(diff.isEmpty)
+  }
+
+  test("zorderManifestN blocks are tight in ALL THREE dimensions") {
+    // 8x8x8 cube, one row per cell; 64-row z-blocks are 4x4x4 sub-cubes
+    val df = (0 until 512).map { i =>
+      (i.toLong, (i % 8).toLong, ((i / 8) % 8).toLong, (i / 64).toLong)
+    }.toDF("id", "x", "y", "w")
+    val man = Layout.zorderManifestN(df, Seq("x", "y", "w"), "id",
+        blockSize = 64, bits = 3)
+      .orderBy("block_id").collect()
+    assert(man.map(_.getLong(1)).sum == 512)
+    assert(man.length == 8)
+    man.foreach { r =>
+      // schema: block_id, n_rows, min_x, max_x, min_y, max_y, min_w, max_w
+      assert(r.getLong(3) - r.getLong(2) == 3, s"x range loose: $r")
+      assert(r.getLong(5) - r.getLong(4) == 3, s"y range loose: $r")
+      assert(r.getLong(7) - r.getLong(6) == 3, s"w range loose: $r")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("3-D write + prunedReadN: identical to raw filter, partition-pruned") {
+    val df = (0 until 512).map { i =>
+      (i.toLong, (i % 8).toLong, ((i / 8) % 8).toLong, (i / 64).toLong)
+    }.toDF("id", "x", "y", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    try {
+      Layout.zorderWriteN(df, Seq("x", "y", "w"), "id", dir,
+        blockSize = 64, bits = 3, options = confirm)
+      val pruned = Layout.prunedReadN(spark, dir,
+        Seq(("x", 0L, 3L), ("y", 0L, 3L), ("w", 0L, 3L)))
+      val expected = df.where($"x" <= 3 && $"y" <= 3 && $"w" <= 3)
+        .select("x", "y", "w", "id").orderBy("id").collect()
+      assert(pruned.orderBy("id").collect().toSeq == expected.toSeq)
+      assert(pruned.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"))
     } finally {
       graft.util.Caches.unpersistAll()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
