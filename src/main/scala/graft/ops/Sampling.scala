@@ -131,6 +131,50 @@ object Sampling {
     out.toDF(idCol, tokenCol, "shard")
   }
 
+  /** Deterministic global corpus shuffle: every row gets a stable
+    * 0-based `pos` under the total order (h32(id ++ salt), id) — the
+    * shuffle a training pipeline runs before sharding so batch
+    * composition is decorrelated from ingest order, reproducible across
+    * runs and engines, re-dealt per epoch by changing `salt`.
+    *
+    * Scale shape: ONE range-partitioned sort on the salted hash (the
+    * global-sort machinery — no single-partition window anywhere), then
+    * positions from per-partition count offsets exactly like
+    * [[shardByBudget]]'s prefix sum: one row per PARTITION to the
+    * driver, never data. Equal to `row_number() OVER (ORDER BY h, id) - 1`
+    * computed scalably.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String = "",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // persisted: the count pass and the position pass must read the SAME
+    // materialized partitions (range boundaries are sampled)
+    val slim = graft.util.Caches.persist(
+      df.select(col(idCol).cast("long").as("id"))
+        .withColumn("__h", keyOf(col("id"), salt))
+        .repartitionByRange(n, col("__h"), col("id"))
+        .sortWithinPartitions("__h", "id"))
+    val nParts = slim.rdd.getNumPartitions
+    val counts: Array[(Int, Long)] = slim
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        Iterator.single((pid, rows.size.toLong))
+      }
+      .collect()
+    val offsets = new Array[Long](nParts)
+    counts.foreach { case (pid, c) => if (pid + 1 < nParts) offsets(pid + 1) = c }
+    for (i <- 1 until nParts) offsets(i) += offsets(i - 1)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    slim.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var pos = bOffsets.value(pid)
+      rows.map { r => val p = pos; pos += 1; (r.getLong(0), p) }
+    }.toDF(idCol, "pos")
+  }
+
   /** Mixture UPSAMPLING: replicate each row `weight(stratum)` times,
     * where fractional weights resolve per row via the same deterministic
     * h32 draw as [[deterministic]] — weight 2.3 yields 2 copies always

@@ -92,6 +92,7 @@ object ExtensionQueries {
   private val StratRates = Map("en" -> 0.5, "de" -> 0.1)
   private val StratDefault = 1.0
   private val ShardBudget = 50000L
+  private val ShuffleSalt = "ep0"
   private val UpWeights = Map("de" -> 2.3, "en" -> 0.5)
   private val UpDefault = 1.0
   private val WtopK = 100
@@ -303,6 +304,16 @@ object ExtensionQueries {
       Sampling.deterministic(docs(spark, dir), "doc_id", SampleRate)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // Epoch shuffle: the whole corpus dealt into a reproducible order by
+    // (h32(id ++ salt), id) — one range-sort, positions from partition
+    // offsets, no global window. The oracle IS the one-partition window
+    // form the operator deliberately avoids; they must agree exactly.
+    "shuffle_deterministic" -> { (spark, dir) =>
+      Sampling.deterministicShuffle(docs(spark, dir), "doc_id",
+          salt = ShuffleSalt)
+        .orderBy("pos")
     },
 
     "sample_stratified" -> { (spark, dir) =>
@@ -982,6 +993,58 @@ object ExtensionQueries {
         .groupBy(col("user_id").cast("long").as("user_id"))
         .agg(max("running_total").as("n_events"))
         .orderBy("user_id")
+    },
+
+    // TRUE streaming sessionization, batch-verified: the events table
+    // streams in as three micro-batches through session_window (30 min
+    // gap) in Complete mode — the round-robin file split scatters a
+    // user's events across batches, so the state store must MERGE
+    // sessions when a bridging event arrives late. Complete mode holds
+    // every session, so the final sink equals the batch lag+cumsum
+    // islands form, which is exactly what the oracle replays (gap logic
+    // at MICROSECOND precision on both sides — Spark's session_window
+    // operates on the us timestamps, so the oracle must not round to ms
+    // before comparing against the gap).
+    "streaming_session" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val tmp = scratchDir("graft_ssess")
+      val in = tmp.resolve("in")
+      Tables.eventsRaw(spark, dir).repartition(3)
+        .write.parquet(in.toString)
+      val stream = spark.readStream
+        .schema(Tables.eventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // the watermark is sized far past the data range (the
+      // streaming_dedup pattern): session_window DROPS late input rows
+      // even in Complete mode (measured: a 2h watermark lost 3314/10000
+      // events to the round-robin file split), and a gate result must
+      // not depend on which file a row landed in
+      val sess = StreamingOps.sessionWindows(stream, "ts", "user_id",
+        gap = "30 minutes", watermark = Some("100000 hours"))
+      val q = graft.streaming.StreamingSink.foreachBatchLoad(
+        sess.select(col("key").as("user_id"),
+          unix_millis(col("session_start")).as("session_start_ms"),
+          col("n_events")),
+        new graft.connect.ParquetConnector(tmp.toString), "sessions",
+        checkpointDir = s"$tmp/_checkpoint",
+        mode = org.apache.spark.sql.SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true"),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 data micro-batches, saw $batches — the " +
+            "cross-batch session-merge path was not exercised")
+      } finally {
+        q.stop()
+        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      }
+      spark.read.parquet(s"$tmp/sessions.parquet")
+        .orderBy("user_id", "session_start_ms")
     }
   )
 
@@ -1556,6 +1619,14 @@ object ExtensionQueries {
       WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P
         < ${sampleThreshold(SampleRate)}
       ORDER BY doc_id""",
+
+    // Replay of Sampling.deterministicShuffle as the one-partition
+    // window form: row_number over (h32(id ++ salt), id).
+    "shuffle_deterministic" -> s"""
+      SELECT doc_id, row_number() OVER (
+          ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || '$ShuffleSalt'),1,8))::BIGINT % $P,
+            doc_id) - 1 AS pos
+      FROM documents ORDER BY pos""",
 
     // Replay of Sampling.stratified: per-lang thresholds via CASE.
     "sample_stratified" -> s"""
@@ -2648,6 +2719,27 @@ object ExtensionQueries {
     // micro-batched.
     "streaming_state" -> """
       SELECT user_id, count(*) AS n_events FROM events
-      GROUP BY user_id ORDER BY user_id"""
+      GROUP BY user_id ORDER BY user_id""",
+
+    // Replay of session_window as lag+cumsum islands. Gap comparison in
+    // MICROSECONDS (epoch_us) — the precision session_window sees; only
+    // the reported session start rounds to ms (floor, both engines).
+    "streaming_session" -> """
+      WITH gaps AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+          THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      runs AS (
+        SELECT user_id, us,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps)
+      SELECT user_id, min(us) // 1000 AS session_start_ms,
+        count(*) AS n_events
+      FROM runs GROUP BY user_id, sid
+      ORDER BY user_id, session_start_ms"""
   )
 }

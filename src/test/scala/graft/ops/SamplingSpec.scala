@@ -78,6 +78,32 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"single-partition window in plan:\n$plan")
   }
 
+  test("deterministicShuffle equals the single-partition window form") {
+    val shuffled = Sampling.deterministicShuffle(docs, "doc_id",
+      salt = "ep0", numPartitions = 7)
+    docs.createOrReplaceTempView("sh_docs")
+    val oracle = spark.sql(s"""
+      SELECT doc_id, row_number() OVER (
+          ORDER BY CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), 'ep0')), 1, 8), 16, 10) AS BIGINT) % ${graft.functions.TextFunctions.P},
+            doc_id) - 1 AS pos
+      FROM sh_docs""")
+    assert(datasetEquality(oracle, shuffled))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("deterministicShuffle: permutation of 0..n-1, re-dealt by salt, no window") {
+    val n = docs.count()
+    val s1 = Sampling.deterministicShuffle(docs, "doc_id", salt = "ep0")
+    assert(s1.agg(min("pos"), max("pos"), countDistinct("pos"))
+      .as[(Long, Long, Long)].head() == (0L, n - 1, n))
+    val s2 = Sampling.deterministicShuffle(docs, "doc_id", salt = "ep1")
+    val moved = s1.as("a").join(s2.as("b"), "doc_id")
+      .where($"a.pos" =!= $"b.pos").count()
+    assert(moved > n / 2, s"salt change barely moved the order ($moved/$n)")
+    assert(!s1.queryExecution.executedPlan.toString.contains("Window"))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("upsample replicates by integer weight plus a deterministic fraction") {
     val out = Sampling.upsample(docs, "lang", "doc_id",
       Map("de" -> 3.0, "en" -> 0.0), defaultWeight = 1.0)
