@@ -267,6 +267,35 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Keep the BEST document per duplicate cluster — the selection policy
+    * real dedup pipelines want instead of [[ccApply]]'s min-id rule: per
+    * cluster the row with the highest `scoreCol` survives (ties broken by
+    * min id, so the choice is total and engine-portable). Rows in no
+    * cluster pass through untouched.
+    *
+    * Scale shape: the corpus splits on one id join against the
+    * duplicate-bounded components table — non-clustered rows (the vast
+    * majority at 100 TB) take a broadcast anti join and NEVER shuffle;
+    * only the clustered slice (proportional to duplicates, not corpus)
+    * flows into the per-cluster window. Equal to the global
+    * `row_number() OVER (PARTITION BY coalesce(component, id))` form
+    * without windowing the whole corpus.
+    */
+  def keepBest(df: DataFrame, components: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val comp = components.select(col("doc_id").as(idCol), col("component"))
+    val clustered = df.join(comp, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val winners = clustered
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(df.columns.map(col): _*)
+    df.join(comp.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(winners)
+  }
+
   /** 60-bit SimHash fingerprint per document (word-hash pass staged so the
     * md5 work runs once per row, not once per bit — see
     * [[TextFunctions.simhash60FromHashes]]).

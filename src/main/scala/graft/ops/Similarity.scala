@@ -288,6 +288,30 @@ object Similarity {
     * then the dim-indexed mean/std arrays (one small row) broadcast back
     * across the corpus; the embedding table itself never shuffles.
     */
+  /** Per-group embedding centroids (class prototypes): the per-dimension
+    * mean of every group's vectors, in long format (group, d, centroid) —
+    * the prototype table behind nearest-class-mean classification,
+    * per-source drift monitoring, and IVF-style seeding from labels.
+    *
+    * Same determinism contract as [[standardize]]: fixed-point ×2^20
+    * sums in DECIMAL(38,0), exact and order-insensitive under any
+    * partitioning, mean rounded 6dp (+0.0 clears IEEE -0). Shape at
+    * scale: posexplode then ONE map-side-combined aggregation keyed
+    * (group, dim) — output is groups × dims rows, the corpus never
+    * shuffles row payloads.
+    */
+  def centroids(df: DataFrame, groupCol: String): DataFrame =
+    df.select(col(groupCol).cast("long").as(groupCol),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col(groupCol), col("d"), col("x").cast("double").as("v"))
+      .groupBy(groupCol, "d")
+      .agg(
+        sum(round(col("v") * FixedScale).cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("d").cast("long").as("d"),
+        (round(col("s").cast("double") / col("n") / FixedScale, 6)
+          + lit(0d)).as("centroid"))
+
   def standardize(df: DataFrame): DataFrame = {
     val x = df.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("d", "x")))

@@ -201,6 +201,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // The selection policy on top of CC clusters: keep the LONGEST doc
+    // per near-dup cluster (ties -> min id) instead of the min id —
+    // what a quality-aware dedup pipeline actually ships.
+    "dedup_keep_best" -> { (spark, dir) =>
+      val d = docs(spark, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashPairs(d, "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold))
+      Dedup.keepBest(d, comps, "doc_id", "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash_fp" -> { (spark, dir) =>
       Dedup.simhashFingerprints(docs(spark, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -625,6 +638,12 @@ object ExtensionQueries {
         .select(col("vec_id"), posexplode(col("z")).as(Seq("d", "z")))
         .select(col("vec_id"), col("d").cast("long").as("d"), col("z"))
         .orderBy("vec_id", "d")
+    },
+
+    // Class prototypes: per-label fixed-point mean vector, long format.
+    "embed_centroids" -> { (spark, dir) =>
+      Similarity.centroids(embs(spark, dir), "label")
+        .orderBy("label", "d")
     },
 
     // Long-format (vec_id, d, q) for the same scalar-cell reason as
@@ -1321,6 +1340,31 @@ object ExtensionQueries {
       WHERE d.doc_id NOT IN (
         SELECT doc_id FROM comps WHERE component != doc_id)
       ORDER BY d.doc_id""",
+
+    // CC replay (as dedup_minhash_cc) + the keep-best winner rule:
+    // highest n_chars per cluster, ties to the min id; singletons
+    // (no component row) keep themselves via the COALESCE label.
+    "dedup_keep_best" -> s"""${minhashCtes.replaceFirst("WITH", "WITH RECURSIVE")}
+      , ok AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold
+      ), bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ok
+        UNION SELECT doc_b, doc_a FROM ok
+      ), reach AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+      ), comps AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+      ), labeled AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+          COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comps c USING (doc_id))
+      SELECT doc_id, lang, source, n_chars FROM labeled
+      QUALIFY row_number() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+      ORDER BY doc_id""",
 
     "dedup_simhash_fp" -> s"""
       SELECT doc_id, $simhash60Sql AS simhash
@@ -2067,6 +2111,17 @@ object ExtensionQueries {
         (round(CASE WHEN sd > 0 THEN (v - m) / sd ELSE 0 END, 6) + 0) AS z
       FROM x JOIN ms USING (d)
       ORDER BY vec_id, d""",
+
+    // Replay of Similarity.centroids: the same ×2^20 DECIMAL(38,0)
+    // fixed-point sums as embed_standardize, keyed (label, dim).
+    "embed_centroids" -> """
+      WITH x AS (
+        SELECT label::BIGINT AS label, d, embedding[d]::DOUBLE AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(d))
+      SELECT label, d - 1 AS d,
+        (round(SUM(CAST(round(v * 1048576.0) AS DECIMAL(38,0)))::DOUBLE
+          / COUNT(*) / 1048576.0, 6) + 0) AS centroid
+      FROM x GROUP BY label, d ORDER BY label, d""",
 
     // Replay of Similarity.quantize: per-dim min/max bounds, half-up
     // snap via floor(x + 0.5) (identical on both engines; DuckDB's

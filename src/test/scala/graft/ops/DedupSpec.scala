@@ -136,6 +136,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L))
   }
 
+  test("keepBest keeps the highest-score member per cluster, min id on ties") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+    // scores: cluster {1,2,3} -> 3 wins on score; {7,9} -> tie, 7 wins on id
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 1L), (7L, 5L),
+      (9L, 5L)).toDF("doc_id", "score")
+    val kept = Dedup.keepBest(df, comps, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 7L))
+    // equals the global-window form on the coalesced cluster label
+    val labeled = df.join(
+      comps.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+      .withColumn("c", coalesce(col("component"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c").orderBy(col("score").desc, col("doc_id").asc)
+    val oracle = labeled.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select("doc_id", "score")
+    assert(datasetEquality(oracle, Dedup.keepBest(df, comps, "doc_id", "score")))
+  }
+
   test("connected components with a reliable checkpoint dir agree with local mode") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
     try {

@@ -15,6 +15,18 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(1f, 1f, 0f, 0f))
   ).toDF("vec_id", "embedding")
 
+  test("centroids: exact per-group per-dim means, long format") {
+    val labeled = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(3f, 2f), 0), // label 0: mean (2, 1)
+      (2L, Array(-1f, 5f), 1)                         // label 1: itself
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroids(labeled, "label")
+      .orderBy("label", "d")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 0L, 2.0), (0L, 1L, 1.0),
+      (1L, 0L, -1.0), (1L, 1L, 5.0)))
+  }
+
   test("brute-force top-k ranks by exact cosine with id tie-break") {
     val out = Similarity.bruteTopK(vecs, vecs.where($"vec_id" === 0L), k = 3)
       .select("q_id", "n_id", "cosine", "rank")
