@@ -685,16 +685,16 @@ final case class GapfillTransformStage(
 }
 
 /** Z-order layout stage over [[Layout]]: `manifest` emits the per-block
-  * min-max table of the (xCol, yCol) Morton ordering; `write`
-  * materializes the full skipping index (block-partitioned data +
-  * manifest) under `outputDir` and registers the manifest.
+  * min-max table of the Morton ordering; `write` materializes the full
+  * skipping index (block-partitioned data + manifest) under `outputDir`
+  * and registers the manifest. Dimensions come from `cols` (N-column,
+  * Delta/Iceberg ZORDER BY parity) or the classic xCol/yCol pair.
   */
 final case class ZorderTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    xCol: String,
-    yCol: String,
+    cols: Seq[String],
     idCol: String,
     method: String = "manifest", // manifest | write
     outputDir: Option[String] = None,
@@ -712,12 +712,12 @@ final case class ZorderTransformStage(
     detail += "method" -> method
     val out = method match {
       case "manifest" =>
-        Layout.zorderManifest(in, xCol, yCol, idCol, blockSize, bits)
+        Layout.zorderManifestN(in, cols, idCol, blockSize, bits)
       case "write" =>
         val dir = outputDir.getOrElse(
           throw new IllegalArgumentException("write requires outputDir"))
         detail += "outputDir" -> dir
-        Layout.zorderWrite(in, xCol, yCol, idCol, dir, blockSize, bits,
+        Layout.zorderWriteN(in, cols, idCol, dir, blockSize, bits,
           options)
       case other =>
         throw new IllegalArgumentException(s"unknown zorder method '$other'")

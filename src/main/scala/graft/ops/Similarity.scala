@@ -205,25 +205,52 @@ object Similarity {
       exactReplay: Boolean = false, probes: Int = 1): DataFrame = {
     require(probes > 0, s"probes must be positive, got $probes")
     val cv = graft.util.Caches.persist(withNorm(corpus))
+    val centsCached = graft.util.Caches.persist(
+      trainCentroids(cv, centroidEvery, kmeansIters, exactReplay))
+    val qv = graft.util.Caches.persist(withNorm(queries))
+    val cells = assignCells(cv, "vec_id", centsCached)
+    // multi-probe: each query scans its `probes` nearest cells — the
+    // standard IVF recall knob (cost scales with probes/nCells of the
+    // corpus; cells are disjoint so candidates never duplicate)
+    val qcells = assignCells(qv.withColumnRenamed("vec_id", "q_id"), "q_id",
+      centsCached, probes)
+    val cand = qcells.join(cells, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    // score queries from the QUERY table: queries need not be corpus rows
+    topK(score(cand, qv, cv), k)
+  }
+
+  /** Assign each row of `df` to its `topN` max-cosine centroids (the
+    * centroid table broadcasts; ties break to the min centroid id).
+    */
+  private def assignCells(df: DataFrame, id: String, cents: DataFrame,
+      topN: Int = 1): DataFrame = {
+    val withNrm = cents.select(col("c_id"), col("c_emb"),
+      V.norm(col("c_emb")).as("c_nrm"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    df.join(broadcast(withNrm))
+      .select(col(id), col("c_id"),
+        cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("c_cos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= topN)
+      .select(col(id), col("c_id").as("cell"))
+  }
+
+  /** The k-means loop shared by [[ivfTopK]] and [[ivfWrite]]: seeds are
+    * the deterministic `vec_id % centroidEvery == 0` subset, then
+    * `kmeansIters` Lloyd rounds under the centroid-update contract
+    * documented on [[ivfTopK]]. `cv` must be a [[withNorm]] table.
+    */
+  private def trainCentroids(cv: DataFrame, centroidEvery: Int,
+      kmeansIters: Int, exactReplay: Boolean): DataFrame = {
     // Centroids as array<double>: means live in double space; float
     // seeds widen exactly.
     var centroids = cv.where(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), _.cast("double")).as("c_emb"))
-    def assignTo(df: DataFrame, id: String, cents: DataFrame,
-        topN: Int = 1): DataFrame = {
-      val withNrm = cents.select(col("c_id"), col("c_emb"),
-        V.norm(col("c_emb")).as("c_nrm"))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("c_cos").desc, col("c_id").asc)
-      df.join(broadcast(withNrm))
-        .select(col(id), col("c_id"),
-          cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("c_cos"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") <= topN)
-        .select(col(id), col("c_id").as("cell"))
-    }
     for (_ <- 0 until kmeansIters) {
-      val members = assignTo(cv, "vec_id", centroids)
+      val members = assignCells(cv, "vec_id", centroids)
         .join(cv.select(col("vec_id"), col("embedding")), "vec_id")
       centroids =
         if (exactReplay)
@@ -256,38 +283,62 @@ object Similarity {
               e => e.getField("m")).as("c_emb"))
             .select(col("cell").as("c_id"), col("c_emb"))
     }
-    val qv = graft.util.Caches.persist(withNorm(queries))
-    val centsCached = graft.util.Caches.persist(centroids)
-    val cells = assignTo(cv, "vec_id", centsCached)
-    // multi-probe: each query scans its `probes` nearest cells — the
-    // standard IVF recall knob (cost scales with probes/nCells of the
-    // corpus; cells are disjoint so candidates never duplicate)
-    val qcells = assignTo(qv.withColumnRenamed("vec_id", "q_id"), "q_id",
-      centsCached, probes)
-    val cand = qcells.join(cells, Seq("cell"))
-      .where(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"))
-    // score queries from the QUERY table: queries need not be corpus rows
-    topK(score(cand, qv, cv), k)
+    centroids
   }
 
-  /** Per-dimension standardization (z-scoring) of an embedding column —
-    * the whitening pre-pass before distance computations, clustering or
-    * quantization when dimensions have unequal scales. Output:
-    * (vec_id, z) with z[d] = (x[d] - mean_d) / std_d rounded to 6dp
-    * (constant dimensions yield 0, not NaN).
+  /** Materialize an IVF index as a PARTITIONED VECTOR STORE: centroids
+    * are trained exactly as in [[ivfTopK]], every corpus vector lands
+    * under `outDir/cells` partitioned by its cell id, and the centroid
+    * table lands under `outDir/centroids`. [[ivfQueryIndex]] then serves
+    * queries touching only the probed cells' DIRECTORIES — the vector
+    * analogue of [[Layout.zorderWrite]]'s skipping index, and the reason
+    * an IVF index exists at all: at 100 TB a query reads probes/nCells
+    * of the corpus, not the corpus.
     *
-    * Per-dimension sums use the order-insensitive fixed-point (×2^20)
-    * trick of the IVF centroid update, accumulated in DECIMAL(38,0) so
-    * means and variances are EXACT under any partitioning/combine order,
-    * replay bit-identically on any engine, and cannot overflow for any
-    * |x| below ~3e8 at any corpus size (the double-precision limit of
-    * round(x²·2^20), far above any sane embedding). Shape at scale:
-    * posexplode to
-    * (dim, value) — map-side-combined aggregation down to `dim` rows —
-    * then the dim-indexed mean/std arrays (one small row) broadcast back
-    * across the corpus; the embedding table itself never shuffles.
+    * Replacing an index is DESTRUCTIVE (mode Overwrite on both halves),
+    * so it sits behind the same `confirm.truncate=true` latch as every
+    * other destructive write in the engine.
     */
+  def ivfWrite(corpus: DataFrame, outDir: String, centroidEvery: Int = 100,
+      kmeansIters: Int = 2, exactReplay: Boolean = false,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    if (!options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        "ivfWrite overwrites the index under " + outDir +
+          ": pass confirm.truncate=true (destructive-write latch)")
+    val cv = graft.util.Caches.persist(withNorm(corpus))
+    val cents = trainCentroids(cv, centroidEvery, kmeansIters, exactReplay)
+    assignCells(cv, "vec_id", cents)
+      .join(cv.select(col("vec_id"), col("embedding")), "vec_id")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$outDir/cells")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    corpus.sparkSession.read.parquet(s"$outDir/centroids")
+  }
+
+  /** Top-k over an [[ivfWrite]] index. The query side assigns to its
+    * `probes` nearest centroids (broadcast, tiny), and the candidate
+    * join against the cell-partitioned store is keyed on the PARTITION
+    * column — Spark's dynamic partition pruning reads only the probed
+    * cells' directories (asserted in SimilaritySpec). Norms are
+    * recomputed from the stored float vectors, so scores are
+    * bit-identical to the in-memory [[ivfTopK]] under the same training
+    * parameters.
+    */
+  def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
+    require(probes > 0, s"probes must be positive, got $probes")
+    val cents = spark.read.parquet(s"$outDir/centroids")
+    val qv = graft.util.Caches.persist(withNorm(queries))
+    val qcells = assignCells(qv.withColumnRenamed("vec_id", "q_id"), "q_id",
+      cents, probes)
+    val data = spark.read.parquet(s"$outDir/cells")
+    val cand = data.join(broadcast(qcells), Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    topK(score(cand, qv, withNorm(data)), k)
+  }
+
   /** Per-group embedding centroids (class prototypes): the per-dimension
     * mean of every group's vectors, in long format (group, d, centroid) —
     * the prototype table behind nearest-class-mean classification,
@@ -312,6 +363,23 @@ object Similarity {
         (round(col("s").cast("double") / col("n") / FixedScale, 6)
           + lit(0d)).as("centroid"))
 
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the whitening pre-pass before distance computations, clustering or
+    * quantization when dimensions have unequal scales. Output:
+    * (vec_id, z) with z[d] = (x[d] - mean_d) / std_d rounded to 6dp
+    * (constant dimensions yield 0, not NaN).
+    *
+    * Per-dimension sums use the order-insensitive fixed-point (×2^20)
+    * trick of the IVF centroid update, accumulated in DECIMAL(38,0) so
+    * means and variances are EXACT under any partitioning/combine order,
+    * replay bit-identically on any engine, and cannot overflow for any
+    * |x| below ~3e8 at any corpus size (the double-precision limit of
+    * round(x²·2^20), far above any sane embedding). Shape at scale:
+    * posexplode to (dim, value) — map-side-combined aggregation down to
+    * `dim` rows — then the dim-indexed mean/std arrays (one small row)
+    * broadcast back across the corpus; the embedding table itself never
+    * shuffles.
+    */
   def standardize(df: DataFrame): DataFrame = {
     val x = df.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("d", "x")))

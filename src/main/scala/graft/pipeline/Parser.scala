@@ -426,12 +426,19 @@ object Parser {
       val outDir = r.string("outputDir")
       if (method == "write" && outDir.isEmpty)
         r.error("outputDir", "missing; write requires a target directory")
+      // dimensions: the N-column "cols" list (ZORDER BY parity) or the
+      // classic xCol/yCol pair — exactly one form
+      val colsList = r.stringList("cols")
+      if (colsList.nonEmpty && colsList.size < 2)
+        r.error("cols", s"need >= 2 columns to interleave, got ${colsList.size}")
+      val dims =
+        if (colsList.size >= 2) colsList
+        else Seq(r.requiredString("xCol"), r.requiredString("yCol"))
       ZorderTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
-        xCol = r.requiredString("xCol"),
-        yCol = r.requiredString("yCol"),
+        cols = dims,
         idCol = r.requiredString("idCol"),
         method = method,
         outputDir = outDir,
@@ -563,8 +570,8 @@ object Parser {
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "tsCol", "keyCol")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
-      "xCol", "yCol", "idCol", "method", "outputDir", "blockSize", "bits",
-      "params"))
+      "cols", "xCol", "yCol", "idCol", "method", "outputDir", "blockSize",
+      "bits", "params"))
   )
 
   def parse(

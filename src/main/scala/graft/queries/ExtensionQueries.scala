@@ -297,6 +297,21 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    // The persisted vector index end-to-end: train + write the
+    // cell-partitioned store, serve the same multi-probe queries reading
+    // only probed cells' directories (dynamic partition pruning) — must
+    // equal the in-memory multi-probe path bit-for-bit.
+    "similarity_ivf_index" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      val tmp = scratchDir("graft_ivfidx")
+      Similarity.ivfWrite(e, tmp.toString, CentroidEvery, KmeansIters,
+        options = Map("confirm.truncate" -> "true"))
+      Similarity.ivfQueryIndex(spark, tmp.toString,
+          e.where(col("vec_id") < NQueryVecs), TopK, probes = IvfProbes)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
     "sketch_quantiles" -> { (spark, dir) =>
       // 20% deterministic hash sample of lineitem, exact per-flag
       // percentiles of the sample — the reproducible approx-quantile.
@@ -1259,6 +1274,37 @@ object ExtensionQueries {
       FROM bits, unnest(generate_series(0, ${b - 1})) AS t(j)
     )"""
 
+  /** The multi-probe IVF replay, shared by the in-memory and persisted
+    * index gates (`similarity_ivf_probes`, `similarity_ivf_index`): the
+    * index path trains the identical centroids and probes the identical
+    * cells, and the parquet roundtrip must not change one bit.
+    */
+  private val ivfProbesOracle: String = s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdateFixed("assign1", "cents2")}
+      , ${kmAssign("cents2", "cells")}
+      , ${kmAssignProbes("cents2", "qcells", IvfProbes)}
+      , cand AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id
+        FROM qcells q JOIN cells e ON q.cell = e.cell AND q.vec_id != e.vec_id
+      ), scored AS (
+        SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.n_id)
+      SELECT q_id, n_id, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT doc_id, lang, source, n_chars FROM documents
@@ -1605,31 +1651,12 @@ object ExtensionQueries {
 
     // Replay of the multi-probe IVF (probes=2): corpus cells by rn=1,
     // query cells by rn<=2; cells are disjoint so candidates are unique.
-    "similarity_ivf_probes" -> s"""
-      WITH cents0 AS (
-        SELECT vec_id AS c_id,
-          list_transform(embedding, x -> x::DOUBLE) AS c_emb
-        FROM embeddings WHERE vec_id % $CentroidEvery = 0
-      ), ${kmAssign("cents0", "assign0")}
-      , ${kmUpdateFixed("assign0", "cents1")}
-      , ${kmAssign("cents1", "assign1")}
-      , ${kmUpdateFixed("assign1", "cents2")}
-      , ${kmAssign("cents2", "cells")}
-      , ${kmAssignProbes("cents2", "qcells", IvfProbes)}
-      , cand AS (
-        SELECT q.vec_id AS q_id, e.vec_id AS n_id
-        FROM qcells q JOIN cells e ON q.cell = e.cell AND q.vec_id != e.vec_id
-      ), scored AS (
-        SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
-        FROM cand
-        JOIN embeddings a ON a.vec_id = cand.q_id
-        JOIN embeddings b ON b.vec_id = cand.n_id)
-      SELECT q_id, n_id, cosine,
-        CAST(row_number() OVER (
-          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
-      FROM scored
-      QUALIFY rank <= $TopK
-      ORDER BY q_id, rank""",
+    "similarity_ivf_probes" -> ivfProbesOracle,
+
+    // The PERSISTED index path computes the identical centroids, cells
+    // and probes — the parquet roundtrip must not change one bit, so the
+    // oracle is the in-memory multi-probe replay verbatim.
+    "similarity_ivf_index" -> ivfProbesOracle,
 
     // Replay of Sketches.sampledQuantiles: identical hash-sampled subset,
     // exact interpolated percentiles of the sample.

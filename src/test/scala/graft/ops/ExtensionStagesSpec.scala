@@ -569,6 +569,35 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("zorder stage accepts an N-column cols list (ZORDER BY parity)") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register((0 until 512).map { i =>
+      (i.toLong, (i % 8).toLong, ((i / 8) % 8).toLong, (i / 64).toLong)
+    }.toDF("id", "x", "y", "w"), "z3_in")
+    val conf = """{"stages": [
+      {"type": "ZorderTransform", "name": "z3", "inputView": "z3_in",
+       "outputView": "z3_manifest", "cols": ["x", "y", "w"],
+       "idCol": "id", "blockSize": 64, "bits": 3}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val man = spark.table("z3_manifest")
+    assert(man.columns.toSeq == Seq("block_id", "n_rows",
+      "min_x", "max_x", "min_y", "max_y", "min_w", "max_w"))
+    assert(man.count() == 8)
+    graft.util.Caches.unpersistAll()
+    // a single-column cols list is a parse-time error
+    val bad = """{"stages": [
+      {"type": "ZorderTransform", "name": "z1", "inputView": "a",
+       "outputView": "b", "cols": ["x"], "idCol": "id"}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("cols")))
+  }
+
   test("cdc upsert and scd2 run from config; upsert without changesView fails at parse") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -25,6 +26,33 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((0L, 0L, 2.0), (0L, 1L, 1.0),
       (1L, 0L, -1.0), (1L, 1L, 5.0)))
+  }
+
+  test("persisted IVF index equals in-memory ivfTopK; probed cells prune") {
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx_t").toString
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfWrite(embs, dir, centroidEvery = 100, kmeansIters = 1)
+      }
+      assert(e.getMessage.contains("confirm.truncate"))
+      Similarity.ivfWrite(embs, dir, centroidEvery = 100, kmeansIters = 1,
+        options = Map("confirm.truncate" -> "true"))
+      val indexed = Similarity.ivfQueryIndex(spark, dir, queries, k = 5,
+        probes = 2)
+      val inMemory = Similarity.ivfTopK(embs, queries, k = 5,
+        centroidEvery = 100, kmeansIters = 1, probes = 2)
+      assert(datasetEquality(inMemory, indexed))
+      // the candidate join must reach the cell-partitioned scan as a
+      // dynamic partition filter: only probed cells' directories are read
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"probe join did not become a dynamic partition filter:\n$plan")
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 
   test("brute-force top-k ranks by exact cosine with id tie-break") {
