@@ -134,6 +134,23 @@ object ScaleProbe {
       t("outliers_mad") {
         graft.ops.Profile.outliersMad(d, "n_chars", Seq("lang")).count()
       }
+      // round 9: one range sort + partition offsets — linear, sort-bound
+      t("deterministic_shuffle") {
+        graft.ops.Sampling.deterministicShuffle(d, "doc_id").count()
+      }
+      // round 9: amplification makes EVERY doc a cluster member (m-way
+      // exact twins) — worst case for the winners window, which must stay
+      // bounded by the duplicate slice
+      t("dedup_keep_best") {
+        val comps = Dedup.connectedComponents(
+          Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.9))
+        Dedup.keepBest(d, comps, "doc_id", "n_chars").count()
+      }
+      // round 9: output is groups x dims regardless of corpus size — the
+      // flat-output reference curve for grouped embedding passes
+      t("embed_centroids") {
+        Similarity.centroids(e, "label").count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

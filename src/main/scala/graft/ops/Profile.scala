@@ -236,6 +236,34 @@ object Profile {
       .drop("b0", "b1")
   }
 
+  /** Snapshot-to-snapshot profile drift — the data-quality regression
+    * check run between two versions of a table (yesterday's load vs
+    * today's, pre- vs post-migration): per column, both snapshots'
+    * row/null/distinct counts and value bounds side by side plus a
+    * `drifted` flag when any of them moved. Catches silent data loss,
+    * null inflation, cardinality collapse and range excursions before a
+    * downstream consumer does.
+    *
+    * Cost = two [[table]] profiles (each column read once per snapshot,
+    * shuffles carry distinct values only) joined on the column NAME —
+    * a columns-count-sized join, independent of data size.
+    */
+  def drift(before: DataFrame, after: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    val a = table(before, cols, exact)
+    val b = table(after, cols, exact)
+    val stats = Seq("n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+    val joined = a.select(col("column") +:
+        stats.map(s => col(s).as(s"${s}_before")): _*)
+      .join(b.select(col("column") +:
+        stats.map(s => col(s).as(s"${s}_after")): _*), Seq("column"))
+    // null-safe comparison: an all-null column profiles to NULL bounds,
+    // which must read as "no drift", not a NULL flag
+    joined.withColumn("drifted",
+      stats.map(s => !(col(s"${s}_before") <=> col(s"${s}_after")))
+        .reduce(_ || _))
+  }
+
   def table(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     if (exact) {

@@ -157,6 +157,22 @@ object ExtensionQueries {
         .orderBy("column")
     },
 
+    // Snapshot drift over a deterministic synthetic "next load": the
+    // %10==3 slice vanishes (data loss) and the %10==7 slice's price
+    // doubles (range excursion) — the oracle profiles both snapshots
+    // independently and joins, so every stat delta and the drifted flag
+    // are semantically checked.
+    "profile_drift" -> { (spark, dir) =>
+      val before = spark.read.parquet(s"$dir/orders.parquet")
+      val after = before.where(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 7, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Profile.drift(before, after,
+          Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+        .orderBy("column")
+    },
+
     "dedup_incremental" -> { (spark, dir) =>
       // Ingest-batch dedup against a persisted digest store: docs >= 250
       // arrive as the new batch; docs < 250 are history (digests only).
@@ -1331,6 +1347,63 @@ object ExtensionQueries {
           COUNT(DISTINCT l_returnflag)::BIGINT,
           MIN(l_returnflag)::VARCHAR, MAX(l_returnflag)::VARCHAR FROM lineitem)
       ORDER BY "column"""",
+
+    // Replay of Profile.drift: both snapshots profiled independently
+    // (per-column UNION ALL aggregates, as profile_table), joined on the
+    // column name; drifted = any stat IS DISTINCT FROM its counterpart.
+    "profile_drift" -> """
+      WITH after_t AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM orders WHERE o_orderkey % 10 != 3),
+      a AS (
+        SELECT 'o_orderkey' AS "column", COUNT(*)::BIGINT AS n_rows,
+          (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_nulls,
+          COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+          MIN(o_orderkey)::VARCHAR AS min_value,
+          MAX(o_orderkey)::VARCHAR AS max_value FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*)::BIGINT,
+          (COUNT(*) - COUNT(o_totalprice))::BIGINT,
+          COUNT(DISTINCT o_totalprice)::BIGINT,
+          MIN(o_totalprice)::VARCHAR, MAX(o_totalprice)::VARCHAR FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*)::BIGINT,
+          (COUNT(*) - COUNT(o_orderstatus))::BIGINT,
+          COUNT(DISTINCT o_orderstatus)::BIGINT,
+          MIN(o_orderstatus)::VARCHAR, MAX(o_orderstatus)::VARCHAR FROM orders),
+      b AS (
+        SELECT 'o_orderkey' AS "column", COUNT(*)::BIGINT AS n_rows,
+          (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_nulls,
+          COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+          MIN(o_orderkey)::VARCHAR AS min_value,
+          MAX(o_orderkey)::VARCHAR AS max_value FROM after_t
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*)::BIGINT,
+          (COUNT(*) - COUNT(o_totalprice))::BIGINT,
+          COUNT(DISTINCT o_totalprice)::BIGINT,
+          MIN(o_totalprice)::VARCHAR, MAX(o_totalprice)::VARCHAR FROM after_t
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*)::BIGINT,
+          (COUNT(*) - COUNT(o_orderstatus))::BIGINT,
+          COUNT(DISTINCT o_orderstatus)::BIGINT,
+          MIN(o_orderstatus)::VARCHAR, MAX(o_orderstatus)::VARCHAR FROM after_t)
+      SELECT a."column",
+        a.n_rows AS n_rows_before, a.n_nulls AS n_nulls_before,
+        a.n_distinct AS n_distinct_before,
+        a.min_value AS min_value_before, a.max_value AS max_value_before,
+        b.n_rows AS n_rows_after, b.n_nulls AS n_nulls_after,
+        b.n_distinct AS n_distinct_after,
+        b.min_value AS min_value_after, b.max_value AS max_value_after,
+        (a.n_rows IS DISTINCT FROM b.n_rows
+          OR a.n_nulls IS DISTINCT FROM b.n_nulls
+          OR a.n_distinct IS DISTINCT FROM b.n_distinct
+          OR a.min_value IS DISTINCT FROM b.min_value
+          OR a.max_value IS DISTINCT FROM b.max_value) AS drifted
+      FROM a JOIN b USING ("column")
+      ORDER BY a."column"""",
 
     // Replay of Dedup.exactIncremental: sha2 digest equality IS key
     // equality (collision-free), so the oracle compares the keys directly.

@@ -21,6 +21,27 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") == ((3L, 1L, 2L, "1.5", "2.5")))
   }
 
+  test("drift flags only columns whose stats moved; null bounds are no drift") {
+    val before = Seq((1L, Some("a"), Option.empty[Double]),
+      (2L, Some("b"), None), (3L, Some("a"), None)).toDF("id", "s", "v")
+    // id loses a row (n_rows/n_distinct/max move); s unchanged values but
+    // fewer rows -> drifted; v stays all-null -> bounds NULL both sides,
+    // but its n_rows changes too. Use same-rowcount variant for a clean
+    // "no drift" case: change nothing at all.
+    val same = Profile.drift(before, before, Seq("id", "s", "v"))
+      .collect().map(r => r.getAs[String]("column") ->
+        r.getAs[Boolean]("drifted")).toMap
+    assert(same == Map("id" -> false, "s" -> false, "v" -> false))
+    val after = Seq((1L, Some("a"), Option.empty[Double]),
+      (2L, Some("b"), None)).toDF("id", "s", "v")
+    val out = Profile.drift(before, after, Seq("id", "s", "v"))
+      .collect().map(r => r.getAs[String]("column") ->
+        r.getAs[Boolean]("drifted")).toMap
+    // every column lost a row -> all drift on n_rows; the all-null v must
+    // not produce a NULL flag from its NULL <=> NULL bounds
+    assert(out == Map("id" -> true, "s" -> true, "v" -> true))
+  }
+
   test("neither mode plans the multi-distinct expand") {
     val exactPlan = Profile.table(df, Seq("id", "s", "v"))
       .queryExecution.executedPlan.toString
