@@ -96,6 +96,15 @@ object ExtensionQueries {
   private val UpWeights = Map("de" -> 2.3, "en" -> 0.5)
   private val UpDefault = 1.0
   private val WtopK = 100
+  private val PackBudget = 2000L
+  private val PackBuckets = 8
+  private val PackSalt = "pk0"
+  // target mixture proportions; es deliberately unlisted (dropped)
+  private val RebalanceTargets =
+    Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+  // 0.25 is exactly representable in binary: ceil(p*n) can never straddle
+  // a double rounding boundary between engines
+  private val TopFrac = 0.25
 
   private val HllM = 512
   private val NegK = 4
@@ -370,6 +379,24 @@ object ExtensionQueries {
     "shard_by_budget" -> { (spark, dir) =>
       Sampling.shardByBudget(docs(spark, dir), "doc_id", "n_chars",
           ShardBudget)
+        .orderBy("doc_id")
+    },
+
+    "pack_sequences" -> { (spark, dir) =>
+      Sampling.packSequences(docs(spark, dir), "doc_id", "n_chars",
+          PackBudget, PackBuckets, PackSalt)
+        .orderBy("doc_id")
+    },
+
+    "mixture_rebalance" -> { (spark, dir) =>
+      Sampling.rebalance(docs(spark, dir), "lang", "doc_id", "n_chars",
+          RebalanceTargets)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "sample_top_fraction" -> { (spark, dir) =>
+      Sampling.topFraction(docs(spark, dir), "n_chars", "doc_id", TopFrac)
         .orderBy("doc_id")
     },
 
@@ -996,6 +1023,81 @@ object ExtensionQueries {
       }
       spark.read.parquet(s"$tmp/deduped.parquet")
         .orderBy("user_id", "event_type")
+    },
+
+    // TRUE stream-stream join, batch-verified: clicks and purchases read
+    // the same three-file event scatter as TWO independent file-source
+    // streams joined per user on a [click, click + 1h] event-time range.
+    // The round-robin split scatters each user's events across files, so
+    // most pairs straddle micro-batches and must match through the join
+    // STATE store; inner-join results emit eagerly, the sink appends, and
+    // the completed pair set replays as a plain range self-join in the
+    // oracle — any pair the state path drops or duplicates breaks
+    // rows/hash. Watermarks sized past the data range (the
+    // streaming_dedup pattern): state eviction must not make the pair
+    // set depend on file placement. Time bounds compare MICROSECOND
+    // longs on both engines (the events table stores nanos; both sides
+    // truncate ns -> us identically). The input restricts to a
+    // deterministic user slice (user_id % 5 = 0) and the two joined
+    // types: the un-evictable state of the determinism-sized watermark
+    // would otherwise make this the slowest query in the bench for no
+    // extra coverage — the cross-batch state path is exercised either
+    // way.
+    "streaming_join" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val tmp = scratchDir("graft_sjoin")
+      rmrf(tmp.resolve("attributed.parquet")); rmrf(tmp.resolve("_checkpoint"))
+      val in = tmp.resolve("in")
+      Tables.eventsRaw(spark, dir)
+        .where(col("user_id") % 5 === 0 &&
+          col("event_type").isin("click", "purchase"))
+        .repartition(3)
+        .write.parquet(in.toString)
+      // a stream-stream join opens FOUR state stores per shuffle
+      // partition per micro-batch: at the session's 32 partitions that is
+      // ~100 store files per trigger of pure fixed overhead (measured
+      // 16s at sf0.1 — 5x the whole-events streaming gates). The state
+      // partition count is frozen into the checkpoint at query START, so
+      // pin it low for this query and RESTORE the conf in the finally —
+      // nothing outside this invocation sees the change.
+      val confKey = "spark.sql.shuffle.partitions"
+      val oldParts = spark.conf.get(confKey)
+      spark.conf.set(confKey, "4")
+      try {
+        def src() = spark.readStream
+          .schema(Tables.eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = src().where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val buys = src().where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        val joined = StreamingOps.joinStreams(clicks, buys, "user_id",
+          "click_ts", "purchase_ts", horizon = "1 HOUR",
+          watermark = Some("100000 hours"))
+        val q = graft.streaming.StreamingSink.foreachBatchLoad(
+          joined.select(col("user_id"), col("click_id"), col("purchase_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"),
+            unix_micros(col("purchase_ts")).as("purchase_ts_us")),
+          new graft.connect.ParquetConnector(tmp.toString), "attributed",
+          checkpointDir = s"$tmp/_checkpoint")
+        try {
+          q.processAllAvailable()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          require(batches >= 3,
+            s"expected >= 3 data micro-batches, saw $batches — the " +
+              "cross-batch join-state path was not exercised")
+        } finally {
+          q.stop()
+          rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+        }
+      } finally spark.conf.set(confKey, oldParts)
+      spark.read.parquet(s"$tmp/attributed.parquet")
+        .orderBy("click_id", "purchase_id")
     },
 
     // TRUE arbitrary-state streaming, batch-verified: the events table
@@ -1792,6 +1894,65 @@ object ExtensionQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           // $ShardBudget AS BIGINT) AS shard
       FROM documents ORDER BY doc_id""",
+
+    // Replay of Sampling.packSequences: next-fit per hash bucket, walked
+    // one row per iteration by a recursive CTE (iteration depth = the
+    // largest bucket, ~n/nBuckets rows).
+    "pack_sequences" -> s"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, n_chars, bucket,
+          row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM (
+          SELECT doc_id, n_chars,
+            ('0x'||substr(md5(doc_id::VARCHAR || '$PackSalt'),1,8))::BIGINT
+              % $P % $PackBuckets AS bucket
+          FROM documents)),
+      rec AS (
+        SELECT bucket, rn, doc_id, n_chars,
+          CAST(0 AS BIGINT) AS pack, n_chars AS cum
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.bucket, d.rn, d.doc_id, d.n_chars,
+          CASE WHEN r.cum + d.n_chars > $PackBudget
+            THEN r.pack + 1 ELSE r.pack END,
+          CASE WHEN r.cum + d.n_chars > $PackBudget
+            THEN d.n_chars ELSE r.cum + d.n_chars END
+        FROM rec r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+      SELECT doc_id, n_chars, bucket, pack FROM rec ORDER BY doc_id""",
+
+    // Replay of Sampling.rebalance: same aggregate, same IEEE-double
+    // threshold arithmetic in the same operation order.
+    "mixture_rebalance" -> s"""
+      WITH t AS (
+        SELECT lang AS s,
+          CASE ${RebalanceTargets.toSeq.sorted.map { case (v, w) =>
+            s"WHEN lang = '$v' THEN CAST($w AS DOUBLE)"
+          }.mkString(" ")} END AS w,
+          SUM(n_chars) AS tok
+        FROM documents
+        WHERE lang IN (${RebalanceTargets.keys.toSeq.sorted
+          .map(v => s"'$v'").mkString(", ")})
+        GROUP BY 1, 2),
+      c AS (SELECT MIN(CAST(tok AS DOUBLE) / w) AS cmin FROM t),
+      r AS (SELECT s,
+        CAST(floor(w * cmin / CAST(tok AS DOUBLE) * $P) AS BIGINT) AS thr
+        FROM t CROSS JOIN c)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d JOIN r ON d.lang = r.s
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,8))::BIGINT % $P < r.thr
+      ORDER BY d.doc_id""",
+
+    // Replay of Sampling.topFraction: the one-partition window form the
+    // operator deliberately avoids; k = ceil(p * n) with p = $TopFrac
+    // (exact in binary, so both engines compute the same k).
+    "sample_top_fraction" -> s"""
+      SELECT doc_id, score, rank FROM (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+          row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents)
+      WHERE rank <= CAST(ceil(CAST($TopFrac AS DOUBLE) *
+        (SELECT count(*) FROM documents)) AS BIGINT)
+      ORDER BY doc_id""",
 
     "text_quality" -> """
       SELECT doc_id,
@@ -2868,6 +3029,20 @@ object ExtensionQueries {
     "streaming_dedup" -> """
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""",
+
+    // Replay of the stream-stream attribution join as a batch range
+    // self-join. Bounds compare MICROSECOND longs (epoch_us truncates
+    // ns -> us exactly like Spark's `ts div 1000`): comparing raw ns
+    // timestamps would flip pairs within 1000 ns of the horizon.
+    "streaming_join" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+      FROM events c JOIN events p ON c.user_id = p.user_id
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.user_id % 5 = 0
+        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      ORDER BY click_id, purchase_id""",
 
     // SEMANTIC oracle: the final cumulative mapGroupsWithState emission
     // per key equals the key's total event count, however the stream was

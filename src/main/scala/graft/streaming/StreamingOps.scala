@@ -75,6 +75,36 @@ object StreamingOps {
       case None => events.dropDuplicates(keyCols)
     }
 
+  /** Event-time stream-stream INNER join: each left event pairs with the
+    * right events of the same key whose event time lands in
+    * [leftTs, leftTs + horizon] — the attribution join (click → purchase
+    * within the hour) that works identically on batch DataFrames and on
+    * two live streams.
+    *
+    * On streams, set `watermark` on BOTH sides: together with the
+    * time-range predicate it bounds the join state — each side holds only
+    * the watermark+horizon window of events, never the history, which is
+    * what makes the join runnable forever on a 100 TB/day stream. Inner
+    * join results emit as soon as both rows have arrived (no watermark
+    * wait); the watermark only evicts state and drops late input.
+    *
+    * Callers rename the payload columns apart beforehand (the two sides
+    * usually come from the same source); only `keyCol` may collide — it is
+    * equi-joined and deduplicated here.
+    */
+  def joinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, horizon: String,
+      watermark: Option[String]): DataFrame = {
+    val l = watermark.fold(left)(left.withWatermark(leftTsCol, _))
+    val r = watermark.fold(right)(right.withWatermark(rightTsCol, _))
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) &&
+        r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $horizon"),
+      "inner")
+      .drop(r(keyCol))
+  }
+
   /** Arbitrary-state streaming: a per-key running counter maintained with
     * mapGroupsWithState (the escape hatch when windowed aggregation can't
     * express the state machine). Emits (key, totalSoFar) on every

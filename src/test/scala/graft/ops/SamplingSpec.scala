@@ -179,4 +179,81 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket reps must broadcast:\n$plan")
   }
+
+  test("packSequences: next-fit within budget, stable under partitioning") {
+    val packed = Sampling.packSequences(docs, "doc_id", "n_chars",
+      budget = 2000L, nBuckets = 8)
+    // every doc appears exactly once
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    // a pack never exceeds the budget unless it is a single oversized doc
+    val over = packed.groupBy("bucket", "pack")
+      .agg(sum("n_chars").as("tot"), count("*").as("n"))
+      .where($"tot" > 2000L && $"n" > 1)
+    assert(over.isEmpty, "multi-doc pack over budget")
+    // next-fit is greedy: within a bucket, a doc only opens a new pack
+    // when it would not fit in the previous one (checked via the local
+    // replay of the same scan)
+    val local = packed.select("bucket", "doc_id", "n_chars", "pack")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    local.foreach { rows =>
+      var pack = 0L; var cum = 0L; var first = true
+      rows.sortBy(_._2).foreach { case (_, _, t, p) =>
+        if (first) { first = false; cum = t }
+        else if (cum + t > 2000L) { pack += 1; cum = t }
+        else cum += t
+        assert(p == pack, s"pack mismatch: got $p want $pack")
+      }
+    }
+    // pure function of ids: layout does not matter
+    val again = Sampling.packSequences(docs.repartition(13), "doc_id",
+      "n_chars", 2000L, 8)
+    assert(datasetEquality(packed, again))
+  }
+
+  test("rebalance solves rates so kept tokens match target proportions") {
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+    val out = Sampling.rebalance(docs, "lang", "doc_id", "n_chars", targets)
+    // unlisted stratum dropped
+    assert(out.where($"lang" === "es").isEmpty)
+    val kept = out.groupBy("lang").agg(sum("n_chars").as("tok"))
+      .as[(String, Long)].collect().toMap
+    val total = kept.values.sum.toDouble
+    // kept shares approach the targets (hash sampling is ~rate, so allow
+    // a loose band at 500 docs)
+    targets.foreach { case (lang, share) =>
+      val got = kept(lang) / total
+      assert(math.abs(got - share) < 0.08,
+        s"$lang share $got vs target $share")
+    }
+    // the binding stratum (max tokens relative to weight deficit) is kept whole
+    val orig = docs.groupBy("lang").agg(sum("n_chars").as("tok"))
+      .as[(String, Long)].collect().toMap
+    val binding = targets.keys.minBy(l => orig(l).toDouble / targets(l))
+    assert(kept(binding) == orig(binding),
+      s"binding stratum $binding must keep everything")
+    // schema preserved; corpus side must not shuffle (broadcast join)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+  }
+
+  test("topFraction equals the single-partition window form, no Window node") {
+    val top = Sampling.topFraction(docs, "n_chars", "doc_id", 0.1,
+      numPartitions = 7)
+    docs.createOrReplaceTempView("tf_docs")
+    val n = docs.count()
+    val k = math.ceil(0.1 * n).toLong
+    val oracle = spark.sql(s"""
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS score, rank FROM (
+        SELECT doc_id, n_chars, row_number() OVER (
+          ORDER BY n_chars DESC, doc_id) AS rank
+        FROM tf_docs) WHERE rank <= $k""")
+    assert(datasetEquality(oracle, top))
+    assert(top.count() == k)
+    assert(!top.queryExecution.executedPlan.toString.contains("Window"))
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -183,6 +183,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within horizon across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val lmem = MemoryStream[(Timestamp, Long, Long)]
+    val rmem = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = lmem.toDF().toDF("click_ts", "user_id", "click_id")
+    val buys = rmem.toDF().toDF("purchase_ts", "user_id", "purchase_id")
+    val joined = StreamingOps.joinStreams(clicks, buys, "user_id",
+      "click_ts", "purchase_ts", horizon = "1 HOUR",
+      watermark = Some("24 hours"))
+    val q = joined.select("user_id", "click_id", "purchase_id")
+      .writeStream.format("memory").queryName("stream_join")
+      .outputMode("append").start()
+    try {
+      // click arrives first; matching purchase only in a LATER batch, so
+      // the pair must come out of the join state store
+      lmem.addData((ts(1, 0), 7L, 100L))
+      rmem.addData((ts(0, 30), 7L, 200L)) // before the click: no match
+      q.processAllAvailable()
+      rmem.addData((ts(1, 30), 7L, 201L)) // inside [click, click+1h]
+      rmem.addData((ts(2, 30), 7L, 202L)) // past the horizon: no match
+      lmem.addData((ts(2, 0), 8L, 101L))  // other user
+      rmem.addData((ts(2, 15), 8L, 203L))
+      q.processAllAvailable()
+      val rows = spark.table("stream_join")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((7L, 100L, 201L), (8L, 101L, 203L)))
+      // horizon boundary is inclusive
+      lmem.addData((ts(3, 0), 9L, 102L))
+      rmem.addData((ts(4, 0), 9L, 204L))
+      q.processAllAvailable()
+      assert(spark.table("stream_join").as[(Long, Long, Long)]
+        .collect().toSet.contains((9L, 102L, 204L)))
+    } finally q.stop()
+  }
+
   test("batch-only guards: streaming extract yields empty, load skips write") {
     implicit val sq = spark.sqlContext
     // Extract guard
