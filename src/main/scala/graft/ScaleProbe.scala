@@ -151,6 +151,22 @@ object ScaleProbe {
       t("embed_centroids") {
         Similarity.centroids(e, "label").count()
       }
+      // round 9b: one hash shuffle + a sequential per-bucket pass —
+      // linear; nBuckets fixed while the corpus grows, so per-stream work
+      // grows m-fold (size nBuckets to the cluster in production)
+      t("pack_sequences") {
+        graft.ops.Sampling.packSequences(d, "doc_id", "n_chars",
+          budget = 2000L, nBuckets = 64).count()
+      }
+      // round 9b: tiny per-stratum agg + broadcast filter — scan-bound
+      t("mixture_rebalance") {
+        graft.ops.Sampling.rebalance(d, "lang", "doc_id", "n_chars",
+          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)).count()
+      }
+      // round 9b: range sort + offsets, the deterministic_shuffle class
+      t("top_fraction") {
+        graft.ops.Sampling.topFraction(d, "n_chars", "doc_id", 0.25).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

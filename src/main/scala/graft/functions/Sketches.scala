@@ -38,6 +38,32 @@ object Sketches {
         .as("kmv_estimate"))
   }
 
+  /** Per-shard KMV sketch: the k smallest distinct h32 values seen in the
+    * shard — the MERGEABLE representation behind [[kmvDistinct]] (k longs
+    * per shard, the whole sketch fits in one broadcast row set).
+    */
+  def kmvSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame =
+    df.select(h32(valueCol.cast("string")).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** Merge per-shard KMV sketches and estimate: union the sketches,
+    * dedup, take the k smallest — EXACTLY the whole-corpus sketch when
+    * the shards partition the data (the k smallest of a union of
+    * per-shard k-smallest sets is the global k-smallest), so incremental
+    * per-shard sketching loses nothing. Shuffle cost: shards × k rows,
+    * never data.
+    */
+  def kmvMergeEstimate(sketches: Seq[DataFrame], k: Int): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _).distinct()
+      .orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
+      .select(
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * P / col("hk"), 4))
+          .as("kmv_estimate"))
+  }
+
   /** Approximate quantiles by DETERMINISTIC hash sampling: keep the rows
     * whose h32(idCol) falls under `rate` (the same reproducible subset
     * Sampling.deterministic draws), then take EXACT per-group percentiles

@@ -279,7 +279,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -313,6 +313,19 @@ final case class SampleTransformStage(
         Sampling.weightedTopK(in, idCol, weightCol, k, salt)
       case "negative" =>
         Sampling.negativeSample(in, idCol, k, nBuckets, salt)
+      case "shuffle" =>
+        Sampling.deterministicShuffle(in, idCol, salt)
+      case "pack" =>
+        Sampling.packSequences(in, idCol, tokenCol, budget, nBuckets, salt)
+      // rates doubles as the target-proportion map
+      case "rebalance" =>
+        Sampling.rebalance(in, stratumCol, idCol, tokenCol, rates, salt)
+      // rate doubles as the retention fraction p
+      case "top_fraction" =>
+        Sampling.topFraction(in, weightCol, idCol, rate)
+      case "token_cap" =>
+        Sampling.perStratumTokenCap(in, stratumCol, idCol, tokenCol,
+          budget, salt)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }

@@ -303,6 +303,32 @@ object Sampling {
       .select(col("anchor_id"), col("i").cast("long").as("i"), col("neg_id"))
   }
 
+  /** Per-stratum TOKEN budget cap: keep each stratum's documents, in the
+    * deterministic (h32(id ++ salt), id) draw order, until the stratum's
+    * cumulative token count reaches `budget` — the "at most N tokens per
+    * source/domain" recipe knob, the token-denominated complement of
+    * [[perStratumHead]]'s row cap. A document is kept iff the tokens
+    * BEFORE it in the draw order total under `budget` (so every stratum
+    * keeps at least its first draw, and the kept set is a pure function
+    * of the ids — re-drawn by salt, stable under any layout).
+    *
+    * One shuffle on the stratum key; per-stratum window sort — scale-safe
+    * whenever strata are numerous relative to cores (sources × languages),
+    * the same plan class as [[perStratumHead]].
+    */
+  def perStratumTokenCap(df: DataFrame, stratumCol: String, idCol: String,
+      tokenCol: String, budget: Long, salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(keyOf(col(idCol), salt).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__cum",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .where(col("__cum") < budget)
+      .drop("__cum")
+  }
+
   /** Sequence PACKING: bin documents into fixed-token-budget training
     * sequences (the pre-training step that concatenates short documents up
     * to the context length so no sequence slot is wasted). Output is

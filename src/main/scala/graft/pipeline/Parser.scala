@@ -302,7 +302,8 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("deterministic", "stratified", "per_stratum_head",
-            "shard_by_budget", "upsample", "weighted_topk", "negative"),
+            "shard_by_budget", "upsample", "weighted_topk", "negative",
+            "shuffle", "pack", "rebalance", "top_fraction", "token_cap"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),

@@ -99,6 +99,8 @@ object ExtensionQueries {
   private val PackBudget = 2000L
   private val PackBuckets = 8
   private val PackSalt = "pk0"
+  private val CapBudget = 2500L
+  private val CapSalt = "cap0"
   // target mixture proportions; es deliberately unlisted (dropped)
   private val RebalanceTargets =
     Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
@@ -386,6 +388,27 @@ object ExtensionQueries {
       Sampling.packSequences(docs(spark, dir), "doc_id", "n_chars",
           PackBudget, PackBuckets, PackSalt)
         .orderBy("doc_id")
+    },
+
+    "stratum_token_cap" -> { (spark, dir) =>
+      Sampling.perStratumTokenCap(docs(spark, dir), "source", "doc_id",
+          "n_chars", CapBudget, CapSalt)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Incremental-sketch contract for KMV, the sketch_hll_shards
+    // analogue: three disjoint shards sketched independently, merged,
+    // estimated — must equal the whole-corpus estimate EXACTLY (the k
+    // smallest of the union of per-shard k-smallest IS the global
+    // k-smallest when shards partition the data).
+    "sketch_kmv_shards" -> { (spark, dir) =>
+      import graft.functions.Sketches
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val shards = (0 until 3).map(s =>
+        Sketches.kmvSketch(li.where(col("l_orderkey") % 3 === s),
+          col("l_partkey"), k = 256))
+      Sketches.kmvMergeEstimate(shards, k = 256)
     },
 
     "mixture_rebalance" -> { (spark, dir) =>
@@ -1919,6 +1942,34 @@ object ExtensionQueries {
             THEN d.n_chars ELSE r.cum + d.n_chars END
         FROM rec r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
       SELECT doc_id, n_chars, bucket, pack FROM rec ORDER BY doc_id""",
+
+    // Replay of Sampling.perStratumTokenCap: exclusive prefix sum of
+    // tokens per stratum under the salted-hash draw order, keep while
+    // under budget.
+    "stratum_token_cap" -> s"""
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+          COALESCE(SUM(n_chars) OVER (PARTITION BY source
+            ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || '$CapSalt'),1,8))::BIGINT % $P,
+              doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM documents)
+      WHERE cum < $CapBudget
+      ORDER BY doc_id""",
+
+    // Replay: merged-shard KMV == whole-corpus KMV (shards partition the
+    // rows, so the estimate is the sketch_kmv estimate computed once).
+    "sketch_kmv_shards" -> s"""
+      WITH hs AS (
+        SELECT DISTINCT ('0x'||substr(md5(l_partkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM lineitem
+      ), smallest AS (
+        SELECT max(h) AS hk, count(*) AS n FROM (
+          SELECT h FROM hs ORDER BY h LIMIT 256)
+      )
+      SELECT CASE WHEN n < 256 THEN n::DOUBLE
+        ELSE round(255.0 * $P / hk, 4) END AS kmv_estimate
+      FROM smallest""",
 
     // Replay of Sampling.rebalance: same aggregate, same IEEE-double
     // threshold arithmetic in the same operation order.

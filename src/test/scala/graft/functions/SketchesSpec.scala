@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
@@ -115,6 +115,25 @@ class SketchesSpec extends SparkSpec {
       assert(row.getAs[Long]("cms_estimate") == row.getAs[Long]("exact_count"),
         s"collision-free sketch should be exact: $row")
     }
+  }
+
+  test("KMV shard merge equals the whole-corpus sketch") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => s"v${i % 997}").toDF("v")
+    val whole = Sketches.kmvDistinct(df, col("v"), k = 64)
+      .select("kmv_estimate").as[Double].head()
+    val shards = (0 until 4).map(s =>
+      Sketches.kmvSketch(df.where(expr(s"abs(hash(v)) % 4 = $s")),
+        col("v"), k = 64))
+    val merged = Sketches.kmvMergeEstimate(shards, k = 64)
+      .as[Double].head()
+    assert(merged == whole,
+      s"merged shards must equal the one-shot sketch: $merged vs $whole")
+    // merging with an empty shard changes nothing
+    val withEmpty = Sketches.kmvMergeEstimate(
+      shards :+ Sketches.kmvSketch(df.where(lit(false)), col("v"), 64), 64)
+      .as[Double].head()
+    assert(withEmpty == whole)
   }
 
   test("cmsHeavy never underestimates") {

@@ -319,6 +319,41 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(spark.table("m7_z").columns.contains("z"))
   }
 
+  test("pack, rebalance, top_fraction and token_cap as sample methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq(
+      (1L, "en", 600L), (2L, "en", 700L), (3L, "en", 800L),
+      (4L, "de", 300L), (5L, "de", 400L), (6L, "de", 500L))
+      .toDF("doc_id", "lang", "n_tokens"), "m9_docs")
+    val conf = """{"stages": [
+      {"type": "SampleTransform", "name": "pk", "method": "pack",
+       "inputView": "m9_docs", "outputView": "m9_pack",
+       "budget": 1000, "nBuckets": 2},
+      {"type": "SampleTransform", "name": "rb", "method": "rebalance",
+       "inputView": "m9_docs", "outputView": "m9_rb",
+       "stratumCol": "lang", "rates": {"en": "0.5", "de": "0.5"}},
+      {"type": "SampleTransform", "name": "tf", "method": "top_fraction",
+       "inputView": "m9_docs", "outputView": "m9_top",
+       "weightCol": "n_tokens", "rate": 0.5},
+      {"type": "SampleTransform", "name": "tc", "method": "token_cap",
+       "inputView": "m9_docs", "outputView": "m9_cap",
+       "stratumCol": "lang", "budget": 700}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("m9_pack").count() == 6)      // every doc packed
+    assert(spark.table("m9_pack").columns.contains("pack"))
+    // de is the binding stratum (fewer tokens at equal weight): kept whole
+    assert(spark.table("m9_rb").where($"lang" === "de").count() == 3)
+    assert(spark.table("m9_top").count() == 3)       // ceil(0.5 * 6)
+    // each lang keeps at least its first draw, under the 700-token cap
+    val cap = spark.table("m9_cap")
+    assert(cap.select("lang").distinct().count() == 2)
+    assert(cap.count() < 6)
+  }
+
   test("repetition and tfidf as text-analysis methods") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._

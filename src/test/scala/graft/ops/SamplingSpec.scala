@@ -240,6 +240,29 @@ class SamplingSpec extends SparkSpec {
       s"rate table must broadcast:\n$plan")
   }
 
+  test("perStratumTokenCap: budget honored, first draw always kept, stable") {
+    val out = Sampling.perStratumTokenCap(docs, "source", "doc_id",
+      "n_chars", budget = 2500L, salt = "cap0")
+    // every source keeps at least one doc
+    assert(out.select("source").distinct().count() ==
+      docs.select("source").distinct().count())
+    // kept tokens BEFORE the last kept doc stay under budget: total kept
+    // minus the largest kept doc per stratum is < budget
+    val agg = out.groupBy("source")
+      .agg(sum("n_chars").as("tot"), max("n_chars").as("mx"))
+      .where($"tot" - $"mx" >= 2500L)
+    assert(agg.isEmpty, "cap overshot by more than the final document")
+    // pure function of ids + salt: layout does not matter, salt redraws
+    val again = Sampling.perStratumTokenCap(docs.repartition(13), "source",
+      "doc_id", "n_chars", 2500L, salt = "cap0")
+    assert(datasetEquality(out, again))
+    val redraw = Sampling.perStratumTokenCap(docs, "source", "doc_id",
+      "n_chars", 2500L, salt = "cap1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(redraw != out.select("doc_id").as[Long].collect().toSet,
+      "a new salt draws a different capped subset")
+  }
+
   test("topFraction equals the single-partition window form, no Window node") {
     val top = Sampling.topFraction(docs, "n_chars", "doc_id", 0.1,
       numPartitions = 7)
