@@ -236,6 +236,32 @@ object Profile {
       .drop("b0", "b1")
   }
 
+  /** Within-group percentile rank of `valueCol`: (rank − 1) / (n − 1)
+    * under the TOTAL order (value, id) — tie-broken by id so the rank is
+    * deterministic on any engine; single-member groups rank 0.0. The
+    * score-normalization step that makes quality scores comparable ACROSS
+    * strata (a 0.9-percentile web doc and a 0.9-percentile books doc mean
+    * the same thing even when the raw score scales differ), feeding
+    * threshold-free mixture recipes. Rounded to 6 dp for cross-engine
+    * hash stability.
+    *
+    * One shuffle on the group key; per-group window sort — scale-safe
+    * whenever groups are numerous relative to cores, the same plan class
+    * as [[graft.ops.Sampling.perStratumHead]]. For a single global group
+    * use [[graft.ops.Sampling.topFraction]]'s distributed-rank machinery
+    * instead.
+    */
+  def percentileRank(df: DataFrame, valueCol: String, idCol: String,
+      byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty,
+      "byCols must be non-empty (global rank would single-partition; " +
+        "use Sampling.topFraction for the global form)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols.map(col): _*)
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
   /** Snapshot-to-snapshot profile drift — the data-quality regression
     * check run between two versions of a table (yesterday's load vs
     * today's, pre- vs post-migration): per column, both snapshots'

@@ -101,6 +101,7 @@ object ExtensionQueries {
   private val PackSalt = "pk0"
   private val CapBudget = 2500L
   private val CapSalt = "cap0"
+  private val ChunkPackBudget = 128L
   // target mixture proportions; es deliberately unlisted (dropped)
   private val RebalanceTargets =
     Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
@@ -394,6 +395,27 @@ object ExtensionQueries {
       Sampling.perStratumTokenCap(docs(spark, dir), "source", "doc_id",
           "n_chars", CapBudget, CapSalt)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // The composed pre-training shape: split long documents into
+    // non-overlapping token chunks, then next-fit the CHUNKS into
+    // fixed-budget training sequences — chunk |> pack as one gated
+    // chain (overlap must be 0 here: packing may not duplicate text).
+    "chunk_pack" -> { (spark, dir) =>
+      val pieces = TextAnalysis.chunk(docs(spark, dir), "doc_id", "text",
+          ChunkSize, overlap = 0)
+        .select((col("doc_id") * 1024 + col("chunk_id")).as("piece_id"),
+          col("n_chunk_tokens"))
+      Sampling.packSequences(pieces, "piece_id", "n_chunk_tokens",
+          budget = ChunkPackBudget, PackBuckets, PackSalt)
+        .orderBy("piece_id")
+    },
+
+    "score_percentile" -> { (spark, dir) =>
+      Profile.percentileRank(docs(spark, dir), "n_chars", "doc_id",
+          Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "pct_rank")
         .orderBy("doc_id")
     },
 
@@ -1956,6 +1978,52 @@ object ExtensionQueries {
         FROM documents)
       WHERE cum < $CapBudget
       ORDER BY doc_id""",
+
+    // Replay of chunk |> pack: the text_chunk word-slice arithmetic at
+    // overlap 0 produces the pieces; the pack_sequences recursive
+    // next-fit walks them per hash bucket.
+    "chunk_pack" -> s"""
+      WITH RECURSIVE ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          greatest(1, (len(string_split(text, ' '))
+            + $ChunkSize - 1) // $ChunkSize) AS nc
+        FROM documents),
+      pieces AS (
+        SELECT doc_id * 1024 + cid AS piece_id,
+          len(w[cid*$ChunkSize+1 : cid*$ChunkSize+$ChunkSize])::BIGINT
+            AS n_chunk_tokens
+        FROM ws, unnest(generate_series(0, nc-1)) AS t(cid)),
+      d AS (
+        SELECT piece_id, n_chunk_tokens, bucket,
+          row_number() OVER (PARTITION BY bucket ORDER BY piece_id) AS rn
+        FROM (
+          SELECT piece_id, n_chunk_tokens,
+            ('0x'||substr(md5(piece_id::VARCHAR || '$PackSalt'),1,8))::BIGINT
+              % $P % $PackBuckets AS bucket
+          FROM pieces)),
+      rec AS (
+        SELECT bucket, rn, piece_id, n_chunk_tokens,
+          CAST(0 AS BIGINT) AS pack, n_chunk_tokens AS cum
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.bucket, d.rn, d.piece_id, d.n_chunk_tokens,
+          CASE WHEN r.cum + d.n_chunk_tokens > $ChunkPackBudget
+            THEN r.pack + 1 ELSE r.pack END,
+          CASE WHEN r.cum + d.n_chunk_tokens > $ChunkPackBudget
+            THEN d.n_chunk_tokens ELSE r.cum + d.n_chunk_tokens END
+        FROM rec r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+      SELECT piece_id, n_chunk_tokens, bucket, pack FROM rec
+      ORDER BY piece_id""",
+
+    // Replay of Profile.percentileRank: percent_rank under the total
+    // (value, id) order — tie-free, so both engines compute
+    // (row_number-1)/(n-1) exactly; 6 dp rounding on positive values
+    // agrees between HALF_UP and round-half-away.
+    "score_percentile" -> """
+      SELECT doc_id, lang, n_chars,
+        round(percent_rank() OVER (
+          PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS pct_rank
+      FROM documents ORDER BY doc_id""",
 
     // Replay: merged-shard KMV == whole-corpus KMV (shards partition the
     // rows, so the estimate is the sketch_kmv estimate computed once).

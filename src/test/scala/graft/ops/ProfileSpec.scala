@@ -200,4 +200,23 @@ class ProfileSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("a", 1000.0))) // b's single row is its own median: no flag
   }
+
+  test("percentileRank: (rank-1)/(n-1) per group, deterministic on ties") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 30.0), ("b", 5L, 99.0))
+      .toDF("grp", "id", "v")
+    val out = Profile.percentileRank(df, "v", "id", Seq("grp"))
+      .select("id", "pct_rank").as[(Long, Double)].collect().toMap
+    // ties on v are broken by id: ranks 1..4 -> 0, 1/3, 2/3, 1
+    assert(out(1L) == 0.0 && out(4L) == 1.0)
+    assert(out(2L) == 0.333333 && out(3L) == 0.666667)
+    assert(out(5L) == 0.0, "single-member group ranks 0.0")
+    // pure function of (value, id): layout does not matter
+    val again = Profile.percentileRank(df.repartition(7), "v", "id",
+      Seq("grp")).select("id", "pct_rank").as[(Long, Double)].collect().toMap
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      Profile.percentileRank(df, "v", "id", Seq.empty)
+    }
+  }
 }
