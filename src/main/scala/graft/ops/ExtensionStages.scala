@@ -239,8 +239,9 @@ final case class ProfileTransformStage(
     outputView: String,
     columns: Seq[String],
     exact: Boolean = true,
-    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation
+    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank
     valueCol: String = "value",
+    idCol: String = "doc_id",
     binWidth: Double = 1.0,
     nBins: Int = 4,
     pLo: Double = 0.05,
@@ -267,6 +268,8 @@ final case class ProfileTransformStage(
       case "outliers" => Profile.outliers(in, valueCol, byCols, sigma)
       case "outliers_mad" => Profile.outliersMad(in, valueCol, byCols, madK)
       case "correlation" => Profile.correlation(in, xCol, yCol, byCols)
+      case "percentile_rank" =>
+        Profile.percentileRank(in, valueCol, idCol, byCols)
       case other => throw new IllegalArgumentException(
         s"unknown profile method '$other'")
     }

@@ -202,10 +202,11 @@ object Parser {
     "ProfileTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("table", "histogram", "bucketize", "winsorize", "outliers",
-          "outliers_mad", "correlation"), "table")
+          "outliers_mad", "correlation", "percentile_rank"), "table")
       // a group-keyed pass without byCols would only fail at runtime
       // (require in the operator) — fail at parse instead
-      if ((method.startsWith("outliers") || method == "correlation")
+      if ((method.startsWith("outliers") || method == "correlation"
+          || method == "percentile_rank")
           && r.stringList("byCols").isEmpty)
         r.error("byCols", s"missing or empty; $method requires group columns")
       ProfileTransformStage(
@@ -216,6 +217,7 @@ object Parser {
         exact = r.boolean("exact", default = true),
         method = method,
         valueCol = r.string("valueCol").getOrElse("value"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
         binWidth = r.double("binWidth").getOrElse(1.0),
         nBins = r.int("nBins").getOrElse(4),
         pLo = r.double("pLo").getOrElse(0.05),
@@ -540,7 +542,7 @@ object Parser {
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",
-      "method", "valueCol", "binWidth", "nBins", "pLo", "pHi", "byCols",
+      "method", "valueCol", "idCol", "binWidth", "nBins", "pLo", "pHi", "byCols",
       "sigma", "madK", "xCol", "yCol")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",

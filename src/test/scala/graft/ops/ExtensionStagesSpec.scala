@@ -338,7 +338,10 @@ class ExtensionStagesSpec extends SparkSpec {
        "weightCol": "n_tokens", "rate": 0.5},
       {"type": "SampleTransform", "name": "tc", "method": "token_cap",
        "inputView": "m9_docs", "outputView": "m9_cap",
-       "stratumCol": "lang", "budget": 700}
+       "stratumCol": "lang", "budget": 700},
+      {"type": "ProfileTransform", "name": "pr", "method": "percentile_rank",
+       "inputView": "m9_docs", "outputView": "m9_pct",
+       "valueCol": "n_tokens", "idCol": "doc_id", "byCols": ["lang"]}
     ]}"""
     val Right(p) = Parser.parse(conf,
       Map("default" -> new ParquetConnector(sf001))): @unchecked
@@ -352,6 +355,10 @@ class ExtensionStagesSpec extends SparkSpec {
     val cap = spark.table("m9_cap")
     assert(cap.select("lang").distinct().count() == 2)
     assert(cap.count() < 6)
+    // percentile rank: 3 per lang -> ranks {0, 0.5, 1}
+    val pct = spark.table("m9_pct").select("pct_rank")
+      .as[Double].collect().sorted.toSeq
+    assert(pct == Seq(0.0, 0.0, 0.5, 0.5, 1.0, 1.0))
   }
 
   test("repetition and tfidf as text-analysis methods") {
