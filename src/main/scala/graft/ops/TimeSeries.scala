@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Time-series completeness operators.
@@ -40,5 +40,78 @@ object TimeSeries {
     grid.join(counts, Seq(keyCol, "hour_start"), "left")
       .select(col(keyCol), col("hour_start"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Per-key rolling window aggregate: for every event, the count and
+    * (exact decimal) sum of the key's events in the trailing
+    * `[t - windowSeconds, t]` RANGE — the moving-average / rate feature
+    * over event time. A RANGE frame (not ROWS) makes ties irrelevant:
+    * equal-timestamp peers are always all included, so the result is
+    * deterministic under any layout.
+    *
+    * Shape at scale: one shuffle on the key; each key's frame scan is
+    * independent — the per-stratum-window plan class, scale-safe when
+    * keys are numerous relative to cores. The sum accumulates in
+    * DECIMAL(18,2) (order-independent, engine-exact) and surfaces as
+    * double.
+    */
+  def rolling(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    df.select(col("*"), unix_micros(col(tsCol)).as("ts_us"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        sum(col(valueCol).cast("decimal(18,2)")).over(w)
+          .cast("double"))
+  }
+
+  /** Per-key exponentially weighted moving average:
+    * s_1 = x_1; s_t = alpha * x_t + (1 - alpha) * s_{t-1} under the total
+    * order (ts, id) — the classic smoothing/anomaly baseline. The
+    * recurrence is inherently SEQUENTIAL per key, so (like
+    * [[graft.ops.Sampling.packSequences]]) the keys are the parallelism:
+    * one hash shuffle on the key, one in-order pass per key inside
+    * mapPartitions, state resets on key change — no window, no driver
+    * round-trip, per-key work bounded by that key's history.
+    *
+    * Determinism: `alpha * x + (1 - alpha) * s` is a fixed IEEE operation
+    * sequence, so any engine replaying the same order reproduces the
+    * state BIT-FOR-BIT — the emitted column is the raw double,
+    * deliberately un-rounded: a finite-binary-fraction state (alpha
+    * 0.25, cent-valued inputs) lands on exact mid-point decimals where
+    * HALF_UP (Spark) and float-multiply rounding (DuckDB) disagree, so
+    * 6 dp rounding would BREAK cross-engine equality here, not help it.
+    */
+  def ewma(df: DataFrame, tsCol: String, keyCol: String, idCol: String,
+      valueCol: String, alpha: Double, numPartitions: Int = 0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val beta = 1 - alpha
+    val slim = df.select(col(idCol).cast("long").as("id"),
+        col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts"),
+        col(valueCol).cast("double").as("v"))
+      .repartition(n, col("key"))
+      .sortWithinPartitions("key", "ts", "id")
+    val out: Dataset[(Long, Long, Long, Double)] = slim.mapPartitions { rows =>
+      var curKey = Long.MinValue
+      var first = true
+      var s = 0.0
+      rows.map { r =>
+        val id = r.getLong(0); val k = r.getLong(1)
+        val t = r.getLong(2); val v = r.getDouble(3)
+        if (first || k != curKey) { curKey = k; first = false; s = v }
+        else s = alpha * v + beta * s
+        (id, k, t, s)
+      }
+    }
+    out.toDF(idCol, keyCol, "ts_us", "ewma")
   }
 }

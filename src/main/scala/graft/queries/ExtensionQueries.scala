@@ -102,6 +102,9 @@ object ExtensionQueries {
   private val CapBudget = 2500L
   private val CapSalt = "cap0"
   private val ChunkPackBudget = 128L
+  private val RollWindowSec = 86400L
+  // 0.25: exact in binary, so alpha and 1-alpha round-trip as literals
+  private val EwmaAlpha = 0.25
   // target mixture proportions; es deliberately unlisted (dropped)
   private val RebalanceTargets =
     Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
@@ -1001,6 +1004,19 @@ object ExtensionQueries {
     "events_gapfill" -> { (spark, dir) =>
       TimeSeries.gapfillHourly(events(spark, dir), "ts", "event_type")
         .orderBy("event_type", "hour_start")
+    },
+
+    "events_rolling" -> { (spark, dir) =>
+      TimeSeries.rolling(events(spark, dir), "ts", "user_id", "value",
+          windowSeconds = RollWindowSec)
+        .select("event_id", "user_id", "ts_us", "n_window", "sum_window")
+        .orderBy("event_id")
+    },
+
+    "events_ewma" -> { (spark, dir) =>
+      TimeSeries.ewma(events(spark, dir), "ts", "user_id", "event_id",
+          "value", alpha = EwmaAlpha)
+        .orderBy("event_id")
     },
 
     // Composition: rate-anomaly detection = gap-fill |> MAD outliers.
@@ -3033,6 +3049,42 @@ object ExtensionQueries {
         FROM d JOIN mad USING (event_type))
       SELECT event_id, event_type, value, robust_z
       FROM scored WHERE mad > 0 AND abs(robust_z) > $MadK
+      ORDER BY event_id""",
+
+    // Replay of TimeSeries.rolling: trailing RANGE frame over epoch-us
+    // longs per user; the sum accumulates in DECIMAL (order-free, exact)
+    // and surfaces as DOUBLE on both engines.
+    "events_rolling" -> s"""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        count(*) OVER w AS n_window,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          AS sum_window
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN ${RollWindowSec * 1000000L} PRECEDING
+          AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    // Replay of TimeSeries.ewma: the recursive per-key recurrence under
+    // (ts, id) order; alpha = $EwmaAlpha and 1 - alpha are exact binary
+    // literals and the emitted state is the RAW double (see the operator
+    // scaladoc: rounding would break equality at the mid-point decimals
+    // a binary-fraction state lands on).
+    "events_ewma" -> s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      rec AS (
+        SELECT user_id, rn, event_id, ts_us, CAST(value AS DOUBLE) AS s
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id, e.ts_us,
+          CAST($EwmaAlpha AS DOUBLE) * e.value
+            + CAST(${1 - EwmaAlpha} AS DOUBLE) * r.s
+        FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, ts_us, s AS ewma FROM rec
       ORDER BY event_id""",
 
     // Grouping-sets parity: Spark's grouping_id() and DuckDB's
