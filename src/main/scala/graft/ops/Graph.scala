@@ -155,4 +155,46 @@ object Graph {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Synchronous label-propagation communities over a canonical
+    * undirected edge table ((a, b), a < b, distinct — e.g.
+    * [[coOccurrenceEdges]]): labels start as node ids; each round every
+    * node adopts its neighbors' most frequent label, ties to the
+    * smallest label. A FIXED `iters` budget is the contract — the
+    * synchronous variant can oscillate on bipartite-ish structure, so
+    * "run k rounds" is the deterministic form (and community density
+    * plateaus after a few rounds in practice). Nodes with no edges are
+    * absent from the output by construction.
+    *
+    * Shape at scale: per round, one hash join (edges ⨝ labels on the
+    * neighbor id — both sides key-partitioned), one map-side-combined
+    * (node, label) count, and a per-node argmax window (nodes are
+    * numerous; the window sorts each node's few candidate labels). Label
+    * state is one row per node, re-persisted per round so lineage stays
+    * flat. Deterministic: counts are exact, the (count desc, label asc)
+    * argmax is total — any engine replays it.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym = graft.util.Caches.persist(
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(labels.select(col("node").as("b"), col("label").as("__nl")),
+          "b")
+        .groupBy(col("a"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a"))
+        .orderBy(col("__c").desc, col("__nl").asc)
+      labels = graft.util.Caches.persist(
+        counts.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("a").as("node"), col("__nl").as("label")))
+    }
+    labels
+  }
 }

@@ -66,6 +66,7 @@ object ExtensionQueries {
   private val NgramLshBands = 8
   private val SimhashMaxBucket = 64
   private val TriMaxGroup = 10
+  private val LpaIters = 2
   private val BloomPriceMin = 400000.0
   private val BloomBits = 1 << 18
   private val BloomK = 5
@@ -590,6 +591,14 @@ object ExtensionQueries {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
       Graph.triangleCounts(Graph.coOccurrenceEdges(
           li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup))
+        .orderBy("node")
+    },
+
+    "graph_lpa" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.labelPropagation(Graph.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup),
+          iters = LpaIters)
         .orderBy("node")
     },
 
@@ -2296,6 +2305,32 @@ object ExtensionQueries {
 
     // Replay of Graph.triangleCounts over coOccurrenceEdges: same
     // maxGroup drop, degree-ordered orientation, wedge close.
+    // Replay of Graph.labelPropagation, iters = 2 unrolled: same edge
+    // derivation as triangle_count, then two rounds of
+    // neighbor-label-count argmax (count desc, label asc).
+    "graph_lpa" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+      c1 AS (SELECT s.a, l.label, count(*) AS c
+             FROM sym s JOIN l0 l ON l.node = s.b GROUP BY 1, 2),
+      l1 AS (SELECT a AS node, label FROM (
+               SELECT a, label, row_number() OVER (
+                 PARTITION BY a ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT s.a, l.label, count(*) AS c
+             FROM sym s JOIN l1 l ON l.node = s.b GROUP BY 1, 2),
+      l2 AS (SELECT a AS node, label FROM (
+               SELECT a, label, row_number() OVER (
+                 PARTITION BY a ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1)
+      SELECT node, label FROM l2 ORDER BY node""",
+
     "triangle_count" -> s"""
       WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
                  FROM lineitem),

@@ -79,6 +79,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(path).count() == 0L)
   }
 
+  test("labelPropagation: neighbor majority with min tie-break, fixed rounds") {
+    // two triangles bridged by one edge: 1-2-3 and 4-5-6, bridge 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // round 1 gives every node its min neighbor id; round 2 the majority:
+    // triangle {1,2,3} converges on 1's label
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    // stable under layout
+    val again = Graph.labelPropagation(edges.repartition(5), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("coOccurrenceEdges: canonical pairs within bounded groups only") {
     val df = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L), // dup member collapses
