@@ -42,6 +42,24 @@ object ExtensionQueries {
       t
     })
 
+  /** Run `body` (which must both BUILD and DRAIN a streaming query) with
+    * `spark.sql.shuffle.partitions` pinned to `n`, restoring the session
+    * value afterwards. Stateful streaming operators open one state store
+    * per shuffle partition per micro-batch (a stream-stream join opens
+    * FOUR): at the session's 32 partitions that is ~100 store files of
+    * pure fixed overhead per trigger on gate-sized data (measured 16.3s →
+    * 5.5s on streaming_join at sf0.1 going 32 → 4). The partition count
+    * freezes into the checkpoint at query START, so nothing outside the
+    * body observes the change.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Recursive delete, tolerant of concurrent removal. */
   private def rmrf(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -674,28 +692,30 @@ object ExtensionQueries {
       val in = tmp.resolve("in")
       Tables.eventsRaw(spark, dir).repartition(3)
         .write.parquet(in.toString)
-      val stream = spark.readStream
-        .schema(Tables.eventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = StreamingOps.hourlyEventStats(stream, "ts", "event_type",
-        "value", watermark = Some("2 hours"))
-      val q = graft.streaming.StreamingSink.foreachBatchLoad(
-        agg, new graft.connect.ParquetConnector(tmp.toString), "hourly",
-        checkpointDir = s"$tmp/_checkpoint",
-        mode = org.apache.spark.sql.SaveMode.Overwrite,
-        options = Map("confirm.truncate" -> "true"),
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
-      try {
-        q.processAllAvailable()
-        val batches = q.recentProgress.count(_.numInputRows > 0)
-        require(batches >= 3,
-          s"expected >= 3 data micro-batches, saw $batches — the multi-batch " +
-            "state path was not exercised")
-      } finally {
-        q.stop()
-        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      withStatePartitions(spark, 4) {
+        val stream = spark.readStream
+          .schema(Tables.eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = StreamingOps.hourlyEventStats(stream, "ts", "event_type",
+          "value", watermark = Some("2 hours"))
+        val q = graft.streaming.StreamingSink.foreachBatchLoad(
+          agg, new graft.connect.ParquetConnector(tmp.toString), "hourly",
+          checkpointDir = s"$tmp/_checkpoint",
+          mode = org.apache.spark.sql.SaveMode.Overwrite,
+          options = Map("confirm.truncate" -> "true"),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+        try {
+          q.processAllAvailable()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          require(batches >= 3,
+            s"expected >= 3 data micro-batches, saw $batches — the multi-batch " +
+              "state path was not exercised")
+        } finally {
+          q.stop()
+          rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+        }
       }
       spark.read.parquet(s"$tmp/hourly.parquet")
         .orderBy("hour_start", "event_type")
@@ -1070,26 +1090,28 @@ object ExtensionQueries {
       val in = tmp.resolve("in")
       Tables.eventsRaw(spark, dir).repartition(3)
         .write.parquet(in.toString)
-      val stream = spark.readStream
-        .schema(Tables.eventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val deduped = StreamingOps.dedupStream(stream, "ts",
-        Seq("user_id", "event_type"), watermark = Some("100000 hours"))
-      val q = graft.streaming.StreamingSink.foreachBatchLoad(
-        deduped.select("user_id", "event_type"),
-        new graft.connect.ParquetConnector(tmp.toString), "deduped",
-        checkpointDir = s"$tmp/_checkpoint")
-      try {
-        q.processAllAvailable()
-        val batches = q.recentProgress.count(_.numInputRows > 0)
-        require(batches >= 3,
-          s"expected >= 3 data micro-batches, saw $batches — the multi-batch " +
-            "dedup-state path was not exercised")
-      } finally {
-        q.stop()
-        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      withStatePartitions(spark, 4) {
+        val stream = spark.readStream
+          .schema(Tables.eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val deduped = StreamingOps.dedupStream(stream, "ts",
+          Seq("user_id", "event_type"), watermark = Some("100000 hours"))
+        val q = graft.streaming.StreamingSink.foreachBatchLoad(
+          deduped.select("user_id", "event_type"),
+          new graft.connect.ParquetConnector(tmp.toString), "deduped",
+          checkpointDir = s"$tmp/_checkpoint")
+        try {
+          q.processAllAvailable()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          require(batches >= 3,
+            s"expected >= 3 data micro-batches, saw $batches — the multi-batch " +
+              "dedup-state path was not exercised")
+        } finally {
+          q.stop()
+          rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+        }
       }
       spark.read.parquet(s"$tmp/deduped.parquet")
         .orderBy("user_id", "event_type")
@@ -1124,17 +1146,7 @@ object ExtensionQueries {
           col("event_type").isin("click", "purchase"))
         .repartition(3)
         .write.parquet(in.toString)
-      // a stream-stream join opens FOUR state stores per shuffle
-      // partition per micro-batch: at the session's 32 partitions that is
-      // ~100 store files per trigger of pure fixed overhead (measured
-      // 16s at sf0.1 — 5x the whole-events streaming gates). The state
-      // partition count is frozen into the checkpoint at query START, so
-      // pin it low for this query and RESTORE the conf in the finally —
-      // nothing outside this invocation sees the change.
-      val confKey = "spark.sql.shuffle.partitions"
-      val oldParts = spark.conf.get(confKey)
-      spark.conf.set(confKey, "4")
-      try {
+      withStatePartitions(spark, 4) {
         def src() = spark.readStream
           .schema(Tables.eventsSchema)
           .option("maxFilesPerTrigger", 1)
@@ -1165,7 +1177,7 @@ object ExtensionQueries {
           q.stop()
           rmrf(in); rmrf(tmp.resolve("_checkpoint"))
         }
-      } finally spark.conf.set(confKey, oldParts)
+      }
       spark.read.parquet(s"$tmp/attributed.parquet")
         .orderBy("click_id", "purchase_id")
     },
@@ -1189,27 +1201,29 @@ object ExtensionQueries {
       val in = tmp.resolve("in")
       Tables.eventsRaw(spark, dir).repartition(3)
         .write.parquet(in.toString)
-      val stream = spark.readStream
-        .schema(Tables.eventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in.toString)
-      val typed = stream.select(col("user_id").cast("string")).as[String]
-        .map((_, 1L))
-      val running = StreamingOps.runningCountsPerKey(typed)(spark)
-      val q = graft.streaming.StreamingSink.foreachBatchLoad(
-        running.toDF("user_id", "running_total"),
-        new graft.connect.ParquetConnector(tmp.toString), "counts",
-        checkpointDir = s"$tmp/_checkpoint",
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
-      try {
-        q.processAllAvailable()
-        val batches = q.recentProgress.count(_.numInputRows > 0)
-        require(batches >= 3,
-          s"expected >= 3 data micro-batches, saw $batches — the " +
-            "cross-batch mapGroupsWithState path was not exercised")
-      } finally {
-        q.stop()
-        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      withStatePartitions(spark, 4) {
+        val stream = spark.readStream
+          .schema(Tables.eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+        val typed = stream.select(col("user_id").cast("string")).as[String]
+          .map((_, 1L))
+        val running = StreamingOps.runningCountsPerKey(typed)(spark)
+        val q = graft.streaming.StreamingSink.foreachBatchLoad(
+          running.toDF("user_id", "running_total"),
+          new graft.connect.ParquetConnector(tmp.toString), "counts",
+          checkpointDir = s"$tmp/_checkpoint",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        try {
+          q.processAllAvailable()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          require(batches >= 3,
+            s"expected >= 3 data micro-batches, saw $batches — the " +
+              "cross-batch mapGroupsWithState path was not exercised")
+        } finally {
+          q.stop()
+          rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+        }
       }
       spark.read.parquet(s"$tmp/counts.parquet")
         .groupBy(col("user_id").cast("long").as("user_id"))
@@ -1234,36 +1248,38 @@ object ExtensionQueries {
       val in = tmp.resolve("in")
       Tables.eventsRaw(spark, dir).repartition(3)
         .write.parquet(in.toString)
-      val stream = spark.readStream
-        .schema(Tables.eventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // the watermark is sized far past the data range (the
-      // streaming_dedup pattern): session_window DROPS late input rows
-      // even in Complete mode (measured: a 2h watermark lost 3314/10000
-      // events to the round-robin file split), and a gate result must
-      // not depend on which file a row landed in
-      val sess = StreamingOps.sessionWindows(stream, "ts", "user_id",
-        gap = "30 minutes", watermark = Some("100000 hours"))
-      val q = graft.streaming.StreamingSink.foreachBatchLoad(
-        sess.select(col("key").as("user_id"),
-          unix_millis(col("session_start")).as("session_start_ms"),
-          col("n_events")),
-        new graft.connect.ParquetConnector(tmp.toString), "sessions",
-        checkpointDir = s"$tmp/_checkpoint",
-        mode = org.apache.spark.sql.SaveMode.Overwrite,
-        options = Map("confirm.truncate" -> "true"),
-        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
-      try {
-        q.processAllAvailable()
-        val batches = q.recentProgress.count(_.numInputRows > 0)
-        require(batches >= 3,
-          s"expected >= 3 data micro-batches, saw $batches — the " +
-            "cross-batch session-merge path was not exercised")
-      } finally {
-        q.stop()
-        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      withStatePartitions(spark, 4) {
+        val stream = spark.readStream
+          .schema(Tables.eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // the watermark is sized far past the data range (the
+        // streaming_dedup pattern): session_window DROPS late input rows
+        // even in Complete mode (measured: a 2h watermark lost 3314/10000
+        // events to the round-robin file split), and a gate result must
+        // not depend on which file a row landed in
+        val sess = StreamingOps.sessionWindows(stream, "ts", "user_id",
+          gap = "30 minutes", watermark = Some("100000 hours"))
+        val q = graft.streaming.StreamingSink.foreachBatchLoad(
+          sess.select(col("key").as("user_id"),
+            unix_millis(col("session_start")).as("session_start_ms"),
+            col("n_events")),
+          new graft.connect.ParquetConnector(tmp.toString), "sessions",
+          checkpointDir = s"$tmp/_checkpoint",
+          mode = org.apache.spark.sql.SaveMode.Overwrite,
+          options = Map("confirm.truncate" -> "true"),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+        try {
+          q.processAllAvailable()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          require(batches >= 3,
+            s"expected >= 3 data micro-batches, saw $batches — the " +
+              "cross-batch session-merge path was not exercised")
+        } finally {
+          q.stop()
+          rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+        }
       }
       spark.read.parquet(s"$tmp/sessions.parquet")
         .orderBy("user_id", "session_start_ms")
