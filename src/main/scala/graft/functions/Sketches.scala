@@ -224,6 +224,35 @@ object Sketches {
       }: _*)
   }
 
+  /** Cross-corpus overlap estimate by inclusion-exclusion over HLL
+    * register tables: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the
+    * union estimate comes from the register-level max-merge ([[hllMerge]])
+    * — the standard way to ask "how much of corpus B have we already
+    * got?" from a few KB of persisted sketch per side, without ever
+    * joining the corpora. Clamped at 0 (the estimator can go slightly
+    * negative for near-disjoint inputs); error grows as the true
+    * intersection shrinks relative to the union (inclusion-exclusion
+    * differences three same-scale estimates), so treat small results as
+    * "≈ disjoint", not as precise counts.
+    *
+    * Both inputs must share the same `m`. Deterministic: each estimate is
+    * the usual exact-register formula rounded to 4dp; the difference of
+    * the three rounded doubles is exact, re-rounded to 4dp.
+    */
+  def hllIntersectEstimate(regsA: DataFrame, regsB: DataFrame,
+      groupCols: Seq[String], m: Int = 512): DataFrame = {
+    val ea = hllEstimate(regsA, groupCols, m)
+      .withColumnRenamed("hll_estimate", "__ea")
+    val eb = hllEstimate(regsB, groupCols, m)
+      .withColumnRenamed("hll_estimate", "__eb")
+    val eu = hllEstimate(hllMerge(Seq(regsA, regsB), groupCols), groupCols, m)
+      .withColumnRenamed("hll_estimate", "__eu")
+    ea.join(eb, groupCols).join(eu, groupCols)
+      .select(groupCols.map(col) :+
+        (round(greatest(lit(0d), col("__ea") + col("__eb") - col("__eu")), 4)
+          + lit(0d)).as("hll_intersection"): _*)
+  }
+
   /** rho ceiling for a zero quotient: the quotient domain P/m is ~21 bits
     * for the default m, so 22 is "all bits zero" — any fixed constant
     * works as long as the oracle uses the same one.

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Rank fixed-point scale: 1e12 (12 decimal digits). */
   val RankScale = 1000000000000L
 
@@ -196,5 +198,46 @@ object Graph {
           .select(col("a").as("node"), col("__nl").as("label")))
     }
     labels
+  }
+
+  /** k-core decomposition by iterative peeling over a DISTINCT undirected
+    * edge table ((a, b), a < b): each round drops every node whose
+    * current degree is < k, together with its edges, and a node removal
+    * can push neighbors below k — hence the loop. A FIXED `rounds` budget
+    * is the contract (the labelPropagation convention): the exact k-core
+    * needs peeling to a fixpoint, whose depth is data-dependent; `rounds`
+    * bounds both lineage and wall-clock, and the method WARNS when the
+    * budget was too small (nodes below k still present after the last
+    * round), so an under-peeled result is loud, not silent. Returns the
+    * surviving nodes as (node, degree) — degrees counted WITHIN the core.
+    *
+    * Shape at scale: per round, one map-side-combined degree count (one
+    * row per node) and two key-partitioned semi joins of the edge table
+    * against that node list — no broadcast of anything corpus-sized, no
+    * driver-side state, lineage flattened by per-round persists. Peel
+    * depth in practice is far below the theoretical O(n) worst case:
+    * each round removes every currently-under-k node at once.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var sym = graft.util.Caches.persist(
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("a").agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select("a")
+      sym = graft.util.Caches.persist(
+        sym.join(keep, "a")
+          .join(keep.select(col("a").as("b")), "b")
+          .select("a", "b"))
+    }
+    val deg = graft.util.Caches.persist(
+      sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree")))
+    val under = deg.where(col("degree") < k).count()
+    if (under > 0) log.warn(
+      s"kCore: $under node(s) still below k=$k after rounds=$rounds — " +
+        "the peel did not reach its fixpoint; raise rounds for the exact core")
+    deg
   }
 }

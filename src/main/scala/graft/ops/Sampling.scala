@@ -425,6 +425,50 @@ object Sampling {
       .drop("__s", "__thr")
   }
 
+  /** Temperature-scaled mixture: [[rebalance]] with the target weights
+    * COMPUTED from the corpus instead of hand-picked — stratum `s` with
+    * natural token share `p_s` gets weight `p_s^alpha` (rounded to 6dp),
+    * the multinomial temperature-sampling rule of multilingual and
+    * domain-mixing pre-training (alpha = 1 keeps natural proportions,
+    * alpha -> 0 approaches uniform; 0.5 and 0.3 are the conventional
+    * settings). Rates follow the rebalance contract: the stratum with
+    * the largest weight-relative deficit keeps everything, the rest
+    * downsample by the deterministic h32 draw, so the surviving token
+    * mass is proportional to `p_s^alpha` and no stratum upsamples.
+    *
+    * The 6dp weight rounding is the cross-engine determinism contract:
+    * `pow` is not required to be correctly rounded by IEEE 754, so raw
+    * Java/libm results may differ in the last ulp — after HALF_UP 6dp
+    * rounding (`+ 0.0` for the negative-zero rule) both engines feed
+    * identical doubles into identical threshold arithmetic.
+    *
+    * Shape at scale: identical to [[rebalance]] — one map-side-combined
+    * aggregate bounded by the stratum count, two broadcasts of
+    * stratum-sized tables, then a narrow filter; the corpus never
+    * shuffles.
+    */
+  def temperatureRebalance(df: DataFrame, stratumCol: String, idCol: String,
+      tokenCol: String, alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val toks = df
+      .select(col(stratumCol).as("__s"), col(tokenCol).cast("long").as("__t"))
+      .groupBy("__s").agg(sum("__t").as("__tok"))
+    val tot = toks.agg(sum("__tok").as("__tot"))
+    val wts = toks.crossJoin(broadcast(tot))
+      .select(col("__s"), col("__tok"),
+        (round(pow(col("__tok").cast("double") / col("__tot").cast("double"),
+          lit(alpha)), 6) + lit(0d)).as("__w"))
+    val cmin = wts.agg(
+      min(col("__tok").cast("double") / col("__w")).as("__cmin"))
+    val rates = wts.crossJoin(broadcast(cmin))
+      .select(col("__s"),
+        floor(col("__w") * col("__cmin") / col("__tok").cast("double")
+          * lit(P.toDouble)).cast("long").as("__thr"))
+    df.join(broadcast(rates), col(stratumCol) === col("__s"))
+      .where(keyOf(col(idCol), salt) < col("__thr"))
+      .drop("__s", "__thr")
+  }
+
   /** Global top-fraction selection: keep the ceil(p * n) rows with the
     * highest score, ties to the smaller id — the "keep the best 10% by
     * quality score" calibration step, where the CUT-OFF is a target

@@ -507,4 +507,42 @@ object Similarity {
             }))
           .otherwise(array().cast("array<long>")).as("q"))
   }
+
+  /** Semantic (cluster-scoped) dedup, the SemDeDup recipe (Abbas et al.
+    * 2023): cluster the corpus with the shared k-means machinery, then
+    * within each cell drop every vector that has a LOWER-id cell-mate at
+    * cosine >= `threshold`. Complements [[nearDupPairs]]: sign-LSH
+    * catches near-identical vectors anywhere in the corpus; the
+    * cluster-scoped pass catches merely-similar vectors that share a
+    * semantic neighborhood (LSH band collision probability is too low for
+    * moderate cosine), at the price of only comparing within a cell.
+    * Returns the SURVIVORS as (vec_id, cell).
+    *
+    * Shape at scale: the centroid count grows with the corpus (seeds are
+    * `vec_id % centroidEvery == 0`), so EXPECTED CELL POPULATION stays
+    * ~`centroidEvery` no matter the corpus size — the intra-cell
+    * self-join is O(n * centroidEvery), linear in the corpus, never
+    * global-quadratic. Centroids broadcast (tiny); the per-cell join
+    * shuffles both sides on `cell` once; the final anti-join is a
+    * key-partitioned hash join. Uses the fixed-point (order-insensitive)
+    * centroid path, so results are bit-deterministic and oracle-replayable.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double,
+      centroidEvery: Int = 100, kmeansIters: Int = 1): DataFrame = {
+    val cv = graft.util.Caches.persist(withNorm(df))
+    val cents = trainCentroids(cv, centroidEvery, kmeansIters,
+      exactReplay = false)
+    // persisted: the cell table feeds both sides of the pair join AND the
+    // survivor anti-join
+    val cells = graft.util.Caches.persist(assignCells(cv, "vec_id", cents))
+    val scored = cells.join(cv, "vec_id")
+    val dropped = scored.as("x").join(scored.as("y"), "cell")
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"),
+        cosineFromNorms("x.embedding", "y.embedding", "x.nrm", "y.nrm")
+          .as("__cos"))
+      .where(col("__cos") >= threshold)
+      .select("vec_id").distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

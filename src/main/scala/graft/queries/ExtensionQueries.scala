@@ -127,6 +127,12 @@ object ExtensionQueries {
   // target mixture proportions; es deliberately unlisted (dropped)
   private val RebalanceTargets =
     Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+  // 0.5: the classic square-root temperature; weights round to 6dp so the
+  // cross-engine pow contract holds (see Sampling.temperatureRebalance)
+  private val TempAlpha = 0.5
+  private val SemDedupThreshold = 0.3
+  private val KcoreK = 4
+  private val KcoreRounds = 4
   // 0.25 is exactly representable in binary: ceil(p*n) can never straddle
   // a double rounding boundary between engines
   private val TopFrac = 0.25
@@ -161,6 +167,33 @@ object ExtensionQueries {
     val m = HllM.toDouble
     (0.7213 / (1.0 + 1.079 / m) * m * m).toString
   }
+
+  /** HLL register CTE over a (l_returnflag, h) source — the replay of
+    * Sketches.hllRegisters shared by the shard-merge and intersection
+    * oracles.
+    */
+  private def hllRegCte(src: String, out: String): String = s"""
+      $out AS (
+        SELECT l_returnflag, h % $HllM AS b,
+          max(CASE WHEN h // $HllM = 0 THEN ${graft.functions.Sketches.RhoCap}
+            ELSE floor(log2(((h // $HllM) & (-(h // $HllM)))::DOUBLE))::BIGINT + 1
+            END) AS m
+        FROM $src GROUP BY 1, 2)"""
+
+  /** HLL estimate CTE over a register table, output column `e` — the
+    * replay of Sketches.hllEstimate (linear-counting correction, 4dp).
+    */
+  private def hllEstCte(regs: String, out: String): String = s"""
+      $out AS (
+        SELECT l_returnflag,
+          round(CASE WHEN raw <= (${2.5 * HllM})::DOUBLE AND ($HllM - nb) > 0
+            THEN ($HllM)::DOUBLE * ln(($HllM)::DOUBLE / ($HllM - nb))
+            ELSE raw END, 4) AS e
+        FROM (SELECT l_returnflag, nb,
+                (${hllAlphaM2Lit})::DOUBLE / (inv + ($HllM - nb)) AS raw
+              FROM (SELECT l_returnflag, sum(pow(2.0, -m)) AS inv,
+                      count(*) AS nb
+                    FROM $regs GROUP BY 1)))"""
 
   /** The Morton interleave as portable SQL — generated from the same bit
     * positions as Layout.zValueN (column j's bit b at position k*b+j) so
@@ -299,6 +332,15 @@ object ExtensionQueries {
       Similarity.nearDupPairs(embs(spark, dir), EmbedDupThreshold,
           maxBucket = EmbedMaxBucket)
         .orderBy("vec_a", "vec_b")
+    },
+
+    "dedup_semantic" -> { (spark, dir) =>
+      // cluster-scoped dedup over the same corpus the LSH pass covers:
+      // one Lloyd round on the fixed-point path, then intra-cell cosine
+      // pruning — the oracle replays centroids, cells and drops exactly.
+      Similarity.semanticDedup(embs(spark, dir), SemDedupThreshold,
+          CentroidEvery, kmeansIters = 1)
+        .orderBy("vec_id")
     },
 
     "similarity_topk" -> { (spark, dir) =>
@@ -462,6 +504,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "mixture_temperature" -> { (spark, dir) =>
+      Sampling.temperatureRebalance(docs(spark, dir), "lang", "doc_id",
+          "n_chars", TempAlpha)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "sample_top_fraction" -> { (spark, dir) =>
       Sampling.topFraction(docs(spark, dir), "n_chars", "doc_id", TopFrac)
         .orderBy("doc_id")
@@ -617,6 +666,14 @@ object ExtensionQueries {
       Graph.labelPropagation(Graph.coOccurrenceEdges(
           li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup),
           iters = LpaIters)
+        .orderBy("node")
+    },
+
+    "graph_kcore" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.kCore(Graph.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup),
+          k = KcoreK, rounds = KcoreRounds)
         .orderBy("node")
     },
 
@@ -932,6 +989,20 @@ object ExtensionQueries {
           col("l_partkey"), Seq("l_returnflag"), m = HllM))
       Sketches.hllEstimate(Sketches.hllMerge(shards, Seq("l_returnflag")),
           Seq("l_returnflag"), m = HllM)
+        .orderBy("l_returnflag")
+    },
+
+    // Overlap-between-corpora from persisted sketches: A = orders in the
+    // even-orderkey half, B = the %3 == 0 third (true overlap: %6 == 0).
+    // Inclusion-exclusion over register tables — no corpus join anywhere.
+    "sketch_hll_intersect" -> { (spark, dir) =>
+      import graft.functions.Sketches
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ra = Sketches.hllRegisters(li.where(col("l_orderkey") % 2 === 0),
+        col("l_partkey"), Seq("l_returnflag"), m = HllM)
+      val rb = Sketches.hllRegisters(li.where(col("l_orderkey") % 3 === 0),
+        col("l_partkey"), Seq("l_returnflag"), m = HllM)
+      Sketches.hllIntersectEstimate(ra, rb, Seq("l_returnflag"), m = HllM)
         .orderBy("l_returnflag")
     },
 
@@ -1854,6 +1925,27 @@ object ExtensionQueries {
     // Replay of Similarity.ivfTopK with $KmeansIters Lloyd rounds:
     // deterministic seeds (vec_id % $CentroidEvery), assignment by
     // max-cosine with c_id tie-break, centroid = sequential-sum mean.
+    // Replay of Similarity.semanticDedup (1 fixed-point Lloyd round):
+    // identical centroids and cells as the IVF oracles, then the
+    // intra-cell lower-id drop at the 6dp-rounded cosine threshold.
+    "dedup_semantic" -> s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "cells")}
+      , dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN embeddings a ON a.vec_id = x.vec_id
+        JOIN embeddings b ON b.vec_id = y.vec_id
+        WHERE ${cosD("a", "b")} >= $SemDedupThreshold)
+      SELECT c.vec_id, c.cell FROM cells c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY c.vec_id""",
+
     "similarity_ivf" -> s"""
       WITH cents0 AS (
         SELECT vec_id AS c_id,
@@ -2097,6 +2189,26 @@ object ExtensionQueries {
       r AS (SELECT s,
         CAST(floor(w * cmin / CAST(tok AS DOUBLE) * $P) AS BIGINT) AS thr
         FROM t CROSS JOIN c)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d JOIN r ON d.lang = r.s
+      WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,8))::BIGINT % $P < r.thr
+      ORDER BY d.doc_id""",
+
+    // Replay of Sampling.temperatureRebalance: weights p^alpha rounded to
+    // 6dp (the cross-engine pow contract), then the rebalance threshold
+    // arithmetic verbatim.
+    "mixture_temperature" -> s"""
+      WITH t AS (SELECT lang AS s, SUM(n_chars) AS tok
+                 FROM documents GROUP BY 1),
+      tt AS (SELECT SUM(tok) AS tot FROM t),
+      w AS (SELECT s, tok,
+              round(pow(CAST(tok AS DOUBLE) / CAST(tot AS DOUBLE),
+                $TempAlpha), 6) + 0 AS w
+            FROM t CROSS JOIN tt),
+      c AS (SELECT MIN(CAST(tok AS DOUBLE) / w) AS cmin FROM w),
+      r AS (SELECT s,
+        CAST(floor(w * cmin / CAST(tok AS DOUBLE) * $P) AS BIGINT) AS thr
+        FROM w CROSS JOIN c)
       SELECT d.doc_id, d.lang, d.source, d.n_chars
       FROM documents d JOIN r ON d.lang = r.s
       WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,8))::BIGINT % $P < r.thr
@@ -2346,6 +2458,28 @@ object ExtensionQueries {
                  PARTITION BY a ORDER BY c DESC, label) AS rn
                FROM c2) WHERE rn = 1)
       SELECT node, label FROM l2 ORDER BY node""",
+
+    // Replay of Graph.kCore: the lpa/triangle edge CTE, then KcoreRounds
+    // unrolled peel rounds (degree >= k semi-filter on both endpoints).
+    "graph_kcore" -> {
+      val peels = (1 to KcoreRounds).map(i => s"""
+      keep$i AS (SELECT a FROM sym${i - 1} GROUP BY a
+                 HAVING count(*) >= $KcoreK),
+      sym$i AS (SELECT s.a, s.b FROM sym${i - 1} s
+                JOIN keep$i x ON s.a = x.a
+                JOIN keep$i y ON s.b = y.a)""").mkString(",")
+      s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym0 AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      $peels
+      SELECT a AS node, count(*) AS degree FROM sym$KcoreRounds
+      GROUP BY a ORDER BY node"""
+    },
 
     "triangle_count" -> s"""
       WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
@@ -2933,6 +3067,33 @@ object ExtensionQueries {
       FROM (SELECT l_returnflag, nb,
               (${hllAlphaM2Lit})::DOUBLE / (inv + ($HllM - nb)) AS raw
             FROM e)
+      ORDER BY l_returnflag""",
+
+    // Replay of Sketches.hllIntersectEstimate: per-side registers, the
+    // register-level max-merge for the union, three estimates, then the
+    // clamped inclusion-exclusion difference re-rounded to 4dp.
+    "sketch_hll_intersect" -> s"""
+      WITH ha AS (
+        SELECT l_returnflag,
+          ('0x'||substr(md5(l_partkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM lineitem WHERE l_orderkey % 2 = 0),
+      hb AS (
+        SELECT l_returnflag,
+          ('0x'||substr(md5(l_partkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM lineitem WHERE l_orderkey % 3 = 0),
+      ${hllRegCte("ha", "ra")},
+      ${hllRegCte("hb", "rb")},
+      ru AS (
+        SELECT l_returnflag, b, max(m) AS m
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+        GROUP BY 1, 2),
+      ${hllEstCte("ra", "ea")},
+      ${hllEstCte("rb", "eb")},
+      ${hllEstCte("ru", "eu")}
+      SELECT ea.l_returnflag,
+        round(greatest(CAST(0 AS DOUBLE), ea.e + eb.e - eu.e), 4) + 0
+          AS hll_intersection
+      FROM ea JOIN eb USING (l_returnflag) JOIN eu USING (l_returnflag)
       ORDER BY l_returnflag""",
 
     // Replay of Sketches.cmsHeavy: one md5 per key, then the MinHash

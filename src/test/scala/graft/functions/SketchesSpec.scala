@@ -136,6 +136,23 @@ class SketchesSpec extends SparkSpec {
     assert(withEmpty == whole)
   }
 
+  test("hllIntersectEstimate: inclusion-exclusion overlap, clamped at 0") {
+    val a = (0 until 3000).map(i => ("g", s"id$i")).toDF("grp", "k")
+    val b = (2000 until 5000).map(i => ("g", s"id$i")).toDF("grp", "k")
+    val ra = Sketches.hllRegisters(a, col("k"), Seq("grp"))
+    val rb = Sketches.hllRegisters(b, col("k"), Seq("grp"))
+    val est = Sketches.hllIntersectEstimate(ra, rb, Seq("grp"))
+      .select("hll_intersection").as[Double].head()
+    // true overlap 1000; three stacked ~4.6%-RSE estimates of 3k/3k/5k
+    assert(math.abs(est - 1000.0) < 400.0, s"overlap estimate $est")
+    // near-disjoint inputs must clamp at >= 0, never go negative
+    val c = (100000 until 103000).map(i => ("g", s"id$i")).toDF("grp", "k")
+    val rc = Sketches.hllRegisters(c, col("k"), Seq("grp"))
+    val est2 = Sketches.hllIntersectEstimate(ra, rc, Seq("grp"))
+      .select("hll_intersection").as[Double].head()
+    assert(est2 >= 0.0, s"clamp failed: $est2")
+  }
+
   test("cmsHeavy never underestimates") {
     // 200 keys into a deliberately tiny 2x16 sketch: heavy collisions
     val df = (1 to 600).map(i => s"k${i % 200}").toDF("k")

@@ -96,6 +96,29 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("kCore: peels cascading removals; exact core at sufficient rounds") {
+    // K4 on {1,2,3,4} plus a tail 4-5-6: the 3-core is exactly K4.
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core3 = Graph.kCore(k4tail, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 4-core is empty (max within-core degree is 3)
+    assert(Graph.kCore(k4tail, k = 4, rounds = 3).count() == 0L)
+    // cascade: path 1-2-3-4-5 under k=2 unravels from both ends — one
+    // round only strips the endpoints, three rounds reach the empty core
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val partial = Graph.kCore(path, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.keySet == Set(2L, 3L, 4L)) // under-peeled, warns
+    assert(Graph.kCore(path, k = 2, rounds = 3).count() == 0L)
+    // layout-invariant
+    val again = Graph.kCore(k4tail.repartition(7), k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == core3)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("coOccurrenceEdges: canonical pairs within bounded groups only") {
     val df = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L), // dup member collapses

@@ -240,6 +240,31 @@ class SamplingSpec extends SparkSpec {
       s"rate table must broadcast:\n$plan")
   }
 
+  test("temperatureRebalance: sqrt flattening, smallest stratum binds") {
+    val rows = (0 until 200).map(i => (i.toLong, "big", 100L)) ++
+      (200 until 250).map(i => (i.toLong, "mid", 100L)) ++
+      (250 until 260).map(i => (i.toLong, "small", 100L))
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    val out = Sampling.temperatureRebalance(df, "lang", "doc_id", "n_chars",
+      alpha = 0.5)
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // rates ~ tok^(alpha-1): the smallest stratum binds and keeps all
+    assert(kept("small") == 10L, s"smallest stratum must keep all: $kept")
+    // keep FRACTIONS strictly flatten toward uniform: big < mid < small
+    assert(kept("big").toDouble / 200 < kept("mid").toDouble / 50,
+      s"fractions must order by stratum size: $kept")
+    assert(kept("mid") < 50L)
+    // deterministic under layout; schema preserved; rate table broadcast
+    val again = Sampling.temperatureRebalance(df.repartition(7), "lang",
+      "doc_id", "n_chars", alpha = 0.5)
+    assert(again.orderBy("doc_id").collect().toSeq ==
+      out.orderBy("doc_id").collect().toSeq)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+  }
+
   test("perStratumTokenCap: budget honored, first draw always kept, stable") {
     val out = Sampling.perStratumTokenCap(docs, "source", "doc_id",
       "n_chars", budget = 2500L, salt = "cap0")

@@ -275,4 +275,30 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("semanticDedup: intra-cell lower-id drop at threshold, stable") {
+    // three well-separated axis clusters; seeds (vec_id % 2 == 0) are the
+    // axis vectors themselves, so cells survive the Lloyd round intact
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0.9f, 0.1f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)), (5L, Array(0f, 0.1f, 0.9f, 0f))
+    ).toDF("vec_id", "embedding")
+    // cos(axis, tilted cell-mate) = 0.9/sqrt(0.82) ~ 0.9939: above 0.9,
+    // so each cell keeps only its lowest id
+    val out = Similarity.semanticDedup(df, threshold = 0.9,
+      centroidEvery = 2, kmeansIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 2L -> 2L, 4L -> 4L))
+    // a threshold above every intra-cell cosine keeps the whole corpus
+    val all = Similarity.semanticDedup(df, threshold = 0.999,
+      centroidEvery = 2, kmeansIters = 1)
+    assert(all.count() == 6L)
+    // layout-invariant
+    val again = Similarity.semanticDedup(df.repartition(5), threshold = 0.9,
+      centroidEvery = 2, kmeansIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+    graft.util.Caches.unpersistAll()
+  }
 }
