@@ -98,7 +98,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -138,6 +138,9 @@ final case class SimilarityTransformStage(
       case "standardize"   => Similarity.standardize(corpus)
       case "quantize"      => Similarity.quantize(corpus, levels)
       case "project"       => Similarity.projectSigned(corpus, inDim, outDim)
+      case "semantic_dedup" =>
+        Similarity.semanticDedup(corpus, threshold, centroidEvery,
+          kmeansIters)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -329,6 +332,10 @@ final case class SampleTransformStage(
       case "token_cap" =>
         Sampling.perStratumTokenCap(in, stratumCol, idCol, tokenCol,
           budget, salt)
+      // rate doubles as the temperature alpha
+      case "temperature" =>
+        Sampling.temperatureRebalance(in, stratumCol, idCol, tokenCol,
+          rate, salt)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }
@@ -501,7 +508,8 @@ final case class GraphTransformStage(
     dampDen: Long = 1000,
     groupCol: String = "g",
     nodeCol: String = "n",
-    maxGroup: Int = 256)
+    maxGroup: Int = 256,
+    coreK: Int = 3)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -527,6 +535,13 @@ final case class GraphTransformStage(
         Graph.triangleCounts(und)
       case "cooccur_edges" =>
         Graph.coOccurrenceEdges(in, groupCol, nodeCol, maxGroup)
+      // iters doubles as the peel-rounds budget
+      case "kcore" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.kCore(und, coreK, iters)
       case other =>
         throw new IllegalArgumentException(s"unknown graph method '$other'")
     }
@@ -615,14 +630,16 @@ final case class SketchTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // hll | kmv | cms
+    method: String, // hll | kmv | cms | hll_intersect
     keyCol: String,
     groupCols: Seq[String] = Nil,
     m: Int = 512,
     k: Int = 256,
     depth: Int = 4,
     width: Int = 256,
-    topN: Int = 10)
+    topN: Int = 10,
+    // hll_intersect only: the second corpus view (B side)
+    otherView: String = "")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -638,6 +655,15 @@ final case class SketchTransformStage(
       case "kmv" => graft.functions.Sketches.kmvDistinct(in, col(keyCol), k)
       case "cms" =>
         graft.functions.Sketches.cmsHeavy(in, col(keyCol), depth, width, topN)
+      case "hll_intersect" =>
+        require(groupCols.nonEmpty, "hll_intersect requires groupCols")
+        require(otherView.nonEmpty, "hll_intersect requires otherView")
+        val other = Views.resolve(otherView)
+        detail += "otherView" -> otherView
+        graft.functions.Sketches.hllIntersectEstimate(
+          graft.functions.Sketches.hllRegisters(in, col(keyCol), groupCols, m),
+          graft.functions.Sketches.hllRegisters(other, col(keyCol), groupCols, m),
+          groupCols, m)
       case other =>
         throw new IllegalArgumentException(s"unknown sketch method '$other'")
     }

@@ -212,11 +212,14 @@ object Graph {
     * surviving nodes as (node, degree) — degrees counted WITHIN the core.
     *
     * Shape at scale: per round, one map-side-combined degree count (one
-    * row per node) and two key-partitioned semi joins of the edge table
-    * against that node list — no broadcast of anything corpus-sized, no
-    * driver-side state, lineage flattened by per-round persists. Peel
+    * row per node) and two semi joins of the edge table against that
+    * node list (broadcast when the survivor set is small, key-partitioned
+    * otherwise) — no driver-side state, lineage flattened by per-round
+    * persists with immediate eviction of the superseded generation. Peel
     * depth in practice is far below the theoretical O(n) worst case:
-    * each round removes every currently-under-k node at once.
+    * each round removes every currently-under-k node at once, and the
+    * loop stops at the first no-drop round (identical result to running
+    * the full budget — see the body comment).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -224,13 +227,33 @@ object Graph {
     var sym = graft.util.Caches.persist(
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
-    for (_ <- 1 to rounds) {
-      val keep = sym.groupBy("a").agg(count(lit(1)).as("__d"))
-        .where(col("__d") >= k).select("a")
-      sym = graft.util.Caches.persist(
-        sym.join(keep, "a")
-          .join(keep.select(col("a").as("b")), "b")
-          .select("a", "b"))
+    var edgeCount = sym.count()
+    // Early stop when a round drops nothing: a no-drop round is the
+    // fixpoint, every later round is the identity, so stopping produces
+    // the SAME result as running the full budget — the budget is a
+    // ceiling, not a schedule. The count that detects it is against the
+    // just-persisted table (no recomputation), and each superseded edge
+    // table unpersists immediately so at most two generations are ever
+    // cached.
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val keep = graft.util.Caches.persist(
+        sym.groupBy("a").agg(count(lit(1)).as("__d"))
+          .where(col("__d") >= k).select("a"))
+      // semi joins: the node list never widens the edge rows, and a
+      // small surviving-node table broadcasts (persisted stats make the
+      // size estimate accurate)
+      val next = graft.util.Caches.persist(
+        sym.join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi"))
+      val nextCount = next.count()
+      converged = nextCount == edgeCount
+      sym.unpersist(blocking = false)
+      keep.unpersist(blocking = false)
+      sym = next
+      edgeCount = nextCount
+      r += 1
     }
     val deg = graft.util.Caches.persist(
       sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree")))

@@ -131,7 +131,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
-            "quantize", "project"), "topk"),
+            "quantize", "project", "semantic_dedup"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -268,7 +268,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("pagerank", "triangles", "cooccur_edges"), "pagerank"),
+          Seq("pagerank", "triangles", "cooccur_edges", "kcore"),
+          "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
         iters = r.int("iters").getOrElse(3),
@@ -276,7 +277,8 @@ object Parser {
         dampDen = r.long("dampDen").getOrElse(1000L),
         groupCol = r.string("groupCol").getOrElse("g"),
         nodeCol = r.string("nodeCol").getOrElse("n"),
-        maxGroup = r.int("maxGroup").getOrElse(256))
+        maxGroup = r.int("maxGroup").getOrElse(256),
+        coreK = r.int("coreK").getOrElse(3))
     },
     "BloomJoinTransform" -> { (r, _) =>
       BloomJoinTransformStage(
@@ -305,7 +307,8 @@ object Parser {
         method = r.oneOf("method",
           Seq("deterministic", "stratified", "per_stratum_head",
             "shard_by_budget", "upsample", "weighted_topk", "negative",
-            "shuffle", "pack", "rebalance", "top_fraction", "token_cap"),
+            "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
+            "temperature"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
@@ -382,10 +385,15 @@ object Parser {
         columns = r.stringList("columns"))
     },
     "SketchTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("hll", "kmv", "cms"), "hll")
+      val method = r.oneOf("method",
+        Seq("hll", "kmv", "cms", "hll_intersect"), "hll")
       // a grouped-HLL without groupCols would only surface at runtime
-      if (method == "hll" && r.stringList("groupCols").isEmpty)
-        r.error("groupCols", "missing or empty; hll requires group columns")
+      if ((method == "hll" || method == "hll_intersect")
+          && r.stringList("groupCols").isEmpty)
+        r.error("groupCols", s"missing or empty; $method requires group columns")
+      val otherView = r.string("otherView").getOrElse("")
+      if (method == "hll_intersect" && otherView.isEmpty)
+        r.error("otherView", "missing; hll_intersect needs the B-side view")
       SketchTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -397,7 +405,8 @@ object Parser {
         k = r.int("k").getOrElse(256),
         depth = r.int("depth").getOrElse(4),
         width = r.int("width").getOrElse(256),
-        topN = r.int("topN").getOrElse(10))
+        topN = r.int("topN").getOrElse(10),
+        otherView = otherView)
     },
     "CdcTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("upsert", "scd2"), "upsert")
@@ -551,7 +560,7 @@ object Parser {
       "idCol", "textCol")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
-      "groupCol", "nodeCol", "maxGroup")),
+      "groupCol", "nodeCol", "maxGroup", "coreK")),
     "BloomJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "leftKey", "rightKey", "mBits", "k")),
     "CompactFiles" -> (commonKeys ++ Set("inputDir", "outputDir",
@@ -567,7 +576,8 @@ object Parser {
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
     "SketchTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "keyCol", "groupCols", "m", "k", "depth", "width", "topN")),
+      "keyCol", "groupCols", "m", "k", "depth", "width", "topN",
+      "otherView")),
     "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "changesView", "keyCol", "versionCol", "opCol", "tsCol", "stateCol")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -714,6 +714,59 @@ class ExtensionStagesSpec extends SparkSpec {
       Seq("anchor_id", "i", "neg_id"))
   }
 
+  test("kcore, temperature, semantic_dedup and hll_intersect run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    // K4 plus a 4-5-6 tail: the 3-core is exactly K4
+    Views.register(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d"), "n9_edges")
+    Views.register((0 until 60).map(i =>
+        (i.toLong, if (i < 50) "big" else "small", 100L))
+      .toDF("doc_id", "lang", "n_tokens"), "n9_docs")
+    Views.register(Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0.9f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding"), "n9_vecs")
+    Views.register((0 until 300).map(i => ("g", s"id$i")).toDF("grp", "k"),
+      "n9_a")
+    Views.register((200 until 500).map(i => ("g", s"id$i")).toDF("grp", "k"),
+      "n9_b")
+    val conf = """{"stages": [
+      {"type": "GraphTransform", "name": "kc", "method": "kcore",
+       "inputView": "n9_edges", "outputView": "n9_core",
+       "srcCol": "s", "dstCol": "d", "coreK": 3, "iters": 3},
+      {"type": "SampleTransform", "name": "tm", "method": "temperature",
+       "inputView": "n9_docs", "outputView": "n9_mix",
+       "stratumCol": "lang", "idCol": "doc_id", "tokenCol": "n_tokens",
+       "rate": 0.5},
+      {"type": "SimilarityTransform", "name": "sd", "method": "semantic_dedup",
+       "inputView": "n9_vecs", "outputView": "n9_kept",
+       "threshold": 0.9, "centroidEvery": 2, "kmeansIters": 1},
+      {"type": "SketchTransform", "name": "hi", "method": "hll_intersect",
+       "inputView": "n9_a", "otherView": "n9_b", "outputView": "n9_over",
+       "keyCol": "k", "groupCols": ["grp"]}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val core = spark.table("n9_core")
+      .select("node", "degree").as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val mix = spark.table("n9_mix").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(mix("small") == 10L, s"binding stratum keeps all: $mix")
+    assert(mix("big") < 50L && mix("big") > 5L, s"big must downsample: $mix")
+    val kept = spark.table("n9_kept")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(kept == Map(0L -> 0L, 2L -> 2L))
+    // true overlap 100 of 300/300; at these cardinalities HLL sits in the
+    // near-exact linear-counting regime
+    val over = spark.table("n9_over")
+      .select("hll_intersection").as[Double].head()
+    assert(over > 50.0 && over < 150.0, s"overlap estimate $over")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("zorder write method materializes the skipping index from config") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._
