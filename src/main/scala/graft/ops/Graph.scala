@@ -189,13 +189,16 @@ object Graph {
           "b")
         .groupBy(col("a"), col("__nl"))
         .agg(count(lit(1)).as("__c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a"))
-        .orderBy(col("__c").desc, col("__nl").asc)
+      // (count desc, label asc) argmax as a lexicographic struct MAX:
+      // largest count wins, ties to the largest negated label = the
+      // smallest label. Same total order as the former row_number window,
+      // but map-side combinable and sort-free — the window re-shuffled
+      // AND sorted every node's candidate list per round.
       labels = graft.util.Caches.persist(
-        counts.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
-          .select(col("a").as("node"), col("__nl").as("label")))
+        counts
+          .groupBy(col("a"))
+          .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__m"))
+          .select(col("a").as("node"), (-col("__m.__neg")).as("label")))
     }
     labels
   }
