@@ -253,6 +253,38 @@ object Sketches {
           + lit(0d)).as("hll_intersection"): _*)
   }
 
+  /** Rolling distinct estimate per time bucket: "distinct users over the
+    * trailing `window` days", the query whose EXACT form is disqualifying
+    * at scale (distinct does not decompose over a sliding window — every
+    * window re-scans its raw rows). With register tables it is linear:
+    * sketch each bucket once, then each target bucket max-merges the
+    * trailing `window` buckets' registers. The window is by bucket
+    * NUMBER (calendar), so gaps count as empty buckets; only buckets
+    * present in the data are emitted. `bucketCol` must be integral
+    * (e.g. epoch-days).
+    *
+    * Shape at scale: the corpus is scanned ONCE into ≤ buckets·m register
+    * rows (map-side-combined max); the re-merge explodes each register
+    * row to its `window` target buckets — registers × window tiny rows,
+    * never data — and aggregates by (target, register). A year of daily
+    * buckets at m=512 is ~187k rows serving any window length.
+    */
+  def hllRolling(df: DataFrame, bucketCol: Column, keyCol: Column,
+      window: Int, m: Int = 512): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val regs = hllRegisters(
+      df.select(bucketCol.cast("long").as("bucket"), keyCol.as("__k")),
+      col("__k"), Seq("bucket"), m)
+    // a bucket's registers serve target windows [bucket, bucket+window-1]
+    val contrib = regs.select(
+      explode(sequence(col("bucket"), col("bucket") + (window - 1)))
+        .as("bucket"),
+      col("__b"), col("__m"))
+    val merged = contrib.groupBy("bucket", "__b").agg(max("__m").as("__m"))
+    hllEstimate(merged, Seq("bucket"), m)
+      .join(regs.select("bucket").distinct(), Seq("bucket"), "left_semi")
+  }
+
   /** rho ceiling for a zero quotient: the quotient domain P/m is ~21 bits
     * for the default m, so 22 is "all bits zero" — any fixed constant
     * works as long as the oracle uses the same one.

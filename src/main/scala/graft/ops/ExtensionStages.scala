@@ -630,7 +630,7 @@ final case class SketchTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // hll | kmv | cms | hll_intersect
+    method: String, // hll | kmv | cms | hll_intersect | hll_rolling
     keyCol: String,
     groupCols: Seq[String] = Nil,
     m: Int = 512,
@@ -639,7 +639,10 @@ final case class SketchTransformStage(
     width: Int = 256,
     topN: Int = 10,
     // hll_intersect only: the second corpus view (B side)
-    otherView: String = "")
+    otherView: String = "",
+    // hll_rolling only: integral time-bucket column + trailing window
+    bucketCol: String = "bucket",
+    window: Int = 7)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -664,6 +667,11 @@ final case class SketchTransformStage(
           graft.functions.Sketches.hllRegisters(in, col(keyCol), groupCols, m),
           graft.functions.Sketches.hllRegisters(other, col(keyCol), groupCols, m),
           groupCols, m)
+      case "hll_rolling" =>
+        detail += "bucketCol" -> bucketCol
+        detail += "window" -> window.toString
+        graft.functions.Sketches.hllRolling(in, col(bucketCol), col(keyCol),
+          window, m)
       case other =>
         throw new IllegalArgumentException(s"unknown sketch method '$other'")
     }

@@ -386,7 +386,7 @@ object Parser {
     },
     "SketchTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("hll", "kmv", "cms", "hll_intersect"), "hll")
+        Seq("hll", "kmv", "cms", "hll_intersect", "hll_rolling"), "hll")
       // a grouped-HLL without groupCols would only surface at runtime
       if ((method == "hll" || method == "hll_intersect")
           && r.stringList("groupCols").isEmpty)
@@ -406,7 +406,9 @@ object Parser {
         depth = r.int("depth").getOrElse(4),
         width = r.int("width").getOrElse(256),
         topN = r.int("topN").getOrElse(10),
-        otherView = otherView)
+        otherView = otherView,
+        bucketCol = r.string("bucketCol").getOrElse("bucket"),
+        window = r.int("window").getOrElse(7))
     },
     "CdcTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("upsert", "scd2"), "upsert")
@@ -577,7 +579,7 @@ object Parser {
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
     "SketchTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "keyCol", "groupCols", "m", "k", "depth", "width", "topN",
-      "otherView")),
+      "otherView", "bucketCol", "window")),
     "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "changesView", "keyCol", "versionCol", "opCol", "tsCol", "stateCol")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -133,6 +133,7 @@ object ExtensionQueries {
   private val SemDedupThreshold = 0.3
   private val KcoreK = 4
   private val KcoreRounds = 4
+  private val RollHllWindow = 3
   // 0.25 is exactly representable in binary: ceil(p*n) can never straddle
   // a double rounding boundary between engines
   private val TopFrac = 0.25
@@ -168,13 +169,14 @@ object ExtensionQueries {
     (0.7213 / (1.0 + 1.079 / m) * m * m).toString
   }
 
-  /** HLL register CTE over a (l_returnflag, h) source — the replay of
-    * Sketches.hllRegisters shared by the shard-merge and intersection
-    * oracles.
+  /** HLL register CTE over a (`grp`, h) source — the replay of
+    * Sketches.hllRegisters shared by the shard-merge, intersection and
+    * rolling-window oracles.
     */
-  private def hllRegCte(src: String, out: String): String = s"""
+  private def hllRegCte(src: String, out: String,
+      grp: String = "l_returnflag"): String = s"""
       $out AS (
-        SELECT l_returnflag, h % $HllM AS b,
+        SELECT $grp, h % $HllM AS b,
           max(CASE WHEN h // $HllM = 0 THEN ${graft.functions.Sketches.RhoCap}
             ELSE floor(log2(((h // $HllM) & (-(h // $HllM)))::DOUBLE))::BIGINT + 1
             END) AS m
@@ -183,15 +185,16 @@ object ExtensionQueries {
   /** HLL estimate CTE over a register table, output column `e` — the
     * replay of Sketches.hllEstimate (linear-counting correction, 4dp).
     */
-  private def hllEstCte(regs: String, out: String): String = s"""
+  private def hllEstCte(regs: String, out: String,
+      grp: String = "l_returnflag"): String = s"""
       $out AS (
-        SELECT l_returnflag,
+        SELECT $grp,
           round(CASE WHEN raw <= (${2.5 * HllM})::DOUBLE AND ($HllM - nb) > 0
             THEN ($HllM)::DOUBLE * ln(($HllM)::DOUBLE / ($HllM - nb))
             ELSE raw END, 4) AS e
-        FROM (SELECT l_returnflag, nb,
+        FROM (SELECT $grp, nb,
                 (${hllAlphaM2Lit})::DOUBLE / (inv + ($HllM - nb)) AS raw
-              FROM (SELECT l_returnflag, sum(pow(2.0, -m)) AS inv,
+              FROM (SELECT $grp, sum(pow(2.0, -m)) AS inv,
                       count(*) AS nb
                     FROM $regs GROUP BY 1)))"""
 
@@ -1004,6 +1007,16 @@ object ExtensionQueries {
         col("l_partkey"), Seq("l_returnflag"), m = HllM)
       Sketches.hllIntersectEstimate(ra, rb, Seq("l_returnflag"), m = HllM)
         .orderBy("l_returnflag")
+    },
+
+    // Rolling 3-day distinct users per day from per-bucket register
+    // tables — the sliding-window distinct that never re-scans raw rows.
+    "sketch_hll_rolling" -> { (spark, dir) =>
+      import graft.functions.Sketches
+      Sketches.hllRolling(Tables.eventsRaw(spark, dir),
+          expr("ts div 86400000000000"), col("user_id"),
+          window = RollHllWindow, m = HllM)
+        .orderBy("bucket")
     },
 
     "zorder_layout" -> { (spark, dir) =>
@@ -3095,6 +3108,25 @@ object ExtensionQueries {
           AS hll_intersection
       FROM ea JOIN eb USING (l_returnflag) JOIN eu USING (l_returnflag)
       ORDER BY l_returnflag""",
+
+    // Replay of Sketches.hllRolling: per-day registers over epoch-day
+    // buckets (epoch_ms // 86400000 == ts_nanos div 86400e9 for positive
+    // ts), each register row exploded to its trailing-window targets,
+    // max-merged, estimated, and restricted to buckets present.
+    "sketch_hll_rolling" -> s"""
+      WITH src AS (
+        SELECT epoch_ms(ts) // 86400000 AS bucket,
+          ('0x'||substr(md5(user_id::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM events),
+      ${hllRegCte("src", "r", "bucket")},
+      c AS (
+        SELECT r.bucket + g AS bucket, b, m
+        FROM r CROSS JOIN generate_series(0, ${RollHllWindow - 1}) t(g)),
+      mg AS (SELECT bucket, b, max(m) AS m FROM c GROUP BY 1, 2),
+      ${hllEstCte("mg", "e", "bucket")}
+      SELECT bucket, e AS hll_estimate FROM e
+      WHERE bucket IN (SELECT DISTINCT bucket FROM src)
+      ORDER BY bucket""",
 
     // Replay of Sketches.cmsHeavy: one md5 per key, then the MinHash
     // permutation family per CMS row — cell = ((a_r·h + b_r) mod P) mod

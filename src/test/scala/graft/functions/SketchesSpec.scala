@@ -153,6 +153,37 @@ class SketchesSpec extends SparkSpec {
     assert(est2 >= 0.0, s"clamp failed: $est2")
   }
 
+  test("hllRolling: trailing window == sketch of the window's union; gaps empty") {
+    // bucket b holds keys [b*50, b*50+100): consecutive buckets share 50
+    val rows = (for (b <- 1L to 4L; k <- b * 50 until b * 50 + 100)
+      yield (b, s"id$k")).toDF("day", "k")
+    val out = Sketches.hllRolling(rows, col("day"), col("k"), window = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // the rolling estimate must EQUAL the one-shot sketch of the union
+    // of the window's buckets (register max-merge is lossless)
+    for (t <- 1L to 4L) {
+      val direct = Sketches.hllEstimate(
+        Sketches.hllRegisters(
+          rows.where(col("day").between(t - 1, t)).withColumn("g", lit(1)),
+          col("k"), Seq("g")), Seq("g"))
+        .select("hll_estimate").as[Double].head()
+      assert(out(t) == direct, s"bucket $t: ${out(t)} vs one-shot $direct")
+    }
+    // truth: bucket 1 sees 100 keys, buckets 2-4 see 150; linear-counting
+    // regime is near-exact at these cardinalities
+    assert(math.abs(out(1L) - 100.0) < 10.0 &&
+      math.abs(out(3L) - 150.0) < 12.0, s"estimates drifted: $out")
+    // calendar gaps count as EMPTY buckets, and absent buckets emit no row
+    val gappy = rows.where(col("day").isin(1L, 3L))
+    val g = Sketches.hllRolling(gappy, col("day"), col("k"), window = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(g.keySet == Set(1L, 3L))
+    // bucket 3's window {2,3} has no bucket-2 rows: estimate covers only
+    // bucket 3's own 100 keys
+    assert(math.abs(g(3L) - 100.0) < 10.0, s"gap window drifted: ${g(3L)}")
+  }
+
   test("cmsHeavy never underestimates") {
     // 200 keys into a deliberately tiny 2x16 sketch: heavy collisions
     val df = (1 to 600).map(i => s"k${i % 200}").toDF("k")

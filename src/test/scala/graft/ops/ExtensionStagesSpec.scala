@@ -731,6 +731,9 @@ class ExtensionStagesSpec extends SparkSpec {
       "n9_a")
     Views.register((200 until 500).map(i => ("g", s"id$i")).toDF("grp", "k"),
       "n9_b")
+    Views.register((1L to 3L).flatMap(b =>
+        (b * 10 until b * 10 + 20).map(k => (b, s"u$k"))).toDF("day", "u"),
+      "n9_days")
     val conf = """{"stages": [
       {"type": "GraphTransform", "name": "kc", "method": "kcore",
        "inputView": "n9_edges", "outputView": "n9_core",
@@ -744,7 +747,10 @@ class ExtensionStagesSpec extends SparkSpec {
        "threshold": 0.9, "centroidEvery": 2, "kmeansIters": 1},
       {"type": "SketchTransform", "name": "hi", "method": "hll_intersect",
        "inputView": "n9_a", "otherView": "n9_b", "outputView": "n9_over",
-       "keyCol": "k", "groupCols": ["grp"]}
+       "keyCol": "k", "groupCols": ["grp"]},
+      {"type": "SketchTransform", "name": "hr", "method": "hll_rolling",
+       "inputView": "n9_days", "outputView": "n9_roll",
+       "keyCol": "u", "bucketCol": "day", "window": 2}
     ]}"""
     val Right(p) = Parser.parse(conf,
       Map("default" -> new ParquetConnector(sf001))): @unchecked
@@ -764,6 +770,12 @@ class ExtensionStagesSpec extends SparkSpec {
     val over = spark.table("n9_over")
       .select("hll_intersection").as[Double].head()
     assert(over > 50.0 && over < 150.0, s"overlap estimate $over")
+    // day buckets hold 20 keys each, consecutive days share 10: the
+    // 2-day window over days {1,2} holds 30 distinct (near-exact regime)
+    val roll = spark.table("n9_roll")
+      .select("bucket", "hll_estimate").as[(Long, Double)].collect().toMap
+    assert(roll.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(roll(2L) - 30.0) < 4.0, s"rolling estimate $roll")
     graft.util.Caches.unpersistAll()
   }
 
