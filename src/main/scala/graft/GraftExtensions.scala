@@ -17,6 +17,7 @@ import graft.functions.Expressions
   *  - `sign_bits(array<float> emb, nBits)`   -> array<long> 0/1 bits
   *  - `simhash_bits(array<long> wordHashes, nBits)` -> long fingerprint
   *  - `dot_product(array<float>, array<float>)` -> double
+  *  - `jaro_winkler_sim(string, string)` -> double in [0,1]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -40,17 +41,19 @@ object GraftFunctions {
     * DESCRIBE FUNCTION metadata).
     */
   def implClass(name: String): String = name match {
-    case "minhash_sig"  => classOf[Expressions.MinHashSig].getName
-    case "sign_bits"    => classOf[Expressions.SignBits].getName
-    case "simhash_bits" => classOf[Expressions.SimHashBits].getName
-    case _              => classOf[Expressions.DotProduct].getName
+    case "minhash_sig"      => classOf[Expressions.MinHashSig].getName
+    case "sign_bits"        => classOf[Expressions.SignBits].getName
+    case "simhash_bits"     => classOf[Expressions.SimHashBits].getName
+    case "jaro_winkler_sim" => classOf[Expressions.JaroWinklerSim].getName
+    case _                  => classOf[Expressions.DotProduct].getName
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> (es => Expressions.MinHashSig(es.head, litInt(es(1), "k"))),
     "sign_bits" -> (es => Expressions.SignBits(es.head, litInt(es(1), "nBits"))),
     "simhash_bits" -> (es => Expressions.SimHashBits(es.head, litInt(es(1), "nBits"))),
-    "dot_product" -> (es => Expressions.DotProduct(es.head, es(1))))
+    "dot_product" -> (es => Expressions.DotProduct(es.head, es(1))),
+    "jaro_winkler_sim" -> (es => Expressions.JaroWinklerSim(es.head, es(1))))
 
   /** Register on a live session as temp functions. */
   def register(spark: SparkSession): Unit =

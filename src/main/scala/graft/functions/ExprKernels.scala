@@ -167,6 +167,61 @@ object ExprKernels {
     new GenericArrayData(arr)
   }
 
+  /** Jaro-Winkler similarity in [0,1] — rapidfuzz/DuckDB-compatible:
+    * match window floor(max(l1,l2)/2)-1 (min 0), transpositions =
+    * mismatched-match-positions / 2 (integer), jaro = (m/l1 + m/l2 +
+    * (m-t)/m)/3, and the Winkler prefix boost (common prefix capped at
+    * 4, weight 0.1) applied ONLY when jaro > 0.7. Comparison is by
+    * UTF-16 unit, which equals DuckDB's byte comparison on ASCII text;
+    * both-empty = 1, one-empty = 0.
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val c = s1.charAt(i)
+      var j = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && c == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var half = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = half / 2
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
+
   /** Sequential-double dot product; null (boxed) on length mismatch. */
   def dot(x: ArrayData, y: ArrayData, leftFloat: Boolean,
       rightFloat: Boolean): java.lang.Double = {

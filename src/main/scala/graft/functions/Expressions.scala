@@ -123,6 +123,30 @@ object Expressions {
     override def prettyName: String = "hashed_char_ngrams"
   }
 
+  /** Jaro-Winkler similarity of two strings ([[ExprKernels.jaroWinkler]]
+    * — rapidfuzz-compatible semantics, so DuckDB's
+    * `jaro_winkler_similarity` replays it bit-for-bit on ASCII text).
+    * A native expression because the match-window scan is a per-row
+    * O(len·window) loop with two scratch arrays — inexpressible with
+    * built-ins short of a position cross-explode, and a UDF would evict
+    * the verification filter from WholeStageCodegen.
+    */
+  case class JaroWinklerSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprKernels.jaroWinkler(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernels.jaroWinkler($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
+      copy(left = l, right = r)
+    override def prettyName: String = "jaro_winkler_sim"
+  }
+
   /** Sequential-double dot product of two float or double arrays (same
     * accumulation order as the `aggregate(zip_with(...))` form; float
     * elements widen to double exactly, so mixing a float corpus vector

@@ -64,6 +64,38 @@ object Sketches {
           .as("kmv_estimate"))
   }
 
+  /** KMV Jaccard similarity of two corpora's key sets — the bottom-k
+    * coordinated-sample estimator: the k smallest hashes of A∪B are a
+    * uniform sample of the union (the hash IS the sampling order), so the
+    * fraction of them present in both A's and B's sketches estimates
+    * |A∩B|/|A∪B|. Complements [[hllIntersectEstimate]]: KMV gives a
+    * bounded-relative-error JACCARD directly (no inclusion-exclusion
+    * cancellation), HLL gives absolute overlap cardinality.
+    *
+    * Everything is exact-deterministic given the shared h32 hash: both
+    * engines compute identical sketches, so the gate hash-matches rather
+    * than banding. Cost: two corpus scans reduced to k-row sketches; the
+    * union/semi-join arithmetic touches <= 3k rows total regardless of
+    * corpus size — corpus overlap for KBs of state, like the HLL path.
+    *
+    * Output: (n_union, n_match, kmv_jaccard 6dp) — n_union = |bottom-k of
+    * the union| (< k only when the union itself is smaller than k, where
+    * the estimate becomes exact).
+    */
+  def kmvJaccard(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sa = kmvSketch(a, aCol, k)
+    val sb = kmvSketch(b, bCol, k)
+    val u = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
+    u.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_match"))
+      .crossJoin(broadcast(u.agg(count(lit(1)).as("n_union"))))
+      .select(col("n_union"), col("n_match"),
+        round(col("n_match").cast("double") / col("n_union").cast("double"), 6)
+          .as("kmv_jaccard"))
+  }
+
   /** Approximate quantiles by DETERMINISTIC hash sampling: keep the rows
     * whose h32(idCol) falls under `rate` (the same reproducible subset
     * Sampling.deterministic draws), then take EXACT per-group percentiles

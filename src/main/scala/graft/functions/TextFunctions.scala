@@ -125,6 +125,16 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
+  /** Jaro-Winkler similarity — native codegen'd expression
+    * ([[Expressions.JaroWinklerSim]]) with rapidfuzz/DuckDB semantics
+    * (prefix boost only above jaro 0.7, prefix capped at 4).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Expressions.JaroWinklerSim(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** 60-bit word hashes for SimHash: first 15 hex chars of md5 (60 bits —
     * the widest width where the fingerprint AND every 2^j used in the
     * banded oracle replay stay inside a signed 64-bit lane in both

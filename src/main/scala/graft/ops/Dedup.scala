@@ -445,6 +445,67 @@ object Dedup {
     smallPairs.union(bigPairs).where(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
+    * family) — the EXACT-recall alternative to [[minhashPairs]] /
+    * [[ngramJaccardPairs]]'s LSH candidate passes: LSH misses a pair at
+    * Jaccard J with probability (1-J^r)^b > 0; the prefix filter finds
+    * EVERY pair at or above the threshold, paying with a candidate set
+    * governed by token rarity instead of a tunable S-curve.
+    *
+    * Principle (prefix-filtering lemma): order every set's tokens by one
+    * global rarity order (document frequency asc, token asc). A set of
+    * size s at threshold t keeps its first s - ceil(t·s) + 1 tokens as
+    * its prefix. If J(A,B) >= t then |A∩B| >= ceil(t·max(|A|,|B|)), and
+    * the globally-smallest common token must sit inside BOTH prefixes —
+    * so joining prefixes on token has perfect recall, and candidates are
+    * verified by exact Jaccard as usual.
+    *
+    * Shape at scale: token table = one explode of the winnowed shingle
+    * sets; document frequency is a map-side-combined count on token; the
+    * rarity rank is a per-document window (state = one document's
+    * shingles); the candidate join keys on PREFIX tokens — by
+    * construction the rarest tokens of each set — so per-key fan-in
+    * follows the frequency floor, not corpus size. Shingle arrays never
+    * ride the candidate shuffle; verification re-joins the persisted
+    * shingle table by id, mirroring [[ngramJaccardPairs]].
+    *
+    * `threshold` should be exactly representable in binary (0.5, 0.75,
+    * 0.625…) so ceil(t·s) can never straddle a double rounding boundary
+    * between engines. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, sampleMod: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = df.select(col(idCol).as("doc_id"),
+      T.hashedCharNgrams(col(textCol), n, sampleMod).as("shingles"))
+      .where(size(col("shingles")) > 0)
+    val shCached = graft.util.Caches.persist(sh)
+    val tok = shCached.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("sz"),
+      explode(col("shingles")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    val prefix = tok.join(dfreq, "tok")
+      .withColumn("__rn", row_number().over(byRarity).cast("long"))
+      .where(col("__rn") <=
+        col("sz") - ceil(col("sz").cast("double") * threshold) + 1)
+      .select("doc_id", "tok")
+    val cand = prefix.as("x").join(prefix.as("y"), "tok")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(shCached.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sh_a")), "doc_a")
+      .join(shCached.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** PASSAGE-level dedup (RefinedWeb/FineWeb-style): documents are cut
     * into fixed `window`-word passages; every passage that already
     * occurred anywhere in the corpus (first occurrence = smallest
@@ -542,5 +603,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
       .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** Jaro-Winkler near-duplicate pairs within blocking groups — the
+    * record-linkage companion to [[editDistancePairs]]: Levenshtein
+    * certifies "same text up to k absolute edits", Jaro-Winkler scores
+    * PROPORTIONAL similarity with a shared-prefix premium, the standard
+    * measure for short identifier-like fields (names, titles, keys)
+    * where a 2-edit difference on 8 chars matters far more than on 200.
+    *
+    * Same blocked shape as [[editDistancePairs]] (equality on
+    * `blockCols` + a `bucketWidth`-char length band, one-band adjacency
+    * probe, `maxBlock` guard against degenerate blocks), so the
+    * similarity — a native codegen'd expression, never a UDF — only ever
+    * evaluates inside bounded blocks. Contract: pairs whose lengths
+    * differ by more than a band are out of scope by design (at
+    * `minSim` >= 0.9 the score itself already implies near-equal
+    * lengths for short fields; this is the typo/variant tier, with the
+    * sketch families as the recall backstop).
+    *
+    * Output: (id_a, id_b, sim), id_a < id_b, sim = 6dp-rounded
+    * Jaro-Winkler >= minSim. minSim must exceed 0.7 so every kept score
+    * sits in the prefix-boost regime that DuckDB's
+    * `jaro_winkler_similarity` replays exactly.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], minSim: Double = 0.9, bucketWidth: Int = 20,
+      maxBlock: Int = 1024): DataFrame = {
+    require(minSim > 0.7 && minSim <= 1.0,
+      s"minSim must be in (0.7, 1.0], got $minSim")
+    val keys = blockCols :+ "lenb"
+    val base = df.select(
+      Seq(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        floor(length(col(textCol)) / bucketWidth).as("lenb"))
+        ++ blockCols.map(col): _*)
+    val sized = base.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val kept = sized.where(col("__bn") <= maxBlock).drop("__bn")
+    val a = kept.select(Seq(col("doc_id").as("id_a"), col("txt").as("ta"))
+      ++ keys.map(col): _*)
+    val b = kept.select(Seq(col("doc_id").as("id_b"), col("txt").as("tb"))
+      ++ keys.map(col): _*)
+    val aBands = a.withColumn("lenb",
+      explode(array(col("lenb") - 1, col("lenb"), col("lenb") + 1)))
+    aBands.join(b, keys)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(T.jaroWinkler(col("ta"), col("tb")), 6).as("sim"))
+      .where(col("sim") >= minSim)
   }
 }

@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs | edit_pairs | passages
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -81,9 +81,17 @@ final case class DedupTransformStage(
       case "ngram_pairs" =>
         Dedup.ngramJaccardPairs(in, idCol, textCol, blockCols, ngramN,
           bucketWidth, threshold.getOrElse(0.7), sampleMod, maxBlock, lshBands)
+      // exact-recall prefix-filtered Jaccard (the LSH-free alternative)
+      case "prefix_pairs" =>
+        Dedup.prefixJaccardPairs(in, idCol, textCol, ngramN, sampleMod,
+          threshold.getOrElse(0.5))
       case "edit_pairs" =>
         Dedup.editDistancePairs(in, idCol, textCol, blockCols, maxDist,
           bucketWidth, maxBlock)
+      // Jaro-Winkler record-linkage tier (threshold = min similarity)
+      case "jw_pairs" =>
+        Dedup.jaroWinklerPairs(in, idCol, textCol, blockCols,
+          threshold.getOrElse(0.9), bucketWidth, maxBlock)
       case "passages" =>
         Dedup.passages(in, idCol, textCol, window)
       case other =>
@@ -348,7 +356,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -365,7 +373,12 @@ final case class TextAnalysisTransformStage(
     chunkSize: Int = 64,
     overlap: Int = 16,
     ngramN: Int = 2,
-    topK: Int = 5)
+    topK: Int = 5,
+    // lm_score: model grouping (e.g. per language) + add-k smoothing
+    groupCols: Seq[String] = Nil,
+    alpha: Double = 0.1,
+    // keyness: total Dirichlet prior mass (group column = langCol)
+    alpha0: Double = 100.0)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -386,6 +399,14 @@ final case class TextAnalysisTransformStage(
       case "tfidf"       => TextAnalysis.tfidfTopK(in, idCol, textCol, topK)
       case "quality_score" => TextAnalysis.qualityScore(in, idCol, textCol,
         scoreWeights, bias, scoreThreshold)
+      // corpus-trained bigram-LM cross-entropy (CCNet-style perplexity)
+      case "lm_score" => LanguageModel.bigramCrossEntropy(in, idCol,
+        textCol, groupCols, alpha)
+      // corpus-repeated n-gram span fraction per doc (ngramN = span)
+      case "dup_spans" => TextAnalysis.dupSpans(in, idCol, textCol, ngramN)
+      // group-distinctive terms (langCol = the group column)
+      case "keyness" => TextAnalysis.keyness(in, langCol, textCol,
+        alpha0, topK)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -630,7 +651,7 @@ final case class SketchTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // hll | kmv | cms | hll_intersect | hll_rolling
+    method: String, // hll | kmv | cms | hll_intersect | hll_rolling | kmv_jaccard
     keyCol: String,
     groupCols: Seq[String] = Nil,
     m: Int = 512,
@@ -642,7 +663,9 @@ final case class SketchTransformStage(
     otherView: String = "",
     // hll_rolling only: integral time-bucket column + trailing window
     bucketCol: String = "bucket",
-    window: Int = 7)
+    window: Int = 7,
+    // kmv_jaccard only: key column on the B side ("" = keyCol)
+    otherKeyCol: String = "")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -672,6 +695,11 @@ final case class SketchTransformStage(
         detail += "window" -> window.toString
         graft.functions.Sketches.hllRolling(in, col(bucketCol), col(keyCol),
           window, m)
+      case "kmv_jaccard" =>
+        val other = Views.resolve(otherView)
+        detail += "otherView" -> otherView
+        graft.functions.Sketches.kmvJaccard(in, col(keyCol), other,
+          col(if (otherKeyCol.nonEmpty) otherKeyCol else keyCol), k)
       case other =>
         throw new IllegalArgumentException(s"unknown sketch method '$other'")
     }

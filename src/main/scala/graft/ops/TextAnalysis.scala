@@ -347,4 +347,87 @@ object TextAnalysis {
     df.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(length(col(textCol))), 6).as("avg_chars"))
+
+  /** Per-document duplicated-span fraction — the memorization diagnostic
+    * behind substring-level dedup (which [[Dedup.passages]] then acts
+    * on): for each doc, the fraction of its DISTINCT word `n`-grams that
+    * occur in at least one OTHER document. High dup_frac = boilerplate /
+    * template / copied text even when no whole-document duplicate exists.
+    *
+    * Shape at scale: one explode of the per-doc distinct hashed n-grams
+    * (a codegen'd kernel, so grams shuffle as longs, never strings), a
+    * map-side-combined count per gram — distinct-per-doc grams make
+    * count(*) == the containing-doc count — and a join back on the gram
+    * key feeding a per-doc reduce. Linear in corpus n-gram volume.
+    * Docs shorter than `n` words fall back to the whole-text hash (one
+    * gram), matching [[graft.functions.TextFunctions.hashedWordNgrams]].
+    *
+    * Output: (doc_id, n_grams, n_dup, dup_frac 6dp).
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val g = graft.util.Caches.persist(
+      df.select(col(idCol).as("doc_id"),
+        T.hashedWordNgrams(col(textCol), n).as("__grams"))
+        .select(col("doc_id"), explode(col("__grams")).as("__g")))
+    val dfreq = g.groupBy("__g").agg(count(lit(1)).as("__df"))
+    g.join(dfreq, "__g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Group-distinctive terms by weighted log-odds with an informative
+    * Dirichlet prior (the "fightin' words" estimator, Monroe et al.
+    * 2008): for each (group, word), the z-scored log-odds of the word in
+    * the group vs the REST of the corpus, with the corpus itself as the
+    * prior (prior mass `alpha0` distributed proportional to global word
+    * frequency). Raw frequency ratios over-weight rare words; the prior
+    * shrinks exactly them. Top `topK` terms per group by (z desc, word).
+    *
+    * delta_gw = ln((y_gw + a_w) / (n_g + alpha0 - y_gw - a_w))
+    *          - ln((y_rw + a_w) / (n_r + alpha0 - y_rw - a_w))
+    * var_gw   = 1/(y_gw + a_w) + 1/(y_rw + a_w);  z = delta/sqrt(var)
+    * with a_w = alpha0·y_w/N, r = corpus minus group.
+    *
+    * Shape at scale: one (group, word) count — map-side combined, output
+    * vocab-bounded; per-group totals and the global scalars broadcast
+    * back; z is narrow arithmetic over integer counts (deterministic —
+    * no accumulated doubles); the top-K window partitions by group.
+    *
+    * Output: (group, word, y, z), `topK` rows per group.
+    */
+  def keyness(df: DataFrame, groupCol: String, textCol: String,
+      alpha0: Double = 100.0, topK: Int = 10): DataFrame = {
+    require(alpha0 > 0, s"alpha0 must be > 0, got $alpha0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val y = df.select(col(groupCol).as("grp"),
+      explode(T.words(col(textCol))).as("word"))
+      .groupBy("grp", "word").agg(count(lit(1)).as("y"))
+    val yc = graft.util.Caches.persist(y)
+    val ng = yc.groupBy("grp").agg(sum("y").as("n_g"))
+    val yw = yc.groupBy("word").agg(sum("y").as("y_w"))
+    val tot = yc.agg(sum("y").as("n_tot"))
+    val joined = yc.join(broadcast(ng), "grp").join(yw, "word")
+      .crossJoin(broadcast(tot))
+    val aw = lit(alpha0) * col("y_w").cast("double") / col("n_tot").cast("double")
+    val yRest = (col("y_w") - col("y")).cast("double")
+    val nRest = (col("n_tot") - col("n_g")).cast("double")
+    val delta =
+      log((col("y").cast("double") + aw)
+        / (col("n_g").cast("double") + alpha0 - col("y").cast("double") - aw)) -
+      log((yRest + aw) / (nRest + alpha0 - yRest - aw))
+    val variance = lit(1.0) / (col("y").cast("double") + aw) +
+      lit(1.0) / (yRest + aw)
+    val scored = joined.select(col("grp"), col("word"), col("y"),
+      (round(delta / sqrt(variance), 6) + lit(0d)).as("z"))
+    val top = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("z").desc, col("word"))
+    scored.withColumn("__rn", row_number().over(top))
+      .where(col("__rn") <= topK).drop("__rn")
+  }
 }

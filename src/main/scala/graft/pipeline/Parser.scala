@@ -98,7 +98,8 @@ object Parser {
         method = r.oneOf("method",
           Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
             "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
-            "ngram_pairs", "edit_pairs", "passages"),
+            "ngram_pairs", "prefix_pairs", "edit_pairs", "jw_pairs",
+            "passages"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -335,7 +336,7 @@ object Parser {
         analysis = r.oneOf("analysis",
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
-            "quality_score"),
+            "quality_score", "lm_score", "dup_spans", "keyness"),
           "quality"),
         // sorted by metric name: config maps carry no order, and the
         // linear accumulation order must be reproducible
@@ -359,7 +360,10 @@ object Parser {
         chunkSize = r.int("chunkSize").getOrElse(64),
         overlap = r.int("overlap").getOrElse(16),
         ngramN = r.int("ngramN").getOrElse(2),
-        topK = r.int("topK").getOrElse(5))
+        topK = r.int("topK").getOrElse(5),
+        groupCols = r.stringList("groupCols"),
+        alpha = r.double("alpha").getOrElse(0.1),
+        alpha0 = r.double("alpha0").getOrElse(100.0))
     },
     "AssembleTransform" -> { (r, _) =>
       // ordering is the stage's determinism contract: an empty list would
@@ -386,14 +390,16 @@ object Parser {
     },
     "SketchTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("hll", "kmv", "cms", "hll_intersect", "hll_rolling"), "hll")
+        Seq("hll", "kmv", "cms", "hll_intersect", "hll_rolling",
+          "kmv_jaccard"), "hll")
       // a grouped-HLL without groupCols would only surface at runtime
       if ((method == "hll" || method == "hll_intersect")
           && r.stringList("groupCols").isEmpty)
         r.error("groupCols", s"missing or empty; $method requires group columns")
       val otherView = r.string("otherView").getOrElse("")
-      if (method == "hll_intersect" && otherView.isEmpty)
-        r.error("otherView", "missing; hll_intersect needs the B-side view")
+      if ((method == "hll_intersect" || method == "kmv_jaccard")
+          && otherView.isEmpty)
+        r.error("otherView", s"missing; $method needs the B-side view")
       SketchTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -408,7 +414,8 @@ object Parser {
         topN = r.int("topN").getOrElse(10),
         otherView = otherView,
         bucketCol = r.string("bucketCol").getOrElse("bucket"),
-        window = r.int("window").getOrElse(7))
+        window = r.int("window").getOrElse(7),
+        otherKeyCol = r.string("otherKeyCol").getOrElse(""))
     },
     "CdcTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("upsert", "scd2"), "upsert")
@@ -573,13 +580,14 @@ object Parser {
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
-      "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold")),
+      "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold",
+      "groupCols", "alpha", "alpha0")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
     "SketchTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "keyCol", "groupCols", "m", "k", "depth", "width", "topN",
-      "otherView", "bucketCol", "window")),
+      "otherView", "bucketCol", "window", "otherKeyCol")),
     "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "changesView", "keyCol", "versionCol", "opCol", "tsCol", "stateCol")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",

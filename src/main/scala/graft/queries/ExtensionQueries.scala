@@ -134,6 +134,15 @@ object ExtensionQueries {
   private val KcoreK = 4
   private val KcoreRounds = 4
   private val RollHllWindow = 3
+  // 0.9 compares only 6dp-rounded identical doubles, so inexactness of
+  // the literal itself cannot split the engines
+  private val JwMinSim = 0.9
+  private val LmAlpha = 0.1
+  private val DupSpanN = 8
+  // 100.0: exact in binary — alpha0 literals replay identically
+  private val KeynessAlpha = 100.0
+  private val KeynessTopK = 10
+  private val KmvJk = 256
   // 0.25 is exactly representable in binary: ceil(p*n) can never straddle
   // a double rounding boundary between engines
   private val TopFrac = 0.25
@@ -325,6 +334,21 @@ object ExtensionQueries {
     "dedup_edit" -> { (spark, dir) =>
       Dedup.editDistancePairs(docs(spark, dir), "doc_id", "text",
           blockCols = Seq("lang"), maxDist = EditMaxDist,
+          bucketWidth = EditBucket, maxBlock = EditMaxBlock)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact-recall prefix-filtered Jaccard over the same winnowed shingle
+    // sets as dedup_ngram_jaccard — no blocking, no LSH, every pair >= t.
+    "dedup_prefix" -> { (spark, dir) =>
+      Dedup.prefixJaccardPairs(docs(spark, dir), "doc_id", "text",
+          NgramN, NgramSampleMod, NgramThreshold)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_jarowinkler" -> { (spark, dir) =>
+      Dedup.jaroWinklerPairs(docs(spark, dir), "doc_id", "text",
+          blockCols = Seq("lang"), minSim = JwMinSim,
           bucketWidth = EditBucket, maxBlock = EditMaxBlock)
         .orderBy("id_a", "id_b")
     },
@@ -882,6 +906,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Per-language bigram-LM cross-entropy of every doc against the
+    // corpus's own smoothed model (the CCNet perplexity-filter shape).
+    "quality_lm_score" -> { (spark, dir) =>
+      LanguageModel.bigramCrossEntropy(docs(spark, dir), "doc_id", "text",
+          groupCols = Seq("lang"), alpha = LmAlpha)
+        .orderBy("doc_id")
+    },
+
+    // Duplicated-span fraction per doc: which docs carry corpus-repeated
+    // 8-gram spans even when no whole-doc duplicate exists.
+    "text_dup_spans" -> { (spark, dir) =>
+      TextAnalysis.dupSpans(docs(spark, dir), "doc_id", "text", n = DupSpanN)
+        .orderBy("doc_id")
+    },
+
+    // Group-distinctive terms per language (weighted log-odds, informative
+    // Dirichlet prior from the corpus itself).
+    "text_keyness" -> { (spark, dir) =>
+      TextAnalysis.keyness(docs(spark, dir), "lang", "text",
+          alpha0 = KeynessAlpha, topK = KeynessTopK)
+        .orderBy("grp", "word")
+    },
+
     "profile_histogram" -> { (spark, dir) =>
       Profile.histogram(docs(spark, dir), "n_chars", 200.0)
         .orderBy("bin")
@@ -1007,6 +1054,17 @@ object ExtensionQueries {
         col("l_partkey"), Seq("l_returnflag"), m = HllM)
       Sketches.hllIntersectEstimate(ra, rb, Seq("l_returnflag"), m = HllM)
         .orderBy("l_returnflag")
+    },
+
+    // Bottom-k coordinated-sample Jaccard between the orders-referenced
+    // customer set and the customer table (true value ≈ the share of
+    // customers with at least one order).
+    "sketch_kmv_jaccard" -> { (spark, dir) =>
+      import graft.functions.Sketches
+      Sketches.kmvJaccard(
+        spark.read.parquet(s"$dir/orders.parquet"), col("o_custkey"),
+        spark.read.parquet(s"$dir/customer.parquet"), col("c_custkey"),
+        k = KmvJk)
     },
 
     // Rolling 3-day distinct users per day from per-bucket register
@@ -1873,6 +1931,74 @@ object ExtensionQueries {
        AND b.lenb BETWEEN a.lenb - 1 AND a.lenb + 1
        AND abs(a.len - b.len) <= $EditMaxDist
       WHERE levenshtein(a.text, b.text) <= $EditMaxDist
+      ORDER BY id_a, id_b""",
+
+    // Replay of Dedup.prefixJaccardPairs: same winnowed-shingle CTE as
+    // dedup_ngram_jaccard, global rarity order (df asc, token asc), prefix
+    // of sz - ceil(t*sz) + 1 tokens, prefix-token join, exact Jaccard.
+    "dedup_prefix" -> s"""
+      WITH grams AS (
+        SELECT doc_id,
+          CASE WHEN length(text) >= $NgramN
+            THEN list_distinct(list_transform(
+                   generate_series(1, length(text) - ${NgramN - 1}),
+                   i -> substr(text, i, $NgramN)))
+            ELSE [text] END AS gs
+        FROM documents
+      ), sh AS (
+        SELECT * FROM (
+          SELECT doc_id,
+            list_filter(list_distinct(list_transform(gs,
+              s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P)),
+              h -> h % $NgramSampleMod = 0) AS shingles
+          FROM grams)
+        WHERE len(shingles) > 0
+      ), tok AS (
+        SELECT doc_id, len(shingles)::BIGINT AS sz, unnest(shingles) AS tok
+        FROM sh
+      ), dfreq AS (
+        SELECT tok, count(*) AS df FROM tok GROUP BY 1
+      ), pref AS (
+        SELECT doc_id, tok FROM (
+          SELECT t.doc_id, t.tok, t.sz,
+            row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+              AS rn
+          FROM tok t JOIN dfreq d USING (tok))
+        WHERE rn <= sz - ceil(sz::DOUBLE * $NgramThreshold) + 1
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM pref x JOIN pref y
+          ON x.tok = y.tok AND x.doc_id < y.doc_id
+      )
+      SELECT doc_a, doc_b,
+        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+          6) AS jaccard
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.doc_a
+      JOIN sh b ON b.doc_id = cand.doc_b
+      WHERE jaccard >= $NgramThreshold
+      ORDER BY doc_a, doc_b""",
+
+    // Replay of Dedup.jaroWinklerPairs: the edit-distance blocking
+    // (lang + length band, adjacent-band probe, maxBlock guard) with
+    // DuckDB's native rapidfuzz-semantics jaro_winkler_similarity — the
+    // Spark side's codegen'd kernel implements the identical algorithm
+    // (boost only above jaro 0.7, prefix capped at 4).
+    "dedup_jarowinkler" -> s"""
+      WITH d AS (
+        SELECT doc_id, text, lang,
+          floor(length(text) / $EditBucket.0) AS lenb
+        FROM documents),
+      k AS (SELECT *, count(*) OVER (PARTITION BY lang, lenb) AS bn FROM d),
+      kept AS (SELECT doc_id, text, lang, lenb FROM k
+               WHERE bn <= $EditMaxBlock)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(jaro_winkler_similarity(a.text, b.text), 6) AS sim
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND b.lenb BETWEEN a.lenb - 1 AND a.lenb + 1
+      WHERE round(jaro_winkler_similarity(a.text, b.text), 6) >= $JwMinSim
       ORDER BY id_a, id_b""",
 
     // Replay of Similarity.nearDupPairs incl. the oversized-bucket guard:
@@ -2819,6 +2945,92 @@ object ExtensionQueries {
       SELECT doc_id, score, score >= 0.5 AS keep
       FROM s ORDER BY doc_id""",
 
+    // Replay of LanguageModel.bigramCrossEntropy: per-lang bigram counts,
+    // head counts, vocab size; smoothed p in IEEE double; per-bigram log
+    // fixed to integer micro-nats (round half away from zero in both
+    // engines), summed as LONGs per doc, then one 6dp division.
+    "quality_lm_score" -> s"""
+      WITH ws AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      bg AS (
+        SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+        FROM (
+          SELECT doc_id, lang,
+            unnest(list_transform(generate_series(1, len(w) - 1),
+              g -> struct_pack(w1 := w[g], w2 := w[g+1]))) AS p
+          FROM ws)
+        GROUP BY 1, 2, 3, 4),
+      c12 AS (SELECT lang, w1, w2, sum(cnt)::BIGINT AS c12
+              FROM bg GROUP BY 1, 2, 3),
+      c1 AS (SELECT lang, w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1, 2),
+      v AS (SELECT lang, count(DISTINCT w)::BIGINT AS v FROM
+              (SELECT lang, w1 AS w FROM bg
+               UNION SELECT lang, w2 FROM bg) GROUP BY 1),
+      lp AS (
+        SELECT lang, w1, w2,
+          round(ln((c12::DOUBLE + $LmAlpha)
+            / (c1::DOUBLE + $LmAlpha * v::DOUBLE)) * 1000000.0)::BIGINT
+            AS lp6
+        FROM c12 JOIN c1 USING (lang, w1) JOIN v USING (lang)),
+      s AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+          sum(cnt * lp6)::BIGINT AS s6
+        FROM bg JOIN lp USING (lang, w1, w2) GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+        round(-(s6::DOUBLE) / 1000000.0 / n_bigrams, 6) + 0.0 AS xent
+      FROM s ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.dupSpans: distinct hashed word 8-grams per
+    // doc (whole-text fallback under 8 words), gram -> containing-doc
+    // count, per-doc duplicated fraction.
+    "text_dup_spans" -> s"""
+      WITH ws AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= $DupSpanN
+          THEN list_distinct(list_transform(
+                 list_transform(generate_series(1, len(w) - ${DupSpanN - 1}),
+                   i -> array_to_string(w[i:i+${DupSpanN - 1}], ' ')),
+                 s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P))
+          ELSE [('0x'||substr(md5(text),1,8))::BIGINT % $P] END) AS h
+        FROM ws),
+      dfq AS (SELECT h, count(*) AS df FROM g GROUP BY 1)
+      SELECT doc_id, count(*)::BIGINT AS n_grams,
+        sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE, 6) AS dup_frac
+      FROM g JOIN dfq USING (h)
+      GROUP BY 1 ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.keyness: Monroe log-odds with the corpus as
+    // Dirichlet prior; identical double arithmetic order, 6dp + -0 guard.
+    "text_keyness" -> s"""
+      WITH w AS (
+        SELECT lang AS grp, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      y AS (SELECT grp, word, count(*)::BIGINT AS y FROM w GROUP BY 1, 2),
+      ng AS (SELECT grp, sum(y)::BIGINT AS n_g FROM y GROUP BY 1),
+      yw AS (SELECT word, sum(y)::BIGINT AS y_w FROM y GROUP BY 1),
+      tot AS (SELECT sum(y)::BIGINT AS n_tot FROM y),
+      j AS (
+        SELECT grp, word, y, n_g, y_w, n_tot,
+          ($KeynessAlpha)::DOUBLE * y_w::DOUBLE / n_tot::DOUBLE AS aw,
+          (y_w - y)::DOUBLE AS yr, (n_tot - n_g)::DOUBLE AS nr
+        FROM y JOIN ng USING (grp) JOIN yw USING (word) CROSS JOIN tot),
+      s AS (
+        SELECT grp, word, y,
+          round((ln((y::DOUBLE + aw)
+                  / (n_g::DOUBLE + ($KeynessAlpha)::DOUBLE - y::DOUBLE - aw))
+               - ln((yr + aw) / (nr + ($KeynessAlpha)::DOUBLE - yr - aw)))
+            / sqrt(1.0::DOUBLE / (y::DOUBLE + aw)
+                 + 1.0::DOUBLE / (yr + aw)), 6) + 0.0 AS z
+        FROM j)
+      SELECT grp, word, y, z FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp
+          ORDER BY z DESC, word) AS rn FROM s)
+      WHERE rn <= $KeynessTopK
+      ORDER BY grp, word""",
+
     // Replay of Profile.histogram: integer floor-div bins over n_chars.
     "profile_histogram" -> """
       SELECT bin, round(bin::DOUBLE * 200.0::DOUBLE, 6) AS bin_start, n FROM (
@@ -3108,6 +3320,27 @@ object ExtensionQueries {
           AS hll_intersection
       FROM ea JOIN eb USING (l_returnflag) JOIN eu USING (l_returnflag)
       ORDER BY l_returnflag""",
+
+    // Replay of Sketches.kmvJaccard: identical h32 bottom-k sketches of
+    // both key sets, bottom-k of the union, match fraction.
+    "sketch_kmv_jaccard" -> s"""
+      WITH sa AS (
+        SELECT DISTINCT ('0x'||substr(md5(o_custkey::VARCHAR),1,8))::BIGINT
+          % $P AS h
+        FROM orders ORDER BY h LIMIT $KmvJk),
+      sb AS (
+        SELECT DISTINCT ('0x'||substr(md5(c_custkey::VARCHAR),1,8))::BIGINT
+          % $P AS h
+        FROM customer ORDER BY h LIMIT $KmvJk),
+      u AS (
+        SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+        ORDER BY h LIMIT $KmvJk),
+      m AS (SELECT count(*)::BIGINT AS n_match FROM u
+            WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+      n AS (SELECT count(*)::BIGINT AS n_union FROM u)
+      SELECT n_union, n_match,
+        round(n_match::DOUBLE / n_union::DOUBLE, 6) AS kmv_jaccard
+      FROM m, n""",
 
     // Replay of Sketches.hllRolling: per-day registers over epoch-day
     // buckets (epoch_ms // 86400000 == ts_nanos div 86400e9 for positive

@@ -46,7 +46,8 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("minhash_sig", "sign_bits", "simhash_bits", "dot_product"))
+      Set("minhash_sig", "sign_bits", "simhash_bits", "dot_product",
+        "jaro_winkler_sim"))
   }
 
   test("non-literal k is rejected with a clear message") {
@@ -69,7 +70,8 @@ class GraftFunctionsSpec extends SparkSpec {
     // CodegenFallback; the native kernels must not share its fate
     val qText = docs.select(
       T.minhashSig(grams, 8).as("mh"),
-      T.simhash60FromHashes(grams).as("sh"))
+      T.simhash60FromHashes(grams).as("sh"),
+      T.jaroWinkler(col("text"), col("source")).as("jw"))
     val qVec = embs.select(V.dot(col("embedding"), col("embedding")).as("dp"))
     // the round-8 contract: no CodegenFallback eviction — the projections
     // carrying every kernel compile into a WholeStageCodegen stage
@@ -101,10 +103,14 @@ class GraftFunctionsSpec extends SparkSpec {
       .toLongArray.toSeq
     val shInterp = SimHashBits(Literal(new GenericArrayData(hashes),
       ArrayType(LongType, containsNull = false)), 60).eval(null)
+    val jwInterp = JaroWinklerSim(Literal("martha"), Literal("marhta"))
+      .eval(null)
     val viaSql = spark.sql(
       "SELECT minhash_sig(array(7L, 123456789L, 999999999L), 8) AS mh, " +
-        "simhash_bits(array(7L, 123456789L, 999999999L), 60) AS sh").head
+        "simhash_bits(array(7L, 123456789L, 999999999L), 60) AS sh, " +
+        "jaro_winkler_sim('martha', 'marhta') AS jw").head
     assert(viaSql.getAs[scala.collection.Seq[Long]]("mh").toList == mhInterp.toList)
     assert(viaSql.getAs[Long]("sh") == shInterp)
+    assert(viaSql.getAs[Double]("jw") == jwInterp)
   }
 }

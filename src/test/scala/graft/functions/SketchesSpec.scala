@@ -184,6 +184,20 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(g(3L) - 100.0) < 10.0, s"gap window drifted: ${g(3L)}")
   }
 
+  test("kmvJaccard: exact when k >= |union|, banded estimate below") {
+    val a = (1 to 100).map(i => s"k$i").toDF("v")
+    val b = (51 to 150).map(i => s"k$i").toDF("v")
+    // |A∩B| = 50, |A∪B| = 150, true J = 1/3; k = 512 >= union -> exact
+    val exact = Sketches.kmvJaccard(a, col("v"), b, col("v"), k = 512)
+      .as[(Long, Long, Double)].head()
+    assert(exact == ((150L, 50L, 0.333333)), s"exact regime: $exact")
+    // small k: a coordinated sample — estimate lands in a wide band
+    val est = Sketches.kmvJaccard(a, col("v"), b, col("v"), k = 32)
+      .as[(Long, Long, Double)].head()
+    assert(est._1 == 32L && est._3 > 0.05 && est._3 < 0.7,
+      s"sampled regime: $est")
+  }
+
   test("cmsHeavy never underestimates") {
     // 200 keys into a deliberately tiny 2x16 sketch: heavy collisions
     val df = (1 to 600).map(i => s"k${i % 200}").toDF("k")

@@ -252,4 +252,78 @@ class DedupSpec extends SparkSpec {
         maxDist = 10, bucketWidth = 10)
     }
   }
+
+  test("prefix-filter pairs == brute-force threshold pairs (exact recall)") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    // varied texts with planted near-dup clusters and unrelated docs
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta thetas",
+      "alpha beta gamma delta epsilon zeta", // partial overlap
+      "one two three four five six seven eight nine",
+      "one two three four five six seven eight nine ten",
+      "completely different material unrelated to any other entry here",
+      "short", "shorts")
+    val df = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairs(df, "doc_id", "text",
+        n = 4, sampleMod = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same shingle sets: every pair >= t must appear
+    val sh = df.select($"doc_id",
+      T.hashedCharNgrams($"text", 4, 1).as("sh"))
+    val brute = sh.as("x").crossJoin(sh.as("y"))
+      .where($"x.doc_id" < $"y.doc_id")
+      .where(round(T.jaccard($"x.sh", $"y.sh"), 6) >= 0.5)
+      .select($"x.doc_id", $"y.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute, s"prefix=$out brute=$brute")
+    assert(brute.nonEmpty, "fixture must contain at least one true pair")
+  }
+
+  test("jaroWinkler kernel matches DuckDB/rapidfuzz reference values") {
+    import graft.functions.ExprKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      ExprKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    // values probed from DuckDB jaro_winkler_similarity (rapidfuzz port)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("a", "b", 0.0),
+      ("crate", "trace", 0.7333333333333334),
+      ("spark", "sprak", 0.9466666666666665),
+      // boost threshold: jaro <= 0.7 gets NO prefix premium
+      ("aqwert", "azxcvb", 0.4444444444444444),
+      ("abcdef", "abzzzz", 0.5555555555555555),
+      // prefix capped at 4 even when 6 chars are shared
+      ("prefixab", "prefixcd", 0.9))
+    for ((a, b, want) <- cases)
+      assert(jw(a, b) == want, s"jw($a,$b) = ${jw(a, b)}, want $want")
+  }
+
+  test("jaroWinkler pairs: blocked, threshold-bounded, symmetric-free") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "jonathan smith", "en"),
+      (2L, "jonathon smith", "en"),  // high-JW variant of 1
+      (3L, "jonathan smythe", "en"), // variant of 1, lower
+      (4L, "entirely other", "en"),
+      (5L, "jonathan smith", "de")   // other block: never paired with 1
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.jaroWinklerPairs(df, "doc_id", "text", Seq("lang"),
+        minSim = 0.9, bucketWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(p => p._1 < p._2 && p._3 >= 0.9))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    intercept[IllegalArgumentException] {
+      Dedup.jaroWinklerPairs(df, "doc_id", "text", Seq("lang"), minSim = 0.5)
+    }
+  }
 }

@@ -779,6 +779,63 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("prefix_pairs, jw_pairs and lm_score run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zetas", "en"),
+      (3L, "one two three four five six seven", "en"),
+      (4L, "jonathan smith", "en"),
+      (5L, "jonathon smith", "en")
+    ).toDF("doc_id", "text", "lang"), "n9_texts")
+    Views.register((0 until 100).map(i => s"id$i").toDF("k"), "n9_ka")
+    Views.register((50 until 150).map(i => s"id$i").toDF("k"), "n9_kb")
+    val conf = """{"stages": [
+      {"type": "DedupTransform", "name": "pp", "method": "prefix_pairs",
+       "inputView": "n9_texts", "outputView": "n9_pp",
+       "ngramN": 4, "sampleMod": 1, "threshold": 0.5},
+      {"type": "DedupTransform", "name": "jw", "method": "jw_pairs",
+       "inputView": "n9_texts", "outputView": "n9_jw",
+       "blockCols": ["lang"], "threshold": 0.9, "bucketWidth": 10},
+      {"type": "TextAnalysisTransform", "name": "lm", "analysis": "lm_score",
+       "inputView": "n9_texts", "outputView": "n9_lm",
+       "groupCols": ["lang"]},
+      {"type": "TextAnalysisTransform", "name": "ds", "analysis": "dup_spans",
+       "inputView": "n9_texts", "outputView": "n9_ds", "ngramN": 3},
+      {"type": "TextAnalysisTransform", "name": "kn", "analysis": "keyness",
+       "inputView": "n9_texts", "outputView": "n9_kn", "topK": 3},
+      {"type": "SketchTransform", "name": "kj", "method": "kmv_jaccard",
+       "inputView": "n9_ka", "otherView": "n9_kb", "outputView": "n9_kj",
+       "keyCol": "k", "k": 256}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val pp = spark.table("n9_pp")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pp.contains((1L, 2L)) && !pp.exists(p => p._1 == 3L || p._2 == 3L),
+      s"prefix pairs: $pp")
+    val jw = spark.table("n9_jw")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jw.contains((4L, 5L)), s"jw pairs: $jw")
+    val lm = spark.table("n9_lm")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(lm.keySet == Set(1L, 2L, 3L, 4L, 5L) && lm.values.forall(_ >= 0))
+    // docs 1-2 share word 3-grams; doc 3 is unique (dup_frac 0)
+    val ds = spark.table("n9_ds")
+      .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+    assert(ds(1L) > 0 && ds(2L) > 0 && ds(3L) == 0.0, s"dup spans: $ds")
+    val kn = spark.table("n9_kn")
+    assert(kn.count() <= 3 && kn.where($"z".isNull).isEmpty)
+    // |A∩B| = 50, |A∪B| = 150, k >= union -> exact 1/3
+    val kj = spark.table("n9_kj")
+      .select("n_union", "n_match", "kmv_jaccard")
+      .as[(Long, Long, Double)].head()
+    assert(kj == ((150L, 50L, 0.333333)), s"kmv jaccard: $kj")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("zorder write method materializes the skipping index from config") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     import spark.implicits._

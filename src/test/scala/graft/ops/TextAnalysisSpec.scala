@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -175,5 +176,46 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "b a")).toDF("doc_id", "text"), "doc_id", "text", k = 2)
       .orderBy("rnk").select("term").as[String].collect().toSeq
     assert(tie == Seq("a", "b"))
+  }
+
+  test("dupSpans: shared spans counted, unique docs zero, short-doc fallback") {
+    val df = Seq(
+      (0L, "a b c d e"),  // 3-grams: abc bcd cde
+      (1L, "a b c x y"),  // shares abc with doc 0
+      (2L, "p q r s t"),  // all unique
+      (3L, "xy"),         // short: whole-text fallback gram
+      (4L, "xy")          // exact dup of 3 -> both fully duplicated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpans(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) == ((3L, 1L, 0.333333)))
+    assert(out(1L) == ((3L, 1L, 0.333333)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)) && out(4L) == ((1L, 1L, 1.0)))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("keyness surfaces each group's distinctive term with positive z") {
+    val df = Seq(
+      ("a", "foo foo foo common words here"),
+      ("a", "foo foo common words again"),
+      ("b", "bar bar bar common words here"),
+      ("b", "bar bar common words again")
+    ).toDF("lang", "text")
+    val out = TextAnalysis.keyness(df, "lang", "text", topK = 2)
+    val top = out.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy($"z".desc, $"word")))
+      .where($"rnk" === 1)
+      .select("grp", "word", "z").as[(String, String, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(top("a")._1 == "foo" && top("a")._2 > 0, s"group a: $top")
+    assert(top("b")._1 == "bar" && top("b")._2 > 0, s"group b: $top")
+    // topK bounds output per group
+    assert(out.groupBy("grp").count().select("count").as[Long]
+      .collect().forall(_ <= 2))
+    graft.util.Caches.unpersistAll()
   }
 }
