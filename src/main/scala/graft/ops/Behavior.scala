@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics operators over event streams: ordered
+  * funnels, cohort retention, and event-transition (first-order Markov)
+  * statistics. These are the classic OLAP workloads an analytics engine
+  * is asked for the moment an `events` table exists — and for a training
+  * -data pipeline they double as curation signals (session depth,
+  * engagement cohorts, behavioral n-grams).
+  *
+  * Determinism contract: counts are exact longs; every ratio is a single
+  * long/long double division (IEEE-exact, order-free); event order is the
+  * total order (ts, event_id) so equal timestamps cannot flip results
+  * between engines or layouts.
+  */
+object Behavior {
+
+  /** Ordered funnel: for each step i > 1, a user counts as reaching step
+    * i only with an event of type `steps(i)` STRICTLY AFTER their
+    * earliest qualifying step-(i-1) event (the classic "first view, then
+    * first click after that view, ..." chaining — min-timestamp
+    * semantics, so one pass per step suffices and the result is
+    * layout-free). Output: one row per step with reach and conversion
+    * ratios.
+    *
+    * Shape at scale: step 1 is one map-side-combined min per user; each
+    * later step is one join keyed on the user id — the SAME key every
+    * round, so hash partitioning is reused — followed by another keyed
+    * min. Per-step frontiers are persisted (each feeds both its own
+    * count and the next step's probe) and unpersisted as soon as the
+    * next generation lands; state is one row per surviving user, never
+    * collected. Step count is the (small, static) funnel definition, not
+    * data volume.
+    */
+  def funnel(df: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got ${steps.mkString(", ")}")
+    val base = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"))
+    var frontier = graft.util.Caches.persist(
+      base.where(col("__t") === steps.head)
+        .groupBy("__u").agg(min("__ts").as("__reach")))
+    val perStep = Seq.newBuilder[DataFrame]
+    perStep += frontier.select(lit(1).as("step_idx"),
+      lit(steps.head).as("step_name"), col("__u"))
+    for (i <- 1 until steps.size) {
+      val next = graft.util.Caches.persist(
+        base.where(col("__t") === steps(i))
+          .join(frontier.select(col("__u"), col("__reach").as("__prev")),
+            "__u")
+          .where(col("__ts") > col("__prev"))
+          .groupBy("__u").agg(min("__ts").as("__reach")))
+      perStep += next.select(lit(i + 1).as("step_idx"),
+        lit(steps(i)).as("step_name"), col("__u"))
+      frontier = next
+    }
+    val reach = perStep.result().reduce(_ union _)
+      .groupBy("step_idx", "step_name")
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy("step_idx")
+    reach
+      .withColumn("conv_from_prev",
+        coalesce(col("n_users").cast("double")
+          / lag(col("n_users"), 1).over(w), lit(1.0)))
+      .withColumn("conv_from_first",
+        col("n_users").cast("double") / first(col("n_users")).over(w))
+  }
+
+  /** Weekly cohort retention: users are assigned to the ISO week of
+    * their FIRST event; every later event lands in `week_offset` =
+    * whole weeks since that cohort week. Output: (cohort_week,
+    * week_offset, n_users) — the retention triangle, distinct users per
+    * cell. Both engines truncate weeks to Monday, and the day-diff of
+    * two Monday-truncated dates is divisible by 7, so the offset is
+    * exact integer arithmetic.
+    *
+    * Shape at scale: first-event assignment is one map-side-combined min
+    * keyed on the user; the join back to events runs on that same key;
+    * the final distinct-count shuffles (cohort_week, offset, user) once.
+    * No window over the full event table, no driver state.
+    */
+  def cohortRetention(df: DataFrame, tsCol: String,
+      userCol: String): DataFrame = {
+    val firstSeen = df.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col("__u"),
+        date_trunc("week", col("__first")).cast("date").as("cohort_week"))
+    df.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__ew"))
+      .join(firstSeen, "__u")
+      .select(col("cohort_week"),
+        (datediff(col("__ew"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"),
+        col("__u"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("__u").as("n_users"))
+  }
+
+  /** First-order Markov transition table: per user, events in (ts, id)
+    * order yield (event_type -> next event_type) pairs; output is the
+    * global pair count and the conditional probability
+    * P(next | prev) = n / Σ_next n. The behavioral bigram model —
+    * navigation structure, bot detection, session synthesis priors.
+    *
+    * Shape at scale: one window keyed on the user (each user's history
+    * sorts independently — the per-stratum-window class, scale-safe when
+    * users are numerous), then a map-side-combined pair count; the
+    * row-count denominator rides a second small aggregation joined on
+    * `prev_type` (bounded by the type vocabulary). The (ts, id) order is
+    * total, so lag() is layout-deterministic.
+    */
+  def transitions(df: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(typeCol).as("next_type"),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("__tot"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("__tot")).as("p"))
+  }
+}

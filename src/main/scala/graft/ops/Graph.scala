@@ -158,6 +158,61 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Common-neighbors link prediction over a canonical undirected edge
+    * table ((a, b), a < b, distinct — e.g. [[coOccurrenceEdges]]):
+    * candidate NEW edges (pairs not currently connected) ranked by
+    * shared-neighbor structure. Output per candidate (node_a < node_b):
+    * n_common, both degrees, and the neighborhood Jaccard
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — exact long counts, one exact-
+    * integer double division; no transcendental scoring (Adamic-Adar's
+    * log is deliberately avoided: cross-engine log ulps).
+    *
+    * Every candidate pair is a wedge x–z–y through a shared neighbor z,
+    * so enumeration is Σ_z deg(z)² — quadratic in HUB degree. The
+    * standard mitigation applies: nodes with degree > `maxDegree` are
+    * skipped AS WEDGE CENTERS (their co-neighbor signal is weakest per
+    * pair — a hub connects everyone to everyone) while still appearing
+    * as candidate endpoints through their low-degree co-neighbors.
+    * `minCommon` prunes the long one-shared-neighbor tail before the
+    * join that attaches degrees.
+    *
+    * Shape at scale: one shuffle to build bounded adjacency lists
+    * (each <= maxDegree), a narrow in-row pair explosion (<= maxDegree²
+    * per center, no join), one map-side-combined (x, y) count, an anti
+    * join against the existing edges and a keyed degree attach. Never
+    * all-pairs.
+    */
+  def linkPrediction(und: DataFrame, maxDegree: Int = 256,
+      minCommon: Long = 2): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val sym = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = graft.util.Caches.persist(
+      sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")))
+    val centers = sym
+      .join(deg.select(col("node").as("a"), col("deg")), "a")
+      .where(col("deg") <= maxDegree)
+    val adj = centers.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
+    val pairs = adj
+      .select(explode(col("__nbrs")).as("x"), col("__nbrs"))
+      .select(col("x"), explode(col("__nbrs")).as("y"))
+      .where(col("x") < col("y"))
+    val cn = pairs.groupBy("x", "y").agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+    val cand = cn.join(und,
+      cn("x") === und("a") && cn("y") === und("b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("x"), col("deg").as("deg_a")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("deg_b")), "y")
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("n_common"), col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double")
+          / (col("deg_a") + col("deg_b") - col("n_common")))
+          .as("jaccard"))
+  }
+
   /** Synchronous label-propagation communities over a canonical
     * undirected edge table ((a, b), a < b, distinct — e.g.
     * [[coOccurrenceEdges]]): labels start as node ids; each round every

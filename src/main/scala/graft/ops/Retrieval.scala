@@ -124,6 +124,64 @@ object Retrieval {
     * regardless of corpus size — all the heavy lifting stays in the
     * upstream retrievers.
     */
+  /** Fixed-point scale for NDCG discounts: 12 decimal digits. */
+  val DiscFp = 1000000000000L
+
+  /** NDCG rank discounts 1/log2(i+1), i = 1..k, as `DiscFp` fixed-point
+    * longs. Computed ONCE here in Scala and inlined as literals into
+    * both the Spark plan and the oracle SQL — neither engine evaluates a
+    * log, so there is no cross-engine transcendental to disagree on.
+    */
+  def ndcgDiscountsFp(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i => math.round(DiscFp / (math.log(i + 1d) / math.log(2d))))
+
+  /** Cumulative sums of [[ndcgDiscountsFp]]: ideal-DCG for n = 1..k
+    * relevant documents (exact long arithmetic).
+    */
+  def ndcgCumFp(k: Int): IndexedSeq[Long] =
+    ndcgDiscountsFp(k).scanLeft(0L)(_ + _).tail
+
+  /** Ranking-quality evaluation at cutoff `k` — the offline-eval loop
+    * every retrieval stack needs: given a run (query_id, doc_id, rnk;
+    * rnk 1-based within each query) and binary-relevance qrels
+    * (query_id, doc_id), emit per query:
+    * (n_rel, n_rel_at_k, precision_at_k, recall_at_k, rr, ndcg_at_k).
+    *
+    * Determinism: DCG is a SUM of fixed-point discount literals
+    * ([[ndcgDiscountsFp]]) — exact, order-free; ideal DCG is a literal
+    * lookup ([[ndcgCumFp]]) at min(n_rel, k); every surfaced ratio is a
+    * single exact-integer double division. Queries with no relevant
+    * retrieved document appear with zeros (never silently dropped).
+    *
+    * Shape at scale: one keyed join run⨝qrels on (query, doc), two
+    * map-side-combined per-query aggregates, one join keyed on the
+    * query id. Runs are top-k-bounded upstream, so volume is
+    * queries × k, never corpus-sized.
+    */
+  def rankEval(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val dArr = array(ndcgDiscountsFp(k).map(lit): _*)
+    val cArr = array(ndcgCumFp(k).map(lit): _*)
+    val rels = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val nrel = rels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = run.where(col("rnk") <= k)
+      .join(rels, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("__hit"), min("rnk").as("__frr"),
+        sum(element_at(dArr, col("rnk").cast("int"))).as("__dcg_fp"))
+    nrel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("__hit"), lit(0L)).as("n_rel_at_k"),
+        (coalesce(col("__hit"), lit(0L)).cast("double") / k)
+          .as("precision_at_k"),
+        (coalesce(col("__hit"), lit(0L)).cast("double") / col("n_rel"))
+          .as("recall_at_k"),
+        coalesce(lit(1.0) / col("__frr"), lit(0.0)).as("rr"),
+        (coalesce(col("__dcg_fp"), lit(0L)).cast("double")
+          / element_at(cArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .as("ndcg_at_k"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
       rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rankings must be non-empty")

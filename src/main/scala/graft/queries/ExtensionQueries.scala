@@ -72,6 +72,14 @@ object ExtensionQueries {
     }
 
   // ---- tunables (mirrored verbatim into the oracle SQL) ----
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val LinkNameW = 0.7
+  private val LinkSegW = 0.3
+  private val LinkMinScore = 0.95
+  private val EvalK = 10
+  private val EvalRelTf = 2
+  private val LinkPredMaxDeg = 256
+  private val LinkPredMinCommon = 2L
   private val MinhashK = 64
   private val MinhashB = 16
   private val MinhashR = 4
@@ -781,7 +789,7 @@ object ExtensionQueries {
           .schema(Tables.eventsSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(in.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(col("ts")))
         val agg = StreamingOps.hourlyEventStats(stream, "ts", "event_type",
           "value", watermark = Some("2 hours"))
         val q = graft.streaming.StreamingSink.foreachBatchLoad(
@@ -1072,7 +1080,7 @@ object ExtensionQueries {
     "sketch_hll_rolling" -> { (spark, dir) =>
       import graft.functions.Sketches
       Sketches.hllRolling(Tables.eventsRaw(spark, dir),
-          expr("ts div 86400000000000"), col("user_id"),
+          expr("ts div 86400000000"), col("user_id"),
           window = RollHllWindow, m = HllM)
         .orderBy("bucket")
     },
@@ -1237,7 +1245,7 @@ object ExtensionQueries {
           .schema(Tables.eventsSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(in.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(col("ts")))
         val deduped = StreamingOps.dedupStream(stream, "ts",
           Seq("user_id", "event_type"), watermark = Some("100000 hours"))
         val q = graft.streaming.StreamingSink.foreachBatchLoad(
@@ -1293,7 +1301,7 @@ object ExtensionQueries {
           .schema(Tables.eventsSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(in.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(col("ts")))
         val clicks = src().where(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts").as("click_ts"))
@@ -1395,7 +1403,7 @@ object ExtensionQueries {
           .schema(Tables.eventsSchema)
           .option("maxFilesPerTrigger", 1)
           .parquet(in.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(col("ts")))
         // the watermark is sized far past the data range (the
         // streaming_dedup pattern): session_window DROPS late input rows
         // even in Complete mode (measured: a 2h watermark lost 3314/10000
@@ -1425,6 +1433,74 @@ object ExtensionQueries {
       }
       spark.read.parquet(s"$tmp/sessions.parquet")
         .orderBy("user_id", "session_start_ms")
+    },
+
+    // Behavioral analytics family (ops/Behavior.scala): the classic
+    // product-analytics trio over the events table.
+    "events_funnel" -> { (spark, dir) =>
+      Behavior.funnel(events(spark, dir), "ts", "user_id", "event_type",
+          FunnelSteps)
+        .orderBy("step_idx")
+    },
+
+    "events_cohort" -> { (spark, dir) =>
+      Behavior.cohortRetention(events(spark, dir), "ts", "user_id")
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    "events_transitions" -> { (spark, dir) =>
+      Behavior.transitions(events(spark, dir), "ts", "user_id",
+          "event_type", "event_id")
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Data-quality family (ops/DataQuality.scala): one-pass rule report
+    // and blocked record-linkage scoring.
+    "dq_rules" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      DataQuality.checkRules(li, Seq(
+        "qty_in_1_45" -> col("l_quantity").between(1, 45),
+        "discount_max_8pct" -> (col("l_discount") <= 0.08),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_present" -> col("l_shipdate").isNotNull))
+        .orderBy("rule_name")
+    },
+
+    "linkage_score" -> { (spark, dir) =>
+      DataQuality.linkageScore(
+          spark.read.parquet(s"$dir/customer.parquet"),
+          "c_custkey", "c_nationkey",
+          fuzzyFields = Seq("c_name" -> LinkNameW),
+          exactFields = Seq("c_mktsegment" -> LinkSegW),
+          minScore = LinkMinScore)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Offline ranking evaluation: a tf-ranked run per query term scored
+    // against tf>=threshold qrels — NDCG discounts are plan-time
+    // fixed-point literals, so no engine evaluates a log.
+    "retrieval_eval" -> { (spark, dir) =>
+      val tf = Retrieval.postings(docs(spark, dir), "doc_id", "text")
+        .where(col("term").isInCollection(Bm25Terms))
+        .select(col("term").as("query_id"), col("doc_id"), col("tf"))
+      val run = tf.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      val qrels = tf.where(col("tf") >= EvalRelTf)
+        .select("query_id", "doc_id")
+      Retrieval.rankEval(run, qrels, EvalK).orderBy("query_id")
+    },
+
+    // Common-neighbors link prediction over the same co-occurrence graph
+    // as triangle_count.
+    "graph_link_pred" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.linkPrediction(
+          Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+            maxGroup = TriMaxGroup),
+          maxDegree = LinkPredMaxDeg, minCommon = LinkPredMinCommon)
+        .orderBy("node_a", "node_b")
     }
   )
 
@@ -3457,9 +3533,10 @@ object ExtensionQueries {
 
     // Replay of Cdc.scd2 (islands): lag marks state changes, a running
     // sum numbers the runs, min(ts) opens each span, lead closes it.
-    // ts::TIMESTAMP truncates ns -> us exactly like Spark's
-    // timestamp_micros(ts div 1000); (ts, event_type) and
-    // (valid_from, event_type) orders are total, so ties replay.
+    // ts::TIMESTAMP lands on the same MICRO precision as the normalized
+    // Tables.events read (ns generations truncate identically on both
+    // engines); (ts, event_type) and (valid_from, event_type) orders are
+    // total, so ties replay.
     "scd2_history" -> """
       WITH e AS (
         SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
@@ -3679,9 +3756,10 @@ object ExtensionQueries {
       ORDER BY user_id, event_type""",
 
     // Replay of the stream-stream attribution join as a batch range
-    // self-join. Bounds compare MICROSECOND longs (epoch_us truncates
-    // ns -> us exactly like Spark's `ts div 1000`): comparing raw ns
-    // timestamps would flip pairs within 1000 ns of the horizon.
+    // self-join. Bounds compare MICROSECOND longs — the precision both
+    // engines land on after the normalized read (a ns-generation file
+    // truncates ns -> us identically on both sides, so no pair can flip
+    // within 1000 ns of the horizon).
     "streaming_join" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
@@ -3718,6 +3796,175 @@ object ExtensionQueries {
       SELECT user_id, min(us) // 1000 AS session_start_ms,
         count(*) AS n_events
       FROM runs GROUP BY user_id, sid
-      ORDER BY user_id, session_start_ms"""
+      ORDER BY user_id, session_start_ms""",
+
+    // Replay of Behavior.funnel: min-timestamp chaining — step i is the
+    // earliest step-i event STRICTLY AFTER the user's step-(i-1) reach
+    // time. Ratios are single long/long double divisions (order-free).
+    "events_funnel" -> s"""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS r FROM events
+        WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS r FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.r
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS r FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.r
+        GROUP BY 1),
+      n AS (
+        SELECT 1 AS step_idx, '${FunnelSteps(0)}' AS step_name,
+          count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, '${FunnelSteps(1)}', count(*) FROM s2
+        UNION ALL SELECT 3, '${FunnelSteps(2)}', count(*) FROM s3)
+      SELECT step_idx, step_name, n_users,
+        coalesce(CAST(n_users AS DOUBLE)
+          / lag(n_users) OVER (ORDER BY step_idx), 1.0) AS conv_from_prev,
+        CAST(n_users AS DOUBLE)
+          / first_value(n_users) OVER (ORDER BY step_idx) AS conv_from_first
+      FROM n ORDER BY step_idx""",
+
+    // Replay of Behavior.cohortRetention: both engines truncate weeks to
+    // Monday, so the day-diff of two week-truncated dates is an exact
+    // multiple of 7 and the integer division is exact.
+    "events_cohort" -> """
+      WITH f AS (
+        SELECT user_id,
+          CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1)
+      SELECT f.cohort_week,
+        CAST(datediff('day', f.cohort_week,
+          CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+          AS week_offset,
+        count(DISTINCT e.user_id) AS n_users
+      FROM events e JOIN f ON e.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replay of Behavior.transitions: lag over the total (ts, event_id)
+    // order per user; P(next | prev) is one double division of exact
+    // counts.
+    "events_transitions" -> """
+      WITH p AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev_type,
+          event_type AS next_type
+        FROM events),
+      c AS (
+        SELECT prev_type, next_type, count(*) AS n FROM p
+        WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM c ORDER BY prev_type, next_type""",
+
+    // Replay of DataQuality.checkRules: one aggregation row, NULL
+    // conditions count as violations, rate is one long/long double
+    // division.
+    "dq_rules" -> """
+      WITH t AS (SELECT count(*) AS n,
+        sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 45, FALSE)
+          THEN 1 ELSE 0 END) AS v0,
+        sum(CASE WHEN NOT coalesce(l_discount <= 0.08, FALSE)
+          THEN 1 ELSE 0 END) AS v1,
+        sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+          THEN 1 ELSE 0 END) AS v2,
+        sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+          THEN 1 ELSE 0 END) AS v3,
+        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v4
+        FROM lineitem)
+      SELECT rule_name, n_violations, n_rows,
+        CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+      FROM (
+        SELECT 'qty_in_1_45' AS rule_name, v0 AS n_violations, n AS n_rows
+          FROM t
+        UNION ALL SELECT 'discount_max_8pct', v1, n FROM t
+        UNION ALL SELECT 'price_positive', v2, n FROM t
+        UNION ALL SELECT 'returnflag_domain', v3, n FROM t
+        UNION ALL SELECT 'shipdate_present', v4, n FROM t)
+      ORDER BY rule_name""",
+
+    // Replay of DataQuality.linkageScore: blocked pairs on the nation
+    // key, score = LinkNameW * round(jw(name), 6)
+    //            + LinkSegW  * (segment equality), summed in that order,
+    // rounded to 6 dp — the same IEEE sequence the Spark side builds.
+    "linkage_score" -> s"""
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        round($LinkNameW
+            * round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+          + $LinkSegW * (CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN 1.0 ELSE 0.0 END), 6) AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE round($LinkNameW
+            * round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+          + $LinkSegW * (CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN 1.0 ELSE 0.0 END), 6) >= $LinkMinScore
+      ORDER BY id_a, id_b""",
+
+    // Replay of Retrieval.rankEval over the tf-ranked run: the discount
+    // and ideal-DCG tables are THE SAME fixed-point literals the Spark
+    // plan inlines (Retrieval.ndcgDiscountsFp / ndcgCumFp) — DCG is an
+    // exact long sum, every ratio one exact-integer double division.
+    "retrieval_eval" -> s"""
+      WITH w AS (SELECT doc_id,
+              unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT term AS query_id, doc_id, count(*) AS tf FROM w
+             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY 1, 2),
+      run AS (SELECT query_id, doc_id, row_number() OVER
+              (PARTITION BY query_id ORDER BY tf DESC, doc_id) AS rnk
+              FROM tf),
+      rels AS (SELECT query_id, doc_id FROM tf WHERE tf >= $EvalRelTf),
+      nrel AS (SELECT query_id, count(*) AS n_rel FROM rels GROUP BY 1),
+      d AS (SELECT * FROM (VALUES ${Retrieval.ndcgDiscountsFp(EvalK)
+        .zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }
+        .mkString(", ")}) AS v(rnk, dfp)),
+      c AS (SELECT * FROM (VALUES ${Retrieval.ndcgCumFp(EvalK)
+        .zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }
+        .mkString(", ")}) AS v(n, cumfp)),
+      hits AS (SELECT r.query_id, count(*) AS hit, min(r.rnk) AS frr,
+               sum(d.dfp) AS dcg_fp
+               FROM run r JOIN rels USING (query_id, doc_id)
+               JOIN d ON d.rnk = r.rnk
+               WHERE r.rnk <= $EvalK GROUP BY 1)
+      SELECT n.query_id, n.n_rel,
+        coalesce(h.hit, 0) AS n_rel_at_k,
+        CAST(coalesce(h.hit, 0) AS DOUBLE) / $EvalK AS precision_at_k,
+        CAST(coalesce(h.hit, 0) AS DOUBLE) / n.n_rel AS recall_at_k,
+        coalesce(CAST(1.0 AS DOUBLE) / h.frr, CAST(0.0 AS DOUBLE)) AS rr,
+        CAST(coalesce(h.dcg_fp, 0) AS DOUBLE) / c.cumfp AS ndcg_at_k
+      FROM nrel n LEFT JOIN hits h USING (query_id)
+      JOIN c ON c.n = least(n.n_rel, $EvalK)
+      ORDER BY query_id""",
+
+    // Replay of Graph.linkPrediction on the triangle_count co-occurrence
+    // graph: wedge pairs through degree-bounded centers, existing edges
+    // anti-joined away, Jaccard = one exact-integer double division.
+    "graph_link_pred" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+      ctr AS (SELECT s.a AS z, s.b AS n FROM sym s
+              JOIN deg d ON d.node = s.a WHERE d.deg <= $LinkPredMaxDeg),
+      pairs AS (SELECT c1.n AS x, c2.n AS y FROM ctr c1
+                JOIN ctr c2 ON c1.z = c2.z AND c1.n < c2.n),
+      cn AS (SELECT x, y, count(*) AS n_common FROM pairs
+             GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinCommon),
+      cand AS (SELECT * FROM cn WHERE NOT EXISTS (
+               SELECT 1 FROM und e WHERE e.a = cn.x AND e.b = cn.y))
+      SELECT cand.x AS node_a, cand.y AS node_b, cand.n_common,
+        da.deg AS deg_a, db.deg AS deg_b,
+        CAST(cand.n_common AS DOUBLE)
+          / (da.deg + db.deg - cand.n_common) AS jaccard
+      FROM cand JOIN deg da ON da.node = cand.x
+      JOIN deg db ON db.node = cand.y
+      ORDER BY node_a, node_b"""
   )
 }

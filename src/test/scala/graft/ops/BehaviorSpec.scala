@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-05 10:$m%02d:00")
+
+  test("funnel: strictly-after chaining, per-step reach and ratios") {
+    val df = Seq(
+      // u1 completes view -> click -> buy in order
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(1)),
+      (3L, 1L, "buy", ts(2)),
+      // u2 clicks BEFORE its first view: click must not count
+      (4L, 2L, "click", ts(0)), (5L, 2L, "view", ts(1)),
+      // u3 view + click, no buy
+      (6L, 3L, "view", ts(0)), (7L, 3L, "click", ts(5)),
+      // u4 never views: invisible to the funnel
+      (8L, 4L, "buy", ts(0))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out = Behavior.funnel(df, "t", "user_id", "event_type",
+        Seq("view", "click", "buy"))
+      .orderBy("step_idx")
+      .as[(Int, String, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L)))
+    assert(out(0)._4 == 1.0 && out(0)._5 == 1.0)
+    assert(out(1)._4 == 2.0 / 3 && out(1)._5 == 2.0 / 3)
+    assert(out(2)._4 == 1.0 / 2 && out(2)._5 == 1.0 / 3)
+  }
+
+  test("funnel: equal timestamp does NOT advance (strict >)") {
+    val df = Seq(
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(0)), // same instant
+      (3L, 2L, "view", ts(0)), (4L, 2L, "click", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out = Behavior.funnel(df, "t", "user_id", "event_type",
+        Seq("view", "click"))
+      .orderBy("step_idx").select("n_users").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 1L))
+  }
+
+  test("funnel: later qualifying event still counts after a too-early one") {
+    // u1's first click precedes the view, but a SECOND click follows it —
+    // min-after-reach semantics must pick that one up
+    val df = Seq(
+      (1L, 1L, "click", ts(0)), (2L, 1L, "view", ts(1)),
+      (3L, 1L, "click", ts(2))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out = Behavior.funnel(df, "t", "user_id", "event_type",
+        Seq("view", "click"))
+      .orderBy("step_idx").select("n_users").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L))
+  }
+
+  test("funnel rejects degenerate step lists") {
+    val df = Seq((1L, 1L, "view", ts(0))).toDF("event_id", "user_id",
+      "event_type", "t")
+    intercept[IllegalArgumentException] {
+      Behavior.funnel(df, "t", "user_id", "event_type", Seq("view"))
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.funnel(df, "t", "user_id", "event_type",
+        Seq("view", "view"))
+    }
+  }
+
+  test("cohortRetention: Monday cohort weeks, exact week offsets") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s"$s 12:00:00")
+    val df = Seq(
+      (1L, d("2026-01-05")), // u1 cohort week = Mon 2026-01-05
+      (1L, d("2026-01-11")), // Sunday, SAME week -> offset 0
+      (1L, d("2026-01-12")), // next Monday -> offset 1
+      (1L, d("2026-01-26")), // offset 3
+      (2L, d("2026-01-13")), // u2 cohort week = Mon 2026-01-12
+      (2L, d("2026-01-19"))  // offset 1
+    ).toDF("user_id", "t")
+    val out = Behavior.cohortRetention(df, "t", "user_id")
+      .orderBy("cohort_week", "week_offset")
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (java.sql.Date.valueOf("2026-01-05"), 0L, 1L),
+      (java.sql.Date.valueOf("2026-01-05"), 1L, 1L),
+      (java.sql.Date.valueOf("2026-01-05"), 3L, 1L),
+      (java.sql.Date.valueOf("2026-01-12"), 0L, 1L),
+      (java.sql.Date.valueOf("2026-01-12"), 1L, 1L)))
+  }
+
+  test("cohortRetention counts distinct users per cell") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s"$s 12:00:00")
+    val df = Seq(
+      (1L, d("2026-01-05")), (1L, d("2026-01-06")), // two events, one user
+      (2L, d("2026-01-07"))
+    ).toDF("user_id", "t")
+    val out = Behavior.cohortRetention(df, "t", "user_id").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 2L) // cell (2026-01-05, 0): users 1 and 2
+  }
+
+  test("transitions: lag pairs under (ts, id) order, row probabilities") {
+    val df = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(1)), (3L, 1L, "a", ts(2)),
+      (4L, 1L, "b", ts(3)),
+      (5L, 2L, "a", ts(0)), (6L, 2L, "c", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out = Behavior.transitions(df, "t", "user_id", "event_type",
+        "event_id")
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect()
+    // a->b x2, a->c x1, b->a x1
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitions: equal-timestamp ties break on the id column") {
+    val df = Seq(
+      (2L, 1L, "b", ts(0)), (1L, 1L, "a", ts(0)), (3L, 1L, "c", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out = Behavior.transitions(df, "t", "user_id", "event_type",
+        "event_id")
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq("a" -> "b", "b" -> "c"))
+  }
+
+  test("transitions are layout-independent") {
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (i % 7).toLong, Seq("a", "b", "c")(i % 3), ts(i % 60))
+    }
+    val df1 = rows.toDF("event_id", "user_id", "event_type", "t")
+    val df2 = df1.repartition(7).sortWithinPartitions(desc("event_id"))
+    val a = Behavior.transitions(df1, "t", "user_id", "event_type",
+      "event_id").orderBy("prev_type", "next_type").collect().toSeq
+    val b = Behavior.transitions(df2, "t", "user_id", "event_type",
+      "event_id").orderBy("prev_type", "next_type").collect().toSeq
+    assert(a == b)
+  }
+}

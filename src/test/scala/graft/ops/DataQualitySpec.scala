@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkRules: one row per rule, null condition counts as violation") {
+    val df = Seq(
+      (1, Some(10.0)), (2, Some(-3.0)), (3, None), (4, Some(5.0))
+    ).toDF("id", "v")
+    val out = DataQuality.checkRules(df, Seq(
+        "v_positive" -> (col("v") > 0),
+        "id_small" -> (col("id") <= 2)))
+      .as[(String, Long, Long, Double)].collect()
+    // v_positive: -3 violates, NULL violates -> 2 of 4
+    assert(out(0) == (("v_positive", 2L, 4L, 0.5)))
+    assert(out(1) == (("id_small", 2L, 4L, 0.5)))
+  }
+
+  test("checkRules preserves rule order and is a single aggregation") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val rules = Seq("r3" -> (col("a") > 0), "r1" -> (col("b") > 0),
+      "r2" -> lit(true))
+    val out = DataQuality.checkRules(df, rules)
+    assert(out.select("rule_name").as[String].collect().toSeq ==
+      Seq("r3", "r1", "r2"))
+    // one global aggregate, no join/shuffle of the input per rule
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"rule engine must not join:\n$plan")
+  }
+
+  test("checkRules rejects empty and duplicate-name rule lists") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      DataQuality.checkRules(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.checkRules(df,
+        Seq("r" -> (col("a") > 0), "r" -> (col("b") > 0)))
+    }
+  }
+
+  test("linkageScore: weighted fuzzy + exact agreement, threshold filter") {
+    val df = Seq(
+      (1L, "x", "martha", "BUILDING"),
+      (2L, "x", "marhta", "BUILDING"), // transposed pair, same segment
+      (3L, "x", "zzzzzz", "AUTO"),
+      (4L, "y", "martha", "BUILDING")  // other block: never paired with 1
+    ).toDF("id", "blk", "name", "seg")
+    val out = DataQuality.linkageScore(df, "id", "blk",
+        fuzzyFields = Seq("name" -> 0.7), exactFields = Seq("seg" -> 0.3),
+        minScore = 0.9)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect()
+    // jw(martha, marhta) = 0.961111 (the classic example);
+    // score = round(0.7 * 0.961111 + 0.3, 6) = 0.972778
+    assert(out.toSeq == Seq((1L, 2L, 0.972778)))
+  }
+
+  test("linkageScore: exact-only agreement and block cap") {
+    val df = (1 to 10).map(i => (i.toLong, "big", s"n$i", "S"))
+      .toDF("id", "blk", "name", "seg")
+    // block of 10 > maxBlock 5: dropped entirely
+    val capped = DataQuality.linkageScore(df, "id", "blk",
+      fuzzyFields = Seq.empty, exactFields = Seq("seg" -> 1.0),
+      minScore = 0.5, maxBlock = 5)
+    assert(capped.count() == 0)
+    val all = DataQuality.linkageScore(df, "id", "blk",
+      fuzzyFields = Seq.empty, exactFields = Seq("seg" -> 1.0),
+      minScore = 0.5, maxBlock = 64)
+    assert(all.count() == 45) // all pairs agree on seg -> score 1.0
+  }
+
+  test("linkageScore is layout-independent") {
+    val rows = (1 to 60).map(i =>
+      (i.toLong, (i % 4).toString, s"name${i % 9}x$i", if (i % 2 == 0) "A" else "B"))
+    val df1 = rows.toDF("id", "blk", "name", "seg")
+    val df2 = df1.repartition(7).sortWithinPartitions(desc("id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      DataQuality.linkageScore(d, "id", "blk",
+        Seq("name" -> 0.6), Seq("seg" -> 0.4), minScore = 0.7)
+        .orderBy("id_a", "id_b").collect().toSeq
+    assert(run(df1) == run(df2))
+    assert(run(df1).nonEmpty)
+  }
+}

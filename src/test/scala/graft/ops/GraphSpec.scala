@@ -129,4 +129,62 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
+
+  test("linkPrediction: candidate non-edges ranked by common neighbors") {
+    // path 1-2, 1-3, 1-4 (star on 1) plus edge 2-3: candidates through
+    // center 1 are (2,3) [already an edge -> dropped], (2,4), (3,4);
+    // center 2 and 3 wedges add common neighbor 1 pairs already counted?
+    // wedge x-z-y counts once PER CENTER z: (2,4) shares only node 1.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("a", "b")
+    val out = Graph.linkPrediction(und, maxDegree = 10, minCommon = 1)
+      .orderBy("node_a", "node_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // (2,4): common {1}, deg2=2, deg4=1 -> jaccard 1/(2+1-1) = 0.5
+    // (3,4): common {1}, deg3=2, deg4=1 -> 0.5
+    assert(out.toSeq == Seq(
+      (2L, 4L, 1L, 2L, 1L, 0.5), (3L, 4L, 1L, 2L, 1L, 0.5)))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("linkPrediction: minCommon prunes, existing edges never surface") {
+    // K4 minus edge (3,4): (3,4) has commons {1,2} -> n_common 2
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val out = Graph.linkPrediction(und, maxDegree = 10, minCommon = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((3L, 4L, 2L, 2L, 2L, 1.0)))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("linkPrediction: hub centers are skipped, endpoints survive") {
+    // hub 1 connects {2,3,4,5}; 2-3 also share low-degree center 6
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (3L, 6L)).toDF("a", "b")
+    // maxDegree=3 drops hub 1 (deg 4) as a center: (2,3) arrives only
+    // via center 6, and (1,6) still surfaces through centers 2 and 3 —
+    // a skipped HUB CENTER does not hide the hub as an ENDPOINT
+    val out = Graph.linkPrediction(und, maxDegree = 3, minCommon = 1)
+      .orderBy("node_a", "node_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // deg2 = deg3 = 2 (hub edge still counts in degree)
+    assert(out.toSeq == Seq(
+      (1L, 6L, 2L, 4L, 2L, 0.5), (2L, 3L, 1L, 2L, 2L, 1.0 / 3)))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("linkPrediction is layout-independent") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(20).toLong,
+      rnd.nextInt(20).toLong)).filter(p => p._1 < p._2).distinct
+    val df1 = edges.toDF("a", "b")
+    val df2 = df1.repartition(5)
+      .sortWithinPartitions(org.apache.spark.sql.functions.desc("b"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.linkPrediction(d, maxDegree = 8, minCommon = 2)
+        .orderBy("node_a", "node_b").collect().toSeq
+    val r1 = run(df1); val r2 = run(df2)
+    assert(r1 == r2 && r1.nonEmpty)
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -97,4 +97,42 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (1L to 4L))
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil) }
   }
+
+  test("rankEval: known-value metrics at k=3") {
+    import spark.implicits._
+    // q1: relevant docs {1, 2, 9}; run retrieves 1 at rank 1, 2 at rank 3
+    // q2: relevant {5}; run never retrieves it inside k
+    val run = Seq(
+      ("q1", 1L, 1L), ("q1", 7L, 2L), ("q1", 2L, 3L), ("q1", 9L, 4L),
+      ("q2", 6L, 1L), ("q2", 7L, 2L), ("q2", 8L, 3L), ("q2", 5L, 4L)
+    ).toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq(("q1", 1L), ("q1", 2L), ("q1", 9L), ("q2", 5L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.rankEval(run, qrels, k = 3).orderBy("query_id")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    val d = Retrieval.ndcgDiscountsFp(3)
+    val cum = Retrieval.ndcgCumFp(3)
+    // q1: hits at ranks 1 and 3 of the 3-deep ideal (n_rel=3 >= k)
+    assert(out(0) == (("q1", 3L, 2L, 2.0 / 3, 2.0 / 3, 1.0,
+      (d(0) + d(2)).toDouble / cum(2))))
+    // q2: zero hits -> all-zero metrics, still present
+    assert(out(1) == (("q2", 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("rankEval: ideal DCG truncates at min(n_rel, k)") {
+    import spark.implicits._
+    // n_rel=1 < k: a first-rank hit must score a PERFECT 1.0 ndcg
+    val run = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq(("q", 1L)).toDF("query_id", "doc_id")
+    val out = Retrieval.rankEval(run, qrels, k = 5)
+      .select("ndcg_at_k", "rr").as[(Double, Double)].head()
+    assert(out == ((1.0, 1.0)))
+  }
+
+  test("rankEval discounts: exact fixed-point literals, monotone") {
+    val d = Retrieval.ndcgDiscountsFp(4)
+    assert(d(0) == Retrieval.DiscFp) // 1/log2(2) = 1
+    assert(d == d.sorted.reverse && d.distinct.size == 4)
+    assert(Retrieval.ndcgCumFp(4).last == d.sum)
+  }
 }
