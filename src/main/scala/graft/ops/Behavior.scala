@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,10 +36,13 @@ object Behavior {
     * data volume.
     */
   def funnel(df: DataFrame, tsCol: String, userCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got ${steps.mkString(", ")}")
+    maxGapSeconds.foreach(g =>
+      require(g > 0, s"maxGapSeconds must be positive, got $g"))
     val base = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
       col(tsCol).as("__ts"))
     var frontier = graft.util.Caches.persist(
@@ -49,26 +52,45 @@ object Behavior {
     perStep += frontier.select(lit(1).as("step_idx"),
       lit(steps.head).as("step_name"), col("__u"))
     for (i <- 1 until steps.size) {
+      // strictly after the previous reach; with a conversion deadline,
+      // also within maxGapSeconds of it (micro-exact interval arithmetic)
+      val within: Column = maxGapSeconds match {
+        case Some(g) => col("__ts") > col("__prev") &&
+          col("__ts") <= col("__prev") + expr(s"interval $g seconds")
+        case None    => col("__ts") > col("__prev")
+      }
       val next = graft.util.Caches.persist(
         base.where(col("__t") === steps(i))
           .join(frontier.select(col("__u"), col("__reach").as("__prev")),
             "__u")
-          .where(col("__ts") > col("__prev"))
+          .where(within)
           .groupBy("__u").agg(min("__ts").as("__reach")))
       perStep += next.select(lit(i + 1).as("step_idx"),
         lit(steps(i)).as("step_name"), col("__u"))
       frontier = next
     }
+    // a step NOBODY reaches must still emit its row (n_users = 0) — the
+    // union of non-empty frontiers alone would silently truncate the
+    // funnel; ratios pin to 0.0 there (0/0 must not surface as NaN)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stepTable = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("step_idx", "step_name")
     val reach = perStep.result().reduce(_ union _)
       .groupBy("step_idx", "step_name")
       .agg(count(lit(1)).as("n_users"))
+    val full = stepTable.join(reach, Seq("step_idx", "step_name"), "left")
+      .select(col("step_idx"), col("step_name"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
     val w = Window.orderBy("step_idx")
-    reach
+    full
       .withColumn("conv_from_prev",
-        coalesce(col("n_users").cast("double")
-          / lag(col("n_users"), 1).over(w), lit(1.0)))
+        when(col("n_users") === 0, lit(0.0)).otherwise(
+          coalesce(col("n_users").cast("double")
+            / lag(col("n_users"), 1).over(w), lit(1.0))))
       .withColumn("conv_from_first",
-        col("n_users").cast("double") / first(col("n_users")).over(w))
+        when(col("n_users") === 0, lit(0.0)).otherwise(
+          col("n_users").cast("double") / first(col("n_users")).over(w)))
   }
 
   /** Weekly cohort retention: users are assigned to the ISO week of
@@ -99,6 +121,58 @@ object Behavior {
         col("__u"))
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct("__u").as("n_users"))
+  }
+
+  /** Linear multi-touch attribution: every conversion event (type
+    * `convType`) splits its `valueCol` EQUALLY across the same user's
+    * touch events (type `touchType`) in the trailing
+    * `[conv - windowSeconds, conv]` range (inclusive both ends — a touch
+    * at the conversion instant counts). Output per touch:
+    * (touch_id, n_conversions, credit_fp, credit) — total credit the
+    * touch earned across all conversions it assisted.
+    *
+    * Determinism: per (conversion, touch) the credit is
+    * floor(value · 1e6 / n_touches) in LONG micro-units — one fixed IEEE
+    * multiply then exact integer floor-div — and a touch's total is an
+    * exact long SUM, order-free. (A double credit sum would depend on
+    * shuffle order.) Conversions with no in-window touch drop out — the
+    * unattributable remainder, as in every last/linear-touch model.
+    *
+    * Shape at scale: one range join keyed on the user (the
+    * [[graft.ops.Joins]] range-join class: both sides hash on user_id,
+    * per-user histories are small), one map-side-combined count per
+    * conversion, one keyed re-join, one map-side-combined sum per touch.
+    */
+  def linearAttribution(df: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, valueCol: String,
+      touchType: String, convType: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0,
+      s"windowSeconds must be positive, got $windowSeconds")
+    require(touchType != convType,
+      s"touch and conversion types must differ, got '$touchType'")
+    val us = windowSeconds * 1000000L
+    val touches = df.where(col(typeCol) === touchType)
+      .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
+        unix_micros(col(tsCol)).as("__t_us"))
+    val convs = df.where(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("__conv_id"),
+        unix_micros(col(tsCol)).as("__c_us"),
+        col(valueCol).cast("double").as("__v"))
+    val pairs = touches.join(convs, Seq("__u"))
+      .where(col("__t_us") <= col("__c_us")
+        && col("__t_us") >= col("__c_us") - us)
+    val nTouch = pairs.groupBy("__conv_id")
+      .agg(count(lit(1)).as("__n"))
+    pairs.join(nTouch, "__conv_id")
+      .select(col("touch_id"),
+        col("__conv_id"),
+        floor(col("__v") * 1000000d / col("__n")).cast("long").as("__c_fp"))
+      .groupBy("touch_id")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("__c_fp").as("credit_fp"))
+      .select(col("touch_id"), col("n_conversions"), col("credit_fp"),
+        (col("credit_fp").cast("double") / 1000000d).as("credit"))
   }
 
   /** First-order Markov transition table: per user, events in (ts, id)

@@ -356,7 +356,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -407,6 +407,8 @@ final case class TextAnalysisTransformStage(
       // group-distinctive terms (langCol = the group column)
       case "keyness" => TextAnalysis.keyness(in, langCol, textCol,
         alpha0, topK)
+      // Zipf vocabulary head with cumulative token coverage
+      case "head_coverage" => TextAnalysis.headCoverage(in, textCol, topK)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -448,7 +450,7 @@ final case class RetrievalTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // index | bm25 | rrf
+    method: String, // index | bm25 | rrf | rank_eval
     idCol: String = "doc_id",
     textCol: String = "text",
     minDf: Long = 1L,
@@ -459,7 +461,10 @@ final case class RetrievalTransformStage(
     // rrf only: ranked-list views (each with doc_id + rnk) and the
     // rank-smoothing constant
     rankViews: Seq[String] = Nil,
-    rrfK: Int = 60)
+    rrfK: Int = 60,
+    // rank_eval only: the qrels view (query_id, doc_id); inputView is
+    // the run (query_id, doc_id, rnk)
+    qrelsView: Option[String] = None)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -478,6 +483,10 @@ final case class RetrievalTransformStage(
         if (rankViews.isEmpty) throw new IllegalArgumentException(
           "retrieval method 'rrf' requires non-empty 'rankViews'")
         Retrieval.rrfFuse(rankViews.map(Views.resolve), k, rrfK)
+      case "rank_eval" =>
+        val q = qrelsView.getOrElse(throw new IllegalArgumentException(
+          "retrieval method 'rank_eval' requires 'qrelsView'"))
+        Retrieval.rankEval(Views.resolve(inputView), Views.resolve(q), k)
       case other => throw new IllegalArgumentException(
         s"unknown retrieval method '$other'")
     }
@@ -521,7 +530,7 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "pagerank", // pagerank | triangles | cooccur_edges
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
@@ -563,6 +572,21 @@ final case class GraphTransformStage(
             greatest(col(srcCol), col(dstCol)).as("b"))
           .where(col("a") < col("b")).distinct()
         Graph.kCore(und, coreK, iters)
+      case "lpa" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.labelPropagation(und, iters)
+      // candidate new edges by shared-neighbor structure; maxGroup
+      // doubles as the wedge-center degree cap, coreK as minCommon
+      case "link_pred" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.linkPrediction(und, maxDegree = maxGroup,
+          minCommon = coreK.toLong)
       case other =>
         throw new IllegalArgumentException(s"unknown graph method '$other'")
     }
@@ -799,6 +823,134 @@ final case class ZorderTransformStage(
           options)
       case other =>
         throw new IllegalArgumentException(s"unknown zorder method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Behavioral-analytics stage over [[Behavior]]: ordered funnels, cohort
+  * retention, Markov transitions, and linear multi-touch attribution
+  * from a declarative pipeline.
+  */
+final case class BehaviorTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // funnel | cohort | transitions | attribution
+    tsCol: String = "ts",
+    userCol: String = "user_id",
+    typeCol: String = "event_type",
+    idCol: String = "event_id",
+    valueCol: String = "value",
+    steps: Seq[String] = Nil,
+    maxGapSeconds: Option[Long] = None,
+    touchType: String = "click",
+    convType: String = "purchase",
+    windowSeconds: Long = 3600L)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "funnel" =>
+        if (steps.size < 2) throw new IllegalArgumentException(
+          "behavior method 'funnel' requires >= 2 'steps'")
+        Behavior.funnel(in, tsCol, userCol, typeCol, steps, maxGapSeconds)
+      case "cohort" => Behavior.cohortRetention(in, tsCol, userCol)
+      case "transitions" =>
+        Behavior.transitions(in, tsCol, userCol, typeCol, idCol)
+      case "attribution" =>
+        Behavior.linearAttribution(in, tsCol, userCol, typeCol, idCol,
+          valueCol, touchType, convType, windowSeconds)
+      case other =>
+        throw new IllegalArgumentException(s"unknown behavior method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Data-quality stage over [[DataQuality]] and [[Profile.joinSkew]]: the
+  * declarative assertion/linkage/skew-diagnosis pass between Extract and
+  * Load. `rules` are (name, boolean SQL expression) pairs evaluated in
+  * one scan; linkage blocks on `blockCol` and scores weighted
+  * Jaro-Winkler + exact-field agreement.
+  */
+final case class DataQualityTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // rules | linkage | join_skew
+    rules: Seq[(String, String)] = Nil,
+    idCol: String = "id",
+    blockCol: String = "block",
+    fuzzyFields: Seq[(String, Double)] = Nil,
+    exactFields: Seq[(String, Double)] = Nil,
+    minScore: Double = 0.9,
+    maxBlock: Int = 1024,
+    rightView: Option[String] = None,
+    leftKey: String = "key",
+    rightKey: String = "key",
+    topK: Int = 20)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "rules" =>
+        if (rules.isEmpty) throw new IllegalArgumentException(
+          "dq method 'rules' requires non-empty 'rules'")
+        DataQuality.checkRules(in, rules.map { case (n, e) =>
+          n -> org.apache.spark.sql.functions.expr(e) })
+      case "linkage" =>
+        DataQuality.linkageScore(in, idCol, blockCol, fuzzyFields,
+          exactFields, minScore, maxBlock)
+      case "join_skew" =>
+        val r = rightView.getOrElse(throw new IllegalArgumentException(
+          "dq method 'join_skew' requires 'rightView'"))
+        Profile.joinSkew(in, leftKey, Views.resolve(r), rightKey, topK)
+      case other =>
+        throw new IllegalArgumentException(s"unknown dq method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Mergeable aggregate state stage over [[Maintenance.aggState]] /
+  * [[Maintenance.mergeAggStates]] — the incremental-materialized-view
+  * primitive as pipeline configuration: 'state' builds a shard's compact
+  * state, 'merge' combines state views without rescanning rows.
+  */
+final case class AggStateTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // state | merge
+    keys: Seq[String],
+    sumCols: Seq[String] = Nil,
+    stateViews: Seq[String] = Nil)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "state" =>
+        Maintenance.aggState(Views.resolve(inputView), keys, sumCols)
+      case "merge" =>
+        val views = if (stateViews.nonEmpty) stateViews else Seq(inputView)
+        Maintenance.mergeAggStates(views.map(Views.resolve), keys)
+      case other =>
+        throw new IllegalArgumentException(s"unknown aggstate method '$other'")
     }
     Views.register(out, outputView)
     Option(out)

@@ -186,8 +186,9 @@ object Graph {
       minCommon: Long = 2): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
-    val sym = und.select(col("a"), col("b"))
-      .union(und.select(col("b").as("a"), col("a").as("b")))
+    val sym = graft.util.Caches.persist(
+      und.select(col("a"), col("b"))
+        .union(und.select(col("b").as("a"), col("a").as("b"))))
     val deg = graft.util.Caches.persist(
       sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")))
     val centers = sym
@@ -195,10 +196,14 @@ object Graph {
       .where(col("deg") <= maxDegree)
     val adj = centers.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
+    // each wedge pair ONCE: the adjacency array is sorted, so pairing
+    // every element only with the tail slice after it yields x < y by
+    // construction — half the rows of the naive explode² + filter
     val pairs = adj
-      .select(explode(col("__nbrs")).as("x"), col("__nbrs"))
-      .select(col("x"), explode(col("__nbrs")).as("y"))
-      .where(col("x") < col("y"))
+      .select(posexplode(col("__nbrs")).as(Seq("__i", "x")),
+        col("__nbrs"))
+      .select(col("x"), explode(slice(col("__nbrs"), col("__i") + 2,
+        greatest(size(col("__nbrs")) - col("__i") - 1, lit(0)))).as("y"))
     val cn = pairs.groupBy("x", "y").agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)
     val cand = cn.join(und,

@@ -64,4 +64,47 @@ object Maintenance {
     shaped.write.mode("overwrite").parquet(outDir)
     (spark.read.parquet(outDir), dataFiles(spark, outDir).size)
   }
+
+  /** Mergeable per-key aggregate state — the incremental-materialized-
+    * view primitive: each ingest shard aggregates once into a compact
+    * state table (`n` + one exact DECIMAL(38,6) sum per value column),
+    * and [[mergeAggStates]] combines any number of shard states into
+    * the state of their union WITHOUT rescanning rows. The contract
+    * mirrors the sketch shard-merge gates (`sketch_hll_shards`,
+    * `sketch_kmv_shards`), but for exact algebraic aggregates: count and
+    * sum are associative, so merge(state(A), state(B)) == state(A ∪ B)
+    * bit-for-bit. The decimal accumulator keeps the sum exact and
+    * order-insensitive — a double sum would break both the merge
+    * contract and the cross-engine replay.
+    *
+    * Shape at scale: state build is one map-side-combined aggregation
+    * per shard; merge shuffles STATES (one row per key per shard), never
+    * data — refreshing a 100 TB view after an append costs the append's
+    * scan plus a state-sized merge.
+    */
+  def aggState(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "aggState needs at least one key column")
+    require(sumCols.nonEmpty, "aggState needs at least one value column")
+    import org.apache.spark.sql.functions._
+    val aggs = count(lit(1)).as("n") +: sumCols.map(c =>
+      sum(col(c).cast("decimal(38,6)")).as(s"sum_$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge shard states built by [[aggState]] over the SAME keys and
+    * value columns: per-key long/decimal sums of the partials. Keys
+    * present in any shard appear in the merge (a shard that never saw a
+    * key simply contributes nothing).
+    */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates needs at least one state")
+    import org.apache.spark.sql.functions._
+    val all = states.reduce(_ unionByName _)
+    val valCols = all.columns.filterNot(keys.contains)
+    require(valCols.contains("n"),
+      s"not an aggState table: missing 'n' in ${all.columns.mkString(",")}")
+    val aggs = valCols.map(c => sum(col(c)).as(c))
+    all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -324,4 +324,30 @@ object Profile {
           col("n_distinct"), col("min_value"), col("max_value"))
     }
   }
+
+  /** Join-skew diagnosis BEFORE running a join: per-key row counts on
+    * each side and the exact join-output contribution n_left * n_right,
+    * top `k` keys by that product — the keys that will dominate (or
+    * sink) the shuffle. The pre-flight check for salting decisions
+    * ([[Joins.saltedJoin]]) and AQE skew thresholds.
+    *
+    * Shape at scale: two map-side-combined per-key counts (the shuffle
+    * carries one partial per key per partition, not rows), one keyed
+    * join of those count tables, and a TakeOrderedAndProject top-k —
+    * never a global sort, never the data itself. Keys absent from one
+    * side contribute 0 and are dropped (they produce no join output).
+    */
+  def joinSkew(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    lc.join(rc, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("est_rows"))
+      .orderBy(col("est_rows").desc, col("key"))
+      .limit(k)
+  }
 }

@@ -254,6 +254,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary head coverage: the top-`k` terms by collection frequency
+    * with their CUMULATIVE share of all corpus tokens — the Zipf-curve
+    * head a tokenizer/stopword/vocab decision actually reads ("the top
+    * 100 terms cover 41% of tokens"). Output per rank:
+    * (rank, term, cf, cum_cf, total_tokens, coverage), rank ordered by
+    * (cf desc, term) so ties are total.
+    *
+    * Determinism: counts and cumulative sums are exact longs; coverage
+    * is one exact-integer double division. Shape at scale: the
+    * [[heavyHitters]] plan (map-side-combined term counts + top-k
+    * TakeOrdered) plus a one-row token-total broadcast; the cumulative
+    * window runs over k rows, not the corpus.
+    */
+  def headCoverage(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = df.select(explode(T.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = terms.agg(sum("cf").as("total_tokens"))
+    val top = terms.orderBy(col("cf").desc, col("term")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("term"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cf", sum("cf").over(w))
+      .select(col("rank"), col("term"), col("cf"), col("cum_cf"),
+        col("total_tokens"),
+        (col("cum_cf").cast("double") / col("total_tokens")).as("coverage"))
+  }
+
   /** Hashing-trick vectorizer (feature hashing): text → a fixed-`dim`
     * dense count vector, vec[d] = |{words w : h32(w) mod dim = d}| — the
     * model-free featurizer that bridges the text operators to the

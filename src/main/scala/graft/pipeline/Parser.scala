@@ -230,7 +230,8 @@ object Parser {
         yCol = r.string("yCol").getOrElse("y"))
     },
     "RetrievalTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("index", "bm25", "rrf"), "index")
+      val method = r.oneOf("method", Seq("index", "bm25", "rrf",
+        "rank_eval"), "index")
       val terms = r.stringList("queryTerms")
       val rankViews = r.stringList("rankViews")
       // bm25 without terms / rrf without lists would only surface at
@@ -239,6 +240,8 @@ object Parser {
         r.error("queryTerms", "missing or empty; bm25 requires query terms")
       if (method == "rrf" && rankViews.isEmpty)
         r.error("rankViews", "missing or empty; rrf requires ranked-list views")
+      if (method == "rank_eval" && r.string("qrelsView").isEmpty)
+        r.error("qrelsView", "missing; rank_eval requires a qrels view")
       RetrievalTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -252,7 +255,8 @@ object Parser {
         k1 = r.double("k1").getOrElse(1.2),
         b = r.double("b").getOrElse(0.75),
         rankViews = rankViews,
-        rrfK = r.int("rrfK").getOrElse(60))
+        rrfK = r.int("rrfK").getOrElse(60),
+        qrelsView = r.string("qrelsView"))
     },
     "PiiTransform" -> { (r, _) =>
       PiiTransformStage(
@@ -269,7 +273,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("pagerank", "triangles", "cooccur_edges", "kcore"),
+          Seq("pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
+            "link_pred"),
           "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
@@ -280,6 +285,76 @@ object Parser {
         nodeCol = r.string("nodeCol").getOrElse("n"),
         maxGroup = r.int("maxGroup").getOrElse(256),
         coreK = r.int("coreK").getOrElse(3))
+    },
+    "BehaviorTransform" -> { (r, _) =>
+      val method = r.oneOf("method",
+        Seq("funnel", "cohort", "transitions", "attribution"), "funnel")
+      val steps = r.stringList("steps")
+      if (method == "funnel" && steps.size < 2)
+        r.error("steps", "funnel requires >= 2 steps")
+      BehaviorTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        tsCol = r.string("tsCol").getOrElse("ts"),
+        userCol = r.string("userCol").getOrElse("user_id"),
+        typeCol = r.string("typeCol").getOrElse("event_type"),
+        idCol = r.string("idCol").getOrElse("event_id"),
+        valueCol = r.string("valueCol").getOrElse("value"),
+        steps = steps,
+        maxGapSeconds = r.long("maxGapSeconds"),
+        touchType = r.string("touchType").getOrElse("click"),
+        convType = r.string("convType").getOrElse("purchase"),
+        windowSeconds = r.long("windowSeconds").getOrElse(3600L))
+    },
+    "DataQualityTransform" -> { (r, _) =>
+      val method = r.oneOf("method",
+        Seq("rules", "linkage", "join_skew"), "rules")
+      if (method == "rules" && r.stringMap("rules").isEmpty)
+        r.error("rules", "missing or empty; method 'rules' requires them")
+      if (method == "join_skew" && r.string("rightView").isEmpty)
+        r.error("rightView", "missing; join_skew requires a right view")
+      def weights(key: String): Seq[(String, Double)] =
+        r.stringMap(key).toSeq.sortBy(_._1).map { case (k, v) =>
+          k -> (try v.toDouble catch {
+            case _: NumberFormatException =>
+              r.error(key, s"weight for '$k' is not a number: '$v'"); 0.0
+          })
+        }
+      DataQualityTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        // sorted by rule name: config maps carry no order, and the
+        // report row order must be reproducible
+        rules = r.stringMap("rules").toSeq.sortBy(_._1),
+        idCol = r.string("idCol").getOrElse("id"),
+        blockCol = r.string("blockCol").getOrElse("block"),
+        fuzzyFields = weights("fuzzyFields"),
+        exactFields = weights("exactFields"),
+        minScore = r.double("minScore").getOrElse(0.9),
+        maxBlock = r.int("maxBlock").getOrElse(1024),
+        rightView = r.string("rightView"),
+        leftKey = r.string("leftKey").getOrElse("key"),
+        rightKey = r.string("rightKey").getOrElse("key"),
+        topK = r.int("topK").getOrElse(20))
+    },
+    "AggStateTransform" -> { (r, _) =>
+      val method = r.oneOf("method", Seq("state", "merge"), "state")
+      val keys = r.stringList("keys")
+      if (keys.isEmpty) r.error("keys", "missing or empty")
+      if (method == "state" && r.stringList("sumCols").isEmpty)
+        r.error("sumCols", "missing or empty; 'state' requires value columns")
+      AggStateTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        keys = keys,
+        sumCols = r.stringList("sumCols"),
+        stateViews = r.stringList("stateViews"))
     },
     "BloomJoinTransform" -> { (r, _) =>
       BloomJoinTransformStage(
@@ -336,7 +411,8 @@ object Parser {
         analysis = r.oneOf("analysis",
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
-            "quality_score", "lm_score", "dup_spans", "keyness"),
+            "quality_score", "lm_score", "dup_spans", "keyness",
+            "head_coverage"),
           "quality"),
         // sorted by metric name: config maps carry no order, and the
         // linear accumulation order must be reproducible
@@ -564,12 +640,20 @@ object Parser {
       "sigma", "madK", "xCol", "yCol")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
-      "rankViews", "rrfK")),
+      "rankViews", "rrfK", "qrelsView")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK")),
+    "BehaviorTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
+      "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds")),
+    "DataQualityTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "method", "rules", "idCol", "blockCol", "fuzzyFields", "exactFields",
+      "minScore", "maxBlock", "rightView", "leftKey", "rightKey", "topK")),
+    "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "method", "keys", "sumCols", "stateViews")),
     "BloomJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "leftKey", "rightKey", "mBits", "k")),
     "CompactFiles" -> (commonKeys ++ Set("inputDir", "outputDir",

@@ -78,8 +78,16 @@ object ExtensionQueries {
   private val LinkMinScore = 0.95
   private val EvalK = 10
   private val EvalRelTf = 2
-  private val LinkPredMaxDeg = 256
+  // wedge work is Σ_z min(deg z, cap)²: 64 keeps the sf0.1 co-occurrence
+  // graph's hub tail out of the enumeration (hub-center candidates are
+  // the weakest signal per pair) — 256 cost 31 s at sf0.1 for near-
+  // identical candidate quality
+  private val LinkPredMaxDeg = 64
   private val LinkPredMinCommon = 2L
+  private val FunnelGapSec = 3600L
+  private val AttrWindowSec = 3600L
+  private val SkewTopK = 20
+  private val HeadK = 50
   private val MinhashK = 64
   private val MinhashB = 16
   private val MinhashR = 4
@@ -1490,6 +1498,51 @@ object ExtensionQueries {
       val qrels = tf.where(col("tf") >= EvalRelTf)
         .select("query_id", "doc_id")
       Retrieval.rankEval(run, qrels, EvalK).orderBy("query_id")
+    },
+
+    // Funnel with a conversion deadline: each step must land within
+    // FunnelGapSec of the previous step's reach time.
+    "events_funnel_deadline" -> { (spark, dir) =>
+      Behavior.funnel(events(spark, dir), "ts", "user_id", "event_type",
+          FunnelSteps, maxGapSeconds = Some(FunnelGapSec))
+        .orderBy("step_idx")
+    },
+
+    // Linear multi-touch attribution: each purchase splits its value
+    // equally (in exact micro-units) across the user's clicks in the
+    // trailing window.
+    "events_attribution" -> { (spark, dir) =>
+      Behavior.linearAttribution(events(spark, dir), "ts", "user_id",
+          "event_type", "event_id", "value",
+          touchType = "click", convType = "purchase",
+          windowSeconds = AttrWindowSec)
+        .orderBy("touch_id")
+    },
+
+    // Join-skew pre-flight: the keys that would dominate a self-join on
+    // l_partkey, by exact output contribution.
+    "join_skew" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Profile.joinSkew(li, "l_partkey", li, "l_partkey", k = SkewTopK)
+    },
+
+    // Incremental-view contract: merge of two shard states equals the
+    // direct aggregate of the union (exact decimal sums).
+    "agg_state_merge" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      val s1 = Maintenance.aggState(ev.where(col("event_id") % 2 === 0),
+        Seq("event_type"), Seq("value"))
+      val s2 = Maintenance.aggState(ev.where(col("event_id") % 2 === 1),
+        Seq("event_type"), Seq("value"))
+      Maintenance.mergeAggStates(Seq(s1, s2), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // Zipf head coverage of the corpus vocabulary.
+    "text_head_coverage" -> { (spark, dir) =>
+      TextAnalysis.headCoverage(docs(spark, dir), "text", k = HeadK)
     },
 
     // Common-neighbors link prediction over the same co-occurrence graph
@@ -3821,10 +3874,14 @@ object ExtensionQueries {
         UNION ALL SELECT 2, '${FunnelSteps(1)}', count(*) FROM s2
         UNION ALL SELECT 3, '${FunnelSteps(2)}', count(*) FROM s3)
       SELECT step_idx, step_name, n_users,
-        coalesce(CAST(n_users AS DOUBLE)
-          / lag(n_users) OVER (ORDER BY step_idx), 1.0) AS conv_from_prev,
-        CAST(n_users AS DOUBLE)
-          / first_value(n_users) OVER (ORDER BY step_idx) AS conv_from_first
+        CASE WHEN n_users = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE coalesce(CAST(n_users AS DOUBLE)
+            / lag(n_users) OVER (ORDER BY step_idx), 1.0) END
+          AS conv_from_prev,
+        CASE WHEN n_users = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(n_users AS DOUBLE)
+            / first_value(n_users) OVER (ORDER BY step_idx) END
+          AS conv_from_first
       FROM n ORDER BY step_idx""",
 
     // Replay of Behavior.cohortRetention: both engines truncate weeks to
@@ -3938,6 +3995,98 @@ object ExtensionQueries {
       FROM nrel n LEFT JOIN hits h USING (query_id)
       JOIN c ON c.n = least(n.n_rel, $EvalK)
       ORDER BY query_id""",
+
+    // Replay of Behavior.funnel with the conversion deadline: the same
+    // min-ts chaining plus an exact micro-interval upper bound.
+    "events_funnel_deadline" -> s"""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS r FROM events
+        WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS r FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.r
+          AND e.ts <= s1.r + INTERVAL '$FunnelGapSec' SECOND
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS r FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.r
+          AND e.ts <= s2.r + INTERVAL '$FunnelGapSec' SECOND
+        GROUP BY 1),
+      n AS (
+        SELECT 1 AS step_idx, '${FunnelSteps(0)}' AS step_name,
+          count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, '${FunnelSteps(1)}', count(*) FROM s2
+        UNION ALL SELECT 3, '${FunnelSteps(2)}', count(*) FROM s3)
+      SELECT step_idx, step_name, n_users,
+        CASE WHEN n_users = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE coalesce(CAST(n_users AS DOUBLE)
+            / lag(n_users) OVER (ORDER BY step_idx), 1.0) END
+          AS conv_from_prev,
+        CASE WHEN n_users = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(n_users AS DOUBLE)
+            / first_value(n_users) OVER (ORDER BY step_idx) END
+          AS conv_from_first
+      FROM n ORDER BY step_idx""",
+
+    // Replay of Behavior.linearAttribution: per (touch, conversion) the
+    // credit is floor(value * 1e6 / n_touches) in LONG micro-units, per
+    // touch an exact long sum.
+    "events_attribution" -> s"""
+      WITH t AS (SELECT user_id, event_id AS touch_id,
+              epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us,
+              CAST(value AS DOUBLE) AS v FROM events
+            WHERE event_type = 'purchase'),
+      p AS (SELECT t.touch_id, c.conv_id, c.v FROM t
+            JOIN c ON t.user_id = c.user_id
+            AND t.t_us <= c.c_us
+            AND t.t_us >= c.c_us - ${AttrWindowSec * 1000000L}),
+      n AS (SELECT conv_id, count(*) AS nt FROM p GROUP BY 1),
+      f AS (SELECT p.touch_id,
+              CAST(floor(p.v * CAST(1000000 AS DOUBLE) / n.nt) AS BIGINT)
+                AS c_fp
+            FROM p JOIN n USING (conv_id))
+      SELECT touch_id, count(*) AS n_conversions,
+        sum(c_fp) AS credit_fp,
+        CAST(sum(c_fp) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS credit
+      FROM f GROUP BY touch_id ORDER BY touch_id""",
+
+    // Replay of Profile.joinSkew: exact per-key counts each side, output
+    // contribution n_left * n_right, top-k by (est desc, key).
+    "join_skew" -> s"""
+      WITH lc AS (SELECT l_partkey AS key, count(*) AS n_left
+                  FROM lineitem GROUP BY 1),
+      rc AS (SELECT l_partkey AS key, count(*) AS n_right
+             FROM lineitem GROUP BY 1)
+      SELECT lc.key, n_left, n_right, n_left * n_right AS est_rows
+      FROM lc JOIN rc USING (key)
+      ORDER BY est_rows DESC, key LIMIT $SkewTopK""",
+
+    // SEMANTIC oracle for the incremental-view contract: the merge of
+    // per-shard states must equal the direct aggregate of the union —
+    // exact DECIMAL sums make the equality bit-for-bit.
+    "agg_state_merge" -> """
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    // Replay of TextAnalysis.headCoverage: exact term counts, top-k by
+    // (cf desc, term), cumulative share of all corpus tokens.
+    "text_head_coverage" -> s"""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      cf AS (SELECT term, count(*) AS cf FROM t GROUP BY 1),
+      tot AS (SELECT sum(cf) AS total_tokens FROM cf),
+      top AS (SELECT term, cf,
+              row_number() OVER (ORDER BY cf DESC, term) AS rank
+              FROM cf ORDER BY cf DESC, term LIMIT $HeadK)
+      SELECT rank, term, cf,
+        sum(cf) OVER (ORDER BY rank) AS cum_cf, total_tokens,
+        CAST(sum(cf) OVER (ORDER BY rank) AS DOUBLE) / total_tokens
+          AS coverage
+      FROM top CROSS JOIN tot ORDER BY rank""",
 
     // Replay of Graph.linkPrediction on the triangle_count co-occurrence
     // graph: wedge pairs through degree-bounded centers, existing edges

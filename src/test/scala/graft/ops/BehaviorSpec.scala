@@ -55,6 +55,70 @@ class BehaviorSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 1L))
   }
 
+  test("funnel with deadline: step outside maxGap does not count") {
+    val df = Seq(
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(5)),   // within 10 min
+      (3L, 2L, "view", ts(0)), (4L, 2L, "click", ts(30))   // 30 min > gap
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out = Behavior.funnel(df, "t", "user_id", "event_type",
+        Seq("view", "click"), maxGapSeconds = Some(600L))
+      .orderBy("step_idx").select("n_users").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 1L))
+    // boundary: exactly at the deadline still counts (<=)
+    val edge = Seq(
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(10))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out2 = Behavior.funnel(edge, "t", "user_id", "event_type",
+        Seq("view", "click"), maxGapSeconds = Some(600L))
+      .orderBy("step_idx").select("n_users").as[Long].collect()
+    assert(out2.toSeq == Seq(1L, 1L))
+  }
+
+  test("linearAttribution: equal split in exact micro-units") {
+    val df = Seq(
+      // user 1: two clicks inside the window of one 10.01 purchase
+      (1L, 1L, "click", ts(0), 0.0), (2L, 1L, "click", ts(10), 0.0),
+      (3L, 1L, "purchase", ts(20), 10.01),
+      // click at the conversion instant counts; click after does not
+      (4L, 2L, "click", ts(30), 0.0), (5L, 2L, "purchase", ts(30), 6.0),
+      (6L, 2L, "click", ts(31), 0.0),
+      // purchase with NO in-window touch: unattributed, drops out
+      (7L, 3L, "purchase", ts(0), 99.0)
+    ).toDF("event_id", "user_id", "event_type", "t", "value")
+    val out = Behavior.linearAttribution(df, "t", "user_id", "event_type",
+        "event_id", "value", "click", "purchase", windowSeconds = 1800)
+      .orderBy("touch_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // 10.01 * 1e6 / 2 = 5005000 micro-units each (floor exact)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 5005000L, 5.005), (2L, 1L, 5005000L, 5.005),
+      (4L, 1L, 6000000L, 6.0)))
+  }
+
+  test("linearAttribution: a touch accumulates over multiple conversions") {
+    val df = Seq(
+      (1L, 1L, "click", ts(0), 0.0),
+      (2L, 1L, "purchase", ts(1), 3.0),
+      (3L, 1L, "purchase", ts(2), 5.0)
+    ).toDF("event_id", "user_id", "event_type", "t", "value")
+    val out = Behavior.linearAttribution(df, "t", "user_id", "event_type",
+        "event_id", "value", "click", "purchase", windowSeconds = 1800)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 8000000L, 8.0)))
+  }
+
+  test("funnel: a step nobody reaches still emits a zero row") {
+    val df = Seq(
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "t")
+    val out = Behavior.funnel(df, "t", "user_id", "event_type",
+        Seq("view", "click", "buy"))
+      .orderBy("step_idx")
+      .as[(Int, String, Long, Double, Double)].collect()
+    assert(out.length == 3)
+    assert(out(2) == ((3, "buy", 0L, 0.0, 0.0)))
+  }
+
   test("funnel rejects degenerate step lists") {
     val df = Seq((1L, 1L, "view", ts(0))).toDF("event_id", "user_id",
       "event_type", "t")

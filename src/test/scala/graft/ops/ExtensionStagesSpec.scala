@@ -888,4 +888,125 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(out.groupBy("vec_id").count().select("count").distinct()
       .head.getLong(0) == 8)
   }
+
+  test("behavior stages: funnel, transitions, attribution from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "bh_events"},
+      {"type": "SqlTransform", "name": "cast_ts",
+       "sql": "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM bh_events",
+       "outputView": "bh_ev"},
+      {"type": "BehaviorTransform", "name": "fn", "method": "funnel",
+       "inputView": "bh_ev", "outputView": "bh_funnel",
+       "steps": ["view", "click", "purchase"]},
+      {"type": "BehaviorTransform", "name": "tr", "method": "transitions",
+       "inputView": "bh_ev", "outputView": "bh_trans"},
+      {"type": "BehaviorTransform", "name": "at", "method": "attribution",
+       "inputView": "bh_ev", "outputView": "bh_attr",
+       "windowSeconds": 3600}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("bh_funnel").count() == 3)
+    assert(spark.table("bh_trans").columns.contains("p"))
+    assert(spark.table("bh_attr").columns.toSeq ==
+      Seq("touch_id", "n_conversions", "credit_fp", "credit"))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("behavior funnel config rejects a single-step funnel at parse") {
+    val bad = """{"stages": [
+      {"type": "BehaviorTransform", "name": "fn", "method": "funnel",
+       "inputView": "x", "outputView": "y", "steps": ["view"]}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("steps")))
+  }
+
+  test("data-quality stages: rules report and join-skew from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "li", "table": "lineitem",
+       "outputView": "dq_li"},
+      {"type": "DataQualityTransform", "name": "rules", "method": "rules",
+       "inputView": "dq_li", "outputView": "dq_report",
+       "rules": {"qty_positive": "l_quantity > 0",
+                 "discount_sane": "l_discount BETWEEN 0 AND 0.1"}},
+      {"type": "DataQualityTransform", "name": "skew", "method": "join_skew",
+       "inputView": "dq_li", "rightView": "dq_li",
+       "leftKey": "l_partkey", "rightKey": "l_partkey", "topK": 5,
+       "outputView": "dq_skew"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val report = spark.table("dq_report").collect()
+    assert(report.length == 2 && report.forall(_.getLong(1) == 0L))
+    assert(spark.table("dq_skew").count() == 5)
+  }
+
+  test("agg-state stages: shard states merge to the direct aggregate") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "as_events"},
+      {"type": "SqlTransform", "name": "a",
+       "sql": "SELECT * FROM as_events WHERE event_id % 2 = 0",
+       "outputView": "as_a"},
+      {"type": "SqlTransform", "name": "b",
+       "sql": "SELECT * FROM as_events WHERE event_id % 2 = 1",
+       "outputView": "as_b"},
+      {"type": "AggStateTransform", "name": "sa", "method": "state",
+       "inputView": "as_a", "outputView": "as_sa",
+       "keys": ["event_type"], "sumCols": ["value"]},
+      {"type": "AggStateTransform", "name": "sb", "method": "state",
+       "inputView": "as_b", "outputView": "as_sb",
+       "keys": ["event_type"], "sumCols": ["value"]},
+      {"type": "AggStateTransform", "name": "m", "method": "merge",
+       "inputView": "as_sa", "stateViews": ["as_sa", "as_sb"],
+       "keys": ["event_type"], "outputView": "as_merged"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val merged = spark.table("as_merged").orderBy("event_type").collect()
+    val direct = Maintenance.aggState(spark.table("as_events"),
+      Seq("event_type"), Seq("value")).orderBy("event_type").collect()
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("retrieval rank_eval stage requires a qrels view at parse") {
+    val bad = """{"stages": [
+      {"type": "RetrievalTransform", "name": "ev", "method": "rank_eval",
+       "inputView": "run", "outputView": "metrics"}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("qrelsView")))
+  }
+
+  test("graph link_pred stage runs from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "li", "table": "lineitem",
+       "outputView": "lp_li"},
+      {"type": "GraphTransform", "name": "edges", "method": "cooccur_edges",
+       "inputView": "lp_li", "groupCol": "l_orderkey", "nodeCol": "l_partkey",
+       "maxGroup": 10, "outputView": "lp_edges"},
+      {"type": "GraphTransform", "name": "lp", "method": "link_pred",
+       "inputView": "lp_edges", "srcCol": "a", "dstCol": "b",
+       "maxGroup": 256, "coreK": 2, "outputView": "lp_out"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val out = spark.table("lp_out")
+    assert(out.columns.toSeq == Seq("node_a", "node_b", "n_common",
+      "deg_a", "deg_b", "jaccard"))
+    assert(out.count() > 0)
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -41,4 +41,28 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.compact(spark, s"$tmp/absent", s"$tmp/out")
     }
   }
+
+  test("aggState merge == direct aggregate of the union, bit-for-bit") {
+    val df = Seq(
+      ("a", 1.25), ("a", 2.50), ("b", 0.10), ("b", -0.10), ("c", 7.77)
+    ).toDF("k", "v")
+    val s1 = Maintenance.aggState(df.where($"v" >= 0.1), Seq("k"), Seq("v"))
+    val s2 = Maintenance.aggState(df.where($"v" < 0.1), Seq("k"), Seq("v"))
+    val merged = Maintenance.mergeAggStates(Seq(s1, s2), Seq("k"))
+      .orderBy("k").collect()
+    val direct = Maintenance.aggState(df, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("aggState: empty shard is the merge identity; schema is validated") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    val s = Maintenance.aggState(df, Seq("k"), Seq("v"))
+    val empty = Maintenance.aggState(df.where($"v" < 0), Seq("k"), Seq("v"))
+    val merged = Maintenance.mergeAggStates(Seq(s, empty), Seq("k")).collect()
+    assert(merged.toSeq == s.collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Maintenance.mergeAggStates(Seq(df), Seq("k")) // not a state table
+    }
+  }
 }

@@ -219,4 +219,30 @@ class ProfileSpec extends SparkSpec {
       Profile.percentileRank(df, "v", "id", Seq.empty)
     }
   }
+
+  test("joinSkew: exact per-key contributions, top-k by product") {
+    val l = Seq(1L, 1L, 1L, 2L, 2L, 3L, 9L).toDF("k")
+    val r = Seq(1L, 1L, 2L, 3L, 3L, 3L, 8L).toDF("k")
+    val out = Profile.joinSkew(l, "k", r, "k", k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // key 1: 3*2=6; key 3: 1*3=3; key 2: 2*1=2; keys 8,9 one-sided -> 0
+    assert(out.toSeq == Seq((1L, 3L, 2L, 6L), (3L, 1L, 3L, 3L)))
+  }
+
+  test("joinSkew plan: top-k never global-sorts the counts, map-side combined") {
+    // k must stay BELOW the input's derivable maxRows: EliminateLimits
+    // drops a limit that provably cannot bind (tiny local relations
+    // carry maxRows), and with it the TakeOrdered conversion
+    val l = Seq(1L, 2L, 3L).toDF("k")
+    val out = Profile.joinSkew(l, "k", l, "k", k = 2)
+    // sparkPlan (the strategy output) — the sink/write path plans the
+    // terminal Limit(Sort) as TakeOrderedAndProject; the adaptive
+    // wrapper's collect path re-routes through CollectLimit, so
+    // executedPlan would hide the conversion
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a limit-bounded top-k, not an unbounded sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected partial aggregation:\n$plan")
+  }
 }

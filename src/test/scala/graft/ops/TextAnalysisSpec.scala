@@ -218,4 +218,15 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().forall(_ <= 2))
     graft.util.Caches.unpersistAll()
   }
+
+  test("headCoverage: cumulative Zipf head share, total tie order") {
+    val df = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
+    val out = TextAnalysis.headCoverage(df, "text", k = 3)
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+    // cf: a=4, b=3, c=1, z=1 (ties break on term); total = 9
+    assert(out.toSeq == Seq(
+      (1L, "a", 4L, 4L, 9L, 4.0 / 9),
+      (2L, "b", 3L, 7L, 9L, 7.0 / 9),
+      (3L, "c", 1L, 8L, 9L, 8.0 / 9)))
+  }
 }
