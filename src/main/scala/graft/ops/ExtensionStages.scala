@@ -530,7 +530,7 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
@@ -539,7 +539,8 @@ final case class GraphTransformStage(
     groupCol: String = "g",
     nodeCol: String = "n",
     maxGroup: Int = 256,
-    coreK: Int = 3)
+    coreK: Int = 3,
+    seedPrefix: String = "s")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -578,6 +579,11 @@ final case class GraphTransformStage(
             greatest(col(srcCol), col(dstCol)).as("b"))
           .where(col("a") < col("b")).distinct()
         Graph.labelPropagation(und, iters)
+      // teleport mass pinned to nodes with the seedPrefix
+      case "ppr" =>
+        Graph.personalizedPagerank(
+          in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+          col("node").startsWith(seedPrefix), iters, dampNum, dampDen)
       // candidate new edges by shared-neighbor structure; maxGroup
       // doubles as the wedge-center degree cap, coreK as minCommon
       case "link_pred" =>
@@ -772,15 +778,33 @@ final case class GapfillTransformStage(
     name: String,
     inputView: String,
     outputView: String,
+    method: String = "gapfill", // gapfill | cusum | utilization
     tsCol: String = "ts",
-    keyCol: String)
+    keyCol: String,
+    idCol: String = "event_id",
+    valueCol: String = "value",
+    target: Double = 0.0,
+    slack: Double = 0.0,
+    threshold: Double = 1.0,
+    startCol: String = "start_us",
+    endCol: String = "end_us",
+    bucketSeconds: Long = 3600L)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
     val in = Views.resolve(inputView)
+    detail += "method" -> method
     detail += "inputView" -> inputView
     detail += "outputView" -> outputView
-    val out = TimeSeries.gapfillHourly(in, tsCol, keyCol)
+    val out = method match {
+      case "gapfill" => TimeSeries.gapfillHourly(in, tsCol, keyCol)
+      case "cusum" => TimeSeries.cusum(in, tsCol, keyCol, idCol,
+        valueCol, target, slack, threshold)
+      case "utilization" => TimeSeries.intervalUtilization(in, keyCol,
+        startCol, endCol, bucketSeconds)
+      case other =>
+        throw new IllegalArgumentException(s"unknown timeseries method '$other'")
+    }
     Views.register(out, outputView)
     Option(out)
   }

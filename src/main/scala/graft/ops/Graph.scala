@@ -58,7 +58,24 @@ object Graph {
     * with init = RankScale div N, all in exact long arithmetic.
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-      dampNum: Long = 850, dampDen: Long = 1000): DataFrame = {
+      dampNum: Long = 850, dampDen: Long = 1000): DataFrame =
+    pagerankImpl(edges, iters, dampNum, dampDen, None)
+
+  /** Personalized PageRank: teleport mass lands ONLY on the seed nodes
+    * (`seedPred` over the `node` column) — ranks become proximity to the
+    * seed set instead of global centrality, the standard
+    * recommendation / related-entity primitive. Non-seeds start (and
+    * re-base each iteration) at 0; seeds split the teleport mass
+    * equally in the same exact fixed-point arithmetic as [[pagerank]].
+    * Same plan shape — one extra broadcast of the one-row seed count.
+    */
+  def personalizedPagerank(edges: DataFrame, seedPred: Column,
+      iters: Int = 3, dampNum: Long = 850,
+      dampDen: Long = 1000): DataFrame =
+    pagerankImpl(edges, iters, dampNum, dampDen, Some(seedPred))
+
+  private def pagerankImpl(edges: DataFrame, iters: Int,
+      dampNum: Long, dampDen: Long, seedPred: Option[Column]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampDen > dampNum,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -67,9 +84,18 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    // uniform start: every node at RankScale div N
-    val init = nodes.crossJoin(broadcast(n))
-      .select(col("node"), ldiv(lit(RankScale), col("n_nodes")).as("r"))
+    // uniform start over all nodes, or over the seed set only
+    val init = seedPred match {
+      case None =>
+        nodes.crossJoin(broadcast(n))
+          .select(col("node"), ldiv(lit(RankScale), col("n_nodes")).as("r"))
+      case Some(p) =>
+        val ns = nodes.where(p).agg(count(lit(1)).as("n_seeds"))
+        nodes.crossJoin(broadcast(ns))
+          .select(col("node"),
+            when(p, ldiv(lit(RankScale), col("n_seeds")))
+              .otherwise(lit(0L)).as("r"))
+    }
     val eo = e.join(outdeg, "src") // (src, dst, od)
     var ranks = init
     for (_ <- 1 to iters) {

@@ -114,4 +114,84 @@ object TimeSeries {
     }
     out.toDF(idCol, keyCol, "ts_us", "ewma")
   }
+
+  /** Per-key one-sided CUSUM change detection — the sequential drift
+    * monitor over event streams: with x in exact micro-units
+    * (floor(value · 1e6)) and k = floor((target + slack) · 1e6),
+    *   s_0 = 0;  s_t = max(0, s_{t-1} + x_t - k)
+    * under the total (ts, id) order, alarming when s_t > h. All state
+    * arithmetic is LONG — any engine replaying the same order
+    * reproduces s bit-for-bit, and the floor()s are single fixed IEEE
+    * ops on the raw double before integer space takes over.
+    *
+    * Shape at scale: the [[ewma]] class — the recurrence is inherently
+    * sequential PER KEY, so keys are the parallelism: one hash shuffle,
+    * one in-order pass per key inside mapPartitions, state resets on
+    * key change. Output: (id, key, ts_us, s_fp, alarm).
+    */
+  def cusum(df: DataFrame, tsCol: String, keyCol: String, idCol: String,
+      valueCol: String, target: Double, slack: Double,
+      threshold: Double, numPartitions: Int = 0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val kFp = math.floor((target + slack) * 1000000d).toLong
+    val hFp = math.floor(threshold * 1000000d).toLong
+    val slim = df.select(col(idCol).cast("long").as("id"),
+        col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts"),
+        floor(col(valueCol).cast("double") * 1000000d).cast("long").as("xfp"))
+      .repartition(n, col("key"))
+      .sortWithinPartitions("key", "ts", "id")
+    val out: Dataset[(Long, Long, Long, Long, Boolean)] =
+      slim.mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var first = true
+        var s = 0L
+        rows.map { r =>
+          val id = r.getLong(0); val k = r.getLong(1)
+          val t = r.getLong(2); val x = r.getLong(3)
+          if (first || k != curKey) { curKey = k; first = false; s = 0L }
+          s = math.max(0L, s + x - kFp)
+          (id, k, t, s, s > hFp)
+        }
+      }
+    out.toDF(idCol, keyCol, "ts_us", "s_fp", "alarm")
+  }
+
+  /** Interval → bucket utilization: each [start_us, end_us) interval
+    * spreads its duration over the fixed `bucketSeconds` calendar
+    * buckets it overlaps; output is the per-(key, bucket) total overlap
+    * in microseconds — machine-utilization / billing / session-density
+    * rollups from raw interval tables. Zero-length and inverted
+    * intervals are dropped (require end > start to contribute).
+    *
+    * Determinism: pure long arithmetic (floor-div bucket assignment,
+    * min/max clamping, exact sums). Shape at scale: one narrow explode
+    * (an interval lands in duration/bucketSeconds + 1 buckets) and one
+    * map-side-combined sum keyed (key, bucket) — no joins; output
+    * volume is Σ buckets-per-interval BY DESIGN, bound the bucket size
+    * to the query granularity.
+    */
+  def intervalUtilization(df: DataFrame, keyCol: String,
+      startUsCol: String, endUsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0,
+      s"bucketSeconds must be positive, got $bucketSeconds")
+    val bus = bucketSeconds * 1000000L
+    val iv = df.select(col(keyCol),
+        col(startUsCol).cast("long").as("__s"),
+        col(endUsCol).cast("long").as("__e"))
+      .where(col("__e") > col("__s"))
+    iv.select(col(keyCol), col("__s"), col("__e"),
+        explode(sequence(expr(s"__s div $bus"),
+          expr(s"(__e - 1) div $bus"))).as("__b"))
+      .select(col(keyCol), (col("__b") * bus).as("bucket_start_us"),
+        (least(col("__e"), (col("__b") + 1) * bus)
+          - greatest(col("__s"), col("__b") * bus)).as("__ov"))
+      .groupBy(keyCol, "bucket_start_us")
+      .agg(sum("__ov").as("overlap_us"))
+  }
 }

@@ -274,7 +274,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
-            "link_pred"),
+            "link_pred", "ppr"),
           "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
@@ -284,7 +284,8 @@ object Parser {
         groupCol = r.string("groupCol").getOrElse("g"),
         nodeCol = r.string("nodeCol").getOrElse("n"),
         maxGroup = r.int("maxGroup").getOrElse(256),
-        coreK = r.int("coreK").getOrElse(3))
+        coreK = r.int("coreK").getOrElse(3),
+        seedPrefix = r.string("seedPrefix").getOrElse("s"))
     },
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
@@ -515,8 +516,18 @@ object Parser {
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("gapfill", "cusum", "utilization"), "gapfill"),
         tsCol = r.string("tsCol").getOrElse("ts"),
-        keyCol = r.requiredString("keyCol"))
+        keyCol = r.requiredString("keyCol"),
+        idCol = r.string("idCol").getOrElse("event_id"),
+        valueCol = r.string("valueCol").getOrElse("value"),
+        target = r.double("target").getOrElse(0.0),
+        slack = r.double("slack").getOrElse(0.0),
+        threshold = r.double("threshold").getOrElse(1.0),
+        startCol = r.string("startCol").getOrElse("start_us"),
+        endCol = r.string("endCol").getOrElse("end_us"),
+        bucketSeconds = r.long("bucketSeconds").getOrElse(3600L))
     },
     "ZorderTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("manifest", "write"), "manifest")
@@ -645,7 +656,7 @@ object Parser {
       "idCol", "textCol")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
-      "groupCol", "nodeCol", "maxGroup", "coreK")),
+      "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix")),
     "BehaviorTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
       "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds")),
@@ -675,7 +686,8 @@ object Parser {
     "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "changesView", "keyCol", "versionCol", "opCol", "tsCol", "stateCol")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
-      "tsCol", "keyCol")),
+      "method", "tsCol", "keyCol", "idCol", "valueCol", "target", "slack",
+      "threshold", "startCol", "endCol", "bucketSeconds")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "cols", "xCol", "yCol", "idCol", "method", "outputDir", "blockSize",
       "bits", "params"))

@@ -88,6 +88,11 @@ object ExtensionQueries {
   private val AttrWindowSec = 3600L
   private val SkewTopK = 20
   private val HeadK = 50
+  // CUSUM: drift target ~= corpus mean, half-sigma slack, alarm at 10x
+  private val CusumTarget = 50.0
+  private val CusumSlack = 5.0
+  private val CusumThreshold = 500.0
+  private val UtilBucketSec = 3600L
   private val MinhashK = 64
   private val MinhashB = 16
   private val MinhashR = 4
@@ -1543,6 +1548,35 @@ object ExtensionQueries {
     // Zipf head coverage of the corpus vocabulary.
     "text_head_coverage" -> { (spark, dir) =>
       TextAnalysis.headCoverage(docs(spark, dir), "text", k = HeadK)
+    },
+
+    // Per-user one-sided CUSUM drift detection in exact micro-units.
+    "events_cusum" -> { (spark, dir) =>
+      TimeSeries.cusum(events(spark, dir), "ts", "user_id", "event_id",
+          "value", target = CusumTarget, slack = CusumSlack,
+          threshold = CusumThreshold)
+        .orderBy("event_id")
+    },
+
+    // Hourly activity utilization from per-user [first, last+1us) spans.
+    "events_utilization" -> { (spark, dir) =>
+      val iv = events(spark, dir).groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          (max(unix_micros(col("ts"))) + 1).as("end_us"))
+      TimeSeries.intervalUtilization(iv, "user_id", "start_us", "end_us",
+          bucketSeconds = UtilBucketSec)
+        .orderBy("user_id", "bucket_start_us")
+    },
+
+    // Personalized PageRank: teleport mass pinned to the supplier side
+    // of the same bipartite graph as the pagerank gate.
+    "pagerank_personalized" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ords = spark.read.parquet(s"$dir/orders.parquet")
+      Graph.personalizedPagerank(
+          Graph.supplierCustomerEdges(li, ords),
+          seedPred = col("node").startsWith("s"))
+        .orderBy("node")
     },
 
     // Common-neighbors link prediction over the same co-occurrence graph
@@ -4087,6 +4121,83 @@ object ExtensionQueries {
         CAST(sum(cf) OVER (ORDER BY rank) AS DOUBLE) / total_tokens
           AS coverage
       FROM top CROSS JOIN tot ORDER BY rank""",
+
+    // Replay of TimeSeries.cusum: the integer recurrence
+    // s_t = max(0, s_{t-1} + floor(v*1e6) - k) under (ts, id) order per
+    // user — the events_ewma recursive-CTE pattern in pure BIGINT space.
+    "events_cusum" -> s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xfp,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      rec AS (
+        SELECT user_id, rn, event_id, ts_us,
+          greatest(0, xfp - ${math.floor(
+            (CusumTarget + CusumSlack) * 1000000d).toLong}) AS s
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id, e.ts_us,
+          greatest(0, r.s + e.xfp - ${math.floor(
+            (CusumTarget + CusumSlack) * 1000000d).toLong})
+        FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, ts_us, s AS s_fp,
+        s > ${math.floor(CusumThreshold * 1000000d).toLong} AS alarm
+      FROM rec ORDER BY event_id""",
+
+    // Replay of TimeSeries.intervalUtilization over per-user activity
+    // spans: floor-div bucket assignment, min/max clamping, exact long
+    // sums.
+    "events_utilization" -> s"""
+      WITH iv AS (
+        SELECT user_id, min(epoch_us(ts)) AS s,
+          max(epoch_us(ts)) + 1 AS e
+        FROM events GROUP BY 1),
+      b AS (
+        SELECT user_id, s, e,
+          unnest(generate_series(s // ${UtilBucketSec * 1000000L},
+            (e - 1) // ${UtilBucketSec * 1000000L})) AS bkt
+        FROM iv)
+      SELECT user_id,
+        bkt * ${UtilBucketSec * 1000000L} AS bucket_start_us,
+        sum(least(e, (bkt + 1) * ${UtilBucketSec * 1000000L})
+          - greatest(s, bkt * ${UtilBucketSec * 1000000L})) AS overlap_us
+      FROM b GROUP BY 1, 2 ORDER BY user_id, bucket_start_us""",
+
+    // Replay of Graph.personalizedPagerank: the pagerank unrolled replay
+    // with teleport mass restricted to the supplier ('s'-prefixed) seed
+    // nodes — r0 is RankScale div n_seeds on seeds, 0 elsewhere, and the
+    // per-iteration re-base term (r0 * 150) // 1000 is then already 0
+    // for non-seeds.
+    "pagerank_personalized" -> """
+      WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+              'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+      ns AS (SELECT COUNT(*) AS n FROM nd WHERE node LIKE 's%'),
+      r0 AS (SELECT node, CASE WHEN node LIKE 's%'
+               THEN 1000000000000 // n ELSE 0 END AS r
+             FROM nd CROSS JOIN ns),
+      c1 AS (SELECT e.dst AS node, SUM((r.r * 850) // (od.od * 1000)) AS cs
+             FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT r0.node, (r0.r * 150) // 1000 + COALESCE(cs, 0) AS r
+             FROM r0 LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, SUM((r.r * 850) // (od.od * 1000)) AS cs
+             FROM e JOIN od USING (src) JOIN r1 r ON r.node = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT r0.node, (r0.r * 150) // 1000 + COALESCE(cs, 0) AS r
+             FROM r0 LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, SUM((r.r * 850) // (od.od * 1000)) AS cs
+             FROM e JOIN od USING (src) JOIN r2 r ON r.node = e.src
+             GROUP BY e.dst),
+      r3 AS (SELECT r0.node, (r0.r * 150) // 1000 + COALESCE(cs, 0) AS r
+             FROM r0 LEFT JOIN c3 USING (node))
+      SELECT node, r::BIGINT AS rank_fp,
+        r::DOUBLE / 1000000000000.0 AS rank
+      FROM r3 ORDER BY node""",
 
     // Replay of Graph.linkPrediction on the triangle_count co-occurrence
     // graph: wedge pairs through degree-bounded centers, existing edges

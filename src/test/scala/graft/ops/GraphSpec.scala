@@ -187,4 +187,19 @@ class GraphSpec extends SparkSpec {
     assert(r1 == r2 && r1.nonEmpty)
     graft.util.Caches.unpersistAll()
   }
+
+  test("personalizedPagerank: teleport mass only on seeds, exact longs") {
+    import org.apache.spark.sql.functions.col
+    // a -> c, b -> c; seeds = {a}: b gets NO base mass and no inflow
+    val e = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.personalizedPagerank(e, col("node") === "a", iters = 1)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val scale = Graph.RankScale
+    // r0: a = scale, b = 0, c = 0
+    // r1(a) = (scale*150)//1000; r1(b) = 0
+    // r1(c) = 0 + (scale*850)//1000 (from a) + 0 (from b)
+    assert(out("a") == scale * 150 / 1000)
+    assert(out("b") == 0L)
+    assert(out("c") == scale * 850 / 1000)
+  }
 }

@@ -73,4 +73,57 @@ class TimeSeriesSpec extends SparkSpec {
       .select("event_id", "ewma").as[(Long, Double)].collect().toMap
     assert(again == out)
   }
+
+  test("cusum: integer recurrence, reset per key, alarm threshold") {
+    val df = Seq(
+      // key 10: values 5, 5, 20, 1 with target+slack = 10
+      (1L, 10L, ts(0), 5.0), (2L, 10L, ts(1), 5.0),
+      (3L, 10L, ts(2), 20.0), (4L, 10L, ts(3), 1.0),
+      (5L, 20L, ts(0), 30.0)
+    ).toDF("event_id", "user_id", "t", "value")
+    val out = TimeSeries.cusum(df, "t", "user_id", "event_id", "value",
+        target = 8.0, slack = 2.0, threshold = 9.0)
+      .select("event_id", "s_fp", "alarm")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // s: max(0,5-10)=0; max(0,0+5-10)=0; max(0,0+20-10)=10; max(0,10+1-10)=1
+    assert(out(1L) == (0L, false))
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (10000000L, true)) // 10 > 9 alarms
+    assert(out(4L) == (1000000L, false))
+    assert(out(5L) == (20000000L, true)) // key 20 resets: 30-10
+  }
+
+  test("cusum is layout-independent") {
+    val rows = (1 to 300).map(i =>
+      (i.toLong, (i % 5).toLong, ts(i % 60), (i % 23).toDouble))
+    val df1 = rows.toDF("event_id", "user_id", "t", "value")
+    val df2 = df1.repartition(7).sortWithinPartitions(desc("event_id"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cusum(d, "t", "user_id", "event_id", "value",
+        10.0, 1.0, 50.0).orderBy("event_id").collect().toSeq
+    assert(run(df1) == run(df2))
+  }
+
+  test("intervalUtilization: clamped overlaps, multi-bucket spans, sums") {
+    val bus = 3600L * 1000000L
+    val df = Seq(
+      // 30 min inside bucket 0
+      (1L, 0L, 1800L * 1000000L),
+      // spans buckets 1..3: 30 min + full hour + 1 us
+      (2L, bus + 1800L * 1000000L, 3 * bus + 1L),
+      // second interval for key 1 in bucket 0: sums with the first
+      (1L, 600L * 1000000L, 1200L * 1000000L),
+      // inverted interval: dropped
+      (3L, 100L, 50L)
+    ).toDF("k", "start_us", "end_us")
+    val out = TimeSeries.intervalUtilization(df, "k", "start_us", "end_us",
+        bucketSeconds = 3600)
+      .orderBy("k", "bucket_start_us")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1800L * 1000000L + 600L * 1000000L),
+      (2L, bus, 1800L * 1000000L),
+      (2L, 2 * bus, bus),
+      (2L, 3 * bus, 1L)))
+  }
 }
