@@ -222,6 +222,58 @@ object ExprKernels {
     jaro + p * 0.1 * (1.0 - jaro)
   }
 
+  /** Shannon entropy (nats) of the code-point distribution of a string,
+    * in engine-exact micro-nat arithmetic: with n code points and per-
+    * code-point counts c, entropy = round(-Σ c·round6dp-free, see below.
+    *
+    * Contract (replayed verbatim by the DuckDB oracle):
+    *   micro  = Σ_c c · sparkRound0(ln(c/n)·1e6)   — LONG sum, any order
+    *   result = sparkRound6(-micro / 1e6 / n) + 0.0
+    * where sparkRoundS is Spark `round(x, s)` bit-for-bit: shortest-
+    * decimal (Double.toString / BigDecimal.valueOf) then HALF_UP —
+    * matching DuckDB `round` on everything the gates exercise.
+    * Quantizing each ln to integer micro-nats
+    * BEFORE summing makes the sum exact long arithmetic — the same
+    * last-ulp-proofing as [[graft.ops.LanguageModel]]'s bigram scorer.
+    * Empty string → 0.0. One JVM pass per row; the declarative form
+    * would explode one row per CHARACTER (corpus × avg-length rows
+    * through a shuffle — the kind of blow-up a 100 TB scan cannot pay).
+    */
+  def charEntropy(input: UTF8String): Double = {
+    val text = input.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1L
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    var micro = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      // Math.log, not StrictMath: bit-parity with Spark's `log()` (the
+      // declarative spec in ExpressionsPropertySpec and the LanguageModel
+      // precedent the DuckDB oracle already matches)
+      val x = Math.log(c.toDouble / n) * 1e6
+      // Spark's round() semantics EXACTLY: scala BigDecimal(double) goes
+      // through Double.toString (shortest decimal), then HALF_UP — the
+      // exact-binary `new BigDecimal(double)` disagrees whenever the
+      // shortest decimal reads ...5 but the binary value sits a hair
+      // below (e.g. micro/1e6/n = 2.6622475). java BigDecimal.valueOf is
+      // the same toString-based constructor.
+      micro += c * java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    val raw = -micro.toDouble / 1e6 / n
+    java.math.BigDecimal.valueOf(raw)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+  }
+
   /** Sequential-double dot product; null (boxed) on length mismatch. */
   def dot(x: ArrayData, y: ArrayData, leftFloat: Boolean,
       rightFloat: Boolean): java.lang.Double = {

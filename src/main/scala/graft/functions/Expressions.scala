@@ -147,6 +147,25 @@ object Expressions {
     override def prettyName: String = "jaro_winkler_sim"
   }
 
+  /** Shannon entropy (nats) of a string's code-point distribution in
+    * micro-nat-quantized arithmetic ([[ExprKernels.charEntropy]] — the
+    * [[graft.ops.LanguageModel]] determinism pattern). Native because the
+    * declarative equivalent explodes one row per CHARACTER through a
+    * (doc, char) shuffle; this is one JIT'd histogram pass per row.
+    */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.charEntropy(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.charEntropy($c)")
+    override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+    override def prettyName: String = "char_entropy"
+  }
+
   /** Sequential-double dot product of two float or double arrays (same
     * accumulation order as the `aggregate(zip_with(...))` form; float
     * elements widen to double exactly, so mixing a float corpus vector

@@ -125,6 +125,15 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
+  /** Code-point Shannon entropy (nats, 6dp) — native codegen'd expression
+    * ([[Expressions.CharEntropy]]) with the micro-nat determinism
+    * contract; one histogram pass per row, no per-character explode.
+    */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Expressions.CharEntropy(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** Jaro-Winkler similarity — native codegen'd expression
     * ([[Expressions.JaroWinklerSim]]) with rapidfuzz/DuckDB semantics
     * (prefix boost only above jaro 0.7, prefix capped at 4).

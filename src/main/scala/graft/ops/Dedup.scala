@@ -138,6 +138,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT over MinHash-LSH candidates:
+    * cont_a = |A∩B|/|A| (how much of doc_a lives inside doc_b) and the
+    * mirror cont_b — the signal Jaccard dilutes away when sizes differ: a
+    * paragraph quoted whole inside a long article has cont_a ≈ 1 but tiny
+    * Jaccard. Output (doc_a, doc_b, cont_a, cont_b), doc_a < doc_b, kept
+    * when EITHER direction >= `threshold`, both rounded to 6dp.
+    *
+    * Candidates come from the same Jaccard-tuned MinHash banding as
+    * [[minhashPairs]] (one persisted signature pass, id-only bucket
+    * self-join) — deterministic and oracle-replayable. The honest recall
+    * caveat: banding recalls pairs by JACCARD, so a high-containment pair
+    * with very unequal sizes (and hence low Jaccard) can be missed; the
+    * published scale path for that regime partitions the corpus by set
+    * size and tunes bands per stratum (LSH Ensemble, Zhu et al., VLDB
+    * 2016) — same plan shape, stratified banding, so the engine cost
+    * model here carries over unchanged.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, b: Int = 16, r: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(b * r <= k, s"bands*rows ($b*$r) must be <= signature length $k")
+    val sh = graft.util.Caches.persist(shingled(df, idCol, textCol, shingleN))
+    val banded = sh
+      .select(col("doc_id"),
+        explode(T.bands(T.minhashSig(col("shingles"), k), b, r)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+    val bandedCached = graft.util.Caches.persist(banded)
+    val cand = bandedCached.as("x")
+      .join(bandedCached.as("y"), Seq("band", "bsig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / size(col("sh_a")).cast("double"), 6).as("cont_a"),
+        round(inter / size(col("sh_b")).cast("double"), 6).as("cont_b"))
+      .where(col("cont_a") >= threshold || col("cont_b") >= threshold)
+  }
+
   /** Greedy near-dedup: drop every doc that is near-identical to a
     * lower-id doc (appears as doc_b in a verified pair). Deterministic and
     * one anti-join — the iterative connected-components variant is a

@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -75,6 +75,9 @@ final case class DedupTransformStage(
               minhashK, bands, rows, shingleN, threshold.getOrElse(0.9)),
             maxIter, checkpointDir),
           idCol)
+      // asymmetric containment over the same MinHash-LSH candidates
+      case "containment_pairs" => Dedup.containmentPairs(in, idCol, textCol,
+        minhashK, bands, rows, shingleN, threshold.getOrElse(0.7))
       case "simhash"       => Dedup.simhashFingerprints(in, idCol, textCol)
       case "simhash_pairs" =>
         Dedup.simhashPairs(in, idCol, textCol, maxHamming, maxBucket)
@@ -106,7 +109,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -149,6 +152,9 @@ final case class SimilarityTransformStage(
       case "semantic_dedup" =>
         Similarity.semanticDedup(corpus, threshold, centroidEvery,
           kmeansIters)
+      case "hard_negatives" => Similarity.hardNegatives(corpus, queries, k)
+      case "ann_recall"     => Similarity.annRecall(corpus, queries, k,
+        nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4))
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -356,7 +362,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -409,6 +415,10 @@ final case class TextAnalysisTransformStage(
         alpha0, topK)
       // Zipf vocabulary head with cumulative token coverage
       case "head_coverage" => TextAnalysis.headCoverage(in, textCol, topK)
+      // per-doc code-point entropy (micro-nat contract, codegen'd)
+      case "entropy" => TextAnalysis.charEntropy(in, idCol, textCol)
+      // BPE-training pair statistics (ngramN reused as the minCount prune)
+      case "bpe_pairs" => TextAnalysis.bpePairCounts(in, textCol, ngramN.toLong)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }

@@ -545,4 +545,63 @@ object Similarity {
       .select("vec_id").distinct()
     cells.join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor in
+    * `queries`, the top-`k` most-similar corpus vectors whose `labelCol`
+    * DIFFERS from the anchor's — the "confusable but wrong" examples a
+    * metric-learning loss wants. Output (q_id, q_label, n_id, n_label,
+    * cosine, rank).
+    *
+    * Plan shape = [[bruteTopK]] with the label inequality fused into the
+    * broadcast nested-loop condition: the anchor side (small by contract)
+    * is broadcast WITH its labels, so the corpus is scanned once, never
+    * shuffled, and mismatched-label filtering happens before any scoring
+    * row materializes. At mining scale (many anchors) the same label
+    * filter drops into [[annTopK]]'s candidate join instead — the LSH
+    * bucket key stays label-free so recall is unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    def labeledNorm(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"), col(labelCol).as("__lbl"),
+        V.norm(col("embedding")).as("nrm"))
+    val cv = labeledNorm(corpus)
+    val qv = broadcast(labeledNorm(queries))
+    val pairs = qv
+      .select(col("vec_id").as("q_id"), col("__lbl").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .join(cv, col("q_id") =!= col("vec_id") &&
+        col("q_label") =!= col("__lbl"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("__lbl").as("n_label"),
+        cosineFromNorms("q_emb", "embedding", "q_nrm", "nrm").as("cosine"))
+    topK(pairs, k)
+      .select("q_id", "q_label", "n_id", "n_label", "cosine", "rank")
+  }
+
+  /** Recall@k of the sign-LSH ANN path against exact brute-force ground
+    * truth, per query: (q_id, hits, recall) where `hits` counts ANN
+    * results appearing in the exact top-k and recall = hits/k. The
+    * standard ANN quality gauge (Aumüller et al., ann-benchmarks) — run it
+    * on a query SAMPLE after any b/r/nBits retune; the full corpus never
+    * pays for its own evaluation.
+    *
+    * Both sides reuse their operators' plans ([[bruteTopK]] broadcast
+    * nested-loop, [[annTopK]] bucket join); the comparison itself is an
+    * id-only left-semi-shaped join on (q_id, n_id) plus one small groupBy
+    * — nothing wider than ids ever shuffles. The left join keeps
+    * zero-recall queries visible (an inner join would silently drop the
+    * worst case the eval exists to catch).
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 64, b: Int = 16, r: Int = 4): DataFrame = {
+    val truth = bruteTopK(corpus, queries, k).select("q_id", "n_id")
+    val approx = annTopK(corpus, queries, k, nBits, b, r)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(coalesce(sum("__hit"), lit(0L)).as("hits"))
+      .select(col("q_id"), col("hits"),
+        round(col("hits") / k.toDouble, 6).as("recall"))
+  }
 }

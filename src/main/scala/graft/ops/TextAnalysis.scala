@@ -459,4 +459,40 @@ object TextAnalysis {
     scored.withColumn("__rn", row_number().over(top))
       .where(col("__rn") <= topK).drop("__rn")
   }
+
+  /** Per-document code-point Shannon entropy (nats, 6dp) — the classic
+    * cheap quality signal: machine-generated or repetitive filler sits
+    * far below natural-language entropy, base64/binary junk far above
+    * (Rae et al. 2021 use the gzip-ratio cousin). One narrow codegen'd
+    * projection ([[graft.functions.Expressions.CharEntropy]]): per-row
+    * histogram in the expression, zero shuffle, zero explode — at 100 TB
+    * this is a pure map over the corpus scan.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      T.charEntropy(col(textCol)).as("entropy"))
+
+  /** Adjacent character-pair frequencies over the word-frequency table —
+    * the inner-loop statistic of BPE tokenizer training (Sennrich et al.
+    * 2016): the highest-count pair is the next merge. Words below 2
+    * characters contribute no pairs; pairs under `minCount` are pruned
+    * (they could never win a merge and dominate the tail).
+    *
+    * Scale shape is the BPE-standard two-level aggregation: the corpus
+    * scan collapses to a DISTINCT-WORD count table first (map-side
+    * combined — the corpus never explodes), then pairs explode only per
+    * distinct VOCABULARY entry (bounded by vocab size × word length, not
+    * corpus size) weighted by the word's count.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      minCount: Long = 2): DataFrame = {
+    val wc = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    wc.select(col("wn"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("wn").as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
 }

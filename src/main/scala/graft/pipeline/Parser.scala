@@ -99,7 +99,7 @@ object Parser {
           Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
             "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
             "ngram_pairs", "prefix_pairs", "edit_pairs", "jw_pairs",
-            "passages"),
+            "passages", "containment_pairs"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -132,7 +132,8 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
-            "quantize", "project", "semantic_dedup"), "topk"),
+            "quantize", "project", "semantic_dedup", "hard_negatives",
+            "ann_recall"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -413,7 +414,7 @@ object Parser {
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "keyness",
-            "head_coverage"),
+            "head_coverage", "entropy", "bpe_pairs"),
           "quality"),
         // sorted by metric name: config maps carry no order, and the
         // linear accumulation order must be reproducible

@@ -117,6 +117,8 @@ object ExtensionQueries {
   private val TopK = 5
   private val NQueryVecs = 10
   private val IvfProbes = 2
+  private val ContainThreshold = 0.7
+  private val BpeMinCount = 2L
   private val PerStratumK = 20
   private val ChunkSize = 32
   private val ChunkOverlap = 8
@@ -450,6 +452,44 @@ object ExtensionQueries {
           e.where(col("vec_id") < NQueryVecs), TopK, probes = IvfProbes)
         .select("q_id", "n_id", "cosine", "rank")
         .orderBy("q_id", "rank")
+    },
+
+    "hard_negatives" -> { (spark, dir) =>
+      // contrastive-training mining: most-similar corpus vectors whose
+      // label DIFFERS from the anchor's
+      val e = embs(spark, dir)
+      Similarity.hardNegatives(e, e.where(col("vec_id") < NQueryVecs), TopK)
+        .orderBy("q_id", "rank")
+    },
+
+    "ann_recall" -> { (spark, dir) =>
+      // recall@k of the sign-LSH path vs brute-force ground truth — the
+      // eval every b/r/nBits retune must re-run
+      val e = embs(spark, dir)
+      Similarity.annRecall(e, e.where(col("vec_id") < NQueryVecs), TopK)
+        .orderBy("q_id")
+    },
+
+    "dedup_containment" -> { (spark, dir) =>
+      // asymmetric |A∩B|/|A| over the MinHash-LSH candidates: catches
+      // doc-contains-doc duplication Jaccard dilutes away
+      Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, threshold = ContainThreshold)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "bpe_pair_counts" -> { (spark, dir) =>
+      // the BPE tokenizer-training inner loop: adjacent char-pair counts
+      // over the distinct-word table, weighted by word frequency
+      TextAnalysis.bpePairCounts(docs(spark, dir), "text", BpeMinCount)
+        .orderBy("pair")
+    },
+
+    "text_entropy" -> { (spark, dir) =>
+      // per-doc code-point entropy (micro-nat contract) — one codegen'd
+      // projection, no per-character explode
+      TextAnalysis.charEntropy(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     "sketch_quantiles" -> { (spark, dir) =>
@@ -2223,6 +2263,103 @@ object ExtensionQueries {
       FROM scored
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
+
+    // Replay of Similarity.hardNegatives: the brute top-k with the label
+    // inequality fused into the pair condition.
+    "hard_negatives" -> s"""
+      WITH scored AS (
+        SELECT a.vec_id AS q_id, a.label AS q_label,
+          b.vec_id AS n_id, b.label AS n_label, ${cosD("a", "b")} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id != b.vec_id AND a.label != b.label
+        WHERE a.vec_id < $NQueryVecs)
+      SELECT q_id, q_label, n_id, n_label, cosine,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    // Replay of Similarity.annRecall: the similarity_topk truth set LEFT
+    // JOINed with the similarity_ann approximate set — count(hits)/k.
+    "ann_recall" -> s"""${signBandCtes(16, 4)}, truth AS (
+        SELECT q_id, n_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${cosD("a", "b")} DESC, b.vec_id) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+          WHERE a.vec_id < $NQueryVecs)
+        WHERE rank <= $TopK
+      ), cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM banded q JOIN banded c
+          ON q.band = c.band AND q.bsig = c.bsig AND q.vec_id != c.vec_id
+        WHERE q.vec_id < $NQueryVecs
+      ), approx AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY ${cosD("a", "b")} DESC, n_id) AS rank
+          FROM cand
+          JOIN embeddings a ON a.vec_id = cand.q_id
+          JOIN embeddings b ON b.vec_id = cand.n_id)
+        WHERE rank <= $TopK
+      )
+      SELECT t.q_id, count(ap.n_id)::BIGINT AS hits,
+        round(count(ap.n_id)::DOUBLE / $TopK, 6) AS recall
+      FROM truth t LEFT JOIN approx ap
+        ON ap.q_id = t.q_id AND ap.n_id = t.n_id
+      GROUP BY t.q_id
+      ORDER BY t.q_id""",
+
+    // Replay of Dedup.containmentPairs: same banded candidates as
+    // dedup_minhash_pairs, asymmetric containment both directions.
+    "dedup_containment" -> s"""$minhashCtes
+      SELECT * FROM (
+        SELECT doc_a, doc_b,
+          round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(a.shingles)::DOUBLE, 6) AS cont_a,
+          round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(b.shingles)::DOUBLE, 6) AS cont_b
+        FROM cand
+        JOIN sh a ON a.doc_id = cand.doc_a
+        JOIN sh b ON b.doc_id = cand.doc_b)
+      WHERE cont_a >= $ContainThreshold OR cont_b >= $ContainThreshold
+      ORDER BY doc_a, doc_b""",
+
+    // Replay of TextAnalysis.bpePairCounts: distinct-word counts, then
+    // adjacent char pairs per vocabulary entry weighted by word count.
+    "bpe_pair_counts" -> s"""
+      WITH w AS (
+        SELECT w, count(*)::BIGINT AS wn FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE length(w) >= 2 GROUP BY w
+      ), p AS (
+        SELECT substr(w, i, 2) AS pair, wn
+        FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      )
+      SELECT pair, sum(wn)::BIGINT AS cnt FROM p GROUP BY pair
+      HAVING sum(wn) >= $BpeMinCount ORDER BY pair""",
+
+    // Replay of TextAnalysis.charEntropy's micro-nat contract:
+    // micro = Σ c·round(ln(c/n)·1e6) as BIGINT, entropy = -micro/1e6/n
+    // at 6dp (+0 normalizes IEEE -0.0, as everywhere else).
+    "text_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, substr(text, i, 1) AS c
+        FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+      ), cc AS (
+        SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch GROUP BY doc_id, c
+      ), tot AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n FROM cc GROUP BY doc_id
+      ), mic AS (
+        SELECT cc.doc_id,
+          sum(cnt * CAST(round(ln(cnt::DOUBLE / n::DOUBLE) * 1e6) AS BIGINT))::BIGINT AS micro,
+          any_value(n) AS n
+        FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id
+      )
+      SELECT doc_id, (round(-micro::DOUBLE / 1e6 / n::DOUBLE, 6) + 0) AS entropy
+      FROM mic ORDER BY doc_id""",
 
     // Replay of Similarity.ivfTopK with $KmeansIters Lloyd rounds:
     // deterministic seeds (vec_id % $CentroidEvery), assignment by

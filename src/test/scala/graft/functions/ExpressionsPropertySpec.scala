@@ -85,4 +85,18 @@ class ExpressionsPropertySpec extends SparkSpec {
     assertAgree(df, array_sort(T.hashedCharNgrams(col("text"), 5, mod)),
       declarative, "hashed_char_ngrams")
   }
+
+  test("char_entropy equals the declarative micro-nat histogram formula") {
+    val df = sample(genText, 200).toDF("text")
+    val chars = split(col("text"), "")
+    val n = length(col("text")).cast("double")
+    val micro = aggregate(
+      transform(array_distinct(chars), c =>
+        size(filter(chars, x => x === c)).cast("long")),
+      lit(0L), (acc, c) =>
+        acc + c * round(log(c.cast("double") / n) * lit(1e6)).cast("long"))
+    val declarative = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(round(-micro.cast("double") / lit(1e6) / n, 6) + lit(0.0))
+    assertAgree(df, T.charEntropy(col("text")), declarative, "char_entropy")
+  }
 }

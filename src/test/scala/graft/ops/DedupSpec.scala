@@ -326,4 +326,26 @@ class DedupSpec extends SparkSpec {
       Dedup.jaroWinklerPairs(df, "doc_id", "text", Seq("lang"), minSim = 0.5)
     }
   }
+
+  test("containmentPairs: full subset gives cont_a=1.0, Jaccard would dilute") {
+    // doc 1's shingle set is a strict subset of doc 2's (same prefix text);
+    // doc 3 is unrelated and must never pair
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    // 2 extra words: |A∩B|/|B| = 6/8 — high enough for the Jaccard-tuned
+    // banding to bucket the pair, low enough that Jaccard@0.9 misses it
+    val big = small + " iota kappa"
+    val df = Seq(
+      (1L, small), (2L, big), (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    val (_, _, contA, contB) = out.head
+    assert(contA == 1.0, s"subset containment must be exactly 1.0, got $contA")
+    assert(contB == 0.75, s"mirror direction must be 6/8 = 0.75, got $contB")
+    // jaccard == cont_b here (|A∩B| = |A|), so a symmetric-Jaccard pass at
+    // the same threshold would MISS this pair — the reason the op exists
+    assert(Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.9).isEmpty)
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -49,6 +49,41 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(out.count() == 12) // 3 queries x k=4
   }
 
+  test("hard_negatives, ann_recall, entropy, bpe_pairs, containment as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "nw_embs"},
+      {"type": "SqlTransform", "name": "q",
+       "sql": "SELECT * FROM nw_embs WHERE vec_id < 3",
+       "outputView": "nw_queries"},
+      {"type": "SimilarityTransform", "name": "hn", "method": "hard_negatives",
+       "inputView": "nw_embs", "queryView": "nw_queries", "k": 4,
+       "outputView": "nw_hn"},
+      {"type": "SimilarityTransform", "name": "rec", "method": "ann_recall",
+       "inputView": "nw_embs", "queryView": "nw_queries", "k": 4,
+       "outputView": "nw_rec"},
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "nw_docs"},
+      {"type": "TextAnalysisTransform", "name": "ent", "analysis": "entropy",
+       "inputView": "nw_docs", "outputView": "nw_ent"},
+      {"type": "TextAnalysisTransform", "name": "bpe", "analysis": "bpe_pairs",
+       "inputView": "nw_docs", "ngramN": 2, "outputView": "nw_bpe"},
+      {"type": "DedupTransform", "name": "cont", "method": "containment_pairs",
+       "inputView": "nw_docs", "outputView": "nw_cont"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(Runner.run(p).isDefined)
+    import graft.pipeline.Views
+    assert(Views.resolve("nw_hn").count() == 12) // 3 anchors x k=4
+    assert(Views.resolve("nw_rec").count() == 3) // one recall row per anchor
+    val nDocs = Views.resolve("nw_docs").count()
+    assert(Views.resolve("nw_ent").count() == nDocs)
+    assert(Views.resolve("nw_bpe").count() > 0)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("dedup tunables are settable from config; threshold defaults per method") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "ngram_pairs",

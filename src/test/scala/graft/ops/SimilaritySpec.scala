@@ -301,4 +301,45 @@ class SimilaritySpec extends SparkSpec {
     assert(again == out)
     graft.util.Caches.unpersistAll()
   }
+
+  test("hardNegatives: same-label neighbors excluded, ranked by cosine") {
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(2f, 0f, 0f, 0f), 1),   // cos 1.0 to anchor, label differs
+      (2L, Array(1f, 0.1f, 0f, 0f), 0), // nearest of all, but SAME label
+      (3L, Array(0f, 1f, 0f, 0f), 1),   // cos 0.0
+      (4L, Array(-1f, 0f, 0f, 0f), 2)   // cos -1.0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        labeled, labeled.where(col("vec_id") === 0), k = 2)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Int, Double, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(1L, 3L)) // 2 excluded despite top cosine
+    assert(out.map(_._5) == Seq(1.0, 0.0))
+    assert(out.forall(r => r._2 == 0 && r._4 != 0))
+  }
+
+  test("annRecall: one row per query, hits in [0,k], perfect on exact dups") {
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 8)
+    val k = 5
+    val out = Similarity.annRecall(embs, queries, k)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1).sorted == (0L until 8L))
+    assert(out.forall { case (_, hits, recall) =>
+      hits >= 0 && hits <= k && recall == hits.toDouble / k })
+    // identical vectors share every LSH bucket and cosine 1.0 beats every
+    // distinct direction: recall@1 = 1 exactly, no probabilistic slack
+    val axes = Seq.tabulate(4) { i =>
+      val v = Array.fill(4)(0f); v(i) = 1f; (i.toLong, v)
+    }
+    val dupped = (axes ++ axes.map { case (id, v) => (id + 100L, v) })
+      .toDF("vec_id", "embedding")
+    val perfect = Similarity.annRecall(dupped,
+        dupped.where(col("vec_id") < 100), k = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(perfect.length == 4 && perfect.forall(_._3 == 1.0),
+      s"duplicate-pair recall@1 must be 1.0: ${perfect.toSeq}")
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -229,4 +229,34 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "b", 3L, 7L, 9L, 7.0 / 9),
       (3L, "c", 1L, 8L, 9L, 8.0 / 9)))
   }
+
+  test("charEntropy: 0 for constant text, ln(k) for uniform k symbols") {
+    val df = Seq(
+      (1L, "aaaa"),  // one symbol: entropy 0
+      (2L, "ab"),    // uniform 2: ln 2
+      (3L, "abab"),  // same distribution as doc 2: same entropy
+      (4L, "abcd"),  // uniform 4: ln 4
+      (5L, "aab")    // 2/3, 1/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.693147) // round(ln 2, 6dp) under the micro-nat contract
+    assert(out(3L) == out(2L))
+    assert(out(4L) == 1.386294)
+    assert(out(5L) == 0.636514) // -(2/3·ln(2/3) + 1/3·ln(1/3))
+  }
+
+  test("bpePairCounts: word-frequency-weighted adjacent char pairs") {
+    val df = Seq((1L, "ab ab cd"), (2L, "abc x")).toDF("doc_id", "text")
+    // vocab: ab×2, cd×1, abc×1 ("x" is sub-2-char: no pairs)
+    // pairs: "ab" from ab(2) + abc(1) = 3; "bc" from abc = 1; "cd" = 1
+    val all = TextAnalysis.bpePairCounts(df, "text", minCount = 1)
+      .as[(String, Long)].collect().toMap
+    assert(all == Map("ab" -> 3L, "bc" -> 1L, "cd" -> 1L))
+    // the minCount prune drops everything a merge could never pick
+    val pruned = TextAnalysis.bpePairCounts(df, "text", minCount = 2)
+      .as[(String, Long)].collect().toMap
+    assert(pruned == Map("ab" -> 3L))
+  }
 }
