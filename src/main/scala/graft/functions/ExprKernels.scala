@@ -222,6 +222,40 @@ object ExprKernels {
     jaro + p * 0.1 * (1.0 - jaro)
   }
 
+  /** 2-D Hilbert curve index of (x, y) on a 2^bits × 2^bits grid — the
+    * classic xy→d walk (Hilbert 1891; iterative form per Warren, Hacker's
+    * Delight §16): per level, take the quadrant, then flip/transpose the
+    * frame so the sub-curve enters where the parent left off. Pure
+    * integer shifts/flips — engine-replayable (the DuckDB oracle chains
+    * one CTE per level with identical CASE arithmetic).
+    *
+    * Locality: successive d values are ALWAYS unit grid steps (asserted
+    * exhaustively in LayoutSpec), unlike Z-order whose bit-carry seams
+    * teleport across the grid — so equal-size blocks of a
+    * Hilbert-sorted table get strictly tighter min-max boxes. Inputs are
+    * masked to the low `bits` bits (same silent-degrade domain contract
+    * as zValueN: out-of-range keys fold, the layout degrades, never
+    * corrupts).
+    */
+  def hilbert2(x: Long, y: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var hx = x & (n - 1)
+    var hy = y & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((hx & s) != 0) 1L else 0L
+      val ry = if ((hy & s) != 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) { // flip (lower-left / lower-right quadrants), then transpose
+        if (rx == 1L) { hx = n - 1 - hx; hy = n - 1 - hy }
+        val t = hx; hx = hy; hy = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Shannon entropy (nats) of the code-point distribution of a string,
     * in engine-exact micro-nat arithmetic: with n code points and per-
     * code-point counts c, entropy = round(-Σ c·round6dp-free, see below.

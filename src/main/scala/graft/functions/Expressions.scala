@@ -147,6 +147,28 @@ object Expressions {
     override def prettyName: String = "jaro_winkler_sim"
   }
 
+  /** 2-D Hilbert curve index ([[ExprKernels.hilbert2]]). Native because
+    * the per-level flip/transpose is stateful: a declarative unrolling
+    * needs one projection per level and re-derives the quadrant bits from
+    * rewritten coordinates — expression-tree growth Catalyst's project
+    * collapse can re-inline into exponential form. Here it is one JIT'd
+    * loop per row, fully inside WholeStageCodegen.
+    */
+  case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprKernels.hilbert2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernels.hilbert2($a, $b, $bits)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex =
+      copy(left = l, right = r)
+    override def prettyName: String = "hilbert_index"
+  }
+
   /** Shannon entropy (nats) of a string's code-point distribution in
     * micro-nat-quantized arithmetic ([[ExprKernels.charEntropy]] — the
     * [[graft.ops.LanguageModel]] determinism pattern). Native because the

@@ -362,7 +362,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -419,6 +419,8 @@ final case class TextAnalysisTransformStage(
       case "entropy" => TextAnalysis.charEntropy(in, idCol, textCol)
       // BPE-training pair statistics (ngramN reused as the minCount prune)
       case "bpe_pairs" => TextAnalysis.bpePairCounts(in, textCol, ngramN.toLong)
+      // adjacent-word PMI collocations (ngramN reused as the pair floor)
+      case "pmi" => TextAnalysis.pmiCollocations(in, textCol, ngramN.toLong)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -832,7 +834,7 @@ final case class ZorderTransformStage(
     outputView: String,
     cols: Seq[String],
     idCol: String,
-    method: String = "manifest", // manifest | write
+    method: String = "manifest", // manifest | write | hilbert_manifest
     outputDir: Option[String] = None,
     blockSize: Long = 4096L,
     bits: Int = 16,
@@ -849,6 +851,11 @@ final case class ZorderTransformStage(
     val out = method match {
       case "manifest" =>
         Layout.zorderManifestN(in, cols, idCol, blockSize, bits)
+      // Hilbert curve variant (2-D): tighter blocks, same manifest shape
+      case "hilbert_manifest" =>
+        require(cols.size == 2,
+          s"hilbert_manifest is 2-D, got ${cols.size} cols")
+        Layout.hilbertManifest(in, cols(0), cols(1), idCol, blockSize, bits)
       case "write" =>
         val dir = outputDir.getOrElse(
           throw new IllegalArgumentException("write requires outputDir"))

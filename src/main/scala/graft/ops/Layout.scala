@@ -55,6 +55,34 @@ object Layout {
     zValueN(Seq(x, y), bits)
   }
 
+  /** 2-D Hilbert curve position on a 2^bits grid
+    * ([[graft.functions.Expressions.HilbertIndex]], a native codegen'd
+    * loop). Hilbert beats Morton on locality — successive curve positions
+    * are always UNIT grid steps, no bit-carry teleports — which is why
+    * clustering engines moved to it (Databricks liquid clustering); the
+    * measured effect here is strictly tighter per-block min-max boxes at
+    * equal block size ([[hilbertManifest]] vs [[zorderManifest]],
+    * quantified in LayoutSpec). Inputs are masked to the low `bits` bits
+    * (the [[zValueN]] silent-degrade domain contract).
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Expressions.HilbertIndex(
+        org.apache.spark.sql.GraftColumnBridge.expression(x.cast("long")),
+        org.apache.spark.sql.GraftColumnBridge.expression(y.cast("long")),
+        bits))
+
+  /** [[zorderManifest]] with the Hilbert curve as the sort key: same
+    * one-shuffle range sort, same block carve, same min-max manifest —
+    * only the space-filling curve differs.
+    */
+  def hilbertManifest(df: DataFrame, xCol: String, yCol: String,
+      idCol: String, blockSize: Long, bits: Int = 16): DataFrame =
+    manifestOf(
+      blockAssignedCurve(asXY(df, xCol, yCol, idCol), Seq("x", "y"), "id",
+        blockSize, cs => hilbertValue(col(cs(0)), col(cs(1)), bits)),
+      Seq("x", "y"))
+
   /** Z-order `df` by `cols` and return the block manifest: one row per
     * `blockSize`-row block with n_rows and min/max of every dimension
     * (columns `min_<c>` / `max_<c>` in `cols` order). `idCol` breaks
@@ -95,7 +123,17 @@ object Layout {
     * writer.
     */
   private def blockAssignedN(df: DataFrame, cols: Seq[String], idCol: String,
-      blockSize: Long, bits: Int): DataFrame = {
+      blockSize: Long, bits: Int): DataFrame =
+    blockAssignedCurve(df, cols, idCol, blockSize,
+      cs => zValueN(cs.map(col), bits))
+
+  /** [[blockAssignedN]] with a pluggable space-filling-curve expression
+    * (`curveOf(cols)` → the sort key) — shared by the Z-order (Morton)
+    * and Hilbert layouts; the sort/offset/carve machinery is identical.
+    */
+  private def blockAssignedCurve(df: DataFrame, cols: Seq[String],
+      idCol: String, blockSize: Long,
+      curveOf: Seq[String] => Column): DataFrame = {
     require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
     val k = cols.size
     val spark = df.sparkSession
@@ -105,7 +143,7 @@ object Layout {
     val sorted = graft.util.Caches.persist(
       df.select(cols.map(c => col(c).cast("long").as(c)) :+
           col(idCol).cast("long").as("__zid"): _*)
-        .withColumn("z", zValueN(cols.map(col), bits))
+        .withColumn("z", curveOf(cols))
         .repartitionByRange(n, col("z"), col("__zid"))
         .sortWithinPartitions("z", "__zid"))
     val nParts = sorted.rdd.getNumPartitions

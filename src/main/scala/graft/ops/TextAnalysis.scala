@@ -472,6 +472,47 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"),
       T.charEntropy(col(textCol)).as("entropy"))
 
+  /** Pointwise mutual information of adjacent word pairs — the word2vec
+    * phrase-mining statistic (Mikolov et al. 2013): collocations like
+    * proper names and fixed phrases score high because their joint count
+    * beats the independence prediction. PMI = ln(p(xy)/(p(x)p(y))) with
+    * p(xy) = c_xy/n_pairs and p(w) = c_w/n_tokens, computed as one
+    * double expression in a FIXED operand order both engines replay:
+    * (c_xy·n_tok·n_tok)/(n_pair·c_x·c_y), then ln, 6dp, -0.0 normalized.
+    * Output (w1, w2, c_xy, pmi) for pairs with c_xy >= `minPair` (the
+    * standard noise floor — a singleton pair always "looks" collocated).
+    *
+    * Scale shape: bigram and unigram tables are map-side-combined counts
+    * off one corpus scan each (vocabulary-sized, never corpus-sized
+    * after aggregation); the two totals ride a broadcast crossJoin of
+    * one-row aggregates (the [[Retrieval]] corpus-stats pattern); the
+    * final joins key on vocabulary words only.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minPair: Long = 5): DataFrame = {
+    val ws = df.select(T.words(col(textCol)).as("ws"))
+    val bg = ws.where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val uni = graft.util.Caches.persist(
+      ws.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w")))
+    val bgK = graft.util.Caches.persist(bg)
+    val nTok = uni.agg(sum("c_w").as("n_tok"))
+    val nPair = bgK.agg(sum("c_xy").as("n_pair"))
+    bgK.where(col("c_xy") >= minPair)
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        (round(log((col("c_xy").cast("double") * col("n_tok") * col("n_tok"))
+          / (col("n_pair").cast("double") * col("c1") * col("c2"))), 6)
+          + lit(0d)).as("pmi"))
+  }
+
   /** Adjacent character-pair frequencies over the word-frequency table —
     * the inner-loop statistic of BPE tokenizer training (Sennrich et al.
     * 2016): the highest-count pair is the next merge. Words below 2

@@ -414,7 +414,7 @@ object Parser {
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "keyness",
-            "head_coverage", "entropy", "bpe_pairs"),
+            "head_coverage", "entropy", "bpe_pairs", "pmi"),
           "quality"),
         // sorted by metric name: config maps carry no order, and the
         // linear accumulation order must be reproducible
@@ -531,7 +531,7 @@ object Parser {
         bucketSeconds = r.long("bucketSeconds").getOrElse(3600L))
     },
     "ZorderTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("manifest", "write"), "manifest")
+      val method = r.oneOf("method", Seq("manifest", "write", "hilbert_manifest"), "manifest")
       val outDir = r.string("outputDir")
       if (method == "write" && outDir.isEmpty)
         r.error("outputDir", "missing; write requires a target directory")

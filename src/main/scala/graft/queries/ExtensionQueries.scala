@@ -119,6 +119,7 @@ object ExtensionQueries {
   private val IvfProbes = 2
   private val ContainThreshold = 0.7
   private val BpeMinCount = 2L
+  private val PmiMinPair = 5L
   private val PerStratumK = 20
   private val ChunkSize = 32
   private val ChunkOverlap = 8
@@ -245,6 +246,36 @@ object ExtensionQueries {
 
   private def zorderSqlExpr(x: String, y: String, bits: Int): String =
     zorderSqlExprN(Seq(x, y), bits)
+
+  /** One CTE per Hilbert level — the literal replay of
+    * ExprKernels.hilbert2: rx/ry read the CURRENT frame, d accumulates
+    * s²·(3rx xor ry), the frame flips + transposes when ry = 0. Expects a
+    * CTE named `hbase` with columns (x, y, id); yields h0..h<bits>, where
+    * h<bits>.d is the curve position.
+    */
+  private def hilbertCtes(bits: Int): String = {
+    val n = 1L << bits
+    val h0 = s"""h0 AS (
+        SELECT x, y, id, (x & ${n - 1}) AS hx, (y & ${n - 1}) AS hy,
+          0::BIGINT AS d
+        FROM hbase)"""
+    val steps = (0 until bits).map { i =>
+      val s = n >> (i + 1)
+      s"""h${i + 1} AS (
+        SELECT x, y, id,
+          CASE WHEN (hy & $s) = 0
+            THEN CASE WHEN (hx & $s) != 0 THEN ${n - 1} - hy ELSE hy END
+            ELSE hx END AS hx,
+          CASE WHEN (hy & $s) = 0
+            THEN CASE WHEN (hx & $s) != 0 THEN ${n - 1} - hx ELSE hx END
+            ELSE hy END AS hy,
+          d + ${s * s} * xor(
+            3 * (CASE WHEN (hx & $s) != 0 THEN 1 ELSE 0 END),
+            (CASE WHEN (hy & $s) != 0 THEN 1 ELSE 0 END)) AS d
+        FROM h$i)"""
+    }
+    (h0 +: steps).mkString(",\n")
+  }
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> { (spark, dir) =>
@@ -483,6 +514,13 @@ object ExtensionQueries {
       // over the distinct-word table, weighted by word frequency
       TextAnalysis.bpePairCounts(docs(spark, dir), "text", BpeMinCount)
         .orderBy("pair")
+    },
+
+    "word_pmi" -> { (spark, dir) =>
+      // word2vec-style phrase mining: PMI of adjacent word pairs above
+      // the noise floor
+      TextAnalysis.pmiCollocations(docs(spark, dir), "text", PmiMinPair)
+        .orderBy("w1", "w2")
     },
 
     "text_entropy" -> { (spark, dir) =>
@@ -1157,6 +1195,19 @@ object ExtensionQueries {
           (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
       Layout.zorderManifestN(li, Seq("x", "y", "q"), "id",
           blockSize = ZBlock, bits = ZBits)
+        .orderBy("block_id")
+    },
+
+    // Hilbert-curve layout (the Z-order upgrade clustering engines moved
+    // to): same one-shuffle sort + block carve, strictly better locality
+    // — successive curve positions are unit grid steps, so equal-size
+    // blocks get tighter min-max boxes (quantified in LayoutSpec).
+    "hilbert_layout" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      Layout.hilbertManifest(li, "x", "y", "id", blockSize = ZBlock,
+          bits = ZBits)
         .orderBy("block_id")
     },
 
@@ -2340,6 +2391,29 @@ object ExtensionQueries {
       )
       SELECT pair, sum(wn)::BIGINT AS cnt FROM p GROUP BY pair
       HAVING sum(wn) >= $BpeMinCount ORDER BY pair""",
+
+    // Replay of TextAnalysis.pmiCollocations: unigram + adjacent-bigram
+    // counts, totals as one-row CTEs, PMI in the identical operand order
+    // (c_xy·n_tok·n_tok)/(n_pair·c1·c2), ln, 6dp, -0.0 normalized.
+    "word_pmi" -> s"""
+      WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      uni AS (
+        SELECT u.w AS w, count(*)::BIGINT AS c_w
+        FROM (SELECT unnest(w) AS w FROM ws) u GROUP BY 1),
+      bg AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, count(*)::BIGINT AS c_xy
+        FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      tot AS (SELECT sum(c_w)::BIGINT AS n_tok FROM uni),
+      ptot AS (SELECT sum(c_xy)::BIGINT AS n_pair FROM bg)
+      SELECT w1, w2, c_xy,
+        (round(ln((c_xy::DOUBLE * n_tok * n_tok)
+           / (n_pair::DOUBLE * u1.c_w * u2.c_w)), 6) + 0) AS pmi
+      FROM bg
+      JOIN uni u1 ON u1.w = bg.w1
+      JOIN uni u2 ON u2.w = bg.w2, tot, ptot
+      WHERE c_xy >= $PmiMinPair
+      ORDER BY w1, w2""",
 
     // Replay of TextAnalysis.charEntropy's micro-nat contract:
     // micro = Σ c·round(ln(c/n)·1e6) as BIGINT, entropy = -micro/1e6/n
@@ -3703,6 +3777,23 @@ object ExtensionQueries {
       z AS (SELECT x, y, id, ${zorderSqlExpr("x", "y", ZBits)} AS z FROM base),
       rn AS (
         SELECT x, y, row_number() OVER (ORDER BY z, id) - 1 AS rn FROM z)
+      SELECT rn // $ZBlock AS block_id, count(*) AS n_rows,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y
+      FROM rn GROUP BY 1 ORDER BY 1""",
+
+    // Replay of Layout.hilbertManifest: one CTE per curve level (the
+    // hilbert2 kernel's loop unrolled into SQL), then the same
+    // row_number block carve as zorder_layout.
+    "hilbert_layout" -> s"""
+      WITH hbase AS (
+        SELECT l_partkey AS x, l_suppkey AS y,
+          l_orderkey * 10000 + l_linenumber AS id
+        FROM lineitem),
+      ${hilbertCtes(ZBits)},
+      rn AS (
+        SELECT x, y, row_number() OVER (ORDER BY d, id) - 1 AS rn
+        FROM h$ZBits)
       SELECT rn // $ZBlock AS block_id, count(*) AS n_rows,
         min(x) AS min_x, max(x) AS max_x,
         min(y) AS min_y, max(y) AS max_y

@@ -247,6 +247,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == 0.636514) // -(2/3·ln(2/3) + 1/3·ln(1/3))
   }
 
+  test("pmiCollocations: collocated pair scores high, independent pair ~0") {
+    // "new york" always adjacent (collocation); "the" pairs freely
+    val df = Seq(
+      (1L, "new york is big"), (2L, "new york is old"),
+      (3L, "the cat sat"), (4L, "the dog ran"), (5L, "the cat ran")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(df, "text", minPair = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val (cNY, pmiNY) = out(("new", "york"))
+    assert(cNY == 2)
+    // exact expectation: N = 17 tokens, Np = 12 bigrams:
+    // ln(c_xy·N²/(Np·c_x·c_y)) = ln(2·17²/(12·2·2))
+    assert(pmiNY == BigDecimal(math.log(2.0 * 17 * 17 / (12.0 * 2 * 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // "the cat" (2 of 3 "the" bigrams) scores well below the collocation
+    assert(out(("the", "cat"))._2 < pmiNY)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("bpePairCounts: word-frequency-weighted adjacent char pairs") {
     val df = Seq((1L, "ab ab cd"), (2L, "abc x")).toDF("doc_id", "text")
     // vocab: ab×2, cd×1, abc×1 ("x" is sub-2-char: no pairs)
