@@ -186,24 +186,79 @@ object ExprKernels {
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)
     var matches = 0
-    var i = 0
-    while (i < l1) {
-      val c = s1.charAt(i)
-      var j = math.max(0, i - window)
-      val hi = math.min(l2 - 1, i + window)
-      var found = false
-      while (j <= hi && !found) {
-        if (!m2(j) && c == s2.charAt(j)) {
-          m1(i) = true; m2(j) = true; matches += 1; found = true
-        }
+    // Matching phase. The naive form scans the full ±window per s1 char —
+    // O(l1·window), and window ≈ len/2 makes long-text JW quadratic (the
+    // 27 s dedup_jarowinkler block join was >95% inside this loop). For
+    // Latin-1 text we index s2's positions per char (counting sort) and
+    // keep one cursor per char: the window's LOWER bound only ever
+    // advances, so a position is skipped permanently only when expired or
+    // consumed — each s2 position is visited O(1) amortized, total
+    // O(l1+l2). Semantics are IDENTICAL to the naive scan (both take the
+    // smallest unused in-window position of the char; the property spec
+    // pins them equal), which keeps DuckDB's jaro_winkler_similarity as
+    // the oracle replay. Non-Latin-1 input falls back to the naive loop.
+    // Indexing pays for its setup (three 256-int tables + the position
+    // array) only once the naive scan's l1·window work dwarfs it — on
+    // short strings (record-linkage names) the naive loop wins, measured
+    // 10.5 s vs 7 s on linkage_score when indexing unconditionally.
+    var latin1 = l1 + l2 >= 96
+    var sc = 0
+    while (latin1 && sc < l2) { if (s2.charAt(sc) >= 256) latin1 = false; sc += 1 }
+    sc = 0
+    while (latin1 && sc < l1) { if (s1.charAt(sc) >= 256) latin1 = false; sc += 1 }
+    if (latin1) {
+      val cnt = new Array[Int](257)
+      var j = 0
+      while (j < l2) { cnt(s2.charAt(j) + 1) += 1; j += 1 }
+      var c = 0
+      while (c < 256) { cnt(c + 1) += cnt(c); c += 1 }
+      val off = java.util.Arrays.copyOf(cnt, 256) // start offset per char
+      val pos = new Array[Int](l2)
+      j = 0
+      while (j < l2) {
+        val ch = s2.charAt(j)
+        pos(cnt(ch)) = j; cnt(ch) += 1
         j += 1
       }
-      i += 1
+      val end = cnt // now end offset per char
+      val cur = java.util.Arrays.copyOf(off, 256) // per-char cursor
+      var i = 0
+      while (i < l1) {
+        val ch = s1.charAt(i)
+        if (ch < 256) {
+          val lo = i - window
+          val hi = math.min(l2 - 1, i + window)
+          var k = cur(ch)
+          // skip expired positions for good: lo is monotone in i
+          while (k < end(ch) && pos(k) < lo) k += 1
+          cur(ch) = k
+          if (k < end(ch) && pos(k) <= hi) {
+            m1(i) = true; m2(pos(k)) = true; matches += 1
+            cur(ch) = k + 1
+          }
+        }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < l1) {
+        val c = s1.charAt(i)
+        var j = math.max(0, i - window)
+        val hi = math.min(l2 - 1, i + window)
+        var found = false
+        while (j <= hi && !found) {
+          if (!m2(j) && c == s2.charAt(j)) {
+            m1(i) = true; m2(j) = true; matches += 1; found = true
+          }
+          j += 1
+        }
+        i += 1
+      }
     }
     if (matches == 0) return 0.0
     var half = 0
     var k = 0
-    i = 0
+    var i = 0
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1

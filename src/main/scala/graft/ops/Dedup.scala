@@ -181,6 +181,35 @@ object Dedup {
       .where(col("cont_a") >= threshold || col("cont_b") >= threshold)
   }
 
+  /** Text k-NN: each document's top-`k` most-Jaccard-similar neighbors
+    * among its MinHash-LSH candidates — the text-side mirror of
+    * [[Similarity.annTopK]] (same two-phase shape: bucket-join candidate
+    * generation over ids, exact verification by re-join, per-query
+    * window). Output (q_id, n_id, jaccard, rank), ranked by
+    * (jaccard desc, n_id); documents with no LSH candidate emit no rows —
+    * LSH says they have no neighbor above the banding's S-curve, and a
+    * fabricated low-similarity "neighbor" would be noise, not recall.
+    *
+    * Scale: candidates are symmetric id pairs off the banded self-join
+    * (∝ true near-neighbors, never n²); the per-query window sorts each
+    * doc's own candidate list only.
+    */
+  def knnJaccard(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minhashK: Int = 64, b: Int = 16, r: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = minhashPairs(df, idCol, textCol, minhashK, b, r, shingleN,
+      threshold = 0.0)
+    val sym = pairs.select(col("doc_a").as("q_id"), col("doc_b").as("n_id"),
+        col("jaccard"))
+      .union(pairs.select(col("doc_b").as("q_id"), col("doc_a").as("n_id"),
+        col("jaccard")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("jaccard").desc, col("n_id").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Greedy near-dedup: drop every doc that is near-identical to a
     * lower-id doc (appears as doc_b in a verified pair). Deterministic and
     * one anti-join — the iterative connected-components variant is a

@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | knn | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -78,6 +78,9 @@ final case class DedupTransformStage(
       // asymmetric containment over the same MinHash-LSH candidates
       case "containment_pairs" => Dedup.containmentPairs(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.7))
+      // text k-NN over the same candidates (window = k neighbors)
+      case "knn" => Dedup.knnJaccard(in, idCol, textCol, window,
+        minhashK, bands, rows, shingleN)
       case "simhash"       => Dedup.simhashFingerprints(in, idCol, textCol)
       case "simhash_pairs" =>
         Dedup.simhashPairs(in, idCol, textCol, maxHamming, maxBucket)

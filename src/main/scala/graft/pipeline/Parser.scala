@@ -99,7 +99,7 @@ object Parser {
           Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
             "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
             "ngram_pairs", "prefix_pairs", "edit_pairs", "jw_pairs",
-            "passages", "containment_pairs"),
+            "passages", "containment_pairs", "knn"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),

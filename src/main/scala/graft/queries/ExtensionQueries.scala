@@ -523,6 +523,14 @@ object ExtensionQueries {
         .orderBy("w1", "w2")
     },
 
+    "text_knn" -> { (spark, dir) =>
+      // text-side k-NN: top-k Jaccard neighbors per doc over LSH
+      // candidates — the annTopK mirror for the documents table
+      Dedup.knnJaccard(docs(spark, dir), "doc_id", "text",
+          k = TopK, minhashK = MinhashK, b = MinhashB, r = MinhashR)
+        .orderBy("q_id", "rank")
+    },
+
     "text_entropy" -> { (spark, dir) =>
       // per-doc code-point entropy (micro-nat contract) — one codegen'd
       // projection, no per-character explode
@@ -2391,6 +2399,19 @@ object ExtensionQueries {
       )
       SELECT pair, sum(wn)::BIGINT AS cnt FROM p GROUP BY pair
       HAVING sum(wn) >= $BpeMinCount ORDER BY pair""",
+
+    // Replay of Dedup.knnJaccard: the minhash candidate pairs
+    // symmetrized, per-query top-k by (jaccard desc, n_id).
+    "text_knn" -> s"""$minhashCtes, sym AS (
+        SELECT doc_a AS q_id, doc_b AS n_id, jaccard FROM pairs
+        UNION ALL
+        SELECT doc_b AS q_id, doc_a AS n_id, jaccard FROM pairs)
+      SELECT q_id, n_id, jaccard,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY jaccard DESC, n_id) AS BIGINT) AS rank
+      FROM sym
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
 
     // Replay of TextAnalysis.pmiCollocations: unigram + adjacent-bigram
     // counts, totals as one-row CTEs, PMI in the identical operand order

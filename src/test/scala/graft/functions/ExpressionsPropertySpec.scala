@@ -86,6 +86,58 @@ class ExpressionsPropertySpec extends SparkSpec {
       declarative, "hashed_char_ngrams")
   }
 
+  test("jaro_winkler indexed matcher equals an independent naive spec") {
+    // the kernel's counting-sort + cursor matching (O(l1+l2)) must agree
+    // bit-for-bit with the textbook O(l1·window) scan it replaced —
+    // including heavy char repeats, where cursor bookkeeping is hardest
+    def naiveJw(s1: String, s2: String): Double = {
+      val (l1, l2) = (s1.length, s2.length)
+      if (l1 == 0 && l2 == 0) return 1.0
+      if (l1 == 0 || l2 == 0) return 0.0
+      val w = math.max(0, math.max(l1, l2) / 2 - 1)
+      val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+      var m = 0
+      for (i <- 0 until l1) {
+        var j = math.max(0, i - w); var found = false
+        val hi = math.min(l2 - 1, i + w)
+        while (j <= hi && !found) {
+          if (!m2(j) && s1(i) == s2(j)) { m1(i) = true; m2(j) = true; m += 1; found = true }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var (half, k) = (0, 0)
+      for (i <- 0 until l1 if m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) half += 1
+        k += 1
+      }
+      val t = half / 2
+      val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+      if (jaro <= 0.7) return jaro
+      var p = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (p < maxP && s1(p) == s2(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+    // skew to a tiny alphabet so repeats and cursor expiry are exercised;
+    // the long generator crosses the l1+l2 >= 96 indexing gate, the short
+    // one stays on the naive path — both must equal the spec
+    val genRep: Gen[String] = Gen.chooseNum(0, 40)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c', ' '))).map(_.mkString)
+    val genRepLong: Gen[String] = Gen.chooseNum(80, 200)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c', ' '))).map(_.mkString)
+    val pairs = sample(Gen.zip(genRep, genRep), 400) ++
+      sample(Gen.zip(genRepLong, genRepLong), 200) ++
+      sample(Gen.zip(genText, genText), 200)
+    pairs.foreach { case (s1, s2) =>
+      val fast = ExprKernels.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s1),
+        org.apache.spark.unsafe.types.UTF8String.fromString(s2))
+      assert(fast == naiveJw(s1, s2), s"jw mismatch on '$s1' vs '$s2'")
+    }
+  }
+
   test("char_entropy equals the declarative micro-nat histogram formula") {
     val df = sample(genText, 200).toDF("text")
     val chars = split(col("text"), "")

@@ -327,6 +327,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("knnJaccard: symmetric neighbors, ranked by jaccard, capped at k") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),  // nearest to 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven")          // isolated
+    ).toDF("doc_id", "text")
+    val out = Dedup.knnJaccard(df, "doc_id", "text", k = 1)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // symmetry of the candidate graph: both directions materialize
+    assert(out.contains(1L) && out.contains(2L) && out.contains(3L))
+    // 2 is 1's nearest (4/5 shingle overlap beats 3's)
+    assert(out(1L)._1 == 2L)
+    // the isolated doc shares no LSH bucket: no fabricated neighbor
+    assert(!out.contains(4L), "doc 4 must have no neighbors")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("containmentPairs: full subset gives cont_a=1.0, Jaccard would dilute") {
     // doc 1's shingle set is a strict subset of doc 2's (same prefix text);
     // doc 3 is unrelated and must never pair
