@@ -277,6 +277,42 @@ object ExprKernels {
     jaro + p * 0.1 * (1.0 - jaro)
   }
 
+  /** 60-bit average-hash (aHash) perceptual fingerprint of a binary
+    * payload: bytes fold into 60 strided buckets (position mod 60), and
+    * bit j is set when bucket j's AVERAGE is >= the global average —
+    * compared by exact integer cross-multiplication
+    * (sum_j·len >= total·count_j), so any engine replays it bit-for-bit.
+    * 60 bits (not 64) keeps the fingerprint and every 2^j inside a
+    * signed 64-bit lane on replay engines — the SimHash convention, and
+    * what lets [[graft.ops.Dedup.fingerprintPairs]] band it unchanged.
+    * With a real codec the buckets are 8x8 downsampled luma pixels; the
+    * stand-in folds raw payload bytes the same way the fake decoder
+    * derives its features. Empty payload → 0.
+    */
+  def perceptualHash60(payload: Array[Byte]): Long = {
+    val len = payload.length
+    if (len == 0) return 0L
+    val sums = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      val v = (payload(i) & 0xff).toLong
+      sums(i % 60) += v
+      total += v
+      i += 1
+    }
+    val base = len / 60
+    val rem = len % 60
+    var acc = 0L
+    var j = 0
+    while (j < 60) {
+      val cnt = base + (if (j < rem) 1 else 0)
+      if (cnt > 0 && sums(j) * len >= total * cnt) acc += 1L << j
+      j += 1
+    }
+    acc
+  }
+
   /** 2-D Hilbert curve index of (x, y) on a 2^bits × 2^bits grid — the
     * classic xy→d walk (Hilbert 1891; iterative form per Warren, Hacker's
     * Delight §16): per level, take the quadrant, then flip/transpose the

@@ -147,6 +147,23 @@ object Expressions {
     override def prettyName: String = "jaro_winkler_sim"
   }
 
+  /** 60-bit perceptual average-hash of a binary payload
+    * ([[ExprKernels.perceptualHash60]]) — the media-bytes sibling of
+    * [[SimHashBits]]. Native: Spark has no byte-level fold over
+    * BinaryType short of a UDF, and this sits in the hot decode path.
+    */
+  case class PerceptualHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.perceptualHash60(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.perceptualHash60($c)")
+    override protected def withNewChildInternal(c: Expression): PerceptualHash = copy(child = c)
+    override def prettyName: String = "perceptual_hash"
+  }
+
   /** 2-D Hilbert curve index ([[ExprKernels.hilbert2]]). Native because
     * the per-level flip/transpose is stateful: a declarative unrolling
     * needs one projection per level and re-derives the quadrant bits from

@@ -363,4 +363,53 @@ object Sketches {
       .groupBy("key", "exact_count")
       .agg(min(col("__cnt")).as("cms_estimate"))
   }
+
+  /** (row, cell, count) CMS table of `keyCol` — one md5 per key, the
+    * MinHash-constant universal-hash family per row (the [[cmsHeavy]]
+    * build, shared).
+    */
+  private def cmsTable(df: DataFrame, keyCol: Column, depth: Int,
+      width: Int): DataFrame = {
+    val rowsIdx = (0 until depth).map(lit(_))
+    val cellOf = (r: Column, h: Column) =>
+      (((r + 1) * lit(2654435761L) % P) * h + (r + 1) * lit(40503L) % P) % P % width
+    df.select(h32(keyCol.cast("string")).as("__h"))
+      .select(explode(array(rowsIdx: _*)).as("__r"), col("__h"))
+      .select(col("__r"), cellOf(col("__r"), col("__h")).as("__c"))
+      .groupBy("__r", "__c").agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Equi-join output-size estimate from two CMS sketches — the classic
+    * sketch inner product (Alon-Matias-Szegedy F2 machinery in CMS form,
+    * Cormode & Muthukrishnan 2005): true size = Σ_k cA(k)·cB(k), and
+    * min_r Σ_cell cmsA[r][cell]·cmsB[r][cell] overestimates it by at
+    * most ε·N_A·N_B with the usual (ε, δ) guarantees. THE pre-shuffle
+    * planning question at 100 TB — "can this join's output fit?" —
+    * answered from two KB-sized sketches without touching either table's
+    * payload.
+    *
+    * Output: one row (exact_pairs, cms_estimate, depth, width). The
+    * exact column is the calibration baseline (the [[cmsHeavy]]
+    * exact_count convention): it joins the two KEY-COUNT tables
+    * (vocabulary-sized, map-side combined — never the raw rows). The
+    * estimate path alone shuffles only 2·depth·width sketch cells; at
+    * planning time that is the whole cost.
+    */
+  def cmsJoinSize(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2; got $depth x $width")
+    val pa = cmsTable(a, aKey, depth, width)
+    val pb = cmsTable(b, bKey, depth, width)
+    val est = pa.join(pb, Seq("__r", "__c"))
+      .groupBy("__r")
+      .agg(sum(pa("__cnt") * pb("__cnt")).as("__ip"))
+      .agg(min("__ip").as("cms_estimate"))
+    val exact = a.groupBy(aKey.cast("string").as("k"))
+      .agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(bKey.cast("string").as("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_pairs"), col("cms_estimate"),
+        lit(depth).cast("long").as("depth"), lit(width).cast("long").as("width"))
+  }
 }

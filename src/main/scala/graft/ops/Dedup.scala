@@ -400,6 +400,21 @@ object Dedup {
     * replayed verbatim by the DuckDB oracle via `//` and `%`.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame =
+    fingerprintPairs(simhashFingerprints(df, idCol, textCol), maxHamming,
+      maxBucket)
+
+  /** Near-pairs of ANY 60-bit fingerprint table (doc_id, simhash) by
+    * Hamming distance — the banding engine behind [[simhashPairs]],
+    * exposed because every 60-bit locality hash (SimHash over words,
+    * perceptual hashes over media bytes) shares it. Recall is COMPLETE
+    * for hamming <= maxHamming by pigeonhole: maxHamming+1 bands mean
+    * some band is untouched, and the oversized-bucket sub-split keeps
+    * the guarantee (maxHamming+1 sub-bands of the remainder, same
+    * argument) — so output EQUALS the all-pairs filter, which is exactly
+    * what the oracles replay.
+    */
+  def fingerprintPairs(fingerprints: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val W = 60
     val nBands = maxHamming + 1
@@ -407,7 +422,7 @@ object Dedup {
     val bandBits = W / nBands
     val remBits = W - bandBits
     val subW = (remBits + nBands - 1) / nBands
-    val fp = graft.util.Caches.persist(simhashFingerprints(df, idCol, textCol))
+    val fp = graft.util.Caches.persist(fingerprints)
     // Static per-band structs (Scala-level loop => integer shift amounts):
     // bkey = bits [bandBits*j, bandBits*(j+1)) ; rem = the other 45 bits
     // packed down (high part shifted into the hole left by band j).

@@ -696,7 +696,7 @@ final case class SketchTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // hll | kmv | cms | hll_intersect | hll_rolling | kmv_jaccard
+    method: String, // hll | kmv | cms | hll_intersect | hll_rolling | kmv_jaccard | join_size
     keyCol: String,
     groupCols: Seq[String] = Nil,
     m: Int = 512,
@@ -745,6 +745,14 @@ final case class SketchTransformStage(
         detail += "otherView" -> otherView
         graft.functions.Sketches.kmvJaccard(in, col(keyCol), other,
           col(if (otherKeyCol.nonEmpty) otherKeyCol else keyCol), k)
+      // pre-shuffle join-size estimate from two CMS sketches
+      case "join_size" =>
+        require(otherView.nonEmpty, "join_size requires otherView")
+        val other = Views.resolve(otherView)
+        detail += "otherView" -> otherView
+        graft.functions.Sketches.cmsJoinSize(in, col(keyCol), other,
+          col(if (otherKeyCol.nonEmpty) otherKeyCol else keyCol),
+          depth, width)
       case other =>
         throw new IllegalArgumentException(s"unknown sketch method '$other'")
     }

@@ -118,6 +118,28 @@ object Multimodal {
   def featureVectors(decoded: DataFrame): DataFrame =
     decoded.select(col("doc_id").as("vec_id"), col("features").as("embedding"))
 
+  /** 60-bit perceptual average-hash per payload — one narrow codegen'd
+    * pass ([[graft.functions.Expressions.PerceptualHash]]); at 100 TB
+    * this is a pure map over the binary scan, and the hash column is
+    * what ships to the dedup join, never the payload.
+    */
+  def perceptualHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.Expressions.PerceptualHash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("payload"))))
+        .as("simhash"))
+
+  /** Media near-dup pairs by perceptual-hash Hamming distance — aHash +
+    * banded Hamming join, the standard image-dedup recipe, riding
+    * [[Dedup.fingerprintPairs]]'s pigeonhole banding (recall-complete at
+    * `maxHamming`, so the result EQUALS the all-pairs filter). Output
+    * (doc_a, doc_b, hamming).
+    */
+  def phashPairs(df: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame =
+    Dedup.fingerprintPairs(perceptualHashes(df), maxHamming, maxBucket)
+
   /** Distributed decode: one `mapPartitions` pass over (id, payload).
     * Partitioning is preserved; no shuffle, no driver collection.
     */

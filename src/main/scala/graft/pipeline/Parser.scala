@@ -469,7 +469,7 @@ object Parser {
     "SketchTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("hll", "kmv", "cms", "hll_intersect", "hll_rolling",
-          "kmv_jaccard"), "hll")
+          "kmv_jaccard", "join_size"), "hll")
       // a grouped-HLL without groupCols would only surface at runtime
       if ((method == "hll" || method == "hll_intersect")
           && r.stringList("groupCols").isEmpty)

@@ -178,6 +178,9 @@ object ExtensionQueries {
   private val CmsDepth = 4
   private val CmsWidth = 256
   private val CmsTopN = 10
+  // join-size sketch: collision noise ~ Na*Nb/width, so the width is
+  // sized to the tables (4 x 4096 cells is still KB-scale)
+  private val JsWidth = 4096
   private val ZBits = 16
   private val ZBlock = 4096L
   private val ZPruneXLo = 100L
@@ -536,6 +539,16 @@ object ExtensionQueries {
       // projection, no per-character explode
       TextAnalysis.charEntropy(docs(spark, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Media near-dup: perceptual average-hash over payload bytes, banded
+    // Hamming join — recall-complete at maxHamming, so the oracle is the
+    // brute all-pairs filter.
+    "multimodal_phash" -> { (spark, dir) =>
+      val mm = Multimodal.attach(docs(spark, dir), "doc_id", "text",
+        Seq("lang"))
+      Multimodal.phashPairs(mm, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     },
 
     "sketch_quantiles" -> { (spark, dir) =>
@@ -1130,6 +1143,16 @@ object ExtensionQueries {
           spark.read.parquet(s"$dir/lineitem.parquet"),
           col("l_suppkey"), depth = CmsDepth, width = CmsWidth, topN = CmsTopN)
         .orderBy(col("exact_count").desc, col("key"))
+    },
+
+    // Pre-shuffle join-size estimation from two CMS sketches (sketch
+    // inner product) — "can this join's output fit?" answered from
+    // KB-sized sketches; exact_pairs is the calibration column.
+    "sketch_join_size" -> { (spark, dir) =>
+      graft.functions.Sketches.cmsJoinSize(
+        events(spark, dir), col("user_id"),
+        spark.read.parquet(s"$dir/orders.parquet"), col("o_custkey"),
+        depth = CmsDepth, width = JsWidth)
     },
 
     // The incremental-corpus contract IN the gate: sketch three disjoint
@@ -3786,6 +3809,77 @@ object ExtensionQueries {
       FROM probe JOIN cms USING (r, c)
       GROUP BY key, exact_count
       ORDER BY exact_count DESC, key""",
+
+    // Replay of Multimodal.phashPairs: the aHash contract over ASCII
+    // payload bytes (ord == byte for this corpus — asserted by the
+    // attach/encode path), then brute all-pairs Hamming <= 3, which the
+    // pigeonhole banding provably equals.
+    "multimodal_phash" -> """
+      WITH bs AS (
+        SELECT doc_id, length(text) AS n,
+          list_transform(generate_series(1, length(text)),
+            i -> ord(substr(text, i, 1))::BIGINT) AS b
+        FROM documents),
+      tot AS (
+        SELECT doc_id, n, b,
+          list_reduce(list_prepend(0::BIGINT, b), (x, y) -> x + y) AS total
+        FROM bs),
+      ph AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT, generate_series(0, 59)),
+            (acc, j) -> acc + CASE
+              WHEN (n // 60 + CASE WHEN j < n % 60 THEN 1 ELSE 0 END) > 0
+               AND list_reduce(list_prepend(0::BIGINT,
+                     list_transform(generate_series(j + 1, n, 60), i -> b[i])),
+                     (x, y) -> x + y) * n
+                   >= total * (n // 60 + CASE WHEN j < n % 60 THEN 1 ELSE 0 END)
+              THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS ph
+        FROM tot)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= 3
+      ORDER BY doc_a, doc_b""",
+
+    // Replay of Sketches.cmsJoinSize: both CMS tables (same md5 + mod-P
+    // universal hashes as sketch_cms), per-row inner product, min over
+    // rows; exact = Σ cA(k)·cB(k) over the joined key-count tables.
+    "sketch_join_size" -> s"""
+      WITH ca AS (
+        SELECT ('0x'||substr(md5(user_id::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM events),
+      cmsa AS (
+        SELECT r,
+          ((((r+1)*2654435761) % $P) * h + ((r+1)*40503) % $P)
+            % $P % $JsWidth AS c,
+          count(*)::BIGINT AS cnt
+        FROM ca CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(r)
+        GROUP BY 1, 2),
+      cb AS (
+        SELECT ('0x'||substr(md5(o_custkey::VARCHAR),1,8))::BIGINT % $P AS h
+        FROM orders),
+      cmsb AS (
+        SELECT r,
+          ((((r+1)*2654435761) % $P) * h + ((r+1)*40503) % $P)
+            % $P % $JsWidth AS c,
+          count(*)::BIGINT AS cnt
+        FROM cb CROSS JOIN generate_series(0, ${CmsDepth - 1}) t(r)
+        GROUP BY 1, 2),
+      est AS (
+        SELECT min(ip)::BIGINT AS cms_estimate FROM (
+          SELECT a.r, sum(a.cnt * b.cnt) AS ip
+          FROM cmsa a JOIN cmsb b ON a.r = b.r AND a.c = b.c
+          GROUP BY a.r)),
+      exact AS (
+        SELECT coalesce(sum(ca * cb), 0)::BIGINT AS exact_pairs FROM (
+          SELECT user_id::VARCHAR AS k, count(*)::BIGINT AS ca
+          FROM events GROUP BY 1) x
+        JOIN (
+          SELECT o_custkey::VARCHAR AS k, count(*)::BIGINT AS cb
+          FROM orders GROUP BY 1) y USING (k))
+      SELECT exact_pairs, cms_estimate,
+        ${CmsDepth}::BIGINT AS depth, ${JsWidth}::BIGINT AS width
+      FROM exact, est""",
 
     // Replay of Layout.zorderManifest: the identical 2x16-term Morton
     // interleave expression (generated from the same bit positions), a

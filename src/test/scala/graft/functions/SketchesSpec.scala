@@ -207,4 +207,27 @@ class SketchesSpec extends SparkSpec {
       assert(row.getAs[Long]("cms_estimate") >= row.getAs[Long]("exact_count"))
     }
   }
+
+  test("cmsJoinSize: never underestimates, exact at collision-free width") {
+    // a: keys 1..50 twice; b: keys 26..75 three times
+    // true join size = |{26..50}| x 2 x 3 = 150
+    val a = (1 to 50).flatMap(i => Seq(i, i)).toDF("k")
+    val b = (26 to 75).flatMap(i => Seq(i, i, i)).toDF("k")
+    val r = Sketches.cmsJoinSize(a, col("k"), b, col("k"),
+      depth = 4, width = 4096).head()
+    assert(r.getAs[Long]("exact_pairs") == 150L)
+    // CMS inner product >= truth always (collision terms only add)
+    assert(r.getAs[Long]("cms_estimate") >= 150L)
+    // 100 keys into 4096 cells: near-collision-free. The fixed hash family
+    // leaves exactly one surviving 2x3 collision term in the min row here
+    // (156 = 150 + 2·3) — deterministic, and far inside the ε·Na·Nb bound.
+    assert(r.getAs[Long]("cms_estimate") <= 165L,
+      s"estimate should be near-exact, got ${r.getAs[Long]("cms_estimate")}")
+    // disjoint keys: exact 0; the estimate may carry collision noise but
+    // the sketch sizes here make it 0 too
+    val c = (1000 to 1050).map(identity).toDF("k")
+    val r0 = Sketches.cmsJoinSize(a, col("k"), c, col("k"),
+      depth = 4, width = 4096).head()
+    assert(r0.getAs[Long]("exact_pairs") == 0L)
+  }
 }

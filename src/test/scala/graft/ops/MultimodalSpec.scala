@@ -62,4 +62,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
       s"byte-identical payloads must pair at cosine 1.0: ${pairs.toSeq}")
   }
+
+  test("phashPairs: identical payloads at hamming 0, unrelated ones absent") {
+    val df = Seq(
+      (1L, "identical media payload bytes rendered here"),
+      (2L, "identical media payload bytes rendered here"),
+      (3L, "a completely different clip with other bytes and another length entirely")
+    ).toDF("doc_id", "text")
+    val mm = Multimodal.attach(df, "doc_id", "text", Seq("doc_id"))
+    val pairs = Multimodal.phashPairs(mm, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0L)),
+      s"byte-identical payloads must pair at hamming 0: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated payload must not pair: $pairs")
+    // the hash itself: 60-bit, deterministic, empty payload -> 0
+    import graft.functions.ExprKernels
+    val h = ExprKernels.perceptualHash60("abc".getBytes("UTF-8"))
+    assert(h == ExprKernels.perceptualHash60("abc".getBytes("UTF-8")))
+    assert((h >> 60) == 0L)
+    assert(ExprKernels.perceptualHash60(Array.emptyByteArray) == 0L)
+    graft.util.Caches.unpersistAll()
+  }
 }
