@@ -111,18 +111,38 @@ object Sketches {
     * sample shuffles only `rate` of the data; per-group sort cost shrinks
     * by the same factor.
     */
-  def sampledQuantiles(df: DataFrame, idCol: Column, valueCol: Column,
-      groupCols: Seq[String], percentiles: Seq[Double],
-      rate: Double, salt: String = ""): DataFrame = {
+  /** The deterministic row sample behind [[sampledQuantiles]], exposed
+    * separately because it is what makes the quantile sketch MERGEABLE:
+    * membership is a pure function of the row's id (h32 < rate·P), so
+    * sampling COMMUTES with sharding — per-shard samples union to
+    * exactly the whole-corpus sample, no reconciliation, no bias. That
+    * is the same incremental-ingest contract the HLL register tables and
+    * KMV sketches carry (gates `sketch_hll_shards` / `sketch_kmv_shards`
+    * / `sketch_quantile_shards`).
+    */
+  def quantileSample(df: DataFrame, idCol: Column, rate: Double,
+      salt: String = ""): DataFrame = {
     require(rate > 0 && rate <= 1, s"rate must be in (0,1], got $rate")
     val threshold = math.max(0L, math.min(P, (rate * P).toLong))
-    val sampled = df.where(
-      h32(concat(idCol.cast("string"), lit(salt))) < threshold)
+    df.where(h32(concat(idCol.cast("string"), lit(salt))) < threshold)
+  }
+
+  /** Exact grouped percentiles of an (already sampled) table — the
+    * reduce half of [[sampledQuantiles]].
+    */
+  def quantilesOfSample(sampled: DataFrame, valueCol: Column,
+      groupCols: Seq[String], percentiles: Seq[Double]): DataFrame = {
     val aggs = percentiles.map(p =>
       round(percentile(valueCol, lit(p)), 6).as(s"p${(p * 100).toInt}"))
     sampled.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  def sampledQuantiles(df: DataFrame, idCol: Column, valueCol: Column,
+      groupCols: Seq[String], percentiles: Seq[Double],
+      rate: Double, salt: String = ""): DataFrame =
+    quantilesOfSample(quantileSample(df, idCol, rate, salt), valueCol,
+      groupCols, percentiles)
 
   /** Dense Bloom bitmap over `key`'s distinct values: `mBits` bits
     * (rounded up to a multiple of 64) packed into `m/64` longs, `k` probe

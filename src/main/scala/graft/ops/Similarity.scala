@@ -316,6 +316,29 @@ object Similarity {
     corpus.sparkSession.read.parquet(s"$outDir/centroids")
   }
 
+  /** Incremental append to an [[ivfWrite]] index: new vectors are
+    * assigned to the EXISTING centroids (broadcast, tiny) and their cell
+    * files land beside the old ones — mode Append on a partitioned
+    * store, so only the touched cells' directories gain files and
+    * nothing is rewritten. This is the vector-store ingest path: a
+    * daily embedding batch joins a 100 TB index for the cost of the
+    * batch, and [[ivfQueryIndex]] serves the union immediately (the
+    * append spec asserts bit-equality with an index built whole under
+    * the same centroids). Centroids deliberately do NOT retrain here —
+    * retraining would reshuffle every existing cell assignment
+    * (a rebuild, not an append); drift is the rebuild trigger, measured
+    * e.g. by [[graft.ops.Profile.drift]] over cell populations.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      newVecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$outDir/centroids")
+    val nv = withNorm(newVecs)
+    assignCells(nv, "vec_id", cents)
+      .join(nv.select(col("vec_id"), col("embedding")), "vec_id")
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$outDir/cells")
+  }
+
   /** Top-k over an [[ivfWrite]] index. The query side assigns to its
     * `probes` nearest centroids (broadcast, tiny), and the candidate
     * join against the cell-partitioned store is keyed on the PARTITION

@@ -117,6 +117,7 @@ object ExtensionQueries {
   private val TopK = 5
   private val NQueryVecs = 10
   private val IvfProbes = 2
+  private val AppendOffset = 1000000L
   private val ContainThreshold = 0.7
   private val BpeMinCount = 2L
   private val PmiMinPair = 5L
@@ -551,6 +552,27 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Vector-store ingest path: build the index, append a later batch
+    // under the FROZEN centroids (no retrain — that would be a rebuild),
+    // serve the union. The oracle replays training on the original
+    // corpus and assignment/scoring over the union.
+    "similarity_ivf_append" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      val tmp = scratchDir("graft_ivfappend")
+      // append semantics make reuse stateful: start from a clean dir
+      // every invocation (bench reps would otherwise stack batches)
+      rmrf(tmp)
+      Similarity.ivfWrite(e, tmp.toString, CentroidEvery, KmeansIters,
+        options = Map("confirm.truncate" -> "true"))
+      Similarity.ivfAppend(spark, tmp.toString,
+        e.select((col("vec_id") + AppendOffset).as("vec_id"),
+          col("embedding")))
+      Similarity.ivfQueryIndex(spark, tmp.toString,
+          e.where(col("vec_id") < NQueryVecs), TopK, probes = IvfProbes)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
     "sketch_quantiles" -> { (spark, dir) =>
       // 20% deterministic hash sample of lineitem, exact per-flag
       // percentiles of the sample — the reproducible approx-quantile.
@@ -559,6 +581,23 @@ object ExtensionQueries {
           col("l_orderkey") * 10000 + col("l_linenumber"),
           col("l_extendedprice"),
           Seq("l_returnflag"), Seq(0.5, 0.95), rate = 0.2)
+        .orderBy("l_returnflag")
+    },
+
+    // The mergeable-quantile contract IN the gate: the deterministic
+    // hash-sample is a pure row function, so per-shard samples union to
+    // EXACTLY the whole-corpus sample — three shards, merged, hashed
+    // against the same whole-corpus oracle as sketch_quantiles.
+    "sketch_quantile_shards" -> { (spark, dir) =>
+      import graft.functions.Sketches
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val key = col("l_orderkey") * 10000 + col("l_linenumber")
+      val merged = (0 until 3).map(s =>
+          Sketches.quantileSample(li.where(col("l_orderkey") % 3 === s),
+            key, rate = 0.2))
+        .reduce(_ union _)
+      Sketches.quantilesOfSample(merged, col("l_extendedprice"),
+          Seq("l_returnflag"), Seq(0.5, 0.95))
         .orderBy("l_returnflag")
     },
 
@@ -1834,13 +1873,14 @@ object ExtensionQueries {
   /** One Lloyd assignment CTE: every vector to its max-cosine centroid
     * (c_id tie-break) — replay of Similarity.ivfTopK's assignTo.
     */
-  private def kmAssign(cents: String, out: String): String = s"""
+  private def kmAssign(cents: String, out: String,
+      src: String = "embeddings"): String = s"""
     $out AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.c_id AS cell,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY ${kmCos("e", "c")} DESC, c.c_id) AS rn
-        FROM embeddings e CROSS JOIN $cents c)
+        FROM $src e CROSS JOIN $cents c)
       WHERE rn = 1)"""
 
   /** One Lloyd update CTE: centroid = per-dimension mean of its members,
@@ -1910,8 +1950,16 @@ object ExtensionQueries {
     * index path trains the identical centroids and probes the identical
     * cells, and the parquet roundtrip must not change one bit.
     */
-  private val ivfProbesOracle: String = s"""
-      WITH cents0 AS (
+  private val ivfProbesOracle: String = ivfIndexOracle("embeddings", "")
+
+  /** [[ivfProbesOracle]] parameterized over the POST-TRAINING corpus:
+    * centroids always train on `embeddings` (what ivfWrite saw), while
+    * cell assignment and neighbor scoring run over `src` — the replay of
+    * ivfAppend, where a later batch joins the store under the frozen
+    * centroids. `pre` injects the extra WITH entries `src` needs.
+    */
+  private def ivfIndexOracle(src: String, pre: String): String = s"""
+      WITH ${pre}cents0 AS (
         SELECT vec_id AS c_id,
           list_transform(embedding, x -> x::DOUBLE) AS c_emb
         FROM embeddings WHERE vec_id % $CentroidEvery = 0
@@ -1919,7 +1967,7 @@ object ExtensionQueries {
       , ${kmUpdateFixed("assign0", "cents1")}
       , ${kmAssign("cents1", "assign1")}
       , ${kmUpdateFixed("assign1", "cents2")}
-      , ${kmAssign("cents2", "cells")}
+      , ${kmAssign("cents2", "cells", src)}
       , ${kmAssignProbes("cents2", "qcells", IvfProbes)}
       , cand AS (
         SELECT q.vec_id AS q_id, e.vec_id AS n_id
@@ -1928,7 +1976,7 @@ object ExtensionQueries {
         SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
         FROM cand
         JOIN embeddings a ON a.vec_id = cand.q_id
-        JOIN embeddings b ON b.vec_id = cand.n_id)
+        JOIN $src b ON b.vec_id = cand.n_id)
       SELECT q_id, n_id, cosine,
         CAST(row_number() OVER (
           PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
@@ -2568,9 +2616,29 @@ object ExtensionQueries {
     // oracle is the in-memory multi-probe replay verbatim.
     "similarity_ivf_index" -> ivfProbesOracle,
 
+    // Replay of ivfWrite + ivfAppend + ivfQueryIndex: training on the
+    // ORIGINAL corpus (frozen centroids), cells and scoring over the
+    // union with the appended batch (duplicate payloads, offset ids).
+    "similarity_ivf_append" -> ivfIndexOracle("corpus_all", s"""corpus_all AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + $AppendOffset AS vec_id, embedding FROM embeddings
+      ), """),
+
     // Replay of Sketches.sampledQuantiles: identical hash-sampled subset,
     // exact interpolated percentiles of the sample.
     "sketch_quantiles" -> s"""
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+      FROM lineitem
+      WHERE ('0x'||substr(md5((l_orderkey*10000 + l_linenumber)::VARCHAR),1,8))::BIGINT
+        % $P < ${sampleThreshold(0.2)}
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Same whole-corpus oracle as sketch_quantiles — the shard-merge
+    // contract says the union of per-shard samples IS the whole sample.
+    "sketch_quantile_shards" -> s"""
       SELECT l_returnflag,
         round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         round(quantile_cont(l_extendedprice, 0.95), 6) AS p95

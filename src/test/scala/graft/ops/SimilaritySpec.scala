@@ -302,6 +302,34 @@ class SimilaritySpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("ivfAppend: a later batch joins the store under frozen centroids") {
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp_t").toString
+    try {
+      Similarity.ivfWrite(embs, dir, centroidEvery = 100, kmeansIters = 1,
+        options = Map("confirm.truncate" -> "true"))
+      val before = spark.read.parquet(s"$dir/cells").count()
+      // the batch: twins of the first 50 vectors under new ids
+      Similarity.ivfAppend(spark, dir,
+        embs.where(col("vec_id") < 50)
+          .select((col("vec_id") + 5000).as("vec_id"), col("embedding")))
+      assert(spark.read.parquet(s"$dir/cells").count() == before + 50)
+      // an identical vector lands in its twin's cell under the same
+      // frozen centroids, so each query's top-1 is its twin at cosine 1.0
+      val res = Similarity.ivfQueryIndex(spark, dir,
+          embs.where(col("vec_id") < 10), k = 1)
+        .as[(Long, Long, Double, Long)].collect()
+      assert(res.length == 10)
+      res.foreach { case (q, n, cos, rank) =>
+        assert(rank == 1L && n == q + 5000 && cos == 1.0,
+          s"query $q: expected twin ${q + 5000} at 1.0, got $n at $cos")
+      }
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("hardNegatives: same-label neighbors excluded, ranked by cosine") {
     val labeled = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
