@@ -845,7 +845,7 @@ final case class ZorderTransformStage(
     outputView: String,
     cols: Seq[String],
     idCol: String,
-    method: String = "manifest", // manifest | write | hilbert_manifest
+    method: String = "manifest", // manifest | write | hilbert_manifest | hilbert_write
     outputDir: Option[String] = None,
     blockSize: Long = 4096L,
     bits: Int = 16,
@@ -873,6 +873,14 @@ final case class ZorderTransformStage(
         detail += "outputDir" -> dir
         Layout.zorderWriteN(in, cols, idCol, dir, blockSize, bits,
           options)
+      // Hilbert skipping index (2-D): same store shape, tighter blocks
+      case "hilbert_write" =>
+        require(cols.size == 2, s"hilbert_write is 2-D, got ${cols.size} cols")
+        val dir = outputDir.getOrElse(
+          throw new IllegalArgumentException("hilbert_write requires outputDir"))
+        detail += "outputDir" -> dir
+        Layout.hilbertWrite(in, cols(0), cols(1), idCol, dir, blockSize,
+          bits, options)
       case other =>
         throw new IllegalArgumentException(s"unknown zorder method '$other'")
     }

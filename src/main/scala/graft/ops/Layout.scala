@@ -190,12 +190,30 @@ object Layout {
     */
   def zorderWriteN(df: DataFrame, cols: Seq[String], idCol: String,
       outDir: String, blockSize: Long, bits: Int = 16,
-      options: Map[String, String] = Map.empty): DataFrame = {
+      options: Map[String, String] = Map.empty): DataFrame =
+    writeCurve(df, cols, idCol, outDir, blockSize, options,
+      cs => zValueN(cs.map(col), bits), "zorderWrite")
+
+  /** [[zorderWriteN]] with the Hilbert curve as the sort key — the data
+    * and the min-max manifest land in the same skipping-index shape, so
+    * [[prunedReadN]] serves either layout unchanged (block_id + min-max
+    * are curve-agnostic); Hilbert's tighter boxes just skip more.
+    */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String, idCol: String,
+      outDir: String, blockSize: Long, bits: Int = 16,
+      options: Map[String, String] = Map.empty): DataFrame =
+    writeCurve(asXY(df, xCol, yCol, idCol), Seq("x", "y"), "id", outDir,
+      blockSize, options,
+      cs => hilbertValue(col(cs(0)), col(cs(1)), bits), "hilbertWrite")
+
+  private def writeCurve(df: DataFrame, cols: Seq[String], idCol: String,
+      outDir: String, blockSize: Long, options: Map[String, String],
+      curveOf: Seq[String] => Column, what: String): DataFrame = {
     if (!options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
       throw new IllegalArgumentException(
-        "zorderWrite overwrites the layout under " + outDir +
+        what + " overwrites the layout under " + outDir +
           ": pass confirm.truncate=true (destructive-write latch)")
-    val assigned = blockAssignedN(df, cols, idCol, blockSize, bits)
+    val assigned = blockAssignedCurve(df, cols, idCol, blockSize, curveOf)
     assigned.write.partitionBy("block_id").mode("overwrite")
       .parquet(s"$outDir/data")
     val manifest = manifestOf(assigned, cols)

@@ -531,7 +531,7 @@ object Parser {
         bucketSeconds = r.long("bucketSeconds").getOrElse(3600L))
     },
     "ZorderTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("manifest", "write", "hilbert_manifest"), "manifest")
+      val method = r.oneOf("method", Seq("manifest", "write", "hilbert_manifest", "hilbert_write"), "manifest")
       val outDir = r.string("outputDir")
       if (method == "write" && outDir.isEmpty)
         r.error("outputDir", "missing; write requires a target directory")

@@ -1303,6 +1303,22 @@ object ExtensionQueries {
         .orderBy("id", "x", "y")
     },
 
+    // The Hilbert skipping index end-to-end: write + manifest-pruned
+    // range read — prunedRead is curve-agnostic, and min-max skipping is
+    // conservative, so the result must equal filtering the raw table.
+    "hilbert_prune" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      val tmp = scratchDir("graft_hprune")
+      Layout.hilbertWrite(li, "x", "y", "id", tmp.toString,
+        blockSize = ZBlock, bits = ZBits,
+        options = Map("confirm.truncate" -> "true"))
+      Layout.prunedRead(spark, tmp.toString,
+          ZPruneXLo, ZPruneXHi, ZPruneYLo, ZPruneYHi)
+        .orderBy("id", "x", "y")
+    },
+
     // CDC merge over a deterministic synthetic change feed: 1-in-5 of the
     // base keys update (price doubles), the %100==40 slice deletes, and
     // the %100==60 slice re-inserts under shifted keys — the oracle
@@ -4004,6 +4020,15 @@ object ExtensionQueries {
     // SEMANTIC oracle: min-max block skipping is conservative, so the
     // manifest-pruned range query equals a direct filter of the raw rows.
     "zorder_prune" -> s"""
+      SELECT l_partkey AS x, l_suppkey AS y,
+        l_orderkey * 10000 + l_linenumber AS id
+      FROM lineitem
+      WHERE l_partkey BETWEEN $ZPruneXLo AND $ZPruneXHi
+        AND l_suppkey BETWEEN $ZPruneYLo AND $ZPruneYHi
+      ORDER BY id, x, y""",
+
+    // Same raw-filter oracle as zorder_prune: pruning must be invisible.
+    "hilbert_prune" -> s"""
       SELECT l_partkey AS x, l_suppkey AS y,
         l_orderkey * 10000 + l_linenumber AS id
       FROM lineitem

@@ -210,6 +210,42 @@ class LayoutSpec extends SparkSpec {
     assert(folded(0) == folded(1))
   }
 
+  test("hilbertWrite + prunedRead: identical to raw filter, skips >= Morton") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+        (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+    val hDir = java.nio.file.Files.createTempDirectory("graft_hw_t").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zw_t").toString
+    try {
+      intercept[IllegalArgumentException] {
+        Layout.hilbertWrite(li, "x", "y", "id", hDir, blockSize = 512)
+      }
+      Layout.hilbertWrite(li, "x", "y", "id", hDir, blockSize = 512,
+        options = Map("confirm.truncate" -> "true"))
+      Layout.zorderWrite(li, "x", "y", "id", zDir, blockSize = 512,
+        options = Map("confirm.truncate" -> "true"))
+      val (xLo, xHi, yLo, yHi) = (50L, 150L, 2L, 6L)
+      val expected = li.where(col("x").between(xLo, xHi)
+        && col("y").between(yLo, yHi)).orderBy("id", "x", "y").collect()
+      val pruned = Layout.prunedRead(spark, hDir, xLo, xHi, yLo, yHi)
+        .select("x", "y", "id").orderBy("id", "x", "y").collect()
+      assert(pruned.toSeq == expected.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      // pruning power: blocks whose min-max box intersects the query box —
+      // Hilbert's tighter boxes must survive no more often than Morton's
+      def surviving(dir: String): Long =
+        spark.read.parquet(s"$dir/manifest")
+          .where(col("min_x") <= xHi && col("max_x") >= xLo &&
+            col("min_y") <= yHi && col("max_y") >= yLo).count()
+      assert(surviving(hDir) <= surviving(zDir),
+        s"hilbert survives ${surviving(hDir)} blocks vs zorder ${surviving(zDir)}")
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zDir))
+    }
+  }
+
   test("hilbertManifest: same carve as zorder, measurably tighter blocks") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
