@@ -188,6 +188,41 @@ object Behavior {
     * `prev_type` (bounded by the type vocabulary). The (ts, id) order is
     * total, so lag() is layout-deterministic.
     */
+  /** Market-basket pair mining: support and lift of item pairs
+    * co-occurring in a basket — the association-rule primitive (Agrawal
+    * & Srikant 1994's frequent-pair stage; lift replaces confidence as
+    * the symmetric interestingness score, the basket-world cousin of
+    * [[TextAnalysis.pmiCollocations]]'s PMI). Output
+    * (item_a, item_b, n_pairs, lift) for pairs in >= `minSupport`
+    * baskets, item_a < item_b; lift = n_ab·N/(n_a·n_b) over DISTINCT
+    * basket memberships, rounded 6dp.
+    *
+    * Scale shape: distinct (basket, item) first (map-side combined), the
+    * pair self-join keys on the BASKET id — quadratic only within one
+    * basket's item set (bounded by basket size, the co-occurrence-edges
+    * plan class); item supports are a vocabulary-sized aggregate and the
+    * basket total rides a one-row broadcast.
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 10): DataFrame = {
+    val bi = graft.util.Caches.persist(
+      df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
+    val pairs = bi.as("x").join(bi.as("y"), "b")
+      .where(col("x.i") < col("y.i"))
+      .select(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_pairs"))
+      .where(col("n_pairs") >= minSupport)
+    val supports = bi.groupBy("i").agg(count(lit(1)).as("n_i"))
+    val nBaskets = bi.agg(countDistinct("b").as("n_baskets"))
+    pairs
+      .join(supports.select(col("i").as("item_a"), col("n_i").as("n_a")), "item_a")
+      .join(supports.select(col("i").as("item_b"), col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pairs"),
+        (round(col("n_pairs").cast("double") * col("n_baskets")
+          / (col("n_a").cast("double") * col("n_b")), 6) + lit(0d)).as("lift"))
+  }
+
   def transitions(df: DataFrame, tsCol: String, userCol: String,
       typeCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))

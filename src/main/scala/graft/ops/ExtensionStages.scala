@@ -897,7 +897,7 @@ final case class BehaviorTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // funnel | cohort | transitions | attribution
+    method: String, // funnel | cohort | transitions | attribution | basket
     tsCol: String = "ts",
     userCol: String = "user_id",
     typeCol: String = "event_type",
@@ -907,7 +907,11 @@ final case class BehaviorTransformStage(
     maxGapSeconds: Option[Long] = None,
     touchType: String = "click",
     convType: String = "purchase",
-    windowSeconds: Long = 3600L)
+    windowSeconds: Long = 3600L,
+    // basket only: basket/item columns + minimum pair support
+    basketCol: String = "basket",
+    itemCol: String = "item",
+    minSupport: Long = 10L)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -926,6 +930,9 @@ final case class BehaviorTransformStage(
       case "attribution" =>
         Behavior.linearAttribution(in, tsCol, userCol, typeCol, idCol,
           valueCol, touchType, convType, windowSeconds)
+      // association mining: pair support + lift within baskets
+      case "basket" =>
+        Behavior.basketPairs(in, basketCol, itemCol, minSupport)
       case other =>
         throw new IllegalArgumentException(s"unknown behavior method '$other'")
     }

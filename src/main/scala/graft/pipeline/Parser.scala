@@ -290,7 +290,7 @@ object Parser {
     },
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("funnel", "cohort", "transitions", "attribution"), "funnel")
+        Seq("funnel", "cohort", "transitions", "attribution", "basket"), "funnel")
       val steps = r.stringList("steps")
       if (method == "funnel" && steps.size < 2)
         r.error("steps", "funnel requires >= 2 steps")
@@ -308,7 +308,10 @@ object Parser {
         maxGapSeconds = r.long("maxGapSeconds"),
         touchType = r.string("touchType").getOrElse("click"),
         convType = r.string("convType").getOrElse("purchase"),
-        windowSeconds = r.long("windowSeconds").getOrElse(3600L))
+        windowSeconds = r.long("windowSeconds").getOrElse(3600L),
+        basketCol = r.string("basketCol").getOrElse("basket"),
+        itemCol = r.string("itemCol").getOrElse("item"),
+        minSupport = r.long("minSupport").getOrElse(10L))
     },
     "DataQualityTransform" -> { (r, _) =>
       val method = r.oneOf("method",

@@ -121,6 +121,7 @@ object ExtensionQueries {
   private val ContainThreshold = 0.7
   private val BpeMinCount = 2L
   private val PmiMinPair = 5L
+  private val BasketMinSupport = 10L
   private val PerStratumK = 20
   private val ChunkSize = 32
   private val ChunkOverlap = 8
@@ -571,6 +572,15 @@ object ExtensionQueries {
           e.where(col("vec_id") < NQueryVecs), TopK, probes = IvfProbes)
         .select("q_id", "n_id", "cosine", "rank")
         .orderBy("q_id", "rank")
+    },
+
+    // Association mining: support + lift of supplier pairs co-occurring
+    // within an order — the frequent-pair stage of Apriori, lift as the
+    // symmetric interestingness score.
+    "basket_pairs" -> { (spark, dir) =>
+      Behavior.basketPairs(spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_orderkey", "l_suppkey", BasketMinSupport)
+        .orderBy("item_a", "item_b")
     },
 
     "sketch_quantiles" -> { (spark, dir) =>
@@ -3924,6 +3934,25 @@ object ExtensionQueries {
       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.ph, b.ph)) <= 3
       ORDER BY doc_a, doc_b""",
+
+    // Replay of Behavior.basketPairs over distinct (order, supplier)
+    // memberships; lift in the identical operand order.
+    "basket_pairs" -> s"""
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
+      pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b, count(*)::BIGINT AS n_pairs
+        FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport),
+      sup AS (SELECT i, count(*)::BIGINT AS n_i FROM bi GROUP BY 1),
+      tot AS (SELECT count(DISTINCT b)::BIGINT AS n_baskets FROM bi)
+      SELECT item_a, item_b, n_pairs,
+        (round(n_pairs::DOUBLE * n_baskets
+          / (a.n_i::DOUBLE * c.n_i), 6) + 0) AS lift
+      FROM pairs
+      JOIN sup a ON a.i = pairs.item_a
+      JOIN sup c ON c.i = pairs.item_b, tot
+      ORDER BY item_a, item_b""",
 
     // Replay of Sketches.cmsJoinSize: both CMS tables (same md5 + mod-P
     // universal hashes as sketch_cms), per-row inner product, min over

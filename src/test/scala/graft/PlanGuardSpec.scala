@@ -21,7 +21,13 @@ class PlanGuardSpec extends SparkSpec {
     "embed_quantize", "retrieval_rrf",
     // round 8b
     "sketch_hll", "sketch_cms", "merge_upsert", "scd2_history",
-    "embed_project", "outliers_mad", "cube_agg")
+    "embed_project", "outliers_mad", "cube_agg",
+    // round 9 (the deliberate one-row broadcast crossJoins in word_pmi /
+    // sketch_join_size plan as BroadcastNestedLoopJoin, not
+    // CartesianProduct — the distinction this guard exists to keep)
+    "hard_negatives", "ann_recall", "dedup_containment", "text_knn",
+    "word_pmi", "text_entropy", "bpe_pair_counts", "sketch_join_size",
+    "multimodal_phash", "hilbert_layout", "sketch_quantile_shards")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>
@@ -86,6 +92,24 @@ class PlanGuardSpec extends SparkSpec {
     // exact top-N must be a per-partition top-k, never a global sort
     assert(plan.contains("BroadcastExchange"), s"sketch not broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not TakeOrdered:\n$plan")
+  }
+
+  test("hard negatives broadcast the anchor side; the corpus never shuffles") {
+    val plan = SparkEntry.queries("hard_negatives")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the anchor set is small by contract: it must ride a broadcast
+    // nested loop over one corpus scan — an Exchange of the corpus would
+    // mean the label filter lost its pre-scoring position
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"anchors not broadcast:\n$plan")
+  }
+
+  test("pmi totals ride one-row broadcasts, never a corpus shuffle") {
+    val plan = SparkEntry.queries("word_pmi")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"totals not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pmi went cartesian:\n$plan")
   }
 
   test("hll/cube aggregations partial-aggregate map-side") {

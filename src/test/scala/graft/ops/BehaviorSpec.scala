@@ -202,4 +202,31 @@ class BehaviorSpec extends SparkSpec {
       "event_id").orderBy("prev_type", "next_type").collect().toSeq
     assert(a == b)
   }
+
+  test("basketPairs: distinct membership, exact support, lift above/below 1") {
+    // baskets: {a,b} x3, {a,c}, {b,c}, {c,d} — a/b co-occur far above
+    // independence, b/c exactly at chance-ish, duplicates inside one
+    // basket count once
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"), // duplicate membership: counts once
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"),
+      (4L, "a"), (4L, "c"),
+      (5L, "b"), (5L, "c"),
+      (6L, "c"), (6L, "d")
+    ).toDF("basket", "item")
+    val out = Behavior.basketPairs(df, "basket", "item", minSupport = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // n_ab = 3 of 6 baskets; n_a = 4, n_b = 4 -> lift = 3*6/16 = 1.125
+    assert(out(("a", "b")) == (3L, 1.125))
+    // n_cd = 1; n_c = 3, n_d = 1 -> lift = 1*6/3 = 2.0
+    assert(out(("c", "d")) == (1L, 2.0))
+    assert(!out.contains(("b", "a")), "pairs are canonical item_a < item_b")
+    // support floor prunes
+    val floored = Behavior.basketPairs(df, "basket", "item", minSupport = 2)
+      .as[(String, String, Long, Double)].collect()
+    assert(floored.map(r => (r._1, r._2)).toSet == Set(("a", "b")))
+    graft.util.Caches.unpersistAll()
+  }
 }
