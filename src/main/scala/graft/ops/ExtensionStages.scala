@@ -545,7 +545,7 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
@@ -581,6 +581,11 @@ final case class GraphTransformStage(
         Graph.triangleCounts(und)
       case "cooccur_edges" =>
         Graph.coOccurrenceEdges(in, groupCol, nodeCol, maxGroup)
+      // generic weakly-connected components (min-label fixpoint)
+      case "cc" =>
+        Dedup.connectedComponents(in.select(col(srcCol).as("doc_a"),
+            col(dstCol).as("doc_b")))
+          .select(col("doc_id").as("node"), col("component"))
       // iters doubles as the peel-rounds budget
       case "kcore" =>
         val und = in

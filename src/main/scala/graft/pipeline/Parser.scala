@@ -275,7 +275,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
-            "link_pred", "ppr"),
+            "link_pred", "ppr", "cc"),
           "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),

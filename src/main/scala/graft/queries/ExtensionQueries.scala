@@ -122,6 +122,7 @@ object ExtensionQueries {
   private val BpeMinCount = 2L
   private val PmiMinPair = 5L
   private val BasketMinSupport = 10L
+  private val CcQtyMin = 49
   private val PerStratumK = 20
   private val ChunkSize = 32
   private val ChunkOverlap = 8
@@ -1162,6 +1163,21 @@ object ExtensionQueries {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
       val ord = spark.read.parquet(s"$dir/orders.parquet")
       Graph.pagerank(Graph.supplierCustomerEdges(li, ord), iters = 3)
+        .orderBy("node")
+    },
+
+    // Generic weakly-connected components over a sparse slice of the
+    // supplier-customer graph (high-quantity purchases only, so real
+    // multi-component structure survives) — the min-label fixpoint the
+    // dedup clustering uses, exercised on arbitrary string-node edges.
+    "graph_cc" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_quantity") >= CcQtyMin)
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      Dedup.connectedComponents(
+          Graph.supplierCustomerEdges(li, ord)
+            .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        .select(col("doc_id").as("node"), col("component"))
         .orderBy("node")
     },
 
@@ -3934,6 +3950,24 @@ object ExtensionQueries {
       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.ph, b.ph)) <= 3
       ORDER BY doc_a, doc_b""",
+
+    // Replay of the generic CC: same edges, recursive transitive closure,
+    // component = least(node, min reachable) — the dedup_minhash_cc
+    // pattern over string-node supplier-customer edges.
+    "graph_cc" -> s"""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= $CcQtyMin
+      ), bidir AS (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e
+      ), reach AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+      )
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src ORDER BY node""",
 
     // Replay of Behavior.basketPairs over distinct (order, supplier)
     // memberships; lift in the identical operand order.
