@@ -38,7 +38,13 @@ object ScaleProbe {
     for (m <- mults) {
       val d = amplify(docs, "doc_id", m)
       val e = amplify(embs, "vec_id", m)
-      def t(name: String)(body: => Long): Unit = {
+      // SPARK_GRAFT_SCALE_ONLY=a,b,c restricts to named probes (local
+      // iteration aid, same contract as Bench's BENCH_ONLY)
+      val only: String => Boolean =
+        sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+          .map(_.split(",").map(_.trim).toSet)
+          .map(s => s.contains(_: String)).getOrElse(_ => true)
+      def t(name: String)(body: => Long): Unit = if (only(name)) {
         val t0 = System.nanoTime()
         val rows = body
         println(f"[scale] x$m $name rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -166,6 +172,45 @@ object ScaleProbe {
       // round 9b: range sort + offsets, the deterministic_shuffle class
       t("top_fraction") {
         graft.ops.Sampling.topFraction(d, "n_chars", "doc_id", 0.25).count()
+      }
+      // round 9c: the Hilbert sort must track the Morton curve (same
+      // one-range-sort class, only the key expression differs)
+      t("hilbert_manifest") {
+        graft.ops.Layout.hilbertManifest(
+          d.withColumn("x", col("doc_id") % 4096)
+            .withColumn("y", col("n_chars") % 4096),
+          "x", "y", "doc_id", blockSize = 4096, bits = 12).count()
+      }
+      // round 9c: m-way exact twins put every doc in an m-sized cluster —
+      // candidate growth must track duplicate pairs (C(m,2)·docs), never
+      // block², and the per-query window stays candidate-bounded
+      t("text_knn") {
+        Dedup.knnJaccard(d, "doc_id", "text", k = 5).count()
+      }
+      // round 9c: same duplicate-tracking argument through the Hamming
+      // bands — output IS the m-way twin pairs at hamming 0
+      t("phash_pairs") {
+        graft.ops.Multimodal.phashPairs(
+          graft.ops.Multimodal.attach(d, "doc_id", "text", Seq("lang"))).count()
+      }
+      // round 9c: narrow codegen'd histogram per row — the flat-cost
+      // reference curve for native text kernels
+      t("char_entropy") {
+        graft.ops.TextAnalysis.charEntropy(d, "doc_id", "text").count()
+      }
+      // round 9c: vocabulary-bounded aggregates — copies multiply counts,
+      // not the vocab, so both must stay ~flat after the corpus scan
+      t("bpe_pairs") {
+        graft.ops.TextAnalysis.bpePairCounts(d, "text").count()
+      }
+      t("pmi") {
+        graft.ops.TextAnalysis.pmiCollocations(d, "text").count()
+      }
+      // round 9c: sketch cells are a constant of (depth, width) — the
+      // estimate path must be scan-bound flat
+      t("cms_join_size") {
+        graft.functions.Sketches.cmsJoinSize(d, col("source"),
+          docs, col("source")).count()
       }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
