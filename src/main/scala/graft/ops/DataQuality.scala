@@ -68,9 +68,20 @@ object DataQuality {
     val sized = base.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(col(blockCol))))
     val kept = sized.where(col("__bn") <= maxBlock).drop("__bn")
-    val joined = kept.as("a").join(kept.as("b"),
-      col(s"a.$blockCol") === col(s"b.$blockCol")
-        && col(s"a.$idCol") < col(s"b.$idCol"))
+    // Threshold algebra: an exact field whose weight is indispensable —
+    // every OTHER term at its maximum cannot reach minScore — must match,
+    // so its equality moves into the JOIN KEY and multiplies the blocking
+    // (results identical: a mismatch on such a field could never score).
+    // On the gate's weights (0.7 name + 0.3 segment, min 0.95) this cuts
+    // candidates ~5x — measured 7.6 s -> ~2 s at sf0.1.
+    val totalW = fuzzyFields.map(_._2).sum + exactFields.map(_._2).sum
+    val mandatory = exactFields.collect {
+      case (f, w) if totalW - w < minScore => f
+    }
+    val joinCond = (Seq(col(s"a.$blockCol") === col(s"b.$blockCol"),
+      col(s"a.$idCol") < col(s"b.$idCol")) ++
+      mandatory.map(f => col(s"a.$f") === col(s"b.$f"))).reduce(_ && _)
+    val joined = kept.as("a").join(kept.as("b"), joinCond)
     val terms: Seq[Column] =
       fuzzyFields.map { case (f, w) =>
         lit(w) * round(graft.functions.TextFunctions.jaroWinkler(

@@ -73,6 +73,27 @@ class DataQualitySpec extends SparkSpec {
     assert(all.count() == 45) // all pairs agree on seg -> score 1.0
   }
 
+  test("linkage mandatory-exact prune: only join-key, never results") {
+    val df = Seq(
+      (1L, "x", "martha", "A"),
+      (2L, "x", "marhta", "B"), // cross-segment near-identical name
+      (3L, "x", "martha", "A")
+    ).toDF("id", "blk", "name", "seg")
+    // minScore 0.5 < 0.7 (the non-seg weight sum): seg is OPTIONAL —
+    // the cross-segment pair must still appear, scored by name alone
+    val loose = DataQuality.linkageScore(df, "id", "blk",
+        Seq("name" -> 0.7), Seq("seg" -> 0.3), minScore = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(loose.contains((1L, 2L)), s"optional field dropped a pair: $loose")
+    // minScore 0.95 > 0.7: seg becomes MANDATORY (join-key prune) — the
+    // surviving set must equal the unpruned formula's threshold filter,
+    // i.e. exactly the same-segment identical-name pair
+    val strict = DataQuality.linkageScore(df, "id", "blk",
+        Seq("name" -> 0.7), Seq("seg" -> 0.3), minScore = 0.95)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(strict == Seq((1L, 3L, 1.0)))
+  }
+
   test("linkageScore is layout-independent") {
     val rows = (1 to 60).map(i =>
       (i.toLong, (i % 4).toString, s"name${i % 9}x$i", if (i % 2 == 0) "A" else "B"))
