@@ -347,6 +347,58 @@ object ExprKernels {
     d
   }
 
+  /** N-dimensional Hilbert index via Skilling's transpose algorithm
+    * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004): the
+    * inverse-undo pass (per level, invert-or-exchange each axis against
+    * axis 0), Gray encoding across axes, the trailing-axis correction,
+    * then MSB-first interleave of the transposed bits. Pure integer
+    * xors/shifts — replayed in the DuckDB oracle as one CTE per
+    * sequential step (the in-place mutations make step order part of the
+    * contract). Inputs masked to `bits` (the [[hilbert2]]/zValueN
+    * silent-degrade domain contract); n·bits <= 62 keeps the index in a
+    * signed 64-bit lane.
+    *
+    * NOTE: this is a different (equally valid) Hilbert orientation than
+    * the 2-D walk in [[hilbert2]] — both have the defining unit-step
+    * property (asserted exhaustively in LayoutSpec), they just traverse
+    * mirrored variants; the 2-D gate stays on hilbert2.
+    */
+  def hilbertN(coords: ArrayData, bits: Int): Long = {
+    val n = coords.numElements()
+    val mask = (1L << bits) - 1
+    val X = new Array[Long](n)
+    var i = 0
+    while (i < n) { X(i) = coords.getLong(i) & mask; i += 1 }
+    val M = 1L << (bits - 1)
+    var Q = M
+    while (Q > 1) { // inverse undo
+      val P = Q - 1
+      i = 0
+      while (i < n) {
+        if ((X(i) & Q) != 0) X(0) ^= P // invert
+        else { val t = (X(0) ^ X(i)) & P; X(0) ^= t; X(i) ^= t } // exchange
+        i += 1
+      }
+      Q >>= 1
+    }
+    i = 1
+    while (i < n) { X(i) ^= X(i - 1); i += 1 } // Gray encode
+    var t = 0L
+    Q = M
+    while (Q > 1) { if ((X(n - 1) & Q) != 0) t ^= Q - 1; Q >>= 1 }
+    i = 0
+    while (i < n) { X(i) ^= t; i += 1 }
+    // interleave transposed bits, MSB-first across axes
+    var d = 0L
+    var q = bits - 1
+    while (q >= 0) {
+      i = 0
+      while (i < n) { d = (d << 1) | ((X(i) >> q) & 1L); i += 1 }
+      q -= 1
+    }
+    d
+  }
+
   /** Shannon entropy (nats) of the code-point distribution of a string,
     * in engine-exact micro-nat arithmetic: with n code points and per-
     * code-point counts c, entropy = round(-Σ c·round6dp-free, see below.

@@ -147,6 +147,25 @@ object Expressions {
     override def prettyName: String = "jaro_winkler_sim"
   }
 
+  /** N-dimensional Hilbert index of an array<long> of coordinates
+    * ([[ExprKernels.hilbertN]], Skilling's transpose). Native for the
+    * same reason as [[HilbertIndex]]: the per-level axis mutations are
+    * stateful and sequential.
+    */
+  case class HilbertIndexN(child: Expression, bits: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.hilbertN(input.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.hilbertN($c, $bits)")
+    override protected def withNewChildInternal(c: Expression): HilbertIndexN = copy(child = c)
+    override def prettyName: String = "hilbert_index_n"
+  }
+
   /** 60-bit perceptual average-hash of a binary payload
     * ([[ExprKernels.perceptualHash60]]) — the media-bytes sibling of
     * [[SimHashBits]]. Native: Spark has no byte-level fold over

@@ -867,11 +867,12 @@ final case class ZorderTransformStage(
     val out = method match {
       case "manifest" =>
         Layout.zorderManifestN(in, cols, idCol, blockSize, bits)
-      // Hilbert curve variant (2-D): tighter blocks, same manifest shape
+      // Hilbert curve variant: the 2-D walk for k=2, Skilling's N-D
+      // transpose beyond — tighter blocks, same manifest shape
       case "hilbert_manifest" =>
-        require(cols.size == 2,
-          s"hilbert_manifest is 2-D, got ${cols.size} cols")
-        Layout.hilbertManifest(in, cols(0), cols(1), idCol, blockSize, bits)
+        if (cols.size == 2)
+          Layout.hilbertManifest(in, cols(0), cols(1), idCol, blockSize, bits)
+        else Layout.hilbertManifestN(in, cols, idCol, blockSize, bits)
       case "write" =>
         val dir = outputDir.getOrElse(
           throw new IllegalArgumentException("write requires outputDir"))

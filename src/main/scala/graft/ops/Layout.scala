@@ -83,6 +83,31 @@ object Layout {
         blockSize, cs => hilbertValue(col(cs(0)), col(cs(1)), bits)),
       Seq("x", "y"))
 
+  /** N-dimensional Hilbert curve position (Skilling's transpose,
+    * [[graft.functions.Expressions.HilbertIndexN]]) — the k>=3 layout
+    * key multi-dimension clustering needs; a different (equally valid)
+    * orientation than the 2-D [[hilbertValue]] walk.
+    */
+  def hilbertValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"need >= 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"need bits >= 1 and k*bits <= 62, got k=$k bits=$bits")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Expressions.HilbertIndexN(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          array(cols.map(_.cast("long")): _*)),
+        bits))
+  }
+
+  /** [[zorderManifestN]] with the N-D Hilbert curve as the sort key. */
+  def hilbertManifestN(df: DataFrame, cols: Seq[String], idCol: String,
+      blockSize: Long, bits: Int = 16): DataFrame =
+    manifestOf(
+      blockAssignedCurve(df, cols, idCol, blockSize,
+        cs => hilbertValueN(cs.map(col), bits)),
+      cols)
+
   /** Z-order `df` by `cols` and return the block manifest: one row per
     * `blockSize`-row block with n_rows and min/max of every dimension
     * (columns `min_<c>` / `max_<c>` in `cols` order). `idCol` breaks

@@ -123,6 +123,7 @@ object ExtensionQueries {
   private val PmiMinPair = 5L
   private val BasketMinSupport = 10L
   private val CcQtyMin = 49
+  private val HilbertNBits = 6
   private val PerStratumK = 20
   private val ChunkSize = 32
   private val ChunkOverlap = 8
@@ -252,6 +253,71 @@ object ExtensionQueries {
 
   private def zorderSqlExpr(x: String, y: String, bits: Int): String =
     zorderSqlExprN(Seq(x, y), bits)
+
+  /** Chained-CTE replay of ExprKernels.hilbertN (Skilling's transpose)
+    * for k state coords x0..x{k-1}: the inverse-undo pass needs one CTE
+    * per (level, axis) because axis 0 mutates sequentially WITHIN a
+    * level; Gray/correction fold into two more CTEs (their dependencies
+    * expand in-line). Expects a CTE `hn0` carrying (carry..., x0..x{k-1});
+    * yields `hnfin` with the final transposed axes, and
+    * [[hilbertNInterleave]] turns them into the curve position.
+    */
+  private def hilbertNCtes(bits: Int, k: Int, carry: String): String = {
+    val axes = (0 until k).map(i => s"x$i")
+    def others(i: Int) = axes.filterNot(_ == s"x$i")
+    var prev = "hn0"
+    var ix = 0
+    val sb = new StringBuilder
+    for (lvl <- 0 until (bits - 1); i <- 0 until k) {
+      val q = 1L << (bits - 1 - lvl)
+      val p = q - 1
+      val cur = s"hn${ix + 1}"
+      val body =
+        if (i == 0)
+          // exchange of axis 0 with itself is a no-op: only the invert arm
+          (s"CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0" +:
+            others(0).map(a => s"$a AS $a")).mkString(", ")
+        else {
+          val xi = s"x$i"
+          (Seq(
+            s"CASE WHEN ($xi & $q) != 0 THEN xor(x0, $p) " +
+              s"ELSE xor(x0, (xor(x0, $xi) & $p)) END AS x0",
+            s"CASE WHEN ($xi & $q) != 0 THEN $xi " +
+              s"ELSE xor($xi, (xor(x0, $xi) & $p)) END AS $xi") ++
+            axes.filterNot(a => a == "x0" || a == xi).map(a => s"$a AS $a"))
+            .mkString(", ")
+        }
+      sb.append(s", $cur AS (SELECT $carry, $body FROM $prev)\n")
+      prev = cur
+      ix += 1
+    }
+    // Gray encode: X[i] ^= X[i-1] sequentially — expand the chain in-line
+    // (new X[i] = x_i xor x_{i-1} xor ... xor x_0)
+    val gray = axes.zipWithIndex.map { case (_, i) =>
+      val chain = (0 to i).map(j => s"x$j")
+        .reduceLeft((a, b) => s"xor($a, $b)")
+      s"$chain AS x$i"
+    }.mkString(", ")
+    sb.append(s", hngray AS (SELECT $carry, $gray FROM $prev)\n")
+    // t = xor of (Q-1) over levels where the LAST axis has bit Q set
+    val tExpr = (0 until (bits - 1)).map { lvl =>
+      val q = 1L << (bits - 1 - lvl)
+      s"(CASE WHEN (x${k - 1} & $q) != 0 THEN ${q - 1} ELSE 0 END)"
+    }.reduceLeft((a, b) => s"xor($a, $b)")
+    sb.append(s", hnt AS (SELECT $carry, ${axes.map(a => s"$a AS $a")
+      .mkString(", ")}, $tExpr AS t FROM hngray)\n")
+    sb.append(s", hnfin AS (SELECT $carry, ${axes.map(a =>
+      s"xor($a, t) AS $a").mkString(", ")} FROM hnt)\n")
+    sb.toString
+  }
+
+  /** MSB-first interleave of the transposed axes — the curve position. */
+  private def hilbertNInterleave(bits: Int, k: Int): String =
+    (for {
+      q <- (bits - 1) to 0 by -1
+      i <- 0 until k
+    } yield s"(((x$i >> $q) & 1) << ${q * k + (k - 1 - i)})")
+      .mkString("(", " + ", ")")
 
   /** One CTE per Hilbert level — the literal replay of
     * ExprKernels.hilbert2: rx/ry read the CURRENT frame, d accumulates
@@ -1327,6 +1393,20 @@ object ExtensionQueries {
       Layout.prunedRead(spark, tmp.toString,
           ZPruneXLo, ZPruneXHi, ZPruneYLo, ZPruneYHi)
         .orderBy("id", "x", "y")
+    },
+
+    // N-dimensional Hilbert layout (Skilling's transpose — the k>=3
+    // clustering key): pre-masked 6-bit domains so the manifest min-max
+    // ranges are over the laid-out values themselves.
+    "hilbert_layout3" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").bitwiseAND(63).as("x"),
+          col("l_suppkey").bitwiseAND(63).as("y"),
+          col("l_quantity").cast("long").bitwiseAND(63).as("q"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      Layout.hilbertManifestN(li, Seq("x", "y", "q"), "id",
+          blockSize = ZBlock, bits = HilbertNBits)
+        .orderBy("block_id")
     },
 
     // The Hilbert skipping index end-to-end: write + manifest-pruned
@@ -4059,6 +4139,26 @@ object ExtensionQueries {
       SELECT rn // $ZBlock AS block_id, count(*) AS n_rows,
         min(x) AS min_x, max(x) AS max_x,
         min(y) AS min_y, max(y) AS max_y
+      FROM rn GROUP BY 1 ORDER BY 1""",
+
+    // Replay of Layout.hilbertManifestN k=3: Skilling's transpose as one
+    // CTE per sequential step, then the usual row_number block carve.
+    "hilbert_layout3" -> s"""
+      WITH hbase AS (
+        SELECT (l_partkey & 63) AS x, (l_suppkey & 63) AS y,
+          (CAST(l_quantity AS BIGINT) & 63) AS q,
+          l_orderkey * 10000 + l_linenumber AS id
+        FROM lineitem),
+      hn0 AS (SELECT x, y, q, id, x AS x0, y AS x1, q AS x2 FROM hbase)
+      ${hilbertNCtes(HilbertNBits, 3, "x, y, q, id")},
+      rn AS (
+        SELECT x, y, q, row_number() OVER (
+          ORDER BY ${hilbertNInterleave(HilbertNBits, 3)}, id) - 1 AS rn
+        FROM hnfin)
+      SELECT rn // $ZBlock AS block_id, count(*) AS n_rows,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y,
+        min(q) AS min_q, max(q) AS max_q
       FROM rn GROUP BY 1 ORDER BY 1""",
 
     // Replay of Layout.zorderManifestN with k=3: the identical

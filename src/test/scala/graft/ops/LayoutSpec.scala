@@ -246,6 +246,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertValueN: 3-D bijection and unit-step walk (Skilling)") {
+    val bits = 2 // exhaustive 4x4x4 grid
+    val n = 1 << bits
+    val cells = (for { x <- 0 until n; y <- 0 until n; z <- 0 until n }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val d = cells.select(col("x"), col("y"), col("z"),
+        Layout.hilbertValueN(Seq(col("x"), col("y"), col("z")), bits).as("d"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(d.map(_._4).sorted.toSeq == (0L until (n * n * n).toLong))
+    // the defining Hilbert property holds in ANY dimension: consecutive
+    // curve positions are Manhattan-adjacent cells
+    val byD = d.sortBy(_._4)
+    byD.sliding(2).foreach { case Array((x1, y1, z1, _), (x2, y2, z2, d2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"step to d=$d2 jumps from ($x1,$y1,$z1) to ($x2,$y2,$z2)")
+    }
+    // 2-D Skilling is also a valid Hilbert walk (unit steps), though a
+    // different orientation than hilbertValue's xy2d variant
+    val cells2 = (for { x <- 0 until 8; y <- 0 until 8 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val d2 = cells2.select(col("x"), col("y"),
+        Layout.hilbertValueN(Seq(col("x"), col("y")), 3).as("d"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(d2.map(_._3).toSeq == (0L until 64L))
+    d2.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
   test("hilbertManifest: same carve as zorder, measurably tighter blocks") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
