@@ -18,6 +18,10 @@ import graft.functions.Expressions
   *  - `simhash_bits(array<long> wordHashes, nBits)` -> long fingerprint
   *  - `dot_product(array<float>, array<float>)` -> double
   *  - `jaro_winkler_sim(string, string)` -> double in [0,1]
+  *  - `char_entropy(string)` -> double (nats, 6dp micro-nat contract)
+  *  - `hilbert_index(long x, long y, bits)` -> long curve position
+  *  - `hilbert_index_n(array<long> coords, bits)` -> long (Skilling N-D)
+  *  - `perceptual_hash(binary)` -> long 60-bit aHash fingerprint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -45,6 +49,10 @@ object GraftFunctions {
     case "sign_bits"        => classOf[Expressions.SignBits].getName
     case "simhash_bits"     => classOf[Expressions.SimHashBits].getName
     case "jaro_winkler_sim" => classOf[Expressions.JaroWinklerSim].getName
+    case "char_entropy"     => classOf[Expressions.CharEntropy].getName
+    case "hilbert_index"    => classOf[Expressions.HilbertIndex].getName
+    case "hilbert_index_n"  => classOf[Expressions.HilbertIndexN].getName
+    case "perceptual_hash"  => classOf[Expressions.PerceptualHash].getName
     case _                  => classOf[Expressions.DotProduct].getName
   }
 
@@ -53,7 +61,13 @@ object GraftFunctions {
     "sign_bits" -> (es => Expressions.SignBits(es.head, litInt(es(1), "nBits"))),
     "simhash_bits" -> (es => Expressions.SimHashBits(es.head, litInt(es(1), "nBits"))),
     "dot_product" -> (es => Expressions.DotProduct(es.head, es(1))),
-    "jaro_winkler_sim" -> (es => Expressions.JaroWinklerSim(es.head, es(1))))
+    "jaro_winkler_sim" -> (es => Expressions.JaroWinklerSim(es.head, es(1))),
+    "char_entropy" -> (es => Expressions.CharEntropy(es.head)),
+    "hilbert_index" -> (es =>
+      Expressions.HilbertIndex(es.head, es(1), litInt(es(2), "bits"))),
+    "hilbert_index_n" -> (es =>
+      Expressions.HilbertIndexN(es.head, litInt(es(1), "bits"))),
+    "perceptual_hash" -> (es => Expressions.PerceptualHash(es.head)))
 
   /** Register on a live session as temp functions. */
   def register(spark: SparkSession): Unit =

@@ -47,7 +47,25 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("minhash_sig", "sign_bits", "simhash_bits", "dot_product",
-        "jaro_winkler_sim"))
+        "jaro_winkler_sim", "char_entropy", "hilbert_index",
+        "hilbert_index_n", "perceptual_hash"))
+  }
+
+  test("char_entropy, hilbert and perceptual_hash from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT char_entropy('ab') AS e,
+             hilbert_index(0L, 1L, 3) AS h2,
+             hilbert_index_n(array(0L, 1L, 0L), 2) AS h3,
+             perceptual_hash(encode('abc', 'UTF-8')) AS ph
+      """).head()
+    assert(r.getDouble(0) == 0.693147) // round(ln 2, 6dp)
+    // (0,1) is one unit step from the 2-D curve origin (0,0) -> d = 1
+    assert(r.getLong(1) == 1L)
+    // any valid Hilbert index on the 4x4x4 grid is in [0, 64)
+    assert(r.getLong(2) >= 0L && r.getLong(2) < 64L)
+    assert(r.getLong(3) == graft.functions.ExprKernels
+      .perceptualHash60("abc".getBytes("UTF-8")))
   }
 
   test("non-literal k is rejected with a clear message") {
