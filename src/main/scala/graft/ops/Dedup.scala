@@ -584,19 +584,30 @@ object Dedup {
       .withColumn("__rn", row_number().over(byRarity).cast("long"))
       .where(col("__rn") <=
         col("sz") - ceil(col("sz").cast("double") * threshold) + 1)
-      .select("doc_id", "tok", "sz"))
-    // AllPairs LENGTH filter inside the candidate join: J(A,B) <=
-    // min(|A|,|B|)/max(|A|,|B|), so any pair with t·max > min cannot
-    // reach the threshold — pruned BEFORE the distinct and the
-    // shingle-set verify join ever see it. Pure pruning (the bound is
-    // exact), so the verified output is unchanged. t·sz is exact for
-    // binary-representable t.
+      .select(col("doc_id"), col("tok"), col("sz"), col("__rn").as("pos")))
+    // Two exact prunes inside the candidate join, both BEFORE the
+    // distinct and the verify join ever see a pair:
+    //  - AllPairs LENGTH filter: J(A,B) <= min/max, so t·max > min can
+    //    never reach the threshold.
+    //  - PPJoin POSITION filter (Xiao et al., WWW 2008): tokens matching
+    //    at rarity-order positions (i, j) bound the overlap by
+    //    1 + min(sz_a - i, sz_b - j); J >= t needs overlap >=
+    //    t·(sz_a+sz_b)/(1+t). A truly-similar pair always passes on its
+    //    FIRST common prefix token (all common tokens sit at or after
+    //    it), so recall is exact; rows for late, hopeless matches drop.
+    //    The 1e-9 slack keeps the double bound from over-pruning at
+    //    exact-integer boundaries — pruning weaker-or-equal than ceil,
+    //    never stronger.
+    val ppj = threshold / (1.0 + threshold)
     val cand = graft.util.Caches.persist(
       prefix.as("x").join(prefix.as("y"),
           col("x.tok") === col("y.tok")
             && col("x.doc_id") < col("y.doc_id")
             && least(col("x.sz"), col("y.sz")).cast("double")
-              >= greatest(col("x.sz"), col("y.sz")).cast("double") * threshold)
+              >= greatest(col("x.sz"), col("y.sz")).cast("double") * threshold
+            && (lit(1L) + least(col("x.sz") - col("x.pos"),
+                col("y.sz") - col("y.pos"))).cast("double")
+              >= (col("x.sz") + col("y.sz")).cast("double") * ppj - 1e-9)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct())
     cand
