@@ -806,7 +806,7 @@ final case class GapfillTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "gapfill", // gapfill | cusum | utilization
+    method: String = "gapfill", // gapfill | cusum | utilization | seasonal
     tsCol: String = "ts",
     keyCol: String,
     idCol: String = "event_id",
@@ -826,6 +826,8 @@ final case class GapfillTransformStage(
     detail += "outputView" -> outputView
     val out = method match {
       case "gapfill" => TimeSeries.gapfillHourly(in, tsCol, keyCol)
+      // hour-of-day baseline deviation flags over the dense grid
+      case "seasonal" => TimeSeries.seasonalDeviation(in, tsCol, keyCol)
       case "cusum" => TimeSeries.cusum(in, tsCol, keyCol, idCol,
         valueCol, target, slack, threshold)
       case "utilization" => TimeSeries.intervalUtilization(in, keyCol,

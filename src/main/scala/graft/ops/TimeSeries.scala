@@ -42,6 +42,43 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Seasonality-aware deviation flags over the dense hourly grid: each
+    * (key, hour) bucket is compared to ITS OWN hour-of-day's mean — the
+    * time-of-day profile a global threshold (or [[graft.ops.Profile]]'s
+    * MAD composition in `events_anomaly`) is blind to: 3 a.m. traffic is
+    * not anomalous for being below the daily mean, only for deviating
+    * from other 3 a.m.'s. Output one row per (key, hour_start):
+    * (key, hour_start, hod, n_events, hod_mean, ratio, anomalous), with
+    * hod_mean = exact long sum / bucket count (one IEEE division),
+    * ratio = n/hod_mean rounded 6dp, anomalous when ratio is outside
+    * [lo, hi] (a zero mean flags any nonzero count).
+    *
+    * Runs over [[gapfillHourly]]'s grid so absent hours COUNT as zeros in
+    * their hour-of-day baseline — on sparse data the observed-only mean
+    * would be biased high and the quietest (most anomaly-prone) hours
+    * would vanish from their own baseline. Shape at scale: the gapfill
+    * plan plus one (key, hod)-keyed map-side-combined aggregate joined
+    * back on (key, hod) — grid-sized, never event-sized.
+    */
+  def seasonalDeviation(df: DataFrame, tsCol: String, keyCol: String,
+      lo: Double = 0.25, hi: Double = 4.0): DataFrame = {
+    require(lo >= 0 && hi > lo, s"need 0 <= lo < hi, got [$lo, $hi]")
+    val dense = gapfillHourly(df, tsCol, keyCol)
+    val withHod = dense.withColumn("hod", hour(col("hour_start")).cast("long"))
+    val baseline = withHod.groupBy(col(keyCol), col("hod"))
+      .agg(sum("n_events").as("__s"), count(lit(1)).as("__n"))
+      .select(col(keyCol), col("hod"),
+        (col("__s").cast("double") / col("__n")).as("hod_mean"))
+    withHod.join(baseline, Seq(keyCol, "hod"))
+      .select(col(keyCol), col("hour_start"), col("hod"), col("n_events"),
+        col("hod_mean"),
+        (round(when(col("hod_mean") > 0,
+          col("n_events").cast("double") / col("hod_mean"))
+          .otherwise(when(col("n_events") > 0, lit(hi + 1)).otherwise(lit(1.0))), 6)
+          + lit(0d)).as("ratio"))
+      .withColumn("anomalous", col("ratio") < lo || col("ratio") > hi)
+  }
+
   /** Per-key rolling window aggregate: for every event, the count and
     * (exact decimal) sum of the key's events in the trailing
     * `[t - windowSeconds, t]` RANGE — the moving-average / rate feature

@@ -521,7 +521,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("gapfill", "cusum", "utilization"), "gapfill"),
+          Seq("gapfill", "cusum", "utilization", "seasonal"), "gapfill"),
         tsCol = r.string("tsCol").getOrElse("ts"),
         keyCol = r.requiredString("keyCol"),
         idCol = r.string("idCol").getOrElse("event_id"),

@@ -124,6 +124,8 @@ object ExtensionQueries {
   private val BasketMinSupport = 10L
   private val CcQtyMin = 49
   private val HilbertNBits = 6
+  private val SeasonalLo = 0.25
+  private val SeasonalHi = 4.0
   private val PerStratumK = 20
   private val ChunkSize = 32
   private val ChunkOverlap = 8
@@ -1478,6 +1480,15 @@ object ExtensionQueries {
 
     "events_gapfill" -> { (spark, dir) =>
       TimeSeries.gapfillHourly(events(spark, dir), "ts", "event_type")
+        .orderBy("event_type", "hour_start")
+    },
+
+    // Seasonality-aware anomaly flags: each (key, hour) against ITS OWN
+    // hour-of-day mean over the dense grid — what a global MAD is blind
+    // to (quiet hours are only anomalous vs other quiet hours).
+    "events_seasonal" -> { (spark, dir) =>
+      TimeSeries.seasonalDeviation(events(spark, dir), "ts", "event_type",
+          lo = SeasonalLo, hi = SeasonalHi)
         .orderBy("event_type", "hour_start")
     },
 
@@ -4355,6 +4366,44 @@ object ExtensionQueries {
       SELECT g.event_type, g.hour_start,
         coalesce(c.n_events, 0) AS n_events
       FROM g LEFT JOIN c USING (event_type, hour_start)
+      ORDER BY event_type, hour_start""",
+
+    // Replay of TimeSeries.seasonalDeviation: the gapfill grid, the
+    // per-(key, hour-of-day) mean as one exact division, ratio at 6dp.
+    "events_seasonal" -> s"""
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type, g.hour_start,
+          coalesce(c.n_events, 0)::BIGINT AS n_events,
+          CAST(extract(hour FROM g.hour_start) AS BIGINT) AS hod
+        FROM g LEFT JOIN c USING (event_type, hour_start)),
+      base AS (
+        SELECT event_type, hod,
+          sum(n_events)::DOUBLE / count(*) AS hod_mean
+        FROM dense GROUP BY 1, 2)
+      SELECT d.event_type, d.hour_start, d.hod, d.n_events, base.hod_mean,
+        (round(CASE WHEN base.hod_mean > 0
+            THEN d.n_events::DOUBLE / base.hod_mean
+            ELSE CASE WHEN d.n_events > 0 THEN ${SeasonalHi + 1} ELSE 1.0 END
+          END, 6) + 0) AS ratio,
+        (round(CASE WHEN base.hod_mean > 0
+            THEN d.n_events::DOUBLE / base.hod_mean
+            ELSE CASE WHEN d.n_events > 0 THEN ${SeasonalHi + 1} ELSE 1.0 END
+          END, 6) + 0) < $SeasonalLo
+        OR (round(CASE WHEN base.hod_mean > 0
+            THEN d.n_events::DOUBLE / base.hod_mean
+            ELSE CASE WHEN d.n_events > 0 THEN ${SeasonalHi + 1} ELSE 1.0 END
+          END, 6) + 0) > $SeasonalHi AS anomalous
+      FROM dense d JOIN base USING (event_type, hod)
       ORDER BY event_type, hour_start""",
 
     // Replay of the gapfill |> outliersMad chain: dense counts first,

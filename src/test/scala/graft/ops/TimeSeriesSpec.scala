@@ -126,4 +126,32 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 2 * bus, bus),
       (2L, 3 * bus, 1L)))
   }
+
+  test("seasonalDeviation: each hour scored vs its OWN hour-of-day mean") {
+    // two days; hour 0 has 4-then-1 events (spike then drop around a 2.5
+    // mean), hour 1 steady at 2 — and hour 1's "2" must NOT be anomalous
+    // even though hour 0's mean differs
+    def t(day: Int, hourOfDay: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0${day + 1}%d 0$hourOfDay%d:0$i%d:00")
+    val rows =
+      (0 until 4).map(i => (t(0, 0, i), "a")) ++ Seq((t(1, 0, 0), "a")) ++
+        (0 until 2).map(i => (t(0, 1, i), "a")) ++
+        (0 until 2).map(i => (t(1, 1, i), "a"))
+    val df = rows.toDF("ts", "event_type")
+    val out = TimeSeries.seasonalDeviation(df, "ts", "event_type",
+        lo = 0.5, hi = 1.5)
+      .orderBy("hour_start")
+      .as[(String, java.sql.Timestamp, Long, Long, Double, Double, Boolean)]
+      .collect()
+    // dense grid: day-1 hour 0 .. day-2 hour 1 = 26 hourly buckets
+    assert(out.length == 26)
+    val byHod = out.groupBy(_._3)
+    // hour 0: counts (4, 1), mean 2.5 -> ratios 1.6 (spike) and 0.4 (drop)
+    assert(byHod(0L).map(r => (r._4, r._6, r._7)).toSet ==
+      Set((4L, 1.6, true), (1L, 0.4, true)))
+    // hour 1: steady 2s, mean 2 -> ratio 1.0, never anomalous
+    assert(byHod(1L).forall(r => r._6 == 1.0 && !r._7))
+    // the 22 empty in-range hours have zero mean -> ratio 1.0, quiet
+    assert(byHod.keySet.size == 24 || out.count(_._4 == 0L) == 22)
+  }
 }
