@@ -63,6 +63,59 @@ object Cdc {
       .select(keyCol, dataCols: _*)
   }
 
+  /** Derive the change feed BETWEEN two snapshots of a keyed table — the
+    * inverse of [[upsert]]: applying the derived feed to `old` reproduces
+    * `next` exactly. This is the Delta "change data feed" / Iceberg
+    * incremental-scan primitive for stores that only keep snapshots: the
+    * diff, not the snapshots, is what downstream incremental consumers
+    * (index refresh, cache invalidation, training-set deltas) want to
+    * ship. Output one row per CHANGED key: (key, data..., op) with op
+    * 'I' (key only in `next`), 'U' (in both, any data column differs,
+    * null-safely), 'D' (key only in `old`); I/U rows carry `next`'s
+    * data, D rows carry `old`'s last-known data. Unchanged keys emit
+    * nothing — the feed is minimal by construction.
+    *
+    * Both inputs must be snapshots (unique on `keyCol`); duplicate keys
+    * raise at execution time rather than producing a fabricated diff.
+    *
+    * Plan: ONE full-outer sort-merge join on the key (both sides
+    * key-partitioned, AQE skew-safe), then a narrow per-row classify —
+    * no window, no second shuffle. At 100 TB the shuffle is the
+    * unavoidable cost of an exact diff; everything after it is local.
+    */
+  def derive(old: DataFrame, next: DataFrame, keyCol: String): DataFrame = {
+    val dataCols = old.columns.filter(_ != keyCol).toSeq
+    require(next.columns.toSet == old.columns.toSet,
+      s"snapshots must share a schema: old has ${old.columns.mkString(",")}, " +
+        s"next has ${next.columns.mkString(",")}")
+    def uniq(df: DataFrame, side: String) = {
+      val k = col(keyCol)
+      val dup = count(lit(1)).over(Window.partitionBy(keyCol))
+      df.withColumn("__dup", dup)
+        .withColumn(keyCol,
+          when(col("__dup") === 1, k).otherwise(raise_error(concat(
+            lit(s"Cdc.derive: $side snapshot has duplicate key "),
+            k.cast("string"))).cast(df.schema(keyCol).dataType)))
+        .drop("__dup")
+    }
+    val o = uniq(old, "old").select(col(keyCol).as("__ko") +:
+      dataCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = uniq(next, "next").select(col(keyCol).as("__kn") +:
+      dataCols.map(c => col(c).as(s"__n_$c")): _*)
+    val changed = dataCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, col("__ko") === col("__kn"), "full_outer")
+      .withColumn("op",
+        when(col("__ko").isNull, lit("I"))
+          .when(col("__kn").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .where(col("op").isNotNull)
+      .select(coalesce(col("__kn"), col("__ko")).as(keyCol) +:
+        dataCols.map(c =>
+          when(col("op") === "D", col(s"__o_$c"))
+            .otherwise(col(s"__n_$c")).as(c)) :+ col("op"): _*)
+  }
+
   /** SCD type-2 validity intervals from an append-only change log.
     *
     * Input: one row per observation (`keyCol`, `tsCol`, `stateCol`).

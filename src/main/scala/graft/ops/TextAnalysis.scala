@@ -536,4 +536,40 @@ object TextAnalysis {
       .groupBy("pair").agg(sum("wn").as("cnt"))
       .where(col("cnt") >= minCount)
   }
+
+  /** Blocklist screening over whitespace words — the safety/PII-adjacent
+    * corpus filter every production pipeline runs before training: which
+    * documents mention a listed term, how often, and which terms. Output
+    * one row per HIT document: (doc_id, n_hits = total occurrences,
+    * n_terms = distinct listed terms present, terms = the matched terms
+    * sorted and comma-joined — a stable string any engine reproduces).
+    * Clean documents emit nothing; anti-join against the output (or flip
+    * with a left join) to keep them.
+    *
+    * Matching is exact whole-word (case as given) — substring matching
+    * would flag "assess" for "ass"; callers wanting stemmed or cased
+    * variants expand the list (that is how production blocklists ship).
+    *
+    * Shape at scale: `terms` is plan-time data — the membership test
+    * compiles to a literal IN over the exploded words (no join, no
+    * broadcast round-trip, pushed inside whole-stage codegen), then one
+    * map-side-combined aggregation on doc_id. The corpus never shuffles
+    * full-width: only (doc_id, word) survivors — corpus hits, not corpus
+    * size — reach the exchange. Lists beyond plan-literal size (10k+
+    * terms) belong in a broadcast join instead; this operator takes the
+    * literal route because real blocklists are hundreds of terms.
+    */
+  def blocklist(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
+    require(terms.forall(t => t.nonEmpty && !t.contains(" ")),
+      "blocklist terms must be non-empty single words")
+    df.select(col(idCol).as("doc_id"),
+        explode(T.words(col(textCol))).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("w")).as("n_terms"),
+        array_join(sort_array(collect_set(col("w"))), ",").as("terms"))
+  }
 }

@@ -152,6 +152,66 @@ object TimeSeries {
     out.toDF(idCol, keyCol, "ts_us", "ewma")
   }
 
+  /** Per-key Holt double exponential smoothing — [[ewma]] with a trend
+    * state, the standard short-horizon forecaster for drifting series
+    * (a pure EWMA lags a trending signal by design; Holt's trend term
+    * closes that gap). Under the total (ts, id) order per key:
+    *   s_1 = x_1;  b_1 = 0
+    *   s_t = alpha * x_t + (1 - alpha) * (s_{t-1} + b_{t-1})
+    *   b_t = beta * (s_t - s_{t-1}) + (1 - beta) * b_{t-1}
+    * emitting per row the level `s_t`, trend `b_t`, and the one-step
+    * forecast `s_t + b_t` (what the NEXT observation is predicted to be
+    * — the residual against it is the drift-alarm statistic).
+    *
+    * Determinism: same contract as [[ewma]] — a fixed IEEE operation
+    * sequence replayed per key in (ts, id) order is bit-reproducible on
+    * any engine, and the outputs are deliberately un-rounded (see the
+    * [[ewma]] scaladoc for why rounding would break equality). Callers
+    * wanting exact binary arithmetic pick alpha/beta with finite binary
+    * fractions (0.5, 0.25); any values in (0,1] are accepted.
+    *
+    * Shape at scale: identical to [[ewma]] — one hash shuffle on the
+    * key, one in-order pass per key inside mapPartitions, two doubles of
+    * state, reset on key change.
+    */
+  def holt(df: DataFrame, tsCol: String, keyCol: String, idCol: String,
+      valueCol: String, alpha: Double, beta: Double,
+      numPartitions: Int = 0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0,1], got $beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ac = 1 - alpha
+    val bc = 1 - beta
+    val slim = df.select(col(idCol).cast("long").as("id"),
+        col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts"),
+        col(valueCol).cast("double").as("v"))
+      .repartition(n, col("key"))
+      .sortWithinPartitions("key", "ts", "id")
+    val out: Dataset[(Long, Long, Long, Double, Double, Double)] =
+      slim.mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var first = true
+        var s = 0.0
+        var b = 0.0
+        rows.map { r =>
+          val id = r.getLong(0); val k = r.getLong(1)
+          val t = r.getLong(2); val v = r.getDouble(3)
+          if (first || k != curKey) { curKey = k; first = false; s = v; b = 0.0 }
+          else {
+            val sPrev = s
+            s = alpha * v + ac * (s + b)
+            b = beta * (s - sPrev) + bc * b
+          }
+          (id, k, t, s, b, s + b)
+        }
+      }
+    out.toDF(idCol, keyCol, "ts_us", "level", "trend", "forecast")
+  }
+
   /** Per-key one-sided CUSUM change detection — the sequential drift
     * monitor over event streams: with x in exact micro-units
     * (floor(value · 1e6)) and k = floor((target + slack) · 1e6),

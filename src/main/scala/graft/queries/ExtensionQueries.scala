@@ -154,6 +154,11 @@ object ExtensionQueries {
   private val RollWindowSec = 86400L
   // 0.25: exact in binary, so alpha and 1-alpha round-trip as literals
   private val EwmaAlpha = 0.25
+  // Holt smoothing: both exact binary fractions (0.5/0.5, 0.25/0.75)
+  private val HoltAlpha = 0.5
+  private val HoltBeta = 0.25
+  // blocklist terms chosen from the synthetic vocabulary so hits exist
+  private val BlockTerms = Seq("dup", "slow", "stream", "vector")
   // target mixture proportions; es deliberately unlisted (dropped)
   private val RebalanceTargets =
     Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
@@ -1505,6 +1510,38 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    "events_holt" -> { (spark, dir) =>
+      // level + trend + one-step forecast per event under (ts, id) order
+      TimeSeries.holt(events(spark, dir), "ts", "user_id", "event_id",
+          "value", alpha = HoltAlpha, beta = HoltBeta)
+        .orderBy("event_id")
+    },
+
+    // Snapshot diff → change feed (the upsert inverse): old = part, next
+    // = part with deterministic deletes (key%7=0), price doublings
+    // (key%5=0 — ×2 is exact IEEE scaling) and inserted keys (+1e7 for
+    // key%11=0). The derived feed is minimal: unchanged keys absent.
+    "cdc_derive" -> { (spark, dir) =>
+      val p = spark.read.parquet(s"$dir/part.parquet")
+        .select("p_partkey", "p_name", "p_retailprice")
+      val k = col("p_partkey")
+      val next = p.where(pmod(k, lit(7)) =!= 0)
+        .withColumn("p_retailprice",
+          when(pmod(k, lit(5)) === 0, col("p_retailprice") * 2)
+            .otherwise(col("p_retailprice")))
+        .unionByName(p.where(pmod(k, lit(11)) === 0)
+          .select((k + 10000000L).as("p_partkey"), col("p_name"),
+            col("p_retailprice")))
+      Cdc.derive(p, next, "p_partkey").orderBy("p_partkey")
+    },
+
+    "text_blocklist" -> { (spark, dir) =>
+      // whole-word safety screen: per hit doc, total/distinct term hits
+      // and the sorted matched-term list
+      TextAnalysis.blocklist(docs(spark, dir), "doc_id", "text", BlockTerms)
+        .orderBy("doc_id")
+    },
+
     // Composition: rate-anomaly detection = gap-fill |> MAD outliers.
     // The dense series is what makes the statistic honest — without the
     // zero-filled hours a silent outage is invisible to any threshold.
@@ -1648,6 +1685,51 @@ object ExtensionQueries {
     // max(running_total) replays as a plain GROUP BY count in the oracle —
     // and any state lost or double-counted across micro-batches breaks
     // the hash.
+    // TRUE stream-static enrichment, batch-verified: events stream in as
+    // three micro-batches; each batch broadcast-joins the STATIC segment
+    // dimension (user_id -> user_id % 7) — stateless, no watermark, the
+    // production attach-the-dimension pattern. The appended sink holds
+    // every enriched event exactly once however the files were split, so
+    // the per-segment rollup replays as a plain batch aggregate in the
+    // oracle — a dropped or duplicated micro-batch breaks rows/hash.
+    "streaming_enrich" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val tmp = scratchDir("graft_senrich")
+      rmrf(tmp.resolve("enriched.parquet")); rmrf(tmp.resolve("_checkpoint"))
+      val in = tmp.resolve("in")
+      Tables.eventsRaw(spark, dir).repartition(3).write.parquet(in.toString)
+      val dim = Tables.eventsRaw(spark, dir).select(col("user_id")).distinct()
+        .withColumn("segment", pmod(col("user_id"), lit(7L)))
+      withStatePartitions(spark, 4) {
+        val stream = spark.readStream
+          .schema(Tables.eventsSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+        val enriched = StreamingOps.enrichStream(
+          stream.select("event_id", "user_id"), dim, "user_id")
+        val q = graft.streaming.StreamingSink.foreachBatchLoad(
+          enriched.select("event_id", "user_id", "segment"),
+          new graft.connect.ParquetConnector(tmp.toString), "enriched",
+          checkpointDir = s"$tmp/_checkpoint")
+        try {
+          q.processAllAvailable()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          require(batches >= 3,
+            s"expected >= 3 data micro-batches, saw $batches — the " +
+              "per-batch stream-static join path was not exercised")
+        } finally {
+          q.stop()
+          rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+        }
+      }
+      spark.read.parquet(s"$tmp/enriched.parquet")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("segment")
+    },
+
     "streaming_state" -> { (spark, dir) =>
       implicit val c: graft.pipeline.PipelineContext =
         graft.pipeline.PipelineContext(spark)
@@ -4338,6 +4420,80 @@ object ExtensionQueries {
       SELECT event_id, user_id, ts_us, s AS ewma FROM rec
       ORDER BY event_id""",
 
+    // Replay of TimeSeries.holt: the events_ewma recursion carrying TWO
+    // state doubles (level s, trend b). The recursive arm writes s_t's
+    // expression TWICE (once as the new s, once inside b_t) — textually
+    // identical, so both engines evaluate the same IEEE sequence and the
+    // states stay bit-equal without rounding. alpha/beta and their
+    // complements are exact binary fractions.
+    "events_holt" -> s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CAST(value AS DOUBLE) AS v,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      rec AS (
+        SELECT user_id, rn, event_id, ts_us, v AS s, CAST(0 AS DOUBLE) AS b
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id, e.ts_us,
+          CAST($HoltAlpha AS DOUBLE) * e.v
+            + CAST(${1 - HoltAlpha} AS DOUBLE) * (r.s + r.b),
+          CAST($HoltBeta AS DOUBLE)
+            * ((CAST($HoltAlpha AS DOUBLE) * e.v
+                + CAST(${1 - HoltAlpha} AS DOUBLE) * (r.s + r.b)) - r.s)
+            + CAST(${1 - HoltBeta} AS DOUBLE) * r.b
+        FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, ts_us, s AS level, b AS trend,
+        s + b AS forecast
+      FROM rec ORDER BY event_id""",
+
+    // Replay of Cdc.derive over the same deterministic next-snapshot
+    // construction: full outer join on the key, row classify by null
+    // side / IS DISTINCT FROM, D rows carry old data, I/U rows new.
+    "cdc_derive" -> """
+      WITH p AS (
+        SELECT p_partkey, p_name, p_retailprice FROM part),
+      nxt AS (
+        SELECT p_partkey, p_name,
+          CASE WHEN p_partkey % 5 = 0 THEN p_retailprice * 2
+               ELSE p_retailprice END AS p_retailprice
+        FROM p WHERE p_partkey % 7 <> 0
+        UNION ALL
+        SELECT p_partkey + 10000000, p_name, p_retailprice
+        FROM p WHERE p_partkey % 11 = 0),
+      d AS (
+        SELECT o.p_partkey AS ko, n.p_partkey AS kn,
+          o.p_name AS o_name, o.p_retailprice AS o_price,
+          n.p_name AS n_name, n.p_retailprice AS n_price
+        FROM p o FULL OUTER JOIN nxt n ON o.p_partkey = n.p_partkey)
+      SELECT coalesce(kn, ko) AS p_partkey,
+        CASE WHEN kn IS NULL THEN o_name ELSE n_name END AS p_name,
+        CASE WHEN kn IS NULL THEN o_price ELSE n_price END AS p_retailprice,
+        CASE WHEN ko IS NULL THEN 'I'
+             WHEN kn IS NULL THEN 'D'
+             ELSE 'U' END AS op
+      FROM d
+      WHERE ko IS NULL OR kn IS NULL
+         OR o_name IS DISTINCT FROM n_name
+         OR o_price IS DISTINCT FROM n_price
+      ORDER BY p_partkey""",
+
+    // Replay of TextAnalysis.blocklist: whole-word IN over the exploded
+    // whitespace words, per-doc counts + the sorted matched-term string.
+    "text_blocklist" -> s"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      h AS (
+        SELECT doc_id, w FROM w
+        WHERE w IN (${BlockTerms.map(t => s"'$t'").mkString(", ")}))
+      SELECT doc_id, count(*)::BIGINT AS n_hits,
+        count(DISTINCT w)::BIGINT AS n_terms,
+        array_to_string(list_sort(list(DISTINCT w)), ',') AS terms
+      FROM h GROUP BY doc_id ORDER BY doc_id""",
+
     // Grouping-sets parity: Spark's grouping_id() and DuckDB's
     // GROUPING(a, b) share the first-arg-is-MSB convention (verified);
     // sums go through exact DECIMAL before the double cast.
@@ -4504,6 +4660,14 @@ object ExtensionQueries {
         AND epoch_us(p.ts) >= epoch_us(c.ts)
         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
       ORDER BY click_id, purchase_id""",
+
+    // Replay of the stream-static enrichment rollup: every event carries
+    // its user's segment exactly once in the sink, so the per-segment
+    // aggregate equals the plain batch aggregate.
+    "streaming_enrich" -> """
+      SELECT user_id % 7 AS segment, count(*)::BIGINT AS n_events,
+        count(DISTINCT user_id)::BIGINT AS n_users
+      FROM events GROUP BY 1 ORDER BY segment""",
 
     // SEMANTIC oracle: the final cumulative mapGroupsWithState emission
     // per key equals the key's total event count, however the stream was

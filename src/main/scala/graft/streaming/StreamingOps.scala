@@ -105,6 +105,27 @@ object StreamingOps {
       .drop(r(keyCol))
   }
 
+  /** Stream-static enrichment: every micro-batch of the stream joins
+    * against a STATIC dimension table — the stateless workhorse of
+    * production streams (attach the user's segment / the device's model
+    * to each event as it arrives). Unlike a stream-stream join this
+    * keeps NO state: Spark re-plans the join per micro-batch, so with
+    * `broadcastDim` (the default, and the only sane choice for a
+    * dimension that fits in memory) each batch is a broadcast hash join
+    * — no shuffle of the stream side, no watermark, runnable forever.
+    * Left join by contract: an event whose key is missing from the
+    * dimension passes through with nulls rather than silently dropping
+    * (monitoring counts must not change because a dim row is late).
+    *
+    * The same call works on two batch DataFrames (the [[joinStreams]]
+    * convention) — which is exactly how the batch-mirror gate replays it.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keyCol: String, broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, Seq(keyCol), "left")
+  }
+
   /** Arbitrary-state streaming: a per-key running counter maintained with
     * mapGroupsWithState (the escape hatch when windowed aggregation can't
     * express the state machine). Emits (key, totalSoFar) on every

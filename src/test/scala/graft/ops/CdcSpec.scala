@@ -96,6 +96,48 @@ class CdcSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("a", "c"))
   }
 
+  test("derive classifies I/U/D, skips unchanged keys, carries the right side") {
+    val next = Seq(
+      (2L, "beta2", 20.0),   // name changed -> U with next's data
+      (3L, "gamma", 30.0),   // unchanged -> absent from the feed
+      (4L, "delta", 40.0)    // new key -> I       (key 1 deleted -> D)
+    ).toDF("k", "name", "score")
+    val out = Cdc.derive(base, next, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "alpha", 10.0, "D"),   // D carries old's last-known data
+      (2L, "beta2", 20.0, "U"),
+      (4L, "delta", 40.0, "I")))
+  }
+
+  test("derive is upsert's inverse: applying the feed reproduces next") {
+    val next = Seq(
+      (1L, "alpha", 11.0), (2L, "beta", 20.0), (5L, "eps", 50.0)
+    ).toDF("k", "name", "score")
+    val feed = Cdc.derive(base, next, "k")
+      .withColumn("v", lit(1L))
+      .withColumn("op2", when(col("op") === "D", "D").otherwise("U"))
+    val replayed = Cdc.upsert(base, feed.select("k", "name", "score", "v", "op2"),
+      "k", "v", "op2")
+    assert(replayed.orderBy("k").collect().toSeq ==
+      next.orderBy("k").collect().toSeq)
+  }
+
+  test("derive compares null-safely and rejects duplicate snapshot keys") {
+    val o = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "name")
+    val n = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "name")
+    val out = Cdc.derive(o, n, "k").collect()
+    // null == null: key 1 unchanged; key 2: x -> null is a U
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "name")
+    val e = intercept[Exception] {
+      Cdc.derive(dup, o, "k").collect()
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
   test("scd2 windows share one partitioning (single exchange before runs)") {
     val log = Seq((1L, 10L, "a")).toDF("k", "ts", "state")
     val plan = Cdc.scd2(log, "k", "ts", "state")

@@ -279,4 +279,29 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(pruned == Map("ab" -> 3L))
   }
+
+  test("blocklist: whole-word hits only, clean docs absent, sorted terms") {
+    val df = Seq(
+      (1L, "the bad word bad again"),   // bad x2
+      (2L, "badge is not bad-ness"),    // substrings must NOT match
+      (3L, "ugly and bad together")     // two distinct terms
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklist(df, "doc_id", "text",
+        Seq("bad", "ugly"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, "bad"),
+      (3L, 2L, 2L, "bad,ugly")))      // doc 2 is clean: absent
+  }
+
+  test("blocklist rejects empty and multi-word terms") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklist(df, "doc_id", "text", Seq("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklist(df, "doc_id", "text", Seq.empty)
+    }
+  }
 }

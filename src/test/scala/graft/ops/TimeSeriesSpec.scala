@@ -74,6 +74,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("holt: level+trend recurrence, reset per key, layout-stable") {
+    val df = Seq(
+      (1L, 10L, ts(0), 4.0), (2L, 10L, ts(1), 8.0), (3L, 10L, ts(2), 12.0),
+      (4L, 20L, ts(0), 100.0)
+    ).toDF("event_id", "user_id", "t", "value")
+    val out = TimeSeries.holt(df, "t", "user_id", "event_id", "value",
+        alpha = 0.5, beta = 0.25)
+      .select("event_id", "level", "trend", "forecast")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((4.0, 0.0, 4.0)))           // s1 = x1, b1 = 0
+    // s2 = .5*8 + .5*(4+0) = 6; b2 = .25*(6-4) + .75*0 = 0.5
+    assert(out(2L) == ((6.0, 0.5, 6.5)))
+    // s3 = .5*12 + .5*6.5 = 9.25; b3 = .25*(9.25-6) + .75*.5 = 1.1875
+    assert(out(3L) == ((9.25, 1.1875, 10.4375)))
+    assert(out(4L) == ((100.0, 0.0, 100.0)), "state must reset per key")
+    val again = TimeSeries.holt(df.repartition(7), "t", "user_id",
+      "event_id", "value", 0.5, 0.25)
+      .select("event_id", "level", "trend", "forecast")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(again == out)
+  }
+
+  test("holt tracks a pure linear trend (ewma would lag it)") {
+    // x_t = 2t: after warm-up the one-step forecast converges onto the
+    // next observation — the property that motivates the trend state
+    val df = (1 to 30).map(i => (i.toLong, 1L, ts(0), 2.0 * i))
+      .map { case (id, k, _, v) =>
+        (id, k, new java.sql.Timestamp(id * 60000), v) }
+      .toDF("event_id", "user_id", "t", "value")
+    val rows = TimeSeries.holt(df, "t", "user_id", "event_id", "value",
+        alpha = 0.5, beta = 0.25)
+      .orderBy("event_id").select("forecast").as[Double].collect()
+    val err = math.abs(rows(28) - 2.0 * 30) // forecast at t=29 vs x_30
+    assert(err < 0.05, s"linear-trend forecast error $err")
+  }
+
   test("cusum: integer recurrence, reset per key, alarm threshold") {
     val df = Seq(
       // key 10: values 5, 5, 20, 1 with target+slack = 10

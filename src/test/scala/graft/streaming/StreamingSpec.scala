@@ -165,8 +165,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val dim = Seq(("click", 1.0), ("view", 0.1)).toDF("event_type", "weight")
     val mem = MemoryStream[(Timestamp, String)]
-    val enriched = mem.toDF().toDF("ts", "event_type")
-      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"), "left")
+    val enriched = StreamingOps.enrichStream(
+      mem.toDF().toDF("ts", "event_type"), dim, "event_type")
     val q = enriched.writeStream.format("memory").queryName("stream_enrich")
       .outputMode("append").start()
     try {
