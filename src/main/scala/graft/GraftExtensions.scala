@@ -22,6 +22,7 @@ import graft.functions.Expressions
   *  - `hilbert_index(long x, long y, bits)` -> long curve position
   *  - `hilbert_index_n(array<long> coords, bits)` -> long (Skilling N-D)
   *  - `perceptual_hash(binary)` -> long 60-bit aHash fingerprint
+  *  - `sorted_intersect(array<long>, array<long>)` -> array<long>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -53,6 +54,7 @@ object GraftFunctions {
     case "hilbert_index"    => classOf[Expressions.HilbertIndex].getName
     case "hilbert_index_n"  => classOf[Expressions.HilbertIndexN].getName
     case "perceptual_hash"  => classOf[Expressions.PerceptualHash].getName
+    case "sorted_intersect" => classOf[Expressions.SortedIntersect].getName
     case _                  => classOf[Expressions.DotProduct].getName
   }
 
@@ -67,7 +69,8 @@ object GraftFunctions {
       Expressions.HilbertIndex(es.head, es(1), litInt(es(2), "bits"))),
     "hilbert_index_n" -> (es =>
       Expressions.HilbertIndexN(es.head, litInt(es(1), "bits"))),
-    "perceptual_hash" -> (es => Expressions.PerceptualHash(es.head)))
+    "perceptual_hash" -> (es => Expressions.PerceptualHash(es.head)),
+    "sorted_intersect" -> (es => Expressions.SortedIntersect(es.head, es(1))))
 
   /** Register on a live session as temp functions. */
   def register(spark: SparkSession): Unit =

@@ -233,6 +233,42 @@ object Expressions {
     * which would mask a corrupt embedding behind a plausible-looking
     * score.
     */
+  /** Intersection of two ASCENDING-sorted array<long> columns
+    * ([[ExprKernels.sortedIntersectLongs]], a two-pointer merge). Native
+    * because the builtin `array_intersect` allocates a hash set per row —
+    * at millions of closing-join probes that allocation dominated
+    * [[graft.ops.Graph.triangleCounts]] and drove its GC jitter. Inputs
+    * MUST be sorted ascending (the sort_array'd adjacency lists are);
+    * the result is then value-identical to array_intersect.
+    */
+  case class SortedIntersect(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression): Boolean = e.dataType match {
+        case ArrayType(LongType, _) => true
+        case _                      => false
+      }
+      if (ok(left) && ok(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> on both sides, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprKernels.sortedIntersectLongs(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernels.sortedIntersectLongs($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersect =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_intersect"
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType

@@ -175,11 +175,23 @@ object Graph {
     // -> ~5s at sf0.1; at corpus scale the win grows with density.
     val adj = dir.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    // sorted-merge intersect when nodes are longs (the native two-pointer
+    // kernel — array_intersect hash-sets per probe row dominated this
+    // join's time AND its GC jitter); generic fallback for other types
+    def intersect(a: Column, b: Column): Column =
+      und.schema("a").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.Expressions.SortedIntersect(
+              org.apache.spark.sql.GraftColumnBridge.expression(a),
+              org.apache.spark.sql.GraftColumnBridge.expression(b)))
+        case _ => array_intersect(a, b)
+      }
     val tris = dir
       .join(adj.select(col("node").as("u"), col("nbrs").as("__nu")), "u")
       .join(adj.select(col("node").as("v"), col("nbrs").as("__nv")), "v")
       .select(col("u"), col("v"),
-        explode(array_intersect(col("__nu"), col("__nv"))).as("w"))
+        explode(intersect(col("__nu"), col("__nv"))).as("w"))
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }

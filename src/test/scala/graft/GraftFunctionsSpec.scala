@@ -48,7 +48,7 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("minhash_sig", "sign_bits", "simhash_bits", "dot_product",
         "jaro_winkler_sim", "char_entropy", "hilbert_index",
-        "hilbert_index_n", "perceptual_hash"))
+        "hilbert_index_n", "perceptual_hash", "sorted_intersect"))
   }
 
   test("char_entropy, hilbert and perceptual_hash from SQL") {

@@ -151,4 +151,19 @@ class ExpressionsPropertySpec extends SparkSpec {
       .otherwise(round(-micro.cast("double") / lit(1e6) / n, 6) + lit(0.0))
     assertAgree(df, T.charEntropy(col("text")), declarative, "char_entropy")
   }
+
+  test("sorted_intersect equals array_intersect on sorted distinct long arrays") {
+    val genArr: Gen[Seq[Long]] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 30L))).map(_.distinct.sorted.toSeq)
+    val df = sample(Gen.zip(genArr, genArr), 200).toDF("a", "b")
+    def si(a: Column, b: Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.Expressions.SortedIntersect(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    // array_intersect keeps first-array order = ascending on sorted
+    // distinct inputs, so the two must agree element-for-element
+    assertAgree(df, si(col("a"), col("b")),
+      array_intersect(col("a"), col("b")), "sorted_intersect")
+  }
 }
