@@ -365,7 +365,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -387,7 +387,9 @@ final case class TextAnalysisTransformStage(
     groupCols: Seq[String] = Nil,
     alpha: Double = 0.1,
     // keyness: total Dirichlet prior mass (group column = langCol)
-    alpha0: Double = 100.0)
+    alpha0: Double = 100.0,
+    // blocklist: the whole-word term list
+    terms: Seq[String] = Nil)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -424,6 +426,8 @@ final case class TextAnalysisTransformStage(
       case "bpe_pairs" => TextAnalysis.bpePairCounts(in, textCol, ngramN.toLong)
       // adjacent-word PMI collocations (ngramN reused as the pair floor)
       case "pmi" => TextAnalysis.pmiCollocations(in, textCol, ngramN.toLong)
+      // whole-word safety screen (per hit doc: counts + matched terms)
+      case "blocklist" => TextAnalysis.blocklist(in, idCol, textCol, terms)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -773,8 +777,9 @@ final case class CdcTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // upsert | scd2
+    method: String, // upsert | scd2 | derive
     changesView: Option[String] = None,
+    nextView: Option[String] = None,
     keyCol: String = "id",
     versionCol: String = "version",
     opCol: String = "op",
@@ -793,6 +798,11 @@ final case class CdcTransformStage(
           throw new IllegalArgumentException("upsert requires changesView"))
         Cdc.upsert(in, ch, keyCol, versionCol, opCol)
       case "scd2" => Cdc.scd2(in, keyCol, tsCol, stateCol)
+      // change-feed derivation: inputView = old snapshot, nextView = new
+      case "derive" =>
+        val nx = nextView.map(Views.resolve).getOrElse(
+          throw new IllegalArgumentException("derive requires nextView"))
+        Cdc.derive(in, nx, keyCol)
       case other =>
         throw new IllegalArgumentException(s"unknown cdc method '$other'")
     }
@@ -806,7 +816,7 @@ final case class GapfillTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "gapfill", // gapfill | cusum | utilization | seasonal
+    method: String = "gapfill", // gapfill | cusum | utilization | seasonal | ewma | holt
     tsCol: String = "ts",
     keyCol: String,
     idCol: String = "event_id",
@@ -816,7 +826,10 @@ final case class GapfillTransformStage(
     threshold: Double = 1.0,
     startCol: String = "start_us",
     endCol: String = "end_us",
-    bucketSeconds: Long = 3600L)
+    bucketSeconds: Long = 3600L,
+    // ewma / holt smoothing coefficients
+    alpha: Double = 0.25,
+    beta: Double = 0.25)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -832,6 +845,9 @@ final case class GapfillTransformStage(
         valueCol, target, slack, threshold)
       case "utilization" => TimeSeries.intervalUtilization(in, keyCol,
         startCol, endCol, bucketSeconds)
+      case "ewma" => TimeSeries.ewma(in, tsCol, keyCol, idCol, valueCol, alpha)
+      case "holt" => TimeSeries.holt(in, tsCol, keyCol, idCol, valueCol,
+        alpha, beta)
       case other =>
         throw new IllegalArgumentException(s"unknown timeseries method '$other'")
     }

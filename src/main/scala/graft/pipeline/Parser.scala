@@ -417,8 +417,9 @@ object Parser {
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "keyness",
-            "head_coverage", "entropy", "bpe_pairs", "pmi"),
+            "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist"),
           "quality"),
+        terms = r.stringList("terms"),
         // sorted by metric name: config maps carry no order, and the
         // linear accumulation order must be reproducible
         scoreWeights = r.stringMap("scoreWeights").toSeq.sortBy(_._1).map {
@@ -499,16 +500,20 @@ object Parser {
         otherKeyCol = r.string("otherKeyCol").getOrElse(""))
     },
     "CdcTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("upsert", "scd2"), "upsert")
+      val method = r.oneOf("method", Seq("upsert", "scd2", "derive"), "upsert")
       val changes = r.string("changesView")
       if (method == "upsert" && changes.isEmpty)
         r.error("changesView", "missing; upsert requires a change-feed view")
+      val next = r.string("nextView")
+      if (method == "derive" && next.isEmpty)
+        r.error("nextView", "missing; derive requires the next-snapshot view")
       CdcTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = method,
         changesView = changes,
+        nextView = next,
         keyCol = r.string("keyCol").getOrElse("id"),
         versionCol = r.string("versionCol").getOrElse("version"),
         opCol = r.string("opCol").getOrElse("op"),
@@ -521,7 +526,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("gapfill", "cusum", "utilization", "seasonal"), "gapfill"),
+          Seq("gapfill", "cusum", "utilization", "seasonal", "ewma", "holt"),
+          "gapfill"),
         tsCol = r.string("tsCol").getOrElse("ts"),
         keyCol = r.requiredString("keyCol"),
         idCol = r.string("idCol").getOrElse("event_id"),
@@ -531,7 +537,9 @@ object Parser {
         threshold = r.double("threshold").getOrElse(1.0),
         startCol = r.string("startCol").getOrElse("start_us"),
         endCol = r.string("endCol").getOrElse("end_us"),
-        bucketSeconds = r.long("bucketSeconds").getOrElse(3600L))
+        bucketSeconds = r.long("bucketSeconds").getOrElse(3600L),
+        alpha = r.double("alpha").getOrElse(0.25),
+        beta = r.double("beta").getOrElse(0.25))
     },
     "ZorderTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("manifest", "write", "hilbert_manifest", "hilbert_write"), "manifest")
@@ -680,7 +688,7 @@ object Parser {
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
       "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold",
-      "groupCols", "alpha", "alpha0")),
+      "groupCols", "alpha", "alpha0", "terms")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
@@ -688,10 +696,11 @@ object Parser {
       "keyCol", "groupCols", "m", "k", "depth", "width", "topN",
       "otherView", "bucketCol", "window", "otherKeyCol")),
     "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "changesView", "keyCol", "versionCol", "opCol", "tsCol", "stateCol")),
+      "changesView", "nextView", "keyCol", "versionCol", "opCol", "tsCol",
+      "stateCol")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "keyCol", "idCol", "valueCol", "target", "slack",
-      "threshold", "startCol", "endCol", "bucketSeconds")),
+      "threshold", "startCol", "endCol", "bucketSeconds", "alpha", "beta")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "cols", "xCol", "yCol", "idCol", "method", "outputDir", "blockSize",
       "bits", "params"))

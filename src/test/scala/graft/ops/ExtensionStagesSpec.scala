@@ -706,6 +706,44 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(errs.exists(_.key.contains("changesView")))
   }
 
+  test("cdc derive, holt and blocklist stages run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    import spark.implicits._
+    Views.register(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "dv_old")
+    Views.register(Seq((2L, "b2"), (3L, "c")).toDF("id", "name"), "dv_new")
+    Views.register(Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), 4.0),
+      (2L, 10L, java.sql.Timestamp.valueOf("2026-01-01 00:20:00"), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value"), "dv_events")
+    Views.register(Seq((1L, "good bad text")).toDF("doc_id", "text"), "dv_docs")
+    val conf = """{"stages": [
+      {"type": "CdcTransform", "name": "df", "method": "derive",
+       "inputView": "dv_old", "nextView": "dv_new", "keyCol": "id",
+       "outputView": "dv_feed"},
+      {"type": "GapfillTransform", "name": "ho", "method": "holt",
+       "inputView": "dv_events", "keyCol": "user_id",
+       "outputView": "dv_holt", "alpha": 0.5, "beta": 0.25},
+      {"type": "TextAnalysisTransform", "name": "bl", "analysis": "blocklist",
+       "inputView": "dv_docs", "outputView": "dv_hits",
+       "terms": ["bad", "ugly"]}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    // derive: key 1 D, key 2 U, key 3 I
+    assert(spark.table("dv_feed").count() == 3)
+    assert(spark.table("dv_holt").columns.contains("forecast"))
+    assert(spark.table("dv_hits").head().getLong(1) == 1L)
+
+    val bad = """{"stages": [
+      {"type": "CdcTransform", "name": "df", "method": "derive",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("nextView")))
+  }
+
   test("outliers without byCols and hll without groupCols fail at parse") {
     val bad = """{"stages": [
       {"type": "ProfileTransform", "name": "m", "method": "outliers_mad",
