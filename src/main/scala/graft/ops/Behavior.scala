@@ -238,4 +238,37 @@ object Behavior {
       .select(col("prev_type"), col("next_type"), col("n"),
         (col("n").cast("double") / col("__tot")).as("p"))
   }
+
+  /** Deterministic per-key rate cap: keep at most `k` rows per
+    * (`keyCol`, `bucketSeconds`-wide time bucket), earliest first, ties
+    * on `idCol` — the ingestion throttle a crawl or event pipeline runs
+    * so one hot user / agent / source cannot flood a training window
+    * (and the fixed-cost cousin of per-stratum token caps: bound ROWS
+    * per key-bucket, not tokens per stratum). Output is the surviving
+    * rows with their bucket start and 1-based `slot`; the (ts, id)
+    * order makes the kept set total-order deterministic under any
+    * layout.
+    *
+    * Shape at scale: one window keyed (key, bucket) — partitions are
+    * user×hour sized (small by construction; the cap exists precisely
+    * because big ones are pathological), so the sort inside each is
+    * bounded and the shuffle is the unavoidable one keyed by the cap's
+    * own granularity. No global sort, no driver state.
+    */
+  def rateCap(df: DataFrame, tsCol: String, keyCol: String, idCol: String,
+      bucketSeconds: Long, k: Int): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // floor, not cast-truncation: pre-epoch timestamps divide negative
+    val bucket = floor(unix_timestamp(col(tsCol)) / bucketSeconds)
+      .cast("long")
+    val w = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    df.withColumn("__bucket", bucket)
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .where(col("slot") <= k)
+      .withColumn("bucket_start",
+        timestamp_seconds(col("__bucket") * bucketSeconds))
+      .drop("__bucket")
+  }
 }

@@ -94,4 +94,78 @@ object DataQuality {
         round(score, 6).as("score"))
       .where(col("score") >= minScore)
   }
+
+  /** Referential-integrity audit across tables: for each named FK check
+    * (name, child, childKey, parent, parentKey), one report row
+    * (fk_name, n_rows, n_null_keys, n_orphan_rows, n_orphan_keys,
+    * orphan_rate). SQL FK semantics: a NULL child key is NOT a
+    * violation — it is counted separately (`n_null_keys`, the "how much
+    * of the join will silently drop" number). `orphan_rate` is
+    * n_orphan_rows over the NON-NULL keyed rows, one long/long double
+    * division (NaN when every key is NULL — nothing to check).
+    *
+    * Shape at scale: per check, the parent side reduces to its DISTINCT
+    * keys first (map-side-combined — the shuffle carries keys, never
+    * parent rows), the child LEFT-joins that key table, and one global
+    * conditional-sum aggregation produces the row. An orphan scan of a
+    * 100 TB child against a wide parent never moves parent payload.
+    */
+  def referentialCheck(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(checks.nonEmpty, "referentialCheck needs at least one FK check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      s"check names must be distinct, got ${checks.map(_._1).mkString(", ")}")
+    checks.map { case (name, child, childKey, parent, parentKey) =>
+      val pk = parent.select(col(parentKey).as("__pk"))
+        .where(col("__pk").isNotNull).distinct()
+      val ck = col(childKey)
+      child.join(pk, ck === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(ck.isNull, 1L).otherwise(0L)).as("n_null_keys"),
+          sum(when(ck.isNotNull && col("__pk").isNull, 1L).otherwise(0L))
+            .as("n_orphan_rows"),
+          count_distinct(when(ck.isNotNull && col("__pk").isNull, ck))
+            .as("n_orphan_keys"))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_null_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"),
+          (col("n_orphan_rows").cast("double")
+            / (col("n_rows") - col("n_null_keys"))).as("orphan_rate"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Functional-dependency violation profile: does `lhs → rhs` hold?
+    * One summary row: (n_groups, n_violating_groups, n_rows,
+    * n_rows_in_violating, violation_rate) where a group is a distinct
+    * `lhs` tuple and it VIOLATES when it maps to more than one distinct
+    * `rhs` value — NULL counting as its own value (a key mapping to both
+    * 'x' and NULL is two images, which IS a dependency break). The rate
+    * is violating groups over groups, one double division. This is the
+    * approximate-FD discovery primitive (Huhtala et al.'s TANE
+    * g3-style error, exact here) — the profiling step before declaring
+    * a column derivable, a join key safe, or a dimension denormalizable.
+    *
+    * Shape at scale: two map-side-combined aggregations — (lhs, rhs)
+    * distinct counts, then per-lhs image counts — followed by one global
+    * sum. Shuffles carry group tuples, never rows.
+    */
+  def fdCheck(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdCheck needs at least one determinant column")
+    require(!lhs.contains(rhs), s"rhs $rhs cannot be part of lhs")
+    val pairs = df.groupBy((lhs :+ rhs).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val groups = pairs.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("__imgs"), sum("__n").as("__rows"))
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__imgs") > 1, 1L).otherwise(0L))
+          .as("n_violating_groups"),
+        sum("__rows").as("n_rows"),
+        sum(when(col("__imgs") > 1, col("__rows")).otherwise(0L))
+          .as("n_rows_in_violating"))
+      .select(col("n_groups"), col("n_violating_groups"), col("n_rows"),
+        col("n_rows_in_violating"),
+        (col("n_violating_groups").cast("double") / col("n_groups"))
+          .as("violation_rate"))
+  }
 }

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Distributional drift detection between two snapshots of a table — the
+  * statistical complement to [[Profile.drift]]'s bounds-and-counts check.
+  * Profile.drift answers "did the column's shape metadata move"; these
+  * operators answer "did the DISTRIBUTION move, and by how much" — the
+  * check a training-data pipeline runs between yesterday's corpus and
+  * today's before re-training on it (covariate shift, upstream filter
+  * breakage, a source going dark).
+  *
+  * Determinism contract (the engine-wide convention): every statistic is
+  * computed in EXACT integer arithmetic — cumulative counts, cross-
+  * multiplied numerators |cumA·nB − cumB·nA| instead of floating CDF
+  * subtraction, ×2^20 fixed-point DECIMAL(38,0) sums for embeddings —
+  * with at most one final double division per output value, so a DuckDB
+  * replay is bit-identical regardless of shuffle or accumulation order.
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov statistic between `a` and `b` on
+    * numeric `valueCol`, exact: D = max_x |F_a(x) − F_b(x)| evaluated at
+    * every observed value, carried as the INTEGER numerator
+    * d_num = max_x |cumA(x)·nB − cumB(x)·nA| over denominator nA·nB.
+    * Output is ONE row: (split_value, n_a, n_b, d_num, d) where
+    * `split_value` is the smallest value attaining the maximum (the
+    * natural "where did the distributions diverge most" cut point) and
+    * d = d_num / (nA·nB) is the only double division. NULLs are ignored
+    * (they have no position on the value axis).
+    *
+    * Shape at scale: per-value counts first (map-side-combined — the
+    * shuffle carries one row per DISTINCT value per partition, not the
+    * data), then a range-partitioned prefix sum: partial cumsums are
+    * window aggregations WITHIN each range partition, and the
+    * per-partition totals (one row per partition, collected — bounded by
+    * the shuffle-partition count, the [[Layout]] offsets precedent) are
+    * broadcast back as offsets. No global single-partition window, no
+    * full sort on one executor — the classic distributed CDF.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val ca = a.select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__na"))
+    val cb = b.select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__nb"))
+    val merged = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    // persisted: the offset pass and the cumsum pass must observe the
+    // SAME materialized range partitions (boundaries are sampled)
+    val parts = graft.util.Caches.persist(
+      merged.repartitionByRange(n, col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("v")
+    val local = parts
+      .withColumn("__ca", sum("__na").over(w))
+      .withColumn("__cb", sum("__nb").over(w))
+    // per-partition totals: one row per partition — driver-side size is
+    // the partition count, never the data
+    val totals = parts.groupBy("__pid")
+      .agg(sum("__na").as("ta"), sum("__nb").as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offA = scala.collection.mutable.LongMap.empty[Long]
+    val offB = scala.collection.mutable.LongMap.empty[Long]
+    var (ra, rb) = (0L, 0L)
+    totals.foreach { case (pid, ta, tb) =>
+      offA(pid.toLong) = ra; offB(pid.toLong) = rb; ra += ta; rb += tb
+    }
+    val offDf = spark.createDataFrame(
+      totals.map { case (pid, _, _) => Row(pid, offA(pid.toLong), offB(pid.toLong)) }
+        .toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__oa", LongType, false), StructField("__ob", LongType, false))))
+    // cross products in DECIMAL(38,0): cum·N overflows a long once each
+    // side passes ~3e9 rows — the 100 TB case, not a corner
+    val dec = "decimal(38,0)"
+    val nA = lit(ra).cast(dec)
+    val nB = lit(rb).cast(dec)
+    val cum = local.join(broadcast(offDf), "__pid")
+      .select(col("v"),
+        ((col("__ca") + col("__oa")).cast(dec) * nB
+          - (col("__cb") + col("__ob")).cast(dec) * nA).as("__raw"))
+      .select(col("v"),
+        when(col("__raw") < 0, -col("__raw")).otherwise(col("__raw"))
+          .cast(dec).as("d_num"))
+    // argmax with a total tie order: largest d_num, ties to the SMALLEST
+    // value — max over (d_num, -v) on the double axis
+    cum.agg(max(struct(col("d_num"),
+        (-col("v").cast("double")).as("__negv"))).as("__m"))
+      .select((-col("__m.__negv")).as("split_value"),
+        lit(ra).as("n_a"), lit(rb).as("n_b"), col("__m.d_num").as("d_num"),
+        (col("__m.d_num").cast("double")
+          / lit(ra.toDouble * rb.toDouble)).as("d"))
+  }
+
+  /** Per-category frequency drift between two snapshots on categorical
+    * `catCol` — the exact decomposition of total-variation distance.
+    * Output per category (including categories present on one side
+    * only): (category, n_a, n_b, share_a, share_b, l1_num, delta) where
+    * l1_num = |n_a_c·nB − n_b_c·nA| is the exact integer numerator,
+    * delta = l1_num / (nA·nB) its double value, and
+    * TV(a,b) = Σ delta / 2. NULL categories form their own row (a source
+    * starting to emit NULL types IS drift). Shares are single long/long
+    * double divisions.
+    *
+    * Shape at scale: two map-side-combined grouped counts (shuffle
+    * carries one partial per category per partition), one full-outer
+    * join of those count tables — category-cardinality-sized — and a
+    * broadcast of the two one-row totals. The data itself never
+    * re-shuffles.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame,
+      catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_b"))
+    // join on the NULL-safe equality so a NULL category pairs its sides
+    val joined = ca.join(cb, ca("category") <=> cb("category"), "full_outer")
+      .select(coalesce(ca("category"), cb("category")).as("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    // DECIMAL(38,0) cross products: count·total overflows a long past
+    // ~3e9 rows per side (same rationale as ksStatistic)
+    val dec = "decimal(38,0)"
+    val raw = col("n_a").cast(dec) * col("__tb").cast(dec) -
+      col("n_b").cast(dec) * col("__ta").cast(dec)
+    joined.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_a"), col("n_b"),
+        (col("n_a").cast("double") / col("__ta")).as("share_a"),
+        (col("n_b").cast("double") / col("__tb")).as("share_b"),
+        when(raw < 0, -raw).otherwise(raw).cast(dec).as("l1_num"),
+        (when(raw < 0, -raw).otherwise(raw).cast("double")
+          / (col("__ta").cast("double") * col("__tb").cast("double")))
+          .as("delta"))
+  }
+
+  /** Per-(label, dimension) embedding centroid drift between two corpus
+    * snapshots — the embedding-space analogue of [[categoricalDrift]]:
+    * did a class's mean vector move between yesterday's embedding run
+    * and today's (model re-deploy, upstream preprocessing change,
+    * population shift)? Input frames carry (vec_id, embedding, `labelCol`);
+    * output per (label, d): (label, d, n_a, n_b, delta) with
+    * delta = round(|sa/na − sb/nb| / 2^20, 6) — the ×2^20 fixed-point
+    * DECIMAL(38,0) sums of [[Similarity.standardize]], order-insensitive
+    * and engine-replayable, with one double division per side and one
+    * final round. Labels present on only one side are dropped (no
+    * centroid to compare).
+    *
+    * Shape at scale: one posexplode (narrow, dim-bounded) and ONE
+    * map-side-combined groupBy (label, d) with conditional sums — the
+    * shuffle carries label·dim partials, never vectors.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    val scale = Similarity.FixedScale
+    def expl(df: DataFrame, g: Int) =
+      df.select(col(labelCol).cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("label"), col("d"), lit(g).as("__g"),
+          round(col("x").cast("double") * scale).cast("decimal(38,0)")
+            .as("__fp"))
+    val x = expl(a, 0).unionAll(expl(b, 1))
+    val stats = x.groupBy("label", "d").agg(
+      sum(when(col("__g") === 0, col("__fp"))).as("__sa"),
+      sum(when(col("__g") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__g") === 1, col("__fp"))).as("__sb"),
+      sum(when(col("__g") === 1, 1L).otherwise(0L)).as("n_b"))
+    stats.where(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("label"), col("d"), col("n_a"), col("n_b"),
+        round(abs(col("__sa").cast("double") / col("n_a")
+          - col("__sb").cast("double") / col("n_b")) / scale, 6)
+          .as("delta"))
+  }
+}

@@ -350,4 +350,42 @@ object Profile {
       .orderBy(col("est_rows").desc, col("key"))
       .limit(k)
   }
+
+  /** Benford first-digit profile of a numeric column — the fraud /
+    * synthetic-data / unit-mixup detector: naturally-occurring magnitudes
+    * follow P(d) = log10(1 + 1/d); generated or truncated data doesn't.
+    * Rows with |value| < 1 or NULL are ignored (no stable first decimal
+    * digit). Output per observed digit 1-9:
+    * (digit, n, share, expected_share, deviation) where `share` is one
+    * long/long double division, `expected_share` is a PLAN-TIME literal
+    * (no engine evaluates a log — the [[Retrieval.rankEval]] NDCG-
+    * discount convention), and deviation = share − expected.
+    *
+    * Digit extraction is string-first on the truncated integer part
+    * (`substring(cast(floor(abs(v)) as long as string), 1, 1)`) — the
+    * one form that evaluates identically on any SQL engine, with no
+    * float-formatting or log10/power round-trip in sight.
+    *
+    * Shape at scale: one narrow projection, one map-side-combined
+    * 9-group count, one broadcast of the one-row total. Streams at any
+    * size.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = abs(col(valueCol).cast("double"))
+    val digit = substring(floor(v).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.where(v >= 1)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__t"))
+    val expected = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val expectedCol = element_at(
+      array(expected.map(e => lit(e)): _*), col("digit"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__t")).as("share"),
+        expectedCol.as("expected_share"),
+        ((col("n").cast("double") / col("__t")) - expectedCol)
+          .as("deviation"))
+  }
 }

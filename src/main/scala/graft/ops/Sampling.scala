@@ -521,4 +521,76 @@ object Sampling {
       }
     }.toDF(idCol, "score", "rank")
   }
+
+  /** Systematic weighted sampling: draw `n` slots proportional to
+    * `weightCol` (positive long weights — token counts, byte sizes) with
+    * ONE pass and zero randomness at run time. Rows are laid on the
+    * cumulative-weight axis in the reproducible order (h32(id ++ salt),
+    * id) — the [[deterministicShuffle]] order, so adjacency on the axis
+    * is decorrelated from ingest order — and a slot lands every W/n
+    * units: row i is selected with multiplicity
+    * n_slots = floor(cumEnd·n / W) − floor(cumStart·n / W), the
+    * classic systematic (fixed-interval) sampler. Σ n_slots = n exactly;
+    * a row heavier than W/n can claim several slots (its `n_slots` is
+    * its replication count — the upsampling semantics weighted draws
+    * need). Rows with weight <= 0 or NULL are dropped. Changing `salt`
+    * re-deals the axis order for an independent draw.
+    *
+    * Versus [[weightedTopK]] (heaviest-k) and [[deterministic]]
+    * (uniform rate): this is the estimator a token-budgeted corpus
+    * recipe wants — inclusion probability ∝ weight, variance far below
+    * independent weighted draws, and exactly `n` slots out, not an
+    * expectation.
+    *
+    * Scale shape: the [[shardByBudget]] distributed prefix sum — one
+    * range-partitioned sort on (h, id), one (partitionId, weightSum) row
+    * per partition to the driver, offsets broadcast back, then a NARROW
+    * per-partition pass. Slot boundaries are exact BigInt products
+    * (cum·n overflows a long once W·n passes 2^63 — a 10 T-token corpus
+    * times a million slots, the normal case at target scale); the oracle
+    * replays them as HUGEINT.
+    */
+  def systematicWeighted(df: DataFrame, idCol: String, weightCol: String,
+      n: Long, salt: String = "", numPartitions: Int = 0): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nP = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val slim = graft.util.Caches.persist(
+      df.select(col(idCol).cast("long").as("id"),
+          col(weightCol).cast("long").as("w"),
+          keyOf(col(idCol), salt).as("h"))
+        .where(col("w") > 0)
+        .repartitionByRange(nP, col("h"), col("id"))
+        .sortWithinPartitions("h", "id"))
+    val nParts = slim.rdd.getNumPartitions
+    val perPartition: Array[(Int, Long)] = slim
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        rows.foreach(s += _.getLong(1))
+        Iterator.single((pid, s))
+      }
+      .collect()
+    val totalW = perPartition.map(_._2).sum
+    val offsets = new Array[Long](nParts)
+    perPartition.foreach { case (pid, s) =>
+      if (pid + 1 < nParts) offsets(pid + 1) = s
+    }
+    for (i <- 1 until nParts) offsets(i) += offsets(i - 1)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val bigN = BigInt(n)
+    val bigW = BigInt(totalW)
+    slim.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = BigInt(bOffsets.value(pid))
+      rows.flatMap { r =>
+        val start = cum
+        cum += r.getLong(1)
+        val slots = (cum * bigN / bigW - start * bigN / bigW).toLong
+        if (slots >= 1) Some((r.getLong(0), r.getLong(1), slots)) else None
+      }
+    }.toDF(idCol, "weight", "n_slots")
+  }
 }

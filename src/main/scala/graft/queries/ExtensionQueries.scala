@@ -1964,8 +1964,95 @@ object ExtensionQueries {
             maxGroup = TriMaxGroup),
           maxDegree = LinkPredMaxDeg, minCommon = LinkPredMinCommon)
         .orderBy("node_a", "node_b")
+    },
+
+    // Distributional drift family (ops/Drift.scala): exact-integer KS
+    // over a numeric column, per-category TV decomposition, fixed-point
+    // embedding centroid drift — yesterday's corpus vs today's.
+    "drift_ks" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cut = lit(DriftSplitDate).cast("timestamp")
+      Drift.ksStatistic(
+        o.where(col("o_orderdate") < cut),
+        o.where(col("o_orderdate") >= cut),
+        "o_totalprice")
+    },
+
+    "drift_tv" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      val cut = lit(DriftEventSplit).cast("timestamp")
+      Drift.categoricalDrift(
+          ev.where(col("ts") < cut),
+          ev.where(col("ts") >= cut),
+          "event_type")
+        .orderBy("category")
+    },
+
+    "drift_centroid" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      Drift.centroidDrift(
+          e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1))
+        .orderBy("label", "d")
+    },
+
+    // Referential-integrity audit: two clean FKs plus two deliberately
+    // restricted parents so the orphan counters exercise non-zero paths.
+    "dq_referential" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val c = spark.read.parquet(s"$dir/customer.parquet")
+      val p = spark.read.parquet(s"$dir/part.parquet")
+      DataQuality.referentialCheck(Seq(
+          ("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+          ("lineitem_part", li, "l_partkey", p, "p_partkey"),
+          ("orders_open_customer", o.where(col("o_orderstatus") === "O"),
+            "o_custkey", c, "c_custkey"),
+          ("lineitem_orders_closed", li, "l_orderkey",
+            o.where(col("o_orderstatus") =!= "O"), "o_orderkey")))
+        .orderBy("fk_name")
+    },
+
+    // Functional dependency l_partkey -> l_suppkey (violated: parts have
+    // several suppliers) — the approximate-FD profile.
+    "dq_fd" -> { (spark, dir) =>
+      DataQuality.fdCheck(spark.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_partkey"), "l_suppkey")
+    },
+
+    "profile_benford" -> { (spark, dir) =>
+      Profile.benford(spark.read.parquet(s"$dir/orders.parquet"),
+          "o_totalprice")
+        .orderBy("digit")
+    },
+
+    // Systematic weighted sampling: SysN slots proportional to n_chars
+    // over the salted-hash axis — Σ n_slots == SysN exactly.
+    "sample_systematic" -> { (spark, dir) =>
+      Sampling.systematicWeighted(docs(spark, dir), "doc_id", "n_chars",
+          n = SysSlots, salt = SysSalt)
+        .orderBy("doc_id")
+    },
+
+    // Per-user hourly rate cap: first RateCapK events per user-hour.
+    "events_rate_cap" -> { (spark, dir) =>
+      Behavior.rateCap(events(spark, dir), "ts", "user_id", "event_id",
+          bucketSeconds = RateCapBucketSec, k = RateCapK)
+        .select(col("event_id"), col("user_id"), col("bucket_start"),
+          col("slot"))
+        .orderBy("event_id")
     }
   )
+
+  /** Drift gates: snapshot split points (orders by date, events by ts). */
+  private val DriftSplitDate = "1998-01-01"
+  private val DriftEventSplit = "2024-01-15"
+
+  /** Systematic-sampling and rate-cap gate knobs. */
+  private val SysSlots = 500L
+  private val SysSalt = "sys"
+  private val RateCapBucketSec = 3600L
+  private val RateCapK = 3
 
   /** BM25 gate query: a fixed bag of corpus-vocabulary terms. */
   private val Bm25Terms = Seq("join", "hash", "spark", "window")
@@ -5037,6 +5124,218 @@ object ExtensionQueries {
           / (da.deg + db.deg - cand.n_common) AS jaccard
       FROM cand JOIN deg da ON da.node = cand.x
       JOIN deg db ON db.node = cand.y
-      ORDER BY node_a, node_b"""
+      ORDER BY node_a, node_b""",
+
+    // Replay of Drift.ksStatistic: per-value counts, full-outer merge,
+    // cumulative sums, and the exact HUGEINT numerator
+    // |cumA*nB - cumB*nA|; argmax ties to the smallest value; the one
+    // double division replicates Spark's ta.toDouble * tb.toDouble
+    // denominator literal.
+    "drift_ks" -> s"""
+      WITH av AS (SELECT o_totalprice AS v, count(*) AS na FROM orders
+                  WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
+                  GROUP BY 1),
+           bv AS (SELECT o_totalprice AS v, count(*) AS nb FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
+                  GROUP BY 1),
+           m AS (SELECT coalesce(av.v, bv.v) AS v,
+                        coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+                 FROM av FULL JOIN bv ON av.v = bv.v),
+           t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM m),
+           c AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+                        sum(nb) OVER (ORDER BY v) AS cb FROM m),
+           dd AS (SELECT v,
+                    abs(CAST(ca AS HUGEINT) * (SELECT tb FROM t)
+                      - CAST(cb AS HUGEINT) * (SELECT ta FROM t)) AS d_num
+                  FROM c)
+      SELECT v AS split_value, (SELECT ta FROM t) AS n_a,
+        (SELECT tb FROM t) AS n_b,
+        CAST(d_num AS DECIMAL(38,0)) AS d_num,
+        CAST(d_num AS DOUBLE)
+          / (CAST((SELECT ta FROM t) AS DOUBLE)
+            * CAST((SELECT tb FROM t) AS DOUBLE)) AS d
+      FROM dd ORDER BY dd.d_num DESC, v LIMIT 1""",
+
+    // Replay of Drift.categoricalDrift: grouped counts, NULL-safe
+    // full-outer category merge, exact HUGEINT L1 numerators.
+    "drift_tv" -> s"""
+      WITH ca AS (SELECT event_type AS category, count(*) AS n_a
+                  FROM events WHERE ts < TIMESTAMP '$DriftEventSplit'
+                  GROUP BY 1),
+           cb AS (SELECT event_type AS category, count(*) AS n_b
+                  FROM events WHERE ts >= TIMESTAMP '$DriftEventSplit'
+                  GROUP BY 1),
+           j AS (SELECT coalesce(ca.category, cb.category) AS category,
+                        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                 FROM ca FULL JOIN cb
+                 ON ca.category IS NOT DISTINCT FROM cb.category),
+           t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+      SELECT category, n_a, n_b,
+        CAST(n_a AS DOUBLE) / (SELECT ta FROM t) AS share_a,
+        CAST(n_b AS DOUBLE) / (SELECT tb FROM t) AS share_b,
+        CAST(abs(CAST(n_a AS HUGEINT) * (SELECT tb FROM t)
+               - CAST(n_b AS HUGEINT) * (SELECT ta FROM t))
+          AS DECIMAL(38,0)) AS l1_num,
+        CAST(abs(CAST(n_a AS HUGEINT) * (SELECT tb FROM t)
+               - CAST(n_b AS HUGEINT) * (SELECT ta FROM t)) AS DOUBLE)
+          / (CAST((SELECT ta FROM t) AS DOUBLE)
+            * CAST((SELECT tb FROM t) AS DOUBLE)) AS delta
+      FROM j ORDER BY category""",
+
+    // Replay of Drift.centroidDrift: the embed_standardize x2^20
+    // DECIMAL(38,0) fixed-point sums, split on vec_id parity, keyed
+    // (label, dim).
+    "drift_centroid" -> """
+      WITH x AS (
+        SELECT label::BIGINT AS label, vec_id % 2 AS g, d,
+          embedding[d]::DOUBLE AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(d)),
+      s AS (
+        SELECT label, d,
+          SUM(CASE WHEN g = 0
+            THEN CAST(round(v * 1048576.0) AS DECIMAL(38,0)) END) AS sa,
+          SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+          SUM(CASE WHEN g = 1
+            THEN CAST(round(v * 1048576.0) AS DECIMAL(38,0)) END) AS sb,
+          SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb
+        FROM x GROUP BY label, d)
+      SELECT label, d - 1 AS d, na AS n_a, nb AS n_b,
+        round(abs(sa::DOUBLE / na - sb::DOUBLE / nb) / 1048576.0, 6)
+          AS delta
+      FROM s WHERE na > 0 AND nb > 0 ORDER BY label, d""",
+
+    // Replay of DataQuality.referentialCheck: each FK is a left join
+    // against the parent's distinct non-null keys; NULL child keys are
+    // counted, not violations.
+    "dq_referential" -> """
+      WITH r1 AS (
+        SELECT 'lineitem_orders' AS fk_name, count(*) AS n_rows,
+          sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS n_null_keys,
+          sum(CASE WHEN l_orderkey IS NOT NULL AND pk IS NULL
+            THEN 1 ELSE 0 END) AS n_orphan_rows,
+          count(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND pk IS NULL
+            THEN l_orderkey END) AS n_orphan_keys
+        FROM lineitem LEFT JOIN (
+          SELECT DISTINCT o_orderkey AS pk FROM orders
+          WHERE o_orderkey IS NOT NULL) p ON l_orderkey = pk),
+      r2 AS (
+        SELECT 'lineitem_part' AS fk_name, count(*) AS n_rows,
+          sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+            AS n_null_keys,
+          sum(CASE WHEN l_partkey IS NOT NULL AND pk IS NULL
+            THEN 1 ELSE 0 END) AS n_orphan_rows,
+          count(DISTINCT CASE WHEN l_partkey IS NOT NULL AND pk IS NULL
+            THEN l_partkey END) AS n_orphan_keys
+        FROM lineitem LEFT JOIN (
+          SELECT DISTINCT p_partkey AS pk FROM part
+          WHERE p_partkey IS NOT NULL) p ON l_partkey = pk),
+      r3 AS (
+        SELECT 'orders_open_customer' AS fk_name, count(*) AS n_rows,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS n_null_keys,
+          sum(CASE WHEN o_custkey IS NOT NULL AND pk IS NULL
+            THEN 1 ELSE 0 END) AS n_orphan_rows,
+          count(DISTINCT CASE WHEN o_custkey IS NOT NULL AND pk IS NULL
+            THEN o_custkey END) AS n_orphan_keys
+        FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+        LEFT JOIN (
+          SELECT DISTINCT c_custkey AS pk FROM customer
+          WHERE c_custkey IS NOT NULL) p ON o_custkey = pk),
+      r4 AS (
+        SELECT 'lineitem_orders_closed' AS fk_name, count(*) AS n_rows,
+          sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS n_null_keys,
+          sum(CASE WHEN l_orderkey IS NOT NULL AND pk IS NULL
+            THEN 1 ELSE 0 END) AS n_orphan_rows,
+          count(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND pk IS NULL
+            THEN l_orderkey END) AS n_orphan_keys
+        FROM lineitem LEFT JOIN (
+          SELECT DISTINCT o_orderkey AS pk FROM orders
+          WHERE o_orderstatus <> 'O' AND o_orderkey IS NOT NULL) p
+          ON l_orderkey = pk),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+      SELECT fk_name, n_rows, n_null_keys, n_orphan_rows, n_orphan_keys,
+        CAST(n_orphan_rows AS DOUBLE) / (n_rows - n_null_keys)
+          AS orphan_rate
+      FROM u ORDER BY fk_name""",
+
+    // Replay of DataQuality.fdCheck on l_partkey -> l_suppkey.
+    "dq_fd" -> """
+      WITH p AS (SELECT l_partkey, l_suppkey, count(*) AS n
+                 FROM lineitem GROUP BY 1, 2),
+           g AS (SELECT l_partkey, count(*) AS imgs, sum(n) AS nr
+                 FROM p GROUP BY 1)
+      SELECT count(*) AS n_groups,
+        sum(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS n_violating_groups,
+        sum(nr) AS n_rows,
+        sum(CASE WHEN imgs > 1 THEN nr ELSE 0 END) AS n_rows_in_violating,
+        CAST(sum(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS violation_rate
+      FROM g""",
+
+    // Replay of Profile.benford: string-first digit of the truncated
+    // integer part; expected shares are the SAME Scala-computed double
+    // literals the Spark plan carries (no engine evaluates a log).
+    "profile_benford" -> {
+      // string-cast: a bare decimal literal lands as DECIMAL(p,s) in
+      // DuckDB (even under CAST .. AS DOUBLE the literal parses decimal
+      // FIRST), whose double conversion drifts a ulp from the Scala
+      // literal; the VARCHAR->DOUBLE path is strtod, exact round-trip
+      val exp = (1 to 9)
+        .map(d => s"($d, CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE))")
+        .mkString(", ")
+      s"""
+      WITH v AS (SELECT abs(o_totalprice) AS av FROM orders
+                 WHERE abs(o_totalprice) >= 1),
+           c AS (SELECT CAST(substr(CAST(CAST(floor(av) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit,
+                 count(*) AS n FROM v GROUP BY 1),
+           t AS (SELECT sum(n) AS tot FROM c),
+           e AS (SELECT * FROM (VALUES $exp) AS e(digit, expected_share))
+      SELECT c.digit, c.n,
+        CAST(c.n AS DOUBLE) / (SELECT tot FROM t) AS share,
+        e.expected_share,
+        CAST(c.n AS DOUBLE) / (SELECT tot FROM t) - e.expected_share
+          AS deviation
+      FROM c JOIN e ON e.digit = c.digit ORDER BY c.digit"""
+    },
+
+    // Replay of Sampling.systematicWeighted: cumulative weights over the
+    // (h32(id ++ salt), id) axis, slot boundaries as exact HUGEINT
+    // products — floor division is plain // on positive operands.
+    "sample_systematic" -> s"""
+      WITH w AS (SELECT doc_id, n_chars AS weight,
+             ('0x'||substr(md5(doc_id::VARCHAR || '$SysSalt'),1,8))::BIGINT
+               % $P AS h
+           FROM documents WHERE n_chars > 0),
+      c AS (SELECT doc_id, weight,
+              sum(weight) OVER (ORDER BY h, doc_id) AS cum FROM w),
+      t AS (SELECT sum(weight) AS tot FROM w),
+      s AS (SELECT doc_id, weight,
+              (CAST(cum AS HUGEINT) * $SysSlots) // (SELECT tot FROM t)
+              - (CAST(cum - weight AS HUGEINT) * $SysSlots)
+                // (SELECT tot FROM t) AS n_slots
+            FROM c)
+      SELECT doc_id, weight, CAST(n_slots AS BIGINT) AS n_slots
+      FROM s WHERE n_slots >= 1 ORDER BY doc_id""",
+
+    // Replay of Behavior.rateCap: hour buckets from floored epoch
+    // seconds, first-k by (ts, event_id) per (user, bucket).
+    "events_rate_cap" -> s"""
+      WITH r AS (
+        SELECT event_id, user_id, ts,
+          CAST(floor(epoch(ts) / $RateCapBucketSec) AS BIGINT) AS b,
+          row_number() OVER (
+            PARTITION BY user_id,
+              CAST(floor(epoch(ts) / $RateCapBucketSec) AS BIGINT)
+            ORDER BY ts, event_id) AS slot
+        FROM events)
+      SELECT event_id, user_id,
+        CAST(to_timestamp(b * $RateCapBucketSec) AS TIMESTAMP)
+          AS bucket_start,
+        CAST(slot AS BIGINT) AS slot
+      FROM r WHERE slot <= $RateCapK ORDER BY event_id"""
   )
 }

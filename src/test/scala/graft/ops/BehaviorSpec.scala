@@ -229,4 +229,37 @@ class BehaviorSpec extends SparkSpec {
     assert(floored.map(r => (r._1, r._2)).toSet == Set(("a", "b")))
     graft.util.Caches.unpersistAll()
   }
+
+  test("rateCap: first k per key-bucket by (ts, id), bucket boundaries") {
+    val df = Seq(
+      // user 1, hour 0: four events -> slot 4 dropped at k=3
+      (1L, 1L, "2024-01-01 00:00:01"), (2L, 1L, "2024-01-01 00:10:00"),
+      (3L, 1L, "2024-01-01 00:20:00"), (4L, 1L, "2024-01-01 00:59:59"),
+      // user 1, hour 1: fresh budget
+      (5L, 1L, "2024-01-01 01:00:00"),
+      // user 2, hour 0: under cap
+      (6L, 2L, "2024-01-01 00:30:00")
+    ).toDF("event_id", "user_id", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val out = Behavior.rateCap(df, "ts", "user_id", "event_id",
+      bucketSeconds = 3600L, k = 3)
+    val kept = out.select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L, 6L))
+    val slots = out.select("event_id", "slot").as[(Long, Long)]
+      .collect().toMap
+    assert(slots(1L) == 1L && slots(3L) == 3L && slots(5L) == 1L)
+    val b5 = out.where($"event_id" === 5L)
+      .select(col("bucket_start").cast("string")).as[String].collect().head
+    assert(b5 == "2024-01-01 01:00:00")
+  }
+
+  test("rateCap: equal timestamps tie-break on id deterministically") {
+    val df = Seq((9L, 1L), (7L, 1L), (8L, 1L))
+      .toDF("event_id", "user_id")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val out = Behavior.rateCap(df, "ts", "user_id", "event_id",
+        bucketSeconds = 3600L, k = 2)
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(7L, 8L))
+  }
 }

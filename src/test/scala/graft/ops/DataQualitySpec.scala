@@ -106,4 +106,64 @@ class DataQualitySpec extends SparkSpec {
     assert(run(df1) == run(df2))
     assert(run(df1).nonEmpty)
   }
+
+  test("referentialCheck: orphans, null keys, per-check rows") {
+    val child = Seq(Some(1L), Some(2L), None, Some(5L), Some(5L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = DataQuality.referentialCheck(Seq(
+        ("c_p", child, "fk", parent, "pk")))
+      .collect().head
+    assert(out.getAs[String]("fk_name") == "c_p")
+    assert(out.getAs[Long]("n_rows") == 5L)
+    assert(out.getAs[Long]("n_null_keys") == 1L)
+    assert(out.getAs[Long]("n_orphan_rows") == 2L)  // the two 5s
+    assert(out.getAs[Long]("n_orphan_keys") == 1L)  // distinct key 5
+    assert(out.getAs[Double]("orphan_rate") == 0.5) // 2 of 4 non-null
+  }
+
+  test("referentialCheck: parent payload never joins, keys deduplicate") {
+    // duplicate parent keys must not multiply child rows
+    val child = Seq(1L, 1L, 2L).toDF("fk")
+    val parent = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("pk", "payload")
+    val out = DataQuality.referentialCheck(Seq(
+        ("c_p", child, "fk", parent, "pk"))).collect().head
+    assert(out.getAs[Long]("n_rows") == 3L)
+    assert(out.getAs[Long]("n_orphan_rows") == 0L)
+  }
+
+  test("referentialCheck rejects empty and duplicate-name check lists") {
+    val d = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      DataQuality.referentialCheck(Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.referentialCheck(Seq(
+        ("x", d, "k", d, "k"), ("x", d, "k", d, "k")))
+    }
+  }
+
+  test("fdCheck: violating groups counted, NULL is its own image") {
+    val df = Seq(
+      (1, Some("a")), (1, Some("a")), (1, Some("b")), // 1 -> {a,b} violates
+      (2, Some("c")),                                 // 2 -> {c} holds
+      (3, Some("x")), (3, None)                       // 3 -> {x,NULL} violates
+    ).toDF("k", "v")
+    val out = DataQuality.fdCheck(df, Seq("k"), "v").collect().head
+    assert(out.getAs[Long]("n_groups") == 3L)
+    assert(out.getAs[Long]("n_violating_groups") == 2L)
+    assert(out.getAs[Long]("n_rows") == 6L)
+    assert(out.getAs[Long]("n_rows_in_violating") == 5L)
+    assert(out.getAs[Double]("violation_rate") == 2.0 / 3.0)
+  }
+
+  test("fdCheck: multi-column determinant, rhs excluded from lhs") {
+    val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 1, "a")).toDF("x", "y", "v")
+    val out = DataQuality.fdCheck(df, Seq("x", "y"), "v").collect().head
+    assert(out.getAs[Long]("n_groups") == 2L)
+    assert(out.getAs[Long]("n_violating_groups") == 0L)
+    intercept[IllegalArgumentException] {
+      DataQuality.fdCheck(df, Seq("x", "v"), "v")
+    }
+  }
 }

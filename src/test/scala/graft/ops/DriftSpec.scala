@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksStatistic: hand-computed D over a small pair of samples") {
+    val a = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 3.0, 4.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").collect().head
+    // cumA over {1,2,3,4} = 1,3,4,4; cumB = 0,1,3,4; nA = nB = 4
+    // d_num = |cumA*4 - cumB*4| = 4, 8, 4, 0 -> max 8 at v=2
+    assert(r.getAs[Double]("split_value") == 2.0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact == 8L)
+    assert(r.getAs[Double]("d") == 0.5)
+  }
+
+  test("ksStatistic: ties on d_num resolve to the smallest value") {
+    val a = Seq(1.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").collect().head
+    // d_num = 2 at v=1 and v=3 -> smallest value wins
+    assert(r.getAs[Double]("split_value") == 1.0)
+    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact == 2L)
+  }
+
+  test("ksStatistic: identical samples give D = 0 and ignore NULLs") {
+    val a = Seq(Some(1.0), Some(2.0), None).toDF("v")
+    val b = Seq(Some(1.0), Some(2.0)).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").collect().head
+    assert(r.getAs[Long]("n_a") == 2L) // NULL dropped
+    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact == 0L)
+    assert(r.getAs[Double]("d") == 0.0)
+  }
+
+  test("ksStatistic result is independent of input partitioning") {
+    val a = spark.range(0, 500).select((col("id") % 37).cast("double").as("v"))
+    val b = spark.range(0, 400).select((col("id") % 41).cast("double").as("v"))
+    val r1 = Drift.ksStatistic(a, b, "v").collect().head
+    val r2 = Drift.ksStatistic(a.repartition(7), b.repartition(3), "v")
+      .collect().head
+    assert(r1 == r2)
+  }
+
+  test("categoricalDrift: exact L1 numerators, one-sided categories, NULL") {
+    val a = Seq(Some("x"), Some("x"), Some("y"), None).toDF("c")
+    val b = Seq(Some("x"), Some("z")).toDF("c")
+    val out = Drift.categoricalDrift(a, b, "c")
+      .orderBy(asc_nulls_first("category"))
+      .collect()
+    // nA = 4, nB = 2
+    val byCat = out.map(r => Option(r.getString(0)) ->
+      (r.getLong(1), r.getLong(2),
+        r.getAs[java.math.BigDecimal](5).longValueExact)).toMap
+    assert(byCat(Some("x")) == ((2L, 1L, 0L)))   // |2*2 - 1*4| = 0
+    assert(byCat(Some("y")) == ((1L, 0L, 2L)))   // |1*2 - 0| = 2
+    assert(byCat(Some("z")) == ((0L, 1L, 4L)))   // |0 - 1*4| = 4
+    assert(byCat(None) == ((1L, 0L, 2L)))        // NULL is its own category
+    val x = out.find(_.getString(0) == "x").get
+    assert(x.getDouble(3) == 0.5 && x.getDouble(4) == 0.5)
+  }
+
+  test("categoricalDrift TV distance halves the delta sum") {
+    val a = Seq("p", "p", "q").toDF("c")
+    val b = Seq("p", "q", "q").toDF("c")
+    val deltas = Drift.categoricalDrift(a, b, "c")
+      .agg(sum("delta")).as[Double].collect().head
+    // shares move 2/3<->1/3 on both categories: TV = 1/3, sum = 2/3
+    assert(math.abs(deltas - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("centroidDrift: per-dim fixed-point mean deltas, one-sided labels drop") {
+    val a = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(9.0f, 9.0f), 7) // label 7 absent from b -> dropped
+    ).toDF("vec_id", "embedding", "label")
+    val b = Seq((4L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Drift.centroidDrift(a, b).orderBy("label", "d").collect()
+    assert(out.length == 2)
+    // label 0 means: a = [2,3], b = [0,1] -> delta [2,2]
+    assert(out.map(_.getAs[Double]("delta")).toSeq == Seq(2.0, 2.0))
+    assert(out.map(_.getAs[Long]("n_a")).toSeq == Seq(2L, 2L))
+    assert(out.map(_.getAs[Long]("n_b")).toSeq == Seq(1L, 1L))
+  }
+
+  test("centroidDrift is order-insensitive (fixed-point sums)") {
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (math.sin(i * 8 + j) * 3).toFloat),
+        i % 3)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val (ea, eb) = (df.where($"vec_id" % 2 === 0), df.where($"vec_id" % 2 === 1))
+    val r1 = Drift.centroidDrift(ea, eb).orderBy("label", "d").collect().toSeq
+    val r2 = Drift.centroidDrift(ea.repartition(13), eb.repartition(5))
+      .orderBy("label", "d").collect().toSeq
+    assert(r1 == r2)
+  }
+}

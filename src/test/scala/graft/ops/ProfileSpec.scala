@@ -245,4 +245,24 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"expected partial aggregation:\n$plan")
   }
+
+  test("benford: digit extraction, sub-1 and NULL rows ignored") {
+    val df = Seq(Some(1.5), Some(19.0), Some(2.3), Some(0.5), None,
+      Some(-25.0)).toDF("v")
+    val out = Profile.benford(df, "v").orderBy("digit").collect()
+    // digits: 1 (1.5), 1 (19), 2 (2.3), 2 (|-25|); 0.5 and NULL ignored
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 2L), (2, 2L)))
+    val d1 = out.head
+    assert(d1.getAs[Double]("share") == 0.5)
+    assert(d1.getAs[Double]("expected_share") == math.log10(2.0))
+    assert(d1.getAs[Double]("deviation") == 0.5 - math.log10(2.0))
+  }
+
+  test("benford: every digit 1-9 reachable, shares sum to 1") {
+    val df = (1 to 9).flatMap(d => Seq.fill(d)(d * 100.0 + 7)).toDF("v")
+    val out = Profile.benford(df, "v").collect()
+    assert(out.map(_.getInt(0)).sorted.toSeq == (1 to 9))
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
 }

@@ -304,4 +304,43 @@ class SamplingSpec extends SparkSpec {
     assert(!top.queryExecution.executedPlan.toString.contains("Window"))
     graft.util.Caches.unpersistAll()
   }
+
+  test("systematicWeighted: slots sum to n, weight-proportional, no zeros") {
+    val df = (1L to 200L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val out = Sampling.systematicWeighted(df, "id", "w", n = 40, salt = "t")
+      .collect()
+    assert(out.map(_.getAs[Long]("n_slots")).sum == 40L)
+    assert(out.forall(_.getAs[Long]("n_slots") >= 1L))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("systematicWeighted: a row heavier than W/n claims multiple slots") {
+    // total W = 1000+5+5 = 1010, n = 10 -> interval 101; the heavy row
+    // must take ~9-10 slots
+    val df = Seq((1L, 1000L), (2L, 5L), (3L, 5L)).toDF("id", "w")
+    val out = Sampling.systematicWeighted(df, "id", "w", n = 10, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_slots")).toMap
+    assert(out(1L) >= 9L)
+    assert(out.values.sum == 10L)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("systematicWeighted: non-positive weights dropped, layout-independent") {
+    val rows = (1L to 100L).map(i =>
+      (i, if (i % 10 == 0) 0L else i % 13 + 1))
+    val df1 = rows.toDF("id", "w")
+    val df2 = df1.repartition(9)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicWeighted(d, "id", "w", n = 25, salt = "x",
+        numPartitions = 5).orderBy("id").collect().toSeq
+    val r1 = run(df1)
+    assert(r1 == run(df2))
+    assert(!r1.exists(_.getLong(0) % 10 == 0), "zero-weight rows dropped")
+    // a different salt re-deals the axis: some selection difference
+    val r2 = Sampling.systematicWeighted(df1, "id", "w", n = 25,
+      salt = "y", numPartitions = 5).orderBy("id").collect().toSeq
+    assert(r1.map(_.getLong(0)) != r2.map(_.getLong(0)),
+      "a new salt draws a different systematic subset")
+    graft.util.Caches.unpersistAll()
+  }
 }
