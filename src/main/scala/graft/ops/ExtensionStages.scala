@@ -259,7 +259,7 @@ final case class ProfileTransformStage(
     outputView: String,
     columns: Seq[String],
     exact: Boolean = true,
-    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank
+    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank | benford
     valueCol: String = "value",
     idCol: String = "doc_id",
     binWidth: Double = 1.0,
@@ -290,6 +290,7 @@ final case class ProfileTransformStage(
       case "correlation" => Profile.correlation(in, xCol, yCol, byCols)
       case "percentile_rank" =>
         Profile.percentileRank(in, valueCol, idCol, byCols)
+      case "benford" => Profile.benford(in, valueCol)
       case other => throw new IllegalArgumentException(
         s"unknown profile method '$other'")
     }
@@ -302,7 +303,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -353,6 +354,9 @@ final case class SampleTransformStage(
       case "temperature" =>
         Sampling.temperatureRebalance(in, stratumCol, idCol, tokenCol,
           rate, salt)
+      // k is the slot count; weights from weightCol
+      case "systematic" =>
+        Sampling.systematicWeighted(in, idCol, weightCol, k.toLong, salt)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }
@@ -921,7 +925,7 @@ final case class BehaviorTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // funnel | cohort | transitions | attribution | basket
+    method: String, // funnel | cohort | transitions | attribution | basket | rate_cap
     tsCol: String = "ts",
     userCol: String = "user_id",
     typeCol: String = "event_type",
@@ -931,11 +935,14 @@ final case class BehaviorTransformStage(
     maxGapSeconds: Option[Long] = None,
     touchType: String = "click",
     convType: String = "purchase",
+    // attribution window; doubles as the rate_cap bucket width
     windowSeconds: Long = 3600L,
     // basket only: basket/item columns + minimum pair support
     basketCol: String = "basket",
     itemCol: String = "item",
-    minSupport: Long = 10L)
+    minSupport: Long = 10L,
+    // rate_cap only: rows kept per (key, bucket)
+    k: Int = 3)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -957,6 +964,9 @@ final case class BehaviorTransformStage(
       // association mining: pair support + lift within baskets
       case "basket" =>
         Behavior.basketPairs(in, basketCol, itemCol, minSupport)
+      // ingestion throttle: first-k rows per (user, windowSeconds bucket)
+      case "rate_cap" =>
+        Behavior.rateCap(in, tsCol, userCol, idCol, windowSeconds, k)
       case other =>
         throw new IllegalArgumentException(s"unknown behavior method '$other'")
     }
@@ -975,7 +985,7 @@ final case class DataQualityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // rules | linkage | join_skew
+    method: String, // rules | linkage | join_skew | referential | fd
     rules: Seq[(String, String)] = Nil,
     idCol: String = "id",
     blockCol: String = "block",
@@ -983,10 +993,14 @@ final case class DataQualityTransformStage(
     exactFields: Seq[(String, Double)] = Nil,
     minScore: Double = 0.9,
     maxBlock: Int = 1024,
+    // join_skew: the probe side; referential: the parent table
     rightView: Option[String] = None,
     leftKey: String = "key",
     rightKey: String = "key",
-    topK: Int = 20)
+    topK: Int = 20,
+    // fd only: determinant columns and the dependent column
+    lhs: Seq[String] = Nil,
+    rhsCol: String = "v")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1007,6 +1021,16 @@ final case class DataQualityTransformStage(
         val r = rightView.getOrElse(throw new IllegalArgumentException(
           "dq method 'join_skew' requires 'rightView'"))
         Profile.joinSkew(in, leftKey, Views.resolve(r), rightKey, topK)
+      // one FK audit row: input is the child, rightView the parent
+      case "referential" =>
+        val r = rightView.getOrElse(throw new IllegalArgumentException(
+          "dq method 'referential' requires 'rightView' (the parent)"))
+        DataQuality.referentialCheck(Seq(
+          (name, in, leftKey, Views.resolve(r), rightKey)))
+      case "fd" =>
+        if (lhs.isEmpty) throw new IllegalArgumentException(
+          "dq method 'fd' requires non-empty 'lhs'")
+        DataQuality.fdCheck(in, lhs, rhsCol)
       case other =>
         throw new IllegalArgumentException(s"unknown dq method '$other'")
     }
@@ -1042,6 +1066,43 @@ final case class AggStateTransformStage(
         Maintenance.mergeAggStates(views.map(Views.resolve), keys)
       case other =>
         throw new IllegalArgumentException(s"unknown aggstate method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Distributional drift stage over [[Drift]]: the snapshot-to-snapshot
+  * statistical regression check (covariate shift, upstream filter
+  * breakage) as pipeline configuration. `inputView` is the BEFORE
+  * snapshot, `rightView` the AFTER; methods map to the exact-arithmetic
+  * operators — `ks` (numeric column), `tv` (categorical column),
+  * `centroid` (embedding frames keyed by `labelCol`).
+  */
+final case class DriftTransformStage(
+    name: String,
+    inputView: String,
+    rightView: String,
+    outputView: String,
+    method: String, // ks | tv | centroid
+    valueCol: String = "value",
+    catCol: String = "category",
+    labelCol: String = "label")
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "rightView" -> rightView
+    detail += "outputView" -> outputView
+    val before = Views.resolve(inputView)
+    val after = Views.resolve(rightView)
+    val out = method match {
+      case "ks" => Drift.ksStatistic(before, after, valueCol)
+      case "tv" => Drift.categoricalDrift(before, after, catCol)
+      case "centroid" => Drift.centroidDrift(before, after, labelCol)
+      case other =>
+        throw new IllegalArgumentException(s"unknown drift method '$other'")
     }
     Views.register(out, outputView)
     Option(out)

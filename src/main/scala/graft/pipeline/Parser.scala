@@ -204,7 +204,8 @@ object Parser {
     "ProfileTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("table", "histogram", "bucketize", "winsorize", "outliers",
-          "outliers_mad", "correlation", "percentile_rank"), "table")
+          "outliers_mad", "correlation", "percentile_rank", "benford"),
+        "table")
       // a group-keyed pass without byCols would only fail at runtime
       // (require in the operator) — fail at parse instead
       if ((method.startsWith("outliers") || method == "correlation"
@@ -290,7 +291,8 @@ object Parser {
     },
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("funnel", "cohort", "transitions", "attribution", "basket"), "funnel")
+        Seq("funnel", "cohort", "transitions", "attribution", "basket",
+          "rate_cap"), "funnel")
       val steps = r.stringList("steps")
       if (method == "funnel" && steps.size < 2)
         r.error("steps", "funnel requires >= 2 steps")
@@ -311,15 +313,19 @@ object Parser {
         windowSeconds = r.long("windowSeconds").getOrElse(3600L),
         basketCol = r.string("basketCol").getOrElse("basket"),
         itemCol = r.string("itemCol").getOrElse("item"),
-        minSupport = r.long("minSupport").getOrElse(10L))
+        minSupport = r.long("minSupport").getOrElse(10L),
+        k = r.int("k").getOrElse(3))
     },
     "DataQualityTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("rules", "linkage", "join_skew"), "rules")
+        Seq("rules", "linkage", "join_skew", "referential", "fd"), "rules")
       if (method == "rules" && r.stringMap("rules").isEmpty)
         r.error("rules", "missing or empty; method 'rules' requires them")
-      if (method == "join_skew" && r.string("rightView").isEmpty)
-        r.error("rightView", "missing; join_skew requires a right view")
+      if ((method == "join_skew" || method == "referential")
+          && r.string("rightView").isEmpty)
+        r.error("rightView", s"missing; $method requires a right view")
+      if (method == "fd" && r.stringList("lhs").isEmpty)
+        r.error("lhs", "missing or empty; method 'fd' requires determinant columns")
       def weights(key: String): Seq[(String, Double)] =
         r.stringMap(key).toSeq.sortBy(_._1).map { case (k, v) =>
           k -> (try v.toDouble catch {
@@ -344,7 +350,20 @@ object Parser {
         rightView = r.string("rightView"),
         leftKey = r.string("leftKey").getOrElse("key"),
         rightKey = r.string("rightKey").getOrElse("key"),
-        topK = r.int("topK").getOrElse(20))
+        topK = r.int("topK").getOrElse(20),
+        lhs = r.stringList("lhs"),
+        rhsCol = r.string("rhsCol").getOrElse("v"))
+    },
+    "DriftTransform" -> { (r, _) =>
+      DriftTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        rightView = r.requiredString("rightView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method", Seq("ks", "tv", "centroid"), "ks"),
+        valueCol = r.string("valueCol").getOrElse("value"),
+        catCol = r.string("catCol").getOrElse("category"),
+        labelCol = r.string("labelCol").getOrElse("label"))
     },
     "AggStateTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("state", "merge"), "state")
@@ -389,7 +408,7 @@ object Parser {
           Seq("deterministic", "stratified", "per_stratum_head",
             "shard_by_budget", "upsample", "weighted_topk", "negative",
             "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
-            "temperature"),
+            "temperature", "systematic"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
@@ -671,10 +690,14 @@ object Parser {
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix")),
     "BehaviorTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
-      "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds")),
+      "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds",
+      "basketCol", "itemCol", "minSupport", "k")),
     "DataQualityTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "rules", "idCol", "blockCol", "fuzzyFields", "exactFields",
-      "minScore", "maxBlock", "rightView", "leftKey", "rightKey", "topK")),
+      "minScore", "maxBlock", "rightView", "leftKey", "rightKey", "topK",
+      "lhs", "rhsCol")),
+    "DriftTransform" -> (commonKeys ++ Set("inputView", "rightView",
+      "outputView", "method", "valueCol", "catCol", "labelCol")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "keys", "sumCols", "stateViews")),
     "BloomJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",

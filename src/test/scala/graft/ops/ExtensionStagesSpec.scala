@@ -1082,4 +1082,107 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(out.count() > 0)
     graft.util.Caches.unpersistAll()
   }
+
+  test("drift stages: ks and tv between snapshot views from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "o", "table": "orders",
+       "outputView": "dr_orders"},
+      {"type": "SqlTransform", "name": "before",
+       "sql": "SELECT * FROM dr_orders WHERE o_orderkey % 2 = 0",
+       "outputView": "dr_before"},
+      {"type": "SqlTransform", "name": "after",
+       "sql": "SELECT * FROM dr_orders WHERE o_orderkey % 2 = 1",
+       "outputView": "dr_after"},
+      {"type": "DriftTransform", "name": "ks", "method": "ks",
+       "inputView": "dr_before", "rightView": "dr_after",
+       "valueCol": "o_totalprice", "outputView": "dr_ks"},
+      {"type": "DriftTransform", "name": "tv", "method": "tv",
+       "inputView": "dr_before", "rightView": "dr_after",
+       "catCol": "o_orderstatus", "outputView": "dr_tv"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val ks = spark.table("dr_ks").collect().head
+    assert(ks.getAs[Long]("n_a") > 0 && ks.getAs[Long]("n_b") > 0)
+    assert(ks.getAs[Double]("d") >= 0.0 && ks.getAs[Double]("d") <= 1.0)
+    assert(spark.table("dr_tv").count() > 0)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("drift stage requires rightView at parse") {
+    val conf = """{"stages": [
+      {"type": "DriftTransform", "name": "ks", "method": "ks",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Left(errs) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("rightView")))
+  }
+
+  test("dq referential and fd stages run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "li", "table": "lineitem",
+       "outputView": "rf_li"},
+      {"type": "Extract", "name": "o", "table": "orders",
+       "outputView": "rf_orders"},
+      {"type": "DataQualityTransform", "name": "fk_ord",
+       "method": "referential", "inputView": "rf_li",
+       "rightView": "rf_orders", "leftKey": "l_orderkey",
+       "rightKey": "o_orderkey", "outputView": "rf_fk"},
+      {"type": "DataQualityTransform", "name": "fd", "method": "fd",
+       "inputView": "rf_li", "lhs": ["l_partkey"], "rhsCol": "l_suppkey",
+       "outputView": "rf_fd"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val fk = spark.table("rf_fk").collect().head
+    assert(fk.getAs[String]("fk_name") == "fk_ord")
+    assert(fk.getAs[Long]("n_orphan_rows") == 0L) // clean FK at this sf
+    assert(spark.table("rf_fd").collect().head.getAs[Long]("n_groups") > 0)
+  }
+
+  test("fd stage without lhs fails at parse") {
+    val conf = """{"stages": [
+      {"type": "DataQualityTransform", "name": "fd", "method": "fd",
+       "inputView": "a", "outputView": "b"}
+    ]}"""
+    val Left(errs) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("lhs")))
+  }
+
+  test("systematic sample and rate_cap stages run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "sy_docs"},
+      {"type": "SampleTransform", "name": "sys", "method": "systematic",
+       "inputView": "sy_docs", "idCol": "doc_id", "weightCol": "n_chars",
+       "k": 50, "salt": "s", "outputView": "sy_out"},
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "sy_ev"},
+      {"type": "SqlTransform", "name": "evts",
+       "sql": "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM sy_ev",
+       "outputView": "sy_ev_ts"},
+      {"type": "BehaviorTransform", "name": "cap", "method": "rate_cap",
+       "inputView": "sy_ev_ts", "windowSeconds": 3600, "k": 2,
+       "outputView": "sy_capped"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    import spark.implicits._
+    val slots = spark.table("sy_out").agg(
+      org.apache.spark.sql.functions.sum("n_slots")).as[Long].collect().head
+    assert(slots == 50L)
+    val over = spark.table("sy_capped")
+      .groupBy("user_id", "bucket_start")
+      .count().where($"count" > 2).count()
+    assert(over == 0L, "rate cap must bound every (user, bucket)")
+    graft.util.Caches.unpersistAll()
+  }
 }
