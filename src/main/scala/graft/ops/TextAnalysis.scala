@@ -537,6 +537,83 @@ object TextAnalysis {
       .where(col("cnt") >= minCount)
   }
 
+  /** Iterative BPE merge learning (Sennrich et al. 2016) — the full
+    * tokenizer-training loop, not just one round's statistic
+    * ([[bpePairCounts]]): `rounds` times, count adjacent symbol pairs
+    * over the distinct-word table weighted by word frequency, merge the
+    * most frequent pair (ties to the lexicographically smallest (a, b)),
+    * and re-segment. Output: one row per executed round
+    * (merge_round, left_sym, right_sym, merged, cnt) — the merge table a
+    * BPE tokenizer ships. Stops early when no pair remains.
+    *
+    * Symbol sequences are carried as SEPARATOR-FRAMED STRINGS — each
+    * symbol wrapped as ␟sym␟ (U+001F, dropped from input words in the
+    * defensive filter) — so applying a merge is one plain `replace` of
+    * ␟a␟␟b␟ with ␟ab␟: because every symbol carries its own frame,
+    * adjacent matches share no characters and left-to-right
+    * non-overlapping replace semantics (identical in any engine)
+    * implement exactly BPE's left-to-right merge scan. No per-row UDF,
+    * no recursion — narrow string work any engine replays.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word count
+    * table (map-side combined); each round is one vocab-bounded pair
+    * aggregation, a 1-row TakeOrdered argmax to the driver (the
+    * per-round driver traffic is ONE ROW — the [[Dedup
+    * .connectedComponents]] loop-budget convention), and a narrow
+    * re-encode. State re-persists per round with immediate eviction of
+    * the superseded generation, so lineage stays flat across hundreds of
+    * merges.
+    */
+  def bpeLearnMerges(df: DataFrame, textCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sep = "\u001F"
+    // every char c -> ␟c␟ ; concatenation yields the framed sequence
+    val encode = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
+    var enc = graft.util.Caches.persist(
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .where(length(col("w")) >= 2 && !col("w").contains(sep))
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+        .select(encode.as("e"), col("wn")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = enc.select(col("wn"),
+        filter(split(col("e"), sep), s => s =!= "").as("ss"))
+      // the sequence(1,0)-steps-backwards guard: 1-symbol rows emit null,
+      // explode drops them (DuckDB's empty generate_series equivalent)
+      val pairs = syms
+        .select(col("wn"), explode(when(size(col("ss")) >= 2,
+          transform(sequence(lit(1), size(col("ss")) - 1),
+            i => struct(element_at(col("ss"), i).as("a"),
+              element_at(col("ss"), i + 1).as("b"))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wn").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, cnt))
+        val next = graft.util.Caches.persist(
+          enc.select(replace(col("e"), lit(s"$sep$a$sep$sep$b$sep"),
+            lit(s"$sep$a$b$sep")).as("e"), col("wn")))
+        next.count() // materialize before evicting the parent generation
+        enc.unpersist(blocking = false)
+        enc = next
+        r += 1
+      }
+    }
+    enc.unpersist(blocking = false)
+    merges.toSeq
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "cnt")
+  }
+
   /** Blocklist screening over whitespace words — the safety/PII-adjacent
     * corpus filter every production pipeline runs before training: which
     * documents mention a listed term, how often, and which terms. Output

@@ -2041,6 +2041,14 @@ object ExtensionQueries {
         .select(col("event_id"), col("user_id"), col("bucket_start"),
           col("slot"))
         .orderBy("event_id")
+    },
+
+    // Full BPE merge learning: BpeMergeRounds rounds of argmax-merge over
+    // the separator-framed symbol strings.
+    "bpe_merges" -> { (spark, dir) =>
+      TextAnalysis.bpeLearnMerges(docs(spark, dir), "text",
+          rounds = BpeMergeRounds)
+        .orderBy("merge_round")
     }
   )
 
@@ -2053,6 +2061,7 @@ object ExtensionQueries {
   private val SysSalt = "sys"
   private val RateCapBucketSec = 3600L
   private val RateCapK = 3
+  private val BpeMergeRounds = 4
 
   /** BM25 gate query: a fixed bag of corpus-vocabulary terms. */
   private val Bm25Terms = Seq("join", "hash", "spark", "window")
@@ -5336,6 +5345,45 @@ object ExtensionQueries {
         CAST(to_timestamp(b * $RateCapBucketSec) AS TIMESTAMP)
           AS bucket_start,
         CAST(slot AS BIGINT) AS slot
-      FROM r WHERE slot <= $RateCapK ORDER BY event_id"""
+      FROM r WHERE slot <= $RateCapK ORDER BY event_id""",
+
+    // Replay of TextAnalysis.bpeLearnMerges: the same separator-framed
+    // symbol strings (chr(31) frames), per-round pair counts, argmax with
+    // (cnt desc, a, b) tie order, and left-to-right replace application —
+    // one CTE trio per round, generated for BpeMergeRounds rounds.
+    "bpe_merges" -> {
+      val rounds = BpeMergeRounds
+      def pairs(src: String, i: Int) =
+        s"""p$i AS (SELECT ss[i] AS a, ss[i+1] AS b, sum(wn)::BIGINT AS cnt
+          FROM (SELECT list_filter(string_split(e, chr(31)),
+                  x -> x <> '') AS ss, wn FROM $src) s,
+            unnest(generate_series(1, len(ss) - 1)) AS t(i)
+          GROUP BY 1, 2),
+        m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+      def apply(src: String, i: Int) =
+        s"""w$i AS (SELECT replace(e,
+            chr(31)||(SELECT a FROM m$i)||chr(31)
+              ||chr(31)||(SELECT b FROM m$i)||chr(31),
+            chr(31)||(SELECT a FROM m$i)||(SELECT b FROM m$i)||chr(31))
+          AS e, wn FROM $src)"""
+      val ctes = (1 to rounds).map { i =>
+        val src = if (i == 1) "wc" else s"w${i - 1}"
+        if (i < rounds) pairs(src, i) + ",\n" + apply(src, i)
+        else pairs(src, i)
+      }.mkString(",\n")
+      val rows = (1 to rounds).map(i =>
+        s"SELECT $i::BIGINT AS merge_round, a AS left_sym, b AS right_sym, a||b AS merged, cnt FROM m$i")
+        .mkString("\nUNION ALL ")
+      s"""
+      WITH wc AS (
+        SELECT regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS e,
+          count(*)::BIGINT AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE length(w) >= 2 AND w NOT LIKE '%'||chr(31)||'%'
+        GROUP BY 1),
+      $ctes
+      $rows
+      ORDER BY merge_round"""
+    }
   )
 }

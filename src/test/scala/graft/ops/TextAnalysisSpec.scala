@@ -304,4 +304,36 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.blocklist(df, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("bpeLearnMerges: hand-computed merges, left-to-right scan, early stop") {
+    // wc: "aaab" x2, "ab" x1
+    val df = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeLearnMerges(df, "text", rounds = 4)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // r1: (a,a)=4 beats (a,b)=3; aaab -> [aa,a,b] (left-to-right, no
+    //     overlap chain) ; r2: (a,b)=3 ; r3: (aa,ab)=2 ; r4: no pairs
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpeLearnMerges: count ties resolve to the smallest (left, right)") {
+    val df = Seq((1L, "zw xy")).toDF("doc_id", "text")
+    val first = TextAnalysis.bpeLearnMerges(df, "text", rounds = 1)
+      .collect().head
+    assert((first.getString(1), first.getString(2)) == (("x", "y")))
+  }
+
+  test("bpeLearnMerges is layout-independent") {
+    val rows = (1L to 60L).map(i =>
+      (i, Seq.fill((i % 5 + 1).toInt)(s"w${i % 11}x").mkString(" ")))
+    val df1 = rows.toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeLearnMerges(d, "text", rounds = 3)
+        .orderBy("merge_round").collect().toSeq
+    assert(run(df1) == run(df1.repartition(7)))
+  }
 }
