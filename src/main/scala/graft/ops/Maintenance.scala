@@ -107,4 +107,97 @@ object Maintenance {
     val aggs = valCols.map(c => sum(col(c)).as(c))
     all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ---- versioned snapshots (metadata-last commit + time travel) ----
+
+  /** Publish `df` as the next version of the snapshot table under
+    * `baseDir` and return the new version number. Layout:
+    * `baseDir/data/v=N/` holds version N's parquet; `baseDir/_versions/`
+    * is a tiny append-only parquet of COMMITTED versions
+    * (version, n_rows). The commit protocol is metadata-LAST: data is
+    * fully written before the version row is appended, and readers
+    * ([[readSnapshot]]) resolve versions exclusively from `_versions` —
+    * a crashed or half-written publish leaves an orphaned data directory
+    * that no reader can ever observe (the Delta/Iceberg commit idea with
+    * plain parquet). Single-writer contract: concurrent publishers race
+    * on the version number; serialize publishes per table (the reference
+    * plugin's save path assumes the same,
+    * ref: CassandraLoad.scala:61-74's single truncate-then-write flow).
+    *
+    * Append-only and therefore latch-free; reclaiming old versions is
+    * the destructive operation and lives behind the usual
+    * `confirm.truncate` latch in [[vacuumSnapshots]].
+    */
+  def publishSnapshot(df: DataFrame, baseDir: String): Long = {
+    val spark = df.sparkSession
+    val next = committedVersions(spark, baseDir)
+      .map(_._1).foldLeft(0L)(math.max) + 1L
+    df.write.mode("errorifexists").parquet(s"$baseDir/data/v=$next")
+    val n = spark.read.parquet(s"$baseDir/data/v=$next").count()
+    import spark.implicits._
+    Seq((next, n)).toDF("version", "n_rows")
+      .coalesce(1).write.mode("append").parquet(s"$baseDir/_versions")
+    next
+  }
+
+  /** (version, n_rows) pairs committed under `baseDir`, ascending; empty
+    * when the table has never been published. Metadata only — one tiny
+    * parquet read.
+    */
+  def committedVersions(spark: SparkSession,
+      baseDir: String): Seq[(Long, Long)] = {
+    val p = new Path(s"$baseDir/_versions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else spark.read.parquet(p.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
+  /** Read a committed snapshot version (`None` = latest) — time travel.
+    * Unknown or uncommitted versions fail loudly: an orphaned data
+    * directory from a crashed publish is unreadable BY DESIGN.
+    */
+  def readSnapshot(spark: SparkSession, baseDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val committed = committedVersions(spark, baseDir)
+    require(committed.nonEmpty, s"no committed snapshot under $baseDir")
+    val v = version.getOrElse(committed.last._1)
+    require(committed.exists(_._1 == v),
+      s"version $v is not committed under $baseDir " +
+        s"(committed: ${committed.map(_._1).mkString(", ")})")
+    spark.read.parquet(s"$baseDir/data/v=$v")
+  }
+
+  /** Drop all but the newest `keepLast` committed versions: their data
+    * directories are deleted and `_versions` is rewritten to the
+    * survivors. DESTRUCTIVE — requires `confirm.truncate=true` in
+    * `options` like every other destructive write in the engine. Returns
+    * the dropped version numbers.
+    */
+  def vacuumSnapshots(spark: SparkSession, baseDir: String, keepLast: Int,
+      options: Map[String, String] = Map.empty): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    if (!options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        "vacuumSnapshots deletes published versions under " + baseDir +
+          ": pass confirm.truncate=true (destructive-write latch)")
+    val committed = committedVersions(spark, baseDir)
+    val dropped = committed.dropRight(keepLast)
+    if (dropped.isEmpty) Nil
+    else {
+      val kept = committed.takeRight(keepLast)
+      import spark.implicits._
+      // metadata first here (the inverse of publish): once `_versions`
+      // lists only the survivors, readers cannot observe a half-deleted
+      // version even if the directory removals below are interrupted
+      kept.toDF("version", "n_rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$baseDir/_versions")
+      val fs = new Path(baseDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      dropped.foreach { case (v, _) =>
+        fs.delete(new Path(s"$baseDir/data/v=$v"), true)
+      }
+      dropped.map(_._1)
+    }
+  }
 }

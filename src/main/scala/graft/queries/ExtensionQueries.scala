@@ -2049,6 +2049,34 @@ object ExtensionQueries {
       TextAnalysis.bpeLearnMerges(docs(spark, dir), "text",
           rounds = BpeMergeRounds)
         .orderBy("merge_round")
+    },
+
+    // Versioned snapshot publish + time travel: v1 = closed orders,
+    // v2 = all orders; reading v1 AFTER v2 exists must surface v1's
+    // rows exactly (metadata-last commit). The scratch table resets per
+    // invocation so bench reps re-exercise the full publish path.
+    "snapshot_timetravel" -> { (spark, dir) =>
+      val base = scratchDir("snapshot_timetravel").resolve("tbl")
+      rmrf(base)
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      Maintenance.publishSnapshot(
+        o.where(col("o_orderstatus") === "F"), base.toString)
+      Maintenance.publishSnapshot(o, base.toString)
+      Maintenance.readSnapshot(spark, base.toString, Some(1L))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    "snapshot_versions" -> { (spark, dir) =>
+      import spark.implicits._
+      val base = scratchDir("snapshot_versions").resolve("tbl")
+      rmrf(base)
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      Maintenance.publishSnapshot(
+        o.where(col("o_orderstatus") === "F"), base.toString)
+      Maintenance.publishSnapshot(o, base.toString)
+      Maintenance.committedVersions(spark, base.toString)
+        .toDF("version", "n_rows").orderBy("version")
     }
   )
 
@@ -5384,6 +5412,19 @@ object ExtensionQueries {
       $ctes
       $rows
       ORDER BY merge_round"""
-    }
+    },
+
+    // Replay of the snapshot_timetravel read: version 1's content is the
+    // closed-orders subset regardless of later versions.
+    "snapshot_timetravel" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+
+    "snapshot_versions" -> """
+      SELECT 1::BIGINT AS version,
+        (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_rows
+      UNION ALL
+      SELECT 2::BIGINT, (SELECT count(*) FROM orders)
+      ORDER BY version"""
   )
 }

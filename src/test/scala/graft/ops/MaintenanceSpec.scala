@@ -65,4 +65,53 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.mergeAggStates(Seq(df), Seq("k")) // not a state table
     }
   }
+
+  test("snapshots: publish assigns versions, time travel reads any of them") {
+    val base = Files.createTempDirectory("m_snap").toString + "/t"
+    val v1 = Maintenance.publishSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), base)
+    val v2 = Maintenance.publishSnapshot(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), base)
+    assert((v1, v2) == ((1L, 2L)))
+    assert(Maintenance.readSnapshot(spark, base, Some(1L)).count() == 2)
+    assert(Maintenance.readSnapshot(spark, base).count() == 3) // latest
+    assert(Maintenance.committedVersions(spark, base) ==
+      Seq((1L, 2L), (2L, 3L)))
+    intercept[IllegalArgumentException] {
+      Maintenance.readSnapshot(spark, base, Some(9L))
+    }
+  }
+
+  test("snapshots: an uncommitted data directory is unreadable by design") {
+    val base = Files.createTempDirectory("m_orphan").toString + "/t"
+    Maintenance.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), base)
+    // simulate a crashed publish: data written, version row never landed
+    Seq((9L, "x")).toDF("id", "v").write.parquet(s"$base/data/v=2")
+    assert(Maintenance.committedVersions(spark, base).map(_._1) == Seq(1L))
+    assert(Maintenance.readSnapshot(spark, base).count() == 1) // still v1
+    intercept[IllegalArgumentException] {
+      Maintenance.readSnapshot(spark, base, Some(2L))
+    }
+  }
+
+  test("snapshots: vacuum needs the latch, keeps the tail, survivors read") {
+    val base = Files.createTempDirectory("m_vac").toString + "/t"
+    (1 to 3).foreach(i => Maintenance.publishSnapshot(
+      (1 to i).map(j => (j.toLong, "x")).toDF("id", "v"), base))
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumSnapshots(spark, base, keepLast = 1)
+    }
+    val dropped = Maintenance.vacuumSnapshots(spark, base, keepLast = 2,
+      Map("confirm.truncate" -> "true"))
+    assert(dropped == Seq(1L))
+    assert(Maintenance.committedVersions(spark, base).map(_._1) ==
+      Seq(2L, 3L))
+    assert(Maintenance.readSnapshot(spark, base, Some(2L)).count() == 2)
+    intercept[IllegalArgumentException] {
+      Maintenance.readSnapshot(spark, base, Some(1L))
+    }
+    // vacuum with nothing to drop is a no-op
+    assert(Maintenance.vacuumSnapshots(spark, base, keepLast = 5,
+      Map("confirm.truncate" -> "true")).isEmpty)
+  }
 }
