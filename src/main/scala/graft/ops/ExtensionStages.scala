@@ -1084,10 +1084,12 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid
+    method: String, // ks | tv | centroid | profile
     valueCol: String = "value",
     catCol: String = "category",
-    labelCol: String = "label")
+    labelCol: String = "label",
+    // profile only: columns to diff (empty = every before-side column)
+    columns: Seq[String] = Nil)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1101,8 +1103,61 @@ final case class DriftTransformStage(
       case "ks" => Drift.ksStatistic(before, after, valueCol)
       case "tv" => Drift.categoricalDrift(before, after, catCol)
       case "centroid" => Drift.centroidDrift(before, after, labelCol)
+      // bounds-and-counts profile diff (Profile.drift) beside the
+      // distributional statistics
+      case "profile" =>
+        val cols = if (columns.nonEmpty) columns else before.columns.toSeq
+        Profile.drift(before, after, cols)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
+/** Versioned-snapshot stage over [[Maintenance.publishSnapshot]] /
+  * [[Maintenance.readSnapshot]] / [[Maintenance.vacuumSnapshots]]: the
+  * metadata-last commit protocol as pipeline configuration. `publish`
+  * writes `inputView` as the next version (and registers the data just
+  * published under `outputView`); `read` time-travels (`version` empty =
+  * latest); `vacuum` drops all but `keepLast` versions and requires the
+  * `confirm.truncate` latch, registering the dropped version list.
+  */
+final case class SnapshotStage(
+    name: String,
+    baseDir: String,
+    outputView: String,
+    method: String, // publish | read | vacuum
+    inputView: Option[String] = None,
+    version: Option[Long] = None,
+    keepLast: Int = 1,
+    confirmTruncate: Boolean = false)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "method" -> method
+    detail += "baseDir" -> baseDir
+    detail += "outputView" -> outputView
+    val spark = ctx.spark
+    val out = method match {
+      case "publish" =>
+        val in = inputView.getOrElse(throw new IllegalArgumentException(
+          "snapshot method 'publish' requires 'inputView'"))
+        val v = Maintenance.publishSnapshot(Views.resolve(in), baseDir)
+        detail += "version" -> v.toString
+        Maintenance.readSnapshot(spark, baseDir, Some(v))
+      case "read" =>
+        Maintenance.readSnapshot(spark, baseDir, version)
+      case "vacuum" =>
+        val dropped = Maintenance.vacuumSnapshots(spark, baseDir, keepLast,
+          if (confirmTruncate) Map("confirm.truncate" -> "true")
+          else Map.empty)
+        detail += "dropped" -> dropped.mkString(",")
+        import spark.implicits._
+        dropped.toDF("dropped_version")
+      case other =>
+        throw new IllegalArgumentException(s"unknown snapshot method '$other'")
     }
     Views.register(out, outputView)
     Option(out)

@@ -360,10 +360,28 @@ object Parser {
         inputView = r.requiredString("inputView"),
         rightView = r.requiredString("rightView"),
         outputView = r.requiredString("outputView"),
-        method = r.oneOf("method", Seq("ks", "tv", "centroid"), "ks"),
+        method = r.oneOf("method", Seq("ks", "tv", "centroid", "profile"),
+          "ks"),
         valueCol = r.string("valueCol").getOrElse("value"),
         catCol = r.string("catCol").getOrElse("category"),
-        labelCol = r.string("labelCol").getOrElse("label"))
+        labelCol = r.string("labelCol").getOrElse("label"),
+        columns = r.stringList("columns"))
+    },
+    "Snapshot" -> { (r, _) =>
+      val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
+        "publish")
+      if (method == "publish" && r.string("inputView").isEmpty)
+        r.error("inputView", "missing; snapshot publish requires it")
+      SnapshotStage(
+        name = r.requiredString("name"),
+        baseDir = r.requiredString("baseDir"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        inputView = r.string("inputView"),
+        version = r.long("version"),
+        keepLast = r.int("keepLast").getOrElse(1),
+        confirmTruncate = r.string("confirm.truncate")
+          .exists(_.equalsIgnoreCase("true")))
     },
     "AggStateTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("state", "merge"), "state")
@@ -697,7 +715,9 @@ object Parser {
       "minScore", "maxBlock", "rightView", "leftKey", "rightKey", "topK",
       "lhs", "rhsCol")),
     "DriftTransform" -> (commonKeys ++ Set("inputView", "rightView",
-      "outputView", "method", "valueCol", "catCol", "labelCol")),
+      "outputView", "method", "valueCol", "catCol", "labelCol", "columns")),
+    "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
+      "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "keys", "sumCols", "stateViews")),
     "BloomJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",

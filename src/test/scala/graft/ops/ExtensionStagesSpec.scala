@@ -1185,4 +1185,57 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(over == 0L, "rate cap must bound every (user, bucket)")
     graft.util.Caches.unpersistAll()
   }
+
+  test("snapshot stages: publish twice, time-travel read from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val base = java.nio.file.Files.createTempDirectory("xs_snap")
+      .toString + "/t"
+    val conf = s"""{"stages": [
+      {"type": "Extract", "name": "o", "table": "orders",
+       "outputView": "sn_orders"},
+      {"type": "SqlTransform", "name": "v1src",
+       "sql": "SELECT * FROM sn_orders WHERE o_orderstatus = 'F'",
+       "outputView": "sn_v1"},
+      {"type": "Snapshot", "name": "pub1", "method": "publish",
+       "inputView": "sn_v1", "baseDir": "$base", "outputView": "sn_p1"},
+      {"type": "Snapshot", "name": "pub2", "method": "publish",
+       "inputView": "sn_orders", "baseDir": "$base", "outputView": "sn_p2"},
+      {"type": "Snapshot", "name": "tt", "method": "read", "version": 1,
+       "baseDir": "$base", "outputView": "sn_ttv"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val v1 = spark.table("sn_ttv").count()
+    assert(v1 > 0 && v1 == spark.table("sn_v1").count())
+    assert(spark.table("sn_p2").count() == spark.table("sn_orders").count())
+  }
+
+  test("snapshot publish without inputView fails at parse; drift profile runs") {
+    val bad = """{"stages": [
+      {"type": "Snapshot", "name": "p", "method": "publish",
+       "baseDir": "/tmp/x", "outputView": "v"}
+    ]}"""
+    val Left(errs) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("inputView")))
+
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "o", "table": "orders",
+       "outputView": "dp_orders"},
+      {"type": "SqlTransform", "name": "b",
+       "sql": "SELECT * FROM dp_orders WHERE o_orderkey % 2 = 0",
+       "outputView": "dp_before"},
+      {"type": "DriftTransform", "name": "pd", "method": "profile",
+       "inputView": "dp_before", "rightView": "dp_orders",
+       "columns": ["o_orderkey", "o_totalprice"], "outputView": "dp_out"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val out = spark.table("dp_out")
+    assert(out.count() == 2)
+    assert(out.columns.contains("drifted"))
+  }
 }
