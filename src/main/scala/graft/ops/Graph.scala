@@ -364,4 +364,54 @@ object Graph {
         "the peel did not reach its fixpoint; raise rounds for the exact core")
     deg
   }
+
+  /** Deterministic "random" walks of fixed `length` from EVERY node over
+    * a canonical undirected edge table ((a, b), a < b, distinct — e.g.
+    * [[coOccurrenceEdges]]): step t leaves the current node through
+    * neighbor index h32(start ‖ '|' ‖ t ‖ '|' ‖ salt) mod degree over the
+    * SORTED adjacency list. This is the node2vec/DeepWalk positive-pair
+    * generator with the engine's hash-sampling contract
+    * ([[Sampling.deterministic]]) instead of an RNG: the same corpus
+    * yields the same walks on every run, any engine, any partitioning —
+    * and a new `salt` re-deals a fresh walk set per epoch. Output long
+    * format: (start, step, node), step 0..length.
+    *
+    * Hashing (start, t) rather than the current node keeps two walks
+    * that meet at a node from lock-stepping together afterwards — the
+    * diversity skip-gram training wants — while staying a pure function
+    * of the walk's identity.
+    *
+    * Shape at scale: the adjacency table (one row per node, sorted
+    * neighbor array — bounded by the co-occurrence builder's maxGroup
+    * cap) builds once and persists; each of the `length` steps is ONE
+    * hash join of the walk frontier (one row per start) against it. No
+    * RNG state, no driver participation, walk storage is
+    * nodes × (length+1) rows.
+    */
+  def deterministicWalks(und: DataFrame, length: Int = 3,
+      salt: String = ""): DataFrame = {
+    require(length >= 1, s"length must be >= 1, got $length")
+    val sym = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+    val adj = graft.util.Caches.persist(
+      sym.groupBy(col("a").as("node"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs")))
+    var frontier = adj.select(col("node").as("start"),
+      col("node").as("cur"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("start"), lit(0L).as("step"),
+        col("cur").as("node")))
+    for (t <- 1 to length) {
+      val h = graft.functions.TextFunctions.h32(
+        concat(col("start").cast("string"), lit(s"|$t|$salt")))
+      frontier = frontier
+        .join(adj.withColumnRenamed("node", "cur"), "cur")
+        .select(col("start"),
+          element_at(col("nbrs"),
+            (h % size(col("nbrs"))).cast("int") + 1).as("cur"))
+      steps += frontier.select(col("start"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+    }
+    steps.reduce(_ unionAll _)
+  }
 }

@@ -2077,6 +2077,18 @@ object ExtensionQueries {
       Maintenance.publishSnapshot(o, base.toString)
       Maintenance.committedVersions(spark, base.toString)
         .toDF("version", "n_rows").orderBy("version")
+    },
+
+    // Hash-deterministic node2vec-style walks over the co-occurrence
+    // graph: WalkLen steps from every node, neighbor picked by
+    // h32(start|step|salt) mod degree over the sorted adjacency list.
+    "graph_walks" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.deterministicWalks(
+          Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+            maxGroup = TriMaxGroup),
+          length = WalkLen, salt = WalkSalt)
+        .orderBy("start", "step")
     }
   )
 
@@ -2090,6 +2102,8 @@ object ExtensionQueries {
   private val RateCapBucketSec = 3600L
   private val RateCapK = 3
   private val BpeMergeRounds = 4
+  private val WalkLen = 3
+  private val WalkSalt = "w"
 
   /** BM25 gate query: a fixed bag of corpus-vocabulary terms. */
   private val Bm25Terms = Seq("join", "hash", "spark", "window")
@@ -5425,6 +5439,38 @@ object ExtensionQueries {
         (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_rows
       UNION ALL
       SELECT 2::BIGINT, (SELECT count(*) FROM orders)
-      ORDER BY version"""
+      ORDER BY version""",
+
+    // Replay of Graph.deterministicWalks: same co-occurrence edges as
+    // triangle_count, sorted adjacency lists, neighbor index
+    // h32(start|step|salt) mod degree — one CTE per step.
+    "graph_walks" -> {
+      def step(i: Int, src: String) =
+        s"""w$i AS (SELECT start,
+          nbrs[CAST(('0x'||substr(md5(start::VARCHAR || '|$i|$WalkSalt'),
+              1, 8))::BIGINT % $P % len(nbrs) AS INT) + 1] AS cur
+          FROM $src JOIN adj ON adj.node = $src.cur)"""
+      val steps = (1 to WalkLen)
+        .map(i => step(i, if (i == 1) "w0" else s"w${i - 1}"))
+        .mkString(",\n")
+      val rows = (s"SELECT start, 0::BIGINT AS step, start AS node FROM w0"
+        +: (1 to WalkLen).map(i =>
+          s"SELECT start, $i::BIGINT, cur FROM w$i"))
+        .mkString("\nUNION ALL ")
+      s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      adj AS (SELECT a AS node, list_sort(list(b)) AS nbrs
+              FROM sym GROUP BY 1),
+      w0 AS (SELECT node AS start, node AS cur FROM adj),
+      $steps
+      $rows
+      ORDER BY start, step"""
+    }
   )
 }

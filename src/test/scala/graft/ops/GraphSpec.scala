@@ -202,4 +202,35 @@ class GraphSpec extends SparkSpec {
     assert(out("b") == 0L)
     assert(out("c") == scale * 850 / 1000)
   }
+
+  test("deterministicWalks: valid edges, full coverage, layout-independent") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.deterministicWalks(und, length = 3, salt = "t")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 4 nodes x (length+1) steps
+    assert(rows.length == 16)
+    assert(rows.filter(_._2 == 0).map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // every consecutive (step t -> t+1) hop is a real edge
+    val edges = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    val byWalk = rows.groupBy(_._1).values
+    byWalk.foreach { w =>
+      val path = w.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Array(x, y) =>
+        assert(edges.contains((x, y)), s"hop $x->$y is not an edge")
+      }
+    }
+    // stable under partitioning; a new salt re-deals
+    val again = Graph.deterministicWalks(und.repartition(5), 3, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+    val other = Graph.deterministicWalks(und, 3, "u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sortBy(r => (r._1, r._2)).map(_._3).toSeq !=
+      rows.sortBy(r => (r._1, r._2)).map(_._3).toSeq,
+      "a new salt must re-deal the walks")
+    graft.util.Caches.unpersistAll()
+  }
 }
