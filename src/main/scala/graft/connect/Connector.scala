@@ -158,17 +158,36 @@ final class CassandraFormatConnector(keyspace: String) extends Connector {
       .option("table", table)
       .save()
 
-  /** Raw CQL needs a driver session, which needs the connector jar; not
-    * available here. The conf merge (session conf + per-stage params, the
-    * part the reference implements in CassandraExecute.scala:98-102) is
-    * still performed so the production wiring is complete up to the
-    * driver call.
+  /** Raw CQL execution goes through the [[CqlExecutor]] SPI: the conf
+    * merge (session conf + per-stage params — the part the reference
+    * implements in CassandraExecute.scala:98-102) happens HERE, then the
+    * statement and the merged `spark.cassandra.*` settings hand off to
+    * the first ServiceLoader-discovered executor. In production that
+    * executor wraps the DataStax driver's CqlSession (the jar this
+    * offline environment cannot ship); in CI a recording fake proves the
+    * hand-off contract. With no executor on the classpath the error
+    * names the missing piece precisely.
     */
   override def execute(statement: String, params: Map[String, String] = Map.empty)(
       implicit ctx: PipelineContext): Unit = {
     val conf = mergedConf(params).filter(_._1.startsWith("spark.cassandra."))
-    throw new UnsupportedOperationException(
-      s"raw CQL execution requires the Cassandra driver session (production only); " +
+    val it = java.util.ServiceLoader
+      .load(classOf[CqlExecutor], getClass.getClassLoader).iterator()
+    if (it.hasNext) it.next().execute(statement, conf)
+    else throw new UnsupportedOperationException(
+      "raw CQL execution requires a graft.connect.CqlExecutor on the " +
+        "classpath (production: the DataStax-driver implementation); " +
         s"would connect with ${conf.size} spark.cassandra.* settings")
   }
+}
+
+/** SPI for raw CQL execution (ref: CassandraExecute.scala:98-102 opens a
+  * driver `CqlSession` and runs the statement). Implementations register
+  * via `META-INF/services/graft.connect.CqlExecutor`; `settings` carries
+  * the merged `spark.cassandra.*` configuration
+  * ([[CassandraFormatConnector.execute]] performs the merge before the
+  * hand-off, so an executor only needs the driver call itself).
+  */
+trait CqlExecutor {
+  def execute(statement: String, settings: Map[String, String]): Unit
 }
