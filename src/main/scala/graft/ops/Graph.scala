@@ -388,6 +388,65 @@ object Graph {
     * RNG state, no driver participation, walk storage is
     * nodes × (length+1) rows.
     */
+  /** HyperBall-style approximate neighborhood sizes (Boldi & Vigna
+    * 2013): per node, the estimated number of nodes within `radius`
+    * hops, from iterated HLL register merges — B_0(v) = HLL({v}),
+    * B_{r+1}(v) = max-merge(B_r(v), ⋃_{v~u} B_r(u)). This is the
+    * reachability/effective-diameter primitive at graph scale: exact
+    * r-hop BFS materializes O(n·ball) pairs, while the register state
+    * here is ≤ min(m, ball) rows per node and each round is ONE edge
+    * join + ONE max-aggregation — the whole point of the algorithm.
+    *
+    * Output: (node, exact_ball, ball_estimate) — the exact column is the
+    * [[graft.functions.Sketches.hllDistinct]] calibration convention
+    * (pair the estimate with its truth at test scale; at corpus scale
+    * run the registers alone via the same internals). Deterministic: the
+    * registers are the engine's md5-derived HLL contract, the estimate
+    * the usual alpha·m²/Σ2^-M formula rounded to 4dp.
+    */
+  def neighborhoodSizes(und: DataFrame, radius: Int = 2,
+      m: Int = 512): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    import graft.functions.Sketches
+    val sym = graft.util.Caches.persist(
+      und.select(col("a"), col("b"))
+        .union(und.select(col("b").as("a"), col("a").as("b"))))
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var regs = graft.util.Caches.persist(
+      Sketches.hllRegisters(nodes, col("node"), Seq("node"), m))
+    for (_ <- 1 to radius) {
+      val contrib = sym
+        .join(regs.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("__b"), col("__m"))
+      val next = graft.util.Caches.persist(
+        regs.unionAll(contrib)
+          .groupBy("node", "__b").agg(max("__m").as("__m")))
+      next.count()
+      regs.unpersist(blocking = false)
+      regs = next
+    }
+    val est = Sketches.hllEstimate(regs, Seq("node"), m)
+      .withColumnRenamed("hll_estimate", "ball_estimate")
+    // exact calibration ball via iterated distinct BFS pairs — the
+    // quadratic thing the registers replace; fine at gate scale
+    var reach = graft.util.Caches.persist(
+      nodes.select(col("node").as("start"), col("node").as("x")))
+    for (_ <- 1 to radius) {
+      val next = graft.util.Caches.persist(
+        reach.unionAll(
+            reach.join(sym.select(col("a").as("x"), col("b").as("__nx")),
+              "x")
+              .select(col("start"), col("__nx").as("x")))
+          .distinct())
+      next.count()
+      reach.unpersist(blocking = false)
+      reach = next
+    }
+    val exact = reach.groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("exact_ball"))
+    exact.join(est, "node")
+  }
+
   def deterministicWalks(und: DataFrame, length: Int = 3,
       salt: String = ""): DataFrame = {
     require(length >= 1, s"length must be >= 1, got $length")

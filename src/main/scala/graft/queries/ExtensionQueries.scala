@@ -2079,6 +2079,17 @@ object ExtensionQueries {
         .toDF("version", "n_rows").orderBy("version")
     },
 
+    // HyperBall neighborhood sizes: radius-2 HLL register iteration over
+    // the co-occurrence graph, paired with the exact BFS calibration.
+    "graph_ball" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.neighborhoodSizes(
+          Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+            maxGroup = TriMaxGroup),
+          radius = 2, m = HllM)
+        .orderBy("node")
+    },
+
     // Hash-deterministic node2vec-style walks over the co-occurrence
     // graph: WalkLen steps from every node, neighbor picked by
     // h32(start|step|salt) mod degree over the sorted adjacency list.
@@ -5440,6 +5451,45 @@ object ExtensionQueries {
       UNION ALL
       SELECT 2::BIGINT, (SELECT count(*) FROM orders)
       ORDER BY version""",
+
+    // Replay of Graph.neighborhoodSizes: the shared HLL register/estimate
+    // CTEs keyed by node, two register-merge rounds along the edges, and
+    // the exact 2-hop BFS union as calibration.
+    "graph_ball" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      nodes AS (SELECT DISTINCT a AS node FROM sym),
+      h0 AS (SELECT node,
+               ('0x'||substr(md5(node::VARCHAR),1,8))::BIGINT % $P AS h
+             FROM nodes),
+      ${hllRegCte("h0", "r0", "node")},
+      r1 AS (SELECT node, b, max(m) AS m FROM (
+               SELECT node, b, m FROM r0
+               UNION ALL
+               SELECT s.a AS node, r.b, r.m
+               FROM sym s JOIN r0 r ON r.node = s.b)
+             GROUP BY 1, 2),
+      r2 AS (SELECT node, b, max(m) AS m FROM (
+               SELECT node, b, m FROM r1
+               UNION ALL
+               SELECT s.a AS node, r.b, r.m
+               FROM sym s JOIN r1 r ON r.node = s.b)
+             GROUP BY 1, 2),
+      ${hllEstCte("r2", "est", "node")},
+      two AS (SELECT s1.a AS start, s2.b AS x
+              FROM sym s1 JOIN sym s2 ON s2.a = s1.b),
+      reach AS (SELECT node AS start, node AS x FROM nodes
+                UNION SELECT a AS start, b AS x FROM sym
+                UNION SELECT start, x FROM two),
+      ex AS (SELECT start AS node, count(*)::BIGINT AS exact_ball
+             FROM reach GROUP BY 1)
+      SELECT ex.node, ex.exact_ball, est.e AS ball_estimate
+      FROM ex JOIN est USING (node) ORDER BY ex.node""",
 
     // Replay of Graph.deterministicWalks: same co-occurrence edges as
     // triangle_count, sorted adjacency lists, neighbor index

@@ -203,6 +203,32 @@ class GraphSpec extends SparkSpec {
     assert(out("c") == scale * 850 / 1000)
   }
 
+  test("neighborhoodSizes: exact radius-2 balls on a path, estimate sane") {
+    // path 1-2-3-4-5: |ball_2| = 3,4,5,4,3
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.neighborhoodSizes(und, radius = 2).orderBy("node")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 4L), (5L, 3L)))
+    // m=512 registers on <=5 items sit deep in the linear-counting
+    // regime: the estimate tracks the exact count closely
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1).toDouble, r.getDouble(2))
+      assert(math.abs(est - exact) / exact < 0.2,
+        s"estimate $est too far from exact $exact")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("neighborhoodSizes is layout-independent") {
+    val und = (1L to 40L).map(i => (i, i % 13 + 41)).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.neighborhoodSizes(d, radius = 2).orderBy("node")
+        .collect().toSeq
+    assert(run(und) == run(und.repartition(7)))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("deterministicWalks: valid edges, full coverage, layout-independent") {
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
     val out = Graph.deterministicWalks(und, length = 3, salt = "t")
