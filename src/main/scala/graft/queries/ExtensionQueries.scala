@@ -2081,8 +2081,14 @@ object ExtensionQueries {
 
     // HyperBall neighborhood sizes: radius-2 HLL register iteration over
     // the co-occurrence graph, paired with the exact BFS calibration.
+    // The gate graph is every 10th order: the exact radius-2 BFS the
+    // estimate is calibrated against materializes Σ|ball_2(v)| pairs —
+    // on the FULL sf0.1 graph that is the quadratic blow-up the sketch
+    // exists to avoid (measured 61 s), while the register iteration
+    // itself scales with edges × registers. Same modulo on both engines.
     "graph_ball" -> { (spark, dir) =>
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 10 === 0)
       Graph.neighborhoodSizes(
           Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
             maxGroup = TriMaxGroup),
@@ -5457,7 +5463,7 @@ object ExtensionQueries {
     // the exact 2-hop BFS union as calibration.
     "graph_ball" -> s"""
       WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
-                 FROM lineitem),
+                 FROM lineitem WHERE l_orderkey % 10 = 0),
       sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
       kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
       und AS (SELECT DISTINCT x.n AS a, y.n AS b
