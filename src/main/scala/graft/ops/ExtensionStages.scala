@@ -303,7 +303,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic | ordinal
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -357,6 +357,9 @@ final case class SampleTransformStage(
       // k is the slot count; weights from weightCol
       case "systematic" =>
         Sampling.systematicWeighted(in, idCol, weightCol, k.toLong, salt)
+      // weightCol doubles as the curriculum order column
+      case "ordinal" =>
+        Sampling.globalOrdinal(in, idCol, weightCol)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }
@@ -369,7 +372,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -393,7 +396,9 @@ final case class TextAnalysisTransformStage(
     // keyness: total Dirichlet prior mass (group column = langCol)
     alpha0: Double = 100.0,
     // blocklist: the whole-word term list
-    terms: Seq[String] = Nil)
+    terms: Seq[String] = Nil,
+    // bpe_apply: "left right" merge pairs in application order
+    merges: Seq[String] = Nil)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -432,6 +437,15 @@ final case class TextAnalysisTransformStage(
       case "pmi" => TextAnalysis.pmiCollocations(in, textCol, ngramN.toLong)
       // whole-word safety screen (per hit doc: counts + matched terms)
       case "blocklist" => TextAnalysis.blocklist(in, idCol, textCol, terms)
+      // fixed-merge-table BPE encoding ("left right" pairs, in order)
+      case "bpe_apply" => TextAnalysis.bpeApplyMerges(in, idCol, textCol,
+        merges.map { m =>
+          m.split(" ", -1) match {
+            case Array(a, b) => (a, b)
+            case _ => throw new IllegalArgumentException(
+              s"bpe_apply merge must be 'left right', got '$m'")
+          }
+        })
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -525,9 +539,14 @@ final case class PiiTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // stats | scrub
+    method: String, // stats | scrub | kanon | suppress | noisy_counts
     idCol: String = "doc_id",
-    textCol: String = "text")
+    textCol: String = "text",
+    // kanon / suppress: the quasi-identifier columns; noisy_counts: dims
+    cols: Seq[String] = Nil,
+    k: Long = 8L,
+    scale: Double = 1.0,
+    salt: String = "")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -538,6 +557,9 @@ final case class PiiTransformStage(
     val out = method match {
       case "stats" => Pii.stats(in, idCol, textCol)
       case "scrub" => Pii.scrub(in, textCol)
+      case "kanon" => Pii.kAnonymityProfile(in, cols, k)
+      case "suppress" => Pii.kAnonymize(in, cols, k)
+      case "noisy_counts" => Pii.noisyCounts(in, cols, scale, salt)
       case other => throw new IllegalArgumentException(
         s"unknown pii method '$other'")
     }

@@ -58,4 +58,75 @@ object Pii {
     */
   def scrub(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, scrubbed(col(textCol)))
+
+  /** k-anonymity profile over a quasi-identifier combination (Sweeney
+    * 2002): one row per distinct quasi-id combo with its population and
+    * an `at_risk` flag for combos smaller than `k` — the re-identification
+    * audit a curated release runs before shipping ("is any (segment,
+    * nation, ...) cell so small it singles people out?").
+    *
+    * Shape at scale: ONE map-side-combined aggregation; output is bounded
+    * by the product of quasi-id cardinalities, never corpus size.
+    */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", col("group_n") < k)
+  }
+
+  /** k-anonymity SUPPRESSION: rows whose quasi-id combo has fewer than
+    * `k` members get every quasi-id value replaced by `"*"` (full-cell
+    * suppression — the baseline generalization operator); rows in
+    * compliant combos pass through. Quasi-id columns come back as
+    * strings (the suppression sentinel must inhabit every column type).
+    *
+    * Shape at scale: the combo-size table from [[kAnonymityProfile]]
+    * (bounded by combo cardinality) joins back onto the corpus on the
+    * quasi-id columns — a broadcast join whenever the combo table is
+    * small, which is the definition of a quasi-identifier. The corpus
+    * shuffles zero times.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val sizes = kAnonymityProfile(df, quasiCols, k)
+      .select(quasiCols.map(col) :+ col("at_risk"): _*)
+    val joined = df.join(broadcast(sizes), quasiCols)
+    quasiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col("at_risk"), lit("*")).otherwise(col(c).cast("string")))
+    }.drop("at_risk")
+  }
+
+  /** Laplace-mechanism noisy counts over `dims` — the ε-DP release shape
+    * for a histogram (Dwork et al. 2006): noisy_n = max(0,
+    * round(n + Lap(scale))), scale = sensitivity/ε = 1/ε for a count.
+    *
+    * The Laplace draw here is DETERMINISTIC — inverse-CDF applied to the
+    * uniform u = (h32(dims ++ salt) + 1) / (P + 2) ∈ (0, 1), i.e.
+    * noise = -scale · sign(u - ½) · ln(1 - 2|u - ½|) — so the release is
+    * reproducible across runs, engines and layouts, which is what the
+    * engine's oracle-gate methodology needs and what a pipeline TEST
+    * wants. A production ε-DP release must swap the seeded draw for a
+    * cryptographic RNG (a hash of the released key is not secret); the
+    * mechanism, clamping and post-processing are exactly as released.
+    *
+    * Shape at scale: one map-side-combined count plus narrow per-group
+    * math — output bounded by dim cardinality.
+    */
+  def noisyCounts(df: DataFrame, dims: Seq[String], scale: Double,
+      salt: String = ""): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension column")
+    require(scale > 0, s"scale must be positive, got $scale")
+    import graft.functions.{TextFunctions => T}
+    val u = (T.h32(concat_ws("|", dims.map(col) :+ lit(salt): _*))
+      .cast("double") + lit(1d)) / lit(T.P.toDouble + 2d)
+    val c = u - lit(0.5d)
+    val noise = lit(-scale) * signum(c) * log(lit(1d) - lit(2d) * abs(c))
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n",
+        greatest(lit(0d), round(col("n") + noise, 0)).cast("long"))
+  }
 }

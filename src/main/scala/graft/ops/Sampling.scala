@@ -145,18 +145,40 @@ object Sampling {
     * computed scalably.
     */
   def deterministicShuffle(df: DataFrame, idCol: String, salt: String = "",
-      numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
+      numPartitions: Int = 0): DataFrame =
+    ordinalUnder(df.select(col(idCol).cast("long").as("id"))
+      .withColumn("__o", keyOf(col("id"), salt)), idCol, numPartitions)
+
+  /** Scalable global ordinal under an arbitrary total order — every row
+    * gets a stable 0-based `pos` under (orderCol, id), with NO
+    * single-partition window anywhere (the `row_number() OVER (ORDER BY
+    * ...)` that serializes a corpus through one task is the classic
+    * scale cliff). The curriculum-ordering primitive: sort documents
+    * easy→hard by a difficulty score and hand training a reproducible
+    * global sequence.
+    */
+  def globalOrdinal(df: DataFrame, idCol: String, orderCol: String,
+      numPartitions: Int = 0): DataFrame =
+    ordinalUnder(df.select(col(idCol).cast("long").as("id"),
+      col(orderCol).as("__o")), idCol, numPartitions)
+
+  /** Shared core: global 0-based positions for a slim (id, __o) frame
+    * under (__o, id). One range-partitioned sort, then per-PARTITION
+    * count offsets — one row per partition to the driver, never data.
+    * Equal to `row_number() OVER (ORDER BY __o, id) - 1` computed
+    * scalably.
+    */
+  private def ordinalUnder(slimIn: DataFrame, idCol: String,
+      numPartitions: Int): DataFrame = {
+    val spark = slimIn.sparkSession
     import spark.implicits._
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     // persisted: the count pass and the position pass must read the SAME
     // materialized partitions (range boundaries are sampled)
     val slim = graft.util.Caches.persist(
-      df.select(col(idCol).cast("long").as("id"))
-        .withColumn("__h", keyOf(col("id"), salt))
-        .repartitionByRange(n, col("__h"), col("id"))
-        .sortWithinPartitions("__h", "id"))
+      slimIn.repartitionByRange(n, col("__o"), col("id"))
+        .sortWithinPartitions("__o", "id"))
     val nParts = slim.rdd.getNumPartitions
     val counts: Array[(Int, Long)] = slim
       .mapPartitions { rows =>

@@ -649,4 +649,45 @@ object TextAnalysis {
         countDistinct(col("w")).as("n_terms"),
         array_join(sort_array(collect_set(col("w"))), ",").as("terms"))
   }
+
+  /** BPE tokenizer APPLICATION — encode each document under a fixed,
+    * already-learned merge table (the [[bpeLearnMerges]] output a
+    * tokenizer ships; trained once, applied to every corpus). Output:
+    * (doc_id, n_tokens, token_fp) — the token count the budget/packing
+    * operators consume plus an engine-portable fingerprint of the full
+    * encoded symbol sequence.
+    *
+    * Mechanism mirrors training exactly: every character is framed as
+    * ␟c␟ (U+001F — stripped from input text first, and spaces framed like
+    * any character), then each merge in table order is ONE literal
+    * `replace` of ␟a␟␟b␟ with ␟ab␟ over the whole framed text. Because a
+    * space is itself a framed symbol and no merge contains one, merges
+    * can never cross a word boundary — per-word BPE semantics without
+    * ever exploding to words. Framed symbols share no characters, so
+    * left-to-right non-overlapping replace (identical in any engine) is
+    * exactly BPE's merge scan. n_tokens = framed symbols minus the space
+    * symbols (boundaries, not tokens).
+    *
+    * Pure narrow codegen'd string work: no shuffle, no state, no UDF —
+    * scan-bound at any corpus size, merge table cost is merges × text
+    * length per row.
+    */
+  def bpeApplyMerges(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "at least one merge")
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).contains(" ") },
+      "merge symbols must be non-empty and space-free")
+    val sep = "\u001F"
+    val clean = translate(col(textCol), sep, "")
+    val framed = regexp_replace(clean, "(.)", s"$sep$$1$sep")
+    val enc = merges.foldLeft(framed) { case (e, (a, b)) =>
+      replace(e, lit(s"$sep$a$sep$sep$b$sep"), lit(s"$sep$a$b$sep"))
+    }
+    val nSyms = (length(enc) - length(replace(enc, lit(sep), lit("")))) / 2
+    val nSpaces = length(clean) - length(replace(clean, lit(" "), lit("")))
+    df.select(col(idCol).as("doc_id"),
+      (nSyms - nSpaces).cast("long").as("n_tokens"),
+      T.h32(enc).as("token_fp"))
+  }
 }

@@ -265,9 +265,15 @@ object Parser {
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
-        method = r.oneOf("method", Seq("stats", "scrub"), "stats"),
+        method = r.oneOf("method",
+          Seq("stats", "scrub", "kanon", "suppress", "noisy_counts"),
+          "stats"),
         idCol = r.string("idCol").getOrElse("doc_id"),
-        textCol = r.string("textCol").getOrElse("text"))
+        textCol = r.string("textCol").getOrElse("text"),
+        cols = r.stringList("cols"),
+        k = r.long("k").getOrElse(8L),
+        scale = r.double("scale").getOrElse(1.0),
+        salt = r.string("salt").getOrElse(""))
     },
     "GraphTransform" -> { (r, _) =>
       GraphTransformStage(
@@ -426,7 +432,7 @@ object Parser {
           Seq("deterministic", "stratified", "per_stratum_head",
             "shard_by_budget", "upsample", "weighted_topk", "negative",
             "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
-            "temperature", "systematic"),
+            "temperature", "systematic", "ordinal"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
@@ -454,9 +460,11 @@ object Parser {
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "keyness",
-            "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist"),
+            "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
+            "bpe_apply"),
           "quality"),
         terms = r.stringList("terms"),
+        merges = r.stringList("merges"),
         // sorted by metric name: config maps carry no order, and the
         // linear accumulation order must be reproducible
         scoreWeights = r.stringMap("scoreWeights").toSeq.sortBy(_._1).map {
@@ -702,7 +710,7 @@ object Parser {
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
       "rankViews", "rrfK", "qrelsView")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "idCol", "textCol")),
+      "idCol", "textCol", "cols", "k", "scale", "salt")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix")),
@@ -731,7 +739,7 @@ object Parser {
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
       "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold",
-      "groupCols", "alpha", "alpha0", "terms")),
+      "groupCols", "alpha", "alpha0", "terms", "merges")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),

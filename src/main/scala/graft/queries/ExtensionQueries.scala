@@ -183,6 +183,24 @@ object ExtensionQueries {
   private val TopFrac = 0.25
 
   private val HllM = 512
+  private val KanonK = 8L
+  private val DpScale = 4.0
+  private val DpSalt = "dp9"
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+  /** chr(31)-framed symbol literal for the BPE-apply oracle. */
+  private def bpeFrame(s: String): String = s"chr(31)||'$s'||chr(31)"
+
+  /** The [[BpeMerges]] replace chain over a framed-text SQL expression —
+    * one nested literal `replace` per merge, in merge order, exactly like
+    * the Spark-side fold in TextAnalysis.bpeApplyMerges.
+    */
+  private def bpeChainSql(base: String): String =
+    BpeMerges.foldLeft(base) { case (e, (a, b)) =>
+      s"replace($e, ${bpeFrame(a)}||${bpeFrame(b)}, ${bpeFrame(a + b)})"
+    }
+
   private val NegK = 4
   private val NegBuckets = 64
   private val AnomK = 3.0
@@ -1223,6 +1241,45 @@ object ExtensionQueries {
     // derived from its doc_id, so detection exercises real matches.
     "pii_stats" -> { (spark, dir) =>
       Pii.stats(withInjectedPii(docs(spark, dir)), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // k-anonymity audit of (segment, nation) as the quasi-identifier.
+    "pii_kanon" -> { (spark, dir) =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      Pii.kAnonymityProfile(cust, Seq("c_mktsegment", "c_nationkey"), KanonK)
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // Full-cell suppression of under-k quasi-id combos.
+    "pii_suppress" -> { (spark, dir) =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      Pii.kAnonymize(cust, Seq("c_mktsegment", "c_nationkey"), KanonK)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .orderBy("c_custkey")
+    },
+
+    // Laplace-mechanism noisy histogram with the deterministic
+    // inverse-CDF draw (engine-replayable DP release harness).
+    "dp_noisy_counts" -> { (spark, dir) =>
+      Pii.noisyCounts(docs(spark, dir), Seq("lang", "source"),
+          DpScale, DpSalt)
+        .orderBy("lang", "source")
+    },
+
+    // Scalable global ordinal (curriculum order by document length) —
+    // no single-partition window anywhere.
+    "curriculum_order" -> { (spark, dir) =>
+      Sampling.globalOrdinal(docs(spark, dir), "doc_id", "n_chars")
+        .orderBy("pos")
+    },
+
+    // BPE application under a fixed literal merge table (the trained-
+    // once / applied-everywhere tokenizer shape; includes the chained
+    // a+n -> an, an+d -> and merge pair).
+    "bpe_encode" -> { (spark, dir) =>
+      TextAnalysis.bpeApplyMerges(docs(spark, dir), "doc_id", "text",
+          BpeMerges)
         .orderBy("doc_id")
     },
 
@@ -4033,6 +4090,65 @@ object ExtensionQueries {
           '$PiiIpSql', '<IP>', 'g'),
           '$PiiPhoneSql', '<PHONE>', 'g') AS text
       FROM pd ORDER BY doc_id""",
+
+    "pii_kanon" -> s"""
+      SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_n,
+        (count(*) < $KanonK) AS at_risk
+      FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replay of Pii.kAnonymize: combo sizes once, full-cell '*' for
+    // under-k combos, quasi-ids stringified like the Spark cast.
+    "pii_suppress" -> s"""
+      WITH gs AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                    count(*) < $KanonK AS at_risk
+                  FROM customer GROUP BY 1, 2)
+      SELECT c_custkey,
+        CASE WHEN at_risk THEN '*' ELSE c.c_mktsegment END AS c_mktsegment,
+        CASE WHEN at_risk THEN '*' ELSE c.c_nationkey::VARCHAR END
+          AS c_nationkey
+      FROM customer c JOIN gs ON c.c_mktsegment = gs.seg
+        AND c.c_nationkey = gs.nat
+      ORDER BY c_custkey""",
+
+    // Replay of Pii.noisyCounts: same md5-derived uniform, inverse-CDF
+    // Laplace draw, clamp at 0; every literal cast ::DOUBLE so DuckDB's
+    // DECIMAL literals never enter the arithmetic.
+    "dp_noisy_counts" -> s"""
+      WITH g AS (SELECT lang, source, count(*)::BIGINT AS n FROM documents
+                 GROUP BY 1, 2),
+      u AS (SELECT *,
+              ((('0x'||substr(md5(lang||'|'||source||'|$DpSalt'),1,8))::BIGINT
+                % $P + 1)::DOUBLE / ${P + 2}::DOUBLE - 0.5::DOUBLE) AS c
+            FROM g)
+      SELECT lang, source, n,
+        greatest(0.0::DOUBLE, round(n + (-$DpScale)::DOUBLE * sign(c)
+          * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(c))))::BIGINT AS noisy_n
+      FROM u ORDER BY lang, source""",
+
+    // Oracle for Sampling.globalOrdinal: the single-partition window the
+    // operator computes scalably.
+    "curriculum_order" -> """
+      SELECT doc_id,
+        row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+      FROM documents ORDER BY pos""",
+
+    // Replay of TextAnalysis.bpeApplyMerges: chr(31)-framed chars, the
+    // same literal replace chain in merge order, token count minus space
+    // boundaries, md5 fingerprint of the encoded sequence.
+    "bpe_encode" -> s"""
+      WITH f AS (SELECT doc_id, replace(text, chr(31), '') AS ct
+                 FROM documents),
+      e AS (SELECT doc_id, ct,
+              ${bpeChainSql(
+                "regexp_replace(ct, '(.)', chr(31)||'\\1'||chr(31), 'g')")}
+              AS enc
+            FROM f)
+      SELECT doc_id,
+        (((length(enc) - length(replace(enc, chr(31), '')))::DOUBLE
+            / 2.0::DOUBLE)
+          - (length(ct) - length(replace(ct, ' ', ''))))::BIGINT AS n_tokens,
+        ('0x'||substr(md5(enc),1,8))::BIGINT % $P AS token_fp
+      FROM e ORDER BY doc_id""",
 
     // Replay of Graph.pagerank (3 iterations, d=0.85): all-long
     // fixed-point ranks; `//` floor division on positive operands matches

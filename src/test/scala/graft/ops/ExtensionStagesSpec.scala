@@ -84,6 +84,42 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("kanon, suppress, noisy_counts, ordinal, bpe_apply as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "kn_docs"},
+      {"type": "PiiTransform", "name": "ka", "method": "kanon",
+       "inputView": "kn_docs", "cols": ["lang", "source"], "k": 5,
+       "outputView": "kn_kanon"},
+      {"type": "PiiTransform", "name": "sp", "method": "suppress",
+       "inputView": "kn_docs", "cols": ["lang", "source"], "k": 5,
+       "outputView": "kn_supp"},
+      {"type": "PiiTransform", "name": "nc", "method": "noisy_counts",
+       "inputView": "kn_docs", "cols": ["lang"], "scale": 2.0,
+       "salt": "s", "outputView": "kn_noisy"},
+      {"type": "SampleTransform", "name": "ord", "method": "ordinal",
+       "inputView": "kn_docs", "idCol": "doc_id", "weightCol": "n_chars",
+       "outputView": "kn_ord"},
+      {"type": "TextAnalysisTransform", "name": "enc", "analysis": "bpe_apply",
+       "inputView": "kn_docs", "merges": ["t h", "th e"],
+       "outputView": "kn_enc"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(Runner.run(p).isDefined)
+    import graft.pipeline.Views
+    val nDocs = Views.resolve("kn_docs").count()
+    assert(Views.resolve("kn_kanon").columns.contains("at_risk"))
+    assert(Views.resolve("kn_supp").count() == nDocs)
+    assert(Views.resolve("kn_noisy").columns.contains("noisy_n"))
+    assert(Views.resolve("kn_ord").agg(
+      org.apache.spark.sql.functions.max("pos")).head.getLong(0)
+      == nDocs - 1)
+    assert(Views.resolve("kn_enc").count() == nDocs)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("dedup tunables are settable from config; threshold defaults per method") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "ngram_pairs",

@@ -52,4 +52,56 @@ class PiiSpec extends SparkSpec {
     val plan = Pii.scrub(docs, "text").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scrub must not shuffle:\n$plan")
   }
+
+  private def people = Seq(
+    (1L, "A", 30L), (2L, "A", 30L), (3L, "A", 30L),
+    (4L, "B", 30L), (5L, "B", 40L)
+  ).toDF("id", "seg", "age")
+
+  test("kAnonymityProfile: combo sizes and the under-k flag") {
+    val p = Pii.kAnonymityProfile(people, Seq("seg", "age"), k = 2)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(p(("A", 30L)) == ((3L, false)))
+    assert(p(("B", 30L)) == ((1L, true)))
+    assert(p(("B", 40L)) == ((1L, true)))
+  }
+
+  test("kAnonymize suppresses every quasi-id cell of under-k rows only") {
+    val out = Pii.kAnonymize(people, Seq("seg", "age"), k = 2)
+      .orderBy("id").select("seg", "age")
+      .as[(String, String)].collect()
+    assert(out.take(3).forall(_ == (("A", "30"))))
+    assert(out.drop(3).forall(_ == (("*", "*"))))
+  }
+
+  test("kAnonymize keeps row count and non-quasi columns") {
+    val out = Pii.kAnonymize(people, Seq("seg"), k = 3)
+    assert(out.count() == 5)
+    assert(out.columns.toSet == Set("id", "seg", "age"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+  }
+
+  test("noisyCounts: clamped at zero, deterministic, salt re-draws") {
+    val df = Seq.tabulate(20)(i => (i.toLong, s"g${i % 3}"))
+      .toDF("id", "g")
+    val a = Pii.noisyCounts(df, Seq("g"), scale = 2.0, salt = "s1")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = Pii.noisyCounts(df.repartition(7), Seq("g"), scale = 2.0, salt = "s1")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "layout-independent")
+    assert(a.forall(_._3 >= 0L), "clamped at zero")
+    val c = Pii.noisyCounts(df, Seq("g"), scale = 2.0, salt = "s2")
+      .orderBy("g").collect().map(r => r.getLong(2))
+    assert(a.map(_._3).toSeq != c.toSeq, "a different salt re-draws")
+  }
+
+  test("noisyCounts noise magnitude is Laplace-plausible at small scale") {
+    // scale 0.001: noise rounds to 0 for almost every draw, so the
+    // release equals the exact histogram
+    val df = Seq.tabulate(30)(i => (i.toLong, s"g${i % 5}")).toDF("id", "g")
+    val out = Pii.noisyCounts(df, Seq("g"), scale = 0.001, salt = "t")
+      .collect()
+    assert(out.forall(r => r.getLong(2) == r.getLong(1)))
+  }
 }

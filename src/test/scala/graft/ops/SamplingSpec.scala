@@ -104,6 +104,30 @@ class SamplingSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("globalOrdinal equals the single-partition window form, no window") {
+    val ord = Sampling.globalOrdinal(docs, "doc_id", "n_chars",
+      numPartitions = 7)
+    docs.createOrReplaceTempView("go_docs")
+    val oracle = spark.sql(
+      """SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1
+           AS pos
+         FROM go_docs""")
+    assert(datasetEquality(oracle, ord))
+    assert(!ord.queryExecution.executedPlan.toString.contains("Window"))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("globalOrdinal is a layout-independent permutation of 0..n-1") {
+    val n = docs.count()
+    val a = Sampling.globalOrdinal(docs, "doc_id", "n_chars")
+    assert(a.agg(min("pos"), max("pos"), countDistinct("pos"))
+      .as[(Long, Long, Long)].head() == (0L, n - 1, n))
+    val b = Sampling.globalOrdinal(docs.repartition(13), "doc_id", "n_chars")
+    assert(a.orderBy("pos").collect().toSeq ==
+      b.orderBy("pos").collect().toSeq)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("upsample replicates by integer weight plus a deterministic fraction") {
     val out = Sampling.upsample(docs, "lang", "doc_id",
       Map("de" -> 3.0, "en" -> 0.0), defaultWeight = 1.0)

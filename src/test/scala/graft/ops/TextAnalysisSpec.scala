@@ -336,4 +336,38 @@ class TextAnalysisSpec extends SparkSpec {
         .orderBy("merge_round").collect().toSeq
     assert(run(df1) == run(df1.repartition(7)))
   }
+
+  test("bpeApplyMerges: hand-computed token counts under chained merges") {
+    val df = Seq((1L, "the then an and"), (2L, "xyz"), (3L, "a an"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeApplyMerges(df, "doc_id", "text",
+      Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: "the"->[the] 1, "then"->[the,n] 2, "an"->[an] 1,
+    //        "and"->[and] 1  => 5 tokens
+    assert(out(1L) == 5L)
+    // doc 2: no merge applies -> 3 single-char tokens
+    assert(out(2L) == 3L)
+    // doc 3: "a" stays 1, "an" merges to 1 -> 2
+    assert(out(3L) == 2L)
+  }
+
+  test("bpeApplyMerges: merges never cross a word boundary") {
+    // "t h" would merge only if the space were transparent
+    val df = Seq((1L, "t h")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeApplyMerges(df, "doc_id", "text",
+      Seq("t" -> "h")).collect()
+    assert(out(0).getLong(1) == 2L)
+  }
+
+  test("bpeApplyMerges: fingerprint separates encodings, narrow plan") {
+    val df = Seq((1L, "th"), (2L, "t h"), (3L, "th")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeApplyMerges(df, "doc_id", "text",
+      Seq("t" -> "h"))
+    val fps = enc.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps(1L) == fps(3L), "identical text, identical fingerprint")
+    assert(fps(1L) != fps(2L), "different tokenization, different fp")
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must stay narrow:\n$plan")
+  }
 }
