@@ -168,4 +168,40 @@ object DataQuality {
         (col("n_violating_groups").cast("double") / col("n_groups"))
           .as("violation_rate"))
   }
+
+  /** Group-mode imputation: fill NULLs in `valueCol` with the most
+    * frequent non-null value of the row's `byCols` group (count ties
+    * break to the SMALLEST value, so the repair is deterministic) — the
+    * standard categorical-repair rule for "this shard lost a field".
+    * Rows in a group with no non-null value at all stay NULL. Schema
+    * unchanged.
+    *
+    * Shape at scale: the mode table is two map-side-combined
+    * aggregations over (byCols, value) — bounded by group × distinct
+    * values, never corpus size (max_by over a struct, no window on the
+    * fact table) — then ONE join back on byCols, broadcast whenever the
+    * group table is small. The fact table never shuffles in the
+    * broadcast regime.
+    */
+  def imputeMode(df: DataFrame, valueCol: String,
+      byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty, "imputeMode needs at least one group column")
+    require(!byCols.contains(valueCol), "valueCol cannot be a group column")
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((byCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // argmax by (count, then smallest value): max_by over a struct whose
+    // ordering is (count asc, value DESC-via-negation impossible for
+    // strings) — instead min_by over (-count, value) keeps it exact
+    val mode = counts
+      .groupBy(byCols.map(col): _*)
+      .agg(min(struct((-col("__n")).as("__negn"),
+        col(valueCol).cast("string").as("__v"))).as("__m"))
+      .select(byCols.map(col) :+ col("__m.__v").as("__mode"): _*)
+    val origType = df.schema(valueCol).dataType
+    df.join(broadcast(mode), byCols, "left")
+      .withColumn(valueCol,
+        coalesce(col(valueCol), col("__mode").cast(origType)))
+      .select(df.columns.map(col): _*) // original order, __mode dropped
+  }
 }

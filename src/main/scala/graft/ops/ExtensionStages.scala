@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline._
 
 /** Config-driven pipeline stages wrapping the LLM-data-pipeline operators
@@ -112,7 +112,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -158,6 +158,9 @@ final case class SimilarityTransformStage(
       case "hard_negatives" => Similarity.hardNegatives(corpus, queries, k)
       case "ann_recall"     => Similarity.annRecall(corpus, queries, k,
         nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4))
+      // exact fixed-point covariance (inDim = embedding dimensionality);
+      // eigen + projection are programmatic (dim^2-bounded driver work)
+      case "pca_cov"        => Pca.covariance(corpus, dim = inDim)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -372,7 +375,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply | bpe_fertility
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -400,6 +403,14 @@ final case class TextAnalysisTransformStage(
     // bpe_apply: "left right" merge pairs in application order
     merges: Seq[String] = Nil)
     extends Stage {
+
+  private def parsedMerges: Seq[(String, String)] = merges.map { m =>
+    m.split(" ", -1) match {
+      case Array(a, b) => (a, b)
+      case _ => throw new IllegalArgumentException(
+        s"merge must be 'left right', got '$m'")
+    }
+  }
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
     val in = Views.resolve(inputView)
@@ -438,14 +449,11 @@ final case class TextAnalysisTransformStage(
       // whole-word safety screen (per hit doc: counts + matched terms)
       case "blocklist" => TextAnalysis.blocklist(in, idCol, textCol, terms)
       // fixed-merge-table BPE encoding ("left right" pairs, in order)
-      case "bpe_apply" => TextAnalysis.bpeApplyMerges(in, idCol, textCol,
-        merges.map { m =>
-          m.split(" ", -1) match {
-            case Array(a, b) => (a, b)
-            case _ => throw new IllegalArgumentException(
-              s"bpe_apply merge must be 'left right', got '$m'")
-          }
-        })
+      case "bpe_apply" =>
+        TextAnalysis.bpeApplyMerges(in, idCol, textCol, parsedMerges)
+      // tokenizer fertility per group (langCol = the group column)
+      case "bpe_fertility" =>
+        TextAnalysis.bpeFertility(in, textCol, langCol, parsedMerges)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -799,14 +807,65 @@ final case class SketchTransformStage(
 /** CDC stage over [[Cdc]]: latest-wins upsert merge of a change-feed view
   * into a base view, or SCD2 interval build from an append-only log.
   */
+/** Multimodal payload stage over [[Multimodal]]: binary payloads with
+  * typed metadata. `decode` runs [[Multimodal.MediaDecoder.deterministicFake]]
+  * (a production deployment swaps a real codec behind the same trait —
+  * the stage surface is decoder-agnostic by design).
+  */
+final case class MultimodalTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // attach | meta | validate | decode | frames | resize | features | phash | phash_pairs
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    formatCol: Option[String] = None,
+    metaCols: Seq[String] = Nil,
+    everyN: Int = 2,
+    maxDim: Int = 128,
+    maxHamming: Int = 3,
+    maxBucket: Int = 4096)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    implicit val spark: SparkSession = ctx.spark
+    def decoded = Multimodal.decodeAll(in,
+      Multimodal.MediaDecoder.deterministicFake).toDF()
+    val out = method match {
+      case "attach" => formatCol match {
+        case Some(f) => Multimodal.attachTyped(in, idCol, textCol, f)
+        case None => Multimodal.attach(in, idCol, textCol, metaCols)
+      }
+      case "meta" => Multimodal.payloadMeta(in)
+      case "validate" => Multimodal.validatePayloads(in)
+      case "decode" => decoded
+      case "frames" => Multimodal.frameSample(decoded, everyN)
+      case "resize" => Multimodal.resizeMeta(decoded, maxDim)
+      case "features" => Multimodal.featureVectors(decoded)
+      case "phash" => Multimodal.perceptualHashes(in)
+      case "phash_pairs" => Multimodal.phashPairs(in, maxHamming, maxBucket)
+      case other => throw new IllegalArgumentException(
+        s"unknown multimodal method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
 final case class CdcTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // upsert | scd2 | derive
+    method: String, // upsert | scd2 | derive | changed_keys
     changesView: Option[String] = None,
     nextView: Option[String] = None,
     keyCol: String = "id",
+    // changed_keys: composite key columns (falls back to keyCol)
+    keys: Seq[String] = Nil,
     versionCol: String = "version",
     opCol: String = "op",
     tsCol: String = "ts",
@@ -829,6 +888,12 @@ final case class CdcTransformStage(
         val nx = nextView.map(Views.resolve).getOrElse(
           throw new IllegalArgumentException("derive requires nextView"))
         Cdc.derive(in, nx, keyCol)
+      // key-sized diff: which keys changed (values via 'derive')
+      case "changed_keys" =>
+        val nx = nextView.map(Views.resolve).getOrElse(
+          throw new IllegalArgumentException("changed_keys requires nextView"))
+        Maintenance.changedKeys(in, nx,
+          if (keys.nonEmpty) keys else Seq(keyCol))
       case other =>
         throw new IllegalArgumentException(s"unknown cdc method '$other'")
     }
@@ -1007,7 +1072,7 @@ final case class DataQualityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // rules | linkage | join_skew | referential | fd
+    method: String, // rules | linkage | join_skew | referential | fd | impute
     rules: Seq[(String, String)] = Nil,
     idCol: String = "id",
     blockCol: String = "block",
@@ -1053,6 +1118,11 @@ final case class DataQualityTransformStage(
         if (lhs.isEmpty) throw new IllegalArgumentException(
           "dq method 'fd' requires non-empty 'lhs'")
         DataQuality.fdCheck(in, lhs, rhsCol)
+      // group-mode repair: lhs = group columns, rhsCol = value column
+      case "impute" =>
+        if (lhs.isEmpty) throw new IllegalArgumentException(
+          "dq method 'impute' requires non-empty 'lhs' (group columns)")
+        DataQuality.imputeMode(in, rhsCol, lhs)
       case other =>
         throw new IllegalArgumentException(s"unknown dq method '$other'")
     }

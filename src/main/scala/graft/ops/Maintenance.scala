@@ -200,4 +200,50 @@ object Maintenance {
       dropped.map(_._1)
     }
   }
+
+  /** Changed-KEY set between two table versions: one row per key whose
+    * state changed, classified `insert` (key only in `next`), `delete`
+    * (key only in `prev`) or `update` (key in both, any non-key column
+    * differing). Unchanged keys emit nothing.
+    *
+    * Relationship to [[Cdc.derive]] (the full change feed): `derive`
+    * ships ENTIRE rows through its full-outer join and emits the changed
+    * VALUES — what a downstream apply needs. This operator answers only
+    * "WHICH keys changed": each side collapses to (keys, one fingerprint
+    * string) before the join, so the shuffle cost is key-sized no matter
+    * how wide the table — the cheap first pass that scopes an
+    * incremental recompute (re-read only the changed partitions / invalidate
+    * only the changed cache keys) over a wide 100 TB snapshot. It also
+    * takes COMPOSITE keys, which `derive`'s single-key uniqueness guard
+    * does not.
+    *
+    * The fingerprint casts every non-key column to string in sorted
+    * column order (U+0001-separated, U+0002 for NULL) — injective per
+    * engine, which is all equality needs; the two frames must share a
+    * schema (enforced).
+    */
+  def changedKeys(prev: DataFrame, next: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "at least one key column")
+    require(prev.columns.sorted.toSeq == next.columns.sorted.toSeq,
+      s"schemas differ: ${prev.columns.mkString(",")} vs " +
+        next.columns.mkString(","))
+    val nonKey = prev.columns.sorted.filterNot(keys.contains).toSeq
+    // U+0001 separator + U+0002 null sentinel: concat_ws SKIPS nulls,
+    // which would alias ("a", null) with just ("a"); the sentinel keeps
+    // the fingerprint injective per engine, which is all equality needs
+    def slim(df: DataFrame, fpName: String) =
+      df.select(keys.map(col) :+
+        concat_ws("\u0001",
+          nonKey.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+          .as(fpName): _*)
+    slim(prev, "__fp_a").join(slim(next, "__fp_b"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__fp_a").isNull, lit("insert"))
+          .when(col("__fp_b").isNull, lit("delete"))
+          .when(col("__fp_a") =!= col("__fp_b"), lit("update")))
+      .where(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
 }

@@ -76,6 +76,54 @@ object Multimodal {
       length(col("payload")).cast("long").as("byte_len"),
       sha2(col("payload"), 256).as("digest"))
 
+  /** Magic-byte prefixes for the container formats the validator knows.
+    * (Real ingestion adds rows here; the mechanism is format-agnostic.)
+    */
+  val Magics: Map[String, Array[Byte]] = Map(
+    "png" -> Array(0x89, 'P', 'N', 'G').map(_.toByte),
+    "jpeg" -> Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte),
+    "wav" -> "RIFF".getBytes("US-ASCII").toIndexedSeq.toArray)
+
+  /** [[attach]] with a declared container format: the payload is the
+    * format's magic-byte header followed by the UTF-8 text bytes — the
+    * synthetic stand-in for media that arrives with a container header,
+    * so header validation is exercisable end-to-end.
+    */
+  def attachTyped(df: DataFrame, idCol: String, textCol: String,
+      formatCol: String): DataFrame = {
+    val magic = Magics.foldLeft(lit(null).cast("binary")) {
+      case (els, (f, bytes)) =>
+        when(col(formatCol) === f, lit(bytes)).otherwise(els)
+    }
+    df.select(
+      col(idCol).as("doc_id"),
+      col(formatCol).as("format"),
+      concat(magic, encode(col(textCol), "UTF-8")).as("payload"))
+  }
+
+  /** Header validation / corrupt-payload quarantine: checks each payload's
+    * leading bytes against the magic of its DECLARED format — the ingest
+    * screen that keeps a truncated upload or a mislabeled container out of
+    * the decode stage (where a real codec would throw mid-job instead of
+    * at a quarantine row).
+    *
+    * Output: (doc_id, format, byte_len, valid). An undeclared/unknown
+    * format is invalid (never silently passed). Pure narrow codegen'd
+    * byte work — `substring` on the binary column against plan-literal
+    * hex — no decode, no shuffle; at 100 TB this is scan-bound and the
+    * payload never leaves its partition.
+    */
+  def validatePayloads(df: DataFrame): DataFrame = {
+    val valid = Magics.foldLeft(lit(false)) { case (els, (f, bytes)) =>
+      when(col("format") === f,
+        hex(substring(col("payload"), 1, bytes.length)) ===
+          bytes.map(b => f"$b%02X").mkString).otherwise(els)
+    }
+    df.select(col("doc_id"), col("format"),
+      length(col("payload")).cast("long").as("byte_len"),
+      valid.as("valid"))
+  }
+
   /** Frame sampling: one output row per kept frame (every `everyN`-th,
     * starting at frame 1) — the columnar explode pattern a video pipeline
     * uses to turn clip rows into frame rows without ever materializing

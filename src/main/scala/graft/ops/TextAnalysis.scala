@@ -674,6 +674,18 @@ object TextAnalysis {
     */
   def bpeApplyMerges(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    val (enc, nTokens) = bpeEncodedExprs(textCol, merges)
+    df.select(col(idCol).as("doc_id"),
+      nTokens.as("n_tokens"),
+      T.h32(enc).as("token_fp"))
+  }
+
+  /** The shared [[bpeApplyMerges]] expression pair: (encoded framed
+    * symbol string, token count). Both are pure narrow codegen'd string
+    * expressions over `textCol`.
+    */
+  private def bpeEncodedExprs(textCol: String,
+      merges: Seq[(String, String)]): (Column, Column) = {
     require(merges.nonEmpty, "at least one merge")
     require(merges.forall { case (a, b) =>
       a.nonEmpty && b.nonEmpty && !(a + b).contains(" ") },
@@ -686,8 +698,35 @@ object TextAnalysis {
     }
     val nSyms = (length(enc) - length(replace(enc, lit(sep), lit("")))) / 2
     val nSpaces = length(clean) - length(replace(clean, lit(" "), lit("")))
-    df.select(col(idCol).as("doc_id"),
-      (nSyms - nSpaces).cast("long").as("n_tokens"),
-      T.h32(enc).as("token_fp"))
+    (enc, (nSyms - nSpaces).cast("long"))
+  }
+
+  /** Tokenizer FERTILITY by group (usually language): tokens produced per
+    * whitespace word under a fixed BPE merge table — the standard "how
+    * well does this tokenizer serve each language" diagnostic (fertility
+    * near 1 = efficient; high fertility = the vocabulary fragments that
+    * group's text, inflating its effective sequence length and training
+    * cost).
+    *
+    * Output: (group, n_docs, n_words, n_tokens, fertility[6dp]).
+    *
+    * Shape at scale: the per-row token count is the same narrow codegen'd
+    * expression as [[bpeApplyMerges]]; the rollup is ONE map-side-combined
+    * aggregation on the group key. All-long sums — exact under any
+    * combine order.
+    */
+  def bpeFertility(df: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val (_, nTokens) = bpeEncodedExprs(textCol, merges)
+    df.select(col(groupCol).as("group"),
+        nTokens.as("__t"),
+        size(T.words(col(textCol))).cast("long").as("__w"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").as("n_words"),
+        sum("__t").as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"),
+          6))
   }
 }

@@ -133,7 +133,7 @@ object Parser {
         method = r.oneOf("method",
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
             "quantize", "project", "semantic_dedup", "hard_negatives",
-            "ann_recall"), "topk"),
+            "ann_recall", "pca_cov"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -324,7 +324,8 @@ object Parser {
     },
     "DataQualityTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("rules", "linkage", "join_skew", "referential", "fd"), "rules")
+        Seq("rules", "linkage", "join_skew", "referential", "fd", "impute"),
+        "rules")
       if (method == "rules" && r.stringMap("rules").isEmpty)
         r.error("rules", "missing or empty; method 'rules' requires them")
       if ((method == "join_skew" || method == "referential")
@@ -332,6 +333,8 @@ object Parser {
         r.error("rightView", s"missing; $method requires a right view")
       if (method == "fd" && r.stringList("lhs").isEmpty)
         r.error("lhs", "missing or empty; method 'fd' requires determinant columns")
+      if (method == "impute" && r.stringList("lhs").isEmpty)
+        r.error("lhs", "missing or empty; method 'impute' requires group columns")
       def weights(key: String): Seq[(String, Double)] =
         r.stringMap(key).toSeq.sortBy(_._1).map { case (k, v) =>
           k -> (try v.toDouble catch {
@@ -461,7 +464,7 @@ object Parser {
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "keyness",
             "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
-            "bpe_apply"),
+            "bpe_apply", "bpe_fertility"),
           "quality"),
         terms = r.stringList("terms"),
         merges = r.stringList("merges"),
@@ -544,14 +547,33 @@ object Parser {
         window = r.int("window").getOrElse(7),
         otherKeyCol = r.string("otherKeyCol").getOrElse(""))
     },
+    "MultimodalTransform" -> { (r, _) =>
+      MultimodalTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("attach", "meta", "validate", "decode", "frames", "resize",
+            "features", "phash", "phash_pairs"),
+          "meta"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        textCol = r.string("textCol").getOrElse("text"),
+        formatCol = r.string("formatCol"),
+        metaCols = r.stringList("metaCols"),
+        everyN = r.int("everyN").getOrElse(2),
+        maxDim = r.int("maxDim").getOrElse(128),
+        maxHamming = r.int("maxHamming").getOrElse(3),
+        maxBucket = r.int("maxBucket").getOrElse(4096))
+    },
     "CdcTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("upsert", "scd2", "derive"), "upsert")
+      val method = r.oneOf("method",
+        Seq("upsert", "scd2", "derive", "changed_keys"), "upsert")
       val changes = r.string("changesView")
       if (method == "upsert" && changes.isEmpty)
         r.error("changesView", "missing; upsert requires a change-feed view")
       val next = r.string("nextView")
-      if (method == "derive" && next.isEmpty)
-        r.error("nextView", "missing; derive requires the next-snapshot view")
+      if ((method == "derive" || method == "changed_keys") && next.isEmpty)
+        r.error("nextView", s"missing; $method requires the next-snapshot view")
       CdcTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -560,6 +582,7 @@ object Parser {
         changesView = changes,
         nextView = next,
         keyCol = r.string("keyCol").getOrElse("id"),
+        keys = r.stringList("keys"),
         versionCol = r.string("versionCol").getOrElse("version"),
         opCol = r.string("opCol").getOrElse("op"),
         tsCol = r.string("tsCol").getOrElse("ts"),
@@ -747,8 +770,11 @@ object Parser {
       "keyCol", "groupCols", "m", "k", "depth", "width", "topN",
       "otherView", "bucketCol", "window", "otherKeyCol")),
     "CdcTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "changesView", "nextView", "keyCol", "versionCol", "opCol", "tsCol",
-      "stateCol")),
+      "changesView", "nextView", "keyCol", "keys", "versionCol", "opCol",
+      "tsCol", "stateCol")),
+    "MultimodalTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "method", "idCol", "textCol", "formatCol", "metaCols", "everyN",
+      "maxDim", "maxHamming", "maxBucket")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "keyCol", "idCol", "valueCol", "target", "slack",
       "threshold", "startCol", "endCol", "bucketSeconds", "alpha", "beta")),

@@ -1283,6 +1283,64 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Tokenizer fertility by language under the same merge table.
+    "bpe_fertility" -> { (spark, dir) =>
+      TextAnalysis.bpeFertility(docs(spark, dir), "text", "lang", BpeMerges)
+        .orderBy("group")
+    },
+
+    // Header validation: payloads carry the magic of a (sometimes
+    // deliberately rotated) actual format; validation runs against the
+    // DECLARED format, so every doc_id % 13 == 0 row quarantines.
+    "multimodal_validate" -> { (spark, dir) =>
+      val fmts = array(lit("png"), lit("jpeg"), lit("wav"))
+      val declared = element_at(fmts, (col("doc_id") % 3 + 1).cast("int"))
+      val rotated =
+        element_at(fmts, ((col("doc_id") + 1) % 3 + 1).cast("int"))
+      val actual = when(col("doc_id") % 13 === 0, rotated)
+        .otherwise(declared)
+      Multimodal.validatePayloads(
+          Multimodal.attachTyped(
+              docs(spark, dir).withColumn("__fmt", actual),
+              "doc_id", "text", "__fmt")
+            .withColumn("format", declared))
+        .orderBy("doc_id")
+    },
+
+    // CDF-style change feed between two derived orders versions:
+    // % 11 keys deleted, % 7 keys inserted, % 5 prices doubled.
+    "snapshot_diff" -> { (spark, dir) =>
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val prev = ord.where(col("o_orderkey") % 7 =!= 0)
+      val next = ord.where(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Maintenance.changedKeys(prev, next, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // Exact fixed-point covariance of the embedding corpus (the corpus-
+    // side half of PCA; the dim^2-bounded eigen step is spec-verified).
+    "embed_pca" -> { (spark, dir) =>
+      Pca.covariance(spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", dim = 64)
+        .orderBy("i", "j")
+    },
+
+    // Group-mode repair of a deterministically nulled-out categorical.
+    "impute_mode" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("l_linestatus",
+          when(col("l_orderkey") % 17 === 0, lit(null))
+            .otherwise(col("l_linestatus")))
+      DataQuality.imputeMode(li, "l_linestatus", Seq("l_returnflag"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_linestatus")
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     "pii_scrub" -> { (spark, dir) =>
       Pii.scrub(withInjectedPii(docs(spark, dir)), "text")
         .select("doc_id", "text")
@@ -4149,6 +4207,106 @@ object ExtensionQueries {
           - (length(ct) - length(replace(ct, ' ', ''))))::BIGINT AS n_tokens,
         ('0x'||substr(md5(enc),1,8))::BIGINT % $P AS token_fp
       FROM e ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.bpeFertility: same per-row token expression
+    // as bpe_encode, whitespace words = spaces + 1, all-long sums.
+    "bpe_fertility" -> s"""
+      WITH f AS (SELECT lang, replace(text, chr(31), '') AS ct
+                 FROM documents),
+      e AS (SELECT lang, ct,
+              ${bpeChainSql(
+                "regexp_replace(ct, '(.)', chr(31)||'\\1'||chr(31), 'g')")}
+              AS enc
+            FROM f),
+      t AS (SELECT lang,
+              (((length(enc) - length(replace(enc, chr(31), '')))::DOUBLE
+                  / 2.0::DOUBLE)
+                - (length(ct) - length(replace(ct, ' ', ''))))::BIGINT
+                AS tok,
+              (length(ct) - length(replace(ct, ' ', '')) + 1)::BIGINT
+                AS words
+            FROM e)
+      SELECT lang AS "group", count(*)::BIGINT AS n_docs,
+        sum(words)::BIGINT AS n_words, sum(tok)::BIGINT AS n_tokens,
+        round(sum(tok)::DOUBLE / sum(words)::DOUBLE, 6) AS fertility
+      FROM t GROUP BY 1 ORDER BY 1""",
+
+    // Ground truth for Multimodal.validatePayloads: every magic the
+    // validator knows is 4 bytes, the corpus is single-byte text, and a
+    // rotated actual format never matches the declared magic.
+    "multimodal_validate" -> """
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav'
+          END AS format,
+        (length(text) + 4)::BIGINT AS byte_len,
+        (doc_id % 13 <> 0) AS valid
+      FROM documents ORDER BY doc_id""",
+
+    // Replay of Maintenance.changedKeys over the derived versions: only
+    // o_totalprice can differ, so update <=> the doubled price moved.
+    "snapshot_diff" -> """
+      WITH prev AS (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey % 7 <> 0),
+      nxt AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+             WHEN n.o_orderkey IS NULL THEN 'delete'
+             ELSE 'update' END AS change_type
+      FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey
+      WHERE p.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR p.o_totalprice <> n.o_totalprice
+      ORDER BY o_orderkey""",
+
+    // Replay of Pca.covariance: per-row HALF_UP quantization at 2^20,
+    // exact HUGEINT sums, the same sxy/n/S - mean_i*mean_j double
+    // division ORDER, 6dp + negative-zero guard.
+    "embed_pca" -> s"""
+      WITH pr AS (SELECT a.i AS i, b.j AS j
+                  FROM generate_series(0, 63) a(i),
+                       generate_series(0, 63) b(j)
+                  WHERE a.i <= b.j),
+      x AS (SELECT embedding FROM embeddings),
+      s AS (SELECT pr.i, pr.j,
+              sum(round(embedding[pr.i+1]::DOUBLE * embedding[pr.j+1]::DOUBLE
+                * ${Similarity.FixedScale}::DOUBLE))::HUGEINT AS sxy
+            FROM x, pr GROUP BY 1, 2),
+      m AS (SELECT g.i,
+              sum(round(embedding[g.i+1]::DOUBLE
+                * ${Similarity.FixedScale}::DOUBLE))::HUGEINT AS sx
+            FROM x, generate_series(0, 63) g(i) GROUP BY 1),
+      n AS (SELECT count(*)::BIGINT AS n FROM x)
+      SELECT s.i::BIGINT AS i, s.j::BIGINT AS j,
+        round(sxy::DOUBLE / n.n / ${Similarity.FixedScale}::DOUBLE
+          - (mi.sx::DOUBLE / n.n / ${Similarity.FixedScale}::DOUBLE)
+          * (mj.sx::DOUBLE / n.n / ${Similarity.FixedScale}::DOUBLE), 6)
+          + 0.0::DOUBLE AS cov
+      FROM s
+      JOIN m mi ON mi.i = s.i
+      JOIN m mj ON mj.i = s.j
+      CROSS JOIN n
+      ORDER BY i, j""",
+
+    // Replay of DataQuality.imputeMode: mode per group with ties to the
+    // smallest value, nulls repaired, non-null rows untouched.
+    "impute_mode" -> """
+      WITH li AS (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                    l_returnflag,
+                    CASE WHEN l_orderkey % 17 = 0 THEN NULL
+                      ELSE l_linestatus END AS l_linestatus
+                  FROM lineitem),
+      cnt AS (SELECT l_returnflag, l_linestatus AS v, count(*) AS n
+              FROM li WHERE l_linestatus IS NOT NULL GROUP BY 1, 2),
+      md AS (SELECT l_returnflag, v FROM (
+               SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY n DESC, v) AS rn
+               FROM cnt) WHERE rn = 1)
+      SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+        coalesce(li.l_linestatus, md.v) AS l_linestatus
+      FROM li LEFT JOIN md ON li.l_returnflag = md.l_returnflag
+      ORDER BY l_orderkey, l_linenumber""",
 
     // Replay of Graph.pagerank (3 iterations, d=0.85): all-long
     // fixed-point ranks; `//` floor division on positive operands matches

@@ -166,4 +166,31 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.fdCheck(df, Seq("x", "v"), "v")
     }
   }
+
+  test("imputeMode fills nulls with the group mode, ties to smallest") {
+    val df = Seq(
+      (1L, "g1", Option("b")), (2L, "g1", Option("b")),
+      (3L, "g1", Option("a")), (4L, "g1", None),
+      // g2: tie between "x" and "y" -> "x"
+      (5L, "g2", Option("x")), (6L, "g2", Option("y")), (7L, "g2", None),
+      // g3: all null -> stays null
+      (8L, "g3", None)
+    ).toDF("id", "g", "v")
+    val out = DataQuality.imputeMode(df, "v", Seq("g"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(4L).contains("b"), "mode of g1 is b")
+    assert(out(3L).contains("a"), "non-null rows untouched")
+    assert(out(7L).contains("x"), "count tie breaks to smallest value")
+    assert(out(8L).isEmpty, "a group with no evidence stays null")
+    assert(out.size == 8)
+  }
+
+  test("imputeMode preserves the value column's type") {
+    val df = Seq((1L, "g", Option(5L)), (2L, "g", None))
+      .toDF("id", "g", "v")
+    val out = DataQuality.imputeMode(df, "v", Seq("g"))
+    assert(out.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.where("id = 2").head.getLong(2) == 5L)
+  }
 }

@@ -120,6 +120,50 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("multimodal, changed_keys, impute, bpe_fertility as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "mm_docs"},
+      {"type": "SqlTransform", "name": "fmt",
+       "sql": "SELECT doc_id, text, 'png' AS fmt FROM mm_docs",
+       "outputView": "mm_fmt"},
+      {"type": "MultimodalTransform", "name": "at", "method": "attach",
+       "inputView": "mm_fmt", "formatCol": "fmt", "outputView": "mm_typed"},
+      {"type": "MultimodalTransform", "name": "va", "method": "validate",
+       "inputView": "mm_typed", "outputView": "mm_valid"},
+      {"type": "MultimodalTransform", "name": "fr", "method": "frames",
+       "inputView": "mm_typed", "everyN": 3, "outputView": "mm_frames"},
+      {"type": "SqlTransform", "name": "nextv",
+       "sql": "SELECT doc_id, text, lang, source, n_chars * 2 AS n_chars FROM mm_docs",
+       "outputView": "mm_next"},
+      {"type": "CdcTransform", "name": "ck", "method": "changed_keys",
+       "inputView": "mm_docs", "nextView": "mm_next",
+       "keys": ["doc_id"], "outputView": "mm_ck"},
+      {"type": "DataQualityTransform", "name": "im", "method": "impute",
+       "inputView": "mm_docs", "lhs": ["source"], "rhsCol": "lang",
+       "outputView": "mm_imp"},
+      {"type": "TextAnalysisTransform", "name": "bf",
+       "analysis": "bpe_fertility", "inputView": "mm_docs",
+       "merges": ["t h"], "outputView": "mm_fert"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(Runner.run(p).isDefined)
+    import graft.pipeline.Views
+    val nDocs = Views.resolve("mm_docs").count()
+    assert(Views.resolve("mm_valid").count() == nDocs)
+    assert(Views.resolve("mm_valid")
+      .where("NOT valid").count() == 0) // every payload carries its magic
+    assert(Views.resolve("mm_frames").count() > 0)
+    // every doc's n_chars doubled -> every key is an update
+    assert(Views.resolve("mm_ck").where("change_type = 'update'").count()
+      == nDocs)
+    assert(Views.resolve("mm_imp").count() == nDocs)
+    assert(Views.resolve("mm_fert").columns.contains("fertility"))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("dedup tunables are settable from config; threshold defaults per method") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "ngram_pairs",

@@ -114,4 +114,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.vacuumSnapshots(spark, base, keepLast = 5,
       Map("confirm.truncate" -> "true")).isEmpty)
   }
+
+  test("changedKeys classifies inserts, deletes, updates; drops unchanged") {
+    val prev = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val next = Seq((2L, "b", 20L), (3L, "c", 99L), (4L, "d", 40L))
+      .toDF("k", "s", "v")
+    val out = Maintenance.changedKeys(prev, next, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+  }
+
+  test("changedKeys: null vs absent vs empty-string states stay distinct") {
+    val prev = Seq((1L, Option("x"), Option("")),
+      (2L, Option("y"), None)).toDF("k", "a", "b")
+    val next = Seq((1L, Option("x"), None),
+      (2L, Option("y"), Option(""))).toDF("k", "a", "b")
+    val out = Maintenance.changedKeys(prev, next, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "update", 2L -> "update"),
+      "null -> empty string must read as a change")
+  }
+
+  test("changedKeys rejects mismatched schemas") {
+    val a = Seq((1L, "x")).toDF("k", "a")
+    val b = Seq((1L, "x")).toDF("k", "b")
+    intercept[IllegalArgumentException] {
+      Maintenance.changedKeys(a, b, Seq("k"))
+    }
+  }
 }

@@ -84,4 +84,36 @@ class MultimodalSpec extends SparkSpec {
     assert(ExprKernels.perceptualHash60(Array.emptyByteArray) == 0L)
     graft.util.Caches.unpersistAll()
   }
+
+  test("attachTyped prepends the declared magic; validate accepts it") {
+    val df = Seq((1L, "hello", "png"), (2L, "world", "jpeg"),
+      (3L, "abc", "wav")).toDF("doc_id", "text", "fmt")
+    val typed = Multimodal.attachTyped(df, "doc_id", "text", "fmt")
+    val out = Multimodal.validatePayloads(typed).orderBy("doc_id").collect()
+    assert(out.forall(_.getBoolean(3)), "own magic must validate")
+    assert(out.map(_.getLong(2)).toSeq == Seq(9L, 9L, 7L)) // text + 4
+  }
+
+  test("validate rejects wrong or unknown formats and short payloads") {
+    val df = Seq((1L, "hello", "png"), (2L, "x", "gif"))
+      .toDF("doc_id", "text", "fmt")
+    val typed = Multimodal.attachTyped(df, "doc_id", "text", "fmt")
+    // declare doc 1 as jpeg (payload carries png magic), keep doc 2's
+    // unknown format (attachTyped gave it a NULL magic -> null payload)
+    import org.apache.spark.sql.functions._
+    val declared = typed.withColumn("format",
+      when(col("doc_id") === 1L, lit("jpeg")).otherwise(col("format")))
+    val out = Multimodal.validatePayloads(declared)
+      .orderBy("doc_id").collect()
+    assert(!out(0).getBoolean(3), "png payload declared jpeg must fail")
+    assert(!out(1).getBoolean(3), "unknown format must fail")
+  }
+
+  test("validation stays a narrow codegen'd pass") {
+    val df = Seq((1L, "hello", "png")).toDF("doc_id", "text", "fmt")
+    val plan = Multimodal.validatePayloads(
+      Multimodal.attachTyped(df, "doc_id", "text", "fmt"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+  }
 }

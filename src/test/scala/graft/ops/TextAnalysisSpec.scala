@@ -360,6 +360,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(1) == 2L)
   }
 
+  test("bpeFertility: exact token/word sums per group") {
+    val df = Seq(
+      ("en", "the then"), // 1 + 2 tokens, 2 words
+      ("en", "an and"),   // 1 + 1 tokens (a+n, then an+d), 2 words
+      ("de", "xyz")       // 3 tokens, 1 word
+    ).toDF("lang", "text")
+    val out = TextAnalysis.bpeFertility(df, "text", "lang",
+      Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("en") == ((2L, 4L, 5L, 1.25)))
+    assert(out("de") == ((1L, 1L, 3L, 3.0)))
+  }
+
   test("bpeApplyMerges: fingerprint separates encodings, narrow plan") {
     val df = Seq((1L, "th"), (2L, "t h"), (3L, "th")).toDF("doc_id", "text")
     val enc = TextAnalysis.bpeApplyMerges(df, "doc_id", "text",
