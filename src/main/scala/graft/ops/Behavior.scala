@@ -271,4 +271,68 @@ object Behavior {
         timestamp_seconds(col("__bucket") * bucketSeconds))
       .drop("__bucket")
   }
+
+  /** Leading-edge DEBOUNCE: keep a row iff the same key's previous event
+    * (by (ts, id) order) is at least `gapSeconds` older — duplicate-
+    * submission suppression where any event, kept or not, re-arms the
+    * timer. The first event of every key is always kept. Schema
+    * unchanged.
+    *
+    * One lag window keyed on `keyCol` — a single key-partitioned shuffle,
+    * no global sort. For the stricter "gap since last KEPT event"
+    * semantics see [[throttle]].
+    */
+  def debounce(df: DataFrame, tsCol: String, keyCol: String, idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    // cast: NTZ-inferred parquet timestamps reach unix_micros as UTC
+    val t = unix_micros(col(tsCol).cast("timestamp"))
+    val prev = lag(t, 1).over(w)
+    df.withColumn("__p", prev)
+      .where(col("__p").isNull || t - col("__p") >= gapSeconds * 1000000L)
+      .drop("__p")
+  }
+
+  /** THROTTLE: keep a row iff it is at least `gapSeconds` after the last
+    * KEPT row of its key (first row per key always kept) — the
+    * rate-limit/alert-suppression semantics where only emitted events
+    * re-arm the timer. Unlike [[debounce]] this is inherently a
+    * sequential per-key scan (each decision depends on the previous
+    * DECISION, not the previous row), which no window function
+    * expresses: this is the engine's designed last-resort tier — a
+    * key-partitioned sort + one `mapPartitions` pass holding O(1) state
+    * (current key, last kept timestamp). Output: (keyCol, tsCol as
+    * micros, idCol) of kept rows.
+    *
+    * Deterministic: the scan order (key, ts, id) is total, so the kept
+    * set is a pure function of the data under any layout.
+    */
+  def throttle(df: DataFrame, tsCol: String, keyCol: String, idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(idCol).cast("long").as("i"))
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "t", "i")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var lastKept = Long.MinValue
+        var first = true
+        it.filter { case (k, t, _) =>
+          val newKey = first || k != curKey
+          first = false
+          if (newKey) { curKey = k; lastKept = t; true }
+          else if (t - lastKept >= gapMicros) { lastKept = t; true }
+          else false
+        }
+      }
+      .toDF(keyCol, tsCol, idCol)
+  }
 }

@@ -220,15 +220,23 @@ final case class RangeJoinTransformStage(
     startCol: String,
     endCol: String,
     keys: Seq[String] = Nil,
-    bucketSeconds: Long = 3600)
+    bucketSeconds: Long = 3600,
+    // set -> interval-OVERLAP join: left [leftTime, leftEnd] vs right
+    // [startCol, endCol], instead of point-in-interval containment
+    leftEnd: Option[String] = None)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
     detail += "inputView" -> inputView
     detail += "rightView" -> rightView
     detail += "outputView" -> outputView
-    val out = Joins.range(Views.resolve(inputView), leftTime,
-      Views.resolve(rightView), startCol, endCol, keys, bucketSeconds)
+    val out = leftEnd match {
+      case Some(le) => Joins.intervalOverlap(Views.resolve(inputView),
+        leftTime, le, Views.resolve(rightView), startCol, endCol, keys,
+        bucketSeconds)
+      case None => Joins.range(Views.resolve(inputView), leftTime,
+        Views.resolve(rightView), startCol, endCol, keys, bucketSeconds)
+    }
     Views.register(out, outputView)
     Option(out)
   }
@@ -262,7 +270,7 @@ final case class ProfileTransformStage(
     outputView: String,
     columns: Seq[String],
     exact: Boolean = true,
-    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank | benford
+    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank | benford | trimmed_mean
     valueCol: String = "value",
     idCol: String = "doc_id",
     binWidth: Double = 1.0,
@@ -294,6 +302,8 @@ final case class ProfileTransformStage(
       case "percentile_rank" =>
         Profile.percentileRank(in, valueCol, idCol, byCols)
       case "benford" => Profile.benford(in, valueCol)
+      case "trimmed_mean" =>
+        Profile.trimmedMean(in, valueCol, byCols, pLo, pHi)
       case other => throw new IllegalArgumentException(
         s"unknown profile method '$other'")
     }
@@ -1012,7 +1022,7 @@ final case class BehaviorTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // funnel | cohort | transitions | attribution | basket | rate_cap
+    method: String, // funnel | cohort | transitions | attribution | basket | rate_cap | debounce | throttle
     tsCol: String = "ts",
     userCol: String = "user_id",
     typeCol: String = "event_type",
@@ -1052,6 +1062,11 @@ final case class BehaviorTransformStage(
       case "basket" =>
         Behavior.basketPairs(in, basketCol, itemCol, minSupport)
       // ingestion throttle: first-k rows per (user, windowSeconds bucket)
+      // windowSeconds doubles as the debounce/throttle gap
+      case "debounce" =>
+        Behavior.debounce(in, tsCol, userCol, idCol, windowSeconds)
+      case "throttle" =>
+        Behavior.throttle(in, tsCol, userCol, idCol, windowSeconds)
       case "rate_cap" =>
         Behavior.rateCap(in, tsCol, userCol, idCol, windowSeconds, k)
       case other =>

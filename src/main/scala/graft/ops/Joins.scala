@@ -153,4 +153,45 @@ object Joins {
     val dimKeys = dim.select(col(dimKey).as("__bk")).distinct()
     pruned.join(dimKeys, pruned(factKey) === dimKeys("__bk"), "leftsemi")
   }
+
+  /** Interval OVERLAP join: every (left interval, right interval) pair
+    * that overlaps — `lStart <= rEnd AND rStart <= lEnd`, bounds
+    * inclusive — within the same `keys`. The interval-vs-interval
+    * generalization of [[range]]'s point-vs-interval containment
+    * (meeting/room conflicts, session-vs-outage attribution, overlap
+    * dedup of time spans). Inverted intervals are dropped from both
+    * sides.
+    *
+    * Same bucketed anti-cartesian design as [[range]]: BOTH sides
+    * explode over floor(time / bucketSeconds) buckets, the overlap
+    * predicate runs only inside an equi-join on (keys, bucket). An
+    * overlapping pair shares EVERY bucket its intersection covers, so
+    * the join keeps a pair only in its CANONICAL bucket — the bucket of
+    * max(lStart, rStart), the intersection's first — making the output
+    * duplicate-free by construction (no distinct pass, nothing rides a
+    * second shuffle). Pick `bucketSeconds` near the typical interval
+    * length: each interval lands in O(1) buckets while buckets stay
+    * small.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      keys: Seq[String] = Nil, bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val collide = left.columns.toSet.intersect(payload.toSet)
+    require(collide.isEmpty,
+      s"right payload columns collide with left: ${collide.mkString(", ")}")
+    val g = bucketSeconds * 1000000L // micros
+    // cast: NTZ-inferred parquet timestamps reach unix_micros as UTC
+    def um(c: String) = unix_micros(col(c).cast("timestamp"))
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .where(col(e) >= col(s))
+      .withColumn("__b", explode(sequence(
+        floor(um(s) / g), floor(um(e) / g))))
+    buckets(left, lStart, lEnd).join(buckets(right, rStart, rEnd),
+        keys :+ "__b")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+        && col("__b") === floor(greatest(um(lStart), um(rStart)) / g))
+      .select(left.columns.toSeq.map(col) ++ payload.map(col): _*)
+  }
 }

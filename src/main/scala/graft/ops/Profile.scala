@@ -388,4 +388,41 @@ object Profile {
         ((col("n").cast("double") / col("__t")) - expectedCol)
           .as("deviation"))
   }
+
+  /** Per-group TRIMMED mean: the mean of `valueCol` restricted to its
+    * group's [pLo, pHi] percentile band (interpolated bounds, inclusive)
+    * — the robust location estimate that survives corrupt tails without
+    * winsorize's value rewriting. Output: (byCols…, n_kept,
+    * trimmed_mean[6dp]).
+    *
+    * Determinism: bounds via exact interpolated percentiles (Spark
+    * `percentile` == DuckDB `quantile_cont`, the engine's established
+    * equivalence); the mean via fixed-point long sums reduced in
+    * DECIMAL — order-insensitive, engine-exact.
+    *
+    * Shape at scale: two group-keyed aggregations (bounds, then the
+    * trimmed mean) + one broadcast join of the group-cardinality bounds
+    * table — the fact table shuffles on the group key only.
+    */
+  def trimmedMean(df: DataFrame, valueCol: String, byCols: Seq[String],
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(byCols.nonEmpty, "at least one group column")
+    require(0 <= pLo && pLo < pHi && pHi <= 1,
+      s"need 0<=pLo<pHi<=1, got $pLo,$pHi")
+    val S = graft.ops.Similarity.FixedScale
+    val bounds = df.where(col(valueCol).isNotNull)
+      .groupBy(byCols.map(col): _*)
+      .agg(expr(s"percentile(`$valueCol`, $pLo)").as("__lo"),
+        expr(s"percentile(`$valueCol`, $pHi)").as("__hi"))
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(bounds), byCols)
+      .where(col(valueCol).between(col("__lo"), col("__hi")))
+      .groupBy(byCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+        sum(round(col(valueCol).cast("double") * S)
+          .cast("decimal(38,0)")).as("__s"))
+      .withColumn("trimmed_mean",
+        round(col("__s").cast("double") / col("n_kept") / S, 6) + lit(0d))
+      .drop("__s")
+  }
 }

@@ -188,7 +188,8 @@ object Parser {
         startCol = r.requiredString("startCol"),
         endCol = r.requiredString("endCol"),
         keys = r.stringList("keys"),
-        bucketSeconds = r.long("bucketSeconds").getOrElse(3600L))
+        bucketSeconds = r.long("bucketSeconds").getOrElse(3600L),
+        leftEnd = r.string("leftEnd"))
     },
     "ContaminationTransform" -> { (r, _) =>
       ContaminationTransformStage(
@@ -204,12 +205,12 @@ object Parser {
     "ProfileTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("table", "histogram", "bucketize", "winsorize", "outliers",
-          "outliers_mad", "correlation", "percentile_rank", "benford"),
-        "table")
+          "outliers_mad", "correlation", "percentile_rank", "benford",
+          "trimmed_mean"), "table")
       // a group-keyed pass without byCols would only fail at runtime
       // (require in the operator) — fail at parse instead
       if ((method.startsWith("outliers") || method == "correlation"
-          || method == "percentile_rank")
+          || method == "percentile_rank" || method == "trimmed_mean")
           && r.stringList("byCols").isEmpty)
         r.error("byCols", s"missing or empty; $method requires group columns")
       ProfileTransformStage(
@@ -298,7 +299,7 @@ object Parser {
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("funnel", "cohort", "transitions", "attribution", "basket",
-          "rate_cap"), "funnel")
+          "rate_cap", "debounce", "throttle"), "funnel")
       val steps = r.stringList("steps")
       if (method == "funnel" && steps.size < 2)
         r.error("steps", "funnel requires >= 2 steps")
@@ -723,7 +724,8 @@ object Parser {
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "saltFactor")),
     "RangeJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
-      "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds")),
+      "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds",
+      "leftEnd")),
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",

@@ -1328,6 +1328,40 @@ object ExtensionQueries {
         .orderBy("i", "j")
     },
 
+    // Interval-overlap join: purchase windows vs click windows per user,
+    // canonical-bucket dedup (no distinct pass).
+    "interval_join" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("c_end"))
+      Joins.intervalOverlap(p, "p_start", "p_end", c, "c_start", "c_end",
+          Seq("user_id"), bucketSeconds = 1800)
+        .select("user_id", "p_id", "c_id")
+        .orderBy("user_id", "p_id", "c_id")
+    },
+
+    // Leading-edge debounce: any same-user event within 10 minutes of
+    // the previous one is suppressed.
+    "events_debounce" -> { (spark, dir) =>
+      Behavior.debounce(events(spark, dir), "ts", "user_id", "event_id",
+          gapSeconds = 600)
+        .select("event_id", "user_id", "ts")
+        .orderBy("event_id")
+    },
+
+    // Per-group trimmed mean over the middle 90% band.
+    "robust_mean" -> { (spark, dir) =>
+      Profile.trimmedMean(spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_extendedprice", Seq("l_returnflag"), 0.05, 0.95)
+        .orderBy("l_returnflag")
+    },
+
     // Group-mode repair of a deterministically nulled-out categorical.
     "impute_mode" -> { (spark, dir) =>
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -4288,6 +4322,48 @@ object ExtensionQueries {
       JOIN m mj ON mj.i = s.j
       CROSS JOIN n
       ORDER BY i, j""",
+
+    // Plain theta-join ground truth for the bucketed interval overlap
+    // (inclusive bounds both sides).
+    "interval_join" -> """
+      WITH p AS (SELECT user_id, event_id AS p_id, ts AS ps,
+                   ts + INTERVAL 30 MINUTE AS pe
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id AS c_id, ts AS cs,
+              ts + INTERVAL 10 MINUTE AS ce
+            FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.p_id, c.c_id
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND p.ps <= c.ce AND c.cs <= p.pe
+      ORDER BY p.user_id, p.p_id, c.c_id""",
+
+    // Replay of Behavior.debounce: lag over (user, (ts, id)); interval
+    // comparison is exact micros on both engines.
+    "events_debounce" -> """
+      WITH e AS (SELECT event_id, user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS p
+                 FROM events)
+      SELECT event_id, user_id, ts FROM e
+      WHERE p IS NULL OR ts - p >= INTERVAL 10 MINUTE
+      ORDER BY event_id""",
+
+    // Replay of Profile.trimmedMean: quantile_cont bounds (== Spark's
+    // exact percentile), inclusive band, fixed-point mean in the same
+    // division order.
+    "robust_mean" -> s"""
+      WITH b AS (SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+                 FROM lineitem GROUP BY 1)
+      SELECT li.l_returnflag, count(*)::BIGINT AS n_kept,
+        round(sum(round(l_extendedprice::DOUBLE
+            * ${Similarity.FixedScale}::DOUBLE))::HUGEINT::DOUBLE
+          / count(*) / ${Similarity.FixedScale}::DOUBLE, 6)
+          + 0.0::DOUBLE AS trimmed_mean
+      FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+      WHERE l_extendedprice BETWEEN lo AND hi
+      GROUP BY 1 ORDER BY 1""",
 
     // Replay of DataQuality.imputeMode: mode per group with ties to the
     // smallest value, nulls repaired, non-null rows untouched.

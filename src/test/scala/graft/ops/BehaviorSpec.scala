@@ -262,4 +262,59 @@ class BehaviorSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(out == Set(7L, 8L))
   }
+
+  private def tsl(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("debounce vs throttle: the t=0, 0.5g, 1.1g distinction") {
+    // gap 100s; events at 0, 50, 110 for one user
+    val df = Seq((1L, 100L, tsl(0)), (2L, 100L, tsl(50)),
+      (3L, 100L, tsl(110))).toDF("event_id", "user_id", "ts")
+    val deb = Behavior.debounce(df, "ts", "user_id", "event_id", 100L)
+      .select("event_id").as[Long].collect().toSet
+    // debounce: 50 re-arms the timer, so 110 (60s after 50) is dropped
+    assert(deb == Set(1L))
+    val thr = Behavior.throttle(df, "ts", "user_id", "event_id", 100L)
+      .select("event_id").as[Long].collect().toSet
+    // throttle: only KEPT events re-arm -> 110 is 110s after kept 0
+    assert(thr == Set(1L, 3L))
+  }
+
+  test("throttle: per-key independence, first always kept") {
+    val df = Seq((1L, 1L, tsl(0)), (2L, 1L, tsl(10)), (3L, 1L, tsl(20)),
+      (4L, 2L, tsl(5))).toDF("event_id", "user_id", "ts")
+    val out = Behavior.throttle(df, "ts", "user_id", "event_id", 15L)
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("throttle matches a reference greedy scan and any layout") {
+    val rows = (1L to 300L).map(i =>
+      (i, i % 7, tsl((i * 37) % 500)))
+    val df = rows.toDF("event_id", "user_id", "ts")
+    def reference(gap: Long): Set[Long] = rows
+      .groupBy(_._2).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3.getTime, e._1))
+        var last = Long.MinValue
+        sorted.flatMap { case (id, _, t) =>
+          val tm = t.getTime
+          if (last == Long.MinValue || tm - last >= gap * 1000L) {
+            last = tm; Some(id)
+          } else None
+        }
+      }.toSet
+    val got = Behavior.throttle(df, "ts", "user_id", "event_id", 60L)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == reference(60L))
+    val got13 = Behavior.throttle(df.repartition(13), "ts", "user_id",
+      "event_id", 60L).select("event_id").as[Long].collect().toSet
+    assert(got13 == got, "layout independence")
+  }
+
+  test("debounce keeps schema and pushes no global sort") {
+    val df = Seq((1L, 1L, tsl(0), "x")).toDF("event_id", "user_id", "ts", "p")
+    val out = Behavior.debounce(df, "ts", "user_id", "event_id", 10L)
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "p"))
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("rangepartitioning"), "window must be key-partitioned")
+  }
 }

@@ -164,6 +164,44 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("trimmed_mean, debounce, throttle, interval overlap as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "li", "table": "lineitem",
+       "outputView": "tc_li"},
+      {"type": "ProfileTransform", "name": "tm", "method": "trimmed_mean",
+       "inputView": "tc_li", "valueCol": "l_extendedprice",
+       "byCols": ["l_returnflag"], "columns": [], "outputView": "tc_tm"},
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "tc_ev"},
+      {"type": "BehaviorTransform", "name": "db", "method": "debounce",
+       "inputView": "tc_ev", "windowSeconds": 600, "outputView": "tc_db"},
+      {"type": "BehaviorTransform", "name": "th", "method": "throttle",
+       "inputView": "tc_ev", "windowSeconds": 600, "outputView": "tc_th"},
+      {"type": "SqlTransform", "name": "iv",
+       "sql": "SELECT user_id, event_id, ts AS s, ts + INTERVAL 10 MINUTES AS e FROM tc_ev WHERE event_type = 'click'",
+       "outputView": "tc_iv"},
+      {"type": "SqlTransform", "name": "iv2",
+       "sql": "SELECT user_id, event_id AS rid, ts AS rs, ts + INTERVAL 30 MINUTES AS re FROM tc_ev WHERE event_type = 'purchase'",
+       "outputView": "tc_iv2"},
+      {"type": "RangeJoinTransform", "name": "ov", "inputView": "tc_iv",
+       "rightView": "tc_iv2", "leftTime": "s", "leftEnd": "e",
+       "startCol": "rs", "endCol": "re", "keys": ["user_id"],
+       "bucketSeconds": 1800, "outputView": "tc_ov"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(Runner.run(p).isDefined)
+    import graft.pipeline.Views
+    assert(Views.resolve("tc_tm").columns.contains("trimmed_mean"))
+    val nDeb = Views.resolve("tc_db").count()
+    val nThr = Views.resolve("tc_th").count()
+    assert(nDeb > 0 && nThr >= nDeb,
+      s"throttle ($nThr) keeps at least debounce's rows ($nDeb)")
+    assert(Views.resolve("tc_ov").count() > 0)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("dedup tunables are settable from config; threshold defaults per method") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "ngram_pairs",

@@ -134,4 +134,45 @@ class JoinsSpec extends SparkSpec {
       .where(Sketches.bloomMightContain($"k", bits, 5)).count()
     assert(hits == 3L, "members must always pass the filter")
   }
+
+  private def tsv(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("intervalOverlap equals the theta join, duplicate-free") {
+    val left = Seq(
+      (1L, 10L, tsv("2024-01-01 10:00:00"), tsv("2024-01-01 12:00:00")),
+      (1L, 11L, tsv("2024-01-01 15:00:00"), tsv("2024-01-01 15:30:00")),
+      (2L, 12L, tsv("2024-01-01 10:00:00"), tsv("2024-01-01 11:00:00"))
+    ).toDF("k", "lid", "ls", "le")
+    val right = Seq(
+      // overlaps lid=10 across SEVERAL buckets -> must appear once
+      (1L, 20L, tsv("2024-01-01 09:00:00"), tsv("2024-01-01 13:00:00")),
+      // touches lid=10 exactly at its end (inclusive)
+      (1L, 21L, tsv("2024-01-01 12:00:00"), tsv("2024-01-01 12:10:00")),
+      // disjoint from everything on key 1
+      (1L, 22L, tsv("2024-01-01 18:00:00"), tsv("2024-01-01 19:00:00")),
+      // right key mismatch with lid=12
+      (3L, 23L, tsv("2024-01-01 10:00:00"), tsv("2024-01-01 11:00:00"))
+    ).toDF("k", "rid", "rs", "re")
+    val out = Joins.intervalOverlap(left, "ls", "le", right, "rs", "re",
+      Seq("k"), bucketSeconds = 900)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((10L, 20L), (10L, 21L)))
+    // theta-join ground truth
+    val theta = left.as("a").join(right.as("b"),
+      $"a.k" === $"b.k" && $"a.ls" <= $"b.re" && $"b.rs" <= $"a.le")
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == theta)
+  }
+
+  test("intervalOverlap drops inverted intervals, no cartesian in plan") {
+    val left = Seq((1L, 10L, tsv("2024-01-01 12:00:00"),
+      tsv("2024-01-01 10:00:00"))).toDF("k", "lid", "ls", "le")
+    val right = Seq((1L, 20L, tsv("2024-01-01 09:00:00"),
+      tsv("2024-01-01 13:00:00"))).toDF("k", "rid", "rs", "re")
+    val out = Joins.intervalOverlap(left, "ls", "le", right, "rs", "re",
+      Seq("k"))
+    assert(out.count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"bucketed join only:\n$plan")
+  }
 }

@@ -265,4 +265,27 @@ class ProfileSpec extends SparkSpec {
     assert(out.map(_.getInt(0)).sorted.toSeq == (1 to 9))
     assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
   }
+
+  test("trimmedMean: tails excluded, hand-computed band mean") {
+    // group g: values 1..10 plus an outlier 1000. Interpolated bounds on
+    // the 11 values: p05 at rank 1.5 -> 1.5, p95 at rank 10.5 -> 505; so
+    // the band keeps 2..10 (9 values, mean 6)
+    val df = ((1 to 10).map(v => ("g", v.toDouble)) :+ ("g", 1000.0))
+      .toDF("k", "v")
+    val out = Profile.trimmedMean(df, "v", Seq("k"), 0.05, 0.95).head
+    assert(out.getLong(1) == 9L, s"kept ${out.getLong(1)}")
+    assert(out.getDouble(2) == 6.0)
+  }
+
+  test("trimmedMean: per-group bands, layout independence, null safety") {
+    val df = (1 to 60).map(i =>
+      (s"g${i % 3}", if (i % 17 == 0) None else Some((i % 13).toDouble)))
+      .toDF("k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.trimmedMean(d, "v", Seq("k"), 0.1, 0.9)
+        .orderBy("k").collect().toSeq
+    assert(run(df) == run(df.repartition(7)))
+    assert(run(df).size == 3)
+    graft.util.Caches.unpersistAll()
+  }
 }
