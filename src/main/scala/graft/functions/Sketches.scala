@@ -96,6 +96,39 @@ object Sketches {
           .as("kmv_jaccard"))
   }
 
+  /** KMV set-DIFFERENCE estimate |A \ B| — the same bottom-k
+    * coordinated sample as [[kmvJaccard]]: the union's bottom-k is a
+    * uniform sample of A∪B, so the fraction of it present in A's sketch
+    * but absent from B's estimates |A\B| / |A∪B|; multiplied by the
+    * union-cardinality estimate ((k−1)·P/h_k, the [[kmvMergeEstimate]]
+    * formula) it yields the difference cardinality. The "how much NEW
+    * data did this ingest bring" / "how much of A is not covered by B"
+    * audit at sketch cost: two corpus scans reduced to k-row sketches,
+    * ≤3k rows of arithmetic after that.
+    *
+    * Output: (n_union, n_only_a, kmv_union_estimate, kmv_diff_estimate
+    * [4dp]) — exact (the estimate equals the true |A\B| restricted to
+    * the sample) whenever the union is smaller than k.
+    */
+  def kmvDifference(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sa = kmvSketch(a, aCol, k)
+    val sb = kmvSketch(b, bCol, k)
+    val u = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
+    val uEst = u.agg(max(col("h")).as("hk"), count(lit(1)).as("n_union"))
+      .select(col("n_union"),
+        when(col("n_union") < k, col("n_union").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * P / col("hk"), 4))
+          .as("kmv_union_estimate"))
+    u.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_anti")
+      .agg(count(lit(1)).as("n_only_a"))
+      .crossJoin(broadcast(uEst))
+      .select(col("n_union"), col("n_only_a"), col("kmv_union_estimate"),
+        round(col("kmv_union_estimate") * col("n_only_a").cast("double")
+          / col("n_union").cast("double"), 4).as("kmv_diff_estimate"))
+  }
+
   /** Approximate quantiles by DETERMINISTIC hash sampling: keep the rows
     * whose h32(idCol) falls under `rate` (the same reproducible subset
     * Sampling.deterministic draws), then take EXACT per-group percentiles

@@ -373,6 +373,10 @@ final case class SampleTransformStage(
       // weightCol doubles as the curriculum order column
       case "ordinal" =>
         Sampling.globalOrdinal(in, idCol, weightCol)
+      // rate = the per-stratum retention fraction; weightCol = score
+      case "top_stratum" =>
+        Sampling.topFractionPerStratum(in, stratumCol, weightCol, idCol,
+          rate)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }
@@ -797,6 +801,11 @@ final case class SketchTransformStage(
         val other = Views.resolve(otherView)
         detail += "otherView" -> otherView
         graft.functions.Sketches.kmvJaccard(in, col(keyCol), other,
+          col(if (otherKeyCol.nonEmpty) otherKeyCol else keyCol), k)
+      case "kmv_diff" =>
+        val other = Views.resolve(otherView)
+        detail += "otherView" -> otherView
+        graft.functions.Sketches.kmvDifference(in, col(keyCol), other,
           col(if (otherKeyCol.nonEmpty) otherKeyCol else keyCol), k)
       // pre-shuffle join-size estimate from two CMS sketches
       case "join_size" =>

@@ -544,6 +544,33 @@ object Sampling {
     }.toDF(idCol, "score", "rank")
   }
 
+  /** Per-STRATUM top fraction: within each stratum keep the
+    * ceil(p · n_stratum) best rows under (score desc, id) — the
+    * "top 20% by quality per domain" recipe knob, which a single global
+    * cut ([[topFraction]]) cannot express when score scales differ
+    * across strata. Appends `rank` (1-based within the stratum).
+    *
+    * Shape at scale: ONE stratum-cardinality count aggregate broadcast
+    * back, one stratum-keyed row_number window. The window partitions by
+    * the stratum key — fine while strata are numerous relative to
+    * executor memory; a single gigantic stratum degenerates to the
+    * global problem, where [[topFraction]]'s range-partitioned form is
+    * the tool.
+    */
+  def topFractionPerStratum(df: DataFrame, stratumCol: String,
+      scoreCol: String, idCol: String, p: Double): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(ceil(count(lit(1)) * lit(p)).cast("long").as("__k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.join(broadcast(counts), stratumCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= col("__k"))
+      .drop("__k")
+  }
+
   /** Systematic weighted sampling: draw `n` slots proportional to
     * `weightCol` (positive long weights — token counts, byte sizes) with
     * ONE pass and zero randomness at run time. Rows are laid on the

@@ -436,7 +436,7 @@ object Parser {
           Seq("deterministic", "stratified", "per_stratum_head",
             "shard_by_budget", "upsample", "weighted_topk", "negative",
             "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
-            "temperature", "systematic", "ordinal"),
+            "temperature", "systematic", "ordinal", "top_stratum"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
@@ -522,7 +522,7 @@ object Parser {
     "SketchTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("hll", "kmv", "cms", "hll_intersect", "hll_rolling",
-          "kmv_jaccard", "join_size"), "hll")
+          "kmv_jaccard", "kmv_diff", "join_size"), "hll")
       // a grouped-HLL without groupCols would only surface at runtime
       if ((method == "hll" || method == "hll_intersect")
           && r.stringList("groupCols").isEmpty)

@@ -1484,6 +1484,26 @@ object ExtensionQueries {
         k = KmvJk)
     },
 
+    // KMV set-difference estimate: ordering customers NOT in the
+    // (c_custkey % 3 != 0) subset — the "how much is new / uncovered"
+    // audit at sketch cost.
+    "sketch_kmv_diff" -> { (spark, dir) =>
+      import graft.functions.Sketches
+      Sketches.kmvDifference(
+        spark.read.parquet(s"$dir/orders.parquet"), col("o_custkey"),
+        spark.read.parquet(s"$dir/customer.parquet")
+          .where(col("c_custkey") % 3 =!= 0), col("c_custkey"),
+        k = KmvJk)
+    },
+
+    // Per-stratum top fraction: top 20% by length within each language.
+    "sample_top_stratum" -> { (spark, dir) =>
+      Sampling.topFractionPerStratum(docs(spark, dir), "lang", "n_chars",
+          "doc_id", 0.2)
+        .select("doc_id", "lang", "n_chars", "rank")
+        .orderBy("doc_id")
+    },
+
     // Rolling 3-day distinct users per day from per-bucket register
     // tables — the sliding-window distinct that never re-scans raw rows.
     "sketch_hll_rolling" -> { (spark, dir) =>
@@ -4547,6 +4567,48 @@ object ExtensionQueries {
       SELECT n_union, n_match,
         round(n_match::DOUBLE / n_union::DOUBLE, 6) AS kmv_jaccard
       FROM m, n""",
+
+    // Replay of Sketches.kmvDifference: same union bottom-k, A-only
+    // membership via anti semi-join, (k-1)P/hk union estimate scaled by
+    // the A-only fraction.
+    "sketch_kmv_diff" -> s"""
+      WITH sa AS (
+        SELECT DISTINCT ('0x'||substr(md5(o_custkey::VARCHAR),1,8))::BIGINT
+          % $P AS h
+        FROM orders ORDER BY h LIMIT $KmvJk),
+      sb AS (
+        SELECT DISTINCT ('0x'||substr(md5(c_custkey::VARCHAR),1,8))::BIGINT
+          % $P AS h
+        FROM customer WHERE c_custkey % 3 <> 0 ORDER BY h LIMIT $KmvJk),
+      u AS (
+        SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+        ORDER BY h LIMIT $KmvJk),
+      ue AS (SELECT count(*)::BIGINT AS n_union,
+               CASE WHEN count(*) < $KmvJk THEN count(*)::DOUBLE
+                 ELSE round((${KmvJk - 1})::DOUBLE * $P / max(h), 4)
+               END AS kmv_union_estimate
+             FROM u),
+      oa AS (SELECT count(*)::BIGINT AS n_only_a FROM u
+             WHERE h IN (SELECT h FROM sa)
+               AND h NOT IN (SELECT h FROM sb))
+      SELECT n_union, n_only_a, kmv_union_estimate,
+        round(kmv_union_estimate * n_only_a::DOUBLE / n_union::DOUBLE, 4)
+          AS kmv_diff_estimate
+      FROM ue, oa""",
+
+    // Replay of Sampling.topFractionPerStratum: per-stratum k =
+    // ceil(n * 0.2) in DOUBLE (both engines IEEE — a DECIMAL 0.2 would
+    // ceil differently at n = 15), rank window, inclusive cut.
+    "sample_top_stratum" -> """
+      WITH k AS (SELECT lang, ceil(count(*) * 0.2::DOUBLE)::BIGINT AS k
+                 FROM documents GROUP BY 1),
+      r AS (SELECT doc_id, lang, n_chars,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents)
+      SELECT r.doc_id, r.lang, r.n_chars, r.rank
+      FROM r JOIN k ON r.lang = k.lang
+      WHERE r.rank <= k.k ORDER BY r.doc_id""",
 
     // Replay of Sketches.hllRolling: per-day registers over epoch-day
     // buckets (epoch_ms // 86400000 == ts_nanos div 86400e9 for positive

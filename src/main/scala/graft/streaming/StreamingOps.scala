@@ -144,4 +144,43 @@ object StreamingOps {
           (key, total)
       }
   }
+
+  /** Streaming THROTTLE — the [[graft.ops.Behavior.throttle]] semantics
+    * (keep an event iff >= `gapSeconds` after the last KEPT event of its
+    * key; first per key kept) over an unbounded stream:
+    * `flatMapGroupsWithState` holding one long (last kept micros) per
+    * key. Input rows are (key, tsMicros, id); output the kept rows.
+    *
+    * Equivalence contract (spec-asserted): fed any prefix of a key's
+    * events IN EVENT-TIME ORDER, the emitted set equals the batch
+    * operator on the same rows — the state is exactly the batch scan's
+    * loop variable. Within a micro-batch, rows sort by (ts, id) before
+    * the scan so arrival interleaving cannot flip a decision; ACROSS
+    * micro-batches the contract (as with every rate-limit stream) is
+    * in-order delivery per key — a session/watermark stage upstream
+    * provides it.
+    */
+  def throttleStream(events: Dataset[(Long, Long, Long)],
+      gapSeconds: Long)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val gapMicros = gapSeconds * 1000000L
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val kept = rows.toSeq.sortBy(r => (r._2, r._3)).filter {
+            case (_, t, _) =>
+              if (lastKept == Long.MinValue || t - lastKept >= gapMicros) {
+                lastKept = t; true
+              } else false
+          }
+          if (kept.nonEmpty) state.update(lastKept)
+          kept.iterator
+      }
+  }
 }

@@ -230,4 +230,30 @@ class SketchesSpec extends SparkSpec {
       depth = 4, width = 4096).head()
     assert(r0.getAs[Long]("exact_pairs") == 0L)
   }
+
+  test("kmvDifference: exact when the union fits in k") {
+    val a = (1 to 100).toDF("v")
+    val b = (51 to 150).toDF("v")
+    val r = Sketches.kmvDifference(a, col("v"), b, col("v"), k = 1024)
+      .head()
+    // union 150 < k: estimate is exact; A-only = 1..50
+    assert(r.getAs[Long]("n_union") == 150L)
+    assert(r.getAs[Long]("n_only_a") == 50L)
+    assert(r.getAs[Double]("kmv_union_estimate") == 150.0)
+    assert(r.getAs[Double]("kmv_diff_estimate") == 50.0)
+  }
+
+  test("kmvDifference: estimate tracks the true difference at k << union") {
+    val a = (1 to 4000).toDF("v")
+    val b = (3001 to 6000).toDF("v")   // |A\B| = 3000, union 6000
+    val r = Sketches.kmvDifference(a, col("v"), b, col("v"), k = 512)
+      .head()
+    val est = r.getAs[Double]("kmv_diff_estimate")
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.25,
+      s"diff estimate $est too far from 3000")
+    // disjoint B: everything in A is A-only
+    val r2 = Sketches.kmvDifference(a, col("v"),
+      (10000 to 10100).toDF("v"), col("v"), k = 256).head()
+    assert(r2.getAs[Long]("n_only_a") > 200L)
+  }
 }

@@ -128,6 +128,29 @@ class SamplingSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("topFractionPerStratum: exact per-stratum k, deterministic ties") {
+    // strata: a has 10 rows, b has 4; p = 0.25 -> k_a = 3 (ceil 2.5),
+    // k_b = 1
+    val df = ((1 to 10).map(i => (i.toLong, "a", i.toLong)) ++
+      (11 to 14).map(i => (i.toLong, "b", 100L))).toDF("id", "s", "score")
+    val out = Sampling.topFractionPerStratum(df, "s", "score", "id", 0.25)
+      .select("id", "s", "rank")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((10L, "a", 1L), (9L, "a", 2L), (8L, "a", 3L),
+      (11L, "b", 1L)), s"got $out")
+  }
+
+  test("topFractionPerStratum: p=1 keeps everything, layout-independent") {
+    val out = Sampling.topFractionPerStratum(docs, "lang", "n_chars",
+      "doc_id", 1.0)
+    assert(out.count() == docs.count())
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.topFractionPerStratum(d, "lang", "n_chars", "doc_id", 0.3)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(docs) == run(docs.repartition(9)))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("upsample replicates by integer weight plus a deterministic fraction") {
     val out = Sampling.upsample(docs, "lang", "doc_id",
       Map("de" -> 3.0, "en" -> 0.0), defaultWeight = 1.0)

@@ -143,6 +143,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming throttle equals the batch operator across micro-batches") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val mem = MemoryStream[(Long, Long, Long)] // (key, tsMicros, id)
+    val kept = StreamingOps.throttleStream(mem.toDS(), gapSeconds = 100L)
+    val q = kept.toDF("k", "t", "i").writeStream.format("memory")
+      .queryName("stream_throttle").outputMode("append").start()
+    // key 1: 0s, 50s (drop), 110s (keep: 110 >= 0+100); key 2: 5s
+    val batch1 = Seq((1L, 0L, 1L), (1L, 50000000L, 2L), (2L, 5000000L, 4L))
+    // later micro-batch continues the same state: 110s kept, then 150s
+    // dropped (only 40s after the kept 110s), 250s kept
+    val batch2 = Seq((1L, 110000000L, 3L), (1L, 150000000L, 5L),
+      (1L, 250000000L, 6L))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_throttle")
+        .select("i").as[Long].collect().toSet
+      // batch reference over the union, via Behavior.throttle
+      val all = (batch1 ++ batch2).map { case (k, t, i) =>
+        (i, k, new java.sql.Timestamp(t / 1000L)) }
+        .toDF("event_id", "user_id", "ts")
+      val batch = graft.ops.Behavior
+        .throttle(all, "ts", "user_id", "event_id", 100L)
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"stream $streamed must equal batch $batch")
+      assert(streamed == Set(1L, 3L, 4L, 6L))
+    } finally q.stop()
+  }
+
   test("foreachBatch streaming load delivers micro-batches through the batch connector") {
     implicit val sq = spark.sqlContext
     implicit val ctx: PipelineContext = PipelineContext(spark)
