@@ -212,6 +212,38 @@ object ScaleProbe {
         graft.functions.Sketches.cmsJoinSize(d, col("source"),
           docs, col("source")).count()
       }
+      // round 9d: PCA covariance must stay ~linear in rows (output is
+      // a constant d(d+1)/2 regardless of corpus size)
+      t("pca_covariance") {
+        graft.ops.Pca.covariance(e, "vec_id", "embedding", dim = 64)
+          .count()
+      }
+      // round 9d: key-sized diff — each side collapses to (key, fp)
+      // before the full-outer join
+      t("changed_keys") {
+        graft.ops.Maintenance.changedKeys(d,
+          d.withColumn("n_chars", col("n_chars") + (col("doc_id") % 2)),
+          Seq("doc_id")).count()
+      }
+      // round 9d: trimmed mean — two keyed aggs + broadcast bounds;
+      // group count is fixed, so the curve must track the scan
+      t("trimmed_mean") {
+        graft.ops.Profile.trimmedMean(d, "n_chars", Seq("lang")).count()
+      }
+      // round 9d: throttle — repartition + in-partition scan, O(1)
+      // state; must track the shuffle, never blow up per key
+      t("throttle") {
+        graft.ops.Behavior.throttle(
+          d.select(col("doc_id").as("event_id"),
+            (col("doc_id") % 997).as("user_id"),
+            timestamp_seconds(col("doc_id") % 100000).as("ts")),
+          "ts", "user_id", "event_id", gapSeconds = 60).count()
+      }
+      // round 9d: curriculum ordinal — range sort + per-partition
+      // offsets; one count row per partition to the driver
+      t("global_ordinal") {
+        graft.ops.Sampling.globalOrdinal(d, "doc_id", "n_chars").count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

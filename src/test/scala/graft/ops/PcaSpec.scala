@@ -78,6 +78,24 @@ class PcaSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("primitive HALF_UP quantizer equals BigDecimal over edge cases") {
+    val qm = classOf[Pca.type].getDeclaredMethod("q", classOf[Double])
+    qm.setAccessible(true)
+    def q(x: Double): Long =
+      qm.invoke(Pca, java.lang.Double.valueOf(x)).asInstanceOf[Long]
+    def ref(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val edge = Seq(0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+      0.49999999999999994, -0.49999999999999994, 1048576.5, -1048576.5,
+      3.0000000000000004, 1e7 + 0.5, -(1e7 + 0.5))
+    edge.foreach(x => assert(q(x) == ref(x), s"mismatch at $x"))
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) * 2e7
+      assert(q(x) == ref(x), s"mismatch at $x")
+    }
+  }
+
   test("determinism: same components from any layout") {
     def comps(d: org.apache.spark.sql.DataFrame) =
       Pca.principalComponents(Pca.covariance(d, dim = 2), dim = 2, k = 1)
