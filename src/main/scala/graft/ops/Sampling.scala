@@ -544,6 +544,29 @@ object Sampling {
     }.toDF(idCol, "score", "rank")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: assignment is a pure function of
+    * the row's NEAR-DUP CLUSTER label (a `(doc_id, component)` table,
+    * e.g. [[Dedup.connectedComponents]] over MinHash pairs), not of the
+    * row id — so every member of a duplicate cluster lands in the same
+    * split and no eval example has a near-copy in training (the classic
+    * benchmark-leakage failure mode of id-hash splits). Rows in no
+    * cluster split by their own id, which equals [[splitAssign]] there.
+    *
+    * Shape at scale: one id-keyed join against the (small) component
+    * table, then the same narrow CASE-over-h32-thresholds as
+    * [[splitAssign]] — no extra shuffle beyond the label join.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String,
+      components: DataFrame, fractions: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    val comp = components.select(col("doc_id").as(idCol),
+      col("component").as("__grp"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("__grp"), col(idCol)))
+      .transform(splitAssign(_, "__grp", fractions, salt))
+      .drop("__grp")
+  }
+
   /** Per-STRATUM top fraction: within each stratum keep the
     * ceil(p · n_stratum) best rows under (score desc, id) — the
     * "top 20% by quality per domain" recipe knob, which a single global

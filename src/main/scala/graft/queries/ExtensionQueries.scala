@@ -1142,6 +1142,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe split: near-dup clusters (MinHash pairs -> CC) split
+    // as one unit, so no eval doc has a near-copy in train.
+    "split_leakage_safe" -> { (spark, dir) =>
+      val d = docs(spark, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashPairs(d, "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold))
+      Sampling.leakageSafeSplit(d, "doc_id", comps,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "ls9")
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    },
+
     "heavy_hitters" -> { (spark, dir) =>
       TextAnalysis.heavyHitters(docs(spark, dir), "text", k = 20)
         .orderBy("term")
@@ -3895,6 +3908,35 @@ object ExtensionQueries {
       FROM (SELECT doc_id, lang,
               ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P AS h
             FROM documents)
+      ORDER BY doc_id""",
+
+    // CC replay (as dedup_cc_apply) + split thresholds keyed on the
+    // CLUSTER label (own id for singletons) with the 'ls9' salt.
+    "split_leakage_safe" -> s"""${minhashCtes.replaceFirst("WITH", "WITH RECURSIVE")}
+      , ok AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold
+      ), bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ok
+        UNION SELECT doc_b, doc_a FROM ok
+      ), reach AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+      ), comps AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+      ), labeled AS (
+        SELECT d.doc_id, d.lang,
+          COALESCE(c.component, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comps c USING (doc_id))
+      SELECT doc_id, lang,
+        CASE WHEN h < ${sampleThreshold(0.8)} THEN 'train'
+             WHEN h < ${sampleThreshold(0.8 + 0.1)} THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id, lang,
+              ('0x'||substr(md5(grp::VARCHAR || 'ls9'),1,8))::BIGINT % $P
+                AS h
+            FROM labeled)
       ORDER BY doc_id""",
 
     // Replay of TextAnalysis.heavyHitters: global word counts, top-k by

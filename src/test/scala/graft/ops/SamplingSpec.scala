@@ -128,6 +128,24 @@ class SamplingSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("leakageSafeSplit: cluster members share a split; singletons = splitAssign") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val ids = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val out = Sampling.leakageSafeSplit(ids, "doc_id", comps,
+      Seq("train" -> 0.5, "test" -> 0.5), salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "cluster 1 together")
+    assert(Set(out(10L), out(11L)).size == 1, "cluster 10 together")
+    val plain = Sampling.splitAssign(ids, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5), salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val singles = (1L to 50L).filterNot(Set(1L, 2L, 3L, 10L, 11L))
+    assert(singles.forall(i => out(i) == plain(i)),
+      "unclustered rows split exactly like splitAssign")
+    assert(out.size == 50)
+  }
+
   test("topFractionPerStratum: exact per-stratum k, deterministic ties") {
     // strata: a has 10 rows, b has 4; p = 0.25 -> k_a = 3 (ceil 2.5),
     // k_b = 1
