@@ -270,7 +270,7 @@ final case class ProfileTransformStage(
     outputView: String,
     columns: Seq[String],
     exact: Boolean = true,
-    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank | benford | trimmed_mean
+    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank | benford | trimmed_mean | corpus_report
     valueCol: String = "value",
     idCol: String = "doc_id",
     binWidth: Double = 1.0,
@@ -281,7 +281,11 @@ final case class ProfileTransformStage(
     sigma: Double = 3.0,
     madK: Double = 3.5,
     xCol: String = "x",
-    yCol: String = "y")
+    yCol: String = "y",
+    // corpus_report column names
+    textCol: String = "text",
+    langCol: String = "lang",
+    sourceCol: String = "source")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -304,6 +308,8 @@ final case class ProfileTransformStage(
       case "benford" => Profile.benford(in, valueCol)
       case "trimmed_mean" =>
         Profile.trimmedMean(in, valueCol, byCols, pLo, pHi)
+      case "corpus_report" =>
+        Profile.corpusReport(in, idCol, textCol, langCol, sourceCol)
       case other => throw new IllegalArgumentException(
         s"unknown profile method '$other'")
     }

@@ -389,6 +389,50 @@ object Profile {
           .as("deviation"))
   }
 
+  /** One-row corpus HEALTH REPORT — the "is this corpus shippable"
+    * audit a curation pipeline runs before training: exact-duplicate
+    * rate (content digests), PII incidence, language breadth, mean
+    * document length, dominant-source concentration. One stage, one
+    * row, every number exact.
+    *
+    * Shape at scale: each statistic is its own two-stage aggregation
+    * (the digest/lang distincts are separate distinct+count passes — a
+    * combined multi-distinct would plan the row-multiplying Expand this
+    * engine's profiler deliberately avoids), all reduced to one-row
+    * frames and broadcast-crossJoined; the only non-trivial shuffle
+    * ships 32-byte digests.
+    */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val base = df.agg(count(lit(1)).as("n_docs"),
+      sum(length(col(textCol)).cast("long")).as("__chars"))
+    val dTexts = df.select(sha2(col(textCol), 256).as("__d")).distinct()
+      .agg(count(lit(1)).as("n_distinct_texts"))
+    val dLangs = df.select(col(langCol)).distinct()
+      .agg(count(lit(1)).as("n_langs"))
+    val piiDocs = Pii.stats(df, idCol, textCol)
+      .agg(sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"))
+    val top = df.groupBy(col(sourceCol).as("top_source"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("top_source"))
+      .limit(1)
+    base.crossJoin(broadcast(dTexts)).crossJoin(broadcast(dLangs))
+      .crossJoin(broadcast(piiDocs)).crossJoin(broadcast(top))
+      .select(col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        round((col("n_docs") - col("n_distinct_texts")).cast("double")
+          / col("n_docs"), 6).as("dup_rate"),
+        col("n_pii_docs"),
+        round(col("n_pii_docs").cast("double") / col("n_docs"), 6)
+          .as("pii_rate"),
+        col("n_langs"),
+        round(col("__chars").cast("double") / col("n_docs"), 6)
+          .as("mean_chars"),
+        col("top_source"),
+        round(col("__n").cast("double") / col("n_docs"), 6)
+          .as("top_source_share"))
+  }
+
   /** Per-group TRIMMED mean: the mean of `valueCol` restricted to its
     * group's [pLo, pHi] percentile band (interpolated bounds, inclusive)
     * — the robust location estimate that survives corrupt tails without

@@ -206,7 +206,7 @@ object Parser {
       val method = r.oneOf("method",
         Seq("table", "histogram", "bucketize", "winsorize", "outliers",
           "outliers_mad", "correlation", "percentile_rank", "benford",
-          "trimmed_mean"), "table")
+          "trimmed_mean", "corpus_report"), "table")
       // a group-keyed pass without byCols would only fail at runtime
       // (require in the operator) — fail at parse instead
       if ((method.startsWith("outliers") || method == "correlation"
@@ -230,7 +230,10 @@ object Parser {
         sigma = r.double("sigma").getOrElse(3.0),
         madK = r.double("madK").getOrElse(3.5),
         xCol = r.string("xCol").getOrElse("x"),
-        yCol = r.string("yCol").getOrElse("y"))
+        yCol = r.string("yCol").getOrElse("y"),
+        textCol = r.string("textCol").getOrElse("text"),
+        langCol = r.string("langCol").getOrElse("lang"),
+        sourceCol = r.string("sourceCol").getOrElse("source"))
     },
     "RetrievalTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("index", "bm25", "rrf",
@@ -730,7 +733,7 @@ object Parser {
       "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",
       "method", "valueCol", "idCol", "binWidth", "nBins", "pLo", "pHi", "byCols",
-      "sigma", "madK", "xCol", "yCol")),
+      "sigma", "madK", "xCol", "yCol", "textCol", "langCol", "sourceCol")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
       "rankViews", "rrfK", "qrelsView")),

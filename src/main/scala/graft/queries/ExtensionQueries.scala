@@ -1257,6 +1257,12 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // One-row corpus health report over the PII-injected corpus.
+    "corpus_report" -> { (spark, dir) =>
+      Profile.corpusReport(withInjectedPii(docs(spark, dir)),
+        "doc_id", "text", "lang", "source")
+    },
+
     // k-anonymity audit of (segment, nation) as the quasi-identifier.
     "pii_kanon" -> { (spark, dir) =>
       val cust = spark.read.parquet(s"$dir/customer.parquet")
@@ -2314,7 +2320,7 @@ object ExtensionQueries {
 
   /** SQL mirror of [[withInjectedPii]]. */
   private val PiiInjectSql = """
-      SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      SELECT doc_id, lang, source, CASE WHEN doc_id % 3 = 0
         THEN text || ' contact user' || doc_id || '@example.com from 10.0.'
           || (doc_id % 256) || '.7 or call 555-0199'
         ELSE text END AS text
@@ -4244,6 +4250,34 @@ object ExtensionQueries {
           '$PiiIpSql', '<IP>', 'g'),
           '$PiiPhoneSql', '<PHONE>', 'g') AS text
       FROM pd ORDER BY doc_id""",
+
+    // Replay of Profile.corpusReport: same injected corpus, each
+    // statistic its own aggregate, digest distinct via sha256.
+    "corpus_report" -> s"""
+      WITH pd AS ($PiiInjectSql),
+      b AS (SELECT count(*)::BIGINT AS n_docs,
+              sum(length(text))::BIGINT AS chars FROM pd),
+      dt AS (SELECT count(DISTINCT sha256(text))::BIGINT
+               AS n_distinct_texts FROM pd),
+      dl AS (SELECT count(DISTINCT lang)::BIGINT AS n_langs FROM pd),
+      pii AS (SELECT count(*)::BIGINT AS n_pii_docs FROM pd
+              WHERE len(regexp_extract_all(text, '$PiiEmailSql'))
+                + len(regexp_extract_all(text, '$PiiIpSql'))
+                + len(regexp_extract_all(text, '$PiiPhoneSql')) > 0),
+      top AS (SELECT source AS top_source, count(*)::BIGINT AS n
+              FROM pd GROUP BY 1 ORDER BY n DESC, top_source LIMIT 1)
+      SELECT b.n_docs,
+        (b.n_docs - dt.n_distinct_texts) AS n_exact_dups,
+        round((b.n_docs - dt.n_distinct_texts)::DOUBLE / b.n_docs, 6)
+          AS dup_rate,
+        pii.n_pii_docs,
+        round(pii.n_pii_docs::DOUBLE / b.n_docs, 6) AS pii_rate,
+        dl.n_langs,
+        round(b.chars::DOUBLE / b.n_docs, 6) AS mean_chars,
+        top.top_source,
+        round(top.n::DOUBLE / b.n_docs, 6) AS top_source_share
+      FROM b CROSS JOIN dt CROSS JOIN dl CROSS JOIN pii
+        CROSS JOIN top""",
 
     "pii_kanon" -> s"""
       SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_n,

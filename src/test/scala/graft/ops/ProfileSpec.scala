@@ -266,6 +266,31 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
   }
 
+  test("corpusReport: exact one-row audit on a hand-built corpus") {
+    val df = Seq(
+      (1L, "clean text one", "en", "web"),
+      (2L, "clean text one", "en", "web"),          // exact dup of 1
+      (3L, "mail bob@x.io now", "de", "web"),       // pii
+      (4L, "something else", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Profile.corpusReport(df, "doc_id", "text", "lang", "source")
+      .head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_exact_dups") == 1L)
+    assert(r.getAs[Double]("dup_rate") == 0.25)
+    assert(r.getAs[Long]("n_pii_docs") == 1L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[String]("top_source") == "web")
+    assert(r.getAs[Double]("top_source_share") == 0.75)
+  }
+
+  test("corpusReport plans no multi-distinct Expand") {
+    val df = Seq((1L, "t", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val plan = Profile.corpusReport(df, "doc_id", "text", "lang", "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"multi-distinct Expand in plan:\n$plan")
+  }
+
   test("trimmedMean: tails excluded, hand-computed band mean") {
     // group g: values 1..10 plus an outlier 1000. Interpolated bounds on
     // the 11 values: p05 at rank 1.5 -> 1.5, p95 at rank 10.5 -> 505; so
