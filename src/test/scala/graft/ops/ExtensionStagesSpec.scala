@@ -202,6 +202,40 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("kmv_diff, top_stratum, corpus_report, pca_cov as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "pw_docs"},
+      {"type": "SqlTransform", "name": "half",
+       "sql": "SELECT * FROM pw_docs WHERE doc_id % 2 = 0",
+       "outputView": "pw_half"},
+      {"type": "SketchTransform", "name": "kd", "method": "kmv_diff",
+       "inputView": "pw_docs", "otherView": "pw_half",
+       "keyCol": "doc_id", "otherKeyCol": "doc_id", "k": 256,
+       "outputView": "pw_kd"},
+      {"type": "SampleTransform", "name": "ts", "method": "top_stratum",
+       "inputView": "pw_docs", "stratumCol": "lang",
+       "weightCol": "n_chars", "idCol": "doc_id", "rate": 0.1,
+       "outputView": "pw_ts"},
+      {"type": "ProfileTransform", "name": "cr", "method": "corpus_report",
+       "inputView": "pw_docs", "columns": [], "outputView": "pw_cr"},
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "pw_embs"},
+      {"type": "SimilarityTransform", "name": "pc", "method": "pca_cov",
+       "inputView": "pw_embs", "inDim": 64, "outputView": "pw_pc"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(Runner.run(p).isDefined)
+    import graft.pipeline.Views
+    assert(Views.resolve("pw_kd").head.getAs[Long]("n_only_a") > 0)
+    assert(Views.resolve("pw_ts").count() > 0)
+    assert(Views.resolve("pw_cr").count() == 1)
+    assert(Views.resolve("pw_pc").count() == 64L * 65 / 2)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("dedup tunables are settable from config; threshold defaults per method") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "ngram_pairs",
