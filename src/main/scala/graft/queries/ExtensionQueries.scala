@@ -1374,6 +1374,14 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    // Throttle (gap since last KEPT): the sequential per-key scan, gated
+    // via DuckDB's list_reduce with a string accumulator.
+    "events_throttle" -> { (spark, dir) =>
+      Behavior.throttle(events(spark, dir), "ts", "user_id", "event_id",
+          gapSeconds = 600)
+        .orderBy("event_id")
+    },
+
     // Per-group trimmed mean over the middle 90% band.
     "robust_mean" -> { (spark, dir) =>
       Profile.trimmedMean(spark.read.parquet(s"$dir/lineitem.parquet"),
@@ -4442,6 +4450,32 @@ object ExtensionQueries {
                  FROM events)
       SELECT event_id, user_id, ts FROM e
       WHERE p IS NULL OR ts - p >= INTERVAL 10 MINUTE
+      ORDER BY event_id""",
+
+    // Replay of Behavior.throttle: the greedy "keep iff >= gap after the
+    // last KEPT" scan is a fold, not a window — list_reduce over the
+    // (ts, id)-ordered per-key event list with a 'kept-so-far' string
+    // accumulator (last element = last kept). The seed's timestamp is
+    // far enough in the past that the first real event always keeps.
+    "events_throttle" -> """
+      WITH per AS (
+        SELECT user_id,
+          list(epoch_us(ts)::VARCHAR || ':' || event_id::VARCHAR
+            ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id),
+      red AS (
+        SELECT user_id, list_reduce(
+          list_prepend('-2000000000000000:seed', l),
+          (acc, x) -> CASE
+            WHEN CAST(split_part(x, ':', 1) AS BIGINT)
+               - CAST(split_part(split_part(acc, '|', -1), ':', 1)
+                 AS BIGINT) >= 600000000
+            THEN acc || '|' || x ELSE acc END) AS kept
+        FROM per)
+      SELECT user_id, CAST(split_part(u.x, ':', 1) AS BIGINT) AS ts,
+        CAST(split_part(u.x, ':', 2) AS BIGINT) AS event_id
+      FROM red, unnest(string_split(kept, '|')) u(x)
+      WHERE split_part(u.x, ':', 2) != 'seed'
       ORDER BY event_id""",
 
     // Replay of Profile.trimmedMean: quantile_cont bounds (== Spark's
