@@ -138,6 +138,47 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL MinHash near-dup: candidate pairs between a NEW ingest
+    * batch and the SEEN corpus only — never seen×seen (the point: a
+    * daily ingest re-pairs the batch against history, not history
+    * against itself; [[exactIncremental]]'s near-dup complement).
+    * Output: (new_id, seen_id, jaccard >= threshold, 6dp). Ids must be
+    * disjoint across the two tables (they are different corpora by
+    * contract).
+    *
+    * Shape at scale: the seen side's banded signatures are exactly the
+    * persistable signature store — computed once at ingest time and
+    * appended, never recomputed (the same contract as the exact-dedup
+    * digest table); each new batch contributes |batch| signatures to
+    * the (band, bsig) join. The shuffle is batch-signatures vs
+    * matching-bucket seen-signatures, NOT corpus².
+    */
+  def minhashIncrementalPairs(
+      newDf: DataFrame, seen: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, b: Int = 16, r: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    require(b * r <= k, s"bands*rows ($b*$r) must be <= signature length $k")
+    val shN = graft.util.Caches.persist(shingled(newDf, idCol, textCol, shingleN))
+    val shS = graft.util.Caches.persist(shingled(seen, idCol, textCol, shingleN))
+    def bandsOf(sh: DataFrame) = sh
+      .select(col("doc_id"),
+        explode(T.bands(T.minhashSig(col("shingles"), k), b, r)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.bsig").as("bsig"))
+    val cand = bandsOf(shN).as("x").join(bandsOf(shS).as("y"),
+        Seq("band", "bsig"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("seen_id"))
+      .distinct()
+    cand
+      .join(shN.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_a")), "new_id")
+      .join(shS.select(col("doc_id").as("seen_id"),
+        col("shingles").as("sh_b")), "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric shingle CONTAINMENT over MinHash-LSH candidates:
     * cont_a = |A∩B|/|A| (how much of doc_a lives inside doc_b) and the
     * mirror cont_b — the signal Jaccard dilutes away when sizes differ: a

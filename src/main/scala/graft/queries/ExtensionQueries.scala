@@ -821,6 +821,30 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Language-ID confusion matrix: declared label vs heuristic
+    // prediction — the eval every classifier-backed curation gate needs.
+    "lang_confusion" -> { (spark, dir) =>
+      TextAnalysis.langId(docs(spark, dir), "doc_id", "text", "lang")
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // Incremental near-dup: the new batch (every 10th doc + exact copies
+    // of the % 7 docs under shifted ids) pairs against the seen corpus
+    // only — never seen x seen.
+    "dedup_minhash_incr" -> { (spark, dir) =>
+      val d = docs(spark, dir)
+      val seen = d.where(col("doc_id") % 10 =!= 0)
+      val nw = d.where(col("doc_id") % 10 === 0)
+        .unionAll(
+          d.where(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.minhashIncrementalPairs(nw, seen, "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold)
+        .orderBy("new_id", "seen_id")
+    },
+
     "text_fingerprint" -> { (spark, dir) =>
       TextAnalysis.fingerprints(docs(spark, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -2375,6 +2399,37 @@ object ExtensionQueries {
       FROM base
     )"""
 
+  /** langId replay producing the `pred` CTE (doc_id, lang, predicted,
+    * marker_hits) — shared by the lang_id and lang_confusion gates.
+    */
+  private val LangIdPredSql = """
+      WITH scores AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','ist')))::BIGINT AS s_de,
+          len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and')))::BIGINT AS s_en,
+          len(list_filter(string_split(text,' '), w -> w IN ('el','los','que','y')))::BIGINT AS s_es,
+          len(list_filter(string_split(text,' '), w -> w IN ('le','les','et','est')))::BIGINT AS s_fr,
+          len(list_filter(string_split(text,' '), w -> w IN ('de5','shi4','le5','zai4')))::BIGINT AS s_zh
+        FROM documents),
+      pred AS (
+        SELECT doc_id, lang,
+          CASE
+            WHEN s_de = mx AND mx > 0 THEN 'de'
+            WHEN s_en = mx AND mx > 0 THEN 'en'
+            WHEN s_es = mx AND mx > 0 THEN 'es'
+            WHEN s_fr = mx AND mx > 0 THEN 'fr'
+            WHEN s_zh = mx AND mx > 0 THEN 'zh'
+            ELSE 'und' END AS predicted,
+          mx AS marker_hits
+        FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx
+              FROM scores))"""
+
+  /** [[minhashCtes]] with the corpus swapped for an arbitrary
+    * (doc_id, text) source expression.
+    */
+  private def minhashCtesOver(src: String): String =
+    minhashCtes.replace("FROM documents", s"FROM ($src)")
+
   private def minhashCtes: String = s"""$shingleCtes, mh AS (
       SELECT doc_id, list_transform(generate_series(0, ${MinhashK - 1}), i ->
         list_min(list_transform(shingles, h ->
@@ -3446,26 +3501,40 @@ object ExtensionQueries {
       SELECT lang, COUNT(*) AS n_docs, round(avg(length(text)), 6) AS avg_chars
       FROM documents GROUP BY lang ORDER BY lang""",
 
-    "lang_id" -> """
-      WITH scores AS (
-        SELECT doc_id, lang,
-          len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','ist')))::BIGINT AS s_de,
-          len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and')))::BIGINT AS s_en,
-          len(list_filter(string_split(text,' '), w -> w IN ('el','los','que','y')))::BIGINT AS s_es,
-          len(list_filter(string_split(text,' '), w -> w IN ('le','les','et','est')))::BIGINT AS s_fr,
-          len(list_filter(string_split(text,' '), w -> w IN ('de5','shi4','le5','zai4')))::BIGINT AS s_zh
-        FROM documents)
-      SELECT doc_id, lang,
-        CASE
-          WHEN s_de = mx AND mx > 0 THEN 'de'
-          WHEN s_en = mx AND mx > 0 THEN 'en'
-          WHEN s_es = mx AND mx > 0 THEN 'es'
-          WHEN s_fr = mx AND mx > 0 THEN 'fr'
-          WHEN s_zh = mx AND mx > 0 THEN 'zh'
-          ELSE 'und' END AS predicted,
-        mx AS marker_hits
-      FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores)
+    "lang_id" -> s"""$LangIdPredSql
+      SELECT doc_id, lang, predicted, marker_hits FROM pred
       ORDER BY doc_id""",
+
+    // Confusion matrix over the same langId replay.
+    "lang_confusion" -> s"""$LangIdPredSql
+      SELECT lang, predicted, count(*)::BIGINT AS n FROM pred
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replay of Dedup.minhashIncrementalPairs: the shared minhash CTEs
+    // over the seen-plus-new union (copies under shifted ids), candidate
+    // join restricted to cross-side pairs.
+    "dedup_minhash_incr" -> s"""${minhashCtesOver("""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 7 = 0 AND doc_id % 10 <> 0""")}
+      , candi AS (
+        SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS seen_id
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bsig = y.bsig
+        WHERE (x.doc_id % 10 = 0 OR x.doc_id >= 1000000)
+          AND NOT (y.doc_id % 10 = 0 OR y.doc_id >= 1000000))
+      SELECT new_id, seen_id,
+        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+          6) AS jaccard
+      FROM candi
+      JOIN sh a ON a.doc_id = candi.new_id
+      JOIN sh b ON b.doc_id = candi.seen_id
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+        6) >= $JaccardThreshold
+      ORDER BY new_id, seen_id""",
 
     "text_fingerprint" -> s"""
       SELECT doc_id,

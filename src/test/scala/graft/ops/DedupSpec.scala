@@ -367,4 +367,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.9).isEmpty)
     graft.util.Caches.unpersistAll()
   }
+
+  test("minhashIncrementalPairs: cross-side only, twins found, batch dups not") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val seen = Seq((1L, t1), (2L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    // 10 is a twin of SEEN doc 1; 11 and 12 are twins of each other but
+    // of nothing in seen — a batch-internal dup the incremental op must
+    // NOT report (the batch self-join is a separate, pre-ingest pass)
+    val nw = Seq((10L, t1), (11L, t2), (12L, t2)).toDF("doc_id", "text")
+    val out = Dedup.minhashIncrementalPairs(nw, seen, "doc_id", "text",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1.0)), s"got ${out.toSeq}")
+    graft.util.Caches.unpersistAll()
+  }
 }
