@@ -239,6 +239,30 @@ object Behavior {
         (col("n").cast("double") / col("__tot")).as("p"))
   }
 
+  /** Top event PATHS: the `k` most frequent length-3 consecutive
+    * event-type sequences across users (ties to the lexicographically
+    * smallest path) — the order-3 extension of [[transitions]]'s Markov
+    * pairs, the "what do users actually do" mining primitive.
+    *
+    * Shape at scale: one user-keyed window (two lags — same single
+    * shuffle as transitions), a map-side-combined path count bounded by
+    * |types|³, then TakeOrdered k.
+    */
+  def topPaths(df: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    df.select(col(typeCol).as("t3"),
+        lag(col(typeCol), 1).over(w).as("t2"),
+        lag(col(typeCol), 2).over(w).as("t1"))
+      .where(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Deterministic per-key rate cap: keep at most `k` rows per
     * (`keyCol`, `bucketSeconds`-wide time bucket), earliest first, ties
     * on `idCol` — the ingestion throttle a crawl or event pipeline runs

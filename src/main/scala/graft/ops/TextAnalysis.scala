@@ -254,6 +254,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-GROUP heavy hitters: the top-`k` terms by count within each
+    * group (ties to the smaller term), rank 1-based — "what does each
+    * language/source actually say", the grouped complement of
+    * [[heavyHitters]]'s corpus-global head.
+    *
+    * Shape at scale: one map-side-combined (group, term) count — the
+    * explode's repeats collapse before the exchange — then a rank window
+    * over the COUNT TABLE (bounded by group × vocabulary), never over
+    * exploded tokens.
+    */
+  def heavyHittersGrouped(df: DataFrame, groupCol: String,
+      textCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .select(col(groupCol).as("group"),
+        explode(T.words(col(textCol))).as("term"))
+      .groupBy("group", "term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group")
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Vocabulary head coverage: the top-`k` terms by collection frequency
     * with their CUMULATIVE share of all corpus tokens — the Zipf-curve
     * head a tokenizer/stopword/vocab decision actually reads ("the top

@@ -821,6 +821,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Per-language top-5 terms (grouped heavy hitters).
+    "heavy_hitters_by_lang" -> { (spark, dir) =>
+      TextAnalysis.heavyHittersGrouped(docs(spark, dir), "lang", "text",
+          k = 5)
+        .orderBy("group", "rank")
+    },
+
+    // Top length-3 event-type paths across users.
+    "events_paths" -> { (spark, dir) =>
+      Behavior.topPaths(events(spark, dir), "ts", "user_id",
+          "event_type", "event_id", k = 10)
+    },
+
     // Language-ID confusion matrix: declared label vs heuristic
     // prediction — the eval every classifier-backed curation gate needs.
     "lang_confusion" -> { (spark, dir) =>
@@ -3509,6 +3522,31 @@ object ExtensionQueries {
     "lang_confusion" -> s"""$LangIdPredSql
       SELECT lang, predicted, count(*)::BIGINT AS n FROM pred
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replay of TextAnalysis.heavyHittersGrouped: (lang, term) counts,
+    // per-lang rank window, ties to the smaller term.
+    "heavy_hitters_by_lang" -> """
+      WITH c AS (SELECT lang AS "group", u.term, count(*)::BIGINT AS n
+                 FROM documents, unnest(string_split(text, ' ')) u(term)
+                 GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY "group"
+              ORDER BY n DESC, term) AS rank
+            FROM c)
+      SELECT "group", term, n, rank FROM r WHERE rank <= 5
+      ORDER BY "group", rank""",
+
+    // Replay of Behavior.topPaths: two lags over (user, (ts, id)),
+    // count per 3-path, top-10 with lexicographic tie-break.
+    "events_paths" -> """
+      WITH l AS (SELECT event_type AS t3,
+                   lag(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS t2,
+                   lag(event_type, 2) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS t1
+                 FROM events)
+      SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*)::BIGINT AS n
+      FROM l WHERE t1 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
 
     // Replay of Dedup.minhashIncrementalPairs: the shared minhash CTEs
     // over the seen-plus-new union (copies under shifted ids), candidate

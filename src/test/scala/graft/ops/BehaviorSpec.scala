@@ -263,6 +263,22 @@ class BehaviorSpec extends SparkSpec {
     assert(out == Set(7L, 8L))
   }
 
+  test("topPaths: hand-computed trigram paths across users") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, 1L, t(1), "view"), (2L, 1L, t(2), "click"),
+      (3L, 1L, t(3), "purchase"), (4L, 1L, t(4), "view"),
+      (5L, 2L, t(1), "view"), (6L, 2L, t(2), "click"),
+      (7L, 2L, t(3), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Behavior.topPaths(df, "ts", "user_id", "event_type",
+      "event_id", k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("view>click>purchase") == 2L)
+    assert(out("click>purchase>view") == 1L)
+    assert(out.size == 2, "user boundaries never spliced")
+  }
+
   private def tsl(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
   test("debounce vs throttle: the t=0, 0.5g, 1.1g distinction") {

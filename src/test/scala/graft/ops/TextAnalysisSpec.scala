@@ -337,6 +337,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(df1) == run(df1.repartition(7)))
   }
 
+  test("heavyHittersGrouped: per-group top-k, tie to smaller term") {
+    val df = Seq(("en", "a a b c"), ("en", "b a"), ("de", "x y y"))
+      .toDF("lang", "text")
+    val out = TextAnalysis.heavyHittersGrouped(df, "lang", "text", k = 2)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(("en", "a", 3L, 1L), ("en", "b", 2L, 2L),
+      ("de", "y", 2L, 1L), ("de", "x", 1L, 2L)), s"got $out")
+  }
+
   test("bpeApplyMerges: hand-computed token counts under chained merges") {
     val df = Seq((1L, "the then an and"), (2L, "xyz"), (3L, "a an"))
       .toDF("doc_id", "text")
