@@ -119,9 +119,11 @@ object Multimodal {
         hex(substring(col("payload"), 1, bytes.length)) ===
           bytes.map(b => f"$b%02X").mkString).otherwise(els)
     }
+    // coalesce: a NULL payload (or NULL format) must QUARANTINE, not
+    // propagate SQL null through the comparison into a null verdict
     df.select(col("doc_id"), col("format"),
       length(col("payload")).cast("long").as("byte_len"),
-      valid.as("valid"))
+      coalesce(valid, lit(false)).as("valid"))
   }
 
   /** Frame sampling: one output row per kept frame (every `everyN`-th,

@@ -107,6 +107,13 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(!out(0).getBoolean(3), "png payload declared jpeg must fail")
     assert(!out(1).getBoolean(3), "unknown format must fail")
+    // a NULL payload under a KNOWN format quarantines (false, not null)
+    val nullPayload = Seq((9L, "png"))
+      .toDF("doc_id", "format")
+      .withColumn("payload",
+        org.apache.spark.sql.functions.lit(null).cast("binary"))
+    val v = Multimodal.validatePayloads(nullPayload).head
+    assert(!v.isNullAt(3) && !v.getBoolean(3))
   }
 
   test("validation stays a narrow codegen'd pass") {
