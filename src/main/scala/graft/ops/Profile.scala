@@ -433,6 +433,42 @@ object Profile {
           .as("top_source_share"))
   }
 
+  /** Pearson correlation MATRIX over `cols` in long format (i, j,
+    * corr[6dp]) for i <= j — the multi-column generalization of
+    * [[correlation]]'s single pair, sharing [[Pca.covariance]]'s
+    * per-partition Gram machinery (ONE corpus pass, k(k+1)/2 + k + 1
+    * rows per partition to the shuffle, k = column count).
+    *
+    * Columns are pre-scaled by their exact max(|x|) (correlation is
+    * scale-invariant; the scaling keeps every fixed-point partial inside
+    * a long at ANY value magnitude — raw prices would overflow the
+    * quantized Gram sums). corr = cov_ij / √(cov_ii·cov_jj) computed
+    * from the 6dp covariance table on both engines, NULL when either
+    * variance is zero.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val maxes = df.agg(max(abs(col(cols.head).cast("double"))),
+        cols.tail.map(c => max(abs(col(c).cast("double")))): _*)
+      .head.toSeq.map(v => Option(v).map(_.asInstanceOf[Double])
+        .filter(_ > 0).getOrElse(1.0))
+    val vec = df.select(array(cols.zip(maxes).map { case (c, m) =>
+      col(c).cast("double") / lit(m) }: _*).as("embedding"))
+      .withColumn("vec_id", monotonically_increasing_id())
+    val cov = Pca.covariance(vec, "vec_id", "embedding", cols.size)
+    val diag = cov.where(col("i") === col("j"))
+      .select(col("i").as("__d"), col("cov").as("__v"))
+    cov
+      .join(broadcast(diag.withColumnRenamed("__d", "__di")
+        .withColumnRenamed("__v", "__vi")), col("i") === col("__di"))
+      .join(broadcast(diag.withColumnRenamed("__d", "__dj")
+        .withColumnRenamed("__v", "__vj")), col("j") === col("__dj"))
+      .select(col("i"), col("j"),
+        (when(col("__vi") > 0 && col("__vj") > 0,
+          round(col("cov") / sqrt(col("__vi") * col("__vj")), 6))
+          + lit(0d)).as("corr"))
+  }
+
   /** Per-group TRIMMED mean: the mean of `valueCol` restricted to its
     * group's [pLo, pHi] percentile band (interpolated bounds, inclusive)
     * — the robust location estimate that survives corrupt tails without

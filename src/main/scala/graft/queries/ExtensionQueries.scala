@@ -1376,6 +1376,15 @@ object ExtensionQueries {
         .orderBy("o_orderkey")
     },
 
+    // Pearson correlation matrix over the lineitem measures (shares the
+    // PCA Gram machinery, max-abs pre-scaled).
+    "profile_corr_matrix" -> { (spark, dir) =>
+      Profile.correlationMatrix(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("i", "j")
+    },
+
     // Exact fixed-point covariance of the embedding corpus (the corpus-
     // side half of PCA; the dim^2-bounded eigen step is spec-verified).
     "embed_pca" -> { (spark, dir) =>
@@ -4504,6 +4513,45 @@ object ExtensionQueries {
       WHERE p.o_orderkey IS NULL OR n.o_orderkey IS NULL
          OR p.o_totalprice <> n.o_totalprice
       ORDER BY o_orderkey""",
+
+    // Replay of Profile.correlationMatrix: max-abs scaling, the
+    // covariance replay over the 4 scaled measures, then
+    // cov/sqrt(var_i*var_j) from the SAME 6dp covariance table.
+    "profile_corr_matrix" -> s"""
+      WITH mx AS (SELECT max(abs(l_quantity::DOUBLE)) AS m0,
+              max(abs(l_extendedprice::DOUBLE)) AS m1,
+              max(abs(l_discount::DOUBLE)) AS m2,
+              max(abs(l_tax::DOUBLE)) AS m3
+            FROM lineitem),
+      x AS (SELECT [l_quantity::DOUBLE / mx.m0,
+              l_extendedprice::DOUBLE / mx.m1,
+              l_discount::DOUBLE / mx.m2,
+              l_tax::DOUBLE / mx.m3] AS e
+            FROM lineitem CROSS JOIN mx),
+      pr AS (SELECT a.i, b.j FROM generate_series(0, 3) a(i),
+               generate_series(0, 3) b(j) WHERE a.i <= b.j),
+      s AS (SELECT pr.i, pr.j,
+              sum(round(e[pr.i+1] * e[pr.j+1]
+                * ${Similarity.FixedScale}::DOUBLE))::HUGEINT AS sxy
+            FROM x, pr GROUP BY 1, 2),
+      m AS (SELECT g.i, sum(round(e[g.i+1]
+              * ${Similarity.FixedScale}::DOUBLE))::HUGEINT AS sx
+            FROM x, generate_series(0, 3) g(i) GROUP BY 1),
+      n AS (SELECT count(*)::BIGINT AS n FROM x),
+      cv AS (SELECT s.i, s.j,
+               round(sxy::DOUBLE / n.n / ${Similarity.FixedScale}::DOUBLE
+                 - (mi.sx::DOUBLE / n.n / ${Similarity.FixedScale}::DOUBLE)
+                 * (mj.sx::DOUBLE / n.n / ${Similarity.FixedScale}::DOUBLE),
+                 6) + 0.0::DOUBLE AS cov
+             FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+             CROSS JOIN n),
+      dg AS (SELECT i AS d, cov AS v FROM cv WHERE i = j)
+      SELECT cv.i::BIGINT AS i, cv.j::BIGINT AS j,
+        (CASE WHEN di.v > 0 AND dj.v > 0
+          THEN round(cv.cov / sqrt(di.v * dj.v), 6) END)
+          + 0.0::DOUBLE AS corr
+      FROM cv JOIN dg di ON di.d = cv.i JOIN dg dj ON dj.d = cv.j
+      ORDER BY i, j""",
 
     // Replay of Pca.covariance: per-row HALF_UP quantization at 2^20,
     // exact HUGEINT sums, the same sxy/n/S - mean_i*mean_j double

@@ -266,6 +266,34 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
   }
 
+  test("correlationMatrix: perfect/anti/zero correlations, scale invariance") {
+    // y = 2x (corr 1), z = -x (corr -1), w uncorrelated-ish constant+flip
+    val df = Seq.tabulate(40) { i =>
+      val x = (i - 20).toDouble
+      (x * 1000, 2 * x * 1000, -x, if (i % 2 == 0) 1.0 else -1.0)
+    }.toDF("x", "y", "z", "w")
+    val c = Profile.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(c((0L, 0L)) == 1.0 && c((1L, 1L)) == 1.0)
+    assert(math.abs(c((0L, 1L)) - 1.0) < 1e-5, s"x~y: ${c((0L, 1L))}")
+    assert(math.abs(c((0L, 2L)) + 1.0) < 1e-5, s"x~z: ${c((0L, 2L))}")
+    assert(math.abs(c((0L, 3L))) < 0.05, s"x~w: ${c((0L, 3L))}")
+  }
+
+  test("correlationMatrix: zero-variance column yields null, layout-free") {
+    val df = Seq.tabulate(20)(i => (i.toDouble, 5.0)).toDF("a", "b")
+    val c = Profile.correlationMatrix(df, Seq("a", "b"))
+      .orderBy("i", "j").collect()
+    assert(c.find(r => r.getLong(0) == 0 && r.getLong(1) == 1)
+      .exists(_.isNullAt(2)), "corr against constant column is null")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.correlationMatrix(d, Seq("a", "b")).orderBy("i", "j")
+        .collect().toSeq
+    assert(run(df) == run(df.repartition(7)))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("corpusReport: exact one-row audit on a hand-built corpus") {
     val df = Seq(
       (1L, "clean text one", "en", "web"),
