@@ -52,6 +52,12 @@ object Pca {
     * result is a pure function of the data under any layout or combine
     * order. Rows whose embedding length differs from `dim` fail loudly
     * (a silent skip would bias every moment).
+    *
+    * Caller contract: values must be NON-NULL and of bounded magnitude —
+    * the per-partition partial q(x_i·x_j·S) sums live in longs, so
+    * \|x\| ≲ 10³ keeps ~10⁷-row partitions overflow-free (embeddings
+    * qualify by construction; arbitrary measures should pre-scale the
+    * way [[Profile.correlationMatrix]] does with max(\|x\|)).
     */
   def covariance(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64): DataFrame = {

@@ -444,7 +444,9 @@ object Profile {
     * a long at ANY value magnitude — raw prices would overflow the
     * quantized Gram sums). corr = cov_ij / √(cov_ii·cov_jj) computed
     * from the 6dp covariance table on both engines, NULL when either
-    * variance is zero.
+    * variance is zero. Columns must be NON-NULL (the Gram pass is exact
+    * and a silent null-drop would bias every moment — pre-repair with
+    * [[DataQuality.imputeMode]] or filter explicitly).
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
