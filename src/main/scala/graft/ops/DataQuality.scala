@@ -169,6 +169,51 @@ object DataQuality {
           .as("violation_rate"))
   }
 
+  /** Cross-table RECONCILIATION: per `keys` group, row counts and exact
+    * DECIMAL sums of `sumCols` on both sides with match flags — the
+    * migration/backfill audit ("does the rewritten table still say the
+    * same thing, and where not?"). Groups missing from a side report
+    * zero counts/sums there (full-outer semantics), so a dropped
+    * partition surfaces as a row, not an absence.
+    *
+    * Shape at scale: each side collapses to its group-state table first
+    * (ONE map-side-combined aggregation — the [[graft.ops.Maintenance
+    * .aggState]] shape), and only the two state tables join; the fact
+    * tables never join each other.
+    */
+  def reconcile(left: DataFrame, right: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(sumCols.nonEmpty, "at least one sum column")
+    def state(df: DataFrame, tag: String) = {
+      val aggs = count(lit(1)).as(s"n_$tag") +:
+        sumCols.map(c => sum(col(c).cast("decimal(38,6)"))
+          .as(s"sum_${c}_$tag"))
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = state(left, "left")
+      .join(state(right, "right"), keys, "full_outer")
+    val filled = (Seq(s"n_left", s"n_right") ++
+      sumCols.flatMap(c => Seq(s"sum_${c}_left", s"sum_${c}_right")))
+      .foldLeft(joined) { (d, c) =>
+        d.withColumn(c, coalesce(col(c),
+          if (c.startsWith("n_")) lit(0L)
+          else lit(0).cast("decimal(38,6)")))
+      }
+    val sumsMatch = sumCols.map(c =>
+      col(s"sum_${c}_left") === col(s"sum_${c}_right"))
+      .reduce(_ && _)
+    // flags compare the exact decimals; the reported sums surface as
+    // DOUBLE (the engine's decimal-exact-agg-then-double convention)
+    val flagged = filled
+      .withColumn("rows_match", col("n_left") === col("n_right"))
+      .withColumn("sums_match", sumsMatch)
+    sumCols.foldLeft(flagged) { (d, c) =>
+      d.withColumn(s"sum_${c}_left", col(s"sum_${c}_left").cast("double"))
+        .withColumn(s"sum_${c}_right", col(s"sum_${c}_right").cast("double"))
+    }
+  }
+
   /** Group-mode imputation: fill NULLs in `valueCol` with the most
     * frequent non-null value of the row's `byCols` group (count ties
     * break to the SMALLEST value, so the repair is deterministic) — the

@@ -627,4 +627,45 @@ object Similarity {
       .select(col("q_id"), col("hits"),
         round(col("hits") / k.toDouble, 6).as("recall"))
   }
+
+  /** One-row embedding HEALTH report — the "is this vector table sane"
+    * screen before an ANN index or similarity pass: wrong-dimension /
+    * null rows, non-finite values, zero-norm vectors (cosine-undefined),
+    * and the mean L2 norm of the healthy remainder. A corrupt export
+    * (truncated arrays, NaN from an overflowed encoder, all-zero
+    * padding rows) surfaces here as a count, not as a mid-job crash in
+    * the index builder.
+    *
+    * Counts are disjoint tiers: bad_dim ⊃-free of nonfinite ⊃-free of
+    * zero — each vector lands in exactly one bucket (or the healthy
+    * mean). Mean norm is a fixed-point DECIMAL sum of the native
+    * sequential-fold norms — exact under any combine order. ONE
+    * map-side-combined aggregation; nothing shuffles but partials.
+    */
+  def embeddingHealth(df: DataFrame, vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val e = col(vecCol)
+    val nrm = graft.functions.VectorFunctions.norm(e)
+    val bad = e.isNull || size(e) =!= dim
+    val nonfinite = exists(e, x => {
+      val xd = x.cast("double")
+      isnan(xd) || xd === lit(Double.PositiveInfinity) ||
+        xd === lit(Double.NegativeInfinity)
+    })
+    val healthy = !bad && !nonfinite
+    df.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(!bad && nonfinite, 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(healthy && nrm === 0d, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(healthy, round(nrm * FixedScale)).otherwise(0d)
+          .cast("decimal(38,0)")).as("__s"),
+        sum(when(healthy, 1L).otherwise(0L)).as("__k"))
+      .select(col("n_vecs"), col("n_bad_dim"), col("n_nonfinite"),
+        col("n_zero"),
+        when(col("__k") > 0,
+          round(col("__s").cast("double") / col("__k") / FixedScale, 6))
+          .as("mean_norm"))
+  }
 }

@@ -1435,6 +1435,25 @@ object ExtensionQueries {
         .orderBy("l_returnflag")
     },
 
+    // Cross-table reconciliation: the right side drops % 17 keys and
+    // perturbs % 13 prices — count and sum drift per priority group.
+    "dq_reconcile" -> { (spark, dir) =>
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val right = ord.where(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      DataQuality.reconcile(ord, right, Seq("o_orderpriority"),
+          Seq("o_totalprice"))
+        .orderBy("o_orderpriority")
+    },
+
+    // One-row embedding-table health screen.
+    "embed_health" -> { (spark, dir) =>
+      Similarity.embeddingHealth(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", 64)
+    },
+
     // Group-mode repair of a deterministically nulled-out categorical.
     "impute_mode" -> { (spark, dir) =>
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -4649,6 +4668,57 @@ object ExtensionQueries {
       FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
       WHERE l_extendedprice BETWEEN lo AND hi
       GROUP BY 1 ORDER BY 1""",
+
+    // Replay of DataQuality.reconcile: per-side group states (exact
+    // DECIMAL(38,6) sums), full-outer, zero-filled absentees, flags on
+    // the decimals, sums surfaced as DOUBLE.
+    "dq_reconcile" -> """
+      WITH l AS (SELECT o_orderpriority AS k, count(*)::BIGINT AS n,
+                   sum(o_totalprice::DECIMAL(38,6)) AS s
+                 FROM orders GROUP BY 1),
+      r AS (SELECT o_orderpriority AS k, count(*)::BIGINT AS n,
+              sum((CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END)::DECIMAL(38,6)) AS s
+            FROM orders WHERE o_orderkey % 17 <> 0 GROUP BY 1)
+      SELECT coalesce(l.k, r.k) AS o_orderpriority,
+        coalesce(l.n, 0) AS n_left,
+        coalesce(l.s, 0::DECIMAL(38,6))::DOUBLE AS sum_o_totalprice_left,
+        coalesce(r.n, 0) AS n_right,
+        coalesce(r.s, 0::DECIMAL(38,6))::DOUBLE AS sum_o_totalprice_right,
+        (coalesce(l.n, 0) = coalesce(r.n, 0)) AS rows_match,
+        (coalesce(l.s, 0::DECIMAL(38,6))
+          = coalesce(r.s, 0::DECIMAL(38,6))) AS sums_match
+      FROM l FULL OUTER JOIN r ON l.k = r.k
+      ORDER BY 1""",
+
+    // Replay of Similarity.embeddingHealth: tiered classification, the
+    // sequential-fold norm, fixed-point mean of healthy norms.
+    "embed_health" -> s"""
+      WITH cls AS (SELECT embedding,
+              (embedding IS NULL OR len(embedding) != 64) AS bad,
+              len(list_filter(embedding,
+                v -> isnan(v::DOUBLE) OR isinf(v::DOUBLE))) > 0 AS nf
+            FROM embeddings),
+      nr AS (SELECT bad, nf,
+               CASE WHEN NOT bad AND NOT nf THEN
+                 sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, 64),
+                     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                   (x, y) -> x + y)) END AS nrm
+             FROM cls)
+      SELECT count(*)::BIGINT AS n_vecs,
+        sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+        sum(CASE WHEN NOT bad AND nf THEN 1 ELSE 0 END)::BIGINT
+          AS n_nonfinite,
+        sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        CASE WHEN sum(CASE WHEN nrm IS NOT NULL THEN 1 ELSE 0 END) > 0
+          THEN round(sum(CASE WHEN nrm IS NOT NULL
+              THEN round(nrm * ${Similarity.FixedScale}::DOUBLE)
+              ELSE 0 END)::HUGEINT::DOUBLE
+            / sum(CASE WHEN nrm IS NOT NULL THEN 1 ELSE 0 END)
+            / ${Similarity.FixedScale}::DOUBLE, 6)
+        END AS mean_norm
+      FROM nr""",
 
     // Replay of DataQuality.imputeMode: mode per group with ties to the
     // smallest value, nulls repaired, non-null rows untouched.

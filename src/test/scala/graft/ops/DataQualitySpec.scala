@@ -185,6 +185,25 @@ class DataQualitySpec extends SparkSpec {
     assert(out.size == 8)
   }
 
+  test("reconcile: drift classified per group, absentees zero-filled") {
+    val left = Seq(("A", 10.0), ("A", 20.0), ("B", 5.0), ("C", 7.0))
+      .toDF("k", "v")
+    // B matches exactly; A loses a row; C's sum drifts; D exists only
+    // on the right
+    val right = Seq(("A", 10.0), ("B", 5.0), ("C", 7.5), ("D", 1.0))
+      .toDF("k", "v")
+    val out = DataQuality.reconcile(left, right, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+          r.getAs[Boolean]("rows_match"), r.getAs[Boolean]("sums_match"))))
+      .toMap
+    assert(out("A") == ((2L, 1L, false, false)))
+    assert(out("B") == ((1L, 1L, true, true)))
+    assert(out("C") == ((1L, 1L, true, false)))
+    assert(out("D") == ((0L, 1L, false, false)))
+    assert(out.size == 4)
+  }
+
   test("imputeMode preserves the value column's type") {
     val df = Seq((1L, "g", Option(5L)), (2L, "g", None))
       .toDF("id", "g", "v")

@@ -370,4 +370,27 @@ class SimilaritySpec extends SparkSpec {
       s"duplicate-pair recall@1 must be 1.0: ${perfect.toSeq}")
     graft.util.Caches.unpersistAll()
   }
+
+  test("embeddingHealth: tiered counts and healthy mean norm") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),                  // norm 5
+      (2L, Array(0.0f, 0.0f)),                  // zero norm
+      (3L, Array(1.0f)),                        // bad dim
+      (4L, Array(Float.NaN, 1.0f)),             // non-finite
+      (5L, Array(Float.PositiveInfinity, 0.0f)) // non-finite
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingHealth(df, "embedding", dim = 2).head
+    assert(r.getAs[Long]("n_vecs") == 5L)
+    assert(r.getAs[Long]("n_bad_dim") == 1L)
+    assert(r.getAs[Long]("n_nonfinite") == 2L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    // healthy vectors: norms 5 and 0 -> mean 2.5
+    assert(r.getAs[Double]("mean_norm") == 2.5)
+  }
+
+  test("embeddingHealth: empty healthy set yields null mean") {
+    val df = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingHealth(df, "embedding", dim = 2).head
+    assert(r.getAs[Long]("n_bad_dim") == 1L && r.isNullAt(4))
+  }
 }
