@@ -112,7 +112,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -161,6 +161,9 @@ final case class SimilarityTransformStage(
       // exact fixed-point covariance (inDim = embedding dimensionality);
       // eigen + projection are programmatic (dim^2-bounded driver work)
       case "pca_cov"        => Pca.covariance(corpus, dim = inDim)
+      // one-row vector-table health screen (inDim = expected dimension)
+      case "health"         =>
+        Similarity.embeddingHealth(corpus, dim = inDim)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -1102,7 +1105,7 @@ final case class DataQualityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // rules | linkage | join_skew | referential | fd | impute
+    method: String, // rules | linkage | join_skew | referential | fd | impute | reconcile
     rules: Seq[(String, String)] = Nil,
     idCol: String = "id",
     blockCol: String = "block",
@@ -1148,6 +1151,17 @@ final case class DataQualityTransformStage(
         if (lhs.isEmpty) throw new IllegalArgumentException(
           "dq method 'fd' requires non-empty 'lhs'")
         DataQuality.fdCheck(in, lhs, rhsCol)
+      // migration audit: lhs = group keys, rightView = the other table,
+      // fuzzyFields' names double as the sum columns (weights unused)
+      case "reconcile" =>
+        val r = rightView.getOrElse(throw new IllegalArgumentException(
+          "dq method 'reconcile' requires 'rightView'"))
+        if (lhs.isEmpty || fuzzyFields.isEmpty)
+          throw new IllegalArgumentException(
+            "dq method 'reconcile' requires 'lhs' (keys) and " +
+              "'fuzzyFields' (sum columns)")
+        DataQuality.reconcile(in, Views.resolve(r), lhs,
+          fuzzyFields.map(_._1))
       // group-mode repair: lhs = group columns, rhsCol = value column
       case "impute" =>
         if (lhs.isEmpty) throw new IllegalArgumentException(

@@ -133,7 +133,7 @@ object Parser {
         method = r.oneOf("method",
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
             "quantize", "project", "semantic_dedup", "hard_negatives",
-            "ann_recall", "pca_cov"), "topk"),
+            "ann_recall", "pca_cov", "health"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -328,8 +328,8 @@ object Parser {
     },
     "DataQualityTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("rules", "linkage", "join_skew", "referential", "fd", "impute"),
-        "rules")
+        Seq("rules", "linkage", "join_skew", "referential", "fd", "impute",
+          "reconcile"), "rules")
       if (method == "rules" && r.stringMap("rules").isEmpty)
         r.error("rules", "missing or empty; method 'rules' requires them")
       if ((method == "join_skew" || method == "referential")

@@ -236,6 +236,33 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("reconcile and embedding health as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "ord", "table": "orders",
+       "outputView": "rc_ord"},
+      {"type": "SqlTransform", "name": "half",
+       "sql": "SELECT * FROM rc_ord WHERE o_orderkey % 2 = 0",
+       "outputView": "rc_half"},
+      {"type": "DataQualityTransform", "name": "rc", "method": "reconcile",
+       "inputView": "rc_ord", "rightView": "rc_half",
+       "lhs": ["o_orderpriority"], "fuzzyFields": {"o_totalprice": 1.0},
+       "outputView": "rc_out"},
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "rc_embs"},
+      {"type": "SimilarityTransform", "name": "eh", "method": "health",
+       "inputView": "rc_embs", "inDim": 64, "outputView": "rc_health"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(Runner.run(p).isDefined)
+    import graft.pipeline.Views
+    assert(Views.resolve("rc_out")
+      .where("NOT rows_match").count() > 0)
+    assert(Views.resolve("rc_health").head.getAs[Long]("n_bad_dim") == 0L)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("dedup tunables are settable from config; threshold defaults per method") {
     val conf = """{"stages": [
       {"type": "DedupTransform", "name": "dd", "method": "ngram_pairs",
