@@ -762,7 +762,7 @@ final case class SketchTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // hll | kmv | cms | hll_intersect | hll_rolling | kmv_jaccard | join_size
+    method: String, // hll | kmv | cms | hll_intersect | hll_rolling | kmv_jaccard | kmv_diff | join_size
     keyCol: String,
     groupCols: Seq[String] = Nil,
     m: Int = 512,
