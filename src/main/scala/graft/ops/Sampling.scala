@@ -544,6 +544,25 @@ object Sampling {
     }.toDF(idCol, "score", "rank")
   }
 
+  /** Per-shard MANIFEST — the "data card" a shipped training-shard set
+    * carries: one row per [[shardByBudget]] shard with its document
+    * count, exact token sum, and an order-insensitive id checksum
+    * (Σ h32(id) mod P — any dropped/duplicated/foreign document moves
+    * it), so a consumer can verify a shard without rereading members.
+    *
+    * Shape at scale: the sharding pass plus ONE map-side-combined
+    * aggregation on the shard id; the checksum accumulates in
+    * DECIMAL(38,0), exact under any combine order.
+    */
+  def shardManifest(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long): DataFrame =
+    shardByBudget(df, idCol, tokenCol, budget)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        (sum(keyOf(col(idCol), "").cast("decimal(38,0)")) % P)
+          .cast("long").as("id_checksum"))
+
   /** LEAKAGE-SAFE train/val/test split: assignment is a pure function of
     * the row's NEAR-DUP CLUSTER label (a `(doc_id, component)` table,
     * e.g. [[Dedup.connectedComponents]] over MinHash pairs), not of the

@@ -1179,6 +1179,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Per-shard manifest: counts, token sums, order-insensitive id
+    // checksum over the budget shards.
+    "shard_manifest" -> { (spark, dir) =>
+      Sampling.shardManifest(docs(spark, dir), "doc_id", "n_chars",
+          ShardBudget)
+        .orderBy("shard")
+    },
+
     // Leakage-safe split: near-dup clusters (MinHash pairs -> CC) split
     // as one unit, so no eval doc has a near-copy in train.
     "split_leakage_safe" -> { (spark, dir) =>
@@ -3359,6 +3367,21 @@ object ExtensionQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           // $ShardBudget AS BIGINT) AS shard
       FROM documents ORDER BY doc_id""",
+
+    // Replay of Sampling.shardManifest: the shard window + one rollup
+    // with the Σ h32(id) mod P checksum.
+    "shard_manifest" -> s"""
+      WITH s AS (
+        SELECT doc_id, n_chars,
+          CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // $ShardBudget AS BIGINT) AS shard
+        FROM documents)
+      SELECT shard, count(*)::BIGINT AS n_docs,
+        sum(n_chars)::BIGINT AS n_tokens,
+        (sum(('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % $P)::HUGEINT
+          % $P)::BIGINT AS id_checksum
+      FROM s GROUP BY 1 ORDER BY shard""",
 
     // Replay of Sampling.packSequences: next-fit per hash bucket, walked
     // one row per iteration by a recursive CTE (iteration depth = the

@@ -128,6 +128,22 @@ class SamplingSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("shardManifest: exact counts/sums, checksum moves on any membership change") {
+    val df = (1L to 40L).map(i => (i, 100L)).toDF("doc_id", "n_chars")
+    val m = Sampling.shardManifest(df, "doc_id", "n_chars", budget = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m.values.map(_._1).sum == 40L)
+    assert(m.values.map(_._2).sum == 4000L)
+    // dropping one doc changes exactly its shard's checksum
+    val m2 = Sampling.shardManifest(df.where($"doc_id" =!= 5L), "doc_id",
+      "n_chars", budget = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(0L)._3 != m2(0L)._3, "checksum must move when a member drops")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("leakageSafeSplit: cluster members share a split; singletons = splitAssign") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "component")
