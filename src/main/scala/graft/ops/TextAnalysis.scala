@@ -380,6 +380,17 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, idCol: String, textCol: String,
       declaredCol: String): DataFrame = {
+    val (predicted, mx) = langIdExprs(textCol)
+    df.select(col(idCol).as("doc_id"), col(declaredCol).as("lang"),
+      predicted.as("predicted"), mx.cast("long").as("marker_hits"))
+  }
+
+  /** The shared langId expression pair: (predicted language, max marker
+    * hits) over `textCol`. foldRight chains WHENs in declaration order,
+    * so the FIRST language (alphabetical) with the max score wins —
+    * deterministic tie-break; no markers at all predicts "und".
+    */
+  private def langIdExprs(textCol: String): (Column, Column) = {
     val ws = T.words(col(textCol))
     def score(markers: Seq[String]): Column =
       size(filter(ws, w => w.isInCollection(markers)))
@@ -388,10 +399,36 @@ object TextAnalysis {
     val predicted = scores.foldRight(lit("und")) { case ((lang, s), els) =>
       when(s === mx && mx > 0, lang).otherwise(els)
     }
-    // foldRight chains WHENs in declaration order, so the FIRST language
-    // (alphabetical) with the max score wins — deterministic tie-break.
-    df.select(col(idCol).as("doc_id"), col(declaredCol).as("lang"),
-      predicted.as("predicted"), mx.cast("long").as("marker_hits"))
+    (predicted, mx)
+  }
+
+  /** Per-document language PURITY — the code-switching / wrong-label
+    * screen: chunk the document into `chunkSize`-word windows, language-
+    * ID each window with the shared [[langId]] heuristic, and report how
+    * unanimous the windows are. A clean monolingual page scores
+    * majority_frac 1.0; concatenated crawl fragments, boilerplate in a
+    * second language, or a mislabeled doc surface as low majority / high
+    * language count. Output: (doc_id, n_chunks, n_langs_detected,
+    * majority_frac[6dp]) — majority ties are frequency ties, so the
+    * FRACTION is deterministic regardless of which language "wins".
+    *
+    * Shape at scale: the narrow chunk explode (~n_tokens/chunkSize rows
+    * per doc), then two map-side-combined doc-keyed aggregations —
+    * nothing but (doc, predicted) counts ever shuffles.
+    */
+  def langPurity(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 16): DataFrame = {
+    val chunks = chunk(df, idCol, textCol, chunkSize, overlap = 0)
+    val (predicted, _) = langIdExprs("chunk_text")
+    chunks.select(col("doc_id"), predicted.as("predicted"))
+      .groupBy("doc_id", "predicted").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum("__c").as("n_chunks"),
+        count(lit(1)).as("n_langs_detected"),
+        max("__c").as("__mx"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs_detected"),
+        round(col("__mx").cast("double") / col("n_chunks").cast("double"),
+          6).as("majority_frac"))
   }
 
   /** Corpus language distribution with mean length per language. */

@@ -821,6 +821,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Per-doc language purity: 16-word windows language-ID'd, unanimity
+    // reported (code-switch / wrong-label screen).
+    "lang_purity" -> { (spark, dir) =>
+      TextAnalysis.langPurity(docs(spark, dir), "doc_id", "text",
+          chunkSize = 16)
+        .orderBy("doc_id")
+    },
+
     // Per-language top-5 terms (grouped heavy hitters).
     "heavy_hitters_by_lang" -> { (spark, dir) =>
       TextAnalysis.heavyHittersGrouped(docs(spark, dir), "lang", "text",
@@ -3573,6 +3581,37 @@ object ExtensionQueries {
     "lang_confusion" -> s"""$LangIdPredSql
       SELECT lang, predicted, count(*)::BIGINT AS n FROM pred
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replay of TextAnalysis.langPurity: the 16/0 chunk slices, the
+    // langId marker CASE per chunk, two-level doc rollup.
+    "lang_purity" -> """
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w,
+              greatest(1, (len(string_split(text, ' ')) + 15) // 16) AS nc
+            FROM documents),
+      ch AS (SELECT doc_id,
+               array_to_string(w[cid*16+1 : cid*16+16], ' ') AS t
+             FROM ws, unnest(generate_series(0, nc-1)) AS g(cid)),
+      sc AS (SELECT doc_id,
+               len(list_filter(string_split(t,' '), x -> x IN ('der','die','und','ist')))::BIGINT AS s_de,
+               len(list_filter(string_split(t,' '), x -> x IN ('the','a','of','and')))::BIGINT AS s_en,
+               len(list_filter(string_split(t,' '), x -> x IN ('el','los','que','y')))::BIGINT AS s_es,
+               len(list_filter(string_split(t,' '), x -> x IN ('le','les','et','est')))::BIGINT AS s_fr,
+               len(list_filter(string_split(t,' '), x -> x IN ('de5','shi4','le5','zai4')))::BIGINT AS s_zh
+             FROM ch),
+      pr AS (SELECT doc_id, CASE
+               WHEN s_de = mx AND mx > 0 THEN 'de'
+               WHEN s_en = mx AND mx > 0 THEN 'en'
+               WHEN s_es = mx AND mx > 0 THEN 'es'
+               WHEN s_fr = mx AND mx > 0 THEN 'fr'
+               WHEN s_zh = mx AND mx > 0 THEN 'zh'
+               ELSE 'und' END AS p
+             FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx
+                   FROM sc)),
+      pc AS (SELECT doc_id, p, count(*)::BIGINT AS c FROM pr GROUP BY 1, 2)
+      SELECT doc_id, sum(c)::BIGINT AS n_chunks,
+        count(*)::BIGINT AS n_langs_detected,
+        round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS majority_frac
+      FROM pc GROUP BY 1 ORDER BY doc_id""",
 
     // Replay of TextAnalysis.heavyHittersGrouped: (lang, term) counts,
     // per-lang rank window, ties to the smaller term.

@@ -337,6 +337,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(df1) == run(df1.repartition(7)))
   }
 
+  test("langPurity: unanimous doc scores 1.0, code-switched doc splits") {
+    val en = Seq.fill(16)("the").mkString(" ")
+    val de = Seq.fill(16)("der").mkString(" ")
+    val df = Seq(
+      (1L, s"$en $en"),        // 2 chunks, both en
+      (2L, s"$en $de"),        // en chunk + de chunk
+      (3L, "xyz qqq")          // 1 chunk, no markers -> und
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langPurity(df, "doc_id", "text", chunkSize = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("heavyHittersGrouped: per-group top-k, tie to smaller term") {
     val df = Seq(("en", "a a b c"), ("en", "b a"), ("de", "x y y"))
       .toDF("lang", "text")
