@@ -244,6 +244,22 @@ object ScaleProbe {
       t("global_ordinal") {
         graft.ops.Sampling.globalOrdinal(d, "doc_id", "n_chars").count()
       }
+      // round 9e: BPE apply — narrow replace chain, must track the scan
+      t("bpe_apply") {
+        graft.ops.TextAnalysis.bpeApplyMerges(d, "doc_id", "text",
+          Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d")).count()
+      }
+      // round 9e: chunked langId rollup — explode + two keyed aggs
+      t("lang_purity") {
+        graft.ops.TextAnalysis.langPurity(d, "doc_id", "text").count()
+      }
+      // round 9e: incremental minhash — batch signatures vs the seen
+      // store's matching buckets (the seen side grows with m)
+      t("minhash_incremental") {
+        graft.ops.Dedup.minhashIncrementalPairs(
+          docs.withColumn("doc_id", col("doc_id") + 100000000L), d,
+          "doc_id", "text", threshold = 0.9).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }
