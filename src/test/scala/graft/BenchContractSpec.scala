@@ -67,4 +67,15 @@ class BenchContractSpec extends AnyFunSuite {
     assert(om.isDefined)
     assert(kept + om.get == 150)
   }
+
+  test("every registered query has an oracle, and no oracle is orphaned") {
+    // a typo'd key on either side silently removes a gate: the driver
+    // compares only oracle keys, and a query with no oracle degrades to
+    // a rows-only check nobody asked for
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    assert(q.nonEmpty)
+  }
 }
