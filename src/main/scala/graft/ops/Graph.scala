@@ -412,18 +412,24 @@ object Graph {
       und.select(col("a"), col("b"))
         .union(und.select(col("b").as("a"), col("a").as("b"))))
     val nodes = sym.select(col("a").as("node")).distinct()
+    // materialize-and-evict only BETWEEN rounds (lineage truncation for
+    // the next iteration); the final round flows straight into its
+    // consumer — a last-round count() would pay one extra full
+    // materialization per loop for lineage nobody re-reads
     var regs = graft.util.Caches.persist(
       Sketches.hllRegisters(nodes, col("node"), Seq("node"), m))
-    for (_ <- 1 to radius) {
+    for (r <- 1 to radius) {
       val contrib = sym
         .join(regs.withColumnRenamed("node", "b"), "b")
         .select(col("a").as("node"), col("__b"), col("__m"))
-      val next = graft.util.Caches.persist(
-        regs.unionAll(contrib)
-          .groupBy("node", "__b").agg(max("__m").as("__m")))
-      next.count()
-      regs.unpersist(blocking = false)
-      regs = next
+      val next = regs.unionAll(contrib)
+        .groupBy("node", "__b").agg(max("__m").as("__m"))
+      if (r < radius) {
+        val p = graft.util.Caches.persist(next)
+        p.count()
+        regs.unpersist(blocking = false)
+        regs = p
+      } else regs = next
     }
     val est = Sketches.hllEstimate(regs, Seq("node"), m)
       .withColumnRenamed("hll_estimate", "ball_estimate")
@@ -431,16 +437,18 @@ object Graph {
     // quadratic thing the registers replace; fine at gate scale
     var reach = graft.util.Caches.persist(
       nodes.select(col("node").as("start"), col("node").as("x")))
-    for (_ <- 1 to radius) {
-      val next = graft.util.Caches.persist(
-        reach.unionAll(
-            reach.join(sym.select(col("a").as("x"), col("b").as("__nx")),
-              "x")
-              .select(col("start"), col("__nx").as("x")))
-          .distinct())
-      next.count()
-      reach.unpersist(blocking = false)
-      reach = next
+    for (r <- 1 to radius) {
+      val next = reach.unionAll(
+          reach.join(sym.select(col("a").as("x"), col("b").as("__nx")),
+            "x")
+            .select(col("start"), col("__nx").as("x")))
+        .distinct()
+      if (r < radius) {
+        val p = graft.util.Caches.persist(next)
+        p.count()
+        reach.unpersist(blocking = false)
+        reach = p
+      } else reach = next
     }
     val exact = reach.groupBy(col("start").as("node"))
       .agg(count(lit(1)).as("exact_ball"))
