@@ -106,6 +106,35 @@ object TimeSeries {
           .cast("double"))
   }
 
+  /** Per-key rolling MEDIAN over the trailing `k` observations (row
+    * frame, total order (ts, id)) — the robust smoother: a mean-based
+    * window ([[rolling]]) is dragged by exactly the spikes a cleaning
+    * pass wants to see THROUGH, while the median of the last k values
+    * ignores up to (k−1)/2 outliers. Median = the lower-middle DISCRETE
+    * element (an actual data value at rank ceil(n/2) of the sorted
+    * frame — the quantile_disc convention every robust op in this
+    * engine shares), so the output doubles are bit-copies of inputs and
+    * replay exactly on any engine.
+    *
+    * Shape at scale: one key-partitioned window whose state is the
+    * k-bounded frame — collect/sort cost is O(k log k) per row with k a
+    * small constant, and nothing shuffles but the key partitioning.
+    */
+  def rollingMedian(df: DataFrame, tsCol: String, keyCol: String,
+      idCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol).cast("timestamp")).asc,
+        col(idCol).asc)
+      .rowsBetween(-(k - 1), 0)
+    val frame = sort_array(collect_list(col(valueCol).cast("double"))
+      .over(w))
+    df.withColumn("n_frame", size(frame).cast("long"))
+      .withColumn("rolling_median",
+        element_at(frame, ceil(size(frame) / 2.0).cast("int")))
+  }
+
   /** Per-key exponentially weighted moving average:
     * s_1 = x_1; s_t = alpha * x_t + (1 - alpha) * s_{t-1} under the total
     * order (ts, id) — the classic smoothing/anomaly baseline. The

@@ -1781,6 +1781,14 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    // Rolling median of the user's last 5 values (robust smoother).
+    "events_rolling_median" -> { (spark, dir) =>
+      TimeSeries.rollingMedian(events(spark, dir), "ts", "user_id",
+          "event_id", "value", k = 5)
+        .select("event_id", "user_id", "n_frame", "rolling_median")
+        .orderBy("event_id")
+    },
+
     "events_ewma" -> { (spark, dir) =>
       TimeSeries.ewma(events(spark, dir), "ts", "user_id", "event_id",
           "value", alpha = EwmaAlpha)
@@ -5360,6 +5368,17 @@ object ExtensionQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         RANGE BETWEEN ${RollWindowSec * 1000000L} PRECEDING
           AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    // Replay of TimeSeries.rollingMedian: quantile_disc over the same
+    // 5-row trailing frame picks the identical lower-middle data value.
+    "events_rolling_median" -> """
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_frame,
+        quantile_disc(value, 0.5) OVER w AS rolling_median
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
 
     // Replay of TimeSeries.ewma: the recursive per-key recurrence under

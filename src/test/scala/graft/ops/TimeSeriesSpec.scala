@@ -192,4 +192,25 @@ class TimeSeriesSpec extends SparkSpec {
     // the 22 empty in-range hours have zero mean -> ratio 1.0, quiet
     assert(byHod.keySet.size == 24 || out.count(_._4 == 0L) == 22)
   }
+
+  test("rollingMedian: lower-middle discrete value, spike-robust, frame-bounded") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, 1L, t(1), 10.0), (2L, 1L, t(2), 12.0),
+      (3L, 1L, t(3), 1000.0), // spike
+      (4L, 1L, t(4), 11.0), (5L, 1L, t(5), 13.0),
+      (6L, 2L, t(1), 7.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries.rollingMedian(df, "ts", "user_id", "event_id",
+      "value", k = 3)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_frame"), r.getAs[Double]("rolling_median"))))
+      .toMap
+    assert(out(1L) == ((1L, 10.0)))
+    assert(out(2L) == ((2L, 10.0)))   // lower-middle of {10, 12}
+    assert(out(3L) == ((3L, 12.0)))   // spike ignored by the median
+    assert(out(4L) == ((3L, 12.0)))   // {12, 1000, 11} -> 12
+    assert(out(5L) == ((3L, 13.0)))   // {1000, 11, 13} -> 13
+    assert(out(6L) == ((1L, 7.0)), "keys independent")
+  }
 }
