@@ -174,9 +174,24 @@ object Bench {
 
     // Full-precision record first (scrolls out of the consumer's tail
     // window; tools/bench_diff.py and humans read it from the full log).
-    println(
+    val detail =
       s"""{"metric":"detail","value":$total,"unit":"sec","method":"min of $nReps reps after 1 warm-up pass","reps":$nReps,"rep_totals":$repTotals,"queries":${jmap(
-          mins)},"queries_median":${jmap(meds)},"errors":${errJson(300)},"sf":${jstr(sfDir)}}""")
+          mins)},"queries_median":${jmap(meds)},"errors":${errJson(300)},"sf":${jstr(sfDir)}}"""
+    println(detail)
+    // ... and persisted as a FILE: the driver's stdout record keeps only
+    // a ~2 KB tail, which at 216 queries holds the slowest ~80 — the
+    // file is the durable full map every query stays regressionable from
+    // (tools/bench_diff.py prefers it; committed per round as
+    // BENCH_detail.json)
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"could not write $detailPath: ${e.getMessage}")
+    }
 
     // Compact contract line LAST — must fit the consumer's bounded tail
     // window (~2 KB) together with the build tool's trailing status line

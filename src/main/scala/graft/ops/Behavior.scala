@@ -336,27 +336,28 @@ object Behavior {
   def throttle(df: DataFrame, tsCol: String, keyCol: String, idCol: String,
       gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
-    val spark = df.sparkSession
-    import spark.implicits._
     val gapMicros = gapSeconds * 1000000L
-    df.select(col(keyCol).cast("long").as("k"),
-        unix_micros(col(tsCol).cast("timestamp")).as("t"),
-        col(idCol).cast("long").as("i"))
-      .repartition(col("k"))
-      .sortWithinPartitions("k", "t", "i")
-      .as[(Long, Long, Long)]
+    // key and id keep their NATIVE types (string user ids are the common
+    // case) — the scan only needs key EQUALITY and the long timestamp,
+    // so the rows pass through as Rows rather than a lossy cast("long")
+    val proj = df.select(col(keyCol),
+      unix_micros(col(tsCol).cast("timestamp")).as(tsCol), col(idCol))
+    val enc = org.apache.spark.sql.Encoders.row(proj.schema)
+    proj.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(idCol))
       .mapPartitions { it =>
-        var curKey = Long.MinValue
+        var curKey: Any = null
+        var haveKey = false
         var lastKept = Long.MinValue
-        var first = true
-        it.filter { case (k, t, _) =>
-          val newKey = first || k != curKey
-          first = false
+        it.filter { r =>
+          val k = r.get(0)
+          val t = r.getLong(1)
+          val newKey = !haveKey || k != curKey
+          haveKey = true
           if (newKey) { curKey = k; lastKept = t; true }
           else if (t - lastKept >= gapMicros) { lastKept = t; true }
           else false
         }
-      }
-      .toDF(keyCol, tsCol, idCol)
+      }(enc)
   }
 }

@@ -235,18 +235,20 @@ object DataQuality {
     val counts = df.where(col(valueCol).isNotNull)
       .groupBy((byCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    // argmax by (count, then smallest value): max_by over a struct whose
-    // ordering is (count asc, value DESC-via-negation impossible for
-    // strings) — instead min_by over (-count, value) keeps it exact
+    // argmax by (count desc, then smallest value): min over a struct of
+    // (-count, value) — the VALUE keeps its native type so the tie-break
+    // is the column's own ordering ('9' before '10' for numerics), not
+    // lexicographic string order
     val mode = counts
       .groupBy(byCols.map(col): _*)
       .agg(min(struct((-col("__n")).as("__negn"),
-        col(valueCol).cast("string").as("__v"))).as("__m"))
+        col(valueCol).as("__v"))).as("__m"))
       .select(byCols.map(col) :+ col("__m.__v").as("__mode"): _*)
-    val origType = df.schema(valueCol).dataType
-    df.join(broadcast(mode), byCols, "left")
-      .withColumn(valueCol,
-        coalesce(col(valueCol), col("__mode").cast(origType)))
+    // no forced broadcast: the mode table is group-cardinality-sized,
+    // usually tiny, but high-cardinality byCols could OOM the driver —
+    // AQE's size-based join pick makes the call instead
+    df.join(mode, byCols, "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__mode")))
       .select(df.columns.map(col): _*) // original order, __mode dropped
   }
 }

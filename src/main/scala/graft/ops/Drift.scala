@@ -96,7 +96,11 @@ object Drift {
     cum.agg(max(struct(col("d_num"),
         (-col("v").cast("double")).as("__negv"))).as("__m"))
       .select((-col("__m.__negv")).as("split_value"),
-        lit(ra).as("n_a"), lit(rb).as("n_b"), col("__m.d_num").as("d_num"),
+        lit(ra).as("n_a"), lit(rb).as("n_b"),
+        // the argmax runs on the EXACT decimal; the reported numerator is
+        // a double (a diagnostic — `d` is the statistic) so the output
+        // schema carries no engine-specific decimal widening
+        col("__m.d_num").cast("double").as("d_num"),
         (col("__m.d_num").cast("double")
           / lit(ra.toDouble * rb.toDouble)).as("d"))
   }
@@ -138,7 +142,9 @@ object Drift {
       .select(col("category"), col("n_a"), col("n_b"),
         (col("n_a").cast("double") / col("__ta")).as("share_a"),
         (col("n_b").cast("double") / col("__tb")).as("share_b"),
-        when(raw < 0, -raw).otherwise(raw).cast(dec).as("l1_num"),
+        // exact decimal internally; reported as double (delta is the
+        // statistic) to keep the output schema decimal-free
+        when(raw < 0, -raw).otherwise(raw).cast("double").as("l1_num"),
         (when(raw < 0, -raw).otherwise(raw).cast("double")
           / (col("__ta").cast("double") * col("__tb").cast("double")))
           .as("delta"))
@@ -163,8 +169,12 @@ object Drift {
   def centroidDrift(a: DataFrame, b: DataFrame,
       labelCol: String = "label"): DataFrame = {
     val scale = Similarity.FixedScale
+    // the label keeps its NATIVE type end-to-end: nothing in the
+    // algorithm needs a numeric label, and a silent cast("long") would
+    // turn string labels ('en', 'spam') into NULL, collapsing every
+    // class into one null-label centroid
     def expl(df: DataFrame, g: Int) =
-      df.select(col(labelCol).cast("long").as("label"),
+      df.select(col(labelCol).as("label"),
           posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("label"), col("d"), lit(g).as("__g"),
           round(col("x").cast("double") * scale).cast("decimal(38,0)")

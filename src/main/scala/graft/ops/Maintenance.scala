@@ -132,6 +132,14 @@ object Maintenance {
     val spark = df.sparkSession
     val next = committedVersions(spark, baseDir)
       .map(_._1).foldLeft(0L)(math.max) + 1L
+    // crash recovery: a data/v=N directory that is NOT in `_versions` is
+    // the orphan of a publish that died between data write and metadata
+    // append — no reader can ever have observed it (readSnapshot only
+    // serves committed versions), so reclaim it here instead of wedging
+    // every future publish on mode("errorifexists")
+    val dataPath = new Path(s"$baseDir/data/v=$next")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dataPath)) fs.delete(dataPath, true)
     df.write.mode("errorifexists").parquet(s"$baseDir/data/v=$next")
     val n = spark.read.parquet(s"$baseDir/data/v=$next").count()
     import spark.implicits._
@@ -187,13 +195,25 @@ object Maintenance {
     else {
       val kept = committed.takeRight(keepLast)
       import spark.implicits._
-      // metadata first here (the inverse of publish): once `_versions`
-      // lists only the survivors, readers cannot observe a half-deleted
-      // version even if the directory removals below are interrupted
-      kept.toDF("version", "n_rows")
-        .coalesce(1).write.mode("overwrite").parquet(s"$baseDir/_versions")
       val fs = new Path(baseDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // metadata first here (the inverse of publish): once `_versions`
+      // lists only the survivors, readers cannot observe a half-deleted
+      // version even if the directory removals below are interrupted.
+      // The survivor list is staged to a temp directory and swapped in
+      // by delete+rename — a concurrent reader's exposure window is two
+      // filesystem metadata ops, not a whole Spark write job (a reader
+      // landing exactly inside the swap sees "never published" and
+      // should retry; full isolation needs quiesced readers)
+      val tmp = new Path(s"$baseDir/_versions.tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      kept.toDF("version", "n_rows")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val cur = new Path(s"$baseDir/_versions")
+      fs.delete(cur, true)
+      if (!fs.rename(tmp, cur))
+        throw new IllegalStateException(
+          s"vacuumSnapshots: rename $tmp -> $cur failed")
       dropped.foreach { case (v, _) =>
         fs.delete(new Path(s"$baseDir/data/v=$v"), true)
       }

@@ -114,7 +114,11 @@ object TimeSeries {
     * element (an actual data value at rank ceil(n/2) of the sorted
     * frame — the quantile_disc convention every robust op in this
     * engine shares), so the output doubles are bit-copies of inputs and
-    * replay exactly on any engine.
+    * replay exactly on any engine. The frame is the non-null
+    * OBSERVATIONS among the trailing k rows: NULL values neither enter
+    * the sorted frame nor count toward `n_frame` (collect_list skips
+    * them), matching a `count(value) OVER w` replay — a row whose value
+    * is missing is not an observation.
     *
     * Shape at scale: one key-partitioned window whose state is the
     * k-bounded frame — collect/sort cost is O(k log k) per row with k a

@@ -5372,9 +5372,13 @@ object ExtensionQueries {
 
     // Replay of TimeSeries.rollingMedian: quantile_disc over the same
     // 5-row trailing frame picks the identical lower-middle data value.
+    // count(value) not count(*): the operator's frame is the non-null
+    // OBSERVATIONS in the trailing k rows (collect_list skips NULLs,
+    // and quantile_disc ignores them on this side) — counting all rows
+    // would diverge the moment valueCol carries a NULL.
     "events_rolling_median" -> """
       SELECT event_id, user_id,
-        count(*) OVER w AS n_frame,
+        count(value) OVER w AS n_frame,
         quantile_disc(value, 0.5) OVER w AS rolling_median
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -5760,7 +5764,8 @@ object ExtensionQueries {
           THEN 1 ELSE 0 END) AS v3,
         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v4
         FROM lineitem)
-      SELECT rule_name, n_violations, n_rows,
+      SELECT rule_name, CAST(n_violations AS BIGINT) AS n_violations,
+        CAST(n_rows AS BIGINT) AS n_rows,
         CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
       FROM (
         SELECT 'qty_in_1_45' AS rule_name, v0 AS n_violations, n AS n_rows
@@ -5878,7 +5883,7 @@ object ExtensionQueries {
                 AS c_fp
             FROM p JOIN n USING (conv_id))
       SELECT touch_id, count(*) AS n_conversions,
-        sum(c_fp) AS credit_fp,
+        CAST(sum(c_fp) AS BIGINT) AS credit_fp,
         CAST(sum(c_fp) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS credit
       FROM f GROUP BY touch_id ORDER BY touch_id""",
 
@@ -5912,7 +5917,8 @@ object ExtensionQueries {
               row_number() OVER (ORDER BY cf DESC, term) AS rank
               FROM cf ORDER BY cf DESC, term LIMIT $HeadK)
       SELECT rank, term, cf,
-        sum(cf) OVER (ORDER BY rank) AS cum_cf, total_tokens,
+        CAST(sum(cf) OVER (ORDER BY rank) AS BIGINT) AS cum_cf,
+        CAST(total_tokens AS BIGINT) AS total_tokens,
         CAST(sum(cf) OVER (ORDER BY rank) AS DOUBLE) / total_tokens
           AS coverage
       FROM top CROSS JOIN tot ORDER BY rank""",
@@ -5955,9 +5961,11 @@ object ExtensionQueries {
             (e - 1) // ${UtilBucketSec * 1000000L})) AS bkt
         FROM iv)
       SELECT user_id,
-        bkt * ${UtilBucketSec * 1000000L} AS bucket_start_us,
-        sum(least(e, (bkt + 1) * ${UtilBucketSec * 1000000L})
-          - greatest(s, bkt * ${UtilBucketSec * 1000000L})) AS overlap_us
+        CAST(bkt * ${UtilBucketSec * 1000000L} AS BIGINT)
+          AS bucket_start_us,
+        CAST(sum(least(e, (bkt + 1) * ${UtilBucketSec * 1000000L})
+          - greatest(s, bkt * ${UtilBucketSec * 1000000L})) AS BIGINT)
+          AS overlap_us
       FROM b GROUP BY 1, 2 ORDER BY user_id, bucket_start_us""",
 
     // Replay of Graph.personalizedPagerank: the pagerank unrolled replay
@@ -6044,9 +6052,10 @@ object ExtensionQueries {
                     abs(CAST(ca AS HUGEINT) * (SELECT tb FROM t)
                       - CAST(cb AS HUGEINT) * (SELECT ta FROM t)) AS d_num
                   FROM c)
-      SELECT v AS split_value, (SELECT ta FROM t) AS n_a,
-        (SELECT tb FROM t) AS n_b,
-        CAST(d_num AS DECIMAL(38,0)) AS d_num,
+      SELECT v AS split_value,
+        CAST((SELECT ta FROM t) AS BIGINT) AS n_a,
+        CAST((SELECT tb FROM t) AS BIGINT) AS n_b,
+        CAST(d_num AS DOUBLE) AS d_num,
         CAST(d_num AS DOUBLE)
           / (CAST((SELECT ta FROM t) AS DOUBLE)
             * CAST((SELECT tb FROM t) AS DOUBLE)) AS d
@@ -6071,7 +6080,7 @@ object ExtensionQueries {
         CAST(n_b AS DOUBLE) / (SELECT tb FROM t) AS share_b,
         CAST(abs(CAST(n_a AS HUGEINT) * (SELECT tb FROM t)
                - CAST(n_b AS HUGEINT) * (SELECT ta FROM t))
-          AS DECIMAL(38,0)) AS l1_num,
+          AS DOUBLE) AS l1_num,
         CAST(abs(CAST(n_a AS HUGEINT) * (SELECT tb FROM t)
                - CAST(n_b AS HUGEINT) * (SELECT ta FROM t)) AS DOUBLE)
           / (CAST((SELECT ta FROM t) AS DOUBLE)
@@ -6095,7 +6104,8 @@ object ExtensionQueries {
             THEN CAST(round(v * 1048576.0) AS DECIMAL(38,0)) END) AS sb,
           SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb
         FROM x GROUP BY label, d)
-      SELECT label, d - 1 AS d, na AS n_a, nb AS n_b,
+      SELECT label, d - 1 AS d,
+        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         round(abs(sa::DOUBLE / na - sb::DOUBLE / nb) / 1048576.0, 6)
           AS delta
       FROM s WHERE na > 0 AND nb > 0 ORDER BY label, d""",
@@ -6152,7 +6162,9 @@ object ExtensionQueries {
           ON l_orderkey = pk),
       u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
             UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
-      SELECT fk_name, n_rows, n_null_keys, n_orphan_rows, n_orphan_keys,
+      SELECT fk_name, n_rows,
+        CAST(n_null_keys AS BIGINT) AS n_null_keys,
+        CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows, n_orphan_keys,
         CAST(n_orphan_rows AS DOUBLE) / (n_rows - n_null_keys)
           AS orphan_rate
       FROM u ORDER BY fk_name""",
@@ -6164,9 +6176,11 @@ object ExtensionQueries {
            g AS (SELECT l_partkey, count(*) AS imgs, sum(n) AS nr
                  FROM p GROUP BY 1)
       SELECT count(*) AS n_groups,
-        sum(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS n_violating_groups,
-        sum(nr) AS n_rows,
-        sum(CASE WHEN imgs > 1 THEN nr ELSE 0 END) AS n_rows_in_violating,
+        CAST(sum(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating_groups,
+        CAST(sum(nr) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN imgs > 1 THEN nr ELSE 0 END) AS BIGINT)
+          AS n_rows_in_violating,
         CAST(sum(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
           / count(*) AS violation_rate
       FROM g""",

@@ -14,7 +14,7 @@ class DriftSpec extends SparkSpec {
     // d_num = |cumA*4 - cumB*4| = 4, 8, 4, 0 -> max 8 at v=2
     assert(r.getAs[Double]("split_value") == 2.0)
     assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
-    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact == 8L)
+    assert(r.getAs[Double]("d_num") == 8.0)
     assert(r.getAs[Double]("d") == 0.5)
   }
 
@@ -24,7 +24,7 @@ class DriftSpec extends SparkSpec {
     val r = Drift.ksStatistic(a, b, "v").collect().head
     // d_num = 2 at v=1 and v=3 -> smallest value wins
     assert(r.getAs[Double]("split_value") == 1.0)
-    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact == 2L)
+    assert(r.getAs[Double]("d_num") == 2.0)
   }
 
   test("ksStatistic: identical samples give D = 0 and ignore NULLs") {
@@ -32,7 +32,7 @@ class DriftSpec extends SparkSpec {
     val b = Seq(Some(1.0), Some(2.0)).toDF("v")
     val r = Drift.ksStatistic(a, b, "v").collect().head
     assert(r.getAs[Long]("n_a") == 2L) // NULL dropped
-    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact == 0L)
+    assert(r.getAs[Double]("d_num") == 0.0)
     assert(r.getAs[Double]("d") == 0.0)
   }
 
@@ -54,7 +54,7 @@ class DriftSpec extends SparkSpec {
     // nA = 4, nB = 2
     val byCat = out.map(r => Option(r.getString(0)) ->
       (r.getLong(1), r.getLong(2),
-        r.getAs[java.math.BigDecimal](5).longValueExact)).toMap
+        r.getAs[Double](5).toLong)).toMap
     assert(byCat(Some("x")) == ((2L, 1L, 0L)))   // |2*2 - 1*4| = 0
     assert(byCat(Some("y")) == ((1L, 0L, 2L)))   // |1*2 - 0| = 2
     assert(byCat(Some("z")) == ((0L, 1L, 4L)))   // |0 - 1*4| = 4

@@ -61,6 +61,27 @@ def main():
     # prefer the full-precision detail record (carries rep_totals); the
     # compact contract line is for the bounded-tail consumer
     now = next((c for c in cand if c.get("metric") == "detail"), cand[-1])
+    if now.get("metric") != "detail":
+        # graft.Bench also persists the detail record as a FILE
+        # (BENCH_detail.json, repo root) precisely because the driver's
+        # 2 KB stdout tail drops it — fall back to that so all queries
+        # stay regressionable even from a compact-only record
+        detail_path = os.path.join(HERE, "..", "BENCH_detail.json")
+        if os.path.exists(detail_path):
+            try:
+                with open(detail_path) as f:
+                    d = json.loads(f.read().strip())
+                if d.get("metric") == "detail":
+                    if d.get("sf") != now.get("sf"):
+                        print(f"note: BENCH_detail.json sf={d.get('sf')} "
+                              f"differs from record sf={now.get('sf')}; "
+                              "ignoring the detail file")
+                    else:
+                        print("note: using BENCH_detail.json for the full "
+                              "per-query map (stdout record was compact)")
+                        now = d
+            except (json.JSONDecodeError, OSError):
+                pass
     if now.get("omitted"):
         print(f"note: compact record omits {now['omitted']} fastest queries "
               "(full-precision detail line unavailable); totals cover the "
