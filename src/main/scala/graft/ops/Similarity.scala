@@ -602,6 +602,53 @@ object Similarity {
       .select("q_id", "q_label", "n_id", "n_label", "cosine", "rank")
   }
 
+  /** Margin-based bitext mining (the Artetxe & Schwenk 2019 margin
+    * criterion, "distance margin" variant): candidate translation pairs
+    * between two embedding sides. For each vector on side `a`, its best
+    * and second-best cosine neighbors on side `b`; the margin is the gap
+    * between them. A high best-score alone is not enough — hub vectors
+    * score high against EVERYTHING — so the margin demands the best
+    * match beat the runner-up decisively; margin filtering, not raw
+    * cosine thresholding, is the standard mined-bitext quality gate.
+    *
+    * Output per side-a vector clearing `minMargin`:
+    * (q_id, n_id, cosine, runner_up, margin) with
+    * margin = cosine − runner_up over the 6dp-rounded scores — the
+    * difference of two bit-identical doubles, deliberately NOT
+    * re-rounded (a second rounding would sit on exact midpoints where
+    * HALF_UP and C round disagree). A side-b of one vector has no
+    * runner-up: runner_up is 0.0 and the margin degenerates to the
+    * score itself.
+    *
+    * Shape at scale: side `a` is the broadcast query side (mining is
+    * usually sample-vs-corpus); side `b` never shuffles — the
+    * [[bruteTopK]] broadcast-nested-loop shape at k=2 plus one window
+    * over the candidate slice. For corpus×corpus mining run the same
+    * margin over the persisted IVF index's probed candidates instead.
+    */
+  def bitextMine(a: DataFrame, b: DataFrame,
+      minMargin: Double): DataFrame = {
+    val qv = broadcast(withNorm(a))
+    val cv = withNorm(b)
+    val pairs = qv
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(cv, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosineFromNorms("q_emb", "embedding", "q_nrm", "nrm").as("cosine"))
+    topK(pairs, 2)
+      .groupBy("q_id")
+      .agg(
+        max(when(col("rank") === 1,
+          struct(col("cosine"), col("n_id")))).as("__best"),
+        max(when(col("rank") === 2, col("cosine"))).as("__second"))
+      .select(col("q_id"), col("__best.n_id").as("n_id"),
+        col("__best.cosine").as("cosine"),
+        coalesce(col("__second"), lit(0d)).as("runner_up"))
+      .withColumn("margin", col("cosine") - col("runner_up"))
+      .where(col("margin") >= minMargin)
+  }
+
   /** Recall@k of the sign-LSH ANN path against exact brute-force ground
     * truth, per query: (q_id, hits, recall) where `hits` counts ANN
     * results appearing in the exact top-k and recall = hits/k. The

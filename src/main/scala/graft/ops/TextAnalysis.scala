@@ -134,6 +134,58 @@ object TextAnalysis {
           lit(chunkSize))).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Corpus-frequency boilerplate removal (the RefinedWeb / CCNet
+    * line-dedup rule, tokenized form): chunk every document into
+    * non-overlapping `window`-token segments; a segment TEXT appearing in
+    * at least `minDocs` DISTINCT documents is boilerplate (cookie
+    * banners, navigation, license footers — text repeated ACROSS the
+    * corpus rather than within a document), and ALL its occurrences are
+    * removed everywhere; surviving segments reassemble in order.
+    *
+    * Complementary to [[graft.ops.Dedup.passages]]: passages keeps the
+    * FIRST occurrence of any repeated chunk (near-dup pruning), while
+    * boilerplate removal deletes EVERY occurrence of corpus-frequent
+    * chunks — they are noise wherever they appear — and leaves rare
+    * repeats untouched. Documents whose every segment is boilerplate
+    * stay in the output with empty `clean_text` (dropping them is a
+    * retention decision for a later filter, not this operator's call).
+    *
+    * Output: (doc_id, n_chunks, n_kept, clean_text).
+    *
+    * Shape at scale: chunking is a narrow explode; the document-
+    * frequency table is (chunk_text, doc) distinct + count, both
+    * map-side-combined and keyed on the chunk text; the boilerplate set
+    * (segments above `minDocs`) is tiny relative to the corpus, so the
+    * anti join back is AQE-broadcastable; reassembly is one per-doc
+    * aggregate. The corpus shuffles once, on the chunk key.
+    */
+  def boilerplateChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // persisted: the chunk table feeds the frequency pass, the anti join
+    // and the per-doc totals — one explode, three consumers
+    val ch = graft.util.Caches.persist(
+      chunk(df, idCol, textCol, chunkSize = window, overlap = 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text")))
+    val boiler = ch.select("chunk_text", "doc_id").distinct()
+      .groupBy("chunk_text").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("chunk_text")
+    val kept = ch.join(boiler, Seq("chunk_text"), "left_anti")
+    val totals = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_id"),
+          col("chunk_text").as("__t")))),
+        s => s.getField("__t"))).as("clean_text"))
+    totals.join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Gopher-style repetition signals: how much of a document is the same
     * word n-gram repeated. High `dup_ngram_frac` / `top_ngram_frac` means
     * boilerplate or degenerate generation — the standard pre-training

@@ -88,6 +88,8 @@ object ExtensionQueries {
   private val AttrWindowSec = 3600L
   private val SkewTopK = 20
   private val HeadK = 50
+  private val BoilerMinDocs = 2
+  private val BitextMinMargin = 0.01
   // CUSUM: drift target ~= corpus mean, half-sigma slack, alarm at 10x
   private val CusumTarget = 50.0
   private val CusumSlack = 5.0
@@ -595,6 +597,17 @@ object ExtensionQueries {
       // eval every b/r/nBits retune must re-run
       val e = embs(spark, dir)
       Similarity.annRecall(e, e.where(col("vec_id") < NQueryVecs), TopK)
+        .orderBy("q_id")
+    },
+
+    "bitext_mine" -> { (spark, dir) =>
+      // margin-criterion bitext mining: the even/odd vec_id halves stand
+      // in for the two language sides
+      val e = embs(spark, dir)
+      Similarity.bitextMine(
+          e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1),
+          minMargin = BitextMinMargin)
         .orderBy("q_id")
     },
 
@@ -1216,6 +1229,14 @@ object ExtensionQueries {
     "dedup_passages" -> { (spark, dir) =>
       Dedup.passages(docs(spark, dir), "doc_id", "text", window = 8)
         .select("doc_id", "n_chunks", "n_kept", "clean_text")
+        .orderBy("doc_id")
+    },
+
+    "text_boilerplate" -> { (spark, dir) =>
+      // RefinedWeb-style corpus-frequency boilerplate removal: every
+      // occurrence of a cross-document-repeated chunk is deleted
+      TextAnalysis.boilerplateChunks(docs(spark, dir), "doc_id", "text",
+          window = 8, minDocs = BoilerMinDocs)
         .orderBy("doc_id")
     },
 
@@ -3096,6 +3117,29 @@ object ExtensionQueries {
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
 
+    // Replay of Similarity.bitextMine: top-2 cosine neighbors across the
+    // parity split, margin = best − runner-up over the 6dp-rounded
+    // scores (NOT re-rounded — a second rounding would sit on exact
+    // midpoints); missing runner-up degrades to 0.
+    "bitext_mine" -> s"""
+      WITH sa AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+           sb AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+      scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${cosD("a", "b")} AS cosine
+        FROM sa a JOIN sb b ON a.vec_id != b.vec_id),
+      rk AS (SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+             FROM scored),
+      p AS (SELECT q_id,
+              max(CASE WHEN rank = 1 THEN n_id END) AS n_id,
+              max(CASE WHEN rank = 1 THEN cosine END) AS cosine,
+              coalesce(max(CASE WHEN rank = 2 THEN cosine END),
+                CAST(0 AS DOUBLE)) AS runner_up
+            FROM rk WHERE rank <= 2 GROUP BY q_id)
+      SELECT q_id, n_id, cosine, runner_up, cosine - runner_up AS margin
+      FROM p WHERE cosine - runner_up >= CAST('$BitextMinMargin' AS DOUBLE)
+      ORDER BY q_id""",
+
     // Replay of Similarity.annRecall: the similarity_topk truth set LEFT
     // JOINed with the similarity_ann approximate set — count(hits)/k.
     "ann_recall" -> s"""${signBandCtes(16, 4)}, truth AS (
@@ -4187,6 +4231,32 @@ object ExtensionQueries {
       SELECT doc_id, MAX(nch)::BIGINT AS n_chunks, COUNT(*)::BIGINT AS n_kept,
         string_agg(ct, ' ' ORDER BY cid) AS clean_text
       FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.boilerplateChunks: chunks repeated in >=
+    // minDocs DISTINCT docs are removed EVERYWHERE (vs passages'
+    // keep-first); fully-boilerplate docs survive with empty text.
+    "text_boilerplate" -> s"""
+      WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          greatest(1, (len(string_split(text, ' ')) + 7) // 8) AS nc
+        FROM documents),
+      ch AS (
+        SELECT doc_id, cid,
+          array_to_string(w[cid*8+1 : cid*8+8], ' ') AS ct
+        FROM ws, unnest(generate_series(0, nc-1)) AS t(cid)),
+      bo AS (SELECT ct FROM (
+               SELECT ct, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+             WHERE nd >= $BoilerMinDocs),
+      k AS (SELECT * FROM ch WHERE ct NOT IN (SELECT ct FROM bo)),
+      tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+              FROM ch GROUP BY 1),
+      re AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(ct, ' ' ORDER BY cid) AS clean_text
+             FROM k GROUP BY 1)
+      SELECT tot.doc_id, n_chunks,
+        coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        coalesce(clean_text, '') AS clean_text
+      FROM tot LEFT JOIN re USING (doc_id) ORDER BY tot.doc_id""",
 
     // Replay of Profile.outliers: per-type fixed-point (x2^20) moments,
     // |value - mean| > 3 sigma, z rounded 6dp.

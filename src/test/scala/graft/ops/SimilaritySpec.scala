@@ -393,4 +393,35 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.embeddingHealth(df, "embedding", dim = 2).head
     assert(r.getAs[Long]("n_bad_dim") == 1L && r.isNullAt(4))
   }
+
+  test("bitextMine: margin = best minus runner-up, threshold filters") {
+    val a = Seq(
+      (10L, Array(1.0f, 0.0f)),  // best b20 (1.0), runner-up b21 (0.8)
+      (11L, Array(0.6f, 0.8f))   // best b21 (0.96), runner-up b22 (0.8)
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (20L, Array(1.0f, 0.0f)),
+      (21L, Array(0.8f, 0.6f)),
+      (22L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(a, b, minMargin = 0.1)
+      .orderBy("q_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(10L) == ((20L, 1.0, 0.8, 0.19999999999999996)))
+    assert(out(11L) == ((21L, 0.96, 0.8, 0.15999999999999992)))
+    // a tighter margin keeps only the decisive pair
+    val tight = Similarity.bitextMine(a, b, minMargin = 0.18).collect()
+    assert(tight.map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("bitextMine: single-vector side b degrades margin to the score") {
+    val a = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((20L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val r = Similarity.bitextMine(a, b, minMargin = 0.5).collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(2) == 0.8 && r.head.getDouble(3) == 0.0
+      && r.head.getDouble(4) == 0.8)
+  }
 }

@@ -411,4 +411,34 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = enc.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"must stay narrow:\n$plan")
   }
+
+  test("boilerplateChunks removes cross-doc chunks everywhere, keeps rare") {
+    val df = Seq(
+      (1L, "a b u v"),  // "a b" shared -> removed; "u v" kept
+      (2L, "a b w z"),
+      (3L, "q r q r"),  // within-doc repeat only: ONE distinct doc -> kept
+      (4L, "a b")       // fully boilerplate -> empty clean_text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateChunks(df, "doc_id", "text",
+        window = 2, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "u v")))
+    assert(out(2L) == ((2L, 1L, "w z")))
+    assert(out(3L) == ((2L, 2L, "q r q r")))
+    assert(out(4L) == ((1L, 0L, "")))
+  }
+
+  test("boilerplateChunks preserves segment order on reassembly") {
+    val df = Seq(
+      (1L, "x x k1 k1 x x k2 k2 x x"), // shared "x x" interleaved
+      (2L, "x x")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateChunks(df, "doc_id", "text",
+        window = 2, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == "k1 k1 k2 k2")
+    assert(out(1).getString(3) == "")
+  }
 }
