@@ -412,13 +412,21 @@ object Graph {
       und.select(col("a"), col("b"))
         .union(und.select(col("b").as("a"), col("a").as("b"))))
     val nodes = sym.select(col("a").as("node")).distinct()
+    // seed with B_1 = {v} ∪ N(v) built DIRECTLY: registers of a set are
+    // per-bucket maxima over its members, so aggregating the V+E
+    // (node, member) rows in one pass produces bit-identical registers
+    // to a {v}-seed plus one merge round — one join+agg round saved per
+    // loop (half the rounds at the radius-2 gate). sym's (a, b) rows are
+    // distinct by construction (und is an edge set), so no dedup needed.
+    val members1 = nodes.select(col("node"), col("node").as("__member"))
+      .unionAll(sym.select(col("a").as("node"), col("b").as("__member")))
     // materialize-and-evict only BETWEEN rounds (lineage truncation for
     // the next iteration); the final round flows straight into its
     // consumer — a last-round count() would pay one extra full
     // materialization per loop for lineage nobody re-reads
     var regs = graft.util.Caches.persist(
-      Sketches.hllRegisters(nodes, col("node"), Seq("node"), m))
-    for (r <- 1 to radius) {
+      Sketches.hllRegisters(members1, col("__member"), Seq("node"), m))
+    for (r <- 2 to radius) {
       val contrib = sym
         .join(regs.withColumnRenamed("node", "b"), "b")
         .select(col("a").as("node"), col("__b"), col("__m"))
@@ -434,10 +442,13 @@ object Graph {
     val est = Sketches.hllEstimate(regs, Seq("node"), m)
       .withColumnRenamed("hll_estimate", "ball_estimate")
     // exact calibration ball via iterated distinct BFS pairs — the
-    // quadratic thing the registers replace; fine at gate scale
+    // quadratic thing the registers replace; fine at gate scale. Seeded
+    // at B_1 like the register loop (self ∪ neighbors, both pair sets
+    // distinct by construction).
     var reach = graft.util.Caches.persist(
-      nodes.select(col("node").as("start"), col("node").as("x")))
-    for (r <- 1 to radius) {
+      nodes.select(col("node").as("start"), col("node").as("x"))
+        .unionAll(sym.select(col("a").as("start"), col("b").as("x"))))
+    for (r <- 2 to radius) {
       val next = reach.unionAll(
           reach.join(sym.select(col("a").as("x"), col("b").as("__nx")),
             "x")
