@@ -260,6 +260,24 @@ object ScaleProbe {
           docs.withColumn("doc_id", col("doc_id") + 100000000L), d,
           "doc_id", "text", threshold = 0.9).count()
       }
+      // round 10: boilerplate removal — amplified copies multiply every
+      // chunk's DISTINCT-doc frequency, so the boilerplate set saturates
+      // (at x>=2 every chunk crosses minDocs); time must track the
+      // explode + one chunk-keyed shuffle, never candidates²
+      t("boilerplate") {
+        graft.ops.TextAnalysis.boilerplateChunks(
+          d, "doc_id", "text", window = 8, minDocs = 2).count()
+      }
+      // round 10: bitext margin mining — fixed broadcast query side vs
+      // an Nx corpus side: the BNL scales with |B| per query, linear in
+      // the corpus, and the top-2 window runs on the group-limited slice
+      t("bitext") {
+        Similarity.bitextMine(
+          embs.where(col("vec_id") % 2 === 0)
+            .where(col("vec_id") < 500),
+          e.where(col("vec_id") % 2 === 1),
+          minMargin = 0.01).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -94,6 +94,34 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("snapshots: a crashed publish's orphan is reclaimed, not wedging") {
+    val base = Files.createTempDirectory("m_reclaim").toString + "/t"
+    Maintenance.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), base)
+    // simulate the crash: data/v=2 written, _versions row never landed
+    Seq((9L, "x")).toDF("id", "v").write.parquet(s"$base/data/v=2")
+    // the next publish computes v=2 again; it must reclaim the orphan
+    // and succeed instead of failing on mode("errorifexists")
+    val v2 = Maintenance.publishSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), base)
+    assert(v2 == 2L)
+    assert(Maintenance.readSnapshot(spark, base, Some(2L)).count() == 2)
+    // the orphan's row (9, "x") is gone — the reclaim deleted it
+    assert(Maintenance.readSnapshot(spark, base, Some(2L))
+      .where($"id" === 9L).count() == 0)
+  }
+
+  test("snapshots: vacuum leaves no _versions.tmp and survivors read") {
+    val base = Files.createTempDirectory("m_vtmp").toString + "/t"
+    (1 to 3).foreach(i => Maintenance.publishSnapshot(
+      (1 to i).map(j => (j.toLong, "x")).toDF("id", "v"), base))
+    Maintenance.vacuumSnapshots(spark, base, keepLast = 1,
+      Map("confirm.truncate" -> "true"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/_versions.tmp")),
+      "staged swap must not leave the temp directory behind")
+    assert(Maintenance.committedVersions(spark, base).map(_._1) == Seq(3L))
+    assert(Maintenance.readSnapshot(spark, base).count() == 3)
+  }
+
   test("snapshots: vacuum needs the latch, keeps the tail, survivors read") {
     val base = Files.createTempDirectory("m_vac").toString + "/t"
     (1 to 3).foreach(i => Maintenance.publishSnapshot(
