@@ -37,7 +37,13 @@ def norm(v):
         f = float(v)
         if f != f:
             return "NaN"
-        return f"{f:.17g}"
+        # str(), NOT "%.17g": shortest round-trip repr is still unique per
+        # bit pattern (two doubles differing by 1 ulp stringify apart) but
+        # KEEPS the trailing ".0" — "%.17g" renders float64 2000.0 as
+        # "2000", silently matching an int64 2000 on the other side and
+        # hiding exactly the DuckDB HUGEINT/DECIMAL widening this script
+        # exists to reproduce
+        return str(f)
     if isinstance(v, (np.bool_, bool)):
         return str(int(v))
     if isinstance(v, np.integer):
