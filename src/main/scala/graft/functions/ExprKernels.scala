@@ -300,6 +300,24 @@ object ExprKernels {
       if (k == out.length) out else java.util.Arrays.copyOf(out, k))
   }
 
+  /** Exact Jaccard |A∩B| / |A∪B| over ASCENDING-sorted DISTINCT
+    * array<long> sets in ONE two-pointer pass — no per-pair hash set, no
+    * intermediate array (|A∪B| = na + nb − inter). Two empty sets yield
+    * 0/0 = NaN, matching the size(array_intersect)/size(array_distinct)
+    * formulation this replaces value-for-value.
+    */
+  def sortedJaccardLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { inter += 1; i += 1; j += 1 }
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** 60-bit average-hash (aHash) perceptual fingerprint of a binary
     * payload: bytes fold into 60 strided buckets (position mod 60), and
     * bit j is set when bucket j's AVERAGE is >= the global average —

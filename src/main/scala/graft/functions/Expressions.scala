@@ -269,6 +269,42 @@ object Expressions {
     override def prettyName: String = "sorted_intersect"
   }
 
+  /** Exact set Jaccard over two ASCENDING-sorted distinct array<long>
+    * columns in one fused two-pointer pass
+    * ([[ExprKernels.sortedJaccardLongs]]) — value-identical to
+    * size(array_intersect)/size(array_distinct(concat)) on the same
+    * sets, without either builtin's per-row hash-set allocation (the
+    * [[SortedIntersect]] rationale, applied to the millions-of-pairs
+    * verify stage of the similarity joins).
+    */
+  case class SortedJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression): Boolean = e.dataType match {
+        case ArrayType(LongType, _) => true
+        case _                      => false
+      }
+      if (ok(left) && ok(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> on both sides, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprKernels.sortedJaccardLongs(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Kernels.sortedJaccardLongs($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_jaccard"
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType

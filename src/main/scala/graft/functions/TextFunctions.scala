@@ -125,6 +125,17 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
+  /** [[jaccard]] over ASCENDING-sorted distinct arrays via the fused
+    * one-pass kernel ([[Expressions.SortedJaccard]]) — value-identical,
+    * no per-pair hash-set allocation. Inputs MUST be sorted ascending
+    * (sort_array the shingle column once per document, not per pair).
+    */
+  def sortedJaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Expressions.SortedJaccard(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Code-point Shannon entropy (nats, 6dp) — native codegen'd expression
     * ([[Expressions.CharEntropy]]) with the micro-nat determinism
     * contract; one histogram pass per row, no per-character explode.

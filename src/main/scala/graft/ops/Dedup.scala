@@ -101,8 +101,11 @@ object Dedup {
     * [[TextFunctions.hashedWordNgrams]] for the engine-portable hashing.
     */
   private def shingled(df: DataFrame, idCol: String, textCol: String, shingleN: Int) =
+    // sorted ascending ONCE per document: MinHashSig is order-independent
+    // and every verify stage then runs the fused one-pass sorted-Jaccard /
+    // sorted-intersect kernels instead of per-pair hash sets
     df.select(col(idCol).as("doc_id"),
-      T.hashedWordNgrams(col(textCol), shingleN).as("shingles"))
+      sort_array(T.hashedWordNgrams(col(textCol), shingleN)).as("shingles"))
 
   /** MinHash-LSH candidate pairs verified by exact Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 6dp.
@@ -134,7 +137,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(T.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -175,7 +178,7 @@ object Dedup {
       .join(shS.select(col("doc_id").as("seen_id"),
         col("shingles").as("sh_b")), "seen_id")
       .select(col("new_id"), col("seen_id"),
-        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(T.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -212,7 +215,13 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    // shingle sets are sorted (see shingled): two-pointer kernel, no
+    // per-pair hash set
+    val inter = size(org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Expressions.SortedIntersect(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sh_a")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sh_b")))))
+      .cast("double")
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -537,7 +546,7 @@ object Dedup {
       blockCols: Seq[String], n: Int = 5, bucketWidth: Int = 50,
       threshold: Double = 0.7, sampleMod: Int = 4,
       maxBlock: Int = 1024, lshBands: Int = 8): DataFrame = {
-    val sampled = T.hashedCharNgrams(col(textCol), n, sampleMod)
+    val sampled = sort_array(T.hashedCharNgrams(col(textCol), n, sampleMod))
     val sh = df.select(
       Seq(col(idCol).as("doc_id"),
         sampled.as("shingles"),
@@ -553,7 +562,7 @@ object Dedup {
     val smallPairs = small.as("x").join(small.as("y"), keys)
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(T.jaccard(col("x.shingles"), col("y.shingles")), 6).as("jaccard"))
+        round(T.sortedJaccard(col("x.shingles"), col("y.shingles")), 6).as("jaccard"))
     val big = sized.where(col("count") > maxBlock)
       .select(col("doc_id") +: keys.map(col)
         :+ posexplode(T.minhashSig(col("shingles"), lshBands)): _*)
@@ -569,7 +578,7 @@ object Dedup {
       .join(shCached.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shCached.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(T.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
     smallPairs.union(bigPairs).where(col("jaccard") >= threshold)
   }
 
@@ -605,8 +614,13 @@ object Dedup {
       n: Int = 5, sampleMod: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
+    // shingles sorted ONCE per document: the verify stage then runs the
+    // fused one-pass sorted-Jaccard kernel per candidate pair instead of
+    // array_intersect/array_distinct hash sets (the triangle-count
+    // lesson applied to the millions-of-pairs verify join)
     val sh = df.select(col(idCol).as("doc_id"),
-      T.hashedCharNgrams(col(textCol), n, sampleMod).as("shingles"))
+      sort_array(T.hashedCharNgrams(col(textCol), n, sampleMod))
+        .as("shingles"))
       .where(size(col("shingles")) > 0)
     val shCached = graft.util.Caches.persist(sh)
     val tok = shCached.select(col("doc_id"),
@@ -657,7 +671,7 @@ object Dedup {
       .join(shCached.select(col("doc_id").as("doc_b"),
         col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(T.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(T.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
