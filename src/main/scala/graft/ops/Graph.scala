@@ -129,12 +129,18 @@ object Graph {
       maxGroup: Int = 256): DataFrame = {
     require(maxGroup >= 2, s"maxGroup must be >= 2, got $maxGroup")
     val g = df.select(col(groupCol).as("__g"), col(nodeCol).as("__n")).distinct()
-    val sized = g.withColumn("__gn", count(lit(1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
-    val kept = sized.where(col("__gn") <= maxGroup).drop("__gn")
-    kept.as("x").join(kept.as("y"), col("x.__g") === col("y.__g")
-        && col("x.__n") < col("y.__n"))
-      .select(col("x.__n").as("a"), col("y.__n").as("b"))
+    // one grouped pass builds each group's sorted member list (size-capped
+    // in the same aggregate — the window-count + self-join formulation
+    // this replaces paid a partition sort AND a join for the identical
+    // pair set); pairing each member with the tail slice after it yields
+    // a < b by construction, every within-group pair exactly once
+    val adj = g.groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__n"))).as("__ns"))
+      .where(size(col("__ns")) <= maxGroup)
+    adj
+      .select(posexplode(col("__ns")).as(Seq("__i", "a")), col("__ns"))
+      .select(col("a"), explode(slice(col("__ns"), col("__i") + 2,
+        greatest(size(col("__ns")) - col("__i") - 1, lit(0)))).as("b"))
       .distinct()
   }
 
