@@ -23,6 +23,7 @@ import graft.functions.Expressions
   *  - `hilbert_index_n(array<long> coords, bits)` -> long (Skilling N-D)
   *  - `perceptual_hash(binary)` -> long 60-bit aHash fingerprint
   *  - `sorted_intersect(array<long>, array<long>)` -> array<long>
+  *  - `sorted_jaccard(array<long>, array<long>)` -> double (sorted sets)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -55,6 +56,7 @@ object GraftFunctions {
     case "hilbert_index_n"  => classOf[Expressions.HilbertIndexN].getName
     case "perceptual_hash"  => classOf[Expressions.PerceptualHash].getName
     case "sorted_intersect" => classOf[Expressions.SortedIntersect].getName
+    case "sorted_jaccard"   => classOf[Expressions.SortedJaccard].getName
     case _                  => classOf[Expressions.DotProduct].getName
   }
 
@@ -70,7 +72,8 @@ object GraftFunctions {
     "hilbert_index_n" -> (es =>
       Expressions.HilbertIndexN(es.head, litInt(es(1), "bits"))),
     "perceptual_hash" -> (es => Expressions.PerceptualHash(es.head)),
-    "sorted_intersect" -> (es => Expressions.SortedIntersect(es.head, es(1))))
+    "sorted_intersect" -> (es => Expressions.SortedIntersect(es.head, es(1))),
+    "sorted_jaccard" -> (es => Expressions.SortedJaccard(es.head, es(1))))
 
   /** Register on a live session as temp functions. */
   def register(spark: SparkSession): Unit =

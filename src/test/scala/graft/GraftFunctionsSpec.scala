@@ -48,7 +48,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("minhash_sig", "sign_bits", "simhash_bits", "dot_product",
         "jaro_winkler_sim", "char_entropy", "hilbert_index",
-        "hilbert_index_n", "perceptual_hash", "sorted_intersect"))
+        "hilbert_index_n", "perceptual_hash", "sorted_intersect",
+        "sorted_jaccard"))
+  }
+
+  test("sorted_jaccard from SQL matches the set formulation") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+             sorted_jaccard(array(1L, 2L), array(1L, 2L)) AS eq,
+             sorted_jaccard(array(1L), array(2L)) AS disj
+      """).head()
+    assert(r.getDouble(0) == 0.5) // |{2,3}| / |{1,2,3,4}|
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0)
   }
 
   test("char_entropy, hilbert and perceptual_hash from SQL") {
