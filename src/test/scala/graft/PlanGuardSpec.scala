@@ -27,7 +27,9 @@ class PlanGuardSpec extends SparkSpec {
     // CartesianProduct — the distinction this guard exists to keep)
     "hard_negatives", "ann_recall", "dedup_containment", "text_knn",
     "word_pmi", "text_entropy", "bpe_pair_counts", "sketch_join_size",
-    "multimodal_phash", "hilbert_layout", "sketch_quantile_shards")
+    "multimodal_phash", "hilbert_layout", "sketch_quantile_shards",
+    // round 10
+    "bitext_mine", "text_boilerplate", "dedup_prefix")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>
@@ -121,6 +123,32 @@ class PlanGuardSpec extends SparkSpec {
       val partialIdx = plan.indexOf("partial")
       assert(partialIdx >= 0, s"$name: no partial aggregation:\n$plan")
     }
+  }
+
+  test("co-occurrence edges build without a Window or a self-join") {
+    // round 10: one grouped pass + tail-slice pairing replaced the
+    // window-count + self-join; a regression re-introduces either node
+    val plan = graft.ops.Graph.coOccurrenceEdges(
+        spark.read.parquet(s"$sf001/lineitem.parquet"),
+        "l_orderkey", "l_partkey", maxGroup = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"edge build regained a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"edge build regained a self-join:\n$plan")
+  }
+
+  test("dedup verify stages run the fused sorted-Jaccard kernel") {
+    // round 10: per-pair hash sets (array_intersect / array_distinct)
+    // must not reappear in the similarity-verify projections
+    Seq("dedup_minhash_pairs", "dedup_prefix", "dedup_ngram_jaccard")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf001)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("sorted_jaccard"),
+          s"$name lost the fused kernel:\n$plan")
+        assert(!plan.contains("array_intersect"),
+          s"$name re-grew per-pair hash sets:\n$plan")
+      }
   }
 
   test("upsert merge is one hash shuffle on the key (no sort-merge of full rows twice)") {
