@@ -48,4 +48,44 @@ object Contamination {
         round(coalesce(col("__nc"), lit(0L)).cast("double")
           / col("n_shingles"), 6).as("contamination"))
   }
+
+  /** Per-document NOVELTY against a reference corpus — the inverse
+    * direction of [[check]]: the fraction of a document's distinct
+    * hashed word-n-gram shingles that appear NOWHERE in `reference`.
+    * The freshness/memorization-risk signal of corpus curation (cf. the
+    * novel-n-gram methodology of memorization analyses): low novelty =
+    * the document restates reference content; high = genuinely new text
+    * — the mirror question to contamination's "did eval leak into
+    * train".
+    *
+    * Output: (doc_id, n_shingles, n_novel, novelty ∈ [0,1]).
+    *
+    * 100 TB shape: both sides collapse to hashed-gram tables before any
+    * join — the reference ships DISTINCT gram hashes only (map-side-
+    * combined), never text, and the anti join keys on the gram hash. A
+    * reference whose distinct-gram table is itself too large to join
+    * swaps the anti join for the bloom bitmap machinery
+    * ([[Joins]] bloom semi join) at the price of a bounded
+    * false-already-seen rate.
+    */
+  def novelty(df: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val docSh = df.select(col(idCol).as("doc_id"),
+      T.hashedWordNgrams(col(textCol), shingleN).as("shingles"))
+    // hashedWordNgrams returns each doc's DISTINCT gram set, so the
+    // explode is already (doc, gram)-unique — no distinct needed
+    val docGrams = docSh.select(col("doc_id"), explode(col("shingles")).as("h"))
+    val refGrams = reference
+      .select(explode(T.hashedWordNgrams(col(textCol), shingleN)).as("h"))
+      .distinct()
+    val novel = docGrams.join(refGrams, Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("__nn"))
+    docSh
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"),
+        round(coalesce(col("__nn"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("novelty"))
+  }
 }

@@ -1073,6 +1073,16 @@ object ExtensionQueries {
         .orderBy("eval_id")
     },
 
+    "text_novelty" -> { (spark, dir) =>
+      // novelty of the corpus against a reference slice (every 7th doc
+      // stands in for yesterday's corpus); reference members excluded
+      // from the scored side so their trivial zeros don't dominate
+      val d = docs(spark, dir)
+      Contamination.novelty(d.where(col("doc_id") % 7 =!= 0),
+          d.where(col("doc_id") % 7 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "streaming_foreachbatch" -> { (spark, dir) =>
       // TRUE streaming path, batch-verified: file-source readStream over
       // the events table -> watermarked hourly aggregation -> Complete-mode
@@ -4016,6 +4026,21 @@ object ExtensionQueries {
         COALESCE(nc, 0)::BIGINT AS n_contaminated,
         round(COALESCE(nc, 0)::DOUBLE / len(shingles), 6) AS contamination
       FROM ev LEFT JOIN mc USING (eval_id) ORDER BY eval_id""",
+
+    // Replay of Contamination.novelty: distinct doc grams anti-joined
+    // against the reference slice's distinct gram set.
+    "text_novelty" -> s"""$shingleCtes,
+      dg AS (SELECT doc_id, unnest(shingles) AS h FROM sh
+             WHERE doc_id % 7 != 0),
+      rg AS (SELECT DISTINCT unnest(shingles) AS h FROM sh
+             WHERE doc_id % 7 = 0),
+      nv AS (SELECT doc_id, COUNT(*) AS nn FROM dg
+             WHERE h NOT IN (SELECT h FROM rg) GROUP BY doc_id)
+      SELECT sh.doc_id, len(shingles)::BIGINT AS n_shingles,
+        COALESCE(nn, 0)::BIGINT AS n_novel,
+        round(COALESCE(nn, 0)::DOUBLE / len(shingles), 6) AS novelty
+      FROM sh LEFT JOIN nv ON sh.doc_id = nv.doc_id
+      WHERE sh.doc_id % 7 != 0 ORDER BY sh.doc_id""",
 
     // Replay of TextAnalysis.repetition (word bigrams): same space-split
     // words, same keyed (doc, gram) counts; a doc shorter than one bigram

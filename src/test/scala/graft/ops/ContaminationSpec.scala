@@ -43,4 +43,26 @@ class ContaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval side not broadcast — corpus would shuffle:\n$plan")
   }
+
+  test("novelty: unseen-gram fraction vs a reference corpus") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text") // grams: "a b c", "b c d"
+    val df = Seq(
+      (1L, "a b c d"),    // both grams in the reference -> novelty 0
+      (2L, "x y z w"),    // nothing shared -> novelty 1
+      (3L, "a b c q r s") // 4 grams, one ("a b c") seen -> 3/4
+    ).toDF("doc_id", "text")
+    val out = Contamination.novelty(df, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((4L, 3L, 0.75)))
+  }
+
+  test("novelty of the reference against itself is zero") {
+    val d = Seq((1L, "p q r s"), (2L, "p q r")).toDF("doc_id", "text")
+    val out = Contamination.novelty(d, d, "doc_id", "text").collect()
+    assert(out.forall(_.getDouble(3) == 0.0))
+  }
 }
