@@ -29,7 +29,7 @@ class PlanGuardSpec extends SparkSpec {
     "word_pmi", "text_entropy", "bpe_pair_counts", "sketch_join_size",
     "multimodal_phash", "hilbert_layout", "sketch_quantile_shards",
     // round 10
-    "bitext_mine", "text_boilerplate", "dedup_prefix")
+    "bitext_mine", "text_boilerplate", "dedup_prefix", "text_novelty")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>
