@@ -70,8 +70,13 @@ object Contamination {
     */
   def novelty(df: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
-    val docSh = df.select(col(idCol).as("doc_id"),
-      T.hashedWordNgrams(col(textCol), shingleN).as("shingles"))
+    // persisted: the scored side is the BIG side here (unlike check(),
+    // where the re-shingled side is a small eval suite) and feeds both
+    // the gram explode and the n_shingles projection — without the
+    // persist the md5 shingling of every document runs twice
+    val docSh = graft.util.Caches.persist(
+      df.select(col(idCol).as("doc_id"),
+        T.hashedWordNgrams(col(textCol), shingleN).as("shingles")))
     // hashedWordNgrams returns each doc's DISTINCT gram set, so the
     // explode is already (doc, gram)-unique — no distinct needed
     val docGrams = docSh.select(col("doc_id"), explode(col("shingles")).as("h"))

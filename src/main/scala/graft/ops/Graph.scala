@@ -129,14 +129,23 @@ object Graph {
       maxGroup: Int = 256): DataFrame = {
     require(maxGroup >= 2, s"maxGroup must be >= 2, got $maxGroup")
     val g = df.select(col(groupCol).as("__g"), col(nodeCol).as("__n")).distinct()
-    // one grouped pass builds each group's sorted member list (size-capped
-    // in the same aggregate — the window-count + self-join formulation
-    // this replaces paid a partition sort AND a join for the identical
-    // pair set); pairing each member with the tail slice after it yields
-    // a < b by construction, every within-group pair exactly once
-    val adj = g.groupBy(col("__g"))
+    // the size guard runs BEFORE any member list is collected: a
+    // map-side-combined count per group, then an inner join keeps only
+    // under-cap groups — an oversized group (the stopword-key hazard
+    // maxGroup exists for) is dropped as streamed count rows, never
+    // materialized as an aggregation-buffer array. Both the count and
+    // the join key on __g, so the exchange is shared (ReusedExchange).
+    val sizes = g.groupBy(col("__g")).agg(count(lit(1)).as("__gn"))
+      .where(col("__gn") <= maxGroup)
+      .select(col("__g"))
+    // one grouped pass then builds each kept group's sorted member list
+    // (bounded by maxGroup); pairing each member with the tail slice
+    // after it yields a < b by construction, every within-group pair
+    // exactly once — no window sort, no self-join (the formulation this
+    // replaced paid a partition sort AND a join for the identical pairs)
+    val adj = g.join(sizes, "__g")
+      .groupBy(col("__g"))
       .agg(sort_array(collect_list(col("__n"))).as("__ns"))
-      .where(size(col("__ns")) <= maxGroup)
     adj
       .select(posexplode(col("__ns")).as(Seq("__i", "a")), col("__ns"))
       .select(col("a"), explode(slice(col("__ns"), col("__i") + 2,
@@ -449,11 +458,16 @@ object Graph {
       .withColumnRenamed("hll_estimate", "ball_estimate")
     // exact calibration ball via iterated distinct BFS pairs — the
     // quadratic thing the registers replace; fine at gate scale. Seeded
-    // at B_1 like the register loop (self ∪ neighbors, both pair sets
-    // distinct by construction).
+    // at B_1 like the register loop (self ∪ neighbors). The seed is
+    // distinct when `und` is the documented distinct a<b edge set; at
+    // radius 1 no round's distinct runs after it, so it is deduplicated
+    // explicitly there (duplicate edges or self-loops in a non-canonical
+    // input would otherwise inflate exact_ball) — deeper radii clean the
+    // seed in their first round's distinct.
+    val seed = nodes.select(col("node").as("start"), col("node").as("x"))
+      .unionAll(sym.select(col("a").as("start"), col("b").as("x")))
     var reach = graft.util.Caches.persist(
-      nodes.select(col("node").as("start"), col("node").as("x"))
-        .unionAll(sym.select(col("a").as("start"), col("b").as("x"))))
+      if (radius == 1) seed.distinct() else seed)
     for (r <- 2 to radius) {
       val next = reach.unionAll(
           reach.join(sym.select(col("a").as("x"), col("b").as("__nx")),

@@ -130,16 +130,45 @@ object Maintenance {
     */
   def publishSnapshot(df: DataFrame, baseDir: String): Long = {
     val spark = df.sparkSession
-    val next = committedVersions(spark, baseDir)
-      .map(_._1).foldLeft(0L)(math.max) + 1L
-    // crash recovery: a data/v=N directory that is NOT in `_versions` is
-    // the orphan of a publish that died between data write and metadata
-    // append — no reader can ever have observed it (readSnapshot only
-    // serves committed versions), so reclaim it here instead of wedging
-    // every future publish on mode("errorifexists")
+    val fs = new Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // vacuum crash recovery FIRST: a staged `_versions.tmp` means a
+    // vacuum died inside its swap. If `_versions` survives, the stage is
+    // stale — discard it; if `_versions` is gone, the fully-written
+    // stage IS the committed survivor list — complete the rename.
+    // Without this, a vacuum crash between delete and rename would make
+    // committedVersions read Nil and the reclaim below silently delete
+    // live survivor data.
+    val tmp = new Path(s"$baseDir/_versions.tmp")
+    val cur = new Path(s"$baseDir/_versions")
+    if (fs.exists(tmp)) {
+      if (fs.exists(cur)) fs.delete(tmp, true)
+      else if (!fs.rename(tmp, cur))
+        throw new IllegalStateException(
+          s"publishSnapshot: completing an interrupted vacuum swap failed " +
+            s"(rename $tmp -> $cur); resolve manually before publishing")
+    }
+    val committed = committedVersions(spark, baseDir)
+    val next = committed.map(_._1).foldLeft(0L)(math.max) + 1L
+    // publish crash recovery: a data/v=N directory that is NOT in
+    // `_versions` is the orphan of a publish that died between data
+    // write and metadata append — no reader can ever have observed it
+    // (readSnapshot only serves committed versions), so reclaim it
+    // instead of wedging every future publish on mode("errorifexists").
+    // Reclaim ONLY against a real commit history: data under a table
+    // with NO `_versions` at all is unexplained state (manual writes,
+    // wreckage this code cannot attribute) — fail loudly and preserve
+    // it. Single-writer contract as documented above: a concurrent
+    // publisher's in-flight directory would be indistinguishable from
+    // an orphan.
     val dataPath = new Path(s"$baseDir/data/v=$next")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dataPath)) fs.delete(dataPath, true)
+    if (fs.exists(dataPath)) {
+      if (committed.nonEmpty) fs.delete(dataPath, true)
+      else throw new IllegalStateException(
+        s"publishSnapshot: $dataPath exists but $baseDir/_versions does " +
+          "not — refusing to reclaim unexplained data; restore _versions " +
+          "or remove the directory manually")
+    }
     df.write.mode("errorifexists").parquet(s"$baseDir/data/v=$next")
     val n = spark.read.parquet(s"$baseDir/data/v=$next").count()
     import spark.implicits._

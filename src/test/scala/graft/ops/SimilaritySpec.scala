@@ -424,4 +424,15 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getDouble(2) == 0.8 && r.head.getDouble(3) == 0.0
       && r.head.getDouble(4) == 0.8)
   }
+
+  test("bitextMine: colliding ids across sides are distinct vectors") {
+    // the sides are independent id spaces — side-b's vec_id 5 must score
+    // against side-a's vec_id 5 (it may BE the true translation)
+    val a = Seq((5L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((5L, Array(1.0f, 0.0f)),
+      (6L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.bitextMine(a, b, minMargin = 0.5).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 5L && r.head.getDouble(2) == 1.0)
+  }
 }

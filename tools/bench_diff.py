@@ -72,10 +72,22 @@ def main():
                 with open(detail_path) as f:
                     d = json.loads(f.read().strip())
                 if d.get("metric") == "detail":
+                    # staleness guards: sf must match AND the totals must
+                    # agree (a detail file committed from a PREVIOUS round
+                    # has the right sf but a different total — silently
+                    # diffing last round's timings would mask regressions)
+                    total_gap = abs(float(d.get("value", -1))
+                                    - float(now.get("value", -2)))
                     if d.get("sf") != now.get("sf"):
                         print(f"note: BENCH_detail.json sf={d.get('sf')} "
                               f"differs from record sf={now.get('sf')}; "
                               "ignoring the detail file")
+                    elif total_gap > 0.05:
+                        print(f"note: BENCH_detail.json total "
+                              f"{d.get('value')} does not match the compact "
+                              f"record's {now.get('value')} (gap "
+                              f"{total_gap:.3f}s) — stale file from another "
+                              "run; ignoring it")
                     else:
                         print("note: using BENCH_detail.json for the full "
                               "per-query map (stdout record was compact)")
