@@ -268,6 +268,15 @@ object ScaleProbe {
         graft.ops.TextAnalysis.boilerplateChunks(
           d, "doc_id", "text", window = 8, minDocs = 2).count()
       }
+      // round 10: novelty — Nx corpus scored against the FIXED reference
+      // slice: both sides collapse to distinct gram hashes; time must
+      // track the corpus explode + anti join, reference cost constant
+      t("novelty") {
+        graft.ops.Contamination.novelty(
+          d.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "doc_id", "text").count()
+      }
       // round 10: bitext margin mining — fixed broadcast query side vs
       // an Nx corpus side: the BNL scales with |B| per query, linear in
       // the corpus, and the top-2 window runs on the group-limited slice
