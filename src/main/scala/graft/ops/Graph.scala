@@ -302,16 +302,18 @@ object Graph {
           "b")
         .groupBy(col("a"), col("__nl"))
         .agg(count(lit(1)).as("__c"))
-      // (count desc, label asc) argmax as a lexicographic struct MAX:
-      // largest count wins, ties to the largest negated label = the
-      // smallest label. Same total order as the former row_number window,
-      // but map-side combinable and sort-free — the window re-shuffled
-      // AND sorted every node's candidate list per round.
+      // (count desc, label asc) argmax as a lexicographic struct MIN over
+      // (-count, label): smallest negated count = largest count, ties to
+      // the smallest label in the LABEL'S OWN ordering — the label keeps
+      // its native type (string node ids work; negating the label, the
+      // old form, forced numeric labels). Same total order as a
+      // row_number window, but map-side combinable and sort-free.
       labels = graft.util.Caches.persist(
         counts
           .groupBy(col("a"))
-          .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__m"))
-          .select(col("a").as("node"), (-col("__m.__neg")).as("label")))
+          .agg(min(struct((-col("__c")).as("__negc"),
+            col("__nl").as("__l"))).as("__m"))
+          .select(col("a").as("node"), col("__m.__l").as("label")))
     }
     labels
   }

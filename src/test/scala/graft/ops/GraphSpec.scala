@@ -259,4 +259,15 @@ class GraphSpec extends SparkSpec {
       "a new salt must re-deal the walks")
     graft.util.Caches.unpersistAll()
   }
+
+  test("labelPropagation keeps native label types (string nodes work)") {
+    // triangle u-v-w plus pendant x attached to u: labels are string ids
+    val e = Seq(("u", "v"), ("u", "w"), ("v", "w"), ("u", "x"))
+      .toDF("a", "b")
+    val out = Graph.labelPropagation(e, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("u", "v", "w", "x"))
+    // the dense triangle converges on its smallest member label
+    assert(out("v") == "u" && out("w") == "u")
+  }
 }
