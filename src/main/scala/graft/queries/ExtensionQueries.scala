@@ -1250,6 +1250,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "curate_pipeline" -> { (spark, dir) =>
+      // the curation CHAIN as one declarative plan (the chunk_pack
+      // composition precedent): boilerplate removal -> drop emptied
+      // docs -> exact dedup on the CLEANED text (duplicates that only
+      // differ by boilerplate collapse here — the reason the steps
+      // compose in this order) -> per-doc token accounting
+      val d = docs(spark, dir)
+      val cleaned = TextAnalysis.boilerplateChunks(d, "doc_id", "text",
+          window = 8, minDocs = BoilerMinDocs)
+        .where(col("n_kept") > 0)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      Dedup.exact(cleaned.select("doc_id", "lang", "clean_text"),
+          keys = Seq("clean_text"), tieBreak = Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          size(split(col("clean_text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     "events_outliers" -> { (spark, dir) =>
       Profile.outliers(events(spark, dir), "value", Seq("event_type"))
         .where(col("is_outlier"))
@@ -4282,6 +4300,33 @@ object ExtensionQueries {
         coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
         coalesce(clean_text, '') AS clean_text
       FROM tot LEFT JOIN re USING (doc_id) ORDER BY tot.doc_id""",
+
+    // Replay of the curation chain: the text_boilerplate CTEs feed an
+    // exact dedup on the CLEANED text (first doc id wins) and per-doc
+    // token accounting.
+    "curate_pipeline" -> s"""
+      WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          greatest(1, (len(string_split(text, ' ')) + 7) // 8) AS nc
+        FROM documents),
+      ch AS (
+        SELECT doc_id, cid,
+          array_to_string(w[cid*8+1 : cid*8+8], ' ') AS ct
+        FROM ws, unnest(generate_series(0, nc-1)) AS t(cid)),
+      bo AS (SELECT ct FROM (
+               SELECT ct, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+             WHERE nd >= $BoilerMinDocs),
+      k AS (SELECT * FROM ch WHERE ct NOT IN (SELECT ct FROM bo)),
+      re AS (SELECT doc_id,
+               string_agg(ct, ' ' ORDER BY cid) AS clean_text
+             FROM k GROUP BY 1),
+      cl AS (SELECT re.doc_id, d.lang, re.clean_text
+             FROM re JOIN documents d ON re.doc_id = d.doc_id),
+      dd AS (SELECT *, row_number() OVER (
+               PARTITION BY clean_text ORDER BY doc_id) AS rn FROM cl)
+      SELECT doc_id, lang,
+        len(string_split(clean_text, ' '))::BIGINT AS n_tokens
+      FROM dd WHERE rn = 1 ORDER BY doc_id""",
 
     // Replay of Profile.outliers: per-type fixed-point (x2^20) moments,
     // |value - mean| > 3 sigma, z rounded 6dp.
