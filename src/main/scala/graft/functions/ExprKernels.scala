@@ -318,6 +318,17 @@ object ExprKernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Each byte of `bytes` as a long — the unpack of a packed register
+    * buffer back to per-bucket values (rho bytes are small non-negative,
+    * so a signed widen is exact).
+    */
+  def bytesToLongs(bytes: Array[Byte]): ArrayData = {
+    val out = new Array[Long](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit average-hash (aHash) perceptual fingerprint of a binary
     * payload: bytes fold into 60 strided buckets (position mod 60), and
     * bit j is set when bucket j's AVERAGE is >= the global average —

@@ -305,6 +305,32 @@ object Expressions {
     override def prettyName: String = "sorted_jaccard"
   }
 
+  /** Each byte of a binary column as a long array element — the unpack
+    * of a packed register buffer ([[graft.functions.PackRegisters]])
+    * back to the per-bucket row form [[Sketches.hllEstimate]] consumes.
+    */
+  case class BytesToLongArray(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case BinaryType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires binary, got ${other.catalogString}")
+      }
+
+    override def nullSafeEval(b: Any): Any =
+      ExprKernels.bytesToLongs(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"$Kernels.bytesToLongs($b)")
+    override protected def withNewChildInternal(c: Expression): BytesToLongArray =
+      copy(child = c)
+    override def prettyName: String = "bytes_to_long_array"
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType

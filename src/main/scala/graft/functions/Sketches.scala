@@ -265,13 +265,23 @@ object Sketches {
       m: Int = 512): DataFrame = {
     require(m >= 128 && (m & (m - 1)) == 0, s"m must be a power of two >= 128, got $m")
     val g = groupCols.map(col)
+    val (b, rho) = registerCoords(keyCol, m)
+    df.select(g :+ b.as("__b") :+ rho.as("__rho"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
+      .agg(max(col("__rho")).as("__m"))
+  }
+
+  /** (bucket, rho) register coordinates of `keyCol` under width `m` — the
+    * shared hashing of [[hllRegisters]], exposed so PACKED register
+    * consumers ([[graft.ops.Graph.neighborhoodSizes]]'s per-node byte
+    * buffers) agree with the row form bit-for-bit.
+    */
+  def registerCoords(keyCol: Column, m: Int): (Column, Column) = {
     val h = h32(keyCol.cast("string"))
     val q = (h / m).cast("long") // quotient: the rho domain, ~log2(P/m) bits
     val rho = when(q === 0, lit(RhoCap))
       .otherwise(floor(log2((q.bitwiseAND(-q)).cast("double"))).cast("long") + 1)
-    df.select(g :+ (h % m).as("__b") :+ rho.as("__rho"): _*)
-      .groupBy(groupCols.head, groupCols.tail :+ "__b": _*)
-      .agg(max(col("__rho")).as("__m"))
+    ((h % m), rho)
   }
 
   /** Merge register tables from disjoint (or overlapping — HLL is a

@@ -411,8 +411,13 @@ object Graph {
     * B_{r+1}(v) = max-merge(B_r(v), ⋃_{v~u} B_r(u)). This is the
     * reachability/effective-diameter primitive at graph scale: exact
     * r-hop BFS materializes O(n·ball) pairs, while the register state
-    * here is ≤ min(m, ball) rows per node and each round is ONE edge
-    * join + ONE max-aggregation — the whole point of the algorithm.
+    * here is ONE m-byte PACKED buffer per node
+    * ([[graft.functions.PackRegisters]]) and each round is ONE edge join
+    * shipping one buffer per edge + ONE byte-wise-max aggregation — the
+    * whole point of the algorithm. (The row form would ship one row per
+    * (edge, non-zero bucket): hundreds of rows per edge at real ball
+    * sizes. The packed buffers unpack to the identical row table at the
+    * end, so the estimate is bit-identical to the row-form computation.)
     *
     * Output: (node, exact_ball, ball_estimate) — the exact column is the
     * [[graft.functions.Sketches.hllDistinct]] calibration convention
@@ -437,18 +442,34 @@ object Graph {
     // distinct by construction (und is an edge set), so no dedup needed.
     val members1 = nodes.select(col("node"), col("node").as("__member"))
       .unionAll(sym.select(col("a").as("node"), col("b").as("__member")))
+    // packed-register aggregation: (bucket, rho) coordinates from the
+    // SAME hashing as the row form, folded into one m-byte buffer per
+    // node (byte-wise max == per-bucket max)
+    def aggCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Byte]]]
+        .toAggregateExpression())
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+    val (bCol, rhoCol) = Sketches.registerCoords(col("__member"), m)
     // materialize-and-evict only BETWEEN rounds (lineage truncation for
     // the next iteration); the final round flows straight into its
     // consumer — a last-round count() would pay one extra full
     // materialization per loop for lineage nobody re-reads
     var regs = graft.util.Caches.persist(
-      Sketches.hllRegisters(members1, col("__member"), Seq("node"), m))
+      members1.select(col("node"), bCol.as("__b"), rhoCol.as("__rho"))
+        .groupBy("node")
+        .agg(aggCol(graft.functions.PackRegisters(
+          expr(col("__b")), expr(col("__rho")), m)).as("__regs")))
     for (r <- 2 to radius) {
+      // ONE m-byte buffer per edge crosses the join — never per-bucket rows
       val contrib = sym
         .join(regs.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("__b"), col("__m"))
+        .select(col("a").as("node"), col("__regs"))
       val next = regs.unionAll(contrib)
-        .groupBy("node", "__b").agg(max("__m").as("__m"))
+        .groupBy("node")
+        .agg(aggCol(graft.functions.MergePackedRegisters(
+          expr(col("__regs")), m)).as("__regs"))
       if (r < radius) {
         val p = graft.util.Caches.persist(next)
         p.count()
@@ -456,7 +477,14 @@ object Graph {
         regs = p
       } else regs = next
     }
-    val est = Sketches.hllEstimate(regs, Seq("node"), m)
+    // unpack ONCE to the row contract (zero bytes = absent rows) and
+    // reuse hllEstimate verbatim — representation-independent estimates
+    val regRows = regs.select(col("node"),
+        posexplode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.Expressions.BytesToLongArray(
+            expr(col("__regs"))))).as(Seq("__b", "__m")))
+      .where(col("__m") > 0)
+    val est = Sketches.hllEstimate(regRows, Seq("node"), m)
       .withColumnRenamed("hll_estimate", "ball_estimate")
     // exact calibration ball via iterated distinct BFS pairs — the
     // quadratic thing the registers replace; fine at gate scale. Seeded
