@@ -157,6 +157,18 @@ class PlanGuardSpec extends SparkSpec {
       }
   }
 
+  test("neighborhood sizes run on PACKED register buffers") {
+    // round 10: the register rounds must aggregate m-byte buffers
+    // (pack_registers / merge_packed_registers), never per-bucket rows —
+    // a regression to the row form ships hundreds of rows per edge
+    val plan = SparkEntry.queries("graph_ball")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pack_registers"),
+      s"packed seed aggregation missing:\n${plan.take(4000)}")
+    assert(plan.contains("merge_packed_registers"),
+      s"packed merge round missing:\n${plan.take(4000)}")
+  }
+
   test("upsert merge is one hash shuffle on the key (no sort-merge of full rows twice)") {
     val plan = SparkEntry.queries("merge_upsert")(spark, sf001)
       .queryExecution.executedPlan.toString
