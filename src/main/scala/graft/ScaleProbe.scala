@@ -268,6 +268,21 @@ object ScaleProbe {
         graft.ops.TextAnalysis.boilerplateChunks(
           d, "doc_id", "text", window = 8, minDocs = 2).count()
       }
+      // round 10: packed-register HyperBall — the lineitem co-occurrence
+      // graph amplified via Nx group-id copies (edge count scales ~Nx,
+      // ball sizes stay put): the merge round ships ONE m-byte buffer
+      // per edge, so time must track E, never E × ball
+      t("hyperball") {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_orderkey") % 10 === 0)
+        val liN = (0 until m).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(i * 1000000000L)))
+          .reduce(_ unionAll _)
+        graft.ops.Graph.neighborhoodSizes(
+          graft.ops.Graph.coOccurrenceEdges(liN, "l_orderkey", "l_partkey",
+            maxGroup = 64), radius = 2, m = 512).count()
+      }
       // round 10: novelty — Nx corpus scored against the FIXED reference
       // slice: both sides collapse to distinct gram hashes; time must
       // track the corpus explode + anti join, reference cost constant
