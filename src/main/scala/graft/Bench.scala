@@ -11,10 +11,16 @@ import org.apache.spark.sql.SparkSession
   *  - one UN-timed warm-up pass of the full query set first (JIT, codegen
   *    caches, parquet footers, OS page cache);
   *  - then `SPARK_GRAFT_BENCH_REPS` (default 3) timed repetitions;
-  *  - `queries` reports the per-query MIN across repetitions — the
+  *  - then the slowest `SPARK_GRAFT_BENCH_EXTRA_K` (default 20) queries
+  *    by provisional min get `SPARK_GRAFT_BENCH_EXTRA_REPS` (default 2)
+  *    extra timed observations — the round-10 rep spread hit 27% and the
+  *    heavy graph queries absorbed most of it; more samples where the
+  *    seconds are buys the min convergence the cheap queries already have;
+  *  - `queries` reports the per-query MIN across all observations — the
   *    least-contended observation, the stable signal for regression diffs;
   *  - `value` is the sum of per-query minimums; `rep_totals` keeps each
-  *    repetition's raw total so run-to-run variance is itself measurable.
+  *    FULL repetition's raw total so run-to-run variance is itself
+  *    measurable (the partial extra passes are excluded).
   *
   * Operator-persisted intermediates ([[graft.util.Caches]]) and Spark's
   * plan-keyed cache are dropped before EVERY query (the round-9 lesson:
@@ -87,10 +93,12 @@ object Bench {
       mins: Seq[(String, Double)],
       errJson: String,
       sfDir: String,
-      budget: Int = 1890): String = {
+      budget: Int = 1890,
+      runId: String = ""): String = {
     def line(qmap: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec","queries":$qmap$om,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      val rid = if (runId.nonEmpty) s""","run_id":${jstr(runId)}""" else ""
+      s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec","queries":$qmap$om,"errors":$errJson,"sf":${jstr(sfDir)}$rid}"""
     }
     val full = Seq(3, 2, 1).iterator
       .map(d => line(jmap(mins, d), 0))
@@ -130,9 +138,9 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    /** One full pass in sorted order; -1 marks a failure. */
-    def pass(): Map[String, Double] = {
-      names.map { name =>
+    /** One pass over `subset` in sorted order; -1 marks a failure. */
+    def pass(subset: Seq[String]): Map[String, Double] = {
+      subset.map { name =>
         // cold-per-query contract: no operator-persisted intermediate or
         // plan-keyed cached block from an EARLIER query may serve this one
         graft.util.Caches.unpersistAll()
@@ -149,12 +157,28 @@ object Bench {
       }.toMap
     }
 
-    pass() // warm-up, discarded
-    val reps = (1 to nReps).map(_ => pass())
+    pass(names) // warm-up, discarded
+    val reps = (1 to nReps).map(_ => pass(names))
+    // Noise control for the queries that dominate the total (the round-10
+    // rep spread hit 27%): the slowest-K queries by provisional min get
+    // extra timed observations, so their reported min converges on the
+    // uncontended time. K and the extra-rep count are env-tunable; the
+    // extra passes are PARTIAL and therefore excluded from rep_totals.
+    val extraK = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_K", "20").toInt
+    val nExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
+    val slowest = names
+      .map { n =>
+        val ok = reps.map(_(n)).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
+      .filter(_._2 >= 0).sortBy(-_._2).take(extraK).map(_._1).sorted
+    val extra =
+      if (slowest.isEmpty || nExtra <= 0) Nil
+      else (1 to nExtra).map(_ => pass(slowest))
     graft.util.Caches.unpersistAll()
 
     def stat(name: String, pick: Seq[Double] => Double): Double = {
-      val ts = reps.map(_(name))
+      val ts = reps.map(_(name)) ++ extra.flatMap(_.get(name))
       if (ts.contains(-1.0)) -1.0 else pick(ts)
     }
     def median(ts: Seq[Double]): Double = {
@@ -172,19 +196,36 @@ object Bench {
       .mkString("[", ",", "]")
     val total = mins.collect { case (_, v) if v >= 0 => v }.sum
 
+    // run id shared by the detail record and the compact contract line:
+    // tools/bench_diff.py matches the two on it, so a stale detail FILE
+    // from a different run can never masquerade as this run's full map.
+    val runId = f"${(System.nanoTime ^ ProcessHandle.current.pid) & 0xffffffffL}%08x"
+    val methodStr = s"min of $nReps reps after 1 warm-up pass" +
+      (if (extra.nonEmpty) s" + $nExtra extra reps over the ${slowest.size} slowest" else "")
+
     // Full-precision record first (scrolls out of the consumer's tail
     // window; tools/bench_diff.py and humans read it from the full log).
     val detail =
-      s"""{"metric":"detail","value":$total,"unit":"sec","method":"min of $nReps reps after 1 warm-up pass","reps":$nReps,"rep_totals":$repTotals,"queries":${jmap(
+      s"""{"metric":"detail","value":$total,"unit":"sec","method":${jstr(methodStr)},"reps":$nReps,"run_id":${jstr(runId)},"rep_totals":$repTotals,"queries":${jmap(
           mins)},"queries_median":${jmap(meds)},"errors":${errJson(300)},"sf":${jstr(sfDir)}}"""
     println(detail)
     // ... and persisted as a FILE: the driver's stdout record keeps only
     // a ~2 KB tail, which at 216 queries holds the slowest ~80 — the
     // file is the durable full map every query stays regressionable from
     // (tools/bench_diff.py prefers it; committed per round as
-    // BENCH_detail.json)
-    val detailPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
+    // BENCH_detail.json). The default path anchors to the repo root
+    // (nearest ancestor of CWD holding build.sbt) rather than raw CWD, so
+    // a driver running from a subdirectory still lands the file where
+    // bench_diff.py's fallback looks for it.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", {
+      def findRoot(d: java.io.File): Option[java.io.File] =
+        if (d == null) None
+        else if (new java.io.File(d, "build.sbt").exists()) Some(d)
+        else findRoot(d.getParentFile)
+      val root = findRoot(new java.io.File(".").getAbsoluteFile)
+      new java.io.File(root.getOrElse(new java.io.File(".")),
+        "BENCH_detail.json").getPath
+    })
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
@@ -199,7 +240,7 @@ object Bench {
     // within budget by construction (slowest-K subset + "omitted" when the
     // full map no longer fits); reps/rep_totals/medians live on the detail
     // line above.
-    val line = compactContract(total, mins, errJson(60), sfDir)
+    val line = compactContract(total, mins, errJson(60), sfDir, runId = runId)
     if (line.length > 1890) // only reachable via a pathological error string
       System.err.println(s"BENCH CONTRACT BROKEN: compact line is " +
         s"${line.length} chars (> 1890 budget); the consumer's 2 KB tail " +

@@ -28,6 +28,13 @@ private[graft] abstract class PackedRegisterAgg
   def m: Int
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
   override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = {
+    // invariant: every buffer in one aggregation was produced under the
+    // same m. A caller mixing register widths (e.g. joining two register
+    // tables built with different m) would otherwise throw an opaque
+    // ArrayIndexOutOfBounds or silently ignore tail bytes.
+    require(b.length == m && o.length == m,
+      s"packed-register width mismatch: buffers of ${b.length}/${o.length} " +
+        s"bytes merged under m=$m — all inputs must share one register width")
     var i = 0
     while (i < m) { if (o(i) > b(i)) b(i) = o(i); i += 1 }
     b

@@ -127,54 +127,98 @@ object Maintenance {
     * Append-only and therefore latch-free; reclaiming old versions is
     * the destructive operation and lives behind the usual
     * `confirm.truncate` latch in [[vacuumSnapshots]].
+    *
+    * Writer exclusion: publish and vacuum both hold `_publish.lock`
+    * (atomic create) for their duration, so a concurrent second writer
+    * FAILS LOUDLY instead of racing the version number or reclaiming an
+    * in-flight directory as an orphan. A crashed writer leaves the lock
+    * behind — the error message names it and the recovery step (verify
+    * no writer is live, delete the lock; the next publish/vacuum then
+    * heals any half-done swap or orphan). Best-effort atomicity: on a
+    * filesystem without atomic create-exclusive (some object stores)
+    * this degrades to advisory, matching the documented single-writer
+    * contract.
     */
   def publishSnapshot(df: DataFrame, baseDir: String): Long = {
     val spark = df.sparkSession
     val fs = new Path(baseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // vacuum crash recovery FIRST: a staged `_versions.tmp` means a
-    // vacuum died inside its swap. If `_versions` survives, the stage is
-    // stale — discard it; if `_versions` is gone, the fully-written
-    // stage IS the committed survivor list — complete the rename.
-    // Without this, a vacuum crash between delete and rename would make
-    // committedVersions read Nil and the reclaim below silently delete
-    // live survivor data.
+    withWriterLock(fs, baseDir, "publishSnapshot") {
+      // vacuum crash recovery FIRST: a staged `_versions.tmp` means a
+      // vacuum died inside its swap. If `_versions` survives, the stage is
+      // stale — discard it; if `_versions` is gone, the fully-written
+      // stage IS the committed survivor list — complete the rename.
+      // Without this, a vacuum crash between delete and rename would make
+      // committedVersions read Nil and the reclaim below silently delete
+      // live survivor data.
+      healVersionsSwap(fs, baseDir, "publishSnapshot")
+      val committed = committedVersions(spark, baseDir)
+      val next = committed.map(_._1).foldLeft(0L)(math.max) + 1L
+      // publish crash recovery: a data/v=N directory that is NOT in
+      // `_versions` is the orphan of a publish that died between data
+      // write and metadata append — no reader can ever have observed it
+      // (readSnapshot only serves committed versions), so reclaim it
+      // instead of wedging every future publish on mode("errorifexists").
+      // Reclaim ONLY against a real commit history: data under a table
+      // with NO `_versions` at all is unexplained state (manual writes,
+      // wreckage this code cannot attribute) — fail loudly and preserve
+      // it. The writer lock guarantees no concurrent publisher's
+      // in-flight directory can be mistaken for an orphan here.
+      val dataPath = new Path(s"$baseDir/data/v=$next")
+      if (fs.exists(dataPath)) {
+        if (committed.nonEmpty) fs.delete(dataPath, true)
+        else throw new IllegalStateException(
+          s"publishSnapshot: $dataPath exists but $baseDir/_versions does " +
+            "not — refusing to reclaim unexplained data; restore _versions " +
+            "or remove the directory manually")
+      }
+      df.write.mode("errorifexists").parquet(s"$baseDir/data/v=$next")
+      val n = spark.read.parquet(s"$baseDir/data/v=$next").count()
+      import spark.implicits._
+      Seq((next, n)).toDF("version", "n_rows")
+        .coalesce(1).write.mode("append").parquet(s"$baseDir/_versions")
+      next
+    }
+  }
+
+  /** Hold `baseDir/_publish.lock` for the duration of `body`. Exactly one
+    * writer wins the atomic create; the loser (or any writer arriving
+    * while a crashed writer's lock lingers) fails loudly with the
+    * recovery path in the message.
+    */
+  private def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      baseDir: String, who: String)(body: => T): T = {
+    val lock = new Path(s"$baseDir/_publish.lock")
+    fs.mkdirs(new Path(baseDir))
+    val acquired =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"$who: writer lock $lock is already held — another publish/vacuum " +
+        "is in flight, or a crashed writer left the lock behind. Verify " +
+        "no writer is live, delete the lock file, and retry; the next " +
+        "writer heals any interrupted swap or orphaned version directory")
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Complete an interrupted vacuum swap: a fully-written
+    * `_versions.tmp` with no `_versions` IS the committed survivor list
+    * — finish the rename; a stale tmp beside a live `_versions` is
+    * discarded. Idempotent; called by every writer (and, rename-only, by
+    * the read path) so a read-mostly table heals without waiting for its
+    * next publish.
+    */
+  private def healVersionsSwap(fs: org.apache.hadoop.fs.FileSystem,
+      baseDir: String, who: String): Unit = {
     val tmp = new Path(s"$baseDir/_versions.tmp")
     val cur = new Path(s"$baseDir/_versions")
     if (fs.exists(tmp)) {
       if (fs.exists(cur)) fs.delete(tmp, true)
       else if (!fs.rename(tmp, cur))
         throw new IllegalStateException(
-          s"publishSnapshot: completing an interrupted vacuum swap failed " +
-            s"(rename $tmp -> $cur); resolve manually before publishing")
+          s"$who: completing an interrupted vacuum swap failed " +
+            s"(rename $tmp -> $cur); resolve manually before writing")
     }
-    val committed = committedVersions(spark, baseDir)
-    val next = committed.map(_._1).foldLeft(0L)(math.max) + 1L
-    // publish crash recovery: a data/v=N directory that is NOT in
-    // `_versions` is the orphan of a publish that died between data
-    // write and metadata append — no reader can ever have observed it
-    // (readSnapshot only serves committed versions), so reclaim it
-    // instead of wedging every future publish on mode("errorifexists").
-    // Reclaim ONLY against a real commit history: data under a table
-    // with NO `_versions` at all is unexplained state (manual writes,
-    // wreckage this code cannot attribute) — fail loudly and preserve
-    // it. Single-writer contract as documented above: a concurrent
-    // publisher's in-flight directory would be indistinguishable from
-    // an orphan.
-    val dataPath = new Path(s"$baseDir/data/v=$next")
-    if (fs.exists(dataPath)) {
-      if (committed.nonEmpty) fs.delete(dataPath, true)
-      else throw new IllegalStateException(
-        s"publishSnapshot: $dataPath exists but $baseDir/_versions does " +
-          "not — refusing to reclaim unexplained data; restore _versions " +
-          "or remove the directory manually")
-    }
-    df.write.mode("errorifexists").parquet(s"$baseDir/data/v=$next")
-    val n = spark.read.parquet(s"$baseDir/data/v=$next").count()
-    import spark.implicits._
-    Seq((next, n)).toDF("version", "n_rows")
-      .coalesce(1).write.mode("append").parquet(s"$baseDir/_versions")
-    next
   }
 
   /** (version, n_rows) pairs committed under `baseDir`, ascending; empty
@@ -185,6 +229,21 @@ object Maintenance {
       baseDir: String): Seq[(Long, Long)] = {
     val p = new Path(s"$baseDir/_versions")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // read-path healing of an interrupted vacuum swap: with `_versions`
+    // gone and only the staged tmp on disk, every read would otherwise
+    // report "never published" until the NEXT publish — which on a
+    // read-mostly table may never come. Completing the rename here is
+    // idempotent and safe (the tmp is fully written before the vacuum
+    // protocol ever deletes `_versions`); a stale tmp BESIDE a live
+    // `_versions` is left for the next writer to discard — a pure read
+    // should not delete anything.
+    if (!fs.exists(p)) {
+      val tmp = new Path(s"$baseDir/_versions.tmp")
+      if (fs.exists(tmp) && !fs.rename(tmp, p))
+        throw new IllegalStateException(
+          s"committedVersions: completing an interrupted vacuum swap " +
+            s"failed (rename $tmp -> $p); resolve manually")
+    }
     if (!fs.exists(p)) Nil
     else spark.read.parquet(p.toString)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
@@ -210,6 +269,16 @@ object Maintenance {
     * survivors. DESTRUCTIVE — requires `confirm.truncate=true` in
     * `options` like every other destructive write in the engine. Returns
     * the dropped version numbers.
+    *
+    * Every latched vacuum call also RECLAIMS orphans: after the swap it
+    * lists `data/` and deletes any `v=K` directory whose K is not
+    * committed — covering (a) a previous vacuum that crashed after its
+    * metadata rename but before its directory deletes (those versions'
+    * data would otherwise leak forever: publish's reclaim only inspects
+    * `v=next`) and (b) a crashed publish's orphan on a table that never
+    * publishes again. Runs even when no version is dropped, so
+    * `vacuumSnapshots(keepLast = LARGE)` is the manual orphan-cleanup
+    * path. Holds the same writer lock as [[publishSnapshot]].
     */
   def vacuumSnapshots(spark: SparkSession, baseDir: String, keepLast: Int,
       options: Map[String, String] = Map.empty): Seq[Long] = {
@@ -218,33 +287,45 @@ object Maintenance {
       throw new IllegalArgumentException(
         "vacuumSnapshots deletes published versions under " + baseDir +
           ": pass confirm.truncate=true (destructive-write latch)")
-    val committed = committedVersions(spark, baseDir)
-    val dropped = committed.dropRight(keepLast)
-    if (dropped.isEmpty) Nil
-    else {
+    val fs = new Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLock(fs, baseDir, "vacuumSnapshots") {
+      healVersionsSwap(fs, baseDir, "vacuumSnapshots")
+      val committed = committedVersions(spark, baseDir)
+      val dropped = committed.dropRight(keepLast)
       val kept = committed.takeRight(keepLast)
-      import spark.implicits._
-      val fs = new Path(baseDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // metadata first here (the inverse of publish): once `_versions`
-      // lists only the survivors, readers cannot observe a half-deleted
-      // version even if the directory removals below are interrupted.
-      // The survivor list is staged to a temp directory and swapped in
-      // by delete+rename — a concurrent reader's exposure window is two
-      // filesystem metadata ops, not a whole Spark write job (a reader
-      // landing exactly inside the swap sees "never published" and
-      // should retry; full isolation needs quiesced readers)
-      val tmp = new Path(s"$baseDir/_versions.tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      kept.toDF("version", "n_rows")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val cur = new Path(s"$baseDir/_versions")
-      fs.delete(cur, true)
-      if (!fs.rename(tmp, cur))
-        throw new IllegalStateException(
-          s"vacuumSnapshots: rename $tmp -> $cur failed")
-      dropped.foreach { case (v, _) =>
-        fs.delete(new Path(s"$baseDir/data/v=$v"), true)
+      if (dropped.nonEmpty) {
+        import spark.implicits._
+        // metadata first here (the inverse of publish): once `_versions`
+        // lists only the survivors, readers cannot observe a half-deleted
+        // version even if the directory removals below are interrupted.
+        // The survivor list is staged to a temp directory and swapped in
+        // by delete+rename — a concurrent reader's exposure window is two
+        // filesystem metadata ops, not a whole Spark write job (a reader
+        // landing exactly inside the swap sees "never published" and
+        // should retry; full isolation needs quiesced readers)
+        val tmp = new Path(s"$baseDir/_versions.tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        kept.toDF("version", "n_rows")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val cur = new Path(s"$baseDir/_versions")
+        fs.delete(cur, true)
+        if (!fs.rename(tmp, cur))
+          throw new IllegalStateException(
+            s"vacuumSnapshots: rename $tmp -> $cur failed")
+      }
+      // orphan reclaim: every data/v=K not in the survivor list — the
+      // versions just dropped plus any directory a crashed writer left.
+      // Guarded on a real commit history like publish's reclaim.
+      val dataRoot = new Path(s"$baseDir/data")
+      if (kept.nonEmpty && fs.exists(dataRoot)) {
+        val keptSet = kept.map(_._1).toSet
+        fs.listStatus(dataRoot).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("v=") &&
+              name.drop(2).toLongOption.exists(!keptSet.contains(_)))
+            fs.delete(st.getPath, true)
+        }
       }
       dropped.map(_._1)
     }

@@ -171,4 +171,97 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.changedKeys(a, b, Seq("k"))
     }
   }
+
+  test("snapshots: a held writer lock fails publish AND vacuum loudly") {
+    val base = Files.createTempDirectory("m_lock").toString + "/t"
+    Maintenance.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), base)
+    // simulate a crashed (or concurrent) writer's lingering lock
+    Files.createFile(java.nio.file.Paths.get(s"$base/_publish.lock"))
+    val e1 = intercept[IllegalStateException] {
+      Maintenance.publishSnapshot(Seq((2L, "b")).toDF("id", "v"), base)
+    }
+    assert(e1.getMessage.contains("_publish.lock"))
+    val e2 = intercept[IllegalStateException] {
+      Maintenance.vacuumSnapshots(spark, base, keepLast = 1,
+        Map("confirm.truncate" -> "true"))
+    }
+    assert(e2.getMessage.contains("_publish.lock"))
+    // the documented recovery: delete the lock, writers proceed
+    Files.delete(java.nio.file.Paths.get(s"$base/_publish.lock"))
+    assert(Maintenance.publishSnapshot(
+      Seq((2L, "b")).toDF("id", "v"), base) == 2L)
+    // a clean writer leaves no lock behind
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/_publish.lock")))
+  }
+
+  test("snapshots: concurrent publishers never corrupt the table") {
+    val base = Files.createTempDirectory("m_race").toString + "/t"
+    Maintenance.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), base)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        start.await()
+        try results.add(Right(Maintenance.publishSnapshot(
+          Seq((10L + i, s"t$i")).toDF("id", "v"), base)))
+        catch { case e: Throwable => results.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partition(_.isLeft)
+    // every loser failed LOUDLY on the lock, never silently or weirdly
+    losers.foreach { l =>
+      val e = l.swap.getOrElse(fail())
+      assert(e.isInstanceOf[IllegalStateException] &&
+        e.getMessage.contains("_publish.lock"), s"unexpected failure: $e")
+    }
+    // winners got DISTINCT versions and the commit log is consistent
+    val vs = winners.map(_.getOrElse(fail()))
+    assert(vs.distinct.size == vs.size)
+    val committed = Maintenance.committedVersions(spark, base).map(_._1)
+    assert(committed == committed.sorted && committed.distinct == committed)
+    assert(vs.forall(committed.contains))
+    committed.foreach(v =>
+      Maintenance.readSnapshot(spark, base, Some(v)).count())
+  }
+
+  test("snapshots: an interrupted vacuum swap heals on READ") {
+    val base = Files.createTempDirectory("m_healread").toString + "/t"
+    (1 to 3).foreach(i => Maintenance.publishSnapshot(
+      (1 to i).map(j => (j.toLong, "x")).toDF("id", "v"), base))
+    // simulate the crash window: `_versions` deleted, fully-written
+    // survivor stage still at `_versions.tmp`
+    Files.move(java.nio.file.Paths.get(s"$base/_versions"),
+      java.nio.file.Paths.get(s"$base/_versions.tmp"))
+    // a pure READ completes the swap — no publish required
+    assert(Maintenance.committedVersions(spark, base).map(_._1) ==
+      Seq(1L, 2L, 3L))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/_versions.tmp")))
+    assert(Maintenance.readSnapshot(spark, base).count() == 3)
+  }
+
+  test("snapshots: vacuum reclaims orphaned data directories") {
+    val base = Files.createTempDirectory("m_orphreclaim").toString + "/t"
+    (1 to 3).foreach(i => Maintenance.publishSnapshot(
+      (1 to i).map(j => (j.toLong, "x")).toDF("id", "v"), base))
+    // an uncommitted directory: crashed publish, or a previous vacuum
+    // that renamed its metadata but died before its directory deletes
+    Seq((9L, "orphan")).toDF("id", "v").write.parquet(s"$base/data/v=9")
+    // keepLast larger than history: drops nothing, but reclaims orphans
+    assert(Maintenance.vacuumSnapshots(spark, base, keepLast = 10,
+      Map("confirm.truncate" -> "true")).isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/data/v=9")),
+      "uncommitted v=9 must be reclaimed by vacuum")
+    assert(Maintenance.committedVersions(spark, base).map(_._1) ==
+      Seq(1L, 2L, 3L))
+    assert(Maintenance.readSnapshot(spark, base).count() == 3)
+    // a dropping vacuum reclaims the dropped dirs too (no leak even if a
+    // prior vacuum had crashed between rename and deletes)
+    Maintenance.vacuumSnapshots(spark, base, keepLast = 1,
+      Map("confirm.truncate" -> "true"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/data/v=1")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/data/v=2")))
+    assert(Maintenance.readSnapshot(spark, base).count() == 3)
+  }
 }

@@ -72,13 +72,26 @@ def main():
                 with open(detail_path) as f:
                     d = json.loads(f.read().strip())
                 if d.get("metric") == "detail":
-                    # staleness guards: sf must match AND the totals must
-                    # agree (a detail file committed from a PREVIOUS round
-                    # has the right sf but a different total — silently
-                    # diffing last round's timings would mask regressions)
+                    # staleness guards: the compact line and the detail
+                    # record carry a shared run_id — when both sides have
+                    # one, an exact match is required (and sufficient).
+                    # Older records without run_id fall back to the sf +
+                    # total-gap heuristic (a detail file committed from a
+                    # PREVIOUS round has the right sf but a different
+                    # total — silently diffing last round's timings would
+                    # mask regressions).
                     total_gap = abs(float(d.get("value", -1))
                                     - float(now.get("value", -2)))
-                    if d.get("sf") != now.get("sf"):
+                    rid_now, rid_d = now.get("run_id"), d.get("run_id")
+                    if rid_now and rid_d and rid_now != rid_d:
+                        print(f"note: BENCH_detail.json run_id={rid_d} does "
+                              f"not match the record's {rid_now} — stale "
+                              "file from another run; ignoring it")
+                    elif rid_now and rid_d:  # ids match: authoritative
+                        print("note: using BENCH_detail.json for the full "
+                              "per-query map (run_id match)")
+                        now = d
+                    elif d.get("sf") != now.get("sf"):
                         print(f"note: BENCH_detail.json sf={d.get('sf')} "
                               f"differs from record sf={now.get('sf')}; "
                               "ignoring the detail file")
