@@ -302,6 +302,22 @@ object ScaleProbe {
           e.where(col("vec_id") % 2 === 1),
           minMargin = 0.01).count()
       }
+      // round 11: deep-iteration pagerank with lineage truncation — at
+      // iters=10 the untruncated plan is 10 join+agg generations deep;
+      // checkpointEvery=3 must hold wall-clock ~flat vs the shallow run
+      // (the probe would hang/blow the driver if plan growth compounded)
+      t("pagerank_iters10_ckpt") {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_orderkey") % 10 === 0)
+        val liN = (0 until m).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+            .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000000L)))
+          .reduce(_ unionAll _)
+        val ord = spark.read.parquet(s"$dir/orders.parquet")
+        graft.ops.Graph.pagerank(
+          graft.ops.Graph.supplierCustomerEdges(liN, ord),
+          iters = 10, checkpointEvery = 3).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

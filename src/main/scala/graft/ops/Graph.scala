@@ -56,10 +56,16 @@ object Graph {
     * rank_fp(v) = (init * (dampDen-dampNum)) div dampDen
     *            + Σ_{u→v} (rank_fp(u) * dampNum) div (outdeg(u) * dampDen)
     * with init = RankScale div N, all in exact long arithmetic.
+    *
+    * `checkpointEvery` (0 = off): truncate the rank table's lineage every
+    * N rounds ([[graft.util.Truncator]]) — at the default 3 iterations
+    * the plan is shallow and the knob is off; long-horizon runs
+    * (iters ≳ 10) should set it to 2-3 so plan depth stays bounded.
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-      dampNum: Long = 850, dampDen: Long = 1000): DataFrame =
-    pagerankImpl(edges, iters, dampNum, dampDen, None)
+      dampNum: Long = 850, dampDen: Long = 1000,
+      checkpointEvery: Int = 0): DataFrame =
+    pagerankImpl(edges, iters, dampNum, dampDen, None, checkpointEvery)
 
   /** Personalized PageRank: teleport mass lands ONLY on the seed nodes
     * (`seedPred` over the `node` column) — ranks become proximity to the
@@ -71,11 +77,13 @@ object Graph {
     */
   def personalizedPagerank(edges: DataFrame, seedPred: Column,
       iters: Int = 3, dampNum: Long = 850,
-      dampDen: Long = 1000): DataFrame =
-    pagerankImpl(edges, iters, dampNum, dampDen, Some(seedPred))
+      dampDen: Long = 1000, checkpointEvery: Int = 0): DataFrame =
+    pagerankImpl(edges, iters, dampNum, dampDen, Some(seedPred),
+      checkpointEvery)
 
   private def pagerankImpl(edges: DataFrame, iters: Int,
-      dampNum: Long, dampDen: Long, seedPred: Option[Column]): DataFrame = {
+      dampNum: Long, dampDen: Long, seedPred: Option[Column],
+      checkpointEvery: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampDen > dampNum,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -97,6 +105,7 @@ object Graph {
               .otherwise(lit(0L)).as("r"))
     }
     val eo = e.join(outdeg, "src") // (src, dst, od)
+    val trunc = new graft.util.Truncator(checkpointEvery)
     var ranks = init
     for (_ <- 1 to iters) {
       val contrib = eo
@@ -104,11 +113,11 @@ object Graph {
         .select(col("dst").as("node"),
           ldiv(col("r") * dampNum, col("od") * dampDen).as("c"))
         .groupBy("node").agg(sum("c").as("cs"))
-      ranks = init
+      ranks = trunc(init
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (ldiv(col("r") * (dampDen - dampNum), lit(dampDen))
-            + coalesce(col("cs"), lit(0L))).as("r"))
+            + coalesce(col("cs"), lit(0L))).as("r")))
     }
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / RankScale).as("rank"))
@@ -289,11 +298,13 @@ object Graph {
     * flat. Deterministic: counts are exact, the (count desc, label asc)
     * argmax is total — any engine replays it.
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 2,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sym = graft.util.Caches.persist(
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    val trunc = new graft.util.Truncator(checkpointEvery)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -308,12 +319,13 @@ object Graph {
       // its native type (string node ids work; negating the label, the
       // old form, forced numeric labels). Same total order as a
       // row_number window, but map-side combinable and sort-free.
-      labels = graft.util.Caches.persist(
+      labels = trunc(
         counts
           .groupBy(col("a"))
           .agg(min(struct((-col("__c")).as("__negc"),
             col("__nl").as("__l"))).as("__m"))
-          .select(col("a").as("node"), col("__m.__l").as("label")))
+          .select(col("a").as("node"), col("__m.__l").as("label")),
+        orElse = graft.util.Caches.persist)
     }
     labels
   }
@@ -339,13 +351,15 @@ object Graph {
     * loop stops at the first no-drop round (identical result to running
     * the full budget — see the body comment).
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
+      checkpointEvery: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var sym = graft.util.Caches.persist(
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
     var edgeCount = sym.count()
+    val trunc = new graft.util.Truncator(checkpointEvery)
     // Early stop when a round drops nothing: a no-drop round is the
     // fixpoint, every later round is the identity, so stopping produces
     // the SAME result as running the full budget — the budget is a
@@ -362,9 +376,10 @@ object Graph {
       // semi joins: the node list never widens the edge rows, and a
       // small surviving-node table broadcasts (persisted stats make the
       // size estimate accurate)
-      val next = graft.util.Caches.persist(
+      val next = trunc(
         sym.join(keep, Seq("a"), "left_semi")
-          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi"))
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi"),
+        orElse = graft.util.Caches.persist)
       val nextCount = next.count()
       converged = nextCount == edgeCount
       sym.unpersist(blocking = false)
@@ -427,7 +442,7 @@ object Graph {
     * the usual alpha·m²/Σ2^-M formula rounded to 4dp.
     */
   def neighborhoodSizes(und: DataFrame, radius: Int = 2,
-      m: Int = 512): DataFrame = {
+      m: Int = 512, checkpointEvery: Int = 0): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     import graft.functions.Sketches
     val sym = graft.util.Caches.persist(
@@ -452,6 +467,8 @@ object Graph {
     def expr(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.GraftColumnBridge.expression(c)
     val (bCol, rhoCol) = Sketches.registerCoords(col("__member"), m)
+    val truncRegs = new graft.util.Truncator(checkpointEvery)
+    val truncReach = new graft.util.Truncator(checkpointEvery)
     // materialize-and-evict only BETWEEN rounds (lineage truncation for
     // the next iteration); the final round flows straight into its
     // consumer — a last-round count() would pay one extra full
@@ -471,7 +488,7 @@ object Graph {
         .agg(aggCol(graft.functions.MergePackedRegisters(
           expr(col("__regs")), m)).as("__regs"))
       if (r < radius) {
-        val p = graft.util.Caches.persist(next)
+        val p = truncRegs(next, orElse = graft.util.Caches.persist)
         p.count()
         regs.unpersist(blocking = false)
         regs = p
@@ -505,7 +522,7 @@ object Graph {
             .select(col("start"), col("__nx").as("x")))
         .distinct()
       if (r < radius) {
-        val p = graft.util.Caches.persist(next)
+        val p = truncReach(next, orElse = graft.util.Caches.persist)
         p.count()
         reach.unpersist(blocking = false)
         reach = p

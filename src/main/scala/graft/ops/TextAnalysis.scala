@@ -677,7 +677,7 @@ object TextAnalysis {
     * merges.
     */
   def bpeLearnMerges(df: DataFrame, textCol: String,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4, checkpointEvery: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
@@ -691,6 +691,10 @@ object TextAnalysis {
         .select(encode.as("e"), col("wn")))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
+    // persist-with-eviction keeps EXECUTION flat, but the analyzed plan
+    // still deepens by one replace per merge round; checkpointEvery > 0
+    // truncates lineage every N rounds for long merge horizons
+    val trunc = new graft.util.Truncator(checkpointEvery)
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -712,9 +716,10 @@ object TextAnalysis {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, a + b, cnt))
-        val next = graft.util.Caches.persist(
+        val next = trunc(
           enc.select(replace(col("e"), lit(s"$sep$a$sep$sep$b$sep"),
-            lit(s"$sep$a$b$sep")).as("e"), col("wn")))
+            lit(s"$sep$a$b$sep")).as("e"), col("wn")),
+          orElse = graft.util.Caches.persist)
         next.count() // materialize before evicting the parent generation
         enc.unpersist(blocking = false)
         enc = next

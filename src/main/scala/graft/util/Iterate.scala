@@ -1,0 +1,58 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative fixpoints (pagerank, label
+  * propagation, k-core, HyperBall, BPE): every `every`-th generation of
+  * the loop state is CHECKPOINTED — its physical result becomes the new
+  * plan root — so the analyzed plan stays bounded no matter how many
+  * rounds run. Per-round `persist` alone caches execution but the
+  * logical plan still deepens by one join+agg per round; past a few
+  * dozen rounds analysis/optimization time (and for self-joining loops,
+  * plan SIZE) dominates.
+  *
+  * `every = 0` disables truncation entirely — the default for the
+  * shallow fixed-iteration configurations the gate queries run, whose
+  * 2-3-round plans do not need it and should not pay the materialization.
+  *
+  * Checkpoint flavor follows [[graft.ops.Dedup.connectedComponents]]'s
+  * contract: if the session has a RELIABLE checkpoint directory
+  * configured (`SparkContext.setCheckpointDir` — the cluster deployment
+  * mode, survives executor loss), rounds use `checkpoint(eager = true)`
+  * and old round files are reclaimed by
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` or by deleting the
+  * UUID subdir after the result is consumed; otherwise
+  * `localCheckpoint(eager = true)` (executor-block storage — fine
+  * single-node, lost on executor churn). The superseded local checkpoint
+  * unpersists as soon as its successor is materialized, so at most two
+  * generations of blocks are ever held.
+  */
+final class Truncator(every: Int) {
+  require(every >= 0, s"checkpointEvery must be >= 0 (0 = off), got $every")
+
+  private var round = 0
+  private var prev: Option[DataFrame] = None
+
+  /** Pass the new generation of loop state through: on truncation rounds
+    * returns the checkpointed (lineage-free) frame; otherwise
+    * `orElse(df)` — the hook for loops that persist their non-truncated
+    * generations (pass `Caches.persist`). Must be called exactly once
+    * per round so the counter tracks the loop.
+    */
+  def apply(df: DataFrame,
+      orElse: DataFrame => DataFrame = identity): DataFrame = {
+    round += 1
+    if (every > 0 && round % every == 0) {
+      val reliable =
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined
+      // eager in both flavors: the state must materialize BEFORE the
+      // superseded generation's blocks are dropped
+      val cp =
+        if (reliable) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(cp)
+      cp
+    } else orElse(df)
+  }
+}
