@@ -302,6 +302,16 @@ object ScaleProbe {
           e.where(col("vec_id") % 2 === 1),
           minMargin = 0.01).count()
       }
+      // round 11: BOTH sides grow with m — the two-large-sides regime the
+      // BNL cannot take. Candidate volume is bucket-governed, so the
+      // curve must stay far below the m² an all-pairs join would show
+      // (amplified exact twins densify buckets: the worst-ish case)
+      t("bitext_scalable") {
+        Similarity.bitextMineScalable(
+          e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1),
+          minMargin = 0.01).count()
+      }
       // round 11: deep-iteration pagerank with lineage truncation — at
       // iters=10 the untruncated plan is 10 join+agg generations deep;
       // checkpointEvery=3 must hold wall-clock ~flat vs the shallow run

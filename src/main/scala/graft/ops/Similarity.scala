@@ -643,8 +643,17 @@ object Similarity {
     * applies — every cross-side pair scores.
     */
   def bitextMine(a: DataFrame, b: DataFrame,
-      minMargin: Double): DataFrame = {
-    topK(scoreAllPairs(b, a, excludeSameId = false), 2)
+      minMargin: Double): DataFrame =
+    marginFromTop2(topK(scoreAllPairs(b, a, excludeSameId = false), 2),
+      minMargin)
+
+  /** The margin tail shared by [[bitextMine]] and [[bitextMineScalable]]:
+    * collapse a rank<=2 table to (best, runner-up) per query and keep
+    * queries whose margin clears the bar.
+    */
+  private def marginFromTop2(ranked: DataFrame,
+      minMargin: Double): DataFrame =
+    ranked
       .groupBy("q_id")
       .agg(
         max(when(col("rank") === 1,
@@ -655,6 +664,69 @@ object Similarity {
         coalesce(col("__second"), lit(0d)).as("runner_up"))
       .withColumn("margin", col("cosine") - col("runner_up"))
       .where(col("margin") >= minMargin)
+
+  /** [[bitextMine]] for TWO LARGE SIDES — the corpus×corpus regime where
+    * the broadcast-nested-loop contract breaks (neither side fits a
+    * broadcast, and O(|A|·|B|) comparisons are unpayable regardless).
+    * Candidates come from the sign-LSH banding both sides already use
+    * for [[annTopK]]: only cross-side pairs sharing a (band, signature)
+    * bucket are scored, and the margin (best − runner-up) is computed
+    * over each query's candidate set. Same output contract as
+    * [[bitextMine]]; approximate where the BNL is exact — a query whose
+    * true best or runner-up never shares a bucket reports a margin over
+    * what LSH surfaced (at gate scale the default banding recalls the
+    * exact result — pinned by SimilaritySpec — and b/r trade recall for
+    * cost the standard way).
+    *
+    * Scale shape: one persisted signature pass per side; the candidate
+    * join is keyed (band, bsig) — id pairs only, payloads re-join for
+    * scoring; candidate volume is governed by bucket sizes, never
+    * |A|·|B|. The [[nearDupPairs]] oversized-bucket guard applies: a
+    * bucket with more than `maxBucket` rows ACROSS THE TWO SIDES joins
+    * on the extended (2r-bit) key, so one hot signature cannot go
+    * quadratic; the extension is recall-lossy for those buckets
+    * (p^(2r) per band instead of p^r) and warned at run time.
+    */
+  def bitextMineScalable(a: DataFrame, b: DataFrame, minMargin: Double,
+      nBits: Int = 64, bands: Int = 16, r: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    val abase = signedBase(a, nBits)
+    val bbase = signedBase(b, nBits)
+    def bandsWithNext(base: DataFrame): DataFrame =
+      base.select(col("vec_id"),
+          V.bitBands(col("__bits"), bands, r).as("bds"))
+        .select(col("vec_id"), col("bds"), explode(col("bds")).as("bd"))
+        .select(col("vec_id"), col("bd.band").as("band"),
+          col("bd.bsig").as("bsig"),
+          element_at(col("bds"), (col("bd.band") + 1) % bands + 1)
+            .getField("bsig").as("nsig"))
+    val ab = bandsWithNext(abase)
+    val bb = bandsWithNext(bbase)
+    // bucket population counted over BOTH sides: the join cost of bucket
+    // k is |A_k|·|B_k|, bounded by (|A_k|+|B_k|)² — one count table
+    // governs both sides' key extension decision deterministically
+    val counts = graft.util.Caches.persist(
+      ab.select("band", "bsig").unionAll(bb.select("band", "bsig"))
+        .groupBy("band", "bsig").count())
+    val nOver = counts.where(col("count") > maxBucket).count()
+    if (nOver > 0) log.warn(
+      s"bitextMineScalable: $nOver sign-LSH bucket(s) exceed " +
+        s"maxBucket=$maxBucket and join on an extended (2r-bit) key; " +
+        "pairs landing only in those buckets are caught with probability " +
+        "p^(2r) instead of p^r per band")
+    val as = ab.join(counts, Seq("band", "bsig"))
+    val bs = bb.join(counts, Seq("band", "bsig"))
+    def candOf(x: DataFrame, y: DataFrame, keys: Seq[String]): DataFrame =
+      x.select((keys :+ "vec_id").map(col): _*)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(y.select((keys :+ "vec_id").map(col): _*), keys)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+    val cand = candOf(as.where(col("count") <= maxBucket),
+        bs.where(col("count") <= maxBucket), Seq("band", "bsig"))
+      .union(candOf(as.where(col("count") > maxBucket),
+        bs.where(col("count") > maxBucket), Seq("band", "bsig", "nsig")))
+      .distinct()
+    marginFromTop2(topK(score(cand, abase, bbase), 2), minMargin)
   }
 
   /** Recall@k of the sign-LSH ANN path against exact brute-force ground

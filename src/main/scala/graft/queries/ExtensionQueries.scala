@@ -90,6 +90,12 @@ object ExtensionQueries {
   private val HeadK = 50
   private val BoilerMinDocs = 2
   private val BitextMinMargin = 0.01
+  // the corpus×corpus (two-large-sides) bitext path: sign-LSH candidate
+  // generation at the annTopK banding, nearDupPairs' oversized-bucket
+  // key extension as the quadratic guard
+  private val BitextBands = 16
+  private val BitextR = 4
+  private val BitextMaxBucket = 4096
   // CUSUM: drift target ~= corpus mean, half-sigma slack, alarm at 10x
   private val CusumTarget = 50.0
   private val CusumSlack = 5.0
@@ -608,6 +614,21 @@ object ExtensionQueries {
           e.where(col("vec_id") % 2 === 0),
           e.where(col("vec_id") % 2 === 1),
           minMargin = BitextMinMargin)
+        .orderBy("q_id")
+    },
+
+    "bitext_mine_scalable" -> { (spark, dir) =>
+      // the two-large-sides margin miner: sign-LSH candidates on both
+      // parity halves, margin over candidates only — the scale path the
+      // BNL bitext_mine cannot take. The oracle replays the banding, so
+      // the gate checks the LSH path's own arithmetic (the bloom_join /
+      // dedup_embedding convention for guarded scale paths).
+      val e = embs(spark, dir)
+      Similarity.bitextMineScalable(
+          e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1),
+          minMargin = BitextMinMargin,
+          bands = BitextBands, r = BitextR, maxBucket = BitextMaxBucket)
         .orderBy("q_id")
     },
 
@@ -3164,6 +3185,52 @@ object ExtensionQueries {
               coalesce(max(CASE WHEN rank = 2 THEN cosine END),
                 CAST(0 AS DOUBLE)) AS runner_up
             FROM rk WHERE rank <= 2 GROUP BY q_id)
+      SELECT q_id, n_id, cosine, runner_up, cosine - runner_up AS margin
+      FROM p WHERE cosine - runner_up >= CAST('$BitextMinMargin' AS DOUBLE)
+      ORDER BY q_id""",
+
+    // Replay of Similarity.bitextMineScalable incl. the oversized-bucket
+    // guard: sign-LSH bands on both parity halves, bucket population
+    // counted across BOTH sides, over-cap buckets join on the extended
+    // (band, bsig, nsig) key; margin over the candidate top-2 only.
+    "bitext_mine_scalable" -> s"""${signBandCtes(BitextBands, BitextR)},
+      banded2 AS (
+        SELECT vec_id, band, bsig,
+          array_to_string(sb[((band+1)%$BitextBands)*$BitextR+1 :
+            ((band+1)%$BitextBands)*$BitextR+$BitextR], '-') AS nsig
+        FROM banded JOIN bits USING (vec_id)
+      ), sized AS (
+        SELECT banded2.*, count(*) OVER (PARTITION BY band, bsig) AS n
+        FROM banded2
+      ), cand AS (
+        SELECT DISTINCT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id
+          FROM sized q JOIN sized c
+            ON q.band = c.band AND q.bsig = c.bsig
+          WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1
+            AND q.n <= $BitextMaxBucket
+          UNION ALL
+          SELECT q.vec_id, c.vec_id
+          FROM sized q JOIN sized c
+            ON q.band = c.band AND q.bsig = c.bsig AND q.nsig = c.nsig
+          WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1
+            AND q.n > $BitextMaxBucket)
+      ), scored AS (
+        SELECT q_id, n_id, ${cosD("a", "b")} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.q_id
+        JOIN embeddings b ON b.vec_id = cand.n_id
+      ), rk AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        FROM scored
+      ), p AS (
+        SELECT q_id,
+          max(CASE WHEN rank = 1 THEN n_id END) AS n_id,
+          max(CASE WHEN rank = 1 THEN cosine END) AS cosine,
+          coalesce(max(CASE WHEN rank = 2 THEN cosine END),
+            CAST(0 AS DOUBLE)) AS runner_up
+        FROM rk WHERE rank <= 2 GROUP BY q_id)
       SELECT q_id, n_id, cosine, runner_up, cosine - runner_up AS margin
       FROM p WHERE cosine - runner_up >= CAST('$BitextMinMargin' AS DOUBLE)
       ORDER BY q_id""",

@@ -435,4 +435,43 @@ class SimilaritySpec extends SparkSpec {
     assert(r.length == 1)
     assert(r.head.getLong(1) == 5L && r.head.getDouble(2) == 1.0)
   }
+
+  test("bitextMineScalable: saturating banding reproduces the BNL result") {
+    // recall -> 1 as banding loosens: at bands=64, r=1 a true-top-2
+    // neighbor escapes the candidate set only if ALL 64 hyperplane signs
+    // differ (an estimated-antiparallel vector, which cannot be a top
+    // match on this data) — so the LSH path must be EXACTLY the BNL
+    // answer here, pinning the approximation's exact-degradation contract
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val a = e.where(col("vec_id") % 2 === 0)
+    val b = e.where(col("vec_id") % 2 === 1)
+    val exact = Similarity.bitextMine(a, b, 0.01)
+      .collect().map(_.toString).toSet
+    val viaLsh = Similarity.bitextMineScalable(a, b, 0.01,
+        bands = 64, r = 1)
+      .collect().map(_.toString).toSet
+    assert(exact == viaLsh)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("bitextMineScalable: scores are sound and the plan has no BNL") {
+    // every reported (q, n, cosine) must equal the exact pair cosine —
+    // LSH prunes CANDIDATES, it must never perturb a score
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val a = e.where(col("vec_id") % 2 === 0)
+    val b = e.where(col("vec_id") % 2 === 1)
+    val out = Similarity.bitextMineScalable(a, b, 0.01)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "the scalable path must not fall back to an all-pairs join")
+    val approx = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.bruteTopK(b, a, k = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    approx.foreach { case (k, c) =>
+      assert(brute(k) == c, s"pair $k scored $c, exact ${brute(k)}")
+    }
+    graft.util.Caches.unpersistAll()
+  }
 }
