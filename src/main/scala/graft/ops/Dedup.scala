@@ -217,6 +217,104 @@ object Dedup {
       .distinct()
     // shingle sets are sorted (see shingled): two-pointer kernel, no
     // per-pair hash set
+    verifyContainment(cand, sh, threshold)
+  }
+
+  /** Size-stratified containment dedup — the LSH-Ensemble recipe (Zhu et
+    * al., VLDB 2016) closing [[containmentPairs]]' documented recall
+    * hole: Jaccard-tuned banding misses high-CONTAINMENT pairs with very
+    * unequal set sizes (a paragraph quoted whole inside a long article
+    * has cont ≈ 1 but Jaccard ≈ |A|/|B|). Here every document carries
+    * its size STRATUM (floor(log2 |shingles|), exact integer arithmetic
+    * via binary-string length on both engines), signatures band at a
+    * LADDER of (b, r) configurations — level 0 = (16, 4), 1 = (32, 2),
+    * 2 = (k, 1), S-curve midpoints (1/b)^(1/r) ≈ 0.5 / 0.177 / ~0 —
+    * and each candidate pair is admitted from exactly the level its
+    * stratum combination REQUIRES: the worst-case Jaccard of a
+    * containment-t pair with sizes in [2^sa, 2^(sa+1)) × [2^sb, 2^(sb+1))
+    * is j_min = t·2^sa / (2^sa + 2^(sb+1) − t·2^sa), and the required
+    * level is the most selective one whose midpoint is below j_min.
+    * Equal-size pairs keep cheap tight banding; skewed pairs get the
+    * permissive bands their tiny worst-case Jaccard needs. Output and
+    * verification are identical to [[containmentPairs]] (exact
+    * containment both directions over sorted shingle sets, either
+    * direction >= `threshold` kept).
+    *
+    * Cost shape: one signature pass (persisted), 3 band projections of it
+    * (16 + 32 + k rows/doc vs 16 — the ensemble's price), per-level bucket
+    * self-joins on (level, band, bsig) with the [[nearDupPairs]]-style
+    * oversized-bucket key extension (`maxBucket`, extended key = next
+    * band's signature within the level), id-only candidates, one exact
+    * verify join. The level-2 (r=1) buckets are the permissive tail —
+    * single-minhash agreement — and exactly the ones the extension
+    * guard exists for at corpus scale.
+    */
+  def containmentPairsStratified(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 128, shingleN: Int = 3, threshold: Double = 0.7,
+      maxBucket: Int = 4096): DataFrame = {
+    require(k >= 64, s"stratified banding needs k >= 64, got $k")
+    val sh = graft.util.Caches.persist(
+      shingled(df, idCol, textCol, shingleN))
+    val sig = graft.util.Caches.persist(
+      sh.select(col("doc_id"),
+        (length(bin(size(col("shingles")))) - 1).cast("long").as("__stratum"),
+        T.minhashSig(col("shingles"), k).as("__sig")))
+    // level 2 spends the WHOLE signature one row per band — the
+    // permissive tail's recall is 1-(1-j)^k, so k is the recall knob for
+    // extreme-skew pairs (k=64 measured 6/9 prefix-twin recall on the
+    // gate fixture; k=128 recalls 9/9 at both gate SFs)
+    val levels = Seq((0, 16, 4), (1, 32, 2), (2, k, 1))
+    require(levels.forall { case (_, b, r) => b * r <= k },
+      s"band ladder needs b*r <= $k")
+    val banded = levels.map { case (lvl, b, r) =>
+      sig.select(col("doc_id"), col("__stratum"),
+          T.bands(col("__sig"), b, r).as("bds"))
+        .select(col("doc_id"), col("__stratum"), col("bds"),
+          explode(col("bds")).as("bd"))
+        .select(col("doc_id"), col("__stratum"), lit(lvl).as("level"),
+          col("bd.band").as("band"), col("bd.bsig").as("bsig"),
+          element_at(col("bds"), (col("bd.band") + 1) % b + 1)
+            .getField("bsig").as("nsig"))
+    }.reduce(_ unionAll _)
+    val counts = graft.util.Caches.persist(
+      banded.groupBy("level", "band", "bsig").count())
+    val nOver = counts.where(col("count") > maxBucket).count()
+    if (nOver > 0) log.warn(
+      s"containmentPairsStratified: $nOver bucket(s) exceed " +
+        s"maxBucket=$maxBucket and join on an extended key; pairs landing " +
+        "only in those buckets lose one band-ladder level of recall")
+    val sized = banded.join(counts, Seq("level", "band", "bsig"))
+    // the level a stratum pair REQUIRES: worst-case Jaccard from the
+    // stratum bounds, compared against the ladder midpoints. Plain IEEE
+    // double arithmetic (powers of two exact), replayed bit-for-bit by
+    // the oracle.
+    def requiredLevel(sa: Column, sb: Column): Column = {
+      val pmin = pow(lit(2.0), least(sa, sb).cast("double"))
+      val pmax = pow(lit(2.0), greatest(sa, sb).cast("double") + 1)
+      val jmin = (lit(threshold) * pmin) / (pmin + pmax - lit(threshold) * pmin)
+      when(jmin >= 0.5, 0).when(jmin >= 0.177, 1).otherwise(lit(2))
+    }
+    def pairsOf(x: DataFrame, keys: Seq[String]): DataFrame =
+      x.as("x").join(x.as("y"), keys)
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .where(requiredLevel(col("x.__stratum"), col("y.__stratum"))
+          === col(keys.head))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = pairsOf(sized.where(col("count") <= maxBucket),
+        Seq("level", "band", "bsig"))
+      .union(pairsOf(sized.where(col("count") > maxBucket),
+        Seq("level", "band", "bsig", "nsig")))
+      .distinct()
+    verifyContainment(cand, sh, threshold)
+  }
+
+  /** Exact-containment verification shared by [[containmentPairs]] and
+    * [[containmentPairsStratified]]: re-join the sorted shingle sets and
+    * keep pairs clearing `threshold` in either direction.
+    */
+  private def verifyContainment(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val inter = size(org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.Expressions.SortedIntersect(
         org.apache.spark.sql.GraftColumnBridge.expression(col("sh_a")),

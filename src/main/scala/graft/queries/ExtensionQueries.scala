@@ -127,6 +127,10 @@ object ExtensionQueries {
   private val IvfProbes = 2
   private val AppendOffset = 1000000L
   private val ContainThreshold = 0.7
+  private val StratMaxBucket = 4096
+  // stratified containment spends a longer signature: level 2 (the
+  // extreme-skew tail) is k bands of 1, recall 1-(1-j)^k
+  private val StratK = 128
   private val BpeMinCount = 2L
   private val PmiMinPair = 5L
   private val BasketMinSupport = 10L
@@ -637,6 +641,17 @@ object ExtensionQueries {
       // doc-contains-doc duplication Jaccard dilutes away
       Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
           MinhashK, MinhashB, MinhashR, threshold = ContainThreshold)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_containment_skew" -> { (spark, dir) =>
+      // LSH-Ensemble stratified banding over a size-SKEWED fixture
+      // (documents plus 5-word prefix docs of every 40th long document):
+      // the prefix-in-article pairs have containment ~1 at Jaccard ~0.08,
+      // below the Jaccard-tuned banding's S-curve — the stratified ladder
+      // recalls them (DedupSpec pins that the plain path misses them)
+      Dedup.containmentPairsStratified(skewedDocs(docs(spark, dir)),
+          "doc_id", "text", StratK, threshold = ContainThreshold)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -2498,6 +2513,21 @@ object ExtensionQueries {
   private val PiiIpSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val PiiPhoneSql = "\\b\\d{3}-\\d{4}\\b"
 
+  /** Size-skewed containment fixture (mirrored verbatim into the oracle
+    * SQL): the corpus plus a 5-word PREFIX doc for every 40th document of
+    * at least 40 words, ids offset by 100000 — each derived doc's shingle
+    * set is wholly contained in its source (cont ≈ 1) at Jaccard ≈
+    * 3/|source| (tiny), the regime Jaccard-tuned banding cannot recall.
+    */
+  private def skewedDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"))
+      .unionAll(
+        d.where(col("doc_id") % 40 === 0 &&
+            size(split(col("text"), " ")) >= 40)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ")
+              .as("text")))
+
   /** Deterministic PII injection for the pii_* gate queries (mirrored
     * verbatim into the oracle SQL): doc_id % 3 == 0 docs get appended
     * contact details derived from doc_id.
@@ -3271,6 +3301,75 @@ object ExtensionQueries {
     // dedup_minhash_pairs, asymmetric containment both directions.
     "dedup_containment" -> s"""$minhashCtes
       SELECT * FROM (
+        SELECT doc_a, doc_b,
+          round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(a.shingles)::DOUBLE, 6) AS cont_a,
+          round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(b.shingles)::DOUBLE, 6) AS cont_b
+        FROM cand
+        JOIN sh a ON a.doc_id = cand.doc_a
+        JOIN sh b ON b.doc_id = cand.doc_b)
+      WHERE cont_a >= $ContainThreshold OR cont_b >= $ContainThreshold
+      ORDER BY doc_a, doc_b""",
+
+    // Replay of Dedup.containmentPairsStratified over the skewed fixture:
+    // size strata via binary-string length (exact integer log2 on both
+    // engines), the 3-level band ladder, the worst-case-Jaccard level
+    // requirement, the oversized-bucket key extension, exact containment
+    // verify.
+    "dedup_containment_skew" -> s"""
+      ${shingleCtes.replace("FROM documents", s"""FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string((string_split(text, ' '))[1:5], ' ') AS text
+        FROM documents
+        WHERE doc_id % 40 = 0 AND len(string_split(text, ' ')) >= 40)""")},
+      mh AS (
+        SELECT doc_id, list_transform(generate_series(0, ${StratK - 1}), i ->
+          list_min(list_transform(shingles, h ->
+            ((((i+1)*2654435761) % $P) * h + (((i+1)*40503) % $P)) % $P))) AS sig
+        FROM sh
+      ), sz AS (
+        SELECT doc_id,
+          length(printf('%b', len(shingles))) - 1 AS stratum
+        FROM sh
+      ), lv AS (
+        SELECT * FROM (VALUES (0, 16, 4), (1, 32, 2), (2, $StratK, 1)) t(level, b, r)
+      ), banded AS (
+        SELECT mh.doc_id, sz.stratum, lv.level, j AS band,
+          array_to_string(sig[j*lv.r+1 : j*lv.r+lv.r], '-') AS bsig,
+          array_to_string(
+            sig[((j+1)%lv.b)*lv.r+1 : ((j+1)%lv.b)*lv.r+lv.r], '-') AS nsig
+        FROM mh JOIN sz USING (doc_id) CROSS JOIN lv,
+          unnest(generate_series(0, lv.b - 1)) AS t(j)
+      ), sized AS (
+        SELECT banded.*, count(*) OVER (PARTITION BY level, band, bsig) AS n
+        FROM banded
+      ), prelim AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          x.stratum AS sx, y.stratum AS sy, x.level AS level
+        FROM sized x JOIN sized y
+          ON x.level = y.level AND x.band = y.band AND x.bsig = y.bsig
+         AND x.doc_id < y.doc_id
+        WHERE x.n <= $StratMaxBucket
+        UNION ALL
+        SELECT x.doc_id, y.doc_id, x.stratum, y.stratum, x.level
+        FROM sized x JOIN sized y
+          ON x.level = y.level AND x.band = y.band AND x.bsig = y.bsig
+         AND x.nsig = y.nsig AND x.doc_id < y.doc_id
+        WHERE x.n > $StratMaxBucket
+      ), cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b, level,
+            ($ContainThreshold * power(2, least(sx, sy)))
+              / (power(2, least(sx, sy)) + power(2, greatest(sx, sy) + 1)
+                 - $ContainThreshold * power(2, least(sx, sy))) AS jmin
+          FROM prelim)
+        WHERE (CASE WHEN jmin >= 0.5 THEN 0
+                    WHEN jmin >= 0.177 THEN 1 ELSE 2 END) = level
+      )
+      SELECT doc_a, doc_b, cont_a, cont_b FROM (
         SELECT doc_a, doc_b,
           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
             / len(a.shingles)::DOUBLE, 6) AS cont_a,

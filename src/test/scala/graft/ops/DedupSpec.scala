@@ -368,6 +368,50 @@ class DedupSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("containmentPairsStratified recalls the size-skew pairs the " +
+      "Jaccard-tuned banding provably misses") {
+    // the gate fixture at sf0.001: every 40th long doc gains a 5-word
+    // PREFIX twin (cont ~ 1, Jaccard ~ 3/|source| ~ 0.08 — far below the
+    // (1/16)^(1/4) = 0.5 S-curve midpoint of the standard banding)
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val skew = d.select($"doc_id", $"text")
+      .unionAll(d.where($"doc_id" % 40 === 0 &&
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split($"text", " ")) >= 40)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          org.apache.spark.sql.functions.array_join(
+            org.apache.spark.sql.functions.slice(
+              org.apache.spark.sql.functions.split($"text", " "), 1, 5),
+            " ").as("text")))
+    val nDerived = skew.where($"doc_id" >= 100000L).count()
+    assert(nDerived > 0, "fixture must contain derived prefix docs")
+    def prefixPairs(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      out.where($"doc_b" >= 100000L && $"doc_a" === $"doc_b" - 100000L)
+        .as[(Long, Long, Double, Double)].collect()
+        .map(p => (p._1, p._2)).toSet
+    val plain = prefixPairs(
+      Dedup.containmentPairs(skew, "doc_id", "text", threshold = 0.7))
+    val strat = prefixPairs(
+      Dedup.containmentPairsStratified(skew, "doc_id", "text",
+        threshold = 0.7))
+    // stratified banding recalls EVERY prefix-in-source pair...
+    assert(strat.size == nDerived,
+      s"stratified recalled ${strat.size} of $nDerived prefix pairs")
+    // ...including at least one the Jaccard-tuned banding missed (the
+    // recall hole LSH-Ensemble exists to close)
+    assert((strat -- plain).nonEmpty,
+      s"expected the plain banding to miss some prefix pair (plain=$plain)")
+    // and the verified containment on those pairs is exact full-subset
+    val contOfDerived = Dedup.containmentPairsStratified(skew, "doc_id",
+        "text", threshold = 0.7)
+      .where($"doc_b" >= 100000L && $"doc_a" === $"doc_b" - 100000L)
+      .as[(Long, Long, Double, Double)].collect()
+    contOfDerived.foreach { case (_, _, _, contB) =>
+      assert(contB == 1.0, s"prefix shingles must be fully contained, got $contB")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
   test("minhashIncrementalPairs: cross-side only, twins found, batch dups not") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
     val t2 = "one two three four five six seven eight nine"
