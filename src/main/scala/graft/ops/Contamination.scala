@@ -93,4 +93,53 @@ object Contamination {
         round(coalesce(col("__nn"), lit(0L)).cast("double")
           / col("n_shingles"), 6).as("novelty"))
   }
+
+  /** [[novelty]] with a BLOOM PRE-FILTER on the corpus side — the
+    * oversized-reference path (SURVEY §2.3 row 114's noted variant),
+    * EXACT by construction: the reference's distinct gram hashes fold
+    * into a driver-held bloom bitmap (bounded at `mBits`, the broadcast
+    * footprint class), every corpus gram probes it as a codegen'd
+    * expression, and
+    *
+    *  - a gram the bloom REJECTS is definitely novel (no false
+    *    negatives) — it never enters any join;
+    *  - only the possibly-seen slice verifies against the reference
+    *    gram table (an anti join whose LEFT side shrank from all corpus
+    *    grams to the seen-ish fraction + the FP rate).
+    *
+    * Same output as [[novelty]], bit-for-bit (the bloom prunes JOIN
+    * INPUT, never the answer — the [[Joins]] bloomSemi convention), so
+    * the oracle replays the plain anti-join form. The win at 100 TB: a
+    * high-novelty corpus (the usual case for fresh crawl vs yesterday's
+    * index) sends only its small seen-ish slice through the shuffle
+    * instead of every gram.
+    */
+  def noveltyBloom(df: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, mBits: Int = 1 << 20,
+      k: Int = 5): DataFrame = {
+    import graft.functions.Sketches
+    val docSh = graft.util.Caches.persist(
+      df.select(col(idCol).as("doc_id"),
+        T.hashedWordNgrams(col(textCol), shingleN).as("shingles")))
+    val docGrams = docSh.select(col("doc_id"), explode(col("shingles")).as("h"))
+    val refGrams = graft.util.Caches.persist(
+      reference
+        .select(explode(T.hashedWordNgrams(col(textCol), shingleN)).as("h"))
+        .distinct())
+    val bits = Sketches.bloomBitmap(refGrams, col("h"), mBits, k)
+    val might = Sketches.bloomMightContain(col("h"), bits, k)
+    // explicit re-select: the USING anti join surfaces the key column
+    // FIRST, and a positional unionAll would pair doc_id against h
+    val novel = docGrams.where(!might).select("doc_id", "h")
+      .unionAll(docGrams.where(might).join(refGrams, Seq("h"), "left_anti")
+        .select("doc_id", "h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("__nn"))
+    docSh
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"),
+        round(coalesce(col("__nn"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("novelty"))
+  }
 }

@@ -1119,6 +1119,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "text_novelty_bloom" -> { (spark, dir) =>
+      // the oversized-reference path: definitely-novel grams skip the
+      // anti join via the bloom screen; result is bit-equal to
+      // text_novelty (asserted in ContaminationSpec)
+      val d = docs(spark, dir)
+      Contamination.noveltyBloom(d.where(col("doc_id") % 7 =!= 0),
+          d.where(col("doc_id") % 7 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "streaming_foreachbatch" -> { (spark, dir) =>
       // TRUE streaming path, batch-verified: file-source readStream over
       // the events table -> watermarked hourly aggregation -> Complete-mode
@@ -2541,6 +2551,23 @@ object ExtensionQueries {
   // ================= DuckDB oracle SQL =================
 
   private val P = 1000000007L
+
+  /** Replay of Contamination.novelty over the every-7th-doc reference
+    * slice — shared by text_novelty and text_novelty_bloom (the bloom
+    * variant is exact by construction).
+    */
+  private lazy val noveltyOracle: String = s"""$shingleCtes,
+      dg AS (SELECT doc_id, unnest(shingles) AS h FROM sh
+             WHERE doc_id % 7 != 0),
+      rg AS (SELECT DISTINCT unnest(shingles) AS h FROM sh
+             WHERE doc_id % 7 = 0),
+      nv AS (SELECT doc_id, COUNT(*) AS nn FROM dg
+             WHERE h NOT IN (SELECT h FROM rg) GROUP BY doc_id)
+      SELECT sh.doc_id, len(shingles)::BIGINT AS n_shingles,
+        COALESCE(nn, 0)::BIGINT AS n_novel,
+        round(COALESCE(nn, 0)::DOUBLE / len(shingles), 6) AS novelty
+      FROM sh LEFT JOIN nv ON sh.doc_id = nv.doc_id
+      WHERE sh.doc_id % 7 != 0 ORDER BY sh.doc_id"""
 
   /** Word-3-gram shingle + MinHash-LSH candidate CTEs (shared by the two
     * minhash queries) — the literal DuckDB replay of
@@ -4213,18 +4240,12 @@ object ExtensionQueries {
 
     // Replay of Contamination.novelty: distinct doc grams anti-joined
     // against the reference slice's distinct gram set.
-    "text_novelty" -> s"""$shingleCtes,
-      dg AS (SELECT doc_id, unnest(shingles) AS h FROM sh
-             WHERE doc_id % 7 != 0),
-      rg AS (SELECT DISTINCT unnest(shingles) AS h FROM sh
-             WHERE doc_id % 7 = 0),
-      nv AS (SELECT doc_id, COUNT(*) AS nn FROM dg
-             WHERE h NOT IN (SELECT h FROM rg) GROUP BY doc_id)
-      SELECT sh.doc_id, len(shingles)::BIGINT AS n_shingles,
-        COALESCE(nn, 0)::BIGINT AS n_novel,
-        round(COALESCE(nn, 0)::DOUBLE / len(shingles), 6) AS novelty
-      FROM sh LEFT JOIN nv ON sh.doc_id = nv.doc_id
-      WHERE sh.doc_id % 7 != 0 ORDER BY sh.doc_id""",
+    "text_novelty" -> noveltyOracle,
+
+    // text_novelty_bloom is EXACT BY CONSTRUCTION (the bloom prunes join
+    // input, never the answer — Contamination.noveltyBloom), so its
+    // oracle IS the plain anti-join replay, shared verbatim.
+    "text_novelty_bloom" -> noveltyOracle,
 
     // Replay of TextAnalysis.repetition (word bigrams): same space-split
     // words, same keyed (doc, gram) counts; a doc shorter than one bigram

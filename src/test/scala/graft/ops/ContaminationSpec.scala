@@ -65,4 +65,23 @@ class ContaminationSpec extends SparkSpec {
     val out = Contamination.novelty(d, d, "doc_id", "text").collect()
     assert(out.forall(_.getDouble(3) == 0.0))
   }
+
+  test("noveltyBloom is bit-equal to novelty, even at brutal FP rates") {
+    // exact-by-construction contract: the bloom screen prunes join
+    // input, never the answer — so ANY (mBits, k), including a 64-bit
+    // bitmap where nearly every probe collides, must reproduce the
+    // plain anti-join result on the gate fixture
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val corpus = d.where($"doc_id" % 7 =!= 0)
+    val ref = d.where($"doc_id" % 7 === 0)
+    val exact = Contamination.novelty(corpus, ref, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    for ((mBits, k) <- Seq((1 << 20, 5), (1 << 10, 3), (64, 1))) {
+      val bloom = Contamination.noveltyBloom(corpus, ref, "doc_id", "text",
+          mBits = mBits, k = k)
+        .collect().map(_.toString).toSet
+      assert(bloom == exact, s"mBits=$mBits k=$k diverged")
+      graft.util.Caches.unpersistAll()
+    }
+  }
 }
