@@ -376,6 +376,56 @@ object ParityQueries {
         .orderBy("user_mod")
     },
 
+    "pipeline_guards" -> { (spark, dir) =>
+      // The three §2.1 behaviors previously covered only by scalatest,
+      // surfaced as one driver-gated batch query: (1) Load SKIPS a
+      // streaming view (ref: CassandraLoad.scala:108-109), (2) Execute
+      // resolves statement text from a file: URI with ${param} injection
+      // (ref: CassandraExecute.scala:31-32), (3) a failing stage throws
+      // DetailException carrying the stage's structured detail map
+      // (ref: CassandraExtract.scala:100-104). Each check lands as a
+      // boolean row; the oracle is the all-true table.
+      implicit val c: PipelineContext = ctx(spark)
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft_guards").toString
+      val conn = new ParquetConnector(tmp)
+      // (1) batch-only sink: a streaming view must be skipped, not
+      // written and not crashed on
+      Views.register(spark.readStream.format("rate").load(), "pg_stream")
+      LoadStage("pg_load", conn, "pg_stream", "pg_tbl", SaveMode.Overwrite,
+        options = Map("confirm.truncate" -> "true")).run()
+      val loadSkipped = !new java.io.File(s"$tmp/pg_tbl").exists()
+      // (2) statement-from-URI + ${param} injection through the Execute
+      // stage (the file: scheme; http(s) adds headers, ConfigSpec covers
+      // its error paths)
+      val f = Files.createTempFile("pg_stmt", ".sql")
+      Files.writeString(f,
+        "CREATE OR REPLACE TEMPORARY VIEW pg_uri_out AS " +
+          "SELECT CAST(${n} AS BIGINT) AS answer")
+      val stmt = Statements.fromUri("file:" + f)
+      ExecuteStage("pg_exec", conn, stmt,
+        sqlParams = Map("n" -> "42")).run()
+      val uriOk = spark.table("pg_uri_out")
+        .collect().map(_.getLong(0)).toSeq == Seq(42L)
+      // (3) DetailException: message names the stage, detail map carries
+      // the version stamp and the error text
+      val detailOk =
+        try {
+          SqlTransformStage("pg_boom",
+            sql = "SELECT * FROM pg_no_such_view_xyz",
+            outputView = "pg_never").run()
+          false
+        } catch {
+          case e: DetailException =>
+            e.getMessage.contains("pg_boom") &&
+              e.detail.contains("version") && e.detail.contains("error")
+        }
+      Seq(("detail_exception", detailOk),
+          ("load_streaming_guard", loadSkipped),
+          ("uri_statement", uriOk))
+        .toDF("guard", "ok").orderBy("guard")
+    },
+
     "pipeline_e2e" -> { (spark, dir) =>
       // Full declarative path: HOCON config -> Parser -> Runner, mirroring
       // the reference IT round-trip (CassandraLoadSuite.scala:66-139):
@@ -486,6 +536,15 @@ object ParityQueries {
     "pipeline_e2e" -> """
       SELECT p_partkey, p_name, p_brand, p_size
       FROM part WHERE p_size >= 10 ORDER BY p_partkey""",
+
+    // pipeline_guards asserts three boolean behaviors in-engine; the
+    // oracle is the all-true table those checks must produce.
+    "pipeline_guards" -> """
+      SELECT * FROM (
+        SELECT 'detail_exception' AS guard, true AS ok
+        UNION ALL SELECT 'load_streaming_guard', true
+        UNION ALL SELECT 'uri_statement', true)
+      ORDER BY guard""",
 
     "csv_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey
