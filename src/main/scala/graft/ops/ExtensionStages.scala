@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | knn | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | containment_stratified | knn | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -78,6 +78,11 @@ final case class DedupTransformStage(
       // asymmetric containment over the same MinHash-LSH candidates
       case "containment_pairs" => Dedup.containmentPairs(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.7))
+      // LSH-Ensemble stratified banding: the size-skew recall path
+      // (parser defaults minhashK to 128 for this method)
+      case "containment_stratified" =>
+        Dedup.containmentPairsStratified(in, idCol, textCol, minhashK,
+          shingleN, threshold.getOrElse(0.7), maxBucket)
       // text k-NN over the same candidates (window = k neighbors)
       case "knn" => Dedup.knnJaccard(in, idCol, textCol, window,
         minhashK, bands, rows, shingleN)
@@ -112,7 +117,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -131,7 +136,9 @@ final case class SimilarityTransformStage(
     levels: Int = 256,
     // project only: input/output dimensionality of the sign projection
     inDim: Int = 64,
-    outDim: Int = 16)
+    outDim: Int = 16,
+    // bitext family: the margin-criterion quality bar
+    minMargin: Double = 0.01)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -164,6 +171,15 @@ final case class SimilarityTransformStage(
       // one-row vector-table health screen (inDim = expected dimension)
       case "health"         =>
         Similarity.embeddingHealth(corpus, dim = inDim)
+      // margin-criterion bitext mining: queryView = the mined side,
+      // inputView = the candidate-translation side. Plain form is the
+      // small-query-side BNL; _scalable takes two large sides via
+      // sign-LSH candidates
+      case "bitext" => Similarity.bitextMine(queries, corpus, minMargin)
+      case "bitext_scalable" =>
+        Similarity.bitextMineScalable(queries, corpus, minMargin,
+          nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4),
+          maxBucket)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -248,20 +264,37 @@ final case class RangeJoinTransformStage(
 final case class ContaminationTransformStage(
     name: String,
     inputView: String, // the corpus
-    evalView: String,
+    evalView: String,  // the eval suite (check) / reference corpus (novelty)
     outputView: String,
+    method: String = "check", // check | novelty | novelty_bloom
     idCol: String = "doc_id",
     textCol: String = "text",
     shingleN: Int = 3,
-    broadcastEval: Boolean = true)
+    broadcastEval: Boolean = true,
+    // novelty_bloom: bitmap size and probe count
+    mBits: Int = 1 << 20,
+    k: Int = 5)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    detail += "method" -> method
     detail += "inputView" -> inputView
     detail += "evalView" -> evalView
     detail += "outputView" -> outputView
-    val out = Contamination.check(Views.resolve(inputView),
-      Views.resolve(evalView), idCol, textCol, shingleN, broadcastEval)
+    val in = Views.resolve(inputView)
+    val ref = Views.resolve(evalView)
+    val out = method match {
+      case "check" =>
+        Contamination.check(in, ref, idCol, textCol, shingleN, broadcastEval)
+      case "novelty" =>
+        Contamination.novelty(in, ref, idCol, textCol, shingleN)
+      case "novelty_bloom" =>
+        Contamination.noveltyBloom(in, ref, idCol, textCol, shingleN,
+          mBits, k)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown contamination method '$other'")
+    }
     Views.register(out, outputView)
     Option(out)
   }
@@ -398,7 +431,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply | bpe_fertility
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply | bpe_fertility | boilerplate
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -424,7 +457,10 @@ final case class TextAnalysisTransformStage(
     // blocklist: the whole-word term list
     terms: Seq[String] = Nil,
     // bpe_apply: "left right" merge pairs in application order
-    merges: Seq[String] = Nil)
+    merges: Seq[String] = Nil,
+    // boilerplate: chunk window (words) and cross-doc frequency floor
+    window: Int = 8,
+    minDocs: Int = 2)
     extends Stage {
 
   private def parsedMerges: Seq[(String, String)] = merges.map { m =>
@@ -477,6 +513,9 @@ final case class TextAnalysisTransformStage(
       // tokenizer fertility per group (langCol = the group column)
       case "bpe_fertility" =>
         TextAnalysis.bpeFertility(in, textCol, langCol, parsedMerges)
+      // RefinedWeb-style line dedup: drop cross-doc boilerplate chunks
+      case "boilerplate" =>
+        TextAnalysis.boilerplateChunks(in, idCol, textCol, window, minDocs)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -616,7 +655,9 @@ final case class GraphTransformStage(
     nodeCol: String = "n",
     maxGroup: Int = 256,
     coreK: Int = 3,
-    seedPrefix: String = "s")
+    seedPrefix: String = "s",
+    // lineage truncation cadence for the iterative methods (0 = off)
+    checkpointEvery: Int = 0)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -630,7 +671,7 @@ final case class GraphTransformStage(
         detail += "iters" -> iters.toString
         Graph.pagerank(
           in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
-          iters, dampNum, dampDen)
+          iters, dampNum, dampDen, checkpointEvery)
       case "triangles" =>
         // canonicalize any (src, dst) view: undirected, self-loops
         // dropped, (a, b) with a < b, distinct — triangleCounts's input
@@ -653,18 +694,19 @@ final case class GraphTransformStage(
           .select(least(col(srcCol), col(dstCol)).as("a"),
             greatest(col(srcCol), col(dstCol)).as("b"))
           .where(col("a") < col("b")).distinct()
-        Graph.kCore(und, coreK, iters)
+        Graph.kCore(und, coreK, iters, checkpointEvery)
       case "lpa" =>
         val und = in
           .select(least(col(srcCol), col(dstCol)).as("a"),
             greatest(col(srcCol), col(dstCol)).as("b"))
           .where(col("a") < col("b")).distinct()
-        Graph.labelPropagation(und, iters)
+        Graph.labelPropagation(und, iters, checkpointEvery)
       // teleport mass pinned to nodes with the seedPrefix
       case "ppr" =>
         Graph.personalizedPagerank(
           in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
-          col("node").startsWith(seedPrefix), iters, dampNum, dampDen)
+          col("node").startsWith(seedPrefix), iters, dampNum, dampDen,
+          checkpointEvery)
       // candidate new edges by shared-neighbor structure; maxGroup
       // doubles as the wedge-center degree cap, coreK as minCommon
       case "link_pred" =>

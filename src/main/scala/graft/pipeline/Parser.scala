@@ -99,7 +99,8 @@ object Parser {
           Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
             "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
             "ngram_pairs", "prefix_pairs", "edit_pairs", "jw_pairs",
-            "passages", "containment_pairs", "knn"),
+            "passages", "containment_pairs", "containment_stratified",
+            "knn"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -107,7 +108,11 @@ object Parser {
         blockCols = r.stringList("blockCols"),
         // absent -> per-method library default (0.9 minhash, 0.7 ngram)
         threshold = r.double("threshold"),
-        minhashK = r.int("minhashK").getOrElse(64),
+        // stratified banding spends a longer signature by default (its
+        // level-2 recall is 1-(1-j)^k — the operator's documented knob)
+        minhashK = r.int("minhashK").getOrElse(
+          if (r.string("method").contains("containment_stratified")) 128
+          else 64),
         bands = r.int("bands").getOrElse(16),
         rows = r.int("rows").getOrElse(4),
         shingleN = r.int("shingleN").getOrElse(3),
@@ -133,7 +138,8 @@ object Parser {
         method = r.oneOf("method",
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
             "quantize", "project", "semantic_dedup", "hard_negatives",
-            "ann_recall", "pca_cov", "health"), "topk"),
+            "ann_recall", "pca_cov", "health", "bitext",
+            "bitext_scalable"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -148,7 +154,8 @@ object Parser {
         probes = r.int("probes").getOrElse(1),
         levels = r.int("levels").getOrElse(256),
         inDim = r.int("inDim").getOrElse(64),
-        outDim = r.int("outDim").getOrElse(16))
+        outDim = r.int("outDim").getOrElse(16),
+        minMargin = r.double("minMargin").getOrElse(0.01))
     },
     "AsofJoinTransform" -> { (r, _) =>
       AsofJoinTransformStage(
@@ -197,10 +204,14 @@ object Parser {
         inputView = r.requiredString("inputView"),
         evalView = r.requiredString("evalView"),
         outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("check", "novelty", "novelty_bloom"), "check"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         shingleN = r.int("shingleN").getOrElse(3),
-        broadcastEval = r.boolean("broadcastEval", default = true))
+        broadcastEval = r.boolean("broadcastEval", default = true),
+        mBits = r.int("mBits").getOrElse(1 << 20),
+        k = r.int("k").getOrElse(5))
     },
     "ProfileTransform" -> { (r, _) =>
       val method = r.oneOf("method",
@@ -297,7 +308,8 @@ object Parser {
         nodeCol = r.string("nodeCol").getOrElse("n"),
         maxGroup = r.int("maxGroup").getOrElse(256),
         coreK = r.int("coreK").getOrElse(3),
-        seedPrefix = r.string("seedPrefix").getOrElse("s"))
+        seedPrefix = r.string("seedPrefix").getOrElse("s"),
+        checkpointEvery = r.int("checkpointEvery").getOrElse(0))
     },
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
@@ -468,7 +480,7 @@ object Parser {
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "keyness",
             "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
-            "bpe_apply", "bpe_fertility"),
+            "bpe_apply", "bpe_fertility", "boilerplate"),
           "quality"),
         terms = r.stringList("terms"),
         merges = r.stringList("merges"),
@@ -497,7 +509,9 @@ object Parser {
         topK = r.int("topK").getOrElse(5),
         groupCols = r.stringList("groupCols"),
         alpha = r.double("alpha").getOrElse(0.1),
-        alpha0 = r.double("alpha0").getOrElse(100.0))
+        alpha0 = r.double("alpha0").getOrElse(100.0),
+        window = r.int("window").getOrElse(8),
+        minDocs = r.int("minDocs").getOrElse(2))
     },
     "AssembleTransform" -> { (r, _) =>
       // ordering is the stage's determinism contract: an empty list would
@@ -721,7 +735,7 @@ object Parser {
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",
-      "levels", "inDim", "outDim")),
+      "levels", "inDim", "outDim", "minMargin")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime", "forward")),
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
@@ -730,7 +744,8 @@ object Parser {
       "outputView", "leftTime", "startCol", "endCol", "keys", "bucketSeconds",
       "leftEnd")),
     "ContaminationTransform" -> (commonKeys ++ Set("inputView", "evalView",
-      "outputView", "idCol", "textCol", "shingleN", "broadcastEval")),
+      "outputView", "method", "idCol", "textCol", "shingleN",
+      "broadcastEval", "mBits", "k")),
     "ProfileTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns", "exact",
       "method", "valueCol", "idCol", "binWidth", "nBins", "pLo", "pHi", "byCols",
       "sigma", "madK", "xCol", "yCol", "textCol", "langCol", "sourceCol")),
@@ -741,7 +756,8 @@ object Parser {
       "idCol", "textCol", "cols", "k", "scale", "salt")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
-      "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix")),
+      "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix",
+      "checkpointEvery")),
     "BehaviorTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
       "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds",
@@ -767,7 +783,8 @@ object Parser {
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
       "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold",
-      "groupCols", "alpha", "alpha0", "terms", "merges")),
+      "groupCols", "alpha", "alpha0", "terms", "merges", "window",
+      "minDocs")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),

@@ -9,6 +9,7 @@ import graft.pipeline._
   * stages.
   */
 class ExtensionStagesSpec extends SparkSpec {
+  import spark.implicits._
 
   test("dedup + text analysis as config-driven pipeline stages") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
@@ -1416,5 +1417,119 @@ class ExtensionStagesSpec extends SparkSpec {
     val out = spark.table("dp_out")
     assert(out.count() == 2)
     assert(out.columns.contains("drifted"))
+  }
+
+  test("round-11 methods as config stages: bitext, novelty_bloom, " +
+      "stratified containment, boilerplate, graph checkpointing") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "r11_embs"},
+      {"type": "SqlTransform", "name": "qa",
+       "sql": "SELECT * FROM r11_embs WHERE vec_id % 2 = 0",
+       "outputView": "r11_a"},
+      {"type": "SqlTransform", "name": "qb",
+       "sql": "SELECT * FROM r11_embs WHERE vec_id % 2 = 1",
+       "outputView": "r11_b"},
+      {"type": "SimilarityTransform", "name": "bt", "method": "bitext",
+       "inputView": "r11_b", "queryView": "r11_a", "minMargin": 0.01,
+       "outputView": "r11_bitext"},
+      {"type": "SimilarityTransform", "name": "bts",
+       "method": "bitext_scalable",
+       "inputView": "r11_b", "queryView": "r11_a", "minMargin": 0.01,
+       "outputView": "r11_bitext_s"},
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "r11_docs"},
+      {"type": "SqlTransform", "name": "ref",
+       "sql": "SELECT * FROM r11_docs WHERE doc_id % 7 = 0",
+       "outputView": "r11_ref"},
+      {"type": "SqlTransform", "name": "corp",
+       "sql": "SELECT * FROM r11_docs WHERE doc_id % 7 != 0",
+       "outputView": "r11_corp"},
+      {"type": "ContaminationTransform", "name": "nv", "method": "novelty",
+       "inputView": "r11_corp", "evalView": "r11_ref",
+       "outputView": "r11_novelty"},
+      {"type": "ContaminationTransform", "name": "nvb",
+       "method": "novelty_bloom", "mBits": 65536, "k": 3,
+       "inputView": "r11_corp", "evalView": "r11_ref",
+       "outputView": "r11_novelty_bloom"},
+      {"type": "DedupTransform", "name": "cs",
+       "method": "containment_stratified",
+       "inputView": "r11_docs", "outputView": "r11_contain"},
+      {"type": "TextAnalysisTransform", "name": "bp",
+       "analysis": "boilerplate", "window": 8, "minDocs": 2,
+       "inputView": "r11_docs", "outputView": "r11_boiler"},
+      {"type": "SqlTransform", "name": "edges",
+       "sql": "SELECT CAST(doc_id AS STRING) AS src, lang AS dst FROM r11_docs",
+       "outputView": "r11_edges"},
+      {"type": "GraphTransform", "name": "pr", "method": "pagerank",
+       "iters": 4, "checkpointEvery": 2,
+       "inputView": "r11_edges", "outputView": "r11_pr"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    // bitext: both forms ran; the stage wiring matches the library call
+    val bt = spark.table("r11_bitext")
+    assert(bt.columns.toSeq ==
+      Seq("q_id", "n_id", "cosine", "runner_up", "margin"))
+    assert(bt.count() ==
+      Similarity.bitextMine(
+        spark.table("r11_a"), spark.table("r11_b"), 0.01).count())
+    assert(spark.table("r11_bitext_s").columns.toSeq == bt.columns.toSeq)
+    // novelty_bloom is bit-equal to novelty through the config surface
+    assert(spark.table("r11_novelty_bloom").collect().map(_.toString).toSet
+      == spark.table("r11_novelty").collect().map(_.toString).toSet)
+    // stratified containment produced the containment schema
+    assert(spark.table("r11_contain").columns.toSeq ==
+      Seq("doc_a", "doc_b", "cont_a", "cont_b"))
+    // boilerplate kept every doc with its cleaned text
+    val boiler = spark.table("r11_boiler")
+    assert(boiler.columns.contains("clean_text"))
+    assert(boiler.count() == spark.table("r11_docs").count())
+    // checkpointed pagerank equals the plain run
+    val plain = Graph.pagerank(spark.table("r11_edges"), iters = 4)
+      .collect().map(_.toString).toSet
+    assert(spark.table("r11_pr").collect().map(_.toString).toSet == plain)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("curation chain as one declarative config (the curate_pipeline " +
+      "composition through the stage surface)") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "cu_docs"},
+      {"type": "TextAnalysisTransform", "name": "boiler",
+       "analysis": "boilerplate", "window": 8, "minDocs": 2,
+       "inputView": "cu_docs", "outputView": "cu_clean"},
+      {"type": "SqlTransform", "name": "survivors",
+       "sql": "SELECT c.doc_id, d.lang, c.clean_text FROM cu_clean c JOIN cu_docs d ON c.doc_id = d.doc_id WHERE c.n_kept > 0",
+       "outputView": "cu_kept"},
+      {"type": "DedupTransform", "name": "dd", "method": "exact",
+       "keys": ["clean_text"], "inputView": "cu_kept",
+       "outputView": "cu_deduped"},
+      {"type": "SqlTransform", "name": "tokens",
+       "sql": "SELECT doc_id, lang, CAST(size(split(clean_text, ' ')) AS BIGINT) AS n_tokens FROM cu_deduped",
+       "outputView": "cu_out"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val out = Runner.run(p).get
+    // the declarative chain reproduces the library composition exactly
+    val d = spark.table("cu_docs")
+    val expected = Dedup.exact(
+        TextAnalysis.boilerplateChunks(d, "doc_id", "text", 8, 2)
+          .where(org.apache.spark.sql.functions.col("n_kept") > 0)
+          .join(d.select($"doc_id", $"lang"), "doc_id")
+          .select($"doc_id", $"lang", $"clean_text"),
+        keys = Seq("clean_text"), tieBreak = Seq("doc_id"))
+      .select($"doc_id", $"lang",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"clean_text", " "))
+          .cast("long").as("n_tokens"))
+      .collect().map(_.toString).toSet
+    assert(out.collect().map(_.toString).toSet == expected)
+    graft.util.Caches.unpersistAll()
   }
 }
