@@ -227,21 +227,26 @@ object Dedup {
     * has cont ≈ 1 but Jaccard ≈ |A|/|B|). Here every document carries
     * its size STRATUM (floor(log2 |shingles|), exact integer arithmetic
     * via binary-string length on both engines), signatures band at a
-    * LADDER of (b, r) configurations — level 0 = (16, 4), 1 = (32, 2),
-    * 2 = (k, 1), S-curve midpoints (1/b)^(1/r) ≈ 0.5 / 0.177 / ~0 —
-    * and each candidate pair is admitted from exactly the level its
-    * stratum combination REQUIRES: the worst-case Jaccard of a
-    * containment-t pair with sizes in [2^sa, 2^(sa+1)) × [2^sb, 2^(sb+1))
-    * is j_min = t·2^sa / (2^sa + 2^(sb+1) − t·2^sa), and the required
-    * level is the most selective one whose midpoint is below j_min.
-    * Equal-size pairs keep cheap tight banding; skewed pairs get the
-    * permissive bands their tiny worst-case Jaccard needs. Output and
+    * LADDER of (b, r) configurations — level 1 = (32, 2), 2 = (k, 1),
+    * S-curve midpoints (1/b)^(1/r) ≈ 0.177 / ~0 — and each candidate
+    * pair is admitted from exactly the level its stratum combination
+    * REQUIRES: the worst-case Jaccard of a containment-t pair with
+    * sizes in [2^sa, 2^(sa+1)) × [2^sb, 2^(sb+1)) is
+    * j_min = t·2^sa / (2^sa + 2^(sb+1) − t·2^sa), and the required
+    * level is the most selective one whose midpoint is below j_min —
+    * same-stratum pairs (j_min = t/(3−t) ≥ 0.177 for t ≥ 0.46) keep
+    * the tighter banding; cross-stratum pairs get the permissive bands
+    * their tiny worst-case Jaccard needs. (A tighter (16, 4) level with
+    * midpoint 0.5 would require j_min ≥ 0.5 ⇔ size ratio ≤ 1.1 —
+    * unreachable under power-of-2 strata where the in-stratum worst
+    * case is already 2×, so no such level exists: it would band every
+    * doc for a branch no pair can select.) Output and
     * verification are identical to [[containmentPairs]] (exact
     * containment both directions over sorted shingle sets, either
     * direction >= `threshold` kept).
     *
-    * Cost shape: one signature pass (persisted), 3 band projections of it
-    * (16 + 32 + k rows/doc vs 16 — the ensemble's price), per-level bucket
+    * Cost shape: one signature pass (persisted), 2 band projections of it
+    * (32 + k rows/doc vs 16 — the ensemble's price), per-level bucket
     * self-joins on (level, band, bsig) with the [[nearDupPairs]]-style
     * oversized-bucket key extension (`maxBucket`, extended key = next
     * band's signature within the level), id-only candidates, one exact
@@ -264,7 +269,7 @@ object Dedup {
     // permissive tail's recall is 1-(1-j)^k, so k is the recall knob for
     // extreme-skew pairs (k=64 measured 6/9 prefix-twin recall on the
     // gate fixture; k=128 recalls 9/9 at both gate SFs)
-    val levels = Seq((0, 16, 4), (1, 32, 2), (2, k, 1))
+    val levels = Seq((1, 32, 2), (2, k, 1))
     require(levels.forall { case (_, b, r) => b * r <= k },
       s"band ladder needs b*r <= $k")
     val banded = levels.map { case (lvl, b, r) =>
@@ -293,7 +298,7 @@ object Dedup {
       val pmin = pow(lit(2.0), least(sa, sb).cast("double"))
       val pmax = pow(lit(2.0), greatest(sa, sb).cast("double") + 1)
       val jmin = (lit(threshold) * pmin) / (pmin + pmax - lit(threshold) * pmin)
-      when(jmin >= 0.5, 0).when(jmin >= 0.177, 1).otherwise(lit(2))
+      when(jmin >= 0.177, 1).otherwise(lit(2))
     }
     def pairsOf(x: DataFrame, keys: Seq[String]): DataFrame =
       x.as("x").join(x.as("y"), keys)

@@ -190,9 +190,25 @@ object Maintenance {
       baseDir: String, who: String)(body: => T): T = {
     val lock = new Path(s"$baseDir/_publish.lock")
     fs.mkdirs(new Path(baseDir))
+    // Hadoop's LOCAL createNewFile is exists-check-then-create — two
+    // racing writers can both "win" it (caught by the MaintenanceSpec
+    // race test). For file: paths go through NIO's O_CREAT|O_EXCL,
+    // which the kernel arbitrates; on HDFS createNewFile is arbitrated
+    // server-side and is used as-is. Other stores degrade to advisory
+    // (documented above).
     val acquired =
-      try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
+      try {
+        val scheme = lock.toUri.getScheme
+        if (scheme == null || scheme == "file") {
+          try {
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(lock.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else fs.createNewFile(lock)
+      } catch { case _: java.io.IOException => false }
     if (!acquired) throw new IllegalStateException(
       s"$who: writer lock $lock is already held — another publish/vacuum " +
         "is in flight, or a crashed writer left the lock behind. Verify " +

@@ -3362,7 +3362,7 @@ object ExtensionQueries {
           length(printf('%b', len(shingles))) - 1 AS stratum
         FROM sh
       ), lv AS (
-        SELECT * FROM (VALUES (0, 16, 4), (1, 32, 2), (2, $StratK, 1)) t(level, b, r)
+        SELECT * FROM (VALUES (1, 32, 2), (2, $StratK, 1)) t(level, b, r)
       ), banded AS (
         SELECT mh.doc_id, sz.stratum, lv.level, j AS band,
           array_to_string(sig[j*lv.r+1 : j*lv.r+lv.r], '-') AS bsig,
@@ -3393,8 +3393,7 @@ object ExtensionQueries {
               / (power(2, least(sx, sy)) + power(2, greatest(sx, sy) + 1)
                  - $ContainThreshold * power(2, least(sx, sy))) AS jmin
           FROM prelim)
-        WHERE (CASE WHEN jmin >= 0.5 THEN 0
-                    WHEN jmin >= 0.177 THEN 1 ELSE 2 END) = level
+        WHERE (CASE WHEN jmin >= 0.177 THEN 1 ELSE 2 END) = level
       )
       SELECT doc_a, doc_b, cont_a, cont_b FROM (
         SELECT doc_a, doc_b,
