@@ -317,11 +317,13 @@ object ScaleProbe {
       // checkpointEvery=3 must hold wall-clock ~flat vs the shallow run
       // (the probe would hang/blow the driver if plan growth compounded)
       t("pagerank_iters10_ckpt") {
+        // amplify the SUPPLIER ids only — l_orderkey must keep joining
+        // the (unamplified) orders table, each copy then contributes a
+        // fresh supplier-side node set and ~Nx edges
         val li = spark.read.parquet(s"$dir/lineitem.parquet")
           .where(col("l_orderkey") % 10 === 0)
         val liN = (0 until m).map(i =>
-          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
-            .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000000L)))
+          li.withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000000L)))
           .reduce(_ unionAll _)
         val ord = spark.read.parquet(s"$dir/orders.parquet")
         graft.ops.Graph.pagerank(
