@@ -533,6 +533,121 @@ object Graph {
     exact.join(est, "node")
   }
 
+  /** HyperBall HARMONIC CENTRALITY (Boldi & Vigna 2013/2014 — the
+    * metric HyperBall was built to compute): harmonic(v) =
+    * Σ_{u≠v} 1/d(v,u), estimated from the per-radius ball-size sequence
+    * as Σ_{r=1..R} max(|B_r(v)| − |B_{r−1}(v)|, 0)/r over the SAME
+    * packed-register loop as [[neighborhoodSizes]] — each round's
+    * registers are unpacked to an estimate table, and the per-radius
+    * deltas (clamped at 0: the linear-counting/raw crossover can step a
+    * hair backwards) accumulate in ascending-radius order, so any
+    * engine replays the identical double arithmetic. Truncation at
+    * `radius` is the standard HyperBall contract: contributions beyond
+    * R are bounded by n/(R+1) and the estimator is meant to run to the
+    * effective diameter.
+    *
+    * Output: (node, harmonic_exact, harmonic_estimate) — the exact
+    * column is the gate-scale calibration convention of
+    * [[neighborhoodSizes]], computed by frontier BFS with first-visit
+    * distances and an exact fixed-point (×2^20) reciprocal sum (1/d is
+    * not binary-exact for d=3; the long sum is order-free).
+    *
+    * Scale shape: identical to [[neighborhoodSizes]] (one m-byte buffer
+    * per edge per round, byte-max map-side combine) plus one
+    * unpack+estimate aggregation per round — output rows per round are
+    * one per node. The calibration BFS is gate-only by design.
+    */
+  def harmonicCentrality(und: DataFrame, radius: Int = 2, m: Int = 512,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    import graft.functions.Sketches
+    def aggCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Byte]]]
+        .toAggregateExpression())
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+    val sym = graft.util.Caches.persist(
+      und.select(col("a"), col("b"))
+        .union(und.select(col("b").as("a"), col("a").as("b"))))
+    val nodes = sym.select(col("a").as("node")).distinct()
+    val (bCol, rhoCol) = Sketches.registerCoords(col("__member"), m)
+    def packed(members: DataFrame): DataFrame =
+      members.select(col("node"), bCol.as("__b"), rhoCol.as("__rho"))
+        .groupBy("node")
+        .agg(aggCol(graft.functions.PackRegisters(
+          expr(col("__b")), expr(col("__rho")), m)).as("__regs"))
+    def estimateOf(regs: DataFrame, name: String): DataFrame = {
+      val rows = regs.select(col("node"),
+          posexplode(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.Expressions.BytesToLongArray(
+              expr(col("__regs"))))).as(Seq("__b", "__m")))
+        .where(col("__m") > 0)
+      Sketches.hllEstimate(rows, Seq("node"), m)
+        .withColumnRenamed("hll_estimate", name)
+    }
+    // B_0 = {v}; B_1 = {v} ∪ N(v) seeded directly (the
+    // neighborhoodSizes per-bucket-max algebra)
+    val est0 = estimateOf(packed(
+      nodes.select(col("node"), col("node").as("__member"))), "__e0")
+    val members1 = nodes.select(col("node"), col("node").as("__member"))
+      .unionAll(sym.select(col("a").as("node"), col("b").as("__member")))
+    val trunc = new graft.util.Truncator(checkpointEvery)
+    var regs = graft.util.Caches.persist(packed(members1))
+    val ests = scala.collection.mutable.ArrayBuffer(
+      estimateOf(regs, "__e1"))
+    for (r <- 2 to radius) {
+      val contrib = sym
+        .join(regs.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("__regs"))
+      val next = regs.unionAll(contrib)
+        .groupBy("node")
+        .agg(aggCol(graft.functions.MergePackedRegisters(
+          expr(col("__regs")), m)).as("__regs"))
+      val p = trunc(next, orElse = graft.util.Caches.persist)
+      p.count()
+      regs.unpersist(blocking = false)
+      regs = p
+      ests += estimateOf(regs, s"__e$r")
+    }
+    // ascending-radius fold of clamped deltas — identical operand order
+    // in the oracle
+    val wide = (est0 +: ests.toSeq).reduce(_.join(_, "node"))
+    val harmonic = (1 to radius)
+      .map(r => greatest(col(s"__e$r") - col(s"__e${r - 1}"), lit(0d))
+        / lit(r.toDouble))
+      .reduce(_ + _)
+    // deliberately NOT re-rounded: the operands are exact 4dp-rounded
+    // doubles, so the fold lands on exact decimal midpoints where
+    // HALF_UP (Spark) and the C library (replay engines) disagree — the
+    // bitextMine margin lesson; the raw IEEE fold is deterministic
+    val est = wide.select(col("node"), harmonic.as("harmonic_estimate"))
+    // exact calibration: frontier BFS with first-visit distance, exact
+    // fixed-point reciprocal sum (gate-scale only, like exact_ball)
+    var seen = graft.util.Caches.persist(
+      nodes.select(col("node").as("start"), col("node").as("x"),
+        lit(0L).as("d")))
+    var frontier = seen
+    for (r <- 1 to radius) {
+      val nxt = graft.util.Caches.persist(
+        frontier.join(sym.select(col("a").as("x"), col("b").as("__nx")),
+            "x")
+          .select(col("start"), col("__nx").as("x")).distinct()
+          .join(seen.select("start", "x"), Seq("start", "x"), "left_anti")
+          .withColumn("d", lit(r.toLong)))
+      nxt.count()
+      seen = graft.util.Caches.persist(seen.unionByName(nxt))
+      frontier = nxt
+    }
+    val exact = seen.where(col("d") > 0)
+      .groupBy(col("start").as("node"))
+      .agg(round(
+        sum(round(lit(1048576.0) / col("d")).cast("long")).cast("double")
+          / 1048576.0, 4).as("harmonic_exact"))
+    exact.join(est, "node")
+      .select("node", "harmonic_exact", "harmonic_estimate")
+  }
+
   def deterministicWalks(und: DataFrame, length: Int = 3,
       salt: String = ""): DataFrame = {
     require(length >= 1, s"length must be >= 1, got $length")

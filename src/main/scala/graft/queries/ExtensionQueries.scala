@@ -2476,6 +2476,18 @@ object ExtensionQueries {
         .orderBy("node")
     },
 
+    "graph_harmonic" -> { (spark, dir) =>
+      // HyperBall's actual target metric: harmonic centrality from the
+      // per-radius ball-size deltas, exact-BFS calibrated at gate scale
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 10 === 0)
+      Graph.harmonicCentrality(
+          Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+            maxGroup = TriMaxGroup),
+          radius = 2, m = HllM)
+        .orderBy("node")
+    },
+
     // Hash-deterministic node2vec-style walks over the co-occurrence
     // graph: WalkLen steps from every node, neighbor picked by
     // h32(start|step|salt) mod degree over the sorted adjacency list.
@@ -6663,6 +6675,59 @@ object ExtensionQueries {
       ex AS (SELECT start AS node, count(*)::BIGINT AS exact_ball
              FROM reach GROUP BY 1)
       SELECT ex.node, ex.exact_ball, est.e AS ball_estimate
+      FROM ex JOIN est USING (node) ORDER BY ex.node""",
+
+    // Replay of Graph.harmonicCentrality: the graph_ball register chain
+    // with estimates at EVERY radius (e0 = {v}, e1, e2), harmonic =
+    // ascending-radius fold of clamped deltas; exact side = first-visit
+    // BFS distances with the fixed-point (x2^20) reciprocal sum.
+    "graph_harmonic" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem WHERE l_orderkey % 10 = 0),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      nodes AS (SELECT DISTINCT a AS node FROM sym),
+      h0 AS (SELECT node,
+               ('0x'||substr(md5(node::VARCHAR),1,8))::BIGINT % $P AS h
+             FROM nodes),
+      ${hllRegCte("h0", "r0", "node")},
+      r1 AS (SELECT node, b, max(m) AS m FROM (
+               SELECT node, b, m FROM r0
+               UNION ALL
+               SELECT s.a AS node, r.b, r.m
+               FROM sym s JOIN r0 r ON r.node = s.b)
+             GROUP BY 1, 2),
+      r2 AS (SELECT node, b, max(m) AS m FROM (
+               SELECT node, b, m FROM r1
+               UNION ALL
+               SELECT s.a AS node, r.b, r.m
+               FROM sym s JOIN r1 r ON r.node = s.b)
+             GROUP BY 1, 2),
+      ${hllEstCte("r0", "e0", "node")},
+      ${hllEstCte("r1", "e1", "node")},
+      ${hllEstCte("r2", "e2", "node")},
+      est AS (
+        SELECT e0.node,
+          greatest(e1.e - e0.e, 0.0) / 1.0
+            + greatest(e2.e - e1.e, 0.0) / 2.0 AS harmonic_estimate
+        FROM e0 JOIN e1 ON e1.node = e0.node JOIN e2 ON e2.node = e0.node),
+      d1 AS (SELECT a AS start, b AS x FROM sym),
+      two AS (SELECT DISTINCT s1.a AS start, s2.b AS x
+              FROM sym s1 JOIN sym s2 ON s2.a = s1.b),
+      new2 AS (SELECT t.start, t.x FROM two t
+               WHERE t.x != t.start AND NOT EXISTS (
+                 SELECT 1 FROM d1
+                 WHERE d1.start = t.start AND d1.x = t.x)),
+      n1 AS (SELECT start, count(*)::BIGINT AS c1 FROM d1 GROUP BY 1),
+      n2 AS (SELECT start, count(*)::BIGINT AS c2 FROM new2 GROUP BY 1),
+      ex AS (SELECT n1.start AS node,
+               round((n1.c1 * 1048576 + coalesce(n2.c2, 0) * 524288)::DOUBLE
+                 / 1048576.0, 4) AS harmonic_exact
+             FROM n1 LEFT JOIN n2 USING (start))
+      SELECT ex.node, ex.harmonic_exact, est.harmonic_estimate
       FROM ex JOIN est USING (node) ORDER BY ex.node""",
 
     // Replay of Graph.deterministicWalks: same co-occurrence edges as

@@ -220,6 +220,37 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("harmonicCentrality: exact radius-2 values on a path, estimate sane") {
+    // path 1-2-3-4-5, truncated at radius 2:
+    //   node 1: d(2)=1, d(3)=2            -> 1 + 1/2   = 1.5
+    //   node 2: d(1)=d(3)=1, d(4)=2       -> 2 + 1/2   = 2.5
+    //   node 3: d(2)=d(4)=1, d(1)=d(5)=2  -> 2 + 2/2   = 3.0
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.harmonicCentrality(und, radius = 2).orderBy("node")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.0), (4L, 2.5), (5L, 1.5)))
+    // linear-counting regime: the estimate tracks the exact truncated
+    // harmonic closely on a 5-node graph
+    out.foreach { r =>
+      val (exact, est) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(est - exact) / exact < 0.25,
+        s"node ${r.getLong(0)}: estimate $est too far from exact $exact")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("harmonicCentrality: checkpointing and layout do not change output") {
+    val und = (1L to 40L).map(i => (i, i % 13 + 41)).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame, every: Int) =
+      Graph.harmonicCentrality(d, radius = 3, checkpointEvery = every)
+        .orderBy("node").collect().toSeq
+    val base = run(und, 0)
+    assert(run(und.repartition(7), 0) == base)
+    assert(run(und, 1) == base)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("neighborhoodSizes is layout-independent") {
     val und = (1L to 40L).map(i => (i, i % 13 + 41)).toDF("a", "b")
     def run(d: org.apache.spark.sql.DataFrame) =
