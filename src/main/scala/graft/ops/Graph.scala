@@ -560,6 +560,53 @@ object Graph {
   def harmonicCentrality(und: DataFrame, radius: Int = 2, m: Int = 512,
       checkpointEvery: Int = 0): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
+    val (sym, nodes, ests) = ballEstimates(und, radius, m, checkpointEvery)
+    // ascending-radius fold of clamped deltas — identical operand order
+    // in the oracle
+    val wide = ests.reduce(_.join(_, "node"))
+    val harmonic = (1 to radius)
+      .map(r => greatest(col(s"__e$r") - col(s"__e${r - 1}"), lit(0d))
+        / lit(r.toDouble))
+      .reduce(_ + _)
+    // deliberately NOT re-rounded: the operands are exact 4dp-rounded
+    // doubles, so the fold lands on exact decimal midpoints where
+    // HALF_UP (Spark) and the C library (replay engines) disagree — the
+    // bitextMine margin lesson; the raw IEEE fold is deterministic
+    val est = wide.select(col("node"), harmonic.as("harmonic_estimate"))
+    // exact calibration: frontier BFS with first-visit distance, exact
+    // fixed-point reciprocal sum (gate-scale only, like exact_ball)
+    var seen = graft.util.Caches.persist(
+      nodes.select(col("node").as("start"), col("node").as("x"),
+        lit(0L).as("d")))
+    var frontier = seen
+    for (r <- 1 to radius) {
+      val nxt = graft.util.Caches.persist(
+        frontier.join(sym.select(col("a").as("x"), col("b").as("__nx")),
+            "x")
+          .select(col("start"), col("__nx").as("x")).distinct()
+          .join(seen.select("start", "x"), Seq("start", "x"), "left_anti")
+          .withColumn("d", lit(r.toLong)))
+      nxt.count()
+      seen = graft.util.Caches.persist(seen.unionByName(nxt))
+      frontier = nxt
+    }
+    val exact = seen.where(col("d") > 0)
+      .groupBy(col("start").as("node"))
+      .agg(round(
+        sum(round(lit(1048576.0) / col("d")).cast("long")).cast("double")
+          / 1048576.0, 4).as("harmonic_exact"))
+    exact.join(est, "node")
+      .select("node", "harmonic_exact", "harmonic_estimate")
+  }
+
+  /** The shared HyperBall machinery behind [[harmonicCentrality]] and
+    * [[neighborhoodFunction]]: run the packed-register loop of
+    * [[neighborhoodSizes]] and return (sym edges, node table, per-radius
+    * estimate tables) where table r has columns (node, __e{r}) — the
+    * estimated |B_r(v)| at every radius 0..radius.
+    */
+  private def ballEstimates(und: DataFrame, radius: Int, m: Int,
+      checkpointEvery: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     import graft.functions.Sketches
     def aggCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       org.apache.spark.sql.GraftColumnBridge.column(e.asInstanceOf[
@@ -610,42 +657,37 @@ object Graph {
       regs = p
       ests += estimateOf(regs, s"__e$r")
     }
-    // ascending-radius fold of clamped deltas — identical operand order
-    // in the oracle
-    val wide = (est0 +: ests.toSeq).reduce(_.join(_, "node"))
-    val harmonic = (1 to radius)
-      .map(r => greatest(col(s"__e$r") - col(s"__e${r - 1}"), lit(0d))
-        / lit(r.toDouble))
-      .reduce(_ + _)
-    // deliberately NOT re-rounded: the operands are exact 4dp-rounded
-    // doubles, so the fold lands on exact decimal midpoints where
-    // HALF_UP (Spark) and the C library (replay engines) disagree — the
-    // bitextMine margin lesson; the raw IEEE fold is deterministic
-    val est = wide.select(col("node"), harmonic.as("harmonic_estimate"))
-    // exact calibration: frontier BFS with first-visit distance, exact
-    // fixed-point reciprocal sum (gate-scale only, like exact_ball)
-    var seen = graft.util.Caches.persist(
-      nodes.select(col("node").as("start"), col("node").as("x"),
-        lit(0L).as("d")))
-    var frontier = seen
-    for (r <- 1 to radius) {
-      val nxt = graft.util.Caches.persist(
-        frontier.join(sym.select(col("a").as("x"), col("b").as("__nx")),
-            "x")
-          .select(col("start"), col("__nx").as("x")).distinct()
-          .join(seen.select("start", "x"), Seq("start", "x"), "left_anti")
-          .withColumn("d", lit(r.toLong)))
-      nxt.count()
-      seen = graft.util.Caches.persist(seen.unionByName(nxt))
-      frontier = nxt
-    }
-    val exact = seen.where(col("d") > 0)
-      .groupBy(col("start").as("node"))
-      .agg(round(
-        sum(round(lit(1048576.0) / col("d")).cast("long")).cast("double")
-          / 1048576.0, 4).as("harmonic_exact"))
-    exact.join(est, "node")
-      .select("node", "harmonic_exact", "harmonic_estimate")
+    (sym, nodes, est0 +: ests.toSeq)
+  }
+
+  /** The NEIGHBORHOOD FUNCTION / distance distribution (the other
+    * headline HyperBall output): N(r) = Σ_v |B_r(v)| — the estimated
+    * number of node pairs within distance r — for every radius
+    * 0..radius, with the cumulative fraction against the largest
+    * computed radius. The effective-diameter readout: the first r whose
+    * `frac` clears q (e.g. 0.9) brackets the q-effective diameter;
+    * interpolate between the bracketing rows.
+    *
+    * Output: (r, pairs_est, frac), one row per radius. Per-node
+    * estimates fold through an exact fixed-point (×2^20) long sum —
+    * order-free, so the corpus-wide total is bit-deterministic under any
+    * partitioning (a double sum here would drift with combine order).
+    * Same loop cost as [[neighborhoodSizes]]; output is radius+1 rows.
+    */
+  def neighborhoodFunction(und: DataFrame, radius: Int = 2, m: Int = 512,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val (_, _, ests) = ballEstimates(und, radius, m, checkpointEvery)
+    val rows = ests.zipWithIndex.map { case (df, r) =>
+      df.agg(sum(round(col(s"__e$r") * 1048576.0).cast("long")).as("__s"))
+        .select(lit(r.toLong).as("r"),
+          round(col("__s").cast("double") / 1048576.0, 4).as("pairs_est"))
+    }.reduce(_ unionAll _)
+    val total = rows.where(col("r") === radius)
+      .select(col("pairs_est").as("__t"))
+    rows.crossJoin(broadcast(total))
+      .select(col("r"), col("pairs_est"),
+        (round(col("pairs_est") / col("__t"), 6) + lit(0d)).as("frac"))
   }
 
   def deterministicWalks(und: DataFrame, length: Int = 3,

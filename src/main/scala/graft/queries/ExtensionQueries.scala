@@ -2476,6 +2476,19 @@ object ExtensionQueries {
         .orderBy("node")
     },
 
+    "graph_nf" -> { (spark, dir) =>
+      // the neighborhood function / distance distribution: estimated
+      // pairs within r for r = 0..2 plus the cumulative fraction — the
+      // effective-diameter readout of the HyperBall loop
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 10 === 0)
+      Graph.neighborhoodFunction(
+          Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+            maxGroup = TriMaxGroup),
+          radius = 2, m = HllM)
+        .orderBy("r")
+    },
+
     "graph_harmonic" -> { (spark, dir) =>
       // HyperBall's actual target metric: harmonic centrality from the
       // per-radius ball-size deltas, exact-BFS calibrated at gate scale
@@ -6729,6 +6742,50 @@ object ExtensionQueries {
              FROM n1 LEFT JOIN n2 USING (start))
       SELECT ex.node, ex.harmonic_exact, est.harmonic_estimate
       FROM ex JOIN est USING (node) ORDER BY ex.node""",
+
+    // Replay of Graph.neighborhoodFunction: the same register chain,
+    // per-radius totals through the exact fixed-point (x2^20) long sum,
+    // cumulative fraction against the largest radius.
+    "graph_nf" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem WHERE l_orderkey % 10 = 0),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      nodes AS (SELECT DISTINCT a AS node FROM sym),
+      h0 AS (SELECT node,
+               ('0x'||substr(md5(node::VARCHAR),1,8))::BIGINT % $P AS h
+             FROM nodes),
+      ${hllRegCte("h0", "r0", "node")},
+      r1 AS (SELECT node, b, max(m) AS m FROM (
+               SELECT node, b, m FROM r0
+               UNION ALL
+               SELECT s.a AS node, r.b, r.m
+               FROM sym s JOIN r0 r ON r.node = s.b)
+             GROUP BY 1, 2),
+      r2 AS (SELECT node, b, max(m) AS m FROM (
+               SELECT node, b, m FROM r1
+               UNION ALL
+               SELECT s.a AS node, r.b, r.m
+               FROM sym s JOIN r1 r ON r.node = s.b)
+             GROUP BY 1, 2),
+      ${hllEstCte("r0", "e0", "node")},
+      ${hllEstCte("r1", "e1", "node")},
+      ${hllEstCte("r2", "e2", "node")},
+      u AS (
+        SELECT 0::BIGINT AS r, round(sum(CAST(round(e * 1048576.0) AS BIGINT))::DOUBLE
+          / 1048576.0, 4) AS pairs_est FROM e0
+        UNION ALL
+        SELECT 1::BIGINT, round(sum(CAST(round(e * 1048576.0) AS BIGINT))::DOUBLE
+          / 1048576.0, 4) FROM e1
+        UNION ALL
+        SELECT 2::BIGINT, round(sum(CAST(round(e * 1048576.0) AS BIGINT))::DOUBLE
+          / 1048576.0, 4) FROM e2),
+      tot AS (SELECT pairs_est AS t FROM u WHERE r = 2)
+      SELECT r, pairs_est, (round(pairs_est / t, 6) + 0) AS frac
+      FROM u, tot ORDER BY r""",
 
     // Replay of Graph.deterministicWalks: same co-occurrence edges as
     // triangle_count, sorted adjacency lists, neighbor index

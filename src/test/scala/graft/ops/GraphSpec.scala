@@ -251,6 +251,23 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("neighborhoodFunction: monotone totals, terminal frac 1.0, sane") {
+    // path 1-2-3-4-5: exact N(0)=5, N(1)=13, N(2)=19
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.neighborhoodFunction(und, radius = 2).orderBy("r")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    val exact = Seq(5.0, 13.0, 19.0)
+    out.zip(exact).foreach { case ((r, est, _), ex) =>
+      assert(math.abs(est - ex) / ex < 0.25,
+        s"r=$r estimate $est too far from exact $ex")
+    }
+    assert(out(0)._2 <= out(1)._2 && out(1)._2 <= out(2)._2,
+      "ball totals must be monotone in r")
+    assert(out(2)._3 == 1.0, "terminal cumulative fraction must be 1.0")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("neighborhoodSizes is layout-independent") {
     val und = (1L to 40L).map(i => (i, i % 13 + 41)).toDF("a", "b")
     def run(d: org.apache.spark.sql.DataFrame) =
