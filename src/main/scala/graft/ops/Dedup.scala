@@ -220,6 +220,70 @@ object Dedup {
     verifyContainment(cand, sh, threshold)
   }
 
+  /** TF-WEIGHTED (multiset) Jaccard near-dup pairs — bag-of-words
+    * similarity where [[minhashPairs]] is n-gram/order-sensitive: a
+    * reshuffled or lightly re-templated document keeps its term
+    * FREQUENCY profile while losing most of its shingles, and weighted
+    * Jaccard J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) is the
+    * standard signal for that regime.
+    *
+    * Entirely INTEGER arithmetic via the Gollapudi-Sharma integer
+    * reduction: a term with (capped) frequency tf expands to the
+    * elements (term, 1) .. (term, tf), and PLAIN Jaccard over the
+    * expanded sets IS the weighted Jaccard of the capped tf vectors —
+    * so the whole [[minhashPairs]] machinery (k-permutation integer
+    * MinHash, LSH banding, sorted-array exact verify) applies verbatim
+    * and the oracle replays it with the same md5/mod-P hashing. `maxTf`
+    * caps the expansion (tf clipping — the IR convention): a
+    * pathological million-repeat token contributes maxTf elements, not
+    * a million; the capped measure is the documented contract.
+    *
+    * Output: (doc_a, doc_b, wjaccard >= threshold, 6dp), doc_a < doc_b.
+    * Scale shape identical to [[minhashPairs]] — expansion multiplies
+    * the element table by mean capped-tf (bounded by doc length), the
+    * signature pass is one narrow aggregation per doc, and the shuffle
+    * key is the (band, bsig) bucket.
+    */
+  def weightedJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, b: Int = 16, r: Int = 4,
+      threshold: Double = 0.5, maxTf: Int = 16): DataFrame = {
+    require(b * r <= k, s"bands*rows ($b*$r) must be <= signature length $k")
+    require(maxTf >= 1, s"maxTf must be >= 1, got $maxTf")
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(T.words(col(textCol))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(least(count(lit(1)), lit(maxTf.toLong)).as("tf"))
+    // (term, occurrence-index) elements, hashed with the engine's
+    // md5/mod-P contract over term + U+0001 + index (the separator keeps
+    // ("a", 11) and ("a1", 1) distinct); distinct per doc by
+    // construction, sorted once for the fused verify kernels
+    val sh = graft.util.Caches.persist(
+      tf.select(col("doc_id"),
+          explode(sequence(lit(1), col("tf").cast("int"))).as("i"),
+          col("w"))
+        .select(col("doc_id"),
+          T.h32(concat(col("w"), lit("\u0001"), col("i"))).as("h"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("shingles")))
+    val banded = graft.util.Caches.persist(sh
+      .select(col("doc_id"),
+        explode(T.bands(T.minhashSig(col("shingles"), k), b, r)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.bsig").as("bsig")))
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("band", "bsig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(T.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("wjaccard"))
+      .where(col("wjaccard") >= threshold)
+  }
+
   /** Size-stratified containment dedup — the LSH-Ensemble recipe (Zhu et
     * al., VLDB 2016) closing [[containmentPairs]]' documented recall
     * hole: Jaccard-tuned banding misses high-CONTAINMENT pairs with very

@@ -131,6 +131,12 @@ object ExtensionQueries {
   // stratified containment spends a longer signature: level 2 (the
   // extreme-skew tail) is k bands of 1, recall 1-(1-j)^k
   private val StratK = 128
+  // weighted (tf-multiset) Jaccard dedup: capped-tf expansion + minhash
+  // 0.7: the template-generated corpus puts ~8% of ALL pairs above 0.5
+  // weighted Jaccard (shared vocabulary), while >=0.7 is the real
+  // near-dup band (29 pairs at sf0.01)
+  private val WeightedThreshold = 0.7
+  private val WeightedMaxTf = 16
   private val BpeMinCount = 2L
   private val PmiMinPair = 5L
   private val BasketMinSupport = 10L
@@ -641,6 +647,16 @@ object ExtensionQueries {
       // doc-contains-doc duplication Jaccard dilutes away
       Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
           MinhashK, MinhashB, MinhashR, threshold = ContainThreshold)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_weighted" -> { (spark, dir) =>
+      // bag-of-words near-dup: tf-weighted Jaccard via the integer
+      // multiset expansion — catches reshuffled/re-templated docs whose
+      // shingle Jaccard collapses but term-frequency profile survives
+      Dedup.weightedJaccardPairs(docs(spark, dir), "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, threshold = WeightedThreshold,
+          maxTf = WeightedMaxTf)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -3362,6 +3378,45 @@ object ExtensionQueries {
         JOIN sh a ON a.doc_id = cand.doc_a
         JOIN sh b ON b.doc_id = cand.doc_b)
       WHERE cont_a >= $ContainThreshold OR cont_b >= $ContainThreshold
+      ORDER BY doc_a, doc_b""",
+
+    // Replay of Dedup.weightedJaccardPairs: capped-tf (term, index)
+    // expansion hashed with the same md5/mod-P contract (chr(1)
+    // separator), the standard minhash/banding over the expanded
+    // elements, exact Jaccard of the expanded sets = weighted Jaccard of
+    // the capped tf vectors.
+    "dedup_weighted" -> s"""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      tf AS (SELECT doc_id, w, least(count(*), $WeightedMaxTf) AS tf
+             FROM w GROUP BY doc_id, w),
+      el AS (SELECT doc_id,
+               ('0x'||substr(md5(w || chr(1) || i), 1, 8))::BIGINT % $P AS h
+             FROM tf, unnest(generate_series(1, tf)) AS t(i)),
+      sh AS (SELECT doc_id, list_sort(list(h)) AS els FROM el GROUP BY doc_id),
+      mh AS (
+        SELECT doc_id, list_transform(generate_series(0, ${MinhashK - 1}), i ->
+          list_min(list_transform(els, h ->
+            ((((i+1)*2654435761) % $P) * h + (((i+1)*40503) % $P)) % $P))) AS sig
+        FROM sh
+      ), banded AS (
+        SELECT doc_id, j AS band,
+          array_to_string(sig[j*$MinhashR+1 : j*$MinhashR+$MinhashR], '-') AS bsig
+        FROM mh, unnest(generate_series(0, ${MinhashB - 1})) AS t(j)
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+      )
+      SELECT * FROM (
+        SELECT doc_a, doc_b,
+          round(len(list_intersect(a.els, b.els))::DOUBLE
+            / len(list_distinct(list_concat(a.els, b.els)))::DOUBLE, 6)
+            AS wjaccard
+        FROM cand
+        JOIN sh a ON a.doc_id = cand.doc_a
+        JOIN sh b ON b.doc_id = cand.doc_b)
+      WHERE wjaccard >= $WeightedThreshold
       ORDER BY doc_a, doc_b""",
 
     // Replay of Dedup.containmentPairsStratified over the skewed fixture:

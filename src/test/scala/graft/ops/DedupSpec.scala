@@ -412,6 +412,34 @@ class DedupSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("weightedJaccardPairs: hand-computed tf-weighted Jaccard, " +
+      "reorder invariance, tf cap") {
+    // docs 1 and 2: same multiset {a:2, b:1, c:1} in different order ->
+    // weighted Jaccard 1.0 (shingle Jaccard would see disjoint 3-grams);
+    // doc 3: {a:1, b:1, d:2} -> J_w(1,3) = (1+1)/(2+1+1+2) = 1/3
+    val df = Seq(
+      (1L, "a a b c"),
+      (2L, "c a b a"),
+      (3L, "a b d d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.weightedJaccardPairs(df, "doc_id", "text",
+        threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(out((1L, 2L)) == 1.0, s"reordered multiset twins: ${out((1L, 2L))}")
+    assert(out((1L, 3L)) == 0.333333)
+    // tf cap: "x"*10 vs "x"*20 under maxTf=4 both cap to {x:4} -> 1.0
+    val capped = Seq(
+      (1L, Seq.fill(10)("x").mkString(" ")),
+      (2L, Seq.fill(20)("x").mkString(" "))
+    ).toDF("doc_id", "text")
+    val c = Dedup.weightedJaccardPairs(capped, "doc_id", "text",
+        threshold = 0.0, maxTf = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(c.toSeq == Seq((1L, 2L, 1.0)))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("minhashIncrementalPairs: cross-side only, twins found, batch dups not") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
     val t2 = "one two three four five six seven eight nine"
