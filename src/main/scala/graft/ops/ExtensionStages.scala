@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | containment_stratified | knn | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | containment_stratified | weighted_pairs | knn | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -38,7 +38,9 @@ final case class DedupTransformStage(
     maxDist: Int = 5,
     byDigest: Boolean = false,
     checkpointDir: Option[String] = None,
-    seenView: Option[String] = None)
+    seenView: Option[String] = None,
+    // weighted_pairs: term-frequency cap of the multiset expansion
+    maxTf: Int = 16)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -78,6 +80,10 @@ final case class DedupTransformStage(
       // asymmetric containment over the same MinHash-LSH candidates
       case "containment_pairs" => Dedup.containmentPairs(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.7))
+      // tf-weighted multiset Jaccard (bag-of-words near-dup)
+      case "weighted_pairs" =>
+        Dedup.weightedJaccardPairs(in, idCol, textCol, minhashK, bands,
+          rows, threshold.getOrElse(0.7), maxTf)
       // LSH-Ensemble stratified banding: the size-skew recall path
       // (parser defaults minhashK to 128 for this method)
       case "containment_stratified" =>
@@ -645,7 +651,7 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc | ball | harmonic | nf
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
@@ -707,6 +713,26 @@ final case class GraphTransformStage(
           in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
           col("node").startsWith(seedPrefix), iters, dampNum, dampDen,
           checkpointEvery)
+      // HyperBall family over the canonical undirected edge view;
+      // iters doubles as the radius
+      case "ball" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.neighborhoodSizes(und, iters, checkpointEvery = checkpointEvery)
+      case "harmonic" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.harmonicCentrality(und, iters, checkpointEvery = checkpointEvery)
+      case "nf" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.neighborhoodFunction(und, iters, checkpointEvery = checkpointEvery)
       // candidate new edges by shared-neighbor structure; maxGroup
       // doubles as the wedge-center degree cap, coreK as minCommon
       case "link_pred" =>

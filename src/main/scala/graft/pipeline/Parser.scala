@@ -100,7 +100,7 @@ object Parser {
             "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
             "ngram_pairs", "prefix_pairs", "edit_pairs", "jw_pairs",
             "passages", "containment_pairs", "containment_stratified",
-            "knn"),
+            "weighted_pairs", "knn"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -128,7 +128,8 @@ object Parser {
         maxDist = r.int("maxDist").getOrElse(5),
         byDigest = r.boolean("byDigest", default = false),
         checkpointDir = r.string("checkpointDir"),
-        seenView = r.string("seenView"))
+        seenView = r.string("seenView"),
+        maxTf = r.int("maxTf").getOrElse(16))
     },
     "SimilarityTransform" -> { (r, _) =>
       SimilarityTransformStage(
@@ -297,7 +298,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
-            "link_pred", "ppr", "cc"),
+            "link_pred", "ppr", "cc", "ball", "harmonic", "nf"),
           "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
@@ -731,7 +732,7 @@ object Parser {
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
       "maxBucket", "maxBlock", "lshBands", "maxIter", "window", "maxDist",
-      "byDigest", "checkpointDir", "seenView")),
+      "byDigest", "checkpointDir", "seenView", "maxTf")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",

@@ -1459,12 +1459,22 @@ class ExtensionStagesSpec extends SparkSpec {
       {"type": "TextAnalysisTransform", "name": "bp",
        "analysis": "boilerplate", "window": 8, "minDocs": 2,
        "inputView": "r11_docs", "outputView": "r11_boiler"},
+      {"type": "DedupTransform", "name": "wj", "method": "weighted_pairs",
+       "threshold": 0.3, "maxTf": 8,
+       "inputView": "r11_docs", "outputView": "r11_weighted"},
       {"type": "SqlTransform", "name": "edges",
        "sql": "SELECT CAST(doc_id AS STRING) AS src, lang AS dst FROM r11_docs",
        "outputView": "r11_edges"},
       {"type": "GraphTransform", "name": "pr", "method": "pagerank",
        "iters": 4, "checkpointEvery": 2,
-       "inputView": "r11_edges", "outputView": "r11_pr"}
+       "inputView": "r11_edges", "outputView": "r11_pr"},
+      {"type": "SqlTransform", "name": "uedges",
+       "sql": "SELECT doc_id AS src, doc_id % 17 + 10000 AS dst FROM r11_docs",
+       "outputView": "r11_uedges"},
+      {"type": "GraphTransform", "name": "hc", "method": "harmonic",
+       "iters": 2, "inputView": "r11_uedges", "outputView": "r11_harmonic"},
+      {"type": "GraphTransform", "name": "nf", "method": "nf",
+       "iters": 2, "inputView": "r11_uedges", "outputView": "r11_nf"}
     ]}"""
     val Right(p) = Parser.parse(conf,
       Map("default" -> new ParquetConnector(sf001))): @unchecked
@@ -1491,6 +1501,14 @@ class ExtensionStagesSpec extends SparkSpec {
     val plain = Graph.pagerank(spark.table("r11_edges"), iters = 4)
       .collect().map(_.toString).toSet
     assert(spark.table("r11_pr").collect().map(_.toString).toSet == plain)
+    // weighted dedup + HyperBall family ran with the right shapes
+    assert(spark.table("r11_weighted").columns.toSeq ==
+      Seq("doc_a", "doc_b", "wjaccard"))
+    assert(spark.table("r11_harmonic").columns.toSeq ==
+      Seq("node", "harmonic_exact", "harmonic_estimate"))
+    val nf = spark.table("r11_nf").orderBy("r").collect()
+    assert(nf.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(nf.last.getDouble(2) == 1.0)
     graft.util.Caches.unpersistAll()
   }
 
