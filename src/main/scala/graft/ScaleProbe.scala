@@ -312,6 +312,21 @@ object ScaleProbe {
           e.where(col("vec_id") % 2 === 1),
           minMargin = 0.01).count()
       }
+      // round 11: weighted Jaccard — amplified copies are exact multiset
+      // twins, so candidates track true duplicate pairs (C(m,2)·docs);
+      // the expansion itself is a narrow ~tokens-per-doc explode
+      t("weighted_jaccard") {
+        Dedup.weightedJaccardPairs(d, "doc_id", "text",
+          threshold = 0.7).count()
+      }
+      // round 11: stratified containment — the band ladder multiplies
+      // banding rows by (32 + k)/16 vs plain containment, and amplified
+      // twins densify every level's buckets; time must track duplicate
+      // pairs, never corpus²
+      t("containment_stratified") {
+        Dedup.containmentPairsStratified(d, "doc_id", "text",
+          threshold = 0.7).count()
+      }
       // round 11: deep-iteration pagerank with lineage truncation — at
       // iters=10 the untruncated plan is 10 join+agg generations deep;
       // checkpointEvery=3 must hold wall-clock ~flat vs the shallow run
