@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PRODUCT QUANTIZATION (Jégou, Douze & Schmid, TPAMI 2011) — the
+  * standard memory-compression layer of large-scale vector search,
+  * complementing [[Similarity.quantize]] (scalar int8, 4×) with the
+  * 10-100× regime: the embedding splits into `subspaces` contiguous
+  * subvectors, each subspace learns its own small k-means codebook, and
+  * a vector is stored as `subspaces` centroid ids. Search runs
+  * ASYMMETRIC DISTANCE COMPUTATION (ADC): the query precomputes its
+  * distance to every centroid of every subspace (a subspaces×K lookup
+  * table, tiny), and a candidate's approximate distance is just the sum
+  * of `subspaces` table lookups — no decompression, no full-width
+  * arithmetic per candidate.
+  *
+  * Determinism contract (the [[Similarity]] conventions): subvector
+  * distances accumulate sequentially in double and round to 6dp before
+  * any comparison (argmin ties break to the smallest centroid id);
+  * centroid updates use the order-insensitive fixed-point (×2^20) long
+  * sums; the ADC total is a SUM OF fixed-point LONGS (exact under any
+  * combine order — a double sum here would drift with partitioning).
+  * Every step replays bit-for-bit in the DuckDB oracle.
+  *
+  * Scale shape: training seeds are the deterministic
+  * `vec_id % centroidEvery == 0` subset (codebooks broadcast
+  * everywhere); encoding is one broadcast join + per-(vec, subspace)
+  * argmin; the codes table is `subspaces` longs per vector — the thing
+  * that fits in memory at 100 TB when raw embeddings do not; ADC joins
+  * the (small) per-query lookup table to the codes table keyed
+  * (subspace, code) and map-side-combines the per-pair sum.
+  */
+object Pq {
+
+  /** Fixed-point scale shared with [[Similarity.FixedScale]]. */
+  private val Fp = 1048576.0 // 2^20
+
+  /** Per-subspace rows (vec_id, s, sv) with sv = the s-th `subDim`-wide
+    * slice of the embedding, as double. Rows whose embedding is not
+    * exactly `subspaces*subDim` wide are dropped (ragged vectors cannot
+    * quantize — the projectSigned convention).
+    */
+  private def subvectors(df: DataFrame, subspaces: Int,
+      subDim: Int): DataFrame =
+    df.where(size(col("embedding")) === subspaces * subDim)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"),
+        transform(slice(col("embedding"), col("s") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("sv"))
+
+  /** Squared L2 between two equal-width double arrays: sequential
+    * accumulation, 6dp round, -0 normalized — the comparison key of
+    * every argmin below.
+    */
+  private def dist2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    round(aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x), 6) + lit(0d)
+
+  /** Assign every (vec_id, s) subvector to its min-distance codebook
+    * entry (ties to the smallest c_id). Codebooks broadcast — they are
+    * subspaces × K rows.
+    */
+  private def assign(sub: DataFrame, codebooks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("__d").asc, col("c_id").asc)
+    sub.join(broadcast(codebooks), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c_id"),
+        dist2(col("sv"), col("c_emb")).as("__d"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("vec_id"), col("s"), col("c_id"), col("__d"))
+  }
+
+  /** Train per-subspace codebooks: seeds are the subvectors of the
+    * deterministic `vec_id % centroidEvery == 0` rows (so every
+    * subspace has the same K = |seeds| entry ids), refined by `iters`
+    * Lloyd rounds under the fixed-point centroid update. Output
+    * (s, c_id, c_emb).
+    */
+  def train(corpus: DataFrame, subspaces: Int = 8, subDim: Int = 8,
+      centroidEvery: Int = 100, iters: Int = 1): DataFrame = {
+    require(subspaces >= 1 && subDim >= 1, "subspaces and subDim must be >= 1")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sub = graft.util.Caches.persist(
+      subvectors(corpus, subspaces, subDim))
+    var cb = sub.where(col("vec_id") % centroidEvery === 0)
+      .select(col("s"), col("vec_id").as("c_id"), col("sv").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val members = assign(sub, cb)
+        .join(sub, Seq("vec_id", "s"))
+      cb = members
+        .select(col("s"), col("c_id"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("s"), col("c_id"), col("d"))
+        .agg(sum(round(col("x") * Fp).cast("long")).as("__sum"),
+          count(lit(1)).as("__n"))
+        .groupBy(col("s"), col("c_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("d"),
+            (col("__sum").cast("double") / col("__n") / Fp).as("m")))),
+          e => e.getField("m")).as("c_emb"))
+    }
+    cb.select("s", "c_id", "c_emb")
+  }
+
+  /** Encode the corpus against trained codebooks: (vec_id, codes) with
+    * codes[s] = the s-th subspace's argmin centroid id.
+    */
+  def encode(corpus: DataFrame, codebooks: DataFrame, subspaces: Int = 8,
+      subDim: Int = 8): DataFrame =
+    assign(subvectors(corpus, subspaces, subDim), codebooks)
+      .groupBy("vec_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("s"), col("c_id")))),
+        e => e.getField("c_id")).as("codes"))
+
+  /** ADC top-k: for each query, the `k` nearest corpus vectors by
+    * asymmetric distance Σ_s ||q_s − c_{codes[s]}||². The query side is
+    * small by contract (broadcast); the per-query lookup table is
+    * subspaces × K rows; candidates never decompress. Same-id pairs are
+    * excluded (the corpus-contains-queries convention of
+    * [[Similarity.bruteTopK]]). Output (q_id, n_id, adist, rank),
+    * ranked (adist asc, n_id asc).
+    */
+  def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, subspaces: Int = 8, subDim: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // per-(query, subspace, centroid) partial distances, fixed-point
+    val lut = subvectors(queries, subspaces, subDim)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(codebooks, Seq("s"))
+      .select(col("q_id"), col("s"), col("c_id"),
+        round(dist2(col("sv"), col("c_emb")) * Fp).cast("long").as("__pd"))
+    val entries = codes.select(col("vec_id").as("n_id"),
+      posexplode(col("codes")).as(Seq("s", "c_id")))
+    val pairs = entries.join(broadcast(lut), Seq("s", "c_id"))
+      .where(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg((sum(col("__pd")).cast("double") / Fp).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -627,6 +627,18 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    "similarity_pq" -> { (spark, dir) =>
+      // product quantization + asymmetric-distance search: 8 subspaces
+      // of 8 dims, deterministic seeds, one Lloyd round, ADC top-k over
+      // the codes table — the 10-100x embedding-compression search path
+      val e = embs(spark, dir)
+      val cb = Pq.train(e, subspaces = 8, subDim = 8,
+        centroidEvery = CentroidEvery, iters = 1)
+      Pq.adcTopK(Pq.encode(e, cb), cb,
+          e.where(col("vec_id") < NQueryVecs), TopK)
+        .orderBy("q_id", "rank")
+    },
+
     "bitext_mine_scalable" -> { (spark, dir) =>
       // the two-large-sides margin miner: sign-LSH candidates on both
       // parity halves, margin over candidates only — the scale path the
@@ -3286,6 +3298,60 @@ object ExtensionQueries {
       SELECT q_id, n_id, cosine, runner_up, cosine - runner_up AS margin
       FROM p WHERE cosine - runner_up >= CAST('$BitextMinMargin' AS DOUBLE)
       ORDER BY q_id""",
+
+    // Replay of Pq.train/encode/adcTopK: per-subspace seeds, one
+    // fixed-point Lloyd round, argmin encoding (6dp distances, c_id
+    // tie-break), per-query lookup table, exact fixed-point ADC sum.
+    "similarity_pq" -> s"""
+      WITH sub AS (
+        SELECT vec_id, s,
+          list_transform(embedding[s*8+1 : s*8+8], x -> x::DOUBLE) AS sv
+        FROM embeddings, unnest(generate_series(0, 7)) AS t(s)
+        WHERE len(embedding) = 64
+      ), seeds AS (
+        SELECT s, vec_id AS c_id, sv AS c_emb FROM sub
+        WHERE vec_id % $CentroidEvery = 0
+      ), a1 AS (
+        SELECT vec_id, s, c_id FROM (
+          SELECT sub.vec_id, sub.s, seeds.c_id,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.s
+              ORDER BY (round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - seeds.c_emb[d]) * (sub.sv[d] - seeds.c_emb[d]))), (x, y) -> x + y), 6) + 0) ASC, seeds.c_id ASC) AS rn
+          FROM sub JOIN seeds ON seeds.s = sub.s)
+        WHERE rn = 1
+      ), cb AS (
+        SELECT s, c_id, list(m ORDER BY d) AS c_emb FROM (
+          SELECT a1.s, a1.c_id, d,
+            SUM(CAST(round(sub.sv[d] * 1048576.0) AS BIGINT))::DOUBLE
+              / COUNT(*) / 1048576.0 AS m
+          FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s
+          CROSS JOIN generate_series(1, 8) t(d)
+          GROUP BY a1.s, a1.c_id, d)
+        GROUP BY s, c_id
+      ), enc AS (
+        SELECT vec_id, s, c_id FROM (
+          SELECT sub.vec_id, sub.s, cb.c_id,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.s
+              ORDER BY (round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - cb.c_emb[d]) * (sub.sv[d] - cb.c_emb[d]))), (x, y) -> x + y), 6) + 0) ASC, cb.c_id ASC) AS rn
+          FROM sub JOIN cb ON cb.s = sub.s)
+        WHERE rn = 1
+      ), lut AS (
+        SELECT sub.vec_id AS q_id, sub.s, cb.c_id,
+          CAST(round((round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - cb.c_emb[d]) * (sub.sv[d] - cb.c_emb[d]))), (x, y) -> x + y), 6) + 0) * 1048576.0) AS BIGINT) AS pd
+        FROM sub JOIN cb ON cb.s = sub.s
+        WHERE sub.vec_id < $NQueryVecs
+      ), pairs AS (
+        SELECT lut.q_id, enc.vec_id AS n_id,
+          SUM(lut.pd)::DOUBLE / 1048576.0 AS adist
+        FROM enc JOIN lut ON lut.s = enc.s AND lut.c_id = enc.c_id
+        WHERE lut.q_id != enc.vec_id
+        GROUP BY 1, 2
+      )
+      SELECT q_id, n_id, adist,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rank
+      FROM pairs
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
 
     // Replay of Similarity.bitextMineScalable incl. the oversized-bucket
     // guard: sign-LSH bands on both parity halves, bucket population

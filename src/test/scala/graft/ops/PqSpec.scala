@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters in 4-dim space, one seed (ids 0 and 5)
+  // in each (centroidEvery = 5); subspaces = 2 x subDim = 2
+  private def clustered = Seq(
+    (0L, Array(1f, 0f, 1f, 0f)),
+    (1L, Array(0.9f, 0.1f, 1f, 0f)),
+    (2L, Array(1f, 0.1f, 0.9f, 0f)),
+    (5L, Array(0f, 1f, 0f, 1f)),
+    (6L, Array(0.1f, 0.9f, 0f, 1f)),
+    (7L, Array(0f, 1f, 0.1f, 0.9f))
+  ).toDF("vec_id", "embedding")
+
+  test("train/encode: per-subspace codebooks, cluster-pure codes") {
+    val cb = Pq.train(clustered, subspaces = 2, subDim = 2,
+      centroidEvery = 5, iters = 1)
+    // every subspace keeps both seed ids
+    assert(cb.select("s", "c_id").collect().map(r =>
+      (r.getInt(0), r.getLong(1))).toSet ==
+      Set((0, 0L), (0, 5L), (1, 0L), (1, 5L)))
+    val codes = Pq.encode(clustered, cb, subspaces = 2, subDim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // codes are one id per subspace, and cluster members share them
+    assert(codes.values.forall(_.size == 2))
+    assert(codes(1L) == codes(2L) && codes(1L) == Seq(0L, 0L))
+    assert(codes(6L) == codes(7L) && codes(6L) == Seq(5L, 5L))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("adcTopK ranks same-cluster vectors first; self excluded") {
+    val cb = Pq.train(clustered, subspaces = 2, subDim = 2,
+      centroidEvery = 5, iters = 1)
+    val codes = Pq.encode(clustered, cb, subspaces = 2, subDim = 2)
+    val out = Pq.adcTopK(codes, cb,
+        clustered.where(col("vec_id") === 1L), k = 5,
+        subspaces = 2, subDim = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length == 5, "all non-self corpus vectors ranked")
+    assert(!out.map(_._1).contains(1L), "self pair must be excluded")
+    // the two same-cluster, same-code neighbors come first (their ADC
+    // distance is the query-to-own-centroid distance), cross-cluster last
+    assert(out.take(2).map(_._1).toSet == Set(0L, 2L))
+    assert(out(0)._2 == out(1)._2, "identical codes -> identical ADC")
+    assert(out.drop(2).forall(_._2 > out(0)._2))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("PQ is layout-independent and ragged vectors drop") {
+    val withRagged = clustered.unionByName(
+      Seq((9L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"))
+    def run(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cb = Pq.train(d, subspaces = 2, subDim = 2,
+        centroidEvery = 5, iters = 2)
+      Pq.adcTopK(Pq.encode(d, cb, 2, 2), cb,
+          d.where(col("vec_id") < 2), k = 3, subspaces = 2, subDim = 2)
+        .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    }
+    val base = run(withRagged)
+    assert(run(withRagged.repartition(5)) == base)
+    assert(!base.exists(_.contains("[9,")), "ragged vec 9 must not appear")
+    graft.util.Caches.unpersistAll()
+  }
+}
