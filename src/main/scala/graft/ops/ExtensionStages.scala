@@ -123,7 +123,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -144,7 +144,9 @@ final case class SimilarityTransformStage(
     inDim: Int = 64,
     outDim: Int = 16,
     // bitext family: the margin-criterion quality bar
-    minMargin: Double = 0.01)
+    minMargin: Double = 0.01,
+    // pq_topk: subspace count (subDim = inDim / subspaces)
+    subspaces: Int = 8)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -186,6 +188,16 @@ final case class SimilarityTransformStage(
         Similarity.bitextMineScalable(queries, corpus, minMargin,
           nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4),
           maxBucket)
+      // product quantization: train + encode + ADC search in one stage
+      // (inDim must be divisible by subspaces)
+      case "pq_topk" =>
+        require(inDim % subspaces == 0,
+          s"inDim $inDim not divisible by subspaces $subspaces")
+        val subDim = inDim / subspaces
+        val cbooks = Pq.train(corpus, subspaces, subDim, centroidEvery,
+          kmeansIters)
+        Pq.adcTopK(Pq.encode(corpus, cbooks, subspaces, subDim), cbooks,
+          queries, k, subspaces, subDim)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }

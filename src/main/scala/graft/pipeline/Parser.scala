@@ -140,7 +140,7 @@ object Parser {
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
             "quantize", "project", "semantic_dedup", "hard_negatives",
             "ann_recall", "pca_cov", "health", "bitext",
-            "bitext_scalable"), "topk"),
+            "bitext_scalable", "pq_topk"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -156,7 +156,8 @@ object Parser {
         levels = r.int("levels").getOrElse(256),
         inDim = r.int("inDim").getOrElse(64),
         outDim = r.int("outDim").getOrElse(16),
-        minMargin = r.double("minMargin").getOrElse(0.01))
+        minMargin = r.double("minMargin").getOrElse(0.01),
+        subspaces = r.int("subspaces").getOrElse(8))
     },
     "AsofJoinTransform" -> { (r, _) =>
       AsofJoinTransformStage(
@@ -736,7 +737,7 @@ object Parser {
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",
-      "levels", "inDim", "outDim", "minMargin")),
+      "levels", "inDim", "outDim", "minMargin", "subspaces")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime", "forward")),
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",

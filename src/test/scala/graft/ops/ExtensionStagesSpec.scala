@@ -1438,6 +1438,10 @@ class ExtensionStagesSpec extends SparkSpec {
        "method": "bitext_scalable",
        "inputView": "r11_b", "queryView": "r11_a", "minMargin": 0.01,
        "outputView": "r11_bitext_s"},
+      {"type": "SimilarityTransform", "name": "pq", "method": "pq_topk",
+       "inputView": "r11_embs", "queryView": "r11_a", "k": 3,
+       "inDim": 64, "subspaces": 8,
+       "outputView": "r11_pq"},
       {"type": "Extract", "name": "docs", "table": "documents",
        "outputView": "r11_docs"},
       {"type": "SqlTransform", "name": "ref",
@@ -1487,6 +1491,10 @@ class ExtensionStagesSpec extends SparkSpec {
       Similarity.bitextMine(
         spark.table("r11_a"), spark.table("r11_b"), 0.01).count())
     assert(spark.table("r11_bitext_s").columns.toSeq == bt.columns.toSeq)
+    // PQ through the stage surface: ranked ADC rows, k respected
+    val pq = spark.table("r11_pq")
+    assert(pq.columns.toSeq == Seq("q_id", "n_id", "adist", "rank"))
+    assert(pq.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
     // novelty_bloom is bit-equal to novelty through the config surface
     assert(spark.table("r11_novelty_bloom").collect().map(_.toString).toSet
       == spark.table("r11_novelty").collect().map(_.toString).toSet)
