@@ -518,4 +518,26 @@ object ExprKernels {
     }
     java.lang.Double.valueOf(s)
   }
+
+  /** Squared L2 distance with [[dot]]'s exact accumulation contract:
+    * sequential left-to-right sum of (x_i - y_i)^2 — bit-identical to
+    * the zip_with/aggregate fold it replaces (the PQ hot path evaluates
+    * it corpus x subspaces x K times; interpreted higher-order
+    * functions there cost ~2 s per pass at sf0.1, the kernel is free).
+    */
+  def sqL2(x: ArrayData, y: ArrayData, leftFloat: Boolean,
+      rightFloat: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xe = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val ye = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xe - ye
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }

@@ -381,4 +381,55 @@ object Expressions {
       copy(left = l, right = r)
     override def prettyName: String = "dot_product"
   }
+
+  case class SquaredL2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    // Reachable from SQL via the registered `squared_l2` function, so the
+    // element type must be checked: an array<int> falling into the
+    // getDouble branch would read garbage from 4-byte slots.
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def vecLike(e: Expression): Boolean = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _                                    => false
+      }
+      if (vecLike(left) && vecLike(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double> on both sides, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+    private def floatElems(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    @transient private lazy val leftFloat = floatElems(left)
+    @transient private lazy val rightFloat = floatElems(right)
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprKernels.sqL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        leftFloat, rightFloat)
+
+    // the result itself is nullable (length mismatch), so the generated
+    // code re-checks the boxed return instead of using defineCodeGen
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("sqL2Result")
+        s"""
+           |java.lang.Double $tmp = $Kernels.sqL2($a, $b, $leftFloat, $rightFloat);
+           |if ($tmp == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $tmp.doubleValue();
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2 =
+      copy(left = l, right = r)
+    override def prettyName: String = "squared_l2"
+  }
 }

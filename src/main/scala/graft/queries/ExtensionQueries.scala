@@ -154,6 +154,10 @@ object ExtensionQueries {
   private val QfMinStopword = 0.02
   private val QfMaxPunct = 0.10
   private val CentroidEvery = 100
+  // PQ codebooks are per-SUBSPACE (8 dims each): a denser seed set than
+  // the full-width IVF cells is the right ratio — K = n/25 entries per
+  // subspace
+  private val PqCentroidEvery = 25
   private val KmeansIters = 2
   private val SampleRate = 0.25
   private val StratRates = Map("en" -> 0.5, "de" -> 0.1)
@@ -256,6 +260,54 @@ object ExtensionQueries {
     * Sketches.hllRegisters shared by the shard-merge, intersection and
     * rolling-window oracles.
     */
+  /** The PQ train/encode/ADC replay chain (WITH sub .. pairs) shared by
+    * the similarity_pq and pq_recall oracles.
+    */
+  private lazy val pqCtes: String = s"""
+      WITH sub AS (
+        SELECT vec_id, s,
+          list_transform(embedding[s*8+1 : s*8+8], x -> x::DOUBLE) AS sv
+        FROM embeddings, unnest(generate_series(0, 7)) AS t(s)
+        WHERE len(embedding) = 64
+      ), seeds AS (
+        SELECT s, vec_id AS c_id, sv AS c_emb FROM sub
+        WHERE vec_id % $PqCentroidEvery = 0
+      ), a1 AS (
+        SELECT vec_id, s, c_id FROM (
+          SELECT sub.vec_id, sub.s, seeds.c_id,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.s
+              ORDER BY (round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - seeds.c_emb[d]) * (sub.sv[d] - seeds.c_emb[d]))), (x, y) -> x + y), 6) + 0) ASC, seeds.c_id ASC) AS rn
+          FROM sub JOIN seeds ON seeds.s = sub.s)
+        WHERE rn = 1
+      ), cb AS (
+        SELECT s, c_id, list(m ORDER BY d) AS c_emb FROM (
+          SELECT a1.s, a1.c_id, d,
+            SUM(CAST(round(sub.sv[d] * 1048576.0) AS BIGINT))::DOUBLE
+              / COUNT(*) / 1048576.0 AS m
+          FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s
+          CROSS JOIN generate_series(1, 8) t(d)
+          GROUP BY a1.s, a1.c_id, d)
+        GROUP BY s, c_id
+      ), enc AS (
+        SELECT vec_id, s, c_id FROM (
+          SELECT sub.vec_id, sub.s, cb.c_id,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.s
+              ORDER BY (round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - cb.c_emb[d]) * (sub.sv[d] - cb.c_emb[d]))), (x, y) -> x + y), 6) + 0) ASC, cb.c_id ASC) AS rn
+          FROM sub JOIN cb ON cb.s = sub.s)
+        WHERE rn = 1
+      ), lut AS (
+        SELECT sub.vec_id AS q_id, sub.s, cb.c_id,
+          CAST(round((round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - cb.c_emb[d]) * (sub.sv[d] - cb.c_emb[d]))), (x, y) -> x + y), 6) + 0) * 1048576.0) AS BIGINT) AS pd
+        FROM sub JOIN cb ON cb.s = sub.s
+        WHERE sub.vec_id < $NQueryVecs
+      ), pairs AS (
+        SELECT lut.q_id, enc.vec_id AS n_id,
+          SUM(lut.pd)::DOUBLE / 1048576.0 AS adist
+        FROM enc JOIN lut ON lut.s = enc.s AND lut.c_id = enc.c_id
+        WHERE lut.q_id != enc.vec_id
+        GROUP BY 1, 2
+      )"""
+
   private def hllRegCte(src: String, out: String,
       grp: String = "l_returnflag"): String = s"""
       $out AS (
@@ -633,10 +685,19 @@ object ExtensionQueries {
       // the codes table — the 10-100x embedding-compression search path
       val e = embs(spark, dir)
       val cb = Pq.train(e, subspaces = 8, subDim = 8,
-        centroidEvery = CentroidEvery, iters = 1)
+        centroidEvery = PqCentroidEvery, iters = 1)
       Pq.adcTopK(Pq.encode(e, cb), cb,
           e.where(col("vec_id") < NQueryVecs), TopK)
         .orderBy("q_id", "rank")
+    },
+
+    "pq_recall" -> { (spark, dir) =>
+      // recall@k of the ADC path vs exact full-width L2 — the eval any
+      // subspaces/K retune must re-run (the ann_recall convention)
+      val e = embs(spark, dir)
+      Pq.adcRecall(e, e.where(col("vec_id") < NQueryVecs), TopK,
+          centroidEvery = PqCentroidEvery)
+        .orderBy("q_id")
     },
 
     "bitext_mine_scalable" -> { (spark, dir) =>
@@ -3302,56 +3363,43 @@ object ExtensionQueries {
     // Replay of Pq.train/encode/adcTopK: per-subspace seeds, one
     // fixed-point Lloyd round, argmin encoding (6dp distances, c_id
     // tie-break), per-query lookup table, exact fixed-point ADC sum.
-    "similarity_pq" -> s"""
-      WITH sub AS (
-        SELECT vec_id, s,
-          list_transform(embedding[s*8+1 : s*8+8], x -> x::DOUBLE) AS sv
-        FROM embeddings, unnest(generate_series(0, 7)) AS t(s)
-        WHERE len(embedding) = 64
-      ), seeds AS (
-        SELECT s, vec_id AS c_id, sv AS c_emb FROM sub
-        WHERE vec_id % $CentroidEvery = 0
-      ), a1 AS (
-        SELECT vec_id, s, c_id FROM (
-          SELECT sub.vec_id, sub.s, seeds.c_id,
-            row_number() OVER (PARTITION BY sub.vec_id, sub.s
-              ORDER BY (round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - seeds.c_emb[d]) * (sub.sv[d] - seeds.c_emb[d]))), (x, y) -> x + y), 6) + 0) ASC, seeds.c_id ASC) AS rn
-          FROM sub JOIN seeds ON seeds.s = sub.s)
-        WHERE rn = 1
-      ), cb AS (
-        SELECT s, c_id, list(m ORDER BY d) AS c_emb FROM (
-          SELECT a1.s, a1.c_id, d,
-            SUM(CAST(round(sub.sv[d] * 1048576.0) AS BIGINT))::DOUBLE
-              / COUNT(*) / 1048576.0 AS m
-          FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s
-          CROSS JOIN generate_series(1, 8) t(d)
-          GROUP BY a1.s, a1.c_id, d)
-        GROUP BY s, c_id
-      ), enc AS (
-        SELECT vec_id, s, c_id FROM (
-          SELECT sub.vec_id, sub.s, cb.c_id,
-            row_number() OVER (PARTITION BY sub.vec_id, sub.s
-              ORDER BY (round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - cb.c_emb[d]) * (sub.sv[d] - cb.c_emb[d]))), (x, y) -> x + y), 6) + 0) ASC, cb.c_id ASC) AS rn
-          FROM sub JOIN cb ON cb.s = sub.s)
-        WHERE rn = 1
-      ), lut AS (
-        SELECT sub.vec_id AS q_id, sub.s, cb.c_id,
-          CAST(round((round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - cb.c_emb[d]) * (sub.sv[d] - cb.c_emb[d]))), (x, y) -> x + y), 6) + 0) * 1048576.0) AS BIGINT) AS pd
-        FROM sub JOIN cb ON cb.s = sub.s
-        WHERE sub.vec_id < $NQueryVecs
-      ), pairs AS (
-        SELECT lut.q_id, enc.vec_id AS n_id,
-          SUM(lut.pd)::DOUBLE / 1048576.0 AS adist
-        FROM enc JOIN lut ON lut.s = enc.s AND lut.c_id = enc.c_id
-        WHERE lut.q_id != enc.vec_id
-        GROUP BY 1, 2
-      )
+    "similarity_pq" -> s"""$pqCtes
       SELECT q_id, n_id, adist,
         CAST(row_number() OVER (
           PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rank
       FROM pairs
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
+
+    // Replay of Pq.adcRecall: exact full-width L2 truth (sequential
+    // fold, 6dp, id tie-break) LEFT JOINed with the ADC top-k.
+    "pq_recall" -> s"""$pqCtes,
+      adc AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id, adist,
+            row_number() OVER (
+              PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM pairs)
+        WHERE rank <= $TopK
+      ), truth AS (
+        SELECT q_id, n_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              (round(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, 64),
+                   d -> (a.embedding[d]::DOUBLE - b.embedding[d]::DOUBLE)
+                      * (a.embedding[d]::DOUBLE - b.embedding[d]::DOUBLE))),
+                 (x, y) -> x + y), 6) + 0) ASC, b.vec_id ASC) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+          WHERE a.vec_id < $NQueryVecs
+            AND len(a.embedding) = 64 AND len(b.embedding) = 64)
+        WHERE rank <= $TopK
+      )
+      SELECT t.q_id, count(adc.n_id)::BIGINT AS hits,
+        round(count(adc.n_id)::DOUBLE / $TopK, 6) AS recall
+      FROM truth t LEFT JOIN adc ON adc.q_id = t.q_id AND adc.n_id = t.n_id
+      GROUP BY t.q_id
+      ORDER BY t.q_id""",
 
     // Replay of Similarity.bitextMineScalable incl. the oversized-bucket
     // guard: sign-LSH bands on both parity halves, bucket population

@@ -68,6 +68,22 @@ class ExpressionsPropertySpec extends SparkSpec {
     assertAgree(df, V.dot(col("a"), col("b")), declarative, "dot_product")
   }
 
+  test("squared_l2 equals the sequential aggregate(zip_with) form, bit for bit") {
+    val pairs = sample(Gen.zip(genVec, genVec), 200)
+    val df = pairs.toDF("a", "b")
+    val declarative = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => {
+        val xd = x.cast("double"); val yd = y.cast("double")
+        (xd - yd) * (xd - yd)
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val native = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Expressions.SquaredL2(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("a")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("b"))))
+    assertAgree(df, native, declarative, "squared_l2")
+  }
+
   test("hashed word n-grams equal the declarative shingle+hash+distinct chain") {
     val df = sample(genText, 200).toDF("text")
     val declarative = array_sort(array_distinct(

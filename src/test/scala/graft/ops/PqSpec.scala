@@ -52,6 +52,33 @@ class PqSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("adcRecall: near-perfect on clustered data, reported honestly") {
+    // 4 well-separated clusters x 6 members (k+1, so the exact top-5 is
+    // EXACTLY the 5 cluster-mates — within a cluster ADC cannot
+    // discriminate, codes are identical); ids ordered so
+    // centroidEvery=6 seeds exactly one codebook entry per cluster
+    val base = Seq(
+      Array(10f, 0f, 0f, 0f, 10f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 10f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 10f))
+    val docs = (0 until 24).map { i =>
+      val c = base(i / 6)
+      // deterministic small jitter so truth ranks are strict
+      (i.toLong, c.zipWithIndex.map { case (v, d) =>
+        v + ((i * 7 + d * 3) % 5) * 0.01f })
+    }.toDF("vec_id", "embedding")
+    val out = Pq.adcRecall(docs, docs.where($"vec_id" % 6 === 1), k = 5,
+        subspaces = 2, subDim = 4, centroidEvery = 6, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 4)
+    // every query's exact top-5 IS its cluster, and PQ retrieves it whole
+    out.foreach { case (q, rec) =>
+      assert(rec == 1.0, s"query $q recall $rec on separable clusters")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
   test("PQ is layout-independent and ragged vectors drop") {
     val withRagged = clustered.unionByName(
       Seq((9L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"))
