@@ -140,22 +140,76 @@ object Pq {
   def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, subspaces: Int = 8, subDim: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // per-(query, subspace, centroid) partial distances, fixed-point
-    val lut = subvectors(queries, subspaces, subDim)
-      .withColumnRenamed("vec_id", "q_id")
-      .join(codebooks, Seq("s"))
-      .select(col("q_id"), col("s"), col("c_id"),
-        round(dist2(col("sv"), col("c_emb")) * Fp).cast("long").as("__pd"))
+    val lut = lutOf(queries, codebooks, subspaces, subDim)
     val entries = codes.select(col("vec_id").as("n_id"),
       posexplode(col("codes")).as(Seq("s", "c_id")))
     val pairs = entries.join(broadcast(lut), Seq("s", "c_id"))
       .where(col("q_id") =!= col("n_id"))
       .groupBy("q_id", "n_id")
       .agg((sum(col("__pd")).cast("double") / Fp).as("adist"))
+    rankAsc(pairs, k)
+  }
+
+  /** Per-(query, subspace, centroid) partial distances as fixed-point
+    * longs — the ADC lookup table (queries × subspaces × K rows, tiny).
+    */
+  private def lutOf(queries: DataFrame, codebooks: DataFrame,
+      subspaces: Int, subDim: Int): DataFrame =
+    subvectors(queries, subspaces, subDim)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(codebooks, Seq("s"))
+      .select(col("q_id"), col("s"), col("c_id"),
+        round(dist2(col("sv"), col("c_emb")) * Fp).cast("long").as("__pd"))
+
+  private def rankAsc(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the production vector-search configuration (the FAISS
+    * `IVFx,PQy` default at scale): the corpus partitions into coarse
+    * k-means CELLS (the [[Similarity.ivfTopK]] machinery — centroids
+    * broadcast, each query probes its `probes` nearest cells), and
+    * within the probed cells candidates are scored by PQ ASYMMETRIC
+    * DISTANCE over the codes table — so a query touches probes/nCells
+    * of the corpus and pays `subspaces` fixed-point lookups per
+    * candidate, never a full-width operation. Output
+    * (q_id, n_id, adist, rank).
+    *
+    * Two independent quantizers by design (cells on cosine geometry,
+    * codebooks on raw subvectors): the cell prunes WHERE to look, the
+    * codes compress WHAT is compared — each replayable on its own, and
+    * the composition is one candidate join keyed on the cell.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cellEvery: Int = 100, cellIters: Int = 2, probes: Int = 1,
+      subspaces: Int = 8, subDim: Int = 8, pqCentroidEvery: Int = 25,
+      pqIters: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val cv = graft.util.Caches.persist(Similarity.withNorm(corpus))
+    val cents = graft.util.Caches.persist(
+      Similarity.trainCentroids(cv, cellEvery, cellIters,
+        exactReplay = false))
+    val cells = Similarity.assignCells(cv, "vec_id", cents)
+    val qv = graft.util.Caches.persist(Similarity.withNorm(queries))
+    val qcells = Similarity.assignCells(
+      qv.withColumnRenamed("vec_id", "q_id"), "q_id", cents, probes)
+    val cand = qcells.join(cells, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val cb = train(corpus, subspaces, subDim, pqCentroidEvery, pqIters)
+    val codes = encode(corpus, cb, subspaces, subDim)
+    val entries = codes.select(col("vec_id").as("n_id"),
+      posexplode(col("codes")).as(Seq("s", "c_id")))
+    val lut = lutOf(queries, cb, subspaces, subDim)
+    val pairs = cand.join(entries, "n_id")
+      .join(broadcast(lut), Seq("q_id", "s", "c_id"))
+      .groupBy("q_id", "n_id")
+      .agg((sum(col("__pd")).cast("double") / Fp).as("adist"))
+    rankAsc(pairs, k)
   }
 
   /** Recall@k of the ADC path against exact full-width L2 ground truth

@@ -43,7 +43,7 @@ object Similarity {
   val FixedScale: Double = (1L << 20).toDouble
 
   /** (vec_id, embedding, nrm) — the persisted scoring table. */
-  private def withNorm(df: DataFrame): DataFrame =
+  private[ops] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
       V.norm(col("embedding")).as("nrm"))
 
@@ -235,7 +235,7 @@ object Similarity {
   /** Assign each row of `df` to its `topN` max-cosine centroids (the
     * centroid table broadcasts; ties break to the min centroid id).
     */
-  private def assignCells(df: DataFrame, id: String, cents: DataFrame,
+  private[ops] def assignCells(df: DataFrame, id: String, cents: DataFrame,
       topN: Int = 1): DataFrame = {
     val withNrm = cents.select(col("c_id"), col("c_emb"),
       V.norm(col("c_emb")).as("c_nrm"))
@@ -253,7 +253,7 @@ object Similarity {
     * `kmeansIters` Lloyd rounds under the centroid-update contract
     * documented on [[ivfTopK]]. `cv` must be a [[withNorm]] table.
     */
-  private def trainCentroids(cv: DataFrame, centroidEvery: Int,
+  private[ops] def trainCentroids(cv: DataFrame, centroidEvery: Int,
       kmeansIters: Int, exactReplay: Boolean): DataFrame = {
     // Centroids as array<double>: means live in double space; float
     // seeds widen exactly.

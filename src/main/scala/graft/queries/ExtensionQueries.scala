@@ -263,8 +263,12 @@ object ExtensionQueries {
   /** The PQ train/encode/ADC replay chain (WITH sub .. pairs) shared by
     * the similarity_pq and pq_recall oracles.
     */
-  private lazy val pqCtes: String = s"""
-      WITH sub AS (
+  /** The PQ train/encode/lut replay chain (CTE list WITHOUT a WITH
+    * prefix and WITHOUT a pairs CTE), composable with other chains
+    * (similarity_ivfpq prepends the IVF cell CTEs).
+    */
+  private lazy val pqChain: String = s"""
+      sub AS (
         SELECT vec_id, s,
           list_transform(embedding[s*8+1 : s*8+8], x -> x::DOUBLE) AS sv
         FROM embeddings, unnest(generate_series(0, 7)) AS t(s)
@@ -300,7 +304,12 @@ object ExtensionQueries {
           CAST(round((round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), d -> (sub.sv[d] - cb.c_emb[d]) * (sub.sv[d] - cb.c_emb[d]))), (x, y) -> x + y), 6) + 0) * 1048576.0) AS BIGINT) AS pd
         FROM sub JOIN cb ON cb.s = sub.s
         WHERE sub.vec_id < $NQueryVecs
-      ), pairs AS (
+      )"""
+
+  /** [[pqChain]] plus the exhaustive all-pairs ADC — shared by the
+    * similarity_pq and pq_recall oracles.
+    */
+  private lazy val pqCtes: String = s"""WITH $pqChain, pairs AS (
         SELECT lut.q_id, enc.vec_id AS n_id,
           SUM(lut.pd)::DOUBLE / 1048576.0 AS adist
         FROM enc JOIN lut ON lut.s = enc.s AND lut.c_id = enc.c_id
@@ -688,6 +697,17 @@ object ExtensionQueries {
         centroidEvery = PqCentroidEvery, iters = 1)
       Pq.adcTopK(Pq.encode(e, cb), cb,
           e.where(col("vec_id") < NQueryVecs), TopK)
+        .orderBy("q_id", "rank")
+    },
+
+    "similarity_ivfpq" -> { (spark, dir) =>
+      // the production IVF-PQ configuration: coarse cells prune WHERE to
+      // look (same training as the ivf gates), PQ codes compress WHAT is
+      // compared — candidates pay subspaces fixed-point lookups each
+      val e = embs(spark, dir)
+      Pq.ivfAdcTopK(e, e.where(col("vec_id") < NQueryVecs), TopK,
+          cellEvery = CentroidEvery, cellIters = KmeansIters,
+          probes = IvfProbes, pqCentroidEvery = PqCentroidEvery)
         .orderBy("q_id", "rank")
     },
 
@@ -3364,6 +3384,38 @@ object ExtensionQueries {
     // fixed-point Lloyd round, argmin encoding (6dp distances, c_id
     // tie-break), per-query lookup table, exact fixed-point ADC sum.
     "similarity_pq" -> s"""$pqCtes
+      SELECT q_id, n_id, adist,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rank
+      FROM pairs
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    // Replay of Pq.ivfAdcTopK: the ivf oracle's cell chain (identical
+    // training params) + the PQ chain + candidate-restricted ADC.
+    "similarity_ivfpq" -> s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdateFixed("assign1", "cents2")}
+      , ${kmAssign("cents2", "cells")}
+      , ${kmAssignProbes("cents2", "qcells", IvfProbes)}
+      , cand AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id
+        FROM qcells q JOIN cells e ON q.cell = e.cell AND q.vec_id != e.vec_id
+      ), $pqChain, pairs AS (
+        SELECT cand.q_id, cand.n_id,
+          SUM(lut.pd)::DOUBLE / 1048576.0 AS adist
+        FROM cand
+        JOIN enc ON enc.vec_id = cand.n_id
+        JOIN lut ON lut.q_id = cand.q_id AND lut.s = enc.s
+                AND lut.c_id = enc.c_id
+        GROUP BY 1, 2
+      )
       SELECT q_id, n_id, adist,
         CAST(row_number() OVER (
           PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rank

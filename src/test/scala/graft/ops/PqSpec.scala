@@ -79,6 +79,34 @@ class PqSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("ivfAdcTopK: probing every cell reproduces exhaustive ADC; " +
+      "probes=1 prunes") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val cb = Pq.train(e, 8, 8, 25, 1)
+    val exhaustive = Pq.adcTopK(Pq.encode(e, cb), cb, q, 5)
+      .collect().map(_.toString).toSet
+    // probes >= nCells: the cell join admits every non-self pair, so the
+    // composition must equal the exhaustive ADC exactly
+    val allCells = Pq.ivfAdcTopK(e, q, 5, cellEvery = 100, cellIters = 1,
+        probes = 999)
+      .collect().map(_.toString).toSet
+    assert(allCells == exhaustive)
+    // probes=1 returns at most k per query from a candidate SUBSET —
+    // each reported pair's adist must equal its exhaustive value
+    val pruned = Pq.ivfAdcTopK(e, q, 5, cellEvery = 100, cellIters = 1,
+        probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val exhaustivePairs = Pq.adcTopK(Pq.encode(e, cb), cb, q, 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    pruned.foreach { case (pair, d) =>
+      assert(exhaustivePairs(pair) == d,
+        s"pair $pair adist $d diverged from exhaustive")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
   test("PQ is layout-independent and ragged vectors drop") {
     val withRagged = clustered.unionByName(
       Seq((9L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"))
