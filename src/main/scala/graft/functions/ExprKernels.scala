@@ -87,6 +87,23 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Pack an array<long> of 0/1 bits (bit j -> position j, LSB-first)
+    * into one signed 64-bit code. Up to 64 bits; bit 63 lands in the sign
+    * bit, which XOR/popcount treat like any other lane, so the packed
+    * value is a pure Hamming code, never an arithmetic quantity.
+    */
+  def packBits(bits: ArrayData): Long = {
+    val n = bits.numElements()
+    require(n <= 64, s"packBits: at most 64 bits fit one long, got $n")
+    var acc = 0L
+    var j = 0
+    while (j < n) {
+      if (bits.getLong(j) != 0L) acc |= 1L << j
+      j += 1
+    }
+    acc
+  }
+
   /** `nBits`-bit SimHash from an array<long> of word hashes. */
   def simhashBits(hs: ArrayData, nBits: Int): Long = {
     val n = hs.numElements()

@@ -67,6 +67,24 @@ object Expressions {
     override def prettyName: String = "sign_bits"
   }
 
+  /** Pack an array<long> of 0/1 bits into one signed 64-bit Hamming code
+    * (LSB-first). Pairs with [[SignBits]]: `pack_bits(sign_bits(emb, 64))`
+    * is the 8-byte binary quantization of a float embedding, searched by
+    * `bit_count(a ^ b)` — both Spark built-ins, so the distance itself
+    * stays in whole-stage codegen with zero custom code.
+    */
+  case class PackBits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.packBits(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.packBits($c)")
+    override protected def withNewChildInternal(c: Expression): PackBits = copy(child = c)
+    override def prettyName: String = "pack_bits"
+  }
+
   /** `nBits`-bit SimHash from an array<long> of word hashes (each hash must
     * carry at least nBits of entropy). nBits <= 62 so the fingerprint and
     * every power-of-two used in the banded replay fit a signed 64-bit lane

@@ -51,4 +51,17 @@ object VectorFunctions {
     */
   def bitBands(bits: Column, b: Int, r: Int): Column =
     TextFunctions.bands(bits, b, r) // one banding encoding for text AND vectors
+
+  /** Pack an array<long> of 0/1 bits into one signed 64-bit Hamming code
+    * (LSB-first, <= 64 bits). `packBits(signBits(emb, 64))` is the 8-byte
+    * binary quantization of an embedding row — 32x smaller than 64 floats.
+    */
+  def packBits(bits: Column): Column =
+    toCol(Expressions.PackBits(toExpr(bits)))
+
+  /** Hamming distance between two packed bit codes: `bit_count(a ^ b)` —
+    * Spark built-ins only, fully codegen'd.
+    */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
 }

@@ -123,7 +123,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -156,6 +156,9 @@ final case class SimilarityTransformStage(
     detail += "inputView" -> inputView
     val out = method match {
       case "topk"          => Similarity.bruteTopK(corpus, queries, k)
+      // binary sign-code search: 8-byte packed codes, xor+popcount rank
+      case "hamming_topk"  =>
+        Similarity.hammingTopK(corpus, queries, k, nBits.getOrElse(64))
       case "ann"           => Similarity.annTopK(corpus, queries, k,
         nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4))
       case "ivf"           =>
@@ -376,7 +379,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic | ordinal
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic | ordinal | importance
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -387,7 +390,11 @@ final case class SampleTransformStage(
     budget: Long = 1000000L,
     k: Int = 100,
     weightCol: String = "n_tokens",
-    nBuckets: Int = 1024)
+    nBuckets: Int = 1024,
+    // importance (DSIR) only: token source + the target-domain predicate
+    // (rows whose stratumCol equals targetValue form the target sample)
+    textCol: String = "text",
+    targetValue: String = "en")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -437,6 +444,11 @@ final case class SampleTransformStage(
       case "top_stratum" =>
         Sampling.topFractionPerStratum(in, stratumCol, weightCol, idCol,
           rate)
+      // DSIR importance scores: target = rows with stratumCol == targetValue
+      case "importance" =>
+        Sampling.importanceWeights(in, idCol, textCol,
+          org.apache.spark.sql.functions.col(stratumCol) === targetValue,
+          nBuckets)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }

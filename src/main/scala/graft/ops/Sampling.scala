@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 
@@ -683,5 +684,67 @@ object Sampling {
         if (slots >= 1) Some((r.getLong(0), r.getLong(1), slots)) else None
       }
     }.toDF(idCol, "weight", "n_slots")
+  }
+
+  /** Data Selection via Importance Resampling scores (Xie et al. 2023,
+    * public NeurIPS paper): rank raw documents by how target-like their
+    * hashed-n-gram profile is. Features are whitespace tokens hashed into
+    * `buckets` buckets (h32 mod B); the target distribution is estimated
+    * from the rows matching `targetPred`, the source distribution from the
+    * WHOLE input (DSIR's raw-vs-target contrast), both Laplace-smoothed
+    * (+1 per bucket). A document scores the sum over its tokens of
+    * log(p_target[bucket] / p_source[bucket]) — high = looks like the
+    * target domain, the standard cheap proxy for "high-quality pretraining
+    * data that resembles the trusted corpus".
+    *
+    * Determinism contract: the per-bucket log-ratio is quantized ONCE to
+    * fixed-point micro-units (round(ln(pt/ps) * 1e6) as long); a doc's
+    * score is an exact LONG sum of those — order-insensitive, so any
+    * combine order (and any engine) reproduces it bit-for-bit. The only
+    * float steps (ln, one division) happen per BUCKET (B values, not N),
+    * replayed identically by the oracle.
+    *
+    * Scale shape: one token explode feeding a B-bounded count (map-side
+    * combined), the B-row ratio table joins back broadcast (B ~ hundreds;
+    * Spark picks broadcast via AQE), one groupBy doc. Linear in corpus
+    * token volume; no driver collect, no all-pairs, nothing holds more
+    * than B rows of state.
+    *
+    * Output: (doc_id, n_tokens, score) for EVERY input row — selection is
+    * a downstream `topFraction`/`weightedTopK` over `score`. Rows with no
+    * tokens (empty text) keep score 0.0.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 128): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val b = lit(buckets)
+    val toks = graft.util.Caches.persist(
+      df.select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+          explode(split(col(textCol), " ", -1)).as("__w"))
+        .where(length(col("__w")) > 0)
+        .select(col("doc_id"), col("__tgt"), (T.h32(col("__w")) % b).as("__b")))
+    val cnt = toks.groupBy("__b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
+      count(lit(1)).as("__sc"))
+    // Totals via a whole-frame window: cnt is B-bounded, so the single
+    // partition this window implies holds <= B rows — not a scale hazard.
+    val w = Window.partitionBy()
+    val lr = cnt
+      .withColumn("__tt", sum(col("__tc")).over(w))
+      .withColumn("__st", sum(col("__sc")).over(w))
+      .select(col("__b"),
+        round(
+          (log((col("__tc") + 1).cast("double") / (col("__tt") + b)) -
+           log((col("__sc") + 1).cast("double") / (col("__st") + b))) *
+            lit(1000000d)).cast("long").as("__lr"))
+    val scored = toks.join(lr, "__b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__fix"))
+      .select(col("doc_id"), col("n_tokens"),
+        (round(col("__fix").cast("double") / 1000000d, 6) + lit(0d)).as("score"))
+    // Keep token-less rows (score 0): DSIR must rank every candidate.
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0d)).as("score"))
   }
 }

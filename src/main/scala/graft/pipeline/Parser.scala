@@ -140,7 +140,7 @@ object Parser {
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
             "quantize", "project", "semantic_dedup", "hard_negatives",
             "ann_recall", "pca_cov", "health", "bitext",
-            "bitext_scalable", "pq_topk"), "topk"),
+            "bitext_scalable", "pq_topk", "hamming_topk"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -453,7 +453,8 @@ object Parser {
           Seq("deterministic", "stratified", "per_stratum_head",
             "shard_by_budget", "upsample", "weighted_topk", "negative",
             "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
-            "temperature", "systematic", "ordinal", "top_stratum"),
+            "temperature", "systematic", "ordinal", "top_stratum",
+            "importance"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
@@ -470,7 +471,9 @@ object Parser {
         budget = r.long("budget").getOrElse(1000000L),
         k = r.int("k").getOrElse(100),
         weightCol = r.string("weightCol").getOrElse("n_tokens"),
-        nBuckets = r.int("nBuckets").getOrElse(1024))
+        nBuckets = r.int("nBuckets").getOrElse(1024),
+        textCol = r.string("textCol").getOrElse("text"),
+        targetValue = r.string("targetValue").getOrElse("en"))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -780,7 +783,8 @@ object Parser {
       "outputView", "targetBytes")),
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
-      "tokenCol", "budget", "k", "weightCol", "nBuckets")),
+      "tokenCol", "budget", "k", "weightCol", "nBuckets", "textCol",
+      "targetValue")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",

@@ -124,6 +124,7 @@ object ExtensionQueries {
   private val EmbedMaxBucket = 16
   private val TopK = 5
   private val NQueryVecs = 10
+  private val DsirBuckets = 128
   private val IvfProbes = 2
   private val AppendOffset = 1000000L
   private val ContainThreshold = 0.7
@@ -611,6 +612,17 @@ object ExtensionQueries {
       val e = embs(spark, dir)
       Similarity.annTopK(e, e.where(col("vec_id") < NQueryVecs), TopK)
         .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    // Binary-quantization search: 64 sign bits packed into ONE long per
+    // vector, ranked by xor+popcount Hamming distance. The oracle replays
+    // the sign bits from the raw floats and counts disagreeing planes —
+    // the packed representation is invisible to the contract.
+    "similarity_hamming" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      Similarity.hammingTopK(e, e.where(col("vec_id") < NQueryVecs), TopK)
+        .select("q_id", "n_id", "hamming", "rank")
         .orderBy("q_id", "rank")
     },
 
@@ -1331,6 +1343,15 @@ object ExtensionQueries {
     "sample_weighted" -> { (spark, dir) =>
       Sampling.weightedTopK(docs(spark, dir), "doc_id", "n_chars", WtopK)
         .select("doc_id", "n_chars", "priority")
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance scores: target = English docs, source = the whole
+    // corpus; hashed-unigram bucket log-ratios quantized to fixed-point
+    // micro-units so every doc score is an exact long sum.
+    "sample_importance" -> { (spark, dir) =>
+      Sampling.importanceWeights(docs(spark, dir), "doc_id", "text",
+          col("lang") === "en", DsirBuckets)
         .orderBy("doc_id")
     },
 
@@ -3341,6 +3362,30 @@ object ExtensionQueries {
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
 
+    // Replay of Similarity.hammingTopK from the RAW floats: recompute the
+    // 64 sign bits per vector (the same hyperplane family as the banded
+    // CTEs) and count disagreeing planes — the packed-long xor+popcount on
+    // the Spark side is representation, not semantics.
+    "similarity_hamming" -> s"""
+      WITH bits AS (
+        SELECT vec_id, list_transform(generate_series(0, 63), j ->
+          CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+            d -> embedding[d]::DOUBLE * (((j*64 + (d-1)) * 2654435761) % 97 - 48)::DOUBLE)),
+            (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END) AS sb
+        FROM embeddings
+      ), scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          CAST(list_sum(list_transform(generate_series(1, 64), j ->
+            CASE WHEN q.sb[j] != c.sb[j] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM bits q JOIN bits c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < $NQueryVecs)
+      SELECT q_id, n_id, hamming,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY hamming ASC, n_id) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
     // Replay of Similarity.hardNegatives: the brute top-k with the label
     // inequality fused into the pair condition.
     "hard_negatives" -> s"""
@@ -4582,6 +4627,35 @@ object ExtensionQueries {
         FROM documents WHERE n_chars::DOUBLE > 0
         ORDER BY priority DESC, doc_id LIMIT $WtopK)
       ORDER BY doc_id""",
+
+    // Replay of Sampling.importanceWeights (DSIR): hashed-unigram buckets,
+    // Laplace-smoothed target (lang='en') vs source (all docs) bucket
+    // probabilities, per-bucket log-ratio quantized once to fixed-point
+    // micro-units, per-doc exact BIGINT sum. Tokens are single-space
+    // splits with empties dropped, exactly like the Spark side.
+    "sample_importance" -> s"""
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+          ('0x'||substr(md5(w),1,8))::BIGINT % $P % $DsirBuckets AS b
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != ''
+      ), cnt AS (
+        SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+          count(*) AS sc
+        FROM toks GROUP BY b
+      ), tot AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM cnt
+      ), lr AS (
+        SELECT b, CAST(round((ln((tc + 1)::DOUBLE / (tt + $DsirBuckets))
+          - ln((sc + 1)::DOUBLE / (st + $DsirBuckets))) * 1000000) AS BIGINT) AS lrf
+        FROM cnt, tot
+      ), scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          (round(sum(lrf) / 1000000.0, 6) + 0) AS score
+        FROM toks JOIN lr USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        coalesce(s.score, 0.0) AS score
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id""",
 
     // Replay of Similarity.standardize: per-dim fixed-point (x2^20)
     // DECIMAL(38,0) sums -> exact means/variances under any order and no

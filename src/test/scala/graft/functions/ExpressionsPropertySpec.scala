@@ -58,6 +58,23 @@ class ExpressionsPropertySpec extends SparkSpec {
     assertAgree(df, V.signBits(col("emb"), nBits), declarative, "sign_bits")
   }
 
+  test("pack_bits equals the declarative shift-or fold, sign bit included") {
+    val df = sample(genVec, 150).toDF("emb")
+      .select(V.signBits(col("emb"), 64).as("sb"))
+    val declarative = expr(
+      """aggregate(zip_with(sb, sequence(0, 63), (bt, j) -> shiftleft(bt, j)),
+         0L, (acc, x) -> acc | x)""")
+    assertAgree(df, V.packBits(col("sb")), declarative, "pack_bits")
+    // hamming(pack(a), pack(b)) == per-bit disagreement count
+    val pairs = sample(Gen.zip(genVec, genVec), 150).toDF("a", "b")
+      .select(V.signBits(col("a"), 64).as("sa"), V.signBits(col("b"), 64).as("sb"))
+    assertAgree(pairs,
+      V.hamming(V.packBits(col("sa")), V.packBits(col("sb"))),
+      aggregate(zip_with(col("sa"), col("sb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, v) => acc + v),
+      "hamming")
+  }
+
   test("dot_product equals the sequential aggregate(zip_with) form, bit for bit") {
     val pairs = sample(Gen.zip(genVec, genVec), 200)
     val df = pairs.toDF("a", "b")

@@ -1558,4 +1558,41 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(out.collect().map(_.toString).toSet == expected)
     graft.util.Caches.unpersistAll()
   }
+
+  test("hamming_topk and importance as config stages match the library") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "hm_embs"},
+      {"type": "SqlTransform", "name": "q",
+       "sql": "SELECT * FROM hm_embs WHERE vec_id < 5",
+       "outputView": "hm_q"},
+      {"type": "SimilarityTransform", "name": "hm", "method": "hamming_topk",
+       "inputView": "hm_embs", "queryView": "hm_q", "k": 3,
+       "outputView": "hm_out"},
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "im_docs"},
+      {"type": "SampleTransform", "name": "im", "method": "importance",
+       "inputView": "im_docs", "stratumCol": "lang", "targetValue": "en",
+       "nBuckets": 128, "outputView": "im_out"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val hm = spark.table("hm_out")
+    assert(hm.columns.toSeq == Seq("q_id", "n_id", "hamming", "rank"))
+    val embs = spark.table("hm_embs")
+    assert(hm.collect().map(_.toString).toSet ==
+      Similarity.hammingTopK(embs,
+          embs.where($"vec_id" < 5), k = 3)
+        .collect().map(_.toString).toSet)
+    val im = spark.table("im_out")
+    assert(im.columns.toSeq == Seq("doc_id", "n_tokens", "score"))
+    assert(im.count() == spark.table("im_docs").count())
+    assert(im.collect().map(_.toString).toSet ==
+      Sampling.importanceWeights(spark.table("im_docs"), "doc_id", "text",
+          $"lang" === "en", buckets = 128)
+        .collect().map(_.toString).toSet)
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -424,4 +424,51 @@ class SamplingSpec extends SparkSpec {
       "a new salt draws a different systematic subset")
     graft.util.Caches.unpersistAll()
   }
+
+  test("importanceWeights: target-vocab docs outscore source-only docs") {
+    // target docs speak 'alpha', the rest speak 'omega'; a fresh doc in
+    // each vocabulary must rank accordingly
+    val df = Seq(
+      (0L, "alpha alpha alpha", true),
+      (1L, "alpha alpha", true),
+      (2L, "omega omega omega", false),
+      (3L, "omega omega omega omega", false),
+      (4L, "alpha alpha alpha alpha", false), // target-like but unlabeled
+      (5L, "", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    // precondition: the two vocab words land in different buckets
+    val b = df.sparkSession.range(1).select(
+      graft.functions.TextFunctions.h32(lit("alpha")) % 128,
+      graft.functions.TextFunctions.h32(lit("omega")) % 128)
+      .first()
+    assert(b.getLong(0) != b.getLong(1), "fixture words collide; pick others")
+    val out = Sampling.importanceWeights(df, "doc_id", "text",
+        col("is_tgt"), buckets = 128)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val score = out.map(r => r._1 -> r._3).toMap
+    assert(score(4L) > score(2L),
+      "an unlabeled doc in the target vocabulary must outscore source vocab")
+    // per-token rate ordering (absolute sign depends on the +1-per-bucket
+    // smoothing mass, which dwarfs a 6-doc fixture's counts)
+    assert(score(4L) / 4 > score(2L) / 3,
+      "target-vocab tokens must carry a higher log-ratio than source vocab")
+    assert(out.find(_._1 == 5L).get == ((5L, 0L, 0.0)),
+      "empty text keeps the row with zero tokens and zero score")
+    // per-token additivity of the fixed-point bucket ratio
+    assert(math.abs(score(0L) / 3 - score(1L) / 2) < 1e-9,
+      "same-vocab docs score proportional to token count")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("importanceWeights: layout-invariant and exactly reproducible") {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    val a = Sampling.importanceWeights(base, "doc_id", "text",
+      col("lang") === "en", buckets = 64).orderBy("doc_id").collect().toSeq
+    val b = Sampling.importanceWeights(base.repartition(13), "doc_id",
+      "text", col("lang") === "en", buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "score must be a pure function of the corpus")
+    assert(a.size == base.count(), "every input row keeps a score")
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{abs, aggregate, col, lit, zip_with}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -473,5 +473,53 @@ class SimilaritySpec extends SparkSpec {
       assert(brute(k) == c, s"pair $k scored $c, exact ${brute(k)}")
     }
     graft.util.Caches.unpersistAll()
+  }
+
+  test("hammingTopK: packed xor+popcount equals per-bit sign disagreement") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val out = Similarity.hammingTopK(e, q, k = 3)
+      .select("q_id", "n_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference distance from the UNPACKED bit arrays via interpreted HOFs
+    val bits = e.select(col("vec_id"),
+      graft.functions.VectorFunctions.signBits(col("embedding"), 64).as("sb"))
+    val ref = bits.select(col("vec_id").as("q_id"), col("sb").as("qb"))
+      .where(col("q_id") < 5)
+      .crossJoin(bits.select(col("vec_id").as("n_id"), col("sb").as("nb")))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("qb"), col("nb"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (k, h) =>
+      assert(ref(k) == h, s"pair $k: packed $h, per-bit ${ref(k)}")
+    }
+  }
+
+  test("hammingTopK: identical vectors rank first at distance 0") {
+    val e = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(1f, 2f, 3f, 4f)),   // same direction as 0
+      (2L, Array(-1f, -2f, -3f, -4f)) // antipodal: all planes flip
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(e, e.where(col("vec_id") === 0), k = 2)
+      .select("n_id", "hamming", "rank")
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(out.head == ((1L, 0L, 1L)), s"got $out")
+    // antipodal flips every plane EXCEPT exact-zero projections, where
+    // sign(0) >= 0 gives both vectors the same bit — near-64, not 64
+    assert(out(1)._1 == 2L && out(1)._2 >= 60L, s"got $out")
+  }
+
+  test("hammingTopK: corpus side joins by broadcast, never a sort-merge") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val plan = Similarity.hammingTopK(e, e.where(col("vec_id") < 3), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      "queries must broadcast so the corpus scan stays shuffle-free")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must not shuffle for the join")
   }
 }
