@@ -123,7 +123,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk
+    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk | hamming_pairs
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -159,6 +159,9 @@ final case class SimilarityTransformStage(
       // binary sign-code search: 8-byte packed codes, xor+popcount rank
       case "hamming_topk"  =>
         Similarity.hammingTopK(corpus, queries, k, nBits.getOrElse(64))
+      // corpus-wide banded Hamming pairs; k doubles as the radius
+      case "hamming_pairs" =>
+        Similarity.hammingNeighbors(corpus, maxHamming = k, maxBucket)
       case "ann"           => Similarity.annTopK(corpus, queries, k,
         nBits.getOrElse(64), bands.getOrElse(16), rows.getOrElse(4))
       case "ivf"           =>

@@ -130,6 +130,28 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Corpus×corpus Hamming near-neighbor pairs over 60-bit sign codes —
+    * the two-large-sides regime [[hammingTopK]]'s broadcast contract
+    * cannot take. Each embedding collapses to a 60-bit sign-LSH code and
+    * rides [[Dedup.fingerprintPairs]]'s pigeonhole banding verbatim:
+    * codes within `maxHamming` differ in at most `maxHamming` of the
+    * `maxHamming+1` bands, so they MUST share one band exactly —
+    * recall-complete, the result EQUALS the all-pairs filter (the oracle
+    * checks exactly that), and the shuffle key is the band bucket, never
+    * the id cross product. Oversized buckets sub-band on the remaining
+    * bits instead of going quadratic (same guard as SimHash dedup).
+    *
+    * Output: (vec_a, vec_b, hamming), vec_a < vec_b.
+    */
+  def hammingNeighbors(df: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame =
+    Dedup.fingerprintPairs(
+      df.select(col("vec_id").as("doc_id"),
+        V.packBits(V.signBits(col("embedding"), 60)).as("simhash")),
+      maxHamming, maxBucket)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        col("hamming"))
+
   /** (vec_id, embedding, nrm, __bits) — one persisted pass computing both
     * the scoring columns and the sign bits (a single source scan feeds the
     * band table and the score re-joins).

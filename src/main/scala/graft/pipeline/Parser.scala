@@ -140,7 +140,8 @@ object Parser {
           Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
             "quantize", "project", "semantic_dedup", "hard_negatives",
             "ann_recall", "pca_cov", "health", "bitext",
-            "bitext_scalable", "pq_topk", "hamming_topk"), "topk"),
+            "bitext_scalable", "pq_topk", "hamming_topk",
+            "hamming_pairs"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),

@@ -125,6 +125,7 @@ object ExtensionQueries {
   private val TopK = 5
   private val NQueryVecs = 10
   private val DsirBuckets = 128
+  private val HammingRadius = 3
   private val IvfProbes = 2
   private val AppendOffset = 1000000L
   private val ContainThreshold = 0.7
@@ -624,6 +625,14 @@ object ExtensionQueries {
       Similarity.hammingTopK(e, e.where(col("vec_id") < NQueryVecs), TopK)
         .select("q_id", "n_id", "hamming", "rank")
         .orderBy("q_id", "rank")
+    },
+
+    // Corpus-wide Hamming pairs via pigeonhole banding. The oracle is the
+    // BRUTE all-pairs filter — so this gate proves the banding's
+    // recall-completeness on real data, not just that both engines agree.
+    "similarity_hamming_pairs" -> { (spark, dir) =>
+      Similarity.hammingNeighbors(embs(spark, dir), HammingRadius)
+        .orderBy("vec_a", "vec_b")
     },
 
     "similarity_ivf" -> { (spark, dir) =>
@@ -3385,6 +3394,27 @@ object ExtensionQueries {
       FROM scored
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
+
+    // BRUTE ground truth for the banded pairs: every pair within the
+    // radius, no banding replay — recall-completeness is ON TRIAL here.
+    // 60-bit codes pack into a BIGINT (bit 60+ never set, so xor/popcount
+    // and the pack arithmetic stay in signed range on both engines).
+    "similarity_hamming_pairs" -> s"""
+      WITH bits AS (
+        SELECT vec_id, list_transform(generate_series(0, 59), j ->
+          CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+            d -> embedding[d]::DOUBLE * (((j*64 + (d-1)) * 2654435761) % 97 - 48)::DOUBLE)),
+            (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END) AS sb
+        FROM embeddings
+      ), codes AS (
+        SELECT vec_id, list_sum(list_transform(generate_series(1, 60),
+          j -> sb[j] * CAST(power(2, j-1) AS BIGINT)))::BIGINT AS code
+        FROM bits)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        bit_count(xor(a.code, b.code))::BIGINT AS hamming
+      FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.code, b.code)) <= $HammingRadius
+      ORDER BY vec_a, vec_b""",
 
     // Replay of Similarity.hardNegatives: the brute top-k with the label
     // inequality fused into the pair condition.

@@ -1570,6 +1570,9 @@ class ExtensionStagesSpec extends SparkSpec {
       {"type": "SimilarityTransform", "name": "hm", "method": "hamming_topk",
        "inputView": "hm_embs", "queryView": "hm_q", "k": 3,
        "outputView": "hm_out"},
+      {"type": "SimilarityTransform", "name": "hp", "method": "hamming_pairs",
+       "inputView": "hm_embs", "k": 3,
+       "outputView": "hp_out"},
       {"type": "Extract", "name": "docs", "table": "documents",
        "outputView": "im_docs"},
       {"type": "SampleTransform", "name": "im", "method": "importance",
@@ -1585,6 +1588,11 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(hm.collect().map(_.toString).toSet ==
       Similarity.hammingTopK(embs,
           embs.where($"vec_id" < 5), k = 3)
+        .collect().map(_.toString).toSet)
+    val hp = spark.table("hp_out")
+    assert(hp.columns.toSeq == Seq("vec_a", "vec_b", "hamming"))
+    assert(hp.collect().map(_.toString).toSet ==
+      Similarity.hammingNeighbors(embs, maxHamming = 3)
         .collect().map(_.toString).toSet)
     val im = spark.table("im_out")
     assert(im.columns.toSeq == Seq("doc_id", "n_tokens", "score"))

@@ -513,6 +513,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._1 == 2L && out(1)._2 >= 60L, s"got $out")
   }
 
+  test("hammingNeighbors: banded pairs equal the brute all-pairs filter, " +
+      "including through the oversized-bucket sub-banding path") {
+    import graft.functions.{VectorFunctions => V}
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val codes = e.select(col("vec_id"),
+      V.packBits(V.signBits(col("embedding"), 60)).as("c"))
+    val brute = codes.as("a")
+      .join(codes.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        V.hamming(col("a.c"), col("b.c")).as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(_.toString).toSet
+    val banded = Similarity.hammingNeighbors(e, maxHamming = 3)
+      .collect().map(_.toString).toSet
+    assert(banded == brute, "pigeonhole banding must be recall-complete")
+    assert(brute.nonEmpty, "fixture must exercise at least one pair")
+    // rem-bit sub-banding (maxBucket=1 forces every bucket oversized) is
+    // pigeonhole again: <= maxHamming errors across maxHamming+1 subbands
+    val sub = Similarity.hammingNeighbors(e, maxHamming = 3, maxBucket = 1)
+      .collect().map(_.toString).toSet
+    assert(sub == brute, "sub-banded path must stay recall-complete")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("hammingTopK: corpus side joins by broadcast, never a sort-merge") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val plan = Similarity.hammingTopK(e, e.where(col("vec_id") < 3), k = 2)
