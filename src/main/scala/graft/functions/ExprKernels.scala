@@ -147,6 +147,29 @@ object ExprKernels {
     toLongArray(out)
   }
 
+  /** POSITIONAL hashed word n-grams: one hash per starting position, in
+    * order, duplicates kept — [[hashedWordNgrams]] without the distinct
+    * (that one feeds set algebra; this one feeds span/run analysis where
+    * position matters). Same fallback: below n words, the whole text as
+    * one gram.
+    */
+  def hashedWordNgramSeq(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
+    val words = text.split(" ", -1)
+    if (words.length >= n) {
+      val out = new Array[Long](words.length - n + 1)
+      var i = 0
+      while (i <= words.length - n) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        out(i) = md5h32(sb.toString.getBytes("UTF-8"))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else new GenericArrayData(Array(md5h32(text.getBytes("UTF-8"))))
+  }
+
   /** Distinct hashed character n-gram shingles, winnowed to hashes ≡ 0
     * (mod sampleMod). Substrings are by Unicode code point.
     */

@@ -122,6 +122,22 @@ object Expressions {
     override def prettyName: String = "hashed_word_ngrams"
   }
 
+  /** POSITIONAL hashed word n-grams — ordered, duplicates kept (span/run
+    * analysis needs positions; [[HashedWordNgrams]] is the distinct set).
+    */
+  case class HashedWordNgramSeq(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.hashedWordNgramSeq(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.hashedWordNgramSeq($c, $n)")
+    override protected def withNewChildInternal(c: Expression): HashedWordNgramSeq = copy(child = c)
+    override def prettyName: String = "hashed_word_ngram_seq"
+  }
+
   /** Distinct hashed character n-gram shingles, winnowed to hashes ≡ 0
     * (mod sampleMod) — fused charShingles -> h32 -> distinct -> mod-filter.
     * sampleMod=1 keeps everything. Substrings are by Unicode code point,

@@ -79,6 +79,14 @@ object TextFunctions {
       Expressions.HashedWordNgrams(
         org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  /** Positional hashed word n-grams (ordered, duplicates kept) — the
+    * span/run-analysis sibling of [[hashedWordNgrams]].
+    */
+  def hashedWordNgramSeq(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Expressions.HashedWordNgramSeq(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
   /** Distinct hashed character n-gram shingles winnowed to hashes ≡ 0
     * (mod sampleMod) — fused native charShingles -> h32 -> distinct ->
     * mod-filter ([[Expressions.HashedCharNgrams]]).

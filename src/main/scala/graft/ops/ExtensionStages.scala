@@ -527,6 +527,7 @@ final case class TextAnalysisTransformStage(
         textCol, groupCols, alpha)
       // corpus-repeated n-gram span fraction per doc (ngramN = span)
       case "dup_spans" => TextAnalysis.dupSpans(in, idCol, textCol, ngramN)
+      case "dup_runs"  => TextAnalysis.dupRuns(in, idCol, textCol, ngramN)
       // group-distinctive terms (langCol = the group column)
       case "keyness" => TextAnalysis.keyness(in, langCol, textCol,
         alpha0, topK)

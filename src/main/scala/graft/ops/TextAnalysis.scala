@@ -522,6 +522,56 @@ object TextAnalysis {
           .as("dup_frac"))
   }
 
+  /** Contiguous duplicated-span runs (the positional sharpening of
+    * [[dupSpans]], after the exact-substring dedup analysis of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * a position's n-gram is DUP when that gram occurs in >= 2 distinct
+    * documents, and consecutive dup positions merge into islands. A long
+    * island is a verbatim copied span (licence block, template,
+    * syndicated passage) — the thing substring-level dedup excises —
+    * where [[dupSpans]]'s set-level fraction cannot tell one 80-gram
+    * block from 80 scattered grams.
+    *
+    * Shape at scale: positional gram hashes are ONE native-kernel pass
+    * (grams travel as longs); doc frequency is a distinct + count on the
+    * gram key (map-side combined); the flags join back on the gram key;
+    * islands use the gaps-and-islands window PARTITIONED BY doc (per-doc
+    * sequential work bounded by doc length, never corpus-wide). Linear
+    * in corpus gram volume.
+    *
+    * Output: (doc_id, n_grams, n_dup, max_run) — max_run 0 when nothing
+    * is duplicated.
+    */
+  def dupRuns(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val g = graft.util.Caches.persist(
+      df.select(col(idCol).as("doc_id"),
+          posexplode(T.hashedWordNgramSeq(col(textCol), n))
+            .as(Seq("__pos", "__g"))))
+    val dfreq = g.select(col("doc_id"), col("__g")).distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+    val flags = g.join(dfreq, "__g")
+      .select(col("doc_id"), col("__pos"), (col("__df") > 1).as("__dup"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("__dup"))
+      .orderBy(col("__pos"))
+    val islands = flags
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy("doc_id", "__dup", "__grp")
+      .agg(count(lit(1)).as("__rl"))
+    val runs = islands.where(col("__dup"))
+      .groupBy("doc_id").agg(max(col("__rl")).as("max_run"))
+    g.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+      .join(flags.where(col("__dup")).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup")), Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   /** Group-distinctive terms by weighted log-odds with an informative
     * Dirichlet prior (the "fightin' words" estimator, Monroe et al.
     * 2008): for each (group, word), the z-scored log-odds of the word in

@@ -484,7 +484,7 @@ object Parser {
         analysis = r.oneOf("analysis",
           Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
-            "quality_score", "lm_score", "dup_spans", "keyness",
+            "quality_score", "lm_score", "dup_spans", "dup_runs", "keyness",
             "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
             "bpe_apply", "bpe_fertility", "boilerplate"),
           "quality"),

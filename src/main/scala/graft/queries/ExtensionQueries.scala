@@ -1482,6 +1482,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Positional sharpening of dup_spans: contiguous dup-gram islands,
+    // max island length per doc (the copied-span length signal).
+    "text_dup_runs" -> { (spark, dir) =>
+      TextAnalysis.dupRuns(docs(spark, dir), "doc_id", "text", n = DupSpanN)
+        .orderBy("doc_id")
+    },
+
     // Group-distinctive terms per language (weighted log-odds, informative
     // Dirichlet prior from the corpus itself).
     "text_keyness" -> { (spark, dir) =>
@@ -4963,6 +4970,39 @@ object ExtensionQueries {
           / count(*)::DOUBLE, 6) AS dup_frac
       FROM g JOIN dfq USING (h)
       GROUP BY 1 ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.dupRuns: POSITIONAL gram hashes (duplicates
+    // kept), dup = gram in >= 2 distinct docs, gaps-and-islands runs.
+    "text_dup_runs" -> s"""
+      WITH ws AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      hs AS (
+        SELECT doc_id, CASE WHEN len(w) >= $DupSpanN
+            THEN list_transform(
+                   list_transform(generate_series(1, len(w) - ${DupSpanN - 1}),
+                     i -> array_to_string(w[i:i+${DupSpanN - 1}], ' ')),
+                   s -> ('0x'||substr(md5(s),1,8))::BIGINT % $P)
+            ELSE [('0x'||substr(md5(text),1,8))::BIGINT % $P] END AS hl
+        FROM ws),
+      g AS (
+        SELECT doc_id, i AS pos, hl[i] AS h
+        FROM hs, unnest(generate_series(1, len(hl))) AS t(i)),
+      dfq AS (SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+      flags AS (
+        SELECT doc_id, pos, df > 1 AS dup FROM g JOIN dfq USING (h)),
+      isl AS (
+        SELECT doc_id, dup,
+          pos - row_number() OVER (PARTITION BY doc_id, dup ORDER BY pos)
+            AS grp
+        FROM flags),
+      runs AS (
+        SELECT doc_id, count(*) AS rl FROM isl WHERE dup
+        GROUP BY doc_id, grp)
+      SELECT f.doc_id, count(*)::BIGINT AS n_grams,
+        sum(CASE WHEN f.dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        coalesce((SELECT max(rl) FROM runs r WHERE r.doc_id = f.doc_id),
+          0)::BIGINT AS max_run
+      FROM flags f GROUP BY f.doc_id ORDER BY f.doc_id""",
 
     // Replay of TextAnalysis.keyness: Monroe log-odds with the corpus as
     // Dirichlet prior; identical double arithmetic order, 6dp + -0 guard.

@@ -197,6 +197,48 @@ class TextAnalysisSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("dupRuns: contiguous islands measured, scattered dups don't chain, " +
+      "within-doc repeats don't count as cross-doc") {
+    val df = Seq(
+      // docs 0/1 share the 4-word block "c1 c2 c3 c4" (two 3-gram
+      // positions) AND the lone gram "s1 s2 s3" far apart -> max_run 2
+      (0L, "a b c1 c2 c3 c4 d e f s1 s2 s3 g h"),
+      (1L, "x y c1 c2 c3 c4 z w v s1 s2 s3 u t"),
+      // doc 2: nothing shared
+      (2L, "p q r s t u v"),
+      // doc 3: internal repeat only — repeats within ONE doc are not
+      // cross-doc duplication (df counts distinct docs)
+      (3L, "m1 m2 m3 m1 m2 m3 m1 m2 m3")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupRuns(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0: 12 grams; dup = 2 (c-block) + 1 (s-gram) = 3; islands 2 and 1
+    assert(out(0L) == ((12L, 3L, 2L)), s"got ${out(0L)}")
+    assert(out(1L) == ((12L, 3L, 2L)), s"got ${out(1L)}")
+    assert(out(2L) == ((5L, 0L, 0L)), s"got ${out(2L)}")
+    assert(out(3L) == ((7L, 0L, 0L)), s"got ${out(3L)}")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("dupRuns: full-doc duplicates are one doc-length island; short-doc " +
+      "fallback gram") {
+    val df = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6"),
+      (1L, "w1 w2 w3 w4 w5 w6"), // exact dup: every position duplicated
+      (2L, "zz")                 // short: whole-text fallback, unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupRuns(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((4L, 4L, 4L)))
+    assert(out(1L) == ((4L, 4L, 4L)))
+    assert(out(2L) == ((1L, 0L, 0L)))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("keyness surfaces each group's distinctive term with positive z") {
     val df = Seq(
       ("a", "foo foo foo common words here"),
