@@ -87,6 +87,43 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** One-Permutation MinHash signature with rotation densification
+    * (Li, Owen & Zhang 2012; Shrivastava & Li 2014): shingle hash h lands
+    * in bucket h mod k, each bucket keeps its min, and an EMPTY bucket j
+    * borrows the nearest non-empty bucket clockwise ((j+1, j+2, ...) mod
+    * k). ONE pass over the shingles instead of k permutations — the k×
+    * cheaper signature for long documents, at mildly higher estimator
+    * variance (pairs are exact-Jaccard verified downstream anyway, so
+    * only candidate recall is affected). Deterministic and order-free:
+    * bucket mins are order-insensitive and the borrow scan is a pure
+    * function of which buckets are occupied.
+    */
+  def ophSig(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val out = new Array[Long](k)
+    if (n == 0) return new GenericArrayData(out)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, -1L)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      val b = (h % k).toInt
+      if (sig(b) < 0 || h < sig(b)) sig(b) = h
+      i += 1
+    }
+    var j = 0
+    while (j < k) {
+      if (sig(j) >= 0) out(j) = sig(j)
+      else {
+        var t = 1
+        while (sig((j + t) % k) < 0) t += 1 // n >= 1 => terminates
+        out(j) = sig((j + t) % k)
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Pack an array<long> of 0/1 bits (bit j -> position j, LSB-first)
     * into one signed 64-bit code. Up to 64 bits; bit 63 lands in the sign
     * bit, which XOR/popcount treat like any other lane, so the packed

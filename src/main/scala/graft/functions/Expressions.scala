@@ -52,6 +52,22 @@ object Expressions {
     override def prettyName: String = "minhash_sig"
   }
 
+  /** One-Permutation MinHash with rotation densification — one pass over
+    * the shingle hashes vs [[MinHashSig]]'s k permutations.
+    */
+  case class OphSig(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"signature length must be >= 1, got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.ophSig(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.ophSig($c, $k)")
+    override protected def withNewChildInternal(c: Expression): OphSig = copy(child = c)
+    override def prettyName: String = "oph_sig"
+  }
+
   /** Sign-LSH bits of an array<float> embedding against the fixed
     * deterministic hyperplane family. Returns array<long> of 0/1.
     */

@@ -114,6 +114,16 @@ object TextFunctions {
       Expressions.MinHashSig(
         org.apache.spark.sql.GraftColumnBridge.expression(hashes), k))
 
+  /** One-Permutation MinHash with rotation densification: ONE pass over
+    * the shingle hashes (bucket h mod k, min per bucket, empty buckets
+    * borrow clockwise) vs [[minhashSig]]'s k permutations — the k×
+    * cheaper signature for long documents.
+    */
+  def ophSig(hashes: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Expressions.OphSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(hashes), k))
+
   /** LSH banding: split a k-length signature into `b` bands of `r` rows and
     * key each band by its joined-string signature. Returns
     * array<struct<band:int, bsig:string>> ready to explode; docs sharing

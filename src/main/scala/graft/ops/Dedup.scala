@@ -115,6 +115,32 @@ object Dedup {
       k: Int = 64, b: Int = 16, r: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.9): DataFrame = {
     require(b * r <= k, s"bands*rows ($b*$r) must be <= signature length $k")
+    signatureBandPairs(df, idCol, textCol, T.minhashSig(_, k), b, r,
+      shingleN, threshold)
+  }
+
+  /** [[minhashPairs]] with the One-Permutation-Hashing signature
+    * ([[graft.functions.TextFunctions.ophSig]]): ONE pass over each
+    * document's shingles instead of k permutations — the signature cost
+    * drops k× (the dominant narrow pass on long documents at corpus
+    * scale), banding/verification identical. OPH's rotation
+    * densification raises estimator variance slightly, which here can
+    * only affect CANDIDATE recall: every emitted pair is still
+    * exact-Jaccard verified, so precision is unchanged by construction.
+    */
+  def minhashPairsOPH(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, b: Int = 16, r: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    require(b * r <= k, s"bands*rows ($b*$r) must be <= signature length $k")
+    signatureBandPairs(df, idCol, textCol, T.ophSig(_, k), b, r,
+      shingleN, threshold)
+  }
+
+  private def signatureBandPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      sigOf: Column => Column, b: Int, r: Int, shingleN: Int,
+      threshold: Double): DataFrame = {
     // Both the shingle sets (re-used by the exact-verify joins) and the
     // banded signatures (both sides of the self-join) are persisted: the
     // signature computation is the expensive narrow pass and must run
@@ -122,7 +148,7 @@ object Dedup {
     val sh = graft.util.Caches.persist(shingled(df, idCol, textCol, shingleN))
     val banded = sh
       .select(col("doc_id"),
-        explode(T.bands(T.minhashSig(col("shingles"), k), b, r)).as("bd"))
+        explode(T.bands(sigOf(col("shingles")), b, r)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
     val bandedCached = graft.util.Caches.persist(banded)
     // Self-join per bucket: shuffle on (band,bsig); dedup candidate pairs

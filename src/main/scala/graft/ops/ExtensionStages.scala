@@ -63,6 +63,9 @@ final case class DedupTransformStage(
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
       case "minhash_pairs" => Dedup.minhashPairs(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
+      // one-permutation signature (k-times-cheaper narrow pass)
+      case "oph_pairs" => Dedup.minhashPairsOPH(in, idCol, textCol,
+        minhashK, bands, rows, shingleN, threshold.getOrElse(0.9))
       // the production dedup-cluster path: near-dup pairs grouped into
       // components, one canonical (min) id per cluster
       case "minhash_cc" => Dedup.connectedComponents(

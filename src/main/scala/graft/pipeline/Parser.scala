@@ -97,10 +97,10 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
-            "minhash_cc", "minhash_cc_apply", "simhash", "simhash_pairs",
-            "ngram_pairs", "prefix_pairs", "edit_pairs", "jw_pairs",
-            "passages", "containment_pairs", "containment_stratified",
-            "weighted_pairs", "knn"),
+            "oph_pairs", "minhash_cc", "minhash_cc_apply", "simhash",
+            "simhash_pairs", "ngram_pairs", "prefix_pairs", "edit_pairs",
+            "jw_pairs", "passages", "containment_pairs",
+            "containment_stratified", "weighted_pairs", "knn"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),

@@ -509,6 +509,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // One-permutation signature: same banding/verify machinery, one pass
+    // over the shingles instead of k permutations (the k-times-cheaper
+    // signature at corpus scale).
+    "dedup_minhash_oph" -> { (spark, dir) =>
+      Dedup.minhashPairsOPH(docs(spark, dir), "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    },
+
     "dedup_minhash_cc" -> { (spark, dir) =>
       Dedup.connectedComponents(
         Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
@@ -2815,6 +2824,40 @@ object ExtensionQueries {
       JOIN sh b ON b.doc_id = cand.doc_b
     )"""
 
+  /** [[minhashCtes]] with the One-Permutation signature (replay of
+    * ExprKernels.ophSig): bucket h mod k keeps its min, empty bucket j
+    * borrows the clockwise-nearest non-empty bucket — min_by over the
+    * circular distance (b - j + k) mod k, which is 0 for an occupied j
+    * itself, so occupied buckets keep their own min. Banding and the
+    * exact-Jaccard verify are VERBATIM the minhash CTEs.
+    */
+  private def ophCtes: String = s"""$shingleCtes, bmin AS (
+      SELECT doc_id, h % $MinhashK AS b, min(h) AS v
+      FROM (SELECT doc_id, unnest(shingles) AS h FROM sh)
+      GROUP BY doc_id, b
+    ), sigrows AS (
+      SELECT doc_id, j, min_by(v, (b - j + $MinhashK) % $MinhashK) AS s
+      FROM bmin, unnest(generate_series(0, ${MinhashK - 1})) AS t(j)
+      GROUP BY doc_id, j
+    ), mh AS (
+      SELECT doc_id, list(s ORDER BY j) AS sig FROM sigrows GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, j AS band,
+        array_to_string(sig[j*$MinhashR+1 : j*$MinhashR+$MinhashR], '-') AS bsig
+      FROM mh, unnest(generate_series(0, ${MinhashB - 1})) AS t(j)
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.doc_a
+      JOIN sh b ON b.doc_id = cand.doc_b
+    )"""
+
   /** 60-bit SimHash of `text` (replay of TextFunctions.{wordHashes60,
     * simhash60FromHashes}): word hash = first 15 md5 hex chars (60 bits —
     * every value and every 2^j below stays inside signed BIGINT), bit j set
@@ -3064,6 +3107,10 @@ object ExtensionQueries {
       ORDER BY doc_id""",
 
     "dedup_minhash_pairs" -> s"""$minhashCtes
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+
+    "dedup_minhash_oph" -> s"""$ophCtes
       SELECT doc_a, doc_b, jaccard FROM pairs
       WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
 

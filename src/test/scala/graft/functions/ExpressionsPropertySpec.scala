@@ -58,6 +58,28 @@ class ExpressionsPropertySpec extends SparkSpec {
     assertAgree(df, V.signBits(col("emb"), nBits), declarative, "sign_bits")
   }
 
+  test("oph_sig equals an independent reference implementation") {
+    def refOph(hs: Seq[Long], k: Int): Seq[Long] = {
+      if (hs.isEmpty) return Seq.fill(k)(0L)
+      val byBucket = hs.groupBy(h => (h % k).toInt).map { case (b, v) => b -> v.min }
+      (0 until k).map { j =>
+        Iterator.from(0).map(t => (j + t) % k)
+          .collectFirst { case b if byBucket.contains(b) => byBucket(b) }.get
+      }
+    }
+    val k = 16
+    val rows = sample(genText, 200).toDF("text")
+      .select(T.shingleHashes(T.words(col("text"))).as("hs"))
+      .select(col("hs"), T.ophSig(col("hs"), k).as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      val sig = r.getSeq[Long](1)
+      assert(sig == refOph(hs, k), s"hashes $hs")
+    }
+  }
+
   test("pack_bits equals the declarative shift-or fold, sign bit included") {
     val df = sample(genVec, 150).toDF("emb")
       .select(V.signBits(col("emb"), 64).as("sb"))

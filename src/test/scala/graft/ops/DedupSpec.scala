@@ -79,6 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("OPH pairs: exact dups always recalled, scores identical to the " +
+      "k-permutation path on shared pairs, layout-invariant") {
+    val oph = Dedup.minhashPairsOPH(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical shingle sets => identical OPH signatures => same bucket
+    assert(oph.contains((0L, 1L)) && oph((0L, 1L)) == 1.0,
+      "exact duplicates must share every band under any signature scheme")
+    assert(!oph.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated docs produce no pairs")
+    // candidate generation differs; VERIFIED scores must not
+    val mh = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    oph.keySet.intersect(mh.keySet).foreach { p =>
+      assert(oph(p) == mh(p), s"pair $p scored differently")
+    }
+    val again = Dedup.minhashPairsOPH(corpus.repartition(7), "doc_id",
+        "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again == oph, "OPH signature must be layout-invariant")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("simhash: identical docs share fingerprints; hamming pairs found via bands") {
     val fp = Dedup.simhashFingerprints(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

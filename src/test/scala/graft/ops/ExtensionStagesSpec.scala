@@ -1577,7 +1577,11 @@ class ExtensionStagesSpec extends SparkSpec {
        "outputView": "im_docs"},
       {"type": "SampleTransform", "name": "im", "method": "importance",
        "inputView": "im_docs", "stratumCol": "lang", "targetValue": "en",
-       "nBuckets": 128, "outputView": "im_out"}
+       "nBuckets": 128, "outputView": "im_out"},
+      {"type": "DedupTransform", "name": "op", "method": "oph_pairs",
+       "threshold": 0.9, "inputView": "im_docs", "outputView": "op_out"},
+      {"type": "TextAnalysisTransform", "name": "dr", "analysis": "dup_runs",
+       "ngramN": 8, "inputView": "im_docs", "outputView": "dr_out"}
     ]}"""
     val Right(p) = Parser.parse(conf,
       Map("default" -> new ParquetConnector(sf001))): @unchecked
@@ -1601,6 +1605,15 @@ class ExtensionStagesSpec extends SparkSpec {
       Sampling.importanceWeights(spark.table("im_docs"), "doc_id", "text",
           $"lang" === "en", buckets = 128)
         .collect().map(_.toString).toSet)
+    val op = spark.table("op_out")
+    assert(op.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    assert(op.collect().map(_.toString).toSet ==
+      Dedup.minhashPairsOPH(spark.table("im_docs"), "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(_.toString).toSet)
+    val dr = spark.table("dr_out")
+    assert(dr.columns.toSeq == Seq("doc_id", "n_grams", "n_dup", "max_run"))
+    assert(dr.count() == spark.table("im_docs").count())
     graft.util.Caches.unpersistAll()
   }
 }
