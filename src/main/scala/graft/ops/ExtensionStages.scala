@@ -385,7 +385,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic | ordinal | importance
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic | ordinal | importance | rendezvous
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -450,6 +450,9 @@ final case class SampleTransformStage(
       case "top_stratum" =>
         Sampling.topFractionPerStratum(in, stratumCol, weightCol, idCol,
           rate)
+      // k doubles as the shard count
+      case "rendezvous" =>
+        Sampling.rendezvousShard(in, idCol, k)
       // DSIR importance scores: target = rows with stratumCol == targetValue
       case "importance" =>
         Sampling.importanceWeights(in, idCol, textCol,

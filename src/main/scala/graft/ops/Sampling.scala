@@ -686,6 +686,33 @@ object Sampling {
     }.toDF(idCol, "weight", "n_slots")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): doc -> argmax over shards s of h32(id ++ ":" ++ s),
+    * ties to the SMALLEST s. The property that matters for corpus
+    * maintenance: growing k -> k+1 shards moves ONLY the docs whose
+    * argmax is the NEW shard (~1/(k+1) of the corpus) — every other
+    * assignment is untouched, because adding a candidate never changes
+    * the winner among the old ones. Mod-hashing (`h % k`) reshuffles
+    * (k-1)/k of the corpus on the same change; this is the difference
+    * between re-writing one new shard and re-writing the lake.
+    *
+    * Pure narrow projection (a k-wide literal struct-max per row): no
+    * shuffle, no state, pushes to the scan side of whatever follows.
+    *
+    * Output: input columns + `shard` (0-based).
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"shard count must be >= 1, got $k")
+    // array_max on struct(h, -s): max h wins; on an h tie the larger -s
+    // (= smaller s) wins — total order, engine-portable
+    val best = array_max(transform(sequence(lit(0), lit(k - 1)), s =>
+      struct(
+        T.h32(concat(col(idCol).cast("string"), lit(":"), s.cast("string")))
+          .as("h"),
+        (-s).cast("long").as("negs"))))
+    df.withColumn("shard", (-best.getField("negs")).cast("long"))
+  }
+
   /** Data Selection via Importance Resampling scores (Xie et al. 2023,
     * public NeurIPS paper): rank raw documents by how target-like their
     * hashed-n-gram profile is. Features are whitespace tokens hashed into

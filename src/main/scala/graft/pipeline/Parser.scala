@@ -455,7 +455,7 @@ object Parser {
             "shard_by_budget", "upsample", "weighted_topk", "negative",
             "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
             "temperature", "systematic", "ordinal", "top_stratum",
-            "importance"),
+            "importance", "rendezvous"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),

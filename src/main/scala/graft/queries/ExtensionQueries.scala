@@ -126,6 +126,7 @@ object ExtensionQueries {
   private val NQueryVecs = 10
   private val DsirBuckets = 128
   private val HammingRadius = 3
+  private val RendezvousK = 8
   private val IvfProbes = 2
   private val AppendOffset = 1000000L
   private val ContainThreshold = 0.7
@@ -1370,6 +1371,13 @@ object ExtensionQueries {
     "sample_importance" -> { (spark, dir) =>
       Sampling.importanceWeights(docs(spark, dir), "doc_id", "text",
           col("lang") === "en", DsirBuckets)
+        .orderBy("doc_id")
+    },
+
+    // Rendezvous (HRW) shard assignment: stable under shard-count growth.
+    "shard_rendezvous" -> { (spark, dir) =>
+      Sampling.rendezvousShard(docs(spark, dir), "doc_id", RendezvousK)
+        .select("doc_id", "shard")
         .orderBy("doc_id")
     },
 
@@ -4740,6 +4748,22 @@ object ExtensionQueries {
         coalesce(s.score, 0.0) AS score
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       ORDER BY d.doc_id""",
+
+    // Replay of Sampling.rendezvousShard: argmax_s h32(id ':' s), ties
+    // to the smallest s — (h DESC, s ASC) row_number here, max over
+    // struct(h, -s) on the Spark side; identical total order.
+    "shard_rendezvous" -> s"""
+      WITH a AS (
+        SELECT doc_id, s,
+          ('0x'||substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR),1,8))::BIGINT
+            % $P AS h
+        FROM documents, unnest(generate_series(0, ${RendezvousK - 1})) AS t(s)
+      ), r AS (
+        SELECT doc_id, s,
+          row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+        FROM a)
+      SELECT doc_id, s::BIGINT AS shard FROM r WHERE rn = 1
+      ORDER BY doc_id""",
 
     // Replay of Similarity.standardize: per-dim fixed-point (x2^20)
     // DECIMAL(38,0) sums -> exact means/variances under any order and no

@@ -460,6 +460,28 @@ class SamplingSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("rendezvousShard: k -> k+1 moves ONLY docs claimed by the new " +
+      "shard; mod-hashing moves almost everything") {
+    val d = docs.select("doc_id")
+    def assign(k: Int): Map[Long, Long] =
+      Sampling.rendezvousShard(d, "doc_id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at8 = assign(8)
+    val at9 = assign(9)
+    assert(at8.values.toSet.size == 8, "all 8 shards populated")
+    val moved = at8.keys.filter(id => at8(id) != at9(id)).toSeq
+    assert(moved.nonEmpty, "the new shard must claim some docs")
+    assert(moved.forall(id => at9(id) == 8L),
+      "a doc may move ONLY to the newly added shard")
+    val frac = moved.size.toDouble / at8.size
+    assert(frac > 0.03 && frac < 0.25,
+      s"~1/9 of docs should move, got $frac")
+    // determinism + layout invariance
+    assert(assign(8) == at8)
+    assert(Sampling.rendezvousShard(d.repartition(7), "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == at8)
+  }
+
   test("importanceWeights: layout-invariant and exactly reproducible") {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
     val a = Sampling.importanceWeights(base, "doc_id", "text",
