@@ -127,6 +127,7 @@ object ExtensionQueries {
   private val DsirBuckets = 128
   private val HammingRadius = 3
   private val RendezvousK = 8
+  private val CurateKeepFrac = 0.5
   private val IvfProbes = 2
   private val AppendOffset = 1000000L
   private val ContainThreshold = 0.7
@@ -1467,6 +1468,30 @@ object ExtensionQueries {
           keys = Seq("clean_text"), tieBreak = Seq("doc_id"))
         .select(col("doc_id"), col("lang"),
           size(split(col("clean_text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // The FULL pretraining-curation recipe as one declarative plan:
+    // quality gate -> exact dedup -> near-dup drop (MinHash apply) ->
+    // DSIR importance score -> keep the top half per language. Five
+    // gate-proven operators composed; Catalyst sees a single plan and
+    // pushes the quality predicates to the scan under everything else.
+    "curate_pretrain" -> { (spark, dir) =>
+      val d = docs(spark, dir)
+      val q = TextAnalysis.qualityFilter(d, "text",
+          minChars = QfMinChars, maxChars = QfMaxChars,
+          minWords = QfMinWords, minTtr = QfMinTtr,
+          minStopwordRatio = QfMinStopword, maxPunctRatio = QfMaxPunct)
+        .select("doc_id", "lang", "text")
+      val uniq = Dedup.exact(q, keys = Seq("text"), tieBreak = Seq("doc_id"))
+      val near = Dedup.minhashApply(uniq, "doc_id", "text",
+        MinhashK, MinhashB, MinhashR, 3, JaccardThreshold)
+      val scored = Sampling.importanceWeights(near, "doc_id", "text",
+          col("lang") === "en", DsirBuckets)
+        .join(near.select("doc_id", "lang"), "doc_id")
+      Sampling.topFractionPerStratum(scored, "lang", "score", "doc_id",
+          CurateKeepFrac)
+        .select("doc_id", "lang", "n_tokens", "score", "rank")
         .orderBy("doc_id")
     },
 
@@ -4941,6 +4966,74 @@ object ExtensionQueries {
       SELECT doc_id, lang,
         len(string_split(clean_text, ' '))::BIGINT AS n_tokens
       FROM dd WHERE rn = 1 ORDER BY doc_id""",
+
+    // Replay of the five-operator curation chain: the quality_filter
+    // predicate, exact-dedup row_number, the minhash CTEs re-rooted on
+    // the dedup survivors (minhashCtesOver), the DSIR fixed-point score,
+    // and the per-language top-fraction window — each fragment identical
+    // to its standalone gate's oracle.
+    "curate_pretrain" -> s"""
+      WITH qf AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT doc_id, lang, text,
+            length(text)::BIGINT AS qc,
+            len(string_split(text, ' '))::BIGINT AS qw,
+            round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+              / len(string_split(text, ' '))::DOUBLE, 6) AS qt,
+            round(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+              / len(string_split(text, ' '))::DOUBLE, 6) AS qs,
+            round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+              / length(text)::DOUBLE, 6) AS qp
+          FROM documents)
+        WHERE qc BETWEEN $QfMinChars AND $QfMaxChars
+          AND qw >= $QfMinWords AND qt >= $QfMinTtr
+          AND qs >= $QfMinStopword AND qp <= $QfMaxPunct
+      ), uniq AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY text ORDER BY doc_id) AS rn FROM qf)
+        WHERE rn = 1
+      )${minhashCtesOver("SELECT doc_id, text FROM uniq")
+          .replaceFirst("\\s*WITH", ", ")}
+      , near AS (
+        SELECT u.doc_id, u.lang, u.text FROM uniq u
+        WHERE u.doc_id NOT IN (
+          SELECT doc_b FROM pairs WHERE jaccard >= $JaccardThreshold)
+      ), dtoks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+          ('0x'||substr(md5(w),1,8))::BIGINT % $P % $DsirBuckets AS b
+        FROM near, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != ''
+      ), dcnt AS (
+        SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+          count(*) AS sc
+        FROM dtoks GROUP BY b
+      ), dtot AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM dcnt
+      ), dlr AS (
+        SELECT b, CAST(round((ln((tc + 1)::DOUBLE / (tt + $DsirBuckets))
+          - ln((sc + 1)::DOUBLE / (st + $DsirBuckets))) * 1000000) AS BIGINT)
+          AS lrf
+        FROM dcnt, dtot
+      ), dscored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          (round(sum(lrf) / 1000000.0, 6) + 0) AS score
+        FROM dtoks JOIN dlr USING (b) GROUP BY doc_id
+      ), scored AS (
+        SELECT n.doc_id, n.lang, coalesce(s.n_tokens, 0) AS n_tokens,
+          coalesce(s.score, 0.0) AS score
+        FROM near n LEFT JOIN dscored s ON n.doc_id = s.doc_id
+      ), ranked AS (
+        SELECT *,
+          CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank,
+          count(*) OVER (PARTITION BY lang) AS nl
+        FROM scored)
+      SELECT doc_id, lang, n_tokens, score, rank
+      FROM ranked
+      WHERE rank <= CAST(ceil($CurateKeepFrac * nl) AS BIGINT)
+      ORDER BY doc_id""",
 
     // Replay of Profile.outliers: per-type fixed-point (x2^20) moments,
     // |value - mean| > 3 sigma, z rounded 6dp.
