@@ -649,14 +649,17 @@ final case class PiiTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // stats | scrub | kanon | suppress | noisy_counts
+    method: String, // stats | scrub | kanon | suppress | noisy_counts | ldiversity
     idCol: String = "doc_id",
     textCol: String = "text",
-    // kanon / suppress: the quasi-identifier columns; noisy_counts: dims
+    // kanon / suppress / ldiversity: the quasi-identifier columns;
+    // noisy_counts: dims
     cols: Seq[String] = Nil,
     k: Long = 8L,
     scale: Double = 1.0,
-    salt: String = "")
+    salt: String = "",
+    // ldiversity: the sensitive column (textCol would mislead here)
+    sensitiveCol: String = "")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -670,6 +673,10 @@ final case class PiiTransformStage(
       case "kanon" => Pii.kAnonymityProfile(in, cols, k)
       case "suppress" => Pii.kAnonymize(in, cols, k)
       case "noisy_counts" => Pii.noisyCounts(in, cols, scale, salt)
+      case "ldiversity" =>
+        require(sensitiveCol.nonEmpty,
+          "pii method 'ldiversity' requires 'sensitiveCol'")
+        Pii.lDiversityProfile(in, cols, sensitiveCol, k)
       case other => throw new IllegalArgumentException(
         s"unknown pii method '$other'")
     }

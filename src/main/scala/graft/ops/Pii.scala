@@ -77,6 +77,28 @@ object Pii {
       .withColumn("at_risk", col("group_n") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    * blind spot is a large group whose SENSITIVE attribute is uniform —
+    * group size protects nothing when everyone in it shares the secret.
+    * Per quasi-id combo: group size, the number of DISTINCT sensitive
+    * values, and `at_risk` when that diversity is below `l`. Composes
+    * with [[kAnonymityProfile]] (size) as the second audit axis.
+    *
+    * Shape at scale: one two-level aggregate — distinct (quasi, sensitive)
+    * pairs first (map-side combined), then the per-combo count — output
+    * bounded by combo cardinality, corpus shuffles once on the quasi key.
+    */
+  def lDiversityProfile(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val qs = quasiCols.map(col)
+    df.groupBy(qs: _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("at_risk", col("distinct_sensitive") < l)
+  }
+
   /** k-anonymity SUPPRESSION: rows whose quasi-id combo has fewer than
     * `k` members get every quasi-id value replaced by `"*"` (full-cell
     * suppression — the baseline generalization operator); rows in

@@ -284,14 +284,16 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("stats", "scrub", "kanon", "suppress", "noisy_counts"),
+          Seq("stats", "scrub", "kanon", "suppress", "noisy_counts",
+            "ldiversity"),
           "stats"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         cols = r.stringList("cols"),
         k = r.long("k").getOrElse(8L),
         scale = r.double("scale").getOrElse(1.0),
-        salt = r.string("salt").getOrElse(""))
+        salt = r.string("salt").getOrElse(""),
+        sensitiveCol = r.string("sensitiveCol").getOrElse(""))
     },
     "GraphTransform" -> { (r, _) =>
       GraphTransformStage(
@@ -759,7 +761,7 @@ object Parser {
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
       "rankViews", "rrfK", "qrelsView")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "idCol", "textCol", "cols", "k", "scale", "salt")),
+      "idCol", "textCol", "cols", "k", "scale", "salt", "sensitiveCol")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix",

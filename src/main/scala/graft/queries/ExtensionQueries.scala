@@ -210,6 +210,7 @@ object ExtensionQueries {
 
   private val HllM = 512
   private val KanonK = 8L
+  private val LdivL = 3L
   private val DpScale = 4.0
   private val DpSalt = "dp9"
   private val BpeMerges: Seq[(String, String)] = Seq(
@@ -1603,6 +1604,18 @@ object ExtensionQueries {
     "pii_kanon" -> { (spark, dir) =>
       val cust = spark.read.parquet(s"$dir/customer.parquet")
       Pii.kAnonymityProfile(cust, Seq("c_mktsegment", "c_nationkey"), KanonK)
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // l-diversity: the k-anonymity blind spot — a combo is at risk when
+    // its SENSITIVE attribute (account-balance sign tier) is uniform.
+    "pii_ldiversity" -> { (spark, dir) =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bal_tier",
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid").otherwise("high"))
+      Pii.lDiversityProfile(cust, Seq("c_mktsegment", "c_nationkey"),
+          "bal_tier", LdivL)
         .orderBy("c_mktsegment", "c_nationkey")
     },
 
@@ -5376,6 +5389,19 @@ object ExtensionQueries {
       SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_n,
         (count(*) < $KanonK) AS at_risk
       FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replay of Pii.lDiversityProfile over the same balance-tier
+    // sensitive attribute.
+    "pii_ldiversity" -> s"""
+      WITH t AS (
+        SELECT c_mktsegment, c_nationkey,
+          CASE WHEN c_acctbal < 0 THEN 'neg'
+               WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_tier
+        FROM customer)
+      SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_n,
+        count(DISTINCT bal_tier)::BIGINT AS distinct_sensitive,
+        (count(DISTINCT bal_tier) < $LdivL) AS at_risk
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Replay of Pii.kAnonymize: combo sizes once, full-cell '*' for
     // under-k combos, quasi-ids stringified like the Spark cast.

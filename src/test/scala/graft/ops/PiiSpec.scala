@@ -96,6 +96,24 @@ class PiiSpec extends SparkSpec {
     assert(a.map(_._3).toSeq != c.toSeq, "a different salt re-draws")
   }
 
+  test("lDiversityProfile: a LARGE uniform-sensitive group is at risk, " +
+      "a small diverse one is not") {
+    val df = Seq(
+      // combo A: 4 members, all sensitive = 's1' -> k-anonymous at k=4
+      // but l-diversity 1: the group leaks the secret
+      ("A", 1, "s1"), ("A", 1, "s1"), ("A", 1, "s1"), ("A", 1, "s1"),
+      // combo B: 3 members, 3 distinct sensitive values -> fine at l=2
+      ("B", 2, "s1"), ("B", 2, "s2"), ("B", 2, "s3")
+    ).toDF("seg", "nat", "sens")
+    val out = Pii.lDiversityProfile(df, Seq("seg", "nat"), "sens", l = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("A") == ((4L, 1L, true)),
+      "size-4 uniform group must be flagged despite passing k-anonymity")
+    assert(out("B") == ((3L, 3L, false)))
+  }
+
   test("noisyCounts noise magnitude is Laplace-plausible at small scale") {
     // scale 0.001: noise rounds to 0 for almost every draw, so the
     // release equals the exact histogram
