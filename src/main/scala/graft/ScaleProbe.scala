@@ -345,6 +345,19 @@ object ScaleProbe {
           graft.ops.Graph.supplierCustomerEdges(liN, ord),
           iters = 10, checkpointEvery = 3).count()
       }
+      t("oph_pairs") {
+        Dedup.minhashPairsOPH(d, "doc_id", "text", threshold = 0.9).count()
+      }
+      t("hamming_pairs") {
+        Similarity.hammingNeighbors(e, maxHamming = 3).count()
+      }
+      t("importance") {
+        graft.ops.Sampling.importanceWeights(d, "doc_id", "text",
+          col("lang") === "en", 128).count()
+      }
+      t("dup_runs") {
+        graft.ops.TextAnalysis.dupRuns(d, "doc_id", "text").count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -101,6 +101,19 @@ class DedupSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("OPH banding recalls most k-permutation pairs on a real corpus") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val mh = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val oph = Dedup.minhashPairsOPH(d, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.nonEmpty, "fixture corpus must contain near-dups")
+    val recall = mh.intersect(oph).size.toDouble / mh.size
+    assert(recall >= 0.8,
+      s"OPH candidate recall $recall below the 0.8 gauge on ${mh.size} pairs")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("simhash: identical docs share fingerprints; hamming pairs found via bands") {
     val fp = Dedup.simhashFingerprints(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
