@@ -753,12 +753,10 @@ object Sampling {
     val cnt = toks.groupBy("__b").agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
       count(lit(1)).as("__sc"))
-    // Totals via a whole-frame window: cnt is B-bounded, so the single
-    // partition this window implies holds <= B rows — not a scale hazard.
-    val w = Window.partitionBy()
-    val lr = cnt
-      .withColumn("__tt", sum(col("__tc")).over(w))
-      .withColumn("__st", sum(col("__sc")).over(w))
+    // Totals as a broadcast one-row aggregate (not an empty-partition
+    // window): cnt is B-bounded, the totals row is a scalar.
+    val tots = cnt.agg(sum(col("__tc")).as("__tt"), sum(col("__sc")).as("__st"))
+    val lr = cnt.crossJoin(broadcast(tots))
       .select(col("__b"),
         round(
           (log((col("__tc") + 1).cast("double") / (col("__tt") + b)) -
