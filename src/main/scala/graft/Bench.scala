@@ -177,9 +177,17 @@ object Bench {
       else (1 to nExtra).map(_ => pass(slowest))
     graft.util.Caches.unpersistAll()
 
+    // A query is FAILED (-1) only when no full-rep observation succeeded;
+    // otherwise the stat is computed over the successful observations. A
+    // transient failure in one of the partial extra-K passes (or one full
+    // rep) must not discard a min that converged over the full
+    // repetitions — it would flip a green query to failed in the
+    // regression diff on machine noise. Deterministically broken queries
+    // fail every rep and still report -1.
     def stat(name: String, pick: Seq[Double] => Double): Double = {
-      val ts = reps.map(_(name)) ++ extra.flatMap(_.get(name))
-      if (ts.contains(-1.0)) -1.0 else pick(ts)
+      val full = reps.map(_(name))
+      val ok = (full ++ extra.flatMap(_.get(name))).filter(_ >= 0)
+      if (full.forall(_ < 0)) -1.0 else pick(ok)
     }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
@@ -187,6 +195,15 @@ object Bench {
     }
     val mins = names.map(n => n -> stat(n, _.min))
     val meds = names.map(n => n -> stat(n, median))
+    // `errors` reports FAILED queries only (the -1 contract); a message
+    // captured by an observation that later recovered goes to stderr so
+    // it stays visible without contradicting a green `queries` entry
+    val green = mins.collect { case (n, v) if v >= 0 => n }.toSet
+    errors.filterInPlace { (k, v) =>
+      if (green(k))
+        System.err.println(s"transient failure in $k (recovered): $v")
+      !green(k)
+    }
 
     def errJson(clip: Int): String = errors
       .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(clip))}" }

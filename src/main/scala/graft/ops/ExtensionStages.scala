@@ -83,10 +83,12 @@ final case class DedupTransformStage(
       // asymmetric containment over the same MinHash-LSH candidates
       case "containment_pairs" => Dedup.containmentPairs(in, idCol, textCol,
         minhashK, bands, rows, shingleN, threshold.getOrElse(0.7))
-      // tf-weighted multiset Jaccard (bag-of-words near-dup)
+      // tf-weighted multiset Jaccard (bag-of-words near-dup); the 0.5
+      // fallback mirrors Dedup.weightedJaccardPairs' own default so
+      // config users and API users get the same cut-off
       case "weighted_pairs" =>
         Dedup.weightedJaccardPairs(in, idCol, textCol, minhashK, bands,
-          rows, threshold.getOrElse(0.7), maxTf)
+          rows, threshold.getOrElse(0.5), maxTf)
       // LSH-Ensemble stratified banding: the size-skew recall path
       // (parser defaults minhashK to 128 for this method)
       case "containment_stratified" =>

@@ -196,19 +196,27 @@ object Maintenance {
     // which the kernel arbitrates; on HDFS createNewFile is arbitrated
     // server-side and is used as-is. Other stores degrade to advisory
     // (documented above).
-    val acquired =
-      try {
-        val scheme = lock.toUri.getScheme
-        if (scheme == null || scheme == "file") {
-          try {
-            java.nio.file.Files.createFile(
-              java.nio.file.Paths.get(lock.toUri.getPath))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        } else fs.createNewFile(lock)
-      } catch { case _: java.io.IOException => false }
+    // Only CONTENTION (the lock already existing) maps to acquired=false;
+    // any other IOException (permissions, transient FS fault) propagates —
+    // misreporting it as "lock already held" would send an operator down
+    // the delete-the-lock recovery path for the wrong problem.
+    val acquired = {
+      val scheme = lock.toUri.getScheme
+      if (scheme == null || scheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try fs.createNewFile(lock)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      }
+    }
     if (!acquired) throw new IllegalStateException(
       s"$who: writer lock $lock is already held — another publish/vacuum " +
         "is in flight, or a crashed writer left the lock behind. Verify " +
@@ -230,7 +238,11 @@ object Maintenance {
     val cur = new Path(s"$baseDir/_versions")
     if (fs.exists(tmp)) {
       if (fs.exists(cur)) fs.delete(tmp, true)
-      else if (!fs.rename(tmp, cur))
+      else if (!fs.rename(tmp, cur) && !fs.exists(cur))
+        // a failed rename whose DESTINATION now exists is a concurrent
+        // healer (an unlocked reader) winning the same rename — the swap
+        // is complete either way, so only a rename that left no
+        // `_versions` behind is a real failure
         throw new IllegalStateException(
           s"$who: completing an interrupted vacuum swap failed " +
             s"(rename $tmp -> $cur); resolve manually before writing")
@@ -248,14 +260,20 @@ object Maintenance {
     // read-path healing of an interrupted vacuum swap: with `_versions`
     // gone and only the staged tmp on disk, every read would otherwise
     // report "never published" until the NEXT publish — which on a
-    // read-mostly table may never come. Completing the rename here is
-    // idempotent and safe (the tmp is fully written before the vacuum
-    // protocol ever deletes `_versions`); a stale tmp BESIDE a live
-    // `_versions` is left for the next writer to discard — a pure read
-    // should not delete anything.
+    // read-mostly table may never come. The heal is rename-only (reads
+    // never delete data), and it is guarded two ways against racing a
+    // LIVE vacuum inside its own swap window:
+    //  - `_publish.lock` present ⇒ a writer is in flight (or crashed) —
+    //    skip healing entirely and report the table as it stands; the
+    //    writer heals its own swap under the lock;
+    //  - a failed rename whose destination now exists ⇒ someone else
+    //    (the vacuum, or another reader) completed the same swap — that
+    //    is success, not an error.
     if (!fs.exists(p)) {
       val tmp = new Path(s"$baseDir/_versions.tmp")
-      if (fs.exists(tmp) && !fs.rename(tmp, p))
+      val lock = new Path(s"$baseDir/_publish.lock")
+      if (fs.exists(tmp) && !fs.exists(lock) &&
+          !fs.rename(tmp, p) && !fs.exists(p))
         throw new IllegalStateException(
           s"committedVersions: completing an interrupted vacuum swap " +
             s"failed (rename $tmp -> $p); resolve manually")
@@ -326,7 +344,10 @@ object Maintenance {
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val cur = new Path(s"$baseDir/_versions")
         fs.delete(cur, true)
-        if (!fs.rename(tmp, cur))
+        // destination-exists after a failed rename = a reader that raced
+        // past the lock check completed this very swap — the survivor
+        // list is in place either way (same guard as healVersionsSwap)
+        if (!fs.rename(tmp, cur) && !fs.exists(cur))
           throw new IllegalStateException(
             s"vacuumSnapshots: rename $tmp -> $cur failed")
       }

@@ -24,8 +24,13 @@ import org.apache.spark.sql.DataFrame
   * UUID subdir after the result is consumed; otherwise
   * `localCheckpoint(eager = true)` (executor-block storage — fine
   * single-node, lost on executor churn). The superseded local checkpoint
-  * unpersists as soon as its successor is materialized, so at most two
-  * generations of blocks are ever held.
+  * is freed as soon as its successor is materialized, so at most two
+  * generations of blocks are ever held. Freeing goes through the
+  * checkpointed plan's underlying RDD: `Dataset.unpersist` is a
+  * CacheManager call, and a localCheckpoint-backed Dataset was never
+  * registered there (localCheckpoint persists the internal RDD
+  * directly), so the Dataset-level call alone would leave the
+  * MEMORY_AND_DISK blocks to the ContextCleaner's GC-driven reclaim.
   */
 final class Truncator(every: Int) {
   require(every >= 0, s"checkpointEvery must be >= 0 (0 = off), got $every")
@@ -50,9 +55,27 @@ final class Truncator(every: Int) {
       val cp =
         if (reliable) df.checkpoint(eager = true)
         else df.localCheckpoint(eager = true)
-      prev.foreach(_.unpersist(blocking = false))
+      prev.foreach(free)
       prev = Some(cp)
       cp
     } else orElse(df)
+  }
+
+  /** Drop a superseded checkpoint generation's storage NOW. The plan of a
+    * checkpointed Dataset is a single `LogicalRDD` leaf over the
+    * checkpointed RDD; for a localCheckpoint that RDD holds the persisted
+    * blocks, so `rdd.unpersist` is the call that actually releases them
+    * (reliable checkpoints keep files, reclaimed by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`). The
+    * Dataset-level unpersist stays as a belt-and-braces CacheManager
+    * sweep for loops that also `persist` their generations.
+    */
+  private def free(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 }

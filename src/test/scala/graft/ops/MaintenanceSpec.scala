@@ -241,6 +241,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.readSnapshot(spark, base).count() == 3)
   }
 
+  test("snapshots: a READ never heals while the writer lock is held") {
+    // A reader landing inside a LIVE vacuum's swap window must not race
+    // the vacuum's own rename (the round-11 advisory: a reader winning
+    // the rename made the healthy vacuum's rename fail and abort before
+    // orphan reclaim). With `_publish.lock` on disk the read reports the
+    // table as it stands and leaves the staged tmp alone.
+    val base = Files.createTempDirectory("m_lockread").toString + "/t"
+    (1 to 2).foreach(i => Maintenance.publishSnapshot(
+      (1 to i).map(j => (j.toLong, "x")).toDF("id", "v"), base))
+    Files.move(java.nio.file.Paths.get(s"$base/_versions"),
+      java.nio.file.Paths.get(s"$base/_versions.tmp"))
+    Files.createFile(java.nio.file.Paths.get(s"$base/_publish.lock"))
+    assert(Maintenance.committedVersions(spark, base).isEmpty,
+      "mid-swap read under a held lock must see 'not published', not heal")
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/_versions.tmp")),
+      "read must not touch the staged survivor list while locked")
+    // lock released (writer finished or operator recovered): reads heal
+    Files.delete(java.nio.file.Paths.get(s"$base/_publish.lock"))
+    assert(Maintenance.committedVersions(spark, base).map(_._1) ==
+      Seq(1L, 2L))
+  }
+
   test("snapshots: vacuum reclaims orphaned data directories") {
     val base = Files.createTempDirectory("m_orphreclaim").toString + "/t"
     (1 to 3).foreach(i => Maintenance.publishSnapshot(

@@ -85,4 +85,23 @@ class Round11PropertySpec extends SparkSpec {
     }
     graft.util.Caches.unpersistAll()
   }
+
+  test("Truncator frees superseded localCheckpoint blocks eagerly") {
+    // Dataset.unpersist alone is a CacheManager no-op for a
+    // localCheckpoint-backed frame (its RDD was persisted directly, never
+    // registered with CacheManager) — the Truncator must release the
+    // superseded generation's blocks through the LogicalRDD's RDD, not
+    // wait for GC-driven ContextCleaner reclaim. Serial test execution
+    // (build.sbt) makes the persistent-RDD diff race-free.
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val t = new graft.util.Truncator(1)
+    var df = (1 to 100).toDF("x")
+    (1 to 5).foreach(_ => df = t(df.withColumn("x", col("x") + 1)))
+    assert(df.count() == 100)
+    val held = sc.getPersistentRDDs.keySet -- before
+    assert(held.size <= 1,
+      s"superseded checkpoint generations leaked: ${held.size} RDDs held")
+  }
 }
