@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,74 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c))
+        ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Nearest as-of join: each left row picks the CLOSEST right row of the
+    * same key by absolute time distance, looking both directions, with an
+    * optional tolerance (microseconds for timestamp columns, native units
+    * for numeric time columns; matches farther than the tolerance are
+    * dropped and the left row keeps null match columns). Ties between
+    * an equally-near earlier and later right row resolve BACKWARD (the
+    * at-or-before row) — the pandas `merge_asof(direction='nearest')`
+    * convention.
+    *
+    * Plan shape: the same union + key-shuffle + running `last(ignoreNulls)`
+    * machinery as [[asof]], but BOTH directions run over one union — two
+    * window sorts (ascending and descending time) sharing a single
+    * exchange, so the cost over [[asof]] is one extra per-partition sort,
+    * not a second shuffle or a join node. Right rows with a null time
+    * never match (their distance is unknown); pre-filter them. Right
+    * payload names must not collide with left names; ties among right
+    * rows at the same timestamp resolve to the greatest payload struct,
+    * as in [[asof]].
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    require(toleranceMicros >= 0,
+      s"toleranceMicros must be >= 0, got $toleranceMicros")
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val collide = left.columns.toSet.intersect(payload.toSet)
+    require(collide.isEmpty,
+      s"right payload columns collide with left: ${collide.mkString(", ")}")
+    val l = left.select(keys.map(col)
+      :+ col(leftTime).as("__t") :+ lit(1).as("__side")
+      :+ struct(left.columns.map(col): _*).as("__l"): _*)
+    val r = right.select(keys.map(col)
+      :+ col(rightTime).as("__t") :+ lit(0).as("__side")
+      :+ struct(payload.map(col): _*).as("__r"): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    def dir(tOrd: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tOrd, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = u
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true)
+        .over(dir(col("__t").asc_nulls_first)))
+      .withColumn("__mf", last(col("__r"), ignoreNulls = true)
+        .over(dir(col("__t").desc_nulls_first)))
+      .where(col("__side") === 1)
+    // distance in µs for timestamps, native units for numeric times
+    def ticks(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast("timestamp"))
+        case _ => c.cast("long")
+      }
+    val lt = ticks(col("__t"), left.schema(leftTime).dataType)
+    val rdt = right.schema(rightTime).dataType
+    val db = lt - ticks(col(s"__mb.$rightTime"), rdt)
+    val df = ticks(col(s"__mf.$rightTime"), rdt) - lt
+    val tol = lit(toleranceMicros)
+    // null distance (no match on that side, or a null left time) makes
+    // the condition null => treated as false by `when`
+    val bOk = db.isNotNull && db <= tol
+    val fOk = df.isNotNull && df <= tol
+    val chosen = when(bOk && (!fOk || db <= df), col("__mb"))
+      .when(fOk, col("__mf"))
+    m.withColumn("__m", chosen)
       .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c))
         ++ payload.map(c => col(s"__m.$c").as(c)): _*)
   }

@@ -1132,6 +1132,22 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    "asof_join_nearest" -> { (spark, dir) =>
+      // Each click matched to the user's CLOSEST purchase in either
+      // direction within 2 hours (ties resolve backward — the pandas
+      // merge_asof 'nearest' convention); same pre-aggregated right side
+      // as asof_join.
+      val ev = events(spark, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val purch = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+      Joins.asofNearest(clicks, purch, Seq("user_id"), "ts", "p_ts",
+          toleranceMicros = 7200L * 1000000L)
+        .orderBy("event_id")
+    },
+
     "range_join" -> { (spark, dir) =>
       // Attribution: every click inside a 30-minute window after any
       // purchase by the same user. Inner join, possibly many windows per
@@ -4451,6 +4467,26 @@ object ExtensionQueries {
       SELECT c.event_id, c.ts, c.user_id, c.value, p.p_ts, p.p_value
       FROM clicks c ASOF LEFT JOIN purch p
         ON c.user_id = p.user_id AND c.ts >= p.p_ts
+      ORDER BY c.event_id""",
+
+    // Replay of Joins.asofNearest as a per-row LATERAL nearest pick:
+    // min |Δt| within the 2 h tolerance, ties to the smaller p_ts (the
+    // backward row — the Spark side's documented convention). purch is
+    // unique per (user_id, p_ts), so no further tie-break is needed.
+    "asof_join_nearest" -> """
+      WITH clicks AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts AS p_ts, max_by(value, event_id) AS p_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.event_id, c.ts, c.user_id, c.value, p.p_ts, p.p_value
+      FROM clicks c LEFT JOIN LATERAL (
+        SELECT p_ts, p_value FROM purch p
+        WHERE p.user_id = c.user_id
+          AND abs(epoch_us(c.ts) - epoch_us(p.p_ts)) <= 7200000000
+        ORDER BY abs(epoch_us(c.ts) - epoch_us(p.p_ts)) ASC, p.p_ts ASC
+        LIMIT 1) p ON true
       ORDER BY c.event_id""",
 
     // Replay of Joins.range as the plain inequality join DuckDB plans

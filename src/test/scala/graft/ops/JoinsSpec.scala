@@ -46,6 +46,42 @@ class JoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq("z"))
   }
 
+  test("asofNearest picks the closest right row, ties backward") {
+    val out = Joins.asofNearest(left, right, Seq("user"), "t", "rt")
+      .select($"event_id", $"tag").as[(Long, Option[String])]
+      .collect().toMap
+    // 1 (t=100): nearest is rt=200 (d=100) forward; 2 (t=200): exact;
+    // 3 (t=350): rt=300 (d=50) beats rt=200 (d=150); 4: no rights
+    assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("b"),
+      4L -> None))
+  }
+
+  test("asofNearest: equidistant neighbors resolve to the backward row") {
+    val mid = Seq((9L, "u1", 250L)).toDF("event_id", "user", "t")
+    val out = Joins.asofNearest(mid, right, Seq("user"), "t", "rt")
+      .select($"tag").as[String].collect()
+    assert(out.toSeq == Seq("a"), "t=250 is 50 from both; backward wins")
+  }
+
+  test("asofNearest tolerance drops matches farther than the bound") {
+    val out = Joins.asofNearest(left, right, Seq("user"), "t", "rt",
+        toleranceMicros = 60L)
+      .select($"event_id", $"tag").as[(Long, Option[String])]
+      .collect().toMap
+    // 1 (d=100 > 60) -> null; 2 (d=0) -> a; 3 (d=50) -> b; 4 -> null
+    assert(out == Map(1L -> None, 2L -> Some("a"), 3L -> Some("b"),
+      4L -> None))
+  }
+
+  test("asofNearest shares one exchange across both direction sorts") {
+    val plan = Joins.asofNearest(left, right, Seq("user"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "nearest as-of must not plan a cartesian")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected one key shuffle reused by both windows, got $shuffles:\n$plan")
+  }
+
   test("asof plans one shuffle + window, never a per-key cartesian") {
     val plan = Joins.asof(left, right, Seq("user"), "t", "rt")
       .queryExecution.executedPlan.toString
