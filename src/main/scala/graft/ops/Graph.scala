@@ -330,6 +330,66 @@ object Graph {
     labels
   }
 
+  /** Newman modularity of a community assignment over a canonical
+    * undirected edge table ((a, b), a < b, distinct — e.g.
+    * [[coOccurrenceEdges]]): the standard "did the clustering find real
+    * structure?" gauge to run beside [[labelPropagation]] before
+    * trusting its communities for corpus curation. Per community c:
+    *
+    *   q_contrib(c) = e_c/m − (d_c/2m)² = (4m·e_c − d_c²) / (4m²)
+    *
+    * with m = |edges|, e_c = intra-community edges, d_c = degree sum of
+    * c's nodes; Q = Σ_c q_contrib. The right-hand form is how it is
+    * computed: an EXACT integer numerator (DECIMAL(38,0), no overflow at
+    * any corpus size) divided once in double and rounded to 6dp — both
+    * engines replay it bit-for-bit. Output: (community, n_nodes,
+    * intra_edges, degree_sum, q_contrib), one row per community in
+    * `assignment` (communities of isolated nodes appear with zero
+    * edges/degree). Nodes in `edges` missing from `assignment` keep
+    * their edges in m but contribute to no community — assign every
+    * node for a meaningful Q.
+    *
+    * Shape at scale: two key joins of the edge table against the
+    * node-sized assignment, one map-side-combined degree count, and
+    * community-sized aggregates; the edge count joins in as a broadcast
+    * one-row aggregate. Output is community-bounded.
+    */
+  def modularity(edges: DataFrame, assignment: DataFrame,
+      nodeCol: String = "node", commCol: String = "community"): DataFrame = {
+    val e = graft.util.Caches.persist(
+      edges.select(col("a"), col("b")))
+    val asg = assignment
+      .select(col(nodeCol).as("node"), col(commCol).as("community"))
+    val dec = "decimal(38,0)"
+    val mRow = e.agg(count(lit(1)).cast(dec).as("__m"))
+    val intra = e
+      .join(asg.select(col("node").as("a"), col("community").as("__ca")), "a")
+      .join(asg.select(col("node").as("b"), col("community").as("__cb")), "b")
+      .where(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val perComm = asg.join(deg, Seq("node"), "left")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__deg"), lit(0L))).cast("long").as("degree_sum"))
+    perComm
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (round(
+          (lit(4).cast(dec) * col("__m") *
+              coalesce(col("intra_edges"), lit(0L)).cast(dec) -
+            col("degree_sum").cast(dec) * col("degree_sum").cast(dec))
+            .cast("double") /
+            (lit(4d) * col("__m").cast("double") * col("__m").cast("double")),
+          6) + lit(0d)).as("q_contrib"))
+  }
+
   /** k-core decomposition by iterative peeling over a DISTINCT undirected
     * edge table ((a, b), a < b): each round drops every node whose
     * current degree is < k, together with its edges, and a node removal

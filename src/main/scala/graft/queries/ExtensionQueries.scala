@@ -1217,6 +1217,18 @@ object ExtensionQueries {
         .orderBy("node")
     },
 
+    // Modularity of the communities LPA just found — the composition a
+    // curation pipeline runs before trusting graph clusters: per-community
+    // exact intra-edge/degree tallies and the 6dp Q contribution.
+    "graph_modularity" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val und = Graph.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup)
+      val asg = Graph.labelPropagation(und, iters = LpaIters)
+        .select(col("node"), col("label").as("community"))
+      Graph.modularity(und, asg).orderBy("community")
+    },
+
     "bloom_join" -> { (spark, dir) =>
       // The bloom pre-filter only prunes shuffle input; the trailing
       // exact semi join makes the result identical to a plain semi
@@ -4575,6 +4587,50 @@ object ExtensionQueries {
                  PARTITION BY a ORDER BY c DESC, label) AS rn
                FROM c2) WHERE rn = 1)
       SELECT node, label FROM l2 ORDER BY node""",
+
+    // Replay of Graph.modularity over Graph.labelPropagation: the lpa
+    // oracle's CTE chain verbatim, then exact integer modularity tallies —
+    // numerator (4m·e_c − d_c²) in HUGEINT (Spark: DECIMAL(38,0)), ONE
+    // double division, 6dp round with the −0.0 guard.
+    "graph_modularity" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+      c1 AS (SELECT s.a, l.label, count(*) AS c
+             FROM sym s JOIN l0 l ON l.node = s.b GROUP BY 1, 2),
+      l1 AS (SELECT a AS node, label FROM (
+               SELECT a, label, row_number() OVER (
+                 PARTITION BY a ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT s.a, l.label, count(*) AS c
+             FROM sym s JOIN l1 l ON l.node = s.b GROUP BY 1, 2),
+      asg AS (SELECT a AS node, label AS community FROM (
+               SELECT a, label, row_number() OVER (
+                 PARTITION BY a ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+      mm AS (SELECT count(*)::HUGEINT AS m FROM und),
+      intra AS (SELECT x.community, count(*) AS intra_edges
+                FROM und e JOIN asg x ON e.a = x.node
+                JOIN asg y ON e.b = y.node
+                WHERE x.community = y.community GROUP BY 1),
+      deg AS (SELECT node, count(*) AS deg FROM
+              (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+              GROUP BY 1),
+      dc AS (SELECT a.community, count(*) AS n_nodes,
+               coalesce(sum(d.deg), 0)::BIGINT AS degree_sum
+             FROM asg a LEFT JOIN deg d ON a.node = d.node GROUP BY 1)
+      SELECT dc.community, dc.n_nodes,
+        coalesce(i.intra_edges, 0)::BIGINT AS intra_edges, dc.degree_sum,
+        (round((4::HUGEINT * mm.m * coalesce(i.intra_edges, 0)
+            - dc.degree_sum::HUGEINT * dc.degree_sum)::DOUBLE
+          / (4 * mm.m * mm.m)::DOUBLE, 6) + 0) AS q_contrib
+      FROM dc LEFT JOIN intra i ON dc.community = i.community, mm
+      ORDER BY dc.community""",
 
     // Replay of Graph.kCore: the lpa/triangle edge CTE, then KcoreRounds
     // unrolled peel rounds (degree >= k semi-filter on both endpoints).

@@ -318,4 +318,26 @@ class GraphSpec extends SparkSpec {
     // the dense triangle converges on its smallest member label
     assert(out("v") == "u" && out("w") == "u")
   }
+
+  test("modularity: hand-computed Q contributions, isolated community zero") {
+    // triangle {1,2,3} (community A) + edge {4,5} (B) + isolated 6 (C):
+    // m=4; A: e=3, d=6 -> 3/4 - (6/8)^2 = 0.1875; B: e=1, d=2 ->
+    // 1/4 - (2/8)^2 = 0.1875; C: no edges -> 0
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val asg = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "C")).toDF("node", "community")
+    val out = Graph.modularity(e, asg).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("A") == ((3L, 3L, 6L, 0.1875)))
+    assert(out("B") == ((2L, 1L, 2L, 0.1875)))
+    assert(out("C") == ((1L, 0L, 0L, 0.0)))
+    // Q over a perfect 2-clique partition beats a degenerate one-community
+    // assignment (whose Q is 0 by definition: e=m, d=2m)
+    import org.apache.spark.sql.functions.{lit, sum}
+    val one = asg.withColumn("community", lit("all"))
+    val q1 = Graph.modularity(e, one).agg(sum("q_contrib")).head.getDouble(0)
+    assert(math.abs(q1) < 1e-9, s"one-community Q must be 0, got $q1")
+    graft.util.Caches.unpersistAll()
+  }
 }
