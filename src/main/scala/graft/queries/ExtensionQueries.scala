@@ -125,6 +125,9 @@ object ExtensionQueries {
   private val TopK = 5
   private val NQueryVecs = 10
   private val DsirBuckets = 128
+  // the "trusted sources" seed set the NB quality classifier trains on
+  private val NbTrusted = Seq("src1", "src5", "src9", "src13", "src17")
+  private val NbBuckets = 128
   private val HammingRadius = 3
   private val RendezvousK = 8
   private val CurateKeepFrac = 0.5
@@ -1401,6 +1404,15 @@ object ExtensionQueries {
     "sample_importance" -> { (spark, dir) =>
       Sampling.importanceWeights(docs(spark, dir), "doc_id", "text",
           col("lang") === "en", DsirBuckets)
+        .orderBy("doc_id")
+    },
+
+    // Model-based quality filter: hashed-unigram Naive Bayes trained on
+    // the trusted-source seed set, every doc scored by exact fixed-point
+    // log-odds (the GPT-3 "looks like the curated corpus" classifier).
+    "quality_classifier" -> { (spark, dir) =>
+      Classify.naiveBayes(docs(spark, dir), "doc_id", "text",
+          col("source").isin(NbTrusted: _*), NbBuckets)
         .orderBy("doc_id")
     },
 
@@ -4877,6 +4889,47 @@ object ExtensionQueries {
       SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         coalesce(s.score, 0.0) AS score
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id""",
+
+    // Replay of Classify.naiveBayes: the DSIR hashing verbatim, but
+    // class-conditional bucket counts + add-one smoothing + a doc-count
+    // prior, all quantized to micro-nats before the order-free long sum.
+    "quality_classifier" -> s"""
+      WITH lbl AS (
+        SELECT doc_id, text,
+          source IN (${NbTrusted.map(s => s"'$s'").mkString(",")}) AS pos
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, pos,
+          ('0x'||substr(md5(w),1,8))::BIGINT % $P % $NbBuckets AS b
+        FROM lbl, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != ''
+      ), cnt AS (
+        SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+          sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+        FROM toks GROUP BY b
+      ), tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnt
+      ), pri AS (
+        SELECT CAST(round(ln(
+            (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)::DOUBLE
+            / (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1000000)
+          AS BIGINT) AS prior
+        FROM lbl
+      ), lr AS (
+        SELECT b, CAST(round((ln((pc + 1)::DOUBLE / (pt + $NbBuckets))
+          - ln((nc + 1)::DOUBLE / (nt + $NbBuckets))) * 1000000)
+          AS BIGINT) AS lrf
+        FROM cnt, tot
+      ), scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          sum(lrf) AS fx
+        FROM toks JOIN lr USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        (round((pri.prior + coalesce(s.fx, 0)) / 1000000.0, 6) + 0)
+          AS log_odds,
+        (round((pri.prior + coalesce(s.fx, 0)) / 1000000.0, 6) + 0) > 0
+          AS pred
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, pri
       ORDER BY d.doc_id""",
 
     // Replay of Sampling.rendezvousShard: argmax_s h32(id ':' s), ties
