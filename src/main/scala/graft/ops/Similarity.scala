@@ -287,6 +287,32 @@ object Similarity {
     topK(score(cand, qv, cv), k)
   }
 
+  /** First-class k-means clustering over the embedding column — the
+    * shared [[trainCentroids]]/[[assignCells]] machinery (seeds
+    * `vec_id % centroidEvery == 0`, `iters` Lloyd rounds, max-cosine
+    * assignment with min-id tie-break) exposed as its own operator
+    * rather than only inside IVF/SemDeDup: corpus partitioning into
+    * ~`centroidEvery`-sized cells is the building block for
+    * cluster-balanced sampling, per-cluster inspection, and any
+    * "bucket then work within buckets" curation recipe.
+    *
+    * Output: (vec_id, cell, cell_size) for every input vector. The
+    * default centroid update is the order-insensitive fixed-point path
+    * (bit-deterministic at any parallelism — the [[ivfTopK]] contract);
+    * `exactReplay = true` swaps in the sequential-sum form. Cell count
+    * scales with the corpus (n/centroidEvery), so the centroid broadcast
+    * stays bounded by choosing `centroidEvery` ∝ corpus/target-cells.
+    */
+  def kmeans(df: DataFrame, centroidEvery: Int = 100, iters: Int = 2,
+      exactReplay: Boolean = false): DataFrame = {
+    val cv = graft.util.Caches.persist(withNorm(df))
+    val cents = trainCentroids(cv, centroidEvery, iters, exactReplay)
+    val cells = assignCells(cv, "vec_id", cents)
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    cells.join(sizes, "cell")
+      .select(col("vec_id"), col("cell"), col("cell_size"))
+  }
+
   /** Assign each row of `df` to its `topN` max-cosine centroids (the
     * centroid table broadcasts; ties break to the min centroid id).
     */

@@ -1432,6 +1432,13 @@ object ExtensionQueries {
         .orderBy("vec_id", "d")
     },
 
+    // First-class k-means: every vector's cell + cell size under the
+    // same deterministic seeds/rounds the IVF index trains with.
+    "embed_kmeans" -> { (spark, dir) =>
+      Similarity.kmeans(embs(spark, dir), CentroidEvery, iters = 2)
+        .orderBy("vec_id")
+    },
+
     // Class prototypes: per-label fixed-point mean vector, long format.
     "embed_centroids" -> { (spark, dir) =>
       Similarity.centroids(embs(spark, dir), "label")
@@ -4017,6 +4024,24 @@ object ExtensionQueries {
       FROM scored
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank""",
+
+    // Replay of Similarity.kmeans: the similarity_ivf_scalable Lloyd
+    // chain (fixed-point updates) ending at assignments + cell sizes
+    // instead of a query scan.
+    "embed_kmeans" -> s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdateFixed("assign1", "cents2")}
+      , ${kmAssign("cents2", "cells")}
+      , sz AS (SELECT cell, count(*) AS cell_size FROM cells GROUP BY cell)
+      SELECT c.vec_id, c.cell, sz.cell_size
+      FROM cells c JOIN sz USING (cell)
+      ORDER BY c.vec_id""",
 
     // Replay of the multi-probe IVF (probes=2): corpus cells by rn=1,
     // query cells by rn<=2; cells are disjoint so candidates are unique.

@@ -28,6 +28,28 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0L, -1.0), (1L, 1L, 5.0)))
   }
 
+  test("kmeans: every vector assigned once, sizes consistent, clusters split") {
+    // two tight direction-bundles seeded one each (vec_id 0 and 3 are
+    // the % 3 == 0 seeds): x-axis-ish ids {0,1,2}, y-axis-ish {3,4,5}
+    val two = Seq(
+      (0L, Array(1f, 0.1f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0.1f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.1f, 1f, 0f, 0f)), (5L, Array(0f, 2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(two, centroidEvery = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq == (0L to 5L),
+      "every vector exactly once")
+    val byCell = out.groupBy(_._2)
+    // reported cell_size matches the actual membership count
+    assert(out.forall(t => byCell(t._2).length.toLong == t._3))
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    assert(cellOf(0L) == cellOf(1L) && cellOf(1L) == cellOf(2L))
+    assert(cellOf(3L) == cellOf(4L) && cellOf(4L) == cellOf(5L))
+    assert(cellOf(0L) != cellOf(3L), "the two bundles must separate")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("persisted IVF index equals in-memory ivfTopK; probed cells prune") {
     val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
     val queries = embs.where(col("vec_id") < 20)
