@@ -97,6 +97,51 @@ object Similarity {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     topK(scoreAllPairs(corpus, queries, excludeSameId = true), k)
 
+  /** ColBERT-style late-interaction MaxSim retrieval over MULTI-VECTOR
+    * documents: score(q, d) = Σ over q's token vectors of the max cosine
+    * against any of d's token vectors — the token-level matching that a
+    * single pooled vector blurs away (Khattab & Zaharia, SIGIR 2020).
+    *
+    * `corpus`: (doc_id, embedding), one row per document token vector;
+    * `queries`: (q_id, q_tok, embedding), one row per query token
+    * (`q_tok` distinguishes repeated tokens — each contributes its own
+    * max). Per-token cosines round to 6dp, each per-token max quantizes
+    * to micro-units, and the document score is an exact long sum —
+    * order-free, engine-replayable. Output: (q_id, n_id, maxsim, rank),
+    * rank by (score desc, n_id) per query, top `k`.
+    *
+    * Shape at scale: the [[bruteTopK]] contract — the query token table
+    * broadcasts, the corpus token table scans ONCE and never shuffles
+    * until the (q_id, q_tok, doc_id)-keyed max, which is map-side
+    * combinable (partial maxes fold in the scan stage); the second
+    * aggregate and the per-query top-k window act on query-bounded
+    * rows. For the corpus×corpus regime generate candidates first (the
+    * [[bitextMineScalable]] pattern) and run MaxSim over candidates.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cv = corpus.select(col("doc_id"), col("embedding"),
+      V.norm(col("embedding")).as("nrm"))
+    val qv = broadcast(queries.select(col("q_id"), col("q_tok"),
+      col("embedding").as("q_emb"), V.norm(col("embedding")).as("q_nrm")))
+    val tokMax = qv.crossJoin(cv)
+      .select(col("q_id"), col("q_tok"), col("doc_id"),
+        cosineFromNorms("q_emb", "embedding", "q_nrm", "nrm").as("__c"))
+      .groupBy(col("q_id"), col("q_tok"), col("doc_id"))
+      .agg(max(col("__c")).as("__mc"))
+    val sc = tokMax
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(round(col("__mc") * 1000000d).cast("long")).as("__fx"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__fx").desc, col("doc_id").asc)
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        (round(col("__fx").cast("double") / 1000000d, 6) + lit(0d))
+          .as("maxsim"),
+        col("rank"))
+  }
+
   /** Binary-quantized top-k: each embedding collapses to `nBits` sign-LSH
     * bits packed into ONE 64-bit code ([[graft.functions.VectorFunctions
     * .packBits]]), and neighbors rank by Hamming distance

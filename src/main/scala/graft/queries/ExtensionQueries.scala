@@ -124,6 +124,11 @@ object ExtensionQueries {
   private val EmbedMaxBucket = 16
   private val TopK = 5
   private val NQueryVecs = 10
+  // MaxSim late interaction: 4 token vectors per synthetic doc, first
+  // MaxSimQ docs are the queries
+  private val MaxSimTokens = 4
+  private val MaxSimQ = 3
+  private val MaxSimK = 5
   private val DsirBuckets = 128
   // the "trusted sources" seed set the NB quality classifier trains on
   private val NbTrusted = Seq("src1", "src5", "src9", "src13", "src17")
@@ -1430,6 +1435,21 @@ object ExtensionQueries {
         .select(col("vec_id"), posexplode(col("z")).as(Seq("d", "z")))
         .select(col("vec_id"), col("d").cast("long").as("d"), col("z"))
         .orderBy("vec_id", "d")
+    },
+
+    // ColBERT-style MaxSim late interaction: multi-vector docs built by
+    // folding 4 consecutive embedding rows into one synthetic document,
+    // first MaxSimQ docs as queries against the rest.
+    "retrieval_maxsim" -> { (spark, dir) =>
+      val tok = embs(spark, dir).select(
+        (col("vec_id") / lit(MaxSimTokens)).cast("long").as("doc_id"),
+        (col("vec_id") % MaxSimTokens).as("q_tok"),
+        col("embedding"))
+      val q = tok.where(col("doc_id") < MaxSimQ)
+        .select(col("doc_id").as("q_id"), col("q_tok"), col("embedding"))
+      val c = tok.where(col("doc_id") >= MaxSimQ)
+        .select(col("doc_id"), col("embedding"))
+      Similarity.maxSimTopK(c, q, MaxSimK).orderBy("q_id", "rank")
     },
 
     // First-class k-means: every vector's cell + cell size under the
@@ -4023,6 +4043,31 @@ object ExtensionQueries {
           PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
       FROM scored
       QUALIFY rank <= $TopK
+      ORDER BY q_id, rank""",
+
+    // Replay of Similarity.maxSimTopK: per (query token, doc) max of
+    // 6dp cosines, micro-unit quantization, exact long document sums,
+    // rank by (sum desc, doc id).
+    "retrieval_maxsim" -> s"""
+      WITH tok AS (
+        SELECT vec_id // $MaxSimTokens AS doc_id,
+          vec_id % $MaxSimTokens AS q_tok, embedding
+        FROM embeddings
+      ), q AS (SELECT doc_id AS q_id, q_tok, embedding FROM tok
+               WHERE doc_id < $MaxSimQ),
+      c AS (SELECT doc_id, embedding FROM tok WHERE doc_id >= $MaxSimQ),
+      tm AS (
+        SELECT q.q_id, q.q_tok, c.doc_id, max(${cosD("q", "c")}) AS mc
+        FROM q, c GROUP BY 1, 2, 3
+      ), sc AS (
+        SELECT q_id, doc_id,
+          sum(CAST(round(mc * 1000000) AS BIGINT)) AS fx
+        FROM tm GROUP BY 1, 2)
+      SELECT q_id, doc_id AS n_id, (round(fx / 1000000.0, 6) + 0) AS maxsim,
+        CAST(row_number() OVER (
+          PARTITION BY q_id ORDER BY fx DESC, doc_id) AS BIGINT) AS rank
+      FROM sc
+      QUALIFY rank <= $MaxSimK
       ORDER BY q_id, rank""",
 
     // Replay of Similarity.kmeans: the similarity_ivf_scalable Lloyd

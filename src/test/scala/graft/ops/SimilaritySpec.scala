@@ -28,6 +28,26 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0L, -1.0), (1L, 1L, 5.0)))
   }
 
+  test("maxSimTopK sums per-token maxes; multi-facet docs outrank one-facet") {
+    // query: one x-axis token + one y-axis token
+    val q = Seq(
+      (0L, 0L, Array(1f, 0f, 0f, 0f)),
+      (0L, 1L, Array(0f, 1f, 0f, 0f))
+    ).toDF("q_id", "q_tok", "embedding")
+    // doc 10 covers both facets (maxsim 2.0); doc 11 only x (1.0);
+    // doc 12 two diagonal tokens (2 * cos 45 = 1.414214)
+    val c = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)), (10L, Array(0f, 2f, 0f, 0f)),
+      (11L, Array(1f, 0f, 0f, 0f)), (11L, Array(3f, 0f, 0f, 0f)),
+      (12L, Array(1f, 1f, 0f, 0f)), (12L, Array(2f, 2f, 0f, 0f))
+    ).toDF("doc_id", "embedding")
+    val out = Similarity.maxSimTopK(c, q, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 2.0, 1L), (12L, 1.414214, 2L),
+      (11L, 1.0, 3L)))
+  }
+
   test("kmeans: every vector assigned once, sizes consistent, clusters split") {
     // two tight direction-bundles seeded one each (vec_id 0 and 3 are
     // the % 3 == 0 seeds): x-axis-ish ids {0,1,2}, y-axis-ish {3,4,5}
