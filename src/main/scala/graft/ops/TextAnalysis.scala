@@ -102,6 +102,40 @@ object TextAnalysis {
         .as("chars_per_token"))
   }
 
+  /** Per-document lexical-diversity signals — the vocabulary-richness
+    * quality family beside length/punct ratios ([[quality]]) and
+    * char entropy ([[charEntropy]]): type-token ratio (distinct words /
+    * total words) and hapax ratio (once-only words / total words). Low
+    * TTR flags templated or repetitive machine text the way Gopher's
+    * distinct-word fraction does; a high hapax share on a long doc flags
+    * gibberish/OCR noise. Output: (doc_id, n_tokens, n_types, ttr,
+    * hapax_ratio), zeros for token-less docs, ratios at 6dp.
+    *
+    * Shape at scale: one word explode into a map-side-combined
+    * (doc, word) count, then a types-bounded per-doc rollup — two
+    * shuffles, rows never exceed the per-doc vocabulary after the first.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val wc = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy(col("doc_id"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = wc.groupBy("doc_id").agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__hapax"))
+    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(round(col("n_types").cast("double")
+          / col("n_tokens").cast("double"), 6), lit(0d)).as("ttr"),
+        coalesce(round(col("__hapax").cast("double")
+          / col("n_tokens").cast("double"), 6), lit(0d)).as("hapax_ratio"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the standard
     * pre-training / retrieval prep step (long documents become model-sized
     * pieces; the overlap keeps boundary context). Chunk `i` covers words

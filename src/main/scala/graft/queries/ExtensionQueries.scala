@@ -1011,6 +1011,12 @@ object ExtensionQueries {
       TextAnalysis.tokenCounts(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
     },
 
+    // Vocabulary-richness quality signals: TTR + hapax ratio per doc.
+    "text_ttr" -> { (spark, dir) =>
+      TextAnalysis.lexicalDiversity(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "lang_dist" -> { (spark, dir) =>
       TextAnalysis.langDist(docs(spark, dir), "lang", "text").orderBy("lang")
     },
@@ -4959,6 +4965,27 @@ object ExtensionQueries {
       SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
         coalesce(s.score, 0.0) AS score
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id""",
+
+    // Replay of TextAnalysis.lexicalDiversity: (doc, word) counts, then
+    // per-doc type/token/hapax tallies; ratios at 6dp, zeros for
+    // token-less docs.
+    "text_ttr" -> """
+      WITH wc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != ''
+        GROUP BY doc_id, w
+      ), agg AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+          count(*)::BIGINT AS n_types,
+          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+        FROM wc GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        coalesce(a.n_types, 0) AS n_types,
+        coalesce(round(a.n_types::DOUBLE / a.n_tokens, 6), 0.0) AS ttr,
+        coalesce(round(a.hapax::DOUBLE / a.n_tokens, 6), 0.0) AS hapax_ratio
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY d.doc_id""",
 
     // Replay of Classify.naiveBayes: the DSIR hashing verbatim, but

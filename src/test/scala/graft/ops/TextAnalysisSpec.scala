@@ -483,4 +483,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getString(3) == "k1 k1 k2 k2")
     assert(out(1).getString(3) == "")
   }
+
+  test("lexicalDiversity: hand-computed TTR and hapax ratios") {
+    val df = Seq(
+      (1L, "a b a b a"),   // 5 tokens, 2 types, 0 hapax
+      (2L, "x y z"),       // 3 tokens, 3 types, 3 hapax
+      (3L, "w w  q"),      // double space: 3 tokens, 2 types, 1 hapax
+      (4L, "")             // token-less: zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 0.4, 0.0),
+      (2L, 3L, 3L, 1.0, 1.0),
+      (3L, 3L, 2L, 0.666667, 0.333333),
+      (4L, 0L, 0L, 0.0, 0.0)))
+  }
 }
