@@ -128,7 +128,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | ann | ivf | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk | hamming_pairs
+    method: String, // topk | maxsim | ann | ivf | kmeans | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk | hamming_pairs
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -161,6 +161,13 @@ final case class SimilarityTransformStage(
     detail += "inputView" -> inputView
     val out = method match {
       case "topk"          => Similarity.bruteTopK(corpus, queries, k)
+      // late-interaction MaxSim: inputView = corpus token vectors
+      // (doc_id, embedding), queryView = query tokens (q_id, q_tok,
+      // embedding)
+      case "maxsim"        => Similarity.maxSimTopK(corpus, queries, k)
+      // first-class k-means: (vec_id, cell, cell_size)
+      case "kmeans"        =>
+        Similarity.kmeans(corpus, centroidEvery, kmeansIters, exactReplay)
       // binary sign-code search: 8-byte packed codes, xor+popcount rank
       case "hamming_topk"  =>
         Similarity.hammingTopK(corpus, queries, k, nBits.getOrElse(64))
@@ -225,15 +232,23 @@ final case class AsofJoinTransformStage(
     keys: Seq[String],
     leftTime: String = "ts",
     rightTime: String = "ts",
-    forward: Boolean = false)
+    forward: Boolean = false,
+    // nearest-direction pick (tolerance in µs for timestamps, native
+    // units for numeric time columns); overrides `forward`
+    nearest: Boolean = false,
+    toleranceMicros: Long = Long.MaxValue)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
     detail += "inputView" -> inputView
     detail += "rightView" -> rightView
     detail += "outputView" -> outputView
-    val out = Joins.asof(Views.resolve(inputView), Views.resolve(rightView),
-      keys, leftTime, rightTime, forward)
+    val out =
+      if (nearest)
+        Joins.asofNearest(Views.resolve(inputView), Views.resolve(rightView),
+          keys, leftTime, rightTime, toleranceMicros)
+      else Joins.asof(Views.resolve(inputView), Views.resolve(rightView),
+        keys, leftTime, rightTime, forward)
     Views.register(out, outputView)
     Option(out)
   }
@@ -694,7 +709,7 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc | ball | harmonic | nf
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc | ball | harmonic | nf | modularity
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
@@ -705,6 +720,8 @@ final case class GraphTransformStage(
     maxGroup: Int = 256,
     coreK: Int = 3,
     seedPrefix: String = "s",
+    // modularity only: view holding the (node, community) assignment
+    assignView: String = "",
     // lineage truncation cadence for the iterative methods (0 = off)
     checkpointEvery: Int = 0)
     extends Stage {
@@ -785,6 +802,15 @@ final case class GraphTransformStage(
           .where(col("a") < col("b")).distinct()
         Graph.linkPrediction(und, maxDegree = maxGroup,
           minCommon = coreK.toLong)
+      // Newman Q of an assignment view with (node, community) columns
+      case "modularity" =>
+        require(assignView.nonEmpty,
+          "modularity requires assignView with (node, community) columns")
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.modularity(und, Views.resolve(assignView))
       case other =>
         throw new IllegalArgumentException(s"unknown graph method '$other'")
     }

@@ -137,9 +137,9 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("topk", "ann", "ivf", "neardup_pairs", "standardize",
-            "quantize", "project", "semantic_dedup", "hard_negatives",
-            "ann_recall", "pca_cov", "health", "bitext",
+          Seq("topk", "maxsim", "ann", "ivf", "kmeans", "neardup_pairs",
+            "standardize", "quantize", "project", "semantic_dedup",
+            "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
             "bitext_scalable", "pq_topk", "hamming_topk",
             "hamming_pairs"), "topk"),
         queryView = r.string("queryView"),
@@ -173,7 +173,9 @@ object Parser {
         },
         leftTime = r.string("leftTime").getOrElse("ts"),
         rightTime = r.string("rightTime").getOrElse("ts"),
-        forward = r.boolean("forward", default = false))
+        forward = r.boolean("forward", default = false),
+        nearest = r.boolean("nearest", default = false),
+        toleranceMicros = r.long("toleranceMicros").getOrElse(Long.MaxValue))
     },
     "SaltedJoinTransform" -> { (r, _) =>
       SaltedJoinTransformStage(
@@ -302,7 +304,8 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
-            "link_pred", "ppr", "cc", "ball", "harmonic", "nf"),
+            "link_pred", "ppr", "cc", "ball", "harmonic", "nf",
+            "modularity"),
           "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
@@ -314,6 +317,7 @@ object Parser {
         maxGroup = r.int("maxGroup").getOrElse(256),
         coreK = r.int("coreK").getOrElse(3),
         seedPrefix = r.string("seedPrefix").getOrElse("s"),
+        assignView = r.string("assignView").getOrElse(""),
         checkpointEvery = r.int("checkpointEvery").getOrElse(0))
     },
     "BehaviorTransform" -> { (r, _) =>
@@ -745,7 +749,8 @@ object Parser {
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",
       "levels", "inDim", "outDim", "minMargin", "subspaces")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
-      "outputView", "keys", "leftTime", "rightTime", "forward")),
+      "outputView", "keys", "leftTime", "rightTime", "forward", "nearest",
+      "toleranceMicros")),
     "SaltedJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "saltFactor")),
     "RangeJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
@@ -765,7 +770,7 @@ object Parser {
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix",
-      "checkpointEvery")),
+      "assignView", "checkpointEvery")),
     "BehaviorTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
       "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds",

@@ -3,6 +3,7 @@ package graft.ops
 import graft.SparkSpec
 import graft.connect.ParquetConnector
 import graft.pipeline._
+import org.apache.spark.sql.functions.{greatest, least}
 
 /** The extension operators as declarative pipeline stages: parsed from a
   * JSON config and run by the same Parser/Runner as the reference-parity
@@ -1614,6 +1615,83 @@ class ExtensionStagesSpec extends SparkSpec {
     val dr = spark.table("dr_out")
     assert(dr.columns.toSeq == Seq("doc_id", "n_grams", "n_dup", "max_run"))
     assert(dr.count() == spark.table("im_docs").count())
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("maxsim, kmeans, nearest asof, modularity as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "r12_embs"},
+      {"type": "SqlTransform", "name": "tok",
+       "sql": "SELECT CAST(vec_id / 4 AS LONG) AS doc_id, vec_id % 4 AS q_tok, embedding FROM r12_embs",
+       "outputView": "r12_tok"},
+      {"type": "SqlTransform", "name": "q",
+       "sql": "SELECT doc_id AS q_id, q_tok, embedding FROM r12_tok WHERE doc_id < 2",
+       "outputView": "r12_q"},
+      {"type": "SqlTransform", "name": "c",
+       "sql": "SELECT doc_id, embedding FROM r12_tok WHERE doc_id >= 2",
+       "outputView": "r12_c"},
+      {"type": "SimilarityTransform", "name": "ms", "method": "maxsim",
+       "inputView": "r12_c", "queryView": "r12_q", "k": 3,
+       "outputView": "r12_maxsim"},
+      {"type": "SimilarityTransform", "name": "km", "method": "kmeans",
+       "inputView": "r12_embs", "centroidEvery": 40,
+       "outputView": "r12_cells"},
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "r12_events"},
+      {"type": "SqlTransform", "name": "clicks",
+       "sql": "SELECT event_id, ts, user_id, value FROM r12_events WHERE event_type = 'click'",
+       "outputView": "r12_clicks"},
+      {"type": "SqlTransform", "name": "purch",
+       "sql": "SELECT user_id, ts AS p_ts, max(value) AS p_value FROM r12_events WHERE event_type = 'purchase' GROUP BY user_id, ts",
+       "outputView": "r12_purch"},
+      {"type": "AsofJoinTransform", "name": "near",
+       "inputView": "r12_clicks", "rightView": "r12_purch",
+       "outputView": "r12_near", "keys": ["user_id"],
+       "leftTime": "ts", "rightTime": "p_ts",
+       "nearest": true, "toleranceMicros": 7200000000},
+      {"type": "SqlTransform", "name": "edges",
+       "sql": "SELECT * FROM VALUES (1,2),(2,3),(3,1),(3,4) AS t(src,dst)",
+       "outputView": "r12_edges"},
+      {"type": "SqlTransform", "name": "asg",
+       "sql": "SELECT * FROM VALUES (1,10),(2,10),(3,10),(4,20) AS t(node,community)",
+       "outputView": "r12_asg"},
+      {"type": "GraphTransform", "name": "mod", "method": "modularity",
+       "inputView": "r12_edges", "outputView": "r12_mod",
+       "assignView": "r12_asg"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val near = p.stages.collectFirst {
+      case s if s.stage.isInstanceOf[AsofJoinTransformStage] =>
+        s.stage.asInstanceOf[AsofJoinTransformStage]
+    }.get
+    assert(near.nearest && near.toleranceMicros == 7200000000L)
+    Runner.run(p).get
+    val ms = spark.table("r12_maxsim")
+    assert(ms.columns.toSeq == Seq("q_id", "n_id", "maxsim", "rank"))
+    assert(ms.collect().map(_.toString).toSet ==
+      Similarity.maxSimTopK(spark.table("r12_c"), spark.table("r12_q"), 3)
+        .collect().map(_.toString).toSet)
+    val km = spark.table("r12_cells")
+    assert(km.columns.toSeq == Seq("vec_id", "cell", "cell_size"))
+    assert(km.collect().map(_.toString).toSet ==
+      Similarity.kmeans(spark.table("r12_embs"), centroidEvery = 40)
+        .collect().map(_.toString).toSet)
+    val nr = spark.table("r12_near")
+    assert(nr.collect().map(_.toString).toSet ==
+      Joins.asofNearest(spark.table("r12_clicks"), spark.table("r12_purch"),
+          Seq("user_id"), "ts", "p_ts",
+          toleranceMicros = 7200L * 1000000L)
+        .collect().map(_.toString).toSet)
+    val md = spark.table("r12_mod")
+    val und = spark.table("r12_edges")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .where($"a" < $"b").distinct()
+    assert(md.collect().map(_.toString).toSet ==
+      Graph.modularity(und, spark.table("r12_asg"))
+        .collect().map(_.toString).toSet)
     graft.util.Caches.unpersistAll()
   }
 }
