@@ -1,7 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
 import graft.functions.{TextFunctions => T}
 
 /** Model-based quality filtering: a hashed-unigram multinomial Naive
@@ -82,5 +87,192 @@ object Classify {
         (round((col("__prior") + coalesce(col("__fix"), lit(0L)))
           .cast("double") / 1000000d, 6) + lit(0d)).as("log_odds"))
       .withColumn("pred", col("log_odds") > 0)
+  }
+
+  /** Exact ROC-AUC of `scoreCol` against boolean `labelCol` — the
+    * Mann–Whitney pair statistic: the fraction of (positive, negative)
+    * pairs the score orders correctly, ties counting half. This is the
+    * threshold-free readout a quality-filter tuning loop runs on
+    * [[naiveBayes]] (or any heuristic score) before picking a cut-off:
+    * AUC 0.5 = the score carries nothing, 1.0 = perfect separation.
+    *
+    * Exact by construction: the numerator is carried ×2 as the INTEGER
+    *
+    *   num2 = Σ over score levels  np·(2·cumNegBelow + nn)
+    *
+    * (np/nn the level's positive/negative counts, cumNegBelow the
+    * negatives at strictly smaller scores) and AUC = num2 / (2·nP·nN)
+    * is the only double division — order-free, engine-replayable.
+    * NULL scores and NULL labels are excluded (they have no position on
+    * the score axis / no class). Degenerate one-class inputs yield a
+    * NULL auc rather than 0/0.
+    *
+    * Shape at scale: per-score-level counts first (map-side-combined —
+    * the shuffle carries one partial per distinct score per partition,
+    * never the data), then the [[Drift.ksStatistic]] distributed CDF:
+    * per-partition window cumsums within range partitions plus
+    * partition-count-bounded offsets collected and broadcast back. No
+    * global single-partition window at any size. Output is ONE row
+    * (n_pos, n_neg, auc 6dp).
+    */
+  def rocAuc(scored: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    val lv = scored
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    // persisted: the offset pass and the cumsum pass must observe the
+    // SAME materialized range partitions (boundaries are sampled)
+    val parts = graft.util.Caches.persist(
+      lv.repartitionByRange(n, col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("v")
+    val local = parts.withColumn("__cn", sum("__nn").over(w)) // inclusive
+    val totals = parts.groupBy("__pid")
+      .agg(sum("__np").as("tp"), sum("__nn").as("tn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (nP, nN) = (0L, 0L)
+    val offRows = totals.map { case (pid, tp, tn) =>
+      val r = Row(pid, nN); nP += tp; nN += tn; r
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__on", LongType, false))))
+    // cross products in DECIMAL(38,0): np·cum overflows a long once the
+    // corpus passes ~3e9 rows — the 100 TB case, not a corner
+    val dec = "decimal(38,0)"
+    val num2 = local.join(broadcast(offDf), "__pid")
+      .select((col("__np").cast(dec) *
+        ((col("__cn") + col("__on") - col("__nn")).cast(dec) * 2
+          + col("__nn").cast(dec))).as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast(dec)).as("__num2"))
+    num2.select(lit(nP).as("n_pos"), lit(nN).as("n_neg"),
+      (if (nP == 0L || nN == 0L) lit(null).cast("double")
+       else round(col("__num2").cast("double")
+         / lit(2d * nP.toDouble * nN.toDouble), 6)).as("auc"))
+  }
+
+  /** Confusion-matrix metrics of boolean `predCol` against boolean
+    * `labelCol` in ONE map-side-combined scan: (tp, fp, fn, tn,
+    * accuracy, precision, recall, f1), ratios 6dp with NULL on an empty
+    * denominator (no predicted positives → precision undefined, not 0).
+    * The companion readout to [[rocAuc]] once a threshold IS chosen.
+    * Rows with a NULL label or prediction are excluded.
+    */
+  def confusion(scored: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val l = col(labelCol)
+    val p = col(predCol)
+    val cnt = scored.where(l.isNotNull && p.isNotNull).agg(
+      sum(when(l && p, 1L).otherwise(0L)).as("tp"),
+      sum(when(!l && p, 1L).otherwise(0L)).as("fp"),
+      sum(when(l && !p, 1L).otherwise(0L)).as("fn"),
+      sum(when(!l && !p, 1L).otherwise(0L)).as("tn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+    cnt.select(
+      coalesce(col("tp"), lit(0L)).as("tp"),
+      coalesce(col("fp"), lit(0L)).as("fp"),
+      coalesce(col("fn"), lit(0L)).as("fn"),
+      coalesce(col("tn"), lit(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn"))
+          .as("f1"))
+  }
+
+  /** Reliability table for score calibration: scores bucket by
+    * `floor(score / binWidth)` and each bin reports its size, positive
+    * count, positive rate, and exact mean score — "do docs scoring in
+    * [2, 3) actually come from the trusted class ~that often?". Run on
+    * [[naiveBayes]] log-odds it is the calibration readout behind
+    * threshold choice; a monotone pos_rate over bins is what makes a
+    * single cut-off defensible. Mean scores fold through ×10^6
+    * fixed-point DECIMAL sums (scores are 6dp by the engine contract),
+    * so the mean is exact under any accumulation order. NULL scores or
+    * labels are excluded. Output per non-empty bin: (bin, n, n_pos,
+    * pos_rate 6dp, mean_score 6dp).
+    *
+    * Shape at scale: one map-side-combined grouped aggregate; the
+    * shuffle carries one partial per bin per partition.
+    */
+  def reliabilityBins(scored: DataFrame, labelCol: String,
+      scoreCol: String, binWidth: Double = 1.0): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val dec = "decimal(38,0)"
+    scored.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(floor(col(scoreCol).cast("double") / lit(binWidth))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(round(col(scoreCol).cast("double") * 1000000d).cast(dec))
+          .as("__s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        (round(col("__s").cast("double") / col("n").cast("double")
+          / 1000000d, 6) + lit(0d)).as("mean_score"))
+  }
+
+  /** Cohen's kappa between two categorical labelings of the same rows —
+    * chance-corrected agreement, the label-quality gauge for training
+    * data with multiple annotation sources (two heuristic labelers, a
+    * model vs. a rubric, annotator vs. annotator). Raw agreement po
+    * flatters skewed label sets; kappa subtracts the agreement two
+    * INDEPENDENT labelers with these marginals would reach by luck:
+    *
+    *   kappa = (n·diag − Σ_k rowTot_k·colTot_k) / (n² − Σ_k rowTot_k·colTot_k)
+    *
+    * carried as exact DECIMAL(38,0) integers with one final double
+    * division (and po = diag/n, pe = Σ/n² beside it, each a single
+    * division, 6dp). NULL labels form their own category (a labeler
+    * going silent IS a disagreement signal); rows where both are NULL
+    * agree. Degenerate pe = 1 (both labelers constant and equal) yields
+    * NULL kappa. Output is ONE row: (n, n_agree, po, pe, kappa).
+    *
+    * Shape at scale: one map-side-combined (a, b) cell count — the
+    * shuffle carries one partial per label pair per partition — then
+    * category-bounded marginal rollups joined null-safely. The data
+    * never shuffles.
+    */
+  def agreement(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = graft.util.Caches.persist(
+      df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+        .agg(count(lit(1)).as("__c")))
+    val dec = "decimal(38,0)"
+    val rowTot = cells.groupBy(col("__a").as("__k"))
+      .agg(sum("__c").as("__ra"))
+    val colTot = cells.groupBy(col("__b").as("__k"))
+      .agg(sum("__c").as("__rb"))
+    val peNum = rowTot.join(colTot, rowTot("__k") <=> colTot("__k"))
+      .agg(coalesce(sum(col("__ra").cast(dec) * col("__rb").cast(dec)),
+        lit(0).cast(dec)).as("__pe"))
+    val base = cells.agg(
+      coalesce(sum("__c"), lit(0L)).as("__n"),
+      coalesce(sum(when(col("__a") <=> col("__b"), col("__c"))
+        .otherwise(0L)), lit(0L)).as("__d"))
+    base.crossJoin(broadcast(peNum))
+      .select(col("__n").as("n"), col("__d").as("n_agree"),
+        when(col("__n") > 0,
+          round(col("__d").cast("double") / col("__n").cast("double"), 6))
+          .as("po"),
+        when(col("__n") > 0,
+          round(col("__pe").cast("double")
+            / (col("__n").cast("double") * col("__n").cast("double")), 6))
+          .as("pe"),
+        when(col("__n") > 0 &&
+            col("__n").cast(dec) * col("__n").cast(dec) =!= col("__pe"),
+          round((col("__n").cast(dec) * col("__d").cast(dec) - col("__pe"))
+            .cast("double") /
+            (col("__n").cast(dec) * col("__n").cast(dec) - col("__pe"))
+              .cast("double"), 6) + lit(0d))
+          .as("kappa"))
   }
 }

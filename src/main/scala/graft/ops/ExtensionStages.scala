@@ -702,6 +702,53 @@ final case class PiiTransformStage(
   }
 }
 
+/** Classifier stage over [[Classify]]: train-and-score the hashed
+  * Naive Bayes quality filter, or evaluate any scored/labeled view
+  * (exact AUC, confusion metrics, reliability bins, Cohen's kappa).
+  */
+final case class ClassifyTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // train_score | auc | confusion | calibration | agreement
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    // train_score: SQL boolean expression labeling the positive class
+    positiveExpr: String = "",
+    buckets: Int = 128,
+    labelCol: String = "label",
+    scoreCol: String = "score",
+    predCol: String = "pred",
+    binWidth: Double = 1.0,
+    // agreement: the two labelings to compare
+    aCol: String = "a",
+    bCol: String = "b")
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "train_score" =>
+        require(positiveExpr.nonEmpty,
+          "classify method 'train_score' requires 'positiveExpr'")
+        Classify.naiveBayes(in, idCol, textCol,
+          org.apache.spark.sql.functions.expr(positiveExpr), buckets)
+      case "auc"         => Classify.rocAuc(in, labelCol, scoreCol)
+      case "confusion"   => Classify.confusion(in, labelCol, predCol)
+      case "calibration" =>
+        Classify.reliabilityBins(in, labelCol, scoreCol, binWidth)
+      case "agreement"   => Classify.agreement(in, aCol, bCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown classify method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
 /** Graph stage over [[Graph.pagerank]]: fixed-iteration PageRank on an
   * edge view with `srcCol`/`dstCol` columns.
   */

@@ -297,6 +297,25 @@ object Parser {
         salt = r.string("salt").getOrElse(""),
         sensitiveCol = r.string("sensitiveCol").getOrElse(""))
     },
+    "ClassifyTransform" -> { (r, _) =>
+      ClassifyTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("train_score", "auc", "confusion", "calibration",
+            "agreement"), "train_score"),
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        textCol = r.string("textCol").getOrElse("text"),
+        positiveExpr = r.string("positiveExpr").getOrElse(""),
+        buckets = r.int("buckets").getOrElse(128),
+        labelCol = r.string("labelCol").getOrElse("label"),
+        scoreCol = r.string("scoreCol").getOrElse("score"),
+        predCol = r.string("predCol").getOrElse("pred"),
+        binWidth = r.double("binWidth").getOrElse(1.0),
+        aCol = r.string("aCol").getOrElse("a"),
+        bCol = r.string("bCol").getOrElse("b"))
+    },
     "GraphTransform" -> { (r, _) =>
       GraphTransformStage(
         name = r.requiredString("name"),
@@ -767,6 +786,9 @@ object Parser {
       "rankViews", "rrfK", "qrelsView")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "cols", "k", "scale", "salt", "sensitiveCol")),
+    "ClassifyTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "method", "idCol", "textCol", "positiveExpr", "buckets", "labelCol",
+      "scoreCol", "predCol", "binWidth", "aCol", "bCol")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix",

@@ -27,6 +27,18 @@ object ExtensionQueries {
   private def events(spark: SparkSession, dir: String) =
     Tables.events(spark, dir)
 
+  /** The quality classifier's scores rejoined with the training label —
+    * the shared input of the classifier_auc / classifier_eval /
+    * classify_calibration evaluation gates.
+    */
+  private def nbScored(spark: SparkSession, dir: String) = {
+    val d = docs(spark, dir)
+    Classify.naiveBayes(d, "doc_id", "text",
+        col("source").isin(NbTrusted: _*), NbBuckets)
+      .join(d.select(col("doc_id"),
+        col("source").isin(NbTrusted: _*).as("pos")), "doc_id")
+  }
+
   /** One scratch directory (and ONE delete-at-exit shutdown hook) per
     * query name for the queries that materialize files: repeated
     * invocations in a long-lived session (bench warm-up + reps) reuse the
@@ -1425,6 +1437,33 @@ object ExtensionQueries {
       Classify.naiveBayes(docs(spark, dir), "doc_id", "text",
           col("source").isin(NbTrusted: _*), NbBuckets)
         .orderBy("doc_id")
+    },
+
+    // Threshold-free separation readout of the quality classifier
+    // against its own training labels: exact Mann-Whitney AUC.
+    "classifier_auc" -> { (spark, dir) =>
+      Classify.rocAuc(nbScored(spark, dir), "pos", "log_odds")
+    },
+
+    // Confusion metrics of the classifier's pred at the log-odds-0 cut.
+    "classifier_eval" -> { (spark, dir) =>
+      Classify.confusion(nbScored(spark, dir), "pos", "pred")
+    },
+
+    // Reliability table over 2-nat log-odds bins: is the score
+    // calibrated enough that one global threshold is defensible?
+    "classify_calibration" -> { (spark, dir) =>
+      Classify.reliabilityBins(nbScored(spark, dir), "pos", "log_odds",
+          binWidth = 2.0)
+        .orderBy("bin")
+    },
+
+    // Cohen's kappa between the declared lang column and the langId
+    // heuristic - chance-corrected label agreement.
+    "label_agreement" -> { (spark, dir) =>
+      Classify.agreement(
+        TextAnalysis.langId(docs(spark, dir), "doc_id", "text", "lang"),
+        "lang", "predicted")
     },
 
     // Rendezvous (HRW) shard assignment: stable under shard-count growth.
@@ -2914,6 +2953,50 @@ object ExtensionQueries {
           mx AS marker_hits
         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx
               FROM scores))"""
+
+  /** Replay of [[Classify.naiveBayes]] on the documents corpus with the
+    * NbTrusted positive predicate, ending in an `nb` CTE of
+    * (doc_id, pos, n_tokens, log_odds) — shared by quality_classifier
+    * and the classifier_auc / classifier_eval / classify_calibration
+    * evaluation oracles.
+    */
+  private val NbCtes = s"""
+      WITH lbl AS (
+        SELECT doc_id, text,
+          source IN (${NbTrusted.map(s => s"'$s'").mkString(",")}) AS pos
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, pos,
+          ('0x'||substr(md5(w),1,8))::BIGINT % $P % $NbBuckets AS b
+        FROM lbl, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != ''
+      ), cnt AS (
+        SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+          sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+        FROM toks GROUP BY b
+      ), tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnt
+      ), pri AS (
+        SELECT CAST(round(ln(
+            (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)::DOUBLE
+            / (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1000000)
+          AS BIGINT) AS prior
+        FROM lbl
+      ), lr AS (
+        SELECT b, CAST(round((ln((pc + 1)::DOUBLE / (pt + $NbBuckets))
+          - ln((nc + 1)::DOUBLE / (nt + $NbBuckets))) * 1000000)
+          AS BIGINT) AS lrf
+        FROM cnt, tot
+      ), scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          sum(lrf) AS fx
+        FROM toks JOIN lr USING (b) GROUP BY doc_id
+      ), nb AS (
+        SELECT d.doc_id, l.pos, coalesce(s.n_tokens, 0) AS n_tokens,
+          (round((pri.prior + coalesce(s.fx, 0)) / 1000000.0, 6) + 0)
+            AS log_odds
+        FROM documents d
+        LEFT JOIN scored s ON d.doc_id = s.doc_id
+        JOIN lbl l ON d.doc_id = l.doc_id, pri)"""
 
   /** [[minhashCtes]] with the corpus swapped for an arbitrary
     * (doc_id, text) source expression.
@@ -4991,43 +5074,86 @@ object ExtensionQueries {
     // Replay of Classify.naiveBayes: the DSIR hashing verbatim, but
     // class-conditional bucket counts + add-one smoothing + a doc-count
     // prior, all quantized to micro-nats before the order-free long sum.
-    "quality_classifier" -> s"""
-      WITH lbl AS (
-        SELECT doc_id, text,
-          source IN (${NbTrusted.map(s => s"'$s'").mkString(",")}) AS pos
-        FROM documents
-      ), toks AS (
-        SELECT doc_id, pos,
-          ('0x'||substr(md5(w),1,8))::BIGINT % $P % $NbBuckets AS b
-        FROM lbl, unnest(string_split(text, ' ')) AS t(w)
-        WHERE w != ''
-      ), cnt AS (
-        SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
-          sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
-        FROM toks GROUP BY b
-      ), tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnt
-      ), pri AS (
-        SELECT CAST(round(ln(
-            (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)::DOUBLE
-            / (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1000000)
-          AS BIGINT) AS prior
-        FROM lbl
-      ), lr AS (
-        SELECT b, CAST(round((ln((pc + 1)::DOUBLE / (pt + $NbBuckets))
-          - ln((nc + 1)::DOUBLE / (nt + $NbBuckets))) * 1000000)
-          AS BIGINT) AS lrf
-        FROM cnt, tot
-      ), scored AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          sum(lrf) AS fx
-        FROM toks JOIN lr USING (b) GROUP BY doc_id)
-      SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
-        (round((pri.prior + coalesce(s.fx, 0)) / 1000000.0, 6) + 0)
-          AS log_odds,
-        (round((pri.prior + coalesce(s.fx, 0)) / 1000000.0, 6) + 0) > 0
-          AS pred
-      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, pri
-      ORDER BY d.doc_id""",
+    "quality_classifier" -> s"""$NbCtes
+      SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS pred
+      FROM nb ORDER BY doc_id""",
+
+    // Exact Mann-Whitney AUC over the classifier replay: per-level
+    // counts, exclusive cumulative negatives, integer x2 numerator.
+    "classifier_auc" -> s"""$NbCtes,
+      lv AS (
+        SELECT log_odds AS v,
+          sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+          sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+        FROM nb GROUP BY log_odds
+      ), c AS (
+        SELECT np, nn,
+          coalesce(sum(nn) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM lv
+      ), t AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM lv)
+      SELECT t.tp::BIGINT AS n_pos, t.tn::BIGINT AS n_neg,
+        round(sum(np * (2 * cb + nn))::DOUBLE
+          / (2.0 * t.tp * t.tn), 6) AS auc
+      FROM c, t GROUP BY t.tp, t.tn""",
+
+    // Confusion metrics at the log-odds-0 cut over the same replay.
+    "classifier_eval" -> s"""$NbCtes,
+      cm AS (
+        SELECT
+          sum(CASE WHEN pos AND log_odds > 0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+          sum(CASE WHEN NOT pos AND log_odds > 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+          sum(CASE WHEN pos AND NOT log_odds > 0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+          sum(CASE WHEN NOT pos AND NOT log_odds > 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+        FROM nb)
+      SELECT tp, fp, fn, tn,
+        CASE WHEN tp + fp + fn + tn > 0 THEN
+          round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 6) END AS accuracy,
+        CASE WHEN tp + fp > 0 THEN
+          round(tp::DOUBLE / (tp + fp), 6) END AS precision,
+        CASE WHEN tp + fn > 0 THEN
+          round(tp::DOUBLE / (tp + fn), 6) END AS recall,
+        CASE WHEN 2 * tp + fp + fn > 0 THEN
+          round((2 * tp)::DOUBLE / (2 * tp + fp + fn), 6) END AS f1
+      FROM cm""",
+
+    // Reliability bins over 2-nat log-odds buckets: exact fixed-point
+    // mean score, per-bin positive rate.
+    "classify_calibration" -> s"""$NbCtes
+      SELECT CAST(floor(log_odds / 2.0) AS BIGINT) AS bin,
+        count(*)::BIGINT AS n,
+        sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        round(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+          AS pos_rate,
+        (round(sum(CAST(round(log_odds * 1000000) AS DECIMAL(38,0)))::DOUBLE
+          / count(*) / 1000000.0, 6) + 0) AS mean_score
+      FROM nb GROUP BY 1 ORDER BY 1""",
+
+    // Cohen's kappa between the declared lang and the langId heuristic:
+    // exact DECIMAL marginal cross products, single double divisions.
+    "label_agreement" -> s"""$LangIdPredSql,
+      cells AS (
+        SELECT lang AS a, predicted AS b, count(*) AS c
+        FROM pred GROUP BY 1, 2
+      ), rt AS (SELECT a AS k, sum(c) AS ra FROM cells GROUP BY a
+      ), ct AS (SELECT b AS k, sum(c) AS rb FROM cells GROUP BY b
+      ), penum AS (
+        SELECT coalesce(sum(ra::DECIMAL(38,0) * rb::DECIMAL(38,0)),
+          0::DECIMAL(38,0)) AS pn
+        FROM rt JOIN ct ON rt.k IS NOT DISTINCT FROM ct.k
+      ), base AS (
+        SELECT coalesce(sum(c), 0)::BIGINT AS n,
+          coalesce(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN c
+            ELSE 0 END), 0)::BIGINT AS d
+        FROM cells)
+      SELECT n, d AS n_agree,
+        CASE WHEN n > 0 THEN round(d::DOUBLE / n, 6) END AS po,
+        CASE WHEN n > 0 THEN
+          round(pn::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) END AS pe,
+        CASE WHEN n > 0 AND n::DECIMAL(38,0) * n != pn THEN
+          round((n::DECIMAL(38,0) * d - pn)::DOUBLE
+            / (n::DECIMAL(38,0) * n - pn)::DOUBLE, 6) + 0 END AS kappa
+      FROM base, penum""",
 
     // Replay of Sampling.rendezvousShard: argmax_s h32(id ':' s), ties
     // to the smallest s — (h DESC, s ASC) row_number here, max over

@@ -1618,6 +1618,47 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("classify stage: train_score -> auc/confusion/calibration, agreement") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "cl_docs"},
+      {"type": "ClassifyTransform", "name": "nb", "method": "train_score",
+       "inputView": "cl_docs", "outputView": "cl_scored",
+       "positiveExpr": "source IN ('src1','src5')", "buckets": 64},
+      {"type": "SqlTransform", "name": "lbl",
+       "sql": "SELECT s.*, d.source IN ('src1','src5') AS pos FROM cl_scored s JOIN cl_docs d USING (doc_id)",
+       "outputView": "cl_lbl"},
+      {"type": "ClassifyTransform", "name": "auc", "method": "auc",
+       "inputView": "cl_lbl", "outputView": "cl_auc",
+       "labelCol": "pos", "scoreCol": "log_odds"},
+      {"type": "ClassifyTransform", "name": "cm", "method": "confusion",
+       "inputView": "cl_lbl", "outputView": "cl_cm",
+       "labelCol": "pos", "predCol": "pred"},
+      {"type": "ClassifyTransform", "name": "cal", "method": "calibration",
+       "inputView": "cl_lbl", "outputView": "cl_cal",
+       "labelCol": "pos", "scoreCol": "log_odds", "binWidth": 2.0},
+      {"type": "ClassifyTransform", "name": "ag", "method": "agreement",
+       "inputView": "cl_docs", "outputView": "cl_ag",
+       "aCol": "lang", "bCol": "source"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val auc = spark.table("cl_auc").collect().head
+    assert(auc.getLong(0) + auc.getLong(1)
+      == spark.table("cl_docs").count())
+    assert(!auc.isNullAt(2) && auc.getDouble(2) >= 0 && auc.getDouble(2) <= 1)
+    val cm = spark.table("cl_cm").collect().head
+    assert(cm.getLong(0) + cm.getLong(1) + cm.getLong(2) + cm.getLong(3)
+      == spark.table("cl_docs").count())
+    assert(spark.table("cl_cal").columns.toSeq ==
+      Seq("bin", "n", "n_pos", "pos_rate", "mean_score"))
+    assert(spark.table("cl_ag").columns.toSeq ==
+      Seq("n", "n_agree", "po", "pe", "kappa"))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("maxsim, kmeans, nearest asof, modularity as config methods") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     val conf = """{"stages": [
