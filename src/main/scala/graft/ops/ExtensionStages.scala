@@ -402,7 +402,7 @@ final case class SampleTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic | ordinal | importance | rendezvous
+    method: String, // deterministic | stratified | per_stratum_head | shard_by_budget | upsample | weighted_topk | negative | shuffle | pack | rebalance | top_fraction | token_cap | systematic | ordinal | importance | rendezvous | pareto
     idCol: String = "doc_id",
     rate: Double = 1.0,
     salt: String = "",
@@ -417,7 +417,10 @@ final case class SampleTransformStage(
     // importance (DSIR) only: token source + the target-domain predicate
     // (rows whose stratumCol equals targetValue form the target sample)
     textCol: String = "text",
-    targetValue: String = "en")
+    targetValue: String = "en",
+    // pareto only: the two maximized criteria
+    xCol: String = "x",
+    yCol: String = "y")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -475,6 +478,9 @@ final case class SampleTransformStage(
         Sampling.importanceWeights(in, idCol, textCol,
           org.apache.spark.sql.functions.col(stratumCol) === targetValue,
           nBuckets)
+      // undominated rows on two maximized criteria
+      case "pareto" =>
+        Sampling.paretoFront(in, xCol, yCol)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }
@@ -487,7 +493,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply | bpe_fertility | boilerplate
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply | bpe_fertility | boilerplate | ttr | chao1
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -573,6 +579,10 @@ final case class TextAnalysisTransformStage(
       // RefinedWeb-style line dedup: drop cross-doc boilerplate chunks
       case "boilerplate" =>
         TextAnalysis.boilerplateChunks(in, idCol, textCol, window, minDocs)
+      // per-doc type-token / hapax ratios (vocabulary richness)
+      case "ttr" => TextAnalysis.lexicalDiversity(in, idCol, textCol)
+      // Chao1 corpus vocabulary-richness estimate (one row)
+      case "chao1" => TextAnalysis.chao1(in, textCol)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }

@@ -772,4 +772,73 @@ object Sampling {
       .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("score"), lit(0d)).as("score"))
   }
+
+  /** Pareto-front (skyline) selection over two MAXIMIZED criteria — the
+    * multi-objective data-selection primitive ("highest quality AND
+    * least duplicated", "longest AND most novel"): keep every row no
+    * other row strictly dominates, i.e. drop r iff some s has
+    * s.x ≥ r.x ∧ s.y ≥ r.y with at least one strict. A single scalar
+    * blend (w·x + (1−w)·y) pre-commits to a trade-off; the front
+    * surfaces EVERY undominated trade-off and lets the recipe choose.
+    *
+    * Equivalent prefix form (no pair enumeration): r survives iff
+    * r.y == maxY(r.x)  (nothing at the same x strictly above it) and
+    * r.y > max over {x' > r.x} of maxY(x') (nothing strictly to the
+    * upper-right). Ties on BOTH coordinates survive together — identical
+    * points do not dominate each other.
+    *
+    * Rows with a NULL x or y have no position on either axis and are
+    * dropped. Columns must be numeric; dominance runs on native types.
+    *
+    * Shape at scale: per-x-level max-y first (map-side-combined — the
+    * shuffle carries one partial per distinct x per partition, never the
+    * data), then the [[Drift.ksStatistic]] distributed prefix over
+    * DESCENDING x (per-partition window + partition-count-bounded
+    * offsets broadcast back), and one x-keyed join of the level verdicts
+    * back to the rows. No global single-partition window, no all-pairs
+    * anywhere; output is front-sized.
+    */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val lv = rows.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol)).as("__my"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    // persisted: the offset pass and the prefix pass must observe the
+    // SAME materialized range partitions (boundaries are sampled)
+    val parts = graft.util.Caches.persist(
+      lv.repartitionByRange(n, col("__x").desc)
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("__lmax", max("__my").over(w))
+    // one row per partition to the driver — bounded by the partition
+    // count, never by the data (the shardByBudget offsets precedent)
+    val totals = parts.groupBy("__pid").agg(max("__my").as("__pm"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    var run: Any = null
+    val offRows = totals.map { case (pid, pm) =>
+      val r = Row(pid, run)
+      run = (run, pm) match {
+        case (null, b) => b
+        case (a, null) => a
+        case (a: Comparable[Any] @unchecked, b) =>
+          if (a.compareTo(b) >= 0) a else b
+      }
+      r
+    }
+    val yField = lv.schema("__my").copy(name = "__off", nullable = true)
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, false), yField)))
+    val verdict = local.join(broadcast(offDf), "__pid")
+      .select(col("__x"), col("__my"),
+        greatest(col("__lmax"), col("__off")).as("__strict"))
+    rows.join(verdict, rows(xCol) === verdict("__x"))
+      .where(col(yCol) === col("__my") &&
+        (col("__strict").isNull || col(yCol) > col("__strict")))
+      .select(rows.columns.map(rows(_)): _*)
+  }
 }

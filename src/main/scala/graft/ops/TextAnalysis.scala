@@ -136,6 +136,42 @@ object TextAnalysis {
           / col("n_tokens").cast("double"), 6), lit(0d)).as("hapax_ratio"))
   }
 
+  /** Chao1 richness estimate of the CORPUS vocabulary (Chao 1984, the
+    * ecology species-richness estimator applied to word types): how many
+    * distinct words the corpus-generating source has, including the ones
+    * this sample hasn't surfaced yet —
+    *
+    *   chao1 = D + f1·(f1−1) / (2·(f2+1))
+    *
+    * with D the observed type count and f1/f2 the singleton/doubleton
+    * type counts (bias-corrected form: defined even at f2 = 0). The gap
+    * chao1 − D says how much vocabulary another crawl of the same source
+    * would add — the "is more data from this source worth it" diversity
+    * readout beside [[lexicalDiversity]]'s per-doc TTR and
+    * [[headCoverage]]'s Zipf curve. All inputs are exact integers; the
+    * estimate is the single double expression, 6dp. Output is ONE row:
+    * (n_tokens, n_types, f1, f2, chao1).
+    *
+    * Shape at scale: one word explode into a map-side-combined word
+    * count (the shuffle carries one partial per distinct word per
+    * partition), then a one-row rollup. The corpus never shuffles.
+    */
+  def chao1(df: DataFrame, textCol: String): DataFrame = {
+    df.select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum("__c"), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("__c") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("f1"),
+        coalesce(sum(when(col("__c") === 2, 1L).otherwise(0L)), lit(0L))
+          .as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        round(col("n_types").cast("double")
+          + (col("f1") * (col("f1") - 1)).cast("double")
+            / ((col("f2") + 1) * 2).cast("double"), 6).as("chao1"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the standard
     * pre-training / retrieval prep step (long documents become model-sized
     * pieces; the overlap keeps boundary context). Chunk `i` covers words

@@ -480,7 +480,7 @@ object Parser {
             "shard_by_budget", "upsample", "weighted_topk", "negative",
             "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
             "temperature", "systematic", "ordinal", "top_stratum",
-            "importance", "rendezvous"),
+            "importance", "rendezvous", "pareto"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
@@ -499,7 +499,9 @@ object Parser {
         weightCol = r.string("weightCol").getOrElse("n_tokens"),
         nBuckets = r.int("nBuckets").getOrElse(1024),
         textCol = r.string("textCol").getOrElse("text"),
-        targetValue = r.string("targetValue").getOrElse("en"))
+        targetValue = r.string("targetValue").getOrElse("en"),
+        xCol = r.string("xCol").getOrElse("x"),
+        yCol = r.string("yCol").getOrElse("y"))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -511,7 +513,7 @@ object Parser {
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "dup_runs", "keyness",
             "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
-            "bpe_apply", "bpe_fertility", "boilerplate"),
+            "bpe_apply", "bpe_fertility", "boilerplate", "ttr", "chao1"),
           "quality"),
         terms = r.stringList("terms"),
         merges = r.stringList("merges"),
@@ -814,7 +816,7 @@ object Parser {
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget", "k", "weightCol", "nBuckets", "textCol",
-      "targetValue")),
+      "targetValue", "xCol", "yCol")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",

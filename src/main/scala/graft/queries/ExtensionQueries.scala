@@ -1029,6 +1029,12 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Chao1 vocabulary-richness estimate: how much vocabulary another
+    // crawl of the same source would surface.
+    "text_chao1" -> { (spark, dir) =>
+      TextAnalysis.chao1(docs(spark, dir), "text")
+    },
+
     "lang_dist" -> { (spark, dir) =>
       TextAnalysis.langDist(docs(spark, dir), "lang", "text").orderBy("lang")
     },
@@ -1428,6 +1434,16 @@ object ExtensionQueries {
       Sampling.importanceWeights(docs(spark, dir), "doc_id", "text",
           col("lang") === "en", DsirBuckets)
         .orderBy("doc_id")
+    },
+
+    // Pareto-front selection: users undominated on (event count, best
+    // purchase value) - the multi-objective data-selection primitive.
+    "select_pareto" -> { (spark, dir) =>
+      val u = events(spark, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      Sampling.paretoFront(u, "n_events", "max_value")
+        .orderBy("user_id")
     },
 
     // Model-based quality filter: hashed-unigram Naive Bayes trained on
@@ -5050,6 +5066,26 @@ object ExtensionQueries {
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       ORDER BY d.doc_id""",
 
+    // Replay of Sampling.paretoFront over per-user (n_events, max value):
+    // per-x-level max y, exclusive descending-x prefix max, keep rows at
+    // their level max and strictly above everything upper-right.
+    "select_pareto" -> """
+      WITH u AS (
+        SELECT user_id, count(*)::BIGINT AS n_events, max(value) AS max_value
+        FROM events GROUP BY user_id
+      ), lv AS (
+        SELECT n_events, max(max_value) AS my FROM u GROUP BY n_events
+      ), s AS (
+        SELECT n_events, my,
+          max(my) OVER (ORDER BY n_events DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict
+        FROM lv)
+      SELECT u.user_id, u.n_events, u.max_value
+      FROM u JOIN s USING (n_events)
+      WHERE u.max_value = s.my
+        AND (s.strict IS NULL OR u.max_value > s.strict)
+      ORDER BY user_id""",
+
     // Replay of TextAnalysis.lexicalDiversity: (doc, word) counts, then
     // per-doc type/token/hapax tallies; ratios at 6dp, zeros for
     // token-less docs.
@@ -5070,6 +5106,24 @@ object ExtensionQueries {
         coalesce(round(a.hapax::DOUBLE / a.n_tokens, 6), 0.0) AS hapax_ratio
       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY d.doc_id""",
+
+    // Replay of TextAnalysis.chao1: corpus word counts, singleton /
+    // doubleton type tallies, bias-corrected richness estimate.
+    "text_chao1" -> """
+      WITH wc AS (
+        SELECT w, count(*) AS c
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != '' GROUP BY w
+      ), agg AS (
+        SELECT coalesce(sum(c), 0)::BIGINT AS n_tokens,
+          count(*)::BIGINT AS n_types,
+          coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS f1,
+          coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)::BIGINT AS f2
+        FROM wc)
+      SELECT n_tokens, n_types, f1, f2,
+        round(n_types::DOUBLE
+          + (f1 * (f1 - 1))::DOUBLE / ((f2 + 1) * 2)::DOUBLE, 6) AS chao1
+      FROM agg""",
 
     // Replay of Classify.naiveBayes: the DSIR hashing verbatim, but
     // class-conditional bucket counts + add-one smoothing + a doc-count

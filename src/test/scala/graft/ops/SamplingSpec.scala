@@ -493,4 +493,40 @@ class SamplingSpec extends SparkSpec {
     assert(a.size == base.count(), "every input row keeps a score")
     graft.util.Caches.unpersistAll()
   }
+
+  test("paretoFront: hand-built skyline, coordinate ties survive, nulls drop") {
+    val df = Seq(
+      (1L, 5L, 1.0),   // front: max x
+      (2L, 3L, 3.0),   // front
+      (3L, 3L, 2.0),   // dominated by 2 (same x, smaller y)
+      (4L, 1L, 3.0),   // dominated by 2 (smaller x, same y)
+      (5L, 2L, 4.0),   // front
+      (6L, 2L, 4.0),   // identical to 5: both survive
+      (7L, 4L, 1.0)    // dominated by 1 (x 5 >= 4, y 1 >= 1, one strict)
+    ).toDF("id", "x", "y")
+    val got = Sampling.paretoFront(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L, 6L))
+    // null coordinates drop even when they would otherwise dominate
+    val withNull = df.unionByName(
+      Seq((8L, Some(9L), Option.empty[Double])).toDF("id", "x", "y"))
+    assert(Sampling.paretoFront(withNull, "x", "y")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 5L, 6L))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("paretoFront matches the O(n^2) dominance definition on a random batch") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (i, rnd.nextInt(20).toLong, rnd.nextInt(20).toDouble))
+    val got = Sampling.paretoFront(rows.toDF("id", "x", "y"), "x", "y")
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, sx, sy) =>
+        sx >= x && sy >= y && (sx > x || sy > y)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -501,4 +501,26 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 3L, 2L, 0.666667, 0.333333),
       (4L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("chao1: hand-computed estimate, f2=0 well-defined, empty corpus") {
+    // counts: a:3, b:2, c:1, d:1 -> D=4, f1=2, f2=1, n=7
+    // chao1 = 4 + 2*1/(2*2) = 4.5
+    val df = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val r = TextAnalysis.chao1(df, "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((7L, 4L, 2L, 1L, 4.5)))
+    // no doubletons: bias-corrected denominator keeps it finite
+    // counts: a:1, b:1 -> chao1 = 2 + 2*1/2 = 3.0
+    val r2 = TextAnalysis.chao1(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "text").collect().head
+    assert(r2.getDouble(4) == 3.0)
+    // all tokens seen twice+: estimate equals the observed type count
+    val r3 = TextAnalysis.chao1(Seq((1L, "a a b b")).toDF("doc_id", "text"),
+      "text").collect().head
+    assert(r3.getLong(1) == 2L && r3.getDouble(4) == 2.0)
+    // empty corpus: zero row, not an empty result
+    val r4 = TextAnalysis.chao1(Seq((1L, "")).toDF("doc_id", "text"),
+      "text").collect().head
+    assert((r4.getLong(0), r4.getLong(1), r4.getDouble(4)) == ((0L, 0L, 0.0)))
+  }
 }
