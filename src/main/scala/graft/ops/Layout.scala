@@ -295,4 +295,90 @@ object Layout {
   def prunedRead(spark: SparkSession, outDir: String,
       xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame =
     prunedReadN(spark, outDir, Seq(("x", xLo, xHi), ("y", yLo, yHi)))
+
+  /** Bloom-filter block skipping beside the min-max manifest — the
+    * second statistics tier Delta/Iceberg/parquet attach per file. A
+    * space-filling-curve layout gives tight min-max boxes on the CURVE
+    * dimensions and useless ones on everything else (`id` in particular:
+    * the curve scatters ids across every block, so every block's id
+    * range covers the probe). Equality lookups on such a column need a
+    * membership sketch per block: this writes one under
+    * `outDir/bloom_<keyCol>`, in LONG format (block_id, w, bits) — one
+    * row per NON-ZERO 64-bit word per block — plus a one-row meta table
+    * pinning (m, k) so probes can never run with mismatched parameters.
+    *
+    * Shape at scale: one scan of the layout data into a map-side-
+    * combined `bit_or` per (block, word); the manifest is
+    * blocks × set-words tiny rows, fully distributed (nothing collects —
+    * unlike the driver-held [[graft.functions.Sketches.bloomBitmap]],
+    * this sketch lives beside the data it indexes). Overwrites the
+    * bloom directory, so it sits behind the engine's destructive-write
+    * latch.
+    */
+  def bloomAugment(spark: SparkSession, outDir: String, keyCol: String,
+      mBits: Int = 4096, k: Int = 5,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(mBits >= 64, s"mBits must be >= 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    if (!options.get("confirm.truncate").exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        s"bloomAugment overwrites the bloom manifest under $outDir: " +
+          "pass confirm.truncate=true (destructive-write latch)")
+    val m = ((mBits + 63) / 64) * 64
+    val data = spark.read.parquet(s"$outDir/data")
+    val blooms = data
+      .select(col("block_id"), col(keyCol).cast("string").as("__v"))
+      .where(col("__v").isNotNull)
+      .select(col("block_id"), explode(array((0 until k).map(i =>
+        pmod(xxhash64(col("__v"), lit(i)), lit(m.toLong))): _*)).as("__h"))
+      .select(col("block_id"), expr("__h div 64").as("w"),
+        expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
+      .groupBy("block_id", "w").agg(expr("bit_or(__m)").as("bits"))
+    blooms.write.mode("overwrite").parquet(s"$outDir/bloom_$keyCol")
+    import spark.implicits._
+    Seq((m.toLong, k)).toDF("m", "k").write.mode("overwrite")
+      .parquet(s"$outDir/bloom_${keyCol}_meta")
+    spark.read.parquet(s"$outDir/bloom_$keyCol")
+  }
+
+  /** Point-lookup over a [[bloomAugment]]ed layout: for each probe
+    * value, a block is a candidate iff ALL k probe bits are set in its
+    * bloom words (no false negatives, so the trailing exact equality
+    * filter makes the result IDENTICAL to filtering the raw table —
+    * false positives only admit extra blocks, never extra rows).
+    *
+    * The probe side is values×k tiny rows built in-plan (same xxhash64
+    * expression as the build — one hashing codepath, no driver-side
+    * reimplementation); it joins the bloom manifest on the word index,
+    * surviving blocks reach the data scan as a broadcast semi-join on
+    * `block_id` → dynamic partition pruning turns it into a
+    * directory-level PartitionFilter, the [[prunedReadN]] contract.
+    * Output: the layout's stored columns for the matching rows.
+    */
+  def bloomRead(spark: SparkSession, outDir: String, keyCol: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "need at least one probe value")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$outDir/bloom_${keyCol}_meta")
+      .collect().head
+    val (m, k) = (meta.getAs[Long]("m"), meta.getAs[Int]("k"))
+    val probes = values.distinct.toDF("__v")
+      .select(col("__v"), posexplode(array((0 until k).map(i =>
+        pmod(xxhash64(col("__v"), lit(i)), lit(m))): _*))
+        .as(Seq("__i", "__h")))
+      .select(col("__v"), col("__i"), expr("__h div 64").as("w"),
+        expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
+    val keep = spark.read.parquet(s"$outDir/bloom_$keyCol")
+      .join(broadcast(probes), "w")
+      .where(col("bits").bitwiseAND(col("__m")) =!= 0L)
+      .groupBy(col("block_id"), col("__v"))
+      .agg(count_distinct(col("__i")).as("__hits"))
+      .where(col("__hits") === k)
+      .select("block_id").distinct()
+    val data = spark.read.parquet(s"$outDir/data")
+    data
+      .join(broadcast(keep), Seq("block_id"), "left_semi")
+      .where(col(keyCol).cast("string").isin(values: _*))
+      .select(data.columns.filterNot(_ == "block_id").map(col): _*)
+  }
 }

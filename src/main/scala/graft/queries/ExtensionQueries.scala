@@ -259,6 +259,11 @@ object ExtensionQueries {
   private val JsWidth = 4096
   private val ZBits = 16
   private val ZBlock = 4096L
+  // per-block bloom: m = 2^16 bits over <= ZBlock keys/block (~0.1% FP
+  // at k=5); probe ids cover every generated SF plus a guaranteed miss
+  private val ZBloomMBits = 1 << 16
+  private val ZBloomProbeIds = Seq("1", "2", "3", "4", "5", "10003",
+    "10004", "10006", "10007", "123456789")
   private val ZPruneXLo = 100L
   private val ZPruneXHi = 400L
   private val ZPruneYLo = 10L
@@ -2100,6 +2105,25 @@ object ExtensionQueries {
       // so id alone is not a total order — x, y break the ties
       Layout.prunedRead(spark, tmp.toString,
           ZPruneXLo, ZPruneXHi, ZPruneYLo, ZPruneYHi)
+        .orderBy("id", "x", "y")
+    },
+
+    // Bloom block skipping: point lookups on `id`, the column the curve
+    // SCATTERS (every block's id min-max covers any probe, so the range
+    // manifest is blind here) - the second statistics tier beside
+    // min-max. Exact by construction: bloom misses only admit blocks.
+    "zorder_prune_bloom" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      val tmp = scratchDir("graft_zbloom")
+      Layout.zorderWrite(li, "x", "y", "id", tmp.toString,
+        blockSize = ZBlock, bits = ZBits,
+        options = Map("confirm.truncate" -> "true"))
+      Layout.bloomAugment(spark, tmp.toString, "id",
+        mBits = ZBloomMBits, k = 5,
+        options = Map("confirm.truncate" -> "true"))
+      Layout.bloomRead(spark, tmp.toString, "id", ZBloomProbeIds)
         .orderBy("id", "x", "y")
     },
 
@@ -6581,6 +6605,16 @@ object ExtensionQueries {
       FROM lineitem
       WHERE l_partkey BETWEEN $ZPruneXLo AND $ZPruneXHi
         AND l_suppkey BETWEEN $ZPruneYLo AND $ZPruneYHi
+      ORDER BY id, x, y""",
+
+    // Same raw-filter-oracle principle: bloom skipping must be
+    // invisible - the result equals a plain IN filter on the raw table.
+    "zorder_prune_bloom" -> s"""
+      SELECT l_partkey AS x, l_suppkey AS y,
+        l_orderkey * 10000 + l_linenumber AS id
+      FROM lineitem
+      WHERE l_orderkey * 10000 + l_linenumber
+        IN (${ZBloomProbeIds.mkString(", ")})
       ORDER BY id, x, y""",
 
     // Same raw-filter oracle as zorder_prune: pruning must be invisible.

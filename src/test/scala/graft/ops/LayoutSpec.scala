@@ -295,4 +295,51 @@ class LayoutSpec extends SparkSpec {
       s"hilbert mean block box ${meanArea(h)} vs zorder ${meanArea(z)}")
     graft.util.Caches.unpersistAll()
   }
+
+  test("bloomAugment + bloomRead: exact point lookup, blocks skipped, latch") {
+    val n = 256
+    val df = (0 until n).map { i => (i.toLong, (i % 16).toLong, (i / 16).toLong) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    try {
+      Layout.zorderWrite(df, "x", "y", "id", dir,
+        blockSize = 16, bits = 4, options = confirm)
+      // latch: refuses without confirm.truncate
+      intercept[IllegalArgumentException] {
+        Layout.bloomAugment(spark, dir, "id")
+      }
+      val blooms = Layout.bloomAugment(spark, dir, "id",
+        mBits = 4096, k = 5, options = confirm)
+      assert(blooms.select("block_id").distinct().count() == 16)
+      // exact: identical to filtering the raw table, including a missing key
+      val got = Layout.bloomRead(spark, dir, "id", Seq("7", "133", "9999"))
+        .orderBy("id").collect().toSeq
+      val want = df.where($"id".isin(7L, 133L))
+        .select("x", "y", "id").orderBy("id")
+        .collect().toSeq
+      assert(got.map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+        == want.map(r => (r.getLong(2), r.getLong(0), r.getLong(1))))
+      // skipping: with 4096 bits over 16 ids/block the two probe ids
+      // survive in ~2 blocks, far fewer than the 16 data directories
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val q = Layout.bloomRead(spark, dir, "id", Seq("7"))
+      val scans = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.schema.fieldNames.contains("x") => f }
+      q.count()
+      val readFiles = scans.map(_.metrics("numFiles").value).sum
+      val allFiles = spark.read.parquet(s"$dir/data").inputFiles.length
+      assert(readFiles < allFiles,
+        s"bloom did not skip blocks: $readFiles vs $allFiles")
+      // the block list arrives via dynamic partition pruning, not a
+      // collected literal
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"bloom semi-join did not become a dynamic partition filter:\n$plan")
+      assert(!plan.contains("block_id IN"),
+        s"collected literal block list found in plan:\n$plan")
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
