@@ -699,7 +699,12 @@ object Graph {
       nodes.select(col("node"), col("node").as("__member"))), "__e0")
     val members1 = nodes.select(col("node"), col("node").as("__member"))
       .unionAll(sym.select(col("a").as("node"), col("b").as("__member")))
-    val trunc = new graft.util.Truncator(checkpointEvery)
+    // eagerFree = false: every per-radius estimate table in `ests`
+    // references ITS round's generation, and all of them evaluate
+    // lazily after the loop — eagerly freeing a superseded checkpoint
+    // (whose lineage is truncated) would be a use-after-free when the
+    // final join re-reads radius r's registers
+    val trunc = new graft.util.Truncator(checkpointEvery, eagerFree = false)
     var regs = graft.util.Caches.persist(packed(members1))
     val ests = scala.collection.mutable.ArrayBuffer(
       estimateOf(regs, "__e1"))

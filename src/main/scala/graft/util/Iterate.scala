@@ -31,8 +31,18 @@ import org.apache.spark.sql.DataFrame
   * registered there (localCheckpoint persists the internal RDD
   * directly), so the Dataset-level call alone would leave the
   * MEMORY_AND_DISK blocks to the ContextCleaner's GC-driven reclaim.
+  *
+  * `eagerFree = false` DISABLES that eager reclaim: superseded
+  * generations keep their blocks until the ContextCleaner garbage-
+  * collects the RDDs. This is REQUIRED for loops that capture per-round
+  * DERIVED frames consumed after the loop (the HyperBall per-radius
+  * estimate tables): a checkpointed generation's lineage is truncated,
+  * so freeing its blocks while a later lazy plan still references them
+  * is an unrecoverable use-after-free
+  * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), not a recompute. Last-state-only
+  * loops (pagerank, LPA, k-core, CC, BPE) keep the default eager free.
   */
-final class Truncator(every: Int) {
+final class Truncator(every: Int, eagerFree: Boolean = true) {
   require(every >= 0, s"checkpointEvery must be >= 0 (0 = off), got $every")
 
   private var round = 0
@@ -55,7 +65,7 @@ final class Truncator(every: Int) {
       val cp =
         if (reliable) df.checkpoint(eager = true)
         else df.localCheckpoint(eager = true)
-      prev.foreach(free)
+      if (eagerFree) prev.foreach(free)
       prev = Some(cp)
       cp
     } else orElse(df)
