@@ -191,4 +191,89 @@ object Drift {
           - col("__sb").cast("double") / col("n_b")) / scale, 6)
           .as("delta"))
   }
+
+  /** Deterministic randomization test for a mean difference — "is
+    * corpus A's score really higher than corpus B's, or is the gap
+    * within relabeling noise?" The significance readout behind every
+    * A/B comparison this engine produces (quality deltas between
+    * snapshots, filter variants, annotation sources). Exact Welch/t
+    * machinery needs distributional assumptions; the randomization test
+    * needs none: re-draw the A/B labels `nPerms` times and ask how often
+    * a relabeled split separates the means as far as the real one.
+    *
+    * DETERMINISTIC by the engine's hash contract: permutation p assigns
+    * a row to side A iff h32(id ':' p ':' salt) < nA·P/n (integer
+    * threshold — Bernoulli(nA/n) relabeling, the standard scalable
+    * approximation of exact-size permutation; a fresh `salt` redraws the
+    * whole family). Values fold as ×2^20 fixed-point longs, so every
+    * permuted mean is exact up to one double division and any engine
+    * replays the p-value bit-for-bit. A permutation that lands empty on
+    * either side counts as extreme (conservative). NULL values are
+    * excluded. p_value = (1 + #extreme) / (nPerms + 1), the add-one
+    * permutation convention.
+    *
+    * Output is ONE row: (n_a, n_b, mean_a, mean_b, diff, n_perms,
+    * n_extreme, p_value).
+    *
+    * Shape at scale: one bounded explode (nPerms copies of each value
+    * row — nPerms is a knob in the hundreds) into ONE map-side-combined
+    * per-permutation aggregate; the shuffle carries nPerms partials per
+    * partition. The observed-stat row is the only driver collect
+    * (one row — the AQE-statistics class).
+    */
+  def meanPermutationTest(a: DataFrame, b: DataFrame, idCol: String,
+      valueCol: String, nPerms: Int = 200, salt: String = ""): DataFrame = {
+    require(nPerms >= 1, s"nPerms must be >= 1, got $nPerms")
+    import graft.functions.{TextFunctions => T}
+    val scale = 1048576d
+    def slim(df: DataFrame, tag: String) = df
+      .where(col(valueCol).isNotNull)
+      .select(
+        concat(lit(tag), lit(":"), col(idCol).cast("string")).as("__id"),
+        round(col(valueCol).cast("double") * scale).cast("long").as("__v"),
+        lit(tag == "a").as("__ga"))
+    val u = graft.util.Caches.persist(
+      slim(a, "a").unionByName(slim(b, "b")))
+    // one observed-statistic row to the driver (never data-sized)
+    val base = u.agg(
+      sum(when(col("__ga"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("__ga"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("__ga"), col("__v")).otherwise(0L)).as("sa"),
+      sum(when(!col("__ga"), col("__v")).otherwise(0L)).as("sb"))
+      .collect().head
+    val (nA, nB) = (base.getLong(0), base.getLong(1))
+    require(nA > 0 && nB > 0,
+      s"both sides need rows: n_a=$nA, n_b=$nB")
+    val meanA = base.getLong(2).toDouble / nA / scale
+    val meanB = base.getLong(3).toDouble / nB / scale
+    val dObs = meanA - meanB
+    // integer threshold nA·P/n over the h32 domain (exact floor div,
+    // replayable without a double rate)
+    val thr = nA * T.P / (nA + nB)
+    val perms = u
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(1), lit(nPerms))).as("__p"))
+      .select(col("__p"), col("__v"),
+        (T.h32(concat(col("__id"), lit(":"), col("__p").cast("string"),
+          lit(":"), lit(salt))) < thr).as("__pa"))
+      .groupBy("__p").agg(
+        sum(when(col("__pa"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__pa"), 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__pa"), col("__v")).otherwise(0L)).as("__sa"),
+        sum(when(!col("__pa"), col("__v")).otherwise(0L)).as("__sb"))
+    val extreme = perms.agg(
+      coalesce(sum(when(col("__na") === 0 || col("__nb") === 0, 1L)
+        .otherwise(when(
+          abs(col("__sa").cast("double") / col("__na") / scale
+            - col("__sb").cast("double") / col("__nb") / scale)
+            >= lit(math.abs(dObs)), 1L).otherwise(0L))), lit(0L))
+        .as("n_extreme"))
+    extreme.select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+      (round(lit(meanA), 6) + lit(0d)).as("mean_a"),
+      (round(lit(meanB), 6) + lit(0d)).as("mean_b"),
+      (round(lit(dObs), 6) + lit(0d)).as("diff"),
+      lit(nPerms.toLong).as("n_perms"), col("n_extreme"),
+      round((col("n_extreme") + 1).cast("double") / lit(nPerms + 1d), 6)
+        .as("p_value"))
+  }
 }

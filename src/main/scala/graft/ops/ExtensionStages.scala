@@ -128,7 +128,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | maxsim | ann | ivf | kmeans | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk | hamming_pairs
+    method: String, // topk | maxsim | ann | ivf | kmeans | medoids | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk | hamming_pairs
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -168,6 +168,9 @@ final case class SimilarityTransformStage(
       // first-class k-means: (vec_id, cell, cell_size)
       case "kmeans"        =>
         Similarity.kmeans(corpus, centroidEvery, kmeansIters, exactReplay)
+      // per-cell best real representative (coreset selection)
+      case "medoids"       =>
+        Similarity.medoids(corpus, centroidEvery, kmeansIters, exactReplay)
       // binary sign-code search: 8-byte packed codes, xor+popcount rank
       case "hamming_topk"  =>
         Similarity.hammingTopK(corpus, queries, k, nBits.getOrElse(64))
@@ -1414,12 +1417,16 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile
+    method: String, // ks | tv | centroid | profile | permutation
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
     // profile only: columns to diff (empty = every before-side column)
-    columns: Seq[String] = Nil)
+    columns: Seq[String] = Nil,
+    // permutation only
+    idCol: String = "id",
+    nPerms: Int = 200,
+    salt: String = "")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1438,6 +1445,10 @@ final case class DriftTransformStage(
       case "profile" =>
         val cols = if (columns.nonEmpty) columns else before.columns.toSeq
         Profile.drift(before, after, cols)
+      // deterministic randomization test for the mean difference
+      case "permutation" =>
+        Drift.meanPermutationTest(before, after, idCol, valueCol, nPerms,
+          salt)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

@@ -358,6 +358,42 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("cell_size"))
   }
 
+  /** Per-cell MEDOID selection — the coreset / diverse-representative
+    * primitive: train the shared deterministic k-means ([[kmeans]] /
+    * [[ivfTopK]] contract), then keep each cell's member with the
+    * highest cosine to its FINAL centroid (ties to the min vec_id). The
+    * result is ~n/centroidEvery real corpus vectors that together cover
+    * the embedding space — the "pick k representative documents"
+    * selection behind dataset summarization, prototype-based labeling
+    * budgets, and SemDeDup-style cluster inspection, with an actual
+    * document per cell where the centroid itself is a synthetic mean.
+    *
+    * Output: (cell, medoid, cosine 6dp, cell_size), one row per
+    * non-empty cell.
+    *
+    * Shape at scale: the k-means machinery's own passes plus ONE
+    * member-to-own-centroid cosine projection (centroid table broadcast)
+    * and a map-side-combinable max-of-struct argmax per cell — no
+    * window, no pair enumeration; output is cell-bounded.
+    */
+  def medoids(df: DataFrame, centroidEvery: Int = 100, iters: Int = 2,
+      exactReplay: Boolean = false): DataFrame = {
+    val cv = graft.util.Caches.persist(withNorm(df))
+    val cents = trainCentroids(cv, centroidEvery, iters, exactReplay)
+    val cells = assignCells(cv, "vec_id", cents)
+    val cn = cents.select(col("c_id").as("cell"), col("c_emb"),
+      V.norm(col("c_emb")).as("c_nrm"))
+    cells.join(cv, "vec_id")
+      .join(broadcast(cn), "cell")
+      .select(col("cell"), col("vec_id"),
+        cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("__c"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("cell_size"),
+        max(struct(col("__c"), (-col("vec_id")).as("__nid"))).as("__m"))
+      .select(col("cell"), (-col("__m.__nid")).as("medoid"),
+        col("__m.__c").as("cosine"), col("cell_size"))
+  }
+
   /** Assign each row of `df` to its `topN` max-cosine centroids (the
     * centroid table broadcasts; ties break to the min centroid id).
     */

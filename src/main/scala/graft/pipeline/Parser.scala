@@ -137,7 +137,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("topk", "maxsim", "ann", "ivf", "kmeans", "neardup_pairs",
+          Seq("topk", "maxsim", "ann", "ivf", "kmeans", "medoids",
+            "neardup_pairs",
             "standardize", "quantize", "project", "semantic_dedup",
             "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
             "bitext_scalable", "pq_topk", "hamming_topk",
@@ -413,12 +414,15 @@ object Parser {
         inputView = r.requiredString("inputView"),
         rightView = r.requiredString("rightView"),
         outputView = r.requiredString("outputView"),
-        method = r.oneOf("method", Seq("ks", "tv", "centroid", "profile"),
-          "ks"),
+        method = r.oneOf("method",
+          Seq("ks", "tv", "centroid", "profile", "permutation"), "ks"),
         valueCol = r.string("valueCol").getOrElse("value"),
         catCol = r.string("catCol").getOrElse("category"),
         labelCol = r.string("labelCol").getOrElse("label"),
-        columns = r.stringList("columns"))
+        columns = r.stringList("columns"),
+        idCol = r.string("idCol").getOrElse("id"),
+        nPerms = r.int("nPerms").getOrElse(200),
+        salt = r.string("salt").getOrElse(""))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
@@ -804,7 +808,8 @@ object Parser {
       "minScore", "maxBlock", "rightView", "leftKey", "rightKey", "topK",
       "lhs", "rhsCol")),
     "DriftTransform" -> (commonKeys ++ Set("inputView", "rightView",
-      "outputView", "method", "valueCol", "catCol", "labelCol", "columns")),
+      "outputView", "method", "valueCol", "catCol", "labelCol", "columns",
+      "idCol", "nPerms", "salt")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -262,6 +262,8 @@ object ExtensionQueries {
   // per-block bloom: m = 2^16 bits over <= ZBlock keys/block (~0.1% FP
   // at k=5); probe ids cover every generated SF plus a guaranteed miss
   private val ZBloomMBits = 1 << 16
+  // randomization-test permutation count (bounded explode multiplier)
+  private val AbPerms = 100
   private val ZBloomProbeIds = Seq("1", "2", "3", "4", "5", "10003",
     "10004", "10006", "10007", "123456789")
   private val ZPruneXLo = 100L
@@ -1525,6 +1527,13 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // Coreset selection: each k-means cell's best real representative
+    // (max cosine to its final centroid, ties to the min id).
+    "embed_medoids" -> { (spark, dir) =>
+      Similarity.medoids(embs(spark, dir), CentroidEvery, iters = 2)
+        .orderBy("cell")
+    },
+
     // Class prototypes: per-label fixed-point mean vector, long format.
     "embed_centroids" -> { (spark, dir) =>
       Similarity.centroids(embs(spark, dir), "label")
@@ -2709,6 +2718,19 @@ object ExtensionQueries {
         o.where(col("o_orderdate") < cut),
         o.where(col("o_orderdate") >= cut),
         "o_totalprice")
+    },
+
+    // Deterministic randomization test: is the purchase-vs-click value
+    // gap within relabeling noise? Exact fixed-point means, hash-drawn
+    // permutation labels, add-one p-value.
+    "ab_permutation" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      Drift.meanPermutationTest(
+        ev.where(col("event_type") === "purchase")
+          .select("event_id", "value"),
+        ev.where(col("event_type") === "click")
+          .select("event_id", "value"),
+        "event_id", "value", nPerms = AbPerms, salt = "ab")
     },
 
     "drift_tv" -> { (spark, dir) =>
@@ -4216,6 +4238,32 @@ object ExtensionQueries {
       SELECT c.vec_id, c.cell, sz.cell_size
       FROM cells c JOIN sz USING (cell)
       ORDER BY c.vec_id""",
+
+    // The embed_kmeans replay + per-cell argmax of member-to-own-final-
+    // centroid cosine (ties to the min vec_id).
+    "embed_medoids" -> s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdateFixed("assign1", "cents2")}
+      , ${kmAssign("cents2", "cells")}
+      , sc AS (
+        SELECT a.cell, e.vec_id, ${kmCos("e", "c")} AS m_cos
+        FROM cells a JOIN embeddings e USING (vec_id)
+        JOIN cents2 c ON c.c_id = a.cell
+      ), r AS (
+        SELECT cell, vec_id, m_cos,
+          row_number() OVER (PARTITION BY cell
+            ORDER BY m_cos DESC, vec_id) AS rn,
+          count(*) OVER (PARTITION BY cell) AS cell_size
+        FROM sc)
+      SELECT cell, vec_id AS medoid, m_cos AS cosine,
+        cell_size::BIGINT AS cell_size
+      FROM r WHERE rn = 1 ORDER BY cell""",
 
     // Replay of the multi-probe IVF (probes=2): corpus cells by rn=1,
     // query cells by rn<=2; cells are disjoint so candidates are unique.
@@ -7397,6 +7445,57 @@ object ExtensionQueries {
     // |cumA*nB - cumB*nA|; argmax ties to the smallest value; the one
     // double division replicates Spark's ta.toDouble * tb.toDouble
     // denominator literal.
+    // Replay of Drift.meanPermutationTest: same h32 label draws per
+    // permutation, exact fixed-point sums, integer nA*P//n threshold.
+    "ab_permutation" -> s"""
+      WITH u AS (
+        SELECT 'a:' || event_id::VARCHAR AS id,
+          round(value * 1048576.0)::BIGINT AS v, true AS ga
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        UNION ALL
+        SELECT 'b:' || event_id::VARCHAR,
+          round(value * 1048576.0)::BIGINT, false
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+      ), base AS (
+        SELECT sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN ga THEN 0 ELSE 1 END)::BIGINT AS nb,
+          sum(CASE WHEN ga THEN v ELSE 0 END) AS sa,
+          sum(CASE WHEN NOT ga THEN v ELSE 0 END) AS sb
+        FROM u
+      ), obs AS (
+        SELECT na, nb,
+          sa::DOUBLE / na / 1048576.0 AS mean_a,
+          sb::DOUBLE / nb / 1048576.0 AS mean_b,
+          sa::DOUBLE / na / 1048576.0 - sb::DOUBLE / nb / 1048576.0 AS d,
+          na * $P // (na + nb) AS thr
+        FROM base
+      ), pm AS (
+        SELECT p,
+          sum(CASE WHEN pa THEN 1 ELSE 0 END) AS pna,
+          sum(CASE WHEN pa THEN 0 ELSE 1 END) AS pnb,
+          sum(CASE WHEN pa THEN v ELSE 0 END) AS psa,
+          sum(CASE WHEN NOT pa THEN v ELSE 0 END) AS psb
+        FROM (
+          SELECT u.v, t.p,
+            ('0x'||substr(md5(u.id || ':' || t.p::VARCHAR || ':ab'),1,8))::BIGINT
+              % $P < (SELECT thr FROM obs) AS pa
+          FROM u CROSS JOIN generate_series(1, $AbPerms) t(p))
+        GROUP BY p
+      ), ex AS (
+        SELECT coalesce(sum(CASE WHEN pna = 0 OR pnb = 0 THEN 1
+          WHEN abs(psa::DOUBLE / pna / 1048576.0
+            - psb::DOUBLE / pnb / 1048576.0)
+            >= (SELECT abs(d) FROM obs) THEN 1 ELSE 0 END), 0)::BIGINT
+          AS n_extreme
+        FROM pm)
+      SELECT na AS n_a, nb AS n_b,
+        (round(mean_a, 6) + 0) AS mean_a,
+        (round(mean_b, 6) + 0) AS mean_b,
+        (round(d, 6) + 0) AS diff,
+        $AbPerms::BIGINT AS n_perms, n_extreme,
+        round((n_extreme + 1)::DOUBLE / ($AbPerms + 1), 6) AS p_value
+      FROM obs, ex""",
+
     "drift_ks" -> s"""
       WITH av AS (SELECT o_totalprice AS v, count(*) AS na FROM orders
                   WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'

@@ -98,4 +98,30 @@ class DriftSpec extends SparkSpec {
       .orderBy("label", "d").collect().toSeq
     assert(r1 == r2)
   }
+
+  test("meanPermutationTest: separated means significant, same-pool not, deterministic") {
+    // A and B drawn from the same 1..40 pool: the observed diff is
+    // relabeling noise -> p far from significant
+    val pool = (1L to 40L).map(i => (i, (i % 10).toDouble))
+    val (pa, pb) = pool.partition(_._1 % 2 == 0)
+    val same = Drift.meanPermutationTest(
+      pa.toDF("id", "v"), pb.toDF("id", "v"), "id", "v", nPerms = 99)
+      .collect().head
+    assert(same.getDouble(7) > 0.2, s"same-pool p=${same.getDouble(7)}")
+    // disjoint value ranges: no relabeling reproduces the gap
+    val far = Drift.meanPermutationTest(
+      (1L to 30L).map(i => (i, 100.0 + i)).toDF("id", "v"),
+      (1L to 30L).map(i => (i, 1.0 + i)).toDF("id", "v"),
+      "id", "v", nPerms = 99).collect().head
+    assert(far.getDouble(7) <= 0.05, s"separated p=${far.getDouble(7)}")
+    assert(far.getLong(0) == 30L && far.getLong(1) == 30L)
+    assert(far.getDouble(4) == 99.0) // diff = mean_a - mean_b exactly
+    // pure function of (ids, values, salt): layout cannot change it
+    val again = Drift.meanPermutationTest(
+      pa.toDF("id", "v").repartition(7),
+      pb.toDF("id", "v").repartition(3), "id", "v", nPerms = 99)
+      .collect().head
+    assert(again.toString == same.toString)
+    graft.util.Caches.unpersistAll()
+  }
 }
