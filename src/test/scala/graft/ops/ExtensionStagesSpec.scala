@@ -1618,6 +1618,51 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("pareto, medoids, ttr, chao1, permutation as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "r12b_docs"},
+      {"type": "Extract", "name": "embs", "table": "embeddings",
+       "outputView": "r12b_embs"},
+      {"type": "TextAnalysisTransform", "name": "ttr", "analysis": "ttr",
+       "inputView": "r12b_docs", "outputView": "r12b_ttr"},
+      {"type": "TextAnalysisTransform", "name": "rich", "analysis": "chao1",
+       "inputView": "r12b_docs", "outputView": "r12b_chao1"},
+      {"type": "SampleTransform", "name": "par", "method": "pareto",
+       "inputView": "r12b_ttr", "outputView": "r12b_front",
+       "xCol": "n_tokens", "yCol": "ttr"},
+      {"type": "SimilarityTransform", "name": "med", "method": "medoids",
+       "inputView": "r12b_embs", "centroidEvery": 40,
+       "outputView": "r12b_medoids"},
+      {"type": "SqlTransform", "name": "ev_a",
+       "sql": "SELECT doc_id AS id, n_chars AS v FROM r12b_docs WHERE lang = 'en'",
+       "outputView": "r12b_a"},
+      {"type": "SqlTransform", "name": "ev_b",
+       "sql": "SELECT doc_id AS id, n_chars AS v FROM r12b_docs WHERE lang = 'de'",
+       "outputView": "r12b_b"},
+      {"type": "DriftTransform", "name": "perm", "method": "permutation",
+       "inputView": "r12b_a", "rightView": "r12b_b",
+       "outputView": "r12b_perm", "idCol": "id", "valueCol": "v",
+       "nPerms": 19, "salt": "s"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("r12b_front").collect().map(_.toString).toSet ==
+      Sampling.paretoFront(spark.table("r12b_ttr"), "n_tokens", "ttr")
+        .collect().map(_.toString).toSet)
+    assert(spark.table("r12b_medoids").collect().map(_.toString).toSet ==
+      Similarity.medoids(spark.table("r12b_embs"), centroidEvery = 40)
+        .collect().map(_.toString).toSet)
+    val chao = spark.table("r12b_chao1").collect().head
+    assert(chao.getLong(0) > 0 && chao.getDouble(4) >= chao.getLong(1))
+    val perm = spark.table("r12b_perm").collect().head
+    assert(perm.getLong(5) == 19L
+      && perm.getDouble(7) >= 0.05 && perm.getDouble(7) <= 1.0)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("classify stage: train_score -> auc/confusion/calibration, agreement") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     val conf = """{"stages": [
