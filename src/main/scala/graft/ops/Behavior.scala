@@ -360,4 +360,64 @@ object Behavior {
         }
       }(enc)
   }
+
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958) over
+    * right-censored durations — the time-to-churn / time-to-failure
+    * readout a naive mean-lifetime cannot give, because units still
+    * alive at the observation horizon carry information (they survived
+    * AT LEAST this long) that dropping or treating them as events both
+    * bias away.
+    *
+    * Input: one row per unit with a numeric `durationCol` and a boolean
+    * `observedCol` (true = the event happened, false = censored at that
+    * duration). Output: one row per distinct duration with
+    * `(duration, n_risk, n_events, n_censored, survival)` where
+    * `survival(t) = Π_{t_i <= t, d_i > 0} (n_i − d_i)/n_i`, ascending.
+    *
+    * Replay determinism: each factor enters as micro-nat-quantized
+    * `ln((n−d)/n)` longs; the cumulative product is then an EXACT long
+    * prefix sum, and only the final `exp(Σ/1e6)` rounds — the
+    * [[Classify.naiveBayes]] fixed-point convention, so any engine
+    * replays the curve bit-identically. A step that kills everyone
+    * (d = n) zeroes the curve from that point on explicitly (ln 0 has no
+    * fixed-point form).
+    *
+    * Shape at scale: per-duration event/censor tallies are one
+    * map-side-combined aggregation; only the DISTINCT durations cross
+    * the prefix-sum window. A survival curve is a presentation-sized
+    * object — callers bucket durations first (the gate uses whole
+    * hours), so the single-partition stretch is grid-bounded, the same
+    * contract as [[TimeSeries]] grids.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      observedCol: String): DataFrame = {
+    val steps = df
+      .where(col(durationCol).isNotNull && col(observedCol).isNotNull)
+      .groupBy(col(durationCol).cast("double").as("duration"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy("duration")
+    // at risk at t = everyone whose duration is >= t: a suffix sum over
+    // the distinct-duration grid
+    val withRisk = steps
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(
+          Window.orderBy("duration")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // micro-nat step hazard; NULL marks the d = n annihilation step
+    val stepLn = when(col("n_events") === 0, lit(0L))
+      .otherwise(when(col("n_events") < col("n_risk"),
+        round(log((col("n_risk") - col("n_events")).cast("double")
+          / col("n_risk").cast("double")) * 1e6).cast("long")))
+    withRisk
+      .withColumn("__ln", stepLn)
+      .withColumn("__dead",
+        max(when(col("__ln").isNull, 1).otherwise(0)).over(w))
+      .withColumn("__cum", sum(coalesce(col("__ln"), lit(0L))).over(w))
+      .select(col("duration"), col("n_risk"), col("n_events"),
+        col("n_censored"),
+        when(col("__dead") === 1, lit(0d))
+          .otherwise(round(exp(col("__cum").cast("double") / 1e6), 6)
+            + lit(0d)).as("survival"))
+  }
 }

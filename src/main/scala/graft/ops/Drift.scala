@@ -276,4 +276,63 @@ object Drift {
       round((col("n_extreme") + 1).cast("double") / lit(nPerms + 1d), 6)
         .as("p_value"))
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    * unit's experiment-period metric by its own pre-period baseline,
+    * `y' = y − θ·(x − x̄)` with `θ = cov(x, y)/var(x)` pooled across all
+    * units — the standard trick that shrinks A/B confidence intervals
+    * ~30–70% when units have stable individual baselines, because
+    * between-unit variance the treatment cannot touch is regressed out.
+    * The readout companion to [[meanPermutationTest]]: run the
+    * permutation test on the ADJUSTED means when the raw diff drowns in
+    * between-user noise.
+    *
+    * Input: one row per unit with group, pre-period metric `preCol`
+    * (x), experiment metric `postCol` (y). θ and x̄ come from the POOLED
+    * frame (both groups — using per-group θ would re-introduce the bias
+    * CUPED avoids). Output: one row per group with n, mean_pre, mean_post
+    * and mean_adjusted; θ repeats on every row for the readout.
+    *
+    * Replay determinism: the five sufficient statistics accumulate as
+    * ×2^20 fixed-point DECIMAL(38,0) sums — the [[Profile.correlation]]
+    * convention, exact under any partitioning — and θ enters the
+    * per-group adjustment through one-row broadcast, so no data-sized
+    * driver state and no merge-order float drift. Same |x·y| ≲ 2^33
+    * magnitude bound as correlation; winsorize first for wide metrics.
+    */
+  def cuped(df: DataFrame, groupCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val scale = (1L << 20).toDouble
+    val x = col(preCol).cast("double"); val y = col(postCol).cast("double")
+    def fp(c: org.apache.spark.sql.Column) =
+      sum(round(c * scale).cast("decimal(38,0)"))
+    val rows = df.where(x.isNotNull && y.isNotNull)
+      .select(col(groupCol).as("group"), x.as("__x"), y.as("__y"))
+    val pooled = rows.agg(count(lit(1)).as("__n"),
+      fp(col("__x")).as("__sx"), fp(col("__y")).as("__sy"),
+      fp(col("__x") * col("__x")).as("__sxx"),
+      fp(col("__x") * col("__y")).as("__sxy"))
+    def d(c: String) = col(c).cast("double") / scale
+    val n = col("__n").cast("double")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val globals = pooled.select(
+      when(varX > 0, (n * d("__sxy") - d("__sx") * d("__sy")) / varX)
+        .otherwise(0d).as("__theta"),
+      (d("__sx") / n).as("__xbar"))
+    rows.crossJoin(broadcast(globals))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        fp(col("__x")).as("__gsx"), fp(col("__y")).as("__gsy"),
+        fp(col("__y") - col("__theta") * (col("__x") - col("__xbar")))
+          .as("__gsa"),
+        first(col("__theta")).as("__t"))
+      .select(col("group"), col("n"),
+        (round(d("__gsx") / col("n").cast("double"), 6) + lit(0d))
+          .as("mean_pre"),
+        (round(d("__gsy") / col("n").cast("double"), 6) + lit(0d))
+          .as("mean_post"),
+        (round(d("__gsa") / col("n").cast("double"), 6) + lit(0d))
+          .as("mean_adjusted"),
+        (round(col("__t"), 6) + lit(0d)).as("theta"))
+  }
 }

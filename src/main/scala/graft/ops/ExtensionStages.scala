@@ -586,6 +586,10 @@ final case class TextAnalysisTransformStage(
       case "ttr" => TextAnalysis.lexicalDiversity(in, idCol, textCol)
       // Chao1 corpus vocabulary-richness estimate (one row)
       case "chao1" => TextAnalysis.chao1(in, textCol)
+      // per-doc Flesch reading-ease readability signals
+      case "readability" => TextAnalysis.readability(in, idCol, textCol)
+      // corpus Zipf ln-ln slope over the topK vocabulary head
+      case "zipf" => TextAnalysis.zipfFit(in, textCol, topK)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -1237,7 +1241,7 @@ final case class BehaviorTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // funnel | cohort | transitions | attribution | basket | rate_cap | debounce | throttle
+    method: String, // funnel | cohort | transitions | attribution | basket | rate_cap | debounce | throttle | survival
     tsCol: String = "ts",
     userCol: String = "user_id",
     typeCol: String = "event_type",
@@ -1254,7 +1258,10 @@ final case class BehaviorTransformStage(
     itemCol: String = "item",
     minSupport: Long = 10L,
     // rate_cap only: rows kept per (key, bucket)
-    k: Int = 3)
+    k: Int = 3,
+    // survival only: per-unit duration + right-censoring flag columns
+    durationCol: String = "duration",
+    observedCol: String = "observed")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1284,6 +1291,9 @@ final case class BehaviorTransformStage(
         Behavior.throttle(in, tsCol, userCol, idCol, windowSeconds)
       case "rate_cap" =>
         Behavior.rateCap(in, tsCol, userCol, idCol, windowSeconds, k)
+      // Kaplan-Meier curve over per-unit right-censored durations
+      case "survival" =>
+        Behavior.kaplanMeier(in, durationCol, observedCol)
       case other =>
         throw new IllegalArgumentException(s"unknown behavior method '$other'")
     }
@@ -1417,7 +1427,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation
+    method: String, // ks | tv | centroid | profile | permutation | cuped
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1426,7 +1436,12 @@ final case class DriftTransformStage(
     // permutation only
     idCol: String = "id",
     nPerms: Int = 200,
-    salt: String = "")
+    salt: String = "",
+    // cuped only (single-view: rightView is unused): per-unit group /
+    // pre-period / experiment-period metric columns
+    groupCol: String = "group",
+    preCol: String = "pre",
+    postCol: String = "post")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1435,7 +1450,8 @@ final case class DriftTransformStage(
     detail += "rightView" -> rightView
     detail += "outputView" -> outputView
     val before = Views.resolve(inputView)
-    val after = Views.resolve(rightView)
+    // cuped is single-view; every other method diffs two snapshots
+    lazy val after = Views.resolve(rightView)
     val out = method match {
       case "ks" => Drift.ksStatistic(before, after, valueCol)
       case "tv" => Drift.categoricalDrift(before, after, catCol)
@@ -1449,6 +1465,8 @@ final case class DriftTransformStage(
       case "permutation" =>
         Drift.meanPermutationTest(before, after, idCol, valueCol, nPerms,
           salt)
+      // CUPED variance reduction over per-unit (group, pre, post) rows
+      case "cuped" => Drift.cuped(before, groupCol, preCol, postCol)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

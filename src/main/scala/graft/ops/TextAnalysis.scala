@@ -966,4 +966,106 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / col("n_words").cast("double"),
           6))
   }
+
+  /** Per-document readability signals + Flesch reading-ease score — the
+    * classic prose-difficulty gauge (Flesch 1948) used as a curation
+    * feature beside [[qualityScore]]: very low scores flag legalese /
+    * machine-generated run-ons, implausibly high ones flag word-salad.
+    *
+    * Counting conventions (exactly replayable): words are maximal
+    * `[A-Za-z]+` runs; sentences are `[.!?]+` terminator runs (min 1 so
+    * fragments still score); syllables are `[aeiouy]+` vowel groups per
+    * lower-cased word with a floor of 1 per word — the standard cheap
+    * approximation (true syllabification needs a dictionary).
+    * `flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)`,
+    * rounded to 4; word-less docs report zeros (not NULL) so the output
+    * keeps one row per input doc.
+    *
+    * Shape at scale: sentence/word counts are narrow codegen'd
+    * `regexp_count` projections; the syllable tally is one word explode
+    * feeding a map-side-combined long sum per doc — no shuffle carries
+    * text, and the join back to the doc spine is on the doc key only.
+    */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val syll = df
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+          .as("__w"))
+      .groupBy("doc_id")
+      .agg(sum(greatest(
+        regexp_count(col("__w"), lit("[aeiouy]+")), lit(1)).cast("long"))
+        .as("n_syllables"))
+    df.select(col(idCol).as("doc_id"),
+        regexp_count(lower(col(textCol)), lit("[a-z]+")).cast("long")
+          .as("n_words"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"))
+      .join(syll, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        coalesce(col("n_syllables"), lit(0L)).as("n_syllables"),
+        coalesce(round(col("n_words").cast("double")
+          / col("n_sentences").cast("double"), 6), lit(0d))
+          .as("words_per_sentence"),
+        when(col("n_words") > 0, round(coalesce(col("n_syllables"), lit(0L))
+            .cast("double") / col("n_words").cast("double"), 6))
+          .otherwise(lit(0d)).as("syllables_per_word"),
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (coalesce(col("n_syllables"), lit(0L))
+              .cast("double") / col("n_words").cast("double")), 4)
+            + lit(0d))
+          .otherwise(lit(0d)).as("flesch"))
+  }
+
+  /** Zipf power-law fit over the corpus vocabulary: the least-squares
+    * slope of ln(frequency) on ln(rank) across the top-`topN` terms.
+    * Natural corpora sit near slope −1 (Zipf 1949); a much flatter slope
+    * flags template/boilerplate floods (few dominant types missing), a
+    * much steeper one flags collapsed vocabulary (model-generated or
+    * deduplication-overshoot corpora). The numeric readout companion to
+    * [[headCoverage]]'s cumulative-share curve.
+    *
+    * Shape at scale: term counts are one map-side-combined aggregation;
+    * only the top-`topN` rows (config-bounded, default 1000) pass through
+    * the global sort + rank window, so the single-partition stretch holds
+    * `topN` rows regardless of corpus size. The regression reduces the
+    * ranked rows through ×2^20 fixed-point DECIMAL(38,0) sufficient
+    * statistics (Σx, Σy, Σxx, Σxy — the [[Profile.correlation]]
+    * convention), exact under any partitioning, so the final double
+    * formula evaluates identically on any engine. ln(count) of realistic
+    * counts stays ≪ 2^33, inside the fixed-point exactness bound.
+    */
+  def zipfFit(df: DataFrame, textCol: String,
+      topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val ranked = df
+      .select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .where(length(col("__w")) > 0)
+      .select(lower(col("__w")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(topN)
+      .select(col("__c"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__c").desc, col("__w").asc)).as("__r"))
+    val scale = (1L << 20).toDouble
+    def fp(c: Column) = sum(round(c * scale).cast("decimal(38,0)"))
+    val x = log(col("__r").cast("double"))
+    val y = log(col("__c").cast("double"))
+    val stats = ranked.agg(count(lit(1)).as("n_terms"),
+      fp(x).as("__sx"), fp(y).as("__sy"),
+      fp(x * x).as("__sxx"), fp(x * y).as("__sxy"))
+    val n = col("n_terms").cast("double")
+    def d(c: String) = col(c).cast("double") / scale
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val slope = (n * d("__sxy") - d("__sx") * d("__sy")) / varX
+    stats.select(col("n_terms"),
+      (round(when(varX > 0, slope).otherwise(0d), 6) + lit(0d)).as("slope"),
+      (round(when(varX > 0,
+          (d("__sy") - slope * d("__sx")) / n).otherwise(0d), 6) + lit(0d))
+        .as("intercept"))
+  }
 }

@@ -343,7 +343,7 @@ object Parser {
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("funnel", "cohort", "transitions", "attribution", "basket",
-          "rate_cap", "debounce", "throttle"), "funnel")
+          "rate_cap", "debounce", "throttle", "survival"), "funnel")
       val steps = r.stringList("steps")
       if (method == "funnel" && steps.size < 2)
         r.error("steps", "funnel requires >= 2 steps")
@@ -365,7 +365,9 @@ object Parser {
         basketCol = r.string("basketCol").getOrElse("basket"),
         itemCol = r.string("itemCol").getOrElse("item"),
         minSupport = r.long("minSupport").getOrElse(10L),
-        k = r.int("k").getOrElse(3))
+        k = r.int("k").getOrElse(3),
+        durationCol = r.string("durationCol").getOrElse("duration"),
+        observedCol = r.string("observedCol").getOrElse("observed"))
     },
     "DataQualityTransform" -> { (r, _) =>
       val method = r.oneOf("method",
@@ -409,20 +411,28 @@ object Parser {
         rhsCol = r.string("rhsCol").getOrElse("v"))
     },
     "DriftTransform" -> { (r, _) =>
+      val driftMethod = r.oneOf("method",
+        Seq("ks", "tv", "centroid", "profile", "permutation", "cuped"),
+        "ks")
       DriftTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
-        rightView = r.requiredString("rightView"),
+        // cuped is single-view; the two-sample methods need the after side
+        rightView = if (driftMethod == "cuped")
+          r.string("rightView").getOrElse("")
+        else r.requiredString("rightView"),
         outputView = r.requiredString("outputView"),
-        method = r.oneOf("method",
-          Seq("ks", "tv", "centroid", "profile", "permutation"), "ks"),
+        method = driftMethod,
         valueCol = r.string("valueCol").getOrElse("value"),
         catCol = r.string("catCol").getOrElse("category"),
         labelCol = r.string("labelCol").getOrElse("label"),
         columns = r.stringList("columns"),
         idCol = r.string("idCol").getOrElse("id"),
         nPerms = r.int("nPerms").getOrElse(200),
-        salt = r.string("salt").getOrElse(""))
+        salt = r.string("salt").getOrElse(""),
+        groupCol = r.string("groupCol").getOrElse("group"),
+        preCol = r.string("preCol").getOrElse("pre"),
+        postCol = r.string("postCol").getOrElse("post"))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
@@ -517,7 +527,8 @@ object Parser {
             "langid", "fingerprint", "langdist", "repetition", "tfidf",
             "quality_score", "lm_score", "dup_spans", "dup_runs", "keyness",
             "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
-            "bpe_apply", "bpe_fertility", "boilerplate", "ttr", "chao1"),
+            "bpe_apply", "bpe_fertility", "boilerplate", "ttr", "chao1",
+            "readability", "zipf"),
           "quality"),
         terms = r.stringList("terms"),
         merges = r.stringList("merges"),
@@ -802,14 +813,15 @@ object Parser {
     "BehaviorTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
       "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds",
-      "basketCol", "itemCol", "minSupport", "k")),
+      "basketCol", "itemCol", "minSupport", "k", "durationCol",
+      "observedCol")),
     "DataQualityTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "rules", "idCol", "blockCol", "fuzzyFields", "exactFields",
       "minScore", "maxBlock", "rightView", "leftKey", "rightKey", "topK",
       "lhs", "rhsCol")),
     "DriftTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "method", "valueCol", "catCol", "labelCol", "columns",
-      "idCol", "nPerms", "salt")),
+      "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",

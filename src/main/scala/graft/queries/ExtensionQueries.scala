@@ -264,6 +264,12 @@ object ExtensionQueries {
   private val ZBloomMBits = 1 << 16
   // randomization-test permutation count (bounded explode multiplier)
   private val AbPerms = 100
+  // events_survival: a unit whose last event falls inside the final 72 h
+  // of the corpus window is censored (still active at the horizon)
+  private val SurvivalCensorH = 72L
+  // ab_cuped: pre-period = the first 15 days from the corpus min ts
+  private val CupedSplitDays = 15L
+  private val ZipfTopN = 1000
   private val ZBloomProbeIds = Seq("1", "2", "3", "4", "5", "10003",
     "10004", "10006", "10007", "123456789")
   private val ZPruneXLo = 100L
@@ -2731,6 +2737,52 @@ object ExtensionQueries {
         ev.where(col("event_type") === "click")
           .select("event_id", "value"),
         "event_id", "value", nPerms = AbPerms, salt = "ab")
+    },
+
+    // Kaplan-Meier over per-user lifetimes: duration = whole hours from a
+    // user's first to last event; users still active inside the final
+    // SurvivalCensorH hours of the corpus are censored, everyone else is
+    // an observed churn event.
+    "events_survival" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+      val life = ev.groupBy("user_id")
+        .agg(min("ts").as("__f"), max("ts").as("__l"))
+      val units = life
+        .crossJoin(broadcast(ev.agg(max("ts").as("__mx"))))
+        .select(expr("(__l - __f) div 3600000000").as("life_h"),
+          (col("__l") < col("__mx") - lit(SurvivalCensorH * 3600000000L))
+            .as("__obs"))
+      Behavior.kaplanMeier(units, "life_h", "__obs").orderBy("duration")
+    },
+
+    // CUPED adjustment: unit = user, pre-period metric = value sum in the
+    // first CupedSplitDays days, experiment metric = value sum after,
+    // arms split by user-id parity. DECIMAL(18,2) per-user sums keep the
+    // unit metrics exact under any partitioning.
+    "ab_cuped" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+      val cutoff = col("__mn") + lit(CupedSplitDays * 86400000000L)
+      val dec = "decimal(18,2)"
+      val units = ev
+        .crossJoin(broadcast(ev.agg(min("ts").as("__mn"))))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") < cutoff, col("value").cast(dec))
+            .otherwise(lit(0).cast(dec))).cast("double").as("x"),
+          sum(when(col("ts") >= cutoff, col("value").cast(dec))
+            .otherwise(lit(0).cast(dec))).cast("double").as("y"))
+        .select(concat(lit("g"), (col("user_id") % 2).cast("string"))
+          .as("grp"), col("x"), col("y"))
+      Drift.cuped(units, "grp", "x", "y").orderBy("group")
+    },
+
+    "text_readability" -> { (spark, dir) =>
+      TextAnalysis.readability(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "text_zipf" -> { (spark, dir) =>
+      TextAnalysis.zipfFit(docs(spark, dir), "text", topN = ZipfTopN)
     },
 
     "drift_tv" -> { (spark, dir) =>
@@ -7495,6 +7547,147 @@ object ExtensionQueries {
         $AbPerms::BIGINT AS n_perms, n_extreme,
         round((n_extreme + 1)::DOUBLE / ($AbPerms + 1), 6) AS p_value
       FROM obs, ex""",
+
+    // Replay of Behavior.kaplanMeier over the per-user lifetime gate:
+    // suffix-sum at-risk counts, micro-nat-quantized step hazards, exact
+    // long prefix sum, exp only at the end — the fixed-point convention.
+    "events_survival" -> s"""
+      WITH life AS (
+        SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+        FROM events GROUP BY 1),
+      mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+      units AS (
+        SELECT CAST((l - f) // 3600000000 AS DOUBLE) AS duration,
+          l < m - ${SurvivalCensorH * 3600000000L} AS obs
+        FROM life, mx),
+      steps AS (
+        SELECT duration,
+          SUM(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS n_events,
+          SUM(CASE WHEN obs THEN 0 ELSE 1 END)::BIGINT AS n_censored
+        FROM units GROUP BY 1),
+      risk AS (
+        SELECT *, SUM(n_events + n_censored) OVER (ORDER BY duration
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+          AS n_risk
+        FROM steps),
+      haz AS (
+        SELECT *, CASE WHEN n_events = 0 THEN 0
+          WHEN n_events < n_risk THEN CAST(round(
+            ln((n_risk - n_events)::DOUBLE / n_risk) * 1000000.0) AS BIGINT)
+          ELSE NULL END AS lnstep
+        FROM risk),
+      cum AS (
+        SELECT duration, n_risk, n_events, n_censored,
+          MAX(CASE WHEN lnstep IS NULL THEN 1 ELSE 0 END)
+            OVER (ORDER BY duration) AS dead,
+          SUM(coalesce(lnstep, 0)) OVER (ORDER BY duration)::BIGINT AS c
+        FROM haz)
+      SELECT duration, n_risk, n_events, n_censored,
+        CASE WHEN dead = 1 THEN 0.0
+          ELSE round(exp(c::DOUBLE / 1000000.0), 6) + 0.0 END AS survival
+      FROM cum ORDER BY duration""",
+
+    // Replay of Drift.cuped over the user-parity split: DECIMAL(18,2)
+    // per-user metric sums (exact), pooled theta/xbar from x2^20
+    // fixed-point sufficient statistics, per-group adjusted means.
+    "ab_cuped" -> s"""
+      WITH mn AS (SELECT min(epoch_us(ts)) AS m FROM events),
+      per_user AS (
+        SELECT user_id,
+          CAST(SUM(CASE WHEN epoch_us(ts) < m + ${CupedSplitDays * 86400000000L}
+            THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS x,
+          CAST(SUM(CASE WHEN epoch_us(ts) >= m + ${CupedSplitDays * 86400000000L}
+            THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS y
+        FROM events, mn GROUP BY user_id),
+      units AS (
+        SELECT 'g' || (user_id % 2)::VARCHAR AS grp, x, y FROM per_user),
+      st AS (SELECT COUNT(*) AS n,
+        SUM(CAST(round(x * 1048576.0) AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(round(y * 1048576.0) AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(round(x * x * 1048576.0) AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(round(x * y * 1048576.0) AS DECIMAL(38,0))) AS sxy
+        FROM units),
+      gl AS (SELECT
+        CASE WHEN n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0) > 0
+          THEN (n::DOUBLE * (sxy::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0))
+            / (n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+              - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0))
+          ELSE 0 END AS theta,
+        (sx::DOUBLE / 1048576.0) / n::DOUBLE AS xbar FROM st)
+      SELECT grp AS "group", COUNT(*) AS n,
+        round(SUM(CAST(round(x * 1048576.0) AS DECIMAL(38,0)))::DOUBLE
+          / 1048576.0 / COUNT(*)::DOUBLE, 6) + 0.0 AS mean_pre,
+        round(SUM(CAST(round(y * 1048576.0) AS DECIMAL(38,0)))::DOUBLE
+          / 1048576.0 / COUNT(*)::DOUBLE, 6) + 0.0 AS mean_post,
+        round(SUM(CAST(round((y - theta * (x - xbar)) * 1048576.0)
+            AS DECIMAL(38,0)))::DOUBLE
+          / 1048576.0 / COUNT(*)::DOUBLE, 6) + 0.0 AS mean_adjusted,
+        round(theta, 6) + 0.0 AS theta
+      FROM units, gl GROUP BY grp, theta, xbar ORDER BY 1""",
+
+    // Replay of TextAnalysis.readability: [A-Za-z]+ word runs, [.!?]+
+    // sentence runs (floor 1), [aeiouy]+ vowel groups per word (floor 1).
+    "text_readability" -> """
+      WITH syl AS (
+        SELECT doc_id, SUM(greatest(
+            len(regexp_extract_all(w, '[aeiouy]+')), 1))::BIGINT AS n_syl
+        FROM (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents) t
+        GROUP BY doc_id),
+      base AS (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n_words,
+          greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+            AS n_sentences
+        FROM documents)
+      SELECT b.doc_id, b.n_words, b.n_sentences,
+        coalesce(s.n_syl, 0) AS n_syllables,
+        coalesce(round(b.n_words::DOUBLE / b.n_sentences, 6), 0.0)
+          AS words_per_sentence,
+        CASE WHEN b.n_words > 0
+          THEN round(coalesce(s.n_syl, 0)::DOUBLE / b.n_words, 6)
+          ELSE 0.0 END AS syllables_per_word,
+        CASE WHEN b.n_words > 0
+          THEN round(206.835 - 1.015 * (b.n_words::DOUBLE / b.n_sentences)
+            - 84.6 * (coalesce(s.n_syl, 0)::DOUBLE / b.n_words), 4) + 0.0
+          ELSE 0.0 END AS flesch
+      FROM base b LEFT JOIN syl s ON b.doc_id = s.doc_id
+      ORDER BY b.doc_id""",
+
+    // Replay of TextAnalysis.zipfFit: top-N terms by (count desc, term),
+    // ln-ln least squares through x2^20 fixed-point sufficient stats.
+    "text_zipf" -> s"""
+      WITH wc AS (
+        SELECT lower(w) AS w, count(*) AS c
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != '' GROUP BY 1),
+      top AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+        FROM wc ORDER BY c DESC, w ASC LIMIT $ZipfTopN),
+      st AS (SELECT count(*) AS n,
+        SUM(CAST(round(ln(r::DOUBLE) * 1048576.0) AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(round(ln(c::DOUBLE) * 1048576.0) AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(round(ln(r::DOUBLE) * ln(r::DOUBLE) * 1048576.0)
+          AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(round(ln(r::DOUBLE) * ln(c::DOUBLE) * 1048576.0)
+          AS DECIMAL(38,0))) AS sxy
+        FROM top)
+      SELECT n AS n_terms,
+        round(CASE WHEN vx > 0 THEN sl ELSE 0 END, 6) + 0.0 AS slope,
+        round(CASE WHEN vx > 0 THEN (syd - sl * sxd) / nd ELSE 0 END, 6)
+          + 0.0 AS intercept
+      FROM (SELECT n, n::DOUBLE AS nd,
+          sx::DOUBLE / 1048576.0 AS sxd, sy::DOUBLE / 1048576.0 AS syd,
+          n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0) AS vx,
+          (n::DOUBLE * (sxy::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0))
+            / (n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+              - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0)) AS sl
+        FROM st)""",
 
     "drift_ks" -> s"""
       WITH av AS (SELECT o_totalprice AS v, count(*) AS na FROM orders

@@ -333,4 +333,35 @@ class BehaviorSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString
       .contains("rangepartitioning"), "window must be key-partitioned")
   }
+
+  test("kaplanMeier: hand-computed curve, censoring, annihilation, layout") {
+    // classic textbook fixture:
+    //   t=1 death (n=6) -> 5/6; t=2 death+censor (n=5) -> *4/5 = 2/3
+    //   t=3 death (n=3)        -> *2/3 = 4/9
+    //   t=4 censor only        -> unchanged
+    //   t=5 death, d = n = 1   -> curve hits exactly 0
+    val units = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, true),
+      (4.0, false), (5.0, true)).toDF("dur", "obs")
+    val r = Behavior.kaplanMeier(units, "dur", "obs")
+      .orderBy("duration").collect()
+    assert(r.map(x => (x.getDouble(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toSeq == Seq(
+      (1.0, 6L, 1L, 0L), (2.0, 5L, 1L, 1L), (3.0, 3L, 1L, 0L),
+      (4.0, 2L, 0L, 1L), (5.0, 1L, 1L, 0L)))
+    val s = r.map(_.getDouble(4))
+    assert(math.abs(s(0) - 5.0 / 6) < 1e-4)
+    assert(math.abs(s(1) - 2.0 / 3) < 1e-4)
+    assert(math.abs(s(2) - 4.0 / 9) < 1e-4)
+    assert(s(3) == s(2), "censor-only step leaves survival unchanged")
+    assert(s(4) == 0.0, "d = n annihilates the curve exactly")
+    // all censored: flat 1.0 curve (micro-nat sum stays 0)
+    val flat = Behavior.kaplanMeier(
+      Seq((1.0, false), (2.0, false)).toDF("dur", "obs"), "dur", "obs")
+      .orderBy("duration").collect()
+    assert(flat.forall(_.getDouble(4) == 1.0))
+    // pure function of the (duration, observed) multiset
+    val again = Behavior.kaplanMeier(units.repartition(7), "dur", "obs")
+      .orderBy("duration").collect()
+    assert(again.map(_.toString).toSeq == r.map(_.toString).toSeq)
+  }
 }

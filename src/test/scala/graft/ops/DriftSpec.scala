@@ -124,4 +124,33 @@ class DriftSpec extends SparkSpec {
     assert(again.toString == same.toString)
     graft.util.Caches.unpersistAll()
   }
+
+  test("cuped: exact theta on a noiseless linear baseline, adjustment " +
+      "removes pre-period imbalance, layout-invariant") {
+    // y = 2x exactly, arm a handed the HIGH-baseline users (x 11..20),
+    // arm b the low ones (x 1..10): the raw post-period means differ by
+    // 20 purely through baseline imbalance the treatment never caused
+    val units = ((1 to 10).map(i => ("b", i.toDouble, 2.0 * i)) ++
+      (11 to 20).map(i => ("a", i.toDouble, 2.0 * i)))
+      .toDF("grp", "x", "y")
+    val r = Drift.cuped(units, "grp", "x", "y").orderBy("group").collect()
+    val (a, b) = (r(0), r(1))
+    assert(a.getString(0) == "a" && b.getString(0) == "b")
+    assert(a.getLong(1) == 10L && b.getLong(1) == 10L)
+    // pooled theta = cov(x, 2x)/var(x) = 2 exactly
+    assert(a.getDouble(5) == 2.0)
+    assert(a.getDouble(3) - b.getDouble(3) == 20.0, "raw diff = imbalance")
+    // adjusted means: y - 2(x - 10.5) = 21 for EVERY unit in both arms
+    assert(a.getDouble(4) == 21.0 && b.getDouble(4) == 21.0)
+    // zero pre-period variance: theta falls back to 0, adjustment no-ops
+    val flat = Drift.cuped(
+      Seq(("a", 1.0, 5.0), ("b", 1.0, 7.0)).toDF("grp", "x", "y"),
+      "grp", "x", "y").orderBy("group").collect()
+    assert(flat(0).getDouble(5) == 0.0)
+    assert(flat(0).getDouble(4) == flat(0).getDouble(3))
+    // fixed-point sums: layout cannot move any reported digit
+    val again = Drift.cuped(units.repartition(13), "grp", "x", "y")
+      .orderBy("group").collect()
+    assert(again.map(_.toString).toSeq == r.map(_.toString).toSeq)
+  }
 }

@@ -1663,6 +1663,55 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("survival, cuped, readability, zipf as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "r12c_docs"},
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "r12c_ev"},
+      {"type": "TextAnalysisTransform", "name": "read",
+       "analysis": "readability",
+       "inputView": "r12c_docs", "outputView": "r12c_read"},
+      {"type": "TextAnalysisTransform", "name": "zipf", "analysis": "zipf",
+       "topK": 50, "inputView": "r12c_docs", "outputView": "r12c_zipf"},
+      {"type": "SqlTransform", "name": "units",
+       "sql": "SELECT CAST(user_id % 3 AS DOUBLE) + 1 AS dur, user_id % 2 = 0 AS obs FROM (SELECT DISTINCT user_id FROM r12c_ev)",
+       "outputView": "r12c_units"},
+      {"type": "BehaviorTransform", "name": "km", "method": "survival",
+       "inputView": "r12c_units", "outputView": "r12c_km",
+       "durationCol": "dur", "observedCol": "obs"},
+      {"type": "SqlTransform", "name": "cu",
+       "sql": "SELECT concat('g', user_id % 2) AS grp, CAST(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS DOUBLE) AS pre_v, CAST(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS DOUBLE) AS post_v FROM r12c_ev GROUP BY user_id",
+       "outputView": "r12c_cunits"},
+      {"type": "DriftTransform", "name": "cuped", "method": "cuped",
+       "inputView": "r12c_cunits", "outputView": "r12c_cuped",
+       "groupCol": "grp", "preCol": "pre_v", "postCol": "post_v"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("r12c_read").collect().map(_.toString).toSet ==
+      TextAnalysis.readability(spark.table("r12c_docs"), "doc_id", "text")
+        .collect().map(_.toString).toSet)
+    assert(spark.table("r12c_zipf").collect().map(_.toString).toSet ==
+      TextAnalysis.zipfFit(spark.table("r12c_docs"), "text", topN = 50)
+        .collect().map(_.toString).toSet)
+    assert(spark.table("r12c_km").collect().map(_.toString).toSet ==
+      Behavior.kaplanMeier(spark.table("r12c_units"), "dur", "obs")
+        .collect().map(_.toString).toSet)
+    assert(spark.table("r12c_cuped").collect().map(_.toString).toSet ==
+      Drift.cuped(spark.table("r12c_cunits"), "grp", "pre_v", "post_v")
+        .collect().map(_.toString).toSet)
+    // cuped is the one single-view drift method: rightView stays optional
+    val Left(errs) = Parser.parse("""{"stages": [
+      {"type": "DriftTransform", "name": "x", "method": "ks",
+       "inputView": "a", "outputView": "o"}]}""",
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("rightView")))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("classify stage: train_score -> auc/confusion/calibration, agreement") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     val conf = """{"stages": [

@@ -523,4 +523,53 @@ class TextAnalysisSpec extends SparkSpec {
       "text").collect().head
     assert((r4.getLong(0), r4.getLong(1), r4.getDouble(4)) == ((0L, 0L, 0.0)))
   }
+
+  test("readability: hand-computed Flesch, vowel-less floor, empty doc") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "tsk brr"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 6 one-vowel-group words, 2 sentence runs
+    // flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ==
+      ((6L, 2L, 6L)))
+    assert(r(0).getDouble(4) == 3.0 && r(0).getDouble(5) == 1.0)
+    assert(math.abs(r(0).getDouble(6) - 119.19) < 1e-9)
+    // vowel-less words still carry one syllable; no terminator -> 1
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) ==
+      ((2L, 1L, 2L)))
+    assert(math.abs(r(1).getDouble(6) - (206.835 - 1.015 * 2 - 84.6)) < 1e-9)
+    // empty doc keeps its row with zero signals
+    assert((r(2).getLong(1), r(2).getLong(3), r(2).getDouble(6)) ==
+      ((0L, 0L, 0.0)))
+  }
+
+  test("zipfFit: exact two-point fit, topN truncation, flat corpus") {
+    // counts: a x8, b x4, c x2 -> with topN=2 the fit is the exact line
+    // through (ln1, ln8), (ln2, ln4): slope -1, intercept ln 8
+    val df = Seq((1L, "a a a a a a a a b b b b c c")).toDF("doc_id", "text")
+    val two = TextAnalysis.zipfFit(df, "text", topN = 2).collect().head
+    assert(two.getLong(0) == 2L)
+    assert(math.abs(two.getDouble(1) - (-1.0)) < 1e-5)
+    assert(math.abs(two.getDouble(2) - math.log(8)) < 1e-5)
+    // full vocabulary: least squares over (ln r, ln c), checked against a
+    // plain-Scala reference with the same fixed-point quantization
+    val all = TextAnalysis.zipfFit(df, "text", topN = 10).collect().head
+    val pts = Seq((1.0, 8.0), (2.0, 4.0), (3.0, 2.0))
+      .map { case (rk, c) => (math.log(rk), math.log(c)) }
+    val n = pts.size.toDouble
+    val q = (v: Double) => math.round(v * 1048576).toDouble / 1048576
+    val (sx, sy) = (pts.map(p => q(p._1)).sum, pts.map(p => q(p._2)).sum)
+    val sxx = pts.map(p => q(p._1 * p._1)).sum
+    val sxy = pts.map(p => q(p._1 * p._2)).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(all.getLong(0) == 3L)
+    assert(math.abs(all.getDouble(1) - slope) < 1e-5)
+    // uniform counts: zero rank-variance explained, slope 0 by fit
+    val flat = TextAnalysis.zipfFit(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), "text").collect().head
+    assert(flat.getLong(0) == 3L && flat.getDouble(1) == 0.0)
+  }
 }
