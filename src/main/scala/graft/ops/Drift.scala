@@ -335,4 +335,81 @@ object Drift {
           .as("mean_adjusted"),
         (round(col("__t"), 6) + lit(0d)).as("theta"))
   }
+
+  /** Sample-ratio-mismatch (SRM) guard for randomized assignment: the
+    * Pearson χ² goodness-of-fit of observed arm counts against the
+    * DESIGNED split. A significant χ² means the randomizer, logging, or
+    * a downstream filter is dropping units asymmetrically — the classic
+    * silent A/B killer (Fabijan et al., KDD 2019 report ~6% of
+    * experiments at scale trip it), and any treatment readout on top of
+    * a mismatched denominator is invalid. Run it BEFORE
+    * [[meanPermutationTest]] / [[cuped]]; a tripped SRM invalidates both.
+    *
+    * `expected` maps arm label → design weight (weights are normalized
+    * internally, so 1:1 can be written {a→1, b→1}). Every designed arm
+    * gets an output row even when observed count is zero (a vanished arm
+    * is the most extreme mismatch); an OBSERVED arm missing from the
+    * design gets a row with `expected_n` NULL and trips `srm` on every
+    * row — there is no valid χ² against a zero-weight cell, and an
+    * unexpected arm label is definitionally a bug.
+    *
+    * Output: one row per arm `(group, n, expected_n, chi2_term, chi2,
+    * dof, srm)` — `chi2`/`dof`/`srm` repeat on every row for the
+    * readout; `srm` = (χ² > `chi2Threshold`) OR an undesigned arm was
+    * observed. Caller picks the threshold from the χ²(dof) table (3.841
+    * for two arms at α=0.05).
+    *
+    * Replay determinism: arm counts are exact longs; each per-arm term
+    * (n−e)²/e is one scalar double expression over exact integers
+    * (identical IEEE evaluation on any engine), and the cross-arm sum
+    * accumulates ×2^20 fixed-point longs — the [[cuped]] convention — so
+    * the χ² replays bit-identically under any partitioning. Shape at
+    * scale: one map-side-combined count per arm, then arm-cardinality
+    * rows (a handful) through a one-row broadcast of the total.
+    */
+  def srmCheck(df: DataFrame, groupCol: String,
+      expected: Map[String, Double], chi2Threshold: Double): DataFrame = {
+    require(expected.nonEmpty, "expected arm weights must be non-empty")
+    require(expected.values.forall(_ > 0),
+      s"arm weights must be > 0, got $expected")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wTotal = expected.values.sum
+    val design = expected.toSeq.sortBy(_._1)
+      .toDF("group", "__w")
+      .select(col("group"), (col("__w") / wTotal).as("__share"))
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"))
+    // full outer: designed-but-vanished arms stay (n=0), observed-but-
+    // undesigned arms stay (expected NULL -> srm trips)
+    val arms = design.join(counts, Seq("group"), "full_outer")
+      .select(col("group"), coalesce(col("n"), lit(0L)).as("n"),
+        col("__share"))
+      .crossJoin(broadcast(df.where(col(groupCol).isNotNull)
+        .agg(count(lit(1)).as("__total"))))
+    val e = col("__share") * col("__total").cast("double")
+    val term = (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+    val scale = (1L << 20).toDouble
+    val withTerm = arms.select(col("group"), col("n"),
+      when(col("__share").isNotNull, e).as("__e"),
+      when(col("__share").isNotNull, term).as("__term"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    withTerm
+      .withColumn("__chi2fp",
+        sum(round(col("__term") * scale).cast("long")).over(w))
+      .withColumn("__undesigned",
+        max(when(col("__e").isNull, 1).otherwise(0)).over(w))
+      .withColumn("__dof",
+        sum(when(col("__e").isNotNull, 1L).otherwise(0L)).over(w) - 1L)
+      .select(col("group"), col("n"),
+        (round(col("__e"), 6) + lit(0d)).as("expected_n"),
+        (round(col("__term"), 6) + lit(0d)).as("chi2_term"),
+        (round(col("__chi2fp").cast("double") / scale, 6) + lit(0d))
+          .as("chi2"),
+        col("__dof").as("dof"),
+        (col("__chi2fp").cast("double") / scale > chi2Threshold
+          || col("__undesigned") === 1).as("srm"))
+  }
 }

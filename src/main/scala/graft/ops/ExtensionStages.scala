@@ -683,7 +683,7 @@ final case class PiiTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // stats | scrub | kanon | suppress | noisy_counts | ldiversity
+    method: String, // stats | scrub | kanon | suppress | noisy_counts | ldiversity | pseudonymize | pseudonym_audit
     idCol: String = "doc_id",
     textCol: String = "text",
     // kanon / suppress / ldiversity: the quasi-identifier columns;
@@ -711,6 +711,13 @@ final case class PiiTransformStage(
         require(sensitiveCol.nonEmpty,
           "pii method 'ldiversity' requires 'sensitiveCol'")
         Pii.lDiversityProfile(in, cols, sensitiveCol, k)
+      // salted-hash surrogate keys over the `cols` identifier columns
+      case "pseudonymize" => Pii.pseudonymize(in, cols, salt)
+      // release audit: surrogates mapping >1 distinct original value
+      case "pseudonym_audit" =>
+        require(cols.nonEmpty,
+          "pii method 'pseudonym_audit' requires one column in 'cols'")
+        Pii.pseudonymCollisions(in, cols.head, salt)
       case other => throw new IllegalArgumentException(
         s"unknown pii method '$other'")
     }
@@ -1136,7 +1143,7 @@ final case class GapfillTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "gapfill", // gapfill | cusum | utilization | seasonal | ewma | holt
+    method: String = "gapfill", // gapfill | cusum | utilization | seasonal | ewma | holt | changepoint
     tsCol: String = "ts",
     keyCol: String,
     idCol: String = "event_id",
@@ -1149,7 +1156,9 @@ final case class GapfillTransformStage(
     bucketSeconds: Long = 3600L,
     // ewma / holt smoothing coefficients
     alpha: Double = 0.25,
-    beta: Double = 0.25)
+    beta: Double = 0.25,
+    // changepoint only: the per-key series order column
+    ordCol: String = "ord")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1168,6 +1177,9 @@ final case class GapfillTransformStage(
       case "ewma" => TimeSeries.ewma(in, tsCol, keyCol, idCol, valueCol, alpha)
       case "holt" => TimeSeries.holt(in, tsCol, keyCol, idCol, valueCol,
         alpha, beta)
+      // best single mean-shift split per key (binary segmentation step)
+      case "changepoint" =>
+        TimeSeries.changepoint(in, keyCol, ordCol, valueCol)
       case other =>
         throw new IllegalArgumentException(s"unknown timeseries method '$other'")
     }
@@ -1427,7 +1439,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1437,11 +1449,17 @@ final case class DriftTransformStage(
     idCol: String = "id",
     nPerms: Int = 200,
     salt: String = "",
-    // cuped only (single-view: rightView is unused): per-unit group /
+    // cuped / srm (single-view: rightView is unused): per-unit group /
     // pre-period / experiment-period metric columns
     groupCol: String = "group",
     preCol: String = "pre",
-    postCol: String = "post")
+    postCol: String = "post",
+    // srm only: designed arm weights + chi2 flag threshold
+    expected: Map[String, Double] = Map.empty,
+    chi2Threshold: Double = 3.841,
+    // heavy_terms only: tokenized column + movers to keep
+    textCol: String = "text",
+    k: Int = 25)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1467,6 +1485,11 @@ final case class DriftTransformStage(
           salt)
       // CUPED variance reduction over per-unit (group, pre, post) rows
       case "cuped" => Drift.cuped(before, groupCol, preCol, postCol)
+      // sample-ratio-mismatch chi2 guard over the designed arm weights
+      case "srm" => Drift.srmCheck(before, groupCol, expected, chi2Threshold)
+      // top-k vocabulary share movers between the two snapshots
+      case "heavy_terms" =>
+        TextAnalysis.heavyChangers(before, after, textCol, k)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

@@ -151,4 +151,49 @@ object Pii {
       .withColumn("noisy_n",
         greatest(lit(0d), round(col("n") + noise, 0)).cast("long"))
   }
+
+  /** Salted-hash pseudonymization: replace each identifier column with a
+    * stable surrogate key `substr(sha256(salt || ':' || value), 1, 16)`
+    * — the standard key-coding step before a corpus with user/account
+    * identifiers leaves its trust boundary. Stable (the same input maps
+    * to the same surrogate on every run and every engine, so joins and
+    * per-user aggregates still work downstream) but not reversible
+    * without the salt; rotate the salt per release to prevent
+    * cross-release linkage. NULL stays NULL (absence is not an
+    * identity). 64 surrogate bits ⇒ birthday-bound collision odds stay
+    * below ~10⁻⁸ up to ~10⁵ distinct ids and ~10⁻³ at 10⁸ — run
+    * [[pseudonymCollisions]] as the release audit.
+    *
+    * Narrow codegen'd column work (one hash projection per column, no
+    * shuffle, no UDF) — scan-bound at any corpus size, like [[scrub]].
+    */
+  def pseudonymize(df: DataFrame, idCols: Seq[String],
+      salt: String): DataFrame = {
+    require(idCols.nonEmpty, "at least one identifier column")
+    idCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          substring(sha2(concat(lit(salt), lit(":"),
+            col(c).cast("string")), 256), 1, 16)))
+    }
+  }
+
+  /** Release audit for [[pseudonymize]]: one row per surrogate that maps
+    * from MORE THAN ONE distinct original value — a collision would
+    * silently merge two users' histories downstream, so a release gate
+    * wants this empty. Output: (surrogate, n_values).
+    *
+    * Shape at scale: distinct (value) pairs first (map-side combined),
+    * then one count per surrogate — both on the hash key; no joins.
+    */
+  def pseudonymCollisions(df: DataFrame, idCol: String,
+      salt: String): DataFrame = {
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__v"))
+      .distinct()
+      .groupBy(substring(sha2(concat(lit(salt), lit(":"), col("__v")),
+        256), 1, 16).as("surrogate"))
+      .agg(count(lit(1)).as("n_values"))
+      .where(col("n_values") > 1L)
+  }
 }

@@ -1068,4 +1068,60 @@ object TextAnalysis {
           (d("__sy") - slope * d("__sx")) / n).otherwise(0d), 6) + lit(0d))
         .as("intercept"))
   }
+
+  /** Heavy changers between two corpus snapshots: the `k` terms whose
+    * RELATIVE frequency (share of each corpus's total tokens) moved
+    * most, by |Δshare| — the vocabulary-level drift readout that names
+    * WHICH terms drove a [[headCoverage]] / [[zipfFit]] shape change
+    * (a template flood shows up as a handful of terms surging; a source
+    * going dark as its jargon collapsing). The lexical companion to
+    * [[Drift.categoricalDrift]]: TV distance summarizes the move, this
+    * itemizes it.
+    *
+    * Shares, not raw counts: corpora differ in size, and a term keeping
+    * its share in a corpus that doubled is NOT a change. A term absent
+    * from one side has share 0 there (the full-outer contract — new and
+    * vanished terms are exactly the interesting rows).
+    *
+    * Output: top-`k` rows `(term, n_a, n_b, share_a, share_b, delta)`
+    * with `delta` = share_b − share_a (signed: positive = surged in B),
+    * ranked by |delta| desc, term asc.
+    *
+    * Replay determinism: counts and totals are exact longs; each share
+    * and delta is one scalar double expression over those integers
+    * (identical IEEE evaluation on any engine), and the rank key
+    * |delta| is the same scalar, so the top-k cut replays exactly with
+    * the term tie-break. Shape at scale: two map-side-combined term
+    * counts, a full-outer merge on the term key, one-row total
+    * broadcasts, and a distributed TakeOrdered for the top-k — no
+    * global single-partition sort (the [[tfIdfTopK]] precedent).
+    */
+  def heavyChangers(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def termCounts(df: DataFrame, cnt: String) = df
+      .select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy(lower(col("__w")).as("term"))
+      .agg(count(lit(1)).as(cnt))
+    val ca = termCounts(a, "n_a")
+    val cb = termCounts(b, "n_b")
+    val merged = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(
+        ca.agg(sum("n_a").as("__ta")).crossJoin(cb.agg(sum("n_b").as("__tb")))))
+    val shareA = col("n_a").cast("double") / col("__ta").cast("double")
+    val shareB = col("n_b").cast("double") / col("__tb").cast("double")
+    merged
+      .select(col("term"), col("n_a"), col("n_b"),
+        shareA.as("__sa"), shareB.as("__sb"),
+        (shareB - shareA).as("__d"))
+      .orderBy(abs(col("__d")).desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("n_a"), col("n_b"),
+        (round(col("__sa"), 6) + lit(0d)).as("share_a"),
+        (round(col("__sb"), 6) + lit(0d)).as("share_b"),
+        (round(col("__d"), 6) + lit(0d)).as("delta"))
+  }
 }

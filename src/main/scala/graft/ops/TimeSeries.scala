@@ -324,4 +324,75 @@ object TimeSeries {
       .groupBy(keyCol, "bucket_start_us")
       .agg(sum("__ov").as("overlap_us"))
   }
+
+  /** Single best mean-shift changepoint per key: the split of the
+    * ordered series that maximizes the between-segment sum-of-squares
+    * reduction G(t) = n_l·n_r/n · (mean_l − mean_r)² — the binary-
+    * segmentation step (Scott & Knott 1974; the building block PELT
+    * iterates) that LOCALIZES a level shift where [[cusum]] only raises
+    * a running alarm. The readout a pipeline wants when a source's
+    * volume or value level steps: "WHEN did it move, and from what to
+    * what".
+    *
+    * Output: one row per key `(key, split_ord, n_left, n_right,
+    * mean_left, mean_right, score)` — the split assigns ord ≤ split_ord
+    * to the left segment; keys with fewer than two observations emit
+    * nothing (no valid split). Ties on G(t) break toward the earliest
+    * split.
+    *
+    * Replay determinism: values enter as ×2^20 fixed-point longs, so
+    * per-key prefix sums are exact; G(t) is then ONE scalar double
+    * expression per candidate split over exact integers — identical
+    * IEEE evaluation on any engine, so the argmax (with the explicit
+    * ord tie-break) replays exactly. Computed as
+    * G(t) = (S_l·n_r − S_r·n_l)² / (n_l·n_r·n) in the fixed-point
+    * domain with the squared numerator in double (the exact-integer
+    * inputs are ≪ 2⁵³ for realistic grids, so the double square is the
+    * same value both engines compute).
+    *
+    * Shape at scale: per-key windows — one hash shuffle on the key,
+    * prefix sums inside the per-key sort, argmax via one more window
+    * over the same partitioning (no second shuffle). Series length per
+    * key is the grid contract (callers bucket first, [[gapfillHourly]]
+    * precedent), so no single-partition global stretch anywhere.
+    */
+  def changepoint(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val scale = (1L << 20).toDouble
+    val perKey = w.partitionBy(col("key")).orderBy(col("__ord"))
+    val whole = w.partitionBy(col("key"))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val slim = df
+      .where(col(ordCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).as("__ord"),
+        round(col(valueCol).cast("double") * scale).cast("long").as("__v"))
+    val pref = slim
+      .withColumn("__nl", count(lit(1)).over(perKey))
+      .withColumn("__sl", sum(col("__v")).over(perKey))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__s", sum(col("__v")).over(whole))
+      .where(col("__nl") < col("__n")) // t = 1..n-1: right side non-empty
+    val nl = col("__nl").cast("double")
+    val nr = (col("__n") - col("__nl")).cast("double")
+    val n = col("__n").cast("double")
+    // S_l·n_r − S_r·n_l in exact long arithmetic, squared in double
+    val num = (col("__sl") * (col("__n") - col("__nl"))
+      - (col("__s") - col("__sl")) * col("__nl")).cast("double")
+    val scored = pref.withColumn("__g",
+      num * num / (nl * nr * n) / (scale * scale))
+    scored
+      .withColumn("__rk", row_number().over(
+        w.partitionBy(col("key"))
+          .orderBy(col("__g").desc, col("__ord").asc)))
+      .where(col("__rk") === 1)
+      .select(col("key"), col("__ord").as("split_ord"),
+        col("__nl").as("n_left"),
+        (col("__n") - col("__nl")).as("n_right"),
+        (round(col("__sl").cast("double") / scale / nl, 6) + lit(0d))
+          .as("mean_left"),
+        (round((col("__s") - col("__sl")).cast("double") / scale / nr, 6)
+          + lit(0d)).as("mean_right"),
+        (round(col("__g"), 6) + lit(0d)).as("score"))
+  }
 }

@@ -288,7 +288,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("stats", "scrub", "kanon", "suppress", "noisy_counts",
-            "ldiversity"),
+            "ldiversity", "pseudonymize", "pseudonym_audit"),
           "stats"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -412,14 +412,25 @@ object Parser {
     },
     "DriftTransform" -> { (r, _) =>
       val driftMethod = r.oneOf("method",
-        Seq("ks", "tv", "centroid", "profile", "permutation", "cuped"),
+        Seq("ks", "tv", "centroid", "profile", "permutation", "cuped",
+          "srm", "heavy_terms"),
         "ks")
+      val singleView = driftMethod == "cuped" || driftMethod == "srm"
+      val expected = r.stringMap("expected").map { case (arm, w) =>
+        arm -> (try w.toDouble catch {
+          case _: NumberFormatException =>
+            r.error("expected", s"weight for '$arm' is not a number: '$w'")
+            1.0
+        })
+      }
+      if (driftMethod == "srm" && expected.isEmpty)
+        r.error("expected", "missing; srm requires the designed arm weights")
       DriftTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
-        // cuped is single-view; the two-sample methods need the after side
-        rightView = if (driftMethod == "cuped")
-          r.string("rightView").getOrElse("")
+        // cuped/srm are single-view; the two-sample methods need the
+        // after side
+        rightView = if (singleView) r.string("rightView").getOrElse("")
         else r.requiredString("rightView"),
         outputView = r.requiredString("outputView"),
         method = driftMethod,
@@ -432,7 +443,11 @@ object Parser {
         salt = r.string("salt").getOrElse(""),
         groupCol = r.string("groupCol").getOrElse("group"),
         preCol = r.string("preCol").getOrElse("pre"),
-        postCol = r.string("postCol").getOrElse("post"))
+        postCol = r.string("postCol").getOrElse("post"),
+        expected = expected,
+        chi2Threshold = r.double("chi2Threshold").getOrElse(3.841),
+        textCol = r.string("textCol").getOrElse("text"),
+        k = r.int("k").getOrElse(25))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
@@ -660,7 +675,8 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("gapfill", "cusum", "utilization", "seasonal", "ewma", "holt"),
+          Seq("gapfill", "cusum", "utilization", "seasonal", "ewma", "holt",
+            "changepoint"),
           "gapfill"),
         tsCol = r.string("tsCol").getOrElse("ts"),
         keyCol = r.requiredString("keyCol"),
@@ -673,7 +689,8 @@ object Parser {
         endCol = r.string("endCol").getOrElse("end_us"),
         bucketSeconds = r.long("bucketSeconds").getOrElse(3600L),
         alpha = r.double("alpha").getOrElse(0.25),
-        beta = r.double("beta").getOrElse(0.25))
+        beta = r.double("beta").getOrElse(0.25),
+        ordCol = r.string("ordCol").getOrElse("ord"))
     },
     "ZorderTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("manifest", "write", "hilbert_manifest", "hilbert_write"), "manifest")
@@ -821,7 +838,8 @@ object Parser {
       "lhs", "rhsCol")),
     "DriftTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "method", "valueCol", "catCol", "labelCol", "columns",
-      "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol")),
+      "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol",
+      "expected", "chi2Threshold", "textCol", "k")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",
@@ -854,7 +872,8 @@ object Parser {
       "maxDim", "maxHamming", "maxBucket")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "keyCol", "idCol", "valueCol", "target", "slack",
-      "threshold", "startCol", "endCol", "bucketSeconds", "alpha", "beta")),
+      "threshold", "startCol", "endCol", "bucketSeconds", "alpha", "beta",
+      "ordCol")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "cols", "xCol", "yCol", "idCol", "method", "outputDir", "blockSize",
       "bits", "params"))

@@ -270,6 +270,10 @@ object ExtensionQueries {
   // ab_cuped: pre-period = the first 15 days from the corpus min ts
   private val CupedSplitDays = 15L
   private val ZipfTopN = 1000
+  // chi2(1 dof) critical value at alpha = 0.05 for the two-arm SRM gate
+  private val SrmChi2Threshold = 3.841
+  private val HeavyChangeK = 25
+  private val PseudoSalt = "rel1"
   private val ZBloomProbeIds = Seq("1", "2", "3", "4", "5", "10003",
     "10004", "10006", "10007", "123456789")
   private val ZPruneXLo = 100L
@@ -2783,6 +2787,51 @@ object ExtensionQueries {
 
     "text_zipf" -> { (spark, dir) =>
       TextAnalysis.zipfFit(docs(spark, dir), "text", topN = ZipfTopN)
+    },
+
+    // SRM guard: arms by user-id parity against the designed 1:1 split;
+    // threshold = chi2(1 dof) critical value at alpha = 0.05.
+    "ab_srm" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+      Drift.srmCheck(
+        ev.select(concat(lit("g"), (col("user_id") % 2).cast("string"))
+          .as("arm")),
+        "arm", Map("g0" -> 1.0, "g1" -> 1.0), SrmChi2Threshold)
+        .orderBy("group")
+    },
+
+    // Mean-shift localization over each event type's hourly volume
+    // series: where did the level step, and from what to what.
+    "events_changepoint" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+      val series = ev.groupBy(col("event_type"),
+          expr("ts div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      TimeSeries.changepoint(series, "event_type", "hour", "cnt")
+        .orderBy("key")
+    },
+
+    // Vocabulary heavy changers between the doc-id-parity corpus halves:
+    // which terms moved share the most.
+    "heavy_change" -> { (spark, dir) =>
+      val d = docs(spark, dir)
+      TextAnalysis.heavyChangers(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1),
+        "text", HeavyChangeK)
+    },
+
+    // Surrogate keys stay join-stable: per-surrogate event counts and
+    // exact value sums must replay identically from the raw ids.
+    "pii_pseudonym" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+      Pii.pseudonymize(ev.select(col("user_id"), col("value")),
+          Seq("user_id"), PseudoSalt)
+        .groupBy(col("user_id").as("user_key"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"))
+        .orderBy("user_key")
     },
 
     "drift_tv" -> { (spark, dir) =>
@@ -7688,6 +7737,101 @@ object ExtensionQueries {
             / (n::DOUBLE * (sxx::DOUBLE / 1048576.0)
               - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0)) AS sl
         FROM st)""",
+
+    // Replay of Drift.srmCheck over the user-parity arms: exact arm
+    // counts, designed share 0.5, per-arm chi2 terms as scalar doubles,
+    // cross-arm sum through x2^20 fixed-point longs.
+    "ab_srm" -> s"""
+      WITH c AS (
+        SELECT 'g' || (user_id % 2)::VARCHAR AS grp, count(*)::BIGINT AS n
+        FROM events GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS t FROM c),
+      terms AS (
+        SELECT grp, n,
+          0.5::DOUBLE * t::DOUBLE AS e,
+          (n::DOUBLE - 0.5::DOUBLE * t::DOUBLE)
+            * (n::DOUBLE - 0.5::DOUBLE * t::DOUBLE)
+            / (0.5::DOUBLE * t::DOUBLE) AS term
+        FROM c, tot),
+      x AS (SELECT grp, n, e, term,
+          SUM(CAST(round(term * 1048576.0) AS BIGINT)) OVER () AS cfp
+        FROM terms)
+      SELECT grp AS "group", n, round(e, 6) + 0.0 AS expected_n,
+        round(term, 6) + 0.0 AS chi2_term,
+        round(cfp::DOUBLE / 1048576.0, 6) + 0.0 AS chi2,
+        (SELECT count(*) - 1 FROM c)::BIGINT AS dof,
+        cfp::DOUBLE / 1048576.0 > $SrmChi2Threshold::DOUBLE AS srm
+      FROM x ORDER BY 1""",
+
+    // Replay of TimeSeries.changepoint over per-type hourly volumes:
+    // exact x2^20 prefix sums, G(t) as one scalar double per split,
+    // argmax with the earliest-split tie-break.
+    "events_changepoint" -> """
+      WITH s AS (
+        SELECT event_type AS key, epoch_us(ts) // 3600000000 AS ord,
+          count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT key, ord,
+          SUM(cnt * 1048576) OVER (PARTITION BY key ORDER BY ord)::BIGINT
+            AS sl,
+          row_number() OVER (PARTITION BY key ORDER BY ord)::BIGINT AS nl,
+          SUM(cnt * 1048576) OVER (PARTITION BY key)::BIGINT AS s,
+          count(*) OVER (PARTITION BY key)::BIGINT AS n
+        FROM s),
+      g AS (
+        SELECT key, ord, nl, n - nl AS nr, sl, s, n,
+          (sl * (n - nl) - (s - sl) * nl)::DOUBLE
+            * (sl * (n - nl) - (s - sl) * nl)::DOUBLE
+            / (nl::DOUBLE * (n - nl)::DOUBLE * n::DOUBLE)
+            / 1099511627776 AS gg
+        FROM p WHERE nl < n),
+      r AS (SELECT *, row_number()
+          OVER (PARTITION BY key ORDER BY gg DESC, ord ASC) AS rk
+        FROM g)
+      SELECT key, ord AS split_ord, nl AS n_left, nr AS n_right,
+        round(sl::DOUBLE / 1048576 / nl::DOUBLE, 6) + 0.0 AS mean_left,
+        round((s - sl)::DOUBLE / 1048576 / nr::DOUBLE, 6) + 0.0
+          AS mean_right,
+        round(gg, 6) + 0.0 AS score
+      FROM r WHERE rk = 1 ORDER BY key""",
+
+    // Replay of TextAnalysis.heavyChangers over the doc-parity halves:
+    // exact term counts, scalar-double shares, |delta| top-k with the
+    // term tie-break.
+    "heavy_change" -> s"""
+      WITH ta AS (
+        SELECT lower(w) AS term, count(*)::BIGINT AS n_a
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != '' AND doc_id % 2 = 0 GROUP BY 1),
+      tb AS (
+        SELECT lower(w) AS term, count(*)::BIGINT AS n_b
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != '' AND doc_id % 2 = 1 GROUP BY 1),
+      m AS (
+        SELECT coalesce(ta.term, tb.term) AS term,
+          coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b
+        FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+      tot AS (SELECT (SELECT sum(n_a) FROM ta)::BIGINT AS tta,
+                     (SELECT sum(n_b) FROM tb)::BIGINT AS ttb),
+      d AS (
+        SELECT term, n_a, n_b,
+          n_a::DOUBLE / tta::DOUBLE AS sa,
+          n_b::DOUBLE / ttb::DOUBLE AS sb,
+          n_b::DOUBLE / ttb::DOUBLE - n_a::DOUBLE / tta::DOUBLE AS dd
+        FROM m, tot)
+      SELECT term, n_a, n_b, round(sa, 6) + 0.0 AS share_a,
+        round(sb, 6) + 0.0 AS share_b, round(dd, 6) + 0.0 AS delta
+      FROM d ORDER BY abs(dd) DESC, term ASC LIMIT $HeavyChangeK""",
+
+    // Replay of Pii.pseudonymize + the per-surrogate rollup: identical
+    // SHA-256 surrogates, exact DECIMAL sums cast to double.
+    "pii_pseudonym" -> s"""
+      SELECT substr(sha256('$PseudoSalt:' || user_id::VARCHAR), 1, 16)
+          AS user_key,
+        count(*)::BIGINT AS n,
+        sum(value::DECIMAL(18,2))::DOUBLE AS value_sum
+      FROM events GROUP BY 1 ORDER BY 1""",
 
     "drift_ks" -> s"""
       WITH av AS (SELECT o_totalprice AS v, count(*) AS na FROM orders

@@ -153,4 +153,72 @@ class DriftSpec extends SparkSpec {
       .orderBy("group").collect()
     assert(again.map(_.toString).toSeq == r.map(_.toString).toSeq)
   }
+
+  test("srmCheck: balanced arms give chi2 = 0 and no flag") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("arm")
+    val r = Drift.srmCheck(df, "arm", Map("a" -> 1.0, "b" -> 1.0), 3.841)
+      .orderBy("group").collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Double]("expected_n") == 50.0))
+    assert(r.forall(_.getAs[Double]("chi2") == 0.0))
+    assert(r.forall(_.getAs[Long]("dof") == 1L))
+    assert(r.forall(!_.getAs[Boolean]("srm")))
+  }
+
+  test("srmCheck: hand-computed mismatch trips the flag") {
+    // 80/20 on a designed 1:1 -> e = 50, term = 900/50 = 18 each,
+    // chi2 = 36 > 3.841
+    val df = (Seq.fill(80)("a") ++ Seq.fill(20)("b")).toDF("arm")
+    val r = Drift.srmCheck(df, "arm", Map("a" -> 1.0, "b" -> 1.0), 3.841)
+      .orderBy("group").collect()
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(80L, 20L))
+    assert(r.forall(_.getAs[Double]("chi2_term") == 18.0))
+    assert(r.forall(_.getAs[Double]("chi2") == 36.0))
+    assert(r.forall(_.getAs[Boolean]("srm")))
+    // weights normalize: {2, 2} is the same 1:1 design
+    val r2 = Drift.srmCheck(df, "arm", Map("a" -> 2.0, "b" -> 2.0), 3.841)
+      .orderBy("group").collect()
+    assert(r2.map(_.toString).toSeq == r.map(_.toString).toSeq)
+  }
+
+  test("srmCheck: a vanished designed arm still gets a row") {
+    val df = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).toDF("arm")
+    val r = Drift
+      .srmCheck(df, "arm", Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 3.841)
+      .orderBy("group").collect()
+    assert(r.length == 3)
+    val c = r.find(_.getAs[String]("group") == "c").get
+    assert(c.getAs[Long]("n") == 0L)
+    // e = 20/3; terms = 2 * (10-e)^2/e + e = 10 (up to the 2^-20
+    // fixed-point grid: each third rounds up, so 10.000001)
+    assert(c.getAs[Double]("expected_n") == 6.666667)
+    assert(math.abs(r.head.getAs[Double]("chi2") - 10.0) < 1e-5)
+    assert(r.head.getAs[Long]("dof") == 2L)
+    assert(r.forall(_.getAs[Boolean]("srm")))
+  }
+
+  test("srmCheck: an observed arm missing from the design trips srm") {
+    val df = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(1)("zz"))
+      .toDF("arm")
+    val r = Drift.srmCheck(df, "arm", Map("a" -> 1.0, "b" -> 1.0), 100.0)
+      .orderBy("group").collect()
+    assert(r.length == 3)
+    val z = r.find(_.getAs[String]("group") == "zz").get
+    assert(z.isNullAt(z.fieldIndex("expected_n")))
+    assert(z.isNullAt(z.fieldIndex("chi2_term")))
+    // chi2 itself is small (threshold 100) - the undesigned arm alone flags
+    assert(r.forall(_.getAs[Boolean]("srm")))
+  }
+
+  test("srmCheck result is independent of input partitioning") {
+    val df = spark.range(0, 997)
+      .select(concat(lit("g"), (col("id") % 3).cast("string")).as("arm"))
+    val base = Drift.srmCheck(df, "arm",
+      Map("g0" -> 1.0, "g1" -> 1.0, "g2" -> 1.0), 5.991)
+      .orderBy("group").collect()
+    val again = Drift.srmCheck(df.repartition(17), "arm",
+      Map("g0" -> 1.0, "g1" -> 1.0, "g2" -> 1.0), 5.991)
+      .orderBy("group").collect()
+    assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
+  }
 }

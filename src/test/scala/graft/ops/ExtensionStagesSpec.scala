@@ -1663,6 +1663,69 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("srm, changepoint, heavy_terms, pseudonymize as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "r12d_docs"},
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "r12d_ev"},
+      {"type": "SqlTransform", "name": "arms",
+       "sql": "SELECT concat('g', user_id % 2) AS arm FROM r12d_ev",
+       "outputView": "r12d_arms"},
+      {"type": "DriftTransform", "name": "srm", "method": "srm",
+       "inputView": "r12d_arms", "outputView": "r12d_srm",
+       "groupCol": "arm", "expected": {"g0": 1, "g1": 1}},
+      {"type": "SqlTransform", "name": "series",
+       "sql": "SELECT event_type AS k, CAST(user_id % 100 AS BIGINT) AS ord, CAST(count(*) AS DOUBLE) AS v FROM r12d_ev GROUP BY 1, 2",
+       "outputView": "r12d_series"},
+      {"type": "GapfillTransform", "name": "cp", "method": "changepoint",
+       "inputView": "r12d_series", "outputView": "r12d_cp",
+       "keyCol": "k", "ordCol": "ord", "valueCol": "v"},
+      {"type": "SqlTransform", "name": "da",
+       "sql": "SELECT * FROM r12d_docs WHERE doc_id % 2 = 0",
+       "outputView": "r12d_da"},
+      {"type": "SqlTransform", "name": "db",
+       "sql": "SELECT * FROM r12d_docs WHERE doc_id % 2 = 1",
+       "outputView": "r12d_db"},
+      {"type": "DriftTransform", "name": "hc", "method": "heavy_terms",
+       "inputView": "r12d_da", "rightView": "r12d_db",
+       "outputView": "r12d_hc", "textCol": "text", "k": 10},
+      {"type": "PiiTransform", "name": "pseud", "method": "pseudonymize",
+       "inputView": "r12d_ev", "outputView": "r12d_pseud",
+       "cols": ["user_id"], "salt": "rel1"},
+      {"type": "PiiTransform", "name": "audit", "method": "pseudonym_audit",
+       "inputView": "r12d_ev", "outputView": "r12d_audit",
+       "cols": ["user_id"], "salt": "rel1"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("r12d_srm").collect().map(_.toString).toSet ==
+      Drift.srmCheck(spark.table("r12d_arms"), "arm",
+        Map("g0" -> 1.0, "g1" -> 1.0), 3.841)
+        .collect().map(_.toString).toSet)
+    assert(spark.table("r12d_cp").collect().map(_.toString).toSet ==
+      TimeSeries.changepoint(spark.table("r12d_series"), "k", "ord", "v")
+        .collect().map(_.toString).toSet)
+    assert(spark.table("r12d_hc").collect().map(_.toString).toSet ==
+      TextAnalysis.heavyChangers(spark.table("r12d_da"),
+        spark.table("r12d_db"), "text", 10)
+        .collect().map(_.toString).toSet)
+    assert(spark.table("r12d_pseud").count() ==
+      spark.table("r12d_ev").count())
+    assert(spark.table("r12d_pseud").columns.toSeq ==
+      spark.table("r12d_ev").columns.toSeq, "schema shape preserved")
+    assert(spark.table("r12d_audit").count() == 0L)
+    // srm without the designed weights is a config error
+    val Left(errs) = Parser.parse("""{"stages": [
+      {"type": "DriftTransform", "name": "x", "method": "srm",
+       "inputView": "a", "outputView": "o"}]}""",
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(_.key.contains("expected")))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("survival, cuped, readability, zipf as config methods") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     val conf = """{"stages": [

@@ -122,4 +122,34 @@ class PiiSpec extends SparkSpec {
       .collect()
     assert(out.forall(r => r.getLong(2) == r.getLong(1)))
   }
+
+  test("pseudonymize: stable, salted, format-checked, NULL-preserving") {
+    val df = Seq(Some(123L), Some(123L), Some(456L), None)
+      .toDF("user_id")
+    val out = Pii.pseudonymize(df, Seq("user_id"), "rel1")
+      .collect().map(r => Option(r.getAs[String]("user_id")))
+    // known vector: sha256("rel1:123") prefix, independently computed
+    assert(out(0).contains("161e9ba80696935c"))
+    assert(out(0) == out(1), "same input, same surrogate")
+    assert(out(2).exists(s => s.length == 16 && s.matches("[0-9a-f]{16}")))
+    assert(out(2) != out(0))
+    assert(out(3).isEmpty, "NULL stays NULL")
+    // a different salt relinks nothing
+    val other = Pii.pseudonymize(df, Seq("user_id"), "rel2")
+      .collect().map(r => Option(r.getAs[String]("user_id")))
+    assert(other(0) != out(0))
+  }
+
+  test("pseudonymize covers multiple columns; audit finds no collisions") {
+    val df = Seq((1L, "u1"), (2L, "u2")).toDF("a", "b")
+    val out = Pii.pseudonymize(df, Seq("a", "b"), "s").collect()
+    assert(out.forall(r => r.getAs[String]("a").matches("[0-9a-f]{16}")
+      && r.getAs[String]("b").matches("[0-9a-f]{16}")))
+    val ids = spark.range(0, 5000).toDF("user_id")
+    assert(Pii.pseudonymCollisions(ids, "user_id", "rel1").count() == 0L,
+      "64-bit surrogates over 5k ids: no collisions")
+    // duplicate ORIGINALS are not collisions (distinct first)
+    val dup = Seq(7L, 7L, 7L).toDF("user_id")
+    assert(Pii.pseudonymCollisions(dup, "user_id", "rel1").count() == 0L)
+  }
 }

@@ -572,4 +572,47 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "x y z")).toDF("doc_id", "text"), "text").collect().head
     assert(flat.getLong(0) == 3L && flat.getDouble(1) == 0.0)
   }
+
+  test("heavyChangers: hand-computed share deltas, both directions") {
+    // A: x x y (shares x=2/3, y=1/3); B: x z z (x=1/3, z=2/3)
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((2L, "x z z")).toDF("id", "text")
+    val all = TextAnalysis.heavyChangers(a, b, "text", k = 3).collect()
+    assert(all.length == 3)
+    // |delta|: z 2/3, then the x/y tie at 1/3 breaks x before y
+    assert(all.map(_.getAs[String]("term")).toSeq == Seq("z", "x", "y"))
+    val z = all.head
+    assert(z.getAs[Long]("n_a") == 0L && z.getAs[Long]("n_b") == 2L)
+    assert(z.getAs[Double]("share_a") == 0.0)
+    assert(z.getAs[Double]("share_b") == 0.666667)
+    assert(z.getAs[Double]("delta") == 0.666667)
+    val x = all(1)
+    assert(x.getAs[Double]("delta") == -0.333333)
+    // the top-k cut respects the same ordering
+    val top1 = TextAnalysis.heavyChangers(a, b, "text", k = 1).collect()
+    assert(top1.map(_.getAs[String]("term")).toSeq == Seq("z"))
+  }
+
+  test("heavyChangers: case folding and empty-token filtering") {
+    val a = Seq((1L, "Foo  foo")).toDF("id", "text") // double space
+    val b = Seq((2L, "FOO bar")).toDF("id", "text")
+    val r = TextAnalysis.heavyChangers(a, b, "text", k = 10)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+    assert(r("foo") == ((2L, 1L)), "cases fold together, empties dropped")
+    assert(r("bar") == ((0L, 1L)))
+  }
+
+  test("heavyChangers result is independent of input partitioning") {
+    val docs = spark.range(0, 400).select(col("id"),
+      concat(lit("w"), (col("id") % 23).cast("string"), lit(" common x y "),
+        lit("w"), (col("id") % 7).cast("string")).as("text"))
+    val a = docs.where(col("id") % 2 === 0)
+    val b = docs.where(col("id") % 2 === 1)
+    val base = TextAnalysis.heavyChangers(a, b, "text", k = 15).collect()
+    val again = TextAnalysis
+      .heavyChangers(a.repartition(11), b.repartition(7), "text", k = 15)
+      .collect()
+    assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
+  }
 }

@@ -213,4 +213,53 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(5L) == ((3L, 13.0)))   // {1000, 11, 13} -> 13
     assert(out(6L) == ((1L, 7.0)), "keys independent")
   }
+
+  test("changepoint: hand-computed level shift") {
+    // [1,1,1,5,5,5]: best split after ord 3; G = 3*3/6 * (5-1)^2 = 24
+    val df = Seq((1, 1.0), (2, 1.0), (3, 1.0), (4, 5.0), (5, 5.0),
+      (6, 5.0)).map { case (o, v) => ("k", o, v) }.toDF("key", "ord", "v")
+    val r = TimeSeries.changepoint(df, "key", "ord", "v").collect().head
+    assert(r.getAs[Int]("split_ord") == 3)
+    assert(r.getAs[Long]("n_left") == 3L && r.getAs[Long]("n_right") == 3L)
+    assert(r.getAs[Double]("mean_left") == 1.0)
+    assert(r.getAs[Double]("mean_right") == 5.0)
+    assert(r.getAs[Double]("score") == 24.0)
+  }
+
+  test("changepoint: constant series ties resolve to the earliest split") {
+    val df = Seq(10, 20, 30, 40).map(o => ("k", o, 2.0))
+      .toDF("key", "ord", "v")
+    val r = TimeSeries.changepoint(df, "key", "ord", "v").collect().head
+    assert(r.getAs[Int]("split_ord") == 10)
+    assert(r.getAs[Double]("mean_left") == 2.0)
+    assert(r.getAs[Double]("mean_right") == 2.0)
+    assert(r.getAs[Double]("score") == 0.0)
+  }
+
+  test("changepoint: keys are independent; short series emit nothing") {
+    val df = Seq(
+      ("a", 1, 0.0), ("a", 2, 0.0), ("a", 3, 10.0),
+      ("b", 1, 7.0), // single observation: no valid split
+      ("c", 1, 3.0), ("c", 2, 9.0)).toDF("key", "ord", "v")
+    val out = TimeSeries.changepoint(df, "key", "ord", "v")
+      .orderBy("key").collect()
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("a", "c"))
+    assert(out.head.getAs[Int]("split_ord") == 2) // a: [0,0 | 10]
+    assert(out.last.getAs[Double]("score") == 18.0) // c: 1*1/2*(9-3)^2
+  }
+
+  test("changepoint result is independent of input partitioning") {
+    val df = spark.range(0, 600).select(
+      (col("id") % 3).cast("string").as("key"),
+      expr("id div 3").as("ord"),
+      (when(expr("id div 3") < 120, col("id") % 7)
+        .otherwise(col("id") % 7 + 50)).cast("double").as("v"))
+    val base = TimeSeries.changepoint(df, "key", "ord", "v")
+      .orderBy("key").collect()
+    val again = TimeSeries.changepoint(df.repartition(13), "key", "ord", "v")
+      .orderBy("key").collect()
+    assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
+    assert(base.forall(_.getAs[Long]("split_ord") == 119L),
+      "the planted shift is found in every key")
+  }
 }
