@@ -154,10 +154,10 @@ object Behavior {
     val us = windowSeconds * 1000000L
     val touches = df.where(col(typeCol) === touchType)
       .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
-        unix_micros(col(tsCol)).as("__t_us"))
+        unix_micros(col(tsCol).cast("timestamp")).as("__t_us"))
     val convs = df.where(col(typeCol) === convType)
       .select(col(userCol).as("__u"), col(idCol).as("__conv_id"),
-        unix_micros(col(tsCol)).as("__c_us"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__c_us"),
         col(valueCol).cast("double").as("__v"))
     val pairs = touches.join(convs, Seq("__u"))
       .where(col("__t_us") <= col("__c_us")
@@ -168,6 +168,67 @@ object Behavior {
       .select(col("touch_id"),
         col("__conv_id"),
         floor(col("__v") * 1000000d / col("__n")).cast("long").as("__c_fp"))
+      .groupBy("touch_id")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("__c_fp").as("credit_fp"))
+      .select(col("touch_id"), col("n_conversions"), col("credit_fp"),
+        (col("credit_fp").cast("double") / 1000000d).as("credit"))
+  }
+
+  /** Time-decay multi-touch attribution: like [[linearAttribution]] but
+    * a conversion's `valueCol` splits across its in-window touches in
+    * proportion to `2^(−age/halfLife)` — a touch `halfLife` seconds
+    * before the conversion earns half the weight of one at the
+    * conversion instant. The standard recency-weighted middle ground
+    * between last-touch (halfLife → 0) and linear (halfLife → ∞).
+    *
+    * Determinism: the decay weight is `exp(−ln2 · age/halfLife)` with
+    * ln2 PINNED to the literal 0.6931471805599453, quantized to
+    * micro-weight longs (the [[kaplanMeier]] exp-quantization
+    * convention) — the per-conversion weight total is then an EXACT long
+    * sum, and each credit is floor(value · 1e6 · w_fp / Σw_fp) — one
+    * fixed IEEE multiply-divide then exact floor, order-free like the
+    * linear model's floor-div. A touch AT the conversion instant weighs
+    * exactly 1e6; weights below 5e-7 of the conversion quantize to zero
+    * credit (they were epsilon anyway).
+    *
+    * Shape at scale: identical to [[linearAttribution]] — one user-key
+    * range join, one map-side-combined per-conversion weight sum, one
+    * keyed re-join, one map-side-combined per-touch credit sum.
+    */
+  def timeDecayAttribution(df: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, valueCol: String,
+      touchType: String, convType: String,
+      windowSeconds: Long, halfLifeSeconds: Long): DataFrame = {
+    require(windowSeconds > 0,
+      s"windowSeconds must be positive, got $windowSeconds")
+    require(halfLifeSeconds > 0,
+      s"halfLifeSeconds must be positive, got $halfLifeSeconds")
+    require(touchType != convType,
+      s"touch and conversion types must differ, got '$touchType'")
+    val us = windowSeconds * 1000000L
+    val ln2 = 0.6931471805599453 // pinned: replay needs the exact literal
+    val touches = df.where(col(typeCol) === touchType)
+      .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__t_us"))
+    val convs = df.where(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("__conv_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__c_us"),
+        col(valueCol).cast("double").as("__v"))
+    val pairs = touches.join(convs, Seq("__u"))
+      .where(col("__t_us") <= col("__c_us")
+        && col("__t_us") >= col("__c_us") - us)
+      .withColumn("__w_fp",
+        round(exp(lit(-ln2) * ((col("__c_us") - col("__t_us"))
+          .cast("double") / lit(halfLifeSeconds * 1000000L).cast("double")))
+          * 1000000d).cast("long"))
+    val wTotal = pairs.groupBy("__conv_id")
+      .agg(sum("__w_fp").as("__wsum"))
+    pairs.join(wTotal, "__conv_id")
+      .where(col("__wsum") > 0L)
+      .select(col("touch_id"), col("__conv_id"),
+        floor(col("__v") * 1000000d * col("__w_fp").cast("double")
+          / col("__wsum").cast("double")).cast("long").as("__c_fp"))
       .groupBy("touch_id")
       .agg(count(lit(1)).as("n_conversions"),
         sum("__c_fp").as("credit_fp"))

@@ -590,6 +590,8 @@ final case class TextAnalysisTransformStage(
       case "readability" => TextAnalysis.readability(in, idCol, textCol)
       // corpus Zipf ln-ln slope over the topK vocabulary head
       case "zipf" => TextAnalysis.zipfFit(in, textCol, topK)
+      // per-doc character-class mix (encoding-health probe)
+      case "charclass" => TextAnalysis.charClassMix(in, idCol, textCol)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -780,7 +782,7 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc | ball | harmonic | nf | modularity
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc | ball | harmonic | nf | modularity | assortativity
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
@@ -882,6 +884,13 @@ final case class GraphTransformStage(
             greatest(col(srcCol), col(dstCol)).as("b"))
           .where(col("a") < col("b")).distinct()
         Graph.modularity(und, Views.resolve(assignView))
+      // Newman degree assortativity of the canonical undirected view
+      case "assortativity" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.assortativity(und)
       case other =>
         throw new IllegalArgumentException(s"unknown graph method '$other'")
     }
@@ -1143,7 +1152,7 @@ final case class GapfillTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "gapfill", // gapfill | cusum | utilization | seasonal | ewma | holt | changepoint
+    method: String = "gapfill", // gapfill | cusum | utilization | seasonal | ewma | holt | changepoint | forecast_eval
     tsCol: String = "ts",
     keyCol: String,
     idCol: String = "event_id",
@@ -1157,8 +1166,10 @@ final case class GapfillTransformStage(
     // ewma / holt smoothing coefficients
     alpha: Double = 0.25,
     beta: Double = 0.25,
-    // changepoint only: the per-key series order column
-    ordCol: String = "ord")
+    // changepoint / forecast_eval: the per-key series order column
+    ordCol: String = "ord",
+    // forecast_eval only: valueCol is the actual, this the prediction
+    forecastCol: String = "forecast")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1180,6 +1191,9 @@ final case class GapfillTransformStage(
       // best single mean-shift split per key (binary segmentation step)
       case "changepoint" =>
         TimeSeries.changepoint(in, keyCol, ordCol, valueCol)
+      // per-key MAE/RMSE/MAPE/sMAPE/MASE scorecard
+      case "forecast_eval" =>
+        TimeSeries.forecastEval(in, keyCol, ordCol, valueCol, forecastCol)
       case other =>
         throw new IllegalArgumentException(s"unknown timeseries method '$other'")
     }
@@ -1253,7 +1267,7 @@ final case class BehaviorTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // funnel | cohort | transitions | attribution | basket | rate_cap | debounce | throttle | survival
+    method: String, // funnel | cohort | transitions | attribution | attribution_decay | basket | rate_cap | debounce | throttle | survival
     tsCol: String = "ts",
     userCol: String = "user_id",
     typeCol: String = "event_type",
@@ -1273,7 +1287,9 @@ final case class BehaviorTransformStage(
     k: Int = 3,
     // survival only: per-unit duration + right-censoring flag columns
     durationCol: String = "duration",
-    observedCol: String = "observed")
+    observedCol: String = "observed",
+    // attribution_decay only: recency half-life
+    halfLifeSeconds: Long = 900L)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1292,6 +1308,10 @@ final case class BehaviorTransformStage(
       case "attribution" =>
         Behavior.linearAttribution(in, tsCol, userCol, typeCol, idCol,
           valueCol, touchType, convType, windowSeconds)
+      // recency-weighted credit with a halfLifeSeconds half-life
+      case "attribution_decay" =>
+        Behavior.timeDecayAttribution(in, tsCol, userCol, typeCol, idCol,
+          valueCol, touchType, convType, windowSeconds, halfLifeSeconds)
       // association mining: pair support + lift within baskets
       case "basket" =>
         Behavior.basketPairs(in, basketCol, itemCol, minSupport)

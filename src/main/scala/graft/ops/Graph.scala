@@ -390,6 +390,57 @@ object Graph {
           6) + lit(0d)).as("q_contrib"))
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of the degrees at the two ends of an edge, over both
+    * orientations of each undirected edge ((a, b), a < b). Positive =
+    * hubs attach to hubs (social-network shape), negative = hubs attach
+    * to leaves (star/hub-and-spoke — the shape that makes joins skew
+    * and mixing slow), ≈0 = degree-neutral wiring. One number a pipeline
+    * reads BEFORE choosing between the plain and salted join paths, and
+    * a drift gauge for graph snapshots next to [[modularity]].
+    *
+    * Output: one row `(n_edges, n_nodes, assortativity)`; degree-regular
+    * graphs (zero degree variance — including a single edge) report 0
+    * by convention. Ties to no tolerance: degrees are exact longs, so
+    * the sufficient statistics (Σx, Σxx, Σxy over the 2m orientation
+    * samples; the x and y marginals coincide by symmetry) accumulate as
+    * EXACT DECIMAL(38,0) integer sums — no fixed-point scaling needed —
+    * and the coefficient is one final double expression, replayable on
+    * any engine under any layout.
+    *
+    * Shape at scale: one map-side-combined degree count, two node-key
+    * joins of the edge table against it, one global integer-sum
+    * aggregate (partial-combined), arithmetic on a single row. No
+    * windows, no driver state; deg·deg ≤ n² stays far inside 38 digits.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val dec = "decimal(38,0)"
+    val pairs = e
+      .join(deg.select(col("node").as("a"), col("__deg").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("__deg").as("__db")), "b")
+    // both orientations at once: x-marginal = y-marginal by symmetry
+    // per-row products in DECIMAL: deg^2 at full long degree range would
+    // overflow a LONG intermediate, the decimal path never does
+    val da = col("__da").cast(dec); val db = col("__db").cast(dec)
+    val stats = pairs.agg(count(lit(1)).as("n_edges"),
+      sum((col("__da") + col("__db")).cast(dec)).as("__sx"),
+      sum(da * da + db * db).as("__sxx"),
+      sum(lit(2).cast(dec) * da * db).as("__sxy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val n = (col("n_edges") * 2L).cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val r = (n * d("__sxy") - d("__sx") * d("__sx")) / varX
+    stats.crossJoin(broadcast(nNodes))
+      .select(col("n_edges"), col("n_nodes"),
+        (round(when(varX > 0, r).otherwise(0d), 6) + lit(0d))
+          .as("assortativity"))
+  }
+
   /** k-core decomposition by iterative peeling over a DISTINCT undirected
     * edge table ((a, b), a < b): each round drops every node whose
     * current degree is < k, together with its edges, and a node removal

@@ -1124,4 +1124,46 @@ object TextAnalysis {
         (round(col("__sb"), 6) + lit(0d)).as("share_b"),
         (round(col("__d"), 6) + lit(0d)).as("delta"))
   }
+
+  /** Per-document character-class mix: counts and ratios of ASCII
+    * letters, digits, whitespace, non-ASCII codepoints, and "other"
+    * (ASCII punctuation/symbols/control, by remainder) — the cheap
+    * encoding-health probe that flags mojibake (non-ASCII spikes in an
+    * ASCII-expected corpus), binary-in-text contamination (other-class
+    * spikes), and digit dumps, upstream of the word-level
+    * [[qualityScore]] signals that silently mis-read all three.
+    *
+    * Counting conventions (replayable): classes count CODEPOINTS via
+    * `[A-Za-z]`, `[0-9]`, `[ \t\n\r]`, `[^\x00-\x7F]` — syntax with
+    * identical semantics in Java regex and RE2 for BMP text (the
+    * [[graft.ops.Pii]] portability contract); `n_chars` is
+    * codepoint length; `other` = the exact remainder. Ratios round 6dp;
+    * an empty doc reports zeros, one row per input doc always.
+    *
+    * Shape at scale: pure narrow codegen'd `regexp_count` projections —
+    * no shuffle, no explode, scan-bound like [[Pii.stats]].
+    */
+  def charClassMix(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    def cnt(re: String) =
+      regexp_count(col(textCol), lit(re)).cast("long")
+    val letters = cnt("[A-Za-z]"); val digits = cnt("[0-9]")
+    val ws = cnt("[ \\t\\n\\r]"); val nonAscii = cnt("[^\\x00-\\x7F]")
+    def ratio(c: org.apache.spark.sql.Column) =
+      when(col("n_chars") > 0L,
+        round(c.cast("double") / col("n_chars").cast("double"), 6)
+          + lit(0d)).otherwise(0d)
+    df.select(col(idCol).as("doc_id"), n.as("n_chars"),
+        letters.as("n_letters"), digits.as("n_digits"), ws.as("n_ws"),
+        nonAscii.as("n_non_ascii"),
+        (n - letters - digits - ws - nonAscii).as("n_other"))
+      .select(col("doc_id"), col("n_chars"),
+        col("n_letters"), col("n_digits"), col("n_ws"),
+        col("n_non_ascii"), col("n_other"),
+        ratio(col("n_letters")).as("letter_ratio"),
+        ratio(col("n_digits")).as("digit_ratio"),
+        ratio(col("n_non_ascii")).as("non_ascii_ratio"),
+        ratio(col("n_other")).as("other_ratio"))
+  }
 }

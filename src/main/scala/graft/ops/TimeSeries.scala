@@ -395,4 +395,71 @@ object TimeSeries {
           + lit(0d)).as("mean_right"),
         (round(col("__g"), 6) + lit(0d)).as("score"))
   }
+
+  /** Per-key forecast accuracy scorecard over (actual, forecast) rows:
+    * MAE, RMSE, MAPE (zero-actual rows excluded from its denominator),
+    * sMAPE (zero-denominator rows excluded), and MASE — the scale-free
+    * Hyndman & Koehler (2006) headline, |error| relative to the in-sample
+    * one-step naive forecast, so "MASE < 1 beats carrying yesterday
+    * forward" reads identically across series of any magnitude. The eval
+    * half of the [[ewma]]/[[holt]] smoothers: join a model's one-step
+    * predictions back to actuals and rank models per key.
+    *
+    * Output: one row per key `(key, n, mae, rmse, mape, smape, mase)`;
+    * `mape`/`smape` are NULL when every row was excluded from their
+    * denominators, `mase` is NULL for single-row series or flat-naive
+    * (zero-denominator) series — NULL marks "not measurable", never 0.
+    *
+    * Replay determinism: each per-row term (|e|, e², |e|/|a|, the sMAPE
+    * ratio, |a − lag(a)|) is one scalar double from the input doubles,
+    * quantized ×2^20 to fixed-point longs whose sums are exact under any
+    * partitioning — the [[graft.ops.Drift.cuped]] convention — with one
+    * final double division (and one sqrt for RMSE) per metric.
+    *
+    * Shape at scale: one per-key window (for the naive lag) on the same
+    * key the final aggregation groups by — one hash shuffle total, no
+    * second exchange; everything else is map-side-combined sums.
+    */
+  def forecastEval(df: DataFrame, keyCol: String, ordCol: String,
+      actualCol: String, forecastCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__ord"))
+    val scale = (1L << 20).toDouble
+    def fp(c: org.apache.spark.sql.Column) = sum(round(c * scale).cast("long"))
+    val a = col("__a"); val f = col("__f")
+    val err = abs(a - f)
+    val slim = df
+      .where(col(actualCol).isNotNull && col(forecastCol).isNotNull
+        && col(ordCol).isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).as("__ord"),
+        col(actualCol).cast("double").as("__a"),
+        col(forecastCol).cast("double").as("__f"))
+      .withColumn("__naive", abs(a - lag(a, 1).over(w)))
+    val agg = slim.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      fp(err).as("__sae"),
+      fp((a - f) * (a - f)).as("__sse"),
+      fp(when(a =!= 0d, err / abs(a))).as("__sape"),
+      sum(when(a =!= 0d, 1L).otherwise(0L)).as("__nape"),
+      fp(when(abs(a) + abs(f) > 0d,
+        lit(2d) * err / (abs(a) + abs(f)))).as("__ssm"),
+      sum(when(abs(a) + abs(f) > 0d, 1L).otherwise(0L)).as("__nsm"),
+      fp(col("__naive")).as("__snaive"),
+      count(col("__naive")).as("__nnaive"))
+    def d(c: String) = col(c).cast("double") / scale
+    val n = col("n").cast("double")
+    agg.select(col("key"), col("n"),
+      (round(d("__sae") / n, 6) + lit(0d)).as("mae"),
+      (round(sqrt(d("__sse") / n), 6) + lit(0d)).as("rmse"),
+      when(col("__nape") > 0L,
+        round(d("__sape") / col("__nape").cast("double"), 6) + lit(0d))
+        .as("mape"),
+      when(col("__nsm") > 0L,
+        round(d("__ssm") / col("__nsm").cast("double"), 6) + lit(0d))
+        .as("smape"),
+      when(col("__nnaive") > 0L && col("__snaive") > 0L,
+        round((d("__sae") / n)
+          / (d("__snaive") / col("__nnaive").cast("double")), 6) + lit(0d))
+        .as("mase"))
+  }
 }

@@ -325,7 +325,7 @@ object Parser {
         method = r.oneOf("method",
           Seq("pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
             "link_pred", "ppr", "cc", "ball", "harmonic", "nf",
-            "modularity"),
+            "modularity", "assortativity"),
           "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
@@ -342,7 +342,8 @@ object Parser {
     },
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("funnel", "cohort", "transitions", "attribution", "basket",
+        Seq("funnel", "cohort", "transitions", "attribution",
+          "attribution_decay", "basket",
           "rate_cap", "debounce", "throttle", "survival"), "funnel")
       val steps = r.stringList("steps")
       if (method == "funnel" && steps.size < 2)
@@ -367,7 +368,8 @@ object Parser {
         minSupport = r.long("minSupport").getOrElse(10L),
         k = r.int("k").getOrElse(3),
         durationCol = r.string("durationCol").getOrElse("duration"),
-        observedCol = r.string("observedCol").getOrElse("observed"))
+        observedCol = r.string("observedCol").getOrElse("observed"),
+        halfLifeSeconds = r.long("halfLifeSeconds").getOrElse(900L))
     },
     "DataQualityTransform" -> { (r, _) =>
       val method = r.oneOf("method",
@@ -543,7 +545,7 @@ object Parser {
             "quality_score", "lm_score", "dup_spans", "dup_runs", "keyness",
             "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
             "bpe_apply", "bpe_fertility", "boilerplate", "ttr", "chao1",
-            "readability", "zipf"),
+            "readability", "zipf", "charclass"),
           "quality"),
         terms = r.stringList("terms"),
         merges = r.stringList("merges"),
@@ -676,7 +678,7 @@ object Parser {
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
           Seq("gapfill", "cusum", "utilization", "seasonal", "ewma", "holt",
-            "changepoint"),
+            "changepoint", "forecast_eval"),
           "gapfill"),
         tsCol = r.string("tsCol").getOrElse("ts"),
         keyCol = r.requiredString("keyCol"),
@@ -690,7 +692,8 @@ object Parser {
         bucketSeconds = r.long("bucketSeconds").getOrElse(3600L),
         alpha = r.double("alpha").getOrElse(0.25),
         beta = r.double("beta").getOrElse(0.25),
-        ordCol = r.string("ordCol").getOrElse("ord"))
+        ordCol = r.string("ordCol").getOrElse("ord"),
+        forecastCol = r.string("forecastCol").getOrElse("forecast"))
     },
     "ZorderTransform" -> { (r, _) =>
       val method = r.oneOf("method", Seq("manifest", "write", "hilbert_manifest", "hilbert_write"), "manifest")
@@ -831,7 +834,7 @@ object Parser {
       "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
       "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds",
       "basketCol", "itemCol", "minSupport", "k", "durationCol",
-      "observedCol")),
+      "observedCol", "halfLifeSeconds")),
     "DataQualityTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "rules", "idCol", "blockCol", "fuzzyFields", "exactFields",
       "minScore", "maxBlock", "rightView", "leftKey", "rightKey", "topK",
@@ -873,7 +876,7 @@ object Parser {
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "keyCol", "idCol", "valueCol", "target", "slack",
       "threshold", "startCol", "endCol", "bucketSeconds", "alpha", "beta",
-      "ordCol")),
+      "ordCol", "forecastCol")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "cols", "xCol", "yCol", "idCol", "method", "outputDir", "blockSize",
       "bits", "params"))

@@ -274,6 +274,7 @@ object ExtensionQueries {
   private val SrmChi2Threshold = 3.841
   private val HeavyChangeK = 25
   private val PseudoSalt = "rel1"
+  private val AttrHalfLifeSec = 900L
   private val ZBloomProbeIds = Seq("1", "2", "3", "4", "5", "10003",
     "10004", "10006", "10007", "123456789")
   private val ZPruneXLo = 100L
@@ -2650,6 +2651,47 @@ object ExtensionQueries {
           touchType = "click", convType = "purchase",
           windowSeconds = AttrWindowSec)
         .orderBy("touch_id")
+    },
+
+    // Recency-weighted credit beside the linear model: same window, a
+    // 15-minute half-life.
+    "events_attribution_decay" -> { (spark, dir) =>
+      Behavior.timeDecayAttribution(events(spark, dir), "ts", "user_id",
+          "event_type", "event_id", "value",
+          touchType = "click", convType = "purchase",
+          windowSeconds = AttrWindowSec,
+          halfLifeSeconds = AttrHalfLifeSec)
+        .orderBy("touch_id")
+    },
+
+    // Degree assortativity of the part-co-occurrence graph (the
+    // lpa/triangle edge set).
+    "graph_assortativity" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.assortativity(Graph.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup))
+    },
+
+    // Forecast scorecard: per-type hourly volumes, forecast = mean of
+    // the two preceding hours (warmup rows dropped both sides).
+    "events_forecast_eval" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+      val series = ev.groupBy(col("event_type").as("key"),
+          expr("ts div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy("hour")
+      val withF = series.withColumn("fc",
+          (lag("cnt", 1).over(w) + lag("cnt", 2).over(w)).cast("double")
+            / lit(2d))
+        .where(col("fc").isNotNull)
+      TimeSeries.forecastEval(withF, "key", "hour", "cnt", "fc")
+        .orderBy("key")
+    },
+
+    "text_charclass" -> { (spark, dir) =>
+      TextAnalysis.charClassMix(docs(spark, dir), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // Join-skew pre-flight: the keys that would dominate a self-join on
@@ -7397,6 +7439,136 @@ object ExtensionQueries {
         CAST(sum(c_fp) AS BIGINT) AS credit_fp,
         CAST(sum(c_fp) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS credit
       FROM f GROUP BY touch_id ORDER BY touch_id""",
+
+    // Replay of Behavior.timeDecayAttribution: pinned-ln2 exp decay
+    // quantized to micro-weight longs, exact per-conversion weight sums,
+    // floor credit split.
+    "events_attribution_decay" -> s"""
+      WITH t AS (SELECT user_id, event_id AS touch_id,
+              epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us,
+              CAST(value AS DOUBLE) AS v FROM events
+            WHERE event_type = 'purchase'),
+      p AS (SELECT t.touch_id, c.conv_id, c.v,
+              CAST(round(exp(-0.6931471805599453
+                  * ((c.c_us - t.t_us)::DOUBLE
+                    / ${AttrHalfLifeSec * 1000000L}::DOUBLE))
+                * CAST(1000000 AS DOUBLE)) AS BIGINT) AS w_fp
+            FROM t JOIN c ON t.user_id = c.user_id
+            AND t.t_us <= c.c_us
+            AND t.t_us >= c.c_us - ${AttrWindowSec * 1000000L}),
+      n AS (SELECT conv_id, CAST(sum(w_fp) AS BIGINT) AS ws
+            FROM p GROUP BY 1),
+      f AS (SELECT p.touch_id,
+              CAST(floor(p.v * CAST(1000000 AS DOUBLE) * p.w_fp::DOUBLE
+                / n.ws::DOUBLE) AS BIGINT) AS c_fp
+            FROM p JOIN n USING (conv_id) WHERE n.ws > 0)
+      SELECT touch_id, count(*) AS n_conversions,
+        CAST(sum(c_fp) AS BIGINT) AS credit_fp,
+        CAST(sum(c_fp) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS credit
+      FROM f GROUP BY touch_id ORDER BY touch_id""",
+
+    // Replay of Graph.assortativity over the lpa/triangle edge CTE:
+    // exact integer degree sufficient statistics over both orientations,
+    // one final double expression.
+    "graph_assortativity" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      deg AS (SELECT node, count(*)::BIGINT AS dg FROM
+              (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+              GROUP BY 1),
+      pr AS (SELECT x.dg AS da, y.dg AS db FROM und e
+             JOIN deg x ON e.a = x.node JOIN deg y ON e.b = y.node),
+      st AS (SELECT count(*)::BIGINT AS n_edges,
+               SUM((da + db)::HUGEINT) AS sx,
+               SUM(da::HUGEINT * da + db::HUGEINT * db) AS sxx,
+               SUM(2::HUGEINT * da * db) AS sxy
+             FROM pr)
+      SELECT n_edges, (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        round(CASE WHEN vx > 0 THEN (nd * sxyd - sxd * sxd) / vx
+          ELSE 0 END, 6) + 0.0 AS assortativity
+      FROM (SELECT n_edges, (n_edges * 2)::DOUBLE AS nd,
+              sx::DOUBLE AS sxd, sxy::DOUBLE AS sxyd,
+              (n_edges * 2)::DOUBLE * sxx::DOUBLE
+                - sx::DOUBLE * sx::DOUBLE AS vx
+            FROM st)""",
+
+    // Replay of TimeSeries.forecastEval over the two-hour-mean forecast:
+    // scalar-double per-row terms quantized x2^20, exact long sums, one
+    // final division (plus sqrt for rmse) per metric.
+    "events_forecast_eval" -> """
+      WITH s AS (SELECT event_type AS key,
+              epoch_us(ts) // 3600000000 AS hour, count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1, 2),
+      wf AS (SELECT key, hour, cnt::DOUBLE AS a,
+              (lag(cnt, 1) OVER (PARTITION BY key ORDER BY hour)
+                + lag(cnt, 2) OVER (PARTITION BY key ORDER BY hour))::DOUBLE
+                / 2::DOUBLE AS f
+             FROM s),
+      r AS (SELECT key, hour, a, f,
+              abs(a - lag(a) OVER (PARTITION BY key ORDER BY hour)) AS nv
+            FROM wf WHERE f IS NOT NULL),
+      gr AS (SELECT key, count(*)::BIGINT AS n,
+              SUM(CAST(round(abs(a - f) * 1048576) AS BIGINT)) AS sae,
+              SUM(CAST(round((a - f) * (a - f) * 1048576) AS BIGINT))
+                AS sse,
+              SUM(CASE WHEN a != 0 THEN
+                CAST(round(abs(a - f) / abs(a) * 1048576) AS BIGINT)
+                END) AS sape,
+              SUM(CASE WHEN a != 0 THEN 1 ELSE 0 END)::BIGINT AS nape,
+              SUM(CASE WHEN abs(a) + abs(f) > 0 THEN
+                CAST(round(2::DOUBLE * abs(a - f) / (abs(a) + abs(f))
+                  * 1048576) AS BIGINT) END) AS ssm,
+              SUM(CASE WHEN abs(a) + abs(f) > 0 THEN 1 ELSE 0 END)::BIGINT
+                AS nsm,
+              SUM(CAST(round(nv * 1048576) AS BIGINT)) AS snaive,
+              count(nv)::BIGINT AS nnaive
+             FROM r GROUP BY 1)
+      SELECT key, n,
+        round(sae::DOUBLE / 1048576 / n::DOUBLE, 6) + 0.0 AS mae,
+        round(sqrt(sse::DOUBLE / 1048576 / n::DOUBLE), 6) + 0.0 AS rmse,
+        CASE WHEN nape > 0 THEN
+          round(sape::DOUBLE / 1048576 / nape::DOUBLE, 6) + 0.0 END
+          AS mape,
+        CASE WHEN nsm > 0 THEN
+          round(ssm::DOUBLE / 1048576 / nsm::DOUBLE, 6) + 0.0 END AS smape,
+        CASE WHEN nnaive > 0 AND snaive > 0 THEN
+          round((sae::DOUBLE / 1048576 / n::DOUBLE)
+            / (snaive::DOUBLE / 1048576 / nnaive::DOUBLE), 6) + 0.0 END
+          AS mase
+      FROM gr ORDER BY key""",
+
+    // Replay of TextAnalysis.charClassMix: codepoint-count classes with
+    // Java/RE2-portable syntax, remainder = other, 6dp ratios.
+    "text_charclass" -> """
+      SELECT doc_id, n_chars, n_letters, n_digits, n_ws, n_non_ascii,
+        (n_chars - n_letters - n_digits - n_ws - n_non_ascii) AS n_other,
+        CASE WHEN n_chars > 0 THEN
+          round(n_letters::DOUBLE / n_chars::DOUBLE, 6) + 0.0
+          ELSE 0.0 END AS letter_ratio,
+        CASE WHEN n_chars > 0 THEN
+          round(n_digits::DOUBLE / n_chars::DOUBLE, 6) + 0.0
+          ELSE 0.0 END AS digit_ratio,
+        CASE WHEN n_chars > 0 THEN
+          round(n_non_ascii::DOUBLE / n_chars::DOUBLE, 6) + 0.0
+          ELSE 0.0 END AS non_ascii_ratio,
+        CASE WHEN n_chars > 0 THEN
+          round((n_chars - n_letters - n_digits - n_ws - n_non_ascii)::DOUBLE
+            / n_chars::DOUBLE, 6) + 0.0
+          ELSE 0.0 END AS other_ratio
+      FROM (
+        SELECT doc_id, length(text)::BIGINT AS n_chars,
+          len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_letters,
+          len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+          len(regexp_extract_all(text, '[ \t\n\r]'))::BIGINT AS n_ws,
+          len(regexp_extract_all(text, '[^\x00-\x7F]'))::BIGINT
+            AS n_non_ascii
+        FROM documents)
+      ORDER BY doc_id""",
 
     // Replay of Profile.joinSkew: exact per-key counts each side, output
     // contribution n_left * n_right, top-k by (est desc, key).

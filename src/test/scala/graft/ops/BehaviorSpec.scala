@@ -364,4 +364,56 @@ class BehaviorSpec extends SparkSpec {
       .orderBy("duration").collect()
     assert(again.map(_.toString).toSeq == r.map(_.toString).toSeq)
   }
+
+  test("timeDecayAttribution: hand-computed half-life split") {
+    val df = Seq(
+      // touch at the conversion instant: weight exactly 1e6; a touch one
+      // half-life (10 min) earlier: weight 5e5 -> credits split 2:1
+      (1L, 1L, "click", ts(0), 0.0), (2L, 1L, "click", ts(10), 0.0),
+      (3L, 1L, "purchase", ts(10), 3.0)
+    ).toDF("event_id", "user_id", "event_type", "t", "value")
+    val out = Behavior.timeDecayAttribution(df, "t", "user_id",
+        "event_type", "event_id", "value", "click", "purchase",
+        windowSeconds = 1800, halfLifeSeconds = 600)
+      .orderBy("touch_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 1000000L, 1.0),
+      (2L, 1L, 2000000L, 2.0)))
+  }
+
+  test("timeDecayAttribution: huge half-life degenerates to linear") {
+    val df = Seq(
+      (1L, 1L, "click", ts(0), 0.0), (2L, 1L, "click", ts(11), 0.0),
+      (3L, 1L, "purchase", ts(15), 10.01),
+      (4L, 2L, "click", ts(30), 0.0), (5L, 2L, "purchase", ts(35), 6.0),
+      (6L, 2L, "purchase", ts(40), 5.0)
+    ).toDF("event_id", "user_id", "event_type", "t", "value")
+    val lin = Behavior.linearAttribution(df, "t", "user_id", "event_type",
+        "event_id", "value", "click", "purchase", windowSeconds = 1800)
+      .orderBy("touch_id").collect()
+    // a 10^12-second half-life rounds every in-window weight to 1e6
+    val dec = Behavior.timeDecayAttribution(df, "t", "user_id",
+        "event_type", "event_id", "value", "click", "purchase",
+        windowSeconds = 1800, halfLifeSeconds = 1000000000000L)
+      .orderBy("touch_id").collect()
+    assert(dec.map(_.toString).toSeq == lin.map(_.toString).toSeq)
+  }
+
+  test("timeDecayAttribution is layout-independent") {
+    val df = spark.range(0, 300).selectExpr("id AS event_id",
+      "id % 20 AS user_id",
+      "CASE WHEN id % 7 = 0 THEN 'purchase' ELSE 'click' END AS event_type",
+      "timestamp_micros(1700000000000000 + id * 7000000) AS t",
+      "CAST(id % 13 AS DOUBLE) + 0.25 AS value")
+    val base = Behavior.timeDecayAttribution(df, "t", "user_id",
+        "event_type", "event_id", "value", "click", "purchase",
+        windowSeconds = 600, halfLifeSeconds = 120)
+      .orderBy("touch_id").collect()
+    val again = Behavior.timeDecayAttribution(df.repartition(13), "t",
+        "user_id", "event_type", "event_id", "value", "click", "purchase",
+        windowSeconds = 600, halfLifeSeconds = 120)
+      .orderBy("touch_id").collect()
+    assert(base.nonEmpty)
+    assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
+  }
 }

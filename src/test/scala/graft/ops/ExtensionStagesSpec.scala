@@ -1663,6 +1663,54 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("attribution_decay, forecast_eval, assortativity, charclass as config methods") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "r12e_docs"},
+      {"type": "Extract", "name": "ev", "table": "events",
+       "outputView": "r12e_ev"},
+      {"type": "BehaviorTransform", "name": "dec",
+       "method": "attribution_decay",
+       "inputView": "r12e_ev", "outputView": "r12e_dec",
+       "windowSeconds": 3600, "halfLifeSeconds": 600},
+      {"type": "SqlTransform", "name": "series",
+       "sql": "SELECT event_type AS k, CAST(user_id % 50 AS BIGINT) AS ord, CAST(count(*) AS DOUBLE) AS v, CAST(count(*) + user_id % 3 AS DOUBLE) AS fc FROM r12e_ev GROUP BY event_type, user_id",
+       "outputView": "r12e_series"},
+      {"type": "GapfillTransform", "name": "fe", "method": "forecast_eval",
+       "inputView": "r12e_series", "outputView": "r12e_fe",
+       "keyCol": "k", "ordCol": "ord", "valueCol": "v",
+       "forecastCol": "fc"},
+      {"type": "SqlTransform", "name": "edges",
+       "sql": "SELECT CAST(user_id AS STRING) AS src, event_type AS dst FROM r12e_ev",
+       "outputView": "r12e_edges"},
+      {"type": "GraphTransform", "name": "asst", "method": "assortativity",
+       "inputView": "r12e_edges", "outputView": "r12e_asst"},
+      {"type": "TextAnalysisTransform", "name": "cc",
+       "analysis": "charclass",
+       "inputView": "r12e_docs", "outputView": "r12e_cc"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    assert(spark.table("r12e_dec").collect().map(_.toString).toSet ==
+      Behavior.timeDecayAttribution(spark.table("r12e_ev"), "ts",
+        "user_id", "event_type", "event_id", "value", "click", "purchase",
+        3600L, 600L).collect().map(_.toString).toSet)
+    assert(spark.table("r12e_fe").collect().map(_.toString).toSet ==
+      TimeSeries.forecastEval(spark.table("r12e_series"), "k", "ord",
+        "v", "fc").collect().map(_.toString).toSet)
+    val und = spark.sql("""SELECT DISTINCT least(src, dst) AS a,
+      greatest(src, dst) AS b FROM r12e_edges
+      WHERE least(src, dst) < greatest(src, dst)""")
+    assert(spark.table("r12e_asst").collect().map(_.toString).toSet ==
+      Graph.assortativity(und).collect().map(_.toString).toSet)
+    assert(spark.table("r12e_cc").collect().map(_.toString).toSet ==
+      TextAnalysis.charClassMix(spark.table("r12e_docs"), "doc_id", "text")
+        .collect().map(_.toString).toSet)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("srm, changepoint, heavy_terms, pseudonymize as config methods") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
     val conf = """{"stages": [

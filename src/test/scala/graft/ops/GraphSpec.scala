@@ -340,4 +340,37 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(q1) < 1e-9, s"one-community Q must be 0, got $q1")
     graft.util.Caches.unpersistAll()
   }
+
+  test("assortativity: star is -1, regular graphs report 0") {
+    // star: the hub (deg 3) only touches leaves (deg 1) -> perfect
+    // degree anti-correlation
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("a", "b")
+    val s = Graph.assortativity(star).collect().head
+    assert(s.getAs[Long]("n_edges") == 3L)
+    assert(s.getAs[Long]("n_nodes") == 4L)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    // triangle: every degree is 2, zero variance -> 0 by convention
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("a", "b")
+    assert(Graph.assortativity(tri).collect().head
+      .getAs[Double]("assortativity") == 0.0)
+  }
+
+  test("assortativity matches a plain-Scala Pearson reference") {
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("b", "d"), ("a", "e"), ("e", "f"))
+    val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val xs = es.flatMap(e => Seq(deg(e._1).toDouble, deg(e._2).toDouble))
+    val ys = es.flatMap(e => Seq(deg(e._2).toDouble, deg(e._1).toDouble))
+    val n = xs.size.toDouble
+    val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val ref = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    val got = Graph.assortativity(es.toDF("a", "b")).collect().head
+    assert(math.abs(got.getAs[Double]("assortativity") - ref) < 1e-6)
+    // exact integer sufficient statistics: layout cannot move a digit
+    val again = Graph.assortativity(es.toDF("a", "b").repartition(5))
+      .collect().head
+    assert(again.toString == got.toString)
+  }
 }

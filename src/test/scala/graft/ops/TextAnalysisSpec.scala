@@ -615,4 +615,29 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
   }
+
+  test("charClassMix: hand-counted classes, empty doc, row preservation") {
+    val df = Seq((1L, "Ab1 !\né"), (2L, ""), (3L, "\t123"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charClassMix(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3, "one row per input doc")
+    val r1 = out(0)
+    // A b 1 ' ' ! \n é -> 7 chars: 2 letters, 1 digit, 2 ws, 1 non-ascii,
+    // 1 other (the !)
+    assert(r1.getAs[Long]("n_chars") == 7L)
+    assert(r1.getAs[Long]("n_letters") == 2L)
+    assert(r1.getAs[Long]("n_digits") == 1L)
+    assert(r1.getAs[Long]("n_ws") == 2L)
+    assert(r1.getAs[Long]("n_non_ascii") == 1L)
+    assert(r1.getAs[Long]("n_other") == 1L)
+    assert(r1.getAs[Double]("letter_ratio") == 0.285714)
+    assert(r1.getAs[Double]("non_ascii_ratio") == 0.142857)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_chars") == 0L)
+    assert(r2.getAs[Double]("letter_ratio") == 0.0, "empty doc: zeros")
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_ws") == 1L, "tab counts as whitespace")
+    assert(r3.getAs[Double]("digit_ratio") == 0.75)
+  }
 }

@@ -262,4 +262,50 @@ class TimeSeriesSpec extends SparkSpec {
     assert(base.forall(_.getAs[Long]("split_ord") == 119L),
       "the planted shift is found in every key")
   }
+
+  test("forecastEval: hand-checked metrics on one series") {
+    val df = Seq((1, 10.0, 9.0), (2, 12.0, 13.0), (3, 9.0, 9.0),
+      (4, 11.0, 10.0)).map { case (o, a, f) => ("k", o, a, f) }
+      .toDF("key", "ord", "a", "f")
+    val r = TimeSeries.forecastEval(df, "key", "ord", "a", "f")
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mae") == 0.75) // (1+1+0+1)/4, dyadic-exact
+    assert(r.getAs[Double]("rmse") == 0.866025) // sqrt(3/4)
+    // mape = mean(1/10, 1/12, 0, 1/11); smape over the same rows;
+    // naive denominators |12-10|,|9-12|,|11-9| -> mean 7/3
+    assert(math.abs(r.getAs[Double]("mape") - 0.068561) < 2e-6)
+    // mean(2/19, 2/25, 0, 2/21)
+    assert(math.abs(r.getAs[Double]("smape") - 0.070125) < 2e-6)
+    assert(math.abs(r.getAs[Double]("mase") - 0.75 / (7.0 / 3)) < 2e-6)
+  }
+
+  test("forecastEval: NULL marks not-measurable, never zero") {
+    val df = Seq(("z", 1, 0.0, 0.0), ("z", 2, 0.0, 0.0),
+      ("s", 1, 5.0, 4.0)).toDF("key", "ord", "a", "f")
+    val out = TimeSeries.forecastEval(df, "key", "ord", "a", "f")
+      .orderBy("key").collect()
+    val s = out.head // single row: no naive diff -> mase NULL
+    assert(s.getAs[String]("key") == "s" && s.getAs[Double]("mae") == 1.0)
+    assert(s.isNullAt(s.fieldIndex("mase")))
+    val z = out.last // all-zero rows: mape/smape/mase undefined
+    assert(z.getAs[Double]("mae") == 0.0 && z.getAs[Double]("rmse") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("mape")))
+    assert(z.isNullAt(z.fieldIndex("smape")))
+    assert(z.isNullAt(z.fieldIndex("mase")))
+  }
+
+  test("forecastEval is independent of input partitioning") {
+    val df = spark.range(0, 500).selectExpr(
+      "CAST(id % 4 AS STRING) AS key", "id div 4 AS ord",
+      "CAST(id % 17 AS DOUBLE) + 0.5 AS a",
+      "CAST(id % 19 AS DOUBLE) AS f")
+    val base = TimeSeries.forecastEval(df, "key", "ord", "a", "f")
+      .orderBy("key").collect()
+    val again = TimeSeries
+      .forecastEval(df.repartition(11), "key", "ord", "a", "f")
+      .orderBy("key").collect()
+    assert(base.length == 4)
+    assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
+  }
 }
