@@ -32,6 +32,16 @@ object TextFunctions {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % P
 
+  /** Raw 32-bit hash (first 8 hex chars of md5, NO modulus): exactly
+    * uniform over [0, 2^32), unlike [[h32]] whose `% P` fold makes values
+    * below 2^32−4P ≈ 2.95e8 25% likelier. Use this domain whenever a
+    * threshold must realize an exact Bernoulli(rate) draw (e.g. permutation
+    * relabeling): compare against `floor(rate · 2^32)`.
+    * Portable: `('0x'||substr(md5(s),1,8))::BIGINT` in DuckDB.
+    */
+  def h32raw(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Whitespace words (single-space separated in the corpus). */
   def words(c: Column): Column = split(c, " ")
 

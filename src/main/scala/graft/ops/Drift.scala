@@ -202,10 +202,14 @@ object Drift {
     * a relabeled split separates the means as far as the real one.
     *
     * DETERMINISTIC by the engine's hash contract: permutation p assigns
-    * a row to side A iff h32(id ':' p ':' salt) < nA·P/n (integer
-    * threshold — Bernoulli(nA/n) relabeling, the standard scalable
-    * approximation of exact-size permutation; a fresh `salt` redraws the
-    * whole family). Values fold as ×2^20 fixed-point longs, so every
+    * a row to side A iff h32raw(id ':' p ':' salt) < ⌊nA·2^32/n⌋ — the
+    * draw happens in the PRE-modulo 32-bit domain, which is exactly
+    * uniform, so the realized assignment rate equals nA/n to within
+    * 2^-32 (the post-`% P` domain is non-uniform: values below
+    * 2^32−4P are 25% likelier, which understates the null variance for
+    * unbalanced designs and makes p-values anti-conservative). This is
+    * Bernoulli(nA/n) relabeling, the standard scalable approximation of
+    * exact-size permutation; a fresh `salt` redraws the whole family. Values fold as ×2^20 fixed-point longs, so every
     * permuted mean is exact up to one double division and any engine
     * replays the p-value bit-for-bit. A permutation that lands empty on
     * either side counts as extreme (conservative). NULL values are
@@ -247,14 +251,15 @@ object Drift {
     val meanA = base.getLong(2).toDouble / nA / scale
     val meanB = base.getLong(3).toDouble / nB / scale
     val dObs = meanA - meanB
-    // integer threshold nA·P/n over the h32 domain (exact floor div,
-    // replayable without a double rate)
-    val thr = nA * T.P / (nA + nB)
+    // integer threshold ⌊nA·2^32/n⌋ over the RAW (pre-modulo, exactly
+    // uniform) 32-bit hash domain — BigInt floor-div driver-side so nA
+    // beyond 2^31 rows can't overflow the product; thr < 2^32 fits a long
+    val thr = (BigInt(nA) * BigInt(2).pow(32) / BigInt(nA + nB)).toLong
     val perms = u
       .select(col("__id"), col("__v"),
         explode(sequence(lit(1), lit(nPerms))).as("__p"))
       .select(col("__p"), col("__v"),
-        (T.h32(concat(col("__id"), lit(":"), col("__p").cast("string"),
+        (T.h32raw(concat(col("__id"), lit(":"), col("__p").cast("string"),
           lit(":"), lit(salt))) < thr).as("__pa"))
       .groupBy("__p").agg(
         sum(when(col("__pa"), 1L).otherwise(0L)).as("__na"),
@@ -351,7 +356,10 @@ object Drift {
     * is the most extreme mismatch); an OBSERVED arm missing from the
     * design gets a row with `expected_n` NULL and trips `srm` on every
     * row — there is no valid χ² against a zero-weight cell, and an
-    * unexpected arm label is definitionally a bug.
+    * unexpected arm label is definitionally a bug. A ZERO-ROW input (or
+    * one whose `groupCol` is entirely NULL) also trips `srm` on every
+    * designed arm with `chi2` NULL — an experiment that logged no units
+    * at all is the most extreme ratio mismatch, not a pass.
     *
     * Output: one row per arm `(group, n, expected_n, chi2_term, chi2,
     * dof, srm)` — `chi2`/`dof`/`srm` repeat on every row for the
@@ -391,25 +399,31 @@ object Drift {
     val e = col("__share") * col("__total").cast("double")
     val term = (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
     val scale = (1L << 20).toDouble
-    val withTerm = arms.select(col("group"), col("n"),
-      when(col("__share").isNotNull, e).as("__e"),
-      when(col("__share").isNotNull, term).as("__term"))
+    // total==0 would make every term 0/0 = NaN (→ 0L in the fixed-point
+    // sum): an experiment that logged NO units would silently PASS the
+    // guard. Terms go NULL instead (chi2 reads NULL) and srm forces true.
+    val withTerm = arms.select(col("group"), col("n"), col("__total"),
+      col("__share"),
+      when(col("__share").isNotNull && col("__total") > 0, e).as("__e"),
+      when(col("__share").isNotNull && col("__total") > 0, term)
+        .as("__term"))
     val w = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     withTerm
       .withColumn("__chi2fp",
         sum(round(col("__term") * scale).cast("long")).over(w))
       .withColumn("__undesigned",
-        max(when(col("__e").isNull, 1).otherwise(0)).over(w))
+        max(when(col("__share").isNull, 1).otherwise(0)).over(w))
       .withColumn("__dof",
-        sum(when(col("__e").isNotNull, 1L).otherwise(0L)).over(w) - 1L)
+        sum(when(col("__share").isNotNull, 1L).otherwise(0L)).over(w) - 1L)
       .select(col("group"), col("n"),
         (round(col("__e"), 6) + lit(0d)).as("expected_n"),
         (round(col("__term"), 6) + lit(0d)).as("chi2_term"),
         (round(col("__chi2fp").cast("double") / scale, 6) + lit(0d))
           .as("chi2"),
         col("__dof").as("dof"),
-        (col("__chi2fp").cast("double") / scale > chi2Threshold
-          || col("__undesigned") === 1).as("srm"))
+        (coalesce(col("__chi2fp").cast("double") / scale, lit(0d))
+          > chi2Threshold
+          || col("__undesigned") === 1 || col("__total") === 0).as("srm"))
   }
 }

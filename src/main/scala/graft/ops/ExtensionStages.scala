@@ -514,6 +514,10 @@ final case class TextAnalysisTransformStage(
     overlap: Int = 16,
     ngramN: Int = 2,
     topK: Int = 5,
+    // zipf: vocabulary-head size for the ln-ln fit. Its OWN knob (not
+    // the generic topK, whose default 5 would fit a regression on five
+    // ranks) so an omitted config matches the zipfFit API default.
+    zipfTopN: Int = 1000,
     // lm_score: model grouping (e.g. per language) + add-k smoothing
     groupCols: Seq[String] = Nil,
     alpha: Double = 0.1,
@@ -588,8 +592,8 @@ final case class TextAnalysisTransformStage(
       case "chao1" => TextAnalysis.chao1(in, textCol)
       // per-doc Flesch reading-ease readability signals
       case "readability" => TextAnalysis.readability(in, idCol, textCol)
-      // corpus Zipf ln-ln slope over the topK vocabulary head
-      case "zipf" => TextAnalysis.zipfFit(in, textCol, topK)
+      // corpus Zipf ln-ln slope over the zipfTopN vocabulary head
+      case "zipf" => TextAnalysis.zipfFit(in, textCol, zipfTopN)
       // per-doc character-class mix (encoding-health probe)
       case "charclass" => TextAnalysis.charClassMix(in, idCol, textCol)
       case other =>

@@ -303,9 +303,14 @@ object Layout {
     * the curve scatters ids across every block, so every block's id
     * range covers the probe). Equality lookups on such a column need a
     * membership sketch per block: this writes one under
-    * `outDir/bloom_<keyCol>`, in LONG format (block_id, w, bits) — one
-    * row per NON-ZERO 64-bit word per block — plus a one-row meta table
-    * pinning (m, k) so probes can never run with mismatched parameters.
+    * `outDir/bloom_<keyCol>`, in LONG format (block_id, w, bits, m, k) —
+    * one row per NON-ZERO 64-bit word per block. The (m, k) parameters
+    * ride as columns of the SAME table (RLE-compressed to nothing) so
+    * the publish is one atomic directory overwrite: a probe can never
+    * pair new bits with old parameters, which a separate meta table
+    * racing a rebuild with different mBits/k could — and a mismatched
+    * (m, k) means bloom FALSE NEGATIVES, i.e. silently dropped rows.
+    * [[bloomRead]] validates (m, k) uniqueness at probe time.
     *
     * Shape at scale: one scan of the layout data into a map-side-
     * combined `bit_or` per (block, word); the manifest is
@@ -334,10 +339,9 @@ object Layout {
       .select(col("block_id"), expr("__h div 64").as("w"),
         expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
       .groupBy("block_id", "w").agg(expr("bit_or(__m)").as("bits"))
+      .select(col("block_id"), col("w"), col("bits"),
+        lit(m.toLong).as("m"), lit(k).as("k"))
     blooms.write.mode("overwrite").parquet(s"$outDir/bloom_$keyCol")
-    import spark.implicits._
-    Seq((m.toLong, k)).toDF("m", "k").write.mode("overwrite")
-      .parquet(s"$outDir/bloom_${keyCol}_meta")
     spark.read.parquet(s"$outDir/bloom_$keyCol")
   }
 
@@ -359,16 +363,22 @@ object Layout {
       values: Seq[String]): DataFrame = {
     require(values.nonEmpty, "need at least one probe value")
     import spark.implicits._
-    val meta = spark.read.parquet(s"$outDir/bloom_${keyCol}_meta")
-      .collect().head
-    val (m, k) = (meta.getAs[Long]("m"), meta.getAs[Int]("k"))
+    val bloom = spark.read.parquet(s"$outDir/bloom_$keyCol")
+    // (m, k) ride as columns of the bits table (atomic with the bits —
+    // see bloomAugment); a mixed-parameter table is a corrupt publish
+    // and probing it risks false NEGATIVES, so fail loudly.
+    val metas = bloom.select("m", "k").distinct().limit(3).collect()
+    require(metas.length == 1,
+      s"bloom table $outDir/bloom_$keyCol has ${metas.length} distinct " +
+        "(m, k) parameter pairs; expected exactly 1 — rebuild it")
+    val (m, k) = (metas.head.getAs[Long]("m"), metas.head.getAs[Int]("k"))
     val probes = values.distinct.toDF("__v")
       .select(col("__v"), posexplode(array((0 until k).map(i =>
         pmod(xxhash64(col("__v"), lit(i)), lit(m))): _*))
         .as(Seq("__i", "__h")))
       .select(col("__v"), col("__i"), expr("__h div 64").as("w"),
         expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
-    val keep = spark.read.parquet(s"$outDir/bloom_$keyCol")
+    val keep = bloom
       .join(broadcast(probes), "w")
       .where(col("bits").bitwiseAND(col("__m")) =!= 0L)
       .groupBy(col("block_id"), col("__v"))

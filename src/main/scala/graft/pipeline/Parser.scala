@@ -572,6 +572,7 @@ object Parser {
         overlap = r.int("overlap").getOrElse(16),
         ngramN = r.int("ngramN").getOrElse(2),
         topK = r.int("topK").getOrElse(5),
+        zipfTopN = r.int("zipfTopN").getOrElse(1000),
         groupCols = r.stringList("groupCols"),
         alpha = r.double("alpha").getOrElse(0.1),
         alpha0 = r.double("alpha0").getOrElse(100.0),
@@ -858,7 +859,7 @@ object Parser {
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
-      "ngramN", "topK", "scoreWeights", "bias", "scoreThreshold",
+      "ngramN", "topK", "zipfTopN", "scoreWeights", "bias", "scoreThreshold",
       "groupCols", "alpha", "alpha0", "terms", "merges", "window",
       "minDocs")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -7718,8 +7718,9 @@ object ExtensionQueries {
     // |cumA*nB - cumB*nA|; argmax ties to the smallest value; the one
     // double division replicates Spark's ta.toDouble * tb.toDouble
     // denominator literal.
-    // Replay of Drift.meanPermutationTest: same h32 label draws per
-    // permutation, exact fixed-point sums, integer nA*P//n threshold.
+    // Replay of Drift.meanPermutationTest: same raw 32-bit (pre-modulo)
+    // label draws per permutation, exact fixed-point sums, integer
+    // nA*2^32//n threshold (the uniform domain — see h32raw).
     "ab_permutation" -> s"""
       WITH u AS (
         SELECT 'a:' || event_id::VARCHAR AS id,
@@ -7740,7 +7741,7 @@ object ExtensionQueries {
           sa::DOUBLE / na / 1048576.0 AS mean_a,
           sb::DOUBLE / nb / 1048576.0 AS mean_b,
           sa::DOUBLE / na / 1048576.0 - sb::DOUBLE / nb / 1048576.0 AS d,
-          na * $P // (na + nb) AS thr
+          (na::HUGEINT * 4294967296 // (na + nb))::BIGINT AS thr
         FROM base
       ), pm AS (
         SELECT p,
@@ -7751,7 +7752,7 @@ object ExtensionQueries {
         FROM (
           SELECT u.v, t.p,
             ('0x'||substr(md5(u.id || ':' || t.p::VARCHAR || ':ab'),1,8))::BIGINT
-              % $P < (SELECT thr FROM obs) AS pa
+              < (SELECT thr FROM obs) AS pa
           FROM u CROSS JOIN generate_series(1, $AbPerms) t(p))
         GROUP BY p
       ), ex AS (

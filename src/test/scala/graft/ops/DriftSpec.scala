@@ -210,6 +210,40 @@ class DriftSpec extends SparkSpec {
     assert(r.forall(_.getAs[Boolean]("srm")))
   }
 
+  test("srmCheck: a zero-row input trips srm, never passes silently") {
+    // The failure mode the guard exists for: an experiment that logged
+    // NO units. Every (n-e)^2/e term would be 0/0; the guard must flag,
+    // not fold the NaNs to chi2=0 and pass.
+    val empty = Seq.empty[String].toDF("arm")
+    val r = Drift.srmCheck(empty, "arm", Map("a" -> 1.0, "b" -> 1.0), 3.841)
+      .orderBy("group").collect()
+    assert(r.length == 2, "every designed arm still gets a row")
+    assert(r.forall(_.getAs[Long]("n") == 0L))
+    assert(r.forall(row => row.isNullAt(row.fieldIndex("chi2"))))
+    assert(r.forall(_.getAs[Boolean]("srm")), "zero units must flag srm")
+    // all-NULL groupCol is the same zero-total case
+    val allNull = Seq.fill(5)(Option.empty[String]).toDF("arm")
+    val r2 = Drift.srmCheck(allNull, "arm", Map("a" -> 1.0, "b" -> 1.0),
+      3.841).collect()
+    assert(r2.forall(_.getAs[Boolean]("srm")))
+  }
+
+  test("meanPermutationTest relabeling rate is uniform (pre-modulo draw)") {
+    // The h32 % P domain over-weights values below 2^32-4P by 25%; the
+    // raw 32-bit draw must realize the design rate. Check a 1:9 design:
+    // P(A) must come out ~0.10, not the folded ~0.116.
+    import graft.functions.{TextFunctions => T}
+    val n = 20000L
+    val nA = 2000L
+    val thr = (BigInt(nA) * BigInt(2).pow(32) / BigInt(n)).toLong
+    val rate = spark.range(0, n)
+      .select((T.h32raw(concat(lit("u"), col("id"))) < thr)
+        .cast("long").as("a"))
+      .agg((sum("a") / n.toDouble).as("r")).collect().head.getDouble(0)
+    assert(math.abs(rate - 0.10) < 0.01,
+      s"realized A-rate $rate should be ~0.10 (pre-modulo uniform draw)")
+  }
+
   test("srmCheck result is independent of input partitioning") {
     val df = spark.range(0, 997)
       .select(concat(lit("g"), (col("id") % 3).cast("string")).as("arm"))

@@ -342,4 +342,35 @@ class LayoutSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("bloom (m, k) ride the bits table atomically; mixed params refuse") {
+    val df = (0 until 64).map { i => (i.toLong, (i % 8).toLong, (i / 8).toLong) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomk").toString
+    try {
+      Layout.zorderWrite(df, "x", "y", "id", dir,
+        blockSize = 16, bits = 3, options = confirm)
+      val blooms = Layout.bloomAugment(spark, dir, "id",
+        mBits = 1024, k = 3, options = confirm)
+      // parameters are columns of the SAME table as the bits — one
+      // atomic overwrite publishes both (no separate meta table a
+      // rebuild race could leave stale)
+      assert(blooms.columns.toSet == Set("block_id", "w", "bits", "m", "k"))
+      assert(blooms.select("m", "k").distinct().collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1))) == Seq((1024L, 3)))
+      assert(!new java.io.File(s"$dir/bloom_id_meta").exists,
+        "no separate meta table may be written")
+      // a table carrying two parameter sets is a corrupt publish: probing
+      // it risks bloom false NEGATIVES, so the read must refuse
+      blooms.withColumn("m", lit(2048L)).limit(1)
+        .write.mode("append").parquet(s"$dir/bloom_id")
+      val ex = intercept[IllegalArgumentException] {
+        Layout.bloomRead(spark, dir, "id", Seq("7")).collect()
+      }
+      assert(ex.getMessage.contains("distinct"))
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
