@@ -73,6 +73,15 @@ object ScaleProbe {
         graft.ops.Contamination.check(d,
           docs.where(col("doc_id") % 50 === 0), "doc_id", "text").count()
       }
+      // distributed-bloom novelty with the REFERENCE side amplified (the
+      // oversized-reference case the variant exists for): fixed corpus,
+      // Nx reference; cost should track the reference fold + the
+      // corpus-sized probe join, never a driver bitmap
+      t("novelty_bloom_big") {
+        graft.ops.Contamination.noveltyBloomBig(
+          docs.where(col("doc_id") % 11 === 0), d, "doc_id", "text",
+          mBits = 1L << 24).count()
+      }
       // chunking is a pure narrow explode — the flat-cost reference curve
       t("text_chunk") {
         graft.ops.TextAnalysis.chunk(d, "doc_id", "text", 32, 8).count()

@@ -1349,6 +1349,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    "text_novelty_bloom_big" -> { (spark, dir) =>
+      // the DISTRIBUTED bloom variant: reference grams fold to a
+      // word-partitioned (w, bits) table in the plan — no driver-held
+      // bitmap — and corpus grams probe via a word-key join. Exact by
+      // construction (bloom verdicts only route grams), so the oracle is
+      // the same plain anti-join replay as text_novelty_bloom.
+      val d = docs(spark, dir)
+      Contamination.noveltyBloomBig(d.where(col("doc_id") % 7 =!= 0),
+          d.where(col("doc_id") % 7 === 0), "doc_id", "text",
+          mBits = 1L << 20)
+        .orderBy("doc_id")
+    },
+
     "streaming_foreachbatch" -> { (spark, dir) =>
       // TRUE streaming path, batch-verified: file-source readStream over
       // the events table -> watermarked hourly aggregation -> Complete-mode
@@ -5160,6 +5173,10 @@ object ExtensionQueries {
     // input, never the answer — Contamination.noveltyBloom), so its
     // oracle IS the plain anti-join replay, shared verbatim.
     "text_novelty_bloom" -> noveltyOracle,
+
+    // Same contract for the DISTRIBUTED word-partitioned bloom: routing
+    // through (w, bits) join verdicts never changes the answer.
+    "text_novelty_bloom_big" -> noveltyOracle,
 
     // Replay of TextAnalysis.repetition (word bigrams): same space-split
     // words, same keyed (doc, gram) counts; a doc shorter than one bigram

@@ -84,4 +84,29 @@ class ContaminationSpec extends SparkSpec {
       graft.util.Caches.unpersistAll()
     }
   }
+
+  test("noveltyBloomBig (distributed bloom) is bit-equal to novelty") {
+    // same exact-routing contract as noveltyBloom, with the bitmap as a
+    // word-partitioned (w, bits) table in the plan — nothing driver-held,
+    // so mBits in the 10^11 range is legal (here small, to force FPs
+    // through the verify join)
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val corpus = d.where($"doc_id" % 7 =!= 0)
+    val ref = d.where($"doc_id" % 7 === 0)
+    val exact = Contamination.novelty(corpus, ref, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    for ((mBits, k) <- Seq((1L << 20, 5), (1L << 10, 3), (64L, 1))) {
+      val bloom = Contamination.noveltyBloomBig(corpus, ref, "doc_id",
+          "text", mBits = mBits, k = k)
+        .collect().map(_.toString).toSet
+      assert(bloom == exact, s"mBits=$mBits k=$k diverged")
+      graft.util.Caches.unpersistAll()
+    }
+    // the plan must contain NO data-carrying collect: the bloom rides a
+    // join, not a literal — assert no array literal of the bitmap class
+    val plan = Contamination.noveltyBloomBig(corpus, ref, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("bloomMightContain"))
+    graft.util.Caches.unpersistAll()
+  }
 }
