@@ -123,6 +123,161 @@ object Graph {
       (col("r").cast("double") / RankScale).as("rank"))
   }
 
+  /** Strongly connected components of a DIRECTED edge table — the
+    * standard web-graph decomposition run before [[pagerank]] on crawl
+    * corpora (the giant SCC + tendrils structure of Broder et al. 2000;
+    * link-quality priors and crawl-frontier logic treat the giant SCC's
+    * members differently from IN/OUT tendrils). The undirected
+    * [[Dedup.connectedComponents]] cannot see direction; this is the
+    * trim + forward-coloring + backward-confirmation family (Orzan's
+    * coloring / FW-BW-Trim — Slota et al. 2014, McLendon et al. 2005)
+    * re-expressed as bounded DataFrame fixpoints:
+    *
+    *  1. TRIM to fixpoint: a vertex with no in-edges or no out-edges in
+    *     the remaining subgraph is on no cycle — assign it its own
+    *     singleton SCC and peel it. This dissolves the DAG tendrils that
+    *     dominate web graphs without any label work.
+    *  2. COLOR: color(v) = min id of any vertex that reaches v, by
+    *     neighbor-min propagation WITH pointer jumping — if lab(v)
+    *     reaches v and lab(lab(v)) reaches lab(v), it reaches v, so
+    *     lab(v) <- min(lab(v), lab(lab(v))) is sound and the fixpoint
+    *     lands in O(log n) rounds, not O(diameter).
+    *  3. CONFIRM: within each color class, blab(v) = min id v REACHES
+    *     through class-internal edges (the same fixpoint on reversed
+    *     edges). The class's color c is its minimum id (c reaches every
+    *     member, so any member with a smaller id would have recolored
+    *     the class), hence blab(v) = c  <=>  v reaches c  <=>  v is in
+    *     SCC(c) — those vertices are assigned scc = c and peeled; at
+    *     least every class root confirms, so every round makes progress.
+    *
+    * Rounds repeat on the unassigned remainder until empty; a graph that
+    * needs more than `maxOuter` peels (adversarially nested chains of
+    * SCCs, not the web-graph shape) fails loudly rather than returning a
+    * partial answer.
+    *
+    * Shape at scale: every step is an edge⨝label hash join plus a
+    * map-side-combined min — no driver state, no per-vertex collect; all
+    * three fixpoints truncate their self-join lineage through
+    * [[graft.util.Truncator]]. Determinism: min-label fixpoints are
+    * order-independent, so any engine agrees on the labels.
+    *
+    * Output: (node, scc) for every vertex of the edge table, scc = the
+    * component's minimum node id.
+    */
+  def scc(edges: DataFrame, maxOuter: Int = 12, maxIter: Int = 25,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(maxOuter >= 1, s"maxOuter must be >= 1, got $maxOuter")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
+
+    // min-id-that-REACHES-v fixpoint over (verts, e); O(log n) rounds via
+    // pointer jumping (see scaladoc). Returns (id, lab).
+    def minReach(verts: DataFrame, e: DataFrame): DataFrame = {
+      // eagerFree=false: the convergence probe joins the NEW generation
+      // against the OLD one after trunc() has already produced the new —
+      // eager reclaim would free the old generation's blocks first
+      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); the ContextCleaner reclaims
+      // superseded generations instead.
+      val trunc = new graft.util.Truncator(checkpointEvery, eagerFree = false)
+      var labels = trunc(verts
+        .join(e.groupBy(col("dst").as("id")).agg(min("src").as("__mn")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("id"), coalesce(col("__mn"), col("id"))).as("lab")))
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nm = e
+          .join(labels.select(col("id").as("src"), col("lab")), "src")
+          .groupBy(col("dst").as("id")).agg(min("lab").as("__nm"))
+        val prop = labels.join(nm, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("__nm"), col("lab"))).as("lab"))
+        val next = trunc(prop
+          .join(prop.select(col("id").as("lab"), col("lab").as("__jl")),
+            Seq("lab"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("__jl"), col("lab"))).as("lab")))
+        converged = (iter % 2 == 1 || iter == maxIter - 1) && next
+          .join(labels.select(col("id"), col("lab").as("__ol")), "id")
+          .where(col("lab") =!= col("__ol")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels
+    }
+
+    var verts = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var rem = e0.localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    var done = verts.isEmpty
+    while (!done && outer < maxOuter) {
+      // 1. TRIM fixpoint: peel vertices with no in- or no out-edges
+      var trimming = true
+      var trims = 0
+      while (trimming && trims < maxIter) {
+        val live = verts
+          .join(rem.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+          .join(rem.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
+          .localCheckpoint(true)
+        val trimmed = verts.join(live, Seq("id"), "left_anti")
+          .select(col("id").as("node"), col("id").as("scc"))
+          .localCheckpoint(true)
+        trimming = !trimmed.isEmpty
+        if (trimming) {
+          out += trimmed
+          verts = live
+          rem = rem
+            .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint(true)
+        }
+        trims += 1
+      }
+      done = verts.isEmpty
+      if (!done) {
+        // 2. COLOR + 3. CONFIRM
+        val colors = graft.util.Caches.persist(
+          minReach(verts, rem).withColumnRenamed("lab", "__color"))
+        val classEdges = rem
+          .join(colors.select(col("id").as("src"), col("__color").as("__cs")),
+            "src")
+          .join(colors.select(col("id").as("dst"), col("__color").as("__cd")),
+            "dst")
+          .where(col("__cs") === col("__cd"))
+          // REVERSED class-internal edges: blab = min id v reaches in-class
+          .select(col("dst").as("src"), col("src").as("dst"))
+        val blab = minReach(verts, classEdges).withColumnRenamed("lab", "__blab")
+        val assigned = colors.join(blab, "id")
+          .where(col("__color") === col("__blab"))
+          .select(col("id").as("node"), col("__color").as("scc"))
+          .localCheckpoint(true)
+        out += assigned
+        verts = verts
+          .join(assigned.select(col("node").as("id")), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        done = verts.isEmpty
+        if (!done)
+          rem = rem
+            .join(assigned.select(col("node").as("src")), Seq("src"), "left_anti")
+            .join(assigned.select(col("node").as("dst")), Seq("dst"), "left_anti")
+            .localCheckpoint(true)
+      }
+      outer += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"scc did not converge in maxOuter=$maxOuter peel rounds; " +
+          "raise maxOuter (adversarially nested SCC chains need more peels)")
+    if (out.isEmpty)
+      e0.select(col("src").as("node"), col("src").as("scc")).limit(0)
+    else out.reduce(_ unionAll _)
+  }
+
   /** Canonical undirected co-occurrence edges: one (a, b) row with
     * a < b per pair of distinct `nodeCol` values that ever share a
     * `groupCol` value (parts in one order, docs in one cluster, urls in

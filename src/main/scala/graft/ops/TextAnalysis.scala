@@ -642,6 +642,75 @@ object TextAnalysis {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
+  /** Longest shared substring per document PAIR at suffix-array fidelity
+    * above the `n`-word threshold — the pairwise sharpening of
+    * [[dupRuns]], closing the gap to the Lee et al. 2022 exact-substring
+    * semantics ("Deduplicating Training Data Makes Language Models
+    * Better", which reports/removes substrings shared verbatim between
+    * documents above a token threshold): [[dupRuns]] says "this doc has
+    * an r-gram duplicated run SOMEWHERE in the corpus", but its per-gram
+    * flags can be satisfied by DIFFERENT partner docs, so the island
+    * length only BOUNDS the longest substring truly shared with any one
+    * doc. This computes it exactly: a substring of w >= n words shared
+    * verbatim by docs A and B appears as a run of w-n+1 consecutive
+    * ALIGNED positional-gram matches (same position offset A-B — the
+    * suffix-grouping diagonal), and conversely every maximal aligned run
+    * of length r is a maximal shared substring of r+n-1 words. Reported
+    * `shared_words` is therefore EXACT for every pair sharing >= n words
+    * (the suffix-array answer, thresholded at n), up to gram-hash
+    * collisions in the h32 domain — which the oracle replays bit-for-bit.
+    *
+    * `maxDf` guards the pair expansion: a gram in more than `maxDf` docs
+    * is corpus boilerplate whose pairing cost is df² with near-zero
+    * dedup signal (the LSH-band-cap convention — [[Dedup.simhashPairs]]
+    * maxBucket, [[Dedup.ngramJaccardPairs]] maxBlock); pairs whose ONLY
+    * shared material is such boilerplate are not reported. Docs shorter
+    * than `n` words are out of contract (whole-doc dedup owns them).
+    *
+    * Shape at scale: positional gram hashes are one native-kernel pass
+    * (grams travel as longs); doc frequency is map-side combined; the
+    * pair join is gram-keyed with per-gram fan-out capped at maxDf²; the
+    * island window partitions by (pair, diagonal) — per-pair sequential
+    * work bounded by the shorter doc, never corpus-wide. No driver state.
+    *
+    * Output: (doc_a, doc_b, max_run, shared_words) for every pair
+    * sharing at least one sub-maxDf gram; shared_words = max_run + n - 1.
+    */
+  def dupSubstring(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 1000): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.util.Caches.persist(
+      df.where(size(T.words(col(textCol))) >= n)
+        .select(col(idCol).as("doc_id"),
+          posexplode(T.hashedWordNgramSeq(col(textCol), n))
+            .as(Seq("__pos", "__g"))))
+    val dfreq = g.select(col("doc_id"), col("__g")).distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, maxDf))
+    val keep = g.join(dfreq.select("__g"), "__g")
+    val pairs = keep
+      .select(col("__g"), col("doc_id").as("doc_a"), col("__pos").as("__pa"))
+      .join(keep
+        .select(col("__g"), col("doc_id").as("doc_b"), col("__pos").as("__pb")),
+        "__g")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__pa") - col("__pb")).as("__diag"), col("__pa"))
+    // gaps-and-islands along each alignment diagonal: __pa is unique
+    // within (pair, diag), so consecutive positions collapse to one group
+    val w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("__pa")
+    pairs
+      .withColumn("__grp", col("__pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "__diag", "__grp")
+      .agg(count(lit(1)).as("__rl"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("__rl")).as("max_run"))
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + lit((n - 1).toLong)).as("shared_words"))
+  }
+
   /** Group-distinctive terms by weighted log-odds with an informative
     * Dirichlet prior (the "fightin' words" estimator, Monroe et al.
     * 2008): for each (group, word), the z-scored log-odds of the word in

@@ -220,6 +220,9 @@ object ExtensionQueries {
   private val JwMinSim = 0.9
   private val LmAlpha = 0.1
   private val DupSpanN = 8
+  // graph_scc fixture: high-quantity flows s->c, low-quantity flows c->s
+  private val SccQtyHi = 49
+  private val SccQtyLo = 2
   // 100.0: exact in binary — alpha0 literals replay identically
   private val KeynessAlpha = 100.0
   private val KeynessTopK = 10
@@ -1698,6 +1701,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Pairwise suffix-fidelity sharpening of dup_runs: longest substring
+    // shared verbatim by each doc PAIR (aligned positional-gram runs on
+    // the A-B diagonal), exact above the n-word threshold.
+    "text_dup_substring" -> { (spark, dir) =>
+      TextAnalysis.dupSubstring(docs(spark, dir), "doc_id", "text",
+          n = DupSpanN)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Group-distinctive terms per language (weighted log-odds, informative
     // Dirichlet prior from the corpus itself).
     "text_keyness" -> { (spark, dir) =>
@@ -1971,6 +1983,23 @@ object ExtensionQueries {
             .select(col("src").as("doc_a"), col("dst").as("doc_b")))
         .select(col("doc_id").as("node"), col("component"))
         .orderBy("node")
+    },
+
+    // Strongly connected components on a DIRECTED supplier<->customer
+    // graph: high-quantity flows point s->c, low-quantity flows point
+    // c->s — the Broder web shape emerges (one giant SCC + tendrils).
+    // Trim + coloring + backward confirmation; scc = component min id.
+    "graph_scc" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val fwd = j.where(col("l_quantity") >= SccQtyHi)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst")).distinct()
+      val bwd = j.where(col("l_quantity") <= SccQtyLo)
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      Graph.scc(fwd.unionAll(bwd)).orderBy("node")
     },
 
     "bucketize_quantile" -> { (spark, dir) =>
@@ -5835,6 +5864,45 @@ object ExtensionQueries {
           0)::BIGINT AS max_run
       FROM flags f GROUP BY f.doc_id ORDER BY f.doc_id""",
 
+    // INDEPENDENT statement of the longest-shared-substring semantics
+    // (verdict contract: the oracle derives max shared substring length
+    // per doc pair on its own): per pair of >= N-word docs, the longest
+    // run of consecutive positions where A and B carry the SAME n-gram at
+    // a FIXED offset (the alignment diagonal), reported as run + n - 1
+    // words. Same md5%P gram hashing and the same df-cap guard, so both
+    // engines see the identical gram universe.
+    "text_dup_substring" -> s"""
+      WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      lng AS (SELECT doc_id, w FROM ws WHERE len(w) >= $DupSpanN),
+      g AS (
+        SELECT doc_id, i AS pos,
+          ('0x'||substr(md5(array_to_string(w[i:i+${DupSpanN - 1}], ' ')),
+            1, 8))::BIGINT % $P AS h
+        FROM lng, unnest(generate_series(1, len(w) - ${DupSpanN - 1}))
+          AS t(i)),
+      dfq AS (
+        SELECT h FROM (
+          SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        WHERE df BETWEEN 2 AND 1000),
+      keep AS (SELECT g.* FROM g JOIN dfq USING (h)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+          a.pos - b.pos AS diag
+        FROM keep a JOIN keep b USING (h)
+        WHERE a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, diag,
+          pa - row_number() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM pairs),
+      runs AS (
+        SELECT doc_a, doc_b, count(*)::BIGINT AS rl
+        FROM isl GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, max(rl)::BIGINT AS max_run,
+        (max(rl) + ${DupSpanN - 1})::BIGINT AS shared_words
+      FROM runs GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // Replay of TextAnalysis.keyness: Monroe log-odds with the corpus as
     // Dirichlet prior; identical double arithmetic order, 6dp + -0 guard.
     "text_keyness" -> s"""
@@ -6673,6 +6741,31 @@ object ExtensionQueries {
       )
       SELECT src AS node, least(src, min(dst)) AS component
       FROM reach GROUP BY src ORDER BY node""",
+
+    // INDEPENDENT statement of SCC semantics: transitive closure by
+    // recursive CTE, scc(v) = least(v, min mutually-reachable partner) —
+    // no coloring, no trimming, no peeling; pure mutual reachability.
+    "graph_scc" -> s"""
+      WITH RECURSIVE fwd AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= $SccQtyHi
+      ), bwd AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity <= $SccQtyLo
+      ), e AS (SELECT * FROM fwd UNION SELECT * FROM bwd),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      mutual AS (
+        SELECT a.src AS v, a.dst AS u FROM reach a JOIN reach b
+          ON a.src = b.dst AND a.dst = b.src)
+      SELECT node, least(node, coalesce(min(u), node)) AS scc
+      FROM nodes LEFT JOIN mutual ON node = v
+      GROUP BY node ORDER BY node""",
 
     // Replay of Behavior.basketPairs over distinct (order, supplier)
     // memberships; lift in the identical operand order.

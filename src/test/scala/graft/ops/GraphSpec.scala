@@ -373,4 +373,58 @@ class GraphSpec extends SparkSpec {
       .collect().head
     assert(again.toString == got.toString)
   }
+
+  private def sccMap(es: Seq[(String, String)]): Map[String, String] =
+    Graph.scc(es.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("scc: two 2-cycles joined one-way stay separate components") {
+    val m = sccMap(Seq(("a", "b"), ("b", "a"), ("b", "c"),
+      ("c", "d"), ("d", "c")))
+    assert(m == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"), s"$m")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("scc: a DAG is all singletons (direction matters, unlike CC)") {
+    val m = sccMap(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")))
+    assert(m == Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "d"), s"$m")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("scc: shared forward-min AND backward-min do not merge distinct " +
+      "components (the naive two-propagation counterexample)") {
+    // n2 reaches both n3 and n4; both reach n1 — n3/n4 share
+    // (fwd-min=n1, bwd-min=n2) yet are separate singleton SCCs
+    val m = sccMap(Seq(("n2", "n3"), ("n2", "n4"), ("n3", "n1"),
+      ("n4", "n1")))
+    assert(m == Map("n1" -> "n1", "n2" -> "n2", "n3" -> "n3", "n4" -> "n4"),
+      s"$m")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("scc: chain of cycles peels across outer rounds; self-loop is a " +
+      "singleton component of itself") {
+    // a<->b -> c<->d -> e<->f, plus g with a self-loop and h isolated-ish
+    val m = sccMap(Seq(("a", "b"), ("b", "a"), ("b", "c"),
+      ("c", "d"), ("d", "c"), ("d", "e"),
+      ("e", "f"), ("f", "e"), ("g", "g"), ("g", "h")))
+    assert(m == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c",
+      "e" -> "e", "f" -> "e", "g" -> "g", "h" -> "h"), s"$m")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("scc is layout-independent and matches CC on a symmetric graph") {
+    val es = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("x", "y"), ("y", "x"))
+    val base = sccMap(es)
+    val again = Graph.scc(es.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == base)
+    // fully symmetric digraph: SCC == undirected CC
+    val cc = Dedup.connectedComponents(
+        es.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(base == cc, s"scc=$base cc=$cc")
+    graft.util.Caches.unpersistAll()
+  }
 }

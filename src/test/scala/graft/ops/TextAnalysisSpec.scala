@@ -239,6 +239,56 @@ class TextAnalysisSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("dupSubstring: exact longest shared substring per pair, diagonal " +
+      "alignment, df-cap guard, sub-n docs out of contract") {
+    val df = Seq(
+      // docs 0/1 share "c1 c2 c3 c4 c5" (5 words) and separately
+      // "s1 s2 s3" (3 words): longest = 5, i.e. max_run 3 at n=3
+      (0L, "a b c1 c2 c3 c4 c5 d e s1 s2 s3 f g"),
+      (1L, "x c1 c2 c3 c4 c5 y z w s1 s2 s3 q"),
+      // doc 2 shares only the 3-word "s1 s2 s3" with both 0 and 1
+      (2L, "n1 n2 s1 s2 s3 n3 n4 n5"),
+      // doc 3: 4 words < would-be threshold interplay; shares 3-word
+      // block with nobody; no row
+      (3L, "p q r s t u v"),
+      // doc 4: shorter than n words — out of contract even though its
+      // whole text appears inside doc 0
+      (4L, "c1 c2")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSubstring(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // run of 3 aligned 3-gram matches = 5 shared words
+    assert(out((0L, 1L)) == ((3L, 5L)), s"got ${out.get((0L, 1L))}")
+    assert(out((0L, 2L)) == ((1L, 3L)))
+    assert(out((1L, 2L)) == ((1L, 3L)))
+    assert(!out.contains((0L, 3L)) && !out.contains((0L, 4L)),
+      s"unexpected pairs: ${out.keys}")
+    assert(out.size == 3)
+    graft.util.Caches.unpersistAll()
+    // df-cap: the s-gram appears in 3 docs; maxDf=2 drops it, so the
+    // only surviving pair is the c-block one
+    val capped = TextAnalysis.dupSubstring(df, "doc_id", "text", n = 3,
+        maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)), s"got $capped")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("dupSubstring: scattered shared grams do not chain into a run") {
+    val df = Seq(
+      (0L, "k1 k2 k3 a a a k4 k5 k6 b b b"),
+      (1L, "k1 k2 k3 c c c k4 k5 k6 d d d")
+    ).toDF("doc_id", "text")
+    // both 3-blocks align at the SAME diagonal (offset 0) but positions
+    // 1 and 7 are not consecutive -> two runs of 1, never a run of 2
+    val out = TextAnalysis.dupSubstring(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 3L)), s"got $out")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("keyness surfaces each group's distinctive term with positive z") {
     val df = Seq(
       ("a", "foo foo foo common words here"),
