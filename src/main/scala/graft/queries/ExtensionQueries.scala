@@ -794,6 +794,38 @@ object ExtensionQueries {
         .orderBy("q_id")
     },
 
+    // OPQ-P (Ge et al. 2013): PCA rotation + eigenvalue allocation before
+    // PQ training. The recall gauge vs the SAME raw-L2 ground truth as
+    // pq_recall; rows-only gate (the power-iteration rotation is not
+    // SQL-expressible) — the >= -plain-PQ property and determinism are
+    // pinned in PqSpec, orthonormality is hash-gated by pq_opq_rotation.
+    "pq_recall_opq" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      Pq.adcRecallOpq(e, e.where(col("vec_id") < NQueryVecs), TopK,
+          centroidEvery = PqCentroidEvery)
+        .orderBy("q_id")
+    },
+
+    // Hash-gated witness that the TRAINED OPQ rotation is orthonormal:
+    // R·Rᵀ at 4dp must be the identity (power iteration + Gram–Schmidt
+    // deflation + eigenvalue-allocation permutation preserve
+    // orthonormality; 6dp loading rounding bounds the off-diagonal error
+    // well under the 4dp grid). A broken deflation or a duplicated/
+    // dropped row in the allocation would break the hash.
+    "pq_opq_rotation" -> { (spark, dir) =>
+      val rot = Pq.opqRotation(embs(spark, dir))
+      val dim = rot.size
+      import spark.implicits._
+      (for (i <- 0 until dim; j <- 0 until dim) yield {
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += rot(i)(d) * rot(j)(d); d += 1 }
+        (i.toLong, j.toLong,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble + 0.0)
+      }).toDF("i", "j", "v").orderBy("i", "j")
+    },
+
     "bitext_mine_scalable" -> { (spark, dir) =>
       // the two-large-sides margin miner: sign-LSH candidates on both
       // parity halves, margin over candidates only — the scale path the
@@ -6297,6 +6329,14 @@ object ExtensionQueries {
       JOIN m mi ON mi.i = s.i
       JOIN m mj ON mj.i = s.j
       CROSS JOIN n
+      ORDER BY i, j""",
+
+    // The trained OPQ rotation must satisfy R·Rᵀ = I — stated as the
+    // literal identity, independent of how the rotation was computed.
+    "pq_opq_rotation" -> """
+      SELECT a.i::BIGINT AS i, b.j::BIGINT AS j,
+        (CASE WHEN a.i = b.j THEN 1.0 ELSE 0.0 END)::DOUBLE AS v
+      FROM generate_series(0, 63) a(i), generate_series(0, 63) b(j)
       ORDER BY i, j""",
 
     // Plain theta-join ground truth for the bucketed interval overlap

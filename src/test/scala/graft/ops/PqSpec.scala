@@ -107,6 +107,69 @@ class PqSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("opqRotation is orthonormal, deterministic, layout-independent") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val rot = Pq.opqRotation(e)
+    assert(rot.size == 64 && rot.forall(_.size == 64))
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = (0 until 64).map(k => rot(i)(k) * rot(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-4, s"R·Rᵀ[$i][$j] = $d")
+    }
+    graft.util.Caches.unpersistAll()
+    val again = Pq.opqRotation(e.repartition(13))
+    assert(again == rot, "rotation must be a pure function of the data")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("rotate preserves exact L2 neighbor order (orthonormal isometry)") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .where(col("vec_id") < 40)
+    val rot = Pq.opqRotation(
+      spark.read.parquet(s"$sf001/embeddings.parquet"))
+    val r = Pq.rotate(e, rot)
+    import graft.functions.VectorFunctions
+    def norms(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), org.apache.spark.sql.functions.round(
+        VectorFunctions.dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")), 3).as("n2"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val a = norms(e)
+    val b = norms(r)
+    a.foreach { case (id, n2) =>
+      assert(math.abs(b(id) - n2) < 1e-2, s"norm of $id moved: $n2 -> ${b(id)}")
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("adcRecallOpq >= adcRecall on an anisotropic clustered corpus " +
+      "(the eigenvalue-allocation payoff), honest raw-L2 ground truth") {
+    // low-rank diagonal structure: cluster geometry lives in 3 random
+    // non-axis directions mixing all 64 dims — plain PQ's fixed
+    // coordinate split smears it across every subspace; OPQ's PCA +
+    // eigenvalue allocation concentrates it
+    val rnd = new scala.util.Random(7)
+    val dirs = Array.fill(3)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 400).map { i =>
+      val coef = Array(i % 8 * 5.0, (i / 8) % 5 * 3.0,
+        rnd.nextGaussian() * 0.2)
+      (i.toLong, Array.tabulate(64)(d =>
+        (coef(0) * dirs(0)(d) + coef(1) * dirs(1)(d)
+          + coef(2) * dirs(2)(d) + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = rows.where(col("vec_id") < 15)
+    def mean(df: org.apache.spark.sql.DataFrame) =
+      df.agg(org.apache.spark.sql.functions.avg("recall"))
+        .collect().head.getDouble(0)
+    val plain = mean(Pq.adcRecall(rows, q, 10, centroidEvery = 25))
+    graft.util.Caches.unpersistAll()
+    val opq = mean(Pq.adcRecallOpq(rows, q, 10, centroidEvery = 25))
+    graft.util.Caches.unpersistAll()
+    assert(opq >= plain,
+      s"OPQ recall $opq must not lose to plain PQ $plain here")
+    assert(opq > 0.85, s"OPQ recall $opq should be high on clustered data")
+  }
+
   test("PQ is layout-independent and ragged vectors drop") {
     val withRagged = clustered.unionByName(
       Seq((9L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"))
