@@ -169,6 +169,61 @@ class PlanGuardSpec extends SparkSpec {
       s"packed merge round missing:\n${plan.take(4000)}")
   }
 
+  test("round-12 rank machinery: no data-sized single-partition sort") {
+    // classifier_auc ranks scores through the distributed range-partition
+    // CDF; heavy_change ends in a per-partition top-k. A regression to a
+    // global ORDER BY / no-partition window would plan a data-sized
+    // Exchange SinglePartition (under a Sort / Window); the LEGITIMATE
+    // one-row statistics reduce plans SinglePartition too, but fed by a
+    // partial aggregate — so the guard checks every single-partition
+    // exchange's CHILD line is a partial aggregate, never data.
+    def singlePartitionChildrenArePartials(name: String): Unit = {
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toIndexedSeq
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Exchange SinglePartition")) {
+          val child = lines.drop(i + 1)
+            .find(c => c.exists(_.isLetter)).getOrElse("")
+          assert(child.contains("partial_"),
+            s"$name: Exchange SinglePartition fed by non-partial child " +
+              s"'${child.trim.take(120)}':\n${plan.take(4000)}")
+        }
+      }
+    }
+    singlePartitionChildrenArePartials("classifier_auc")
+    val hc = SparkEntry.queries("heavy_change")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(hc.contains("TakeOrderedAndProject"),
+      s"heavy_change top-k lost TakeOrdered:\n${hc.take(4000)}")
+    singlePartitionChildrenArePartials("heavy_change")
+  }
+
+  test("ab_srm's single partition carries arm-cardinality rows only") {
+    // srmCheck's unpartitioned window is BY DESIGN a SinglePartition —
+    // over one row per ARM, never per unit: the partial count aggregate
+    // must sit below the single-partition exchange so the shuffle
+    // carries arm counts, not units.
+    val plan = SparkEntry.queries("ab_srm")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val spIdx = plan.indexOf("Exchange SinglePartition")
+    assert(spIdx >= 0, s"srm window shape changed:\n${plan.take(4000)}")
+    val below = plan.substring(spIdx)
+    assert(below.contains("HashAggregate") && below.contains("count"),
+      s"ab_srm single partition is not fed by per-arm counts:\n${plan.take(4000)}")
+  }
+
+  test("zorder bloom read prunes data partitions dynamically") {
+    // the surviving-block semi join must reach the data scan as a
+    // dynamic partition filter, never a collected literal block list
+    val plan = SparkEntry.queries("zorder_prune_bloom")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"bloom block list is not a dynamic partition filter:\n${plan.take(4000)}")
+    assert(!plan.contains("block_id IN"),
+      s"collected literal block list found:\n${plan.take(4000)}")
+  }
+
   test("upsert merge is one hash shuffle on the key (no sort-merge of full rows twice)") {
     val plan = SparkEntry.queries("merge_upsert")(spark, sf001)
       .queryExecution.executedPlan.toString
