@@ -2557,6 +2557,178 @@ object ExtensionQueries {
         .orderBy("segment")
     },
 
+    // The SQL FUNCTION REGISTRATION surface gated end-to-end: register
+    // graft's native expressions on the live session, then compute
+    // through `spark.sql` TEXT — the route a SQL-only user takes
+    // (GraftExtensions / GraftFunctions.register). The kernels themselves
+    // are gated elsewhere (text_entropy, dedup_jarowinkler); this gate
+    // pins that the registered names resolve and run the same arithmetic.
+    "sql_functions" -> { (spark, dir) =>
+      graft.GraftFunctions.register(spark)
+      docs(spark, dir).createOrReplaceTempView("sqlfn_docs")
+      spark.sql("""
+        SELECT doc_id,
+          char_entropy(text) AS entropy,
+          round(jaro_winkler_sim(lang, 'en'), 6) + 0d AS jw_en
+        FROM sqlfn_docs ORDER BY doc_id""")
+    },
+
+    // The BehaviorTransform -> AggStateTransform -> DataQualityTransform
+    // declarative wrappers driven END-TO-END from parsed HOCON (the
+    // pipeline_e2e convention): debounce the event stream, fold the kept
+    // rows into mergeable per-user aggregate state (exact fixed-point
+    // value sums), assert DQ rules over the state, and ship a final
+    // readout that depends on all three stages — the config surface the
+    // round-12 verdict listed as spec-only, now oracle-gated.
+    "stage_behavior_chain" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      events(spark, dir).createOrReplaceTempView("st13_events")
+      val conf = s"""
+        stages = [
+          { type = BehaviorTransform, name = deb, method = debounce
+            inputView = st13_events, outputView = st13_deb
+            windowSeconds = 600 }
+          { type = SqlTransform, name = prep
+            sql = "SELECT user_id, round(value * 1048576.0) AS vfp FROM st13_deb"
+            outputView = st13_prep }
+          { type = AggStateTransform, name = state, method = state
+            inputView = st13_prep, outputView = st13_state
+            keys = [user_id], sumCols = [vfp] }
+          { type = DataQualityTransform, name = dq, method = rules
+            inputView = st13_state, outputView = st13_dq
+            rules { nonneg = "n >= 1" } }
+          { type = SqlTransform, name = out
+            sql = \"\"\"SELECT s.user_id, s.n,
+                CAST(s.sum_vfp AS DOUBLE) / 1048576.0 AS sum_value,
+                r.n_violations, r.n_rows
+              FROM st13_state s
+              CROSS JOIN (SELECT n_violations, n_rows FROM st13_dq
+                          WHERE rule_name = 'nonneg') r\"\"\"
+            outputView = st13_out }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) =>
+          graft.pipeline.Runner.run(p).get.orderBy("user_id")
+      }
+    },
+
+    // The ZorderTransform declarative wrapper with the N-column `cols`
+    // list (OPTIMIZE ZORDER BY parity), parsed from HOCON — same layout
+    // semantics as zorder_layout3, so the oracle is shared verbatim.
+    "stage_zorder3" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val conf = s"""
+        stages = [
+          { type = Execute, name = mkview
+            sql = \"\"\"CREATE OR REPLACE TEMPORARY VIEW st13_li AS
+              SELECT l_partkey AS x, l_suppkey AS y,
+                CAST(l_quantity AS BIGINT) AS q,
+                l_orderkey * 10000 + l_linenumber AS id
+              FROM parquet.`$dir/lineitem.parquet`\"\"\" }
+          { type = ZorderTransform, name = layout, method = manifest
+            inputView = st13_li, outputView = st13_manifest
+            cols = [x, y, q], idCol = id
+            blockSize = $ZBlock, bits = $ZBits }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) =>
+          graft.pipeline.Runner.run(p).get.orderBy("block_id")
+      }
+    },
+
+    // The MultimodalTransform declarative wrapper from parsed HOCON:
+    // attach typed binary payloads, then the payload-meta pass — final
+    // shape matches the multimodal byte_len/digest contract.
+    "stage_multimodal" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      docs(spark, dir).createOrReplaceTempView("st13_docs")
+      val conf = s"""
+        stages = [
+          { type = MultimodalTransform, name = attach, method = attach
+            inputView = st13_docs, outputView = st13_mm
+            idCol = doc_id, textCol = text, metaCols = [lang, n_chars] }
+          { type = MultimodalTransform, name = meta, method = meta
+            inputView = st13_mm, outputView = st13_meta }
+          { type = SqlTransform, name = out
+            sql = "SELECT doc_id, byte_len, digest FROM st13_meta"
+            outputView = st13_mm_out }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) =>
+          graft.pipeline.Runner.run(p).get.orderBy("doc_id")
+      }
+    },
+
+    // TRUE streaming throttle, batch-verified (the streaming_state
+    // convention): events split into ts-ordered file groups so each key's
+    // rows arrive across micro-batches in event-time order (the
+    // documented delivery contract), flatMapGroupsWithState holds the
+    // last-kept micros per key, and the final kept set must equal the
+    // batch Behavior.throttle oracle exactly.
+    "streaming_throttle" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      import spark.implicits._
+      val tmp = scratchDir("graft_sthrottle")
+      rmrf(tmp.resolve("kept.parquet")); rmrf(tmp.resolve("_checkpoint"))
+      val in = tmp.resolve("in")
+      rmrf(in)
+      val ev = Tables.eventsRaw(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      // three sequential appends split by global ts terciles: file
+      // modification order == event-time order, so per-key delivery
+      // across micro-batches is in order by construction
+      val cuts = ev.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+      val slices = Seq(
+        ev.where(col("ts") < cuts(0)),
+        ev.where(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.where(col("ts") >= cuts(1)))
+      slices.foreach { s =>
+        s.coalesce(1).write.mode("append").parquet(in.toString)
+        Thread.sleep(5) // distinct file mtimes pin the processing order
+      }
+      withStatePartitions(spark, 4) {
+        val stream = spark.readStream
+          .schema("user_id long, ts long, event_id long")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+          .as[(Long, Long, Long)]
+        implicit val s: SparkSession = spark
+        val kept = graft.streaming.StreamingOps
+          .throttleStream(stream, gapSeconds = 600)
+        val q = graft.streaming.StreamingSink.foreachBatchLoad(
+          kept.toDF("user_id", "ts", "event_id"),
+          new graft.connect.ParquetConnector(tmp.toString), "kept",
+          checkpointDir = s"$tmp/_checkpoint",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        try {
+          q.processAllAvailable()
+          val batches = q.recentProgress.count(_.numInputRows > 0)
+          require(batches >= 3,
+            s"expected >= 3 data micro-batches, saw $batches — the " +
+              "cross-batch throttle state path was not exercised")
+        } finally {
+          q.stop()
+          rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+        }
+      }
+      spark.read.parquet(s"$tmp/kept.parquet")
+        .select("user_id", "ts", "event_id")
+        .orderBy("event_id")
+    },
+
     "streaming_state" -> { (spark, dir) =>
       implicit val c: graft.pipeline.PipelineContext =
         graft.pipeline.PipelineContext(spark)
@@ -4316,6 +4488,30 @@ object ExtensionQueries {
     // Replay of TextAnalysis.charEntropy's micro-nat contract:
     // micro = Σ c·round(ln(c/n)·1e6) as BIGINT, entropy = -micro/1e6/n
     // at 6dp (+0 normalizes IEEE -0.0, as everywhere else).
+    // sql_functions: the registered-name route must produce the same
+    // arithmetic as the direct kernels — entropy per the text_entropy
+    // micro-nat contract, Jaro-Winkler per DuckDB's native function
+    // (rapidfuzz-compatible on ASCII, the dedup_jarowinkler convention).
+    "sql_functions" -> """
+      WITH ch AS (
+        SELECT doc_id, substr(text, i, 1) AS c
+        FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+      ), cc AS (
+        SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch GROUP BY doc_id, c
+      ), tot AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n FROM cc GROUP BY doc_id
+      ), mic AS (
+        SELECT cc.doc_id,
+          sum(cnt * CAST(round(ln(cnt::DOUBLE / n::DOUBLE) * 1e6) AS BIGINT))::BIGINT AS micro,
+          any_value(n) AS n
+        FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id
+      )
+      SELECT d.doc_id,
+        (round(-micro::DOUBLE / 1e6 / n::DOUBLE, 6) + 0) AS entropy,
+        (round(jaro_winkler_similarity(d.lang, 'en'), 6) + 0) AS jw_en
+      FROM documents d JOIN mic ON d.doc_id = mic.doc_id
+      ORDER BY d.doc_id""",
+
     "text_entropy" -> """
       WITH ch AS (
         SELECT doc_id, substr(text, i, 1) AS c
@@ -6364,12 +6560,70 @@ object ExtensionQueries {
       WHERE p IS NULL OR ts - p >= INTERVAL 10 MINUTE
       ORDER BY event_id""",
 
+    // Replay of the stage_behavior_chain parsed-config pipeline: the
+    // debounce window scan, exact fixed-point value sums per surviving
+    // user, and the rule-count readout — the three declarative wrappers'
+    // math, stated directly.
+    "stage_behavior_chain" -> """
+      WITH deb AS (
+        SELECT event_id, user_id, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p,
+          ts
+        FROM events),
+      kept AS (
+        SELECT user_id, round(value * 1048576.0) AS vfp FROM deb
+        WHERE p IS NULL OR ts - p >= INTERVAL 10 MINUTE),
+      st AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+          sum(vfp::DECIMAL(38,6)) AS sum_vfp
+        FROM kept GROUP BY user_id),
+      dq AS (
+        SELECT sum(CASE WHEN NOT coalesce(n >= 1, false)
+                   THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+          count(*)::BIGINT AS n_rows
+        FROM st)
+      SELECT s.user_id, s.n, s.sum_vfp::DOUBLE / 1048576.0 AS sum_value,
+        dq.n_violations, dq.n_rows
+      FROM st s CROSS JOIN dq ORDER BY s.user_id""",
+
+    // stage_multimodal: payload = the UTF-8 text bytes, so byte_len and
+    // the SHA-256 digest restate directly (the multimodal_meta contract).
+    "stage_multimodal" -> """
+      SELECT doc_id, length(text)::BIGINT AS byte_len,
+        sha256(text) AS digest
+      FROM documents ORDER BY doc_id""",
+
     // Replay of Behavior.throttle: the greedy "keep iff >= gap after the
     // last KEPT" scan is a fold, not a window — list_reduce over the
     // (ts, id)-ordered per-key event list with a 'kept-so-far' string
     // accumulator (last element = last kept). The seed's timestamp is
     // far enough in the past that the first real event always keeps.
     "events_throttle" -> """
+      WITH per AS (
+        SELECT user_id,
+          list(epoch_us(ts)::VARCHAR || ':' || event_id::VARCHAR
+            ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id),
+      red AS (
+        SELECT user_id, list_reduce(
+          list_prepend('-2000000000000000:seed', l),
+          (acc, x) -> CASE
+            WHEN CAST(split_part(x, ':', 1) AS BIGINT)
+               - CAST(split_part(split_part(acc, '|', -1), ':', 1)
+                 AS BIGINT) >= 600000000
+            THEN acc || '|' || x ELSE acc END) AS kept
+        FROM per)
+      SELECT user_id, CAST(split_part(u.x, ':', 1) AS BIGINT) AS ts,
+        CAST(split_part(u.x, ':', 2) AS BIGINT) AS event_id
+      FROM red, unnest(string_split(kept, '|')) u(x)
+      WHERE split_part(u.x, ':', 2) != 'seed'
+      ORDER BY event_id""",
+
+    // streaming_throttle must equal the BATCH throttle on the same rows
+    // (the flatMapGroupsWithState state is exactly the batch scan's loop
+    // variable; in-order per-key delivery is pinned by the ts-tercile
+    // file split) — the oracle is the events_throttle fold, verbatim.
+    "streaming_throttle" -> """
       WITH per AS (
         SELECT user_id,
           list(epoch_us(ts)::VARCHAR || ':' || event_id::VARCHAR
@@ -6923,6 +7177,24 @@ object ExtensionQueries {
     // 3x16-term interleave (l_quantity is integral 1..50, so the
     // double->BIGINT cast agrees between engines' truncate-vs-round).
     "zorder_layout3" -> s"""
+      WITH base AS (
+        SELECT l_partkey AS x, l_suppkey AS y,
+          CAST(l_quantity AS BIGINT) AS q,
+          l_orderkey * 10000 + l_linenumber AS id
+        FROM lineitem),
+      z AS (SELECT x, y, q, id,
+        ${zorderSqlExprN(Seq("x", "y", "q"), ZBits)} AS z FROM base),
+      rn AS (
+        SELECT x, y, q, row_number() OVER (ORDER BY z, id) - 1 AS rn FROM z)
+      SELECT rn // $ZBlock AS block_id, count(*) AS n_rows,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y,
+        min(q) AS min_q, max(q) AS max_q
+      FROM rn GROUP BY 1 ORDER BY 1""",
+
+    // stage_zorder3 runs the SAME N-column layout through the parsed
+    // ZorderTransform config — the zorder_layout3 oracle, verbatim.
+    "stage_zorder3" -> s"""
       WITH base AS (
         SELECT l_partkey AS x, l_suppkey AS y,
           CAST(l_quantity AS BIGINT) AS q,
