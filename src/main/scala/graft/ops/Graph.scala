@@ -278,6 +278,65 @@ object Graph {
     else out.reduce(_ unionAll _)
   }
 
+  /** Topological layering of a digraph's SCC CONDENSATION — the second
+    * half of the directed-graph decomposition ([[scc]] finds the
+    * components; this orders them): contract every SCC to one node,
+    * keep the distinct cross-component edges (a DAG by construction),
+    * and assign each component its LONGEST-PATH-FROM-A-SOURCE depth —
+    * layer 0 = source components, layer(c) = 1 + max layer over
+    * predecessors. This is the crawl-frontier / IN-SCC-OUT ordering of
+    * Broder et al.: layers before the giant SCC are IN-tendrils, after
+    * it OUT-tendrils; pipeline stages that must respect link direction
+    * (influence propagation, dependency builds, staged recrawls)
+    * process layers in order.
+    *
+    * Fixpoint shape: layer relaxation is monotone integer max —
+    * layer(c) <- max(layer(c), 1 + max over preds) — so the result is
+    * order-independent and any engine replays it; rounds needed = DAG
+    * depth (condensations of web graphs are shallow; a chain-shaped
+    * condensation deeper than `maxIter` fails loudly). Every step is a
+    * component-keyed join + map-side-combined max; lineage truncates
+    * through [[graft.util.Truncator]]. Output: one row per component
+    * (scc, n_nodes, layer).
+    */
+  def topoLayers(edges: DataFrame, maxOuter: Int = 12, maxIter: Int = 25,
+      checkpointEvery: Int = 1): DataFrame = {
+    val labels = graft.util.Caches.persist(
+      scc(edges, maxOuter, maxIter, checkpointEvery))
+    val ce = graft.util.Caches.persist(edges
+      .join(labels.select(col("node").as("src"), col("scc").as("__ca")),
+        "src")
+      .join(labels.select(col("node").as("dst"), col("scc").as("__cb")),
+        "dst")
+      .where(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("ca"), col("__cb").as("cb")).distinct())
+    val comps = labels.select(col("scc").as("c")).distinct()
+    val trunc = new graft.util.Truncator(checkpointEvery, eagerFree = false)
+    var layer = trunc(comps.select(col("c"), lit(0L).as("layer")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val relax = ce
+        .join(layer.select(col("c").as("ca"), col("layer")), "ca")
+        .groupBy(col("cb").as("c")).agg((max("layer") + 1L).as("__nl"))
+      val next = trunc(layer.join(relax, Seq("c"), "left")
+        .select(col("c"),
+          greatest(col("layer"), coalesce(col("__nl"), col("layer")))
+            .as("layer")))
+      converged = next
+        .join(layer.select(col("c"), col("layer").as("__ol")), "c")
+        .where(col("layer") =!= col("__ol")).isEmpty
+      layer = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"topoLayers did not converge in maxIter=$maxIter relaxation " +
+          "rounds; the condensation is deeper than maxIter — raise it")
+    labels.groupBy(col("scc")).agg(count(lit(1)).as("n_nodes"))
+      .join(layer.withColumnRenamed("c", "scc"), "scc")
+  }
+
   /** Canonical undirected co-occurrence edges: one (a, b) row with
     * a < b per pair of distinct `nodeCol` values that ever share a
     * `groupCol` value (parts in one order, docs in one cluster, urls in

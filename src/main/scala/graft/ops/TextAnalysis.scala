@@ -711,6 +711,92 @@ object TextAnalysis {
         (col("max_run") + lit((n - 1).toLong)).as("shared_words"))
   }
 
+  /** The ACTION on top of [[dupSubstring]]'s detection — Lee et al.
+    * 2022's ExactSubstr deduplication: EXCISE every shared substring of
+    * at least `minRun + n - 1` words from the HIGHER-id doc of each pair
+    * (the first corpus occurrence survives — the lower id, matching the
+    * engine's keep-lowest dedup convention), keep everything else.
+    * Whole-document dedup misses partially-copied text; quality
+    * filtering keeps it; this removes exactly the copied spans and
+    * reassembles the remainder. Spans are located on the ORIGINAL
+    * corpus (as in the paper — excisions do not cascade within one
+    * pass), so a doc duplicating an already-cleaned doc still loses its
+    * copy of the shared text.
+    *
+    * Shape at scale: [[dupSubstring]]'s aligned-run machinery (gram-hash
+    * joins capped at maxDf fan-out, per-(pair, diagonal) islands) plus
+    * one covered-position explode — positions covered by a qualifying
+    * run on the victim side — an anti join against the victim's word
+    * positions, and a per-doc ordered reassembly (sort_array of
+    * (pos, word) structs — per-doc bounded, no global sort). Docs
+    * shorter than `n` words pass through untouched (whole-doc dedup owns
+    * them).
+    *
+    * Output: one row per input doc — (doc_id, clean_text, n_words,
+    * n_dropped); clean_text '' when everything was copied.
+    */
+  def dupSubstringApply(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 1000, minRun: Int = 1): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.util.Caches.persist(
+      df.where(size(T.words(col(textCol))) >= n)
+        .select(col(idCol).as("doc_id"),
+          posexplode(T.hashedWordNgramSeq(col(textCol), n))
+            .as(Seq("__pos", "__g"))))
+    val dfreq = g.select(col("doc_id"), col("__g")).distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, maxDf))
+    val keep = g.join(dfreq.select("__g"), "__g")
+    // victim = the HIGHER id of each matched pair; islands along the
+    // alignment diagonal in VICTIM coordinates
+    val pairs = keep
+      .select(col("__g"), col("doc_id").as("__keeper"), col("__pos").as("__pk"))
+      .join(keep
+        .select(col("__g"), col("doc_id").as("__victim"), col("__pos").as("__pv")),
+        "__g")
+      .where(col("__keeper") < col("__victim"))
+      .select(col("__victim"), col("__keeper"),
+        (col("__pv") - col("__pk")).as("__diag"), col("__pv"))
+    val w = Window.partitionBy("__victim", "__keeper", "__diag")
+      .orderBy("__pv")
+    val covered = pairs
+      .withColumn("__grp", col("__pv") - row_number().over(w))
+      .groupBy("__victim", "__keeper", "__diag", "__grp")
+      .agg(count(lit(1)).as("__rl"), min("__pv").as("__p0"))
+      .where(col("__rl") >= minRun)
+      // a run of rl grams starting at p0 covers words p0 .. p0+rl+n-2
+      .select(col("__victim").as("doc_id"),
+        explode(sequence(col("__p0"),
+          col("__p0") + col("__rl") + lit(n - 2))).as("__wp"))
+      .distinct()
+    val words = df.select(col(idCol).as("doc_id"),
+        posexplode(T.words(col(textCol))).as(Seq("__wp", "__w")))
+      .join(df.select(col(idCol).as("doc_id"),
+        size(T.words(col(textCol))).cast("long").as("n_words")), "doc_id")
+    val kept = words
+      .where(col("n_words") >= n)
+      .join(covered, Seq("doc_id", "__wp"), "left_anti")
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("__wp"), col("__w")))),
+          e => e.getField("__w")), " ").as("clean_text"),
+        count(lit(1)).as("__nk"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        size(T.words(col(textCol))).cast("long").as("n_words"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_words") < n, col("__t"))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        col("n_words"),
+        when(col("n_words") < n, lit(0L))
+          .otherwise(col("n_words") - coalesce(col("__nk"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Group-distinctive terms by weighted log-odds with an informative
     * Dirichlet prior (the "fightin' words" estimator, Monroe et al.
     * 2008): for each (group, word), the z-scored log-odds of the word in

@@ -1742,6 +1742,15 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The ExactSubstr ACTION (Lee et al. 2022): excise every >= n-word
+    // substring shared with a lower-id doc, keep the remainder — the
+    // first corpus occurrence of each span survives.
+    "text_dup_substring_apply" -> { (spark, dir) =>
+      TextAnalysis.dupSubstringApply(docs(spark, dir), "doc_id", "text",
+          n = DupSpanN)
+        .orderBy("doc_id")
+    },
+
     // Group-distinctive terms per language (weighted log-odds, informative
     // Dirichlet prior from the corpus itself).
     "text_keyness" -> { (spark, dir) =>
@@ -2032,6 +2041,22 @@ object ExtensionQueries {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
       Graph.scc(fwd.unionAll(bwd)).orderBy("node")
+    },
+
+    // Topological layering of the SCC condensation (same digraph):
+    // longest-path-from-source depth per component — the IN / giant-SCC /
+    // OUT ordering stages that respect link direction process in.
+    "graph_topo_layers" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val fwd = j.where(col("l_quantity") >= SccQtyHi)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst")).distinct()
+      val bwd = j.where(col("l_quantity") <= SccQtyLo)
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      Graph.topoLayers(fwd.unionAll(bwd)).orderBy("scc")
     },
 
     "bucketize_quantile" -> { (spark, dir) =>
@@ -6131,6 +6156,59 @@ object ExtensionQueries {
         (max(rl) + ${DupSpanN - 1})::BIGINT AS shared_words
       FROM runs GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // Replay of dupSubstringApply: victim-side aligned runs (higher id
+    // loses), covered positions exploded per run, anti-joined word
+    // positions, ordered reassembly; sub-n docs pass through untouched.
+    "text_dup_substring_apply" -> s"""
+      WITH ws AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      lng AS (SELECT doc_id, w FROM ws WHERE len(w) >= $DupSpanN),
+      g AS (
+        SELECT doc_id, i AS pos,
+          ('0x'||substr(md5(array_to_string(w[i:i+${DupSpanN - 1}], ' ')),
+            1, 8))::BIGINT % $P AS h
+        FROM lng, unnest(generate_series(1, len(w) - ${DupSpanN - 1}))
+          AS t(i)),
+      dfq AS (
+        SELECT h FROM (
+          SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        WHERE df BETWEEN 2 AND 1000),
+      keep AS (SELECT g.* FROM g JOIN dfq USING (h)),
+      pairs AS (
+        SELECT b.doc_id AS victim, a.doc_id AS keeper,
+          b.pos - a.pos AS diag, b.pos AS pv
+        FROM keep a JOIN keep b USING (h)
+        WHERE a.doc_id < b.doc_id),
+      isl AS (
+        SELECT victim, keeper, diag, pv,
+          pv - row_number() OVER (
+            PARTITION BY victim, keeper, diag ORDER BY pv) AS grp
+        FROM pairs),
+      runs AS (
+        SELECT victim, min(pv) AS p0, count(*)::BIGINT AS rl
+        FROM isl GROUP BY victim, keeper, diag, grp),
+      cov AS (
+        SELECT DISTINCT victim AS doc_id, t.wp
+        FROM runs, unnest(generate_series(p0, p0 + rl + ${DupSpanN - 2}))
+          AS t(wp)),
+      kept AS (
+        SELECT s.doc_id, t.i AS wp, s.w[t.i] AS word
+        FROM ws s, unnest(generate_series(1, len(s.w))) AS t(i)
+        WHERE len(s.w) >= $DupSpanN
+          AND NOT EXISTS (SELECT 1 FROM cov c
+            WHERE c.doc_id = s.doc_id AND c.wp = t.i)),
+      reasm AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS clean_text,
+          count(*)::BIGINT AS nk
+        FROM kept GROUP BY doc_id)
+      SELECT s.doc_id,
+        CASE WHEN len(s.w) < $DupSpanN THEN s.text
+          ELSE coalesce(r.clean_text, '') END AS clean_text,
+        len(s.w)::BIGINT AS n_words,
+        (CASE WHEN len(s.w) < $DupSpanN THEN 0
+          ELSE len(s.w) - coalesce(r.nk, 0) END)::BIGINT AS n_dropped
+      FROM ws s LEFT JOIN reasm r USING (doc_id) ORDER BY s.doc_id""",
+
     // Replay of TextAnalysis.keyness: Monroe log-odds with the corpus as
     // Dirichlet prior; identical double arithmetic order, 6dp + -0 guard.
     "text_keyness" -> s"""
@@ -7060,6 +7138,45 @@ object ExtensionQueries {
       SELECT node, least(node, coalesce(min(u), node)) AS scc
       FROM nodes LEFT JOIN mutual ON node = v
       GROUP BY node ORDER BY node""",
+
+    // INDEPENDENT statement of condensation layering: SCC labels by
+    // mutual reachability (as graph_scc), cross-component edges, then
+    // layer(c) = longest path reaching c — a recursive UNION over
+    // (component, depth) STATES (bounded by comps × depth; the DAG
+    // guarantees termination), max depth per component.
+    "graph_topo_layers" -> s"""
+      WITH RECURSIVE fwd AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= $SccQtyHi
+      ), bwd AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity <= $SccQtyLo
+      ), e AS (SELECT * FROM fwd UNION SELECT * FROM bwd),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      mutual AS (
+        SELECT a.src AS v, a.dst AS u FROM reach a JOIN reach b
+          ON a.src = b.dst AND a.dst = b.src),
+      lab AS (
+        SELECT node, least(node, coalesce(min(u), node)) AS scc
+        FROM nodes LEFT JOIN mutual ON node = v GROUP BY node),
+      ce AS (
+        SELECT DISTINCT la.scc AS ca, lb.scc AS cb
+        FROM e JOIN lab la ON e.src = la.node
+        JOIN lab lb ON e.dst = lb.node
+        WHERE la.scc != lb.scc),
+      states AS (
+        SELECT scc AS c, 0::BIGINT AS layer FROM (SELECT DISTINCT scc FROM lab)
+        UNION
+        SELECT ce.cb, s.layer + 1 FROM states s JOIN ce ON ce.ca = s.c)
+      SELECT l.scc, count(*)::BIGINT AS n_nodes,
+        (SELECT max(layer) FROM states WHERE c = l.scc) AS layer
+      FROM lab l GROUP BY l.scc ORDER BY l.scc""",
 
     // Replay of Behavior.basketPairs over distinct (order, supplier)
     // memberships; lift in the identical operand order.

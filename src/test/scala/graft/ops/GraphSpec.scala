@@ -413,6 +413,37 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("topoLayers: contracted cycle layers once; diamond takes the " +
+      "LONGEST path; isolated edge components are their own layers") {
+    // a -> {b<->c} -> d, plus diamond a -> x -> d (x singleton):
+    // layers a=0, {b,c}=1, x=1, d=2 (longest path wins: a->bc->d)
+    val out = Graph.topoLayers(Seq(
+        ("a", "b"), ("b", "c"), ("c", "b"), ("c", "d"),
+        ("a", "x"), ("x", "d")).toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map("a" -> ((1L, 0L)), "b" -> ((2L, 1L)),
+      "x" -> ((1L, 1L)), "d" -> ((1L, 2L))), s"$out")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("topoLayers is layout-independent; a pure cycle is one layer-0 row") {
+    val es = Seq(("p", "q"), ("q", "r"), ("r", "p"))
+    val one = Graph.topoLayers(es.toDF("src", "dst")).collect()
+    assert(one.length == 1 && one.head.getString(0) == "p"
+      && one.head.getLong(1) == 3L && one.head.getLong(2) == 0L)
+    val base = Graph.topoLayers(
+      Seq(("a", "b"), ("b", "c"), ("c", "b"), ("c", "d"), ("a", "x"),
+        ("x", "d")).toDF("src", "dst")).orderBy("scc")
+      .collect().map(_.toString).toSeq
+    val again = Graph.topoLayers(
+      Seq(("a", "b"), ("b", "c"), ("c", "b"), ("c", "d"), ("a", "x"),
+        ("x", "d")).toDF("src", "dst").repartition(7)).orderBy("scc")
+      .collect().map(_.toString).toSeq
+    assert(again == base)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("scc is layout-independent and matches CC on a symmetric graph") {
     val es = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
       ("x", "y"), ("y", "x"))

@@ -289,6 +289,50 @@ class TextAnalysisSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("dupSubstringApply: excises the shared span from the higher-id " +
+      "doc only; full copies empty; sub-n docs untouched") {
+    val df = Seq(
+      (0L, "a b c1 c2 c3 c4 c5 d e"),          // keeper of the c-block
+      (1L, "x y c1 c2 c3 c4 c5 z w"),          // loses exactly c1..c5
+      (2L, "a b c1 c2 c3 c4 c5 d e"),          // exact copy of 0 -> ''
+      (3L, "p q r s t u v w x"),               // nothing shared
+      (4L, "c1 c2")                            // sub-n: untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSubstringApply(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("a b c1 c2 c3 c4 c5 d e", 9L, 0L)),
+      "the first occurrence must survive whole")
+    assert(out(1L) == (("x y z w", 9L, 5L)), s"got ${out(1L)}")
+    assert(out(2L) == (("", 9L, 9L)), "an exact copy loses everything")
+    assert(out(3L) == (("p q r s t u v w x", 9L, 0L)))
+    assert(out(4L) == (("c1 c2", 2L, 0L)), "sub-n docs out of contract")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("dupSubstringApply: minRun raises the excision threshold and " +
+      "layout does not change the output") {
+    val df = Seq(
+      (0L, "k1 k2 k3 m1 m2 q1 q2 q3 q4 q5"),
+      // shares the 3-word k-block (1 run) and the 5-word q-block (3
+      // runs at n=3): minRun=2 excises only the q-block
+      (1L, "k1 k2 k3 n1 n2 q1 q2 q3 q4 q5")
+    ).toDF("doc_id", "text")
+    val strict = TextAnalysis.dupSubstringApply(df, "doc_id", "text",
+        n = 3, minRun = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(1L) == "k1 k2 k3 n1 n2", s"got ${strict(1L)}")
+    graft.util.Caches.unpersistAll()
+    val base = TextAnalysis.dupSubstringApply(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val again = TextAnalysis.dupSubstringApply(df.repartition(5),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(again == base)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("keyness surfaces each group's distinctive term with positive z") {
     val df = Seq(
       ("a", "foo foo foo common words here"),
