@@ -82,6 +82,20 @@ object ScaleProbe {
           docs.where(col("doc_id") % 11 === 0), d, "doc_id", "text",
           mBits = 1L << 24).count()
       }
+      // pairwise exact-substring detection under Nx duplication: every
+      // doc gains N-1 exact twins, so qualifying PAIRS grow ~C(N,2)·docs
+      // — cost must track true pair volume (df-capped gram join), not
+      // corpus²
+      t("dup_substring") {
+        graft.ops.TextAnalysis.dupSubstring(d, "doc_id", "text",
+          n = 8).count()
+      }
+      // self-repetition excision is per-doc work only — flat per doc,
+      // linear in corpus
+      t("self_repetition_apply") {
+        graft.ops.TextAnalysis.selfRepetitionApply(d, "doc_id", "text",
+          n = 3).count()
+      }
       // chunking is a pure narrow explode — the flat-cost reference curve
       t("text_chunk") {
         graft.ops.TextAnalysis.chunk(d, "doc_id", "text", 32, 8).count()

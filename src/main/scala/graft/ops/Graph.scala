@@ -208,10 +208,16 @@ object Graph {
       labels
     }
 
-    var verts = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
-    var rem = e0.localCheckpoint(true)
+    // outer-loop state truncation honors a reliable checkpoint dir when
+    // one is set (the connectedComponents cluster-durability convention);
+    // single-node runs keep the cheap executor-local form
+    def ckpt(df: DataFrame): DataFrame =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var verts = ckpt(e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct())
+    var rem = ckpt(e0)
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     var done = verts.isEmpty
@@ -223,10 +229,10 @@ object Graph {
         val live = verts
           .join(rem.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
           .join(rem.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
-          .localCheckpoint(true)
+          .transform(ckpt)
         val trimmed = verts.join(live, Seq("id"), "left_anti")
           .select(col("id").as("node"), col("id").as("scc"))
-          .localCheckpoint(true)
+          .transform(ckpt)
         trimming = !trimmed.isEmpty
         if (trimming) {
           out += trimmed
@@ -234,7 +240,7 @@ object Graph {
           rem = rem
             .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
             .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
-            .localCheckpoint(true)
+            .transform(ckpt)
         }
         trims += 1
       }
@@ -255,17 +261,17 @@ object Graph {
         val assigned = colors.join(blab, "id")
           .where(col("__color") === col("__blab"))
           .select(col("id").as("node"), col("__color").as("scc"))
-          .localCheckpoint(true)
+          .transform(ckpt)
         out += assigned
         verts = verts
           .join(assigned.select(col("node").as("id")), Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .transform(ckpt)
         done = verts.isEmpty
         if (!done)
           rem = rem
             .join(assigned.select(col("node").as("src")), Seq("src"), "left_anti")
             .join(assigned.select(col("node").as("dst")), Seq("dst"), "left_anti")
-            .localCheckpoint(true)
+            .transform(ckpt)
       }
       outer += 1
     }

@@ -797,6 +797,85 @@ object TextAnalysis {
           .as("n_dropped"))
   }
 
+  /** WITHIN-doc repeated-span excision — the self-alignment counterpart
+    * of [[dupSubstringApply]] and the ACTION on top of
+    * [[repetition]]'s Gopher dup-fraction metrics: a span of `minRun +
+    * n - 1`+ words that already occurred EARLIER in the same document
+    * (verbatim) is excised at its later positions; the first occurrence
+    * survives. This is the chat-log / template / degenerate-generation
+    * cleanup (Gopher's repetition filters DROP such docs; when the doc
+    * is otherwise good, excising the repeats keeps it) — periodic text
+    * collapses to one period by construction, since every later period
+    * aligns with the first at some diagonal.
+    *
+    * `maxOcc` caps the within-doc pair fan-out (occ² per repeated gram):
+    * grams occurring more than `maxOcc` times in one doc contribute no
+    * pairs — conservative (under-excision) and documented, the maxDf
+    * convention; such docs are degenerate-repetition cases the
+    * [[qualityFilter]] repetition thresholds catch wholesale.
+    *
+    * Shape at scale: everything is per-doc — the self-join keys on
+    * (doc, gram), islands window on (doc, diagonal); no cross-doc
+    * traffic at all, so the op scales embarrassingly with the corpus.
+    * Output: (doc_id, clean_text, n_words, n_dropped) for every doc.
+    */
+  def selfRepetitionApply(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minRun: Int = 1, maxOcc: Int = 64): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    require(maxOcc >= 2, s"maxOcc must be >= 2, got $maxOcc")
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.util.Caches.persist(
+      df.where(size(T.words(col(textCol))) >= n)
+        .select(col(idCol).as("doc_id"),
+          posexplode(T.hashedWordNgramSeq(col(textCol), n))
+            .as(Seq("__pos", "__g"))))
+    val occ = g.groupBy("doc_id", "__g").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ").between(2, maxOcc))
+      .select("doc_id", "__g")
+    val rep = g.join(occ, Seq("doc_id", "__g"))
+    val pairs = rep
+      .select(col("doc_id"), col("__g"), col("__pos").as("__pk"))
+      .join(rep.select(col("doc_id"), col("__g"), col("__pos").as("__pv")),
+        Seq("doc_id", "__g"))
+      .where(col("__pv") > col("__pk"))
+      .select(col("doc_id"), (col("__pv") - col("__pk")).as("__diag"),
+        col("__pv"))
+      .distinct()
+    val w = Window.partitionBy("doc_id", "__diag").orderBy("__pv")
+    val covered = pairs
+      .withColumn("__grp", col("__pv") - row_number().over(w))
+      .groupBy("doc_id", "__diag", "__grp")
+      .agg(count(lit(1)).as("__rl"), min("__pv").as("__p0"))
+      .where(col("__rl") >= minRun)
+      .select(col("doc_id"),
+        explode(sequence(col("__p0"),
+          col("__p0") + col("__rl") + lit(n - 2))).as("__wp"))
+      .distinct()
+    val words = df.select(col(idCol).as("doc_id"),
+        posexplode(T.words(col(textCol))).as(Seq("__wp", "__w")),
+        size(T.words(col(textCol))).cast("long").as("n_words"))
+    val kept = words
+      .where(col("n_words") >= n)
+      .join(covered, Seq("doc_id", "__wp"), "left_anti")
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("__wp"), col("__w")))),
+          e => e.getField("__w")), " ").as("clean_text"),
+        count(lit(1)).as("__nk"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        size(T.words(col(textCol))).cast("long").as("n_words"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_words") < n, col("__t"))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        col("n_words"),
+        when(col("n_words") < n, lit(0L))
+          .otherwise(col("n_words") - coalesce(col("__nk"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Group-distinctive terms by weighted log-odds with an informative
     * Dirichlet prior (the "fightin' words" estimator, Monroe et al.
     * 2008): for each (group, word), the z-scored log-odds of the word in

@@ -220,6 +220,9 @@ object ExtensionQueries {
   private val JwMinSim = 0.9
   private val LmAlpha = 0.1
   private val DupSpanN = 8
+  // within-doc self-repetition gate gram size (shorter than DupSpanN so
+  // the synthetic corpus's internal repeats are actually visible)
+  private val SelfRepN = 3
   // graph_scc fixture: high-quantity flows s->c, low-quantity flows c->s
   private val SccQtyHi = 49
   private val SccQtyLo = 2
@@ -1748,6 +1751,15 @@ object ExtensionQueries {
     "text_dup_substring_apply" -> { (spark, dir) =>
       TextAnalysis.dupSubstringApply(docs(spark, dir), "doc_id", "text",
           n = DupSpanN)
+        .orderBy("doc_id")
+    },
+
+    // WITHIN-doc repeated-span excision (the self-alignment counterpart):
+    // later verbatim occurrences of an earlier span excise; periodic
+    // text collapses to one period.
+    "text_self_repetition_apply" -> { (spark, dir) =>
+      TextAnalysis.selfRepetitionApply(docs(spark, dir), "doc_id", "text",
+          n = SelfRepN)
         .orderBy("doc_id")
     },
 
@@ -6206,6 +6218,58 @@ object ExtensionQueries {
           ELSE coalesce(r.clean_text, '') END AS clean_text,
         len(s.w)::BIGINT AS n_words,
         (CASE WHEN len(s.w) < $DupSpanN THEN 0
+          ELSE len(s.w) - coalesce(r.nk, 0) END)::BIGINT AS n_dropped
+      FROM ws s LEFT JOIN reasm r USING (doc_id) ORDER BY s.doc_id""",
+
+    // Replay of selfRepetitionApply: same-doc gram position pairs
+    // (later > earlier, occ capped at 64), diagonal islands, covered
+    // later positions excised, ordered reassembly.
+    "text_self_repetition_apply" -> s"""
+      WITH ws AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      lng AS (SELECT doc_id, w FROM ws WHERE len(w) >= $SelfRepN),
+      g AS (
+        SELECT doc_id, i AS pos,
+          ('0x'||substr(md5(array_to_string(w[i:i+${SelfRepN - 1}], ' ')),
+            1, 8))::BIGINT % $P AS h
+        FROM lng, unnest(generate_series(1, len(w) - ${SelfRepN - 1}))
+          AS t(i)),
+      occ AS (
+        SELECT doc_id, h FROM (
+          SELECT doc_id, h, count(*) AS c FROM g GROUP BY 1, 2)
+        WHERE c BETWEEN 2 AND 64),
+      rep AS (SELECT g.* FROM g JOIN occ USING (doc_id, h)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id, b.pos - a.pos AS diag, b.pos AS pv
+        FROM rep a JOIN rep b USING (doc_id, h)
+        WHERE b.pos > a.pos),
+      isl AS (
+        SELECT doc_id, diag, pv,
+          pv - row_number() OVER (
+            PARTITION BY doc_id, diag ORDER BY pv) AS grp
+        FROM pairs),
+      runs AS (
+        SELECT doc_id, min(pv) AS p0, count(*)::BIGINT AS rl
+        FROM isl GROUP BY doc_id, diag, grp),
+      cov AS (
+        SELECT DISTINCT doc_id, t.wp
+        FROM runs, unnest(generate_series(p0, p0 + rl + ${SelfRepN - 2}))
+          AS t(wp)),
+      kept AS (
+        SELECT s.doc_id, t.i AS wp, s.w[t.i] AS word
+        FROM ws s, unnest(generate_series(1, len(s.w))) AS t(i)
+        WHERE len(s.w) >= $SelfRepN
+          AND NOT EXISTS (SELECT 1 FROM cov c
+            WHERE c.doc_id = s.doc_id AND c.wp = t.i)),
+      reasm AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS clean_text,
+          count(*)::BIGINT AS nk
+        FROM kept GROUP BY doc_id)
+      SELECT s.doc_id,
+        CASE WHEN len(s.w) < $SelfRepN THEN s.text
+          ELSE coalesce(r.clean_text, '') END AS clean_text,
+        len(s.w)::BIGINT AS n_words,
+        (CASE WHEN len(s.w) < $SelfRepN THEN 0
           ELSE len(s.w) - coalesce(r.nk, 0) END)::BIGINT AS n_dropped
       FROM ws s LEFT JOIN reasm r USING (doc_id) ORDER BY s.doc_id""",
 

@@ -333,6 +333,39 @@ class TextAnalysisSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("selfRepetitionApply: later occurrences excise, first survives; " +
+      "periodic text collapses to one period; occ cap is conservative") {
+    val df = Seq(
+      // the 4-word block "r1 r2 r3 r4" repeats later -> second copy goes
+      (0L, "a r1 r2 r3 r4 b c r1 r2 r3 r4 d"),
+      // pure period: "x y z" * 4 -> one period survives
+      (1L, "x y z x y z x y z x y z"),
+      // no internal repeats
+      (2L, "p q r s t u v"),
+      // degenerate repetition beyond the occ cap: conservative (kept)
+      (3L, Seq.fill(80)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.selfRepetitionApply(df, "doc_id", "text",
+        n = 3, maxOcc = 64)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("a r1 r2 r3 r4 b c d", 12L, 4L)), s"${out(0L)}")
+    assert(out(1L) == (("x y z", 12L, 9L)), s"${out(1L)}")
+    assert(out(2L) == (("p q r s t u v", 7L, 0L)))
+    assert(out(3L)._3 == 0L,
+      "grams over the occ cap must be left alone (conservative)")
+    graft.util.Caches.unpersistAll()
+    val again = TextAnalysis.selfRepetitionApply(df.repartition(5),
+        "doc_id", "text", n = 3, maxOcc = 64)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val base = TextAnalysis.selfRepetitionApply(df, "doc_id", "text",
+        n = 3, maxOcc = 64)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(again == base)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("keyness surfaces each group's distinctive term with positive z") {
     val df = Seq(
       ("a", "foo foo foo common words here"),
