@@ -426,4 +426,65 @@ object Drift {
           > chi2Threshold
           || col("__undesigned") === 1 || col("__total") === 0).as("srm"))
   }
+
+  /** Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) over
+    * a table of per-hypothesis p-values — the multiple-testing guard
+    * every drift/AB DASHBOARD needs: run [[ksStatistic]] /
+    * [[meanPermutationTest]] / [[srmCheck]] per feature or per metric
+    * and 5% of null features "trip" at α=0.05 by construction; BH
+    * controls the expected FALSE DISCOVERY fraction instead. Step-up
+    * rule: sort p ascending, k* = max{k : p_(k) ≤ k·α/m}, reject
+    * hypotheses ranked 1..k* (all of them — including any whose own
+    * p > rank·α/m, the part naive per-row thresholding gets wrong).
+    *
+    * DISTRIBUTED rank, no global window (the [[ksStatistic]] CDF
+    * machinery): range-partition by (p, idCols…), rank locally, add
+    * per-partition offsets (one collected row per partition); k* is one
+    * scalar max over qualifying rows broadcast back. Ties on p carry a
+    * deterministic (idCols…) order — the REJECT SET is tie-order
+    * invariant (all tied rows sit at ranks ≤ the highest tied rank, so
+    * they accept/reject together), the rank column replayable.
+    *
+    * Output: (idCols…, p, rank, reject) for every input row; NULL
+    * p-values are excluded (they are "not tested", not "significant").
+    */
+  def bhAdjust(df: DataFrame, idCols: Seq[String], pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(idCols.nonEmpty, "idCols must be non-empty (deterministic ties)")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = df.sparkSession
+    val slim = df
+      .select(idCols.map(col) :+ col(pCol).cast("double").as("p"): _*)
+      .where(col("p").isNotNull)
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sortCols = col("p") +: idCols.map(col)
+    val parts = graft.util.Caches.persist(
+      slim.repartitionByRange(n, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val local = parts.withColumn("__lr", row_number().over(w).cast("long"))
+    val totals = parts.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var run = 0L
+    val offRows = totals.map { case (pid, c) =>
+      val r = Row(pid, run); run += c; r
+    }
+    val m = run
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__off", LongType, false))))
+    val ranked = graft.util.Caches.persist(
+      local.join(broadcast(offDf), "__pid")
+        .select(idCols.map(col) :+ col("p")
+          :+ (col("__lr") + col("__off")).as("rank"): _*))
+    // step-up: k* = max qualifying rank (0 when none) — ONE scalar row.
+    // p·m <= rank·α evaluates identically on any engine (two double
+    // products, no division).
+    val kStar = ranked
+      .agg(coalesce(max(when(col("p") * m <= col("rank") * alpha,
+        col("rank"))), lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(idCols.map(col) :+ col("p") :+ col("rank")
+        :+ (col("rank") <= col("__k")).as("reject"): _*)
+  }
 }

@@ -160,6 +160,48 @@ object Profile {
         .as("corr"): _*)
   }
 
+  /** Per-group ordinary least squares y ~ x — the readout companion to
+    * [[correlation]] (corr says "related"; the fit says BY HOW MUCH per
+    * unit): slope, intercept, r² and n per group, from the same ×2^20
+    * fixed-point DECIMAL(38,0) sufficient statistics (Σx, Σy, Σxy, Σx²,
+    * Σy² — exact under any partitioning), one map-side-combined
+    * aggregate per group and pinned-order final doubles, so any engine
+    * replays the coefficients bit-for-bit.
+    *
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); intercept = (Σy − b·Σx)/n;
+    * r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)). Zero x
+    * variance → slope/intercept/r² NULL (no line to fit); zero y
+    * variance with x variance → slope 0, r² NULL (the 0/0 convention of
+    * [[correlation]] resolved to NULL rather than a fake perfect fit).
+    * NULL x or y rows are excluded. Magnitude caveat: |x·y|·2^20 must
+    * fit the per-row long quantization — the [[Pca.covariance]] bound.
+    */
+  def linearFit(df: DataFrame, xCol: String, yCol: String,
+      byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty, "at least one grouping column")
+    val scale = (1L << 20).toDouble
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    def fp(c: org.apache.spark.sql.Column) =
+      sum(round(c * scale).cast("decimal(38,0)"))
+    val stats = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(byCols.map(col): _*)
+      .agg(fp(x).as("__sx"), fp(y).as("__sy"), fp(x * x).as("__sxx"),
+        fp(y * y).as("__syy"), fp(x * y).as("__sxy"),
+        count(lit(1)).as("n"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double") / scale
+    val num = n * d("__sxy") - d("__sx") * d("__sy")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val slope = num / varX
+    stats.select(byCols.map(col) :+ col("n") :+
+      (round(when(varX > 0, slope), 6) + lit(0d)).as("slope") :+
+      (round(when(varX > 0, (d("__sy") - slope * d("__sx")) / n), 6)
+        + lit(0d)).as("intercept") :+
+      (round(when(varX > 0 && varY > 0, num * num / (varX * varY)), 6)
+        + lit(0d)).as("r2"): _*)
+  }
+
   /** Fixed-width histogram of a numeric column: (bin, bin_start, n) with
     * bin = floor(value / binWidth) — the distribution view `table`'s
     * min/max can't give (skew, modes, heavy tails) before choosing

@@ -3058,6 +3058,29 @@ object ExtensionQueries {
     // Deterministic randomization test: is the purchase-vs-click value
     // gap within relabeling noise? Exact fixed-point means, hash-drawn
     // permutation labels, add-one p-value.
+    // Benjamini-Hochberg FDR over a p-value table: 20 planted signals
+    // (tiny p) against a uniform null background (the raw 32-bit hash
+    // domain normalized) — the step-up rule must pick up the plants and
+    // pass the nulls. Distributed rank, no global window.
+    "ab_bh_adjust" -> { (spark, dir) =>
+      import graft.functions.{TextFunctions => T}
+      val p = docs(spark, dir).select(col("doc_id"),
+        when(col("doc_id") < 20,
+          (col("doc_id") + 1).cast("double") / 1e6)
+          .otherwise(T.h32raw(col("doc_id").cast("string"))
+            .cast("double") / 4294967296.0).as("p"))
+      Drift.bhAdjust(p, Seq("doc_id"), "p", alpha = 0.05)
+        .orderBy("doc_id")
+    },
+
+    // Per-group OLS: price ~ quantity per return flag — slope/intercept/
+    // r2 from exact fixed-point sufficient statistics.
+    "regress_group" -> { (spark, dir) =>
+      Profile.linearFit(spark.read.parquet(s"$dir/lineitem.parquet"),
+          "l_quantity", "l_extendedprice", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+
     "ab_permutation" -> { (spark, dir) =>
       val ev = events(spark, dir)
       Drift.meanPermutationTest(
@@ -8321,6 +8344,63 @@ object ExtensionQueries {
     // |cumA*nB - cumB*nA|; argmax ties to the smallest value; the one
     // double division replicates Spark's ta.toDouble * tb.toDouble
     // denominator literal.
+    // Replay of Drift.bhAdjust: same planted-vs-null p construction,
+    // window rank (the oracle may globally sort; the operator may not),
+    // step-up k* = max rank with p·m <= rank·alpha, reject rank <= k*.
+    "ab_bh_adjust" -> """
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id < 20 THEN (doc_id + 1)::DOUBLE / 1e6
+            ELSE ('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+              / 4294967296.0 END AS p
+        FROM documents),
+      r AS (
+        SELECT doc_id, p,
+          row_number() OVER (ORDER BY p, doc_id)::BIGINT AS rank,
+          count(*) OVER ()::BIGINT AS m
+        FROM p),
+      k AS (
+        SELECT coalesce(max(CASE WHEN p * m <= rank * 0.05
+          THEN rank END), 0) AS ks FROM r)
+      SELECT doc_id, p, rank, rank <= ks AS reject
+      FROM r, k ORDER BY doc_id""",
+
+    // Replay of Profile.linearFit: identical fixed-point sufficient
+    // statistics and pinned final-double order.
+    "regress_group" -> """
+      WITH s AS (
+        SELECT l_returnflag,
+          sum(round(l_quantity::DOUBLE * 1048576.0)::HUGEINT) AS sx,
+          sum(round(l_extendedprice::DOUBLE * 1048576.0)::HUGEINT) AS sy,
+          sum(round(l_quantity::DOUBLE * l_quantity::DOUBLE
+            * 1048576.0)::HUGEINT) AS sxx,
+          sum(round(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE
+            * 1048576.0)::HUGEINT) AS syy,
+          sum(round(l_quantity::DOUBLE * l_extendedprice::DOUBLE
+            * 1048576.0)::HUGEINT) AS sxy,
+          count(*)::BIGINT AS n
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY l_returnflag),
+      t AS (
+        SELECT l_returnflag, n,
+          n::DOUBLE * (sxy::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0) AS num,
+          n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0) AS vx,
+          n::DOUBLE * (syy::DOUBLE / 1048576.0)
+            - (sy::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0) AS vy,
+          sx::DOUBLE / 1048576.0 AS dx, sy::DOUBLE / 1048576.0 AS dy
+        FROM s)
+      SELECT l_returnflag, n,
+        (round(CASE WHEN vx > 0 THEN num / vx END, 6) + 0.0) AS slope,
+        (round(CASE WHEN vx > 0
+          THEN (dy - (num / vx) * dx) / n::DOUBLE END, 6) + 0.0)
+          AS intercept,
+        (round(CASE WHEN vx > 0 AND vy > 0
+          THEN num * num / (vx * vy) END, 6) + 0.0) AS r2
+      FROM t ORDER BY l_returnflag""",
+
     // Replay of Drift.meanPermutationTest: same raw 32-bit (pre-modulo)
     // label draws per permutation, exact fixed-point sums, integer
     // nA*2^32//n threshold (the uniform domain — see h32raw).

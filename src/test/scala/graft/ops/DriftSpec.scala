@@ -244,6 +244,43 @@ class DriftSpec extends SparkSpec {
       s"realized A-rate $rate should be ~0.10 (pre-modulo uniform draw)")
   }
 
+  test("bhAdjust: textbook step-up, including the rescued middle p") {
+    // alpha=0.05, m=3 -> thresholds .0167/.0333/.05: p=0.03 FAILS its own
+    // rank-2 threshold but rank 3 (p=0.04 <= .05) qualifies, so k*=3 and
+    // ALL THREE reject — the property naive per-row thresholding misses
+    val df = Seq((1L, 0.01), (2L, 0.03), (3L, 0.04)).toDF("id", "p")
+    val r = Drift.bhAdjust(df, Seq("id"), "p").orderBy("id").collect()
+    assert(r.map(_.getAs[Boolean]("reject")).forall(identity), r.mkString)
+    assert(r.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // classic mixed case: k*=3 of 5
+    val df2 = Seq((1L, 0.01), (2L, 0.011), (3L, 0.021), (4L, 0.2),
+      (5L, 0.9)).toDF("id", "p")
+    val r2 = Drift.bhAdjust(df2, Seq("id"), "p").orderBy("id").collect()
+    assert(r2.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, true, true, false, false), r2.mkString)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("bhAdjust: none qualify -> none reject; NULL p excluded; " +
+      "layout-invariant ranks under ties") {
+    val none = Drift.bhAdjust(
+      Seq((1L, 0.5), (2L, 0.9)).toDF("id", "p"), Seq("id"), "p").collect()
+    assert(none.forall(!_.getAs[Boolean]("reject")))
+    val withNull = Drift.bhAdjust(
+      Seq((1L, Some(0.001)), (2L, None), (3L, Some(0.9)))
+        .toDF("id", "p"), Seq("id"), "p").collect()
+    assert(withNull.length == 2, "NULL p is 'not tested', no row")
+    // ties on p rank deterministically by id, any layout
+    val tied = Seq.tabulate(40)(i => ((i % 7).toLong * 100 + i, 0.001 * (i % 4)))
+      .toDF("id", "p")
+    val base = Drift.bhAdjust(tied, Seq("id"), "p")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val again = Drift.bhAdjust(tied.repartition(11), Seq("id"), "p")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(again == base)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("srmCheck result is independent of input partitioning") {
     val df = spark.range(0, 997)
       .select(concat(lit("g"), (col("id") % 3).cast("string")).as("arm"))

@@ -192,6 +192,33 @@ class ProfileSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(3L, 2L))
   }
 
+  test("linearFit: exact coefficients on a noiseless line, degenerate " +
+      "variances resolve to NULL/0, groups independent, layout-invariant") {
+    val df = ((1 to 20).map(i => ("line", i.toDouble, 2.0 * i + 1))
+      ++ (1 to 5).map(i => ("flat", i.toDouble, 7.0))       // y constant
+      ++ (1 to 5).map(_ => ("vert", 3.0, 9.0))              // x constant
+      ).toDF("grp", "x", "y")
+    val out = Profile.linearFit(df, "x", "y", Seq("grp"))
+      .orderBy("grp").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val line = out("line")
+    assert(line.getAs[Double]("slope") == 2.0
+      && line.getAs[Double]("intercept") == 1.0
+      && line.getAs[Double]("r2") == 1.0, line.toString)
+    val flat = out("flat")
+    assert(flat.getAs[Double]("slope") == 0.0
+      && flat.getAs[Double]("intercept") == 7.0
+      && flat.isNullAt(flat.fieldIndex("r2")), flat.toString)
+    val vert = out("vert")
+    assert(vert.isNullAt(vert.fieldIndex("slope"))
+      && vert.isNullAt(vert.fieldIndex("intercept"))
+      && vert.isNullAt(vert.fieldIndex("r2")), vert.toString)
+    val again = Profile.linearFit(df.repartition(9), "x", "y", Seq("grp"))
+      .orderBy("grp").collect().map(_.toString).toSeq
+    assert(again == Profile.linearFit(df, "x", "y", Seq("grp"))
+      .orderBy("grp").collect().map(_.toString).toSeq)
+  }
+
   test("outliersMad groups independently") {
     val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)) :+
       (("b", 1000.0))).toDF("grp", "v")
