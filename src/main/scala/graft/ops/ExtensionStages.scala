@@ -353,7 +353,7 @@ final case class ProfileTransformStage(
     outputView: String,
     columns: Seq[String],
     exact: Boolean = true,
-    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | percentile_rank | benford | trimmed_mean | corpus_report
+    method: String = "table", // table | histogram | bucketize | winsorize | outliers | outliers_mad | correlation | linear_fit | percentile_rank | benford | trimmed_mean | corpus_report
     valueCol: String = "value",
     idCol: String = "doc_id",
     binWidth: Double = 1.0,
@@ -386,6 +386,7 @@ final case class ProfileTransformStage(
       case "outliers" => Profile.outliers(in, valueCol, byCols, sigma)
       case "outliers_mad" => Profile.outliersMad(in, valueCol, byCols, madK)
       case "correlation" => Profile.correlation(in, xCol, yCol, byCols)
+      case "linear_fit" => Profile.linearFit(in, xCol, yCol, byCols)
       case "percentile_rank" =>
         Profile.percentileRank(in, valueCol, idCol, byCols)
       case "benford" => Profile.benford(in, valueCol)
@@ -1463,7 +1464,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1483,7 +1484,10 @@ final case class DriftTransformStage(
     chi2Threshold: Double = 3.841,
     // heavy_terms only: tokenized column + movers to keep
     textCol: String = "text",
-    k: Int = 25)
+    k: Int = 25,
+    // bh only (single-view): p-value column + FDR level
+    pCol: String = "p",
+    alpha: Double = 0.05)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1514,6 +1518,8 @@ final case class DriftTransformStage(
       // top-k vocabulary share movers between the two snapshots
       case "heavy_terms" =>
         TextAnalysis.heavyChangers(before, after, textCol, k)
+      // Benjamini-Hochberg FDR over a (idCol, pCol) hypothesis table
+      case "bh" => Drift.bhAdjust(before, Seq(idCol), pCol, alpha)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

@@ -222,11 +222,12 @@ object Parser {
     "ProfileTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("table", "histogram", "bucketize", "winsorize", "outliers",
-          "outliers_mad", "correlation", "percentile_rank", "benford",
-          "trimmed_mean", "corpus_report"), "table")
+          "outliers_mad", "correlation", "linear_fit", "percentile_rank",
+          "benford", "trimmed_mean", "corpus_report"), "table")
       // a group-keyed pass without byCols would only fail at runtime
       // (require in the operator) — fail at parse instead
       if ((method.startsWith("outliers") || method == "correlation"
+          || method == "linear_fit"
           || method == "percentile_rank" || method == "trimmed_mean")
           && r.stringList("byCols").isEmpty)
         r.error("byCols", s"missing or empty; $method requires group columns")
@@ -415,9 +416,10 @@ object Parser {
     "DriftTransform" -> { (r, _) =>
       val driftMethod = r.oneOf("method",
         Seq("ks", "tv", "centroid", "profile", "permutation", "cuped",
-          "srm", "heavy_terms"),
+          "srm", "heavy_terms", "bh"),
         "ks")
-      val singleView = driftMethod == "cuped" || driftMethod == "srm"
+      val singleView = driftMethod == "cuped" || driftMethod == "srm" ||
+        driftMethod == "bh"
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -449,7 +451,9 @@ object Parser {
         expected = expected,
         chi2Threshold = r.double("chi2Threshold").getOrElse(3.841),
         textCol = r.string("textCol").getOrElse("text"),
-        k = r.int("k").getOrElse(25))
+        k = r.int("k").getOrElse(25),
+        pCol = r.string("pCol").getOrElse("p"),
+        alpha = r.double("alpha").getOrElse(0.05))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
@@ -843,7 +847,7 @@ object Parser {
     "DriftTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "method", "valueCol", "catCol", "labelCol", "columns",
       "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol",
-      "expected", "chi2Threshold", "textCol", "k")),
+      "expected", "chi2Threshold", "textCol", "k", "pCol", "alpha")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -1292,6 +1292,33 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("drift bh and profile linear_fit stages run from config") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Execute", "name": "mk",
+       "sql": "CREATE OR REPLACE TEMPORARY VIEW bh_p AS SELECT * FROM VALUES (1, 0.001), (2, 0.002), (3, 0.5) AS t(id, p)"},
+      {"type": "DriftTransform", "name": "bh", "method": "bh",
+       "inputView": "bh_p", "idCol": "id", "pCol": "p", "alpha": 0.05,
+       "outputView": "bh_out"},
+      {"type": "Extract", "name": "li", "table": "lineitem",
+       "outputView": "lf_li"},
+      {"type": "ProfileTransform", "name": "fit", "method": "linear_fit",
+       "inputView": "lf_li", "xCol": "l_quantity",
+       "yCol": "l_extendedprice", "byCols": ["l_returnflag"],
+       "outputView": "lf_out"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val bh = spark.table("bh_out").orderBy("id").collect()
+    assert(bh.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, true, false))
+    val fit = spark.table("lf_out").collect()
+    assert(fit.nonEmpty && fit.forall(r =>
+      !r.isNullAt(r.fieldIndex("slope"))))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("drift stage requires rightView at parse") {
     val conf = """{"stages": [
       {"type": "DriftTransform", "name": "ks", "method": "ks",
