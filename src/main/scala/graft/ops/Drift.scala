@@ -427,6 +427,86 @@ object Drift {
           || col("__undesigned") === 1 || col("__total") === 0).as("srm"))
   }
 
+  /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — double
+    * literals shared verbatim with the oracle SQL so the inverse-CDF
+    * draw is bit-identical cross-engine; the tail (u ≥ P(X ≤ 4),
+    * ~0.37%) caps at weight 5.
+    */
+  private[graft] val PoissonCum: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    Seq(e1, e1 * 2, e1 * 2.5, e1 * (2.5 + 1.0 / 6),
+      e1 * (2.5 + 1.0 / 6 + 1.0 / 24))
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean (Chamandy et
+    * al., Google 2012 "Estimating Uncertainty for Massive Data
+    * Streams") — the uncertainty companion to [[meanPermutationTest]]'s
+    * significance: each of `nBoot` resamples gives every row a weight
+    * drawn Poisson(1), the scalable stand-in for multinomial resampling
+    * (no global coordination, one pass, weights independent per row),
+    * and the CI is the percentile interval over the resample means.
+    *
+    * DETERMINISTIC: the weight for (row, b) is the inverse Poisson CDF
+    * applied to u = h32raw(id ':' b ':' salt)/2^32 — the exactly-uniform
+    * pre-modulo hash domain ([[meanPermutationTest]]'s convention) with
+    * cumulative thresholds pinned as shared double literals
+    * ([[PoissonCum]]; weights cap at 5, the ~0.37% tail). Values fold as
+    * ×2^20 fixed-point longs so every resample mean is exact up to one
+    * double division; the percentile interpolation is the engine-shared
+    * `percentile`/`quantile_cont` arithmetic over `nBoot` means. A
+    * resample whose total weight is 0 contributes no mean (possible
+    * only for tiny n; documented, not hidden).
+    *
+    * Shape at scale: one bounded explode (nBoot copies of each value
+    * row) into ONE map-side-combined per-resample aggregate; the
+    * percentile runs over nBoot one-row partials. Output is ONE row:
+    * (n, mean, ci_lo, ci_hi, n_boot).
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      nBoot: Int = 200, level: Double = 0.95,
+      salt: String = ""): DataFrame = {
+    require(nBoot >= 2, s"nBoot must be >= 2, got $nBoot")
+    require(level > 0 && level < 1, s"level must be in (0,1), got $level")
+    import graft.functions.{TextFunctions => T}
+    val scale = 1048576d
+    val slim = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        round(col(valueCol).cast("double") * scale).cast("long").as("__v"))
+    val u = T.h32raw(concat(col("__id"), lit(":"),
+      col("__b").cast("string"), lit(":"), lit(salt)))
+      .cast("double") / 4294967296d
+    val w = PoissonCum.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when(u < thr, lit(k)).otherwise(rest)
+    }
+    val means = slim
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(1), lit(nBoot))).as("__b"))
+      .select(col("__b"), col("__v"), w.cast("long").as("__w"))
+      .groupBy("__b")
+      .agg(sum(col("__w") * col("__v")).as("__s"), sum("__w").as("__n"))
+      .where(col("__n") > 0)
+      .select((col("__s").cast("double") / col("__n") / scale).as("__m"))
+    // decimal-exact tail probabilities: (1-0.95)/2 in raw double is
+    // 0.025000000000000022, and the percentile INDEX q·(n−1) must carry
+    // the same literal on both engines
+    val lo = ((BigDecimal(1) - BigDecimal(level.toString)) / 2).toDouble
+    val hi = (BigDecimal(1) - BigDecimal(lo.toString)).toDouble
+    val base = df.where(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(valueCol).cast("double") * scale).cast("long"))
+          .as("__sv"))
+    means.agg(
+        (round(expr(s"percentile(__m, $lo)"), 6) + lit(0d)).as("ci_lo"),
+        (round(expr(s"percentile(__m, $hi)"), 6) + lit(0d))
+          .as("ci_hi"),
+        count(lit(1)).as("n_boot"))
+      .crossJoin(broadcast(base))
+      .select(col("n"),
+        (round(col("__sv").cast("double") / col("n") / scale, 6) + lit(0d))
+          .as("mean"),
+        col("ci_lo"), col("ci_hi"), col("n_boot"))
+  }
+
   /** Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) over
     * a table of per-hypothesis p-values — the multiple-testing guard
     * every drift/AB DASHBOARD needs: run [[ksStatistic]] /

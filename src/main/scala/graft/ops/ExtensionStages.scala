@@ -1464,7 +1464,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1520,6 +1520,11 @@ final case class DriftTransformStage(
         TextAnalysis.heavyChangers(before, after, textCol, k)
       // Benjamini-Hochberg FDR over a (idCol, pCol) hypothesis table
       case "bh" => Drift.bhAdjust(before, Seq(idCol), pCol, alpha)
+      // Poisson-bootstrap CI for the mean (nPerms reused as nBoot,
+      // alpha as the two-sided tail: level = 1 - alpha)
+      case "bootstrap" =>
+        Drift.bootstrapMeanCI(before, idCol, valueCol, nPerms,
+          1 - alpha, salt)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

@@ -416,10 +416,11 @@ object Parser {
     "DriftTransform" -> { (r, _) =>
       val driftMethod = r.oneOf("method",
         Seq("ks", "tv", "centroid", "profile", "permutation", "cuped",
-          "srm", "heavy_terms", "bh"),
+          "srm", "heavy_terms", "bh", "bootstrap"),
         "ks")
       val singleView = driftMethod == "cuped" || driftMethod == "srm" ||
-        driftMethod == "bh"
+        driftMethod == "bh" ||
+        driftMethod == "bootstrap"
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>

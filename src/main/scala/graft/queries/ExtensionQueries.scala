@@ -3058,6 +3058,16 @@ object ExtensionQueries {
     // Deterministic randomization test: is the purchase-vs-click value
     // gap within relabeling noise? Exact fixed-point means, hash-drawn
     // permutation labels, add-one p-value.
+    // Poisson-bootstrap CI for the mean purchase value: each resample
+    // weights every row Poisson(1) via the uniform pre-modulo hash
+    // domain; CI = percentile interval over the resample means.
+    "ab_bootstrap" -> { (spark, dir) =>
+      Drift.bootstrapMeanCI(
+        events(spark, dir).where(col("event_type") === "purchase")
+          .select("event_id", "value"),
+        "event_id", "value", nBoot = AbPerms, salt = "bs")
+    },
+
     // Benjamini-Hochberg FDR over a p-value table: 20 planted signals
     // (tiny p) against a uniform null background (the raw 32-bit hash
     // domain normalized) — the step-up rule must pick up the plants and
@@ -8344,6 +8354,40 @@ object ExtensionQueries {
     // |cumA*nB - cumB*nA|; argmax ties to the smallest value; the one
     // double division replicates Spark's ta.toDouble * tb.toDouble
     // denominator literal.
+    // Replay of Drift.bootstrapMeanCI: identical Poisson(1) inverse-CDF
+    // thresholds (shared double literals), exact fixed-point resample
+    // sums, quantile_cont == Spark percentile interpolation.
+    "ab_bootstrap" -> s"""
+      WITH v AS (
+        SELECT event_id::VARCHAR AS id,
+          round(value * 1048576.0)::BIGINT AS v
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      draws AS (
+        SELECT t.b, v.v,
+          ('0x'||substr(md5(v.id || ':' || t.b::VARCHAR || ':bs'),
+            1, 8))::BIGINT::DOUBLE / 4294967296.0 AS u
+        FROM v, generate_series(1, $AbPerms) t(b)),
+      wt AS (
+        SELECT b, v,
+          (CASE WHEN u < ${graft.ops.Drift.PoissonCum(0)} THEN 0
+            WHEN u < ${graft.ops.Drift.PoissonCum(1)} THEN 1
+            WHEN u < ${graft.ops.Drift.PoissonCum(2)} THEN 2
+            WHEN u < ${graft.ops.Drift.PoissonCum(3)} THEN 3
+            WHEN u < ${graft.ops.Drift.PoissonCum(4)} THEN 4
+            ELSE 5 END)::BIGINT AS w
+        FROM draws),
+      means AS (
+        SELECT sum(w * v)::DOUBLE / sum(w)::DOUBLE / 1048576.0 AS m
+        FROM wt GROUP BY b HAVING sum(w) > 0),
+      base AS (
+        SELECT count(*)::BIGINT AS n, sum(v) AS sv FROM v)
+      SELECT base.n,
+        (round(sv::DOUBLE / base.n / 1048576.0, 6) + 0.0) AS mean,
+        (round(quantile_cont(m, 0.025), 6) + 0.0) AS ci_lo,
+        (round(quantile_cont(m, 0.975), 6) + 0.0) AS ci_hi,
+        count(*)::BIGINT AS n_boot
+      FROM means, base GROUP BY base.n, sv""",
+
     // Replay of Drift.bhAdjust: same planted-vs-null p construction,
     // window rank (the oracle may globally sort; the operator may not),
     // step-up k* = max rank with p·m <= rank·alpha, reject rank <= k*.

@@ -244,6 +244,34 @@ class DriftSpec extends SparkSpec {
       s"realized A-rate $rate should be ~0.10 (pre-modulo uniform draw)")
   }
 
+  test("bootstrapMeanCI: CI brackets the mean, tightens with n, " +
+      "deterministic and layout-invariant") {
+    val small = (1L to 30L).map(i => (i, (i % 10).toDouble)).toDF("id", "v")
+    val big = (1L to 600L).map(i => (i, (i % 10).toDouble)).toDF("id", "v")
+    val s = Drift.bootstrapMeanCI(small, "id", "v", nBoot = 99)
+      .collect().head
+    val b = Drift.bootstrapMeanCI(big, "id", "v", nBoot = 99)
+      .collect().head
+    for (r <- Seq(s, b)) {
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean")
+        && r.getAs[Double]("mean") <= r.getAs[Double]("ci_hi"), r.toString)
+      assert(r.getAs[Long]("n_boot") == 99L)
+    }
+    val widthS = s.getAs[Double]("ci_hi") - s.getAs[Double]("ci_lo")
+    val widthB = b.getAs[Double]("ci_hi") - b.getAs[Double]("ci_lo")
+    assert(widthB < widthS,
+      s"20x the data must tighten the CI: $widthB vs $widthS")
+    // pure function of (ids, values, salt)
+    val again = Drift.bootstrapMeanCI(small.repartition(7), "id", "v",
+      nBoot = 99).collect().head
+    assert(again.toString == s.toString)
+    // a fresh salt redraws the family (different CI endpoints)
+    val salted = Drift.bootstrapMeanCI(small, "id", "v", nBoot = 99,
+      salt = "x").collect().head
+    assert(salted.toString != s.toString)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("bhAdjust: textbook step-up, including the rescued middle p") {
     // alpha=0.05, m=3 -> thresholds .0167/.0333/.05: p=0.03 FAILS its own
     // rank-2 threshold but rank 3 (p=0.04 <= .05) qualifies, so k*=3 and
