@@ -475,12 +475,16 @@ object Drift {
     val u = T.h32raw(concat(col("__id"), lit(":"),
       col("__b").cast("string"), lit(":"), lit(salt)))
       .cast("double") / 4294967296d
+    // the inverse-CDF when-chain references its input FIVE times —
+    // stage the draw in its own projection so the md5 evaluates once
+    // per row (the wordShingles HOF-staging convention)
     val w = PoissonCum.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
-      case ((thr, k), rest) => when(u < thr, lit(k)).otherwise(rest)
+      case ((thr, k), rest) => when(col("__u") < thr, lit(k)).otherwise(rest)
     }
     val means = slim
       .select(col("__id"), col("__v"),
         explode(sequence(lit(1), lit(nBoot))).as("__b"))
+      .select(col("__b"), col("__v"), u.as("__u"))
       .select(col("__b"), col("__v"), w.cast("long").as("__w"))
       .groupBy("__b")
       .agg(sum(col("__w") * col("__v")).as("__s"), sum("__w").as("__n"))
