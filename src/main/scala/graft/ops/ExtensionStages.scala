@@ -587,6 +587,15 @@ final case class TextAnalysisTransformStage(
       // RefinedWeb-style line dedup: drop cross-doc boilerplate chunks
       case "boilerplate" =>
         TextAnalysis.boilerplateChunks(in, idCol, textCol, window, minDocs)
+      // pairwise longest-shared-substring (ngramN = the word threshold)
+      case "dup_substring" =>
+        TextAnalysis.dupSubstring(in, idCol, textCol, ngramN)
+      // excise spans shared with a lower-id doc (first occurrence wins)
+      case "dup_substring_apply" =>
+        TextAnalysis.dupSubstringApply(in, idCol, textCol, ngramN)
+      // excise later within-doc repeats (periodic text -> one period)
+      case "self_repetition_apply" =>
+        TextAnalysis.selfRepetitionApply(in, idCol, textCol, ngramN)
       // per-doc type-token / hapax ratios (vocabulary richness)
       case "ttr" => TextAnalysis.lexicalDiversity(in, idCol, textCol)
       // Chao1 corpus vocabulary-richness estimate (one row)

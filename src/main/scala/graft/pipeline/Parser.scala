@@ -550,7 +550,8 @@ object Parser {
             "quality_score", "lm_score", "dup_spans", "dup_runs", "keyness",
             "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
             "bpe_apply", "bpe_fertility", "boilerplate", "ttr", "chao1",
-            "readability", "zipf", "charclass"),
+            "readability", "zipf", "charclass", "dup_substring",
+            "dup_substring_apply", "self_repetition_apply"),
           "quality"),
         terms = r.stringList("terms"),
         merges = r.stringList("merges"),

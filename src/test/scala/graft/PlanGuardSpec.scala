@@ -29,7 +29,13 @@ class PlanGuardSpec extends SparkSpec {
     "word_pmi", "text_entropy", "bpe_pair_counts", "sketch_join_size",
     "multimodal_phash", "hilbert_layout", "sketch_quantile_shards",
     // round 10
-    "bitext_mine", "text_boilerplate", "dedup_prefix", "text_novelty")
+    "bitext_mine", "text_boilerplate", "dedup_prefix", "text_novelty",
+    // round 13 (the cheap-to-plan additions; the iterative graph
+    // fixpoints execute during query construction and are covered by
+    // their own specs)
+    "text_dup_substring", "text_dup_substring_apply",
+    "text_self_repetition_apply", "text_novelty_bloom_big",
+    "ab_bootstrap", "regress_group")
 
   test("no CartesianProduct in any operator plan") {
     heavy.foreach { name =>
@@ -211,6 +217,24 @@ class PlanGuardSpec extends SparkSpec {
     val below = plan.substring(spIdx)
     assert(below.contains("HashAggregate") && below.contains("count"),
       s"ab_srm single partition is not fed by per-arm counts:\n${plan.take(4000)}")
+  }
+
+  test("bh rank machinery windows per range partition, never globally") {
+    val plan = SparkEntry.queries("ab_bh_adjust")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the rank window must partition by __pid (range partitions + local
+    // row_number + offsets); a global no-partition window would show a
+    // windowspecdefinition without the pid column
+    assert(plan.contains("__pid"), s"bh lost its range-partition rank:\n${plan.take(3000)}")
+    val lines = plan.linesIterator.toIndexedSeq
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("Exchange SinglePartition")) {
+        val child = lines.drop(i + 1)
+          .find(c => c.exists(_.isLetter)).getOrElse("")
+        assert(child.contains("partial_"),
+          s"bh single partition fed by non-partial child:\n${plan.take(3000)}")
+      }
+    }
   }
 
   test("zorder bloom read prunes data partitions dynamically") {
