@@ -174,12 +174,10 @@ object Graph {
     // min-id-that-REACHES-v fixpoint over (verts, e); O(log n) rounds via
     // pointer jumping (see scaladoc). Returns (id, lab).
     def minReach(verts: DataFrame, e: DataFrame): DataFrame = {
-      // eagerFree=false: the convergence probe joins the NEW generation
-      // against the OLD one after trunc() has already produced the new —
-      // eager reclaim would free the old generation's blocks first
-      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); the ContextCleaner reclaims
-      // superseded generations instead.
-      val trunc = new graft.util.Truncator(checkpointEvery, eagerFree = false)
+      // eager block reclaim is safe: the convergence probe reads only
+      // the NEW generation (the old label rides along as __ol), so
+      // nothing touches a superseded generation after trunc() frees it.
+      val trunc = new graft.util.Truncator(checkpointEvery)
       var labels = trunc(verts
         .join(e.groupBy(col("dst").as("id")).agg(min("src").as("__mn")),
           Seq("id"), "left")
@@ -191,18 +189,20 @@ object Graph {
         val nm = e
           .join(labels.select(col("id").as("src"), col("lab")), "src")
           .groupBy(col("dst").as("id")).agg(min("lab").as("__nm"))
+        // the previous generation's label rides along as __ol so the
+        // convergence probe is a FILTER over the just-checkpointed
+        // blocks (no re-join against the superseded generation, and
+        // cheap enough to probe EVERY round instead of every second)
         val prop = labels.join(nm, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("lab").as("__ol"),
             least(col("lab"), coalesce(col("__nm"), col("lab"))).as("lab"))
         val next = trunc(prop
           .join(prop.select(col("id").as("lab"), col("lab").as("__jl")),
             Seq("lab"), "left")
-          .select(col("id"),
+          .select(col("id"), col("__ol"),
             least(col("lab"), coalesce(col("__jl"), col("lab"))).as("lab")))
-        converged = (iter % 2 == 1 || iter == maxIter - 1) && next
-          .join(labels.select(col("id"), col("lab").as("__ol")), "id")
-          .where(col("lab") =!= col("__ol")).isEmpty
-        labels = next
+        converged = next.where(col("lab") =!= col("__ol")).isEmpty
+        labels = next.select(col("id"), col("lab"))
         iter += 1
       }
       labels
