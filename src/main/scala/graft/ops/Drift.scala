@@ -427,6 +427,84 @@ object Drift {
           || col("__undesigned") === 1 || col("__total") === 0).as("srm"))
   }
 
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) between `a` and `b` on
+    * `valueCol` — the rank-based two-sample test that completes the
+    * drift toolbox: [[ksStatistic]] is sensitive to ANY distributional
+    * difference, the U test specifically to stochastic ordering
+    * ("does A tend to exceed B"), and unlike [[meanPermutationTest]] it
+    * is outlier-immune (ranks, not values).
+    *
+    * EXACT INTEGER statistic with midrank tie handling:
+    * 2·U_A = Σ_v nA(v)·(2·cumB(<v) + nB(v)) over distinct values v —
+    * each A observation counts B observations below it twice and ties
+    * once. The tie-corrected normal approximation rides along:
+    * z = (U_A − nA·nB/2) / sqrt(nA·nB/12 · ((n+1) − ΣT/(n(n−1)))) with
+    * ΣT = Σ_ties (t³ − t), every sum exact in DECIMAL(38,0) before the
+    * pinned-order final doubles (no continuity correction — pinned
+    * convention, stated here so the z replays bit-for-bit).
+    *
+    * Shape at scale: per-value counts (map-side combined), ONE
+    * range-partitioned cumulative sum with per-partition offsets (the
+    * [[ksStatistic]] distributed CDF — no global window), and one-row
+    * exact aggregates. Output ONE row:
+    * (n_a, n_b, u_a, u_b, z).
+    */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val ca = a.select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__na"))
+    val cb = b.select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__nb"))
+    val merged = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Caches.persist(
+      merged.repartitionByRange(n, col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("v")
+    val local = parts.withColumn("__cb", sum("__nb").over(w))
+    val totals = parts.groupBy("__pid").agg(sum("__nb").as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var rb = 0L
+    val offRows = totals.map { case (pid, tb) =>
+      val r = Row(pid, rb); rb += tb; r
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__ob", LongType, false))))
+    val dec = "decimal(38,0)"
+    val agg = local.join(broadcast(offDf), "__pid")
+      .select(col("__na"), col("__nb"),
+        // cumB STRICTLY BELOW v: the running sum minus v's own count
+        (col("__cb") + col("__ob") - col("__nb")).as("__cbx"))
+      .agg(
+        sum(col("__na")).as("na"),
+        sum(col("__nb")).as("nb"),
+        sum(col("__na").cast(dec)
+          * (col("__cbx").cast(dec) * 2 + col("__nb").cast(dec)))
+          .as("u2"),
+        sum({
+          val t = (col("__na") + col("__nb")).cast(dec)
+          t * t * t - t
+        }).as("tie"))
+      .collect().head
+    val (nA, nB) = (agg.getLong(0), agg.getLong(1))
+    require(nA > 0 && nB > 0, s"both sides need rows: n_a=$nA, n_b=$nB")
+    val uA = agg.getDecimal(2).doubleValue() / 2
+    val tieSum = agg.getDecimal(3).doubleValue()
+    val nn = (nA + nB).toDouble
+    val varU =
+      nA.toDouble * nB / 12.0 * ((nn + 1) - tieSum / (nn * (nn - 1)))
+    val mu = nA.toDouble * nB / 2.0
+    val z = if (varU > 0) (uA - mu) / math.sqrt(varU) else 0.0
+    import spark.implicits._
+    Seq((nA, nB, uA, nA.toDouble * nB - uA,
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0))
+      .toDF("n_a", "n_b", "u_a", "u_b", "z")
+  }
+
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — double
     * literals shared verbatim with the oracle SQL so the inverse-CDF
     * draw is bit-identical cross-engine; the tail (u ≥ P(X ≤ 4),

@@ -3058,6 +3058,18 @@ object ExtensionQueries {
     // Deterministic randomization test: is the purchase-vs-click value
     // gap within relabeling noise? Exact fixed-point means, hash-drawn
     // permutation labels, add-one p-value.
+    // Exact Mann-Whitney U between purchase and click values: rank-based
+    // stochastic-ordering test (outlier-immune, unlike the mean
+    // permutation test), exact integer 2U with midrank ties, tie-
+    // corrected normal z.
+    "ab_mannwhitney" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      Drift.mannWhitney(
+        ev.where(col("event_type") === "purchase").select("value"),
+        ev.where(col("event_type") === "click").select("value"),
+        "value")
+    },
+
     // Poisson-bootstrap CI for the mean purchase value: each resample
     // weights every row Poisson(1) via the uniform pre-modulo hash
     // domain; CI = percentile interval over the resample means.
@@ -8354,6 +8366,44 @@ object ExtensionQueries {
     // |cumA*nB - cumB*nA|; argmax ties to the smallest value; the one
     // double division replicates Spark's ta.toDouble * tb.toDouble
     // denominator literal.
+    // Replay of Drift.mannWhitney: per-value counts, exclusive
+    // cumulative-B (the oracle may use a global window; the operator may
+    // not), exact HUGEINT 2U and Σ(t³−t), then the operator's pinned
+    // double order for u/var/z (no continuity correction).
+    "ab_mannwhitney" -> """
+      WITH av AS (
+        SELECT value AS v, count(*)::BIGINT AS na FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+      bv AS (
+        SELECT value AS v, count(*)::BIGINT AS nb FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+      m AS (
+        SELECT coalesce(av.v, bv.v) AS v, coalesce(na, 0) AS na,
+          coalesce(nb, 0) AS nb
+        FROM av FULL OUTER JOIN bv ON av.v = bv.v),
+      c AS (
+        SELECT na, nb,
+          sum(nb) OVER (ORDER BY v) - nb AS cbx
+        FROM m),
+      agg AS (
+        SELECT sum(na)::BIGINT AS na, sum(nb)::BIGINT AS nb,
+          sum(na::HUGEINT * (2 * cbx::HUGEINT + nb::HUGEINT)) AS u2,
+          sum((na + nb)::HUGEINT * (na + nb)::HUGEINT * (na + nb)::HUGEINT
+            - (na + nb)::HUGEINT) AS tie
+        FROM c)
+      SELECT na AS n_a, nb AS n_b,
+        u2::DOUBLE / 2 AS u_a,
+        na::DOUBLE * nb - u2::DOUBLE / 2 AS u_b,
+        (round(CASE WHEN na::DOUBLE * nb / 12.0
+              * (((na + nb)::DOUBLE + 1)
+                - tie::DOUBLE / ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1))) > 0
+          THEN (u2::DOUBLE / 2 - na::DOUBLE * nb / 2.0)
+            / sqrt(na::DOUBLE * nb / 12.0
+              * (((na + nb)::DOUBLE + 1)
+                - tie::DOUBLE / ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1))))
+          ELSE 0.0 END, 6) + 0.0) AS z
+      FROM agg""",
+
     // Replay of Drift.bootstrapMeanCI: identical Poisson(1) inverse-CDF
     // thresholds (shared double literals), exact fixed-point resample
     // sums, quantile_cont == Spark percentile interpolation.

@@ -272,6 +272,35 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("mannWhitney: textbook U with ties, direction, degenerate z") {
+    // A = {1,2,3}, B = {2,3,4}: for each a count b below (x2) + tied:
+    // a=1: 0; a=2: 0*2+1=1; a=3: 1*2+1=3 -> 2U=4, U_A=2, U_B=9-2=7
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Drift.mannWhitney(a, b, "v").collect().head
+    assert(r.getAs[Double]("u_a") == 2.0 && r.getAs[Double]("u_b") == 7.0,
+      r.toString)
+    assert(r.getAs[Double]("z") < 0, "A stochastically below B -> z < 0")
+    // swapped sides mirror: U_A' = 7
+    val s = Drift.mannWhitney(b, a, "v").collect().head
+    assert(s.getAs[Double]("u_a") == 7.0)
+    assert(s.getAs[Double]("z") == -r.getAs[Double]("z") ||
+      math.abs(s.getAs[Double]("z") + r.getAs[Double]("z")) < 1e-9)
+    // all values identical: U = nA*nB/2, variance 0 -> z = 0 by pin
+    val t = Drift.mannWhitney(
+      Seq(5.0, 5.0).toDF("v"), Seq(5.0, 5.0, 5.0).toDF("v"), "v")
+      .collect().head
+    assert(t.getAs[Double]("u_a") == 3.0 && t.getAs[Double]("z") == 0.0)
+    // layout invariance
+    val big = (1 to 200).map(i => (i % 37).toDouble).toDF("v")
+    val big2 = (1 to 150).map(i => (i % 23).toDouble + 0.5).toDF("v")
+    val base = Drift.mannWhitney(big, big2, "v").collect().head.toString
+    val again = Drift.mannWhitney(big.repartition(13),
+      big2.repartition(7), "v").collect().head.toString
+    assert(again == base)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("bhAdjust: textbook step-up, including the rescued middle p") {
     // alpha=0.05, m=3 -> thresholds .0167/.0333/.05: p=0.03 FAILS its own
     // rank-2 threshold but rank 3 (p=0.04 <= .05) qualifies, so k*=3 and
