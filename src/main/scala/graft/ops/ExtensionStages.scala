@@ -1473,7 +1473,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1509,6 +1509,7 @@ final case class DriftTransformStage(
     lazy val after = Views.resolve(rightView)
     val out = method match {
       case "ks" => Drift.ksStatistic(before, after, valueCol)
+      case "mannwhitney" => Drift.mannWhitney(before, after, valueCol)
       case "tv" => Drift.categoricalDrift(before, after, catCol)
       case "centroid" => Drift.centroidDrift(before, after, labelCol)
       // bounds-and-counts profile diff (Profile.drift) beside the

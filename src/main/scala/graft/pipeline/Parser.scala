@@ -416,7 +416,7 @@ object Parser {
     "DriftTransform" -> { (r, _) =>
       val driftMethod = r.oneOf("method",
         Seq("ks", "tv", "centroid", "profile", "permutation", "cuped",
-          "srm", "heavy_terms", "bh", "bootstrap"),
+          "srm", "heavy_terms", "bh", "bootstrap", "mannwhitney"),
         "ks")
       val singleView = driftMethod == "cuped" || driftMethod == "srm" ||
         driftMethod == "bh" ||
