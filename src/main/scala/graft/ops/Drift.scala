@@ -427,6 +427,67 @@ object Drift {
           || col("__undesigned") === 1 || col("__total") === 0).as("srm"))
   }
 
+  /** Pearson χ² test of INDEPENDENCE between two categorical columns —
+    * the association sibling of [[srmCheck]]'s goodness-of-fit: srm asks
+    * "do observed arm counts match a designed split"; this asks "are two
+    * observed categoricals related at all" (source × language, template
+    * × label, arm × outcome — the first question on any contingency
+    * readout). χ² = Σ_cells (o − e)²/e with e = row·col/total, dof =
+    * (r−1)(c−1), plus Cramér's V = sqrt(χ²/(n·min(r−1, c−1))) — the
+    * [0,1] effect size a raw χ² (which grows with n) cannot give.
+    *
+    * Replay determinism (the [[srmCheck]] conventions): cell/margin
+    * counts are exact longs; each per-cell term is one scalar double
+    * expression over exact integers; the cross-cell sum accumulates
+    * ×2^20 fixed-point longs. NULL categories are their own level
+    * ("(null)") — missingness is usually the association. Output is ONE
+    * row: (n, n_rows_x, n_cols_y, chi2, dof, cramers_v).
+    *
+    * Shape at scale: one map-side-combined (x, y) cell count (output =
+    * occupied cells, never data), margins re-aggregated from the cells,
+    * margins broadcast back — cell-cardinality work end to end.
+    */
+  def chiSquareIndependence(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val occupied = graft.util.Caches.persist(
+      df.select(
+          coalesce(col(xCol).cast("string"), lit("(null)")).as("__x"),
+          coalesce(col(yCol).cast("string"), lit("(null)")).as("__y"))
+        .groupBy("__x", "__y").agg(count(lit(1)).as("__o")))
+    val rows = occupied.groupBy("__x").agg(sum("__o").as("__rx"))
+    val cols_ = occupied.groupBy("__y").agg(sum("__o").as("__cy"))
+    val tot = occupied.agg(sum("__o").as("__n"),
+      count_distinct(col("__x")).as("__r"),
+      count_distinct(col("__y")).as("__c"))
+    // EMPTY cells contribute (0 − e)²/e = e — the full r×c grid (margin
+    // cross join; grid cardinality = category cardinalities, never data)
+    val cells = rows.crossJoin(cols_)
+      .join(occupied, Seq("__x", "__y"), "left")
+      .select(col("__x"), col("__y"), col("__rx"), col("__cy"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+    val scale = (1L << 20).toDouble
+    val e = col("__rx").cast("double") * col("__cy").cast("double") /
+      col("__n").cast("double")
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / e
+    cells
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__r"), col("__c"),
+        round(term * scale).cast("long").as("__t"))
+      .groupBy("__n", "__r", "__c")
+      .agg(sum("__t").as("__chi2fp"))
+      .select(col("__n").as("n"),
+        col("__r").as("n_rows_x"), col("__c").as("n_cols_y"),
+        (round(col("__chi2fp").cast("double") / scale, 6) + lit(0d))
+          .as("chi2"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        (round(when(col("__r") > 1 && col("__c") > 1,
+          sqrt(col("__chi2fp").cast("double") / scale
+            / (col("__n").cast("double")
+              * least(col("__r") - 1, col("__c") - 1).cast("double")))),
+          6) + lit(0d)).as("cramers_v"))
+  }
+
   /** Exact Mann–Whitney U (Wilcoxon rank-sum) between `a` and `b` on
     * `valueCol` — the rank-based two-sample test that completes the
     * drift toolbox: [[ksStatistic]] is sensitive to ANY distributional

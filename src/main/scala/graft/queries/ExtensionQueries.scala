@@ -3058,6 +3058,16 @@ object ExtensionQueries {
     // Deterministic randomization test: is the purchase-vs-click value
     // gap within relabeling noise? Exact fixed-point means, hash-drawn
     // permutation labels, add-one p-value.
+    // Chi-square independence of event_type x hour-of-day bucket: is
+    // activity mix time-dependent? Exact cell counts, fixed-point
+    // cross-cell sum, Cramer's V effect size.
+    "ab_chi2_independence" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+        .select(col("event_type"),
+          expr("(ts div 3600000000) % 24").as("hour"))
+      Drift.chiSquareIndependence(ev, "event_type", "hour")
+    },
+
     // Exact Mann-Whitney U between purchase and click values: rank-based
     // stochastic-ordering test (outlier-immune, unlike the mean
     // permutation test), exact integer 2U with midrank ties, tie-
@@ -8366,6 +8376,40 @@ object ExtensionQueries {
     // |cumA*nB - cumB*nA|; argmax ties to the smallest value; the one
     // double division replicates Spark's ta.toDouble * tb.toDouble
     // denominator literal.
+    // Replay of Drift.chiSquareIndependence: same cells/margins, scalar
+    // per-cell terms over exact integers, x2^20 fixed-point cross-cell
+    // sum, Cramer's V in the operator's double order.
+    "ab_chi2_independence" -> """
+      WITH ev AS (
+        SELECT coalesce(event_type, '(null)') AS x,
+          coalesce(((epoch_us(ts) // 3600000000) % 24)::VARCHAR,
+            '(null)') AS y
+        FROM events),
+      occ AS (SELECT x, y, count(*)::BIGINT AS o FROM ev GROUP BY 1, 2),
+      rx AS (SELECT x, sum(o)::BIGINT AS rx FROM occ GROUP BY 1),
+      cy AS (SELECT y, sum(o)::BIGINT AS cy FROM occ GROUP BY 1),
+      tot AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT x)::BIGINT AS r,
+        count(DISTINCT y)::BIGINT AS c FROM occ),
+      cells AS (
+        SELECT rx.x, cy.y, rx.rx, cy.cy, coalesce(occ.o, 0) AS o
+        FROM rx CROSS JOIN cy LEFT JOIN occ USING (x, y)),
+      t AS (
+        SELECT n, r, c,
+          sum(round(((o::DOUBLE - rx::DOUBLE * cy::DOUBLE / n::DOUBLE)
+            * (o::DOUBLE - rx::DOUBLE * cy::DOUBLE / n::DOUBLE)
+            / (rx::DOUBLE * cy::DOUBLE / n::DOUBLE))
+            * 1048576.0)::BIGINT)::BIGINT AS chi2fp
+        FROM cells, tot
+        GROUP BY n, r, c)
+      SELECT n, r AS n_rows_x, c AS n_cols_y,
+        (round(chi2fp::DOUBLE / 1048576.0, 6) + 0.0) AS chi2,
+        ((r - 1) * (c - 1))::BIGINT AS dof,
+        (round(CASE WHEN r > 1 AND c > 1 THEN
+          sqrt(chi2fp::DOUBLE / 1048576.0
+            / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)) END, 6) + 0.0)
+          AS cramers_v
+      FROM t""",
+
     // Replay of Drift.mannWhitney: per-value counts, exclusive
     // cumulative-B (the oracle may use a global window; the operator may
     // not), exact HUGEINT 2U and Σ(t³−t), then the operator's pinned

@@ -272,6 +272,39 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("chiSquareIndependence: hand-computed 2x2, independence ~ 0, " +
+      "perfect association V=1, null level counted, layout-invariant") {
+    // 2x2: (a,p)=30 (a,q)=10 (b,p)=10 (b,q)=30 -> margins 40/40, e=20
+    // everywhere, chi2 = 4 * 100/20 = 20; V = sqrt(20/80) = 0.5
+    val df = (Seq.fill(30)(("a", "p")) ++ Seq.fill(10)(("a", "q"))
+      ++ Seq.fill(10)(("b", "p")) ++ Seq.fill(30)(("b", "q")))
+      .toDF("x", "y")
+    val r = Drift.chiSquareIndependence(df, "x", "y").collect().head
+    assert(r.getAs[Double]("chi2") == 20.0, r.toString)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("cramers_v") == 0.5)
+    // exact independence: counts proportional to margins -> chi2 = 0
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q", "r");
+      _ <- 1 to (if (x == "a") 2 else 4)) yield (x, y)).toDF("x", "y")
+    val ri = Drift.chiSquareIndependence(ind, "x", "y").collect().head
+    assert(ri.getAs[Double]("chi2") == 0.0 && ri.getAs[Long]("dof") == 2L)
+    // perfect association: x determines y -> V = 1
+    val per = (Seq.fill(5)(("a", "p")) ++ Seq.fill(7)(("b", "q")))
+      .toDF("x", "y")
+    assert(Drift.chiSquareIndependence(per, "x", "y")
+      .collect().head.getAs[Double]("cramers_v") == 1.0)
+    // NULL is its own level, and layout cannot change anything
+    val withNull = df.unionByName(
+      Seq((null.asInstanceOf[String], "p")).toDF("x", "y"))
+    val a1 = Drift.chiSquareIndependence(withNull, "x", "y")
+      .collect().head
+    assert(a1.getAs[Long]("n_rows_x") == 3L)
+    val a2 = Drift.chiSquareIndependence(withNull.repartition(9), "x", "y")
+      .collect().head
+    assert(a2.toString == a1.toString)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("mannWhitney: textbook U with ties, direction, degenerate z") {
     // A = {1,2,3}, B = {2,3,4}: for each a count b below (x2) + tied:
     // a=1: 0; a=2: 0*2+1=1; a=3: 1*2+1=3 -> 2U=4, U_A=2, U_B=9-2=7
