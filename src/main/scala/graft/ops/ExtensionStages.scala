@@ -1473,7 +1473,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1510,6 +1510,8 @@ final case class DriftTransformStage(
     val out = method match {
       case "ks" => Drift.ksStatistic(before, after, valueCol)
       case "mannwhitney" => Drift.mannWhitney(before, after, valueCol)
+      // single-view: chi2 independence of catCol x labelCol
+      case "chi2" => Drift.chiSquareIndependence(before, catCol, labelCol)
       case "tv" => Drift.categoricalDrift(before, after, catCol)
       case "centroid" => Drift.centroidDrift(before, after, labelCol)
       // bounds-and-counts profile diff (Profile.drift) beside the
