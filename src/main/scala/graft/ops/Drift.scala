@@ -427,6 +427,61 @@ object Drift {
           || col("__undesigned") === 1 || col("__total") === 0).as("srm"))
   }
 
+  /** Spearman rank correlation ρ between two numeric columns — the
+    * monotone-association readout [[Profile.correlation]]'s Pearson r
+    * cannot give (r sees only LINEAR association and melts under
+    * outliers; ρ is Pearson over MIDRANKS, so any monotone relationship
+    * scores ±1 and a single extreme row moves it by at most one rank).
+    * The rank-based completion of the drift statistics toolbox next to
+    * [[mannWhitney]].
+    *
+    * Midranks per column via the [[ksStatistic]] distributed CDF — per-
+    * value counts, range-partitioned cumulative sums with per-partition
+    * offsets, NO global window: mr(v) = cumBelow(v) + (count(v) + 1)/2.
+    * Ranks join back to rows on the value key, and ρ is the engine's
+    * exact fixed-point Pearson over (mr_x, mr_y) (midranks are exact
+    * halves, exact on the ×2^20 grid). Output ONE row: (n, rho).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val slim = graft.util.Caches.persist(
+      df.select(col(xCol).cast("double").as("__x"),
+          col(yCol).cast("double").as("__y"))
+        .where(col("__x").isNotNull && col("__y").isNotNull))
+
+    // (value, midrank) table for one column — the ksStatistic CDF shape
+    def midranks(c: String): DataFrame = {
+      val counts = slim.groupBy(col(c).as("v")).agg(count(lit(1)).as("__k"))
+      val n = spark.sessionState.conf.numShufflePartitions
+      val parts = graft.util.Caches.persist(
+        counts.repartitionByRange(n, col("v"))
+          .withColumn("__pid", spark_partition_id()))
+      val w = Window.partitionBy("__pid").orderBy("v")
+      val local = parts.withColumn("__ck", sum("__k").over(w))
+      val totals = parts.groupBy("__pid").agg(sum("__k").as("t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var run = 0L
+      val offRows = totals.map { case (pid, t) =>
+        val r = Row(pid, run); run += t; r
+      }
+      val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+        StructType(Seq(StructField("__pid", IntegerType, false),
+          StructField("__off", LongType, false))))
+      local.join(broadcast(offDf), "__pid")
+        .select(col("v"),
+          ((col("__ck") + col("__off") - col("__k")).cast("double")
+            + (col("__k").cast("double") + 1) / 2).as("mr"))
+    }
+    val ranked = slim
+      .join(midranks("__x").withColumnRenamed("v", "__x")
+        .withColumnRenamed("mr", "__rx"), "__x")
+      .join(midranks("__y").withColumnRenamed("v", "__y")
+        .withColumnRenamed("mr", "__ry"), "__y")
+      .withColumn("__g", lit(0))
+    Profile.correlation(ranked, "__rx", "__ry", Seq("__g"))
+      .select(col("n"), col("corr").as("rho"))
+  }
+
   /** Pearson χ² test of INDEPENDENCE between two categorical columns —
     * the association sibling of [[srmCheck]]'s goodness-of-fit: srm asks
     * "do observed arm counts match a designed split"; this asks "are two

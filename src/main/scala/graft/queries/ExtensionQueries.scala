@@ -3105,6 +3105,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Spearman rho of quantity vs extended price: monotone association
+    // via distributed midranks + the exact fixed-point Pearson.
+    "profile_spearman" -> { (spark, dir) =>
+      Drift.spearman(spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_quantity", "l_extendedprice")
+    },
+
     // Per-group OLS: price ~ quantity per return flag — slope/intercept/
     // r2 from exact fixed-point sufficient statistics.
     "regress_group" -> { (spark, dir) =>
@@ -8502,6 +8509,46 @@ object ExtensionQueries {
           THEN rank END), 0) AS ks FROM r)
       SELECT doc_id, p, rank, rank <= ks AS reject
       FROM r, k ORDER BY doc_id""",
+
+    // Replay of Drift.spearman: midranks cumExcl + (k+1)/2 (window in
+    // the oracle, distributed CDF in the operator), then the
+    // profile_corr fixed-point Pearson arithmetic over the midranks.
+    "profile_spearman" -> """
+      WITH s AS (
+        SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      kx AS (SELECT x AS v, count(*)::BIGINT AS k FROM s GROUP BY 1),
+      rx AS (SELECT v,
+          (sum(k) OVER (ORDER BY v) - k)::DOUBLE
+            + (k::DOUBLE + 1) / 2 AS mr FROM kx),
+      ky AS (SELECT y AS v, count(*)::BIGINT AS k FROM s GROUP BY 1),
+      ry AS (SELECT v,
+          (sum(k) OVER (ORDER BY v) - k)::DOUBLE
+            + (k::DOUBLE + 1) / 2 AS mr FROM ky),
+      ranked AS (
+        SELECT rx.mr AS a, ry.mr AS b
+        FROM s JOIN rx ON s.x = rx.v JOIN ry ON s.y = ry.v),
+      st AS (
+        SELECT
+          SUM(CAST(round(a * 1048576.0) AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(round(b * 1048576.0) AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(round(a * a * 1048576.0) AS DECIMAL(38,0))) AS sxx,
+          SUM(CAST(round(b * b * 1048576.0) AS DECIMAL(38,0))) AS syy,
+          SUM(CAST(round(a * b * 1048576.0) AS DECIMAL(38,0))) AS sxy,
+          COUNT(*)::BIGINT AS n
+        FROM ranked)
+      SELECT n, round(CASE WHEN den > 0 THEN num / den ELSE 0 END, 6)
+          + 0.0 AS rho
+      FROM (
+        SELECT n,
+          n::DOUBLE * (sxy::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0) AS num,
+          sqrt(greatest(n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+            - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0), 0))
+          * sqrt(greatest(n::DOUBLE * (syy::DOUBLE / 1048576.0)
+            - (sy::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0), 0)) AS den
+        FROM st)""",
 
     // Replay of Profile.linearFit: identical fixed-point sufficient
     // statistics and pinned final-double order.

@@ -272,6 +272,40 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("spearman: monotone nonlinear = 1, reversed = -1, outlier-immune " +
+      "vs Pearson, ties handled, layout-invariant") {
+    // y = x^3: wildly nonlinear but perfectly monotone -> rho = 1
+    val cube = (1 to 40).map(i => (i.toDouble, math.pow(i, 3))).toDF("x", "y")
+    assert(Drift.spearman(cube, "x", "y").collect().head
+      .getAs[Double]("rho") == 1.0)
+    val anti = (1 to 40).map(i => (i.toDouble, -math.pow(i, 3))).toDF("x", "y")
+    assert(Drift.spearman(anti, "x", "y").collect().head
+      .getAs[Double]("rho") == -1.0)
+    graft.util.Caches.unpersistAll()
+    // one catastrophic outlier: Pearson collapses, rho barely moves
+    val base = (1 to 50).map(i => (i.toDouble, i.toDouble + (i % 3)))
+    val out = base :+ ((51.0, -1e9))
+    val rho = Drift.spearman(out.toDF("x", "y"), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    val pearson = Profile.correlation(
+        out.map { case (a, b) => ("g", a, b) }.toDF("g", "x", "y"),
+        "x", "y", Seq("g")).collect().head.getAs[Double]("corr")
+    assert(rho > 0.85, s"rho $rho should shrug off one outlier")
+    assert(pearson < 0.5, s"Pearson $pearson should collapse")
+    graft.util.Caches.unpersistAll()
+    // ties: constant y -> den 0 -> rho 0 by the correlation convention
+    val flat = (1 to 10).map(i => (i.toDouble, 5.0)).toDF("x", "y")
+    assert(Drift.spearman(flat, "x", "y").collect().head
+      .getAs[Double]("rho") == 0.0)
+    val t = (1 to 60).map(i => ((i % 7).toDouble, (i % 5).toDouble))
+      .toDF("x", "y")
+    val r1 = Drift.spearman(t, "x", "y").collect().head.toString
+    val r2 = Drift.spearman(t.repartition(11), "x", "y")
+      .collect().head.toString
+    assert(r1 == r2)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("chiSquareIndependence: hand-computed 2x2, independence ~ 0, " +
       "perfect association V=1, null level counted, layout-invariant") {
     // 2x2: (a,p)=30 (a,q)=10 (b,p)=10 (b,q)=30 -> margins 40/40, e=20
