@@ -482,6 +482,86 @@ object Drift {
       .select(col("n"), col("corr").as("rho"))
   }
 
+  /** Wilcoxon SIGNED-RANK test over paired observations — the paired
+    * counterpart of [[mannWhitney]] (same unit measured twice:
+    * before/after an experiment, two annotators, two model versions on
+    * the same prompts): rank |after − before| across units, W+ = the
+    * rank sum of the positive differences. Outlier-immune like every
+    * rank statistic, and sensitive to consistent per-unit direction the
+    * unpaired tests dilute.
+    *
+    * Conventions pinned for replay: zero differences DROP (the classic
+    * Wilcoxon treatment), tied |d| take MIDRANKS, and
+    * z = (W+ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − ΣT/48) with
+    * ΣT = Σ_ties (t³ − t), no continuity correction — 2·W+ and ΣT are
+    * exact integers (DECIMAL(38,0) sums), z one pinned-order double.
+    * Differences quantize ×2^20 before ranking so the tie structure
+    * itself is engine-exact. Midranks come from the [[ksStatistic]]
+    * distributed CDF (no global window).
+    *
+    * Output ONE row: (n_pairs, n_nonzero, w_plus, w_minus, z).
+    */
+  def wilcoxonSignedRank(df: DataFrame, beforeCol: String,
+      afterCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val scale = 1048576d
+    val d = graft.util.Caches.persist(
+      df.where(col(beforeCol).isNotNull && col(afterCol).isNotNull)
+        .select((round(col(afterCol).cast("double") * scale).cast("long")
+          - round(col(beforeCol).cast("double") * scale).cast("long"))
+          .as("__d")))
+    val nPairs = d.count()
+    val nz = d.where(col("__d") =!= 0L)
+      .select(abs(col("__d")).as("__a"), (col("__d") > 0).as("__pos"))
+    val counts = nz.groupBy("__a")
+      .agg(count(lit(1)).as("__k"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__kp"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Caches.persist(
+      counts.repartitionByRange(n, col("__a"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("__a")
+    val local = parts.withColumn("__ck", sum("__k").over(w))
+    val totals = parts.groupBy("__pid").agg(sum("__k").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var run = 0L
+    val offRows = totals.map { case (pid, t) =>
+      val r = Row(pid, run); run += t; r
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__off", LongType, false))))
+    val dec = "decimal(38,0)"
+    // 2·midrank(a) = 2·cumExcl + k + 1 (exact integer); W+ sums the
+    // positive-side counts times it
+    val agg = local.join(broadcast(offDf), "__pid")
+      .select(col("__k"), col("__kp"),
+        (col("__ck") + col("__off") - col("__k")).as("__cx"))
+      .agg(
+        sum("__k").as("nz"),
+        sum(col("__kp").cast(dec)
+          * (col("__cx").cast(dec) * 2 + col("__k").cast(dec) + 1))
+          .as("w2p"),
+        sum({
+          val t = col("__k").cast(dec)
+          t * t * t - t
+        }).as("tie"))
+      .collect().head
+    val nNz = Option(agg.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(nNz > 0, "all paired differences are zero — nothing to rank")
+    val wPlus = agg.getDecimal(1).doubleValue() / 2
+    val tieSum = agg.getDecimal(2).doubleValue()
+    val nn = nNz.toDouble
+    val mu = nn * (nn + 1) / 4.0
+    val varW = nn * (nn + 1) * (2 * nn + 1) / 24.0 - tieSum / 48.0
+    val z = if (varW > 0) (wPlus - mu) / math.sqrt(varW) else 0.0
+    import spark.implicits._
+    Seq((nPairs, nNz, wPlus, nn * (nn + 1) / 2.0 - wPlus,
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0))
+      .toDF("n_pairs", "n_nonzero", "w_plus", "w_minus", "z")
+  }
+
   /** Pearson χ² test of INDEPENDENCE between two categorical columns —
     * the association sibling of [[srmCheck]]'s goodness-of-fit: srm asks
     * "do observed arm counts match a designed split"; this asks "are two

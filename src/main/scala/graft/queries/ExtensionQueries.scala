@@ -3068,6 +3068,29 @@ object ExtensionQueries {
       Drift.chiSquareIndependence(ev, "event_type", "hour")
     },
 
+    // Wilcoxon signed-rank over PAIRED per-user means: did each user's
+    // value shift between the corpus's first and second time half?
+    // Fixed-point per-half means, zero diffs drop, midranks on |d|.
+    "ab_wilcoxon" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir).where(col("value").isNotNull)
+      val mid = ev.agg(expr("(min(ts) + max(ts)) div 2").as("__m"))
+      val paired = ev.crossJoin(broadcast(mid))
+        .select(col("user_id"), (col("ts") <= col("__m")).as("__h1"),
+          round(col("value") * 1048576d).cast("long").as("__vfp"))
+        .groupBy("user_id")
+        .agg(sum(when(col("__h1"), col("__vfp"))).as("__s1"),
+          sum(when(col("__h1"), 1L).otherwise(0L)).as("__n1"),
+          sum(when(!col("__h1"), col("__vfp"))).as("__s2"),
+          sum(when(!col("__h1"), 1L).otherwise(0L)).as("__n2"))
+        .where(col("__n1") > 0 && col("__n2") > 0)
+        .select(
+          (col("__s1").cast("double") / col("__n1") / 1048576d)
+            .as("before"),
+          (col("__s2").cast("double") / col("__n2") / 1048576d)
+            .as("after"))
+      Drift.wilcoxonSignedRank(paired, "before", "after")
+    },
+
     // Exact Mann-Whitney U between purchase and click values: rank-based
     // stochastic-ordering test (outlier-immune, unlike the mean
     // permutation test), exact integer 2U with midrank ties, tie-
@@ -8416,6 +8439,55 @@ object ExtensionQueries {
             / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)) END, 6) + 0.0)
           AS cramers_v
       FROM t""",
+
+    // Replay of Drift.wilcoxonSignedRank over the per-user paired means:
+    // fixed-point half means, x2^20-quantized diffs (the tie structure
+    // is engine-exact), zero diffs drop, 2W+ = sum kp*(2*cumExcl + k + 1)
+    // over |d| groups, tie-corrected z in the operator's double order.
+    "ab_wilcoxon" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts,
+          round(value * 1048576.0)::BIGINT AS vfp
+        FROM events WHERE value IS NOT NULL),
+      mid AS (SELECT (min(ts) + max(ts)) // 2 AS m FROM ev),
+      paired AS (
+        SELECT
+          sum(CASE WHEN ts <= m THEN vfp END)::DOUBLE
+            / sum(CASE WHEN ts <= m THEN 1 ELSE 0 END)::DOUBLE
+            / 1048576.0 AS before,
+          sum(CASE WHEN ts > m THEN vfp END)::DOUBLE
+            / sum(CASE WHEN ts > m THEN 1 ELSE 0 END)::DOUBLE
+            / 1048576.0 AS after
+        FROM ev, mid GROUP BY user_id
+        HAVING sum(CASE WHEN ts <= m THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN ts > m THEN 1 ELSE 0 END) > 0),
+      d AS (
+        SELECT round(after * 1048576.0)::BIGINT
+          - round(before * 1048576.0)::BIGINT AS d
+        FROM paired),
+      nz AS (SELECT abs(d) AS a, d > 0 AS pos FROM d WHERE d != 0),
+      grp AS (
+        SELECT a, count(*)::BIGINT AS k,
+          sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS kp
+        FROM nz GROUP BY 1),
+      ranked AS (
+        SELECT k, kp, sum(k) OVER (ORDER BY a) - k AS cx FROM grp),
+      agg AS (
+        SELECT sum(k)::BIGINT AS nnz,
+          sum(kp::HUGEINT * (2 * cx::HUGEINT + k::HUGEINT + 1)) AS w2p,
+          sum(k::HUGEINT * k::HUGEINT * k::HUGEINT - k::HUGEINT) AS tie
+        FROM ranked),
+      base AS (SELECT count(*)::BIGINT AS np FROM paired)
+      SELECT np AS n_pairs, nnz AS n_nonzero,
+        w2p::DOUBLE / 2 AS w_plus,
+        nnz::DOUBLE * (nnz::DOUBLE + 1) / 2.0 - w2p::DOUBLE / 2 AS w_minus,
+        (round(CASE WHEN nnz::DOUBLE * (nnz::DOUBLE + 1)
+              * (2 * nnz::DOUBLE + 1) / 24.0 - tie::DOUBLE / 48.0 > 0
+          THEN (w2p::DOUBLE / 2 - nnz::DOUBLE * (nnz::DOUBLE + 1) / 4.0)
+            / sqrt(nnz::DOUBLE * (nnz::DOUBLE + 1)
+              * (2 * nnz::DOUBLE + 1) / 24.0 - tie::DOUBLE / 48.0)
+          ELSE 0.0 END, 6) + 0.0) AS z
+      FROM agg, base""",
 
     // Replay of Drift.mannWhitney: per-value counts, exclusive
     // cumulative-B (the oracle may use a global window; the operator may

@@ -272,6 +272,37 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("wilcoxonSignedRank: textbook ranks with ties and zero drops, " +
+      "direction, symmetric null, layout-invariant") {
+    // diffs: +1, -2, +3, +3, 0 -> zero drops (n=4); |d| ranks: 1->1,
+    // 2->2, 3&3 -> midrank 3.5 each; W+ = 1 + 3.5 + 3.5 = 8, W- = 2
+    val df = Seq((0.0, 1.0), (2.0, 0.0), (1.0, 4.0), (10.0, 13.0),
+      (5.0, 5.0)).toDF("before", "after")
+    val r = Drift.wilcoxonSignedRank(df, "before", "after").collect().head
+    assert(r.getAs[Long]("n_pairs") == 5L && r.getAs[Long]("n_nonzero") == 4L)
+    assert(r.getAs[Double]("w_plus") == 8.0 && r.getAs[Double]("w_minus") == 2.0,
+      r.toString)
+    assert(r.getAs[Double]("z") > 0)
+    // swapped columns mirror W+ and W-
+    val s = Drift.wilcoxonSignedRank(df, "after", "before").collect().head
+    assert(s.getAs[Double]("w_plus") == 2.0 && s.getAs[Double]("w_minus") == 8.0)
+    // perfectly symmetric diffs -> W+ = W- and z = 0
+    val sym = Seq((0.0, 1.0), (1.0, 0.0), (0.0, 2.0), (2.0, 0.0))
+      .toDF("before", "after")
+    val t = Drift.wilcoxonSignedRank(sym, "before", "after").collect().head
+    assert(t.getAs[Double]("w_plus") == t.getAs[Double]("w_minus"))
+    assert(t.getAs[Double]("z") == 0.0)
+    val big = (1 to 300).map(i =>
+      ((i % 13).toDouble, (i % 13).toDouble + (i % 7) - 3))
+      .toDF("before", "after")
+    val b1 = Drift.wilcoxonSignedRank(big, "before", "after")
+      .collect().head.toString
+    val b2 = Drift.wilcoxonSignedRank(big.repartition(9), "before", "after")
+      .collect().head.toString
+    assert(b1 == b2)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("spearman: monotone nonlinear = 1, reversed = -1, outlier-immune " +
       "vs Pearson, ties handled, layout-invariant") {
     // y = x^3: wildly nonlinear but perfectly monotone -> rho = 1
