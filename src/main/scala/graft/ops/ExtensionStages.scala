@@ -1473,7 +1473,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1512,6 +1512,10 @@ final case class DriftTransformStage(
       case "mannwhitney" => Drift.mannWhitney(before, after, valueCol)
       // single-view: chi2 independence of catCol x labelCol
       case "chi2" => Drift.chiSquareIndependence(before, catCol, labelCol)
+      // single-view: Spearman rho of preCol vs postCol
+      case "spearman" => Drift.spearman(before, preCol, postCol)
+      // single-view: paired signed-rank of preCol vs postCol
+      case "wilcoxon" => Drift.wilcoxonSignedRank(before, preCol, postCol)
       case "tv" => Drift.categoricalDrift(before, after, catCol)
       case "centroid" => Drift.centroidDrift(before, after, labelCol)
       // bounds-and-counts profile diff (Profile.drift) beside the

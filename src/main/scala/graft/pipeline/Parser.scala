@@ -416,11 +416,13 @@ object Parser {
     "DriftTransform" -> { (r, _) =>
       val driftMethod = r.oneOf("method",
         Seq("ks", "tv", "centroid", "profile", "permutation", "cuped",
-          "srm", "heavy_terms", "bh", "bootstrap", "mannwhitney", "chi2"),
+          "srm", "heavy_terms", "bh", "bootstrap", "mannwhitney", "chi2",
+          "spearman", "wilcoxon"),
         "ks")
       val singleView = driftMethod == "cuped" || driftMethod == "srm" ||
         driftMethod == "bh" ||
-        driftMethod == "bootstrap" || driftMethod == "chi2"
+        driftMethod == "bootstrap" || driftMethod == "chi2" ||
+        driftMethod == "spearman" || driftMethod == "wilcoxon"
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
