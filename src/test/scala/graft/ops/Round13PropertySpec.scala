@@ -142,6 +142,74 @@ class Round13PropertySpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("mannWhitney / wilcoxon / spearman / chi2 match in-memory " +
+      "references on random data (ranks, midranks, ties, margins)") {
+    val rnd = new scala.util.Random(41)
+    // --- Mann-Whitney: brute 2U by pair comparison ---
+    val as = Seq.fill(25)((rnd.nextInt(8)).toDouble)
+    val bs = Seq.fill(30)((rnd.nextInt(8)).toDouble)
+    val brute2U = (for (x <- as; y <- bs) yield {
+      if (y < x) 2L else if (y == x) 1L else 0L
+    }).sum
+    val mw = Drift.mannWhitney(as.toDF("v"), bs.toDF("v"), "v")
+      .collect().head
+    assert(mw.getAs[Double]("u_a") == brute2U / 2.0,
+      s"U ${mw.getAs[Double]("u_a")} vs brute ${brute2U / 2.0}")
+    graft.util.Caches.unpersistAll()
+    // --- Wilcoxon: brute W+ via midranks of |d| ---
+    val pairs = Seq.fill(40)((rnd.nextInt(6).toDouble, rnd.nextInt(6).toDouble))
+    val ds = pairs.map { case (b, a) => a - b }.filter(_ != 0.0)
+    val sorted = ds.map(math.abs).sorted
+    def midrank(a: Double): Double = {
+      val lo = sorted.indexWhere(_ == a)
+      val hi = sorted.lastIndexWhere(_ == a)
+      (lo + hi).toDouble / 2 + 1
+    }
+    val bruteWp = ds.filter(_ > 0).map(d => midrank(math.abs(d))).sum
+    val wx = Drift.wilcoxonSignedRank(
+      pairs.toDF("before", "after"), "before", "after").collect().head
+    assert(wx.getAs[Double]("w_plus") == bruteWp,
+      s"W+ ${wx.getAs[Double]("w_plus")} vs brute $bruteWp")
+    graft.util.Caches.unpersistAll()
+    // --- Spearman: brute midrank Pearson ---
+    val xs = Seq.fill(35)(rnd.nextInt(10).toDouble)
+    val ys = xs.map(x => x * 2 + rnd.nextInt(5))
+    def ranks(v: Seq[Double]): Seq[Double] = {
+      val s = v.sorted
+      v.map { x =>
+        (s.indexWhere(_ == x) + s.lastIndexWhere(_ == x)).toDouble / 2 + 1
+      }
+    }
+    val (rx, ry) = (ranks(xs), ranks(ys))
+    val n = xs.size.toDouble
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val num = n * a.zip(b).map { case (p, q) => p * q }.sum - a.sum * b.sum
+      val den = math.sqrt(n * a.map(p => p * p).sum - a.sum * a.sum) *
+        math.sqrt(n * b.map(q => q * q).sum - b.sum * b.sum)
+      num / den
+    }
+    val want = pearson(rx, ry)
+    val got = Drift.spearman(xs.zip(ys).toDF("x", "y"), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    assert(math.abs(got - want) < 1e-5, s"rho $got vs brute $want")
+    graft.util.Caches.unpersistAll()
+    // --- chi2: brute full-grid Pearson statistic ---
+    val cats = Seq.fill(120)((s"x${rnd.nextInt(3)}", s"y${rnd.nextInt(4)}"))
+    val cellCnt = cats.groupBy(identity).view.mapValues(_.size).toMap
+    val rxm = cats.groupBy(_._1).view.mapValues(_.size).toMap
+    val cym = cats.groupBy(_._2).view.mapValues(_.size).toMap
+    val nn = cats.size.toDouble
+    val bruteChi = (for (x <- rxm.keys; y <- cym.keys) yield {
+      val e = rxm(x) * cym(y) / nn
+      val o = cellCnt.getOrElse((x, y), 0).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    val chi = Drift.chiSquareIndependence(cats.toDF("x", "y"), "x", "y")
+      .collect().head.getAs[Double]("chi2")
+    assert(math.abs(chi - bruteChi) < 1e-4, s"chi2 $chi vs brute $bruteChi")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("bhAdjust matches the in-memory step-up rule on random p vectors") {
     val rnd = new scala.util.Random(97)
     for (trial <- 1 to 3) {
