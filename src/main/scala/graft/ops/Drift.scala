@@ -105,6 +105,36 @@ object Drift {
           / lit(ra.toDouble * rb.toDouble)).as("d"))
   }
 
+  /** [[ksStatistic]] with the asymptotic SIGNIFICANCE readout — the
+    * two-sided p-value from the Kolmogorov distribution,
+    * p = 2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²} with the effective-size scaling
+    * λ = d·sqrt(nA·nB/(nA+nB)) (Smirnov's classic asymptotic; accurate
+    * for effective n ≳ 35 — the regime every corpus-scale comparison is
+    * in). The series is PINNED to 100 terms accumulated first-to-last
+    * and clamped to [0, 1]: exp/pow doubles in a fixed order, so any
+    * engine replays the p bit-for-bit (the no-erf convention that keeps
+    * the z-statistics p-free does not bite here — K(λ) needs only exp).
+    *
+    * Output: ksStatistic's row plus (lambda, p_value), still ONE row;
+    * the scalar arithmetic happens on the one-row frame, nothing new
+    * crosses the cluster.
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val base = ksStatistic(a, b, valueCol)
+    val lam = col("d") * sqrt(col("n_a").cast("double")
+      * col("n_b").cast("double")
+      / (col("n_a") + col("n_b")).cast("double"))
+    val series = (1 to 100).map { k =>
+      val sign = if (k % 2 == 1) 1.0 else -1.0
+      lit(sign) * exp(lit(-2.0 * k * k) * col("lambda") * col("lambda"))
+    }.reduce(_ + _)
+    base.withColumn("lambda", lam)
+      .withColumn("p_value",
+        round(least(lit(1d), greatest(lit(0d), lit(2d) * series)), 6)
+          + lit(0d))
+      .withColumn("lambda", round(col("lambda"), 6) + lit(0d))
+  }
+
   /** Per-category frequency drift between two snapshots on categorical
     * `catCol` — the exact decomposition of total-variation distance.
     * Output per category (including categories present on one side

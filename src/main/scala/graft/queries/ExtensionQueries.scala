@@ -3055,6 +3055,17 @@ object ExtensionQueries {
         "o_totalprice")
     },
 
+    // drift_ks plus the Smirnov asymptotic significance: lambda scaling
+    // and the 100-term Kolmogorov series, pinned order.
+    "drift_ks_test" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cut = lit(DriftSplitDate).cast("timestamp")
+      Drift.ksTest(
+        o.where(col("o_orderdate") < cut),
+        o.where(col("o_orderdate") >= cut),
+        "o_totalprice")
+    },
+
     // Deterministic randomization test: is the purchase-vs-click value
     // gap within relabeling noise? Exact fixed-point means, hash-drawn
     // permutation labels, add-one p-value.
@@ -8971,6 +8982,49 @@ object ExtensionQueries {
           / (CAST((SELECT ta FROM t) AS DOUBLE)
             * CAST((SELECT tb FROM t) AS DOUBLE)) AS d
       FROM dd ORDER BY dd.d_num DESC, v LIMIT 1""",
+
+    // drift_ks plus the Smirnov asymptotic p: lambda = d*sqrt(na*nb/n),
+    // 100-term Kolmogorov series accumulated SEQUENTIALLY (list_reduce —
+    // a bare sum() has no order guarantee), clamp to [0,1], 6dp.
+    "drift_ks_test" -> s"""
+      WITH av AS (SELECT o_totalprice AS v, count(*) AS na FROM orders
+                  WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
+                  GROUP BY 1),
+           bv AS (SELECT o_totalprice AS v, count(*) AS nb FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
+                  GROUP BY 1),
+           m AS (SELECT coalesce(av.v, bv.v) AS v,
+                        coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+                 FROM av FULL JOIN bv ON av.v = bv.v),
+           t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM m),
+           c AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+                        sum(nb) OVER (ORDER BY v) AS cb FROM m),
+           dd AS (SELECT v,
+                    abs(CAST(ca AS HUGEINT) * (SELECT tb FROM t)
+                      - CAST(cb AS HUGEINT) * (SELECT ta FROM t)) AS d_num
+                  FROM c),
+           best AS (
+             SELECT v AS split_value,
+               CAST((SELECT ta FROM t) AS BIGINT) AS n_a,
+               CAST((SELECT tb FROM t) AS BIGINT) AS n_b,
+               CAST(d_num AS DOUBLE) AS d_num,
+               CAST(d_num AS DOUBLE)
+                 / (CAST((SELECT ta FROM t) AS DOUBLE)
+                   * CAST((SELECT tb FROM t) AS DOUBLE)) AS d
+             FROM dd ORDER BY dd.d_num DESC, v LIMIT 1),
+           lam AS (
+             SELECT *, d * sqrt(n_a::DOUBLE * n_b::DOUBLE
+               / (n_a + n_b)::DOUBLE) AS l
+             FROM best)
+      SELECT split_value, n_a, n_b, d_num, d,
+        (round(l, 6) + 0.0) AS lambda,
+        (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+          2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(generate_series(1, 100),
+              k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                * exp((-2.0 * k * k)::DOUBLE * l * l))),
+            (a, b) -> a + b))), 6) + 0.0) AS p_value
+      FROM lam""",
 
     // Replay of Drift.categoricalDrift: grouped counts, NULL-safe
     // full-outer category merge, exact HUGEINT L1 numerators.

@@ -272,6 +272,32 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("ksTest: identical distributions insignificant, disjoint ranges " +
+      "p ~ 0, p matches the hand-evaluated Kolmogorov series") {
+    val a = (1 to 120).map(i => (i % 20).toDouble).toDF("v")
+    val b = (1 to 150).map(i => (i % 20).toDouble).toDF("v")
+    val same = Drift.ksTest(a, b, "v").collect().head
+    assert(same.getAs[Double]("p_value") > 0.5,
+      s"same distribution p=${same.getAs[Double]("p_value")}")
+    val far = Drift.ksTest(
+      (1 to 60).map(_.toDouble + 1000).toDF("v"),
+      (1 to 60).map(_.toDouble).toDF("v"), "v").collect().head
+    assert(far.getAs[Double]("d") == 1.0
+      && far.getAs[Double]("p_value") == 0.0, far.toString)
+    // hand-evaluate the pinned series at the observed lambda
+    val lamRow = Drift.ksTest(a, b, "v").collect().head
+    val d = lamRow.getAs[Double]("d")
+    val (na, nb) = (lamRow.getAs[Long]("n_a"), lamRow.getAs[Long]("n_b"))
+    val l = d * math.sqrt(na.toDouble * nb / (na + nb))
+    val series = (1 to 100).map(k =>
+      (if (k % 2 == 1) 1.0 else -1.0) * math.exp(-2.0 * k * k * l * l)).sum
+    val want = BigDecimal(math.min(1.0, math.max(0.0, 2 * series)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(lamRow.getAs[Double]("p_value") == want,
+      s"p ${lamRow.getAs[Double]("p_value")} vs series $want")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("wilcoxonSignedRank: textbook ranks with ties and zero drops, " +
       "direction, symmetric null, layout-invariant") {
     // diffs: +1, -2, +3, +3, 0 -> zero drops (n=4); |d| ranks: 1->1,
