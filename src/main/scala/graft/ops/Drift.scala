@@ -115,6 +115,15 @@ object Drift {
     * engine replays the p bit-for-bit (the no-erf convention that keeps
     * the z-statistics p-free does not bite here — K(λ) needs only exp).
     *
+    * Degenerate regime, pinned: for λ < 0.04 the truncated series is
+    * anti-conservative (at λ = 0 every term is ±1 and the 100-term sum
+    * is exactly 0 — "maximal significance" for IDENTICAL distributions),
+    * while the true p is indistinguishable from 1 (K(0.04) ≈ 0). So
+    * λ < 0.04 short-circuits to p = 1.0 — the same convention Numerical
+    * Recipes' probks uses when its series fails to converge. Above the
+    * cut the 100-term truncation error is bounded by the first omitted
+    * term e^(−2·101²·λ²) < 1e−13.
+    *
     * Output: ksStatistic's row plus (lambda, p_value), still ONE row;
     * the scalar arithmetic happens on the one-row frame, nothing new
     * crosses the cluster.
@@ -130,8 +139,10 @@ object Drift {
     }.reduce(_ + _)
     base.withColumn("lambda", lam)
       .withColumn("p_value",
-        round(least(lit(1d), greatest(lit(0d), lit(2d) * series)), 6)
-          + lit(0d))
+        when(col("lambda") < 0.04, lit(1d))
+          .otherwise(
+            round(least(lit(1d), greatest(lit(0d), lit(2d) * series)), 6)
+              + lit(0d)))
       .withColumn("lambda", round(col("lambda"), 6) + lit(0d))
   }
 

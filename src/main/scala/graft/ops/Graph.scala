@@ -205,6 +205,16 @@ object Graph {
         labels = next.select(col("id"), col("lab"))
         iter += 1
       }
+      // a non-converged coloring can split one SCC across color classes
+      // and silently mislabel part of it in a later peel round — fail
+      // loudly instead (the same contract as the outer peel loop).
+      // Pointer jumping halves chain length per round, so maxIter=25
+      // covers reach-chains ~2^25 long; hitting this means the graph
+      // genuinely needs a bigger budget.
+      if (!converged)
+        throw new IllegalStateException(
+          s"scc label propagation did not converge in maxIter=$maxIter " +
+            "pointer-jumping rounds; raise maxIter")
       labels
     }
 
@@ -317,7 +327,12 @@ object Graph {
       .where(col("__ca") =!= col("__cb"))
       .select(col("__ca").as("ca"), col("__cb").as("cb")).distinct())
     val comps = labels.select(col("scc").as("c")).distinct()
-    val trunc = new graft.util.Truncator(checkpointEvery, eagerFree = false)
+    // eager block reclaim is safe here for the same reason as in scc's
+    // minReach: the previous generation's layer rides along as __ol, so
+    // the convergence probe is a FILTER over the just-checkpointed
+    // blocks — one job per relaxation round, nothing reads a superseded
+    // generation after trunc() frees it
+    val trunc = new graft.util.Truncator(checkpointEvery)
     var layer = trunc(comps.select(col("c"), lit(0L).as("layer")))
     var iter = 0
     var converged = false
@@ -326,13 +341,11 @@ object Graph {
         .join(layer.select(col("c").as("ca"), col("layer")), "ca")
         .groupBy(col("cb").as("c")).agg((max("layer") + 1L).as("__nl"))
       val next = trunc(layer.join(relax, Seq("c"), "left")
-        .select(col("c"),
+        .select(col("c"), col("layer").as("__ol"),
           greatest(col("layer"), coalesce(col("__nl"), col("layer")))
             .as("layer")))
-      converged = next
-        .join(layer.select(col("c"), col("layer").as("__ol")), "c")
-        .where(col("layer") =!= col("__ol")).isEmpty
-      layer = next
+      converged = next.where(col("layer") =!= col("__ol")).isEmpty
+      layer = next.select(col("c"), col("layer"))
       iter += 1
     }
     if (!converged)

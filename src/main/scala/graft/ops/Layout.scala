@@ -342,6 +342,13 @@ object Layout {
       .select(col("block_id"), col("w"), col("bits"),
         lit(m.toLong).as("m"), lit(k).as("k"))
     blooms.write.mode("overwrite").parquet(s"$outDir/bloom_$keyCol")
+    // pre-r13 publishes kept (m, k) in a separate bloom_<keyCol>_meta
+    // table; republishing under the current single-table layout must
+    // remove it, or a stale meta directory lies around describing
+    // parameters the bits no longer use
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outDir/bloom_${keyCol}_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) fs.delete(metaPath, true)
     spark.read.parquet(s"$outDir/bloom_$keyCol")
   }
 
@@ -367,6 +374,14 @@ object Layout {
     // (m, k) ride as columns of the bits table (atomic with the bits —
     // see bloomAugment); a mixed-parameter table is a corrupt publish
     // and probing it risks false NEGATIVES, so fail loudly.
+    // A bits table WITHOUT m/k columns is a pre-r13 publish (parameters
+    // lived in a separate bloom_<keyCol>_meta table) — name the fix
+    // instead of surfacing a missing-column AnalysisException.
+    if (!bloom.columns.contains("m") || !bloom.columns.contains("k"))
+      throw new IllegalStateException(
+        s"bloom table $outDir/bloom_$keyCol uses the legacy layout " +
+          "(no m/k columns — parameters in a separate _meta table); " +
+          "re-run bloomAugment to republish it in the current format")
     val metas = bloom.select("m", "k").distinct().limit(3).collect()
     require(metas.length == 1,
       s"bloom table $outDir/bloom_$keyCol has ${metas.length} distinct " +

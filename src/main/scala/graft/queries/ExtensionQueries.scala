@@ -8986,6 +8986,8 @@ object ExtensionQueries {
     // drift_ks plus the Smirnov asymptotic p: lambda = d*sqrt(na*nb/n),
     // 100-term Kolmogorov series accumulated SEQUENTIALLY (list_reduce —
     // a bare sum() has no order guarantee), clamp to [0,1], 6dp.
+    // lambda < 0.04 pins p = 1.0 (truncation-safe degenerate regime —
+    // the same cut as Drift.ksTest).
     "drift_ks_test" -> s"""
       WITH av AS (SELECT o_totalprice AS v, count(*) AS na FROM orders
                   WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
@@ -9018,12 +9020,13 @@ object ExtensionQueries {
              FROM best)
       SELECT split_value, n_a, n_b, d_num, d,
         (round(l, 6) + 0.0) AS lambda,
-        (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
-          2.0 * list_reduce(list_prepend(0.0::DOUBLE,
-            list_transform(generate_series(1, 100),
-              k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
-                * exp((-2.0 * k * k)::DOUBLE * l * l))),
-            (a, b) -> a + b))), 6) + 0.0) AS p_value
+        (CASE WHEN l < 0.04 THEN 1.0::DOUBLE ELSE
+          (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+            2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(generate_series(1, 100),
+                k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                  * exp((-2.0 * k * k)::DOUBLE * l * l))),
+              (a, b) -> a + b))), 6) + 0.0) END) AS p_value
       FROM lam""",
 
     // Replay of Drift.categoricalDrift: grouped counts, NULL-safe

@@ -291,10 +291,29 @@ class DriftSpec extends SparkSpec {
     val l = d * math.sqrt(na.toDouble * nb / (na + nb))
     val series = (1 to 100).map(k =>
       (if (k % 2 == 1) 1.0 else -1.0) * math.exp(-2.0 * k * k * l * l)).sum
-    val want = BigDecimal(math.min(1.0, math.max(0.0, 2 * series)))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = if (l < 0.04) 1.0
+      else BigDecimal(math.min(1.0, math.max(0.0, 2 * series)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(lamRow.getAs[Double]("p_value") == want,
       s"p ${lamRow.getAs[Double]("p_value")} vs series $want")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("ksTest: comparing a sample to itself pins p = 1 (degenerate " +
+      "lambda = 0 regime, not the truncated-series 0)") {
+    // at d = 0 every series term is +-1 and the truncated sum is 0 —
+    // without the lambda < 0.04 short-circuit p would read 0.0
+    // ("maximal significance" for IDENTICAL data); the pinned
+    // convention returns the true p = 1.
+    val a = (1 to 200).map(i => (i % 13).toDouble).toDF("v")
+    val r = Drift.ksTest(a, a, "v").collect().head
+    assert(r.getAs[Double]("d") == 0.0, r.toString)
+    assert(r.getAs[Double]("lambda") == 0.0, r.toString)
+    assert(r.getAs[Double]("p_value") == 1.0, r.toString)
+    // just above the cut the series path is live again
+    assert(Drift.ksTest(a,
+        (1 to 200).map(i => (i % 13).toDouble + 100).toDF("v"), "v")
+      .collect().head.getAs[Double]("p_value") == 0.0)
     graft.util.Caches.unpersistAll()
   }
 

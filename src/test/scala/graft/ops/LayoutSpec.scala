@@ -373,4 +373,44 @@ class LayoutSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("bloom legacy layout: pre-r13 dirs refuse with a rebuild message; " +
+      "republish removes a stale _meta directory") {
+    val df = (0 until 64).map { i => (i.toLong, (i % 8).toLong, (i / 8).toLong) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomleg").toString
+    try {
+      Layout.zorderWrite(df, "x", "y", "id", dir,
+        blockSize = 16, bits = 3, options = confirm)
+      val blooms = Layout.bloomAugment(spark, dir, "id",
+        mBits = 1024, k = 3, options = confirm)
+      // simulate a pre-r13 publish: bits without m/k columns plus the
+      // old separate meta table (materialized driver-side first — the
+      // rewrite targets the directory being read)
+      val legacyRows = blooms
+        .select(col("block_id").cast("long"), col("w").cast("long"),
+          col("bits").cast("long"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      legacyRows.toDF("block_id", "w", "bits")
+        .write.mode("overwrite").parquet(s"$dir/bloom_id")
+      Seq((1024L, 3)).toDF("m", "k")
+        .write.mode("overwrite").parquet(s"$dir/bloom_id_meta")
+      val ex = intercept[IllegalStateException] {
+        Layout.bloomRead(spark, dir, "id", Seq("7")).collect()
+      }
+      assert(ex.getMessage.contains("legacy")
+        && ex.getMessage.contains("bloomAugment"), ex.getMessage)
+      // the prescribed fix — republishing — must also clean up the
+      // orphaned meta directory
+      Layout.bloomAugment(spark, dir, "id", mBits = 1024, k = 3,
+        options = confirm)
+      assert(!new java.io.File(s"$dir/bloom_id_meta").exists,
+        "republish must delete the legacy meta directory")
+      assert(Layout.bloomRead(spark, dir, "id", Seq("7"))
+        .select("id").as[Long].collect().toSeq == Seq(7L))
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
