@@ -371,9 +371,22 @@ object Pq {
     // plain PQ (0.913 vs 0.900 on PqSpec's diagonal-structure fixture,
     // which pins opq >= plain). Ge et al. report the same shape: OPQ's
     // gains track how unbalanced the per-subspace variance is.
-    val rot = opqRotation(corpus, subspaces, subDim, powerIters)
-    val rc = graft.util.Caches.persist(rotate(corpus, rot))
-    val rq = rotate(queries, rot)
+    adcRecallOpqWith(corpus, queries,
+      opqRotation(corpus, subspaces, subDim, powerIters), k,
+      subspaces, subDim, centroidEvery, iters)
+  }
+
+  /** [[adcRecallOpq]] with an ALREADY-TRAINED rotation — the split that
+    * lets a caller hold on to the trained dim×dim matrix (the gate's
+    * oracle materializes it as plan-time literals so DuckDB can replay
+    * rotate → train → encode → ADC → recall end to end).
+    */
+  def adcRecallOpqWith(corpus: DataFrame, queries: DataFrame,
+      rotation: Seq[Seq[Double]], k: Int, subspaces: Int = 8,
+      subDim: Int = 8, centroidEvery: Int = 100,
+      iters: Int = 1): DataFrame = {
+    val rc = graft.util.Caches.persist(rotate(corpus, rotation))
+    val rq = rotate(queries, rotation)
     val cb = train(rc, subspaces, subDim, centroidEvery, iters)
     val approx = adcTopK(encode(rc, cb, subspaces, subDim), cb,
       rq, k, subspaces, subDim)

@@ -316,11 +316,17 @@ object ExtensionQueries {
     * prefix and WITHOUT a pairs CTE), composable with other chains
     * (similarity_ivfpq prepends the IVF cell CTEs).
     */
-  private lazy val pqChain: String = s"""
+  private lazy val pqChain: String = pqChainFrom("embeddings")
+
+  /** [[pqChain]] over an arbitrary source table/CTE carrying
+    * (vec_id, embedding) — the OPQ oracle runs it over the ROTATED
+    * embeddings CTE instead of the raw parquet table.
+    */
+  private def pqChainFrom(src: String): String = s"""
       sub AS (
         SELECT vec_id, s,
           list_transform(embedding[s*8+1 : s*8+8], x -> x::DOUBLE) AS sv
-        FROM embeddings, unnest(generate_series(0, 7)) AS t(s)
+        FROM $src, unnest(generate_series(0, 7)) AS t(s)
         WHERE len(embedding) = 64
       ), seeds AS (
         SELECT s, vec_id AS c_id, sv AS c_emb FROM sub
@@ -365,6 +371,79 @@ object ExtensionQueries {
         WHERE lut.q_id != enc.vec_id
         GROUP BY 1, 2
       )"""
+
+  /** Trained-literal handoff from the pq_recall_opq QUERY to its ORACLE:
+    * graft.Verify runs every query BEFORE dumping oracle SQL (the dump
+    * ordering contract), so the trained rotation is available here when
+    * the oracle string is built.
+    */
+  private[queries] object OpqTrained {
+    @volatile var rotation: Option[Seq[Seq[Double]]] = None
+  }
+
+  /** The pq_recall_opq oracle, built AT DUMP TIME from the trained OPQ
+    * rotation: rotate every embedding row with dim literal-coefficient
+    * dot products (same sequential fold + 6dp round + -0 normalization
+    * as Pq.rotate; coefficients ride as CAST('…' AS DOUBLE) string
+    * literals so Double.toString round-trips bit-exactly), run the PQ
+    * train/encode/ADC chain over the rotated CTE, and score recall
+    * against the RAW-embedding exact-L2 truth — the identical truth
+    * block as the pq_recall oracle, so the two gauges stay directly
+    * comparable. Falls back to the identity rotation when no query ran
+    * in this JVM (contract tests build the map without data; the
+    * driver's Verify always runs the query first).
+    */
+  private def opqRecallOracle: String = {
+    val dim = 64
+    val rot = OpqTrained.rotation.getOrElse(
+      Seq.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0))
+    val rlit = rot.map(_.map(x => s"'${x.toString}'")
+      .mkString("[", ",", "]")).mkString("[", ",\n        ", "]")
+    s"""WITH rotlit AS (
+        SELECT unnest(generate_series(1, $dim)) AS r,
+               unnest($rlit) AS rv
+      ), re AS (
+        SELECT e.vec_id,
+          list(round(list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, $dim),
+              d -> e.embedding[d]::DOUBLE * CAST(rot.rv[d] AS DOUBLE))),
+            (x, y) -> x + y), 6) + 0 ORDER BY rot.r) AS embedding
+        FROM embeddings e, rotlit rot
+        WHERE len(e.embedding) = $dim
+        GROUP BY e.vec_id
+      ), ${pqChainFrom("re")}, pairs AS (
+        SELECT lut.q_id, enc.vec_id AS n_id,
+          SUM(lut.pd)::DOUBLE / 1048576.0 AS adist
+        FROM enc JOIN lut ON lut.s = enc.s AND lut.c_id = enc.c_id
+        WHERE lut.q_id != enc.vec_id
+        GROUP BY 1, 2
+      ), adc AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id, adist,
+            row_number() OVER (
+              PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM pairs)
+        WHERE rank <= $TopK
+      ), truth AS (
+        SELECT q_id, n_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              (round(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, $dim),
+                   d -> (a.embedding[d]::DOUBLE - b.embedding[d]::DOUBLE)
+                      * (a.embedding[d]::DOUBLE - b.embedding[d]::DOUBLE))),
+                 (x, y) -> x + y), 6) + 0) ASC, b.vec_id ASC) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+          WHERE a.vec_id < $NQueryVecs
+            AND len(a.embedding) = $dim AND len(b.embedding) = $dim)
+        WHERE rank <= $TopK
+      )
+      SELECT t.q_id, count(adc.n_id)::BIGINT AS hits,
+        round(count(adc.n_id)::DOUBLE / $TopK, 6) AS recall
+      FROM truth t LEFT JOIN adc ON adc.q_id = t.q_id AND adc.n_id = t.n_id
+      GROUP BY t.q_id
+      ORDER BY t.q_id"""
+  }
 
   private def hllRegCte(src: String, out: String,
       grp: String = "l_returnflag"): String = s"""
@@ -799,13 +878,19 @@ object ExtensionQueries {
 
     // OPQ-P (Ge et al. 2013): PCA rotation + eigenvalue allocation before
     // PQ training. The recall gauge vs the SAME raw-L2 ground truth as
-    // pq_recall; rows-only gate (the power-iteration rotation is not
-    // SQL-expressible) — the >= -plain-PQ property and determinism are
-    // pinned in PqSpec, orthonormality is hash-gated by pq_opq_rotation.
+    // pq_recall. HASH-GATED via trained-literal replay: the power-
+    // iteration rotation itself is not SQL-expressible, so the query
+    // stashes the trained dim×dim matrix and the oracle (dumped AFTER
+    // the queries run — the Verify ordering contract) materializes it as
+    // plan-time CAST('…' AS DOUBLE) literals; DuckDB then replays
+    // rotate → train → encode → ADC → recall-vs-raw-truth end to end.
+    // Orthonormality stays independently hash-gated by pq_opq_rotation.
     "pq_recall_opq" -> { (spark, dir) =>
       val e = embs(spark, dir)
-      Pq.adcRecallOpq(e, e.where(col("vec_id") < NQueryVecs), TopK,
-          centroidEvery = PqCentroidEvery)
+      val rot = Pq.opqRotation(e)
+      OpqTrained.rotation = Some(rot)
+      Pq.adcRecallOpqWith(e, e.where(col("vec_id") < NQueryVecs), rot,
+          TopK, centroidEvery = PqCentroidEvery)
         .orderBy("q_id")
     },
 
@@ -3797,7 +3882,15 @@ object ExtensionQueries {
       QUALIFY rank <= $TopK
       ORDER BY q_id, rank"""
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracles plus the one dump-time entry: pq_recall_opq's SQL
+    * embeds the rotation TRAINED DURING THE QUERY RUN (see
+    * [[opqRecallOracle]]), so the map must be rebuilt at access time
+    * rather than frozen at object init.
+    */
+  def oracles: Map[String, String] =
+    staticOracles + ("pq_recall_opq" -> opqRecallOracle)
+
+  private lazy val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT doc_id, lang, source, n_chars FROM documents
       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

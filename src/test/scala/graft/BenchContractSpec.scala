@@ -74,12 +74,12 @@ class BenchContractSpec extends AnyFunSuite {
     // a rows-only check nobody asked for. DELIBERATE rows-only gauges
     // must be enumerated here with their justification — silence is not
     // an opt-out.
-    val rowsOnlyByDesign = Set(
-      // recall gauge through the trained OPQ rotation: the power-
-      // iteration + eigenvalue-allocation rotation is not SQL-
-      // expressible; its orthonormality is hash-gated by
-      // pq_opq_rotation and the >=-plain property is pinned in PqSpec
-      "pq_recall_opq")
+    // EMPTY as of round 14: pq_recall_opq — the last rows-only gauge —
+    // is now hash-gated via the trained-literal oracle (the query
+    // stashes the trained rotation; the dump-time oracle replays it as
+    // plan literals). Future deliberate rows-only gauges go here WITH
+    // their justification — silence is not an opt-out.
+    val rowsOnlyByDesign = Set.empty[String]
     val q = SparkEntry.queries.keySet -- rowsOnlyByDesign
     val o = SparkEntry.oracleSql.keySet
     assert(rowsOnlyByDesign.subsetOf(SparkEntry.queries.keySet),

@@ -16,8 +16,9 @@ Usage:
     python3 tools/bench_diff.py /tmp/bench_now.json [--threshold 1.5]
 
 Exit code 1 if any common query regressed by more than --threshold x
-(and by more than 0.5 s absolute, so micro-queries can't trip it on
-measurement floor).
+AND by more than --floor seconds absolute (default 0.3 s) — sub-second
+queries can't trip a flag on JIT/first-touch jitter; a ratio trip under
+the floor is annotated as noise in the report instead.
 """
 import argparse
 import json
@@ -33,6 +34,11 @@ def main():
     ap.add_argument("--baseline", default=os.path.join(HERE, "bench_baseline.json"))
     ap.add_argument("--threshold", type=float, default=1.5,
                     help="flag queries slower than baseline*threshold (default 1.5x)")
+    ap.add_argument("--floor", type=float, default=0.3,
+                    help="absolute-delta floor in seconds: a ratio trip "
+                         "below this is JIT/first-touch jitter on a "
+                         "sub-second query, annotated as noise instead of "
+                         "flagged (default 0.3)")
     args = ap.parse_args()
 
     with open(args.bench_json) as f:
@@ -134,9 +140,17 @@ def main():
             continue
         delta = t - b
         flag = ""
-        if t > b * args.threshold and delta > 0.5:
-            flag = f"REGRESSED >{args.threshold}x"
-            regressions.append(name)
+        if t > b * args.threshold:
+            if delta > args.floor:
+                flag = f"REGRESSED >{args.threshold}x"
+                regressions.append(name)
+            else:
+                # ratio tripped on a query where no actual seconds live —
+                # say so explicitly instead of leaving the row for a
+                # reader to mis-flag
+                flag = (f"ratio {t / b:.1f}x but delta "
+                        f"{delta * 1000:+.0f}ms < {args.floor}s floor "
+                        "(noise, not flagged)")
         rows.append((name, t, b, f"{delta:+.2f}s {flag}".rstrip()))
 
     w = max(len(r[0]) for r in rows)
