@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 
@@ -740,6 +740,117 @@ object Drift {
       BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble + 0.0))
       .toDF("n_a", "n_b", "u_a", "u_b", "z")
+  }
+
+  /** Kruskal–Wallis H — the k-sample generalization of [[mannWhitney]]
+    * for MULTI-ARM experiments (3+ variants, source cohorts, model
+    * versions): are the k groups' value distributions stochastically
+    * ordered the same? Rank all values jointly with midrank ties,
+    * H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    * 1 − ΣT/(N³−N) with ΣT = Σ_ties (t³−t); under H₀, H ~ χ²(k−1).
+    *
+    * Determinism contract: per-(group, value) and per-value counts are
+    * exact longs; 2·R_g = Σ_v c_g(v)·(2·cumBelow(v) + k_v + 1) and ΣT
+    * are exact DECIMAL(38,0) sums; the k-term fold Σ R_g²/n_g runs in
+    * GROUP-LABEL-ASC order on the driver (k = arm count, bounded), and
+    * H is one pinned-order double expression. The χ²(k−1) SIGNIFICANCE
+    * rides along for EVEN dof, where the survival function is the
+    * closed Erlang form p = e^(−H/2)·Σ_{j<dof/2} (H/2)^j/j! — terms by
+    * the pinned recurrence term_j = term_{j−1}·x/j accumulated
+    * first-to-last, clamped to [0,1] (the [[ksTest]] series
+    * convention); ODD dof emits NULL (the erf-free convention of the
+    * z-statistics — an even-armed design gets the readout, any dof
+    * gets H itself).
+    *
+    * Shape at scale: one map-side-combined (group, value) count, one
+    * range-partitioned cumulative sum with per-partition offsets (the
+    * [[ksStatistic]] distributed CDF — no global window), one
+    * group-cardinality aggregate. Only k rows ever reach the driver.
+    * Output one row per group, (grp, n, rank_sum, mean_rank) plus the
+    * repeated (h, dof, p_value) readout, ordered by grp.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val gv = graft.util.Caches.persist(
+      df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol).cast("string").as("__g"),
+          col(valueCol).cast("double").as("v"))
+        .groupBy("__g", "v").agg(count(lit(1)).as("__c")))
+    val vc = gv.groupBy("v").agg(sum("__c").as("__k"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Caches.persist(
+      vc.repartitionByRange(n, col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("v")
+    val local = parts.withColumn("__ck", sum("__k").over(w))
+    val totals = parts.groupBy("__pid").agg(sum("__k").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var run = 0L
+    val offRows = totals.map { case (pid, t) =>
+      val r = Row(pid, run); run += t; r
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__off", LongType, false))))
+    val dec = "decimal(38,0)"
+    val cdf = local.join(broadcast(offDf), "__pid")
+      .select(col("v"), col("__k"),
+        (col("__ck") + col("__off") - col("__k")).as("__cx"))
+    // per-group exact rank sums: 2·R_g (exact halves stay exact)
+    val perGroup = gv.join(cdf, "v")
+      .groupBy("__g")
+      .agg(sum("__c").as("n"),
+        sum(col("__c").cast(dec)
+          * (col("__cx").cast(dec) * 2 + col("__k").cast(dec) + 1))
+          .as("r2"))
+      .collect().sortBy(_.getString(0))
+    require(perGroup.length >= 2,
+      s"kruskalWallis needs >= 2 groups, got ${perGroup.length}")
+    val tieRow = cdf.agg(sum({
+      val t = col("__k").cast(dec)
+      t * t * t - t
+    }).as("tie")).collect().head
+    val bigN = perGroup.map(_.getLong(1)).sum
+    val nn = bigN.toDouble
+    var s = 0.0
+    perGroup.foreach { r =>
+      val rg = r.getDecimal(2).doubleValue() / 2.0
+      s += rg * rg / r.getLong(1).toDouble
+    }
+    val h0 = 12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0)
+    val corr = 1.0 - tieRow.getDecimal(0).doubleValue() /
+      (nn * nn * nn - nn)
+    val h = if (corr > 0) h0 / corr else h0
+    val dof = perGroup.length - 1
+    val p: java.lang.Double = if (dof % 2 == 0) {
+      val x2 = h / 2.0
+      var term = 1.0
+      var acc = 1.0
+      var j = 1
+      while (j < dof / 2) { term = term * x2 / j; acc += term; j += 1 }
+      val raw = math.min(1.0, math.max(0.0, math.exp(-x2) * acc))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    } else null
+    val hOut = BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble + 0.0
+    val outRows = perGroup.map { r =>
+      val ng = r.getLong(1)
+      val rankSum = r.getDecimal(2).doubleValue() / 2.0
+      Row(r.getString(0), ng, rankSum,
+        BigDecimal(rankSum / ng.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0,
+        hOut, dof.toLong, p)
+    }
+    spark.createDataFrame(outRows.toSeq.asJava,
+      StructType(Seq(StructField("grp", StringType, false),
+        StructField("n", LongType, false),
+        StructField("rank_sum", DoubleType, false),
+        StructField("mean_rank", DoubleType, false),
+        StructField("h", DoubleType, false),
+        StructField("dof", LongType, false),
+        StructField("p_value", DoubleType, true))))
   }
 
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — double

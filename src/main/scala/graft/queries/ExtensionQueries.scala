@@ -3199,6 +3199,17 @@ object ExtensionQueries {
         "value")
     },
 
+    // Kruskal–Wallis k-sample rank test across the five order-priority
+    // arms on order value — the multi-arm completion of the rank family:
+    // joint midrank ranking, exact integer rank sums, tie-corrected H,
+    // even-dof chi2 survival p (dof = 4 here).
+    "ab_kruskal" -> { (spark, dir) =>
+      Drift.kruskalWallis(
+          spark.read.parquet(s"$dir/orders.parquet"),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("grp")
+    },
+
     // Poisson-bootstrap CI for the mean purchase value: each resample
     // weights every row Poisson(1) via the uniform pre-modulo hash
     // domain; CI = percentile interval over the resample means.
@@ -8630,6 +8641,57 @@ object ExtensionQueries {
                 - tie::DOUBLE / ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1))))
           ELSE 0.0 END, 6) + 0.0) AS z
       FROM agg""",
+
+    // Replay of Drift.kruskalWallis: per-(group, value) exact counts,
+    // window cumulative CDF (the oracle may window; the engine may not),
+    // exact HUGEINT 2·R_g and tie sums, group-ASC list_reduce fold for
+    // Σ R²/n, pinned-order H, even-dof Erlang survival p.
+    "ab_kruskal" -> """
+      WITH gv AS (
+        SELECT o_orderpriority::VARCHAR AS g, o_totalprice::DOUBLE AS v,
+          count(*)::BIGINT AS c
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2),
+      vc AS (SELECT v, sum(c)::BIGINT AS k FROM gv GROUP BY 1),
+      cdf AS (SELECT v, k, sum(k) OVER (ORDER BY v) - k AS cx FROM vc),
+      pg AS (
+        SELECT g, sum(c)::BIGINT AS n,
+          sum(c::HUGEINT * (2 * cx::HUGEINT + k::HUGEINT + 1)) AS r2
+        FROM gv JOIN cdf USING (v) GROUP BY g),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS kg,
+          (SELECT sum(k::HUGEINT * k::HUGEINT * k::HUGEINT - k::HUGEINT)
+           FROM vc) AS tie,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(r2::DOUBLE / 2 * (r2::DOUBLE / 2) / n::DOUBLE ORDER BY g)),
+            (a, b) -> a + b) AS s
+        FROM pg),
+      hh AS (
+        SELECT nn, kg,
+          CASE WHEN (1.0::DOUBLE - tie::DOUBLE
+              / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE)) > 0
+            THEN (12.0::DOUBLE / (nn::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
+                * s - 3.0::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
+              / (1.0::DOUBLE - tie::DOUBLE
+                / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE))
+            ELSE 12.0::DOUBLE / (nn::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
+              * s - 3.0::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE) END AS h
+        FROM tot)
+      SELECT pg.g AS grp, pg.n,
+        pg.r2::DOUBLE / 2 AS rank_sum,
+        (round(pg.r2::DOUBLE / 2 / pg.n::DOUBLE, 6) + 0.0) AS mean_rank,
+        (round(hh.h, 6) + 0.0) AS h,
+        (hh.kg - 1)::BIGINT AS dof,
+        (CASE WHEN hh.kg - 1 = 2
+           THEN (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+             exp(-(hh.h / 2)))), 6) + 0.0)
+         WHEN hh.kg - 1 = 4
+           THEN (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+             exp(-(hh.h / 2)) * (1.0::DOUBLE + hh.h / 2))), 6) + 0.0)
+         ELSE NULL END) AS p_value
+      FROM pg, hh
+      ORDER BY grp""",
 
     // Replay of Drift.bootstrapMeanCI: identical Poisson(1) inverse-CDF
     // thresholds (shared double literals), exact fixed-point resample

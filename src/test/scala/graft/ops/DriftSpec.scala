@@ -299,6 +299,64 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("kruskalWallis: hand-computed H on a tie-free 2-group example; " +
+      "odd dof emits NULL p") {
+    // A = {1,2}, B = {3,4}: joint ranks 1..4, R_A = 3, R_B = 7,
+    // H = 12/(4·5)·(3²/2 + 7²/2) − 3·5 = 0.6·29 − 15 = 2.4; no ties.
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val rows = Drift.kruskalWallis(df, "g", "v").orderBy("grp").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(3.0, 7.0))
+    assert(rows.head.getAs[Double]("h") == 2.4)
+    assert(rows.head.getAs[Long]("dof") == 1L)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("p_value")),
+      "dof = 1 is odd: the erf-free convention emits NULL p")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("kruskalWallis matches a brute midrank reference with ties, " +
+      "3 groups give the dof=2 closed-form p, layout-invariant") {
+    val data = Seq(
+      "A" -> Seq(1.0, 2.0, 2.0, 5.0, 7.0, 9.0),
+      "B" -> Seq(2.0, 3.0, 5.0, 5.0, 8.0),
+      "C" -> Seq(4.0, 5.0, 6.0, 6.0, 9.0, 9.0, 11.0))
+    val flat = data.flatMap { case (g, vs) => vs.map(g -> _) }
+    // brute reference: average ranks over the sorted joint sample
+    val all = flat.map(_._2).sorted
+    def midrank(v: Double): Double = {
+      val lo = all.indexOf(v)
+      val hi = all.lastIndexOf(v)
+      (lo + 1 + hi + 1) / 2.0
+    }
+    val n = all.size.toDouble
+    val s = data.map { case (_, vs) =>
+      val r = vs.map(midrank).sum
+      r * r / vs.size
+    }.sum
+    val h0 = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    val ties = all.groupBy(identity).values.map(_.size.toDouble)
+      .map(t => t * t * t - t).sum
+    val hRef = h0 / (1.0 - ties / (n * n * n - n))
+    val pRef = math.exp(-hRef / 2.0) // dof = 2 closed form
+
+    val rows = Drift.kruskalWallis(flat.toDF("g", "v"), "g", "v")
+      .orderBy("grp").collect()
+    val h = rows.head.getAs[Double]("h")
+    assert(math.abs(h - hRef) < 1e-6, s"H $h vs brute $hRef")
+    assert(rows.head.getAs[Long]("dof") == 2L)
+    assert(math.abs(rows.head.getAs[Double]("p_value") - pRef) < 1e-6)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 6L), ("B", 5L), ("C", 7L)))
+    // joint rank sums partition N(N+1)/2
+    assert(rows.map(_.getDouble(2)).sum == n * (n + 1) / 2.0)
+    val rep = Drift.kruskalWallis(
+      flat.toDF("g", "v").repartition(7), "g", "v").orderBy("grp").collect()
+    assert(rep.toSeq.toString == rows.toSeq.toString,
+      "result must not depend on input partitioning")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("ksTest: comparing a sample to itself pins p = 1 (degenerate " +
       "lambda = 0 regime, not the truncated-series 0)") {
     // at d = 0 every series term is +-1 and the truncated sum is 0 —

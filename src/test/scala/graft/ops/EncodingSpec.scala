@@ -38,4 +38,15 @@ class EncodingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
   }
+
+  test("vocab refuses high-cardinality keys loudly (maxVocab guard)") {
+    val wide = (1 to 50).map(i => s"user_$i").toDF("uid")
+    val ex = intercept[IllegalArgumentException] {
+      Encoding.vocab(wide, "uid", maxVocab = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxVocab")
+      && ex.getMessage.contains("hash"), ex.getMessage)
+    // at the boundary it still works (50 distinct <= 50)
+    assert(Encoding.vocab(wide, "uid", maxVocab = 50).count() == 50)
+  }
 }
