@@ -381,6 +381,52 @@ object ScaleProbe {
       t("dup_runs") {
         graft.ops.TextAnalysis.dupRuns(d, "doc_id", "text").count()
       }
+      // round 14: the rank/contingency statistics are distributed-CDF
+      // machines — the claim is NO GLOBAL WINDOW anywhere. Two regimes:
+      // fixed value cardinality (amplified copies multiply per-value
+      // counts, the CDF table stays constant-size — mannwhitney/kruskal)
+      // and growing cardinality (fresh hashed values per copy, the CDF
+      // table itself grows linearly — bh_adjust/spearman). Both must
+      // track the scan + ONE range-partitioned exchange.
+      t("mannwhitney") {
+        val ev2 = amplify(graft.queries.Tables.events(spark, dir),
+          "event_id", m)
+        graft.ops.Drift.mannWhitney(
+          ev2.where(col("event_type") === "purchase").select("value"),
+          ev2.where(col("event_type") === "click").select("value"),
+          "value").count()
+      }
+      t("wilcoxon") {
+        // paired rows grow m-fold; |d| cardinality stays bounded by the
+        // n_chars range — the tie-heavy regime
+        graft.ops.Drift.wilcoxonSignedRank(
+          d.select(col("n_chars").cast("double").as("before"),
+            (col("n_chars") + col("doc_id") % 5 - 2).cast("double")
+              .as("after")),
+          "before", "after").count()
+      }
+      t("spearman") {
+        // doc_id is shift-amplified: the x-axis midrank table grows
+        // m-fold (distinct ids), the y-axis stays vocabulary-bounded
+        graft.ops.Drift.spearman(d, "doc_id", "n_chars").count()
+      }
+      t("bh_adjust") {
+        // fresh hash p per amplified id: ~all-distinct p values, the
+        // worst case for the rank machinery (CDF rows = hypotheses)
+        val p = d.select(col("doc_id"),
+          (graft.functions.TextFunctions.h32raw(col("doc_id").cast("string"))
+            .cast("double") / 4294967296.0).as("p"))
+        graft.ops.Drift.bhAdjust(p, Seq("doc_id"), "p", alpha = 0.05)
+          .count()
+      }
+      t("kruskal") {
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+        val oN = (0 until m).map(i =>
+          o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L)))
+          .reduce(_ unionAll _)
+        graft.ops.Drift.kruskalWallis(oN, "o_orderpriority",
+          "o_totalprice").count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }
