@@ -853,6 +853,262 @@ object Drift {
         StructField("p_value", DoubleType, true))))
   }
 
+  /** Per-group exact sufficient statistics for the variance-analysis
+    * family: (grp, n, S, Q) with S = Σ round(x·2^20) and Q = Σ fp(x)²,
+    * both DECIMAL(38,0) (order-insensitive, engine-exact; Q fits 38
+    * digits up to ~10^12 rows of ~10^6-magnitude values). One map-side-
+    * combined aggregate; only k group rows reach the caller.
+    */
+  private def groupMoments(df: DataFrame, groupCol: String,
+      valueCol: String): Array[Row] = {
+    val dec = "decimal(38,0)"
+    val fpx = round(col(valueCol).cast("double") * 1048576d)
+      .cast("long").cast(dec)
+    df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        fpx.as("__fp"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__fp")).as("s"),
+        sum(col("__fp") * col("__fp")).as("q"))
+      .collect().sortBy(_.getString(0))
+  }
+
+  /** One-way ANOVA F — the PARAMETRIC sibling of [[kruskalWallis]]
+    * (means instead of ranks; sharper when the arms are near-normal
+    * with comparable variance, fragile to outliers where the rank test
+    * is immune — run both, disagree = look at the tails):
+    * F = (SSB/(k−1)) / (SSW/(N−k)) from the exact per-group sums, with
+    * η² = SSB/SST riding along as the [0,1] effect size (the share of
+    * total variance the grouping explains — F grows with N, η² does
+    * not). No p readout: the F survival function needs the incomplete
+    * beta, and the engine's erf-free convention ([[mannWhitney]],
+    * [[chiSquareIndependence]]) ships exact statistics + dof instead.
+    *
+    * Determinism: per-group (n, Σfp, Σfp²) are exact DECIMAL(38,0)
+    * sums of ×2^20 fixed-point longs; the k-term fold Σ S_g²/n_g runs
+    * in GROUP-LABEL-ASC order on the driver ([[kruskalWallis]]'s
+    * convention) and F/η² are pinned-order double expressions.
+    *
+    * Shape at scale: ONE map-side-combined group aggregate; k rows to
+    * the driver. Output one row per group (grp, n, mean) plus the
+    * repeated (f, dof1, dof2, eta_sq) readout, ordered by grp.
+    */
+  def anovaF(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val gm = groupMoments(df, groupCol, valueCol)
+    require(gm.length >= 2, s"anovaF needs >= 2 groups, got ${gm.length}")
+    val fp = 1048576d
+    val bigN = gm.map(_.getLong(1)).sum
+    require(bigN > gm.length, "anovaF needs N > k rows")
+    val nn = bigN.toDouble
+    var a = 0.0
+    gm.foreach { r =>
+      val sg = r.getDecimal(2).doubleValue() / fp
+      a += sg * sg / r.getLong(1).toDouble
+    }
+    val st = gm.map(_.getDecimal(2)).reduce(_ add _).doubleValue() / fp
+    val q = gm.map(_.getDecimal(3)).reduce(_ add _).doubleValue() / fp / fp
+    val ssb = a - st * st / nn
+    val ssw = q - a
+    val sst = q - st * st / nn
+    val k = gm.length
+    val f = if (ssw > 0)
+      (ssb / (k - 1).toDouble) / (ssw / (nn - k)) else 0.0
+    val eta = if (sst > 0) ssb / sst else 0.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val rows = gm.map { r =>
+      Row(r.getString(0), r.getLong(1),
+        r6(r.getDecimal(2).doubleValue() / fp / r.getLong(1).toDouble),
+        r6(f), (k - 1).toLong, bigN - k, r6(eta))
+    }
+    spark.createDataFrame(rows.toSeq.asJava,
+      StructType(Seq(StructField("grp", StringType, false),
+        StructField("n", LongType, false),
+        StructField("mean", DoubleType, false),
+        StructField("f", DoubleType, false),
+        StructField("dof1", LongType, false),
+        StructField("dof2", LongType, false),
+        StructField("eta_sq", DoubleType, false))))
+  }
+
+  /** Welch's t — the two-sample mean comparison that does NOT assume
+    * equal variances (Student's pooled t silently inflates false
+    * positives when arm variances differ, the usual case for
+    * treatment-vs-control value metrics): t = (m_a − m_b)/√(v_a/n_a +
+    * v_b/n_b) with the Welch–Satterthwaite effective dof. Exact
+    * fixed-point sufficient statistics ([[anovaF]]'s sums), pinned-
+    * order doubles, no p (erf-free convention — |t| with dof is the
+    * readout, or run [[meanPermutationTest]] for exact significance).
+    * Output ONE row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof).
+    */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val fp = 1048576d
+    def mom(df: DataFrame): (Long, Double, Double) = {
+      val r = groupMoments(df.select(lit("x").as("__wg"),
+        col(valueCol)), "__wg", valueCol)
+      require(r.nonEmpty, "welchT: side has no non-null rows")
+      (r.head.getLong(1), r.head.getDecimal(2).doubleValue() / fp,
+        r.head.getDecimal(3).doubleValue() / fp / fp)
+    }
+    val (na, sa, qa) = mom(a)
+    val (nb, sb, qb) = mom(b)
+    require(na >= 2 && nb >= 2, s"welchT needs >= 2 rows per side")
+    val ma = sa / na.toDouble
+    val mb = sb / nb.toDouble
+    val va = (qa - sa * sa / na.toDouble) / (na - 1).toDouble
+    val vb = (qb - sb * sb / nb.toDouble) / (nb - 1).toDouble
+    val se2 = va / na.toDouble + vb / nb.toDouble
+    val t = if (se2 > 0) (ma - mb) / math.sqrt(se2) else 0.0
+    val dof = if (se2 > 0)
+      se2 * se2 / ((va / na.toDouble) * (va / na.toDouble) / (na - 1).toDouble
+        + (vb / nb.toDouble) * (vb / nb.toDouble) / (nb - 1).toDouble)
+    else 0.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    import spark.implicits._
+    Seq((na, nb, r6(ma), r6(mb), r6(va), r6(vb), r6(t), r6(dof)))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t", "dof")
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene's test with the
+    * MEDIAN center — the robust variant): do the k arms have the same
+    * SPREAD? Run before trusting [[anovaF]] (whose F assumes it) and as
+    * a drift check in its own right — a variance change with a stable
+    * mean is real drift ([[ksTest]] sees it, means do not). The
+    * statistic is one-way ANOVA F over z = |x − median_g|: per-group
+    * exact interpolated medians (Spark `percentile` == DuckDB
+    * `quantile_cont`, the established equivalence), broadcast back, and
+    * the [[anovaF]] machinery on the absolute deviations. Output one
+    * row per group (grp, n, median, mean_absdev) plus the repeated
+    * (f, dof1, dof2), ordered by grp.
+    *
+    * Shape at scale: one group-keyed percentile aggregate, one
+    * broadcast join (group-cardinality), one map-side-combined moment
+    * aggregate — the fact table never shuffles on anything but the
+    * group key.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val slim = graft.util.Caches.persist(
+      df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol).cast("string").as("__g"),
+          col(valueCol).cast("double").as("__v")))
+    val med = slim.groupBy("__g")
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val z = slim.join(broadcast(med), "__g")
+      .select(col("__g"), col("__med"),
+        abs(col("__v") - col("__med")).as("__z"))
+    val fp = 1048576d
+    val gm = groupMoments(z, "__g", "__z")
+    require(gm.length >= 2,
+      s"brownForsythe needs >= 2 groups, got ${gm.length}")
+    val bigN = gm.map(_.getLong(1)).sum
+    require(bigN > gm.length, "brownForsythe needs N > k rows")
+    val nn = bigN.toDouble
+    var a = 0.0
+    gm.foreach { r =>
+      val sg = r.getDecimal(2).doubleValue() / fp
+      a += sg * sg / r.getLong(1).toDouble
+    }
+    val st = gm.map(_.getDecimal(2)).reduce(_ add _).doubleValue() / fp
+    val q = gm.map(_.getDecimal(3)).reduce(_ add _).doubleValue() / fp / fp
+    val ssb = a - st * st / nn
+    val ssw = q - a
+    val k = gm.length
+    val f = if (ssw > 0)
+      (ssb / (k - 1).toDouble) / (ssw / (nn - k)) else 0.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val medians = med.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = gm.map { r =>
+      Row(r.getString(0), r.getLong(1), r6(medians(r.getString(0))),
+        r6(r.getDecimal(2).doubleValue() / fp / r.getLong(1).toDouble),
+        r6(f), (k - 1).toLong, bigN - k)
+    }
+    spark.createDataFrame(rows.toSeq.asJava,
+      StructType(Seq(StructField("grp", StringType, false),
+        StructField("n", LongType, false),
+        StructField("median", DoubleType, false),
+        StructField("mean_absdev", DoubleType, false),
+        StructField("f", DoubleType, false),
+        StructField("dof1", LongType, false),
+        StructField("dof2", LongType, false))))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * INFORMATION-THEORETIC association readout next to
+    * [[chiSquareIndependence]]'s χ² (χ² asks "is there association at
+    * all"; MI measures HOW MUCH knowing one tells you about the other,
+    * in nats — the feature-selection and leakage-detection number: a
+    * near-1 normalized MI between a feature column and the label means
+    * the feature IS the label). MI = Σ_occupied (o/N)·ln(o·N/(r·c));
+    * empty cells contribute exactly 0 (lim p→0 of p·ln p), so unlike
+    * χ² no grid expansion is needed. Normalized MI = MI/√(H_x·H_y) in
+    * [0,1] (0 when either column is constant, by convention).
+    *
+    * Determinism (the [[chiSquareIndependence]] conventions): counts
+    * exact longs; each cell/margin term one scalar double expression;
+    * cross-cell and cross-margin sums accumulate ×2^20 fixed-point
+    * longs. NULL categories are their own "(null)" level. Output ONE
+    * row: (n, n_x, n_y, mi, h_x, h_y, nmi).
+    *
+    * Shape at scale: occupied-cell counts map-side combined, margins
+    * re-aggregated from the cells, one-row totals broadcast —
+    * cell-cardinality work end to end, the data never re-shuffles.
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val occupied = graft.util.Caches.persist(
+      df.select(
+          coalesce(col(xCol).cast("string"), lit("(null)")).as("__x"),
+          coalesce(col(yCol).cast("string"), lit("(null)")).as("__y"))
+        .groupBy("__x", "__y").agg(count(lit(1)).as("__o")))
+    val rowsM = occupied.groupBy("__x").agg(sum("__o").as("__rx"))
+    val colsM = occupied.groupBy("__y").agg(sum("__o").as("__cy"))
+    val scale = (1L << 20).toDouble
+    def entOf(m: DataFrame, cnt: String) = m
+      .crossJoin(broadcast(occupied.agg(sum("__o").as("__n"))))
+      .select(round((col(cnt).cast("double") / col("__n").cast("double"))
+        * -log(col(cnt).cast("double") / col("__n").cast("double"))
+        * scale).cast("long").as("__t"))
+      .agg(sum("__t").as("__hfp"))
+    val tot = occupied.agg(sum("__o").as("__n"),
+      count_distinct(col("__x")).as("__nx"),
+      count_distinct(col("__y")).as("__ny"))
+    val miFp = occupied
+      .join(rowsM, "__x").join(colsM, "__y")
+      .crossJoin(broadcast(occupied.agg(sum("__o").as("__n"))))
+      .select(round((col("__o").cast("double") / col("__n").cast("double"))
+        * log(col("__o").cast("double") * col("__n").cast("double")
+          / (col("__rx").cast("double") * col("__cy").cast("double")))
+        * scale).cast("long").as("__t"))
+      .agg(sum("__t").as("__mifp"))
+    broadcast(tot)
+      .crossJoin(broadcast(miFp))
+      .crossJoin(broadcast(entOf(rowsM, "__rx")
+        .withColumnRenamed("__hfp", "__hx")))
+      .crossJoin(broadcast(entOf(colsM, "__cy")
+        .withColumnRenamed("__hfp", "__hy")))
+      .select(col("__n").as("n"), col("__nx").as("n_x"),
+        col("__ny").as("n_y"),
+        (round(col("__mifp").cast("double") / scale, 6) + lit(0d))
+          .as("mi"),
+        (round(col("__hx").cast("double") / scale, 6) + lit(0d))
+          .as("h_x"),
+        (round(col("__hy").cast("double") / scale, 6) + lit(0d))
+          .as("h_y"),
+        (round(when(col("__hx") > 0 && col("__hy") > 0,
+          greatest(lit(0d), col("__mifp").cast("double") / scale)
+            / sqrt((col("__hx").cast("double") / scale)
+              * (col("__hy").cast("double") / scale)))
+          .otherwise(lit(0d)), 6) + lit(0d)).as("nmi"))
+  }
+
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — double
     * literals shared verbatim with the oracle SQL so the inverse-CDF
     * draw is bit-identical cross-engine; the tail (u ≥ P(X ≤ 4),

@@ -1400,4 +1400,46 @@ object TextAnalysis {
         ratio(col("n_non_ascii")).as("non_ascii_ratio"),
         ratio(col("n_other")).as("other_ratio"))
   }
+
+  /** Corpus n-gram DIVERSITY per group — distinct-n (Li et al. 2016,
+    * "A Diversity-Promoting Objective Function for Neural Conversation
+    * Models"): the ratio of distinct to total word n-grams across the
+    * whole group's text. The standard mode-collapse / template-spam
+    * readout for a candidate training slice: a source whose distinct-2
+    * is far below its peers is boilerplate-heavy or machine-generated
+    * ([[repetition]] scores the same signal WITHIN one document; this
+    * scores it ACROSS the group — a million distinct documents sharing
+    * one template look clean per-doc and collapse here).
+    *
+    * Conventions: [[graft.functions.TextFunctions.words]] whitespace
+    * tokens (the corpus contract); documents shorter than n words
+    * contribute no n-grams (no whole-text fallback — a fabricated gram
+    * would inflate diversity exactly where it matters).
+    *
+    * Shape at scale: per n, one narrow explode into a map-side-combined
+    * (group, gram) count, re-aggregated per group — the same two-agg
+    * shape as [[repetition]]; gram-vocabulary-sized shuffle, never
+    * corpus². Output (grp, n, n_grams, n_distinct, distinct_ratio).
+    */
+  def distinctN(df: DataFrame, textCol: String, groupCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must all be >= 1")
+    val staged = graft.util.Caches.persist(
+      df.where(col(groupCol).isNotNull && col(textCol).isNotNull)
+        .select(col(groupCol).cast("string").as("grp"),
+          T.words(col(textCol)).as("__ws")))
+    ns.map { n =>
+      staged.where(size(col("__ws")) >= n)
+        .select(col("grp"), explode(transform(
+          sequence(lit(1), size(col("__ws")) - (n - 1)),
+          i => array_join(slice(col("__ws"), i, lit(n)), " "))).as("__g"))
+        .groupBy("grp", "__g").agg(count(lit(1)).as("__c"))
+        .groupBy("grp")
+        .agg(sum("__c").as("n_grams"), count(lit(1)).as("n_distinct"))
+        .select(col("grp"), lit(n).cast("long").as("n"),
+          col("n_grams"), col("n_distinct"),
+          round(col("n_distinct").cast("double")
+            / col("n_grams").cast("double"), 6).as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
 }

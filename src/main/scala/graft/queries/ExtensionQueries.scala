@@ -3210,6 +3210,51 @@ object ExtensionQueries {
         .orderBy("grp")
     },
 
+    // One-way ANOVA F over the same five arms — the parametric sibling
+    // of ab_kruskal (means vs ranks; disagree = look at the tails):
+    // exact fixed-point sufficient statistics, pinned-order F + eta².
+    "ab_anova" -> { (spark, dir) =>
+      Drift.anovaF(
+          spark.read.parquet(s"$dir/orders.parquet"),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("grp")
+    },
+
+    // Brown–Forsythe (median-centered Levene): do the arms share a
+    // SPREAD? The homogeneity precondition check for ab_anova and a
+    // variance-drift readout in its own right.
+    "ab_levene" -> { (spark, dir) =>
+      Drift.brownForsythe(
+          spark.read.parquet(s"$dir/orders.parquet"),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("grp")
+    },
+
+    // Welch's unequal-variance t between purchase and click values —
+    // the mean comparison that does not assume equal arm variances;
+    // exact fixed-point moments, Welch–Satterthwaite dof.
+    "ab_welch" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      Drift.welchT(
+        ev.where(col("event_type") === "purchase").select("value"),
+        ev.where(col("event_type") === "click").select("value"),
+        "value")
+    },
+
+    // Mutual information + NMI between document language and source —
+    // the information-theoretic association readout (feature-selection
+    // / label-leakage number) next to ab_chi2_independence.
+    "profile_mi" -> { (spark, dir) =>
+      Drift.mutualInformation(docs(spark, dir), "lang", "source")
+    },
+
+    // Corpus distinct-n diversity per language (distinct-1/2/3): the
+    // template-spam / mode-collapse readout across a training slice.
+    "text_distinct_n" -> { (spark, dir) =>
+      TextAnalysis.distinctN(docs(spark, dir), "text", "lang")
+        .orderBy("grp", "n")
+    },
+
     // Poisson-bootstrap CI for the mean purchase value: each resample
     // weights every row Poisson(1) via the uniform pre-modulo hash
     // domain; CI = percentile interval over the resample means.
@@ -8692,6 +8737,185 @@ object ExtensionQueries {
          ELSE NULL END) AS p_value
       FROM pg, hh
       ORDER BY grp""",
+
+    // Replay of Drift.anovaF: exact HUGEINT fixed-point moments per arm,
+    // group-ASC list_reduce fold for sum S²/n, pinned-order F and eta².
+    "ab_anova" -> """
+      WITH g AS (
+        SELECT o_orderpriority::VARCHAR AS grp,
+          CAST(round(o_totalprice::DOUBLE * 1048576.0) AS HUGEINT) AS fpx
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      pg AS (
+        SELECT grp, count(*)::BIGINT AS n, sum(fpx) AS s,
+          sum(fpx * fpx) AS q
+        FROM g GROUP BY grp),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS k,
+          sum(s)::DOUBLE / 1048576.0 AS st,
+          sum(q)::DOUBLE / 1048576.0 / 1048576.0 AS qt,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(s::DOUBLE / 1048576.0 * (s::DOUBLE / 1048576.0)
+              / n::DOUBLE ORDER BY grp)), (x, y) -> x + y) AS a
+        FROM pg),
+      ff AS (
+        SELECT nn, k,
+          CASE WHEN (qt - a) > 0
+            THEN ((a - st * st / nn::DOUBLE) / (k - 1)::DOUBLE)
+              / ((qt - a) / (nn::DOUBLE - k::DOUBLE))
+            ELSE 0.0::DOUBLE END AS f,
+          CASE WHEN (qt - st * st / nn::DOUBLE) > 0
+            THEN (a - st * st / nn::DOUBLE)
+              / (qt - st * st / nn::DOUBLE)
+            ELSE 0.0::DOUBLE END AS eta
+        FROM tot)
+      SELECT pg.grp, pg.n,
+        (round(pg.s::DOUBLE / 1048576.0 / pg.n::DOUBLE, 6) + 0.0) AS mean,
+        (round(ff.f, 6) + 0.0) AS f,
+        (ff.k - 1)::BIGINT AS dof1,
+        (ff.nn - ff.k)::BIGINT AS dof2,
+        (round(ff.eta, 6) + 0.0) AS eta_sq
+      FROM pg, ff
+      ORDER BY grp""",
+
+    // Replay of Drift.brownForsythe: quantile_cont medians (== Spark
+    // percentile), |x − med| through the same fixed-point ANOVA chain.
+    "ab_levene" -> """
+      WITH v AS (
+        SELECT o_orderpriority::VARCHAR AS grp, o_totalprice::DOUBLE AS x
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      med AS (SELECT grp, quantile_cont(x, 0.5) AS m FROM v GROUP BY grp),
+      z AS (
+        SELECT v.grp, med.m,
+          CAST(round(abs(v.x - med.m) * 1048576.0) AS HUGEINT) AS fpx
+        FROM v JOIN med USING (grp)),
+      pg AS (
+        SELECT grp, any_value(m) AS m, count(*)::BIGINT AS n,
+          sum(fpx) AS s, sum(fpx * fpx) AS q
+        FROM z GROUP BY grp),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS k,
+          sum(s)::DOUBLE / 1048576.0 AS st,
+          sum(q)::DOUBLE / 1048576.0 / 1048576.0 AS qt,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(s::DOUBLE / 1048576.0 * (s::DOUBLE / 1048576.0)
+              / n::DOUBLE ORDER BY grp)), (x, y) -> x + y) AS a
+        FROM pg),
+      ff AS (
+        SELECT nn, k,
+          CASE WHEN (qt - a) > 0
+            THEN ((a - st * st / nn::DOUBLE) / (k - 1)::DOUBLE)
+              / ((qt - a) / (nn::DOUBLE - k::DOUBLE))
+            ELSE 0.0::DOUBLE END AS f
+        FROM tot)
+      SELECT pg.grp, pg.n,
+        (round(pg.m, 6) + 0.0) AS median,
+        (round(pg.s::DOUBLE / 1048576.0 / pg.n::DOUBLE, 6) + 0.0)
+          AS mean_absdev,
+        (round(ff.f, 6) + 0.0) AS f,
+        (ff.k - 1)::BIGINT AS dof1,
+        (ff.nn - ff.k)::BIGINT AS dof2
+      FROM pg, ff
+      ORDER BY grp""",
+
+    // Replay of Drift.welchT: exact fixed-point moments per side,
+    // pinned-order means/variances/t and the Welch–Satterthwaite dof.
+    "ab_welch" -> """
+      WITH a AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(fpx)::DOUBLE / 1048576.0 AS s,
+          sum(fpx * fpx)::DOUBLE / 1048576.0 / 1048576.0 AS q
+        FROM (SELECT CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT)
+                AS fpx FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL)),
+      b AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(fpx)::DOUBLE / 1048576.0 AS s,
+          sum(fpx * fpx)::DOUBLE / 1048576.0 / 1048576.0 AS q
+        FROM (SELECT CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT)
+                AS fpx FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL)),
+      m AS (
+        SELECT a.n AS na, b.n AS nb,
+          a.s / a.n::DOUBLE AS ma, b.s / b.n::DOUBLE AS mb,
+          (a.q - a.s * a.s / a.n::DOUBLE) / (a.n - 1)::DOUBLE AS va,
+          (b.q - b.s * b.s / b.n::DOUBLE) / (b.n - 1)::DOUBLE AS vb
+        FROM a, b),
+      se AS (
+        SELECT *, va / na::DOUBLE + vb / nb::DOUBLE AS se2 FROM m)
+      SELECT na AS n_a, nb AS n_b,
+        (round(ma, 6) + 0.0) AS mean_a,
+        (round(mb, 6) + 0.0) AS mean_b,
+        (round(va, 6) + 0.0) AS var_a,
+        (round(vb, 6) + 0.0) AS var_b,
+        (round(CASE WHEN se2 > 0 THEN (ma - mb) / sqrt(se2)
+          ELSE 0.0::DOUBLE END, 6) + 0.0) AS t,
+        (round(CASE WHEN se2 > 0 THEN se2 * se2
+            / ((va / na::DOUBLE) * (va / na::DOUBLE) / (na - 1)::DOUBLE
+              + (vb / nb::DOUBLE) * (vb / nb::DOUBLE) / (nb - 1)::DOUBLE)
+          ELSE 0.0::DOUBLE END, 6) + 0.0) AS dof
+      FROM se""",
+
+    // Replay of Drift.mutualInformation: occupied-cell counts, margin
+    // rollups, per-cell/margin double terms, ×2^20 fixed-point sums.
+    "profile_mi" -> """
+      WITH o AS (
+        SELECT coalesce(lang::VARCHAR, '(null)') AS x,
+               coalesce(source::VARCHAR, '(null)') AS y,
+               count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2),
+      rm AS (SELECT x, sum(o)::BIGINT AS rx FROM o GROUP BY 1),
+      cm AS (SELECT y, sum(o)::BIGINT AS cy FROM o GROUP BY 1),
+      t AS (SELECT sum(o)::BIGINT AS n FROM o),
+      mi AS (
+        SELECT sum(CAST(round((o.o::DOUBLE / t.n::DOUBLE)
+          * ln(o.o::DOUBLE * t.n::DOUBLE
+            / (rm.rx::DOUBLE * cm.cy::DOUBLE))
+          * 1048576.0) AS BIGINT)) AS mifp
+        FROM o JOIN rm USING (x) JOIN cm USING (y), t),
+      hx AS (
+        SELECT sum(CAST(round((rx::DOUBLE / t.n::DOUBLE)
+          * -ln(rx::DOUBLE / t.n::DOUBLE) * 1048576.0) AS BIGINT)) AS h
+        FROM rm, t),
+      hy AS (
+        SELECT sum(CAST(round((cy::DOUBLE / t.n::DOUBLE)
+          * -ln(cy::DOUBLE / t.n::DOUBLE) * 1048576.0) AS BIGINT)) AS h
+        FROM cm, t)
+      SELECT t.n AS n,
+        (SELECT count(*)::BIGINT FROM rm) AS n_x,
+        (SELECT count(*)::BIGINT FROM cm) AS n_y,
+        (round(mi.mifp::DOUBLE / 1048576.0, 6) + 0.0) AS mi,
+        (round(hx.h::DOUBLE / 1048576.0, 6) + 0.0) AS h_x,
+        (round(hy.h::DOUBLE / 1048576.0, 6) + 0.0) AS h_y,
+        (round(CASE WHEN hx.h > 0 AND hy.h > 0
+          THEN greatest(0.0::DOUBLE, mi.mifp::DOUBLE / 1048576.0)
+            / sqrt((hx.h::DOUBLE / 1048576.0)
+              * (hy.h::DOUBLE / 1048576.0))
+          ELSE 0.0::DOUBLE END, 6) + 0.0) AS nmi
+      FROM t, mi, hx, hy""",
+
+    // Replay of TextAnalysis.distinctN: whitespace words, 1-based
+    // inclusive slices == Spark slice(ws, i, n), sub-n docs contribute
+    // no grams.
+    "text_distinct_n" -> """
+      WITH ws AS (
+        SELECT lang::VARCHAR AS grp, string_split(text, ' ') AS w
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      g AS (
+        SELECT grp, t.n, array_to_string(w[u.i : u.i + t.n - 1], ' ')
+          AS gram
+        FROM ws, (VALUES (1), (2), (3)) t(n),
+          unnest(generate_series(1, len(w) - t.n + 1)) u(i)
+        WHERE len(w) >= t.n),
+      gc AS (
+        SELECT grp, n, gram, count(*)::BIGINT AS c
+        FROM g GROUP BY 1, 2, 3)
+      SELECT grp, n::BIGINT AS n, sum(c)::BIGINT AS n_grams,
+        count(*)::BIGINT AS n_distinct,
+        round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS distinct_ratio
+      FROM gc GROUP BY grp, n
+      ORDER BY grp, n""",
 
     // Replay of Drift.bootstrapMeanCI: identical Poisson(1) inverse-CDF
     // thresholds (shared double literals), exact fixed-point resample

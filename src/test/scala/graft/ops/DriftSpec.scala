@@ -357,6 +357,104 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("anovaF matches a brute-force reference; identical groups give " +
+      "F = 0; grouping that explains everything gives eta_sq -> 1") {
+    val data = Seq("A" -> Seq(1.0, 2.0, 3.0), "B" -> Seq(2.0, 4.0, 6.0),
+      "C" -> Seq(8.0, 10.0))
+    val flat = data.flatMap { case (g, vs) => vs.map(g -> _) }
+    val n = flat.size.toDouble
+    val grand = flat.map(_._2).sum / n
+    val ssb = data.map { case (_, vs) =>
+      val m = vs.sum / vs.size
+      vs.size * (m - grand) * (m - grand)
+    }.sum
+    val ssw = data.flatMap { case (_, vs) =>
+      val m = vs.sum / vs.size
+      vs.map(v => (v - m) * (v - m))
+    }.sum
+    val fRef = (ssb / 2.0) / (ssw / (n - 3.0))
+    val rows = Drift.anovaF(flat.toDF("g", "v"), "g", "v")
+      .orderBy("grp").collect()
+    assert(math.abs(rows.head.getAs[Double]("f") - fRef) < 1e-6,
+      s"F ${rows.head.getAs[Double]("f")} vs brute $fRef")
+    assert(rows.head.getAs[Long]("dof1") == 2L
+      && rows.head.getAs[Long]("dof2") == 5L)
+    assert(math.abs(rows.head.getAs[Double]("eta_sq")
+      - ssb / (ssb + ssw)) < 1e-6)
+    assert(rows.map(r => (r.getString(0), r.getAs[Double]("mean"))).toSeq
+      == Seq(("A", 2.0), ("B", 4.0), ("C", 9.0)))
+    // same distribution in every arm: F = 0 (all group means equal)
+    val flat0 = Seq("A", "B").flatMap(g => Seq(1.0, 3.0).map(g -> _))
+    assert(Drift.anovaF(flat0.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Double]("f") == 0.0)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("welchT matches a brute-force reference and mirrors under swap") {
+    val a = Seq(27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1)
+    val b = Seq(27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8)
+    def mv(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (ma, va) = mv(a); val (mb, vb) = mv(b)
+    val se2 = va / a.size + vb / b.size
+    val tRef = (ma - mb) / math.sqrt(se2)
+    val dofRef = se2 * se2 /
+      ((va / a.size) * (va / a.size) / (a.size - 1)
+        + (vb / b.size) * (vb / b.size) / (b.size - 1))
+    val r = Drift.welchT(a.toDF("value"), b.toDF("value"), "value")
+      .collect().head
+    assert(math.abs(r.getAs[Double]("t") - tRef) < 1e-5,
+      s"t ${r.getAs[Double]("t")} vs brute $tRef")
+    assert(math.abs(r.getAs[Double]("dof") - dofRef) < 1e-5)
+    val sw = Drift.welchT(b.toDF("value"), a.toDF("value"), "value")
+      .collect().head
+    assert(math.abs(sw.getAs[Double]("t") + r.getAs[Double]("t")) < 1e-9,
+      "swapping sides must mirror t")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("brownForsythe: equal-spread arms score near 0, a wide arm is " +
+      "detected; medians and mean absolute deviations are exact") {
+    val tight = Seq("A" -> Seq(1.0, 2.0, 3.0), "B" -> Seq(11.0, 12.0, 13.0))
+    val ft = Drift.brownForsythe(
+      tight.flatMap { case (g, vs) => vs.map(g -> _) }.toDF("g", "v"),
+      "g", "v").collect().head.getAs[Double]("f")
+    assert(ft == 0.0, s"identical spreads must give F = 0, got $ft")
+    val mixed = Seq("A" -> Seq(1.0, 2.0, 3.0, 2.0, 1.0),
+      "B" -> Seq(-40.0, 0.0, 40.0, -40.0, 40.0))
+    val rows = Drift.brownForsythe(
+      mixed.flatMap { case (g, vs) => vs.map(g -> _) }.toDF("g", "v"),
+      "g", "v").orderBy("grp").collect()
+    assert(rows.head.getAs[Double]("f") > 10.0,
+      s"10x spread difference must score, got ${rows.head.getAs[Double]("f")}")
+    assert(rows.map(_.getAs[Double]("median")).toSeq == Seq(2.0, 0.0))
+    // A: |x-2| = 1,0,1,0,1 -> 0.6; B: |x| = 40,0,40,40,40 -> 32
+    assert(rows.map(_.getAs[Double]("mean_absdev")).toSeq == Seq(0.6, 32.0))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("mutualInformation: perfect association gives MI = H and NMI = 1, " +
+      "independence gives 0; NULL is its own level") {
+    val perfect = Seq(("a", "x"), ("b", "y"), ("a", "x"), ("b", "y"),
+      ("c", "z"), ("c", "z")).toDF("u", "v")
+    val p = Drift.mutualInformation(perfect, "u", "v").collect().head
+    // H = -3*(1/3)ln(1/3) = ln 3 = 1.098612
+    assert(p.getAs[Double]("mi") == p.getAs[Double]("h_x"))
+    assert(math.abs(p.getAs[Double]("mi") - math.log(3.0)) < 1e-5)
+    assert(p.getAs[Double]("nmi") == 1.0)
+    val indep = (for (u <- Seq("a", "b"); v <- Seq("x", "y"); _ <- 1 to 5)
+      yield (u, v)).toDF("u", "v")
+    val i = Drift.mutualInformation(indep, "u", "v").collect().head
+    assert(i.getAs[Double]("mi") == 0.0 && i.getAs[Double]("nmi") == 0.0)
+    val withNull = Seq(("a", "x"), (null, "y")).toDF("u", "v")
+    assert(Drift.mutualInformation(withNull, "u", "v")
+      .collect().head.getAs[Long]("n_x") == 2L,
+      "NULL must count as its own category level")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("ksTest: comparing a sample to itself pins p = 1 (degenerate " +
       "lambda = 0 regime, not the truncated-series 0)") {
     // at d = 0 every series term is +-1 and the truncated sum is 0 —

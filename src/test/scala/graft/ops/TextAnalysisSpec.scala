@@ -767,4 +767,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3.getAs[Long]("n_ws") == 1L, "tab counts as whitespace")
     assert(r3.getAs[Double]("digit_ratio") == 0.75)
   }
+
+  test("distinctN: hand-computed diversity; template spam collapses " +
+      "distinct-2 while staying per-doc clean; sub-n docs contribute " +
+      "no grams") {
+    val docs = Seq(
+      (1L, "en", "a b c"),
+      (2L, "en", "a b d"),
+      (3L, "en", "x")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.distinctN(docs, "text", "lang")
+      .orderBy("n").collect()
+    // n=1: grams a b c a b d x -> 7 total, 5 distinct
+    assert(out(0).getAs[Long]("n_grams") == 7L
+      && out(0).getAs[Long]("n_distinct") == 5L)
+    assert(out(0).getAs[Double]("distinct_ratio") == 0.714286)
+    // n=2: "a b","b c","a b","b d" -> 4 total, 3 distinct (doc 3 too
+    // short: contributes nothing, no whole-text fallback)
+    assert(out(1).getAs[Long]("n_grams") == 4L
+      && out(1).getAs[Long]("n_distinct") == 3L)
+    // n=3: one gram per 3-word doc -> 2 total, 2 distinct
+    assert(out(2).getAs[Long]("n_grams") == 2L
+      && out(2).getAs[Long]("n_distinct") == 2L)
+    // a million-template source: every doc distinct, the corpus is not
+    val spam = (1 to 50)
+      .map(i => (i.toLong, "en", s"click here now offer $i"))
+      .toDF("doc_id", "lang", "text")
+    val d2 = TextAnalysis.distinctN(spam, "text", "lang", Seq(2))
+      .collect().head
+    assert(d2.getAs[Double]("distinct_ratio") < 0.3,
+      s"template spam must collapse distinct-2, got $d2")
+    graft.util.Caches.unpersistAll()
+  }
 }
