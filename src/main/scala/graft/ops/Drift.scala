@@ -1109,6 +1109,66 @@ object Drift {
           .otherwise(lit(0d)), 6) + lit(0d)).as("nmi"))
   }
 
+  /** Post-stratified arm means — the variance-reduction / imbalance
+    * correction that needs no pre-period ([[cuped]] needs a covariate;
+    * this needs only a stratum label): reweight each arm's
+    * per-stratum means by the POOLED population's stratum shares,
+    * mean_adj(a) = Σ_s (n_s/N)·m_{a,s}. When randomization left an arm
+    * over-exposed to a heavy stratum, the raw means differ even under
+    * no effect; the adjusted means do not.
+    *
+    * Determinism: per-(arm, stratum) sums are exact fixed-point
+    * DECIMAL(38,0); each term (n_s/N)·m snaps to a ×2^20 long so the
+    * cross-stratum sum is order-insensitive. Arms missing a stratum
+    * fail loudly — their adjusted mean would silently compare
+    * different populations.
+    *
+    * Output one row per arm: (arm, n, mean, mean_adj), ordered by arm.
+    * Shape at scale: two map-side-combined aggregates (arm×stratum,
+    * stratum) + one stratum-keyed join of stratum-cardinality tables.
+    */
+  def postStratified(df: DataFrame, armCol: String, stratumCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val fp = 1048576d
+    val slim = graft.util.Caches.persist(
+      df.where(col(armCol).isNotNull && col(stratumCol).isNotNull
+          && col(valueCol).isNotNull)
+        .select(col(armCol).cast("string").as("arm"),
+          col(stratumCol).cast("string").as("__s"),
+          round(col(valueCol).cast("double") * fp).cast("long")
+            .as("__yfp")))
+    val cell = slim.groupBy("arm", "__s")
+      .agg(sum(col("__yfp").cast(dec)).as("__cs"),
+        count(lit(1)).as("__cn"))
+    val strata = cell.groupBy("__s").agg(sum("__cn").as("__sn"))
+    val tot = strata.agg(sum("__sn").as("__tn"))
+    val nArms = cell.select("arm").distinct().count()
+    val nStrata = strata.count()
+    val covered = cell.groupBy("arm").agg(count(lit(1)).as("__k"))
+      .where(col("__k") =!= nStrata).limit(1).collect()
+    if (covered.nonEmpty)
+      throw new IllegalStateException(
+        s"postStratified: arm '${covered.head.getString(0)}' is missing " +
+          "strata — its adjusted mean would compare a different " +
+          "population; filter to common strata explicitly first")
+    require(nArms >= 2, s"postStratified needs >= 2 arms, got $nArms")
+    cell.join(strata, "__s").crossJoin(broadcast(tot))
+      .select(col("arm"), col("__cs"), col("__cn"),
+        round((col("__sn").cast("double") / col("__tn").cast("double"))
+          * (col("__cs").cast("double") / fp
+            / col("__cn").cast("double")) * fp)
+          .cast("long").as("__term"))
+      .groupBy("arm")
+      .agg(sum("__cn").as("n"), sum(col("__cs")).as("__as"),
+        sum("__term").as("__adjfp"))
+      .select(col("arm"), col("n"),
+        (round(col("__as").cast("double") / fp / col("n").cast("double"),
+          6) + lit(0d)).as("mean"),
+        (round(col("__adjfp").cast("double") / fp, 6) + lit(0d))
+          .as("mean_adj"))
+  }
+
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — double
     * literals shared verbatim with the oracle SQL so the inverse-CDF
     * draw is bit-identical cross-engine; the tail (u ≥ P(X ≤ 4),

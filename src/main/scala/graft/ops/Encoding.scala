@@ -44,6 +44,50 @@ object Encoding {
       row_number().over(Window.orderBy("value")).cast("long"))
   }
 
+  /** Leave-one-out TARGET encoding: replace a category with the mean of
+    * the numeric target over the category's OTHER rows —
+    * loo_i = (S_c − y_i)/(n_c − 1) — the high-cardinality-safe encoding
+    * [[vocab]] refuses dense ids for, and the leakage-safe variant of
+    * naive mean encoding (including row i's own target hands the model
+    * the label; LOO is the K-fold limit at K = n). Singleton categories
+    * and NULL categories fall back to the GLOBAL mean (their own row is
+    * the whole group — nothing to leave out).
+    *
+    * Determinism: per-category sums are exact DECIMAL(38,0) over ×2^20
+    * fixed-point targets; each encoding is the pinned expression
+    * (S − y)·double / 2^20 / (n − 1), 6dp-rounded. Output
+    * (idCol, catCol, target_loo).
+    *
+    * Shape at scale: one map-side-combined category aggregate, one
+    * category-keyed join back (AQE broadcasts it when the cardinality
+    * is small; unlike [[vocab]] nothing here needs a bounded
+    * vocabulary), one one-row global broadcast.
+    */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val fp = 1048576d
+    val slim = graft.util.Caches.persist(
+      df.where(col(targetCol).isNotNull)
+        .select(col(idCol), col(catCol).cast("string").as("__c"),
+          round(col(targetCol).cast("double") * fp).cast("long")
+            .as("__yfp")))
+    val g = slim.where(col("__c").isNotNull).groupBy("__c")
+      .agg(sum(col("__yfp").cast(dec)).as("__s"),
+        count(lit(1)).as("__n"))
+    val tot = slim.agg(sum(col("__yfp").cast(dec)).as("__ts"),
+      count(lit(1)).as("__tn"))
+    slim.join(g, Seq("__c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("__c").as(catCol),
+        (round(when(col("__n") > 1,
+          (col("__s") - col("__yfp").cast(dec)).cast("double") / fp
+            / (col("__n") - 1).cast("double"))
+          .otherwise(col("__ts").cast("double") / fp
+            / col("__tn").cast("double")), 6) + lit(0d))
+          .as("target_loo"))
+  }
+
   /** Adds `<col>_id` next to each listed category column via a broadcast
     * left join per column (nulls stay null). The corpus side never
     * shuffles: each vocabulary ships to the executors whole.

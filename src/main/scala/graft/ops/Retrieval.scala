@@ -108,6 +108,63 @@ object Retrieval {
         (col("score_fp").cast("double") / Fp).as("score"))
   }
 
+  /** Query-likelihood retrieval with DIRICHLET smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling ranker next to [[bm25TopK]]
+    * (the two disagree usefully: QLD's length normalization is
+    * principled rather than tuned, and its smoothing rewards docs in
+    * proportion to corpus-wide term rarity):
+    * score(d, Q) = Σ_{q∈Q} ln((tf_dq + μ·cf_q/|C|) / (dl_d + μ)).
+    * EVERY query term contributes to every candidate document —
+    * a missing term adds the background mass ln(μ·p_q/(dl+μ)), which is
+    * what makes long digressive docs lose to focused ones. Query terms
+    * absent from the corpus entirely (cf = 0) are dropped: they would
+    * add the same −∞-leaning constant to every document and change no
+    * ranking, only poison the arithmetic.
+    *
+    * Determinism: per-(doc, term) weights snap to ×2^20 fixed-point
+    * longs (one ln each, the [[bm25TopK]] convention), summed exactly;
+    * ties break by doc_id. Output (rnk, doc_id, n_terms, score_fp,
+    * score).
+    *
+    * Shape at scale: the tf shuffle carries only the query terms'
+    * postings (isin pushes before the aggregate); the doc × query-term
+    * grid is |docs|·|Q| narrow rows from one broadcast of the tiny
+    * (term, cf) table; top-k is TakeOrderedAndProject.
+    */
+  def qldTopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1 && mu > 0, s"need k >= 1 and mu > 0, got $k, $mu")
+    val terms = queryTerms.distinct
+    val ws = T.words(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"),
+      size(ws).cast("long").as("dl"))
+    val tot = base.agg(sum("dl").as("c_tokens"))
+    val tfq = graft.util.Caches.persist(
+      df.select(col(idCol).as("doc_id"), explode(ws).as("term"))
+        .where(col("term").isInCollection(terms))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val cf = tfq.groupBy("term").agg(sum("tf").as("cf"))
+    val w = log((coalesce(col("tf"), lit(0L)).cast("double")
+        + lit(mu) * (col("cf").cast("double")
+          / col("c_tokens").cast("double")))
+      / (col("dl").cast("double") + lit(mu)))
+    val scored = base.crossJoin(broadcast(cf))
+      .join(tfq, Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), round(w * Fp).cast("long").as("w_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_fp").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+    scored
+      .withColumn("rnk", row_number().over(Window
+        .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_terms"), col("score_fp"),
+        (col("score_fp").cast("double") / Fp).as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
     * the standard hybrid-retrieval combiner: a lexical ranking
     * ([[bm25TopK]]) and a semantic one

@@ -79,6 +79,65 @@ object TimeSeries {
       .withColumn("anomalous", col("ratio") < lo || col("ratio") > hi)
   }
 
+  /** Autocorrelation function r_1..r_maxLag per key over the dense
+    * hourly count series (gaps count as zeros — [[gapfillHourly]]'s
+    * grid, without which a bursty source's silent hours would vanish
+    * from their own correlation structure): the standard periodicity /
+    * burstiness readout — a daily-rhythm source shows a peak at lag 24,
+    * white-noise ingestion decays immediately, a near-1 r_1 means the
+    * series is ramp-dominated and rate alarms need differencing first.
+    *
+    * r_k = Σ_{t}(x_t−m)(x_{t+k}−m) / Σ(x_t−m)² with the FULL-series
+    * mean m (the classic sample ACF). Computed from EXACT integer
+    * sums via the expansion num_k = S_k − m·(A_k+B_k) + c_k·m²,
+    * den = Q − N·m² — S/A/B/Q are DECIMAL(38,0) cross sums
+    * (order-insensitive, engine-exact), m one IEEE division, the rest
+    * a pinned-order scalar expression per (key, lag) row. A constant
+    * series (den = 0) emits NULL.
+    *
+    * Shape at scale: the gapfill grid, one lag-explode (maxLag copies
+    * of the GRID, not the events), one (key, hour)-keyed equi-join of
+    * grid-sized tables, two map-side-combined aggregates — everything
+    * after the first rollup is grid-cardinality work. Output
+    * (key, lag, n_pairs, acf).
+    */
+  def acf(df: DataFrame, tsCol: String, keyCol: String,
+      maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = "decimal(38,0)"
+    val dense = graft.util.Caches.persist(
+      gapfillHourly(df, tsCol, keyCol)
+        .select(col(keyCol),
+          expr("unix_timestamp(hour_start) div 3600").as("__h"),
+          col("n_events").cast(dec).as("__x")))
+    val base = dense.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__s"),
+        sum(col("__x") * col("__x")).as("__q"))
+    val left = dense
+      .select(col(keyCol), col("__h"), col("__x").as("__xa"),
+        explode(array((1 to maxLag).map(lit): _*)).as("lag"))
+      .withColumn("__hb", col("__h") + col("lag"))
+    val pairs = left
+      .join(dense.select(col(keyCol), col("__h").as("__hb"),
+        col("__x").as("__xb")), Seq(keyCol, "__hb"))
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("__c"), sum("__xa").as("__a"),
+        sum("__xb").as("__b"), sum(col("__xa") * col("__xb")).as("__sk"))
+    pairs.join(base, Seq(keyCol))
+      .withColumn("__m", col("__s").cast("double") / col("__n"))
+      .select(col(keyCol), col("lag").cast("long").as("lag"),
+        col("__c").as("n_pairs"),
+        when(col("__q").cast("double")
+            - col("__n").cast("double") * col("__m") * col("__m") > 0,
+          round((col("__sk").cast("double")
+            - col("__m") * (col("__a") + col("__b")).cast("double")
+            + col("__c").cast("double") * col("__m") * col("__m"))
+            / (col("__q").cast("double")
+              - col("__n").cast("double") * col("__m") * col("__m")), 6)
+            + lit(0d))
+          .as("acf"))
+  }
+
   /** Per-key rolling window aggregate: for every event, the count and
     * (exact decimal) sum of the key's events in the trailing
     * `[t - windowSeconds, t]` RANGE — the moving-average / rate feature

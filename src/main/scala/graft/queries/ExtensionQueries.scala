@@ -1887,6 +1887,34 @@ object ExtensionQueries {
         .orderBy("rnk")
     },
 
+    // Query-likelihood retrieval with Dirichlet smoothing over the same
+    // query bag as bm25_topk — the language-modeling ranker; every
+    // query term contributes background mass to every candidate.
+    "retrieval_qld" -> { (spark, dir) =>
+      Retrieval.qldTopK(docs(spark, dir), "doc_id", "text",
+          Bm25Terms, k = Bm25K)
+        .orderBy("rnk")
+    },
+
+    // Leave-one-out target encoding of document source against length —
+    // the leakage-safe mean encoding for high-cardinality categoricals.
+    "encode_target_loo" -> { (spark, dir) =>
+      Encoding.targetEncodeLoo(docs(spark, dir), "doc_id", "source",
+          "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Post-stratified purchase-vs-click value means over user-id mod-4
+    // segments — the imbalance correction that needs no pre-period.
+    "ab_poststrat" -> { (spark, dir) =>
+      Drift.postStratified(
+          events(spark, dir)
+            .where(col("event_type").isin("purchase", "click"))
+            .withColumn("segment", col("user_id") % 4),
+          "event_type", "segment", "value")
+        .orderBy("arm")
+    },
+
     "retrieval_rrf" -> { (spark, dir) =>
       // Hybrid retrieval: BM25 lexical ranking fused with the cosine
       // ranking of query vector RrfQueryVec by reciprocal-rank fusion
@@ -2436,6 +2464,14 @@ object ExtensionQueries {
       TimeSeries.seasonalDeviation(events(spark, dir), "ts", "event_type",
           lo = SeasonalLo, hi = SeasonalHi)
         .orderBy("event_type", "hour_start")
+    },
+
+    // Autocorrelation r_1..r_24 per event type over the dense hourly
+    // count series — the periodicity/burstiness readout (daily rhythm
+    // peaks at lag 24); exact integer cross sums, gaps count as zeros.
+    "ts_acf" -> { (spark, dir) =>
+      TimeSeries.acf(events(spark, dir), "ts", "event_type", maxLag = 24)
+        .orderBy("event_type", "lag")
     },
 
     "events_rolling" -> { (spark, dir) =>
@@ -6621,6 +6657,128 @@ object ExtensionQueries {
       SELECT rnk::BIGINT AS rnk, doc_id, n_hit::BIGINT AS n_hit,
         score_fp::BIGINT AS score_fp, score_fp::DOUBLE / 1000000.0 AS score
       FROM r WHERE rnk <= $Bm25K ORDER BY rnk""",
+
+    // Replay of Retrieval.qldTopK: Dirichlet-smoothed query likelihood —
+    // every query term scores every doc (background mass via the doc ×
+    // query-term grid), ×1e6 fixed-point ln weights, exact long sums.
+    "retrieval_qld" -> s"""
+      WITH d AS (SELECT doc_id,
+              len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+      tot AS (SELECT sum(dl)::BIGINT AS ct FROM d),
+      w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+      tfq AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM w
+              WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+              GROUP BY 1, 2),
+      cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfq GROUP BY 1),
+      grid AS (
+        SELECT d.doc_id, d.dl, cf.term, cf.cf,
+          coalesce(tfq.tf, 0)::BIGINT AS tf
+        FROM d CROSS JOIN cf
+        LEFT JOIN tfq ON tfq.doc_id = d.doc_id AND tfq.term = cf.term),
+      s AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_terms,
+          sum(CAST(round(ln((tf::DOUBLE + 2000.0::DOUBLE
+              * (cf::DOUBLE / ct::DOUBLE))
+            / (dl::DOUBLE + 2000.0::DOUBLE)) * 1000000.0) AS BIGINT))
+            AS score_fp
+        FROM grid, tot GROUP BY doc_id),
+      r AS (SELECT doc_id, n_terms, score_fp, row_number() OVER
+              (ORDER BY score_fp DESC, doc_id) AS rnk FROM s)
+      SELECT rnk::BIGINT AS rnk, doc_id, n_terms,
+        score_fp::BIGINT AS score_fp,
+        score_fp::DOUBLE / 1000000.0 AS score
+      FROM r WHERE rnk <= $Bm25K ORDER BY rnk""",
+
+    // Replay of TimeSeries.acf: the events_seasonal dense grid, integer
+    // hour index, lag self-join, exact HUGEINT cross sums, pinned-order
+    // r_k expansion num = S − m(A+B) + c·m², den = Q − N·m².
+    "ts_acf" -> """
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type,
+          (epoch(g.hour_start)::BIGINT // 3600) AS h,
+          coalesce(c.n_events, 0)::HUGEINT AS x
+        FROM g LEFT JOIN c USING (event_type, hour_start)),
+      base AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(x) AS s,
+          sum(x * x) AS q
+        FROM dense GROUP BY 1),
+      pairs AS (
+        SELECT a.event_type, t.lag, count(*)::BIGINT AS c,
+          sum(a.x) AS sa, sum(bb.x) AS sb, sum(a.x * bb.x) AS sk
+        FROM dense a
+        JOIN (SELECT unnest(generate_series(1, 24)) AS lag) t ON true
+        JOIN dense bb
+          ON bb.event_type = a.event_type AND bb.h = a.h + t.lag
+        GROUP BY 1, 2),
+      j AS (
+        SELECT p.*, base.n, base.q,
+          base.s::DOUBLE / base.n AS m
+        FROM pairs p JOIN base USING (event_type))
+      SELECT event_type, lag::BIGINT AS lag, c AS n_pairs,
+        CASE WHEN q::DOUBLE - n::DOUBLE * m * m > 0 THEN
+          (round((sk::DOUBLE - m * (sa + sb)::DOUBLE
+              + c::DOUBLE * m * m)
+            / (q::DOUBLE - n::DOUBLE * m * m), 6) + 0.0)
+        ELSE NULL END AS acf
+      FROM j ORDER BY event_type, lag""",
+
+    // Replay of Encoding.targetEncodeLoo: exact HUGEINT fixed-point
+    // category sums, (S − y)/(n − 1) per row, global-mean fallback for
+    // singleton and NULL categories.
+    "encode_target_loo" -> """
+      WITH slim AS (
+        SELECT doc_id, source::VARCHAR AS c,
+          CAST(round(n_chars::DOUBLE * 1048576.0) AS HUGEINT) AS yfp
+        FROM documents WHERE n_chars IS NOT NULL),
+      g AS (SELECT c, sum(yfp) AS s, count(*)::BIGINT AS n
+            FROM slim WHERE c IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(yfp) AS ts, count(*)::BIGINT AS tn FROM slim)
+      SELECT slim.doc_id, slim.c AS source,
+        (round(CASE WHEN g.n > 1
+          THEN (g.s - slim.yfp)::DOUBLE / 1048576.0 / (g.n - 1)::DOUBLE
+          ELSE t.ts::DOUBLE / 1048576.0 / t.tn::DOUBLE END, 6) + 0.0)
+          AS target_loo
+      FROM slim LEFT JOIN g ON slim.c = g.c, t
+      ORDER BY slim.doc_id""",
+
+    // Replay of Drift.postStratified: arm×stratum exact fixed-point
+    // cells, pooled stratum shares, ×2^20 per-term snap so the
+    // cross-stratum sum is order-insensitive.
+    "ab_poststrat" -> """
+      WITH slim AS (
+        SELECT event_type::VARCHAR AS arm,
+          (user_id % 4)::VARCHAR AS s,
+          CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT) AS yfp
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+          AND user_id IS NOT NULL),
+      cell AS (SELECT arm, s, sum(yfp) AS cs, count(*)::BIGINT AS cn
+               FROM slim GROUP BY 1, 2),
+      strata AS (SELECT s, sum(cn)::BIGINT AS sn FROM cell GROUP BY 1),
+      tot AS (SELECT sum(sn)::BIGINT AS tn FROM strata),
+      terms AS (
+        SELECT cell.arm, cell.cs, cell.cn,
+          CAST(round((strata.sn::DOUBLE / tot.tn::DOUBLE)
+            * (cell.cs::DOUBLE / 1048576.0 / cell.cn::DOUBLE)
+            * 1048576.0) AS BIGINT) AS term
+        FROM cell JOIN strata USING (s), tot)
+      SELECT arm, sum(cn)::BIGINT AS n,
+        (round(sum(cs)::DOUBLE / 1048576.0 / sum(cn)::DOUBLE, 6) + 0.0)
+          AS mean,
+        (round(sum(term)::DOUBLE / 1048576.0, 6) + 0.0) AS mean_adj
+      FROM terms GROUP BY arm
+      ORDER BY arm""",
 
     // Replay of Retrieval.rrfFuse over the bm25_topk ranking (pool
     // $RrfPoolK) and the cosine ranking of query vector $RrfQueryVec:

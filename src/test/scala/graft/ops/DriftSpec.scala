@@ -455,6 +455,32 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("postStratified: stratum imbalance is corrected away when " +
+      "within-stratum means agree; missing-stratum arm throws") {
+    // stratum s1 pays 10, s2 pays 100 in BOTH arms; treatment is
+    // over-exposed to s2, so the RAW means differ with no true effect
+    val rows =
+      Seq.fill(8)(("t", "s1", 10.0)) ++ Seq.fill(12)(("t", "s2", 100.0)) ++
+      Seq.fill(12)(("c", "s1", 10.0)) ++ Seq.fill(8)(("c", "s2", 100.0))
+    val out = Drift.postStratified(rows.toDF("arm", "seg", "v"),
+      "arm", "seg", "v").orderBy("arm").collect()
+    val c = out(0); val t = out(1)
+    assert(c.getString(0) == "c" && t.getString(0) == "t")
+    assert(t.getAs[Double]("mean") > c.getAs[Double]("mean"),
+      "raw means must show the spurious imbalance effect")
+    assert(t.getAs[Double]("mean_adj") == c.getAs[Double]("mean_adj"),
+      s"adjusted means must agree: $t vs $c")
+    // pooled shares: s1 = s2 = 20/40 -> adjusted = (10+100)/2 = 55
+    assert(t.getAs[Double]("mean_adj") == 55.0)
+    val ex = intercept[IllegalStateException] {
+      Drift.postStratified(
+        (rows :+ (("t", "s3", 1.0))).toDF("arm", "seg", "v"),
+        "arm", "seg", "v").collect()
+    }
+    assert(ex.getMessage.contains("missing"), ex.getMessage)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("ksTest: comparing a sample to itself pins p = 1 (degenerate " +
       "lambda = 0 regime, not the truncated-series 0)") {
     // at d = 0 every series term is +-1 and the truncated sum is 0 —

@@ -39,6 +39,32 @@ class EncodingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
   }
 
+  test("targetEncodeLoo: leave-one-out means, singleton and NULL " +
+      "categories fall back to the global mean") {
+    val rows = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 100.0), (5L, "b", 200.0),
+      (6L, "c", 7.0),               // singleton
+      (7L, null, 40.0))             // null category
+      .toDF("id", "cat", "y")
+    val out = Encoding.targetEncodeLoo(rows, "id", "cat", "y")
+      .orderBy("id").collect()
+    val globalMean = (10.0 + 20 + 30 + 100 + 200 + 7 + 40) / 7
+    val want = Seq(
+      1L -> 25.0, 2L -> 20.0, 3L -> 15.0,  // (60 - y)/2
+      4L -> 200.0, 5L -> 100.0,            // the other row
+      6L -> globalMean, 7L -> globalMean)
+    out.zip(want).foreach { case (r, (id, v)) =>
+      assert(r.getLong(0) == id)
+      assert(math.abs(r.getAs[Double]("target_loo") - v) < 1e-6,
+        s"id $id: ${r.getAs[Double]("target_loo")} vs $v")
+    }
+    // the leakage check: an encoding must never equal the row's own y
+    // when the category has other members with different values
+    assert(out(0).getAs[Double]("target_loo") != 10.0)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("vocab refuses high-cardinality keys loudly (maxVocab guard)") {
     val wide = (1 to 50).map(i => s"user_$i").toDF("uid")
     val ex = intercept[IllegalArgumentException] {

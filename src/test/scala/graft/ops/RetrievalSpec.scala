@@ -135,4 +135,40 @@ class RetrievalSpec extends SparkSpec {
     assert(d == d.sorted.reverse && d.distinct.size == 4)
     assert(Retrieval.ndcgCumFp(4).last == d.sum)
   }
+
+  test("qldTopK matches a brute Dirichlet reference; missing terms get " +
+      "background mass; zero-cf query terms are dropped") {
+    val docs = Seq(
+      (1L, "spark spark joins fast"),
+      (2L, "spark windows"),
+      (3L, "ducks like water water water")).toDF("doc_id", "text")
+    val mu = 10.0
+    val out = Retrieval.qldTopK(docs, "doc_id", "text",
+      Seq("spark", "water", "nosuchterm"), k = 3, mu = mu)
+      .orderBy("rnk").collect()
+    // brute: |C| = 4+2+5 = 11 tokens; cf(spark)=3, cf(water)=3;
+    // nosuchterm has cf 0 -> dropped, so n_terms = 2 per doc
+    val texts = Map(1L -> Seq("spark", "spark", "joins", "fast"),
+      2L -> Seq("spark", "windows"),
+      3L -> Seq("ducks", "like", "water", "water", "water"))
+    val ct = 11.0
+    def score(id: Long): Double = Seq("spark" -> 3.0, "water" -> 3.0)
+      .map { case (t, cf) =>
+        val tf = texts(id).count(_ == t).toDouble
+        val w = math.log((tf + mu * (cf / ct)) / (texts(id).size + mu))
+        math.round(w * 1e6).toDouble / 1e6
+      }.sum
+    assert(out.forall(_.getAs[Long]("n_terms") == 2L))
+    val got = out.map(r => r.getAs[Long]("doc_id")
+      -> r.getAs[Double]("score")).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(math.abs(got(id) - score(id)) < 1e-6,
+        s"doc $id: ${got(id)} vs brute ${score(id)}")
+    }
+    // ranking: doc 1 (two 'spark') must beat doc 2 (one), which beats
+    // nothing-matching... doc 3 has all the 'water' mass
+    val ranked = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ranked == Seq(1L, 2L, 3L).sortBy(id => (-score(id), id)))
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -308,4 +308,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(base.length == 4)
     assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
   }
+
+  test("acf matches a brute reference, flags period-2 alternation with " +
+      "r1 < 0 < r2, constant series is NULL, layout-invariant") {
+    // alternating 3,1,3,1,... hourly counts: event h gets (3 if even)
+    val rows = (0 until 12).flatMap { h =>
+      val n = if (h % 2 == 0) 3 else 1
+      Seq.fill(n)(("k", ts(h)))
+    }
+    val df = rows.toDF("k", "t")
+    val out = TimeSeries.acf(df, "t", "k", maxLag = 3)
+      .orderBy("lag").collect()
+    val series = (0 until 12).map(h => if (h % 2 == 0) 3.0 else 1.0)
+    val m = series.sum / series.size
+    def brute(k: Int): Double = {
+      val num = (0 until 12 - k)
+        .map(t => (series(t) - m) * (series(t + k) - m)).sum
+      val den = series.map(x => (x - m) * (x - m)).sum
+      num / den
+    }
+    out.zip(1 to 3).foreach { case (r, k) =>
+      assert(r.getAs[Long]("n_pairs") == 12L - k)
+      assert(math.abs(r.getAs[Double]("acf") - brute(k)) < 1e-6,
+        s"lag $k: ${r.getAs[Double]("acf")} vs brute ${brute(k)}")
+    }
+    assert(out(0).getAs[Double]("acf") < 0 && out(1).getAs[Double]("acf") > 0,
+      "period-2 alternation: r1 negative, r2 positive")
+    // constant series: zero variance -> NULL by convention
+    val const = (0 until 6).map(h => ("k", ts(h))).toDF("k", "t")
+    val c = TimeSeries.acf(const, "t", "k", maxLag = 2).collect()
+    assert(c.forall(_.isNullAt(3)), "constant series must emit NULL acf")
+    val rep = TimeSeries.acf(df.repartition(7), "t", "k", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(rep.map(_.toString).toSeq == out.map(_.toString).toSeq)
+    graft.util.Caches.unpersistAll()
+  }
 }
