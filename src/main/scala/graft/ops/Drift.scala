@@ -1169,6 +1169,219 @@ object Drift {
           .as("mean_adj"))
   }
 
+  /** Population Stability Index between two numeric snapshots — THE
+    * industry score for "has this feature/metric distribution moved
+    * enough to retrain/alarm" (credit-risk lineage; the usual bands:
+    * <0.1 stable, 0.1–0.25 watch, >0.25 act):
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over `nBins` quantile bins
+    * fitted on the REFERENCE snapshot `a` (equal-population by
+    * construction there, so the score reacts to `b` moving — fixed-width
+    * bins would let one outlier own half the range).
+    *
+    * Pinned conventions: bin bounds are `a`'s interpolated percentiles
+    * i/nBins (Spark `percentile` == DuckDB `quantile_cont`), assignment
+    * is first-bound-≥ (bin k catches everything above the last interior
+    * bound; duplicate bounds leave interior bins empty); empty-bin
+    * shares clamp to 1e-6 (the industry epsilon convention — PSI is
+    * infinite on a truly vanished bin otherwise); per-bin terms are one
+    * double expression over exact counts, summed as ×2^20 fixed-point
+    * longs. Output one row per bin (bin, lo, hi, n_a, n_b, share_a,
+    * share_b, term) plus the repeated `psi`, ordered by bin.
+    *
+    * Shape at scale: one percentile aggregate on `a`, the bounds ride
+    * as plan literals (nBins+1 doubles), two map-side-combined bin
+    * counts, a bin-cardinality join. The data shuffles only on the bin.
+    */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val av = a.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val bv = b.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val bounds = av.agg(expr(
+      s"percentile(v, array(${(0 to nBins).map(i =>
+        s"${i.toDouble / nBins}").mkString(",")}))").as("q"))
+      .collect().head.getSeq[Double](0)
+    // interior bounds only: bin i (1-based) = first i with v <= bound_i,
+    // bin nBins catches the rest (including anything above a's max)
+    val interior = bounds.slice(1, nBins)
+    def binOf(c: org.apache.spark.sql.Column) =
+      interior.zipWithIndex.foldRight(lit(nBins)) { case ((bnd, i), acc) =>
+        when(c <= bnd, i + 1).otherwise(acc)
+      }
+    def binned(df: DataFrame, cnt: String) =
+      df.select(binOf(col("v")).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    // reported bounds round to 6dp (assignment uses the raw doubles) so
+    // the engines' interpolated-percentile ULPs cannot reach the output
+    def r6b(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val grid = av.sparkSession.createDataFrame(
+      (1 to nBins).map(i => Row(i.toLong,
+        if (i == 1) Double.NegativeInfinity else r6b(interior(i - 2)),
+        if (i == nBins) Double.PositiveInfinity else r6b(interior(i - 1))))
+        .asJava,
+      StructType(Seq(StructField("bin", LongType, false),
+        StructField("lo", DoubleType, false),
+        StructField("hi", DoubleType, false))))
+    val na = av.count()
+    val nb = bv.count()
+    require(na > 0 && nb > 0, s"both snapshots need rows: $na, $nb")
+    val eps = 1e-6
+    val scale = (1L << 20).toDouble
+    val cells = grid
+      .join(binned(av, "n_a"), Seq("bin"), "left")
+      .join(binned(bv, "n_b"), Seq("bin"), "left")
+      .select(col("bin"), col("lo"), col("hi"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("share_a",
+        greatest(col("n_a").cast("double") / na, lit(eps)))
+      .withColumn("share_b",
+        greatest(col("n_b").cast("double") / nb, lit(eps)))
+      .withColumn("term",
+        (col("share_a") - col("share_b"))
+          * log(col("share_a") / col("share_b")))
+    val total = cells
+      .select(round(col("term") * scale).cast("long").as("__t"))
+      .agg(sum("__t").as("__psifp"))
+    cells.crossJoin(broadcast(total))
+      .select(col("bin"), col("lo"), col("hi"), col("n_a"), col("n_b"),
+        (round(col("share_a"), 6) + lit(0d)).as("share_a"),
+        (round(col("share_b"), 6) + lit(0d)).as("share_b"),
+        (round(col("term"), 6) + lit(0d)).as("term"),
+        (round(col("__psifp").cast("double") / scale, 6) + lit(0d))
+          .as("psi"))
+  }
+
+  /** Jensen–Shannon divergence between two snapshots of a categorical
+    * column — the bounded symmetric cousin of KL that
+    * [[categoricalDrift]]'s total-variation cannot replace (TV weights
+    * all mass moves equally; JSD weights them by surprisal, so mass
+    * moving into a previously-EMPTY category scores maximally):
+    * JSD = (KL(p‖m) + KL(q‖m))/2 with m = (p+q)/2, finite for any pair
+    * (one-sided categories contribute p/2·ln 2 through m), bounded by
+    * ln 2. Output ONE row: (n_a, n_b, n_categories, jsd, jsd_norm)
+    * with jsd_norm = jsd/ln 2 ∈ [0, 1].
+    *
+    * Determinism: exact per-category counts (NULL its own level), each
+    * category's KL terms one double expression, cross-category sums as
+    * ×2^20 fixed-point longs. Shape at scale: [[categoricalDrift]]'s —
+    * two map-side-combined counts, one category-cardinality full-outer
+    * join, broadcast one-row totals.
+    */
+  def jensenShannon(a: DataFrame, b: DataFrame,
+      catCol: String): DataFrame = {
+    val ca = a.groupBy(coalesce(col(catCol).cast("string"), lit("(null)"))
+      .as("category")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(coalesce(col(catCol).cast("string"), lit("(null)"))
+      .as("category")).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"),
+      count(lit(1)).as("__k"))
+    val scale = (1L << 20).toDouble
+    val p = col("n_a").cast("double") / col("__ta").cast("double")
+    val q = col("n_b").cast("double") / col("__tb").cast("double")
+    val m = (p + q) / 2
+    val term = when(col("n_a") > 0, p * log(p / m)).otherwise(lit(0d)) +
+      when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0d))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__ta"), col("__tb"), col("__k"),
+        round(term * scale).cast("long").as("__t"))
+      .groupBy("__ta", "__tb", "__k")
+      .agg(sum("__t").as("__fp"))
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+        col("__k").as("n_categories"),
+        (round(col("__fp").cast("double") / scale / 2.0, 6) + lit(0d))
+          .as("jsd"),
+        (round(col("__fp").cast("double") / scale / 2.0
+          / math.log(2.0), 6) + lit(0d)).as("jsd_norm"))
+  }
+
+  /** 1-D Wasserstein distance (earth mover's) between two numeric
+    * snapshots — the drift readout in the VALUE'S OWN UNITS that
+    * [[ksStatistic]]'s sup-norm cannot give (KS saturates at the worst
+    * point; W1 integrates HOW FAR the mass moved — a uniform +10 shift
+    * of every value scores exactly 10): W1 = Σ_i |F_A(v_i) − F_B(v_i)|
+    * · (v_{i+1} − v_i) over the merged sorted distinct values.
+    *
+    * Distributed exactly like [[ksStatistic]] — per-value counts, ONE
+    * range-partitioned cumulative pass with collected per-partition
+    * offsets, no global window. The "next value" each row needs is the
+    * in-partition lead; each partition's LAST row takes the NEXT
+    * partition's first value from the same collected per-partition
+    * summary that carries the offsets (p rows to the driver, p =
+    * shuffle partitions). |cumA·NB − cumB·NA| is exact DECIMAL(38,0);
+    * each row's contribution (that ratio × gap) is one double, summed
+    * as ×2^20 fixed-point longs. Output ONE row:
+    * (n_a, n_b, n_values, w1).
+    */
+  def wasserstein1(a: DataFrame, b: DataFrame,
+      valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val ca = a.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull).groupBy("v")
+      .agg(count(lit(1)).as("__na"))
+    val cb = b.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull).groupBy("v")
+      .agg(count(lit(1)).as("__nb"))
+    val merged = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Caches.persist(
+      merged.repartitionByRange(n, col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("v")
+    val local = parts
+      .withColumn("__ca", sum("__na").over(w))
+      .withColumn("__cb", sum("__nb").over(w))
+      .withColumn("__nextv", lead("v", 1).over(w))
+    // one driver round-trip carries offsets AND each partition's first
+    // value (for boundary stitching) — p rows, p = shuffle partitions
+    val summary = parts.groupBy("__pid")
+      .agg(sum("__na").as("ta"), sum("__nb").as("tb"),
+        min("v").as("firstv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    var runA = 0L
+    var runB = 0L
+    val offRows = summary.zipWithIndex.map { case ((pid, ta, tb, _), i) =>
+      val next: java.lang.Double =
+        if (i + 1 < summary.length) summary(i + 1)._4 else null
+      val r = Row(pid, runA, runB, next)
+      runA += ta; runB += tb; r
+    }
+    val na = runA
+    val nb = runB
+    require(na > 0 && nb > 0, s"both snapshots need rows: $na, $nb")
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__oa", LongType, false),
+        StructField("__ob", LongType, false),
+        StructField("__pnext", DoubleType, true))))
+    val dec = "decimal(38,0)"
+    val scale = (1L << 20).toDouble
+    val raw = (col("__ca") + col("__oa")).cast(dec) * lit(nb).cast(dec) -
+      (col("__cb") + col("__ob")).cast(dec) * lit(na).cast(dec)
+    val gap = coalesce(col("__nextv"), col("__pnext")) - col("v")
+    val contrib = when(raw < 0, -raw).otherwise(raw).cast("double") /
+      (na.toDouble * nb.toDouble) * gap
+    local.join(broadcast(offDf), "__pid")
+      .where(coalesce(col("__nextv"), col("__pnext")).isNotNull)
+      .select(round(contrib * scale).cast("long").as("__t"))
+      .agg(sum("__t").as("__fp"), count(lit(1)).as("__m"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        (col("__m") + 1).as("n_values"),
+        (round(col("__fp").cast("double") / scale, 6) + lit(0d))
+          .as("w1"))
+  }
+
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — double
     * literals shared verbatim with the oracle SQL so the inverse-CDF
     * draw is bit-identical cross-engine; the tail (u ≥ P(X ≤ 4),

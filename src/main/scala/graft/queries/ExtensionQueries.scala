@@ -3442,6 +3442,42 @@ object ExtensionQueries {
         .orderBy("category")
     },
 
+    // Population Stability Index of order value across the date split —
+    // reference-snapshot quantile bins, epsilon-clamped shares, the
+    // industry retrain/alarm score.
+    "drift_psi" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cut = lit(DriftSplitDate).cast("timestamp")
+      Drift.psi(
+          o.where(col("o_orderdate") < cut),
+          o.where(col("o_orderdate") >= cut),
+          "o_totalprice", nBins = 10)
+        .orderBy("bin")
+    },
+
+    // Jensen–Shannon divergence of the event-type mix across the same
+    // split as drift_tv — surprisal-weighted drift TV cannot rank.
+    "drift_jsd" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      val cut = lit(DriftEventSplit).cast("timestamp")
+      Drift.jensenShannon(
+        ev.where(col("ts") < cut),
+        ev.where(col("ts") >= cut),
+        "event_type")
+    },
+
+    // 1-D Wasserstein (earth mover's) distance of order value across
+    // the date split — drift in the value's own units; distributed CDF
+    // with boundary-stitched gaps, no global window.
+    "drift_wasserstein" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cut = lit(DriftSplitDate).cast("timestamp")
+      Drift.wasserstein1(
+        o.where(col("o_orderdate") < cut),
+        o.where(col("o_orderdate") >= cut),
+        "o_totalprice")
+    },
+
     "drift_centroid" -> { (spark, dir) =>
       val e = embs(spark, dir)
       Drift.centroidDrift(
@@ -9565,6 +9601,131 @@ object ExtensionQueries {
                   * exp((-2.0 * k * k)::DOUBLE * l * l))),
               (a, b) -> a + b))), 6) + 0.0) END) AS p_value
       FROM lam""",
+
+    // Replay of Drift.psi: quantile_cont bins fitted on the reference
+    // half (== Spark percentile), first-bound-<= assignment,
+    // epsilon-clamped shares, ×2^20 fixed-point term sum.
+    "drift_psi" -> s"""
+      WITH av AS (
+        SELECT o_totalprice::DOUBLE AS v FROM orders
+        WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
+          AND o_totalprice IS NOT NULL),
+      bv AS (
+        SELECT o_totalprice::DOUBLE AS v FROM orders
+        WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
+          AND o_totalprice IS NOT NULL),
+      bnd AS (SELECT quantile_cont(v,
+        [${(0 to 10).map(i => s"${i.toDouble / 10}").mkString(",")}]) AS q
+        FROM av),
+      na AS (SELECT count(*)::BIGINT AS n FROM av),
+      nb AS (SELECT count(*)::BIGINT AS n FROM bv),
+      ac AS (
+        SELECT bin, count(*)::BIGINT AS n_a FROM (
+          SELECT CASE ${(1 to 9).map(i =>
+            s"WHEN v <= q[${i + 1}] THEN $i").mkString(" ")}
+            ELSE 10 END AS bin
+          FROM av, bnd) GROUP BY 1),
+      bc AS (
+        SELECT bin, count(*)::BIGINT AS n_b FROM (
+          SELECT CASE ${(1 to 9).map(i =>
+            s"WHEN v <= q[${i + 1}] THEN $i").mkString(" ")}
+            ELSE 10 END AS bin
+          FROM bv, bnd) GROUP BY 1),
+      grid AS (SELECT unnest(generate_series(1, 10)) AS bin),
+      cells AS (
+        SELECT grid.bin::BIGINT AS bin,
+          CASE WHEN grid.bin = 1 THEN '-Infinity'::DOUBLE
+            ELSE (round(q[grid.bin], 6) + 0.0) END AS lo,
+          CASE WHEN grid.bin = 10 THEN 'Infinity'::DOUBLE
+            ELSE (round(q[grid.bin + 1], 6) + 0.0) END AS hi,
+          coalesce(ac.n_a, 0)::BIGINT AS n_a,
+          coalesce(bc.n_b, 0)::BIGINT AS n_b,
+          greatest(coalesce(ac.n_a, 0)::DOUBLE / na.n, 1e-6) AS sa,
+          greatest(coalesce(bc.n_b, 0)::DOUBLE / nb.n, 1e-6) AS sb
+        FROM grid
+        LEFT JOIN ac ON ac.bin = grid.bin
+        LEFT JOIN bc ON bc.bin = grid.bin, bnd, na, nb),
+      tt AS (
+        SELECT sum(CAST(round((sa - sb) * ln(sa / sb) * 1048576.0)
+          AS BIGINT)) AS fp
+        FROM cells)
+      SELECT bin, lo, hi, n_a, n_b,
+        (round(sa, 6) + 0.0) AS share_a,
+        (round(sb, 6) + 0.0) AS share_b,
+        (round((sa - sb) * ln(sa / sb), 6) + 0.0) AS term,
+        (round(tt.fp::DOUBLE / 1048576.0, 6) + 0.0) AS psi
+      FROM cells, tt
+      ORDER BY bin""",
+
+    // Replay of Drift.jensenShannon: exact category counts, one double
+    // KL-term pair per category against the midpoint mix, ×2^20 sums;
+    // ln 2 rides as the Scala-computed literal.
+    "drift_jsd" -> s"""
+      WITH ca AS (
+        SELECT coalesce(event_type::VARCHAR, '(null)') AS category,
+          count(*)::BIGINT AS n_a
+        FROM events WHERE ts < TIMESTAMP '$DriftEventSplit' GROUP BY 1),
+      cb AS (
+        SELECT coalesce(event_type::VARCHAR, '(null)') AS category,
+          count(*)::BIGINT AS n_b
+        FROM events WHERE ts >= TIMESTAMP '$DriftEventSplit' GROUP BY 1),
+      j AS (
+        SELECT coalesce(ca.category, cb.category) AS category,
+          coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM ca FULL JOIN cb ON ca.category = cb.category),
+      t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+        count(*)::BIGINT AS k FROM j),
+      terms AS (
+        SELECT CAST(round((
+          CASE WHEN n_a > 0 THEN (n_a::DOUBLE / ta::DOUBLE)
+            * ln((n_a::DOUBLE / ta::DOUBLE)
+              / ((n_a::DOUBLE / ta::DOUBLE
+                + n_b::DOUBLE / tb::DOUBLE) / 2))
+            ELSE 0.0::DOUBLE END
+          + CASE WHEN n_b > 0 THEN (n_b::DOUBLE / tb::DOUBLE)
+            * ln((n_b::DOUBLE / tb::DOUBLE)
+              / ((n_a::DOUBLE / ta::DOUBLE
+                + n_b::DOUBLE / tb::DOUBLE) / 2))
+            ELSE 0.0::DOUBLE END) * 1048576.0) AS BIGINT) AS tt
+        FROM j, t),
+      s AS (SELECT sum(tt) AS fp FROM terms)
+      SELECT t.ta AS n_a, t.tb AS n_b, t.k AS n_categories,
+        (round(s.fp::DOUBLE / 1048576.0 / 2.0, 6) + 0.0) AS jsd,
+        (round(s.fp::DOUBLE / 1048576.0 / 2.0 / ${math.log(2.0)}, 6)
+          + 0.0) AS jsd_norm
+      FROM s, t""",
+
+    // Replay of Drift.wasserstein1: merged per-value counts, window
+    // CDF + lead (the oracle may window; the engine may not), exact
+    // HUGEINT |cumA·NB − cumB·NA| numerators, ×2^20 contribution sum.
+    "drift_wasserstein" -> s"""
+      WITH av AS (SELECT o_totalprice::DOUBLE AS v, count(*)::BIGINT AS na
+                  FROM orders
+                  WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
+                    AND o_totalprice IS NOT NULL GROUP BY 1),
+      bv AS (SELECT o_totalprice::DOUBLE AS v, count(*)::BIGINT AS nb
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
+               AND o_totalprice IS NOT NULL GROUP BY 1),
+      m AS (SELECT coalesce(av.v, bv.v) AS v,
+              coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+            FROM av FULL JOIN bv ON av.v = bv.v),
+      t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+        count(*)::BIGINT AS k FROM m),
+      c AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+              sum(nb) OVER (ORDER BY v) AS cb,
+              lead(v) OVER (ORDER BY v) AS nextv FROM m),
+      terms AS (
+        SELECT CAST(round(
+          abs(CAST(ca AS HUGEINT) * (SELECT tb FROM t)
+            - CAST(cb AS HUGEINT) * (SELECT ta FROM t))::DOUBLE
+          / ((SELECT ta FROM t)::DOUBLE * (SELECT tb FROM t)::DOUBLE)
+          * (nextv - v) * 1048576.0) AS BIGINT) AS tt
+        FROM c WHERE nextv IS NOT NULL)
+      SELECT (SELECT ta FROM t) AS n_a, (SELECT tb FROM t) AS n_b,
+        (SELECT k FROM t) AS n_values,
+        (round(sum(tt)::DOUBLE / 1048576.0, 6) + 0.0) AS w1
+      FROM terms""",
 
     // Replay of Drift.categoricalDrift: grouped counts, NULL-safe
     // full-outer category merge, exact HUGEINT L1 numerators.

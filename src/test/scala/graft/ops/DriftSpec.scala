@@ -455,6 +455,72 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("psi: identical snapshots score 0, a shifted snapshot scores " +
+      "big; reference bins are equal-population") {
+    val a = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = Drift.psi(a, a, "v", nBins = 10).orderBy("bin").collect()
+    assert(same.length == 10)
+    assert(same.head.getAs[Double]("psi") == 0.0)
+    // reference quantile bins: each holds ~100 of the 1000 rows
+    assert(same.forall(r => math.abs(r.getAs[Long]("n_a") - 100L) <= 1))
+    // monotone bounds, open ends
+    assert(same.head.getAs[Double]("lo").isNegInfinity)
+    assert(same.last.getAs[Double]("hi").isPosInfinity)
+    val shifted = Drift.psi(a,
+      (1 to 1000).map(_.toDouble + 500).toDF("v"), "v", nBins = 10)
+      .collect().head.getAs[Double]("psi")
+    assert(shifted > 0.25, s"a half-range shift must alarm, got $shifted")
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("jensenShannon: identical mixes 0, disjoint mixes ln 2 " +
+      "(norm = 1), asymmetric case matches brute") {
+    val a = Seq("x", "x", "y").toDF("c")
+    assert(Drift.jensenShannon(a, a, "c").collect().head
+      .getAs[Double]("jsd") == 0.0)
+    val dis = Drift.jensenShannon(a, Seq("z", "w").toDF("c"), "c")
+      .collect().head
+    assert(math.abs(dis.getAs[Double]("jsd") - math.log(2.0)) < 1e-5)
+    assert(dis.getAs[Double]("jsd_norm") == 1.0)
+    // brute: p = (2/3, 1/3, 0), q = (1/2, 0, 1/2)
+    val b = Seq("x", "z").toDF("c")
+    def kl(p: Seq[Double], m: Seq[Double]) = p.zip(m)
+      .filter(_._1 > 0).map { case (pi, mi) => pi * math.log(pi / mi) }.sum
+    val (p, q) = (Seq(2.0 / 3, 1.0 / 3, 0.0), Seq(0.5, 0.0, 0.5))
+    val mm = p.zip(q).map { case (x, y) => (x + y) / 2 }
+    val want = (kl(p, mm) + kl(q, mm)) / 2
+    val got = Drift.jensenShannon(a, b, "c").collect().head
+    assert(math.abs(got.getAs[Double]("jsd") - want) < 1e-5,
+      s"${got.getAs[Double]("jsd")} vs brute $want")
+    assert(got.getAs[Long]("n_categories") == 3L)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("wasserstein1: a uniform shift scores exactly the shift; " +
+      "identical snapshots 0; layout-invariant") {
+    val a = Seq(0.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(5.0, 6.0, 7.0, 8.0).toDF("v")
+    val r = Drift.wasserstein1(a, b, "v").collect().head
+    assert(r.getAs[Double]("w1") == 5.0, r.toString)
+    assert(r.getAs[Long]("n_values") == 8L)
+    assert(Drift.wasserstein1(a, a, "v").collect().head
+      .getAs[Double]("w1") == 0.0)
+    // unequal sizes + ties still exact: a={0,0,10}, b={5};
+    // F_A-F_B: on [0,5): |2/3-0|=2/3 -> 10/3; on [5,10): |2/3-1|=1/3
+    // -> 5/3; total 5
+    val r2 = Drift.wasserstein1(Seq(0.0, 0.0, 10.0).toDF("v"),
+      Seq(5.0).toDF("v"), "v").collect().head
+    assert(r2.getAs[Double]("w1") == 5.0, r2.toString)
+    val big = (1 to 5000).map(i => (i % 97).toDouble).toDF("v")
+    val big2 = (1 to 4000).map(i => (i % 89).toDouble + 3).toDF("v")
+    val base = Drift.wasserstein1(big, big2, "v").collect().head
+    val rep = Drift.wasserstein1(big.repartition(13),
+      big2.repartition(7), "v").collect().head
+    assert(base.toString == rep.toString,
+      "result must not depend on input partitioning")
+    graft.util.Caches.unpersistAll()
+  }
+
   test("postStratified: stratum imbalance is corrected away when " +
       "within-stratum means agree; missing-stratum arm throws") {
     // stratum s1 pays 10, s2 pays 100 in BOTH arms; treatment is
