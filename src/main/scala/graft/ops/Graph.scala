@@ -453,6 +453,92 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Local clustering coefficients over a canonical undirected edge
+    * table — c(v) = 2·T(v)/(deg(v)·(deg(v)−1)), the per-node "how much
+    * of my neighborhood is a clique" readout on top of
+    * [[triangleCounts]] (T alone grows with degree; c is the [0,1]
+    * density a community/spam analysis actually thresholds on —
+    * link-farm nodes show high degree with near-zero c). Degree-1
+    * nodes emit c = 0 by convention. Output per node:
+    * (node, deg, n_tri, coeff).
+    *
+    * Shape at scale: [[triangleCounts]]'s plan plus one degree count
+    * and a node-keyed join — nothing beyond the triangle pass grows.
+    */
+  def clusteringCoefficients(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(und), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (round(when(col("deg") >= 2,
+          lit(2d) * coalesce(col("n_tri"), lit(0L)).cast("double")
+            / (col("deg").cast("double")
+              * (col("deg") - 1).cast("double")))
+          .otherwise(lit(0d)), 6) + lit(0d)).as("coeff"))
+  }
+
+  /** Reciprocity of a DIRECTED edge table (src, dst): the fraction of
+    * distinct non-loop edges whose reverse edge also exists — the
+    * mutuality readout (follow-back rate, bidirectional link share)
+    * that every undirected projection erases. Output ONE row:
+    * (n_edges, n_reciprocated, reciprocity).
+    *
+    * Shape at scale: one distinct, one self left-semi join on the
+    * reversed key, two one-row counts — edge-cardinality work.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = graft.util.Caches.persist(
+      edges.select(col("src"), col("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull
+          && col("src") =!= col("dst"))
+        .distinct())
+    val mut = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mut.agg(count(lit(1)).as("n_reciprocated"))))
+      .select(col("n_edges"), col("n_reciprocated"),
+        (round(when(col("n_edges") > 0,
+          col("n_reciprocated").cast("double")
+            / col("n_edges").cast("double")).otherwise(lit(0d)), 6)
+          + lit(0d)).as("reciprocity"))
+  }
+
+  /** Power-law exponent of the degree distribution's tail — the
+    * continuous-MLE approximation of Clauset, Shalizi & Newman (2009,
+    * §3.1): α = 1 + n·(Σ_{deg ≥ dMin} ln(deg/(dMin − ½)))⁻¹ over the
+    * nodes at or above `dMin`. Web/citation/co-occurrence graphs sit
+    * near α ∈ [2, 3]; a much smaller α means hub domination (sampling
+    * and partitioning strategies must expect mega-hubs), a much larger
+    * one means the "scale-free" assumption is wrong for this corpus.
+    * Output ONE row: (d_min, n_tail, alpha) — alpha NULL when no node
+    * reaches dMin.
+    *
+    * Determinism: degrees are exact counts; each ln snaps to a ×2^20
+    * fixed-point long (the engine's transcendental-sum convention), so
+    * the sum is order-insensitive; α is one final double expression.
+    * Shape: one map-side-combined degree count + a one-row aggregate.
+    */
+  def degreePowerLaw(und: DataFrame, dMin: Long = 2): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val scale = (1L << 20).toDouble
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= dMin)
+      .select(round(org.apache.spark.sql.functions.log(
+        col("deg").cast("double")
+          / lit(dMin - 0.5)) * scale).cast("long").as("__t"))
+      .agg(count(lit(1)).as("n_tail"), sum("__t").as("__sfp"))
+      .select(lit(dMin).as("d_min"), col("n_tail"),
+        (round(when(col("n_tail") > 0 && col("__sfp") > 0,
+          lit(1d) + col("n_tail").cast("double")
+            / (col("__sfp").cast("double") / scale)), 6) + lit(0d))
+          .as("alpha"))
+  }
+
   /** Common-neighbors link prediction over a canonical undirected edge
     * table ((a, b), a < b, distinct — e.g. [[coOccurrenceEdges]]):
     * candidate NEW edges (pairs not currently connected) ranked by

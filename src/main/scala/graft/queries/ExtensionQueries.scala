@@ -3076,6 +3076,41 @@ object ExtensionQueries {
         li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup))
     },
 
+    // Local clustering coefficients over the same co-occurrence graph
+    // as triangle_count — the [0,1] neighborhood-density readout a
+    // link-farm / community analysis thresholds on.
+    "graph_clustering" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.clusteringCoefficients(Graph.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup))
+        .orderBy("node")
+    },
+
+    // Reciprocity of the behavioral transition graph (distinct
+    // prev-type -> next-type edges per user timeline): the mutuality
+    // share an undirected projection erases.
+    "graph_reciprocity" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("event_type").as("dst"))
+      Graph.reciprocity(edges)
+    },
+
+    // Degree-tail power-law exponent (Clauset-Shalizi-Newman MLE) of
+    // the co-occurrence graph — the hub-domination readout partitioning
+    // and sampling strategies need.
+    "graph_degree_alpha" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.degreePowerLaw(Graph.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup), dMin = 2)
+    },
+
     // Forecast scorecard: per-type hourly volumes, forecast = mean of
     // the two preceding hours (warmup rows dropped both sides).
     "events_forecast_eval" -> { (spark, dir) =>
@@ -5704,6 +5739,82 @@ object ExtensionQueries {
         UNION ALL SELECT v FROM tri
         UNION ALL SELECT w FROM tri)
       GROUP BY node ORDER BY node""",
+
+    // Replay of Graph.clusteringCoefficients: the triangle_count chain
+    // plus the degree table, c = 2T/(d(d-1)), degree-1 nodes 0.
+    "graph_clustering" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und) GROUP BY node),
+      dir AS (SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN a ELSE b END AS u,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN b ELSE a END AS v
+        FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+      tri AS (SELECT e1.u, e1.v, e2.v AS w
+        FROM dir e1 JOIN dir e2 ON e2.u = e1.v
+        JOIN dir e3 ON e3.u = e1.u AND e3.v = e2.v),
+      nt AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
+          SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri) GROUP BY node)
+      SELECT deg.node, deg.deg,
+        coalesce(nt.n_tri, 0)::BIGINT AS n_tri,
+        (round(CASE WHEN deg.deg >= 2
+          THEN 2.0::DOUBLE * coalesce(nt.n_tri, 0)::DOUBLE
+            / (deg.deg::DOUBLE * (deg.deg - 1)::DOUBLE)
+          ELSE 0.0::DOUBLE END, 6) + 0.0) AS coeff
+      FROM deg LEFT JOIN nt USING (node)
+      ORDER BY node""",
+
+    // Replay of Graph.reciprocity over the per-user transition graph:
+    // lag window edges, loops dropped, reversed-key semi join.
+    "graph_reciprocity" -> """
+      WITH o AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      e AS (SELECT DISTINCT prev AS src, event_type AS dst FROM o
+            WHERE prev IS NOT NULL AND prev != event_type),
+      m AS (SELECT count(*)::BIGINT AS n_rec FROM e
+            WHERE EXISTS (SELECT 1 FROM e r
+              WHERE r.src = e.dst AND r.dst = e.src)),
+      t AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+      SELECT t.n_edges, m.n_rec AS n_reciprocated,
+        (round(CASE WHEN t.n_edges > 0
+          THEN m.n_rec::DOUBLE / t.n_edges::DOUBLE
+          ELSE 0.0::DOUBLE END, 6) + 0.0) AS reciprocity
+      FROM t, m""",
+
+    // Replay of Graph.degreePowerLaw: CSN continuous-MLE alpha over the
+    // degree tail, per-node ln snapped to ×2^20 longs.
+    "graph_degree_alpha" -> s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS (SELECT g, n FROM sized WHERE gn <= $TriMaxGroup),
+      und AS (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und) GROUP BY node),
+      t AS (SELECT count(*)::BIGINT AS n_tail,
+              sum(CAST(round(ln(deg::DOUBLE / 1.5::DOUBLE) * 1048576.0)
+                AS BIGINT)) AS sfp
+            FROM deg WHERE deg >= 2)
+      SELECT 2::BIGINT AS d_min, n_tail,
+        (round(CASE WHEN n_tail > 0 AND sfp > 0
+          THEN 1.0::DOUBLE + n_tail::DOUBLE / (sfp::DOUBLE / 1048576.0)
+          ELSE NULL END, 6) + 0.0) AS alpha
+      FROM t""",
 
     // Oracle for Joins.bloomSemi: the plain exact semi join — the bloom
     // filter is a pure pre-filter, so any bitmap sizing must reproduce

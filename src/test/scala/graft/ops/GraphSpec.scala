@@ -458,4 +458,48 @@ class GraphSpec extends SparkSpec {
     assert(base == cc, s"scc=$base cc=$cc")
     graft.util.Caches.unpersistAll()
   }
+
+  test("clusteringCoefficients: a triangle is all 1s; a pendant node " +
+      "scores 0 and dilutes its neighbor") {
+    // triangle 1-2-3 plus pendant 4-1
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Graph.clusteringCoefficients(und).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // node 1: deg 3, 1 triangle -> 2/(3*2) = 1/3
+    assert(out.toSeq == Seq((1L, 3L, 1L, 0.333333),
+      (2L, 2L, 1L, 1.0), (3L, 2L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("reciprocity: mutual pairs counted, loops and duplicates " +
+      "ignored") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e).collect().head
+    // distinct non-loop edges: (1,2),(2,1),(1,3) -> 2 reciprocated
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.666667)
+    // a pure DAG has reciprocity 0
+    assert(Graph.reciprocity(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      .collect().head.getDouble(2) == 0.0)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("degreePowerLaw matches the hand-evaluated CSN alpha; empty " +
+      "tail emits NULL") {
+    // star: center degree 5, leaves degree 1 each
+    val und = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val r = Graph.degreePowerLaw(und, dMin = 2).collect().head
+    // tail at dMin=2: only the center (deg 5)
+    assert(r.getLong(1) == 1L)
+    val lnTerm = math.round(math.log(5.0 / 1.5) * 1048576.0) / 1048576.0
+    val want = BigDecimal(1.0 + 1.0 / lnTerm)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == want, s"${r.getDouble(2)} vs $want")
+    // nobody reaches dMin=10 -> NULL alpha
+    val none = Graph.degreePowerLaw(und, dMin = 10).collect().head
+    assert(none.getLong(1) == 0L && none.isNullAt(2))
+    graft.util.Caches.unpersistAll()
+  }
 }
