@@ -427,6 +427,48 @@ object ScaleProbe {
         graft.ops.Drift.kruskalWallis(oN, "o_orderpriority",
           "o_totalprice").count()
       }
+      // round 14b: the drift/variance additions — bin/cell-cardinality
+      // machines (psi/anova/mi) stay flat-to-linear; wasserstein rides
+      // the ksStatistic CDF (value cardinality constant under copies);
+      // distinct_n is gram-vocabulary work; acf is grid-cardinality
+      // after the first rollup; qld grows with corpus × |Q|.
+      def ordersN = {
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+        (0 until m).map(i =>
+          o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L)))
+          .reduce(_ unionAll _)
+      }
+      t("anova") {
+        graft.ops.Drift.anovaF(ordersN, "o_orderpriority",
+          "o_totalprice").count()
+      }
+      t("wasserstein") {
+        val oN = ordersN
+        graft.ops.Drift.wasserstein1(
+          oN.where(col("o_orderkey") % 2 === 0),
+          oN.where(col("o_orderkey") % 2 === 1), "o_totalprice").count()
+      }
+      t("psi") {
+        val oN = ordersN
+        graft.ops.Drift.psi(
+          oN.where(col("o_orderkey") % 2 === 0),
+          oN.where(col("o_orderkey") % 2 === 1), "o_totalprice").count()
+      }
+      t("mi") {
+        graft.ops.Drift.mutualInformation(d, "lang", "source").count()
+      }
+      t("distinct_n") {
+        graft.ops.TextAnalysis.distinctN(d, "text", "lang").count()
+      }
+      t("qld") {
+        graft.ops.Retrieval.qldTopK(d, "doc_id", "text",
+          Seq("join", "hash", "spark", "window"), k = 25).count()
+      }
+      t("acf") {
+        graft.ops.TimeSeries.acf(
+          amplify(graft.queries.Tables.events(spark, dir), "event_id", m),
+          "ts", "event_type", maxLag = 24).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

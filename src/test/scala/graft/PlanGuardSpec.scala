@@ -256,4 +256,41 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"merge planned a join:\n$plan")
     assert(plan.contains("Window"), s"latest-wins window missing:\n$plan")
   }
+
+  test("round-14 statistics: no data-sized single-partition exchanges") {
+    // the same mechanical guard the round-12/13 rank machinery carries:
+    // every Exchange SinglePartition in these plans must be fed by a
+    // partial aggregate (one-row or k-row reductions), never by data.
+    // kruskal/wasserstein additionally rank through the __pid
+    // range-partition machinery — their windows must keep the pid.
+    def guard(name: String, wantPid: Boolean = false): Unit = {
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      if (wantPid)
+        assert(plan.contains("__pid"),
+          s"$name lost its range-partition rank machinery:\n${plan.take(3000)}")
+      val lines = plan.linesIterator.toIndexedSeq
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Exchange SinglePartition")) {
+          val child = lines.drop(i + 1)
+            .find(c => c.exists(_.isLetter)).getOrElse("")
+          assert(child.contains("partial_"),
+            s"$name: Exchange SinglePartition fed by non-partial child " +
+              s"'${child.trim.take(120)}':\n${plan.take(4000)}")
+        }
+      }
+    }
+    // kruskal's rank machinery runs EAGERLY inside the operator (its
+    // k-row result returns as a LocalTableScan), so the pid assert
+    // applies to the lazily-planned wasserstein only
+    guard("ab_kruskal")
+    guard("drift_wasserstein", wantPid = true)
+    guard("ab_anova")
+    guard("ab_welch")
+    guard("profile_mi")
+    guard("drift_psi")
+    guard("drift_jsd")
+    guard("ts_acf")
+    guard("ab_poststrat")
+  }
 }
