@@ -138,6 +138,92 @@ object TimeSeries {
           .as("acf"))
   }
 
+  /** Theil–Sen robust trend slope per key over the dense hourly count
+    * series — the median of all pairwise slopes
+    * (x_j − x_i)/(h_j − h_i), i < j: up to 29% corrupt points cannot
+    * move it (an OLS slope chases every spike — [[forecastEval]]'s
+    * scorecard inputs need the robust trend, not the contaminated one).
+    * Output per key: (key, n_hours, n_pairs, slope) with slope the
+    * exact interpolated median (Spark `percentile` == DuckDB
+    * `quantile_cont`), 6dp, −0 normalized.
+    *
+    * Shape at scale: the pair explosion is per-key TIME², bounded by
+    * the series length (hours of history), never by event volume —
+    * 1 year of hourly buckets is 38M pairs per key, embarrassingly
+    * parallel after the one grid shuffle. Pairs never cross keys.
+    */
+  def theilSen(df: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val dense = graft.util.Caches.persist(
+      gapfillHourly(df, tsCol, keyCol)
+        .select(col(keyCol),
+          expr("unix_timestamp(hour_start) div 3600").as("__h"),
+          col("n_events").cast("long").as("__x")))
+    val pairs = dense.join(
+      dense.select(col(keyCol), col("__h").as("__h2"),
+        col("__x").as("__x2")), Seq(keyCol))
+      .where(col("__h2") > col("__h"))
+      .select(col(keyCol),
+        ((col("__x2") - col("__x")).cast("double")
+          / (col("__h2") - col("__h")).cast("double")).as("__s"))
+    pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__s, 0.5)").as("__med"))
+      .join(dense.groupBy(col(keyCol)).agg(count(lit(1)).as("n_hours")),
+        Seq(keyCol))
+      .select(col(keyCol), col("n_hours"), col("n_pairs"),
+        (round(col("__med"), 6) + lit(0d)).as("slope"))
+  }
+
+  /** Mann–Kendall trend test per key over the dense hourly count
+    * series — the nonparametric "is there ANY monotone trend"
+    * significance companion to [[theilSen]]'s slope magnitude:
+    * S = Σ_{i<j} sign(x_j − x_i), Var(S) = [n(n−1)(2n+5) −
+    * Σ_ties t(t−1)(2t+5)]/18, z = (S∓1)/√Var with the classic
+    * continuity correction (z = 0 when S = 0). Exact integer S and
+    * tie sums (DECIMAL(38,0)); z one pinned-order double; no p (the
+    * erf-free convention). Output per key:
+    * (key, n_hours, s, var_s, z).
+    *
+    * Shape at scale: the same per-key TIME²-bounded pair pass as
+    * [[theilSen]] plus a value-cardinality tie rollup.
+    */
+  def mannKendall(df: DataFrame, tsCol: String,
+      keyCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dense = graft.util.Caches.persist(
+      gapfillHourly(df, tsCol, keyCol)
+        .select(col(keyCol),
+          expr("unix_timestamp(hour_start) div 3600").as("__h"),
+          col("n_events").cast("long").as("__x")))
+    val s = dense.join(
+      dense.select(col(keyCol), col("__h").as("__h2"),
+        col("__x").as("__x2")), Seq(keyCol))
+      .where(col("__h2") > col("__h"))
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("__x2") > col("__x"), 1L)
+        .when(col("__x2") < col("__x"), -1L).otherwise(0L))
+        .as("s"))
+    val ties = dense.groupBy(col(keyCol), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__nv"), sum({
+        val t = col("__t").cast(dec)
+        t * (t - 1) * (t * 2 + 5)
+      }).as("__tsum"))
+    val base = dense.groupBy(col(keyCol)).agg(count(lit(1)).as("n_hours"))
+    val nn = col("n_hours").cast("double")
+    val varS = (nn * (nn - 1) * (nn * 2 + 5)
+      - col("__tsum").cast("double")) / 18.0
+    base.join(s, Seq(keyCol)).join(ties, Seq(keyCol))
+      .select(col(keyCol), col("n_hours"), col("s"),
+        (round(varS, 6) + lit(0d)).as("var_s"),
+        (round(when(varS > 0 && col("s") > 0,
+          (col("s").cast("double") - 1) / sqrt(varS))
+          .when(varS > 0 && col("s") < 0,
+            (col("s").cast("double") + 1) / sqrt(varS))
+          .otherwise(lit(0d)), 6) + lit(0d)).as("z"))
+  }
+
   /** Per-key rolling window aggregate: for every event, the count and
     * (exact decimal) sum of the key's events in the trailing
     * `[t - windowSeconds, t]` RANGE — the moving-average / rate feature
