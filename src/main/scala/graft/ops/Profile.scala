@@ -513,6 +513,61 @@ object Profile {
           + lit(0d)).as("corr"))
   }
 
+  /** Gini coefficient of `valueCol` per group — the [0,1) inequality /
+    * concentration readout for corpus composition (token share across
+    * sources, purchase value across users): 0 = perfectly even,
+    * →1 = one member owns everything. A training mix whose per-source
+    * token Gini is high is dominated by a few sources no matter how
+    * long the source list looks. Non-negative values required (the
+    * classic Gini is undefined below zero) — violations fail loudly.
+    *
+    * Exact rank-free formulation over per-VALUE counts: with c_v
+    * occurrences of value v and C_v the count strictly below v,
+    * Σ_i (2i − n − 1)·x_i = Σ_v x_v·c_v·(2C_v + c_v − 1 − n), so
+    * G = that / (n·Σx) — every factor an exact integer (values ×2^20
+    * fixed-point, products in DECIMAL(38,0)), one final double
+    * division. Output per group: (byCols…, n, gini) — NULL when the
+    * group's value sum is zero.
+    *
+    * Shape at scale: one (group, value) map-side-combined count, a
+    * per-group window over VALUE-CARDINALITY rows (the per-stratum
+    * window class — scale-safe when groups are numerous relative to
+    * cores), one group rollup.
+    */
+  def gini(df: DataFrame, valueCol: String,
+      byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty, "need at least one grouping column")
+    val scale = 1048576d
+    val dec = "decimal(38,0)"
+    val bad = df.where(col(valueCol) < 0).limit(1).collect()
+    require(bad.isEmpty,
+      s"gini('$valueCol') requires non-negative values")
+    val vc = df.where(col(valueCol).isNotNull)
+      .select(byCols.map(col) :+
+        round(col(valueCol).cast("double") * scale).cast("long")
+          .as("__v"): _*)
+      .groupBy(byCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols.map(col): _*).orderBy("__v")
+    val withCum = vc
+      .withColumn("__cum", sum("__c").over(w) - col("__c"))
+    withCum
+      .groupBy(byCols.map(col): _*)
+      .agg(sum("__c").as("n"),
+        sum(col("__v").cast(dec) * col("__c").cast(dec)).as("__sx"),
+        sum(col("__v").cast(dec) * col("__c").cast(dec)
+          * (col("__cum").cast(dec) * 2 + col("__c").cast(dec) - 1))
+          .as("__num0"))
+      .select(byCols.map(col) :+ col("n") :+
+        (round(when(col("__sx") > 0,
+          (col("__num0").cast("double")
+            - (col("n") - 1).cast("double")
+              * col("__sx").cast("double"))
+            / (col("n").cast("double") * col("__sx").cast("double"))), 6)
+          + lit(0d)).as("gini"): _*)
+  }
+
   /** Per-group TRIMMED mean: the mean of `valueCol` restricted to its
     * group's [pLo, pHi] percentile band (interpolated bounds, inclusive)
     * — the robust location estimate that survives corrupt tails without

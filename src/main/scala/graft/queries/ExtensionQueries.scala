@@ -2474,6 +2474,28 @@ object ExtensionQueries {
         .orderBy("event_type", "lag")
     },
 
+    // Theil–Sen robust hourly trend per event type — the median of all
+    // pairwise slopes (outlier-immune where OLS chases spikes).
+    "ts_theilsen" -> { (spark, dir) =>
+      TimeSeries.theilSen(events(spark, dir), "ts", "event_type")
+        .orderBy("event_type")
+    },
+
+    // Mann–Kendall monotone-trend test per event type — exact integer
+    // S with tie-corrected variance and the classic continuity z.
+    "ts_mannkendall" -> { (spark, dir) =>
+      TimeSeries.mannKendall(events(spark, dir), "ts", "event_type")
+        .orderBy("event_type")
+    },
+
+    // Gini coefficient of document length per language — the corpus
+    // inequality/concentration readout (exact rank-free formulation
+    // over per-value counts).
+    "profile_gini" -> { (spark, dir) =>
+      Profile.gini(docs(spark, dir), "n_chars", Seq("lang"))
+        .orderBy("lang")
+    },
+
     "events_rolling" -> { (spark, dir) =>
       TimeSeries.rolling(events(spark, dir), "ts", "user_id", "value",
           windowSeconds = RollWindowSec)
@@ -6879,6 +6901,117 @@ object ExtensionQueries {
             / (q::DOUBLE - n::DOUBLE * m * m), 6) + 0.0)
         ELSE NULL END AS acf
       FROM j ORDER BY event_type, lag""",
+
+    // Replay of TimeSeries.theilSen: the dense hourly grid, per-key
+    // pairwise slopes, quantile_cont median (== Spark percentile).
+    "ts_theilsen" -> """
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type,
+          (epoch(g.hour_start)::BIGINT // 3600) AS h,
+          coalesce(c.n_events, 0)::BIGINT AS x
+        FROM g LEFT JOIN c USING (event_type, hour_start)),
+      pairs AS (
+        SELECT a.event_type,
+          (bb.x - a.x)::DOUBLE / (bb.h - a.h)::DOUBLE AS s
+        FROM dense a JOIN dense bb
+          ON bb.event_type = a.event_type AND bb.h > a.h),
+      agg AS (
+        SELECT event_type, count(*)::BIGINT AS n_pairs,
+          quantile_cont(s, 0.5) AS med
+        FROM pairs GROUP BY 1),
+      nh AS (SELECT event_type, count(*)::BIGINT AS n_hours
+             FROM dense GROUP BY 1)
+      SELECT agg.event_type, nh.n_hours, agg.n_pairs,
+        (round(agg.med, 6) + 0.0) AS slope
+      FROM agg JOIN nh USING (event_type)
+      ORDER BY event_type""",
+
+    // Replay of TimeSeries.mannKendall: exact integer S over the grid
+    // pairs, HUGEINT tie rollup, continuity-corrected z.
+    "ts_mannkendall" -> """
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type,
+          (epoch(g.hour_start)::BIGINT // 3600) AS h,
+          coalesce(c.n_events, 0)::BIGINT AS x
+        FROM g LEFT JOIN c USING (event_type, hour_start)),
+      s AS (
+        SELECT a.event_type,
+          sum(CASE WHEN bb.x > a.x THEN 1
+              WHEN bb.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s
+        FROM dense a JOIN dense bb
+          ON bb.event_type = a.event_type AND bb.h > a.h
+        GROUP BY 1),
+      ties AS (
+        SELECT event_type,
+          sum(t::HUGEINT * (t::HUGEINT - 1) * (t::HUGEINT * 2 + 5))
+            AS tsum
+        FROM (SELECT event_type, x, count(*)::BIGINT AS t
+              FROM dense GROUP BY 1, 2)
+        GROUP BY 1),
+      nh AS (SELECT event_type, count(*)::BIGINT AS n_hours
+             FROM dense GROUP BY 1),
+      vv AS (
+        SELECT nh.event_type, nh.n_hours, s.s,
+          (nh.n_hours::DOUBLE * (nh.n_hours::DOUBLE - 1)
+            * (nh.n_hours::DOUBLE * 2 + 5)
+            - ties.tsum::DOUBLE) / 18.0 AS var_s
+        FROM nh JOIN s USING (event_type) JOIN ties USING (event_type))
+      SELECT event_type, n_hours, s,
+        (round(var_s, 6) + 0.0) AS var_s,
+        (round(CASE WHEN var_s > 0 AND s > 0
+            THEN (s::DOUBLE - 1) / sqrt(var_s)
+          WHEN var_s > 0 AND s < 0
+            THEN (s::DOUBLE + 1) / sqrt(var_s)
+          ELSE 0.0::DOUBLE END, 6) + 0.0) AS z
+      FROM vv
+      ORDER BY event_type""",
+
+    // Replay of Profile.gini: per-(group, fixed-point value) counts,
+    // value-ordered window, the exact rank-free numerator
+    // sum(x·c·(2C + c − 1)) − (n−1)·sum(x·c).
+    "profile_gini" -> """
+      WITH vc AS (
+        SELECT lang, CAST(round(n_chars::DOUBLE * 1048576.0) AS BIGINT)
+          AS v, count(*)::BIGINT AS c
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY 1, 2),
+      wc AS (
+        SELECT lang, v, c,
+          sum(c) OVER (PARTITION BY lang ORDER BY v) - c AS cum
+        FROM vc),
+      agg AS (
+        SELECT lang, sum(c)::BIGINT AS n,
+          sum(v::HUGEINT * c::HUGEINT) AS sx,
+          sum(v::HUGEINT * c::HUGEINT
+            * (cum::HUGEINT * 2 + c::HUGEINT - 1)) AS num0
+        FROM wc GROUP BY 1)
+      SELECT lang, n,
+        (round(CASE WHEN sx > 0 THEN
+          (num0::DOUBLE - (n - 1)::DOUBLE * sx::DOUBLE)
+            / (n::DOUBLE * sx::DOUBLE)
+          ELSE NULL END, 6) + 0.0) AS gini
+      FROM agg
+      ORDER BY lang""",
 
     // Replay of Encoding.targetEncodeLoo: exact HUGEINT fixed-point
     // category sums, (S − y)/(n − 1) per row, global-mean fallback for

@@ -368,4 +368,29 @@ class ProfileSpec extends SparkSpec {
     assert(run(df).size == 3)
     graft.util.Caches.unpersistAll()
   }
+
+  test("gini: equality scores 0, one-owner scores (n-1)/n, hand value " +
+      "with ties, negatives refuse, layout-invariant") {
+    val eq = Seq.fill(6)(("g", 5.0)).toDF("g", "v")
+    assert(Profile.gini(eq, "v", Seq("g")).collect().head
+      .getAs[Double]("gini") == 0.0)
+    val one = (Seq.fill(3)(("g", 0.0)) :+ ("g", 10.0)).toDF("g", "v")
+    assert(Profile.gini(one, "v", Seq("g")).collect().head
+      .getAs[Double]("gini") == 0.75) // (n-1)/n at n = 4
+    // hand: sorted [1,1,2,4]: sum(2i-n-1)x = (-3)·1+(-1)·1+1·2+3·4 = 10;
+    // G = 10/(4·8) = 0.3125
+    val mix = Seq(("a", 1.0), ("a", 4.0), ("a", 2.0), ("a", 1.0),
+      ("b", 7.0)).toDF("g", "v")
+    val out = Profile.gini(mix, "v", Seq("g")).orderBy("g").collect()
+    assert(out(0).getAs[Double]("gini") == 0.3125, out(0).toString)
+    assert(out(1).getAs[Double]("gini") == 0.0, "singleton group is even")
+    val ex = intercept[IllegalArgumentException] {
+      Profile.gini(Seq(("g", -1.0)).toDF("g", "v"), "v", Seq("g"))
+    }
+    assert(ex.getMessage.contains("non-negative"))
+    val rep = Profile.gini(mix.repartition(5), "v", Seq("g"))
+      .orderBy("g").collect()
+    assert(rep.map(_.toString).toSeq == out.map(_.toString).toSeq)
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -309,6 +309,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
   }
 
+  test("theilSen: median pairwise slope resists the outlier hour that " +
+      "would drag OLS") {
+    // hourly counts 1, 2, 3, 10 — pairwise slopes 1,1,1,3,4,7;
+    // median = (1+3)/2 = 2 (OLS slope would be ~2.8)
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 3, 3 -> 10)
+      .flatMap { case (h, c) => Seq.fill(c)(("k", ts(h))) }
+    val r = TimeSeries.theilSen(rows.toDF("k", "t"), "t", "k")
+      .collect().head
+    assert(r.getAs[Long]("n_hours") == 4L
+      && r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("slope") == 2.0, r.toString)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("mannKendall: strictly rising series matches the brute z; flat " +
+      "series scores S = 0, z = 0") {
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 3, 3 -> 4)
+      .flatMap { case (h, c) => Seq.fill(c)(("k", ts(h))) }
+    val r = TimeSeries.mannKendall(rows.toDF("k", "t"), "t", "k")
+      .collect().head
+    assert(r.getAs[Long]("s") == 6L, r.toString)
+    val varS = 4.0 * 3 * 13 / 18.0 // no ties
+    assert(math.abs(r.getAs[Double]("var_s") - varS) < 1e-6)
+    val zRef = BigDecimal((6.0 - 1) / math.sqrt(varS))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == zRef, r.toString)
+    // constant series: every pair ties -> S = 0 and Var = 0 -> z = 0
+    val flat = (0 to 3).flatMap(h => Seq.fill(2)(("k", ts(h))))
+    val f = TimeSeries.mannKendall(flat.toDF("k", "t"), "t", "k")
+      .collect().head
+    assert(f.getAs[Long]("s") == 0L && f.getAs[Double]("z") == 0.0)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("acf matches a brute reference, flags period-2 alternation with " +
       "r1 < 0 < r2, constant series is NULL, layout-invariant") {
     // alternating 3,1,3,1,... hourly counts: event h gets (3 if even)
