@@ -469,6 +469,22 @@ object ScaleProbe {
           amplify(graft.queries.Tables.events(spark, dir), "event_id", m),
           "ts", "event_type", maxLag = 24).count()
       }
+      // round 14c: theilsen/mannkendall pair volume is per-key TIME²
+      // (the grid is constant under event amplification — only counts
+      // multiply), gini is value-cardinality work per group
+      t("theilsen") {
+        graft.ops.TimeSeries.theilSen(
+          amplify(graft.queries.Tables.events(spark, dir), "event_id", m),
+          "ts", "event_type").count()
+      }
+      t("mannkendall") {
+        graft.ops.TimeSeries.mannKendall(
+          amplify(graft.queries.Tables.events(spark, dir), "event_id", m),
+          "ts", "event_type").count()
+      }
+      t("gini") {
+        graft.ops.Profile.gini(d, "n_chars", Seq("lang")).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }
