@@ -485,6 +485,46 @@ object ScaleProbe {
       t("gini") {
         graft.ops.Profile.gini(d, "n_chars", Seq("lang")).count()
       }
+      // round 16: the round-14 graph trio. Edges come from the lineitem
+      // co-occurrence pass with ORDER keys amplified (each copy is a
+      // disjoint component of ~equal size, so edges/triangles scale ~Nx
+      // while per-node degree stays put — the sharding regime a 100x
+      // corpus produces). clustering must track the triangle pass
+      // (degree-oriented wedge join, never degree²-unbounded);
+      // degree_alpha is one map-side degree count + a one-row ×2^20 ln
+      // fold; reciprocity is distinct + reversed-key semi join on the
+      // behavioral transition edges (event amplification multiplies
+      // edge WEIGHT, distinct edges stay vocabulary-bounded — the
+      // flat-curve expectation).
+      def liEdgesN = {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_orderkey") % 10 === 0)
+        val liN = (0 until m).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(i * 1000000000L)))
+          .reduce(_ unionAll _)
+        graft.ops.Graph.coOccurrenceEdges(liN, "l_orderkey", "l_partkey",
+          maxGroup = 64)
+      }
+      t("graph_clustering") {
+        graft.ops.Graph.clusteringCoefficients(liEdgesN).count()
+      }
+      t("graph_degree_alpha") {
+        graft.ops.Graph.degreePowerLaw(liEdgesN, dMin = 2).count()
+      }
+      t("graph_reciprocity") {
+        import org.apache.spark.sql.expressions.Window
+        val evN = amplify(graft.queries.Tables.events(spark, dir),
+          "event_id", m)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = evN
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("prev").as("src"), col("event_type").as("dst"))
+        graft.ops.Graph.reciprocity(edges).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -24,6 +24,28 @@ import scala.jdk.CollectionConverters._
   */
 object Drift {
 
+  /** Group-label ordering for the k-row driver folds — UTF-8 BYTE
+    * order, matching DuckDB's default binary `ORDER BY` collation.
+    * Scala's default String ordering compares UTF-16 code units, which
+    * diverges from UTF-8 byte order for labels containing U+E000..
+    * U+FFFF vs supplementary characters — and a different fold order
+    * perturbs double-accumulation ULPs into a hash mismatch (round-15
+    * ADVICE). ASCII labels (every current fixture) order identically
+    * under both; this makes the contract hold for ANY label.
+    */
+  private[graft] val Utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else x.length - y.length
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between `a` and `b` on
     * numeric `valueCol`, exact: D = max_x |F_a(x) − F_b(x)| evaluated at
     * every observed value, carried as the INTEGER numerator
@@ -403,10 +425,15 @@ object Drift {
     * at all is the most extreme ratio mismatch, not a pass.
     *
     * Output: one row per arm `(group, n, expected_n, chi2_term, chi2,
-    * dof, srm)` — `chi2`/`dof`/`srm` repeat on every row for the
-    * readout; `srm` = (χ² > `chi2Threshold`) OR an undesigned arm was
-    * observed. Caller picks the threshold from the χ²(dof) table (3.841
-    * for two arms at α=0.05).
+    * dof, p_value, srm)` — `chi2`/`dof`/`p_value`/`srm` repeat on every
+    * row for the readout; `srm` = (χ² > `chi2Threshold`) OR an
+    * undesigned arm was observed. Caller picks the threshold from the
+    * χ²(dof) table (3.841 for two arms at α=0.05); `p_value` (round 16)
+    * is the exact χ²(dof) survival via
+    * [[graft.functions.PValues.chiSqSurvivalCol]] — dof = designed
+    * arms − 1 is a plan-time constant here, so the series unrolls
+    * in-plan (NULL when the design has one arm or the input logged no
+    * units).
     *
     * Replay determinism: arm counts are exact longs; each per-arm term
     * (n−e)²/e is one scalar double expression over exact integers
@@ -450,6 +477,18 @@ object Drift {
         .as("__term"))
     val w = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
+    // dof is a PLAN-TIME constant (designed arms − 1), so the ANY-dof
+    // χ² survival p unrolls as an in-plan expression (round 16); a NULL
+    // chi2fp (zero-total input) propagates to a NULL p
+    val dofStatic = expected.size - 1
+    // the isNotNull guard matters: Spark least/greatest SKIP nulls, so
+    // the kernel's clamp would turn a NULL chi2 (zero-total input) into
+    // p = 0.0 — "infinitely significant" — instead of NULL
+    val pCol = if (dofStatic >= 1)
+      when(col("__chi2fp").isNotNull,
+        round(graft.functions.PValues.chiSqSurvivalCol(
+          col("__chi2fp").cast("double") / scale, dofStatic), 6) + lit(0d))
+    else lit(null).cast("double")
     withTerm
       .withColumn("__chi2fp",
         sum(round(col("__term") * scale).cast("long")).over(w))
@@ -463,6 +502,7 @@ object Drift {
         (round(col("__chi2fp").cast("double") / scale, 6) + lit(0d))
           .as("chi2"),
         col("__dof").as("dof"),
+        pCol.as("p_value"),
         (coalesce(col("__chi2fp").cast("double") / scale, lit(0d))
           > chi2Threshold
           || col("__undesigned") === 1 || col("__total") === 0).as("srm"))
@@ -538,9 +578,11 @@ object Drift {
     * exact integers (DECIMAL(38,0) sums), z one pinned-order double.
     * Differences quantize ×2^20 before ranking so the tie structure
     * itself is engine-exact. Midranks come from the [[ksStatistic]]
-    * distributed CDF (no global window).
+    * distributed CDF (no global window). `p_value` = two-sided normal
+    * erfc(|z|/√2) from the unrounded z (round 16, the
+    * [[graft.functions.PValues]] pinned kernel).
     *
-    * Output ONE row: (n_pairs, n_nonzero, w_plus, w_minus, z).
+    * Output ONE row: (n_pairs, n_nonzero, w_plus, w_minus, z, p_value).
     */
   def wilcoxonSignedRank(df: DataFrame, beforeCol: String,
       afterCol: String): DataFrame = {
@@ -596,11 +638,13 @@ object Drift {
     val mu = nn * (nn + 1) / 4.0
     val varW = nn * (nn + 1) * (2 * nn + 1) / 24.0 - tieSum / 48.0
     val z = if (varW > 0) (wPlus - mu) / math.sqrt(varW) else 0.0
+    val pv = graft.functions.PValues.round6(
+      graft.functions.PValues.pTwoSidedZ(z))
     import spark.implicits._
     Seq((nPairs, nNz, wPlus, nn * (nn + 1) / 2.0 - wPlus,
       BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble + 0.0))
-      .toDF("n_pairs", "n_nonzero", "w_plus", "w_minus", "z")
+        .toDouble + 0.0, pv))
+      .toDF("n_pairs", "n_nonzero", "w_plus", "w_minus", "z", "p_value")
   }
 
   /** Pearson χ² test of INDEPENDENCE between two categorical columns —
@@ -617,11 +661,18 @@ object Drift {
     * expression over exact integers; the cross-cell sum accumulates
     * ×2^20 fixed-point longs. NULL categories are their own level
     * ("(null)") — missingness is usually the association. Output is ONE
-    * row: (n, n_rows_x, n_cols_y, chi2, dof, cramers_v).
+    * row: (n, n_rows_x, n_cols_y, chi2, dof, cramers_v, p_value), the
+    * p (round 16) the ANY-dof χ² survival of
+    * [[graft.functions.PValues.chiSqSurvival]] computed from the exact
+    * chi2fp/2^20 double (NULL when dof = 0 — a constant column admits
+    * no test); the oracle replays the identical unrolled series
+    * generated at dump time from the observed dof.
     *
     * Shape at scale: one map-side-combined (x, y) cell count (output =
     * occupied cells, never data), margins re-aggregated from the cells,
-    * margins broadcast back — cell-cardinality work end to end.
+    * margins broadcast back — cell-cardinality work end to end; the
+    * single readout row finishes on the driver (the [[kruskalWallis]]
+    * convention).
     */
   def chiSquareIndependence(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
@@ -646,22 +697,40 @@ object Drift {
       col("__n").cast("double")
     val term = (col("__o").cast("double") - e) *
       (col("__o").cast("double") - e) / e
-    cells
+    val agg = cells
       .crossJoin(broadcast(tot))
       .select(col("__n"), col("__r"), col("__c"),
         round(term * scale).cast("long").as("__t"))
       .groupBy("__n", "__r", "__c")
       .agg(sum("__t").as("__chi2fp"))
-      .select(col("__n").as("n"),
-        col("__r").as("n_rows_x"), col("__c").as("n_cols_y"),
-        (round(col("__chi2fp").cast("double") / scale, 6) + lit(0d))
-          .as("chi2"),
-        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
-        (round(when(col("__r") > 1 && col("__c") > 1,
-          sqrt(col("__chi2fp").cast("double") / scale
-            / (col("__n").cast("double")
-              * least(col("__r") - 1, col("__c") - 1).cast("double")))),
-          6) + lit(0d)).as("cramers_v"))
+      .collect()
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("n", LongType, false),
+      StructField("n_rows_x", LongType, false),
+      StructField("n_cols_y", LongType, false),
+      StructField("chi2", DoubleType, false),
+      StructField("dof", LongType, false),
+      StructField("cramers_v", DoubleType, true),
+      StructField("p_value", DoubleType, true)))
+    // the readout is ONE row (or zero on empty input) — the driver-side
+    // finish is the kruskalWallis convention and unlocks the ANY-dof
+    // survival p (dof is runtime here; the series length depends on it)
+    val outRows = agg.map { r =>
+      val (n, rr, cc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val chi2Raw = r.getLong(3).toDouble / scale // /2^20: exact double
+      val dof = (rr - 1) * (cc - 1)
+      val r6 = graft.functions.PValues.round6 _
+      val cv: java.lang.Double = if (rr > 1 && cc > 1)
+        r6(math.sqrt(chi2Raw
+          / (n.toDouble * math.min(rr - 1, cc - 1).toDouble)))
+      else null
+      val pv: java.lang.Double = if (dof >= 1)
+        r6(graft.functions.PValues.chiSqSurvival(chi2Raw, dof.toInt))
+      else null
+      Row(n, rr, cc, r6(chi2Raw), dof, cv, pv)
+    }
+    spark.createDataFrame(outRows.toSeq.asJava, schema)
   }
 
   /** Exact Mann–Whitney U (Wilcoxon rank-sum) between `a` and `b` on
@@ -680,11 +749,18 @@ object Drift {
     * pinned-order final doubles (no continuity correction — pinned
     * convention, stated here so the z replays bit-for-bit).
     *
+    * Decision readouts (round 16): `p_value` = two-sided normal
+    * erfc(|z|/√2) via the [[graft.functions.PValues]] pinned kernel
+    * (computed from the UNROUNDED z), and `delta` = Cliff's delta
+    * 2U_A/(n_A·n_B) − 1 ∈ [−1, 1] — the rank-biserial effect size (p
+    * grows with n; δ does not — the η²-next-to-F convention of
+    * [[anovaF]]).
+    *
     * Shape at scale: per-value counts (map-side combined), ONE
     * range-partitioned cumulative sum with per-partition offsets (the
     * [[ksStatistic]] distributed CDF — no global window), and one-row
     * exact aggregates. Output ONE row:
-    * (n_a, n_b, u_a, u_b, z).
+    * (n_a, n_b, u_a, u_b, z, p_value, delta).
     */
   def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val spark = a.sparkSession
@@ -735,11 +811,16 @@ object Drift {
       nA.toDouble * nB / 12.0 * ((nn + 1) - tieSum / (nn * (nn - 1)))
     val mu = nA.toDouble * nB / 2.0
     val z = if (varU > 0) (uA - mu) / math.sqrt(varU) else 0.0
+    val pv = graft.functions.PValues.round6(
+      graft.functions.PValues.pTwoSidedZ(z))
+    val delta = (2.0 * uA) / (nA.toDouble * nB.toDouble) - 1.0
     import spark.implicits._
     Seq((nA, nB, uA, nA.toDouble * nB - uA,
       BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0, pv,
+      BigDecimal(delta).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble + 0.0))
-      .toDF("n_a", "n_b", "u_a", "u_b", "z")
+      .toDF("n_a", "n_b", "u_a", "u_b", "z", "p_value", "delta")
   }
 
   /** Kruskal–Wallis H — the k-sample generalization of [[mannWhitney]]
@@ -752,15 +833,17 @@ object Drift {
     * Determinism contract: per-(group, value) and per-value counts are
     * exact longs; 2·R_g = Σ_v c_g(v)·(2·cumBelow(v) + k_v + 1) and ΣT
     * are exact DECIMAL(38,0) sums; the k-term fold Σ R_g²/n_g runs in
-    * GROUP-LABEL-ASC order on the driver (k = arm count, bounded), and
-    * H is one pinned-order double expression. The χ²(k−1) SIGNIFICANCE
-    * rides along for EVEN dof, where the survival function is the
-    * closed Erlang form p = e^(−H/2)·Σ_{j<dof/2} (H/2)^j/j! — terms by
-    * the pinned recurrence term_j = term_{j−1}·x/j accumulated
-    * first-to-last, clamped to [0,1] (the [[ksTest]] series
-    * convention); ODD dof emits NULL (the erf-free convention of the
-    * z-statistics — an even-armed design gets the readout, any dof
-    * gets H itself).
+    * GROUP-LABEL-ASC order on the driver (UTF-8 byte order — DuckDB's
+    * binary collation; k = arm count, bounded), and H is one
+    * pinned-order double expression. The χ²(k−1) SIGNIFICANCE rides
+    * along for ANY dof (round 16): even dof takes the closed Erlang
+    * form p = e^(−H/2)·Σ_{j<dof/2} (H/2)^j/j! — terms by the pinned
+    * recurrence term_j = term_{j−1}·x/j accumulated first-to-last,
+    * clamped to [0,1] (the [[ksTest]] series convention) — and odd dof
+    * the erfc + half-integer-gamma series of
+    * [[graft.functions.PValues.chiSqSurvival]]; the oracle replays the
+    * identical unrolled arithmetic generated at dump time from the
+    * OBSERVED arm count (no hardcoded dof arms).
     *
     * Shape at scale: one map-side-combined (group, value) count, one
     * range-partitioned cumulative sum with per-partition offsets (the
@@ -804,7 +887,7 @@ object Drift {
         sum(col("__c").cast(dec)
           * (col("__cx").cast(dec) * 2 + col("__k").cast(dec) + 1))
           .as("r2"))
-      .collect().sortBy(_.getString(0))
+      .collect().sortBy(_.getString(0))(Utf8Order)
     require(perGroup.length >= 2,
       s"kruskalWallis needs >= 2 groups, got ${perGroup.length}")
     val tieRow = cdf.agg(sum({
@@ -823,16 +906,12 @@ object Drift {
       (nn * nn * nn - nn)
     val h = if (corr > 0) h0 / corr else h0
     val dof = perGroup.length - 1
-    val p: java.lang.Double = if (dof % 2 == 0) {
-      val x2 = h / 2.0
-      var term = 1.0
-      var acc = 1.0
-      var j = 1
-      while (j < dof / 2) { term = term * x2 / j; acc += term; j += 1 }
-      val raw = math.min(1.0, math.max(0.0, math.exp(-x2) * acc))
-      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble + 0.0
-    } else null
+    // ANY dof (round 16): the even-dof Erlang closed form and the
+    // odd-dof erfc + half-gamma series, both pinned-order in
+    // [[graft.functions.PValues.chiSqSurvival]] and replayed from the
+    // same unrolled arithmetic in the oracle
+    val p: java.lang.Double = graft.functions.PValues.round6(
+      graft.functions.PValues.chiSqSurvival(h, dof))
     val hOut = BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0
     val outRows = perGroup.map { r =>
@@ -853,6 +932,176 @@ object Drift {
         StructField("p_value", DoubleType, true))))
   }
 
+  /** Log-factorial prefix table on the ×2^20 fixed-point grid:
+    * lf(i) = Σ_{j≤i} ln j accumulated first-to-last in doubles with
+    * StrictMath.log (bit-reproducible across JVMs and CPUs — the
+    * intrinsified Math.log is allowed platform-varying 1-ULP error),
+    * each PREFIX snapped to a long. [[fisherExact]] combines these
+    * longs with EXACT integer arithmetic, so the hypergeometric
+    * log-pmf comparisons — which k's enter the two-sided sum — are
+    * integer-exact and engine-replayable: the oracle receives this
+    * table verbatim as list literals.
+    */
+  private[graft] def logFactFp(n: Int): Array[Long] = {
+    val out = new Array[Long](n + 1)
+    var acc = 0.0
+    var i = 1
+    while (i <= n) {
+      acc += java.lang.StrictMath.log(i.toDouble)
+      out(i) = math.round(acc * 1048576d)
+      i += 1
+    }
+    out
+  }
+
+  /** Fisher's EXACT test on a 2×2 contingency of two boolean columns —
+    * the valid small-count companion to [[chiSquareIndependence]]
+    * (whose χ² approximation needs every expected cell ≳ 5; rare-event
+    * arms in an A/B readout routinely violate that): the two-sided p is
+    * the exact hypergeometric tail, p = Σ pmf(k) over every table k
+    * (same margins) at most as probable as the observed one.
+    *
+    * Determinism contract: cell counts are exact longs; log-pmfs are
+    * EXACT INTEGER combinations of the ×2^20 [[logFactFp]] prefix
+    * table, lp(k) = lf(r1)+lf(r2)+lf(c1)+lf(c2)−lf(n)−lf(k)−lf(r1−k)
+    * −lf(c1−k)−lf(r2−c1+k), so the inclusion rule lp(k) ≤ lp(a_obs) is
+    * an integer comparison — NO epsilon tie-break (scipy's 1+1e-7
+    * relative gate exists because it compares raw doubles; the
+    * fixed-point grid makes ties exact). The sum accumulates
+    * exp(lp/2^20) in ascending-k order (StrictMath.exp — the plan/
+    * driver parity convention), clamps to ≤ 1, rounds 6dp. The oracle
+    * replays the identical table from dump-time literals.
+    *
+    * Shape at scale: the 100 TB part is ONE map-side-combined pass of
+    * four conditional sums (the data never shuffles; one row reaches
+    * the driver); the test itself is O(min margin) driver arithmetic.
+    * `maxN` guards the O(n) table: beyond ~1e6 units the expected-cell
+    * condition that motivates Fisher over χ² cannot bind — use
+    * [[chiSquareIndependence]] there (loud, not silent).
+    *
+    * Output ONE row: (n, n11, n12, n21, n22, odds_ratio, p_value) with
+    * odds_ratio = ad/bc (NULL when bc = 0 — infinite or undefined).
+    */
+  def fisherExact(df: DataFrame, xCol: String, yCol: String,
+      maxN: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val slim = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("boolean").as("__x"),
+        col(yCol).cast("boolean").as("__y"))
+    val cells = slim.agg(
+      coalesce(sum(when(col("__x") && col("__y"), 1L).otherwise(0L)),
+        lit(0L)).as("a"),
+      coalesce(sum(when(col("__x") && !col("__y"), 1L).otherwise(0L)),
+        lit(0L)).as("b"),
+      coalesce(sum(when(!col("__x") && col("__y"), 1L).otherwise(0L)),
+        lit(0L)).as("c"),
+      coalesce(sum(when(!col("__x") && !col("__y"), 1L).otherwise(0L)),
+        lit(0L)).as("d")).collect().head
+    val (a, b, c, d) =
+      (cells.getLong(0), cells.getLong(1), cells.getLong(2),
+        cells.getLong(3))
+    val n = a + b + c + d
+    require(n >= 1, "fisherExact needs at least one non-null unit")
+    require(n <= maxN,
+      s"fisherExact is the small-count test (n = $n > maxN = $maxN) — " +
+        "use chiSquareIndependence at this scale")
+    val (r1, r2, c1, c2) = (a + b, c + d, a + c, b + d)
+    val lf = logFactFp(n.toInt)
+    def lp(k: Long): Long =
+      lf(r1.toInt) + lf(r2.toInt) + lf(c1.toInt) + lf(c2.toInt) -
+        lf(n.toInt) - lf(k.toInt) - lf((r1 - k).toInt) -
+        lf((c1 - k).toInt) - lf((r2 - c1 + k).toInt)
+    val kLo = math.max(0L, c1 - r2)
+    val kHi = math.min(r1, c1)
+    val lpObs = lp(a)
+    var acc = 0.0
+    var k = kLo
+    while (k <= kHi) {
+      val v = lp(k)
+      if (v <= lpObs)
+        acc = acc + java.lang.StrictMath.exp(v.toDouble / 1048576.0)
+      k += 1
+    }
+    val r6 = graft.functions.PValues.round6 _
+    val p = r6(math.min(1.0, acc))
+    val or: java.lang.Double =
+      if (b > 0 && c > 0)
+        r6((a.toDouble * d.toDouble) / (b.toDouble * c.toDouble))
+      else null
+    spark.createDataFrame(
+      Seq(Row(n, a, b, c, d, or, p)).asJava,
+      StructType(Seq(
+        StructField("n", LongType, false),
+        StructField("n11", LongType, false),
+        StructField("n12", LongType, false),
+        StructField("n21", LongType, false),
+        StructField("n22", LongType, false),
+        StructField("odds_ratio", DoubleType, true),
+        StructField("p_value", DoubleType, false))))
+  }
+
+  /** Two-proportion z-test — the CONVERSION-RATE comparison every A/B
+    * readout starts with (purchase rate, click-through, filter pass
+    * rate): z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the POOLED
+    * p̂ (the H₀-consistent standard error), two-sided p = erfc(|z|/√2)
+    * via the [[graft.functions.PValues]] pinned kernel, and the
+    * effect-size columns a raw z cannot give: the absolute lift
+    * p̂_a − p̂_b and the relative lift (p̂_a − p̂_b)/p̂_b (NULL when
+    * p̂_b = 0).
+    *
+    * `df` carries one row per unit with boolean `successCol` (NULL
+    * units drop — not exposed, not converted) and arm labels in
+    * `groupCol`; `armA`/`armB` name the two arms to compare (extra
+    * arms are ignored — run per pair). Determinism: counts are exact
+    * longs; the z is ONE pinned-order double expression over them;
+    * a degenerate pooled p̂ ∈ {0, 1} (no variance) pins z = 0, p = 1.
+    *
+    * Shape at scale: one map-side-combined conditional-count pass — the
+    * data never shuffles, two rows reach the driver. Output ONE row:
+    * (n_a, n_b, k_a, k_b, rate_a, rate_b, lift, lift_rel, z, p_value).
+    */
+  def proportionsZ(df: DataFrame, groupCol: String, successCol: String,
+      armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val spark = df.sparkSession
+    val counts = df
+      .where(col(groupCol).isNotNull && col(successCol).isNotNull
+        && col(groupCol).cast("string").isin(armA, armB))
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L))
+          .as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (na, ka) = counts.getOrElse(armA,
+      throw new IllegalArgumentException(s"arm '$armA' has no rows"))
+    val (nb, kb) = counts.getOrElse(armB,
+      throw new IllegalArgumentException(s"arm '$armB' has no rows"))
+    val ra = ka.toDouble / na.toDouble
+    val rb = kb.toDouble / nb.toDouble
+    val pool = (ka + kb).toDouble / (na + nb).toDouble
+    val se2 = pool * (1.0 - pool) * (1.0 / na.toDouble + 1.0 / nb.toDouble)
+    val z = if (se2 > 0) (ra - rb) / math.sqrt(se2) else 0.0
+    val r6 = graft.functions.PValues.round6 _
+    val pv = r6(graft.functions.PValues.pTwoSidedZ(z))
+    val liftRel: java.lang.Double =
+      if (rb > 0) r6((ra - rb) / rb) else null
+    spark.createDataFrame(
+      Seq(Row(na, nb, ka, kb, r6(ra), r6(rb), r6(ra - rb), liftRel,
+        r6(z), pv)).asJava,
+      StructType(Seq(
+        StructField("n_a", LongType, false),
+        StructField("n_b", LongType, false),
+        StructField("k_a", LongType, false),
+        StructField("k_b", LongType, false),
+        StructField("rate_a", DoubleType, false),
+        StructField("rate_b", DoubleType, false),
+        StructField("lift", DoubleType, false),
+        StructField("lift_rel", DoubleType, true),
+        StructField("z", DoubleType, false),
+        StructField("p_value", DoubleType, false))))
+  }
+
   /** Per-group exact sufficient statistics for the variance-analysis
     * family: (grp, n, S, Q) with S = Σ round(x·2^20) and Q = Σ fp(x)²,
     * both DECIMAL(38,0) (order-insensitive, engine-exact; Q fits 38
@@ -870,7 +1119,7 @@ object Drift {
       .groupBy("__g")
       .agg(count(lit(1)).as("n"), sum(col("__fp")).as("s"),
         sum(col("__fp") * col("__fp")).as("q"))
-      .collect().sortBy(_.getString(0))
+      .collect().sortBy(_.getString(0))(Utf8Order)
   }
 
   /** One-way ANOVA F — the PARAMETRIC sibling of [[kruskalWallis]]
@@ -939,9 +1188,14 @@ object Drift {
     * treatment-vs-control value metrics): t = (m_a − m_b)/√(v_a/n_a +
     * v_b/n_b) with the Welch–Satterthwaite effective dof. Exact
     * fixed-point sufficient statistics ([[anovaF]]'s sums), pinned-
-    * order doubles, no p (erf-free convention — |t| with dof is the
-    * readout, or run [[meanPermutationTest]] for exact significance).
-    * Output ONE row: (n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof).
+    * order doubles. `p_normal` (round 16) is the LARGE-SAMPLE normal
+    * approximation erfc(|t|/√2) from the unrounded t — named `p_normal`,
+    * not `p_value`, because the exact reference for Welch's t is
+    * Student-t with fractional dof (at the corpus-scale n this engine
+    * targets, dof is in the thousands and t_dof ≡ N(0,1) to well past
+    * 6dp; for tiny samples read t against the t-table, or run
+    * [[meanPermutationTest]] for exact significance). Output ONE row:
+    * (n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof, p_normal).
     */
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val spark = a.sparkSession
@@ -968,9 +1222,12 @@ object Drift {
     else 0.0
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val pv = graft.functions.PValues.round6(
+      graft.functions.PValues.pTwoSidedZ(t))
     import spark.implicits._
-    Seq((na, nb, r6(ma), r6(mb), r6(va), r6(vb), r6(t), r6(dof)))
-      .toDF("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t", "dof")
+    Seq((na, nb, r6(ma), r6(mb), r6(va), r6(vb), r6(t), r6(dof), pv))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t",
+        "dof", "p_normal")
   }
 
   /** Brown–Forsythe variance-homogeneity test (Levene's test with the
@@ -1199,6 +1456,12 @@ object Drift {
       .where(col("v").isNotNull)
     val bv = b.select(col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
+    // counts + the friendly require run BEFORE the bounds collect: an
+    // empty reference snapshot must surface as this message, not as a
+    // null unwrap on percentile's NULL result (round-15 ADVICE)
+    val na = av.count()
+    val nb = bv.count()
+    require(na > 0 && nb > 0, s"both snapshots need rows: $na, $nb")
     val bounds = av.agg(expr(
       s"percentile(v, array(${(0 to nBins).map(i =>
         s"${i.toDouble / nBins}").mkString(",")}))").as("q"))
@@ -1225,9 +1488,6 @@ object Drift {
       StructType(Seq(StructField("bin", LongType, false),
         StructField("lo", DoubleType, false),
         StructField("hi", DoubleType, false))))
-    val na = av.count()
-    val nb = bv.count()
-    require(na > 0 && nb > 0, s"both snapshots need rows: $na, $nb")
     val eps = 1e-6
     val scale = (1L << 20).toDouble
     val cells = grid

@@ -61,19 +61,48 @@ object TimeSeries {
     * back on (key, hod) — grid-sized, never event-sized.
     */
   def seasonalDeviation(df: DataFrame, tsCol: String, keyCol: String,
-      lo: Double = 0.25, hi: Double = 4.0): DataFrame = {
+      lo: Double = 0.25, hi: Double = 4.0): DataFrame =
+    seasonalDeviationBy(df, tsCol, keyCol, lo, hi, "hod",
+      c => hour(c).cast("long"))
+
+  /** Hour-of-WEEK seasonal deviation flags (round 16): the 168-cell
+    * weekly profile [[seasonalDeviation]]'s 24-cell daily profile is
+    * blind to — weekday-vs-weekend structure (Monday 9 a.m. is not
+    * anomalous for dwarfing Sunday 9 a.m., only for deviating from
+    * other Monday 9 a.m.'s). Bucket index `how` = dow·24 + hour with
+    * dow 0 = Sunday (Spark `dayofweek` − 1 == DuckDB `dow` — the pinned
+    * cross-engine convention). Same grid-sized shape: the gapfill plan
+    * plus ONE (key, how)-keyed map-side-combined aggregate joined back
+    * — 168 baseline cells per key, never event-sized. Output
+    * (key, hour_start, how, n_events, how_mean, ratio, anomalous).
+    */
+  def seasonalDeviationWeekly(df: DataFrame, tsCol: String,
+      keyCol: String, lo: Double = 0.25, hi: Double = 4.0): DataFrame =
+    seasonalDeviationBy(df, tsCol, keyCol, lo, hi, "how",
+      c => ((dayofweek(c) - 1) * 24 + hour(c)).cast("long"))
+
+  /** Shared seasonal-baseline machinery: compare every (key, hour) cell
+    * of the dense grid against the mean of ITS OWN seasonal bucket
+    * (`bucketOf(hour_start)`), exact long sum / count division, 6dp
+    * ratio, [lo, hi] flags — zero-mean buckets flag any nonzero count.
+    */
+  private def seasonalDeviationBy(df: DataFrame, tsCol: String,
+      keyCol: String, lo: Double, hi: Double, bucketName: String,
+      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     require(lo >= 0 && hi > lo, s"need 0 <= lo < hi, got [$lo, $hi]")
+    val meanName = s"${bucketName}_mean"
     val dense = gapfillHourly(df, tsCol, keyCol)
-    val withHod = dense.withColumn("hod", hour(col("hour_start")).cast("long"))
-    val baseline = withHod.groupBy(col(keyCol), col("hod"))
+    val withB = dense.withColumn(bucketName, bucketOf(col("hour_start")))
+    val baseline = withB.groupBy(col(keyCol), col(bucketName))
       .agg(sum("n_events").as("__s"), count(lit(1)).as("__n"))
-      .select(col(keyCol), col("hod"),
-        (col("__s").cast("double") / col("__n")).as("hod_mean"))
-    withHod.join(baseline, Seq(keyCol, "hod"))
-      .select(col(keyCol), col("hour_start"), col("hod"), col("n_events"),
-        col("hod_mean"),
-        (round(when(col("hod_mean") > 0,
-          col("n_events").cast("double") / col("hod_mean"))
+      .select(col(keyCol), col(bucketName),
+        (col("__s").cast("double") / col("__n")).as(meanName))
+    withB.join(baseline, Seq(keyCol, bucketName))
+      .select(col(keyCol), col("hour_start"), col(bucketName),
+        col("n_events"), col(meanName),
+        (round(when(col(meanName) > 0,
+          col("n_events").cast("double") / col(meanName))
           .otherwise(when(col("n_events") > 0, lit(hi + 1)).otherwise(lit(1.0))), 6)
           + lit(0d)).as("ratio"))
       .withColumn("anomalous", col("ratio") < lo || col("ratio") > hi)
@@ -180,9 +209,11 @@ object TimeSeries {
     * S = Σ_{i<j} sign(x_j − x_i), Var(S) = [n(n−1)(2n+5) −
     * Σ_ties t(t−1)(2t+5)]/18, z = (S∓1)/√Var with the classic
     * continuity correction (z = 0 when S = 0). Exact integer S and
-    * tie sums (DECIMAL(38,0)); z one pinned-order double; no p (the
-    * erf-free convention). Output per key:
-    * (key, n_hours, s, var_s, z).
+    * tie sums (DECIMAL(38,0)); z one pinned-order double; `p_value`
+    * (round 16) = two-sided normal erfc(|z|/√2) via the
+    * [[graft.functions.PValues]] pinned kernel, computed in-plan from
+    * the UNROUNDED z. Output per key:
+    * (key, n_hours, s, var_s, z, p_value).
     *
     * Shape at scale: the same per-key TIME²-bounded pair pass as
     * [[theilSen]] plus a value-cardinality tie rollup.
@@ -214,14 +245,17 @@ object TimeSeries {
     val nn = col("n_hours").cast("double")
     val varS = (nn * (nn - 1) * (nn * 2 + 5)
       - col("__tsum").cast("double")) / 18.0
+    val zRaw = when(varS > 0 && col("s") > 0,
+        (col("s").cast("double") - 1) / sqrt(varS))
+      .when(varS > 0 && col("s") < 0,
+        (col("s").cast("double") + 1) / sqrt(varS))
+      .otherwise(lit(0d))
     base.join(s, Seq(keyCol)).join(ties, Seq(keyCol))
       .select(col(keyCol), col("n_hours"), col("s"),
         (round(varS, 6) + lit(0d)).as("var_s"),
-        (round(when(varS > 0 && col("s") > 0,
-          (col("s").cast("double") - 1) / sqrt(varS))
-          .when(varS > 0 && col("s") < 0,
-            (col("s").cast("double") + 1) / sqrt(varS))
-          .otherwise(lit(0d)), 6) + lit(0d)).as("z"))
+        (round(zRaw, 6) + lit(0d)).as("z"),
+        (round(graft.functions.PValues.pTwoSidedZCol(zRaw), 6) + lit(0d))
+          .as("p_value"))
   }
 
   /** Per-key rolling window aggregate: for every event, the count and

@@ -27,6 +27,49 @@ object ExtensionQueries {
   private def events(spark: SparkSession, dir: String) =
     Tables.events(spark, dir)
 
+  /** Deterministic MESSY crawl URLs derived from the documents table —
+    * the url_normalize / domain_mix gate input: every pinned
+    * normalization rule gets exercised (uppercase scheme+host, a www
+    * prefix, the scheme's default port, a trailing slash every 4th doc,
+    * utm-only / mixed tracking queries, fragments every 5th doc). The
+    * oracle builds the IDENTICAL string ([[urlSrcCte]]).
+    */
+  private def urlDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("n_chars"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("HTTP://")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+        lit("/Path/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=x&utm_campaign="),
+            (col("doc_id") % 2).cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?id="), (col("doc_id") % 5).cast("string"),
+              lit("&gclid=G123&q=a+b")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#Section-2")).otherwise(lit("")))
+        .as("url"))
+
+  /** The DuckDB replica of [[urlDocs]] as a CTE body named `src`. */
+  private lazy val urlSrcCte: String = """src AS (
+        SELECT doc_id, n_chars,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'HTTP://' END)
+          || source || '.Example.COM'
+          || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+          || '/Path/' || (doc_id % 50)::VARCHAR
+          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=x&utm_campaign=' || (doc_id % 2)::VARCHAR
+              WHEN doc_id % 3 = 1
+                THEN '?id=' || (doc_id % 5)::VARCHAR || '&gclid=G123&q=a+b'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
+            AS url
+        FROM documents)"""
+
   /** The quality classifier's scores rejoined with the training label —
     * the shared input of the classifier_auc / classifier_eval /
     * classify_calibration evaluation gates.
@@ -381,6 +424,187 @@ object ExtensionQueries {
     @volatile var rotation: Option[Seq[Seq[Double]]] = None
   }
 
+  /** Runtime-observed dof handoff for the ANY-dof χ² survival oracles
+    * (ab_kruskal, ab_chi2_independence): the unrolled series length
+    * depends on the OBSERVED arm/category counts, so the oracle builder
+    * reads what the query measured (the [[OpqTrained]] contract —
+    * Verify dumps oracle SQL AFTER running every query). An UNSET
+    * holder dumps a loud `SELECT error(...)` statement — the gate then
+    * fails visibly instead of silently passing a degraded replay.
+    */
+  private[queries] object StatTrained {
+    @volatile var kruskalDof: Option[Int] = None
+    @volatile var chi2Dof: Option[Int] = None
+    @volatile var fisherN: Option[Int] = None
+  }
+
+  /** Loud-failure oracle for dump-time-trained replays whose trained
+    * state is missing (the query never ran, or failed, in this JVM):
+    * DuckDB raises on error(), so the driver records an errored gate
+    * row — never a silent pass against stale state.
+    */
+  private def untrainedOracle(name: String, what: String): String =
+    s"SELECT error('$name: oracle dumped without $what — the query " +
+      "did not run (or failed) in this JVM')"
+
+  /** Replay of Drift.kruskalWallis: per-(group, value) exact counts,
+    * window cumulative CDF (the oracle may window; the engine may not),
+    * exact HUGEINT 2·R_g and tie sums, group-ASC list_reduce fold for
+    * Σ R²/n, pinned-order H — and the χ²(k−1) survival p UNROLLED at
+    * dump time from the OBSERVED arm count via
+    * [[graft.functions.PValues.chiSqSurvivalSql]] (round 16; the old
+    * static CASE hardcoded dof 2/4 arms and silently NULLed any other —
+    * the round-14 ADVICE defect).
+    */
+  private def kruskalOracle: String = StatTrained.kruskalDof match {
+    case None => untrainedOracle("ab_kruskal", "the observed dof")
+    case Some(dof) =>
+      val p = graft.functions.PValues.chiSqSurvivalSql("hh.h", dof)
+      s"""
+      WITH gv AS (
+        SELECT o_orderpriority::VARCHAR AS g, o_totalprice::DOUBLE AS v,
+          count(*)::BIGINT AS c
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2),
+      vc AS (SELECT v, sum(c)::BIGINT AS k FROM gv GROUP BY 1),
+      cdf AS (SELECT v, k, sum(k) OVER (ORDER BY v) - k AS cx FROM vc),
+      pg AS (
+        SELECT g, sum(c)::BIGINT AS n,
+          sum(c::HUGEINT * (2 * cx::HUGEINT + k::HUGEINT + 1)) AS r2
+        FROM gv JOIN cdf USING (v) GROUP BY g),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS kg,
+          (SELECT sum(k::HUGEINT * k::HUGEINT * k::HUGEINT - k::HUGEINT)
+           FROM vc) AS tie,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(r2::DOUBLE / 2 * (r2::DOUBLE / 2) / n::DOUBLE ORDER BY g)),
+            (a, b) -> a + b) AS s
+        FROM pg),
+      hh AS (
+        SELECT nn, kg,
+          CASE WHEN (1.0::DOUBLE - tie::DOUBLE
+              / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE)) > 0
+            THEN (12.0::DOUBLE / (nn::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
+                * s - 3.0::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
+              / (1.0::DOUBLE - tie::DOUBLE
+                / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE))
+            ELSE 12.0::DOUBLE / (nn::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
+              * s - 3.0::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE) END AS h
+        FROM tot)
+      SELECT pg.g AS grp, pg.n,
+        pg.r2::DOUBLE / 2 AS rank_sum,
+        (round(pg.r2::DOUBLE / 2 / pg.n::DOUBLE, 6) + 0.0) AS mean_rank,
+        (round(hh.h, 6) + 0.0) AS h,
+        (hh.kg - 1)::BIGINT AS dof,
+        (round($p, 6) + 0.0) AS p_value
+      FROM pg, hh
+      ORDER BY grp"""
+  }
+
+  /** Replay of Drift.chiSquareIndependence: exact cell/margin counts,
+    * full-grid empty-cell terms, ×2^20 fixed-point cross-cell sum — and
+    * (round 16) the ANY-dof χ² survival p unrolled at dump time from
+    * the observed (r−1)(c−1).
+    */
+  private def chi2IndependenceOracle: String = StatTrained.chi2Dof match {
+    case None =>
+      untrainedOracle("ab_chi2_independence", "the observed dof")
+    case Some(dof) =>
+      val p =
+        if (dof >= 1)
+          "(round(" +
+            graft.functions.PValues.chiSqSurvivalSql("tc.x", dof) +
+            ", 6) + 0.0)"
+        else "NULL::DOUBLE"
+      s"""
+      WITH ev AS (
+        SELECT coalesce(event_type, '(null)') AS x,
+          coalesce(((epoch_us(ts) // 3600000000) % 24)::VARCHAR,
+            '(null)') AS y
+        FROM events),
+      occ AS (SELECT x, y, count(*)::BIGINT AS o FROM ev GROUP BY 1, 2),
+      rx AS (SELECT x, sum(o)::BIGINT AS rx FROM occ GROUP BY 1),
+      cy AS (SELECT y, sum(o)::BIGINT AS cy FROM occ GROUP BY 1),
+      tot AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT x)::BIGINT AS r,
+        count(DISTINCT y)::BIGINT AS c FROM occ),
+      cells AS (
+        SELECT rx.x, cy.y, rx.rx, cy.cy, coalesce(occ.o, 0) AS o
+        FROM rx CROSS JOIN cy LEFT JOIN occ USING (x, y)),
+      t AS (
+        SELECT n, r, c,
+          sum(round(((o::DOUBLE - rx::DOUBLE * cy::DOUBLE / n::DOUBLE)
+            * (o::DOUBLE - rx::DOUBLE * cy::DOUBLE / n::DOUBLE)
+            / (rx::DOUBLE * cy::DOUBLE / n::DOUBLE))
+            * 1048576.0)::BIGINT)::BIGINT AS chi2fp
+        FROM cells, tot
+        GROUP BY n, r, c),
+      tc AS (
+        SELECT n, r, c, chi2fp::DOUBLE / 1048576.0 AS x FROM t)
+      SELECT n, r AS n_rows_x, c AS n_cols_y,
+        (round(tc.x, 6) + 0.0) AS chi2,
+        ((r - 1) * (c - 1))::BIGINT AS dof,
+        (round(CASE WHEN r > 1 AND c > 1 THEN
+          sqrt(tc.x
+            / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)) END, 6) + 0.0)
+          AS cramers_v,
+        $p AS p_value
+      FROM tc"""
+  }
+
+  /** Replay of Drift.fisherExact on the nation 2×2: the ×2^20
+    * log-factorial prefix table rides as dump-time BIGINT list literals
+    * (generated by the SAME StrictMath.log recurrence the operator
+    * used, so the integer log-pmf combinations — and therefore the
+    * two-sided inclusion set — are exact on both engines); the tail sum
+    * folds ascending-k, clamps, rounds 6dp.
+    */
+  private def fisherOracle: String = StatTrained.fisherN match {
+    case None => untrainedOracle("ab_fisher", "the observed table size")
+    case Some(n) =>
+      val lfl = graft.ops.Drift.logFactFp(n).mkString("[", ", ", "]")
+      s"""
+      WITH lf AS (SELECT $lfl::BIGINT[] AS v),
+      src AS (
+        SELECT n_regionkey <= 1 AS x, n_nationkey % 2 = 0 AS y
+        FROM nation
+        WHERE n_regionkey IS NOT NULL AND n_nationkey IS NOT NULL),
+      cells AS (
+        SELECT
+          coalesce(sum(CASE WHEN x AND y THEN 1 END), 0)::BIGINT AS a,
+          coalesce(sum(CASE WHEN x AND NOT y THEN 1 END), 0)::BIGINT AS b,
+          coalesce(sum(CASE WHEN NOT x AND y THEN 1 END), 0)::BIGINT AS c,
+          coalesce(sum(CASE WHEN NOT x AND NOT y THEN 1 END), 0)::BIGINT
+            AS d
+        FROM src),
+      m AS (
+        SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+          b + d AS c2, a + b + c + d AS nn
+        FROM cells),
+      ks AS (
+        SELECT m.*, unnest(generate_series(greatest(0, c1 - r2),
+          least(r1, c1))) AS k
+        FROM m),
+      lp AS (
+        SELECT ks.k, ks.a,
+          (lf.v[ks.r1 + 1] + lf.v[ks.r2 + 1] + lf.v[ks.c1 + 1]
+            + lf.v[ks.c2 + 1] - lf.v[ks.nn + 1] - lf.v[ks.k + 1]
+            - lf.v[ks.r1 - ks.k + 1] - lf.v[ks.c1 - ks.k + 1]
+            - lf.v[ks.r2 - ks.c1 + ks.k + 1])::BIGINT AS lpfp
+        FROM ks, lf),
+      obs AS (SELECT lpfp AS lpobs FROM lp WHERE k = a),
+      ps AS (
+        SELECT least(1.0::DOUBLE, list_reduce(list_prepend(0.0::DOUBLE,
+          list(exp(lpfp::DOUBLE / 1048576.0) ORDER BY k)),
+          (x, y) -> x + y)) AS p
+        FROM lp, obs WHERE lpfp <= lpobs)
+      SELECT nn AS n, a AS n11, b AS n12, c AS n21, d AS n22,
+        (CASE WHEN b > 0 AND c > 0 THEN round((a::DOUBLE * d::DOUBLE)
+          / (b::DOUBLE * c::DOUBLE), 6) + 0.0 END) AS odds_ratio,
+        (round(ps.p, 6) + 0.0) AS p_value
+      FROM m, ps"""
+  }
+
   /** The pq_recall_opq oracle, built AT DUMP TIME from the trained OPQ
     * rotation: rotate every embedding row with dim literal-coefficient
     * dot products (same sequential fold + 6dp round + -0 normalization
@@ -389,14 +613,16 @@ object ExtensionQueries {
     * train/encode/ADC chain over the rotated CTE, and score recall
     * against the RAW-embedding exact-L2 truth — the identical truth
     * block as the pq_recall oracle, so the two gauges stay directly
-    * comparable. Falls back to the identity rotation when no query ran
-    * in this JVM (contract tests build the map without data; the
-    * driver's Verify always runs the query first).
+    * comparable. When no query ran in this JVM the dump is a LOUD
+    * error() statement (round 16, closing the round-14 ADVICE hole: the
+    * old identity-rotation fallback could silently pass against stale
+    * parquet if the query failed mid-Verify).
     */
   private def opqRecallOracle: String = {
+    if (OpqTrained.rotation.isEmpty)
+      return untrainedOracle("pq_recall_opq", "a trained OPQ rotation")
     val dim = 64
-    val rot = OpqTrained.rotation.getOrElse(
-      Seq.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0))
+    val rot = OpqTrained.rotation.get
     val rlit = rot.map(_.map(x => s"'${x.toString}'")
       .mkString("[", ",", "]")).mkString("[", ",\n        ", "]")
     s"""WITH rotlit AS (
@@ -2466,6 +2692,15 @@ object ExtensionQueries {
         .orderBy("event_type", "hour_start")
     },
 
+    // Hour-of-WEEK seasonal flags (168 cells): the weekday/weekend
+    // structure the hour-of-day baseline is blind to — Monday 9am is
+    // only anomalous vs other Monday 9am's.
+    "events_seasonal_weekly" -> { (spark, dir) =>
+      TimeSeries.seasonalDeviationWeekly(events(spark, dir), "ts",
+          "event_type", lo = SeasonalLo, hi = SeasonalHi)
+        .orderBy("event_type", "hour_start")
+    },
+
     // Autocorrelation r_1..r_24 per event type over the dense hourly
     // count series — the periodicity/burstiness readout (daily rhythm
     // peaks at lag 24); exact integer cross sums, gaps count as zeros.
@@ -3254,7 +3489,42 @@ object ExtensionQueries {
       val ev = Tables.eventsRaw(spark, dir)
         .select(col("event_type"),
           expr("(ts div 3600000000) % 24").as("hour"))
-      Drift.chiSquareIndependence(ev, "event_type", "hour")
+      val df = Drift.chiSquareIndependence(ev, "event_type", "hour")
+      // dof handoff for the dump-time oracle series (local one-row DF)
+      StatTrained.chi2Dof = Some(df.select("dof").head.getLong(0).toInt)
+      df
+    },
+
+    // Fisher's EXACT 2x2 test — the valid small-count companion to
+    // ab_chi2_independence (chi2 needs expected cells >= 5; rare-event
+    // arms violate that): low-key regions (0-1) vs nation-key parity on
+    // the 25-row nation table. Exact hypergeometric two-sided p from
+    // integer comparisons on the x2^20 log-factorial grid; the oracle
+    // replays the identical table from dump-time literals.
+    "ab_fisher" -> { (spark, dir) =>
+      val nat = spark.read.parquet(s"$dir/nation.parquet")
+        .select((col("n_regionkey") <= 1).as("x"),
+          (col("n_nationkey") % 2 === 0).as("y"))
+      val df = Drift.fisherExact(nat, "x", "y")
+      // table-size handoff for the dump-time literal table (local DF)
+      StatTrained.fisherN = Some(df.select("n").head.getLong(0).toInt)
+      df
+    },
+
+    // Canonical URL normalization over deterministic messy crawl URLs:
+    // fragment strip, scheme/host lowercase, default-port strip,
+    // trailing-slash strip, tracking-param strip (order-preserving).
+    "url_normalize" -> { (spark, dir) =>
+      Url.normalize(urlDocs(spark, dir), "url")
+        .select("doc_id", "url", "url_norm")
+        .orderBy("doc_id")
+    },
+
+    // Per-domain doc/token share report off the canonical host — the
+    // mixture-policy input table feeding stratum_token_cap/rebalance.
+    "domain_mix" -> { (spark, dir) =>
+      Url.domainMix(urlDocs(spark, dir), "url", "n_chars")
+        .orderBy("domain")
     },
 
     // Wilcoxon signed-rank over PAIRED per-user means: did each user's
@@ -3295,12 +3565,16 @@ object ExtensionQueries {
     // Kruskal–Wallis k-sample rank test across the five order-priority
     // arms on order value — the multi-arm completion of the rank family:
     // joint midrank ranking, exact integer rank sums, tie-corrected H,
-    // even-dof chi2 survival p (dof = 4 here).
+    // ANY-dof chi2 survival p (dof = 4 here; the oracle unrolls the
+    // series from the observed arm count at dump time).
     "ab_kruskal" -> { (spark, dir) =>
-      Drift.kruskalWallis(
+      val df = Drift.kruskalWallis(
           spark.read.parquet(s"$dir/orders.parquet"),
           "o_orderpriority", "o_totalprice")
         .orderBy("grp")
+      // dof handoff for the dump-time oracle series (local k-row DF)
+      StatTrained.kruskalDof = Some(df.select("dof").head.getLong(0).toInt)
+      df
     },
 
     // One-way ANOVA F over the same five arms — the parametric sibling
@@ -3442,6 +3716,16 @@ object ExtensionQueries {
 
     "text_zipf" -> { (spark, dir) =>
       TextAnalysis.zipfFit(docs(spark, dir), "text", topN = ZipfTopN)
+    },
+
+    // Two-proportion z-test: purchase rate of the user-parity arms —
+    // the conversion-rate readout with pooled-SE z, erfc p, and the
+    // absolute/relative lift effect sizes.
+    "ab_proportions" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+        .select(concat(lit("g"), (col("user_id") % 2).cast("string"))
+          .as("arm"), (col("event_type") === "purchase").as("success"))
+      Drift.proportionsZ(ev, "arm", "success", "g0", "g1")
     },
 
     // SRM guard: arms by user-id parity against the designed 1:1 split;
@@ -4073,7 +4357,10 @@ object ExtensionQueries {
     * rather than frozen at object init.
     */
   def oracles: Map[String, String] =
-    staticOracles + ("pq_recall_opq" -> opqRecallOracle)
+    staticOracles + ("pq_recall_opq" -> opqRecallOracle) +
+      ("ab_kruskal" -> kruskalOracle) +
+      ("ab_chi2_independence" -> chi2IndependenceOracle) +
+      ("ab_fisher" -> fisherOracle)
 
   private lazy val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -6938,7 +7225,7 @@ object ExtensionQueries {
 
     // Replay of TimeSeries.mannKendall: exact integer S over the grid
     // pairs, HUGEINT tie rollup, continuity-corrected z.
-    "ts_mannkendall" -> """
+    "ts_mannkendall" -> s"""
       WITH c AS (
         SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
           event_type, count(*) AS n_events
@@ -6975,15 +7262,21 @@ object ExtensionQueries {
           (nh.n_hours::DOUBLE * (nh.n_hours::DOUBLE - 1)
             * (nh.n_hours::DOUBLE * 2 + 5)
             - ties.tsum::DOUBLE) / 18.0 AS var_s
-        FROM nh JOIN s USING (event_type) JOIN ties USING (event_type))
-      SELECT event_type, n_hours, s,
-        (round(var_s, 6) + 0.0) AS var_s,
-        (round(CASE WHEN var_s > 0 AND s > 0
+        FROM nh JOIN s USING (event_type) JOIN ties USING (event_type)),
+      zz AS (
+        SELECT event_type, n_hours, s, var_s,
+          CASE WHEN var_s > 0 AND s > 0
             THEN (s::DOUBLE - 1) / sqrt(var_s)
           WHEN var_s > 0 AND s < 0
             THEN (s::DOUBLE + 1) / sqrt(var_s)
-          ELSE 0.0::DOUBLE END, 6) + 0.0) AS z
-      FROM vv
+          ELSE 0.0::DOUBLE END AS zraw
+        FROM vv)
+      SELECT event_type, n_hours, s,
+        (round(var_s, 6) + 0.0) AS var_s,
+        (round(zraw, 6) + 0.0) AS z,
+        (round(${graft.functions.PValues.pTwoSidedZSql("zraw")}, 6) + 0.0)
+          AS p_value
+      FROM zz
       ORDER BY event_type""",
 
     // Replay of Profile.gini: per-(group, fixed-point value) counts,
@@ -8388,6 +8681,46 @@ object ExtensionQueries {
       FROM dense d JOIN base USING (event_type, hod)
       ORDER BY event_type, hour_start""",
 
+    // Replay of TimeSeries.seasonalDeviationWeekly: the gapfill grid,
+    // how = dow*24 + hour (DuckDB dow Sunday=0 == Spark dayofweek−1),
+    // per-(key, how) mean as one exact division, ratio at 6dp.
+    "events_seasonal_weekly" -> s"""
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type, g.hour_start,
+          coalesce(c.n_events, 0)::BIGINT AS n_events,
+          CAST(extract(dow FROM g.hour_start) * 24
+            + extract(hour FROM g.hour_start) AS BIGINT) AS how
+        FROM g LEFT JOIN c USING (event_type, hour_start)),
+      base AS (
+        SELECT event_type, how,
+          sum(n_events)::DOUBLE / count(*) AS how_mean
+        FROM dense GROUP BY 1, 2)
+      SELECT d.event_type, d.hour_start, d.how, d.n_events, base.how_mean,
+        (round(CASE WHEN base.how_mean > 0
+            THEN d.n_events::DOUBLE / base.how_mean
+            ELSE CASE WHEN d.n_events > 0 THEN ${SeasonalHi + 1} ELSE 1.0 END
+          END, 6) + 0) AS ratio,
+        (round(CASE WHEN base.how_mean > 0
+            THEN d.n_events::DOUBLE / base.how_mean
+            ELSE CASE WHEN d.n_events > 0 THEN ${SeasonalHi + 1} ELSE 1.0 END
+          END, 6) + 0) < $SeasonalLo
+        OR (round(CASE WHEN base.how_mean > 0
+            THEN d.n_events::DOUBLE / base.how_mean
+            ELSE CASE WHEN d.n_events > 0 THEN ${SeasonalHi + 1} ELSE 1.0 END
+          END, 6) + 0) > $SeasonalHi AS anomalous
+      FROM dense d JOIN base USING (event_type, how)
+      ORDER BY event_type, hour_start""",
+
     // Replay of the gapfill |> outliersMad chain: dense counts first,
     // then discrete median/MAD and the modified z-score on them.
     "events_anomaly" -> s"""
@@ -9007,42 +9340,87 @@ object ExtensionQueries {
     // Replay of Drift.chiSquareIndependence: same cells/margins, scalar
     // per-cell terms over exact integers, x2^20 fixed-point cross-cell
     // sum, Cramer's V in the operator's double order.
-    "ab_chi2_independence" -> """
-      WITH ev AS (
-        SELECT coalesce(event_type, '(null)') AS x,
-          coalesce(((epoch_us(ts) // 3600000000) % 24)::VARCHAR,
-            '(null)') AS y
-        FROM events),
-      occ AS (SELECT x, y, count(*)::BIGINT AS o FROM ev GROUP BY 1, 2),
-      rx AS (SELECT x, sum(o)::BIGINT AS rx FROM occ GROUP BY 1),
-      cy AS (SELECT y, sum(o)::BIGINT AS cy FROM occ GROUP BY 1),
-      tot AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT x)::BIGINT AS r,
-        count(DISTINCT y)::BIGINT AS c FROM occ),
-      cells AS (
-        SELECT rx.x, cy.y, rx.rx, cy.cy, coalesce(occ.o, 0) AS o
-        FROM rx CROSS JOIN cy LEFT JOIN occ USING (x, y)),
-      t AS (
-        SELECT n, r, c,
-          sum(round(((o::DOUBLE - rx::DOUBLE * cy::DOUBLE / n::DOUBLE)
-            * (o::DOUBLE - rx::DOUBLE * cy::DOUBLE / n::DOUBLE)
-            / (rx::DOUBLE * cy::DOUBLE / n::DOUBLE))
-            * 1048576.0)::BIGINT)::BIGINT AS chi2fp
-        FROM cells, tot
-        GROUP BY n, r, c)
-      SELECT n, r AS n_rows_x, c AS n_cols_y,
-        (round(chi2fp::DOUBLE / 1048576.0, 6) + 0.0) AS chi2,
-        ((r - 1) * (c - 1))::BIGINT AS dof,
-        (round(CASE WHEN r > 1 AND c > 1 THEN
-          sqrt(chi2fp::DOUBLE / 1048576.0
-            / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)) END, 6) + 0.0)
-          AS cramers_v
-      FROM t""",
+    // Replay of Url.normalize over the shared messy-URL construction:
+    // the same pinned rule chain — fragment strip, lowercase
+    // scheme/authority, scheme-default port strip, trailing-slash
+    // strip, order-preserving tracking-param filter.
+    "url_normalize" -> s"""
+      WITH $urlSrcCte,
+      n1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag
+             FROM src),
+      n2 AS (
+        SELECT *, CASE WHEN position('://' IN nofrag) > 0
+            THEN lower(split_part(nofrag, '://', 1)) END AS scheme,
+          substr(nofrag, position('://' IN nofrag) + 3) AS rest
+        FROM n1),
+      n3 AS (
+        SELECT *,
+          CASE WHEN scheme = 'http'
+              THEN regexp_replace(lower(split_part(rest, '/', 1)),
+                ':80$$', '')
+            WHEN scheme = 'https'
+              THEN regexp_replace(lower(split_part(rest, '/', 1)),
+                ':443$$', '')
+            ELSE lower(split_part(rest, '/', 1)) END AS auth,
+          substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        FROM n2),
+      n4 AS (
+        SELECT *,
+          regexp_replace(split_part(pathq, '?', 1), '/+$$', '') AS path,
+          CASE WHEN position('?' IN pathq) > 0
+            THEN substr(pathq, position('?' IN pathq) + 1) END AS query
+        FROM n3),
+      n5 AS (
+        SELECT *, CASE WHEN query IS NOT NULL
+            THEN list_filter(string_split(query, '&'),
+              p -> NOT (left(split_part(p, '=', 1), 4) = 'utm_'
+                OR split_part(p, '=', 1)
+                  IN ('gclid', 'fbclid', 'msclkid', 'ref')))
+            ELSE [] END AS kept
+        FROM n4)
+      SELECT doc_id, url,
+        CASE WHEN scheme IS NULL THEN NULL
+          ELSE scheme || '://' || auth || path
+            || (CASE WHEN len(kept) > 0
+                THEN '?' || array_to_string(kept, '&') ELSE '' END)
+        END AS url_norm
+      FROM n5 ORDER BY doc_id""",
+
+    // Replay of Url.domainMix: canonical host (lowercase authority,
+    // port strip, one www strip), domain-keyed counts + exact token
+    // sums, one-row totals for the shares.
+    "domain_mix" -> s"""
+      WITH $urlSrcCte,
+      d AS (
+        SELECT CASE WHEN position('://' IN split_part(url, '#', 1)) > 0
+            THEN regexp_replace(regexp_replace(
+              lower(split_part(substr(split_part(url, '#', 1),
+                position('://' IN split_part(url, '#', 1)) + 3),
+                '/', 1)), ':[0-9]+$$', ''), '^www\\.', '')
+          END AS domain,
+          coalesce(n_chars, 0)::BIGINT AS tok
+        FROM src),
+      per AS (
+        SELECT domain, count(*)::BIGINT AS n_docs,
+          sum(tok)::BIGINT AS n_tokens
+        FROM d GROUP BY 1),
+      tot AS (SELECT sum(n_docs)::BIGINT AS td,
+        sum(n_tokens)::BIGINT AS tt FROM per)
+      SELECT domain, n_docs,
+        (round(n_docs::DOUBLE / td, 6) + 0.0) AS doc_share,
+        n_tokens,
+        (round(n_tokens::DOUBLE / tt, 6) + 0.0) AS token_share
+      FROM per, tot ORDER BY domain""",
+
+    // ab_chi2_independence is a dump-time-trained oracle (the ANY-dof
+    // survival series unrolls from the observed dof) — see
+    // chi2IndependenceOracle above; it joins the map in `oracles`.
 
     // Replay of Drift.wilcoxonSignedRank over the per-user paired means:
     // fixed-point half means, x2^20-quantized diffs (the tie structure
     // is engine-exact), zero diffs drop, 2W+ = sum kp*(2*cumExcl + k + 1)
     // over |d| groups, tie-corrected z in the operator's double order.
-    "ab_wilcoxon" -> """
+    "ab_wilcoxon" -> s"""
       WITH ev AS (
         SELECT user_id, epoch_us(ts) AS ts,
           round(value * 1048576.0)::BIGINT AS vfp
@@ -9075,23 +9453,32 @@ object ExtensionQueries {
           sum(kp::HUGEINT * (2 * cx::HUGEINT + k::HUGEINT + 1)) AS w2p,
           sum(k::HUGEINT * k::HUGEINT * k::HUGEINT - k::HUGEINT) AS tie
         FROM ranked),
-      base AS (SELECT count(*)::BIGINT AS np FROM paired)
-      SELECT np AS n_pairs, nnz AS n_nonzero,
-        w2p::DOUBLE / 2 AS w_plus,
-        nnz::DOUBLE * (nnz::DOUBLE + 1) / 2.0 - w2p::DOUBLE / 2 AS w_minus,
-        (round(CASE WHEN nnz::DOUBLE * (nnz::DOUBLE + 1)
+      base AS (SELECT count(*)::BIGINT AS np FROM paired),
+      zc AS (
+        SELECT nnz, w2p,
+          CASE WHEN nnz::DOUBLE * (nnz::DOUBLE + 1)
               * (2 * nnz::DOUBLE + 1) / 24.0 - tie::DOUBLE / 48.0 > 0
           THEN (w2p::DOUBLE / 2 - nnz::DOUBLE * (nnz::DOUBLE + 1) / 4.0)
             / sqrt(nnz::DOUBLE * (nnz::DOUBLE + 1)
               * (2 * nnz::DOUBLE + 1) / 24.0 - tie::DOUBLE / 48.0)
-          ELSE 0.0 END, 6) + 0.0) AS z
-      FROM agg, base""",
+          ELSE 0.0::DOUBLE END AS zraw
+        FROM agg)
+      SELECT np AS n_pairs, nnz AS n_nonzero,
+        w2p::DOUBLE / 2 AS w_plus,
+        nnz::DOUBLE * (nnz::DOUBLE + 1) / 2.0 - w2p::DOUBLE / 2 AS w_minus,
+        (round(zraw, 6) + 0.0) AS z,
+        (round(${graft.functions.PValues.pTwoSidedZSql("zraw")}, 6) + 0.0)
+          AS p_value
+      FROM zc, base""",
 
     // Replay of Drift.mannWhitney: per-value counts, exclusive
     // cumulative-B (the oracle may use a global window; the operator may
     // not), exact HUGEINT 2U and Σ(t³−t), then the operator's pinned
-    // double order for u/var/z (no continuity correction).
-    "ab_mannwhitney" -> """
+    // double order for u/var/z (no continuity correction). Round 16:
+    // two-sided normal p from the UNROUNDED z via the shared pinned erfc
+    // kernel, and Cliff's delta 2U/(nA·nB) − 1 in the operator's double
+    // order.
+    "ab_mannwhitney" -> s"""
       WITH av AS (
         SELECT value AS v, count(*)::BIGINT AS na FROM events
         WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
@@ -9111,70 +9498,31 @@ object ExtensionQueries {
           sum(na::HUGEINT * (2 * cbx::HUGEINT + nb::HUGEINT)) AS u2,
           sum((na + nb)::HUGEINT * (na + nb)::HUGEINT * (na + nb)::HUGEINT
             - (na + nb)::HUGEINT) AS tie
-        FROM c)
-      SELECT na AS n_a, nb AS n_b,
-        u2::DOUBLE / 2 AS u_a,
-        na::DOUBLE * nb - u2::DOUBLE / 2 AS u_b,
-        (round(CASE WHEN na::DOUBLE * nb / 12.0
+        FROM c),
+      zc AS (
+        SELECT na, nb, u2,
+          CASE WHEN na::DOUBLE * nb / 12.0
               * (((na + nb)::DOUBLE + 1)
                 - tie::DOUBLE / ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1))) > 0
           THEN (u2::DOUBLE / 2 - na::DOUBLE * nb / 2.0)
             / sqrt(na::DOUBLE * nb / 12.0
               * (((na + nb)::DOUBLE + 1)
                 - tie::DOUBLE / ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1))))
-          ELSE 0.0 END, 6) + 0.0) AS z
-      FROM agg""",
+          ELSE 0.0::DOUBLE END AS zraw
+        FROM agg)
+      SELECT na AS n_a, nb AS n_b,
+        u2::DOUBLE / 2 AS u_a,
+        na::DOUBLE * nb - u2::DOUBLE / 2 AS u_b,
+        (round(zraw, 6) + 0.0) AS z,
+        (round(${graft.functions.PValues.pTwoSidedZSql("zraw")}, 6) + 0.0)
+          AS p_value,
+        (round((2.0::DOUBLE * (u2::DOUBLE / 2))
+          / (na::DOUBLE * nb::DOUBLE) - 1.0::DOUBLE, 6) + 0.0) AS delta
+      FROM zc""",
 
-    // Replay of Drift.kruskalWallis: per-(group, value) exact counts,
-    // window cumulative CDF (the oracle may window; the engine may not),
-    // exact HUGEINT 2·R_g and tie sums, group-ASC list_reduce fold for
-    // Σ R²/n, pinned-order H, even-dof Erlang survival p.
-    "ab_kruskal" -> """
-      WITH gv AS (
-        SELECT o_orderpriority::VARCHAR AS g, o_totalprice::DOUBLE AS v,
-          count(*)::BIGINT AS c
-        FROM orders
-        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
-        GROUP BY 1, 2),
-      vc AS (SELECT v, sum(c)::BIGINT AS k FROM gv GROUP BY 1),
-      cdf AS (SELECT v, k, sum(k) OVER (ORDER BY v) - k AS cx FROM vc),
-      pg AS (
-        SELECT g, sum(c)::BIGINT AS n,
-          sum(c::HUGEINT * (2 * cx::HUGEINT + k::HUGEINT + 1)) AS r2
-        FROM gv JOIN cdf USING (v) GROUP BY g),
-      tot AS (
-        SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS kg,
-          (SELECT sum(k::HUGEINT * k::HUGEINT * k::HUGEINT - k::HUGEINT)
-           FROM vc) AS tie,
-          list_reduce(list_prepend(0.0::DOUBLE,
-            list(r2::DOUBLE / 2 * (r2::DOUBLE / 2) / n::DOUBLE ORDER BY g)),
-            (a, b) -> a + b) AS s
-        FROM pg),
-      hh AS (
-        SELECT nn, kg,
-          CASE WHEN (1.0::DOUBLE - tie::DOUBLE
-              / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE)) > 0
-            THEN (12.0::DOUBLE / (nn::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
-                * s - 3.0::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
-              / (1.0::DOUBLE - tie::DOUBLE
-                / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE))
-            ELSE 12.0::DOUBLE / (nn::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE))
-              * s - 3.0::DOUBLE * (nn::DOUBLE + 1.0::DOUBLE) END AS h
-        FROM tot)
-      SELECT pg.g AS grp, pg.n,
-        pg.r2::DOUBLE / 2 AS rank_sum,
-        (round(pg.r2::DOUBLE / 2 / pg.n::DOUBLE, 6) + 0.0) AS mean_rank,
-        (round(hh.h, 6) + 0.0) AS h,
-        (hh.kg - 1)::BIGINT AS dof,
-        (CASE WHEN hh.kg - 1 = 2
-           THEN (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
-             exp(-(hh.h / 2)))), 6) + 0.0)
-         WHEN hh.kg - 1 = 4
-           THEN (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
-             exp(-(hh.h / 2)) * (1.0::DOUBLE + hh.h / 2))), 6) + 0.0)
-         ELSE NULL END) AS p_value
-      FROM pg, hh
-      ORDER BY grp""",
+    // ab_kruskal is a dump-time-trained oracle (the ANY-dof survival
+    // series unrolls from the observed arm count) — see kruskalOracle
+    // above; it joins the map in `oracles`.
 
     // Replay of Drift.anovaF: exact HUGEINT fixed-point moments per arm,
     // group-ASC list_reduce fold for sum S²/n, pinned-order F and eta².
@@ -9259,7 +9607,9 @@ object ExtensionQueries {
 
     // Replay of Drift.welchT: exact fixed-point moments per side,
     // pinned-order means/variances/t and the Welch–Satterthwaite dof.
-    "ab_welch" -> """
+    // Round 16: p_normal = large-sample normal erfc(|t|/√2) from the
+    // unrounded t (see the operator doc for the t-vs-normal caveat).
+    "ab_welch" -> s"""
       WITH a AS (
         SELECT count(*)::BIGINT AS n,
           sum(fpx)::DOUBLE / 1048576.0 AS s,
@@ -9281,19 +9631,24 @@ object ExtensionQueries {
           (b.q - b.s * b.s / b.n::DOUBLE) / (b.n - 1)::DOUBLE AS vb
         FROM a, b),
       se AS (
-        SELECT *, va / na::DOUBLE + vb / nb::DOUBLE AS se2 FROM m)
+        SELECT *, va / na::DOUBLE + vb / nb::DOUBLE AS se2 FROM m),
+      tc AS (
+        SELECT *, CASE WHEN se2 > 0 THEN (ma - mb) / sqrt(se2)
+          ELSE 0.0::DOUBLE END AS traw
+        FROM se)
       SELECT na AS n_a, nb AS n_b,
         (round(ma, 6) + 0.0) AS mean_a,
         (round(mb, 6) + 0.0) AS mean_b,
         (round(va, 6) + 0.0) AS var_a,
         (round(vb, 6) + 0.0) AS var_b,
-        (round(CASE WHEN se2 > 0 THEN (ma - mb) / sqrt(se2)
-          ELSE 0.0::DOUBLE END, 6) + 0.0) AS t,
+        (round(traw, 6) + 0.0) AS t,
         (round(CASE WHEN se2 > 0 THEN se2 * se2
             / ((va / na::DOUBLE) * (va / na::DOUBLE) / (na - 1)::DOUBLE
               + (vb / nb::DOUBLE) * (vb / nb::DOUBLE) / (nb - 1)::DOUBLE)
-          ELSE 0.0::DOUBLE END, 6) + 0.0) AS dof
-      FROM se""",
+          ELSE 0.0::DOUBLE END, 6) + 0.0) AS dof,
+        (round(${graft.functions.PValues.pTwoSidedZSql("traw")}, 6) + 0.0)
+          AS p_normal
+      FROM tc""",
 
     // Replay of Drift.mutualInformation: occupied-cell counts, margin
     // rollups, per-cell/margin double terms, ×2^20 fixed-point sums.
@@ -9682,6 +10037,47 @@ object ExtensionQueries {
     // Replay of Drift.srmCheck over the user-parity arms: exact arm
     // counts, designed share 0.5, per-arm chi2 terms as scalar doubles,
     // cross-arm sum through x2^20 fixed-point longs.
+    // Replay of Drift.proportionsZ: exact arm counts, pooled-SE z in
+    // the operator's pinned double order, erfc p from the raw z.
+    "ab_proportions" -> s"""
+      WITH u AS (
+        SELECT 'g' || (user_id % 2)::VARCHAR AS g,
+          (event_type = 'purchase') AS s
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      c AS (
+        SELECT g, count(*)::BIGINT AS n,
+          sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM u GROUP BY 1),
+      m AS (
+        SELECT
+          (SELECT n FROM c WHERE g = 'g0') AS na,
+          (SELECT n FROM c WHERE g = 'g1') AS nb,
+          (SELECT k FROM c WHERE g = 'g0') AS ka,
+          (SELECT k FROM c WHERE g = 'g1') AS kb),
+      r AS (
+        SELECT *, ka::DOUBLE / na::DOUBLE AS ra,
+          kb::DOUBLE / nb::DOUBLE AS rb,
+          (ka + kb)::DOUBLE / (na + nb)::DOUBLE AS pool
+        FROM m),
+      zz AS (
+        SELECT *, CASE WHEN pool * (1.0::DOUBLE - pool)
+            * (1.0::DOUBLE / na::DOUBLE + 1.0::DOUBLE / nb::DOUBLE) > 0
+          THEN (ra - rb) / sqrt(pool * (1.0::DOUBLE - pool)
+            * (1.0::DOUBLE / na::DOUBLE + 1.0::DOUBLE / nb::DOUBLE))
+          ELSE 0.0::DOUBLE END AS zraw
+        FROM r)
+      SELECT na AS n_a, nb AS n_b, ka AS k_a, kb AS k_b,
+        (round(ra, 6) + 0.0) AS rate_a,
+        (round(rb, 6) + 0.0) AS rate_b,
+        (round(ra - rb, 6) + 0.0) AS lift,
+        (CASE WHEN rb > 0 THEN round((ra - rb) / rb, 6) + 0.0 END)
+          AS lift_rel,
+        (round(zraw, 6) + 0.0) AS z,
+        (round(${graft.functions.PValues.pTwoSidedZSql("zraw")}, 6) + 0.0)
+          AS p_value
+      FROM zz""",
+
     "ab_srm" -> s"""
       WITH c AS (
         SELECT 'g' || (user_id % 2)::VARCHAR AS grp, count(*)::BIGINT AS n
@@ -9696,13 +10092,16 @@ object ExtensionQueries {
         FROM c, tot),
       x AS (SELECT grp, n, e, term,
           SUM(CAST(round(term * 1048576.0) AS BIGINT)) OVER () AS cfp
-        FROM terms)
+        FROM terms),
+      xc AS (SELECT *, cfp::DOUBLE / 1048576.0 AS chi2raw FROM x)
       SELECT grp AS "group", n, round(e, 6) + 0.0 AS expected_n,
         round(term, 6) + 0.0 AS chi2_term,
-        round(cfp::DOUBLE / 1048576.0, 6) + 0.0 AS chi2,
+        round(chi2raw, 6) + 0.0 AS chi2,
         (SELECT count(*) - 1 FROM c)::BIGINT AS dof,
-        cfp::DOUBLE / 1048576.0 > $SrmChi2Threshold::DOUBLE AS srm
-      FROM x ORDER BY 1""",
+        (round(${graft.functions.PValues
+          .chiSqSurvivalSql("xc.chi2raw", 1)}, 6) + 0.0) AS p_value,
+        chi2raw > $SrmChi2Threshold::DOUBLE AS srm
+      FROM xc ORDER BY 1""",
 
     // Replay of TimeSeries.changepoint over per-type hourly volumes:
     // exact x2^20 prefix sums, G(t) as one scalar double per split,

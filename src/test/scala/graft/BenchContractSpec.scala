@@ -90,4 +90,20 @@ class BenchContractSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
     assert(q.nonEmpty)
   }
+
+  test("every gate query is cited in COVERAGE.md") {
+    // the coverage index must be mechanically complete: a query that
+    // passes the gate but has no COVERAGE row is invisible to the
+    // operator-inventory audit (rounds 13-15 carried three such gaps —
+    // sketch_kmv_jaccard, text_dup_spans, text_keyness — for three
+    // rounds because nothing enforced the citation)
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val cited = "`([a-zA-Z0-9_]+)`".r.findAllMatchIn(cov)
+      .map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- cited
+    assert(missing.isEmpty,
+      s"gate queries uncited in COVERAGE.md: ${missing.toSeq.sorted}")
+  }
 }

@@ -300,7 +300,7 @@ class DriftSpec extends SparkSpec {
   }
 
   test("kruskalWallis: hand-computed H on a tie-free 2-group example; " +
-      "odd dof emits NULL p") {
+      "odd dof now gets the erfc-series p (round 16)") {
     // A = {1,2}, B = {3,4}: joint ranks 1..4, R_A = 3, R_B = 7,
     // H = 12/(4·5)·(3²/2 + 7²/2) − 3·5 = 0.6·29 − 15 = 2.4; no ties.
     val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
@@ -310,8 +310,12 @@ class DriftSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(3.0, 7.0))
     assert(rows.head.getAs[Double]("h") == 2.4)
     assert(rows.head.getAs[Long]("dof") == 1L)
-    assert(rows.head.isNullAt(rows.head.fieldIndex("p_value")),
-      "dof = 1 is odd: the erf-free convention emits NULL p")
+    // dof 1: Q(2.4; 1) = erfc(√1.2) — exact value 0.121335 (the old
+    // erf-free convention emitted NULL here; round 16 ships the p)
+    assert(rows.head.getAs[Double]("p_value") ==
+      graft.functions.PValues.round6(
+        graft.functions.PValues.chiSqSurvival(2.4, 1)))
+    assert(math.abs(rows.head.getAs[Double]("p_value") - 0.121335) < 1e-6)
     graft.util.Caches.unpersistAll()
   }
 
@@ -739,5 +743,153 @@ class DriftSpec extends SparkSpec {
       Map("g0" -> 1.0, "g1" -> 1.0, "g2" -> 1.0), 5.991)
       .orderBy("group").collect()
     assert(again.map(_.toString).toSeq == base.map(_.toString).toSeq)
+  }
+
+  test("round-16 significance columns: mannWhitney p + Cliff's delta, " +
+      "wilcoxon p, welch p_normal, srm chi2 p — all erfc-kernel exact") {
+    import graft.functions.PValues
+    // mannWhitney on disjoint ranges: A = {1,2,3}, B = {4,5,6} →
+    // U_A = 0, z = (0 − 4.5)/√(9·7/12) = −4.5/2.2912878... and
+    // δ = 2·0/(9) − 1 = −1 (A is stochastically dominated)
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 5.0, 6.0).toDF("v")
+    val mw = Drift.mannWhitney(a, b, "v").collect().head
+    assert(mw.getAs[Double]("delta") == -1.0)
+    val zRaw = (0.0 - 4.5) / math.sqrt(9.0 * 7.0 / 12.0)
+    assert(mw.getAs[Double]("p_value") ==
+      PValues.round6(PValues.pTwoSidedZ(zRaw)))
+    // symmetric: delta flips sign, p unchanged
+    val mw2 = Drift.mannWhitney(b, a, "v").collect().head
+    assert(mw2.getAs[Double]("delta") == 1.0)
+    assert(mw2.getAs[Double]("p_value") == mw.getAs[Double]("p_value"))
+
+    // wilcoxon: all-positive differences {1,2,3} (no ties, no zeros):
+    // W+ = 6, mu = 3, var = 3·4·7/24 = 3.5, z = 3/√3.5
+    val wx = Drift.wilcoxonSignedRank(
+      Seq((0.0, 1.0), (0.0, 2.0), (0.0, 3.0)).toDF("before", "after"),
+      "before", "after").collect().head
+    assert(wx.getAs[Double]("w_plus") == 6.0)
+    assert(wx.getAs[Double]("p_value") ==
+      PValues.round6(PValues.pTwoSidedZ(3.0 / math.sqrt(3.5))))
+
+    // welch: p_normal from the unrounded t, symmetric under swap
+    val wa = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val wb = Seq(10.0, 12.0, 14.0, 16.0).toDF("v")
+    val w1 = Drift.welchT(wa, wb, "v").collect().head
+    val w2 = Drift.welchT(wb, wa, "v").collect().head
+    assert(w1.getAs[Double]("p_normal") == w2.getAs[Double]("p_normal"))
+    // |t| ≈ 7.3 → the true p is ~4e-13, which the 6dp reporting grid
+    // renders as exactly 0.0 — decisively significant
+    assert(w1.getAs[Double]("p_normal") == 0.0)
+    // and a same-pool comparison is decisively NOT significant
+    val w3 = Drift.welchT(wa, wa.withColumn("v", col("v") + lit(0.001)),
+      "v").collect().head
+    assert(w3.getAs[Double]("p_normal") > 0.9)
+
+    // srm 80/20 vs designed 1:1: chi2 = 36 exactly (two terms of 18);
+    // p = Q(36; 1) — and the balanced case reads p = 1 at 6dp
+    val skew = (Seq.fill(80)("a") ++ Seq.fill(20)("b")).toDF("arm")
+    val sr = Drift.srmCheck(skew, "arm", Map("a" -> 1.0, "b" -> 1.0),
+      3.841).orderBy("group").collect().head
+    assert(sr.getAs[Double]("chi2") == 36.0)
+    assert(sr.getAs[Double]("p_value") ==
+      PValues.round6(PValues.chiSqSurvival(36.0, 1)))
+    val bal = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("arm")
+    val b0 = Drift.srmCheck(bal, "arm", Map("a" -> 1.0, "b" -> 1.0),
+      3.841).collect().head
+    assert(b0.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("proportionsZ: hand-computed pooled-SE z, lifts, degenerate " +
+      "pins, missing arm throws") {
+    import graft.functions.PValues
+    def arms(ka: Int, na: Int, kb: Int, nb: Int) =
+      ((0 until na).map(i => ("a", i < ka)) ++
+        (0 until nb).map(i => ("b", i < kb))).toDF("arm", "s")
+    // a: 4/10, b: 1/10 -> pool .25, se² = .25·.75·(0.2), z = .3/√.0375
+    val r = Drift.proportionsZ(arms(4, 10, 1, 10), "arm", "s", "a", "b")
+      .collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("k_a")) == ((10L, 4L)))
+    assert(r.getAs[Double]("rate_a") == 0.4)
+    assert(r.getAs[Double]("lift") == 0.3)
+    assert(r.getAs[Double]("lift_rel") == 3.0) // (.4-.1)/.1
+    val zExp = 0.3 / math.sqrt(0.25 * 0.75 * (1.0 / 10 + 1.0 / 10))
+    assert(r.getAs[Double]("z") == PValues.round6(zExp))
+    assert(r.getAs[Double]("p_value") ==
+      PValues.round6(PValues.pTwoSidedZ(zExp)))
+    // swap arms: z flips sign, p unchanged
+    val r2 = Drift.proportionsZ(arms(4, 10, 1, 10), "arm", "s", "b", "a")
+      .collect().head
+    assert(r2.getAs[Double]("z") == -r.getAs[Double]("z"))
+    assert(r2.getAs[Double]("p_value") == r.getAs[Double]("p_value"))
+    // degenerate pooled p ∈ {0,1}: no variance -> z = 0, p = 1
+    val d0 = Drift.proportionsZ(arms(10, 10, 10, 10), "arm", "s", "a", "b")
+      .collect().head
+    assert(d0.getAs[Double]("z") == 0.0 && d0.getAs[Double]("p_value") == 1.0)
+    // zero base rate: relative lift is NULL, absolute lift still reads
+    val z0 = Drift.proportionsZ(arms(3, 10, 0, 10), "arm", "s", "a", "b")
+      .collect().head
+    assert(z0.isNullAt(z0.fieldIndex("lift_rel")))
+    assert(z0.getAs[Double]("lift") == 0.3)
+    // a named arm with no rows fails loudly
+    val e = intercept[IllegalArgumentException](
+      Drift.proportionsZ(arms(1, 5, 1, 5), "arm", "s", "a", "zzz"))
+    assert(e.getMessage.contains("zzz"))
+  }
+
+  test("fisherExact: the lady-tasting-tea 2x2 pins the textbook " +
+      "two-sided p; transpose symmetry; the maxN guard is loud") {
+    import graft.functions.PValues
+    // a=3,b=1,c=1,d=3 (margins 4/4, n=8): pmf = {1,16,36,16,1}/70,
+    // observed pmf 16/70 -> include k in {0,1,3,4} -> p = 34/70
+    def table(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("x", "y")
+    val tea = Drift.fisherExact(table(3, 1, 1, 3), "x", "y")
+      .collect().head
+    assert(tea.getAs[Long]("n") == 8L)
+    assert(math.abs(tea.getAs[Double]("p_value") - 34.0 / 70.0) < 1e-5)
+    assert(tea.getAs[Double]("odds_ratio") == 9.0)
+    // transposing the table (swap x/y) keeps margins' roles swapped but
+    // the hypergeometric p identical
+    val t2 = Drift.fisherExact(table(3, 1, 1, 3), "y", "x")
+      .collect().head
+    assert(t2.getAs[Double]("p_value") == tea.getAs[Double]("p_value"))
+    // strong association: diagonal-only table -> tiny p; bc = 0 -> NULL
+    // odds ratio
+    val diag = Drift.fisherExact(table(6, 0, 0, 6), "x", "y")
+      .collect().head
+    assert(diag.getAs[Double]("p_value") < 0.01)
+    assert(diag.isNullAt(diag.fieldIndex("odds_ratio")))
+    // p_value is exactly the clamped-rounded driver kernel value:
+    // independence-ish table reads p = 1
+    val flat = Drift.fisherExact(table(2, 2, 2, 2), "x", "y")
+      .collect().head
+    assert(flat.getAs[Double]("p_value") == 1.0)
+    // the guard: beyond maxN the test refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Drift.fisherExact(table(3, 1, 1, 3), "x", "y", maxN = 4L))
+    assert(e.getMessage.contains("chiSquareIndependence"))
+  }
+
+  test("round-16: chiSquareIndependence p_value — any dof, NULL on a " +
+      "constant column (dof 0)") {
+    // hand 2x2 from the existing hand-computed test data shape:
+    // perfect association x == y over 2 levels -> chi2 = n, dof = 1
+    val df = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r = Drift.chiSquareIndependence(df, "x", "y").collect().head
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("chi2") == 4.0)
+    assert(r.getAs[Double]("p_value") ==
+      graft.functions.PValues.round6(
+        graft.functions.PValues.chiSqSurvival(4.0, 1)))
+    // constant y: dof = 0 -> no test, p NULL (and cramers_v NULL)
+    val const = Seq(("a", "k"), ("b", "k"), ("a", "k")).toDF("x", "y")
+    val rc = Drift.chiSquareIndependence(const, "x", "y").collect().head
+    assert(rc.getAs[Long]("dof") == 0L)
+    assert(rc.isNullAt(rc.fieldIndex("p_value")))
+    assert(rc.isNullAt(rc.fieldIndex("cramers_v")))
   }
 }

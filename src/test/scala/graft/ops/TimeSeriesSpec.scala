@@ -193,6 +193,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(byHod.keySet.size == 24 || out.count(_._4 == 0L) == 22)
   }
 
+  test("seasonalDeviationWeekly: 168-cell hour-of-week baseline with " +
+      "the pinned Sunday-0 index; daily baseline would miss it") {
+    // 2024-01-01 is a MONDAY: Mon 9am must index how = 1*24 + 9 = 33
+    // (dow 0 = Sunday — Spark dayofweek − 1 == DuckDB dow).
+    // Two Mondays 9am with counts 9 and 1: weekly mean 5 -> ratios
+    // 1.8 / 0.2, the 0.2 anomalous at lo=0.25. Every OTHER grid cell
+    // appears once in its weekly bucket -> ratio 1.0 (zero cells score
+    // vs a zero mean), so the two Mondays are the only flags candidates.
+    def t(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 09:${i + 1}%02d:00")
+    val rows = (0 until 9).map(i => (t(1, i), "a")) ++ Seq((t(8, 0), "a"))
+    val out = TimeSeries.seasonalDeviationWeekly(
+        rows.toDF("ts", "event_type"), "ts", "event_type",
+        lo = 0.25, hi = 4.0)
+      .orderBy("hour_start")
+      .as[(String, java.sql.Timestamp, Long, Long, Double, Double, Boolean)]
+      .collect()
+    // grid: Mon-1 09:00 .. Mon-8 09:00 inclusive = 169 hourly cells
+    assert(out.length == 169)
+    val mondays = out.filter(_._3 == 33L)
+    assert(mondays.length == 2)
+    assert(mondays.map(r => (r._4, r._6, r._7)).toSet ==
+      Set((9L, 1.8, false), (1L, 0.2, true)))
+    // all non-Monday-9am cells: singleton weekly buckets, ratio 1.0
+    assert(out.filter(_._3 != 33L).forall(r => r._6 == 1.0 && !r._7))
+    // the DAILY baseline would pool Mon 9am with six other 9am's and
+    // read a different mean — pin that the two profiles disagree here
+    val daily = TimeSeries.seasonalDeviation(
+        rows.toDF("ts", "event_type"), "ts", "event_type",
+        lo = 0.25, hi = 4.0)
+      .where(col("n_events") === 9L).select("ratio").collect().head
+    assert(daily.getDouble(0) != 1.8)
+  }
+
   test("rollingMedian: lower-middle discrete value, spike-robust, frame-bounded") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val df = Seq(

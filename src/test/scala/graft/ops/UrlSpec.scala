@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Pins for the URL curation ops: every rule of [[Url.normalize]]'s
+  * pinned list on hand-written URLs, the NULL-on-malformed contract,
+  * order preservation of surviving params, and [[Url.domainMix]]'s
+  * share arithmetic.
+  */
+class UrlSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def norm(url: String): String = {
+    val r = Url.normalize(Seq(url).toDF("url"), "url")
+      .select("url_norm").collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("normalize: every pinned rule on hand cases") {
+    // scheme/host case + https default port + trailing slash +
+    // tracking strip + fragment strip, all at once
+    assert(norm("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&id=3#frag")
+      == "https://www.ex.com/a/b?id=3")
+    // http default port; root path collapses entirely
+    assert(norm("HTTP://ex.com:80/") == "http://ex.com")
+    // a NON-default port survives; so does a cross-scheme default
+    assert(norm("http://ex.com:8080/a") == "http://ex.com:8080/a")
+    assert(norm("https://ex.com:80/a") == "https://ex.com:80/a")
+    // all-tracking query drops the '?' entirely
+    assert(norm("https://ex.com/p?utm_a=1&ref=2&gclid=9&fbclid=z&msclkid=m")
+      == "https://ex.com/p")
+    // surviving params keep their ORIGINAL order — no re-sort
+    assert(norm("https://ex.com/p?b=2&utm_x=0&a=1")
+      == "https://ex.com/p?b=2&a=1")
+    // path case is PRESERVED (only scheme/authority fold)
+    assert(norm("https://EX.com/CaseSensitive/Path")
+      == "https://ex.com/CaseSensitive/Path")
+    // a param named utm_ via prefix, vs one merely containing it
+    assert(norm("https://ex.com/p?xutm_a=1") == "https://ex.com/p?xutm_a=1")
+    // malformed (no scheme separator) -> NULL, loud downstream
+    assert(norm("ex.com/a") == null)
+  }
+
+  test("domainOf: lowercase, port strip, ONE www strip") {
+    val d = Seq(
+      "HTTP://WWW.Sub.Ex.COM:8080/x",
+      "https://ex.com/y",
+      "https://www.www.ex.com/z", // only the first www. strips
+      "nonsense").toDF("url")
+      .select(Url.domainOf(col("url")).as("d")).collect()
+    assert(d(0).getString(0) == "sub.ex.com")
+    assert(d(1).getString(0) == "ex.com")
+    assert(d(2).getString(0) == "www.ex.com")
+    assert(d(3).isNullAt(0))
+  }
+
+  test("domainMix: domain-keyed counts, exact token sums, shares sum " +
+      "to 1, NULL domain is its own row") {
+    val df = Seq(
+      ("https://a.com/1", 10L), ("https://WWW.A.com:443/2", 20L),
+      ("http://b.com/1", 30L), ("garbage", 40L)).toDF("url", "tok")
+    val out = Url.domainMix(df, "url", "tok").orderBy("domain").collect()
+    assert(out.length == 3)
+    val byDom = out.map(r => Option(r.getString(0)).getOrElse("(null)") ->
+      (r.getLong(1), r.getLong(3))).toMap
+    assert(byDom("a.com") == ((2L, 30L)))
+    assert(byDom("b.com") == ((1L, 30L)))
+    assert(byDom("(null)") == ((1L, 40L)))
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
+  test("normalize is layout-invariant and a pure projection (no shuffle)") {
+    val urls = (0 until 100).map(i =>
+      s"HTTPS://WWW.s$i.Ex.COM:443/p/$i/?utm_c=$i&id=$i#f")
+    val a = Url.normalize(urls.toDF("url"), "url")
+      .select("url_norm").collect().map(_.getString(0)).sorted.toSeq
+    val b = Url.normalize(urls.toDF("url").repartition(7), "url")
+      .select("url_norm").collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b)
+    // plan shape: no Exchange anywhere in a normalize-only plan
+    val plan = Url.normalize(urls.toDF("url"), "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
+  }
+}
