@@ -1049,19 +1049,27 @@ object Drift {
     * p̂_a − p̂_b and the relative lift (p̂_a − p̂_b)/p̂_b (NULL when
     * p̂_b = 0).
     *
+    * Each arm also gets its WILSON score interval at the `ciZ` critical
+    * point (default 1.959964, the two-sided 5% z) — the small-k-safe
+    * interval (the naive Wald CI collapses to width 0 at p̂ ∈ {0, 1};
+    * Wilson stays honest), so the readout is plottable as
+    * rate ± interval per arm, not just one p.
+    *
     * `df` carries one row per unit with boolean `successCol` (NULL
     * units drop — not exposed, not converted) and arm labels in
     * `groupCol`; `armA`/`armB` name the two arms to compare (extra
     * arms are ignored — run per pair). Determinism: counts are exact
-    * longs; the z is ONE pinned-order double expression over them;
-    * a degenerate pooled p̂ ∈ {0, 1} (no variance) pins z = 0, p = 1.
+    * longs; z and the Wilson bounds are pinned-order double expressions
+    * over them; a degenerate pooled p̂ ∈ {0, 1} (no variance) pins
+    * z = 0, p = 1.
     *
     * Shape at scale: one map-side-combined conditional-count pass — the
     * data never shuffles, two rows reach the driver. Output ONE row:
-    * (n_a, n_b, k_a, k_b, rate_a, rate_b, lift, lift_rel, z, p_value).
+    * (n_a, n_b, k_a, k_b, rate_a, rate_b, ci_a_lo, ci_a_hi, ci_b_lo,
+    * ci_b_hi, lift, lift_rel, z, p_value).
     */
   def proportionsZ(df: DataFrame, groupCol: String, successCol: String,
-      armA: String, armB: String): DataFrame = {
+      armA: String, armB: String, ciZ: Double = 1.959964): DataFrame = {
     require(armA != armB, "the two arms must differ")
     val spark = df.sparkSession
     val counts = df
@@ -1086,9 +1094,22 @@ object Drift {
     val pv = r6(graft.functions.PValues.pTwoSidedZ(z))
     val liftRel: java.lang.Double =
       if (rb > 0) r6((ra - rb) / rb) else null
+    // Wilson score interval, pinned order (mirrored in the oracle)
+    def wilson(p: Double, n: Long): (Double, Double) = {
+      val z2 = ciZ * ciZ
+      val nd = n.toDouble
+      val denom = 1.0 + z2 / nd
+      val center = (p + z2 / (2.0 * nd)) / denom
+      val half = ciZ * math.sqrt(p * (1.0 - p) / nd
+        + z2 / (4.0 * nd * nd)) / denom
+      (center - half, center + half)
+    }
+    val (cal, cah) = wilson(ra, na)
+    val (cbl, cbh) = wilson(rb, nb)
     spark.createDataFrame(
-      Seq(Row(na, nb, ka, kb, r6(ra), r6(rb), r6(ra - rb), liftRel,
-        r6(z), pv)).asJava,
+      Seq(Row(na, nb, ka, kb, r6(ra), r6(rb),
+        r6(cal), r6(cah), r6(cbl), r6(cbh),
+        r6(ra - rb), liftRel, r6(z), pv)).asJava,
       StructType(Seq(
         StructField("n_a", LongType, false),
         StructField("n_b", LongType, false),
@@ -1096,6 +1117,10 @@ object Drift {
         StructField("k_b", LongType, false),
         StructField("rate_a", DoubleType, false),
         StructField("rate_b", DoubleType, false),
+        StructField("ci_a_lo", DoubleType, false),
+        StructField("ci_a_hi", DoubleType, false),
+        StructField("ci_b_lo", DoubleType, false),
+        StructField("ci_b_hi", DoubleType, false),
         StructField("lift", DoubleType, false),
         StructField("lift_rel", DoubleType, true),
         StructField("z", DoubleType, false),

@@ -108,6 +108,45 @@ object Url {
     * domains (malformed URLs) form their own row — a crawl segment
     * going malformed IS a mix shift.
     */
+  /** Empirical-Bayes (m-estimate) per-domain quality rates — the
+    * crawl-curation scorer that fixes the small-domain problem raw
+    * rates have: a domain with 2 docs, both passing a quality screen,
+    * reads 1.0 raw and outranks a 10k-doc domain at 0.95, so
+    * rate-ranked keeps/blocks thrash on the long tail. Shrinkage
+    * toward the corpus rate p₀ with pseudo-count weight `m`:
+    * score_d = (k_d + m·p₀) / (n_d + m) — tiny domains read ≈ p₀,
+    * big domains keep their own rate (the classic m-estimate /
+    * Dirichlet-smoothing form). `goodCol` is any boolean quality
+    * verdict (a [[TextAnalysis]] filter output, a classifier flag);
+    * NULL verdicts drop (not judged, not counted).
+    *
+    * Determinism: counts exact longs; p₀ is one double division of
+    * the one-row broadcast totals; the score one pinned-order double
+    * expression, rounded 6dp. Shape at scale: one map-side-combined
+    * domain-keyed aggregate + the totals broadcast —
+    * domain-cardinality-sized like [[domainMix]]. Output per domain:
+    * (domain, n_docs, k_good, rate_raw, rate_corpus, rate_shrunk).
+    */
+  def domainQuality(df: DataFrame, urlCol: String, goodCol: String,
+      m: Double = 20.0): DataFrame = {
+    require(m > 0, s"pseudo-count weight m must be > 0, got $m")
+    val slim = df.where(col(goodCol).isNotNull)
+      .select(domainOf(col(urlCol)).as("domain"),
+        when(col(goodCol).cast("boolean"), 1L).otherwise(0L).as("__g"))
+    val per = slim.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("__g").as("k_good"))
+    val tot = per.agg(sum("n_docs").as("__tn"), sum("k_good").as("__tk"))
+    val p0 = col("__tk").cast("double") / col("__tn").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("k_good"),
+        (round(col("k_good").cast("double")
+          / col("n_docs").cast("double"), 6) + lit(0d)).as("rate_raw"),
+        (round(p0, 6) + lit(0d)).as("rate_corpus"),
+        (round((col("k_good").cast("double") + lit(m) * p0)
+          / (col("n_docs").cast("double") + lit(m)), 6) + lit(0d))
+          .as("rate_shrunk"))
+  }
+
   def domainMix(df: DataFrame, urlCol: String,
       tokenCol: String): DataFrame = {
     val per = df

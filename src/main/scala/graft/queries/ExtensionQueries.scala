@@ -3527,6 +3527,16 @@ object ExtensionQueries {
         .orderBy("domain")
     },
 
+    // Empirical-Bayes per-domain quality: m-estimate shrinkage toward
+    // the corpus pass rate — small domains read ~p0, big domains keep
+    // their own rate (the keep/block ranking that raw rates thrash on).
+    "domain_quality" -> { (spark, dir) =>
+      Url.domainQuality(
+          urlDocs(spark, dir).withColumn("good", col("n_chars") >= 306),
+          "url", "good")
+        .orderBy("domain")
+    },
+
     // Wilcoxon signed-rank over PAIRED per-user means: did each user's
     // value shift between the corpus's first and second time half?
     // Fixed-point per-half means, zero diffs drop, midranks on |d|.
@@ -9412,6 +9422,31 @@ object ExtensionQueries {
         (round(n_tokens::DOUBLE / tt, 6) + 0.0) AS token_share
       FROM per, tot ORDER BY domain""",
 
+    // Replay of Url.domainQuality: canonical host, exact pass counts,
+    // one-row corpus rate, the pinned m-estimate (m = 20).
+    "domain_quality" -> s"""
+      WITH $urlSrcCte,
+      d AS (
+        SELECT CASE WHEN position('://' IN split_part(url, '#', 1)) > 0
+            THEN regexp_replace(regexp_replace(
+              lower(split_part(substr(split_part(url, '#', 1),
+                position('://' IN split_part(url, '#', 1)) + 3),
+                '/', 1)), ':[0-9]+$$', ''), '^www\\.', '')
+          END AS domain,
+          (n_chars >= 306) AS g
+        FROM src WHERE n_chars IS NOT NULL),
+      per AS (
+        SELECT domain, count(*)::BIGINT AS n,
+          sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM d GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS tn, sum(k)::BIGINT AS tk FROM per)
+      SELECT domain, n AS n_docs, k AS k_good,
+        (round(k::DOUBLE / n::DOUBLE, 6) + 0.0) AS rate_raw,
+        (round(tk::DOUBLE / tn::DOUBLE, 6) + 0.0) AS rate_corpus,
+        (round((k::DOUBLE + 20.0::DOUBLE * (tk::DOUBLE / tn::DOUBLE))
+          / (n::DOUBLE + 20.0::DOUBLE), 6) + 0.0) AS rate_shrunk
+      FROM per, tot ORDER BY domain""",
+
     // ab_chi2_independence is a dump-time-trained oracle (the ANY-dof
     // survival series unrolls from the observed dof) — see
     // chi2IndependenceOracle above; it joins the map in `oracles`.
@@ -10038,7 +10073,8 @@ object ExtensionQueries {
     // counts, designed share 0.5, per-arm chi2 terms as scalar doubles,
     // cross-arm sum through x2^20 fixed-point longs.
     // Replay of Drift.proportionsZ: exact arm counts, pooled-SE z in
-    // the operator's pinned double order, erfc p from the raw z.
+    // the operator's pinned double order, erfc p from the raw z, and
+    // per-arm Wilson intervals at the 1.959964 two-sided 5% point.
     "ab_proportions" -> s"""
       WITH u AS (
         SELECT 'g' || (user_id % 2)::VARCHAR AS g,
@@ -10065,11 +10101,33 @@ object ExtensionQueries {
             * (1.0::DOUBLE / na::DOUBLE + 1.0::DOUBLE / nb::DOUBLE) > 0
           THEN (ra - rb) / sqrt(pool * (1.0::DOUBLE - pool)
             * (1.0::DOUBLE / na::DOUBLE + 1.0::DOUBLE / nb::DOUBLE))
-          ELSE 0.0::DOUBLE END AS zraw
+          ELSE 0.0::DOUBLE END AS zraw,
+          (ra + (1.959964::DOUBLE * 1.959964::DOUBLE)
+            / (2.0::DOUBLE * na::DOUBLE))
+            / (1.0::DOUBLE + (1.959964::DOUBLE * 1.959964::DOUBLE)
+              / na::DOUBLE) AS ca_c,
+          1.959964::DOUBLE * sqrt(ra * (1.0::DOUBLE - ra) / na::DOUBLE
+            + (1.959964::DOUBLE * 1.959964::DOUBLE)
+              / (4.0::DOUBLE * na::DOUBLE * na::DOUBLE))
+            / (1.0::DOUBLE + (1.959964::DOUBLE * 1.959964::DOUBLE)
+              / na::DOUBLE) AS ca_h,
+          (rb + (1.959964::DOUBLE * 1.959964::DOUBLE)
+            / (2.0::DOUBLE * nb::DOUBLE))
+            / (1.0::DOUBLE + (1.959964::DOUBLE * 1.959964::DOUBLE)
+              / nb::DOUBLE) AS cb_c,
+          1.959964::DOUBLE * sqrt(rb * (1.0::DOUBLE - rb) / nb::DOUBLE
+            + (1.959964::DOUBLE * 1.959964::DOUBLE)
+              / (4.0::DOUBLE * nb::DOUBLE * nb::DOUBLE))
+            / (1.0::DOUBLE + (1.959964::DOUBLE * 1.959964::DOUBLE)
+              / nb::DOUBLE) AS cb_h
         FROM r)
       SELECT na AS n_a, nb AS n_b, ka AS k_a, kb AS k_b,
         (round(ra, 6) + 0.0) AS rate_a,
         (round(rb, 6) + 0.0) AS rate_b,
+        (round(ca_c - ca_h, 6) + 0.0) AS ci_a_lo,
+        (round(ca_c + ca_h, 6) + 0.0) AS ci_a_hi,
+        (round(cb_c - cb_h, 6) + 0.0) AS ci_b_lo,
+        (round(cb_c + cb_h, 6) + 0.0) AS ci_b_hi,
         (round(ra - rb, 6) + 0.0) AS lift,
         (CASE WHEN rb > 0 THEN round((ra - rb) / rb, 6) + 0.0 END)
           AS lift_rel,

@@ -817,6 +817,22 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Double]("z") == PValues.round6(zExp))
     assert(r.getAs[Double]("p_value") ==
       PValues.round6(PValues.pTwoSidedZ(zExp)))
+    // Wilson interval: brackets the rate, matches the pinned recompute
+    def wilsonLo(p: Double, n: Double): Double = {
+      val z = 1.959964
+      val z2 = z * z
+      val denom = 1.0 + z2 / n
+      (p + z2 / (2.0 * n)) / denom -
+        z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    }
+    assert(r.getAs[Double]("ci_a_lo") == PValues.round6(wilsonLo(0.4, 10)))
+    assert(r.getAs[Double]("ci_a_lo") < 0.4 && 0.4 < r.getAs[Double]("ci_a_hi"))
+    assert(r.getAs[Double]("ci_b_lo") < 0.1 && 0.1 < r.getAs[Double]("ci_b_hi"))
+    // Wilson stays honest at p-hat = 0 (Wald would collapse to [0, 0])
+    val z00 = Drift.proportionsZ(arms(0, 10, 1, 10), "arm", "s", "a", "b")
+      .collect().head
+    assert(z00.getAs[Double]("ci_a_lo") == 0.0
+      && z00.getAs[Double]("ci_a_hi") > 0.2)
     // swap arms: z flips sign, p unchanged
     val r2 = Drift.proportionsZ(arms(4, 10, 1, 10), "arm", "s", "b", "a")
       .collect().head

@@ -70,6 +70,40 @@ class UrlSpec extends graft.SparkSpec {
     assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-9)
   }
 
+  test("domainQuality: m-estimate shrinkage re-ranks the tiny perfect " +
+      "domain below the big reliable one; NULL verdicts drop") {
+    // a: 100 docs / 95 good (.95), b: 2 / 2 (1.0 raw), c: 100 / 10
+    // junk -> p0 = 107/202 ≈ .53; shrunk must rank a > b > c while raw
+    // ranks b > a > c — the small-domain fix this op exists for
+    def doc(dom: String, good: java.lang.Boolean) =
+      (s"https://$dom/x", good)
+    val rows =
+      (0 until 100).map(i => doc("a.com", i < 95)) ++
+        (0 until 2).map(_ => doc("b.com", true)) ++
+        (0 until 100).map(i => doc("c.com", i < 10)) :+
+        doc("a.com", null) // unjudged: must not count
+    val df = rows.toDF("url", "good")
+    val out = Url.domainQuality(df, "url", "good").orderBy("domain")
+      .collect()
+    val byDom = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5))).toMap
+    assert(byDom("a.com")._1 == 100L) // the NULL verdict dropped
+    assert(byDom("b.com")._3 == 1.0 && byDom("a.com")._3 == 0.95)
+    // pinned recompute of the m-estimate
+    val p0 = 107.0 / 202.0
+    def shrunk(k: Double, n: Double) = graft.functions.PValues.round6(
+      (k + 20.0 * p0) / (n + 20.0))
+    assert(byDom("a.com")._4 == shrunk(95, 100))
+    assert(byDom("b.com")._4 == shrunk(2, 2))
+    assert(byDom("c.com")._4 == shrunk(10, 100))
+    // the ranking flip
+    assert(byDom("b.com")._3 > byDom("a.com")._3)
+    assert(byDom("a.com")._4 > byDom("b.com")._4)
+    assert(byDom("b.com")._4 > byDom("c.com")._4)
+    intercept[IllegalArgumentException](
+      Url.domainQuality(df, "url", "good", m = 0.0))
+  }
+
   test("normalize is layout-invariant and a pure projection (no shuffle)") {
     val urls = (0 until 100).map(i =>
       s"HTTPS://WWW.s$i.Ex.COM:443/p/$i/?utm_c=$i&id=$i#f")
