@@ -1127,6 +1127,57 @@ object Drift {
         StructField("p_value", DoubleType, false))))
   }
 
+  /** Per-SEGMENT two-proportion z-tests — the "which segments moved"
+    * readout behind every segmented A/B dashboard ([[proportionsZ]]
+    * gives the one global answer; this gives one test per segment —
+    * language, source, platform, time-of-day — computed ENTIRELY
+    * in-plan so segment cardinality can be large). Feed the output to
+    * [[bhAdjust]] before believing any per-segment flag: with s
+    * segments, s·α of them "trip" by construction under the null — the
+    * multiple-testing trap this pairing exists to close.
+    *
+    * Per segment: exact arm counts from ONE map-side-combined
+    * aggregate, pooled-SE z as a pinned scalar expression, two-sided
+    * p via the in-plan [[graft.functions.PValues.pTwoSidedZCol]] erfc
+    * kernel. A segment missing an arm gets NULL rate/z/p (no
+    * comparison — kept, loud); a degenerate pooled p̂ ∈ {0, 1} pins
+    * z = 0, p = 1. Output per segment:
+    * (segment, n_a, k_a, n_b, k_b, rate_a, rate_b, z, p_value).
+    */
+  def proportionsBySegment(df: DataFrame, segCol: String,
+      groupCol: String, successCol: String,
+      armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val slim = df.where(col(segCol).isNotNull && col(groupCol).isNotNull
+        && col(successCol).isNotNull
+        && col(groupCol).cast("string").isin(armA, armB))
+      .select(col(segCol).cast("string").as("segment"),
+        (col(groupCol).cast("string") === armA).as("__isA"),
+        col(successCol).cast("boolean").as("__s"))
+    val agg = slim.groupBy("segment").agg(
+      sum(when(col("__isA"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__isA") && col("__s"), 1L).otherwise(0L)).as("k_a"),
+      sum(when(!col("__isA"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__isA") && col("__s"), 1L).otherwise(0L)).as("k_b"))
+    val ra = col("k_a").cast("double") / col("n_a").cast("double")
+    val rb = col("k_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se2 = pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a").cast("double")
+        + lit(1.0) / col("n_b").cast("double"))
+    val zRaw = when(col("n_a") > 0 && col("n_b") > 0,
+      when(se2 > 0, (ra - rb) / sqrt(se2)).otherwise(lit(0.0)))
+    agg.select(col("segment"),
+      col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      (round(when(col("n_a") > 0, ra), 6) + lit(0d)).as("rate_a"),
+      (round(when(col("n_b") > 0, rb), 6) + lit(0d)).as("rate_b"),
+      (round(zRaw, 6) + lit(0d)).as("z"),
+      (round(when(zRaw.isNotNull,
+        graft.functions.PValues.pTwoSidedZCol(zRaw)), 6) + lit(0d))
+        .as("p_value"))
+  }
+
   /** Per-group exact sufficient statistics for the variance-analysis
     * family: (grp, n, S, Q) with S = Σ round(x·2^20) and Q = Σ fp(x)²,
     * both DECIMAL(38,0) (order-insensitive, engine-exact; Q fits 38

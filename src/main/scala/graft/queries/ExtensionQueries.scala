@@ -3738,6 +3738,23 @@ object ExtensionQueries {
       Drift.proportionsZ(ev, "arm", "success", "g0", "g1")
     },
 
+    // Segmented experiment readout with FDR control: per-4-hour-segment
+    // two-proportion z (in-plan erfc p) chained into Benjamini-Hochberg
+    // — with s segments, s·alpha trip by construction under the null,
+    // so only the BH reject flag is decision-grade.
+    "ab_segments" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir).select(
+        expr("((ts div 3600000000) % 24) div 4").cast("string").as("seg"),
+        concat(lit("g"), (col("user_id") % 2).cast("string")).as("arm"),
+        (col("event_type") === "purchase").as("s"))
+      val per = Drift.proportionsBySegment(ev, "seg", "arm", "s",
+        "g0", "g1")
+      val bh = Drift.bhAdjust(per, Seq("segment"), "p_value",
+          alpha = 0.05)
+        .select(col("segment"), col("rank"), col("reject"))
+      per.join(bh, Seq("segment"), "left").orderBy("segment")
+    },
+
     // SRM guard: arms by user-id parity against the designed 1:1 split;
     // threshold = chi2(1 dof) critical value at alpha = 0.05.
     "ab_srm" -> { (spark, dir) =>
@@ -10072,6 +10089,63 @@ object ExtensionQueries {
     // Replay of Drift.srmCheck over the user-parity arms: exact arm
     // counts, designed share 0.5, per-arm chi2 terms as scalar doubles,
     // cross-arm sum through x2^20 fixed-point longs.
+    // Replay of proportionsBySegment |> bhAdjust: per-segment exact arm
+    // counts, pooled-SE z + erfc p per row, then the BH step-up over
+    // the tested segments (rank by (p, segment); k* = max qualifying
+    // rank; reject all ranks <= k*).
+    "ab_segments" -> s"""
+      WITH u AS (
+        SELECT (((epoch_us(ts) // 3600000000) % 24) // 4)::VARCHAR
+            AS segment,
+          'g' || (user_id % 2)::VARCHAR AS arm,
+          (event_type = 'purchase') AS s
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      c AS (
+        SELECT segment,
+          sum(CASE WHEN arm = 'g0' THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN arm = 'g0' AND s THEN 1 ELSE 0 END)::BIGINT AS ka,
+          sum(CASE WHEN arm = 'g1' THEN 1 ELSE 0 END)::BIGINT AS nb,
+          sum(CASE WHEN arm = 'g1' AND s THEN 1 ELSE 0 END)::BIGINT AS kb
+        FROM u GROUP BY 1),
+      r0 AS (
+        SELECT *, ka::DOUBLE / na::DOUBLE AS ra,
+          kb::DOUBLE / nb::DOUBLE AS rb,
+          (ka + kb)::DOUBLE / (na + nb)::DOUBLE AS pool
+        FROM c),
+      zz AS (
+        SELECT *, CASE WHEN na > 0 AND nb > 0 THEN
+            CASE WHEN pool * (1.0::DOUBLE - pool)
+                * (1.0::DOUBLE / na::DOUBLE + 1.0::DOUBLE / nb::DOUBLE) > 0
+              THEN (ra - rb) / sqrt(pool * (1.0::DOUBLE - pool)
+                * (1.0::DOUBLE / na::DOUBLE + 1.0::DOUBLE / nb::DOUBLE))
+              ELSE 0.0::DOUBLE END END AS zraw
+        FROM r0),
+      p AS (
+        SELECT segment, na, ka, nb, kb,
+          (round(CASE WHEN na > 0 THEN ra END, 6) + 0.0) AS rate_a,
+          (round(CASE WHEN nb > 0 THEN rb END, 6) + 0.0) AS rate_b,
+          (round(zraw, 6) + 0.0) AS z,
+          (round(CASE WHEN zraw IS NOT NULL THEN
+            ${graft.functions.PValues.pTwoSidedZSql("zraw")} END, 6)
+            + 0.0) AS p_value
+        FROM zz),
+      rk AS (
+        SELECT segment, p_value,
+          row_number() OVER (ORDER BY p_value, segment)::BIGINT AS rank,
+          count(*) OVER ()::BIGINT AS m
+        FROM p WHERE p_value IS NOT NULL),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN p_value * m::DOUBLE
+            <= rank::DOUBLE * 0.05::DOUBLE THEN rank END), 0) AS kstar
+        FROM rk)
+      SELECT p.segment, p.na AS n_a, p.ka AS k_a, p.nb AS n_b,
+        p.kb AS k_b, p.rate_a, p.rate_b, p.z, p.p_value,
+        rk.rank, (rk.rank <= ks.kstar) AS reject
+      FROM p LEFT JOIN rk USING (segment), ks
+      ORDER BY p.segment""",
+
     // Replay of Drift.proportionsZ: exact arm counts, pooled-SE z in
     // the operator's pinned double order, erfc p from the raw z, and
     // per-arm Wilson intervals at the 1.959964 two-sided 5% point.

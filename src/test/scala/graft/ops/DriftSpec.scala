@@ -853,6 +853,46 @@ class DriftSpec extends SparkSpec {
     assert(e.getMessage.contains("zzz"))
   }
 
+  test("proportionsBySegment: planted segment trips, null segment " +
+      "reads p = 1, missing-arm segment gets NULL test; BH chain " +
+      "rejects only the plant") {
+    import graft.functions.PValues
+    def rows(seg: String, arm: String, k: Int, n: Int) =
+      (0 until n).map(i => (seg, arm, i < k))
+    val df = (
+      rows("s1", "a", 90, 100) ++ rows("s1", "b", 10, 100) ++ // plant
+        rows("s2", "a", 50, 100) ++ rows("s2", "b", 50, 100) ++ // null
+        rows("s3", "a", 5, 10) // missing arm b
+      ).toDF("seg", "arm", "s")
+    val per = Drift.proportionsBySegment(df, "seg", "arm", "s", "a", "b")
+      .orderBy("segment").collect()
+    assert(per.map(_.getString(0)).toSeq == Seq("s1", "s2", "s3"))
+    val s1 = per(0)
+    // pinned recompute: pool .5, se² = .25·(.02), z = .8/√.005
+    val z1 = 0.8 / math.sqrt(0.5 * 0.5 * (1.0 / 100 + 1.0 / 100))
+    assert(s1.getAs[Double]("z") == PValues.round6(z1))
+    assert(s1.getAs[Double]("p_value") ==
+      PValues.round6(PValues.pTwoSidedZ(z1)))
+    val s2 = per(1)
+    assert(s2.getAs[Double]("z") == 0.0)
+    assert(s2.getAs[Double]("p_value") == 1.0)
+    val s3 = per(2)
+    assert(s3.getAs[Long]("n_b") == 0L)
+    assert(s3.isNullAt(s3.fieldIndex("z")))
+    assert(s3.isNullAt(s3.fieldIndex("p_value")))
+    assert(s3.isNullAt(s3.fieldIndex("rate_b")))
+    assert(s3.getAs[Double]("rate_a") == 0.5)
+    // the FDR chain: only the plant survives BH at alpha .05 (m = 2
+    // tested segments; s3's NULL p is excluded, not counted against m)
+    val bh = Drift.bhAdjust(
+      Drift.proportionsBySegment(df, "seg", "arm", "s", "a", "b"),
+      Seq("segment"), "p_value", alpha = 0.05)
+      .orderBy("segment").collect()
+    assert(bh.length == 2)
+    assert(bh.map(r => r.getString(0) -> r.getAs[Boolean]("reject"))
+      .toMap == Map("s1" -> true, "s2" -> false))
+  }
+
   test("fisherExact: the lady-tasting-tea 2x2 pins the textbook " +
       "two-sided p; transpose symmetry; the maxN guard is loud") {
     import graft.functions.PValues
