@@ -168,6 +168,80 @@ object Drift {
       .withColumn("lambda", round(col("lambda"), 6) + lit(0d))
   }
 
+  /** Per-GROUP two-sample KS drift — the "WHICH stratum drifted"
+    * readout ([[ksTest]] answers whether the corpus moved; this runs
+    * one exact KS test per language/source/segment, the continuous
+    * companion of [[proportionsBySegment]]): for every group, the
+    * exact D = max|F_a − F_b| with the integer numerator convention of
+    * [[ksStatistic]], plus the Smirnov λ and the 100-term Kolmogorov
+    * p (the [[ksTest]] series, λ < 0.04 pinned to p = 1). Feed the p
+    * column to [[bhAdjust]] before believing per-group flags.
+    *
+    * Groups present on ONE side only keep their row with NULL
+    * split/d/λ/p (no comparison — loud, the [[proportionsBySegment]]
+    * convention). Ties on d_num resolve to the smallest value.
+    *
+    * Shape at scale: per-(group, value) counts map-side combine the
+    * data once; the cumulative pass is a PER-GROUP window (the
+    * per-stratum-window class — scale-safe when groups are numerous
+    * relative to cores, exactly the segmented-drift regime; the
+    * single-group case is what [[ksStatistic]]'s global-window-free
+    * CDF exists for). Everything downstream is group-cardinality
+    * work. Output per group:
+    * (grp, n_a, n_b, split_value, d_num, d, lambda, p_value).
+    */
+  def ksByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def cnt(df: DataFrame, n: String) = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as(n))
+    val merged = cnt(a, "__na")
+      .join(cnt(b, "__nb"), Seq("grp", "v"), "full_outer")
+      .select(col("grp"), col("v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val w = Window.partitionBy("grp").orderBy("v")
+    val dec = "decimal(38,0)"
+    val cum = merged
+      .withColumn("__ca", sum("__na").over(w))
+      .withColumn("__cb", sum("__nb").over(w))
+    val totals = merged.groupBy("grp")
+      .agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    val raw = col("__ca").cast(dec) * col("__tb").cast(dec) -
+      col("__cb").cast(dec) * col("__ta").cast(dec)
+    val perG = cum.join(totals, "grp")
+      .select(col("grp"), col("v"), col("__ta"), col("__tb"),
+        when(raw < 0, -raw).otherwise(raw).cast(dec).as("__dnum"))
+      .groupBy("grp")
+      .agg(max("__ta").as("n_a"), max("__tb").as("n_b"),
+        max(struct(col("__dnum"), (-col("v")).as("__negv"))).as("__m"))
+    val tested = col("n_a") > 0 && col("n_b") > 0
+    val d = col("__m.__dnum").cast("double") /
+      (col("n_a").cast("double") * col("n_b").cast("double"))
+    val lam = d * sqrt(col("n_a").cast("double")
+      * col("n_b").cast("double")
+      / (col("n_a") + col("n_b")).cast("double"))
+    val base = perG.select(col("grp"), col("n_a"), col("n_b"),
+      when(tested, -col("__m.__negv")).as("split_value"),
+      when(tested, col("__m.__dnum").cast("double")).as("d_num"),
+      when(tested, d).as("d"),
+      when(tested, lam).as("lambda"))
+    val series = (1 to 100).map { k =>
+      val sign = if (k % 2 == 1) 1.0 else -1.0
+      lit(sign) * exp(lit(-2.0 * k * k) * col("lambda") * col("lambda"))
+    }.reduce(_ + _)
+    base
+      .withColumn("p_value",
+        when(col("lambda").isNull, lit(null).cast("double"))
+          .when(col("lambda") < 0.04, lit(1d))
+          .otherwise(
+            round(least(lit(1d), greatest(lit(0d), lit(2d) * series)), 6)
+              + lit(0d)))
+      .withColumn("lambda", round(col("lambda"), 6) + lit(0d))
+  }
+
   /** Per-category frequency drift between two snapshots on categorical
     * `catCol` — the exact decomposition of total-variation distance.
     * Output per category (including categories present on one side

@@ -3479,6 +3479,19 @@ object ExtensionQueries {
         "o_totalprice")
     },
 
+    // Per-priority-arm KS drift between the early/late order halves —
+    // WHICH stratum's price distribution moved: one exact-D KS test per
+    // group (per-group window CDF), Smirnov lambda + Kolmogorov p.
+    "drift_ks_grouped" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cut = lit(DriftSplitDate).cast("timestamp")
+      Drift.ksByGroup(
+          o.where(col("o_orderdate") < cut),
+          o.where(col("o_orderdate") >= cut),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("grp")
+    },
+
     // Deterministic randomization test: is the purchase-vs-click value
     // gap within relabeling noise? Exact fixed-point means, hash-drawn
     // permutation labels, add-one p-value.
@@ -10376,6 +10389,68 @@ object ExtensionQueries {
                   * exp((-2.0 * k * k)::DOUBLE * l * l))),
               (a, b) -> a + b))), 6) + 0.0) END) AS p_value
       FROM lam""",
+
+    // Replay of Drift.ksByGroup: per-(group, value) counts, per-group
+    // window CDF, exact HUGEINT numerators, argmax ties to the
+    // smallest value, Smirnov lambda + the sequential 100-term
+    // Kolmogorov series per group (lambda < 0.04 pins p = 1).
+    "drift_ks_grouped" -> s"""
+      WITH av AS (
+        SELECT o_orderpriority::VARCHAR AS grp, o_totalprice::DOUBLE AS v,
+          count(*)::BIGINT AS na
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
+          AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2),
+      bv AS (
+        SELECT o_orderpriority::VARCHAR AS grp, o_totalprice::DOUBLE AS v,
+          count(*)::BIGINT AS nb
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
+          AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2),
+      m AS (
+        SELECT coalesce(av.grp, bv.grp) AS grp, coalesce(av.v, bv.v) AS v,
+          coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        FROM av FULL JOIN bv ON av.grp = bv.grp AND av.v = bv.v),
+      t AS (SELECT grp, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+            FROM m GROUP BY 1),
+      c AS (
+        SELECT grp, v,
+          sum(na) OVER (PARTITION BY grp ORDER BY v) AS ca,
+          sum(nb) OVER (PARTITION BY grp ORDER BY v) AS cb
+        FROM m),
+      dd AS (
+        SELECT c.grp, c.v, t.ta, t.tb,
+          abs(CAST(ca AS HUGEINT) * t.tb - CAST(cb AS HUGEINT) * t.ta)
+            AS dnum
+        FROM c JOIN t USING (grp)),
+      best AS (
+        SELECT grp, ta, tb, v, dnum,
+          row_number() OVER (PARTITION BY grp ORDER BY dnum DESC, v ASC)
+            AS rk
+        FROM dd),
+      lam AS (
+        SELECT grp, ta AS n_a, tb AS n_b,
+          CASE WHEN ta > 0 AND tb > 0 THEN v END AS split_value,
+          CASE WHEN ta > 0 AND tb > 0 THEN dnum::DOUBLE END AS d_num,
+          CASE WHEN ta > 0 AND tb > 0
+            THEN dnum::DOUBLE / (ta::DOUBLE * tb::DOUBLE) END AS d,
+          CASE WHEN ta > 0 AND tb > 0
+            THEN dnum::DOUBLE / (ta::DOUBLE * tb::DOUBLE)
+              * sqrt(ta::DOUBLE * tb::DOUBLE / (ta + tb)::DOUBLE) END AS l
+        FROM best WHERE rk = 1)
+      SELECT grp, n_a, n_b, split_value, d_num, d,
+        (round(l, 6) + 0.0) AS lambda,
+        (CASE WHEN l IS NULL THEN NULL
+          WHEN l < 0.04 THEN 1.0::DOUBLE
+          ELSE (round(least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+            2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(generate_series(1, 100),
+                k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                  * exp((-2.0 * k * k)::DOUBLE * l * l))),
+              (a, b) -> a + b))), 6) + 0.0) END) AS p_value
+      FROM lam ORDER BY grp""",
 
     // Replay of Drift.psi: quantile_cont bins fitted on the reference
     // half (== Spark percentile), first-bound-<= assignment,

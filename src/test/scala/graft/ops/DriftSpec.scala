@@ -853,6 +853,45 @@ class DriftSpec extends SparkSpec {
     assert(e.getMessage.contains("zzz"))
   }
 
+  test("ksByGroup: per-group exact D with the hand example, identical " +
+      "group pins p = 1, one-sided group NULL test, agrees with ksTest " +
+      "on the single-group slice, layout-invariant") {
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 5.0), ("g2", 6.0), ("g3", 1.0)).toDF("g", "v")
+    val b = Seq(("g1", 2.0), ("g1", 3.0), ("g1", 3.0), ("g1", 4.0),
+      ("g2", 5.0), ("g2", 6.0)).toDF("g", "v")
+    val out = Drift.ksByGroup(a, b, "g", "v").orderBy("grp").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("g1", "g2", "g3"))
+    val g1 = out(0)
+    // the ksStatistic hand example: cumA·4 − cumB·4 peaks at 8 on v = 2
+    assert(g1.getAs[Double]("split_value") == 2.0)
+    assert(g1.getAs[Double]("d_num") == 8.0)
+    assert(g1.getAs[Double]("d") == 0.5)
+    // the per-group row must agree with the whole-machinery ksTest run
+    // on the same slice (same d, lambda, p)
+    val single = Drift.ksTest(
+      a.where(col("g") === "g1").select("v"),
+      b.where(col("g") === "g1").select("v"), "v").collect().head
+    assert(g1.getAs[Double]("d") == single.getAs[Double]("d"))
+    assert(g1.getAs[Double]("lambda") == single.getAs[Double]("lambda"))
+    assert(g1.getAs[Double]("p_value") == single.getAs[Double]("p_value"))
+    // identical distributions: d = 0, ties resolve to the smallest
+    // value, degenerate lambda pins p = 1
+    val g2 = out(1)
+    assert(g2.getAs[Double]("d") == 0.0)
+    assert(g2.getAs[Double]("split_value") == 5.0)
+    assert(g2.getAs[Double]("p_value") == 1.0)
+    // one-sided group: row kept, test NULL
+    val g3 = out(2)
+    assert((g3.getAs[Long]("n_a"), g3.getAs[Long]("n_b")) == ((1L, 0L)))
+    assert(g3.isNullAt(g3.fieldIndex("d")))
+    assert(g3.isNullAt(g3.fieldIndex("p_value")))
+    val rep = Drift.ksByGroup(a.repartition(7), b.repartition(5), "g", "v")
+      .orderBy("grp").collect()
+    assert(rep.map(_.toString).toSeq == out.map(_.toString).toSeq)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("proportionsBySegment: planted segment trips, null segment " +
       "reads p = 1, missing-arm segment gets NULL test; BH chain " +
       "rejects only the plant") {
