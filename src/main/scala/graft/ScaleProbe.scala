@@ -512,6 +512,29 @@ object ScaleProbe {
       t("graph_degree_alpha") {
         graft.ops.Graph.degreePowerLaw(liEdgesN, dMin = 2).count()
       }
+      // round 16: the segmented statistics — per-segment work is
+      // value/segment-cardinality-bounded (amplified copies multiply
+      // counts, never the per-group CDF tables or the segment set), so
+      // both must stay ~flat after the one keyed shuffle
+      t("ks_grouped") {
+        val ev2 = amplify(graft.queries.Tables.events(spark, dir),
+          "event_id", m)
+        graft.ops.Drift.ksByGroup(
+          ev2.where(col("event_id") % 2 === 0),
+          ev2.where(col("event_id") % 2 === 1),
+          "event_type", "value").count()
+      }
+      t("proportions_segments") {
+        val ev2 = amplify(graft.queries.Tables.events(spark, dir),
+          "event_id", m)
+          .select(expr("((unix_micros(ts) div 3600000000) % 24) div 4")
+            .cast("string").as("seg"),
+            concat(lit("g"), (col("user_id") % 2).cast("string"))
+              .as("arm"),
+            (col("event_type") === "purchase").as("s"))
+        graft.ops.Drift.proportionsBySegment(ev2, "seg", "arm", "s",
+          "g0", "g1").count()
+      }
       t("graph_reciprocity") {
         import org.apache.spark.sql.expressions.Window
         val evN = amplify(graft.queries.Tables.events(spark, dir),
