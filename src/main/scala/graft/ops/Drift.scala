@@ -1792,6 +1792,75 @@ object Drift {
           .as("w1"))
   }
 
+  /** Per-GROUP 1-D Wasserstein distance — [[ksByGroup]]'s companion in
+    * the VALUE'S OWN UNITS ([[wasserstein1]] per stratum: KS saturates
+    * at the worst point; W1 says HOW FAR each group's mass moved — "the
+    * zh slice shifted +40 tokens, the en slice didn't move"):
+    * W1_g = Σ_i |F_a(v_i) − F_b(v_i)|·(v_{i+1} − v_i) over each group's
+    * merged distinct values. Exact DECIMAL(38,0) numerators, per-row
+    * contributions summed as ×2^20 fixed-point longs (the
+    * [[wasserstein1]] conventions). Groups present on one side only
+    * keep their row with NULL w1 (the [[ksByGroup]] convention).
+    *
+    * Shape at scale: per-(group, value) counts map-side combine the
+    * data once; the cumulative-and-next pass is a PER-GROUP window
+    * (the per-stratum-window class — the segmented regime this op
+    * exists for; the one-group case is [[wasserstein1]]'s distributed
+    * CDF job). Output per group: (grp, n_a, n_b, n_values, w1).
+    */
+  def wassersteinByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def cnt(df: DataFrame, n: String) = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as(n))
+    val merged = cnt(a, "__na")
+      .join(cnt(b, "__nb"), Seq("grp", "v"), "full_outer")
+      .select(col("grp"), col("v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val w = Window.partitionBy("grp").orderBy("v")
+    val dec = "decimal(38,0)"
+    val cum = merged
+      .withColumn("__ca", sum("__na").over(w))
+      .withColumn("__cb", sum("__nb").over(w))
+      .withColumn("__nextv", lead("v", 1).over(w))
+    val totals = merged.groupBy("grp")
+      .agg(sum("__na").as("__ta"), sum("__nb").as("__tb"),
+        count(lit(1)).as("__nv"))
+    val raw = col("__ca").cast(dec) * col("__tb").cast(dec) -
+      col("__cb").cast(dec) * col("__ta").cast(dec)
+    val scale = (1L << 20).toDouble
+    val contrib = when(raw < 0, -raw).otherwise(raw).cast("double") /
+      (col("__ta").cast("double") * col("__tb").cast("double")) *
+      (col("__nextv") - col("v"))
+    cum.join(totals, "grp")
+      .where(col("__nextv").isNotNull)
+      .select(col("grp"), col("__ta"), col("__tb"), col("__nv"),
+        // guarded: a one-sided group divides by ta·tb = 0 → ±Inf,
+        // which DuckDB cannot cast to BIGINT (the oracle would ERROR,
+        // not NULL) — both engines skip the term instead
+        when(col("__ta") > 0 && col("__tb") > 0,
+          round(contrib * scale).cast("long")).as("__t"))
+      .groupBy("grp")
+      .agg(max("__ta").as("n_a"), max("__tb").as("n_b"),
+        max("__nv").as("n_values"), sum("__t").as("__fp"))
+      .unionByName(
+        // single-value or one-row groups never enter the gap pass; they
+        // still report (w1 = 0 when both sides present — no mass can be
+        // apart on a single value)
+        cum.join(totals, "grp")
+          .groupBy("grp")
+          .agg(max("__ta").as("n_a"), max("__tb").as("n_b"),
+            max("__nv").as("n_values"))
+          .where(col("n_values") === 1)
+          .withColumn("__fp", lit(0L)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("n_values"),
+        (round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("__fp").cast("double") / scale), 6) + lit(0d)).as("w1"))
+  }
+
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..4 — double
     * literals shared verbatim with the oracle SQL so the inverse-CDF
     * draw is bit-identical cross-engine; the tail (u ≥ P(X ≤ 4),

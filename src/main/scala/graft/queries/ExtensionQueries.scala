@@ -3492,6 +3492,19 @@ object ExtensionQueries {
         .orderBy("grp")
     },
 
+    // Per-priority-arm Wasserstein drift over the same halves — HOW FAR
+    // each stratum's price distribution moved, in price units (the KS
+    // saturates at the worst point; W1 integrates the move).
+    "drift_wasserstein_grouped" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cut = lit(DriftSplitDate).cast("timestamp")
+      Drift.wassersteinByGroup(
+          o.where(col("o_orderdate") < cut),
+          o.where(col("o_orderdate") >= cut),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("grp")
+    },
+
     // Deterministic randomization test: is the purchase-vs-click value
     // gap within relabeling noise? Exact fixed-point means, hash-drawn
     // permutation labels, add-one p-value.
@@ -10451,6 +10464,51 @@ object ExtensionQueries {
                   * exp((-2.0 * k * k)::DOUBLE * l * l))),
               (a, b) -> a + b))), 6) + 0.0) END) AS p_value
       FROM lam ORDER BY grp""",
+
+    // Replay of Drift.wassersteinByGroup: per-group window CDF + lead,
+    // exact HUGEINT numerators, per-row double contributions summed as
+    // x2^20 fixed-point longs per group.
+    "drift_wasserstein_grouped" -> s"""
+      WITH av AS (
+        SELECT o_orderpriority::VARCHAR AS grp, o_totalprice::DOUBLE AS v,
+          count(*)::BIGINT AS na
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
+          AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2),
+      bv AS (
+        SELECT o_orderpriority::VARCHAR AS grp, o_totalprice::DOUBLE AS v,
+          count(*)::BIGINT AS nb
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
+          AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2),
+      m AS (
+        SELECT coalesce(av.grp, bv.grp) AS grp, coalesce(av.v, bv.v) AS v,
+          coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        FROM av FULL JOIN bv ON av.grp = bv.grp AND av.v = bv.v),
+      t AS (SELECT grp, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+              count(*)::BIGINT AS nv
+            FROM m GROUP BY 1),
+      c AS (
+        SELECT grp, v,
+          sum(na) OVER (PARTITION BY grp ORDER BY v) AS ca,
+          sum(nb) OVER (PARTITION BY grp ORDER BY v) AS cb,
+          lead(v) OVER (PARTITION BY grp ORDER BY v) AS nextv
+        FROM m),
+      s AS (
+        SELECT c.grp,
+          sum(CASE WHEN t.ta > 0 AND t.tb > 0 THEN CAST(round(
+            abs(CAST(ca AS HUGEINT) * t.tb - CAST(cb AS HUGEINT) * t.ta)
+              ::DOUBLE
+            / (t.ta::DOUBLE * t.tb::DOUBLE) * (nextv - v) * 1048576.0)
+            AS BIGINT) END)::BIGINT AS fp
+        FROM c JOIN t USING (grp)
+        WHERE nextv IS NOT NULL GROUP BY 1)
+      SELECT t.grp, t.ta AS n_a, t.tb AS n_b, t.nv AS n_values,
+        (round(CASE WHEN t.ta > 0 AND t.tb > 0
+          THEN coalesce(s.fp, 0)::DOUBLE / 1048576.0 END, 6) + 0.0) AS w1
+      FROM t LEFT JOIN s USING (grp) ORDER BY grp""",
 
     // Replay of Drift.psi: quantile_cont bins fitted on the reference
     // half (== Spark percentile), first-bound-<= assignment,

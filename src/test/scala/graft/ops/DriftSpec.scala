@@ -892,6 +892,36 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("wassersteinByGroup: uniform shift scores the shift per group, " +
+      "identical group 0, single-value group 0, one-sided NULL, agrees " +
+      "with wasserstein1 on the slice, layout-invariant") {
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 7.0), ("g2", 8.0),
+      ("g3", 5.0), ("g4", 1.0), ("g4", 2.0)).toDF("g", "v")
+    val b = Seq(("g1", 3.0), ("g1", 4.0), ("g2", 7.0), ("g2", 8.0),
+      ("g3", 5.0)).toDF("g", "v")
+    val out = Drift.wassersteinByGroup(a, b, "g", "v").orderBy("grp")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("g1", "g2", "g3", "g4"))
+    // g1: every value shifted +2 -> W1 exactly 2
+    assert(out(0).getAs[Double]("w1") == 2.0)
+    val single = Drift.wasserstein1(
+      a.where(col("g") === "g1").select("v"),
+      b.where(col("g") === "g1").select("v"), "v").collect().head
+    assert(out(0).getAs[Double]("w1") == single.getAs[Double]("w1"))
+    // g2 identical -> 0; g3 single shared value -> 0 with n_values 1
+    assert(out(1).getAs[Double]("w1") == 0.0)
+    assert(out(2).getAs[Double]("w1") == 0.0)
+    assert(out(2).getAs[Long]("n_values") == 1L)
+    // g4 one-sided -> row kept, w1 NULL
+    assert(out(3).getAs[Long]("n_b") == 0L)
+    assert(out(3).isNullAt(out(3).fieldIndex("w1")))
+    val rep = Drift.wassersteinByGroup(
+      a.repartition(7), b.repartition(5), "g", "v").orderBy("grp")
+      .collect()
+    assert(rep.map(_.toString).toSeq == out.map(_.toString).toSeq)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("proportionsBySegment: planted segment trips, null segment " +
       "reads p = 1, missing-arm segment gets NULL test; BH chain " +
       "rejects only the plant") {
