@@ -1945,6 +1945,84 @@ object Drift {
         col("ci_lo"), col("ci_hi"), col("n_boot"))
   }
 
+  /** Poisson-bootstrap confidence interval for the LIFT (difference of
+    * arm means) — the uncertainty readout on the number an A/B
+    * decision actually turns on ([[bootstrapMeanCI]] bounds one arm;
+    * [[proportionsZ]]'s Wilson intervals bound each RATE separately —
+    * neither bounds mean_a − mean_b itself, and eyeballing overlap of
+    * per-arm CIs is the classic false-negative): each of `nBoot`
+    * resamples draws an independent Poisson(1) weight per unit on BOTH
+    * sides (the [[bootstrapMeanCI]] deterministic inverse-CDF hash
+    * draw, shared [[PoissonCum]] thresholds), and the CI is the
+    * percentile interval over the resampled mean differences.
+    *
+    * Caller contract: `idCol` values are unique ACROSS the two sides
+    * (they seed the per-unit draws; a shared id would correlate the
+    * arms). Resamples where either side draws total weight 0 are
+    * dropped (tiny-n possibility, documented not hidden). Values fold
+    * as ×2^20 fixed-point longs; each resample's diff is the pinned
+    * (sa/na)/2^20 − (sb/nb)/2^20 double; the interval is the
+    * engine-shared percentile arithmetic over `nBoot` diffs.
+    *
+    * Shape at scale: one bounded explode (nBoot copies of each value
+    * row, both sides in ONE union) into ONE map-side-combined
+    * per-resample aggregate; the percentile runs over nBoot one-row
+    * partials. Output ONE row:
+    * (n_a, n_b, lift, ci_lo, ci_hi, n_boot).
+    */
+  def bootstrapLiftCI(a: DataFrame, b: DataFrame, idCol: String,
+      valueCol: String, nBoot: Int = 200, level: Double = 0.95,
+      salt: String = ""): DataFrame = {
+    require(nBoot >= 2, s"nBoot must be >= 2, got $nBoot")
+    require(level > 0 && level < 1, s"level must be in (0,1), got $level")
+    import graft.functions.{TextFunctions => T}
+    val scale = 1048576d
+    def slim(df: DataFrame, g: Int) = df.where(col(valueCol).isNotNull)
+      .select(lit(g).as("__g"), col(idCol).cast("string").as("__id"),
+        round(col(valueCol).cast("double") * scale).cast("long")
+          .as("__v"))
+    val u = T.h32raw(concat(col("__id"), lit(":"),
+      col("__b").cast("string"), lit(":"), lit(salt)))
+      .cast("double") / 4294967296d
+    val w = PoissonCum.zipWithIndex
+      .foldRight(lit(5): org.apache.spark.sql.Column) {
+        case ((thr, k), rest) =>
+          when(col("__u") < thr, lit(k)).otherwise(rest)
+      }
+    val diffs = slim(a, 0).unionAll(slim(b, 1))
+      .select(col("__g"), col("__id"), col("__v"),
+        explode(sequence(lit(1), lit(nBoot))).as("__b"))
+      .select(col("__g"), col("__b"), col("__v"), u.as("__u"))
+      .select(col("__g"), col("__b"), col("__v"), w.cast("long").as("__w"))
+      .groupBy("__b")
+      .agg(
+        sum(when(col("__g") === 0, col("__w") * col("__v"))).as("__sa"),
+        sum(when(col("__g") === 0, col("__w")).otherwise(0L)).as("__na"),
+        sum(when(col("__g") === 1, col("__w") * col("__v"))).as("__sb"),
+        sum(when(col("__g") === 1, col("__w")).otherwise(0L)).as("__nb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .select((col("__sa").cast("double") / col("__na") / scale
+        - col("__sb").cast("double") / col("__nb") / scale).as("__d"))
+    val lo = ((BigDecimal(1) - BigDecimal(level.toString)) / 2).toDouble
+    val hi = (BigDecimal(1) - BigDecimal(lo.toString)).toDouble
+    def side(df: DataFrame, n: String, s: String) =
+      df.where(col(valueCol).isNotNull)
+        .agg(count(lit(1)).as(n),
+          sum(round(col(valueCol).cast("double") * scale).cast("long"))
+            .as(s))
+    diffs.agg(
+        (round(expr(s"percentile(__d, $lo)"), 6) + lit(0d)).as("ci_lo"),
+        (round(expr(s"percentile(__d, $hi)"), 6) + lit(0d)).as("ci_hi"),
+        count(lit(1)).as("n_boot"))
+      .crossJoin(broadcast(side(a, "n_a", "__sva")))
+      .crossJoin(broadcast(side(b, "n_b", "__svb")))
+      .select(col("n_a"), col("n_b"),
+        (round(col("__sva").cast("double") / col("n_a") / scale
+          - col("__svb").cast("double") / col("n_b") / scale, 6)
+          + lit(0d)).as("lift"),
+        col("ci_lo"), col("ci_hi"), col("n_boot"))
+  }
+
   /** Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) over
     * a table of per-hypothesis p-values — the multiple-testing guard
     * every drift/AB DASHBOARD needs: run [[ksStatistic]] /

@@ -3668,6 +3668,20 @@ object ExtensionQueries {
         "event_id", "value", nBoot = AbPerms, salt = "bs")
     },
 
+    // Poisson-bootstrap CI on the LIFT itself (purchase-minus-click
+    // mean difference): both arms re-weighted per resample, percentile
+    // interval over the mean differences — the uncertainty readout an
+    // A/B decision actually turns on.
+    "ab_bootstrap_lift" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      Drift.bootstrapLiftCI(
+        ev.where(col("event_type") === "purchase")
+          .select("event_id", "value"),
+        ev.where(col("event_type") === "click")
+          .select("event_id", "value"),
+        "event_id", "value", nBoot = AbPerms, salt = "bl")
+    },
+
     // Benjamini-Hochberg FDR over a p-value table: 20 planted signals
     // (tiny p) against a uniform null background (the raw 32-bit hash
     // domain normalized) — the step-up rule must pick up the plants and
@@ -9821,6 +9835,56 @@ object ExtensionQueries {
         (round(quantile_cont(m, 0.975), 6) + 0.0) AS ci_hi,
         count(*)::BIGINT AS n_boot
       FROM means, base GROUP BY base.n, sv""",
+
+    // Replay of Drift.bootstrapLiftCI: both arms through the identical
+    // hash-drawn Poisson weights, per-resample pinned mean difference,
+    // quantile_cont interval (== Spark percentile).
+    "ab_bootstrap_lift" -> s"""
+      WITH va AS (
+        SELECT event_id::VARCHAR AS id,
+          round(value * 1048576.0)::BIGINT AS v, 0 AS g
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      vb AS (
+        SELECT event_id::VARCHAR AS id,
+          round(value * 1048576.0)::BIGINT AS v, 1 AS g
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+      v AS (SELECT * FROM va UNION ALL SELECT * FROM vb),
+      draws AS (
+        SELECT t.b, v.g, v.v,
+          ('0x'||substr(md5(v.id || ':' || t.b::VARCHAR || ':bl'),
+            1, 8))::BIGINT::DOUBLE / 4294967296.0 AS u
+        FROM v, generate_series(1, $AbPerms) t(b)),
+      wt AS (
+        SELECT b, g, v,
+          (CASE WHEN u < ${graft.ops.Drift.PoissonCum(0)} THEN 0
+            WHEN u < ${graft.ops.Drift.PoissonCum(1)} THEN 1
+            WHEN u < ${graft.ops.Drift.PoissonCum(2)} THEN 2
+            WHEN u < ${graft.ops.Drift.PoissonCum(3)} THEN 3
+            WHEN u < ${graft.ops.Drift.PoissonCum(4)} THEN 4
+            ELSE 5 END)::BIGINT AS w
+        FROM draws),
+      d AS (
+        SELECT b,
+          sum(CASE WHEN g = 0 THEN w * v END)::DOUBLE
+            / sum(CASE WHEN g = 0 THEN w ELSE 0 END)::DOUBLE / 1048576.0
+          - sum(CASE WHEN g = 1 THEN w * v END)::DOUBLE
+            / sum(CASE WHEN g = 1 THEN w ELSE 0 END)::DOUBLE / 1048576.0
+            AS dd
+        FROM wt GROUP BY b
+        HAVING sum(CASE WHEN g = 0 THEN w ELSE 0 END) > 0
+           AND sum(CASE WHEN g = 1 THEN w ELSE 0 END) > 0),
+      base AS (SELECT
+        (SELECT count(*) FROM va)::BIGINT AS na,
+        (SELECT sum(v) FROM va) AS sa,
+        (SELECT count(*) FROM vb)::BIGINT AS nb,
+        (SELECT sum(v) FROM vb) AS sb)
+      SELECT na AS n_a, nb AS n_b,
+        (round(sa::DOUBLE / na / 1048576.0
+          - sb::DOUBLE / nb / 1048576.0, 6) + 0.0) AS lift,
+        (round(quantile_cont(dd, 0.025), 6) + 0.0) AS ci_lo,
+        (round(quantile_cont(dd, 0.975), 6) + 0.0) AS ci_hi,
+        count(*)::BIGINT AS n_boot
+      FROM d, base GROUP BY na, sa, nb, sb""",
 
     // Replay of Drift.bhAdjust: same planted-vs-null p construction,
     // window rank (the oracle may globally sort; the operator may not),

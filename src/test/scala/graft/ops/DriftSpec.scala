@@ -892,6 +892,30 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("bootstrapLiftCI: CI brackets the exact lift and excludes 0 for " +
+      "separated arms, straddles 0 for same-pool arms, deterministic " +
+      "and layout-invariant") {
+    val a = (1 to 200).map(i => (s"a$i", 10.0 + (i % 5))).toDF("id", "v")
+    val b = (1 to 200).map(i => (s"b$i", 5.0 + (i % 5))).toDF("id", "v")
+    val r = Drift.bootstrapLiftCI(a, b, "id", "v", nBoot = 100,
+      salt = "t").collect().head
+    assert(r.getAs[Double]("lift") == 5.0)
+    assert(r.getAs[Double]("ci_lo") > 4.0 && r.getAs[Double]("ci_hi") < 6.0)
+    assert(r.getAs[Double]("ci_lo") <= 5.0
+      && 5.0 <= r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Long]("n_boot") <= 100L)
+    val r2 = Drift.bootstrapLiftCI(a.repartition(7), b.repartition(3),
+      "id", "v", nBoot = 100, salt = "t").collect().head
+    assert(r2.toString == r.toString)
+    // same pool re-id'd: lift exactly 0, the interval must straddle it
+    val same = Drift.bootstrapLiftCI(a,
+      a.withColumn("id", concat(lit("x"), col("id"))),
+      "id", "v", nBoot = 100, salt = "t").collect().head
+    assert(same.getAs[Double]("lift") == 0.0)
+    assert(same.getAs[Double]("ci_lo") < 0
+      && same.getAs[Double]("ci_hi") > 0)
+  }
+
   test("wassersteinByGroup: uniform shift scores the shift per group, " +
       "identical group 0, single-value group 0, one-sided NULL, agrees " +
       "with wasserstein1 on the slice, layout-invariant") {
