@@ -1959,7 +1959,9 @@ object Drift {
     * Caller contract: `idCol` values are unique ACROSS the two sides
     * (they seed the per-unit draws; a shared id would correlate the
     * arms). Resamples where either side draws total weight 0 are
-    * dropped (tiny-n possibility, documented not hidden). Values fold
+    * dropped (tiny-n possibility, documented not hidden); if EVERY
+    * resample drops the query RAISES rather than emitting a NULL
+    * interval. Values fold
     * as ×2^20 fixed-point longs; each resample's diff is the pinned
     * (sa/na)/2^20 − (sb/nb)/2^20 double; the interval is the
     * engine-shared percentile arithmetic over `nBoot` diffs.
@@ -2010,6 +2012,13 @@ object Drift {
         .agg(count(lit(1)).as(n),
           sum(round(col(valueCol).cast("double") * scale).cast("long"))
             .as(s))
+    // LOUD when every resample dropped (one side drew total weight 0 in
+    // all nBoot draws — tiny-n only): a silent NULL interval row would
+    // diverge from the oracle's zero-row shape; both engines error.
+    def loud(c: org.apache.spark.sql.Column) = when(col("n_boot") > 0, c)
+      .otherwise(raise_error(lit("bootstrapLiftCI: every resample " +
+        "dropped (a side drew total weight 0 in all draws) — increase " +
+        "nBoot or the input size")))
     diffs.agg(
         (round(expr(s"percentile(__d, $lo)"), 6) + lit(0d)).as("ci_lo"),
         (round(expr(s"percentile(__d, $hi)"), 6) + lit(0d)).as("ci_hi"),
@@ -2020,7 +2029,8 @@ object Drift {
         (round(col("__sva").cast("double") / col("n_a") / scale
           - col("__svb").cast("double") / col("n_b") / scale, 6)
           + lit(0d)).as("lift"),
-        col("ci_lo"), col("ci_hi"), col("n_boot"))
+        loud(col("ci_lo")).as("ci_lo"), loud(col("ci_hi")).as("ci_hi"),
+        col("n_boot"))
   }
 
   /** Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) over

@@ -1466,14 +1466,24 @@ final case class AggStateTransformStage(
   * breakage) as pipeline configuration. `inputView` is the BEFORE
   * snapshot, `rightView` the AFTER; methods map to the exact-arithmetic
   * operators — `ks` (numeric column), `tv` (categorical column),
-  * `centroid` (embedding frames keyed by `labelCol`).
+  * `centroid` (embedding frames keyed by `labelCol`), plus the full
+  * statistics family the Scala API carries: `kruskal` / `anova` /
+  * `levene` (single-view k-arm readouts over `groupCol`×`valueCol`),
+  * `welch` (two-view unequal-variance t), `fisher` (single-view exact
+  * 2×2 over `catCol`×`labelCol`), `proportions` / `segments`
+  * (single-view two-arm conversion readouts; `segments` adds a
+  * per-`segCol` stratum row, feed it into a `bh` stage for FDR
+  * control), `psi` / `jsd` / `wasserstein` (two-view mix/shape
+  * distances), `ks_grouped` / `wasserstein_grouped` (per-`groupCol`
+  * stratified drift), and `bootstrap_lift` (two-view Poisson-bootstrap
+  * lift CI; `nPerms` is the resample count, `1 - alpha` the level).
   */
 final case class DriftTransformStage(
     name: String,
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1496,7 +1506,15 @@ final case class DriftTransformStage(
     k: Int = 25,
     // bh only (single-view): p-value column + FDR level
     pCol: String = "p",
-    alpha: Double = 0.05)
+    alpha: Double = 0.05,
+    // proportions / segments (single-view): boolean success column +
+    // the two arm names under groupCol; segments adds the stratum col
+    successCol: String = "success",
+    armA: String = "",
+    armB: String = "",
+    segCol: String = "segment",
+    // psi only: number of quantile bins from the before side
+    nBins: Int = 10)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1540,6 +1558,34 @@ final case class DriftTransformStage(
       // alpha as the two-sided tail: level = 1 - alpha)
       case "bootstrap" =>
         Drift.bootstrapMeanCI(before, idCol, valueCol, nPerms,
+          1 - alpha, salt)
+      // single-view k-arm readouts over (groupCol, valueCol)
+      case "kruskal" => Drift.kruskalWallis(before, groupCol, valueCol)
+      case "anova" => Drift.anovaF(before, groupCol, valueCol)
+      case "levene" => Drift.brownForsythe(before, groupCol, valueCol)
+      // two-view unequal-variance mean comparison
+      case "welch" => Drift.welchT(before, after, valueCol)
+      // single-view exact 2x2 over catCol x labelCol (both boolean)
+      case "fisher" => Drift.fisherExact(before, catCol, labelCol)
+      // single-view two-arm conversion readouts
+      case "proportions" =>
+        Drift.proportionsZ(before, groupCol, successCol, armA, armB)
+      case "segments" =>
+        Drift.proportionsBySegment(before, segCol, groupCol, successCol,
+          armA, armB)
+      // two-view mix/shape distances
+      case "psi" => Drift.psi(before, after, valueCol, nBins)
+      case "jsd" => Drift.jensenShannon(before, after, catCol)
+      case "wasserstein" => Drift.wasserstein1(before, after, valueCol)
+      // per-stratum drift (grouped KS / W1)
+      case "ks_grouped" =>
+        Drift.ksByGroup(before, after, groupCol, valueCol)
+      case "wasserstein_grouped" =>
+        Drift.wassersteinByGroup(before, after, groupCol, valueCol)
+      // two-view Poisson-bootstrap lift CI (nPerms = nBoot,
+      // level = 1 - alpha, the `bootstrap` precedent)
+      case "bootstrap_lift" =>
+        Drift.bootstrapLiftCI(before, after, idCol, valueCol, nPerms,
           1 - alpha, salt)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")

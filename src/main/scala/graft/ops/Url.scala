@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   * [[normalize]]'s rule list is PINNED (documented here, replayed
   * verbatim in the oracle; no library URI parser on either engine):
   *   1. fragment strip (`#...` — never reaches the server);
-  *   2. scheme and authority lowercase;
+  *   2. scheme and authority lowercase (the authority ends at the
+  *      FIRST `/` or `?` after `://` — a query can follow the host
+  *      with no path at all);
   *   3. default-port strip (`:80` for http, `:443` for https — only
   *      the scheme's OWN default);
   *   4. trailing-slash strip on the path (`/a/` == `/a`; the root path
   *      collapses to no path at all);
   *   5. tracking-parameter strip: any `utm_*` name, plus
-  *      `gclid`/`fbclid`/`msclkid`/`ref` — surviving params keep their
+  *      `gclid`/`fbclid`/`msclkid`/`ref`, names compared
+  *      CASE-INSENSITIVELY (crawls carry `UTM_Source=` variants; the
+  *      param VALUE and surviving names keep their original case) —
+  *      surviving params keep their
   *      ORIGINAL order (no re-sort: param order is semantics for some
   *      endpoints, and a pinned no-op beats a second convention).
   * Rows without `://` normalize to NULL (malformed-by-contract, loud in
@@ -39,6 +44,20 @@ object Url {
 
   private val TrackingExact = Seq("gclid", "fbclid", "msclkid", "ref")
 
+  /** 1-based position where the authority of `rest` (the post-`://`
+    * text, fragment already stripped) ENDS: the first `/` or `?`,
+    * whichever comes first, or one past the end when neither appears.
+    * Shared by [[normalize]] and [[domainOf]]; the oracle CTEs replay
+    * the identical three-way CASE.
+    */
+  private def authorityEnd(rest: Column): Column = {
+    val slashPos = instr(rest, "/")
+    val qPos = instr(rest, "?")
+    when(slashPos > 0 && (qPos === 0 || slashPos < qPos), slashPos)
+      .when(qPos > 0, qPos)
+      .otherwise(length(rest) + 1)
+  }
+
   /** Canonical form of `urlCol` appended as `url_norm` (NULL when the
     * value has no `://`). Rules pinned in the object doc.
     */
@@ -54,15 +73,18 @@ object Url {
       .withColumn("__rest",
         substring(col("__nofrag"),
           instr(col("__nofrag"), "://") + 3, lit(1000000)))
-    // 2-3. authority: lowercase, strip the scheme's own default port
-    val auth0 = lower(split_part(col("__rest"), lit("/"), lit(1)))
+    // 2-3. authority ends at the FIRST of '/' or '?' (a query can
+    // follow the host with NO path at all — splitting on '/' alone
+    // would glue the query onto the authority); lowercase, strip the
+    // scheme's own default port
+    val restC = col("__rest")
+    val auth0 = lower(substring(restC, lit(1), authorityEnd(restC) - 1))
     val auth = when(col("__scheme") === "http",
         regexp_replace(auth0, ":80$", ""))
       .when(col("__scheme") === "https", regexp_replace(auth0, ":443$", ""))
       .otherwise(auth0)
     // 4. path/query split; trailing-slash strip on the path
-    val pathq = substring(col("__rest"),
-      length(split_part(col("__rest"), lit("/"), lit(1))) + 1, lit(1000000))
+    val pathq = substring(restC, authorityEnd(restC), lit(1000000))
     val path = regexp_replace(split_part(pathq, lit("?"), lit(1)),
       "/+$", "")
     val query = when(instr(pathq, "?") > 0,
@@ -75,8 +97,8 @@ object Url {
       .withColumn("__params",
         when(query.isNotNull, split(query, "&")).otherwise(array()))
       .withColumn("__kept", expr(
-        "filter(__params, p -> not (left(split_part(p, '=', 1), 4) " +
-          "= 'utm_' or split_part(p, '=', 1) in (" +
+        "filter(__params, p -> not (left(lower(split_part(p, '=', 1)), 4) " +
+          "= 'utm_' or lower(split_part(p, '=', 1)) in (" +
           TrackingExact.map(t => s"'$t'").mkString(", ") + ")))"))
       .withColumn("url_norm",
         when(col("__scheme").isNull, lit(null).cast("string"))
@@ -96,7 +118,7 @@ object Url {
   def domainOf(u: Column): Column = {
     val noFrag = split_part(u, lit("#"), lit(1))
     val rest = substring(noFrag, instr(noFrag, "://") + 3, lit(1000000))
-    val auth = lower(split_part(rest, lit("/"), lit(1)))
+    val auth = lower(substring(rest, lit(1), authorityEnd(rest) - 1))
     when(instr(noFrag, "://") > 0,
       regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "^www\\.", ""))
   }

@@ -417,12 +417,14 @@ object Parser {
       val driftMethod = r.oneOf("method",
         Seq("ks", "tv", "centroid", "profile", "permutation", "cuped",
           "srm", "heavy_terms", "bh", "bootstrap", "mannwhitney", "chi2",
-          "spearman", "wilcoxon"),
+          "spearman", "wilcoxon", "kruskal", "anova", "levene", "welch",
+          "fisher", "proportions", "segments", "psi", "jsd",
+          "wasserstein", "ks_grouped", "wasserstein_grouped",
+          "bootstrap_lift"),
         "ks")
-      val singleView = driftMethod == "cuped" || driftMethod == "srm" ||
-        driftMethod == "bh" ||
-        driftMethod == "bootstrap" || driftMethod == "chi2" ||
-        driftMethod == "spearman" || driftMethod == "wilcoxon"
+      val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
+        "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
+        "proportions", "segments").contains(driftMethod)
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -432,6 +434,12 @@ object Parser {
       }
       if (driftMethod == "srm" && expected.isEmpty)
         r.error("expected", "missing; srm requires the designed arm weights")
+      if (driftMethod == "proportions" || driftMethod == "segments") {
+        if (r.string("armA").isEmpty)
+          r.error("armA", s"missing; $driftMethod requires both arm names")
+        if (r.string("armB").isEmpty)
+          r.error("armB", s"missing; $driftMethod requires both arm names")
+      }
       DriftTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -456,7 +464,12 @@ object Parser {
         textCol = r.string("textCol").getOrElse("text"),
         k = r.int("k").getOrElse(25),
         pCol = r.string("pCol").getOrElse("p"),
-        alpha = r.double("alpha").getOrElse(0.05))
+        alpha = r.double("alpha").getOrElse(0.05),
+        successCol = r.string("successCol").getOrElse("success"),
+        armA = r.string("armA").getOrElse(""),
+        armB = r.string("armB").getOrElse(""),
+        segCol = r.string("segCol").getOrElse("segment"),
+        nBins = r.int("nBins").getOrElse(10))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
@@ -851,7 +864,8 @@ object Parser {
     "DriftTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "method", "valueCol", "catCol", "labelCol", "columns",
       "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol",
-      "expected", "chi2Threshold", "textCol", "k", "pCol", "alpha")),
+      "expected", "chi2Threshold", "textCol", "k", "pCol", "alpha",
+      "successCol", "armA", "armB", "segCol", "nBins")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -31,7 +31,8 @@ object ExtensionQueries {
     * the url_normalize / domain_mix gate input: every pinned
     * normalization rule gets exercised (uppercase scheme+host, a www
     * prefix, the scheme's default port, a trailing slash every 4th doc,
-    * utm-only / mixed tracking queries, fragments every 5th doc). The
+    * a query with NO path every 7th doc, MIXED-CASE tracking names,
+    * fragments every 5th doc). The
     * oracle builds the IDENTICAL string ([[urlSrcCte]]).
     */
   private def urlDocs(spark: SparkSession, dir: String): DataFrame =
@@ -41,14 +42,15 @@ object ExtensionQueries {
           .otherwise(lit("HTTP://")),
         col("source"), lit(".Example.COM"),
         when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
-        lit("/Path/"), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("")) // query-with-NO-path rows
+          .otherwise(concat(lit("/Path/"), (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")))),
         when(col("doc_id") % 3 === 0,
-          concat(lit("?utm_source=x&utm_campaign="),
+          concat(lit("?UTM_Source=x&utm_campaign="), // mixed-case tracking
             (col("doc_id") % 2).cast("string")))
           .when(col("doc_id") % 3 === 1,
             concat(lit("?id="), (col("doc_id") % 5).cast("string"),
-              lit("&gclid=G123&q=a+b")))
+              lit("&GCLID=G123&q=a+b")))
           .otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit("#Section-2")).otherwise(lit("")))
         .as("url"))
@@ -59,12 +61,13 @@ object ExtensionQueries {
           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'HTTP://' END)
           || source || '.Example.COM'
           || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-          || '/Path/' || (doc_id % 50)::VARCHAR
-          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 7 = 0 THEN ''
+              ELSE '/Path/' || (doc_id % 50)::VARCHAR
+                || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) END)
           || (CASE WHEN doc_id % 3 = 0
-                THEN '?utm_source=x&utm_campaign=' || (doc_id % 2)::VARCHAR
+                THEN '?UTM_Source=x&utm_campaign=' || (doc_id % 2)::VARCHAR
               WHEN doc_id % 3 = 1
-                THEN '?id=' || (doc_id % 5)::VARCHAR || '&gclid=G123&q=a+b'
+                THEN '?id=' || (doc_id % 5)::VARCHAR || '&GCLID=G123&q=a+b'
               ELSE '' END)
           || (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
             AS url
@@ -3031,6 +3034,46 @@ object ExtensionQueries {
       }
     },
 
+    // The round-14/16 statistics family reached from PARSED CONFIG: the
+    // ab_segments composition (per-segment two-proportion z → BH FDR →
+    // join) as a declarative DriftTransform chain. The config surface
+    // must hash-match its direct-API twin, so the oracle is the
+    // ab_segments oracle verbatim.
+    "stage_stats_chain" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      Tables.eventsRaw(spark, dir).createOrReplaceTempView("st17_events")
+      val conf = s"""
+        stages = [
+          { type = SqlTransform, name = prep
+            sql = \"\"\"SELECT
+                CAST(((ts DIV 3600000000) % 24) DIV 4 AS STRING) AS seg,
+                concat('g', CAST(user_id % 2 AS STRING)) AS arm,
+                (event_type = 'purchase') AS s
+              FROM st17_events\"\"\"
+            outputView = st17_prep }
+          { type = DriftTransform, name = seg, method = segments
+            inputView = st17_prep, outputView = st17_per
+            segCol = seg, groupCol = arm, successCol = s
+            armA = g0, armB = g1 }
+          { type = DriftTransform, name = bh, method = bh
+            inputView = st17_per, outputView = st17_bh
+            idCol = segment, pCol = p_value, alpha = 0.05 }
+          { type = SqlTransform, name = out
+            sql = \"\"\"SELECT p.segment, p.n_a, p.k_a, p.n_b, p.k_b,
+                p.rate_a, p.rate_b, p.z, p.p_value, b.rank, b.reject
+              FROM st17_per p LEFT JOIN st17_bh b USING (segment)
+              ORDER BY p.segment\"\"\"
+            outputView = st17_out }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) => graft.pipeline.Runner.run(p).get
+      }
+    },
+
     // The ZorderTransform declarative wrapper with the N-column `cols`
     // list (OPTIMIZE ZORDER BY parity), parsed from HOCON — same layout
     // semantics as zorder_layout3, so the oracle is shared verbatim.
@@ -4427,7 +4470,10 @@ object ExtensionQueries {
     staticOracles + ("pq_recall_opq" -> opqRecallOracle) +
       ("ab_kruskal" -> kruskalOracle) +
       ("ab_chi2_independence" -> chi2IndependenceOracle) +
-      ("ab_fisher" -> fisherOracle)
+      ("ab_fisher" -> fisherOracle) +
+      // the parsed-config chain must match its direct-API twin exactly,
+      // so it shares the twin's oracle verbatim
+      ("stage_stats_chain" -> staticOracles("ab_segments"))
 
   private lazy val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -9420,17 +9466,25 @@ object ExtensionQueries {
             THEN lower(split_part(nofrag, '://', 1)) END AS scheme,
           substr(nofrag, position('://' IN nofrag) + 3) AS rest
         FROM n1),
+      n2c AS (
+        SELECT *, CASE WHEN position('/' IN rest) > 0
+              AND (position('?' IN rest) = 0
+                OR position('/' IN rest) < position('?' IN rest))
+            THEN position('/' IN rest)
+          WHEN position('?' IN rest) > 0 THEN position('?' IN rest)
+          ELSE length(rest) + 1 END AS cut
+        FROM n2),
       n3 AS (
         SELECT *,
           CASE WHEN scheme = 'http'
-              THEN regexp_replace(lower(split_part(rest, '/', 1)),
+              THEN regexp_replace(lower(substr(rest, 1, cut - 1)),
                 ':80$$', '')
             WHEN scheme = 'https'
-              THEN regexp_replace(lower(split_part(rest, '/', 1)),
+              THEN regexp_replace(lower(substr(rest, 1, cut - 1)),
                 ':443$$', '')
-            ELSE lower(split_part(rest, '/', 1)) END AS auth,
-          substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
-        FROM n2),
+            ELSE lower(substr(rest, 1, cut - 1)) END AS auth,
+          substr(rest, cut) AS pathq
+        FROM n2c),
       n4 AS (
         SELECT *,
           regexp_replace(split_part(pathq, '?', 1), '/+$$', '') AS path,
@@ -9440,8 +9494,8 @@ object ExtensionQueries {
       n5 AS (
         SELECT *, CASE WHEN query IS NOT NULL
             THEN list_filter(string_split(query, '&'),
-              p -> NOT (left(split_part(p, '=', 1), 4) = 'utm_'
-                OR split_part(p, '=', 1)
+              p -> NOT (left(lower(split_part(p, '=', 1)), 4) = 'utm_'
+                OR lower(split_part(p, '=', 1))
                   IN ('gclid', 'fbclid', 'msclkid', 'ref')))
             ELSE [] END AS kept
         FROM n4)
@@ -9458,15 +9512,26 @@ object ExtensionQueries {
     // sums, one-row totals for the shares.
     "domain_mix" -> s"""
       WITH $urlSrcCte,
-      d AS (
-        SELECT CASE WHEN position('://' IN split_part(url, '#', 1)) > 0
-            THEN regexp_replace(regexp_replace(
-              lower(split_part(substr(split_part(url, '#', 1),
-                position('://' IN split_part(url, '#', 1)) + 3),
-                '/', 1)), ':[0-9]+$$', ''), '^www\\.', '')
-          END AS domain,
-          coalesce(n_chars, 0)::BIGINT AS tok
+      d0 AS (
+        SELECT n_chars,
+          position('://' IN split_part(url, '#', 1)) > 0 AS ok,
+          substr(split_part(url, '#', 1),
+            position('://' IN split_part(url, '#', 1)) + 3) AS rest
         FROM src),
+      d1 AS (
+        SELECT *, CASE WHEN position('/' IN rest) > 0
+              AND (position('?' IN rest) = 0
+                OR position('/' IN rest) < position('?' IN rest))
+            THEN position('/' IN rest)
+          WHEN position('?' IN rest) > 0 THEN position('?' IN rest)
+          ELSE length(rest) + 1 END AS cut
+        FROM d0),
+      d AS (
+        SELECT CASE WHEN ok THEN regexp_replace(regexp_replace(
+              lower(substr(rest, 1, cut - 1)), ':[0-9]+$$', ''),
+            '^www\\.', '') END AS domain,
+          coalesce(n_chars, 0)::BIGINT AS tok
+        FROM d1),
       per AS (
         SELECT domain, count(*)::BIGINT AS n_docs,
           sum(tok)::BIGINT AS n_tokens
@@ -9483,15 +9548,25 @@ object ExtensionQueries {
     // one-row corpus rate, the pinned m-estimate (m = 20).
     "domain_quality" -> s"""
       WITH $urlSrcCte,
-      d AS (
-        SELECT CASE WHEN position('://' IN split_part(url, '#', 1)) > 0
-            THEN regexp_replace(regexp_replace(
-              lower(split_part(substr(split_part(url, '#', 1),
-                position('://' IN split_part(url, '#', 1)) + 3),
-                '/', 1)), ':[0-9]+$$', ''), '^www\\.', '')
-          END AS domain,
-          (n_chars >= 306) AS g
+      d0 AS (
+        SELECT (n_chars >= 306) AS g,
+          position('://' IN split_part(url, '#', 1)) > 0 AS ok,
+          substr(split_part(url, '#', 1),
+            position('://' IN split_part(url, '#', 1)) + 3) AS rest
         FROM src WHERE n_chars IS NOT NULL),
+      d1 AS (
+        SELECT *, CASE WHEN position('/' IN rest) > 0
+              AND (position('?' IN rest) = 0
+                OR position('/' IN rest) < position('?' IN rest))
+            THEN position('/' IN rest)
+          WHEN position('?' IN rest) > 0 THEN position('?' IN rest)
+          ELSE length(rest) + 1 END AS cut
+        FROM d0),
+      d AS (
+        SELECT CASE WHEN ok THEN regexp_replace(regexp_replace(
+              lower(substr(rest, 1, cut - 1)), ':[0-9]+$$', ''),
+            '^www\\.', '') END AS domain, g
+        FROM d1),
       per AS (
         SELECT domain, count(*)::BIGINT AS n,
           sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS k
@@ -9877,14 +9952,25 @@ object ExtensionQueries {
         (SELECT count(*) FROM va)::BIGINT AS na,
         (SELECT sum(v) FROM va) AS sa,
         (SELECT count(*) FROM vb)::BIGINT AS nb,
-        (SELECT sum(v) FROM vb) AS sb)
+        (SELECT sum(v) FROM vb) AS sb),
+      -- aggregate WITHOUT a join on d so an all-degenerate resample set
+      -- yields ONE loud row (error), matching the operator's
+      -- raise_error — never a silent zero-row shape
+      ci AS (SELECT
+        (round(quantile_cont(dd, 0.025), 6) + 0.0) AS ci_lo,
+        (round(quantile_cont(dd, 0.975), 6) + 0.0) AS ci_hi,
+        count(*)::BIGINT AS n_boot FROM d)
       SELECT na AS n_a, nb AS n_b,
         (round(sa::DOUBLE / na / 1048576.0
           - sb::DOUBLE / nb / 1048576.0, 6) + 0.0) AS lift,
-        (round(quantile_cont(dd, 0.025), 6) + 0.0) AS ci_lo,
-        (round(quantile_cont(dd, 0.975), 6) + 0.0) AS ci_hi,
-        count(*)::BIGINT AS n_boot
-      FROM d, base GROUP BY na, sa, nb, sb""",
+        CASE WHEN n_boot = 0
+          THEN error('ab_bootstrap_lift: every resample dropped')
+          ELSE ci_lo END AS ci_lo,
+        CASE WHEN n_boot = 0
+          THEN error('ab_bootstrap_lift: every resample dropped')
+          ELSE ci_hi END AS ci_hi,
+        n_boot
+      FROM ci, base""",
 
     // Replay of Drift.bhAdjust: same planted-vs-null p construction,
     // window rank (the oracle may globally sort; the operator may not),
@@ -10250,11 +10336,17 @@ object ExtensionQueries {
           sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT AS k
         FROM u GROUP BY 1),
       m AS (
+        -- LOUD on a missing arm (the operator throws; a silent
+        -- NULL-filled row here would hide a broken fixture)
         SELECT
-          (SELECT n FROM c WHERE g = 'g0') AS na,
-          (SELECT n FROM c WHERE g = 'g1') AS nb,
-          (SELECT k FROM c WHERE g = 'g0') AS ka,
-          (SELECT k FROM c WHERE g = 'g1') AS kb),
+          coalesce((SELECT n FROM c WHERE g = 'g0'),
+            error('ab_proportions: arm g0 has no rows')) AS na,
+          coalesce((SELECT n FROM c WHERE g = 'g1'),
+            error('ab_proportions: arm g1 has no rows')) AS nb,
+          coalesce((SELECT k FROM c WHERE g = 'g0'),
+            error('ab_proportions: arm g0 has no rows')) AS ka,
+          coalesce((SELECT k FROM c WHERE g = 'g1'),
+            error('ab_proportions: arm g1 has no rows')) AS kb),
       r AS (
         SELECT *, ka::DOUBLE / na::DOUBLE AS ra,
           kb::DOUBLE / nb::DOUBLE AS rb,

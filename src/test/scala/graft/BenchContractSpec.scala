@@ -100,8 +100,24 @@ class BenchContractSpec extends AnyFunSuite {
     val cov = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("COVERAGE.md")),
       java.nio.charset.StandardCharsets.UTF_8)
-    val cited = "`([a-zA-Z0-9_]+)`".r.findAllMatchIn(cov)
-      .map(_.group(1)).toSet
+    // citations count ONLY from the `Query` column of the coverage
+    // tables — a name merely backticked in prose (or equal to an
+    // operator name in another column) must not satisfy the check
+    val citedSet = scala.collection.mutable.Set.empty[String]
+    var qIdx = -1
+    cov.linesIterator.foreach { line =>
+      if (line.startsWith("|")) {
+        // split on UNESCAPED pipes only — cells legitimately carry
+        // markdown-escaped `\|` (e.g. "P(next\|prev)", "\|A \ B\|")
+        val cells = line.split("(?<!\\\\)\\|", -1).map(_.trim)
+        val hdr = cells.indexOf("Query")
+        if (hdr >= 0) qIdx = hdr
+        else if (qIdx >= 0 && qIdx < cells.length)
+          citedSet ++= "`([a-zA-Z0-9_]+)`".r
+            .findAllMatchIn(cells(qIdx)).map(_.group(1))
+      } else qIdx = -1 // a table ended; the next needs its own header
+    }
+    val cited = citedSet.toSet
     val missing = SparkEntry.queries.keySet -- cited
     assert(missing.isEmpty,
       s"gate queries uncited in COVERAGE.md: ${missing.toSeq.sorted}")

@@ -1319,6 +1319,119 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("round-14/16 statistics run from config: kruskal/anova/levene " +
+      "(k-arm), welch/psi/jsd/wasserstein/grouped/bootstrap_lift " +
+      "(two-view), fisher/proportions (single-view)") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "o", "table": "orders",
+       "outputView": "ds_orders"},
+      {"type": "DriftTransform", "name": "kw", "method": "kruskal",
+       "inputView": "ds_orders", "groupCol": "o_orderpriority",
+       "valueCol": "o_totalprice", "outputView": "ds_kw"},
+      {"type": "DriftTransform", "name": "an", "method": "anova",
+       "inputView": "ds_orders", "groupCol": "o_orderpriority",
+       "valueCol": "o_totalprice", "outputView": "ds_an"},
+      {"type": "DriftTransform", "name": "lv", "method": "levene",
+       "inputView": "ds_orders", "groupCol": "o_orderpriority",
+       "valueCol": "o_totalprice", "outputView": "ds_lv"},
+      {"type": "SqlTransform", "name": "before",
+       "sql": "SELECT * FROM ds_orders WHERE o_orderkey % 2 = 0",
+       "outputView": "ds_before"},
+      {"type": "SqlTransform", "name": "after",
+       "sql": "SELECT * FROM ds_orders WHERE o_orderkey % 2 = 1",
+       "outputView": "ds_after"},
+      {"type": "DriftTransform", "name": "wt", "method": "welch",
+       "inputView": "ds_before", "rightView": "ds_after",
+       "valueCol": "o_totalprice", "outputView": "ds_wt"},
+      {"type": "DriftTransform", "name": "ps", "method": "psi",
+       "inputView": "ds_before", "rightView": "ds_after",
+       "valueCol": "o_totalprice", "nBins": 5, "outputView": "ds_ps"},
+      {"type": "DriftTransform", "name": "js", "method": "jsd",
+       "inputView": "ds_before", "rightView": "ds_after",
+       "catCol": "o_orderstatus", "outputView": "ds_js"},
+      {"type": "DriftTransform", "name": "w1", "method": "wasserstein",
+       "inputView": "ds_before", "rightView": "ds_after",
+       "valueCol": "o_totalprice", "outputView": "ds_w1"},
+      {"type": "DriftTransform", "name": "kg", "method": "ks_grouped",
+       "inputView": "ds_before", "rightView": "ds_after",
+       "groupCol": "o_orderpriority", "valueCol": "o_totalprice",
+       "outputView": "ds_kg"},
+      {"type": "DriftTransform", "name": "wg",
+       "method": "wasserstein_grouped",
+       "inputView": "ds_before", "rightView": "ds_after",
+       "groupCol": "o_orderpriority", "valueCol": "o_totalprice",
+       "outputView": "ds_wg"},
+      {"type": "DriftTransform", "name": "bl", "method": "bootstrap_lift",
+       "inputView": "ds_before", "rightView": "ds_after",
+       "idCol": "o_orderkey", "valueCol": "o_totalprice",
+       "nPerms": 50, "outputView": "ds_bl"},
+      {"type": "SqlTransform", "name": "fp",
+       "sql": "SELECT (o_orderkey % 3 = 0) AS x, (o_custkey % 2 = 0) AS y, 'g' || CAST(o_orderkey % 2 AS STRING) AS arm, (o_totalprice > 100000) AS success FROM ds_orders",
+       "outputView": "ds_fp"},
+      {"type": "DriftTransform", "name": "fi", "method": "fisher",
+       "inputView": "ds_fp", "catCol": "x", "labelCol": "y",
+       "outputView": "ds_fi"},
+      {"type": "DriftTransform", "name": "pr", "method": "proportions",
+       "inputView": "ds_fp", "groupCol": "arm", "successCol": "success",
+       "armA": "g0", "armB": "g1", "outputView": "ds_pr"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    // k-arm family: 5 priority arms, shared statistic repeated per row
+    assert(spark.table("ds_kw").count() == 5)
+    val an = spark.table("ds_an").collect()
+    assert(an.length == 5 && an.forall(r =>
+      r.getAs[Double]("f") >= 0.0 && r.getAs[Long]("dof1") == 4L))
+    assert(spark.table("ds_lv").count() == 5)
+    // welch: one row, finite t, dof between min(na,nb)-1 and na+nb-2
+    val wt = spark.table("ds_wt").collect().head
+    assert(!wt.getAs[Double]("t").isNaN && wt.getAs[Double]("dof") > 1.0)
+    // psi: nBins rows, non-negative contributions
+    val ps = spark.table("ds_ps").collect()
+    assert(ps.length == 5)
+    // jsd in [0, ln 2]; wasserstein >= 0
+    val js = spark.table("ds_js").collect().head
+    assert(js.getAs[Double]("jsd") >= 0.0 &&
+      js.getAs[Double]("jsd") <= math.log(2) + 1e-9)
+    assert(spark.table("ds_w1").collect().head
+      .getAs[Double]("w1") >= 0.0)
+    // grouped drift: one row per priority arm present on both sides
+    assert(spark.table("ds_kg").count() == 5)
+    assert(spark.table("ds_wg").count() == 5)
+    // bootstrap lift: one row, CI brackets the point lift loosely
+    val bl = spark.table("ds_bl").collect().head
+    assert(bl.getAs[Long]("n_boot") == 50L)
+    assert(bl.getAs[Double]("ci_lo") <= bl.getAs[Double]("ci_hi"))
+    // fisher: exact p in (0, 1]; proportions: both arms counted
+    val fi = spark.table("ds_fi").collect().head
+    val fp = fi.getAs[Double]("p_value")
+    assert(fp > 0.0 && fp <= 1.0)
+    val pr = spark.table("ds_pr").collect().head
+    assert(pr.getAs[Long]("n_a") > 0 && pr.getAs[Long]("n_b") > 0)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("proportions/segments stages require both arm names at parse; " +
+      "two-view statistics require rightView") {
+    val conf = """{"stages": [
+      {"type": "DriftTransform", "name": "pr", "method": "proportions",
+       "inputView": "a", "outputView": "b"},
+      {"type": "DriftTransform", "name": "sg", "method": "segments",
+       "inputView": "a", "armA": "g0", "outputView": "c"},
+      {"type": "DriftTransform", "name": "wt", "method": "welch",
+       "inputView": "a", "outputView": "d"}
+    ]}"""
+    val Left(errs) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    assert(errs.exists(e => e.key.contains("armA") &&
+      e.message.contains("proportions")))
+    assert(errs.exists(e => e.key.contains("armB") &&
+      e.message.contains("segments")))
+    assert(errs.exists(_.key.contains("rightView")))
+  }
+
   test("drift stage requires rightView at parse") {
     val conf = """{"stages": [
       {"type": "DriftTransform", "name": "ks", "method": "ks",

@@ -37,6 +37,15 @@ class UrlSpec extends graft.SparkSpec {
       == "https://ex.com/CaseSensitive/Path")
     // a param named utm_ via prefix, vs one merely containing it
     assert(norm("https://ex.com/p?xutm_a=1") == "https://ex.com/p?xutm_a=1")
+    // a query with NO path: the '?' (not '/') ends the authority, so
+    // port strip + tracking strip still run and the query never
+    // lowercases into the host
+    assert(norm("HTTP://Ex.COM:80?utm_source=x&id=1")
+      == "http://ex.com?id=1")
+    assert(norm("https://ex.com?a=B") == "https://ex.com?a=B")
+    // tracking-name match is CASE-INSENSITIVE (values keep case)
+    assert(norm("https://ex.com/p?UTM_Source=x&Ref=r&GCLID=g&id=Q")
+      == "https://ex.com/p?id=Q")
     // malformed (no scheme separator) -> NULL, loud downstream
     assert(norm("ex.com/a") == null)
   }
@@ -46,12 +55,15 @@ class UrlSpec extends graft.SparkSpec {
       "HTTP://WWW.Sub.Ex.COM:8080/x",
       "https://ex.com/y",
       "https://www.www.ex.com/z", // only the first www. strips
-      "nonsense").toDF("url")
+      "nonsense",
+      "http://Ex.COM:80?utm_source=x&id=1" // query, NO path
+      ).toDF("url")
       .select(Url.domainOf(col("url")).as("d")).collect()
     assert(d(0).getString(0) == "sub.ex.com")
     assert(d(1).getString(0) == "ex.com")
     assert(d(2).getString(0) == "www.ex.com")
     assert(d(3).isNullAt(0))
+    assert(d(4).getString(0) == "ex.com")
   }
 
   test("domainMix: domain-keyed counts, exact token sums, shares sum " +
