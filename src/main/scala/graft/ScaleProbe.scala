@@ -535,6 +535,33 @@ object ScaleProbe {
         graft.ops.Drift.proportionsBySegment(ev2, "seg", "arm", "s",
           "g0", "g1").count()
       }
+      // round 17: ONE stratum whose DISTINCT-value cardinality grows
+      // with m (jittered copies multiply distinct values, not counts —
+      // the exact shape that serializes the per-group window on one
+      // partition). `_routed` forces the distributed range-partitioned
+      // route (the skew guard); `_window` pins the old single-window
+      // behavior for the comparison curve.
+      def skewSides() = {
+        val ev = graft.queries.Tables.events(spark, dir)
+          .where(col("value").isNotNull)
+        val evN = (0 until m).map(i =>
+            ev.withColumn("value", col("value") + lit(i * 1e9))
+              .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+          .reduce(_ unionAll _)
+          .withColumn("g", lit("skew"))
+        (evN.where(col("event_id") % 2 === 0),
+          evN.where(col("event_id") % 2 === 1))
+      }
+      t("ks_grouped_skew_routed") {
+        val (sa, sb) = skewSides()
+        graft.ops.Drift.ksByGroup(sa, sb, "g", "value",
+          maxGroupDistinct = 50000L).count()
+      }
+      t("ks_grouped_skew_window") {
+        val (sa, sb) = skewSides()
+        graft.ops.Drift.ksByGroup(sa, sb, "g", "value",
+          maxGroupDistinct = Long.MaxValue).count()
+      }
       t("graph_reciprocity") {
         import org.apache.spark.sql.expressions.Window
         val evN = amplify(graft.queries.Tables.events(spark, dir),

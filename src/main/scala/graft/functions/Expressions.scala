@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -481,5 +481,34 @@ object Expressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2 =
       copy(left = l, right = r)
     override def prettyName: String = "squared_l2"
+  }
+
+  /** Regularized incomplete beta I_x(a, b) — the F / Student-t p-value
+    * kernel ([[PValues.ibetaReg]]: Lentz continued fraction, PINNED
+    * iteration count, pinned Lanczos log-gamma). A native expression
+    * because the fraction is SEQUENTIAL state — an unrolled Column tree
+    * duplicates the state subtrees exponentially — and so in-plan
+    * per-row p columns (segment-level F/t readouts) stay inside
+    * WholeStageCodegen. eval and codegen both delegate to the SAME
+    * driver kernel: bit-identical by construction.
+    */
+  case class IbetaReg(x: Expression, a: Expression, b: Expression)
+      extends TernaryExpression {
+    override def first: Expression = x
+    override def second: Expression = a
+    override def third: Expression = b
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean =
+      x.nullable || a.nullable || b.nullable
+    override protected def nullSafeEval(xv: Any, av: Any, bv: Any): Any =
+      PValues.ibetaReg(xv.asInstanceOf[Double], av.asInstanceOf[Double],
+        bv.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (xv, av, bv) =>
+        s"graft.functions.PValues.ibetaReg($xv, $av, $bv)")
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): IbetaReg = copy(x = f, a = s, b = t)
+    override def prettyName: String = "ibeta_reg"
   }
 }

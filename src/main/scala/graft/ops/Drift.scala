@@ -168,6 +168,86 @@ object Drift {
       .withColumn("lambda", round(col("lambda"), 6) + lit(0d))
   }
 
+  /** Per-(grp, v) cumulative __na/__nb sums over a merged count table
+    * ordered by v within grp — the shared CDF pass of [[ksByGroup]] and
+    * [[wassersteinByGroup]], with the SKEW GUARD (round 17): strata
+    * whose distinct-value cardinality exceeds `maxGroupDistinct` would
+    * serialize the per-group window on ONE partition, so they route
+    * through the [[bhAdjust]]-style distributed form instead —
+    * range-partition by (grp, v), window per (partition, grp), add
+    * per-chunk offsets (one collected row per partition×oversized-
+    * stratum). Cumulative sums are exact longs, so the two routes are
+    * BIT-IDENTICAL (GroupedDriftSkewSpec pins it) and routing is
+    * invisible to the oracle. `withNext` also carries the within-group
+    * lead(v) (chunk boundaries stitched from the collected first-values
+    * — the [[wasserstein1]] boundary-stitch idea). At most 64 oversized
+    * strata (each costs one broadcast row per partition; more than that
+    * means the grouping column is not a stratification — loud).
+    */
+  private def cumulativeByGroup(merged0: DataFrame, withNext: Boolean,
+      maxGroupDistinct: Long): DataFrame = {
+    val spark = merged0.sparkSession
+    val merged = graft.util.Caches.persist(merged0)
+    val big = merged.groupBy("grp").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxGroupDistinct)
+      .select("grp").collect().map(_.getString(0)).sorted
+    def windowed(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy("v")
+      val base = df.withColumn("__ca", sum("__na").over(w))
+        .withColumn("__cb", sum("__nb").over(w))
+      if (withNext) base.withColumn("__nextv", lead("v", 1).over(w))
+      else base
+    }
+    if (big.isEmpty) windowed(merged)
+    else {
+      require(big.length <= 64, s"${big.length} strata exceed " +
+        s"$maxGroupDistinct distinct values — the grouping column is " +
+        "not a stratification; run the single-group statistic per slice")
+      val small = windowed(merged.where(!col("grp").isin(big.toSeq: _*)))
+      val n = spark.sessionState.conf.numShufflePartitions
+      val parts = graft.util.Caches.persist(
+        merged.where(col("grp").isin(big.toSeq: _*))
+          .repartitionByRange(n, col("grp"), col("v"))
+          .withColumn("__pid", spark_partition_id()))
+      val lw = Window.partitionBy("__pid", "grp").orderBy("v")
+      val local = parts
+        .withColumn("__la", sum("__na").over(lw))
+        .withColumn("__lb", sum("__nb").over(lw))
+        .withColumn("__lnext", lead("v", 1).over(lw))
+      // per-chunk totals + first value: ≤ partitions × |big| rows
+      val chunks = parts.groupBy("__pid", "grp")
+        .agg(sum("__na").as("ta"), sum("__nb").as("tb"),
+          min("v").as("fv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._2, t._1))
+      val offRows = chunks.zipWithIndex.map { case ((pid, g, _, _, _), i) =>
+        // offsets = totals of this grp's EARLIER chunks; boundary next
+        // value = the next chunk's first v (same grp), else null
+        val prev = chunks.take(i).filter(_._2 == g)
+        val nextFv: java.lang.Double = chunks.drop(i + 1)
+          .find(_._2 == g).map(c => java.lang.Double.valueOf(c._5)).orNull
+        Row(pid, g, prev.map(_._3).sum, prev.map(_._4).sum, nextFv)
+      }
+      val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+        StructType(Seq(StructField("__pid", IntegerType, false),
+          StructField("grp", StringType, false),
+          StructField("__offa", LongType, false),
+          StructField("__offb", LongType, false),
+          StructField("__bnext", DoubleType, true))))
+      val cols = Seq(col("grp"), col("v"), col("__na"), col("__nb"),
+        (col("__la") + col("__offa")).as("__ca"),
+        (col("__lb") + col("__offb")).as("__cb")) ++
+        (if (withNext)
+          Seq(coalesce(col("__lnext"), col("__bnext")).as("__nextv"))
+        else Nil)
+      small.unionByName(
+        local.join(broadcast(offDf), Seq("__pid", "grp"))
+          .select(cols: _*))
+    }
+  }
+
   /** Per-GROUP two-sample KS drift — the "WHICH stratum drifted"
     * readout ([[ksTest]] answers whether the corpus moved; this runs
     * one exact KS test per language/source/segment, the continuous
@@ -182,16 +262,17 @@ object Drift {
     * convention). Ties on d_num resolve to the smallest value.
     *
     * Shape at scale: per-(group, value) counts map-side combine the
-    * data once; the cumulative pass is a PER-GROUP window (the
-    * per-stratum-window class — scale-safe when groups are numerous
-    * relative to cores, exactly the segmented-drift regime; the
-    * single-group case is what [[ksStatistic]]'s global-window-free
-    * CDF exists for). Everything downstream is group-cardinality
-    * work. Output per group:
+    * data once; the cumulative pass is a PER-GROUP window for the
+    * many-small-strata regime, and any stratum past `maxGroupDistinct`
+    * distinct values routes through the distributed range-partitioned
+    * form instead ([[cumulativeByGroup]], round-17 skew guard — a
+    * 10⁸-distinct-value stratum no longer serializes one partition;
+    * the two routes are bit-identical). Everything downstream is
+    * group-cardinality work. Output per group:
     * (grp, n_a, n_b, split_value, d_num, d, lambda, p_value).
     */
   def ksByGroup(a: DataFrame, b: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxGroupDistinct: Long = 4000000L): DataFrame = {
     def cnt(df: DataFrame, n: String) = df
       .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("grp"),
@@ -202,11 +283,9 @@ object Drift {
       .select(col("grp"), col("v"),
         coalesce(col("__na"), lit(0L)).as("__na"),
         coalesce(col("__nb"), lit(0L)).as("__nb"))
-    val w = Window.partitionBy("grp").orderBy("v")
     val dec = "decimal(38,0)"
-    val cum = merged
-      .withColumn("__ca", sum("__na").over(w))
-      .withColumn("__cb", sum("__nb").over(w))
+    val cum = cumulativeByGroup(merged, withNext = false,
+      maxGroupDistinct)
     val totals = merged.groupBy("grp")
       .agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
     val raw = col("__ca").cast(dec) * col("__tb").cast(dec) -
@@ -1279,9 +1358,10 @@ object Drift {
     * F = (SSB/(k−1)) / (SSW/(N−k)) from the exact per-group sums, with
     * η² = SSB/SST riding along as the [0,1] effect size (the share of
     * total variance the grouping explains — F grows with N, η² does
-    * not). No p readout: the F survival function needs the incomplete
-    * beta, and the engine's erf-free convention ([[mannWhitney]],
-    * [[chiSquareIndependence]]) ships exact statistics + dof instead.
+    * not). `p_value` (round 17) is the F survival P(F_{k−1,N−k} > F)
+    * from the pinned incomplete-beta kernel
+    * ([[graft.functions.PValues.fSurvival]] — Lentz continued fraction,
+    * fixed iteration count, tri-form like erfc/χ²).
     *
     * Determinism: per-group (n, Σfp, Σfp²) are exact DECIMAL(38,0)
     * sums of ×2^20 fixed-point longs; the k-term fold Σ S_g²/n_g runs
@@ -1315,12 +1395,15 @@ object Drift {
     val f = if (ssw > 0)
       (ssb / (k - 1).toDouble) / (ssw / (nn - k)) else 0.0
     val eta = if (sst > 0) ssb / sst else 0.0
+    // round 17: F survival p from the pinned incomplete-beta kernel
+    // (the unrounded f; d1 = k−1, d2 = N−k)
+    val p = graft.functions.PValues.fSurvival(f, (k - 1).toDouble, nn - k)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val rows = gm.map { r =>
       Row(r.getString(0), r.getLong(1),
         r6(r.getDecimal(2).doubleValue() / fp / r.getLong(1).toDouble),
-        r6(f), (k - 1).toLong, bigN - k, r6(eta))
+        r6(f), (k - 1).toLong, bigN - k, r6(eta), r6(p))
     }
     spark.createDataFrame(rows.toSeq.asJava,
       StructType(Seq(StructField("grp", StringType, false),
@@ -1329,7 +1412,8 @@ object Drift {
         StructField("f", DoubleType, false),
         StructField("dof1", LongType, false),
         StructField("dof2", LongType, false),
-        StructField("eta_sq", DoubleType, false))))
+        StructField("eta_sq", DoubleType, false),
+        StructField("p_value", DoubleType, false))))
   }
 
   /** Welch's t — the two-sample mean comparison that does NOT assume
@@ -1339,13 +1423,13 @@ object Drift {
     * v_b/n_b) with the Welch–Satterthwaite effective dof. Exact
     * fixed-point sufficient statistics ([[anovaF]]'s sums), pinned-
     * order doubles. `p_normal` (round 16) is the LARGE-SAMPLE normal
-    * approximation erfc(|t|/√2) from the unrounded t — named `p_normal`,
-    * not `p_value`, because the exact reference for Welch's t is
-    * Student-t with fractional dof (at the corpus-scale n this engine
-    * targets, dof is in the thousands and t_dof ≡ N(0,1) to well past
-    * 6dp; for tiny samples read t against the t-table, or run
-    * [[meanPermutationTest]] for exact significance). Output ONE row:
-    * (n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof, p_normal).
+    * approximation erfc(|t|/√2) from the unrounded t; `p_t` (round 17)
+    * is the EXACT Student-t two-sided p at the fractional
+    * Welch–Satterthwaite dof via the pinned incomplete-beta kernel
+    * ([[graft.functions.PValues.pStudentT2]]) — the two agree past 6dp
+    * at corpus-scale n and diverge exactly in the tiny-per-arm regime
+    * Welch exists for, where p_t is the one to read. Output ONE row:
+    * (n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof, p_normal, p_t).
     */
   def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val spark = a.sparkSession
@@ -1374,10 +1458,15 @@ object Drift {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val pv = graft.functions.PValues.round6(
       graft.functions.PValues.pTwoSidedZ(t))
+    // round 17: exact Student-t p at the Welch–Satterthwaite
+    // (fractional) dof via the pinned incomplete-beta kernel — the
+    // small-n readout p_normal approximates
+    val pt = graft.functions.PValues.round6(
+      graft.functions.PValues.pStudentT2(t, dof))
     import spark.implicits._
-    Seq((na, nb, r6(ma), r6(mb), r6(va), r6(vb), r6(t), r6(dof), pv))
+    Seq((na, nb, r6(ma), r6(mb), r6(va), r6(vb), r6(t), r6(dof), pv, pt))
       .toDF("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t",
-        "dof", "p_normal")
+        "dof", "p_normal", "p_t")
   }
 
   /** Brown–Forsythe variance-homogeneity test (Levene's test with the
@@ -1428,6 +1517,8 @@ object Drift {
     val k = gm.length
     val f = if (ssw > 0)
       (ssb / (k - 1).toDouble) / (ssw / (nn - k)) else 0.0
+    // round 17: F survival p (the [[anovaF]] kernel on the deviations)
+    val p = graft.functions.PValues.fSurvival(f, (k - 1).toDouble, nn - k)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val medians = med.collect()
@@ -1435,7 +1526,7 @@ object Drift {
     val rows = gm.map { r =>
       Row(r.getString(0), r.getLong(1), r6(medians(r.getString(0))),
         r6(r.getDecimal(2).doubleValue() / fp / r.getLong(1).toDouble),
-        r6(f), (k - 1).toLong, bigN - k)
+        r6(f), (k - 1).toLong, bigN - k, r6(p))
     }
     spark.createDataFrame(rows.toSeq.asJava,
       StructType(Seq(StructField("grp", StringType, false),
@@ -1444,7 +1535,8 @@ object Drift {
         StructField("mean_absdev", DoubleType, false),
         StructField("f", DoubleType, false),
         StructField("dof1", LongType, false),
-        StructField("dof2", LongType, false))))
+        StructField("dof2", LongType, false),
+        StructField("p_value", DoubleType, false))))
   }
 
   /** Mutual information between two categorical columns — the
@@ -1803,13 +1895,16 @@ object Drift {
     * keep their row with NULL w1 (the [[ksByGroup]] convention).
     *
     * Shape at scale: per-(group, value) counts map-side combine the
-    * data once; the cumulative-and-next pass is a PER-GROUP window
-    * (the per-stratum-window class — the segmented regime this op
-    * exists for; the one-group case is [[wasserstein1]]'s distributed
-    * CDF job). Output per group: (grp, n_a, n_b, n_values, w1).
+    * data once; the cumulative-and-next pass is a PER-GROUP window for
+    * the many-small-strata regime, with oversized strata routed
+    * through the distributed range-partitioned form
+    * ([[cumulativeByGroup]], round-17 skew guard; chunk-boundary
+    * lead(v) stitched from collected first-values — bit-identical to
+    * the window route). Output per group:
+    * (grp, n_a, n_b, n_values, w1).
     */
   def wassersteinByGroup(a: DataFrame, b: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxGroupDistinct: Long = 4000000L): DataFrame = {
     def cnt(df: DataFrame, n: String) = df
       .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("grp"),
@@ -1820,12 +1915,9 @@ object Drift {
       .select(col("grp"), col("v"),
         coalesce(col("__na"), lit(0L)).as("__na"),
         coalesce(col("__nb"), lit(0L)).as("__nb"))
-    val w = Window.partitionBy("grp").orderBy("v")
     val dec = "decimal(38,0)"
-    val cum = merged
-      .withColumn("__ca", sum("__na").over(w))
-      .withColumn("__cb", sum("__nb").over(w))
-      .withColumn("__nextv", lead("v", 1).over(w))
+    val cum = cumulativeByGroup(merged, withNext = true,
+      maxGroupDistinct)
     val totals = merged.groupBy("grp")
       .agg(sum("__na").as("__ta"), sum("__nb").as("__tb"),
         count(lit(1)).as("__nv"))

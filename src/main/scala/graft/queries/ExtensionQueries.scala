@@ -9693,7 +9693,7 @@ object ExtensionQueries {
 
     // Replay of Drift.anovaF: exact HUGEINT fixed-point moments per arm,
     // group-ASC list_reduce fold for sum S²/n, pinned-order F and eta².
-    "ab_anova" -> """
+    "ab_anova" -> s"""
       WITH g AS (
         SELECT o_orderpriority::VARCHAR AS grp,
           CAST(round(o_totalprice::DOUBLE * 1048576.0) AS HUGEINT) AS fpx
@@ -9721,19 +9721,30 @@ object ExtensionQueries {
             THEN (a - st * st / nn::DOUBLE)
               / (qt - st * st / nn::DOUBLE)
             ELSE 0.0::DOUBLE END AS eta
-        FROM tot)
+        FROM tot),
+      -- F survival via the pinned incomplete-beta continued fraction
+      -- (PValues.ibetaRegSqlCtes): x = d2/(d2 + d1·F), a = d2/2,
+      -- b = d1/2, the fSurvival argument shapes
+      anv_pf AS (SELECT
+        (nn::DOUBLE - k::DOUBLE)
+          / ((nn::DOUBLE - k::DOUBLE) + (k - 1)::DOUBLE * f) AS ib_x,
+        (nn::DOUBLE - k::DOUBLE) / 2.0::DOUBLE AS ib_a,
+        (k - 1)::DOUBLE / 2.0::DOUBLE AS ib_b
+        FROM ff),
+      ${graft.functions.PValues.ibetaRegSqlCtes("anv", "anv_pf")._1}
       SELECT pg.grp, pg.n,
         (round(pg.s::DOUBLE / 1048576.0 / pg.n::DOUBLE, 6) + 0.0) AS mean,
         (round(ff.f, 6) + 0.0) AS f,
         (ff.k - 1)::BIGINT AS dof1,
         (ff.nn - ff.k)::BIGINT AS dof2,
-        (round(ff.eta, 6) + 0.0) AS eta_sq
-      FROM pg, ff
+        (round(ff.eta, 6) + 0.0) AS eta_sq,
+        (round(ib.ib_p, 6) + 0.0) AS p_value
+      FROM pg, ff, anv_f ib
       ORDER BY grp""",
 
     // Replay of Drift.brownForsythe: quantile_cont medians (== Spark
     // percentile), |x − med| through the same fixed-point ANOVA chain.
-    "ab_levene" -> """
+    "ab_levene" -> s"""
       WITH v AS (
         SELECT o_orderpriority::VARCHAR AS grp, o_totalprice::DOUBLE AS x
         FROM orders
@@ -9761,15 +9772,24 @@ object ExtensionQueries {
             THEN ((a - st * st / nn::DOUBLE) / (k - 1)::DOUBLE)
               / ((qt - a) / (nn::DOUBLE - k::DOUBLE))
             ELSE 0.0::DOUBLE END AS f
-        FROM tot)
+        FROM tot),
+      -- F survival via the pinned incomplete-beta continued fraction
+      lvn_pf AS (SELECT
+        (nn::DOUBLE - k::DOUBLE)
+          / ((nn::DOUBLE - k::DOUBLE) + (k - 1)::DOUBLE * f) AS ib_x,
+        (nn::DOUBLE - k::DOUBLE) / 2.0::DOUBLE AS ib_a,
+        (k - 1)::DOUBLE / 2.0::DOUBLE AS ib_b
+        FROM ff),
+      ${graft.functions.PValues.ibetaRegSqlCtes("lvn", "lvn_pf")._1}
       SELECT pg.grp, pg.n,
         (round(pg.m, 6) + 0.0) AS median,
         (round(pg.s::DOUBLE / 1048576.0 / pg.n::DOUBLE, 6) + 0.0)
           AS mean_absdev,
         (round(ff.f, 6) + 0.0) AS f,
         (ff.k - 1)::BIGINT AS dof1,
-        (ff.nn - ff.k)::BIGINT AS dof2
-      FROM pg, ff
+        (ff.nn - ff.k)::BIGINT AS dof2,
+        (round(ib.ib_p, 6) + 0.0) AS p_value
+      FROM pg, ff, lvn_f ib
       ORDER BY grp""",
 
     // Replay of Drift.welchT: exact fixed-point moments per side,
@@ -9802,20 +9822,38 @@ object ExtensionQueries {
       tc AS (
         SELECT *, CASE WHEN se2 > 0 THEN (ma - mb) / sqrt(se2)
           ELSE 0.0::DOUBLE END AS traw
-        FROM se)
+        FROM se),
+      dofc AS (
+        SELECT *, CASE WHEN se2 > 0 THEN se2 * se2
+            / ((va / na::DOUBLE) * (va / na::DOUBLE) / (na - 1)::DOUBLE
+              + (vb / nb::DOUBLE) * (vb / nb::DOUBLE) / (nb - 1)::DOUBLE)
+          ELSE 0.0::DOUBLE END AS dofraw
+        FROM tc),
+      -- Student-t two-sided p at the fractional Welch dof via the
+      -- pinned incomplete-beta continued fraction: x = dof/(dof+t²),
+      -- a = dof/2, b = 1/2 (pStudentT2's argument shapes); degenerate
+      -- dof <= 0 guarded to p = 1 on both engines
+      wch_pf AS (SELECT
+        CASE WHEN dofraw > 0.0::DOUBLE
+          THEN dofraw / (dofraw + traw * traw)
+          ELSE 0.5::DOUBLE END AS ib_x,
+        CASE WHEN dofraw > 0.0::DOUBLE THEN dofraw / 2.0::DOUBLE
+          ELSE 1.0::DOUBLE END AS ib_a,
+        0.5::DOUBLE AS ib_b
+        FROM dofc),
+      ${graft.functions.PValues.ibetaRegSqlCtes("wch", "wch_pf")._1}
       SELECT na AS n_a, nb AS n_b,
         (round(ma, 6) + 0.0) AS mean_a,
         (round(mb, 6) + 0.0) AS mean_b,
         (round(va, 6) + 0.0) AS var_a,
         (round(vb, 6) + 0.0) AS var_b,
         (round(traw, 6) + 0.0) AS t,
-        (round(CASE WHEN se2 > 0 THEN se2 * se2
-            / ((va / na::DOUBLE) * (va / na::DOUBLE) / (na - 1)::DOUBLE
-              + (vb / nb::DOUBLE) * (vb / nb::DOUBLE) / (nb - 1)::DOUBLE)
-          ELSE 0.0::DOUBLE END, 6) + 0.0) AS dof,
+        (round(dofraw, 6) + 0.0) AS dof,
         (round(${graft.functions.PValues.pTwoSidedZSql("traw")}, 6) + 0.0)
-          AS p_normal
-      FROM tc""",
+          AS p_normal,
+        (round(CASE WHEN dofraw > 0.0::DOUBLE THEN ib.ib_p
+          ELSE 1.0::DOUBLE END, 6) + 0.0) AS p_t
+      FROM dofc, wch_f ib""",
 
     // Replay of Drift.mutualInformation: occupied-cell counts, margin
     // rollups, per-cell/margin double terms, ×2^20 fixed-point sums.

@@ -105,4 +105,96 @@ class PValuesSpec extends AnyFunSuite with graft.SparkSpec {
     intercept[IllegalArgumentException](PValues.chiSqSurvivalSql("x", 0))
     intercept[IllegalArgumentException](PValues.chiSqSurvivalSql("x", 500))
   }
+
+  test("ibetaReg matches 50-digit mpmath references to < 1e-9") {
+    // expected values generated once with mpmath.betainc(regularized)
+    // at dps=50 over the t/F regimes the engine produces
+    val pins = Seq(
+      (0.3, 2.5, 0.5, 0.01892712407194565),
+      (0.2, 0.5, 1.0, 0.4472135954999579),
+      (0.8333333333333334, 2.5, 0.5, 0.36321746764912266),
+      (0.5, 0.5, 0.5, 0.5),
+      (0.65, 10.0, 2.0, 0.06058234505083009))
+    pins.foreach { case (x, a, b, want) =>
+      val got = PValues.ibetaReg(x, a, b)
+      assert(math.abs(got - want) < 1e-9, s"I_$x($a,$b): $got vs $want")
+    }
+    // edges
+    assert(PValues.ibetaReg(0.0, 5.0, 0.5) == 0.0)
+    assert(PValues.ibetaReg(1.0, 5.0, 0.5) == 1.0)
+    assert(PValues.ibetaReg(-0.1, 5.0, 0.5) == 0.0)
+    assert(PValues.ibetaReg(1.1, 5.0, 0.5) == 1.0)
+  }
+
+  test("pStudentT2 matches the dof=1/dof=2 closed forms and the " +
+      "normal limit; fSurvival matches its chi-square and t relatives") {
+    // dof=1 (Cauchy): p = 1 − (2/π)·atan(|t|)
+    Seq(0.5, 1.0, 2.0, 5.0).foreach { t =>
+      val want = 1.0 - (2.0 / math.Pi) * math.atan(t)
+      assert(math.abs(PValues.pStudentT2(t, 1.0) - want) < 1e-9, s"t1 $t")
+    }
+    // dof=2: p = 1 − t/√(t²+2)
+    Seq(0.5, 1.0, 2.0, 5.0).foreach { t =>
+      val want = 1.0 - t / math.sqrt(t * t + 2.0)
+      assert(math.abs(PValues.pStudentT2(t, 2.0) - want) < 1e-9, s"t2 $t")
+    }
+    // large dof → two-sided normal (erfc form) to ~1e-5 at dof 1e5
+    Seq(0.5, 1.96, 3.0).foreach { t =>
+      assert(math.abs(PValues.pStudentT2(t, 100000.0)
+        - PValues.pTwoSidedZ(t)) < 1e-5, s"normal limit $t")
+    }
+    // t symmetry + degenerate dof
+    assert(PValues.pStudentT2(2.0, 7.0) == PValues.pStudentT2(-2.0, 7.0))
+    assert(PValues.pStudentT2(0.0, 7.0) == 1.0)
+    assert(PValues.pStudentT2(1.0, 0.0) == 1.0)
+    // F(1, d) survival at f = t² == two-sided t_d p at t
+    Seq((1.5, 10.0), (2.5, 4.0), (0.7, 30.0)).foreach { case (t, d) =>
+      assert(math.abs(PValues.fSurvival(t * t, 1.0, d)
+        - PValues.pStudentT2(t, d)) < 1e-9, s"F(1,$d) vs t")
+    }
+    // F(d1, ∞−ish) survival → χ²_{d1} survival at d1·f
+    Seq((1.3, 4.0), (2.2, 2.0)).foreach { case (f, d1) =>
+      assert(math.abs(PValues.fSurvival(f, d1, 1e7)
+        - PValues.chiSqSurvival(d1 * f, d1.toInt)) < 1e-4,
+        s"F($d1,inf) vs chi2")
+    }
+    // monotone decreasing in f
+    val ps = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0)
+      .map(f => PValues.fSurvival(f, 4.0, 100.0))
+    assert(ps == ps.sorted.reverse && ps.head == 1.0)
+  }
+
+  test("ibetaRegCol is BIT-identical to the driver form") {
+    import spark.implicits._
+    val cases = Seq(
+      (0.3, 2.5, 0.5), (0.9997, 29995.0, 0.5), (0.2, 0.5, 1.0),
+      (0.8333333333333334, 2.5, 0.5), (0.5, 0.5, 0.5), (0.65, 10.0, 2.0),
+      (0.999983, 29995.0, 2.0), (1.0, 5.0, 0.5), (0.0, 5.0, 0.5))
+    val got = cases.toDF("x", "a", "b")
+      .select(col("x"), col("a"), col("b"),
+        PValues.ibetaRegCol(col("x"), col("a"), col("b")).as("p"))
+      .collect()
+    got.foreach { r =>
+      val want = PValues.ibetaReg(r.getDouble(0), r.getDouble(1),
+        r.getDouble(2))
+      assert(r.getDouble(3) == want,
+        s"ibeta(${r.getDouble(0)}, ${r.getDouble(1)}, ${r.getDouble(2)})")
+    }
+  }
+
+  test("ibetaRegSqlCtes emits the pinned chain: fixed iteration count, " +
+      "Lanczos literals, guard epsilon, intermediate-free projections") {
+    val (ctes, fin) = PValues.ibetaRegSqlCtes("tb", "src")
+    assert(fin == "tb_f")
+    // one CTE per iteration, all present
+    (0 to PValues.IbetaIters).foreach(i => assert(ctes.contains(s"tb_i$i ")))
+    assert(!ctes.contains(s"tb_i${PValues.IbetaIters + 1} "))
+    // pinned literals: Lanczos c1 and the 0.5·ln(2π) front constant
+    assert(ctes.contains("CAST('676.5203681218851' AS DOUBLE)"))
+    assert(ctes.contains("CAST('0.9189385332046727' AS DOUBLE)"))
+    assert(ctes.contains("1e-30::DOUBLE"))
+    // every iteration projects ONLY carried state back out (the lateral
+    // alias capture bug: a leaked `zd` in CTE N binds CTE N+1's refs)
+    assert(ctes.contains("SELECT x0, a0, b0, dir, bt, x, a, b, zc2 AS c"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import graft.functions.PValues
 import org.apache.spark.sql.functions._
 
 class DriftSpec extends SparkSpec {
@@ -387,10 +388,16 @@ class DriftSpec extends SparkSpec {
       - ssb / (ssb + ssw)) < 1e-6)
     assert(rows.map(r => (r.getString(0), r.getAs[Double]("mean"))).toSeq
       == Seq(("A", 2.0), ("B", 4.0), ("C", 9.0)))
+    // round 17: F survival p from the pinned incomplete-beta kernel,
+    // checked against the brute F through the same kernel (the kernel
+    // itself is pinned against 50-digit mpmath in PValuesSpec)
+    assert(math.abs(rows.head.getAs[Double]("p_value")
+      - PValues.fSurvival(fRef, 2.0, 5.0)) < 1e-5)
     // same distribution in every arm: F = 0 (all group means equal)
     val flat0 = Seq("A", "B").flatMap(g => Seq(1.0, 3.0).map(g -> _))
-    assert(Drift.anovaF(flat0.toDF("g", "v"), "g", "v")
-      .collect().head.getAs[Double]("f") == 0.0)
+    val r0 = Drift.anovaF(flat0.toDF("g", "v"), "g", "v").collect().head
+    assert(r0.getAs[Double]("f") == 0.0)
+    assert(r0.getAs[Double]("p_value") == 1.0) // F = 0 -> p = 1 exactly
     graft.util.Caches.unpersistAll()
   }
 
@@ -416,6 +423,15 @@ class DriftSpec extends SparkSpec {
       .collect().head
     assert(math.abs(sw.getAs[Double]("t") + r.getAs[Double]("t")) < 1e-9,
       "swapping sides must mirror t")
+    // round 17: exact Student-t p at the fractional Welch dof — in the
+    // tiny-per-arm regime it must sit ABOVE the anti-conservative
+    // normal approximation (fatter tails), and mirror under swap
+    assert(r.getAs[Double]("p_t") > r.getAs[Double]("p_normal"),
+      s"p_t ${r.getAs[Double]("p_t")} must exceed " +
+        s"p_normal ${r.getAs[Double]("p_normal")} at n = 8 vs 7")
+    assert(r.getAs[Double]("p_t") == sw.getAs[Double]("p_t"))
+    assert(math.abs(r.getAs[Double]("p_t")
+      - PValues.pStudentT2(tRef, dofRef)) < 1e-5)
     graft.util.Caches.unpersistAll()
   }
 
@@ -436,6 +452,8 @@ class DriftSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("median")).toSeq == Seq(2.0, 0.0))
     // A: |x-2| = 1,0,1,0,1 -> 0.6; B: |x| = 40,0,40,40,40 -> 32
     assert(rows.map(_.getAs[Double]("mean_absdev")).toSeq == Seq(0.6, 32.0))
+    // round 17: F survival p rides along — decisive on the 10x spread
+    assert(rows.head.getAs[Double]("p_value") < 0.05)
     graft.util.Caches.unpersistAll()
   }
 
