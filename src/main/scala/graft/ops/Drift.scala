@@ -1280,6 +1280,165 @@ object Drift {
         StructField("p_value", DoubleType, false))))
   }
 
+  /** Hodges–Lehmann shift estimate + distribution-free CI — the
+    * VALUE-UNITS effect size the rank family lacks (round 17):
+    * [[mannWhitney]] reports p and Cliff's δ, but "how big is the
+    * shift, in dollars" needs the HL estimator — the median of all
+    * n_A·n_B pairwise differences a_i − b_j, the location shift the
+    * rank-sum test actually tests, robust where the mean difference is
+    * outlier-dominated. The CI is the Moses distribution-free interval
+    * (Hollander–Wolfe convention, PINNED here): with N = n_A·n_B and
+    * C = ciZ·√(n_A·n_B·(n_A+n_B+1)/12),
+    *   k_lo = max(1, ⌊N/2 − C⌋), k_hi = min(N, N+1−k_lo),
+    * the bounds are the k_lo-th and k_hi-th smallest pairwise
+    * differences; the median is the average of the ⌊(N+1)/2⌋-th and
+    * ⌊(N+2)/2⌋-th (equal ranks when N is odd).
+    *
+    * Shape at scale: pairwise differences materialize over the
+    * DISTINCT-VALUE count tables, never the rows — |V_A|·|V_B| pair
+    * rows each carrying weight n_a(v)·n_b(v') ([[TimeSeries.theilSen]]'s
+    * pair-bounding argument), guarded LOUD at `maxPairs` (quantize the
+    * value column — the gate rounds to integers — or read
+    * [[mannWhitney]]'s δ instead when the value grid is unbounded).
+    * Order statistics come from ONE distributed range-partitioned
+    * cumulative-weight pass ([[cumulativeByGroup]]'s routed form — no
+    * global window) with all four ranks selected in one aggregate.
+    * Output ONE row: (n_a, n_b, n_pairs, hl_shift, ci_lo, ci_hi).
+    */
+  def hodgesLehmann(a: DataFrame, b: DataFrame, valueCol: String,
+      ciZ: Double = 1.959964,
+      maxPairs: Long = 16000000L): DataFrame = {
+    require(ciZ > 0, s"ciZ must be > 0, got $ciZ")
+    def cnt(df: DataFrame, vn: String, cn: String) =
+      graft.util.Caches.persist(
+        df.select(col(valueCol).cast("double").as(vn))
+          .where(col(vn).isNotNull)
+          .groupBy(vn).agg(count(lit(1)).as(cn)))
+    val ca = cnt(a, "__va", "__wa")
+    val cb = cnt(b, "__vb", "__wb")
+    val (cardA, nA) = ca.agg(count(lit(1)), sum("__wa")).collect().head
+      match { case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)) }
+    val (cardB, nB) = cb.agg(count(lit(1)), sum("__wb")).collect().head
+      match { case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)) }
+    require(nA > 0 && nB > 0, "hodgesLehmann: a side has no non-null rows")
+    require(cardA * cardB <= maxPairs,
+      s"hodgesLehmann: $cardA x $cardB distinct values = ${cardA * cardB} " +
+        s"pair rows > maxPairs $maxPairs — quantize the value column " +
+        "(the gate rounds to integers) or read mannWhitney's delta")
+    val bigN = nA * nB
+    val k1 = (bigN + 1) / 2
+    val k2 = (bigN + 2) / 2
+    val c = ciZ * math.sqrt(nA.toDouble * nB.toDouble *
+      (nA + nB + 1).toDouble / 12.0)
+    val kLo = math.max(1L, math.floor(bigN.toDouble / 2.0 - c).toLong)
+    val kHi = math.min(bigN, bigN + 1 - kLo)
+    val dif = ca.crossJoin(cb)
+      .select((col("__va") - col("__vb")).as("v"),
+        (col("__wa") * col("__wb")).as("__w"))
+      .groupBy("v").agg(sum("__w").as("__na"))
+      .select(lit("d").as("grp"), col("v"), col("__na"), lit(0L).as("__nb"))
+    // maxGroupDistinct = 0 forces the distributed range-partitioned
+    // cumulative pass — the pair table has ONE logical group, exactly
+    // the shape the skew guard routes
+    val cum = cumulativeByGroup(dif, withNext = false, 0L)
+    def sel(k: Long, name: String) =
+      min(when(col("__ca") >= k, col("v"))).as(name)
+    cum.agg(sel(k1, "__d1"), sel(k2, "__d2"), sel(kLo, "__lo"),
+        sel(kHi, "__hi"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        lit(bigN).as("n_pairs"),
+        (round((col("__d1") + col("__d2")) / lit(2.0), 6) + lit(0d))
+          .as("hl_shift"),
+        (round(col("__lo"), 6) + lit(0d)).as("ci_lo"),
+        (round(col("__hi"), 6) + lit(0d)).as("ci_hi"))
+  }
+
+  /** Sequential A/B test — the ALWAYS-VALID p-value that survives
+    * peeking (round 17): [[proportionsZ]]'s p is only valid at ONE
+    * pre-registered look, but every live dashboard invites reading the
+    * experiment daily, and under the null a repeatedly-examined fixed-n
+    * p crosses α=0.05 eventually with probability → 1. The mixture
+    * sequential probability ratio test (mSPRT; Robbins 1970, the
+    * Johari–Koomen–Pekelis–Walsh "Peeking at A/B Tests" always-valid
+    * inference) closes this: against H₀: θ = 0 with a normal mixture
+    * N(0, τ²) over the alternative,
+    *   Λ_k = √(V_k/(V_k+τ²)) · exp(θ̂_k²·τ² / (2·V_k·(V_k+τ²)))
+    * with θ̂_k = cumulative rate_a − rate_b and V_k the UNPOOLED
+    * variance r_a(1−r_a)/n_a + r_b(1−r_b)/n_b at look k, and
+    *   p_k = min(p_{k−1}, 1/Λ_k)
+    * is an always-valid p: P(∃k: p_k ≤ α) ≤ α under H₀ at EVERY look
+    * simultaneously — reject the moment it crosses, no schedule
+    * pre-registration needed.
+    *
+    * `lookCol` is the pinned look ordinal (any monotone bucketing of
+    * arrival order — hour, day, 10k-events chunk); counts accumulate
+    * over looks in ordinal order. Looks where either arm is empty or
+    * V = 0 report NULL Λ (not judged; the running min skips them).
+    * τ² (`tauSq`, default 0.01) is the mixture variance — on the scale
+    * of the SQUARED rate difference; smaller detects small lifts
+    * faster, larger detects big lifts faster.
+    *
+    * Determinism: exact cumulative longs; Λ and 1/Λ pinned-order
+    * double expressions (√/exp — the erfc convention's libm
+    * dependence); running min over the look window. Output per look
+    * (ordered): (look, n_a, k_a, n_b, k_b, rate_a, rate_b, lift,
+    * p_seq, reject).
+    *
+    * Shape at scale: ONE map-side-combined per-look aggregate; the
+    * cumulative window runs over the K look rows (look-cardinality,
+    * never row-cardinality — the [[anovaF]] k-rows convention).
+    */
+  def sequentialMSPRT(df: DataFrame, lookCol: String, groupCol: String,
+      successCol: String, armA: String, armB: String,
+      tauSq: Double = 0.01, alpha: Double = 0.05): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    require(tauSq > 0, s"tauSq must be > 0, got $tauSq")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val slim = df.where(col(lookCol).isNotNull && col(groupCol).isNotNull
+        && col(successCol).isNotNull
+        && col(groupCol).cast("string").isin(armA, armB))
+      .select(col(lookCol).cast("long").as("look"),
+        (col(groupCol).cast("string") === armA).as("__isA"),
+        col(successCol).cast("boolean").as("__s"))
+    val per = slim.groupBy("look").agg(
+      sum(when(col("__isA"), 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__isA") && col("__s"), 1L).otherwise(0L)).as("__ka"),
+      sum(when(!col("__isA"), 1L).otherwise(0L)).as("__nb"),
+      sum(when(!col("__isA") && col("__s"), 1L).otherwise(0L)).as("__kb"))
+    // K look rows — the windows below run on look-cardinality data
+    val w = Window.orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("look"),
+      sum("__na").over(w).as("n_a"), sum("__ka").over(w).as("k_a"),
+      sum("__nb").over(w).as("n_b"), sum("__kb").over(w).as("k_b"))
+    // ANSI-safe: every division sits under a lazy when() so a look
+    // where an arm has no cumulative data yet reads NULL, not an error
+    val ra = col("k_a").cast("double") / col("n_a").cast("double")
+    val rb = col("k_b").cast("double") / col("n_b").cast("double")
+    val theta = ra - rb
+    val v = ra * (lit(1.0) - ra) / col("n_a").cast("double") +
+      rb * (lit(1.0) - rb) / col("n_b").cast("double")
+    val lam = when(col("n_a") > 0 && col("n_b") > 0,
+      when(v > 0, sqrt(v / (v + lit(tauSq))) *
+        exp((theta * theta * lit(tauSq))
+          / (lit(2.0) * v * (v + lit(tauSq))))))
+    val praw = when(lam.isNotNull, least(lit(1.0), lit(1.0) / lam))
+    val staged = cum.withColumn("__praw", praw)
+    val pseq = min(col("__praw")).over(w)
+    staged
+      .withColumn("rate_a",
+        round(when(col("n_a") > 0, ra), 6) + lit(0d))
+      .withColumn("rate_b",
+        round(when(col("n_b") > 0, rb), 6) + lit(0d))
+      .withColumn("lift",
+        round(when(col("n_a") > 0 && col("n_b") > 0, theta), 6) + lit(0d))
+      .withColumn("p_seq", round(pseq, 6) + lit(0d))
+      .withColumn("reject",
+        when(pseq.isNotNull, pseq <= lit(alpha)))
+      .drop("__praw")
+      .orderBy("look")
+  }
+
   /** Per-SEGMENT two-proportion z-tests — the "which segments moved"
     * readout behind every segmented A/B dashboard ([[proportionsZ]]
     * gives the one global answer; this gives one test per segment —

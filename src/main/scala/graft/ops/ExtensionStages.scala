@@ -1475,15 +1475,17 @@ final case class AggStateTransformStage(
   * per-`segCol` stratum row, feed it into a `bh` stage for FDR
   * control), `psi` / `jsd` / `wasserstein` (two-view mix/shape
   * distances), `ks_grouped` / `wasserstein_grouped` (per-`groupCol`
-  * stratified drift), and `bootstrap_lift` (two-view Poisson-bootstrap
-  * lift CI; `nPerms` is the resample count, `1 - alpha` the level).
+  * stratified drift), `bootstrap_lift` (two-view Poisson-bootstrap
+  * lift CI; `nPerms` is the resample count, `1 - alpha` the level),
+  * and `sequential` (single-view mSPRT always-valid p over the
+  * `lookCol` schedule).
   */
 final case class DriftTransformStage(
     name: String,
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1514,7 +1516,10 @@ final case class DriftTransformStage(
     armB: String = "",
     segCol: String = "segment",
     // psi only: number of quantile bins from the before side
-    nBins: Int = 10)
+    nBins: Int = 10,
+    // sequential only: look ordinal column + mSPRT mixture variance
+    lookCol: String = "look",
+    tauSq: Double = 0.01)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1573,6 +1578,10 @@ final case class DriftTransformStage(
       case "segments" =>
         Drift.proportionsBySegment(before, segCol, groupCol, successCol,
           armA, armB)
+      // single-view always-valid sequential readout (mSPRT)
+      case "sequential" =>
+        Drift.sequentialMSPRT(before, lookCol, groupCol, successCol,
+          armA, armB, tauSq, alpha)
       // two-view mix/shape distances
       case "psi" => Drift.psi(before, after, valueCol, nBins)
       case "jsd" => Drift.jensenShannon(before, after, catCol)

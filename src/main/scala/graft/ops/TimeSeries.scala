@@ -81,6 +81,36 @@ object TimeSeries {
     seasonalDeviationBy(df, tsCol, keyCol, lo, hi, "how",
       c => ((dayofweek(c) - 1) * 24 + hour(c)).cast("long"))
 
+  /** Time-of-WEEK-aware robust anomalies (round 17) — the composition
+    * closing the gap between the two existing monitors: the gapfill∘MAD
+    * chain (events_anomaly) flags cells against the GLOBAL per-key
+    * median, so every busy Monday 9 a.m. trips on a weekend-heavy
+    * corpus; [[seasonalDeviationWeekly]] is seasonal but threshold-
+    * based (fixed ratio band, no spread model). This subtracts each
+    * cell's OWN 168-cell weekly baseline first — resid = n_events −
+    * how_mean, 6dp-snapped so the MAD grid replays exactly — and runs
+    * [[Profile.outliersMad]]'s modified-z machinery per key on the
+    * residuals: anomalous = deviates from ITS time-of-week norm by
+    * more than k robust sigmas of the key's residual spread.
+    *
+    * Shape at scale: the grid-sized weekly-deviation plan plus two
+    * (key)-keyed discrete-percentile aggregates and broadcast joins —
+    * everything after the gapfill is grid-cardinality work. Output
+    * (flagged cells only): (key, hour_start, how, n_events, how_mean,
+    * resid, robust_z).
+    */
+  def seasonalAnomalyWeekly(df: DataFrame, tsCol: String,
+      keyCol: String, k: Double = 3.5): DataFrame = {
+    val dev = seasonalDeviationWeekly(df, tsCol, keyCol)
+      .withColumn("resid",
+        round(col("n_events").cast("double") - col("how_mean"), 6)
+          + lit(0d))
+    Profile.outliersMad(dev, "resid", Seq(keyCol), k)
+      .where(col("is_outlier"))
+      .select(col(keyCol), col("hour_start"), col("how"),
+        col("n_events"), col("how_mean"), col("resid"), col("robust_z"))
+  }
+
   /** Shared seasonal-baseline machinery: compare every (key, hour) cell
     * of the dense grid against the mean of ITS OWN seasonal bucket
     * (`bucketOf(hour_start)`), exact long sum / count division, 6dp

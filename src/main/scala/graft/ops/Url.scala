@@ -169,6 +169,32 @@ object Url {
           .as("rate_shrunk"))
   }
 
+  /** Domain-gated row filter — [[domainQuality]] CONSUMED (round 17):
+    * keep only the rows whose canonical domain's m-estimate quality
+    * rate clears `minShrunk`; the curation chain's domain front door
+    * (block the boilerplate farm BEFORE paying dedup/quality compute
+    * for its pages). Rows whose URL is malformed (NULL domain) drop —
+    * a page that can't name its domain never passes a domain gate.
+    * The comparison uses the ROUNDED `rate_shrunk` (the reported
+    * value, so the kept set is exactly reproducible from the
+    * [[domainQuality]] report). Output: (domain, input columns…,
+    * rate_shrunk).
+    *
+    * Shape at scale: the score table is domain-cardinality-sized and
+    * BROADCASTS; the corpus itself never shuffles — one narrow
+    * projection plus a broadcast-hash join.
+    */
+  def domainFilter(df: DataFrame, urlCol: String, goodCol: String,
+      minShrunk: Double, m: Double = 20.0): DataFrame = {
+    require(minShrunk >= 0 && minShrunk <= 1,
+      s"minShrunk must be in [0,1], got $minShrunk")
+    val scores = domainQuality(df, urlCol, goodCol, m)
+      .where(col("domain").isNotNull && col("rate_shrunk") >= minShrunk)
+      .select(col("domain"), col("rate_shrunk"))
+    df.withColumn("domain", domainOf(col(urlCol)))
+      .join(broadcast(scores), Seq("domain"))
+  }
+
   def domainMix(df: DataFrame, urlCol: String,
       tokenCol: String): DataFrame = {
     val per = df

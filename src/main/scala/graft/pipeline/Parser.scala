@@ -420,11 +420,11 @@ object Parser {
           "spearman", "wilcoxon", "kruskal", "anova", "levene", "welch",
           "fisher", "proportions", "segments", "psi", "jsd",
           "wasserstein", "ks_grouped", "wasserstein_grouped",
-          "bootstrap_lift"),
+          "bootstrap_lift", "sequential"),
         "ks")
       val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
         "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
-        "proportions", "segments").contains(driftMethod)
+        "proportions", "segments", "sequential").contains(driftMethod)
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -434,7 +434,8 @@ object Parser {
       }
       if (driftMethod == "srm" && expected.isEmpty)
         r.error("expected", "missing; srm requires the designed arm weights")
-      if (driftMethod == "proportions" || driftMethod == "segments") {
+      if (driftMethod == "proportions" || driftMethod == "segments"
+          || driftMethod == "sequential") {
         if (r.string("armA").isEmpty)
           r.error("armA", s"missing; $driftMethod requires both arm names")
         if (r.string("armB").isEmpty)
@@ -469,7 +470,9 @@ object Parser {
         armA = r.string("armA").getOrElse(""),
         armB = r.string("armB").getOrElse(""),
         segCol = r.string("segCol").getOrElse("segment"),
-        nBins = r.int("nBins").getOrElse(10))
+        nBins = r.int("nBins").getOrElse(10),
+        lookCol = r.string("lookCol").getOrElse("look"),
+        tauSq = r.double("tauSq").getOrElse(0.01))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
@@ -865,7 +868,8 @@ object Parser {
       "outputView", "method", "valueCol", "catCol", "labelCol", "columns",
       "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol",
       "expected", "chi2Threshold", "textCol", "k", "pCol", "alpha",
-      "successCol", "armA", "armB", "segCol", "nBins")),
+      "successCol", "armA", "armB", "segCol", "nBins", "lookCol",
+      "tauSq")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -303,6 +303,7 @@ object ExtensionQueries {
   private val NegK = 4
   private val NegBuckets = 64
   private val AnomK = 3.0
+  private val AnomWeeklyK = 3.0
   private val CmsDepth = 4
   private val CmsWidth = 256
   private val CmsTopN = 10
@@ -2014,6 +2015,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // The domain quality score CONSUMED by the curation chain (round
+    // 17): gate every doc on its domain's shrunk quality rate
+    // (Url.domainFilter over the urlDocs fixture, threshold 0.5 —
+    // splits 9 of the 20 fixture domains), then the exact-dedup front
+    // door — crawl curation's standard domain-block composition.
+    "curate_domains" -> { (spark, dir) =>
+      val u = urlDocs(spark, dir)
+        .withColumn("good", col("n_chars") >= 306)
+      val kept = Url.domainFilter(u, "url", "good", minShrunk = 0.5)
+      val joined = kept.select("doc_id", "domain", "rate_shrunk")
+        .join(docs(spark, dir).select("doc_id", "text", "lang"), "doc_id")
+      Dedup.exact(joined, keys = Seq("text"), tieBreak = Seq("doc_id"))
+        .select("doc_id", "lang", "domain", "rate_shrunk")
+        .orderBy("doc_id")
+    },
+
     "events_outliers" -> { (spark, dir) =>
       Profile.outliers(events(spark, dir), "value", Seq("event_type"))
         .where(col("is_outlier"))
@@ -2701,6 +2718,16 @@ object ExtensionQueries {
     "events_seasonal_weekly" -> { (spark, dir) =>
       TimeSeries.seasonalDeviationWeekly(events(spark, dir), "ts",
           "event_type", lo = SeasonalLo, hi = SeasonalHi)
+        .orderBy("event_type", "hour_start")
+    },
+
+    // Time-of-week-aware anomaly composition (round 17): 168-cell
+    // weekly baseline residuals |> per-key MAD modified-z — flags the
+    // hours that deviate from THEIR OWN Monday-9am norm, where the
+    // global-median events_anomaly trips on every busy weekday cell.
+    "events_anomaly_weekly" -> { (spark, dir) =>
+      TimeSeries.seasonalAnomalyWeekly(events(spark, dir), "ts",
+          "event_type", k = AnomWeeklyK)
         .orderBy("event_type", "hour_start")
     },
 
@@ -3641,6 +3668,18 @@ object ExtensionQueries {
         "value")
     },
 
+    // Hodges–Lehmann shift + Moses distribution-free CI between the
+    // purchase and click value distributions — the value-units effect
+    // size beside ab_mannwhitney's p/δ. Values rounded to integers so
+    // the distinct-value pair table stays bounded at any sf (the
+    // operator's documented quantization contract).
+    "ab_hodges_lehmann" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(round(col("value")).as("value"))
+      Drift.hodgesLehmann(side("purchase"), side("click"), "value")
+    },
+
     // Kruskal–Wallis k-sample rank test across the five order-priority
     // arms on order value — the multi-arm completion of the rank family:
     // joint midrank ranking, exact integer rank sums, tie-corrected H,
@@ -3819,6 +3858,18 @@ object ExtensionQueries {
         .select(concat(lit("g"), (col("user_id") % 2).cast("string"))
           .as("arm"), (col("event_type") === "purchase").as("success"))
       Drift.proportionsZ(ev, "arm", "success", "g0", "g1")
+    },
+
+    // Always-valid sequential readout (mSPRT) over a pinned 8-look
+    // schedule (3-hour buckets): the peeking-proof companion of
+    // ab_proportions — p_seq is valid at EVERY look simultaneously,
+    // so reading the dashboard daily costs no α.
+    "ab_sequential" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir).select(
+        expr("((ts div 3600000000) % 24) div 3").as("look"),
+        concat(lit("g"), (col("user_id") % 2).cast("string")).as("arm"),
+        (col("event_type") === "purchase").as("s"))
+      Drift.sequentialMSPRT(ev, "look", "arm", "s", "g0", "g1")
     },
 
     // Segmented experiment readout with FDR control: per-4-hour-segment
@@ -8834,6 +8885,56 @@ object ExtensionQueries {
       FROM dense d JOIN base USING (event_type, how)
       ORDER BY event_type, hour_start""",
 
+    // Replay of TimeSeries.seasonalAnomalyWeekly: the 168-cell weekly
+    // baseline, 6dp-snapped residuals, then the per-key discrete
+    // median/MAD modified-z chain on the residuals.
+    "events_anomaly_weekly" -> s"""
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (
+        SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type, g.hour_start,
+          coalesce(c.n_events, 0)::BIGINT AS n_events,
+          CAST(extract(dow FROM g.hour_start) * 24
+            + extract(hour FROM g.hour_start) AS BIGINT) AS how
+        FROM g LEFT JOIN c USING (event_type, hour_start)),
+      base AS (
+        SELECT event_type, how,
+          sum(n_events)::DOUBLE / count(*) AS how_mean
+        FROM dense GROUP BY 1, 2),
+      r AS (
+        SELECT d.event_type, d.hour_start, d.how, d.n_events,
+          base.how_mean,
+          (round(d.n_events::DOUBLE - base.how_mean, 6) + 0.0) AS resid
+        FROM dense d JOIN base USING (event_type, how)),
+      med AS (
+        SELECT event_type, quantile_disc(resid, 0.5) AS med
+        FROM r GROUP BY 1),
+      dd AS (
+        SELECT r.*, med, abs(resid - med) AS dev
+        FROM r JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_disc(dev, 0.5) AS mad
+        FROM dd GROUP BY 1),
+      scored AS (
+        SELECT event_type, hour_start, how, n_events, how_mean, resid,
+          mad,
+          (round(CASE WHEN mad > 0
+            THEN 0.6745 * (resid - med) / mad
+            ELSE 0.0 END, 6) + 0.0) AS robust_z
+        FROM dd JOIN mad USING (event_type))
+      SELECT event_type, hour_start, how, n_events, how_mean, resid,
+        robust_z
+      FROM scored WHERE mad > 0 AND abs(robust_z) > $AnomWeeklyK
+      ORDER BY event_type, hour_start""",
+
     // Replay of the gapfill |> outliersMad chain: dense counts first,
     // then discrete median/MAD and the modified z-score on them.
     "events_anomaly" -> s"""
@@ -9582,6 +9683,55 @@ object ExtensionQueries {
     // ab_chi2_independence is a dump-time-trained oracle (the ANY-dof
     // survival series unrolls from the observed dof) — see
     // chi2IndependenceOracle above; it joins the map in `oracles`.
+
+    // Replay of Url.domainFilter ∘ Dedup.exact (curate_domains): the
+    // shared canonical-domain parse, the m-estimate scores over
+    // non-null verdicts, threshold on the ROUNDED shrunk rate, join
+    // back over ALL rows, exact-dedup keep-smallest-doc_id.
+    "curate_domains" -> s"""
+      WITH $urlSrcCte,
+      d0 AS (
+        SELECT doc_id, (n_chars >= 306) AS g,
+          position('://' IN split_part(url, '#', 1)) > 0 AS ok,
+          substr(split_part(url, '#', 1),
+            position('://' IN split_part(url, '#', 1)) + 3) AS rest
+        FROM src),
+      d1 AS (
+        SELECT *, CASE WHEN position('/' IN rest) > 0
+              AND (position('?' IN rest) = 0
+                OR position('/' IN rest) < position('?' IN rest))
+            THEN position('/' IN rest)
+          WHEN position('?' IN rest) > 0 THEN position('?' IN rest)
+          ELSE length(rest) + 1 END AS cut
+        FROM d0),
+      dom AS (
+        SELECT doc_id, g, CASE WHEN ok THEN regexp_replace(regexp_replace(
+            lower(substr(rest, 1, cut - 1)), ':[0-9]+$$', ''),
+            '^www\\.', '') END AS domain
+        FROM d1),
+      per AS (
+        SELECT domain, count(*)::BIGINT AS n,
+          sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM dom WHERE g IS NOT NULL GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS tn, sum(k)::BIGINT AS tk FROM per),
+      scores AS (
+        SELECT * FROM (
+          SELECT domain,
+            (round((k::DOUBLE + 20.0::DOUBLE * (tk::DOUBLE / tn::DOUBLE))
+              / (n::DOUBLE + 20.0::DOUBLE), 6) + 0.0) AS rate_shrunk
+          FROM per, tot
+          WHERE domain IS NOT NULL)
+        WHERE rate_shrunk >= 0.5::DOUBLE),
+      kept AS (
+        SELECT dom.doc_id, dom.domain, scores.rate_shrunk
+        FROM dom JOIN scores USING (domain)),
+      j AS (
+        SELECT kept.doc_id, doc.lang, kept.domain, kept.rate_shrunk,
+          doc.text
+        FROM kept JOIN documents doc USING (doc_id))
+      SELECT doc_id, lang, domain, rate_shrunk FROM j
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      ORDER BY doc_id""",
 
     // Replay of Drift.wilcoxonSignedRank over the per-user paired means:
     // fixed-point half means, x2^20-quantized diffs (the tie structure
@@ -10359,6 +10509,106 @@ object ExtensionQueries {
         rk.rank, (rk.rank <= ks.kstar) AS reject
       FROM p LEFT JOIN rk USING (segment), ks
       ORDER BY p.segment""",
+
+    // Replay of Drift.hodgesLehmann: distinct-value count tables,
+    // weighted pairwise differences, cumulative weights ordered by
+    // diff, the pinned Moses rank arithmetic (floor of the same double
+    // expression), four order statistics in one pass.
+    "ab_hodges_lehmann" -> """
+      WITH va AS (
+        SELECT round(value) AS v, count(*)::BIGINT AS wa
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1),
+      vb AS (
+        SELECT round(value) AS v, count(*)::BIGINT AS wb
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        GROUP BY 1),
+      tot AS (SELECT (SELECT sum(wa) FROM va)::BIGINT AS na,
+        (SELECT sum(wb) FROM vb)::BIGINT AS nb),
+      dd AS (
+        SELECT va.v - vb.v AS dv, sum(va.wa * vb.wb)::BIGINT AS w
+        FROM va, vb GROUP BY 1),
+      cc AS (SELECT dv, sum(w) OVER (ORDER BY dv)::BIGINT AS cw FROM dd),
+      ks AS (
+        SELECT na, nb, na * nb AS n,
+          (na * nb + 1) // 2 AS k1, (na * nb + 2) // 2 AS k2,
+          greatest(1, floor((na * nb)::DOUBLE / 2.0::DOUBLE
+            - 1.959964::DOUBLE * sqrt(na::DOUBLE * nb::DOUBLE
+              * (na + nb + 1)::DOUBLE / 12.0::DOUBLE))::BIGINT) AS klo
+        FROM tot),
+      ks2 AS (SELECT *, least(n, n + 1 - klo) AS khi FROM ks),
+      sel AS (
+        SELECT ks2.na, ks2.nb, ks2.n,
+          min(CASE WHEN cw >= k1 THEN dv END) AS d1,
+          min(CASE WHEN cw >= k2 THEN dv END) AS d2,
+          min(CASE WHEN cw >= klo THEN dv END) AS lo,
+          min(CASE WHEN cw >= khi THEN dv END) AS hi
+        FROM cc, ks2 GROUP BY 1, 2, 3)
+      SELECT na AS n_a, nb AS n_b, n AS n_pairs,
+        (round((d1 + d2) / 2.0::DOUBLE, 6) + 0.0) AS hl_shift,
+        (round(lo, 6) + 0.0) AS ci_lo,
+        (round(hi, 6) + 0.0) AS ci_hi
+      FROM sel""",
+
+    // Replay of Drift.sequentialMSPRT: exact cumulative arm counts
+    // over the pinned 8-look schedule, the mixture-SPRT Λ in the
+    // operator's pinned double order (√ and exp — the erfc libm
+    // convention), running-min always-valid p, reject from the
+    // UNROUNDED p_seq.
+    "ab_sequential" -> """
+      WITH u AS (
+        SELECT (((epoch_us(ts) // 3600000000) % 24) // 3)::BIGINT AS look,
+          (('g' || (user_id % 2)::VARCHAR) = 'g0') AS isa,
+          (event_type = 'purchase') AS s
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      per AS (
+        SELECT look,
+          sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN isa AND s THEN 1 ELSE 0 END)::BIGINT AS ka,
+          sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)::BIGINT AS nb,
+          sum(CASE WHEN NOT isa AND s THEN 1 ELSE 0 END)::BIGINT AS kb
+        FROM u GROUP BY 1),
+      cum AS (
+        SELECT look,
+          sum(na) OVER (ORDER BY look)::BIGINT AS cna,
+          sum(ka) OVER (ORDER BY look)::BIGINT AS cka,
+          sum(nb) OVER (ORDER BY look)::BIGINT AS cnb,
+          sum(kb) OVER (ORDER BY look)::BIGINT AS ckb
+        FROM per),
+      st AS (
+        SELECT *,
+          CASE WHEN cna > 0 THEN cka::DOUBLE / cna::DOUBLE END AS ra,
+          CASE WHEN cnb > 0 THEN ckb::DOUBLE / cnb::DOUBLE END AS rb
+        FROM cum),
+      vv AS (
+        SELECT *,
+          ra - rb AS theta,
+          ra * (1.0::DOUBLE - ra) / cna::DOUBLE
+            + rb * (1.0::DOUBLE - rb) / cnb::DOUBLE AS v
+        FROM st),
+      lm AS (
+        SELECT *, CASE WHEN cna > 0 AND cnb > 0 AND v > 0
+          THEN sqrt(v / (v + 0.01::DOUBLE))
+            * exp((theta * theta * 0.01::DOUBLE)
+              / (2.0::DOUBLE * v * (v + 0.01::DOUBLE))) END AS lam
+        FROM vv),
+      pr AS (
+        SELECT *, CASE WHEN lam IS NOT NULL
+          THEN least(1.0::DOUBLE, 1.0::DOUBLE / lam) END AS praw
+        FROM lm),
+      sq AS (
+        SELECT *, min(praw) OVER (ORDER BY look) AS pseq FROM pr)
+      SELECT look, cna AS n_a, cka AS k_a, cnb AS n_b, ckb AS k_b,
+        (round(ra, 6) + 0.0) AS rate_a,
+        (round(rb, 6) + 0.0) AS rate_b,
+        (round(CASE WHEN cna > 0 AND cnb > 0 THEN theta END, 6) + 0.0)
+          AS lift,
+        (round(pseq, 6) + 0.0) AS p_seq,
+        CASE WHEN pseq IS NOT NULL THEN pseq <= 0.05::DOUBLE END
+          AS reject
+      FROM sq ORDER BY look""",
 
     // Replay of Drift.proportionsZ: exact arm counts, pooled-SE z in
     // the operator's pinned double order, erfc p from the raw z, and

@@ -964,6 +964,94 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("hodgesLehmann: textbook median-of-pairwise-differences, weight " +
+      "handling, mirror/shift symmetry, loud pair guard") {
+    def hl(a: Seq[Double], b: Seq[Double]) =
+      Drift.hodgesLehmann(a.toDF("v"), b.toDF("v"), "v").collect().head
+    // diffs of {6,7,8}x{1,2} = {4,5,5,6,6,7}: N=6, median=(5+6)/2=5.5;
+    // at n=3x2 the Moses C exceeds N/2 so the CI is the full range
+    val r = hl(Seq(6.0, 7.0, 8.0), Seq(1.0, 2.0))
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("hl_shift") == 5.5)
+    assert(r.getAs[Double]("ci_lo") == 4.0 && r.getAs[Double]("ci_hi") == 7.0)
+    // duplicate values weight the difference multiset: {1,1,2}x{0} ->
+    // {1(x2), 2}: median = 1
+    assert(hl(Seq(1.0, 1.0, 2.0), Seq(0.0)).getAs[Double]("hl_shift") == 1.0)
+    // mirror: swapping sides negates shift and mirrors the CI
+    val m = hl(Seq(1.0, 2.0), Seq(6.0, 7.0, 8.0))
+    assert(m.getAs[Double]("hl_shift") == -5.5)
+    assert(m.getAs[Double]("ci_lo") == -7.0 && m.getAs[Double]("ci_hi") == -4.0)
+    // shift equivariance: hl(a + 10, b) = hl(a, b) + 10
+    val s = hl(Seq(16.0, 17.0, 18.0), Seq(1.0, 2.0))
+    assert(s.getAs[Double]("hl_shift") == 15.5)
+    // a real-size case: CI must bracket the shift and tighten vs n=3x2
+    val big = hl((0 until 300).map(i => 10.0 + i % 7),
+      (0 until 300).map(i => 4.0 + i % 7))
+    assert(big.getAs[Double]("hl_shift") == 6.0)
+    assert(big.getAs[Double]("ci_lo") >= 5.0 &&
+      big.getAs[Double]("ci_hi") <= 7.0)
+    // loud guards
+    intercept[IllegalArgumentException](
+      Drift.hodgesLehmann((0 until 100).map(_.toDouble).toDF("v"),
+        (0 until 100).map(_.toDouble).toDF("v"), "v", maxPairs = 10L))
+    intercept[IllegalArgumentException](
+      hl(Seq.empty[Double], Seq(1.0)))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("sequentialMSPRT: always-valid p is non-increasing, stays high " +
+      "under the null, crosses on a real lift, and recomputes from the " +
+      "pinned closed form") {
+    // 4 looks, 200 units per arm per look; arm A converts at 60%,
+    // arm B at 30% — a lift the mixture SPRT must catch within looks
+    def units(look: Int, arm: String, n: Int, k: Int) =
+      (0 until n).map(i => (look.toLong, arm, i < k))
+    val lifted = (0 until 4).flatMap(l =>
+      units(l, "a", 200, 120) ++ units(l, "b", 200, 60))
+      .toDF("look", "arm", "s")
+    val out = Drift.sequentialMSPRT(lifted, "look", "arm", "s", "a", "b")
+      .collect()
+    assert(out.length == 4)
+    val ps = out.map(_.getAs[Double]("p_seq")).toSeq
+    assert(ps == ps.sorted.reverse, s"p_seq must be non-increasing: $ps")
+    assert(ps.last <= 0.05 && out.last.getAs[Boolean]("reject"),
+      s"a 2x conversion lift must reject, p_seq = $ps")
+    // pinned recompute of look 0: Λ from the cumulative counts
+    val ra = 120.0 / 200.0; val rb = 60.0 / 200.0
+    val v = ra * (1.0 - ra) / 200.0 + rb * (1.0 - rb) / 200.0
+    val theta = ra - rb
+    val lam = math.sqrt(v / (v + 0.01)) *
+      math.exp((theta * theta * 0.01) / (2.0 * v * (v + 0.01)))
+    assert(out.head.getAs[Double]("p_seq") ==
+      graft.functions.PValues.round6(math.min(1.0, 1.0 / lam)))
+    // null: identical arms — p_seq must stay comfortably above alpha
+    // at every look (the peeking guarantee)
+    val nullCase = (0 until 4).flatMap(l =>
+      units(l, "a", 200, 60) ++ units(l, "b", 200, 60))
+      .toDF("look", "arm", "s")
+    val np = Drift.sequentialMSPRT(nullCase, "look", "arm", "s", "a", "b")
+      .collect().map(_.getAs[Double]("p_seq"))
+    assert(np.forall(_ > 0.5), s"null case must not approach alpha: " +
+      np.toSeq)
+    // a look where an arm has NO CUMULATIVE data yet is NOT judged
+    // (NULL p_seq, skipped by the running min); once the arm appears,
+    // judging starts — and the guard params are loud
+    val gappy = (units(0, "a", 50, 30) ++
+      units(1, "a", 50, 30) ++ units(1, "b", 50, 15))
+      .toDF("look", "arm", "s")
+    val g = Drift.sequentialMSPRT(gappy, "look", "arm", "s", "a", "b")
+      .collect()
+    assert(g(0).isNullAt(g(0).fieldIndex("p_seq")))
+    assert(g(0).isNullAt(g(0).fieldIndex("reject")))
+    assert(!g(1).isNullAt(g(1).fieldIndex("p_seq")))
+    intercept[IllegalArgumentException](
+      Drift.sequentialMSPRT(gappy, "look", "arm", "s", "a", "a"))
+    intercept[IllegalArgumentException](
+      Drift.sequentialMSPRT(gappy, "look", "arm", "s", "a", "b",
+        tauSq = 0.0))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("proportionsBySegment: planted segment trips, null segment " +
       "reads p = 1, missing-arm segment gets NULL test; BH chain " +
       "rejects only the plant") {

@@ -1367,8 +1367,12 @@ class ExtensionStagesSpec extends SparkSpec {
        "idCol": "o_orderkey", "valueCol": "o_totalprice",
        "nPerms": 50, "outputView": "ds_bl"},
       {"type": "SqlTransform", "name": "fp",
-       "sql": "SELECT (o_orderkey % 3 = 0) AS x, (o_custkey % 2 = 0) AS y, 'g' || CAST(o_orderkey % 2 AS STRING) AS arm, (o_totalprice > 100000) AS success FROM ds_orders",
+       "sql": "SELECT (o_orderkey % 3 = 0) AS x, (o_custkey % 2 = 0) AS y, 'g' || CAST(o_orderkey % 2 AS STRING) AS arm, (o_totalprice > 100000) AS success, o_orderkey % 4 AS look FROM ds_orders",
        "outputView": "ds_fp"},
+      {"type": "DriftTransform", "name": "sq", "method": "sequential",
+       "inputView": "ds_fp", "lookCol": "look", "groupCol": "arm",
+       "successCol": "success", "armA": "g0", "armB": "g1",
+       "outputView": "ds_sq"},
       {"type": "DriftTransform", "name": "fi", "method": "fisher",
        "inputView": "ds_fp", "catCol": "x", "labelCol": "y",
        "outputView": "ds_fi"},
@@ -1410,6 +1414,11 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(fp > 0.0 && fp <= 1.0)
     val pr = spark.table("ds_pr").collect().head
     assert(pr.getAs[Long]("n_a") > 0 && pr.getAs[Long]("n_b") > 0)
+    // sequential: one row per look, non-increasing always-valid p
+    val sq = spark.table("ds_sq").orderBy("look").collect()
+    assert(sq.length == 4)
+    val sp = sq.map(_.getAs[Double]("p_seq")).toSeq
+    assert(sp == sp.sorted.reverse)
     graft.util.Caches.unpersistAll()
   }
 

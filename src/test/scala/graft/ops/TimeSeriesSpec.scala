@@ -227,6 +227,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(daily.getDouble(0) != 1.8)
   }
 
+  test("seasonalAnomalyWeekly: flags the cell deviating from ITS " +
+      "time-of-week norm, not the globally busy cells") {
+    // three weeks of dense, mildly-varying base load (1..3 events every
+    // hour — residual spread 1, so the MAD is nonzero), Mondays 9am
+    // carrying a +60 rush (busy but NORMAL for the slot), and a fourth
+    // Monday 9am at 50 — the seasonal break. The global-median chain
+    // (events_anomaly's shape) reads every Monday rush as an outlier;
+    // the weekly-residual chain must flag ONLY the broken one.
+    def t(day: Int, hour: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d $hour%02d:${(i % 59) + 1}%02d:${i / 59}%02d")
+    val base = for {
+      d <- 1 to 21; h <- 0 until 24
+      i <- 0 until (1 + (d + h) % 3)
+    } yield (t(d, h, i), "a")
+    val rush = Seq(1, 8, 15).flatMap(d =>
+      (10 until 70).map(i => (t(d, 9, i), "a")))
+    val broken = (0 until 50).map(i => (t(22, 9, i), "a"))
+    val out = TimeSeries.seasonalAnomalyWeekly(
+      (base ++ rush ++ broken).toDF("ts", "event_type"), "ts",
+      "event_type", k = 3.5).collect()
+    // Monday-9am slot: counts {62, 63, 61, 50}, mean 59 — the broken
+    // week reads resid −9 against a corpus-wide residual MAD of ~1,
+    // while the healthy rush weeks sit within ~3 of their slot mean
+    assert(out.length >= 1)
+    val flagged = out.map(_.getAs[Long]("n_events")).toSet
+    assert(flagged.contains(50L),
+      s"the broken Monday (count 50) must flag, got $flagged")
+    assert(!flagged.exists(_ >= 60L),
+      "healthy Monday rushes are NORMAL for their slot and must not " +
+        s"flag, got $flagged")
+    val b = out.find(_.getAs[Long]("n_events") == 50L).get
+    assert(b.getAs[Long]("how") == 33L) // Monday 9am, Sunday-0 dow
+    assert(b.getAs[Double]("resid") == 50.0 - 59.0)
+    assert(b.getAs[Double]("robust_z") < -3.5)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("rollingMedian: lower-middle discrete value, spike-robust, frame-bounded") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val df = Seq(

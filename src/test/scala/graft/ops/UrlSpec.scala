@@ -116,6 +116,36 @@ class UrlSpec extends graft.SparkSpec {
       Url.domainQuality(df, "url", "good", m = 0.0))
   }
 
+  test("domainFilter: keeps exactly the rows whose domain clears the " +
+      "shrunk-rate threshold; malformed URLs and unjudged-only domains " +
+      "drop; the score join BROADCASTS") {
+    def doc(dom: String, good: java.lang.Boolean) =
+      (s"https://$dom/x", good)
+    // a.com: 100/95 (shrunk ≈ .91 clears .7); b.com: 2/2 (shrunk ≈ .55
+    // fails .7 — the tiny perfect domain the m-estimate demotes);
+    // c.com: 100/10 fails; plus a malformed row and a NULL verdict
+    val rows = (0 until 100).map(i => doc("a.com", i < 95)) ++
+      (0 until 2).map(_ => doc("b.com", true)) ++
+      (0 until 100).map(i => doc("c.com", i < 10)) :+
+      doc("a.com", null) :+ (("garbage", java.lang.Boolean.TRUE))
+    val df = rows.toDF("url", "good")
+    val kept = Url.domainFilter(df, "url", "good", minShrunk = 0.7)
+    val byDom = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ALL a.com rows keep — including the unjudged one (the gate is on
+    // the domain, not the row)
+    assert(byDom == Map("a.com" -> 101L))
+    assert(kept.columns.contains("rate_shrunk"))
+    // threshold 0 keeps every well-formed row (100 + 2 + 100 + the
+    // unjudged one = 203); garbage still drops
+    assert(Url.domainFilter(df, "url", "good", 0.0).count() == 203L)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the domain score table must broadcast:\n$plan")
+    intercept[IllegalArgumentException](
+      Url.domainFilter(df, "url", "good", 1.5))
+  }
+
   test("normalize is layout-invariant and a pure projection (no shuffle)") {
     val urls = (0 until 100).map(i =>
       s"HTTPS://WWW.s$i.Ex.COM:443/p/$i/?utm_c=$i&id=$i#f")
