@@ -1367,7 +1367,7 @@ class ExtensionStagesSpec extends SparkSpec {
        "idCol": "o_orderkey", "valueCol": "o_totalprice",
        "nPerms": 50, "outputView": "ds_bl"},
       {"type": "SqlTransform", "name": "fp",
-       "sql": "SELECT (o_orderkey % 3 = 0) AS x, (o_custkey % 2 = 0) AS y, 'g' || CAST(o_orderkey % 2 AS STRING) AS arm, (o_totalprice > 100000) AS success, o_orderkey % 4 AS look FROM ds_orders",
+       "sql": "SELECT (o_orderkey % 3 = 0) AS x, (o_custkey % 2 = 0) AS y, 'g' || CAST(o_orderkey % 2 AS STRING) AS arm, (o_totalprice > 100000) AS success, (o_orderkey DIV 2) % 4 AS look FROM ds_orders",
        "outputView": "ds_fp"},
       {"type": "DriftTransform", "name": "sq", "method": "sequential",
        "inputView": "ds_fp", "lookCol": "look", "groupCol": "arm",
