@@ -373,15 +373,21 @@ object PValues {
     * named `fromCte` exposing DOUBLE columns `ib_x, ib_a, ib_b` (any
     * row count — the fraction is per-row), and splices the returned
     * `(cteText, finalCteName)` into its WITH list; the final CTE
-    * exposes ONE column `ib_p` per input row (plus `x0,a0,b0` for
-    * joining). Iterations become chained CTEs with lateral column
-    * aliases — the [[chiSqSurvivalSql]] unrolling precedent, O(Iters)
-    * text.
+    * exposes ONE column `ib_p` per input row (plus `x0,a0,b0` and any
+    * `passCols` carried through verbatim for joining back — the
+    * multi-row-caller hook). Iterations become chained CTEs with
+    * lateral column aliases — the [[chiSqSurvivalSql]] unrolling
+    * precedent, O(Iters) text.
     */
-  def ibetaRegSqlCtes(tag: String, fromCte: String): (String, String) = {
+  def ibetaRegSqlCtes(tag: String, fromCte: String,
+      passCols: Seq[String] = Nil): (String, String) = {
+    require(passCols.forall(c => !Seq("x0", "a0", "b0", "dir", "bt",
+      "x", "a", "b", "c", "d", "h").contains(c)),
+      s"passCols collide with chain state names: $passCols")
+    val pass = passCols.map(c => s"$c, ").mkString
     val sb = new StringBuilder
     sb ++= s"""${tag}_p0 AS (
-      SELECT ib_x AS x0, ib_a AS a0, ib_b AS b0 FROM $fromCte),
+      SELECT ${pass}ib_x AS x0, ib_a AS a0, ib_b AS b0 FROM $fromCte),
       ${tag}_p1 AS (SELECT *,
         ln(greatest(x0, 1e-300::DOUBLE)) AS lnx,
         ln(greatest(1.0::DOUBLE - x0, 1e-300::DOUBLE)) AS ln1x,
@@ -390,7 +396,7 @@ object PValues {
         ${lgammaPSql("a0")} AS lga,
         ${lgammaPSql("b0")} AS lgb
         FROM ${tag}_p0),
-      ${tag}_p2 AS (SELECT x0, a0, b0, dir,
+      ${tag}_p2 AS (SELECT ${pass}x0, a0, b0, dir,
         CASE WHEN x0 > 0.0::DOUBLE AND x0 < 1.0::DOUBLE
           THEN exp(lgab - lga - lgb + a0 * lnx + b0 * ln1x)
           ELSE 0.0::DOUBLE END AS bt,
@@ -399,7 +405,7 @@ object PValues {
         CASE WHEN dir THEN b0 ELSE a0 END AS b
         FROM ${tag}_p1),
       ${tag}_i0 AS (
-        SELECT x0, a0, b0, dir, bt, x, a, b, c, 1.0::DOUBLE / zd AS d,
+        SELECT ${pass}x0, a0, b0, dir, bt, x, a, b, c, 1.0::DOUBLE / zd AS d,
           1.0::DOUBLE / zd AS h
         FROM (SELECT *, 1.0::DOUBLE AS c,
           (CASE WHEN abs(1.0::DOUBLE - ((a + b) * x) / (a + 1.0::DOUBLE))
@@ -418,9 +424,9 @@ object PValues {
       val m2p1 = s"${2 * m + 1}.0::DOUBLE"
       sb ++= s""",
       ${tag}_i$m AS (
-        SELECT x0, a0, b0, dir, bt, x, a, b, zc2 AS c, zd2 AS d,
+        SELECT ${pass}x0, a0, b0, dir, bt, x, a, b, zc2 AS c, zd2 AS d,
           zh2 AS h
-        FROM (SELECT x0, a0, b0, dir, bt, x, a, b,
+        FROM (SELECT ${pass}x0, a0, b0, dir, bt, x, a, b,
           (($md * (b - $md) * x) / ((a + $m2m1) * (a + $m2))) AS za,
           (CASE WHEN abs(1.0::DOUBLE + za * d) < 1e-30::DOUBLE
             THEN 1e-30::DOUBLE ELSE 1.0::DOUBLE + za * d END) AS zdg,
@@ -440,7 +446,7 @@ object PValues {
       m += 1
     }
     sb ++= s""",
-      ${tag}_f AS (SELECT x0, a0, b0,
+      ${tag}_f AS (SELECT ${pass}x0, a0, b0,
         least(1.0::DOUBLE, greatest(0.0::DOUBLE,
           CASE WHEN x0 <= 0.0::DOUBLE THEN 0.0::DOUBLE
             WHEN x0 >= 1.0::DOUBLE THEN 1.0::DOUBLE

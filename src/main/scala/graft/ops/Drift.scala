@@ -1280,6 +1280,81 @@ object Drift {
         StructField("p_value", DoubleType, false))))
   }
 
+  /** Per-SEGMENT Welch t — the CONTINUOUS-metric sibling of
+    * [[proportionsBySegment]] (round 17): one unequal-variance mean
+    * comparison per segment (language, source, platform, time-of-day),
+    * computed ENTIRELY in-plan so segment cardinality can be large —
+    * exact ×2^20 fixed-point DECIMAL(38,0) moments per (segment, arm)
+    * from ONE map-side-combined aggregate, then t, the
+    * Welch–Satterthwaite dof, and the EXACT Student-t p as per-row
+    * scalar expressions. The p runs through the native codegen'd
+    * incomplete-beta expression ([[graft.functions.Expressions.IbetaReg]]
+    * — the same pinned kernel [[welchT]] finishes on the driver), so
+    * the whole readout stays inside WholeStageCodegen. Feed `p_t` to
+    * [[bhAdjust]] before believing any per-segment flag (the
+    * [[proportionsBySegment]] multiple-testing pairing).
+    *
+    * Segments where either arm has < 2 rows report NULL
+    * t/dof/p (no comparison — kept, loud); zero pooled SE pins t = 0,
+    * dof = 0, p = 1 (the [[welchT]] degenerate convention). Output per
+    * segment: (segment, n_a, n_b, mean_a, mean_b, var_a, var_b, t,
+    * dof, p_t).
+    */
+  def welchBySegment(df: DataFrame, segCol: String, groupCol: String,
+      valueCol: String, armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val fp = 1048576d
+    val dec = "decimal(38,0)"
+    val zero = lit(0L).cast(dec)
+    val slim = df.where(col(segCol).isNotNull && col(groupCol).isNotNull
+        && col(valueCol).isNotNull
+        && col(groupCol).cast("string").isin(armA, armB))
+      .select(col(segCol).cast("string").as("segment"),
+        (col(groupCol).cast("string") === armA).as("__isA"),
+        round(col(valueCol).cast("double") * fp).cast("long").cast(dec)
+          .as("__fp"))
+    val agg = slim.groupBy("segment").agg(
+      sum(when(col("__isA"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__isA"), col("__fp")).otherwise(zero)).as("__sa"),
+      sum(when(col("__isA"), col("__fp") * col("__fp")).otherwise(zero))
+        .as("__qa"),
+      sum(when(!col("__isA"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__isA"), col("__fp")).otherwise(zero)).as("__sb"),
+      sum(when(!col("__isA"), col("__fp") * col("__fp")).otherwise(zero))
+        .as("__qb"))
+    // the welchT driver arithmetic, verbatim as scalar expressions
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val sa = col("__sa").cast("double") / lit(fp)
+    val sb = col("__sb").cast("double") / lit(fp)
+    val qa = col("__qa").cast("double") / lit(fp) / lit(fp)
+    val qb = col("__qb").cast("double") / lit(fp) / lit(fp)
+    val ma = sa / na
+    val mb = sb / nb
+    val va = (qa - sa * sa / na) / (na - lit(1.0))
+    val vb = (qb - sb * sb / nb) / (nb - lit(1.0))
+    val se2 = va / na + vb / nb
+    val t = when(se2 > 0, (ma - mb) / sqrt(se2)).otherwise(lit(0.0))
+    val dof = when(se2 > 0, se2 * se2 /
+      ((va / na) * (va / na) / (na - lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - lit(1.0)))).otherwise(lit(0.0))
+    val valid = col("n_a") >= 2 && col("n_b") >= 2
+    // pStudentT2's shapes: x = dof/(dof + t·t), a = dof/2, b = 1/2;
+    // every division sits under a lazy when() (the ANSI convention)
+    val pT = when(valid,
+      when(dof > 0, graft.functions.PValues.ibetaRegCol(
+        dof / (dof + t * t), dof / lit(2.0), lit(0.5)))
+        .otherwise(lit(1.0)))
+    agg.select(col("segment"), col("n_a"), col("n_b"),
+      (round(when(col("n_a") > 0, ma), 6) + lit(0d)).as("mean_a"),
+      (round(when(col("n_b") > 0, mb), 6) + lit(0d)).as("mean_b"),
+      (round(when(col("n_a") >= 2, va), 6) + lit(0d)).as("var_a"),
+      (round(when(col("n_b") >= 2, vb), 6) + lit(0d)).as("var_b"),
+      (round(when(valid, t), 6) + lit(0d)).as("t"),
+      (round(when(valid, dof), 6) + lit(0d)).as("dof"),
+      (round(pT, 6) + lit(0d)).as("p_t"))
+  }
+
   /** Hodges–Lehmann shift estimate + distribution-free CI — the
     * VALUE-UNITS effect size the rank family lacks (round 17):
     * [[mannWhitney]] reports p and Cliff's δ, but "how big is the

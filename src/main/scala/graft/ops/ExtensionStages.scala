@@ -1477,15 +1477,16 @@ final case class AggStateTransformStage(
   * distances), `ks_grouped` / `wasserstein_grouped` (per-`groupCol`
   * stratified drift), `bootstrap_lift` (two-view Poisson-bootstrap
   * lift CI; `nPerms` is the resample count, `1 - alpha` the level),
-  * and `sequential` (single-view mSPRT always-valid p over the
-  * `lookCol` schedule).
+  * `sequential` (single-view mSPRT always-valid p over the `lookCol`
+  * schedule), and `welch_segments` (single-view per-`segCol` Welch t
+  * with the in-plan exact Student-t p).
   */
 final case class DriftTransformStage(
     name: String,
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1582,6 +1583,10 @@ final case class DriftTransformStage(
       case "sequential" =>
         Drift.sequentialMSPRT(before, lookCol, groupCol, successCol,
           armA, armB, tauSq, alpha)
+      // single-view per-segment Welch t (in-plan Student-t p)
+      case "welch_segments" =>
+        Drift.welchBySegment(before, segCol, groupCol, valueCol,
+          armA, armB)
       // two-view mix/shape distances
       case "psi" => Drift.psi(before, after, valueCol, nBins)
       case "jsd" => Drift.jensenShannon(before, after, catCol)

@@ -420,11 +420,12 @@ object Parser {
           "spearman", "wilcoxon", "kruskal", "anova", "levene", "welch",
           "fisher", "proportions", "segments", "psi", "jsd",
           "wasserstein", "ks_grouped", "wasserstein_grouped",
-          "bootstrap_lift", "sequential"),
+          "bootstrap_lift", "sequential", "welch_segments"),
         "ks")
       val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
         "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
-        "proportions", "segments", "sequential").contains(driftMethod)
+        "proportions", "segments", "sequential", "welch_segments")
+        .contains(driftMethod)
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -435,7 +436,8 @@ object Parser {
       if (driftMethod == "srm" && expected.isEmpty)
         r.error("expected", "missing; srm requires the designed arm weights")
       if (driftMethod == "proportions" || driftMethod == "segments"
-          || driftMethod == "sequential") {
+          || driftMethod == "sequential"
+          || driftMethod == "welch_segments") {
         if (r.string("armA").isEmpty)
           r.error("armA", s"missing; $driftMethod requires both arm names")
         if (r.string("armB").isEmpty)

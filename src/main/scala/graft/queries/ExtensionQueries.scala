@@ -3860,6 +3860,22 @@ object ExtensionQueries {
       Drift.proportionsZ(ev, "arm", "success", "g0", "g1")
     },
 
+    // Per-segment Welch t with the EXACT Student-t p computed IN-PLAN
+    // (the native codegen'd incomplete-beta expression — segment
+    // cardinality can be large), chained into BH-FDR — the
+    // continuous-metric twin of ab_segments.
+    "ab_welch_segments" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir).select(
+        expr("((ts div 3600000000) % 24) div 4").cast("string").as("seg"),
+        concat(lit("g"), (col("user_id") % 2).cast("string")).as("arm"),
+        col("value"))
+      val per = Drift.welchBySegment(ev, "seg", "arm", "value",
+        "g0", "g1")
+      val bh = Drift.bhAdjust(per, Seq("segment"), "p_t", alpha = 0.05)
+        .select(col("segment"), col("rank"), col("reject"))
+      per.join(bh, Seq("segment"), "left").orderBy("segment")
+    },
+
     // Always-valid sequential readout (mSPRT) over a pinned 8-look
     // schedule (3-hour buckets): the peeking-proof companion of
     // ab_proportions — p_seq is valid at EVERY look simultaneously,
@@ -10549,6 +10565,97 @@ object ExtensionQueries {
         (round(lo, 6) + 0.0) AS ci_lo,
         (round(hi, 6) + 0.0) AS ci_hi
       FROM sel""",
+
+    // Replay of Drift.welchBySegment ∘ bhAdjust: per-(segment, arm)
+    // exact HUGEINT fixed-point moments, the welchT double arithmetic
+    // per segment row, Student-t p via the incomplete-beta CTE chain
+    // (segment passed through for the join-back), BH step-up over the
+    // ROUNDED p (the operator ranks the reported column).
+    "ab_welch_segments" -> s"""
+      WITH u AS (
+        SELECT (((epoch_us(ts) // 3600000000) % 24) // 4)::VARCHAR
+            AS segment,
+          (('g' || (user_id % 2)::VARCHAR) = 'g0') AS isa,
+          CAST(round(value * 1048576.0) AS HUGEINT) AS fpx
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL),
+      c AS (
+        SELECT segment,
+          sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN isa THEN fpx ELSE 0 END) AS sa0,
+          sum(CASE WHEN isa THEN fpx * fpx ELSE 0 END) AS qa0,
+          sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)::BIGINT AS nb,
+          sum(CASE WHEN NOT isa THEN fpx ELSE 0 END) AS sb0,
+          sum(CASE WHEN NOT isa THEN fpx * fpx ELSE 0 END) AS qb0
+        FROM u GROUP BY 1),
+      m AS (
+        SELECT segment, na, nb,
+          sa0::DOUBLE / 1048576.0 AS sa, sb0::DOUBLE / 1048576.0 AS sb,
+          qa0::DOUBLE / 1048576.0 / 1048576.0 AS qa,
+          qb0::DOUBLE / 1048576.0 / 1048576.0 AS qb
+        FROM c),
+      w AS (
+        SELECT segment, na, nb,
+          CASE WHEN na > 0 THEN sa / na::DOUBLE END AS ma,
+          CASE WHEN nb > 0 THEN sb / nb::DOUBLE END AS mb,
+          CASE WHEN na >= 2 THEN (qa - sa * sa / na::DOUBLE)
+            / (na::DOUBLE - 1.0::DOUBLE) END AS va,
+          CASE WHEN nb >= 2 THEN (qb - sb * sb / nb::DOUBLE)
+            / (nb::DOUBLE - 1.0::DOUBLE) END AS vb
+        FROM m),
+      tt AS (
+        SELECT *, va / na::DOUBLE + vb / nb::DOUBLE AS se2 FROM w),
+      tc AS (
+        SELECT *,
+          CASE WHEN se2 > 0 THEN (ma - mb) / sqrt(se2)
+            ELSE 0.0::DOUBLE END AS traw,
+          CASE WHEN se2 > 0 THEN se2 * se2
+            / ((va / na::DOUBLE) * (va / na::DOUBLE)
+                / (na::DOUBLE - 1.0::DOUBLE)
+              + (vb / nb::DOUBLE) * (vb / nb::DOUBLE)
+                / (nb::DOUBLE - 1.0::DOUBLE))
+            ELSE 0.0::DOUBLE END AS dofraw
+        FROM tt),
+      pf AS (
+        SELECT segment,
+          CASE WHEN na >= 2 AND nb >= 2 AND dofraw > 0
+            THEN dofraw / (dofraw + traw * traw)
+            ELSE 0.5::DOUBLE END AS ib_x,
+          CASE WHEN na >= 2 AND nb >= 2 AND dofraw > 0
+            THEN dofraw / 2.0::DOUBLE ELSE 1.0::DOUBLE END AS ib_a,
+          0.5::DOUBLE AS ib_b
+        FROM tc),
+      ${graft.functions.PValues.ibetaRegSqlCtes("wsg", "pf",
+        passCols = Seq("segment"))._1},
+      pp AS (
+        SELECT tc.*,
+          (round(CASE WHEN tc.na >= 2 AND tc.nb >= 2 THEN
+            CASE WHEN tc.dofraw > 0 THEN f.ib_p ELSE 1.0::DOUBLE END
+          END, 6) + 0.0) AS praw
+        FROM tc JOIN wsg_f f USING (segment)),
+      rk AS (
+        SELECT segment, praw,
+          row_number() OVER (ORDER BY praw, segment)::BIGINT AS rank,
+          count(*) OVER ()::BIGINT AS mm
+        FROM pp WHERE praw IS NOT NULL),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN praw * mm::DOUBLE
+            <= rank::DOUBLE * 0.05::DOUBLE THEN rank END), 0) AS kstar
+        FROM rk)
+      SELECT pp.segment, pp.na AS n_a, pp.nb AS n_b,
+        (round(pp.ma, 6) + 0.0) AS mean_a,
+        (round(pp.mb, 6) + 0.0) AS mean_b,
+        (round(pp.va, 6) + 0.0) AS var_a,
+        (round(pp.vb, 6) + 0.0) AS var_b,
+        (round(CASE WHEN pp.na >= 2 AND pp.nb >= 2 THEN pp.traw END, 6)
+          + 0.0) AS t,
+        (round(CASE WHEN pp.na >= 2 AND pp.nb >= 2 THEN pp.dofraw END, 6)
+          + 0.0) AS dof,
+        pp.praw AS p_t,
+        rk.rank, (rk.rank <= ks.kstar) AS reject
+      FROM pp LEFT JOIN rk USING (segment), ks
+      ORDER BY pp.segment""",
 
     // Replay of Drift.sequentialMSPRT: exact cumulative arm counts
     // over the pinned 8-look schedule, the mixture-SPRT Λ in the

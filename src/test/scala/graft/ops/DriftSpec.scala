@@ -964,6 +964,43 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("welchBySegment: every segment row equals welchT on that slice " +
+      "(in-plan ibeta == driver kernel); degenerate segments read NULL") {
+    val rows = Seq(
+      // s1: a real shift; s2: same pool; s3: arm b has ONE row (NULL)
+      "s1" -> Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+        ("b", 10.0), ("b", 12.0), ("b", 14.0)),
+      "s2" -> Seq(("a", 5.0), ("a", 6.0), ("a", 7.0),
+        ("b", 5.5), ("b", 6.5), ("b", 7.5)),
+      "s3" -> Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)))
+    val df = rows.flatMap { case (s, vs) =>
+      vs.map { case (g, v) => (s, g, v) } }.toDF("seg", "arm", "v")
+    val out = Drift.welchBySegment(df, "seg", "arm", "v", "a", "b")
+      .orderBy("segment").collect()
+    assert(out.length == 3)
+    // per-segment == the driver-finished welchT on the same slice
+    rows.take(2).foreach { case (s, vs) =>
+      val a = vs.filter(_._1 == "a").map(_._2).toDF("v")
+      val b = vs.filter(_._1 == "b").map(_._2).toDF("v")
+      val single = Drift.welchT(a, b, "v").collect().head
+      val seg = out.find(_.getString(0) == s).get
+      Seq("mean_a", "mean_b", "var_a", "var_b", "t", "dof").foreach(c =>
+        assert(seg.getAs[Double](c) == single.getAs[Double](c),
+          s"$s.$c: ${seg.getAs[Double](c)} vs ${single.getAs[Double](c)}"))
+      assert(seg.getAs[Double]("p_t") == single.getAs[Double]("p_t"),
+        s"$s.p_t in-plan ibeta must equal the driver kernel")
+    }
+    // the shifted segment is decisive, the same-pool one is not
+    assert(out.find(_.getString(0) == "s1").get.getAs[Double]("p_t") < 0.01)
+    assert(out.find(_.getString(0) == "s2").get.getAs[Double]("p_t") > 0.5)
+    // s3: arm b has 1 row -> no comparison, NULL t/dof/p (kept, loud)
+    val s3 = out.find(_.getString(0) == "s3").get
+    assert(s3.isNullAt(s3.fieldIndex("p_t")))
+    assert(s3.isNullAt(s3.fieldIndex("t")))
+    assert(s3.getAs[Double]("mean_a") == 1.5) // means still report
+    graft.util.Caches.unpersistAll()
+  }
+
   test("hodgesLehmann: textbook median-of-pairwise-differences, weight " +
       "handling, mirror/shift symmetry, loud pair guard") {
     def hl(a: Seq[Double], b: Seq[Double]) =

@@ -1373,6 +1373,13 @@ class ExtensionStagesSpec extends SparkSpec {
        "inputView": "ds_fp", "lookCol": "look", "groupCol": "arm",
        "successCol": "success", "armA": "g0", "armB": "g1",
        "outputView": "ds_sq"},
+      {"type": "SqlTransform", "name": "wsg",
+       "sql": "SELECT 'g' || CAST(o_orderkey % 2 AS STRING) AS arm, o_orderpriority AS seg, o_totalprice AS v FROM ds_orders",
+       "outputView": "ds_wsg_in"},
+      {"type": "DriftTransform", "name": "ws", "method": "welch_segments",
+       "inputView": "ds_wsg_in", "segCol": "seg", "groupCol": "arm",
+       "valueCol": "v", "armA": "g0", "armB": "g1",
+       "outputView": "ds_ws"},
       {"type": "DriftTransform", "name": "fi", "method": "fisher",
        "inputView": "ds_fp", "catCol": "x", "labelCol": "y",
        "outputView": "ds_fi"},
@@ -1419,6 +1426,10 @@ class ExtensionStagesSpec extends SparkSpec {
     assert(sq.length == 4)
     val sp = sq.map(_.getAs[Double]("p_seq")).toSeq
     assert(sp == sp.sorted.reverse)
+    // welch_segments: one row per priority arm, p_t in (0, 1]
+    val ws = spark.table("ds_ws").collect()
+    assert(ws.length == 5 && ws.forall { r =>
+      val p = r.getAs[Double]("p_t"); p > 0.0 && p <= 1.0 })
     graft.util.Caches.unpersistAll()
   }
 
