@@ -1514,6 +1514,90 @@ object Drift {
       .orderBy("look")
   }
 
+  /** [[sequentialMSPRT]] for CONTINUOUS metrics (round 17): the same
+    * always-valid mixture-SPRT machinery with θ̂_k = cumulative
+    * mean_a − mean_b and V_k = v_a/n_a + v_b/n_b (the [[welchT]]
+    * unpooled variance of the difference) at each look — revenue/
+    * latency dashboards get the same peek-proof guarantee the
+    * conversion readout has. τ² is on the scale of the SQUARED mean
+    * difference (value units²) — size it to the lift worth detecting.
+    * Looks where either arm has < 2 cumulative rows (or V = 0) report
+    * NULL Λ (not judged; the running min skips them).
+    *
+    * Determinism: exact ×2^20 fixed-point DECIMAL(38,0) moments per
+    * (look, arm) cumulated over looks; means/variances/Λ pinned-order
+    * scalar doubles. Shape: ONE map-side-combined per-look aggregate,
+    * look-cardinality windows. Output per look (ordered):
+    * (look, n_a, n_b, mean_a, mean_b, lift, p_seq, reject).
+    */
+  def sequentialMSPRTMean(df: DataFrame, lookCol: String,
+      groupCol: String, valueCol: String, armA: String, armB: String,
+      tauSq: Double = 0.01, alpha: Double = 0.05): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    require(tauSq > 0, s"tauSq must be > 0, got $tauSq")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val fp = 1048576d
+    val dec = "decimal(38,0)"
+    val zero = lit(0L).cast(dec)
+    val slim = df.where(col(lookCol).isNotNull && col(groupCol).isNotNull
+        && col(valueCol).isNotNull
+        && col(groupCol).cast("string").isin(armA, armB))
+      .select(col(lookCol).cast("long").as("look"),
+        (col(groupCol).cast("string") === armA).as("__isA"),
+        round(col(valueCol).cast("double") * fp).cast("long").cast(dec)
+          .as("__fp"))
+    val per = slim.groupBy("look").agg(
+      sum(when(col("__isA"), 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__isA"), col("__fp")).otherwise(zero)).as("__sa"),
+      sum(when(col("__isA"), col("__fp") * col("__fp")).otherwise(zero))
+        .as("__qa"),
+      sum(when(!col("__isA"), 1L).otherwise(0L)).as("__nb"),
+      sum(when(!col("__isA"), col("__fp")).otherwise(zero)).as("__sb"),
+      sum(when(!col("__isA"), col("__fp") * col("__fp")).otherwise(zero))
+        .as("__qb"))
+    val w = Window.orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("look"),
+      sum("__na").over(w).as("n_a"), sum("__sa").over(w).as("__csa"),
+      sum("__qa").over(w).as("__cqa"),
+      sum("__nb").over(w).as("n_b"), sum("__sb").over(w).as("__csb"),
+      sum("__qb").over(w).as("__cqb"))
+    // the welchT moment arithmetic, per look row
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val sa = col("__csa").cast("double") / lit(fp)
+    val sb = col("__csb").cast("double") / lit(fp)
+    val qa = col("__cqa").cast("double") / lit(fp) / lit(fp)
+    val qb = col("__cqb").cast("double") / lit(fp) / lit(fp)
+    val ma = sa / na
+    val mb = sb / nb
+    val va = (qa - sa * sa / na) / (na - lit(1.0))
+    val vb = (qb - sb * sb / nb) / (nb - lit(1.0))
+    val theta = ma - mb
+    val v = va / na + vb / nb
+    val lam = when(col("n_a") >= 2 && col("n_b") >= 2,
+      when(v > 0, sqrt(v / (v + lit(tauSq))) *
+        exp((theta * theta * lit(tauSq))
+          / (lit(2.0) * v * (v + lit(tauSq))))))
+    val praw = when(lam.isNotNull, least(lit(1.0), lit(1.0) / lam))
+    val staged = cum.withColumn("__praw", praw)
+    val pseq = min(col("__praw")).over(w)
+    staged
+      .withColumn("mean_a",
+        round(when(col("n_a") > 0, ma), 6) + lit(0d))
+      .withColumn("mean_b",
+        round(when(col("n_b") > 0, mb), 6) + lit(0d))
+      .withColumn("lift",
+        round(when(col("n_a") > 0 && col("n_b") > 0, theta), 6)
+          + lit(0d))
+      .withColumn("p_seq", round(pseq, 6) + lit(0d))
+      .withColumn("reject",
+        when(pseq.isNotNull, pseq <= lit(alpha)))
+      .select("look", "n_a", "n_b", "mean_a", "mean_b", "lift",
+        "p_seq", "reject")
+      .orderBy("look")
+  }
+
   /** Per-SEGMENT two-proportion z-tests — the "which segments moved"
     * readout behind every segmented A/B dashboard ([[proportionsZ]]
     * gives the one global answer; this gives one test per segment —

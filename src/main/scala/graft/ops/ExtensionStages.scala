@@ -1071,6 +1071,43 @@ final case class SketchTransformStage(
   * (a production deployment swaps a real codec behind the same trait —
   * the stage surface is decoder-agnostic by design).
   */
+/** URL/domain curation stage over [[Url]] (round 17): canonical URL
+  * normalization, the domain mixture report, the m-estimate domain
+  * quality scores, and the domain-gated row filter — the crawl-curation
+  * front door as pipeline configuration (a config-only user could not
+  * reach the Url family before this stage).
+  */
+final case class UrlTransformStage(
+    name: String,
+    inputView: String,
+    outputView: String,
+    method: String, // normalize | domain_mix | domain_quality | domain_filter
+    urlCol: String = "url",
+    tokenCol: String = "n_tokens",
+    goodCol: String = "good",
+    minShrunk: Double = 0.5,
+    m: Double = 20.0)
+    extends Stage {
+
+  override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
+    val in = Views.resolve(inputView)
+    detail += "method" -> method
+    detail += "inputView" -> inputView
+    detail += "outputView" -> outputView
+    val out = method match {
+      case "normalize"      => Url.normalize(in, urlCol)
+      case "domain_mix"     => Url.domainMix(in, urlCol, tokenCol)
+      case "domain_quality" => Url.domainQuality(in, urlCol, goodCol, m)
+      case "domain_filter" =>
+        Url.domainFilter(in, urlCol, goodCol, minShrunk, m)
+      case other =>
+        throw new IllegalArgumentException(s"unknown url method '$other'")
+    }
+    Views.register(out, outputView)
+    Option(out)
+  }
+}
+
 final case class MultimodalTransformStage(
     name: String,
     inputView: String,
@@ -1486,7 +1523,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments | sequential_mean
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1587,6 +1624,10 @@ final case class DriftTransformStage(
       case "welch_segments" =>
         Drift.welchBySegment(before, segCol, groupCol, valueCol,
           armA, armB)
+      // single-view always-valid sequential readout on a MEAN metric
+      case "sequential_mean" =>
+        Drift.sequentialMSPRTMean(before, lookCol, groupCol, valueCol,
+          armA, armB, tauSq, alpha)
       // two-view mix/shape distances
       case "psi" => Drift.psi(before, after, valueCol, nBins)
       case "jsd" => Drift.jensenShannon(before, after, catCol)

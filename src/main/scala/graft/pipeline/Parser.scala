@@ -420,12 +420,13 @@ object Parser {
           "spearman", "wilcoxon", "kruskal", "anova", "levene", "welch",
           "fisher", "proportions", "segments", "psi", "jsd",
           "wasserstein", "ks_grouped", "wasserstein_grouped",
-          "bootstrap_lift", "sequential", "welch_segments"),
+          "bootstrap_lift", "sequential", "welch_segments",
+          "sequential_mean"),
         "ks")
       val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
         "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
-        "proportions", "segments", "sequential", "welch_segments")
-        .contains(driftMethod)
+        "proportions", "segments", "sequential", "welch_segments",
+        "sequential_mean").contains(driftMethod)
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -435,9 +436,8 @@ object Parser {
       }
       if (driftMethod == "srm" && expected.isEmpty)
         r.error("expected", "missing; srm requires the designed arm weights")
-      if (driftMethod == "proportions" || driftMethod == "segments"
-          || driftMethod == "sequential"
-          || driftMethod == "welch_segments") {
+      if (Set("proportions", "segments", "sequential", "welch_segments",
+          "sequential_mean").contains(driftMethod)) {
         if (r.string("armA").isEmpty)
           r.error("armA", s"missing; $driftMethod requires both arm names")
         if (r.string("armB").isEmpty)
@@ -675,6 +675,21 @@ object Parser {
         maxHamming = r.int("maxHamming").getOrElse(3),
         maxBucket = r.int("maxBucket").getOrElse(4096))
     },
+    "UrlTransform" -> { (r, _) =>
+      UrlTransformStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = r.oneOf("method",
+          Seq("normalize", "domain_mix", "domain_quality",
+            "domain_filter"),
+          "normalize"),
+        urlCol = r.string("urlCol").getOrElse("url"),
+        tokenCol = r.string("tokenCol").getOrElse("n_tokens"),
+        goodCol = r.string("goodCol").getOrElse("good"),
+        minShrunk = r.double("minShrunk").getOrElse(0.5),
+        m = r.double("m").getOrElse(20.0))
+    },
     "CdcTransform" -> { (r, _) =>
       val method = r.oneOf("method",
         Seq("upsert", "scd2", "derive", "changed_keys"), "upsert")
@@ -902,6 +917,8 @@ object Parser {
     "MultimodalTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "idCol", "textCol", "formatCol", "metaCols", "everyN",
       "maxDim", "maxHamming", "maxBucket")),
+    "UrlTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "method", "urlCol", "tokenCol", "goodCol", "minShrunk", "m")),
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "keyCol", "idCol", "valueCol", "target", "slack",
       "threshold", "startCol", "endCol", "bucketSeconds", "alpha", "beta",

@@ -3888,6 +3888,19 @@ object ExtensionQueries {
       Drift.sequentialMSPRT(ev, "look", "arm", "s", "g0", "g1")
     },
 
+    // The continuous-metric sequential readout: always-valid p on the
+    // cumulative mean difference of event VALUE over the same 8-look
+    // schedule (tau^2 = 1.0 — value units², sized to dollar-scale
+    // lifts).
+    "ab_sequential_mean" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir).select(
+        expr("((ts div 3600000000) % 24) div 3").as("look"),
+        concat(lit("g"), (col("user_id") % 2).cast("string")).as("arm"),
+        col("value"))
+      Drift.sequentialMSPRTMean(ev, "look", "arm", "value", "g0", "g1",
+        tauSq = 1.0)
+    },
+
     // Segmented experiment readout with FDR control: per-4-hour-segment
     // two-proportion z (in-plan erfc p) chained into Benjamini-Hochberg
     // — with s segments, s·alpha trip by construction under the null,
@@ -10710,6 +10723,77 @@ object ExtensionQueries {
       SELECT look, cna AS n_a, cka AS k_a, cnb AS n_b, ckb AS k_b,
         (round(ra, 6) + 0.0) AS rate_a,
         (round(rb, 6) + 0.0) AS rate_b,
+        (round(CASE WHEN cna > 0 AND cnb > 0 THEN theta END, 6) + 0.0)
+          AS lift,
+        (round(pseq, 6) + 0.0) AS p_seq,
+        CASE WHEN pseq IS NOT NULL THEN pseq <= 0.05::DOUBLE END
+          AS reject
+      FROM sq ORDER BY look""",
+
+    // Replay of Drift.sequentialMSPRTMean: cumulative HUGEINT
+    // fixed-point moments, the welchT mean/variance doubles per look,
+    // the mixture Λ at τ² = 1.0, running-min always-valid p.
+    "ab_sequential_mean" -> """
+      WITH u AS (
+        SELECT (((epoch_us(ts) // 3600000000) % 24) // 3)::BIGINT AS look,
+          (('g' || (user_id % 2)::VARCHAR) = 'g0') AS isa,
+          CAST(round(value * 1048576.0) AS HUGEINT) AS fpx
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL),
+      per AS (
+        SELECT look,
+          sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN isa THEN fpx ELSE 0 END) AS sa0,
+          sum(CASE WHEN isa THEN fpx * fpx ELSE 0 END) AS qa0,
+          sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)::BIGINT AS nb,
+          sum(CASE WHEN NOT isa THEN fpx ELSE 0 END) AS sb0,
+          sum(CASE WHEN NOT isa THEN fpx * fpx ELSE 0 END) AS qb0
+        FROM u GROUP BY 1),
+      cum AS (
+        SELECT look,
+          sum(na) OVER (ORDER BY look)::BIGINT AS cna,
+          sum(sa0) OVER (ORDER BY look) AS csa,
+          sum(qa0) OVER (ORDER BY look) AS cqa,
+          sum(nb) OVER (ORDER BY look)::BIGINT AS cnb,
+          sum(sb0) OVER (ORDER BY look) AS csb,
+          sum(qb0) OVER (ORDER BY look) AS cqb
+        FROM per),
+      m AS (
+        SELECT look, cna, cnb,
+          csa::DOUBLE / 1048576.0 AS sa, csb::DOUBLE / 1048576.0 AS sb,
+          cqa::DOUBLE / 1048576.0 / 1048576.0 AS qa,
+          cqb::DOUBLE / 1048576.0 / 1048576.0 AS qb
+        FROM cum),
+      st AS (
+        SELECT *,
+          CASE WHEN cna > 0 THEN sa / cna::DOUBLE END AS ma,
+          CASE WHEN cnb > 0 THEN sb / cnb::DOUBLE END AS mb,
+          CASE WHEN cna >= 2 THEN (qa - sa * sa / cna::DOUBLE)
+            / (cna::DOUBLE - 1.0::DOUBLE) END AS va,
+          CASE WHEN cnb >= 2 THEN (qb - sb * sb / cnb::DOUBLE)
+            / (cnb::DOUBLE - 1.0::DOUBLE) END AS vb
+        FROM m),
+      vv AS (
+        SELECT *, ma - mb AS theta,
+          va / cna::DOUBLE + vb / cnb::DOUBLE AS v
+        FROM st),
+      lm AS (
+        SELECT *, CASE WHEN cna >= 2 AND cnb >= 2 THEN
+          CASE WHEN v > 0
+            THEN sqrt(v / (v + 1.0::DOUBLE))
+              * exp((theta * theta * 1.0::DOUBLE)
+                / (2.0::DOUBLE * v * (v + 1.0::DOUBLE))) END END AS lam
+        FROM vv),
+      pr AS (
+        SELECT *, CASE WHEN lam IS NOT NULL
+          THEN least(1.0::DOUBLE, 1.0::DOUBLE / lam) END AS praw
+        FROM lm),
+      sq AS (
+        SELECT *, min(praw) OVER (ORDER BY look) AS pseq FROM pr)
+      SELECT look, cna AS n_a, cnb AS n_b,
+        (round(ma, 6) + 0.0) AS mean_a,
+        (round(mb, 6) + 0.0) AS mean_b,
         (round(CASE WHEN cna > 0 AND cnb > 0 THEN theta END, 6) + 0.0)
           AS lift,
         (round(pseq, 6) + 0.0) AS p_seq,

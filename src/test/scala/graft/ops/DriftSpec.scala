@@ -1089,6 +1089,54 @@ class DriftSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("sequentialMSPRTMean: catches a mean lift within looks, stays " +
+      "high under the null, pinned closed-form recompute at look 0") {
+    def units(look: Int, arm: String, vs: Seq[Double]) =
+      vs.map(v => (look.toLong, arm, v))
+    // arm a runs 2.0 above arm b with unit-ish spread; tau^2 = 1.0
+    def wave(base: Double) =
+      (0 until 50).map(i => base + (i % 5) * 0.5)
+    val lifted = (0 until 4).flatMap(l =>
+      units(l, "a", wave(12.0)) ++ units(l, "b", wave(10.0)))
+      .toDF("look", "arm", "v")
+    val out = Drift.sequentialMSPRTMean(lifted, "look", "arm", "v",
+      "a", "b", tauSq = 1.0).collect()
+    assert(out.length == 4)
+    val ps = out.map(_.getAs[Double]("p_seq")).toSeq
+    assert(ps == ps.sorted.reverse)
+    assert(ps.last <= 0.05 && out.last.getAs[Boolean]("reject"),
+      s"a 2-unit lift at per-look n=50 must reject, p_seq = $ps")
+    assert(out.forall(_.getAs[Double]("lift") == 2.0))
+    // pinned recompute at look 0 (exact doubles: the wave is 2^-1-grid)
+    val xs = wave(12.0); val ys = wave(10.0)
+    def mv(v: Seq[Double]) = {
+      val m = v.sum / v.size
+      (m, v.map(x => (x - m) * (x - m)).sum / (v.size - 1))
+    }
+    val (ma, va) = mv(xs); val (mb, vb) = mv(ys)
+    val v0 = va / 50.0 + vb / 50.0
+    val th = ma - mb
+    val lam = math.sqrt(v0 / (v0 + 1.0)) *
+      math.exp((th * th * 1.0) / (2.0 * v0 * (v0 + 1.0)))
+    assert(math.abs(out.head.getAs[Double]("p_seq")
+      - math.min(1.0, 1.0 / lam)) < 1e-5)
+    // null: identical distributions never approach alpha
+    val nullCase = (0 until 4).flatMap(l =>
+      units(l, "a", wave(10.0)) ++ units(l, "b", wave(10.0)))
+      .toDF("look", "arm", "v")
+    val np = Drift.sequentialMSPRTMean(nullCase, "look", "arm", "v",
+      "a", "b", tauSq = 1.0).collect().map(_.getAs[Double]("p_seq"))
+    assert(np.forall(_ > 0.5), s"null case: $np")
+    // single-row-arm looks are not judged
+    val tiny = Seq((0L, "a", 1.0), (0L, "b", 2.0),
+      (1L, "a", 1.5), (1L, "b", 2.5)).toDF("look", "arm", "v")
+    val t0 = Drift.sequentialMSPRTMean(tiny, "look", "arm", "v",
+      "a", "b").collect()
+    assert(t0(0).isNullAt(t0(0).fieldIndex("p_seq")))
+    assert(!t0(1).isNullAt(t0(1).fieldIndex("p_seq")))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("proportionsBySegment: planted segment trips, null segment " +
       "reads p = 1, missing-arm segment gets NULL test; BH chain " +
       "rejects only the plant") {

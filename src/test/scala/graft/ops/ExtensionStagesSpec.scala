@@ -1433,6 +1433,38 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("url stages run from config: normalize, domain_mix, " +
+      "domain_quality, domain_filter") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Execute", "name": "mk",
+       "sql": "CREATE OR REPLACE TEMPORARY VIEW us_in AS SELECT * FROM VALUES ('HTTPS://WWW.A.com:443/x?utm_a=1&id=2', true, 10), ('https://a.com/y', true, 20), ('http://B.com:80/z', false, 30), ('garbage', true, 40) AS t(url, good, n_tokens)"},
+      {"type": "UrlTransform", "name": "n", "method": "normalize",
+       "inputView": "us_in", "outputView": "us_norm"},
+      {"type": "UrlTransform", "name": "mx", "method": "domain_mix",
+       "inputView": "us_in", "outputView": "us_mix"},
+      {"type": "UrlTransform", "name": "q", "method": "domain_quality",
+       "inputView": "us_in", "outputView": "us_q"},
+      {"type": "UrlTransform", "name": "f", "method": "domain_filter",
+       "inputView": "us_in", "minShrunk": 0.5, "outputView": "us_kept"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    // normalization: lowercase host, default port + tracking stripped
+    assert(spark.table("us_norm")
+      .where(org.apache.spark.sql.functions.col("url_norm")
+        === "https://www.a.com/x?id=2").count() == 1)
+    // mix/quality: a.com, b.com, NULL(garbage) rows
+    assert(spark.table("us_mix").count() == 3)
+    assert(spark.table("us_q").count() == 3)
+    // filter: both real domains clear 0.5 (p0 = 3/4 lifts the shrunk
+    // rates); the malformed row drops
+    assert(spark.table("us_kept").count() == 3)
+    assert(spark.table("us_kept").columns.contains("rate_shrunk"))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("proportions/segments stages require both arm names at parse; " +
       "two-view statistics require rightView") {
     val conf = """{"stages": [
