@@ -101,10 +101,14 @@ object TimeSeries {
     */
   def seasonalAnomalyWeekly(df: DataFrame, tsCol: String,
       keyCol: String, k: Double = 3.5): DataFrame = {
-    val dev = seasonalDeviationWeekly(df, tsCol, keyCol)
-      .withColumn("resid",
-        round(col("n_events").cast("double") - col("how_mean"), 6)
-          + lit(0d))
+    // persisted: outliersMad joins its input back THREE times (median,
+    // deviation, MAD) — without the cache the whole gapfill+baseline
+    // plan would re-execute per consumer
+    val dev = graft.util.Caches.persist(
+      seasonalDeviationWeekly(df, tsCol, keyCol)
+        .withColumn("resid",
+          round(col("n_events").cast("double") - col("how_mean"), 6)
+            + lit(0d)))
     Profile.outliersMad(dev, "resid", Seq(keyCol), k)
       .where(col("is_outlier"))
       .select(col(keyCol), col("hour_start"), col("how"),
