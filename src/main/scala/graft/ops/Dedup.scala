@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
 import graft.functions.{TextFunctions => T}
 import graft.pipeline._
 
@@ -576,6 +579,52 @@ object Dedup {
     * to the DUPLICATE count, not the corpus, so at 100 TB it is the small
     * side (broadcast or id-hash join, never a corpus self-join).
     */
+  /** Duplication-cluster size report (round 17) — "HOW duplicated is
+    * this corpus": the cluster-size histogram over the near-dup
+    * components plus the singleton mass — the number every dedup
+    * budget/policy decision starts from (a corpus that is 40%
+    * size-2-cluster pairs needs a different plan than one with a few
+    * 10k-doc template farms). `components` is [[connectedComponents]]'
+    * (doc_id, component) table (members of size-≥2 clusters only);
+    * docs of `df` absent from it form the size-1 row. `doc_share` is
+    * each size's share of the WHOLE corpus (shares sum to 1).
+    *
+    * Shape at scale: two map-side-combined aggregates over the
+    * component table (component-cardinality, then size-cardinality)
+    * plus one corpus count — the output is size-histogram-sized.
+    * Output per cluster size (ordered):
+    * (cluster_size, n_clusters, n_docs, doc_share).
+    */
+  def clusterStats(df: DataFrame, components: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val total = df.count()
+    require(total > 0, "clusterStats: empty corpus")
+    val comps = graft.util.Caches.persist(components)
+    val clustered = comps.count()
+    val hist = comps.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val withSingles =
+      if (total > clustered) {
+        val single = total - clustered
+        hist.unionByName(spark.createDataFrame(
+          Seq(Row(1L, single, single)).asJava,
+          StructType(Seq(
+            StructField("cluster_size", LongType, false),
+            StructField("n_clusters", LongType, false),
+            StructField("n_docs", LongType, false)))))
+      } else hist
+    withSingles
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / lit(total.toDouble), 6)
+          + lit(0d))
+      .orderBy("cluster_size")
+  }
+
   def ccApply(df: DataFrame, components: DataFrame, idCol: String): DataFrame =
     df.join(
       components.where(col("doc_id") =!= col("component"))

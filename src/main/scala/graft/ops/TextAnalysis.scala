@@ -1401,6 +1401,58 @@ object TextAnalysis {
         ratio(col("n_other")).as("other_ratio"))
   }
 
+  /** Unicode-SCRIPT mix per doc (round 17) — the refinement of
+    * [[charClassMix]]'s opaque `n_non_ascii` bucket into the script
+    * shares crawl curators actually act on: a "German" page that is
+    * 40% Cyrillic is mislabeled or spam, mixed Latin+CJK flags
+    * machine-translation residue, and a Devanagari share in an
+    * "English" shard is an encoding pipeline bug. One codegen'd
+    * narrow projection: per-script counts via single-char-class
+    * regexp_count over PINNED BMP ranges (the same literal range
+    * characters are interpolated into the oracle, so both engines
+    * scan identical patterns), `other` = everything not covered
+    * (punctuation/symbols/uncovered scripts). Shares are count/len
+    * 6dp (0 on empty docs); counts + shares both reported. Output:
+    * (doc_id, n_chars, n_<script>…, n_ws, n_other, share_<script>…,
+    * share_other).
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "cjk" -> "[一-鿿]",
+    "kana" -> "[぀-ヿ]",
+    "hangul" -> "[가-힯]",
+    "arabic" -> "[؀-ۿ]",
+    "hebrew" -> "[֐-׿]",
+    "devanagari" -> "[ऀ-ॿ]")
+  val ScriptWs = "[ \\t\\n\\r]"
+
+  def scriptMix(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    def cnt(re: String) =
+      regexp_count(col(textCol), lit(re)).cast("long")
+    val counted = df.select(
+      (col(idCol).as("doc_id") +: n.as("n_chars") +:
+        ScriptClasses.map { case (name, re) => cnt(re).as(s"n_$name") })
+        :+ cnt(ScriptWs).as("n_ws"): _*)
+    val covered = (ScriptClasses.map(c => col(s"n_${c._1}"))
+      :+ col("n_ws")).reduce(_ + _)
+    val withOther = counted
+      .withColumn("n_other", col("n_chars") - covered)
+    def share(c: org.apache.spark.sql.Column) =
+      when(col("n_chars") > 0L,
+        round(c.cast("double") / col("n_chars").cast("double"), 6)
+          + lit(0d)).otherwise(0d)
+    withOther.select(
+      (withOther.columns.map(col).toSeq ++
+        ScriptClasses.map(c =>
+          share(col(s"n_${c._1}")).as(s"share_${c._1}")) :+
+        share(col("n_other")).as("share_other")): _*)
+  }
+
   /** Corpus n-gram DIVERSITY per group — distinct-n (Li et al. 2016,
     * "A Diversity-Promoting Objective Function for Neural Conversation
     * Models"): the ratio of distinct to total word n-grams across the

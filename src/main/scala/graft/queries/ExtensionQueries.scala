@@ -881,6 +881,17 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // "HOW duplicated is this corpus": cluster-size histogram over the
+    // near-dup components + the singleton mass — the dedup budget
+    // readout (round 17).
+    "dedup_cluster_stats" -> { (spark, dir) =>
+      val d = docs(spark, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashPairs(d, "doc_id", "text",
+          MinhashK, MinhashB, MinhashR, 3, JaccardThreshold))
+      Dedup.clusterStats(d, comps, "doc_id")
+    },
+
     "dedup_cc_apply" -> { (spark, dir) =>
       // the production dedup path end-to-end: near-dup pairs -> connected
       // components -> one representative (min id) kept per cluster
@@ -3460,6 +3471,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Unicode-script mix per doc over a deterministic mixed-script
+    // augmentation (a Cyrillic/CJK/digit suffix keyed on doc_id — the
+    // urlDocs convention — so the non-Latin counters are actually
+    // exercised; both engines build the identical string).
+    "text_script_mix" -> { (spark, dir) =>
+      val d = docs(spark, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          expr("repeat('ф', CAST(doc_id % 3 AS INT))"),
+          expr("repeat('中', CAST(doc_id % 2 AS INT))"),
+          expr("repeat('7', CAST(doc_id % 4 AS INT))")).as("text"))
+      TextAnalysis.scriptMix(d, "doc_id", "text").orderBy("doc_id")
+    },
+
     // Join-skew pre-flight: the keys that would dominate a self-join on
     // l_partkey, by exact output contribution.
     "join_skew" -> { (spark, dir) =>
@@ -4677,6 +4701,41 @@ object ExtensionQueries {
       )
       SELECT src AS doc_id, least(src, min(dst)) AS component
       FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // CC replay (as dedup_minhash_cc) + size histogram + singleton row.
+    "dedup_cluster_stats" -> s"""${minhashCtes.replaceFirst("WITH", "WITH RECURSIVE")}
+      , ok AS (
+        SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold
+      ), bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ok
+        UNION SELECT doc_b, doc_a FROM ok
+      ), reach AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+      ), comps AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+      ), sizes AS (
+        SELECT component, count(*)::BIGINT AS cluster_size
+        FROM comps GROUP BY 1
+      ), hist AS (
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+          (cluster_size * count(*))::BIGINT AS n_docs
+        FROM sizes GROUP BY 1
+      ), tot AS (
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS total,
+          (SELECT count(*) FROM comps)::BIGINT AS clustered
+      ), withsingles AS (
+        SELECT cluster_size, n_clusters, n_docs FROM hist
+        UNION ALL
+        SELECT 1::BIGINT, (total - clustered)::BIGINT,
+          (total - clustered)::BIGINT
+        FROM tot WHERE total > clustered)
+      SELECT cluster_size, n_clusters, n_docs,
+        (round(n_docs::DOUBLE / (SELECT total FROM tot)::DOUBLE, 6)
+          + 0.0) AS doc_share
+      FROM withsingles ORDER BY cluster_size""",
 
     // CC replay (as dedup_minhash_cc) + drop non-representative members.
     "dedup_cc_apply" -> s"""${minhashCtes.replaceFirst("WITH", "WITH RECURSIVE")}
@@ -9431,6 +9490,39 @@ object ExtensionQueries {
             AS n_non_ascii
         FROM documents)
       ORDER BY doc_id""",
+
+    // Replay of TextAnalysis.scriptMix over the same mixed-script
+    // augmentation: the IDENTICAL literal range characters (shared
+    // Scala constants interpolated here), single-char-class match
+    // counts, guarded 6dp shares.
+    "text_script_mix" -> s"""
+      WITH src AS (
+        SELECT doc_id, text || ' ' || repeat('ф', (doc_id % 3)::INT)
+          || repeat('中', (doc_id % 2)::INT)
+          || repeat('7', (doc_id % 4)::INT) AS text
+        FROM documents),
+      c AS (
+        SELECT doc_id, length(text)::BIGINT AS n_chars,
+          ${graft.ops.TextAnalysis.ScriptClasses.map { case (n, re) =>
+            s"len(regexp_extract_all(text, '$re'))::BIGINT AS n_$n,"
+          }.mkString("\n          ")}
+          len(regexp_extract_all(text,
+            '${graft.ops.TextAnalysis.ScriptWs}'))::BIGINT AS n_ws
+        FROM src),
+      o AS (
+        SELECT *, (n_chars - (${graft.ops.TextAnalysis.ScriptClasses
+            .map(c => s"n_${c._1}").mkString(" + ")} + n_ws)) AS n_other
+        FROM c)
+      SELECT doc_id, n_chars,
+        ${graft.ops.TextAnalysis.ScriptClasses.map(c =>
+          s"n_${c._1},").mkString(" ")} n_ws, n_other,
+        ${graft.ops.TextAnalysis.ScriptClasses.map { case (n, _) =>
+          s"CASE WHEN n_chars > 0 THEN round(n_$n::DOUBLE" +
+            s" / n_chars::DOUBLE, 6) + 0.0 ELSE 0.0 END AS share_$n,"
+        }.mkString("\n        ")}
+        CASE WHEN n_chars > 0 THEN round(n_other::DOUBLE
+          / n_chars::DOUBLE, 6) + 0.0 ELSE 0.0 END AS share_other
+      FROM o ORDER BY doc_id""",
 
     // Replay of Profile.joinSkew: exact per-key counts each side, output
     // contribution n_left * n_right, top-k by (est desc, key).

@@ -490,4 +490,23 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1L, 1.0)), s"got ${out.toSeq}")
     graft.util.Caches.unpersistAll()
   }
+
+  test("clusterStats: size histogram + singleton mass, shares sum to 1") {
+    val docs10 = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // components: {1,2} and {3,4,5}; docs 6..10 are singletons
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("doc_id", "component")
+    val out = Dedup.clusterStats(docs10, comps, "doc_id").collect()
+    val bySize = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(bySize(1L) == ((5L, 5L, 0.5)))
+    assert(bySize(2L) == ((1L, 2L, 0.2)))
+    assert(bySize(3L) == ((1L, 3L, 0.3)))
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    // fully-clustered corpus: no singleton row
+    val all = Dedup.clusterStats(docs10.where(col("doc_id") <= 5),
+      comps, "doc_id").collect()
+    assert(!all.map(_.getLong(0)).contains(1L))
+    graft.util.Caches.unpersistAll()
+  }
 }

@@ -798,4 +798,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"template spam must collapse distinct-2, got $d2")
     graft.util.Caches.unpersistAll()
   }
+
+  test("scriptMix: pinned per-script counts on a hand string; shares " +
+      "sum to 1; empty doc reads all-zero shares") {
+    // "Hello Мир 中文 123 ::" — latin 5, cyrillic 3, cjk 2, digit 3,
+    // ws 4, other 2 (the colons), total 19
+    val df = Seq((1L, "Hello Мир 中文 123 ::"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_chars") == 19L)
+    assert(r.getAs[Long]("n_latin") == 5L)
+    assert(r.getAs[Long]("n_cyrillic") == 3L)
+    assert(r.getAs[Long]("n_cjk") == 2L)
+    assert(r.getAs[Long]("n_digit") == 3L)
+    assert(r.getAs[Long]("n_ws") == 4L)
+    assert(r.getAs[Long]("n_other") == 2L)
+    assert(r.getAs[Long]("n_hangul") == 0L)
+    val shareCols = TextAnalysis.ScriptClasses.map(c => s"share_${c._1}")
+    // script shares + ws + other cover everything: counts partition len
+    val covered = shareCols.map(r.getAs[Double]).sum +
+      r.getAs[Double]("share_other") + 4.0 / 19.0
+    assert(math.abs(covered - 1.0) < 1e-6)
+    assert(r.getAs[Double]("share_cyrillic") == 0.157895) // round6(3/19)
+    // empty doc: zero counts, pinned 0.0 shares (no NULL, no NaN)
+    val e = out.last
+    assert(e.getAs[Long]("n_chars") == 0L)
+    assert(shareCols.forall(c => e.getAs[Double](c) == 0.0))
+    assert(e.getAs[Double]("share_other") == 0.0)
+  }
 }
