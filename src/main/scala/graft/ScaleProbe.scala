@@ -562,6 +562,35 @@ object ScaleProbe {
         graft.ops.Drift.ksByGroup(sa, sb, "g", "value",
           maxGroupDistinct = Long.MaxValue).count()
       }
+      // round 17: sequential/segmented statistics (look/segment-
+      // cardinality-bounded aggregates) and the quantization-bounded
+      // HL pair table — all must stay ~flat past the scan
+      def evStats() = amplify(graft.queries.Tables.eventsRaw(spark, dir),
+          "event_id", m)
+        .select(expr("((ts div 3600000000) % 24) div 3").as("look"),
+          expr("CAST(((ts div 3600000000) % 24) div 4 AS STRING)")
+            .as("seg"),
+          concat(lit("g"), (col("user_id") % 2).cast("string")).as("arm"),
+          col("value"), col("event_type"))
+      t("sequential_mean") {
+        graft.ops.Drift.sequentialMSPRTMean(evStats(), "look", "arm",
+          "value", "g0", "g1", tauSq = 1.0).count()
+      }
+      t("welch_segments") {
+        graft.ops.Drift.welchBySegment(evStats(), "seg", "arm", "value",
+          "g0", "g1").count()
+      }
+      t("hodges_lehmann") {
+        val e = evStats()
+        def side(t: String) = e.where(col("event_type") === t)
+          .select(round(col("value")).as("value"))
+        graft.ops.Drift.hodgesLehmann(side("purchase"), side("click"),
+          "value").count()
+      }
+      t("script_mix") {
+        graft.ops.TextAnalysis.scriptMix(
+          amplify(docs, "doc_id", m), "doc_id", "text").count()
+      }
       t("graph_reciprocity") {
         import org.apache.spark.sql.expressions.Window
         val evN = amplify(graft.queries.Tables.events(spark, dir),
