@@ -2042,6 +2042,45 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // The curate_domains composition reached from PARSED CONFIG
+    // (UrlTransform domain_filter -> join -> DedupTransform exact):
+    // the declarative twin must hash-match the direct chain, so the
+    // oracle is curate_domains' verbatim.
+    "stage_url_chain" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      urlDocs(spark, dir).createOrReplaceTempView("st17u_urls")
+      docs(spark, dir).select("doc_id", "text", "lang")
+        .createOrReplaceTempView("st17u_docs")
+      val conf = s"""
+        stages = [
+          { type = SqlTransform, name = flag
+            sql = "SELECT doc_id, url, (n_chars >= 306) AS good FROM st17u_urls"
+            outputView = st17u_flagged }
+          { type = UrlTransform, name = gate, method = domain_filter
+            inputView = st17u_flagged, outputView = st17u_kept
+            urlCol = url, goodCol = good, minShrunk = 0.5 }
+          { type = SqlTransform, name = join
+            sql = \"\"\"SELECT k.doc_id, d.text, d.lang, k.domain,
+                k.rate_shrunk
+              FROM st17u_kept k JOIN st17u_docs d USING (doc_id)\"\"\"
+            outputView = st17u_joined }
+          { type = DedupTransform, name = dd, method = exact
+            inputView = st17u_joined, outputView = st17u_dedup
+            keys = [text], idCol = doc_id }
+          { type = SqlTransform, name = out
+            sql = \"\"\"SELECT doc_id, lang, domain, rate_shrunk
+              FROM st17u_dedup ORDER BY doc_id\"\"\"
+            outputView = st17u_out }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) => graft.pipeline.Runner.run(p).get
+      }
+    },
+
     "events_outliers" -> { (spark, dir) =>
       Profile.outliers(events(spark, dir), "value", Seq("event_type"))
         .where(col("is_outlier"))
@@ -4575,9 +4614,10 @@ object ExtensionQueries {
       ("ab_kruskal" -> kruskalOracle) +
       ("ab_chi2_independence" -> chi2IndependenceOracle) +
       ("ab_fisher" -> fisherOracle) +
-      // the parsed-config chain must match its direct-API twin exactly,
-      // so it shares the twin's oracle verbatim
-      ("stage_stats_chain" -> staticOracles("ab_segments"))
+      // the parsed-config chains must match their direct-API twins
+      // exactly, so they share the twins' oracles verbatim
+      ("stage_stats_chain" -> staticOracles("ab_segments")) +
+      ("stage_url_chain" -> staticOracles("curate_domains"))
 
   private lazy val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """
