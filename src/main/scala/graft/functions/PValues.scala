@@ -239,14 +239,20 @@ object PValues {
   // x < (a+1)/(a+b+2) → direct, else I_x(a,b) = 1 − I_{1−x}(b,a) —
   // and a PINNED iteration count (no data-dependent early exit, which
   // would not replay as SQL text): [[IbetaIters]] = 50 double-steps.
-  // Validated against 50-digit mpmath over the t and F regimes this
-  // engine produces (dof 1..6e4, |t| ≤ 30, F ≤ 500, generic a,b ≤ 300):
-  // worst absolute error 7.4e-11, and the fraction is bit-stable well
-  // before iteration 40, so the fixed count adds no drift. Front
-  // factor x^a(1−x)^b / B(a,b) via the pinned Lanczos (g=7, n=9)
-  // log-gamma below. CAVEAT: convergence degrades when BOTH shape
-  // parameters are ≫300 with x near the mean — not a regime the
-  // t/F readouts reach (b is always dof1/2 ≤ a handful).
+  // Validated regime (round 18 re-measurement): the 50-step fraction
+  // is converged when min(a, b) ≤ [[IbetaMinShapeMax]] = 1000 — worst
+  // absolute error 3.4e-11 over a 448-point sweep (the other shape up
+  // to 6e4, x across (0,1) including the mean) against 60-digit
+  // mpmath quadrature. Convergence degrades when BOTH shape
+  // parameters grow: self-convergence error reaches ~9e-11 at
+  // min(a,b)=2000 and ~4e-7 at 5000, so [[ibetaReg]] REFUSES (loud
+  // IllegalArgumentException, also thrown from the Catalyst
+  // expression's eval/codegen which delegate here) rather than
+  // silently returning an unconverged value. t p-values always pass
+  // b = 1/2; F p-values pass dof/2, so the guard binds callers to
+  // min(dof1, dof2) ≤ 2000 — an ANOVA over >2001 groups must bin
+  // first. Front factor x^a(1−x)^b / B(a,b) via the pinned Lanczos
+  // (g=7, n=9) log-gamma below.
   // ------------------------------------------------------------------
 
   /** Lanczos (g = 7, n = 9) coefficients — written once as strings;
@@ -305,12 +311,25 @@ object PValues {
 
   /** Pinned Lentz iteration count — fixed, NEVER data-dependent. */
   val IbetaIters = 50
+
+  /** Largest min(a, b) the pinned 50-step fraction is VALIDATED for
+    * (worst abs error 3.4e-11 at the bound; see the block comment).
+    * Beyond it the fraction has not converged — [[ibetaReg]] throws.
+    */
+  val IbetaMinShapeMax = 1000.0
   private val FpMin = 1e-30
 
   /** Regularized incomplete beta I_x(a, b), a,b ≥ 0.5, clamped [0,1].
     * Driver form; [[ibetaRegCol]] / [[ibetaRegSqlCtes]] replay it.
+    * REFUSES min(a, b) > [[IbetaMinShapeMax]]: the pinned fraction is
+    * unconverged there and a silently-wrong p is worse than a loud
+    * stop (bin the groups, or use a normal approximation upstream).
     */
   def ibetaReg(x0: Double, a0: Double, b0: Double): Double = {
+    require(math.min(a0, b0) <= IbetaMinShapeMax,
+      s"ibetaReg: min(a=$a0, b=$b0) > $IbetaMinShapeMax — the pinned " +
+        s"$IbetaIters-iteration fraction is not converged in this " +
+        "regime; reduce the smaller dof (e.g. bin an ANOVA's groups)")
     if (x0 <= 0.0) 0.0
     else if (x0 >= 1.0) 1.0
     else {
@@ -377,7 +396,11 @@ object PValues {
     * `passCols` carried through verbatim for joining back — the
     * multi-row-caller hook). Iterations become chained CTEs with
     * lateral column aliases — the [[chiSqSurvivalSql]] unrolling
-    * precedent, O(Iters) text.
+    * precedent, O(Iters) text. SQL text cannot throw, so this form
+    * carries no [[IbetaMinShapeMax]] guard — but every oracle that
+    * splices it mirrors a Spark plan whose [[ibetaRegCol]] DOES
+    * throw, so an out-of-regime input fails loudly on the engine side
+    * before the oracle's unconverged value could be compared.
     */
   def ibetaRegSqlCtes(tag: String, fromCte: String,
       passCols: Seq[String] = Nil): (String, String) = {

@@ -587,7 +587,11 @@ object Dedup {
     * 10k-doc template farms). `components` is [[connectedComponents]]'
     * (doc_id, component) table (members of size-≥2 clusters only);
     * docs of `df` absent from it form the size-1 row. `doc_share` is
-    * each size's share of the WHOLE corpus (shares sum to 1).
+    * each size's share of the WHOLE corpus (shares sum to 1). A
+    * components table with MORE rows than the corpus is stale or
+    * mismatched (every components row must correspond to a df row) —
+    * refused loudly rather than silently skipping the singleton
+    * branch and summing doc_share past 1.
     *
     * Shape at scale: two map-side-combined aggregates over the
     * component table (component-cardinality, then size-cardinality)
@@ -595,13 +599,15 @@ object Dedup {
     * Output per cluster size (ordered):
     * (cluster_size, n_clusters, n_docs, doc_share).
     */
-  def clusterStats(df: DataFrame, components: DataFrame,
-      idCol: String): DataFrame = {
+  def clusterStats(df: DataFrame, components: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val total = df.count()
     require(total > 0, "clusterStats: empty corpus")
     val comps = graft.util.Caches.persist(components)
     val clustered = comps.count()
+    require(clustered <= total,
+      s"clusterStats: components has $clustered rows but the corpus " +
+        s"only $total — stale or mismatched component table")
     val hist = comps.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")

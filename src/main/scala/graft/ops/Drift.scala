@@ -1400,7 +1400,18 @@ object Drift {
       s"hodgesLehmann: $cardA x $cardB distinct values = ${cardA * cardB} " +
         s"pair rows > maxPairs $maxPairs — quantize the value column " +
         "(the gate rounds to integers) or read mannWhitney's delta")
-    val bigN = nA * nB
+    // maxPairs bounds DISTINCT-value cardinality only; the rank space
+    // is nA·nB over ROW counts, which overflows Long when both sides
+    // exceed ~3e9 rows — garbage k1/k2/kLo/kHi would silently select
+    // wrong order statistics. Refuse loudly instead.
+    val bigN =
+      try Math.multiplyExact(nA, nB)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"hodgesLehmann: rank space $nA x $nB rows overflows Long — " +
+            "sample each side below ~3e9 rows first (the HL estimate " +
+            "is rank-based; a deterministic sample preserves it)")
+      }
     val k1 = (bigN + 1) / 2
     val k2 = (bigN + 2) / 2
     val c = ciZ * math.sqrt(nA.toDouble * nB.toDouble *

@@ -889,7 +889,7 @@ object ExtensionQueries {
       val comps = Dedup.connectedComponents(
         Dedup.minhashPairs(d, "doc_id", "text",
           MinhashK, MinhashB, MinhashR, 3, JaccardThreshold))
-      Dedup.clusterStats(d, comps, "doc_id")
+      Dedup.clusterStats(d, comps)
     },
 
     "dedup_cc_apply" -> { (spark, dir) =>

@@ -124,6 +124,13 @@ class PValuesSpec extends AnyFunSuite with graft.SparkSpec {
     assert(PValues.ibetaReg(1.0, 5.0, 0.5) == 1.0)
     assert(PValues.ibetaReg(-0.1, 5.0, 0.5) == 0.0)
     assert(PValues.ibetaReg(1.1, 5.0, 0.5) == 1.0)
+    // out of the validated regime (min(a,b) > IbetaMinShapeMax): loud,
+    // never a silently-unconverged value (measured ~4e-7 error by
+    // min(a,b)=5000) — one large shape with the other small is fine
+    assert(PValues.ibetaReg(0.5, 60000.0, 500.0) >= 0.0)
+    val big = intercept[IllegalArgumentException](
+      PValues.ibetaReg(0.5, 60000.0, 1200.0))
+    assert(big.getMessage.contains("not converged"))
   }
 
   test("pStudentT2 matches the dof=1/dof=2 closed forms and the " +

@@ -496,7 +496,7 @@ class DedupSpec extends SparkSpec {
     // components: {1,2} and {3,4,5}; docs 6..10 are singletons
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))
       .toDF("doc_id", "component")
-    val out = Dedup.clusterStats(docs10, comps, "doc_id").collect()
+    val out = Dedup.clusterStats(docs10, comps).collect()
     val bySize = out.map(r => r.getLong(0) ->
       (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(bySize(1L) == ((5L, 5L, 0.5)))
@@ -505,8 +505,14 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9)
     // fully-clustered corpus: no singleton row
     val all = Dedup.clusterStats(docs10.where(col("doc_id") <= 5),
-      comps, "doc_id").collect()
+      comps).collect()
     assert(!all.map(_.getLong(0)).contains(1L))
+    // a components table larger than the corpus is stale/mismatched
+    // — refused loudly, never a silent >1 doc_share
+    val mismatched = intercept[IllegalArgumentException] {
+      Dedup.clusterStats(docs10.where(col("doc_id") <= 2), comps)
+    }
+    assert(mismatched.getMessage.contains("mismatched"))
     graft.util.Caches.unpersistAll()
   }
 }

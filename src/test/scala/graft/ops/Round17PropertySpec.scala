@@ -188,7 +188,7 @@ class Round17PropertySpec extends graft.SparkSpec {
     val df = (0L until nDocs.toLong).map(i => (i, s"d$i"))
       .toDF("doc_id", "text")
     val comps = assignments.toSeq.toDF("doc_id", "component")
-    val got = Dedup.clusterStats(df, comps, "doc_id").collect()
+    val got = Dedup.clusterStats(df, comps).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         r.getDouble(3))).toMap
     val bruteSizes = assignments.groupBy(_._2).map(_._2.size)
