@@ -13,7 +13,7 @@ final case class DedupTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | containment_stratified | weighted_pairs | knn | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages
+    method: String, // exact | exact_incremental | minhash | minhash_pairs | minhash_cc | minhash_cc_apply | containment_pairs | containment_stratified | weighted_pairs | knn | simhash | simhash_pairs | ngram_pairs | prefix_pairs | edit_pairs | jw_pairs | passages | keep_best | cluster_stats
     idCol: String = "doc_id",
     textCol: String = "text",
     keys: Seq[String] = Nil,
@@ -40,7 +40,12 @@ final case class DedupTransformStage(
     checkpointDir: Option[String] = None,
     seenView: Option[String] = None,
     // weighted_pairs: term-frequency cap of the multiset expansion
-    maxTf: Int = 16)
+    maxTf: Int = 16,
+    // keep_best / cluster_stats: the (doc_id, component) view a prior
+    // connectedComponents pass registered
+    componentsView: Option[String] = None,
+    // keep_best: the per-doc quality score the cluster winner maximizes
+    scoreCol: String = "score")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -116,6 +121,24 @@ final case class DedupTransformStage(
           threshold.getOrElse(0.9), bucketWidth, maxBlock)
       case "passages" =>
         Dedup.passages(in, idCol, textCol, window)
+      // ingest-batch near-dup candidates vs a persisted seen corpus
+      case "minhash_incremental" =>
+        val seen = seenView.getOrElse(throw new IllegalArgumentException(
+          "dedup method 'minhash_incremental' requires 'seenView'"))
+        Dedup.minhashIncrementalPairs(in, Views.resolve(seen), idCol,
+          textCol, minhashK, bands, rows, shingleN,
+          threshold.getOrElse(0.9))
+      // score-aware cluster collapse: keep the best-scoring doc per
+      // component (componentsView = a connectedComponents output view)
+      case "keep_best" =>
+        val comp = componentsView.getOrElse(throw new IllegalArgumentException(
+          "dedup method 'keep_best' requires 'componentsView'"))
+        Dedup.keepBest(in, Views.resolve(comp), idCol, scoreCol)
+      // dedup-budget readout: cluster-size histogram + singleton mass
+      case "cluster_stats" =>
+        val comp = componentsView.getOrElse(throw new IllegalArgumentException(
+          "dedup method 'cluster_stats' requires 'componentsView'"))
+        Dedup.clusterStats(in, Views.resolve(comp))
       case other =>
         throw new IllegalArgumentException(s"unknown dedup method '$other'")
     }
@@ -151,7 +174,14 @@ final case class SimilarityTransformStage(
     // bitext family: the margin-criterion quality bar
     minMargin: Double = 0.01,
     // pq_topk: subspace count (subDim = inDim / subspaces)
-    subspaces: Int = 8)
+    subspaces: Int = 8,
+    // ivf_write / ivf_query: the persisted cell-partitioned index dir
+    indexDir: Option[String] = None,
+    // ivf_write: writer options (the destructive confirm.truncate latch)
+    options: Map[String, String] = Map.empty,
+    // pq_recall / opq_recall / ivf_pq_topk: PQ codebook training rounds
+    // (the operators' own default, separate from the cell kmeansIters)
+    pqIters: Int = 1)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -219,6 +249,39 @@ final case class SimilarityTransformStage(
           kmeansIters)
         Pq.adcTopK(Pq.encode(corpus, cbooks, subspaces, subDim), cbooks,
           queries, k, subspaces, subDim)
+      // PQ recall gauge vs exact full-width truth (ships beside pq_topk)
+      case "pq_recall" =>
+        require(inDim % subspaces == 0,
+          s"inDim $inDim not divisible by subspaces $subspaces")
+        Pq.adcRecall(corpus, queries, k, subspaces, inDim / subspaces,
+          centroidEvery, pqIters)
+      // OPQ (rotated-PQ) recall gauge — rotation trained in-stage
+      case "opq_recall" =>
+        require(inDim % subspaces == 0,
+          s"inDim $inDim not divisible by subspaces $subspaces")
+        Pq.adcRecallOpq(corpus, queries, k, subspaces, inDim / subspaces,
+          centroidEvery, pqIters)
+      // IVF cells x PQ codes: prune WHERE to look, compress WHAT compares
+      case "ivf_pq_topk" =>
+        require(inDim % subspaces == 0,
+          s"inDim $inDim not divisible by subspaces $subspaces")
+        Pq.ivfAdcTopK(corpus, queries, k, centroidEvery, kmeansIters,
+          probes, subspaces, inDim / subspaces, pqIters = pqIters)
+      // persisted cell-partitioned IVF index lifecycle: write ...
+      case "ivf_write" =>
+        val dir = indexDir.getOrElse(throw new IllegalArgumentException(
+          "similarity method 'ivf_write' requires 'indexDir'"))
+        Similarity.ivfWrite(corpus, dir, centroidEvery, kmeansIters,
+          exactReplay, options)
+      // ... and query (probes = cells scanned per query)
+      case "ivf_query" =>
+        val dir = indexDir.getOrElse(throw new IllegalArgumentException(
+          "similarity method 'ivf_query' requires 'indexDir'"))
+        Similarity.ivfQueryIndex(ctx.spark, dir, queries, k, probes)
+      // driver-side power-iteration eigen over a pca_cov output view
+      // (inDim = dimensionality, k = components)
+      case "pca_components" =>
+        Pca.principalComponents(corpus, dim = inDim, k = k)
       case other =>
         throw new IllegalArgumentException(s"unknown similarity method '$other'")
     }
@@ -338,6 +401,11 @@ final case class ContaminationTransformStage(
       case "novelty_bloom" =>
         Contamination.noveltyBloom(in, ref, idCol, textCol, shingleN,
           mBits, k)
+      // the >2^31-bit scale path: the filter lives as a LONG-array
+      // column, never a driver bitset
+      case "novelty_bloom_big" =>
+        Contamination.noveltyBloomBig(in, ref, idCol, textCol, shingleN,
+          mBits.toLong, k)
       case other =>
         throw new IllegalArgumentException(
           s"unknown contamination method '$other'")
@@ -394,6 +462,11 @@ final case class ProfileTransformStage(
         Profile.trimmedMean(in, valueCol, byCols, pLo, pHi)
       case "corpus_report" =>
         Profile.corpusReport(in, idCol, textCol, langCol, sourceCol)
+      // exact pairwise Pearson matrix over the listed numeric columns
+      case "correlation_matrix" =>
+        Profile.correlationMatrix(in, columns)
+      // per-group Gini concentration of a non-negative value column
+      case "gini" => Profile.gini(in, valueCol, byCols)
       case other => throw new IllegalArgumentException(
         s"unknown profile method '$other'")
     }
@@ -424,7 +497,9 @@ final case class SampleTransformStage(
     targetValue: String = "en",
     // pareto only: the two maximized criteria
     xCol: String = "x",
-    yCol: String = "y")
+    yCol: String = "y",
+    // leakage_safe_split: the (doc_id, component) near-dup cluster view
+    componentsView: Option[String] = None)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -485,6 +560,22 @@ final case class SampleTransformStage(
       // undominated rows on two maximized criteria
       case "pareto" =>
         Sampling.paretoFront(in, xCol, yCol)
+      // deterministic train/val/test assignment; `rates` = the split
+      // fractions, applied in NAME order (config maps carry no order,
+      // and the cumulative thresholds must be reproducible)
+      case "split" =>
+        Sampling.splitAssign(in, idCol, rates.toSeq.sortBy(_._1), salt)
+      // split whole near-dup clusters as one unit (componentsView = a
+      // connectedComponents output view)
+      case "leakage_safe_split" =>
+        val comp = componentsView.getOrElse(
+          throw new IllegalArgumentException(
+            "sample method 'leakage_safe_split' requires 'componentsView'"))
+        Sampling.leakageSafeSplit(in, idCol, Views.resolve(comp),
+          rates.toSeq.sortBy(_._1), salt)
+      // per-shard manifest rollup of shard_by_budget
+      case "shard_manifest" =>
+        Sampling.shardManifest(in, idCol, tokenCol, budget)
       case other =>
         throw new IllegalArgumentException(s"unknown sample method '$other'")
     }
@@ -497,7 +588,7 @@ final case class TextAnalysisTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply | bpe_fertility | boilerplate | ttr | chao1
+    analysis: String, // quality | quality_filter | normalize | chunk | tokens | langid | fingerprint | langdist | repetition | tfidf | quality_score | lm_score | dup_spans | keyness | head_coverage | entropy | bpe_pairs | pmi | blocklist | bpe_apply | bpe_fertility | boilerplate | ttr | chao1 | script_mix | distinct_n | vectorize
     idCol: String = "doc_id",
     textCol: String = "text",
     langCol: String = "lang",
@@ -530,7 +621,15 @@ final case class TextAnalysisTransformStage(
     merges: Seq[String] = Nil,
     // boilerplate: chunk window (words) and cross-doc frequency floor
     window: Int = 8,
-    minDocs: Int = 2)
+    minDocs: Int = 2,
+    // vectorize: hashed bag-of-words dimensionality
+    dim: Int = 64,
+    // bpe_learn: greedy merge rounds
+    rounds: Int = 4,
+    // kn_score: the fixed Kneser-Ney discount D
+    discount: Double = 0.75,
+    // ngram_counts: corpus count floor
+    minCount: Long = 1L)
     extends Stage {
 
   private def parsedMerges: Seq[(String, String)] = merges.map { m =>
@@ -562,6 +661,9 @@ final case class TextAnalysisTransformStage(
       // corpus-trained bigram-LM cross-entropy (CCNet-style perplexity)
       case "lm_score" => LanguageModel.bigramCrossEntropy(in, idCol,
         textCol, groupCols, alpha)
+      // interpolated Kneser-Ney trigram cross-entropy (the n>=3 form)
+      case "kn_score" => LanguageModel.knTrigramCrossEntropy(in, idCol,
+        textCol, groupCols, discount)
       // corpus-repeated n-gram span fraction per doc (ngramN = span)
       case "dup_spans" => TextAnalysis.dupSpans(in, idCol, textCol, ngramN)
       case "dup_runs"  => TextAnalysis.dupRuns(in, idCol, textCol, ngramN)
@@ -606,6 +708,28 @@ final case class TextAnalysisTransformStage(
       case "zipf" => TextAnalysis.zipfFit(in, textCol, zipfTopN)
       // per-doc character-class mix (encoding-health probe)
       case "charclass" => TextAnalysis.charClassMix(in, idCol, textCol)
+      // per-doc Unicode-script shares (refines charclass's non-ASCII
+      // bucket into latin/cjk/cyrillic/… fractions)
+      case "script_mix" => TextAnalysis.scriptMix(in, idCol, textCol)
+      // corpus distinct-n diversity per group (langCol = the group
+      // column, the keyness/bpe_fertility convention)
+      case "distinct_n" => TextAnalysis.distinctN(in, textCol, langCol)
+      // hashed bag-of-words document vectors (dim buckets)
+      case "vectorize" =>
+        TextAnalysis.hashingVectorize(in, idCol, textCol, dim)
+      // greedy BPE merge-table learning (rounds merges)
+      case "bpe_learn" =>
+        TextAnalysis.bpeLearnMerges(in, textCol, rounds)
+      // corpus top-k vocabulary, flat and per-group (langCol = group)
+      case "heavy_hitters" => TextAnalysis.heavyHitters(in, textCol, topK)
+      case "heavy_hitters_grouped" =>
+        TextAnalysis.heavyHittersGrouped(in, langCol, textCol, topK)
+      // chunk-level language agreement (code-switch probe)
+      case "lang_purity" =>
+        TextAnalysis.langPurity(in, idCol, textCol, chunkSize)
+      // corpus n-gram count table above a floor
+      case "ngram_counts" =>
+        TextAnalysis.ngramCounts(in, textCol, ngramN, minCount)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -661,7 +785,9 @@ final case class RetrievalTransformStage(
     rrfK: Int = 60,
     // rank_eval only: the qrels view (query_id, doc_id); inputView is
     // the run (query_id, doc_id, rnk)
-    qrelsView: Option[String] = None)
+    qrelsView: Option[String] = None,
+    // qld only: Dirichlet prior mass
+    mu: Double = 2000.0)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -684,6 +810,12 @@ final case class RetrievalTransformStage(
         val q = qrelsView.getOrElse(throw new IllegalArgumentException(
           "retrieval method 'rank_eval' requires 'qrelsView'"))
         Retrieval.rankEval(Views.resolve(inputView), Views.resolve(q), k)
+      // Dirichlet-smoothed query-likelihood ranking (mu = prior mass)
+      case "qld" =>
+        if (queryTerms.isEmpty) throw new IllegalArgumentException(
+          "retrieval method 'qld' requires non-empty 'queryTerms'")
+        Retrieval.qldTopK(Views.resolve(inputView), idCol, textCol,
+          queryTerms, k, mu)
       case other => throw new IllegalArgumentException(
         s"unknown retrieval method '$other'")
     }
@@ -796,7 +928,7 @@ final case class GraphTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc | ball | harmonic | nf | modularity | assortativity
+    method: String = "pagerank", // pagerank | triangles | cooccur_edges | kcore | lpa | link_pred | ppr | cc | scc | topo_layers | ball | harmonic | nf | walks | clustering | reciprocity | degree_alpha | modularity | assortativity
     srcCol: String = "src",
     dstCol: String = "dst",
     iters: Int = 3,
@@ -810,7 +942,14 @@ final case class GraphTransformStage(
     // modularity only: view holding the (node, community) assignment
     assignView: String = "",
     // lineage truncation cadence for the iterative methods (0 = off)
-    checkpointEvery: Int = 0)
+    checkpointEvery: Int = 0,
+    // scc / topo_layers: outer trim+color rounds and per-round fixpoint cap
+    maxOuter: Int = 12,
+    maxIter: Int = 25,
+    // walks: neighbor-pick hash salt (iters doubles as the walk length)
+    salt: String = "",
+    // degree_alpha: smallest degree the power-law tail fit includes
+    dMin: Long = 2L)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -905,6 +1044,44 @@ final case class GraphTransformStage(
             greatest(col(srcCol), col(dstCol)).as("b"))
           .where(col("a") < col("b")).distinct()
         Graph.assortativity(und)
+      // strongly-connected components of the DIRECTED view; the stage's
+      // 0 = off checkpoint convention maps to scc's library default 1
+      // (its outer loop compounds lineage every round — never run bare)
+      case "scc" =>
+        Graph.scc(in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+          maxOuter, maxIter,
+          if (checkpointEvery > 0) checkpointEvery else 1)
+      // longest-path depth of the SCC condensation (same digraph)
+      case "topo_layers" =>
+        Graph.topoLayers(
+          in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+          maxOuter, maxIter,
+          if (checkpointEvery > 0) checkpointEvery else 1)
+      // hash-deterministic node2vec-style walks; iters = the walk length
+      case "walks" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.deterministicWalks(und, length = iters, salt = salt)
+      // local clustering coefficient per node (triangles / wedges)
+      case "clustering" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.clusteringCoefficients(und)
+      // directed-edge reciprocity of the raw (src, dst) view
+      case "reciprocity" =>
+        Graph.reciprocity(
+          in.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      // Clauset-Shalizi-Newman discrete MLE of the degree tail exponent
+      case "degree_alpha" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.degreePowerLaw(und, dMin)
       case other =>
         throw new IllegalArgumentException(s"unknown graph method '$other'")
     }
@@ -965,22 +1142,40 @@ final case class CompactFilesStage(
   }
 }
 
-/** Categorical-encoding stage over [[Encoding.encode]]: adds `<col>_id`
-  * dense ids for each listed column via broadcast vocabulary joins.
+/** Categorical-encoding stage over [[Encoding]]: dense-id encoding
+  * (`encode`), the bounded vocabulary table itself (`vocab`), or
+  * leave-one-out target encoding (`target_loo`). `vocab` and
+  * `target_loo` read the FIRST entry of `columns` as the categorical
+  * column.
   */
 final case class EncodeTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    columns: Seq[String])
+    columns: Seq[String],
+    method: String = "encode", // encode | vocab | target_loo
+    idCol: String = "doc_id",
+    targetCol: String = "label",
+    maxVocab: Long = 1000000L)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
     val in = Views.resolve(inputView)
+    detail += "method" -> method
     detail += "inputView" -> inputView
     detail += "outputView" -> outputView
     detail += "columns" -> columns.mkString(",")
-    val out = Encoding.encode(in, columns)
+    def first: String = columns.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"encode method '$method' requires one column in 'columns'"))
+    val out = method match {
+      case "encode" => Encoding.encode(in, columns)
+      case "vocab" => Encoding.vocab(in, first, maxVocab)
+      case "target_loo" => Encoding.targetEncodeLoo(in, idCol, first,
+        targetCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown encode method '$other'")
+    }
     Views.register(out, outputView)
     Option(out)
   }
@@ -1220,7 +1415,15 @@ final case class GapfillTransformStage(
     // changepoint / forecast_eval: the per-key series order column
     ordCol: String = "ord",
     // forecast_eval only: valueCol is the actual, this the prediction
-    forecastCol: String = "forecast")
+    forecastCol: String = "forecast",
+    // acf: largest autocorrelation lag (hours)
+    maxLag: Int = 24,
+    // rolling: trailing time-window width
+    windowSeconds: Long = 3600L,
+    // rolling_median: trailing row-window width
+    k: Int = 5,
+    // anomaly_weekly: MAD multiplier for the outlier flag
+    madK: Double = 3.5)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1245,6 +1448,21 @@ final case class GapfillTransformStage(
       // per-key MAE/RMSE/MAPE/sMAPE/MASE scorecard
       case "forecast_eval" =>
         TimeSeries.forecastEval(in, keyCol, ordCol, valueCol, forecastCol)
+      // hour-of-WEEK (168-cell) baseline variants of seasonal
+      case "seasonal_weekly" =>
+        TimeSeries.seasonalDeviationWeekly(in, tsCol, keyCol)
+      case "anomaly_weekly" =>
+        TimeSeries.seasonalAnomalyWeekly(in, tsCol, keyCol, madK)
+      // per-key autocorrelation over the dense hourly grid
+      case "acf" => TimeSeries.acf(in, tsCol, keyCol, maxLag)
+      // nonparametric trend: Mann-Kendall S/tau and Theil-Sen slope
+      case "mann_kendall" => TimeSeries.mannKendall(in, tsCol, keyCol)
+      case "theil_sen" => TimeSeries.theilSen(in, tsCol, keyCol)
+      // trailing aggregates: time-window mean/sum, row-window median
+      case "rolling" =>
+        TimeSeries.rolling(in, tsCol, keyCol, valueCol, windowSeconds)
+      case "rolling_median" =>
+        TimeSeries.rollingMedian(in, tsCol, keyCol, idCol, valueCol, k)
       case other =>
         throw new IllegalArgumentException(s"unknown timeseries method '$other'")
     }
@@ -1377,6 +1595,9 @@ final case class BehaviorTransformStage(
       // Kaplan-Meier curve over per-unit right-censored durations
       case "survival" =>
         Behavior.kaplanMeier(in, durationCol, observedCol)
+      // top event-type trigrams over per-user ordered journeys
+      case "top_paths" =>
+        Behavior.topPaths(in, tsCol, userCol, typeCol, idCol, k)
       case other =>
         throw new IllegalArgumentException(s"unknown behavior method '$other'")
     }
@@ -1642,6 +1863,15 @@ final case class DriftTransformStage(
       case "bootstrap_lift" =>
         Drift.bootstrapLiftCI(before, after, idCol, valueCol, nPerms,
           1 - alpha, salt)
+      // two-view KS with the asymptotic Kolmogorov p-value series
+      case "ks_test" => Drift.ksTest(before, after, valueCol)
+      // two-view Hodges-Lehmann shift estimate + Moses CI
+      case "hodges_lehmann" => Drift.hodgesLehmann(before, after, valueCol)
+      // single-view mutual information of catCol x labelCol
+      case "mi" => Drift.mutualInformation(before, catCol, labelCol)
+      // single-view post-stratified lift (groupCol = arm, segCol = stratum)
+      case "post_stratified" =>
+        Drift.postStratified(before, groupCol, segCol, valueCol)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

@@ -29,6 +29,102 @@ object Parser {
 
   type StageFactory = (ConfigReader, Map[String, Connector]) => Stage
 
+  /** Per-stage method/analysis enum inventory — the ONE source both the
+    * stage factories below and DeclarativeParitySpec read. Every shipped
+    * operator's declarative route terminates in one of these values, so
+    * a new operator that is not added here fails the parity spec — the
+    * mechanical stop for the round-16/17 "method-enum lag" failure mode
+    * (an operator shipped with a gate query but unreachable from parsed
+    * config).
+    */
+  val methodEnums: Map[String, Seq[String]] = Map(
+    "DedupTransform" -> Seq(
+      "exact", "exact_incremental", "minhash", "minhash_pairs",
+      "oph_pairs", "minhash_cc", "minhash_cc_apply", "simhash",
+      "simhash_pairs", "ngram_pairs", "prefix_pairs", "edit_pairs",
+      "jw_pairs", "passages", "containment_pairs",
+      "containment_stratified", "weighted_pairs", "knn", "keep_best",
+      "cluster_stats", "minhash_incremental"),
+    "SimilarityTransform" -> Seq(
+      "topk", "maxsim", "ann", "ivf", "kmeans", "medoids", "neardup_pairs",
+      "standardize", "quantize", "project", "semantic_dedup",
+      "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
+      "bitext_scalable", "pq_topk", "hamming_topk", "hamming_pairs",
+      "pq_recall", "opq_recall", "ivf_pq_topk", "ivf_write", "ivf_query",
+      "pca_components"),
+    "ContaminationTransform" -> Seq(
+      "check", "novelty", "novelty_bloom", "novelty_bloom_big"),
+    "ProfileTransform" -> Seq(
+      "table", "histogram", "bucketize", "winsorize", "outliers",
+      "outliers_mad", "correlation", "linear_fit", "percentile_rank",
+      "benford", "trimmed_mean", "corpus_report", "correlation_matrix",
+      "gini"),
+    "RetrievalTransform" -> Seq(
+      "index", "bm25", "rrf", "rank_eval", "qld"),
+    "PiiTransform" -> Seq(
+      "stats", "scrub", "kanon", "suppress", "noisy_counts", "ldiversity",
+      "pseudonymize", "pseudonym_audit"),
+    "ClassifyTransform" -> Seq(
+      "train_score", "auc", "confusion", "calibration", "agreement"),
+    "GraphTransform" -> Seq(
+      "pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
+      "link_pred", "ppr", "cc", "ball", "harmonic", "nf", "modularity",
+      "assortativity", "scc", "topo_layers", "walks", "clustering",
+      "reciprocity", "degree_alpha"),
+    "BehaviorTransform" -> Seq(
+      "funnel", "cohort", "transitions", "attribution",
+      "attribution_decay", "basket", "rate_cap", "debounce", "throttle",
+      "survival", "top_paths"),
+    "DataQualityTransform" -> Seq(
+      "rules", "linkage", "join_skew", "referential", "fd", "impute",
+      "reconcile"),
+    "DriftTransform" -> Seq(
+      "ks", "tv", "centroid", "profile", "permutation", "cuped", "srm",
+      "heavy_terms", "bh", "bootstrap", "mannwhitney", "chi2", "spearman",
+      "wilcoxon", "kruskal", "anova", "levene", "welch", "fisher",
+      "proportions", "segments", "psi", "jsd", "wasserstein", "ks_grouped",
+      "wasserstein_grouped", "bootstrap_lift", "sequential",
+      "welch_segments", "sequential_mean", "ks_test", "hodges_lehmann",
+      "mi", "post_stratified"),
+    "Snapshot" -> Seq(
+      "publish", "read", "vacuum"),
+    "AggStateTransform" -> Seq(
+      "state", "merge"),
+    "SampleTransform" -> Seq(
+      "deterministic", "stratified", "per_stratum_head", "shard_by_budget",
+      "upsample", "weighted_topk", "negative", "shuffle", "pack",
+      "rebalance", "top_fraction", "token_cap", "temperature",
+      "systematic", "ordinal", "top_stratum", "importance", "rendezvous",
+      "pareto", "split", "leakage_safe_split", "shard_manifest"),
+    "TextAnalysisTransform" -> Seq(
+      "quality", "quality_filter", "normalize", "chunk", "tokens",
+      "langid", "fingerprint", "langdist", "repetition", "tfidf",
+      "quality_score", "lm_score", "dup_spans", "dup_runs", "keyness",
+      "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
+      "bpe_apply", "bpe_fertility", "boilerplate", "ttr", "chao1",
+      "readability", "zipf", "charclass", "dup_substring",
+      "dup_substring_apply", "self_repetition_apply", "script_mix",
+      "distinct_n", "vectorize", "bpe_learn", "heavy_hitters",
+      "heavy_hitters_grouped", "lang_purity", "ngram_counts", "kn_score"),
+    "SketchTransform" -> Seq(
+      "hll", "kmv", "cms", "hll_intersect", "hll_rolling", "kmv_jaccard",
+      "kmv_diff", "join_size"),
+    "MultimodalTransform" -> Seq(
+      "attach", "meta", "validate", "decode", "frames", "resize",
+      "features", "phash", "phash_pairs"),
+    "UrlTransform" -> Seq(
+      "normalize", "domain_mix", "domain_quality", "domain_filter"),
+    "CdcTransform" -> Seq(
+      "upsert", "scd2", "derive", "changed_keys"),
+    "GapfillTransform" -> Seq(
+      "gapfill", "cusum", "utilization", "seasonal", "ewma", "holt",
+      "changepoint", "forecast_eval", "seasonal_weekly", "anomaly_weekly",
+      "acf", "mann_kendall", "theil_sen", "rolling", "rolling_median"),
+    "EncodeTransform" -> Seq(
+      "encode", "vocab", "target_loo"),
+    "ZorderTransform" -> Seq(
+      "manifest", "write", "hilbert_manifest", "hilbert_write"))
+
   /** Built-in stage registry; extensible like the reference's plugin list. */
   val defaultRegistry: Map[String, StageFactory] = Map(
     "Extract" -> { (r, conns) =>
@@ -96,11 +192,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("exact", "exact_incremental", "minhash", "minhash_pairs",
-            "oph_pairs", "minhash_cc", "minhash_cc_apply", "simhash",
-            "simhash_pairs", "ngram_pairs", "prefix_pairs", "edit_pairs",
-            "jw_pairs", "passages", "containment_pairs",
-            "containment_stratified", "weighted_pairs", "knn"),
+          methodEnums("DedupTransform"),
           "exact"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -129,7 +221,9 @@ object Parser {
         byDigest = r.boolean("byDigest", default = false),
         checkpointDir = r.string("checkpointDir"),
         seenView = r.string("seenView"),
-        maxTf = r.int("maxTf").getOrElse(16))
+        maxTf = r.int("maxTf").getOrElse(16),
+        componentsView = r.string("componentsView"),
+        scoreCol = r.string("scoreCol").getOrElse("score"))
     },
     "SimilarityTransform" -> { (r, _) =>
       SimilarityTransformStage(
@@ -137,12 +231,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("topk", "maxsim", "ann", "ivf", "kmeans", "medoids",
-            "neardup_pairs",
-            "standardize", "quantize", "project", "semantic_dedup",
-            "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
-            "bitext_scalable", "pq_topk", "hamming_topk",
-            "hamming_pairs"), "topk"),
+          methodEnums("SimilarityTransform"), "topk"),
         queryView = r.string("queryView"),
         k = r.int("k").getOrElse(5),
         threshold = r.double("threshold").getOrElse(0.95),
@@ -159,7 +248,10 @@ object Parser {
         inDim = r.int("inDim").getOrElse(64),
         outDim = r.int("outDim").getOrElse(16),
         minMargin = r.double("minMargin").getOrElse(0.01),
-        subspaces = r.int("subspaces").getOrElse(8))
+        subspaces = r.int("subspaces").getOrElse(8),
+        indexDir = r.string("indexDir"),
+        options = r.stringMap("params"),
+        pqIters = r.int("pqIters").getOrElse(1))
     },
     "AsofJoinTransform" -> { (r, _) =>
       AsofJoinTransformStage(
@@ -211,7 +303,7 @@ object Parser {
         evalView = r.requiredString("evalView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("check", "novelty", "novelty_bloom"), "check"),
+          methodEnums("ContaminationTransform"), "check"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         shingleN = r.int("shingleN").getOrElse(3),
@@ -221,13 +313,11 @@ object Parser {
     },
     "ProfileTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("table", "histogram", "bucketize", "winsorize", "outliers",
-          "outliers_mad", "correlation", "linear_fit", "percentile_rank",
-          "benford", "trimmed_mean", "corpus_report"), "table")
+        methodEnums("ProfileTransform"), "table")
       // a group-keyed pass without byCols would only fail at runtime
       // (require in the operator) — fail at parse instead
       if ((method.startsWith("outliers") || method == "correlation"
-          || method == "linear_fit"
+          || method == "linear_fit" || method == "gini"
           || method == "percentile_rank" || method == "trimmed_mean")
           && r.stringList("byCols").isEmpty)
         r.error("byCols", s"missing or empty; $method requires group columns")
@@ -254,14 +344,13 @@ object Parser {
         sourceCol = r.string("sourceCol").getOrElse("source"))
     },
     "RetrievalTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("index", "bm25", "rrf",
-        "rank_eval"), "index")
+      val method = r.oneOf("method", methodEnums("RetrievalTransform"), "index")
       val terms = r.stringList("queryTerms")
       val rankViews = r.stringList("rankViews")
       // bm25 without terms / rrf without lists would only surface at
       // runtime — fail at parse
-      if (method == "bm25" && terms.isEmpty)
-        r.error("queryTerms", "missing or empty; bm25 requires query terms")
+      if ((method == "bm25" || method == "qld") && terms.isEmpty)
+        r.error("queryTerms", s"missing or empty; $method requires query terms")
       if (method == "rrf" && rankViews.isEmpty)
         r.error("rankViews", "missing or empty; rrf requires ranked-list views")
       if (method == "rank_eval" && r.string("qrelsView").isEmpty)
@@ -280,7 +369,8 @@ object Parser {
         b = r.double("b").getOrElse(0.75),
         rankViews = rankViews,
         rrfK = r.int("rrfK").getOrElse(60),
-        qrelsView = r.string("qrelsView"))
+        qrelsView = r.string("qrelsView"),
+        mu = r.double("mu").getOrElse(2000.0))
     },
     "PiiTransform" -> { (r, _) =>
       PiiTransformStage(
@@ -288,8 +378,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("stats", "scrub", "kanon", "suppress", "noisy_counts",
-            "ldiversity", "pseudonymize", "pseudonym_audit"),
+          methodEnums("PiiTransform"),
           "stats"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -305,8 +394,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("train_score", "auc", "confusion", "calibration",
-            "agreement"), "train_score"),
+          methodEnums("ClassifyTransform"), "train_score"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         positiveExpr = r.string("positiveExpr").getOrElse(""),
@@ -324,9 +412,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
-            "link_pred", "ppr", "cc", "ball", "harmonic", "nf",
-            "modularity", "assortativity"),
+          methodEnums("GraphTransform"),
           "pagerank"),
         srcCol = r.string("srcCol").getOrElse("src"),
         dstCol = r.string("dstCol").getOrElse("dst"),
@@ -339,13 +425,15 @@ object Parser {
         coreK = r.int("coreK").getOrElse(3),
         seedPrefix = r.string("seedPrefix").getOrElse("s"),
         assignView = r.string("assignView").getOrElse(""),
-        checkpointEvery = r.int("checkpointEvery").getOrElse(0))
+        checkpointEvery = r.int("checkpointEvery").getOrElse(0),
+        maxOuter = r.int("maxOuter").getOrElse(12),
+        maxIter = r.int("maxIter").getOrElse(25),
+        salt = r.string("salt").getOrElse(""),
+        dMin = r.long("dMin").getOrElse(2L))
     },
     "BehaviorTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("funnel", "cohort", "transitions", "attribution",
-          "attribution_decay", "basket",
-          "rate_cap", "debounce", "throttle", "survival"), "funnel")
+        methodEnums("BehaviorTransform"), "funnel")
       val steps = r.stringList("steps")
       if (method == "funnel" && steps.size < 2)
         r.error("steps", "funnel requires >= 2 steps")
@@ -374,8 +462,7 @@ object Parser {
     },
     "DataQualityTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("rules", "linkage", "join_skew", "referential", "fd", "impute",
-          "reconcile"), "rules")
+        methodEnums("DataQualityTransform"), "rules")
       if (method == "rules" && r.stringMap("rules").isEmpty)
         r.error("rules", "missing or empty; method 'rules' requires them")
       if ((method == "join_skew" || method == "referential")
@@ -415,13 +502,7 @@ object Parser {
     },
     "DriftTransform" -> { (r, _) =>
       val driftMethod = r.oneOf("method",
-        Seq("ks", "tv", "centroid", "profile", "permutation", "cuped",
-          "srm", "heavy_terms", "bh", "bootstrap", "mannwhitney", "chi2",
-          "spearman", "wilcoxon", "kruskal", "anova", "levene", "welch",
-          "fisher", "proportions", "segments", "psi", "jsd",
-          "wasserstein", "ks_grouped", "wasserstein_grouped",
-          "bootstrap_lift", "sequential", "welch_segments",
-          "sequential_mean"),
+        methodEnums("DriftTransform"),
         "ks")
       val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
         "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
@@ -477,7 +558,7 @@ object Parser {
         tauSq = r.double("tauSq").getOrElse(0.01))
     },
     "Snapshot" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("publish", "read", "vacuum"),
+      val method = r.oneOf("method", methodEnums("Snapshot"),
         "publish")
       if (method == "publish" && r.string("inputView").isEmpty)
         r.error("inputView", "missing; snapshot publish requires it")
@@ -493,7 +574,7 @@ object Parser {
           .exists(_.equalsIgnoreCase("true")))
     },
     "AggStateTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("state", "merge"), "state")
+      val method = r.oneOf("method", methodEnums("AggStateTransform"), "state")
       val keys = r.stringList("keys")
       if (keys.isEmpty) r.error("keys", "missing or empty")
       if (method == "state" && r.stringList("sumCols").isEmpty)
@@ -532,11 +613,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("deterministic", "stratified", "per_stratum_head",
-            "shard_by_budget", "upsample", "weighted_topk", "negative",
-            "shuffle", "pack", "rebalance", "top_fraction", "token_cap",
-            "temperature", "systematic", "ordinal", "top_stratum",
-            "importance", "rendezvous", "pareto"),
+          methodEnums("SampleTransform"),
           "deterministic"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         rate = r.double("rate").getOrElse(1.0),
@@ -557,7 +634,8 @@ object Parser {
         textCol = r.string("textCol").getOrElse("text"),
         targetValue = r.string("targetValue").getOrElse("en"),
         xCol = r.string("xCol").getOrElse("x"),
-        yCol = r.string("yCol").getOrElse("y"))
+        yCol = r.string("yCol").getOrElse("y"),
+        componentsView = r.string("componentsView"))
     },
     "TextAnalysisTransform" -> { (r, _) =>
       TextAnalysisTransformStage(
@@ -565,13 +643,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         analysis = r.oneOf("analysis",
-          Seq("quality", "quality_filter", "normalize", "chunk", "tokens",
-            "langid", "fingerprint", "langdist", "repetition", "tfidf",
-            "quality_score", "lm_score", "dup_spans", "dup_runs", "keyness",
-            "head_coverage", "entropy", "bpe_pairs", "pmi", "blocklist",
-            "bpe_apply", "bpe_fertility", "boilerplate", "ttr", "chao1",
-            "readability", "zipf", "charclass", "dup_substring",
-            "dup_substring_apply", "self_repetition_apply"),
+          methodEnums("TextAnalysisTransform"),
           "quality"),
         terms = r.stringList("terms"),
         merges = r.stringList("merges"),
@@ -603,7 +675,11 @@ object Parser {
         alpha = r.double("alpha").getOrElse(0.1),
         alpha0 = r.double("alpha0").getOrElse(100.0),
         window = r.int("window").getOrElse(8),
-        minDocs = r.int("minDocs").getOrElse(2))
+        minDocs = r.int("minDocs").getOrElse(2),
+        dim = r.int("dim").getOrElse(64),
+        rounds = r.int("rounds").getOrElse(4),
+        discount = r.double("discount").getOrElse(0.75),
+        minCount = r.long("minCount").getOrElse(1L))
     },
     "AssembleTransform" -> { (r, _) =>
       // ordering is the stage's determinism contract: an empty list would
@@ -622,16 +698,24 @@ object Parser {
         maxTurns = r.int("maxTurns").getOrElse(16))
     },
     "EncodeTransform" -> { (r, _) =>
+      val method = r.oneOf("method", methodEnums("EncodeTransform"),
+        "encode")
+      if ((method == "vocab" || method == "target_loo")
+          && r.stringList("columns").isEmpty)
+        r.error("columns", s"missing or empty; $method reads columns[0]")
       EncodeTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
-        columns = r.stringList("columns"))
+        columns = r.stringList("columns"),
+        method = method,
+        idCol = r.string("idCol").getOrElse("doc_id"),
+        targetCol = r.string("targetCol").getOrElse("label"),
+        maxVocab = r.long("maxVocab").getOrElse(1000000L))
     },
     "SketchTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("hll", "kmv", "cms", "hll_intersect", "hll_rolling",
-          "kmv_jaccard", "kmv_diff", "join_size"), "hll")
+        methodEnums("SketchTransform"), "hll")
       // a grouped-HLL without groupCols would only surface at runtime
       if ((method == "hll" || method == "hll_intersect")
           && r.stringList("groupCols").isEmpty)
@@ -663,8 +747,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("attach", "meta", "validate", "decode", "frames", "resize",
-            "features", "phash", "phash_pairs"),
+          methodEnums("MultimodalTransform"),
           "meta"),
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
@@ -681,8 +764,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("normalize", "domain_mix", "domain_quality",
-            "domain_filter"),
+          methodEnums("UrlTransform"),
           "normalize"),
         urlCol = r.string("urlCol").getOrElse("url"),
         tokenCol = r.string("tokenCol").getOrElse("n_tokens"),
@@ -692,7 +774,7 @@ object Parser {
     },
     "CdcTransform" -> { (r, _) =>
       val method = r.oneOf("method",
-        Seq("upsert", "scd2", "derive", "changed_keys"), "upsert")
+        methodEnums("CdcTransform"), "upsert")
       val changes = r.string("changesView")
       if (method == "upsert" && changes.isEmpty)
         r.error("changesView", "missing; upsert requires a change-feed view")
@@ -719,8 +801,7 @@ object Parser {
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
         method = r.oneOf("method",
-          Seq("gapfill", "cusum", "utilization", "seasonal", "ewma", "holt",
-            "changepoint", "forecast_eval"),
+          methodEnums("GapfillTransform"),
           "gapfill"),
         tsCol = r.string("tsCol").getOrElse("ts"),
         keyCol = r.requiredString("keyCol"),
@@ -735,10 +816,14 @@ object Parser {
         alpha = r.double("alpha").getOrElse(0.25),
         beta = r.double("beta").getOrElse(0.25),
         ordCol = r.string("ordCol").getOrElse("ord"),
-        forecastCol = r.string("forecastCol").getOrElse("forecast"))
+        forecastCol = r.string("forecastCol").getOrElse("forecast"),
+        maxLag = r.int("maxLag").getOrElse(24),
+        windowSeconds = r.long("windowSeconds").getOrElse(3600L),
+        k = r.int("k").getOrElse(5),
+        madK = r.double("madK").getOrElse(3.5))
     },
     "ZorderTransform" -> { (r, _) =>
-      val method = r.oneOf("method", Seq("manifest", "write", "hilbert_manifest", "hilbert_write"), "manifest")
+      val method = r.oneOf("method", methodEnums("ZorderTransform"), "manifest")
       val outDir = r.string("outputDir")
       if (method == "write" && outDir.isEmpty)
         r.error("outputDir", "missing; write requires a target directory")
@@ -841,11 +926,13 @@ object Parser {
       "idCol", "textCol", "keys", "blockCols", "threshold", "minhashK", "bands",
       "rows", "shingleN", "ngramN", "bucketWidth", "sampleMod", "maxHamming",
       "maxBucket", "maxBlock", "lshBands", "maxIter", "window", "maxDist",
-      "byDigest", "checkpointDir", "seenView", "maxTf")),
+      "byDigest", "checkpointDir", "seenView", "maxTf", "componentsView",
+      "scoreCol")),
     "SimilarityTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",
-      "levels", "inDim", "outDim", "minMargin", "subspaces")),
+      "levels", "inDim", "outDim", "minMargin", "subspaces", "indexDir",
+      "params", "pqIters")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime", "forward", "nearest",
       "toleranceMicros")),
@@ -862,7 +949,7 @@ object Parser {
       "sigma", "madK", "xCol", "yCol", "textCol", "langCol", "sourceCol")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
-      "rankViews", "rrfK", "qrelsView")),
+      "rankViews", "rrfK", "qrelsView", "mu")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "cols", "k", "scale", "salt", "sensitiveCol")),
     "ClassifyTransform" -> (commonKeys ++ Set("inputView", "outputView",
@@ -871,7 +958,8 @@ object Parser {
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix",
-      "assignView", "checkpointEvery")),
+      "assignView", "checkpointEvery", "maxOuter", "maxIter", "salt",
+      "dMin")),
     "BehaviorTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "userCol", "typeCol", "idCol", "valueCol",
       "steps", "maxGapSeconds", "touchType", "convType", "windowSeconds",
@@ -898,16 +986,17 @@ object Parser {
     "SampleTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "rate", "salt", "stratumCol", "rates", "defaultRate",
       "tokenCol", "budget", "k", "weightCol", "nBuckets", "textCol",
-      "targetValue", "xCol", "yCol")),
+      "targetValue", "xCol", "yCol", "componentsView")),
     "TextAnalysisTransform" -> (commonKeys ++ Set("inputView", "outputView", "analysis",
       "idCol", "textCol", "langCol", "minChars", "maxChars", "minWords",
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
       "ngramN", "topK", "zipfTopN", "scoreWeights", "bias", "scoreThreshold",
       "groupCols", "alpha", "alpha0", "terms", "merges", "window",
-      "minDocs")),
+      "minDocs", "dim", "rounds", "discount", "minCount")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
-    "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView", "columns")),
+    "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView",
+      "columns", "method", "idCol", "targetCol", "maxVocab")),
     "SketchTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "keyCol", "groupCols", "m", "k", "depth", "width", "topN",
       "otherView", "bucketCol", "window", "otherKeyCol")),
@@ -922,7 +1011,7 @@ object Parser {
     "GapfillTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "tsCol", "keyCol", "idCol", "valueCol", "target", "slack",
       "threshold", "startCol", "endCol", "bucketSeconds", "alpha", "beta",
-      "ordCol", "forecastCol")),
+      "ordCol", "forecastCol", "maxLag", "windowSeconds", "k", "madK")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "cols", "xCol", "yCol", "idCol", "method", "outputDir", "blockSize",
       "bits", "params"))

@@ -265,6 +265,7 @@ object ExtensionQueries {
   // the literal itself cannot split the engines
   private val JwMinSim = 0.9
   private val LmAlpha = 0.1
+  private val KnDiscount = 0.75
   private val DupSpanN = 8
   // within-doc self-repetition gate gram size (shorter than DupSpanN so
   // the synthetic corpus's internal repeats are actually visible)
@@ -2081,6 +2082,97 @@ object ExtensionQueries {
       }
     },
 
+    // The graph_scc composition reached from PARSED CONFIG (round 18,
+    // the stage_stats_chain precedent): SqlTransform builds the same
+    // directed supplier->customer / customer->supplier digraph, the
+    // GraphTransform scc arm condenses it, and the output must
+    // hash-match graph_scc's oracle verbatim.
+    "stage_graph_chain" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val conf = s"""
+        stages = [
+          { type = SqlTransform, name = edges
+            sql = \"\"\"SELECT concat('s', CAST(l_suppkey AS STRING)) AS src,
+                concat('c', CAST(o_custkey AS STRING)) AS dst
+              FROM parquet.`$dir/lineitem.parquet` l
+              JOIN parquet.`$dir/orders.parquet` o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_quantity >= $SccQtyHi
+              UNION
+              SELECT concat('c', CAST(o_custkey AS STRING)) AS src,
+                concat('s', CAST(l_suppkey AS STRING)) AS dst
+              FROM parquet.`$dir/lineitem.parquet` l
+              JOIN parquet.`$dir/orders.parquet` o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_quantity <= $SccQtyLo\"\"\"
+            outputView = st18g_edges }
+          { type = GraphTransform, name = condense, method = scc
+            inputView = st18g_edges, outputView = st18g_scc }
+          { type = SqlTransform, name = out
+            sql = "SELECT node, scc FROM st18g_scc ORDER BY node"
+            outputView = st18g_out }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) => graft.pipeline.Runner.run(p).get
+      }
+    },
+
+    // The flagship five-operator pretraining recipe reached from PARSED
+    // CONFIG (round 18): quality filter -> exact dedup -> MinHash
+    // near-dedup -> DSIR importance -> per-language top-fraction, the
+    // curate_pretrain chain verbatim — so the oracle is shared.
+    "stage_curate_pretrain" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      docs(spark, dir).createOrReplaceTempView("st18c_docs")
+      val conf = s"""
+        stages = [
+          { type = TextAnalysisTransform, name = qf
+            analysis = quality_filter
+            inputView = st18c_docs, outputView = st18c_q0
+            minChars = $QfMinChars, maxChars = $QfMaxChars
+            minWords = $QfMinWords, minTtr = $QfMinTtr
+            minStopwordRatio = $QfMinStopword, maxPunctRatio = $QfMaxPunct }
+          { type = SqlTransform, name = slim
+            sql = "SELECT doc_id, lang, text FROM st18c_q0"
+            outputView = st18c_q }
+          { type = DedupTransform, name = dd, method = exact
+            inputView = st18c_q, outputView = st18c_uniq
+            keys = [text], idCol = doc_id }
+          { type = DedupTransform, name = near, method = minhash
+            inputView = st18c_uniq, outputView = st18c_near
+            idCol = doc_id, textCol = text }
+          { type = SampleTransform, name = dsir, method = importance
+            inputView = st18c_near, outputView = st18c_imp
+            idCol = doc_id, textCol = text
+            stratumCol = lang, targetValue = en, nBuckets = $DsirBuckets }
+          { type = SqlTransform, name = relang
+            sql = \"\"\"SELECT i.*, n.lang
+              FROM st18c_imp i
+              JOIN (SELECT doc_id, lang FROM st18c_near) n
+              USING (doc_id)\"\"\"
+            outputView = st18c_scored }
+          { type = SampleTransform, name = keep, method = top_stratum
+            inputView = st18c_scored, outputView = st18c_top
+            stratumCol = lang, weightCol = score, idCol = doc_id
+            rate = $CurateKeepFrac }
+          { type = SqlTransform, name = out
+            sql = \"\"\"SELECT doc_id, lang, n_tokens, score, rank
+              FROM st18c_top ORDER BY doc_id\"\"\"
+            outputView = st18c_out }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) => graft.pipeline.Runner.run(p).get
+      }
+    },
+
     "events_outliers" -> { (spark, dir) =>
       Profile.outliers(events(spark, dir), "value", Seq("event_type"))
         .where(col("is_outlier"))
@@ -2100,6 +2192,16 @@ object ExtensionQueries {
     "quality_lm_score" -> { (spark, dir) =>
       LanguageModel.bigramCrossEntropy(docs(spark, dir), "doc_id", "text",
           groupCols = Seq("lang"), alpha = LmAlpha)
+        .orderBy("doc_id")
+    },
+
+    // Per-language interpolated Kneser-Ney TRIGRAM cross-entropy (round
+    // 18): the n>=3 perplexity filter real curation pipelines run, with
+    // continuation-count lower orders (Kneser-Ney 1995, Chen-Goodman
+    // 1999) and a fixed discount.
+    "quality_kn_score" -> { (spark, dir) =>
+      LanguageModel.knTrigramCrossEntropy(docs(spark, dir), "doc_id",
+          "text", groupCols = Seq("lang"), discount = KnDiscount)
         .orderBy("doc_id")
     },
 
@@ -4617,7 +4719,9 @@ object ExtensionQueries {
       // the parsed-config chains must match their direct-API twins
       // exactly, so they share the twins' oracles verbatim
       ("stage_stats_chain" -> staticOracles("ab_segments")) +
-      ("stage_url_chain" -> staticOracles("curate_domains"))
+      ("stage_url_chain" -> staticOracles("curate_domains")) +
+      ("stage_graph_chain" -> staticOracles("graph_scc")) +
+      ("stage_curate_pretrain" -> staticOracles("curate_pretrain"))
 
   private lazy val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -7101,6 +7205,60 @@ object ExtensionQueries {
         FROM bg JOIN lp USING (lang, w1, w2) GROUP BY 1)
       SELECT doc_id, n_bigrams,
         round(-(s6::DOUBLE) / 1000000.0 / n_bigrams, 6) + 0.0 AS xent
+      FROM s ORDER BY doc_id""",
+
+
+    // Replay of LanguageModel.knTrigramCrossEntropy: trigram type table,
+    // continuation-count reductions, the PINNED interpolated-KN
+    // expression, micro-nat snap, per-doc long reduce.
+    "quality_kn_score" -> s"""
+      WITH ws AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      tg AS (
+        SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3,
+          count(*) AS cnt
+        FROM (
+          SELECT doc_id, lang,
+            unnest(list_transform(generate_series(1, len(w) - 2),
+              g -> struct_pack(w1 := w[g], w2 := w[g+1], w3 := w[g+2])))
+              AS p
+          FROM ws)
+        GROUP BY 1, 2, 3, 4, 5),
+      t3 AS (SELECT lang, w1, w2, w3, sum(cnt)::BIGINT AS c123
+             FROM tg GROUP BY 1, 2, 3, 4),
+      ctx12 AS (SELECT lang, w1, w2, sum(c123)::BIGINT AS c12,
+                  count(*)::BIGINT AS n12
+                FROM t3 GROUP BY 1, 2, 3),
+      t23 AS (SELECT lang, w2, w3, count(*)::BIGINT AS n_dot23
+              FROM t3 GROUP BY 1, 2, 3),
+      ctx2 AS (SELECT lang, w2, sum(n_dot23)::BIGINT AS nmid2,
+                 count(*)::BIGINT AS n2dot
+               FROM t23 GROUP BY 1, 2),
+      cont3 AS (SELECT lang, w3, count(*)::BIGINT AS n_dot3
+                FROM t23 GROUP BY 1, 2),
+      tot AS (SELECT lang, count(*)::BIGINT AS ntot FROM t23 GROUP BY 1),
+      lp AS (
+        SELECT lang, w1, w2, w3,
+          round(ln(
+            greatest(c123::DOUBLE - $KnDiscount::DOUBLE, 0.0::DOUBLE)
+              / c12::DOUBLE
+            + ($KnDiscount::DOUBLE * n12::DOUBLE) / c12::DOUBLE
+              * (greatest(n_dot23::DOUBLE - $KnDiscount::DOUBLE,
+                    0.0::DOUBLE) / nmid2::DOUBLE
+                 + ($KnDiscount::DOUBLE * n2dot::DOUBLE) / nmid2::DOUBLE
+                   * (n_dot3::DOUBLE / ntot::DOUBLE))
+          ) * 1000000.0)::BIGINT AS lp6
+        FROM t3 JOIN ctx12 USING (lang, w1, w2)
+          JOIN t23 USING (lang, w2, w3)
+          JOIN ctx2 USING (lang, w2)
+          JOIN cont3 USING (lang, w3)
+          JOIN tot USING (lang)),
+      s AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n_trigrams,
+          sum(cnt * lp6)::BIGINT AS s6
+        FROM tg JOIN lp USING (lang, w1, w2, w3) GROUP BY 1)
+      SELECT doc_id, n_trigrams,
+        round(-(s6::DOUBLE) / 1000000.0 / n_trigrams, 6) + 0.0 AS xent
       FROM s ORDER BY doc_id""",
 
     // Replay of TextAnalysis.dupSpans: distinct hashed word 8-grams per

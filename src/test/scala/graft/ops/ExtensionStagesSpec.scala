@@ -2132,4 +2132,98 @@ class ExtensionStagesSpec extends SparkSpec {
         .collect().map(_.toString).toSet)
     graft.util.Caches.unpersistAll()
   }
+
+  test("round-18 graph methods as config stages: scc, topo_layers, walks, " +
+      "clustering, reciprocity, degree_alpha match the library") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "SqlTransform", "name": "edges",
+       "sql": "SELECT * FROM VALUES (1,2),(2,3),(3,1),(3,4),(4,5),(5,4),(2,1) AS t(src,dst)",
+       "outputView": "r18_edges"},
+      {"type": "GraphTransform", "name": "s", "method": "scc",
+       "inputView": "r18_edges", "outputView": "r18_scc"},
+      {"type": "GraphTransform", "name": "t", "method": "topo_layers",
+       "inputView": "r18_edges", "outputView": "r18_topo"},
+      {"type": "GraphTransform", "name": "w", "method": "walks",
+       "inputView": "r18_edges", "outputView": "r18_walks",
+       "iters": 3, "salt": "r18"},
+      {"type": "GraphTransform", "name": "c", "method": "clustering",
+       "inputView": "r18_edges", "outputView": "r18_clust"},
+      {"type": "GraphTransform", "name": "r", "method": "reciprocity",
+       "inputView": "r18_edges", "outputView": "r18_recip"},
+      {"type": "GraphTransform", "name": "d", "method": "degree_alpha",
+       "inputView": "r18_edges", "outputView": "r18_alpha", "dMin": 1}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val e = spark.table("r18_edges")
+    val und = e.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .where($"a" < $"b").distinct()
+    def same(view: String, want: org.apache.spark.sql.DataFrame): Unit =
+      assert(spark.table(view).collect().map(_.toString).toSet ==
+        want.collect().map(_.toString).toSet, view)
+    same("r18_scc", Graph.scc(e))
+    same("r18_topo", Graph.topoLayers(e))
+    same("r18_walks", Graph.deterministicWalks(und, length = 3, salt = "r18"))
+    same("r18_clust", Graph.clusteringCoefficients(und))
+    same("r18_recip", Graph.reciprocity(e))
+    same("r18_alpha", Graph.degreePowerLaw(und, dMin = 1))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("round-18 text + dedup methods as config stages: script_mix, " +
+      "distinct_n, vectorize, keep_best, cluster_stats match the library") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "r18_docs"},
+      {"type": "TextAnalysisTransform", "name": "sm", "analysis": "script_mix",
+       "inputView": "r18_docs", "outputView": "r18_script"},
+      {"type": "TextAnalysisTransform", "name": "dn", "analysis": "distinct_n",
+       "inputView": "r18_docs", "outputView": "r18_distinct"},
+      {"type": "TextAnalysisTransform", "name": "vz", "analysis": "vectorize",
+       "inputView": "r18_docs", "outputView": "r18_vec", "dim": 8},
+      {"type": "SqlTransform", "name": "comps",
+       "sql": "SELECT * FROM VALUES (1,1),(2,1),(3,3),(4,3),(5,3) AS t(doc_id, component)",
+       "outputView": "r18_comps"},
+      {"type": "SqlTransform", "name": "scored",
+       "sql": "SELECT doc_id, text, CAST(doc_id % 3 AS DOUBLE) AS score FROM r18_docs",
+       "outputView": "r18_scored"},
+      {"type": "DedupTransform", "name": "kb", "method": "keep_best",
+       "inputView": "r18_scored", "outputView": "r18_best",
+       "componentsView": "r18_comps", "scoreCol": "score"},
+      {"type": "DedupTransform", "name": "cs", "method": "cluster_stats",
+       "inputView": "r18_docs", "outputView": "r18_cstats",
+       "componentsView": "r18_comps"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val docs = spark.table("r18_docs")
+    def same(view: String, want: org.apache.spark.sql.DataFrame): Unit =
+      assert(spark.table(view).collect().map(_.toString).toSet ==
+        want.collect().map(_.toString).toSet, view)
+    same("r18_script", TextAnalysis.scriptMix(docs, "doc_id", "text"))
+    same("r18_distinct", TextAnalysis.distinctN(docs, "text", "lang"))
+    same("r18_vec",
+      TextAnalysis.hashingVectorize(docs, "doc_id", "text", dim = 8))
+    same("r18_best", Dedup.keepBest(spark.table("r18_scored"),
+      spark.table("r18_comps"), "doc_id", "score"))
+    same("r18_cstats",
+      Dedup.clusterStats(docs, spark.table("r18_comps")))
+    // missing componentsView is loud
+    val bad = """{"stages": [
+      {"type": "Extract", "name": "docs", "table": "documents",
+       "outputView": "r18b_docs"},
+      {"type": "DedupTransform", "name": "cs", "method": "cluster_stats",
+       "inputView": "r18b_docs", "outputView": "r18b_x"}
+    ]}"""
+    val Right(pb) = Parser.parse(bad,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    val err = intercept[Exception](Runner.run(pb))
+    assert(err.getMessage.contains("componentsView"))
+    graft.util.Caches.unpersistAll()
+  }
 }
