@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -616,5 +618,60 @@ object ExprKernels {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  /** Viterbi unigram-LM segmentation of one word (Kudo 2018's apply
+    * step, hard-EM E-step in [[graft.ops.Unigram]]): DP over character
+    * positions with state = pathCost6 * 1024 + nTokens (cost dominates,
+    * then fewer tokens), candidate pieces up to `maxPieceLen` chars
+    * looked up in `costs` (piece -> cost6 = round(-ln p * 1e6) >= 0);
+    * an unknown SINGLE character costs the pinned `unkCost6`. TIE RULE
+    * (the oracle replays it): among equal states the SMALLEST previous
+    * position wins — i.e. the longest final piece.
+    *
+    * Returns (nTokens: Long, cost6: Long, pieces: array<string>); the
+    * empty word segments to (0, 0, []).
+    */
+  def unigramSegment(w: UTF8String,
+      costs: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int, unkCost6: Long): InternalRow = {
+    val s = w.toString
+    val L = s.length
+    if (L == 0)
+      return new GenericInternalRow(Array[Any](0L, 0L,
+        new GenericArrayData(Array.empty[Any])))
+    val state = Array.fill(L + 1)(Long.MaxValue)
+    val back = Array.fill(L + 1)(-1)
+    state(0) = 0L
+    var i = 1
+    while (i <= L) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (state(j) != Long.MaxValue) {
+          val c = costs.get(s.substring(j, i))
+          val pc: Long =
+            if (c != null) c.longValue
+            else if (i - j == 1) unkCost6
+            else -1L
+          if (pc >= 0L) {
+            val cand = state(j) + pc * 1024L + 1L
+            // strict <: the first (smallest) j achieving the min wins
+            if (cand < state(i)) { state(i) = cand; back(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var p = L
+    while (p > 0) {
+      val j = back(p)
+      pieces += UTF8String.fromString(s.substring(j, p))
+      p = j
+    }
+    val arr = pieces.reverse.toArray
+    new GenericInternalRow(Array[Any](state(L) % 1024L, state(L) / 1024L,
+      new GenericArrayData(arr)))
   }
 }

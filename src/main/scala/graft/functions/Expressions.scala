@@ -511,4 +511,39 @@ object Expressions {
         s: Expression, t: Expression): IbetaReg = copy(x = f, a = s, b = t)
     override def prettyName: String = "ibeta_reg"
   }
+
+  /** Viterbi unigram-LM word segmentation under a FIXED piece-cost
+    * table (Kudo 2018's apply step): string ->
+    * struct(n_tokens long, cost6 long, pieces array<string>).
+    * The vocab rides as a codegen reference object (it is model state,
+    * not row data — a join would shuffle the corpus for a lookup table
+    * that is vocab-bounded by construction), so the expression stays
+    * inside WholeStageCodegen; eval and codegen delegate to the same
+    * [[ExprKernels.unigramSegment]] kernel.
+    */
+  case class UnigramSegment(child: Expression,
+      costs: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int, unkCost6: Long) extends UnaryExpression {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("cost6", LongType, nullable = false),
+      StructField("pieces", ArrayType(StringType, containsNull = false),
+        nullable = false)))
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.unigramSegment(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        costs, maxPieceLen, unkCost6)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramCosts", costs,
+        "java.util.HashMap<String, Long>")
+      defineCodeGen(ctx, ev,
+        c => s"$Kernels.unigramSegment($c, $ref, $maxPieceLen, ${unkCost6}L)")
+    }
+    override protected def withNewChildInternal(nc: Expression): UnigramSegment =
+      copy(child = nc)
+    override def prettyName: String = "unigram_segment"
+  }
 }

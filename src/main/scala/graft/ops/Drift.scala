@@ -184,7 +184,7 @@ object Drift {
     * strata (each costs one broadcast row per partition; more than that
     * means the grouping column is not a stratification — loud).
     */
-  private def cumulativeByGroup(merged0: DataFrame, withNext: Boolean,
+  private[ops] def cumulativeByGroup(merged0: DataFrame, withNext: Boolean,
       maxGroupDistinct: Long): DataFrame = {
     val spark = merged0.sparkSession
     val merged = graft.util.Caches.persist(merged0)

@@ -628,6 +628,13 @@ final case class TextAnalysisTransformStage(
     rounds: Int = 4,
     // kn_score: the fixed Kneser-Ney discount D
     discount: Double = 0.75,
+    // unigram family: piece length cap, learn knobs, apply vocab
+    // (piece -> logp; a set, so the config map's lack of order is fine)
+    maxPieceLen: Int = 4,
+    vocabSize: Int = 64,
+    seedSize: Int = 2048,
+    iters: Int = 2,
+    vocab: Seq[(String, Double)] = Nil,
     // ngram_counts: corpus count floor
     minCount: Long = 1L)
     extends Stage {
@@ -730,6 +737,13 @@ final case class TextAnalysisTransformStage(
       // corpus n-gram count table above a floor
       case "ngram_counts" =>
         TextAnalysis.ngramCounts(in, textCol, ngramN, minCount)
+      // unigram-LM tokenizer: Viterbi-EM learn, fixed-vocab apply
+      case "unigram_learn" =>
+        Unigram.learn(in, textCol, vocabSize, maxPieceLen, iters, seedSize)
+      case "unigram_encode" =>
+        Unigram.encode(in, idCol, textCol, vocab, maxPieceLen)
+      case "unigram_fertility" =>
+        Unigram.fertility(in, textCol, langCol, vocab, maxPieceLen)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }
@@ -831,7 +845,7 @@ final case class PiiTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // stats | scrub | kanon | suppress | noisy_counts | ldiversity | pseudonymize | pseudonym_audit
+    method: String, // stats | scrub | kanon | suppress | noisy_counts | ldiversity | tcloseness | pseudonymize | pseudonym_audit
     idCol: String = "doc_id",
     textCol: String = "text",
     // kanon / suppress / ldiversity: the quasi-identifier columns;
@@ -840,8 +854,11 @@ final case class PiiTransformStage(
     k: Long = 8L,
     scale: Double = 1.0,
     salt: String = "",
-    // ldiversity: the sensitive column (textCol would mislead here)
-    sensitiveCol: String = "")
+    // ldiversity / tcloseness: the sensitive column (textCol would
+    // mislead here)
+    sensitiveCol: String = "",
+    // tcloseness: the paper's distribution-distance threshold
+    t: Double = 0.2)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -859,6 +876,12 @@ final case class PiiTransformStage(
         require(sensitiveCol.nonEmpty,
           "pii method 'ldiversity' requires 'sensitiveCol'")
         Pii.lDiversityProfile(in, cols, sensitiveCol, k)
+      // distribution distance of each combo's sensitive attribute from
+      // the corpus (ordered EMD, the Li-Li-Venkatasubramanian audit)
+      case "tcloseness" =>
+        require(sensitiveCol.nonEmpty,
+          "pii method 'tcloseness' requires 'sensitiveCol'")
+        Pii.tClosenessProfile(in, cols, sensitiveCol, t)
       // salted-hash surrogate keys over the `cols` identifier columns
       case "pseudonymize" => Pii.pseudonymize(in, cols, salt)
       // release audit: surrogates mapping >1 distinct original value

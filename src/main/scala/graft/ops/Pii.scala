@@ -196,4 +196,102 @@ object Pii {
       .agg(count(lit(1)).as("n_values"))
       .where(col("n_values") > 1L)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third axis of the release-audit family: [[kAnonymityProfile]]
+    * flags SMALL groups, [[lDiversityProfile]] flags UNIFORM groups,
+    * and this flags groups whose sensitive-attribute DISTRIBUTION sits
+    * far from the corpus's — an attacker who knows the quasi-id combo
+    * learns the group's skew even when the group is large and diverse.
+    *
+    * Distance = the paper's ordered-distance Earth Mover's Distance
+    * over the corpus's sorted distinct sensitive values v_1..v_m with
+    * adjacent-step cost 1/(m−1):
+    *   EMD(P_g, P) = (1/(m−1)) · Σ_{i=1}^{m−1} |F_g(v_i) − F(v_i)|
+    * — normalized to [0, 1], so `t` carries the paper's threshold
+    * semantics. `at_risk` flags EMD > t.
+    *
+    * Determinism: exact long counts; the per-step numerator
+    * |cum_g·n − cum·n_g| in DECIMAL(38,0); per-step contribution
+    * snapped to ×2^20 fixed-point longs and summed (the
+    * [[graft.ops.Drift.wassersteinByGroup]] conventions); final
+    * emd = round(sum / 2^20 / (m−1), 6). A single-valued corpus
+    * (m = 1) has zero distance everywhere by convention.
+    *
+    * Shape at scale: per-(combo, value) counts map-side combine the
+    * corpus once; the audit grid is |combos| × m rows (both
+    * quasi-identifier-bounded, never corpus-sized); the per-group
+    * cumulative runs through [[Drift.cumulativeByGroup]], so a
+    * pathologically wide sensitive domain routes through the
+    * distributed range-partitioned form instead of one window
+    * partition. Output per combo:
+    * (quasiCols..., group_n, n_values, emd, at_risk).
+    */
+  def tClosenessProfile(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double,
+      maxGroupDistinct: Long = 4000000L): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0, 1), got $t")
+    val qs = quasiCols.map(col)
+    val dec = "decimal(38,0)"
+    val scale = (1L << 20).toDouble
+    // U+001F (unit separator) keys the combo through the shared
+    // cumulative machinery; quasi columns join back at the end
+    val sep = "\u001f"
+    val slim = graft.util.Caches.persist(
+      df.where(quasiCols.map(col(_).isNotNull).reduce(_ && _)
+          && col(sensitiveCol).isNotNull)
+        .select(concat_ws(sep, qs.map(_.cast("string")): _*).as("grp"),
+          col(sensitiveCol).cast("double").as("v"))
+        .groupBy("grp", "v").agg(count(lit(1)).as("__cgv")))
+    // corpus marginals: per-value counts + the global cumulative (one
+    // value-cardinality window)
+    val corpus = graft.util.Caches.persist(
+      slim.groupBy("v").agg(sum("__cgv").as("__cv"))
+        .select(col("v"), col("__cv"),
+          sum("__cv").over(org.apache.spark.sql.expressions.Window
+            .orderBy("v")).as("__cum"),
+          count(lit(1)).over().as("__m"),
+          sum("__cv").over().as("__n")))
+    val groups = slim.groupBy("grp").agg(sum("__cgv").as("__ng"))
+    // audit grid: every combo x every corpus value (cum_g is defined at
+    // values the group lacks), cumulated per group with the skew guard
+    val grid = groups.select("grp")
+      .crossJoin(corpus.select("v"))
+      .join(slim, Seq("grp", "v"), "left")
+      .select(col("grp"), col("v"),
+        coalesce(col("__cgv"), lit(0L)).as("__na"), lit(0L).as("__nb"))
+    val cum = Drift.cumulativeByGroup(grid, withNext = false,
+      maxGroupDistinct)
+    val raw = col("__ca").cast(dec) * col("__n").cast(dec) -
+      col("__cum").cast(dec) * col("__ng").cast(dec)
+    val contrib = when(raw < 0, -raw).otherwise(raw).cast("double") /
+      (col("__ng").cast("double") * col("__n").cast("double"))
+    val perGroup = cum
+      .join(corpus.select("v", "__cum", "__m", "__n"), "v")
+      .join(groups, "grp")
+      // the last value's cumulative difference is identically 0; the
+      // paper's sum runs i = 1..m-1
+      .select(col("grp"), col("__ng"), col("__m"),
+        when(col("__cum") < col("__n"),
+          round(contrib * scale).cast("long")).as("__t"))
+      .groupBy("grp")
+      .agg(max("__ng").as("group_n"), max("__m").as("n_values"),
+        sum("__t").as("__fp"))
+      .select(col("grp"), col("group_n"), col("n_values"),
+        (round(when(col("n_values") > 1,
+            col("__fp").cast("double") / scale /
+              (col("n_values") - 1).cast("double"))
+          .otherwise(0d), 6) + lit(0d)).as("emd"))
+    // map the combo key back to the original quasi columns
+    val combos = df
+      .where(quasiCols.map(col(_).isNotNull).reduce(_ && _)
+        && col(sensitiveCol).isNotNull)
+      .select(qs :+
+        concat_ws(sep, qs.map(_.cast("string")): _*).as("grp"): _*)
+      .distinct()
+    perGroup.join(combos, "grp")
+      .select(qs ++ Seq(col("group_n"), col("n_values"), col("emd"),
+        (col("emd") > t).as("at_risk")): _*)
+  }
 }

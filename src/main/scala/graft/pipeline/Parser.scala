@@ -63,7 +63,7 @@ object Parser {
       "index", "bm25", "rrf", "rank_eval", "qld"),
     "PiiTransform" -> Seq(
       "stats", "scrub", "kanon", "suppress", "noisy_counts", "ldiversity",
-      "pseudonymize", "pseudonym_audit"),
+      "tcloseness", "pseudonymize", "pseudonym_audit"),
     "ClassifyTransform" -> Seq(
       "train_score", "auc", "confusion", "calibration", "agreement"),
     "GraphTransform" -> Seq(
@@ -105,7 +105,8 @@ object Parser {
       "readability", "zipf", "charclass", "dup_substring",
       "dup_substring_apply", "self_repetition_apply", "script_mix",
       "distinct_n", "vectorize", "bpe_learn", "heavy_hitters",
-      "heavy_hitters_grouped", "lang_purity", "ngram_counts", "kn_score"),
+      "heavy_hitters_grouped", "lang_purity", "ngram_counts", "kn_score",
+      "unigram_learn", "unigram_encode", "unigram_fertility"),
     "SketchTransform" -> Seq(
       "hll", "kmv", "cms", "hll_intersect", "hll_rolling", "kmv_jaccard",
       "kmv_diff", "join_size"),
@@ -386,7 +387,8 @@ object Parser {
         k = r.long("k").getOrElse(8L),
         scale = r.double("scale").getOrElse(1.0),
         salt = r.string("salt").getOrElse(""),
-        sensitiveCol = r.string("sensitiveCol").getOrElse(""))
+        sensitiveCol = r.string("sensitiveCol").getOrElse(""),
+        t = r.double("t").getOrElse(0.2))
     },
     "ClassifyTransform" -> { (r, _) =>
       ClassifyTransformStage(
@@ -679,7 +681,17 @@ object Parser {
         dim = r.int("dim").getOrElse(64),
         rounds = r.int("rounds").getOrElse(4),
         discount = r.double("discount").getOrElse(0.75),
-        minCount = r.long("minCount").getOrElse(1L))
+        minCount = r.long("minCount").getOrElse(1L),
+        maxPieceLen = r.int("maxPieceLen").getOrElse(4),
+        vocabSize = r.int("vocabSize").getOrElse(64),
+        seedSize = r.int("seedSize").getOrElse(2048),
+        iters = r.int("iters").getOrElse(2),
+        vocab = r.stringMap("vocab").toSeq.sortBy(_._1).map { case (k, v) =>
+          k -> (try v.toDouble catch {
+            case _: NumberFormatException =>
+              r.error("vocab", s"logp for '$k' is not a number: '$v'"); 0.0
+          })
+        })
     },
     "AssembleTransform" -> { (r, _) =>
       // ordering is the stage's determinism contract: an empty list would
@@ -951,7 +963,8 @@ object Parser {
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
       "rankViews", "rrfK", "qrelsView", "mu")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
-      "idCol", "textCol", "cols", "k", "scale", "salt", "sensitiveCol")),
+      "idCol", "textCol", "cols", "k", "scale", "salt", "sensitiveCol",
+      "t")),
     "ClassifyTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "idCol", "textCol", "positiveExpr", "buckets", "labelCol",
       "scoreCol", "predCol", "binWidth", "aCol", "bCol")),
@@ -992,7 +1005,8 @@ object Parser {
       "minTtr", "minStopwordRatio", "maxPunctRatio", "chunkSize", "overlap",
       "ngramN", "topK", "zipfTopN", "scoreWeights", "bias", "scoreThreshold",
       "groupCols", "alpha", "alpha0", "terms", "merges", "window",
-      "minDocs", "dim", "rounds", "discount", "minCount")),
+      "minDocs", "dim", "rounds", "discount", "minCount", "maxPieceLen",
+      "vocabSize", "seedSize", "iters", "vocab")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -284,11 +284,124 @@ object ExtensionQueries {
   private val HllM = 512
   private val KanonK = 8L
   private val LdivL = 3L
+  private val TclosT = 0.2
   private val DpScale = 4.0
   private val DpSalt = "dp9"
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+  // unigram-LM tokenizer trio (round 18): learn knobs + the fixed
+  // apply-time vocab (the BpeMerges trained-once precedent)
+  private val UniMaxPiece = 4
+  private val UniSeed = 48
+  private val UniIters = 2
+  private val UniVocab = 24
+  /** Oracle DP horizon (chained CTEs); corpus max word length is 8. */
+  private val UniMaxWord = 12
+  private val UniEncVocab: Seq[(String, Double)] =
+    ('a' to 'z').map(c => c.toString -> -4.5) ++ Seq(
+      "th" -> -2.1, "jo" -> -2.2, "in" -> -2.0, "ta" -> -2.3,
+      "ble" -> -2.6, "row" -> -1.9, "scan" -> -2.0, "sh" -> -2.2,
+      "ha" -> -2.3, "er" -> -2.1, "or" -> -2.4, "der" -> -2.5,
+      "que" -> -2.8, "ry" -> -2.4, "val" -> -2.7, "ue" -> -2.6,
+      "st" -> -2.2, "re" -> -2.3, "am" -> -2.5, "gg" -> -2.9,
+      "lu" -> -2.8, "mn" -> -2.9, "wi" -> -2.7, "nd" -> -2.4,
+      "ow" -> -2.3)
+
+  /** SQL VALUES body for a (piece, cost6) vocab table — cost6 via the
+    * SAME [[graft.ops.Unigram.pinnedCosts]] round the Spark side uses.
+    */
+  private def uniVocabValues(vocab: Seq[(String, Double)]): String =
+    graft.ops.Unigram.pinnedCosts(vocab).toSeq.sortBy(_._1)
+      .map { case (p, c6) => s"('$p', ${c6}::BIGINT)" }.mkString(", ")
+
+  /** Forward Viterbi DP as chained CTEs: states s{tag}1..s{tag}N over a
+    * distinct-word CTE `dw(w)` and a vocab CTE `vocab(p, c6)`; emits a
+    * final CTE `fin{tag}(w, st)` with each word's end-state
+    * (st = cost6·1024 + n_tokens, the kernel's encoding; min state =
+    * min cost then fewest tokens — [[graft.functions.ExprKernels
+    * .unigramSegment]]'s tie rule).
+    */
+  private def uniDpSql(tag: String, dwCte: String, vocabCte: String): String = {
+    val unk = graft.ops.Unigram.UnkCost6
+    val steps = (1 to UniMaxWord).map { i =>
+      val cands = (1 to math.min(UniMaxPiece, i)).map { k =>
+        val prev = if (i - k == 0) s"(SELECT w, 0::BIGINT AS st FROM $dwCte)"
+          else s"s$tag${i - k}"
+        val cost =
+          if (k == 1)
+            s"coalesce(v.c6 * 1024 + 1, ${unk}::BIGINT * 1024 + 1)"
+          else "v.c6 * 1024 + 1"
+        val extra = if (k == 1) "" else " AND v.p IS NOT NULL"
+        s"""SELECT s.w, s.st + $cost AS cand
+          FROM $prev s LEFT JOIN $vocabCte v
+            ON v.p = substr(s.w, ${i - k + 1}, $k)
+          WHERE length(s.w) >= $i$extra"""
+      }.mkString("\n          UNION ALL ")
+      s"""s$tag$i AS MATERIALIZED (
+        SELECT w, min(cand)::BIGINT AS st FROM (
+          $cands) GROUP BY w)"""
+    }.mkString(",\n      ")
+    val fin = (1 to UniMaxWord).map(i =>
+      s"SELECT w, st FROM s$tag$i WHERE length(w) = $i")
+      .mkString("\n        UNION ALL ")
+    s"""$steps,
+      fin$tag AS MATERIALIZED (
+        $fin)"""
+  }
+
+  /** [[uniDpSql]] plus an all-positions state table `all{tag}(w, pos,
+    * st)` (position 0 = state 0) — what the learn oracle's backtrack
+    * walks.
+    */
+  private def uniDpAllSql(tag: String, dwCte: String,
+      vocabCte: String): String = {
+    val allRows = (1 to UniMaxWord).map(i =>
+      s"SELECT w, ${i}::BIGINT AS pos, st FROM s$tag$i WHERE length(w) >= $i")
+      .mkString("\n        UNION ALL ")
+    s"""${uniDpSql(tag, dwCte, vocabCte)},
+      all$tag AS MATERIALIZED (
+        SELECT w, 0::BIGINT AS pos, 0::BIGINT AS st FROM $dwCte
+        UNION ALL $allRows)"""
+  }
+
+  /** Viterbi backtrack as chained CTEs over `all{tag}`: b{tag}0 starts
+    * at each word's end position; step r picks THE chosen edge at the
+    * current position — the smallest previous position whose state plus
+    * the edge cost equals the current state (the kernel's first-
+    * smallest-j tie rule) — and emits its piece. `used{tag}(w, piece)`
+    * collects every emitted piece WITH multiplicity.
+    */
+  private def uniBacktrackSql(tag: String, vocabCte: String): String = {
+    val unk = graft.ops.Unigram.UnkCost6
+    val steps = (1 to UniMaxWord).map { r =>
+      s"""b$tag$r AS MATERIALIZED (
+        SELECT w, pos, piece FROM (
+          SELECT b.w, f2.pos AS pos,
+            substr(b.w, (f2.pos + 1)::INT, (b.pos - f2.pos)::INT) AS piece,
+            row_number() OVER (PARTITION BY b.w ORDER BY f2.pos) AS rn
+          FROM b$tag${r - 1} b
+          JOIN all$tag fp ON fp.w = b.w AND fp.pos = b.pos
+          JOIN all$tag f2 ON f2.w = b.w
+            AND f2.pos >= b.pos - $UniMaxPiece AND f2.pos < b.pos
+          LEFT JOIN $vocabCte v
+            ON v.p = substr(b.w, (f2.pos + 1)::INT, (b.pos - f2.pos)::INT)
+          WHERE b.pos > 0
+            AND f2.st + (CASE WHEN v.p IS NOT NULL THEN v.c6 * 1024 + 1
+              WHEN b.pos - f2.pos = 1 THEN ${unk}::BIGINT * 1024 + 1
+              END) = fp.st)
+        WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    val used = (1 to UniMaxWord).map(r =>
+      s"SELECT w, piece FROM b$tag$r").mkString("\n        UNION ALL ")
+    s"""b${tag}0 AS MATERIALIZED (
+        SELECT w, length(w)::BIGINT AS pos, NULL::VARCHAR AS piece
+        FROM (SELECT DISTINCT w FROM all$tag)),
+      $steps,
+      used$tag AS MATERIALIZED (
+        SELECT w, piece FROM (
+        $used) WHERE piece IS NOT NULL)"""
+  }
   /** chr(31)-framed symbol literal for the BPE-apply oracle. */
   private def bpeFrame(s: String): String = s"chr(31)||'$s'||chr(31)"
 
@@ -2361,6 +2474,16 @@ object ExtensionQueries {
         .orderBy("c_mktsegment", "c_nationkey")
     },
 
+    // t-closeness (round 18): the third release-audit axis — how far
+    // each quasi-id combo's sensitive DISTRIBUTION (account balance)
+    // sits from the corpus's, as the paper's normalized ordered EMD.
+    "pii_tcloseness" -> { (spark, dir) =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      Pii.tClosenessProfile(cust, Seq("c_mktsegment", "c_nationkey"),
+          "c_acctbal", TclosT)
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
     // Full-cell suppression of under-k quasi-id combos.
     "pii_suppress" -> { (spark, dir) =>
       val cust = spark.read.parquet(s"$dir/customer.parquet")
@@ -2396,6 +2519,31 @@ object ExtensionQueries {
     // Tokenizer fertility by language under the same merge table.
     "bpe_fertility" -> { (spark, dir) =>
       TextAnalysis.bpeFertility(docs(spark, dir), "text", "lang", BpeMerges)
+        .orderBy("group")
+    },
+
+    // Unigram-LM tokenizer learning (Kudo 2018, Viterbi hard-EM over
+    // the distinct-word table): substring seed -> 2 EM rounds -> the
+    // top-24 piece vocabulary.
+    "unigram_merges" -> { (spark, dir) =>
+      Unigram.learn(docs(spark, dir), "text", UniVocab, UniMaxPiece,
+          UniIters, UniSeed)
+        .orderBy("rank")
+    },
+
+    // Viterbi encoding under the FIXED literal unigram vocab (the
+    // bpe_encode trained-once precedent): per-doc token count and
+    // negative log-likelihood.
+    "unigram_encode" -> { (spark, dir) =>
+      Unigram.encode(docs(spark, dir), "doc_id", "text", UniEncVocab,
+          UniMaxPiece)
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer fertility by language under the same unigram vocab.
+    "unigram_fertility" -> { (spark, dir) =>
+      Unigram.fertility(docs(spark, dir), "text", "lang", UniEncVocab,
+          UniMaxPiece)
         .orderBy("group")
     },
 
@@ -7261,6 +7409,94 @@ object ExtensionQueries {
         round(-(s6::DOUBLE) / 1000000.0 / n_trigrams, 6) + 0.0 AS xent
       FROM s ORDER BY doc_id""",
 
+
+    // Replay of Unigram.encode: the literal vocab VALUES table, the
+    // chained forward-DP CTEs (state = cost6*1024 + tokens), per-doc
+    // multiplicity join-back.
+    "unigram_encode" -> s"""
+      WITH vocab(p, c6) AS (VALUES ${uniVocabValues(UniEncVocab)}),
+      dwm AS (
+        SELECT doc_id, w, count(*)::BIGINT AS m FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1, 2),
+      dwu AS MATERIALIZED (SELECT DISTINCT w FROM dwm),
+      ${uniDpSql("e", "dwu", "vocab")}
+      SELECT doc_id, sum(m)::BIGINT AS n_words,
+        sum(m * (st % 1024))::BIGINT AS n_tokens,
+        round(sum(m * (st // 1024))::DOUBLE / 1000000.0, 6) + 0.0 AS nll
+      FROM dwm JOIN fine USING (w) GROUP BY 1 ORDER BY doc_id""",
+
+    // Replay of Unigram.fertility: same DP, grouped by language.
+    "unigram_fertility" -> s"""
+      WITH vocab(p, c6) AS (VALUES ${uniVocabValues(UniEncVocab)}),
+      gwm AS (
+        SELECT lang AS "group", w, count(*)::BIGINT AS m FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1, 2),
+      nd AS (SELECT lang AS "group", count(*)::BIGINT AS n_docs
+             FROM documents GROUP BY 1),
+      dwu AS MATERIALIZED (SELECT DISTINCT w FROM gwm),
+      ${uniDpSql("f", "dwu", "vocab")},
+      agg AS (
+        SELECT "group", sum(m)::BIGINT AS n_words,
+          sum(m * (st % 1024))::BIGINT AS n_tokens
+        FROM gwm JOIN finf USING (w) GROUP BY 1)
+      SELECT a."group", nd.n_docs, a.n_words, a.n_tokens,
+        round(a.n_tokens::DOUBLE / a.n_words::DOUBLE, 6) AS fertility
+      FROM agg a JOIN nd USING ("group") ORDER BY a."group"""",
+
+    // Replay of Unigram.learn: substring seed (top-K plus all single
+    // chars), then per EM round the forward DP + backtrack CTE chains
+    // (the bpe_merges unrolling precedent), hard counts, re-costed
+    // vocab; final top-24 ranking.
+    "unigram_merges" -> {
+      val emRounds = (1 to UniIters).map { t =>
+        val vprev = s"v${t - 1}"
+        s"""${uniDpAllSql(s"m$t", "dwu", vprev)},
+      ${uniBacktrackSql(s"m$t", vprev)},
+      c$t AS MATERIALIZED (
+        SELECT piece AS p, sum(wn)::BIGINT AS cnt
+        FROM usedm$t u JOIN wc USING (w)
+        JOIN $vprev vv ON vv.p = u.piece GROUP BY 1),
+      v$t AS MATERIALIZED (
+        SELECT p, CAST(round(-ln(cnt::DOUBLE /
+          (SELECT sum(cnt)::DOUBLE FROM c$t)) * 1000000.0) AS BIGINT)
+          AS c6
+        FROM c$t)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH wc AS (
+        SELECT w, count(*)::BIGINT AS wn FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1),
+      dwu AS (SELECT w FROM wc),
+      subs AS (
+        SELECT substr(w, i::INT, l::INT) AS p, sum(wn)::BIGINT AS cnt
+        FROM wc,
+          unnest(generate_series(1, length(w))) AS t(i),
+          unnest(generate_series(1,
+            least($UniMaxPiece, length(w) - i + 1))) AS u(l)
+        GROUP BY 1),
+      topseed AS (SELECT p, cnt FROM subs ORDER BY cnt DESC, p
+                  LIMIT $UniSeed),
+      seed AS (SELECT DISTINCT p, cnt FROM (
+        SELECT * FROM topseed
+        UNION ALL SELECT p, cnt FROM subs WHERE length(p) = 1)),
+      v0 AS MATERIALIZED (
+        SELECT p, CAST(round(-ln(cnt::DOUBLE /
+          (SELECT sum(cnt)::DOUBLE FROM seed)) * 1000000.0) AS BIGINT)
+          AS c6
+        FROM seed),
+      $emRounds
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, p) AS BIGINT)
+          AS rank, p AS piece, cnt,
+        round(ln(cnt::DOUBLE /
+          (SELECT sum(cnt)::DOUBLE FROM c$UniIters)), 6) + 0.0 AS logp
+      FROM c$UniIters QUALIFY rank <= $UniVocab ORDER BY rank"""
+    },
+
     // Replay of TextAnalysis.dupSpans: distinct hashed word 8-grams per
     // doc (whole-text fallback under 8 words), gram -> containing-doc
     // count, per-doc duplicated fraction.
@@ -7907,6 +8143,57 @@ object ExtensionQueries {
       SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_n,
         (count(*) < $KanonK) AS at_risk
       FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+
+    // Replay of Pii.tClosenessProfile: corpus-sorted value grid per
+    // combo, exact HUGEINT cumulative-difference numerators, x2^20
+    // fixed-point term sum, /(m-1) normalization.
+    "pii_tcloseness" -> s"""
+      WITH slim AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+          c_acctbal::DOUBLE AS v, count(*)::BIGINT AS cgv
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+          AND c_acctbal IS NOT NULL
+        GROUP BY 1, 2, 3),
+      corpus AS (SELECT v, sum(cgv)::BIGINT AS cv FROM slim GROUP BY 1),
+      corpcum AS (
+        SELECT v, sum(cv) OVER (ORDER BY v)::BIGINT AS cum,
+          (SELECT count(*) FROM corpus)::BIGINT AS m,
+          (SELECT sum(cv) FROM corpus)::BIGINT AS n
+        FROM corpus),
+      grp AS (SELECT seg, nat, sum(cgv)::BIGINT AS ng
+              FROM slim GROUP BY 1, 2),
+      grid AS (
+        SELECT g.seg, g.nat, c.v, coalesce(s.cgv, 0)::BIGINT AS na
+        FROM grp g CROSS JOIN corpus c
+        LEFT JOIN slim s ON s.seg = g.seg AND s.nat = g.nat AND s.v = c.v),
+      cum AS (
+        SELECT seg, nat, v,
+          sum(na) OVER (PARTITION BY seg, nat ORDER BY v)::BIGINT AS ca
+        FROM grid),
+      terms AS (
+        SELECT c.seg, c.nat, g.ng, cc.m,
+          CASE WHEN cc.cum < cc.n THEN CAST(round(
+            abs(CAST(ca AS HUGEINT) * cc.n - CAST(cc.cum AS HUGEINT) * g.ng)
+              ::DOUBLE
+            / (g.ng::DOUBLE * cc.n::DOUBLE) * 1048576.0) AS BIGINT)
+          END AS t6
+        FROM cum c JOIN corpcum cc USING (v)
+        JOIN grp g ON g.seg = c.seg AND g.nat = c.nat),
+      per AS (
+        SELECT seg, nat, max(ng)::BIGINT AS group_n,
+          max(m)::BIGINT AS n_values, sum(t6)::BIGINT AS fp
+        FROM terms GROUP BY 1, 2),
+      fin AS (
+        SELECT seg AS c_mktsegment, nat AS c_nationkey, group_n, n_values,
+          (round(CASE WHEN n_values > 1
+            THEN fp::DOUBLE / 1048576.0 / (n_values - 1)::DOUBLE
+            ELSE 0.0::DOUBLE END, 6) + 0.0) AS emd
+        FROM per)
+      SELECT c_mktsegment, c_nationkey, group_n, n_values, emd,
+        (emd > $TclosT::DOUBLE) AS at_risk
+      FROM fin ORDER BY c_mktsegment, c_nationkey""",
 
     // Replay of Pii.lDiversityProfile over the same balance-tier
     // sensitive attribute.

@@ -108,6 +108,176 @@ class Round18PropertySpec extends graft.SparkSpec {
     }
   }
 
+  test("tClosenessProfile matches a brute driver EMD on random data, " +
+      "is 0 for a corpus-identical group, and stays in [0, 1]") {
+    val rnd = new Random(1814)
+    (0 until 3).foreach { trial =>
+      val rows = (0 until 300 + rnd.nextInt(200)).map { _ =>
+        (s"q${rnd.nextInt(4)}", rnd.nextInt(15).toDouble)
+      }
+      val df = rows.toDF("q", "s")
+      val got = Pii.tClosenessProfile(df, Seq("q"), "s", t = 0.1)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toMap
+      // brute: sorted corpus values, cumulative shares, x2^20 snap
+      val values = rows.map(_._2).distinct.sorted
+      val n = rows.size.toLong
+      val m = values.size.toLong
+      rows.groupBy(_._1).foreach { case (q, grp) =>
+        val ng = grp.size.toLong
+        var cg = 0L; var c = 0L; var fp = 0L
+        values.dropRight(1).foreach { v =>
+          cg += grp.count(_._2 == v)
+          c += rows.count(_._2 == v)
+          val raw = (BigInt(cg) * n - BigInt(c) * ng).abs
+          fp += math.round(raw.toDouble / (ng.toDouble * n.toDouble)
+            * (1L << 20))
+        }
+        val emd = BigDecimal(fp.toDouble / (1L << 20) / (m - 1).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        val (gn, nv, e, risk) = got(q)
+        assert(gn == ng && nv == m, s"trial $trial group $q counts")
+        assert(e == emd, s"trial $trial group $q emd: $e vs $emd")
+        assert(e >= 0.0 && e <= 1.0, s"trial $trial group $q range")
+        assert(risk == (e > 0.1), s"trial $trial group $q flag")
+      }
+      graft.util.Caches.unpersistAll()
+    }
+    // one group = the corpus: distribution identical, distance exactly 0
+    val one = (0 until 50).map(i => ("only", (i % 7).toDouble))
+      .toDF("q", "s")
+    val r = Pii.tClosenessProfile(one, Seq("q"), "s", t = 0.1).collect()
+    assert(r.length == 1 && r.head.getDouble(3) == 0.0 &&
+      !r.head.getBoolean(4))
+    graft.util.Caches.unpersistAll()
+  }
+
+  /** Brute Viterbi reference mirroring the kernel's documented tie rule
+    * (min cost, then fewest tokens, then smallest previous position).
+    */
+  private def bruteSegment(w: String, costs: Map[String, Long],
+      maxPieceLen: Int, unk: Long): (Long, Long, Seq[String]) = {
+    val L = w.length
+    val state = Array.fill(L + 1)(Long.MaxValue)
+    val back = Array.fill(L + 1)(-1)
+    state(0) = 0L
+    for (i <- 1 to L; j <- math.max(0, i - maxPieceLen) until i
+        if state(j) != Long.MaxValue) {
+      val piece = w.substring(j, i)
+      val pc = costs.get(piece)
+        .orElse(if (i - j == 1) Some(unk) else None)
+      pc.foreach { c =>
+        val cand = state(j) + c * 1024L + 1L
+        if (cand < state(i)) { state(i) = cand; back(i) = j }
+      }
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = L
+    while (p > 0) { pieces += w.substring(back(p), p); p = back(p) }
+    (state(L) % 1024L, state(L) / 1024L, pieces.reverse.toSeq)
+  }
+
+  test("unigram encode matches a brute Viterbi DP on random words and " +
+      "vocabularies; learn's segmentation counts are consistent") {
+    val rnd = new Random(1815)
+    (0 until 3).foreach { trial =>
+      val alphabet = "abcd"
+      def randWord = (0 until 1 + rnd.nextInt(10))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val words = (0 until 40).map(_ => randWord).distinct
+      // random vocab: some multi-char pieces + MOST (not all) singles,
+      // so the UNK fallback path is exercised
+      val vocab: Seq[(String, Double)] =
+        (0 until 10).map(_ => words(rnd.nextInt(words.size))
+            .take(1 + rnd.nextInt(3)))
+          .distinct.map(p => p -> -(1.0 + rnd.nextInt(40) / 10.0)) ++
+        Seq("a" -> -4.0, "b" -> -4.1, "c" -> -4.2) // 'd' is UNK-only
+      val costs = Unigram.pinnedCosts(vocab)
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = Unigram.encode(df, "doc_id", "text", vocab, maxPieceLen = 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val (toks, c6, _) = bruteSegment(w, costs, 4, Unigram.UnkCost6)
+        val nll = BigDecimal(c6.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(got(i.toLong) == ((1L, toks, nll)), s"trial $trial '$w'")
+      }
+      graft.util.Caches.unpersistAll()
+    }
+  }
+
+  test("unigram learn: vocab is seed-derived, counts positive, logp " +
+      "ordered; segmenting the corpus with the learned vocab reproduces " +
+      "the learned counts (the hard-EM fixed-point readout)") {
+    val rnd = new Random(1816)
+    val corpus = (0 until 60).map { _ =>
+      Seq("table", "scan", "join", "row", "batch")
+        .filter(_ => rnd.nextBoolean()) :+ "query"
+    }
+    val df = corpus.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = Unigram.learn(df, "text", vocabSize = 16, maxPieceLen = 4,
+      iters = 2, seedSize = 32).collect()
+    assert(out.nonEmpty && out.length <= 16)
+    // ranks ordered by (cnt desc, piece asc), counts positive
+    val ranked = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ranked.map(_._1).toSeq == (1L to ranked.length).toSeq)
+    assert(ranked.sliding(2).forall {
+      case Array((_, p1, c1), (_, p2, c2)) =>
+        c1 > c2 || (c1 == c2 && p1 < p2)
+      case _ => true
+    })
+    assert(ranked.forall(_._3 > 0))
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("unigram encode/fertility run from parsed config and match the " +
+      "library") {
+    implicit val ctx: graft.pipeline.PipelineContext =
+      graft.pipeline.PipelineContext(spark)
+    Seq((1L, "en", "table scan"), (2L, "en", "batch join join"),
+      (3L, "de", "row row row"))
+      .toDF("doc_id", "lang", "text")
+      .createOrReplaceTempView("r18_uni_docs")
+    val conf = """{"stages": [
+      {"type": "TextAnalysisTransform", "name": "ue",
+       "analysis": "unigram_encode",
+       "inputView": "r18_uni_docs", "outputView": "r18_uni_enc",
+       "vocab": {"ta": "-2.5", "ble": "-2.8", "row": "-2.0",
+         "a": "-4.0", "b": "-4.0", "c": "-4.0", "e": "-4.0", "h": "-4.0",
+         "i": "-4.0", "j": "-4.0", "l": "-4.0", "n": "-4.0", "o": "-4.0",
+         "s": "-4.0", "t": "-4.0", "w": "-4.0"}},
+      {"type": "TextAnalysisTransform", "name": "uf",
+       "analysis": "unigram_fertility",
+       "inputView": "r18_uni_docs", "outputView": "r18_uni_fert",
+       "vocab": {"row": "-2.0", "a": "-4.0"}},
+      {"type": "TextAnalysisTransform", "name": "ul",
+       "analysis": "unigram_learn",
+       "inputView": "r18_uni_docs", "outputView": "r18_uni_learn",
+       "vocabSize": 8, "seedSize": 16, "iters": 1}
+    ]}"""
+    val Right(p) = graft.pipeline.Parser.parse(conf,
+      Map.empty[String, graft.connect.Connector]): @unchecked
+    graft.pipeline.Runner.run(p).get
+    val docs = spark.table("r18_uni_docs")
+    val vocabE: Seq[(String, Double)] = Seq("a", "b", "c", "e", "h", "i",
+      "j", "l", "n", "o", "s", "t", "w").map(_ -> -4.0) ++
+      Seq("ta" -> -2.5, "ble" -> -2.8, "row" -> -2.0)
+    def same(view: String, want: org.apache.spark.sql.DataFrame): Unit =
+      assert(spark.table(view).collect().map(_.toString).toSet ==
+        want.collect().map(_.toString).toSet, view)
+    same("r18_uni_enc", Unigram.encode(docs, "doc_id", "text", vocabE))
+    same("r18_uni_fert", Unigram.fertility(docs, "text", "lang",
+      Seq("row" -> -2.0, "a" -> -4.0)))
+    same("r18_uni_learn", Unigram.learn(docs, "text", vocabSize = 8,
+      iters = 1, seedSize = 16))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("kn_score runs from parsed config and matches the library") {
     implicit val ctx: graft.pipeline.PipelineContext =
       graft.pipeline.PipelineContext(spark)
