@@ -1373,6 +1373,46 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    // TRUE streaming index maintenance, batch-verified (round 18): the
+    // append batch streams in as three micro-batches, each appended
+    // into the persisted IVF cell store under the frozen centroids via
+    // the foreachBatch sink; the served union must replay EXACTLY as
+    // the one-shot batch append (appends are row-wise under fixed
+    // centroids, so the end state is split-invariant) — the oracle is
+    // similarity_ivf_append's verbatim.
+    "streaming_ivf_append" -> { (spark, dir) =>
+      val e = embs(spark, dir)
+      val tmp = scratchDir("graft_sivfappend")
+      rmrf(tmp)
+      val idx = tmp.resolve("idx").toString
+      Similarity.ivfWrite(e, idx, CentroidEvery, KmeansIters,
+        options = Map("confirm.truncate" -> "true"))
+      val in = tmp.resolve("in")
+      e.select((col("vec_id") + AppendOffset).as("vec_id"),
+          col("embedding"))
+        .repartition(3).write.parquet(in.toString)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val q = graft.streaming.StreamingSink.foreachBatchIvfAppend(
+        stream, idx, checkpointDir = s"$tmp/_checkpoint")
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 data micro-batches, saw $batches — the " +
+            "incremental index-maintenance path was not exercised")
+      } finally {
+        q.stop()
+        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      }
+      Similarity.ivfQueryIndex(spark, idx,
+          e.where(col("vec_id") < NQueryVecs), TopK, probes = IvfProbes)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
     // Association mining: support + lift of supplier pairs co-occurring
     // within an order — the frequent-pair stage of Apriori, lift as the
     // symmetric interestingness score.
@@ -4869,7 +4909,10 @@ object ExtensionQueries {
       ("stage_stats_chain" -> staticOracles("ab_segments")) +
       ("stage_url_chain" -> staticOracles("curate_domains")) +
       ("stage_graph_chain" -> staticOracles("graph_scc")) +
-      ("stage_curate_pretrain" -> staticOracles("curate_pretrain"))
+      ("stage_curate_pretrain" -> staticOracles("curate_pretrain")) +
+      // micro-batched appends under frozen centroids end in the same
+      // index state as the one-shot batch append — same oracle
+      ("streaming_ivf_append" -> staticOracles("similarity_ivf_append"))
 
   private lazy val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """

@@ -41,4 +41,27 @@ object StreamingSink {
         connector.write(batch, table, mode, options)
       }
       .start()
+
+  /** Streaming maintenance of a persisted IVF vector index (round 18):
+    * each micro-batch of (vec_id, embedding) rows appends into the
+    * cell-partitioned store under the index's FROZEN centroids
+    * ([[graft.ops.Similarity.ivfAppend]] — assignment only, never a
+    * retrain; centroid refresh is a rebuild by design). End state is
+    * IDENTICAL to one batch append of the same rows regardless of the
+    * micro-batch split — appends are row-wise under fixed centroids —
+    * which is what the streaming_ivf_append gate replays. Exactly-once
+    * comes from the checkpointed offsets: a replayed batch would
+    * double-append, so the checkpoint dir must live with the index.
+    */
+  def foreachBatchIvfAppend(
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.ivfAppend(batch.sparkSession, indexDir, batch)
+      }
+      .start()
 }

@@ -194,6 +194,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch IVF append across micro-batches equals the one-shot " +
+      "batch append (frozen centroids, split-invariant end state)") {
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(1818)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val base = vecs(0 until 60)
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_sivf_a").toString
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_sivf_b").toString
+    val laterDf = vecs(1000 until 1030)
+    // batch path
+    graft.ops.Similarity.ivfWrite(base, tmpA, centroidEvery = 20,
+      options = Map("confirm.truncate" -> "true"))
+    graft.ops.Similarity.ivfAppend(spark, tmpA, laterDf)
+    // streaming path: same rows in 3 micro-batches
+    graft.ops.Similarity.ivfWrite(base, tmpB, centroidEvery = 20,
+      options = Map("confirm.truncate" -> "true"))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSink.foreachBatchIvfAppend(
+      mem.toDF().toDF("vec_id", "embedding"), tmpB,
+      s"$tmpB/../graft_sivf_chk")
+    try {
+      val rows = laterDf.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray))
+      rows.grouped(10).foreach { g =>
+        mem.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = base.where($"vec_id" < 3)
+    def served(dir: String) = graft.ops.Similarity
+      .ivfQueryIndex(spark, dir, queries, k = 4, probes = 2)
+      .collect().map(_.toString).toSet
+    assert(served(tmpA) == served(tmpB))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("stream-static enrichment: a broadcastable dim joins each micro-batch") {
     implicit val sq = spark.sqlContext
     val dim = Seq(("click", 1.0), ("view", 0.1)).toDF("event_type", "weight")
