@@ -604,6 +604,24 @@ object ScaleProbe {
           .select(col("prev").as("src"), col("event_type").as("dst"))
         graft.ops.Graph.reciprocity(edges).count()
       }
+      // round-18 additions: trigram-KN model build+score, ordered-EMD
+      // t-closeness, unigram Viterbi-EM learn and fixed-vocab encode
+      t("kn_score") {
+        graft.ops.LanguageModel.knTrigramCrossEntropy(d, "doc_id", "text",
+          Seq("lang")).count()
+      }
+      t("tcloseness") {
+        graft.ops.Pii.tClosenessProfile(d, Seq("lang", "source"),
+          "n_chars", t = 0.2).count()
+      }
+      t("unigram_learn") {
+        graft.ops.Unigram.learn(d, "text", vocabSize = 24,
+          seedSize = 48).count()
+      }
+      t("unigram_encode") {
+        graft.ops.Unigram.encode(d, "doc_id", "text",
+          ('a' to 'z').map(c => c.toString -> -4.5)).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }
