@@ -492,4 +492,17 @@ object PValues {
   def fSurvival(f: Double, d1: Double, d2: Double): Double =
     if (d1 <= 0.0 || d2 <= 0.0) 1.0
     else ibetaReg(d2 / (d2 + d1 * f), d2 / 2.0, d1 / 2.0)
+
+  /** One-sided UPPER-tail Student-t p: P(T_dof > t). The symmetric
+    * distribution makes both branches one read of the same pinned
+    * [[pStudentT2]] evaluation — t ≥ 0 → half the two-sided p, t < 0 →
+    * its complement at |t| — so an oracle replays each branch from ONE
+    * ibeta CTE chain per statistic. dof ≤ 0 degenerates to 1 (no
+    * evidence), the [[pStudentT2]] convention. The TOST equivalence
+    * test ([[graft.ops.Drift.welchTost]]) is the first consumer.
+    */
+  def pStudentTUpper(t: Double, dof: Double): Double =
+    if (dof <= 0.0) 1.0
+    else if (t >= 0.0) pStudentT2(t, dof) / 2.0
+    else 1.0 - pStudentT2(-t, dof) / 2.0
 }

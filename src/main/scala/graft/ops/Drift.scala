@@ -2514,4 +2514,475 @@ object Drift {
       .select(idCols.map(col) :+ col("p") :+ col("rank")
         :+ (col("rank") <= col("__k")).as("reject"): _*)
   }
+
+  /** One side's exact fixed-point value moments (n, Σx, Σx²) — the
+    * [[welchT]] `mom` shape factored for the round-18 moment family
+    * ([[welchTost]], [[powerMde]]): ONE map-side-combined aggregate,
+    * one row to the driver, sums as ×2^20 DECIMAL(38,0).
+    */
+  private def sideMoments(df: DataFrame,
+      valueCol: String): (Long, Double, Double) = {
+    val fp = 1048576d
+    val r = groupMoments(df.select(lit("x").as("__wg"),
+      col(valueCol)), "__wg", valueCol)
+    require(r.nonEmpty, s"side has no non-null '$valueCol' rows")
+    (r.head.getLong(1), r.head.getDecimal(2).doubleValue() / fp,
+      r.head.getDecimal(3).doubleValue() / fp / fp)
+  }
+
+  private def r6d(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  /** Delta-method z-test for RATIO metrics — the readout [[welchT]]
+    * cannot give: when a metric is a ratio of two per-unit sums
+    * (revenue per session, clicks per view, tokens per document),
+    * R = Σx/Σy = x̄/ȳ and BOTH components are random, so var(R) must
+    * carry the x–y covariance. Classical large-sample delta method
+    * (first-order Taylor of x̄/ȳ; the standard ratio-metric treatment
+    * in online experimentation): per arm,
+    * var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy) / (n·ȳ²) with the SAMPLE
+    * (co)variances of the per-unit pairs. Ignoring the covariance term
+    * (i.e. welchT on per-unit ratios, or treating Σx/Σy as a mean)
+    * mis-sizes the CI whenever numerator and denominator correlate —
+    * which is always, for engagement metrics.
+    *
+    * `df` carries one row per RANDOMIZATION UNIT (user, session) with
+    * the unit's numerator/denominator sums and its arm label in
+    * `groupCol` — the caller aggregates events to units first, because
+    * the unit of analysis must be the unit of randomization (event-level
+    * rows would understate the variance). Rows with a NULL component
+    * drop; each arm needs ≥ 2 units and a nonzero denominator sum.
+    *
+    * Output ONE row: (n_a, n_b, ratio_a, ratio_b, diff, se, z, p_value,
+    * ci_lo, ci_hi) — diff = R_a − R_b, two-sided p = erfc(|z|/√2) via
+    * the pinned kernel, CI at the `ciZ` critical point (default
+    * 1.959964, the [[proportionsZ]] convention).
+    *
+    * Determinism: the six per-arm moments (n, Σx, Σy, Σx², Σy², Σxy)
+    * are exact ×2^20 fixed-point DECIMAL(38,0) sums (products ×2^40 —
+    * order-insensitive under any shuffle); everything after is pinned-
+    * order driver doubles. Shape at scale: ONE map-side-combined
+    * aggregate over the unit table, two rows to the driver.
+    */
+  def ratioDelta(df: DataFrame, groupCol: String, numCol: String,
+      denCol: String, armA: String, armB: String,
+      ciZ: Double = 1.959964): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val spark = df.sparkSession
+    val dec = "decimal(38,0)"
+    val fp = 1048576d
+    def fpc(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") * fp).cast("long").cast(dec)
+    val x = fpc(col(numCol)); val y = fpc(col(denCol))
+    val rows = df
+      .where(col(groupCol).isNotNull && col(numCol).isNotNull
+        && col(denCol).isNotNull
+        && col(groupCol).cast("string").isin(armA, armB))
+      .select(col(groupCol).cast("string").as("__g"),
+        x.as("__x"), y.as("__y"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def arm(name: String): (Long, Double, Double) = {
+      val r = rows.getOrElse(name,
+        throw new IllegalArgumentException(s"arm '$name' has no rows"))
+      val n = r.getLong(1)
+      require(n >= 2, s"ratioDelta needs >= 2 units per arm ('$name')")
+      val sx = r.getDecimal(2).doubleValue() / fp
+      val sy = r.getDecimal(3).doubleValue() / fp
+      val sxx = r.getDecimal(4).doubleValue() / fp / fp
+      val syy = r.getDecimal(5).doubleValue() / fp / fp
+      val sxy = r.getDecimal(6).doubleValue() / fp / fp
+      require(sy != 0.0,
+        s"ratioDelta: arm '$name' has a zero denominator sum")
+      val nd = n.toDouble
+      val ratio = sx / sy
+      val vxx = (sxx - sx * sx / nd) / (nd - 1.0)
+      val vyy = (syy - sy * sy / nd) / (nd - 1.0)
+      val vxy = (sxy - sx * sy / nd) / (nd - 1.0)
+      val ybar = sy / nd
+      val vr = (vxx - 2.0 * ratio * vxy + ratio * ratio * vyy) /
+        (nd * ybar * ybar)
+      (n, ratio, vr)
+    }
+    val (na, ra, va) = arm(armA)
+    val (nb, rb, vb) = arm(armB)
+    val diff = ra - rb
+    val se2 = va + vb
+    val se = if (se2 > 0) math.sqrt(se2) else 0.0
+    val z = if (se > 0) diff / se else 0.0
+    val pv = graft.functions.PValues.round6(
+      graft.functions.PValues.pTwoSidedZ(z))
+    spark.createDataFrame(
+      Seq(Row(na, nb, r6d(ra), r6d(rb), r6d(diff), r6d(se), r6d(z), pv,
+        r6d(diff - ciZ * se), r6d(diff + ciZ * se))).asJava,
+      StructType(Seq(
+        StructField("n_a", LongType, false),
+        StructField("n_b", LongType, false),
+        StructField("ratio_a", DoubleType, false),
+        StructField("ratio_b", DoubleType, false),
+        StructField("diff", DoubleType, false),
+        StructField("se", DoubleType, false),
+        StructField("z", DoubleType, false),
+        StructField("p_value", DoubleType, false),
+        StructField("ci_lo", DoubleType, false),
+        StructField("ci_hi", DoubleType, false))))
+  }
+
+  /** Equivalence test (TOST — two one-sided tests, Schuirmann 1987)
+    * on the Welch machinery: is the mean difference PROVABLY INSIDE
+    * ±`margin`? A non-significant [[welchT]] never shows equivalence —
+    * absence of evidence — while launch decisions constantly need
+    * "the cheaper variant is NOT worse than δ" stated with error
+    * control. TOST tests H₀₁: δ ≤ −margin and H₀₂: δ ≥ +margin; both
+    * rejected at α ⇔ the (1−2α) CI lies inside (−margin, +margin).
+    *
+    * t_lower = (diff + margin)/se (reject H₀₁ when LARGE → upper-tail
+    * p), t_upper = (diff − margin)/se (reject H₀₂ when SMALL →
+    * lower-tail p), both at the Welch–Satterthwaite dof with the EXACT
+    * one-sided Student-t p ([[graft.functions.PValues.pStudentTUpper]],
+    * the pinned incomplete-beta kernel); p_tost = max(p_lower,
+    * p_upper), `equivalent` = p_tost < `alpha`.
+    *
+    * Degenerate zero pooled SE pins t = 0, dof = 0, both p = 1,
+    * equivalent = false — the [[welchT]] convention (no variance, no
+    * decision). Determinism: exact fixed-point moments, pinned-order
+    * doubles. Shape at scale: one map-side-combined aggregate per
+    * side, one row each to the driver. Output ONE row: (n_a, n_b,
+    * mean_a, mean_b, diff, se, dof, margin, t_lower, t_upper, p_lower,
+    * p_upper, p_tost, equivalent).
+    */
+  def welchTost(a: DataFrame, b: DataFrame, valueCol: String,
+      margin: Double, alpha: Double = 0.05): DataFrame = {
+    require(margin > 0, s"margin must be > 0, got $margin")
+    require(alpha > 0 && alpha < 0.5,
+      s"alpha must be in (0, 0.5), got $alpha")
+    val spark = a.sparkSession
+    val (na, sa, qa) = sideMoments(a, valueCol)
+    val (nb, sb, qb) = sideMoments(b, valueCol)
+    require(na >= 2 && nb >= 2, "welchTost needs >= 2 rows per side")
+    val ma = sa / na.toDouble
+    val mb = sb / nb.toDouble
+    val va = (qa - sa * sa / na.toDouble) / (na - 1).toDouble
+    val vb = (qb - sb * sb / nb.toDouble) / (nb - 1).toDouble
+    val se2 = va / na.toDouble + vb / nb.toDouble
+    val se = if (se2 > 0) math.sqrt(se2) else 0.0
+    val dof = if (se2 > 0)
+      se2 * se2 / ((va / na.toDouble) * (va / na.toDouble) / (na - 1).toDouble
+        + (vb / nb.toDouble) * (vb / nb.toDouble) / (nb - 1).toDouble)
+    else 0.0
+    val diff = ma - mb
+    val tLo = if (se > 0) (diff + margin) / se else 0.0
+    val tHi = if (se > 0) (diff - margin) / se else 0.0
+    val P = graft.functions.PValues
+    val pLo = P.round6(P.pStudentTUpper(tLo, dof))
+    // lower tail at t_upper = upper tail at −t_upper (symmetry)
+    val pHi = P.round6(P.pStudentTUpper(-tHi, dof))
+    val pTost = math.max(pLo, pHi)
+    spark.createDataFrame(
+      Seq(Row(na, nb, r6d(ma), r6d(mb), r6d(diff), r6d(se), r6d(dof),
+        margin, r6d(tLo), r6d(tHi), pLo, pHi, pTost,
+        se > 0 && pTost < alpha)).asJava,
+      StructType(Seq(
+        StructField("n_a", LongType, false),
+        StructField("n_b", LongType, false),
+        StructField("mean_a", DoubleType, false),
+        StructField("mean_b", DoubleType, false),
+        StructField("diff", DoubleType, false),
+        StructField("se", DoubleType, false),
+        StructField("dof", DoubleType, false),
+        StructField("margin", DoubleType, false),
+        StructField("t_lower", DoubleType, false),
+        StructField("t_upper", DoubleType, false),
+        StructField("p_lower", DoubleType, false),
+        StructField("p_upper", DoubleType, false),
+        StructField("p_tost", DoubleType, false),
+        StructField("equivalent", org.apache.spark.sql.types.BooleanType,
+          false))))
+  }
+
+  /** Pinned standard-normal quantiles for the sensitivity readout —
+    * plan-time LOOKUP, not an inverse-erf evaluation: [[powerMde]]
+    * accepts exactly these α / power levels so the Spark side and any
+    * replay read the SAME public constants (Φ⁻¹ to 6dp). Keys are
+    * upper-tail masses for α entries (z_{1−α/2}) and target powers
+    * (z_power).
+    */
+  private val ZCrit: Map[Double, Double] = Map(
+    0.01 -> 2.575829, // z_{0.995}
+    0.05 -> 1.959964, // z_{0.975}
+    0.10 -> 1.644854) // z_{0.95}
+  private val ZPower: Map[Double, Double] = Map(
+    0.80 -> 0.841621, // z_{0.80}
+    0.90 -> 1.281552, // z_{0.90}
+    0.95 -> 1.644854) // z_{0.95}
+
+  /** Experiment sensitivity readout — MDE and achieved power: "what
+    * lift COULD this test have seen?", the question that separates
+    * "no effect" from "underpowered" (the most common misread of a
+    * flat A/B). Large-sample normal approximation throughout (the
+    * standard power-calculation convention; at experimentation n the
+    * t correction is past 6dp):
+    *
+    *   mde_abs  = (z_{1−α/2} + z_power) · se        (the smallest true
+    *              |δ| this design detects at the target power)
+    *   mde_rel  = mde_abs / |mean_b|                (vs control; NULL
+    *              when mean_b = 0)
+    *   power_observed = Φ(|diff|/se − z_{1−α/2})    (the power this
+    *              design had against the OBSERVED difference)
+    *   n_per_arm_required = ceil((z_{1−α/2}+z_power)²·(v_a+v_b)/diff²)
+    *              (equal-n redesign that reaches the target power at
+    *              the observed difference and variances; NULL when
+    *              diff = 0)
+    *
+    * `alpha` ∈ {0.01, 0.05, 0.10} and `power` ∈ {0.80, 0.90, 0.95}
+    * select PINNED public Φ⁻¹ constants ([[ZCrit]]/[[ZPower]]) — a
+    * lookup, not an inverse-erf kernel — so every number replays
+    * bit-identically. Zero pooled variance is a loud error (a
+    * sensitivity readout over constants is meaningless). Φ evaluates
+    * through the pinned erfc kernel: Φ(x) = erfc(−x/√2)/2.
+    *
+    * Shape at scale: one map-side-combined moment aggregate per side
+    * (the [[welchT]] shape), one row each to the driver. Output ONE
+    * row: (n_a, n_b, mean_a, mean_b, diff, se, mde_abs, mde_rel,
+    * power_observed, n_per_arm_required).
+    */
+  def powerMde(a: DataFrame, b: DataFrame, valueCol: String,
+      alpha: Double = 0.05, power: Double = 0.8): DataFrame = {
+    val zA = ZCrit.getOrElse(alpha, throw new IllegalArgumentException(
+      s"alpha must be one of ${ZCrit.keys.toSeq.sorted.mkString(", ")}" +
+        s" (pinned quantiles), got $alpha"))
+    val zP = ZPower.getOrElse(power, throw new IllegalArgumentException(
+      s"power must be one of ${ZPower.keys.toSeq.sorted.mkString(", ")}" +
+        s" (pinned quantiles), got $power"))
+    val spark = a.sparkSession
+    val (na, sa, qa) = sideMoments(a, valueCol)
+    val (nb, sb, qb) = sideMoments(b, valueCol)
+    require(na >= 2 && nb >= 2, "powerMde needs >= 2 rows per side")
+    val ma = sa / na.toDouble
+    val mb = sb / nb.toDouble
+    val va = (qa - sa * sa / na.toDouble) / (na - 1).toDouble
+    val vb = (qb - sb * sb / nb.toDouble) / (nb - 1).toDouble
+    val se2 = va / na.toDouble + vb / nb.toDouble
+    require(se2 > 0, "powerMde: zero pooled variance — the sensitivity " +
+      "readout is undefined over constant metrics")
+    val se = math.sqrt(se2)
+    val diff = ma - mb
+    val mdeAbs = (zA + zP) * se
+    val mdeRel: java.lang.Double =
+      if (mb != 0.0) r6d(mdeAbs / math.abs(mb)) else null
+    // Φ through the pinned erfc kernel, which is defined for x ≥ 0
+    // only — branch on the argument sign: Φ(y ≥ 0) = 1 − erfc(y/√2)/2,
+    // Φ(y < 0) = erfc(−y/√2)/2 (mirrored as a CASE in the oracle)
+    val x = math.abs(diff) / se - zA
+    val powerObs =
+      if (x >= 0) 1.0 - graft.functions.PValues
+        .erfc(x / math.sqrt(2.0)) / 2.0
+      else graft.functions.PValues.erfc(-x / math.sqrt(2.0)) / 2.0
+    val nReq: java.lang.Long =
+      if (diff != 0.0)
+        java.lang.Long.valueOf(math.ceil(
+          (zA + zP) * (zA + zP) * (va + vb) / (diff * diff)).toLong)
+      else null
+    spark.createDataFrame(
+      Seq(Row(na, nb, r6d(ma), r6d(mb), r6d(diff), r6d(se), r6d(mdeAbs),
+        mdeRel, r6d(powerObs), nReq)).asJava,
+      StructType(Seq(
+        StructField("n_a", LongType, false),
+        StructField("n_b", LongType, false),
+        StructField("mean_a", DoubleType, false),
+        StructField("mean_b", DoubleType, false),
+        StructField("diff", DoubleType, false),
+        StructField("se", DoubleType, false),
+        StructField("mde_abs", DoubleType, false),
+        StructField("mde_rel", DoubleType, true),
+        StructField("power_observed", DoubleType, false),
+        StructField("n_per_arm_required", LongType, true))))
+  }
+
+  /** Yuen's trimmed-mean t (Yuen 1974) — the ROBUST two-sample mean
+    * comparison: [[welchT]] on heavy-tailed metrics (latency, revenue)
+    * is driven by the tail — a handful of outliers moves both the mean
+    * and the variance, and power collapses. Yuen compares `trim`-level
+    * trimmed means with winsorized variances at a Welch-style dof:
+    * per side, g = ⌊trim·n⌋ rows come off EACH tail (h = n − 2g
+    * remain), the trimmed mean is the mean of the middle h, the
+    * winsorized variance s_w² replaces each trimmed row by the nearest
+    * kept order statistic, d = s_w²·(n−1)/(h·(h−1)), and
+    *
+    *   t = (t̄_a − t̄_b) / √(d_a + d_b),
+    *   dof = 1 / (c²/(h_a−1) + (1−c)²/(h_b−1)),  c = d_a/(d_a+d_b),
+    *
+    * with the EXACT Student-t p via the pinned incomplete-beta kernel.
+    * Sits beside [[mannWhitney]]/[[hodgesLehmann]]: the rank pair asks
+    * about stochastic order; Yuen still estimates a MEAN-style effect
+    * in the metric's units, just one the tail cannot own.
+    *
+    * Convention: values snap to ×2^20 fixed point FIRST (the
+    * engine-wide determinism convention) and trimming operates on the
+    * snapped values — order statistics, partial sums, and winsorized
+    * moments are then EXACT integers under any partitioning, and ties
+    * at the trim boundary resolve by value (the g lowest/highest ROWS
+    * leave; boundary-tied rows that stay winsorize to their own value,
+    * a no-op — the classical definition).
+    *
+    * Shape at scale: per-value counts map-side combine both sides into
+    * ONE merged distinct-value table; the cumulative pass is the
+    * [[ksStatistic]] distributed range-partitioned form (per-partition
+    * windows + one collected offset row per partition — no global
+    * window); the trim boundaries are the ≤ 4 rows where the
+    * cumulative count CROSSES g / n−g (an exact filter, one collect);
+    * the winsorized moments are one more conditional aggregate over
+    * the count table with the boundaries as plan literals. Everything
+    * driver-side is O(1). Output ONE row: (n_a, n_b, g_a, g_b, h_a,
+    * h_b, tmean_a, tmean_b, diff, se, t, dof, p_t).
+    */
+  def yuenTrimmed(a: DataFrame, b: DataFrame, valueCol: String,
+      trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
+    val spark = a.sparkSession
+    val fp = 1048576d
+    val dec = "decimal(38,0)"
+    // snapped-value count tables (the fp long rides as an EXACT double:
+    // |v·2^20| < 2^53 for any 6dp metric — and stays orderable by the
+    // range partitioner)
+    def cnt(df: DataFrame, n: String) = df
+      .where(col(valueCol).isNotNull)
+      .select(round(col(valueCol).cast("double") * fp)
+        .cast("long").cast("double").as("v"))
+      .groupBy("v").agg(count(lit(1)).as(n))
+    val merged = cnt(a, "__na").join(cnt(b, "__nb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Caches.persist(
+      merged.repartitionByRange(nPart, col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("v")
+    val local = parts
+      .withColumn("__la", sum("__na").over(w))
+      .withColumn("__lb", sum("__nb").over(w))
+    val chunkTotals = parts.groupBy("__pid")
+      .agg(sum("__na").as("ta"), sum("__nb").as("tb"))
+      .collect().sortBy(_.getInt(0))
+    val nA = chunkTotals.map(_.getLong(1)).sum
+    val nB = chunkTotals.map(_.getLong(2)).sum
+    val gA = math.floor(nA.toDouble * trim).toLong
+    val gB = math.floor(nB.toDouble * trim).toLong
+    require(gA >= 1 && gB >= 1,
+      s"yuenTrimmed: trim=$trim trims 0 rows on a side " +
+        s"(n_a=$nA, n_b=$nB) — use welchT instead")
+    val hA = nA - 2 * gA; val hB = nB - 2 * gB
+    require(hA >= 2 && hB >= 2,
+      s"yuenTrimmed needs >= 2 kept rows per side (h_a=$hA, h_b=$hB)")
+    // global cumulative = local window + per-partition offsets
+    var (ra, rb) = (0L, 0L)
+    val offRows = chunkTotals.map { r =>
+      val row = Row(r.getInt(0), ra, rb)
+      ra += r.getLong(1); rb += r.getLong(2); row
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__oa", LongType, false),
+        StructField("__ob", LongType, false))))
+    val cum = local.join(broadcast(offDf), "__pid")
+      .select(col("v"), col("__na"), col("__nb"),
+        (col("__la") + col("__oa")).as("__ca"),
+        (col("__lb") + col("__ob")).as("__cb"))
+    // the 4 boundary rows: where the side's cumulative count CROSSES
+    // g+1 (lower cut) or n−g (upper cut) — each predicate selects
+    // exactly one row; one collect of <= 4 rows
+    val hits = cum.where(
+      (col("__ca") - col("__na") < gA + 1 && col("__ca") >= gA + 1) ||
+      (col("__ca") - col("__na") < nA - gA && col("__ca") >= nA - gA) ||
+      (col("__cb") - col("__nb") < gB + 1 && col("__cb") >= gB + 1) ||
+      (col("__cb") - col("__nb") < nB - gB && col("__cb") >= nB - gB))
+      .collect()
+    def boundary(thr: Long, cumIdx: Int, cntIdx: Int): (Long, Long) = {
+      val r = hits.find(r => r.getLong(cumIdx) >= thr &&
+        r.getLong(cumIdx) - r.getLong(cntIdx) < thr)
+        .getOrElse(throw new IllegalStateException(
+          s"yuenTrimmed: no cumulative crossing at $thr"))
+      (r.getDouble(0).toLong, r.getLong(cumIdx) - r.getLong(cntIdx))
+    }
+    // (boundary fp value, rows strictly below it)
+    val (loAv, belowLoA) = boundary(gA + 1, 3, 1)
+    val (hiAv, belowHiA) = boundary(nA - gA, 3, 1)
+    val (loBv, belowLoB) = boundary(gB + 1, 4, 2)
+    val (hiBv, belowHiB) = boundary(nB - gB, 4, 2)
+    val cHiA = nA - (belowHiA +
+      hits.find(r => r.getDouble(0).toLong == hiAv).map(_.getLong(1))
+        .getOrElse(0L))
+    val cHiB = nB - (belowHiB +
+      hits.find(r => r.getDouble(0).toLong == hiBv).map(_.getLong(2))
+        .getOrElse(0L))
+    // mid-range exact sums with the boundaries as plan literals (off
+    // the still-persisted count table — no source re-scan)
+    val mid = parts.agg(
+      sum(when(col("v") >= loAv.toDouble && col("v") <= hiAv.toDouble,
+        col("v").cast(dec) * col("__na")).otherwise(lit(0).cast(dec)))
+        .as("sma"),
+      sum(when(col("v") >= loAv.toDouble && col("v") <= hiAv.toDouble,
+        col("v").cast(dec) * col("v").cast(dec) * col("__na"))
+        .otherwise(lit(0).cast(dec))).as("qma"),
+      sum(when(col("v") >= loBv.toDouble && col("v") <= hiBv.toDouble,
+        col("v").cast(dec) * col("__nb")).otherwise(lit(0).cast(dec)))
+        .as("smb"),
+      sum(when(col("v") >= loBv.toDouble && col("v") <= hiBv.toDouble,
+        col("v").cast(dec) * col("v").cast(dec) * col("__nb"))
+        .otherwise(lit(0).cast(dec))).as("qmb"))
+      .collect().head
+    parts.unpersist(blocking = false)
+    def dv(i: Int): BigInt = BigInt(mid.getDecimal(i).toBigInteger)
+    val (smA, qmA, smB, qmB) = (dv(0), dv(1), dv(2), dv(3))
+    // per-side Yuen quantities — trimmed sum and winsorized moments in
+    // EXACT BigInt fixed point, then pinned-order doubles
+    def side(n: Long, g: Long, h: Long, lo: Long, hi: Long,
+        cLo: Long, cHi: Long, sm: BigInt, qm: BigInt): (Double, Double) = {
+      val trimmedFp = sm - BigInt(g - cLo) * BigInt(lo) -
+        BigInt(g - cHi) * BigInt(hi)
+      val wFp = sm + BigInt(cLo) * BigInt(lo) + BigInt(cHi) * BigInt(hi)
+      val w2Fp = qm + BigInt(cLo) * BigInt(lo) * BigInt(lo) +
+        BigInt(cHi) * BigInt(hi) * BigInt(hi)
+      val tmean = trimmedFp.toDouble / fp / h.toDouble
+      val wd = wFp.toDouble / fp
+      val w2d = w2Fp.toDouble / fp / fp
+      val sw2 = (w2d - wd * wd / n.toDouble) / (n - 1).toDouble
+      val d = sw2 * (n - 1).toDouble / (h.toDouble * (h - 1).toDouble)
+      (tmean, d)
+    }
+    val (tmA, dA) = side(nA, gA, hA, loAv, hiAv, belowLoA, cHiA, smA, qmA)
+    val (tmB, dB) = side(nB, gB, hB, loBv, hiBv, belowLoB, cHiB, smB, qmB)
+    val se2 = dA + dB
+    val se = if (se2 > 0) math.sqrt(se2) else 0.0
+    val t = if (se > 0) (tmA - tmB) / se else 0.0
+    val dof = if (se2 > 0) {
+      val c = dA / se2
+      1.0 / (c * c / (hA - 1).toDouble +
+        (1.0 - c) * (1.0 - c) / (hB - 1).toDouble)
+    } else 0.0
+    val P = graft.functions.PValues
+    val pt = P.round6(P.pStudentT2(t, dof))
+    spark.createDataFrame(
+      Seq(Row(nA, nB, gA, gB, hA, hB, r6d(tmA), r6d(tmB),
+        r6d(tmA - tmB), r6d(se), r6d(t), r6d(dof), pt)).asJava,
+      StructType(Seq(
+        StructField("n_a", LongType, false),
+        StructField("n_b", LongType, false),
+        StructField("g_a", LongType, false),
+        StructField("g_b", LongType, false),
+        StructField("h_a", LongType, false),
+        StructField("h_b", LongType, false),
+        StructField("tmean_a", DoubleType, false),
+        StructField("tmean_b", DoubleType, false),
+        StructField("diff", DoubleType, false),
+        StructField("se", DoubleType, false),
+        StructField("t", DoubleType, false),
+        StructField("dof", DoubleType, false),
+        StructField("p_t", DoubleType, false))))
+  }
 }

@@ -1767,7 +1767,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments | sequential_mean
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments | sequential_mean | ratio_delta | tost | power | yuen
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1801,7 +1801,16 @@ final case class DriftTransformStage(
     nBins: Int = 10,
     // sequential only: look ordinal column + mSPRT mixture variance
     lookCol: String = "look",
-    tauSq: Double = 0.01)
+    tauSq: Double = 0.01,
+    // ratio_delta only (single-view): per-unit numerator/denominator
+    numCol: String = "num",
+    denCol: String = "den",
+    // tost only: the equivalence margin (required, > 0)
+    margin: Double = 0.0,
+    // power only: the target power level (alpha doubles as the level)
+    powerTarget: Double = 0.8,
+    // yuen only: per-tail trim fraction
+    trim: Double = 0.2)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1895,6 +1904,16 @@ final case class DriftTransformStage(
       // single-view post-stratified lift (groupCol = arm, segCol = stratum)
       case "post_stratified" =>
         Drift.postStratified(before, groupCol, segCol, valueCol)
+      // single-view delta-method ratio-metric z (per-unit num/den rows)
+      case "ratio_delta" =>
+        Drift.ratioDelta(before, groupCol, numCol, denCol, armA, armB)
+      // two-view equivalence test (TOST) at ±margin
+      case "tost" => Drift.welchTost(before, after, valueCol, margin, alpha)
+      // two-view sensitivity readout (MDE + achieved power)
+      case "power" => Drift.powerMde(before, after, valueCol, alpha,
+        powerTarget)
+      // two-view robust trimmed-mean comparison
+      case "yuen" => Drift.yuenTrimmed(before, after, valueCol, trim)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

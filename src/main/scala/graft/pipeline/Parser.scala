@@ -85,7 +85,7 @@ object Parser {
       "proportions", "segments", "psi", "jsd", "wasserstein", "ks_grouped",
       "wasserstein_grouped", "bootstrap_lift", "sequential",
       "welch_segments", "sequential_mean", "ks_test", "hodges_lehmann",
-      "mi", "post_stratified"),
+      "mi", "post_stratified", "ratio_delta", "tost", "power", "yuen"),
     "Snapshot" -> Seq(
       "publish", "read", "vacuum"),
     "AggStateTransform" -> Seq(
@@ -509,7 +509,7 @@ object Parser {
       val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
         "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
         "proportions", "segments", "sequential", "welch_segments",
-        "sequential_mean").contains(driftMethod)
+        "sequential_mean", "ratio_delta").contains(driftMethod)
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -520,12 +520,14 @@ object Parser {
       if (driftMethod == "srm" && expected.isEmpty)
         r.error("expected", "missing; srm requires the designed arm weights")
       if (Set("proportions", "segments", "sequential", "welch_segments",
-          "sequential_mean").contains(driftMethod)) {
+          "sequential_mean", "ratio_delta").contains(driftMethod)) {
         if (r.string("armA").isEmpty)
           r.error("armA", s"missing; $driftMethod requires both arm names")
         if (r.string("armB").isEmpty)
           r.error("armB", s"missing; $driftMethod requires both arm names")
       }
+      if (driftMethod == "tost" && r.double("margin").isEmpty)
+        r.error("margin", "missing; tost requires the equivalence margin")
       DriftTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -557,7 +559,12 @@ object Parser {
         segCol = r.string("segCol").getOrElse("segment"),
         nBins = r.int("nBins").getOrElse(10),
         lookCol = r.string("lookCol").getOrElse("look"),
-        tauSq = r.double("tauSq").getOrElse(0.01))
+        tauSq = r.double("tauSq").getOrElse(0.01),
+        numCol = r.string("numCol").getOrElse("num"),
+        denCol = r.string("denCol").getOrElse("den"),
+        margin = r.double("margin").getOrElse(0.0),
+        powerTarget = r.double("powerTarget").getOrElse(0.8),
+        trim = r.double("trim").getOrElse(0.2))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", methodEnums("Snapshot"),
@@ -987,7 +994,7 @@ object Parser {
       "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol",
       "expected", "chi2Threshold", "textCol", "k", "pCol", "alpha",
       "successCol", "armA", "armB", "segCol", "nBins", "lookCol",
-      "tauSq")),
+      "tauSq", "numCol", "denCol", "margin", "powerTarget", "trim")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",

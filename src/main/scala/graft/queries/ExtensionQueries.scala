@@ -4079,6 +4079,61 @@ object ExtensionQueries {
         "value")
     },
 
+    // Delta-method z for a RATIO metric (purchase value per event,
+    // per USER — the randomization unit): numerator and denominator
+    // are both per-unit sums, so the variance carries their
+    // covariance — the term welchT on per-unit ratios drops. The
+    // per-user numerator snaps each event value to ×2^20 longs BEFORE
+    // summing (exact under any accumulation order — the engine-wide
+    // convention), so the unit table replays bit-identically.
+    "ab_ratio_delta" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir)
+      val units = ev
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase",
+            round(col("value") * 1048576d).cast("long"))
+          .otherwise(0L)) / 1048576d).as("num"),
+          count(lit(1)).cast("double").as("den"))
+        .select(concat(lit("g"), (col("user_id") % 2).cast("string"))
+          .as("arm"), col("num"), col("den"))
+      Drift.ratioDelta(units, "arm", "num", "den", "g0", "g1")
+    },
+
+    // Equivalence (TOST) between purchase and click values at ±2.0 —
+    // "provably within the margin" with error control, the launch
+    // question a flat welchT cannot answer; exact one-sided Student-t
+    // ps at the Welch dof via the pinned incomplete-beta kernel.
+    "ab_tost" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      Drift.welchTost(
+        ev.where(col("event_type") === "purchase").select("value"),
+        ev.where(col("event_type") === "click").select("value"),
+        "value", margin = 2.0)
+    },
+
+    // Sensitivity readout for the same comparison: MDE at (α=0.05,
+    // power=0.8), achieved power against the observed difference, and
+    // the equal-n redesign — separates "no effect" from "underpowered".
+    "ab_power" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      Drift.powerMde(
+        ev.where(col("event_type") === "purchase").select("value"),
+        ev.where(col("event_type") === "click").select("value"),
+        "value")
+    },
+
+    // Yuen's 20%-trimmed-mean robust t on the same comparison — the
+    // mean-style effect the tail cannot own (welchT on heavy-tailed
+    // value metrics is driven by outliers); exact fixed-point order
+    // statistics and winsorized moments, Student-t p at the Yuen dof.
+    "ab_yuen" -> { (spark, dir) =>
+      val ev = events(spark, dir)
+      Drift.yuenTrimmed(
+        ev.where(col("event_type") === "purchase").select("value"),
+        ev.where(col("event_type") === "click").select("value"),
+        "value", trim = 0.2)
+    },
+
     // Mutual information + NMI between document language and source —
     // the information-theoretic association readout (feature-selection
     // / label-leakage number) next to ab_chi2_independence.
@@ -10653,6 +10708,346 @@ object ExtensionQueries {
         (round(CASE WHEN dofraw > 0.0::DOUBLE THEN ib.ib_p
           ELSE 1.0::DOUBLE END, 6) + 0.0) AS p_t
       FROM dofc, wch_f ib""",
+
+    // Replay of Drift.ratioDelta: per-user exact fixed-point unit
+    // sums, six ×2^20 HUGEINT moments per arm, delta-method variance
+    // (s_xx − 2R·s_xy + R²·s_yy)/(n·ȳ²), erfc z p, ±1.959964 CI.
+    "ab_ratio_delta" -> s"""
+      WITH u AS (
+        SELECT user_id,
+          sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(round(value::DOUBLE * 1048576.0) AS BIGINT)
+            ELSE 0 END)::DOUBLE / 1048576.0 AS num,
+          count(*)::DOUBLE AS den
+        FROM events GROUP BY user_id),
+      fpu AS (
+        SELECT 'g' || (user_id % 2)::VARCHAR AS arm,
+          CAST(round(num * 1048576.0) AS HUGEINT) AS fx,
+          CAST(round(den * 1048576.0) AS HUGEINT) AS fy
+        FROM u),
+      s AS (
+        SELECT arm, count(*)::BIGINT AS n,
+          sum(fx)::DOUBLE / 1048576.0 AS sx,
+          sum(fy)::DOUBLE / 1048576.0 AS sy,
+          sum(fx * fx)::DOUBLE / 1048576.0 / 1048576.0 AS sxx,
+          sum(fy * fy)::DOUBLE / 1048576.0 / 1048576.0 AS syy,
+          sum(fx * fy)::DOUBLE / 1048576.0 / 1048576.0 AS sxy
+        FROM fpu GROUP BY arm),
+      v AS (
+        SELECT arm, n, sx / sy AS ratio,
+          ((sxx - sx * sx / n::DOUBLE) / (n - 1)::DOUBLE
+            - 2.0::DOUBLE * (sx / sy)
+              * ((sxy - sx * sy / n::DOUBLE) / (n - 1)::DOUBLE)
+            + (sx / sy) * (sx / sy)
+              * ((syy - sy * sy / n::DOUBLE) / (n - 1)::DOUBLE))
+          / (n::DOUBLE * (sy / n::DOUBLE) * (sy / n::DOUBLE)) AS vr
+        FROM s),
+      ab AS (
+        SELECT a.n AS na, b.n AS nb, a.ratio AS ra, b.ratio AS rb,
+          a.vr AS va, b.vr AS vb
+        FROM (SELECT * FROM v WHERE arm = 'g0') a,
+          (SELECT * FROM v WHERE arm = 'g1') b),
+      f AS (
+        SELECT *, ra - rb AS diff,
+          CASE WHEN va + vb > 0.0::DOUBLE THEN sqrt(va + vb)
+            ELSE 0.0::DOUBLE END AS se
+        FROM ab),
+      zc AS (
+        SELECT *, CASE WHEN se > 0.0::DOUBLE THEN diff / se
+          ELSE 0.0::DOUBLE END AS zraw
+        FROM f)
+      SELECT na AS n_a, nb AS n_b,
+        (round(ra, 6) + 0.0) AS ratio_a,
+        (round(rb, 6) + 0.0) AS ratio_b,
+        (round(diff, 6) + 0.0) AS diff,
+        (round(se, 6) + 0.0) AS se,
+        (round(zraw, 6) + 0.0) AS z,
+        (round(${graft.functions.PValues.pTwoSidedZSql("zraw")}, 6) + 0.0)
+          AS p_value,
+        (round(diff - 1.959964::DOUBLE * se, 6) + 0.0) AS ci_lo,
+        (round(diff + 1.959964::DOUBLE * se, 6) + 0.0) AS ci_hi
+      FROM zc""",
+
+    // Replay of Drift.welchTost: the ab_welch moment CTEs, then the
+    // two one-sided statistics at ±2.0 and TWO chained incomplete-beta
+    // evaluations (one per bound; each one-sided p reads its |t|
+    // two-sided value — half for the tested tail, complement-of-half
+    // for the other sign), p_tost = max of the ROUNDED ps.
+    "ab_tost" -> {
+      val pass = Seq("na", "nb", "ma", "mb", "diffv", "sev", "dofv",
+        "tlo", "thi")
+      val (chainLo, finLo) =
+        graft.functions.PValues.ibetaRegSqlCtes("tlo", "tlo_pf", pass)
+      val (chainHi, finHi) =
+        graft.functions.PValues.ibetaRegSqlCtes("thi", "thi_pf",
+          pass :+ "plo2")
+      s"""
+      WITH ta AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(fpx)::DOUBLE / 1048576.0 AS s,
+          sum(fpx * fpx)::DOUBLE / 1048576.0 / 1048576.0 AS q
+        FROM (SELECT CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT)
+                AS fpx FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL)),
+      tb AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(fpx)::DOUBLE / 1048576.0 AS s,
+          sum(fpx * fpx)::DOUBLE / 1048576.0 / 1048576.0 AS q
+        FROM (SELECT CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT)
+                AS fpx FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL)),
+      tm AS (
+        SELECT ta.n AS na, tb.n AS nb,
+          ta.s / ta.n::DOUBLE AS ma, tb.s / tb.n::DOUBLE AS mb,
+          (ta.q - ta.s * ta.s / ta.n::DOUBLE) / (ta.n - 1)::DOUBLE AS va,
+          (tb.q - tb.s * tb.s / tb.n::DOUBLE) / (tb.n - 1)::DOUBLE AS vb
+        FROM ta, tb),
+      td AS (
+        SELECT *, ma - mb AS diffv,
+          va / na::DOUBLE + vb / nb::DOUBLE AS se2
+        FROM tm),
+      ts AS (
+        SELECT *, CASE WHEN se2 > 0.0::DOUBLE THEN sqrt(se2)
+            ELSE 0.0::DOUBLE END AS sev,
+          CASE WHEN se2 > 0.0::DOUBLE THEN se2 * se2
+            / ((va / na::DOUBLE) * (va / na::DOUBLE) / (na - 1)::DOUBLE
+              + (vb / nb::DOUBLE) * (vb / nb::DOUBLE) / (nb - 1)::DOUBLE)
+          ELSE 0.0::DOUBLE END AS dofv
+        FROM td),
+      tt AS (
+        SELECT na, nb, ma, mb, diffv, sev, dofv,
+          CASE WHEN sev > 0.0::DOUBLE
+            THEN (diffv + 2.0::DOUBLE) / sev ELSE 0.0::DOUBLE END AS tlo,
+          CASE WHEN sev > 0.0::DOUBLE
+            THEN (diffv - 2.0::DOUBLE) / sev ELSE 0.0::DOUBLE END AS thi
+        FROM ts),
+      tlo_pf AS (
+        SELECT na, nb, ma, mb, diffv, sev, dofv, tlo, thi,
+          CASE WHEN dofv > 0.0::DOUBLE
+            THEN dofv / (dofv + tlo * tlo) ELSE 0.5::DOUBLE END AS ib_x,
+          CASE WHEN dofv > 0.0::DOUBLE THEN dofv / 2.0::DOUBLE
+            ELSE 1.0::DOUBLE END AS ib_a,
+          0.5::DOUBLE AS ib_b
+        FROM tt),
+      $chainLo,
+      thi_pf AS (
+        SELECT na, nb, ma, mb, diffv, sev, dofv, tlo, thi,
+          ib_p AS plo2,
+          CASE WHEN dofv > 0.0::DOUBLE
+            THEN dofv / (dofv + thi * thi) ELSE 0.5::DOUBLE END AS ib_x,
+          CASE WHEN dofv > 0.0::DOUBLE THEN dofv / 2.0::DOUBLE
+            ELSE 1.0::DOUBLE END AS ib_a,
+          0.5::DOUBLE AS ib_b
+        FROM $finLo),
+      $chainHi,
+      tp AS (
+        SELECT na, nb, ma, mb, diffv, sev, dofv, tlo, thi,
+          (round(CASE WHEN dofv <= 0.0::DOUBLE THEN 1.0::DOUBLE
+            WHEN tlo >= 0.0::DOUBLE THEN plo2 / 2.0::DOUBLE
+            ELSE 1.0::DOUBLE - plo2 / 2.0::DOUBLE END, 6) + 0.0)
+            AS p_lower,
+          (round(CASE WHEN dofv <= 0.0::DOUBLE THEN 1.0::DOUBLE
+            WHEN -thi >= 0.0::DOUBLE THEN ib_p / 2.0::DOUBLE
+            ELSE 1.0::DOUBLE - ib_p / 2.0::DOUBLE END, 6) + 0.0)
+            AS p_upper
+        FROM $finHi)
+      SELECT na AS n_a, nb AS n_b,
+        (round(ma, 6) + 0.0) AS mean_a,
+        (round(mb, 6) + 0.0) AS mean_b,
+        (round(diffv, 6) + 0.0) AS diff,
+        (round(sev, 6) + 0.0) AS se,
+        (round(dofv, 6) + 0.0) AS dof,
+        2.0::DOUBLE AS margin,
+        (round(tlo, 6) + 0.0) AS t_lower,
+        (round(thi, 6) + 0.0) AS t_upper,
+        p_lower, p_upper,
+        greatest(p_lower, p_upper) AS p_tost,
+        (sev > 0.0::DOUBLE
+          AND greatest(p_lower, p_upper) < 0.05::DOUBLE) AS equivalent
+      FROM tp"""
+    },
+
+    // Replay of Drift.powerMde: the welch moment CTEs, pinned public
+    // Φ⁻¹ literals (z_{0.975}=1.959964, z_{0.80}=0.841621), Φ through
+    // the signed erfc CASE, ceil'd equal-n redesign.
+    "ab_power" -> s"""
+      WITH pa AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(fpx)::DOUBLE / 1048576.0 AS s,
+          sum(fpx * fpx)::DOUBLE / 1048576.0 / 1048576.0 AS q
+        FROM (SELECT CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT)
+                AS fpx FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL)),
+      pb AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(fpx)::DOUBLE / 1048576.0 AS s,
+          sum(fpx * fpx)::DOUBLE / 1048576.0 / 1048576.0 AS q
+        FROM (SELECT CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT)
+                AS fpx FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL)),
+      pm AS (
+        SELECT pa.n AS na, pb.n AS nb,
+          pa.s / pa.n::DOUBLE AS ma, pb.s / pb.n::DOUBLE AS mb,
+          (pa.q - pa.s * pa.s / pa.n::DOUBLE) / (pa.n - 1)::DOUBLE AS va,
+          (pb.q - pb.s * pb.s / pb.n::DOUBLE) / (pb.n - 1)::DOUBLE AS vb
+        FROM pa, pb),
+      pd AS (
+        SELECT *, ma - mb AS diffv,
+          sqrt(va / na::DOUBLE + vb / nb::DOUBLE) AS sev
+        FROM pm),
+      pe AS (
+        SELECT *,
+          (1.959964::DOUBLE + 0.841621::DOUBLE) * sev AS mde_abs_raw,
+          abs(diffv) / sev - 1.959964::DOUBLE AS xarg
+        FROM pd)
+      SELECT na AS n_a, nb AS n_b,
+        (round(ma, 6) + 0.0) AS mean_a,
+        (round(mb, 6) + 0.0) AS mean_b,
+        (round(diffv, 6) + 0.0) AS diff,
+        (round(sev, 6) + 0.0) AS se,
+        (round(mde_abs_raw, 6) + 0.0) AS mde_abs,
+        CASE WHEN mb <> 0.0::DOUBLE
+          THEN (round(mde_abs_raw / abs(mb), 6) + 0.0)
+          ELSE NULL END AS mde_rel,
+        (round(CASE WHEN xarg >= 0.0::DOUBLE
+          THEN 1.0::DOUBLE
+            - ${graft.functions.PValues
+              .erfcSql("xarg / sqrt(2.0::DOUBLE)")} / 2.0::DOUBLE
+          ELSE ${graft.functions.PValues
+              .erfcSql("-xarg / sqrt(2.0::DOUBLE)")} / 2.0::DOUBLE
+          END, 6) + 0.0) AS power_observed,
+        CASE WHEN diffv <> 0.0::DOUBLE
+          THEN CAST(ceil((1.959964::DOUBLE + 0.841621::DOUBLE)
+            * (1.959964::DOUBLE + 0.841621::DOUBLE) * (va + vb)
+            / (diffv * diffv)) AS BIGINT)
+          ELSE NULL END AS n_per_arm_required
+      FROM pe""",
+
+    // Replay of Drift.yuenTrimmed: snapped-value count tables, window
+    // cumulative, the four threshold-crossing boundary rows, exact
+    // HUGEINT mid-range/winsorized moments, Yuen t/dof, ibeta p.
+    "ab_yuen" -> {
+      val (chain, fin) =
+        graft.functions.PValues.ibetaRegSqlCtes("yu", "yu_pf",
+          Seq("n_a", "n_b", "ga", "gb", "ha", "hb", "tma", "tmb",
+            "sev", "tv2", "dofv"))
+      s"""
+      WITH yca AS (
+        SELECT CAST(round(value::DOUBLE * 1048576.0) AS BIGINT)::DOUBLE
+            AS v, count(*)::BIGINT AS na
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1),
+      ycb AS (
+        SELECT CAST(round(value::DOUBLE * 1048576.0) AS BIGINT)::DOUBLE
+            AS v, count(*)::BIGINT AS nb
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        GROUP BY 1),
+      ym AS (
+        SELECT coalesce(yca.v, ycb.v) AS v,
+          coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        FROM yca FULL OUTER JOIN ycb ON yca.v = ycb.v),
+      ycum AS (
+        SELECT v, na, nb,
+          sum(na) OVER (ORDER BY v)::BIGINT AS ca2,
+          sum(nb) OVER (ORDER BY v)::BIGINT AS cb2
+        FROM ym),
+      ytot AS (
+        SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM ym),
+      yg AS (
+        SELECT n_a, n_b,
+          CAST(floor(n_a::DOUBLE * 0.2::DOUBLE) AS BIGINT) AS ga,
+          CAST(floor(n_b::DOUBLE * 0.2::DOUBLE) AS BIGINT) AS gb
+        FROM ytot),
+      yloa AS (SELECT c.v, c.ca2 - c.na AS below FROM ycum c, yg
+        WHERE c.ca2 >= yg.ga + 1 AND c.ca2 - c.na < yg.ga + 1),
+      yhia AS (SELECT c.v, yg.n_a - c.ca2 AS above FROM ycum c, yg
+        WHERE c.ca2 >= yg.n_a - yg.ga AND c.ca2 - c.na < yg.n_a - yg.ga),
+      ylob AS (SELECT c.v, c.cb2 - c.nb AS below FROM ycum c, yg
+        WHERE c.cb2 >= yg.gb + 1 AND c.cb2 - c.nb < yg.gb + 1),
+      yhib AS (SELECT c.v, yg.n_b - c.cb2 AS above FROM ycum c, yg
+        WHERE c.cb2 >= yg.n_b - yg.gb AND c.cb2 - c.nb < yg.n_b - yg.gb),
+      ymid AS (
+        SELECT
+          sum(CASE WHEN m.v >= yloa.v AND m.v <= yhia.v
+            THEN CAST(m.v AS HUGEINT) * m.na ELSE 0 END) AS sma,
+          sum(CASE WHEN m.v >= yloa.v AND m.v <= yhia.v
+            THEN CAST(m.v AS HUGEINT) * CAST(m.v AS HUGEINT) * m.na
+            ELSE 0 END) AS qma,
+          sum(CASE WHEN m.v >= ylob.v AND m.v <= yhib.v
+            THEN CAST(m.v AS HUGEINT) * m.nb ELSE 0 END) AS smb,
+          sum(CASE WHEN m.v >= ylob.v AND m.v <= yhib.v
+            THEN CAST(m.v AS HUGEINT) * CAST(m.v AS HUGEINT) * m.nb
+            ELSE 0 END) AS qmb
+        FROM ym m, yloa, yhia, ylob, yhib),
+      yfp AS (
+        SELECT yg.n_a, yg.n_b, yg.ga, yg.gb,
+          yg.n_a - 2 * yg.ga AS ha, yg.n_b - 2 * yg.gb AS hb,
+          (sma - (yg.ga - yloa.below) * CAST(yloa.v AS HUGEINT)
+            - (yg.ga - yhia.above) * CAST(yhia.v AS HUGEINT)) AS tra,
+          (smb - (yg.gb - ylob.below) * CAST(ylob.v AS HUGEINT)
+            - (yg.gb - yhib.above) * CAST(yhib.v AS HUGEINT)) AS trb,
+          (sma + yloa.below * CAST(yloa.v AS HUGEINT)
+            + yhia.above * CAST(yhia.v AS HUGEINT)) AS wa,
+          (smb + ylob.below * CAST(ylob.v AS HUGEINT)
+            + yhib.above * CAST(yhib.v AS HUGEINT)) AS wb,
+          (qma + yloa.below * CAST(yloa.v AS HUGEINT)
+              * CAST(yloa.v AS HUGEINT)
+            + yhia.above * CAST(yhia.v AS HUGEINT)
+              * CAST(yhia.v AS HUGEINT)) AS w2a,
+          (qmb + ylob.below * CAST(ylob.v AS HUGEINT)
+              * CAST(ylob.v AS HUGEINT)
+            + yhib.above * CAST(yhib.v AS HUGEINT)
+              * CAST(yhib.v AS HUGEINT)) AS w2b
+        FROM ymid, yg, yloa, yhia, ylob, yhib),
+      ysd AS (
+        SELECT *,
+          tra::DOUBLE / 1048576.0 / ha::DOUBLE AS tma,
+          trb::DOUBLE / 1048576.0 / hb::DOUBLE AS tmb,
+          ((w2a::DOUBLE / 1048576.0 / 1048576.0
+              - (wa::DOUBLE / 1048576.0) * (wa::DOUBLE / 1048576.0)
+                / n_a::DOUBLE) / (n_a - 1)::DOUBLE)
+            * (n_a - 1)::DOUBLE / (ha::DOUBLE * (ha - 1)::DOUBLE) AS da,
+          ((w2b::DOUBLE / 1048576.0 / 1048576.0
+              - (wb::DOUBLE / 1048576.0) * (wb::DOUBLE / 1048576.0)
+                / n_b::DOUBLE) / (n_b - 1)::DOUBLE)
+            * (n_b - 1)::DOUBLE / (hb::DOUBLE * (hb - 1)::DOUBLE) AS db
+        FROM yfp),
+      yst AS (
+        SELECT n_a, n_b, ga, gb, ha, hb, tma, tmb, da, db,
+          da + db AS se2,
+          CASE WHEN da + db > 0.0::DOUBLE THEN sqrt(da + db)
+            ELSE 0.0::DOUBLE END AS sev
+        FROM ysd),
+      ytd AS (
+        SELECT *,
+          CASE WHEN sev > 0.0::DOUBLE THEN (tma - tmb) / sev
+            ELSE 0.0::DOUBLE END AS tv2,
+          CASE WHEN se2 > 0.0::DOUBLE THEN 1.0::DOUBLE
+            / ((da / se2) * (da / se2) / (ha - 1)::DOUBLE
+              + (1.0::DOUBLE - da / se2) * (1.0::DOUBLE - da / se2)
+                / (hb - 1)::DOUBLE)
+          ELSE 0.0::DOUBLE END AS dofv
+        FROM yst),
+      yu_pf AS (
+        SELECT n_a, n_b, ga, gb, ha, hb, tma, tmb, sev, tv2, dofv,
+          CASE WHEN dofv > 0.0::DOUBLE
+            THEN dofv / (dofv + tv2 * tv2) ELSE 0.5::DOUBLE END AS ib_x,
+          CASE WHEN dofv > 0.0::DOUBLE THEN dofv / 2.0::DOUBLE
+            ELSE 1.0::DOUBLE END AS ib_a,
+          0.5::DOUBLE AS ib_b
+        FROM ytd),
+      $chain
+      SELECT n_a, n_b, ga AS g_a, gb AS g_b, ha AS h_a, hb AS h_b,
+        (round(tma, 6) + 0.0) AS tmean_a,
+        (round(tmb, 6) + 0.0) AS tmean_b,
+        (round(tma - tmb, 6) + 0.0) AS diff,
+        (round(sev, 6) + 0.0) AS se,
+        (round(tv2, 6) + 0.0) AS t,
+        (round(dofv, 6) + 0.0) AS dof,
+        (round(CASE WHEN dofv > 0.0::DOUBLE THEN ib_p
+          ELSE 1.0::DOUBLE END, 6) + 0.0) AS p_t
+      FROM $fin"""
+    },
 
     // Replay of Drift.mutualInformation: occupied-cell counts, margin
     // rollups, per-cell/margin double terms, ×2^20 fixed-point sums.

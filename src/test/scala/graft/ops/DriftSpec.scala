@@ -1232,4 +1232,239 @@ class DriftSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("p_value")))
     assert(rc.isNullAt(rc.fieldIndex("cramers_v")))
   }
+
+  test("ratioDelta: matches a brute delta-method reference on seeded " +
+      "random units, partitioning-invariant") {
+    val rnd = new scala.util.Random(1861)
+    val units = (1 to 400).map { i =>
+      val arm = if (i % 2 == 0) "g0" else "g1"
+      val den = (1 + rnd.nextInt(20)).toDouble
+      // numerator correlates with the denominator (the case the
+      // covariance term exists for)
+      val num = den * (0.5 + rnd.nextDouble()) + rnd.nextDouble() * 3.0
+      (arm, math.round(num * 64d) / 64d, den) // dyadic -> fp-exact
+    }
+    val df = units.toDF("arm", "num", "den")
+    val r = Drift.ratioDelta(df, "arm", "num", "den", "g0", "g1")
+      .collect().head
+    // brute reference: independent plain-Scala accumulation
+    def brute(arm: String): (Long, Double, Double) = {
+      val rows = units.filter(_._1 == arm)
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(u => u._2 * u._2).sum
+      val syy = rows.map(u => u._3 * u._3).sum
+      val sxy = rows.map(u => u._2 * u._3).sum
+      val ratio = sx / sy
+      val vxx = (sxx - sx * sx / n) / (n - 1)
+      val vyy = (syy - sy * sy / n) / (n - 1)
+      val vxy = (sxy - sx * sy / n) / (n - 1)
+      val vr = (vxx - 2 * ratio * vxy + ratio * ratio * vyy) /
+        (n * (sy / n) * (sy / n))
+      (rows.length.toLong, ratio, vr)
+    }
+    val (na, ra, va) = brute("g0"); val (nb, rb, vb) = brute("g1")
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("ratio_a") - ra) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ratio_b") - rb) < 1e-6)
+    val se = math.sqrt(va + vb)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - (ra - rb) / se) < 1e-4)
+    // CI brackets the point estimate and is centered on it
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("diff"))
+    assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("diff"))
+    // partitioning invariance (exact fixed-point moments)
+    val r2 = Drift.ratioDelta(df.repartition(7), "arm", "num", "den",
+      "g0", "g1").collect().head
+    assert(r == r2)
+  }
+
+  test("ratioDelta: exactly proportional units pin zero variance " +
+      "(the covariance term at work); loud on missing arm / zero den") {
+    // num = 3·den exactly on both arms: ignoring the covariance the
+    // variance would be positive; the delta method cancels it to 0
+    val df = (1 to 40).map { i =>
+      val arm = if (i % 2 == 0) "g0" else "g1"
+      val den = (1 + i % 7).toDouble
+      (arm, 3.0 * den, den)
+    }.toDF("arm", "num", "den")
+    val r = Drift.ratioDelta(df, "arm", "num", "den", "g0", "g1")
+      .collect().head
+    assert(r.getAs[Double]("ratio_a") == 3.0)
+    assert(r.getAs[Double]("ratio_b") == 3.0)
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[Double]("p_value") == 1.0)
+    intercept[IllegalArgumentException] {
+      Drift.ratioDelta(df, "arm", "num", "den", "g0", "gX").collect()
+    }
+    val zeroDen = Seq(("g0", 1.0, 1.0), ("g0", 1.0, -1.0),
+      ("g1", 1.0, 1.0), ("g1", 2.0, 1.0)).toDF("arm", "num", "den")
+    intercept[IllegalArgumentException] {
+      Drift.ratioDelta(zeroDen, "arm", "num", "den", "g0", "g1").collect()
+    }
+  }
+
+  test("welchTost: shares welchT's diff/se/dof, mirrors under side " +
+      "swap, and decides by margin size") {
+    val rnd = new scala.util.Random(427)
+    val a = (1 to 150).map(_ => 10.0 + rnd.nextGaussian()).toDF("v")
+    val b = (1 to 170).map(_ => 10.3 + rnd.nextGaussian()).toDF("v")
+    val wt = Drift.welchT(a, b, "v").collect().head
+    val eq = Drift.welchTost(a, b, "v", margin = 5.0).collect().head
+    // same machinery: diff = mean_a - mean_b, same dof
+    assert(math.abs(eq.getAs[Double]("diff") -
+      (wt.getAs[Double]("mean_a") - wt.getAs[Double]("mean_b"))) < 1e-9)
+    assert(math.abs(eq.getAs[Double]("dof") -
+      wt.getAs[Double]("dof")) < 1e-9)
+    // a generous margin proves equivalence; a hair margin cannot
+    assert(eq.getAs[Boolean]("equivalent"))
+    assert(eq.getAs[Double]("p_tost") < 0.05)
+    val tight = Drift.welchTost(a, b, "v", margin = 0.01).collect().head
+    assert(!tight.getAs[Boolean]("equivalent"))
+    // one-sided p recomputes from the (rounded) outputs through the
+    // pinned kernel — tolerance covers the 6dp output rounding
+    val P = graft.functions.PValues
+    val tLoRe = (eq.getAs[Double]("diff") + 5.0) / eq.getAs[Double]("se")
+    assert(math.abs(eq.getAs[Double]("p_lower") -
+      P.pStudentTUpper(tLoRe, eq.getAs[Double]("dof"))) < 1e-4)
+    // side swap mirrors the two bounds
+    val sw = Drift.welchTost(b, a, "v", margin = 5.0).collect().head
+    assert(math.abs(eq.getAs[Double]("t_lower") +
+      sw.getAs[Double]("t_upper")) < 1e-6)
+    assert(math.abs(eq.getAs[Double]("p_lower") -
+      sw.getAs[Double]("p_upper")) < 2e-6)
+  }
+
+  test("welchTost: degenerate zero variance pins p = 1, not equivalent; " +
+      "margin must be positive") {
+    val a = Seq(5.0, 5.0, 5.0).toDF("v")
+    val b = Seq(5.0, 5.0, 5.0).toDF("v")
+    val r = Drift.welchTost(a, b, "v", margin = 1.0).collect().head
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.getAs[Double]("p_tost") == 1.0)
+    assert(!r.getAs[Boolean]("equivalent"))
+    intercept[IllegalArgumentException] {
+      Drift.welchTost(a, b, "v", margin = 0.0)
+    }
+  }
+
+  test("powerMde: recomputes from welchT moments, power grows with the " +
+      "effect, redesign n reaches the target") {
+    val rnd = new scala.util.Random(883)
+    val a = (1 to 200).map(_ => 50.0 + 4.0 * rnd.nextGaussian()).toDF("v")
+    val bSmall = (1 to 220).map(_ => 50.2 + 4.0 * rnd.nextGaussian())
+      .toDF("v")
+    val bBig = (1 to 220).map(_ => 53.0 + 4.0 * rnd.nextGaussian())
+      .toDF("v")
+    val rs = Drift.powerMde(a, bSmall, "v").collect().head
+    val rb = Drift.powerMde(a, bBig, "v").collect().head
+    // mde_abs = (z_{0.975} + z_{0.80})·se, both from the output row
+    assert(math.abs(rs.getAs[Double]("mde_abs") -
+      (1.959964 + 0.841621) * rs.getAs[Double]("se")) < 1e-5)
+    // a bigger true effect -> more observed power
+    assert(rb.getAs[Double]("power_observed") >
+      rs.getAs[Double]("power_observed"))
+    assert(rs.getAs[Double]("power_observed") >= 0.0 &&
+      rb.getAs[Double]("power_observed") <= 1.0)
+    // the redesign n makes the observed diff detectable: at n_req the
+    // new se satisfies (zA+zP)·se(n) <= |diff| (within the ceil step)
+    val nReq = rb.getAs[Long]("n_per_arm_required")
+    assert(nReq > 0)
+    val wt = Drift.welchT(a, bBig, "v").collect().head
+    val vSum = wt.getAs[Double]("var_a") + wt.getAs[Double]("var_b")
+    val seAt = math.sqrt(vSum / nReq.toDouble)
+    assert((1.959964 + 0.841621) * seAt <=
+      math.abs(rb.getAs[Double]("diff")) + 1e-6)
+    // pinned-lookup guards: unsupported alpha / power are loud
+    intercept[IllegalArgumentException] {
+      Drift.powerMde(a, bBig, "v", alpha = 0.07)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.powerMde(a, bBig, "v", power = 0.85)
+    }
+    // zero pooled variance is loud (sensitivity over constants)
+    val c = Seq(1.0, 1.0, 1.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Drift.powerMde(c, c, "v").collect()
+    }
+  }
+
+  test("yuenTrimmed: textbook 5-point example (g=1), boundary-tie " +
+      "winsorization, guards") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Drift.yuenTrimmed(a, b, "v", trim = 0.2).collect().head
+    // per side: g=1, h=3; trimmed means 3 and 4; winsorized sample
+    // variance 1 -> d = 1·4/(3·2) = 2/3 each; t = -1/sqrt(4/3);
+    // c = 1/2 -> dof = 1/(2·(1/4)/2) = 4
+    assert(r.getAs[Long]("g_a") == 1L && r.getAs[Long]("h_a") == 3L)
+    assert(r.getAs[Double]("tmean_a") == 3.0)
+    assert(r.getAs[Double]("tmean_b") == 4.0)
+    assert(math.abs(r.getAs[Double]("t") -
+      (-1.0 / math.sqrt(4.0 / 3.0))) < 1e-6)
+    assert(math.abs(r.getAs[Double]("dof") - 4.0) < 1e-9)
+    // boundary ties: [1,2,2,2,5] trims to [2,2,2] (winsorized var 0)
+    val ta = Seq(1.0, 2.0, 2.0, 2.0, 5.0).toDF("v")
+    val rt = Drift.yuenTrimmed(ta, b, "v", trim = 0.2).collect().head
+    assert(rt.getAs[Double]("tmean_a") == 2.0)
+    // degenerate both-sides-constant-after-winsorizing pins p = 1
+    val rc = Drift.yuenTrimmed(ta, ta, "v", trim = 0.2).collect().head
+    assert(rc.getAs[Double]("se") == 0.0 &&
+      rc.getAs[Double]("p_t") == 1.0)
+    intercept[IllegalArgumentException] {
+      Drift.yuenTrimmed(a, b, "v", trim = 0.6)
+    }
+    // n = 4 at trim 0.2 -> g = 0: loud (use welchT)
+    val tiny = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Drift.yuenTrimmed(tiny, b, "v", trim = 0.2).collect()
+    }
+  }
+
+  test("yuenTrimmed: matches a brute sorted-trim reference on seeded " +
+      "random data, ignores a planted outlier, partitioning-invariant") {
+    val rnd = new scala.util.Random(3117)
+    // 6dp-snappable values (the operator's fixed-point convention)
+    def snap(x: Double) = math.round(x * 1048576d) / 1048576d
+    val va = (1 to 300).map(_ => snap(20.0 + 2.0 * rnd.nextGaussian()))
+    val vb = (1 to 280).map(_ => snap(21.0 + 2.0 * rnd.nextGaussian()))
+    val a = va.toDF("v"); val b = vb.toDF("v")
+    val r = Drift.yuenTrimmed(a, b, "v", trim = 0.2).collect().head
+    // brute: sort, drop g each tail, textbook Yuen arithmetic
+    def brute(xs: Seq[Double]): (Long, Long, Double, Double) = {
+      val s = xs.sorted
+      val n = s.length
+      val g = math.floor(n * 0.2).toInt
+      val h = n - 2 * g
+      val mid = s.slice(g, n - g)
+      val tmean = mid.sum / h
+      val wins = s.take(g).map(_ => s(g)) ++ mid ++
+        s.takeRight(g).map(_ => s(n - g - 1))
+      val wm = wins.sum / n
+      val sw2 = wins.map(x => (x - wm) * (x - wm)).sum / (n - 1)
+      val d = sw2 * (n - 1) / (h.toDouble * (h - 1))
+      (g.toLong, h.toLong, tmean, d)
+    }
+    val (ga, ha, tma, da) = brute(va)
+    val (gb, hb, tmb, db) = brute(vb)
+    assert(r.getAs[Long]("g_a") == ga && r.getAs[Long]("h_a") == ha)
+    assert(r.getAs[Long]("g_b") == gb && r.getAs[Long]("h_b") == hb)
+    assert(math.abs(r.getAs[Double]("tmean_a") - tma) < 1e-5)
+    assert(math.abs(r.getAs[Double]("tmean_b") - tmb) < 1e-5)
+    val tRef = (tma - tmb) / math.sqrt(da + db)
+    assert(math.abs(r.getAs[Double]("t") - tRef) < 1e-4)
+    // a planted enormous outlier leaves every trimmed quantity intact
+    // as long as it stays inside the same trim budget
+    val ro = Drift.yuenTrimmed((va :+ 1e6).toDF("v"), b, "v", 0.2)
+      .collect().head
+    // n 300 -> 301: g stays 60, one more kept row; tmean moves by at
+    // most the one swapped boundary row
+    assert(math.abs(ro.getAs[Double]("tmean_a") - tma) < 0.1)
+    assert(ro.getAs[Double]("p_t") <= r.getAs[Double]("p_t") + 0.05)
+    // exact fixed-point pipeline: layout cannot change a bit
+    val rp = Drift.yuenTrimmed(a.repartition(13), b.repartition(5),
+      "v", 0.2).collect().head
+    assert(r == rp)
+  }
 }

@@ -1433,6 +1433,61 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("round-18 statistics run from config: ratio_delta (single-view), " +
+      "tost and power (two-view); tost without a margin is a parse error") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Execute", "name": "mk",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_units AS SELECT 'g' || CAST(id % 2 AS STRING) AS arm, CAST(3 + id % 7 AS DOUBLE) + CAST(id % 3 AS DOUBLE) AS num, CAST(1 + id % 5 AS DOUBLE) AS den FROM range(400)"},
+      {"type": "DriftTransform", "name": "rd", "method": "ratio_delta",
+       "inputView": "r18_units", "groupCol": "arm", "numCol": "num",
+       "denCol": "den", "armA": "g0", "armB": "g1",
+       "outputView": "r18_rd"},
+      {"type": "Execute", "name": "mkab",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_a AS SELECT CAST(10 + id % 9 AS DOUBLE) AS value FROM range(120)"},
+      {"type": "Execute", "name": "mkb",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_b AS SELECT CAST(11 + id % 8 AS DOUBLE) AS value FROM range(130)"},
+      {"type": "DriftTransform", "name": "eq", "method": "tost",
+       "inputView": "r18_a", "rightView": "r18_b", "valueCol": "value",
+       "margin": 6.0, "outputView": "r18_eq"},
+      {"type": "DriftTransform", "name": "pw", "method": "power",
+       "inputView": "r18_a", "rightView": "r18_b", "valueCol": "value",
+       "alpha": 0.05, "powerTarget": 0.8, "outputView": "r18_pw"},
+      {"type": "DriftTransform", "name": "yu", "method": "yuen",
+       "inputView": "r18_a", "rightView": "r18_b", "valueCol": "value",
+       "trim": 0.2, "outputView": "r18_yu"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    // each stage result matches the direct API call on the same views
+    val rd = spark.table("r18_rd").collect().head
+    val rdApi = Drift.ratioDelta(spark.table("r18_units"), "arm",
+      "num", "den", "g0", "g1").collect().head
+    assert(rd == rdApi)
+    val eq = spark.table("r18_eq").collect().head
+    val eqApi = Drift.welchTost(spark.table("r18_a"),
+      spark.table("r18_b"), "value", margin = 6.0).collect().head
+    assert(eq == eqApi)
+    val pw = spark.table("r18_pw").collect().head
+    val pwApi = Drift.powerMde(spark.table("r18_a"),
+      spark.table("r18_b"), "value").collect().head
+    assert(pw == pwApi)
+    val yu = spark.table("r18_yu").collect().head
+    val yuApi = Drift.yuenTrimmed(spark.table("r18_a"),
+      spark.table("r18_b"), "value", trim = 0.2).collect().head
+    assert(yu == yuApi)
+    // tost without the margin key is a config-time error, not a crash
+    val bad = Parser.parse("""{"stages": [
+      {"type": "DriftTransform", "name": "eq", "method": "tost",
+       "inputView": "r18_a", "rightView": "r18_b",
+       "outputView": "r18_bad"}]}""",
+      Map("default" -> new ParquetConnector(sf001)))
+    assert(bad.isLeft &&
+      bad.swap.toOption.get.exists(_.toString.contains("margin")))
+    graft.util.Caches.unpersistAll()
+  }
+
   test("url stages run from config: normalize, domain_mix, " +
       "domain_quality, domain_filter") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
