@@ -1176,10 +1176,12 @@ final case class EncodeTransformStage(
     inputView: String,
     outputView: String,
     columns: Seq[String],
-    method: String = "encode", // encode | vocab | target_loo
+    method: String = "encode", // encode | vocab | target_loo | woe
     idCol: String = "doc_id",
     targetCol: String = "label",
-    maxVocab: Long = 1000000L)
+    maxVocab: Long = 1000000L,
+    // woe only: Laplace smoothing
+    alpha: Double = 0.5)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1196,6 +1198,7 @@ final case class EncodeTransformStage(
       case "vocab" => Encoding.vocab(in, first, maxVocab)
       case "target_loo" => Encoding.targetEncodeLoo(in, idCol, first,
         targetCol)
+      case "woe" => Encoding.woe(in, first, targetCol, alpha)
       case other => throw new IllegalArgumentException(
         s"unknown encode method '$other'")
     }

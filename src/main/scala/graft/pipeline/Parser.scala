@@ -122,7 +122,7 @@ object Parser {
       "changepoint", "forecast_eval", "seasonal_weekly", "anomaly_weekly",
       "acf", "mann_kendall", "theil_sen", "rolling", "rolling_median"),
     "EncodeTransform" -> Seq(
-      "encode", "vocab", "target_loo"),
+      "encode", "vocab", "target_loo", "woe"),
     "ZorderTransform" -> Seq(
       "manifest", "write", "hilbert_manifest", "hilbert_write"))
 
@@ -719,7 +719,7 @@ object Parser {
     "EncodeTransform" -> { (r, _) =>
       val method = r.oneOf("method", methodEnums("EncodeTransform"),
         "encode")
-      if ((method == "vocab" || method == "target_loo")
+      if ((method == "vocab" || method == "target_loo" || method == "woe")
           && r.stringList("columns").isEmpty)
         r.error("columns", s"missing or empty; $method reads columns[0]")
       EncodeTransformStage(
@@ -730,7 +730,8 @@ object Parser {
         method = method,
         idCol = r.string("idCol").getOrElse("doc_id"),
         targetCol = r.string("targetCol").getOrElse("label"),
-        maxVocab = r.long("maxVocab").getOrElse(1000000L))
+        maxVocab = r.long("maxVocab").getOrElse(1000000L),
+        alpha = r.double("alpha").getOrElse(0.5))
     },
     "SketchTransform" -> { (r, _) =>
       val method = r.oneOf("method",
@@ -1017,7 +1018,7 @@ object Parser {
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView",
-      "columns", "method", "idCol", "targetCol", "maxVocab")),
+      "columns", "method", "idCol", "targetCol", "maxVocab", "alpha")),
     "SketchTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "keyCol", "groupCols", "m", "k", "depth", "width", "topN",
       "otherView", "bucketCol", "window", "otherKeyCol")),

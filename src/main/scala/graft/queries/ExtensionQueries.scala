@@ -2455,6 +2455,17 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Weight-of-evidence + information value of order priority against
+    // the fulfilled flag — the supervised categorical encoding a linear
+    // scorecard consumes, and the IV leakage screen beside profile_mi.
+    "encode_woe" -> { (spark, dir) =>
+      Encoding.woe(
+          spark.read.parquet(s"$dir/orders.parquet")
+            .withColumn("__y", col("o_orderstatus") === "F"),
+          "o_orderpriority", "__y")
+        .orderBy("level")
+    },
+
     // Post-stratified purchase-vs-click value means over user-id mod-4
     // segments — the imbalance correction that needs no pre-period.
     "ab_poststrat" -> { (spark, dir) =>
@@ -8108,6 +8119,39 @@ object ExtensionQueries {
           AS target_loo
       FROM slim LEFT JOIN g ON slim.c = g.c, t
       ORDER BY slim.doc_id""",
+
+    // Replay of Encoding.woe: level counts, one-row totals, the
+    // smoothed share ratio in the pinned order, ×2^20 IV term sum.
+    "encode_woe" -> """
+      WITH c AS (
+        SELECT o_orderpriority::VARCHAR AS level,
+          count(*)::BIGINT AS n,
+          sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+            AS n_pos
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS k, sum(n_pos)::BIGINT AS tp,
+              sum(n - n_pos)::BIGINT AS tn FROM c),
+      sc AS (
+        SELECT level, n, n_pos, n - n_pos AS n_neg,
+          (n_pos::DOUBLE + 0.5::DOUBLE)
+            / (t.tp::DOUBLE + t.k::DOUBLE * 0.5::DOUBLE) AS ps,
+          ((n - n_pos)::DOUBLE + 0.5::DOUBLE)
+            / (t.tn::DOUBLE + t.k::DOUBLE * 0.5::DOUBLE) AS ns
+        FROM c, t),
+      sw AS (
+        SELECT level, n, n_pos, n_neg,
+          ln(ps / ns) AS w, (ps - ns) * ln(ps / ns) AS ivt
+        FROM sc),
+      iv AS (
+        SELECT sum(CAST(round(ivt * 1048576.0) AS BIGINT)) AS iv6
+        FROM sw)
+      SELECT level, n, n_pos, n_neg,
+        (round(w, 6) + 0.0) AS woe,
+        (round(ivt, 6) + 0.0) AS iv_term,
+        (round(iv.iv6::DOUBLE / 1048576.0, 6) + 0.0) AS iv
+      FROM sw, iv ORDER BY level""",
 
     // Replay of Drift.postStratified: arm×stratum exact fixed-point
     // cells, pooled stratum shares, ×2^20 per-term snap so the

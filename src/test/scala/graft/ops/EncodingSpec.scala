@@ -75,4 +75,43 @@ class EncodingSpec extends SparkSpec {
     // at the boundary it still works (50 distinct <= 50)
     assert(Encoding.vocab(wide, "uid", maxVocab = 50).count() == 50)
   }
+
+  test("woe: hand-computed smoothed WOE/IV, zero-cell stays finite, " +
+      "IV = sum of terms, partitioning-invariant, loud alpha") {
+    // levels: a -> 3 pos / 1 neg, b -> 1 pos / 3 neg (k=2, POS=4, NEG=4)
+    val df = Seq(("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false))
+      .toDF("c", "y")
+    val out = sortedLevels(Encoding.woe(df, "c", "y"))
+    assert(out.length == 2)
+    val ra = out(0); val rb = out(1)
+    assert(ra.getAs[Long]("n") == 4 && ra.getAs[Long]("n_pos") == 3)
+    val psA = 3.5 / 5.0; val nsA = 1.5 / 5.0
+    val wA = math.log(psA / nsA)
+    assert(math.abs(ra.getAs[Double]("woe") - wA) < 1e-6)
+    // symmetric construction: woe_b = -woe_a
+    assert(math.abs(rb.getAs[Double]("woe") + wA) < 1e-6)
+    val ivRef = (psA - nsA) * wA * 2.0
+    assert(math.abs(ra.getAs[Double]("iv") - ivRef) < 1e-5)
+    assert(ra.getAs[Double]("iv") == rb.getAs[Double]("iv"))
+    assert(math.abs(ra.getAs[Double]("iv_term")
+      + rb.getAs[Double]("iv_term") - ra.getAs[Double]("iv")) < 2e-6)
+    // a level with ZERO positives is finite under the smoothing
+    val zc = Seq(("a", true), ("a", true), ("z", false), ("z", false))
+      .toDF("c", "y")
+    val zo = sortedLevels(Encoding.woe(zc, "c", "y"))
+    assert(zo.forall(r => !r.getAs[Double]("woe").isInfinite))
+    assert(zo(0).getAs[Double]("woe") > 0 &&
+      zo(1).getAs[Double]("woe") < 0)
+    // exact level counts + snapped IV: layout cannot change a bit
+    val rp = sortedLevels(Encoding.woe(df.repartition(5), "c", "y"))
+    assert(out.toSeq == rp.toSeq)
+    intercept[IllegalArgumentException] {
+      Encoding.woe(df, "c", "y", alpha = 0.0)
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
+  private def sortedLevels(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("level").collect()
 }
