@@ -674,4 +674,40 @@ object ExprKernels {
     new GenericInternalRow(Array[Any](state(L) % 1024L, state(L) / 1024L,
       new GenericArrayData(arr)))
   }
+
+  /** Greedy longest-match-first WordPiece segmentation of one word
+    * (Schuster & Nakajima 2012 — the BERT tokenizer's apply step, also
+    * called "maximum munch"): from the current position take the
+    * LONGEST piece whose raw span is at most `maxPieceLen` characters
+    * and which is present in `vocab` — word-initial spans match as-is,
+    * continuation spans match with the "##" prefix; if NO span
+    * matches, the whole word becomes the single unknown token (the
+    * BERT convention — no partial emission). Returns
+    * (nTokens: Long, isUnk: Boolean); the empty word is (0, false).
+    */
+  def wordpieceSegment(w: UTF8String, vocab: java.util.HashSet[String],
+      maxPieceLen: Int): InternalRow = {
+    val s = w.toString
+    val L = s.length
+    if (L == 0) return new GenericInternalRow(
+      Array[Any](0L, java.lang.Boolean.FALSE))
+    var pos = 0
+    var tokens = 0L
+    while (pos < L) {
+      var k = math.min(maxPieceLen, L - pos)
+      var matched = -1
+      while (k >= 1 && matched < 0) {
+        val raw = s.substring(pos, pos + k)
+        val piece = if (pos == 0) raw else "##" + raw
+        if (vocab.contains(piece)) matched = k
+        k -= 1
+      }
+      if (matched < 0)
+        return new GenericInternalRow(
+          Array[Any](1L, java.lang.Boolean.TRUE))
+      tokens += 1L
+      pos += matched
+    }
+    new GenericInternalRow(Array[Any](tokens, java.lang.Boolean.FALSE))
+  }
 }

@@ -546,4 +546,38 @@ object Expressions {
       copy(child = nc)
     override def prettyName: String = "unigram_segment"
   }
+
+  /** Greedy longest-match-first WordPiece word segmentation under a
+    * FIXED piece set (Schuster & Nakajima 2012; BERT's apply step):
+    * string -> struct(n_tokens long, is_unk boolean). Word-initial
+    * spans look up as-is, continuations with the "##" prefix; an
+    * unmatchable word is the single unknown token. The vocab rides as
+    * a codegen reference object (model state, not row data — the
+    * [[UnigramSegment]] convention), so the expression stays inside
+    * WholeStageCodegen; eval and codegen delegate to the same
+    * [[ExprKernels.wordpieceSegment]] kernel.
+    */
+  case class WordpieceSegment(child: Expression,
+      vocab: java.util.HashSet[String], maxPieceLen: Int)
+      extends UnaryExpression {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("is_unk", BooleanType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.wordpieceSegment(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        vocab, maxPieceLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordpieceVocab", vocab,
+        "java.util.HashSet<String>")
+      defineCodeGen(ctx, ev,
+        c => s"$Kernels.wordpieceSegment($c, $ref, $maxPieceLen)")
+    }
+    override protected def withNewChildInternal(nc: Expression): WordpieceSegment =
+      copy(child = nc)
+    override def prettyName: String = "wordpiece_segment"
+  }
 }

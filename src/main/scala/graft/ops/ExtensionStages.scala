@@ -635,6 +635,8 @@ final case class TextAnalysisTransformStage(
     seedSize: Int = 2048,
     iters: Int = 2,
     vocab: Seq[(String, Double)] = Nil,
+    // wordpiece apply: the fixed piece set ("##"-prefixed continuations)
+    pieces: Seq[String] = Nil,
     // ngram_counts: corpus count floor
     minCount: Long = 1L)
     extends Stage {
@@ -744,6 +746,13 @@ final case class TextAnalysisTransformStage(
         Unigram.encode(in, idCol, textCol, vocab, maxPieceLen)
       case "unigram_fertility" =>
         Unigram.fertility(in, textCol, langCol, vocab, maxPieceLen)
+      // WordPiece tokenizer: likelihood-scored learn, greedy apply
+      case "wordpiece_learn" =>
+        Wordpiece.learn(in, textCol, rounds)
+      case "wordpiece_encode" =>
+        Wordpiece.encode(in, idCol, textCol, pieces, maxPieceLen)
+      case "wordpiece_fertility" =>
+        Wordpiece.fertility(in, textCol, langCol, pieces, maxPieceLen)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }

@@ -106,7 +106,8 @@ object Parser {
       "dup_substring_apply", "self_repetition_apply", "script_mix",
       "distinct_n", "vectorize", "bpe_learn", "heavy_hitters",
       "heavy_hitters_grouped", "lang_purity", "ngram_counts", "kn_score",
-      "unigram_learn", "unigram_encode", "unigram_fertility"),
+      "unigram_learn", "unigram_encode", "unigram_fertility",
+      "wordpiece_learn", "wordpiece_encode", "wordpiece_fertility"),
     "SketchTransform" -> Seq(
       "hll", "kmv", "cms", "hll_intersect", "hll_rolling", "kmv_jaccard",
       "kmv_diff", "join_size"),
@@ -698,7 +699,8 @@ object Parser {
             case _: NumberFormatException =>
               r.error("vocab", s"logp for '$k' is not a number: '$v'"); 0.0
           })
-        })
+        },
+        pieces = r.stringList("pieces"))
     },
     "AssembleTransform" -> { (r, _) =>
       // ordering is the stage's determinism contract: an empty list would
@@ -1014,7 +1016,7 @@ object Parser {
       "ngramN", "topK", "zipfTopN", "scoreWeights", "bias", "scoreThreshold",
       "groupCols", "alpha", "alpha0", "terms", "merges", "window",
       "minDocs", "dim", "rounds", "discount", "minCount", "maxPieceLen",
-      "vocabSize", "seedSize", "iters", "vocab")),
+      "vocabSize", "seedSize", "iters", "vocab", "pieces")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView",

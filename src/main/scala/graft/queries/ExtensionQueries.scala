@@ -315,6 +315,65 @@ object ExtensionQueries {
     graft.ops.Unigram.pinnedCosts(vocab).toSeq.sortBy(_._1)
       .map { case (p, c6) => s"('$p', ${c6}::BIGINT)" }.mkString(", ")
 
+  // WordPiece trio (round 18): learn rounds + the fixed apply piece set.
+  // All word-initial singles are present; continuation singles OMIT
+  // q/x/z so words carrying them mid-word exercise the UNK path; the
+  // multi-char pieces exercise maximal munch over the corpus words.
+  private val WpMaxPiece = 4
+  private val WpMaxWord = 12 // oracle greedy horizon; corpus max word 8
+  private val WpRounds = 4
+  private val WpPieces: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+    ('a' to 'z').filterNot(c => c == 'q' || c == 'x' || c == 'z')
+      .map(c => "##" + c) ++ Seq(
+    "th", "sc", "scan", "qu", "ro", "row", "ta", "wi", "st",
+    "##an", "##and", "##ble", "##er", "##ery", "##in", "##ing",
+    "##ow", "##que", "##re", "##rie", "##st", "##nd", "##he")
+
+  private def wpVocabValues: String =
+    WpPieces.sorted.map(p => s"('$p')").mkString(", ")
+
+  /** Greedy WordPiece segmentation as chained CTEs over a distinct-word
+    * CTE `dw(w)` and a piece CTE `wpv(p)`: state w{tag}0..w{tag}N of
+    * (w, pos, tok, unk); each step advances every unfinished word by
+    * its LONGEST matching piece (word-initial as-is, continuations
+    * "##"-prefixed), or marks it UNK (tok = 1) when nothing matches —
+    * [[graft.functions.ExprKernels.wordpieceSegment]]'s exact rule.
+    * Emits a final CTE `wfin{tag}(w, tok, unk)`.
+    */
+  private def wpGreedySql(tag: String, dwCte: String,
+      vocabCte: String): String = {
+    val steps = (1 to WpMaxWord).map { r =>
+      val prev = if (r == 1)
+        s"(SELECT w, 0::BIGINT AS pos, 0::BIGINT AS tok, false AS unk " +
+          s"FROM $dwCte)"
+      else s"w$tag${r - 1}"
+      s"""a$tag$r AS MATERIALIZED (
+        SELECT s.w, s.pos, s.tok,
+          max(CASE WHEN v.p IS NOT NULL THEN t.k END) AS bestk
+        FROM $prev s
+        CROSS JOIN unnest(generate_series(1, $WpMaxPiece)) AS t(k)
+        LEFT JOIN $vocabCte v ON s.pos + t.k <= length(s.w)
+          AND v.p = (CASE WHEN s.pos = 0 THEN substr(s.w, 1, t.k::INT)
+            ELSE '##' || substr(s.w, (s.pos + 1)::INT, t.k::INT) END)
+        WHERE s.pos < length(s.w) AND NOT s.unk
+        GROUP BY 1, 2, 3),
+      w$tag$r AS MATERIALIZED (
+        SELECT w,
+          CASE WHEN bestk IS NULL THEN length(w)::BIGINT
+            ELSE pos + bestk END AS pos,
+          CASE WHEN bestk IS NULL THEN 1::BIGINT ELSE tok + 1 END AS tok,
+          (bestk IS NULL) AS unk
+        FROM a$tag$r
+        UNION ALL
+        SELECT w, pos, tok, unk FROM $prev
+        WHERE pos >= length(w) OR unk)"""
+    }.mkString(",\n      ")
+    s"""$steps,
+      wfin$tag AS MATERIALIZED (
+        SELECT w, tok, unk FROM w$tag$WpMaxWord)"""
+  }
+
   /** Forward Viterbi DP as chained CTEs: states s{tag}1..s{tag}N over a
     * distinct-word CTE `dw(w)` and a vocab CTE `vocab(p, c6)`; emits a
     * final CTE `fin{tag}(w, st)` with each word's end-state
@@ -4489,6 +4548,30 @@ object ExtensionQueries {
       TextAnalysis.bpeLearnMerges(docs(spark, dir), "text",
           rounds = BpeMergeRounds)
         .orderBy("merge_round")
+    },
+
+    // WordPiece merge learning (Schuster–Nakajima 2012): the BPE loop
+    // with the LIKELIHOOD-RATIO score cnt(ab)/(cnt(a)·cnt(b)) — the
+    // merge that most improves a unigram LM, not the most frequent.
+    "wordpiece_merges" -> { (spark, dir) =>
+      Wordpiece.learn(docs(spark, dir), "text", rounds = WpRounds)
+        .orderBy("merge_round")
+    },
+
+    // Greedy longest-match WordPiece encoding under the fixed literal
+    // piece set (## continuations; q/x/z continuations omitted so the
+    // UNK path is exercised): per-doc word/token/unk counts.
+    "wordpiece_encode" -> { (spark, dir) =>
+      Wordpiece.encode(docs(spark, dir), "doc_id", "text", WpPieces,
+          WpMaxPiece)
+        .orderBy("doc_id")
+    },
+
+    // WordPiece fertility + UNK rate by language under the same pieces.
+    "wordpiece_fertility" -> { (spark, dir) =>
+      Wordpiece.fertility(docs(spark, dir), "text", "lang", WpPieces,
+          WpMaxPiece)
+        .orderBy("group")
     },
 
     // Versioned snapshot publish + time travel: v1 = closed orders,
@@ -12554,6 +12637,94 @@ object ExtensionQueries {
       $rows
       ORDER BY merge_round"""
     },
+
+    // Replay of Wordpiece.learn: the bpe_merges framed-string loop plus
+    // per-round symbol counts; argmax by the raw double likelihood
+    // score cnt(ab)/(cnt(a)·cnt(b)), ties (a, b) ascending.
+    "wordpiece_merges" -> {
+      val rounds = WpRounds
+      // every per-round CTE is MATERIALIZED: DuckDB re-evaluates plain
+      // CTEs per reference, and wpm$i is referenced four times by the
+      // apply step — unmaterialized, the chain re-derives the whole
+      // upstream per reference and goes exponential in rounds
+      def round(src: String, i: Int) =
+        s"""wpq$i AS MATERIALIZED (SELECT list_filter(string_split(e, chr(31)),
+              x -> x <> '') AS ss, wn FROM $src),
+        wps$i AS MATERIALIZED (SELECT ss[i] AS s, sum(wn)::BIGINT AS scnt
+          FROM wpq$i, unnest(generate_series(1, len(ss))) AS t(i)
+          GROUP BY 1),
+        wpp$i AS MATERIALIZED (SELECT ss[i] AS a, ss[i+1] AS b,
+            sum(wn)::BIGINT AS cnt
+          FROM wpq$i, unnest(generate_series(1, len(ss) - 1)) AS t(i)
+          GROUP BY 1, 2),
+        wpm$i AS MATERIALIZED (SELECT p.a, p.b, p.cnt,
+            p.cnt::DOUBLE / (sa.scnt::DOUBLE * sb.scnt::DOUBLE) AS score
+          FROM wpp$i p JOIN wps$i sa ON sa.s = p.a
+            JOIN wps$i sb ON sb.s = p.b
+          ORDER BY score DESC, p.a, p.b LIMIT 1)"""
+      def apply(src: String, i: Int) =
+        s"""wpw$i AS MATERIALIZED (SELECT replace(e,
+            chr(31)||(SELECT a FROM wpm$i)||chr(31)
+              ||chr(31)||(SELECT b FROM wpm$i)||chr(31),
+            chr(31)||(SELECT a FROM wpm$i)||(SELECT b FROM wpm$i)||chr(31))
+          AS e, wn FROM $src)"""
+      val ctes = (1 to rounds).map { i =>
+        val src = if (i == 1) "wpc" else s"wpw${i - 1}"
+        if (i < rounds) round(src, i) + ",\n" + apply(src, i)
+        else round(src, i)
+      }.mkString(",\n")
+      val rows = (1 to rounds).map(i =>
+        s"SELECT $i::BIGINT AS merge_round, a AS left_sym, b AS right_sym, a||b AS merged, cnt, (round(score, 6) + 0.0) AS score FROM wpm$i")
+        .mkString("\nUNION ALL ")
+      s"""
+      WITH wpc AS (
+        SELECT regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS e,
+          count(*)::BIGINT AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE length(w) >= 2 AND w NOT LIKE '%'||chr(31)||'%'
+        GROUP BY 1),
+      $ctes
+      $rows
+      ORDER BY merge_round"""
+    },
+
+    // Replay of Wordpiece.encode: the greedy chained CTEs over the
+    // distinct-word table, per-doc multiplicity join-back.
+    "wordpiece_encode" -> s"""
+      WITH wpv(p) AS (VALUES $wpVocabValues),
+      wdm AS (
+        SELECT doc_id, w, count(*)::BIGINT AS m FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1, 2),
+      wdu AS MATERIALIZED (SELECT DISTINCT w FROM wdm),
+      ${wpGreedySql("e", "wdu", "wpv")}
+      SELECT doc_id, sum(m)::BIGINT AS n_words,
+        sum(m * tok)::BIGINT AS n_tokens,
+        sum(m * CASE WHEN unk THEN 1 ELSE 0 END)::BIGINT AS n_unk
+      FROM wdm JOIN wfine USING (w) GROUP BY 1 ORDER BY doc_id""",
+
+    // Replay of Wordpiece.fertility: same greedy DP, grouped by lang.
+    "wordpiece_fertility" -> s"""
+      WITH wpv(p) AS (VALUES $wpVocabValues),
+      wgm AS (
+        SELECT lang AS "group", w, count(*)::BIGINT AS m FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1, 2),
+      wnd AS (SELECT lang AS "group", count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1),
+      wdu AS MATERIALIZED (SELECT DISTINCT w FROM wgm),
+      ${wpGreedySql("f", "wdu", "wpv")},
+      wagg AS (
+        SELECT "group", sum(m)::BIGINT AS n_words,
+          sum(m * tok)::BIGINT AS n_tokens,
+          sum(m * CASE WHEN unk THEN 1 ELSE 0 END)::BIGINT AS n_unk
+        FROM wgm JOIN wfinf USING (w) GROUP BY 1)
+      SELECT a."group", wnd.n_docs, a.n_words, a.n_tokens, a.n_unk,
+        round(a.n_tokens::DOUBLE / a.n_words::DOUBLE, 6) AS fertility,
+        round(a.n_unk::DOUBLE / a.n_words::DOUBLE, 6) AS unk_rate
+      FROM wagg a JOIN wnd USING ("group") ORDER BY a."group"""",
 
     // Replay of the snapshot_timetravel read: version 1's content is the
     // closed-orders subset regardless of later versions.

@@ -1488,6 +1488,45 @@ class ExtensionStagesSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("wordpiece stages run from config and match the direct API") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val conf = """{"stages": [
+      {"type": "Extract", "name": "d", "table": "documents",
+       "outputView": "wp_docs"},
+      {"type": "TextAnalysisTransform", "name": "wl",
+       "analysis": "wordpiece_learn", "inputView": "wp_docs",
+       "rounds": 2, "outputView": "wp_learn"},
+      {"type": "TextAnalysisTransform", "name": "we",
+       "analysis": "wordpiece_encode", "inputView": "wp_docs",
+       "pieces": ["th", "##he", "t", "h", "e", "a", "##a", "##b",
+         "##c", "##d", "##e", "##f", "##g", "##h", "##i"],
+       "maxPieceLen": 2, "outputView": "wp_enc"},
+      {"type": "TextAnalysisTransform", "name": "wf",
+       "analysis": "wordpiece_fertility", "inputView": "wp_docs",
+       "langCol": "lang",
+       "pieces": ["th", "##he", "t", "h", "e", "a", "##a", "##b",
+         "##c", "##d", "##e", "##f", "##g", "##h", "##i"],
+       "maxPieceLen": 2, "outputView": "wp_fert"}
+    ]}"""
+    val Right(p) = Parser.parse(conf,
+      Map("default" -> new ParquetConnector(sf001))): @unchecked
+    Runner.run(p).get
+    val pieces = Seq("th", "##he", "t", "h", "e", "a", "##a", "##b",
+      "##c", "##d", "##e", "##f", "##g", "##h", "##i")
+    val docs = spark.table("wp_docs")
+    assert(spark.table("wp_learn").orderBy("merge_round").collect()
+      .toSeq ==
+      Wordpiece.learn(docs, "text", rounds = 2)
+        .orderBy("merge_round").collect().toSeq)
+    assert(spark.table("wp_enc").orderBy("doc_id").collect().toSeq ==
+      Wordpiece.encode(docs, "doc_id", "text", pieces, 2)
+        .orderBy("doc_id").collect().toSeq)
+    assert(spark.table("wp_fert").orderBy("group").collect().toSeq ==
+      Wordpiece.fertility(docs, "text", "lang", pieces, 2)
+        .orderBy("group").collect().toSeq)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("url stages run from config: normalize, domain_mix, " +
       "domain_quality, domain_filter") {
     implicit val ctx: PipelineContext = PipelineContext(spark)
