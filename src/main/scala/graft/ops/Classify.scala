@@ -275,4 +275,139 @@ object Classify {
               .cast("double"), 6) + lit(0d))
           .as("kappa"))
   }
+
+  /** McNemar's test (McNemar 1947) — the PAIRED two-classifier
+    * comparison [[rocAuc]]/[[confusion]] cannot give: when models A
+    * and B are evaluated on the SAME examples, only the DISCORDANT
+    * pairs carry information (b = A right & B wrong, c = A wrong & B
+    * right), and the unpaired two-proportion z wastes the pairing.
+    * χ² = (b−c)²/(b+c) on dof 1, plus the continuity-corrected
+    * (|b−c|−1)²/(b+c) (Edwards 1948 — the small-count default; read
+    * `p_cc` unless b+c is large). b+c = 0 (no disagreements) pins
+    * both p = 1 (identical models, nothing to test — NULL χ²).
+    *
+    * `labelCol`/`predACol`/`predBCol` are booleans (rows with any NULL
+    * drop); "right" means pred == label. Determinism: four exact long
+    * cell counts from ONE map-side-combined aggregate; χ²/p are scalar
+    * expressions over them (dof 1 unrolls in-plan via the pinned
+    * closed-form χ² survival). Output ONE row: (n, both_right,
+    * both_wrong, a_only, b_only, chi2, p_value, chi2_cc, p_cc).
+    */
+  def mcnemar(df: DataFrame, labelCol: String, predACol: String,
+      predBCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val a = col(predACol).cast("boolean") <=> y
+    val b = col(predBCol).cast("boolean") <=> y
+    val cells = df
+      .where(col(labelCol).isNotNull && col(predACol).isNotNull
+        && col(predBCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("both_right"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("both_wrong"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("b_only"))
+    val bb = col("a_only").cast("double")
+    val cc = col("b_only").cast("double")
+    val disc = bb + cc
+    val chi2 = (bb - cc) * (bb - cc) / disc
+    val ccNum = (abs(bb - cc) - lit(1.0))
+    // continuity correction floors at 0 when |b-c| < 1 (b = c ± 0)
+    val chi2cc = when(abs(bb - cc) > 1.0, ccNum * ccNum / disc)
+      .otherwise(lit(0.0))
+    val P = graft.functions.PValues
+    cells.select(col("n"), col("both_right"), col("both_wrong"),
+      col("a_only"), col("b_only"),
+      when(disc > 0, round(chi2, 6) + lit(0d)).as("chi2"),
+      when(disc > 0,
+        round(P.chiSqSurvivalCol(chi2, 1), 6) + lit(0d))
+        .otherwise(lit(1d)).as("p_value"),
+      when(disc > 0, round(chi2cc, 6) + lit(0d)).as("chi2_cc"),
+      when(disc > 0,
+        round(P.chiSqSurvivalCol(chi2cc, 1), 6) + lit(0d))
+        .otherwise(lit(1d)).as("p_cc"))
+  }
+
+  /** Split conformal prediction interval (Vovk et al.; the
+    * distribution-free finite-sample coverage recipe): from a
+    * CALIBRATION slice's absolute residuals |y − ŷ|, the (1−α)
+    * interval half-width is the r-th smallest residual with
+    * r = ⌈(n_cal + 1)(1 − α)⌉ (clamped to n_cal) — then ŷ ± q covers a
+    * fresh point with probability ≥ 1 − α, NO distributional
+    * assumptions, any underlying model. The readout every
+    * "model-scored corpus + threshold" curation decision should carry:
+    * q says how wrong the score can be, coverage on `test` audits the
+    * guarantee held out of sample.
+    *
+    * Residuals snap to ×2^20 fixed point (the engine convention), so
+    * the order statistic is an EXACT cumulative-count crossing over
+    * the distinct-residual table (the [[graft.ops.Drift.yuenTrimmed]]
+    * boundary machinery: distributed range-partitioned cumulative, one
+    * crossing row collected) and test coverage is an exact long
+    * comparison. Output ONE row: (n_cal, rank, q, n_test, n_covered,
+    * coverage).
+    *
+    * Shape at scale: one map-side-combined count aggregate over the
+    * calibration slice (distinct-residual cardinality), the crossing
+    * filter, then one conditional count over the test slice with q as
+    * a plan literal. Nothing row-cardinality leaves the executors.
+    */
+  def conformal(cal: DataFrame, test: DataFrame, yCol: String,
+      yhatCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = cal.sparkSession
+    val fp = 1048576d
+    def res(df: DataFrame) = df
+      .where(col(yCol).isNotNull && col(yhatCol).isNotNull)
+      .select(abs(round(col(yCol).cast("double") * fp).cast("long")
+        - round(col(yhatCol).cast("double") * fp).cast("long"))
+        .as("__r"))
+    val counts = graft.util.Caches.persist(
+      res(cal).groupBy("__r").agg(count(lit(1)).as("__c")))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parts = graft.util.Caches.persist(
+      counts.repartitionByRange(nPart, col("__r"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy("__pid").orderBy("__r")
+    val local = parts.withColumn("__lc", sum("__c").over(w))
+    val chunkTotals = parts.groupBy("__pid")
+      .agg(sum("__c").as("t")).collect().sortBy(_.getInt(0))
+    val nCal = chunkTotals.map(_.getLong(1)).sum
+    require(nCal >= 1, "conformal: calibration slice is empty")
+    val rank = math.min(nCal,
+      math.ceil((nCal + 1).toDouble * (1.0 - alpha)).toLong)
+    var run = 0L
+    val offRows = chunkTotals.map { r =>
+      val row = Row(r.getInt(0), run); run += r.getLong(1); row
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__off", LongType, false))))
+    val hit = local.join(broadcast(offDf), "__pid")
+      .select(col("__r"), col("__c"),
+        (col("__lc") + col("__off")).as("__cum"))
+      .where(col("__cum") >= rank && col("__cum") - col("__c") < rank)
+      .collect()
+    require(hit.length == 1,
+      s"conformal: expected one crossing row, got ${hit.length}")
+    val qFp = hit.head.getLong(0)
+    val cov = res(test)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= qFp, 1L).otherwise(0L)).as("n_covered"))
+      .collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val nTest = cov.getLong(0); val nCov = cov.getLong(1)
+    spark.createDataFrame(
+      Seq(Row(nCal, rank, r6(qFp.toDouble / fp), nTest, nCov,
+        if (nTest > 0) r6(nCov.toDouble / nTest.toDouble) else 1.0))
+        .asJava,
+      StructType(Seq(
+        StructField("n_cal", LongType, false),
+        StructField("rank", LongType, false),
+        StructField("q", org.apache.spark.sql.types.DoubleType, false),
+        StructField("n_test", LongType, false),
+        StructField("n_covered", LongType, false),
+        StructField("coverage",
+          org.apache.spark.sql.types.DoubleType, false))))
+  }
 }

@@ -2804,6 +2804,83 @@ object Drift {
         StructField("n_per_arm_required", LongType, true))))
   }
 
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel pooled odds ratio
+    * (Cochran 1954; Mantel & Haenszel 1959) — the STRATIFIED two-arm
+    * conversion test: [[proportionsZ]] on pooled counts is exposed to
+    * Simpson's paradox whenever the arm mix differs across strata
+    * (country, platform, day); CMH tests the common treatment effect
+    * WITHIN strata and pools only the within-stratum evidence. Per
+    * stratum k with the 2×2 cell counts (n11 = arm-A successes, row
+    * totals n1+/n2+, column totals n+1/n+2, total n):
+    *
+    *   χ²_CMH = (Σ_k (n11k − n1+k·n+1k/nk))²
+    *            / Σ_k n1+k·n2+k·n+1k·n+2k / (nk²·(nk − 1)),  dof 1
+    *   OR_MH  = Σ_k (n11k·n22k/nk) / Σ_k (n12k·n21k/nk)
+    *
+    * (no continuity correction — pinned; both engines evaluate the
+    * same expression). Complements [[proportionsBySegment]]: that
+    * reads each stratum separately (which segment moved); CMH answers
+    * whether there is ONE effect after controlling for the strata.
+    *
+    * Strata with fewer than 2 units contribute 0 to every sum (the
+    * variance term is undefined at n = 1 and a 1-unit stratum carries
+    * no within-stratum contrast); strata missing an arm contribute 0
+    * by arithmetic (n2+ = 0 zeroes the variance and centers the diff).
+    * OR_MH is NULL when its denominator is 0 (no discordant cells
+    * anywhere).
+    *
+    * Determinism: exact long cell counts per stratum from ONE
+    * map-side-combined aggregate; each per-stratum term snaps to
+    * ×2^20 fixed point before the cross-stratum sum (order-insensitive
+    * — the engine-wide convention); χ²/p/OR are scalar expressions on
+    * the one-row totals, p through the in-plan closed-form χ²(1)
+    * survival. Entirely in-plan — stratum cardinality can be large.
+    * Output ONE row: (n_strata, n, chi2, p_value, or_mh).
+    */
+  def cmh(df: DataFrame, segCol: String, groupCol: String,
+      successCol: String, armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val fp = 1048576d
+    val arm = col(groupCol).cast("string")
+    val succ = col(successCol).cast("boolean")
+    val cells = df
+      .where(col(segCol).isNotNull && col(groupCol).isNotNull
+        && col(successCol).isNotNull && arm.isin(armA, armB))
+      .groupBy(col(segCol).cast("string").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(arm === armA && succ, 1L).otherwise(0L)).as("n11"),
+        sum(when(arm === armA && !succ, 1L).otherwise(0L)).as("n12"),
+        sum(when(arm === armB && succ, 1L).otherwise(0L)).as("n21"),
+        sum(when(arm === armB && !succ, 1L).otherwise(0L)).as("n22"))
+    def d(c: String) = col(c).cast("double")
+    val n1p = d("n11") + d("n12"); val n2p = d("n21") + d("n22")
+    val np1 = d("n11") + d("n21"); val np2 = d("n12") + d("n22")
+    val nn = d("n")
+    def snap(c: org.apache.spark.sql.Column) =
+      when(col("n") >= 2, round(c * fp).cast("long")).otherwise(0L)
+    val terms = cells.select(col("n"),
+      snap(d("n11") - n1p * np1 / nn).as("__d6"),
+      snap(n1p * n2p * np1 * np2 / (nn * nn * (nn - lit(1.0))))
+        .as("__v6"),
+      snap(d("n11") * d("n22") / nn).as("__on6"),
+      snap(d("n12") * d("n21") / nn).as("__od6"))
+    val tot = terms.agg(count(lit(1)).as("n_strata"),
+      sum("n").as("n"), sum("__d6").as("sd6"), sum("__v6").as("sv6"),
+      sum("__on6").as("son6"), sum("__od6").as("sod6"))
+    val sd = col("sd6").cast("double") / fp
+    val sv = col("sv6").cast("double") / fp
+    val chi2 = sd * sd / sv
+    val P = graft.functions.PValues
+    tot.select(col("n_strata"), col("n"),
+      when(col("sv6") > 0, round(chi2, 6) + lit(0d)).as("chi2"),
+      when(col("sv6") > 0,
+        round(P.chiSqSurvivalCol(chi2, 1), 6) + lit(0d))
+        .otherwise(lit(1d)).as("p_value"),
+      when(col("sod6") > 0,
+        round(col("son6").cast("double") / col("sod6").cast("double"), 6)
+          + lit(0d)).as("or_mh"))
+  }
+
   /** Yuen's trimmed-mean t (Yuen 1974) — the ROBUST two-sample mean
     * comparison: [[welchT]] on heavy-tailed metrics (latency, revenue)
     * is driven by the tail — a handful of outliers moves both the mean

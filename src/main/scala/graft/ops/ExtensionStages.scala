@@ -914,7 +914,7 @@ final case class ClassifyTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // train_score | auc | confusion | calibration | agreement
+    method: String, // train_score | auc | confusion | calibration | agreement | mcnemar | conformal
     idCol: String = "doc_id",
     textCol: String = "text",
     // train_score: SQL boolean expression labeling the positive class
@@ -924,9 +924,14 @@ final case class ClassifyTransformStage(
     scoreCol: String = "score",
     predCol: String = "pred",
     binWidth: Double = 1.0,
-    // agreement: the two labelings to compare
+    // agreement (and mcnemar): the two labelings/predictions to compare
     aCol: String = "a",
-    bCol: String = "b")
+    bCol: String = "b",
+    // conformal: test view + truth/prediction columns + miscoverage
+    rightView: String = "",
+    yCol: String = "y",
+    yhatCol: String = "yhat",
+    alpha: Double = 0.1)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -945,6 +950,12 @@ final case class ClassifyTransformStage(
       case "calibration" =>
         Classify.reliabilityBins(in, labelCol, scoreCol, binWidth)
       case "agreement"   => Classify.agreement(in, aCol, bCol)
+      // paired two-model comparison on shared examples
+      case "mcnemar"     => Classify.mcnemar(in, labelCol, aCol, bCol)
+      // split-conformal interval from cal (inputView) + test (rightView)
+      case "conformal"   =>
+        Classify.conformal(in, Views.resolve(rightView), yCol, yhatCol,
+          alpha)
       case other => throw new IllegalArgumentException(
         s"unknown classify method '$other'")
     }
@@ -1779,7 +1790,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments | sequential_mean | ratio_delta | tost | power | yuen
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments | sequential_mean | ratio_delta | tost | power | yuen | cmh
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1926,6 +1937,9 @@ final case class DriftTransformStage(
         powerTarget)
       // two-view robust trimmed-mean comparison
       case "yuen" => Drift.yuenTrimmed(before, after, valueCol, trim)
+      // single-view stratified 2x2 (Simpson-safe pooled effect)
+      case "cmh" =>
+        Drift.cmh(before, segCol, groupCol, successCol, armA, armB)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

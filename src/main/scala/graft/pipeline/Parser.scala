@@ -65,7 +65,8 @@ object Parser {
       "stats", "scrub", "kanon", "suppress", "noisy_counts", "ldiversity",
       "tcloseness", "pseudonymize", "pseudonym_audit"),
     "ClassifyTransform" -> Seq(
-      "train_score", "auc", "confusion", "calibration", "agreement"),
+      "train_score", "auc", "confusion", "calibration", "agreement",
+      "mcnemar", "conformal"),
     "GraphTransform" -> Seq(
       "pagerank", "triangles", "cooccur_edges", "kcore", "lpa",
       "link_pred", "ppr", "cc", "ball", "harmonic", "nf", "modularity",
@@ -85,7 +86,8 @@ object Parser {
       "proportions", "segments", "psi", "jsd", "wasserstein", "ks_grouped",
       "wasserstein_grouped", "bootstrap_lift", "sequential",
       "welch_segments", "sequential_mean", "ks_test", "hodges_lehmann",
-      "mi", "post_stratified", "ratio_delta", "tost", "power", "yuen"),
+      "mi", "post_stratified", "ratio_delta", "tost", "power", "yuen",
+      "cmh"),
     "Snapshot" -> Seq(
       "publish", "read", "vacuum"),
     "AggStateTransform" -> Seq(
@@ -392,12 +394,15 @@ object Parser {
         t = r.double("t").getOrElse(0.2))
     },
     "ClassifyTransform" -> { (r, _) =>
+      val method = r.oneOf("method",
+        methodEnums("ClassifyTransform"), "train_score")
+      if (method == "conformal" && r.string("rightView").isEmpty)
+        r.error("rightView", "missing; conformal needs the test view")
       ClassifyTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
         outputView = r.requiredString("outputView"),
-        method = r.oneOf("method",
-          methodEnums("ClassifyTransform"), "train_score"),
+        method = method,
         idCol = r.string("idCol").getOrElse("doc_id"),
         textCol = r.string("textCol").getOrElse("text"),
         positiveExpr = r.string("positiveExpr").getOrElse(""),
@@ -407,7 +412,11 @@ object Parser {
         predCol = r.string("predCol").getOrElse("pred"),
         binWidth = r.double("binWidth").getOrElse(1.0),
         aCol = r.string("aCol").getOrElse("a"),
-        bCol = r.string("bCol").getOrElse("b"))
+        bCol = r.string("bCol").getOrElse("b"),
+        rightView = r.string("rightView").getOrElse(""),
+        yCol = r.string("yCol").getOrElse("y"),
+        yhatCol = r.string("yhatCol").getOrElse("yhat"),
+        alpha = r.double("alpha").getOrElse(0.1))
     },
     "GraphTransform" -> { (r, _) =>
       GraphTransformStage(
@@ -510,7 +519,7 @@ object Parser {
       val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
         "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
         "proportions", "segments", "sequential", "welch_segments",
-        "sequential_mean", "ratio_delta").contains(driftMethod)
+        "sequential_mean", "ratio_delta", "cmh").contains(driftMethod)
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -521,7 +530,7 @@ object Parser {
       if (driftMethod == "srm" && expected.isEmpty)
         r.error("expected", "missing; srm requires the designed arm weights")
       if (Set("proportions", "segments", "sequential", "welch_segments",
-          "sequential_mean", "ratio_delta").contains(driftMethod)) {
+          "sequential_mean", "ratio_delta", "cmh").contains(driftMethod)) {
         if (r.string("armA").isEmpty)
           r.error("armA", s"missing; $driftMethod requires both arm names")
         if (r.string("armB").isEmpty)
@@ -977,7 +986,8 @@ object Parser {
       "t")),
     "ClassifyTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "idCol", "textCol", "positiveExpr", "buckets", "labelCol",
-      "scoreCol", "predCol", "binWidth", "aCol", "bCol")),
+      "scoreCol", "predCol", "binWidth", "aCol", "bCol", "rightView",
+      "yCol", "yhatCol", "alpha")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix",

@@ -4204,6 +4204,49 @@ object ExtensionQueries {
         "value", trim = 0.2)
     },
 
+    // Cochran–Mantel–Haenszel over user-derived strata: the
+    // Simpson-safe pooled conversion effect (one common-effect test
+    // after controlling for the strata, vs ab_segments' per-stratum
+    // readouts), plus the Mantel–Haenszel pooled odds ratio.
+    "ab_cmh" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir).select(
+        expr("(user_id div 2) % 4").cast("string").as("seg"),
+        concat(lit("g"), (col("user_id") % 2).cast("string")).as("arm"),
+        (col("event_type") === "purchase").as("success"))
+      Drift.cmh(ev, "seg", "arm", "success", "g0", "g1")
+    },
+
+    // McNemar's paired test between two deterministic document
+    // classifiers evaluated on the SAME documents — only the
+    // discordant pairs carry information (the unpaired z wastes the
+    // pairing); both the raw and continuity-corrected chi2(1) ps.
+    "classify_mcnemar" -> { (spark, dir) =>
+      Classify.mcnemar(
+        docs(spark, dir).select(
+          (col("doc_id") % 3 === 0).as("label"),
+          (col("n_chars") % 2 === 0).as("pa"),
+          (col("doc_id") % 2 === 0).as("pb")),
+        "label", "pa", "pb")
+    },
+
+    // Split conformal interval for a per-priority mean-price model:
+    // half-width q = the ceil((n+1)(1-alpha))-th smallest calibration
+    // residual (distribution-free finite-sample coverage), audited on
+    // a held-out slice. Train on even keys, calibrate on keys %4==1,
+    // audit coverage on keys %4==3.
+    "classify_conformal" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val model = o.where(col("o_orderkey") % 2 === 0)
+        .groupBy("o_orderpriority")
+        .agg(((sum(round(col("o_totalprice") * 1048576d).cast("long"))
+          .cast("double") / count(lit(1)).cast("double")) / 1048576d)
+          .as("yhat"))
+      def slice(m: Int) = o.where(col("o_orderkey") % 4 === m)
+        .join(broadcast(model), "o_orderpriority")
+        .select(col("o_totalprice").as("y"), col("yhat"))
+      Classify.conformal(slice(1), slice(3), "y", "yhat", alpha = 0.1)
+    },
+
     // Mutual information + NMI between document language and source —
     // the information-theoretic association readout (feature-selection
     // / label-leakage number) next to ab_chi2_independence.
@@ -11175,6 +11218,144 @@ object ExtensionQueries {
           ELSE 1.0::DOUBLE END, 6) + 0.0) AS p_t
       FROM $fin"""
     },
+
+    // Replay of Drift.cmh: per-stratum exact 2x2 cells, the diff /
+    // variance / OR terms snapped ×2^20 per stratum (order-insensitive
+    // sums), chi2(1) survival on the one-row totals.
+    "ab_cmh" -> s"""
+      WITH su AS (
+        SELECT ((user_id // 2) % 4)::VARCHAR AS seg,
+          'g' || (user_id % 2)::VARCHAR AS arm,
+          (event_type = 'purchase') AS succ
+        FROM events),
+      cells AS (
+        SELECT seg, count(*)::BIGINT AS n,
+          sum(CASE WHEN arm = 'g0' AND succ THEN 1 ELSE 0 END)::BIGINT
+            AS n11,
+          sum(CASE WHEN arm = 'g0' AND NOT succ THEN 1 ELSE 0 END)::BIGINT
+            AS n12,
+          sum(CASE WHEN arm = 'g1' AND succ THEN 1 ELSE 0 END)::BIGINT
+            AS n21,
+          sum(CASE WHEN arm = 'g1' AND NOT succ THEN 1 ELSE 0 END)::BIGINT
+            AS n22
+        FROM su GROUP BY 1),
+      terms AS (
+        SELECT n,
+          CASE WHEN n >= 2 THEN CAST(round((n11::DOUBLE
+            - (n11::DOUBLE + n12::DOUBLE) * (n11::DOUBLE + n21::DOUBLE)
+              / n::DOUBLE) * 1048576.0) AS BIGINT) ELSE 0 END AS d6,
+          CASE WHEN n >= 2 THEN CAST(round(
+            (n11::DOUBLE + n12::DOUBLE) * (n21::DOUBLE + n22::DOUBLE)
+              * (n11::DOUBLE + n21::DOUBLE) * (n12::DOUBLE + n22::DOUBLE)
+              / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE))
+            * 1048576.0) AS BIGINT) ELSE 0 END AS v6,
+          CASE WHEN n >= 2 THEN CAST(round(n11::DOUBLE * n22::DOUBLE
+            / n::DOUBLE * 1048576.0) AS BIGINT) ELSE 0 END AS on6,
+          CASE WHEN n >= 2 THEN CAST(round(n12::DOUBLE * n21::DOUBLE
+            / n::DOUBLE * 1048576.0) AS BIGINT) ELSE 0 END AS od6
+        FROM cells),
+      tot AS (
+        SELECT count(*)::BIGINT AS n_strata, sum(n)::BIGINT AS n,
+          sum(d6)::BIGINT AS sd6, sum(v6)::BIGINT AS sv6,
+          sum(on6)::BIGINT AS son6, sum(od6)::BIGINT AS sod6
+        FROM terms),
+      st AS (
+        SELECT *, (sd6::DOUBLE / 1048576.0) * (sd6::DOUBLE / 1048576.0)
+            / (sv6::DOUBLE / 1048576.0) AS chi2raw
+        FROM tot)
+      SELECT n_strata, n,
+        CASE WHEN sv6 > 0 THEN (round(chi2raw, 6) + 0.0) END AS chi2,
+        CASE WHEN sv6 > 0 THEN (round(
+          ${graft.functions.PValues.chiSqSurvivalSql("st.chi2raw", 1)},
+          6) + 0.0) ELSE 1.0::DOUBLE END AS p_value,
+        CASE WHEN sod6 > 0
+          THEN (round(son6::DOUBLE / sod6::DOUBLE, 6) + 0.0)
+        END AS or_mh
+      FROM st""",
+
+    // Replay of Classify.mcnemar: four exact cells, (b−c)²/(b+c) and
+    // the Edwards continuity correction, closed-form chi2(1) survival.
+    "classify_mcnemar" -> {
+      val p1 = graft.functions.PValues.chiSqSurvivalSql("mq.chi2raw", 1)
+      val p2 = graft.functions.PValues.chiSqSurvivalSql("mq.chi2ccraw", 1)
+      s"""
+      WITH mc AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)::BIGINT
+            AS both_right,
+          sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)::BIGINT
+            AS both_wrong,
+          sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)::BIGINT
+            AS a_only,
+          sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)::BIGINT
+            AS b_only
+        FROM (
+          SELECT (doc_id % 3 = 0) AS y, (n_chars % 2 = 0) AS pa,
+            (doc_id % 2 = 0) AS pb
+          FROM documents)),
+      mq AS (
+        SELECT *,
+          (a_only::DOUBLE - b_only::DOUBLE) * (a_only::DOUBLE
+            - b_only::DOUBLE) / (a_only::DOUBLE + b_only::DOUBLE)
+            AS chi2raw,
+          CASE WHEN abs(a_only::DOUBLE - b_only::DOUBLE) > 1.0::DOUBLE
+            THEN (abs(a_only::DOUBLE - b_only::DOUBLE) - 1.0::DOUBLE)
+              * (abs(a_only::DOUBLE - b_only::DOUBLE) - 1.0::DOUBLE)
+              / (a_only::DOUBLE + b_only::DOUBLE)
+            ELSE 0.0::DOUBLE END AS chi2ccraw
+        FROM mc)
+      SELECT n, both_right, both_wrong, a_only, b_only,
+        CASE WHEN a_only + b_only > 0
+          THEN (round(chi2raw, 6) + 0.0) END AS chi2,
+        CASE WHEN a_only + b_only > 0 THEN (round($p1, 6) + 0.0)
+          ELSE 1.0::DOUBLE END AS p_value,
+        CASE WHEN a_only + b_only > 0
+          THEN (round(chi2ccraw, 6) + 0.0) END AS chi2_cc,
+        CASE WHEN a_only + b_only > 0 THEN (round($p2, 6) + 0.0)
+          ELSE 1.0::DOUBLE END AS p_cc
+      FROM mq"""
+    },
+
+    // Replay of Classify.conformal: per-priority fixed-point mean
+    // model, snapped calibration residuals, the exact cumulative-
+    // crossing order statistic, held-out coverage as long compares.
+    "classify_conformal" -> """
+      WITH model AS (
+        SELECT o_orderpriority,
+          (sum(CAST(round(o_totalprice::DOUBLE * 1048576.0) AS BIGINT))::DOUBLE
+            / count(*)::DOUBLE) / 1048576.0 AS yhat
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      cal AS (
+        SELECT abs(CAST(round(o_totalprice::DOUBLE * 1048576.0) AS BIGINT)
+          - CAST(round(yhat * 1048576.0) AS BIGINT)) AS r
+        FROM orders JOIN model USING (o_orderpriority)
+        WHERE o_orderkey % 4 = 1),
+      cc AS (SELECT r, count(*)::BIGINT AS c FROM cal GROUP BY 1),
+      cum AS (SELECT r, c, sum(c) OVER (ORDER BY r)::BIGINT AS cm FROM cc),
+      rk AS (
+        SELECT sum(c)::BIGINT AS n_cal,
+          least(sum(c)::BIGINT, CAST(ceil((sum(c)::BIGINT + 1)::DOUBLE
+            * 0.9::DOUBLE) AS BIGINT)) AS rank
+        FROM cc),
+      q AS (SELECT cum.r AS qfp FROM cum, rk
+        WHERE cum.cm >= rk.rank AND cum.cm - cum.c < rk.rank),
+      tst AS (
+        SELECT abs(CAST(round(o_totalprice::DOUBLE * 1048576.0) AS BIGINT)
+          - CAST(round(yhat * 1048576.0) AS BIGINT)) AS r
+        FROM orders JOIN model USING (o_orderpriority)
+        WHERE o_orderkey % 4 = 3),
+      cov AS (
+        SELECT count(*)::BIGINT AS n_test,
+          sum(CASE WHEN tst.r <= q.qfp THEN 1 ELSE 0 END)::BIGINT
+            AS n_covered
+        FROM tst, q)
+      SELECT rk.n_cal, rk.rank,
+        (round(q.qfp::DOUBLE / 1048576.0, 6) + 0.0) AS q,
+        cov.n_test, cov.n_covered,
+        CASE WHEN cov.n_test > 0
+          THEN (round(cov.n_covered::DOUBLE / cov.n_test::DOUBLE, 6) + 0.0)
+          ELSE 1.0::DOUBLE END AS coverage
+      FROM rk, q, cov""",
 
     // Replay of Drift.mutualInformation: occupied-cell counts, margin
     // rollups, per-cell/margin double terms, ×2^20 fixed-point sums.

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class ClassifySpec extends SparkSpec {
   import spark.implicits._
@@ -149,6 +149,78 @@ class ClassifySpec extends SparkSpec {
         .asInstanceOf[Seq[(String, String)]].toDF("a", "b"),
       "a", "b").collect().head
     assert(r3.getLong(0) == 3L && r3.getLong(1) == 2L)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("mcnemar: hand-computed discordant cells, continuity " +
+      "correction, identical-model degenerate, NULL drops") {
+    // label always true; A right on 15, B right on 11; discordant:
+    // b = A-only = 5, c = B-only = 1; concordant both-right 10
+    val rows =
+      (1 to 10).map(_ => (true, true, true)) ++   // both right
+      (1 to 5).map(_ => (true, true, false)) ++   // A only
+      (1 to 1).map(_ => (true, false, true)) ++   // B only
+      (1 to 3).map(_ => (true, false, false))     // both wrong
+    val df = rows.toDF("y", "pa", "pb")
+    val r = Classify.mcnemar(df, "y", "pa", "pb").collect().head
+    assert(r.getAs[Long]("n") == 19)
+    assert(r.getAs[Long]("a_only") == 5 && r.getAs[Long]("b_only") == 1)
+    assert(r.getAs[Long]("both_right") == 10 &&
+      r.getAs[Long]("both_wrong") == 3)
+    // chi2 = (5-1)^2/6 = 2.666667; cc = (4-1)^2/6 = 1.5
+    assert(math.abs(r.getAs[Double]("chi2") - 16.0 / 6.0) < 1e-5)
+    assert(r.getAs[Double]("chi2_cc") == 1.5)
+    val P = graft.functions.PValues
+    assert(math.abs(r.getAs[Double]("p_value") -
+      P.chiSqSurvival(16.0 / 6.0, 1)) < 1e-5)
+    assert(r.getAs[Double]("p_cc") > r.getAs[Double]("p_value"))
+    // identical predictions: no discordance -> NULL chi2, p = 1
+    val same = Seq((true, true, true), (false, true, true))
+      .toDF("y", "pa", "pb")
+    val rs = Classify.mcnemar(same, "y", "pa", "pb").collect().head
+    assert(rs.isNullAt(rs.fieldIndex("chi2")) &&
+      rs.getAs[Double]("p_value") == 1.0)
+    // NULL rows drop
+    val withNull = df.unionByName(
+      Seq((None: Option[Boolean], Some(true), Some(true)))
+        .toDF("y", "pa", "pb"))
+    assert(Classify.mcnemar(withNull, "y", "pa", "pb")
+      .collect().head.getAs[Long]("n") == 19)
+  }
+
+  test("conformal: exact order-statistic half-width, finite-sample " +
+      "coverage on the audit slice, brute reference, guards") {
+    // calibration residuals are exactly 1..20 (y = yhat + i)
+    val cal = (1 to 20).map(i => (10.0 + i, 10.0)).toDF("y", "yhat")
+    val test = (1 to 10).map(i => (10.0 + 2 * i, 10.0)).toDF("y", "yhat")
+    // alpha = 0.2: rank = ceil(21·0.8) = 17 -> q = 17
+    val r = Classify.conformal(cal, test, "y", "yhat", alpha = 0.2)
+      .collect().head
+    assert(r.getAs[Long]("n_cal") == 20 && r.getAs[Long]("rank") == 17)
+    assert(r.getAs[Double]("q") == 17.0)
+    // test residuals 2,4,..,20: covered = those <= 17 -> 8 of 10
+    assert(r.getAs[Long]("n_covered") == 8)
+    assert(r.getAs[Double]("coverage") == 0.8)
+    // brute reference on seeded data: rank-th smallest sorted residual
+    val rnd = new scala.util.Random(5150)
+    val ys = (1 to 200).map(_ => rnd.nextDouble() * 50)
+    val cal2 = ys.map(y => (y, 25.0)).toDF("y", "yhat")
+    val r2 = Classify.conformal(cal2, test, "y", "yhat", alpha = 0.1)
+      .collect().head
+    def snap(x: Double) = math.round(x * 1048576d)
+    val res = ys.map(y => math.abs(snap(y) - snap(25.0))).sorted
+    val rank = math.min(200, math.ceil(201 * 0.9).toInt)
+    assert(r2.getAs[Long]("rank") == rank)
+    // q reports at 6dp; compare against the exact order statistic
+    assert(math.abs(r2.getAs[Double]("q") -
+      res(rank - 1).toDouble / 1048576d) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Classify.conformal(cal, test, "y", "yhat", alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Classify.conformal(cal.where(lit(false)), test, "y", "yhat")
+        .collect()
+    }
     graft.util.Caches.unpersistAll()
   }
 }

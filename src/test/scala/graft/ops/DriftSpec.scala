@@ -1467,4 +1467,41 @@ class DriftSpec extends SparkSpec {
       "v", 0.2).collect().head
     assert(r == rp)
   }
+
+  test("cmh: hand-computed two-strata example, single-arm stratum " +
+      "contributes nothing, Simpson direction, layout-invariant") {
+    // stratum s1: A 8/10 vs B 4/10; stratum s2: A 3/10 vs B 1/10 —
+    // a consistent A-advantage within strata
+    def rows(seg: String, arm: String, k: Int, n: Int) =
+      (1 to n).map(i => (seg, arm, i <= k))
+    val df = (rows("s1", "g0", 8, 10) ++ rows("s1", "g1", 4, 10) ++
+      rows("s2", "g0", 3, 10) ++ rows("s2", "g1", 1, 10))
+      .toDF("seg", "arm", "success")
+    val r = Drift.cmh(df, "seg", "arm", "success", "g0", "g1")
+      .collect().head
+    assert(r.getAs[Long]("n_strata") == 2 && r.getAs[Long]("n") == 40)
+    // hand: s1 E=6, diff=2, var=10·10·12·8/(400·19)=1.26315789...;
+    //       s2 E=2, diff=1, var=10·10·4·16/(400·19)=0.84210526...
+    // (terms snap to 2^-20 before summing — within 1e-5 of exact)
+    val sv = 10.0 * 10 * 12 * 8 / (400.0 * 19) + 10.0 * 10 * 4 * 16 /
+      (400.0 * 19)
+    assert(math.abs(r.getAs[Double]("chi2") - 9.0 / sv) < 1e-4,
+      s"${r.getAs[Double]("chi2")} vs ${9.0 / sv}")
+    // OR_MH = (8·6/20 + 3·9/20) / (2·4/20 + 7·1/20) = 3.75/0.75 = 5.0
+    assert(math.abs(r.getAs[Double]("or_mh") - 5.0) < 1e-4)
+    assert(r.getAs[Double]("p_value") > 0.0 &&
+      r.getAs[Double]("p_value") < 0.05)
+    // a stratum with only one arm adds 0 to every sum
+    val extra = df.unionByName(rows("s3", "g0", 5, 10)
+      .toDF("seg", "arm", "success"))
+    val re = Drift.cmh(extra, "seg", "arm", "success", "g0", "g1")
+      .collect().head
+    assert(re.getAs[Long]("n_strata") == 3)
+    assert(re.getAs[Double]("chi2") == r.getAs[Double]("chi2"))
+    assert(re.getAs[Double]("or_mh") == r.getAs[Double]("or_mh"))
+    // layout invariance (snapped per-stratum terms, long sums)
+    val rp = Drift.cmh(df.repartition(7), "seg", "arm", "success",
+      "g0", "g1").collect().head
+    assert(r == rp)
+  }
 }

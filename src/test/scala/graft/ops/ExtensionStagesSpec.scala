@@ -1455,7 +1455,26 @@ class ExtensionStagesSpec extends SparkSpec {
        "alpha": 0.05, "powerTarget": 0.8, "outputView": "r18_pw"},
       {"type": "DriftTransform", "name": "yu", "method": "yuen",
        "inputView": "r18_a", "rightView": "r18_b", "valueCol": "value",
-       "trim": 0.2, "outputView": "r18_yu"}
+       "trim": 0.2, "outputView": "r18_yu"},
+      {"type": "Execute", "name": "mkcmh",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_cmh_in AS SELECT CAST((id div 2) % 3 AS STRING) AS seg, 'g' || CAST(id % 2 AS STRING) AS arm, (id % 5 < 2) AS success FROM range(300)"},
+      {"type": "DriftTransform", "name": "cm", "method": "cmh",
+       "inputView": "r18_cmh_in", "segCol": "seg", "groupCol": "arm",
+       "successCol": "success", "armA": "g0", "armB": "g1",
+       "outputView": "r18_cmh"},
+      {"type": "Execute", "name": "mkmc",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_mc_in AS SELECT (id % 3 = 0) AS y, (id % 2 = 0) AS pa, (id % 4 = 0) AS pb FROM range(200)"},
+      {"type": "ClassifyTransform", "name": "mc", "method": "mcnemar",
+       "inputView": "r18_mc_in", "labelCol": "y", "aCol": "pa",
+       "bCol": "pb", "outputView": "r18_mc"},
+      {"type": "Execute", "name": "mkcf",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_cf_cal AS SELECT CAST(10 + id % 17 AS DOUBLE) AS y, 12.0 AS yhat FROM range(150)"},
+      {"type": "Execute", "name": "mkcf2",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_cf_tst AS SELECT CAST(9 + id % 21 AS DOUBLE) AS y, 12.0 AS yhat FROM range(80)"},
+      {"type": "ClassifyTransform", "name": "cf", "method": "conformal",
+       "inputView": "r18_cf_cal", "rightView": "r18_cf_tst",
+       "yCol": "y", "yhatCol": "yhat", "alpha": 0.1,
+       "outputView": "r18_cf"}
     ]}"""
     val Right(p) = Parser.parse(conf,
       Map("default" -> new ParquetConnector(sf001))): @unchecked
@@ -1477,6 +1496,18 @@ class ExtensionStagesSpec extends SparkSpec {
     val yuApi = Drift.yuenTrimmed(spark.table("r18_a"),
       spark.table("r18_b"), "value", trim = 0.2).collect().head
     assert(yu == yuApi)
+    val cm = spark.table("r18_cmh").collect().head
+    val cmApi = Drift.cmh(spark.table("r18_cmh_in"), "seg", "arm",
+      "success", "g0", "g1").collect().head
+    assert(cm == cmApi)
+    val mc = spark.table("r18_mc").collect().head
+    val mcApi = Classify.mcnemar(spark.table("r18_mc_in"), "y", "pa",
+      "pb").collect().head
+    assert(mc == mcApi)
+    val cf = spark.table("r18_cf").collect().head
+    val cfApi = Classify.conformal(spark.table("r18_cf_cal"),
+      spark.table("r18_cf_tst"), "y", "yhat").collect().head
+    assert(cf == cfApi)
     // tost without the margin key is a config-time error, not a crash
     val bad = Parser.parse("""{"stages": [
       {"type": "DriftTransform", "name": "eq", "method": "tost",
