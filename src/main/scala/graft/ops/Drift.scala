@@ -2705,6 +2705,94 @@ object Drift {
           false))))
   }
 
+  /** Difference-in-differences estimator — the pre/post × treat/control
+    * causal readout (classical panel econometrics; Card & Krueger 1994
+    * is the canonical applied example): when treatment was NOT
+    * randomized (a staged rollout, a market-level launch), the naive
+    * post-period comparison confounds the treatment with pre-existing
+    * group differences, and the naive before/after comparison confounds
+    * it with time trends. DiD nets out both under the parallel-trends
+    * assumption:
+    *
+    *   did = (m_T,post − m_T,pre) − (m_C,post − m_C,pre)
+    *   se² = Σ_cell var_cell / n_cell   (four independent cells,
+    *         large-sample normal — the standard 2×2 DiD variance)
+    *
+    * with z = did/se, two-sided erfc p, and the `ciZ` interval (default
+    * 1.959964 — the [[proportionsZ]] convention). Sits beside [[cuped]]
+    * (randomized + pre-period covariate → variance reduction) as the
+    * NON-randomized counterpart.
+    *
+    * `df` carries unit rows with arm labels in `groupCol`, period
+    * labels in `periodCol` (exactly `prePeriod`/`postPeriod` are read;
+    * other labels and NULL rows drop) and the metric in `valueCol`.
+    * Each of the four cells needs ≥ 2 rows (loud).
+    *
+    * Determinism: exact ×2^20 fixed-point moments per cell from ONE
+    * map-side-combined aggregate (the [[welchT]] machinery on the
+    * arm×period key); pinned-order driver doubles after. Output ONE
+    * row: (n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre,
+    * mean_t_post, mean_c_pre, mean_c_post, did, se, z, p_value, ci_lo,
+    * ci_hi).
+    */
+  def did(df: DataFrame, groupCol: String, periodCol: String,
+      valueCol: String, armT: String, armC: String, prePeriod: String,
+      postPeriod: String, ciZ: Double = 1.959964): DataFrame = {
+    require(armT != armC, "the two arms must differ")
+    require(prePeriod != postPeriod, "the two periods must differ")
+    val spark = df.sparkSession
+    val fp = 1048576d
+    val sep = "\u0001"
+    val arm = col(groupCol).cast("string")
+    val per = col(periodCol).cast("string")
+    val cells = groupMoments(
+      df.where(arm.isin(armT, armC) && per.isin(prePeriod, postPeriod))
+        .select(concat_ws(sep, arm, per).as("__k"), col(valueCol)),
+      "__k", valueCol)
+      .map(r => r.getString(0) -> r).toMap
+    def cell(a: String, p: String): (Long, Double, Double) = {
+      val r = cells.getOrElse(s"$a$sep$p",
+        throw new IllegalArgumentException(
+          s"did: cell ($a, $p) has no rows"))
+      val n = r.getLong(1)
+      require(n >= 2, s"did: cell ($a, $p) needs >= 2 rows, got $n")
+      val s = r.getDecimal(2).doubleValue() / fp
+      val q = r.getDecimal(3).doubleValue() / fp / fp
+      val m = s / n.toDouble
+      val v = (q - s * s / n.toDouble) / (n - 1).toDouble
+      (n, m, v / n.toDouble)
+    }
+    val (ntp, mtp, vtp) = cell(armT, prePeriod)
+    val (nto, mto, vto) = cell(armT, postPeriod)
+    val (ncp, mcp, vcp) = cell(armC, prePeriod)
+    val (nco, mco, vco) = cell(armC, postPeriod)
+    val didv = (mto - mtp) - (mco - mcp)
+    val se2 = vtp + vto + vcp + vco
+    val se = if (se2 > 0) math.sqrt(se2) else 0.0
+    val z = if (se > 0) didv / se else 0.0
+    val P = graft.functions.PValues
+    val pv = P.round6(P.pTwoSidedZ(z))
+    spark.createDataFrame(
+      Seq(Row(ntp, nto, ncp, nco, r6d(mtp), r6d(mto), r6d(mcp),
+        r6d(mco), r6d(didv), r6d(se), r6d(z), pv,
+        r6d(didv - ciZ * se), r6d(didv + ciZ * se))).asJava,
+      StructType(Seq(
+        StructField("n_t_pre", LongType, false),
+        StructField("n_t_post", LongType, false),
+        StructField("n_c_pre", LongType, false),
+        StructField("n_c_post", LongType, false),
+        StructField("mean_t_pre", DoubleType, false),
+        StructField("mean_t_post", DoubleType, false),
+        StructField("mean_c_pre", DoubleType, false),
+        StructField("mean_c_post", DoubleType, false),
+        StructField("did", DoubleType, false),
+        StructField("se", DoubleType, false),
+        StructField("z", DoubleType, false),
+        StructField("p_value", DoubleType, false),
+        StructField("ci_lo", DoubleType, false),
+        StructField("ci_hi", DoubleType, false))))
+  }
+
   /** Pinned standard-normal quantiles for the sensitivity readout —
     * plan-time LOOKUP, not an inverse-erf evaluation: [[powerMde]]
     * accepts exactly these α / power levels so the Spark side and any

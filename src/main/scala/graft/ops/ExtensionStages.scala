@@ -151,7 +151,7 @@ final case class SimilarityTransformStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // topk | maxsim | ann | ivf | kmeans | medoids | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk | hamming_pairs
+    method: String, // topk | maxsim | ann | ivf | kmeans | medoids | kcenter | neardup_pairs | standardize | quantize | project | semantic_dedup | hard_negatives | ann_recall | pca_cov | health | bitext | bitext_scalable | pq_topk | hamming_topk | hamming_pairs
     queryView: Option[String] = None,
     k: Int = 5,
     threshold: Double = 0.95,
@@ -201,6 +201,8 @@ final case class SimilarityTransformStage(
       // per-cell best real representative (coreset selection)
       case "medoids"       =>
         Similarity.medoids(corpus, centroidEvery, kmeansIters, exactReplay)
+      // greedy farthest-point k-center cover (global diversity coreset)
+      case "kcenter"       => Similarity.kcenter(corpus, k)
       // binary sign-code search: 8-byte packed codes, xor+popcount rank
       case "hamming_topk"  =>
         Similarity.hammingTopK(corpus, queries, k, nBits.getOrElse(64))
@@ -1790,7 +1792,7 @@ final case class DriftTransformStage(
     inputView: String,
     rightView: String,
     outputView: String,
-    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments | sequential_mean | ratio_delta | tost | power | yuen | cmh
+    method: String, // ks | tv | centroid | profile | permutation | cuped | srm | heavy_terms | bh | bootstrap | mannwhitney | chi2 | spearman | wilcoxon | kruskal | anova | levene | welch | fisher | proportions | segments | psi | jsd | wasserstein | ks_grouped | wasserstein_grouped | bootstrap_lift | sequential | welch_segments | sequential_mean | ratio_delta | tost | power | yuen | cmh | did
     valueCol: String = "value",
     catCol: String = "category",
     labelCol: String = "label",
@@ -1833,7 +1835,12 @@ final case class DriftTransformStage(
     // power only: the target power level (alpha doubles as the level)
     powerTarget: Double = 0.8,
     // yuen only: per-tail trim fraction
-    trim: Double = 0.2)
+    trim: Double = 0.2,
+    // did only (single-view): period column + the two period labels
+    // (armA/armB double as treat/control)
+    periodCol: String = "period",
+    prePeriod: String = "pre",
+    postPeriod: String = "post")
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -1940,6 +1947,10 @@ final case class DriftTransformStage(
       // single-view stratified 2x2 (Simpson-safe pooled effect)
       case "cmh" =>
         Drift.cmh(before, segCol, groupCol, successCol, armA, armB)
+      // single-view difference-in-differences (armA = treat, armB = ctrl)
+      case "did" =>
+        Drift.did(before, groupCol, periodCol, valueCol, armA, armB,
+          prePeriod, postPeriod)
       case other =>
         throw new IllegalArgumentException(s"unknown drift method '$other'")
     }

@@ -957,4 +957,93 @@ object Similarity {
           round(col("__s").cast("double") / col("__k") / FixedScale, 6))
           .as("mean_norm"))
   }
+
+  /** Squared-L2 distance, 6dp, -0-normalized — the [[kcenter]]
+    * comparison key (the [[Pq]] convention: native sequential kernel,
+    * bit-identical to an ordered fold on any replay engine).
+    */
+  private def sqDist6(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    round(org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Expressions.SquaredL2(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b))), 6) + lit(0d)
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal —
+    * the classical 2-approximation to the k-center cover): seed with
+    * the min `vec_id`, then k−1 times pick the vector FARTHEST from the
+    * selected set (squared-L2, ties to the min id) and fold it in. The
+    * selected k vectors cover the corpus within the reported radius —
+    * the "pick k maximally-diverse real examples" primitive behind
+    * coreset selection for training-data budgets, diverse eval-set
+    * construction, and seeding k-means better than modulo sampling
+    * ([[medoids]] picks per-cell REPRESENTATIVES; kcenter picks a
+    * global COVER — the two ends of the diversity-selection spectrum).
+    *
+    * Output one row per selected center (ordered by rank):
+    * (rank, center, sel_dist, coverage) — `sel_dist` is the min
+    * distance to the previously-selected set at selection time (NULL
+    * for the seed; non-increasing in rank — each new center is the
+    * current worst-covered point), `coverage` repeats the FINAL
+    * max-min-distance (the k-cover radius; the number to plot against
+    * k when choosing the budget).
+    *
+    * Determinism: distances are the 6dp-rounded native sequential
+    * kernel; the argmax is a lexicographic struct max (distance, then
+    * min id); every round's new-center embedding enters the plan as a
+    * LITERAL, so the min-distance state is a pure projection any
+    * engine replays.
+    *
+    * Shape at scale: k passes over the corpus, each ONE narrow
+    * projection (distance against a literal center) + ONE map-side-
+    * combined struct-max aggregate — no shuffle of the corpus, no
+    * window, no pair enumeration; state re-persists per round with
+    * immediate eviction (flat lineage). Driver state is k rows. k is
+    * capped at 64: the loop is k sequential jobs by construction
+    * (Gonzalez is inherently sequential); larger budgets belong to
+    * [[medoids]] / cell-based selection.
+    */
+  def kcenter(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cv = graft.util.Caches.persist(
+      df.select(col("vec_id"), col("embedding")))
+    val first = cv.orderBy("vec_id").limit(1).collect()
+    require(first.nonEmpty, "kcenter: empty input")
+    def embOf(id: Long): Seq[Float] =
+      cv.where(col("vec_id") === id).collect().head.getSeq[Float](1)
+    val seedId = first.head.getLong(0)
+    var state = graft.util.Caches.persist(
+      cv.select(col("vec_id"), col("embedding"),
+        sqDist6(col("embedding"), typedLit(embOf(seedId))).as("__d")))
+    state.count()
+    val centers = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, java.lang.Double)]
+    centers += ((1L, seedId, null))
+    var r = 2
+    while (r <= k) {
+      val top = state
+        .agg(max(struct(col("__d"), (-col("vec_id")).as("__nid")))
+          .as("__m"))
+        .select((-col("__m.__nid")).as("id"), col("__m.__d").as("d"))
+        .collect().head
+      val (cid, selDist) = (top.getLong(0), top.getDouble(1))
+      centers += ((r.toLong, cid, Double.box(selDist)))
+      val next = graft.util.Caches.persist(
+        state.select(col("vec_id"), col("embedding"),
+          least(col("__d"), sqDist6(col("embedding"),
+            typedLit(embOf(cid)))).as("__d")))
+      next.count()
+      state.unpersist(blocking = false)
+      state = next
+      r += 1
+    }
+    val coverage = state.agg(max("__d")).collect().head.getDouble(0)
+    state.unpersist(blocking = false)
+    cv.unpersist(blocking = false)
+    centers.toSeq.map { case (rank, id, sel) =>
+      (rank, id, Option(sel).map(_.doubleValue), coverage)
+    }.toDF("rank", "center", "sel_dist", "coverage")
+  }
 }

@@ -46,7 +46,8 @@ object Parser {
       "containment_stratified", "weighted_pairs", "knn", "keep_best",
       "cluster_stats", "minhash_incremental"),
     "SimilarityTransform" -> Seq(
-      "topk", "maxsim", "ann", "ivf", "kmeans", "medoids", "neardup_pairs",
+      "topk", "maxsim", "ann", "ivf", "kmeans", "medoids", "kcenter",
+      "neardup_pairs",
       "standardize", "quantize", "project", "semantic_dedup",
       "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
       "bitext_scalable", "pq_topk", "hamming_topk", "hamming_pairs",
@@ -87,7 +88,7 @@ object Parser {
       "wasserstein_grouped", "bootstrap_lift", "sequential",
       "welch_segments", "sequential_mean", "ks_test", "hodges_lehmann",
       "mi", "post_stratified", "ratio_delta", "tost", "power", "yuen",
-      "cmh"),
+      "cmh", "did"),
     "Snapshot" -> Seq(
       "publish", "read", "vacuum"),
     "AggStateTransform" -> Seq(
@@ -519,7 +520,8 @@ object Parser {
       val singleView = Set("cuped", "srm", "bh", "bootstrap", "chi2",
         "spearman", "wilcoxon", "kruskal", "anova", "levene", "fisher",
         "proportions", "segments", "sequential", "welch_segments",
-        "sequential_mean", "ratio_delta", "cmh").contains(driftMethod)
+        "sequential_mean", "ratio_delta", "cmh", "did")
+        .contains(driftMethod)
       val expected = r.stringMap("expected").map { case (arm, w) =>
         arm -> (try w.toDouble catch {
           case _: NumberFormatException =>
@@ -530,7 +532,8 @@ object Parser {
       if (driftMethod == "srm" && expected.isEmpty)
         r.error("expected", "missing; srm requires the designed arm weights")
       if (Set("proportions", "segments", "sequential", "welch_segments",
-          "sequential_mean", "ratio_delta", "cmh").contains(driftMethod)) {
+          "sequential_mean", "ratio_delta", "cmh", "did")
+          .contains(driftMethod)) {
         if (r.string("armA").isEmpty)
           r.error("armA", s"missing; $driftMethod requires both arm names")
         if (r.string("armB").isEmpty)
@@ -574,7 +577,10 @@ object Parser {
         denCol = r.string("denCol").getOrElse("den"),
         margin = r.double("margin").getOrElse(0.0),
         powerTarget = r.double("powerTarget").getOrElse(0.8),
-        trim = r.double("trim").getOrElse(0.2))
+        trim = r.double("trim").getOrElse(0.2),
+        periodCol = r.string("periodCol").getOrElse("period"),
+        prePeriod = r.string("prePeriod").getOrElse("pre"),
+        postPeriod = r.string("postPeriod").getOrElse("post"))
     },
     "Snapshot" -> { (r, _) =>
       val method = r.oneOf("method", methodEnums("Snapshot"),
@@ -1007,7 +1013,8 @@ object Parser {
       "idCol", "nPerms", "salt", "groupCol", "preCol", "postCol",
       "expected", "chi2Threshold", "textCol", "k", "pCol", "alpha",
       "successCol", "armA", "armB", "segCol", "nBins", "lookCol",
-      "tauSq", "numCol", "denCol", "margin", "powerTarget", "trim")),
+      "tauSq", "numCol", "denCol", "margin", "powerTarget", "trim",
+      "periodCol", "prePeriod", "postPeriod")),
     "Snapshot" -> (commonKeys ++ Set("baseDir", "outputView", "method",
       "inputView", "version", "keepLast", "confirm.truncate")),
     "AggStateTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -4204,6 +4204,29 @@ object ExtensionQueries {
         "value", trim = 0.2)
     },
 
+    // Difference-in-differences on the event values: arm by user
+    // parity, period by time-of-day half — the non-randomized causal
+    // readout (nets out both pre-existing group differences and the
+    // time trend under parallel trends), cuped's observational sibling.
+    "ab_did" -> { (spark, dir) =>
+      val ev = Tables.eventsRaw(spark, dir).select(
+        concat(lit("g"), (col("user_id") % 2).cast("string")).as("arm"),
+        when(expr("(ts div 3600000000) % 24") < 12, "pre")
+          .otherwise("post").as("period"),
+        col("value"))
+      Drift.did(ev, "arm", "period", "value", "g0", "g1", "pre", "post")
+    },
+
+    // Greedy k-center coreset over the embedding corpus (Gonzalez
+    // farthest-point): 6 maximally-diverse real vectors + the cover
+    // radius — the global-diversity selection primitive beside
+    // embed_medoids' per-cell representatives.
+    "embed_kcenter" -> { (spark, dir) =>
+      Similarity.kcenter(
+          spark.read.parquet(s"$dir/embeddings.parquet"), k = 6)
+        .orderBy("rank")
+    },
+
     // Cochran–Mantel–Haenszel over user-derived strata: the
     // Simpson-safe pooled conversion effect (one common-effect test
     // after controlling for the strata, vs ab_segments' per-stratum
@@ -11217,6 +11240,101 @@ object ExtensionQueries {
         (round(CASE WHEN dofv > 0.0::DOUBLE THEN ib_p
           ELSE 1.0::DOUBLE END, 6) + 0.0) AS p_t
       FROM $fin"""
+    },
+
+    // Replay of Drift.did: four exact fixed-point moment cells, the
+    // 2x2 DiD arithmetic in the pinned order, erfc z p, ±1.959964 CI.
+    "ab_did" -> s"""
+      WITH du AS (
+        SELECT 'g' || (user_id % 2)::VARCHAR AS arm,
+          CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 12
+            THEN 'pre' ELSE 'post' END AS period,
+          CAST(round(value::DOUBLE * 1048576.0) AS HUGEINT) AS fpx
+        FROM events WHERE value IS NOT NULL),
+      dc AS (
+        SELECT arm, period, count(*)::BIGINT AS n,
+          sum(fpx)::DOUBLE / 1048576.0 AS s,
+          sum(fpx * fpx)::DOUBLE / 1048576.0 / 1048576.0 AS q
+        FROM du GROUP BY 1, 2),
+      dm AS (
+        SELECT arm, period, n, s / n::DOUBLE AS m,
+          ((q - s * s / n::DOUBLE) / (n - 1)::DOUBLE) / n::DOUBLE AS vn
+        FROM dc),
+      dx AS (
+        SELECT tp.n AS ntp, tpo.n AS nto, cp.n AS ncp, cpo.n AS nco,
+          tp.m AS mtp, tpo.m AS mto, cp.m AS mcp, cpo.m AS mco,
+          (tpo.m - tp.m) - (cpo.m - cp.m) AS didv,
+          tp.vn + tpo.vn + cp.vn + cpo.vn AS se2
+        FROM (SELECT * FROM dm WHERE arm = 'g0' AND period = 'pre') tp,
+          (SELECT * FROM dm WHERE arm = 'g0' AND period = 'post') tpo,
+          (SELECT * FROM dm WHERE arm = 'g1' AND period = 'pre') cp,
+          (SELECT * FROM dm WHERE arm = 'g1' AND period = 'post') cpo),
+      dz AS (
+        SELECT *,
+          CASE WHEN se2 > 0.0::DOUBLE THEN sqrt(se2)
+            ELSE 0.0::DOUBLE END AS sev
+        FROM dx),
+      dzz AS (
+        SELECT *, CASE WHEN sev > 0.0::DOUBLE THEN didv / sev
+          ELSE 0.0::DOUBLE END AS zraw
+        FROM dz)
+      SELECT ntp AS n_t_pre, nto AS n_t_post, ncp AS n_c_pre,
+        nco AS n_c_post,
+        (round(mtp, 6) + 0.0) AS mean_t_pre,
+        (round(mto, 6) + 0.0) AS mean_t_post,
+        (round(mcp, 6) + 0.0) AS mean_c_pre,
+        (round(mco, 6) + 0.0) AS mean_c_post,
+        (round(didv, 6) + 0.0) AS did,
+        (round(sev, 6) + 0.0) AS se,
+        (round(zraw, 6) + 0.0) AS z,
+        (round(${graft.functions.PValues.pTwoSidedZSql("zraw")}, 6) + 0.0)
+          AS p_value,
+        (round(didv - 1.959964::DOUBLE * sev, 6) + 0.0) AS ci_lo,
+        (round(didv + 1.959964::DOUBLE * sev, 6) + 0.0) AS ci_hi
+      FROM dzz""",
+
+    // Replay of Similarity.kcenter (k=6): min-id seed, five unrolled
+    // farthest-point rounds over the 6dp squared-L2 min-distance state
+    // (ties to the min vec_id), final cover radius.
+    "embed_kcenter" -> {
+      def dist(e: String, c: String): String =
+        s"""(round(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(generate_series(1, 64),
+            i -> ($e.embedding[i]::DOUBLE - $c.cemb[i])
+              * ($e.embedding[i]::DOUBLE - $c.cemb[i]))),
+          (x, y) -> x + y), 6) + 0)"""
+      val rounds = (2 to 6).map { r =>
+        s"""kcp$r AS MATERIALIZED (
+        SELECT vec_id AS cid, d AS sel FROM kcs${r - 1}
+        ORDER BY d DESC, vec_id LIMIT 1),
+      kce$r AS MATERIALIZED (
+        SELECT p.cid, p.sel,
+          list_transform(e.embedding, x -> x::DOUBLE) AS cemb
+        FROM kcp$r p JOIN embeddings e ON e.vec_id = p.cid),
+      kcs$r AS MATERIALIZED (
+        SELECT s.vec_id, s.embedding,
+          least(s.d, ${dist("s", s"kce$r")}) AS d
+        FROM kcs${r - 1} s, kce$r)"""
+      }.mkString(",\n      ")
+      val rows = (2 to 6).map(r =>
+        s"SELECT $r::BIGINT AS rank, kcp$r.cid AS center, kcp$r.sel AS sel_dist, kccov.coverage FROM kcp$r, kccov")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH kc0 AS (SELECT vec_id AS cid FROM embeddings
+        ORDER BY vec_id LIMIT 1),
+      kce1 AS MATERIALIZED (
+        SELECT list_transform(e.embedding, x -> x::DOUBLE) AS cemb
+        FROM embeddings e, kc0 WHERE e.vec_id = kc0.cid),
+      kcs1 AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding, ${dist("e", "kce1")} AS d
+        FROM embeddings e, kce1),
+      $rounds,
+      kccov AS (SELECT max(d) AS coverage FROM kcs6)
+      SELECT 1::BIGINT AS rank, kc0.cid AS center,
+        NULL::DOUBLE AS sel_dist, kccov.coverage
+      FROM kc0, kccov
+      UNION ALL $rows
+      ORDER BY rank"""
     },
 
     // Replay of Drift.cmh: per-stratum exact 2x2 cells, the diff /

@@ -1504,4 +1504,45 @@ class DriftSpec extends SparkSpec {
       "g0", "g1").collect().head
     assert(r == rp)
   }
+
+  test("did: hand-computed 2x2 effect, immune to a common time trend " +
+      "and to pre-existing group differences; loud on thin cells") {
+    val rnd = new scala.util.Random(6021)
+    def cell(arm: String, per: String, base: Double, n: Int) =
+      (1 to n).map(_ => (arm, per,
+        math.round((base + rnd.nextGaussian()) * 64d) / 64d))
+    // T: 10 -> 13 (+3); C: 20 -> 21 (+1) -> did ≈ 2
+    val df = (cell("t", "pre", 10, 200) ++ cell("t", "post", 13, 220) ++
+      cell("c", "pre", 20, 210) ++ cell("c", "post", 21, 190))
+      .toDF("arm", "period", "v")
+    val r = Drift.did(df, "arm", "period", "v", "t", "c", "pre", "post")
+      .collect().head
+    assert(math.abs(r.getAs[Double]("did") - 2.0) < 0.5)
+    assert(r.getAs[Double]("p_value") < 0.01)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("did") &&
+      r.getAs[Double]("did") < r.getAs[Double]("ci_hi"))
+    // recompute did from the reported (6dp) cell means
+    assert(math.abs(r.getAs[Double]("did") -
+      ((r.getAs[Double]("mean_t_post") - r.getAs[Double]("mean_t_pre"))
+       - (r.getAs[Double]("mean_c_post")
+          - r.getAs[Double]("mean_c_pre")))) < 1e-5)
+    // a COMMON additive post-period shock cancels exactly: shift every
+    // post row (both arms) by +7 -> identical did/se/z
+    val shocked = df.select(col("arm"), col("period"),
+      when(col("period") === "post", col("v") + 7.0).otherwise(col("v"))
+        .as("v"))
+    val rs = Drift.did(shocked, "arm", "period", "v", "t", "c",
+      "pre", "post").collect().head
+    assert(rs.getAs[Double]("did") == r.getAs[Double]("did"))
+    assert(rs.getAs[Double]("se") == r.getAs[Double]("se"))
+    // a missing or thin cell is loud
+    intercept[IllegalArgumentException] {
+      Drift.did(df.where(!(col("arm") === "c" && col("period") === "pre")),
+        "arm", "period", "v", "t", "c", "pre", "post")
+    }
+    // layout invariance
+    val rp = Drift.did(df.repartition(9), "arm", "period", "v",
+      "t", "c", "pre", "post").collect().head
+    assert(r == rp)
+  }
 }

@@ -1474,7 +1474,18 @@ class ExtensionStagesSpec extends SparkSpec {
       {"type": "ClassifyTransform", "name": "cf", "method": "conformal",
        "inputView": "r18_cf_cal", "rightView": "r18_cf_tst",
        "yCol": "y", "yhatCol": "yhat", "alpha": 0.1,
-       "outputView": "r18_cf"}
+       "outputView": "r18_cf"},
+      {"type": "Execute", "name": "mkdid",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_did_in AS SELECT 'g' || CAST(id % 2 AS STRING) AS arm, CASE WHEN id % 4 < 2 THEN 'pre' ELSE 'post' END AS period, CAST(5 + id % 11 + (id % 2) * (id % 4 DIV 2) AS DOUBLE) AS v FROM range(400)"},
+      {"type": "DriftTransform", "name": "dd", "method": "did",
+       "inputView": "r18_did_in", "groupCol": "arm",
+       "periodCol": "period", "valueCol": "v", "armA": "g1",
+       "armB": "g0", "prePeriod": "pre", "postPeriod": "post",
+       "outputView": "r18_did"},
+      {"type": "Extract", "name": "emb", "table": "embeddings",
+       "outputView": "r18_emb"},
+      {"type": "SimilarityTransform", "name": "kc", "method": "kcenter",
+       "inputView": "r18_emb", "k": 4, "outputView": "r18_kc"}
     ]}"""
     val Right(p) = Parser.parse(conf,
       Map("default" -> new ParquetConnector(sf001))): @unchecked
@@ -1508,6 +1519,14 @@ class ExtensionStagesSpec extends SparkSpec {
     val cfApi = Classify.conformal(spark.table("r18_cf_cal"),
       spark.table("r18_cf_tst"), "y", "yhat").collect().head
     assert(cf == cfApi)
+    val dd = spark.table("r18_did").collect().head
+    val ddApi = Drift.did(spark.table("r18_did_in"), "arm", "period",
+      "v", "g1", "g0", "pre", "post").collect().head
+    assert(dd == ddApi)
+    val kc = spark.table("r18_kc").orderBy("rank").collect()
+    val kcApi = Similarity.kcenter(spark.table("r18_emb"), 4)
+      .orderBy("rank").collect()
+    assert(kc.toSeq == kcApi.toSeq)
     // tost without the margin key is a config-time error, not a crash
     val bad = Parser.parse("""{"stages": [
       {"type": "DriftTransform", "name": "eq", "method": "tost",

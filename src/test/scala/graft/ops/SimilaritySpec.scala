@@ -617,4 +617,61 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "the corpus must not shuffle for the join")
   }
+
+  test("kcenter: hand geometry picks the farthest point each round; " +
+      "sel_dist non-increasing; coverage is the final worst gap") {
+    // a line: 0, 1, 2, 10, 11 (1-d embedded in 2-d floats)
+    val pts = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(2f, 0f)), (3L, Array(10f, 0f)), (4L, Array(11f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kcenter(pts, k = 3).orderBy("rank").collect()
+    // seed = min id 0; farthest from {0} is 11 (d=121); then the worst
+    // covered is 2 (min(4, 81) = 4) — ties: 1 has d 1, 3 has d 1
+    assert(r.map(_.getAs[Long]("center")).toSeq == Seq(0L, 4L, 2L))
+    assert(r(0).isNullAt(r(0).fieldIndex("sel_dist")))
+    assert(r(1).getAs[Double]("sel_dist") == 121.0)
+    assert(r(2).getAs[Double]("sel_dist") == 4.0)
+    // final cover: 1 -> d 1, 3 -> d 1 -> coverage 1
+    assert(r.forall(_.getAs[Double]("coverage") == 1.0))
+    // sel_dist non-increasing in rank (each pick is the current worst)
+    val sels = r.drop(1).map(_.getAs[Double]("sel_dist"))
+    assert(sels.zip(sels.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("kcenter: matches a brute greedy reference on seeded random " +
+      "vectors, layout-invariant, guards") {
+    val rnd = new scala.util.Random(7411)
+    val dim = 8
+    val vecsR = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecsR.toDF("vec_id", "embedding")
+    val k = 5
+    val out = Similarity.kcenter(df, k).orderBy("rank").collect()
+    // brute greedy with the same 6dp-rounded distance and tie rule
+    def d6(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    }
+    val byId = vecsR.toMap
+    var centers = List(0L)
+    var dist = vecsR.map { case (i, v) => i -> d6(v, byId(0L)) }.toMap
+    (2 to k).foreach { _ =>
+      val (cid, _) = dist.toSeq.maxBy { case (i, d) => (d, -i) }
+      centers = centers :+ cid
+      dist = dist.map { case (i, d) =>
+        i -> math.min(d, d6(byId(i), byId(cid))) }
+    }
+    assert(out.map(_.getAs[Long]("center")).toSeq == centers)
+    assert(out.last.getAs[Double]("coverage") == dist.values.max)
+    val rp = Similarity.kcenter(df.repartition(7), k)
+      .orderBy("rank").collect()
+    assert(out.toSeq == rp.toSeq)
+    intercept[IllegalArgumentException] { Similarity.kcenter(df, 1) }
+    intercept[IllegalArgumentException] { Similarity.kcenter(df, 100) }
+    graft.util.Caches.unpersistAll()
+  }
 }
