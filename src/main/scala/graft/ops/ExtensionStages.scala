@@ -1009,6 +1009,12 @@ final case class GraphTransformStage(
         Graph.pagerank(
           in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
           iters, dampNum, dampDen, checkpointEvery)
+      // Katz walk centrality (dampNum/dampDen double as alpha)
+      case "katz" =>
+        detail += "iters" -> iters.toString
+        Graph.katz(
+          in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+          iters, dampNum, dampDen, checkpointEvery)
       case "triangles" =>
         // canonicalize any (src, dst) view: undirected, self-loops
         // dropped, (a, b) with a < b, distinct — triangleCounts's input

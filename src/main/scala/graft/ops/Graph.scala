@@ -123,6 +123,70 @@ object Graph {
       (col("r").cast("double") / RankScale).as("rank"))
   }
 
+  /** Katz centrality (Katz 1953) — the walk-counting centrality beside
+    * [[pagerank]]: x(v) = Σ_{k≥0} α^k · (#walks of length k ending at
+    * v), iterated as x_{t+1}(v) = β + α · Σ_{u→v} x_t(u) with β = 1 and
+    * a PINNED iteration count (the [[pagerank]] fixed-iterations
+    * contract — the output is the depth-`iters` truncation, a defined
+    * quantity in itself). Where PageRank DILUTES each node's
+    * contribution by its out-degree (a vote split among many links is
+    * worth less), Katz does not — a hub endorsing 1000 nodes endorses
+    * each fully — so the two disagree exactly on mass-linkers, which is
+    * why link-analysis practice reads both.
+    *
+    * α as an exact rational `alphaNum/alphaDen` (default 150/1000);
+    * per-edge contributions are floor-divided in long space and summed
+    * exactly — the [[pagerank]] fixed-point convention, bit-identical
+    * under any partitioning. Without out-degree dilution the iterate
+    * can GROW: the worst case r_max(t+1) = β·scale + d_in_max·⌊r_max(t)
+    * ·α⌋ is pre-computed in BigInt from the observed max in-degree and
+    * overflow is a LOUD error (lower α or iters, or use pagerank) —
+    * never a silent wrap.
+    *
+    * Output: (node, katz_fp, katz = fp/1e12). Shape at scale: `iters`
+    * rounds of one edge-to-rank hash join + one map-side-combined sum
+    * per round (the pagerank plan without the out-degree join), plus
+    * one max-in-degree aggregate for the guard.
+    */
+  def katz(edges: DataFrame, iters: Int = 3, alphaNum: Long = 150,
+      alphaDen: Long = 1000, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"need 0 < alphaNum < alphaDen, got $alphaNum/$alphaDen")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // overflow guard: worst-case growth from the observed max in-degree
+    val dmaxRow = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max("d"), lit(0L))).collect().head
+    val dmax = dmaxRow.getLong(0)
+    var worst = BigInt(RankScale)
+    (1 to iters).foreach { _ =>
+      worst = BigInt(RankScale) +
+        BigInt(dmax) * (worst * alphaNum / alphaDen)
+    }
+    require(worst < BigInt(Long.MaxValue),
+      s"katz: alpha=$alphaNum/$alphaDen over $iters iterations can " +
+        s"overflow at max in-degree $dmax (worst-case fp $worst) — " +
+        "lower alpha/iters or use pagerank's degree-diluted walk")
+    val init = nodes.select(col("node"), lit(RankScale).as("r"))
+    val trunc = new graft.util.Truncator(checkpointEvery)
+    var ranks = init
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          ldiv(col("r") * alphaNum, lit(alphaDen)).as("c"))
+        .groupBy("node").agg(sum("c").as("cs"))
+      ranks = trunc(init
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(RankScale) + coalesce(col("cs"), lit(0L))).as("r")))
+    }
+    ranks.select(col("node"), col("r").as("katz_fp"),
+      (col("r").cast("double") / RankScale).as("katz"))
+  }
+
   /** Strongly connected components of a DIRECTED edge table — the
     * standard web-graph decomposition run before [[pagerank]] on crawl
     * corpora (the giant SCC + tendrils structure of Broder et al. 2000;

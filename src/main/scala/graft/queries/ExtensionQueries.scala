@@ -2792,6 +2792,18 @@ object ExtensionQueries {
         .orderBy("node")
     },
 
+    // Katz walk centrality on the same graph (alpha = 3/100, inside
+    // the overflow guard at the observed in-degrees): full-strength
+    // endorsements where pagerank dilutes by out-degree — the pair of
+    // centralities link-analysis reads together.
+    "graph_katz" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      Graph.katz(Graph.supplierCustomerEdges(li, ord), iters = 3,
+          alphaNum = 30, alphaDen = 1000)
+        .orderBy("node")
+    },
+
     // Generic weakly-connected components over a sparse slice of the
     // supplier-customer graph (high-quantity purchases only, so real
     // multi-component structure survives) — the min-label fixpoint the
@@ -8907,6 +8919,31 @@ object ExtensionQueries {
       SELECT node, r::BIGINT AS rank_fp,
         r::DOUBLE / 1000000000000.0 AS rank
       FROM r3 ORDER BY node""",
+
+    // Replay of Graph.katz (alpha = 30/1000, 3 iterations): the
+    // pagerank unrolling without the out-degree dilution — beta = 1
+    // re-based each round, per-edge floor-div contributions.
+    "graph_katz" -> """
+      WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+              'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      k0 AS (SELECT node, 1000000000000::BIGINT AS r FROM nd),
+      kc1 AS (SELECT e.dst AS node, SUM((r.r * 30) // 1000) AS cs
+             FROM e JOIN k0 r ON r.node = e.src GROUP BY e.dst),
+      k1 AS (SELECT nd.node, 1000000000000 + COALESCE(cs, 0) AS r
+             FROM nd LEFT JOIN kc1 USING (node)),
+      kc2 AS (SELECT e.dst AS node, SUM((r.r * 30) // 1000) AS cs
+             FROM e JOIN k1 r ON r.node = e.src GROUP BY e.dst),
+      k2 AS (SELECT nd.node, 1000000000000 + COALESCE(cs, 0) AS r
+             FROM nd LEFT JOIN kc2 USING (node)),
+      kc3 AS (SELECT e.dst AS node, SUM((r.r * 30) // 1000) AS cs
+             FROM e JOIN k2 r ON r.node = e.src GROUP BY e.dst),
+      k3 AS (SELECT nd.node, 1000000000000 + COALESCE(cs, 0) AS r
+             FROM nd LEFT JOIN kc3 USING (node))
+      SELECT node, r::BIGINT AS katz_fp,
+        r::DOUBLE / 1000000000000.0 AS katz
+      FROM k3 ORDER BY node""",
 
     // Replay of Profile.bucketizeQuantile: SQL-standard discrete-quantile
     // bounds, bin = 1 + #bounds strictly below the value.

@@ -1485,7 +1485,13 @@ class ExtensionStagesSpec extends SparkSpec {
       {"type": "Extract", "name": "emb", "table": "embeddings",
        "outputView": "r18_emb"},
       {"type": "SimilarityTransform", "name": "kc", "method": "kcenter",
-       "inputView": "r18_emb", "k": 4, "outputView": "r18_kc"}
+       "inputView": "r18_emb", "k": 4, "outputView": "r18_kc"},
+      {"type": "Execute", "name": "mkkz",
+       "sql": "CREATE OR REPLACE TEMP VIEW r18_kz_e AS SELECT 'n' || CAST(id % 40 AS STRING) AS src, 'n' || CAST((id * 7) % 40 AS STRING) AS dst FROM range(120) WHERE id % 40 <> (id * 7) % 40"},
+      {"type": "GraphTransform", "name": "kz", "method": "katz",
+       "inputView": "r18_kz_e", "srcCol": "src", "dstCol": "dst",
+       "iters": 3, "dampNum": 100, "dampDen": 1000,
+       "outputView": "r18_kz"}
     ]}"""
     val Right(p) = Parser.parse(conf,
       Map("default" -> new ParquetConnector(sf001))): @unchecked
@@ -1527,6 +1533,10 @@ class ExtensionStagesSpec extends SparkSpec {
     val kcApi = Similarity.kcenter(spark.table("r18_emb"), 4)
       .orderBy("rank").collect()
     assert(kc.toSeq == kcApi.toSeq)
+    val kz = spark.table("r18_kz").orderBy("node").collect()
+    val kzApi = Graph.katz(spark.table("r18_kz_e"), iters = 3,
+      alphaNum = 100, alphaDen = 1000).orderBy("node").collect()
+    assert(kz.toSeq == kzApi.toSeq)
     // tost without the margin key is a config-time error, not a crash
     val bad = Parser.parse("""{"stages": [
       {"type": "DriftTransform", "name": "eq", "method": "tost",

@@ -502,4 +502,35 @@ class GraphSpec extends SparkSpec {
     assert(none.getLong(1) == 0L && none.isNullAt(2))
     graft.util.Caches.unpersistAll()
   }
+
+  test("katz: hand-computed path-graph walks, no out-degree dilution " +
+      "(vs pagerank), overflow guard is loud, layout-invariant") {
+    import spark.implicits._
+    // path a -> b -> c, alpha = 1/2, 2 iterations:
+    // x1 = (1, 1.5, 1.5); x2 = (1, 1.5, 1.75)
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = Graph.katz(e, iters = 2, alphaNum = 500, alphaDen = 1000)
+      .orderBy("node").collect()
+    assert(r.map(_.getAs[Double]("katz")).toSeq == Seq(1.0, 1.5, 1.75))
+    // a hub fanning out to many nodes endorses each FULLY — every leaf
+    // gets the same katz as a single-edge target (pagerank would
+    // dilute by the out-degree)
+    val fan = (1 to 10).map(i => ("h", s"l$i")).toDF("src", "dst")
+    val rf = Graph.katz(fan, iters = 1, alphaNum = 500, alphaDen = 1000)
+      .collect()
+    assert(rf.filter(_.getString(0).startsWith("l"))
+      .forall(_.getAs[Double]("katz") == 1.5))
+    // overflow guard: a 3000-in-degree star at alpha 0.5 over 6 rounds
+    // would wrap long fixed-point — loud, never silent
+    val star = (1 to 3000).map(i => (s"s$i", "hub")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.katz(star, iters = 6, alphaNum = 500, alphaDen = 1000)
+    }
+    assert(ex.getMessage.contains("overflow"), ex.getMessage)
+    // exact long arithmetic: layout cannot change a bit
+    val rp = Graph.katz(e.repartition(5), iters = 2, alphaNum = 500,
+      alphaDen = 1000).orderBy("node").collect()
+    assert(r.toSeq == rp.toSeq)
+    graft.util.Caches.unpersistAll()
+  }
 }
