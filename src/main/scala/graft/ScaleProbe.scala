@@ -622,6 +622,55 @@ object ScaleProbe {
         graft.ops.Unigram.encode(d, "doc_id", "text",
           ('a' to 'z').map(c => c.toString -> -4.5)).count()
       }
+      // round-18 second batch: robust/ratio statistics (distinct-value
+      // or cell-bounded work), wordpiece (distinct-word bound), k-center
+      // (k corpus passes), katz (iters join rounds)
+      t("yuen") {
+        graft.ops.Drift.yuenTrimmed(
+          ev.where(col("event_type") === "purchase").select("value"),
+          ev.where(col("event_type") === "click").select("value"),
+          "value").count()
+      }
+      t("ratio_delta") {
+        val units = ev.groupBy(col("user_id"))
+          .agg((sum(round(col("value") * 1048576d).cast("long"))
+            / 1048576d).as("num"),
+            count(lit(1)).cast("double").as("den"))
+          .select(concat(lit("g"), (col("user_id") % 2).cast("string"))
+            .as("arm"), col("num"), col("den"))
+        graft.ops.Drift.ratioDelta(units, "arm", "num", "den",
+          "g0", "g1").count()
+      }
+      t("cmh") {
+        graft.ops.Drift.cmh(
+          ev.select(expr("(user_id div 2) % 4").cast("string").as("seg"),
+            concat(lit("g"), (col("user_id") % 2).cast("string"))
+              .as("arm"),
+            (col("event_type") === "purchase").as("success")),
+          "seg", "arm", "success", "g0", "g1").count()
+      }
+      t("conformal") {
+        graft.ops.Classify.conformal(
+          ev.where(col("event_id") % 4 === 1)
+            .select(col("value").as("y"), lit(10.0).as("yhat")),
+          ev.where(col("event_id") % 4 === 3)
+            .select(col("value").as("y"), lit(10.0).as("yhat")),
+          "y", "yhat").count()
+      }
+      t("wordpiece_encode") {
+        graft.ops.Wordpiece.encode(d, "doc_id", "text",
+          ('a' to 'z').map(_.toString) ++
+            ('a' to 'z').map(c => "##" + c)).count()
+      }
+      t("kcenter") {
+        Similarity.kcenter(e, k = 6).count()
+      }
+      t("katz") {
+        graft.ops.Graph.katz(
+          ev.select(concat(lit("u"), col("user_id")).as("src"),
+            col("event_type").as("dst")),
+          iters = 3, alphaNum = 30, alphaDen = 1000).count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }
