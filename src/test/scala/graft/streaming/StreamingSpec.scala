@@ -212,9 +212,14 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Similarity.ivfWrite(base, tmpB, centroidEvery = 20,
       options = Map("confirm.truncate" -> "true"))
     val mem = MemoryStream[(Long, Array[Float])]
+    // checkpoint in its OWN per-run temp dir: a fixed /tmp sibling (the
+    // old `$tmpB/../graft_sivf_chk`) survives across JVM runs, and a
+    // stale committed offset against a fresh MemoryStream kills the
+    // query with the sliceStart/sliceEnd assertion
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_sivf_chk").toString
     val q = StreamingSink.foreachBatchIvfAppend(
-      mem.toDF().toDF("vec_id", "embedding"), tmpB,
-      s"$tmpB/../graft_sivf_chk")
+      mem.toDF().toDF("vec_id", "embedding"), tmpB, s"$chk/chk")
     try {
       val rows = laterDf.collect().map(r =>
         (r.getLong(0), r.getSeq[Float](1).toArray))
