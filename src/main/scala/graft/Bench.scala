@@ -66,6 +66,35 @@ import org.apache.spark.sql.SparkSession
   *
   * A failing query records `-1` in `queries` and its message in `errors` —
   * a broken query must never masquerade as a fast one.
+  *
+  * WALL-CLOCK BUDGET (round 19 — the round-18 driver bench died rc=124 /
+  * `parsed: null` on a ~1.7x-degraded host, zeroing the round's only
+  * driver-side perf signal): the full protocol is ~35-40 min healthy and
+  * >60 min on a drifting host, and nothing used to degrade gracefully.
+  * Now `SPARK_GRAFT_BENCH_BUDGET_S` (default 2700 s) sets a hard
+  * deadline measured from process start, and the run sheds work in
+  * fidelity order rather than dying:
+  *
+  *  1. the extra-K partial reps are skipped first (they only tighten the
+  *     slowest-20 mins);
+  *  2. then the spread-guard reps;
+  *  3. then full reps 3, 2 — each is only STARTED if the previous pass's
+  *     duration (x1.05) still fits before the deadline;
+  *  4. a pass that is mid-flight when the deadline arrives aborts between
+  *     queries and contributes its partial observations (excluded from
+  *     `rep_totals`/spread, like the extra-K passes);
+  *  5. the warm-up pass itself is TIMED and kept as a last-resort
+  *     observation tier: a query with no timed-rep observation reports
+  *     its warm-up (cold) time rather than disappearing, annotated via
+  *     `"warm_only":N` on the detail line.
+  *
+  * The compact `{"metric":"total",...}` contract line is RE-EMITTED after
+  * the warm-up and after every completed or aborted pass with mins-so-far
+  * (and the detail FILE is rewritten), so even a hard external kill
+  * leaves the last stdout JSON line parsable. Spark's log level is ERROR
+  * here (our own `System.err` warnings are unaffected) so micro-batch
+  * WARN spam cannot flush the contract line out of the consumer's ~2 KB
+  * tail window — the round-18 post-mortem tail was 100% WARN lines.
   */
 object Bench {
 
@@ -124,10 +153,20 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val nReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Hard wall-clock budget (seconds, from process start). The driver's
+    // window killed the round-18 run outright; shedding fidelity beats
+    // shipping nothing. 2700 s leaves headroom under a 1-hour window even
+    // counting JVM/sbt start-up outside this measurement.
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toDouble
+    val deadline = tStart + (budgetS * 1e9).toLong
+    def remainingS: Double = (deadline - System.nanoTime()) / 1e9
+    val reserveS = 20.0 // time reserved for the final emit + spark.stop
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -135,7 +174,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the consumer keeps only a ~2 KB stdout tail, and
+    // the round-18 post-mortem tail was 100% Spark micro-batch WARN spam
+    // that had flushed every parsable line out of the window. graft's own
+    // diagnostics use System.err.println directly and are unaffected.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(only) =>
@@ -148,9 +191,16 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    /** One pass over `subset` in sorted order; -1 marks a failure. */
-    def pass(subset: Seq[String]): Map[String, Double] = {
-      subset.map { name =>
+    /** One pass over `subset` in sorted order; -1 marks a failure.
+      * Aborts between queries once the deadline (minus the emit reserve)
+      * is reached — queries not attempted are simply absent from the
+      * returned map. Returns (observations, abortedEarly).
+      */
+    def pass(subset: Seq[String]): (Map[String, Double], Boolean) = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      var i = 0
+      while (i < subset.size && remainingS > reserveS) {
+        val name = subset(i)
         // cold-per-query contract: no operator-persisted intermediate or
         // plan-keyed cached block from an EARLIER query may serve this one
         graft.util.Caches.unpersistAll()
@@ -163,8 +213,14 @@ object Bench {
               errors.getOrElseUpdate(name, String.valueOf(e.getMessage).take(300))
               false
           }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
+        out(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        i += 1
+      }
+      val aborted = i < subset.size
+      if (aborted)
+        System.err.println(f"bench budget: pass aborted after $i/${subset.size} " +
+          f"queries (${remainingS}%.0f s remaining of $budgetS%.0f)")
+      (out.toMap, aborted)
     }
 
     // Noise guard (the round-12 lesson: a 30% rep-total spread — 270/351/
@@ -182,10 +238,6 @@ object Bench {
       if (l < 0) -1.0 else l / os.getAvailableProcessors
     }
     val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def loadedPass(subset: Seq[String]): Map[String, Double] = {
-      repLoads += loadPerCore()
-      pass(subset)
-    }
     val startLoad = loadPerCore()
     if (startLoad > 0.5)
       System.err.println(f"bench starting on a busy host: 1-min load/core" +
@@ -208,107 +260,12 @@ object Bench {
       }
     }
 
-    pass(names) // warm-up, discarded
-    val firstReps = (1 to nReps).map(_ => loadedPass(names))
-    def spreadPct(rs: Seq[Map[String, Double]]): Double = {
-      val totals = rs.map(_.values.filter(_ >= 0).sum).filter(_ > 0)
-      if (totals.size < 2) 0.0
-      else (totals.max - totals.min) / totals.min * 100.0
-    }
-    val spreadLimit =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_PCT", "15").toDouble
-    val maxSpreadReps =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SPREAD_REPS", "2").toInt
-    val reps = {
-      var acc = firstReps
-      while (spreadPct(acc) > spreadLimit
-          && acc.size < nReps + maxSpreadReps) {
-        System.err.println(f"rep-total spread ${spreadPct(acc)}%.1f%% > " +
-          f"$spreadLimit%.1f%%: running an extra full rep to converge mins")
-        acc = acc :+ loadedPass(names)
-      }
-      acc
-    }
-    // Noise control for the queries that dominate the total (the round-10
-    // rep spread hit 27%): the slowest-K queries by provisional min get
-    // extra timed observations, so their reported min converges on the
-    // uncontended time. K and the extra-rep count are env-tunable; the
-    // extra passes are PARTIAL and therefore excluded from rep_totals.
-    val extraK = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_K", "20").toInt
-    val nExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
-    val slowest = names
-      .map { n =>
-        val ok = reps.map(_(n)).filter(_ >= 0)
-        n -> (if (ok.isEmpty) -1.0 else ok.min)
-      }
-      .filter(_._2 >= 0).sortBy(-_._2).take(extraK).map(_._1).sorted
-    val extra =
-      if (slowest.isEmpty || nExtra <= 0) Nil
-      else (1 to nExtra).map(_ => pass(slowest))
-    graft.util.Caches.unpersistAll()
-
-    // A query is FAILED (-1) only when no full-rep observation succeeded;
-    // otherwise the stat is computed over the successful observations. A
-    // transient failure in one of the partial extra-K passes (or one full
-    // rep) must not discard a min that converged over the full
-    // repetitions — it would flip a green query to failed in the
-    // regression diff on machine noise. Deterministically broken queries
-    // fail every rep and still report -1.
-    def stat(name: String, pick: Seq[Double] => Double): Double = {
-      val full = reps.map(_(name))
-      val ok = (full ++ extra.flatMap(_.get(name))).filter(_ >= 0)
-      if (full.forall(_ < 0)) -1.0 else pick(ok)
-    }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val mins = names.map(n => n -> stat(n, _.min))
-    val meds = names.map(n => n -> stat(n, median))
-    // `errors` reports FAILED queries only (the -1 contract); a message
-    // captured by an observation that later recovered goes to stderr so
-    // it stays visible without contradicting a green `queries` entry
-    val green = mins.collect { case (n, v) if v >= 0 => n }.toSet
-    errors.filterInPlace { (k, v) =>
-      if (green(k))
-        System.err.println(s"transient failure in $k (recovered): $v")
-      !green(k)
-    }
-
-    def errJson(clip: Int): String = errors
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(clip))}" }
-      .mkString("{", ",", "}")
-    val repTotals = reps
-      .map(r => "%.3f".format(r.values.filter(_ >= 0).sum))
-      .mkString("[", ",", "]")
-    val total = mins.collect { case (_, v) if v >= 0 => v }.sum
-
     // run id shared by the detail record and the compact contract line:
     // tools/bench_diff.py matches the two on it, so a stale detail FILE
     // from a different run can never masquerade as this run's full map.
+    // Generated ONCE so the incremental emissions and the final record
+    // all carry the same id.
     val runId = f"${(System.nanoTime ^ ProcessHandle.current.pid) & 0xffffffffL}%08x"
-    val methodStr = s"min of ${reps.size} reps after 1 warm-up pass" +
-      (if (reps.size > nReps)
-        s" (${reps.size - nReps} added by the >$spreadLimit%-spread guard)"
-      else "") +
-      (if (extra.nonEmpty) s" + $nExtra extra reps over the ${slowest.size} slowest" else "")
-    val repLoadsJson = repLoads.map(l => "%.2f".format(l)).mkString("[", ",", "]")
-    val spreadJson = "%.1f".format(spreadPct(reps))
-
-    // Full-precision record first (scrolls out of the consumer's tail
-    // window; tools/bench_diff.py and humans read it from the full log).
-    val detail =
-      s"""{"metric":"detail","value":$total,"unit":"sec","method":${jstr(methodStr)},"reps":${reps.size},"run_id":${jstr(runId)},"rep_totals":$repTotals,"rep_loads":$repLoadsJson,"spread_pct":$spreadJson,"queries":${jmap(
-          mins)},"queries_median":${jmap(meds)},"errors":${errJson(300)},"sf":${jstr(sfDir)}}"""
-    println(detail)
-    // ... and persisted as a FILE: the driver's stdout record keeps only
-    // a ~2 KB tail, which at 216 queries holds the slowest ~80 — the
-    // file is the durable full map every query stays regressionable from
-    // (tools/bench_diff.py prefers it; committed per round as
-    // BENCH_detail.json). The default path anchors to the repo root
-    // (nearest ancestor of CWD holding build.sbt) rather than raw CWD, so
-    // a driver running from a subdirectory still lands the file where
-    // bench_diff.py's fallback looks for it.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", {
       def findRoot(d: java.io.File): Option[java.io.File] =
         if (d == null) None
@@ -318,26 +275,209 @@ object Bench {
       new java.io.File(root.getOrElse(new java.io.File(".")),
         "BENCH_detail.json").getPath
     })
-    try {
-      val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(detail) finally w.close()
-    } catch {
-      case e: Exception =>
-        System.err.println(s"could not write $detailPath: ${e.getMessage}")
+
+    // Observation tiers. `warm` is the timed warm-up pass — normally
+    // discarded from the stats, but kept as a LAST-RESORT tier so a
+    // budget-shed query still reports a (cold, annotated) number instead
+    // of vanishing. `fullReps` are complete full passes (rep_totals /
+    // spread are computed over these only); `partials` are the extra-K
+    // passes plus any deadline-aborted pass.
+    var warm = Map.empty[String, Double]
+    val fullReps = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    val partials = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // A query is FAILED (-1) only when no observation of it succeeded in
+    // any tier; otherwise the stat is computed over the successful TIMED
+    // observations, falling back to the warm-up time when the budget shed
+    // every timed reps' look at it. A transient failure in one partial
+    // pass must not discard a min that converged over full repetitions.
+    def stat(name: String, pick: Seq[Double] => Double): (Double, Boolean) = {
+      val timed = (fullReps ++ partials).flatMap(_.get(name)).filter(_ >= 0).toSeq
+      if (timed.nonEmpty) (pick(timed), false)
+      else warm.get(name).filter(_ >= 0) match {
+        case Some(w) => (w, true)             // warm-only (cold) number
+        case None    => (-1.0, false)         // failed or never attempted
+      }
+    }
+    def spreadPct(rs: Seq[Map[String, Double]]): Double = {
+      val totals = rs.map(_.values.filter(_ >= 0).sum).filter(_ > 0)
+      if (totals.size < 2) 0.0
+      else (totals.max - totals.min) / totals.min * 100.0
     }
 
-    // Compact contract line LAST — must fit the consumer's bounded tail
-    // window (~2 KB) together with the build tool's trailing status line
-    // (budget: 2000 minus ~80 -> 1890). compactContract keeps the line
-    // within budget by construction (slowest-K subset + "omitted" when the
-    // full map no longer fits); reps/rep_totals/medians live on the detail
-    // line above.
-    val line = compactContract(total, mins, errJson(60), sfDir, runId = runId)
-    if (line.length > 1890) // only reachable via a pathological error string
-      System.err.println(s"BENCH CONTRACT BROKEN: compact line is " +
-        s"${line.length} chars (> 1890 budget); the consumer's 2 KB tail " +
-        "window will truncate it — shorten error messages or query names")
-    println(line)
+    def errJson(clip: Int): String = errors
+      .filterNot { case (k, _) => stat(k, _.min)._1 >= 0 } // green queries: stderr only
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(clip))}" }
+      .mkString("{", ",", "}")
+
+    /** Emit the current state: rewrite the detail FILE, and print the
+      * compact contract line to stdout. `finalEmit` additionally prints
+      * the full detail line first (exactly once per run, so the
+      * tail-window consumer and tools/bench_diff.py never see two detail
+      * records with the same run_id at different totals) and keeps the
+      * compact line LAST. Called after the warm-up and after EVERY pass:
+      * a hard external kill at any point after the warm-up leaves the
+      * last stdout JSON line parsable with mins-so-far — the round-18
+      * failure mode (rc=124, parsed:null, 40 minutes of work lost) cannot
+      * recur.
+      */
+    def emit(methodStr: String, finalEmit: Boolean): Unit = {
+      // a query NEVER attempted in any tier (deadline hit before its first
+      // look) is omitted from the map rather than reported -1: -1 means
+      // "ran and failed", and a budget-starved run must not read as a
+      // mass breakage in the regression diff (which compares over the
+      // intersection of query sets, so omission is the neutral signal)
+      val attempted = names.filter(n =>
+        warm.contains(n) || fullReps.exists(_.contains(n)) || partials.exists(_.contains(n)))
+      val unattempted = names.size - attempted.size
+      val minsW = attempted.map(n => n -> stat(n, _.min))
+      val mins = minsW.map { case (n, (v, _)) => n -> v }
+      val warmOnly = minsW.count { case (_, (v, w)) => w && v >= 0 }
+      val meds = attempted.map(n => n -> stat(n, median)._1)
+      val total = mins.collect { case (_, v) if v >= 0 => v }.sum
+      val repTotals = fullReps
+        .map(r => "%.3f".format(r.values.filter(_ >= 0).sum))
+        .mkString("[", ",", "]")
+      val repLoadsJson = repLoads.map(l => "%.2f".format(l)).mkString("[", ",", "]")
+      val spreadJson = "%.1f".format(spreadPct(fullReps.toSeq))
+      val warmOnlyJson = (if (warmOnly > 0) s""","warm_only":$warmOnly""" else "") +
+        (if (unattempted > 0) s""","unattempted":$unattempted""" else "")
+      val detail =
+        s"""{"metric":"detail","value":$total,"unit":"sec","method":${jstr(methodStr)},"reps":${fullReps.size},"run_id":${jstr(runId)},"rep_totals":$repTotals,"rep_loads":$repLoadsJson,"spread_pct":$spreadJson$warmOnlyJson,"queries":${jmap(
+            mins)},"queries_median":${jmap(meds)},"errors":${errJson(300)},"sf":${jstr(sfDir)}}"""
+      // The detail FILE is rewritten on every emission: the driver's
+      // stdout record keeps only a ~2 KB tail, so the file is the durable
+      // full map (tools/bench_diff.py prefers it; committed per round as
+      // BENCH_detail.json). Written even on intermediate emissions so a
+      // hard kill leaves file and last stdout line run_id-consistent.
+      try {
+        val w = new java.io.PrintWriter(detailPath, "UTF-8")
+        try w.println(detail) finally w.close()
+      } catch {
+        case e: Exception =>
+          System.err.println(s"could not write $detailPath: ${e.getMessage}")
+      }
+      // Full-precision record on stdout exactly once, at the end (scrolls
+      // out of the consumer's tail window; humans and bench_diff read it
+      // from the full log or the file).
+      if (finalEmit) println(detail)
+      // Compact contract line LAST — must fit the consumer's bounded tail
+      // window (~2 KB) together with the build tool's trailing status
+      // line (budget: 2000 minus ~80 -> 1890). compactContract keeps the
+      // line within budget by construction (slowest-K subset + "omitted"
+      // when the full map no longer fits).
+      val line = compactContract(total, mins, errJson(60), sfDir, runId = runId)
+      if (line.length > 1890) // only reachable via a pathological error string
+        System.err.println(s"BENCH CONTRACT BROKEN: compact line is " +
+          s"${line.length} chars (> 1890 budget); the consumer's 2 KB tail " +
+          "window will truncate it — shorten error messages or query names")
+      println(line)
+      System.out.flush()
+    }
+
+    // ---- staged protocol, shedding in fidelity order under the budget --
+
+    /** Start the stage only if the previous pass's duration (x1.05 slack)
+      * still fits before the deadline; otherwise shed it loudly. A stage
+      * that starts and still overruns is caught by pass()'s mid-flight
+      * abort, so the estimate only needs to be roughly right.
+      */
+    def fits(estimateS: Double, what: String): Boolean = {
+      val ok = remainingS > estimateS * 1.05 + reserveS
+      if (!ok)
+        System.err.println(f"bench budget: shedding $what " +
+          f"(estimated $estimateS%.0f s, ${remainingS}%.0f s remaining)")
+      ok
+    }
+    def timePass(subset: Seq[String]): (Map[String, Double], Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val (obs, aborted) = pass(subset)
+      (obs, aborted, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (warmObs, warmAborted, warmDur) = timePass(names)
+    warm = warmObs
+    var lastPassS = warmDur
+    var method = "warm-up only (budget shed all timed reps)"
+    emit(method, finalEmit = false)
+
+    val spreadLimit =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_PCT", "15").toDouble
+    val maxSpreadReps =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SPREAD_REPS", "2").toInt
+    val extraK = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_K", "20").toInt
+    val nExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
+
+    var spreadAdded = 0
+    if (!warmAborted) {
+      // timed full reps (rep 1 is never shed by estimate — if the warm-up
+      // fit, one rep fits or aborts gracefully mid-flight)
+      var r = 0
+      var aborted = false
+      while (r < nReps && !aborted && (r == 0 || fits(lastPassS, s"rep ${r + 1}"))) {
+        repLoads += loadPerCore()
+        val (obs, ab, dur) = timePass(names)
+        aborted = ab
+        if (ab) partials += obs else { fullReps += obs; lastPassS = dur }
+        r += 1
+        method = s"min of ${fullReps.size} reps after 1 warm-up pass"
+        emit(method, finalEmit = false)
+      }
+      // spread-guard reps (the round-12 lesson): only when the completed
+      // rep totals spread beyond the limit AND the budget still fits one
+      while (!aborted && fullReps.size >= 2
+          && spreadPct(fullReps.toSeq) > spreadLimit
+          && spreadAdded < maxSpreadReps
+          && fits(lastPassS, "spread-guard rep")) {
+        System.err.println(f"rep-total spread ${spreadPct(fullReps.toSeq)}%.1f%% > " +
+          f"$spreadLimit%.1f%%: running an extra full rep to converge mins")
+        repLoads += loadPerCore()
+        val (obs, ab, dur) = timePass(names)
+        aborted = ab
+        if (ab) partials += obs else { fullReps += obs; lastPassS = dur; spreadAdded += 1 }
+        method = s"min of ${fullReps.size} reps after 1 warm-up pass" +
+          (if (spreadAdded > 0) s" ($spreadAdded added by the >$spreadLimit%-spread guard)" else "")
+        emit(method, finalEmit = false)
+      }
+      // Noise control for the queries that dominate the total (the
+      // round-10 rep spread hit 27%): the slowest-K queries by
+      // provisional min get extra timed observations. Shed FIRST under
+      // budget pressure (they only tighten mins that already exist).
+      val slowest = names
+        .map(n => n -> stat(n, _.min)._1)
+        .filter(_._2 >= 0).sortBy(-_._2).take(extraK).map(_._1).sorted
+      val extraEstimate =
+        slowest.map(n => stat(n, _.min)._1).sum * 1.3 // cache-clear overhead slack
+      var e = 0
+      while (e < nExtra && !aborted && slowest.nonEmpty
+          && fits(extraEstimate, s"extra-K rep ${e + 1}")) {
+        val (obs, ab, _) = timePass(slowest)
+        aborted = ab
+        partials += obs
+        e += 1
+        method = s"min of ${fullReps.size} reps after 1 warm-up pass" +
+          (if (spreadAdded > 0) s" ($spreadAdded added by the >$spreadLimit%-spread guard)" else "") +
+          (if (e > 0) s" + $e extra reps over the ${slowest.size} slowest" else "")
+        emit(method, finalEmit = false)
+      }
+    } else {
+      System.err.println("bench budget: warm-up itself hit the deadline — " +
+        "reporting cold warm-up observations only")
+    }
+    graft.util.Caches.unpersistAll()
+
+    // a message captured by an observation that later recovered goes to
+    // stderr so it stays visible without contradicting a green entry
+    // (errJson itself filters green queries out of the contract line)
+    errors.foreach { case (k, v) =>
+      if (stat(k, _.min)._1 >= 0)
+        System.err.println(s"transient failure in $k (recovered): $v")
+    }
+    emit(method, finalEmit = true)
     spark.stop()
   }
 }
