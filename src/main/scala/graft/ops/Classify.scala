@@ -396,11 +396,17 @@ object Classify {
       .collect().head
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-    val nTest = cov.getLong(0); val nCov = cov.getLong(1)
+    // n_test = 0: the out-of-sample audit NEVER RAN — coverage is NULL
+    // (round-18 ADVICE: reporting 1.0 read as a perfect audit when no
+    // audit happened; an empty slice must be distinguishable from a
+    // perfectly covered one). The sum over an empty slice is SQL NULL,
+    // so n_covered is read defensively too.
+    val nTest = cov.getLong(0)
+    val nCov = if (cov.isNullAt(1)) 0L else cov.getLong(1)
     spark.createDataFrame(
       Seq(Row(nCal, rank, r6(qFp.toDouble / fp), nTest, nCov,
-        if (nTest > 0) r6(nCov.toDouble / nTest.toDouble) else 1.0))
-        .asJava,
+        if (nTest > 0) Double.box(r6(nCov.toDouble / nTest.toDouble))
+        else null)).asJava,
       StructType(Seq(
         StructField("n_cal", LongType, false),
         StructField("rank", LongType, false),
@@ -408,6 +414,6 @@ object Classify {
         StructField("n_test", LongType, false),
         StructField("n_covered", LongType, false),
         StructField("coverage",
-          org.apache.spark.sql.types.DoubleType, false))))
+          org.apache.spark.sql.types.DoubleType, true))))
   }
 }

@@ -34,8 +34,21 @@ object Graph {
     * long space: (a - a mod b) is an exact multiple of b and <= ~1e15, so
     * the double division below is exact. Matches DuckDB's `//`.
     */
+  /** Exact long integer division (round 19 — the previous
+    * `((a - a%b)/b).cast("long")` routed the quotient through DOUBLE
+    * division, exact only below 2^53: a rank-scaled numerator past that
+    * drifts ±1 ulp and silently breaks the bit-identical-replay
+    * contract long before any long overflow). `IntegralDivide` is the
+    * SQL `div` operator: codegen'd long/long division, no floating
+    * point anywhere. Both operands are non-negative at every call site
+    * (fixed-point ranks x positive scale factors), where truncating and
+    * flooring division agree.
+    */
   private def ldiv(a: Column, b: Column): Column =
-    ((a - a % b) / b).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Directed edge table supplier->customer derived from the TPC-H-ish
     * star: one edge per (supplier, customer) pair that ever shared an
@@ -156,18 +169,28 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // overflow guard: worst-case growth from the observed max in-degree
+    // overflow guard: worst-case growth from the observed max in-degree.
+    // The guarded quantity is the PER-ROUND INTERMEDIATE r*alphaNum (the
+    // product is computed in long space BEFORE the exact ldiv), tracked
+    // at every round t — guarding only the final iterate would admit a
+    // round whose pre-division product wraps even though the post-
+    // division rank fits (round-18 ADVICE). ldiv itself is exact long
+    // division (no 2^53 double-precision ceiling — see [[ldiv]]).
     val dmaxRow = e.groupBy("dst").agg(count(lit(1)).as("d"))
       .agg(coalesce(max("d"), lit(0L))).collect().head
     val dmax = dmaxRow.getLong(0)
     var worst = BigInt(RankScale)
+    var worstIntermediate = BigInt(0)
     (1 to iters).foreach { _ =>
+      worstIntermediate = worstIntermediate.max(worst * alphaNum)
       worst = BigInt(RankScale) +
         BigInt(dmax) * (worst * alphaNum / alphaDen)
     }
-    require(worst < BigInt(Long.MaxValue),
+    require(worstIntermediate < BigInt(Long.MaxValue)
+        && worst < BigInt(Long.MaxValue),
       s"katz: alpha=$alphaNum/$alphaDen over $iters iterations can " +
-        s"overflow at max in-degree $dmax (worst-case fp $worst) — " +
+        s"overflow at max in-degree $dmax (worst-case fp iterate $worst, " +
+        s"worst pre-division product $worstIntermediate) — " +
         "lower alpha/iters or use pagerank's degree-diluted walk")
     val init = nodes.select(col("node"), lit(RankScale).as("r"))
     val trunc = new graft.util.Truncator(checkpointEvery)

@@ -990,18 +990,29 @@ object Similarity {
     *
     * Determinism: distances are the 6dp-rounded native sequential
     * kernel; the argmax is a lexicographic struct max (distance, then
-    * min id); every round's new-center embedding enters the plan as a
-    * LITERAL, so the min-distance state is a pure projection any
-    * engine replays.
+    * min id — unique per row, so the embedding field rides along
+    * without ever participating in the comparison); every round's
+    * new-center embedding enters the plan as a LITERAL, so the
+    * min-distance state is a pure projection any engine replays.
     *
     * Shape at scale: k passes over the corpus, each ONE narrow
     * projection (distance against a literal center) + ONE map-side-
-    * combined struct-max aggregate — no shuffle of the corpus, no
-    * window, no pair enumeration; state re-persists per round with
-    * immediate eviction (flat lineage). Driver state is k rows. k is
-    * capped at 64: the loop is k sequential jobs by construction
-    * (Gonzalez is inherently sequential); larger budgets belong to
-    * [[medoids]] / cell-based selection.
+    * combined struct-max aggregate — the winning row's EMBEDDING is
+    * carried inside the max struct (round 19: the previous shape
+    * re-scanned the persisted corpus with a `vec_id === id` filter to
+    * fetch it, doubling the per-round passes — 64 avoidable scans at
+    * k=64); no shuffle of the corpus, no window, no pair enumeration;
+    * state re-persists per round with immediate eviction (flat
+    * lineage). Driver state is k rows of (id, distance) plus one
+    * center embedding at a time. k is capped at 64: the loop is k
+    * sequential jobs by construction (Gonzalez is inherently
+    * sequential); larger budgets belong to [[medoids]] / cell-based
+    * selection. k must not exceed the corpus row count (fewer rows
+    * than centers would re-select an already-chosen point at distance
+    * 0 and emit duplicate center rows); a corpus of exact-duplicate
+    * embeddings that reaches a radius-0 cover before k stops EARLY
+    * with the centers found — a 0-distance "farthest point" is an
+    * already-covered point, not a center.
     */
   def kcenter(df: DataFrame, k: Int): DataFrame = {
     require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
@@ -1009,35 +1020,50 @@ object Similarity {
     import spark.implicits._
     val cv = graft.util.Caches.persist(
       df.select(col("vec_id"), col("embedding")))
+    val n = cv.count() // also materializes the persist before the loop
+    require(n >= k,
+      s"kcenter: k=$k exceeds the corpus ($n vectors) — every center " +
+        "must be a distinct input row")
     val first = cv.orderBy("vec_id").limit(1).collect()
-    require(first.nonEmpty, "kcenter: empty input")
-    def embOf(id: Long): Seq[Float] =
-      cv.where(col("vec_id") === id).collect().head.getSeq[Float](1)
     val seedId = first.head.getLong(0)
+    val seedEmb = first.head.getSeq[Float](1)
     var state = graft.util.Caches.persist(
       cv.select(col("vec_id"), col("embedding"),
-        sqDist6(col("embedding"), typedLit(embOf(seedId))).as("__d")))
+        sqDist6(col("embedding"), typedLit(seedEmb)).as("__d")))
     state.count()
     val centers = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, java.lang.Double)]
     centers += ((1L, seedId, null))
     var r = 2
-    while (r <= k) {
+    var covered = false
+    while (r <= k && !covered) {
       val top = state
-        .agg(max(struct(col("__d"), (-col("vec_id")).as("__nid")))
-          .as("__m"))
-        .select((-col("__m.__nid")).as("id"), col("__m.__d").as("d"))
+        .agg(max(struct(col("__d"), (-col("vec_id")).as("__nid"),
+          col("embedding"))).as("__m"))
+        .select((-col("__m.__nid")).as("id"), col("__m.__d").as("d"),
+          col("__m.embedding").as("emb"))
         .collect().head
       val (cid, selDist) = (top.getLong(0), top.getDouble(1))
-      centers += ((r.toLong, cid, Double.box(selDist)))
-      val next = graft.util.Caches.persist(
-        state.select(col("vec_id"), col("embedding"),
-          least(col("__d"), sqDist6(col("embedding"),
-            typedLit(embOf(cid)))).as("__d")))
-      next.count()
-      state.unpersist(blocking = false)
-      state = next
-      r += 1
+      if (selDist == 0d) {
+        // radius-0 cover: every remaining point duplicates a selected
+        // center; the argmax would re-pick a chosen id — stop with the
+        // genuine centers found (loud, because a caller asking for k
+        // probably didn't expect a duplicate-saturated corpus)
+        System.err.println(s"kcenter: corpus covered at radius 0 by " +
+          s"${centers.size} of the requested $k centers; stopping early")
+        covered = true
+      } else {
+        val cemb = top.getSeq[Float](2)
+        centers += ((r.toLong, cid, Double.box(selDist)))
+        val next = graft.util.Caches.persist(
+          state.select(col("vec_id"), col("embedding"),
+            least(col("__d"), sqDist6(col("embedding"),
+              typedLit(cemb))).as("__d")))
+        next.count()
+        state.unpersist(blocking = false)
+        state = next
+        r += 1
+      }
     }
     val coverage = state.agg(max("__d")).collect().head.getDouble(0)
     state.unpersist(blocking = false)

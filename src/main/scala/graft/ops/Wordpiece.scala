@@ -68,11 +68,26 @@ object Wordpiece {
     import spark.implicits._
     val sep = "\u001F"
     val encode = regexp_replace(col("w"), "(.)", s"$sep$$1$sep")
-    var enc = graft.util.Caches.persist(
+    // words containing the U+001F frame separator cannot be framed and
+    // are dropped — loudly (round-18 ADVICE: every other degenerate-
+    // input path in this codebase counts and WARNs; the count runs on
+    // the persisted DISTINCT-word table, not a second corpus pass)
+    val wt = graft.util.Caches.persist(
       df.select(explode(split(col(textCol), " ")).as("w"))
-        .where(length(col("w")) >= 2 && !col("w").contains(sep))
-        .groupBy("w").agg(count(lit(1)).as("wn"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wn")))
+    val sepDropped = wt.where(col("w").contains(sep))
+      .agg(count(lit(1)), coalesce(sum("wn"), lit(0L))).collect().head
+    if (sepDropped.getLong(0) > 0)
+      System.err.println(s"Wordpiece.learn: ${sepDropped.getLong(0)} " +
+        s"distinct word(s) (${sepDropped.getLong(1)} occurrences) " +
+        "contain the U+001F frame separator and are dropped from " +
+        "merge learning")
+    var enc = graft.util.Caches.persist(
+      wt.where(!col("w").contains(sep))
         .select(encode.as("e"), col("wn")))
+    enc.count() // materialize off the word table before evicting it
+    wt.unpersist(blocking = false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Double)]
     val trunc = new graft.util.Truncator(checkpointEvery)
