@@ -755,6 +755,19 @@ final case class TextAnalysisTransformStage(
         Wordpiece.encode(in, idCol, textCol, pieces, maxPieceLen)
       case "wordpiece_fertility" =>
         Wordpiece.fertility(in, textCol, langCol, pieces, maxPieceLen)
+      // byte-level BPE: hex byte symbols, UNK-free by construction
+      case "bytebpe_learn" =>
+        ByteBpe.learn(in, textCol, rounds)
+      case "bytebpe_encode" =>
+        ByteBpe.encode(in, idCol, textCol, parsedMerges)
+      case "bytebpe_fertility" =>
+        ByteBpe.fertility(in, textCol, langCol, parsedMerges)
+      // HTML -> clean text (jusText-shape pinned block rules)
+      case "html_extract" =>
+        Html.extract(in, idCol, textCol)
+      // UTF-8-read-as-cp1252 mojibake repair (pinned artifact table)
+      case "fix_encoding" =>
+        Mojibake.repair(in, idCol, textCol)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }

@@ -110,7 +110,9 @@ object Parser {
       "distinct_n", "vectorize", "bpe_learn", "heavy_hitters",
       "heavy_hitters_grouped", "lang_purity", "ngram_counts", "kn_score",
       "unigram_learn", "unigram_encode", "unigram_fertility",
-      "wordpiece_learn", "wordpiece_encode", "wordpiece_fertility"),
+      "wordpiece_learn", "wordpiece_encode", "wordpiece_fertility",
+      "bytebpe_learn", "bytebpe_encode", "bytebpe_fertility",
+      "html_extract", "fix_encoding"),
     "SketchTransform" -> Seq(
       "hll", "kmv", "cms", "hll_intersect", "hll_rolling", "kmv_jaccard",
       "kmv_diff", "join_size"),

@@ -290,6 +290,15 @@ object ExtensionQueries {
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+  // byte-level BPE trio (round 19): the SAME pinned merge chain as
+  // BpeMerges but in UTF-8 byte space (uppercase hex symbols) — the
+  // corpus is ASCII so char- and byte-merges walk the same pairs and
+  // the chained-application order stays exercised; the multi-byte
+  // round-trip is pinned in ByteBpeSpec.
+  private val ByteBpeMerges: Seq[(String, String)] = Seq(
+    "74" -> "68", "7468" -> "65", "69" -> "6E", "61" -> "6E",
+    "616E" -> "64", "65" -> "72", "6F" -> "6E", "72" -> "65")
+  private val ByteBpeRounds = 4
   // unigram-LM tokenizer trio (round 18): learn knobs + the fixed
   // apply-time vocab (the BpeMerges trained-once precedent)
   private val UniMaxPiece = 4
@@ -369,9 +378,22 @@ object ExtensionQueries {
         SELECT w, pos, tok, unk FROM $prev
         WHERE pos >= length(w) OR unk)"""
     }.mkString(",\n      ")
+    // Horizon guard (round-18 ADVICE): the chain advances at least one
+    // character per step, so a word still unfinished after WpMaxWord
+    // steps is LONGER than the pinned horizon — erroring loudly beats
+    // silently undercounting its tokens (or falsely agreeing with a
+    // similarly-truncated Spark count) if the fixture corpus ever gains
+    // longer words. error() is lazy per-row: zero violating rows, zero
+    // cost.
     s"""$steps,
       wfin$tag AS MATERIALIZED (
-        SELECT w, tok, unk FROM w$tag$WpMaxWord)"""
+        SELECT w,
+          CASE WHEN pos < length(w) AND NOT unk
+            THEN error('wordpiece oracle: word exceeds the ' ||
+              '$WpMaxWord-step greedy horizon: ' || w)
+            ELSE tok END AS tok,
+          unk
+        FROM w$tag$WpMaxWord)"""
   }
 
   /** Forward Viterbi DP as chained CTEs: states s{tag}1..s{tag}N over a
@@ -404,9 +426,16 @@ object ExtensionQueries {
     val fin = (1 to UniMaxWord).map(i =>
       s"SELECT w, st FROM s$tag$i WHERE length(w) = $i")
       .mkString("\n        UNION ALL ")
+    // Horizon guard (round-18 ADVICE, same class as [[wpGreedySql]]):
+    // a word longer than UniMaxWord has NO fin row and would silently
+    // vanish from the inner join-back — error loudly instead.
     s"""$steps,
       fin$tag AS MATERIALIZED (
-        $fin)"""
+        $fin
+        UNION ALL
+        SELECT w, error('unigram oracle: word exceeds the ' ||
+          '$UniMaxWord-char DP horizon: ' || w)::BIGINT AS st
+        FROM $dwCte WHERE length(w) > $UniMaxWord)"""
   }
 
   /** [[uniDpSql]] plus an all-positions state table `all{tag}(w, pos,
@@ -471,6 +500,70 @@ object ExtensionQueries {
   private def bpeChainSql(base: String): String =
     BpeMerges.foldLeft(base) { case (e, (a, b)) =>
       s"replace($e, ${bpeFrame(a)}||${bpeFrame(b)}, ${bpeFrame(a + b)})"
+    }
+
+  /** The [[ByteBpeMerges]] replace chain (byte-hex symbols, same framed
+    * replace shape as [[bpeChainSql]]).
+    */
+  private def byteBpeChainSql(base: String): String =
+    ByteBpeMerges.foldLeft(base) { case (e, (a, b)) =>
+      s"replace($e, ${bpeFrame(a)}||${bpeFrame(b)}, ${bpeFrame(a + b)})"
+    }
+
+  /** Per-byte framed hex of a DuckDB word expression — the oracle twin
+    * of ByteBpe.byteFramed (Spark hex(encode(w,'UTF-8')) and DuckDB
+    * hex(encode(w)) both emit uppercase).
+    */
+  private def byteFramedSql(w: String): String =
+    s"regexp_replace(hex(encode($w)), '(..)', chr(31)||'\\1'||chr(31), 'g')"
+
+  // HTML-extraction gate (round 19): deterministic synthetic markup
+  // around each document's text — ONE engine-neutral SQL expression
+  // (|| concat and CASE only) shared verbatim by the Spark gate
+  // (selectExpr), the parsed-config chain (SqlTransform), and the
+  // DuckDB oracle. Block anatomy: a nav (3 words, 3 links -> dropped
+  // on link density), an h1 (2 words -> dropped on minWords), the
+  // corpus text in a <p> (kept iff its stopword density clears 5% —
+  // discriminative: roughly half the corpus), a promo block on every
+  // third doc (5 words, 2 links -> dropped), a comment (stripped) and
+  // a footer (2 words, 2 links -> dropped).
+  private val HtmlSynthExpr: String =
+    "'<html><head><title>d</title><style>p{c:1}</style>" +
+      "<script>var x=1;</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/b\">Docs</a></nav><h1>Doc ' || " +
+      "CAST(doc_id AS STRING) || '</h1><p>' || text || '</p>' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '<p>Click <a href=\"#\">here</a>" +
+      " or <a href=\"#\">subscribe</a> now</p>' ELSE '' END || " +
+      "'<!-- t --><footer><a href=\"#\">Terms</a> " +
+      "<a href=\"#\">Privacy</a></footer></body></html>'"
+
+  /** Html.stopCount's doubled-space arithmetic as DuckDB SQL over a
+    * `dbl` expression (the pinned Html.DefaultStopwords list).
+    */
+  private def htmlStopCountSql(dbl: String): String =
+    graft.ops.Html.DefaultStopwords.map { sw =>
+      s"((length($dbl) - length(replace($dbl, ' $sw ', '')))" +
+        s" / ${sw.length + 2})::BIGINT"
+    }.mkString("(", " + ", ")")
+
+  // Encoding-repair gate (round 19): inject repertoire chars into the
+  // ASCII corpus, corrupt via the PINNED artifact table (the injected
+  // subset — chained full-table corruption would double-corrupt
+  // artifacts of artifacts), repair with the full table.
+  private val MojiSeedExpr: String =
+    "replace(replace(replace(replace(text, 'table', 'tablé'), " +
+      "'query', 'qu’ry'), 'spark', 'spärk'), 'fast', 'fást…')"
+  private val MojiGateChars = Seq("é", "’", "ä", "á", "…")
+  private def mojiCorruptSql(base: String): String =
+    MojiGateChars.foldLeft(base) { (e, c) =>
+      val m = graft.ops.Mojibake.Table.find(_._2 == c)
+        .getOrElse(sys.error(s"no artifact for $c"))._1
+      s"replace($e, '$c', '$m')"
+    }
+  private def mojiRepairSql(base: String): String =
+    graft.ops.Mojibake.Table.foldLeft(base) { case (e, (m, c)) =>
+      s"replace($e, '$m', '$c')"
     }
 
   private val NegK = 4
@@ -2333,6 +2426,35 @@ object ExtensionQueries {
       }
     },
 
+    // The crawl front door reached from PARSED CONFIG (round 19):
+    // synthesize markup -> html_extract -> project, hash-matching the
+    // direct-API text_html_extract twin (shared oracle).
+    "stage_html_chain" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      docs(spark, dir).createOrReplaceTempView("st19h_docs")
+      val conf = s"""
+        stages = [
+          { type = SqlTransform, name = synth
+            sql = \"\"\"SELECT doc_id, ($HtmlSynthExpr) AS html
+              FROM st19h_docs\"\"\"
+            outputView = st19h_html }
+          { type = TextAnalysisTransform, name = ext
+            analysis = html_extract, textCol = html
+            inputView = st19h_html, outputView = st19h_ext }
+          { type = SqlTransform, name = out
+            sql = \"\"\"SELECT doc_id, n_blocks, n_kept, n_words, text
+              FROM st19h_ext ORDER BY doc_id\"\"\"
+            outputView = st19h_out }
+        ]"""
+      graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) => graft.pipeline.Runner.run(p).get
+      }
+    },
+
     // The flagship five-operator pretraining recipe reached from PARSED
     // CONFIG (round 18): quality filter -> exact dedup -> MinHash
     // near-dedup -> DSIR importance -> per-language top-fraction, the
@@ -2630,6 +2752,51 @@ object ExtensionQueries {
     "bpe_fertility" -> { (spark, dir) =>
       TextAnalysis.bpeFertility(docs(spark, dir), "text", "lang", BpeMerges)
         .orderBy("group")
+    },
+
+    // Byte-level BPE merge learning (Radford et al. 2019): argmax-merge
+    // rounds over UTF-8 byte symbols; no word is ever dropped (hex
+    // symbols cannot collide with the frame separator).
+    "bytebpe_merges" -> { (spark, dir) =>
+      ByteBpe.learn(docs(spark, dir), "text", rounds = ByteBpeRounds)
+        .orderBy("merge_round")
+    },
+
+    // Byte-level BPE application under the fixed hex merge table —
+    // UNK-free by construction; per-doc word/token/byte counts.
+    "bytebpe_encode" -> { (spark, dir) =>
+      ByteBpe.encode(docs(spark, dir), "doc_id", "text", ByteBpeMerges)
+        .orderBy("doc_id")
+    },
+
+    // Byte-level fertility + bytes-per-token by language.
+    "bytebpe_fertility" -> { (spark, dir) =>
+      ByteBpe.fertility(docs(spark, dir), "text", "lang", ByteBpeMerges)
+        .orderBy("group")
+    },
+
+    // HTML -> clean text (jusText-shape pinned block rules) over
+    // deterministic synthetic markup: nav/footer/promo boilerplate
+    // drops on link density, headings on minWords, and the content
+    // <p> keeps iff its stopword density clears the pinned 5%.
+    "text_html_extract" -> { (spark, dir) =>
+      Html.extract(
+        docs(spark, dir).selectExpr("doc_id",
+          s"($HtmlSynthExpr) AS html"),
+        "doc_id", "html")
+        .orderBy("doc_id")
+    },
+
+    // Mojibake repair: corpus seeded with repertoire chars, corrupted
+    // by the pinned UTF-8-read-as-cp1252 artifact table, repaired by
+    // the full-table chained replace. `changed` marks every touched
+    // doc (docs without the seed words pass through unchanged).
+    "text_fix_encoding" -> { (spark, dir) =>
+      Mojibake.repair(
+        docs(spark, dir).selectExpr("doc_id",
+          s"(${mojiCorruptSql(s"($MojiSeedExpr)")}) AS text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // Unigram-LM tokenizer learning (Kudo 2018, Viterbi hard-EM over
@@ -5137,6 +5304,7 @@ object ExtensionQueries {
       ("stage_url_chain" -> staticOracles("curate_domains")) +
       ("stage_graph_chain" -> staticOracles("graph_scc")) +
       ("stage_curate_pretrain" -> staticOracles("curate_pretrain")) +
+      ("stage_html_chain" -> staticOracles("text_html_extract")) +
       // micro-batched appends under frozen centroids end in the same
       // index state as the one-shot batch append — same oracle
       ("streaming_ivf_append" -> staticOracles("similarity_ivf_append"))
@@ -8588,6 +8756,113 @@ object ExtensionQueries {
         round(sum(tok)::DOUBLE / sum(words)::DOUBLE, 6) AS fertility
       FROM t GROUP BY 1 ORDER BY 1""",
 
+    // Replay of ByteBpe.encode: chr(31)-framed BYTE-hex symbols over the
+    // distinct-word table, the same literal replace chain in merge
+    // order, token count = remaining frames / 2, per-doc multiplicity
+    // join-back. No UNK column: byte fallback makes encoding total.
+    "bytebpe_encode" -> s"""
+      WITH wdm AS (
+        SELECT doc_id, w, count(*)::BIGINT AS m FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1, 2),
+      wdu AS MATERIALIZED (SELECT DISTINCT w FROM wdm),
+      seg AS MATERIALIZED (
+        SELECT w,
+          ((length(e) - length(replace(e, chr(31), '')))::DOUBLE
+            / 2.0::DOUBLE)::BIGINT AS t,
+          octet_length(encode(w))::BIGINT AS b
+        FROM (SELECT w, ${byteBpeChainSql(byteFramedSql("w"))} AS e
+              FROM wdu))
+      SELECT doc_id, sum(m)::BIGINT AS n_words,
+        sum(m * t)::BIGINT AS n_tokens,
+        sum(m * b)::BIGINT AS n_bytes
+      FROM wdm JOIN seg USING (w) GROUP BY 1 ORDER BY doc_id""",
+
+    // Replay of ByteBpe.fertility: same distinct-word segmentation,
+    // grouped by lang, plus the bytes-per-token compression readout.
+    "bytebpe_fertility" -> s"""
+      WITH wgm AS (
+        SELECT lang AS "group", w, count(*)::BIGINT AS m FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE length(w) >= 1 GROUP BY 1, 2),
+      wnd AS (SELECT lang AS "group", count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1),
+      wdu AS MATERIALIZED (SELECT DISTINCT w FROM wgm),
+      seg AS MATERIALIZED (
+        SELECT w,
+          ((length(e) - length(replace(e, chr(31), '')))::DOUBLE
+            / 2.0::DOUBLE)::BIGINT AS t,
+          octet_length(encode(w))::BIGINT AS b
+        FROM (SELECT w, ${byteBpeChainSql(byteFramedSql("w"))} AS e
+              FROM wdu)),
+      agg AS (
+        SELECT "group", sum(m)::BIGINT AS n_words,
+          sum(m * t)::BIGINT AS n_tokens,
+          sum(m * b)::BIGINT AS n_bytes
+        FROM wgm JOIN seg USING (w) GROUP BY 1)
+      SELECT a."group", wnd.n_docs, a.n_words, a.n_tokens, a.n_bytes,
+        round(a.n_tokens::DOUBLE / a.n_words::DOUBLE, 6) AS fertility,
+        round(a.n_bytes::DOUBLE / a.n_tokens::DOUBLE, 6)
+          AS bytes_per_token
+      FROM agg a JOIN wnd USING ("group") ORDER BY a."group"""",
+
+    // Replay of Html.extract over the same synthetic markup: strip
+    // script/style/comments, segment at block tags into chr(30)
+    // records, per-block tag-strip + entity decode + squeeze, the
+    // doubled-space stopword count, and the pinned integer keep rule.
+    "text_html_extract" -> s"""
+      WITH h AS (SELECT doc_id,
+          replace(($HtmlSynthExpr), chr(30), '') AS html
+        FROM documents),
+      c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+          html,
+          '(?is)<script([ \\t\\n\\r][^>]*)?>.*?</script[ \\t\\n\\r]*>',
+          ' ', 'g'),
+          '(?is)<style([ \\t\\n\\r][^>]*)?>.*?</style[ \\t\\n\\r]*>',
+          ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS nj FROM h),
+      s AS (SELECT doc_id, string_split(regexp_replace(nj,
+          '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|section|article|header|footer|nav|blockquote)([ \\t\\n\\r][^>]*)?/?>',
+          chr(30), 'g'), chr(30)) AS bl FROM c),
+      b AS (SELECT doc_id, t.i AS i, bl[i] AS raw
+            FROM s, unnest(generate_series(1, len(bl))) AS t(i)),
+      m AS (SELECT doc_id, i,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+            '[ \\t\\n\\r]+', ' ', 'g')) AS bt,
+          len(regexp_extract_all(raw, '(?i)<a[ >]'))::BIGINT AS links
+        FROM b),
+      w AS (SELECT doc_id, i, bt, links,
+          (CASE WHEN bt = '' THEN 0
+            ELSE len(string_split(bt, ' ')) END)::BIGINT AS nw,
+          replace(' ' || lower(bt) || ' ', ' ', '  ') AS dbl
+        FROM m),
+      k AS (SELECT doc_id, i, bt, nw,
+          (nw >= 3 AND ${htmlStopCountSql("dbl")} * 100 >= nw * 5
+            AND links * 3 <= nw) AS keep
+        FROM w)
+      SELECT doc_id,
+        sum(CASE WHEN nw > 0 THEN 1 ELSE 0 END)::BIGINT AS n_blocks,
+        sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        sum(CASE WHEN keep THEN nw ELSE 0 END)::BIGINT AS n_words,
+        coalesce(string_agg(CASE WHEN keep THEN bt END, ' '
+          ORDER BY i), '') AS text
+      FROM k GROUP BY 1 ORDER BY doc_id""",
+
+    // Replay of Mojibake.repair over the same seeded + corrupted text:
+    // the identical pinned artifact table, chained longest-first.
+    "text_fix_encoding" -> s"""
+      WITH d AS (SELECT doc_id,
+          ${mojiCorruptSql(s"($MojiSeedExpr)")} AS t FROM documents)
+      SELECT doc_id, ${mojiRepairSql("t")} AS text,
+        coalesce(${mojiRepairSql("t")} <> t, false) AS changed
+      FROM d ORDER BY doc_id""",
+
     // Ground truth for Multimodal.validatePayloads: every magic the
     // validator knows is 4 bytes, the corpus is single-byte text, and a
     // rotated actual format never matches the declared magic.
@@ -11509,7 +11784,7 @@ object ExtensionQueries {
         cov.n_test, cov.n_covered,
         CASE WHEN cov.n_test > 0
           THEN (round(cov.n_covered::DOUBLE / cov.n_test::DOUBLE, 6) + 0.0)
-          ELSE 1.0::DOUBLE END AS coverage
+          ELSE NULL::DOUBLE END AS coverage
       FROM rk, q, cov""",
 
     // Replay of Drift.mutualInformation: occupied-cell counts, margin
@@ -12968,6 +13243,45 @@ object ExtensionQueries {
           count(*)::BIGINT AS wn
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         WHERE length(w) >= 2 AND w NOT LIKE '%'||chr(31)||'%'
+        GROUP BY 1),
+      $ctes
+      $rows
+      ORDER BY merge_round"""
+    },
+
+    // Replay of ByteBpe.learn: the bpe_merges framed loop over BYTE-hex
+    // symbols — every non-empty word participates (no length or
+    // separator filter; hex cannot collide with chr(31)).
+    "bytebpe_merges" -> {
+      val rounds = ByteBpeRounds
+      def pairs(src: String, i: Int) =
+        s"""bbp$i AS MATERIALIZED (
+          SELECT ss[i] AS a, ss[i+1] AS b, sum(wn)::BIGINT AS cnt
+          FROM (SELECT list_filter(string_split(e, chr(31)),
+                  x -> x <> '') AS ss, wn FROM $src) s,
+            unnest(generate_series(1, len(ss) - 1)) AS t(i)
+          GROUP BY 1, 2),
+        bbm$i AS MATERIALIZED (
+          SELECT a, b, cnt FROM bbp$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+      def apply(src: String, i: Int) =
+        s"""bbw$i AS MATERIALIZED (SELECT replace(e,
+            chr(31)||(SELECT a FROM bbm$i)||chr(31)
+              ||chr(31)||(SELECT b FROM bbm$i)||chr(31),
+            chr(31)||(SELECT a FROM bbm$i)||(SELECT b FROM bbm$i)||chr(31))
+          AS e, wn FROM $src)"""
+      val ctes = (1 to rounds).map { i =>
+        val src = if (i == 1) "bbc" else s"bbw${i - 1}"
+        if (i < rounds) pairs(src, i) + ",\n" + apply(src, i)
+        else pairs(src, i)
+      }.mkString(",\n")
+      val rows = (1 to rounds).map(i =>
+        s"SELECT $i::BIGINT AS merge_round, a AS left_sym, b AS right_sym, a||b AS merged, cnt FROM bbm$i")
+        .mkString("\nUNION ALL ")
+      s"""
+      WITH bbc AS (
+        SELECT ${byteFramedSql("w")} AS e, count(*)::BIGINT AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE length(w) >= 1
         GROUP BY 1),
       $ctes
       $rows
