@@ -1587,6 +1587,16 @@ final case class ZorderTransformStage(
         detail += "outputDir" -> dir
         Layout.hilbertWrite(in, cols(0), cols(1), idCol, dir, blockSize,
           bits, options)
+      // targeted delete (right-to-be-forgotten): the input view's idCol
+      // column IS the deletion request; statistics-pruned block rewrite
+      case "delete" =>
+        val dir = outputDir.getOrElse(
+          throw new IllegalArgumentException("delete requires outputDir"))
+        detail += "outputDir" -> dir
+        val ids = in
+          .select(org.apache.spark.sql.functions.col(idCol).cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        Layout.targetedDelete(in.sparkSession, dir, idCol, ids, options)
       case other =>
         throw new IllegalArgumentException(s"unknown zorder method '$other'")
     }

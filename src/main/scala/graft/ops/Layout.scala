@@ -320,6 +320,24 @@ object Layout {
     * bloom directory, so it sits behind the engine's destructive-write
     * latch.
     */
+  /** The per-(block, word) bloom bit rows for a layout data frame —
+    * shared by [[bloomAugment]] (full build) and [[targetedDelete]]
+    * (rebuild of rewritten blocks only), so there is exactly ONE
+    * hashing codepath.
+    */
+  private def bloomRowsOf(data: DataFrame, keyCol: String, m: Long,
+      k: Int): DataFrame =
+    data
+      .select(col("block_id"), col(keyCol).cast("string").as("__v"))
+      .where(col("__v").isNotNull)
+      .select(col("block_id"), explode(array((0 until k).map(i =>
+        pmod(xxhash64(col("__v"), lit(i)), lit(m))): _*)).as("__h"))
+      .select(col("block_id"), expr("__h div 64").as("w"),
+        expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
+      .groupBy("block_id", "w").agg(expr("bit_or(__m)").as("bits"))
+      .select(col("block_id"), col("w"), col("bits"),
+        lit(m).as("m"), lit(k).as("k"))
+
   def bloomAugment(spark: SparkSession, outDir: String, keyCol: String,
       mBits: Int = 4096, k: Int = 5,
       options: Map[String, String] = Map.empty): DataFrame = {
@@ -331,16 +349,7 @@ object Layout {
           "pass confirm.truncate=true (destructive-write latch)")
     val m = ((mBits + 63) / 64) * 64
     val data = spark.read.parquet(s"$outDir/data")
-    val blooms = data
-      .select(col("block_id"), col(keyCol).cast("string").as("__v"))
-      .where(col("__v").isNotNull)
-      .select(col("block_id"), explode(array((0 until k).map(i =>
-        pmod(xxhash64(col("__v"), lit(i)), lit(m.toLong))): _*)).as("__h"))
-      .select(col("block_id"), expr("__h div 64").as("w"),
-        expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
-      .groupBy("block_id", "w").agg(expr("bit_or(__m)").as("bits"))
-      .select(col("block_id"), col("w"), col("bits"),
-        lit(m.toLong).as("m"), lit(k).as("k"))
+    val blooms = bloomRowsOf(data, keyCol, m.toLong, k)
     blooms.write.mode("overwrite").parquet(s"$outDir/bloom_$keyCol")
     // pre-r13 publishes kept (m, k) in a separate bloom_<keyCol>_meta
     // table; republishing under the current single-table layout must
@@ -405,5 +414,186 @@ object Layout {
       .join(broadcast(keep), Seq("block_id"), "left_semi")
       .where(col(keyCol).cast("string").isin(values: _*))
       .select(data.columns.filterNot(_ == "block_id").map(col): _*)
+  }
+
+  /** Targeted delete (right-to-be-forgotten) over a curve layout: remove
+    * every row whose `keyCol` is in `values` from `outDir`'s data AND
+    * its derived statistics — by MANIFEST-PRUNED REWRITE, not a
+    * full-corpus anti-join. Block selection stacks the store's
+    * statistics tiers exactly like the read path: min-max (when the
+    * manifest carries the key column) ∩ bloom sidecar (when
+    * `bloom_<keyCol>` exists); with neither tier the delete warns
+    * loudly and rewrites everything (the layout owner forgot to index
+    * the deletion key). A block the statistics admit but that holds NO
+    * target row (bloom false positive / min-max overlap) is left
+    * untouched — only blocks with actual hits are rewritten, so at
+    * 100 TB a k-id delete rewrites O(k) blocks and every other block's
+    * files stay BYTE-IDENTICAL (asserted in LayoutSpec).
+    *
+    * Rewrite mechanics: surviving rows of hit blocks land in a scratch
+    * directory first (Spark refuses to overwrite a path it reads), then
+    * each hit block's directory is swapped via delete+rename; blocks
+    * emptied entirely are removed. The bloom sidecar rows of rewritten
+    * blocks are rebuilt under the SAME (m, k) (one hashing codepath —
+    * [[bloomRowsOf]]), and the min-max manifest is republished LAST
+    * (the engine's metadata-last commit convention): a reader racing
+    * the delete sees conservative statistics, never missing data.
+    * Deletion is destructive, so it sits behind its own latch:
+    * `confirm.delete=true`.
+    *
+    * `values` enters the plan as a literal IN over the key (the probe
+    * sets real deletion requests carry — thousands, not millions); a
+    * deletion FEED beyond plan-literal scale belongs in batched calls.
+    *
+    * Returns one summary row: (n_blocks, n_candidate_blocks,
+    * n_rewritten_blocks, n_emptied_blocks, n_rows_deleted).
+    */
+  def targetedDelete(spark: SparkSession, outDir: String, keyCol: String,
+      values: Seq[Long], options: Map[String, String] = Map.empty): DataFrame = {
+    require(values.nonEmpty, "need at least one key value to delete")
+    if (!options.get("confirm.delete").exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        s"targetedDelete rewrites data blocks under $outDir: pass " +
+          "confirm.delete=true (destructive-write latch)")
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new org.apache.hadoop.fs.Path(s"$outDir/data")
+    val fs = dataDir.getFileSystem(hconf)
+    val manifest = spark.read.parquet(s"$outDir/manifest")
+    val nBlocks = manifest.count()
+
+    // statistics tier 1: manifest min-max, when it indexes the key
+    val hasMinMax = manifest.columns.contains(s"min_$keyCol")
+    val mmCand =
+      if (hasMinMax)
+        manifest.where(values.map(v =>
+          lit(v) >= col(s"min_$keyCol") && lit(v) <= col(s"max_$keyCol"))
+          .reduce(_ || _)).select("block_id")
+      else manifest.select("block_id")
+
+    // statistics tier 2: the bloom sidecar, when present (the bloomRead
+    // probe shape — same xxhash64 expression as the build)
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$outDir/bloom_$keyCol")
+    val hasBloom = fs.exists(bloomPath)
+    val candDf = if (hasBloom) {
+      val bloom = spark.read.parquet(bloomPath.toString)
+      val metas = bloom.select("m", "k").distinct().limit(3).collect()
+      require(metas.length == 1,
+        s"bloom table $outDir/bloom_$keyCol has ${metas.length} distinct " +
+          "(m, k) parameter pairs; expected exactly 1 — rebuild it")
+      val (m, k) = (metas.head.getAs[Long]("m"), metas.head.getAs[Int]("k"))
+      val probes = values.distinct.map(_.toString).toDF("__v")
+        .select(col("__v"), posexplode(array((0 until k).map(i =>
+          pmod(xxhash64(col("__v"), lit(i)), lit(m))): _*))
+          .as(Seq("__i", "__h")))
+        .select(col("__v"), col("__i"), expr("__h div 64").as("w"),
+          expr("shiftleft(1L, cast(__h % 64 AS INT))").as("__m"))
+      val admitted = bloom
+        .join(broadcast(probes), "w")
+        .where(col("bits").bitwiseAND(col("__m")) =!= 0L)
+        .groupBy(col("block_id"), col("__v"))
+        .agg(count_distinct(col("__i")).as("__hits"))
+        .where(col("__hits") === k)
+        .select("block_id").distinct()
+      mmCand.join(admitted, Seq("block_id"), "left_semi")
+    } else {
+      if (!hasMinMax)
+        System.err.println(s"targetedDelete: $outDir has neither a " +
+          s"min-max manifest entry nor a bloom sidecar for '$keyCol' — " +
+          "every block is a rewrite candidate (index the deletion key)")
+      mmCand
+    }
+    val cand = candDf.collect().map(_.getLong(0)).sorted.toSeq
+
+    // per-candidate-block hit counts: only blocks with ACTUAL hits are
+    // rewritten; statistics false positives stay byte-identical
+    val data = spark.read.parquet(s"$outDir/data")
+    // (partition-column inference may type block_id INT; the collected
+    // ids are handled as LONG throughout, so cast at the aggregation)
+    val stats = if (cand.isEmpty) Array.empty[Row] else data
+      .where(col("block_id").isin(cand: _*))
+      .groupBy(col("block_id").cast("long").as("block_id"))
+      .agg(sum(when(col(keyCol).isin(values: _*), 1L).otherwise(0L))
+        .as("n_del"), count(lit(1)).as("n_before"))
+      .collect()
+    val touched = stats.filter(_.getLong(1) > 0L)
+    val touchedIds = touched.map(_.getLong(0)).sorted.toSeq
+    val emptiedIds = touched.filter(r => r.getLong(1) == r.getLong(2))
+      .map(_.getLong(0)).toSet
+    val rewriteIds = touchedIds.filterNot(emptiedIds.contains)
+    val nRowsDeleted = touched.map(_.getLong(1)).sum
+
+    if (touchedIds.nonEmpty) {
+      // surviving rows land in scratch first (Spark refuses a path that
+      // is also being read), then per-block delete+rename swaps
+      val scratch = new org.apache.hadoop.fs.Path(
+        s"$outDir/.delete_scratch")
+      if (fs.exists(scratch)) fs.delete(scratch, true)
+      if (rewriteIds.nonEmpty)
+        data.where(col("block_id").isin(rewriteIds: _*) &&
+            !col(keyCol).isin(values: _*))
+          .write.partitionBy("block_id").mode("overwrite")
+          .parquet(scratch.toString)
+      touchedIds.foreach { b =>
+        val dst = new org.apache.hadoop.fs.Path(s"$outDir/data/block_id=$b")
+        fs.delete(dst, true)
+        val src = new org.apache.hadoop.fs.Path(
+          s"${scratch.toString}/block_id=$b")
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(scratch, true)
+
+      // derived stores: bloom rows of rewritten blocks rebuilt under the
+      // same (m, k); manifest republished LAST (metadata-last commit).
+      // block_id re-cast long: partition inference may have typed it INT
+      val postData = spark.read.parquet(s"$outDir/data")
+        .withColumn("block_id", col("block_id").cast("long"))
+      if (hasBloom) {
+        val bloom = spark.read.parquet(bloomPath.toString)
+        val (m, k) = {
+          val r = bloom.select("m", "k").distinct().collect().head
+          (r.getAs[Long]("m"), r.getAs[Int]("k"))
+        }
+        val keptRows = bloom.where(!col("block_id").isin(touchedIds: _*))
+        val rebuilt =
+          if (rewriteIds.isEmpty) keptRows
+          else keptRows.unionByName(bloomRowsOf(
+            postData.where(col("block_id").isin(rewriteIds: _*)),
+            keyCol, m, k))
+        swapPublish(fs, rebuilt, bloomPath)
+      }
+      val curveCols = manifest.columns.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      val keptManifest = manifest
+        .where(!col("block_id").isin(touchedIds: _*))
+      val newManifest =
+        if (rewriteIds.isEmpty) keptManifest
+        else keptManifest.unionByName(manifestOf(
+          postData.where(col("block_id").isin(rewriteIds: _*)), curveCols)
+          .select(keptManifest.columns.map(col): _*))
+      swapPublish(fs,
+        newManifest.coalesce(1),
+        new org.apache.hadoop.fs.Path(s"$outDir/manifest"))
+    }
+
+    Seq((nBlocks, cand.size.toLong, rewriteIds.size.toLong,
+      emptiedIds.size.toLong, nRowsDeleted))
+      .toDF("n_blocks", "n_candidate_blocks", "n_rewritten_blocks",
+        "n_emptied_blocks", "n_rows_deleted")
+  }
+
+  /** Publish `df` over a directory it was (possibly) read from: write
+    * to a sibling scratch path, then delete+rename into place.
+    */
+  private def swapPublish(fs: org.apache.hadoop.fs.FileSystem,
+      df: DataFrame, target: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}_swap")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"swapPublish: rename $tmp -> $target failed")
   }
 }

@@ -130,7 +130,7 @@ object Parser {
     "EncodeTransform" -> Seq(
       "encode", "vocab", "target_loo", "woe"),
     "ZorderTransform" -> Seq(
-      "manifest", "write", "hilbert_manifest", "hilbert_write"))
+      "manifest", "write", "hilbert_manifest", "hilbert_write", "delete"))
 
   /** Built-in stage registry; extensible like the reference's plugin list. */
   val defaultRegistry: Map[String, StageFactory] = Map(
@@ -864,15 +864,17 @@ object Parser {
     "ZorderTransform" -> { (r, _) =>
       val method = r.oneOf("method", methodEnums("ZorderTransform"), "manifest")
       val outDir = r.string("outputDir")
-      if (method == "write" && outDir.isEmpty)
-        r.error("outputDir", "missing; write requires a target directory")
+      if ((method == "write" || method == "delete") && outDir.isEmpty)
+        r.error("outputDir", s"missing; $method requires a target directory")
       // dimensions: the N-column "cols" list (ZORDER BY parity) or the
-      // classic xCol/yCol pair — exactly one form
+      // classic xCol/yCol pair — exactly one form. A targeted delete
+      // operates on the stored layout and needs no curve columns.
       val colsList = r.stringList("cols")
       if (colsList.nonEmpty && colsList.size < 2)
         r.error("cols", s"need >= 2 columns to interleave, got ${colsList.size}")
       val dims =
-        if (colsList.size >= 2) colsList
+        if (method == "delete") Nil
+        else if (colsList.size >= 2) colsList
         else Seq(r.requiredString("xCol"), r.requiredString("yCol"))
       ZorderTransformStage(
         name = r.requiredString("name"),

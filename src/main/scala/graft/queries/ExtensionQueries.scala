@@ -3206,6 +3206,34 @@ object ExtensionQueries {
         .orderBy("id", "x", "y")
     },
 
+    // Targeted delete (right-to-be-forgotten): remove a pinned id set
+    // from the published layout AND its derived stores via manifest +
+    // bloom-pruned rewrites — only blocks with actual hits are
+    // rewritten (byte-identity of the rest is pinned in LayoutSpec).
+    // The post-delete store must read EXACTLY like the raw table minus
+    // the deleted ids — the semantic oracle below.
+    "maintenance_delete" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          (col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+      val tmp = scratchDir("graft_zdelete")
+      Layout.zorderWrite(li, "x", "y", "id", tmp.toString,
+        blockSize = ZBlock, bits = ZBits,
+        options = Map("confirm.truncate" -> "true"))
+      Layout.bloomAugment(spark, tmp.toString, "id",
+        mBits = ZBloomMBits, k = 5,
+        options = Map("confirm.truncate" -> "true"))
+      val ids = spark.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_linenumber") === 1 && col("l_orderkey") % 97 === 0)
+        .select((col("l_orderkey") * 10000 + col("l_linenumber")).as("id"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      Layout.targetedDelete(spark, tmp.toString, "id", ids,
+        options = Map("confirm.delete" -> "true"))
+      spark.read.parquet(s"${tmp.toString}/data")
+        .select(col("x"), col("y"), col("id"))
+        .orderBy("id", "x", "y")
+    },
+
     // N-dimensional Hilbert layout (Skilling's transpose — the k>=3
     // clustering key): pre-masked 6-bit domains so the manifest min-max
     // ranges are over the laid-out values themselves.
@@ -9715,6 +9743,16 @@ object ExtensionQueries {
       FROM lineitem
       WHERE l_partkey BETWEEN $ZPruneXLo AND $ZPruneXHi
         AND l_suppkey BETWEEN $ZPruneYLo AND $ZPruneYHi
+      ORDER BY id, x, y""",
+
+    // Semantic oracle for the targeted delete: pruned block rewrites
+    // must be INVISIBLE — the surviving store reads exactly like the
+    // raw table minus the deleted id set (same pinned id rule).
+    "maintenance_delete" -> """
+      SELECT l_partkey AS x, l_suppkey AS y,
+        l_orderkey * 10000 + l_linenumber AS id
+      FROM lineitem
+      WHERE NOT (l_linenumber = 1 AND l_orderkey % 97 = 0)
       ORDER BY id, x, y""",
 
     // Same raw-filter-oracle principle: bloom skipping must be

@@ -413,4 +413,131 @@ class LayoutSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  /** (relative path -> md5) of every data file under `dir`/data. */
+  private def dataFileState(dir: String): Map[String, String] = {
+    val base = java.nio.file.Paths.get(dir, "data")
+    val out = scala.collection.mutable.Map.empty[String, String]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)
+          && !p.getFileName.toString.startsWith(".")
+          && !p.getFileName.toString.startsWith("_")) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        out(base.relativize(p).toString) =
+          md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+      }
+    }
+    out.toMap
+  }
+
+  test("targetedDelete: deleted ids gone, survivors intact, UNTOUCHED " +
+      "blocks byte-identical, bloom and manifest stay consistent; latch") {
+    val n = 256
+    val df = (0 until n).map { i =>
+      (i.toLong, (i % 16).toLong, (i / 16).toLong) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdel").toString
+    try {
+      Layout.zorderWrite(df, "x", "y", "id", dir,
+        blockSize = 16, bits = 4, options = confirm)
+      Layout.bloomAugment(spark, dir, "id", mBits = 4096, k = 5,
+        options = confirm)
+      intercept[IllegalArgumentException] {
+        Layout.targetedDelete(spark, dir, "id", Seq(7L))
+      }
+      val touchedBlocks = spark.read.parquet(s"$dir/data")
+        .where($"id".isin(7L, 8L)).select("block_id")
+        .distinct().collect().map(_.get(0).toString.toLong).toSet
+      val before = dataFileState(dir)
+      val summary = Layout.targetedDelete(spark, dir, "id",
+        Seq(7L, 8L, 999999L), Map("confirm.delete" -> "true"))
+        .collect().head
+      assert(summary.getAs[Long]("n_rows_deleted") == 2L)
+      assert(summary.getAs[Long]("n_blocks") == 16L)
+      // with 4096-bit blooms over 16 ids/block the candidate set is the
+      // hit blocks (maybe + rare FPs), nowhere near all 16
+      assert(summary.getAs[Long]("n_candidate_blocks") < 16L)
+      assert(summary.getAs[Long]("n_emptied_blocks") == 0L)
+      // the store reads exactly like the raw table minus the ids
+      val got = spark.read.parquet(s"$dir/data")
+        .select("x", "y", "id").orderBy("id").collect().toSeq
+      val want = df.where(!$"id".isin(7L, 8L))
+        .select("x", "y", "id").orderBy("id").collect().toSeq
+      assert(got.map(_.toString) == want.map(_.toString))
+      // byte-identity: every file outside the hit blocks is unchanged
+      val after = dataFileState(dir)
+      def outside(m: Map[String, String]) = m.filterNot { case (p, _) =>
+        touchedBlocks.exists(b => p.startsWith(s"block_id=$b/")) }
+      assert(outside(before) == outside(after),
+        "untouched block files were rewritten")
+      assert(before.keySet.exists(p =>
+        touchedBlocks.exists(b => p.startsWith(s"block_id=$b/"))))
+      // derived stores: bloom finds survivors, never the deleted ids
+      assert(Layout.bloomRead(spark, dir, "id", Seq("7", "8"))
+        .count() == 0L)
+      assert(Layout.bloomRead(spark, dir, "id", Seq("9"))
+        .select("id").as[Long].collect().toSeq == Seq(9L))
+      // manifest row counts re-sum to the surviving total
+      val manifestN = spark.read.parquet(s"$dir/manifest")
+        .agg(sum("n_rows")).collect().head.getLong(0)
+      assert(manifestN == (n - 2).toLong)
+      // pruned range reads stay exact over the rewritten store
+      val pr = Layout.prunedRead(spark, dir, 0L, 15L, 0L, 0L)
+        .orderBy("id").select("id").as[Long].collect().toSeq
+      assert(pr == (0 until 16).map(_.toLong).filterNot(Set(7L, 8L)))
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("targetedDelete: a fully-deleted block disappears from data, " +
+      "manifest, and bloom; statistics-free layouts warn and full-scan") {
+    val n = 128
+    val df = (0 until n).map { i =>
+      (i.toLong, (i % 16).toLong, (i / 16).toLong) }
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdel2").toString
+    try {
+      Layout.zorderWrite(df, "x", "y", "id", dir,
+        blockSize = 16, bits = 4, options = confirm)
+      Layout.bloomAugment(spark, dir, "id", mBits = 4096, k = 5,
+        options = confirm)
+      // whatever ids landed in block 3: delete them all
+      val block3 = spark.read.parquet(s"$dir/data")
+        .where(col("block_id") === 3).select("id").as[Long]
+        .collect().toSeq
+      assert(block3.size == 16)
+      val summary = Layout.targetedDelete(spark, dir, "id", block3,
+        Map("confirm.delete" -> "true")).collect().head
+      assert(summary.getAs[Long]("n_rows_deleted") == 16L)
+      assert(summary.getAs[Long]("n_emptied_blocks") == 1L)
+      assert(!new java.io.File(s"$dir/data/block_id=3").exists)
+      assert(spark.read.parquet(s"$dir/manifest")
+        .where(col("block_id") === 3).count() == 0L)
+      assert(spark.read.parquet(s"$dir/bloom_id")
+        .where(col("block_id") === 3).count() == 0L)
+      assert(spark.read.parquet(s"$dir/data").count() == (n - 16).toLong)
+      // no statistics tier for the key: loud full-candidate path still
+      // deletes correctly (fresh layout, no bloom, key not in manifest)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_tdel3")
+        .toString
+      try {
+        Layout.zorderWrite(df, "x", "y", "id", dir2,
+          blockSize = 16, bits = 4, options = confirm)
+        val s2 = Layout.targetedDelete(spark, dir2, "id", Seq(5L),
+          Map("confirm.delete" -> "true")).collect().head
+        assert(s2.getAs[Long]("n_candidate_blocks") == 8L) // all blocks
+        assert(s2.getAs[Long]("n_rows_deleted") == 1L)
+        assert(spark.read.parquet(s"$dir2/data")
+          .where($"id" === 5L).count() == 0L)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+      }
+    } finally {
+      graft.util.Caches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
