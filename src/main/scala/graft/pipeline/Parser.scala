@@ -130,7 +130,8 @@ object Parser {
     "EncodeTransform" -> Seq(
       "encode", "vocab", "target_loo", "woe"),
     "ZorderTransform" -> Seq(
-      "manifest", "write", "hilbert_manifest", "hilbert_write", "delete"))
+      "manifest", "write", "hilbert_manifest", "hilbert_write", "delete"),
+    "StreamingLoad" -> Seq("load", "ivf_append"))
 
   /** Built-in stage registry; extensible like the reference's plugin list. */
   val defaultRegistry: Map[String, StageFactory] = Map(
@@ -887,6 +888,36 @@ object Parser {
         blockSize = r.long("blockSize").getOrElse(4096L),
         bits = r.int("bits").getOrElse(16),
         options = r.stringMap("params"))
+    },
+    "StreamingExtract" -> { (r, _) =>
+      graft.streaming.StreamingExtractStage(
+        name = r.requiredString("name"),
+        inputDir = r.requiredString("inputDir"),
+        outputView = r.requiredString("outputView"),
+        maxFilesPerTrigger = r.int("maxFilesPerTrigger").getOrElse(1))
+    },
+    "StreamingLoad" -> { (r, conns) =>
+      val method = r.oneOf("method", methodEnums("StreamingLoad"), "load")
+      // the connection resolves only when method=load actually needs it
+      // (ivf_append writes through the index path, not a connector)
+      val conn =
+        if (method == "load") Some(connector(r, conns)) else None
+      if (method == "load" && r.string("table").isEmpty)
+        r.error("table", "missing; load requires a sink table")
+      if (method == "ivf_append" && r.string("indexDir").isEmpty)
+        r.error("indexDir", "missing; ivf_append requires the index directory")
+      graft.streaming.StreamingLoadStage(
+        name = r.requiredString("name"),
+        inputView = r.requiredString("inputView"),
+        outputView = r.requiredString("outputView"),
+        method = method,
+        checkpointDir = r.requiredString("checkpointDir"),
+        connector = conn,
+        table = r.string("table").getOrElse(""),
+        saveMode = SaveMode.valueOf(
+          r.oneOf("saveMode", Seq("Append", "ErrorIfExists", "Ignore", "Overwrite"), "Append")),
+        indexDir = r.string("indexDir").getOrElse(""),
+        options = r.stringMap("params"))
     }
   )
 
@@ -1059,7 +1090,12 @@ object Parser {
       "ordCol", "forecastCol", "maxLag", "windowSeconds", "k", "madK")),
     "ZorderTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "cols", "xCol", "yCol", "idCol", "method", "outputDir", "blockSize",
-      "bits", "params"))
+      "bits", "params")),
+    "StreamingExtract" -> (commonKeys ++ Set("inputDir", "outputView",
+      "maxFilesPerTrigger")),
+    "StreamingLoad" -> (commonKeys ++ Set("inputView", "outputView",
+      "method", "checkpointDir", "table", "saveMode", "indexDir",
+      "params"))
   )
 
   def parse(

@@ -1565,6 +1565,52 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    // The streaming sink reached from PARSED CONFIG (round 19 — closes
+    // the declarative-parity exception): StreamingExtract registers the
+    // file-source stream, StreamingLoad drains it through the
+    // foreachBatch IVF-append path; the served index must equal the
+    // one-shot batch append (similarity_ivf_append oracle verbatim).
+    "stage_streaming_chain" -> { (spark, dir) =>
+      implicit val c: graft.pipeline.PipelineContext =
+        graft.pipeline.PipelineContext(spark)
+      val e = embs(spark, dir)
+      val tmp = scratchDir("graft_stchain")
+      rmrf(tmp)
+      val idx = tmp.resolve("idx").toString
+      Similarity.ivfWrite(e, idx, CentroidEvery, KmeansIters,
+        options = Map("confirm.truncate" -> "true"))
+      val in = tmp.resolve("in")
+      e.select((col("vec_id") + AppendOffset).as("vec_id"),
+          col("embedding"))
+        .repartition(3).write.parquet(in.toString)
+      val conf = s"""
+        stages = [
+          { type = StreamingExtract, name = src
+            inputDir = "${in.toString}"
+            maxFilesPerTrigger = 1
+            outputView = st19s_in }
+          { type = StreamingLoad, name = sink, method = ivf_append
+            inputView = st19s_in, outputView = st19s_done
+            checkpointDir = "${tmp.resolve("_checkpoint")}"
+            indexDir = "$idx" }
+        ]"""
+      val summary = graft.pipeline.Parser.parse(conf,
+        Map("default" -> new graft.connect.ParquetConnector(dir))) match {
+        case Left(errs) =>
+          throw new IllegalArgumentException(errs.mkString("; "))
+        case Right(p) => graft.pipeline.Runner.run(p).get
+      }
+      val nBatches = summary.collect().head.getAs[Long]("n_batches")
+      require(nBatches >= 3,
+        s"expected >= 3 data micro-batches through the declared " +
+          s"stream, saw $nBatches")
+      rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      Similarity.ivfQueryIndex(spark, idx,
+          e.where(col("vec_id") < NQueryVecs), TopK, probes = IvfProbes)
+        .select("q_id", "n_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+
     // Association mining: support + lift of supplier pairs co-occurring
     // within an order — the frequent-pair stage of Apriori, lift as the
     // symmetric interestingness score.
@@ -5335,7 +5381,8 @@ object ExtensionQueries {
       ("stage_html_chain" -> staticOracles("text_html_extract")) +
       // micro-batched appends under frozen centroids end in the same
       // index state as the one-shot batch append — same oracle
-      ("streaming_ivf_append" -> staticOracles("similarity_ivf_append"))
+      ("streaming_ivf_append" -> staticOracles("similarity_ivf_append")) +
+      ("stage_streaming_chain" -> staticOracles("similarity_ivf_append"))
 
   private lazy val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """

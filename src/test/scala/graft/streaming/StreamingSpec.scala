@@ -310,4 +310,76 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/never.parquet").exists(),
       "streaming view must not be written by the batch sink")
   }
+
+  test("declarative streaming: StreamingExtract + StreamingLoad from " +
+      "parsed HOCON drain micro-batches through the batch connector") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dstr").toString
+    // three source files -> three micro-batches at maxFilesPerTrigger=1
+    (0 until 3).foreach { i =>
+      Seq((i * 10L, s"p$i"), (i * 10L + 1L, s"q$i")).toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val conf = s"""
+      stages = [
+        { type = StreamingExtract, name = src
+          inputDir = "$tmp/in"
+          maxFilesPerTrigger = 1
+          outputView = dstr_in }
+        { type = StreamingLoad, name = sink, method = load
+          inputView = dstr_in, outputView = dstr_done
+          checkpointDir = "$tmp/chk"
+          table = sunk, saveMode = Append }
+      ]"""
+    val conns: Map[String, graft.connect.Connector] =
+      Map("default" -> new ParquetConnector(s"$tmp/data"))
+    val out = Parser.parse(conf, conns) match {
+      case Left(errs) => fail(errs.mkString("; "))
+      case Right(p)   => Runner.run(p).get
+    }
+    val summary = out.collect().head
+    assert(summary.getAs[Long]("n_batches") == 3L,
+      s"expected 3 micro-batches, got $summary")
+    assert(summary.getAs[Long]("n_rows") == 6L)
+    val back = spark.read.parquet(s"$tmp/data/sunk.parquet")
+    assert(back.count() == 6L)
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 10L, 11L, 20L, 21L))
+    // exactly-once across reruns: the checkpoint holds the drained
+    // offsets, so rerunning the same config appends NOTHING new
+    val ctx2 = PipelineContext(spark)
+    Parser.parse(conf, conns) match {
+      case Left(errs) => fail(errs.mkString("; "))
+      case Right(p)   => Runner.run(p)(ctx2)
+    }
+    assert(spark.read.parquet(s"$tmp/data/sunk.parquet").count() == 6L,
+      "rerun after drain must not double-append")
+  }
+
+  test("declarative streaming config errors: missing table/indexDir, " +
+      "and a batch view into StreamingLoad refuses") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dstr2").toString
+    val conns: Map[String, graft.connect.Connector] =
+      Map("default" -> new ParquetConnector(s"$tmp/data"))
+    def parseErrs(body: String): List[String] =
+      Parser.parse(s"stages = [ $body ]", conns) match {
+        case Left(errs) => errs.map(_.toString)
+        case Right(_)   => Nil
+      }
+    assert(parseErrs("""{ type = StreamingLoad, name = s, method = load
+        inputView = v, outputView = o, checkpointDir = "/tmp/c" }""")
+      .exists(_.contains("table")))
+    assert(parseErrs("""{ type = StreamingLoad, name = s
+        method = ivf_append
+        inputView = v, outputView = o, checkpointDir = "/tmp/c" }""")
+      .exists(_.contains("indexDir")))
+    // a BATCH view into the streaming sink is a wiring error, loudly
+    Seq((1L, "x")).toDF("id", "payload").createOrReplaceTempView("dstr_b")
+    Views.register(spark.table("dstr_b"), "dstr_batch")
+    val stage = StreamingLoadStage("s", "dstr_batch", "o", "load",
+      s"$tmp/chk", Some(new ParquetConnector(s"$tmp/data")), "t")
+    val ex = intercept[DetailException] { stage.run() }
+    assert(ex.getMessage.contains("batch"), ex.getMessage)
+  }
 }
