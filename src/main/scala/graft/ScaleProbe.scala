@@ -671,6 +671,53 @@ object ScaleProbe {
             col("event_type").as("dst")),
           iters = 3, alphaNum = 30, alphaDen = 1000).count()
       }
+      // round 19: byte-level BPE application over the distinct-word
+      // table — cost should track the word pass, not merge count
+      t("bytebpe_encode") {
+        graft.ops.ByteBpe.encode(d, "doc_id", "text",
+          Seq("74" -> "68", "7468" -> "65", "69" -> "6E",
+            "61" -> "6E", "616E" -> "64", "65" -> "72")).count()
+      }
+      // round 19: HTML extraction — one scan + one doc-key shuffle of
+      // the kept text; markup synthesized per doc so bytes grow with N
+      t("html_extract") {
+        graft.ops.Html.extract(
+          d.select(col("doc_id"), concat(
+            lit("<nav><a href=x>L</a> <a href=y>M</a></nav><p>"),
+            col("text"),
+            lit("</p><footer><a href=z>F</a></footer>")).as("html")),
+          "doc_id", "html").count()
+      }
+      // round 19: mojibake repair — a pure projection; curve must be
+      // the scan line
+      t("fix_encoding") {
+        graft.ops.Mojibake.repair(
+          d.select(col("doc_id"),
+            regexp_replace(col("text"), "the", "thÃ©").as("text")),
+          "doc_id", "text").count()
+      }
+      // round 19: targeted delete of a FIXED 5-id set from an Nx layout
+      // — the delete must track hit blocks (≈flat), not the corpus (the
+      // build outside the timer grows instead)
+      if (only("targeted_delete")) {
+        val pts = e.select(pmod(col("vec_id"), lit(64L)).as("x"),
+          expr("(vec_id div 64) % 64").as("y"), col("vec_id").as("id"))
+        val delDir = java.nio.file.Files
+          .createTempDirectory(s"graft_sp_del$m").toString
+        graft.ops.Layout.zorderWrite(pts, "x", "y", "id", delDir,
+          blockSize = 4096, bits = 6,
+          options = Map("confirm.truncate" -> "true"))
+        graft.ops.Layout.bloomAugment(spark, delDir, "id",
+          mBits = 1 << 16, k = 5,
+          options = Map("confirm.truncate" -> "true"))
+        t("targeted_delete") {
+          graft.ops.Layout.targetedDelete(spark, delDir, "id",
+            Seq(1L, 2L, 3L, 4L, 5L), Map("confirm.delete" -> "true"))
+            .collect().head.getAs[Long]("n_rows_deleted")
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(delDir))
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -35,6 +35,44 @@ object ExprKernels {
       | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % P
   }
 
+  /** `passes` sequential applications of a literal replace table
+    * (flattened [m0, r0, m1, r1, …], applied in order within each
+    * pass). Semantically identical to nesting `replace(…)` table.size ×
+    * passes deep — Java's String.replace is the same literal,
+    * non-overlapping, left-to-right substitution as SQL replace — but
+    * without the Column-tree depth (a 105-entry depth-2 mojibake chain
+    * overflows the analyzer stack as nested Columns).
+    */
+  def chainReplace(s: UTF8String, table: Array[String],
+      passes: Int): UTF8String = {
+    var str = s.toString
+    var p = 0
+    while (p < passes) {
+      var i = 0
+      while (i < table.length) {
+        str = str.replace(table(i), table(i + 1))
+        i += 2
+      }
+      p += 1
+    }
+    UTF8String.fromString(str)
+  }
+
+  /** Unicode NFC (canonical composition). Fast path: JDK's
+    * `isNormalized` is a cheap quick-check scan for ASCII/already-
+    * composed text (the overwhelming majority of any real corpus), so
+    * the allocation-heavy normalize only runs on rows that need it.
+    * Agrees codepoint-for-codepoint with DuckDB's `nfc_normalize`
+    * (both implement UAX #15 NFC; verified over the fixture domain in
+    * the text_nfc gate).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   private val minhashCoef =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 

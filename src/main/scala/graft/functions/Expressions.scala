@@ -52,6 +52,54 @@ object Expressions {
     override def prettyName: String = "minhash_sig"
   }
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * pre-dedup/pre-tokenizer hygiene step: decomposed "e + combining
+    * acute" and composed "é" must hash identically or exact/near dedup
+    * silently misses equal documents. JDK Normalizer under the same
+    * codegen discipline as the hash kernels; quick-check fast path for
+    * the already-normalized majority.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Kernels.nfc($c)")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+    override def prettyName: String = "nfc_normalize"
+  }
+
+  /** `passes` sequential applications of a pinned literal replace table
+    * — the mojibake repair chain as ONE expression with the table as a
+    * codegen reference object, instead of table.size × passes nested
+    * `replace` Columns (which overflow the analyzer stack past ~200
+    * levels). Literal, non-overlapping, left-to-right — the exact
+    * semantics of the nested-SQL-replace oracle.
+    */
+  case class ChainReplace(child: Expression, table: Array[String],
+      passes: Int) extends UnaryExpression {
+    require(table.nonEmpty && table.length % 2 == 0,
+      "table must be non-empty [match, replacement] pairs, flattened")
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.chainReplace(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        table, passes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("replaceTable", table,
+        "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"$Kernels.chainReplace($c, $ref, $passes)")
+    }
+    override protected def withNewChildInternal(c: Expression): ChainReplace =
+      copy(child = c)
+    override def prettyName: String = "chain_replace"
+  }
+
   /** One-Permutation MinHash with rotation densification — one pass over
     * the shingle hashes vs [[MinHashSig]]'s k permutations.
     */

@@ -640,7 +640,9 @@ final case class TextAnalysisTransformStage(
     // wordpiece apply: the fixed piece set ("##"-prefixed continuations)
     pieces: Seq[String] = Nil,
     // ngram_counts: corpus count floor
-    minCount: Long = 1L)
+    minCount: Long = 1L,
+    // fix_encoding: stacked double-decode layers to unwind
+    depth: Int = 1)
     extends Stage {
 
   private def parsedMerges: Seq[(String, String)] = merges.map { m =>
@@ -765,9 +767,13 @@ final case class TextAnalysisTransformStage(
       // HTML -> clean text (jusText-shape pinned block rules)
       case "html_extract" =>
         Html.extract(in, idCol, textCol)
-      // UTF-8-read-as-cp1252 mojibake repair (pinned artifact table)
+      // UTF-8-read-as-cp1252 mojibake repair (pinned artifact table);
+      // depth > 1 unwinds stacked double-decodes one layer per pass
       case "fix_encoding" =>
-        Mojibake.repair(in, idCol, textCol)
+        Mojibake.repair(in, idCol, textCol, depth)
+      // Unicode NFC canonical composition (pre-dedup/tokenizer hygiene)
+      case "nfc" =>
+        Mojibake.nfcNormalize(in, idCol, textCol)
       case other =>
         throw new IllegalArgumentException(s"unknown analysis '$other'")
     }

@@ -51,30 +51,97 @@ object Mojibake {
     "éèêëáàâãäåçíìîïóòôõöúùûüñýÿÉÈÊËÁÀÂÄÇÍÎÏÓÔÖÚÙÛÜÑß" +
       "’‘“”–—…•€£¥©®°±²³µ¶·¿¡«»"
 
-  /** (artifact → intended char), longest artifacts first. Generated
-    * from the JVM's cp1252 decoder; undefined-byte artifacts excluded.
-    */
-  val Table: Seq[(String, String)] = {
-    val cp1252 = Charset.forName("windows-1252")
-    Repertoire.toSeq.flatMap { ch =>
-      val c = ch.toString
-      val m = new String(c.getBytes(StandardCharsets.UTF_8), cp1252)
-      if (m.contains('�') || m == c) None else Some(m -> c)
-    }.sortBy { case (m, _) => (-m.length, m) }
+  private val cp1252 = Charset.forName("windows-1252")
+
+  private def artifactOf(c: String): Option[String] = {
+    val m = new String(c.getBytes(StandardCharsets.UTF_8), cp1252)
+    if (m.contains('�') || m == c) None else Some(m)
   }
 
-  /** The repair projection: one chained literal replace per table
-    * entry, longest-first. Pure codegen'd string expression.
+  /** (artifact → intended char), longest artifacts first. Generated
+    * from the JVM's cp1252 decoder; undefined-byte artifacts excluded.
+    *
+    * The domain is the CLOSURE of the repertoire under "chars that
+    * appear in artifacts" (round 19): a DOUBLE-decoded document carries
+    * artifacts OF artifacts — corrupt²(é) = "ÃƒÂ©", whose repair needs
+    * entries for Ã and © even though neither is a repertoire char. One
+    * closure round adds the artifact alphabet ({Ã, Â, â} ∪ the cp1252
+    * images of UTF-8 continuation bytes); iterating to a fixpoint makes
+    * [[repair]] with depth d unwind d encoding layers, one per pass
+    * (the ftfy fixpoint behavior). Converges fast — every introduced
+    * char is one of cp1252's 256 images.
     */
-  def repairCol(c: Column): Column =
-    Table.foldLeft(c) { case (e, (m, r)) => replace(e, lit(m), lit(r)) }
+  val Table: Seq[(String, String)] = {
+    var domain = Repertoire.toSeq.map(_.toString).toSet
+    var grown = true
+    var guard = 0
+    while (grown && guard < 8) {
+      val introduced = domain.flatMap(artifactOf)
+        .flatMap(_.toSeq).map(_.toString)
+        .filter(c => c.head > '\u007f' && !domain.contains(c)
+          && artifactOf(c).isDefined)
+      grown = introduced.nonEmpty
+      domain ++= introduced
+      guard += 1
+    }
+    domain.toSeq.flatMap(c => artifactOf(c).map(m => m -> c))
+      .sortBy { case (m, _) => (-m.length, m) }
+  }
 
-  def repair(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private lazy val flatTable: Array[String] =
+    Table.iterator.flatMap { case (m, r) => Iterator(m, r) }.toArray
+
+  /** ONE repair pass: the table's literal replaces in order, longest
+    * first, as a single native expression ([[graft.functions
+    * .Expressions.ChainReplace]] — ~105 nested replace Columns would
+    * overflow the analyzer; the kernel applies the same left-to-right
+    * literal substitutions the nested-SQL-replace oracle does). Unwinds
+    * one cp1252-decode layer (sometimes more when adjacent repairs
+    * reassemble a deeper artifact mid-chain — always toward the fixed
+    * point, never away from it).
+    */
+  def repairCol(c: Column): Column = repairColN(c, 1)
+
+  private def repairColN(c: Column, passes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Expressions.ChainReplace(
+        org.apache.spark.sql.GraftColumnBridge.expression(c),
+        flatTable, passes))
+
+  /** `depth` repair passes — depth d unwinds up to d stacked
+    * double-decodes (depth 1 = the common single mojibake; depth 2 =
+    * the doubly-encoded web text ftfy iterates on). Extra passes on
+    * already-clean text are no-ops, so depth is an upper bound, not a
+    * requirement.
+    */
+  def repair(df: DataFrame, idCol: String, textCol: String,
+      depth: Int = 1): DataFrame = {
+    require(depth >= 1 && depth <= 4,
+      s"depth must be in [1, 4], got $depth")
+    val fixed = repairColN(col(textCol), depth)
     df.select(col(idCol).as("doc_id"),
-        repairCol(col(textCol)).as("text"),
-        // null text stays null and reads as unchanged, not unknown
-        coalesce(repairCol(col(textCol)) =!= col(textCol), lit(false))
-          .as("changed"))
+      fixed.as("text"),
+      // null text stays null and reads as unchanged, not unknown
+      coalesce(fixed =!= col(textCol), lit(false)).as("changed"))
+  }
+
+  /** Unicode NFC normalization (UAX #15) — the other half of encoding
+    * hygiene: decomposed "e + U+0301" and composed "é" are DIFFERENT
+    * byte strings to every hash/dedup/tokenizer operator until
+    * canonically composed. Native quick-check kernel
+    * ([[graft.functions.Expressions.NfcNormalize]]); output shape
+    * mirrors [[repair]]: (doc_id, text, changed).
+    */
+  def nfcNormalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def nfc(c: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.Expressions.NfcNormalize(
+          org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    df.select(col(idCol).as("doc_id"),
+      nfc(col(textCol)).as("text"),
+      coalesce(nfc(col(textCol)) =!= col(textCol), lit(false))
+        .as("changed"))
+  }
 
   /** The corruption direction (for tests and fixtures): the REAL
     * byte-level double-decode, driver-side.

@@ -112,7 +112,7 @@ object Parser {
       "unigram_learn", "unigram_encode", "unigram_fertility",
       "wordpiece_learn", "wordpiece_encode", "wordpiece_fertility",
       "bytebpe_learn", "bytebpe_encode", "bytebpe_fertility",
-      "html_extract", "fix_encoding"),
+      "html_extract", "fix_encoding", "nfc"),
     "SketchTransform" -> Seq(
       "hll", "kmv", "cms", "hll_intersect", "hll_rolling", "kmv_jaccard",
       "kmv_diff", "join_size"),
@@ -708,6 +708,7 @@ object Parser {
         rounds = r.int("rounds").getOrElse(4),
         discount = r.double("discount").getOrElse(0.75),
         minCount = r.long("minCount").getOrElse(1L),
+        depth = r.int("depth").getOrElse(1),
         maxPieceLen = r.int("maxPieceLen").getOrElse(4),
         vocabSize = r.int("vocabSize").getOrElse(64),
         seedSize = r.int("seedSize").getOrElse(2048),
@@ -1068,7 +1069,7 @@ object Parser {
       "ngramN", "topK", "zipfTopN", "scoreWeights", "bias", "scoreThreshold",
       "groupCols", "alpha", "alpha0", "terms", "merges", "window",
       "minDocs", "dim", "rounds", "discount", "minCount", "maxPieceLen",
-      "vocabSize", "seedSize", "iters", "vocab", "pieces")),
+      "vocabSize", "seedSize", "iters", "vocab", "pieces", "depth")),
     "AssembleTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "groupCol", "orderCols", "payloadCol", "maxTurns")),
     "EncodeTransform" -> (commonKeys ++ Set("inputView", "outputView",

@@ -566,6 +566,24 @@ object ExtensionQueries {
       s"replace($e, '$m', '$c')"
     }
 
+  // Depth-2 gate: the injected words are replaced by their DOUBLY
+  // double-decoded forms, computed driver-side from the real byte
+  // transform (chained char-wise SQL corruption would re-corrupt its
+  // own output) — one literal shared by both engines.
+  private val MojiSeed2Expr: String =
+    Seq("table" -> "tablé", "query" -> "qu’ry", "spark" -> "spärk",
+      "fast" -> "fást…").foldLeft("text") { case (e, (w, r)) =>
+      val c2 = graft.ops.Mojibake.corrupt(graft.ops.Mojibake.corrupt(r))
+      s"replace($e, '$w', '$c2')"
+    }
+
+  // NFC gate: inject a decomposed e+combining-acute and the Angstrom
+  // sign (U+212B, whose NFC is Å U+00C5), plus a composed 'thé'
+  // control that must pass through unchanged.
+  private val NfcSeedExpr: String =
+    "replace(replace(replace(text, 'table', 'table\u0301'), " +
+      "'fast', 'f\u212Bst'), 'the', 'th\u00E9')"
+
   private val NegK = 4
   private val NegBuckets = 64
   private val AnomK = 3.0
@@ -2841,6 +2859,28 @@ object ExtensionQueries {
       Mojibake.repair(
         docs(spark, dir).selectExpr("doc_id",
           s"(${mojiCorruptSql(s"($MojiSeedExpr)")}) AS text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DOUBLY double-decoded text (the ftfy fixpoint case): depth-2
+    // repair unwinds one cp1252 layer per pass through the
+    // closure-completed artifact table.
+    "text_fix_encoding2" -> { (spark, dir) =>
+      Mojibake.repair(
+        docs(spark, dir).selectExpr("doc_id",
+          s"($MojiSeed2Expr) AS text"),
+        "doc_id", "text", depth = 2)
+        .orderBy("doc_id")
+    },
+
+    // Unicode NFC canonical composition (UAX #15): decomposed
+    // e+combining-acute and the Angstrom sign compose; already-composed
+    // text passes through byte-identical (changed = false).
+    "text_nfc" -> { (spark, dir) =>
+      Mojibake.nfcNormalize(
+        docs(spark, dir).selectExpr("doc_id",
+          s"($NfcSeedExpr) AS text"),
         "doc_id", "text")
         .orderBy("doc_id")
     },
@@ -8936,6 +8976,24 @@ object ExtensionQueries {
           ${mojiCorruptSql(s"($MojiSeedExpr)")} AS t FROM documents)
       SELECT doc_id, ${mojiRepairSql("t")} AS text,
         coalesce(${mojiRepairSql("t")} <> t, false) AS changed
+      FROM d ORDER BY doc_id""",
+
+    // Depth-2 replay: one CTE per repair pass (DuckDB's binder caps
+    // expression recursion at 128; the ~105-entry chain nested twice
+    // would exceed it in a single expression).
+    "text_fix_encoding2" -> s"""
+      WITH d AS (SELECT doc_id, ($MojiSeed2Expr) AS t FROM documents),
+      r1 AS (SELECT doc_id, t, ${mojiRepairSql("t")} AS t1 FROM d),
+      r2 AS (SELECT doc_id, t, ${mojiRepairSql("t1")} AS t2 FROM r1)
+      SELECT doc_id, t2 AS text, coalesce(t2 <> t, false) AS changed
+      FROM r2 ORDER BY doc_id""",
+
+    // NFC replay: DuckDB's nfc_normalize implements the same UAX #15
+    // canonical composition as the JDK Normalizer kernel.
+    "text_nfc" -> s"""
+      WITH d AS (SELECT doc_id, ($NfcSeedExpr) AS t FROM documents)
+      SELECT doc_id, nfc_normalize(t) AS text,
+        coalesce(nfc_normalize(t) <> t, false) AS changed
       FROM d ORDER BY doc_id""",
 
     // Ground truth for Multimodal.validatePayloads: every magic the
