@@ -1034,6 +1034,12 @@ final case class GraphTransformStage(
         Graph.katz(
           in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
           iters, dampNum, dampDen, checkpointEvery)
+      // HITS hubs & authorities (Kleinberg 1999)
+      case "hits" =>
+        detail += "iters" -> iters.toString
+        Graph.hits(
+          in.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+          iters, checkpointEvery)
       case "triangles" =>
         // canonicalize any (src, dst) view: undirected, self-loops
         // dropped, (a, b) with a < b, distinct — triangleCounts's input

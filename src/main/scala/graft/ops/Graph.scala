@@ -210,6 +210,86 @@ object Graph {
       (col("r").cast("double") / RankScale).as("katz"))
   }
 
+  /** HITS fixed-point scale: 1e9. Smaller than [[RankScale]] BY DESIGN:
+    * the L1 normalization below multiplies an (already ≤ scale) raw sum
+    * by the scale before the exact division, so the largest intermediate
+    * is scale² = 1e18 < 2^63 — structurally inside long range with no
+    * data-dependent guard needed.
+    */
+  val HitsScale = 1000000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the third classical
+    * link-analysis centrality beside [[pagerank]] and [[katz]], and the
+    * one that separates the two ROLES a web/crawl node can play: an
+    * AUTHORITY is endorsed by good hubs (a(v) = Σ_{u→v} h(u)), a HUB
+    * endorses good authorities (h(u) = Σ_{u→v} a(v)). PageRank/Katz
+    * collapse both roles into one score; on bipartite-ish curation
+    * graphs (site→document, supplier→customer) the two sides ARE the two
+    * roles, and reading one blended rank mis-ranks both.
+    *
+    * Fixed-iteration, exact-integer contract like [[pagerank]]: scores
+    * are L1-normalized each half-step in fixed-point long math —
+    * x(v) ← (x_raw(v) · [[HitsScale]]) div Σ_v x_raw(v) — so Σx ≤ scale
+    * always, every raw pull Σ h(u) ≤ scale, and the pre-division product
+    * is ≤ scale² = 1e18: overflow is impossible by construction (the
+    * reason this family runs at 1e9, not [[RankScale]]). Floor division
+    * on non-negative operands replays as DuckDB `//` bit-identically
+    * under any shuffle order. The update order is the textbook one:
+    * authorities pull from the PREVIOUS hubs, hubs pull from the NEW
+    * authorities. A graph whose entire hub mass sits on sink nodes
+    * (Σ a_raw = 0) cannot normalize — that degenerate round is a LOUD
+    * in-plan error, never a silent null rank.
+    *
+    * Output: (node, auth_fp, hub_fp, auth, hub) for every node — nodes
+    * on the wrong side of a bipartite graph read exactly 0 for the role
+    * they never play. Shape at scale: per iteration, two hash joins
+    * edges⨝scores (partitioned on the join key) + two map-side-combined
+    * long SUMs + two one-row broadcast totals; score state is one row
+    * per node, never collected. Each round's vectors are persisted so
+    * the two consumers (total + normalize) share one execution instead
+    * of doubling the plan per round; `checkpointEvery` truncates lineage
+    * for long horizons exactly as in [[pagerank]].
+    */
+  def hits(edges: DataFrame, iters: Int = 2,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("__nn"))
+    // L1-normalized uniform start: h0 = scale div N, so Σ h0 ≤ scale.
+    var hub = graft.util.Caches.persist(
+      nodes.crossJoin(broadcast(n))
+        .select(col("node"), ldiv(lit(HitsScale), col("__nn")).as("h")))
+    var auth: DataFrame = null
+    // raw → L1-normalized fixed-point scores; Σ out ≤ HitsScale.
+    def normalize(raw: DataFrame, in: String, out: String): DataFrame = {
+      val tot = raw.agg(coalesce(sum(in), lit(0L)).as("__tot"))
+      graft.util.Caches.persist(raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          ldiv(col(in) * HitsScale,
+            when(col("__tot") > 0, col("__tot"))
+              .otherwise(raise_error(lit("hits: zero L1 mass — the " +
+                "graph's entire score mass reached sink nodes; HITS is " +
+                "undefined here")))).as(out)))
+    }
+    val trunc = new graft.util.Truncator(checkpointEvery)
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("h").as("__ar"))
+      auth = normalize(araw, "__ar", "a")
+      val hraw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum("a").as("__hr"))
+      hub = trunc(normalize(hraw, "__hr", "h"))
+    }
+    nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("a"), lit(0L)).as("auth_fp"),
+        coalesce(col("h"), lit(0L)).as("hub_fp"),
+        (coalesce(col("a"), lit(0L)).cast("double") / HitsScale).as("auth"),
+        (coalesce(col("h"), lit(0L)).cast("double") / HitsScale).as("hub"))
+  }
+
   /** Strongly connected components of a DIRECTED edge table — the
     * standard web-graph decomposition run before [[pagerank]] on crawl
     * corpora (the giant SCC + tendrils structure of Broder et al. 2000;

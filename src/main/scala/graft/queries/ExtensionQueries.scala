@@ -3057,6 +3057,17 @@ object ExtensionQueries {
         .orderBy("node")
     },
 
+    // HITS hubs & authorities on the same graph (2 full update rounds):
+    // the role-separating link analysis — on this bipartite graph the
+    // supplier side carries ALL hub mass and the customer side ALL
+    // authority mass, which pagerank/katz blend into one score.
+    "graph_hits" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      Graph.hits(Graph.supplierCustomerEdges(li, ord), iters = 2)
+        .orderBy("node")
+    },
+
     // Generic weakly-connected components over a sparse slice of the
     // supplier-customer graph (high-quantity purchases only, so real
     // multi-component structure survives) — the min-label fixpoint the
@@ -9352,6 +9363,48 @@ object ExtensionQueries {
       SELECT node, r::BIGINT AS katz_fp,
         r::DOUBLE / 1000000000000.0 AS katz
       FROM k3 ORDER BY node""",
+
+    // Replay of Graph.hits (2 rounds, scale 1e9): L1-normalized
+    // fixed-point — every raw pull is a sum of normalized longs (≤
+    // scale), the normalization product is ≤ scale² = 1e18 (BIGINT-
+    // safe), and `//` floor division on non-negative operands matches
+    // IntegralDivide exactly. Authorities pull from the PREVIOUS hubs,
+    // hubs from the NEW authorities — the textbook update order.
+    "graph_hits" -> """
+      WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+              'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT COUNT(*) AS n FROM nd),
+      h0 AS (SELECT node, 1000000000 // n AS h FROM nd CROSS JOIN nn),
+      ar1 AS (SELECT e.dst AS node, SUM(h.h) AS ar
+              FROM e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+      at1 AS (SELECT SUM(ar) AS t FROM ar1),
+      a1 AS (SELECT node, (ar * 1000000000) // t AS a
+             FROM ar1 CROSS JOIN at1),
+      hr1 AS (SELECT e.src AS node, SUM(a.a) AS hr
+              FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+      ht1 AS (SELECT SUM(hr) AS t FROM hr1),
+      h1 AS (SELECT node, (hr * 1000000000) // t AS h
+             FROM hr1 CROSS JOIN ht1),
+      ar2 AS (SELECT e.dst AS node, SUM(h.h) AS ar
+              FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+      at2 AS (SELECT SUM(ar) AS t FROM ar2),
+      a2 AS (SELECT node, (ar * 1000000000) // t AS a
+             FROM ar2 CROSS JOIN at2),
+      hr2 AS (SELECT e.src AS node, SUM(a.a) AS hr
+              FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+      ht2 AS (SELECT SUM(hr) AS t FROM hr2),
+      h2 AS (SELECT node, (hr * 1000000000) // t AS h
+             FROM hr2 CROSS JOIN ht2)
+      SELECT nd.node,
+        COALESCE(a2.a, 0)::BIGINT AS auth_fp,
+        COALESCE(h2.h, 0)::BIGINT AS hub_fp,
+        COALESCE(a2.a, 0)::DOUBLE / 1000000000.0 AS auth,
+        COALESCE(h2.h, 0)::DOUBLE / 1000000000.0 AS hub
+      FROM nd LEFT JOIN a2 ON nd.node = a2.node
+        LEFT JOIN h2 ON nd.node = h2.node
+      ORDER BY nd.node""",
 
     // Replay of Profile.bucketizeQuantile: SQL-standard discrete-quantile
     // bounds, bin = 1 + #bounds strictly below the value.

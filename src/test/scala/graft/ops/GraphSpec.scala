@@ -533,4 +533,58 @@ class GraphSpec extends SparkSpec {
     assert(r.toSeq == rp.toSeq)
     graft.util.Caches.unpersistAll()
   }
+
+  test("hits: exact fixed-point hand replay, hub/authority roles " +
+      "separated on the DAG") {
+    // a -> b, a -> c, b -> c: a is a pure hub (no in-edges), c a pure
+    // authority (no out-edges). Replay the two L1-normalized rounds in
+    // plain long math (floor division, non-negative operands).
+    val S = Graph.HitsScale
+    val h0 = S / 3
+    val at1 = h0 + 2 * h0
+    val a1B = h0 * S / at1; val a1C = 2 * h0 * S / at1
+    val ht1 = (a1B + a1C) + a1C
+    val h1A = (a1B + a1C) * S / ht1; val h1B = a1C * S / ht1
+    val at2 = h1A + (h1A + h1B)
+    val a2B = h1A * S / at2; val a2C = (h1A + h1B) * S / at2
+    val ht2 = (a2B + a2C) + a2C
+    val h2A = (a2B + a2C) * S / ht2; val h2B = a2C * S / ht2
+    val r = Graph.hits(edges, iters = 2).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a") == (0L, h2A), r.toString)
+    assert(r("b") == (a2B, h2B), r.toString)
+    assert(r("c") == (a2C, 0L), r.toString)
+    // hub mass strictly on the hub side, auth mass on the auth side
+    assert(r("a")._2 > r("b")._2 && r("c")._1 > r("b")._1)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("hits: duplicate edges count once; layout cannot change a bit") {
+    val dup = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    val ref = Graph.hits(edges, iters = 2).orderBy("node").collect()
+    assert(Graph.hits(dup, iters = 2).orderBy("node").collect()
+      .toSeq == ref.toSeq)
+    assert(Graph.hits(edges.repartition(7), iters = 2).orderBy("node")
+      .collect().toSeq == ref.toSeq)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("hits: bipartite graph splits the roles exactly — sources have " +
+      "zero authority, sinks zero hubness, each side sums to ~scale") {
+    val e = Seq(("s1", "c1"), ("s1", "c2"), ("s2", "c2"), ("s3", "c2"))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, iters = 3).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    Seq("s1", "s2", "s3").foreach(s => assert(r(s)._1 == 0L))
+    Seq("c1", "c2").foreach(c => assert(r(c)._2 == 0L))
+    // L1 normalization: each role's mass sums to scale up to floor loss
+    val authSum = r.values.map(_._1).sum
+    val hubSum = r.values.map(_._2).sum
+    assert(authSum <= Graph.HitsScale && authSum > Graph.HitsScale - 10)
+    assert(hubSum <= Graph.HitsScale && hubSum > Graph.HitsScale - 10)
+    // c2 (in-degree 3) out-ranks c1; s1 (endorses both) out-ranks s2
+    assert(r("c2")._1 > r("c1")._1 && r("s1")._2 > r("s2")._2)
+    graft.util.Caches.unpersistAll()
+  }
 }
