@@ -217,6 +217,10 @@ final case class SimilarityTransformStage(
       case "neardup_pairs" =>
         Similarity.nearDupPairs(corpus, threshold, nBits.getOrElse(64),
           bands.getOrElse(8), rows.getOrElse(8), maxBucket)
+      // DBSCAN density clustering; threshold = cosine ε, k = minPts
+      case "dbscan" =>
+        Similarity.dbscan(corpus, threshold, k, nBits.getOrElse(64),
+          bands.getOrElse(8), rows.getOrElse(8), maxBucket)
       case "standardize"   => Similarity.standardize(corpus)
       case "quantize"      => Similarity.quantize(corpus, levels)
       case "project"       => Similarity.projectSigned(corpus, inDim, outDim)

@@ -1072,4 +1072,81 @@ object Similarity {
       (rank, id, Option(sel).map(_.doubleValue), coverage)
     }.toDF("rank", "center", "sel_dist", "coverage")
   }
+
+  /** DBSCAN (Ester et al. 1996) over the cosine ε-neighbor graph — the
+    * DENSITY clustering beside the centroid family ([[kmeans]],
+    * [[medoids]], [[kcenter]]): clusters are maximal density-connected
+    * regions of ANY shape, points in no dense region are NOISE — the
+    * two things centroid methods structurally cannot say (every point
+    * is always assigned, every cluster is a Voronoi cell). On curation
+    * corpora that reads as "organic topic clumps + an explicit outlier
+    * tier", the standard pre-train diversity/contamination readout.
+    *
+    * The ε-neighborhood is `cosine >= simThreshold` and the neighbor
+    * graph comes from [[nearDupPairs]] — the deterministic sign-LSH
+    * banding (candidates only from shared (band, bsig) buckets, the
+    * 2r-bit key extension on oversized buckets) with the exact cosine
+    * verify. LSH recall applies to the GRAPH, not to the algorithm:
+    * both engines (and any partitioning) see the identical pinned
+    * candidate set, so the clustering is bit-deterministic; at 100 TB
+    * the all-pairs ε-graph does not exist and banded candidates are
+    * the standard density-clustering scale path (no all-pairs join
+    * anywhere). DBSCAN roles on that graph:
+    *
+    *  - CORE: |neighbors| + 1 >= minPts (the point counts itself, the
+    *    textbook convention).
+    *  - cluster = connected component of the CORE-CORE subgraph
+    *    ([[Dedup.connectedComponents]] min-label fixpoint; an isolated
+    *    core keeps its own id) — labels are the component-min vec_id.
+    *  - BORDER: non-core with >= 1 core neighbor; joins the MINIMUM
+    *    cluster id among its core neighbors (the textbook leaves
+    *    border ties to visit order — a min is the deterministic pin).
+    *  - NOISE: everything else; cluster is NULL.
+    *
+    * Output: (vec_id, role core|border|noise, cluster nullable long).
+    * Shape at scale: the [[nearDupPairs]] banded join (never all
+    * pairs), one degree aggregate, the CC fixpoint over core-core
+    * edges only (a small fraction of the corpus), two broadcast-sized
+    * role joins. Pair table persisted once, reused by all three roles.
+    */
+  def dbscan(df: DataFrame, simThreshold: Double, minPts: Int,
+      nBits: Int = 64, b: Int = 8, r: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts " +
+      "(minPts = 1 makes every point core and no point noise — " +
+      "that is exact dedup, not density clustering)")
+    val pairs = graft.util.Caches.persist(
+      nearDupPairs(df, simThreshold, nBits, b, r, maxBucket)
+        .select(col("vec_a"), col("vec_b")))
+    val sym = pairs.union(
+      pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val pts = df.select(col("vec_id")).distinct()
+    val core = sym.groupBy(col("vec_a").as("vec_id"))
+      .agg(count(lit(1)).as("__deg"))
+      .where(col("__deg") + 1 >= minPts).select("vec_id")
+    val coreEdges = sym
+      .join(core.select(col("vec_id").as("vec_a")), "vec_a")
+      .join(core.select(col("vec_id").as("vec_b")), "vec_b")
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cc = Dedup.connectedComponents(coreEdges)
+    val coreClusters = graft.util.Caches.persist(
+      core.join(cc.select(col("doc_id").as("vec_id"), col("component")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster")))
+    val borderAssign = sym
+      .join(coreClusters.select(col("vec_id").as("vec_b"),
+        col("cluster")), "vec_b")
+      .groupBy(col("vec_a").as("vec_id")).agg(min("cluster").as("__bc"))
+    pts
+      .join(coreClusters.select(col("vec_id"), col("cluster").as("__cc")),
+        Seq("vec_id"), "left")
+      .join(borderAssign, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__bc")).as("cluster"))
+  }
 }

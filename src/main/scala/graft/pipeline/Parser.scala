@@ -47,7 +47,7 @@ object Parser {
       "cluster_stats", "minhash_incremental"),
     "SimilarityTransform" -> Seq(
       "topk", "maxsim", "ann", "ivf", "kmeans", "medoids", "kcenter",
-      "neardup_pairs",
+      "neardup_pairs", "dbscan",
       "standardize", "quantize", "project", "semantic_dedup",
       "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
       "bitext_scalable", "pq_topk", "hamming_topk", "hamming_pairs",

@@ -180,6 +180,12 @@ object ExtensionQueries {
   private val EditMaxBlock = 1024
   private val EmbedDupThreshold = 0.4
   private val EmbedMaxBucket = 16
+  // DBSCAN gate: at sf0.01 this (threshold, minPts) yields 252 core /
+  // 157 border / 91 noise across 3 clusters — all three roles and the
+  // multi-cluster topology exercised, incl. the oversized-bucket key
+  // extension (same maxBucket as the dedup_embedding gate).
+  private val DbscanThreshold = 0.2
+  private val DbscanMinPts = 4
   private val TopK = 5
   private val NQueryVecs = 10
   // MaxSim late interaction: 4 token vectors per synthetic doc, first
@@ -4531,6 +4537,17 @@ object ExtensionQueries {
         .orderBy("rank")
     },
 
+    // DBSCAN density clustering over the cosine ε-neighbor graph
+    // (banded LSH candidates, exact cosine verify): organic clusters
+    // of any shape + an explicit NOISE tier — the two readouts the
+    // centroid family (kmeans/medoids/kcenter) structurally cannot
+    // give. All three roles and 3 clusters live at this config.
+    "embed_dbscan" -> { (spark, dir) =>
+      Similarity.dbscan(embs(spark, dir), DbscanThreshold, DbscanMinPts,
+          maxBucket = EmbedMaxBucket)
+        .orderBy("vec_id")
+    },
+
     // Cochran–Mantel–Haenszel over user-derived strata: the
     // Simpson-safe pooled conversion effect (one common-effect test
     // after controlling for the strata, vs ab_segments' per-stratum
@@ -5854,6 +5871,69 @@ object ExtensionQueries {
         JOIN embeddings b ON b.vec_id = cand.vec_b)
       WHERE cosine >= $EmbedDupThreshold
       ORDER BY vec_a, vec_b""",
+
+    // Replay of Similarity.dbscan: the dedup_embedding candidate
+    // machinery verbatim (same bands, same oversized-bucket key
+    // extension) at the DBSCAN threshold, then the textbook roles —
+    // core by degree+1 >= minPts, clusters as the transitive closure
+    // of CORE-CORE edges (label = min reachable core id, matching the
+    // min-label fixpoint), border = min core-neighbor's cluster,
+    // noise = NULL cluster.
+    "embed_dbscan" -> s"""${signBandCtes(8, 8)
+        .replaceFirst("WITH", "WITH RECURSIVE")}, banded2 AS (
+        SELECT vec_id, band, bsig,
+          array_to_string(sb[((band+1)%8)*8+1 : ((band+1)%8)*8+8], '-') AS nsig
+        FROM banded JOIN bits USING (vec_id)
+      ), sized AS (
+        SELECT banded2.*, count(*) OVER (PARTITION BY band, bsig) AS n
+        FROM banded2
+      ), cand AS (
+        SELECT DISTINCT vec_a, vec_b FROM (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM sized x JOIN sized y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
+          WHERE x.n <= $EmbedMaxBucket
+          UNION ALL
+          SELECT x.vec_id, y.vec_id
+          FROM sized x JOIN sized y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.nsig = y.nsig
+              AND x.vec_id < y.vec_id
+          WHERE x.n > $EmbedMaxBucket)
+      ), pr AS (
+        SELECT vec_a, vec_b FROM (
+          SELECT vec_a, vec_b, ${cosD("a", "b")} AS cosine
+          FROM cand
+          JOIN embeddings a ON a.vec_id = cand.vec_a
+          JOIN embeddings b ON b.vec_id = cand.vec_b)
+        WHERE cosine >= $DbscanThreshold
+      ), sym AS (
+        SELECT vec_a AS v, vec_b AS n FROM pr
+        UNION ALL SELECT vec_b, vec_a FROM pr
+      ), core AS (
+        SELECT v FROM (SELECT v, count(*) AS dg FROM sym GROUP BY v)
+        WHERE dg + 1 >= $DbscanMinPts
+      ), ce AS (
+        SELECT s.v AS src, s.n AS dst FROM sym s
+        JOIN core a ON s.v = a.v JOIN core b ON s.n = b.v
+      ), reach AS (
+        SELECT src, dst FROM ce
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN ce e ON r.dst = e.src
+      ), ccl AS (
+        SELECT c.v, least(c.v, coalesce(min(r.dst), c.v)) AS cluster
+        FROM core c LEFT JOIN reach r ON r.src = c.v GROUP BY c.v
+      ), ba AS (
+        SELECT s.v, min(c.cluster) AS bc
+        FROM sym s JOIN ccl c ON s.n = c.v GROUP BY s.v
+      )
+      SELECT e.vec_id,
+        CASE WHEN ccl.cluster IS NOT NULL THEN 'core'
+             WHEN ba.bc IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        COALESCE(ccl.cluster, ba.bc)::BIGINT AS cluster
+      FROM embeddings e LEFT JOIN ccl ON e.vec_id = ccl.v
+        LEFT JOIN ba ON e.vec_id = ba.v
+      ORDER BY e.vec_id""",
 
     "similarity_topk" -> s"""
       WITH scored AS (

@@ -674,4 +674,80 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { Similarity.kcenter(df, 100) }
     graft.util.Caches.unpersistAll()
   }
+
+  test("dbscan: identical-copy cluster is all core (labelled by min id), " +
+      "orthogonal point is noise; layout bit-invariant") {
+    // scaled copies share every sign bit -> guaranteed candidates with
+    // cosine exactly 1; the orthogonal point has cosine 0 < threshold
+    // no matter what bucket it lands in.
+    val df = Seq(
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (5L, Array(1f, 0f, 0f, 0f)),
+      (7L, Array(2f, 0f, 0f, 0f)),
+      (8L, Array(1f, 0f, 0f, 0f)),
+      (9L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dbscan(df, 0.9, minPts = 3).orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq((3L, "core", 3L), (5L, "core", 3L),
+      (7L, "core", 3L), (8L, "core", 3L), (9L, "noise", -1L)), out)
+    val rp = Similarity.dbscan(df.repartition(7), 0.9, minPts = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rp == out)
+    intercept[IllegalArgumentException] { Similarity.dbscan(df, 0.9, 1) }
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("dbscan: roles and clusters match a brute union-find replay of " +
+      "the pinned pair graph on a seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val th = 0.6
+    val minPts = 4
+    // the pinned neighbor graph IS nearDupPairs' output — dbscan's
+    // contract is the textbook algorithm on exactly that graph
+    val pairs = Similarity.nearDupPairs(df, th)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val ids = rows.map(_._1)
+    val core = ids.filter(i => adj(i).size + 1 >= minPts).toSet
+    // components over core-core edges: iterate min-label to fixpoint
+    var label = core.map(i => i -> i).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      core.foreach { i =>
+        val best = (adj(i).filter(core).map(label) + label(i)).min
+        if (best < label(i)) { label += i -> best; changed = true }
+      }
+    }
+    val expected = ids.map { i =>
+      if (core(i)) (i, "core", label(i))
+      else {
+        val coreNb = adj(i).filter(core)
+        if (coreNb.nonEmpty) (i, "border", coreNb.map(label).min)
+        else (i, "noise", -1L)
+      }
+    }
+    val out = Similarity.dbscan(df, th, minPts).orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == expected, s"first diff: ${
+      out.zip(expected).find { case (a, b) => a != b }}")
+    // the seed must exercise all three roles or the test is vacuous
+    assert(out.exists(_._2 == "core") && out.exists(_._2 == "border") &&
+      out.exists(_._2 == "noise"), out.groupBy(_._2).view.mapValues(_.size))
+    graft.util.Caches.unpersistAll()
+  }
 }
