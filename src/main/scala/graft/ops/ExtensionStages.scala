@@ -221,6 +221,10 @@ final case class SimilarityTransformStage(
       case "dbscan" =>
         Similarity.dbscan(corpus, threshold, k, nBits.getOrElse(64),
           bands.getOrElse(8), rows.getOrElse(8), maxBucket)
+      // per-cell simplified silhouette over the shared k-means cells
+      case "silhouette" =>
+        Similarity.silhouette(corpus, centroidEvery, kmeansIters,
+          exactReplay)
       case "standardize"   => Similarity.standardize(corpus)
       case "quantize"      => Similarity.quantize(corpus, levels)
       case "project"       => Similarity.projectSigned(corpus, inDim, outDim)

@@ -1149,4 +1149,58 @@ object Similarity {
           .otherwise(lit("noise")).as("role"),
         coalesce(col("__cc"), col("__bc")).as("cluster"))
   }
+
+  /** Simplified (centroid-based) silhouette per cluster — the quality
+    * readout for the deterministic k-means the engine clusters with
+    * ([[kmeans]] / [[medoids]] / the IVF cell layout): for each point,
+    * a = cosine distance to its OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a) / max(a, b) — the Hruschka et
+    * al. 2004 simplification of Rousseeuw 1987 that replaces the O(n²)
+    * pairwise means with centroid distances (the only form that exists
+    * at corpus scale). Because assignment IS nearest-centroid, a ≤ b
+    * always and s ∈ [0, 1]: ~1 = tight well-separated cell, ~0 =
+    * boundary straddler; a LOW mean flags a cell whose members sit
+    * between centroids (split/merge candidate). A point equidistant at
+    * 0 from two centroids (duplicate of two seeds) pins s = 0.
+    *
+    * Output: (cell, n, silhouette) per non-empty cell — silhouette is
+    * the cell's mean s via the fixed-point convention (each s scaled by
+    * 2^20, rounded to long, summed exactly in any order, divided back
+    * in double), so the mean is bit-deterministic under partitioning
+    * and replays in DuckDB.
+    *
+    * Shape at scale: the k-means training passes, then ONE broadcast
+    * point×centroid scoring projection with a top-2 window per point
+    * (the [[assignCells]] shape, one extra kept row) and one map-side-
+    * combined aggregate per cell. No pair enumeration, no collected
+    * memberships.
+    */
+  def silhouette(df: DataFrame, centroidEvery: Int = 100, iters: Int = 2,
+      exactReplay: Boolean = false): DataFrame = {
+    val cv = graft.util.Caches.persist(withNorm(df))
+    val cents = trainCentroids(cv, centroidEvery, iters, exactReplay)
+    require(cents.limit(2).count() == 2,
+      "silhouette needs >= 2 clusters (lower centroidEvery)")
+    val cn = cents.select(col("c_id"), col("c_emb"),
+      V.norm(col("c_emb")).as("c_nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__cc").desc, col("c_id").asc)
+    val ranked = cv.join(broadcast(cn))
+      .select(col("vec_id"), col("c_id"),
+        cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("__cc"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") <= 2)
+    val top = ranked.groupBy("vec_id").agg(
+      max(when(col("__rn") === 1, col("c_id"))).as("cell"),
+      max(when(col("__rn") === 1, col("__cc"))).as("__c1"),
+      max(when(col("__rn") === 2, col("__cc"))).as("__c2"))
+    val sil = top.select(col("cell"),
+      when(col("__c2") >= 1.0, lit(0.0))
+        .otherwise(lit(1.0)
+          - (lit(1.0) - col("__c1")) / (lit(1.0) - col("__c2"))).as("__s"))
+    sil.groupBy("cell").agg(count(lit(1)).as("n"),
+        sum(round(col("__s") * FixedScale).cast("long")).as("__fp"))
+      .select(col("cell"), col("n"),
+        (col("__fp").cast("double") / col("n") / FixedScale)
+          .as("silhouette"))
+  }
 }

@@ -47,7 +47,7 @@ object Parser {
       "cluster_stats", "minhash_incremental"),
     "SimilarityTransform" -> Seq(
       "topk", "maxsim", "ann", "ivf", "kmeans", "medoids", "kcenter",
-      "neardup_pairs", "dbscan",
+      "neardup_pairs", "dbscan", "silhouette",
       "standardize", "quantize", "project", "semantic_dedup",
       "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
       "bitext_scalable", "pq_topk", "hamming_topk", "hamming_pairs",

@@ -4548,6 +4548,16 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // Simplified silhouette over the deterministic k-means cells (same
+    // training as embed_kmeans/similarity_ivf): per-cell cohesion vs
+    // nearest-other-centroid separation — the split/merge quality gauge
+    // for every cell-based structure the engine builds.
+    "embed_silhouette" -> { (spark, dir) =>
+      Similarity.silhouette(embs(spark, dir), centroidEvery = 100,
+          iters = 2)
+        .orderBy("cell")
+    },
+
     // Cochran–Mantel–Haenszel over user-derived strata: the
     // Simpson-safe pooled conversion effect (one common-effect test
     // after controlling for the strata, vs ab_segments' per-stratum
@@ -5934,6 +5944,43 @@ object ExtensionQueries {
       FROM embeddings e LEFT JOIN ccl ON e.vec_id = ccl.v
         LEFT JOIN ba ON e.vec_id = ba.v
       ORDER BY e.vec_id""",
+
+    // Replay of Similarity.silhouette: the IVF/kmeans training CTEs
+    // verbatim (seeds, 2 fixed-point Lloyd rounds), then per point the
+    // top-2 centroid cosines — a = own-centroid distance, b = nearest-
+    // other distance, s = 1 − a/b (a ≤ b since assignment IS nearest-
+    // centroid; equidistant-at-0 pins 0) — and the fixed-point mean
+    // per cell (2^20 long sum, exact in any order).
+    "embed_silhouette" -> s"""
+      WITH cents0 AS (
+        SELECT vec_id AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM embeddings WHERE vec_id % $CentroidEvery = 0
+      ), ${kmAssign("cents0", "assign0")}
+      , ${kmUpdateFixed("assign0", "cents1")}
+      , ${kmAssign("cents1", "assign1")}
+      , ${kmUpdateFixed("assign1", "cents2")}
+      , ranked AS (
+        SELECT vec_id, c_id, cc, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cc DESC, c_id) AS rn
+        FROM (
+          SELECT e.vec_id, c.c_id, ${kmCos("e", "c")} AS cc
+          FROM embeddings e CROSS JOIN cents2 c)
+      ), topc AS (
+        SELECT vec_id,
+          max(CASE WHEN rn = 1 THEN c_id END) AS cell,
+          max(CASE WHEN rn = 1 THEN cc END) AS c1,
+          max(CASE WHEN rn = 2 THEN cc END) AS c2
+        FROM ranked WHERE rn <= 2 GROUP BY vec_id
+      ), silc AS (
+        SELECT cell, CASE WHEN c2 >= 1 THEN 0.0
+          ELSE 1 - (1 - c1) / (1 - c2) END AS sil
+        FROM topc
+      )
+      SELECT cell, COUNT(*)::BIGINT AS n,
+        SUM(CAST(round(sil * 1048576.0) AS BIGINT))::DOUBLE
+          / COUNT(*) / 1048576.0 AS silhouette
+      FROM silc GROUP BY cell ORDER BY cell""",
 
     "similarity_topk" -> s"""
       WITH scored AS (

@@ -750,4 +750,75 @@ class SimilaritySpec extends SparkSpec {
       out.exists(_._2 == "noise"), out.groupBy(_._2).view.mapValues(_.size))
     graft.util.Caches.unpersistAll()
   }
+
+  // two tight bundles (seeds 0 and 3 at centroidEvery = 3) plus one
+  // 45-degree straddler — the cell that absorbs it must score lower
+  private def silCorpus = Seq(
+    (0L, Array(1f, 0.1f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+    (2L, Array(2f, 0.1f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)),
+    (4L, Array(0.1f, 1f, 0f, 0f)), (5L, Array(0f, 2f, 0f, 0f)),
+    (7L, Array(1f, 1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("silhouette: values in [0,1], members partition the corpus, the " +
+      "straddler's cell scores below the pure cell; layout bit-invariant") {
+    val out = Similarity.silhouette(silCorpus, centroidEvery = 3, iters = 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(_._2).sum == 7L)
+    assert(out.forall(t => t._3 >= 0.0 && t._3 <= 1.0), out)
+    val km = Similarity.kmeans(silCorpus, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sc = km(7L)
+    val pure = out.map(_._1).find(_ != sc).get
+    assert(out.find(_._1 == sc).get._3 < out.find(_._1 == pure).get._3,
+      s"straddler cell $sc must drag its mean below the pure cell: $out")
+    val rp = Similarity.silhouette(silCorpus.repartition(5),
+        centroidEvery = 3, iters = 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rp == out)
+    // a single seed cannot define separation
+    intercept[IllegalArgumentException] {
+      Similarity.silhouette(silCorpus, centroidEvery = 100, iters = 1)
+    }
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("silhouette: matches a driver replay of the post-training top-2 " +
+      "scoring and the fixed-point cell means") {
+    val cv = graft.util.Caches.persist(Similarity.withNorm(silCorpus))
+    val cents = Similarity
+      .trainCentroids(cv, centroidEvery = 3, kmeansIters = 2,
+        exactReplay = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    def cos(e: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var ne = 0.0; var nc = 0.0; var i = 0
+      while (i < e.length) {
+        dot += e(i).toDouble * c(i); ne += e(i).toDouble * e(i).toDouble
+        nc += c(i) * c(i); i += 1
+      }
+      r6(dot / (math.sqrt(ne) * math.sqrt(nc)))
+    }
+    val pts = silCorpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = pts.map { case (id, e) =>
+      val scored = cents.map { case (cid, cemb) => (cos(e, cemb), cid) }
+        .sortBy { case (cc, cid) => (-cc, cid) }
+      val (c1, cell) = scored(0); val (c2, _) = scored(1)
+      val s = if (c2 >= 1.0) 0.0 else 1.0 - (1.0 - c1) / (1.0 - c2)
+      (cell, s)
+    }.groupBy(_._1).map { case (cell, ss) =>
+      val fp = ss.map(t => math.round(t._2 * (1L << 20).toDouble)).sum
+      (cell, ss.length.toLong, fp.toDouble / ss.length / (1L << 20).toDouble)
+    }.toSeq.sortBy(_._1)
+    val out = Similarity.silhouette(silCorpus, centroidEvery = 3, iters = 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == expected, s"got $out want $expected")
+    graft.util.Caches.unpersistAll()
+  }
 }
