@@ -658,6 +658,47 @@ object ExprKernels {
     java.lang.Double.valueOf(s)
   }
 
+  /** Banded dynamic-time-warping distance between two double series
+    * (Sakoe & Chiba 1978): D(i,j) = |x_i − y_j| + min(D(i−1,j),
+    * D(i,j−1), D(i−1,j−1)) restricted to |i−j| <= band, D(0,0) = 0,
+    * borders +inf. Rolling two-row DP — O(min(n,m)·band) time, O(m)
+    * space, one JVM loop per row pair. Every cell is |diff| + a min of
+    * already-identical doubles, so the result is bit-identical under
+    * ANY evaluation order — the anti-diagonal DuckDB replay produces
+    * the same bits. Returns null (boxed) when either series is empty
+    * or |n − m| > band (no warping path exists inside the band).
+    */
+  def dtwBanded(x: ArrayData, y: ArrayData, band: Int): java.lang.Double = {
+    val n = x.numElements()
+    val m = y.numElements()
+    if (n == 0 || m == 0 || math.abs(n - m) > band) return null
+    val INF = Double.PositiveInfinity
+    var prev = new Array[Double](m + 1)
+    var cur = new Array[Double](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val jLo = math.max(1, i - band)
+      val jHi = math.min(m, i + band)
+      var j = jLo
+      while (j <= jHi) {
+        val c = math.abs(x.getDouble(i - 1) - y.getDouble(j - 1))
+        var best = prev(j) // D(i-1, j)
+        if (prev(j - 1) < best) best = prev(j - 1) // D(i-1, j-1)
+        if (cur(j - 1) < best) best = cur(j - 1) // D(i, j-1)
+        cur(j) = c + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      prev(0) = INF // D(i, 0) = inf for every i >= 1
+      i += 1
+    }
+    val r = prev(m)
+    if (java.lang.Double.isInfinite(r)) null else java.lang.Double.valueOf(r)
+  }
+
   /** Viterbi unigram-LM segmentation of one word (Kudo 2018's apply
     * step, hard-EM E-step in [[graft.ops.Unigram]]): DP over character
     * positions with state = pathCost6 * 1024 + nTokens (cost dominates,

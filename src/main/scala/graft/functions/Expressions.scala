@@ -480,6 +480,50 @@ object Expressions {
     override def prettyName: String = "dot_product"
   }
 
+  /** Banded DTW distance between two array<double> series
+    * ([[ExprKernels.dtwBanded]]): null on empty inputs or when the
+    * band admits no warping path (|n − m| > band).
+    */
+  case class DtwBanded(left: Expression, right: Expression, band: Int)
+      extends BinaryExpression {
+    require(band >= 0, s"band must be >= 0, got $band")
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression): Boolean = e.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _                        => false
+      }
+      if (ok(left) && ok(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double> on both sides, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprKernels.dtwBanded(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], band)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("dtwResult")
+        s"""
+           |java.lang.Double $tmp = $Kernels.dtwBanded($a, $b, $band);
+           |if ($tmp == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $tmp.doubleValue();
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DtwBanded =
+      copy(left = l, right = r)
+    override def prettyName: String = "dtw_banded"
+  }
+
   case class SquaredL2(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType

@@ -32,6 +32,14 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Banded DTW distance between two array<double> series (Sakoe-Chiba
+    * radius `band`); null when no path exists inside the band. Native
+    * expression ([[Expressions.DtwBanded]]) — O(n·band) rolling DP, one
+    * JVM loop per row.
+    */
+  def dtwBanded(a: Column, b: Column, band: Int): Column =
+    toCol(Expressions.DtwBanded(toExpr(a), toExpr(b), band))
+
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -1544,6 +1544,8 @@ final case class GapfillTransformStage(
       case "acf" => TimeSeries.acf(in, tsCol, keyCol, maxLag)
       // nonparametric trend: Mann-Kendall S/tau and Theil-Sen slope
       case "mann_kendall" => TimeSeries.mannKendall(in, tsCol, keyCol)
+      // pairwise banded DTW between per-key series; maxLag = the band
+      case "dtw" => TimeSeries.dtw(in, tsCol, keyCol, maxLag)
       case "theil_sen" => TimeSeries.theilSen(in, tsCol, keyCol)
       // trailing aggregates: time-window mean/sum, row-window median
       case "rolling" =>

@@ -201,6 +201,61 @@ object TimeSeries {
           .as("acf"))
   }
 
+  /** Pairwise banded dynamic-time-warping distance between the dense
+    * hourly count series of every key pair (Sakoe & Chiba 1978; Berndt
+    * & Clifford 1994) — the alignment-tolerant series similarity the
+    * lag-pinned tools ([[acf]], [[seasonalDeviation]]) cannot give:
+    * two keys whose load curves are the same shape shifted or locally
+    * stretched by a few hours read as near-identical under DTW and as
+    * uncorrelated under fixed-lag comparison. The curation read:
+    * cluster event/domain types by activity shape, spot the one whose
+    * traffic shape diverged.
+    *
+    * Series are [[gapfillHourly]]'s zero-filled hourly counts over the
+    * GLOBAL observed range (every key the same length, so the band
+    * always admits a path); `band` is the Sakoe-Chiba radius — cells
+    * with |i−j| > band are unreachable, bounding both cost (O(len ·
+    * band) per pair) and pathological warpings. The DP runs as ONE
+    * native codegen'd kernel per key pair ([[Expressions.DtwBanded]]);
+    * every cell is |Δ| + min of identical doubles, so the distance is
+    * bit-deterministic and replays exactly in the oracle's
+    * anti-diagonal recursion.
+    *
+    * Output: (key_a, key_b, n_a, n_b, dtw) for every unordered key
+    * pair, key_a < key_b. Shape at scale: series assembly is one
+    * map-side-combined aggregate + one bounded collect_list per key
+    * (length = hours of history — `maxLen` guards a runaway range
+    * LOUDLY, it is never event-volume-bounded); the pair join is
+    * keys², broadcast on one side — the operator's contract is "few
+    * keys, long histories", the [[theilSen]] cost note inverted.
+    */
+  def dtw(df: DataFrame, tsCol: String, keyCol: String, band: Int = 24,
+      maxLen: Int = 16384): DataFrame = {
+    require(band >= 0, s"band must be >= 0, got $band")
+    val V = graft.functions.VectorFunctions
+    val series = graft.util.Caches.persist(
+      gapfillHourly(df, tsCol, keyCol)
+        .groupBy(col(keyCol))
+        .agg(transform(
+          sort_array(collect_list(struct(
+            expr("unix_timestamp(hour_start) div 3600").as("__h"),
+            col("n_events").cast("double").as("__x")))),
+          e => e.getField("__x")).as("__v")))
+    val worst = series.agg(coalesce(max(size(col("__v"))), lit(0)))
+      .collect().head.getInt(0)
+    require(worst <= maxLen,
+      s"dtw: a series spans $worst hourly buckets (> maxLen=$maxLen); " +
+        "the DP is O(len * band) per pair and the series is a collected " +
+        "array — bound the time range upstream or raise maxLen")
+    val a = series.select(col(keyCol).as("key_a"), col("__v").as("__va"))
+    val b = series.select(col(keyCol).as("key_b"), col("__v").as("__vb"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        size(col("__va")).cast("long").as("n_a"),
+        size(col("__vb")).cast("long").as("n_b"),
+        V.dtwBanded(col("__va"), col("__vb"), band).as("dtw"))
+  }
+
   /** Theil–Sen robust trend slope per key over the dense hourly count
     * series — the median of all pairwise slopes
     * (x_j − x_i)/(h_j − h_i), i < j: up to 29% corrupt points cannot

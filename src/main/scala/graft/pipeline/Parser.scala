@@ -126,7 +126,8 @@ object Parser {
     "GapfillTransform" -> Seq(
       "gapfill", "cusum", "utilization", "seasonal", "ewma", "holt",
       "changepoint", "forecast_eval", "seasonal_weekly", "anomaly_weekly",
-      "acf", "mann_kendall", "theil_sen", "rolling", "rolling_median"),
+      "acf", "mann_kendall", "theil_sen", "rolling", "rolling_median",
+      "dtw"),
     "EncodeTransform" -> Seq(
       "encode", "vocab", "target_loo", "woe"),
     "ZorderTransform" -> Seq(

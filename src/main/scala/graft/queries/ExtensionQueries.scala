@@ -180,6 +180,8 @@ object ExtensionQueries {
   private val EditMaxBlock = 1024
   private val EmbedDupThreshold = 0.4
   private val EmbedMaxBucket = 16
+  // Sakoe–Chiba radius for the ts_dtw gate (hours of allowed warp).
+  private val TsDtwBand = 24
   // DBSCAN gate: at sf0.01 this (threshold, minPts) yields 252 core /
   // 157 border / 91 noise across 3 clusters — all three roles and the
   // multi-cluster topology exercised, incl. the oversized-bucket key
@@ -3464,6 +3466,16 @@ object ExtensionQueries {
     "ts_theilsen" -> { (spark, dir) =>
       TimeSeries.theilSen(events(spark, dir), "ts", "event_type")
         .orderBy("event_type")
+    },
+
+    // Pairwise banded DTW between event types' hourly activity shapes:
+    // alignment-tolerant series similarity (a shifted/stretched copy
+    // reads near-identical where fixed-lag comparison reads noise) —
+    // one native DP kernel per pair, Sakoe–Chiba radius 24h.
+    "ts_dtw" -> { (spark, dir) =>
+      TimeSeries.dtw(events(spark, dir), "ts", "event_type",
+          band = TsDtwBand)
+        .orderBy("key_a", "key_b")
     },
 
     // Mann–Kendall monotone-trend test per event type — exact integer
@@ -9532,6 +9544,55 @@ object ExtensionQueries {
       FROM nd LEFT JOIN a2 ON nd.node = a2.node
         LEFT JOIN h2 ON nd.node = h2.node
       ORDER BY nd.node""",
+
+    // Replay of TimeSeries.dtw: the ts_acf dense-series CTEs (DOUBLE
+    // counts), then the banded DTW DP as an ANTI-DIAGONAL recursion —
+    // the recursive CTE state carries diagonals s and s−1 as lists, so
+    // every new cell D(i, s+1−i) reads only prior-state cells
+    // (D(i−1,j), D(i,j−1) in diag s; D(i−1,j−1) in diag s−1) and needs
+    // no intra-step scan. Every cell is |Δ| + least of identical
+    // doubles — bit-identical to the kernel's row-major evaluation.
+    "ts_dtw" -> s"""
+      WITH RECURSIVE c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS hour_start,
+          event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM c),
+      k AS (SELECT DISTINCT event_type FROM events),
+      g AS (SELECT event_type,
+          unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+        FROM k CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type, (epoch(g.hour_start)::BIGINT // 3600) AS h,
+          coalesce(c.n_events, 0)::DOUBLE AS x
+        FROM g LEFT JOIN c USING (event_type, hour_start)),
+      ser AS (SELECT event_type, list(x ORDER BY h) AS v
+        FROM dense GROUP BY 1),
+      dpairs AS (
+        SELECT a.event_type AS key_a, bb.event_type AS key_b,
+          a.v AS av, bb.v AS bv, len(a.v) AS n, len(bb.v) AS m
+        FROM ser a JOIN ser bb ON a.event_type < bb.event_type),
+      dp AS (
+        SELECT key_a, key_b, av, bv, n, m, 2 AS s,
+          NULL::DOUBLE[] AS prev2,
+          list_transform(generate_series(1, n), i ->
+            CASE WHEN i = 1 THEN abs(av[1] - bv[1]) ELSE NULL END) AS prev
+        FROM dpairs
+        UNION ALL
+        SELECT key_a, key_b, av, bv, n, m, s + 1, prev,
+          list_transform(generate_series(1, n), i ->
+            CASE WHEN s + 1 - i BETWEEN 1 AND m
+                AND abs(2*i - (s+1)) <= $TsDtwBand
+              THEN abs(av[i] - bv[s + 1 - i]) + least(
+                coalesce(prev[i - 1], 'infinity'::DOUBLE),
+                coalesce(prev[i], 'infinity'::DOUBLE),
+                coalesce(prev2[i - 1], 'infinity'::DOUBLE))
+              ELSE NULL END) AS cur
+        FROM dp WHERE s < n + m
+      )
+      SELECT key_a, key_b, n::BIGINT AS n_a, m::BIGINT AS n_b,
+        prev[n] AS dtw
+      FROM dp WHERE s = n + m ORDER BY key_a, key_b""",
 
     // Replay of Profile.bucketizeQuantile: SQL-standard discrete-quantile
     // bounds, bin = 1 + #bounds strictly below the value.

@@ -448,4 +448,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rep.map(_.toString).toSeq == out.map(_.toString).toSeq)
     graft.util.Caches.unpersistAll()
   }
+
+  test("dtwBanded kernel: hand-verified DP value, zero on identical " +
+      "series, null outside the band") {
+    val V = graft.functions.VectorFunctions
+    // reference value computed by the full O(nm) textbook DP (band 3)
+    val df = Seq((
+      Array(1.0, 3.0, 4.0, 9.0, 8.0, 2.0, 1.0, 5.0, 7.0),
+      Array(1.0, 6.0, 2.0, 3.0, 0.0, 9.0, 4.0, 3.0, 6.0)
+    )).toDF("a", "b")
+    val r = df.select(
+      V.dtwBanded(col("a"), col("b"), 3).as("d"),
+      V.dtwBanded(col("a"), col("a"), 0).as("self"),
+      V.dtwBanded(col("a"), col("b"), 9).as("full")).collect().head
+    assert(r.getDouble(0) == 15.0, r.toString)
+    assert(r.getDouble(1) == 0.0)
+    // widening the band can only help (more cells reachable)
+    assert(r.getDouble(2) <= 15.0)
+    // |n - m| > band: no warping path -> null, never a garbage number
+    val mm = Seq((Array(1.0, 2.0, 3.0, 4.0, 5.0), Array(1.0)))
+      .toDF("a", "b")
+      .select(V.dtwBanded(col("a"), col("b"), 2)).collect().head
+    assert(mm.isNullAt(0))
+  }
+
+  test("dtw: a time-shifted copy reads closer than a different shape; " +
+      "layout bit-invariant") {
+    // key a: a spike at hours 2-3; key b: the same spike at hours 4-5
+    // (shifted by 2, inside the band); key c: flat-ish different shape.
+    def burst(k: String, h: Int, n: Int) =
+      (0 until n).map(_ => (k, ts(h)))
+    val df = (
+      burst("a", 2, 5) ++ burst("a", 3, 5) ++ burst("a", 0, 1) ++
+        burst("a", 7, 1) ++
+      burst("b", 4, 5) ++ burst("b", 5, 5) ++ burst("b", 0, 1) ++
+        burst("b", 7, 1) ++
+      burst("c", 0, 2) ++ burst("c", 1, 2) ++ burst("c", 2, 2) ++
+        burst("c", 3, 2) ++ burst("c", 4, 2) ++ burst("c", 5, 2) ++
+        burst("c", 6, 2) ++ burst("c", 7, 2)
+    ).toDF("k", "t")
+    val out = TimeSeries.dtw(df, "t", "k", band = 3)
+      .orderBy("key_a", "key_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // the shifted twin aligns almost perfectly; the flat series cannot
+    assert(out(("a", "b")) < out(("a", "c")), out.toString)
+    assert(out(("a", "b")) < out(("b", "c")), out.toString)
+    val rp = TimeSeries.dtw(df.repartition(7), "t", "k", band = 3)
+      .orderBy("key_a", "key_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    assert(rp == out)
+    intercept[IllegalArgumentException] {
+      TimeSeries.dtw(df, "t", "k", band = 3, maxLen = 4)
+    }
+    graft.util.Caches.unpersistAll()
+  }
 }
