@@ -839,7 +839,10 @@ final case class RetrievalTransformStage(
     // the run (query_id, doc_id, rnk)
     qrelsView: Option[String] = None,
     // qld only: Dirichlet prior mass
-    mu: Double = 2000.0)
+    mu: Double = 2000.0,
+    // rm3 only: feedback depth and expansion-term budget
+    fbDocs: Int = 5,
+    fbTerms: Int = 10)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -868,6 +871,12 @@ final case class RetrievalTransformStage(
           "retrieval method 'qld' requires non-empty 'queryTerms'")
         Retrieval.qldTopK(Views.resolve(inputView), idCol, textCol,
           queryTerms, k, mu)
+      // RM3 pseudo-relevance feedback over qld (uniform doc weights)
+      case "rm3" =>
+        if (queryTerms.isEmpty) throw new IllegalArgumentException(
+          "retrieval method 'rm3' requires non-empty 'queryTerms'")
+        Retrieval.rm3TopK(Views.resolve(inputView), idCol, textCol,
+          queryTerms, k, fbDocs, fbTerms, mu)
       case other => throw new IllegalArgumentException(
         s"unknown retrieval method '$other'")
     }

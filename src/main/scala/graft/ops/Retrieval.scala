@@ -165,6 +165,107 @@ object Retrieval {
         (col("score_fp").cast("double") / Fp).as("score"))
   }
 
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; Abdul-Jaleel
+    * et al. 2004) — the standard query-expansion loop over [[qldTopK]]:
+    * retrieve once, treat the top `fbDocs` documents as a relevance
+    * sample, estimate an expansion language model from them, and
+    * re-retrieve with the interpolated query. The curation read: "find
+    * documents about X" where the user's two query words undersell the
+    * topic's actual vocabulary — the feedback docs supply the missing
+    * terms, no external thesaurus or embedding needed.
+    *
+    * Deterministic pinned form (every stage exact-integer or
+    * 6dp-snapped, replayable in DuckDB):
+    *
+    *  1. feedback set F = [[qldTopK]](queryTerms, k = fbDocs) ids.
+    *  2. relevance-model mass per candidate term (original query terms
+    *     and the empty token excluded): rm(w) = Σ_{d∈F} (tf_wd · Fp)
+    *     div dl_d — the UNIFORM-document-weight relevance model (the
+    *     exp(score) doc weighting of full RM1 is a cross-engine
+    *     transcendental; uniform top-k weighting is the published
+    *     simplification that stays exact). Top `fbTerms` by
+    *     (mass desc, term asc) expand the query.
+    *  3. interpolated weights: original terms get Fp·(αden−αnum) div
+    *     αden each; expansion term w gets (αnum·Fp·rm(w)) div
+    *     (αden·Σrm) — exact longs, α defaulting to 1/2. If no
+    *     expansion candidate exists the query degenerates loudly-
+    *     documented to the weighted original.
+    *  4. re-score: the [[qldTopK]] per-(doc, term) 6dp weight w_fp,
+    *     summed as Σ_t weight(t) · w_fp(t, d) — score_fp at Fp² scale.
+    *
+    * Output: (rnk, doc_id, n_terms, score_fp, score = score_fp/Fp²).
+    * Two driver round-trips, both bounded by CONFIG not data: the
+    * fbDocs feedback ids and the fbTerms expansion terms (they become
+    * plan literals for the final pass). Shape at scale: two [[qldTopK]]
+    * passes plus one tf aggregate over fbDocs documents — the second
+    * pass's postings filter carries ≤ |Q| + fbTerms terms.
+    */
+  def rm3TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10, fbDocs: Int = 5,
+      fbTerms: Int = 10, mu: Double = 2000.0,
+      alphaNum: Long = 1, alphaDen: Long = 2): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(fbDocs >= 1 && fbDocs <= 1000 && fbTerms >= 1 && fbTerms <= 1000,
+      s"fbDocs/fbTerms must be in [1, 1000], got $fbDocs/$fbTerms")
+    require(alphaNum >= 0 && alphaDen > alphaNum,
+      s"need 0 <= alphaNum < alphaDen, got $alphaNum/$alphaDen")
+    val orig = queryTerms.distinct
+    // stage 1: feedback ids — a fbDocs-bounded driver round-trip
+    val fbIds = qldTopK(df, idCol, textCol, orig, fbDocs, mu)
+      .select("doc_id").collect().map(_.get(0)).toSeq
+    // stage 2: uniform-weight relevance-model mass, exact fixed point
+    val ws = T.words(col(textCol))
+    val mass = df.where(col(idCol).isInCollection(fbIds))
+      .select(col(idCol).as("doc_id"), size(ws).cast("long").as("dl"),
+        explode(ws).as("term"))
+      .where(!col("term").isInCollection(orig) && col("term") =!= "")
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(sum(expr(s"(tf * ${Fp}L) div dl")).as("rm_fp"))
+      .orderBy(col("rm_fp").desc, col("term")).limit(fbTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rmTot = mass.map(_._2).sum
+    val origW = Fp * (alphaDen - alphaNum) / alphaDen
+    val weights: Seq[(String, Long)] =
+      orig.map(t => t -> origW) ++
+        (if (rmTot > 0)
+          mass.map { case (t, m) =>
+            t -> alphaNum * Fp * m / (alphaDen * rmTot) }
+        else Seq.empty)
+    // stage 3: weighted QLD over the interpolated term set
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wt = broadcast(weights.toDF("term", "q_w"))
+    val terms = weights.map(_._1)
+    val base = df.select(col(idCol).as("doc_id"),
+      size(ws).cast("long").as("dl"))
+    val tot = base.agg(sum("dl").as("c_tokens"))
+    val tfq = graft.util.Caches.persist(
+      df.select(col(idCol).as("doc_id"), explode(ws).as("term"))
+        .where(col("term").isInCollection(terms))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val cf = tfq.groupBy("term").agg(sum("tf").as("cf"))
+    val w = log((coalesce(col("tf"), lit(0L)).cast("double")
+        + lit(mu) * (col("cf").cast("double")
+          / col("c_tokens").cast("double")))
+      / (col("dl").cast("double") + lit(mu)))
+    val scored = base.crossJoin(broadcast(cf))
+      .join(wt, Seq("term"))
+      .join(tfq, Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (col("q_w") * round(w * Fp).cast("long")).as("w_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_fp").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+    scored
+      .withColumn("rnk", row_number().over(Window
+        .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_terms"), col("score_fp"),
+        (col("score_fp").cast("double") / Fp / Fp).as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
     * the standard hybrid-retrieval combiner: a lexical ranking
     * ([[bm25TopK]]) and a semantic one

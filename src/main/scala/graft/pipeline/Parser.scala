@@ -61,7 +61,7 @@ object Parser {
       "benford", "trimmed_mean", "corpus_report", "correlation_matrix",
       "gini"),
     "RetrievalTransform" -> Seq(
-      "index", "bm25", "rrf", "rank_eval", "qld"),
+      "index", "bm25", "rrf", "rank_eval", "qld", "rm3"),
     "PiiTransform" -> Seq(
       "stats", "scrub", "kanon", "suppress", "noisy_counts", "ldiversity",
       "tcloseness", "pseudonymize", "pseudonym_audit"),
@@ -358,7 +358,8 @@ object Parser {
       val rankViews = r.stringList("rankViews")
       // bm25 without terms / rrf without lists would only surface at
       // runtime — fail at parse
-      if ((method == "bm25" || method == "qld") && terms.isEmpty)
+      if ((method == "bm25" || method == "qld" || method == "rm3")
+          && terms.isEmpty)
         r.error("queryTerms", s"missing or empty; $method requires query terms")
       if (method == "rrf" && rankViews.isEmpty)
         r.error("rankViews", "missing or empty; rrf requires ranked-list views")
@@ -379,7 +380,9 @@ object Parser {
         rankViews = rankViews,
         rrfK = r.int("rrfK").getOrElse(60),
         qrelsView = r.string("qrelsView"),
-        mu = r.double("mu").getOrElse(2000.0))
+        mu = r.double("mu").getOrElse(2000.0),
+        fbDocs = r.int("fbDocs").getOrElse(5),
+        fbTerms = r.int("fbTerms").getOrElse(10))
     },
     "PiiTransform" -> { (r, _) =>
       PiiTransformStage(
@@ -1023,7 +1026,7 @@ object Parser {
       "sigma", "madK", "xCol", "yCol", "textCol", "langCol", "sourceCol")),
     "RetrievalTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "minDf", "queryTerms", "k", "k1", "b",
-      "rankViews", "rrfK", "qrelsView", "mu")),
+      "rankViews", "rrfK", "qrelsView", "mu", "fbDocs", "fbTerms")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "cols", "k", "scale", "salt", "sensitiveCol",
       "t")),

@@ -2700,6 +2700,17 @@ object ExtensionQueries {
         .orderBy("rnk")
     },
 
+    // RM3 pseudo-relevance feedback over the same query: top-5 QLD
+    // docs supply a uniform-weight relevance model, its top-10 terms
+    // expand the query at alpha = 1/2, and the interpolated weighted
+    // query re-ranks — the standard expansion loop when two query
+    // words undersell the topic's vocabulary.
+    "retrieval_rm3" -> { (spark, dir) =>
+      Retrieval.rm3TopK(docs(spark, dir), "doc_id", "text",
+          Bm25Terms, k = Bm25K, fbDocs = 5, fbTerms = 10)
+        .orderBy("rnk")
+    },
+
     // Leave-one-out target encoding of document source against length —
     // the leakage-safe mean encoding for high-cardinality categoricals.
     "encode_target_loo" -> { (spark, dir) =>
@@ -8533,6 +8544,74 @@ object ExtensionQueries {
       SELECT rnk::BIGINT AS rnk, doc_id, n_terms,
         score_fp::BIGINT AS score_fp,
         score_fp::DOUBLE / 1000000.0 AS score
+      FROM r WHERE rnk <= $Bm25K ORDER BY rnk""",
+
+    // Replay of Retrieval.rm3TopK: the retrieval_qld CTEs run twice —
+    // once for the feedback top-5, once for the interpolated weighted
+    // re-rank — with the uniform-weight relevance model in between:
+    // rm(w) = Σ_fb (tf·1e6)//dl exact longs, top-10 by (mass, term),
+    // original terms at 500000 each, expansion at (1e6·rm)//(2·Σrm).
+    "retrieval_rm3" -> s"""
+      WITH d AS (SELECT doc_id,
+              len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+      tot AS (SELECT sum(dl)::BIGINT AS ct FROM d),
+      w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+      tfq0 AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM w
+              WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+              GROUP BY 1, 2),
+      cf0 AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfq0 GROUP BY 1),
+      grid0 AS (
+        SELECT d.doc_id, d.dl, cf0.term, cf0.cf,
+          coalesce(tfq0.tf, 0)::BIGINT AS tf
+        FROM d CROSS JOIN cf0
+        LEFT JOIN tfq0 ON tfq0.doc_id = d.doc_id AND tfq0.term = cf0.term),
+      s0 AS (
+        SELECT doc_id,
+          sum(CAST(round(ln((tf::DOUBLE + 2000.0::DOUBLE
+              * (cf::DOUBLE / ct::DOUBLE))
+            / (dl::DOUBLE + 2000.0::DOUBLE)) * 1000000.0) AS BIGINT))
+            AS score_fp
+        FROM grid0, tot GROUP BY doc_id),
+      fb AS (SELECT doc_id FROM s0 ORDER BY score_fp DESC, doc_id LIMIT 5),
+      mass AS (
+        SELECT term, sum((tf * 1000000) // dl) AS rm_fp FROM (
+          SELECT w.doc_id, w.term, d.dl, COUNT(*)::BIGINT AS tf
+          FROM w JOIN fb USING (doc_id) JOIN d ON d.doc_id = w.doc_id
+          WHERE w.term NOT IN
+              (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+            AND w.term <> ''
+          GROUP BY 1, 2, 3)
+        GROUP BY term),
+      expt AS (SELECT term, rm_fp FROM mass
+               ORDER BY rm_fp DESC, term LIMIT 10),
+      rmt AS (SELECT sum(rm_fp) AS rt FROM expt),
+      wt AS (
+        SELECT term, 500000::BIGINT AS q_w FROM (VALUES
+          ${Bm25Terms.map(t => s"('$t')").mkString(", ")}) t(term)
+        UNION ALL
+        SELECT term, (1000000 * rm_fp) // (2 * rt) FROM expt, rmt),
+      tfq AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM w
+              WHERE term IN (SELECT term FROM wt) GROUP BY 1, 2),
+      cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfq GROUP BY 1),
+      grid AS (
+        SELECT d.doc_id, d.dl, cf.term, cf.cf, wt.q_w,
+          coalesce(tfq.tf, 0)::BIGINT AS tf
+        FROM d CROSS JOIN cf
+        JOIN wt USING (term)
+        LEFT JOIN tfq ON tfq.doc_id = d.doc_id AND tfq.term = cf.term),
+      s AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_terms,
+          sum(q_w * CAST(round(ln((tf::DOUBLE + 2000.0::DOUBLE
+              * (cf::DOUBLE / ct::DOUBLE))
+            / (dl::DOUBLE + 2000.0::DOUBLE)) * 1000000.0) AS BIGINT))
+            AS score_fp
+        FROM grid, tot GROUP BY doc_id),
+      r AS (SELECT doc_id, n_terms, score_fp, row_number() OVER
+              (ORDER BY score_fp DESC, doc_id) AS rnk FROM s)
+      SELECT rnk::BIGINT AS rnk, doc_id, n_terms,
+        score_fp::BIGINT AS score_fp,
+        score_fp::DOUBLE / 1000000.0 / 1000000.0 AS score
       FROM r WHERE rnk <= $Bm25K ORDER BY rnk""",
 
     // Replay of TimeSeries.acf: the events_seasonal dense grid, integer

@@ -171,4 +171,44 @@ class RetrievalSpec extends SparkSpec {
     assert(ranked == Seq(1L, 2L, 3L).sortBy(id => (-score(id), id)))
     graft.util.Caches.unpersistAll()
   }
+
+  test("rm3: feedback docs' co-occurring vocabulary expands the query " +
+      "and lifts docs the original query cannot see") {
+    // query 'q': docs 1-3 pair q with z (the feedback set), docs 4-5
+    // are about z but never say q, doc 6 is unrelated noise. Plain QLD
+    // on 'q' cannot separate 4/5 from 6; RM3 learns z from feedback.
+    val docs = Seq(
+      (1L, "q z z a"), (2L, "q z b b"), (3L, "q z c"),
+      (4L, "z z d"), (5L, "z e e"), (6L, "n n n")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.rm3TopK(docs, "doc_id", "text", Seq("q"), k = 6,
+        fbDocs = 3, fbTerms = 2).orderBy("rnk").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSeq
+    val pos = out.zipWithIndex.toMap
+    assert(pos(4L) < pos(6L) && pos(5L) < pos(6L),
+      s"z-docs must outrank noise after expansion: $out")
+    // layout invariance: bit-identical under repartition
+    val rp = Retrieval.rm3TopK(docs.repartition(5), "doc_id", "text",
+        Seq("q"), k = 6, fbDocs = 3, fbTerms = 2).orderBy("rnk").collect()
+    val base = Retrieval.rm3TopK(docs, "doc_id", "text", Seq("q"), k = 6,
+        fbDocs = 3, fbTerms = 2).orderBy("rnk").collect()
+    assert(rp.map(_.toString).toSeq == base.map(_.toString).toSeq)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("rm3: with no expansion candidates the ranking degenerates to " +
+      "the original query's QLD order") {
+    // feedback docs contain ONLY query terms -> the relevance model is
+    // empty and rm3 is the 0.5-weighted original query: same order
+    val docs = Seq(
+      (1L, "q q q"), (2L, "q q"), (3L, "q"), (4L, "x y")
+    ).toDF("doc_id", "text")
+    val rm3 = Retrieval.rm3TopK(docs, "doc_id", "text", Seq("q"), k = 4,
+        fbDocs = 2, fbTerms = 5).orderBy("rnk").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val qld = Retrieval.qldTopK(docs, "doc_id", "text", Seq("q"), k = 4)
+      .orderBy("rnk").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(rm3 == qld, s"rm3 $rm3 vs qld $qld")
+    graft.util.Caches.unpersistAll()
+  }
 }
