@@ -276,6 +276,74 @@ object Classify {
           .as("kappa"))
   }
 
+  /** Krippendorff's alpha (Krippendorff 1970/2004), nominal metric —
+    * the multi-rater agreement [[agreement]]'s Cohen kappa cannot give:
+    * kappa is pinned to exactly TWO raters with no missing labels,
+    * while real annotation (and ensemble-labeler auditing) has R >= 2
+    * raters each free to abstain. Alpha compares observed to expected
+    * disagreement over all PAIRABLE values (units with >= 2 labels):
+    *
+    *   alpha = 1 − (n−1)·Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)
+    *               / (n² − Σ_c n_c²)
+    *
+    * with n_uc = unit u's count of value c, m_u = u's label count, and
+    * n_c/n totals over pairable units only. Every per-unit division is
+    * made EXACT by scaling with L = lcm(1..R−1) (m_u − 1 always
+    * divides L), so the whole statistic is two exact integer sums and
+    * ONE final double division — bit-deterministic under any
+    * partitioning and replayable in DuckDB. All labels in one category
+    * (zero expected disagreement) leaves alpha indeterminate → NULL,
+    * never 1.0.
+    *
+    * Input: one row per unit, one column per rater (null = abstained);
+    * values compared as strings. Output ONE row: (n_units pairable,
+    * n_values, n_pairable, alpha 6dp). Shape at scale: one narrow
+    * explode (R values per unit), two map-side-combined aggregates, a
+    * broadcast-sized per-value total table — no window, no pairs, no
+    * driver data loops. Products run in decimal(38,0), so the integer
+    * path cannot wrap below ~1e19 labels.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2,
+      s"need >= 2 rater columns, got ${raterCols.size}")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1 until raterCols.size)
+      .foldLeft(1L)((acc, i) => acc / gcd(acc, i.toLong) * i)
+    val dec = "decimal(38,0)"
+    val vals = df.select(col(unitCol).as("__u"),
+        explode(array(raterCols.map(c => col(c).cast("string")): _*))
+          .as("__v"))
+      .where(col("__v").isNotNull)
+    val uc = graft.util.Caches.persist(
+      vals.groupBy("__u", "__v").agg(count(lit(1)).as("__c")))
+    val pairable = graft.util.Caches.persist(
+      uc.groupBy("__u")
+        .agg(sum("__c").as("__m"),
+          sum(col("__c") * col("__c")).as("__s"))
+        .where(col("__m") >= 2))
+    val terms = pairable.agg(
+      count(lit(1)).as("__n_units"),
+      coalesce(sum(expr(s"${L}L div (__m - 1)").cast(dec)
+        * (col("__m") * col("__m") - col("__s")).cast(dec)),
+        lit(0).cast(dec)).as("__al"))
+    val vc = uc.join(pairable.select("__u"), Seq("__u"))
+      .groupBy("__v").agg(sum("__c").as("__nc"))
+    val tot = vc.agg(count(lit(1)).as("__nv"),
+      coalesce(sum("__nc"), lit(0L)).as("__n"),
+      coalesce(sum(col("__nc").cast(dec) * col("__nc").cast(dec)),
+        lit(0).cast(dec)).as("__q"))
+    val de = (col("__n").cast(dec) * col("__n").cast(dec) - col("__q"))
+    tot.crossJoin(broadcast(terms))
+      .select(col("__n_units").as("n_units"), col("__nv").as("n_values"),
+        col("__n").as("n_pairable"),
+        when(de > 0,
+          round(lit(1.0)
+            - ((col("__n") - 1).cast(dec) * col("__al")).cast("double")
+              / (lit(L).cast(dec) * de).cast("double"), 6) + lit(0d))
+          .as("alpha"))
+  }
+
   /** McNemar's test (McNemar 1947) — the PAIRED two-classifier
     * comparison [[rocAuc]]/[[confusion]] cannot give: when models A
     * and B are evaluated on the SAME examples, only the DISCORDANT

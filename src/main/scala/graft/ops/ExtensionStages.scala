@@ -969,7 +969,9 @@ final case class ClassifyTransformStage(
     rightView: String = "",
     yCol: String = "y",
     yhatCol: String = "yhat",
-    alpha: Double = 0.1)
+    alpha: Double = 0.1,
+    // krippendorff: one column per rater (null = abstained)
+    raterCols: Seq[String] = Nil)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -988,6 +990,11 @@ final case class ClassifyTransformStage(
       case "calibration" =>
         Classify.reliabilityBins(in, labelCol, scoreCol, binWidth)
       case "agreement"   => Classify.agreement(in, aCol, bCol)
+      // multi-rater agreement with missing labels (nominal alpha)
+      case "krippendorff" =>
+        if (raterCols.size < 2) throw new IllegalArgumentException(
+          "classify method 'krippendorff' requires >= 2 'raterCols'")
+        Classify.krippendorffAlpha(in, idCol, raterCols)
       // paired two-model comparison on shared examples
       case "mcnemar"     => Classify.mcnemar(in, labelCol, aCol, bCol)
       // split-conformal interval from cal (inputView) + test (rightView)

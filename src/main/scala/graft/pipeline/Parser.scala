@@ -67,7 +67,7 @@ object Parser {
       "tcloseness", "pseudonymize", "pseudonym_audit"),
     "ClassifyTransform" -> Seq(
       "train_score", "auc", "confusion", "calibration", "agreement",
-      "mcnemar", "conformal"),
+      "mcnemar", "conformal", "krippendorff"),
     "GraphTransform" -> Seq(
       "pagerank", "katz", "hits", "triangles", "cooccur_edges", "kcore", "lpa",
       "link_pred", "ppr", "cc", "ball", "harmonic", "nf", "modularity",
@@ -406,6 +406,8 @@ object Parser {
         methodEnums("ClassifyTransform"), "train_score")
       if (method == "conformal" && r.string("rightView").isEmpty)
         r.error("rightView", "missing; conformal needs the test view")
+      if (method == "krippendorff" && r.stringList("raterCols").size < 2)
+        r.error("raterCols", "missing or < 2; krippendorff needs raters")
       ClassifyTransformStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -424,7 +426,8 @@ object Parser {
         rightView = r.string("rightView").getOrElse(""),
         yCol = r.string("yCol").getOrElse("y"),
         yhatCol = r.string("yhatCol").getOrElse("yhat"),
-        alpha = r.double("alpha").getOrElse(0.1))
+        alpha = r.double("alpha").getOrElse(0.1),
+        raterCols = r.stringList("raterCols"))
     },
     "GraphTransform" -> { (r, _) =>
       GraphTransformStage(
@@ -1033,7 +1036,7 @@ object Parser {
     "ClassifyTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "idCol", "textCol", "positiveExpr", "buckets", "labelCol",
       "scoreCol", "predCol", "binWidth", "aCol", "bCol", "rightView",
-      "yCol", "yhatCol", "alpha")),
+      "yCol", "yhatCol", "alpha", "raterCols")),
     "GraphTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "srcCol", "dstCol", "iters", "dampNum", "dampDen",
       "groupCol", "nodeCol", "maxGroup", "coreK", "seedPrefix",

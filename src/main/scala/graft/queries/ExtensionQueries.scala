@@ -182,6 +182,9 @@ object ExtensionQueries {
   private val EmbedMaxBucket = 16
   // Sakoe–Chiba radius for the ts_dtw gate (hours of allowed warp).
   private val TsDtwBand = 24
+  // label_krippendorff: rater 3 abstains under this length (median ~305
+  // at sf0.01 — roughly half the units carry 2 labels, half 3).
+  private val KrippMinChars = 300
   // DBSCAN gate: at sf0.01 this (threshold, minPts) yields 252 core /
   // 157 border / 91 noise across 3 clusters — all three roles and the
   // multi-cluster topology exercised, incl. the oversized-bucket key
@@ -2253,6 +2256,22 @@ object ExtensionQueries {
       Classify.agreement(
         TextAnalysis.langId(docs(spark, dir), "doc_id", "text", "lang"),
         "lang", "predicted")
+    },
+
+    // Krippendorff's alpha across THREE raters — declared lang, the
+    // langId heuristic, and the same heuristic abstaining on short
+    // docs: multi-rater agreement with missing labels, exactly the
+    // setting Cohen's kappa (label_agreement) cannot handle.
+    "label_krippendorff" -> { (spark, dir) =>
+      val rated = TextAnalysis
+        .langId(docs(spark, dir), "doc_id", "text", "lang")
+        .join(docs(spark, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .select(col("doc_id"), col("lang").as("r1"),
+          col("predicted").as("r2"),
+          when(col("n_chars") >= KrippMinChars, col("predicted"))
+            .as("r3"))
+      Classify.krippendorffAlpha(rated, "doc_id", Seq("r1", "r2", "r3"))
     },
 
     // Rendezvous (HRW) shard assignment: stable under shard-count growth.
@@ -7729,6 +7748,42 @@ object ExtensionQueries {
           round((n::DECIMAL(38,0) * d - pn)::DOUBLE
             / (n::DECIMAL(38,0) * n - pn)::DOUBLE, 6) + 0 END AS kappa
       FROM base, penum""",
+
+    // Replay of Classify.krippendorffAlpha over the 3-rater fixture:
+    // melt (declared, predicted, predicted-if-long) to pairable values,
+    // per-unit disagreement scaled by L = lcm(1..R−1) = 2 so every
+    // division is exact integer math, one final double division 6dp.
+    "label_krippendorff" -> s"""$LangIdPredSql,
+      vals AS (
+        SELECT u, v FROM (
+          SELECT p.doc_id AS u, p.lang AS v FROM pred p
+          UNION ALL SELECT p.doc_id, p.predicted FROM pred p
+          UNION ALL SELECT p.doc_id,
+            CASE WHEN d.n_chars >= $KrippMinChars THEN p.predicted END
+          FROM pred p JOIN documents d ON d.doc_id = p.doc_id)
+        WHERE v IS NOT NULL),
+      uc AS (SELECT u, v, count(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+      us AS (SELECT u, sum(c)::BIGINT AS m, sum(c*c)::BIGINT AS s
+             FROM uc GROUP BY 1),
+      pairable AS (SELECT u, m, s FROM us WHERE m >= 2),
+      terms AS (
+        SELECT count(*)::BIGINT AS n_units,
+          coalesce(sum((2 // (m - 1))::HUGEINT * (m*m - s)::HUGEINT),
+            0::HUGEINT) AS al
+        FROM pairable),
+      vc AS (SELECT v, sum(c)::BIGINT AS nc
+             FROM uc JOIN pairable USING (u) GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS nv,
+          coalesce(sum(nc), 0)::BIGINT AS n,
+          coalesce(sum(nc::HUGEINT * nc::HUGEINT), 0::HUGEINT) AS q
+        FROM vc)
+      SELECT terms.n_units, tot.nv AS n_values, tot.n AS n_pairable,
+        CASE WHEN (n::HUGEINT * n::HUGEINT - q) > 0 THEN
+          round(1 - ((n - 1)::HUGEINT * al)::DOUBLE
+            / (2::HUGEINT * (n::HUGEINT * n::HUGEINT - q))::DOUBLE, 6)
+            + 0
+        ELSE NULL END AS alpha
+      FROM tot, terms""",
 
     // Replay of Sampling.rendezvousShard: argmax_s h32(id ':' s), ties
     // to the smallest s — (h DESC, s ASC) row_number here, max over

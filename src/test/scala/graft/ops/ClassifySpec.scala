@@ -223,4 +223,63 @@ class ClassifySpec extends SparkSpec {
     }
     graft.util.Caches.unpersistAll()
   }
+
+  test("krippendorffAlpha: exact-integer replay on a 3-rater fixture " +
+      "with missing labels; single-label units excluded") {
+    // unit 5 has ONE label (the other raters abstained) — unpairable,
+    // it must contribute nothing to any total
+    val df = Seq(
+      (1L, Some("a"), Some("a"), Some("a")),
+      (2L, Some("a"), Some("b"), None),
+      (3L, Some("b"), Some("b"), Some("b")),
+      (4L, Some("b"), Some("a"), Some("b")),
+      (5L, Some("a"), None, None)
+    ).toDF("u", "r1", "r2", "r3")
+    // brute replay of the L-scaled integer formulation (L = 2)
+    val units = Seq(
+      Seq("a", "a", "a"), Seq("a", "b"), Seq("b", "b", "b"),
+      Seq("b", "a", "b")) // unit 5 dropped: m = 1
+    val L = 2L
+    val al = units.map { vs =>
+      val m = vs.size.toLong
+      val s = vs.groupBy(identity).values.map(g => g.size.toLong * g.size)
+        .sum
+      (L / (m - 1)) * (m * m - s)
+    }.sum
+    val nc = units.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = nc.values.sum
+    val b = n * n - nc.values.map(c => c * c).sum
+    val expected = BigDecimal(
+      1.0 - (n - 1).toDouble * al / (L * b).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val out = Classify.krippendorffAlpha(df, "u", Seq("r1", "r2", "r3"))
+      .collect().head
+    assert(out.getLong(0) == 4L, out.toString) // pairable units
+    assert(out.getLong(1) == 2L) // values a, b
+    assert(out.getLong(2) == n)
+    assert(out.getDouble(3) == expected, s"$out vs $expected")
+    val rp = Classify
+      .krippendorffAlpha(df.repartition(5), "u", Seq("r1", "r2", "r3"))
+      .collect().head
+    assert(rp.toString == out.toString)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1, one-category data " +
+      "is NULL (indeterminate), not a fake 1") {
+    val perfect = Seq((1L, "x", "x"), (2L, "y", "y"), (3L, "x", "x"))
+      .toDF("u", "r1", "r2")
+    val p = Classify.krippendorffAlpha(perfect, "u", Seq("r1", "r2"))
+      .collect().head
+    assert(p.getDouble(3) == 1.0, p.toString)
+    val mono = Seq((1L, "x", "x"), (2L, "x", "x")).toDF("u", "r1", "r2")
+    val m = Classify.krippendorffAlpha(mono, "u", Seq("r1", "r2"))
+      .collect().head
+    assert(m.isNullAt(3), m.toString)
+    intercept[IllegalArgumentException] {
+      Classify.krippendorffAlpha(perfect, "u", Seq("r1"))
+    }
+    graft.util.Caches.unpersistAll()
+  }
 }
