@@ -1087,6 +1087,13 @@ final case class GraphTransformStage(
             greatest(col(srcCol), col(dstCol)).as("b"))
           .where(col("a") < col("b")).distinct()
         Graph.kCore(und, coreK, iters, checkpointEvery)
+      // edge-cohesion peel: coreK = k, iters = the peel-rounds budget
+      case "ktruss" =>
+        val und = in
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") < col("b")).distinct()
+        Graph.kTruss(und, coreK, iters)
       case "lpa" =>
         val und = in
           .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -575,7 +575,17 @@ object Graph {
     * explodes on hubs the way an id-ordered orientation does. Two hash
     * joins total; no state beyond the edge list.
     */
-  def triangleCounts(und: DataFrame): DataFrame = {
+  def triangleCounts(und: DataFrame): DataFrame =
+    orientedTriangles(und)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** Every triangle of the canonical undirected edge table exactly once,
+    * as (u, v, w) under the degree orientation — the shared enumeration
+    * behind [[triangleCounts]], [[clusteringCoefficients]] and
+    * [[kTruss]].
+    */
+  private def orientedTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -611,13 +621,102 @@ object Graph {
               org.apache.spark.sql.GraftColumnBridge.expression(b)))
         case _ => array_intersect(a, b)
       }
-    val tris = dir
+    dir
       .join(adj.select(col("node").as("u"), col("nbrs").as("__nu")), "u")
       .join(adj.select(col("node").as("v"), col("nbrs").as("__nv")), "v")
       .select(col("u"), col("v"),
         explode(intersect(col("__nu"), col("__nv"))).as("w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** k-truss decomposition (Cohen 2008) — EDGE-level cohesion beside
+    * [[kCore]]'s node-level one: an edge survives only while it closes
+    * at least k−2 triangles with other surviving edges, so a k-truss is
+    * the subgraph where every tie is multiply witnessed. The curation
+    * read: k-core keeps a well-connected hub even when its ties are
+    * pairwise-only (a spam hub linking everywhere survives); k-truss
+    * demands triangle evidence per EDGE, the standard stronger
+    * community filter on co-occurrence graphs.
+    *
+    * Budgeted-fixpoint contract exactly like [[kCore]]: up to `rounds`
+    * peels (each = one triangle-support pass + one filter), early-stop
+    * when a round drops nothing (identity rounds make the budget a
+    * ceiling, not a schedule), LOUD warn when the budget ends before
+    * the fixpoint. Support is recomputed once on the surviving subgraph
+    * so the output is well-defined whether or not the peel converged.
+    *
+    * Input: canonical undirected edges (a < b, distinct). Output:
+    * (a, b, support) of the surviving subgraph. Shape at scale: each
+    * round is the [[triangleCounts]] plan (degree orientation +
+    * sorted-intersect closing — never the wedge join) plus one
+    * map-side-combined per-edge count and a filter; edge state persists
+    * per round with immediate eviction of the superseded generation.
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def supportOf(und: DataFrame): DataFrame = {
+      val tris = orientedTriangles(und)
+      tris.select(explode(array(
+          struct(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"),
+            greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"),
+            greatest(col("v"), col("w")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    // canonicalize internally (a reversed duplicate must count once,
+    // not silently drop); self-loops close no triangle and go.
+    // Every generation is lineage-TRUNCATED (Truncator(1)), not merely
+    // persisted: the support pass references the edge table ~5 times
+    // (degree union, orientation joins, adjacency, probe), so an
+    // un-truncated logical plan grows 5^rounds and OOMs the analyzer
+    // long before the data does.
+    val trunc = new graft.util.Truncator(1)
+    var und = trunc(
+      edges.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .where(col("a") < col("b")).distinct())
+    var edgeCount = und.count()
+    var r = 0
+    var converged = false
+    var lastSup: DataFrame = null
+    while (r < rounds && !converged) {
+      val sup = graft.util.Caches.persist(
+        und.join(supportOf(und), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("support"), lit(0L)).as("support")))
+      val next = trunc(sup.where(col("support") >= k - 2)
+        .select("a", "b"))
+      val nextCount = next.count()
+      converged = nextCount == edgeCount
+      und = next
+      edgeCount = nextCount
+      r += 1
+      if (lastSup != null) lastSup.unpersist(blocking = false)
+      lastSup = sup
+    }
+    // On convergence the final filter dropped nothing, so the round's
+    // own support table already describes the SURVIVING subgraph — no
+    // extra triangle pass. Only a budget-exhausted peel recomputes.
+    val out =
+      if (converged) lastSup
+      else {
+        lastSup.unpersist(blocking = false)
+        graft.util.Caches.persist(
+          und.join(supportOf(und), Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              coalesce(col("support"), lit(0L)).as("support")))
+      }
+    if (!converged) {
+      val under = out.where(col("support") < k - 2).count()
+      if (under > 0) log.warn(
+        s"kTruss: peel budget ($rounds rounds) ended before the " +
+          s"fixpoint — $under surviving edge(s) still have support " +
+          s"< ${k - 2}; raise rounds for the exact $k-truss")
+    }
+    out
   }
 
   /** Local clustering coefficients over a canonical undirected edge

@@ -69,7 +69,8 @@ object Parser {
       "train_score", "auc", "confusion", "calibration", "agreement",
       "mcnemar", "conformal", "krippendorff"),
     "GraphTransform" -> Seq(
-      "pagerank", "katz", "hits", "triangles", "cooccur_edges", "kcore", "lpa",
+      "pagerank", "katz", "hits", "triangles", "cooccur_edges", "kcore",
+      "ktruss", "lpa",
       "link_pred", "ppr", "cc", "ball", "harmonic", "nf", "modularity",
       "assortativity", "scc", "topo_layers", "walks", "clustering",
       "reciprocity", "degree_alpha"),

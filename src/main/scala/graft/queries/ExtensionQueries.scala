@@ -182,6 +182,10 @@ object ExtensionQueries {
   private val EmbedMaxBucket = 16
   // Sakoe–Chiba radius for the ts_dtw gate (hours of allowed warp).
   private val TsDtwBand = 24
+  // k-truss gate: support >= 3 per surviving edge, 3-round peel budget
+  // (the sf0.01 co-occurrence graph reaches its fixpoint in 3 rounds).
+  private val KtrussK = 5
+  private val KtrussRounds = 3
   // label_krippendorff: rater 3 abstains under this length (median ~305
   // at sf0.01 — roughly half the units carry 2 labels, half 3).
   private val KrippMinChars = 300
@@ -2010,6 +2014,18 @@ object ExtensionQueries {
           li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup),
           k = KcoreK, rounds = KcoreRounds)
         .orderBy("node")
+    },
+
+    // k-truss on the same co-occurrence graph: EDGE-level cohesion —
+    // an edge survives only while it closes >= k-2 triangles among
+    // survivors, the stronger community filter beside kcore's
+    // node-degree peel (a pairwise-only hub passes kcore, not this).
+    "graph_ktruss" -> { (spark, dir) =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      Graph.kTruss(Graph.coOccurrenceEdges(
+          li, "l_orderkey", "l_partkey", maxGroup = TriMaxGroup),
+          k = KtrussK, rounds = KtrussRounds)
+        .orderBy("a", "b")
     },
 
     // Modularity of the communities LPA just found — the composition a
@@ -7299,6 +7315,57 @@ object ExtensionQueries {
       $peels
       SELECT a AS node, count(*) AS degree FROM sym$KcoreRounds
       GROUP BY a ORDER BY node"""
+    },
+
+    // Replay of Graph.kTruss: the triangle_count orientation + wedge
+    // join per peel round (support = per-undirected-edge triangle
+    // count over the three exploded edges), KtrussRounds unrolled
+    // filters, then one final support pass over the survivors — the
+    // Spark side's early-stop is an identity round, so a fixed unroll
+    // produces the same table.
+    "graph_ktruss" -> {
+      // MATERIALIZED throughout: the peel references each generation
+      // ~6 times, and DuckDB inlining would re-open the parquet per
+      // reference (observed: "Too many open files" at 4 rounds).
+      def triBlock(i: Int, src: String): String = s"""
+      deg$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM $src UNION ALL SELECT b FROM $src)
+          GROUP BY node),
+      dir$i AS MATERIALIZED (SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN a ELSE b END AS u,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN b ELSE a END AS v
+        FROM $src JOIN deg$i da ON da.node = a
+        JOIN deg$i db ON db.node = b),
+      tri$i AS MATERIALIZED (SELECT e1.u, e1.v, e2.v AS w
+        FROM dir$i e1 JOIN dir$i e2 ON e2.u = e1.v
+        JOIN dir$i e3 ON e3.u = e1.u AND e3.v = e2.v),
+      sup$i AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+          SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri$i
+          UNION ALL SELECT least(u, w), greatest(u, w) FROM tri$i
+          UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$i)
+        GROUP BY 1, 2)"""
+      val rounds = (0 until KtrussRounds).map { i =>
+        triBlock(i, s"und$i") + s""",
+      und${i + 1} AS MATERIALIZED (SELECT u.a, u.b FROM und$i u
+        LEFT JOIN sup$i s ON s.a = u.a AND s.b = u.b
+        WHERE coalesce(s.c, 0) >= $KtrussK - 2)"""
+      }.mkString(",")
+      s"""
+      WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                 FROM lineitem),
+      sized AS (SELECT *, count(*) OVER (PARTITION BY g) AS gn FROM g),
+      kept AS MATERIALIZED (SELECT g, n FROM sized
+              WHERE gn <= $TriMaxGroup),
+      und0 AS MATERIALIZED (SELECT DISTINCT x.n AS a, y.n AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.n < y.n),
+      $rounds,
+      ${triBlock(KtrussRounds, s"und$KtrussRounds")}
+      SELECT u.a, u.b, coalesce(s.c, 0)::BIGINT AS support
+      FROM und$KtrussRounds u
+      LEFT JOIN sup$KtrussRounds s ON s.a = u.a AND s.b = u.b
+      ORDER BY u.a, u.b"""
     },
 
     "triangle_count" -> s"""

@@ -570,6 +570,43 @@ class GraphSpec extends SparkSpec {
     graft.util.Caches.unpersistAll()
   }
 
+  test("ktruss: K4 survives at k=4 with support 2, pendant edges drop, " +
+      "k=5 empties it") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val t4 = Graph.kTruss(k4, k = 4).orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(t4 == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), t4)
+    assert(Graph.kTruss(k4, k = 5).count() == 0)
+    // k=3: any triangle evidence keeps an edge; only the pendant drops
+    assert(Graph.kTruss(k4, k = 3).count() == 6)
+    graft.util.Caches.unpersistAll()
+  }
+
+  test("ktruss: removal cascades — K4 minus an edge unravels at k=4, " +
+      "and a 1-round budget stops early with a well-defined support") {
+    // edges (1,2),(1,3),(2,3),(2,4),(3,4): only (2,3) closes 2
+    // triangles; once the others drop, (2,3) has no support either
+    val frame = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    assert(Graph.kTruss(frame, k = 4, rounds = 8).count() == 0)
+    // budget of 1: the cascade is cut short; the survivor reports the
+    // RECOMPUTED support on the surviving subgraph (0), never a stale 2
+    val budget1 = Graph.kTruss(frame, k = 4, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(budget1 == Seq((2L, 3L, 0L)), budget1)
+    // layout + duplicate-edge invariance
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val a1 = Graph.kTruss(dup, k = 3).orderBy("a", "b").collect().toSeq
+    val a2 = Graph.kTruss(dup.repartition(7), k = 3).orderBy("a", "b")
+      .collect().toSeq
+    assert(a1 == a2)
+    intercept[IllegalArgumentException] { Graph.kTruss(frame, k = 2) }
+    graft.util.Caches.unpersistAll()
+  }
+
   test("hits: bipartite graph splits the roles exactly — sources have " +
       "zero authority, sinks zero hubness, each side sums to ~scale") {
     val e = Seq(("s1", "c1"), ("s1", "c2"), ("s2", "c2"), ("s3", "c2"))
