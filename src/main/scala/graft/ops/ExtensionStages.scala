@@ -905,7 +905,10 @@ final case class PiiTransformStage(
     // mislead here)
     sensitiveCol: String = "",
     // tcloseness: the paper's distribution-distance threshold
-    t: Double = 0.2)
+    t: Double = 0.2,
+    // randomized_response: truth probability pNum/pDen over sensitiveCol
+    pNum: Long = 3L,
+    pDen: Long = 4L)
     extends Stage {
 
   override def execute()(implicit ctx: PipelineContext): Option[DataFrame] = {
@@ -919,6 +922,12 @@ final case class PiiTransformStage(
       case "kanon" => Pii.kAnonymityProfile(in, cols, k)
       case "suppress" => Pii.kAnonymize(in, cols, k)
       case "noisy_counts" => Pii.noisyCounts(in, cols, scale, salt)
+      // local-DP GRR counts over the sensitive column
+      case "randomized_response" =>
+        Pii.randomizedResponseCounts(in, idCol,
+          if (sensitiveCol.nonEmpty) sensitiveCol else textCol,
+          pNum, pDen,
+          salt = if (salt.nonEmpty) salt else "rr")
       case "ldiversity" =>
         require(sensitiveCol.nonEmpty,
           "pii method 'ldiversity' requires 'sensitiveCol'")

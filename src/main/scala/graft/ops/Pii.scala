@@ -294,4 +294,81 @@ object Pii {
       .select(qs ++ Seq(col("group_n"), col("n_values"), col("emd"),
         (col("emd") > t).as("at_risk")): _*)
   }
+
+  /** Generalized randomized response + frequency estimation (Warner
+    * 1965; the k-ary GRR of Kairouz et al. 2016) — LOCAL differential
+    * privacy beside [[noisyCounts]]' central-DP Laplace: each record
+    * perturbs its OWN categorical value before any aggregation (report
+    * the truth with probability p = pNum/pDen, else one of the other
+    * d−1 domain values uniformly), so the collector never holds a true
+    * row; the aggregate then inverts the known noise:
+    *
+    *   n̂_c = (y_c·pDen·(d−1) − n·(pDen−pNum)) / (pNum·d − pDen)
+    *
+    * — the unbiased GRR frequency oracle, exact integer numerator and
+    * denominator, one final 6dp double division. The privacy level is
+    * ε = ln(p(d−1)/(1−p)).
+    *
+    * Deterministic pin (the oracle replays it): the keep-draw compares
+    * the exactly-uniform raw 32-bit hash of `id:salt` against
+    * floor(p·2³²) — an exact Bernoulli(p) — and the replacement draw
+    * indexes the OTHER sorted domain values by h32raw(id:salt:pick)
+    * mod (d−1) (modulo bias O(d/2³²), deterministic). Swap the salt
+    * per release for fresh draws.
+    *
+    * Output per domain value: (value, n_reported, n_est). Requires
+    * p > 1/d (pNum·d > pDen) or the estimator is degenerate — loud.
+    * Shape at scale: ONE bounded domain collect (≤ maxDomain, loud),
+    * the mechanism as a narrow broadcast-rank projection, one
+    * map-side-combined count — no window, no pairs.
+    */
+  def randomizedResponseCounts(df: DataFrame, idCol: String,
+      valueCol: String, pNum: Long = 3, pDen: Long = 4,
+      maxDomain: Int = 1024, salt: String = "rr"): DataFrame = {
+    require(pNum > 0 && pDen > pNum,
+      s"need 0 < pNum < pDen, got $pNum/$pDen")
+    import graft.functions.{TextFunctions => T}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("string").as("__v"))
+    val domain = rows.select(col("__v")).distinct()
+      .orderBy("__v").limit(maxDomain + 1)
+      .as[String].collect().toSeq
+    require(domain.size <= maxDomain,
+      s"randomizedResponse: domain exceeds maxDomain=$maxDomain — GRR " +
+        "is a small-domain mechanism; hash or bucket the column first")
+    val d = domain.size
+    require(d >= 2, s"need >= 2 domain values, got $d")
+    require(pNum * d > pDen,
+      s"estimator degenerate: need p > 1/d, got p=$pNum/$pDen at d=$d")
+    val keepThreshold = (BigInt(pNum) * BigInt(2).pow(32) / BigInt(pDen))
+      .toLong
+    val rank = broadcast(domain.zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("__v", "__rank"))
+    val domainArr = array(domain.map(lit): _*)
+    val reported = rows.join(rank, Seq("__v"))
+      .select(
+        when(T.h32raw(concat(col("__id"), lit(s":$salt"))) < keepThreshold,
+          col("__v"))
+          .otherwise {
+            val pick = T.h32raw(concat(col("__id"), lit(s":$salt:pick"))) % (d - 1)
+            // index into the sorted domain MINUS the true value
+            element_at(domainArr,
+              (when(pick < col("__rank"), pick).otherwise(pick + 1) + 1)
+                .cast("int"))
+          }.as("reported"))
+    val counts = reported.groupBy(col("reported").as("value"))
+      .agg(count(lit(1)).as("n_reported"))
+    val tot = counts.agg(coalesce(sum("n_reported"), lit(0L)).as("__n"))
+    broadcast(rank.select(col("__v").as("value")))
+      .join(counts, Seq("value"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("value"),
+        coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+        (round((coalesce(col("n_reported"), lit(0L)) * pDen * (d - 1)
+            - col("__n") * (pDen - pNum)).cast("double")
+          / (pNum * d - pDen), 6) + lit(0d)).as("n_est"))
+  }
 }

@@ -64,7 +64,8 @@ object Parser {
       "index", "bm25", "rrf", "rank_eval", "qld", "rm3"),
     "PiiTransform" -> Seq(
       "stats", "scrub", "kanon", "suppress", "noisy_counts", "ldiversity",
-      "tcloseness", "pseudonymize", "pseudonym_audit"),
+      "tcloseness", "pseudonymize", "pseudonym_audit",
+      "randomized_response"),
     "ClassifyTransform" -> Seq(
       "train_score", "auc", "confusion", "calibration", "agreement",
       "mcnemar", "conformal", "krippendorff"),
@@ -400,7 +401,9 @@ object Parser {
         scale = r.double("scale").getOrElse(1.0),
         salt = r.string("salt").getOrElse(""),
         sensitiveCol = r.string("sensitiveCol").getOrElse(""),
-        t = r.double("t").getOrElse(0.2))
+        t = r.double("t").getOrElse(0.2),
+        pNum = r.long("pNum").getOrElse(3L),
+        pDen = r.long("pDen").getOrElse(4L))
     },
     "ClassifyTransform" -> { (r, _) =>
       val method = r.oneOf("method",
@@ -1033,7 +1036,7 @@ object Parser {
       "rankViews", "rrfK", "qrelsView", "mu", "fbDocs", "fbTerms")),
     "PiiTransform" -> (commonKeys ++ Set("inputView", "outputView", "method",
       "idCol", "textCol", "cols", "k", "scale", "salt", "sensitiveCol",
-      "t")),
+      "t", "pNum", "pDen")),
     "ClassifyTransform" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "idCol", "textCol", "positiveExpr", "buckets", "labelCol",
       "scoreCol", "predCol", "binWidth", "aCol", "bCol", "rightView",

@@ -186,6 +186,10 @@ object ExtensionQueries {
   // (the sf0.01 co-occurrence graph reaches its fixpoint in 3 rounds).
   private val KtrussK = 5
   private val KtrussRounds = 3
+  // randomized response gate: report truth w.p. 3/4 (eps = ln(12) at
+  // the 5-language domain).
+  private val RrPNum = 3L
+  private val RrPDen = 4L
   // label_krippendorff: rater 3 abstains under this length (median ~305
   // at sf0.01 — roughly half the units carry 2 labels, half 3).
   private val KrippMinChars = 300
@@ -2848,6 +2852,17 @@ object ExtensionQueries {
       Pii.noisyCounts(docs(spark, dir), Seq("lang", "source"),
           DpScale, DpSalt)
         .orderBy("lang", "source")
+    },
+
+    // LOCAL-DP randomized response over the language column: each row
+    // perturbs ITSELF (truth w.p. 3/4, else a uniform other lang)
+    // before any aggregation, then the GRR frequency oracle inverts
+    // the known noise — the collector-never-sees-truth counterpart of
+    // dp_noisy_counts' central-DP Laplace.
+    "dp_randomized_response" -> { (spark, dir) =>
+      Pii.randomizedResponseCounts(docs(spark, dir), "doc_id", "lang",
+          RrPNum, RrPDen)
+        .orderBy("value")
     },
 
     // Scalable global ordinal (curriculum order by document length) —
@@ -9162,6 +9177,43 @@ object ExtensionQueries {
     // Replay of Pii.noisyCounts: same md5-derived uniform, inverse-CDF
     // Laplace draw, clamp at 0; every literal cast ::DOUBLE so DuckDB's
     // DECIMAL literals never enter the arithmetic.
+    // Replay of Pii.randomizedResponseCounts: exact-Bernoulli keep via
+    // the raw 32-bit hash against floor(p * 2^32), replacement indexed
+    // into the sorted domain minus the true value, GRR inversion in
+    // exact integers with one final 6dp division.
+    "dp_randomized_response" -> {
+      val keep = (BigInt(RrPNum) * BigInt(2).pow(32) / BigInt(RrPDen))
+        .toLong
+      s"""
+      WITH rows0 AS (SELECT doc_id::VARCHAR AS id, lang AS v
+            FROM documents WHERE lang IS NOT NULL),
+      dom AS MATERIALIZED (SELECT v,
+            row_number() OVER (ORDER BY v) - 1 AS rnk
+          FROM (SELECT DISTINCT v FROM rows0)),
+      dd AS (SELECT count(*) AS d, list(v ORDER BY v) AS arr FROM dom),
+      rep AS (
+        SELECT CASE
+            WHEN ('0x'||substr(md5(id || ':rr'),1,8))::BIGINT < $keep
+              THEN v
+            ELSE arr[(CASE WHEN pick < rnk THEN pick ELSE pick + 1 END
+              + 1)::INT]
+          END AS reported
+        FROM (SELECT id, v, rnk, arr, d,
+            ('0x'||substr(md5(id || ':rr:pick'),1,8))::BIGINT % (d - 1)
+              AS pick
+          FROM rows0 JOIN dom USING (v) CROSS JOIN dd)),
+      counts AS (SELECT reported AS value, count(*)::BIGINT AS c
+          FROM rep GROUP BY 1),
+      tot AS (SELECT sum(c)::BIGINT AS n FROM counts)
+      SELECT dom.v AS value, coalesce(c, 0)::BIGINT AS n_reported,
+        round((coalesce(c, 0) * $RrPDen * (d - 1)
+            - n * (${RrPDen - RrPNum}))::DOUBLE
+          / (${RrPNum} * d - $RrPDen), 6) + 0 AS n_est
+      FROM dom LEFT JOIN counts ON counts.value = dom.v
+      CROSS JOIN tot CROSS JOIN dd
+      ORDER BY value"""
+    },
+
     "dp_noisy_counts" -> s"""
       WITH g AS (SELECT lang, source, count(*)::BIGINT AS n FROM documents
                  GROUP BY 1, 2),

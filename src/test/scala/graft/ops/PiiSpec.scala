@@ -152,4 +152,57 @@ class PiiSpec extends SparkSpec {
     val dup = Seq(7L, 7L, 7L).toDF("user_id")
     assert(Pii.pseudonymCollisions(dup, "user_id", "rel1").count() == 0L)
   }
+
+  test("randomizedResponse: deterministic brute replay of the GRR " +
+      "mechanism and the inversion; estimates sum to n exactly") {
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a"),
+      (5L, "b"), (6L, "a"), (7L, "c"), (8L, "b"), (9L, "a"), (10L, "c"))
+    val df = rows.toDF("id", "v")
+    val out = Pii.randomizedResponseCounts(df, "id", "v", 3, 4)
+      .orderBy("value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // brute: same raw-md5 hash, same keep threshold, same pick index
+    def h32raw(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val domain = Seq("a", "b", "c")
+    val keep = (BigInt(3) * BigInt(2).pow(32) / BigInt(4)).toLong
+    val reported = rows.map { case (id, v) =>
+      if (h32raw(s"$id:rr") < keep) v
+      else {
+        val pick = (h32raw(s"$id:rr:pick") % 2).toInt
+        val j = if (pick < domain.indexOf(v)) pick else pick + 1
+        domain(j)
+      }
+    }
+    val y = reported.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val expected = domain.map { c =>
+      val yc = y.getOrElse(c, 0L)
+      val est = BigDecimal((yc * 4 * 2 - n * 1).toDouble / (3 * 3 - 4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (c, yc, est)
+    }
+    assert(out == expected, s"got $out want $expected")
+    // the GRR inversion telescopes: sum of estimates == n exactly
+    assert(math.abs(out.map(_._3).sum - n) < 1e-3, out.toString)
+    // the mechanism must actually flip something at p = 3/4, or the
+    // test is vacuous
+    assert(reported != rows.map(_._2), "no flips at this seed/salt")
+    val rp = Pii
+      .randomizedResponseCounts(df.repartition(5), "id", "v", 3, 4)
+      .orderBy("value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rp == out)
+    // p <= 1/d leaves the estimator degenerate — loud, not garbage
+    intercept[IllegalArgumentException] {
+      Pii.randomizedResponseCounts(df, "id", "v", 1, 4)
+    }
+    // a 1-value domain has no "other value" to report
+    intercept[IllegalArgumentException] {
+      Pii.randomizedResponseCounts(df.where($"v" === "a"), "id", "v", 3, 4)
+    }
+  }
 }
