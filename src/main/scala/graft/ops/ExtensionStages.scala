@@ -727,6 +727,10 @@ final case class TextAnalysisTransformStage(
       case "readability" => TextAnalysis.readability(in, idCol, textCol)
       // corpus Zipf ln-ln slope over the zipfTopN vocabulary head
       case "zipf" => TextAnalysis.zipfFit(in, textCol, zipfTopN)
+      // Heaps' law growth curve; chunkSize doubles as the checkpoint
+      // count (its 64 default is a reasonable curve resolution)
+      case "heaps" =>
+        TextAnalysis.heapsLaw(in, idCol, textCol, chunkSize)
       // per-doc character-class mix (encoding-health probe)
       case "charclass" => TextAnalysis.charClassMix(in, idCol, textCol)
       // per-doc Unicode-script shares (refines charclass's non-ASCII

@@ -1287,6 +1287,79 @@ object TextAnalysis {
     * formula evaluates identically on any engine. ln(count) of realistic
     * counts stays ≪ 2^33, inside the fixed-point exactness bound.
     */
+  /** Heaps' law vocabulary-growth fit (Heaps 1978; Herdan 1960) — the
+    * corpus-scale question [[zipfFit]]'s frequency curve cannot answer:
+    * HOW FAST does new vocabulary keep arriving as the corpus grows?
+    * V(N) ≈ K·N^β with β ≈ 0.4–0.6 for natural text; a β near 1 means
+    * near-random token soup (vocabulary never saturates — OCR noise,
+    * ids, boilerplate churn), a β collapsing toward 0 means the corpus
+    * has stopped contributing new words (dedup/diversity saturation) —
+    * both are go/no-go signals for adding more of the same source to a
+    * training mix.
+    *
+    * Distributed form — no sequential scan over the corpus: cumulative
+    * tokens at checkpoint j are a SUM over docs with id below the j-th
+    * id bound, and cumulative vocabulary is a COUNT of terms whose
+    * FIRST-OCCURRENCE doc id (min over the term's postings) is below
+    * the bound — both map-side-combined aggregates over a broadcast
+    * checkpoint table, the growth curve without any order-by. The
+    * log-log OLS runs in [[zipfFit]]'s fixed-point convention (6dp-
+    * replayable ln, ×2^20 long sums, one double division). Checkpoints
+    * whose corpus prefix is empty are dropped from curve and fit.
+    *
+    * Output: one row per non-empty checkpoint — (ckpt, n_tokens,
+    * vocab, beta, log_k), the fit repeated on each row (log_k = ln K).
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 3 && checkpoints <= 1000,
+      s"checkpoints must be in [3, 1000], got $checkpoints")
+    val ws = split(col(textCol), " ", -1)
+    val base = graft.util.Caches.persist(
+      df.select(col(idCol).cast("long").as("__id"),
+        size(filter(ws, w => length(w) > 0)).cast("long").as("__nt"),
+        ws.as("__ws")))
+    val bounds = base.agg(max("__id").as("__mx"))
+      .select(explode(sequence(lit(1), lit(checkpoints))).as("ckpt"),
+        col("__mx"))
+      .select(col("ckpt").cast("long").as("ckpt"),
+        expr(s"((__mx + 1) * ckpt) div $checkpoints").as("__bound"))
+    val tokAt = base.select("__id", "__nt").crossJoin(broadcast(bounds))
+      .where(col("__id") < col("__bound"))
+      .groupBy("ckpt").agg(sum("__nt").as("n_tokens"))
+    val firsts = base.select(col("__id"), explode(col("__ws")).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy(lower(col("__w")).as("__w")).agg(min("__id").as("__first"))
+    val vocAt = firsts.crossJoin(broadcast(bounds))
+      .where(col("__first") < col("__bound"))
+      .groupBy("ckpt").agg(count(lit(1)).as("vocab"))
+    val ck = graft.util.Caches.persist(
+      bounds.select("ckpt")
+        .join(tokAt, Seq("ckpt"), "left").join(vocAt, Seq("ckpt"), "left")
+        .select(col("ckpt"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("vocab"), lit(0L)).as("vocab"))
+        .where(col("n_tokens") > 0 && col("vocab") > 0))
+    val scale = (1L << 20).toDouble
+    def fpc(c: Column) = sum(round(c * scale).cast("decimal(38,0)"))
+    val x = log(col("n_tokens").cast("double"))
+    val y = log(col("vocab").cast("double"))
+    val stats = ck.agg(count(lit(1)).as("__n"),
+      fpc(x).as("__sx"), fpc(y).as("__sy"),
+      fpc(x * x).as("__sxx"), fpc(x * y).as("__sxy"))
+    val nD = col("__n").cast("double")
+    def d(c: String) = col(c).cast("double") / scale
+    val varX = nD * d("__sxx") - d("__sx") * d("__sx")
+    val slope = (nD * d("__sxy") - d("__sx") * d("__sy")) / varX
+    val fit = stats.select(
+      (round(when(varX > 0, slope).otherwise(0d), 6) + lit(0d)).as("beta"),
+      (round(when(varX > 0, (d("__sy") - slope * d("__sx")) / nD)
+        .otherwise(0d), 6) + lit(0d)).as("log_k"))
+    ck.crossJoin(broadcast(fit))
+      .select(col("ckpt"), col("n_tokens"), col("vocab"),
+        col("beta"), col("log_k"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String,
       topN: Int = 1000): DataFrame = {
     require(topN >= 2, s"topN must be >= 2, got $topN")

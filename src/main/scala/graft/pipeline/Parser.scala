@@ -114,7 +114,7 @@ object Parser {
       "unigram_learn", "unigram_encode", "unigram_fertility",
       "wordpiece_learn", "wordpiece_encode", "wordpiece_fertility",
       "bytebpe_learn", "bytebpe_encode", "bytebpe_fertility",
-      "html_extract", "fix_encoding", "nfc"),
+      "html_extract", "fix_encoding", "nfc", "heaps"),
     "SketchTransform" -> Seq(
       "hll", "kmv", "cms", "hll_intersect", "hll_rolling", "kmv_jaccard",
       "kmv_diff", "join_size"),

@@ -4798,6 +4798,16 @@ object ExtensionQueries {
       TextAnalysis.zipfFit(docs(spark, dir), "text", topN = ZipfTopN)
     },
 
+    // Heaps' law vocabulary-growth curve + log-log fit: how fast does
+    // NEW vocabulary arrive as the corpus grows — beta near 1 is token
+    // soup, beta collapsing to 0 is a saturated source; the add-more-
+    // of-this-source go/no-go beside text_zipf's frequency curve.
+    "text_heaps" -> { (spark, dir) =>
+      TextAnalysis.heapsLaw(docs(spark, dir), "doc_id", "text",
+          checkpoints = 10)
+        .orderBy("ckpt")
+    },
+
     // Two-proportion z-test: purchase rate of the user-parity arms —
     // the conversion-rate readout with pooled-SE z, erfc p, and the
     // absolute/relative lift effect sizes.
@@ -12839,6 +12849,63 @@ object ExtensionQueries {
 
     // Replay of TextAnalysis.zipfFit: top-N terms by (count desc, term),
     // ln-ln least squares through x2^20 fixed-point sufficient stats.
+    // Replay of TextAnalysis.heapsLaw: id-bound checkpoints, cumulative
+    // tokens as a below-bound sum, cumulative vocabulary as a count of
+    // first-occurrence ids below the bound, then the zipf-convention
+    // fixed-point log-log OLS repeated onto every checkpoint row.
+    "text_heaps" -> s"""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id AS id,
+          len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+            ::BIGINT AS nt
+        FROM documents),
+      mx AS (SELECT max(id) AS mx FROM base),
+      bounds AS MATERIALIZED (
+        SELECT j AS ckpt, ((mx + 1) * j) // 10 AS bound
+        FROM mx, unnest(generate_series(1, 10)) AS t(j)),
+      tok AS (SELECT ckpt, sum(nt)::BIGINT AS n_tokens
+        FROM base JOIN bounds ON base.id < bounds.bound GROUP BY ckpt),
+      firsts AS MATERIALIZED (
+        SELECT lower(w) AS w, min(doc_id) AS first
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w != '' GROUP BY 1),
+      voc AS (SELECT ckpt, count(*)::BIGINT AS vocab
+        FROM firsts JOIN bounds ON firsts.first < bounds.bound
+        GROUP BY ckpt),
+      ck AS MATERIALIZED (
+        SELECT b.ckpt::BIGINT AS ckpt,
+          coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+          coalesce(vocab, 0)::BIGINT AS vocab
+        FROM bounds b LEFT JOIN tok ON tok.ckpt = b.ckpt
+        LEFT JOIN voc ON voc.ckpt = b.ckpt
+        WHERE coalesce(n_tokens, 0) > 0 AND coalesce(vocab, 0) > 0),
+      st AS (SELECT count(*) AS n,
+        SUM(CAST(round(ln(n_tokens::DOUBLE) * 1048576.0)
+          AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(round(ln(vocab::DOUBLE) * 1048576.0)
+          AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(round(ln(n_tokens::DOUBLE) * ln(n_tokens::DOUBLE)
+          * 1048576.0) AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(round(ln(n_tokens::DOUBLE) * ln(vocab::DOUBLE)
+          * 1048576.0) AS DECIMAL(38,0))) AS sxy
+        FROM ck),
+      fit AS (SELECT
+          round(CASE WHEN vx > 0 THEN sl ELSE 0 END, 6) + 0.0 AS beta,
+          round(CASE WHEN vx > 0 THEN (syd - sl * sxd) / nd
+            ELSE 0 END, 6) + 0.0 AS log_k
+        FROM (SELECT n::DOUBLE AS nd,
+            sx::DOUBLE / 1048576.0 AS sxd, sy::DOUBLE / 1048576.0 AS syd,
+            n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+              - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0) AS vx,
+            (n::DOUBLE * (sxy::DOUBLE / 1048576.0)
+              - (sx::DOUBLE / 1048576.0) * (sy::DOUBLE / 1048576.0))
+              / (n::DOUBLE * (sxx::DOUBLE / 1048576.0)
+                - (sx::DOUBLE / 1048576.0) * (sx::DOUBLE / 1048576.0))
+              AS sl
+          FROM st))
+      SELECT ckpt, n_tokens, vocab, beta, log_k
+      FROM ck CROSS JOIN fit ORDER BY ckpt""",
+
     "text_zipf" -> s"""
       WITH wc AS (
         SELECT lower(w) AS w, count(*) AS c

@@ -828,4 +828,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shareCols.forall(c => e.getAs[Double](c) == 0.0))
     assert(e.getAs[Double]("share_other") == 0.0)
   }
+
+  test("heapsLaw: hand-computed growth curve; all-new-words corpus " +
+      "fits beta = 1 / log_k = 0 exactly; layout bit-invariant") {
+    val docs = Seq((0L, "a b"), (1L, "a c c"), (2L, "d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.heapsLaw(docs, "doc_id", "text",
+        checkpoints = 3).orderBy("ckpt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // bounds at ids 1, 2, 3: prefixes {doc0}, {doc0,1}, {all}
+    assert(out == Seq((1L, 2L, 2L), (2L, 5L, 3L), (3L, 6L, 4L)), out)
+    // a corpus of entirely new words: V(N) = N -> the log-log fit is
+    // exactly the identity line
+    val fresh = Seq((0L, "w1 w2"), (1L, "w3 w4 w5"), (2L, "w6"))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.heapsLaw(fresh, "doc_id", "text", 3)
+      .collect().head
+    assert(f.getAs[Double]("beta") == 1.0 &&
+      f.getAs[Double]("log_k") == 0.0, f.toString)
+    // one repeated word: V pinned at 1 -> slope 0
+    val mono = Seq((0L, "x x"), (1L, "x"), (2L, "x x x"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.heapsLaw(mono, "doc_id", "text", 3)
+      .collect().head
+    assert(m.getAs[Double]("beta") == 0.0, m.toString)
+    val rp = TextAnalysis.heapsLaw(docs.repartition(5), "doc_id", "text",
+        checkpoints = 3).orderBy("ckpt").collect().map(_.toString).toSeq
+    val base = TextAnalysis.heapsLaw(docs, "doc_id", "text",
+        checkpoints = 3).orderBy("ckpt").collect().map(_.toString).toSeq
+    assert(rp == base)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heapsLaw(docs, "doc_id", "text", 2)
+    }
+    graft.util.Caches.unpersistAll()
+  }
 }
