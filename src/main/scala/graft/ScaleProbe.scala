@@ -718,6 +718,74 @@ object ScaleProbe {
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(delDir))
       }
+      // round 19: HITS — the pagerank cost profile minus the degree
+      // join; per round two edge joins + two 1-row normalizations
+      t("hits") {
+        graft.ops.Graph.hits(
+          ev.select(concat(lit("u"), col("user_id")).as("src"),
+            col("event_type").as("dst")), iters = 2).count()
+      }
+      // round 19: DBSCAN — amplification duplicates embeddings, so the
+      // TRUE pair count (and hence candidate work) grows ~m² by
+      // construction; the curve documents output growth, not a plan
+      // defect (the banding still never does all-pairs)
+      t("dbscan") {
+        Similarity.dbscan(e, 0.2, minPts = 4).count()
+      }
+      // round 19: silhouette — centroids grow with n at fixed
+      // centroidEvery (the IVF convention), so point×centroid scoring
+      // is the kmeans assignment curve
+      t("silhouette") {
+        Similarity.silhouette(e).count()
+      }
+      // round 19: DTW — amplification multiplies per-bucket counts,
+      // not the hour range: series length is FLAT, so the curve must
+      // be the events scan + hourly aggregate
+      t("dtw") {
+        graft.ops.TimeSeries.dtw(ev, "ts", "event_type", band = 24)
+          .count()
+      }
+      // round 19: RM3 — two qld passes + a fbDocs-bounded tf pass
+      t("rm3") {
+        graft.ops.Retrieval.rm3TopK(d, "doc_id", "text",
+          Seq("join", "hash", "spark", "window"), k = 25).count()
+      }
+      // round 19: Krippendorff alpha over the 3-rater langid fixture
+      t("krippendorff") {
+        val rated = graft.ops.TextAnalysis
+          .langId(d, "doc_id", "text", "lang")
+          .join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+          .select(col("doc_id"), col("lang").as("r1"),
+            col("predicted").as("r2"),
+            when(col("n_chars") >= 300, col("predicted")).as("r3"))
+        graft.ops.Classify
+          .krippendorffAlpha(rated, "doc_id", Seq("r1", "r2", "r3"))
+          .count()
+      }
+      // round 19: k-truss over (hour, event_type)-bucket user
+      // co-occurrence — ~28 users per bucket at x1 (under the 256
+      // group cap at every multiplier), dense enough that triangles
+      // and a non-empty 3-truss exist; edges grow with m as buckets
+      // fill, the honest curve for a densifying graph
+      t("ktruss") {
+        graft.ops.Graph.kTruss(
+          graft.ops.Graph.coOccurrenceEdges(
+            ev.withColumn("gb", concat(date_trunc("hour", col("ts")),
+              col("event_type"))),
+            "gb", "user_id", maxGroup = 256),
+          k = 3, rounds = 3).count()
+      }
+      // round 19: randomized response — a broadcast-rank projection +
+      // one count; must ride the scan line
+      t("randomized_response") {
+        graft.ops.Pii.randomizedResponseCounts(d, "doc_id", "lang")
+          .count()
+      }
+      // round 19: Heaps growth curve — two checkpoint aggregates; the
+      // doc-level ×C fan-out is constant-bounded
+      t("heaps") {
+        graft.ops.TextAnalysis.heapsLaw(d, "doc_id", "text").count()
+      }
       graft.util.Caches.unpersistAll()
       spark.sharedState.cacheManager.clearCache()
     }

@@ -262,7 +262,13 @@ object Graph {
       nodes.crossJoin(broadcast(n))
         .select(col("node"), ldiv(lit(HitsScale), col("__nn")).as("h")))
     var auth: DataFrame = null
-    // raw → L1-normalized fixed-point scores; Σ out ≤ HitsScale.
+    // raw → L1-normalized fixed-point scores; Σ out ≤ HitsScale. The
+    // raw pull is deliberately NOT persisted: its two consumers (the
+    // 1-row total and the normalized projection) re-evaluate one
+    // broadcast join + combine each, and measured at sf0.1 that is
+    // CHEAPER than caching (persisting the pull read 16.7 s vs 9.6 s —
+    // the InMemoryRelation boundary serializes the rounds and degrades
+    // the downstream join planning; see the round-19 bench notes).
     def normalize(raw: DataFrame, in: String, out: String): DataFrame = {
       val tot = raw.agg(coalesce(sum(in), lit(0L)).as("__tot"))
       graft.util.Caches.persist(raw.crossJoin(broadcast(tot))
@@ -275,10 +281,14 @@ object Graph {
     }
     val trunc = new graft.util.Truncator(checkpointEvery)
     for (_ <- 1 to iters) {
-      val araw = e.join(hub.select(col("node").as("src"), col("h")), "src")
+      // score vectors are one row per node — broadcast them into the
+      // edge joins so each pull is a map-side broadcast join + combine
+      val araw = e.join(broadcast(hub.select(col("node").as("src"),
+          col("h"))), "src")
         .groupBy(col("dst").as("node")).agg(sum("h").as("__ar"))
       auth = normalize(araw, "__ar", "a")
-      val hraw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+      val hraw = e.join(broadcast(auth.select(col("node").as("dst"),
+          col("a"))), "dst")
         .groupBy(col("src").as("node")).agg(sum("a").as("__hr"))
       hub = trunc(normalize(hraw, "__hr", "h"))
     }
