@@ -2033,20 +2033,85 @@ object Drift {
     val na = av.count()
     val nb = bv.count()
     require(na > 0 && nb > 0, s"both snapshots need rows: $na, $nb")
+    val interior = psiInteriorBounds(av, nBins)
+    psiCore(av, na, interior, psiBinCounts(bv, interior, nBins), nb, nBins)
+  }
+
+  /** `a`'s interior quantile bounds (raw doubles) for the [[psi]] bin
+    * convention — the FROZEN state a streaming monitor carries: fit
+    * once on the reference snapshot, then every micro-batch bins
+    * against these literals ([[psiBinCounts]]) and the final score
+    * ([[psiFromBinStore]]) replays [[psi]] exactly.
+    */
+  def psiInteriorBounds(reference: DataFrame, valueCol: String,
+      nBins: Int): Seq[Double] = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val av = reference.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    require(av.limit(1).count() > 0, "reference snapshot needs rows")
+    psiInteriorBounds(av, nBins)
+  }
+
+  private def psiInteriorBounds(av: DataFrame, nBins: Int): Seq[Double] = {
     val bounds = av.agg(expr(
       s"percentile(v, array(${(0 to nBins).map(i =>
         s"${i.toDouble / nBins}").mkString(",")}))").as("q"))
       .collect().head.getSeq[Double](0)
     // interior bounds only: bin i (1-based) = first i with v <= bound_i,
     // bin nBins catches the rest (including anything above a's max)
-    val interior = bounds.slice(1, nBins)
-    def binOf(c: org.apache.spark.sql.Column) =
-      interior.zipWithIndex.foldRight(lit(nBins)) { case ((bnd, i), acc) =>
-        when(c <= bnd, i + 1).otherwise(acc)
-      }
-    def binned(df: DataFrame, cnt: String) =
-      df.select(binOf(col("v")).cast("long").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    bounds.slice(1, nBins)
+  }
+
+  private def psiBinOf(interior: Seq[Double], nBins: Int)(
+      c: org.apache.spark.sql.Column) =
+    interior.zipWithIndex.foldRight(lit(nBins)) { case ((bnd, i), acc) =>
+      when(c <= bnd, i + 1).otherwise(acc)
+    }
+
+  /** Per-bin counts of `df`'s `v` column under the pinned [[psi]] bin
+    * assignment — the compact per-micro-batch partial a streaming
+    * monitor appends: (bin, n), at most nBins rows per batch. Exact
+    * long counts sum across batches in any order, so the accumulated
+    * store is split-invariant by construction.
+    */
+  def psiBinCounts(df: DataFrame, interior: Seq[Double],
+      nBins: Int): DataFrame =
+    df.select(psiBinOf(interior, nBins)(col("v")).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** Like [[psiBinCounts]] but projecting `valueCol` first (the
+    * streaming-batch entry point; NULLs drop as in [[psi]]).
+    */
+  def psiBinCountsOf(df: DataFrame, valueCol: String,
+      interior: Seq[Double], nBins: Int): DataFrame =
+    psiBinCounts(df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull), interior, nBins)
+
+  /** [[psi]] computed from an accumulated (bin, n) partial-count store
+    * (the streaming monitor's read side): sums the partials — exact
+    * longs, order-insensitive, so ANY micro-batch split yields the
+    * batch result bit-for-bit — and replays the [[psi]] output against
+    * the reference snapshot under the same frozen bounds.
+    */
+  def psiFromBinStore(reference: DataFrame, valueCol: String,
+      interior: Seq[Double], store: DataFrame, nBins: Int): DataFrame = {
+    require(interior.size == nBins - 1,
+      s"need ${nBins - 1} interior bounds, got ${interior.size}")
+    val av = reference.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val na = av.count()
+    val cur = store.groupBy("bin").agg(sum("n").as("n"))
+    val nb = cur.agg(coalesce(sum("n"), lit(0L)))
+      .collect().head.getLong(0)
+    require(na > 0 && nb > 0, s"both snapshots need rows: $na, $nb")
+    psiCore(av, na, interior, cur, nb, nBins)
+  }
+
+  /** The shared [[psi]] tail: grid from the frozen bounds, reference
+    * bin counts, the clamped shares / term / fixed-point total.
+    */
+  private def psiCore(av: DataFrame, na: Long, interior: Seq[Double],
+      cur: DataFrame, nb: Long, nBins: Int): DataFrame = {
     // reported bounds round to 6dp (assignment uses the raw doubles) so
     // the engines' interpolated-percentile ULPs cannot reach the output
     def r6b(x: Double) = BigDecimal(x)
@@ -2062,8 +2127,9 @@ object Drift {
     val eps = 1e-6
     val scale = (1L << 20).toDouble
     val cells = grid
-      .join(binned(av, "n_a"), Seq("bin"), "left")
-      .join(binned(bv, "n_b"), Seq("bin"), "left")
+      .join(psiBinCounts(av, interior, nBins)
+        .withColumnRenamed("n", "n_a"), Seq("bin"), "left")
+      .join(cur.withColumnRenamed("n", "n_b"), Seq("bin"), "left")
       .select(col("bin"), col("lo"), col("hi"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))

@@ -134,7 +134,7 @@ object Parser {
       "encode", "vocab", "target_loo", "woe"),
     "ZorderTransform" -> Seq(
       "manifest", "write", "hilbert_manifest", "hilbert_write", "delete"),
-    "StreamingLoad" -> Seq("load", "ivf_append"))
+    "StreamingLoad" -> Seq("load", "ivf_append", "drift_append"))
 
   /** Built-in stage registry; extensible like the reference's plugin list. */
   val defaultRegistry: Map[String, StageFactory] = Map(
@@ -918,6 +918,10 @@ object Parser {
         r.error("table", "missing; load requires a sink table")
       if (method == "ivf_append" && r.string("indexDir").isEmpty)
         r.error("indexDir", "missing; ivf_append requires the index directory")
+      if (method == "drift_append" && r.string("storeDir").isEmpty)
+        r.error("storeDir", "missing; drift_append requires the partial store")
+      if (method == "drift_append" && r.string("referenceView").isEmpty)
+        r.error("referenceView", "missing; drift_append fits bounds on it")
       graft.streaming.StreamingLoadStage(
         name = r.requiredString("name"),
         inputView = r.requiredString("inputView"),
@@ -929,6 +933,10 @@ object Parser {
         saveMode = SaveMode.valueOf(
           r.oneOf("saveMode", Seq("Append", "ErrorIfExists", "Ignore", "Overwrite"), "Append")),
         indexDir = r.string("indexDir").getOrElse(""),
+        referenceView = r.string("referenceView").getOrElse(""),
+        valueCol = r.string("valueCol").getOrElse("value"),
+        nBins = r.int("nBins").getOrElse(10),
+        storeDir = r.string("storeDir").getOrElse(""),
         options = r.stringMap("params"))
     }
   )
@@ -1107,6 +1115,7 @@ object Parser {
       "maxFilesPerTrigger")),
     "StreamingLoad" -> (commonKeys ++ Set("inputView", "outputView",
       "method", "checkpointDir", "table", "saveMode", "indexDir",
+      "referenceView", "valueCol", "nBins", "storeDir",
       "params"))
   )
 

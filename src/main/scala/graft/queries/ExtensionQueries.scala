@@ -4944,6 +4944,45 @@ object ExtensionQueries {
         .orderBy("bin")
     },
 
+    // Streaming drift monitor: the current snapshot arrives as >= 3
+    // micro-batches whose ONLY persisted footprint is an nBins-row
+    // binned partial per batch (frozen reference bounds); the
+    // accumulated store must replay the BATCH PSI bit-for-bit — the
+    // drift_psi oracle verbatim on the same split.
+    "streaming_drift" -> { (spark, dir) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cut = lit(DriftSplitDate).cast("timestamp")
+      val ref = o.where(col("o_orderdate") < cut)
+      val cur = o.where(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val interior = Drift.psiInteriorBounds(ref, "o_totalprice", 10)
+      val tmp = scratchDir("graft_sdrift")
+      rmrf(tmp)
+      val in = tmp.resolve("in")
+      cur.repartition(3).write.parquet(in.toString)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val store = tmp.resolve("store").toString
+      val q = graft.streaming.StreamingSink.foreachBatchDriftAppend(
+        stream, "o_totalprice", interior, 10, store,
+        checkpointDir = s"$tmp/_checkpoint")
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 3,
+          s"expected >= 3 data micro-batches, saw $batches — the " +
+            "incremental drift-monitor path was not exercised")
+      } finally {
+        q.stop()
+        rmrf(in); rmrf(tmp.resolve("_checkpoint"))
+      }
+      Drift.psiFromBinStore(ref, "o_totalprice", interior,
+          spark.read.parquet(store), 10)
+        .orderBy("bin")
+    },
+
     // Jensen–Shannon divergence of the event-type mix across the same
     // split as drift_tv — surprisal-weighted drift TV cannot rank.
     "drift_jsd" -> { (spark, dir) =>
@@ -5139,6 +5178,62 @@ object ExtensionQueries {
 
   /** Drift gates: snapshot split points (orders by date, events by ts). */
   private val DriftSplitDate = "1998-01-01"
+
+  /** The drift_psi replay — shared VERBATIM with streaming_drift (the
+    * monitor's accumulated store must equal the batch PSI).
+    */
+  private lazy val psiOracleSql: String = s"""
+      WITH av AS (
+        SELECT o_totalprice::DOUBLE AS v FROM orders
+        WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
+          AND o_totalprice IS NOT NULL),
+      bv AS (
+        SELECT o_totalprice::DOUBLE AS v FROM orders
+        WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
+          AND o_totalprice IS NOT NULL),
+      bnd AS (SELECT quantile_cont(v,
+        [${(0 to 10).map(i => s"${i.toDouble / 10}").mkString(",")}]) AS q
+        FROM av),
+      na AS (SELECT count(*)::BIGINT AS n FROM av),
+      nb AS (SELECT count(*)::BIGINT AS n FROM bv),
+      ac AS (
+        SELECT bin, count(*)::BIGINT AS n_a FROM (
+          SELECT CASE ${(1 to 9).map(i =>
+            s"WHEN v <= q[${i + 1}] THEN $i").mkString(" ")}
+            ELSE 10 END AS bin
+          FROM av, bnd) GROUP BY 1),
+      bc AS (
+        SELECT bin, count(*)::BIGINT AS n_b FROM (
+          SELECT CASE ${(1 to 9).map(i =>
+            s"WHEN v <= q[${i + 1}] THEN $i").mkString(" ")}
+            ELSE 10 END AS bin
+          FROM bv, bnd) GROUP BY 1),
+      grid AS (SELECT unnest(generate_series(1, 10)) AS bin),
+      cells AS (
+        SELECT grid.bin::BIGINT AS bin,
+          CASE WHEN grid.bin = 1 THEN '-Infinity'::DOUBLE
+            ELSE (round(q[grid.bin], 6) + 0.0) END AS lo,
+          CASE WHEN grid.bin = 10 THEN 'Infinity'::DOUBLE
+            ELSE (round(q[grid.bin + 1], 6) + 0.0) END AS hi,
+          coalesce(ac.n_a, 0)::BIGINT AS n_a,
+          coalesce(bc.n_b, 0)::BIGINT AS n_b,
+          greatest(coalesce(ac.n_a, 0)::DOUBLE / na.n, 1e-6) AS sa,
+          greatest(coalesce(bc.n_b, 0)::DOUBLE / nb.n, 1e-6) AS sb
+        FROM grid
+        LEFT JOIN ac ON ac.bin = grid.bin
+        LEFT JOIN bc ON bc.bin = grid.bin, bnd, na, nb),
+      tt AS (
+        SELECT sum(CAST(round((sa - sb) * ln(sa / sb) * 1048576.0)
+          AS BIGINT)) AS fp
+        FROM cells)
+      SELECT bin, lo, hi, n_a, n_b,
+        (round(sa, 6) + 0.0) AS share_a,
+        (round(sb, 6) + 0.0) AS share_b,
+        (round((sa - sb) * ln(sa / sb), 6) + 0.0) AS term,
+        (round(tt.fp::DOUBLE / 1048576.0, 6) + 0.0) AS psi
+      FROM cells, tt
+      ORDER BY bin"""
+
   private val DriftEventSplit = "2024-01-15"
 
   /** Systematic-sampling and rate-cap gate knobs. */
@@ -13605,57 +13700,12 @@ object ExtensionQueries {
     // Replay of Drift.psi: quantile_cont bins fitted on the reference
     // half (== Spark percentile), first-bound-<= assignment,
     // epsilon-clamped shares, ×2^20 fixed-point term sum.
-    "drift_psi" -> s"""
-      WITH av AS (
-        SELECT o_totalprice::DOUBLE AS v FROM orders
-        WHERE o_orderdate < TIMESTAMP '$DriftSplitDate'
-          AND o_totalprice IS NOT NULL),
-      bv AS (
-        SELECT o_totalprice::DOUBLE AS v FROM orders
-        WHERE o_orderdate >= TIMESTAMP '$DriftSplitDate'
-          AND o_totalprice IS NOT NULL),
-      bnd AS (SELECT quantile_cont(v,
-        [${(0 to 10).map(i => s"${i.toDouble / 10}").mkString(",")}]) AS q
-        FROM av),
-      na AS (SELECT count(*)::BIGINT AS n FROM av),
-      nb AS (SELECT count(*)::BIGINT AS n FROM bv),
-      ac AS (
-        SELECT bin, count(*)::BIGINT AS n_a FROM (
-          SELECT CASE ${(1 to 9).map(i =>
-            s"WHEN v <= q[${i + 1}] THEN $i").mkString(" ")}
-            ELSE 10 END AS bin
-          FROM av, bnd) GROUP BY 1),
-      bc AS (
-        SELECT bin, count(*)::BIGINT AS n_b FROM (
-          SELECT CASE ${(1 to 9).map(i =>
-            s"WHEN v <= q[${i + 1}] THEN $i").mkString(" ")}
-            ELSE 10 END AS bin
-          FROM bv, bnd) GROUP BY 1),
-      grid AS (SELECT unnest(generate_series(1, 10)) AS bin),
-      cells AS (
-        SELECT grid.bin::BIGINT AS bin,
-          CASE WHEN grid.bin = 1 THEN '-Infinity'::DOUBLE
-            ELSE (round(q[grid.bin], 6) + 0.0) END AS lo,
-          CASE WHEN grid.bin = 10 THEN 'Infinity'::DOUBLE
-            ELSE (round(q[grid.bin + 1], 6) + 0.0) END AS hi,
-          coalesce(ac.n_a, 0)::BIGINT AS n_a,
-          coalesce(bc.n_b, 0)::BIGINT AS n_b,
-          greatest(coalesce(ac.n_a, 0)::DOUBLE / na.n, 1e-6) AS sa,
-          greatest(coalesce(bc.n_b, 0)::DOUBLE / nb.n, 1e-6) AS sb
-        FROM grid
-        LEFT JOIN ac ON ac.bin = grid.bin
-        LEFT JOIN bc ON bc.bin = grid.bin, bnd, na, nb),
-      tt AS (
-        SELECT sum(CAST(round((sa - sb) * ln(sa / sb) * 1048576.0)
-          AS BIGINT)) AS fp
-        FROM cells)
-      SELECT bin, lo, hi, n_a, n_b,
-        (round(sa, 6) + 0.0) AS share_a,
-        (round(sb, 6) + 0.0) AS share_b,
-        (round((sa - sb) * ln(sa / sb), 6) + 0.0) AS term,
-        (round(tt.fp::DOUBLE / 1048576.0, 6) + 0.0) AS psi
-      FROM cells, tt
-      ORDER BY bin""",
+    "drift_psi" -> psiOracleSql,
+
+    // The streaming monitor's accumulated store must replay the batch
+    // PSI bit-for-bit — the drift_psi oracle VERBATIM (same split,
+    // same bounds convention).
+    "streaming_drift" -> psiOracleSql,
 
     // Replay of Drift.jensenShannon: exact category counts, one double
     // KL-term pair per category against the midpoint mix, ×2^20 sums;

@@ -64,4 +64,38 @@ object StreamingSink {
         graft.ops.Similarity.ivfAppend(batch.sparkSession, indexDir, batch)
       }
       .start()
+
+  /** Streaming drift monitor (round 19): each micro-batch bins its
+    * `valueCol` against the FROZEN reference quantile bounds
+    * ([[graft.ops.Drift.psiInteriorBounds]], fit once on the reference
+    * snapshot) and appends its compact (bin, n, batch_id) partial — at
+    * most nBins rows per batch — into the parquet store. Partial
+    * counts are exact longs, so the accumulated store is
+    * SPLIT-INVARIANT: any micro-batch slicing sums to the batch
+    * result bit-for-bit, which is what the streaming_drift gate
+    * replays against the batch-PSI oracle verbatim. The final score is
+    * [[graft.ops.Drift.psiFromBinStore]] over the store; the raw
+    * stream never lands anywhere — state per batch is nBins rows, the
+    * reason this monitors 100 TB streams with a KB-scale store.
+    * Exactly-once rides the checkpointed offsets (keep the checkpoint
+    * dir with the store, or a replayed batch double-counts).
+    */
+  def foreachBatchDriftAppend(
+      stream: DataFrame,
+      valueCol: String,
+      interior: Seq[Double],
+      nBins: Int,
+      storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Drift
+          .psiBinCountsOf(batch, valueCol, interior, nBins)
+          .withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId))
+          .write.mode(SaveMode.Append).parquet(storeDir)
+      }
+      .start()
 }

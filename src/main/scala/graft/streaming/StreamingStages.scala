@@ -59,12 +59,18 @@ final case class StreamingLoadStage(
     name: String,
     inputView: String,
     outputView: String,
-    method: String, // load | ivf_append
+    method: String, // load | ivf_append | drift_append
     checkpointDir: String,
     connector: Option[Connector] = None,
     table: String = "",
     saveMode: SaveMode = SaveMode.Append,
     indexDir: String = "",
+    // drift_append: frozen-bounds PSI monitor (reference view fits the
+    // bounds; the output view carries the final PSI table)
+    referenceView: String = "",
+    valueCol: String = "value",
+    nBins: Int = 10,
+    storeDir: String = "",
     options: Map[String, String] = Map.empty)
     extends Stage {
 
@@ -94,6 +100,22 @@ final case class StreamingLoadStage(
           "StreamingLoad method=ivf_append requires indexDir")
         detail += "indexDir" -> indexDir
         StreamingSink.foreachBatchIvfAppend(in, indexDir, checkpointDir)
+      // frozen-bounds streaming PSI monitor: micro-batches append
+      // nBins-row binned partials; the final PSI table becomes the
+      // stage's output view
+      case "drift_append" =>
+        require(storeDir.nonEmpty,
+          "StreamingLoad method=drift_append requires storeDir")
+        require(referenceView.nonEmpty,
+          "StreamingLoad method=drift_append requires referenceView")
+        val refV = Views.resolve(referenceView)
+        require(!refV.isStreaming,
+          s"StreamingLoad '$name': referenceView must be a batch view")
+        detail += "storeDir" -> storeDir
+        val interior =
+          graft.ops.Drift.psiInteriorBounds(refV, valueCol, nBins)
+        StreamingSink.foreachBatchDriftAppend(in, valueCol, interior,
+          nBins, storeDir, checkpointDir)
       case other =>
         throw new IllegalArgumentException(
           s"unknown streaming load method '$other'")
@@ -107,7 +129,16 @@ final case class StreamingLoadStage(
     detail += "batches" -> nBatches
     detail += "rows" -> nRows
     import spark.implicits._
-    val out = Seq((nBatches, nRows)).toDF("n_batches", "n_rows")
+    val out = method match {
+      // the monitor's deliverable IS the final PSI table — replay the
+      // accumulated store against the reference under the same bounds
+      case "drift_append" =>
+        val refV = Views.resolve(referenceView)
+        graft.ops.Drift.psiFromBinStore(refV, valueCol,
+          graft.ops.Drift.psiInteriorBounds(refV, valueCol, nBins),
+          spark.read.parquet(storeDir), nBins)
+      case _ => Seq((nBatches, nRows)).toDF("n_batches", "n_rows")
+    }
     Views.register(out, outputView)
     Option(out)
   }

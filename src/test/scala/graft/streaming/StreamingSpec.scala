@@ -382,4 +382,62 @@ class StreamingSpec extends SparkSpec {
     val ex = intercept[DetailException] { stage.run() }
     assert(ex.getMessage.contains("batch"), ex.getMessage)
   }
+
+  test("declarative streaming drift monitor: micro-batched binned " +
+      "partials replay the batch PSI bit-for-bit") {
+    implicit val ctx: PipelineContext = PipelineContext(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdmon").toString
+    val ref = (1 to 100).map(i => i.toDouble).toDF("v")
+    val cur = (1 to 100).map(i => i.toDouble + 40).toDF("v")
+    ref.write.parquet(s"$tmp/data/refdata.parquet")
+    // three source files -> three micro-batches
+    (0 until 3).foreach { i =>
+      cur.where($"v".cast("long") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val conf = s"""
+      stages = [
+        { type = Extract, name = ref, table = refdata
+          outputView = sdm_ref }
+        { type = StreamingExtract, name = src
+          inputDir = "$tmp/in"
+          maxFilesPerTrigger = 1
+          outputView = sdm_in }
+        { type = StreamingLoad, name = mon, method = drift_append
+          inputView = sdm_in, outputView = sdm_psi
+          checkpointDir = "$tmp/chk"
+          referenceView = sdm_ref, valueCol = v, nBins = 4
+          storeDir = "$tmp/store" }
+      ]"""
+    val conns: Map[String, graft.connect.Connector] =
+      Map("default" -> new ParquetConnector(s"$tmp/data"))
+    val out = Parser.parse(conf, conns) match {
+      case Left(errs) => fail(errs.mkString("; "))
+      case Right(p)   => Runner.run(p).get
+    }
+    val streamed = out.orderBy("bin").collect().map(_.toString).toSeq
+    val batch = graft.ops.Drift.psi(ref, cur, "v", nBins = 4)
+      .orderBy("bin").collect().map(_.toString).toSeq
+    assert(streamed == batch,
+      s"streamed PSI must equal batch PSI:\n$streamed\nvs\n$batch")
+    // the store held only compact partials, never the raw stream
+    val store = spark.read.parquet(s"$tmp/store")
+    assert(store.count() <= 3 * 4, "at most nBins rows per micro-batch")
+    assert(store.columns.toSet == Set("bin", "n", "batch_id"))
+    // parse-time guards
+    def parseErrs2(body: String): Seq[String] =
+      Parser.parse(s"stages = [ $body ]", conns) match {
+        case Left(errs) => errs.map(_.toString)
+        case Right(_)   => Nil
+      }
+    assert(parseErrs2("""{ type = StreamingLoad, name = s
+        method = drift_append
+        inputView = v, outputView = o, checkpointDir = "/tmp/c"
+        referenceView = r }""").exists(_.contains("storeDir")))
+    assert(parseErrs2("""{ type = StreamingLoad, name = s
+        method = drift_append
+        inputView = v, outputView = o, checkpointDir = "/tmp/c"
+        storeDir = "/tmp/s" }""").exists(_.contains("referenceView")))
+    graft.util.Caches.unpersistAll()
+  }
 }
