@@ -179,6 +179,8 @@ final case class SimilarityTransformStage(
     indexDir: Option[String] = None,
     // ivf_write: writer options (the destructive confirm.truncate latch)
     options: Map[String, String] = Map.empty,
+    // pair_quality: the ground-truth grouping column
+    labelCol: String = "label",
     // pq_recall / opq_recall / ivf_pq_topk: PQ codebook training rounds
     // (the operators' own default, separate from the cell kmeansIters)
     pqIters: Int = 1)
@@ -225,6 +227,11 @@ final case class SimilarityTransformStage(
       case "silhouette" =>
         Similarity.silhouette(corpus, centroidEvery, kmeansIters,
           exactReplay)
+      // dedup-decision audit vs ground-truth labels
+      case "pair_quality" =>
+        Similarity.pairQuality(corpus, threshold, labelCol,
+          nBits.getOrElse(64), bands.getOrElse(8), rows.getOrElse(8),
+          maxBucket)
       case "standardize"   => Similarity.standardize(corpus)
       case "quantize"      => Similarity.quantize(corpus, levels)
       case "project"       => Similarity.projectSigned(corpus, inDim, outDim)

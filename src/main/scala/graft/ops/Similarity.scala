@@ -1150,6 +1150,62 @@ object Similarity {
         coalesce(col("__cc"), col("__bc")).as("cluster"))
   }
 
+  /** Precision / recall / F1 of the [[nearDupPairs]] candidate-dedup
+    * pairs against a ground-truth grouping column — the evaluation the
+    * dedup family reports nothing about: [[annRecall]] audits the ANN
+    * index against brute-force, but nothing audits the DEDUP DECISION
+    * against labels. With a labeled sample (or a trusted exact-dup
+    * clustering), this reads how many found pairs are true duplicates
+    * (precision) and how much of the true pair mass the banding +
+    * threshold recovers (recall).
+    *
+    * Exact arithmetic: tp/fp are counts over the found pairs; the
+    * true-pair denominator is Σ_label C(n_l, 2) computed from group
+    * SIZES (never materializing ground-truth pairs — at 100 TB the
+    * label classes can be huge and the pair space quadratic; the found
+    * pairs are already threshold-bounded). Rows with NULL labels drop
+    * from both sides. precision/recall/f1 are single 6dp divisions in
+    * a pinned order. Output ONE row: (n_pairs, tp, fp, n_true_pairs,
+    * precision, recall, f1) — precision NULL when no pairs were found,
+    * recall NULL when no true pair exists.
+    */
+  def pairQuality(df: DataFrame, threshold: Double, labelCol: String,
+      nBits: Int = 64, b: Int = 8, r: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
+    val labels = graft.util.Caches.persist(
+      df.select(col("vec_id"), col(labelCol).as("__l"))
+        .where(col("__l").isNotNull))
+    val pairs = nearDupPairs(df, threshold, nBits, b, r, maxBucket)
+      .join(labels.select(col("vec_id").as("vec_a"),
+        col("__l").as("__la")), "vec_a")
+      .join(labels.select(col("vec_id").as("vec_b"),
+        col("__l").as("__lb")), "vec_b")
+    val found = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("__la") === col("__lb"), 1L).otherwise(0L)),
+        lit(0L)).as("tp"))
+    val dec = "decimal(38,0)"
+    val truth = labels.groupBy("__l").agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum((col("__n").cast(dec) * (col("__n") - 1).cast(dec))
+        .cast(dec)), lit(0).cast(dec)).as("__tw"))
+      .select((col("__tw") / 2).cast("long").as("n_true_pairs"))
+    found.crossJoin(broadcast(truth))
+      .select(col("n_pairs"), col("tp"),
+        (col("n_pairs") - col("tp")).as("fp"), col("n_true_pairs"))
+      .withColumn("precision",
+        when(col("n_pairs") > 0,
+          round(col("tp").cast("double") / col("n_pairs"), 6) + lit(0d)))
+      .withColumn("recall",
+        when(col("n_true_pairs") > 0,
+          round(col("tp").cast("double") / col("n_true_pairs"), 6)
+            + lit(0d)))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull
+            && col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall")), 6) + lit(0d)))
+  }
+
   /** Simplified (centroid-based) silhouette per cluster — the quality
     * readout for the deterministic k-means the engine clusters with
     * ([[kmeans]] / [[medoids]] / the IVF cell layout): for each point,

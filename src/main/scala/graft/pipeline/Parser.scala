@@ -47,7 +47,7 @@ object Parser {
       "cluster_stats", "minhash_incremental"),
     "SimilarityTransform" -> Seq(
       "topk", "maxsim", "ann", "ivf", "kmeans", "medoids", "kcenter",
-      "neardup_pairs", "dbscan", "silhouette",
+      "neardup_pairs", "dbscan", "silhouette", "pair_quality",
       "standardize", "quantize", "project", "semantic_dedup",
       "hard_negatives", "ann_recall", "pca_cov", "health", "bitext",
       "bitext_scalable", "pq_topk", "hamming_topk", "hamming_pairs",
@@ -261,6 +261,7 @@ object Parser {
         minMargin = r.double("minMargin").getOrElse(0.01),
         subspaces = r.int("subspaces").getOrElse(8),
         indexDir = r.string("indexDir"),
+        labelCol = r.string("labelCol").getOrElse("label"),
         options = r.stringMap("params"),
         pqIters = r.int("pqIters").getOrElse(1))
     },
@@ -1024,7 +1025,7 @@ object Parser {
       "queryView", "k", "threshold", "centroidEvery", "maxBucket",
       "kmeansIters", "nBits", "bands", "rows", "exactReplay", "probes",
       "levels", "inDim", "outDim", "minMargin", "subspaces", "indexDir",
-      "params", "pqIters")),
+      "params", "pqIters", "labelCol")),
     "AsofJoinTransform" -> (commonKeys ++ Set("inputView", "rightView",
       "outputView", "keys", "leftTime", "rightTime", "forward", "nearest",
       "toleranceMicros")),

