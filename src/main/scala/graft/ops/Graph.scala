@@ -56,6 +56,13 @@ object Graph {
     * spaces cannot collide.
     */
   def supplierCustomerEdges(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    // NOT persisted (round-19 measurement): single-action consumers
+    // (pagerank, reciprocity) compile the repeated subtree to identical
+    // exchanges that physical planning dedups (ReusedExchange), so a
+    // persist here only added the MEMORY_AND_DISK materialization cost
+    // — pagerank read 1.5x its baseline with one. Operators that issue
+    // MULTIPLE actions over the edges persist their own canonicalized
+    // copy instead ([[katz]]'s guard + rounds; [[hits]]).
     lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("c"), col("o_custkey")).as("dst"))
@@ -100,6 +107,11 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampDen > dampNum,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    // NOT persisted (round-19 measurement): the whole fixed-iteration
+    // rank chain is ONE action — the repeated e/nodes subtrees compile
+    // to identical exchanges that physical planning already dedups
+    // (ReusedExchange), so a persist here only adds the MEMORY_AND_DISK
+    // materialization cost (pagerank read 1.47x its baseline with one).
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -166,9 +178,14 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(alphaNum > 0 && alphaDen > alphaNum,
       s"need 0 < alphaNum < alphaDen, got $alphaNum/$alphaDen")
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // persisted for the same reasons as in [[pagerankImpl]] (the guard
+    // aggregate, every iteration's pull and the init/final projections
+    // all walk these).
+    val e = graft.util.Caches.persist(
+      edges.select(col("src"), col("dst")).distinct())
+    val nodes = graft.util.Caches.persist(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     // overflow guard: worst-case growth from the observed max in-degree.
     // The guarded quantity is the PER-ROUND INTERMEDIATE r*alphaNum (the
     // product is computed in long space BEFORE the exact ldiv), tracked
@@ -251,11 +268,19 @@ object Graph {
     * for long horizons exactly as in [[pagerank]].
     */
   def hits(edges: DataFrame, iters: Int = 2,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0): DataFrame =
+    // AQE off for the per-round pulls/totals (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(edges.sparkSession) {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // e and nodes persisted: e is walked by every pull (2 per
+    // iteration) plus the node-set union, and nodes by the start
+    // vector, the one-row total and the final join — un-persisted,
+    // each walk replays the upstream edge plan AND this distinct.
+    val e = graft.util.Caches.persist(
+      edges.select(col("src"), col("dst")).distinct())
+    val nodes = graft.util.Caches.persist(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.agg(count(lit(1)).as("__nn"))
     // L1-normalized uniform start: h0 = scale div N, so Σ h0 ≤ scale.
     var hub = graft.util.Caches.persist(
@@ -263,21 +288,26 @@ object Graph {
         .select(col("node"), ldiv(lit(HitsScale), col("__nn")).as("h")))
     var auth: DataFrame = null
     // raw → L1-normalized fixed-point scores; Σ out ≤ HitsScale. The
-    // raw pull is deliberately NOT persisted: its two consumers (the
-    // 1-row total and the normalized projection) re-evaluate one
-    // broadcast join + combine each, and measured at sf0.1 that is
-    // CHEAPER than caching (persisting the pull read 16.7 s vs 9.6 s —
-    // the InMemoryRelation boundary serializes the rounds and degrades
-    // the downstream join planning; see the round-19 bench notes).
+    // raw pull is persisted and its 1-row L1 total COLLECTED eagerly
+    // (round 19): lazily, round r's pull embeds round r-1's normalized
+    // vector TWICE (once under the total, once under the projection),
+    // so the single final action carried a 2^rounds-duplicated plan —
+    // the sf0.1 gate read 10.9 s and a lazy persist made it WORSE
+    // (16.7 s, the InMemoryRelation boundary degraded the downstream
+    // join planning without cutting the duplication). Materializing
+    // each pull once and folding the total in as a LITERAL keeps every
+    // round's plan three nodes deep; same exact fixed-point arithmetic,
+    // same loud zero-mass error. The driver holds one long per round —
+    // a bounded round-trip, not data work.
     def normalize(raw: DataFrame, in: String, out: String): DataFrame = {
-      val tot = raw.agg(coalesce(sum(in), lit(0L)).as("__tot"))
-      graft.util.Caches.persist(raw.crossJoin(broadcast(tot))
-        .select(col("node"),
-          ldiv(col(in) * HitsScale,
-            when(col("__tot") > 0, col("__tot"))
-              .otherwise(raise_error(lit("hits: zero L1 mass — the " +
-                "graph's entire score mass reached sink nodes; HITS is " +
-                "undefined here")))).as(out)))
+      val rawP = graft.util.Caches.persist(raw)
+      val tot = rawP.agg(coalesce(sum(in), lit(0L)))
+        .collect().head.getLong(0)
+      if (tot <= 0) throw new IllegalStateException(
+        "hits: zero L1 mass — the graph's entire score mass reached " +
+          "sink nodes; HITS is undefined here")
+      graft.util.Caches.persist(rawP
+        .select(col("node"), ldiv(col(in) * HitsScale, lit(tot)).as(out)))
     }
     val trunc = new graft.util.Truncator(checkpointEvery)
     for (_ <- 1 to iters) {
@@ -343,6 +373,11 @@ object Graph {
     */
   def scc(edges: DataFrame, maxOuter: Int = 12, maxIter: Int = 25,
       checkpointEvery: Int = 1): DataFrame = {
+    // AQE deliberately stays ON here (unlike the other fixpoints —
+    // see [[graft.util.Fixpoint]]): the trim/color/confirm rounds are
+    // semi/anti-join heavy and AQE's runtime broadcast conversion wins
+    // more than its per-stage re-planning costs (measured 7.2 s with
+    // AQE vs 12.9 s without at sf0.1).
     require(maxOuter >= 1, s"maxOuter must be >= 1, got $maxOuter")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val e0 = edges.select(col("src"), col("dst"))
@@ -494,6 +529,8 @@ object Graph {
     */
   def topoLayers(edges: DataFrame, maxOuter: Int = 12, maxIter: Int = 25,
       checkpointEvery: Int = 1): DataFrame = {
+    // AQE stays ON — same adjudication as [[scc]], which dominates this
+    // operator's runtime.
     val labels = graft.util.Caches.persist(
       scc(edges, maxOuter, maxIter, checkpointEvery))
     val ce = graft.util.Caches.persist(edges
@@ -565,11 +602,14 @@ object Graph {
     val adj = g.join(sizes, "__g")
       .groupBy(col("__g"))
       .agg(sort_array(collect_list(col("__n"))).as("__ns"))
-    adj
+    // persisted for the same reason as [[supplierCustomerEdges]]: the
+    // triangle/LPA/k-core consumers each read the edge table 3+ times,
+    // and this builder is itself a 4-exchange plan.
+    graft.util.Caches.persist(adj
       .select(posexplode(col("__ns")).as(Seq("__i", "a")), col("__ns"))
       .select(col("a"), explode(slice(col("__ns"), col("__i") + 2,
         greatest(size(col("__ns")) - col("__i") - 1, lit(0)))).as("b"))
-      .distinct()
+      .distinct())
   }
 
   /** Per-node triangle counts over a canonical undirected edge table
@@ -619,23 +659,27 @@ object Graph {
     // -> ~5s at sf0.1; at corpus scale the win grows with density.
     val adj = dir.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    // sorted-merge intersect when nodes are longs (the native two-pointer
-    // kernel — array_intersect hash-sets per probe row dominated this
-    // join's time AND its GC jitter); generic fallback for other types
-    def intersect(a: Column, b: Column): Column =
-      und.schema("a").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          org.apache.spark.sql.GraftColumnBridge.column(
-            graft.functions.Expressions.SortedIntersect(
-              org.apache.spark.sql.GraftColumnBridge.expression(a),
-              org.apache.spark.sql.GraftColumnBridge.expression(b)))
-        case _ => array_intersect(a, b)
-      }
     dir
       .join(adj.select(col("node").as("u"), col("nbrs").as("__nu")), "u")
       .join(adj.select(col("node").as("v"), col("nbrs").as("__nv")), "v")
       .select(col("u"), col("v"),
-        explode(intersect(col("__nu"), col("__nv"))).as("w"))
+        explode(sortedIntersect(und.schema("a").dataType,
+          col("__nu"), col("__nv"))).as("w"))
+  }
+
+  /** Sorted-merge intersect when nodes are longs (the native two-pointer
+    * kernel — array_intersect hash-sets per probe row dominated the
+    * closing join's time AND its GC jitter); generic fallback for other
+    * node types. Shared by [[orientedTriangles]] and [[kTruss]].
+    */
+  private def sortedIntersect(dt: org.apache.spark.sql.types.DataType,
+      a: Column, b: Column): Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.Expressions.SortedIntersect(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    case _ => array_intersect(a, b)
   }
 
   /** k-truss decomposition (Cohen 2008) — EDGE-level cohesion beside
@@ -661,47 +705,78 @@ object Graph {
     * map-side-combined per-edge count and a filter; edge state persists
     * per round with immediate eviction of the superseded generation.
     */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame =
+    // AQE off for the peel rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(edges.sparkSession) {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def supportOf(und: DataFrame): DataFrame = {
-      val tris = orientedTriangles(und)
+    val nodeType = edges.schema("a").dataType
+    // Support of the CURRENT surviving subgraph, keyed on its ORIENTED
+    // edges. The orientation is fixed ONCE (below) from the original
+    // graph's degrees: triangle enumeration is exact under ANY fixed
+    // total order on nodes, so per-round support — and therefore every
+    // peel decision — is identical to re-orienting on the shrinking
+    // subgraph; re-orienting only re-paid a degree aggregation plus two
+    // degree joins (3 exchanges) EVERY round. A triangle found as
+    // u→v closed by w ∈ N⁺(u) ∩ N⁺(v) has all three edges (u,v),
+    // (u,w), (v,w) in the oriented table, so support groups directly on
+    // the oriented key — no least/greatest re-canonicalization per row.
+    def supportOf(dir: DataFrame): DataFrame = {
+      val adj = dir.groupBy(col("u").as("node"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      val tris = dir
+        .join(adj.select(col("node").as("u"), col("nbrs").as("__nu")), "u")
+        .join(adj.select(col("node").as("v"), col("nbrs").as("__nv")), "v")
+        .select(col("u"), col("v"),
+          explode(sortedIntersect(nodeType, col("__nu"), col("__nv")))
+            .as("w"))
       tris.select(explode(array(
-          struct(least(col("u"), col("v")).as("a"),
-            greatest(col("u"), col("v")).as("b")),
-          struct(least(col("u"), col("w")).as("a"),
-            greatest(col("u"), col("w")).as("b")),
-          struct(least(col("v"), col("w")).as("a"),
-            greatest(col("v"), col("w")).as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+          struct(col("u"), col("v")),
+          struct(col("u"), col("w").as("v")),
+          struct(col("v").as("u"), col("w").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
     }
     // canonicalize internally (a reversed duplicate must count once,
     // not silently drop); self-loops close no triangle and go.
     // Every generation is lineage-TRUNCATED (Truncator(1)), not merely
-    // persisted: the support pass references the edge table ~5 times
-    // (degree union, orientation joins, adjacency, probe), so an
-    // un-truncated logical plan grows 5^rounds and OOMs the analyzer
-    // long before the data does.
+    // persisted: the support pass references the edge table ~4 times
+    // (adjacency, two probe joins, the left join), so an un-truncated
+    // logical plan grows 4^rounds and OOMs the analyzer long before the
+    // data does.
     val trunc = new graft.util.Truncator(1)
-    var und = trunc(
-      edges.select(least(col("a"), col("b")).as("a"),
-          greatest(col("a"), col("b")).as("b"))
-        .where(col("a") < col("b")).distinct())
-    var edgeCount = und.count()
+    val und0 = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val deg = und0.select(col("a").as("node"))
+      .union(und0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // the [[orientedTriangles]] degree orientation, computed once: out-
+    // degree stays O(sqrt(E)) on the ORIGINAL graph and can only shrink
+    // as edges peel, so the per-round closing join never explodes.
+    var dir = trunc(und0
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")))
+    var edgeCount = dir.count()
     var r = 0
     var converged = false
     var lastSup: DataFrame = null
     while (r < rounds && !converged) {
       val sup = graft.util.Caches.persist(
-        und.join(supportOf(und), Seq("a", "b"), "left")
-          .select(col("a"), col("b"),
+        dir.join(supportOf(dir), Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
             coalesce(col("support"), lit(0L)).as("support")))
       val next = trunc(sup.where(col("support") >= k - 2)
-        .select("a", "b"))
+        .select("u", "v"))
       val nextCount = next.count()
       converged = nextCount == edgeCount
-      und = next
+      dir = next
       edgeCount = nextCount
       r += 1
       if (lastSup != null) lastSup.unpersist(blocking = false)
@@ -715,8 +790,8 @@ object Graph {
       else {
         lastSup.unpersist(blocking = false)
         graft.util.Caches.persist(
-          und.join(supportOf(und), Seq("a", "b"), "left")
-            .select(col("a"), col("b"),
+          dir.join(supportOf(dir), Seq("u", "v"), "left")
+            .select(col("u"), col("v"),
               coalesce(col("support"), lit(0L)).as("support")))
       }
     if (!converged) {
@@ -726,7 +801,10 @@ object Graph {
           s"fixpoint — $under surviving edge(s) still have support " +
           s"< ${k - 2}; raise rounds for the exact $k-truss")
     }
-    out
+    // back to the canonical (a < b) key the caller sees — the oriented
+    // key is an internal detail of the fixed orientation.
+    out.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b"), col("support"))
   }
 
   /** Local clustering coefficients over a canonical undirected edge
@@ -1058,7 +1136,9 @@ object Graph {
     * the full budget — see the body comment).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0): DataFrame =
+    // AQE off for the peel rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(edges.sparkSession) {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var sym = graft.util.Caches.persist(
@@ -1148,7 +1228,9 @@ object Graph {
     * the usual alpha·m²/Σ2^-M formula rounded to 4dp.
     */
   def neighborhoodSizes(und: DataFrame, radius: Int = 2,
-      m: Int = 512, checkpointEvery: Int = 0): DataFrame = {
+      m: Int = 512, checkpointEvery: Int = 0): DataFrame =
+    // AQE off for the register/BFS rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(und.sparkSession) {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     import graft.functions.Sketches
     val sym = graft.util.Caches.persist(
@@ -1264,7 +1346,9 @@ object Graph {
     * one per node. The calibration BFS is gate-only by design.
     */
   def harmonicCentrality(und: DataFrame, radius: Int = 2, m: Int = 512,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0): DataFrame =
+    // AQE off for the register/BFS rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(und.sparkSession) {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     val (sym, nodes, ests) = ballEstimates(und, radius, m, checkpointEvery)
     // ascending-radius fold of clamped deltas — identical operand order
@@ -1386,7 +1470,9 @@ object Graph {
     * Same loop cost as [[neighborhoodSizes]]; output is radius+1 rows.
     */
   def neighborhoodFunction(und: DataFrame, radius: Int = 2, m: Int = 512,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0): DataFrame =
+    // AQE off for the register rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(und.sparkSession) {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     val (_, _, ests) = ballEstimates(und, radius, m, checkpointEvery)
     val rows = ests.zipWithIndex.map { case (df, r) =>

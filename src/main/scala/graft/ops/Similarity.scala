@@ -245,7 +245,10 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
       nBits: Int = 64, b: Int = 8, r: Int = 8,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): DataFrame =
+    // AQE off for the banding pass + bucket-size probe (an internal
+    // action; see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(df.sparkSession) {
     val base = signedBase(df, nBits)
     // Each banded row also carries the following band's signature (cyclic)
     // as the oversized-bucket extension key.
@@ -1014,7 +1017,9 @@ object Similarity {
     * with the centers found — a 0-distance "farthest point" is an
     * already-covered point, not a center.
     */
-  def kcenter(df: DataFrame, k: Int): DataFrame = {
+  def kcenter(df: DataFrame, k: Int): DataFrame =
+    // AQE off for the k argmax rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(df.sparkSession) {
     require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -1111,7 +1116,10 @@ object Similarity {
     */
   def dbscan(df: DataFrame, simThreshold: Double, minPts: Int,
       nBits: Int = 64, b: Int = 8, r: Int = 8,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): DataFrame =
+    // AQE off end-to-end: the pair probe and the CC fixpoint dominate
+    // (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(df.sparkSession) {
     require(minPts >= 2, s"minPts must be >= 2, got $minPts " +
       "(minPts = 1 makes every point core and no point noise — " +
       "that is exact dedup, not density clustering)")
