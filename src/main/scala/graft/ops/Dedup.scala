@@ -486,16 +486,17 @@ object Dedup {
     * loss mid-fixpoint.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame =
-    // AQE off for the fixpoint rounds (see [[graft.util.Fixpoint]]):
-    // per-round re-planning of the fixed join+min shape only inserts
-    // stage barriers — measured 39.3 s -> 11.2 s on the round-19 bench.
-    graft.util.Fixpoint.withoutAqe(pairs.sparkSession) {
-      connectedComponentsImpl(pairs, maxIter, checkpointDir)
-    }
-
-  private def connectedComponentsImpl(pairs: DataFrame, maxIter: Int,
-      checkpointDir: Option[String]): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame = {
+    // AQE deliberately INHERITED here, not forced off (round-19
+    // adjudication, both directions measured): on the tiny core-core
+    // graph inside [[graft.ops.Similarity.dbscan]] the fixpoint ran
+    // 39.3 s with AQE vs 11.2 s without (per-round stage barriers
+    // dominate) — dbscan's own [[graft.util.Fixpoint.withoutAqe]] scope
+    // covers that case. But on the larger string-keyed graphs the
+    // direct consumers feed (graph_cc, the minhash-CC dedup family,
+    // curate chains), forcing AQE off read 1.2–1.35x of baseline:
+    // their rounds want AQE's runtime broadcast conversion, which the
+    // static planner cannot derive from un-sized LogicalRDD inputs.
     // localCheckpoint stores lineage-truncated blocks on executors — fine
     // single-node, but an executor loss mid-fixpoint kills the job. When a
     // checkpointDir is given (the cluster deployment mode), rounds write

@@ -449,7 +449,10 @@ object Layout {
     * n_rewritten_blocks, n_emptied_blocks, n_rows_deleted).
     */
   def targetedDelete(spark: SparkSession, outDir: String, keyCol: String,
-      values: Seq[Long], options: Map[String, String] = Map.empty): DataFrame = {
+      values: Seq[Long], options: Map[String, String] = Map.empty): DataFrame =
+    // AQE off: the delete is a chain of small statistics probes,
+    // per-block actions and swap writes (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(spark) {
     require(values.nonEmpty, "need at least one key value to delete")
     if (!options.get("confirm.delete").exists(_.equalsIgnoreCase("true")))
       throw new IllegalArgumentException(
@@ -506,14 +509,22 @@ object Layout {
     val cand = candDf.collect().map(_.getLong(0)).sorted.toSeq
 
     // per-candidate-block hit counts: only blocks with ACTUAL hits are
-    // rewritten; statistics false positives stay byte-identical
+    // rewritten; statistics false positives stay byte-identical.
+    // The candidate blocks' rows are persisted ONCE with their delete
+    // flag (round 19): the hit-count stats, the surviving-row rewrite
+    // and both statistics rebuilds below all read this same slice, and
+    // un-persisted each pass re-listed and re-scanned the whole
+    // partitioned store (4 directory scans -> 1).
     val data = spark.read.parquet(s"$outDir/data")
+    val hit = if (cand.isEmpty) null
+      else graft.util.Caches.persist(
+        data.where(col("block_id").isin(cand: _*))
+          .withColumn("__del", col(keyCol).isin(values: _*)))
     // (partition-column inference may type block_id INT; the collected
     // ids are handled as LONG throughout, so cast at the aggregation)
-    val stats = if (cand.isEmpty) Array.empty[Row] else data
-      .where(col("block_id").isin(cand: _*))
+    val stats = if (cand.isEmpty) Array.empty[Row] else hit
       .groupBy(col("block_id").cast("long").as("block_id"))
-      .agg(sum(when(col(keyCol).isin(values: _*), 1L).otherwise(0L))
+      .agg(sum(when(col("__del"), 1L).otherwise(0L))
         .as("n_del"), count(lit(1)).as("n_before"))
       .collect()
     val touched = stats.filter(_.getLong(1) > 0L)
@@ -525,13 +536,19 @@ object Layout {
 
     if (touchedIds.nonEmpty) {
       // surviving rows land in scratch first (Spark refuses a path that
-      // is also being read), then per-block delete+rename swaps
+      // is also being read), then per-block delete+rename swaps. The
+      // survivors frame reads the CACHED candidate slice, and — because
+      // the swap moves exactly these rows into place — it is also the
+      // post-swap content of the rewritten blocks, so the statistics
+      // rebuilds below reuse it instead of re-reading the store.
+      val survivors = hit
+        .where(col("block_id").isin(rewriteIds: _*) && !col("__del"))
+        .drop("__del")
       val scratch = new org.apache.hadoop.fs.Path(
         s"$outDir/.delete_scratch")
       if (fs.exists(scratch)) fs.delete(scratch, true)
       if (rewriteIds.nonEmpty)
-        data.where(col("block_id").isin(rewriteIds: _*) &&
-            !col(keyCol).isin(values: _*))
+        survivors
           .write.partitionBy("block_id").mode("overwrite")
           .parquet(scratch.toString)
       touchedIds.foreach { b =>
@@ -546,7 +563,7 @@ object Layout {
       // derived stores: bloom rows of rewritten blocks rebuilt under the
       // same (m, k); manifest republished LAST (metadata-last commit).
       // block_id re-cast long: partition inference may have typed it INT
-      val postData = spark.read.parquet(s"$outDir/data")
+      val survLong = survivors
         .withColumn("block_id", col("block_id").cast("long"))
       if (hasBloom) {
         val bloom = spark.read.parquet(bloomPath.toString)
@@ -557,9 +574,7 @@ object Layout {
         val keptRows = bloom.where(!col("block_id").isin(touchedIds: _*))
         val rebuilt =
           if (rewriteIds.isEmpty) keptRows
-          else keptRows.unionByName(bloomRowsOf(
-            postData.where(col("block_id").isin(rewriteIds: _*)),
-            keyCol, m, k))
+          else keptRows.unionByName(bloomRowsOf(survLong, keyCol, m, k))
         swapPublish(fs, rebuilt, bloomPath)
       }
       val curveCols = manifest.columns.toSeq
@@ -568,13 +583,13 @@ object Layout {
         .where(!col("block_id").isin(touchedIds: _*))
       val newManifest =
         if (rewriteIds.isEmpty) keptManifest
-        else keptManifest.unionByName(manifestOf(
-          postData.where(col("block_id").isin(rewriteIds: _*)), curveCols)
+        else keptManifest.unionByName(manifestOf(survLong, curveCols)
           .select(keptManifest.columns.map(col): _*))
       swapPublish(fs,
         newManifest.coalesce(1),
         new org.apache.hadoop.fs.Path(s"$outDir/manifest"))
     }
+    if (hit != null) hit.unpersist(blocking = false)
 
     Seq((nBlocks, cand.size.toLong, rewriteIds.size.toLong,
       emptiedIds.size.toLong, nRowsDeleted))

@@ -402,16 +402,60 @@ object Similarity {
     */
   private[ops] def assignCells(df: DataFrame, id: String, cents: DataFrame,
       topN: Int = 1): DataFrame = {
+    val scored = scoreAgainstCentroids(df, id, cents)
+    if (topN == 1)
+      // argmax as a map-side-combinable MAX over (cos, -c_id): the same
+      // total order as the row_number window below ((cos desc, c_id
+      // asc) — max cosine, ties to the min centroid id), but partial
+      // aggregation folds in the scan stage instead of shuffling and
+      // sorting every (row × centroid) pair by the id (round 19; the
+      // window paid one full-width exchange + sort per assignment pass,
+      // and training runs one pass per Lloyd round).
+      scored.groupBy(col(id))
+        .agg(max(struct(col("c_cos"), (-col("c_id")).as("__nc"))).as("__m"))
+        .select(col(id), (-col("__m.__nc")).as("cell"))
+    else {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      // embedding projected away BEFORE the window: the sort must not
+      // carry the vector payload (the optimizer prunes it from the
+      // argmax branch on its own)
+      scored.select(col(id), col("c_id"), col("c_cos"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= topN)
+        .select(col(id), col("c_id").as("cell"))
+    }
+  }
+
+  /** (id, c_id, c_cos) for every (row, centroid) pair — the shared
+    * broadcast scoring projection of [[assignCells]] and
+    * [[assignCellsWithEmbedding]].
+    */
+  private def scoreAgainstCentroids(df: DataFrame, id: String,
+      cents: DataFrame): DataFrame = {
     val withNrm = cents.select(col("c_id"), col("c_emb"),
       V.norm(col("c_emb")).as("c_nrm"))
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
     df.join(broadcast(withNrm))
       .select(col(id), col("c_id"),
-        cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("c_cos"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= topN)
-      .select(col(id), col("c_id").as("cell"))
+        cosineFromNorms("embedding", "c_emb", "nrm", "c_nrm").as("c_cos"),
+        col("embedding"))
   }
+
+  /** [[assignCells]] (topN = 1) that also carries each row's embedding
+    * through the argmax struct — (vec_id, cell, embedding) with NO
+    * re-join against the vector table (round 19: the Lloyd rounds and
+    * the cell-store writers all paid an extra vec_id-keyed join just to
+    * re-attach the embedding they had already scanned). The embedding
+    * rides as the LAST struct field: c_id is unique per (row, centroid)
+    * pair, so the comparison never reaches it.
+    */
+  private def assignCellsWithEmbedding(cv: DataFrame,
+      cents: DataFrame): DataFrame =
+    scoreAgainstCentroids(cv, "vec_id", cents)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_cos"), (-col("c_id")).as("__nc"),
+        col("embedding").as("__e"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.__nc")).as("cell"),
+        col("__m.__e").as("embedding"))
 
   /** The k-means loop shared by [[ivfTopK]] and [[ivfWrite]]: seeds are
     * the deterministic `vec_id % centroidEvery == 0` subset, then
@@ -426,8 +470,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"),
         transform(col("embedding"), _.cast("double")).as("c_emb"))
     for (_ <- 0 until kmeansIters) {
-      val members = assignCells(cv, "vec_id", centroids)
-        .join(cv.select(col("vec_id"), col("embedding")), "vec_id")
+      val members = assignCellsWithEmbedding(cv, centroids)
       centroids =
         if (exactReplay)
           members
@@ -484,8 +527,8 @@ object Similarity {
           ": pass confirm.truncate=true (destructive-write latch)")
     val cv = graft.util.Caches.persist(withNorm(corpus))
     val cents = trainCentroids(cv, centroidEvery, kmeansIters, exactReplay)
-    assignCells(cv, "vec_id", cents)
-      .join(cv.select(col("vec_id"), col("embedding")), "vec_id")
+    assignCellsWithEmbedding(cv, cents)
+      .select(col("vec_id"), col("cell"), col("embedding"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$outDir/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
@@ -509,8 +552,8 @@ object Similarity {
       newVecs: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$outDir/centroids")
     val nv = withNorm(newVecs)
-    assignCells(nv, "vec_id", cents)
-      .join(nv.select(col("vec_id"), col("embedding")), "vec_id")
+    assignCellsWithEmbedding(nv, cents)
+      .select(col("vec_id"), col("cell"), col("embedding"))
       .write.partitionBy("cell").mode("append")
       .parquet(s"$outDir/cells")
   }

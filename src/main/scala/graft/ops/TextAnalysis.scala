@@ -1031,7 +1031,9 @@ object TextAnalysis {
     * merges.
     */
   def bpeLearnMerges(df: DataFrame, textCol: String,
-      rounds: Int = 4, checkpointEvery: Int = 0): DataFrame = {
+      rounds: Int = 4, checkpointEvery: Int = 0): DataFrame =
+    // AQE off for the merge rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(df.sparkSession) {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._

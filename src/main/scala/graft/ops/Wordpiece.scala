@@ -62,7 +62,9 @@ object Wordpiece {
     * re-encode with per-generation persist/evict.
     */
   def learn(df: DataFrame, textCol: String, rounds: Int = 4,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0): DataFrame =
+    // AQE off for the merge rounds (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withoutAqe(df.sparkSession) {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
