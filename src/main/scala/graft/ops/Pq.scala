@@ -99,6 +99,13 @@ object Pq {
     var cb = sub.where(col("vec_id") % centroidEvery === 0)
       .select(col("s"), col("vec_id").as("c_id"), col("sv").as("c_emb"))
     for (_ <- 1 to iters) {
+      // NOTE (round 19): carrying `sv` through the argmin struct was
+      // measured SLOWER here (pq family 1.2-1.5x) — an array field in
+      // the aggregation buffer forces object/sort aggregation, while
+      // this min(struct(double, long)) stays a fixed-width hash
+      // aggregate and the re-join is cheap. The opposite trade from
+      // Similarity.assignCellsWithEmbedding, where the payload argmax
+      // replaced a window+join, not a hash agg.
       val members = assign(sub, cb)
         .join(sub, Seq("vec_id", "s"))
       cb = members
