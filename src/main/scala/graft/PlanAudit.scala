@@ -20,10 +20,19 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in: also dump the per-round frames of iterative operators
+    // (graft.util.PlanDump hooks) into this directory
+    sys.env.get("SPARK_GRAFT_PLAN_DUMP_DIR")
+      .foreach(d => spark.conf.set("spark.graft.planDumpDir", d))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (names(name)) {
         println(s"\n========== $name ==========")
-        fn(spark, dir).explain("formatted")
+        val out = fn(spark, dir)
+        out.explain("formatted")
+        // iterative operators only build their internal frames when an
+        // action runs; a noop write triggers them without output cost
+        if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP_DIR"))
+          out.write.format("noop").mode("overwrite").save()
       }
     }
     spark.stop()

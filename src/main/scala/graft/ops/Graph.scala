@@ -699,52 +699,87 @@ object Graph {
     * so the output is well-defined whether or not the peel converged.
     *
     * Input: canonical undirected edges (a < b, distinct). Output:
-    * (a, b, support) of the surviving subgraph. Shape at scale: each
-    * round is the [[triangleCounts]] plan (degree orientation +
-    * sorted-intersect closing — never the wedge join) plus one
-    * map-side-combined per-edge count and a filter; edge state persists
-    * per round with immediate eviction of the superseded generation.
+    * (a, b, support) of the surviving subgraph. Shape at scale: ONE
+    * full triangle enumeration (the [[triangleCounts]] plan — degree
+    * orientation + sorted-intersect closing, never the wedge join),
+    * then INCREMENTAL support maintenance per peel round: the
+    * materialized triangle list drops every triangle that touches a
+    * removed edge (three anti-joins — broadcast when the driver-known
+    * removed-edge count is small, see the scale knob below) and
+    * support is re-counted from the surviving list by one
+    * map-side-combined explode+count. Rounds 2+ never re-pay the
+    * adjacency build or the intersect probes, and counting surviving
+    * triangles once per round subtracts multi-removed-edge triangles
+    * exactly once — the inclusion-exclusion the subtract-per-removed-
+    * edge formulation would otherwise need.
     */
   def kTruss(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame =
     // AQE off for the peel rounds (see [[graft.util.Fixpoint]])
     graft.util.Fixpoint.withoutAqe(edges.sparkSession) {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
     val nodeType = edges.schema("a").dataType
+    // Removed-edge sets up to this many rows ship as a BROADCAST build
+    // side of the per-round anti-joins (the loop runs with AQE off, and
+    // the static planner cannot size a filter over cached blocks, so
+    // without the hint every round would sort-merge the whole triangle
+    // list three times). The driver knows the exact removed count from
+    // the round's convergence probe, so the choice is data-driven, not
+    // a local-mode constant: past the threshold (2 longs/row ≈ 32 MB
+    // at the default) the rounds fall back to shuffle anti-joins.
+    val broadcastRemovedMax =
+      spark.conf.get("spark.graft.ktruss.broadcastRemovedMax", "2000000")
+        .toLong
     // Support of the CURRENT surviving subgraph, keyed on its ORIENTED
     // edges. The orientation is fixed ONCE (below) from the original
     // graph's degrees: triangle enumeration is exact under ANY fixed
     // total order on nodes, so per-round support — and therefore every
     // peel decision — is identical to re-orienting on the shrinking
-    // subgraph; re-orienting only re-paid a degree aggregation plus two
-    // degree joins (3 exchanges) EVERY round. A triangle found as
-    // u→v closed by w ∈ N⁺(u) ∩ N⁺(v) has all three edges (u,v),
-    // (u,w), (v,w) in the oriented table, so support groups directly on
-    // the oriented key — no least/greatest re-canonicalization per row.
-    def supportOf(dir: DataFrame): DataFrame = {
+    // subgraph. A triangle found as u→v closed by w ∈ N⁺(u) ∩ N⁺(v)
+    // has all three edges (u,v), (u,w), (v,w) in the oriented table, so
+    // support groups directly on the oriented key — no least/greatest
+    // re-canonicalization per row.
+    def enumerate(dir: DataFrame): DataFrame = {
       val adj = dir.groupBy(col("u").as("node"))
         .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      val tris = dir
+      dir
         .join(adj.select(col("node").as("u"), col("nbrs").as("__nu")), "u")
         .join(adj.select(col("node").as("v"), col("nbrs").as("__nv")), "v")
         .select(col("u"), col("v"),
           explode(sortedIntersect(nodeType, col("__nu"), col("__nv")))
             .as("w"))
-      tris.select(explode(array(
-          struct(col("u"), col("v")),
-          struct(col("u"), col("w").as("v")),
-          struct(col("v").as("u"), col("w").as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
     }
+    // (edges, triangle list) -> (u, v, support) with support-0 edges kept
+    def supportFrom(dir: DataFrame, tris: DataFrame): DataFrame =
+      dir.join(
+        tris.select(explode(array(
+            struct(col("u"), col("v")),
+            struct(col("u"), col("w").as("v")),
+            struct(col("v").as("u"), col("w").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("support")),
+        Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("support"), lit(0L)).as("support"))
     // canonicalize internally (a reversed duplicate must count once,
     // not silently drop); self-loops close no triangle and go.
-    // Every generation is lineage-TRUNCATED (Truncator(1)), not merely
-    // persisted: the support pass references the edge table ~4 times
-    // (adjacency, two probe joins, the left join), so an un-truncated
-    // logical plan grows 4^rounds and OOMs the analyzer long before the
-    // data does.
+    // EVERY generation — edges, triangle list, support — is lineage-
+    // TRUNCATED (Truncator(1)), never merely persisted: (a) the
+    // maintenance references each table multiple times per round, so an
+    // un-truncated logical plan grows geometrically; (b) chaining
+    // PERSISTS across generations (tris_{r+1} reads cached tris_r)
+    // would break under Spark's non-cascading cache invalidation —
+    // unpersisting a superseded generation RECOMPILES its dependents'
+    // cache entries and drops their built buffers (SPARK-24596), so a
+    // later action would recompute through an already-freed checkpoint.
+    // Truncated generations have no cache-level dependencies: each is
+    // its own block-backed leaf, and the eager free of generation g
+    // only runs after g+1 is materialized.
     val trunc = new graft.util.Truncator(1)
+    val truncTris = new graft.util.Truncator(1)
+    val truncSup = new graft.util.Truncator(1)
+    val truncRm = new graft.util.Truncator(1)
     val und0 = edges.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") < col("b")).distinct()
@@ -753,8 +788,8 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // the [[orientedTriangles]] degree orientation, computed once: out-
     // degree stays O(sqrt(E)) on the ORIGINAL graph and can only shrink
-    // as edges peel, so the per-round closing join never explodes.
-    var dir = trunc(und0
+    // as edges peel, so the one closing join never explodes.
+    val dir = trunc(und0
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(
@@ -763,37 +798,64 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
-    var edgeCount = dir.count()
+    val edgeCount = dir.count()
+    // the ONE full enumeration, checkpointed ONCE; rounds scan it with
+    // anti-joins against the (tiny, cumulative) removed-edge table —
+    // the triangle list itself is never re-materialized.
+    val tris0 = {
+      val e = enumerate(dir)
+      graft.util.PlanDump("ktruss_enumerate_once", e)
+      truncTris(e)
+    }
+    var sup = truncSup(supportFrom(dir, tris0))
+    // cumulative removed edges, re-checkpointed per round (a few rows
+    // after round 1 on real graphs — the peel tail is tiny)
+    var removedCum: DataFrame = null
+    var removedCumCount = 0L
     var r = 0
     var converged = false
-    var lastSup: DataFrame = null
     while (r < rounds && !converged) {
-      val sup = graft.util.Caches.persist(
-        dir.join(supportOf(dir), Seq("u", "v"), "left")
-          .select(col("u"), col("v"),
-            coalesce(col("support"), lit(0L)).as("support")))
-      val next = trunc(sup.where(col("support") >= k - 2)
-        .select("u", "v"))
-      val nextCount = next.count()
-      converged = nextCount == edgeCount
-      dir = next
-      edgeCount = nextCount
-      r += 1
-      if (lastSup != null) lastSup.unpersist(blocking = false)
-      lastSup = sup
-    }
-    // On convergence the final filter dropped nothing, so the round's
-    // own support table already describes the SURVIVING subgraph — no
-    // extra triangle pass. Only a budget-exhausted peel recomputes.
-    val out =
-      if (converged) lastSup
-      else {
-        lastSup.unpersist(blocking = false)
-        graft.util.Caches.persist(
-          dir.join(supportOf(dir), Seq("u", "v"), "left")
-            .select(col("u"), col("v"),
-              coalesce(col("support"), lit(0L)).as("support")))
+      val removedNow = sup.where(col("support") < k - 2).count()
+      converged = removedNow == 0L
+      if (!converged) {
+        removedCumCount += removedNow
+        removedCum = truncRm(
+          if (removedCum == null) sup.where(col("support") < k - 2)
+            .select(col("u").as("__ru"), col("v").as("__rv"))
+          else removedCum.unionAll(sup.where(col("support") < k - 2)
+            .select(col("u").as("__ru"), col("v").as("__rv"))))
+        // a triangle survives iff NONE of its three edges was ever
+        // removed; each slot anti-joins its own aliased copy of the
+        // cumulative set (reusing one frame thrice trips ambiguous-
+        // attribute analysis; the three broadcast builds dedup to one
+        // via ReusedExchange)
+        def removedAs(us: String, vs: String): DataFrame = {
+          val rm = removedCum
+            .select(col("__ru").as(us), col("__rv").as(vs))
+          if (removedCumCount <= broadcastRemovedMax) broadcast(rm)
+          else rm
+        }
+        val liveTris = tris0
+          .join(removedAs("__r1u", "__r1v"),
+            col("u") === col("__r1u") && col("v") === col("__r1v"),
+            "left_anti")
+          .join(removedAs("__r2u", "__r2v"),
+            col("u") === col("__r2u") && col("w") === col("__r2v"),
+            "left_anti")
+          .join(removedAs("__r3u", "__r3v"),
+            col("v") === col("__r3u") && col("w") === col("__r3v"),
+            "left_anti")
+        val roundSup = supportFrom(
+          sup.where(col("support") >= k - 2).select("u", "v"), liveTris)
+        graft.util.PlanDump(s"ktruss_round_$r", roundSup)
+        sup = truncSup(roundSup)
       }
+      r += 1
+    }
+    // sup is maintained in lockstep with the surviving edge set (its
+    // truncation already materialized it), so it describes the
+    // surviving subgraph whether or not the peel converged.
+    val out = sup
     if (!converged) {
       val under = out.where(col("support") < k - 2).count()
       if (under > 0) log.warn(

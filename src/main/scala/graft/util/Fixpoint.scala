@@ -30,19 +30,57 @@ import org.apache.spark.sql.SparkSession
   * enough that runtime coalescing / skew splitting outweighs the
   * per-round re-planning latency (the 100 TB regime) — the local
   * default favors round latency, which is what bounds the fixpoint.
+  *
+  * CONCURRENCY CONTRACT: `spark.conf` is SESSION-global, not
+  * thread-local, so while any fixpoint scope is open every OTHER query
+  * submitted on the same session also plans without AQE. Scopes
+  * themselves are safe to overlap (the restore is reference-counted
+  * per session below — the last scope out re-installs the value the
+  * first scope in saw, so concurrent fixpoints can no longer clobber
+  * each other's `prev`), but a host that multiplexes AQE-sensitive
+  * OLAP queries and fixpoint operators on one session concurrently
+  * should give the fixpoints their own session (`newSession()` shares
+  * the SparkContext and catalog but has independent conf) or set
+  * `spark.graft.fixpoint.aqe=true`. Bench/Verify are single-threaded
+  * and unaffected.
   */
 object Fixpoint {
 
   private val AqeKey = "spark.sql.adaptive.enabled"
   private val KeepKey = "spark.graft.fixpoint.aqe"
 
+  /** Per-session open-scope bookkeeping: depth of nested/overlapping
+    * scopes and the conf value to restore when the last one exits.
+    * Keyed on identity — two sessions never share an entry.
+    */
+  private final class Scope(var depth: Int, val prev: String)
+  private val open =
+    new java.util.IdentityHashMap[SparkSession, Scope]()
+
   def withoutAqe[T](spark: SparkSession)(body: => T): T = {
     val keep = spark.conf.get(KeepKey, "false").equalsIgnoreCase("true")
-    val prev = spark.conf.get(AqeKey, "true")
-    if (keep || prev.equalsIgnoreCase("false")) body
-    else {
-      spark.conf.set(AqeKey, "false")
-      try body finally spark.conf.set(AqeKey, prev)
+    if (keep) return body
+    val entered = open.synchronized {
+      val existing = open.get(spark)
+      if (existing != null) { existing.depth += 1; true }
+      else {
+        val prev = spark.conf.get(AqeKey, "true")
+        if (prev.equalsIgnoreCase("false")) false // off already; nothing to scope
+        else {
+          open.put(spark, new Scope(1, prev))
+          spark.conf.set(AqeKey, "false")
+          true
+        }
+      }
+    }
+    if (!entered) body
+    else try body finally open.synchronized {
+      val s = open.get(spark)
+      s.depth -= 1
+      if (s.depth == 0) {
+        open.remove(spark)
+        spark.conf.set(AqeKey, s.prev)
+      }
     }
   }
 }
