@@ -439,46 +439,61 @@ object Graph {
       else df.localCheckpoint(eager = true)
     var verts = ckpt(e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct())
+    var nVerts = verts.count()
     var rem = ckpt(e0)
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
-    var done = verts.isEmpty
+    var done = nVerts == 0L
+    // the trim/color/confirm rounds shuffle vertex-sized tables dozens
+    // of times; size the loop's shuffle partitions to that state (AQE
+    // stays ON — see above — but its coalescing cannot remove the
+    // per-task scheduling of an oversized INITIAL partition count)
+    graft.util.Fixpoint.withLoopPartitions(edges.sparkSession, nVerts) {
     while (!done && outer < maxOuter) {
-      // 1. TRIM fixpoint: peel vertices with no in- or no out-edges
+      // 1. TRIM fixpoint: peel vertices with no in- or no out-edges.
+      // One checkpointed frame per round (id, __live): the peeled rows
+      // and the surviving rows are FILTERS over its blocks, so a round
+      // is one materialization + one count instead of three frames.
       var trimming = true
       var trims = 0
       while (trimming && trims < maxIter) {
-        val live = verts
-          .join(rem.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
-          .join(rem.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
-          .transform(ckpt)
-        val trimmed = verts.join(live, Seq("id"), "left_anti")
-          .select(col("id").as("node"), col("id").as("scc"))
-          .transform(ckpt)
-        trimming = !trimmed.isEmpty
+        val marked = ckpt(verts
+          .join(rem.select(col("src").as("id")).distinct()
+            .withColumn("__s", lit(true)), Seq("id"), "left")
+          .join(rem.select(col("dst").as("id")).distinct()
+            .withColumn("__d", lit(true)), Seq("id"), "left")
+          .select(col("id"),
+            (col("__s").isNotNull && col("__d").isNotNull).as("__live")))
+        val nLive = marked.where(col("__live")).count()
+        trimming = nLive < nVerts
         if (trimming) {
-          out += trimmed
-          verts = live
+          out += marked.where(!col("__live"))
+            .select(col("id").as("node"), col("id").as("scc"))
+          verts = marked.where(col("__live")).select("id")
+          nVerts = nLive
           rem = rem
-            .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
-            .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
             .transform(ckpt)
         }
         trims += 1
       }
-      done = verts.isEmpty
+      done = nVerts == 0L
       if (!done) {
         // 2. COLOR + 3. CONFIRM
         val colors = graft.util.Caches.persist(
           minReach(verts, rem).withColumnRenamed("lab", "__color"))
-        val classEdges = rem
+        // checkpointed: every confirm-fixpoint round joins against this
+        // edge table — left lazy it would re-run the two color joins
+        // per iteration
+        val classEdges = ckpt(rem
           .join(colors.select(col("id").as("src"), col("__color").as("__cs")),
             "src")
           .join(colors.select(col("id").as("dst"), col("__color").as("__cd")),
             "dst")
           .where(col("__cs") === col("__cd"))
           // REVERSED class-internal edges: blab = min id v reaches in-class
-          .select(col("dst").as("src"), col("src").as("dst"))
+          .select(col("dst").as("src"), col("src").as("dst")))
         val blab = minReach(verts, classEdges).withColumnRenamed("lab", "__blab")
         val assigned = colors.join(blab, "id")
           .where(col("__color") === col("__blab"))
@@ -488,7 +503,8 @@ object Graph {
         verts = verts
           .join(assigned.select(col("node").as("id")), Seq("id"), "left_anti")
           .transform(ckpt)
-        done = verts.isEmpty
+        nVerts = verts.count()
+        done = nVerts == 0L
         if (!done)
           rem = rem
             .join(assigned.select(col("node").as("src")), Seq("src"), "left_anti")
@@ -496,6 +512,7 @@ object Graph {
             .transform(ckpt)
       }
       outer += 1
+    }
     }
     if (!done)
       throw new IllegalStateException(
@@ -548,8 +565,12 @@ object Graph {
     // generation after trunc() frees it
     val trunc = new graft.util.Truncator(checkpointEvery)
     var layer = trunc(comps.select(col("c"), lit(0L).as("layer")))
+    val nComps = layer.count()
     var iter = 0
     var converged = false
+    // component-sized loop state: size the relaxation's shuffle
+    // partitions to it (same rationale as [[scc]]'s loop scope)
+    graft.util.Fixpoint.withLoopPartitions(edges.sparkSession, nComps) {
     while (!converged && iter < maxIter) {
       val relax = ce
         .join(layer.select(col("c").as("ca"), col("layer")), "ca")
@@ -561,6 +582,7 @@ object Graph {
       converged = next.where(col("layer") =!= col("__ol")).isEmpty
       layer = next.select(col("c"), col("layer"))
       iter += 1
+    }
     }
     if (!converged)
       throw new IllegalStateException(

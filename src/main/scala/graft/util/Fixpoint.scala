@@ -49,38 +49,79 @@ object Fixpoint {
   private val AqeKey = "spark.sql.adaptive.enabled"
   private val KeepKey = "spark.graft.fixpoint.aqe"
 
-  /** Per-session open-scope bookkeeping: depth of nested/overlapping
-    * scopes and the conf value to restore when the last one exits.
-    * Keyed on identity — two sessions never share an entry.
+  /** Per-(session, key) open-scope bookkeeping: a stack of scope tokens
+    * with their target values plus the pre-scope original. The LAST
+    * scope out restores the original; a non-final exit re-installs the
+    * remaining top scope's target, so overlapping scopes (nested on one
+    * thread or concurrent across threads) never clobber the value the
+    * first scope in saw. Sessions compare by identity (SparkSession
+    * does not override equals).
     */
-  private final class Scope(var depth: Int, val prev: String)
+  private final class ConfScopes(val original: String) {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val values = new java.util.IdentityHashMap[AnyRef, String]()
+  }
   private val open =
-    new java.util.IdentityHashMap[SparkSession, Scope]()
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), ConfScopes]
+
+  /** Run `body` with session conf `key` set to `value`, restoring the
+    * pre-scope value afterwards (overlap-safe, see [[ConfScopes]]).
+    * The conf is SESSION-global while the scope is open — see the
+    * concurrency contract above.
+    */
+  def withConf[T](spark: SparkSession, key: String, value: String)(
+      body: => T): T = {
+    val token = new Object
+    open.synchronized {
+      val sc = open.getOrElseUpdate((spark, key), new ConfScopes(
+        try spark.conf.get(key) catch { case _: Exception => "" }))
+      sc.stack += token
+      sc.values.put(token, value)
+      spark.conf.set(key, value)
+    }
+    try body finally open.synchronized {
+      val sc = open((spark, key))
+      sc.stack -= token
+      sc.values.remove(token)
+      if (sc.stack.isEmpty) {
+        open.remove((spark, key))
+        spark.conf.set(key, sc.original)
+      } else spark.conf.set(key, sc.values.get(sc.stack.last))
+    }
+  }
 
   def withoutAqe[T](spark: SparkSession)(body: => T): T = {
     val keep = spark.conf.get(KeepKey, "false").equalsIgnoreCase("true")
-    if (keep) return body
-    val entered = open.synchronized {
-      val existing = open.get(spark)
-      if (existing != null) { existing.depth += 1; true }
-      else {
-        val prev = spark.conf.get(AqeKey, "true")
-        if (prev.equalsIgnoreCase("false")) false // off already; nothing to scope
-        else {
-          open.put(spark, new Scope(1, prev))
-          spark.conf.set(AqeKey, "false")
-          true
-        }
-      }
+    val already = open.synchronized {
+      !open.contains((spark, AqeKey)) &&
+        spark.conf.get(AqeKey, "true").equalsIgnoreCase("false")
     }
-    if (!entered) body
-    else try body finally open.synchronized {
-      val s = open.get(spark)
-      s.depth -= 1
-      if (s.depth == 0) {
-        open.remove(spark)
-        spark.conf.set(AqeKey, s.prev)
-      }
-    }
+    if (keep || already) body // off globally; nothing to scope
+    else withConf(spark, AqeKey, "false")(body)
   }
+
+  /** Shuffle partition count for a fixpoint whose per-round state is
+    * `rows` rows: enough partitions to keep each under
+    * `spark.graft.fixpoint.rowsPerPartition` (default 65536), clamped
+    * to the session's configured `spark.sql.shuffle.partitions` so a
+    * big deployment never loses parallelism — the LOCAL pathology this
+    * fights is the reverse: tens of scheduler-overhead-bound tasks per
+    * exchange for a table of a few thousand rows, multiplied by
+    * rounds × exchanges-per-round.
+    */
+  def loopPartitions(spark: SparkSession, rows: Long): Int = {
+    val per = spark.conf
+      .get("spark.graft.fixpoint.rowsPerPartition", "65536").toLong
+    val session = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1L, math.min(session.toLong,
+      (rows + per - 1) / math.max(1L, per))).toInt
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` to [[loopPartitions]] for an
+    * iterative loop over `rows`-sized state.
+    */
+  def withLoopPartitions[T](spark: SparkSession, rows: Long)(
+      body: => T): T =
+    withConf(spark, "spark.sql.shuffle.partitions",
+      loopPartitions(spark, rows).toString)(body)
 }
