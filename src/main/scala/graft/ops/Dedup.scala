@@ -540,41 +540,58 @@ object Dedup {
     var labelsFiles = listCkpt() -- preexisting
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    // the fixpoint's per-round state is the label table — size the
+    // loop's shuffle partitions to it (the count reads the eager
+    // checkpoint's blocks). At bench scale this collapses the rounds'
+    // exchanges to a task or two; at corpus scale the derived count
+    // clamps to the session's configured partitions. See
+    // [[graft.util.Fixpoint.loopPartitions]].
+    val nNodes = labels.count()
+    graft.util.Fixpoint.withLoopPartitions(pairs.sparkSession, nNodes) {
+    // One propagation step: neighbor-min then pointer jumping (path
+    // halving): comp <- comp(comp). Combined these converge in O(log n)
+    // steps, so a long duplicate CHAIN cannot outrun maxIter the way
+    // pure one-hop propagation (O(diameter)) could. The `__ol` column
+    // (the label as of the LAST materialization) threads through
+    // untouched so the convergence probe is a FILTER over the new
+    // checkpoint's blocks — no re-join against the old generation.
+    def step(l: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .join(l.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("comp").as("ncomp"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = l.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // pointer jumping (path halving): comp <- comp(comp). Combined with
-      // the neighbor-min step this converges in O(log n) rounds, so a long
-      // duplicate CHAIN cannot outrun maxIter the way pure one-hop
-      // propagation (O(diameter)) could.
-      //
-      // checkpoint (not persist): the self-join doubles the logical
-      // plan every round, and persist only caches execution — the ANALYZED
-      // plan would still grow 2^iter and OOM the driver. Checkpointing
-      // truncates lineage each round.
-      val next = ckpt(propagated
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("__ol"))
+      propagated
         .join(propagated.select(col("id").as("comp"), col("comp").as("jc")),
           Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp")))
-      // Convergence probe every SECOND round: the probe is a driver
-      // round-trip (join + isEmpty job); min-label propagation is monotone,
-      // so checking late never changes the fixpoint, only amortizes probes.
-      converged = (iter % 2 == 1 || iter == maxIter - 1) && next
-        .join(labels.select(col("id"), col("comp").as("oldc")), "id")
-        .where(col("comp") =!= col("oldc"))
-        .isEmpty
-      // `next` is materialized (eager checkpoint) and the probe has read
-      // the old labels — the previous round's reliable files are now dead.
+          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"),
+          col("__ol"))
+    }
+    while (!converged && iter < maxIter) {
+      // ONE step per materialization (a 2-step unroll was measured
+      // 2x WORSE: without a materialization boundary the nested
+      // self-joins re-execute the inner step's subtree — ReusedExchange
+      // dedups only the exchanges, not the compute between them).
+      //
+      // checkpoint (not persist): the self-joins double the logical
+      // plan every step, and persist only caches execution — the
+      // ANALYZED plan would still grow 2^iter and OOM the driver.
+      // Checkpointing truncates lineage each round.
+      val next = ckpt(step(
+        labels.select(col("id"), col("comp"), col("comp").as("__ol"))))
+      converged = next.where(col("comp") =!= col("__ol")).isEmpty
+      // `next` is materialized (eager checkpoint) and the probe read
+      // only its own blocks — the previous round's reliable files are
+      // now dead.
       val nextFiles = listCkpt() -- preexisting -- labelsFiles
       dropCkpt(labelsFiles)
       labelsFiles = nextFiles
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       iter += 1
+    }
     }
     if (!converged) log.warn(
       s"connectedComponents exited at maxIter=$maxIter without a verified " +
