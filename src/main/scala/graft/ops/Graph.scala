@@ -310,6 +310,11 @@ object Graph {
         .select(col("node"), ldiv(col(in) * HitsScale, lit(tot)).as(out)))
     }
     val trunc = new graft.util.Truncator(checkpointEvery)
+    // each pull's exchange carries node-sized partials; size the loop's
+    // shuffle partitions to the node table (see [[graft.util.Fixpoint]];
+    // the count reads the already-persisted node set)
+    graft.util.Fixpoint.withLoopPartitions(edges.sparkSession,
+      nodes.count()) {
     for (_ <- 1 to iters) {
       // score vectors are one row per node — broadcast them into the
       // edge joins so each pull is a map-side broadcast join + combine
@@ -321,6 +326,7 @@ object Graph {
           col("a"))), "dst")
         .groupBy(col("src").as("node")).agg(sum("a").as("__hr"))
       hub = trunc(normalize(hraw, "__hr", "h"))
+    }
     }
     nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
       .select(col("node"),
@@ -821,6 +827,10 @@ object Graph {
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
     val edgeCount = dir.count()
+    // the enumeration + per-round support exchanges carry edge-sized
+    // (and 3x-triangle-sized explode) tables; size the loop's shuffle
+    // partitions to the edge table (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withLoopPartitions(spark, edgeCount) {
     // the ONE full enumeration, checkpointed ONCE; rounds scan it with
     // anti-joins against the (tiny, cumulative) removed-edge table —
     // the triangle list itself is never re-materialized.
@@ -889,6 +899,7 @@ object Graph {
     // key is an internal detail of the fixed orientation.
     out.select(least(col("u"), col("v")).as("a"),
       greatest(col("u"), col("v")).as("b"), col("support"))
+    } // end withLoopPartitions
   }
 
   /** Local clustering coefficients over a canonical undirected edge
@@ -1230,6 +1241,9 @@ object Graph {
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
     var edgeCount = sym.count()
     val trunc = new graft.util.Truncator(checkpointEvery)
+    // per-round exchanges carry edge-sized tables; size the loop's
+    // shuffle partitions to that (see [[graft.util.Fixpoint]])
+    graft.util.Fixpoint.withLoopPartitions(edges.sparkSession, edgeCount) {
     // Early stop when a round drops nothing: a no-drop round is the
     // fixpoint, every later round is the identity, so stopping produces
     // the SAME result as running the full budget — the budget is a
@@ -1265,6 +1279,7 @@ object Graph {
       s"kCore: $under node(s) still below k=$k after rounds=$rounds — " +
         "the peel did not reach its fixpoint; raise rounds for the exact core")
     deg
+    }
   }
 
   /** Deterministic "random" walks of fixed `length` from EVERY node over
@@ -1453,6 +1468,9 @@ object Graph {
       nodes.select(col("node").as("start"), col("node").as("x"),
         lit(0L).as("d")))
     var frontier = seen
+    // NOT partition-scoped (round-20 negative result, part of the
+    // harmonic 1.40x regression): the frontier distinct carries the
+    // ball-mass pair table, real per-row work at any scale.
     for (r <- 1 to radius) {
       val nxt = graft.util.Caches.persist(
         frontier.join(sym.select(col("a").as("x"), col("b").as("__nx")),
@@ -1522,6 +1540,10 @@ object Graph {
     var regs = graft.util.Caches.persist(packed(members1))
     val ests = scala.collection.mutable.ArrayBuffer(
       estimateOf(regs, "__e1"))
+    // NOT partition-scoped (round-20 negative result, 1.16-1.40x on
+    // nf/harmonic): the packed-register merge is an object aggregate
+    // whose per-row cost dominates — collapsing its exchange to one
+    // task serializes real work, unlike the label-table fixpoints.
     for (r <- 2 to radius) {
       val contrib = sym
         .join(regs.withColumnRenamed("node", "b"), "b")
