@@ -375,6 +375,11 @@ object Dedup {
           element_at(col("bds"), (col("bd.band") + 1) % b + 1)
             .getField("bsig").as("nsig"))
     }.reduce(_ unionAll _)
+      // persisted (round 20): the 160-rows/doc banding explode over the
+      // k-length signature arrays is re-computed by the bucket-count
+      // pass AND by all four self-join sides without it — five
+      // evaluations of the same 812k-row frame at gate scale
+      .transform(graft.util.Caches.persist)
     val counts = graft.util.Caches.persist(
       banded.groupBy("level", "band", "bsig").count())
     val nOver = counts.where(col("count") > maxBucket).count()
@@ -382,7 +387,11 @@ object Dedup {
       s"containmentPairsStratified: $nOver bucket(s) exceed " +
         s"maxBucket=$maxBucket and join on an extended key; pairs landing " +
         "only in those buckets lose one band-ladder level of recall")
-    val sized = banded.join(counts, Seq("level", "band", "bsig"))
+    // persisted (round 20): both levels' self-joins read this frame on
+    // both sides through non-identical subtrees (the <=/> bucket-size
+    // filters differ), so ReusedExchange cannot dedup them
+    val sized = graft.util.Caches.persist(
+      banded.join(counts, Seq("level", "band", "bsig")))
     // the level a stratum pair REQUIRES: worst-case Jaccard from the
     // stratum bounds, compared against the ladder midpoints. Plain IEEE
     // double arithmetic (powers of two exact), replayed bit-for-bit by

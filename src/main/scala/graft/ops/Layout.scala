@@ -459,6 +459,7 @@ object Layout {
         s"targetedDelete rewrites data blocks under $outDir: pass " +
           "confirm.delete=true (destructive-write latch)")
     import spark.implicits._
+    val __ta = System.nanoTime()
     val hconf = spark.sparkContext.hadoopConfiguration
     val dataDir = new org.apache.hadoop.fs.Path(s"$outDir/data")
     val fs = dataDir.getFileSystem(hconf)
@@ -506,7 +507,9 @@ object Layout {
           "every block is a rewrite candidate (index the deletion key)")
       mmCand
     }
+    val __tb = System.nanoTime()
     val cand = candDf.collect().map(_.getLong(0)).sorted.toSeq
+    val __tc = System.nanoTime()
 
     // per-candidate-block hit counts: only blocks with ACTUAL hits are
     // rewritten; statistics false positives stay byte-identical.
@@ -527,6 +530,8 @@ object Layout {
       .agg(sum(when(col("__del"), 1L).otherwise(0L))
         .as("n_del"), count(lit(1)).as("n_before"))
       .collect()
+    val __td = System.nanoTime()
+    System.err.println(f"[del-dbg2] build=${(__tb-__ta)/1e9}%.2f candCollect=${(__tc-__tb)/1e9}%.2f hitStats=${(__td-__tc)/1e9}%.2f")
     val touched = stats.filter(_.getLong(1) > 0L)
     val touchedIds = touched.map(_.getLong(0)).sorted.toSeq
     val emptiedIds = touched.filter(r => r.getLong(1) == r.getLong(2))
@@ -534,6 +539,7 @@ object Layout {
     val rewriteIds = touchedIds.filterNot(emptiedIds.contains)
     val nRowsDeleted = touched.map(_.getLong(1)).sum
 
+    val __t0 = System.nanoTime()
     if (touchedIds.nonEmpty) {
       // surviving rows land in scratch first (Spark refuses a path that
       // is also being read), then per-block delete+rename swaps. The
@@ -551,6 +557,7 @@ object Layout {
         survivors
           .write.partitionBy("block_id").mode("overwrite")
           .parquet(scratch.toString)
+      val __t1 = System.nanoTime()
       touchedIds.foreach { b =>
         val dst = new org.apache.hadoop.fs.Path(s"$outDir/data/block_id=$b")
         fs.delete(dst, true)
@@ -559,6 +566,7 @@ object Layout {
         if (fs.exists(src)) fs.rename(src, dst)
       }
       fs.delete(scratch, true)
+      val __t2 = System.nanoTime()
 
       // derived stores: bloom rows of rewritten blocks rebuilt under the
       // same (m, k); manifest republished LAST (metadata-last commit).
@@ -585,9 +593,11 @@ object Layout {
         if (rewriteIds.isEmpty) keptManifest
         else keptManifest.unionByName(manifestOf(survLong, curveCols)
           .select(keptManifest.columns.map(col): _*))
+      val __t3 = System.nanoTime()
       swapPublish(fs,
         newManifest.coalesce(1),
         new org.apache.hadoop.fs.Path(s"$outDir/manifest"))
+      System.err.println(f"[del-dbg] touched=${touchedIds.size} rewrite=${rewriteIds.size} survWrite=${(__t1-__t0)/1e9}%.2f swap=${(__t2-__t1)/1e9}%.2f bloomRebuild=${(__t3-__t2)/1e9}%.2f manifest=${(System.nanoTime()-__t3)/1e9}%.2f")
     }
     if (hit != null) hit.unpersist(blocking = false)
 
