@@ -459,7 +459,6 @@ object Layout {
         s"targetedDelete rewrites data blocks under $outDir: pass " +
           "confirm.delete=true (destructive-write latch)")
     import spark.implicits._
-    val __ta = System.nanoTime()
     val hconf = spark.sparkContext.hadoopConfiguration
     val dataDir = new org.apache.hadoop.fs.Path(s"$outDir/data")
     val fs = dataDir.getFileSystem(hconf)
@@ -479,13 +478,21 @@ object Layout {
     // probe shape — same xxhash64 expression as the build)
     val bloomPath = new org.apache.hadoop.fs.Path(s"$outDir/bloom_$keyCol")
     val hasBloom = fs.exists(bloomPath)
-    val candDf = if (hasBloom) {
-      val bloom = spark.read.parquet(bloomPath.toString)
-      val metas = bloom.select("m", "k").distinct().limit(3).collect()
+    // read + meta-probe ONCE: the candidate probe and the post-rewrite
+    // sidecar rebuild both need the table and its (m, k); a second read
+    // + distinct-collect bought nothing (round 20)
+    val bloomDf =
+      if (hasBloom) spark.read.parquet(bloomPath.toString) else null
+    val bloomMK = if (hasBloom) {
+      val metas = bloomDf.select("m", "k").distinct().limit(3).collect()
       require(metas.length == 1,
         s"bloom table $outDir/bloom_$keyCol has ${metas.length} distinct " +
           "(m, k) parameter pairs; expected exactly 1 — rebuild it")
-      val (m, k) = (metas.head.getAs[Long]("m"), metas.head.getAs[Int]("k"))
+      (metas.head.getAs[Long]("m"), metas.head.getAs[Int]("k"))
+    } else null
+    val candDf = if (hasBloom) {
+      val bloom = bloomDf
+      val (m, k) = bloomMK
       val probes = values.distinct.map(_.toString).toDF("__v")
         .select(col("__v"), posexplode(array((0 until k).map(i =>
           pmod(xxhash64(col("__v"), lit(i)), lit(m))): _*))
@@ -507,9 +514,7 @@ object Layout {
           "every block is a rewrite candidate (index the deletion key)")
       mmCand
     }
-    val __tb = System.nanoTime()
     val cand = candDf.collect().map(_.getLong(0)).sorted.toSeq
-    val __tc = System.nanoTime()
 
     // per-candidate-block hit counts: only blocks with ACTUAL hits are
     // rewritten; statistics false positives stay byte-identical.
@@ -530,8 +535,6 @@ object Layout {
       .agg(sum(when(col("__del"), 1L).otherwise(0L))
         .as("n_del"), count(lit(1)).as("n_before"))
       .collect()
-    val __td = System.nanoTime()
-    System.err.println(f"[del-dbg2] build=${(__tb-__ta)/1e9}%.2f candCollect=${(__tc-__tb)/1e9}%.2f hitStats=${(__td-__tc)/1e9}%.2f")
     val touched = stats.filter(_.getLong(1) > 0L)
     val touchedIds = touched.map(_.getLong(0)).sorted.toSeq
     val emptiedIds = touched.filter(r => r.getLong(1) == r.getLong(2))
@@ -539,7 +542,6 @@ object Layout {
     val rewriteIds = touchedIds.filterNot(emptiedIds.contains)
     val nRowsDeleted = touched.map(_.getLong(1)).sum
 
-    val __t0 = System.nanoTime()
     if (touchedIds.nonEmpty) {
       // surviving rows land in scratch first (Spark refuses a path that
       // is also being read), then per-block delete+rename swaps. The
@@ -554,10 +556,14 @@ object Layout {
         s"$outDir/.delete_scratch")
       if (fs.exists(scratch)) fs.delete(scratch, true)
       if (rewriteIds.nonEmpty)
-        survivors
+        // repartition on the partition column first: the cached slice's
+        // partitioning interleaves blocks, so a direct partitionBy write
+        // emits one file per (task, block) — tens of small files per
+        // rewritten block; one exchange buys one file per block, which
+        // both the swap renames and every later reader want
+        survivors.repartition(col("block_id"))
           .write.partitionBy("block_id").mode("overwrite")
           .parquet(scratch.toString)
-      val __t1 = System.nanoTime()
       touchedIds.foreach { b =>
         val dst = new org.apache.hadoop.fs.Path(s"$outDir/data/block_id=$b")
         fs.delete(dst, true)
@@ -566,7 +572,6 @@ object Layout {
         if (fs.exists(src)) fs.rename(src, dst)
       }
       fs.delete(scratch, true)
-      val __t2 = System.nanoTime()
 
       // derived stores: bloom rows of rewritten blocks rebuilt under the
       // same (m, k); manifest republished LAST (metadata-last commit).
@@ -574,12 +579,8 @@ object Layout {
       val survLong = survivors
         .withColumn("block_id", col("block_id").cast("long"))
       if (hasBloom) {
-        val bloom = spark.read.parquet(bloomPath.toString)
-        val (m, k) = {
-          val r = bloom.select("m", "k").distinct().collect().head
-          (r.getAs[Long]("m"), r.getAs[Int]("k"))
-        }
-        val keptRows = bloom.where(!col("block_id").isin(touchedIds: _*))
+        val (m, k) = bloomMK
+        val keptRows = bloomDf.where(!col("block_id").isin(touchedIds: _*))
         val rebuilt =
           if (rewriteIds.isEmpty) keptRows
           else keptRows.unionByName(bloomRowsOf(survLong, keyCol, m, k))
@@ -593,11 +594,9 @@ object Layout {
         if (rewriteIds.isEmpty) keptManifest
         else keptManifest.unionByName(manifestOf(survLong, curveCols)
           .select(keptManifest.columns.map(col): _*))
-      val __t3 = System.nanoTime()
       swapPublish(fs,
         newManifest.coalesce(1),
         new org.apache.hadoop.fs.Path(s"$outDir/manifest"))
-      System.err.println(f"[del-dbg] touched=${touchedIds.size} rewrite=${rewriteIds.size} survWrite=${(__t1-__t0)/1e9}%.2f swap=${(__t2-__t1)/1e9}%.2f bloomRebuild=${(__t3-__t2)/1e9}%.2f manifest=${(System.nanoTime()-__t3)/1e9}%.2f")
     }
     if (hit != null) hit.unpersist(blocking = false)
 
