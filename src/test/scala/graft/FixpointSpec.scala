@@ -66,6 +66,31 @@ class FixpointSpec extends SparkSpec {
       "last scope out must restore the pre-scope value")
   }
 
+  test("loopPartitions sizes to the state and clamps to the session") {
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt // 4 in tests
+    assert(Fixpoint.loopPartitions(spark, 0L) == 1)
+    assert(Fixpoint.loopPartitions(spark, 1L) == 1)
+    assert(Fixpoint.loopPartitions(spark, 65536L) == 1)
+    assert(Fixpoint.loopPartitions(spark, 65537L) == 2)
+    // a corpus-sized state never loses the session's parallelism
+    assert(Fixpoint.loopPartitions(spark, 100L * 1000 * 1000) ==
+      sessionParts)
+    // the rows-per-partition knob is a conf
+    spark.conf.set("spark.graft.fixpoint.rowsPerPartition", "10")
+    try assert(Fixpoint.loopPartitions(spark, 25L) == 3)
+    finally spark.conf.unset("spark.graft.fixpoint.rowsPerPartition")
+  }
+
+  test("withLoopPartitions scopes and restores the partition conf") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    Fixpoint.withLoopPartitions(spark, 10L) {
+      assert(spark.conf.get(key) == "1")
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
   test("scope under an already-off session leaves conf untouched") {
     spark.conf.set(AqeKey, "false")
     try {
